@@ -1,0 +1,216 @@
+package graft
+
+/**
+ * DuckDB oracle SQL, one entry per SQL-expressible query in `Queries`.
+ * Same aliases, same ordering, same DECIMAL-exact aggregation strategy
+ * (see Queries scaladoc). Queries with no SQL-expressible oracle
+ * (minhash/simhash/ANN/profile, snapshot decode paths) are intentionally
+ * absent → the driver records a rows-only check for them.
+ */
+object Oracle {
+
+  val sql: Map[String, String] = Map(
+
+    "q01_pricing_summary" -> """
+      SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+
+    "q02_region_rollup" -> """
+      SELECT r_name, n_name, COUNT(*) AS n_customers,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)
+      ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
+
+    "q03_revenue_topk" -> """
+      SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderkey, o_orderdate
+      ORDER BY revenue DESC, o_orderkey ASC
+      LIMIT 10""",
+
+    "q04_exists_semijoin" -> """
+      SELECT o_orderpriority, COUNT(*) AS n_orders
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
+    "q05_anti_join" -> """
+      SELECT c_mktsegment, COUNT(*) AS n_customers,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
+
+    "q06_selective_filter" -> """
+      SELECT
+        CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_rows
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24""",
+
+    "q07_latest_version" -> """
+      SELECT o_custkey, o_orderkey AS last_orderkey,
+        strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS last_orderdate_s,
+        o_totalprice AS last_totalprice
+      FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders)
+      WHERE rn = 1
+      ORDER BY o_custkey""",
+
+    "q08_distinct_agg" -> """
+      SELECT l_suppkey,
+        COUNT(DISTINCT l_partkey) AS n_parts,
+        COUNT(DISTINCT l_orderkey) AS n_orders,
+        COUNT(*) AS n_rows
+      FROM lineitem
+      GROUP BY l_suppkey
+      ORDER BY l_suppkey""",
+
+    "q09_explode_tokens" -> """
+      SELECT token, COUNT(*) AS n
+      FROM (SELECT unnest(string_split(p_name, ' ')) AS token FROM part)
+      GROUP BY token
+      ORDER BY n DESC, token ASC
+      LIMIT 20""",
+
+    "q10_case_dispatch" -> """
+      SELECT CASE WHEN p_size < 10 THEN 'small'
+                  WHEN p_size < 25 THEN 'medium'
+                  ELSE 'large' END AS size_band,
+        COUNT(*) AS n_parts,
+        CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+      FROM part
+      GROUP BY 1
+      ORDER BY size_band""",
+
+    "q11_set_ops" -> """
+      WITH c AS (SELECT DISTINCT CAST(c_nationkey AS INT) AS nationkey FROM customer),
+           s AS (SELECT DISTINCT CAST(s_nationkey AS INT) AS nationkey FROM supplier)
+      SELECT 'customer_only' AS tag,
+             (SELECT COUNT(*) FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)) AS n
+      UNION ALL
+      SELECT 'supplier_only',
+             (SELECT COUNT(*) FROM (SELECT nationkey FROM s EXCEPT SELECT nationkey FROM c))
+      UNION ALL
+      SELECT 'both',
+             (SELECT COUNT(*) FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s))
+      ORDER BY tag""",
+
+    "q12_cube_agg" -> """
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders
+      GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+
+    "q13_hourly_windows" -> """
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_s,
+        event_type, COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY hour_s, event_type""",
+
+    "q14_sessionization" -> """
+      SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+        COUNT(*) AS n_events
+      FROM (SELECT user_id,
+              CASE WHEN prev_ts IS NULL
+                     OR date_diff('second', prev_ts, ts) > 1800 THEN 1
+                   ELSE 0 END AS new_session
+            FROM (SELECT user_id, ts,
+                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                  FROM events))
+      GROUP BY user_id
+      ORDER BY user_id""",
+
+    "q15_json_extract" -> """
+      SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY 1
+      ORDER BY k_val""",
+
+    "q16_text_tokens" -> """
+      SELECT lang,
+        CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS sum_tokens,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        COUNT(*) AS n_docs
+      FROM documents
+      GROUP BY lang
+      ORDER BY lang""",
+
+    "q17_exact_dedup" -> """
+      SELECT MIN(doc_id) AS doc_id
+      FROM documents
+      GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+      ORDER BY doc_id""",
+
+    "q18_five_way_join" -> """
+      SELECT n_name,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_rows
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY n_name
+      ORDER BY n_name""",
+
+    "q19_quality_by_source" -> """
+      SELECT source,
+        CAST(SUM(stop_r) AS DOUBLE) / COUNT(*) AS avg_stopword_ratio,
+        CAST(SUM(punct_r) AS DOUBLE) / COUNT(*) AS avg_punct_ratio,
+        COUNT(*) AS n_docs
+      FROM (SELECT source,
+              CAST(round(CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by'))) AS DOUBLE)
+                     / len(toks) END, 6) AS DECIMAL(12,6)) AS stop_r,
+              CAST(round(CASE WHEN length(text) = 0 THEN 0.0
+                ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+                     / length(text) END, 6) AS DECIMAL(12,6)) AS punct_r
+            FROM (SELECT source, text,
+                    CASE WHEN length(trim(text)) = 0 THEN []
+                         ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+                  FROM documents))
+      GROUP BY source
+      ORDER BY source""",
+
+    "q20_customer_order_stats" -> """
+      SELECT o_custkey, COUNT(*) AS n_orders,
+        strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') AS first_order_s,
+        strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS last_order_s,
+        CAST(COALESCE(MAX(gap_days), 0) AS BIGINT) AS max_gap_days
+      FROM (SELECT o_custkey, o_orderdate,
+              date_diff('day', CAST(prev_date AS DATE), CAST(o_orderdate AS DATE)) AS gap_days
+            FROM (SELECT o_custkey, o_orderdate,
+                    lag(o_orderdate) OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey) AS prev_date
+                  FROM orders))
+      GROUP BY o_custkey
+      ORDER BY o_custkey""")
+}

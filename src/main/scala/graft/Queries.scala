@@ -1,0 +1,319 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.{Dedup, Etl, Similarity, TextAnalysis}
+
+/**
+ * The declared query corpus: every entry is an operator from SURVEY §2
+ * (or a training-data-pipeline operator) expressed Spark-first, with a
+ * DuckDB oracle in `Oracle` where SQL can express it.
+ *
+ * Determinism rules (driver hash-compares against DuckDB):
+ *  - aggregates over doubles go through DECIMAL so the sum is exact and
+ *    order-independent, then surface as DOUBLE;
+ *  - timestamps surface as formatted strings;
+ *  - every query has a total ORDER BY with unique tie-breaks;
+ *  - column names are aliased identically on both sides.
+ */
+object Queries {
+
+  /** Table loader. `events.ts` is TIMESTAMP(NANOS) parquet, which Spark
+    * reads only as a long (`spark.sql.legacy.parquet.nanosAsLong=true`,
+    * set in Verify/Bench sessions) — convert to a microsecond timestamp
+    * with integer division (ns since epoch exceed double precision). */
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** Exact, order-independent sum of a double column: via decimal. */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  private def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  // =====================================================================
+  // Relational battery over the TPC-H-ish tables (SQL-oracled)
+  // =====================================================================
+
+  /** A-family aggregation + P-family predicate + sort (TPC-H Q1 shape):
+    * scan → filter (pushed to parquet) → hash agg w/ partial agg → sort. */
+  def q01PricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 6))).cast("double").as("sum_disc_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+          .cast(DecimalType(18, 6))).cast("double").as("sum_charge"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Broadcast-join chain + ROLLUP: dims are small → broadcast;
+    * fact side never shuffles for the join. */
+  def q02RegionRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_acctbal"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+
+  /** Join + agg + top-k (deterministic tie-break on the key). */
+  def q03RevenueTopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(18, 6))).cast("double").as("revenue"))
+      .select(col("o_orderkey"), fmtTs(col("o_orderdate")).as("o_orderdate_s"), col("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  /** J2/P7 — EXISTS as left-semi join. */
+  def q04ExistsSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem").filter(col("l_quantity") >= 49)
+      .select(col("l_orderkey"))
+    t(s, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Anti-join (the J1 unexpected-AppendVec error channel shape). */
+  def q05AntiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_acctbal"))
+      .orderBy("c_mktsegment")
+
+  /** P-family selective conjunctive filter (TPC-H Q6 shape) — the
+    * pushdown showcase: filters reach the parquet scan. */
+  def q06SelectiveFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(
+        col("l_shipdate") >= lit("1994-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-01-01 00:00:00").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(
+        sum((col("l_extendedprice") * col("l_discount"))
+          .cast(DecimalType(18, 6))).cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  /** A1 — last-writer-wins dedup as `max_by` aggregation (the upsert
+    * semantics of `INSERT OR REPLACE`, keyed by (o_orderdate, o_orderkey)
+    * instead of (slot, write_version)). */
+  def q07LatestVersion(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.groupBy(col("o_custkey"))
+      .agg(max_by(
+        struct(col("o_orderkey"), col("o_orderdate"), col("o_totalprice")),
+        struct(col("o_orderdate"), col("o_orderkey"))).as("last"))
+      .select(col("o_custkey"), col("last.o_orderkey").as("last_orderkey"),
+        fmtTs(col("last.o_orderdate")).as("last_orderdate_s"),
+        col("last.o_totalprice").as("last_totalprice"))
+      .orderBy("o_custkey")
+  }
+
+  /** A4 — countDistinct + count (opcode-stats aggregation shape). */
+  def q08DistinctAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_suppkey")
+
+  /** D2 — generator/explode (the multisig-signer explode shape). */
+  def q09ExplodeTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(explode(split(col("p_name"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(20)
+
+  /** P4 — length/size-dispatch CASE routing. */
+  def q10CaseDispatch(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .withColumn("size_band",
+        when(col("p_size") < 10, "small")
+          .when(col("p_size") < 25, "medium")
+          .otherwise("large"))
+      .groupBy(col("size_band"))
+      .agg(count(lit(1)).as("n_parts"),
+        (dsum(col("p_retailprice")) / count(lit(1))).as("avg_price"))
+      .orderBy("size_band")
+
+  /** Set operators: EXCEPT / INTERSECT / UNION ALL. */
+  def q11SetOps(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_nationkey").cast("int").as("nationkey")).distinct()
+    val sp = t(s, dir, "supplier").select(col("s_nationkey").cast("int").as("nationkey")).distinct()
+    val custOnly = c.except(sp).agg(count(lit(1)).as("n")).withColumn("tag", lit("customer_only"))
+    val supOnly = sp.except(c).agg(count(lit(1)).as("n")).withColumn("tag", lit("supplier_only"))
+    val both = c.intersect(sp).agg(count(lit(1)).as("n")).withColumn("tag", lit("both"))
+    custOnly.unionByName(supOnly).unionByName(both)
+      .select(col("tag"), col("n"))
+      .orderBy("tag")
+  }
+
+  /** CUBE aggregation. */
+  def q12CubeAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  /** Event-time tumbling window aggregation (batch form of the streaming
+    * windowed agg; SURVEY §2.9). */
+  def q13HourlyWindows(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(fmtTs(col("hour_ts")).as("hour_s"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy("hour_s", "event_type")
+
+  /** Gap-based sessionization via window functions (lag + conditional
+    * running sum) — the stateful-streaming shape computed batch. */
+  def q14Sessionization(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800, 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** F5 — JSON extraction (`to_json`/`from_json` family; the rewards-JSON
+    * and serde wire-format shape). */
+  def q15JsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k_val", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("k_val"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy("k_val")
+
+  /** Text token statistics per language (training-data text analysis). */
+  def q16TextTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        sum(TextAnalysis.tokenCount(col("text"))).as("sum_tokens"),
+        sum(col("n_chars")).as("sum_chars"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+
+  /** Exact dedup on normalized content (keep min doc_id). */
+  def q17ExactDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents"))
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+
+  /** 5-way join (TPC-H Q5 shape): dims broadcast, facts sort-merge/shuffle
+    * hash on the join keys; AQE reorders at runtime. */
+  def q18FiveWayJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .join(t(s, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(18, 6))).cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("n_name")
+
+  /** Text quality signals aggregated per source (stopword/punct ratios,
+    * exact via per-doc rounding into DECIMAL). */
+  def q19QualityBySource(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"),
+        round(TextAnalysis.stopwordRatio(col("text")), 6)
+          .cast(DecimalType(12, 6)).as("stop_r"),
+        round(TextAnalysis.punctRatio(col("text")), 6)
+          .cast(DecimalType(12, 6)).as("punct_r"))
+      .groupBy(col("source"))
+      .agg(
+        (sum(col("stop_r")).cast("double") / count(lit(1))).as("avg_stopword_ratio"),
+        (sum(col("punct_r")).cast("double") / count(lit(1))).as("avg_punct_ratio"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("source")
+
+  /** Window-function suite: lag gaps, first/last per group. */
+  def q20CustomerOrderStats(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .withColumn("gap_days",
+        datediff(col("o_orderdate").cast("date"), col("prev_date").cast("date")))
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        fmtTs(min(col("o_orderdate"))).as("first_order_s"),
+        fmtTs(max(col("o_orderdate"))).as("last_order_s"),
+        coalesce(max(col("gap_days")), lit(0)).cast("long").as("max_gap_days"))
+      .orderBy("o_custkey")
+  }
+
+  // =====================================================================
+  // Training-data operators without a SQL oracle (rows-only checks)
+  // =====================================================================
+
+  def m01MinhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(t(s, dir, "documents"), threshold = 0.5)
+      .orderBy("doc_id_a", "doc_id_b")
+
+  def m02SimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 8)
+      .orderBy("doc_id_a", "doc_id_b")
+
+  def m03NgramJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.3)
+      .orderBy("doc_id_a", "doc_id_b")
+
+  def m04AnnBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 16), k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  def m05AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 16), k = 5, planes = 8)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Threshold calibrated to the synthetic embeddings (random vectors:
+    * pairwise cosine tops out near 0.45 — a 0.9 near-dup bar would be
+    * vacuous on this corpus). */
+  def m06EmbeddingDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingPairs(t(s, dir, "embeddings"), threshold = 0.35, planes = 4)
+      .orderBy("vec_id_a", "vec_id_b")
+
+  def m07TextProfile(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.profile(t(s, dir, "documents"))
+      .orderBy("doc_id")
+
+  def m08MinhashDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashDedup(t(s, dir, "documents"), threshold = 0.5)
+      .select(col("doc_id")).orderBy("doc_id")
+}

@@ -1,13 +1,77 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Etl
+import graft.sources.{SnapshotReader, SyntheticSnapshot}
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Deterministic synthetic snapshot fixture (seed 42), written once per
+    * JVM under target/. Exercises the real snapshot source + codecs. */
+  lazy val fixtureDir: String = synchronized {
+    val dir = "/root/repo/target/synthetic-snapshot"
+    val marker = java.nio.file.Paths.get(dir, "snapshots")
+    if (!java.nio.file.Files.exists(marker))
+      SyntheticSnapshot.write(dir)
+    dir
+  }
+
+  private def deduped(spark: SparkSession): DataFrame =
+    Etl.latestVersion(SnapshotReader.rawAccounts(spark, fixtureDir))
+
+  /** Flagship query: full snapshot ETL — scan → manifest join → decode →
+    * last-writer-wins → per-kind counts. Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    Etl.accountKindCounts(deduped(spark)).orderBy("kind")
+
+  /** One entry per implemented operator from SURVEY.md §2 (plus the
+    * training-data operator suite). Keys match Oracle.sql where a DuckDB
+    * oracle exists; the `sn` / `m` entries are rows-only checks. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SQL-oracled relational battery
+    "q01_pricing_summary" -> Queries.q01PricingSummary,
+    "q02_region_rollup" -> Queries.q02RegionRollup,
+    "q03_revenue_topk" -> Queries.q03RevenueTopK,
+    "q04_exists_semijoin" -> Queries.q04ExistsSemiJoin,
+    "q05_anti_join" -> Queries.q05AntiJoin,
+    "q06_selective_filter" -> Queries.q06SelectiveFilter,
+    "q07_latest_version" -> Queries.q07LatestVersion,
+    "q08_distinct_agg" -> Queries.q08DistinctAgg,
+    "q09_explode_tokens" -> Queries.q09ExplodeTokens,
+    "q10_case_dispatch" -> Queries.q10CaseDispatch,
+    "q11_set_ops" -> Queries.q11SetOps,
+    "q12_cube_agg" -> Queries.q12CubeAgg,
+    "q13_hourly_windows" -> Queries.q13HourlyWindows,
+    "q14_sessionization" -> Queries.q14Sessionization,
+    "q15_json_extract" -> Queries.q15JsonExtract,
+    "q16_text_tokens" -> Queries.q16TextTokens,
+    "q17_exact_dedup" -> Queries.q17ExactDedup,
+    "q18_five_way_join" -> Queries.q18FiveWayJoin,
+    "q19_quality_by_source" -> Queries.q19QualityBySource,
+    "q20_customer_order_stats" -> Queries.q20CustomerOrderStats,
+    // training-data operators (rows-only)
+    "m01_minhash_pairs" -> Queries.m01MinhashPairs,
+    "m02_simhash_pairs" -> Queries.m02SimhashPairs,
+    "m03_ngram_jaccard_pairs" -> Queries.m03NgramJaccardPairs,
+    "m04_ann_bruteforce" -> Queries.m04AnnBruteForce,
+    "m05_ann_lsh" -> Queries.m05AnnLsh,
+    "m06_embedding_dedup" -> Queries.m06EmbeddingDedup,
+    "m07_text_profile" -> Queries.m07TextProfile,
+    "m08_minhash_dedup" -> Queries.m08MinhashDedup,
+    // snapshot-ETL pipeline over the deterministic fixture (rows-only:
+    // binary decode paths have no SQL oracle; codecs are unit-tested)
+    "sn01_accounts" -> ((s, _) => Etl.accounts(deduped(s)).orderBy(hex(col("pubkey")))),
+    "sn02_token_accounts" -> ((s, _) => Etl.tokenAccounts(deduped(s)).orderBy(hex(col("pubkey")))),
+    "sn03_token_mints" -> ((s, _) => Etl.tokenMints(deduped(s)).orderBy(hex(col("pubkey")))),
+    "sn04_token_multisig" -> ((s, _) => Etl.tokenMultisigs(deduped(s)).orderBy(hex(col("pubkey")), hex(col("signer")))),
+    "sn05_token_metadata" -> ((s, _) => Etl.tokenMetadata(deduped(s)).orderBy(hex(col("pubkey")))),
+    "sn06_csv_projection" -> ((s, _) => Etl.csvProjection(deduped(s)).orderBy("pubkey")),
+    "sn07_kind_counts" -> ((s, _) => Etl.accountKindCounts(deduped(s)).orderBy("kind")))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] = Oracle.sql
 }

@@ -1,0 +1,120 @@
+package graft.core
+
+import java.nio.{ByteBuffer, ByteOrder}
+import scala.collection.mutable.ArrayBuffer
+
+/**
+ * AppendVec storage format: a sequence of variable-length account records,
+ * every field block 8-byte aligned (reference:
+ * `solana-snapshot-etl/src/append_vec.rs:39-74,251-268`).
+ *
+ * Record layout (all little-endian):
+ *   StoredMeta  (48B): write_version u64 | pubkey [u8;32] | data_len u64
+ *   AccountMeta (56B): lamports u64 | owner [u8;32] | executable u8 |
+ *                      pad[7] | rent_epoch u64
+ *   hash        (32B)
+ *   data        (data_len bytes, padded to the next 8-byte boundary)
+ *
+ * The walk stops at the first record that would overrun the buffer's
+ * logical length (`get_account` returning None, `append_vec.rs:251-268`) —
+ * trailing garbage past `accounts_current_len` is thereby truncated, which
+ * is how the manifest's length field is honored (`archived.rs:110-131`).
+ */
+object AppendVec {
+  final val MaxFileSize: Long = 16L * 1024 * 1024 * 1024 // append_vec.rs:46
+  final val StoredMetaSize = 48
+  final val AccountMetaSize = 56
+  final val HashSize = 32
+
+  final case class Record(
+      writeVersion: Long,
+      pubkey: Array[Byte],
+      dataLen: Long,
+      lamports: Long,
+      owner: Array[Byte],
+      executable: Boolean,
+      rentEpoch: Long,
+      hash: Array[Byte],
+      data: Array[Byte])
+
+  @inline private def align8(x: Int): Int = (x + 7) & ~7
+
+  /** Sequential record walk over `bytes(0, currentLen)`; mirrors
+    * `append_vec_iter` (`lib.rs:59-75`). Stops (does not throw) on a
+    * truncated tail. */
+  def records(bytes: Array[Byte], currentLen: Int): Iterator[Record] = {
+    val len = math.min(currentLen, bytes.length)
+    val buf = ByteBuffer.wrap(bytes, 0, len).order(ByteOrder.LITTLE_ENDIAN)
+    new Iterator[Record] {
+      private var offset = 0
+      private var nextRec: Record = fetch()
+
+      private def fetch(): Record = {
+        if (offset + StoredMetaSize + AccountMetaSize + HashSize > len) return null
+        val b = buf.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+        b.position(offset)
+        val writeVersion = b.getLong
+        val pubkey = new Array[Byte](32); b.get(pubkey)
+        val dataLen = b.getLong
+        if (dataLen < 0 || dataLen > len) return null
+        // AccountMeta at aligned offset (48 is already 8-aligned)
+        val lamports = b.getLong
+        val owner = new Array[Byte](32); b.get(owner)
+        val executable = b.get() != 0
+        b.position(b.position() + 7) // pad to 8
+        val rentEpoch = b.getLong
+        val hash = new Array[Byte](32); b.get(hash)
+        val dataStart = b.position()
+        if (dataStart + dataLen > len) return null
+        val data = new Array[Byte](dataLen.toInt)
+        b.get(data)
+        offset = align8(dataStart + dataLen.toInt)
+        Record(writeVersion, pubkey, dataLen, lamports, owner, executable,
+          rentEpoch, hash, data)
+      }
+
+      override def hasNext: Boolean = nextRec != null
+      override def next(): Record = {
+        val r = nextRec; nextRec = fetch(); r
+      }
+    }
+  }
+
+  /** Serialize records into AppendVec bytes — the fixture writer used by
+    * tests and the synthetic-snapshot generator. */
+  def write(recs: Seq[Record]): Array[Byte] = {
+    val out = new ArrayBuffer[Byte]()
+    def putLong(v: Long): Unit = {
+      val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(v)
+      out ++= b.array()
+    }
+    def put32(a: Array[Byte]): Unit = {
+      require(a.length == 32); out ++= a
+    }
+    recs.foreach { r =>
+      putLong(r.writeVersion)
+      put32(r.pubkey)
+      putLong(r.data.length.toLong)
+      putLong(r.lamports)
+      put32(r.owner)
+      out += (if (r.executable) 1 else 0).toByte
+      out ++= new Array[Byte](7)
+      putLong(r.rentEpoch)
+      put32(r.hash)
+      out ++= r.data
+      val pad = (8 - (r.data.length % 8)) % 8
+      out ++= new Array[Byte](pad)
+    }
+    out.toArray
+  }
+
+  /** Parse `<slot>.<id>` AppendVec file names (`lib.rs:48-57`); None for
+    * non-conforming names. */
+  def parseName(name: String): Option[(Long, Long)] = {
+    val parts = name.split('.')
+    if (parts.length != 2) None
+    else
+      try Some((parts(0).toLong, parts(1).toLong))
+      catch { case _: NumberFormatException => None }
+  }
+}

@@ -1,0 +1,91 @@
+package graft.core
+
+/**
+ * Base58 (Bitcoin alphabet) encode/decode for 32-byte pubkeys / 64-byte
+ * signatures, matching the rendering the reference uses for CSV export and
+ * NFT off-chain messages (reference: solana-snapshot-etl-tools
+ * `csv.rs:50-51`, `geyser/src/plugin.rs:198`).
+ *
+ * Pure JVM, allocation-light; suitable for use inside codegen'd Catalyst
+ * expressions and UDFs.
+ */
+object Base58 {
+  final val Alphabet: Array[Char] =
+    "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz".toCharArray
+
+  private final val Indexes: Array[Int] = {
+    val idx = Array.fill(128)(-1)
+    var i = 0
+    while (i < Alphabet.length) { idx(Alphabet(i)) = i; i += 1 }
+    idx
+  }
+
+  def encode(input: Array[Byte]): String = {
+    if (input.isEmpty) return ""
+    var zeros = 0
+    while (zeros < input.length && input(zeros) == 0) zeros += 1
+    // worst case size: log(256)/log(58) ~= 1.366
+    val encoded = new Array[Char](input.length * 2)
+    var outputStart = encoded.length
+    val number = java.util.Arrays.copyOf(input, input.length)
+    var inputStart = zeros
+    while (inputStart < number.length) {
+      // divmod base 256 -> base 58
+      var remainder = 0
+      var i = inputStart
+      while (i < number.length) {
+        val digit = number(i) & 0xff
+        val temp = remainder * 256 + digit
+        number(i) = (temp / 58).toByte
+        remainder = temp % 58
+        i += 1
+      }
+      outputStart -= 1
+      encoded(outputStart) = Alphabet(remainder)
+      if (number(inputStart) == 0) inputStart += 1
+    }
+    var z = 0
+    while (z < zeros) { outputStart -= 1; encoded(outputStart) = '1'; z += 1 }
+    new String(encoded, outputStart, encoded.length - outputStart)
+  }
+
+  /** Decode; returns null on any invalid character (null-on-invalid matches
+    * the drop-bad-rows semantics of the decode operators, SURVEY §2.2 P11). */
+  def decode(input: String): Array[Byte] = {
+    if (input == null) return null
+    if (input.isEmpty) return Array.emptyByteArray
+    val input58 = new Array[Byte](input.length)
+    var i = 0
+    while (i < input.length) {
+      val c = input.charAt(i)
+      val digit = if (c < 128) Indexes(c) else -1
+      if (digit < 0) return null
+      input58(i) = digit.toByte
+      i += 1
+    }
+    var zeros = 0
+    while (zeros < input58.length && input58(zeros) == 0) zeros += 1
+    val decoded = new Array[Byte](input.length)
+    var outputStart = decoded.length
+    var inputStart = zeros
+    while (inputStart < input58.length) {
+      var remainder = 0
+      var j = inputStart
+      while (j < input58.length) {
+        val digit = input58(j).toInt
+        val temp = remainder * 58 + digit
+        input58(j) = (temp / 256).toByte
+        remainder = temp % 256
+        j += 1
+      }
+      outputStart -= 1
+      decoded(outputStart) = remainder.toByte
+      if (input58(inputStart) == 0) inputStart += 1
+    }
+    // skip extra leading zeros produced by the conversion
+    while (outputStart < decoded.length && decoded(outputStart) == 0) outputStart += 1
+    val res = new Array[Byte](zeros + decoded.length - outputStart)
+    System.arraycopy(decoded, outputStart, res, zeros, decoded.length - outputStart)
+    res
+  }
+}

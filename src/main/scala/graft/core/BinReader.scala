@@ -1,0 +1,70 @@
+package graft.core
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/**
+ * Little-endian binary cursor shared by the borsh / bincode / SPL-layout
+ * decoders. All on-disk formats in the reference are little-endian
+ * (reference: `append_vec.rs` struct layout, borsh spec, bincode fixint).
+ *
+ * Reads return `None`-style nulls via exceptions caught by callers — decode
+ * failure maps to a dropped/null row (SURVEY §2.2 P11).
+ */
+final class BinReader(val buf: ByteBuffer) {
+  def this(bytes: Array[Byte]) =
+    this(ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN))
+
+  def remaining: Int = buf.remaining()
+  def position: Int = buf.position()
+  def skip(n: Int): Unit = buf.position(buf.position() + n)
+
+  def u8(): Int = buf.get() & 0xff
+  def bool(): Boolean = u8() != 0
+  def u16(): Int = buf.getShort() & 0xffff
+  def u32(): Long = buf.getInt() & 0xffffffffL
+  /** u64 read as signed long — the reference itself stores u64 as i64
+    * (`sqlite.rs:226-230`), so Long is the faithful mapping. */
+  def i64(): Long = buf.getLong()
+  def f64(): Double = buf.getDouble()
+
+  def bytes(n: Int): Array[Byte] = {
+    val out = new Array[Byte](n)
+    buf.get(out)
+    out
+  }
+
+  def pubkey(): Array[Byte] = bytes(32)
+
+  // ---- borsh primitives (https://borsh.io spec; public format) ----
+
+  /** borsh String: u32 length + utf8 bytes. */
+  def borshString(): String = {
+    val len = u32().toInt
+    new String(bytes(len), java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** borsh Option[T]: u8 tag 0/1 then payload. */
+  def borshOption[T](read: => T): Option[T] =
+    if (u8() == 1) Some(read) else None
+
+  /** borsh Vec[T]: u32 count then elements. */
+  def borshVec[T](read: => T): Vector[T] = {
+    val n = u32().toInt
+    Vector.fill(n)(read)
+  }
+
+  // ---- SPL COption: u32 tag 0/1 then fixed-size payload (always present
+  //      in the buffer; tag selects validity) — spl-token program layout ----
+
+  def cOptionPubkey(): Option[Array[Byte]] = {
+    val tag = u32()
+    val pk = pubkey()
+    if (tag == 1) Some(pk) else None
+  }
+
+  def cOptionU64(): Option[Long] = {
+    val tag = u32()
+    val v = i64()
+    if (tag == 1) Some(v) else None
+  }
+}

@@ -1,0 +1,103 @@
+package graft.core
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/**
+ * Minimal ELF64 `.text` locator + eBPF opcode walker for the opcode-stats
+ * analytics job (reference:
+ * `solana-snapshot-etl/src/bin/solana-opcode-stats/main.rs:85-107` — walk
+ * text bytes in 8-byte instructions, 16 bytes for LD_DW_IMM 0x18, count
+ * occurrences per opcode). Public formats only (ELF spec + eBPF ISA).
+ */
+object Ebpf {
+  final val LdDwImm = 0x18
+
+  /** Locate the `.text` section of an ELF64 little-endian image; falls back
+    * to treating the whole buffer as text (matching the permissive
+    * `reject_broken_elfs: false` config the reference uses) when the ELF
+    * header is absent or malformed. Returns null only for empty input. */
+  def textSection(elf: Array[Byte]): Array[Byte] = {
+    if (elf == null || elf.isEmpty) return null
+    if (elf.length < 64 || elf(0) != 0x7f || elf(1) != 'E' || elf(2) != 'L' || elf(3) != 'F')
+      return elf
+    try {
+      val b = ByteBuffer.wrap(elf).order(ByteOrder.LITTLE_ENDIAN)
+      val shoff = b.getLong(0x28)
+      val shentsize = b.getShort(0x3a) & 0xffff
+      val shnum = b.getShort(0x3c) & 0xffff
+      val shstrndx = b.getShort(0x3e) & 0xffff
+      if (shoff <= 0 || shnum == 0 || shstrndx >= shnum) return elf
+      def sh(i: Int, field: Int): Long = b.getLong(shoff.toInt + i * shentsize + field)
+      def shName(i: Int): Int = b.getInt(shoff.toInt + i * shentsize)
+      val strOff = sh(shstrndx, 0x18).toInt
+      def name(i: Int): String = {
+        var p = strOff + shName(i)
+        val sb = new StringBuilder
+        while (p < elf.length && elf(p) != 0) { sb.append(elf(p).toChar); p += 1 }
+        sb.toString
+      }
+      var i = 0
+      while (i < shnum) {
+        if (name(i) == ".text") {
+          val off = sh(i, 0x18).toInt
+          val size = sh(i, 0x20).toInt
+          if (off >= 0 && size >= 0 && off + size <= elf.length)
+            return java.util.Arrays.copyOfRange(elf, off, off + size)
+        }
+        i += 1
+      }
+      elf
+    } catch { case _: Exception => elf }
+  }
+
+  /** Opcode sequence of a text section: one opcode per instruction,
+    * LD_DW_IMM consumes 16 bytes, everything else 8. */
+  def opcodes(text: Array[Byte]): Array[Int] = {
+    if (text == null) return Array.empty
+    val out = new scala.collection.mutable.ArrayBuffer[Int](text.length / 8)
+    var p = 0
+    while (p < text.length) {
+      val opc = text(p) & 0xff
+      out += opc
+      p += (if (opc == LdDwImm) 16 else 8)
+    }
+    out.toArray
+  }
+
+  def disassemble(elf: Array[Byte]): Array[Int] = opcodes(textSection(elf))
+
+  /** Opcode → mnemonic per the (public) eBPF/sbf ISA, matching the
+    * reference's table (`solana-opcode-stats/main.rs:159-268`). */
+  val mnemonics: Map[Int, String] = Map(
+    0x30 -> "LD_ABS_B", 0x28 -> "LD_ABS_H", 0x20 -> "LD_ABS_W", 0x38 -> "LD_ABS_DW",
+    0x50 -> "LD_IND_B", 0x48 -> "LD_IND_H", 0x40 -> "LD_IND_W", 0x58 -> "LD_IND_DW",
+    0x18 -> "LD_DW_IMM",
+    0x71 -> "LD_B_REG", 0x69 -> "LD_H_REG", 0x61 -> "LD_W_REG", 0x79 -> "LD_DW_REG",
+    0x72 -> "ST_B_IMM", 0x6a -> "ST_H_IMM", 0x62 -> "ST_W_IMM", 0x7a -> "ST_DW_IMM",
+    0x73 -> "ST_B_REG", 0x6b -> "ST_H_REG", 0x63 -> "ST_W_REG", 0x7b -> "ST_DW_REG",
+    0xc3 -> "ST_W_XADD", 0xdb -> "ST_DW_XADD",
+    0x04 -> "ADD32_IMM", 0x0c -> "ADD32_REG", 0x14 -> "SUB32_IMM", 0x1c -> "SUB32_REG",
+    0x24 -> "MUL32_IMM", 0x2c -> "MUL32_REG", 0x34 -> "DIV32_IMM", 0x3c -> "DIV32_REG",
+    0x44 -> "OR32_IMM", 0x4c -> "OR32_REG", 0x54 -> "AND32_IMM", 0x5c -> "AND32_REG",
+    0x64 -> "LSH32_IMM", 0x6c -> "LSH32_REG", 0x74 -> "RSH32_IMM", 0x7c -> "RSH32_REG",
+    0x84 -> "NEG32", 0x94 -> "MOD32_IMM", 0x9c -> "MOD32_REG",
+    0xa4 -> "XOR32_IMM", 0xac -> "XOR32_REG", 0xb4 -> "MOV32_IMM", 0xbc -> "MOV32_REG",
+    0xc4 -> "ARSH32_IMM", 0xcc -> "ARSH32_REG", 0xe4 -> "SDIV32_IMM", 0xec -> "SDIV32_REG",
+    0xd4 -> "LE", 0xdc -> "BE",
+    0x07 -> "ADD64_IMM", 0x0f -> "ADD64_REG", 0x17 -> "SUB64_IMM", 0x1f -> "SUB64_REG",
+    0x27 -> "MUL64_IMM", 0x2f -> "MUL64_REG", 0x37 -> "DIV64_IMM", 0x3f -> "DIV64_REG",
+    0x47 -> "OR64_IMM", 0x4f -> "OR64_REG", 0x57 -> "AND64_IMM", 0x5f -> "AND64_REG",
+    0x67 -> "LSH64_IMM", 0x6f -> "LSH64_REG", 0x77 -> "RSH64_IMM", 0x7f -> "RSH64_REG",
+    0x87 -> "NEG64", 0x97 -> "MOD64_IMM", 0x9f -> "MOD64_REG",
+    0xa7 -> "XOR64_IMM", 0xaf -> "XOR64_REG", 0xb7 -> "MOV64_IMM", 0xbf -> "MOV64_REG",
+    0xc7 -> "ARSH64_IMM", 0xcf -> "ARSH64_REG", 0xe7 -> "SDIV64_IMM", 0xef -> "SDIV64_REG",
+    0x05 -> "JA", 0x15 -> "JEQ_IMM", 0x1d -> "JEQ_REG", 0x25 -> "JGT_IMM", 0x2d -> "JGT_REG",
+    0x35 -> "JGE_IMM", 0x3d -> "JGE_REG", 0xa5 -> "JLT_IMM", 0xad -> "JLT_REG",
+    0xb5 -> "JLE_IMM", 0xbd -> "JLE_REG", 0x45 -> "JSET_IMM", 0x4d -> "JSET_REG",
+    0x55 -> "JNE_IMM", 0x5d -> "JNE_REG", 0x65 -> "JSGT_IMM", 0x6d -> "JSGT_REG",
+    0x75 -> "JSGE_IMM", 0x7d -> "JSGE_REG", 0xc5 -> "JSLT_IMM", 0xcd -> "JSLT_REG",
+    0xd5 -> "JSLE_IMM", 0xdd -> "JSLE_REG",
+    0x85 -> "CALL_IMM", 0x8d -> "CALL_REG", 0x95 -> "EXIT")
+
+  def mnemonic(opc: Int): String = mnemonics.getOrElse(opc & 0xff, "invalid")
+}

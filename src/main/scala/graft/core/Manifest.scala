@@ -1,0 +1,70 @@
+package graft.core
+
+import java.nio.{ByteBuffer, ByteOrder}
+import scala.collection.mutable.ArrayBuffer
+
+/**
+ * Snapshot manifest: the catalog that maps each AppendVec `(slot, id)` to
+ * its logical length `accounts_current_len` (reference:
+ * `solana-snapshot-etl/src/solana.rs:99-119` `AccountsDbFields`, used to
+ * validate and truncate every AppendVec — `archived.rs:110-131`,
+ * `unpacked.rs:99-116`).
+ *
+ * Bincode fixint little-endian encoding of
+ * `HashMap<u64 slot, Vec<{id: u64, accounts_current_len: u64}>>` followed
+ * by `write_version: u64`, `slot: u64`. The reference's manifest carries a
+ * ~35-field bank prefix that it decodes and discards (`archived.rs:66-67`);
+ * our synthetic manifest format is the accounts-db portion only, with the
+ * prefix handled by an explicit `skipPrefix` offset for forward
+ * compatibility.
+ */
+object Manifest {
+  final val MaxStreamSize: Long = 32L * 1024 * 1024 * 1024 // solana.rs:40
+
+  final case class StorageEntry(id: Long, currentLen: Long)
+  final case class AccountsDb(
+      storages: Map[Long, Vector[StorageEntry]],
+      writeVersion: Long,
+      slot: Long) {
+    /** (slot, id) -> currentLen lookup used for the manifest join (J1). */
+    def lengths: Map[(Long, Long), Long] =
+      storages.flatMap { case (slot, entries) =>
+        entries.map(e => (slot, e.id) -> e.currentLen)
+      }
+  }
+
+  def read(bytes: Array[Byte], skipPrefix: Int = 0): AccountsDb = {
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    b.position(skipPrefix)
+    val nSlots = b.getLong
+    require(nSlots >= 0 && nSlots < Int.MaxValue, s"bad manifest map size $nSlots")
+    val storages = (0L until nSlots).map { _ =>
+      val slot = b.getLong
+      val nEntries = b.getLong
+      require(nEntries >= 0 && nEntries < Int.MaxValue, s"bad vec size $nEntries")
+      val entries = (0L until nEntries).map { _ =>
+        StorageEntry(b.getLong, b.getLong)
+      }.toVector
+      slot -> entries
+    }.toMap
+    AccountsDb(storages, writeVersion = b.getLong, slot = b.getLong)
+  }
+
+  def write(db: AccountsDb): Array[Byte] = {
+    val out = new ArrayBuffer[Byte]()
+    def putLong(v: Long): Unit = {
+      val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(v)
+      out ++= b.array()
+    }
+    putLong(db.storages.size.toLong)
+    // deterministic order for reproducible fixtures
+    db.storages.toSeq.sortBy(_._1).foreach { case (slot, entries) =>
+      putLong(slot)
+      putLong(entries.size.toLong)
+      entries.foreach { e => putLong(e.id); putLong(e.currentLen) }
+    }
+    putLong(db.writeVersion)
+    putLong(db.slot)
+    out.toArray
+  }
+}

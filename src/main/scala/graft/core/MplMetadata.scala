@@ -1,0 +1,78 @@
+package graft.core
+
+/**
+ * Metaplex token-metadata borsh decode (public MPL program format).
+ *
+ * Semantics match the reference's progressive decode (reference:
+ * `solana-snapshot-etl/src/bin/solana-snapshot-etl/mpl_metadata.rs:6-84`,
+ * `sqlite.rs:326-360`): tag byte dispatch on AccountKey; decode Metadata,
+ * then *optionally* MetadataExt (edition_nonce) and MetadataExtV1_2
+ * (token_standard / collection / uses) — truncated tails yield null
+ * extensions, not a failed row.
+ */
+object MplMetadata {
+  /** metaqbxxUerdq28cj1RbAWkYQm3ybzjb6a8bt518x1s (MPL metadata program). */
+  final val ProgramId: Array[Byte] = Base58.decode(
+    "metaqbxxUerdq28cj1RbAWkYQm3ybzjb6a8bt518x1s")
+
+  final val KeyMetadataV1 = 4
+
+  final case class Creator(address: Array[Byte], verified: Boolean, share: Int)
+  final case class Collection(verified: Boolean, key: Array[Byte])
+  final case class Uses(useMethod: Int, remaining: Long, total: Long)
+
+  final case class Metadata(
+      updateAuthority: Array[Byte],
+      mint: Array[Byte],
+      name: String,
+      symbol: String,
+      uri: String,
+      sellerFeeBasisPoints: Int,
+      creators: Option[Vector[Creator]],
+      primarySaleHappened: Boolean,
+      isMutable: Boolean,
+      // v1.1 ext
+      editionNonce: Option[Int],
+      // v1.2 ext
+      tokenStandard: Option[Int],
+      collection: Option[Collection],
+      uses: Option[Uses])
+
+  /** Decode a MetadataV1 account; null for any non-MetadataV1 tag or an
+    * undecodable core struct (reference skips those rows silently). */
+  def decode(data: Array[Byte]): Metadata = {
+    if (data == null || data.isEmpty) return null
+    try {
+      val r = new BinReader(data)
+      val key = r.u8()
+      if (key != KeyMetadataV1) return null
+      val updateAuthority = r.pubkey()
+      val mint = r.pubkey()
+      val name = r.borshString()
+      val symbol = r.borshString()
+      val uri = r.borshString()
+      val sellerFee = r.u16()
+      val creators = r.borshOption(r.borshVec(
+        Creator(r.pubkey(), r.bool(), r.u8())))
+      val primarySale = r.bool()
+      val isMutable = r.bool()
+      // progressive extensions: each decoded with .ok() semantics
+      val ext11 = try Some(r.borshOption(r.u8())) catch { case _: Exception => None }
+      val ext12 = if (ext11.isEmpty) None else try {
+        val tokenStandard = r.borshOption(r.u8())
+        val coll = r.borshOption(Collection(r.bool(), r.pubkey()))
+        val uses = r.borshOption(Uses(r.u8(), r.i64(), r.i64()))
+        Some((tokenStandard, coll, uses))
+      } catch { case _: Exception => None }
+      Metadata(
+        updateAuthority, mint, name, symbol, uri, sellerFee, creators,
+        primarySale, isMutable,
+        editionNonce = ext11.flatten,
+        tokenStandard = ext12.flatMap(_._1),
+        collection = ext12.flatMap(_._2),
+        uses = ext12.flatMap(_._3))
+    } catch {
+      case _: Exception => null
+    }
+  }
+}

@@ -1,0 +1,78 @@
+package graft.core
+
+/**
+ * SPL Token program account layouts (public Solana program format), as
+ * consumed by the reference's sqlite loader (reference:
+ * `solana-snapshot-etl/src/bin/solana-snapshot-etl/sqlite.rs:236-259` —
+ * length-dispatched decode of Mint(82) / Account(165) / Multisig(355)).
+ *
+ * Decode returns null on wrong length / truncation (P11 guard semantics).
+ */
+object SplToken {
+  final val MintLen = 82
+  final val AccountLen = 165
+  final val MultisigLen = 355
+  final val MaxSigners = 11
+
+  /** TokenkegQfeZyiNwAJbNbGKPFXCWuBvf9Ss623VQ5DA (SPL Token program id). */
+  final val ProgramId: Array[Byte] = Base58.decode(
+    "TokenkegQfeZyiNwAJbNbGKPFXCWuBvf9Ss623VQ5DA")
+
+  final case class Mint(
+      mintAuthority: Option[Array[Byte]],
+      supply: Long,
+      decimals: Int,
+      isInitialized: Boolean,
+      freezeAuthority: Option[Array[Byte]])
+
+  final case class Account(
+      mint: Array[Byte],
+      owner: Array[Byte],
+      amount: Long,
+      delegate: Option[Array[Byte]],
+      state: Int,
+      isNative: Option[Long],
+      delegatedAmount: Long,
+      closeAuthority: Option[Array[Byte]])
+
+  final case class Multisig(m: Int, n: Int, isInitialized: Boolean,
+      signers: Vector[Array[Byte]])
+
+  def decodeMint(data: Array[Byte]): Mint = {
+    if (data == null || data.length != MintLen) return null
+    val r = new BinReader(data)
+    Mint(
+      mintAuthority = r.cOptionPubkey(),
+      supply = r.i64(),
+      decimals = r.u8(),
+      isInitialized = r.bool(),
+      freezeAuthority = r.cOptionPubkey())
+  }
+
+  def decodeAccount(data: Array[Byte]): Account = {
+    if (data == null || data.length != AccountLen) return null
+    val r = new BinReader(data)
+    Account(
+      mint = r.pubkey(),
+      owner = r.pubkey(),
+      amount = r.i64(),
+      delegate = r.cOptionPubkey(),
+      state = r.u8(),
+      isNative = r.cOptionU64(),
+      delegatedAmount = r.i64(),
+      closeAuthority = r.cOptionPubkey())
+  }
+
+  /** Multisig layout: m u8, n u8, is_initialized u8, signers [32]*11.
+    * The reference explodes one row per signer, taking the first `n`
+    * (`sqlite.rs:305-324`). */
+  def decodeMultisig(data: Array[Byte]): Multisig = {
+    if (data == null || data.length != MultisigLen) return null
+    val r = new BinReader(data)
+    val m = r.u8()
+    val n = r.u8()
+    val init = r.bool()
+    val signers = Vector.fill(MaxSigners)(r.pubkey())
+    Multisig(m, n, init, signers.take(math.min(n, MaxSigners)))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.model.Schemas
+
+/**
+ * Column-level function surface (SURVEY §2.6/§2.7): base58 encode/decode
+ * (F1), byte-slice carving (F3/F4), and the decode UDFs (D1–D5).
+ *
+ * Decode UDFs return null structs for undecodable input — the reference's
+ * skip-bad-rows semantics (P11) — so callers filter `isNotNull` and
+ * Catalyst prunes the branch early.
+ */
+object Functions {
+
+  // ---- F1: base58 (custom; no Spark built-in exists) ----
+
+  private val base58EncodeUdf = udf((b: Array[Byte]) =>
+    if (b == null) null else Base58.encode(b))
+  private val base58DecodeUdf = udf((s: String) => Base58.decode(s))
+
+  def base58_encode(c: Column): Column = base58EncodeUdf(c)
+  def base58_decode(c: Column): Column = base58DecodeUdf(c)
+
+  // ---- D1: SPL Token decodes (fixed layouts; null on wrong length) ----
+
+  private case class MintOut(mint_authority: Array[Byte], supply: Long,
+      decimals: Short, is_initialized: Boolean, freeze_authority: Array[Byte])
+
+  private val decodeMintUdf = udf((data: Array[Byte]) => {
+    val m = SplToken.decodeMint(data)
+    if (m == null) null
+    else MintOut(m.mintAuthority.orNull, m.supply, m.decimals.toShort,
+      m.isInitialized, m.freezeAuthority.orNull)
+  })
+
+  private case class TokenAccountOut(mint: Array[Byte], owner: Array[Byte],
+      amount: Long, delegate: Array[Byte], state: Short,
+      is_native: Option[Long], delegated_amount: Long,
+      close_authority: Array[Byte])
+
+  private val decodeTokenAccountUdf = udf((data: Array[Byte]) => {
+    val a = SplToken.decodeAccount(data)
+    if (a == null) null
+    else TokenAccountOut(a.mint, a.owner, a.amount, a.delegate.orNull,
+      a.state.toShort, a.isNative, a.delegatedAmount, a.closeAuthority.orNull)
+  })
+
+  // single-letter field names (m, n) break Spark's codegen'd encoder —
+  // use prefixed fields here, aliased back to the reference's column
+  // names in Etl.tokenMultisigs.
+  private case class MultisigOut(sig_m: Short, sig_n: Short,
+      is_initialized: Boolean, signers: Seq[Array[Byte]])
+
+  private val decodeMultisigUdf = udf((data: Array[Byte]) => {
+    val ms = SplToken.decodeMultisig(data)
+    if (ms == null) null
+    else MultisigOut(ms.m.toShort, ms.n.toShort, ms.isInitialized, ms.signers)
+  })
+
+  def decode_token_mint(data: Column): Column = decodeMintUdf(data)
+  def decode_token_account(data: Column): Column = decodeTokenAccountUdf(data)
+  def decode_token_multisig(data: Column): Column = decodeMultisigUdf(data)
+
+  // ---- D3: MPL metadata borsh decode ----
+
+  private case class MetadataOut(update_authority: Array[Byte],
+      mint: Array[Byte], name: String, symbol: String, uri: String,
+      seller_fee_basis_points: Int, primary_sale_happened: Boolean,
+      is_mutable: Boolean, edition_nonce: Option[Short],
+      token_standard: Option[Short], collection_verified: Option[Boolean],
+      collection_key: Array[Byte])
+
+  private val decodeMetadataUdf = udf((data: Array[Byte]) => {
+    val m = MplMetadata.decode(data)
+    if (m == null) null
+    else MetadataOut(m.updateAuthority, m.mint, m.name, m.symbol, m.uri,
+      m.sellerFeeBasisPoints, m.primarySaleHappened, m.isMutable,
+      m.editionNonce.map(_.toShort), m.tokenStandard.map(_.toShort),
+      m.collection.map(_.verified), m.collection.map(_.key).orNull)
+  })
+
+  def decode_token_metadata(data: Column): Column = decodeMetadataUdf(data)
+
+  // ---- D4: upgradeable-loader ProgramData body (strip 45-byte header:
+  //      u32 discriminant + Option<Pubkey> upgrade_authority,
+  //      reference `programs.rs:40-49`) ----
+
+  /** 1-based substring on binary: bytes after the 45-byte header. */
+  def programdata_body(data: Column): Column =
+    substring(data, 46, Int.MaxValue)
+
+  // ---- D5: eBPF disassembly ----
+
+  private val disasmUdf = udf((elf: Array[Byte]) =>
+    Ebpf.disassemble(elf).map(_.toShort))
+
+  def ebpf_opcodes(elf: Column): Column = disasmUdf(elf)
+
+  private val mnemonicUdf = udf((opc: Short) => Ebpf.mnemonic(opc.toInt))
+  def ebpf_mnemonic(opc: Column): Column = mnemonicUdf(opc)
+}

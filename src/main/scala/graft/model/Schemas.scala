@@ -1,0 +1,102 @@
+package graft.model
+
+import org.apache.spark.sql.types._
+
+/**
+ * Canonical entity schemas — the Spark rendering of the reference's five
+ * SQLite tables (reference: `sqlite.rs:91-164`) plus the raw account scan
+ * and the five streaming event types (`geyser/src/types.rs:6-17`).
+ */
+object Schemas {
+
+  /** Raw snapshot scan output (S6): one row per stored account record,
+    * before last-writer-wins dedup. */
+  val rawAccount: StructType = StructType(Seq(
+    StructField("slot", LongType, nullable = false),
+    StructField("store_id", LongType, nullable = false),
+    StructField("write_version", LongType, nullable = false),
+    StructField("pubkey", BinaryType, nullable = false),
+    StructField("lamports", LongType, nullable = false),
+    StructField("owner", BinaryType, nullable = false),
+    StructField("executable", BooleanType, nullable = false),
+    StructField("rent_epoch", LongType, nullable = false),
+    StructField("data_len", LongType, nullable = false),
+    StructField("hash", BinaryType, nullable = false),
+    StructField("data", BinaryType, nullable = false)))
+
+  /** `account` table (`sqlite.rs:96-107`). */
+  val account: StructType = StructType(Seq(
+    StructField("pubkey", BinaryType, nullable = false),
+    StructField("data_len", LongType, nullable = false),
+    StructField("owner", BinaryType, nullable = false),
+    StructField("lamports", LongType, nullable = false),
+    StructField("executable", BooleanType, nullable = false),
+    StructField("rent_epoch", LongType, nullable = false)))
+
+  /** `token_mint` decode struct (`sqlite.rs:108-119`). */
+  val tokenMint: StructType = StructType(Seq(
+    StructField("mint_authority", BinaryType, nullable = true),
+    StructField("supply", LongType, nullable = false),
+    StructField("decimals", ShortType, nullable = false),
+    StructField("is_initialized", BooleanType, nullable = false),
+    StructField("freeze_authority", BinaryType, nullable = true)))
+
+  /** `token_account` decode struct (`sqlite.rs:120-134`). */
+  val tokenAccount: StructType = StructType(Seq(
+    StructField("mint", BinaryType, nullable = false),
+    StructField("owner", BinaryType, nullable = false),
+    StructField("amount", LongType, nullable = false),
+    StructField("delegate", BinaryType, nullable = true),
+    StructField("state", ShortType, nullable = false),
+    StructField("is_native", LongType, nullable = true),
+    StructField("delegated_amount", LongType, nullable = false),
+    StructField("close_authority", BinaryType, nullable = true)))
+
+  /** `token_multisig` decode struct, pre-explode (`sqlite.rs:135-145`). */
+  val tokenMultisig: StructType = StructType(Seq(
+    StructField("m", ShortType, nullable = false),
+    StructField("n", ShortType, nullable = false),
+    StructField("is_initialized", BooleanType, nullable = false),
+    StructField("signers", ArrayType(BinaryType, containsNull = false), nullable = false)))
+
+  /** `token_metadata` decode struct (`sqlite.rs:146-162` + v1.1/v1.2 exts). */
+  val tokenMetadata: StructType = StructType(Seq(
+    StructField("update_authority", BinaryType, nullable = false),
+    StructField("mint", BinaryType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("symbol", StringType, nullable = false),
+    StructField("uri", StringType, nullable = false),
+    StructField("seller_fee_basis_points", IntegerType, nullable = false),
+    StructField("primary_sale_happened", BooleanType, nullable = false),
+    StructField("is_mutable", BooleanType, nullable = false),
+    StructField("edition_nonce", ShortType, nullable = true),
+    StructField("token_standard", ShortType, nullable = true),
+    StructField("collection_verified", BooleanType, nullable = true),
+    StructField("collection_key", BinaryType, nullable = true)))
+
+  /** AccountUpdate stream event (`serializer/src/geyser.rs:13-33`). */
+  val accountUpdate: StructType = StructType(Seq(
+    StructField("pubkey", BinaryType, nullable = false),
+    StructField("lamports", LongType, nullable = false),
+    StructField("owner", BinaryType, nullable = false),
+    StructField("executable", BooleanType, nullable = false),
+    StructField("rent_epoch", LongType, nullable = false),
+    StructField("data", BinaryType, nullable = false),
+    StructField("write_version", LongType, nullable = false),
+    StructField("slot", LongType, nullable = false),
+    StructField("is_startup", BooleanType, nullable = false)))
+
+  /** Block MetadataNotify event (`serializer/src/geyser.rs:175-211`). */
+  val blockMetadata: StructType = StructType(Seq(
+    StructField("slot", LongType, nullable = false),
+    StructField("blockhash", StringType, nullable = false),
+    StructField("rewards_json", StringType, nullable = true),
+    StructField("block_time", LongType, nullable = true),
+    StructField("block_height", LongType, nullable = true)))
+
+  /** Slot status event (`geyser/src/plugin.rs:296-313`). */
+  val slotStatus: StructType = StructType(Seq(
+    StructField("slot", LongType, nullable = false),
+    StructField("parent", LongType, nullable = true),
+    StructField("status", StringType, nullable = false)))
+}

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{MplMetadata, SplToken}
+import graft.functions.Functions._
+
+/**
+ * Batch ETL transforms (SURVEY §2.2–§2.4, §2.7–§2.8): the reference's
+ * scan → route → decode → upsert dataflow (`sqlite.rs:197-260`) as
+ * composable `DataFrame => DataFrame` stages over the raw-accounts scan.
+ *
+ * Scale notes:
+ *  - `latestVersion` (A1) is the one shuffle in the pipeline — hash
+ *    partition by pubkey. Expressed as `max_by(struct(...), ordering)`
+ *    aggregation rather than a window: a partial-aggregating hash agg
+ *    (map-side combine shrinks the shuffle) instead of a full sort per
+ *    partition, which matters when one pubkey is hot.
+ *  - decode routing is `owner` + `data_len` predicates BEFORE the decode
+ *    UDF (predicate-before-decode, `sqlite.rs:206-216`), so Catalyst prunes
+ *    non-token rows ahead of the expensive work.
+ */
+object Etl {
+
+  private val splToken = SplToken.ProgramId
+  private val mplMetadata = MplMetadata.ProgramId
+
+  /** A1 — last-writer-wins dedup (`INSERT OR REPLACE`, `sqlite.rs:219-231`).
+    * Canonical ordering (slot, write_version) as declared in SURVEY §7;
+    * `max_by` keeps partial aggregation (no per-partition sort, no skew
+    * cliff on hot keys). */
+  def latestVersion(raw: DataFrame): DataFrame = {
+    val cols = raw.columns
+    val ordering = struct(col("slot"), col("write_version"))
+    raw.groupBy(col("pubkey").as("pk"))
+      .agg(max_by(struct(cols.map(col).toIndexedSeq: _*), ordering).as("r"))
+      .select(cols.map(c => col(s"r.$c")).toIndexedSeq: _*)
+  }
+
+  /** The `account` table projection (`sqlite.rs:96-107`). */
+  def accounts(deduped: DataFrame): DataFrame =
+    deduped.select("pubkey", "data_len", "owner", "lamports", "executable",
+      "rent_epoch")
+
+  /** P2+P4+D1 — SPL token mints (data_len == Mint::LEN). */
+  def tokenMints(deduped: DataFrame): DataFrame =
+    deduped
+      .filter(col("owner") === lit(splToken) &&
+        col("data_len") === SplToken.MintLen)
+      .withColumn("d", decode_token_mint(col("data")))
+      .filter(col("d").isNotNull)
+      .select(col("pubkey"), col("d.mint_authority"), col("d.supply"),
+        col("d.decimals"), col("d.is_initialized"), col("d.freeze_authority"))
+
+  /** P2+P4+D1 — SPL token accounts (data_len == Account::LEN). */
+  def tokenAccounts(deduped: DataFrame): DataFrame =
+    deduped
+      .filter(col("owner") === lit(splToken) &&
+        col("data_len") === SplToken.AccountLen)
+      .withColumn("d", decode_token_account(col("data")))
+      .filter(col("d").isNotNull)
+      .select(col("pubkey"), col("d.mint"), col("d.owner").as("token_owner"),
+        col("d.amount"), col("d.delegate"), col("d.state"), col("d.is_native"),
+        col("d.delegated_amount"), col("d.close_authority"))
+
+  /** P2+P4+D1+D2 — multisigs exploded one row per signer, first `n` only
+    * (`sqlite.rs:305-324`): the reference's single generator/UDTF, which is
+    * Spark's built-in `explode`. */
+  def tokenMultisigs(deduped: DataFrame): DataFrame =
+    deduped
+      .filter(col("owner") === lit(splToken) &&
+        col("data_len") === SplToken.MultisigLen)
+      .withColumn("d", decode_token_multisig(col("data")))
+      .filter(col("d").isNotNull)
+      .select(col("pubkey"), col("d.sig_m").as("m"), col("d.sig_n").as("n"),
+        explode(col("d.signers")).as("signer"))
+
+  /** P3+D3 — MPL metadata (borsh progressive decode). */
+  def tokenMetadata(deduped: DataFrame): DataFrame =
+    deduped
+      .filter(col("owner") === lit(mplMetadata) && col("data_len") > 0)
+      .withColumn("d", decode_token_metadata(col("data")))
+      .filter(col("d").isNotNull)
+      .select(col("pubkey"), col("d.mint"), col("d.name"), col("d.symbol"),
+        col("d.uri"), col("d.seller_fee_basis_points"),
+        col("d.primary_sale_happened"), col("d.is_mutable"),
+        col("d.edition_nonce"), col("d.collection_verified"),
+        col("d.collection_key"))
+
+  /** P1 — CSV projection with base58-rendered keys (`csv.rs:14-20,48-54`). */
+  def csvProjection(deduped: DataFrame): DataFrame =
+    deduped.select(
+      base58_encode(col("pubkey")).as("pubkey"),
+      base58_encode(col("owner")).as("owner"),
+      col("data_len"), col("lamports"))
+
+  // P10+D4 — executable program ELFs (`programs.rs:16-62`)
+  private val bpfLoader = graft.core.Base58.decode("BPFLoader2111111111111111111111111111111111")
+  private val bpfLoaderDeprecated = graft.core.Base58.decode("BPFLoader1111111111111111111111111111111111")
+  private val bpfLoaderUpgradeable = graft.core.Base58.decode("BPFLoaderUpgradeab1e11111111111111111111111")
+
+  /** σ owner ∈ loaders ∧ executable → (pubkey, elf); upgradeable branch
+    * strips the 45-byte ProgramData header. */
+  def programs(deduped: DataFrame): DataFrame = {
+    val direct = deduped
+      .filter(col("executable") &&
+        (col("owner") === lit(bpfLoader) || col("owner") === lit(bpfLoaderDeprecated)))
+      .select(col("pubkey"), col("data").as("elf"))
+    val upgradeable = deduped
+      .filter(col("owner") === lit(bpfLoaderUpgradeable) && col("data_len") > 45)
+      .select(col("pubkey"), programdata_body(col("data")).as("elf"))
+    direct.unionByName(upgradeable)
+  }
+
+  /** A3 — running counters (`sqlite.rs:404-435`): per-kind account counts. */
+  def accountKindCounts(deduped: DataFrame): DataFrame =
+    deduped
+      .withColumn("kind",
+        when(col("owner") === lit(splToken) && col("data_len") === SplToken.AccountLen, "token_account")
+          .when(col("owner") === lit(splToken) && col("data_len") === SplToken.MintLen, "token_mint")
+          .when(col("owner") === lit(splToken) && col("data_len") === SplToken.MultisigLen, "token_multisig")
+          .when(col("owner") === lit(mplMetadata), "token_metadata")
+          .otherwise("other"))
+      .groupBy("kind").count()
+
+  /** A4 — opcode statistics (`solana-opcode-stats/main.rs:55-107`):
+    * explode per-program opcode arrays, then hash-aggregate. countDistinct
+    * gives the `num_programs |= 1 then sum` semantics exactly. */
+  def opcodeStats(programsDf: DataFrame): DataFrame =
+    programsDf
+      .select(col("pubkey").as("program_id"),
+        explode(ebpf_opcodes(col("elf"))).as("opcode"))
+      .groupBy("opcode")
+      .agg(countDistinct("program_id").as("num_programs"),
+        count(lit(1)).as("num_insns"))
+      .filter(col("num_insns") > 0)
+      .withColumn("mnemonic", ebpf_mnemonic(col("opcode")))
+      .select("opcode", "mnemonic", "num_programs", "num_insns")
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`array<float>`):
+ * brute-force cosine top-k as the exact baseline, and an IVF-style
+ * centroid-partitioned variant as the 100 TB scale path.
+ *
+ * Vector math is `zip_with`/`aggregate` built-ins — stays in codegen, no
+ * UDF boxing per element.
+ */
+object Similarity {
+
+  /** Dot product of two array<float/double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0.0 when either norm is 0. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val nn = norm(a) * norm(b)
+    when(nn === 0.0, lit(0.0)).otherwise(d / nn)
+  }
+
+  /** Random-hyperplane sign signature for cosine LSH: `planes` bits, one
+    * per pseudo-random hyperplane. Hyperplane components are derived from
+    * xxhash64(plane, dim) — deterministic, no driver-side random state,
+    * no broadcast of plane matrices. */
+  def hyperplaneSig(v: Column, planes: Int = 16): Column = {
+    val bits = (0 until planes).map { p =>
+      // h(p, i) in [-1, 1): hash → double
+      val proj = aggregate(zip_with(v,
+          transform(sequence(lit(0), size(v) - 1), i =>
+            (xxhash64(lit(p), i).cast("double") / lit(Long.MaxValue.toDouble))),
+          (x, h) => x * h),
+        lit(0.0d), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /**
+   * Exact brute-force top-k: for each query vector, the k nearest corpus
+   * vectors by cosine. Queries are expected to be a SMALL set → broadcast
+   * them against the (huge) corpus, aggregate per query with a bounded
+   * top-k (min_by style via sort within group after partial filtering).
+   *
+   * Plan: corpus ⋈ broadcast(queries) (no shuffle of the corpus) →
+   * per-(query, corpus-row) score (narrow) → groupBy query with a window
+   * top-k. The only shuffle carries (query_id, corpus_id, score) triples.
+   */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val scored = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))))
+      .select(col("query_id"), col("corpus_id"),
+        round(cosine(col("cv"), col("qv")), 6).as("score"))
+      .filter(col("query_id") =!= col("corpus_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "score", "rank")
+  }
+
+  /**
+   * IVF-style ANN: corpus is bucketed by hyperplane-LSH signature; each
+   * query probes only its own bucket (plus Hamming-1 neighbors when
+   * `multiProbe`). At scale the corpus is pre-partitioned/bucketed by
+   * `sig`, so a probe touches 1/2^planes of the data.
+   */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+      planes: Int = 8, multiProbe: Boolean = true,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+      hyperplaneSig(col(vecCol), planes).as("sig"))
+    val qSig = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      hyperplaneSig(col(vecCol), planes).as("qsig"))
+    // multi-probe: query probes its bucket and all Hamming-1 buckets
+    val probes = if (multiProbe) {
+      qSig.select(col("query_id"), col("qv"),
+        explode(array((col("qsig") +: (0 until planes).map(p =>
+          col("qsig").bitwiseXOR(shiftleft(lit(1L), p)))): _*)).as("sig"))
+    } else qSig.select(col("query_id"), col("qv"), col("qsig").as("sig"))
+    val scored = c.join(broadcast(probes), "sig")
+      .select(col("query_id"), col("corpus_id"),
+        round(cosine(col("cv"), col("qv")), 6).as("score"))
+      .filter(col("query_id") =!= col("corpus_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "score", "rank")
+  }
+}

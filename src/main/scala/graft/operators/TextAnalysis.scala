@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines, built
+ * from codegen'd built-ins (no UDFs in the hot path): token counting,
+ * quality scoring, language ID, and document fingerprinting over the
+ * `documents` table.
+ *
+ * All functions are narrow (per-row) — no shuffle; they scale linearly
+ * with input splits and stay inside WholeStageCodegen.
+ */
+object TextAnalysis {
+
+  /** Whitespace tokens; empty string → 0. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+
+  /** BPE-ish subword count: word-chunks + digits + punctuation, the common
+    * `\w+|[^\w\s]` pre-tokenizer shape. */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?=[^\\w])|(?<=[^\\w])"),
+      t => length(trim(t)) > 0)).cast("long")
+
+  private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to",
+    "in", "is", "it", "that", "for", "on", "with", "as", "was", "at", "by")
+
+  /** Fraction of tokens that are (English) stopwords — a standard quality
+    * signal; 0 for empty docs. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val stops = filter(toks, t => t.isin(stopwords.map(lit(_)): _*))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(stops).cast("double") / size(toks).cast("double"))
+  }
+
+  /** Fraction of characters that are punctuation/symbols. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(
+        (length(text) - length(regexp_replace(text, "[\\p{Punct}]", "")))
+          .cast("double") / length(text).cast("double"))
+
+  /** Mean token length — short-token spam / boilerplate signal. */
+  def meanTokenLen(text: Column): Column =
+    when(tokenCount(text) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(trim(text), "\\s+", ""))
+        .cast("double") / tokenCount(text).cast("double"))
+
+  /** Composite quality score in [0,1]: length band + stopword band +
+    * punctuation band (C4/Gopher-style heuristics, simplified and
+    * deterministic). */
+  def qualityScore(text: Column): Column = {
+    val lenOk = when(length(text).between(200, 50000), 1.0).otherwise(
+      when(length(text) < 200, length(text).cast("double") / 200.0)
+        .otherwise(0.5))
+    val stopOk = when(stopwordRatio(text) > 0.05, 1.0).otherwise(
+      stopwordRatio(text) * 20.0)
+    val punctOk = when(punctRatio(text) < 0.2, 1.0).otherwise(
+      greatest(lit(0.0), lit(1.0) - (punctRatio(text) - 0.2) * 2.0))
+    round((lenOk * 0.4 + stopOk * 0.4 + punctOk * 0.2), 6)
+  }
+
+  // --- language ID: tiny n-gram/stopword heuristic, pure built-ins ---
+
+  private val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " and ", " of ", " to ", " is "),
+    "de" -> Seq(" der ", " die ", " und ", " ist ", " das "),
+    "fr" -> Seq(" le ", " la ", " les ", " est ", " une "),
+    "es" -> Seq(" el ", " los ", " es ", " una ", " que "))
+
+  /** Heuristic language ID: count marker-word hits per language, argmax
+    * with 'und' (undetermined) fallback. Deterministic, codegen-friendly
+    * (regexp counts + greatest). */
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    def score(lang: String): Column =
+      langMarkers(lang).map { m =>
+        size(split(padded, java.util.regex.Pattern.quote(m), -1)) - 1
+      }.reduce(_ + _)
+    val scored = langMarkers.keys.toSeq.sorted.map(l => struct(score(l).as("s"), lit(l).as("l")))
+    val best = greatest(scored: _*)
+    when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
+  }
+
+  /** 64-bit rolling document fingerprint (content hash on normalized
+    * text) — xxhash64 of whitespace-collapsed lowercase text. */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Full per-document profile over a `documents`-shaped DataFrame. */
+  def profile(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      subwordCount(col("text")).as("n_subwords"),
+      round(stopwordRatio(col("text")), 6).as("stopword_ratio"),
+      round(punctRatio(col("text")), 6).as("punct_ratio"),
+      round(meanTokenLen(col("text")), 6).as("mean_token_len"),
+      qualityScore(col("text")).as("quality"),
+      langId(col("text")).as("lang_pred"),
+      fingerprint(col("text")).as("fingerprint"))
+}

@@ -1,0 +1,152 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+import scala.util.Random
+
+import graft.core._
+
+/**
+ * Deterministic synthetic-snapshot fixture writer (SURVEY §5.2): builds an
+ * unpacked snapshot directory —
+ *   `snapshots/<slot>/<slot>`  (manifest, `Manifest` encoding)
+ *   `accounts/<slot>.<id>`     (AppendVec files)
+ * — with SPL mint/account/multisig and MPL metadata accounts plus duplicate
+ * pubkeys across AppendVecs (to pin last-writer-wins, A1) and trailing
+ * garbage past the manifest length (to pin J1 truncation).
+ *
+ * Layout mirrors the reference's unpacked snapshot
+ * (`unpacked.rs:28-77`, `archived.rs:157-167`); all content is generated
+ * from a fixed seed.
+ */
+object SyntheticSnapshot {
+
+  final case class Spec(
+      seed: Long = 42L,
+      slots: Int = 4,
+      vecsPerSlot: Int = 2,
+      accountsPerVec: Int = 50,
+      dupFraction: Double = 0.2)
+
+  def pk(rng: Random): Array[Byte] = {
+    val a = new Array[Byte](32); rng.nextBytes(a); a
+  }
+
+  /** COption encoding helper for SPL fixture data. */
+  private def putCOption(b: java.nio.ByteBuffer, v: Option[Array[Byte]]): Unit = {
+    b.putInt(if (v.isDefined) 1 else 0)
+    b.put(v.getOrElse(new Array[Byte](32)))
+  }
+
+  def mintData(rng: Random): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(SplToken.MintLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    putCOption(b, if (rng.nextBoolean()) Some(pk(rng)) else None)
+    b.putLong(rng.nextInt(1_000_000_000).toLong)
+    b.put(rng.nextInt(10).toByte)
+    b.put(1.toByte)
+    putCOption(b, if (rng.nextBoolean()) Some(pk(rng)) else None)
+    b.array()
+  }
+
+  def tokenAccountData(rng: Random, mint: Array[Byte]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(SplToken.AccountLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put(mint)
+    b.put(pk(rng))
+    b.putLong(rng.nextInt(1_000_000).toLong)
+    putCOption(b, None)
+    b.put(1.toByte) // state=Initialized
+    b.putInt(0); b.putLong(0L) // is_native COption u64 = None
+    b.putLong(0L)
+    putCOption(b, None)
+    b.array()
+  }
+
+  def multisigData(rng: Random): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(SplToken.MultisigLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val n = 1 + rng.nextInt(SplToken.MaxSigners)
+    val m = 1 + rng.nextInt(n)
+    b.put(m.toByte); b.put(n.toByte); b.put(1.toByte)
+    (0 until SplToken.MaxSigners).foreach(_ => b.put(pk(rng)))
+    b.array()
+  }
+
+  def metadataData(rng: Random, mint: Array[Byte]): Array[Byte] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Byte]()
+    def putU32(v: Int): Unit =
+      out ++= java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+    def putStr(s: String): Unit = { putU32(s.length); out ++= s.getBytes("UTF-8") }
+    out += MplMetadata.KeyMetadataV1.toByte
+    out ++= pk(rng) // update_authority
+    out ++= mint
+    putStr(s"NFT ${rng.nextInt(10000)}")
+    putStr("SYM")
+    putStr(s"https://example.invalid/${rng.nextInt(100000)}.json")
+    out ++= Array[Byte]((rng.nextInt(10000) & 0xff).toByte, ((rng.nextInt(10000) >> 8) & 0xff).toByte)
+    out += 0 // creators: None
+    out += (if (rng.nextBoolean()) 1 else 0).toByte // primary_sale_happened
+    out += 1 // is_mutable
+    if (rng.nextBoolean()) { // v1.1 ext present for ~half the rows
+      out += 1; out += rng.nextInt(256).toByte // edition_nonce Some
+      if (rng.nextBoolean()) { // v1.2 ext
+        out += 0 // token_standard None
+        out += 1; out += 1.toByte; out ++= pk(rng) // collection Some(verified, key)
+        out += 0 // uses None
+      }
+    }
+    out.toArray
+  }
+
+  /** Write the snapshot; returns the root dir. */
+  def write(dir: String, spec: Spec = Spec()): Path = {
+    val rng = new Random(spec.seed)
+    val root = Paths.get(dir)
+    val accountsDir = root.resolve("accounts")
+    Files.createDirectories(accountsDir)
+
+    // a pool of pubkeys reused across vecs → duplicates for A1
+    val dupPool = Vector.fill(32)(pk(rng))
+    var writeVersion = 0L
+    val entries = scala.collection.mutable.Map[Long, Vector[Manifest.StorageEntry]]()
+
+    for (s <- 0 until spec.slots; v <- 0 until spec.vecsPerSlot) {
+      val slot = 100L + s
+      val recs = (0 until spec.accountsPerVec).map { _ =>
+        writeVersion += 1
+        val key =
+          if (rng.nextDouble() < spec.dupFraction) dupPool(rng.nextInt(dupPool.size))
+          else pk(rng)
+        val kind = rng.nextInt(10)
+        val (owner, data, executable) = kind match {
+          case 0 => (SplToken.ProgramId, mintData(rng), false)
+          case 1 | 2 => (SplToken.ProgramId, tokenAccountData(rng, dupPool(rng.nextInt(8))), false)
+          case 3 => (SplToken.ProgramId, multisigData(rng), false)
+          case 4 => (MplMetadata.ProgramId, metadataData(rng, dupPool(rng.nextInt(8))), false)
+          case _ =>
+            val d = new Array[Byte](rng.nextInt(64)); rng.nextBytes(d)
+            (pk(rng), d, rng.nextInt(20) == 0)
+        }
+        AppendVec.Record(
+          writeVersion = writeVersion, pubkey = key, dataLen = data.length.toLong,
+          lamports = rng.nextInt(10_000_000).toLong, owner = owner,
+          executable = executable, rentEpoch = 300L + rng.nextInt(10),
+          hash = pk(rng), data = data)
+      }
+      val bytes = AppendVec.write(recs)
+      // trailing garbage past currentLen — must be truncated by the reader
+      val garbage = new Array[Byte](24); rng.nextBytes(garbage)
+      Files.write(accountsDir.resolve(s"$slot.$v"), bytes ++ garbage)
+      entries(slot) = entries.getOrElse(slot, Vector.empty) :+
+        Manifest.StorageEntry(v.toLong, bytes.length.toLong)
+    }
+
+    val maxSlot = 100L + spec.slots - 1
+    val manifestDir = root.resolve(s"snapshots/$maxSlot")
+    Files.createDirectories(manifestDir)
+    Files.write(manifestDir.resolve(maxSlot.toString),
+      Manifest.write(Manifest.AccountsDb(entries.toMap, writeVersion, maxSlot)))
+    root
+  }
+}

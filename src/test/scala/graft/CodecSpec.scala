@@ -1,0 +1,189 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+
+class CodecSpec extends AnyFunSuite {
+
+  // ---- Base58 (F1) ----
+
+  test("base58 round-trip on random byte arrays (property)") {
+    val rng = new scala.util.Random(42)
+    for (_ <- 1 to 500) {
+      val bytes = new Array[Byte](rng.nextInt(80))
+      rng.nextBytes(bytes)
+      assert(Base58.decode(Base58.encode(bytes)).sameElements(bytes))
+    }
+  }
+
+  test("base58 known vectors") {
+    // SPL token program id round-trips through its canonical base58 form
+    val spl = "TokenkegQfeZyiNwAJbNbGKPFXCWuBvf9Ss623VQ5DA"
+    assert(Base58.encode(Base58.decode(spl)) == spl)
+    assert(Base58.decode(spl).length == 32)
+    // leading zeros preserved
+    assert(Base58.encode(Array[Byte](0, 0, 1)) == "112")
+    assert(Base58.decode("112").sameElements(Array[Byte](0, 0, 1)))
+    // invalid characters -> null
+    assert(Base58.decode("0OIl") == null)
+  }
+
+  // ---- AppendVec (S6) ----
+
+  private def rec(wv: Long, pk: Byte, dataLen: Int): AppendVec.Record =
+    AppendVec.Record(wv, Array.fill[Byte](32)(pk), dataLen.toLong, 1000L + wv,
+      Array.fill[Byte](32)(9), executable = false, rentEpoch = 300L,
+      hash = Array.fill[Byte](32)(7), data = Array.tabulate[Byte](dataLen)(_.toByte))
+
+  test("appendvec round-trip including data_len 0 and non-8-multiple") {
+    val recs = Seq(rec(1, 1, 0), rec(2, 2, 5), rec(3, 3, 8), rec(4, 4, 165), rec(5, 5, 13))
+    val bytes = AppendVec.write(recs)
+    val got = AppendVec.records(bytes, bytes.length).toSeq
+    assert(got.size == recs.size)
+    got.zip(recs).foreach { case (g, e) =>
+      assert(g.writeVersion == e.writeVersion)
+      assert(g.pubkey.sameElements(e.pubkey))
+      assert(g.dataLen == e.data.length)
+      assert(g.data.sameElements(e.data))
+      assert(g.lamports == e.lamports)
+    }
+  }
+
+  test("appendvec truncated tail stops like get_account returning None") {
+    val recs = Seq(rec(1, 1, 16), rec(2, 2, 16))
+    val bytes = AppendVec.write(recs)
+    // currentLen cuts into the second record's data
+    val got = AppendVec.records(bytes, bytes.length - 8).toSeq
+    assert(got.size == 1)
+    // garbage appended past currentLen is ignored
+    val withGarbage = bytes ++ Array.fill[Byte](31)(0x5a)
+    assert(AppendVec.records(withGarbage, bytes.length).size == 2)
+  }
+
+  test("appendvec name parse") {
+    assert(AppendVec.parseName("123.4").contains((123L, 4L)))
+    assert(AppendVec.parseName("nope").isEmpty)
+    assert(AppendVec.parseName("1.2.3").isEmpty)
+  }
+
+  // ---- Manifest (S5/J1) ----
+
+  test("manifest round-trip") {
+    val db = Manifest.AccountsDb(
+      Map(100L -> Vector(Manifest.StorageEntry(0, 1024), Manifest.StorageEntry(1, 96)),
+        101L -> Vector(Manifest.StorageEntry(0, 512))),
+      writeVersion = 7, slot = 101)
+    val got = Manifest.read(Manifest.write(db))
+    assert(got == db)
+    assert(got.lengths((100L, 1L)) == 96)
+  }
+
+  // ---- SPL token decode (D1/D2) ----
+
+  test("spl mint decode with COption fields") {
+    val b = java.nio.ByteBuffer.allocate(SplToken.MintLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(1); b.put(Array.fill[Byte](32)(3)) // mint_authority Some
+    b.putLong(123456789L)
+    b.put(6.toByte); b.put(1.toByte)
+    b.putInt(0); b.put(Array.fill[Byte](32)(0)) // freeze None
+    val m = SplToken.decodeMint(b.array())
+    assert(m.mintAuthority.get.forall(_ == 3))
+    assert(m.supply == 123456789L && m.decimals == 6 && m.isInitialized)
+    assert(m.freezeAuthority.isEmpty)
+    assert(SplToken.decodeMint(new Array[Byte](81)) == null) // wrong length
+  }
+
+  test("spl token account decode") {
+    val b = java.nio.ByteBuffer.allocate(SplToken.AccountLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put(Array.fill[Byte](32)(1)) // mint
+    b.put(Array.fill[Byte](32)(2)) // owner
+    b.putLong(42L)
+    b.putInt(0); b.put(new Array[Byte](32)) // delegate None
+    b.put(1.toByte)
+    b.putInt(1); b.putLong(7L) // is_native Some(7)
+    b.putLong(5L)
+    b.putInt(0); b.put(new Array[Byte](32))
+    val a = SplToken.decodeAccount(b.array())
+    assert(a.amount == 42 && a.state == 1 && a.isNative.contains(7L) &&
+      a.delegatedAmount == 5 && a.delegate.isEmpty)
+  }
+
+  test("spl multisig decode takes first n signers") {
+    val b = java.nio.ByteBuffer.allocate(SplToken.MultisigLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put(2.toByte); b.put(3.toByte); b.put(1.toByte)
+    (0 until 11).foreach(i => b.put(Array.fill[Byte](32)(i.toByte)))
+    val ms = SplToken.decodeMultisig(b.array())
+    assert(ms.m == 2 && ms.n == 3 && ms.signers.size == 3)
+    assert(ms.signers(2).forall(_ == 2))
+  }
+
+  // ---- MPL metadata borsh decode (D3) incl. progressive truncation ----
+
+  private def mplBuf(withExt11: Boolean, withExt12: Boolean): Array[Byte] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Byte]()
+    def u32(v: Int): Unit = out ++= java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+    def str(s: String): Unit = { u32(s.length); out ++= s.getBytes("UTF-8") }
+    out += 4 // MetadataV1
+    out ++= Array.fill[Byte](32)(1)
+    out ++= Array.fill[Byte](32)(2)
+    str("Name"); str("SYM"); str("https://u.example/x.json")
+    out ++= Array[Byte](0x39, 0x05) // 1337 LE
+    out += 1; u32(1); out ++= Array.fill[Byte](32)(5); out += 1; out += 50 // creators Some([1])
+    out += 1 // primary_sale_happened
+    out += 1 // is_mutable
+    if (withExt11) { out += 1; out += 255.toByte }
+    if (withExt12) {
+      out += 0 // token_standard None
+      out += 1; out += 1; out ++= Array.fill[Byte](32)(8) // collection
+      out += 0 // uses None
+    }
+    out.toArray
+  }
+
+  test("mpl metadata v1 core decode") {
+    val m = MplMetadata.decode(mplBuf(withExt11 = false, withExt12 = false))
+    assert(m.name == "Name" && m.symbol == "SYM" &&
+      m.sellerFeeBasisPoints == 1337 && m.primarySaleHappened && m.isMutable)
+    assert(m.creators.get.size == 1 && m.creators.get.head.share == 50)
+    assert(m.editionNonce.isEmpty && m.collection.isEmpty)
+  }
+
+  test("mpl metadata progressive extensions") {
+    val m11 = MplMetadata.decode(mplBuf(withExt11 = true, withExt12 = false))
+    assert(m11.editionNonce.contains(255) && m11.collection.isEmpty)
+    val m12 = MplMetadata.decode(mplBuf(withExt11 = true, withExt12 = true))
+    assert(m12.editionNonce.contains(255))
+    assert(m12.collection.exists(c => c.verified && c.key.forall(_ == 8)))
+  }
+
+  test("mpl metadata non-v1 tag and garbage return null") {
+    assert(MplMetadata.decode(Array[Byte](1, 2, 3)) == null) // EditionV1 tag, truncated
+    assert(MplMetadata.decode(Array.empty[Byte]) == null)
+    val truncatedCore = mplBuf(withExt11 = false, withExt12 = false).take(40)
+    assert(MplMetadata.decode(truncatedCore) == null)
+  }
+
+  // ---- eBPF (D5) ----
+
+  test("ebpf opcode walk handles lddw width") {
+    // add64_imm, lddw (16B), exit
+    val text = Array[Byte](
+      0x07, 1, 0, 0, 0, 0, 0, 0,
+      0x18, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+      0x95.toByte, 0, 0, 0, 0, 0, 0, 0)
+    assert(Ebpf.opcodes(text).toSeq == Seq(0x07, 0x18, 0x95))
+    assert(Ebpf.mnemonic(0x95) == "EXIT")
+    assert(Ebpf.mnemonic(0x18) == "LD_DW_IMM")
+    assert(Ebpf.mnemonic(0xff) == "invalid")
+  }
+
+  test("non-elf bytes treated as raw text section") {
+    val raw = Array[Byte](0x95.toByte, 0, 0, 0, 0, 0, 0, 0)
+    assert(Ebpf.disassemble(raw).toSeq == Seq(0x95))
+  }
+}

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Etl, Similarity, TextAnalysis}
+import graft.sources.{SnapshotReader, SyntheticSnapshot}
+
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val fixture: String = {
+    val dir = java.nio.file.Files.createTempDirectory("snap-test").toString
+    SyntheticSnapshot.write(dir)
+    dir
+  }
+
+  // ---- snapshot pipeline end-to-end ----
+
+  test("snapshot scan yields all records and manifest truncation holds") {
+    val raw = SnapshotReader.rawAccounts(spark, fixture)
+    // 4 slots x 2 vecs x 50 accounts
+    assert(raw.count() == 400)
+    assert(raw.select("slot").distinct().count() == 4)
+  }
+
+  test("last-writer-wins dedup keeps max (slot, write_version) per pubkey") {
+    val raw = SnapshotReader.rawAccounts(spark, fixture).cache()
+    val deduped = Etl.latestVersion(raw)
+    val nKeys = raw.select("pubkey").distinct().count()
+    assert(deduped.count() == nKeys)
+    // the kept write_version must equal the max per key
+    val expected = raw.groupBy("pubkey")
+      .agg(max(struct(col("slot"), col("write_version"))).as("mx"))
+      .select(col("pubkey"), col("mx.write_version").as("wv"))
+    val got = deduped.select(col("pubkey"), col("write_version").as("wv2"))
+    val joined = expected.join(got, "pubkey")
+    assert(joined.filter(col("wv") =!= col("wv2")).count() == 0)
+    raw.unpersist()
+  }
+
+  test("token tables decode and multisig explode invariant") {
+    val deduped = Etl.latestVersion(SnapshotReader.rawAccounts(spark, fixture)).cache()
+    val mints = Etl.tokenMints(deduped)
+    val accounts = Etl.tokenAccounts(deduped)
+    val multisig = Etl.tokenMultisigs(deduped)
+    val metadata = Etl.tokenMetadata(deduped)
+    assert(mints.count() > 0 && accounts.count() > 0 &&
+      multisig.count() > 0 && metadata.count() > 0)
+    // explode invariant: multisig rows == sum of n over multisig accounts
+    val nSum = deduped
+      .filter(col("data_len") === graft.core.SplToken.MultisigLen)
+      .select(graft.functions.Functions.decode_token_multisig(col("data")).as("d"))
+      .agg(sum(col("d.sig_n"))).collect()(0).getLong(0)
+    assert(multisig.count() == nSum)
+    // metadata rows decode names
+    assert(metadata.filter(length(col("name")) > 0).count() == metadata.count())
+    deduped.unpersist()
+  }
+
+  test("csv projection base58-encodes keys") {
+    val deduped = Etl.latestVersion(SnapshotReader.rawAccounts(spark, fixture))
+    val csv = Etl.csvProjection(deduped)
+    val row = csv.limit(1).collect()(0)
+    val pk = row.getString(0)
+    assert(graft.core.Base58.decode(pk).length == 32)
+  }
+
+  test("flagship entry returns kind counts") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+    assert(df.columns.toSet == Set("kind", "count"))
+  }
+
+  test("opcode stats over synthetic programs") {
+    import spark.implicits._
+    // two fake "programs": raw text sections (non-ELF fallback path)
+    val p1 = Array[Byte](0x07, 0, 0, 0, 0, 0, 0, 0, 0x95.toByte, 0, 0, 0, 0, 0, 0, 0)
+    val p2 = Array[Byte](0x95.toByte, 0, 0, 0, 0, 0, 0, 0)
+    val df = Seq(("a".getBytes, p1), ("b".getBytes, p2)).toDF("pubkey", "elf")
+    val stats = Etl.opcodeStats(df).collect().map(r =>
+      (r.getAs[Short]("opcode").toInt, r.getAs[String]("mnemonic"),
+        r.getAs[Long]("num_programs"), r.getAs[Long]("num_insns"))).toSet
+    assert(stats == Set((0x07, "ADD64_IMM", 1L, 1L), (0x95, "EXIT", 2L, 2L)))
+  }
+
+  // ---- training-data operators ----
+
+  test("exact dedup removes duplicated content") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello  world"), (2L, "Hello world"), (3L, "unique text"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(docs).select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 3L)) // 2 is a normalized dup of 1, min doc_id wins
+  }
+
+  test("minhash pairs finds near-duplicates, not unrelated docs") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " extra"),
+      (3L, "completely different content about spark query engines and shuffles")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs, threshold = 0.5)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash hamming of identical docs is 0") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "totally different words entirely")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
+      .select("doc_id_a", "doc_id_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+  }
+
+  test("brute-force ANN returns self-similar neighbors with rank 1 highest") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val out = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), k = 3)
+      .collect()
+    assert(out.length == 3)
+    assert(out.map(_.getAs[Int]("rank")).toSeq.sorted == Seq(1, 2, 3))
+    val scores = out.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("score"))
+    assert(scores(0) >= scores(1) && scores(1) >= scores(2))
+  }
+
+  test("text profile computes sane values") {
+    import spark.implicits._
+    val docs = Seq((1L, "The cat sat on the mat, and it was happy."))
+      .toDF("doc_id", "text")
+    val p = TextAnalysis.profile(docs).collect()(0)
+    assert(p.getAs[Long]("n_tokens") == 10)
+    assert(p.getAs[Double]("stopword_ratio") > 0.2)
+    assert(p.getAs[String]("lang_pred") == "en")
+  }
+}

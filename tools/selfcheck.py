@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Local dev harness mimicking the driver's correctness gate:
+runs graft.Verify output against the DuckDB oracle and compares
+(sorted columns, sorted rows, per-value hash). Dev-only; the Scala
+library has no Python dependency."""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/verify-out"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(9)
+        elif str(df[c].dtype).startswith(("UInt", "uint")) or "int" in str(df[c].dtype).lower():
+            df[c] = df[c].astype("Int64")
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+con = duckdb.connect()
+for t in TABLES:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+oracle = json.load(open(f"{OUT_DIR}/oracle_sql.json"))
+fails, passes, rows_only = [], [], []
+for name in sorted(os.listdir(OUT_DIR)):
+    d = os.path.join(OUT_DIR, name)
+    if not os.path.isdir(d):
+        continue
+    files = glob.glob(f"{d}/*.parquet")
+    if not files:
+        fails.append((name, "no output parquet")); continue
+    got = pd.read_parquet(files)
+    if name not in oracle:
+        rows_only.append((name, len(got)))
+        if len(got) == 0:
+            fails.append((name, "rows-only check: 0 rows"))
+        continue
+    try:
+        exp = con.sql(oracle[name]).df()
+    except Exception as e:
+        fails.append((name, f"oracle sql error: {e}")); continue
+    g, e = norm(got.copy()), norm(exp.copy())
+    if list(g.columns) != list(e.columns):
+        fails.append((name, f"columns differ: got {list(g.columns)} exp {list(e.columns)}")); continue
+    if len(g) != len(e):
+        fails.append((name, f"row count: got {len(g)} exp {len(e)}")); continue
+    if not g.equals(e):
+        diff_cols = [c for c in g.columns if not g[c].equals(e[c])]
+        detail = []
+        for c in diff_cols[:3]:
+            mask = g[c] != e[c]
+            idx = mask[mask].index[:3]
+            detail.append(f"{c}: got {g.loc[idx, c].tolist()} exp {e.loc[idx, c].tolist()}")
+        fails.append((name, f"value mismatch in {diff_cols}; {'; '.join(detail)}")); continue
+    passes.append(name)
+
+print(f"PASS {len(passes)}: {passes}")
+print(f"ROWS-ONLY {len(rows_only)}: {[(n, r) for n, r in rows_only]}")
+print(f"FAIL {len(fails)}:")
+for n, why in fails:
+    print(f"  {n}: {why}")
+sys.exit(1 if fails else 0)
