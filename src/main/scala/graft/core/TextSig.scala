@@ -1,0 +1,167 @@
+package graft.core
+
+/**
+ * Compiled text-signature kernels for the dedup operators: normalization,
+ * shingle hashing, MinHash, and SimHash as single-pass JVM code.
+ *
+ * These exist because Spark higher-order-function lambdas
+ * (`transform`/`aggregate`) are evaluated interpretively and re-evaluate
+ * captured subexpressions per array element — a per-document signature
+ * expressed that way degrades to O(k·N²) regex work after CollapseProject
+ * inlines the normalization into the lambda body. One compiled pass per
+ * row is the scale-correct shape (and stays a narrow, partition-local map
+ * at 100 TB).
+ *
+ * All hashes are deterministic (no per-JVM seeds): splitmix64 avalanche
+ * over polynomial rolling hashes.
+ */
+object TextSig {
+
+  /** splitmix64 finalizer — cheap, well-distributed 64-bit mix. */
+  @inline def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Lowercase + whitespace-collapse + trim, single pass. */
+  def normalize(text: String): String = {
+    if (text == null) return ""
+    val sb = new java.lang.StringBuilder(text.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (Character.isWhitespace(c)) {
+        if (sb.length > 0) pendingSpace = true
+      } else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(Character.toLowerCase(c))
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** 64-bit fingerprint of normalized text. */
+  def fingerprint(text: String): Long = {
+    val n = normalize(text)
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < n.length) { h = (h ^ n.charAt(i)) * 0x100000001b3L; i += 1 }
+    mix64(h)
+  }
+
+  /** Distinct hashes of all `w`-char shingles of the normalized text.
+    * A doc shorter than `w` yields one shingle (the whole text); empty
+    * text yields none. Sorted for deterministic output. */
+  def charShingles(text: String, w: Int): Array[Long] = {
+    val n = normalize(text)
+    if (n.isEmpty) return Array.emptyLongArray
+    val count = math.max(n.length - w + 1, 1)
+    val set = new java.util.HashSet[Long](count * 2)
+    var i = 0
+    while (i < count) {
+      var h = 0xcbf29ce484222325L
+      var j = i
+      val end = math.min(i + w, n.length)
+      while (j < end) { h = (h ^ n.charAt(j)) * 0x100000001b3L; j += 1 }
+      set.add(mix64(h))
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator(); var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    java.util.Arrays.sort(out)
+    out
+  }
+
+  /** Distinct hashes of `w`-token word shingles of the normalized text. */
+  def wordShingles(text: String, w: Int): Array[Long] = {
+    val n = normalize(text)
+    if (n.isEmpty) return Array.emptyLongArray
+    val toks = n.split(' ')
+    val count = math.max(toks.length - w + 1, 1)
+    val set = new java.util.HashSet[Long](count * 2)
+    var i = 0
+    while (i < count) {
+      var h = 0xcbf29ce484222325L
+      var t = i
+      val end = math.min(i + w, toks.length)
+      while (t < end) {
+        val tok = toks(t)
+        var j = 0
+        while (j < tok.length) { h = (h ^ tok.charAt(j)) * 0x100000001b3L; j += 1 }
+        h = (h ^ ' ') * 0x100000001b3L
+        t += 1
+      }
+      set.add(mix64(h))
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator(); var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    java.util.Arrays.sort(out)
+    out
+  }
+
+  /** MinHash signature: k permutations h_i(x) = mix64(x + SEED·(i+1)),
+    * min per permutation. O(k·|shingles|) multiply-mix, no re-hash. */
+  def minhash(shingles: Array[Long], k: Int): Array[Long] = {
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var s = 0
+    while (s < shingles.length) {
+      val x = shingles(s)
+      var i = 0
+      while (i < k) {
+        val h = mix64(x + 0x9e3779b97f4a7c15L * (i + 1))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      s += 1
+    }
+    sig
+  }
+
+  /** 64-bit SimHash over whitespace tokens (frequency-weighted). */
+  def simhash(text: String): Long = {
+    val n = normalize(text)
+    if (n.isEmpty) return 0L
+    val counts = new Array[Int](64)
+    var total = 0
+    var start = 0
+    while (start <= n.length) {
+      val sp = n.indexOf(' ', start)
+      val end = if (sp < 0) n.length else sp
+      if (end > start) {
+        var h = 0xcbf29ce484222325L
+        var j = start
+        while (j < end) { h = (h ^ n.charAt(j)) * 0x100000001b3L; j += 1 }
+        h = mix64(h)
+        var b = 0
+        while (b < 64) { counts(b) += ((h >>> b) & 1L).toInt; b += 1 }
+        total += 1
+      }
+      start = end + 1
+      if (sp < 0) start = n.length + 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) * 2 > total) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  /** Exact Jaccard of two sorted distinct hash arrays (merge scan). */
+  def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    inter.toDouble / (a.length + b.length - inter).toDouble
+  }
+}

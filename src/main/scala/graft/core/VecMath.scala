@@ -1,0 +1,51 @@
+package graft.core
+
+/**
+ * Compiled vector kernels for similarity search. Same rationale as
+ * `TextSig`: `aggregate`/`zip_with` Column lambdas evaluate
+ * interpretively per element; a dot product belongs in one compiled
+ * loop (and SIMD-vectorizes under C2).
+ */
+object VecMath {
+
+  def dot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dp = 0.0; var na = 0.0; var nb = 0.0
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dp += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val nn = math.sqrt(na) * math.sqrt(nb)
+    if (nn == 0.0) 0.0 else dp / nn
+  }
+
+  /** Random-hyperplane sign signature for cosine LSH: `planes` bits.
+    * Hyperplane components derive from mix64(plane, dim) — deterministic,
+    * no driver-side random state, no broadcast plane matrix. */
+  def hyperplaneSig(v: Array[Float], planes: Int): Long = {
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      var proj = 0.0
+      var i = 0
+      while (i < v.length) {
+        val h = TextSig.mix64(p.toLong * 0x100000001b3L + i)
+        proj += v(i).toDouble * (h.toDouble / Long.MaxValue.toDouble)
+        i += 1
+      }
+      if (proj >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+}

@@ -1,8 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.core.TextSig
 
 /**
  * Deduplication operators for training-data pipelines: exact,
@@ -16,14 +17,31 @@ import org.apache.spark.sql.functions._
  *  - MinHash-LSH shuffles (band_id, band_hash) pairs — `bands` small
  *    rows per doc — then self-joins only within buckets; candidate pairs
  *    are verified with exact Jaccard before dropping. No O(n²) stage.
- *  - All signature computation is per-row (no UDF state, codegen'd
- *    hash/transform built-ins).
+ *  - Signature computation (normalize → shingle → minhash/simhash) is a
+ *    single compiled pass per document (`TextSig`), not a higher-order-
+ *    function Column expression: HOF lambdas evaluate interpretively and
+ *    re-evaluate captured subexpressions per element, which degrades to
+ *    O(k·N²) after CollapseProject inlines the normalization.
+ *  - Signature stages `repartition` first: per-row work this heavy must
+ *    spread across all cores even when the input is a handful of files
+ *    (and at cluster scale it rebalances skewed file sizes for free).
  */
 object Dedup {
 
-  /** Normalized 64-bit content fingerprint used for exact dedup. */
+  // ---- compiled signature kernels (see TextSig scaladoc) ----
+  private val charShinglesUdf = udf((t: String, w: Int) => TextSig.charShingles(t, w))
+  private val wordShinglesUdf = udf((t: String, w: Int) => TextSig.wordShingles(t, w))
+  private val minhashUdf = udf((sh: Array[Long], k: Int) => TextSig.minhash(sh, k))
+  private val simhashUdf = udf((t: String) => TextSig.simhash(t))
+  private val jaccardUdf = udf((a: Array[Long], b: Array[Long]) => TextSig.jaccardSorted(a, b))
+
+  /** Normalized 64-bit content fingerprint used for exact dedup
+    * (xxhash64 built-in — codegen'd, no UDF needed for one hash). */
   private def contentKey(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   /** Exact dedup: keep the lowest doc_id per normalized-content hash.
     * `min_by` aggregation (partial agg, no window sort). */
@@ -34,48 +52,53 @@ object Dedup {
       .select(cols.map(c => col(s"r.$c")).toIndexedSeq: _*)
   }
 
-  /** Character shingles (default w=5) of normalized text, as an array of
-    * 64-bit hashes. Word-level shingles via `wordShingles`. */
-  def shingles(text: Column, w: Int = 5): Column = {
-    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
-    val n = length(norm)
-    // sliding window over character offsets; transform() keeps it codegen'd
-    val idx = sequence(lit(1), greatest(n - (w - 1), lit(1)))
-    transform(idx, i => xxhash64(norm.substr(i, lit(w))))
-  }
-
-  def wordShingles(text: Column, w: Int = 3): Column = {
-    val toks = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
-    val n = size(toks)
-    val idx = sequence(lit(0), greatest(n - w, lit(0)))
-    transform(idx, i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(w)))))
-  }
-
-  /** MinHash signature: k permutations h_i(x) = xxhash64(x, seed_i) — we
-    * fold the seed in by hashing the (shingle, i) pair; min per
-    * permutation. Returns array<long> length k. */
-  def minhashSignature(shingleHashes: Column, k: Int = 64): Column =
-    transform(sequence(lit(0), lit(k - 1)), i =>
-      array_min(transform(shingleHashes, s => xxhash64(s, i))))
-
   /** LSH band keys: signature split into `bands` bands of `rowsPerBand`,
-    * each band hashed to one bucket key. */
-  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    * each band hashed to one bucket key (hash built-in over the slice —
+    * cheap, argument-side arrays only). */
+  private def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)), b =>
       struct(b.as("band"),
         xxhash64(concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)))).as("bucket")))
 
-  /** Exact Jaccard similarity of two shingle-hash arrays. */
-  def jaccard(a: Column, b: Column): Column =
-    when(size(array_union(a, b)) === 0, lit(0.0)).otherwise(
-      size(array_intersect(a, b)).cast("double") /
-        size(array_union(a, b)).cast("double"))
+  /** doc_id → sorted distinct shingle hashes (+ minhash sig), computed
+    * once, partition-parallel. Persisted: the signature table is read 3×
+    * downstream (bucket explode + both sides of the verify join) and
+    * recomputing the shingle pass each time triples the dominant cost. */
+  private def signatures(docs: DataFrame, shingleUdf: (Column, Column) => Column,
+      w: Int, k: Int): DataFrame =
+    spread(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), shingleUdf(col("text"), lit(w)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"), minhashUdf(col("sh"), lit(k)).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Candidate pairs sharing ≥1 LSH bucket, deduped. */
+  private def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val buckets = sig.select(col("doc_id"),
+        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bucket"))
+    buckets.as("l").join(buckets.as("r"),
+        col("l.band") === col("r.band") &&
+          col("l.bucket") === col("r.bucket") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_id_a"), col("r.doc_id").as("doc_id_b"))
+      .distinct()
+  }
+
+  /** Join candidates back to shingle sets and verify with exact Jaccard. */
+  private def verifyJaccard(cand: DataFrame, sig: DataFrame, threshold: Double): DataFrame =
+    cand
+      .join(sig.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a")), "doc_id_a")
+      .join(sig.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b")), "doc_id_b")
+      .select(col("doc_id_a"), col("doc_id_b"),
+        round(jaccardUdf(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
 
   /**
    * MinHash-LSH near-duplicate pairs: (doc_id_a, doc_id_b, jaccard) for
    * pairs sharing ≥1 LSH bucket and verified jaccard ≥ threshold.
    *
-   * Plan shape: docs → shingle+signature (narrow) → explode bands
+   * Plan shape: docs → signature (narrow, compiled) → explode bands
    * (bands× rows) → shuffle on (band,bucket) → in-bucket self-join →
    * dedup pairs → verify with exact jaccard. The verify re-joins the
    * shingle arrays by doc_id; at scale that join is shuffle-on-doc_id of
@@ -83,30 +106,8 @@ object Dedup {
    */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.7,
       k: Int = 64, bands: Int = 16, shingleW: Int = 5): DataFrame = {
-    val rowsPerBand = k / bands
-    val sh = docs.select(col("doc_id"),
-      shingles(col("text"), shingleW).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val sig = sh.select(col("doc_id"), col("sh"),
-      minhashSignature(col("sh"), k).as("sig"))
-
-    val buckets = sig.select(col("doc_id"),
-        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.bucket"))
-
-    val cand = buckets.as("l").join(buckets.as("r"),
-        col("l.band") === col("r.band") &&
-          col("l.bucket") === col("r.bucket") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_id_a"), col("r.doc_id").as("doc_id_b"))
-      .distinct()
-
-    cand
-      .join(sh.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a")), "doc_id_a")
-      .join(sh.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b")), "doc_id_b")
-      .select(col("doc_id_a"), col("doc_id_b"),
-        round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    val sig = signatures(docs, charShinglesUdf(_, _), shingleW, k)
+    verifyJaccard(lshCandidates(sig, bands, k / bands), sig, threshold)
   }
 
   /** Near-dedup via MinHash-LSH: drop the higher doc_id of every verified
@@ -118,21 +119,6 @@ object Dedup {
     docs.join(dupIds, Seq("doc_id"), "left_anti")
   }
 
-  /** SimHash: 64-bit signature from word-feature hashes — sign-sum each
-    * bit weighted by term frequency, done with bit arithmetic over
-    * aggregate() (codegen'd, no UDF). */
-  def simhash(text: Column): Column = {
-    val toks = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
-    val hashes = transform(toks, t => xxhash64(t))
-    // for each bit position: count of hashes with that bit set vs total
-    val bits = (0 until 64).map { b =>
-      val ones = aggregate(hashes, lit(0L),
-        (acc, h) => acc + shiftright(h, b).bitwiseAND(1L))
-      when(ones * 2 > size(hashes), shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    bits.reduce((a, c) => a.bitwiseOR(c))
-  }
-
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("int")
@@ -141,7 +127,8 @@ object Dedup {
     * (a pair within distance d ≤ 3 shares at least one of 4 chunks —
     * pigeonhole), so no O(n²) compare. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = docs.select(col("doc_id"), simhash(col("text")).as("sig"))
+    val sigs = spread(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), simhashUdf(col("text")).as("sig"))
     val chunks = sigs.select(col("doc_id"), col("sig"),
         explode(array((0 until 4).map(i =>
           struct(lit(i).as("chunk_id"),
@@ -157,39 +144,22 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** n-gram Jaccard pairs above threshold — exact, for modest candidate
-    * sets: block on a cheap LSH first then verify, same as minhashPairs
-    * but returning the jaccard on word shingles. */
+  /** n-gram Jaccard pairs above threshold — exact Jaccard on word
+    * shingles, blocked by a cheap MinHash-LSH (k=8, 8 bands) to avoid
+    * the O(n²) cross product. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
       w: Int = 3): DataFrame = {
-    val sh = docs.select(col("doc_id"), wordShingles(col("text"), w).as("sh"))
-      .filter(size(col("sh")) > 0)
-    // block by cheapest minhash (k=8,bands=8) to avoid O(n²)
-    val sig = sh.select(col("doc_id"), col("sh"),
-      minhashSignature(col("sh"), 8).as("sig"))
-    val buckets = sig.select(col("doc_id"),
-        explode(lshBandKeys(col("sig"), 8, 1)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.bucket"))
-    val cand = buckets.as("l").join(buckets.as("r"),
-        col("l.band") === col("r.band") &&
-          col("l.bucket") === col("r.bucket") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_id_a"), col("r.doc_id").as("doc_id_b"))
-      .distinct()
-    cand
-      .join(sh.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a")), "doc_id_a")
-      .join(sh.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b")), "doc_id_b")
-      .select(col("doc_id_a"), col("doc_id_b"),
-        round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    val sig = signatures(docs, wordShinglesUdf(_, _), w, 8)
+    verifyJaccard(lshCandidates(sig, 8, 1), sig, threshold)
   }
 
   /** Embedding-cosine near-dup pairs (see Similarity.cosine): pairs with
     * cosine ≥ threshold, LSH-bucketed by random hyperplane signs. */
   def embeddingPairs(emb: DataFrame, threshold: Double = 0.95,
       planes: Int = 16): DataFrame = {
-    val sig = emb.select(col("vec_id"), col("embedding"),
-      Similarity.hyperplaneSig(col("embedding"), planes).as("sig"))
+    val sig = spread(emb.select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), col("embedding"),
+        Similarity.hyperplane_sig(col("embedding"), planes).as("sig"))
     sig.as("l").join(sig.as("r"),
         col("l.sig") === col("r.sig") && col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("vec_id_a"), col("r.vec_id").as("vec_id_b"),

