@@ -69,7 +69,25 @@ object SparkEntry {
     "sn04_token_multisig" -> ((s, _) => Etl.tokenMultisigs(deduped(s)).orderBy(hex(col("pubkey")), hex(col("signer")))),
     "sn05_token_metadata" -> ((s, _) => Etl.tokenMetadata(deduped(s)).orderBy(hex(col("pubkey")))),
     "sn06_csv_projection" -> ((s, _) => Etl.csvProjection(deduped(s)).orderBy("pubkey")),
-    "sn07_kind_counts" -> ((s, _) => Etl.accountKindCounts(deduped(s)).orderBy("kind")))
+    "sn07_kind_counts" -> ((s, _) => Etl.accountKindCounts(deduped(s)).orderBy("kind")),
+    // P5 selector + D8/D7 wire round-trip + P10/D4/D5/A4 opcode stats
+    // (streaming transforms are batch/stream-agnostic; exercised here on
+    // the batch fixture, micro-batch semantics in StreamingSpec)
+    "sn08_account_selector" -> ((s, _) =>
+      deduped(s).filter(graft.streaming.Selectors.accountSelector(
+          Seq(graft.core.SplToken.ProgramId)))
+        .select(hex(col("pubkey")).as("pk"), col("lamports")).orderBy("pk")),
+    "sn09_wire_roundtrip" -> ((s, _) => {
+      val events = deduped(s).withColumn("is_startup", lit(true))
+        .select("pubkey", "lamports", "owner", "executable", "rent_epoch",
+          "data", "write_version", "slot", "is_startup")
+      graft.streaming.Wire.decodeAccountUpdates(
+          graft.streaming.Wire.accountUpdates(events))
+        .select(hex(col("pubkey")).as("pk"), col("lamports"), col("write_version"))
+        .orderBy("pk", "write_version")
+    }),
+    "sn10_opcode_stats" -> ((s, _) =>
+      Etl.opcodeStats(Etl.programs(deduped(s))).orderBy("opcode")))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */

@@ -1,0 +1,63 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+import graft.core.Base58
+
+/**
+ * Output sinks (SURVEY §2.8): the reference's SQLite/CSV/tar targets
+ * re-expressed as Spark writers.
+ *
+ *  - K1 (SQLite 5-table load, `sqlite.rs:38-188`) → parquet tables, one
+ *    dir per entity. Spark's file committer gives the write-to-temp +
+ *    atomic-promote semantics the reference hand-rolls
+ *    (`sqlite.rs:437-462`). Query surface comes from Spark SQL over
+ *    these tables — strictly wider than the SQLite client the reference
+ *    delegates to (`README.md:70`).
+ *  - K2 (CSV stream, `csv.rs:41-62`) → header CSV directory.
+ *  - K5 (programs tar, `programs.rs:54-62`) → `<base58-pubkey>.so`
+ *    files written per-partition (distributed, no driver collect).
+ *  - K6 (opcode CSV report, `solana-opcode-stats/main.rs:109-128`).
+ */
+object Sinks {
+
+  /** K1 — write the five relational tables under `outDir`. Input is the
+    * deduped raw-accounts frame; decode routing happens here exactly as
+    * in the reference's per-record dispatch (`sqlite.rs:206-216`). */
+  def saveTables(deduped: DataFrame, outDir: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    Etl.accounts(deduped).write.mode(mode).parquet(s"$outDir/account")
+    Etl.tokenAccounts(deduped).write.mode(mode).parquet(s"$outDir/token_account")
+    Etl.tokenMints(deduped).write.mode(mode).parquet(s"$outDir/token_mint")
+    Etl.tokenMultisigs(deduped).write.mode(mode).parquet(s"$outDir/token_multisig")
+    Etl.tokenMetadata(deduped).write.mode(mode).parquet(s"$outDir/token_metadata")
+  }
+
+  /** K2 — the 4-column base58 CSV projection (`csv.rs:14-20`). */
+  def writeCsv(deduped: DataFrame, path: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    Etl.csvProjection(deduped).write.mode(mode)
+      .option("header", "true").csv(path)
+
+  /** K5 — one `<base58-pubkey>.so` per program, written from executors
+    * (`programs.rs:54-62`; naming via F1). `dir` must be a shared
+    * filesystem path on a real cluster. */
+  def writeProgramsDir(programs: DataFrame, dir: String): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    programs.select("pubkey", "elf").foreachPartition {
+      (rows: Iterator[org.apache.spark.sql.Row]) =>
+        rows.foreach { r =>
+          val name = Base58.encode(r.getAs[Array[Byte]]("pubkey")) + ".so"
+          Files.write(Paths.get(dir, name), r.getAs[Array[Byte]]("elf"))
+        }
+    }
+  }
+
+  /** K6 — opcode statistics CSV report (zero rows already filtered by
+    * `Etl.opcodeStats`). */
+  def writeOpcodeCsv(stats: DataFrame, path: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    stats.write.mode(mode).option("header", "true").csv(path)
+}

@@ -1,0 +1,74 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, InputStream}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import com.github.luben.zstd.ZstdInputStream
+import org.apache.commons.compress.archivers.tar.TarArchiveInputStream
+
+/**
+ * Archive ingest utility (SURVEY §2.1 S1/S3/S4): streams a
+ * `snapshot-<slot>-<hash>.tar.zst` — from a local file or an HTTP(S)
+ * URL — into the unpacked snapshot layout
+ * (`snapshots/<slot>/<slot>` + `accounts/<slot>.<id>`) that
+ * `SnapshotReader` scans.
+ *
+ * Mirrors the reference's single-pass tar streaming
+ * (`archived.rs:37-108`): one decompress pass, entries spooled as they
+ * arrive; like the reference, the manifest must appear before use — here
+ * that is guaranteed by spooling everything before the Spark scan starts,
+ * so tar entry order no longer matters (the reference errors on an
+ * AppendVec preceding the manifest, `archived.rs:41-57`; spooling removes
+ * that constraint rather than inheriting it).
+ *
+ * This is deliberately NOT a Spark scan: the archive is a sequential
+ * compressed stream — a custom DataSource would still be single-threaded
+ * through the decompressor. Spool once (driver or edge node), then the
+ * unpacked dir fans out across executors via `binaryFile`.
+ */
+object ArchiveIngest {
+
+  /** S4 — source dispatch (`main.rs:183-214`): URL → download+unpack,
+    * `.tar.zst` file → unpack, directory → as-is. Returns the unpacked
+    * root. */
+  def resolve(source: String, spoolDir: String): String = {
+    val isUrl = source.startsWith("http://") || source.startsWith("https://")
+    if (isUrl) unpack(new java.net.URI(source).toURL.openStream(), spoolDir)
+    else {
+      val p = Paths.get(source)
+      if (Files.isDirectory(p)) source
+      else unpack(Files.newInputStream(p), spoolDir)
+    }
+  }
+
+  /** S1 — stream the tar.zst into `destRoot`; returns `destRoot`. Only
+    * `snapshots/` and `accounts/` entries are materialized (version
+    * and status files are not needed by the scan). */
+  def unpack(raw: InputStream, destRoot: String): String = {
+    val dest = Paths.get(destRoot)
+    Files.createDirectories(dest)
+    val tar = new TarArchiveInputStream(
+      new ZstdInputStream(new BufferedInputStream(raw, 1 << 20)))
+    try {
+      var entry = tar.getNextEntry
+      while (entry != null) {
+        val name = entry.getName.stripPrefix("./")
+        if (!entry.isDirectory &&
+            (name.startsWith("snapshots/") || name.startsWith("accounts/"))) {
+          val out = resolveSafe(dest, name)
+          Files.createDirectories(out.getParent)
+          Files.copy(tar, out, StandardCopyOption.REPLACE_EXISTING)
+        }
+        entry = tar.getNextEntry
+      }
+    } finally tar.close()
+    destRoot
+  }
+
+  /** Path-traversal guard for hostile tar entries. */
+  private def resolveSafe(root: Path, name: String): Path = {
+    val out = root.resolve(name).normalize()
+    require(out.startsWith(root), s"tar entry escapes destination: $name")
+    out
+  }
+}

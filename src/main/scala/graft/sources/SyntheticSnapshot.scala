@@ -99,6 +99,36 @@ object SyntheticSnapshot {
     out.toArray
   }
 
+  /** Deterministic pseudo-eBPF body: valid opcode stream (8-byte insns,
+    * 16 for LD_DW_IMM) ending in EXIT — feeds P10/D4/D5 (opcode stats). */
+  def ebpfBody(rng: Random): Array[Byte] = {
+    val pool = Array(0xb7, 0x07, 0x18, 0x85, 0x61, 0x62, 0x2d, 0x15)
+    val out = new scala.collection.mutable.ArrayBuffer[Byte]()
+    (0 until 4 + rng.nextInt(12)).foreach { _ =>
+      val opc = pool(rng.nextInt(pool.length))
+      out += opc.toByte
+      out ++= new Array[Byte](if (opc == 0x18) 15 else 7)
+    }
+    out += 0x95.toByte; out ++= new Array[Byte](7) // EXIT
+    out.toArray
+  }
+
+  /** Upgradeable-loader ProgramData image: u32 discriminant(3) + slot u64 +
+    * Option<Pubkey> authority (45-byte header, `programs.rs:40-49`) + ELF. */
+  def programDataImage(rng: Random, body: Array[Byte]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(45 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(3) // ProgramData discriminant
+    b.putLong(50L + rng.nextInt(50)) // deployment slot
+    b.put(1.toByte) // authority Some
+    b.put(pk(rng))
+    b.put(body)
+    b.array()
+  }
+
+  private val bpfLoader = Base58.decode("BPFLoader2111111111111111111111111111111111")
+  private val bpfLoaderUpgradeable = Base58.decode("BPFLoaderUpgradeab1e11111111111111111111111")
+
   /** Write the snapshot; returns the root dir. */
   def write(dir: String, spec: Spec = Spec()): Path = {
     val rng = new Random(spec.seed)
@@ -124,9 +154,11 @@ object SyntheticSnapshot {
           case 1 | 2 => (SplToken.ProgramId, tokenAccountData(rng, dupPool(rng.nextInt(8))), false)
           case 3 => (SplToken.ProgramId, multisigData(rng), false)
           case 4 => (MplMetadata.ProgramId, metadataData(rng, dupPool(rng.nextInt(8))), false)
+          case 5 => (bpfLoader, ebpfBody(rng), true)
+          case 6 => (bpfLoaderUpgradeable, programDataImage(rng, ebpfBody(rng)), false)
           case _ =>
             val d = new Array[Byte](rng.nextInt(64)); rng.nextBytes(d)
-            (pk(rng), d, rng.nextInt(20) == 0)
+            (pk(rng), d, false)
         }
         AppendVec.Record(
           writeVersion = writeVersion, pubkey = key, dataLen = data.length.toLong,

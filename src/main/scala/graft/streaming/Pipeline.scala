@@ -1,0 +1,145 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.core.Base58
+
+/**
+ * Streaming pipelines (SURVEY §2.9, E2): the geyser plugin's dataflow —
+ * push events → selector → serialize → topic — as Structured Streaming
+ * transforms, plus the stateful value-adds the reference lacks
+ * (watermark dedup, windowed aggregation, per-key state), built on
+ * `withWatermark`/`window`/`flatMapGroupsWithState`.
+ *
+ * Every transform is `DataFrame => DataFrame` and works identically on a
+ * batch frame (unit tests) or a `readStream` frame (production): this is
+ * the Spark-native replacement for the plugin's per-callback tokio tasks
+ * (`plugin.rs:177-183`) — partition parallelism replaces the task pool,
+ * checkpointed sinks upgrade at-most-once (`sender.rs:50-53`) to
+ * at-least-once.
+ *
+ * Delivery/backpressure mapping (§2.9): `maxOffsetsPerTrigger` replaces
+ * the bounded job queue (`jobs.limit`, 16); watermarks give the late-data
+ * policy the reference leaves as "TODO: process errors".
+ */
+object Pipeline {
+
+  /** E2 step 3 — the account path: selector (P5) → wire (D8).
+    * `owners` empty = pass-all, mirroring an empty config filter. */
+  def accountPipeline(accounts: DataFrame,
+      owners: Seq[Array[Byte]] = Nil,
+      startup: Option[Boolean] = None): DataFrame =
+    Wire.accountUpdates(
+      accounts.filter(Selectors.accountSelector(owners, enabled = true, startup)))
+
+  /** E2 secondary emit — the NFT off-chain path: P9 gate → URI slice →
+    * (base58 pubkey, uri, slot, is_startup) → wire. */
+  def offchainPipeline(accounts: DataFrame): DataFrame =
+    Wire.offchain(
+      accounts
+        .filter(Selectors.metadataGate(col("owner"), col("data")))
+        .select(graft.functions.Functions.base58_encode(col("pubkey")).as("pubkey"),
+          Selectors.offchainUri(col("data")).as("uri"),
+          col("slot"), col("is_startup"))
+        .filter(col("uri").isNotNull))
+
+  /** E2 — transaction path: success (P6) + program semi-filter (P7). */
+  def transactionPipeline(txs: DataFrame,
+      programs: Seq[Array[Byte]] = Nil): DataFrame =
+    Wire.toTopic(
+      txs.filter(Selectors.txSuccess(col("status_ok")) &&
+        Selectors.txProgramFilter(col("account_keys"), programs)),
+      Wire.TransactionTopic)
+
+  /** E2 — slot path: rooted only (P8). */
+  def slotPipeline(slots: DataFrame): DataFrame =
+    Wire.finalizedSlots(slots.filter(Selectors.rootedOnly(col("status"))))
+
+  // ------------------------------------------------------------------
+  // Value-add stateful operators (reference has none — §2.9 rows 2–4)
+  // ------------------------------------------------------------------
+
+  /** Exactly-once-per-version semantics on a stream: drop duplicate
+    * (pubkey, write_version) pairs within the watermark horizon. On a
+    * batch frame plain dropDuplicates applies. */
+  def dedupAccountStream(accounts: DataFrame, eventTimeCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    if (accounts.isStreaming)
+      accounts.withWatermark(eventTimeCol, watermark)
+        .dropDuplicatesWithinWatermark("pubkey", "write_version")
+    else accounts.dropDuplicates("pubkey", "write_version")
+
+  /** Tumbling-window per-owner account-update counts with a watermark —
+    * the standard streaming agg shape (works batch too). */
+  def ownerWindowCounts(accounts: DataFrame, eventTimeCol: String,
+      windowLen: String = "1 minute",
+      watermark: String = "10 minutes"): DataFrame = {
+    val src =
+      if (accounts.isStreaming) accounts.withWatermark(eventTimeCol, watermark)
+      else accounts
+    src.groupBy(window(col(eventTimeCol), windowLen), col("owner"))
+      .agg(count(lit(1)).as("n_updates"), sum(col("lamports")).as("sum_lamports"))
+      .select(col("window.start").as("window_start"), col("owner"),
+        col("n_updates"), col("sum_lamports"))
+  }
+
+  /** Per-pubkey running state for `latestBalances`. */
+  final case class AccountState(lamports: Long, writeVersion: Long, slot: Long)
+  final case class BalanceUpdate(pubkey: String, lamports: Long,
+      write_version: Long, slot: Long)
+
+  /**
+   * Per-key custom state (KeyValueGroupedDataset.flatMapGroupsWithState):
+   * maintain each pubkey's latest (write_version, lamports) across
+   * micro-batches and emit only monotonic updates — the streaming analog
+   * of the batch last-writer-wins A1.
+   */
+  def latestBalances(spark: SparkSession, accounts: DataFrame): Dataset[BalanceUpdate] = {
+    import spark.implicits._
+    accounts
+      .select(col("pubkey"), col("lamports"), col("write_version"), col("slot"))
+      .as[(Array[Byte], Long, Long, Long)]
+      .groupByKey { case (pk, _, _, _) => Base58.encode(pk) }
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (pubkey: String, rows: Iterator[(Array[Byte], Long, Long, Long)],
+         state: GroupState[AccountState]) =>
+          var cur = state.getOption.getOrElse(AccountState(0L, -1L, -1L))
+          var emit: Option[BalanceUpdate] = None
+          rows.foreach { case (_, lamports, wv, slot) =>
+            if (wv > cur.writeVersion) {
+              cur = AccountState(lamports, wv, slot)
+              emit = Some(BalanceUpdate(pubkey, lamports, wv, slot))
+            }
+          }
+          state.update(cur)
+          emit.iterator
+      }
+  }
+
+  // ------------------------------------------------------------------
+  // Sinks (K3/K4 analogs)
+  // ------------------------------------------------------------------
+
+  /** Route a (topic, value) frame to Kafka (K4). At-least-once with
+    * checkpointing — strictly stronger than the reference's fire-and-
+    * forget producer (`sender.rs:49-105`). */
+  def toKafka(wire: DataFrame, bootstrap: String, checkpoint: String) =
+    wire.selectExpr("topic", "CAST(value AS STRING) AS value")
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("checkpointLocation", checkpoint)
+
+  /** File-sink variant for environments without a broker: one dir per
+    * topic under `root`, JSON lines. */
+  def toFiles(wire: DataFrame, root: String, checkpoint: String) =
+    wire.writeStream
+      .format("json")
+      .option("path", root)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("topic")
+}

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.core.Base58
+
+/**
+ * Streaming event selectors (SURVEY §2.2 P5–P9): the geyser plugin's
+ * per-event routing predicates (`geyser/src/selectors.rs:42-124`,
+ * `geyser/src/plugin.rs:185-339`) as composable Column predicates —
+ * identical semantics batch or streaming.
+ *
+ * All are narrow row-local predicates; on a stream they run inside the
+ * micro-batch map stage with no state. Owner-set membership uses
+ * `isin` for small sets — for a huge configured set, explode + broadcast
+ * left-semi join instead (J2).
+ */
+object Selectors {
+
+  /** The system program id (all-zero key). */
+  val SystemProgram: Array[Byte] = new Array[Byte](32)
+
+  /** A deletion event: zero lamports, empty data, system-program owner
+    * (`selectors.rs:42-55`). */
+  def isDeletion(lamports: Column, data: Column, owner: Column): Column =
+    lamports === 0L && coalesce(length(data), lit(0)) === 0 &&
+      owner === lit(SystemProgram)
+
+  /**
+   * P5 — account selector (`selectors.rs:56-78`): enabled ∧
+   * (deletion-event ∨ (startup-phase-match ∧ owner ∈ owners)).
+   * `startup` mirrors the tri-state config (`config.rs:52-59`):
+   * None = both phases, Some(true) = startup only, Some(false) = live only.
+   */
+  def accountSelector(
+      owners: Seq[Array[Byte]],
+      enabled: Boolean = true,
+      startup: Option[Boolean] = None): Column = {
+    if (!enabled) lit(false)
+    else {
+      val phaseOk = startup match {
+        case None => lit(true)
+        case Some(want) => col("is_startup") === lit(want)
+      }
+      val ownerOk =
+        if (owners.isEmpty) lit(true)
+        else col("owner").isin(owners.map(lit(_)): _*)
+      isDeletion(col("lamports"), col("data"), col("owner")) || (phaseOk && ownerOk)
+    }
+  }
+
+  /** P6 — drop failed transactions (`plugin.rs:330-332`). */
+  def txSuccess(statusOk: Column): Column = statusOk
+
+  /** P7/J2 — transaction program semi-filter (`selectors.rs:113-124`):
+    * keep the tx if any account key is in the configured program set.
+    * `arrays_overlap` keeps it a row-local predicate (no shuffle). */
+  def txProgramFilter(accountKeys: Column, programs: Seq[Array[Byte]]): Column =
+    if (programs.isEmpty) lit(true)
+    else arrays_overlap(accountKeys, array(programs.map(lit(_)): _*))
+
+  /** P8 — forward only rooted slots (`plugin.rs:305-313`). */
+  def rootedOnly(status: Column): Column = status === "rooted"
+
+  /** P9 — MPL metadata account gate: owner == MPL ∧ first data byte == 4
+    * (MetadataV1 tag, `plugin.rs:185-196`). */
+  def metadataGate(owner: Column, data: Column): Column =
+    owner === lit(graft.core.MplMetadata.ProgramId) &&
+      length(data) > 0 && substring(data, 1, 1) === lit(Array[Byte](4))
+
+  /** P9 — fixed-offset URI slice for the off-chain message
+    * (`plugin.rs:191-193`): bytes [119, 319) of the metadata account,
+    * decoded as UTF-8 with the NUL padding stripped; null when the slice
+    * is not valid UTF-8 (P11 guard). */
+  def offchainUri(data: Column): Column = {
+    val raw = substring(data, 1 + 1 + 32 + 32 + 4 + 32 + 4 + 10 + 4, 200)
+    // Metaplex pads the fixed-capacity uri field with NULs; strip them
+    // and surface empty as null (P11 guard).
+    nullif(regexp_replace(decode(raw, "UTF-8"), "\\x00+$", ""), lit(""))
+  }
+
+  /** Base58-keyed convenience: selector owners given as base58 strings. */
+  def accountSelectorB58(owners: Seq[String], enabled: Boolean = true,
+      startup: Option[Boolean] = None): Column =
+    accountSelector(owners.map(Base58.decode), enabled, startup)
+}

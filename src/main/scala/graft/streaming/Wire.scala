@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.model.Schemas
+
+/**
+ * Wire formats (SURVEY §2.7 D6–D8): the serializer crate's JSON mode
+ * (`serializer/src/serde_serialisation/mod.rs:13-52`) re-expressed as
+ * `to_json(struct(...))` / `from_json` — codegen'd, schema-checked, and
+ * identical batch or streaming. (The reference also ships FlatBuffers
+ * (`flatbuffer/mod.rs:31-567`); JSON is its own supported alternative
+ * (`serializer/src/lib.rs:10-16`), and no flatbuffers jar exists in the
+ * Spark distribution, so JSON is the default wire here.)
+ *
+ * Binary fields (pubkey/owner/data) are base64 inside JSON — Spark's
+ * native binary→JSON rendering — keeping encode/decode lossless and
+ * fully built-in.
+ *
+ * Topics mirror the 5-topic layout (`geyser/src/config.rs:22-30`).
+ */
+object Wire {
+
+  val AccountTopic = "account_update"
+  val TransactionTopic = "transaction_notify"
+  val MetadataTopic = "block_metadata"
+  val OffchainTopic = "nft_offchain_data"
+  val SlotTopic = "finalized_slot"
+
+  /** Serialize every column of the row to a JSON `value` plus a constant
+    * `topic` column — the kafka-sink contract (`value`,`topic`). */
+  def toTopic(df: DataFrame, topic: String): DataFrame =
+    df.select(lit(topic).as("topic"),
+      to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("value"))
+
+  /** D8 — AccountUpdate → (topic, value) (`geyser.rs:13-33`). */
+  def accountUpdates(df: DataFrame): DataFrame = toTopic(df, AccountTopic)
+
+  /** D8 — block metadata → (topic, value) (`geyser.rs:175-211`). */
+  def blockMetadata(df: DataFrame): DataFrame = toTopic(df, MetadataTopic)
+
+  /** D8 — NFT offchain message: (pubkey base58, uri) (`geyser.rs:216-221`,
+    * key rendered base58 like `plugin.rs:198`). */
+  def offchain(df: DataFrame): DataFrame = toTopic(df, OffchainTopic)
+
+  /** D8 — finalized slot notify (`types.rs:16`). */
+  def finalizedSlots(df: DataFrame): DataFrame =
+    toTopic(df.select(col("slot")), SlotTopic)
+
+  /** D7 — decode a JSON `value` column back to typed columns (the
+    * consumer side of the topic). */
+  def decodeTopic(df: DataFrame, schema: StructType,
+      valueCol: String = "value"): DataFrame =
+    df.select(from_json(col(valueCol).cast("string"), schema).as("e"))
+      .select(col("e.*"))
+
+  /** Consumer-side decode with the AccountUpdate schema. */
+  def decodeAccountUpdates(df: DataFrame): DataFrame =
+    decodeTopic(df, Schemas.accountUpdate)
+}

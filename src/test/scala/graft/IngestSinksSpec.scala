@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import com.github.luben.zstd.ZstdOutputStream
+import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Etl, Sinks}
+import graft.sources.{ArchiveIngest, SnapshotReader, SyntheticSnapshot}
+
+/** S1/S3/S4 archive ingest + K1/K2/K5 sinks, end-to-end over the
+  * deterministic synthetic snapshot. */
+class IngestSinksSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val fixture: String = {
+    val dir = Files.createTempDirectory("snap-ingest").toString
+    SyntheticSnapshot.write(dir)
+    dir
+  }
+
+  /** Pack a directory into snapshot-style tar.zst (fixture side of S1). */
+  private def packTarZst(root: String, out: String): Unit = {
+    val tar = new TarArchiveOutputStream(
+      new ZstdOutputStream(Files.newOutputStream(Paths.get(out))))
+    tar.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
+    val rootPath = Paths.get(root)
+    Files.walk(rootPath).filter(Files.isRegularFile(_)).forEach { p =>
+      val name = rootPath.relativize(p).toString
+      val e = new TarArchiveEntry(p.toFile, name)
+      tar.putArchiveEntry(e)
+      Files.copy(p, tar)
+      tar.closeArchiveEntry()
+    }
+    tar.close()
+  }
+
+  test("tar.zst ingest reproduces the unpacked-dir scan exactly") {
+    val tarPath = Files.createTempDirectory("snap-tar").resolve("snapshot-103-x.tar.zst").toString
+    packTarZst(fixture, tarPath)
+    val spool = Files.createTempDirectory("snap-spool").toString
+    val root = ArchiveIngest.resolve(tarPath, spool)
+    assert(root == spool)
+    val fromTar = SnapshotReader.rawAccounts(spark, root)
+    val fromDir = SnapshotReader.rawAccounts(spark, fixture)
+    assert(fromTar.count() === fromDir.count())
+    assert(fromTar.agg(sum("lamports")).head.getLong(0) ===
+      fromDir.agg(sum("lamports")).head.getLong(0))
+  }
+
+  test("resolve passes a directory through untouched") {
+    assert(ArchiveIngest.resolve(fixture, "/tmp/unused-spool") === fixture)
+  }
+
+  test("hostile tar entry names are rejected") {
+    val dir = Files.createTempDirectory("evil").toString
+    val tarPath = Paths.get(dir, "evil.tar.zst").toString
+    val tar = new TarArchiveOutputStream(
+      new ZstdOutputStream(Files.newOutputStream(Paths.get(tarPath))))
+    val e = new TarArchiveEntry("accounts/../../escape")
+    val payload = "x".getBytes
+    e.setSize(payload.length.toLong)
+    tar.putArchiveEntry(e); tar.write(payload); tar.closeArchiveEntry(); tar.close()
+    assertThrows[IllegalArgumentException] {
+      ArchiveIngest.unpack(Files.newInputStream(Paths.get(tarPath)),
+        Files.createTempDirectory("evil-out").toString)
+    }
+  }
+
+  test("K1 saveTables writes the five relational tables; K2 CSV round-trips") {
+    val deduped = Etl.latestVersion(SnapshotReader.rawAccounts(spark, fixture)).cache()
+    val out = Files.createTempDirectory("tables").toString
+    Sinks.saveTables(deduped, out)
+    val account = spark.read.parquet(s"$out/account")
+    assert(account.count() === deduped.count())
+    assert(spark.read.parquet(s"$out/token_mint").count() ===
+      Etl.tokenMints(deduped).count())
+    assert(spark.read.parquet(s"$out/token_multisig").count() ===
+      Etl.tokenMultisigs(deduped).count())
+
+    val csvDir = Files.createTempDirectory("csv").toString + "/out"
+    Sinks.writeCsv(deduped, csvDir)
+    val csv = spark.read.option("header", "true").csv(csvDir)
+    assert(csv.count() === deduped.count())
+    assert(csv.columns.toSeq === Seq("pubkey", "owner", "data_len", "lamports"))
+    deduped.unpersist()
+  }
+
+  test("K5 programs dir writes one base58 .so per executable account") {
+    val deduped = Etl.latestVersion(SnapshotReader.rawAccounts(spark, fixture))
+    val programs = Etl.programs(deduped).cache()
+    val n = programs.count()
+    val dir = Files.createTempDirectory("programs").toString
+    Sinks.writeProgramsDir(programs, dir)
+    val written = Files.list(Paths.get(dir)).iterator()
+    var count = 0
+    while (written.hasNext) {
+      val f = written.next()
+      assert(f.getFileName.toString.endsWith(".so"))
+      count += 1
+    }
+    assert(count.toLong === n)
+    programs.unpersist()
+  }
+}

@@ -1,0 +1,173 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Base58
+import graft.streaming.{Pipeline, Selectors, Wire}
+
+/** Streaming semantics (SURVEY §2.9): selectors, wire round-trip, and the
+  * stateful value-adds, driven through MemoryStream micro-batches. */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  import scala.language.implicitConversions
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def pk(b: Byte): Array[Byte] = Array.fill[Byte](32)(b)
+
+  private def accountsDf(rows: Seq[(Array[Byte], Long, Array[Byte], Boolean, Long, Array[Byte], Long, Long, Boolean)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("pubkey", "lamports", "owner", "executable", "rent_epoch",
+      "data", "write_version", "slot", "is_startup")
+  }
+
+  test("P5 account selector: deletion events pass regardless of owner filter") {
+    val owner = pk(7)
+    val df = accountsDf(Seq(
+      (pk(1), 5L, owner, false, 0L, Array[Byte](1), 1L, 10L, false), // owner match
+      (pk(2), 5L, pk(9), false, 0L, Array[Byte](1), 2L, 10L, false), // no match
+      (pk(3), 0L, Selectors.SystemProgram, false, 0L, Array.emptyByteArray, 3L, 10L, false))) // deletion
+    val kept = df.filter(Selectors.accountSelector(Seq(owner)))
+      .select("write_version").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L))
+  }
+
+  test("P5 startup pinning: startup-only selector drops live updates") {
+    val df = accountsDf(Seq(
+      (pk(1), 5L, pk(7), false, 0L, Array[Byte](1), 1L, 10L, true),
+      (pk(2), 5L, pk(7), false, 0L, Array[Byte](1), 2L, 10L, false)))
+    val kept = df.filter(Selectors.accountSelector(Nil, startup = Some(true)))
+      .select("write_version").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L))
+  }
+
+  test("wire round-trip: decode(encode(accounts)) preserves all fields") {
+    val df = accountsDf(Seq(
+      (pk(1), 42L, pk(7), true, 3L, Array[Byte](1, 2, 3), 9L, 77L, false)))
+    val decoded = Wire.decodeAccountUpdates(Pipeline.accountPipeline(df))
+    val r = decoded.collect().head
+    assert(r.getAs[Array[Byte]]("pubkey").toSeq === pk(1).toSeq)
+    assert(r.getAs[Long]("lamports") === 42L)
+    assert(r.getAs[Array[Byte]]("data").toSeq === Seq[Byte](1, 2, 3))
+    assert(r.getAs[Long]("slot") === 77L)
+    assert(r.getAs[Boolean]("executable"))
+  }
+
+  test("P8 slot pipeline forwards only rooted slots") {
+    val s = spark
+    import s.implicits._
+    val slots = Seq((5L, 4L, "processed"), (6L, 5L, "rooted"), (7L, 6L, "confirmed"))
+      .toDF("slot", "parent", "status")
+    val out = Pipeline.slotPipeline(slots).select("value").as[String].collect()
+    assert(out.length === 1 && out.head.contains("\"slot\":6"))
+  }
+
+  test("P6+P7 transaction pipeline: success + program membership") {
+    val s = spark
+    import s.implicits._
+    val prog = pk(7)
+    val txs = Seq(
+      ("sigA", true, Seq(pk(1), prog)),
+      ("sigB", true, Seq(pk(1), pk(2))), // no program match
+      ("sigC", false, Seq(prog))) // failed
+      .toDF("signature", "status_ok", "account_keys")
+    val out = Pipeline.transactionPipeline(txs, Seq(prog))
+      .select("value").as[String].collect()
+    assert(out.length === 1 && out.head.contains("sigA"))
+  }
+
+  test("streaming dedup + windowed agg + per-key state over MemoryStream") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val mem = MemoryStream[(String, Long, Long, Long, String)]
+    // (pubkey_b58, lamports, write_version, slot, ts)
+    val events = mem.toDF()
+      .toDF("pk58", "lamports", "write_version", "slot", "ts_s")
+      .select(graft.functions.Functions.base58_decode(col("pk58")).as("pubkey"),
+        col("lamports"), col("write_version"), col("slot"),
+        col("ts_s").cast("timestamp").as("ts"),
+        lit(pk(7)).as("owner"))
+
+    val deduped = Pipeline.dedupAccountStream(events, "ts")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    val k1 = Base58.encode(pk(1)); val k2 = Base58.encode(pk(2))
+    mem.addData(
+      (k1, 10L, 1L, 5L, "2024-01-01 00:00:00"),
+      (k1, 10L, 1L, 5L, "2024-01-01 00:00:01"), // dup (pubkey, wv)
+      (k2, 20L, 1L, 5L, "2024-01-01 00:00:02"))
+    q.processAllAvailable()
+    mem.addData((k1, 30L, 2L, 6L, "2024-01-01 00:05:00")) // new version passes
+    q.processAllAvailable()
+    val n = spark.table("dedup_out").count()
+    q.stop()
+    assert(n === 3)
+
+    // per-key custom state: only monotonic write_versions emitted
+    val mem2 = MemoryStream[(String, Long, Long, Long)]
+    val acc2 = mem2.toDF().toDF("pk58", "lamports", "write_version", "slot")
+      .select(graft.functions.Functions.base58_decode(col("pk58")).as("pubkey"),
+        col("lamports"), col("write_version"), col("slot"))
+    val balances = Pipeline.latestBalances(s, acc2)
+    val q2 = balances.writeStream.format("memory").queryName("bal_out")
+      .outputMode("update").start()
+    mem2.addData((k1, 10L, 5L, 1L), (k1, 99L, 3L, 1L)) // stale wv=3 ignored
+    q2.processAllAvailable()
+    mem2.addData((k1, 50L, 7L, 2L))
+    q2.processAllAvailable()
+    val bal = spark.table("bal_out")
+      .orderBy("write_version").select("lamports").as[Long].collect()
+    q2.stop()
+    assert(bal.toSeq === Seq(10L, 50L))
+  }
+
+  test("windowed owner counts (batch form)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (pk(7), 10L, "2024-01-01 00:00:10"),
+      (pk(7), 20L, "2024-01-01 00:00:50"),
+      (pk(7), 30L, "2024-01-01 00:01:10"))
+      .toDF("owner", "lamports", "ts_s")
+      .select(col("owner"), col("lamports"), col("ts_s").cast("timestamp").as("ts"))
+    val out = Pipeline.ownerWindowCounts(df, "ts")
+      .orderBy("window_start").select("n_updates").as[Long].collect()
+    assert(out.toSeq === Seq(2L, 1L))
+  }
+
+  test("P9 offchain pipeline extracts the padded URI") {
+    // build a metadata-shaped account: tag byte 4, then padding to the
+    // fixed uri offset (119), uri field 200 bytes NUL-padded
+    val uri = "https://example.invalid/nft.json"
+    val data = new Array[Byte](119 + 200)
+    data(0) = 4
+    uri.getBytes("UTF-8").copyToArray(data, 119)
+    val df = accountsDf(Seq(
+      (pk(1), 5L, graft.core.MplMetadata.ProgramId, false, 0L, data, 1L, 10L, false),
+      (pk(2), 5L, pk(9), false, 0L, Array[Byte](4), 2L, 10L, false)))
+    val s = spark
+    import s.implicits._
+    val out = Pipeline.offchainPipeline(df).select("value").as[String].collect()
+    assert(out.length === 1 && out.head.contains(uri))
+  }
+}
