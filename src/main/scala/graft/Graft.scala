@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.{Media, TextSig, VecMath}
+
+/**
+ * Session facade: one call makes the whole function surface available to
+ * SQL users (`spark.sql`), complementing the Column API in
+ * `graft.functions.Functions` and the native expressions injected by
+ * `graft.plans.GraftExtensions`.
+ */
+object Graft {
+
+  /** Register the kernel-backed SQL UDFs on `spark`. Idempotent. */
+  def registerAll(spark: SparkSession): Unit = {
+    val u = spark.udf
+    // text signatures
+    u.register("graft_fingerprint", (t: String) => TextSig.fingerprint(t))
+    u.register("graft_char_shingles", (t: String, w: Int) => TextSig.charShingles(t, w))
+    u.register("graft_word_shingles", (t: String, w: Int) => TextSig.wordShingles(t, w))
+    u.register("graft_minhash", (sh: Array[Long], k: Int) => TextSig.minhash(sh, k))
+    u.register("graft_simhash", (t: String) => TextSig.simhash(t))
+    u.register("graft_jaccard", (a: Array[Long], b: Array[Long]) => TextSig.jaccardSorted(a, b))
+    // vector math
+    u.register("graft_cosine", (a: Array[Float], b: Array[Float]) => VecMath.cosine(a, b))
+    u.register("graft_dot", (a: Array[Float], b: Array[Float]) => VecMath.dot(a, b))
+    u.register("graft_hyperplane_sig", (v: Array[Float], p: Int) => VecMath.hyperplaneSig(v, p))
+    // multimodal probes (codec layer stubbed — Media scaladoc)
+    u.register("graft_media_rms", (b: Array[Byte]) => Media.audioRms(b))
+    u.register("graft_media_histogram", (b: Array[Byte], bins: Int) => Media.imageHistogram(b, bins))
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.{Dedup, Etl, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Etl, Multimodal, Similarity, TextAnalysis}
 
 /**
  * The declared query corpus: every entry is an operator from SURVEY §2
@@ -316,4 +316,31 @@ object Queries {
   def m08MinhashDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashDedup(t(s, dir, "documents"), threshold = 0.5)
       .select(col("doc_id")).orderBy("doc_id")
+
+  // =====================================================================
+  // Multimodal plumbing (codec layer stubbed — see Media scaladoc; the
+  // Spark shapes are real and these are the rows-only checks for them)
+  // =====================================================================
+
+  private def media(s: SparkSession, dir: String): DataFrame =
+    Multimodal.syntheticCorpus(t(s, dir, "documents"))
+
+  def mm01MediaProfile(s: SparkSession, dir: String): DataFrame =
+    Multimodal.mediaProfile(media(s, dir)).orderBy("kind")
+
+  def mm02ImageFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageFeatures(media(s, dir), bins = 8)
+      .select(col("media_id"), round(element_at(col("features"), 1), 6).as("bin0"))
+      .orderBy("media_id")
+
+  def mm03FrameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampledFrames(media(s, dir), every = 2)
+      .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames_kept"))
+      .orderBy("media_id")
+
+  def mm04AudioProfile(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioProfile(media(s, dir))
+      .select(col("media_id"), col("sample_rate"), col("n_samples"),
+        round(col("rms"), 4).as("rms"))
+      .orderBy("media_id")
 }

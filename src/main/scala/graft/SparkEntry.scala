@@ -61,6 +61,10 @@ object SparkEntry {
     "m06_embedding_dedup" -> Queries.m06EmbeddingDedup,
     "m07_text_profile" -> Queries.m07TextProfile,
     "m08_minhash_dedup" -> Queries.m08MinhashDedup,
+    "mm01_media_profile" -> Queries.mm01MediaProfile,
+    "mm02_image_features" -> Queries.mm02ImageFeatures,
+    "mm03_frame_sample" -> Queries.mm03FrameSample,
+    "mm04_audio_profile" -> Queries.mm04AudioProfile,
     // snapshot-ETL pipeline over the deterministic fixture (rows-only:
     // binary decode paths have no SQL oracle; codecs are unit-tested)
     "sn01_accounts" -> ((s, _) => Etl.accounts(deduped(s)).orderBy(hex(col("pubkey")))),

@@ -1,0 +1,163 @@
+package graft.core
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/**
+ * STUB CODECS for the multimodal operators.
+ *
+ * This container has no image/audio/video libraries, so the *codec* layer
+ * is a deterministic fake: three self-describing binary formats ("IM" /
+ * "AU" / "VI" magic + typed header + payload generated from splitmix64
+ * streams). Everything AROUND the codec — schemas, partitioning, UDF
+ * signatures, explode shapes, per-batch iteration — is the real Spark
+ * plumbing and is tested. Swapping in real decoders (javax.imageio,
+ * ffmpeg bindings, …) replaces ONLY the bodies in this file.
+ */
+object Media {
+
+  final val KindImage = "image"
+  final val KindAudio = "audio"
+  final val KindVideo = "video"
+
+  final case class Meta(kind: String, width: Int, height: Int, channels: Int,
+      sampleRate: Int, nSamples: Int, nFrames: Int)
+
+  private def fill(b: ByteBuffer, seed: Long, n: Int): Unit = {
+    var i = 0
+    var s = seed
+    while (i < n) {
+      s = TextSig.mix64(s)
+      b.put((s & 0xff).toByte)
+      i += 1
+    }
+  }
+
+  /** Deterministic fake media blob for `id`: kind cycles image/audio/video. */
+  def synthesize(id: Long): Array[Byte] = (id % 3) match {
+    case 0 =>
+      val w = 32 + (TextSig.mix64(id) & 0x1f).toInt // 32..63
+      val h = 24 + (TextSig.mix64(id + 1) & 0x0f).toInt
+      val c = 3
+      val b = ByteBuffer.allocate(2 + 2 + 2 + 1 + w * h * c).order(ByteOrder.LITTLE_ENDIAN)
+      b.put('I'.toByte).put('M'.toByte)
+      b.putShort(w.toShort).putShort(h.toShort).put(c.toByte)
+      fill(b, id * 7 + 1, w * h * c)
+      b.array()
+    case 1 =>
+      val rate = 16000
+      val n = 256 + (TextSig.mix64(id) & 0xff).toInt
+      val b = ByteBuffer.allocate(2 + 4 + 4 + n * 2).order(ByteOrder.LITTLE_ENDIAN)
+      b.put('A'.toByte).put('U'.toByte)
+      b.putInt(rate).putInt(n)
+      fill(b, id * 7 + 2, n * 2)
+      b.array()
+    case _ =>
+      val frames = 4 + (TextSig.mix64(id) & 0x7).toInt
+      val w = 16; val h = 12
+      val b = ByteBuffer.allocate(2 + 2 + 2 + 2 + frames * w * h).order(ByteOrder.LITTLE_ENDIAN)
+      b.put('V'.toByte).put('I'.toByte)
+      b.putShort(frames.toShort).putShort(w.toShort).putShort(h.toShort)
+      fill(b, id * 7 + 3, frames * w * h)
+      b.array()
+  }
+
+  /** Header decode (the "codec probe"): null on unknown magic (P11-style
+    * skip semantics). */
+  def decodeMeta(bytes: Array[Byte]): Meta = {
+    if (bytes == null || bytes.length < 2) return null
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    (bytes(0).toChar, bytes(1).toChar) match {
+      case ('I', 'M') if bytes.length >= 7 =>
+        val w = b.getShort(2) & 0xffff; val h = b.getShort(4) & 0xffff
+        val c = bytes(6) & 0xff
+        if (bytes.length < 7 + w * h * c) null
+        else Meta(KindImage, w, h, c, 0, 0, 0)
+      case ('A', 'U') if bytes.length >= 10 =>
+        val rate = b.getInt(2); val n = b.getInt(6)
+        if (bytes.length < 10 + n * 2) null
+        else Meta(KindAudio, 0, 0, 0, rate, n, 0)
+      case ('V', 'I') if bytes.length >= 8 =>
+        val f = b.getShort(2) & 0xffff
+        val w = b.getShort(4) & 0xffff; val h = b.getShort(6) & 0xffff
+        if (bytes.length < 8 + f * w * h) null
+        else Meta(KindVideo, w, h, 1, 0, 0, f)
+      case _ => null
+    }
+  }
+
+  /** STUB "decode + resize": nearest-neighbor on the fake raster.
+    * Real impl would decode-to-raster then resample. Null for non-images. */
+  def resizeImage(bytes: Array[Byte], w2: Int, h2: Int): Array[Byte] = {
+    val m = decodeMeta(bytes)
+    if (m == null || m.kind != KindImage) return null
+    val out = ByteBuffer.allocate(7 + w2 * h2 * m.channels).order(ByteOrder.LITTLE_ENDIAN)
+    out.put('I'.toByte).put('M'.toByte)
+    out.putShort(w2.toShort).putShort(h2.toShort).put(m.channels.toByte)
+    var y = 0
+    while (y < h2) {
+      val sy = y * m.height / h2
+      var x = 0
+      while (x < w2) {
+        val sx = x * m.width / w2
+        var c = 0
+        while (c < m.channels) {
+          out.put(bytes(7 + (sy * m.width + sx) * m.channels + c))
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out.array()
+  }
+
+  /** STUB "feature extraction": `bins`-bucket luminance histogram,
+    * L1-normalized. Real impl would run a vision model / embedding. */
+  def imageHistogram(bytes: Array[Byte], bins: Int): Array[Float] = {
+    val m = decodeMeta(bytes)
+    if (m == null || m.kind != KindImage) return null
+    val counts = new Array[Int](bins)
+    val n = m.width * m.height * m.channels
+    var i = 0
+    while (i < n) {
+      counts(((bytes(7 + i) & 0xff) * bins) >> 8) += 1
+      i += 1
+    }
+    val out = new Array[Float](bins)
+    var b = 0
+    while (b < bins) { out(b) = counts(b).toFloat / n; b += 1 }
+    out
+  }
+
+  /** STUB audio feature: RMS loudness of the PCM16 payload. */
+  def audioRms(bytes: Array[Byte]): java.lang.Double = {
+    val m = decodeMeta(bytes)
+    if (m == null || m.kind != KindAudio) return null
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    var sum = 0.0
+    var i = 0
+    while (i < m.nSamples) {
+      val v = b.getShort(10 + i * 2).toDouble
+      sum += v * v
+      i += 1
+    }
+    math.sqrt(sum / math.max(m.nSamples, 1))
+  }
+
+  /** STUB frame sampling: every `every`-th frame of the fake video as
+    * (frame_idx, gray bytes). Real impl = keyframe/stride extraction. */
+  def sampleFrames(bytes: Array[Byte], every: Int): Array[(Int, Array[Byte])] = {
+    val m = decodeMeta(bytes)
+    if (m == null || m.kind != KindVideo) return null
+    val frameSize = m.width * m.height
+    val out = new scala.collection.mutable.ArrayBuffer[(Int, Array[Byte])]()
+    var f = 0
+    while (f < m.nFrames) {
+      if (f % every == 0)
+        out += ((f, java.util.Arrays.copyOfRange(bytes, 8 + f * frameSize,
+          8 + (f + 1) * frameSize)))
+      f += 1
+    }
+    out.toArray
+  }
+}

@@ -17,13 +17,15 @@ import graft.model.Schemas
 object Functions {
 
   // ---- F1: base58 (custom; no Spark built-in exists) ----
+  // Native Catalyst expressions (graft.plans.Base58Expressions): stay
+  // inside whole-stage codegen instead of breaking out into a UDF call.
 
-  private val base58EncodeUdf = udf((b: Array[Byte]) =>
-    if (b == null) null else Base58.encode(b))
-  private val base58DecodeUdf = udf((s: String) => Base58.decode(s))
+  import org.apache.spark.sql.graftbridge.ColumnBridge
 
-  def base58_encode(c: Column): Column = base58EncodeUdf(c)
-  def base58_decode(c: Column): Column = base58DecodeUdf(c)
+  def base58_encode(c: Column): Column =
+    ColumnBridge.column(graft.plans.Base58Encode(ColumnBridge.expression(c)))
+  def base58_decode(c: Column): Column =
+    ColumnBridge.column(graft.plans.Base58Decode(ColumnBridge.expression(c)))
 
   // ---- D1: SPL Token decodes (fixed layouts; null on wrong length) ----
 

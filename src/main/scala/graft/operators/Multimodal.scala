@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.Media
+
+/**
+ * Multimodal operators: image/audio/video as opaque `binary` columns with
+ * typed metadata — the Spark-side plumbing a 100 TB media pipeline needs.
+ *
+ * The codec layer is STUBBED (`Media` scaladoc): no media libraries exist
+ * in this environment, so decode/resize/feature/frame-sample bodies run
+ * against deterministic fake formats. The Spark shapes are real:
+ *  - metadata probe → nullable struct column (skip-bad-rows semantics)
+ *  - per-row transform UDFs over binary (narrow, partition-local — the
+ *    right shape for TB-scale media: bytes never shuffle unless a
+ *    downstream op needs them)
+ *  - frame sampling as a generator (explode) producing a frames table
+ *  - feature extraction → `array<float>` feeding `Similarity` ANN ops
+ */
+object Multimodal {
+
+  private val synthesizeUdf = udf((id: Long) => Media.synthesize(id))
+  private val metaUdf = udf((b: Array[Byte]) => Option(Media.decodeMeta(b)))
+  private val resizeUdf = udf((b: Array[Byte], w: Int, h: Int) => Media.resizeImage(b, w, h))
+  private val histUdf = udf((b: Array[Byte], bins: Int) => Media.imageHistogram(b, bins))
+  private val rmsUdf = udf((b: Array[Byte]) => Media.audioRms(b))
+  private val framesUdf = udf((b: Array[Byte], every: Int) =>
+    Option(Media.sampleFrames(b, every)).map(_.map { case (i, f) => (i, f) }))
+
+  /** Deterministic fake media corpus keyed by an id column — stands in
+    * for `spark.read.format("binaryFile").load(mediaDir)` at test scale. */
+  def syntheticCorpus(ids: DataFrame, idCol: String = "doc_id"): DataFrame =
+    ids.select(col(idCol).as("media_id"))
+      .withColumn("bytes", synthesizeUdf(col("media_id")))
+
+  /** Probe: media frame → typed metadata struct (null = undecodable). */
+  def withMeta(media: DataFrame): DataFrame =
+    media.withColumn("meta", metaUdf(col("bytes")))
+
+  /** Decode/resize stage (images only; others null). */
+  def resized(media: DataFrame, w: Int, h: Int): DataFrame =
+    media.withColumn("resized", resizeUdf(col("bytes"), lit(w), lit(h)))
+
+  /** Feature extraction: luminance histogram as array<float> — plugs
+    * straight into Similarity.bruteForceTopK / lshTopK. */
+  def imageFeatures(media: DataFrame, bins: Int = 16): DataFrame =
+    withMeta(media)
+      .filter(col("meta.kind") === Media.KindImage)
+      .select(col("media_id"), histUdf(col("bytes"), lit(bins)).as("features"))
+
+  /** Audio loudness profile. */
+  def audioProfile(media: DataFrame): DataFrame =
+    withMeta(media)
+      .filter(col("meta.kind") === Media.KindAudio)
+      .select(col("media_id"), col("meta.sampleRate").as("sample_rate"),
+        col("meta.nSamples").as("n_samples"), rmsUdf(col("bytes")).as("rms"))
+
+  /** Frame sampling: one row per kept frame — the video→frames explode.
+    * At scale this is the one multimodal op that multiplies rows; the
+    * generator shape keeps it pipelined (no shuffle until an agg). */
+  def sampledFrames(media: DataFrame, every: Int = 2): DataFrame =
+    withMeta(media)
+      .filter(col("meta.kind") === Media.KindVideo)
+      .select(col("media_id"),
+        explode(framesUdf(col("bytes"), lit(every))).as("fr"))
+      .select(col("media_id"), col("fr._1").as("frame_idx"),
+        col("fr._2").as("frame"))
+
+  /** Per-kind corpus profile: counts + dimension stats off the metadata
+    * probe only (bytes pruned from the agg — only the struct shuffles). */
+  def mediaProfile(media: DataFrame): DataFrame =
+    withMeta(media)
+      .filter(col("meta").isNotNull)
+      .groupBy(col("meta.kind").as("kind"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("meta.width").cast("long")).as("sum_width"),
+        sum(col("meta.nSamples").cast("long")).as("sum_samples"),
+        sum(col("meta.nFrames").cast("long")).as("sum_frames"))
+}

@@ -1,0 +1,63 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.Base58
+
+/**
+ * Native Catalyst expressions for base58 (SURVEY §2.6 F1 — the
+ * reference's `Pubkey::to_string()` rendering, `csv.rs:50-51`).
+ *
+ * A UDF would break out of whole-stage codegen into a boxed
+ * Scala-function call with Encoder round-trips; these stay inside the
+ * generated code as a static call — the preferred shape for a scalar
+ * function on the 100 TB hot path (SURVEY §4 names base58 the top
+ * custom-Expression candidate).
+ */
+object Base58Codegen {
+  /** Static entry points for generated code. */
+  def encode(b: Array[Byte]): UTF8String = UTF8String.fromString(Base58.encode(b))
+  def decode(s: UTF8String): Array[Byte] = Base58.decode(s.toString)
+}
+
+case class Base58Encode(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"base58_encode requires BINARY input, got ${child.dataType.sql}")
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    Base58Codegen.encode(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Base58Codegen.encode($c)")
+  override protected def withNewChildInternal(newChild: Expression): Base58Encode =
+    copy(child = newChild)
+  override def prettyName: String = "base58_encode"
+}
+
+case class Base58Decode(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"base58_decode requires STRING input, got ${child.dataType.sql}")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true // invalid base58 → null (P11)
+  override def nullSafeEval(input: Any): Any =
+    Base58Codegen.decode(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val resultCode = (c: String) => s"graft.plans.Base58Codegen.decode($c)"
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = ${resultCode(c)};
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(newChild: Expression): Base58Decode =
+    copy(child = newChild)
+  override def prettyName: String = "base58_decode"
+}

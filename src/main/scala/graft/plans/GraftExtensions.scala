@@ -1,0 +1,29 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/**
+ * SparkSessionExtensions entry point: registers the native Catalyst
+ * expressions with the SQL function registry, so
+ * `spark.sql("SELECT base58_encode(pubkey) ...")` works with
+ *
+ *   spark.sql.extensions=graft.plans.GraftExtensions
+ *
+ * (or `.withExtensions(new GraftExtensions)`); the kernel-backed UDF
+ * surface registers per-session via `graft.Graft.registerAll`.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("base58_encode"),
+      new ExpressionInfo(classOf[Base58Encode].getName, "base58_encode"),
+      (args: Seq[Expression]) => Base58Encode(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("base58_decode"),
+      new ExpressionInfo(classOf[Base58Decode].getName, "base58_decode"),
+      (args: Seq[Expression]) => Base58Decode(args.head)))
+  }
+}

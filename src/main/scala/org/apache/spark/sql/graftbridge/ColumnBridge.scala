@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/**
+ * Column ↔ Catalyst Expression bridge. Spark 4 made the converters
+ * `private[sql]` (`org.apache.spark.sql.classic.ExpressionUtils`); the
+ * standard pattern for extension libraries shipping native expressions is
+ * a one-file accessor inside the `org.apache.spark.sql` namespace. Only
+ * `graft.functions.Functions` uses it.
+ */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Base58
+import graft.plans.GraftExtensions
+
+/** Native Catalyst expressions + SparkSessionExtensions SQL registration. */
+class ExpressionSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("base58 expressions round-trip through SQL (extension-registered)") {
+    Graft.registerAll(spark)
+    val s = spark
+    import s.implicits._
+    val df = Seq(Array.fill[Byte](32)(7), Array[Byte](0, 0, 1, 2))
+      .toDF("pk").createOrReplaceTempView("pks")
+    val out = spark.sql(
+      "SELECT base58_decode(base58_encode(pk)) AS rt, base58_encode(pk) AS s FROM pks")
+      .collect()
+    assert(out(0).getAs[Array[Byte]]("rt").toSeq === Seq.fill(32)(7.toByte))
+    assert(out(1).getAs[Array[Byte]]("rt").toSeq === Seq[Byte](0, 0, 1, 2))
+    assert(out(1).getString(1).startsWith("11")) // leading zeros → '1's
+    // invalid base58 (0, O, I, l are not in the alphabet) → null
+    assert(spark.sql("SELECT base58_decode('0OIl') AS d").collect()(0).isNullAt(0))
+  }
+
+  test("native expression stays inside whole-stage codegen") {
+    val df = spark.range(64)
+      .select(unhex(format_string("%016x", col("id"))).as("pk"))
+      .select(col("pk"), graft.functions.Functions.base58_encode(col("pk")).as("s"))
+    // `*(n)` marks operators fused into WholeStageCodegen stage n
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("base58_encode"),
+      s"expected codegen'd project with base58_encode, got:\n$plan")
+    val r = df.collect()
+    r.foreach { row =>
+      assert(row.getString(1) === Base58.encode(row.getAs[Array[Byte]](0)))
+    }
+  }
+
+  test("property: base58 decode(encode(x)) == x over random inputs") {
+    val rng = new scala.util.Random(42)
+    (0 until 500).foreach { _ =>
+      val bytes = new Array[Byte](rng.nextInt(80))
+      rng.nextBytes(bytes)
+      assert(Base58.decode(Base58.encode(bytes)).toSeq === bytes.toSeq)
+    }
+  }
+
+  test("kernel SQL surface: minhash/cosine/simhash callable from SQL") {
+    Graft.registerAll(spark)
+    val r = spark.sql(
+      """SELECT
+         |  graft_simhash('alpha beta gamma') AS sh,
+         |  graft_jaccard(graft_char_shingles('hello world', 5),
+         |                graft_char_shingles('hello world', 5)) AS j,
+         |  graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+         |               array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c
+         |""".stripMargin).collect()(0)
+    assert(r.getAs[Double]("j") === 1.0)
+    assert(math.abs(r.getAs[Double]("c") - 1.0) < 1e-9)
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Media
+import graft.operators.Multimodal
+
+/** Multimodal plumbing: stubbed codecs (Media), real Spark shapes. */
+class MultimodalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def corpus(n: Int) = {
+    val s = spark
+    import s.implicits._
+    Multimodal.syntheticCorpus((0L until n.toLong).toDF("doc_id"))
+  }
+
+  test("meta probe types every synthetic item; bad magic yields null") {
+    val m = Multimodal.withMeta(corpus(30))
+    assert(m.filter(col("meta").isNull).count() === 0)
+    val kinds = m.select("meta.kind").distinct().collect().map(_.getString(0)).toSet
+    assert(kinds === Set(Media.KindImage, Media.KindAudio, Media.KindVideo))
+
+    val s = spark
+    import s.implicits._
+    val bad = Seq((1L, Array[Byte](9, 9, 9))).toDF("media_id", "bytes")
+    assert(Multimodal.withMeta(bad).filter(col("meta").isNotNull).count() === 0)
+  }
+
+  test("resize produces the requested raster dimensions") {
+    val r = Multimodal.resized(corpus(3).filter(col("media_id") === 0L), 8, 6)
+      .select("resized").collect().head.getAs[Array[Byte]](0)
+    val meta = Media.decodeMeta(r)
+    assert(meta.width === 8 && meta.height === 6 && meta.channels === 3)
+  }
+
+  test("image histogram is L1-normalized and ANN-compatible") {
+    val f = Multimodal.imageFeatures(corpus(9), bins = 16)
+    val row = f.collect().head.getSeq[Float](f.columns.indexOf("features"))
+    assert(math.abs(row.sum - 1.0f) < 1e-3)
+    // features feed Similarity ops directly
+    val emb = f.select(col("media_id").as("vec_id"), col("features").as("embedding"))
+    val out = graft.operators.Similarity.bruteForceTopK(emb, emb.limit(1), k = 2)
+    assert(out.count() === 2)
+  }
+
+  test("frame sampling keeps every k-th frame") {
+    val vid = corpus(9).filter(col("media_id") === 2L) // id%3==2 → video
+    val bytes = vid.select("bytes").collect().head.getAs[Array[Byte]](0)
+    val nFrames = Media.decodeMeta(bytes).nFrames
+    val kept = Multimodal.sampledFrames(vid, every = 2).count()
+    assert(kept === (nFrames + 1) / 2)
+  }
+
+  test("audio profile computes positive RMS at the declared rate") {
+    val a = Multimodal.audioProfile(corpus(9)).collect()
+    assert(a.nonEmpty)
+    assert(a.forall(_.getAs[Double]("rms") > 0.0))
+    assert(a.forall(_.getAs[Int]("sample_rate") === 16000))
+  }
+}
