@@ -200,6 +200,104 @@ object Oracle {
       GROUP BY source
       ORDER BY source""",
 
+    "q21_grouping_sets" -> """
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        CAST(GROUPING(o_orderstatus) AS TINYINT) AS g_status
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+
+    "q22_string_funcs" -> """
+      SELECT upper(c_mktsegment) AS seg_u,
+        CAST(length(c_name) AS BIGINT) AS name_len,
+        substr(c_name, 1, 8) AS name_pfx,
+        reverse(c_name) AS name_rev,
+        lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_pad,
+        concat_ws('|', c_mktsegment, c_name) AS joined,
+        c_custkey
+      FROM customer
+      ORDER BY c_custkey
+      LIMIT 500""",
+
+    "q23_date_funcs" -> """
+      SELECT CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS m,
+        CAST(day(ts) AS BIGINT) AS d, CAST(hour(ts) AS BIGINT) AS h,
+        COUNT(*) AS n
+      FROM events
+      GROUP BY 1, 2, 3, 4
+      ORDER BY y, m, d, h""",
+
+    "q24_full_outer" -> """
+      SELECT c_mktsegment, COUNT(*) AS n_rows,
+        CAST(SUM(COALESCE(n_orders, 0)) AS BIGINT) AS total_orders
+      FROM customer
+      FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS n_orders
+                       FROM orders GROUP BY o_custkey) o
+        ON c_custkey = o_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment NULLS FIRST""",
+
+    "q25_cross_join" -> """
+      SELECT r_name, COUNT(*) AS n_other_nations
+      FROM region CROSS JOIN nation
+      WHERE r_regionkey <> n_regionkey
+      GROUP BY r_name
+      ORDER BY r_name""",
+
+    "q26_pivot" -> """
+      SELECT o_orderpriority,
+        COUNT(*) FILTER (o_orderstatus = 'F') AS "F",
+        COUNT(*) FILTER (o_orderstatus = 'O') AS "O",
+        COUNT(*) FILTER (o_orderstatus = 'P') AS "P"
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
+    "q27_rank_suite" -> """
+      SELECT o_custkey, o_orderkey, rnk, drnk, rn
+      FROM (SELECT o_custkey, o_orderkey,
+              CAST(rank() OVER w AS INT) AS rnk,
+              CAST(dense_rank() OVER w AS INT) AS drnk,
+              CAST(row_number() OVER w AS INT) AS rn
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_totalprice DESC, o_orderkey ASC))
+      WHERE rn <= 3
+      ORDER BY o_custkey, rn""",
+
+    "q28_stats" -> """
+      SELECT l_linestatus,
+        round(stddev_samp(l_quantity), 4) AS sd_qty,
+        round(var_samp(l_discount), 6) AS var_disc,
+        round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        round(avg(l_tax), 6) AS avg_tax,
+        COUNT(*) AS n
+      FROM lineitem
+      GROUP BY l_linestatus
+      ORDER BY l_linestatus""",
+
+    "q29_array_funcs" -> """
+      SELECT p_partkey,
+        CAST(len(toks) AS BIGINT) AS n_toks,
+        CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+        list_has_any(toks, ['green', 'blue']) AS has_color,
+        list_contains(toks, 'red') AS has_red
+      FROM (SELECT p_partkey, string_split(p_name, ' ') AS toks FROM part)
+      WHERE list_has_any(toks, ['green', 'blue']) OR list_contains(toks, 'red')
+      ORDER BY p_partkey""",
+
+    "q30_regex_conditional" -> """
+      SELECT digit, COUNT(*) AS n,
+        CAST(SUM(CAST(bal_pos AS DECIMAL(18,2))) AS DOUBLE) AS sum_pos,
+        CAST(SUM(CAST(bal_neg AS DECIMAL(18,2))) AS DOUBLE) AS sum_neg
+      FROM (SELECT s_suppkey,
+              regexp_extract(s_name, '(\d)$', 1) AS digit,
+              greatest(s_acctbal, 0.0) AS bal_pos,
+              least(s_acctbal, 0.0) AS bal_neg
+            FROM supplier)
+      GROUP BY digit
+      ORDER BY digit""",
+
     "q20_customer_order_stats" -> """
       SELECT o_custkey, COUNT(*) AS n_orders,
         strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') AS first_order_s,

@@ -274,6 +274,119 @@ object Queries {
       .orderBy("o_custkey")
   }
 
+  /** GROUPING SETS + grouping() marker. */
+  def q21GroupingSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), grouping(col("o_orderstatus")).as("g_status"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  /** String-function battery (F-family breadth). */
+  def q22StringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(
+        upper(col("c_mktsegment")).as("seg_u"),
+        length(col("c_name")).cast("long").as("name_len"),
+        substring(col("c_name"), 1, 8).as("name_pfx"),
+        reverse(col("c_name")).as("name_rev"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("key_pad"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"),
+        col("c_custkey"))
+      .orderBy("c_custkey")
+      .limit(500)
+
+  /** Date/time-function battery over event timestamps. */
+  def q23DateFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(
+        year(col("ts")).cast("long").as("y"),
+        month(col("ts")).cast("long").as("m"),
+        dayofmonth(col("ts")).cast("long").as("d"),
+        hour(col("ts")).cast("long").as("h"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("y", "m", "d", "h")
+
+  /** Full outer join with null-side aggregation. */
+  def q24FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    t(s, dir, "customer")
+      .join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(coalesce(col("n_orders"), lit(0L))).as("total_orders"))
+      .orderBy(asc_nulls_first("c_mktsegment"))
+  }
+
+  /** Cross join (small × small) + theta-filter. */
+  def q25CrossJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+      .filter(col("r_regionkey") =!= col("n_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_other_nations"))
+      .orderBy("r_name")
+
+  /** Pivot (conditional aggregation shape). */
+  def q26Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("o_orderpriority")
+
+  /** Rank-function suite with unique tie-breaks. */
+  def q27RankSuite(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Statistical aggregates (rounded for cross-engine float stability). */
+  def q28Stats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_linestatus"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_discount")), 6).as("var_disc"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(avg(col("l_tax")), 6).as("avg_tax"),
+        count(lit(1)).as("n"))
+      .orderBy("l_linestatus")
+
+  /** Array functions with a SQL oracle: split → overlap/contains/size
+    * (the P7 arrays_overlap shape, hash-matched against DuckDB). */
+  def q29ArrayFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey"), split(col("p_name"), " ").as("toks"))
+      .select(col("p_partkey"),
+        size(col("toks")).cast("long").as("n_toks"),
+        size(array_distinct(col("toks"))).cast("long").as("n_uniq"),
+        arrays_overlap(col("toks"), array(lit("green"), lit("blue"))).as("has_color"),
+        array_contains(col("toks"), "red").as("has_red"))
+      .filter(col("has_color") || col("has_red"))
+      .orderBy("p_partkey")
+
+  /** Regex extraction + conditional expressions. */
+  def q30RegexConditional(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier")
+      .select(col("s_suppkey"),
+        regexp_extract(col("s_name"), "(\\d)$", 1).as("digit"),
+        greatest(col("s_acctbal"), lit(0.0)).as("bal_pos"),
+        least(col("s_acctbal"), lit(0.0)).as("bal_neg"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"), dsum(col("bal_pos")).as("sum_pos"),
+        dsum(col("bal_neg")).as("sum_neg"))
+      .orderBy("digit")
+
   // =====================================================================
   // Training-data operators without a SQL oracle (rows-only checks)
   // =====================================================================

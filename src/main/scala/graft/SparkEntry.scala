@@ -52,6 +52,16 @@ object SparkEntry {
     "q18_five_way_join" -> Queries.q18FiveWayJoin,
     "q19_quality_by_source" -> Queries.q19QualityBySource,
     "q20_customer_order_stats" -> Queries.q20CustomerOrderStats,
+    "q21_grouping_sets" -> Queries.q21GroupingSets,
+    "q22_string_funcs" -> Queries.q22StringFuncs,
+    "q23_date_funcs" -> Queries.q23DateFuncs,
+    "q24_full_outer" -> Queries.q24FullOuter,
+    "q25_cross_join" -> Queries.q25CrossJoin,
+    "q26_pivot" -> Queries.q26Pivot,
+    "q27_rank_suite" -> Queries.q27RankSuite,
+    "q28_stats" -> Queries.q28Stats,
+    "q29_array_funcs" -> Queries.q29ArrayFuncs,
+    "q30_regex_conditional" -> Queries.q30RegexConditional,
     // training-data operators (rows-only)
     "m01_minhash_pairs" -> Queries.m01MinhashPairs,
     "m02_simhash_pairs" -> Queries.m02SimhashPairs,
