@@ -14,6 +14,31 @@ import graft.model.Schemas
  * skip-bad-rows semantics (P11) — so callers filter `isNotNull` and
  * Catalyst prunes the branch early.
  */
+// Decode-UDF output records. Top-level (not nested in the object):
+// Janino cannot compile accessor calls against object-nested private
+// case classes, which silently drops the encoder's UnsafeProjection to
+// interpreter mode on every decode batch.
+case class MintOut(mint_authority: Array[Byte], supply: Long,
+    decimals: Short, is_initialized: Boolean, freeze_authority: Array[Byte])
+
+case class TokenAccountOut(mint: Array[Byte], owner: Array[Byte],
+    amount: Long, delegate: Array[Byte], state: Short,
+    is_native: Option[Long], delegated_amount: Long,
+    close_authority: Array[Byte])
+
+// single-letter field names (m, n) break Spark's codegen'd encoder —
+// use prefixed fields here, aliased back to the reference's column
+// names in Etl.tokenMultisigs.
+case class MultisigOut(sig_m: Short, sig_n: Short,
+    is_initialized: Boolean, signers: Seq[Array[Byte]])
+
+case class MetadataOut(update_authority: Array[Byte],
+    mint: Array[Byte], name: String, symbol: String, uri: String,
+    seller_fee_basis_points: Int, primary_sale_happened: Boolean,
+    is_mutable: Boolean, edition_nonce: Option[Short],
+    token_standard: Option[Short], collection_verified: Option[Boolean],
+    collection_key: Array[Byte])
+
 object Functions {
 
   // ---- F1: base58 (custom; no Spark built-in exists) ----
@@ -29,9 +54,6 @@ object Functions {
 
   // ---- D1: SPL Token decodes (fixed layouts; null on wrong length) ----
 
-  private case class MintOut(mint_authority: Array[Byte], supply: Long,
-      decimals: Short, is_initialized: Boolean, freeze_authority: Array[Byte])
-
   private val decodeMintUdf = udf((data: Array[Byte]) => {
     val m = SplToken.decodeMint(data)
     if (m == null) null
@@ -39,23 +61,12 @@ object Functions {
       m.isInitialized, m.freezeAuthority.orNull)
   })
 
-  private case class TokenAccountOut(mint: Array[Byte], owner: Array[Byte],
-      amount: Long, delegate: Array[Byte], state: Short,
-      is_native: Option[Long], delegated_amount: Long,
-      close_authority: Array[Byte])
-
   private val decodeTokenAccountUdf = udf((data: Array[Byte]) => {
     val a = SplToken.decodeAccount(data)
     if (a == null) null
     else TokenAccountOut(a.mint, a.owner, a.amount, a.delegate.orNull,
       a.state.toShort, a.isNative, a.delegatedAmount, a.closeAuthority.orNull)
   })
-
-  // single-letter field names (m, n) break Spark's codegen'd encoder —
-  // use prefixed fields here, aliased back to the reference's column
-  // names in Etl.tokenMultisigs.
-  private case class MultisigOut(sig_m: Short, sig_n: Short,
-      is_initialized: Boolean, signers: Seq[Array[Byte]])
 
   private val decodeMultisigUdf = udf((data: Array[Byte]) => {
     val ms = SplToken.decodeMultisig(data)
@@ -68,13 +79,6 @@ object Functions {
   def decode_token_multisig(data: Column): Column = decodeMultisigUdf(data)
 
   // ---- D3: MPL metadata borsh decode ----
-
-  private case class MetadataOut(update_authority: Array[Byte],
-      mint: Array[Byte], name: String, symbol: String, uri: String,
-      seller_fee_basis_points: Int, primary_sale_happened: Boolean,
-      is_mutable: Boolean, edition_nonce: Option[Short],
-      token_standard: Option[Short], collection_verified: Option[Boolean],
-      collection_key: Array[Byte])
 
   private val decodeMetadataUdf = udf((data: Array[Byte]) => {
     val m = MplMetadata.decode(data)
