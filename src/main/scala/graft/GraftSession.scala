@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Session builder with the physical-execution settings this engine sets
+ * deliberately (SURVEY §4): AQE with skew-join handling, shuffle
+ * parallelism sized to the cluster, bounded scan partition bytes for the
+ * binary AppendVec scan, and the graft SQL extensions.
+ *
+ * On a real cluster, `shufflePartitions` should be ~2-3× total executor
+ * cores (AQE coalesces down at runtime); `maxPartitionBytes` bounds task
+ * memory for wide binary rows.
+ */
+object GraftSession {
+
+  def builder(
+      master: String = "local[*]",
+      shufflePartitions: Int = Runtime.getRuntime.availableProcessors,
+      maxPartitionBytes: String = "128m"): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.extensions", classOf[plans.GraftExtensions].getName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+
+  /** Build + register the SQL UDF surface. */
+  def create(master: String = "local[*]"): SparkSession = {
+    val s = builder(master).getOrCreate()
+    Graft.registerAll(s)
+    s
+  }
+}

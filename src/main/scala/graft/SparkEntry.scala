@@ -101,7 +101,12 @@ object SparkEntry {
         .orderBy("pk", "write_version")
     }),
     "sn10_opcode_stats" -> ((s, _) =>
-      Etl.opcodeStats(Etl.programs(deduped(s))).orderBy("opcode")))
+      Etl.opcodeStats(Etl.programs(deduped(s))).orderBy("opcode")),
+    // J1 anti-join error channel: files on disk absent from the manifest
+    "sn11_unexpected_appendvecs" -> ((s, _) =>
+      SnapshotReader.unexpectedAppendVecs(s, fixtureDir)
+        .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"))
+        .orderBy("file")))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */

@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+/**
+ * K3 — the Geyser batch-replay sink (`geyser.rs(bin):20-72`): push each
+ * account row into a pluggable sink, optionally throttled (the reference
+ * hardcodes a 300 µs sleep per account ≈ ≤3.3k acc/s).
+ *
+ * Spark shape: `foreachPartition` — each executor core drives its own
+ * sink instance; the sink factory runs ON the executor (serialized
+ * closure), matching how a dlopen'd plugin would be loaded per worker.
+ */
+object Replay {
+
+  /** Executor-side account consumer (the `update_account` callback). */
+  trait AccountSink extends Serializable {
+    def accept(row: Row): Unit
+    def close(): Unit = ()
+  }
+
+  /** Drive `accounts` into per-partition sink instances.
+    * `throttleMicros` > 0 reproduces the reference's fixed-rate replay. */
+  def replay(accounts: DataFrame, mkSink: () => AccountSink,
+      throttleMicros: Long = 0L): Unit =
+    accounts.foreachPartition { (rows: Iterator[Row]) =>
+      val sink = mkSink()
+      try rows.foreach { r =>
+        sink.accept(r)
+        if (throttleMicros > 0L) {
+          val nanos = throttleMicros * 1000L
+          val start = System.nanoTime()
+          while (System.nanoTime() - start < nanos) {} // precise busy-wait
+        }
+      } finally sink.close()
+    }
+}

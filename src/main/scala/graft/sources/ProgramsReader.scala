@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Functions
+
+/**
+ * S7 — the programs scan (`solana-opcode-stats/main.rs:30-53`): the
+ * reference reads a tar of `.so` ELFs from stdin; the Spark-native source
+ * is a `binaryFile` scan over the extracted programs directory (what
+ * `Sinks.writeProgramsDir` emits), parallel across executors.
+ *
+ * S8 — `readTopic` is the Kafka consumer side of the wire (subscribe +
+ * JSON decode); it needs a broker at runtime, so only the decode half is
+ * exercised in tests (`Wire.decodeTopic` round-trip).
+ */
+object ProgramsReader {
+
+  /** programs dir → (pubkey binary, elf binary). File names are
+    * `<base58-pubkey>.so` (K5 naming, `programs.rs:54-62`). */
+  def fromDir(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.so")
+      .load(dir)
+      .select(
+        Functions.base58_decode(
+          regexp_extract(col("path"), "([^/]+)\\.so$", 1)).as("pubkey"),
+        col("content").as("elf"))
+      .filter(col("pubkey").isNotNull)
+
+  /** S8 — Kafka topic → raw (key, value, topic, timestamp) stream.
+    * Decode with `graft.streaming.Wire.decodeTopic(df, schema)`. */
+  def readTopic(spark: SparkSession, bootstrap: String, topics: String): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topics)
+      .load()
+}

@@ -174,6 +174,15 @@ object SyntheticSnapshot {
         Manifest.StorageEntry(v.toLong, bytes.length.toLong)
     }
 
+    // a stray AppendVec with no manifest entry — the J1 error channel
+    // (`UnexpectedAppendVec`, `unpacked.rs:104`); the scan must skip it,
+    // `unexpectedAppendVecs` must surface it
+    Files.write(accountsDir.resolve("999.99"),
+      AppendVec.write(Seq(AppendVec.Record(
+        writeVersion = 1L, pubkey = pk(rng), dataLen = 0L, lamports = 1L,
+        owner = pk(rng), executable = false, rentEpoch = 0L,
+        hash = pk(rng), data = Array.emptyByteArray))))
+
     val maxSlot = 100L + spec.slots - 1
     val manifestDir = root.resolve(s"snapshots/$maxSlot")
     Files.createDirectories(manifestDir)

@@ -87,6 +87,21 @@ object Pipeline {
         col("n_updates"), col("sum_lamports"))
   }
 
+  /** Gap-based session windows per key (built-in `session_window` — the
+    * streaming-native form of the batch sessionization in q14). */
+  def sessionCounts(events: DataFrame, eventTimeCol: String, keyCol: String,
+      gap: String = "30 minutes", watermark: String = "1 hour"): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark(eventTimeCol, watermark)
+      else events
+    src.groupBy(session_window(col(eventTimeCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+  }
+
   /** Per-pubkey running state for `latestBalances`. */
   final case class AccountState(lamports: Long, writeVersion: Long, slot: Long)
   final case class BalanceUpdate(pubkey: String, lamports: Long,

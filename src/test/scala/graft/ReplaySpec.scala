@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Etl, Replay, Sinks}
+import graft.sources.{ProgramsReader, SnapshotReader, SyntheticSnapshot}
+import graft.streaming.Pipeline
+
+/** K3 replay sink, S7 programs-dir scan, J1 error channel, session windows. */
+class ReplaySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val fixture: String = {
+    val dir = Files.createTempDirectory("snap-replay").toString
+    SyntheticSnapshot.write(dir)
+    dir
+  }
+
+  test("K3 replay drives every row through per-partition sinks") {
+    val deduped = Etl.latestVersion(SnapshotReader.rawAccounts(spark, fixture))
+    val n = deduped.count()
+    ReplaySpec.seen.clear()
+    Replay.replay(deduped.select("pubkey", "lamports"),
+      () => new Replay.AccountSink {
+        override def accept(row: Row): Unit =
+          ReplaySpec.seen.add(row.getAs[Array[Byte]]("pubkey").toSeq)
+      })
+    assert(ReplaySpec.seen.size.toLong === n)
+  }
+
+  test("S7 programs dir scan round-trips K5 output into opcode stats") {
+    val deduped = Etl.latestVersion(SnapshotReader.rawAccounts(spark, fixture))
+    val programs = Etl.programs(deduped).cache()
+    val dir = Files.createTempDirectory("programs-s7").toString
+    Sinks.writeProgramsDir(programs, dir)
+    val readBack = ProgramsReader.fromDir(spark, dir)
+    assert(readBack.count() === programs.count())
+    val stats = Etl.opcodeStats(readBack)
+    assert(stats.filter(col("mnemonic") === "EXIT").count() === 1)
+    programs.unpersist()
+  }
+
+  test("J1 error channel surfaces the stray AppendVec, scan skips it") {
+    val unexpected = SnapshotReader.unexpectedAppendVecs(spark, fixture)
+      .collect().map(_.getString(0))
+    assert(unexpected.length === 1 && unexpected.head.endsWith("999.99"))
+    val raw = SnapshotReader.rawAccounts(spark, fixture)
+    assert(raw.filter(col("slot") === 999L).count() === 0)
+  }
+
+  test("session windows split on gaps (batch form)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:10:00"), // session 1
+      (1L, "2024-01-01 02:00:00"), // session 2 (gap > 30m)
+      (2L, "2024-01-01 00:00:00"))
+      .toDF("user_id", "ts_s")
+      .select(col("user_id"), col("ts_s").cast("timestamp").as("ts"))
+    val out = Pipeline.sessionCounts(df, "ts", "user_id")
+    assert(out.count() === 3)
+    assert(out.filter(col("user_id") === 1L).count() === 2)
+  }
+}
+
+object ReplaySpec {
+  // driver-side collection for local-mode sink verification
+  val seen = new ConcurrentLinkedQueue[Seq[Byte]]()
+}
