@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.{Etl, Sinks}
+import graft.sources.{SnapshotReader, SyntheticSnapshot}
+
+/** Dev bench for the snapshot-ETL path (the reference's core job):
+  * synthetic snapshot → scan → last-writer-wins → 5-table save.
+  * Usage: runMain graft.EtlBench [accountsPerVec] [vecsPerSlot] [slots]
+  * Prints accounts/s for the full pipeline. */
+object EtlBench {
+  def main(args: Array[String]): Unit = {
+    val perVec = args.headOption.map(_.toInt).getOrElse(4000)
+    val vecs = args.lift(1).map(_.toInt).getOrElse(4)
+    val slots = args.lift(2).map(_.toInt).getOrElse(8)
+    val dir = java.nio.file.Files.createTempDirectory("etl-bench").toString
+    SyntheticSnapshot.write(dir,
+      SyntheticSnapshot.Spec(slots = slots, vecsPerSlot = vecs, accountsPerVec = perVec))
+    val out = java.nio.file.Files.createTempDirectory("etl-bench-out").toString
+
+    val spark = GraftSession.builder(
+      master = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val total = slots.toLong * vecs * perVec
+
+    // warm
+    spark.read.format("binaryFile").load(s"$dir/accounts/*").count()
+
+    val t0 = System.nanoTime()
+    val deduped = Etl.latestVersion(SnapshotReader.rawAccounts(spark, dir))
+    Sinks.saveTables(deduped, out)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val nOut = spark.read.parquet(s"$out/account").count()
+    println(f"""{"metric":"etl_accounts_per_sec","value":${total / secs}%.0f,"unit":"accounts/sec","total_accounts":$total,"distinct_out":$nOut,"secs":$secs%.2f}""")
+    spark.stop()
+  }
+}

@@ -28,11 +28,16 @@ object Sinks {
     * in the reference's per-record dispatch (`sqlite.rs:206-216`). */
   def saveTables(deduped: DataFrame, outDir: String,
       mode: SaveMode = SaveMode.Overwrite): Unit = {
-    Etl.accounts(deduped).write.mode(mode).parquet(s"$outDir/account")
-    Etl.tokenAccounts(deduped).write.mode(mode).parquet(s"$outDir/token_account")
-    Etl.tokenMints(deduped).write.mode(mode).parquet(s"$outDir/token_mint")
-    Etl.tokenMultisigs(deduped).write.mode(mode).parquet(s"$outDir/token_multisig")
-    Etl.tokenMetadata(deduped).write.mode(mode).parquet(s"$outDir/token_metadata")
+    // five writes = five actions; persist so the scan + dedup shuffle runs
+    // once, not per table (5x wall-clock otherwise)
+    val d = deduped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      Etl.accounts(d).write.mode(mode).parquet(s"$outDir/account")
+      Etl.tokenAccounts(d).write.mode(mode).parquet(s"$outDir/token_account")
+      Etl.tokenMints(d).write.mode(mode).parquet(s"$outDir/token_mint")
+      Etl.tokenMultisigs(d).write.mode(mode).parquet(s"$outDir/token_multisig")
+      Etl.tokenMetadata(d).write.mode(mode).parquet(s"$outDir/token_metadata")
+    } finally d.unpersist()
   }
 
   /** K2 — the 4-column base58 CSV projection (`csv.rs:14-20`). */
