@@ -80,6 +80,66 @@ object AppendVec {
     }
   }
 
+  /** Streaming record walk over an InputStream, bounded by `currentLen`:
+    * same semantics as `records`, but memory use is O(max record size),
+    * not O(file size) — a 16 GiB AppendVec (`append_vec.rs:46`) must
+    * never be materialized whole on an executor. */
+  def streamRecords(in: java.io.InputStream, currentLen: Long): Iterator[Record] = {
+    val headerSize = StoredMetaSize + AccountMetaSize + HashSize
+    new Iterator[Record] {
+      private var offset = 0L
+      private var nextRec: Record = fetch()
+
+      private def readFully(n: Int): Array[Byte] = {
+        val buf = new Array[Byte](n)
+        var got = 0
+        while (got < n) {
+          val r = in.read(buf, got, n - got)
+          if (r < 0) return null
+          got += r
+        }
+        buf
+      }
+
+      private def fetch(): Record = {
+        if (offset + headerSize > currentLen) return null
+        val head = readFully(headerSize)
+        if (head == null) return null
+        val b = ByteBuffer.wrap(head).order(ByteOrder.LITTLE_ENDIAN)
+        val writeVersion = b.getLong
+        val pubkey = new Array[Byte](32); b.get(pubkey)
+        val dataLen = b.getLong
+        if (dataLen < 0 || dataLen > currentLen || dataLen > Int.MaxValue - 1024)
+          return null
+        val lamports = b.getLong
+        val owner = new Array[Byte](32); b.get(owner)
+        val executable = b.get() != 0
+        b.position(b.position() + 7)
+        val rentEpoch = b.getLong
+        val hash = new Array[Byte](32); b.get(hash)
+        val dataStart = offset + headerSize
+        if (dataStart + dataLen > currentLen) return null
+        val data = readFully(dataLen.toInt)
+        if (data == null) return null
+        val padded = (align8((headerSize + dataLen.toInt)) - headerSize).toLong
+        val skip = padded - dataLen
+        var toSkip = skip
+        while (toSkip > 0) {
+          val s = in.skip(toSkip)
+          if (s <= 0) toSkip = 0 else toSkip -= s
+        }
+        offset = dataStart + padded
+        Record(writeVersion, pubkey, dataLen, lamports, owner, executable,
+          rentEpoch, hash, data)
+      }
+
+      override def hasNext: Boolean = nextRec != null
+      override def next(): Record = {
+        val r = nextRec; nextRec = fetch(); r
+      }
+    }
+  }
+
   /** Serialize records into AppendVec bytes — the fixture writer used by
     * tests and the synthetic-snapshot generator. */
   def write(recs: Seq[Record]): Array[Byte] = {

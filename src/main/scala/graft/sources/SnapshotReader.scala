@@ -2,8 +2,10 @@ package graft.sources
 
 import java.nio.file.{Files, Paths}
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
 
 import graft.core.{AppendVec, Manifest}
@@ -13,16 +15,20 @@ import graft.model.Schemas
  * Snapshot source (SURVEY §2.1 S2/S4/S5/S6 + §2.3 J1): reads an unpacked
  * snapshot directory into the canonical raw-accounts DataFrame.
  *
- * Spark-first shape: `spark.read.format("binaryFile")` lists and reads the
- * AppendVec files in parallel across executors; the `(slot, id)` pair is
- * parsed from the file name (reference `lib.rs:48-57`); the manifest is
- * decoded once on the driver and broadcast as the `(slot,id) →
- * accounts_current_len` lookup — the reference's manifest join J1
- * (`unpacked.rs:99-116`) becomes a broadcast map-side lookup instead of a
- * shuffle join, which is the right plan at any scale (the manifest is tiny,
- * the scan is the 100 TB side). The per-file record walk (S6,
- * `append_vec.rs:251-268`) runs inside `mapPartitions` — one pass, no
- * driver collect.
+ * Spark-first shape:
+ *  - the manifest is decoded once on the driver (S5) and its
+ *    `(slot,id) → accounts_current_len` map joined to the file listing
+ *    driver-side — the reference's manifest join J1 (`unpacked.rs:99-116`)
+ *    as a map lookup, never a shuffle (the manifest is KBs; the scan is
+ *    the 100 TB side).
+ *  - the work unit distributed to executors is the *file path + logical
+ *    length*, not file bytes: each task opens a Hadoop FileSystem stream
+ *    and walks records incrementally (S6, `append_vec.rs:251-268`) in
+ *    O(record) memory. AppendVecs are up to 16 GiB (`append_vec.rs:46`) —
+ *    a whole-file `binaryFile` read would OOM an executor at exactly the
+ *    file sizes that matter.
+ *  - files are sorted by descending size before round-robin partitioning
+ *    so the biggest vecs spread across tasks (LPT-style balance).
  *
  * Files that have no manifest entry are an error channel
  * (`UnexpectedAppendVec`, `unpacked.rs:104`): surfaced via
@@ -45,56 +51,74 @@ object SnapshotReader {
     Manifest.read(Files.readAllBytes(manifestFile))
   }
 
+  /** List `accounts/` (any Hadoop filesystem) as
+    * (path, fileLen, slot, id) for files with parseable names. */
+  private def listAccountFiles(spark: SparkSession,
+      root: String): Seq[(String, Long, Long, Long)] = {
+    val dir = new Path(root, "accounts")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(dir).toSeq.flatMap { st =>
+      AppendVec.parseName(st.getPath.getName).map { case (slot, id) =>
+        (st.getPath.toString, st.getLen, slot, id)
+      }
+    }
+  }
+
   /** Raw account scan: one row per stored record (pre-dedup), schema
     * `Schemas.rawAccount`. */
   def rawAccounts(spark: SparkSession, root: String): DataFrame = {
-    val manifest = readManifest(root)
-    val lengths = manifest.lengths // (slot,id) -> currentLen; tiny
-    val bcast = spark.sparkContext.broadcast(lengths)
+    val lengths = readManifest(root).lengths // (slot,id) -> currentLen; tiny
+    // J1 as a driver-side map lookup; anti side → unexpectedAppendVecs
+    val work = listAccountFiles(spark, root).flatMap { case (path, fileLen, slot, id) =>
+      lengths.get((slot, id)).map(cl => (path, slot, id, math.min(cl, fileLen)))
+    }.sortBy(-_._4) // biggest first → round-robin spreads them (LPT)
 
-    val files = spark.read.format("binaryFile")
-      .load(s"$root/accounts/*")
-      .select(col("path"), col("content"))
+    // rebuild a Configuration executor-side from broadcast key-values
+    // (public API only; keeps s3/hdfs settings without SerializableConf)
+    val confKv = {
+      val c = spark.sparkContext.hadoopConfiguration
+      val it = c.iterator(); val buf = Seq.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+      buf.result()
+    }
+    val bcConf = spark.sparkContext.broadcast(confKv)
 
+    val parallelism = math.max(spark.sparkContext.defaultParallelism, 1)
     val enc = ExpressionEncoder(Schemas.rawAccount)
-    files.mapPartitions { rows =>
-      rows.flatMap { row =>
-        val path = row.getString(0)
-        val name = path.substring(path.lastIndexOf('/') + 1)
-        AppendVec.parseName(name) match {
-          case Some((slot, id)) =>
-            bcast.value.get((slot, id)) match {
-              case Some(currentLen) =>
-                val bytes = row.getAs[Array[Byte]](1)
-                AppendVec.records(bytes, currentLen.toInt).map { r =>
-                  Row(slot, id, r.writeVersion, r.pubkey, r.lamports, r.owner,
-                    r.executable, r.rentEpoch, r.dataLen, r.hash, r.data)
-                }
-              case None => Iterator.empty // unexpected AppendVec — error channel
-            }
-          case None => Iterator.empty
+    import spark.implicits._
+    spark.createDataset(work)
+      .repartition(math.min(math.max(work.size, 1), parallelism * 4))
+      .mapPartitions { items =>
+        lazy val conf = {
+          val c = new Configuration(false)
+          bcConf.value.foreach { case (k, v) => c.set(k, v) }
+          c
         }
-      }
-    }(enc)
+        items.flatMap { case (pathStr, slot, id, currentLen) =>
+          val p = new Path(pathStr)
+          val fs = p.getFileSystem(conf)
+          val in = new java.io.BufferedInputStream(fs.open(p), 1 << 20)
+          AppendVec.streamRecords(in, currentLen).map { r =>
+            Row(slot, id, r.writeVersion, r.pubkey, r.lamports, r.owner,
+              r.executable, r.rentEpoch, r.dataLen, r.hash, r.data)
+          } ++ { in.close(); Iterator.empty }
+        }
+      }(enc)
   }
 
   /** Files present on disk but absent from the manifest — the reference's
     * `UnexpectedAppendVec` error channel as a queryable DataFrame. */
   def unexpectedAppendVecs(spark: SparkSession, root: String): DataFrame = {
     val lengths = readManifest(root).lengths
-    val bcast = spark.sparkContext.broadcast(lengths)
-    import spark.implicits._
-    spark.read.format("binaryFile").load(s"$root/accounts/*")
-      .select(col("path"))
-      .as[String]
-      .flatMap { path =>
-        val name = path.substring(path.lastIndexOf('/') + 1)
-        AppendVec.parseName(name) match {
-          case Some((slot, id)) if !bcast.value.contains((slot, id)) => Some(path)
-          case None => Some(path)
-          case _ => None
-        }
+    val dir = new Path(root, "accounts")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val unexpected = fs.listStatus(dir).toSeq.flatMap { st =>
+      AppendVec.parseName(st.getPath.getName) match {
+        case Some((slot, id)) if lengths.contains((slot, id)) => None
+        case _ => Some(st.getPath.toString)
       }
-      .toDF("path")
+    }
+    import spark.implicits._
+    unexpected.toDF("path")
   }
 }
