@@ -99,4 +99,74 @@ object Schemas {
     StructField("slot", LongType, nullable = false),
     StructField("parent", LongType, nullable = true),
     StructField("status", StringType, nullable = false)))
+
+  // ---- TransactionNotify (`serializer/src/geyser.rs:226-248`, fbs
+  // schema `transaction_info.fbs:1-133`): nested structs + the
+  // Legacy|V0 tagged union (§1.4 rows 6-7) ----
+
+  /** `CompiledInstruction` (`transaction_info.fbs:16-21`). */
+  val compiledInstruction: StructType = StructType(Seq(
+    StructField("program_id_index", IntegerType, nullable = false),
+    StructField("accounts", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("data", BinaryType, nullable = false)))
+
+  /** `MessageHeader` (`transaction_info.fbs:23-28`). */
+  val messageHeader: StructType = StructType(Seq(
+    StructField("num_required_signatures", IntegerType, nullable = false),
+    StructField("num_readonly_signed_accounts", IntegerType, nullable = false),
+    StructField("num_readonly_unsigned_accounts", IntegerType, nullable = false)))
+
+  /** Legacy message body (`transaction_info.fbs:30-40`). */
+  val legacyMessage: StructType = StructType(Seq(
+    StructField("header", messageHeader, nullable = false),
+    StructField("account_keys", ArrayType(BinaryType, containsNull = false), nullable = false),
+    StructField("recent_blockhash", BinaryType, nullable = false),
+    StructField("instructions", ArrayType(compiledInstruction, containsNull = false), nullable = false)))
+
+  /** `MessageAddressTableLookup` (`transaction_info.fbs:42-48`). */
+  val addressTableLookup: StructType = StructType(Seq(
+    StructField("account_key", BinaryType, nullable = false),
+    StructField("writable_indexes", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("readonly_indexes", ArrayType(IntegerType, containsNull = false), nullable = false)))
+
+  /** V0 message body = legacy + address-table lookups. */
+  val v0Message: StructType = legacyMessage.add(
+    StructField("address_table_lookups", ArrayType(addressTableLookup, containsNull = false),
+      nullable = false))
+
+  /** The `SanitizedMessage` Legacy|V0 tagged union
+    * (`transaction_info.fbs:11-14`): discriminator + two nullable struct
+    * branches — the relational rendering of a sum type. */
+  val sanitizedMessage: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false), // 'legacy' | 'v0'
+    StructField("legacy", legacyMessage, nullable = true),
+    StructField("v0", v0Message, nullable = true)))
+
+  /** Token balance entry (`transaction_info.fbs:95-107`); `ui_amount`
+    * is the model's only floating-point field (§1.4). */
+  val tokenBalance: StructType = StructType(Seq(
+    StructField("account_index", IntegerType, nullable = false),
+    StructField("mint", BinaryType, nullable = false),
+    StructField("owner", BinaryType, nullable = true),
+    StructField("amount", StringType, nullable = false),
+    StructField("decimals", IntegerType, nullable = false),
+    StructField("ui_amount", DoubleType, nullable = true)))
+
+  /** `TransactionStatusMeta` subset (`transaction_info.fbs:60-93`). */
+  val transactionStatusMeta: StructType = StructType(Seq(
+    StructField("status_ok", BooleanType, nullable = false),
+    StructField("fee", LongType, nullable = false),
+    StructField("pre_balances", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("post_balances", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("pre_token_balances", ArrayType(tokenBalance, containsNull = false), nullable = true),
+    StructField("post_token_balances", ArrayType(tokenBalance, containsNull = false), nullable = true),
+    StructField("log_messages", ArrayType(StringType, containsNull = false), nullable = true)))
+
+  /** TransactionNotify event (`geyser.rs:226-248`). */
+  val transactionNotify: StructType = StructType(Seq(
+    StructField("signature", BinaryType, nullable = false),
+    StructField("is_vote", BooleanType, nullable = false),
+    StructField("slot", LongType, nullable = false),
+    StructField("message", sanitizedMessage, nullable = false),
+    StructField("meta", transactionStatusMeta, nullable = false)))
 }

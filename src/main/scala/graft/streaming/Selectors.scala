@@ -60,6 +60,13 @@ object Selectors {
     if (programs.isEmpty) lit(true)
     else arrays_overlap(accountKeys, array(programs.map(lit(_)): _*))
 
+  /** Account keys of a `sanitizedMessage`-typed column: the union's
+    * active branch (`format` discriminates legacy|v0). */
+  def txAccountKeys(message: Column): Column =
+    when(message.getField("format") === "v0",
+      message.getField("v0").getField("account_keys"))
+      .otherwise(message.getField("legacy").getField("account_keys"))
+
   /** P8 — forward only rooted slots (`plugin.rs:305-313`). */
   def rootedOnly(status: Column): Column = status === "rooted"
 

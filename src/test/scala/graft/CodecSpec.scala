@@ -61,6 +61,25 @@ class CodecSpec extends AnyFunSuite {
     assert(AppendVec.records(withGarbage, bytes.length).size == 2)
   }
 
+  test("appendvec streaming walk matches in-memory walk incl. truncation") {
+    val recs = Seq(rec(1, 1, 0), rec(2, 2, 5), rec(3, 3, 165), rec(4, 4, 13))
+    val bytes = AppendVec.write(recs)
+    def stream(cl: Long) = AppendVec.streamRecords(
+      new java.io.ByteArrayInputStream(bytes), cl).toSeq
+    val full = stream(bytes.length.toLong)
+    assert(full.size == recs.size)
+    full.zip(recs).foreach { case (g, e) =>
+      assert(g.writeVersion == e.writeVersion)
+      assert(g.pubkey.sameElements(e.pubkey))
+      assert(g.data.sameElements(e.data))
+    }
+    // currentLen cutting into the last record drops it, like records()
+    assert(stream(bytes.length.toLong - 4).size == recs.size - 1)
+    // truncated stream (EOF before currentLen) stops without throwing
+    val cut = new java.io.ByteArrayInputStream(bytes, 0, bytes.length - 4)
+    assert(AppendVec.streamRecords(cut, bytes.length.toLong).size == recs.size - 1)
+  }
+
   test("appendvec name parse") {
     assert(AppendVec.parseName("123.4").contains((123L, 4L)))
     assert(AppendVec.parseName("nope").isEmpty)

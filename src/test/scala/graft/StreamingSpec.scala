@@ -155,6 +155,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq === Seq(2L, 1L))
   }
 
+  test("full transaction model: tagged union round-trips and P7 filters on the active branch") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    val prog = pk(7)
+    def insn = Row(0, Seq(0, 1), Array[Byte](9))
+    def header = Row(1, 0, 0)
+    def legacyMsg(keys: Seq[Array[Byte]]) = Row(header, keys, pk(3), Seq(insn))
+    def v0Msg(keys: Seq[Array[Byte]]) =
+      Row(header, keys, pk(3), Seq(insn), Seq(Row(pk(4), Seq(0), Seq(1))))
+    def meta(ok: Boolean) = Row(ok, 5000L, Seq(10L, 20L), Seq(5L, 25L),
+      Seq(Row(0, pk(5), pk(6), "100", 6, 1.0e-4)), Seq.empty[Row], Seq("log1"))
+    val rows = Seq(
+      Row(pk(1) ++ pk(1), false, 42L, Row("legacy", legacyMsg(Seq(pk(1), prog)), null), meta(true)),
+      Row(pk(2) ++ pk(2), false, 42L, Row("v0", null, v0Msg(Seq(pk(2), prog))), meta(true)),
+      Row(pk(3) ++ pk(3), false, 42L, Row("legacy", legacyMsg(Seq(pk(3))), null), meta(true)),
+      Row(pk(4) ++ pk(4), false, 42L, Row("v0", null, v0Msg(Seq(prog))), meta(false)))
+    val txs = spark.createDataFrame(rows.asJava, graft.model.Schemas.transactionNotify)
+
+    // wire round-trip preserves the nested structure
+    val decoded = graft.streaming.Wire.decodeTopic(
+      graft.streaming.Wire.toTopic(txs, "tx"), graft.model.Schemas.transactionNotify)
+    assert(decoded.count() === 4)
+    val back = decoded.filter(col("message.format") === "v0")
+      .select(col("message.v0.address_table_lookups")(0)("account_key")).collect()
+    assert(back.forall(_.getAs[Array[Byte]](0).toSeq === pk(4).toSeq))
+
+    // P6 success + P7 program membership on the union's active branch
+    val kept = txs.filter(
+        Selectors.txSuccess(col("meta.status_ok")) &&
+        Selectors.txProgramFilter(Selectors.txAccountKeys(col("message")), Seq(prog)))
+      .select(col("slot")).collect()
+    assert(kept.length === 2) // legacy+prog and v0+prog; no-prog and failed drop
+  }
+
   test("P9 offchain pipeline extracts the padded URI") {
     // build a metadata-shaped account: tag byte 4, then padding to the
     // fixed uri offset (119), uri field 200 bytes NUL-padded
