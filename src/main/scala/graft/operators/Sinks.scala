@@ -40,6 +40,35 @@ object Sinks {
     } finally d.unpersist()
   }
 
+  /** K1 at warehouse scale: bucketed + sorted catalog tables, so the
+    * recurring joins (token_account.mint = token_mint.pubkey, account
+    * self-lookups by pubkey) run with NO shuffle on either side — at
+    * 100 TB the join exchange, not the scan, is the bottleneck this
+    * removes. Bucket counts must match across co-joined tables. */
+  def saveTablesBucketed(deduped: DataFrame, db: String, buckets: Int = 64,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val spark = deduped.sparkSession
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    val d = deduped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      Etl.accounts(d).write.mode(mode).format("parquet")
+        .bucketBy(buckets, "pubkey").sortBy("pubkey")
+        .saveAsTable(s"$db.account")
+      Etl.tokenAccounts(d).write.mode(mode).format("parquet")
+        .bucketBy(buckets, "mint").sortBy("mint")
+        .saveAsTable(s"$db.token_account")
+      Etl.tokenMints(d).write.mode(mode).format("parquet")
+        .bucketBy(buckets, "pubkey").sortBy("pubkey")
+        .saveAsTable(s"$db.token_mint")
+      Etl.tokenMultisigs(d).write.mode(mode).format("parquet")
+        .bucketBy(buckets, "pubkey").sortBy("pubkey")
+        .saveAsTable(s"$db.token_multisig")
+      Etl.tokenMetadata(d).write.mode(mode).format("parquet")
+        .bucketBy(buckets, "mint").sortBy("mint")
+        .saveAsTable(s"$db.token_metadata")
+    } finally d.unpersist()
+  }
+
   /** K2 — the 4-column base58 CSV projection (`csv.rs:14-20`). */
   def writeCsv(deduped: DataFrame, path: String,
       mode: SaveMode = SaveMode.Overwrite): Unit =

@@ -95,6 +95,26 @@ class IngestSinksSpec extends AnyFunSuite {
     deduped.unpersist()
   }
 
+  test("bucketed tables join with zero shuffle exchanges") {
+    // clear any stale managed-table locations from a previous JVM (the
+    // in-memory catalog forgets them but the files persist)
+    spark.sql("DROP DATABASE IF EXISTS graft_bkt CASCADE")
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh, "graft_bkt.db"))
+    val deduped = Etl.latestVersion(SnapshotReader.rawAccounts(spark, fixture))
+    Sinks.saveTablesBucketed(deduped, "graft_bkt", buckets = 4)
+    val ta = spark.table("graft_bkt.token_account")
+    val tm = spark.table("graft_bkt.token_mint")
+    // force sort-merge (broadcast would hide the shuffle question)
+    val joined = ta.hint("merge").join(tm, ta("mint") === tm("pubkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ, got:\n$plan")
+    // bucket-aligned: no ShuffleExchange on either side
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"expected bucket join without shuffle, got:\n$plan")
+    assert(joined.count() > 0)
+  }
+
   test("K5 programs dir writes one base58 .so per executable account") {
     val deduped = Etl.latestVersion(SnapshotReader.rawAccounts(spark, fixture))
     val programs = Etl.programs(deduped).cache()
