@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Skew tooling. Spark's partial hash aggregation already map-side-combines
+ * most aggregate skew, and AQE splits skewed *join* partitions — the gap
+ * is a hot grouping key whose combined partials still overload one
+ * reducer (e.g. count-distinct-style aggs where partials don't collapse).
+ * Two-stage salted aggregation bounds any reducer's share of a hot key
+ * to 1/`salts`.
+ */
+object Skew {
+
+  /** Two-stage salted sum/count per key: stage 1 aggregates on
+    * (key, salt) — hot keys fan out over `salts` reducers — stage 2
+    * merges the partials (tiny: ≤ salts rows per key). */
+  def saltedSumCount(df: DataFrame, keyCol: String, valueCol: String,
+      salts: Int = 16): DataFrame =
+    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+      .groupBy(col(keyCol), col("__salt"))
+      .agg(count(lit(1)).as("__c"), sum(col(valueCol)).as("__s"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__c")).as("n"), sum(col("__s")).as("sum"))
+
+  /** Salted distinct-count per key: stage 1 dedups (key, salt, value)
+    * locally, stage 2 counts per (key, salt), stage 3 sums — correct
+    * because the same value always lands in the same salt bucket. */
+  def saltedCountDistinct(df: DataFrame, keyCol: String, valueCol: String,
+      salts: Int = 16): DataFrame =
+    df.withColumn("__salt", pmod(xxhash64(col(valueCol)), lit(salts)))
+      .select(col(keyCol), col("__salt"), col(valueCol))
+      .distinct()
+      .groupBy(col(keyCol), col("__salt"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__c")).as("n_distinct"))
+}

@@ -141,6 +141,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bal.toSeq === Seq(10L, 50L))
   }
 
+  test("account pipeline streams end-to-end into the topic-partitioned file sink") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val accounts = mem.toDF().toDF("pk58", "lamports")
+      .select(graft.functions.Functions.base58_decode(col("pk58")).as("pubkey"),
+        col("lamports"), lit(pk(7)).as("owner"), lit(false).as("executable"),
+        lit(0L).as("rent_epoch"), lit(Array[Byte](1)).as("data"),
+        lit(1L).as("write_version"), lit(5L).as("slot"),
+        lit(false).as("is_startup"))
+    val outDir = java.nio.file.Files.createTempDirectory("wire-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("wire-ckpt").toString
+    val q = graft.streaming.Pipeline.toFiles(
+      graft.streaming.Pipeline.accountPipeline(accounts), outDir, ckpt).start()
+    mem.addData((Base58.encode(pk(1)), 11L), (Base58.encode(pk(2)), 22L))
+    q.processAllAvailable()
+    q.stop()
+    val written = spark.read.json(s"$outDir/topic=${graft.streaming.Wire.AccountTopic}")
+    assert(written.count() === 2)
+    assert(written.columns.contains("value"))
+  }
+
+  test("salted aggregation matches direct aggregation") {
+    val s = spark
+    import s.implicits._
+    val df = (Seq.fill(500)(("hot", 2L)) ++ Seq(("a", 1L), ("b", 3L), ("b", 4L)))
+      .toDF("k", "v")
+    val salted = graft.operators.Skew.saltedSumCount(df, "k", "v")
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(salted.toSeq === Seq(("a", 1L, 1L), ("b", 2L, 7L), ("hot", 500L, 1000L)))
+    val dist = graft.operators.Skew.saltedCountDistinct(df, "k", "v")
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(dist.toSeq === Seq(("a", 1L), ("b", 2L), ("hot", 1L)))
+  }
+
   test("windowed owner counts (batch form)") {
     val s = spark
     import s.implicits._
