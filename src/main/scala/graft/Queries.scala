@@ -415,6 +415,13 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  def m09AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 16), k = 5,
+        nlist = 16, nprobe = 8)
+      .orderBy("query_id", "rank")
+  }
+
   /** Threshold calibrated to the synthetic embeddings (random vectors:
     * pairwise cosine tops out near 0.45 — a 0.9 near-dup bar would be
     * vacuous on this corpus). */

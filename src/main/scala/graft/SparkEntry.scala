@@ -71,6 +71,7 @@ object SparkEntry {
     "m06_embedding_dedup" -> Queries.m06EmbeddingDedup,
     "m07_text_profile" -> Queries.m07TextProfile,
     "m08_minhash_dedup" -> Queries.m08MinhashDedup,
+    "m09_ann_ivf" -> Queries.m09AnnIvf,
     "mm01_media_profile" -> Queries.mm01MediaProfile,
     "mm02_image_features" -> Queries.mm02ImageFeatures,
     "mm03_frame_sample" -> Queries.mm03FrameSample,

@@ -29,6 +29,32 @@ object VecMath {
     if (nn == 0.0) 0.0 else dp / nn
   }
 
+  /** Index of the nearest centroid by Euclidean distance (IVF assign). */
+  def nearestCenter(v: Array[Float], centers: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < centers.length) {
+      val ctr = centers(c)
+      var d = 0.0; var i = 0
+      val n = math.min(v.length, ctr.length)
+      while (i < n) { val x = v(i) - ctr(i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Indices of the `n` nearest centroids, nearest first (IVF probe). */
+  def nearestCenters(v: Array[Float], centers: Array[Array[Double]], n: Int): Array[Int] = {
+    val dists = centers.zipWithIndex.map { case (ctr, idx) =>
+      var d = 0.0; var i = 0
+      val m = math.min(v.length, ctr.length)
+      while (i < m) { val x = v(i) - ctr(i); d += x * x; i += 1 }
+      (d, idx)
+    }
+    dists.sortBy(_._1).take(math.min(n, centers.length)).map(_._2)
+  }
+
   /** Random-hyperplane sign signature for cosine LSH: `planes` bits.
     * Hyperplane components derive from mix64(plane, dim) — deterministic,
     * no driver-side random state, no broadcast plane matrix. */

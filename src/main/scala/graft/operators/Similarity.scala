@@ -52,10 +52,52 @@ object Similarity {
   }
 
   /**
-   * IVF-style ANN: corpus is bucketed by hyperplane-LSH signature; each
+   * True IVF ANN: k-means centroids (spark.ml, seeded) partition the
+   * corpus into `nlist` cells; each query probes its `nprobe` nearest
+   * cells. At 100 TB the corpus is written partitioned by `cell`, so a
+   * probe reads nprobe/nlist of the data — the standard
+   * billion-vector index shape (IVF-Flat), all Spark-native.
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+      nlist: Int = 16, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.Vectors
+
+    val toMl = udf((a: Array[Float]) =>
+      Vectors.dense(a.map(_.toDouble)))
+    val trainDf = spread(corpus.select(col(vecCol)))
+      .select(toMl(col(vecCol)).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+      .fit(trainDf)
+    val centers: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+    val bc = spark.sparkContext.broadcast(centers)
+
+    val nearestCell = udf((v: Array[Float]) => VecMath.nearestCenter(v, bc.value))
+    val nearestCells = udf((v: Array[Float], n: Int) => VecMath.nearestCenters(v, bc.value, n))
+
+    val c = spread(corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv")))
+      .withColumn("cell", nearestCell(col("cv")))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("cell", explode(nearestCells(col("qv"), lit(nprobe))))
+
+    val scored = c.join(broadcast(probes), "cell")
+      .select(col("query_id"), col("corpus_id"),
+        round(cosine(col("cv"), col("qv")), 6).as("score"))
+      .filter(col("query_id") =!= col("corpus_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "score", "rank")
+  }
+
+  /**
+   * LSH-bucketed ANN: corpus is bucketed by hyperplane-LSH signature; each
    * query probes only its own bucket (plus Hamming-1 neighbors when
-   * `multiProbe`). At scale the corpus is pre-partitioned/bucketed by
-   * `sig`, so a probe touches 1/2^planes of the data.
+   * `multiProbe`). Zero training cost (vs `ivfTopK`), coarser recall.
    */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
       planes: Int = 8, multiProbe: Boolean = true,

@@ -138,6 +138,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(scores(0) >= scores(1) && scores(1) >= scores(2))
   }
 
+  test("IVF ANN recalls brute-force neighbors at full probe width") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 4)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 3)
+      .select("query_id", "corpus_id").as[(Long, Long)](
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong)).collect().toSet
+    // nprobe == nlist probes every cell → identical to brute force
+    val ivf = Similarity.ivfTopK(emb, queries, k = 3, nlist = 8, nprobe = 8)
+      .select("query_id", "corpus_id").as[(Long, Long)](
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong)).collect().toSet
+    assert(ivf === exact)
+    // partial probe keeps valid shape and nonzero recall
+    val partial = Similarity.ivfTopK(emb, queries, k = 3, nlist = 8, nprobe = 2)
+      .collect()
+    assert(partial.nonEmpty)
+    assert(partial.map(_.getAs[Int]("rank")).forall(r => r >= 1 && r <= 3))
+  }
+
   test("text profile computes sane values") {
     import spark.implicits._
     val docs = Seq((1L, "The cat sat on the mat, and it was happy."))
