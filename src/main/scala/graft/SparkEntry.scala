@@ -107,7 +107,23 @@ object SparkEntry {
     "sn11_unexpected_appendvecs" -> ((s, _) =>
       SnapshotReader.unexpectedAppendVecs(s, fixtureDir)
         .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"))
-        .orderBy("file")))
+        .orderBy("file")),
+    // the relational layer the reference delegated to SQLite: equi-joins
+    // across token_account ⟕ token_mint ⟕ token_metadata on mint
+    "sn12_token_relational_join" -> ((s, _) => {
+      val d = deduped(s)
+      val ta = Etl.tokenAccounts(d)
+      val tm = Etl.tokenMints(d).withColumnRenamed("pubkey", "mint_key")
+      val md = Etl.tokenMetadata(d)
+        .select(col("mint").as("md_mint"), col("name"))
+      ta.join(tm, ta("mint") === tm("mint_key"), "inner")
+        .join(md, col("mint") === col("md_mint"), "left")
+        .groupBy(hex(col("mint")).as("mint_hex"), col("decimals"))
+        .agg(count(lit(1)).as("n_holders"),
+          sum(col("amount")).as("total_amount"),
+          max(col("name")).as("any_name"))
+        .orderBy("mint_hex")
+    }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */

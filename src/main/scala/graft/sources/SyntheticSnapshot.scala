@@ -149,6 +149,9 @@ object SyntheticSnapshot {
           if (rng.nextDouble() < spec.dupFraction) dupPool(rng.nextInt(dupPool.size))
           else pk(rng)
         val kind = rng.nextInt(10)
+        // mint accounts live at the pooled keys token accounts reference,
+        // so token_account.mint → token_mint.pubkey joins resolve
+        val key2 = if (kind == 0) dupPool(rng.nextInt(8)) else key
         val (owner, data, executable) = kind match {
           case 0 => (SplToken.ProgramId, mintData(rng), false)
           case 1 | 2 => (SplToken.ProgramId, tokenAccountData(rng, dupPool(rng.nextInt(8))), false)
@@ -161,7 +164,7 @@ object SyntheticSnapshot {
             (pk(rng), d, false)
         }
         AppendVec.Record(
-          writeVersion = writeVersion, pubkey = key, dataLen = data.length.toLong,
+          writeVersion = writeVersion, pubkey = key2, dataLen = data.length.toLong,
           lamports = rng.nextInt(10_000_000).toLong, owner = owner,
           executable = executable, rentEpoch = 300L + rng.nextInt(10),
           hash = pk(rng), data = data)
