@@ -298,6 +298,54 @@ object Oracle {
       GROUP BY digit
       ORDER BY digit""",
 
+    "q31_scalar_subquery" -> """
+      SELECT p_brand, COUNT(*) AS n_above,
+        CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM (SELECT p_brand, p_retailprice,
+              avg(CAST(p_retailprice AS DECIMAL(18,2))) OVER (PARTITION BY p_brand) AS brand_avg
+            FROM part)
+      WHERE p_retailprice > brand_avg
+      GROUP BY p_brand
+      ORDER BY p_brand""",
+
+    "q32_percent_rank" -> """
+      SELECT o_orderkey, round(pr, 6) AS pr, round(cd, 6) AS cd, decile
+      FROM (SELECT o_orderkey,
+              percent_rank() OVER w AS pr,
+              cume_dist() OVER w AS cd,
+              CAST(ntile(10) OVER w AS INT) AS decile
+            FROM orders
+            WINDOW w AS (ORDER BY o_totalprice ASC, o_orderkey ASC))
+      WHERE o_orderkey % 100 = 0
+      ORDER BY o_orderkey""",
+
+    "q33_conditional_agg" -> """
+      SELECT l_returnflag,
+        COUNT(*) FILTER (l_discount > 0.05) AS n_high_disc,
+        COUNT(*) FILTER (l_quantity < 10) AS n_small_qty,
+        CAST(SUM(CAST(CASE WHEN l_discount > 0.05 THEN l_extendedprice
+                           ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS sum_high_disc_price,
+        COUNT(*) AS n
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
+    "q34_union_having" -> """
+      SELECT custkey % 100 AS bucket, COUNT(*) AS n
+      FROM (SELECT o_custkey AS custkey FROM orders
+            UNION
+            SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+      GROUP BY 1
+      HAVING COUNT(*) >= 10
+      ORDER BY bucket""",
+
+    "q35_having_max" -> """
+      SELECT l_suppkey, MAX(l_quantity) AS max_qty, COUNT(*) AS n_items
+      FROM lineitem
+      GROUP BY l_suppkey
+      HAVING MAX(l_quantity) >= 45
+      ORDER BY l_suppkey""",
+
     "q20_customer_order_stats" -> """
       SELECT o_custkey, COUNT(*) AS n_orders,
         strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') AS first_order_s,

@@ -387,6 +387,64 @@ object Queries {
         dsum(col("bal_neg")).as("sum_neg"))
       .orderBy("digit")
 
+  /** Scalar-subquery shape: parts priced above their brand's average
+    * (decorrelated into a window average — same result, one pass). */
+  def q31ScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+    t(s, dir, "part")
+      .withColumn("brand_avg",
+        avg(col("p_retailprice").cast(DecimalType(18, 2))).over(w))
+      .filter(col("p_retailprice") > col("brand_avg"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_above"), dsum(col("p_retailprice")).as("sum_price"))
+      .orderBy("p_brand")
+  }
+
+  /** percent_rank / cume_dist / ntile (rounded for float stability). */
+  def q32PercentRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"),
+        ntile(10).over(w).as("decile"))
+      .filter(col("o_orderkey") % 100 === 0)
+      .orderBy("o_orderkey")
+  }
+
+  /** Conditional aggregation (FILTER/count_if shape). */
+  def q33ConditionalAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(when(col("l_discount") > 0.05, 1)).as("n_high_disc"),
+        count(when(col("l_quantity") < 10, 1)).as("n_small_qty"),
+        dsum(when(col("l_discount") > 0.05, col("l_extendedprice"))
+          .otherwise(lit(0.0))).as("sum_high_disc_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** UNION (distinct) of two projections + HAVING-style post-agg filter. */
+  def q34UnionHaving(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "orders").select(col("o_custkey").as("custkey"))
+    val b = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("custkey"))
+    a.union(b).distinct()
+      .groupBy((col("custkey") % 100).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 10) // HAVING
+      .orderBy("bucket")
+  }
+
+  /** Correlated-EXISTS aggregate comparison (TPC-H Q21-lite): suppliers
+    * whose max single-order quantity exceeds 45. */
+  def q35HavingMax(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(max(col("l_quantity")).as("max_qty"), count(lit(1)).as("n_items"))
+      .filter(col("max_qty") >= 45)
+      .orderBy("l_suppkey")
+
   // =====================================================================
   // Training-data operators without a SQL oracle (rows-only checks)
   // =====================================================================

@@ -62,6 +62,11 @@ object SparkEntry {
     "q28_stats" -> Queries.q28Stats,
     "q29_array_funcs" -> Queries.q29ArrayFuncs,
     "q30_regex_conditional" -> Queries.q30RegexConditional,
+    "q31_scalar_subquery" -> Queries.q31ScalarSubquery,
+    "q32_percent_rank" -> Queries.q32PercentRank,
+    "q33_conditional_agg" -> Queries.q33ConditionalAgg,
+    "q34_union_having" -> Queries.q34UnionHaving,
+    "q35_having_max" -> Queries.q35HavingMax,
     // training-data operators (rows-only)
     "m01_minhash_pairs" -> Queries.m01MinhashPairs,
     "m02_simhash_pairs" -> Queries.m02SimhashPairs,

@@ -67,7 +67,9 @@ object Similarity {
 
     val toMl = udf((a: Array[Float]) =>
       Vectors.dense(a.map(_.toDouble)))
-    val trainDf = spread(corpus.select(col(vecCol)))
+    // train on a bounded sample (standard IVF practice — centroid quality
+    // saturates long before the corpus does; training must not scan 100 TB)
+    val trainDf = corpus.select(col(vecCol)).limit(math.max(nlist * 256, 4096))
       .select(toMl(col(vecCol)).as("features"))
     val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
       .fit(trainDf)
