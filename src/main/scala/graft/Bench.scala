@@ -13,11 +13,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the engine (JIT, codegen cache, FS metadata) with one tiny
-    // query so the first measured query isn't charged session startup.
+    // Warm the engine (JIT, codegen cache, shuffle machinery, FS
+    // metadata) so the first measured query isn't charged session startup.
     try {
-      Seq("region", "lineitem").foreach(t =>
-        spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count())
+      import org.apache.spark.sql.functions._
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val r = spark.read.parquet(s"$sfDir/region.parquet")
+      li.groupBy("l_returnflag").count().count()
+      li.limit(1000).join(broadcast(r), lit(true)).count()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
