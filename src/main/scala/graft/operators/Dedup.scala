@@ -123,16 +123,26 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("int")
 
-  /** SimHash near-dup pairs within `maxHamming`, blocked by 16-bit chunks
-    * (a pair within distance d ≤ 3 shares at least one of 4 chunks —
-    * pigeonhole), so no O(n²) compare. */
+  /** SimHash near-dup pairs within `maxHamming`, blocked by splitting the
+    * 64-bit signature into `maxHamming + 1` chunks: a pair within
+    * distance d ≤ maxHamming differs in at most `maxHamming` chunks, so
+    * by pigeonhole it shares at least one — full recall, no O(n²)
+    * compare. More chunks (higher maxHamming) = shorter chunks = more
+    * candidate collisions, the standard recall/cost dial. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, "maxHamming in [0, 32)")
+    val nChunks = maxHamming + 1
+    val width = 64 / nChunks
     val sigs = spread(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), simhashUdf(col("text")).as("sig"))
     val chunks = sigs.select(col("doc_id"), col("sig"),
-        explode(array((0 until 4).map(i =>
+        explode(array((0 until nChunks).map { i =>
+          // last chunk absorbs the remainder bits
+          val w = if (i == nChunks - 1) 64 - width * (nChunks - 1) else width
+          val mask = if (w >= 64) -1L else (1L << w) - 1
           struct(lit(i).as("chunk_id"),
-            shiftright(col("sig"), i * 16).bitwiseAND(0xffffL).as("chunk"))): _*)).as("c"))
+            shiftright(col("sig"), i * width).bitwiseAND(mask).as("chunk"))
+        }: _*)).as("c"))
       .select(col("doc_id"), col("sig"), col("c.chunk_id"), col("c.chunk"))
     chunks.as("l").join(chunks.as("r"),
         col("l.chunk_id") === col("r.chunk_id") &&

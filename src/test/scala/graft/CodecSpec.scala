@@ -86,6 +86,41 @@ class CodecSpec extends AnyFunSuite {
     assert(AppendVec.parseName("1.2.3").isEmpty)
   }
 
+  // ---- TextSig kernels (dedup signature math) ----
+
+  test("textsig: normalize collapses whitespace and case") {
+    assert(TextSig.normalize("  Hello\t\nWORLD  ") == "hello world")
+    assert(TextSig.normalize(null) == "")
+    assert(TextSig.fingerprint("a  b") == TextSig.fingerprint(" A B "))
+  }
+
+  test("textsig: jaccard identity, disjoint, and merge-scan correctness") {
+    val a = TextSig.charShingles("the quick brown fox jumps", 5)
+    assert(TextSig.jaccardSorted(a, a) == 1.0)
+    val b = TextSig.charShingles("zzzz completely different yyy", 5)
+    assert(TextSig.jaccardSorted(a, b) < 0.2)
+    assert(TextSig.jaccardSorted(Array.emptyLongArray, Array.emptyLongArray) == 0.0)
+  }
+
+  test("textsig: minhash estimates jaccard within tolerance") {
+    val base = "the quick brown fox jumps over the lazy dog and keeps running through the field"
+    val a = TextSig.charShingles(base, 5)
+    val b = TextSig.charShingles(base + " at night", 5)
+    val real = TextSig.jaccardSorted(a, b)
+    val k = 256
+    val ma = TextSig.minhash(a, k); val mb = TextSig.minhash(b, k)
+    val est = ma.zip(mb).count { case (x, y) => x == y }.toDouble / k
+    assert(math.abs(est - real) < 0.15, s"est=$est real=$real")
+  }
+
+  test("textsig: simhash of identical text identical; distance grows with change") {
+    val s1 = TextSig.simhash("alpha beta gamma delta epsilon zeta")
+    val s2 = TextSig.simhash("alpha beta gamma delta epsilon zeta")
+    assert(s1 == s2)
+    val s3 = TextSig.simhash("one two three four five six")
+    assert(java.lang.Long.bitCount(s1 ^ s3) > 10)
+  }
+
   // ---- Manifest (S5/J1) ----
 
   test("manifest round-trip") {
