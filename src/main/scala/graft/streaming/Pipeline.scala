@@ -135,6 +135,45 @@ object Pipeline {
       }
   }
 
+  /**
+   * Continuous table maintenance: every micro-batch merges its account
+   * updates into the parquet `account` table with last-writer-wins
+   * semantics — the streaming completion of the batch E1 pipeline
+   * (foreachBatch = arbitrary batch logic per trigger, checkpointed).
+   * Parquet has no row-level upsert, so the merge rewrites the table
+   * per batch; swap the write for a MERGE INTO on a Delta/Iceberg table
+   * at production scale — the dataflow stays identical.
+   */
+  def maintainAccountTable(accounts: DataFrame, tableDir: String,
+      checkpoint: String) =
+    accounts.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val cols = batch.columns
+        val existing =
+          try spark.read.parquet(tableDir).select(cols.map(col).toIndexedSeq: _*)
+          catch { case _: Exception => batch.limit(0) } // first batch
+        val merged = graft.operators.Etl.latestVersion(
+          existing.unionByName(batch))
+        // write-to-temp + swap (parquet cannot read+overwrite in place)
+        val tmp = tableDir + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        val fs = new org.apache.hadoop.fs.Path(tableDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(tableDir), true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(tableDir))
+        ()
+      }
+
+  /** A3 — running counters as `observe()` metrics: per-action row/lamport
+    * totals surfaced to QueryExecutionListener / StreamingQueryListener
+    * (the Spark-native form of the reference's throttled progress display,
+    * `sqlite.rs:404-435`). */
+  def withObservedCounts(df: DataFrame, name: String = "graft_counts"): DataFrame =
+    df.observe(name, count(lit(1)).as("n_rows"),
+      sum(col("lamports")).as("sum_lamports"))
+
   // ------------------------------------------------------------------
   // Sinks (K3/K4 analogs)
   // ------------------------------------------------------------------

@@ -177,6 +177,54 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dist.toSeq === Seq(("a", 1L), ("b", 2L), ("hot", 1L)))
   }
 
+  test("foreachBatch maintains a last-writer-wins account table across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(String, Long, Long, Long)]
+    val accounts = mem.toDF().toDF("pk58", "lamports", "write_version", "slot")
+      .select(graft.functions.Functions.base58_decode(col("pk58")).as("pubkey"),
+        col("lamports"), col("write_version"), col("slot"))
+    val tableDir = java.nio.file.Files.createTempDirectory("acct-table").toString + "/account"
+    val ckpt = java.nio.file.Files.createTempDirectory("acct-ckpt").toString
+    val q = graft.streaming.Pipeline.maintainAccountTable(accounts, tableDir, ckpt).start()
+    val k1 = Base58.encode(pk(1)); val k2 = Base58.encode(pk(2))
+    mem.addData((k1, 10L, 1L, 5L), (k2, 20L, 1L, 5L))
+    q.processAllAvailable()
+    mem.addData((k1, 99L, 2L, 6L)) // supersedes k1
+    q.processAllAvailable()
+    q.stop()
+    val table = spark.read.parquet(tableDir)
+    assert(table.count() === 2)
+    val k1row = table.filter(graft.functions.Functions.base58_encode(col("pubkey")) === k1)
+      .select("lamports", "write_version").collect().head
+    assert(k1row.getLong(0) === 99L && k1row.getLong(1) === 2L)
+  }
+
+  test("observe() surfaces running counters to the listener") {
+    val s = spark
+    import s.implicits._
+    @volatile var observed: Option[(Long, Long)] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, duration: Long): Unit = {
+        qe.observedMetrics.get("graft_counts").foreach { row =>
+          observed = Some((row.getAs[Long]("n_rows"), row.getAs[Long]("sum_lamports")))
+        }
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, error: Exception): Unit = ()
+    }
+    s.listenerManager.register(listener)
+    try {
+      val df = Seq((pk(1), 10L), (pk(2), 32L)).toDF("pubkey", "lamports")
+      graft.streaming.Pipeline.withObservedCounts(df).collect()
+      var waited = 0
+      while (observed.isEmpty && waited < 50) { Thread.sleep(100); waited += 1 }
+      assert(observed.contains((2L, 42L)))
+    } finally s.listenerManager.unregister(listener)
+  }
+
   test("windowed owner counts (batch form)") {
     val s = spark
     import s.implicits._
