@@ -67,7 +67,9 @@ object Etl {
 
   /** P2+P4+D1+D2 — multisigs exploded one row per signer, first `n` only
     * (`sqlite.rs:305-324`): the reference's single generator/UDTF, which is
-    * Spark's built-in `explode`. */
+    * Spark's built-in `explode`. `array_distinct` reproduces the
+    * composite-PK REPLACE semantics (A2: one row per (pubkey, signer))
+    * without a shuffle — dedup happens per-row inside the array. */
   def tokenMultisigs(deduped: DataFrame): DataFrame =
     deduped
       .filter(col("owner") === lit(splToken) &&
@@ -75,7 +77,7 @@ object Etl {
       .withColumn("d", decode_token_multisig(col("data")))
       .filter(col("d").isNotNull)
       .select(col("pubkey"), col("d.sig_m").as("m"), col("d.sig_n").as("n"),
-        explode(col("d.signers")).as("signer"))
+        explode(array_distinct(col("d.signers"))).as("signer"))
 
   /** P3+D3 — MPL metadata (borsh progressive decode). */
   def tokenMetadata(deduped: DataFrame): DataFrame =

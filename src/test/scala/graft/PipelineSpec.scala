@@ -68,6 +68,19 @@ class PipelineSpec extends AnyFunSuite {
     deduped.unpersist()
   }
 
+  test("multisig duplicate signer collapses to one row (A2 composite-PK semantics)") {
+    import spark.implicits._
+    val b = java.nio.ByteBuffer.allocate(graft.core.SplToken.MultisigLen)
+    b.put(1.toByte); b.put(3.toByte); b.put(1.toByte)
+    val dup = Array.fill[Byte](32)(9)
+    b.put(dup); b.put(dup) // signer repeated within first n
+    (2 until 11).foreach(i => b.put(Array.fill[Byte](32)(i.toByte)))
+    val df = Seq((Array.fill[Byte](32)(1), graft.core.SplToken.ProgramId,
+        graft.core.SplToken.MultisigLen.toLong, b.array()))
+      .toDF("pubkey", "owner", "data_len", "data")
+    assert(Etl.tokenMultisigs(df).count() === 2) // 3 signers, 1 dup
+  }
+
   test("csv projection base58-encodes keys") {
     val deduped = Etl.latestVersion(SnapshotReader.rawAccounts(spark, fixture))
     val csv = Etl.csvProjection(deduped)
