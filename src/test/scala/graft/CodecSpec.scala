@@ -240,4 +240,40 @@ class CodecSpec extends AnyFunSuite {
     val raw = Array[Byte](0x95.toByte, 0, 0, 0, 0, 0, 0, 0)
     assert(Ebpf.disassemble(raw).toSeq == Seq(0x95))
   }
+
+  test("elf64 .text section located via section headers") {
+    // minimal ELF64: header (64B) | .text (16B) | shstrtab | 3 section headers
+    val text = Array[Byte](
+      0x07, 1, 0, 0, 0, 0, 0, 0,
+      0x95.toByte, 0, 0, 0, 0, 0, 0, 0)
+    val strtab = Array[Byte](0) ++ ".text".getBytes ++ Array[Byte](0) ++
+      ".shstrtab".getBytes ++ Array[Byte](0)
+    val textOff = 64
+    val strOff = textOff + text.length
+    val shoff = strOff + strtab.length
+    val buf = java.nio.ByteBuffer.allocate(shoff + 3 * 64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // ELF header
+    buf.put(Array[Byte](0x7f, 'E', 'L', 'F', 2, 1, 1, 0)) // ident
+    buf.position(0x28); buf.putLong(shoff.toLong)          // e_shoff
+    buf.position(0x3a); buf.putShort(64)                   // e_shentsize
+    buf.putShort(3)                                        // e_shnum
+    buf.putShort(2)                                        // e_shstrndx
+    // section 0: null
+    // section 1: .text (name offset 1 in strtab)
+    buf.position(shoff + 64)
+    buf.putInt(1)                       // sh_name -> ".text"
+    buf.position(shoff + 64 + 0x18); buf.putLong(textOff.toLong) // sh_offset
+    buf.position(shoff + 64 + 0x20); buf.putLong(text.length.toLong) // sh_size
+    // section 2: .shstrtab (name offset 7)
+    buf.position(shoff + 128)
+    buf.putInt(7)
+    buf.position(shoff + 128 + 0x18); buf.putLong(strOff.toLong)
+    buf.position(shoff + 128 + 0x20); buf.putLong(strtab.length.toLong)
+    // payloads
+    buf.position(textOff); buf.put(text)
+    buf.position(strOff); buf.put(strtab)
+    val elf = buf.array()
+    assert(Ebpf.disassemble(elf).toSeq == Seq(0x07, 0x95))
+  }
 }

@@ -273,6 +273,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept.length === 2) // legacy+prog and v0+prog; no-prog and failed drop
   }
 
+  test("file-source stream over the driver events table: watermarked hourly windows") {
+    val s = spark
+    import s.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = "/root/testdata/sf0.001/events.parquet"
+    // the file stream source requires a directory
+    val dir = java.nio.file.Files.createTempDirectory("events-stream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+      dir.resolve("events.parquet"))
+    val schema = s.read.parquet(path).schema
+    val stream = s.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumnRenamed("event_type", "owner") // reuse the generic agg
+      .withColumnRenamed("value", "lamports")
+    val out = graft.streaming.Pipeline.ownerWindowCounts(stream, "ts",
+      windowLen = "1 hour", watermark = "2 hours")
+    val q = out.writeStream.format("memory").queryName("ev_windows")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    // append mode emits only watermark-closed windows; all but the final
+    // hour(s) of the fixture close
+    val batch = s.read.parquet(path)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val totalHours = batch.select(date_trunc("hour", col("ts"))).distinct().count()
+    val emitted = s.table("ev_windows")
+    assert(emitted.count() > 0)
+    assert(emitted.select("window_start").distinct().count() >= totalHours - 3)
+  }
+
   test("P9 offchain pipeline extracts the padded URI") {
     // build a metadata-shaped account: tag byte 4, then padding to the
     // fixed uri offset (119), uri field 200 bytes NUL-padded
