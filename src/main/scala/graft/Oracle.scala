@@ -346,6 +346,19 @@ object Oracle {
       HAVING MAX(l_quantity) >= 45
       ORDER BY l_suppkey""",
 
+    "q36_asof_join" -> """
+      SELECT p.user_id, p.event_id,
+        strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        strftime(c.click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts_s,
+        c.click_id
+      FROM (SELECT user_id, event_id, ts FROM events
+            WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT user_id, ts AS click_ts, MAX(event_id) AS click_id
+                      FROM events WHERE event_type = 'click'
+                      GROUP BY user_id, ts) c
+        ON p.user_id = c.user_id AND p.ts >= c.click_ts
+      ORDER BY p.user_id, p.event_id""",
+
     "q20_customer_order_stats" -> """
       SELECT o_custkey, COUNT(*) AS n_orders,
         strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') AS first_order_s,

@@ -445,6 +445,25 @@ object Queries {
       .filter(col("max_qty") >= 45)
       .orderBy("l_suppkey")
 
+  /** As-of join (Temporal.asofJoin, union+window single-shuffle form):
+    * every purchase event picks up the user's most recent click at or
+    * before it — hash-matched against DuckDB's native ASOF JOIN. */
+  def q36AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    // one click per (user, ts): equal-timestamp ties would otherwise be
+    // engine-arbitrary on both sides of the comparison
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts").as("click_ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    operators.Temporal.asofJoin(purchases, clicks, key = "user_id",
+        leftTs = "ts", rightTs = "click_ts", rightCols = Seq("click_ts", "click_id"))
+      .select(col("user_id"), col("event_id"), fmtTs(col("ts")).as("ts_s"),
+        fmtTs(col("asof_click_ts")).as("click_ts_s"), col("asof_click_id").as("click_id"))
+      .orderBy("user_id", "event_id")
+  }
+
   // =====================================================================
   // Training-data operators without a SQL oracle (rows-only checks)
   // =====================================================================

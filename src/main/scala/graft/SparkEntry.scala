@@ -67,6 +67,7 @@ object SparkEntry {
     "q33_conditional_agg" -> Queries.q33ConditionalAgg,
     "q34_union_having" -> Queries.q34UnionHaving,
     "q35_having_max" -> Queries.q35HavingMax,
+    "q36_asof_join" -> Queries.q36AsofJoin,
     // training-data operators (rows-only)
     "m01_minhash_pairs" -> Queries.m01MinhashPairs,
     "m02_simhash_pairs" -> Queries.m02SimhashPairs,

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Temporal join operators Spark lacks natively — composed from built-ins
+ * per the preference order (no custom SparkPlan needed).
+ *
+ * The as-of join is implemented as UNION + WINDOW, not a range join:
+ * tag both sides, sort within each key by (ts, side) and carry the last
+ * seen right-side values forward. One shuffle on the key, no candidate
+ * explosion, no O(|L|·|R|) per-key compare — the shape that survives a
+ * 100× scale-up (a naive `l.ts >= r.ts` join is a per-key cross product
+ * that AQE cannot save).
+ */
+object Temporal {
+
+  /**
+   * For each left row, attach the single right row with the greatest
+   * `rightTs` <= the left row's `leftTs`, matching on `key` (equality).
+   * Right columns come back as `prefix`-prefixed nullable columns (null =
+   * no earlier right row). Ties at equal ts: the right row wins
+   * (inclusive <=, like DuckDB's `ASOF JOIN ... ON l.ts >= r.ts`).
+   */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightCols: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    val leftCols = left.columns
+    // right payload travels as ONE nullable struct so every attached
+    // column comes from the same right row
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(c).copy(name = c)))
+    val taggedLeft = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .select(Seq(col(key).as("__key"), col("__ts"), col("__side")) ++
+        leftCols.map(col) :+
+        lit(null).cast(rStructType).as("__r"): _*)
+    val taggedRight = right
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__side", lit(0))
+      .select(Seq(col(key).as("__key"), col("__ts"), col("__side")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightCols.map(col): _*).as("__r"): _*)
+
+    // right rows sort before left rows at equal ts → inclusive <=
+    val w = Window.partitionBy(col("__key"))
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    taggedLeft.unionByName(taggedRight)
+      .withColumn("__last_r", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        rightCols.map(c => col(s"__last_r.$c").as(s"$prefix$c")): _*)
+  }
+}

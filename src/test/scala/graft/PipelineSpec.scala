@@ -173,6 +173,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(partial.map(_.getAs[Int]("rank")).forall(r => r >= 1 && r <= 3))
   }
 
+  test("asof join attaches the latest earlier right row per key, atomically") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 10L, "r10", 100.0), (1L, 15L, "r15", 150.0),
+      (1L, 25L, "r25", 250.0), (3L, 1L, "rx", 1.0))
+      .toDF("k", "rts", "name", "v")
+    val out = graft.operators.Temporal.asofJoin(left, right, "k", "ts", "rts",
+        Seq("rts", "name", "v"))
+      .orderBy("k", "ts").collect()
+    // (1,10) → r10 (inclusive <=); (1,20) → r15; (2,5) → null (no right)
+    assert(out(0).getAs[String]("asof_name") === "r10")
+    assert(out(0).getAs[Double]("asof_v") === 100.0)
+    assert(out(1).getAs[String]("asof_name") === "r15")
+    assert(out(1).getAs[Double]("asof_v") === 150.0) // same row, not mixed
+    assert(out(2).isNullAt(out(2).fieldIndex("asof_name")))
+  }
+
   test("text profile computes sane values") {
     import spark.implicits._
     val docs = Seq((1L, "The cat sat on the mat, and it was happy."))
