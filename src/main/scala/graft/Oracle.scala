@@ -359,6 +359,18 @@ object Oracle {
         ON p.user_id = c.user_id AND p.ts >= c.click_ts
       ORDER BY p.user_id, p.event_id""",
 
+    "q37_range_join" -> """
+      SELECT p.user_id, p.event_id, s.signup_id,
+        strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        strftime(s.w_start, '%Y-%m-%d %H:%M:%S') AS w_start_s
+      FROM (SELECT user_id, event_id, ts FROM events
+            WHERE event_type = 'purchase') p
+      JOIN (SELECT user_id, event_id AS signup_id, ts AS w_start,
+                   ts + INTERVAL 2 HOUR AS w_end
+            FROM events WHERE event_type = 'signup') s
+        ON p.user_id = s.user_id AND p.ts >= s.w_start AND p.ts <= s.w_end
+      ORDER BY p.user_id, p.event_id, s.signup_id""",
+
     "q20_customer_order_stats" -> """
       SELECT o_custkey, COUNT(*) AS n_orders,
         strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') AS first_order_s,

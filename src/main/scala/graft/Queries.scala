@@ -464,6 +464,24 @@ object Queries {
       .orderBy("user_id", "event_id")
   }
 
+  /** Range join (Temporal.rangeJoin, binned equi-join form): purchases
+    * landing inside the 2-hour window after any signup of the same
+    * user — hash-matched against a DuckDB BETWEEN join. */
+  def q37RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val windows = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_id"),
+        col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("w_end"))
+    operators.Temporal.rangeJoin(purchases, windows, key = "user_id",
+        pointTs = "ts", startTs = "w_start", endTs = "w_end")
+      .select(col("user_id"), col("event_id"), col("signup_id"),
+        fmtTs(col("ts")).as("ts_s"), fmtTs(col("w_start")).as("w_start_s"))
+      .orderBy("user_id", "event_id", "signup_id")
+  }
+
   // =====================================================================
   // Training-data operators without a SQL oracle (rows-only checks)
   // =====================================================================

@@ -68,6 +68,7 @@ object SparkEntry {
     "q34_union_having" -> Queries.q34UnionHaving,
     "q35_having_max" -> Queries.q35HavingMax,
     "q36_asof_join" -> Queries.q36AsofJoin,
+    "q37_range_join" -> Queries.q37RangeJoin,
     // training-data operators (rows-only)
     "m01_minhash_pairs" -> Queries.m01MinhashPairs,
     "m02_simhash_pairs" -> Queries.m02SimhashPairs,

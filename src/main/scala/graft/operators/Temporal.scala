@@ -56,4 +56,32 @@ object Temporal {
       .select(leftCols.map(col) ++
         rightCols.map(c => col(s"__last_r.$c").as(s"$prefix$c")): _*)
   }
+
+  /**
+   * Range (interval) join: pairs every `points` row with every
+   * `intervals` row of the same `key` whose [startTs, endTs] contains
+   * the point's `pointTs` (inclusive both ends).
+   *
+   * Implemented by time binning: intervals explode to the bins they
+   * cover, points land in exactly one bin, and the match becomes an
+   * equi-join on (key, bin) plus an exact residual filter. Each
+   * qualifying pair is produced exactly once (the point's single bin).
+   * Shuffle carries interval rows × bins-covered — size `binSeconds`
+   * to the typical interval length. A raw `BETWEEN` theta-join is a
+   * per-key cross product; this is the scale shape.
+   */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, key: String,
+      pointTs: String, startTs: String, endTs: String,
+      binSeconds: Long = 3600L): DataFrame = {
+    val p = points.withColumn("__bin",
+      (unix_timestamp(col(pointTs)) / binSeconds).cast("long"))
+    val i = intervals
+      .withColumnRenamed(key, "__rkey")
+      .withColumn("__rbin", explode(sequence(
+        (unix_timestamp(col(startTs)) / binSeconds).cast("long"),
+        (unix_timestamp(col(endTs)) / binSeconds).cast("long"))))
+    p.join(i, col("__bin") === col("__rbin") && col(key) === col("__rkey"))
+      .filter(col(pointTs) >= col(startTs) && col(pointTs) <= col(endTs))
+      .drop("__bin", "__rbin", "__rkey")
+  }
 }

@@ -191,6 +191,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(2).isNullAt(out(2).fieldIndex("asof_name")))
   }
 
+  test("range join pairs points with containing intervals exactly once") {
+    import spark.implicits._
+    val points = Seq((1L, 100L, "2024-01-01 10:30:00"), (1L, 101L, "2024-01-01 13:00:00"),
+      (2L, 102L, "2024-01-01 10:30:00"))
+      .toDF("k", "pid", "ts_s")
+      .select(col("k"), col("pid"), col("ts_s").cast("timestamp").as("ts"))
+    val intervals = Seq(
+      (1L, 200L, "2024-01-01 10:00:00", "2024-01-01 12:00:00"), // spans 3 hourly bins
+      (1L, 201L, "2024-01-01 10:15:00", "2024-01-01 10:45:00"),
+      (2L, 202L, "2024-01-01 11:00:00", "2024-01-01 12:00:00")) // no match
+      .toDF("k", "iid", "s_s", "e_s")
+      .select(col("k"), col("iid"), col("s_s").cast("timestamp").as("s"),
+        col("e_s").cast("timestamp").as("e"))
+    val out = graft.operators.Temporal.rangeJoin(points, intervals, "k", "ts", "s", "e")
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(out === Set((100L, 200L), (100L, 201L))) // exactly once each
+  }
+
   test("text profile computes sane values") {
     import spark.implicits._
     val docs = Seq((1L, "The cat sat on the mat, and it was happy."))
