@@ -400,7 +400,10 @@ object Queries {
       .orderBy("p_brand")
   }
 
-  /** percent_rank / cume_dist / ntile (rounded for float stability). */
+  /** percent_rank / cume_dist / ntile (rounded for float stability).
+    * NOTE: a global (un-partitioned) window collapses to one task — fine
+    * for a correctness probe, but the scale form of a global rank is
+    * sort + zipWithIndex (two distributed passes), not a window. */
   def q32PercentRank(s: SparkSession, dir: String): DataFrame = {
     val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
     t(s, dir, "orders")
