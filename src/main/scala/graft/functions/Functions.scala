@@ -14,31 +14,6 @@ import graft.model.Schemas
  * skip-bad-rows semantics (P11) — so callers filter `isNotNull` and
  * Catalyst prunes the branch early.
  */
-// Decode-UDF output records. Top-level (not nested in the object):
-// Janino cannot compile accessor calls against object-nested private
-// case classes, which silently drops the encoder's UnsafeProjection to
-// interpreter mode on every decode batch.
-case class MintOut(mint_authority: Array[Byte], supply: Long,
-    decimals: Short, is_initialized: Boolean, freeze_authority: Array[Byte])
-
-case class TokenAccountOut(mint: Array[Byte], owner: Array[Byte],
-    amount: Long, delegate: Array[Byte], state: Short,
-    is_native: Option[Long], delegated_amount: Long,
-    close_authority: Array[Byte])
-
-// single-letter field names (m, n) break Spark's codegen'd encoder —
-// use prefixed fields here, aliased back to the reference's column
-// names in Etl.tokenMultisigs.
-case class MultisigOut(sig_m: Short, sig_n: Short,
-    is_initialized: Boolean, signers: Seq[Array[Byte]])
-
-case class MetadataOut(update_authority: Array[Byte],
-    mint: Array[Byte], name: String, symbol: String, uri: String,
-    seller_fee_basis_points: Int, primary_sale_happened: Boolean,
-    is_mutable: Boolean, edition_nonce: Option[Short],
-    token_standard: Option[Short], collection_verified: Option[Boolean],
-    collection_key: Array[Byte])
-
 object Functions {
 
   // ---- F1: base58 (custom; no Spark built-in exists) ----
@@ -52,44 +27,19 @@ object Functions {
   def base58_decode(c: Column): Column =
     ColumnBridge.column(graft.plans.Base58Decode(ColumnBridge.expression(c)))
 
-  // ---- D1: SPL Token decodes (fixed layouts; null on wrong length) ----
+  // ---- D1: SPL Token decodes / D3: MPL metadata borsh decode ----
+  // Native expressions (graft.plans.DecodeExpressions): binary → struct
+  // as InternalRow in one static call — no UDF closure, no case-class +
+  // Encoder round trip, plan stays inside whole-stage codegen.
 
-  private val decodeMintUdf = udf((data: Array[Byte]) => {
-    val m = SplToken.decodeMint(data)
-    if (m == null) null
-    else MintOut(m.mintAuthority.orNull, m.supply, m.decimals.toShort,
-      m.isInitialized, m.freezeAuthority.orNull)
-  })
-
-  private val decodeTokenAccountUdf = udf((data: Array[Byte]) => {
-    val a = SplToken.decodeAccount(data)
-    if (a == null) null
-    else TokenAccountOut(a.mint, a.owner, a.amount, a.delegate.orNull,
-      a.state.toShort, a.isNative, a.delegatedAmount, a.closeAuthority.orNull)
-  })
-
-  private val decodeMultisigUdf = udf((data: Array[Byte]) => {
-    val ms = SplToken.decodeMultisig(data)
-    if (ms == null) null
-    else MultisigOut(ms.m.toShort, ms.n.toShort, ms.isInitialized, ms.signers)
-  })
-
-  def decode_token_mint(data: Column): Column = decodeMintUdf(data)
-  def decode_token_account(data: Column): Column = decodeTokenAccountUdf(data)
-  def decode_token_multisig(data: Column): Column = decodeMultisigUdf(data)
-
-  // ---- D3: MPL metadata borsh decode ----
-
-  private val decodeMetadataUdf = udf((data: Array[Byte]) => {
-    val m = MplMetadata.decode(data)
-    if (m == null) null
-    else MetadataOut(m.updateAuthority, m.mint, m.name, m.symbol, m.uri,
-      m.sellerFeeBasisPoints, m.primarySaleHappened, m.isMutable,
-      m.editionNonce.map(_.toShort), m.tokenStandard.map(_.toShort),
-      m.collection.map(_.verified), m.collection.map(_.key).orNull)
-  })
-
-  def decode_token_metadata(data: Column): Column = decodeMetadataUdf(data)
+  def decode_token_mint(data: Column): Column =
+    ColumnBridge.column(graft.plans.SplTokenMintDecode(ColumnBridge.expression(data)))
+  def decode_token_account(data: Column): Column =
+    ColumnBridge.column(graft.plans.SplTokenAccountDecode(ColumnBridge.expression(data)))
+  def decode_token_multisig(data: Column): Column =
+    ColumnBridge.column(graft.plans.SplTokenMultisigDecode(ColumnBridge.expression(data)))
+  def decode_token_metadata(data: Column): Column =
+    ColumnBridge.column(graft.plans.MplMetadataDecode(ColumnBridge.expression(data)))
 
   // ---- D4: upgradeable-loader ProgramData body (strip 45-byte header:
   //      u32 discriminant + Option<Pubkey> upgrade_authority,

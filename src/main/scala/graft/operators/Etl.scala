@@ -76,7 +76,7 @@ object Etl {
         col("data_len") === SplToken.MultisigLen)
       .withColumn("d", decode_token_multisig(col("data")))
       .filter(col("d").isNotNull)
-      .select(col("pubkey"), col("d.sig_m").as("m"), col("d.sig_n").as("n"),
+      .select(col("pubkey"), col("d.m"), col("d.n"),
         explode(array_distinct(col("d.signers"))).as("signer"))
 
   /** P3+D3 — MPL metadata (borsh progressive decode). */

@@ -1,0 +1,118 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{BinaryType, DataType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.{MplMetadata, SplToken}
+import graft.model.Schemas
+
+/**
+ * Native decode expressions (SURVEY §2.7 D1/D3, §4 codegen candidates):
+ * binary account data → typed struct, built as `InternalRow` directly —
+ * no UDF closure, no case-class allocation, no Encoder serializer pass.
+ * Codegen emits one static call per row (`defineCodeGen`-style), keeping
+ * the surrounding project inside whole-stage codegen. Null output =
+ * undecodable input (P11 skip semantics), like the UDFs they replace.
+ */
+object DecodeCodegen {
+
+  @inline private def utf8(s: String): UTF8String = UTF8String.fromString(s)
+
+  def tokenAccount(data: Array[Byte]): InternalRow = {
+    val a = SplToken.decodeAccount(data)
+    if (a == null) return null
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      a.mint, a.owner, a.amount, a.delegate.orNull, a.state.toShort,
+      a.isNative.map(java.lang.Long.valueOf).orNull, a.delegatedAmount,
+      a.closeAuthority.orNull))
+  }
+
+  def tokenMint(data: Array[Byte]): InternalRow = {
+    val m = SplToken.decodeMint(data)
+    if (m == null) return null
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      m.mintAuthority.orNull, m.supply, m.decimals.toShort, m.isInitialized,
+      m.freezeAuthority.orNull))
+  }
+
+  def tokenMultisig(data: Array[Byte]): InternalRow = {
+    val ms = SplToken.decodeMultisig(data)
+    if (ms == null) return null
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      ms.m.toShort, ms.n.toShort, ms.isInitialized,
+      new GenericArrayData(ms.signers.toArray[Any])))
+  }
+
+  def tokenMetadata(data: Array[Byte]): InternalRow = {
+    val m = MplMetadata.decode(data)
+    if (m == null) return null
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      m.updateAuthority, m.mint, utf8(m.name), utf8(m.symbol), utf8(m.uri),
+      m.sellerFeeBasisPoints, m.primarySaleHappened, m.isMutable,
+      m.editionNonce.map(n => java.lang.Short.valueOf(n.toShort)).orNull,
+      m.tokenStandard.map(t => java.lang.Short.valueOf(t.toShort)).orNull,
+      m.collection.map(c => java.lang.Boolean.valueOf(c.verified)).orNull,
+      m.collection.map(_.key).orNull))
+  }
+}
+
+/** Shared shape: binary child → nullable struct via a static decoder. */
+abstract class BinaryDecodeExpression extends UnaryExpression {
+  /** Fully-qualified static method on DecodeCodegen. */
+  protected def staticCall: String
+
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BINARY input, got ${child.dataType.sql}")
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.plans.DecodeCodegen.$staticCall($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+}
+
+case class SplTokenAccountDecode(child: Expression) extends BinaryDecodeExpression {
+  override def dataType: DataType = Schemas.tokenAccount
+  override protected def staticCall: String = "tokenAccount"
+  override def nullSafeEval(input: Any): Any =
+    DecodeCodegen.tokenAccount(input.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+  override def prettyName: String = "decode_token_account"
+}
+
+case class SplTokenMintDecode(child: Expression) extends BinaryDecodeExpression {
+  override def dataType: DataType = Schemas.tokenMint
+  override protected def staticCall: String = "tokenMint"
+  override def nullSafeEval(input: Any): Any =
+    DecodeCodegen.tokenMint(input.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+  override def prettyName: String = "decode_token_mint"
+}
+
+case class SplTokenMultisigDecode(child: Expression) extends BinaryDecodeExpression {
+  override def dataType: DataType = Schemas.tokenMultisig
+  override protected def staticCall: String = "tokenMultisig"
+  override def nullSafeEval(input: Any): Any =
+    DecodeCodegen.tokenMultisig(input.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+  override def prettyName: String = "decode_token_multisig"
+}
+
+case class MplMetadataDecode(child: Expression) extends BinaryDecodeExpression {
+  override def dataType: DataType = Schemas.tokenMetadata
+  override protected def staticCall: String = "tokenMetadata"
+  override def nullSafeEval(input: Any): Any =
+    DecodeCodegen.tokenMetadata(input.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+  override def prettyName: String = "decode_token_metadata"
+}

@@ -61,7 +61,7 @@ class PipelineSpec extends AnyFunSuite {
     val nSum = deduped
       .filter(col("data_len") === graft.core.SplToken.MultisigLen)
       .select(graft.functions.Functions.decode_token_multisig(col("data")).as("d"))
-      .agg(sum(col("d.sig_n"))).collect()(0).getLong(0)
+      .agg(sum(col("d.n"))).collect()(0).getLong(0)
     assert(multisig.count() == nSum)
     // metadata rows decode names
     assert(metadata.filter(length(col("name")) > 0).count() == metadata.count())
