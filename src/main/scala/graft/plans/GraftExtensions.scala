@@ -25,5 +25,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("base58_decode"),
       new ExpressionInfo(classOf[Base58Decode].getName, "base58_decode"),
       (args: Seq[Expression]) => Base58Decode(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("decode_token_account"),
+      new ExpressionInfo(classOf[SplTokenAccountDecode].getName, "decode_token_account"),
+      (args: Seq[Expression]) => SplTokenAccountDecode(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("decode_token_mint"),
+      new ExpressionInfo(classOf[SplTokenMintDecode].getName, "decode_token_mint"),
+      (args: Seq[Expression]) => SplTokenMintDecode(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("decode_token_multisig"),
+      new ExpressionInfo(classOf[SplTokenMultisigDecode].getName, "decode_token_multisig"),
+      (args: Seq[Expression]) => SplTokenMultisigDecode(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("decode_token_metadata"),
+      new ExpressionInfo(classOf[MplMetadataDecode].getName, "decode_token_metadata"),
+      (args: Seq[Expression]) => MplMetadataDecode(args.head)))
   }
 }

@@ -56,6 +56,19 @@ class ExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("decode expressions callable from SQL with null-on-invalid") {
+    val s = spark
+    import s.implicits._
+    Seq((graft.sources.SyntheticSnapshot.mintData(new scala.util.Random(1)),
+        Array[Byte](1, 2, 3)))
+      .toDF("good", "bad").createOrReplaceTempView("decode_in")
+    val r = spark.sql(
+      """SELECT decode_token_mint(good).supply AS supply,
+         |       decode_token_mint(bad) AS bad_out FROM decode_in""".stripMargin)
+      .collect()(0)
+    assert(!r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("kernel SQL surface: minhash/cosine/simhash callable from SQL") {
     Graft.registerAll(spark)
     val r = spark.sql(
