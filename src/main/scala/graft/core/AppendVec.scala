@@ -122,11 +122,15 @@ object AppendVec {
         val data = readFully(dataLen.toInt)
         if (data == null) return null
         val padded = (align8((headerSize + dataLen.toInt)) - headerSize).toLong
-        val skip = padded - dataLen
-        var toSkip = skip
-        while (toSkip > 0) {
-          val s = in.skip(toSkip)
-          if (s <= 0) toSkip = 0 else toSkip -= s
+        // read-discard the pad bytes: InputStream.skip may return 0 without
+        // EOF, and silently under-skipping would misalign every following
+        // record into garbage rows. EOF inside padding = truncated tail:
+        // this record is complete (matches the byte-array walk), the next
+        // header read terminates the iterator.
+        var toSkip = padded - dataLen
+        var eofInPad = false
+        while (toSkip > 0 && !eofInPad) {
+          if (in.read() < 0) eofInPad = true else toSkip -= 1
         }
         offset = dataStart + padded
         Record(writeVersion, pubkey, dataLen, lamports, owner, executable,

@@ -66,20 +66,23 @@ object Media {
   def decodeMeta(bytes: Array[Byte]): Meta = {
     if (bytes == null || bytes.length < 2) return null
     val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    // payload-size checks in Long: header-declared dims can overflow Int
+    // (w=h=65535, c=255 → 7+w*h*c wraps negative) and must yield null
+    // (P11), not a downstream ArrayIndexOutOfBounds
     (bytes(0).toChar, bytes(1).toChar) match {
       case ('I', 'M') if bytes.length >= 7 =>
         val w = b.getShort(2) & 0xffff; val h = b.getShort(4) & 0xffff
         val c = bytes(6) & 0xff
-        if (bytes.length < 7 + w * h * c) null
+        if (bytes.length.toLong < 7L + w.toLong * h * c) null
         else Meta(KindImage, w, h, c, 0, 0, 0)
       case ('A', 'U') if bytes.length >= 10 =>
         val rate = b.getInt(2); val n = b.getInt(6)
-        if (bytes.length < 10 + n * 2) null
+        if (n < 0 || bytes.length.toLong < 10L + n.toLong * 2) null
         else Meta(KindAudio, 0, 0, 0, rate, n, 0)
       case ('V', 'I') if bytes.length >= 8 =>
         val f = b.getShort(2) & 0xffff
         val w = b.getShort(4) & 0xffff; val h = b.getShort(6) & 0xffff
-        if (bytes.length < 8 + f * w * h) null
+        if (bytes.length.toLong < 8L + f.toLong * w * h) null
         else Meta(KindVideo, w, h, 1, 0, 0, f)
       case _ => null
     }

@@ -48,9 +48,17 @@ object MplMetadata {
       if (key != KeyMetadataV1) return null
       val updateAuthority = r.pubkey()
       val mint = r.pubkey()
-      val name = r.borshString()
-      val symbol = r.borshString()
-      val uri = r.borshString()
+      // on-chain Metaplex serializes name/symbol/uri at fixed capacity
+      // (32/10/200) NUL-padded INSIDE the borsh length — strip it, or
+      // every string lands in the table with embedded trailing NULs
+      def stripNul(s: String): String = {
+        var end = s.length
+        while (end > 0 && s.charAt(end - 1) == '\u0000') end -= 1
+        s.substring(0, end)
+      }
+      val name = stripNul(r.borshString())
+      val symbol = stripNul(r.borshString())
+      val uri = stripNul(r.borshString())
       val sellerFee = r.u16()
       val creators = r.borshOption(r.borshVec(
         Creator(r.pubkey(), r.bool(), r.u8())))

@@ -35,10 +35,15 @@ object Dedup {
   private val simhashUdf = udf((t: String) => TextSig.simhash(t))
   private val jaccardUdf = udf((a: Array[Long], b: Array[Long]) => TextSig.jaccardSorted(a, b))
 
-  /** Normalized 64-bit content fingerprint used for exact dedup
-    * (xxhash64 built-in — codegen'd, no UDF needed for one hash). */
-  private def contentKey(text: Column): Column =
-    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+  /** Normalized 128-bit content fingerprint used for exact dedup
+    * (two independent xxhash64 seeds; codegen'd built-ins). 64 bits is
+    * not enough at the design scale — at 10^10 documents the birthday
+    * bound makes 64-bit collisions expected, and a collision silently
+    * deletes a non-duplicate document; 128 bits puts that at ~10^-19. */
+  private def contentKey(text: Column): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    struct(xxhash64(norm), xxhash64(norm, lit(0x9e3779b9L)))
+  }
 
   private def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
@@ -63,7 +68,10 @@ object Dedup {
   /** doc_id → sorted distinct shingle hashes (+ minhash sig), computed
     * once, partition-parallel. Persisted: the signature table is read 3×
     * downstream (bucket explode + both sides of the verify join) and
-    * recomputing the shingle pass each time triples the dominant cost. */
+    * recomputing the shingle pass each time triples the dominant cost.
+    * Lifecycle note: the cache entry lives until the session drops it —
+    * long-lived sessions running many dedup jobs should
+    * `spark.catalog.clearCache()` between corpora. */
   private def signatures(docs: DataFrame, shingleUdf: (Column, Column) => Column,
       w: Int, k: Int): DataFrame =
     spread(docs.select(col("doc_id"), col("text")))
@@ -135,6 +143,7 @@ object Dedup {
     val width = 64 / nChunks
     val sigs = spread(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), simhashUdf(col("text")).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunks = sigs.select(col("doc_id"), col("sig"),
         explode(array((0 until nChunks).map { i =>
           // last chunk absorbs the remainder bits

@@ -137,7 +137,6 @@ object Etl {
       .groupBy("opcode")
       .agg(countDistinct("program_id").as("num_programs"),
         count(lit(1)).as("num_insns"))
-      .filter(col("num_insns") > 0)
       .withColumn("mnemonic", ebpf_mnemonic(col("opcode")))
       .select("opcode", "mnemonic", "num_programs", "num_insns")
 }

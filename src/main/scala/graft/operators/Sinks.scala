@@ -89,8 +89,10 @@ object Sinks {
     }
   }
 
-  /** K6 — opcode statistics CSV report (zero rows already filtered by
-    * `Etl.opcodeStats`). */
+  /** K6 — opcode statistics CSV report. The reference iterates a dense
+    * 256-opcode table and skips zero rows (`main.rs:109-128`); our
+    * groupBy only ever produces opcodes that occur, so no filter is
+    * needed for the same output. */
   def writeOpcodeCsv(stats: DataFrame, path: String,
       mode: SaveMode = SaveMode.Overwrite): Unit =
     stats.write.mode(mode).option("header", "true").csv(path)

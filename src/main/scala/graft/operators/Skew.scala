@@ -26,10 +26,12 @@ object Skew {
 
   /** Salted distinct-count per key: stage 1 dedups (key, salt, value)
     * locally, stage 2 counts per (key, salt), stage 3 sums — correct
-    * because the same value always lands in the same salt bucket. */
+    * because the same value always lands in the same salt bucket.
+    * NULL values are excluded, matching COUNT(DISTINCT) semantics. */
   def saltedCountDistinct(df: DataFrame, keyCol: String, valueCol: String,
       salts: Int = 16): DataFrame =
-    df.withColumn("__salt", pmod(xxhash64(col(valueCol)), lit(salts)))
+    df.filter(col(valueCol).isNotNull)
+      .withColumn("__salt", pmod(xxhash64(col(valueCol)), lit(salts)))
       .select(col(keyCol), col("__salt"), col(valueCol))
       .distinct()
       .groupBy(col(keyCol), col("__salt"))

@@ -36,18 +36,23 @@ import graft.model.Schemas
  */
 object SnapshotReader {
 
-  /** Decode the manifest on the driver (S5). */
+  /** Decode the manifest on the driver (S5). Real archives also carry
+    * `snapshots/status_cache` and other non-slot entries — only numeric
+    * slot DIRECTORIES participate in the max-slot pick. */
   def readManifest(root: String): Manifest.AccountsDb = {
     val snapshotsDir = Paths.get(root, "snapshots")
-    val slotDir = Files.list(snapshotsDir).iterator()
-    var best: java.nio.file.Path = null
-    while (slotDir.hasNext) {
-      val p = slotDir.next()
-      if (best == null || p.getFileName.toString.toLong > best.getFileName.toString.toLong)
-        best = p
-    }
-    require(best != null, s"no manifest under $snapshotsDir")
-    val manifestFile = best.resolve(best.getFileName.toString)
+    val listing = Files.list(snapshotsDir)
+    val best =
+      try {
+        import scala.jdk.CollectionConverters._
+        listing.iterator().asScala
+          .filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.nonEmpty &&
+            p.getFileName.toString.forall(_.isDigit))
+          .maxByOption(_.getFileName.toString.toLong)
+      } finally listing.close()
+    require(best.isDefined, s"no slot manifest directory under $snapshotsDir")
+    val manifestFile = best.get.resolve(best.get.getFileName.toString)
     Manifest.read(Files.readAllBytes(manifestFile))
   }
 
@@ -94,14 +99,21 @@ object SnapshotReader {
           bcConf.value.foreach { case (k, v) => c.set(k, v) }
           c
         }
+        // close the in-flight stream even when the consumer stops early
+        // (limit, task failure) — otherwise each task leaks an FS stream
+        var open: java.io.InputStream = null
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => if (open != null) open.close()))
         items.flatMap { case (pathStr, slot, id, currentLen) =>
           val p = new Path(pathStr)
           val fs = p.getFileSystem(conf)
+          if (open != null) open.close()
           val in = new java.io.BufferedInputStream(fs.open(p), 1 << 20)
+          open = in
           AppendVec.streamRecords(in, currentLen).map { r =>
             Row(slot, id, r.writeVersion, r.pubkey, r.lamports, r.owner,
               r.executable, r.rentEpoch, r.dataLen, r.hash, r.data)
-          } ++ { in.close(); Iterator.empty }
+          }
         }
       }(enc)
   }

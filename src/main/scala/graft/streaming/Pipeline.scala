@@ -151,18 +151,26 @@ object Pipeline {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val cols = batch.columns
+        val fs = new org.apache.hadoop.fs.Path(tableDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val main = new org.apache.hadoop.fs.Path(tableDir)
+        val tmp = new org.apache.hadoop.fs.Path(tableDir + ".tmp")
+        // crash recovery: if a previous swap died between delete and
+        // rename, the temp dir IS the table
+        if (!fs.exists(main) && fs.exists(tmp)) fs.rename(tmp, main)
+        // only an ABSENT table means "first batch" — a read error on an
+        // existing table must fail the batch, not silently drop history
         val existing =
-          try spark.read.parquet(tableDir).select(cols.map(col).toIndexedSeq: _*)
-          catch { case _: Exception => batch.limit(0) } // first batch
+          if (fs.exists(main))
+            spark.read.parquet(tableDir).select(cols.map(col).toIndexedSeq: _*)
+          else batch.limit(0)
         val merged = graft.operators.Etl.latestVersion(
           existing.unionByName(batch))
         // write-to-temp + swap (parquet cannot read+overwrite in place)
-        val tmp = tableDir + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        val fs = new org.apache.hadoop.fs.Path(tableDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(tableDir), true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(tableDir))
+        fs.delete(tmp, true)
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(main, true)
+        fs.rename(tmp, main)
         ()
       }
 
