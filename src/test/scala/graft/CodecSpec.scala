@@ -215,6 +215,26 @@ class CodecSpec extends AnyFunSuite {
     assert(m12.collection.exists(c => c.verified && c.key.forall(_ == 8)))
   }
 
+  test("mpl metadata strips fixed-capacity NUL padding from strings") {
+    // on-chain layout: length prefix covers the padded capacity
+    val out = new scala.collection.mutable.ArrayBuffer[Byte]()
+    def u32(v: Int): Unit = out ++= java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+    def padded(sv: String, cap: Int): Unit = {
+      u32(cap); out ++= sv.getBytes("UTF-8")
+      out ++= new Array[Byte](cap - sv.length)
+    }
+    out += 4
+    out ++= Array.fill[Byte](32)(1)
+    out ++= Array.fill[Byte](32)(2)
+    padded("MyNFT", 32); padded("SYM", 10); padded("https://u.example/x", 200)
+    out ++= Array[Byte](0, 0) // fee
+    out += 0 // creators None
+    out += 0; out += 1 // primary_sale, is_mutable
+    val m = MplMetadata.decode(out.toArray)
+    assert(m.name == "MyNFT" && m.symbol == "SYM" && m.uri == "https://u.example/x")
+  }
+
   test("mpl metadata non-v1 tag and garbage return null") {
     assert(MplMetadata.decode(Array[Byte](1, 2, 3)) == null) // EditionV1 tag, truncated
     assert(MplMetadata.decode(Array.empty[Byte]) == null)
