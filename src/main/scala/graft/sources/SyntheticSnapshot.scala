@@ -191,6 +191,10 @@ object SyntheticSnapshot {
     Files.createDirectories(manifestDir)
     Files.write(manifestDir.resolve(maxSlot.toString),
       Manifest.write(Manifest.AccountsDb(entries.toMap, writeVersion, maxSlot)))
+    // real archives carry non-slot entries under snapshots/ (FIXTURES A1);
+    // the manifest scan must ignore them
+    Files.write(root.resolve("snapshots/status_cache"),
+      Array.fill[Byte](16)(0x5c))
     root
   }
 }
