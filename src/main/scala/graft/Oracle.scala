@@ -371,6 +371,27 @@ object Oracle {
         ON p.user_id = s.user_id AND p.ts >= s.w_start AND p.ts <= s.w_end
       ORDER BY p.user_id, p.event_id, s.signup_id""",
 
+    "q38_avg_qty_threshold" -> """
+      SELECT
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        COUNT(*) AS n_rows
+      FROM lineitem l
+      JOIN (SELECT l_partkey AS pk,
+              SUM(CAST(l_quantity AS DECIMAL(18,2))) / COUNT(*) AS avg_qty
+            FROM lineitem GROUP BY l_partkey) a
+        ON l.l_partkey = a.pk
+      WHERE l.l_quantity < a.avg_qty * 0.5""",
+
+    "q39_value_share" -> """
+      SELECT l_suppkey, CAST(value AS DOUBLE) AS value_d
+      FROM (SELECT l_suppkey,
+              SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,6))) AS value,
+              SUM(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,6)))) OVER () AS total
+            FROM lineitem
+            GROUP BY l_suppkey)
+      WHERE value > total * 0.001
+      ORDER BY l_suppkey""",
+
     "q20_customer_order_stats" -> """
       SELECT o_custkey, COUNT(*) AS n_orders,
         strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') AS first_order_s,

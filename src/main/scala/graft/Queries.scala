@@ -485,6 +485,35 @@ object Queries {
       .orderBy("user_id", "event_id", "signup_id")
   }
 
+  /** Correlated aggregate subquery (TPC-H Q17 shape): lineitems below
+    * 20% of their part's average quantity — decorrelated into a join
+    * against the per-part aggregate. */
+  def q38AvgQtyThreshold(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val partAvg = li.groupBy(col("l_partkey").as("pk"))
+      .agg((sum(col("l_quantity").cast(DecimalType(18, 2))) / count(lit(1)))
+        .as("avg_qty"))
+    li.join(partAvg, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < col("avg_qty") * 0.5)
+      .agg(dsum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Global-share aggregation (TPC-H Q11 shape): suppliers contributing
+    * more than 0.1% of total stock value, share via a window over the
+    * grand total. */
+  def q39ValueShare(s: SparkSession, dir: String): DataFrame = {
+    val agg = t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * col("l_quantity"))
+        .cast(DecimalType(28, 6))).as("value"))
+    val w = Window.partitionBy()
+    agg.withColumn("total", sum(col("value")).over(w))
+      .filter(col("value") > col("total") * 0.001)
+      .select(col("l_suppkey"), col("value").cast("double").as("value_d"))
+      .orderBy("l_suppkey")
+  }
+
   // =====================================================================
   // Training-data operators without a SQL oracle (rows-only checks)
   // =====================================================================
@@ -512,6 +541,14 @@ object Queries {
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 16), k = 5, planes = 8)
       .orderBy("query_id", "rank")
   }
+
+  /** Full curation chain report (language → quality → exact → near). */
+  def m10CurationReport(s: SparkSession, dir: String): DataFrame =
+    operators.TrainingPipeline.report(t(s, dir, "documents"),
+        operators.TrainingPipeline.Config(
+          languages = Seq("en", "de", "fr", "es"), minChars = 50,
+          minQuality = 0.2, nearDedupThreshold = 0.6))
+      .orderBy("stage")
 
   def m09AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")

@@ -69,6 +69,8 @@ object SparkEntry {
     "q35_having_max" -> Queries.q35HavingMax,
     "q36_asof_join" -> Queries.q36AsofJoin,
     "q37_range_join" -> Queries.q37RangeJoin,
+    "q38_avg_qty_threshold" -> Queries.q38AvgQtyThreshold,
+    "q39_value_share" -> Queries.q39ValueShare,
     // training-data operators (rows-only)
     "m01_minhash_pairs" -> Queries.m01MinhashPairs,
     "m02_simhash_pairs" -> Queries.m02SimhashPairs,
@@ -79,6 +81,7 @@ object SparkEntry {
     "m07_text_profile" -> Queries.m07TextProfile,
     "m08_minhash_dedup" -> Queries.m08MinhashDedup,
     "m09_ann_ivf" -> Queries.m09AnnIvf,
+    "m10_curation_report" -> Queries.m10CurationReport,
     "mm01_media_profile" -> Queries.mm01MediaProfile,
     "mm02_image_features" -> Queries.mm02ImageFeatures,
     "mm03_frame_sample" -> Queries.mm03FrameSample,

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Composable training-data curation pipeline over a `documents` table:
+ * the standard corpus-prep chain (language filter → quality gates →
+ * exact dedup → near dedup) as one configured transform, with per-stage
+ * row counts observable for data accounting.
+ *
+ * Each stage is a narrow filter or an already-scale-shaped operator
+ * (Dedup.*); the composition adds nothing beyond their shuffles. Stage
+ * order matters at scale: cheap narrow filters run first so the dedup
+ * shuffles see the smallest candidate corpus.
+ */
+object TrainingPipeline {
+
+  final case class Config(
+      languages: Seq[String] = Seq("en"),
+      minChars: Int = 100,
+      maxChars: Int = 1000000,
+      minQuality: Double = 0.3,
+      maxStopwordFreeRatio: Double = 1.0, // 1.0 = disabled
+      exactDedup: Boolean = true,
+      nearDedup: Boolean = true,
+      nearDedupThreshold: Double = 0.8)
+
+  /** Stage 1 — language allowlist (predicted when no `lang` column). */
+  def languageFilter(docs: DataFrame, languages: Seq[String]): DataFrame = {
+    if (languages.isEmpty) docs
+    else {
+      val langCol =
+        if (docs.columns.contains("lang")) col("lang")
+        else TextAnalysis.langId(col("text"))
+      docs.filter(langCol.isin(languages.map(lit(_)): _*))
+    }
+  }
+
+  /** Stage 2 — length + heuristic quality gates (C4/Gopher-style). */
+  def qualityFilter(docs: DataFrame, minChars: Int, maxChars: Int,
+      minQuality: Double): DataFrame =
+    docs.filter(
+      length(col("text")).between(minChars, maxChars) &&
+        TextAnalysis.qualityScore(col("text")) >= minQuality)
+
+  /** Full chain per `Config`; returns the curated corpus. */
+  def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    var d = languageFilter(docs, cfg.languages)
+    d = qualityFilter(d, cfg.minChars, cfg.maxChars, cfg.minQuality)
+    if (cfg.exactDedup) d = Dedup.exact(d)
+    if (cfg.nearDedup) d = Dedup.minhashDedup(d, cfg.nearDedupThreshold)
+    d
+  }
+
+  /** Data-accounting report: rows surviving each stage (one job per
+    * stage boundary; cache upstream if the corpus is huge and all
+    * counts are wanted in one pass). */
+  def report(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val s0 = docs.count()
+    val s1df = languageFilter(docs, cfg.languages)
+    val s1 = s1df.count()
+    val s2df = qualityFilter(s1df, cfg.minChars, cfg.maxChars, cfg.minQuality)
+    val s2 = s2df.count()
+    val s3df = if (cfg.exactDedup) Dedup.exact(s2df) else s2df
+    val s3 = s3df.count()
+    val s4 = if (cfg.nearDedup) Dedup.minhashDedup(s3df, cfg.nearDedupThreshold).count() else s3
+    Seq(
+      ("0_input", s0), ("1_language", s1), ("2_quality", s2),
+      ("3_exact_dedup", s3), ("4_near_dedup", s4))
+      .toDF("stage", "n_docs")
+  }
+}

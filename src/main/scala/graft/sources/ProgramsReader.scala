@@ -29,6 +29,31 @@ object ProgramsReader {
         col("content").as("elf"))
       .filter(col("pubkey").isNotNull)
 
+  /** S7 exact form — read a programs TAR (the reference consumes
+    * `programs.tar` on stdin, `solana-opcode-stats/main.rs:30-53`):
+    * entries stream on the driver (a tar is a sequential format), bodies
+    * parallelize to executors. For large fleets prefer the unpacked dir
+    * + `fromDir`. */
+  def fromTar(spark: SparkSession, tarPath: String): DataFrame = {
+    val tar = new org.apache.commons.compress.archivers.tar.TarArchiveInputStream(
+      new java.io.BufferedInputStream(
+        java.nio.file.Files.newInputStream(java.nio.file.Paths.get(tarPath)), 1 << 20))
+    val entries = scala.collection.mutable.ArrayBuffer[(String, Array[Byte])]()
+    try {
+      var e = tar.getNextEntry
+      while (e != null) {
+        if (!e.isDirectory && e.getName.endsWith(".so"))
+          entries += ((e.getName.stripSuffix(".so"), tar.readAllBytes()))
+        e = tar.getNextEntry
+      }
+    } finally tar.close()
+    import spark.implicits._
+    entries.toSeq.toDF("name", "elf")
+      .select(Functions.base58_decode(
+        regexp_extract(col("name"), "([^/]+)$", 1)).as("pubkey"), col("elf"))
+      .filter(col("pubkey").isNotNull)
+  }
+
   /** S8 — Kafka topic → raw (key, value, topic, timestamp) stream.
     * Decode with `graft.streaming.Wire.decodeTopic(df, schema)`. */
   def readTopic(spark: SparkSession, bootstrap: String, topics: String): DataFrame =

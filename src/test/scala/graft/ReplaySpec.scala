@@ -51,6 +51,28 @@ class ReplaySpec extends AnyFunSuite {
     programs.unpersist()
   }
 
+  test("S7 tar form: pack programs into a tar, read back, opcode stats match") {
+    val deduped = Etl.latestVersion(SnapshotReader.rawAccounts(spark, fixture))
+    val programs = Etl.programs(deduped).cache()
+    val dir = Files.createTempDirectory("programs-tar").toString
+    Sinks.writeProgramsDir(programs, dir)
+    val tarPath = Files.createTempDirectory("tar-out").resolve("programs.tar").toString
+    val tar = new org.apache.commons.compress.archivers.tar.TarArchiveOutputStream(
+      Files.newOutputStream(java.nio.file.Paths.get(tarPath)))
+    tar.setLongFileMode(org.apache.commons.compress.archivers.tar
+      .TarArchiveOutputStream.LONGFILE_POSIX)
+    Files.list(java.nio.file.Paths.get(dir)).forEach { p =>
+      val e = new org.apache.commons.compress.archivers.tar.TarArchiveEntry(
+        p.toFile, p.getFileName.toString)
+      tar.putArchiveEntry(e); Files.copy(p, tar); tar.closeArchiveEntry()
+    }
+    tar.close()
+    val fromTar = ProgramsReader.fromTar(spark, tarPath)
+    assert(fromTar.count() === programs.count())
+    assert(Etl.opcodeStats(fromTar).filter(col("mnemonic") === "EXIT").count() === 1)
+    programs.unpersist()
+  }
+
   test("J1 error channel surfaces the stray AppendVec, scan skips it") {
     val unexpected = SnapshotReader.unexpectedAppendVecs(spark, fixture)
       .collect().map(_.getString(0))

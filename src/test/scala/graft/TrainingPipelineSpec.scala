@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TrainingPipeline
+
+class TrainingPipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docs = {
+    val s = spark
+    import s.implicits._
+    val good = "the quick brown fox jumps over the lazy dog and it runs far " * 6
+    Seq(
+      (1L, good, "en"),
+      (2L, good, "en"), // exact dup of 1
+      (3L, good + " slightly changed tail here", "en"), // near dup of 1
+      (4L, "der schnelle braune fuchs springt " * 8, "de"), // wrong language
+      (5L, "short", "en"), // too short
+      (6L, "!!! ??? ;;; ### $$$ %%% " * 20, "en"), // junk punctuation
+      (7L, "completely different english content about query engines and the shuffles they run " * 5, "en"))
+      .toDF("doc_id", "text", "lang")
+  }
+
+  test("curation chain drops wrong-language, short, junk, and duplicate docs") {
+    val cfg = TrainingPipeline.Config(languages = Seq("en"), minChars = 100,
+      minQuality = 0.45, nearDedupThreshold = 0.6)
+    val s = spark
+    import s.implicits._
+    val kept = TrainingPipeline.curate(docs, cfg)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 7L))
+  }
+
+  test("report counts decrease monotonically per stage") {
+    val cfg = TrainingPipeline.Config(languages = Seq("en"), minChars = 100,
+      minQuality = 0.45, nearDedupThreshold = 0.6)
+    val r = TrainingPipeline.report(docs, cfg)
+      .orderBy("stage").collect().map(_.getLong(1))
+    assert(r.toSeq === r.toSeq.sorted.reverse) // monotone non-increasing
+    assert(r.head === 7L && r.last === 2L)
+  }
+}
