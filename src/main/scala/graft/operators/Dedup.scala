@@ -172,6 +172,57 @@ object Dedup {
     verifyJaccard(lshCandidates(sig, 8, 1), sig, threshold)
   }
 
+  /**
+   * Incremental near-dedup: drop batch docs that near-duplicate either
+   * the accumulated signature STORE or an earlier doc of the same batch,
+   * then append the survivors' signatures to the store. This is the
+   * streaming-corpus form of `minhashDedup` (each arriving shard dedups
+   * against everything already accepted — at scale the store is
+   * bucket-partitioned parquet and only matching buckets are read).
+   *
+   * Returns the kept docs; the store at `storeDir` grows by their
+   * signatures. Not concurrency-safe across writers (one curator job).
+   */
+  def minhashDedupIncremental(docs: DataFrame, storeDir: String,
+      threshold: Double = 0.7, k: Int = 64, bands: Int = 16,
+      shingleW: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val storeExists = fs.exists(new org.apache.hadoop.fs.Path(storeDir))
+
+    val sig = signatures(docs, charShinglesUdf(_, _), shingleW, k)
+    // within-batch pairs + pairs against the store
+    val batchDups = minhashPairs(docs, threshold, k, bands, shingleW)
+      .select(col("doc_id_b").as("doc_id"))
+    val storeDups =
+      if (!storeExists) spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
+      else {
+        val store = spark.read.parquet(storeDir)
+        val bNew = sig.select(col("doc_id"),
+            explode(lshBandKeys(col("sig"), bands, k / bands)).as("bk"))
+          .select(col("doc_id"), col("bk.band"), col("bk.bucket"))
+        val bOld = store.select(col("doc_id").as("store_id"),
+            explode(lshBandKeys(col("sig"), bands, k / bands)).as("bk"))
+          .select(col("store_id"), col("bk.band"), col("bk.bucket"))
+        val cand = bNew.join(bOld, Seq("band", "bucket"))
+          .select(col("doc_id"), col("store_id")).distinct()
+        cand
+          .join(sig.select(col("doc_id"), col("sh").as("sh_new")), "doc_id")
+          .join(store.select(col("doc_id").as("store_id"), col("sh").as("sh_old")), "store_id")
+          .filter(jaccardUdf(col("sh_new"), col("sh_old")) >= threshold)
+          .select(col("doc_id")).distinct()
+      }
+
+    val dupIds = batchDups.unionByName(storeDups).distinct()
+    val kept = docs.join(dupIds, Seq("doc_id"), "left_anti")
+    // persist survivors' signatures into the store
+    sig.join(dupIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("sh"), col("sig"))
+      .write.mode("append").parquet(storeDir)
+    kept
+  }
+
   /** Embedding-cosine near-dup pairs (see Similarity.cosine): pairs with
     * cosine ≥ threshold, LSH-bucketed by random hyperplane signs. */
   def embeddingPairs(emb: DataFrame, threshold: Double = 0.95,

@@ -39,6 +39,30 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(kept === Set(1L, 7L))
   }
 
+  test("incremental dedup rejects near-dups of previously accepted batches") {
+    val s = spark
+    import s.implicits._
+    val store = java.nio.file.Files.createTempDirectory("minhash-store").toString + "/sigs"
+    val base = "the quick brown fox jumps over the lazy dog and keeps on running far " * 4
+    val batch1 = Seq((1L, base), (2L, "totally different text about engines " * 6))
+      .toDF("doc_id", "text")
+    val kept1 = graft.operators.Dedup.minhashDedupIncremental(batch1, store, threshold = 0.6)
+    assert(kept1.count() === 2)
+
+    val batch2 = Seq(
+      (3L, base + " with a tiny suffix"), // near-dup of accepted doc 1
+      (4L, "brand new content unlike anything previously accepted here " * 5),
+      (5L, "brand new content unlike anything previously accepted here " * 5 + " x")) // dup of 4 within batch
+      .toDF("doc_id", "text")
+    val kept2 = graft.operators.Dedup.minhashDedupIncremental(batch2, store, threshold = 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 === Set(4L))
+
+    // the store now holds signatures for all accepted docs
+    val stored = spark.read.parquet(store).select("doc_id").as[Long].collect().toSet
+    assert(stored === Set(1L, 2L, 4L))
+  }
+
   test("report counts decrease monotonically per stage") {
     val cfg = TrainingPipeline.Config(languages = Seq("en"), minChars = 100,
       minQuality = 0.45, nearDedupThreshold = 0.6)
