@@ -172,6 +172,14 @@ object Dedup {
     verifyJaccard(lshCandidates(sig, 8, 1), sig, threshold)
   }
 
+  /** Band-bucket rows of a signature frame (shared by one-shot and
+    * incremental paths; `idAlias` renames doc_id for two-sided joins). */
+  private def bandBuckets(sig: DataFrame, bands: Int, rowsPerBand: Int,
+      idAlias: String = "doc_id"): DataFrame =
+    sig.select(col("doc_id").as(idAlias),
+        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col(idAlias), col("bk.band"), col("bk.bucket"))
+
   /**
    * Incremental near-dedup: drop batch docs that near-duplicate either
    * the accumulated signature STORE or an earlier doc of the same batch,
@@ -180,47 +188,69 @@ object Dedup {
    * against everything already accepted — at scale the store is
    * bucket-partitioned parquet and only matching buckets are read).
    *
-   * Returns the kept docs; the store at `storeDir` grows by their
-   * signatures. Not concurrency-safe across writers (one curator job).
+   * Returns the kept docs; the store at `storeDir` grows by the
+   * survivors' signatures. Signature parameters are pinned in a sidecar
+   * on first write and enforced on every later call — mixing geometries
+   * would silently break cross-batch comparison. Not concurrency-safe
+   * across writers (one curator job).
    */
   def minhashDedupIncremental(docs: DataFrame, storeDir: String,
       threshold: Double = 0.7, k: Int = 64, bands: Int = 16,
       shingleW: Int = 5): DataFrame = {
     val spark = docs.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(storeDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val storeExists = fs.exists(new org.apache.hadoop.fs.Path(storeDir))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val storePath = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = storePath.getFileSystem(hconf)
+    val paramsPath = new org.apache.hadoop.fs.Path(storeDir + ".params")
+    val params = s"k=$k,bands=$bands,shingleW=$shingleW"
 
-    val sig = signatures(docs, charShinglesUdf(_, _), shingleW, k)
-    // within-batch pairs + pairs against the store
-    val batchDups = minhashPairs(docs, threshold, k, bands, shingleW)
+    // the store "exists" only if committed parquet files are present —
+    // a dir left by a failed write must read as empty, not wedge the job
+    val storeExists = fs.exists(storePath) &&
+      fs.listStatus(storePath).exists(_.getPath.getName.endsWith(".parquet"))
+    if (fs.exists(paramsPath)) {
+      val stored = new String(
+        org.apache.commons.io.IOUtils.toByteArray(fs.open(paramsPath)), "UTF-8").trim
+      require(stored == params,
+        s"signature store $storeDir was built with ($stored); refusing ($params)")
+    }
+
+    val rowsPerBand = k / bands
+    val sig = signatures(docs, charShinglesUdf(_, _), shingleW, k) // persisted inside
+    // within-batch pairs (shared helpers — same rounding as one-shot path)
+    val batchDups = verifyJaccard(lshCandidates(sig, bands, rowsPerBand), sig, threshold)
       .select(col("doc_id_b").as("doc_id"))
     val storeDups =
-      if (!storeExists) spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
+      if (!storeExists) batchDups.limit(0)
       else {
         val store = spark.read.parquet(storeDir)
-        val bNew = sig.select(col("doc_id"),
-            explode(lshBandKeys(col("sig"), bands, k / bands)).as("bk"))
-          .select(col("doc_id"), col("bk.band"), col("bk.bucket"))
-        val bOld = store.select(col("doc_id").as("store_id"),
-            explode(lshBandKeys(col("sig"), bands, k / bands)).as("bk"))
-          .select(col("store_id"), col("bk.band"), col("bk.bucket"))
-        val cand = bNew.join(bOld, Seq("band", "bucket"))
+        val cand = bandBuckets(sig, bands, rowsPerBand)
+          .join(bandBuckets(store, bands, rowsPerBand, idAlias = "store_id"),
+            Seq("band", "bucket"))
           .select(col("doc_id"), col("store_id")).distinct()
         cand
           .join(sig.select(col("doc_id"), col("sh").as("sh_new")), "doc_id")
           .join(store.select(col("doc_id").as("store_id"), col("sh").as("sh_old")), "store_id")
-          .filter(jaccardUdf(col("sh_new"), col("sh_old")) >= threshold)
+          .filter(round(jaccardUdf(col("sh_new"), col("sh_old")), 6) >= threshold)
           .select(col("doc_id")).distinct()
       }
 
+    // MUST be materialized with lineage truncated BEFORE the append:
+    // a lazy re-evaluation after the store grows would re-read the store
+    // and match batch docs against their own just-appended signatures,
+    // dropping every survivor. (Small frame — ids only.)
     val dupIds = batchDups.unionByName(storeDups).distinct()
-    val kept = docs.join(dupIds, Seq("doc_id"), "left_anti")
-    // persist survivors' signatures into the store
+      .localCheckpoint(true)
+    // append survivors' signatures, then pin the parameters
     sig.join(dupIds, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("sh"), col("sig"))
       .write.mode("append").parquet(storeDir)
-    kept
+    if (!fs.exists(paramsPath)) {
+      val out = fs.create(paramsPath, true)
+      out.write(params.getBytes("UTF-8")); out.close()
+    }
+    sig.unpersist()
+    docs.join(dupIds, Seq("doc_id"), "left_anti")
   }
 
   /** Embedding-cosine near-dup pairs (see Similarity.cosine): pairs with

@@ -21,7 +21,7 @@ object TrainingPipeline {
       minChars: Int = 100,
       maxChars: Int = 1000000,
       minQuality: Double = 0.3,
-      maxStopwordFreeRatio: Double = 1.0, // 1.0 = disabled
+      minStopwordRatio: Double = 0.0, // 0.0 = disabled; drops keyword-spam/code dumps
       exactDedup: Boolean = true,
       nearDedup: Boolean = true,
       nearDedupThreshold: Double = 0.8)
@@ -39,15 +39,18 @@ object TrainingPipeline {
 
   /** Stage 2 — length + heuristic quality gates (C4/Gopher-style). */
   def qualityFilter(docs: DataFrame, minChars: Int, maxChars: Int,
-      minQuality: Double): DataFrame =
+      minQuality: Double, minStopwordRatio: Double = 0.0): DataFrame =
     docs.filter(
       length(col("text")).between(minChars, maxChars) &&
-        TextAnalysis.qualityScore(col("text")) >= minQuality)
+        TextAnalysis.qualityScore(col("text")) >= minQuality &&
+        (if (minStopwordRatio <= 0.0) lit(true)
+         else TextAnalysis.stopwordRatio(col("text")) >= minStopwordRatio))
 
   /** Full chain per `Config`; returns the curated corpus. */
   def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
     var d = languageFilter(docs, cfg.languages)
-    d = qualityFilter(d, cfg.minChars, cfg.maxChars, cfg.minQuality)
+    d = qualityFilter(d, cfg.minChars, cfg.maxChars, cfg.minQuality,
+      cfg.minStopwordRatio)
     if (cfg.exactDedup) d = Dedup.exact(d)
     if (cfg.nearDedup) d = Dedup.minhashDedup(d, cfg.nearDedupThreshold)
     d
@@ -62,7 +65,8 @@ object TrainingPipeline {
     val s0 = docs.count()
     val s1df = languageFilter(docs, cfg.languages)
     val s1 = s1df.count()
-    val s2df = qualityFilter(s1df, cfg.minChars, cfg.maxChars, cfg.minQuality)
+    val s2df = qualityFilter(s1df, cfg.minChars, cfg.maxChars, cfg.minQuality,
+      cfg.minStopwordRatio)
     val s2 = s2df.count()
     val s3df = if (cfg.exactDedup) Dedup.exact(s2df) else s2df
     val s3 = s3df.count()

@@ -30,28 +30,35 @@ object ProgramsReader {
       .filter(col("pubkey").isNotNull)
 
   /** S7 exact form — read a programs TAR (the reference consumes
-    * `programs.tar` on stdin, `solana-opcode-stats/main.rs:30-53`):
-    * entries stream on the driver (a tar is a sequential format), bodies
-    * parallelize to executors. For large fleets prefer the unpacked dir
-    * + `fromDir`. */
-  def fromTar(spark: SparkSession, tarPath: String): DataFrame = {
+    * `programs.tar` on stdin, `solana-opcode-stats/main.rs:30-53`).
+    * A tar is a sequential format, so it is spooled once (one streaming
+    * pass, O(entry) memory — holding all ELF bodies in driver heap OOMs
+    * on a real multi-GB programs.tar) and then scanned in parallel via
+    * `fromDir`. Only regular-file `*.so` entries are materialized
+    * (link entries carry zero-length bodies). */
+  def fromTar(spark: SparkSession, tarPath: String,
+      spoolDir: String = null): DataFrame = {
+    val dest = java.nio.file.Paths.get(
+      if (spoolDir != null) spoolDir
+      else java.nio.file.Files.createTempDirectory("programs-spool").toString)
+    java.nio.file.Files.createDirectories(dest)
     val tar = new org.apache.commons.compress.archivers.tar.TarArchiveInputStream(
       new java.io.BufferedInputStream(
         java.nio.file.Files.newInputStream(java.nio.file.Paths.get(tarPath)), 1 << 20))
-    val entries = scala.collection.mutable.ArrayBuffer[(String, Array[Byte])]()
     try {
       var e = tar.getNextEntry
       while (e != null) {
-        if (!e.isDirectory && e.getName.endsWith(".so"))
-          entries += ((e.getName.stripSuffix(".so"), tar.readAllBytes()))
+        if (e.isFile && e.getName.endsWith(".so")) {
+          val name = e.getName.substring(e.getName.lastIndexOf('/') + 1)
+          val out = dest.resolve(name).normalize()
+          require(out.startsWith(dest), s"tar entry escapes spool: ${e.getName}")
+          java.nio.file.Files.copy(tar, out,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
         e = tar.getNextEntry
       }
     } finally tar.close()
-    import spark.implicits._
-    entries.toSeq.toDF("name", "elf")
-      .select(Functions.base58_decode(
-        regexp_extract(col("name"), "([^/]+)$", 1)).as("pubkey"), col("elf"))
-      .filter(col("pubkey").isNotNull)
+    fromDir(spark, dest.toString)
   }
 
   /** S8 — Kafka topic → raw (key, value, topic, timestamp) stream.
