@@ -149,9 +149,10 @@ object SyntheticSnapshot {
           if (rng.nextDouble() < spec.dupFraction) dupPool(rng.nextInt(dupPool.size))
           else pk(rng)
         val kind = rng.nextInt(10)
-        // mint accounts live at the pooled keys token accounts reference,
-        // so token_account.mint → token_mint.pubkey joins resolve
-        val key2 = if (kind == 0) dupPool(rng.nextInt(8)) else key
+        // mint accounts live at pooled keys; token accounts reference the
+        // first 8 of them, so token_account.mint → token_mint.pubkey joins
+        // resolve while mints 8..15 exercise the no-holder case
+        val key2 = if (kind == 0) dupPool(rng.nextInt(16)) else key
         val (owner, data, executable) = kind match {
           case 0 => (SplToken.ProgramId, mintData(rng), false)
           case 1 | 2 => (SplToken.ProgramId, tokenAccountData(rng, dupPool(rng.nextInt(8))), false)
