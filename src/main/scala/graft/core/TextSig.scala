@@ -15,6 +15,17 @@ package graft.core
  * All hashes are deterministic (no per-JVM seeds): splitmix64 avalanche
  * over polynomial rolling hashes.
  */
+/** Per-document text statistics from one compiled pass (see
+  * `TextSig.textStats`). TOP-LEVEL case class: object-nested UDF return
+  * types silently drop encoder projections to interpreter mode (Janino). */
+final case class TextStats(
+    nChars: Long, // text.length (pre-trim)
+    nTokens: Long, // maximal non-\s runs of trimmed text; 0 if blank
+    nSubwords: Long, // \w runs + non-word non-space chars
+    stopHits: Long, // lowercased tokens in the stopword list
+    punctChars: Long, // chars in the ASCII \p{Punct} class
+    nonWsChars: Long) // non-\s chars of trimmed text
+
 object TextSig {
 
   /** splitmix64 finalizer — cheap, well-distributed 64-bit mix. */
@@ -151,6 +162,106 @@ object TextSig {
     var b = 0
     while (b < 64) { if (counts(b) * 2 > total) sig |= (1L << b); b += 1 }
     sig
+  }
+
+  // ---- single-pass text statistics (quality-signal kernel) ----
+
+  /** English stopword list shared with `TextAnalysis.stopwordRatio` —
+    * the two MUST stay identical (DuckDB oracles enumerate this list). */
+  final val Stopwords: Array[String] = Array("the", "a", "an", "and", "or",
+    "of", "to", "in", "is", "it", "that", "for", "on", "with", "as", "was",
+    "at", "by")
+  private val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](64)
+    Stopwords.foreach(s.add); s
+  }
+
+  // Character classes matching the Java regexes the Column forms used:
+  // \s = [ \t\n\x0B\f\r], \w = [a-zA-Z0-9_], \p{Punct} = ASCII punctuation.
+  @inline private def isRegexWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  @inline private def isWordChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '_'
+  @inline private def isPunct(c: Char): Boolean =
+    (c >= '!' && c <= '/') || (c >= ':' && c <= '@') ||
+      (c >= '[' && c <= '`') || (c >= '{' && c <= '~')
+
+  /**
+   * All `TextAnalysis` quality signals in ONE compiled pass per document.
+   * Replaces per-signal Column trees whose HOF `filter` (18 interpreted
+   * `isin` compares per token) re-evaluated under CollapseProject — the
+   * repo's measured O(k·N²) pathology (CLAUDE.md). Semantics replicate the
+   * original Column forms EXACTLY, including their edge quirks (the q16/
+   * q19 oracles hash against these):
+   *  - Spark `trim` strips ONLY ' ' (not \t/\n); `length` counts Unicode
+   *    code points, not UTF-16 units.
+   *  - nTokens = `size(split(trim(text), "\\s+"))`: split keeps boundary
+   *    empty fields, so a trimmed string with leading/trailing non-space
+   *    whitespace counts phantom tokens — field count = \s-runs + 1;
+   *    0 when the trimmed string is empty (the old guard).
+   *  - stopHits over lowercased whitespace-run tokens.
+   *  - punctChars counts `\p{Punct}` (ASCII) over the RAW text.
+   *  - nonWsChars = `length(regexp_replace(trim(text), "\\s+", ""))` =
+   *    non-\s code points (boundary spaces are \s — trim is immaterial).
+   *  - nSubwords = `split("(?=[^\\w])|(?<=[^\\w])")` + non-blank filter:
+   *    \w runs + every non-word code point except ' ' (space-only trim
+   *    keeps lone \t/\n tokens — preserved).
+   */
+  def textStats(text: String): TextStats = {
+    val t = if (text == null) "" else text
+    var len = 0L // code points
+    var punct = 0L
+    var subWordRuns = 0L
+    var subSolo = 0L
+    var nonWs = 0L
+    var stopHits = 0L
+    var inWord = false
+    val tok = new java.lang.StringBuilder(16)
+    var i = 0
+    while (i < t.length) {
+      val cp = t.codePointAt(i)
+      val cc = Character.charCount(cp)
+      len += 1
+      val single = cc == 1
+      val c = if (single) cp.toChar else ' '
+      if (single && isPunct(c)) punct += 1
+      if (single && isWordChar(c)) {
+        if (!inWord) { subWordRuns += 1; inWord = true }
+      } else {
+        inWord = false
+        if (!(single && c == ' ')) subSolo += 1
+      }
+      val ws = single && isRegexWs(c)
+      if (!ws) {
+        nonWs += 1
+        if (single) tok.append(Character.toLowerCase(c))
+        else tok.appendCodePoint(cp)
+      } else {
+        if (tok.length > 0 && stopSet.contains(tok.toString)) stopHits += 1
+        tok.setLength(0)
+      }
+      i += cc
+    }
+    if (tok.length > 0 && stopSet.contains(tok.toString)) stopHits += 1
+    // nTokens: space-only trim, then \s-run count + 1 (0 if trim-empty)
+    var lo = 0
+    var hi = t.length
+    while (lo < hi && t.charAt(lo) == ' ') lo += 1
+    while (hi > lo && t.charAt(hi - 1) == ' ') hi -= 1
+    var nTokens = 0L
+    if (hi > lo) {
+      var runs = 0L
+      var inRun = false
+      var j = lo
+      while (j < hi) {
+        if (isRegexWs(t.charAt(j))) { if (!inRun) { runs += 1; inRun = true } }
+        else inRun = false
+        j += 1
+      }
+      nTokens = runs + 1
+    }
+    TextStats(len, nTokens, subWordRuns + subSolo, stopHits, punct, nonWs)
   }
 
   /** Exact Jaccard of two sorted distinct hash arrays (merge scan). */

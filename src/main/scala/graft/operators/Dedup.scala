@@ -40,7 +40,7 @@ object Dedup {
     * not enough at the design scale — at 10^10 documents the birthday
     * bound makes 64-bit collisions expected, and a collision silently
     * deletes a non-duplicate document; 128 bits puts that at ~10^-19. */
-  private def contentKey(text: Column): Column = {
+  private[operators] def contentKey(text: Column): Column = {
     val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
     struct(xxhash64(norm), xxhash64(norm, lit(0x9e3779b9L)))
   }
@@ -69,9 +69,9 @@ object Dedup {
     * once, partition-parallel. Persisted: the signature table is read 3×
     * downstream (bucket explode + both sides of the verify join) and
     * recomputing the shingle pass each time triples the dominant cost.
-    * Lifecycle note: the cache entry lives until the session drops it —
-    * long-lived sessions running many dedup jobs should
-    * `spark.catalog.clearCache()` between corpora. */
+    * Lifecycle: one-shot operators materialize their result and unpersist
+    * before returning (`materialized`); only the incremental path manages
+    * the cache across a longer span. */
   private def signatures(docs: DataFrame, shingleUdf: (Column, Column) => Column,
       w: Int, k: Int): DataFrame =
     spread(docs.select(col("doc_id"), col("text")))
@@ -79,6 +79,17 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"), minhashUdf(col("sh"), lit(k)).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Materialize `result` (small: pairs/ids only) with lineage truncated,
+    * then release the signature cache. Without this, every one-shot dedup
+    * call leaves a MEMORY_AND_DISK signature table behind for the session
+    * lifetime — in a long bench/ETL session the caches accrete and the
+    * memory pressure taxes unrelated queries. */
+  private def materialized(result: DataFrame, caches: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint(true)
+    caches.foreach(_.unpersist())
+    out
+  }
 
   /** Candidate pairs sharing ≥1 LSH bucket, deduped. */
   private def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
@@ -115,7 +126,8 @@ object Dedup {
   def minhashPairs(docs: DataFrame, threshold: Double = 0.7,
       k: Int = 64, bands: Int = 16, shingleW: Int = 5): DataFrame = {
     val sig = signatures(docs, charShinglesUdf(_, _), shingleW, k)
-    verifyJaccard(lshCandidates(sig, bands, k / bands), sig, threshold)
+    materialized(
+      verifyJaccard(lshCandidates(sig, bands, k / bands), sig, threshold), sig)
   }
 
   /** Near-dedup via MinHash-LSH: drop the higher doc_id of every verified
@@ -153,14 +165,16 @@ object Dedup {
             shiftright(col("sig"), i * width).bitwiseAND(mask).as("chunk"))
         }: _*)).as("c"))
       .select(col("doc_id"), col("sig"), col("c.chunk_id"), col("c.chunk"))
-    chunks.as("l").join(chunks.as("r"),
-        col("l.chunk_id") === col("r.chunk_id") &&
-          col("l.chunk") === col("r.chunk") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_id_a"), col("r.doc_id").as("doc_id_b"),
-        hamming64(col("l.sig"), col("r.sig")).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+    materialized(
+      chunks.as("l").join(chunks.as("r"),
+          col("l.chunk_id") === col("r.chunk_id") &&
+            col("l.chunk") === col("r.chunk") &&
+            col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("doc_id_a"), col("r.doc_id").as("doc_id_b"),
+          hamming64(col("l.sig"), col("r.sig")).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= maxHamming),
+      sigs)
   }
 
   /** n-gram Jaccard pairs above threshold — exact Jaccard on word
@@ -169,7 +183,7 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
       w: Int = 3): DataFrame = {
     val sig = signatures(docs, wordShinglesUdf(_, _), w, 8)
-    verifyJaccard(lshCandidates(sig, 8, 1), sig, threshold)
+    materialized(verifyJaccard(lshCandidates(sig, 8, 1), sig, threshold), sig)
   }
 
   /** Band-bucket rows of a signature frame (shared by one-shot and

@@ -3,59 +3,69 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.core.{TextSig, TextStats}
+
 /**
- * Text-analysis operators for large-scale training-data pipelines, built
- * from codegen'd built-ins (no UDFs in the hot path): token counting,
- * quality scoring, language ID, and document fingerprinting over the
- * `documents` table.
+ * Text-analysis operators for large-scale training-data pipelines: token
+ * counting, quality scoring, language ID, and document fingerprinting
+ * over the `documents` table.
  *
  * All functions are narrow (per-row) — no shuffle; they scale linearly
- * with input splits and stay inside WholeStageCodegen.
+ * with input splits. The counting signals run as ONE compiled kernel pass
+ * per document (`TextSig.textStats`): the previous Column forms used a
+ * HOF `filter` with 18 interpreted `isin` compares per token, re-evaluated
+ * per reference after CollapseProject (the repo's measured pathology —
+ * CLAUDE.md). Identical `textStats(text)` calls are deduplicated by
+ * codegen subexpression elimination (deterministic ScalaUDF), so stacking
+ * several signals still costs one pass.
  */
 object TextAnalysis {
 
+  private val statsUdf = udf((t: String) => if (t == null) null else TextSig.textStats(t))
+
+  /** All counting signals as one struct column (single kernel pass). */
+  def stats(text: Column): Column = statsUdf(text)
+
   /** Whitespace tokens; empty string → 0. */
-  def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0L))
-      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+  def tokenCount(text: Column): Column = stats(text).getField("nTokens")
 
   /** BPE-ish subword count: word-chunks + digits + punctuation, the common
     * `\w+|[^\w\s]` pre-tokenizer shape. */
-  def subwordCount(text: Column): Column =
-    size(filter(split(text, "(?=[^\\w])|(?<=[^\\w])"),
-      t => length(trim(t)) > 0)).cast("long")
-
-  private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to",
-    "in", "is", "it", "that", "for", "on", "with", "as", "was", "at", "by")
+  def subwordCount(text: Column): Column = stats(text).getField("nSubwords")
 
   /** Fraction of tokens that are (English) stopwords — a standard quality
-    * signal; 0 for empty docs. */
+    * signal; 0 for empty docs. Stopword list: `TextSig.Stopwords`. */
   def stopwordRatio(text: Column): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
-    val stops = filter(toks, t => t.isin(stopwords.map(lit(_)): _*))
-    when(size(toks) === 0, lit(0.0))
-      .otherwise(size(stops).cast("double") / size(toks).cast("double"))
+    val st = stats(text)
+    when(st.getField("nTokens") === 0, lit(0.0))
+      .otherwise(st.getField("stopHits").cast("double") /
+        st.getField("nTokens").cast("double"))
   }
 
   /** Fraction of characters that are punctuation/symbols. */
-  def punctRatio(text: Column): Column =
-    when(length(text) === 0, lit(0.0))
-      .otherwise(
-        (length(text) - length(regexp_replace(text, "[\\p{Punct}]", "")))
-          .cast("double") / length(text).cast("double"))
+  def punctRatio(text: Column): Column = {
+    val st = stats(text)
+    when(st.getField("nChars") === 0, lit(0.0))
+      .otherwise(st.getField("punctChars").cast("double") /
+        st.getField("nChars").cast("double"))
+  }
 
   /** Mean token length — short-token spam / boilerplate signal. */
-  def meanTokenLen(text: Column): Column =
-    when(tokenCount(text) === 0, lit(0.0))
-      .otherwise(length(regexp_replace(trim(text), "\\s+", ""))
-        .cast("double") / tokenCount(text).cast("double"))
+  def meanTokenLen(text: Column): Column = {
+    val st = stats(text)
+    when(st.getField("nTokens") === 0, lit(0.0))
+      .otherwise(st.getField("nonWsChars").cast("double") /
+        st.getField("nTokens").cast("double"))
+  }
 
   /** Composite quality score in [0,1]: length band + stopword band +
     * punctuation band (C4/Gopher-style heuristics, simplified and
-    * deterministic). */
+    * deterministic). Arithmetic identical to the pre-kernel Column form
+    * (hash-stable vs the DuckDB oracles). */
   def qualityScore(text: Column): Column = {
-    val lenOk = when(length(text).between(200, 50000), 1.0).otherwise(
-      when(length(text) < 200, length(text).cast("double") / 200.0)
+    val len = stats(text).getField("nChars")
+    val lenOk = when(len.between(200, 50000), 1.0).otherwise(
+      when(len < 200, len.cast("double") / 200.0)
         .otherwise(0.5))
     val stopOk = when(stopwordRatio(text) > 0.05, 1.0).otherwise(
       stopwordRatio(text) * 20.0)

@@ -27,24 +27,30 @@ object TrainingPipeline {
       nearDedupThreshold: Double = 0.8)
 
   /** Stage 1 — language allowlist (predicted when no `lang` column). */
-  def languageFilter(docs: DataFrame, languages: Seq[String]): DataFrame = {
+  def languageFilter(docs: DataFrame, languages: Seq[String]): DataFrame =
     if (languages.isEmpty) docs
-    else {
-      val langCol =
-        if (docs.columns.contains("lang")) col("lang")
-        else TextAnalysis.langId(col("text"))
-      docs.filter(langCol.isin(languages.map(lit(_)): _*))
-    }
-  }
+    else docs.filter(languagePredicate(docs, languages))
 
   /** Stage 2 — length + heuristic quality gates (C4/Gopher-style). */
   def qualityFilter(docs: DataFrame, minChars: Int, maxChars: Int,
       minQuality: Double, minStopwordRatio: Double = 0.0): DataFrame =
-    docs.filter(
-      length(col("text")).between(minChars, maxChars) &&
-        TextAnalysis.qualityScore(col("text")) >= minQuality &&
-        (if (minStopwordRatio <= 0.0) lit(true)
-         else TextAnalysis.stopwordRatio(col("text")) >= minStopwordRatio))
+    docs.filter(qualityPredicate(minChars, maxChars, minQuality, minStopwordRatio))
+
+  private def qualityPredicate(minChars: Int, maxChars: Int,
+      minQuality: Double, minStopwordRatio: Double): Column =
+    length(col("text")).between(minChars, maxChars) &&
+      TextAnalysis.qualityScore(col("text")) >= minQuality &&
+      (if (minStopwordRatio <= 0.0) lit(true)
+       else TextAnalysis.stopwordRatio(col("text")) >= minStopwordRatio)
+
+  private def languagePredicate(docs: DataFrame, languages: Seq[String]): Column =
+    if (languages.isEmpty) lit(true)
+    else {
+      val langCol =
+        if (docs.columns.contains("lang")) col("lang")
+        else TextAnalysis.langId(col("text"))
+      langCol.isin(languages.map(lit(_)): _*)
+    }
 
   /** Full chain per `Config`; returns the curated corpus. */
   def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
@@ -56,21 +62,37 @@ object TrainingPipeline {
     d
   }
 
-  /** Data-accounting report: rows surviving each stage (one job per
-    * stage boundary; cache upstream if the corpus is huge and all
-    * counts are wanted in one pass). */
+  /** Data-accounting report: rows surviving each stage.
+    *
+    * Single-pass shape: stages 0–3 come from ONE conditional aggregation
+    * over the corpus (stage filters as boolean columns; exact-dedup
+    * survivors as `countDistinct` of the content key) — at 100 TB the
+    * accounting must not re-run the upstream chain per stage boundary.
+    * Only the near-dedup count (stage 4) runs the actual dedup pipeline,
+    * because LSH candidate generation + verify is not expressible as an
+    * aggregate. Total passes over the text: 2 (was 5). */
   def report(docs: DataFrame, cfg: Config = Config()): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val s0 = docs.count()
-    val s1df = languageFilter(docs, cfg.languages)
-    val s1 = s1df.count()
-    val s2df = qualityFilter(s1df, cfg.minChars, cfg.maxChars, cfg.minQuality,
-      cfg.minStopwordRatio)
-    val s2 = s2df.count()
-    val s3df = if (cfg.exactDedup) Dedup.exact(s2df) else s2df
-    val s3 = s3df.count()
-    val s4 = if (cfg.nearDedup) Dedup.minhashDedup(s3df, cfg.nearDedupThreshold).count() else s3
+    val langOk = languagePredicate(docs, cfg.languages)
+    val qualOk = langOk && qualityPredicate(cfg.minChars, cfg.maxChars,
+      cfg.minQuality, cfg.minStopwordRatio)
+    val row = docs.agg(
+      count(lit(1)).as("s0"),
+      count(when(langOk, 1)).as("s1"),
+      count(when(qualOk, 1)).as("s2"),
+      countDistinct(when(qualOk, Dedup.contentKey(col("text")))).as("s3"))
+      .head()
+    val (s0, s1, s2) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val s3 = if (cfg.exactDedup) row.getLong(3) else s2
+    val s4 =
+      if (!cfg.nearDedup) s3
+      else {
+        val filtered = qualityFilter(languageFilter(docs, cfg.languages),
+          cfg.minChars, cfg.maxChars, cfg.minQuality, cfg.minStopwordRatio)
+        val s3df = if (cfg.exactDedup) Dedup.exact(filtered) else filtered
+        Dedup.minhashDedup(s3df, cfg.nearDedupThreshold).count()
+      }
     Seq(
       ("0_input", s0), ("1_language", s1), ("2_quality", s2),
       ("3_exact_dedup", s3), ("4_near_dedup", s4))
