@@ -508,6 +508,14 @@ object Oracle {
       GROUP BY o_custkey
       ORDER BY o_custkey""",
 
+    "q40_global_rank" -> """
+      SELECT o_orderkey, rank
+      FROM (SELECT o_orderkey,
+              row_number() OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS rank
+            FROM orders)
+      WHERE o_orderkey % 100 = 0
+      ORDER BY o_orderkey""",
+
     // =================================================================
     // Training-data operators: exact re-derivations (see object scaladoc)
     // =================================================================

@@ -514,6 +514,17 @@ object Queries {
       .orderBy("l_suppkey")
   }
 
+  /** Scale form of q32's global ranking (`Ranking.globalRank`): sort +
+    * zipWithIndex, multi-task — hash-matched against DuckDB row_number
+    * over the same total order. */
+  def q40GlobalRank(s: SparkSession, dir: String): DataFrame =
+    operators.Ranking.globalRank(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        Seq(col("o_totalprice").asc, col("o_orderkey").asc))
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey"), col("rank"))
+      .orderBy("o_orderkey")
+
   // =====================================================================
   // Training-data operators without a SQL oracle (rows-only checks)
   // =====================================================================

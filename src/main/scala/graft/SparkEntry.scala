@@ -71,6 +71,7 @@ object SparkEntry {
     "q37_range_join" -> Queries.q37RangeJoin,
     "q38_avg_qty_threshold" -> Queries.q38AvgQtyThreshold,
     "q39_value_share" -> Queries.q39ValueShare,
+    "q40_global_rank" -> Queries.q40GlobalRank,
     // training-data operators (rows-only)
     "m01_minhash_pairs" -> Queries.m01MinhashPairs,
     "m02_simhash_pairs" -> Queries.m02SimhashPairs,

@@ -152,7 +152,26 @@ object Schemas {
     StructField("decimals", IntegerType, nullable = false),
     StructField("ui_amount", DoubleType, nullable = true)))
 
-  /** `TransactionStatusMeta` subset (`transaction_info.fbs:60-93`). */
+  /** `InnerInstructions` (`transaction_info.fbs:81-84`): instructions
+    * invoked via CPI, grouped by the outer instruction's index — the
+    * MEV/CPI-analysis input. */
+  val innerInstructions: StructType = StructType(Seq(
+    StructField("index", IntegerType, nullable = false),
+    StructField("instructions", ArrayType(compiledInstruction, containsNull = false),
+      nullable = false)))
+
+  /** `Reward` (`transaction_info.fbs:109-123`): pubkey rendered base58
+    * like the reference's writer; reward_type is the enum ordinal
+    * (0=None 1=Fee 2=Rent 3=Staking 4=Voting). */
+  val reward: StructType = StructType(Seq(
+    StructField("pubkey", StringType, nullable = false),
+    StructField("lamports", LongType, nullable = false),
+    StructField("post_balance", LongType, nullable = false),
+    StructField("reward_type", IntegerType, nullable = false),
+    StructField("commission", IntegerType, nullable = false)))
+
+  /** `TransactionStatusMeta` (`transaction_info.fbs:60-93`), including
+    * inner_instructions and rewards. */
   val transactionStatusMeta: StructType = StructType(Seq(
     StructField("status_ok", BooleanType, nullable = false),
     StructField("fee", LongType, nullable = false),
@@ -160,7 +179,9 @@ object Schemas {
     StructField("post_balances", ArrayType(LongType, containsNull = false), nullable = false),
     StructField("pre_token_balances", ArrayType(tokenBalance, containsNull = false), nullable = true),
     StructField("post_token_balances", ArrayType(tokenBalance, containsNull = false), nullable = true),
-    StructField("log_messages", ArrayType(StringType, containsNull = false), nullable = true)))
+    StructField("log_messages", ArrayType(StringType, containsNull = false), nullable = true),
+    StructField("inner_instructions", ArrayType(innerInstructions, containsNull = false), nullable = true),
+    StructField("rewards", ArrayType(reward, containsNull = false), nullable = true)))
 
   /** TransactionNotify event (`geyser.rs:226-248`). */
   val transactionNotify: StructType = StructType(Seq(

@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.LongType
+
+/**
+ * Global (un-partitioned) ranking at scale.
+ *
+ * A global window (`Window.orderBy(...)` with no partition) collapses the
+ * whole dataset into ONE task — fine as a correctness probe (q32), fatal
+ * at 100 TB. The scale form is two distributed passes:
+ *   1. range-partitioned total sort (`orderBy` — Spark samples ranges, so
+ *      every task holds a contiguous, sorted slice), then
+ *   2. `zipWithIndex`, which runs one tiny job over partition SIZES to
+ *      compute per-partition offsets and assigns each row
+ *      offset + local index without moving data again.
+ *
+ * The result equals `row_number()` over the same total order (ties must
+ * be broken by the caller's order columns, exactly as a window requires).
+ */
+object Ranking {
+
+  /** Append a 1-based global `rankCol` following `order` (which must be a
+    * TOTAL order — include a unique tie-break column). */
+  def globalRank(df: DataFrame, order: Seq[Column],
+      rankCol: String = "rank"): DataFrame = {
+    val sorted = df.orderBy(order: _*)
+    val schema = sorted.schema.add(rankCol, LongType, nullable = false)
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    sorted.sparkSession.createDataFrame(rdd, schema)
+  }
+}

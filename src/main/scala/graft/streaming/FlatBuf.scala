@@ -1,0 +1,487 @@
+package graft.streaming
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import com.google.flatbuffers.FlatBufferBuilder
+import org.apache.spark.sql.Row
+
+import graft.core.Base58
+
+// ---- decoded-wire case classes (TOP-LEVEL: object-nested UDF return
+// types drop encoder projections to interpreter mode — CLAUDE.md). Field
+// names mirror `Schemas.*` so decode output aligns with the relational
+// model column-for-column. ----
+
+final case class FbAccountUpdate(pubkey: Array[Byte], lamports: Long,
+    owner: Array[Byte], executable: Boolean, rent_epoch: Long,
+    data: Array[Byte], write_version: Long, slot: Long, is_startup: Boolean)
+
+final case class FbCompiledInstruction(program_id_index: Int,
+    accounts: Seq[Int], data: Array[Byte])
+
+final case class FbMessageHeader(num_required_signatures: Int,
+    num_readonly_signed_accounts: Int, num_readonly_unsigned_accounts: Int)
+
+final case class FbLegacyMessage(header: FbMessageHeader,
+    account_keys: Seq[Array[Byte]], recent_blockhash: Array[Byte],
+    instructions: Seq[FbCompiledInstruction])
+
+final case class FbAddressTableLookup(account_key: Array[Byte],
+    writable_indexes: Seq[Int], readonly_indexes: Seq[Int])
+
+final case class FbV0Message(header: FbMessageHeader,
+    account_keys: Seq[Array[Byte]], recent_blockhash: Array[Byte],
+    instructions: Seq[FbCompiledInstruction],
+    address_table_lookups: Seq[FbAddressTableLookup])
+
+final case class FbSanitizedMessage(format: String,
+    legacy: FbLegacyMessage, v0: FbV0Message)
+
+final case class FbTokenBalance(account_index: Int, mint: Array[Byte],
+    owner: Array[Byte], amount: String, decimals: Int,
+    ui_amount: Option[Double])
+
+final case class FbInnerInstructions(index: Int,
+    instructions: Seq[FbCompiledInstruction])
+
+final case class FbReward(pubkey: String, lamports: Long,
+    post_balance: Long, reward_type: Int, commission: Int)
+
+final case class FbStatusMeta(status_ok: Boolean, fee: Long,
+    pre_balances: Seq[Long], post_balances: Seq[Long],
+    pre_token_balances: Seq[FbTokenBalance],
+    post_token_balances: Seq[FbTokenBalance],
+    log_messages: Seq[String],
+    inner_instructions: Seq[FbInnerInstructions],
+    rewards: Seq[FbReward])
+
+final case class FbTransactionNotify(signature: Array[Byte],
+    is_vote: Boolean, slot: Long, message: FbSanitizedMessage,
+    meta: FbStatusMeta)
+
+final case class FbBlockMetadata(slot: Long, blockhash: String,
+    rewards_json: String, block_time: Option[Long],
+    block_height: Option[Long])
+
+final case class FbOffchain(pubkey: String, uri: String, slot: Long,
+    is_startup: Boolean)
+
+/**
+ * FlatBuffers wire format (SURVEY §2.7 D6) — the reference's DEFAULT
+ * serializer (reference: `serializer/src/flatbuffer/mod.rs:31-567`,
+ * schemas `account_info.fbs` / `transaction_info.fbs` / `metadata.fbs` /
+ * `metadata_off_chain.fbs`). Encoding uses the public
+ * `com.google.flatbuffers.FlatBufferBuilder`; decoding is a minimal
+ * vtable reader over the public format (root uoffset → table soffset →
+ * vtable of u16 field offsets), written here because the generated-code
+ * route needs `flatc`, which this environment lacks — the wire bytes are
+ * identical either way.
+ *
+ * Field ids follow the .fbs declaration order; unions occupy two slots
+ * (type byte, value table) with Legacy=1, V0=2 like flatc assigns.
+ * Pubkey-valued strings (token-balance mint/owner, reward pubkey) are
+ * base58 like the reference's writer (`flatbuffer/mod.rs` uses
+ * `.to_string()` on Pubkey).
+ */
+object FlatBuf {
+
+  // ---------------- minimal reader ----------------
+
+  /** Table cursor: absolute `pos` into a little-endian buffer. */
+  private final class T(val bb: ByteBuffer, val pos: Int) {
+    private def fieldOff(id: Int): Int = {
+      val vt = pos - bb.getInt(pos)
+      val vtSize = bb.getShort(vt) & 0xffff
+      val o = 4 + 2 * id
+      if (o < vtSize) bb.getShort(vt + o) & 0xffff else 0
+    }
+    private def indirect(p: Int): Int = p + bb.getInt(p)
+    def u8(id: Int, d: Int = 0): Int = {
+      val o = fieldOff(id); if (o == 0) d else bb.get(pos + o) & 0xff
+    }
+    def boolF(id: Int, d: Boolean = false): Boolean = {
+      val o = fieldOff(id); if (o == 0) d else bb.get(pos + o) != 0
+    }
+    def i64(id: Int, d: Long = 0L): Long = {
+      val o = fieldOff(id); if (o == 0) d else bb.getLong(pos + o)
+    }
+    def f64(id: Int, d: Double = 0.0): Double = {
+      val o = fieldOff(id); if (o == 0) d else bb.getDouble(pos + o)
+    }
+    def table(id: Int): T = {
+      val o = fieldOff(id); if (o == 0) null else new T(bb, indirect(pos + o))
+    }
+    /** (base, length) of a vector field, or null if absent. */
+    private def vec(id: Int): (Int, Int) = {
+      val o = fieldOff(id)
+      if (o == 0) null
+      else {
+        val v = indirect(pos + o)
+        (v + 4, bb.getInt(v))
+      }
+    }
+    def bytesF(id: Int): Array[Byte] = {
+      val v = vec(id); if (v == null) return null
+      val out = new Array[Byte](v._2)
+      var i = 0
+      while (i < v._2) { out(i) = bb.get(v._1 + i); i += 1 }
+      out
+    }
+    def byteVecAsInts(id: Int): Seq[Int] = {
+      val v = vec(id); if (v == null) return null
+      (0 until v._2).map(i => bb.get(v._1 + i) & 0xff)
+    }
+    def longVec(id: Int): Seq[Long] = {
+      val v = vec(id); if (v == null) return null
+      (0 until v._2).map(i => bb.getLong(v._1 + 8 * i))
+    }
+    def stringF(id: Int): String = {
+      val b = bytesF(id)
+      if (b == null) null else new String(b, java.nio.charset.StandardCharsets.UTF_8)
+    }
+    def tableVec(id: Int): Seq[T] = {
+      val v = vec(id); if (v == null) return null
+      (0 until v._2).map(i => new T(bb, indirect(v._1 + 4 * i)))
+    }
+    def stringVec(id: Int): Seq[String] = {
+      val v = vec(id); if (v == null) return null
+      (0 until v._2).map { i =>
+        val s = indirect(v._1 + 4 * i)
+        val n = bb.getInt(s)
+        val b = new Array[Byte](n)
+        var j = 0
+        while (j < n) { b(j) = bb.get(s + 4 + j); j += 1 }
+        new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      }
+    }
+  }
+
+  private def root(bytes: Array[Byte]): T = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    new T(bb, bb.getInt(0))
+  }
+
+  // ---------------- shared encode helpers ----------------
+
+  /** `table Pubkey { key: [uint8]; }` / `table Signature` share a shape. */
+  private def keyTable(b: FlatBufferBuilder, bytes: Array[Byte]): Int = {
+    val k = b.createByteVector(bytes)
+    b.startTable(1); b.addOffset(0, k, 0); b.endTable()
+  }
+
+  private def longVector(b: FlatBufferBuilder, xs: Seq[Long]): Int = {
+    b.startVector(8, xs.length, 8)
+    xs.reverseIterator.foreach(b.addLong)
+    b.endVector()
+  }
+
+  private def intAsByteVector(b: FlatBufferBuilder, xs: Seq[Int]): Int = {
+    b.startVector(1, xs.length, 1)
+    xs.reverseIterator.foreach(x => b.addByte(x.toByte))
+    b.endVector()
+  }
+
+  private def keyVector(b: FlatBufferBuilder, keys: Seq[Array[Byte]]): Int =
+    b.createVectorOfTables(keys.map(keyTable(b, _)).toArray)
+
+  private def stringVector(b: FlatBufferBuilder, xs: Seq[String]): Int =
+    b.createVectorOfTables(xs.map(b.createString(_)).toArray)
+
+  // ---------------- AccountInfo ----------------
+
+  /** Encode one `Schemas.accountUpdate` row → `account_info.fbs` bytes. */
+  def encodeAccountUpdate(r: Row): Array[Byte] = {
+    val b = new FlatBufferBuilder(256)
+    val pk = keyTable(b, r.getAs[Array[Byte]](0))
+    val owner = keyTable(b, r.getAs[Array[Byte]](2))
+    val data = b.createByteVector(r.getAs[Array[Byte]](5))
+    b.startTable(9)
+    b.addOffset(0, pk, 0)
+    b.addLong(1, r.getLong(1), 0L)
+    b.addOffset(2, owner, 0)
+    b.addBoolean(3, r.getBoolean(3), false)
+    b.addLong(4, r.getLong(4), 0L)
+    b.addOffset(5, data, 0)
+    b.addLong(6, r.getLong(6), 0L)
+    b.addLong(7, r.getLong(7), 0L)
+    b.addBoolean(8, r.getBoolean(8), false)
+    b.finish(b.endTable())
+    b.sizedByteArray()
+  }
+
+  def decodeAccountUpdate(bytes: Array[Byte]): FbAccountUpdate = {
+    if (bytes == null) return null
+    val t = root(bytes)
+    FbAccountUpdate(
+      pubkey = t.table(0).bytesF(0),
+      lamports = t.i64(1),
+      owner = t.table(2).bytesF(0),
+      executable = t.boolF(3),
+      rent_epoch = t.i64(4),
+      data = t.bytesF(5),
+      write_version = t.i64(6),
+      slot = t.i64(7),
+      is_startup = t.boolF(8))
+  }
+
+  // ---------------- TransactionInfo ----------------
+
+  private def encodeHeader(b: FlatBufferBuilder, h: Row): Int = {
+    b.startTable(3)
+    b.addByte(0, h.getInt(0).toByte, 0)
+    b.addByte(1, h.getInt(1).toByte, 0)
+    b.addByte(2, h.getInt(2).toByte, 0)
+    b.endTable()
+  }
+
+  private def encodeInstruction(b: FlatBufferBuilder, i: Row): Int = {
+    val accounts = intAsByteVector(b, i.getSeq[Int](1))
+    val data = b.createByteVector(i.getAs[Array[Byte]](2))
+    b.startTable(3)
+    b.addByte(0, i.getInt(0).toByte, 0)
+    b.addOffset(1, accounts, 0)
+    b.addOffset(2, data, 0)
+    b.endTable()
+  }
+
+  private def encodeInstructionVec(b: FlatBufferBuilder, is: Seq[Row]): Int =
+    b.createVectorOfTables(is.map(encodeInstruction(b, _)).toArray)
+
+  /** Legacy/V0 message core: header, account_keys, recent_blockhash,
+    * instructions (+ address_table_lookups for MessageV0). */
+  private def encodeMessageCore(b: FlatBufferBuilder, m: Row, v0: Boolean): Int = {
+    val keys = keyVector(b, m.getSeq[Array[Byte]](1))
+    val bh = b.createByteVector(m.getAs[Array[Byte]](2))
+    val insns = encodeInstructionVec(b, m.getSeq[Row](3))
+    val lookups = if (!v0) 0 else b.createVectorOfTables(
+      m.getSeq[Row](4).map { l =>
+        val ak = keyTable(b, l.getAs[Array[Byte]](0))
+        val wi = intAsByteVector(b, l.getSeq[Int](1))
+        val ri = intAsByteVector(b, l.getSeq[Int](2))
+        b.startTable(3)
+        b.addOffset(0, ak, 0); b.addOffset(1, wi, 0); b.addOffset(2, ri, 0)
+        b.endTable()
+      }.toArray)
+    val header = encodeHeader(b, m.getStruct(0))
+    b.startTable(if (v0) 5 else 4)
+    b.addOffset(0, header, 0)
+    b.addOffset(1, keys, 0)
+    b.addOffset(2, bh, 0)
+    b.addOffset(3, insns, 0)
+    if (v0) b.addOffset(4, lookups, 0)
+    b.endTable()
+  }
+
+  private def encodeTokenBalanceVec(b: FlatBufferBuilder, tbs: Seq[Row]): Int =
+    b.createVectorOfTables(tbs.map { tb =>
+      val mint = b.createString(Base58.encode(tb.getAs[Array[Byte]](1)))
+      val owner =
+        if (tb.isNullAt(2)) 0 else b.createString(Base58.encode(tb.getAs[Array[Byte]](2)))
+      val amountStr = b.createString(tb.getString(3))
+      val ui = {
+        b.startTable(4)
+        // NaN "default" forces the slot to serialize even for 0.0 —
+        // the builder elides values equal to the default, which would
+        // turn Some(0.0) into an absent field
+        if (!tb.isNullAt(5)) b.addDouble(0, tb.getDouble(5), Double.NaN)
+        b.addByte(1, tb.getInt(4).toByte, 0)
+        b.addOffset(2, amountStr, 0)
+        b.endTable()
+      }
+      b.startTable(5)
+      b.addByte(0, tb.getInt(0).toByte, 0)
+      b.addOffset(1, mint, 0)
+      b.addOffset(2, ui, 0)
+      if (owner != 0) b.addOffset(3, owner, 0)
+      b.endTable()
+    }.toArray)
+
+  /** Encode one `Schemas.transactionNotify` row → `transaction_info.fbs`
+    * bytes. Fields our model doesn't carry (message_hash,
+    * ui_amount_string, token-balance program_id) encode empty; the
+    * reference's own consumers treat them as optional. */
+  def encodeTransaction(r: Row): Array[Byte] = {
+    val b = new FlatBufferBuilder(1024)
+    val sigBytes = r.getAs[Array[Byte]](0)
+    val msg = r.getStruct(3)
+    val isV0 = msg.getString(0) == "v0"
+
+    // message union value
+    val unionVal =
+      if (!isV0) encodeMessageCore(b, msg.getStruct(1), v0 = false)
+      else {
+        val core = encodeMessageCore(b, msg.getStruct(2), v0 = true)
+        b.startTable(2) // LoadedMessageV0 { message, loaded_addresses }
+        b.addOffset(0, core, 0)
+        b.endTable()
+      }
+    val sigVec = b.createVectorOfTables(Array(keyTable(b, sigBytes)))
+    val txn = {
+      b.startTable(5) // SanitizedTransaction: union type+value, hash, vote, sigs
+      b.addByte(0, if (isV0) 2.toByte else 1.toByte, 0)
+      b.addOffset(1, unionVal, 0)
+      b.addBoolean(3, r.getBoolean(1), false)
+      b.addOffset(4, sigVec, 0)
+      b.endTable()
+    }
+
+    // TransactionStatusMeta
+    val meta = r.getStruct(4)
+    val pre = longVector(b, meta.getSeq[Long](2))
+    val post = longVector(b, meta.getSeq[Long](3))
+    val preTb = if (meta.isNullAt(4)) 0 else encodeTokenBalanceVec(b, meta.getSeq[Row](4))
+    val postTb = if (meta.isNullAt(5)) 0 else encodeTokenBalanceVec(b, meta.getSeq[Row](5))
+    val logs = if (meta.isNullAt(6)) 0 else stringVector(b, meta.getSeq[String](6))
+    val inner = if (meta.isNullAt(7)) 0 else b.createVectorOfTables(
+      meta.getSeq[Row](7).map { ii =>
+        val insns = encodeInstructionVec(b, ii.getSeq[Row](1))
+        b.startTable(2)
+        b.addByte(0, ii.getInt(0).toByte, 0)
+        b.addOffset(1, insns, 0)
+        b.endTable()
+      }.toArray)
+    val rewards = if (meta.isNullAt(8)) 0 else b.createVectorOfTables(
+      meta.getSeq[Row](8).map { rw =>
+        val pkStr = b.createString(rw.getString(0))
+        b.startTable(5)
+        b.addOffset(0, pkStr, 0)
+        b.addLong(1, rw.getLong(1), 0L)
+        b.addLong(2, rw.getLong(2), 0L)
+        b.addByte(3, rw.getInt(3).toByte, 0)
+        b.addByte(4, rw.getInt(4).toByte, 0)
+        b.endTable()
+      }.toArray)
+    val metaOff = {
+      b.startTable(9)
+      b.addBoolean(0, meta.getBoolean(0), false)
+      b.addLong(1, meta.getLong(1), 0L)
+      b.addOffset(2, pre, 0)
+      b.addOffset(3, post, 0)
+      if (inner != 0) b.addOffset(4, inner, 0)
+      if (logs != 0) b.addOffset(5, logs, 0)
+      if (preTb != 0) b.addOffset(6, preTb, 0)
+      if (postTb != 0) b.addOffset(7, postTb, 0)
+      if (rewards != 0) b.addOffset(8, rewards, 0)
+      b.endTable()
+    }
+
+    val sig = keyTable(b, sigBytes)
+    b.startTable(5)
+    b.addOffset(0, sig, 0)
+    b.addBoolean(1, r.getBoolean(1), false)
+    b.addLong(2, r.getLong(2), 0L)
+    b.addOffset(3, txn, 0)
+    b.addOffset(4, metaOff, 0)
+    b.finish(b.endTable())
+    b.sizedByteArray()
+  }
+
+  private def decodeInstruction(t: T): FbCompiledInstruction =
+    FbCompiledInstruction(t.u8(0), t.byteVecAsInts(1), t.bytesF(2))
+
+  private def decodeMessageCore(t: T): (FbMessageHeader, Seq[Array[Byte]],
+      Array[Byte], Seq[FbCompiledInstruction]) = {
+    val h = t.table(0)
+    (FbMessageHeader(h.u8(0), h.u8(1), h.u8(2)),
+      t.tableVec(1).map(_.bytesF(0)),
+      t.bytesF(2),
+      t.tableVec(3).map(decodeInstruction))
+  }
+
+  private def decodeTokenBalances(ts: Seq[T]): Seq[FbTokenBalance] =
+    if (ts == null) null
+    else ts.map { tb =>
+      val ui = tb.table(2)
+      FbTokenBalance(
+        account_index = tb.u8(0),
+        mint = Base58.decode(tb.stringF(1)),
+        owner = Option(tb.stringF(3)).map(Base58.decode).orNull,
+        amount = ui.stringF(2),
+        decimals = ui.u8(1),
+        // absent scalar = "no ui amount" (the writer omits the default)
+        ui_amount = if (ui.f64(0, Double.NaN).isNaN) None else Some(ui.f64(0)))
+    }
+
+  def decodeTransaction(bytes: Array[Byte]): FbTransactionNotify = {
+    if (bytes == null) return null
+    val t = root(bytes)
+    val txn = t.table(3)
+    val unionType = txn.u8(0)
+    val unionVal = txn.table(1)
+    val message =
+      if (unionType == 2) {
+        val (h, keys, bh, insns) = decodeMessageCore(unionVal.table(0))
+        val lookups = Option(unionVal.table(0).tableVec(4))
+          .getOrElse(Seq.empty)
+          .map(l => FbAddressTableLookup(l.table(0).bytesF(0),
+            l.byteVecAsInts(1), l.byteVecAsInts(2)))
+        FbSanitizedMessage("v0", null, FbV0Message(h, keys, bh, insns, lookups))
+      } else {
+        val (h, keys, bh, insns) = decodeMessageCore(unionVal)
+        FbSanitizedMessage("legacy", FbLegacyMessage(h, keys, bh, insns), null)
+      }
+    val m = t.table(4)
+    val meta = FbStatusMeta(
+      status_ok = m.boolF(0),
+      fee = m.i64(1),
+      pre_balances = m.longVec(2),
+      post_balances = m.longVec(3),
+      pre_token_balances = decodeTokenBalances(m.tableVec(6)),
+      post_token_balances = decodeTokenBalances(m.tableVec(7)),
+      log_messages = m.stringVec(5),
+      inner_instructions = Option(m.tableVec(4)).map(_.map(ii =>
+        FbInnerInstructions(ii.u8(0), ii.tableVec(1).map(decodeInstruction)))).orNull,
+      rewards = Option(m.tableVec(8)).map(_.map(rw =>
+        FbReward(rw.stringF(0), rw.i64(1), rw.i64(2), rw.u8(3), rw.u8(4)))).orNull)
+    FbTransactionNotify(t.table(0).bytesF(0), t.boolF(1), t.i64(2), message, meta)
+  }
+
+  // ---------------- Metadata / MetadataOffChain ----------------
+
+  /** Encode one `Schemas.blockMetadata` row → `metadata.fbs` bytes. */
+  def encodeBlockMetadata(r: Row): Array[Byte] = {
+    val b = new FlatBufferBuilder(256)
+    val bh = b.createString(r.getString(1))
+    val rw = if (r.isNullAt(2)) 0 else b.createString(r.getString(2))
+    b.startTable(5)
+    b.addLong(0, r.getLong(0), 0L)
+    b.addOffset(1, bh, 0)
+    if (rw != 0) b.addOffset(2, rw, 0)
+    // MinValue "defaults" force 0-valued times/heights to serialize
+    // (builder elides default-equal scalars; see ui_amount note)
+    if (!r.isNullAt(3)) b.addLong(3, r.getLong(3), Long.MinValue)
+    if (!r.isNullAt(4)) b.addLong(4, r.getLong(4), Long.MinValue)
+    b.finish(b.endTable())
+    b.sizedByteArray()
+  }
+
+  def decodeBlockMetadata(bytes: Array[Byte]): FbBlockMetadata = {
+    if (bytes == null) return null
+    val t = root(bytes)
+    FbBlockMetadata(t.i64(0), t.stringF(1), t.stringF(2),
+      // scalar presence distinguishes "absent" from 0 only when the writer
+      // omitted the slot — mirrored from encodeBlockMetadata's conditional
+      block_time = if (t.i64(3, Long.MinValue) == Long.MinValue) None else Some(t.i64(3)),
+      block_height = if (t.i64(4, Long.MinValue) == Long.MinValue) None else Some(t.i64(4)))
+  }
+
+  /** Encode one offchain row (pubkey base58, uri, slot, is_startup). */
+  def encodeOffchain(r: Row): Array[Byte] = {
+    val b = new FlatBufferBuilder(128)
+    val pk = b.createString(r.getString(0))
+    val uri = b.createString(r.getString(1))
+    b.startTable(4)
+    b.addOffset(0, pk, 0)
+    b.addOffset(1, uri, 0)
+    b.addLong(2, r.getLong(2), 0L)
+    b.addBoolean(3, r.getBoolean(3), false)
+    b.finish(b.endTable())
+    b.sizedByteArray()
+  }
+
+  def decodeOffchain(bytes: Array[Byte]): FbOffchain = {
+    if (bytes == null) return null
+    val t = root(bytes)
+    FbOffchain(t.stringF(0), t.stringF(1), t.i64(2), t.boolF(3))
+  }
+}

@@ -1,23 +1,20 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 import graft.model.Schemas
 
 /**
- * Wire formats (SURVEY §2.7 D6–D8): the serializer crate's JSON mode
- * (`serializer/src/serde_serialisation/mod.rs:13-52`) re-expressed as
- * `to_json(struct(...))` / `from_json` — codegen'd, schema-checked, and
- * identical batch or streaming. (The reference also ships FlatBuffers
- * (`flatbuffer/mod.rs:31-567`); JSON is its own supported alternative
- * (`serializer/src/lib.rs:10-16`), and no flatbuffers jar exists in the
- * Spark distribution, so JSON is the default wire here.)
- *
- * Binary fields (pubkey/owner/data) are base64 inside JSON — Spark's
- * native binary→JSON rendering — keeping encode/decode lossless and
- * fully built-in.
+ * Wire formats (SURVEY §2.7 D6–D8), both of the reference's serdes
+ * (`serializer/src/lib.rs:10-16`):
+ *  - JSON (`serializer/src/serde_serialisation/mod.rs:13-52`) as
+ *    `to_json(struct(...))` / `from_json` — codegen'd, schema-checked;
+ *    binary fields are base64 inside JSON.
+ *  - FlatBuffers (`serializer/src/flatbuffer/mod.rs:31-567`), the
+ *    reference's DEFAULT — see `FlatBuf`; the `*Fb` transforms below
+ *    produce/consume `(topic, value binary)` frames.
  *
  * Topics mirror the 5-topic layout (`geyser/src/config.rs:22-30`).
  */
@@ -59,4 +56,45 @@ object Wire {
   /** Consumer-side decode with the AccountUpdate schema. */
   def decodeAccountUpdates(df: DataFrame): DataFrame =
     decodeTopic(df, Schemas.accountUpdate)
+
+  // ---- FlatBuffers wire (D6, the reference's default serde) ----
+
+  // Row-input UDFs go through the Java UDF1 overload: the Scala `udf`
+  // cannot derive an encoder for Row-typed struct inputs.
+  private def rowUdf(f: Row => Array[Byte]) =
+    udf(new org.apache.spark.sql.api.java.UDF1[Row, Array[Byte]] {
+      override def call(r: Row): Array[Byte] = f(r)
+    }, org.apache.spark.sql.types.BinaryType)
+  private val encAccountFb = rowUdf(FlatBuf.encodeAccountUpdate)
+  private val decAccountFb = udf((b: Array[Byte]) => FlatBuf.decodeAccountUpdate(b))
+  private val encTxFb = rowUdf(FlatBuf.encodeTransaction)
+  private val decTxFb = udf((b: Array[Byte]) => FlatBuf.decodeTransaction(b))
+  private val encMetaFb = rowUdf(FlatBuf.encodeBlockMetadata)
+  private val decMetaFb = udf((b: Array[Byte]) => FlatBuf.decodeBlockMetadata(b))
+
+  private def toTopicFb(df: DataFrame, topic: String,
+      enc: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame =
+    df.select(lit(topic).as("topic"),
+      enc(struct(df.columns.map(col).toIndexedSeq: _*)).as("value"))
+
+  /** AccountUpdate → `(topic, account_info.fbs bytes)`. */
+  def accountUpdatesFb(df: DataFrame): DataFrame =
+    toTopicFb(df, AccountTopic, encAccountFb(_))
+
+  def decodeAccountUpdatesFb(df: DataFrame): DataFrame =
+    df.select(decAccountFb(col("value")).as("e")).select(col("e.*"))
+
+  /** TransactionNotify → `(topic, transaction_info.fbs bytes)`. */
+  def transactionsFb(df: DataFrame): DataFrame =
+    toTopicFb(df, TransactionTopic, encTxFb(_))
+
+  def decodeTransactionsFb(df: DataFrame): DataFrame =
+    df.select(decTxFb(col("value")).as("e")).select(col("e.*"))
+
+  /** Block metadata → `(topic, metadata.fbs bytes)`. */
+  def blockMetadataFb(df: DataFrame): DataFrame =
+    toTopicFb(df, MetadataTopic, encMetaFb(_))
+
+  def decodeBlockMetadataFb(df: DataFrame): DataFrame =
+    df.select(decMetaFb(col("value")).as("e")).select(col("e.*"))
 }

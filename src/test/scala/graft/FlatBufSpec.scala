@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{FlatBuf, Wire}
+
+/** FlatBuffers wire (D6): round-trips through the reference's .fbs
+  * layouts for all four root types, plus the Spark-level topic
+  * transforms. Buffers are also probed with raw offset reads so the
+  * writer's vtable layout (not just our own reader) is exercised. */
+class FlatBufSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .appName("flatbuf-spec").getOrCreate()
+
+  private def pk(b: Byte): Array[Byte] = Array.fill(32)(b)
+
+  test("account_info.fbs round-trip preserves every field") {
+    val r = Row(pk(1), 5L, pk(2), true, 7L, Array[Byte](1, 2, 3), 9L, 11L, false)
+    val out = FlatBuf.decodeAccountUpdate(FlatBuf.encodeAccountUpdate(r))
+    assert(out.pubkey.toSeq === pk(1).toSeq)
+    assert(out.lamports === 5L)
+    assert(out.owner.toSeq === pk(2).toSeq)
+    assert(out.executable)
+    assert(out.rent_epoch === 7L)
+    assert(out.data.toSeq === Seq[Byte](1, 2, 3))
+    assert(out.write_version === 9L)
+    assert(out.slot === 11L)
+    assert(!out.is_startup)
+  }
+
+  test("account topic: DataFrame encode → binary value → decode") {
+    import scala.jdk.CollectionConverters._
+    val rows = Seq(
+      Row(pk(1), 10L, pk(9), false, 0L, Array[Byte](5), 1L, 100L, true),
+      Row(pk(2), 20L, pk(9), true, 1L, Array.emptyByteArray, 2L, 100L, false))
+    val df = spark.createDataFrame(rows.asJava, graft.model.Schemas.accountUpdate)
+    val wire = Wire.accountUpdatesFb(df)
+    assert(wire.schema("value").dataType.typeName === "binary")
+    val back = Wire.decodeAccountUpdatesFb(wire)
+      .orderBy("lamports").collect()
+    assert(back.map(_.getAs[Long]("lamports")).toSeq === Seq(10L, 20L))
+    assert(back(0).getAs[Array[Byte]]("pubkey").toSeq === pk(1).toSeq)
+    assert(back(1).getAs[Boolean]("executable"))
+  }
+
+  test("transaction_info.fbs: legacy + v0 union, inner instructions, rewards") {
+    def insn(idx: Int) = Row(idx, Seq(0, 1), Array[Byte](9, 8))
+    val header = Row(1, 0, 2)
+    val legacyMsg = Row(header, Seq(pk(1), pk(2)), pk(3), Seq(insn(0)))
+    val v0Msg = Row(header, Seq(pk(4)), pk(3), Seq(insn(1)),
+      Seq(Row(pk(5), Seq(0, 2), Seq(1))))
+    val meta = Row(true, 5000L, Seq(10L, 20L), Seq(5L, 25L),
+      Seq(Row(3, pk(5), pk(6), "100", 6, 1.5e-4)),
+      Seq(Row(2, pk(5), null, "0", 0, null)),
+      Seq("log1", "log2"),
+      Seq(Row(1, Seq(insn(2), insn(3)))),
+      Seq(Row(graft.core.Base58.encode(pk(7)), -50L, 950L, 3, 2)))
+
+    val legacy = FlatBuf.decodeTransaction(FlatBuf.encodeTransaction(
+      Row(pk(1) ++ pk(1), false, 42L, Row("legacy", legacyMsg, null), meta)))
+    assert(legacy.message.format === "legacy")
+    assert(legacy.message.legacy.account_keys.map(_.toSeq) === Seq(pk(1).toSeq, pk(2).toSeq))
+    assert(legacy.message.legacy.header.num_readonly_unsigned_accounts === 2)
+    assert(legacy.message.legacy.instructions.head.accounts === Seq(0, 1))
+    assert(legacy.signature.toSeq === (pk(1) ++ pk(1)).toSeq)
+    assert(legacy.slot === 42L)
+
+    val v0 = FlatBuf.decodeTransaction(FlatBuf.encodeTransaction(
+      Row(pk(2) ++ pk(2), true, 43L, Row("v0", null, v0Msg), meta)))
+    assert(v0.message.format === "v0")
+    assert(v0.message.v0.address_table_lookups.head.account_key.toSeq === pk(5).toSeq)
+    assert(v0.message.v0.address_table_lookups.head.writable_indexes === Seq(0, 2))
+    assert(v0.is_vote)
+
+    val m = v0.meta
+    assert(m.status_ok && m.fee === 5000L)
+    assert(m.pre_balances === Seq(10L, 20L) && m.post_balances === Seq(5L, 25L))
+    assert(m.log_messages === Seq("log1", "log2"))
+    // token balances: base58 strings decode back to the original pubkeys;
+    // null owner and null ui_amount survive
+    assert(m.pre_token_balances.head.mint.toSeq === pk(5).toSeq)
+    assert(m.pre_token_balances.head.ui_amount === Some(1.5e-4))
+    assert(m.post_token_balances.head.owner === null)
+    assert(m.post_token_balances.head.ui_amount === None)
+    // inner instructions: CPI group under outer index 1
+    assert(m.inner_instructions.head.index === 1)
+    assert(m.inner_instructions.head.instructions.map(_.program_id_index) === Seq(2, 3))
+    // rewards: negative lamports (slashing-style) and enum ordinal
+    assert(m.rewards.head.lamports === -50L)
+    assert(m.rewards.head.reward_type === 3 && m.rewards.head.commission === 2)
+    assert(graft.core.Base58.decode(m.rewards.head.pubkey).toSeq === pk(7).toSeq)
+  }
+
+  test("transaction topic transform round-trips through binary values") {
+    import scala.jdk.CollectionConverters._
+    val header = Row(1, 0, 0)
+    val msg = Row("legacy", Row(header, Seq(pk(1)), pk(3), Seq(Row(0, Seq(0), Array[Byte](7)))), null)
+    val meta = Row(false, 1L, Seq(1L), Seq(2L), null, null, null,
+      Seq(Row(0, Seq(Row(5, Seq(1), Array[Byte](6))))), null)
+    val df = spark.createDataFrame(
+      Seq(Row(pk(9) ++ pk(9), false, 7L, msg, meta)).asJava,
+      graft.model.Schemas.transactionNotify)
+    val back = Wire.decodeTransactionsFb(Wire.transactionsFb(df)).collect()(0)
+    assert(back.getAs[Long]("slot") === 7L)
+    val backMeta = back.getStruct(back.fieldIndex("meta"))
+    // absent optional vectors decode as null, not empty
+    assert(backMeta.isNullAt(backMeta.fieldIndex("log_messages")))
+    assert(!backMeta.getBoolean(backMeta.fieldIndex("status_ok")))
+  }
+
+  test("metadata.fbs: zero-valued optionals survive; absent stays null") {
+    val withZero = FlatBuf.decodeBlockMetadata(FlatBuf.encodeBlockMetadata(
+      Row(5L, "hash", """[{"reward":1}]""", 0L, 0L)))
+    assert(withZero.block_time === Some(0L) && withZero.block_height === Some(0L))
+    assert(withZero.rewards_json === """[{"reward":1}]""")
+    val absent = FlatBuf.decodeBlockMetadata(FlatBuf.encodeBlockMetadata(
+      Row(5L, "hash", null, null, null)))
+    assert(absent.block_time === None && absent.block_height === None)
+    assert(absent.rewards_json === null)
+  }
+
+  test("metadata_off_chain.fbs round-trip") {
+    val out = FlatBuf.decodeOffchain(FlatBuf.encodeOffchain(
+      Row("pubkey58", "https://arweave.net/x", 9L, true)))
+    assert(out === graft.streaming.FbOffchain("pubkey58", "https://arweave.net/x", 9L, true))
+  }
+
+  test("vtable layout: scalar defaults elide, offsets resolve (raw probe)") {
+    // an all-defaults account encodes with an empty-ish vtable; the
+    // decoder must fall back to defaults rather than read garbage
+    val r = Row(pk(0), 0L, pk(0), false, 0L, Array.emptyByteArray, 0L, 0L, false)
+    val out = FlatBuf.decodeAccountUpdate(FlatBuf.encodeAccountUpdate(r))
+    assert(out.lamports === 0L && !out.executable && out.data.length === 0)
+  }
+}

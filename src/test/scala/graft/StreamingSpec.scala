@@ -249,7 +249,9 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     def v0Msg(keys: Seq[Array[Byte]]) =
       Row(header, keys, pk(3), Seq(insn), Seq(Row(pk(4), Seq(0), Seq(1))))
     def meta(ok: Boolean) = Row(ok, 5000L, Seq(10L, 20L), Seq(5L, 25L),
-      Seq(Row(0, pk(5), pk(6), "100", 6, 1.0e-4)), Seq.empty[Row], Seq("log1"))
+      Seq(Row(0, pk(5), pk(6), "100", 6, 1.0e-4)), Seq.empty[Row], Seq("log1"),
+      Seq(Row(1, Seq(insn, insn))), // inner_instructions: CPI under insn 1
+      Seq(Row(graft.core.Base58.encode(pk(8)), -50L, 950L, 1, 0)))
     val rows = Seq(
       Row(pk(1) ++ pk(1), false, 42L, Row("legacy", legacyMsg(Seq(pk(1), prog)), null), meta(true)),
       Row(pk(2) ++ pk(2), false, 42L, Row("v0", null, v0Msg(Seq(pk(2), prog))), meta(true)),
@@ -264,6 +266,12 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val back = decoded.filter(col("message.format") === "v0")
       .select(col("message.v0.address_table_lookups")(0)("account_key")).collect()
     assert(back.forall(_.getAs[Array[Byte]](0).toSeq === pk(4).toSeq))
+    // inner_instructions + rewards survive the wire
+    val innerBack = decoded
+      .select(col("meta.inner_instructions")(0)("instructions"),
+        col("meta.rewards")(0)("lamports")).collect()
+    assert(innerBack.forall(_.getSeq[Row](0).length === 2))
+    assert(innerBack.forall(_.getLong(1) === -50L))
 
     // P6 success + P7 program membership on the union's active branch
     val kept = txs.filter(
