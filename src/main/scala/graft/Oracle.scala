@@ -765,6 +765,36 @@ object Oracle {
       SELECT hex(pubkey) AS pk, lamports, write_version FROM dedup
       ORDER BY 1, 3""",
 
+    // Literal expected row: every value is pinned a priori by the seeded
+    // fixture (BankFields.writeSynthetic at slot 103), so a wrong
+    // skip-parse of the ~35-field bank prefix lands wrong values here.
+    "sn13_bank_fields" -> """
+      SELECT CAST(103 AS BIGINT) AS slot, CAST(0 AS BIGINT) AS epoch,
+        CAST(53 AS BIGINT) AS block_height, CAST(102 AS BIGINT) AS parent_slot,
+        '66C621D9145F14B5AD0357E085342B174C34A6728A4E2DA9644C3518FE65C26B' AS hash,
+        '98E88D2745E399E666C621D9145F14B5AD0357E085342B174C34A6728A4E2DA9' AS parent_hash,
+        CAST(42000 AS BIGINT) AS transaction_count,
+        CAST(6592 AS BIGINT) AS tick_height,
+        CAST(6656 AS BIGINT) AS max_tick_height,
+        CAST(9000 AS BIGINT) AS signature_count,
+        CAST(500000000000 AS BIGINT) AS capitalization,
+        CAST(12500 AS BIGINT) AS hashes_per_tick,
+        CAST(64 AS BIGINT) AS ticks_per_slot,
+        CAST(1584332940 AS BIGINT) AS genesis_creation_time,
+        CAST(78892314.984 AS DOUBLE) AS slots_per_year,
+        CAST(1073741824 AS BIGINT) AS accounts_data_len,
+        'E7F888BF5FF08990490327891F4C36F93A2EFBD1F63280736C7BE91556B0A0AE' AS collector_id,
+        CAST(2500 AS BIGINT) AS collector_fees,
+        CAST(5000 AS BIGINT) AS lamports_per_signature,
+        CAST(777 AS BIGINT) AS collected_rent,
+        CAST(432000 AS BIGINT) AS slots_per_epoch,
+        CAST(0.08 AS DOUBLE) AS inflation_initial,
+        CAST(0.015 AS DOUBLE) AS inflation_terminal,
+        CAST(0.15 AS DOUBLE) AS inflation_taper,
+        CAST(1 AS BIGINT) AS n_vote_accounts,
+        CAST(2 AS BIGINT) AS n_stake_delegations,
+        false AS is_delta""",
+
     "sn12_token_relational_join" -> s"""
       WITH $DedupCte,
       ta AS (SELECT hex(data) AS h FROM dedup

@@ -148,6 +148,10 @@ object SparkEntry {
       SnapshotReader.unexpectedAppendVecs(s, fixtureDir)
         .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"))
         .orderBy("file")),
+    // S5 bank prefix → one-row DataFrame (values pinned by the seeded
+    // fixture, so the oracle is a literal row — wrong skip-parse ⇒ wrong
+    // values ⇒ hash mismatch)
+    "sn13_bank_fields" -> ((s, _) => SnapshotReader.bankFields(s, fixtureDir)),
     // the relational layer the reference delegated to SQLite: equi-joins
     // across token_account ⟕ token_mint ⟕ token_metadata on mint
     "sn12_token_relational_join" -> ((s, _) => {

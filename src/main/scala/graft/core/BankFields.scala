@@ -1,0 +1,228 @@
+package graft.core
+
+/**
+ * The manifest's bank prefix: `DeserializableVersionedBank`
+ * (reference: `solana-snapshot-etl/src/solana.rs:63-97`), the ~35-field
+ * struct a real snapshot manifest carries BEFORE the accounts-db fields.
+ * The reference deserializes and discards it (`archived.rs:66-67`);
+ * SURVEY §2.1 S5 declares the Spark rendering "bank fields → one-row
+ * DataFrame". This decoder surfaces the analytically useful scalars and
+ * skip-parses the deep collections (blockhash queue, stakes, epoch
+ * stakes) so the cursor lands exactly on the accounts-db fields that
+ * follow — which is what makes `Manifest` readable from REAL archives,
+ * not only the synthetic fixture.
+ *
+ * Bincode fixint little-endian throughout: collections are u64-count
+ * prefixed, options are u8-tagged, usize is u64.
+ */
+object BankFields {
+
+  final case class Fields(
+      slot: Long,
+      epoch: Long,
+      blockHeight: Long,
+      parentSlot: Long,
+      hash: Array[Byte],
+      parentHash: Array[Byte],
+      transactionCount: Long,
+      tickHeight: Long,
+      maxTickHeight: Long,
+      signatureCount: Long,
+      capitalization: Long,
+      hashesPerTick: Option[Long],
+      ticksPerSlot: Long,
+      genesisCreationTime: Long,
+      slotsPerYear: Double,
+      accountsDataLen: Long,
+      collectorId: Array[Byte],
+      collectorFees: Long,
+      lamportsPerSignature: Long,
+      collectedRent: Long,
+      slotsPerEpoch: Long,
+      inflationInitial: Double,
+      inflationTerminal: Double,
+      inflationTaper: Double,
+      nVoteAccounts: Long,
+      nStakeDelegations: Long,
+      isDelta: Boolean)
+
+  // ---- skip helpers over the shared BinReader cursor ----
+
+  private def skipN(r: BinReader, n: Long, each: Int): Unit =
+    r.skip(math.multiplyExact(n, each.toLong).toInt)
+
+  private def count(r: BinReader): Long = {
+    val n = r.i64()
+    require(n >= 0 && n < Int.MaxValue, s"bad bincode collection size $n")
+    n
+  }
+
+  /** `Account`: lamports, data Vec<u8>, owner, executable, rent_epoch. */
+  private def skipAccount(r: BinReader): Unit = {
+    r.skip(8)
+    val dataLen = count(r)
+    r.skip(dataLen.toInt)
+    r.skip(32 + 1 + 8)
+  }
+
+  /** `Stakes<Delegation>`; returns (nVoteAccounts, nStakeDelegations). */
+  private def skipStakes(r: BinReader): (Long, Long) = {
+    val nVotes = count(r) // vote_accounts: HashMap<Pubkey, (u64, Account)>
+    var i = 0L
+    while (i < nVotes) { r.skip(32 + 8); skipAccount(r); i += 1 }
+    val nDelegations = count(r) // HashMap<Pubkey, Delegation(64)>
+    skipN(r, nDelegations, 32 + 64)
+    r.skip(8 + 8) // unused, epoch
+    skipN(r, count(r), 8 + 24) // stake_history: Vec<(Epoch, 3×u64)>
+    (nVotes, nDelegations)
+  }
+
+  /** `EpochStakes`: stakes + total_stake + node/vote maps. */
+  private def skipEpochStakes(r: BinReader): Unit = {
+    skipStakes(r)
+    r.skip(8) // total_stake
+    val nNodes = count(r) // HashMap<Pubkey, NodeVoteAccounts>
+    var i = 0L
+    while (i < nNodes) {
+      r.skip(32)
+      skipN(r, count(r), 32) // vote_accounts: Vec<Pubkey>
+      r.skip(8) // total_stake
+      i += 1
+    }
+    skipN(r, count(r), 64) // epoch_authorized_voters: HashMap<Pubkey, Pubkey>
+  }
+
+  private val EpochScheduleLen = 8 + 8 + 1 + 8 + 8
+
+  /** Decode the bank prefix; the cursor ends ON the accounts-db fields. */
+  def read(r: BinReader): Fields = {
+    // blockhash_queue: last_hash_index, Option<Hash>, ages, max_age
+    r.skip(8)
+    if (r.u8() == 1) r.skip(32)
+    skipN(r, count(r), 32 + 24) // HashMap<Hash, HashAge(fee,index,ts)>
+    r.skip(8) // max_age
+    skipN(r, count(r), 8 + 8) // ancestors: HashMap<Slot, usize>
+    val hash = r.pubkey()
+    val parentHash = r.pubkey()
+    val parentSlot = r.i64()
+    skipN(r, count(r), 8 + 8) // hard_forks: Vec<(Slot, usize)>
+    val transactionCount = r.i64()
+    val tickHeight = r.i64()
+    val signatureCount = r.i64()
+    val capitalization = r.i64()
+    val maxTickHeight = r.i64()
+    val hashesPerTick = if (r.u8() == 1) Some(r.i64()) else None
+    val ticksPerSlot = r.i64()
+    r.skip(16) // ns_per_slot: u128
+    val genesisCreationTime = r.i64()
+    val slotsPerYear = r.f64()
+    val accountsDataLen = r.i64()
+    val slot = r.i64()
+    val epoch = r.i64()
+    val blockHeight = r.i64()
+    val collectorId = r.pubkey()
+    val collectorFees = r.i64()
+    val lamportsPerSignature = r.i64() // fee_calculator
+    r.skip(8 * 4 + 1) // fee_rate_governor: 4×u64 + burn_percent u8
+    val collectedRent = r.i64()
+    // rent_collector: epoch + epoch_schedule + slots_per_year + rent(17)
+    r.skip(8 + EpochScheduleLen + 8 + 17)
+    val slotsPerEpoch = r.i64() // epoch_schedule.slots_per_epoch
+    r.skip(EpochScheduleLen - 8)
+    val inflationInitial = r.f64()
+    val inflationTerminal = r.f64()
+    val inflationTaper = r.f64()
+    r.skip(8 * 3) // foundation, foundation_term, __unused
+    val (nVotes, nDelegations) = skipStakes(r)
+    // unused_accounts: HashSet<Pubkey> ×2 + HashMap<Pubkey, u64>
+    skipN(r, count(r), 32)
+    skipN(r, count(r), 32)
+    skipN(r, count(r), 40)
+    val nEpochStakes = count(r)
+    var i = 0L
+    while (i < nEpochStakes) { r.skip(8); skipEpochStakes(r); i += 1 }
+    val isDelta = r.bool()
+    Fields(slot, epoch, blockHeight, parentSlot, hash, parentHash,
+      transactionCount, tickHeight, maxTickHeight, signatureCount,
+      capitalization, hashesPerTick, ticksPerSlot, genesisCreationTime,
+      slotsPerYear, accountsDataLen, collectorId, collectorFees,
+      lamportsPerSignature, collectedRent, slotsPerEpoch,
+      inflationInitial, inflationTerminal, inflationTaper,
+      nVotes, nDelegations, isDelta)
+  }
+
+  /** Synthetic bank prefix for fixtures: deterministic plausible values,
+    * nonempty collections (so skip-parsing is actually exercised),
+    * byte-faithful to the layout `read` expects. */
+  def writeSynthetic(slot: Long, blockHeight: Long,
+      capitalization: Long): Array[Byte] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Byte](4096)
+    def u8(v: Int): Unit = out += v.toByte
+    def u64(v: Long): Unit = {
+      var i = 0
+      while (i < 8) { out += ((v >>> (8 * i)) & 0xff).toByte; i += 1 }
+    }
+    def f64(v: Double): Unit = u64(java.lang.Double.doubleToLongBits(v))
+    def hash32(seed: Long): Unit = {
+      var i = 0
+      while (i < 4) { u64(TextSig.mix64(seed + i)); i += 1 }
+    }
+    // blockhash_queue: index, Some(hash), 2 ages, max_age
+    u64(2); u8(1); hash32(slot)
+    u64(2)
+    var i = 0
+    while (i < 2) { hash32(slot + 10 + i); u64(5000); u64(i.toLong); u64(123456789L + i); i += 1 }
+    u64(300)
+    u64(1); u64(slot - 1); u64(1) // ancestors {parent -> 1}
+    hash32(slot + 100) // hash
+    hash32(slot + 99) // parent_hash
+    u64(slot - 1) // parent_slot
+    u64(1); u64(slot / 2); u64(7) // hard_forks
+    u64(42000) // transaction_count
+    u64(slot * 64) // tick_height
+    u64(9000) // signature_count
+    u64(capitalization)
+    u64(slot * 64 + 64) // max_tick_height
+    u8(1); u64(12500) // hashes_per_tick = Some
+    u64(64) // ticks_per_slot
+    u64(400000000L); u64(0) // ns_per_slot u128
+    u64(1584332940L) // genesis_creation_time
+    f64(78892314.984) // slots_per_year
+    u64(1L << 30) // accounts_data_len
+    u64(slot)
+    u64(slot / 432000) // epoch
+    u64(blockHeight)
+    hash32(slot + 7) // collector_id
+    u64(2500) // collector_fees
+    u64(5000) // fee_calculator.lamports_per_signature
+    u64(10000); u64(20000); u64(2500); u64(50000); u8(50) // fee_rate_governor
+    u64(777) // collected_rent
+    // rent_collector: epoch + epoch_schedule + slots_per_year + rent
+    u64(slot / 432000)
+    u64(432000); u64(432000); u8(0); u64(0); u64(0)
+    f64(78892314.984)
+    u64(3480); f64(2.0); u8(50)
+    // epoch_schedule
+    u64(432000); u64(432000); u8(0); u64(0); u64(0)
+    // inflation
+    f64(0.08); f64(0.015); f64(0.15); f64(0.05); f64(7.0); f64(0.0)
+    // stakes: 1 vote account (with data), 2 delegations, history 1
+    u64(1); hash32(1000); u64(5_000_000L)
+    u64(100); u64(3); u8(1); u8(2); u8(3); hash32(1001); u8(0); u64(200) // account
+    u64(2)
+    i = 0
+    while (i < 2) { hash32(1100 + i); hash32(1000); u64(1_000_000L); u64(0); u64(-1L); f64(0.25); i += 1 }
+    u64(0); u64(slot / 432000) // unused, epoch
+    u64(1); u64(0); u64(5_000_000L); u64(0); u64(0) // stake_history entry
+    // unused_accounts
+    u64(0); u64(0); u64(0)
+    // epoch_stakes: one epoch with empty-ish stakes
+    u64(1); u64(slot / 432000)
+    u64(0); u64(0); u64(0); u64(slot / 432000); u64(0) // inner stakes (empty)
+    u64(7_000_000L) // total_stake
+    u64(1); hash32(1200); u64(1); hash32(1000); u64(5_000_000L) // node_id map
+    u64(1); hash32(1200); hash32(1000) // epoch_authorized_voters
+    u8(0) // is_delta
+    out.toArray
+  }
+}

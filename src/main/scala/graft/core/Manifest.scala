@@ -33,6 +33,14 @@ object Manifest {
       }
   }
 
+  /** Real-archive form: `DeserializableVersionedBank` prefix then the
+    * accounts-db fields (`archived.rs:66-73`). */
+  def readBankPrefixed(bytes: Array[Byte]): (BankFields.Fields, AccountsDb) = {
+    val r = new BinReader(bytes)
+    val bank = BankFields.read(r)
+    (bank, read(bytes, skipPrefix = r.position))
+  }
+
   def read(bytes: Array[Byte], skipPrefix: Int = 0): AccountsDb = {
     val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     b.position(skipPrefix)

@@ -38,8 +38,14 @@ object SnapshotReader {
 
   /** Decode the manifest on the driver (S5). Real archives also carry
     * `snapshots/status_cache` and other non-slot entries — only numeric
-    * slot DIRECTORIES participate in the max-slot pick. */
-  def readManifest(root: String): Manifest.AccountsDb = {
+    * slot DIRECTORIES participate in the max-slot pick. Real manifests
+    * (and the fixture) lead with the `DeserializableVersionedBank`
+    * prefix; a bare accounts-db blob (hand-built test dirs) still parses
+    * via the fallback. */
+  def readManifest(root: String): Manifest.AccountsDb =
+    readManifestFull(root)._2
+
+  def readManifestFull(root: String): (Option[graft.core.BankFields.Fields], Manifest.AccountsDb) = {
     val snapshotsDir = Paths.get(root, "snapshots")
     val listing = Files.list(snapshotsDir)
     val best =
@@ -53,7 +59,53 @@ object SnapshotReader {
       } finally listing.close()
     require(best.isDefined, s"no slot manifest directory under $snapshotsDir")
     val manifestFile = best.get.resolve(best.get.getFileName.toString)
-    Manifest.read(Files.readAllBytes(manifestFile))
+    val bytes = Files.readAllBytes(manifestFile)
+    try {
+      val (bank, db) = Manifest.readBankPrefixed(bytes)
+      (Some(bank), db)
+    } catch {
+      case _: Exception => (None, Manifest.read(bytes))
+    }
+  }
+
+  /** S5's bank fields as a one-row DataFrame (SURVEY §2.1: the reference
+    * decodes-and-discards these; a queryable row is the Spark rendering).
+    * Binary hashes surface as hex for the gate's pandas compare. */
+  def bankFields(spark: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    def longs(names: String*) = names.map(StructField(_, LongType, nullable = false))
+    val schema = StructType(
+      longs("slot", "epoch", "block_height", "parent_slot") ++
+        Seq(StructField("hash", StringType, nullable = false),
+          StructField("parent_hash", StringType, nullable = false)) ++
+        longs("transaction_count", "tick_height", "max_tick_height",
+          "signature_count", "capitalization") ++
+        Seq(StructField("hashes_per_tick", LongType, nullable = true)) ++
+        longs("ticks_per_slot", "genesis_creation_time") ++
+        Seq(StructField("slots_per_year", DoubleType, nullable = false)) ++
+        longs("accounts_data_len") ++
+        Seq(StructField("collector_id", StringType, nullable = false)) ++
+        longs("collector_fees", "lamports_per_signature", "collected_rent",
+          "slots_per_epoch") ++
+        Seq(StructField("inflation_initial", DoubleType, nullable = false),
+          StructField("inflation_terminal", DoubleType, nullable = false),
+          StructField("inflation_taper", DoubleType, nullable = false)) ++
+        longs("n_vote_accounts", "n_stake_delegations") ++
+        Seq(StructField("is_delta", BooleanType, nullable = false)))
+    val rows = readManifestFull(root)._1.toSeq.map { f =>
+      Row(f.slot, f.epoch, f.blockHeight, f.parentSlot,
+        f.hash.map("%02X".format(_)).mkString,
+        f.parentHash.map("%02X".format(_)).mkString,
+        f.transactionCount, f.tickHeight, f.maxTickHeight, f.signatureCount,
+        f.capitalization, f.hashesPerTick.map(Long.box).orNull,
+        f.ticksPerSlot, f.genesisCreationTime, f.slotsPerYear,
+        f.accountsDataLen, f.collectorId.map("%02X".format(_)).mkString,
+        f.collectorFees, f.lamportsPerSignature, f.collectedRent,
+        f.slotsPerEpoch, f.inflationInitial, f.inflationTerminal,
+        f.inflationTaper, f.nVoteAccounts, f.nStakeDelegations, f.isDelta)
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
   }
 
   /** List `accounts/` (any Hadoop filesystem) as

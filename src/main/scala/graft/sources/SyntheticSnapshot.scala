@@ -190,8 +190,13 @@ object SyntheticSnapshot {
     val maxSlot = 100L + spec.slots - 1
     val manifestDir = root.resolve(s"snapshots/$maxSlot")
     Files.createDirectories(manifestDir)
+    // real manifests lead with the DeserializableVersionedBank prefix
+    // (archived.rs:66-73); the fixture carries a synthetic one so the
+    // bank skip-parse path is exercised on every scan
     Files.write(manifestDir.resolve(maxSlot.toString),
-      Manifest.write(Manifest.AccountsDb(entries.toMap, writeVersion, maxSlot)))
+      graft.core.BankFields.writeSynthetic(maxSlot, blockHeight = maxSlot - 50,
+        capitalization = 500_000_000_000L) ++
+        Manifest.write(Manifest.AccountsDb(entries.toMap, writeVersion, maxSlot)))
     // real archives carry non-slot entries under snapshots/ (FIXTURES A1);
     // the manifest scan must ignore them
     Files.write(root.resolve("snapshots/status_cache"),

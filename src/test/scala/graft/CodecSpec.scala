@@ -133,6 +133,25 @@ class CodecSpec extends AnyFunSuite {
     assert(got.lengths((100L, 1L)) == 96)
   }
 
+  test("bank prefix: skip-parse lands exactly on the accounts-db fields") {
+    val prefix = graft.core.BankFields.writeSynthetic(
+      slot = 107, blockHeight = 57, capitalization = 500L)
+    // standalone read consumes the whole prefix, no more, no less
+    val r = new graft.core.BinReader(prefix)
+    val bank = graft.core.BankFields.read(r)
+    assert(r.remaining == 0)
+    assert(bank.slot == 107 && bank.blockHeight == 57 && bank.capitalization == 500L)
+    assert(bank.parentSlot == 106 && bank.ticksPerSlot == 64)
+    assert(bank.hashesPerTick.contains(12500L))
+    assert(bank.lamportsPerSignature == 5000 && bank.slotsPerEpoch == 432000L)
+    assert(bank.nVoteAccounts == 1 && bank.nStakeDelegations == 2 && !bank.isDelta)
+    // bank-prefixed manifest: both halves decode
+    val db = Manifest.AccountsDb(
+      Map(107L -> Vector(Manifest.StorageEntry(0, 2048))), writeVersion = 9, slot = 107)
+    val (bank2, db2) = Manifest.readBankPrefixed(prefix ++ Manifest.write(db))
+    assert(bank2.transactionCount == bank.transactionCount && db2 == db)
+  }
+
   // ---- SPL token decode (D1/D2) ----
 
   test("spl mint decode with COption fields") {
