@@ -746,6 +746,27 @@ object Oracle {
         CASE WHEN e12_ok AND cl_tag = 1 THEN ${pk("ocl+2")} END AS collection_key
       FROM w WHERE core_ok ORDER BY 1""",
 
+    // Projection + dedup verified in SQL; the base58 rendering comes from
+    // the {AUX}/b58_keys mapping (the codec itself is ScalaCheck/vector
+    // tested — DuckDB has no 256-bit base58).
+    "sn06_csv_projection" -> s"""
+      WITH $DedupCte,
+      b58 AS (SELECT h AS kh, b58 FROM read_parquet('{AUX}/b58_keys/*.parquet'))
+      SELECT pk.b58 AS pubkey, ow.b58 AS owner, data_len, lamports
+      FROM dedup
+      JOIN b58 pk ON hex(dedup.pubkey) = pk.kh
+      JOIN b58 ow ON hex(dedup.owner) = ow.kh
+      ORDER BY 1""",
+
+    // Aggregation (explode → countDistinct/count) verified in SQL over the
+    // per-program opcode dump; the eBPF disassembler is vector-tested.
+    "sn10_opcode_stats" -> """
+      SELECT opcode, MAX(mnemonic) AS mnemonic,
+        COUNT(DISTINCT program_id) AS num_programs,
+        COUNT(*) AS num_insns
+      FROM read_parquet('{AUX}/program_opcodes/*.parquet')
+      GROUP BY opcode ORDER BY opcode""",
+
     "sn07_kind_counts" -> s"""
       WITH $DedupCte
       SELECT CASE WHEN hex(owner) = '$SplHex' AND data_len = 165 THEN 'token_account'

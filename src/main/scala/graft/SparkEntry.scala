@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Functions.base58_encode
 import graft.operators.Etl
 import graft.sources.{SnapshotReader, SyntheticSnapshot}
 
@@ -215,5 +216,24 @@ object SparkEntry {
     }),
     "media" -> ((s, dir) =>
       graft.operators.Multimodal.syntheticCorpus(
-        s.read.parquet(s"$dir/documents.parquet"))))
+        s.read.parquet(s"$dir/documents.parquet"))),
+    // base58 renderings of every key in the fixture (sn06's oracle joins
+    // this mapping: the projection/dedup around base58 is SQL-verified;
+    // the codec itself is property- and vector-tested in ExpressionSpec)
+    "b58_keys" -> ((s, _) => {
+      val d = deduped(s)
+      d.select(hex(col("pubkey")).as("h"), base58_encode(col("pubkey")).as("b58"))
+        .unionByName(d.select(hex(col("owner")).as("h"),
+          base58_encode(col("owner")).as("b58")))
+        .distinct()
+    }),
+    // per-program opcode rows (sn10's oracle re-aggregates these: the
+    // explode + countDistinct aggregation is SQL-verified; the eBPF
+    // disassembler is vector-tested in CodecSpec)
+    "program_opcodes" -> ((s, _) => {
+      val progs = Etl.programs(deduped(s))
+      progs.select(hex(col("pubkey")).as("program_id"),
+          explode(graft.functions.Functions.ebpf_opcodes(col("elf"))).as("opcode"))
+        .withColumn("mnemonic", graft.functions.Functions.ebpf_mnemonic(col("opcode")))
+    }))
 }
