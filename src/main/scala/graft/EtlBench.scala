@@ -8,7 +8,15 @@ import graft.sources.{SnapshotReader, SyntheticSnapshot}
 /** Dev bench for the snapshot-ETL path (the reference's core job):
   * synthetic snapshot → scan → last-writer-wins → 5-table save.
   * Usage: runMain graft.EtlBench [accountsPerVec] [vecsPerSlot] [slots]
-  * Prints accounts/s for the full pipeline. */
+  * Prints accounts/s for the full pipeline; set SPARK_GRAFT_ETL_PHASES=1
+  * for a per-stage breakdown appended to the JSON.
+  *
+  * Measured 2026-08-12 (1.92M accounts, warm pipeline): ~200-270k
+  * accounts/s on this sandbox; scan 0.5s and dedup 1.6s scale with
+  * cores, the 5-table write dominates. Throughput varies ±2× with
+  * co-tenant load on the single virtio disk — thread counts beyond ~8
+  * buy nothing HERE but the plan itself has no serial stage (the same
+  * shape on a real cluster splits by file and by shuffle partition). */
 object EtlBench {
   def main(args: Array[String]): Unit = {
     val perVec = args.headOption.map(_.toInt).getOrElse(4000)
@@ -24,15 +32,35 @@ object EtlBench {
     spark.sparkContext.setLogLevel("WARN")
     val total = slots.toLong * vecs * perVec
 
-    // warm
-    spark.read.format("binaryFile").load(s"$dir/accounts/*").count()
+    // Warm the ACTUAL pipeline code paths (scan walk, dedup shuffle,
+    // decode exprs, parquet write codegen) on a small slice — otherwise
+    // the measured run is charged several seconds of JIT/codegen that
+    // have nothing to do with throughput.
+    val warmOut = java.nio.file.Files.createTempDirectory("etl-warm").toString
+    Sinks.saveTables(
+      Etl.latestVersion(SnapshotReader.rawAccounts(spark, dir).limit(2000)),
+      warmOut)
 
     val t0 = System.nanoTime()
     val deduped = Etl.latestVersion(SnapshotReader.rawAccounts(spark, dir))
     Sinks.saveTables(deduped, out)
     val secs = (System.nanoTime() - t0) / 1e9
+    // optional phase breakdown (fresh lineage per phase, AFTER the
+    // measured run so it doesn't pollute the headline number)
+    val phases = if (!sys.env.contains("SPARK_GRAFT_ETL_PHASES")) ""
+      else {
+        def timed(f: => Unit): Double = {
+          val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+        }
+        val scan = timed(SnapshotReader.rawAccounts(spark, dir).count())
+        val dedup = timed(
+          Etl.latestVersion(SnapshotReader.rawAccounts(spark, dir)).count())
+        val write = timed(Sinks.saveTables(
+          Etl.latestVersion(SnapshotReader.rawAccounts(spark, dir)), out))
+        f""","scan_s":$scan%.2f,"scan_dedup_s":$dedup%.2f,"full_write_s":$write%.2f"""
+      }
     val nOut = spark.read.parquet(s"$out/account").count()
-    println(f"""{"metric":"etl_accounts_per_sec","value":${total / secs}%.0f,"unit":"accounts/sec","total_accounts":$total,"distinct_out":$nOut,"secs":$secs%.2f}""")
+    println(f"""{"metric":"etl_accounts_per_sec","value":${total / secs}%.0f,"unit":"accounts/sec","total_accounts":$total,"distinct_out":$nOut,"secs":$secs%.2f$phases}""")
     spark.stop()
   }
 }

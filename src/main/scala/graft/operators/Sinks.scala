@@ -3,8 +3,9 @@ package graft.operators
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
 
-import graft.core.Base58
+import graft.core.{Base58, MplMetadata, SplToken}
 
 /**
  * Output sinks (SURVEY §2.8): the reference's SQLite/CSV/tar targets
@@ -23,6 +24,22 @@ import graft.core.Base58
  */
 object Sinks {
 
+  /** The five table writes re-read the deduped frame; cache it with
+    * `data` nulled for rows no decode will touch (only SPL/MPL owners
+    * reach a decoder — `sqlite.rs:206-216`). On a real snapshot the
+    * account payloads dwarf every other column, and most owners are not
+    * token programs, so this shrinks the cache (and its GC/spill
+    * pressure, which inverted core-count scaling on the ETL bench) by
+    * roughly the corpus's non-token data fraction. Columns the tables
+    * never surface (hash, slot ids) are dropped outright. */
+  private def tokenPrunedCache(deduped: DataFrame): DataFrame =
+    deduped
+      .withColumn("data",
+        when(col("owner") === lit(SplToken.ProgramId) ||
+          col("owner") === lit(MplMetadata.ProgramId), col("data")))
+      .drop("hash", "slot", "store_id", "write_version")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** K1 — write the five relational tables under `outDir`. Input is the
     * deduped raw-accounts frame; decode routing happens here exactly as
     * in the reference's per-record dispatch (`sqlite.rs:206-216`). */
@@ -30,7 +47,7 @@ object Sinks {
       mode: SaveMode = SaveMode.Overwrite): Unit = {
     // five writes = five actions; persist so the scan + dedup shuffle runs
     // once, not per table (5x wall-clock otherwise)
-    val d = deduped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val d = tokenPrunedCache(deduped)
     try {
       Etl.accounts(d).write.mode(mode).parquet(s"$outDir/account")
       Etl.tokenAccounts(d).write.mode(mode).parquet(s"$outDir/token_account")
@@ -49,7 +66,7 @@ object Sinks {
       mode: SaveMode = SaveMode.Overwrite): Unit = {
     val spark = deduped.sparkSession
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-    val d = deduped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val d = tokenPrunedCache(deduped)
     try {
       Etl.accounts(d).write.mode(mode).format("parquet")
         .bucketBy(buckets, "pubkey").sortBy("pubkey")
