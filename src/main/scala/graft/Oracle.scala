@@ -614,6 +614,22 @@ object Oracle {
       WHERE d.doc_id NOT IN (SELECT doc_id FROM dup)
       ORDER BY doc_id""",
 
+    // Transitive closure via recursive reachability over the exact pair
+    // set; component = min reachable doc_id.
+    "m11_dedup_components" -> s"""
+      WITH RECURSIVE $CharShingleCtes,
+      p AS (SELECT a.doc_id AS da, b.doc_id AS db
+            FROM sh a, sh b WHERE a.doc_id < b.doc_id
+              AND CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+                  / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5),
+      e AS (SELECT da AS u, db AS v FROM p UNION SELECT db, da FROM p),
+      reach(node, r) AS (
+        SELECT u, u FROM e
+        UNION
+        SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.node)
+      SELECT node AS doc_id, MIN(r) AS component
+      FROM reach GROUP BY node ORDER BY doc_id""",
+
     "m09_ann_ivf" -> """
       WITH c AS (SELECT ic.corpus_id, ic.cell, CAST(e.embedding AS DOUBLE[]) AS cv
                  FROM read_parquet('{AUX}/ivf_cells/*.parquet') ic

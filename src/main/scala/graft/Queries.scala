@@ -587,6 +587,14 @@ object Queries {
     Dedup.minhashDedup(t(s, dir, "documents"), threshold = 0.5)
       .select(col("doc_id")).orderBy("doc_id")
 
+  /** Transitive closure over the verified near-dup pairs — hash-matched
+    * against a DuckDB recursive-CTE reachability oracle. */
+  def m11DedupComponents(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+        Dedup.minhashPairs(t(s, dir, "documents"), threshold = 0.5))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   // =====================================================================
   // Multimodal plumbing (codec layer stubbed — see Media scaladoc; the
   // Spark shapes are real and these are the rows-only checks for them)

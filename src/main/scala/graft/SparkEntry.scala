@@ -82,6 +82,7 @@ object SparkEntry {
     "m06_embedding_dedup" -> Queries.m06EmbeddingDedup,
     "m07_text_profile" -> Queries.m07TextProfile,
     "m08_minhash_dedup" -> Queries.m08MinhashDedup,
+    "m11_dedup_components" -> Queries.m11DedupComponents,
     "m09_ann_ivf" -> Queries.m09AnnIvf,
     "m10_curation_report" -> Queries.m10CurationReport,
     "mm01_media_profile" -> Queries.mm01MediaProfile,

@@ -221,7 +221,7 @@ object Dedup {
     val storePath = new org.apache.hadoop.fs.Path(storeDir)
     val fs = storePath.getFileSystem(hconf)
     val paramsPath = new org.apache.hadoop.fs.Path(storeDir + ".params")
-    val params = s"k=$k,bands=$bands,shingleW=$shingleW"
+    val params = s"k=$k,bands=$bands,shingleW=$shingleW,sigv=2"
 
     // the store "exists" only if committed parquet files are present —
     // a dir left by a failed write must read as empty, not wedge the job
@@ -270,6 +270,56 @@ object Dedup {
     }
     sig.unpersist()
     docs.join(dupIds, Seq("doc_id"), "left_anti")
+  }
+
+  /**
+   * Connected components over an undirected pair list: (id, component)
+   * with component = the minimum id reachable from `id`. This is the
+   * transitive-closure step `minhashDedup` deliberately leaves out —
+   * A≈B≈C must collapse to ONE representative even when (A,C) was never
+   * emitted as a direct pair.
+   *
+   * Min-label propagation: each round every node takes the min of its
+   * own and its neighbors' labels (one shuffle join + partial-agg per
+   * round), converging in O(component diameter) rounds. Near-dup
+   * clusters are dense and tiny — diameters of 2-3 — so this beats the
+   * O(log n) large-star/small-star alternation (Kiveris et al.,
+   * "Connected Components in MapReduce and Beyond") for the dedup
+   * workload; swap that in if components with large diameters appear.
+   * Each round is `localCheckpoint`ed: labels are ids only (tiny), and
+   * unbounded join lineage would otherwise re-plan from round 0.
+   */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_id_a",
+      bCol: String = "doc_id_b", maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("component", col("id")).localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges.join(labels.withColumnRenamed("id", "v"), "v")
+        .groupBy(col("u").as("id")).agg(min(col("component")).as("nbr"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr"), col("component"))).as("component"),
+          (coalesce(col("nbr"), col("component")) < col("component")).as("changed"))
+        .localCheckpoint(true)
+      converged = stepped.filter(col("changed")).limit(1).isEmpty
+      labels = stepped.select("id", "component")
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
+  /** Near-dedup with full transitive closure: ONE survivor (min doc_id)
+    * per connected cluster of verified near-dup pairs. */
+  def minhashDedupComponents(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
+    val comp = connectedComponents(minhashPairs(docs, threshold))
+    docs.join(comp.filter(col("id") =!= col("component"))
+      .select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
   }
 
   /** Embedding-cosine near-dup pairs (see Similarity.cosine): pairs with

@@ -131,6 +131,51 @@ class FlatBufSpec extends AnyFunSuite {
     assert(out === graft.streaming.FbOffchain("pubkey58", "https://arweave.net/x", 9L, true))
   }
 
+  test("property: random nested transactions survive the wire") {
+    val rnd = new scala.util.Random(42)
+    def bytesN(n: Int): Array[Byte] = { val a = new Array[Byte](n); rnd.nextBytes(a); a }
+    def genInsn(): Row =
+      Row(rnd.nextInt(256), Seq.fill(rnd.nextInt(6))(rnd.nextInt(256)), bytesN(rnd.nextInt(41)))
+    def genTx(): Row = {
+      val keys = Seq.fill(1 + rnd.nextInt(4))(bytesN(32))
+      val insns = Seq.fill(rnd.nextInt(5))(genInsn())
+      val bals = Seq.fill(rnd.nextInt(4))(rnd.nextLong(Long.MaxValue))
+      val inner = Seq.fill(rnd.nextInt(4))(
+        Row(rnd.nextInt(256), Seq.fill(rnd.nextInt(4))(genInsn())))
+      val rewards = Seq.fill(rnd.nextInt(4))(
+        Row(graft.core.Base58.encode(bytesN(32)), rnd.nextLong(), rnd.nextLong(Long.MaxValue),
+          rnd.nextInt(5), rnd.nextInt(256)))
+      Row(bytesN(64), rnd.nextBoolean(), rnd.nextLong(Long.MaxValue),
+        Row("legacy", Row(Row(1, 0, 0), keys, bytesN(32), insns), null),
+        Row(true, rnd.nextLong(Long.MaxValue), bals, bals, null, null, null, inner, rewards))
+    }
+    (1 to 100).foreach { _ =>
+      val tx = genTx()
+      val out = FlatBuf.decodeTransaction(FlatBuf.encodeTransaction(tx))
+      assert(out.signature.toSeq === tx.getAs[Array[Byte]](0).toSeq)
+      assert(out.is_vote === tx.getBoolean(1) && out.slot === tx.getLong(2))
+      val inMsg = tx.getStruct(3).getStruct(1)
+      assert(out.message.legacy.account_keys.map(_.toSeq) ===
+        inMsg.getSeq[Array[Byte]](1).map(_.toSeq))
+      assert(out.message.legacy.instructions.map(i => (i.program_id_index, i.accounts, i.data.toSeq)) ===
+        inMsg.getSeq[Row](3).map(i => (i.getInt(0), i.getSeq[Int](1), i.getAs[Array[Byte]](2).toSeq)))
+      val inMeta = tx.getStruct(4)
+      assert(out.meta.fee === inMeta.getLong(1))
+      assert(out.meta.pre_balances === inMeta.getSeq[Long](2))
+      val inInner = inMeta.getSeq[Row](7)
+      val gotInner = Option(out.meta.inner_instructions).getOrElse(Seq.empty)
+      assert(gotInner.length === inInner.length)
+      gotInner.zip(inInner).foreach { case (g, e) =>
+        assert(g.index === e.getInt(0))
+        assert(g.instructions.map(_.program_id_index) === e.getSeq[Row](1).map(_.getInt(0)))
+      }
+      val inRw = inMeta.getSeq[Row](8)
+      val gotRw = Option(out.meta.rewards).getOrElse(Seq.empty)
+      assert(gotRw.map(r => (r.pubkey, r.lamports, r.post_balance, r.reward_type, r.commission)) ===
+        inRw.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4))))
+    }
+  }
+
   test("vtable layout: scalar defaults elide, offsets resolve (raw probe)") {
     // an all-defaults account encodes with an empty-ish vtable; the
     // decoder must fall back to defaults rather than read garbage

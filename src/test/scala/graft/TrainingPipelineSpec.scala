@@ -63,6 +63,29 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(stored === Set(1L, 2L, 4L))
   }
 
+  test("connected components collapse chains the direct pairs never joined") {
+    val s = spark
+    import s.implicits._
+    // path 1-2-3-4 (diameter 3: needs >1 propagation round) + island 7-8
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L))
+      .toDF("doc_id_a", "doc_id_b")
+    val comp = graft.operators.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 8L -> 7L))
+
+    // dedupComponents keeps exactly one survivor per cluster even when
+    // A≈C was never a direct pair (B bridges them)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again!"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again!!"),
+      (10L, "completely unrelated text about training data pipelines at scale"))
+      .toDF("doc_id", "text")
+    val kept = graft.operators.Dedup.minhashDedupComponents(docs, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 10L))
+  }
+
   test("report counts decrease monotonically per stage") {
     val cfg = TrainingPipeline.Config(languages = Seq("en"), minChars = 100,
       minQuality = 0.45, nearDedupThreshold = 0.6)
