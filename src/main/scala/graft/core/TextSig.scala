@@ -64,6 +64,21 @@ object TextSig {
     mix64(h)
   }
 
+  /** Sort a primitive hash array and drop duplicates in place — replaces
+    * a `HashSet[Long]` whose per-shingle autoboxing dominated the dedup
+    * pipelines' profile (~10M boxed longs per sf0.1 run). */
+  private def sortedDistinct(a: Array[Long], len: Int): Array[Long] = {
+    if (len == 0) return Array.emptyLongArray
+    java.util.Arrays.sort(a, 0, len)
+    var w = 1
+    var i = 1
+    while (i < len) {
+      if (a(i) != a(w - 1)) { a(w) = a(i); w += 1 }
+      i += 1
+    }
+    if (w == a.length) a else java.util.Arrays.copyOf(a, w)
+  }
+
   /** Distinct hashes of all `w`-char shingles of the normalized text.
     * A doc shorter than `w` yields one shingle (the whole text); empty
     * text yields none. Sorted for deterministic output. */
@@ -71,21 +86,17 @@ object TextSig {
     val n = normalize(text)
     if (n.isEmpty) return Array.emptyLongArray
     val count = math.max(n.length - w + 1, 1)
-    val set = new java.util.HashSet[Long](count * 2)
+    val buf = new Array[Long](count)
     var i = 0
     while (i < count) {
       var h = 0xcbf29ce484222325L
       var j = i
       val end = math.min(i + w, n.length)
       while (j < end) { h = (h ^ n.charAt(j)) * 0x100000001b3L; j += 1 }
-      set.add(mix64(h))
+      buf(i) = mix64(h)
       i += 1
     }
-    val out = new Array[Long](set.size)
-    val it = set.iterator(); var k = 0
-    while (it.hasNext) { out(k) = it.next(); k += 1 }
-    java.util.Arrays.sort(out)
-    out
+    sortedDistinct(buf, count)
   }
 
   /** Distinct hashes of `w`-token word shingles of the normalized text. */
@@ -94,7 +105,7 @@ object TextSig {
     if (n.isEmpty) return Array.emptyLongArray
     val toks = n.split(' ')
     val count = math.max(toks.length - w + 1, 1)
-    val set = new java.util.HashSet[Long](count * 2)
+    val buf = new Array[Long](count)
     var i = 0
     while (i < count) {
       var h = 0xcbf29ce484222325L
@@ -107,38 +118,40 @@ object TextSig {
         h = (h ^ ' ') * 0x100000001b3L
         t += 1
       }
-      set.add(mix64(h))
+      buf(i) = mix64(h)
       i += 1
     }
-    val out = new Array[Long](set.size)
-    val it = set.iterator(); var k = 0
-    while (it.hasNext) { out(k) = it.next(); k += 1 }
-    java.util.Arrays.sort(out)
-    out
+    sortedDistinct(buf, count)
   }
 
-  /** MinHash signature via the standard two-hash combination
-    * h_i(x) = u + i·v with u = mix64(x), v = mix64(x ^ GOLDEN) | 1
-    * (Indyk-style 2-universal family): 2 mixes + k multiply-adds per
-    * shingle instead of k full mixes — ~5× less work on the dedup
-    * pipelines' dominant stage. Signature VALUES differ from the v1
-    * per-permutation form; only LSH bucketing consumes them (pair
+  /** Per-permutation multiply-shift constants (odd multipliers → each
+    * h_i is a bijection on Z/2^64). NOTE: h_i(x) = u + i·v looks cheaper
+    * but is WRONG for min-aggregation — adjacent i share the minimizing
+    * shingle (lower envelope of lines), so any one common shingle
+    * collides entire band ranges; measured 700× candidate inflation. */
+  private val MinhashA: Array[Long] =
+    Array.tabulate(256)(i => mix64(0x8c5fb1d8a9e00b1dL + i) | 1L)
+  private val MinhashB: Array[Long] =
+    Array.tabulate(256)(i => mix64(0x1b873593a4f0e2c7L + i))
+
+  /** MinHash signature: h_i(x) = mix64(x)·A_i + B_i (multiply-shift per
+    * permutation, Broder-style): 1 mix + k multiply-adds per shingle
+    * instead of k full mixes. Signature VALUES differ from the v1
+    * per-permutation-mix form; only LSH bucketing consumes them (pair
     * outputs are verified with exact Jaccard), but incremental stores
     * pin the version in their params sidecar (`sigv=2`) so cross-version
     * stores fail loudly instead of silently losing recall. */
   def minhash(shingles: Array[Long], k: Int): Array[Long] = {
+    require(k <= MinhashA.length, s"k=$k exceeds ${MinhashA.length}")
     val sig = new Array[Long](k)
     java.util.Arrays.fill(sig, Long.MaxValue)
     var s = 0
     while (s < shingles.length) {
-      val x = shingles(s)
-      val u = mix64(x)
-      val v = mix64(x ^ 0x9e3779b97f4a7c15L) | 1L
-      var h = u
+      val u = mix64(shingles(s))
       var i = 0
       while (i < k) {
+        val h = u * MinhashA(i) + MinhashB(i)
         if (h < sig(i)) sig(i) = h
-        h += v
         i += 1
       }
       s += 1

@@ -17,6 +17,9 @@ import graft.core.TextSig
  *  - MinHash-LSH shuffles (band_id, band_hash) pairs — `bands` small
  *    rows per doc — then self-joins only within buckets; candidate pairs
  *    are verified with exact Jaccard before dropping. No O(n²) stage.
+ *    One-shot paths cache only (doc_id, sig) and recompute shingles for
+ *    the candidate docs at verify time — the full shingle-array table is
+ *    ~50× the sig table and caching it was the dominant pipeline cost.
  *  - Signature computation (normalize → shingle → minhash/simhash) is a
  *    single compiled pass per document (`TextSig`), not a higher-order-
  *    function Column expression: HOF lambdas evaluate interpretively and
@@ -34,6 +37,27 @@ object Dedup {
   private val minhashUdf = udf((sh: Array[Long], k: Int) => TextSig.minhash(sh, k))
   private val simhashUdf = udf((t: String) => TextSig.simhash(t))
   private val jaccardUdf = udf((a: Array[Long], b: Array[Long]) => TextSig.jaccardSorted(a, b))
+  // fused text→minhash (null for shingle-less docs: empty docs must not
+  // all share one bucket — at scale that's a quadratic hot bucket)
+  private val charSigUdf = udf((t: String, w: Int, k: Int) => {
+    val sh = TextSig.charShingles(t, w)
+    if (sh.isEmpty) null else TextSig.minhash(sh, k)
+  })
+  private val wordSigUdf = udf((t: String, w: Int, k: Int) => {
+    val sh = TextSig.wordShingles(t, w)
+    if (sh.isEmpty) null else TextSig.minhash(sh, k)
+  })
+  private val charJaccardUdf = udf((a: String, b: String, w: Int) =>
+    TextSig.jaccardSorted(TextSig.charShingles(a, w), TextSig.charShingles(b, w)))
+  private val wordJaccardUdf = udf((a: String, b: String, w: Int) =>
+    TextSig.jaccardSorted(TextSig.wordShingles(a, w), TextSig.wordShingles(b, w)))
+  // fraction of agreeing minhash components — the unbiased Jaccard
+  // estimator used to prefilter candidates before exact verification
+  private val sigAgreeUdf = udf((a: Array[Long], b: Array[Long]) => {
+    var i = 0; var eq = 0
+    while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+    eq.toDouble / a.length
+  })
 
   /** Normalized 128-bit content fingerprint used for exact dedup
     * (two independent xxhash64 seeds; codegen'd built-ins). 64 bits is
@@ -104,7 +128,8 @@ object Dedup {
       .distinct()
   }
 
-  /** Join candidates back to shingle sets and verify with exact Jaccard. */
+  /** Join candidates back to shingle sets and verify with exact Jaccard
+    * (incremental path — the store materializes `sh`). */
   private def verifyJaccard(cand: DataFrame, sig: DataFrame, threshold: Double): DataFrame =
     cand
       .join(sig.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a")), "doc_id_a")
@@ -112,6 +137,36 @@ object Dedup {
       .select(col("doc_id_a"), col("doc_id_b"),
         round(jaccardUdf(col("sh_a"), col("sh_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+
+  /** One-shot verify: join candidate ids back to TEXT and recompute
+    * shingles for candidate docs only. Candidates are a vanishing
+    * fraction of the corpus, so recomputing two shingle sets per pair is
+    * far cheaper than materializing (cache + shuffle ×2) every document's
+    * full shingle array — the array table is ~50× the sig table. */
+  private def verifyJaccardText(cand: DataFrame, docs: DataFrame,
+      jacUdf: (Column, Column, Column) => Column, w: Int,
+      threshold: Double): DataFrame = {
+    // broadcast the candidate side: candidates are ≪ corpus by the
+    // blocking design, and without the hint the planner sort-merge-joins
+    // (= shuffles the full text corpus twice) once `docs` outgrows the
+    // autoBroadcast threshold
+    val withA = broadcast(cand)
+      .join(docs.select(col("doc_id").as("doc_id_a"), col("text").as("ta")), "doc_id_a")
+    broadcast(withA)
+      .join(docs.select(col("doc_id").as("doc_id_b"), col("text").as("tb")), "doc_id_b")
+      .select(col("doc_id_a"), col("doc_id_b"),
+        round(jacUdf(col("ta"), col("tb"), lit(w)), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** doc_id → minhash signature ONLY (one-shot paths): ~k·8 bytes per
+    * doc cached, vs the full shingle array the incremental store keeps. */
+  private def sigOnly(docs: DataFrame, sigUdf: (Column, Column, Column) => Column,
+      w: Int, k: Int): DataFrame =
+    spread(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), sigUdf(col("text"), lit(w), lit(k)).as("sig"))
+      .filter(col("sig").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /**
    * MinHash-LSH near-duplicate pairs: (doc_id_a, doc_id_b, jaccard) for
@@ -123,11 +178,32 @@ object Dedup {
    * shingle arrays by doc_id; at scale that join is shuffle-on-doc_id of
    * candidates only (tiny vs corpus).
    */
+  /** Estimate-then-verify prefilter: keep candidates whose minhash
+    * agreement ≥ threshold − margin. On vocabulary-sharing corpora most
+    * LSH candidates are background-similarity pairs far below threshold
+    * (measured sf0.1: 73k candidates, 5k above est 0.3 for threshold
+    * 0.5) — estimating from the ALREADY-CACHED sigs is ~free and spares
+    * the exact verify 10×+ of its shingle recomputation. margin = 0.2 is
+    * >3σ of the k=64 estimator at any J, so true pairs at threshold pass
+    * with certainty for practical purposes; applied only when k is large
+    * enough for the estimate to be meaningful. */
+  private def estimatePrefilter(cand: DataFrame, sig: DataFrame, k: Int,
+      threshold: Double, margin: Double = 0.2): DataFrame =
+    if (k < 32 || threshold - margin <= 0.0) cand
+    else cand
+      .join(sig.select(col("doc_id").as("doc_id_a"), col("sig").as("est_a")), "doc_id_a")
+      .join(sig.select(col("doc_id").as("doc_id_b"), col("sig").as("est_b")), "doc_id_b")
+      .filter(sigAgreeUdf(col("est_a"), col("est_b")) >= threshold - margin)
+      .select(col("doc_id_a"), col("doc_id_b"))
+
   def minhashPairs(docs: DataFrame, threshold: Double = 0.7,
       k: Int = 64, bands: Int = 16, shingleW: Int = 5): DataFrame = {
-    val sig = signatures(docs, charShinglesUdf(_, _), shingleW, k)
+    val sig = sigOnly(docs, charSigUdf(_, _, _), shingleW, k)
+    val cand = estimatePrefilter(
+      lshCandidates(sig, bands, k / bands), sig, k, threshold)
     materialized(
-      verifyJaccard(lshCandidates(sig, bands, k / bands), sig, threshold), sig)
+      verifyJaccardText(cand, docs, charJaccardUdf(_, _, _), shingleW, threshold),
+      sig)
   }
 
   /** Near-dedup via MinHash-LSH: drop the higher doc_id of every verified
@@ -187,8 +263,10 @@ object Dedup {
     * the O(n²) cross product. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
       w: Int = 3): DataFrame = {
-    val sig = signatures(docs, wordShinglesUdf(_, _), w, 8)
-    materialized(verifyJaccard(lshCandidates(sig, 8, 1), sig, threshold), sig)
+    val sig = sigOnly(docs, wordSigUdf(_, _, _), w, 8)
+    materialized(
+      verifyJaccardText(lshCandidates(sig, 8, 1), docs,
+        wordJaccardUdf(_, _, _), w, threshold), sig)
   }
 
   /** Band-bucket rows of a signature frame (shared by one-shot and
