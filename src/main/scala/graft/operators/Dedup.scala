@@ -43,14 +43,8 @@ object Dedup {
     val sh = TextSig.charShingles(t, w)
     if (sh.isEmpty) null else TextSig.minhash(sh, k)
   })
-  private val wordSigUdf = udf((t: String, w: Int, k: Int) => {
-    val sh = TextSig.wordShingles(t, w)
-    if (sh.isEmpty) null else TextSig.minhash(sh, k)
-  })
   private val charJaccardUdf = udf((a: String, b: String, w: Int) =>
     TextSig.jaccardSorted(TextSig.charShingles(a, w), TextSig.charShingles(b, w)))
-  private val wordJaccardUdf = udf((a: String, b: String, w: Int) =>
-    TextSig.jaccardSorted(TextSig.wordShingles(a, w), TextSig.wordShingles(b, w)))
   // fraction of agreeing minhash components — the unbiased Jaccard
   // estimator used to prefilter candidates before exact verification
   private val sigAgreeUdf = udf((a: Array[Long], b: Array[Long]) => {
@@ -261,12 +255,15 @@ object Dedup {
   /** n-gram Jaccard pairs above threshold — exact Jaccard on word
     * shingles, blocked by a cheap MinHash-LSH (k=8, 8 bands) to avoid
     * the O(n²) cross product. */
+  /** Word-path NOTE: keeps the shingle-array cache + merge verify. Its
+    * r=1 blocking (chosen for recall at low thresholds) admits many
+    * background candidates, and word-shingle arrays are ~10× smaller
+    * than char arrays — here the cached-array merge beats recomputing
+    * shingles per candidate (measured: recompute was 2× slower). */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
       w: Int = 3): DataFrame = {
-    val sig = sigOnly(docs, wordSigUdf(_, _, _), w, 8)
-    materialized(
-      verifyJaccardText(lshCandidates(sig, 8, 1), docs,
-        wordJaccardUdf(_, _, _), w, threshold), sig)
+    val sig = signatures(docs, wordShinglesUdf(_, _), w, 8)
+    materialized(verifyJaccard(lshCandidates(sig, 8, 1), sig, threshold), sig)
   }
 
   /** Band-bucket rows of a signature frame (shared by one-shot and
