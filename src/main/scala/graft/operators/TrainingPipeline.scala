@@ -62,6 +62,34 @@ object TrainingPipeline {
     d
   }
 
+  /** Streaming curation: the batch chain per arriving micro-batch, with
+    * near-dedup running against the GROWING signature store
+    * (`Dedup.minhashDedupIncremental`) — each batch is deduped against
+    * everything previously accepted, which is the always-on corpus
+    * ingestion shape. Stage filters are stateless Columns (identical
+    * semantics batch or stream); survivors append to `outDir`. Restart
+    * safety comes from the checkpoint: a replayed batch re-dedups
+    * against the store, so accepted duplicates cannot re-enter (the
+    * store's own append is the one at-least-once side effect, shared
+    * with the batch incremental path). */
+  def curateStream(docs: DataFrame, storeDir: String, outDir: String,
+      checkpointDir: String, cfg: Config = Config()):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val filtered = qualityFilter(languageFilter(batch, cfg.languages),
+          cfg.minChars, cfg.maxChars, cfg.minQuality, cfg.minStopwordRatio)
+        val exact = if (cfg.exactDedup) Dedup.exact(filtered) else filtered
+        val kept =
+          if (cfg.nearDedup)
+            Dedup.minhashDedupIncremental(exact, storeDir, cfg.nearDedupThreshold)
+          else exact
+        kept.write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** Data-accounting report: rows surviving each stage.
     *
     * Single-pass shape: stages 0–3 come from ONE conditional aggregation

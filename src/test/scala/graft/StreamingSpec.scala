@@ -281,6 +281,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept.length === 2) // legacy+prog and v0+prog; no-prog and failed drop
   }
 
+  test("streaming curation dedups each micro-batch against the growing store") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("curate-stream")
+    val longDoc = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+    val in = MemoryStream[(Long, String, String)](s)
+    val q = graft.operators.TrainingPipeline.curateStream(
+      in.toDF().toDF("doc_id", "text", "lang"),
+      storeDir = s"$base/store", outDir = s"$base/out",
+      checkpointDir = s"$base/ckpt",
+      cfg = graft.operators.TrainingPipeline.Config(
+        languages = Seq("en"), minChars = 50, minQuality = 0.0,
+        nearDedupThreshold = 0.5))
+    try {
+      // batch 1: one good doc, one wrong-language, one too-short
+      in.addData((1L, longDoc, "en"), (2L, longDoc, "de"), (3L, "short", "en"))
+      q.processAllAvailable()
+      // batch 2: near-dup of doc 1 (must be dropped via the STORE — doc 1
+      // was accepted in an earlier batch) + one genuinely new doc
+      in.addData((4L, longDoc + " extra!", "en"),
+        (5L, "completely different content about snapshots and parquet tables " * 3, "en"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = s.read.parquet(s"$base/out").select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 5L))
+  }
+
   test("file-source stream over the driver events table: watermarked hourly windows") {
     val s = spark
     import s.implicits._
