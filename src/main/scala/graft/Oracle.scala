@@ -30,6 +30,12 @@ object Oracle {
   private def u16(o: String): String = le(o, 2, "INTEGER")
   private def u32(o: String): String = le(o, 4, "BIGINT")
   private def u64(o: String): String = le(o, 8, "BIGINT")
+  /** Big-endian read (PNG chunk fields). */
+  private def be(o: String, bytes: Int, t: String): String =
+    "TRY_CAST('0x' || " +
+      (0 until bytes).map(k => s"substr(h,(($o)+$k)*2+1,2)").mkString(" || ") +
+      s" AS $t)"
+  private def u32be(o: String): String = be(o, 4, "BIGINT")
   private def pk(o: String): String = s"substr(h,($o)*2+1,64)"
   /** Fixed-capacity borsh string: utf8 bytes with NUL padding stripped
     * (`MplMetadata` stripNul). */
@@ -854,39 +860,45 @@ object Oracle {
       GROUP BY mint_hex, decimals ORDER BY 1""",
 
     // =================================================================
-    // Multimodal: fake-codec corpus dumped as {AUX}/media; headers and
-    // payloads re-decoded with hex arithmetic (Media.scala formats)
+    // Multimodal: media corpus dumped as {AUX}/media. Images are REAL
+    // PNGs whose IDAT zlib stream uses stored-deflate blocks (see
+    // Media.encodePng) — for the fixture rasters (one stored block)
+    // pixel byte k of scanline y sits at file offset 49 + y*(1+3w) + k,
+    // so DuckDB re-decodes pixels with hex arithmetic, fully independent
+    // of the ImageIO path Spark uses. Audio is real canonical-layout
+    // WAV (PCM16 @ offset 44). Video is the documented fake container.
     // =================================================================
 
     "mm01_media_profile" -> s"""
       WITH media AS (SELECT media_id, hex(bytes) AS h, octet_length(bytes) AS ln
                      FROM read_parquet('{AUX}/media/*.parquet')),
       m AS (SELECT media_id, h, ln,
-          CASE WHEN ln >= 7 AND substr(h,1,4) = '494D'
-                 AND ln >= 7 + ${u16("2")}*${u16("4")}*${u8("6")} THEN 'image'
-               WHEN ln >= 10 AND substr(h,1,4) = '4155'
-                 AND ${u32("6")} >= 0 AND ln >= 10 + ${u32("6")}*2 THEN 'audio'
+          CASE WHEN ln >= 33 AND substr(h,1,16) = '89504E470D0A1A0A' THEN 'image'
+               WHEN ln >= 44 AND substr(h,1,8) = '52494646'
+                 AND substr(h,17,8) = '57415645' THEN 'audio'
                WHEN ln >= 8 AND substr(h,1,4) = '5649'
                  AND ln >= 8 + ${u16("2")}*${u16("4")}*${u16("6")} THEN 'video'
                END AS kind,
-          ${u16("2")} AS s2, ${u16("4")} AS s4, ${u32("6")} AS i6
+          ${u32be("16")} AS png_w, ${u32("40")}//2 AS wav_n,
+          ${u16("2")} AS s2, ${u16("4")} AS s4
         FROM media)
       SELECT kind, COUNT(*) AS n_items,
-        CAST(SUM(CASE kind WHEN 'image' THEN s2 WHEN 'video' THEN s4 ELSE 0 END) AS BIGINT) AS sum_width,
-        CAST(SUM(CASE kind WHEN 'audio' THEN i6 ELSE 0 END) AS BIGINT) AS sum_samples,
+        CAST(SUM(CASE kind WHEN 'image' THEN png_w WHEN 'video' THEN s4 ELSE 0 END) AS BIGINT) AS sum_width,
+        CAST(SUM(CASE kind WHEN 'audio' THEN wav_n ELSE 0 END) AS BIGINT) AS sum_samples,
         CAST(SUM(CASE kind WHEN 'video' THEN s2 ELSE 0 END) AS BIGINT) AS sum_frames
       FROM m WHERE kind IS NOT NULL GROUP BY kind ORDER BY kind""",
 
     "mm02_image_features" -> s"""
       WITH media AS (SELECT media_id, hex(bytes) AS h, octet_length(bytes) AS ln
                      FROM read_parquet('{AUX}/media/*.parquet')),
-      im AS (SELECT media_id, h, ${u16("2")}*${u16("4")}*${u8("6")} AS n
+      im AS (SELECT media_id, h, ${u32be("16")} AS w, ${u32be("20")} AS ht
              FROM media
-             WHERE ln >= 7 AND substr(h,1,4) = '494D'
-               AND ln >= 7 + ${u16("2")}*${u16("4")}*${u8("6")}),
-      cnt AS (SELECT media_id, n,
-          len(list_filter(range(0, n),
-            k -> TRY_CAST('0x' || substr(h,(7+CAST(k AS INT))*2+1,2) AS INTEGER) < 32)) AS c0
+             WHERE ln >= 33 AND substr(h,1,16) = '89504E470D0A1A0A'),
+      cnt AS (SELECT media_id, w*ht*3 AS n,
+          len(list_filter(range(0, w*ht*3),
+            k -> TRY_CAST('0x' || substr(h,
+                   (49 + (CAST(k AS BIGINT)//(3*w))*(1+3*w)
+                       + (CAST(k AS BIGINT)%(3*w)))*2+1, 2) AS INTEGER) < 32)) AS c0
         FROM im)
       SELECT media_id, round(CAST(CAST(c0 AS FLOAT)/CAST(n AS FLOAT) AS DOUBLE), 6) AS bin0
       FROM cnt ORDER BY media_id""",
@@ -903,14 +915,14 @@ object Oracle {
     "mm04_audio_profile" -> s"""
       WITH media AS (SELECT media_id, hex(bytes) AS h, octet_length(bytes) AS ln
                      FROM read_parquet('{AUX}/media/*.parquet')),
-      a AS (SELECT media_id, h, ${u32("2")} AS rate, ${u32("6")} AS ns
+      a AS (SELECT media_id, h, ${u32("24")} AS rate, ${u32("40")}//2 AS ns
             FROM media
-            WHERE ln >= 10 AND substr(h,1,4) = '4155'
-              AND ${u32("6")} >= 0 AND ln >= 10 + ${u32("6")}*2),
+            WHERE ln >= 44 AND substr(h,1,8) = '52494646'
+              AND substr(h,17,8) = '57415645' AND ln >= 44 + ${u32("40")}),
       s AS (SELECT media_id, rate, ns,
           list_transform(range(0, ns), k ->
-            TRY_CAST('0x' || substr(h,(10+CAST(k AS INT)*2+1)*2+1,2)
-                          || substr(h,(10+CAST(k AS INT)*2)*2+1,2) AS INTEGER)) AS us
+            TRY_CAST('0x' || substr(h,(44+CAST(k AS INT)*2+1)*2+1,2)
+                          || substr(h,(44+CAST(k AS INT)*2)*2+1,2) AS INTEGER)) AS us
         FROM a)
       SELECT media_id, CAST(rate AS INT) AS sample_rate, CAST(ns AS INT) AS n_samples,
         round(sqrt(list_sum(list_transform(us, x ->

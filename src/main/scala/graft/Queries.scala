@@ -596,8 +596,9 @@ object Queries {
       .orderBy("doc_id")
 
   // =====================================================================
-  // Multimodal plumbing (codec layer stubbed — see Media scaladoc; the
-  // Spark shapes are real and these are the rows-only checks for them)
+  // Multimodal: real PNG/WAV codecs (see Media scaladoc; video container
+  // is the one documented stub). Oracled via DuckDB hex re-decode of the
+  // genuine formats — independent of the ImageIO/RIFF path Spark runs.
   // =====================================================================
 
   private def media(s: SparkSession, dir: String): DataFrame =

@@ -9,9 +9,10 @@ import graft.core.Media
  * Multimodal operators: image/audio/video as opaque `binary` columns with
  * typed metadata — the Spark-side plumbing a 100 TB media pipeline needs.
  *
- * The codec layer is STUBBED (`Media` scaladoc): no media libraries exist
- * in this environment, so decode/resize/feature/frame-sample bodies run
- * against deterministic fake formats. The Spark shapes are real:
+ * The codec layer is JDK-native (`Media` scaladoc): images are real PNGs
+ * decoded through `javax.imageio`, audio is real RIFF/WAV; only the video
+ * container remains a documented stub (no JDK video codec exists). The
+ * Spark shapes:
  *  - metadata probe → nullable struct column (skip-bad-rows semantics)
  *  - per-row transform UDFs over binary (narrow, partition-local — the
  *    right shape for TB-scale media: bytes never shuffle unless a

@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.core.Media
 import graft.operators.Multimodal
 
-/** Multimodal plumbing: stubbed codecs (Media), real Spark shapes. */
+/** Multimodal plumbing: real PNG/WAV codecs (Media), real Spark shapes. */
 class MultimodalSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -32,6 +32,49 @@ class MultimodalSpec extends AnyFunSuite {
     import s.implicits._
     val bad = Seq((1L, Array[Byte](9, 9, 9))).toDF("media_id", "bytes")
     assert(Multimodal.withMeta(bad).filter(col("meta").isNotNull).count() === 0)
+  }
+
+  test("synthesized images are genuine PNGs: ImageIO decodes them and " +
+      "pixels equal the seeded raster") {
+    val bytes = Media.synthesize(0L) // id%3==0 → image
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO rejected the encoded PNG")
+    val meta = Media.decodeMeta(bytes)
+    assert(img.getWidth === meta.width && img.getHeight === meta.height)
+    // decoded pixels must match the generator's splitmix64 stream:
+    // proves the encode→inflate round-trip is lossless, not just parseable
+    var s = 0L * 7 + 1
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y)
+        for (c <- Seq((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)) {
+          s = graft.core.TextSig.mix64(s)
+          assert(c === (s & 0xff).toInt, s"pixel ($x,$y)")
+        }
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  test("synthesized audio is genuine WAV: RIFF/WAVE header, PCM16 mono") {
+    val bytes = Media.synthesize(1L) // id%3==1 → audio
+    assert(new String(bytes.slice(0, 4), "US-ASCII") === "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") === "WAVE")
+    val m = Media.decodeMeta(bytes)
+    assert(m.kind === Media.KindAudio && m.sampleRate === 16000 && m.channels === 1)
+    // declared RIFF size spans the file
+    val riffSz = java.nio.ByteBuffer.wrap(bytes, 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    assert(riffSz + 8 === bytes.length)
+  }
+
+  test("corrupt PNG (flipped IHDR byte) probes as null") {
+    val bytes = Media.synthesize(0L).clone()
+    bytes(17) = (bytes(17) ^ 0x01).toByte // corrupt width → CRC mismatch
+    assert(Media.decodeMeta(bytes) == null)
   }
 
   test("resize produces the requested raster dimensions") {
