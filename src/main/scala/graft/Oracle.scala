@@ -13,8 +13,13 @@ package graft
  * fixture's duplicate pairs sit far above the LSH thresholds (verified:
  * min true Jaccard 0.9 vs thresholds 0.5/0.3/0.6), so blocking recall is
  * total on this corpus; the blocked Spark output must equal the exact set.
- * Only sn06 (base58 strings), sn10 (eBPF disassembly), and sn11
- * (filesystem listing) remain rows-only — not expressible in DuckDB.
+ *
+ * The signature kernels (SimHash, hyperplane LSH) are re-derived HERE, in
+ * SQL, from their deterministic formulas — 64-bit wraparound hashing runs
+ * in HUGEINT split-multiply form (see mul64/mix64Ctes). The only
+ * Spark-produced aux the training-data oracles read is `ivf_centers`
+ * (16 k-means centroids: constant-sized index PARAMETERS — spark.ml's
+ * seeded k-means is not expressible in SQL; assignments are re-derived).
  */
 object Oracle {
 
@@ -69,6 +74,70 @@ object Oracle {
 
   private val Stopword18 =
     "('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by')"
+
+  // ---- 64-bit wraparound arithmetic in HUGEINT. DuckDB raises on BIGINT
+  //      overflow, so the TextSig/VecMath hash kernels (FNV-1a, splitmix64)
+  //      are re-derived with 128-bit split multiplication: every
+  //      intermediate stays < 2^65. xor / >> / bit_count are native on
+  //      HUGEINT; values are kept in [0, 2^64). ----
+  private val M64 = "CAST('18446744073709551616' AS HUGEINT)" // 2^64
+  /** (a · b) mod 2^64 via 32-bit limb split; a, b in [0, 2^64). */
+  private def mul64(a: String, b: String): String =
+    s"((($a)%4294967296)*(($b)%4294967296) + (((($a)>>32)*(($b)%4294967296)" +
+      s" + (($a)%4294967296)*(($b)>>32)) % 4294967296 << 32)) % $M64"
+  /** TextSig.mix64 (splitmix64 finalizer) as staged CTEs — textual nesting
+    * of the three multiply stages would expand each argument ~12-fold per
+    * level. `src` must expose `cols` plus `z0` in [0, 2^64); emits CTEs
+    * `<p>_1.._3` and `<p>` with (`cols`, h) where h = mix64(z0). */
+  private def mix64Ctes(p: String, src: String, cols: String): String = s"""
+    ${p}_1 AS (SELECT $cols,
+        (z0 + CAST('11400714819323198485' AS HUGEINT)) % $M64 AS z FROM $src),
+    ${p}_2 AS (SELECT $cols,
+        ${mul64("xor(z, z>>30)", "CAST('13787848793156543929' AS HUGEINT)")} AS z
+      FROM ${p}_1),
+    ${p}_3 AS (SELECT $cols,
+        ${mul64("xor(z, z>>27)", "CAST('10723151780598845931' AS HUGEINT)")} AS z
+      FROM ${p}_2),
+    $p AS (SELECT $cols, xor(z, z>>31) AS h FROM ${p}_3)"""
+
+  /** FNV-1a over the UTF-16 units of `expr` (TextSig hashing; fixture text
+    * is BMP-only so DuckDB codepoints coincide with Java chars), seeded by
+    * prepending the offset basis — DuckDB 1.0 list_reduce has no initial-
+    * value form. Yields a HUGEINT in [0, 2^64). */
+  private def fnv1a(expr: String): String =
+    s"""list_reduce(
+         [CAST('14695981039346656037' AS HUGEINT)] ||
+           list_transform(range(1, length($expr)+1),
+             i -> CAST(unicode(substr($expr, CAST(i AS INT), 1)) AS HUGEINT)),
+         (acc, c) -> ${mul64("xor(acc, c)", "CAST('1099511628211' AS HUGEINT)")})"""
+
+  /** VecMath.hyperplaneSig geometry re-derived from its seeded formula:
+    * plane component (p, i) = mix64(p·0x100000001b3 + i) / Long.MaxValue.
+    * Emits CTEs ending in `<pfx>plane` with (p, pl: DOUBLE[]) — the
+    * signature of vector v is then Σ_p (dot(v, pl_p) ≥ 0) · 2^p. */
+  private def planeCtes(pfx: String, planes: Int): String = s"""
+    ${pfx}dims AS (SELECT range(len(CAST(embedding AS DOUBLE[]))) AS idxs
+                   FROM embeddings LIMIT 1),
+    ${pfx}pi AS (SELECT CAST(p.range AS INT) AS p, CAST(ui AS INT) AS i,
+             CAST(p.range*1099511628211 + ui AS HUGEINT) AS z0
+           FROM range($planes) p, (SELECT unnest(idxs) AS ui FROM ${pfx}dims)),
+    ${mix64Ctes(s"${pfx}mx", s"${pfx}pi", "p, i")},
+    ${pfx}comp AS (SELECT p, i,
+        CAST(CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+             THEN h - $M64 ELSE h END AS BIGINT) AS DOUBLE)
+          / 9223372036854775807 AS c
+      FROM ${pfx}mx),
+    ${pfx}plane AS (SELECT p, list(c ORDER BY i) AS pl FROM ${pfx}comp GROUP BY p)"""
+
+  /** Hyperplane signature per embeddings row: CTE `<pfx>sig` with
+    * (vec_id, sig BIGINT, v DOUBLE[]). */
+  private def hyperplaneSigCtes(pfx: String, planes: Int): String = s"""
+    ${planeCtes(pfx, planes)},
+    ${pfx}sig AS (SELECT e.vec_id,
+        CAST(SUM(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), pl) >= 0
+             THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS sig,
+        any_value(CAST(e.embedding AS DOUBLE[])) AS v
+      FROM embeddings e, ${pfx}plane GROUP BY e.vec_id)"""
 
   /** Per-document text statistics matching `TextSig.textStats` (see the
     * q16/q19 oracles for the proven split/trim quirk handling). */
@@ -535,8 +604,23 @@ object Oracle {
       FROM p WHERE CAST(inter AS DOUBLE)/(la+lb-inter) >= 0.5
       ORDER BY doc_id_a, doc_id_b""",
 
-    "m02_simhash_pairs" -> """
-      WITH s AS (SELECT doc_id, sig FROM read_parquet('{AUX}/simhash_sigs/*.parquet'))
+    // SimHash re-derived entirely in SQL (TextSig.simhash: normalize →
+    // whitespace tokens → mix64(fnv1a(token)) → frequency-weighted bit
+    // vote). Signatures stay HUGEINT in [0, 2^64); hamming = bit_count of
+    // the xor — no Spark-produced signature table involved.
+    "m02_simhash_pairs" -> s"""
+      WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS nt
+                 FROM documents),
+      tok AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS t
+              FROM n WHERE length(nt) > 0),
+      fnv AS (SELECT doc_id, ${fnv1a("t")} AS z0 FROM tok),
+      ${mix64Ctes("th", "fnv", "doc_id")},
+      votes AS (SELECT doc_id, CAST(b AS INT) AS b,
+            SUM(CAST((h >> CAST(b AS INT)) % 2 AS INT)) AS ones, COUNT(*) AS total
+          FROM th, range(64) r(b) GROUP BY doc_id, b),
+      s AS (SELECT doc_id,
+            SUM(CASE WHEN ones*2 > total THEN CAST(1 AS HUGEINT) << b ELSE 0 END) AS sig
+          FROM votes GROUP BY doc_id)
       SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
         CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
       FROM s a, s b WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= 8
@@ -568,14 +652,13 @@ object Oracle {
       SELECT query_id, corpus_id, score, rank FROM r WHERE rank <= 5
       ORDER BY query_id, rank""",
 
-    "m05_ann_lsh" -> """
-      WITH c AS (SELECT h.vec_id AS corpus_id, h.sig, CAST(e.embedding AS DOUBLE[]) AS cv
-                 FROM read_parquet('{AUX}/hyperplane_p8/*.parquet') h
-                 JOIN embeddings e USING (vec_id)),
-      q AS (SELECT h.vec_id AS query_id, h.sig AS qsig, CAST(e.embedding AS DOUBLE[]) AS qv
-            FROM read_parquet('{AUX}/hyperplane_p8/*.parquet') h
-            JOIN embeddings e USING (vec_id)
-            WHERE h.vec_id < 16),
+    // Hyperplane-LSH signatures re-derived from the seeded plane formula
+    // (planeCtes) — no Spark-produced signature table involved.
+    "m05_ann_lsh" -> s"""
+      WITH ${hyperplaneSigCtes("hp", 8)},
+      c AS (SELECT vec_id AS corpus_id, sig, v AS cv FROM hpsig),
+      q AS (SELECT vec_id AS query_id, sig AS qsig, v AS qv
+            FROM hpsig WHERE vec_id < 16),
       probes AS (SELECT query_id, qv,
               unnest([qsig] || list_transform(range(0,8), p -> xor(qsig, CAST(1<<p AS BIGINT)))) AS sig
             FROM q),
@@ -587,10 +670,9 @@ object Oracle {
       SELECT query_id, corpus_id, score, rank FROM r WHERE rank <= 5
       ORDER BY query_id, rank""",
 
-    "m06_embedding_dedup" -> """
-      WITH s AS (SELECT h.vec_id, h.sig, CAST(e.embedding AS DOUBLE[]) AS v
-                 FROM read_parquet('{AUX}/hyperplane_p4/*.parquet') h
-                 JOIN embeddings e USING (vec_id))
+    "m06_embedding_dedup" -> s"""
+      WITH ${hyperplaneSigCtes("hp", 4)},
+      s AS (SELECT vec_id, sig, v FROM hpsig)
       SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
         round(list_cosine_similarity(a.v, b.v), 6) AS cosine
       FROM s a, s b WHERE a.sig = b.sig AND a.vec_id < b.vec_id
@@ -636,13 +718,26 @@ object Oracle {
       SELECT node AS doc_id, MIN(r) AS component
       FROM reach GROUP BY node ORDER BY doc_id""",
 
+    // IVF geometry: the only aux is the 16 k-means centers (parameters of
+    // the index, constant-sized — spark.ml seeded k-means is not
+    // re-derivable in SQL). Cell and probe ASSIGNMENTS are re-derived
+    // here: argmin/top-nprobe squared-Euclidean with VecMath's tie rule
+    // (lowest cell index wins).
     "m09_ann_ivf" -> """
-      WITH c AS (SELECT ic.corpus_id, ic.cell, CAST(e.embedding AS DOUBLE[]) AS cv
-                 FROM read_parquet('{AUX}/ivf_cells/*.parquet') ic
-                 JOIN embeddings e ON ic.corpus_id = e.vec_id),
-      p AS (SELECT ip.query_id, ip.cell, CAST(e.embedding AS DOUBLE[]) AS qv
-            FROM read_parquet('{AUX}/ivf_probes/*.parquet') ip
-            JOIN embeddings e ON ip.query_id = e.vec_id),
+      WITH centers AS (SELECT cell, center
+                       FROM read_parquet('{AUX}/ivf_centers/*.parquet')),
+      emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      dist AS (SELECT e.vec_id, c.cell, e.v,
+          list_sum(list_transform(range(len(c.center)), i ->
+            (e.v[CAST(i AS INT)+1] - c.center[CAST(i AS INT)+1])
+            * (e.v[CAST(i AS INT)+1] - c.center[CAST(i AS INT)+1]))) AS d
+        FROM emb e, centers c),
+      ranked AS (SELECT vec_id, cell, v,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+        FROM dist),
+      c AS (SELECT vec_id AS corpus_id, cell, v AS cv FROM ranked WHERE rn = 1),
+      p AS (SELECT vec_id AS query_id, cell, v AS qv FROM ranked
+            WHERE vec_id < 16 AND rn <= 8),
       scored AS (SELECT DISTINCT query_id, corpus_id,
               round(list_cosine_similarity(cv, qv),6) AS score
             FROM c JOIN p USING (cell) WHERE corpus_id <> query_id),
@@ -807,6 +902,17 @@ object Oracle {
       WITH $DedupCte
       SELECT hex(pubkey) AS pk, lamports, write_version FROM dedup
       ORDER BY 1, 3""",
+
+    // J1's anti channel: the raw accounts-dir listing (filename + parsed
+    // (slot, id), both null when unparseable) anti-joined against the
+    // manifest's appendvec entries. A NULL slot never equi-matches, so
+    // unparseable names are always unexpected — reference unpacked.rs:104.
+    "sn11_unexpected_appendvecs" -> """
+      SELECT l.file
+      FROM read_parquet('{AUX}/accounts_listing/*.parquet') l
+      ANTI JOIN read_parquet('{AUX}/manifest_vecs/*.parquet') m
+        ON l.slot = m.slot AND l.id = m.id
+      ORDER BY file""",
 
     // Literal expected row: every value is pinned a priori by the seeded
     // fixture (BankFields.writeSynthetic at slot 103), so a wrong

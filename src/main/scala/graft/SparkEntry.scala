@@ -188,33 +188,20 @@ object SparkEntry {
     * hash-matches a query built from another. */
   def auxDumps: Map[String, (SparkSession, String) => DataFrame] = Map(
     "raw_accounts" -> ((s, _) => SnapshotReader.rawAccounts(s, fixtureDir)),
-    "simhash_sigs" -> ((s, dir) =>
-      graft.operators.Dedup.simhashSignatures(
-        s.read.parquet(s"$dir/documents.parquet"))),
-    "hyperplane_p4" -> ((s, dir) => {
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      emb.select(col("vec_id"),
-        graft.operators.Similarity.hyperplane_sig(col("embedding"), 4).as("sig"))
-    }),
-    "hyperplane_p8" -> ((s, dir) => {
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      emb.select(col("vec_id"),
-        graft.operators.Similarity.hyperplane_sig(col("embedding"), 8).as("sig"))
-    }),
-    // m09's geometry: nlist=16, nprobe=8 over the full embeddings table
-    "ivf_cells" -> ((s, dir) => {
+    // m09's index PARAMETERS (16 seeded k-means centroids — spark.ml is
+    // not re-derivable in SQL); cell/probe assignments and all signature
+    // kernels are re-derived inside the oracle SQL itself.
+    "ivf_centers" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val centers = graft.operators.Similarity.ivfCenters(emb, 16)
-      graft.operators.Similarity.ivfCellAssignments(emb, centers)
-        .select("corpus_id", "cell")
+      import s.implicits._
+      centers.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+        .toDF("cell", "center")
     }),
-    "ivf_probes" -> ((s, dir) => {
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      val centers = graft.operators.Similarity.ivfCenters(emb, 16)
-      graft.operators.Similarity.ivfProbeAssignments(
-          emb.filter(col("vec_id") < 16), centers, 8)
-        .select("query_id", "cell")
-    }),
+    // sn11's two sides: the raw filesystem listing (input) and the parsed
+    // manifest entries (hash-verified independently via sn01/sn13)
+    "accounts_listing" -> ((s, _) => SnapshotReader.accountsListing(s, fixtureDir)),
+    "manifest_vecs" -> ((s, _) => SnapshotReader.manifestVecs(s, fixtureDir)),
     "media" -> ((s, dir) =>
       graft.operators.Multimodal.syntheticCorpus(
         s.read.parquet(s"$dir/documents.parquet"))),

@@ -60,16 +60,23 @@ object Similarity {
    */
   /** Seeded k-means centroids for IVF, trained on a bounded sample
     * (standard IVF practice — centroid quality saturates long before the
-    * corpus does; training must not scan 100 TB). Deterministic: fixed
-    * seed + deterministic sample order, so separate calls over the same
-    * corpus agree (the correctness gate dumps assignments from one call
-    * and hash-verifies a query built from another). */
+    * corpus does; training must not scan 100 TB). Deterministic BY
+    * CONTRACT: the sample is the top-N by `xxhash64(id)` (a seeded
+    * pseudo-random order that does not depend on file layout or task
+    * scheduling — a bare `limit` picks whatever partitions answer first
+    * on a multi-file read), so separate calls over the same corpus agree
+    * and the correctness gate can dump centers from one call and
+    * hash-verify a query built from another. orderBy+limit plans as
+    * TakeOrderedAndProject — a top-N per partition then merge, not a
+    * global sort. */
   def ivfCenters(corpus: DataFrame, nlist: Int,
-      vecCol: String = "embedding"): Array[Array[Double]] = {
+      vecCol: String = "embedding", idCol: String = "vec_id"): Array[Array[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.linalg.Vectors
     val toMl = udf((a: Array[Float]) => Vectors.dense(a.map(_.toDouble)))
-    val trainDf = corpus.select(col(vecCol)).limit(math.max(nlist * 256, 4096))
+    val trainDf = corpus.select(col(vecCol), col(idCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(math.max(nlist * 256, 4096))
       .select(toMl(col(vecCol)).as("features"))
     new KMeans().setK(nlist).setSeed(42L).setMaxIter(10).fit(trainDf)
       .clusterCenters.map(_.toArray)
@@ -97,7 +104,7 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
       nlist: Int = 16, nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centers = ivfCenters(corpus, nlist, vecCol)
+    val centers = ivfCenters(corpus, nlist, vecCol, idCol)
     val c = ivfCellAssignments(corpus, centers, idCol, vecCol)
     val probes = ivfProbeAssignments(queries, centers, nprobe, idCol, vecCol)
 

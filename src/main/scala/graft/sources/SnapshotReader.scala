@@ -185,4 +185,28 @@ object SnapshotReader {
     import spark.implicits._
     unexpected.toDF("path")
   }
+
+  /** Raw accounts-dir listing — the sn11 oracle's INPUT side: one row per
+    * file with its parsed (slot, id), nulls when the name doesn't parse
+    * (such files are always "unexpected"). */
+  def accountsListing(spark: SparkSession, root: String): DataFrame = {
+    val dir = new Path(root, "accounts")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows = fs.listStatus(dir).toSeq.map { st =>
+      val name = st.getPath.getName
+      val parsed = AppendVec.parseName(name)
+      (name, parsed.map(_._1), parsed.map(_._2))
+    }
+    import spark.implicits._
+    rows.toDF("file", "slot", "id")
+  }
+
+  /** Manifest appendvec entries as a DataFrame (the sn11 oracle's join
+    * side; the parse itself is hash-verified by sn01/sn13). */
+  def manifestVecs(spark: SparkSession, root: String): DataFrame = {
+    val lengths = readManifest(root).lengths
+    import spark.implicits._
+    lengths.toSeq.map { case ((slot, id), len) => (slot, id, len) }
+      .toDF("slot", "id", "current_len")
+  }
 }

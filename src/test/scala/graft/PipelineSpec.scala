@@ -173,6 +173,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(partial.map(_.getAs[Int]("rank")).forall(r => r >= 1 && r <= 3))
   }
 
+  test("IVF centers are identical across differently-partitioned reads") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val a = Similarity.ivfCenters(emb, 8)
+    // a skewed repartition + reversed order simulates a multi-file cluster
+    // read where partition count and arrival order differ; the xxhash64
+    // sample contract must make the trained centers independent of both
+    val b = Similarity.ivfCenters(
+      emb.repartition(7, col("vec_id")).sortWithinPartitions(col("vec_id").desc), 8)
+    assert(a.length === b.length)
+    a.zip(b).foreach { case (ca, cb) => assert(ca.toSeq === cb.toSeq) }
+  }
+
   test("asof join attaches the latest earlier right row per key, atomically") {
     import spark.implicits._
     val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
