@@ -500,15 +500,18 @@ object Queries {
   }
 
   /** Global-share aggregation (TPC-H Q11 shape): suppliers contributing
-    * more than 0.1% of total stock value, share via a window over the
-    * grand total. */
+    * more than 0.1% of total stock value. The grand total is a scalar
+    * aggregate broadcast-cross-joined back — NOT an empty-partition
+    * window, which would funnel the whole aggregated frame into one task
+    * (safe only while post-agg cardinality is small; the scalar broadcast
+    * is safe at any cardinality). */
   def q39ValueShare(s: SparkSession, dir: String): DataFrame = {
     val agg = t(s, dir, "lineitem")
       .groupBy(col("l_suppkey"))
       .agg(sum((col("l_extendedprice") * col("l_quantity"))
         .cast(DecimalType(28, 6))).as("value"))
-    val w = Window.partitionBy()
-    agg.withColumn("total", sum(col("value")).over(w))
+    val total = agg.agg(sum(col("value")).as("total"))
+    agg.crossJoin(broadcast(total))
       .filter(col("value") > col("total") * 0.001)
       .select(col("l_suppkey"), col("value").cast("double").as("value_d"))
       .orderBy("l_suppkey")

@@ -26,8 +26,10 @@ object Verify {
     // aux inputs for oracle SQL (referenced via the {AUX} placeholder).
     // Deliberately OUTSIDE outDir: the gate treats every outDir
     // subdirectory as a query result, so a nested aux/ would read as a
-    // bogus failed entry.
-    val auxDir = new java.io.File("/root/repo/target/verify-aux").getAbsolutePath
+    // bogus failed entry. A SIBLING of outDir (not a hardcoded absolute
+    // path) so Verify works from any checkout location.
+    val auxDir = new java.io.File(
+      new java.io.File(outDir).getAbsoluteFile.getParent, "verify-aux").getAbsolutePath
     SparkEntry.auxDumps.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$auxDir/$name")

@@ -140,14 +140,21 @@ object Dedup {
   private def verifyJaccardText(cand: DataFrame, docs: DataFrame,
       jacUdf: (Column, Column, Column) => Column, w: Int,
       threshold: Double): DataFrame = {
-    // broadcast the candidate side: candidates are ≪ corpus by the
-    // blocking design, and without the hint the planner sort-merge-joins
-    // (= shuffles the full text corpus twice) once `docs` outgrows the
-    // autoBroadcast threshold
-    val withA = broadcast(cand)
-      .join(docs.select(col("doc_id").as("doc_id_a"), col("text").as("ta")), "doc_id_a")
-    broadcast(withA)
-      .join(docs.select(col("doc_id").as("doc_id_b"), col("text").as("tb")), "doc_id_b")
+    // Broadcast ONLY the id frame (never ids+text): candidates are ≪
+    // corpus by the blocking design, so the broadcast-hash-join streams
+    // the full corpus shuffle-free past the id set — but a hot corpus
+    // (shared boilerplate) can make the candidate set large, and a
+    // broadcast that carries TEXT payloads would funnel multi-GB through
+    // the driver. Each side's text attaches in its own broadcast join;
+    // the final pair-up shuffles candidate texts only (bounded by the
+    // candidate count, never by the corpus).
+    val ids = broadcast(cand.select(col("doc_id_a"), col("doc_id_b")))
+    val withA = docs.select(col("doc_id").as("doc_id_a"), col("text").as("ta"))
+      .join(ids, "doc_id_a")
+    val withB = docs.select(col("doc_id").as("doc_id_b"), col("text").as("tb"))
+      .join(ids, "doc_id_b")
+      .select(col("doc_id_a"), col("doc_id_b"), col("tb"))
+    withA.join(withB, Seq("doc_id_a", "doc_id_b"))
       .select(col("doc_id_a"), col("doc_id_b"),
         round(jacUdf(col("ta"), col("tb"), lit(w)), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -190,11 +197,22 @@ object Dedup {
       .filter(sigAgreeUdf(col("est_a"), col("est_b")) >= threshold - margin)
       .select(col("doc_id_a"), col("doc_id_b"))
 
+  /** MinHash-LSH near-dup pairs. Contract: pairs sharing ≥1 LSH bucket
+    * whose exact Jaccard ≥ threshold — MINUS a vanishingly small
+    * stochastic loss from the estimate prefilter: a candidate is dropped
+    * before exact verification when its minhash agreement falls below
+    * threshold − `estimateMargin`. At the default margin 0.2 and k=64
+    * that is >3σ of the agreement estimator, so a true pair at exactly
+    * threshold survives with ≈99.9% probability (and the probability
+    * rises steeply with J − threshold). Callers needing exact
+    * bucket-recall semantics set `estimateMargin >= threshold`, which
+    * disables the prefilter entirely. */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.7,
-      k: Int = 64, bands: Int = 16, shingleW: Int = 5): DataFrame = {
+      k: Int = 64, bands: Int = 16, shingleW: Int = 5,
+      estimateMargin: Double = 0.2): DataFrame = {
     val sig = sigOnly(docs, charSigUdf(_, _, _), shingleW, k)
     val cand = estimatePrefilter(
-      lshCandidates(sig, bands, k / bands), sig, k, threshold)
+      lshCandidates(sig, bands, k / bands), sig, k, threshold, estimateMargin)
     materialized(
       verifyJaccardText(cand, docs, charJaccardUdf(_, _, _), shingleW, threshold),
       sig)
@@ -287,16 +305,25 @@ object Dedup {
    * on first write and enforced on every later call — mixing geometries
    * would silently break cross-batch comparison. Not concurrency-safe
    * across writers (one curator job).
+   *
+   * `batchId` makes a REPLAY of the same batch idempotent: store rows are
+   * tagged with the id, a re-run excludes its own prior append from the
+   * dup check (otherwise a crash between the store append and the
+   * caller's output write would make every replayed survivor self-match
+   * at Jaccard 1.0 and silently vanish), and the append is skipped when
+   * the id is already present. Single-writer streams (foreachBatch) get
+   * exactly-once store semantics from their monotone batch ids; `None`
+   * (the batch-mode default) keeps plain at-least-once appends.
    */
   def minhashDedupIncremental(docs: DataFrame, storeDir: String,
       threshold: Double = 0.7, k: Int = 64, bands: Int = 16,
-      shingleW: Int = 5): DataFrame = {
+      shingleW: Int = 5, batchId: Option[Long] = None): DataFrame = {
     val spark = docs.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val storePath = new org.apache.hadoop.fs.Path(storeDir)
     val fs = storePath.getFileSystem(hconf)
     val paramsPath = new org.apache.hadoop.fs.Path(storeDir + ".params")
-    val params = s"k=$k,bands=$bands,shingleW=$shingleW,sigv=2"
+    val params = s"k=$k,bands=$bands,shingleW=$shingleW,sigv=3"
 
     // the store "exists" only if committed parquet files are present —
     // a dir left by a failed write must read as empty, not wedge the job
@@ -310,23 +337,30 @@ object Dedup {
     }
 
     val rowsPerBand = k / bands
+    val bid = batchId.getOrElse(-1L)
     val sig = signatures(docs, charShinglesUdf(_, _), shingleW, k) // persisted inside
     // within-batch pairs (shared helpers — same rounding as one-shot path)
     val batchDups = verifyJaccard(lshCandidates(sig, bands, rowsPerBand), sig, threshold)
       .select(col("doc_id_b").as("doc_id"))
-    val storeDups =
-      if (!storeExists) batchDups.limit(0)
+    val (storeDups, alreadyAppended) =
+      if (!storeExists) (batchDups.limit(0), false)
       else {
-        val store = spark.read.parquet(storeDir)
+        val stored = spark.read.parquet(storeDir)
+        // replay detection + self-exclusion (see batchId contract above)
+        val replayed = batchId.isDefined &&
+          !stored.filter(col("batch_id") === bid).limit(1).isEmpty
+        val store =
+          if (replayed) stored.filter(col("batch_id") =!= bid) else stored
         val cand = bandBuckets(sig, bands, rowsPerBand)
           .join(bandBuckets(store, bands, rowsPerBand, idAlias = "store_id"),
             Seq("band", "bucket"))
           .select(col("doc_id"), col("store_id")).distinct()
-        cand
+        val dups = cand
           .join(sig.select(col("doc_id"), col("sh").as("sh_new")), "doc_id")
           .join(store.select(col("doc_id").as("store_id"), col("sh").as("sh_old")), "store_id")
           .filter(round(jaccardUdf(col("sh_new"), col("sh_old")), 6) >= threshold)
           .select(col("doc_id")).distinct()
+        (dups, replayed)
       }
 
     // MUST be materialized with lineage truncated BEFORE the append:
@@ -335,10 +369,13 @@ object Dedup {
     // dropping every survivor. (Small frame — ids only.)
     val dupIds = batchDups.unionByName(storeDups).distinct()
       .localCheckpoint(true)
-    // append survivors' signatures, then pin the parameters
-    sig.join(dupIds, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("sh"), col("sig"))
-      .write.mode("append").parquet(storeDir)
+    // append survivors' signatures (skipped on replay — the prior attempt
+    // already wrote the identical deterministic rows), then pin params
+    if (!alreadyAppended)
+      sig.join(dupIds, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("sh"), col("sig"))
+        .withColumn("batch_id", lit(bid))
+        .write.mode("append").parquet(storeDir)
     if (!fs.exists(paramsPath)) {
       val out = fs.create(paramsPath, true)
       out.write(params.getBytes("UTF-8")); out.close()
@@ -354,15 +391,23 @@ object Dedup {
    * A≈B≈C must collapse to ONE representative even when (A,C) was never
    * emitted as a direct pair.
    *
-   * Min-label propagation: each round every node takes the min of its
-   * own and its neighbors' labels (one shuffle join + partial-agg per
-   * round), converging in O(component diameter) rounds. Near-dup
-   * clusters are dense and tiny — diameters of 2-3 — so this beats the
-   * O(log n) large-star/small-star alternation (Kiveris et al.,
-   * "Connected Components in MapReduce and Beyond") for the dedup
-   * workload; swap that in if components with large diameters appear.
-   * Each round is `localCheckpoint`ed: labels are ids only (tiny), and
-   * unbounded join lineage would otherwise re-plan from round 0.
+   * Min-label propagation WITH pointer doubling: each round every node
+   * takes the min of its own and its neighbors' labels (one shuffle join
+   * + partial-agg), then jumps to its label's label (one more tiny join).
+   * The jump step is the path-halving trick from the large-star family
+   * (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+   * label chains collapse geometrically, so convergence is O(log
+   * diameter) rounds, not O(diameter) — a 10^6-long chained component
+   * converges in ~20 rounds instead of crashing the round budget. Labels
+   * only ever decrease, so the fixpoint is exact. Each round is
+   * `localCheckpoint`ed: labels are ids only (tiny), and unbounded join
+   * lineage would otherwise re-plan from round 0.
+   *
+   * If `maxIter` is still exhausted (diameter > ~2^maxIter — not
+   * physically reachable at the default), the best-effort labels are
+   * returned with a WARN instead of aborting the job: for dedup callers
+   * an under-merged component keeps a few extra near-dups; killing a
+   * 100 TB pipeline is strictly worse.
    */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_id_a",
       bCol: String = "doc_id_b", maxIter: Int = 25): DataFrame = {
@@ -376,23 +421,37 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val nbrMin = edges.join(labels.withColumnRenamed("id", "v"), "v")
         .groupBy(col("u").as("id")).agg(min(col("component")).as("nbr"))
+      // checkpointed: referenced twice by the jump self-join below, and
+      // re-evaluating it would run the edge join twice per round
       val stepped = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("component"), coalesce(col("nbr"), col("component"))).as("component"),
-          (coalesce(col("nbr"), col("component")) < col("component")).as("changed"))
+          least(col("component"), coalesce(col("nbr"), col("component"))).as("component"))
         .localCheckpoint(true)
-      converged = stepped.filter(col("changed")).limit(1).isEmpty
-      labels = stepped.select("id", "component")
+      // pointer doubling: component := label(component). label(c) ≤ c by
+      // construction, so this only descends; chains halve every round.
+      val jumped = stepped
+        .join(stepped.select(col("id").as("component"), col("component").as("jump")),
+          Seq("component"), "left")
+        .select(col("id"), coalesce(col("jump"), col("component")).as("component"))
+        .localCheckpoint(true)
+      converged = jumped
+        .join(labels.withColumnRenamed("component", "prev"), "id")
+        .filter(col("component") < col("prev")).limit(1).isEmpty
+      labels = jumped
       iter += 1
     }
-    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents: not converged after $maxIter rounds; " +
+          "returning best-effort labels (components may be under-merged)")
     labels
   }
 
   /** Near-dedup with full transitive closure: ONE survivor (min doc_id)
     * per connected cluster of verified near-dup pairs. */
-  def minhashDedupComponents(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
-    val comp = connectedComponents(minhashPairs(docs, threshold))
+  def minhashDedupComponents(docs: DataFrame, threshold: Double = 0.7,
+      maxIter: Int = 25): DataFrame = {
+    val comp = connectedComponents(minhashPairs(docs, threshold), maxIter = maxIter)
     docs.join(comp.filter(col("id") =!= col("component"))
       .select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
   }

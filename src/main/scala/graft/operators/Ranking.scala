@@ -1,19 +1,26 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 /**
  * Global (un-partitioned) ranking at scale.
  *
  * A global window (`Window.orderBy(...)` with no partition) collapses the
  * whole dataset into ONE task — fine as a correctness probe (q32), fatal
- * at 100 TB. The scale form is two distributed passes:
- *   1. range-partitioned total sort (`orderBy` — Spark samples ranges, so
- *      every task holds a contiguous, sorted slice), then
- *   2. `zipWithIndex`, which runs one tiny job over partition SIZES to
- *      compute per-partition offsets and assigns each row
- *      offset + local index without moving data again.
+ * at 100 TB. The scale form is a range-partitioned total sort plus a
+ * partition-offset reconstruction, entirely in the DataFrame API (an RDD
+ * `zipWithIndex` computes the same offsets but deserializes every row out
+ * of Tungsten and back — a measurable serialization tax at scale):
+ *   1. `orderBy` — Spark samples ranges, so every task holds a
+ *      contiguous sorted slice;
+ *   2. `monotonically_increasing_id` encodes (partition, local index) as
+ *      pid·2³³ + local — a narrow projection, no data movement;
+ *   3. per-partition row counts (tiny: one row per partition) turn into
+ *      cumulative offsets with a single-task window over that TINY frame
+ *      (the only intentionally-serial step, same as zipWithIndex's size
+ *      job), broadcast back, and rank = offset + local + 1.
  *
  * The result equals `row_number()` over the same total order (ties must
  * be broken by the caller's order columns, exactly as a window requires).
@@ -25,10 +32,18 @@ object Ranking {
   def globalRank(df: DataFrame, order: Seq[Column],
       rankCol: String = "rank"): DataFrame = {
     val sorted = df.orderBy(order: _*)
-    val schema = sorted.schema.add(rankCol, LongType, nullable = false)
-    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (i + 1L))
-    }
-    sorted.sparkSession.createDataFrame(rdd, schema)
+      .withColumn("_pid", spark_partition_id().cast("long"))
+      .withColumn("_local",
+        monotonically_increasing_id() - shiftleft(spark_partition_id().cast("long"), 33))
+    val counts = sorted.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
+    // cumulative counts over the per-partition frame: #partitions rows,
+    // so the unpartitioned window is a deliberate, bounded serial step
+    val w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("_off", coalesce(sum(col("_cnt")).over(w), lit(0L)))
+      .select("_pid", "_off")
+    sorted.join(broadcast(offsets), "_pid")
+      .withColumn(rankCol, col("_off") + col("_local") + 1)
+      .drop("_pid", "_local", "_off")
   }
 }

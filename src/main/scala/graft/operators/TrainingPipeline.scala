@@ -67,24 +67,35 @@ object TrainingPipeline {
     * (`Dedup.minhashDedupIncremental`) — each batch is deduped against
     * everything previously accepted, which is the always-on corpus
     * ingestion shape. Stage filters are stateless Columns (identical
-    * semantics batch or stream); survivors append to `outDir`. Restart
-    * safety comes from the checkpoint: a replayed batch re-dedups
-    * against the store, so accepted duplicates cannot re-enter (the
-    * store's own append is the one at-least-once side effect, shared
-    * with the batch incremental path). */
+    * semantics batch or stream).
+    *
+    * Restart safety: BOTH side effects are idempotent per batch id, so a
+    * replay after a crash anywhere between them neither loses nor
+    * duplicates survivors. The store append is batch-id-tagged and
+    * self-excluding (`Dedup.minhashDedupIncremental(batchId = …)` —
+    * without that, a replayed batch would match its own prior append at
+    * Jaccard 1.0 and drop every survivor before it ever reached
+    * `outDir`); the output lands in a `batch_id=` partition via dynamic
+    * partition overwrite, so a replay replaces its own partition instead
+    * of appending twice. */
   def curateStream(docs: DataFrame, storeDir: String, outDir: String,
       checkpointDir: String, cfg: Config = Config()):
       org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val filtered = qualityFilter(languageFilter(batch, cfg.languages),
           cfg.minChars, cfg.maxChars, cfg.minQuality, cfg.minStopwordRatio)
         val exact = if (cfg.exactDedup) Dedup.exact(filtered) else filtered
         val kept =
           if (cfg.nearDedup)
-            Dedup.minhashDedupIncremental(exact, storeDir, cfg.nearDedupThreshold)
+            Dedup.minhashDedupIncremental(exact, storeDir, cfg.nearDedupThreshold,
+              batchId = Some(batchId))
           else exact
-        kept.write.mode("append").parquet(outDir)
+        kept.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -63,6 +63,34 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(stored === Set(1L, 2L, 4L))
   }
 
+  test("replayed batch (same batchId) is idempotent: survivors are not " +
+      "lost to self-matching and the store does not double-append") {
+    val s = spark
+    import s.implicits._
+    val store = java.nio.file.Files.createTempDirectory("sigstore-replay")
+      .toString + "/sigs"
+    val longA = "the quick brown fox jumps over the lazy dog and keeps going " * 4
+    val longB = "totally different content about spark engines and shuffles " * 4
+    val b1 = Seq((1L, longA)).toDF("doc_id", "text")
+    assert(graft.operators.Dedup
+      .minhashDedupIncremental(b1, store, threshold = 0.6, batchId = Some(0L))
+      .select("doc_id").as[Long].collect().toSet === Set(1L))
+    val b2 = Seq((2L, longB), (3L, longA + " minor tail")).toDF("doc_id", "text")
+    val kept = graft.operators.Dedup
+      .minhashDedupIncremental(b2, store, threshold = 0.6, batchId = Some(1L))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L)) // 3 near-dups the stored doc 1
+    val storeRows = s.read.parquet(store).count()
+    // crash-replay of batch 1 (same data, same id): the prior attempt's
+    // store entries must be excluded — without the batchId contract doc 2
+    // would self-match at Jaccard 1.0 and silently vanish
+    val replay = graft.operators.Dedup
+      .minhashDedupIncremental(b2, store, threshold = 0.6, batchId = Some(1L))
+      .select("doc_id").as[Long].collect().toSet
+    assert(replay === Set(2L))
+    assert(s.read.parquet(store).count() === storeRows) // no double append
+  }
+
   test("connected components collapse chains the direct pairs never joined") {
     val s = spark
     import s.implicits._
@@ -84,6 +112,19 @@ class TrainingPipelineSpec extends AnyFunSuite {
     val kept = graft.operators.Dedup.minhashDedupComponents(docs, threshold = 0.5)
       .select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq === Seq(1L, 10L))
+  }
+
+  test("connected components converge on a 50-node chain well under the " +
+      "round budget (pointer doubling: O(log diameter))") {
+    val s = spark
+    import s.implicits._
+    // single path 0-1-2-…-50: diameter 50 > the old per-round propagation
+    // budget of 25; pointer doubling must collapse it in ~log2(50) rounds
+    val pairs = (0L until 50L).map(i => (i, i + 1)).toDF("doc_id_a", "doc_id_b")
+    val comp = graft.operators.Dedup.connectedComponents(pairs, maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size === 51)
+    assert(comp.values.toSet === Set(0L))
   }
 
   test("report counts decrease monotonically per stage") {
