@@ -975,6 +975,9 @@ object Oracle {
     // WAV (PCM16 @ offset 44). Video is the documented fake container.
     // =================================================================
 
+    // RIFF discrimination: WAV = 'WAVE' at offset 8, AVI = 'AVI ' there.
+    // AVI header fields from the canonical avih chunk (totalFrames @48,
+    // width @64 — see Media.encodeAvi layout).
     "mm01_media_profile" -> s"""
       WITH media AS (SELECT media_id, hex(bytes) AS h, octet_length(bytes) AS ln
                      FROM read_parquet('{AUX}/media/*.parquet')),
@@ -982,16 +985,16 @@ object Oracle {
           CASE WHEN ln >= 33 AND substr(h,1,16) = '89504E470D0A1A0A' THEN 'image'
                WHEN ln >= 44 AND substr(h,1,8) = '52494646'
                  AND substr(h,17,8) = '57415645' THEN 'audio'
-               WHEN ln >= 8 AND substr(h,1,4) = '5649'
-                 AND ln >= 8 + ${u16("2")}*${u16("4")}*${u16("6")} THEN 'video'
+               WHEN ln >= 224 AND substr(h,1,8) = '52494646'
+                 AND substr(h,17,8) = '41564920' THEN 'video'
                END AS kind,
           ${u32be("16")} AS png_w, ${u32("40")}//2 AS wav_n,
-          ${u16("2")} AS s2, ${u16("4")} AS s4
+          ${u32("64")} AS avi_w, ${u32("48")} AS avi_f
         FROM media)
       SELECT kind, COUNT(*) AS n_items,
-        CAST(SUM(CASE kind WHEN 'image' THEN png_w WHEN 'video' THEN s4 ELSE 0 END) AS BIGINT) AS sum_width,
+        CAST(SUM(CASE kind WHEN 'image' THEN png_w WHEN 'video' THEN avi_w ELSE 0 END) AS BIGINT) AS sum_width,
         CAST(SUM(CASE kind WHEN 'audio' THEN wav_n ELSE 0 END) AS BIGINT) AS sum_samples,
-        CAST(SUM(CASE kind WHEN 'video' THEN s2 ELSE 0 END) AS BIGINT) AS sum_frames
+        CAST(SUM(CASE kind WHEN 'video' THEN avi_f ELSE 0 END) AS BIGINT) AS sum_frames
       FROM m WHERE kind IS NOT NULL GROUP BY kind ORDER BY kind""",
 
     "mm02_image_features" -> s"""
@@ -1009,14 +1012,33 @@ object Oracle {
       SELECT media_id, round(CAST(CAST(c0 AS FLOAT)/CAST(n AS FLOAT) AS DOUBLE), 6) AS bin0
       FROM cnt ORDER BY media_id""",
 
+    // Every kept (even-index) AVI frame's pixel mean, re-derived from the
+    // canonical container layout: movi payload starts at byte 224, frame
+    // k's 00dc chunk at 232 + k·(8 + pngLen + pad), and inside each
+    // stored-deflate PNG pixel byte j of row y sits at +49 + y·(1+3w) + j
+    // (the mm02 formula). Fully independent of the chunk-walking ImageIO
+    // path Spark runs.
     "mm03_frame_sample" -> s"""
       WITH media AS (SELECT media_id, hex(bytes) AS h, octet_length(bytes) AS ln
-                     FROM read_parquet('{AUX}/media/*.parquet'))
-      SELECT media_id, CAST((${u16("2")} + 1) // 2 AS BIGINT) AS n_frames_kept
-      FROM media
-      WHERE ln >= 8 AND substr(h,1,4) = '5649'
-        AND ln >= 8 + ${u16("2")}*${u16("4")}*${u16("6")}
-      ORDER BY media_id""",
+                     FROM read_parquet('{AUX}/media/*.parquet')),
+      v AS (SELECT media_id, h,
+              ${u32("48")} AS nf, ${u32("64")} AS w, ${u32("68")} AS ht
+            FROM media
+            WHERE ln >= 224 AND substr(h,1,8) = '52494646'
+              AND substr(h,17,8) = '41564920'),
+      f AS (SELECT media_id, h, w, ht,
+              -- sig 8 + IHDR 25 + IDAT (12 + zlib: 2+5+raw+4) + IEND 12,
+              -- chunk overhead = len+tag+CRC = 12 bytes each
+              ht*(1+3*w) + 68 AS png_len,
+              unnest(range(0, nf)) AS k
+            FROM v)
+      SELECT media_id, CAST(k AS INT) AS frame_idx,
+        round(list_avg(list_transform(range(0, 3*w*ht), j ->
+          TRY_CAST('0x' || substr(h,
+            (232 + k*(8 + png_len + png_len%2) + 49
+             + (j//(3*w))*(1+3*w) + (j%(3*w)))*2+1, 2) AS INTEGER))), 6) AS mean_px
+      FROM f WHERE k % 2 = 0
+      ORDER BY media_id, frame_idx""",
 
     "mm04_audio_profile" -> s"""
       WITH media AS (SELECT media_id, hex(bytes) AS h, octet_length(bytes) AS ln

@@ -599,9 +599,9 @@ object Queries {
       .orderBy("doc_id")
 
   // =====================================================================
-  // Multimodal: real PNG/WAV codecs (see Media scaladoc; video container
-  // is the one documented stub). Oracled via DuckDB hex re-decode of the
-  // genuine formats — independent of the ImageIO/RIFF path Spark runs.
+  // Multimodal: real PNG/WAV/AVI codecs (see Media scaladoc). Oracled via
+  // DuckDB hex re-decode of the genuine formats — independent of the
+  // ImageIO/RIFF path Spark runs.
   // =====================================================================
 
   private def media(s: SparkSession, dir: String): DataFrame =
@@ -619,10 +619,15 @@ object Queries {
         round(element_at(col("features"), 1).cast("double"), 6).as("bin0"))
       .orderBy("media_id")
 
+  /** One row per KEPT frame with its decoded-raster mean — verifies the
+    * container walk + per-frame PNG decode content, not just the frame
+    * count (the oracle re-derives each mean from closed-form AVI/PNG
+    * offsets; row count itself checks the every-2 sampling). */
   def mm03FrameSample(s: SparkSession, dir: String): DataFrame =
     Multimodal.sampledFrames(media(s, dir), every = 2)
-      .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames_kept"))
-      .orderBy("media_id")
+      .select(col("media_id"), col("frame_idx"),
+        round(Multimodal.frame_mean(col("frame")), 6).as("mean_px"))
+      .orderBy("media_id", "frame_idx")
 
   def mm04AudioProfile(s: SparkSession, dir: String): DataFrame =
     Multimodal.audioProfile(media(s, dir))

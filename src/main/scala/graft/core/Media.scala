@@ -19,10 +19,13 @@ import java.util.zip.{Adler32, CRC32}
  *  - **Audio is real WAV** (RIFF/WAVE, PCM16): encode writes the
  *    canonical 44-byte header; decode is a chunk-walking RIFF parser
  *    (handles non-canonical chunk order/padding).
- *  - **Video stays a documented stub** ("VI" magic + raw gray frames):
- *    the JDK has no video container codec, and pulling in an external
- *    one is out of scope for this environment. The Spark-side shapes
- *    (probe → explode → frames table) are real and tested.
+ *  - **Video is real RIFF/AVI carrying Motion-PNG** (fourcc MPNG; each
+ *    `00dc` chunk a spec-valid PNG). The JDK has no video *compression*
+ *    codec, but the container is just RIFF and the frame codec is the
+ *    PNG machinery above — so probe (avih walk), frame extraction
+ *    (`movi` walk) and frame decode (ImageIO) are all genuine. The
+ *    canonical writer layout keeps frame pixels at closed-form offsets
+ *    for the oracles, same trick as the stored-deflate PNGs.
  *
  * Undecodable bytes yield null (P11 skip semantics), never an exception.
  */
@@ -138,9 +141,85 @@ object Media {
     b.array()
   }
 
-  /** Deterministic media blob for `id`: kind cycles PNG / WAV / fake
-    * video. Dimensions and payload streams are seeded from `id`, so a
-    * corpus regenerates identically everywhere. */
+  // =====================================================================
+  // AVI encode: canonical RIFF/AVI with one MPNG video stream, each
+  // frame a '00dc' chunk holding a stored-deflate PNG (Motion PNG).
+  // =====================================================================
+
+  private def leChunk(out: ByteArrayOutputStream, tag: String,
+      body: Array[Byte]): Unit = {
+    out.write(tag.getBytes("US-ASCII"))
+    out.write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(body.length).array())
+    out.write(body)
+    if ((body.length & 1) == 1) out.write(0) // RIFF chunks are word-aligned
+  }
+
+  private def leList(out: ByteArrayOutputStream, kind: String,
+      body: Array[Byte]): Unit = {
+    out.write("LIST".getBytes("US-ASCII"))
+    out.write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(4 + body.length).array())
+    out.write(kind.getBytes("US-ASCII"))
+    out.write(body)
+  }
+
+  /** Interleaved-RGB frames → RIFF/AVI, fourcc MPNG (Motion PNG), each
+    * frame a spec-valid `encodePng` image. The writer layout is CANONICAL
+    * (hdrl = avih + one strl; no idx1), so `avih` fields sit at fixed
+    * offsets (totalFrames @48, width @64, height @68) and — PNG frames
+    * being stored-deflate and equal-sized — frame k's pixel bytes sit at
+    * closed-form offsets the DuckDB oracles re-decode independently:
+    * movi payload starts at 232, frame stride 8 + pngLen (+pad). */
+  def encodeAvi(w: Int, h: Int, frames: Array[Array[Byte]]): Array[Byte] = {
+    val pngs = frames.map(f => encodePng(w, h, f))
+    val maxPng = if (pngs.isEmpty) 0 else pngs.map(_.length).max
+    val avih = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(100000) // usec per frame (10 fps)
+      .putInt(maxPng * 10).putInt(0).putInt(0)
+      .putInt(frames.length).putInt(0)
+      .putInt(1) // one stream
+      .putInt(maxPng)
+      .putInt(w).putInt(h)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+      .array()
+    val strh = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      .put("vids".getBytes("US-ASCII")).put("MPNG".getBytes("US-ASCII"))
+      .putInt(0).putShort(0).putShort(0).putInt(0)
+      .putInt(1).putInt(10) // scale/rate = 10 fps
+      .putInt(0).putInt(frames.length)
+      .putInt(maxPng).putInt(0).putInt(0)
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+      .array()
+    val strf = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(40).putInt(w).putInt(h)
+      .putShort(1).putShort(24)
+      .put("MPNG".getBytes("US-ASCII"))
+      .putInt(w * h * 3).putInt(0).putInt(0).putInt(0).putInt(0)
+      .array()
+    val strl = new ByteArrayOutputStream()
+    leChunk(strl, "strh", strh)
+    leChunk(strl, "strf", strf)
+    val hdrl = new ByteArrayOutputStream()
+    leChunk(hdrl, "avih", avih)
+    leList(hdrl, "strl", strl.toByteArray)
+    val movi = new ByteArrayOutputStream()
+    pngs.foreach(p => leChunk(movi, "00dc", p))
+    val body = new ByteArrayOutputStream()
+    leList(body, "hdrl", hdrl.toByteArray)
+    leList(body, "movi", movi.toByteArray)
+    val out = new ByteArrayOutputStream(body.size() + 12)
+    out.write("RIFF".getBytes("US-ASCII"))
+    out.write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(4 + body.size()).array())
+    out.write("AVI ".getBytes("US-ASCII"))
+    out.write(body.toByteArray)
+    out.toByteArray
+  }
+
+  /** Deterministic media blob for `id`: kind cycles PNG / WAV / AVI.
+    * Dimensions and payload streams are seeded from `id`, so a corpus
+    * regenerates identically everywhere. */
   def synthesize(id: Long): Array[Byte] = (id % 3) match {
     case 0 =>
       val w = 32 + (TextSig.mix64(id) & 0x1f).toInt // 32..63
@@ -153,11 +232,8 @@ object Media {
     case _ =>
       val frames = 4 + (TextSig.mix64(id) & 0x7).toInt
       val w = 16; val h = 12
-      val b = ByteBuffer.allocate(2 + 2 + 2 + 2 + frames * w * h).order(ByteOrder.LITTLE_ENDIAN)
-      b.put('V'.toByte).put('I'.toByte)
-      b.putShort(frames.toShort).putShort(w.toShort).putShort(h.toShort)
-      fill(b, id * 7 + 3, frames * w * h)
-      b.array()
+      encodeAvi(w, h,
+        Array.tabulate(frames)(f => fillBytes(id * 7 + 3 + f, w * h * 3)))
   }
 
   // =====================================================================
@@ -167,6 +243,10 @@ object Media {
   private def be32(b: Array[Byte], o: Int): Long =
     ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
       ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+  private def le32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
 
   private def tagAt(b: Array[Byte], o: Int, tag: String): Boolean =
     b.length >= o + 4 && b(o) == tag.charAt(0).toByte &&
@@ -227,6 +307,64 @@ object Media {
     else Array(rate, ch, dataOff, dataLen)
   }
 
+  /** RIFF/AVI chunk walk: top-level LISTs → `hdrl`/`avih` fields +
+    * `movi` presence. Returns (width, height, totalFrames) or null.
+    * A probe, like `pngMeta`: no frame decode, bounds-checked walk. */
+  private def aviLayout(bytes: Array[Byte]): Array[Int] = {
+    if (bytes.length < 12 || !tagAt(bytes, 0, "RIFF") || !tagAt(bytes, 8, "AVI "))
+      return null
+    var pos = 12
+    var w = -1; var h = -1; var frames = -1; var hasMovi = false
+    while (pos + 8 <= bytes.length) {
+      val sz = le32(bytes, pos + 4)
+      if (sz < 0 || pos + 8 + sz > bytes.length) return null
+      if (tagAt(bytes, pos, "LIST") && sz >= 4) {
+        if (tagAt(bytes, pos + 8, "hdrl")) {
+          var p = pos + 12
+          val end = pos + 8 + sz.toInt
+          while (p + 8 <= end) {
+            val s = le32(bytes, p + 4)
+            if (s < 0 || p + 8 + s > end) return null
+            if (tagAt(bytes, p, "avih") && s >= 56) {
+              frames = le32(bytes, p + 8 + 16).toInt
+              w = le32(bytes, p + 8 + 32).toInt
+              h = le32(bytes, p + 8 + 36).toInt
+            }
+            p += 8 + s.toInt + (s.toInt & 1)
+          }
+        } else if (tagAt(bytes, pos + 8, "movi")) hasMovi = true
+      }
+      pos += 8 + sz.toInt + (sz.toInt & 1)
+    }
+    if (w <= 0 || h <= 0 || frames < 0 || !hasMovi) null
+    else Array(w, h, frames)
+  }
+
+  /** Encoded per-frame payloads: the `00dc` chunks of the `movi` list,
+    * in stream order (MPNG → each payload is a PNG). Null for non-AVI. */
+  private def aviFramePayloads(bytes: Array[Byte]): Array[Array[Byte]] = {
+    if (aviLayout(bytes) == null) return null
+    val out = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    var pos = 12
+    while (pos + 8 <= bytes.length) {
+      val sz = le32(bytes, pos + 4)
+      if (sz < 0 || pos + 8 + sz > bytes.length) return null
+      if (tagAt(bytes, pos, "LIST") && sz >= 4 && tagAt(bytes, pos + 8, "movi")) {
+        var p = pos + 12
+        val end = pos + 8 + sz.toInt
+        while (p + 8 <= end) {
+          val s = le32(bytes, p + 4)
+          if (s < 0 || p + 8 + s > end) return null
+          if (tagAt(bytes, p, "00dc"))
+            out += java.util.Arrays.copyOfRange(bytes, p + 8, p + 8 + s.toInt)
+          p += 8 + s.toInt + (s.toInt & 1)
+        }
+      }
+      pos += 8 + sz.toInt + (sz.toInt & 1)
+    }
+    out.toArray
+  }
+
   /** Codec probe: bytes → typed metadata; null on unknown/corrupt input
     * (P11-style skip semantics). */
   def decodeMeta(bytes: Array[Byte]): Meta = {
@@ -236,14 +374,9 @@ object Media {
     val wav = wavLayout(bytes)
     if (wav != null)
       return Meta(KindAudio, 0, 0, wav(1), wav(0), wav(3) / (2 * wav(1)), 0)
-    // fake video container (documented stub — see object scaladoc)
-    if (bytes.length >= 8 && bytes(0) == 'V'.toByte && bytes(1) == 'I'.toByte) {
-      val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-      val f = b.getShort(2) & 0xffff
-      val w = b.getShort(4) & 0xffff; val h = b.getShort(6) & 0xffff
-      if (bytes.length.toLong < 8L + f.toLong * w * h) null
-      else Meta(KindVideo, w, h, 1, 0, 0, f)
-    } else null
+    val avi = aviLayout(bytes)
+    if (avi != null) Meta(KindVideo, avi(0), avi(1), 3, 0, 0, avi(2))
+    else null
   }
 
   /** Full image decode through `javax.imageio` (real PNG/JPEG/BMP/GIF
@@ -253,6 +386,26 @@ object Media {
       if (bytes == null) null
       else javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
     } catch { case _: Exception => null }
+
+  /** Decoded image → interleaved-RGB raster bytes. */
+  private def rgbRaster(img: BufferedImage): Array[Byte] = {
+    val w = img.getWidth; val h = img.getHeight
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val o = (y * w + x) * 3
+        out(o) = ((p >> 16) & 0xff).toByte
+        out(o + 1) = ((p >> 8) & 0xff).toByte
+        out(o + 2) = (p & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
 
   /** Decode + nearest-neighbor resize + re-encode as PNG. Null for
     * non-images. */
@@ -328,19 +481,21 @@ object Media {
     math.sqrt(sum / math.max(n, 1))
   }
 
-  /** STUB frame sampling over the fake video container: every `every`-th
-    * frame as (frame_idx, gray bytes). Real impl = keyframe/stride
-    * extraction via a container codec (none exists in the JDK). */
+  /** Frame sampling over the RIFF/AVI container: every `every`-th `00dc`
+    * MPNG frame, decoded through `javax.imageio`, as (frame_idx,
+    * interleaved-RGB raster bytes). Null for non-AVI or any undecodable
+    * frame (P11 skip semantics — a half-good video must not half-emit). */
   def sampleFrames(bytes: Array[Byte], every: Int): Array[(Int, Array[Byte])] = {
-    val m = decodeMeta(bytes)
-    if (m == null || m.kind != KindVideo) return null
-    val frameSize = m.width * m.height
+    val payloads = aviFramePayloads(bytes)
+    if (payloads == null) return null
     val out = new scala.collection.mutable.ArrayBuffer[(Int, Array[Byte])]()
     var f = 0
-    while (f < m.nFrames) {
-      if (f % every == 0)
-        out += ((f, java.util.Arrays.copyOfRange(bytes, 8 + f * frameSize,
-          8 + (f + 1) * frameSize)))
+    while (f < payloads.length) {
+      if (f % every == 0) {
+        val img = readImage(payloads(f))
+        if (img == null) return null
+        out += ((f, rgbRaster(img)))
+      }
       f += 1
     }
     out.toArray

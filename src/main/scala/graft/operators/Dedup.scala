@@ -424,20 +424,21 @@ object Dedup {
       // checkpointed: referenced twice by the jump self-join below, and
       // re-evaluating it would run the edge join twice per round
       val stepped = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("component").as("prev"),
           least(col("component"), coalesce(col("nbr"), col("component"))).as("component"))
         .localCheckpoint(true)
       // pointer doubling: component := label(component). label(c) ≤ c by
       // construction, so this only descends; chains halve every round.
+      // `prev` (the round-start label) rides along so convergence is a
+      // filter on this frame, not another join.
       val jumped = stepped
         .join(stepped.select(col("id").as("component"), col("component").as("jump")),
           Seq("component"), "left")
-        .select(col("id"), coalesce(col("jump"), col("component")).as("component"))
+        .select(col("id"),
+          coalesce(col("jump"), col("component")).as("component"), col("prev"))
         .localCheckpoint(true)
-      converged = jumped
-        .join(labels.withColumnRenamed("component", "prev"), "id")
-        .filter(col("component") < col("prev")).limit(1).isEmpty
-      labels = jumped
+      converged = jumped.filter(col("component") < col("prev")).limit(1).isEmpty
+      labels = jumped.select("id", "component")
       iter += 1
     }
     if (!converged)

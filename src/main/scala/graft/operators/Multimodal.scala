@@ -10,9 +10,8 @@ import graft.core.Media
  * typed metadata — the Spark-side plumbing a 100 TB media pipeline needs.
  *
  * The codec layer is JDK-native (`Media` scaladoc): images are real PNGs
- * decoded through `javax.imageio`, audio is real RIFF/WAV; only the video
- * container remains a documented stub (no JDK video codec exists). The
- * Spark shapes:
+ * decoded through `javax.imageio`, audio is real RIFF/WAV, video is real
+ * RIFF/AVI carrying Motion-PNG frames. The Spark shapes:
  *  - metadata probe → nullable struct column (skip-bad-rows semantics)
  *  - per-row transform UDFs over binary (narrow, partition-local — the
  *    right shape for TB-scale media: bytes never shuffle unless a
@@ -29,6 +28,15 @@ object Multimodal {
   private val rmsUdf = udf((b: Array[Byte]) => Media.audioRms(b))
   private val framesUdf = udf((b: Array[Byte], every: Int) =>
     Option(Media.sampleFrames(b, every)).map(_.map { case (i, f) => (i, f) }))
+  private val frameMeanUdf = udf((b: Array[Byte]) => {
+    var s = 0L; var i = 0
+    while (i < b.length) { s += (b(i) & 0xff); i += 1 }
+    s.toDouble / b.length
+  })
+
+  /** Mean sample value of a raster-bytes column (cheap per-frame content
+    * signal; the mm03 oracle re-derives it from container offsets). */
+  def frame_mean(frame: Column): Column = frameMeanUdf(frame)
 
   /** Deterministic fake media corpus keyed by an id column — stands in
     * for `spark.read.format("binaryFile").load(mediaDir)` at test scale. */

@@ -7,7 +7,8 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.core.Media
 import graft.operators.Multimodal
 
-/** Multimodal plumbing: real PNG/WAV codecs (Media), real Spark shapes. */
+/** Multimodal plumbing: real PNG/WAV/AVI codecs (Media), real Spark
+  * shapes. */
 class MultimodalSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -100,6 +101,32 @@ class MultimodalSpec extends AnyFunSuite {
     val nFrames = Media.decodeMeta(bytes).nFrames
     val kept = Multimodal.sampledFrames(vid, every = 2).count()
     assert(kept === (nFrames + 1) / 2)
+  }
+
+  test("synthesized video is genuine RIFF/AVI: declared sizes span the " +
+      "file and every sampled MPNG frame round-trips the seeded raster") {
+    val id = 2L // id%3==2 → video
+    val bytes = Media.synthesize(id)
+    assert(new String(bytes.slice(0, 4), "US-ASCII") === "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") === "AVI ")
+    val riffSz = java.nio.ByteBuffer.wrap(bytes, 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    assert(riffSz + 8 === bytes.length)
+    val m = Media.decodeMeta(bytes)
+    assert(m.kind === Media.KindVideo && m.width === 16 && m.height === 12)
+    // every=1 keeps all frames; each decoded raster must equal its
+    // frame's splitmix64 stream (seed id*7+3+f) — container walk + PNG
+    // decode are lossless end-to-end
+    val frames = Media.sampleFrames(bytes, 1)
+    assert(frames.length === m.nFrames)
+    frames.foreach { case (idx, raster) =>
+      assert(raster.length === 16 * 12 * 3)
+      var s = id * 7 + 3 + idx
+      raster.foreach { b =>
+        s = graft.core.TextSig.mix64(s)
+        assert((b & 0xff) === (s & 0xff).toInt, s"frame $idx")
+      }
+    }
   }
 
   test("audio profile computes positive RMS at the declared rate") {
