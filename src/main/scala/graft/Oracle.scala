@@ -52,6 +52,19 @@ object Oracle {
   private val SplHex = "06DDF6E1D765A193D9CBE146CEEB79AC1CB485ED5F5B37913A8CF5857EFF00A9"
   private val MplHex = "0B7065B1E3D17C45389D527F6B04C3CD58B86C731AA0FDB549B6D1BC03F82946"
 
+  /** hex() of the three BPF loader ids (public base58 constants). */
+  private def b58hex(s: String): String =
+    graft.core.Base58.decode(s).map("%02X".format(_)).mkString
+  private val Bpf1Hex = b58hex("BPFLoader1111111111111111111111111111111111")
+  private val Bpf2Hex = b58hex("BPFLoader2111111111111111111111111111111111")
+  private val BpfUpHex = b58hex("BPFLoaderUpgradeab1e11111111111111111111111")
+
+  /** `Ebpf.mnemonics` as a SQL CASE (public eBPF/sbf ISA table). */
+  private val MnemonicCase: String =
+    "CASE opcode " + graft.core.Ebpf.mnemonics.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"WHEN $k THEN '$v'" }.mkString(" ") +
+      " ELSE 'invalid' END"
+
   /** Last-writer-wins over the raw fixture dump (A1: max (slot,
     * write_version) per pubkey — unique in the fixture, so row_number is
     * deterministic). */
@@ -138,6 +151,34 @@ object Oracle {
              THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS sig,
         any_value(CAST(e.embedding AS DOUBLE[])) AS v
       FROM embeddings e, ${pfx}plane GROUP BY e.vec_id)"""
+
+  /** Base58 (Bitcoin alphabet) of 32-byte keys, entirely in SQL: the key
+    * is split into four 64-bit big-endian limbs (HUGEINT) and a recursive
+    * CTE performs the textbook divmod-58 long division — one digit per
+    * round, ≤44 rounds for 256 bits — then prepends one '1' per leading
+    * zero BYTE. Requires a prior CTE `b58keys(h)` of distinct 64-char hex
+    * keys; emits `b58(kh, b58)`. The overall WITH must be RECURSIVE. */
+  private val Base58Ctes: String = {
+    def u32(off: String) = s"TRY_CAST('0x' || substr(h,$off,8) AS BIGINT)"
+    def limb(i: Int) =
+      s"(CAST(${u32(s"${i * 16 + 1}")} AS HUGEINT)*4294967296 + ${u32(s"${i * 16 + 9}")})"
+    val A = "'123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz'"
+    s"""
+    b58r(h, digits, l0, l1, l2, l3) AS (
+      SELECT h, '', ${limb(0)}, ${limb(1)}, ${limb(2)}, ${limb(3)} FROM b58keys
+      UNION ALL
+      SELECT h, substr($A, CAST(rem AS INT)+1, 1) || digits, q0, q1, q2, q3 FROM (
+        SELECT h, digits, q0, q1, q2, q3, (c3 % 58) AS rem FROM (
+          SELECT *, (r2*$M64 + l3) // 58 AS q3, (r2*$M64 + l3) AS c3 FROM (
+            SELECT *, (r1*$M64 + l2) // 58 AS q2, (r1*$M64 + l2) % 58 AS r2 FROM (
+              SELECT *, (r0*$M64 + l1) // 58 AS q1, (r0*$M64 + l1) % 58 AS r1 FROM (
+                SELECT h, digits, l1, l2, l3, l0 // 58 AS q0, l0 % 58 AS r0
+                FROM b58r WHERE NOT (l0=0 AND l1=0 AND l2=0 AND l3=0))))))),
+    b58 AS (SELECT h AS kh,
+        repeat('1', CAST((length(h) - length(ltrim(h, '0'))) // 2 AS INT))
+          || digits AS b58
+      FROM b58r WHERE l0=0 AND l1=0 AND l2=0 AND l3=0)"""
+  }
 
   /** Per-document text statistics matching `TextSig.textStats` (see the
     * q16/q19 oracles for the proven split/trim quirk handling). */
@@ -864,24 +905,53 @@ object Oracle {
       FROM w WHERE core_ok ORDER BY 1""",
 
     // Projection + dedup verified in SQL; the base58 rendering comes from
-    // the {AUX}/b58_keys mapping (the codec itself is ScalaCheck/vector
-    // tested — DuckDB has no 256-bit base58).
+    // Base58 re-derived IN SQL (recursive divmod-58 over HUGEINT limbs,
+    // see Base58Ctes) — no Spark-produced key mapping involved.
     "sn06_csv_projection" -> s"""
-      WITH $DedupCte,
-      b58 AS (SELECT h AS kh, b58 FROM read_parquet('{AUX}/b58_keys/*.parquet'))
+      WITH RECURSIVE $DedupCte,
+      b58keys AS (SELECT DISTINCT hex(pubkey) AS h FROM dedup
+                  UNION SELECT DISTINCT hex(owner) FROM dedup),
+      $Base58Ctes
       SELECT pk.b58 AS pubkey, ow.b58 AS owner, data_len, lamports
       FROM dedup
       JOIN b58 pk ON hex(dedup.pubkey) = pk.kh
       JOIN b58 ow ON hex(dedup.owner) = ow.kh
       ORDER BY 1""",
 
-    // Aggregation (explode → countDistinct/count) verified in SQL over the
-    // per-program opcode dump; the eBPF disassembler is vector-tested.
-    "sn10_opcode_stats" -> """
-      SELECT opcode, MAX(mnemonic) AS mnemonic,
+    // The whole D4/D5 chain re-derived in SQL: loader routing + 45-byte
+    // ProgramData strip (P10/D4), then the eBPF instruction walk as a
+    // recursive CTE — the stride depends on each opcode (LD_DW_IMM 0x18
+    // consumes 16 bytes, everything else 8), a sequential dependence no
+    // unnest can express. Fixture program bodies carry no ELF magic, so
+    // `Ebpf.textSection`'s permissive whole-buffer fallback applies and
+    // the walk starts at byte 0 (the ELF section walk itself is
+    // vector-tested in CodecSpec). Mnemonics come from the public ISA
+    // table inlined as a CASE.
+    "sn10_opcode_stats" -> s"""
+      WITH RECURSIVE $DedupCte,
+      progs AS (
+        SELECT hex(pubkey) AS program_id, hex(data) AS eh
+        FROM dedup
+        WHERE executable AND (hex(owner) = '$Bpf1Hex' OR hex(owner) = '$Bpf2Hex')
+        UNION ALL
+        SELECT hex(pubkey), substr(hex(data), 91)
+        FROM dedup WHERE hex(owner) = '$BpfUpHex' AND data_len > 45),
+      walk(program_id, eh, p, opcode) AS (
+        SELECT program_id, eh, 0,
+          TRY_CAST('0x' || substr(eh, 1, 2) AS INTEGER)
+        FROM progs WHERE length(eh) >= 2
+        UNION ALL
+        SELECT program_id, eh, np,
+          TRY_CAST('0x' || substr(eh, np*2+1, 2) AS INTEGER)
+        FROM (SELECT program_id, eh,
+                p + CASE WHEN opcode = 24 THEN 16 ELSE 8 END AS np
+              FROM walk)
+        WHERE np*2 < length(eh))
+      SELECT CAST(opcode AS SMALLINT) AS opcode,
+        MAX($MnemonicCase) AS mnemonic,
         COUNT(DISTINCT program_id) AS num_programs,
         COUNT(*) AS num_insns
-      FROM read_parquet('{AUX}/program_opcodes/*.parquet')
+      FROM walk
       GROUP BY opcode ORDER BY opcode""",
 
     "sn07_kind_counts" -> s"""

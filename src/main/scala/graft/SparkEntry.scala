@@ -3,7 +3,6 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.Functions.base58_encode
 import graft.operators.Etl
 import graft.sources.{SnapshotReader, SyntheticSnapshot}
 
@@ -178,14 +177,14 @@ object SparkEntry {
     * oracle_sql.json. */
   def oracleSql: Map[String, String] = Oracle.sql
 
-  /** Auxiliary parquet dumps the oracle SQL reads via `{AUX}/<name>`:
-    * inputs that exist only Spark-side (the synthetic snapshot's raw
-    * account records, signature/assignment tables, the fake media corpus).
-    * Each dump is an INPUT or intermediate the DuckDB oracle re-derives
-    * results from — the gate then verifies the downstream transform
-    * independently. All dumps are deterministic (seeded fixture, seeded
-    * k-means, deterministic hash kernels), so a dump from one run
-    * hash-matches a query built from another. */
+  /** Auxiliary parquet dumps the oracle SQL reads via `{AUX}/<name>`.
+    * Every dump is an INPUT (the fixture's raw records, its filesystem
+    * listing, its media corpus) or a constant-sized index PARAMETER (the
+    * IVF centroids) — never a per-row Spark RESULT: the signature kernels,
+    * base58, the eBPF walk and all assignments are re-derived inside the
+    * oracle SQL itself. All dumps are deterministic (seeded fixture,
+    * seeded k-means), so a dump from one run hash-matches a query built
+    * from another. */
   def auxDumps: Map[String, (SparkSession, String) => DataFrame] = Map(
     "raw_accounts" -> ((s, _) => SnapshotReader.rawAccounts(s, fixtureDir)),
     // m09's index PARAMETERS (16 seeded k-means centroids — spark.ml is
@@ -204,24 +203,5 @@ object SparkEntry {
     "manifest_vecs" -> ((s, _) => SnapshotReader.manifestVecs(s, fixtureDir)),
     "media" -> ((s, dir) =>
       graft.operators.Multimodal.syntheticCorpus(
-        s.read.parquet(s"$dir/documents.parquet"))),
-    // base58 renderings of every key in the fixture (sn06's oracle joins
-    // this mapping: the projection/dedup around base58 is SQL-verified;
-    // the codec itself is property- and vector-tested in ExpressionSpec)
-    "b58_keys" -> ((s, _) => {
-      val d = deduped(s)
-      d.select(hex(col("pubkey")).as("h"), base58_encode(col("pubkey")).as("b58"))
-        .unionByName(d.select(hex(col("owner")).as("h"),
-          base58_encode(col("owner")).as("b58")))
-        .distinct()
-    }),
-    // per-program opcode rows (sn10's oracle re-aggregates these: the
-    // explode + countDistinct aggregation is SQL-verified; the eBPF
-    // disassembler is vector-tested in CodecSpec)
-    "program_opcodes" -> ((s, _) => {
-      val progs = Etl.programs(deduped(s))
-      progs.select(hex(col("pubkey")).as("program_id"),
-          explode(graft.functions.Functions.ebpf_opcodes(col("elf"))).as("opcode"))
-        .withColumn("mnemonic", graft.functions.Functions.ebpf_mnemonic(col("opcode")))
-    }))
+        s.read.parquet(s"$dir/documents.parquet"))))
 }

@@ -129,6 +129,31 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("PNG encoder's multi-block path: raster over 64 KiB of raw " +
+      "scanlines still decodes losslessly") {
+    // h·(1+3w) > 65535 forces >1 stored-deflate block (the loop in
+    // encodePng); 200x120 → 120·601 = 72120 raw bytes → 2 blocks
+    val w = 200; val h = 120
+    val rgb = Array.tabulate(w * h * 3)(i => (i * 31 & 0xff).toByte)
+    val png = Media.encodePng(w, h, rgb)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img != null, "ImageIO rejected multi-block PNG")
+    assert(img.getWidth === w && img.getHeight === h)
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        assert(((p >> 16) & 0xff) === (rgb(i) & 0xff))
+        assert(((p >> 8) & 0xff) === (rgb(i + 1) & 0xff))
+        assert((p & 0xff) === (rgb(i + 2) & 0xff))
+        i += 3; x += 1
+      }
+      y += 1
+    }
+  }
+
   test("audio profile computes positive RMS at the declared rate") {
     val a = Multimodal.audioProfile(corpus(9)).collect()
     assert(a.nonEmpty)
