@@ -7,19 +7,26 @@ package graft
  *
  * Oracles for the snapshot/decode and training-data paths re-derive the
  * result from neutral inputs: the `{AUX}` parquet dumps Verify writes
- * (raw fixture account records, signature tables, the fake media corpus)
+ * (raw fixture records, the media corpus, filesystem/manifest listings)
  * plus DuckDB blob arithmetic over `hex(data)` strings. The near-dup
  * oracles are EXACT all-pairs computations — they pass because the
  * fixture's duplicate pairs sit far above the LSH thresholds (verified:
  * min true Jaccard 0.9 vs thresholds 0.5/0.3/0.6), so blocking recall is
  * total on this corpus; the blocked Spark output must equal the exact set.
  *
- * The signature kernels (SimHash, hyperplane LSH) are re-derived HERE, in
- * SQL, from their deterministic formulas — 64-bit wraparound hashing runs
- * in HUGEINT split-multiply form (see mul64/mix64Ctes). The only
- * Spark-produced aux the training-data oracles read is `ivf_centers`
- * (16 k-means centroids: constant-sized index PARAMETERS — spark.ml's
- * seeded k-means is not expressible in SQL; assignments are re-derived).
+ * Everything derivable is re-derived HERE, in SQL, not read from Spark:
+ *  - sn01 walks the RAW DISK BYTES of the snapshot (`read_blob` + the
+ *    AppendVec recursive walk, RawRecsCtes) — proving the raw_accounts
+ *    dump the other sn oracles read equals the bytes on disk;
+ *  - the signature kernels (SimHash, hyperplane LSH) come from their
+ *    deterministic formulas — 64-bit wraparound hashing in HUGEINT
+ *    split-multiply form (mul64/mix64Ctes);
+ *  - base58 is a recursive divmod-58 long division (Base58Ctes);
+ *  - the eBPF opcode walk is a stride-dependent recursive CTE (sn10);
+ *  - media stats come from closed-form PNG/WAV/AVI byte offsets.
+ * The only Spark-produced aux any oracle reads is `ivf_centers` (16
+ * k-means centroids: constant-sized index PARAMETERS — spark.ml's seeded
+ * k-means is not expressible in SQL; assignments are re-derived).
  */
 object Oracle {
 
@@ -74,6 +81,41 @@ object Oracle {
         SELECT *, row_number() OVER (PARTITION BY pubkey
                     ORDER BY slot DESC, write_version DESC) AS rn
         FROM read_parquet('{AUX}/raw_accounts/*.parquet')) WHERE rn = 1)"""
+
+  /** The S2+S6 snapshot scan re-derived from RAW DISK BYTES: `read_blob`
+    * over the fixture's accounts dir, `<slot>.<id>` filename parse,
+    * manifest current-length truncation, then the AppendVec record walk
+    * as a recursive CTE — stride = align8(136 + data_len), with the
+    * walker's exact stop rules (header overrun / bad data_len / data
+    * overrun). sn01 runs on THIS instead of the raw_accounts dump, which
+    * proves the dump itself equals the bytes on disk — transitively
+    * grounding every other oracle that reads the dump. Emits
+    * `recs(slot, store_id, write_version, pubkey, data_len, lamports,
+    * owner, executable, rent_epoch)` with hex keys. */
+  private val RawRecsCtes: String = s"""
+    blobs AS (SELECT filename, hex(content) AS h, octet_length(content) AS flen
+              FROM read_blob('{FIXTURE}/accounts/*')),
+    files AS (SELECT
+        TRY_CAST(regexp_extract(filename, '([0-9]+)\\.([0-9]+)$$', 1) AS BIGINT) AS slot,
+        TRY_CAST(regexp_extract(filename, '([0-9]+)\\.([0-9]+)$$', 2) AS BIGINT) AS id,
+        h, flen FROM blobs),
+    bounded AS (SELECT f.slot, f.id, f.h, least(m.current_len, f.flen) AS len
+                FROM files f
+                JOIN read_parquet('{AUX}/manifest_vecs/*.parquet') m
+                  ON f.slot = m.slot AND f.id = m.id),
+    vecwalk(slot, id, h, len, off) AS (
+      SELECT slot, id, h, len, CAST(0 AS BIGINT) FROM bounded
+      UNION ALL
+      SELECT slot, id, h, len, ((off + 136 + dl + 7)//8)*8
+      FROM (SELECT slot, id, h, len, off, ${u64("off+40")} AS dl FROM vecwalk) w
+      WHERE off + 136 <= len AND dl >= 0 AND dl <= len AND off + 136 + dl <= len),
+    recs AS (
+      SELECT slot, id AS store_id, ${u64("off")} AS write_version,
+        ${pk("off+8")} AS pubkey, dl AS data_len, ${u64("off+48")} AS lamports,
+        ${pk("off+56")} AS owner, (${u8("off+88")}) <> 0 AS executable,
+        ${u64("off+96")} AS rent_epoch
+      FROM (SELECT slot, id, h, len, off, ${u64("off+40")} AS dl FROM vecwalk) w
+      WHERE off + 136 <= len AND dl >= 0 AND dl <= len AND off + 136 + dl <= len)"""
 
   /** TextSig.normalize (lowercase, whitespace-collapse, trim) + distinct
     * char-5-shingle sets — the exact-Jaccard base for m01/m08/m10. */
@@ -818,11 +860,17 @@ object Oracle {
     // Snapshot fixture: raw-accounts aux dump + blob decode in DuckDB
     // =================================================================
 
+    // Full chain from raw disk bytes (RawRecsCtes) — no aux dump of the
+    // records involved; the A1 dedup re-runs over the re-derived walk.
     "sn01_accounts" -> s"""
-      WITH $DedupCte
-      SELECT hex(pubkey) AS pubkey, data_len, hex(owner) AS owner,
-        lamports, executable, rent_epoch
-      FROM dedup ORDER BY 1""",
+      WITH RECURSIVE $RawRecsCtes,
+      rdedup AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY pubkey
+                      ORDER BY slot DESC, write_version DESC) AS rn
+          FROM recs) WHERE rn = 1)
+      SELECT pubkey, data_len, owner, lamports, executable, rent_epoch
+      FROM rdedup ORDER BY 1""",
 
     "sn02_token_accounts" -> s"""
       WITH $DedupCte,

@@ -50,7 +50,8 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{AUX}", auxDir))}" }
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{AUX}", auxDir)
+        .replace("{FIXTURE}", SparkEntry.fixtureDir))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
