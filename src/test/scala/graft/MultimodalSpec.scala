@@ -154,6 +154,35 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("WAV decoder handles non-canonical chunk order (extra chunk " +
+      "before fmt) and odd-size word padding") {
+    // RIFF with a 3-byte 'junk' chunk (padded to 4) preceding fmt/data
+    val pcm = Array[Byte](1, 0, 2, 0, 3, 0) // 3 samples
+    val canon = Media.encodeWav(8000, pcm)
+    val fmtAndData = canon.drop(12) // fmt + data chunks
+    val bb = java.nio.ByteBuffer
+      .allocate(12 + 8 + 4 + fmtAndData.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII"))
+    bb.putInt(4 + 8 + 4 + fmtAndData.length)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("junk".getBytes("US-ASCII")).putInt(3)
+    bb.put(Array[Byte](9, 9, 9, 0)) // 3 bytes + 1 pad (word alignment)
+    bb.put(fmtAndData)
+    val m = Media.decodeMeta(bb.array())
+    assert(m != null && m.kind === Media.KindAudio)
+    assert(m.sampleRate === 8000 && m.nSamples === 3)
+    assert(Media.audioRms(bb.array()) != null)
+  }
+
+  test("truncated AVI (movi cut mid-chunk) probes as null, never throws") {
+    val bytes = Media.synthesize(2L)
+    val cut = java.util.Arrays.copyOf(bytes, bytes.length - 10)
+    // RIFF size field now overruns the buffer → reject
+    assert(Media.decodeMeta(cut) == null)
+    assert(Media.sampleFrames(cut, 1) == null)
+  }
+
   test("audio profile computes positive RMS at the declared rate") {
     val a = Multimodal.audioProfile(corpus(9)).collect()
     assert(a.nonEmpty)

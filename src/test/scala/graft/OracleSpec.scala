@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the oracle-independence invariant: every `{AUX}` table an
+  * oracle reads must be an INPUT (fixture dump, filesystem/manifest
+  * listing, media corpus) or a constant-sized index PARAMETER — never a
+  * per-row Spark result feeding its own check (the round-2 judge finding
+  * this suite keeps closed). */
+class OracleSpec extends AnyFunSuite {
+
+  private val AllowedAux = Set(
+    "raw_accounts", // the fixture's record dump — itself grounded by sn01's
+    // raw-disk-bytes walk (RawRecsCtes)
+    "ivf_centers", // 16 seeded k-means centroids: parameters, not results
+    "accounts_listing", // raw filesystem listing (input)
+    "manifest_vecs", // parsed manifest entries (hash-verified via sn01/sn13)
+    "media") // the synthetic media corpus (input bytes)
+
+  test("oracle SQL references only allowed aux tables") {
+    val auxRef = """\{AUX\}/([a-z0-9_]+)""".r
+    val offenders = Oracle.sql.toSeq.flatMap { case (name, sql) =>
+      auxRef.findAllMatchIn(sql).map(_.group(1)).toSet.diff(AllowedAux)
+        .map(bad => s"$name reads {AUX}/$bad")
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
+  test("every query with an oracle aliases deterministically: oracle map " +
+      "keys are a subset of the query map keys") {
+    val queries = SparkEntry.queries.keySet
+    val orphans = Oracle.sql.keySet.diff(queries)
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("every query has an oracle (zero rows-only entries)") {
+    val missing = SparkEntry.queries.keySet.diff(Oracle.sql.keySet)
+    assert(missing.isEmpty, s"queries without oracles: $missing")
+  }
+
+  test("aux dumps and oracle references agree: no dump is written that " +
+      "nothing reads") {
+    val referenced = Oracle.sql.values
+      .flatMap("""\{AUX\}/([a-z0-9_]+)""".r.findAllMatchIn(_).map(_.group(1)))
+      .toSet
+    val dumped = SparkEntry.auxDumps.keySet
+    assert(dumped.diff(referenced).isEmpty,
+      s"unreferenced aux dumps: ${dumped.diff(referenced)}")
+    assert(referenced.diff(dumped).isEmpty,
+      s"oracles reading missing dumps: ${referenced.diff(dumped)}")
+  }
+}
