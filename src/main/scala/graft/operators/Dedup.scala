@@ -140,21 +140,34 @@ object Dedup {
   private def verifyJaccardText(cand: DataFrame, docs: DataFrame,
       jacUdf: (Column, Column, Column) => Column, w: Int,
       threshold: Double): DataFrame = {
-    // Broadcast ONLY the id frame (never ids+text): candidates are ≪
-    // corpus by the blocking design, so the broadcast-hash-join streams
-    // the full corpus shuffle-free past the id set — but a hot corpus
-    // (shared boilerplate) can make the candidate set large, and a
-    // broadcast that carries TEXT payloads would funnel multi-GB through
-    // the driver. Each side's text attaches in its own broadcast join;
-    // the final pair-up shuffles candidate texts only (bounded by the
-    // candidate count, never by the corpus).
-    val ids = broadcast(cand.select(col("doc_id_a"), col("doc_id_b")))
+    // Never build a broadcast that carries TEXT payloads of an UNBOUNDED
+    // candidate set — a hot corpus (shared boilerplate) could funnel
+    // multi-GB through the driver. The id frame is materialized ONCE
+    // (localCheckpoint: without the cut, the candidate pipeline — bucket
+    // self-join + estimate prefilter — re-evaluates per broadcast;
+    // measured +33% on m01), which also makes its COUNT free, so the
+    // join shape is picked from the actual candidate cardinality:
+    //  - small (the design case): attach ta via an id-broadcast join,
+    //    then broadcast the (ids, ta) frame — bounded by the count gate —
+    //    so the corpus streams through BOTH joins shuffle-free;
+    //  - hot corpus: broadcast only ids into two independent stream-side
+    //    joins and shuffle the candidate texts into the final pair-up —
+    //    slower by one candidate-sized exchange, driver-safe at any size.
+    val idFrame = cand.select(col("doc_id_a"), col("doc_id_b")).localCheckpoint(true)
+    val ids = broadcast(idFrame)
     val withA = docs.select(col("doc_id").as("doc_id_a"), col("text").as("ta"))
       .join(ids, "doc_id_a")
-    val withB = docs.select(col("doc_id").as("doc_id_b"), col("text").as("tb"))
-      .join(ids, "doc_id_b")
-      .select(col("doc_id_a"), col("doc_id_b"), col("tb"))
-    withA.join(withB, Seq("doc_id_a", "doc_id_b"))
+    val paired =
+      if (idFrame.count() <= 100000L)
+        broadcast(withA)
+          .join(docs.select(col("doc_id").as("doc_id_b"), col("text").as("tb")), "doc_id_b")
+      else {
+        val withB = docs.select(col("doc_id").as("doc_id_b"), col("text").as("tb"))
+          .join(ids, "doc_id_b")
+          .select(col("doc_id_a"), col("doc_id_b"), col("tb"))
+        withA.join(withB, Seq("doc_id_a", "doc_id_b"))
+      }
+    paired
       .select(col("doc_id_a"), col("doc_id_b"),
         round(jacUdf(col("ta"), col("tb"), lit(w)), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -427,18 +440,24 @@ object Dedup {
         .select(col("id"), col("component").as("prev"),
           least(col("component"), coalesce(col("nbr"), col("component"))).as("component"))
         .localCheckpoint(true)
-      // pointer doubling: component := label(component). label(c) ≤ c by
+      // Pointer doubling: component := label(component). label(c) ≤ c by
       // construction, so this only descends; chains halve every round.
-      // `prev` (the round-start label) rides along so convergence is a
-      // filter on this frame, not another join.
-      val jumped = stepped
-        .join(stepped.select(col("id").as("component"), col("component").as("jump")),
-          Seq("component"), "left")
-        .select(col("id"),
-          coalesce(col("jump"), col("component")).as("component"), col("prev"))
-        .localCheckpoint(true)
-      converged = jumped.filter(col("component") < col("prev")).limit(1).isEmpty
-      labels = jumped.select("id", "component")
+      // Gated to round 4+: the common near-dup case (dense clusters,
+      // diameter 2-3) converges before then and must not pay the extra
+      // join + checkpoint per round; a still-unconverged round 4 is
+      // evidence of a long chain, where doubling turns the remaining
+      // O(diameter) rounds into O(log diameter). `prev` (the round-start
+      // label) rides along so convergence is a filter, not another join.
+      val next =
+        if (iter < 3) stepped
+        else stepped
+          .join(stepped.select(col("id").as("component"), col("component").as("jump")),
+            Seq("component"), "left")
+          .select(col("id"),
+            coalesce(col("jump"), col("component")).as("component"), col("prev"))
+          .localCheckpoint(true)
+      converged = next.filter(col("component") < col("prev")).limit(1).isEmpty
+      labels = next.select("id", "component")
       iter += 1
     }
     if (!converged)
