@@ -157,8 +157,10 @@ object Dedup {
     val ids = broadcast(idFrame)
     val withA = docs.select(col("doc_id").as("doc_id_a"), col("text").as("ta"))
       .join(ids, "doc_id_a")
+    val maxPairs = docs.sparkSession.conf
+      .get("graft.dedup.textBroadcastMaxPairs", "100000").toLong
     val paired =
-      if (idFrame.count() <= 100000L)
+      if (idFrame.count() <= maxPairs)
         broadcast(withA)
           .join(docs.select(col("doc_id").as("doc_id_b"), col("text").as("tb")), "doc_id_b")
       else {

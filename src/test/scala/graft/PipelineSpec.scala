@@ -131,6 +131,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("minhash verify's driver-safe id-only join path (forced via " +
+      "graft.dedup.textBroadcastMaxPairs=0) matches the fast path") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    val docs = Seq((1L, base), (2L, base + " extra"), (3L, "unrelated words entirely here"))
+      .toDF("doc_id", "text")
+    val fast = Dedup.minhashPairs(docs, threshold = 0.5).collect().toSet
+    spark.conf.set("graft.dedup.textBroadcastMaxPairs", "0")
+    try {
+      val safe = Dedup.minhashPairs(docs, threshold = 0.5).collect().toSet
+      assert(safe === fast && fast.nonEmpty)
+    } finally spark.conf.unset("graft.dedup.textBroadcastMaxPairs")
+  }
+
   test("simhash hamming of identical docs is 0") {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
