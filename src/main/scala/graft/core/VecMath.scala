@@ -55,6 +55,94 @@ object VecMath {
     dists.sortBy(_._1).take(math.min(n, centers.length)).map(_._2)
   }
 
+  /** Seeded k-means (k-means++ init, Lloyd iterations) over an in-memory
+    * point set — the IVF training kernel. Deterministic: the RNG is a
+    * splitmix64 counter stream and all scans break ties toward the lower
+    * index, so identical input ⇒ identical centers on any JVM. Runs
+    * DRIVER-LOCAL over a BOUNDED sample by design (`Similarity.ivfCenters`
+    * caps it): centroid training on ≤4096 × dim floats is microseconds of
+    * CPU, while a distributed k-means costs per-iteration job scheduling —
+    * the wrong trade at every scale when the sample is bounded anyway.
+    * Empty clusters keep their previous center (standard Lloyd fallback). */
+  def kmeans(points: Array[Array[Float]], k: Int, seed: Long,
+      maxIter: Int): Array[Array[Double]] = {
+    require(points.nonEmpty, "kmeans: empty training set")
+    val n = points.length
+    val dim = points(0).length
+    val kk = math.min(k, n)
+    var rngState = seed
+    def nextDouble(): Double = {
+      rngState += 1
+      (TextSig.mix64(rngState) >>> 11).toDouble / (1L << 53).toDouble
+    }
+    def d2(p: Array[Float], c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val m = math.min(p.length, c.length)
+      while (i < m) { val x = p(i) - c(i); s += x * x; i += 1 }
+      s
+    }
+    // k-means++ seeding
+    val centers = new Array[Array[Double]](kk)
+    centers(0) = points((nextDouble() * n).toInt.min(n - 1)).map(_.toDouble)
+    val minD = Array.fill(n)(Double.MaxValue)
+    var c = 1
+    while (c < kk) {
+      var total = 0.0
+      var i = 0
+      while (i < n) {
+        val d = d2(points(i), centers(c - 1))
+        if (d < minD(i)) minD(i) = d
+        total += minD(i)
+        i += 1
+      }
+      // sample proportional to squared distance (first index crossing r)
+      val r = nextDouble() * total
+      var acc = 0.0; var pick = n - 1; var j = 0
+      var found = false
+      while (j < n && !found) {
+        acc += minD(j)
+        if (acc >= r) { pick = j; found = true }
+        j += 1
+      }
+      centers(c) = points(pick).map(_.toDouble)
+      c += 1
+    }
+    // Lloyd iterations
+    val assign = new Array[Int](n)
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      moved = false
+      var i = 0
+      while (i < n) {
+        val a = nearestCenter(points(i), centers)
+        if (a != assign(i)) { assign(i) = a; moved = true }
+        i += 1
+      }
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Int](kk)
+      i = 0
+      while (i < n) {
+        val a = assign(i); val p = points(i)
+        counts(a) += 1
+        var d = 0
+        while (d < dim) { sums(a)(d) += p(d); d += 1 }
+        i += 1
+      }
+      var cc = 0
+      while (cc < kk) {
+        if (counts(cc) > 0) {
+          var d = 0
+          while (d < dim) { sums(cc)(d) /= counts(cc); d += 1 }
+          centers(cc) = sums(cc)
+        } // else: keep previous center
+        cc += 1
+      }
+      iter += 1
+    }
+    centers
+  }
+
   /** Random-hyperplane sign signature for cosine LSH: `planes` bits.
     * Hyperplane components derive from mix64(plane, dim) — deterministic,
     * no driver-side random state, no broadcast plane matrix. */

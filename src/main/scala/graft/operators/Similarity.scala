@@ -68,18 +68,19 @@ object Similarity {
     * and the correctness gate can dump centers from one call and
     * hash-verify a query built from another. orderBy+limit plans as
     * TakeOrderedAndProject — a top-N per partition then merge, not a
-    * global sort. */
+    * global sort. The bounded sample (≤ max(nlist·256, 4096) vectors,
+    * ~1 MB at dim 64) is collected and trained DRIVER-LOCAL
+    * (`VecMath.kmeans`): a distributed k-means schedules a job per Lloyd
+    * iteration, pure overhead when the training set is sample-bounded
+    * anyway. */
   def ivfCenters(corpus: DataFrame, nlist: Int,
       vecCol: String = "embedding", idCol: String = "vec_id"): Array[Array[Double]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.Vectors
-    val toMl = udf((a: Array[Float]) => Vectors.dense(a.map(_.toDouble)))
-    val trainDf = corpus.select(col(vecCol), col(idCol))
+    val sample: Array[Array[Float]] = corpus.select(col(vecCol), col(idCol))
       .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(math.max(nlist * 256, 4096))
-      .select(toMl(col(vecCol)).as("features"))
-    new KMeans().setK(nlist).setSeed(42L).setMaxIter(10).fit(trainDf)
-      .clusterCenters.map(_.toArray)
+      .select(col(vecCol))
+      .collect().map(_.getSeq[Float](0).toArray)
+    graft.core.VecMath.kmeans(sample, nlist, seed = 42L, maxIter = 10)
   }
 
   /** corpus_id → nearest IVF cell (the index-build assignment). */
