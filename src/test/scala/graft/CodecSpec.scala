@@ -315,4 +315,101 @@ class CodecSpec extends AnyFunSuite {
     val elf = buf.array()
     assert(Ebpf.disassemble(elf).toSeq == Seq(0x07, 0x95))
   }
+
+  // ---- Media codecs (property round-trips over random geometry) ----
+
+  test("PNG encode→ImageIO decode round-trips random rasters, including " +
+      "dims crossing the stored-block boundary (property)") {
+    val rng = new scala.util.Random(7)
+    for (i <- 1 to 25) {
+      // sweep small → >64 KiB raw (multi-block): w up to 220, h up to 110
+      val w = 1 + rng.nextInt(220)
+      val h = 1 + rng.nextInt(110)
+      val rgb = new Array[Byte](w * h * 3)
+      rng.nextBytes(rgb)
+      val png = Media.encodePng(w, h, rgb)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img != null && img.getWidth == w && img.getHeight == h, s"case $i ${w}x$h")
+      var idx = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = img.getRGB(x, y)
+        assert(((p >> 16) & 0xff) == (rgb(idx) & 0xff) &&
+          ((p >> 8) & 0xff) == (rgb(idx + 1) & 0xff) &&
+          (p & 0xff) == (rgb(idx + 2) & 0xff), s"case $i pixel ($x,$y)")
+        idx += 3
+      }
+    }
+  }
+
+  test("WAV encode→decode round-trips random PCM (property)") {
+    val rng = new scala.util.Random(11)
+    for (_ <- 1 to 50) {
+      val n = rng.nextInt(2000)
+      val pcm = new Array[Byte](n * 2)
+      rng.nextBytes(pcm)
+      val rate = 4000 + rng.nextInt(44100)
+      val wav = Media.encodeWav(rate, pcm)
+      val m = Media.decodeMeta(wav)
+      assert(m != null && m.kind == Media.KindAudio)
+      assert(m.sampleRate == rate && m.nSamples == n && m.channels == 1)
+    }
+  }
+
+  test("AVI encode→sampleFrames round-trips random frame stacks (property)") {
+    val rng = new scala.util.Random(13)
+    for (_ <- 1 to 10) {
+      val w = 4 + rng.nextInt(40)
+      val h = 4 + rng.nextInt(30)
+      val nf = 1 + rng.nextInt(8)
+      val frames = Array.fill(nf) {
+        val f = new Array[Byte](w * h * 3); rng.nextBytes(f); f
+      }
+      val avi = Media.encodeAvi(w, h, frames)
+      val m = Media.decodeMeta(avi)
+      assert(m != null && m.kind == Media.KindVideo)
+      assert(m.width == w && m.height == h && m.nFrames == nf)
+      val out = Media.sampleFrames(avi, 1)
+      assert(out.length == nf)
+      out.foreach { case (idx, raster) =>
+        assert(raster.toSeq == frames(idx).toSeq, s"frame $idx")
+      }
+    }
+  }
+
+  // ---- VecMath.kmeans (IVF training kernel) ----
+
+  test("kmeans is deterministic, returns k centers, and separates " +
+      "well-spaced clusters (property)") {
+    val rng = new scala.util.Random(17)
+    for (_ <- 1 to 10) {
+      val k = 2 + rng.nextInt(6)
+      val dim = 4 + rng.nextInt(12)
+      // k well-separated cluster cores + jitter
+      val cores = Array.fill(k, dim)(rng.nextDouble() * 100.0)
+      val pts = Array.tabulate(k * 40) { i =>
+        val c = cores(i % k)
+        Array.tabulate(dim)(d => (c(d) + rng.nextGaussian() * 0.01).toFloat)
+      }
+      val a = VecMath.kmeans(pts, k, seed = 42L, maxIter = 25)
+      val b = VecMath.kmeans(pts, k, seed = 42L, maxIter = 25)
+      assert(a.length == k)
+      assert(a.zip(b).forall { case (x, y) => x.toSeq == y.toSeq }, "determinism")
+      // every point lands within distance ~jitter of its assigned center:
+      // with 100-spaced cores and 0.01 jitter, any merged/empty cluster
+      // would put some point >> 1 away
+      pts.foreach { p =>
+        val c = a(VecMath.nearestCenter(p, a))
+        var d2 = 0.0
+        var i = 0
+        while (i < dim) { val x = p(i) - c(i); d2 += x * x; i += 1 }
+        assert(math.sqrt(d2) < 1.0, "cluster separation")
+      }
+    }
+  }
+
+  test("kmeans clamps k to the point count and survives k=1") {
+    val pts = Array(Array(1f, 2f), Array(3f, 4f))
+    assert(VecMath.kmeans(pts, 5, 42L, 10).length == 2)
+    assert(VecMath.kmeans(pts, 1, 42L, 10).length == 1)
+  }
 }
