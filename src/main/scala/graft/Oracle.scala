@@ -25,8 +25,8 @@ package graft
  *  - the eBPF opcode walk is a stride-dependent recursive CTE (sn10);
  *  - media stats come from closed-form PNG/WAV/AVI byte offsets.
  * The only Spark-produced aux any oracle reads is `ivf_centers` (16
- * k-means centroids: constant-sized index PARAMETERS — spark.ml's seeded
- * k-means is not expressible in SQL; assignments are re-derived).
+ * k-means centroids: constant-sized index PARAMETERS — iterative seeded
+ * clustering is not expressible in SQL; assignments are re-derived).
  */
 object Oracle {
 

@@ -187,9 +187,9 @@ object SparkEntry {
     * from another. */
   def auxDumps: Map[String, (SparkSession, String) => DataFrame] = Map(
     "raw_accounts" -> ((s, _) => SnapshotReader.rawAccounts(s, fixtureDir)),
-    // m09's index PARAMETERS (16 seeded k-means centroids — spark.ml is
-    // not re-derivable in SQL); cell/probe assignments and all signature
-    // kernels are re-derived inside the oracle SQL itself.
+    // m09's index PARAMETERS (16 seeded k-means centroids — iterative
+    // clustering is not re-derivable in SQL); cell/probe assignments and
+    // all signature kernels are re-derived inside the oracle SQL itself.
     "ivf_centers" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val centers = graft.operators.Similarity.ivfCenters(emb, 16)

@@ -52,8 +52,8 @@ object Similarity {
   }
 
   /**
-   * True IVF ANN: k-means centroids (spark.ml, seeded) partition the
-   * corpus into `nlist` cells; each query probes its `nprobe` nearest
+   * True IVF ANN: seeded k-means centroids (`VecMath.kmeans`) partition
+   * the corpus into `nlist` cells; each query probes its `nprobe` nearest
    * cells. At 100 TB the corpus is written partitioned by `cell`, so a
    * probe reads nprobe/nlist of the data — the standard
    * billion-vector index shape (IVF-Flat), all Spark-native.
