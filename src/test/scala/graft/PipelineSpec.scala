@@ -145,6 +145,23 @@ class PipelineSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.dedup.textBroadcastMaxPairs")
   }
 
+  test("dedup family survives degenerate corpora: empty, single-doc, " +
+      "and all-empty-text") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val single = Seq((1L, "just one document here")).toDF("doc_id", "text")
+    val blank = Seq((1L, ""), (2L, "   "), (3L, "\n\t")).toDF("doc_id", "text")
+    for (docs <- Seq(empty, single, blank)) {
+      assert(Dedup.minhashPairs(docs, threshold = 0.5).count() === 0)
+      assert(Dedup.simhashPairs(docs, maxHamming = 3).count() >= 0)
+      assert(Dedup.exact(docs).count() <= docs.count())
+      assert(Dedup.minhashDedup(docs, 0.5).count() === docs.count())
+    }
+    // connected components of an empty pair list → empty labels
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("doc_id_a", "doc_id_b")).count() === 0)
+  }
+
   test("simhash hamming of identical docs is 0") {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
