@@ -1021,6 +1021,14 @@ object Oracle {
       SELECT hex(pubkey) AS pk, lamports, write_version FROM dedup
       ORDER BY 1, 3""",
 
+    // The FB wire must be a lossless identity like the JSON wire: same
+    // oracle — decode(encode(x)) ≡ x means the expected rows are just the
+    // dedup projection.
+    "sn14_fb_wire_roundtrip" -> s"""
+      WITH $DedupCte
+      SELECT hex(pubkey) AS pk, lamports, write_version FROM dedup
+      ORDER BY 1, 3""",
+
     // J1's anti channel: the raw accounts-dir listing (filename + parsed
     // (slot, id), both null when unparseable) anti-joined against the
     // manifest's appendvec entries. A NULL slot never equi-matches, so

@@ -142,6 +142,18 @@ object SparkEntry {
         .select(hex(col("pubkey")).as("pk"), col("lamports"), col("write_version"))
         .orderBy("pk", "write_version")
     }),
+    // D6/D7 over the reference's DEFAULT serde: the same round-trip as
+    // sn09 but through the hand-rolled FlatBuffers wire — a wrong vtable
+    // offset or elided field lands a wrong value here, not just in specs
+    "sn14_fb_wire_roundtrip" -> ((s, _) => {
+      val events = deduped(s).withColumn("is_startup", lit(true))
+        .select("pubkey", "lamports", "owner", "executable", "rent_epoch",
+          "data", "write_version", "slot", "is_startup")
+      graft.streaming.Wire.decodeAccountUpdatesFb(
+          graft.streaming.Wire.accountUpdatesFb(events))
+        .select(hex(col("pubkey")).as("pk"), col("lamports"), col("write_version"))
+        .orderBy("pk", "write_version")
+    }),
     "sn10_opcode_stats" -> ((s, _) =>
       Etl.opcodeStats(Etl.programs(deduped(s))).orderBy("opcode")),
     // J1 anti-join error channel: files on disk absent from the manifest
