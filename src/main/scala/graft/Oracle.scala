@@ -701,9 +701,13 @@ object Oracle {
       votes AS (SELECT doc_id, CAST(b AS INT) AS b,
             SUM(CAST((h >> CAST(b AS INT)) % 2 AS INT)) AS ones, COUNT(*) AS total
           FROM th, range(64) r(b) GROUP BY doc_id, b),
-      s AS (SELECT doc_id,
+      s0 AS (SELECT doc_id,
             SUM(CASE WHEN ones*2 > total THEN CAST(1 AS HUGEINT) << b ELSE 0 END) AS sig
-          FROM votes GROUP BY doc_id)
+          FROM votes GROUP BY doc_id),
+      -- TextSig.simhash signs token-less (blank-normalizing) docs as 0;
+      -- they must participate in pairing, not vanish from the CTE chain
+      s AS (SELECT d.doc_id, COALESCE(s0.sig, CAST(0 AS HUGEINT)) AS sig
+            FROM documents d LEFT JOIN s0 USING (doc_id))
       SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
         CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
       FROM s a, s b WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= 8
@@ -1109,12 +1113,18 @@ object Oracle {
                      FROM read_parquet('{AUX}/media/*.parquet')),
       m AS (SELECT media_id, h, ln,
           CASE WHEN ln >= 33 AND substr(h,1,16) = '89504E470D0A1A0A' THEN 'image'
+               -- audio: canonical-offset 'fmt '/'data' tags, PCM16, and
+               -- the declared data chunk must FIT (wavLayout rejects
+               -- truncated or non-PCM16 files; the oracle must match)
                WHEN ln >= 44 AND substr(h,1,8) = '52494646'
-                 AND substr(h,17,8) = '57415645' THEN 'audio'
+                 AND substr(h,17,8) = '57415645'
+                 AND substr(h,25,8) = '666D7420' AND substr(h,73,8) = '64617461'
+                 AND ${u16("20")} = 1 AND ${u16("34")} = 16
+                 AND ${u16("22")} >= 1 AND ln >= 44 + ${u32("40")} THEN 'audio'
                WHEN ln >= 224 AND substr(h,1,8) = '52494646'
                  AND substr(h,17,8) = '41564920' THEN 'video'
                END AS kind,
-          ${u32be("16")} AS png_w, ${u32("40")}//2 AS wav_n,
+          ${u32be("16")} AS png_w, ${u32("40")}//(2*${u16("22")}) AS wav_n,
           ${u32("64")} AS avi_w, ${u32("48")} AS avi_f
         FROM media)
       SELECT kind, COUNT(*) AS n_items,
@@ -1169,12 +1179,19 @@ object Oracle {
     "mm04_audio_profile" -> s"""
       WITH media AS (SELECT media_id, hex(bytes) AS h, octet_length(bytes) AS ln
                      FROM read_parquet('{AUX}/media/*.parquet')),
-      a AS (SELECT media_id, h, ${u32("24")} AS rate, ${u32("40")}//2 AS ns
+      -- same admission rule as mm01's audio branch (mirrors wavLayout);
+      -- n_samples is per-CHANNEL (dataLen/(2·ch)) while the RMS pools all
+      -- channel samples, exactly like Media.audioRms
+      a AS (SELECT media_id, h, ${u32("24")} AS rate,
+              ${u32("40")}//(2*${u16("22")}) AS ns, ${u32("40")}//2 AS nall
             FROM media
             WHERE ln >= 44 AND substr(h,1,8) = '52494646'
-              AND substr(h,17,8) = '57415645' AND ln >= 44 + ${u32("40")}),
-      s AS (SELECT media_id, rate, ns,
-          list_transform(range(0, ns), k ->
+              AND substr(h,17,8) = '57415645'
+              AND substr(h,25,8) = '666D7420' AND substr(h,73,8) = '64617461'
+              AND ${u16("20")} = 1 AND ${u16("34")} = 16
+              AND ${u16("22")} >= 1 AND ln >= 44 + ${u32("40")}),
+      s AS (SELECT media_id, rate, ns, nall,
+          list_transform(range(0, nall), k ->
             TRY_CAST('0x' || substr(h,(44+CAST(k AS INT)*2+1)*2+1,2)
                           || substr(h,(44+CAST(k AS INT)*2)*2+1,2) AS INTEGER)) AS us
         FROM a)
@@ -1182,6 +1199,6 @@ object Oracle {
         round(sqrt(list_sum(list_transform(us, x ->
             CAST(CASE WHEN x >= 32768 THEN x - 65536 ELSE x END AS DOUBLE)
           * CAST(CASE WHEN x >= 32768 THEN x - 65536 ELSE x END AS DOUBLE)))
-          / greatest(ns, 1)), 4) AS rms
+          / greatest(nall, 1)), 4) AS rms
       FROM s ORDER BY media_id""")
 }

@@ -506,10 +506,14 @@ object Queries {
     * (safe only while post-agg cardinality is small; the scalar broadcast
     * is safe at any cardinality). */
   def q39ValueShare(s: SparkSession, dir: String): DataFrame = {
+    // checkpointed: `agg` feeds both the stream side and the scalar
+    // total — without the cut the lineitem scan + partial agg would
+    // re-evaluate once per consumer (small frame: one row per suppkey)
     val agg = t(s, dir, "lineitem")
       .groupBy(col("l_suppkey"))
       .agg(sum((col("l_extendedprice") * col("l_quantity"))
         .cast(DecimalType(28, 6))).as("value"))
+      .localCheckpoint(true)
     val total = agg.agg(sum(col("value")).as("total"))
     agg.crossJoin(broadcast(total))
       .filter(col("value") > col("total") * 0.001)

@@ -443,13 +443,19 @@ object Media {
     val nb = raster.getNumBands
     val w = img.getWidth; val h = img.getHeight
     val counts = new Array[Int](bins)
+    // per-band sample width: a 16-bit-per-channel image must bucket by
+    // its own depth, not assume 8 bits (an unclamped (s*bins)>>8 would
+    // index out of bounds and crash the task instead of P11-skipping)
+    val shift = Array.tabulate(nb)(b =>
+      math.max(raster.getSampleModel.getSampleSize(b), 1))
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
         var b = 0
         while (b < nb) {
-          counts((raster.getSample(x, y, b) * bins) >> 8) += 1
+          val idx = (raster.getSample(x, y, b).toLong * bins) >> shift(b)
+          counts(math.min(math.max(idx, 0L), bins - 1L).toInt) += 1
           b += 1
         }
         x += 1

@@ -145,22 +145,30 @@ object Dedup {
     // multi-GB through the driver. The id frame is materialized ONCE
     // (localCheckpoint: without the cut, the candidate pipeline — bucket
     // self-join + estimate prefilter — re-evaluates per broadcast;
-    // measured +33% on m01), which also makes its COUNT free, so the
-    // join shape is picked from the actual candidate cardinality:
-    //  - small (the design case): attach ta via an id-broadcast join,
-    //    then broadcast the (ids, ta) frame — bounded by the count gate —
-    //    so the corpus streams through BOTH joins shuffle-free;
-    //  - hot corpus: broadcast only ids into two independent stream-side
+    // measured +33% on m01). The (ids, ta) half is then ALSO checkpointed
+    // (distributed executor cache — candidate-bounded, never the corpus),
+    // which makes its exact BYTE size a free aggregation, and the join
+    // shape is picked from actual payload bytes, not a row-count proxy
+    // (100k pairs of 1 MB docs must not pass a row gate):
+    //  - under graft.dedup.textBroadcastMaxBytes (default 256 MB):
+    //    broadcast the (ids, ta) frame so the corpus streams through both
+    //    joins shuffle-free;
+    //  - over it: broadcast only ids into two independent stream-side
     //    joins and shuffle the candidate texts into the final pair-up —
     //    slower by one candidate-sized exchange, driver-safe at any size.
     val idFrame = cand.select(col("doc_id_a"), col("doc_id_b")).localCheckpoint(true)
     val ids = broadcast(idFrame)
     val withA = docs.select(col("doc_id").as("doc_id_a"), col("text").as("ta"))
       .join(ids, "doc_id_a")
-    val maxPairs = docs.sparkSession.conf
-      .get("graft.dedup.textBroadcastMaxPairs", "100000").toLong
+      .localCheckpoint(true)
+    val maxBytes = docs.sparkSession.conf
+      .get("graft.dedup.textBroadcastMaxBytes", (256L << 20).toString).toLong
+    val taBytes = withA.agg(sum(octet_length(col("ta")).cast("long"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
     val paired =
-      if (idFrame.count() <= maxPairs)
+      if (taBytes <= maxBytes)
         broadcast(withA)
           .join(docs.select(col("doc_id").as("doc_id_b"), col("text").as("tb")), "doc_id_b")
       else {
@@ -353,29 +361,39 @@ object Dedup {
 
     val rowsPerBand = k / bands
     val bid = batchId.getOrElse(-1L)
+    // Batch-commit MARKER, written only after the append job completes:
+    // "data rows with this batch_id exist" is NOT proof the append
+    // committed (a crash mid-commit can leave partial task files visible),
+    // so replay-skip keys on the marker. A replay of a PARTIAL append
+    // re-appends all survivors — at worst duplicating some store rows for
+    // that batch (harmless: the dup check is a distinct semi-match) —
+    // while always excluding its own batch_id from the visible store, so
+    // survivors can never self-match.
+    val markerPath = new org.apache.hadoop.fs.Path(
+      storeDir + s".batch-$bid.done")
+    val alreadyAppended = batchId.isDefined && fs.exists(markerPath)
     val sig = signatures(docs, charShinglesUdf(_, _), shingleW, k) // persisted inside
     // within-batch pairs (shared helpers — same rounding as one-shot path)
     val batchDups = verifyJaccard(lshCandidates(sig, bands, rowsPerBand), sig, threshold)
       .select(col("doc_id_b").as("doc_id"))
-    val (storeDups, alreadyAppended) =
-      if (!storeExists) (batchDups.limit(0), false)
+    val storeDups =
+      if (!storeExists) batchDups.limit(0)
       else {
         val stored = spark.read.parquet(storeDir)
-        // replay detection + self-exclusion (see batchId contract above)
-        val replayed = batchId.isDefined &&
-          !stored.filter(col("batch_id") === bid).limit(1).isEmpty
+        // self-exclusion (see batchId contract above): rows from this
+        // batch's own prior (complete or partial) append are invisible
         val store =
-          if (replayed) stored.filter(col("batch_id") =!= bid) else stored
+          if (batchId.isDefined) stored.filter(col("batch_id") =!= bid)
+          else stored
         val cand = bandBuckets(sig, bands, rowsPerBand)
           .join(bandBuckets(store, bands, rowsPerBand, idAlias = "store_id"),
             Seq("band", "bucket"))
           .select(col("doc_id"), col("store_id")).distinct()
-        val dups = cand
+        cand
           .join(sig.select(col("doc_id"), col("sh").as("sh_new")), "doc_id")
           .join(store.select(col("doc_id").as("store_id"), col("sh").as("sh_old")), "store_id")
           .filter(round(jaccardUdf(col("sh_new"), col("sh_old")), 6) >= threshold)
           .select(col("doc_id")).distinct()
-        (dups, replayed)
       }
 
     // MUST be materialized with lineage truncated BEFORE the append:
@@ -384,13 +402,16 @@ object Dedup {
     // dropping every survivor. (Small frame — ids only.)
     val dupIds = batchDups.unionByName(storeDups).distinct()
       .localCheckpoint(true)
-    // append survivors' signatures (skipped on replay — the prior attempt
-    // already wrote the identical deterministic rows), then pin params
-    if (!alreadyAppended)
+    // append survivors' signatures (skipped when the marker proves the
+    // prior attempt committed the identical deterministic rows), then
+    // mark the batch and pin params
+    if (!alreadyAppended) {
       sig.join(dupIds, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("sh"), col("sig"))
         .withColumn("batch_id", lit(bid))
         .write.mode("append").parquet(storeDir)
+      if (batchId.isDefined) fs.create(markerPath, true).close()
+    }
     if (!fs.exists(paramsPath)) {
       val out = fs.create(paramsPath, true)
       out.write(params.getBytes("UTF-8")); out.close()

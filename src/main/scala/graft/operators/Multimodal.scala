@@ -28,14 +28,17 @@ object Multimodal {
   private val rmsUdf = udf((b: Array[Byte]) => Media.audioRms(b))
   private val framesUdf = udf((b: Array[Byte], every: Int) =>
     Option(Media.sampleFrames(b, every)).map(_.map { case (i, f) => (i, f) }))
-  private val frameMeanUdf = udf((b: Array[Byte]) => {
-    var s = 0L; var i = 0
-    while (i < b.length) { s += (b(i) & 0xff); i += 1 }
-    s.toDouble / b.length
-  })
+  private val frameMeanUdf = udf((b: Array[Byte]) =>
+    if (b == null || b.isEmpty) null
+    else {
+      var s = 0L; var i = 0
+      while (i < b.length) { s += (b(i) & 0xff); i += 1 }
+      java.lang.Double.valueOf(s.toDouble / b.length)
+    })
 
   /** Mean sample value of a raster-bytes column (cheap per-frame content
-    * signal; the mm03 oracle re-derives it from container offsets). */
+    * signal; the mm03 oracle re-derives it from container offsets). Null
+    * for null/empty input (P11 skip semantics, like every codec UDF). */
   def frame_mean(frame: Column): Column = frameMeanUdf(frame)
 
   /** Deterministic fake media corpus keyed by an id column — stands in

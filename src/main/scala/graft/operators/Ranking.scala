@@ -31,19 +31,27 @@ object Ranking {
     * TOTAL order — include a unique tie-break column). */
   def globalRank(df: DataFrame, order: Seq[Column],
       rankCol: String = "rank"): DataFrame = {
+    // helper column names must not collide with (and silently drop) a
+    // same-named input column — suffix underscores until free
+    def fresh(base: String): String = {
+      var n = base
+      while (df.columns.contains(n) || n == rankCol) n += "_"
+      n
+    }
+    val pidC = fresh("_pid"); val localC = fresh("_local"); val offC = fresh("_off")
     val sorted = df.orderBy(order: _*)
-      .withColumn("_pid", spark_partition_id().cast("long"))
-      .withColumn("_local",
+      .withColumn(pidC, spark_partition_id().cast("long"))
+      .withColumn(localC,
         monotonically_increasing_id() - shiftleft(spark_partition_id().cast("long"), 33))
-    val counts = sorted.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
+    val counts = sorted.groupBy(pidC).agg(count(lit(1)).as("_cnt"))
     // cumulative counts over the per-partition frame: #partitions rows,
     // so the unpartitioned window is a deliberate, bounded serial step
-    val w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    val w = Window.orderBy(pidC).rowsBetween(Window.unboundedPreceding, -1)
     val offsets = counts
-      .withColumn("_off", coalesce(sum(col("_cnt")).over(w), lit(0L)))
-      .select("_pid", "_off")
-    sorted.join(broadcast(offsets), "_pid")
-      .withColumn(rankCol, col("_off") + col("_local") + 1)
-      .drop("_pid", "_local", "_off")
+      .withColumn(offC, coalesce(sum(col("_cnt")).over(w), lit(0L)))
+      .select(pidC, offC)
+    sorted.join(broadcast(offsets), pidC)
+      .withColumn(rankCol, col(offC) + col(localC) + 1)
+      .drop(pidC, localC, offC)
   }
 }

@@ -153,10 +153,14 @@ class PipelineSpec extends AnyFunSuite {
     val blank = Seq((1L, ""), (2L, "   "), (3L, "\n\t")).toDF("doc_id", "text")
     for (docs <- Seq(empty, single, blank)) {
       assert(Dedup.minhashPairs(docs, threshold = 0.5).count() === 0)
-      assert(Dedup.simhashPairs(docs, maxHamming = 3).count() >= 0)
       assert(Dedup.exact(docs).count() <= docs.count())
       assert(Dedup.minhashDedup(docs, 0.5).count() === docs.count())
     }
+    // blank docs all simhash to 0 → C(3,2) hamming-0 pairs; none elsewhere
+    assert(Dedup.simhashPairs(empty, maxHamming = 3).count() === 0)
+    assert(Dedup.simhashPairs(single, maxHamming = 3).count() === 0)
+    val blankPairs = Dedup.simhashPairs(blank, maxHamming = 3).collect()
+    assert(blankPairs.length === 3 && blankPairs.forall(_.getInt(2) === 0))
     // connected components of an empty pair list → empty labels
     assert(Dedup.connectedComponents(
       Seq.empty[(Long, Long)].toDF("doc_id_a", "doc_id_b")).count() === 0)
