@@ -132,17 +132,17 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("minhash verify's driver-safe id-only join path (forced via " +
-      "graft.dedup.textBroadcastMaxPairs=0) matches the fast path") {
+      "graft.dedup.textBroadcastMaxBytes=0) matches the fast path") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
     val docs = Seq((1L, base), (2L, base + " extra"), (3L, "unrelated words entirely here"))
       .toDF("doc_id", "text")
     val fast = Dedup.minhashPairs(docs, threshold = 0.5).collect().toSet
-    spark.conf.set("graft.dedup.textBroadcastMaxPairs", "0")
+    spark.conf.set("graft.dedup.textBroadcastMaxBytes", "0")
     try {
       val safe = Dedup.minhashPairs(docs, threshold = 0.5).collect().toSet
       assert(safe === fast && fast.nonEmpty)
-    } finally spark.conf.unset("graft.dedup.textBroadcastMaxPairs")
+    } finally spark.conf.unset("graft.dedup.textBroadcastMaxBytes")
   }
 
   test("dedup family survives degenerate corpora: empty, single-doc, " +
