@@ -439,14 +439,18 @@ object Dedup {
    * `localCheckpoint`ed: labels are ids only (tiny), and unbounded join
    * lineage would otherwise re-plan from round 0.
    *
-   * If `maxIter` is still exhausted (diameter > ~2^maxIter — not
-   * physically reachable at the default), the best-effort labels are
-   * returned with a WARN instead of aborting the job: for dedup callers
-   * an under-merged component keeps a few extra near-dups; killing a
-   * 100 TB pipeline is strictly worse.
+   * If `maxIter` is exhausted (diameter > ~2^maxIter — not physically
+   * reachable at the default), the outcome is EXPLICIT, not a log line a
+   * pipeline can miss: `strict = true` (the batch default) aborts with
+   * the round count in the message; `strict = false` returns the
+   * best-effort labels with a WARN — the always-on-pipeline choice,
+   * where an under-merged component keeps a few extra near-dups and
+   * killing a 100 TB job is strictly worse. Callers opting into relaxed
+   * semantics do so visibly at the call site.
    */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_id_a",
-      bCol: String = "doc_id_b", maxIter: Int = 25): DataFrame = {
+      bCol: String = "doc_id_b", maxIter: Int = 25,
+      strict: Boolean = true): DataFrame = {
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct().localCheckpoint(true)
@@ -483,18 +487,22 @@ object Dedup {
       labels = next.select("id", "component")
       iter += 1
     }
-    if (!converged)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"connectedComponents: not converged after $maxIter rounds; " +
-          "returning best-effort labels (components may be under-merged)")
+    if (!converged) {
+      val msg = s"connectedComponents: not converged after $maxIter rounds" +
+        " (components may be under-merged); raise maxIter or pass" +
+        " strict = false to accept best-effort labels"
+      if (strict) throw new IllegalStateException(msg)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    }
     labels
   }
 
   /** Near-dedup with full transitive closure: ONE survivor (min doc_id)
     * per connected cluster of verified near-dup pairs. */
   def minhashDedupComponents(docs: DataFrame, threshold: Double = 0.7,
-      maxIter: Int = 25): DataFrame = {
-    val comp = connectedComponents(minhashPairs(docs, threshold), maxIter = maxIter)
+      maxIter: Int = 25, strict: Boolean = true): DataFrame = {
+    val comp = connectedComponents(minhashPairs(docs, threshold),
+      maxIter = maxIter, strict = strict)
     docs.join(comp.filter(col("id") =!= col("component"))
       .select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
   }

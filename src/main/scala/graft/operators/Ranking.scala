@@ -39,10 +39,22 @@ object Ranking {
       n
     }
     val pidC = fresh("_pid"); val localC = fresh("_local"); val offC = fresh("_off")
+    // PINNED: the sorted frame feeds two consumers (the counts aggregate
+    // and the final join). Each consumer planning its own range Exchange
+    // would be a correctness bug, not just a perf one: RangePartitioner
+    // samples boundaries per-evaluation, so two evaluations can place the
+    // same row in different partitions and the broadcast offsets stop
+    // matching the stream side's spark_partition_id (duplicate/gapped
+    // ranks). Exchange reuse under AQE is not guaranteed here (measured
+    // failing for double-broadcast in Dedup) — persist forces one
+    // InMemoryRelation shared by both branches, the same single
+    // materialization zipWithIndex pins via RDD identity. MEMORY_AND_DISK:
+    // spills instead of recomputing (a recompute would re-sample).
     val sorted = df.orderBy(order: _*)
       .withColumn(pidC, spark_partition_id().cast("long"))
       .withColumn(localC,
         monotonically_increasing_id() - shiftleft(spark_partition_id().cast("long"), 33))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sorted.groupBy(pidC).agg(count(lit(1)).as("_cnt"))
     // cumulative counts over the per-partition frame: #partitions rows,
     // so the unpartitioned window is a deliberate, bounded serial step

@@ -69,17 +69,31 @@ object Temporal {
    * Shuffle carries interval rows × bins-covered — size `binSeconds`
    * to the typical interval length. A raw `BETWEEN` theta-join is a
    * per-key cross product; this is the scale shape.
+   *
+   * Guarded against a mis-sized `binSeconds`: an interval covering more
+   * than `maxBinsPerInterval` bins fails FAST with an actionable error
+   * (raise binSeconds, or the cap) instead of silently exploding — one
+   * interval spanning 10⁶ bins emits 10⁶ shuffle rows, and a handful of
+   * outlier intervals can detonate an otherwise well-sized job. The check
+   * rides inside the sequence bound (per-row arithmetic, no extra scan,
+   * can't be pruned away), so it costs nothing until it fires.
    */
   def rangeJoin(points: DataFrame, intervals: DataFrame, key: String,
       pointTs: String, startTs: String, endTs: String,
-      binSeconds: Long = 3600L): DataFrame = {
+      binSeconds: Long = 3600L, maxBinsPerInterval: Long = 1L << 16): DataFrame = {
     val p = points.withColumn("__bin",
       (unix_timestamp(col(pointTs)) / binSeconds).cast("long"))
+    val startBin = (unix_timestamp(col(startTs)) / binSeconds).cast("long")
+    val endBin = (unix_timestamp(col(endTs)) / binSeconds).cast("long")
+    val guardedEnd = when(endBin - startBin >= maxBinsPerInterval,
+        raise_error(concat(
+          lit("rangeJoin: interval covers "), endBin - startBin + 1,
+          lit(s" bins of $binSeconds s (cap $maxBinsPerInterval);" +
+            " increase binSeconds or maxBinsPerInterval"))).cast("long"))
+      .otherwise(endBin)
     val i = intervals
       .withColumnRenamed(key, "__rkey")
-      .withColumn("__rbin", explode(sequence(
-        (unix_timestamp(col(startTs)) / binSeconds).cast("long"),
-        (unix_timestamp(col(endTs)) / binSeconds).cast("long"))))
+      .withColumn("__rbin", explode(sequence(startBin, guardedEnd)))
     p.join(i, col("__bin") === col("__rbin") && col(key) === col("__rkey"))
       .filter(col(pointTs) >= col(startTs) && col(pointTs) <= col(endTs))
       .drop("__bin", "__rbin", "__rkey")

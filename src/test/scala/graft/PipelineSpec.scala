@@ -256,6 +256,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(out === Set((100L, 200L), (100L, 201L))) // exactly once each
   }
 
+  test("range join fails fast (not explodes) on an interval spanning more " +
+      "bins than the cap") {
+    import spark.implicits._
+    val points = Seq((1L, 100L, "2024-01-01 10:30:00")).toDF("k", "pid", "ts_s")
+      .select(col("k"), col("pid"), col("ts_s").cast("timestamp").as("ts"))
+    // a year-long interval at 1-second bins = ~31.5M rows from ONE row —
+    // the guard must refuse before the explode materializes anything
+    val intervals = Seq((1L, 200L, "2024-01-01 00:00:00", "2025-01-01 00:00:00"))
+      .toDF("k", "iid", "s_s", "e_s")
+      .select(col("k"), col("iid"), col("s_s").cast("timestamp").as("s"),
+        col("e_s").cast("timestamp").as("e"))
+    val ex = intercept[Exception] {
+      graft.operators.Temporal.rangeJoin(points, intervals, "k", "ts", "s", "e",
+        binSeconds = 1L, maxBinsPerInterval = 10000L).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("binSeconds")))
+  }
+
+  test("connected components: strict aborts on round-budget exhaustion, " +
+      "relaxed returns best-effort labels") {
+    import spark.implicits._
+    // a 50-chain cannot converge in 1 round (doubling starts at round 4)
+    val chain = (0L until 50L).map(i => (i, i + 1)).toDF("doc_id_a", "doc_id_b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 1)
+    }
+    assert(ex.getMessage.contains("strict"))
+    val relaxed = Dedup.connectedComponents(chain, maxIter = 1, strict = false)
+    assert(relaxed.count() === 51) // partial labels, job survives
+  }
+
+  test("globalRank assigns a consistent gapless 1..N ranking across " +
+      "multiple partitions") {
+    import spark.implicits._
+    // enough rows for several range partitions; values shuffled so the
+    // sort genuinely moves rows between partitions
+    val n = 10000
+    val df = (0 until n).map(i => ((i * 2654435761L) % 1000003L, i.toLong))
+      .toDF("v", "id").repartition(8)
+    val ranked = graft.operators.Ranking.globalRank(
+      df, Seq(col("v").asc, col("id").asc))
+    val got = ranked.orderBy("rank").select("rank").as[Long].collect()
+    assert(got.toSeq === (1L to n.toLong)) // no duplicates, no gaps
+  }
+
   test("text profile computes sane values") {
     import spark.implicits._
     val docs = Seq((1L, "The cat sat on the mat, and it was happy."))
