@@ -109,18 +109,59 @@ object Dedup {
     out
   }
 
-  /** Candidate pairs sharing ≥1 LSH bucket, deduped. */
-  private def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val buckets = sig.select(col("doc_id"),
-        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.bucket"))
-    buckets.as("l").join(buckets.as("r"),
+  /** Candidate pairs from (doc_id, band, bucket) rows — the in-bucket
+    * self-join shared by every LSH family (minhash, n-gram, embedding),
+    * with a HOT-BUCKET GUARD: the self-join is quadratic in bucket size,
+    * and one popular boilerplate template at 100 TB can put 10⁶ docs in a
+    * single bucket (10¹² candidate pairs from one key — the job never
+    * finishes). Buckets over `graft.dedup.maxBucketSize` (default 10000)
+    * are salt-split into ⌈n/cap⌉ groups keyed on xxhash64(doc_id); only
+    * intra-group pairs are generated, bounding any bucket's output at
+    * ~⌈n/cap⌉·C(cap,2) instead of C(n,2).
+    *
+    * Recall contract: pairs inside an over-cap bucket survive only when
+    * they share a salt group (≈1/⌈n/cap⌉ of them) or co-occur in some
+    * under-cap bucket of another band. The salt is deliberately
+    * band-INDEPENDENT: a true 10⁶-clique lands hot in every band, and a
+    * per-band salt would union 'bands' different partitions of the clique
+    * back toward C(n,2) — the exact blowup the guard exists to stop.
+    * Fixture-scale buckets never approach the default cap, so gate
+    * queries keep total recall; the split count is logged when the guard
+    * engages. */
+  private def cappedBucketPairs(buckets: DataFrame): DataFrame = {
+    val cap = buckets.sparkSession.conf
+      .get("graft.dedup.maxBucketSize", "10000").toLong
+    // over-cap buckets only: tiny by construction (each represents ≥cap
+    // rows), checkpointed because it feeds the broadcast AND the log count
+    val hot = buckets.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > cap)
+      .localCheckpoint(true)
+    val salted =
+      if (hot.isEmpty) buckets.withColumn("__salt", lit(0L))
+      else {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"lshCandidates: ${hot.count()} bucket(s) over " +
+            s"graft.dedup.maxBucketSize=$cap; salt-splitting them " +
+            "(recall inside an over-cap bucket degrades by ~its split factor)")
+        buckets.join(broadcast(hot), Seq("band", "bucket"), "left")
+          .withColumn("__salt", when(col("__n").isNull, lit(0L))
+            .otherwise(pmod(xxhash64(col("doc_id")),
+              floor((col("__n") + cap - 1L) / cap).cast("long"))))
+          .drop("__n")
+      }
+    salted.as("l").join(salted.as("r"),
         col("l.band") === col("r.band") &&
           col("l.bucket") === col("r.bucket") &&
+          col("l.__salt") === col("r.__salt") &&
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_id_a"), col("r.doc_id").as("doc_id_b"))
       .distinct()
   }
+
+  /** Candidate pairs sharing ≥1 LSH bucket, deduped (hot-bucket capped). */
+  private def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    cappedBucketPairs(bandBuckets(sig, bands, rowsPerBand))
 
   /** Join candidates back to shingle sets and verify with exact Jaccard
     * (incremental path — the store materializes `sh`). */
@@ -507,17 +548,50 @@ object Dedup {
       .select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
   }
 
-  /** Embedding-cosine near-dup pairs (see Similarity.cosine): pairs with
-    * cosine ≥ threshold, LSH-bucketed by random hyperplane signs. */
+  /** Embedding-cosine near-dup pairs: pairs with cosine ≥ threshold,
+    * candidate-generated by BANDED random-hyperplane LSH and verified
+    * with exact cosine.
+    *
+    * OR-amplification (the fix for single-signature recall collapse): a
+    * `planes·bands`-bit hyperplane signature is split into `bands`
+    * independent bands of `planes` bits; a pair is a candidate when ANY
+    * full band agrees. With p = 1 − θ/π the per-plane agreement at angle
+    * θ, candidate probability is 1 − (1 − p^planes)^bands — at the
+    * defaults (8×8) a cosine-0.95 pair is caught with ≈ 0.99 probability,
+    * where the old all-planes-must-agree signature (equivalent to
+    * bands = 1) caught ≈ 18% at planes = 16. More bands = higher recall
+    * and more candidates; more planes/band = sharper selectivity. Low
+    * thresholds want few planes per band (the gate point: 1×16 gives
+    * deterministic total recall on the fixture's ≥0.35 population —
+    * a miss needs all 16 seeded planes to disagree, p ≈ 2·10⁻⁷ per pair).
+    *
+    * Plan shape matches `minhashPairs`: signature kernel → band explode →
+    * capped in-bucket self-join (`cappedBucketPairs` — same hot-bucket
+    * guard) → exact-cosine verify of candidates only. The embedding rides
+    * in the persisted sig table (it IS the verify payload; ~dim·4 bytes,
+    * unlike document text). */
   def embeddingPairs(emb: DataFrame, threshold: Double = 0.95,
-      planes: Int = 16): DataFrame = {
+      planes: Int = 8, bands: Int = 8): DataFrame = {
+    require(planes >= 1 && bands >= 1 && planes * bands <= 64,
+      "embeddingPairs: need 1 <= planes*bands <= 64")
+    val mask = if (planes >= 64) -1L else (1L << planes) - 1L
     val sig = spread(emb.select(col("vec_id"), col("embedding")))
       .select(col("vec_id"), col("embedding"),
-        Similarity.hyperplane_sig(col("embedding"), planes).as("sig"))
-    sig.as("l").join(sig.as("r"),
-        col("l.sig") === col("r.sig") && col("l.vec_id") < col("r.vec_id"))
-      .select(col("l.vec_id").as("vec_id_a"), col("r.vec_id").as("vec_id_b"),
-        round(Similarity.cosine(col("l.embedding"), col("r.embedding")), 6).as("cosine"))
-      .filter(col("cosine") >= threshold)
+        Similarity.hyperplane_sig(col("embedding"), planes * bands).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = sig.select(col("vec_id").as("doc_id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * planes).bitwiseAND(lit(mask)).as("bucket"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bucket"))
+    materialized(
+      cappedBucketPairs(buckets)
+        .join(sig.select(col("vec_id").as("doc_id_a"), col("embedding").as("__ea")), "doc_id_a")
+        .join(sig.select(col("vec_id").as("doc_id_b"), col("embedding").as("__eb")), "doc_id_b")
+        .select(col("doc_id_a").as("vec_id_a"), col("doc_id_b").as("vec_id_b"),
+          round(Similarity.cosine(col("__ea"), col("__eb")), 6).as("cosine"))
+        .filter(col("cosine") >= threshold),
+      sig)
   }
 }
