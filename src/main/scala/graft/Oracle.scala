@@ -757,12 +757,16 @@ object Oracle {
       SELECT query_id, corpus_id, score, rank FROM r WHERE rank <= 5
       ORDER BY query_id, rank""",
 
+    // Exact all-pairs ground truth — NO signature/blocking clause. The
+    // Spark side runs 1-plane × 16-band LSH whose miss probability per
+    // true pair is ≈2e-7, so it must reproduce this set exactly; any LSH
+    // recall loss shows up as a hash mismatch here.
     "m06_embedding_dedup" -> s"""
-      WITH ${hyperplaneSigCtes("hp", 4)},
-      s AS (SELECT vec_id, sig, v FROM hpsig)
+      WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings)
       SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
         round(list_cosine_similarity(a.v, b.v), 6) AS cosine
-      FROM s a, s b WHERE a.sig = b.sig AND a.vec_id < b.vec_id
+      FROM s a, s b WHERE a.vec_id < b.vec_id
         AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
       ORDER BY vec_id_a, vec_id_b""",
 

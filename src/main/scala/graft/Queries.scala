@@ -577,9 +577,13 @@ object Queries {
 
   /** Threshold calibrated to the synthetic embeddings (random vectors:
     * pairwise cosine tops out near 0.45 — a 0.9 near-dup bar would be
-    * vacuous on this corpus). */
+    * vacuous on this corpus). 1 plane × 16 bands is the documented gate
+    * point: at cosine 0.35 a true pair is missed only if all 16 seeded
+    * planes disagree (p ≈ 2·10⁻⁷), so recall is deterministically total
+    * at fixture scale and the exact all-pairs oracle hash-matches. */
   def m06EmbeddingDedup(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingPairs(t(s, dir, "embeddings"), threshold = 0.35, planes = 4)
+    Dedup.embeddingPairs(t(s, dir, "embeddings"), threshold = 0.35,
+        planes = 1, bands = 16)
       .orderBy("vec_id_a", "vec_id_b")
 
   /** Fingerprint column excluded: xxhash64 has no DuckDB equivalent, and
