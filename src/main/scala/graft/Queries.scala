@@ -580,11 +580,25 @@ object Queries {
     * vacuous on this corpus). 1 plane × 16 bands is the documented gate
     * point: at cosine 0.35 a true pair is missed only if all 16 seeded
     * planes disagree (p ≈ 2·10⁻⁷), so recall is deterministically total
-    * at fixture scale and the exact all-pairs oracle hash-matches. */
-  def m06EmbeddingDedup(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingPairs(t(s, dir, "embeddings"), threshold = 0.35,
-        planes = 1, bands = 16)
+    * at fixture scale and the exact all-pairs oracle hash-matches.
+    *
+    * PRECONDITION (enforced): N < 2·graft.dedup.maxBucketSize. With
+    * 1-plane bands each bucket holds ~N/2 rows; past 2·cap every bucket
+    * goes hot and the salt-split guard would silently cut recall below
+    * the exact oracle. A fixture scale-up must fail loudly with the cause
+    * named, not hash-mismatch mysteriously. */
+  def m06EmbeddingDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cap = s.conf.get("graft.dedup.maxBucketSize", "10000").toLong
+    val n = emb.count()
+    require(n < 2 * cap,
+      s"m06 gate point (planes=1) requires N < 2*graft.dedup.maxBucketSize " +
+        s"(N=$n, cap=$cap): 1-plane buckets hold ~N/2 rows and the " +
+        "hot-bucket salt-split would silently break total recall vs the " +
+        "exact all-pairs oracle")
+    Dedup.embeddingPairs(emb, threshold = 0.35, planes = 1, bands = 16)
       .orderBy("vec_id_a", "vec_id_b")
+  }
 
   /** Fingerprint column excluded: xxhash64 has no DuckDB equivalent, and
     * dropping it lets the whole profile hash-match its oracle (the

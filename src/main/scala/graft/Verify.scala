@@ -18,10 +18,14 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=m06_embedding_dedup → dump just those queries
     // (dev iteration; the driver never sets it, so the gate is complete).
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
-    SparkEntry.queries
+    // Empty / all-blank values mean "no filter" — a bare `SPARK_GRAFT_ONLY=`
+    // must not silently write nothing.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -35,7 +39,12 @@ object Verify {
     // path) so Verify works from any checkout location.
     val auxDir = new java.io.File(
       new java.io.File(outDir).getAbsoluteFile.getParent, "verify-aux").getAbsolutePath
-    SparkEntry.auxDumps.foreach { case (name, fn) =>
+    // a filtered dev run whose selection never references {AUX} skips the
+    // aux pass entirely (it is most of Verify's wall-clock on a one-query
+    // iteration); the unfiltered gate always dumps
+    val needAux = only.isEmpty || selected.keys.exists(n =>
+      SparkEntry.oracleSql.get(n).exists(_.contains("{AUX}")))
+    if (needAux) SparkEntry.auxDumps.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$auxDir/$name")
       catch { case e: Throwable =>

@@ -119,6 +119,13 @@ object Dedup {
     * intra-group pairs are generated, bounding any bucket's output at
     * ~⌈n/cap⌉·C(cap,2) instead of C(n,2).
     *
+    * Bucket sizes come from a LAZY window count over the SAME
+    * (band, bucket) clustering the self-join shuffles on — no separate
+    * aggregation job, no eager checkpoint, no driver action. (The previous
+    * eager hot-set detection cost two extra Spark jobs on EVERY call and
+    * regressed the whole LSH bench family 20–45% even though no bucket was
+    * ever hot at gate scale.)
+    *
     * Recall contract: pairs inside an over-cap bucket survive only when
     * they share a salt group (≈1/⌈n/cap⌉ of them) or co-occur in some
     * under-cap bucket of another band. The salt is deliberately
@@ -126,30 +133,37 @@ object Dedup {
     * per-band salt would union 'bands' different partitions of the clique
     * back toward C(n,2) — the exact blowup the guard exists to stop.
     * Fixture-scale buckets never approach the default cap, so gate
-    * queries keep total recall; the split count is logged when the guard
-    * engages. */
+    * queries keep total recall.
+    *
+    * `graft.dedup.onHotBucket` picks what happens when a bucket exceeds
+    * the cap: `split` (default — the always-on-pipeline choice: bounded
+    * work, degraded recall inside the hot bucket) or `fail` (abort the
+    * job via `raise_error` with the offending size in the message — for
+    * total-recall gate paths where silent recall loss would invalidate an
+    * exact oracle, e.g. the m06 1-plane configuration whose buckets hold
+    * ~N/2 rows each). */
   private def cappedBucketPairs(buckets: DataFrame): DataFrame = {
-    val cap = buckets.sparkSession.conf
-      .get("graft.dedup.maxBucketSize", "10000").toLong
-    // over-cap buckets only: tiny by construction (each represents ≥cap
-    // rows), checkpointed because it feeds the broadcast AND the log count
-    val hot = buckets.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > cap)
-      .localCheckpoint(true)
-    val salted =
-      if (hot.isEmpty) buckets.withColumn("__salt", lit(0L))
-      else {
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"lshCandidates: ${hot.count()} bucket(s) over " +
-            s"graft.dedup.maxBucketSize=$cap; salt-splitting them " +
-            "(recall inside an over-cap bucket degrades by ~its split factor)")
-        buckets.join(broadcast(hot), Seq("band", "bucket"), "left")
-          .withColumn("__salt", when(col("__n").isNull, lit(0L))
-            .otherwise(pmod(xxhash64(col("doc_id")),
-              floor((col("__n") + cap - 1L) / cap).cast("long"))))
-          .drop("__n")
-      }
+    val conf = buckets.sparkSession.conf
+    val cap = conf.get("graft.dedup.maxBucketSize", "10000").toLong
+    val onHot = conf.get("graft.dedup.onHotBucket", "split")
+    require(onHot == "split" || onHot == "fail",
+      s"graft.dedup.onHotBucket must be 'split' or 'fail', got '$onHot'")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket"))
+    val hotSalt =
+      if (onHot == "fail")
+        raise_error(concat(
+          lit(s"lshCandidates: bucket over graft.dedup.maxBucketSize=$cap (n="),
+          col("__n"),
+          lit("); set graft.dedup.onHotBucket=split to salt-split instead")))
+          .cast("long")
+      else
+        pmod(xxhash64(col("doc_id")),
+          floor((col("__n") + cap - 1L) / cap).cast("long"))
+    val salted = buckets
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__salt", when(col("__n") <= cap, lit(0L)).otherwise(hotSalt))
+      .drop("__n")
     salted.as("l").join(salted.as("r"),
         col("l.band") === col("r.band") &&
           col("l.bucket") === col("r.bucket") &&

@@ -62,8 +62,17 @@ object Ranking {
     val offsets = counts
       .withColumn(offC, coalesce(sum(col("_cnt")).over(w), lit(0L)))
       .select(pidC, offC)
-    sorted.join(broadcast(offsets), pidC)
+    // Materialize the result with lineage truncated, then RELEASE the
+    // sorted frame: the persist is a correctness pin for the two-consumer
+    // span above, not a session-lifetime cache — without the unpersist a
+    // full sorted copy of the input stays resident after every call and
+    // the accreted memory pressure taxes unrelated queries (same
+    // lifecycle contract as Dedup.materialized).
+    val out = sorted.join(broadcast(offsets), pidC)
       .withColumn(rankCol, col(offC) + col(localC) + 1)
       .drop(pidC, localC, offC)
+      .localCheckpoint(true)
+    sorted.unpersist()
+    out
   }
 }

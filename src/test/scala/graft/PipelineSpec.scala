@@ -297,10 +297,15 @@ class PipelineSpec extends AnyFunSuite {
     val n = 10000
     val df = (0 until n).map(i => ((i * 2654435761L) % 1000003L, i.toLong))
       .toDF("v", "id").repartition(8)
+    spark.catalog.clearCache() // isolate: other tests legitimately cache
     val ranked = graft.operators.Ranking.globalRank(
       df, Seq(col("v").asc, col("id").asc))
     val got = ranked.orderBy("rank").select("rank").as[Long].collect()
     assert(got.toSeq === (1L to n.toLong)) // no duplicates, no gaps
+    // the sorted-frame persist is a span pin, not a session cache: no
+    // InMemoryRelation may linger after the call returns
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "globalRank leaked a persisted frame")
   }
 
   test("text profile computes sane values") {

@@ -127,6 +127,59 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(comp.values.toSet === Set(0L))
   }
 
+  test("hot-bucket guard salt-splits over-cap buckets: pair output bounded " +
+      "at ~⌈n/cap⌉·C(cap,2) and intra-salt-group recall intact") {
+    val s = spark
+    import s.implicits._
+    s.conf.set("graft.dedup.maxBucketSize", "50")
+    try {
+      // 500 IDENTICAL docs: one 500-row bucket in every band (10× over the
+      // cap of 50) — exactly the boilerplate-clique shape the guard exists
+      // for. Identical text ⇒ identical sig ⇒ band-independent membership.
+      val text =
+        "identical boilerplate template body repeated for the hot bucket test " * 3
+      val docs = (0L until 500L).map(i => (i, text)).toDF("doc_id", "text")
+      val got = graft.operators.Dedup.minhashPairs(docs, threshold = 0.9)
+        .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+      // the guard must split 500 rows into ⌈500/50⌉ = 10 salt groups on
+      // pmod(xxhash64(doc_id), 10); all docs are J=1.0 so the verified
+      // output is EXACTLY the intra-group pairs — recall inside a salt
+      // group is total, pairs across groups are the accepted loss
+      val salt = docs
+        .select(col("doc_id"), pmod(xxhash64(col("doc_id")), lit(10L)).as("g"))
+        .as[(Long, Long)].collect().toMap
+      val expected = (for {
+        a <- 0L until 500L; b <- (a + 1) until 500L if salt(a) == salt(b)
+      } yield (a, b)).toSet
+      assert(got === expected)
+      assert(got.nonEmpty && got.size < 500L * 499 / 2) // ≪ C(500,2): guard engaged
+      // bound from the scaladoc: split groups of ~cap rows each
+      val bound = salt.values.groupBy(identity).values
+        .map(g => g.size.toLong * (g.size - 1) / 2).sum
+      assert(got.size.toLong === bound)
+    } finally s.conf.unset("graft.dedup.maxBucketSize")
+  }
+
+  test("onHotBucket=fail aborts loudly instead of salt-splitting") {
+    val s = spark
+    import s.implicits._
+    s.conf.set("graft.dedup.maxBucketSize", "50")
+    s.conf.set("graft.dedup.onHotBucket", "fail")
+    try {
+      val text = "identical boilerplate template body for the fail mode test " * 3
+      val docs = (0L until 120L).map(i => (i, text)).toDF("doc_id", "text")
+      val e = intercept[Throwable] {
+        graft.operators.Dedup.minhashPairs(docs, threshold = 0.9).count()
+      }
+      val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+      assert(msgs.contains("maxBucketSize"))
+    } finally {
+      s.conf.unset("graft.dedup.maxBucketSize")
+      s.conf.unset("graft.dedup.onHotBucket")
+    }
+  }
+
   test("report counts decrease monotonically per stage") {
     val cfg = TrainingPipeline.Config(languages = Seq("en"), minChars = 100,
       minQuality = 0.45, nearDedupThreshold = 0.6)
