@@ -49,15 +49,42 @@ object EtlBench {
     // measured run so it doesn't pollute the headline number)
     val phases = if (!sys.env.contains("SPARK_GRAFT_ETL_PHASES")) ""
       else {
-        def timed(f: => Unit): Double = {
-          val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+        // per-phase shuffle-write bytes via stage metrics (listener events
+        // are async: settle briefly before reading the counter — dev
+        // bench only, not a correctness path)
+        val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+            shuffleBytes.addAndGet(
+              sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
         }
-        val scan = timed(SnapshotReader.rawAccounts(spark, dir).count())
-        val dedup = timed(
-          Etl.latestVersion(SnapshotReader.rawAccounts(spark, dir)).count())
-        val write = timed(Sinks.saveTables(
+        spark.sparkContext.addSparkListener(listener)
+        def timed(f: => Unit): (Double, Long) = {
+          Thread.sleep(300); shuffleBytes.set(0L)
+          val t = System.nanoTime(); f
+          val secs = (System.nanoTime() - t) / 1e9
+          Thread.sleep(300); (secs, shuffleBytes.get)
+        }
+        // toRdd.count, NOT count(): a plain count() lets Catalyst drop the
+        // unreferenced max_by aggregate entirely and both paths collapse
+        // to a keys-only shuffle — the phase must pay the projection a
+        // real consumer pays
+        val (scan, _) = timed(SnapshotReader.rawAccounts(spark, dir).count())
+        val (dedup, dedupSh) = timed(Etl.latestVersion(
+          SnapshotReader.rawAccounts(spark, dir)).queryExecution.toRdd.count())
+        // the pruned shuffle a kind-count-style consumer pays (see
+        // Etl.latestVersionFor): same row count, a fraction of the bytes
+        val (slim, slimSh) = timed(
+          Etl.latestVersionFor(SnapshotReader.rawAccounts(spark, dir),
+            Seq("owner", "data_len")).queryExecution.toRdd.count())
+        val (write, _) = timed(Sinks.saveTables(
           Etl.latestVersion(SnapshotReader.rawAccounts(spark, dir)), out))
-        f""","scan_s":$scan%.2f,"scan_dedup_s":$dedup%.2f,"full_write_s":$write%.2f"""
+        spark.sparkContext.removeSparkListener(listener)
+        f""","scan_s":$scan%.2f,"scan_dedup_s":$dedup%.2f""" +
+          f""","dedup_shuffle_mb":${dedupSh / 1e6}%.1f""" +
+          f""","scan_dedup_slim_s":$slim%.2f,"slim_shuffle_mb":${slimSh / 1e6}%.1f""" +
+          f""","full_write_s":$write%.2f"""
       }
     val nOut = spark.read.parquet(s"$out/account").count()
     println(f"""{"metric":"etl_accounts_per_sec","value":${total / secs}%.0f,"unit":"accounts/sec","total_accounts":$total,"distinct_out":$nOut,"secs":$secs%.2f$phases}""")

@@ -22,10 +22,18 @@ object SparkEntry {
   private def deduped(spark: SparkSession): DataFrame =
     Etl.latestVersion(SnapshotReader.rawAccounts(spark, fixtureDir))
 
+  /** Slim dedup: last-writer-wins shuffling ONLY the columns the query
+    * reads (see Etl.latestVersionFor — max_by(struct(ALL)) otherwise
+    * drags `data`+`hash` through the exchange for every query). Each
+    * sn-entry below declares its column set; the ones that decode payload
+    * keep `data` but still shed `hash`/`store_id`. */
+  private def dedupedFor(spark: SparkSession, needed: String*): DataFrame =
+    Etl.latestVersionFor(SnapshotReader.rawAccounts(spark, fixtureDir), needed)
+
   /** Flagship query: full snapshot ETL — scan → manifest join → decode →
     * last-writer-wins → per-kind counts. Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    Etl.accountKindCounts(deduped(spark)).orderBy("kind")
+    Etl.accountKindCounts(dedupedFor(spark, "owner", "data_len")).orderBy("kind")
 
   /** One entry per implemented operator from SURVEY.md §2 (plus the
     * training-data operator suite). Keys match Oracle.sql where a DuckDB
@@ -93,48 +101,57 @@ object SparkEntry {
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on
     // both engines. The DuckDB oracles re-derive the SPL/MPL decode from
     // the raw-accounts aux dump with blob arithmetic ({AUX} tables).
-    "sn01_accounts" -> ((s, _) => Etl.accounts(deduped(s))
+    "sn01_accounts" -> ((s, _) => Etl.accounts(dedupedFor(s, "pubkey",
+        "data_len", "owner", "lamports", "executable", "rent_epoch"))
       .select(hex(col("pubkey")).as("pubkey"), col("data_len"),
         hex(col("owner")).as("owner"), col("lamports"), col("executable"),
         col("rent_epoch"))
       .orderBy("pubkey")),
-    "sn02_token_accounts" -> ((s, _) => Etl.tokenAccounts(deduped(s))
+    "sn02_token_accounts" -> ((s, _) => Etl.tokenAccounts(
+        dedupedFor(s, "pubkey", "owner", "data_len", "data"))
       .select(hex(col("pubkey")).as("pubkey"), hex(col("mint")).as("mint"),
         hex(col("token_owner")).as("token_owner"), col("amount"),
         hex(col("delegate")).as("delegate"), col("state"), col("is_native"),
         col("delegated_amount"), hex(col("close_authority")).as("close_authority"))
       .orderBy("pubkey")),
-    "sn03_token_mints" -> ((s, _) => Etl.tokenMints(deduped(s))
+    "sn03_token_mints" -> ((s, _) => Etl.tokenMints(
+        dedupedFor(s, "pubkey", "owner", "data_len", "data"))
       .select(hex(col("pubkey")).as("pubkey"),
         hex(col("mint_authority")).as("mint_authority"), col("supply"),
         col("decimals"), col("is_initialized"),
         hex(col("freeze_authority")).as("freeze_authority"))
       .orderBy("pubkey")),
-    "sn04_token_multisig" -> ((s, _) => Etl.tokenMultisigs(deduped(s))
+    "sn04_token_multisig" -> ((s, _) => Etl.tokenMultisigs(
+        dedupedFor(s, "pubkey", "owner", "data_len", "data"))
       .select(hex(col("pubkey")).as("pubkey"), col("m"), col("n"),
         hex(col("signer")).as("signer"))
       .orderBy("pubkey", "signer")),
     // collection_verified surfaces as SMALLINT: a nullable boolean parquet
     // column reads as object-None while DuckDB yields NaN — the compare
     // can't unify them; nullable ints coerce to float64 on both sides.
-    "sn05_token_metadata" -> ((s, _) => Etl.tokenMetadata(deduped(s))
+    "sn05_token_metadata" -> ((s, _) => Etl.tokenMetadata(
+        dedupedFor(s, "pubkey", "owner", "data_len", "data"))
       .select(hex(col("pubkey")).as("pubkey"), hex(col("mint")).as("mint"),
         col("name"), col("symbol"), col("uri"), col("seller_fee_basis_points"),
         col("primary_sale_happened"), col("is_mutable"), col("edition_nonce"),
         col("collection_verified").cast("smallint").as("collection_verified"),
         hex(col("collection_key")).as("collection_key"))
       .orderBy("pubkey")),
-    "sn06_csv_projection" -> ((s, _) => Etl.csvProjection(deduped(s)).orderBy("pubkey")),
-    "sn07_kind_counts" -> ((s, _) => Etl.accountKindCounts(deduped(s)).orderBy("kind")),
+    "sn06_csv_projection" -> ((s, _) => Etl.csvProjection(
+      dedupedFor(s, "pubkey", "owner", "data_len", "lamports")).orderBy("pubkey")),
+    "sn07_kind_counts" -> ((s, _) => Etl.accountKindCounts(
+      dedupedFor(s, "owner", "data_len")).orderBy("kind")),
     // P5 selector + D8/D7 wire round-trip + P10/D4/D5/A4 opcode stats
     // (streaming transforms are batch/stream-agnostic; exercised here on
     // the batch fixture, micro-batch semantics in StreamingSpec)
     "sn08_account_selector" -> ((s, _) =>
-      deduped(s).filter(graft.streaming.Selectors.accountSelector(
+      dedupedFor(s, "pubkey", "lamports", "owner", "data")
+        .filter(graft.streaming.Selectors.accountSelector(
           Seq(graft.core.SplToken.ProgramId)))
         .select(hex(col("pubkey")).as("pk"), col("lamports")).orderBy("pk")),
     "sn09_wire_roundtrip" -> ((s, _) => {
-      val events = deduped(s).withColumn("is_startup", lit(true))
+      val events = dedupedFor(s, "pubkey", "lamports", "owner", "executable",
+          "rent_epoch", "data").withColumn("is_startup", lit(true))
         .select("pubkey", "lamports", "owner", "executable", "rent_epoch",
           "data", "write_version", "slot", "is_startup")
       graft.streaming.Wire.decodeAccountUpdates(
@@ -146,7 +163,8 @@ object SparkEntry {
     // sn09 but through the hand-rolled FlatBuffers wire — a wrong vtable
     // offset or elided field lands a wrong value here, not just in specs
     "sn14_fb_wire_roundtrip" -> ((s, _) => {
-      val events = deduped(s).withColumn("is_startup", lit(true))
+      val events = dedupedFor(s, "pubkey", "lamports", "owner", "executable",
+          "rent_epoch", "data").withColumn("is_startup", lit(true))
         .select("pubkey", "lamports", "owner", "executable", "rent_epoch",
           "data", "write_version", "slot", "is_startup")
       graft.streaming.Wire.decodeAccountUpdatesFb(
@@ -155,7 +173,8 @@ object SparkEntry {
         .orderBy("pk", "write_version")
     }),
     "sn10_opcode_stats" -> ((s, _) =>
-      Etl.opcodeStats(Etl.programs(deduped(s))).orderBy("opcode")),
+      Etl.opcodeStats(Etl.programs(dedupedFor(s,
+        "pubkey", "owner", "executable", "data_len", "data"))).orderBy("opcode")),
     // J1 anti-join error channel: files on disk absent from the manifest
     "sn11_unexpected_appendvecs" -> ((s, _) =>
       SnapshotReader.unexpectedAppendVecs(s, fixtureDir)
@@ -168,7 +187,7 @@ object SparkEntry {
     // the relational layer the reference delegated to SQLite: equi-joins
     // across token_account ⟕ token_mint ⟕ token_metadata on mint
     "sn12_token_relational_join" -> ((s, _) => {
-      val d = deduped(s)
+      val d = dedupedFor(s, "pubkey", "owner", "data_len", "data")
       val ta = Etl.tokenAccounts(d)
       val tm = Etl.tokenMints(d).withColumnRenamed("pubkey", "mint_key")
       val md = Etl.tokenMetadata(d)

@@ -39,6 +39,24 @@ object Etl {
       .select(cols.map(c => col(s"r.$c")).toIndexedSeq: _*)
   }
 
+  /** A1 with the input PRUNED to the columns the downstream projection
+    * actually reads (plus the dedup keys pubkey/slot/write_version).
+    *
+    * `max_by(struct(ALL columns))` defeats Catalyst's column pruning: the
+    * struct references every input column, so the dedup shuffle carries
+    * the full `data` + `hash` payloads even for consumers that never read
+    * them — and at snapshot scale the account payload IS most of the
+    * bytes (a kind-count query was shuffling ~100× the bytes it needed).
+    * Catalyst cannot prune through the aggregate on its own, so slim
+    * consumers declare their columns here and the projection lands BEFORE
+    * the exchange. Unknown names are ignored (schema-tolerant, like
+    * `select` on a subset). */
+  def latestVersionFor(raw: DataFrame, needed: Seq[String]): DataFrame = {
+    val keep = (Seq("pubkey", "slot", "write_version") ++ needed).distinct
+      .filter(raw.columns.contains)
+    latestVersion(raw.select(keep.map(col).toIndexedSeq: _*))
+  }
+
   /** The `account` table projection (`sqlite.rs:96-107`). */
   def accounts(deduped: DataFrame): DataFrame =
     deduped.select("pubkey", "data_len", "owner", "lamports", "executable",

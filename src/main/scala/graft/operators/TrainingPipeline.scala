@@ -101,18 +101,11 @@ object TrainingPipeline {
       .option("checkpointLocation", checkpointDir)
       .start()
 
-  /** Data-accounting report: rows surviving each stage.
-    *
-    * Single-pass shape: stages 0–3 come from ONE conditional aggregation
-    * over the corpus (stage filters as boolean columns; exact-dedup
-    * survivors as `countDistinct` of the content key) — at 100 TB the
-    * accounting must not re-run the upstream chain per stage boundary.
-    * Only the near-dedup count (stage 4) runs the actual dedup pipeline,
-    * because LSH candidate generation + verify is not expressible as an
-    * aggregate. Total passes over the text: 2 (was 5). */
-  def report(docs: DataFrame, cfg: Config = Config()): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+  /** Stages 0–3 in ONE conditional aggregation over the corpus (stage
+    * filters as boolean columns; exact-dedup survivors as `countDistinct`
+    * of the content key) — at 100 TB the accounting must not re-run the
+    * upstream chain per stage boundary. */
+  private def stageCounts(docs: DataFrame, cfg: Config): (Long, Long, Long, Long) = {
     val langOk = languagePredicate(docs, cfg.languages)
     val qualOk = langOk && qualityPredicate(cfg.minChars, cfg.maxChars,
       cfg.minQuality, cfg.minStopwordRatio)
@@ -122,8 +115,30 @@ object TrainingPipeline {
       count(when(qualOk, 1)).as("s2"),
       countDistinct(when(qualOk, Dedup.contentKey(col("text")))).as("s3"))
       .head()
-    val (s0, s1, s2) = (row.getLong(0), row.getLong(1), row.getLong(2))
-    val s3 = if (cfg.exactDedup) row.getLong(3) else s2
+    val s2 = row.getLong(2)
+    (row.getLong(0), row.getLong(1), s2,
+      if (cfg.exactDedup) row.getLong(3) else s2)
+  }
+
+  private def reportFrame(docs: DataFrame,
+      s: (Long, Long, Long, Long, Long)): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq(
+      ("0_input", s._1), ("1_language", s._2), ("2_quality", s._3),
+      ("3_exact_dedup", s._4), ("4_near_dedup", s._5))
+      .toDF("stage", "n_docs")
+  }
+
+  /** Data-accounting report: rows surviving each stage.
+    *
+    * Only the near-dedup count (stage 4) runs the actual dedup pipeline,
+    * because LSH candidate generation + verify is not expressible as an
+    * aggregate. Total passes over the text: 2 (was 5). Callers that also
+    * want the curated corpus itself must use `curateWithReport` — calling
+    * `curate` + `report` separately pays the near-dedup chain twice. */
+  def report(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val (s0, s1, s2, s3) = stageCounts(docs, cfg)
     val s4 =
       if (!cfg.nearDedup) s3
       else {
@@ -132,9 +147,22 @@ object TrainingPipeline {
         val s3df = if (cfg.exactDedup) Dedup.exact(filtered) else filtered
         Dedup.minhashDedup(s3df, cfg.nearDedupThreshold).count()
       }
-    Seq(
-      ("0_input", s0), ("1_language", s1), ("2_quality", s2),
-      ("3_exact_dedup", s3), ("4_near_dedup", s4))
-      .toDF("stage", "n_docs")
+    reportFrame(docs, (s0, s1, s2, s3, s4))
+  }
+
+  /** Curate AND account in one pass: the near-dedup chain (the dominant
+    * cost — LSH candidates + verify over the corpus) runs ONCE, serving
+    * both the returned corpus and the stage-4 count. The curated frame is
+    * materialized with lineage truncated (localCheckpoint), so the count
+    * is read from the materialized blocks and downstream consumers of the
+    * corpus never re-run the dedup; stages 0–3 are the same single
+    * conditional aggregation `report` uses. Total passes over the text:
+    * 2 — versus 3 for separate `curate` + `report` calls. */
+  def curateWithReport(docs: DataFrame,
+      cfg: Config = Config()): (DataFrame, DataFrame) = {
+    val (s0, s1, s2, s3) = stageCounts(docs, cfg)
+    val curated = curate(docs, cfg).localCheckpoint(true)
+    val s4 = curated.count()
+    (curated, reportFrame(docs, (s0, s1, s2, s3, s4)))
   }
 }

@@ -188,4 +188,22 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(r.toSeq === r.toSeq.sorted.reverse) // monotone non-increasing
     assert(r.head === 7L && r.last === 2L)
   }
+
+  test("curateWithReport returns the curate corpus and the report counts " +
+      "from a single near-dedup run") {
+    val s = spark
+    import s.implicits._
+    val cfg = TrainingPipeline.Config(languages = Seq("en"), minChars = 100,
+      minQuality = 0.45, nearDedupThreshold = 0.6)
+    val (curated, rep) = TrainingPipeline.curateWithReport(docs, cfg)
+    assert(curated.select("doc_id").as[Long].collect().toSet ===
+      TrainingPipeline.curate(docs, cfg)
+        .select("doc_id").as[Long].collect().toSet)
+    val expected = TrainingPipeline.report(docs, cfg)
+      .orderBy("stage").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rep.orderBy("stage").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq === expected.toSeq)
+    // the stage-4 count IS the returned corpus (one dedup, no drift)
+    assert(expected.last._2 === curated.count())
+  }
 }
