@@ -370,28 +370,57 @@ object Dedup {
         explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col(idAlias), col("bk.band"), col("bk.bucket"))
 
+  /** Test/observability hook: the files the most recent pruned index
+    * read ACTUALLY touched (populated only under
+    * `graft.dedup.traceStoreReads` — the trace is a real
+    * `input_file_name()` pass over the pruned scan, so it proves the
+    * partition pruning behaviorally; a spec checks it is a strict subset
+    * of the full index on a multi-batch store). `DataFrame.inputFiles`
+    * would NOT do: it lists the relation before partition pruning. */
+  @volatile private[graft] var lastIndexReadFiles: Array[String] = Array.empty
+
   /**
    * Incremental near-dedup: drop batch docs that near-duplicate either
    * the accumulated signature STORE or an earlier doc of the same batch,
    * then append the survivors' signatures to the store. This is the
-   * streaming-corpus form of `minhashDedup` (each arriving shard dedups
-   * against everything already accepted — at scale the store is
-   * bucket-partitioned parquet and only matching buckets are read).
+   * streaming-corpus form of `minhashDedup` — each arriving shard dedups
+   * against everything already accepted.
    *
-   * Returns the kept docs; the store at `storeDir` grows by the
-   * survivors' signatures. Signature parameters are pinned in a sidecar
-   * on first write and enforced on every later call — mixing geometries
-   * would silently break cross-batch comparison. Not concurrency-safe
-   * across writers (one curator job).
+   * SCALE SHAPE (the part that must survive an ever-growing corpus): the
+   * store is TWO bucket-partitioned parquet tables, and a batch reads
+   * only the slices it can possibly collide with — per-batch cost tracks
+   * the batch's bucket footprint, not the corpus history:
+   *  - `storeDir.index/` — (doc_id, band, bucket, batch_id) partitioned
+   *    by `bp = pmod(xxhash64(band, bucket), P)`. Candidate generation
+   *    collects the batch's own bp set (≤ P longs, one tiny job over the
+   *    persisted batch signatures) and reads ONLY those partitions.
+   *  - `storeDir/` — (doc_id, sh, sig, batch_id) partitioned by
+   *    `idp = pmod(xxhash64(doc_id), P)`. The exact-Jaccard verify reads
+   *    ONLY the partitions holding actual candidate store ids (a second
+   *    ≤ P-long set off the checkpointed candidate pairs).
+   * P = `graft.dedup.storePartitions` (default 256), pinned in the params
+   * sidecar — changing it (or any signature parameter) on an existing
+   * store refuses loudly instead of silently mis-pruning.
+   *
+   * Append order is INDEX FIRST, sigs second: a crash between the two
+   * leaves orphan index rows whose store ids match no sig row — the
+   * verify join drops them, so a partial append is indistinguishable from
+   * no append. (Sig-first would leave accepted docs invisible to
+   * candidate generation — a correctness hole, not a harmless orphan.)
+   *
+   * Returns the kept docs; the store grows by the survivors' signatures.
+   * Not concurrency-safe across writers (one curator job).
    *
    * `batchId` makes a REPLAY of the same batch idempotent: store rows are
    * tagged with the id, a re-run excludes its own prior append from the
    * dup check (otherwise a crash between the store append and the
    * caller's output write would make every replayed survivor self-match
    * at Jaccard 1.0 and silently vanish), and the append is skipped when
-   * the id is already present. Single-writer streams (foreachBatch) get
-   * exactly-once store semantics from their monotone batch ids; `None`
-   * (the batch-mode default) keeps plain at-least-once appends.
+   * the batch MARKER proves the prior attempt committed (the marker is
+   * written only after both appends — data rows alone are not proof).
+   * Single-writer streams (foreachBatch) get exactly-once store semantics
+   * from their monotone batch ids; `None` (the batch-mode default) keeps
+   * plain at-least-once appends.
    */
   def minhashDedupIncremental(docs: DataFrame, storeDir: String,
       threshold: Double = 0.7, k: Int = 64, bands: Int = 16,
@@ -400,13 +429,16 @@ object Dedup {
     val hconf = spark.sparkContext.hadoopConfiguration
     val storePath = new org.apache.hadoop.fs.Path(storeDir)
     val fs = storePath.getFileSystem(hconf)
+    val indexDir = storeDir + ".index"
     val paramsPath = new org.apache.hadoop.fs.Path(storeDir + ".params")
-    val params = s"k=$k,bands=$bands,shingleW=$shingleW,sigv=3"
+    val p = spark.conf.get("graft.dedup.storePartitions", "256").toInt
+    val params = s"k=$k,bands=$bands,shingleW=$shingleW,P=$p,sigv=4"
 
-    // the store "exists" only if committed parquet files are present —
-    // a dir left by a failed write must read as empty, not wedge the job
-    val storeExists = fs.exists(storePath) &&
-      fs.listStatus(storePath).exists(_.getPath.getName.endsWith(".parquet"))
+    // the store "exists" only if committed SIG files are present — a dir
+    // left by a failed write must read as empty, not wedge the job (and
+    // orphan index rows without sig rows are dead weight, see above)
+    val storeExists = fs.exists(storePath) && fs.globStatus(
+      new org.apache.hadoop.fs.Path(storeDir + "/idp=*/*.parquet")).nonEmpty
     if (fs.exists(paramsPath)) {
       val stored = new String(
         org.apache.commons.io.IOUtils.toByteArray(fs.open(paramsPath)), "UTF-8").trim
@@ -416,39 +448,62 @@ object Dedup {
 
     val rowsPerBand = k / bands
     val bid = batchId.getOrElse(-1L)
-    // Batch-commit MARKER, written only after the append job completes:
-    // "data rows with this batch_id exist" is NOT proof the append
-    // committed (a crash mid-commit can leave partial task files visible),
-    // so replay-skip keys on the marker. A replay of a PARTIAL append
-    // re-appends all survivors — at worst duplicating some store rows for
-    // that batch (harmless: the dup check is a distinct semi-match) —
-    // while always excluding its own batch_id from the visible store, so
-    // survivors can never self-match.
     val markerPath = new org.apache.hadoop.fs.Path(
       storeDir + s".batch-$bid.done")
     val alreadyAppended = batchId.isDefined && fs.exists(markerPath)
     val sig = signatures(docs, charShinglesUdf(_, _), shingleW, k) // persisted inside
+    val batchBuckets = bandBuckets(sig, bands, rowsPerBand)
     // within-batch pairs (shared helpers — same rounding as one-shot path)
     val batchDups = verifyJaccard(lshCandidates(sig, bands, rowsPerBand), sig, threshold)
       .select(col("doc_id_b").as("doc_id"))
     val storeDups =
       if (!storeExists) batchDups.limit(0)
       else {
-        val stored = spark.read.parquet(storeDir)
+        // the batch's bucket-partition footprint: ≤ P distinct longs off
+        // the persisted sig table — the only extra driver action the
+        // pruning costs
+        // INT partition values throughout: partition-directory inference
+        // types bp/idp as Int, and a Long-vs-Int comparison wraps the
+        // partition attribute in a cast that DEFEATS partition pruning
+        val bpSet = batchBuckets
+          .select(pmod(xxhash64(col("band"), col("bucket")), lit(p.toLong))
+            .cast("int").as("bp"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val index = spark.read.parquet(indexDir)
+          .filter(col("bp").isin(bpSet: _*))
+        if (spark.conf.get("graft.dedup.traceStoreReads", "false").toBoolean)
+          lastIndexReadFiles = index.select(input_file_name())
+            .distinct().collect().map(_.getString(0))
         // self-exclusion (see batchId contract above): rows from this
         // batch's own prior (complete or partial) append are invisible
-        val store =
-          if (batchId.isDefined) stored.filter(col("batch_id") =!= bid)
-          else stored
-        val cand = bandBuckets(sig, bands, rowsPerBand)
-          .join(bandBuckets(store, bands, rowsPerBand, idAlias = "store_id"),
-            Seq("band", "bucket"))
+        val indexVisible =
+          if (batchId.isDefined) index.filter(col("batch_id") =!= bid)
+          else index
+        // checkpointed: feeds the verify join AND the idp-set collect —
+        // candidate pairs only (tiny), never the corpus
+        val cand = batchBuckets
+          .join(indexVisible.select(col("doc_id").as("store_id"),
+            col("band"), col("bucket")), Seq("band", "bucket"))
           .select(col("doc_id"), col("store_id")).distinct()
-        cand
-          .join(sig.select(col("doc_id"), col("sh").as("sh_new")), "doc_id")
-          .join(store.select(col("doc_id").as("store_id"), col("sh").as("sh_old")), "store_id")
-          .filter(round(jaccardUdf(col("sh_new"), col("sh_old")), 6) >= threshold)
-          .select(col("doc_id")).distinct()
+          .localCheckpoint(true)
+        val idpSet = cand
+          .select(pmod(xxhash64(col("store_id")), lit(p.toLong))
+            .cast("int").as("idp"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        if (idpSet.isEmpty) batchDups.limit(0)
+        else {
+          val storeSig = spark.read.parquet(storeDir)
+            .filter(col("idp").isin(idpSet: _*))
+          val visible =
+            if (batchId.isDefined) storeSig.filter(col("batch_id") =!= bid)
+            else storeSig
+          cand
+            .join(sig.select(col("doc_id"), col("sh").as("sh_new")), "doc_id")
+            .join(visible.select(col("doc_id").as("store_id"), col("sh").as("sh_old")),
+              "store_id")
+            .filter(round(jaccardUdf(col("sh_new"), col("sh_old")), 6) >= threshold)
+            .select(col("doc_id")).distinct()
+        }
       }
 
     // MUST be materialized with lineage truncated BEFORE the append:
@@ -457,14 +512,21 @@ object Dedup {
     // dropping every survivor. (Small frame — ids only.)
     val dupIds = batchDups.unionByName(storeDups).distinct()
       .localCheckpoint(true)
-    // append survivors' signatures (skipped when the marker proves the
-    // prior attempt committed the identical deterministic rows), then
-    // mark the batch and pin params
+    // append survivors (skipped when the marker proves the prior attempt
+    // committed the identical deterministic rows): index first (orphans
+    // are harmless, see scaladoc), sigs second, then marker + params
     if (!alreadyAppended) {
-      sig.join(dupIds, Seq("doc_id"), "left_anti")
+      val survivors = sig.join(dupIds, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("sh"), col("sig"))
         .withColumn("batch_id", lit(bid))
-        .write.mode("append").parquet(storeDir)
+      bandBuckets(survivors, bands, rowsPerBand)
+        .withColumn("batch_id", lit(bid))
+        .withColumn("bp",
+          pmod(xxhash64(col("band"), col("bucket")), lit(p.toLong)).cast("int"))
+        .write.mode("append").partitionBy("bp").parquet(indexDir)
+      survivors
+        .withColumn("idp", pmod(xxhash64(col("doc_id")), lit(p.toLong)).cast("int"))
+        .write.mode("append").partitionBy("idp").parquet(storeDir)
       if (batchId.isDefined) fs.create(markerPath, true).close()
     }
     if (!fs.exists(paramsPath)) {

@@ -91,6 +91,44 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(s.read.parquet(store).count() === storeRows) // no double append
   }
 
+  test("incremental store reads are bucket-pruned: a small batch touches " +
+      "a strict subset of the index files, and still catches its dups") {
+    val s = spark
+    import s.implicits._
+    val store = java.nio.file.Files.createTempDirectory("sigstore-pruned")
+      .toString + "/sigs"
+    // two seed batches with DIVERSE texts spread index rows across many
+    // bucket partitions; the probe batch is a single doc whose footprint
+    // is at most `bands` buckets
+    // per-doc synthetic vocabulary: repeat-count games would collapse to
+    // one shingle SET and near-dup the whole batch against itself
+    def mk(i: Long): String =
+      (0 until 40).map(j => f"tok${i}%02dx$j%02d").mkString(" ")
+    val seed1 = (0L until 6L).map(i => (i, mk(i))).toDF("doc_id", "text")
+    val seed2 = (10L until 16L).map(i => (i, mk(i))).toDF("doc_id", "text")
+    assert(graft.operators.Dedup
+      .minhashDedupIncremental(seed1, store, threshold = 0.6, batchId = Some(0L))
+      .count() === 6)
+    assert(graft.operators.Dedup
+      .minhashDedupIncremental(seed2, store, threshold = 0.6, batchId = Some(1L))
+      .count() === 6)
+    val allIndexFiles = s.read.parquet(store + ".index").inputFiles.toSet
+    // probe: one near-dup of an accepted seed1 doc — must be caught
+    // THROUGH the pruned read
+    val probe = Seq((99L, mk(3L) + " tiny suffix")).toDF("doc_id", "text")
+    s.conf.set("graft.dedup.traceStoreReads", "true")
+    val kept = try graft.operators.Dedup
+      .minhashDedupIncremental(probe, store, threshold = 0.6, batchId = Some(2L))
+      .count()
+    finally s.conf.unset("graft.dedup.traceStoreReads")
+    assert(kept === 0, "cross-batch near-dup must be dropped via the pruned path")
+    val read = graft.operators.Dedup.lastIndexReadFiles.toSet
+    assert(read.nonEmpty, "pruned read touched no index files")
+    assert(read.subsetOf(allIndexFiles))
+    assert(read.size < allIndexFiles.size,
+      s"index read not pruned: ${read.size} of ${allIndexFiles.size} files")
+  }
+
   test("connected components collapse chains the direct pairs never joined") {
     val s = spark
     import s.implicits._
