@@ -1204,5 +1204,64 @@ object Oracle {
             CAST(CASE WHEN x >= 32768 THEN x - 65536 ELSE x END AS DOUBLE)
           * CAST(CASE WHEN x >= 32768 THEN x - 65536 ELSE x END AS DOUBLE)))
           / greatest(nall, 1)), 4) AS rms
-      FROM s ORDER BY media_id""")
+      FROM s ORDER BY media_id""",
+
+    // m12: EXACT all-pairs cosine over the fused image+frame feature
+    // space — no LSH blocking clause, so any Spark-side recall loss
+    // surfaces as a hash mismatch. Features re-derived from container
+    // byte offsets (mm02's PNG formula for stills, mm03's AVI/PNG
+    // formula for sampled frames), binned v//32, float32-normalized
+    // (CAST chain matches counts.toFloat/n then −0.125f exactly: float
+    // division is correctly rounded in both engines, the 0.125 constant
+    // is a dyadic exact, and the forced FLOAT cast of the difference
+    // reproduces Spark's float32 subtraction), then centered and widened
+    // to DOUBLE for the cosine. The histogram counts unroll bins 0..7 as
+    // literal filters — DuckDB-version-safe (no nested lambda capture).
+    "m12_media_dedup" -> {
+      def featList(cExpr: Int => String) = "[" + (0 until 8).map(b =>
+        s"CAST(CAST(CAST(CAST(${cExpr(b)} AS FLOAT)/CAST(n AS FLOAT) AS FLOAT)" +
+          " - CAST(0.125 AS FLOAT) AS FLOAT) AS DOUBLE)").mkString(", ") + "]"
+      s"""
+      WITH media AS (SELECT media_id, hex(bytes) AS h, octet_length(bytes) AS ln
+                     FROM read_parquet('{AUX}/media/*.parquet')
+                     WHERE media_id % 5 = 0),
+      im AS (SELECT media_id, h, ${u32be("16")} AS w, ${u32be("20")} AS ht
+             FROM media
+             WHERE ln >= 33 AND substr(h,1,16) = '89504E470D0A1A0A'),
+      ipx AS (SELECT media_id*1024 AS id, w*ht*3 AS n,
+          list_transform(range(0, w*ht*3), k ->
+            TRY_CAST('0x' || substr(h,
+              (49 + (CAST(k AS BIGINT)//(3*w))*(1+3*w)
+                  + (CAST(k AS BIGINT)%(3*w)))*2+1, 2) AS INTEGER)) AS px
+        FROM im),
+      v AS (SELECT media_id, h,
+              ${u32("48")} AS nf, ${u32("64")} AS w, ${u32("68")} AS ht
+            FROM media
+            WHERE ln >= 224 AND substr(h,1,8) = '52494646'
+              AND substr(h,17,8) = '41564920'),
+      f AS (SELECT media_id, h, w, ht,
+              ht*(1+3*w) + 68 AS png_len,
+              unnest(range(0, nf)) AS k
+            FROM v),
+      fpx AS (SELECT media_id*1024 + k + 1 AS id, 3*w*ht AS n,
+          list_transform(range(0, 3*w*ht), j ->
+            TRY_CAST('0x' || substr(h,
+              (232 + k*(8 + png_len + png_len%2) + 49
+               + (CAST(j AS BIGINT)//(3*w))*(1+3*w)
+               + (CAST(j AS BIGINT)%(3*w)))*2+1, 2) AS INTEGER)) AS px
+        FROM f WHERE k % 2 = 0),
+      allpx AS (SELECT * FROM ipx UNION ALL SELECT * FROM fpx),
+      hist AS (SELECT id, n,
+          ${(0 until 8).map(b =>
+            s"len(list_filter(px, v -> v // 32 = $b)) AS c$b").mkString(", ")}
+        FROM allpx),
+      feats AS (SELECT id, ${featList(b => s"c$b")} AS e FROM hist),
+      scored AS (
+        SELECT a.id AS vec_id_a, b.id AS vec_id_b,
+          round(list_cosine_similarity(a.e, b.e), 6) AS cosine
+        FROM feats a JOIN feats b ON a.id < b.id)
+      SELECT vec_id_a, vec_id_b, cosine FROM scored
+      WHERE cosine >= 0.9
+      ORDER BY vec_id_a, vec_id_b"""
+    })
 }

@@ -656,4 +656,45 @@ object Queries {
       .select(col("media_id"), col("sample_rate"), col("n_samples"),
         round(col("rms"), 4).as("rms"))
       .orderBy("media_id")
+
+  /** m12 — COMPOSED multimodal near-dup: still images and sampled video
+    * frames land in ONE feature space (8-bin value histogram — the
+    * image path through `imageFeatures`/ImageIO, the frame path through
+    * `rasterFeatures` over the raw raster), then banded hyperplane LSH +
+    * exact-cosine verify (`Dedup.embeddingPairs`) finds cross-modality
+    * near-dup pairs. Oracled by exact all-pairs cosine over features the
+    * DuckDB side re-derives from container byte offsets — fully
+    * independent of the ImageIO/RIFF decode path.
+    *
+    * Calibration on the synthetic corpus: pixel bytes are uniform-random,
+    * so RAW histograms are all ≈ uniform and every pairwise cosine is
+    * ≈ 1 (vacuous). The features are therefore CENTERED (bin − 1/8):
+    * residual vectors of unrelated items decorrelate (cosine std ≈ 0.38
+    * at 7 dof) and the ≥ 0.9 tail is a meaningful near-dup population.
+    * planes = 2 × bands = 8: per-plane agreement at cosine 0.9 is
+    * p ≈ 0.856, miss ≈ (1−p²)⁸ ≈ 2.5·10⁻⁵ per threshold pair —
+    * verified empirically as TOTAL recall on the pinned fixture at both
+    * sf0.01 (22/22 exact pairs) and sf0.1 (2519/2519 on the unsampled
+    * probe), deterministic under the seeded planes.
+    *
+    * The corpus is a documented 5:1 systematic sample (doc_id % 5): the
+    * near-total-recall LSH configuration is brute-force-equivalent in
+    * candidate volume (like m06), and the sample bounds its bench cost;
+    * % 5 specifically because media kind = id % 3, so any multiple-of-3
+    * stride would alias the kind cycle and drop every video. */
+  def m12MediaDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+    val m = Multimodal.syntheticCorpus(docs)
+    val imgs = Multimodal.imageFeatures(m, bins = 8)
+      .select((col("media_id") * 1024).as("vec_id"), col("features"))
+    val frames = Multimodal.rasterFeatures(
+        Multimodal.sampledFrames(m, every = 2), bins = 8)
+      .select((col("media_id") * 1024 + col("frame_idx") + 1).as("vec_id"),
+        col("features"))
+    val feats = imgs.unionByName(frames)
+      .select(col("vec_id"),
+        transform(col("features"), x => x - lit(0.125f)).as("embedding"))
+    Dedup.embeddingPairs(feats, threshold = 0.9, planes = 2, bands = 8)
+      .orderBy("vec_id_a", "vec_id_b")
+  }
 }

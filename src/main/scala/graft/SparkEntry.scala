@@ -96,6 +96,7 @@ object SparkEntry {
     "mm02_image_features" -> Queries.mm02ImageFeatures,
     "mm03_frame_sample" -> Queries.mm03FrameSample,
     "mm04_audio_profile" -> Queries.mm04AudioProfile,
+    "m12_media_dedup" -> Queries.m12MediaDedup,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on

@@ -62,6 +62,26 @@ object Multimodal {
       .filter(col("meta.kind") === Media.KindImage)
       .select(col("media_id"), histUdf(col("bytes"), lit(bins)).as("features"))
 
+  private val rasterHistUdf = udf((b: Array[Byte], bins: Int) =>
+    if (b == null || b.isEmpty) null
+    else {
+      val counts = new Array[Int](bins)
+      var i = 0
+      while (i < b.length) { counts(((b(i) & 0xff) * bins) >> 8) += 1; i += 1 }
+      counts.map(_.toFloat / b.length)
+    })
+
+  /** Feature extraction over RAW raster bytes (the `sampledFrames`
+    * output): value histogram as array<float> — the frame-side twin of
+    * `imageFeatures`, so video frames and still images land in ONE
+    * feature space (m12's fused near-dup corpus). Same float32
+    * normalization as `Media.imageHistogram` (counts.toFloat / n), so the
+    * two paths are bit-compatible for the oracle. */
+  def rasterFeatures(frames: DataFrame, bins: Int = 16,
+      rasterCol: String = "frame"): DataFrame =
+    frames.withColumn("features", rasterHistUdf(col(rasterCol), lit(bins)))
+      .filter(col("features").isNotNull)
+
   /** Audio loudness profile. */
   def audioProfile(media: DataFrame): DataFrame =
     withMeta(media)

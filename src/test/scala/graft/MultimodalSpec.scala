@@ -183,6 +183,55 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Media.sampleFrames(cut, 1) == null)
   }
 
+  test("m12 composition: fused image+frame features → LSH pairs → " +
+      "components (exact recall, minimal labels)") {
+    val s = spark
+    import s.implicits._
+    val m = corpus(60)
+    val imgs = Multimodal.imageFeatures(m, bins = 8)
+      .select((col("media_id") * 1024).as("vec_id"), col("features"))
+    val frames = Multimodal.rasterFeatures(
+        Multimodal.sampledFrames(m, every = 2), bins = 8)
+      .select((col("media_id") * 1024 + col("frame_idx") + 1).as("vec_id"),
+        col("features"))
+    val feats = imgs.unionByName(frames)
+      .select(col("vec_id"),
+        transform(col("features"), x => x - lit(0.125f)).as("embedding"))
+      .cache()
+    // both modalities present in one feature space
+    assert(imgs.count() > 0 && frames.count() > 0)
+    val pairs = graft.operators.Dedup
+      .embeddingPairs(feats, threshold = 0.8, planes = 2, bands = 8)
+    val got = pairs.select("vec_id_a", "vec_id_b").as[(Long, Long)]
+      .collect().toSet
+    // exact all-pairs reference: banded LSH at this operating point must
+    // have total recall on the fixture
+    val a = feats.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = feats.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+    val exact = a.join(b, col("ia") < col("ib"))
+      .filter(round(graft.operators.Similarity.cosine(col("ea"), col("eb")), 6) >= 0.8)
+      .select(col("ia"), col("ib")).as[(Long, Long)].collect().toSet
+    assert(got === exact)
+    assert(got.nonEmpty)
+    // transitive closure over the verified pairs: labels are the minimum
+    // reachable id (spot-check against a driver-side union-find)
+    val comp = graft.operators.Dedup
+      .connectedComponents(pairs, "vec_id_a", "vec_id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    got.foreach { case (x, y) =>
+      val (rx, ry) = (find(x), find(y))
+      if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+    }
+    val expected = parent.keys.map(x => x -> find(x)).toMap
+    assert(comp === expected)
+    feats.unpersist()
+  }
+
   test("audio profile computes positive RMS at the declared rate") {
     val a = Multimodal.audioProfile(corpus(9)).collect()
     assert(a.nonEmpty)
