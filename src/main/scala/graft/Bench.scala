@@ -10,6 +10,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // allow subset co-partitioning reuse: a child already hash-partitioned
+      // on a subset of the join keys (e.g. the guard's windowed bucket frame
+      // on (band,bucket) joining on (band,bucket,salt)) is not re-exchanged;
+      // our subset keys are high-cardinality, so the skew concern behind the
+      // conservative default does not apply
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

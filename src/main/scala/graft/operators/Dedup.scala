@@ -121,10 +121,15 @@ object Dedup {
     *
     * Bucket sizes come from a LAZY window count over the SAME
     * (band, bucket) clustering the self-join shuffles on — no separate
-    * aggregation job, no eager checkpoint, no driver action. (The previous
-    * eager hot-set detection cost two extra Spark jobs on EVERY call and
-    * regressed the whole LSH bench family 20–45% even though no bucket was
-    * ever hot at gate scale.)
+    * aggregation job, no eager checkpoint, no driver action. Measured
+    * A/B on m01 at sf0.1 across five designs (eager agg + checkpoint;
+    * lazy agg + broadcast left-join; seeded-sample fast path; windowed
+    * salt materialized once; windowed salt inline): the inline window is
+    * the cheapest guarded shape — every detection variant that adds a
+    * job or a broadcast costs more than the window's extra sort, and the
+    * third join key itself is free (verified with a non-foldable
+    * always-zero salt). Residual guard cost ≈ the per-side window sort,
+    * ~15% on m01, the price of an always-on bound.
     *
     * Recall contract: pairs inside an over-cap bucket survive only when
     * they share a salt group (≈1/⌈n/cap⌉ of them) or co-occur in some
