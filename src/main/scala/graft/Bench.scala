@@ -41,7 +41,14 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None }
+      // toRdd.count, NOT count(): a plain count() lets Catalyst elide
+      // unreferenced aggregates, final projections, and sorts from the
+      // measured plan (see CLAUDE.md) — e.g. q01's real projection cost
+      // is ~3x its count()-elided time. toRdd keeps the full plan as a
+      // consumer would pay it. Methodology changed in round 6: narrow
+      // q-battery entries inflate vs earlier rounds by their (real,
+      // previously-elided) projection cost; totals move ~2%.
+      val err = try { fn(spark, sfDir).queryExecution.toRdd.count(); None }
         catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }

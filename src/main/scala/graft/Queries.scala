@@ -596,8 +596,20 @@ object Queries {
         s"(N=$n, cap=$cap): 1-plane buckets hold ~N/2 rows and the " +
         "hot-bucket salt-split would silently break total recall vs the " +
         "exact all-pairs oracle")
-    Dedup.embeddingPairs(emb, threshold = 0.35, planes = 1, bands = 16)
+    // Belt + braces: the require above assumes a ~balanced hyperplane
+    // split — a skewed seeded plane could put > cap rows in one bucket
+    // even at N < 2·cap. fail mode makes ANY over-cap bucket abort with
+    // the size in the message instead of salt-splitting into a hash
+    // mismatch. (The conf is read at plan-build time, so the scoped
+    // set/restore pins it into this query's plan only.)
+    val prev = s.conf.getOption("graft.dedup.onHotBucket")
+    s.conf.set("graft.dedup.onHotBucket", "fail")
+    try Dedup.embeddingPairs(emb, threshold = 0.35, planes = 1, bands = 16)
       .orderBy("vec_id_a", "vec_id_b")
+    finally prev match {
+      case Some(v) => s.conf.set("graft.dedup.onHotBucket", v)
+      case None => s.conf.unset("graft.dedup.onHotBucket")
+    }
   }
 
   /** Fingerprint column excluded: xxhash64 has no DuckDB equivalent, and

@@ -19,9 +19,6 @@ object SparkEntry {
     dir
   }
 
-  private def deduped(spark: SparkSession): DataFrame =
-    Etl.latestVersion(SnapshotReader.rawAccounts(spark, fixtureDir))
-
   /** Slim dedup: last-writer-wins shuffling ONLY the columns the query
     * reads (see Etl.latestVersionFor — max_by(struct(ALL)) otherwise
     * drags `data`+`hash` through the exchange for every query). Each

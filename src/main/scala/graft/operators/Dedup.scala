@@ -147,8 +147,28 @@ object Dedup {
     * total-recall gate paths where silent recall loss would invalidate an
     * exact oracle, e.g. the m06 1-plane configuration whose buckets hold
     * ~N/2 rows each). */
+  /** Split-engagement signal for the most recent `cappedBucketPairs`
+    * plan in this session: a row-level accumulator incremented (and a
+    * once-per-JVM executor WARN emitted) only when the salt-split branch
+    * actually executes — silent recall degradation in split mode was a
+    * review finding. Approximate by nature (both join sides and task
+    * retries count), so read it as "> 0 ⇔ some bucket split", not an
+    * exact row count. */
+  @volatile private[graft] var lastHotBucketRows: () => Long = () => 0L
+
+  private object HotBucketSignal extends Serializable {
+    @transient lazy val warned = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def warn(cap: Long, n: Long): Unit =
+      if (!warned.getAndSet(true))
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"lshCandidates: bucket of $n rows exceeds graft.dedup.maxBucketSize=$cap" +
+            " — salt-splitting (recall inside an over-cap bucket degrades by" +
+            " ~its split factor); row count in accumulator graft.dedup.hotBucketRows")
+  }
+
   private def cappedBucketPairs(buckets: DataFrame): DataFrame = {
-    val conf = buckets.sparkSession.conf
+    val spark = buckets.sparkSession
+    val conf = spark.conf
     val cap = conf.get("graft.dedup.maxBucketSize", "10000").toLong
     val onHot = conf.get("graft.dedup.onHotBucket", "split")
     require(onHot == "split" || onHot == "fail",
@@ -162,9 +182,16 @@ object Dedup {
           col("__n"),
           lit("); set graft.dedup.onHotBucket=split to salt-split instead")))
           .cast("long")
-      else
+      else {
+        // pass-through signal on __n: fires ONLY on over-cap rows (the
+        // when-branch below is lazily evaluated), keeps the salt
+        // arithmetic pure SQL so doc_id stays type-generic
+        val acc = spark.sparkContext.longAccumulator("graft.dedup.hotBucketRows")
+        lastHotBucketRows = () => acc.value
+        val signal = udf((n: Long) => { acc.add(1L); HotBucketSignal.warn(cap, n); n })
         pmod(xxhash64(col("doc_id")),
-          floor((col("__n") + cap - 1L) / cap).cast("long"))
+          floor((signal(col("__n")) + cap - 1L) / cap).cast("long"))
+      }
     val salted = buckets
       .withColumn("__n", count(lit(1)).over(w))
       .withColumn("__salt", when(col("__n") <= cap, lit(0L)).otherwise(hotSalt))

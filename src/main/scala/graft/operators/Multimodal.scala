@@ -42,9 +42,15 @@ object Multimodal {
   def frame_mean(frame: Column): Column = frameMeanUdf(frame)
 
   /** Deterministic fake media corpus keyed by an id column — stands in
-    * for `spark.read.format("binaryFile").load(mediaDir)` at test scale. */
+    * for `spark.read.format("binaryFile").load(mediaDir)` at test scale.
+    * Repartitioned first: the ids come from the driver's single-file
+    * parquet (one partition), and everything downstream of this frame is
+    * compute-heavy codec work (synthesis here, ImageIO decode in every
+    * consumer) that must spread across cores, not run in the scan's one
+    * pre-shuffle task. */
   def syntheticCorpus(ids: DataFrame, idCol: String = "doc_id"): DataFrame =
     ids.select(col(idCol).as("media_id"))
+      .repartition(ids.sparkSession.sparkContext.defaultParallelism)
       .withColumn("bytes", synthesizeUdf(col("media_id")))
 
   /** Probe: media frame → typed metadata struct (null = undecodable). */

@@ -67,7 +67,15 @@ object Ranking {
     // span above, not a session-lifetime cache — without the unpersist a
     // full sorted copy of the input stays resident after every call and
     // the accreted memory pressure taxes unrelated queries (same
-    // lifecycle contract as Dedup.materialized).
+    // lifecycle contract as Dedup.materialized). Honest tradeoff: the
+    // checkpoint is a full-width copy of the OUTPUT, so the call peaks at
+    // ~2× the dataset (persist + checkpoint) and the truncated lineage
+    // is unrecoverable on executor loss. The alternative — returning a
+    // lazy frame over the persisted sort — would either leak the persist
+    // (the bug this fixes) or re-sample range boundaries on recompute
+    // (the correctness bug the persist pins). A global rank IS a full
+    // materialization boundary; callers ranking a corpus they then
+    // heavily filter should filter first.
     val out = sorted.join(broadcast(offsets), pidC)
       .withColumn(rankCol, col(offC) + col(localC) + 1)
       .drop(pidC, localC, offC)

@@ -195,6 +195,9 @@ class TrainingPipelineSpec extends AnyFunSuite {
       val bound = salt.values.groupBy(identity).values
         .map(g => g.size.toLong * (g.size - 1) / 2).sum
       assert(got.size.toLong === bound)
+      // the engagement signal must have fired (silent split-mode recall
+      // degradation was a review finding)
+      assert(graft.operators.Dedup.lastHotBucketRows() > 0L)
     } finally s.conf.unset("graft.dedup.maxBucketSize")
   }
 
