@@ -600,18 +600,33 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_id_a",
       bCol: String = "doc_id_b", maxIter: Int = 25,
       strict: Boolean = true): DataFrame = {
+    // pre-partitioned by the per-round join key: localCheckpoint
+    // preserves outputPartitioning, so every round's edge join reuses
+    // this one exchange instead of re-shuffling the edge list per round
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-      .distinct().localCheckpoint(true)
+      .distinct().repartition(col("v")).localCheckpoint(true)
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("component", col("id")).localCheckpoint(true)
     var converged = false
     var iter = 0
+    // Convergence is read from an accumulator incremented by a
+    // pass-through UDF on the change flag DURING the round's
+    // materialization — the previous filter/limit/isEmpty probe was a
+    // full extra job per round of pure scheduling overhead. The flag UDF
+    // keeps id types generic (the comparison happens in SQL; only the
+    // boolean crosses into Scala) and task retries can only over-count —
+    // a false "changed" costs one extra round, a false "converged" is
+    // impossible.
     while (!converged && iter < maxIter) {
+      val changed = labels.sparkSession.sparkContext.longAccumulator(
+        s"graft.cc.changed.r$iter")
+      val changeSignal = udf((c: Boolean) => { if (c) changed.add(1L); c })
       val nbrMin = edges.join(labels.withColumnRenamed("id", "v"), "v")
         .groupBy(col("u").as("id")).agg(min(col("component")).as("nbr"))
       // checkpointed: referenced twice by the jump self-join below, and
-      // re-evaluating it would run the edge join twice per round
+      // re-evaluating the whole step sub-DAG twice per round measured
+      // slower than the extra materialization
       val stepped = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("component").as("prev"),
           least(col("component"), coalesce(col("nbr"), col("component"))).as("component"))
@@ -620,19 +635,21 @@ object Dedup {
       // construction, so this only descends; chains halve every round.
       // Gated to round 4+: the common near-dup case (dense clusters,
       // diameter 2-3) converges before then and must not pay the extra
-      // join + checkpoint per round; a still-unconverged round 4 is
-      // evidence of a long chain, where doubling turns the remaining
-      // O(diameter) rounds into O(log diameter). `prev` (the round-start
-      // label) rides along so convergence is a filter, not another join.
-      val next =
+      // self-join per round; a still-unconverged round 4 is evidence of
+      // a long chain, where doubling turns the remaining O(diameter)
+      // rounds into O(log diameter). `prev` (the round-start label)
+      // rides along so convergence is a projection, not another join.
+      val jumped =
         if (iter < 3) stepped
         else stepped
           .join(stepped.select(col("id").as("component"), col("component").as("jump")),
             Seq("component"), "left")
           .select(col("id"),
             coalesce(col("jump"), col("component")).as("component"), col("prev"))
-          .localCheckpoint(true)
-      converged = next.filter(col("component") < col("prev")).limit(1).isEmpty
+      val next = jumped
+        .withColumn("__chg", changeSignal(col("component") < col("prev")))
+        .localCheckpoint(true)
+      converged = changed.value == 0L
       labels = next.select("id", "component")
       iter += 1
     }
