@@ -728,6 +728,26 @@ object Oracle {
       FROM p WHERE CAST(inter AS DOUBLE)/(la+lb-inter) >= 0.3
       ORDER BY doc_id_a, doc_id_b""",
 
+    // Exact string 13-gram intersection (hash-free: Spark's 64-bit gram
+    // hashes and these strings agree barring ~1e-9 collisions, same
+    // assumption m03's gate has held under). Short docs contribute their
+    // whole text as one gram (greatest(len-12,1) mirrors wordShingles'
+    // max(toks-w+1, 1)).
+    "m13_decontamination" -> """
+      WITH nrm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS nt
+                   FROM documents),
+      tk AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM nrm WHERE length(nt) > 0),
+      sh AS (SELECT doc_id,
+               list_distinct(list_transform(range(1, greatest(len(toks)-12,1)+1),
+                 i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i AS INT)+12), ' '))) AS s
+             FROM tk),
+      bench AS (SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 5 = 0),
+      hits AS (SELECT d.doc_id, count(*) AS hits
+               FROM (SELECT doc_id, unnest(s) AS gram FROM sh WHERE doc_id % 5 <> 0) d
+               JOIN bench USING (gram)
+               GROUP BY d.doc_id)
+      SELECT doc_id, hits FROM hits WHERE hits >= 1 ORDER BY doc_id""",
+
     "m04_ann_bruteforce" -> """
       WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                  FROM embeddings WHERE vec_id < 16),

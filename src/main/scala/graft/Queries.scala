@@ -669,6 +669,20 @@ object Queries {
         round(col("rms"), 4).as("rms"))
       .orderBy("media_id")
 
+  /** m13 — benchmark decontamination: training docs sharing ≥1 distinct
+    * 13-gram with the benchmark slice (doc_id % 5 == 0 plays the held-out
+    * benchmark; the rest is the training corpus). The fixture's near-dup
+    * structure guarantees non-trivial contamination (a near-dup of a
+    * benchmark doc shares almost all its 13-grams). Oracled by exact
+    * string n-gram intersection in DuckDB (same normalization as m03). */
+  def m13Decontamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    operators.TrainingPipeline.contamination(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0), n = 13)
+      .orderBy("doc_id")
+  }
+
   /** m12 — COMPOSED multimodal near-dup: still images and sampled video
     * frames land in ONE feature space (8-bin value histogram — the
     * image path through `imageFeatures`/ImageIO, the frame path through

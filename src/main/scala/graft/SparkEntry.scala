@@ -94,6 +94,7 @@ object SparkEntry {
     "mm03_frame_sample" -> Queries.mm03FrameSample,
     "mm04_audio_profile" -> Queries.mm04AudioProfile,
     "m12_media_dedup" -> Queries.m12MediaDedup,
+    "m13_decontamination" -> Queries.m13Decontamination,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on

@@ -150,6 +150,44 @@ object TrainingPipeline {
     reportFrame(docs, (s0, s1, s2, s3, s4))
   }
 
+  private val wordShinglesUdf =
+    udf((t: String, w: Int) => graft.core.TextSig.wordShingles(t, w))
+
+  /** Benchmark contamination report: training docs sharing ≥ `minHits`
+    * distinct word `n`-grams with a benchmark/test corpus — the
+    * test-set-overlap check a training pipeline runs before a corpus
+    * ships (the classic form is 13-gram decontamination). Returns
+    * (doc_id, hits).
+    *
+    * Scale shape: the CORPUS never shuffles — its n-gram hashes (64-bit,
+    * never text) stream through a broadcast join against the benchmark's
+    * distinct gram set, and only MATCHED grams (contaminated docs only, a
+    * vanishing fraction) reach the per-doc count. The broadcast is a
+    * deliberate contract: a benchmark is small by definition; the only
+    * shuffle is the benchmark-side distinct. Gram semantics are exactly
+    * `TextSig.wordShingles` (normalize → whitespace tokens → FNV over the
+    * n-gram, per-doc distinct; a doc shorter than `n` tokens contributes
+    * its whole text as one gram), shared with the m03 Jaccard path. */
+  def contamination(docs: DataFrame, benchmark: DataFrame, n: Int = 13,
+      minHits: Long = 1): DataFrame = {
+    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    val bgrams = benchmark
+      .select(explode(wordShinglesUdf(col("text"), lit(n))).as("gram"))
+      .distinct()
+    docs.select(col("doc_id"), col("text"))
+      .repartition(parallelism)
+      .select(col("doc_id"), explode(wordShinglesUdf(col("text"), lit(n))).as("gram"))
+      .join(broadcast(bgrams), "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= minHits)
+  }
+
+  /** Drop contaminated docs (see `contamination`); keeps all columns. */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 13,
+      minHits: Long = 1): DataFrame =
+    docs.join(contamination(docs, benchmark, n, minHits).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+
   /** Curate AND account in one pass: the near-dedup chain (the dominant
     * cost — LSH candidates + verify over the corpus) runs ONCE, serving
     * both the returned corpus and the stage-4 count. The curated frame is

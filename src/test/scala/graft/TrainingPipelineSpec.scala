@@ -230,6 +230,31 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(r.head === 7L && r.last === 2L)
   }
 
+  test("decontamination drops docs sharing a long n-gram with the " +
+      "benchmark; clean docs survive") {
+    val s = spark
+    import s.implicits._
+    val secret = "the quick brown benchmark sentence that must never leak " +
+      "into any training corpus at all"
+    val bench = Seq((100L, "held out eval item: " + secret))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "some intro text then " + secret + " and a trailing remainder " +
+        "of unrelated words continuing the document"),
+      (2L, "a completely clean document about spark shuffles and parquet " +
+        "row groups with nothing shared beyond single words"))
+      .toDF("doc_id", "text")
+    val hits = graft.operators.TrainingPipeline
+      .contamination(docs, bench, n = 13)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.keySet === Set(1L))
+    assert(hits(1L) >= 1L)
+    val kept = graft.operators.TrainingPipeline
+      .decontaminate(docs, bench, n = 13)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L))
+  }
+
   test("curateWithReport returns the curate corpus and the report counts " +
       "from a single near-dedup run") {
     val s = spark
