@@ -551,13 +551,20 @@ object Dedup {
       val survivors = sig.join(dupIds, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("sh"), col("sig"))
         .withColumn("batch_id", lit(bid))
+      // repartition ON the partition column before writing: otherwise
+      // every write task emits a file into every partition dir it holds
+      // rows for (up to tasks × dirs small files PER BATCH — a compaction
+      // debt that grows with stream lifetime); this way each touched dir
+      // gains exactly one file per batch
       bandBuckets(survivors, bands, rowsPerBand)
         .withColumn("batch_id", lit(bid))
         .withColumn("bp",
           pmod(xxhash64(col("band"), col("bucket")), lit(p.toLong)).cast("int"))
+        .repartition(col("bp"))
         .write.mode("append").partitionBy("bp").parquet(indexDir)
       survivors
         .withColumn("idp", pmod(xxhash64(col("doc_id")), lit(p.toLong)).cast("int"))
+        .repartition(col("idp"))
         .write.mode("append").partitionBy("idp").parquet(storeDir)
       if (batchId.isDefined) fs.create(markerPath, true).close()
     }
