@@ -577,40 +577,20 @@ object Queries {
 
   /** Threshold calibrated to the synthetic embeddings (random vectors:
     * pairwise cosine tops out near 0.45 — a 0.9 near-dup bar would be
-    * vacuous on this corpus). 1 plane × 16 bands is the documented gate
-    * point: at cosine 0.35 a true pair is missed only if all 16 seeded
-    * planes disagree (p ≈ 2·10⁻⁷), so recall is deterministically total
-    * at fixture scale and the exact all-pairs oracle hash-matches.
-    *
-    * PRECONDITION (enforced): N < 2·graft.dedup.maxBucketSize. With
-    * 1-plane bands each bucket holds ~N/2 rows; past 2·cap every bucket
-    * goes hot and the salt-split guard would silently cut recall below
-    * the exact oracle. A fixture scale-up must fail loudly with the cause
-    * named, not hash-mismatch mysteriously. */
-  def m06EmbeddingDedup(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    val cap = s.conf.get("graft.dedup.maxBucketSize", "10000").toLong
-    val n = emb.count()
-    require(n < 2 * cap,
-      s"m06 gate point (planes=1) requires N < 2*graft.dedup.maxBucketSize " +
-        s"(N=$n, cap=$cap): 1-plane buckets hold ~N/2 rows and the " +
-        "hot-bucket salt-split would silently break total recall vs the " +
-        "exact all-pairs oracle")
-    // Belt + braces: the require above assumes a ~balanced hyperplane
-    // split — a skewed seeded plane could put > cap rows in one bucket
-    // even at N < 2·cap. fail mode makes ANY over-cap bucket abort with
-    // the size in the message instead of salt-splitting into a hash
-    // mismatch. (The conf is read at plan-build time, so the scoped
-    // set/restore pins it into this query's plan only.)
-    val prev = s.conf.getOption("graft.dedup.onHotBucket")
-    s.conf.set("graft.dedup.onHotBucket", "fail")
-    try Dedup.embeddingPairs(emb, threshold = 0.35, planes = 1, bands = 16)
+    * vacuous on this corpus). The gate runs the EXACT all-pairs verifier
+    * — same definition as the DuckDB oracle, so it hash-matches by
+    * construction. The previous gate point (1-plane × 16-band LSH) had
+    * deterministic total recall here but pruned nothing: a random pair
+    * collides in ≥1 one-bit band with p ≈ 1−2⁻¹⁶, so it was brute force
+    * routed through a 16× band explode + distinct (~8× the work of the
+    * direct theta-join) plus a hot-bucket precondition to guard. The LSH
+    * scale path stays exercised at a config that actually prunes:
+    * PipelineSpec recall-checks `embeddingPairs` (1×16 total recall,
+    * 4×8 pruned subset) against this exact baseline, and m12 gates it
+    * at 2×8 over multimodal features. */
+  def m06EmbeddingDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingPairsExact(t(s, dir, "embeddings"), threshold = 0.35)
       .orderBy("vec_id_a", "vec_id_b")
-    finally prev match {
-      case Some(v) => s.conf.set("graft.dedup.onHotBucket", v)
-      case None => s.conf.unset("graft.dedup.onHotBucket")
-    }
-  }
 
   /** Fingerprint column excluded: xxhash64 has no DuckDB equivalent, and
     * dropping it lets the whole profile hash-match its oracle (the

@@ -680,6 +680,29 @@ object Dedup {
       .select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
   }
 
+  /** Exact all-pairs embedding near-dup: every (a < b) pair with
+    * cosine ≥ threshold, NO candidate pruning. The brute-force baseline
+    * the LSH path ([[embeddingPairs]]) is recall-measured against, and
+    * the gate verifier (its output is the oracle's definition, so it
+    * hash-matches by construction — and skips the band explode +
+    * distinct a total-recall LSH config would pay for no pruning).
+    *
+    * Shape: broadcast one side, stream the other through a nested-loop
+    * `<` theta-join — the corpus never shuffles; the only exchange
+    * carries surviving (id, id, cosine) triples. O(N²/2) cosine evals
+    * by definition: ceiling ~10⁵ vectors (10⁹ pairs spread over the
+    * cluster); past that use the LSH path, which exists precisely so
+    * this scan is never run at corpus scale. */
+  def embeddingPairsExact(emb: DataFrame, threshold: Double): DataFrame = {
+    val slim = emb.select(col("vec_id"), col("embedding"))
+    spread(slim.select(col("vec_id").as("vec_id_a"), col("embedding").as("__ea")))
+      .join(broadcast(slim.select(col("vec_id").as("vec_id_b"), col("embedding").as("__eb"))),
+        col("vec_id_a") < col("vec_id_b"))
+      .select(col("vec_id_a"), col("vec_id_b"),
+        round(Similarity.cosine(col("__ea"), col("__eb")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Embedding-cosine near-dup pairs: pairs with cosine ≥ threshold,
     * candidate-generated by BANDED random-hyperplane LSH and verified
     * with exact cosine.

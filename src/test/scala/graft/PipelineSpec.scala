@@ -208,6 +208,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(partial.map(_.getAs[Int]("rank")).forall(r => r >= 1 && r <= 3))
   }
 
+  test("embedding LSH pairs recall against the exact all-pairs baseline") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("vec_id_a", "vec_id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = ids(Dedup.embeddingPairsExact(emb, threshold = 0.35))
+    assert(exact.nonEmpty)
+    assert(exact.forall { case (a, b) => a < b })
+    // 1×16 bands: total recall at fixture scale (miss needs all 16
+    // seeded planes to disagree, p ≈ 2e-7 per pair)
+    val total = ids(Dedup.embeddingPairs(emb, threshold = 0.35,
+      planes = 1, bands = 16))
+    assert(total === exact)
+    // a config that actually prunes is a subset with substantial recall
+    val pruned = ids(Dedup.embeddingPairs(emb, threshold = 0.35,
+      planes = 4, bands = 8))
+    assert(pruned.subsetOf(exact))
+    assert(pruned.size >= exact.size / 2,
+      s"LSH 4x8 recall collapsed: ${pruned.size}/${exact.size}")
+  }
+
   test("IVF centers are identical across differently-partitioned reads") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val a = Similarity.ivfCenters(emb, 8)
