@@ -716,9 +716,10 @@ object Dedup {
     * where the old all-planes-must-agree signature (equivalent to
     * bands = 1) caught ≈ 18% at planes = 16. More bands = higher recall
     * and more candidates; more planes/band = sharper selectivity. Low
-    * thresholds want few planes per band (the gate point: 1×16 gives
-    * deterministic total recall on the fixture's ≥0.35 population —
-    * a miss needs all 16 seeded planes to disagree, p ≈ 2·10⁻⁷ per pair).
+    * thresholds want few planes per band — but note 1-plane bands prune
+    * essentially nothing (any one band collides with p ≈ ½); for a
+    * total-recall requirement use [[embeddingPairsExact]] directly
+    * instead of a vacuous LSH config (that's what the m06 gate does).
     *
     * Plan shape matches `minhashPairs`: signature kernel → band explode →
     * capped in-bucket self-join (`cappedBucketPairs` — same hot-bucket
