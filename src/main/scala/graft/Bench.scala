@@ -37,28 +37,51 @@ object Bench {
     // SPARK_GRAFT_ONLY=m01_minhash_pairs,q01_pricing_summary → bench just
     // those (dev perf loop); unset = all queries (the driver's mode).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    // SPARK_GRAFT_RUNS (default 3): per-query repeat count; the reported
+    // value is the MEDIAN of the runs. Co-tenant noise on this box is
+    // one-sided and bursty (round-6 recording inflated narrow queries up
+    // to 31x vs a quiet re-run) — a single sample is not a usable signal;
+    // the median of three consecutive runs discards one arbitrarily bad
+    // sample while still charging steady-state costs.
+    val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(3)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
       // toRdd.count, NOT count(): a plain count() lets Catalyst elide
       // unreferenced aggregates, final projections, and sorts from the
       // measured plan (see CLAUDE.md) — e.g. q01's real projection cost
       // is ~3x its count()-elided time. toRdd keeps the full plan as a
-      // consumer would pay it. Methodology changed in round 6: narrow
-      // q-battery entries inflate vs earlier rounds by their (real,
-      // previously-elided) projection cost; totals move ~2%.
-      val err = try { fn(spark, sfDir).queryExecution.toRdd.count(); None }
-        catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      // consumer would pay it.
+      def once(): Either[String, Double] = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).queryExecution.toRdd.count()
+              Right((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+      }
+      val samples = (1 to runs).map(_ => once())
+      val times = samples.collect { case Right(t) => t }.sorted
+      if (times.isEmpty) (name, 0.0, samples.collectFirst { case Left(m) => m })
+      else (name, times(times.size / 2), None) // median (upper on even n)
     }
     val ok = results.filter(_._3.isEmpty)
-    val qs = ok.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // Compact formatting so the full 71-entry line survives the driver's
+    // 2000-char truncation (round 6 lost every m*-family entry to it):
+    // 3-decimal values with trailing zeros trimmed, basename sf, errors
+    // key only when non-empty.
+    def fmt(v: Double): String = {
+      val s = f"$v%.3f"
+      val t = s.reverse.dropWhile(_ == '0').reverse
+      if (t.endsWith(".")) t + "0" else t
+    }
+    val qs = ok.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(m)) =>
-      s"\"" + k + "\":\"" + esc(m.take(300)) + "\"" }.mkString("{", ",", "}")
+    val errPairs = results.collect { case (k, _, Some(m)) =>
+      s"\"" + k + "\":\"" + esc(m.take(120)) + "\"" }
+    val errs = if (errPairs.isEmpty) "" else errPairs.mkString(",\"errors\":{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val sfName = sfDir.split('/').last
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qs$errs,"sf":"$sfName"}""")
     spark.stop()
   }
 }
