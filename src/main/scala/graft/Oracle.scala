@@ -1071,6 +1071,58 @@ object Oracle {
     // Literal expected row: every value is pinned a priori by the seeded
     // fixture (BankFields.writeSynthetic at slot 103), so a wrong
     // skip-parse of the ~35-field bank prefix lands wrong values here.
+    // sn15: the Spark side builds three LITERAL transaction frames and
+    // round-trips them through the hand-rolled FlatBuffers wire; the
+    // oracle pins every projected scalar as a literal row. DuckDB never
+    // sees the wire bytes — the oracle IS the expected decode, so any
+    // vtable-offset/union/elision bug in encode or decode mismatches.
+    "sn15_fb_tx_roundtrip" -> """
+      SELECT * FROM (VALUES
+        (repeat('01', 64), false, CAST(42 AS BIGINT), 'legacy',
+         1, 0, 2, 2, repeat('11', 32), repeat('13', 32),
+         2, 0, '0,1', '090807',
+         CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+         CAST(NULL AS VARCHAR),
+         true, CAST(5000 AS BIGINT), '10,20', '5,25',
+         1, 3, repeat('21', 32), repeat('22', 32), '100', CAST(1.5 AS DOUBLE),
+         0, CAST(0.0 AS DOUBLE), CAST(NULL AS VARCHAR), '0',
+         'Program log: ok|done',
+         1, 1, 2, 5, '',
+         '4K2V1kpVycZ6qSFsNdz2FtpNxnJs17eBNzf9rdCMcKoe',
+         CAST(-50 AS BIGINT), CAST(950 AS BIGINT), 3, 2),
+        (repeat('02', 64), true, CAST(43 AS BIGINT), 'v0',
+         0, 1, 1, 1, repeat('41', 32), repeat('42', 32),
+         1, 2, '0', 'AA',
+         2, repeat('43', 32), '0,2', '3',
+         false, CAST(0 AS BIGINT), '7', '7',
+         NULL, NULL, NULL, NULL, NULL, NULL,
+         NULL, NULL, NULL, NULL,
+         NULL,
+         NULL, NULL, NULL, NULL, NULL,
+         NULL, NULL, NULL, NULL, NULL),
+        (repeat('03', 64), false, CAST(44 AS BIGINT), 'legacy',
+         1, 0, 0, 1, repeat('51', 32), repeat('52', 32),
+         1, 0, '0', '07',
+         NULL, NULL, NULL, NULL,
+         true, CAST(1 AS BIGINT), '1', '2',
+         NULL, NULL, NULL, NULL, NULL, NULL,
+         9, NULL, repeat('54', 32), '999',
+         'x',
+         NULL, NULL, NULL, NULL, NULL,
+         '6k78AbasGMFFrhG95Pj6jQbqkVt7FQMhVgemxJovWKR6',
+         CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0, 0)
+      ) AS t(sig_hex, is_vote, slot, fmt,
+             hdr_req, hdr_ro_s, hdr_ro_u, n_keys, key0_hex, bh_hex,
+             n_insns, insn0_prog, insn0_accounts, insn0_data_hex,
+             n_lookups, lk0_key_hex, lk0_w, lk1_r,
+             status_ok, fee, pre_bal, post_bal,
+             n_pre_tb, pre0_idx, pre0_mint_hex, pre0_owner_hex, pre0_amount,
+             pre0_ui, post0_decimals, post0_ui, post0_owner_hex, post0_amount,
+             logs, n_inner, inner0_idx, inner0_n, inner0_insn1_prog,
+             inner0_insn1_data_hex, rw0_pk, rw0_lamports, rw0_post, rw0_type,
+             rw0_comm)
+      ORDER BY sig_hex""",
+
     "sn13_bank_fields" -> """
       SELECT CAST(103 AS BIGINT) AS slot, CAST(0 AS BIGINT) AS epoch,
         CAST(53 AS BIGINT) AS block_height, CAST(102 AS BIGINT) AS parent_slot,

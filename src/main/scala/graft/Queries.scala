@@ -127,14 +127,30 @@ object Queries {
       .orderBy("o_custkey")
   }
 
-  /** A4 — countDistinct + count (opcode-stats aggregation shape). */
-  def q08DistinctAgg(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
+  /** A4 — countDistinct + count (opcode-stats aggregation shape).
+    *
+    * Written as TWO-LEVEL aggregates, not `countDistinct`s in one
+    * aggregate: two distinct-aggregate groups plus a plain count make
+    * Catalyst plan an Expand that triples every fact row before the
+    * shuffle — fine at sf0.1, dominant at 100x. Here each branch
+    * pre-aggregates on (suppkey, key) first (map-side combine shrinks
+    * the shuffle to near-distinct size, each scan prunes to 2 columns)
+    * and the per-suppkey rollups broadcast-join at the end. Plan shows
+    * no Expand of the base scan. */
+  def q08DistinctAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val pairs = li.groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(count(lit(1)).as("c"))
       .groupBy(col("l_suppkey"))
-      .agg(countDistinct(col("l_partkey")).as("n_parts"),
-        countDistinct(col("l_orderkey")).as("n_orders"),
-        count(lit(1)).as("n_rows"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("c")).as("n_rows"))
+    val ords = li.select(col("l_suppkey"), col("l_orderkey")).distinct()
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    pairs.join(ords, "l_suppkey")
+      .select(col("l_suppkey"), col("n_parts"), col("n_orders"),
+        col("n_rows"))
       .orderBy("l_suppkey")
+  }
 
   /** D2 — generator/explode (the multisig-signer explode shape). */
   def q09ExplodeTokens(s: SparkSession, dir: String): DataFrame =
@@ -655,6 +671,123 @@ object Queries {
     * structure guarantees non-trivial contamination (a near-dup of a
     * benchmark doc shares almost all its 13-grams). Oracled by exact
     * string n-gram intersection in DuckDB (same normalization as m03). */
+  /** D6/D7 — the transaction FlatBuffers wire, the reference's hardest
+    * serialize surface (reference: `serializer/src/flatbuffer/mod.rs:31-567`,
+    * `transaction_info.fbs:1-133`): Legacy|V0 union, inner_instructions,
+    * token balances, rewards. Three pinned literal frames round-trip
+    * encode→decode and every scalar below is pinned by a literal oracle
+    * row — a wrong vtable offset, elided field or union-type mixup lands
+    * a hash mismatch, not just a spec failure. Frame 1: full meta incl.
+    * `ui_amount = Some(0.0)` (the builder's default-elision trap — the
+    * NaN sentinel must keep the slot). Frame 2: V0 union +
+    * address-table lookups + all-default scalars (fee = 0). Frame 3:
+    * absent optional vectors (null-ness must survive the wire). */
+  def sn15FbTxRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    def pk(b: Int): Array[Byte] = Array.fill(32)(b.toByte)
+    def sig64(b: Int): Array[Byte] = Array.fill(64)(b.toByte)
+    val tx1 = Row(sig64(1), false, 42L,
+      Row("legacy",
+        Row(Row(1, 0, 2), Seq(pk(0x11), pk(0x12)), pk(0x13),
+          Seq(Row(0, Seq(0, 1), Array[Byte](9, 8, 7)),
+            Row(1, Seq(1), Array[Byte](5)))),
+        null),
+      Row(true, 5000L, Seq(10L, 20L), Seq(5L, 25L),
+        Seq(Row(3, pk(0x21), pk(0x22), "100", 6, 1.5)),
+        Seq(Row(2, pk(0x21), null, "0", 0, 0.0)),
+        Seq("Program log: ok", "done"),
+        Seq(Row(1, Seq(Row(4, Seq(2), Array[Byte](1)),
+          Row(5, Seq(0, 2), Array.emptyByteArray)))),
+        Seq(Row("4K2V1kpVycZ6qSFsNdz2FtpNxnJs17eBNzf9rdCMcKoe", -50L, 950L, 3, 2))))
+    val tx2 = Row(sig64(2), true, 43L,
+      Row("v0", null,
+        Row(Row(0, 1, 1), Seq(pk(0x41)), pk(0x42),
+          Seq(Row(2, Seq(0), Array[Byte](0xAA.toByte))),
+          Seq(Row(pk(0x43), Seq(0, 2), Seq(1)),
+            Row(pk(0x44), Seq.empty[Int], Seq(3))))),
+      Row(false, 0L, Seq(7L), Seq(7L), null, null, null, null, null))
+    val tx3 = Row(sig64(3), false, 44L,
+      Row("legacy",
+        Row(Row(1, 0, 0), Seq(pk(0x51)), pk(0x52),
+          Seq(Row(0, Seq(0), Array[Byte](7)))),
+        null),
+      Row(true, 1L, Seq(1L), Seq(2L), null,
+        Seq(Row(0, pk(0x53), pk(0x54), "999", 9, null)),
+        Seq("x"), null,
+        Seq(Row("6k78AbasGMFFrhG95Pj6jQbqkVt7FQMhVgemxJovWKR6", 0L, 0L, 0, 0))))
+    import scala.jdk.CollectionConverters._
+    val frames = s.createDataFrame(Seq(tx1, tx2, tx3).asJava,
+      graft.model.Schemas.transactionNotify)
+    val rt = graft.streaming.Wire.decodeTransactionsFb(
+      graft.streaming.Wire.transactionsFb(frames))
+    // null-guarded int-array join: concat_ws alone maps an absent array
+    // to '' (it never returns null) — the oracle wants absent = NULL
+    def joinInts(c: Column): Column =
+      when(c.isNull, lit(null)).otherwise(concat_ws(",", c.cast("array<string>")))
+    val msg = col("message")
+    val leg = msg.getField("legacy"); val v0 = msg.getField("v0")
+    def either(f: Column => Column): Column =
+      when(msg.getField("format") === "v0", f(v0)).otherwise(f(leg))
+    val m = col("meta")
+    def pre0(f: String): Column = element_at(m.getField("pre_token_balances"), 1).getField(f)
+    def post0(f: String): Column = element_at(m.getField("post_token_balances"), 1).getField(f)
+    def inner0: Column = element_at(m.getField("inner_instructions"), 1)
+    def rw0(f: String): Column = element_at(m.getField("rewards"), 1).getField(f)
+    rt.select(
+      hex(col("signature")).as("sig_hex"),
+      col("is_vote"), col("slot"),
+      msg.getField("format").as("fmt"),
+      either(_.getField("header").getField("num_required_signatures")).as("hdr_req"),
+      either(_.getField("header").getField("num_readonly_signed_accounts")).as("hdr_ro_s"),
+      either(_.getField("header").getField("num_readonly_unsigned_accounts")).as("hdr_ro_u"),
+      either(c => size(c.getField("account_keys"))).as("n_keys"),
+      either(c => hex(element_at(c.getField("account_keys"), 1))).as("key0_hex"),
+      either(c => hex(c.getField("recent_blockhash"))).as("bh_hex"),
+      either(c => size(c.getField("instructions"))).as("n_insns"),
+      either(c => element_at(c.getField("instructions"), 1)
+        .getField("program_id_index")).as("insn0_prog"),
+      either(c => joinInts(element_at(c.getField("instructions"), 1)
+        .getField("accounts"))).as("insn0_accounts"),
+      either(c => hex(element_at(c.getField("instructions"), 1)
+        .getField("data"))).as("insn0_data_hex"),
+      size(v0.getField("address_table_lookups")).as("n_lookups"),
+      hex(element_at(v0.getField("address_table_lookups"), 1)
+        .getField("account_key")).as("lk0_key_hex"),
+      joinInts(element_at(v0.getField("address_table_lookups"), 1)
+        .getField("writable_indexes")).as("lk0_w"),
+      joinInts(element_at(v0.getField("address_table_lookups"), 2)
+        .getField("readonly_indexes")).as("lk1_r"),
+      m.getField("status_ok").as("status_ok"),
+      m.getField("fee").as("fee"),
+      joinInts(m.getField("pre_balances")).as("pre_bal"),
+      joinInts(m.getField("post_balances")).as("post_bal"),
+      size(m.getField("pre_token_balances")).as("n_pre_tb"),
+      pre0("account_index").as("pre0_idx"),
+      hex(pre0("mint")).as("pre0_mint_hex"),
+      hex(pre0("owner")).as("pre0_owner_hex"),
+      pre0("amount").as("pre0_amount"),
+      pre0("ui_amount").as("pre0_ui"),
+      post0("decimals").as("post0_decimals"),
+      post0("ui_amount").as("post0_ui"),
+      hex(post0("owner")).as("post0_owner_hex"),
+      post0("amount").as("post0_amount"),
+      when(m.getField("log_messages").isNull, lit(null))
+        .otherwise(concat_ws("|", m.getField("log_messages"))).as("logs"),
+      size(m.getField("inner_instructions")).as("n_inner"),
+      inner0.getField("index").as("inner0_idx"),
+      size(inner0.getField("instructions")).as("inner0_n"),
+      element_at(inner0.getField("instructions"), 2)
+        .getField("program_id_index").as("inner0_insn1_prog"),
+      hex(element_at(inner0.getField("instructions"), 2)
+        .getField("data")).as("inner0_insn1_data_hex"),
+      rw0("pubkey").as("rw0_pk"),
+      rw0("lamports").as("rw0_lamports"),
+      rw0("post_balance").as("rw0_post"),
+      rw0("reward_type").as("rw0_type"),
+      rw0("commission").as("rw0_comm"))
+      .orderBy("sig_hex")
+  }
+
   def m13Decontamination(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     operators.TrainingPipeline.contamination(

@@ -171,6 +171,10 @@ object SparkEntry {
         .select(hex(col("pubkey")).as("pk"), col("lamports"), col("write_version"))
         .orderBy("pk", "write_version")
     }),
+    // the transaction wire (the reference's hardest serialize surface):
+    // literal frames round-tripped through the FlatBuffers encode/decode,
+    // every scalar pinned by a literal oracle row — see Queries scaladoc
+    "sn15_fb_tx_roundtrip" -> Queries.sn15FbTxRoundtrip,
     "sn10_opcode_stats" -> ((s, _) =>
       Etl.opcodeStats(Etl.programs(dedupedFor(s,
         "pubkey", "owner", "executable", "data_len", "data"))).orderBy("opcode")),
