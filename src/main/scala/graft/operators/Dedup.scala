@@ -147,6 +147,12 @@ object Dedup {
     * total-recall gate paths where silent recall loss would invalidate an
     * exact oracle, e.g. the m06 1-plane configuration whose buckets hold
     * ~N/2 rows each). */
+  // NOTE: last-plan-wins — a single global overwritten at
+  // plan-construction time by EVERY cappedBucketPairs call (minhash,
+  // embedding and incremental paths all route through it), and the
+  // accumulator counts both join sides plus task retries. It is a
+  // single-threaded test hook; under concurrent or interleaved queries
+  // in one session the signal attributes to the wrong query.
   /** Split-engagement signal for the most recent `cappedBucketPairs`
     * plan in this session: a row-level accumulator incremented (and a
     * once-per-JVM executor WARN emitted) only when the salt-split branch
@@ -544,9 +550,20 @@ object Dedup {
     // dropping every survivor. (Small frame — ids only.)
     val dupIds = batchDups.unionByName(storeDups).distinct()
       .localCheckpoint(true)
+    // Pin store geometry BEFORE the first byte of data: if the sidecar
+    // were written after the append, a crash in between would leave an
+    // unpinned store, and a later run configured with a different
+    // storePartitions would prune reads with the wrong bp/idp mapping
+    // over data partitioned under the old P — silently missed
+    // duplicates instead of the intended loud refusal. (Idempotent:
+    // params content is deterministic for a pinned store.)
+    if (!fs.exists(paramsPath)) {
+      val out = fs.create(paramsPath, true)
+      out.write(params.getBytes("UTF-8")); out.close()
+    }
     // append survivors (skipped when the marker proves the prior attempt
     // committed the identical deterministic rows): index first (orphans
-    // are harmless, see scaladoc), sigs second, then marker + params
+    // are harmless, see scaladoc), sigs second, then marker
     if (!alreadyAppended) {
       val survivors = sig.join(dupIds, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("sh"), col("sig"))
@@ -567,10 +584,6 @@ object Dedup {
         .repartition(col("idp"))
         .write.mode("append").partitionBy("idp").parquet(storeDir)
       if (batchId.isDefined) fs.create(markerPath, true).close()
-    }
-    if (!fs.exists(paramsPath)) {
-      val out = fs.create(paramsPath, true)
-      out.write(params.getBytes("UTF-8")); out.close()
     }
     sig.unpersist()
     docs.join(dupIds, Seq("doc_id"), "left_anti")
@@ -692,9 +705,24 @@ object Dedup {
     * carries surviving (id, id, cosine) triples. O(N²/2) cosine evals
     * by definition: ceiling ~10⁵ vectors (10⁹ pairs spread over the
     * cluster); past that use the LSH path, which exists precisely so
-    * this scan is never run at corpus scale. */
+    * this scan is never run at corpus scale.
+    *
+    * The ceiling is ENFORCED, not advisory: inputs larger than
+    * `graft.dedup.exactPairsMaxRows` (default 100000) abort with an
+    * actionable error pointing at [[embeddingPairs]] — a pipeline that
+    * reaches for the verifier at corpus scale should get a message, not
+    * an OOM hours in. The probe is a bounded `limit(max+1).count()`, not
+    * a full count. */
   def embeddingPairsExact(emb: DataFrame, threshold: Double): DataFrame = {
     val slim = emb.select(col("vec_id"), col("embedding"))
+    val maxRows = emb.sparkSession.conf
+      .get("graft.dedup.exactPairsMaxRows", "100000").toLong
+    if (slim.limit((maxRows + 1).toInt).count() > maxRows)
+      throw new IllegalArgumentException(
+        s"embeddingPairsExact: input exceeds graft.dedup.exactPairsMaxRows=" +
+          s"$maxRows vectors — this O(N²) verifier is gate/recall-baseline " +
+          "only; use embeddingPairs (banded hyperplane LSH) at corpus scale, " +
+          "or raise the conf if you really mean it")
     spread(slim.select(col("vec_id").as("vec_id_a"), col("embedding").as("__ea")))
       .join(broadcast(slim.select(col("vec_id").as("vec_id_b"), col("embedding").as("__eb"))),
         col("vec_id_a") < col("vec_id_b"))

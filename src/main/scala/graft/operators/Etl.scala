@@ -49,12 +49,20 @@ object Etl {
     * bytes (a kind-count query was shuffling ~100× the bytes it needed).
     * Catalyst cannot prune through the aggregate on its own, so slim
     * consumers declare their columns here and the projection lands BEFORE
-    * the exchange. Unknown names are ignored (schema-tolerant, like
-    * `select` on a subset). */
+    * the exchange. Unknown names are tolerated (schema-tolerant, like
+    * `select` on a subset) but WARN-logged: a typo'd or renamed column
+    * would otherwise be indistinguishable from an intentionally absent
+    * one and surface far from the cause (or never, if the consumer
+    * tolerates the missing column). */
   def latestVersionFor(raw: DataFrame, needed: Seq[String]): DataFrame = {
-    val keep = (Seq("pubkey", "slot", "write_version") ++ needed).distinct
-      .filter(raw.columns.contains)
-    latestVersion(raw.select(keep.map(col).toIndexedSeq: _*))
+    val (present, absent) =
+      (Seq("pubkey", "slot", "write_version") ++ needed).distinct
+        .partition(raw.columns.contains)
+    if (absent.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"latestVersionFor: requested column(s) ${absent.mkString(", ")} " +
+          s"absent from input schema [${raw.columns.mkString(", ")}] — dropped")
+    latestVersion(raw.select(present.map(col).toIndexedSeq: _*))
   }
 
   /** The `account` table projection (`sqlite.rs:96-107`). */

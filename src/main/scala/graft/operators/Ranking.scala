@@ -76,11 +76,15 @@ object Ranking {
     // (the correctness bug the persist pins). A global rank IS a full
     // materialization boundary; callers ranking a corpus they then
     // heavily filter should filter first.
-    val out = sorted.join(broadcast(offsets), pidC)
-      .withColumn(rankCol, col(offC) + col(localC) + 1)
-      .drop(pidC, localC, offC)
-      .localCheckpoint(true)
-    sorted.unpersist()
-    out
+    // finally: the unpersist must run even when the checkpoint/join
+    // throws (executor loss, OOM) — otherwise the persisted full sorted
+    // copy leaks for the session on exactly the failure paths where
+    // memory is already tight.
+    try {
+      sorted.join(broadcast(offsets), pidC)
+        .withColumn(rankCol, col(offC) + col(localC) + 1)
+        .drop(pidC, localC, offC)
+        .localCheckpoint(true)
+    } finally sorted.unpersist()
   }
 }

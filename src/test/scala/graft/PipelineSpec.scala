@@ -229,6 +229,18 @@ class PipelineSpec extends AnyFunSuite {
       s"LSH 4x8 recall collapsed: ${pruned.size}/${exact.size}")
   }
 
+  test("exact all-pairs verifier refuses corpus-scale input with an actionable error") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    spark.conf.set("graft.dedup.exactPairsMaxRows", "10")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Dedup.embeddingPairsExact(emb, threshold = 0.35)
+      }
+      assert(e.getMessage.contains("exactPairsMaxRows"))
+      assert(e.getMessage.contains("embeddingPairs"))
+    } finally spark.conf.unset("graft.dedup.exactPairsMaxRows")
+  }
+
   test("IVF centers are identical across differently-partitioned reads") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val a = Similarity.ivfCenters(emb, 8)
