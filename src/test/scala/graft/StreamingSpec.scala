@@ -201,6 +201,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(k1row.getLong(0) === 99L && k1row.getLong(1) === 2L)
   }
 
+  test("account table maintenance reads and rewrites only touched buckets") {
+    val s = spark
+    import s.implicits._
+    s.conf.set("graft.stream.accountTableBuckets", "64")
+    s.conf.set("graft.stream.traceTableReads", "true")
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("acct-bucket").toString + "/account"
+      def mk(rows: Seq[(Array[Byte], Long, Long, Long)]) =
+        rows.toDF("pubkey", "lamports", "write_version", "slot")
+      Pipeline.mergeAccountBatch(
+        mk((1 to 20).map(i => (pk(i.toByte), i * 10L, 1L, 5L))), dir)
+      def files(): Set[String] = spark.read.parquet(dir)
+        .select(input_file_name()).distinct().collect().map(_.getString(0)).toSet
+      val before = files()
+      assert(before.size > 1, s"fixture landed in one bucket: $before")
+      // incremental batch touching a single pubkey
+      Pipeline.mergeAccountBatch(mk(Seq((pk(1), 999L, 2L, 6L))), dir)
+      // read pruning proven behaviorally: the merge's table scan touched
+      // a strict subset of the table's files
+      val read = Pipeline.lastTableReadFiles.toSet
+      assert(read.nonEmpty && read.subsetOf(before) && read.size < before.size,
+        s"pruned read not a strict subset: read=${read.size} all=${before.size}")
+      // write pruning: every file of an untouched bucket survives the
+      // dynamic partition overwrite byte-for-byte (same physical paths)
+      val after = files()
+      assert((before -- read).subsetOf(after),
+        "dynamic overwrite rewrote buckets the batch never touched")
+      // last-writer-wins semantics unchanged
+      val table = spark.read.parquet(dir)
+      assert(table.count() === 20)
+      val k1 = table.filter(col("pubkey") === lit(pk(1)))
+        .select("lamports", "write_version").collect().head
+      assert(k1.getLong(0) === 999L && k1.getLong(1) === 2L)
+      // replay of the same batch is idempotent (at-least-once contract)
+      Pipeline.mergeAccountBatch(mk(Seq((pk(1), 999L, 2L, 6L))), dir)
+      assert(spark.read.parquet(dir).count() === 20)
+    } finally {
+      s.conf.unset("graft.stream.accountTableBuckets")
+      s.conf.unset("graft.stream.traceTableReads")
+    }
+  }
+
   test("observe() surfaces running counters to the listener") {
     val s = spark
     import s.implicits._
