@@ -102,6 +102,78 @@ object Similarity {
       .withColumn("cell", explode(nearestCells(col("qv"), lit(nprobe))))
   }
 
+  /** Test/observability hook: the index files the most recent
+    * [[ivfTopKFromIndex]] probe ACTUALLY read (populated only under
+    * `graft.ann.traceIndexReads` — a real `input_file_name()` pass over
+    * the pruned scan, proving partition pruning behaviorally;
+    * `DataFrame.inputFiles` lists the relation before pruning and
+    * cannot). Last-plan-wins, single-threaded test hook. */
+  @volatile private[graft] var lastIndexReadFiles: Array[String] = Array.empty
+
+  /**
+   * Materialize the IVF index on disk — the storage shape the scaladoc
+   * above promises: corpus parquet partitioned by `cell` (Int partition
+   * values — a Long comparison wraps the partition attribute in a cast
+   * that silently defeats pruning), plus a `<dir>.centers` sidecar with
+   * the trained centroids (the index PARAMETERS — reading them back must
+   * not touch the corpus). A probe via [[ivfTopKFromIndex]] then reads
+   * ~nprobe/nlist of the data off disk, the standard billion-vector
+   * IVF-Flat layout. Deterministic end-to-end (seeded centers, seeded
+   * sample): rebuilding over the same corpus bit-matches.
+   */
+  def ivfWriteIndex(corpus: DataFrame, dir: String, nlist: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    val centers = ivfCenters(corpus, nlist, vecCol, idCol)
+    import spark.implicits._
+    centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "center")
+      .coalesce(1).write.mode("overwrite").parquet(dir + ".centers")
+    ivfCellAssignments(corpus, centers, idCol, vecCol)
+      .select(col("corpus_id"), col("cv"), col("cell").cast("int").as("cell"))
+      // one file per cell dir (CLAUDE.md rule: without this every write
+      // task emits a file into every cell dir it holds rows for)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+  }
+
+  /** The center sidecar, read back in cell order. */
+  def ivfReadCenters(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Array[Array[Double]] =
+    spark.read.parquet(dir + ".centers").orderBy("cell")
+      .collect().map(_.getSeq[Double](1).toArray)
+
+  /**
+   * ANN top-k against a materialized [[ivfWriteIndex]] index: assign each
+   * query its `nprobe` nearest cells off the (tiny) centers sidecar,
+   * collect the probed cell set (≤ |queries|·nprobe ints — the only
+   * driver action), and scan ONLY those partitions of the index. The
+   * corpus files of unprobed cells are never opened — cost is
+   * ~nprobe/nlist of the index, not the corpus.
+   */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, k: Int = 10, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centers = ivfReadCenters(spark, dir)
+    val probes = ivfProbeAssignments(queries, centers, nprobe, idCol, vecCol)
+      .withColumn("cell", col("cell").cast("int"))
+    val cells = probes.select("cell").distinct()
+      .collect().map(_.getInt(0)).toIndexedSeq
+    val idx = spark.read.parquet(dir).filter(col("cell").isin(cells: _*))
+    if (spark.conf.get("graft.ann.traceIndexReads", "false").toBoolean)
+      lastIndexReadFiles = idx.select(input_file_name())
+        .distinct().collect().map(_.getString(0))
+    val scored = idx.join(broadcast(probes), "cell")
+      .select(col("query_id"), col("corpus_id"),
+        round(cosine(col("cv"), col("qv")), 6).as("score"))
+      .filter(col("query_id") =!= col("corpus_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "score", "rank")
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
       nlist: Int = 16, nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

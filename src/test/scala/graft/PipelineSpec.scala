@@ -241,6 +241,38 @@ class PipelineSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.dedup.exactPairsMaxRows")
   }
 
+  test("materialized IVF index: pruned probe reads only probed cells, recall matches in-flight") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("ivf-idx").toString + "/index"
+    Similarity.ivfWriteIndex(emb, dir, nlist = 8)
+    // sidecar round-trip: centers off disk bit-match the trained ones
+    val trained = Similarity.ivfCenters(emb, 8)
+    val read = Similarity.ivfReadCenters(spark, dir)
+    assert(read.length === trained.length)
+    read.zip(trained).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+    val queries = emb.filter(col("vec_id") < 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "corpus_id", "score", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // full probe: identical to the in-flight path (and to brute force)
+    val fromIndex = rows(Similarity.ivfTopKFromIndex(spark, dir, queries, k = 3, nprobe = 8))
+    val inFlight = rows(Similarity.ivfTopK(emb, queries, k = 3, nlist = 8, nprobe = 8))
+    assert(fromIndex === inFlight)
+    // partial probe: the scan is partition-pruned to the probed cells —
+    // proven behaviorally via input_file_name over the pruned scan
+    val allFiles = spark.read.parquet(dir).select(input_file_name())
+      .distinct().collect().map(_.getString(0)).toSet
+    spark.conf.set("graft.ann.traceIndexReads", "true")
+    try {
+      val partial = Similarity.ivfTopKFromIndex(spark, dir, queries, k = 3, nprobe = 2)
+      assert(partial.collect().nonEmpty)
+      val touched = Similarity.lastIndexReadFiles.toSet
+      assert(touched.nonEmpty && touched.subsetOf(allFiles) &&
+        touched.size < allFiles.size,
+        s"probe read ${touched.size}/${allFiles.size} files — not pruned")
+    } finally spark.conf.unset("graft.ann.traceIndexReads")
+  }
+
   test("IVF centers are identical across differently-partitioned reads") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val a = Similarity.ivfCenters(emb, 8)
