@@ -224,6 +224,32 @@ object Oracle {
 
   /** Per-document text statistics matching `TextSig.textStats` (see the
     * q16/q19 oracles for the proven split/trim quirk handling). */
+  /** Shared by m09 (in-flight IVF) and m15 (materialized index): same
+    * geometry (nlist=16 seeded centers via {AUX}, queries vec_id<16,
+    * nprobe=8, k=5), so the expected ranking is identical. */
+  private val IvfTopKSql: String = """
+      WITH centers AS (SELECT cell, center
+                       FROM read_parquet('{AUX}/ivf_centers/*.parquet')),
+      emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      dist AS (SELECT e.vec_id, c.cell, e.v,
+          list_sum(list_transform(range(len(c.center)), i ->
+            (e.v[CAST(i AS INT)+1] - c.center[CAST(i AS INT)+1])
+            * (e.v[CAST(i AS INT)+1] - c.center[CAST(i AS INT)+1]))) AS d
+        FROM emb e, centers c),
+      ranked AS (SELECT vec_id, cell, v,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+        FROM dist),
+      c AS (SELECT vec_id AS corpus_id, cell, v AS cv FROM ranked WHERE rn = 1),
+      p AS (SELECT vec_id AS query_id, cell, v AS qv FROM ranked
+            WHERE vec_id < 16 AND rn <= 8),
+      scored AS (SELECT DISTINCT query_id, corpus_id,
+              round(list_cosine_similarity(cv, qv),6) AS score
+            FROM c JOIN p USING (cell) WHERE corpus_id <> query_id),
+      r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, corpus_id ASC) AS INT) AS rank FROM scored)
+      SELECT query_id, corpus_id, score, rank FROM r WHERE rank <= 5
+      ORDER BY query_id, rank"""
+
   private val TextStatsCtes: String = s"""
     base AS (
       SELECT doc_id, text,
@@ -834,28 +860,11 @@ object Oracle {
     // re-derivable in SQL). Cell and probe ASSIGNMENTS are re-derived
     // here: argmin/top-nprobe squared-Euclidean with VecMath's tie rule
     // (lowest cell index wins).
-    "m09_ann_ivf" -> """
-      WITH centers AS (SELECT cell, center
-                       FROM read_parquet('{AUX}/ivf_centers/*.parquet')),
-      emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      dist AS (SELECT e.vec_id, c.cell, e.v,
-          list_sum(list_transform(range(len(c.center)), i ->
-            (e.v[CAST(i AS INT)+1] - c.center[CAST(i AS INT)+1])
-            * (e.v[CAST(i AS INT)+1] - c.center[CAST(i AS INT)+1]))) AS d
-        FROM emb e, centers c),
-      ranked AS (SELECT vec_id, cell, v,
-          row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
-        FROM dist),
-      c AS (SELECT vec_id AS corpus_id, cell, v AS cv FROM ranked WHERE rn = 1),
-      p AS (SELECT vec_id AS query_id, cell, v AS qv FROM ranked
-            WHERE vec_id < 16 AND rn <= 8),
-      scored AS (SELECT DISTINCT query_id, corpus_id,
-              round(list_cosine_similarity(cv, qv),6) AS score
-            FROM c JOIN p USING (cell) WHERE corpus_id <> query_id),
-      r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-              ORDER BY score DESC, corpus_id ASC) AS INT) AS rank FROM scored)
-      SELECT query_id, corpus_id, score, rank FROM r WHERE rank <= 5
-      ORDER BY query_id, rank""",
+    "m09_ann_ivf" -> IvfTopKSql,
+    // m15 probes the MATERIALIZED index (cell-partitioned parquet +
+    // centers sidecar) with m09's exact geometry: the expected answer is
+    // the same — the index round-trip must reproduce the in-flight path.
+    "m15_ann_ivf_index" -> IvfTopKSql,
 
     "m10_curation_report" -> s"""
       WITH $TextStatsCtes,
@@ -882,6 +891,55 @@ object Oracle {
       UNION ALL SELECT '2_quality', COUNT(*) FROM flags WHERE qual_ok
       UNION ALL SELECT '3_exact_dedup', COUNT(*) FROM kept
       UNION ALL SELECT '4_near_dedup', (SELECT COUNT(*) FROM kept) - COUNT(*) FROM dup
+      ORDER BY stage""",
+
+    // m14 = m10's chain + stage 5: drop survivors sharing ≥1 distinct
+    // 13-word-gram with the benchmark (doc_id % 5 = 0 over the raw
+    // table) — gram semantics shared with m13 (normalize → whitespace
+    // tokens → 13-grams; shorter docs contribute the whole text).
+    "m14_curation_decontam" -> s"""
+      WITH $TextStatsCtes,
+      flags AS (SELECT doc_id,
+          (doclang IN ('en','de','fr','es')) AS lang_ok,
+          (doclang IN ('en','de','fr','es'))
+            AND length(text) BETWEEN 50 AND 1000000
+            AND $QualityExpr >= 0.2 AS qual_ok,
+          trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS norm
+        FROM ratios r JOIN (SELECT doc_id, lang AS doclang FROM documents) d
+          USING (doc_id)),
+      kept AS (SELECT MIN(doc_id) AS doc_id, norm
+               FROM flags WHERE qual_ok GROUP BY norm),
+      ksh AS (SELECT doc_id,
+               list_distinct(list_transform(range(1, greatest(length(norm)-4,1)+1),
+                 i -> substr(norm, CAST(i AS INT), 5))) AS s
+             FROM kept WHERE length(norm) > 0),
+      dup AS (SELECT DISTINCT b.doc_id
+              FROM ksh a, ksh b WHERE a.doc_id < b.doc_id
+                AND CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+                    / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.6),
+      surv AS (SELECT doc_id FROM kept
+               WHERE doc_id NOT IN (SELECT doc_id FROM dup)),
+      nrm5 AS (SELECT doc_id,
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS nt
+               FROM documents),
+      tk5 AS (SELECT doc_id, string_split(nt, ' ') AS toks
+              FROM nrm5 WHERE length(nt) > 0),
+      sh5 AS (SELECT doc_id,
+               list_distinct(list_transform(range(1, greatest(len(toks)-12,1)+1),
+                 i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i AS INT)+12), ' '))) AS s
+             FROM tk5),
+      bench AS (SELECT DISTINCT unnest(s) AS gram FROM sh5 WHERE doc_id % 5 = 0),
+      contaminated AS (SELECT DISTINCT d.doc_id
+              FROM (SELECT doc_id, unnest(s) AS gram FROM sh5
+                    WHERE doc_id IN (SELECT doc_id FROM surv)) d
+              JOIN bench USING (gram))
+      SELECT '0_input' AS stage, COUNT(*) AS n_docs FROM flags
+      UNION ALL SELECT '1_language', COUNT(*) FROM flags WHERE lang_ok
+      UNION ALL SELECT '2_quality', COUNT(*) FROM flags WHERE qual_ok
+      UNION ALL SELECT '3_exact_dedup', COUNT(*) FROM kept
+      UNION ALL SELECT '4_near_dedup', (SELECT COUNT(*) FROM kept) - COUNT(*) FROM dup
+      UNION ALL SELECT '5_decontaminated',
+        (SELECT COUNT(*) FROM surv) - COUNT(*) FROM contaminated
       ORDER BY stage""",
 
     // =================================================================

@@ -584,10 +584,45 @@ object Queries {
           minQuality = 0.2, nearDedupThreshold = 0.6))
       .orderBy("stage")
 
+  /** m10's chain with `benchmark` set: filter → dedup → decontaminate as
+    * ONE `report` call with accounting — the oracle re-derives all six
+    * stage counts incl. the 13-gram test-set overlap on the survivors. */
+  def m14CurationDecontam(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    operators.TrainingPipeline.report(docs,
+        operators.TrainingPipeline.Config(
+          languages = Seq("en", "de", "fr", "es"), minChars = 50,
+          minQuality = 0.2, nearDedupThreshold = 0.6,
+          benchmark = Some(docs.filter(col("doc_id") % 5 === 0))))
+      .orderBy("stage")
+  }
+
   def m09AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 16), k = 5,
         nlist = 16, nprobe = 8)
+      .orderBy("query_id", "rank")
+  }
+
+  /** One materialized IVF index per (JVM, sf dir): built on first use
+    * under target/, then probed from disk. Deterministic content (seeded
+    * centers + assignments), so rebuild-vs-reuse cannot change results. */
+  private val ivfIndexDirs = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** m09's geometry probed FROM THE MATERIALIZED INDEX
+    * ([[Similarity.ivfWriteIndex]]): centers come off the sidecar, the
+    * scan is partition-pruned to the probed cells. Same oracle as m09 —
+    * the index round-trip (write → sidecar read → pruned scan) must
+    * reproduce the in-flight assignment path bit-for-bit. */
+  def m15AnnIvfIndex(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val idx = ivfIndexDirs.getOrElseUpdate(dir, {
+      val d = s"target/ivf-index/${new java.io.File(dir).getName}"
+      Similarity.ivfWriteIndex(emb, d, nlist = 16)
+      d
+    })
+    Similarity.ivfTopKFromIndex(s, idx, emb.filter(col("vec_id") < 16),
+        k = 5, nprobe = 8)
       .orderBy("query_id", "rank")
   }
 

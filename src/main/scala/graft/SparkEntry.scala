@@ -88,6 +88,7 @@ object SparkEntry {
     "m08_minhash_dedup" -> Queries.m08MinhashDedup,
     "m11_dedup_components" -> Queries.m11DedupComponents,
     "m09_ann_ivf" -> Queries.m09AnnIvf,
+    "m15_ann_ivf_index" -> Queries.m15AnnIvfIndex,
     "m10_curation_report" -> Queries.m10CurationReport,
     "mm01_media_profile" -> Queries.mm01MediaProfile,
     "mm02_image_features" -> Queries.mm02ImageFeatures,
@@ -95,6 +96,7 @@ object SparkEntry {
     "mm04_audio_profile" -> Queries.mm04AudioProfile,
     "m12_media_dedup" -> Queries.m12MediaDedup,
     "m13_decontamination" -> Queries.m13Decontamination,
+    "m14_curation_decontam" -> Queries.m14CurationDecontam,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on

@@ -16,6 +16,11 @@ import org.apache.spark.sql.functions._
  */
 object TrainingPipeline {
 
+  /** `benchmark`: when set, the chain ends with test-set decontamination
+    * ([[decontaminate]] — `decontamN`-gram overlap, ≥ `decontamMinHits`
+    * hits drops the doc) and the report gains a `5_decontaminated`
+    * stage. The benchmark frame is small by contract (it is broadcast —
+    * see [[contamination]]). */
   final case class Config(
       languages: Seq[String] = Seq("en"),
       minChars: Int = 100,
@@ -24,7 +29,10 @@ object TrainingPipeline {
       minStopwordRatio: Double = 0.0, // 0.0 = disabled; drops keyword-spam/code dumps
       exactDedup: Boolean = true,
       nearDedup: Boolean = true,
-      nearDedupThreshold: Double = 0.8)
+      nearDedupThreshold: Double = 0.8,
+      benchmark: Option[DataFrame] = None,
+      decontamN: Int = 13,
+      decontamMinHits: Long = 1)
 
   /** Stage 1 — language allowlist (predicted when no `lang` column). */
   def languageFilter(docs: DataFrame, languages: Seq[String]): DataFrame =
@@ -54,6 +62,15 @@ object TrainingPipeline {
 
   /** Full chain per `Config`; returns the curated corpus. */
   def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    var d = curateThroughDedup(docs, cfg)
+    cfg.benchmark.foreach { b =>
+      d = decontaminate(d, b, cfg.decontamN, cfg.decontamMinHits)
+    }
+    d
+  }
+
+  /** Stages 1–4 only (no decontamination) — the pre-benchmark corpus. */
+  private def curateThroughDedup(docs: DataFrame, cfg: Config): DataFrame = {
     var d = languageFilter(docs, cfg.languages)
     d = qualityFilter(d, cfg.minChars, cfg.maxChars, cfg.minQuality,
       cfg.minStopwordRatio)
@@ -86,11 +103,15 @@ object TrainingPipeline {
         val filtered = qualityFilter(languageFilter(batch, cfg.languages),
           cfg.minChars, cfg.maxChars, cfg.minQuality, cfg.minStopwordRatio)
         val exact = if (cfg.exactDedup) Dedup.exact(filtered) else filtered
-        val kept =
+        val deduped =
           if (cfg.nearDedup)
             Dedup.minhashDedupIncremental(exact, storeDir, cfg.nearDedupThreshold,
               batchId = Some(batchId))
           else exact
+        // static benchmark vs streaming batch: decontamination is a
+        // stateless broadcast join, identical semantics per micro-batch
+        val kept = cfg.benchmark.fold(deduped)(b =>
+          decontaminate(deduped, b, cfg.decontamN, cfg.decontamMinHits))
         kept.withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
@@ -121,12 +142,14 @@ object TrainingPipeline {
   }
 
   private def reportFrame(docs: DataFrame,
-      s: (Long, Long, Long, Long, Long)): DataFrame = {
+      s: (Long, Long, Long, Long, Long),
+      s5: Option[Long] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    Seq(
+    (Seq(
       ("0_input", s._1), ("1_language", s._2), ("2_quality", s._3),
-      ("3_exact_dedup", s._4), ("4_near_dedup", s._5))
+      ("3_exact_dedup", s._4), ("4_near_dedup", s._5)) ++
+      s5.map(("5_decontaminated", _)))
       .toDF("stage", "n_docs")
   }
 
@@ -136,19 +159,20 @@ object TrainingPipeline {
     * because LSH candidate generation + verify is not expressible as an
     * aggregate. Total passes over the text: 2 (was 5). Callers that also
     * want the curated corpus itself must use `curateWithReport` — calling
-    * `curate` + `report` separately pays the near-dedup chain twice. */
-  def report(docs: DataFrame, cfg: Config = Config()): DataFrame = {
-    val (s0, s1, s2, s3) = stageCounts(docs, cfg)
-    val s4 =
-      if (!cfg.nearDedup) s3
-      else {
-        val filtered = qualityFilter(languageFilter(docs, cfg.languages),
-          cfg.minChars, cfg.maxChars, cfg.minQuality, cfg.minStopwordRatio)
-        val s3df = if (cfg.exactDedup) Dedup.exact(filtered) else filtered
-        Dedup.minhashDedup(s3df, cfg.nearDedupThreshold).count()
-      }
-    reportFrame(docs, (s0, s1, s2, s3, s4))
-  }
+    * `curate` + `report` separately pays the near-dedup chain twice.
+    * With `cfg.benchmark` set this delegates to `curateWithReport` (the
+    * decontamination stage needs the materialized deduped corpus
+    * anyway) and adds the `5_decontaminated` row. */
+  def report(docs: DataFrame, cfg: Config = Config()): DataFrame =
+    if (cfg.benchmark.isDefined) curateWithReport(docs, cfg)._2
+    else {
+      val (s0, s1, s2, s3) = stageCounts(docs, cfg)
+      val s4 =
+        if (!cfg.nearDedup) s3
+        else Dedup.minhashDedup(curateThroughDedup(docs, cfg.copy(nearDedup = false)),
+          cfg.nearDedupThreshold).count()
+      reportFrame(docs, (s0, s1, s2, s3, s4))
+    }
 
   private val wordShinglesUdf =
     udf((t: String, w: Int) => graft.core.TextSig.wordShingles(t, w))
@@ -199,8 +223,17 @@ object TrainingPipeline {
   def curateWithReport(docs: DataFrame,
       cfg: Config = Config()): (DataFrame, DataFrame) = {
     val (s0, s1, s2, s3) = stageCounts(docs, cfg)
-    val curated = curate(docs, cfg).localCheckpoint(true)
-    val s4 = curated.count()
-    (curated, reportFrame(docs, (s0, s1, s2, s3, s4)))
+    val deduped = curateThroughDedup(docs, cfg).localCheckpoint(true)
+    val s4 = deduped.count()
+    cfg.benchmark match {
+      case None => (deduped, reportFrame(docs, (s0, s1, s2, s3, s4)))
+      case Some(b) =>
+        // decontamination reads the materialized dedup output — one
+        // extra broadcast-join pass over the survivors, never the corpus
+        val clean = decontaminate(deduped, b, cfg.decontamN,
+          cfg.decontamMinHits).localCheckpoint(true)
+        val s5 = clean.count()
+        (clean, reportFrame(docs, (s0, s1, s2, s3, s4), Some(s5)))
+    }
   }
 }
