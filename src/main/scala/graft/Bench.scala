@@ -65,12 +65,14 @@ object Bench {
       else (name, times(times.size / 2), None) // median (upper on even n)
     }
     val ok = results.filter(_._3.isEmpty)
-    // Compact formatting so the full 71-entry line survives the driver's
+    // Compact formatting so the full 74-entry line survives the driver's
     // 2000-char truncation (round 6 lost every m*-family entry to it):
-    // 3-decimal values with trailing zeros trimmed, basename sf, errors
-    // key only when non-empty.
+    // 2-decimal values with trailing zeros trimmed (3 decimals measured
+    // 2003 chars at 74 queries — over the limit; 10 ms precision is well
+    // inside run-to-run noise anyway), basename sf, errors key only when
+    // non-empty.
     def fmt(v: Double): String = {
-      val s = f"$v%.3f"
+      val s = f"$v%.2f"
       val t = s.reverse.dropWhile(_ == '0').reverse
       if (t.endsWith(".")) t + "0" else t
     }
@@ -81,7 +83,7 @@ object Bench {
     val errs = if (errPairs.isEmpty) "" else errPairs.mkString(",\"errors\":{", ",", "}")
     val total = ok.map(_._2).sum
     val sfName = sfDir.split('/').last
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qs$errs,"sf":"$sfName"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errs,"sf":"$sfName"}""")
     spark.stop()
   }
 }
