@@ -1134,7 +1134,7 @@ object Oracle {
     // oracle pins every projected scalar as a literal row. DuckDB never
     // sees the wire bytes — the oracle IS the expected decode, so any
     // vtable-offset/union/elision bug in encode or decode mismatches.
-    "sn15_fb_tx_roundtrip" -> """
+    "sn15_fb_tx" -> """
       SELECT * FROM (VALUES
         (repeat('01', 64), false, CAST(42 AS BIGINT), 'legacy',
          1, 0, 2, 2, repeat('11', 32), repeat('13', 32),
@@ -1180,6 +1180,27 @@ object Oracle {
              inner0_insn1_data_hex, rw0_pk, rw0_lamports, rw0_post, rw0_type,
              rw0_comm)
       ORDER BY sig_hex""",
+
+    // sn16/sn17: literal-frame round-trips of the remaining two .fbs
+    // roots (same contract as sn15). sn16 row slot=5 pins the Some(0)
+    // block_time surviving the builder's default-elision sentinel.
+    "sn16_fb_metadata" -> """
+      SELECT * FROM (VALUES
+        (CAST(0 AS BIGINT), '', '[]', CAST(-3 AS BIGINT), CAST(0 AS BIGINT)),
+        (CAST(5 AS BIGINT), 'bh1', '[{"reward":1}]', CAST(0 AS BIGINT),
+         CAST(7 AS BIGINT)),
+        (CAST(6 AS BIGINT), 'bh2', NULL, NULL, NULL)
+      ) AS t(slot, blockhash, rewards_json, block_time, block_height)
+      ORDER BY slot""",
+
+    "sn17_fb_offchain" -> """
+      SELECT * FROM (VALUES
+        ('6k78AbasGMFFrhG95Pj6jQbqkVt7FQMhVgemxJovWKR6', '',
+         CAST(0 AS BIGINT), false),
+        ('4K2V1kpVycZ6qSFsNdz2FtpNxnJs17eBNzf9rdCMcKoe',
+         'https://arweave.net/abc', CAST(9 AS BIGINT), true)
+      ) AS t(pubkey, uri, slot, is_startup)
+      ORDER BY slot""",
 
     "sn13_bank_fields" -> """
       SELECT CAST(103 AS BIGINT) AS slot, CAST(0 AS BIGINT) AS epoch,

@@ -823,6 +823,50 @@ object Queries {
       .orderBy("sig_hex")
   }
 
+  /** D6/D7 — the remaining two .fbs root types, same literal-frame
+    * pattern as sn15, so ALL FOUR wire roots are oracle-pinned.
+    * sn16 pins metadata.fbs's hardest edge: `block_time = Some(0)`
+    * must survive the builder's default-elision (the Long.MinValue
+    * sentinel) while absent optionals stay NULL. */
+  def sn16FbMetadataRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val rows = Seq(
+      Row(5L, "bh1", """[{"reward":1}]""", 0L, 7L), // Some(0) sentinel pin
+      Row(6L, "bh2", null, null, null),             // absent optionals
+      Row(0L, "", """[]""", -3L, 0L))               // zero slot, negative time
+    val frames = s.createDataFrame(rows.asJava, graft.model.Schemas.blockMetadata)
+    graft.streaming.Wire.decodeBlockMetadataFb(
+        graft.streaming.Wire.blockMetadataFb(frames))
+      .select(col("slot"), col("blockhash"), col("rewards_json"),
+        col("block_time"), col("block_height"))
+      .orderBy("slot")
+  }
+
+  /** metadata_off_chain.fbs round-trip (pubkey base58 string + URI). */
+  def sn17FbOffchainRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pubkey",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("uri",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("slot",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("is_startup",
+        org.apache.spark.sql.types.BooleanType, nullable = false)))
+    val rows = Seq(
+      Row("4K2V1kpVycZ6qSFsNdz2FtpNxnJs17eBNzf9rdCMcKoe",
+        "https://arweave.net/abc", 9L, true),
+      Row("6k78AbasGMFFrhG95Pj6jQbqkVt7FQMhVgemxJovWKR6", "", 0L, false))
+    val frames = s.createDataFrame(rows.asJava, schema)
+    graft.streaming.Wire.decodeOffchainFb(
+        graft.streaming.Wire.offchainFb(frames))
+      .select(col("pubkey"), col("uri"), col("slot"), col("is_startup"))
+      .orderBy("slot")
+  }
+
   def m13Decontamination(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     operators.TrainingPipeline.contamination(

@@ -176,7 +176,9 @@ object SparkEntry {
     // the transaction wire (the reference's hardest serialize surface):
     // literal frames round-tripped through the FlatBuffers encode/decode,
     // every scalar pinned by a literal oracle row — see Queries scaladoc
-    "sn15_fb_tx_roundtrip" -> Queries.sn15FbTxRoundtrip,
+    "sn15_fb_tx" -> Queries.sn15FbTxRoundtrip,
+    "sn16_fb_metadata" -> Queries.sn16FbMetadataRoundtrip,
+    "sn17_fb_offchain" -> Queries.sn17FbOffchainRoundtrip,
     "sn10_opcode_stats" -> ((s, _) =>
       Etl.opcodeStats(Etl.programs(dedupedFor(s,
         "pubkey", "owner", "executable", "data_len", "data"))).orderBy("opcode")),

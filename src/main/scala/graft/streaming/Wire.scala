@@ -97,4 +97,14 @@ object Wire {
 
   def decodeBlockMetadataFb(df: DataFrame): DataFrame =
     df.select(decMetaFb(col("value")).as("e")).select(col("e.*"))
+
+  private val encOffchainFb = rowUdf(FlatBuf.encodeOffchain)
+  private val decOffchainFb = udf((b: Array[Byte]) => FlatBuf.decodeOffchain(b))
+
+  /** NFT offchain message → `(topic, metadata_off_chain.fbs bytes)`. */
+  def offchainFb(df: DataFrame): DataFrame =
+    toTopicFb(df, OffchainTopic, encOffchainFb(_))
+
+  def decodeOffchainFb(df: DataFrame): DataFrame =
+    df.select(decOffchainFb(col("value")).as("e")).select(col("e.*"))
 }
