@@ -759,6 +759,26 @@ object Oracle {
     // assumption m03's gate has held under). Short docs contribute their
     // whole text as one gram (greatest(len-12,1) mirrors wordShingles'
     // max(toks-w+1, 1)).
+    // Exact string-bigram repetition stats (Gopher repetition-filter
+    // signals); same normalize as the shingle CTEs.
+    "m16_repetition_profile" -> """
+      WITH nrm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS nt
+                   FROM documents),
+      tk AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM nrm WHERE length(nt) > 0),
+      bg AS (SELECT doc_id, len(toks) AS n_tokens,
+               list_transform(range(1, greatest(len(toks)-1, 0)+1),
+                 i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1]) AS bgs
+             FROM tk),
+      cnt AS (SELECT doc_id, g, count(*) AS c
+              FROM (SELECT doc_id, unnest(bgs) AS g FROM bg) GROUP BY 1, 2),
+      agg AS (SELECT doc_id, max(c) AS topc, sum(c) AS total, count(*) AS dist
+              FROM cnt GROUP BY 1)
+      SELECT b.doc_id, b.n_tokens,
+        round(CAST(a.topc AS DOUBLE) / a.total, 6) AS top_bigram_frac,
+        round(CAST(a.total - a.dist AS DOUBLE) / a.total, 6) AS dup_bigram_frac
+      FROM bg b JOIN agg a USING (doc_id)
+      ORDER BY doc_id""",
+
     "m13_decontamination" -> """
       WITH nrm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS nt
                    FROM documents),

@@ -867,6 +867,12 @@ object Queries {
       .orderBy("slot")
   }
 
+  /** Gopher-style repetition signals per doc (see
+    * `TextAnalysis.repetitionProfile`) — oracle re-derives the exact
+    * string-bigram counts in SQL. */
+  def m16RepetitionProfile(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionProfile(t(s, dir, "documents")).orderBy("doc_id")
+
   def m13Decontamination(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     operators.TrainingPipeline.contamination(

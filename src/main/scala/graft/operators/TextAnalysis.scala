@@ -101,6 +101,54 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Gopher-style repetition kernel: ONE compiled pass per doc (the HOF
+    * Column form would re-evaluate per element — CLAUDE.md). Tuple
+    * return (top-level class — object-nested case classes drop encoder
+    * projections to interpreter mode):
+    * (nTokens, nBigrams, distinctBigrams, topBigramCount). Exact string
+    * bigram counts, not hashes — the oracle counts strings. */
+  private def repetitionKernel(text: String): (Int, Int, Int, Int) = {
+    val n = TextSig.normalize(text)
+    if (n.isEmpty) return (0, 0, 0, 0)
+    val toks = n.split(' ')
+    val nb = math.max(toks.length - 1, 0)
+    if (nb == 0) return (toks.length, 0, 0, 0)
+    val counts = new java.util.HashMap[String, Integer](nb * 2)
+    var top = 0
+    var i = 0
+    while (i < nb) {
+      val c = counts.merge(toks(i) + " " + toks(i + 1), 1, _ + _)
+      if (c > top) top = c
+      i += 1
+    }
+    (toks.length, nb, counts.size, top)
+  }
+  private val repetitionUdf = udf(repetitionKernel _)
+
+  /** Fraction of word-bigram occurrences held by the most common bigram
+    * (0.0 for docs with no bigram). Column form of the kernel for use in
+    * filter predicates; duplicate `repetitionUdf(text)` references are
+    * deduplicated by codegen subexpression elimination. */
+  def topBigramFrac(text: Column): Column = {
+    val r = repetitionUdf(text)
+    when(r.getField("_2") > 0,
+      r.getField("_4").cast("double") / r.getField("_2")).otherwise(lit(0.0))
+  }
+
+  /** Per-doc repetition signals — the Gopher repetition-filter family
+    * (fraction of the text held by the most-common word 2-gram, and the
+    * fraction of 2-gram occurrences that are repeats). High values mark
+    * boilerplate/spam a quality filter should drop. Narrow, no shuffle;
+    * docs with fewer than two tokens have no bigrams and are omitted. */
+  def repetitionProfile(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), repetitionUdf(col("text")).as("r"))
+      .filter(col("r._2") > 0)
+      .select(col("doc_id"),
+        col("r._1").as("n_tokens"),
+        round(col("r._4").cast("double") / col("r._2"), 6).as("top_bigram_frac"),
+        round((col("r._2") - col("r._3")).cast("double") / col("r._2"), 6)
+          .as("dup_bigram_frac"))
+
   /** Full per-document profile over a `documents`-shaped DataFrame. */
   def profile(docs: DataFrame): DataFrame =
     docs.select(

@@ -27,6 +27,7 @@ object TrainingPipeline {
       maxChars: Int = 1000000,
       minQuality: Double = 0.3,
       minStopwordRatio: Double = 0.0, // 0.0 = disabled; drops keyword-spam/code dumps
+      maxTopBigramFrac: Double = 1.0, // 1.0 = disabled; Gopher repetition filter
       exactDedup: Boolean = true,
       nearDedup: Boolean = true,
       nearDedupThreshold: Double = 0.8,
@@ -41,15 +42,20 @@ object TrainingPipeline {
 
   /** Stage 2 — length + heuristic quality gates (C4/Gopher-style). */
   def qualityFilter(docs: DataFrame, minChars: Int, maxChars: Int,
-      minQuality: Double, minStopwordRatio: Double = 0.0): DataFrame =
-    docs.filter(qualityPredicate(minChars, maxChars, minQuality, minStopwordRatio))
+      minQuality: Double, minStopwordRatio: Double = 0.0,
+      maxTopBigramFrac: Double = 1.0): DataFrame =
+    docs.filter(qualityPredicate(minChars, maxChars, minQuality,
+      minStopwordRatio, maxTopBigramFrac))
 
   private def qualityPredicate(minChars: Int, maxChars: Int,
-      minQuality: Double, minStopwordRatio: Double): Column =
+      minQuality: Double, minStopwordRatio: Double,
+      maxTopBigramFrac: Double = 1.0): Column =
     length(col("text")).between(minChars, maxChars) &&
       TextAnalysis.qualityScore(col("text")) >= minQuality &&
       (if (minStopwordRatio <= 0.0) lit(true)
-       else TextAnalysis.stopwordRatio(col("text")) >= minStopwordRatio)
+       else TextAnalysis.stopwordRatio(col("text")) >= minStopwordRatio) &&
+      (if (maxTopBigramFrac >= 1.0) lit(true)
+       else TextAnalysis.topBigramFrac(col("text")) <= maxTopBigramFrac)
 
   private def languagePredicate(docs: DataFrame, languages: Seq[String]): Column =
     if (languages.isEmpty) lit(true)
@@ -73,7 +79,7 @@ object TrainingPipeline {
   private def curateThroughDedup(docs: DataFrame, cfg: Config): DataFrame = {
     var d = languageFilter(docs, cfg.languages)
     d = qualityFilter(d, cfg.minChars, cfg.maxChars, cfg.minQuality,
-      cfg.minStopwordRatio)
+      cfg.minStopwordRatio, cfg.maxTopBigramFrac)
     if (cfg.exactDedup) d = Dedup.exact(d)
     if (cfg.nearDedup) d = Dedup.minhashDedup(d, cfg.nearDedupThreshold)
     d
@@ -101,7 +107,8 @@ object TrainingPipeline {
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val filtered = qualityFilter(languageFilter(batch, cfg.languages),
-          cfg.minChars, cfg.maxChars, cfg.minQuality, cfg.minStopwordRatio)
+          cfg.minChars, cfg.maxChars, cfg.minQuality, cfg.minStopwordRatio,
+          cfg.maxTopBigramFrac)
         val exact = if (cfg.exactDedup) Dedup.exact(filtered) else filtered
         val deduped =
           if (cfg.nearDedup)
@@ -129,7 +136,7 @@ object TrainingPipeline {
   private def stageCounts(docs: DataFrame, cfg: Config): (Long, Long, Long, Long) = {
     val langOk = languagePredicate(docs, cfg.languages)
     val qualOk = langOk && qualityPredicate(cfg.minChars, cfg.maxChars,
-      cfg.minQuality, cfg.minStopwordRatio)
+      cfg.minQuality, cfg.minStopwordRatio, cfg.maxTopBigramFrac)
     val row = docs.agg(
       count(lit(1)).as("s0"),
       count(when(langOk, 1)).as("s1"),

@@ -382,4 +382,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(p.getAs[Double]("stopword_ratio") > 0.2)
     assert(p.getAs[String]("lang_pred") == "en")
   }
+
+  test("repetition profile counts exact bigram stats") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"),   // bigrams: "a b"x3, "b a"x2
+      (2L, "w x y z"),       // all distinct
+      (3L, "solo"),          // no bigrams → omitted
+      (4L, "")).toDF("doc_id", "text")
+    val rows = TextAnalysis.repetitionProfile(docs).orderBy("doc_id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    val r1 = rows(0)
+    assert(r1.getAs[Int]("n_tokens") === 6)
+    assert(r1.getAs[Double]("top_bigram_frac") === 0.6) // 3/5
+    assert(r1.getAs[Double]("dup_bigram_frac") === 0.6) // (5-2)/5
+    val r2 = rows(1)
+    assert(r2.getAs[Double]("top_bigram_frac") === round3(1.0 / 3))
+    assert(r2.getAs[Double]("dup_bigram_frac") === 0.0)
+  }
+
+  private def round3(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

@@ -255,6 +255,52 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(kept === Set(2L))
   }
 
+  test("benchmark in Config: one-call chain ends decontaminated and the " +
+      "report gains the 5_decontaminated stage") {
+    val s = spark
+    import s.implicits._
+    val secret = "the quick brown benchmark sentence that must never leak " +
+      "into any training corpus at all"
+    val bench = Seq((100L, "held out eval item: " + secret)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "some intro text then " + secret + " and a trailing remainder " +
+        "of unrelated words continuing the long enough document for the gates"),
+      (2L, "a completely clean document about spark shuffles and parquet " +
+        "row groups with nothing shared beyond single isolated words here"))
+      .toDF("doc_id", "text")
+    val cfg = TrainingPipeline.Config(languages = Nil, minChars = 10,
+      minQuality = 0.0, nearDedup = false, benchmark = Some(bench))
+    val (clean, rep) = TrainingPipeline.curateWithReport(corpus, cfg)
+    assert(clean.select("doc_id").as[Long].collect().toSet === Set(2L))
+    val stages = rep.orderBy("stage").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stages("5_decontaminated") === 1L)
+    assert(stages("4_near_dedup") === 2L)
+    // curate alone matches the reported final corpus
+    assert(TrainingPipeline.curate(corpus, cfg)
+      .select("doc_id").as[Long].collect().toSet === Set(2L))
+  }
+
+  test("repetition gate drops boilerplate when maxTopBigramFrac is set") {
+    val s = spark
+    import s.implicits._
+    val spam = ("buy now " * 40).trim            // top bigram dominates
+    val prose = "a reasonably varied sentence about spark catalyst plans " +
+      "and parquet readers with no dominating repeated bigram inside it"
+    val corpus = Seq((1L, spam), (2L, prose)).toDF("doc_id", "text")
+    val cfg = TrainingPipeline.Config(languages = Nil, minChars = 10,
+      minQuality = 0.0, exactDedup = false, nearDedup = false,
+      maxTopBigramFrac = 0.2)
+    val kept = TrainingPipeline.curate(corpus, cfg)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L))
+    // disabled by default: both survive
+    val keptAll = TrainingPipeline.curate(corpus,
+        cfg.copy(maxTopBigramFrac = 1.0))
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptAll === Set(1L, 2L))
+  }
+
   test("curateWithReport returns the curate corpus and the report counts " +
       "from a single near-dedup run") {
     val s = spark
