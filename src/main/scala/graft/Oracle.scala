@@ -779,6 +779,18 @@ object Oracle {
       FROM bg b JOIN agg a USING (doc_id)
       ORDER BY doc_id""",
 
+    // Deterministic mixture sample: splitmix64(doc_id) mod 10000 against
+    // per-source basis-point thresholds — the kept SET is pinned.
+    "m17_mixture_sample" -> s"""
+      WITH msbase AS (SELECT doc_id, source,
+             CAST(doc_id AS HUGEINT) AS z0 FROM documents),
+      ${mix64Ctes("msmx", "msbase", "doc_id, source")}
+      SELECT doc_id, source FROM msmx
+      WHERE h % 10000 < CASE source
+          WHEN 'src0' THEN 500 WHEN 'src1' THEN 2500
+          WHEN 'src2' THEN 7500 ELSE 5000 END
+      ORDER BY doc_id""",
+
     "m13_decontamination" -> """
       WITH nrm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS nt
                    FROM documents),

@@ -873,6 +873,17 @@ object Queries {
   def m16RepetitionProfile(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionProfile(t(s, dir, "documents")).orderBy("doc_id")
 
+  /** Deterministic data-mixing sample (see
+    * `TrainingPipeline.mixtureSample`); the oracle re-derives the
+    * splitmix64 bucket in HUGEINT SQL, so the kept SET (not just the
+    * count) is pinned. */
+  def m17MixtureSample(s: SparkSession, dir: String): DataFrame =
+    operators.TrainingPipeline.mixtureSample(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        Map("src0" -> 0.05, "src1" -> 0.25, "src2" -> 0.75),
+        defaultRate = 0.5)
+      .orderBy("doc_id")
+
   def m13Decontamination(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     operators.TrainingPipeline.contamination(

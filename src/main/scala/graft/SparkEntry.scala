@@ -98,6 +98,7 @@ object SparkEntry {
     "m13_decontamination" -> Queries.m13Decontamination,
     "m14_curation_decontam" -> Queries.m14CurationDecontam,
     "m16_repetition_profile" -> Queries.m16RepetitionProfile,
+    "m17_mixture_sample" -> Queries.m17MixtureSample,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on

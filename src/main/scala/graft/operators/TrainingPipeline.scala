@@ -181,6 +181,30 @@ object TrainingPipeline {
       reportFrame(docs, (s0, s1, s2, s3, s4))
     }
 
+  private val sampleBucketUdf = udf((id: Long) =>
+    java.lang.Long.remainderUnsigned(graft.core.TextSig.mix64(id), 10000L).toInt)
+
+  /** Deterministic mixture sampling — the data-mixing step of corpus
+    * prep: keep each doc with probability `rates(source)` (else
+    * `defaultRate`), decided by `splitmix64(doc_id) mod 10000` against
+    * the rate in basis points. Unlike `DataFrame.sample`, the decision
+    * is a pure function of the ROW, so it is reproducible across runs,
+    * partitionings and engines (the oracle re-derives the same hash in
+    * SQL), and a doc's fate never changes when the corpus around it
+    * does. Narrow — no shuffle; rates compile to one CASE column. */
+  def mixtureSample(docs: DataFrame, rates: Map[String, Double],
+      defaultRate: Double = 1.0, sourceCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    require((rates.values.toSeq :+ defaultRate).forall(r => r >= 0.0 && r <= 1.0),
+      s"mixtureSample: rates must be in [0,1], got $rates / $defaultRate")
+    val threshold = rates.toSeq.sortBy(_._1).foldLeft(
+      lit(math.round(defaultRate * 10000).toInt)) { case (acc, (src, r)) =>
+        when(col(sourceCol) === src, lit(math.round(r * 10000).toInt))
+          .otherwise(acc)
+      }
+    docs.filter(sampleBucketUdf(col(idCol)) < threshold)
+  }
+
   private val wordShinglesUdf =
     udf((t: String, w: Int) => graft.core.TextSig.wordShingles(t, w))
 

@@ -281,6 +281,30 @@ class TrainingPipelineSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet === Set(2L))
   }
 
+  test("mixture sample is deterministic, rate-exact at 0/1, and " +
+      "partitioning-invariant") {
+    val s = spark
+    import s.implicits._
+    val corpus = (0L until 400L).map(i => (i, s"src${i % 4}", s"text $i"))
+      .toDF("doc_id", "source", "text")
+    val rates = Map("src0" -> 0.0, "src1" -> 1.0, "src2" -> 0.3)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      TrainingPipeline.mixtureSample(df, rates, defaultRate = 0.5)
+        .select("doc_id").as[Long].collect().toSet
+    val kept = ids(corpus)
+    assert(!kept.exists(_ % 4 == 0), "rate 0.0 must drop every doc")
+    assert((1L until 400L by 4).forall(i => kept.contains(i)), "rate 1.0 keeps all")
+    val r2 = kept.count(_ % 4 == 2)
+    assert(r2 > 10 && r2 < 50, s"src2 at 0.3 kept $r2/100")
+    // a doc's fate is a pure function of the row — repartitioning and
+    // reordering the corpus cannot change the kept set
+    assert(ids(corpus.repartition(7, col("source"))
+      .sortWithinPartitions(col("doc_id").desc)) === kept)
+    assert(intercept[IllegalArgumentException] {
+      TrainingPipeline.mixtureSample(corpus, Map("a" -> 1.5))
+    }.getMessage.contains("rates"))
+  }
+
   test("repetition gate drops boilerplate when maxTopBigramFrac is set") {
     val s = spark
     import s.implicits._
