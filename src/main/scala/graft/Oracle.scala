@@ -467,7 +467,7 @@ object Oracle {
       GROUP BY n_name
       ORDER BY n_name""",
 
-    "q19_quality_by_source" -> """
+    "q19_quality_src" -> """
       SELECT source,
         CAST(SUM(stop_r) AS DOUBLE) / COUNT(*) AS avg_stopword_ratio,
         CAST(SUM(punct_r) AS DOUBLE) / COUNT(*) AS avg_punct_ratio,
@@ -572,7 +572,7 @@ object Oracle {
       WHERE list_has_any(toks, ['green', 'blue']) OR list_contains(toks, 'red')
       ORDER BY p_partkey""",
 
-    "q30_regex_conditional" -> """
+    "q30_regex_cond" -> """
       SELECT digit, COUNT(*) AS n,
         CAST(SUM(CAST(bal_pos AS DECIMAL(18,2))) AS DOUBLE) AS sum_pos,
         CAST(SUM(CAST(bal_neg AS DECIMAL(18,2))) AS DOUBLE) AS sum_neg
@@ -678,7 +678,7 @@ object Oracle {
       WHERE value > total * 0.001
       ORDER BY l_suppkey""",
 
-    "q20_customer_order_stats" -> """
+    "q20_customer_stats" -> """
       SELECT o_custkey, COUNT(*) AS n_orders,
         strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') AS first_order_s,
         strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS last_order_s,
@@ -739,7 +739,7 @@ object Oracle {
       FROM s a, s b WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= 8
       ORDER BY doc_id_a, doc_id_b""",
 
-    "m03_ngram_jaccard_pairs" -> """
+    "m03_ngram_jaccard" -> """
       WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS nt
                  FROM documents),
       tk AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM n WHERE length(nt) > 0),
@@ -761,7 +761,7 @@ object Oracle {
     // max(toks-w+1, 1)).
     // Exact string-bigram repetition stats (Gopher repetition-filter
     // signals); same normalize as the shingle CTEs.
-    "m16_repetition_profile" -> """
+    "m16_repetition" -> """
       WITH nrm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS nt
                    FROM documents),
       tk AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM nrm WHERE length(nt) > 0),
@@ -781,7 +781,7 @@ object Oracle {
 
     // Deterministic mixture sample: splitmix64(doc_id) mod 10000 against
     // per-source basis-point thresholds — the kept SET is pinned.
-    "m17_mixture_sample" -> s"""
+    "m17_mixture" -> s"""
       WITH msbase AS (SELECT doc_id, source,
              CAST(doc_id AS HUGEINT) AS z0 FROM documents),
       ${mix64Ctes("msmx", "msbase", "doc_id, source")}
@@ -929,7 +929,7 @@ object Oracle {
     // 13-word-gram with the benchmark (doc_id % 5 = 0 over the raw
     // table) — gram semantics shared with m13 (normalize → whitespace
     // tokens → 13-grams; shorter docs contribute the whole text).
-    "m14_curation_decontam" -> s"""
+    "m14_decontam" -> s"""
       WITH $TextStatsCtes,
       flags AS (SELECT doc_id,
           (doclang IN ('en','de','fr','es')) AS lang_ok,
@@ -1151,7 +1151,7 @@ object Oracle {
     // (slot, id), both null when unparseable) anti-joined against the
     // manifest's appendvec entries. A NULL slot never equi-matches, so
     // unparseable names are always unexpected — reference unpacked.rs:104.
-    "sn11_unexpected_appendvecs" -> """
+    "sn11_unexpected_vecs" -> """
       SELECT l.file
       FROM read_parquet('{AUX}/accounts_listing/*.parquet') l
       ANTI JOIN read_parquet('{AUX}/manifest_vecs/*.parquet') m

@@ -55,8 +55,8 @@ object SparkEntry {
     "q16_text_tokens" -> Queries.q16TextTokens,
     "q17_exact_dedup" -> Queries.q17ExactDedup,
     "q18_five_way_join" -> Queries.q18FiveWayJoin,
-    "q19_quality_by_source" -> Queries.q19QualityBySource,
-    "q20_customer_order_stats" -> Queries.q20CustomerOrderStats,
+    "q19_quality_src" -> Queries.q19QualityBySource,
+    "q20_customer_stats" -> Queries.q20CustomerOrderStats,
     "q21_grouping_sets" -> Queries.q21GroupingSets,
     "q22_string_funcs" -> Queries.q22StringFuncs,
     "q23_date_funcs" -> Queries.q23DateFuncs,
@@ -66,7 +66,7 @@ object SparkEntry {
     "q27_rank_suite" -> Queries.q27RankSuite,
     "q28_stats" -> Queries.q28Stats,
     "q29_array_funcs" -> Queries.q29ArrayFuncs,
-    "q30_regex_conditional" -> Queries.q30RegexConditional,
+    "q30_regex_cond" -> Queries.q30RegexConditional,
     "q31_scalar_subquery" -> Queries.q31ScalarSubquery,
     "q32_percent_rank" -> Queries.q32PercentRank,
     "q33_conditional_agg" -> Queries.q33ConditionalAgg,
@@ -80,7 +80,7 @@ object SparkEntry {
     // training-data operators (rows-only)
     "m01_minhash_pairs" -> Queries.m01MinhashPairs,
     "m02_simhash_pairs" -> Queries.m02SimhashPairs,
-    "m03_ngram_jaccard_pairs" -> Queries.m03NgramJaccardPairs,
+    "m03_ngram_jaccard" -> Queries.m03NgramJaccardPairs,
     "m04_ann_bruteforce" -> Queries.m04AnnBruteForce,
     "m05_ann_lsh" -> Queries.m05AnnLsh,
     "m06_embedding_dedup" -> Queries.m06EmbeddingDedup,
@@ -96,9 +96,9 @@ object SparkEntry {
     "mm04_audio_profile" -> Queries.mm04AudioProfile,
     "m12_media_dedup" -> Queries.m12MediaDedup,
     "m13_decontamination" -> Queries.m13Decontamination,
-    "m14_curation_decontam" -> Queries.m14CurationDecontam,
-    "m16_repetition_profile" -> Queries.m16RepetitionProfile,
-    "m17_mixture_sample" -> Queries.m17MixtureSample,
+    "m14_decontam" -> Queries.m14CurationDecontam,
+    "m16_repetition" -> Queries.m16RepetitionProfile,
+    "m17_mixture" -> Queries.m17MixtureSample,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on
@@ -185,7 +185,7 @@ object SparkEntry {
       Etl.opcodeStats(Etl.programs(dedupedFor(s,
         "pubkey", "owner", "executable", "data_len", "data"))).orderBy("opcode")),
     // J1 anti-join error channel: files on disk absent from the manifest
-    "sn11_unexpected_appendvecs" -> ((s, _) =>
+    "sn11_unexpected_vecs" -> ((s, _) =>
       SnapshotReader.unexpectedAppendVecs(s, fixtureDir)
         .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"))
         .orderBy("file")),
