@@ -791,6 +791,26 @@ object Oracle {
           WHEN 'src2' THEN 7500 ELSE 5000 END
       ORDER BY doc_id""",
 
+    // Deterministic chunking: windows of 16 normalized tokens starting
+    // every 12 (overlap 4); chunk count = ceil((n-4)/12), 1 when n<=4.
+    "m18_chunk" -> """
+      WITH nrm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS nt
+                   FROM documents),
+      tk AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM nrm WHERE length(nt) > 0),
+      nc AS (SELECT doc_id, toks,
+               CASE WHEN len(toks) <= 4 THEN 1
+                    ELSE CAST(ceil((len(toks) - 4) / 12.0) AS INT) END AS n_chunks
+             FROM tk),
+      ch AS (SELECT doc_id, CAST(unnest(range(0, n_chunks)) AS INT) AS chunk_id, toks
+             FROM nc)
+      SELECT doc_id, chunk_id,
+        CAST(len(list_slice(toks, chunk_id*12 + 1, chunk_id*12 + 16)) AS INT)
+          AS n_chunk_tokens,
+        array_to_string(list_slice(toks, chunk_id*12 + 1, chunk_id*12 + 16), ' ')
+          AS chunk_text
+      FROM ch
+      ORDER BY doc_id, chunk_id""",
+
     "m13_decontamination" -> """
       WITH nrm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS nt
                    FROM documents),

@@ -884,6 +884,12 @@ object Queries {
         defaultRate = 0.5)
       .orderBy("doc_id")
 
+  /** Deterministic chunking (see `TextAnalysis.chunk`); the oracle
+    * re-derives every chunk STRING from the token arithmetic. */
+  def m18Chunk(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunk(t(s, dir, "documents"), maxTokens = 16, overlap = 4)
+      .orderBy("doc_id", "chunk_id")
+
   def m13Decontamination(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     operators.TrainingPipeline.contamination(

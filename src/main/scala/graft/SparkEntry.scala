@@ -99,6 +99,7 @@ object SparkEntry {
     "m14_decontam" -> Queries.m14CurationDecontam,
     "m16_repetition" -> Queries.m16RepetitionProfile,
     "m17_mixture" -> Queries.m17MixtureSample,
+    "m18_chunk" -> Queries.m18Chunk,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on

@@ -149,6 +149,43 @@ object TextAnalysis {
         round((col("r._2") - col("r._3")).cast("double") / col("r._2"), 6)
           .as("dup_bigram_frac"))
 
+  /** Chunking kernel: normalized whitespace tokens, windows of
+    * `maxTokens` starting every `maxTokens - overlap` tokens; the chunk
+    * count is ceil((n - overlap) / step) (1 when n ≤ overlap), so the
+    * tail is covered without a redundant pure-suffix chunk. */
+  private def chunkKernel(text: String, maxTokens: Int, overlap: Int): Array[String] = {
+    val n0 = TextSig.normalize(text)
+    if (n0.isEmpty) return Array.empty
+    val toks = n0.split(' ')
+    val step = maxTokens - overlap
+    val nc =
+      if (toks.length <= overlap) 1
+      else math.ceil((toks.length - overlap).toDouble / step).toInt
+    Array.tabulate(nc) { k =>
+      val from = k * step
+      toks.slice(from, math.min(from + maxTokens, toks.length)).mkString(" ")
+    }
+  }
+  private val chunkUdf = udf(chunkKernel _)
+
+  /** Deterministic document chunking — context-window splitting for
+    * training: each doc becomes ceil((n−overlap)/(maxTokens−overlap))
+    * chunks of ≤ `maxTokens` normalized tokens, consecutive chunks
+    * sharing `overlap` tokens. Narrow (kernel + posexplode — no
+    * shuffle); chunk identity is (doc_id, chunk_id), a pure function of
+    * the row, so re-chunking a grown corpus never renumbers old chunks.
+    * Empty docs produce no chunks. */
+  def chunk(docs: DataFrame, maxTokens: Int = 512, overlap: Int = 64): DataFrame = {
+    require(maxTokens > overlap && overlap >= 0,
+      s"chunk: need maxTokens > overlap >= 0, got $maxTokens/$overlap")
+    docs.select(col("doc_id"),
+        posexplode(chunkUdf(col("text"), lit(maxTokens), lit(overlap)))
+          .as(Seq("chunk_id", "chunk_text")))
+      .select(col("doc_id"), col("chunk_id"),
+        size(split(col("chunk_text"), " ")).as("n_chunk_tokens"),
+        col("chunk_text"))
+  }
+
   /** Full per-document profile over a `documents`-shaped DataFrame. */
   def profile(docs: DataFrame): DataFrame =
     docs.select(

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.TrainingPipeline
+import graft.operators.{TextAnalysis, TrainingPipeline}
 
 class TrainingPipelineSpec extends AnyFunSuite {
 
@@ -303,6 +303,30 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] {
       TrainingPipeline.mixtureSample(corpus, Map("a" -> 1.5))
     }.getMessage.contains("rates"))
+  }
+
+  test("chunking covers every token with exact overlap and no redundant tail") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, (1 to 13).map(i => s"t$i").mkString(" ")), // 13 toks → 3 chunks
+      (2L, "a b c"),                                  // n <= overlap+? → 1 chunk
+      (3L, "")).toDF("doc_id", "text")
+    val rows = TextAnalysis.chunk(docs, maxTokens = 8, overlap = 4)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    // ceil((13-4)/4) = 3 chunks: [1,8], [5,12], [9,13]
+    assert(rows.filter(_._1 == 1L).map(_._4).toSeq === Seq(
+      (1 to 8).map(i => s"t$i").mkString(" "),
+      (5 to 12).map(i => s"t$i").mkString(" "),
+      (9 to 13).map(i => s"t$i").mkString(" ")))
+    assert(rows.filter(_._1 == 1L).map(_._3).toSeq === Seq(8, 8, 5))
+    assert(rows.filter(_._1 == 2L).toSeq === Seq((2L, 0, 3, "a b c")))
+    assert(!rows.exists(_._1 == 3L), "empty doc must produce no chunks")
+    // consecutive chunks share exactly `overlap` tokens
+    val c = rows.filter(_._1 == 1L).map(_._4.split(' ').toSeq)
+    assert(c(0).takeRight(4) === c(1).take(4))
+    assert(c(1).takeRight(4) === c(2).take(4))
   }
 
   test("repetition gate drops boilerplate when maxTopBigramFrac is set") {
