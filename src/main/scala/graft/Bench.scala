@@ -34,7 +34,7 @@ object Bench {
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
-    // SPARK_GRAFT_ONLY=m01_minhash_pairs,q01_pricing_summary → bench just
+    // SPARK_GRAFT_ONLY=m01_minhash_pairs,q01_pricing → bench just
     // those (dev perf loop); unset = all queries (the driver's mode).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     // SPARK_GRAFT_RUNS (default 3): per-query repeat count; the reported

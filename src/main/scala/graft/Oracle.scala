@@ -297,7 +297,7 @@ object Oracle {
 
   val sql: Map[String, String] = Map(
 
-    "q01_pricing_summary" -> """
+    "q01_pricing" -> """
       SELECT l_returnflag, l_linestatus,
         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
@@ -343,7 +343,7 @@ object Oracle {
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment""",
 
-    "q06_selective_filter" -> """
+    "q06_selective" -> """
       SELECT
         CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
         COUNT(*) AS n_rows
@@ -409,7 +409,7 @@ object Oracle {
       GROUP BY CUBE(o_orderstatus, o_orderpriority)
       ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
 
-    "q13_hourly_windows" -> """
+    "q13_hourly" -> """
       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_s,
         event_type, COUNT(*) AS n_events,
         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -584,7 +584,7 @@ object Oracle {
       GROUP BY digit
       ORDER BY digit""",
 
-    "q31_scalar_subquery" -> """
+    "q31_scalar_subq" -> """
       SELECT p_brand, COUNT(*) AS n_above,
         CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       FROM (SELECT p_brand, p_retailprice,
@@ -657,7 +657,7 @@ object Oracle {
         ON p.user_id = s.user_id AND p.ts >= s.w_start AND p.ts <= s.w_end
       ORDER BY p.user_id, p.event_id, s.signup_id""",
 
-    "q38_avg_qty_threshold" -> """
+    "q38_avg_qty" -> """
       SELECT
         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         COUNT(*) AS n_rows
@@ -826,7 +826,7 @@ object Oracle {
                GROUP BY d.doc_id)
       SELECT doc_id, hits FROM hits WHERE hits >= 1 ORDER BY doc_id""",
 
-    "m04_ann_bruteforce" -> """
+    "m04_ann_brute" -> """
       WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                  FROM embeddings WHERE vec_id < 16),
       s AS (SELECT query_id, e.vec_id AS corpus_id,
@@ -859,7 +859,7 @@ object Oracle {
     // Spark side runs 1-plane × 16-band LSH whose miss probability per
     // true pair is ≈2e-7, so it must reproduce this set exactly; any LSH
     // recall loss shows up as a hash mismatch here.
-    "m06_embedding_dedup" -> s"""
+    "m06_embed_dedup" -> s"""
       WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                  FROM embeddings)
       SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
@@ -893,7 +893,7 @@ object Oracle {
 
     // Transitive closure via recursive reachability over the exact pair
     // set; component = min reachable doc_id.
-    "m11_dedup_components" -> s"""
+    "m11_components" -> s"""
       WITH RECURSIVE $CharShingleCtes,
       p AS (SELECT a.doc_id AS da, b.doc_id AS db
             FROM sh a, sh b WHERE a.doc_id < b.doc_id

@@ -37,19 +37,19 @@ object SparkEntry {
     * oracle exists; the `sn` / `m` entries are rows-only checks. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // SQL-oracled relational battery
-    "q01_pricing_summary" -> Queries.q01PricingSummary,
+    "q01_pricing" -> Queries.q01PricingSummary,
     "q02_region_rollup" -> Queries.q02RegionRollup,
     "q03_revenue_topk" -> Queries.q03RevenueTopK,
     "q04_exists_semijoin" -> Queries.q04ExistsSemiJoin,
     "q05_anti_join" -> Queries.q05AntiJoin,
-    "q06_selective_filter" -> Queries.q06SelectiveFilter,
+    "q06_selective" -> Queries.q06SelectiveFilter,
     "q07_latest_version" -> Queries.q07LatestVersion,
     "q08_distinct_agg" -> Queries.q08DistinctAgg,
     "q09_explode_tokens" -> Queries.q09ExplodeTokens,
     "q10_case_dispatch" -> Queries.q10CaseDispatch,
     "q11_set_ops" -> Queries.q11SetOps,
     "q12_cube_agg" -> Queries.q12CubeAgg,
-    "q13_hourly_windows" -> Queries.q13HourlyWindows,
+    "q13_hourly" -> Queries.q13HourlyWindows,
     "q14_sessionization" -> Queries.q14Sessionization,
     "q15_json_extract" -> Queries.q15JsonExtract,
     "q16_text_tokens" -> Queries.q16TextTokens,
@@ -67,26 +67,26 @@ object SparkEntry {
     "q28_stats" -> Queries.q28Stats,
     "q29_array_funcs" -> Queries.q29ArrayFuncs,
     "q30_regex_cond" -> Queries.q30RegexConditional,
-    "q31_scalar_subquery" -> Queries.q31ScalarSubquery,
+    "q31_scalar_subq" -> Queries.q31ScalarSubquery,
     "q32_percent_rank" -> Queries.q32PercentRank,
     "q33_conditional_agg" -> Queries.q33ConditionalAgg,
     "q34_union_having" -> Queries.q34UnionHaving,
     "q35_having_max" -> Queries.q35HavingMax,
     "q36_asof_join" -> Queries.q36AsofJoin,
     "q37_range_join" -> Queries.q37RangeJoin,
-    "q38_avg_qty_threshold" -> Queries.q38AvgQtyThreshold,
+    "q38_avg_qty" -> Queries.q38AvgQtyThreshold,
     "q39_value_share" -> Queries.q39ValueShare,
     "q40_global_rank" -> Queries.q40GlobalRank,
     // training-data operators (rows-only)
     "m01_minhash_pairs" -> Queries.m01MinhashPairs,
     "m02_simhash_pairs" -> Queries.m02SimhashPairs,
     "m03_ngram_jaccard" -> Queries.m03NgramJaccardPairs,
-    "m04_ann_bruteforce" -> Queries.m04AnnBruteForce,
+    "m04_ann_brute" -> Queries.m04AnnBruteForce,
     "m05_ann_lsh" -> Queries.m05AnnLsh,
-    "m06_embedding_dedup" -> Queries.m06EmbeddingDedup,
+    "m06_embed_dedup" -> Queries.m06EmbeddingDedup,
     "m07_text_profile" -> Queries.m07TextProfile,
     "m08_minhash_dedup" -> Queries.m08MinhashDedup,
-    "m11_dedup_components" -> Queries.m11DedupComponents,
+    "m11_components" -> Queries.m11DedupComponents,
     "m09_ann_ivf" -> Queries.m09AnnIvf,
     "m15_ann_ivf_index" -> Queries.m15AnnIvfIndex,
     "m10_curation_report" -> Queries.m10CurationReport,

@@ -16,7 +16,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // SPARK_GRAFT_ONLY=m06_embedding_dedup → dump just those queries
+    // SPARK_GRAFT_ONLY=m06_embed_dedup → dump just those queries
     // (dev iteration; the driver never sets it, so the gate is complete).
     // Empty / all-blank values mean "no filter" — a bare `SPARK_GRAFT_ONLY=`
     // must not silently write nothing.
