@@ -61,18 +61,26 @@ object Bench {
       }
       val samples = (1 to runs).map(_ => once())
       val times = samples.collect { case Right(t) => t }.sorted
-      if (times.isEmpty) (name, 0.0, samples.collectFirst { case Left(m) => m })
-      else (name, times(times.size / 2), None) // median (upper on even n)
+      val fails = samples.collect { case Left(m) => m }
+      // A partially-failing query must not read as healthy: the median of
+      // the successes is still reported (it is real data), but the errors
+      // key records how many of the runs threw and why.
+      val err = fails.headOption.map(m =>
+        if (times.isEmpty) m else s"${fails.size}/$runs runs failed: $m")
+      if (times.isEmpty) (name, 0.0, err)
+      else (name, times(times.size / 2), err) // median (upper on even n)
     }
-    val ok = results.filter(_._3.isEmpty)
+    val ok = results.filter(_._2 > 0.0)
     // Compact formatting so the full 74-entry line survives the driver's
     // 2000-char truncation (round 6 lost every m*-family entry to it):
     // 2-decimal values with trailing zeros trimmed (3 decimals measured
     // 2003 chars at 74 queries — over the limit; 10 ms precision is well
     // inside run-to-run noise anyway), basename sf, errors key only when
     // non-empty.
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and
+    // a comma decimal separator would make the whole line invalid JSON.
     def fmt(v: Double): String = {
-      val s = f"$v%.2f"
+      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
       val t = s.reverse.dropWhile(_ == '0').reverse
       if (t.endsWith(".")) t + "0" else t
     }

@@ -717,7 +717,8 @@ object Dedup {
     val slim = emb.select(col("vec_id"), col("embedding"))
     val maxRows = emb.sparkSession.conf
       .get("graft.dedup.exactPairsMaxRows", "100000").toLong
-    if (slim.limit((maxRows + 1).toInt).count() > maxRows)
+    val probe = math.min(maxRows + 1, Int.MaxValue.toLong).toInt // conf > 2^31 must not wrap negative
+    if (maxRows < Int.MaxValue && slim.limit(probe).count() > maxRows)
       throw new IllegalArgumentException(
         s"embeddingPairsExact: input exceeds graft.dedup.exactPairsMaxRows=" +
           s"$maxRows vectors — this O(N²) verifier is gate/recall-baseline " +

@@ -171,8 +171,13 @@ object TrainingPipeline {
     * decontamination stage needs the materialized deduped corpus
     * anyway) and adds the `5_decontaminated` row. */
   def report(docs: DataFrame, cfg: Config = Config()): DataFrame =
-    if (cfg.benchmark.isDefined) curateWithReport(docs, cfg)._2
-    else {
+    if (cfg.benchmark.isDefined) {
+      // counts only: release the returned corpus' checkpoint blocks —
+      // the report frame is a local literal and does not reference them
+      val (clean, rep) = curateWithReport(docs, cfg)
+      clean.unpersist()
+      rep
+    } else {
       val (s0, s1, s2, s3) = stageCounts(docs, cfg)
       val s4 =
         if (!cfg.nearDedup) s3
@@ -263,6 +268,10 @@ object TrainingPipeline {
         // extra broadcast-join pass over the survivors, never the corpus
         val clean = decontaminate(deduped, b, cfg.decontamN,
           cfg.decontamMinHits).localCheckpoint(true)
+        // `deduped`'s checkpoint blocks are dead once `clean` is
+        // materialized — release them instead of pinning a corpus-sized
+        // block set until driver GC (the Ranking.scala leak class)
+        deduped.unpersist()
         val s5 = clean.count()
         (clean, reportFrame(docs, (s0, s1, s2, s3, s4), Some(s5)))
     }

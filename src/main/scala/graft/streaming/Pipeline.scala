@@ -189,6 +189,33 @@ object Pipeline {
     val p = spark.conf.get("graft.stream.accountTableBuckets", "256").toInt
     val main = new org.apache.hadoop.fs.Path(tableDir)
     val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // refuse a pre-bucketed-layout table: leaf files directly under
+    // tableDir (the old full-rewrite layout, or its .tmp leftover) would
+    // be invisible to the bucket merge yet corrupt every later read
+    // ("conflicting directory structures") — fail loudly BEFORE any
+    // history is silently abandoned
+    if (fs.exists(main) &&
+        fs.globStatus(new org.apache.hadoop.fs.Path(tableDir + "/*.parquet")).nonEmpty)
+      throw new IllegalStateException(
+        s"account table $tableDir holds un-bucketed parquet files (legacy " +
+          "flat layout); migrate it once via mergeAccountBatch(read(old), newDir)")
+    // P is part of the table's on-disk geometry: pin it in a sidecar
+    // BEFORE the first byte of data (same contract as the dedup store's
+    // params) — merging under a different P would look up pubkeys in the
+    // wrong bucket and silently duplicate rows instead of upserting.
+    val paramsPath = new org.apache.hadoop.fs.Path(tableDir + ".params")
+    val params = s"P=$p,v=1"
+    if (fs.exists(paramsPath)) {
+      val stored = new String(
+        org.apache.commons.io.IOUtils.toByteArray(fs.open(paramsPath)), "UTF-8").trim
+      require(stored == params,
+        s"account table $tableDir was built with ($stored); refusing ($params)" +
+          " — set graft.stream.accountTableBuckets to the pinned value" +
+          " or rebuild the table")
+    } else {
+      val out = fs.create(paramsPath, true)
+      out.write(params.getBytes("UTF-8")); out.close()
+    }
     val batch = batchIn.withColumn("pk_bucket",
         pmod(xxhash64(col("pubkey")), lit(p.toLong)).cast("int"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -222,10 +249,14 @@ object Pipeline {
         // without this every write task emits a file into every dir)
         .repartition(col("pk_bucket"))
         .localCheckpoint(true)
-      merged.write.mode("overwrite")
+      // release the checkpoint blocks deterministically after the write:
+      // on a long-lived stream, leaving them to driver GC accumulates
+      // several batches of merged bucket contents in storage memory
+      try merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("pk_bucket")
         .parquet(tableDir)
+      finally merged.unpersist()
     } finally { batch.unpersist(); () }
   }
 

@@ -237,6 +237,22 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       // replay of the same batch is idempotent (at-least-once contract)
       Pipeline.mergeAccountBatch(mk(Seq((pk(1), 999L, 2L, 6L))), dir)
       assert(spark.read.parquet(dir).count() === 20)
+      // geometry is pinned: merging under a different bucket count must
+      // refuse loudly (wrong-bucket lookups would silently duplicate)
+      s.conf.set("graft.stream.accountTableBuckets", "32")
+      val e = intercept[IllegalArgumentException] {
+        Pipeline.mergeAccountBatch(mk(Seq((pk(2), 1L, 3L, 7L))), dir)
+      }
+      assert(e.getMessage.contains("built with"))
+      s.conf.set("graft.stream.accountTableBuckets", "64")
+      // legacy flat layout (leaf parquet directly under tableDir) is
+      // refused before any history could be silently abandoned
+      val flat = java.nio.file.Files.createTempDirectory("acct-flat").toString + "/account"
+      mk(Seq((pk(1), 1L, 1L, 1L))).write.parquet(flat)
+      val e2 = intercept[IllegalStateException] {
+        Pipeline.mergeAccountBatch(mk(Seq((pk(2), 2L, 1L, 1L))), flat)
+      }
+      assert(e2.getMessage.contains("flat layout"))
     } finally {
       s.conf.unset("graft.stream.accountTableBuckets")
       s.conf.unset("graft.stream.traceTableReads")
