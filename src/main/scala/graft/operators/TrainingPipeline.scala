@@ -255,7 +255,14 @@ object TrainingPipeline {
     * is read from the materialized blocks and downstream consumers of the
     * corpus never re-run the dedup; stages 0–3 are the same single
     * conditional aggregation `report` uses. Total passes over the text:
-    * 2 — versus 3 for separate `curate` + `report` calls. */
+    * 2 — versus 3 for separate `curate` + `report` calls.
+    *
+    * Honest scale note: the checkpoint materializes the ENTIRE curated
+    * corpus in executor storage. That is the right trade at the scale
+    * where the corpus still fits the cluster's storage memory+disk; a
+    * 100 TB curation run should instead `curate(...).write.parquet(out)`
+    * and count the written table — same single dedup run, durable
+    * storage instead of block-manager blocks. */
   def curateWithReport(docs: DataFrame,
       cfg: Config = Config()): (DataFrame, DataFrame) = {
     val (s0, s1, s2, s3) = stageCounts(docs, cfg)
