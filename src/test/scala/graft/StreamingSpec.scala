@@ -366,6 +366,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept.toSeq === Seq(1L, 5L))
   }
 
+  test("streaming curation with a benchmark decontaminates each micro-batch") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("curate-stream-dc")
+    val secret = "the quick brown benchmark sentence that must never leak " +
+      "into any training corpus at all"
+    val bench = Seq((100L, "held out eval: " + secret)).toDF("doc_id", "text")
+    val clean = "completely different content about snapshots and parquet tables " * 3
+    val in = MemoryStream[(Long, String, String)](s)
+    val q = graft.operators.TrainingPipeline.curateStream(
+      in.toDF().toDF("doc_id", "text", "lang"),
+      storeDir = s"$base/store", outDir = s"$base/out",
+      checkpointDir = s"$base/ckpt",
+      cfg = graft.operators.TrainingPipeline.Config(
+        languages = Nil, minChars = 50, minQuality = 0.0,
+        nearDedup = false, benchmark = Some(bench)))
+    try {
+      in.addData((1L, "intro then " + secret + " plus trailing words making it long", "en"),
+        (2L, clean, "en"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = s.read.parquet(s"$base/out").select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(2L), "contaminated doc must not reach the stream output")
+  }
+
   test("file-source stream over the driver events table: watermarked hourly windows") {
     val s = spark
     import s.implicits._
