@@ -1,0 +1,31 @@
+package graft.core
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/**
+ * Pin-before-first-byte geometry sidecar, shared by every on-disk store
+ * whose layout depends on build parameters (the dedup signature store's
+ * bp/idp partition count, the streaming account table's pk_bucket
+ * count): the sidecar is written BEFORE the store's first data byte, and
+ * every later open refuses loudly when the configured parameters differ
+ * from the pinned ones — re-deriving bucket assignments under different
+ * geometry would silently mis-prune or duplicate instead of failing.
+ */
+object ParamsPin {
+
+  /** Validate-or-pin `params` at `path`. Returns after either verifying
+    * the stored value matches or creating the sidecar; throws
+    * IllegalArgumentException (via require) on mismatch, naming both
+    * values and the store. */
+  def pin(fs: FileSystem, path: Path, params: String, what: String): Unit =
+    if (fs.exists(path)) {
+      val stored = new String(
+        org.apache.commons.io.IOUtils.toByteArray(fs.open(path)), "UTF-8").trim
+      require(stored == params,
+        s"$what was built with ($stored); refusing ($params) — use the " +
+          "pinned configuration or rebuild the store")
+    } else {
+      val out = fs.create(path, true)
+      out.write(params.getBytes("UTF-8")); out.close()
+    }
+}

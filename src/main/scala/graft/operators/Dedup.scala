@@ -477,12 +477,13 @@ object Dedup {
     // orphan index rows without sig rows are dead weight, see above)
     val storeExists = fs.exists(storePath) && fs.globStatus(
       new org.apache.hadoop.fs.Path(storeDir + "/idp=*/*.parquet")).nonEmpty
-    if (fs.exists(paramsPath)) {
-      val stored = new String(
-        org.apache.commons.io.IOUtils.toByteArray(fs.open(paramsPath)), "UTF-8").trim
-      require(stored == params,
-        s"signature store $storeDir was built with ($stored); refusing ($params)")
-    }
+    // Pin store geometry BEFORE the first byte of data (shared protocol —
+    // graft.core.ParamsPin): a sidecar written only after the first
+    // append would leave a crash window in which a later run with
+    // different storePartitions prunes reads under the wrong bp/idp
+    // mapping — silently missed duplicates instead of a loud refusal.
+    graft.core.ParamsPin.pin(fs, paramsPath, params,
+      s"signature store $storeDir")
 
     val rowsPerBand = k / bands
     val bid = batchId.getOrElse(-1L)
@@ -550,17 +551,6 @@ object Dedup {
     // dropping every survivor. (Small frame — ids only.)
     val dupIds = batchDups.unionByName(storeDups).distinct()
       .localCheckpoint(true)
-    // Pin store geometry BEFORE the first byte of data: if the sidecar
-    // were written after the append, a crash in between would leave an
-    // unpinned store, and a later run configured with a different
-    // storePartitions would prune reads with the wrong bp/idp mapping
-    // over data partitioned under the old P — silently missed
-    // duplicates instead of the intended loud refusal. (Idempotent:
-    // params content is deterministic for a pinned store.)
-    if (!fs.exists(paramsPath)) {
-      val out = fs.create(paramsPath, true)
-      out.write(params.getBytes("UTF-8")); out.close()
-    }
     // append survivors (skipped when the marker proves the prior attempt
     // committed the identical deterministic rows): index first (orphans
     // are harmless, see scaladoc), sigs second, then marker

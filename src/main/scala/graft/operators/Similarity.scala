@@ -126,22 +126,43 @@ object Similarity {
     val spark = corpus.sparkSession
     val centers = ivfCenters(corpus, nlist, vecCol, idCol)
     import spark.implicits._
-    centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell", "center")
-      .coalesce(1).write.mode("overwrite").parquet(dir + ".centers")
+    // Commit protocol: the `.ok` marker is deleted FIRST and recreated
+    // only after BOTH writes succeed. The sidecar and the corpus are two
+    // independent overwrites; a crash between them would otherwise leave
+    // new centers over cell partitions assigned under the old centers —
+    // probes would silently return wrong neighbors. Readers refuse an
+    // unmarked index instead.
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(dir + ".ok")
+    fs.delete(marker, false)
     ivfCellAssignments(corpus, centers, idCol, vecCol)
       .select(col("corpus_id"), col("cv"), col("cell").cast("int").as("cell"))
       // one file per cell dir (CLAUDE.md rule: without this every write
       // task emits a file into every cell dir it holds rows for)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "center")
+      .coalesce(1).write.mode("overwrite").parquet(dir + ".centers")
+    fs.create(marker, true).close()
   }
 
-  /** The center sidecar, read back in cell order. */
+  /** The center sidecar, read back in cell order. Refuses an index whose
+    * build did not complete (no `.ok` marker — see [[ivfWriteIndex]]'s
+    * commit protocol). */
   def ivfReadCenters(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Array[Array[Double]] =
+      dir: String): Array[Array[Double]] = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir + ".ok")))
+      throw new IllegalStateException(
+        s"IVF index $dir has no completion marker — the build crashed " +
+          "mid-write (centers and cell partitions may disagree); rebuild " +
+          "with ivfWriteIndex")
     spark.read.parquet(dir + ".centers").orderBy("cell")
       .collect().map(_.getSeq[Double](1).toArray)
+  }
 
   /**
    * ANN top-k against a materialized [[ivfWriteIndex]] index: assign each

@@ -141,7 +141,12 @@ object TextAnalysis {
     * boilerplate/spam a quality filter should drop. Narrow, no shuffle;
     * docs with fewer than two tokens have no bigrams and are omitted. */
   def repetitionProfile(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), repetitionUdf(col("text")).as("r"))
+    docs
+      // driver testdata is 1 file/1 row group per table: without an
+      // explicit repartition the compute-heavy kernel runs in one task
+      // (CLAUDE.md rule; same reason contamination repartitions)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), repetitionUdf(col("text")).as("r"))
       .filter(col("r._2") > 0)
       .select(col("doc_id"),
         col("r._1").as("n_tokens"),
@@ -178,7 +183,10 @@ object TextAnalysis {
   def chunk(docs: DataFrame, maxTokens: Int = 512, overlap: Int = 64): DataFrame = {
     require(maxTokens > overlap && overlap >= 0,
       s"chunk: need maxTokens > overlap >= 0, got $maxTokens/$overlap")
-    docs.select(col("doc_id"),
+    docs
+      // see repetitionProfile: parallelize the kernel on few-file input
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
         posexplode(chunkUdf(col("text"), lit(maxTokens), lit(overlap)))
           .as(Seq("chunk_id", "chunk_text")))
       .select(col("doc_id"), col("chunk_id"),

@@ -66,13 +66,19 @@ object TrainingPipeline {
       langCol.isin(languages.map(lit(_)): _*)
     }
 
-  /** Full chain per `Config`; returns the curated corpus. */
+  /** Full chain per `Config`; returns the curated corpus. With a
+    * benchmark set, the deduped corpus is MATERIALIZED (localCheckpoint)
+    * before decontamination: the anti-join references the curated plan
+    * on both of its sides, and without the checkpoint the near-dedup
+    * chain — the dominant cost — would evaluate twice per action. */
   def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
-    var d = curateThroughDedup(docs, cfg)
-    cfg.benchmark.foreach { b =>
-      d = decontaminate(d, b, cfg.decontamN, cfg.decontamMinHits)
+    val d = curateThroughDedup(docs, cfg)
+    cfg.benchmark match {
+      case None => d
+      case Some(b) =>
+        decontaminate(d.localCheckpoint(true), b, cfg.decontamN,
+          cfg.decontamMinHits)
     }
-    d
   }
 
   /** Stages 1–4 only (no decontamination) — the pre-benchmark corpus. */

@@ -182,7 +182,11 @@ object Pipeline {
   private[graft] def mergeAccountBatch(batchIn: DataFrame,
       tableDir: String): Unit = {
     val spark = batchIn.sparkSession
-    val cols = batchIn.columns.toSeq
+    // tolerate (and recompute) a pk_bucket already on the input — rows
+    // read back from a bucketed table carry it, and trusting a stale
+    // value from a different P would mis-bucket; keeping it in `cols`
+    // would also duplicate the column in the existing-table projection
+    val cols = batchIn.columns.toSeq.filterNot(_ == "pk_bucket")
     require(cols.contains("pubkey") && cols.contains("slot") &&
       cols.contains("write_version"),
       s"mergeAccountBatch: need pubkey/slot/write_version, got $cols")
@@ -193,30 +197,26 @@ object Pipeline {
     // tableDir (the old full-rewrite layout, or its .tmp leftover) would
     // be invisible to the bucket merge yet corrupt every later read
     // ("conflicting directory structures") — fail loudly BEFORE any
-    // history is silently abandoned
+    // history is silently abandoned. FIRST recover a table stranded in
+    // the OLD implementation's `.tmp` by a crash between its delete and
+    // rename (the rename restores it; the flat-layout guard below then
+    // reports it as a migration case instead of starting an empty table
+    // over the lost history).
+    val legacyTmp = new org.apache.hadoop.fs.Path(tableDir + ".tmp")
+    if (!fs.exists(main) && fs.exists(legacyTmp)) fs.rename(legacyTmp, main)
     if (fs.exists(main) &&
         fs.globStatus(new org.apache.hadoop.fs.Path(tableDir + "/*.parquet")).nonEmpty)
       throw new IllegalStateException(
         s"account table $tableDir holds un-bucketed parquet files (legacy " +
           "flat layout); migrate it once via mergeAccountBatch(read(old), newDir)")
     // P is part of the table's on-disk geometry: pin it in a sidecar
-    // BEFORE the first byte of data (same contract as the dedup store's
-    // params) — merging under a different P would look up pubkeys in the
-    // wrong bucket and silently duplicate rows instead of upserting.
-    val paramsPath = new org.apache.hadoop.fs.Path(tableDir + ".params")
-    val params = s"P=$p,v=1"
-    if (fs.exists(paramsPath)) {
-      val stored = new String(
-        org.apache.commons.io.IOUtils.toByteArray(fs.open(paramsPath)), "UTF-8").trim
-      require(stored == params,
-        s"account table $tableDir was built with ($stored); refusing ($params)" +
-          " — set graft.stream.accountTableBuckets to the pinned value" +
-          " or rebuild the table")
-    } else {
-      val out = fs.create(paramsPath, true)
-      out.write(params.getBytes("UTF-8")); out.close()
-    }
-    val batch = batchIn.withColumn("pk_bucket",
+    // BEFORE the first byte of data — merging under a different P would
+    // look up pubkeys in the wrong bucket and silently duplicate rows
+    // instead of upserting.
+    graft.core.ParamsPin.pin(fs,
+      new org.apache.hadoop.fs.Path(tableDir + ".params"), s"P=$p,v=1",
+      s"account table $tableDir (graft.stream.accountTableBuckets)")
+    val batch = batchIn.drop("pk_bucket").withColumn("pk_bucket",
         pmod(xxhash64(col("pubkey")), lit(p.toLong)).cast("int"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
