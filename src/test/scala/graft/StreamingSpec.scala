@@ -253,6 +253,18 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         Pipeline.mergeAccountBatch(mk(Seq((pk(2), 2L, 1L, 1L))), flat)
       }
       assert(e2.getMessage.contains("flat layout"))
+      // a table stranded in the OLD implementation's .tmp by a mid-swap
+      // crash is recovered (renamed back), then surfaced as the same
+      // migration case — never silently replaced by an empty table
+      val base2 = java.nio.file.Files.createTempDirectory("acct-tmp").toString
+      val stranded = base2 + "/account"
+      mk(Seq((pk(1), 7L, 1L, 1L))).write.parquet(stranded + ".tmp")
+      val e3 = intercept[IllegalStateException] {
+        Pipeline.mergeAccountBatch(mk(Seq((pk(2), 2L, 1L, 1L))), stranded)
+      }
+      assert(e3.getMessage.contains("flat layout"))
+      assert(spark.read.parquet(stranded).count() === 1,
+        "stranded .tmp history must be recovered to the table path")
     } finally {
       s.conf.unset("graft.stream.accountTableBuckets")
       s.conf.unset("graft.stream.traceTableReads")
