@@ -71,12 +71,6 @@ object Bench {
       else (name, times(times.size / 2), err) // median (upper on even n)
     }
     val ok = results.filter(_._2 > 0.0)
-    // Compact formatting so the full 74-entry line survives the driver's
-    // 2000-char truncation (round 6 lost every m*-family entry to it):
-    // 2-decimal values with trailing zeros trimmed (3 decimals measured
-    // 2003 chars at 74 queries — over the limit; 10 ms precision is well
-    // inside run-to-run noise anyway), basename sf, errors key only when
-    // non-empty.
     // Locale.ROOT: the f-interpolator honors the JVM default locale, and
     // a comma decimal separator would make the whole line invalid JSON.
     def fmt(v: Double): String = {
@@ -88,10 +82,36 @@ object Bench {
       .mkString("{", ",", "}")
     val errPairs = results.collect { case (k, _, Some(m)) =>
       s"\"" + k + "\":\"" + esc(m.take(120)) + "\"" }
-    val errs = if (errPairs.isEmpty) "" else errPairs.mkString(",\"errors\":{", ",", "}")
+    // "errors" is always present (even {}): a record parser indexing the
+    // key unconditionally must not break on clean runs.
+    val errs = errPairs.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val sfName = sfDir.split('/').last
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errs,"sf":"$sfName"}""")
+    // The driver records only ~2000 chars of this stdout line, and at 79
+    // queries the full per-query map measured 1,921 chars — one or two
+    // more gate entries would silently truncate the artifact (round 6
+    // lost every m*-family entry exactly this way). Structure instead of
+    // rationing: the STDOUT line carries the total + per-FAMILY subtotals
+    // (family = the key's prefix before the first digit: m/mm/q/sn —
+    // stable across rounds, ~120 chars for 4 families), and the full
+    // per-query map goes to target/bench-full.json as the durable
+    // artifact (plus target/bench-full-<sf>.json so multi-SF runs don't
+    // clobber each other). Round-over-round per-query comparison reads
+    // the file; the driver line stays comparable on totals + families
+    // with headroom for dozens of future entries.
+    def family(k: String): String = k.takeWhile(!_.isDigit)
+    val fams = ok.groupBy { case (k, _, _) => family(k) }.toSeq.sortBy(_._1)
+      .map { case (f, rs) => s"\"" + f + "\":" + fmt(rs.map(_._2).sum) }
+      .mkString("{", ",", "}")
+    val fullJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfName","n":${ok.size}}"""
+    val fullPath = java.nio.file.Paths.get("target", "bench-full.json")
+    java.nio.file.Files.createDirectories(fullPath.getParent)
+    java.nio.file.Files.write(fullPath, (fullJson + "\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("target", s"bench-full-$sfName.json"),
+      (fullJson + "\n").getBytes("UTF-8"))
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fams,"errors":$errs,"sf":"$sfName","n":${ok.size},"full":"target/bench-full.json"}""")
     spark.stop()
   }
 }

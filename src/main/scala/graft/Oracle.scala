@@ -811,6 +811,16 @@ object Oracle {
       FROM ch
       ORDER BY doc_id, chunk_id""",
 
+    // Salted two-stage aggregation is salt-invariant by construction —
+    // the oracle is the plain GROUP BY the operator must equal.
+    "m19_skew" -> """
+      SELECT l_returnflag, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        COUNT(DISTINCT l_suppkey) AS n_distinct
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
     "m13_decontamination" -> """
       WITH nrm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS nt
                    FROM documents),

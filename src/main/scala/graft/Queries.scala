@@ -890,6 +890,22 @@ object Queries {
     TextAnalysis.chunk(t(s, dir, "documents"), maxTokens = 16, overlap = 4)
       .orderBy("doc_id", "chunk_id")
 
+  /** Skew tooling (see `Skew`): two-stage salted sum/count +
+    * salted count-distinct over `lineitem`. The result is salt-invariant
+    * by construction, so the oracle is the plain GROUP BY the salted
+    * plan must equal. Sum runs over a DECIMAL-cast column so the
+    * two-stage summation order cannot move the double result. */
+  def m19Skew(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .withColumn("qty_dec", col("l_quantity").cast(DecimalType(18, 2)))
+    val sc = operators.Skew.saltedSumCount(li, "l_returnflag", "qty_dec")
+    val cd = operators.Skew.saltedCountDistinct(li, "l_returnflag", "l_suppkey")
+    sc.join(cd, "l_returnflag")
+      .select(col("l_returnflag"), col("n"),
+        col("sum").cast("double").as("sum_qty"), col("n_distinct"))
+      .orderBy("l_returnflag")
+  }
+
   def m13Decontamination(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     operators.TrainingPipeline.contamination(
