@@ -54,8 +54,18 @@ object Bench {
       // consumer would pay it.
       def once(): Either[String, Double] = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).queryExecution.toRdd.count()
-              Right((System.nanoTime() - t0) / 1e9) }
+        try { val df = fn(spark, sfDir)
+              df.queryExecution.toRdd.count()
+              val t = (System.nanoTime() - t0) / 1e9
+              // release any checkpoint blocks the query materialized
+              // (q39's agg cut, every dedup result, the global-rank
+              // output): 79 queries × 3 runs would otherwise accrete
+              // them for the whole session and tax later queries'
+              // memory. Outside the timed region — bookkeeping, not
+              // query cost. Safe: per-query plans own their checkpoints
+              // (no cross-query checkpoint sharing in SparkEntry).
+              graft.core.Blocks.releaseAll(df)
+              Right(t) }
         catch { case e: Throwable =>
           Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
       }

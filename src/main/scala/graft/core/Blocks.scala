@@ -1,0 +1,43 @@
+package graft.core
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.execution.LogicalRDD
+
+/**
+ * Release helpers for `localCheckpoint`ed frames.
+ *
+ * `Dataset.unpersist` releases CacheManager entries (`.persist()`/
+ * `.cache()`) but is a SILENT NO-OP on a checkpointed frame: a
+ * `localCheckpoint(true)` result is a `LogicalRDD` over an RDD persisted
+ * directly in the block manager, which the CacheManager never sees
+ * (verified empirically on Spark 4.1 — the block survives
+ * `unpersist(blocking = true)`). Every operator that "released" its
+ * checkpoint via `Dataset.unpersist` was actually pinning the blocks for
+ * the session lifetime — per-micro-batch accretion in streaming paths,
+ * per-round accretion in iterative ones. These helpers unpersist the
+ * underlying RDD, which is the only handle that works.
+ */
+object Blocks {
+
+  /** Release the block-manager storage behind `df`.
+    *
+    * If `df` IS a checkpoint result (its analyzed plan is the
+    * `LogicalRDD` root), the checkpointed RDD is unpersisted; otherwise
+    * falls back to `Dataset.unpersist` (correct for `.persist()`ed
+    * frames). After release the frame is NO LONGER READABLE — callers
+    * must be done with every plan that references it. */
+  def release(df: Dataset[_]): Unit = df.queryExecution.analyzed match {
+    case l: LogicalRDD => l.rdd.unpersist(false)
+    case _ => df.unpersist(); ()
+  }
+
+  /** Release EVERY checkpoint block reachable from `df`'s plan — for
+    * frames built on top of (possibly several) checkpoints whose handles
+    * the caller no longer holds. Same warning: the plan (and anything
+    * else sharing those checkpoints) is unreadable afterwards. */
+  def releaseAll(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+}

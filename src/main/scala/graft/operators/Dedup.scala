@@ -105,7 +105,10 @@ object Dedup {
     * memory pressure taxes unrelated queries. */
   private def materialized(result: DataFrame, caches: DataFrame*): DataFrame = {
     val out = result.localCheckpoint(true)
-    caches.foreach(_.unpersist())
+    // Blocks.release, not Dataset.unpersist: some caches are themselves
+    // localCheckpoint'd frames (candidate id/text frames), on which
+    // Dataset.unpersist is a silent no-op (see `core.Blocks`).
+    caches.foreach(graft.core.Blocks.release)
     out
   }
 
@@ -230,9 +233,13 @@ object Dedup {
     * fraction of the corpus, so recomputing two shingle sets per pair is
     * far cheaper than materializing (cache + shuffle ×2) every document's
     * full shingle array — the array table is ~50× the sig table. */
+  /** Returns (verified pairs, internal checkpoints) — the id/text
+    * candidate frames it materializes are DEAD once the caller
+    * materializes the verified result, and they can carry candidate-set
+    * TEXT; the caller must hand them to `materialized` for release. */
   private def verifyJaccardText(cand: DataFrame, docs: DataFrame,
       jacUdf: (Column, Column, Column) => Column, w: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double): (DataFrame, Seq[DataFrame]) = {
     // Never build a broadcast that carries TEXT payloads of an UNBOUNDED
     // candidate set — a hot corpus (shared boilerplate) could funnel
     // multi-GB through the driver. The id frame is materialized ONCE
@@ -270,10 +277,11 @@ object Dedup {
           .select(col("doc_id_a"), col("doc_id_b"), col("tb"))
         withA.join(withB, Seq("doc_id_a", "doc_id_b"))
       }
-    paired
+    (paired
       .select(col("doc_id_a"), col("doc_id_b"),
         round(jacUdf(col("ta"), col("tb"), lit(w)), 6).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .filter(col("jaccard") >= threshold),
+      Seq(idFrame, withA))
   }
 
   /** doc_id → minhash signature ONLY (one-shot paths): ~k·8 bytes per
@@ -329,9 +337,9 @@ object Dedup {
     val sig = sigOnly(docs, charSigUdf(_, _, _), shingleW, k)
     val cand = estimatePrefilter(
       lshCandidates(sig, bands, k / bands), sig, k, threshold, estimateMargin)
-    materialized(
-      verifyJaccardText(cand, docs, charJaccardUdf(_, _, _), shingleW, threshold),
-      sig)
+    val (verified, internalCks) =
+      verifyJaccardText(cand, docs, charJaccardUdf(_, _, _), shingleW, threshold)
+    materialized(verified, (sig +: internalCks): _*)
   }
 
   /** Near-dedup via MinHash-LSH: drop the higher doc_id of every verified
@@ -495,6 +503,10 @@ object Dedup {
     // within-batch pairs (shared helpers — same rounding as one-shot path)
     val batchDups = verifyJaccard(lshCandidates(sig, bands, rowsPerBand), sig, threshold)
       .select(col("doc_id_b").as("doc_id"))
+    // holds the candidate checkpoint so it can be released once dupIds
+    // (which consumes it) is materialized — without the release every
+    // micro-batch leaves its candidate blocks pinned for the stream's life
+    var candCk: Option[DataFrame] = None
     val storeDups =
       if (!storeExists) batchDups.limit(0)
       else {
@@ -525,6 +537,7 @@ object Dedup {
             col("band"), col("bucket")), Seq("band", "bucket"))
           .select(col("doc_id"), col("store_id")).distinct()
           .localCheckpoint(true)
+        candCk = Some(cand)
         val idpSet = cand
           .select(pmod(xxhash64(col("store_id")), lit(p.toLong))
             .cast("int").as("idp"))
@@ -551,6 +564,8 @@ object Dedup {
     // dropping every survivor. (Small frame — ids only.)
     val dupIds = batchDups.unionByName(storeDups).distinct()
       .localCheckpoint(true)
+    // cand fed dupIds (now materialized) and the idp collect — dead here
+    candCk.foreach(graft.core.Blocks.release)
     // append survivors (skipped when the marker proves the prior attempt
     // committed the identical deterministic rows): index first (orphans
     // are harmless, see scaladoc), sigs second, then marker
@@ -616,8 +631,13 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct().repartition(col("v")).localCheckpoint(true)
-    var labels = edges.select(col("u").as("id")).distinct()
+    // labelsCk tracks the round's CHECKPOINT handle (labels itself is a
+    // projection over it): each round's blocks are dead once the next
+    // round materializes, and must be released by handle — on long
+    // chains the loop would otherwise pin O(rounds) label copies.
+    var labelsCk = edges.select(col("u").as("id")).distinct()
       .withColumn("component", col("id")).localCheckpoint(true)
+    var labels = labelsCk
     var converged = false
     var iter = 0
     // Convergence is read from an accumulator incremented by a
@@ -660,9 +680,15 @@ object Dedup {
         .withColumn("__chg", changeSignal(col("component") < col("prev")))
         .localCheckpoint(true)
       converged = changed.value == 0L
+      // prior round's label blocks and this round's step intermediate
+      // are both consumed into `next` — release them by handle
+      graft.core.Blocks.release(stepped)
+      graft.core.Blocks.release(labelsCk)
+      labelsCk = next
       labels = next.select("id", "component")
       iter += 1
     }
+    graft.core.Blocks.release(edges)
     if (!converged) {
       val msg = s"connectedComponents: not converged after $maxIter rounds" +
         " (components may be under-merged); raise maxIter or pass" +

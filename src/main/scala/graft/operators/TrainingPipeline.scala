@@ -122,14 +122,30 @@ object TrainingPipeline {
               batchId = Some(batchId))
           else exact
         // static benchmark vs streaming batch: decontamination is a
-        // stateless broadcast join, identical semantics per micro-batch
-        val kept = cfg.benchmark.fold(deduped)(b =>
-          decontaminate(deduped, b, cfg.decontamN, cfg.decontamMinHits))
+        // stateless broadcast join, identical semantics per micro-batch.
+        // The deduped batch is materialized first: the anti-join
+        // references it on both sides, and without the checkpoint the
+        // incremental dedup chain (scan + store joins) would evaluate
+        // twice per micro-batch write. Batch-sized, released after the
+        // write — not the corpus-sized checkpoint `curateToTable` avoids.
+        val (kept, mat) = cfg.benchmark match {
+          case None => (deduped, None)
+          case Some(b) =>
+            val m = deduped.localCheckpoint(true)
+            (decontaminate(m, b, cfg.decontamN, cfg.decontamMinHits), Some(m))
+        }
         kept.withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")
           .parquet(outDir)
+        // release by handle (Dataset.unpersist is a no-op on checkpointed
+        // frames — core.Blocks): the decontam materialization, then every
+        // checkpoint inside the batch's dedup plan (the incremental
+        // path's dup-id frame) — a stream leaks all of them per batch
+        // otherwise
+        mat.foreach(graft.core.Blocks.release)
+        graft.core.Blocks.releaseAll(deduped)
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -180,8 +196,9 @@ object TrainingPipeline {
     if (cfg.benchmark.isDefined) {
       // counts only: release the returned corpus' checkpoint blocks —
       // the report frame is a local literal and does not reference them
+      // (Blocks.release: Dataset.unpersist cannot free a checkpoint)
       val (clean, rep) = curateWithReport(docs, cfg)
-      clean.unpersist()
+      graft.core.Blocks.release(clean)
       rep
     } else {
       val (s0, s1, s2, s3) = stageCounts(docs, cfg)
@@ -266,9 +283,50 @@ object TrainingPipeline {
     * Honest scale note: the checkpoint materializes the ENTIRE curated
     * corpus in executor storage. That is the right trade at the scale
     * where the corpus still fits the cluster's storage memory+disk; a
-    * 100 TB curation run should instead `curate(...).write.parquet(out)`
-    * and count the written table — same single dedup run, durable
-    * storage instead of block-manager blocks. */
+    * 100 TB curation run should use [[curateToTable]] — same single
+    * dedup run, durable parquet instead of block-manager blocks.
+    * Callers done with the returned corpus release its blocks via
+    * `graft.core.Blocks.release` (NOT `Dataset.unpersist`, which is a
+    * no-op on checkpointed frames). */
+  /** The 100 TB shape of [[curateWithReport]]: curate → write the corpus
+    * as a parquet table at `outDir` → count the WRITTEN table. Same
+    * single near-dedup run, but the materialization is durable storage
+    * instead of executor block-manager blocks — nothing corpus-sized is
+    * pinned in memory/disk blocks, and the corpus survives the driver.
+    * Returns (reader of the written table, report frame).
+    *
+    * With a benchmark set, decontamination references the deduped corpus
+    * on both sides of its anti-join, so that intermediate must be
+    * materialized too: it is staged durably at `<outDir>.dedup-stage`
+    * (a sibling path — it cannot live under `outDir`, which the final
+    * overwrite would delete out from under the plan reading it) and
+    * deleted once the clean corpus is written. A crash between the two
+    * writes leaves the stage dir behind; a rerun overwrites it. */
+  def curateToTable(docs: DataFrame, outDir: String,
+      cfg: Config = Config()): (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
+    val (s0, s1, s2, s3) = stageCounts(docs, cfg)
+    cfg.benchmark match {
+      case None =>
+        curateThroughDedup(docs, cfg).write.mode("overwrite").parquet(outDir)
+        val corpus = spark.read.parquet(outDir)
+        (corpus, reportFrame(docs, (s0, s1, s2, s3, corpus.count())))
+      case Some(b) =>
+        val stagePath = new org.apache.hadoop.fs.Path(outDir + ".dedup-stage")
+        curateThroughDedup(docs, cfg).write.mode("overwrite")
+          .parquet(stagePath.toString)
+        val deduped = spark.read.parquet(stagePath.toString)
+        val s4 = deduped.count()
+        decontaminate(deduped, b, cfg.decontamN, cfg.decontamMinHits)
+          .write.mode("overwrite").parquet(outDir)
+        val corpus = spark.read.parquet(outDir)
+        val s5 = corpus.count()
+        stagePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(stagePath, true)
+        (corpus, reportFrame(docs, (s0, s1, s2, s3, s4), Some(s5)))
+    }
+  }
+
   def curateWithReport(docs: DataFrame,
       cfg: Config = Config()): (DataFrame, DataFrame) = {
     val (s0, s1, s2, s3) = stageCounts(docs, cfg)
@@ -283,8 +341,9 @@ object TrainingPipeline {
           cfg.decontamMinHits).localCheckpoint(true)
         // `deduped`'s checkpoint blocks are dead once `clean` is
         // materialized — release them instead of pinning a corpus-sized
-        // block set until driver GC (the Ranking.scala leak class)
-        deduped.unpersist()
+        // block set for the session (Blocks.release by handle; the
+        // previous Dataset.unpersist here was a silent no-op)
+        graft.core.Blocks.release(deduped)
         val s5 = clean.count()
         (clean, reportFrame(docs, (s0, s1, s2, s3, s4), Some(s5)))
     }

@@ -250,13 +250,16 @@ object Pipeline {
         .repartition(col("pk_bucket"))
         .localCheckpoint(true)
       // release the checkpoint blocks deterministically after the write:
-      // on a long-lived stream, leaving them to driver GC accumulates
-      // several batches of merged bucket contents in storage memory
+      // on a long-lived stream, leaving them around accumulates every
+      // batch's merged bucket contents in storage memory. Blocks.release,
+      // NOT Dataset.unpersist — the latter is a no-op on a checkpointed
+      // frame (see core.Blocks), which made this exact cleanup silently
+      // ineffective before.
       try merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("pk_bucket")
         .parquet(tableDir)
-      finally merged.unpersist()
+      finally graft.core.Blocks.release(merged)
     } finally { batch.unpersist(); () }
   }
 

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Blocks
+
+/** Pins the Spark behavior `core.Blocks` exists for: `Dataset.unpersist`
+  * does NOT free localCheckpoint storage (the checkpointed RDD lives in
+  * the block manager, outside the CacheManager), while releasing the
+  * underlying RDD by handle does. Every operator cleanup path routes
+  * through `Blocks` because of this. */
+class BlocksSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("Dataset.unpersist leaves localCheckpoint blocks pinned; " +
+      "Blocks.release frees them") {
+    val s = spark
+    import s.implicits._
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    val df = (1 to 1000).toDF("x").localCheckpoint(true)
+    val created = s.sparkContext.getPersistentRDDs.keySet -- before
+    assert(created.nonEmpty, "localCheckpoint must register persistent blocks")
+    // the documented trap: unpersist is a silent no-op here. If a Spark
+    // upgrade ever makes this release the blocks, Blocks.release becomes
+    // redundant (not wrong) — this assertion is the signal to simplify.
+    df.unpersist(true)
+    assert((s.sparkContext.getPersistentRDDs.keySet -- before) === created,
+      "Dataset.unpersist unexpectedly freed checkpoint blocks — " +
+        "Blocks.release may be simplifiable on this Spark version")
+    Blocks.release(df)
+    assert((s.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "Blocks.release must free the checkpointed RDD")
+  }
+
+  test("Blocks.release falls back to unpersist for cached frames; " +
+      "releaseAll frees every checkpoint inside a derived plan") {
+    val s = spark
+    import s.implicits._
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    val cached = (1 to 100).toDF("x")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cached.count()
+    assert((s.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty)
+    Blocks.release(cached)
+    assert((s.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
+
+    // derived plan over TWO checkpoints — the shape Bench/Verify release
+    val a = (1 to 50).toDF("x").localCheckpoint(true)
+    val b = (1 to 50).toDF("x").localCheckpoint(true)
+    val derived = a.join(b, "x").filter(col("x") > 10)
+    derived.count()
+    assert((s.sparkContext.getPersistentRDDs.keySet -- before).size === 2)
+    Blocks.releaseAll(derived)
+    assert((s.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "releaseAll must free all checkpoints referenced by the plan")
+  }
+}

@@ -366,4 +366,78 @@ class TrainingPipelineSpec extends AnyFunSuite {
     // the stage-4 count IS the returned corpus (one dedup, no drift)
     assert(expected.last._2 === curated.count())
   }
+
+  test("curateToTable matches curateWithReport, leaves no corpus-sized " +
+      "blocks behind, and cleans up its decontam stage dir") {
+    val s = spark
+    import s.implicits._
+    val out = java.nio.file.Files.createTempDirectory("curate-table-")
+      .resolve("corpus").toString
+    val cfg = TrainingPipeline.Config(languages = Seq("en"), minChars = 100,
+      minQuality = 0.45, nearDedupThreshold = 0.6)
+    val (refCorpus, refRep) = TrainingPipeline.curateWithReport(docs, cfg)
+    val refIds = refCorpus.select("doc_id").as[Long].collect().toSet
+    refCorpus.unpersist()
+    val (corpus, rep) = TrainingPipeline.curateToTable(docs, out, cfg)
+    assert(corpus.select("doc_id").as[Long].collect().toSet === refIds)
+    assert(rep.orderBy("stage").collect().map(r =>
+        (r.getString(0), r.getLong(1))).toSeq ===
+      refRep.orderBy("stage").collect().map(r =>
+        (r.getString(0), r.getLong(1))).toSeq)
+    // durable materialization: the returned corpus reads the WRITTEN
+    // table, not block-manager blocks
+    assert(corpus.inputFiles.nonEmpty &&
+      corpus.inputFiles.forall(_.contains(out)))
+
+    // Block-storage discriminator at volume: ~200 distinct ~1.5 KB docs.
+    // curateWithReport pins the full curated corpus (text included) as a
+    // checkpoint; curateToTable's only residual blocks are Dedup's
+    // internal id-frames (ids, no text) — its persisted bytes must be a
+    // small fraction of the with-report path's.
+    def persistedBytes(ids: scala.collection.Set[Int]): Long =
+      s.sparkContext.getRDDStorageInfo
+        .filter(i => ids.contains(i.id)).map(i => i.memSize + i.diskSize).sum
+    val big = (0L until 200L)
+      .map(i => (i, (1 to 150).map(j => s"word${i}n$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val cfgBig = TrainingPipeline.Config(languages = Nil, minChars = 10,
+      minQuality = 0.0)
+    val bw = s.sparkContext.getPersistentRDDs.keySet
+    val (wr, _) = TrainingPipeline.curateWithReport(big, cfgBig)
+    wr.count()
+    val wrBytes = persistedBytes(s.sparkContext.getPersistentRDDs.keySet -- bw)
+    wr.unpersist()
+    val bt = s.sparkContext.getPersistentRDDs.keySet
+    val (tt, _) = TrainingPipeline.curateToTable(big, out + "-big", cfgBig)
+    tt.count()
+    val ttBytes = persistedBytes(s.sparkContext.getPersistentRDDs.keySet -- bt)
+    assert(ttBytes * 3 < wrBytes,
+      s"curateToTable pinned $ttBytes bytes vs curateWithReport's $wrBytes " +
+        "— a corpus-sized block survived the durable-write path")
+
+    // benchmark path: decontam stage dir is staged durably then removed
+    val secret = "the quick brown benchmark sentence that must never leak " +
+      "into any training corpus at all"
+    val bench = Seq((100L, "held out eval item: " + secret)).toDF("doc_id", "text")
+    val corpus2in = Seq(
+      (1L, "some intro text then " + secret + " and a trailing remainder " +
+        "of unrelated words continuing the long enough document for the gates"),
+      (2L, "a completely clean document about spark shuffles and parquet " +
+        "row groups with nothing shared beyond single isolated words here"))
+      .toDF("doc_id", "text")
+    val cfg2 = TrainingPipeline.Config(languages = Nil, minChars = 10,
+      minQuality = 0.0, nearDedup = false, benchmark = Some(bench))
+    val out2 = out + "-decontam"
+    val before2 = s.sparkContext.getPersistentRDDs.keySet
+    val (clean, rep2) = TrainingPipeline.curateToTable(corpus2in, out2, cfg2)
+    assert(clean.select("doc_id").as[Long].collect().toSet === Set(2L))
+    val stages2 = rep2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stages2("4_near_dedup") === 2L)
+    assert(stages2("5_decontaminated") === 1L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(out2 + ".dedup-stage")),
+      "decontam stage dir must be deleted after the final write")
+    val leaked2 = s.sparkContext.getPersistentRDDs.keySet -- before2
+    assert(leaked2.isEmpty, s"benchmark path pinned blocks: $leaked2")
+  }
 }
