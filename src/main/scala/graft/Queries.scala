@@ -617,7 +617,12 @@ object Queries {
   def m15AnnIvfIndex(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val idx = ivfIndexDirs.getOrElseUpdate(dir, {
-      val d = s"target/ivf-index/${new java.io.File(dir).getName}"
+      // path keyed by basename PLUS a hash of the full dir: two sf dirs
+      // sharing a basename must not overwrite each other's index while
+      // both cache entries keep pointing at the shared path
+      val full = new java.io.File(dir).getAbsolutePath
+      val d = s"target/ivf-index/${new java.io.File(dir).getName}-" +
+        f"${graft.core.TextSig.mix64(full.hashCode.toLong) & 0xffffffffL}%08x"
       Similarity.ivfWriteIndex(emb, d, nlist = 16)
       d
     })

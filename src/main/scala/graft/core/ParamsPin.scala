@@ -16,8 +16,18 @@ object ParamsPin {
   /** Validate-or-pin `params` at `path`. Returns after either verifying
     * the stored value matches or creating the sidecar; throws
     * IllegalArgumentException (via require) on mismatch, naming both
-    * values and the store. */
-  def pin(fs: FileSystem, path: Path, params: String, what: String): Unit =
+    * values and the store.
+    *
+    * `storeHasData`: whether the store already holds committed data
+    * (callers compute this anyway for their exists checks). Data WITHOUT
+    * a sidecar is exactly the legacy crash window (params used to be
+    * written only after the first successful append) — adopting the
+    * CURRENT run's parameters there would re-pin a legacy store under
+    * whatever geometry happens to be configured now and then mis-prune
+    * silently, so it refuses instead, directing the user to pin manually
+    * or rebuild. */
+  def pin(fs: FileSystem, path: Path, params: String, what: String,
+      storeHasData: Boolean = false): Unit =
     if (fs.exists(path)) {
       val stored = new String(
         org.apache.commons.io.IOUtils.toByteArray(fs.open(path)), "UTF-8").trim
@@ -25,6 +35,12 @@ object ParamsPin {
         s"$what was built with ($stored); refusing ($params) — use the " +
           "pinned configuration or rebuild the store")
     } else {
+      require(!storeHasData,
+        s"$what holds data but no params sidecar at $path (legacy store, " +
+          "or the sidecar was deleted) — its build geometry is unknown and " +
+          s"adopting the current configuration ($params) could silently " +
+          "mis-prune; write the sidecar manually with the ORIGINAL build " +
+          "parameters, or rebuild the store")
       val out = fs.create(path, true)
       out.write(params.getBytes("UTF-8")); out.close()
     }

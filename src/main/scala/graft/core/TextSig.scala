@@ -287,6 +287,54 @@ object TextSig {
     TextStats(len, nTokens, subWordRuns + subSolo, stopHits, punct, nonWs)
   }
 
+  /** Marker-word lists for the heuristic language ID, keyed by language
+    * code, in SORTED key order (the tie-break below depends on it).
+    * Shared with the DuckDB oracles, which enumerate these literals —
+    * the lists MUST NOT change without updating the oracle SQL. */
+  final val LangMarkers: Array[(String, Array[String])] = Array(
+    "de" -> Array(" der ", " die ", " und ", " ist ", " das "),
+    "en" -> Array(" the ", " and ", " of ", " to ", " is "),
+    "es" -> Array(" el ", " los ", " es ", " una ", " que "),
+    "fr" -> Array(" le ", " la ", " les ", " est ", " une "))
+
+  /**
+   * Heuristic language ID as ONE compiled kernel (replaces a Column form
+   * that ran 20 `split()` scans per document, each allocating a field
+   * array — most of m07's per-row cost). Semantics replicate the Column
+   * form EXACTLY (the m07/m10/m14 oracles hash against it):
+   *  - occurrences counted on `" " + lower(text) + " "` with raw
+   *    (uncollapsed) whitespace, via non-overlapping left-to-right scan —
+   *    identical to `size(split(padded, quote(m), -1)) - 1`, including
+   *    the quirk that a matched trailing space cannot start the next
+   *    match ("the the the" counts 2, not 3);
+   *  - argmax via `greatest(struct(score, lang))`: highest score wins,
+   *    ties go to the lexicographically LAST language code;
+   *  - all-zero scores (and null text) → "und".
+   */
+  def langId(text: String): String = {
+    if (text == null) return "und"
+    val padded = " " + text.toLowerCase(java.util.Locale.ROOT) + " "
+    var bestScore = 0L
+    var bestLang = "und"
+    var li = 0
+    while (li < LangMarkers.length) {
+      val (lang, ms) = LangMarkers(li)
+      var s = 0L
+      var mi = 0
+      while (mi < ms.length) {
+        val m = ms(mi)
+        var i = padded.indexOf(m)
+        while (i >= 0) { s += 1; i = padded.indexOf(m, i + m.length) }
+        mi += 1
+      }
+      if (s > bestScore || (s == bestScore && s > 0 && lang > bestLang)) {
+        bestScore = s; bestLang = lang
+      }
+      li += 1
+    }
+    bestLang
+  }
+
   /** Exact Jaccard of two sorted distinct hash arrays (merge scan). */
   def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
     if (a.isEmpty && b.isEmpty) return 0.0

@@ -491,7 +491,7 @@ object Dedup {
     // different storePartitions prunes reads under the wrong bp/idp
     // mapping — silently missed duplicates instead of a loud refusal.
     graft.core.ParamsPin.pin(fs, paramsPath, params,
-      s"signature store $storeDir")
+      s"signature store $storeDir", storeHasData = storeExists)
 
     val rowsPerBand = k / bands
     val bid = batchId.getOrElse(-1L)

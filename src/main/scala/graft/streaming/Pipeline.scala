@@ -118,16 +118,20 @@ object Pipeline {
     accounts
       .select(col("pubkey"), col("lamports"), col("write_version"), col("slot"))
       .as[(Array[Byte], Long, Long, Long)]
-      .groupByKey { case (pk, _, _, _) => Base58.encode(pk) }
+      // group on the RAW pubkey bytes (binary keys compare by content in
+      // the encoded form): base58 as the key cost an encode per input row
+      // and ~1.4× state-store key inflation — render on EMIT only, i.e.
+      // once per monotonic update instead of once per arriving row
+      .groupByKey { case (pk, _, _, _) => pk }
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (pubkey: String, rows: Iterator[(Array[Byte], Long, Long, Long)],
+        (pubkey: Array[Byte], rows: Iterator[(Array[Byte], Long, Long, Long)],
          state: GroupState[AccountState]) =>
           var cur = state.getOption.getOrElse(AccountState(0L, -1L, -1L))
           var emit: Option[BalanceUpdate] = None
           rows.foreach { case (_, lamports, wv, slot) =>
             if (wv > cur.writeVersion) {
               cur = AccountState(lamports, wv, slot)
-              emit = Some(BalanceUpdate(pubkey, lamports, wv, slot))
+              emit = Some(BalanceUpdate(Base58.encode(pubkey), lamports, wv, slot))
             }
           }
           state.update(cur)
@@ -213,9 +217,18 @@ object Pipeline {
     // BEFORE the first byte of data — merging under a different P would
     // look up pubkeys in the wrong bucket and silently duplicate rows
     // instead of upserting.
+    // the table "exists" only if committed files are present — a dir
+    // left by a failed first write must read as empty, not wedge the
+    // stream; a read error on real files must still fail the batch
+    // rather than silently drop history. Computed BEFORE the pin so a
+    // table with data but no sidecar (legacy crash window) refuses
+    // instead of being re-pinned under the current P.
+    val tableExists = fs.exists(main) && fs.globStatus(
+      new org.apache.hadoop.fs.Path(tableDir + "/pk_bucket=*/*.parquet")).nonEmpty
     graft.core.ParamsPin.pin(fs,
       new org.apache.hadoop.fs.Path(tableDir + ".params"), s"P=$p,v=1",
-      s"account table $tableDir (graft.stream.accountTableBuckets)")
+      s"account table $tableDir (graft.stream.accountTableBuckets)",
+      storeHasData = tableExists)
     val batch = batchIn.drop("pk_bucket").withColumn("pk_bucket",
         pmod(xxhash64(col("pubkey")), lit(p.toLong)).cast("int"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -223,12 +236,6 @@ object Pipeline {
       // the batch's bucket footprint: ≤ P distinct ints, one tiny job
       val touched = batch.select("pk_bucket").distinct()
         .collect().map(_.getInt(0)).toIndexedSeq
-      // the table "exists" only if committed files are present — a dir
-      // left by a failed first write must read as empty, not wedge the
-      // stream; a read error on real files must still fail the batch
-      // rather than silently drop history
-      val tableExists = fs.exists(main) && fs.globStatus(
-        new org.apache.hadoop.fs.Path(tableDir + "/pk_bucket=*/*.parquet")).nonEmpty
       val existing =
         if (!tableExists) batch.limit(0)
         else {

@@ -245,6 +245,19 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       assert(e.getMessage.contains("built with"))
       s.conf.set("graft.stream.accountTableBuckets", "64")
+      // a table with DATA but no params sidecar (the legacy crash
+      // window: params used to be written only after the first append)
+      // must refuse instead of silently re-pinning under the current P
+      java.nio.file.Files.delete(java.nio.file.Paths.get(dir + ".params"))
+      val eNoPin = intercept[IllegalArgumentException] {
+        Pipeline.mergeAccountBatch(mk(Seq((pk(99), 5L, 1L, 1L))), dir)
+      }
+      assert(eNoPin.getMessage.contains("no params sidecar"))
+      // manual re-pin with the original geometry restores service
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir + ".params"), "P=64,v=1")
+      Pipeline.mergeAccountBatch(mk(Seq((pk(99), 5L, 1L, 1L))), dir)
+      assert(spark.read.parquet(dir).count() === 21)
       // legacy flat layout (leaf parquet directly under tableDir) is
       // refused before any history could be silently abandoned
       val flat = java.nio.file.Files.createTempDirectory("acct-flat").toString + "/account"
