@@ -295,6 +295,36 @@ object Oracle {
       CASE $LangBest % 4 WHEN 0 THEN 'de' WHEN 1 THEN 'en' WHEN 2 THEN 'es' ELSE 'fr' END
     ELSE 'und' END"""
 
+  /** Shared by m10 (checkpoint-materialized report) and m20 (durable
+    * curateToTable report): five-stage curation accounting re-derived —
+    * same config, same expected counts. */
+  private val CurationReportSql: String = s"""
+      WITH $TextStatsCtes,
+      flags AS (SELECT doc_id,
+          (doclang IN ('en','de','fr','es')) AS lang_ok,
+          (doclang IN ('en','de','fr','es'))
+            AND length(text) BETWEEN 50 AND 1000000
+            AND $QualityExpr >= 0.2 AS qual_ok,
+          trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS norm
+        FROM ratios r JOIN (SELECT doc_id, lang AS doclang FROM documents) d
+          USING (doc_id)),
+      kept AS (SELECT MIN(doc_id) AS doc_id, norm
+               FROM flags WHERE qual_ok GROUP BY norm),
+      ksh AS (SELECT doc_id,
+               list_distinct(list_transform(range(1, greatest(length(norm)-4,1)+1),
+                 i -> substr(norm, CAST(i AS INT), 5))) AS s
+             FROM kept WHERE length(norm) > 0),
+      dup AS (SELECT DISTINCT b.doc_id
+              FROM ksh a, ksh b WHERE a.doc_id < b.doc_id
+                AND CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+                    / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.6)
+      SELECT '0_input' AS stage, COUNT(*) AS n_docs FROM flags
+      UNION ALL SELECT '1_language', COUNT(*) FROM flags WHERE lang_ok
+      UNION ALL SELECT '2_quality', COUNT(*) FROM flags WHERE qual_ok
+      UNION ALL SELECT '3_exact_dedup', COUNT(*) FROM kept
+      UNION ALL SELECT '4_near_dedup', (SELECT COUNT(*) FROM kept) - COUNT(*) FROM dup
+      ORDER BY stage"""
+
   val sql: Map[String, String] = Map(
 
     "q01_pricing" -> """
@@ -928,32 +958,12 @@ object Oracle {
     // the same — the index round-trip must reproduce the in-flight path.
     "m15_ann_ivf_index" -> IvfTopKSql,
 
-    "m10_curation_report" -> s"""
-      WITH $TextStatsCtes,
-      flags AS (SELECT doc_id,
-          (doclang IN ('en','de','fr','es')) AS lang_ok,
-          (doclang IN ('en','de','fr','es'))
-            AND length(text) BETWEEN 50 AND 1000000
-            AND $QualityExpr >= 0.2 AS qual_ok,
-          trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS norm
-        FROM ratios r JOIN (SELECT doc_id, lang AS doclang FROM documents) d
-          USING (doc_id)),
-      kept AS (SELECT MIN(doc_id) AS doc_id, norm
-               FROM flags WHERE qual_ok GROUP BY norm),
-      ksh AS (SELECT doc_id,
-               list_distinct(list_transform(range(1, greatest(length(norm)-4,1)+1),
-                 i -> substr(norm, CAST(i AS INT), 5))) AS s
-             FROM kept WHERE length(norm) > 0),
-      dup AS (SELECT DISTINCT b.doc_id
-              FROM ksh a, ksh b WHERE a.doc_id < b.doc_id
-                AND CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
-                    / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.6)
-      SELECT '0_input' AS stage, COUNT(*) AS n_docs FROM flags
-      UNION ALL SELECT '1_language', COUNT(*) FROM flags WHERE lang_ok
-      UNION ALL SELECT '2_quality', COUNT(*) FROM flags WHERE qual_ok
-      UNION ALL SELECT '3_exact_dedup', COUNT(*) FROM kept
-      UNION ALL SELECT '4_near_dedup', (SELECT COUNT(*) FROM kept) - COUNT(*) FROM dup
-      ORDER BY stage""",
+    "m10_curation_report" -> CurationReportSql,
+    // m20 runs the DURABLE-WRITE curation variant (curateToTable: corpus
+    // written as a parquet table, counts read off the written table) with
+    // m10's exact config: the expected stage accounting is identical —
+    // the durable path must reproduce the checkpoint path's counts.
+    "m20_curate_table" -> CurationReportSql,
 
     // m14 = m10's chain + stage 5: drop survivors sharing ≥1 distinct
     // 13-word-gram with the benchmark (doc_id % 5 = 0 over the raw

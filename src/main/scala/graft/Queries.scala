@@ -584,6 +584,24 @@ object Queries {
           minQuality = 0.2, nearDedupThreshold = 0.6))
       .orderBy("stage")
 
+  /** m10's accounting via the DURABLE-WRITE path ([[operators.TrainingPipeline.curateToTable]]):
+    * the corpus is written as a parquet table under target/ and the
+    * stage-4 count is read off the WRITTEN table — the oracle is m10's
+    * (shared SQL), since the two materialization strategies must agree
+    * on every count. */
+  def m20CurateToTable(s: SparkSession, dir: String): DataFrame = {
+    val full = new java.io.File(dir).getAbsolutePath
+    val out = s"target/curate-table/${new java.io.File(dir).getName}-" +
+      f"${graft.core.TextSig.mix64(full.hashCode.toLong) & 0xffffffffL}%08x"
+    val (_, rep) = operators.TrainingPipeline.curateToTable(
+      t(s, dir, "documents"),
+      out,
+      operators.TrainingPipeline.Config(
+        languages = Seq("en", "de", "fr", "es"), minChars = 50,
+        minQuality = 0.2, nearDedupThreshold = 0.6))
+    rep.orderBy("stage")
+  }
+
   /** m10's chain with `benchmark` set: filter → dedup → decontaminate as
     * ONE `report` call with accounting — the oracle re-derives all six
     * stage counts incl. the 13-gram test-set overlap on the survivors. */

@@ -101,6 +101,7 @@ object SparkEntry {
     "m17_mixture" -> Queries.m17MixtureSample,
     "m18_chunk" -> Queries.m18Chunk,
     "m19_skew" -> Queries.m19Skew,
+    "m20_curate_table" -> Queries.m20CurateToTable,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on

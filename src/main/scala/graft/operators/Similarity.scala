@@ -122,9 +122,13 @@ object Similarity {
    * sample): rebuilding over the same corpus bit-matches.
    */
   def ivfWriteIndex(corpus: DataFrame, dir: String, nlist: Int = 16,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centersOpt: Option[Array[Array[Double]]] = None): Unit = {
     val spark = corpus.sparkSession
-    val centers = ivfCenters(corpus, nlist, vecCol, idCol)
+    // centersOpt: rebuild under EXISTING centroids (e.g. re-laying-out a
+    // grown index without moving vectors across cells); default trains
+    // fresh seeded centers from the corpus sample
+    val centers = centersOpt.getOrElse(ivfCenters(corpus, nlist, vecCol, idCol))
     import spark.implicits._
     // Commit protocol: the `.ok` marker is deleted FIRST and recreated
     // only after BOTH writes succeed. The sidecar and the corpus are two
@@ -145,6 +149,38 @@ object Similarity {
     centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "center")
       .coalesce(1).write.mode("overwrite").parquet(dir + ".centers")
+    fs.create(marker, true).close()
+  }
+
+  /**
+   * Append new vectors to an EXISTING index — the growing-corpus story
+   * (the incremental-dedup analog for ANN): new vectors are assigned to
+   * the index's PINNED centers (read off the sidecar — never retrained;
+   * an append must not move existing vectors between cells) and appended
+   * to their cell partitions; untouched cells gain no files. Standard
+   * IVF practice: centroid quality saturates on the initial sample, and
+   * periodic full `ivfWriteIndex` rebuilds re-train when drift warrants.
+   *
+   * Same commit protocol as the build: the `.ok` marker is dropped
+   * before the append and restored after it. A crash mid-append leaves
+   * the index UNMARKED and refused by readers — a blind retry would
+   * duplicate the partially-appended rows (parquet append is not
+   * idempotent), so recovery is a rebuild (or restoring from the
+   * pre-append files); the refusal makes that loud, not silent.
+   */
+  def ivfAppend(corpus: DataFrame, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    val centers = ivfReadCenters(spark, dir) // refuses an unmarked index
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(dir + ".ok")
+    fs.delete(marker, false)
+    ivfCellAssignments(corpus, centers, idCol, vecCol)
+      .select(col("corpus_id"), col("cv"), col("cell").cast("int").as("cell"))
+      // one new file per touched cell dir per append (CLAUDE.md rule)
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(dir)
     fs.create(marker, true).close()
   }
 

@@ -273,6 +273,52 @@ class PipelineSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.ann.traceIndexReads")
   }
 
+  test("ivfAppend: append+probe matches a same-centers rebuild, pruned " +
+      "reads hold, and a crashed append is refused") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val initial = emb.filter(col("vec_id") % 3 =!= 0)
+    val growth = emb.filter(col("vec_id") % 3 === 0)
+    val base = java.nio.file.Files.createTempDirectory("ivf-app").toString
+    val appended = base + "/appended"
+    val rebuilt = base + "/rebuilt"
+    // index built on the initial corpus, then grown by append
+    Similarity.ivfWriteIndex(initial, appended, nlist = 8)
+    val centers = Similarity.ivfReadCenters(spark, appended)
+    Similarity.ivfAppend(growth, appended)
+    // centers are PINNED by the append (never retrained)
+    val after = Similarity.ivfReadCenters(spark, appended)
+    centers.zip(after).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+    // reference: the full corpus laid out in ONE build under the SAME
+    // centers — append must be indistinguishable from it at probe time
+    Similarity.ivfWriteIndex(emb, rebuilt, nlist = 8, centersOpt = Some(centers))
+    val queries = emb.filter(col("vec_id") < 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    assert(rows(Similarity.ivfTopKFromIndex(spark, appended, queries, k = 3, nprobe = 8)) ===
+      rows(Similarity.ivfTopKFromIndex(spark, rebuilt, queries, k = 3, nprobe = 8)))
+    // partition pruning survives the append (old + new files per cell)
+    val allFiles = spark.read.parquet(appended).select(input_file_name())
+      .distinct().collect().map(_.getString(0)).toSet
+    spark.conf.set("graft.ann.traceIndexReads", "true")
+    try {
+      Similarity.ivfTopKFromIndex(spark, appended, queries, k = 3, nprobe = 2).collect()
+      val touched = Similarity.lastIndexReadFiles.toSet
+      assert(touched.nonEmpty && touched.subsetOf(allFiles) &&
+        touched.size < allFiles.size,
+        s"probe read ${touched.size}/${allFiles.size} files — not pruned")
+    } finally spark.conf.unset("graft.ann.traceIndexReads")
+    // crash window: an append that died before restoring the marker
+    // leaves the index refused, not silently partial
+    val fs = new org.apache.hadoop.fs.Path(appended)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(appended + ".ok"), false)
+    val e = intercept[IllegalStateException] {
+      Similarity.ivfTopKFromIndex(spark, appended, queries, k = 3, nprobe = 2)
+    }
+    assert(e.getMessage.contains("no completion marker"))
+  }
+
   test("IVF centers are identical across differently-partitioned reads") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val a = Similarity.ivfCenters(emb, 8)
