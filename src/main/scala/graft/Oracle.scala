@@ -957,6 +957,10 @@ object Oracle {
     // centers sidecar) with m09's exact geometry: the expected answer is
     // the same — the index round-trip must reproduce the in-flight path.
     "m15_ann_ivf_index" -> IvfTopKSql,
+    // m21 probes an index built on ⅔ of the corpus under full-corpus
+    // centers then GROWN by ivfAppend — content-identical to m15's
+    // one-shot build, so append shares the rebuild's expected ranking.
+    "m21_ivf_append" -> IvfTopKSql,
 
     "m10_curation_report" -> CurationReportSql,
     // m20 runs the DURABLE-WRITE curation variant (curateToTable: corpus

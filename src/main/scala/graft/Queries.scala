@@ -649,6 +649,31 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** m09's geometry probed from an index GROWN BY APPEND
+    * ([[Similarity.ivfAppend]]): centers are trained once on the full
+    * corpus (deterministic — same sample m09/m15 use), the index is
+    * built over only ⅔ of the vectors under those pinned centers, and
+    * the remaining ⅓ arrives via `ivfAppend`. The appended index is
+    * bit-identical in content to m15's one-shot build, so the three
+    * entries share one oracle: append must be indistinguishable from
+    * rebuild at probe time. */
+  def m21AnnIvfAppend(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val idx = ivfIndexDirs.getOrElseUpdate(dir + "#append", {
+      val full = new java.io.File(dir).getAbsolutePath
+      val d = s"target/ivf-index/${new java.io.File(dir).getName}-" +
+        f"${graft.core.TextSig.mix64(full.hashCode.toLong) & 0xffffffffL}%08x-app"
+      val centers = Similarity.ivfCenters(emb, 16)
+      Similarity.ivfWriteIndex(emb.filter(col("vec_id") % 3 =!= 0), d,
+        nlist = 16, centersOpt = Some(centers))
+      Similarity.ivfAppend(emb.filter(col("vec_id") % 3 === 0), d)
+      d
+    })
+    Similarity.ivfTopKFromIndex(s, idx, emb.filter(col("vec_id") < 16),
+        k = 5, nprobe = 8)
+      .orderBy("query_id", "rank")
+  }
+
   /** Threshold calibrated to the synthetic embeddings (random vectors:
     * pairwise cosine tops out near 0.45 — a 0.9 near-dup bar would be
     * vacuous on this corpus). The gate runs the EXACT all-pairs verifier

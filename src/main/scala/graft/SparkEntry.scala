@@ -102,6 +102,7 @@ object SparkEntry {
     "m18_chunk" -> Queries.m18Chunk,
     "m19_skew" -> Queries.m19Skew,
     "m20_curate_table" -> Queries.m20CurateToTable,
+    "m21_ivf_append" -> Queries.m21AnnIvfAppend,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on
