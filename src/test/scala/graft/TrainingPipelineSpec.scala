@@ -439,5 +439,20 @@ class TrainingPipelineSpec extends AnyFunSuite {
       "decontam stage dir must be deleted after the final write")
     val leaked2 = s.sparkContext.getPersistentRDDs.keySet -- before2
     assert(leaked2.isEmpty, s"benchmark path pinned blocks: $leaked2")
+
+    // crash window: a prior run that died between the stage write and the
+    // final write leaves <out>.dedup-stage behind — a rerun must OVERWRITE
+    // the stale stage (not read it, not fail on it) and still clean up
+    val out3 = out + "-crash"
+    val staleStage = java.nio.file.Paths.get(out3 + ".dedup-stage")
+    java.nio.file.Files.createDirectories(staleStage)
+    java.nio.file.Files.writeString(staleStage.resolve("junk.txt"),
+      "not parquet — simulates a torn prior attempt")
+    val (clean3, rep3) = TrainingPipeline.curateToTable(corpus2in, out3, cfg2)
+    assert(clean3.select("doc_id").as[Long].collect().toSet === Set(2L))
+    assert(rep3.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .apply("5_decontaminated") === 1L)
+    assert(!java.nio.file.Files.exists(staleStage),
+      "rerun must delete the recovered stage dir")
   }
 }
