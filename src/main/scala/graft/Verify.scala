@@ -26,15 +26,17 @@ object Verify {
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
     selected.foreach { case (name, fn) =>
+      // release per-query checkpoint blocks (see Bench) — 80 queries in
+      // one session otherwise accrete every materialized cut. In a
+      // finally: a query that throws AFTER materializing checkpoints
+      // (mid-write) must not leak them for the rest of the gate.
+      var df: org.apache.spark.sql.DataFrame = null
       try {
-        val df = fn(spark, sfDir)
+        df = fn(spark, sfDir)
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-        // release per-query checkpoint blocks (see Bench) — 80 queries
-        // in one session otherwise accrete every materialized cut
-        graft.core.Blocks.releaseAll(df)
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      } finally { if (df != null) graft.core.Blocks.releaseAll(df) }
     }
     // aux inputs for oracle SQL (referenced via the {AUX} placeholder).
     // Deliberately OUTSIDE outDir: the gate treats every outDir

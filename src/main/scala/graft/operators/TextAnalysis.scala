@@ -76,14 +76,17 @@ object TextAnalysis {
 
   // --- language ID: tiny marker-word heuristic, compiled kernel ---
 
-  private val langIdUdf = udf((t: String) => TextSig.langId(t))
-
   /** Heuristic language ID: count marker-word hits per language
     * (`TextSig.LangMarkers`), argmax with 'und' (undetermined) fallback.
     * One compiled pass ([[TextSig.langId]] — 20 allocation-free indexOf
-    * scans) replacing the previous 20-`split()` Column form; hit
-    * semantics and tie-breaking are bit-identical (oracle-pinned). */
-  def langId(text: Column): Column = langIdUdf(text)
+    * scans) as a native codegen'd Catalyst expression
+    * ([[graft.plans.LangId]]) — the hottest curation scalar stays inside
+    * whole-stage codegen instead of crossing the UDF boxing seam per
+    * row. Hit semantics and tie-breaking are oracle-pinned. */
+  def langId(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.LangId(ColumnBridge.expression(text)))
+  }
 
   /** 64-bit rolling document fingerprint (content hash on normalized
     * text) — xxhash64 of whitespace-collapsed lowercase text. */

@@ -41,5 +41,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("decode_token_metadata"),
       new ExpressionInfo(classOf[MplMetadataDecode].getName, "decode_token_metadata"),
       (args: Seq[Expression]) => MplMetadataDecode(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("lang_id"),
+      new ExpressionInfo(classOf[LangId].getName, "lang_id"),
+      (args: Seq[Expression]) => LangId(args.head)))
   }
 }

@@ -1,0 +1,56 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.TextSig
+
+/**
+ * Native text-analysis expressions. LangId is the hottest scalar on the
+ * curation path (runs per-document inside m07/m10/m14/m20): as a native
+ * expression it stays inside whole-stage codegen as one static call —
+ * no UDF closure, no String boxing through the Encoder seam that the
+ * `udf(TextSig.langId _)` form paid per row.
+ */
+object TextCodegen {
+  /** Static entry point for generated code; null text → "und" (the
+    * kernel's fallback — the UDF this replaces passed null through). */
+  def langId(t: UTF8String): UTF8String =
+    UTF8String.fromString(TextSig.langId(if (t == null) null else t.toString))
+}
+
+/** Heuristic marker-word language ID ([[TextSig.langId]]) as a codegen'd
+  * Catalyst expression. Semantics are oracle-pinned (m07/m10/m14/m20):
+  * non-overlapping counts on the space-padded lowercase text, argmax with
+  * lexicographically-last tie-break, all-zero / null → "und". */
+case class LangId(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"lang_id requires STRING input, got ${child.dataType.sql}")
+  override def dataType: DataType = StringType
+  // NOT null-propagating: null text → 'und', like the UDF it replaces
+  // (Scala UDFs pass null reference args through to the body). Hence the
+  // hand-written eval/doGenCode instead of nullSafeEval/defineCodeGen.
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any =
+    TextCodegen.langId(child.eval(input).asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val resultCode =
+      code"""
+        ${childGen.code}
+        UTF8String ${ev.value} = graft.plans.TextCodegen.langId(
+          ${childGen.isNull} ? null : ${childGen.value});
+      """
+    ev.copy(code = resultCode, isNull = FalseLiteral)
+  }
+  override protected def withNewChildInternal(newChild: Expression): LangId =
+    copy(child = newChild)
+  override def prettyName: String = "lang_id"
+}

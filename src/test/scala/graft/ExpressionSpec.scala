@@ -47,6 +47,27 @@ class ExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("lang_id native expression: codegen span, null → 'und', SQL form") {
+    val s = spark
+    import s.implicits._
+    // range-based source: a local Seq would fold to LocalTableScan (the
+    // optimizer evaluates the projection eagerly) and prove nothing
+    // about codegen
+    val df = spark.range(3).select(
+      when(col("id") === 0, "the cat and the dog is here")
+        .when(col("id") === 2, " der die und ist ").as("t"))
+      .select(col("t"), graft.operators.TextAnalysis.langId(col("t")).as("lang"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("lang_id"),
+      s"expected codegen'd project with lang_id, got:\n$plan")
+    assert(df.collect().map(_.getString(1)).toSeq === Seq("en", "und", "de"))
+    // extension-registered SQL surface + kernel parity on a marker mix
+    assert(spark.sql("SELECT lang_id(' the the is ') AS l")
+      .collect()(0).getString(0) === "en")
+    assert(spark.sql("SELECT lang_id(CAST(NULL AS STRING)) AS l")
+      .collect()(0).getString(0) === "und")
+  }
+
   test("property: base58 decode(encode(x)) == x over random inputs") {
     val rng = new scala.util.Random(42)
     (0 until 500).foreach { _ =>
