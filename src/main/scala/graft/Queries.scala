@@ -599,6 +599,13 @@ object Queries {
       operators.TrainingPipeline.Config(
         languages = Seq("en", "de", "fr", "es"), minChars = 50,
         minQuality = 0.2, nearDedupThreshold = 0.6))
+    // the report is a driver-local literal (its counts were taken
+    // eagerly inside curateToTable), so the probe table is deleted on
+    // success — 3 bench runs/session × every round would otherwise
+    // accrete dirs under target/curate-table. A failed run never
+    // reaches this line, leaving its table behind for debugging.
+    val p = new org.apache.hadoop.fs.Path(out)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     rep.orderBy("stage")
   }
 

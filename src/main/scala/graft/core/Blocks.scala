@@ -33,11 +33,25 @@ object Blocks {
 
   /** Release EVERY checkpoint block reachable from `df`'s plan — for
     * frames built on top of (possibly several) checkpoints whose handles
-    * the caller no longer holds. Same warning: the plan (and anything
-    * else sharing those checkpoints) is unreadable afterwards. */
+    * the caller no longer holds. Walks subquery expressions too (a
+    * `LogicalRDD` referenced only through a scalar/IN subquery plan is
+    * invisible to `plan.foreach`, which visits the operator tree only).
+    * Same warning: the plan (and anything else sharing those
+    * checkpoints) is unreadable afterwards. */
   def releaseAll(df: Dataset[_]): Unit =
-    df.queryExecution.analyzed.foreach {
-      case l: LogicalRDD => l.rdd.unpersist(false)
-      case _ => ()
+    releasePlan(df.queryExecution.analyzed)
+
+  private def releasePlan(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    plan.foreach { node =>
+      node match {
+        case l: LogicalRDD => l.rdd.unpersist(false)
+        case _ => ()
+      }
+      node.expressions.foreach(_.foreach {
+        case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+          releasePlan(s.plan)
+        case _ => ()
+      })
     }
 }

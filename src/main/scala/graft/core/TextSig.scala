@@ -335,6 +335,20 @@ object TextSig {
     bestLang
   }
 
+  /** Count of `grams` (sorted distinct, e.g. [[wordShingles]] output)
+    * present in the sorted `set` — binary search per gram, O(g·log s):
+    * the set is the big side (a benchmark's full gram inventory), so a
+    * merge scan walking it per document would be O(s) per doc. */
+  def countHitsSorted(grams: Array[Long], set: Array[Long]): Long = {
+    var i = 0
+    var c = 0L
+    while (i < grams.length) {
+      if (java.util.Arrays.binarySearch(set, grams(i)) >= 0) c += 1
+      i += 1
+    }
+    c
+  }
+
   /** Exact Jaccard of two sorted distinct hash arrays (merge scan). */
   def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
     if (a.isEmpty && b.isEmpty) return 0.0

@@ -66,18 +66,18 @@ object TrainingPipeline {
       langCol.isin(languages.map(lit(_)): _*)
     }
 
-  /** Full chain per `Config`; returns the curated corpus. With a
-    * benchmark set, the deduped corpus is MATERIALIZED (localCheckpoint)
-    * before decontamination: the anti-join references the curated plan
-    * on both of its sides, and without the checkpoint the near-dedup
-    * chain — the dominant cost — would evaluate twice per action. */
+  /** Full chain per `Config`; returns the curated corpus.
+    * Decontamination is a narrow filter over the deduped corpus (the
+    * benchmark gram set is broadcast — see [[decontaminate]]), so the
+    * dedup chain is referenced exactly once and nothing needs to be
+    * materialized here. (The previous anti-join shape forced a
+    * localCheckpoint of the deduped corpus that no caller could ever
+    * release.) */
   def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
     val d = curateThroughDedup(docs, cfg)
     cfg.benchmark match {
       case None => d
-      case Some(b) =>
-        decontaminate(d.localCheckpoint(true), b, cfg.decontamN,
-          cfg.decontamMinHits)
+      case Some(b) => decontaminate(d, b, cfg.decontamN, cfg.decontamMinHits)
     }
   }
 
@@ -122,17 +122,13 @@ object TrainingPipeline {
               batchId = Some(batchId))
           else exact
         // static benchmark vs streaming batch: decontamination is a
-        // stateless broadcast join, identical semantics per micro-batch.
-        // The deduped batch is materialized first: the anti-join
-        // references it on both sides, and without the checkpoint the
-        // incremental dedup chain (scan + store joins) would evaluate
-        // twice per micro-batch write. Batch-sized, released after the
-        // write — not the corpus-sized checkpoint `curateToTable` avoids.
-        val (kept, mat) = cfg.benchmark match {
-          case None => (deduped, None)
+        // stateless narrow filter against the broadcast benchmark gram
+        // set, identical semantics per micro-batch; it references the
+        // deduped batch exactly once, so nothing extra is materialized.
+        val kept = cfg.benchmark match {
+          case None => deduped
           case Some(b) =>
-            val m = deduped.localCheckpoint(true)
-            (decontaminate(m, b, cfg.decontamN, cfg.decontamMinHits), Some(m))
+            decontaminate(deduped, b, cfg.decontamN, cfg.decontamMinHits)
         }
         kept.withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
@@ -140,11 +136,9 @@ object TrainingPipeline {
           .partitionBy("batch_id")
           .parquet(outDir)
         // release by handle (Dataset.unpersist is a no-op on checkpointed
-        // frames — core.Blocks): the decontam materialization, then every
-        // checkpoint inside the batch's dedup plan (the incremental
-        // path's dup-id frame) — a stream leaks all of them per batch
-        // otherwise
-        mat.foreach(graft.core.Blocks.release)
+        // frames — core.Blocks): every checkpoint inside the batch's
+        // dedup plan (the incremental path's dup-id frame) — a stream
+        // leaks all of them per batch otherwise
         graft.core.Blocks.releaseAll(deduped)
         ()
       }
@@ -236,40 +230,71 @@ object TrainingPipeline {
   private val wordShinglesUdf =
     udf((t: String, w: Int) => graft.core.TextSig.wordShingles(t, w))
 
+  /** The benchmark's distinct `n`-gram hash inventory, collected to the
+    * driver (sorted) and broadcast. Small by CONTRACT — a benchmark/test
+    * set is tiny next to the training corpus; the driver footprint is
+    * the same one the previous broadcast-JOIN shape already paid (a
+    * broadcast join collects its small side to the driver too). The
+    * benchmark-side explode + distinct is the only shuffle in the whole
+    * decontamination path. */
+  private def benchmarkGrams(benchmark: DataFrame, n: Int)
+      : org.apache.spark.broadcast.Broadcast[Array[Long]] = {
+    val grams = benchmark
+      .select(explode(wordShinglesUdf(col("text"), lit(n))).as("gram"))
+      .distinct()
+      .collect().map(_.getLong(0))
+    java.util.Arrays.sort(grams)
+    benchmark.sparkSession.sparkContext.broadcast(grams)
+  }
+
+  /** Per-doc count of distinct grams hitting the broadcast set — one
+    * compiled kernel pass per document (shingle + binary-search), no
+    * explode, no per-gram rows. */
+  private def hitsCol(bc: org.apache.spark.broadcast.Broadcast[Array[Long]],
+      n: Int, text: Column): Column = {
+    val hitsUdf = udf((t: String) =>
+      graft.core.TextSig.countHitsSorted(
+        graft.core.TextSig.wordShingles(t, n), bc.value))
+    hitsUdf(text)
+  }
+
   /** Benchmark contamination report: training docs sharing ≥ `minHits`
     * distinct word `n`-grams with a benchmark/test corpus — the
     * test-set-overlap check a training pipeline runs before a corpus
     * ships (the classic form is 13-gram decontamination). Returns
     * (doc_id, hits).
     *
-    * Scale shape: the CORPUS never shuffles — its n-gram hashes (64-bit,
-    * never text) stream through a broadcast join against the benchmark's
-    * distinct gram set, and only MATCHED grams (contaminated docs only, a
-    * vanishing fraction) reach the per-doc count. The broadcast is a
-    * deliberate contract: a benchmark is small by definition; the only
-    * shuffle is the benchmark-side distinct. Gram semantics are exactly
-    * `TextSig.wordShingles` (normalize → whitespace tokens → FNV over the
-    * n-gram, per-doc distinct; a doc shorter than `n` tokens contributes
-    * its whole text as one gram), shared with the m03 Jaccard path. */
+    * Scale shape: the CORPUS never shuffles and never explodes — each
+    * doc's gram hashes (64-bit, never text) are counted against the
+    * broadcast benchmark set in ONE narrow kernel pass
+    * ([[graft.core.TextSig.countHitsSorted]]); there is no per-gram row
+    * stream, no join, no per-doc aggregation. (The previous shape —
+    * explode → broadcast join → groupBy — paid ~(tokens−n) rows per doc
+    * plus a matched-gram shuffle for the same answer.) Gram semantics
+    * are exactly `TextSig.wordShingles` (normalize → whitespace tokens →
+    * FNV over the n-gram, per-doc distinct; a doc shorter than `n`
+    * tokens contributes its whole text as one gram), shared with the
+    * m03 Jaccard path. */
   def contamination(docs: DataFrame, benchmark: DataFrame, n: Int = 13,
       minHits: Long = 1): DataFrame = {
     val parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    val bgrams = benchmark
-      .select(explode(wordShinglesUdf(col("text"), lit(n))).as("gram"))
-      .distinct()
+    val bc = benchmarkGrams(benchmark, n)
     docs.select(col("doc_id"), col("text"))
-      .repartition(parallelism)
-      .select(col("doc_id"), explode(wordShinglesUdf(col("text"), lit(n))).as("gram"))
-      .join(broadcast(bgrams), "gram")
-      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+      .repartition(parallelism) // driver testdata = 1 row group (CLAUDE.md)
+      .select(col("doc_id"), hitsCol(bc, n, col("text")).as("hits"))
       .filter(col("hits") >= minHits)
   }
 
-  /** Drop contaminated docs (see `contamination`); keeps all columns. */
+  /** Drop contaminated docs (see `contamination`); keeps all columns.
+    * A NARROW filter — each doc's fate is a pure function of its own
+    * text and the broadcast benchmark gram set; no anti-join, so `docs`
+    * is referenced exactly once (callers no longer need to materialize
+    * it to avoid double evaluation). */
   def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 13,
-      minHits: Long = 1): DataFrame =
-    docs.join(contamination(docs, benchmark, n, minHits).select("doc_id"),
-      Seq("doc_id"), "left_anti")
+      minHits: Long = 1): DataFrame = {
+    val bc = benchmarkGrams(benchmark, n)
+    docs.filter(hitsCol(bc, n, col("text")) < minHits)
+  }
 
   /** Curate AND account in one pass: the near-dedup chain (the dominant
     * cost — LSH candidates + verify over the corpus) runs ONCE, serving
@@ -295,9 +320,10 @@ object TrainingPipeline {
     * pinned in memory/disk blocks, and the corpus survives the driver.
     * Returns (reader of the written table, report frame).
     *
-    * With a benchmark set, decontamination references the deduped corpus
-    * on both sides of its anti-join, so that intermediate must be
-    * materialized too: it is staged durably at `<outDir>.dedup-stage`
+    * With a benchmark set, the deduped corpus serves two actions (the
+    * stage-4 count AND the decontaminated final write) and must not run
+    * the dedup chain twice, so that intermediate is materialized too:
+    * it is staged durably at `<outDir>.dedup-stage`
     * (a sibling path — it cannot live under `outDir`, which the final
     * overwrite would delete out from under the plan reading it) and
     * deleted once the clean corpus is written. A crash between the two
@@ -308,13 +334,21 @@ object TrainingPipeline {
     val (s0, s1, s2, s3) = stageCounts(docs, cfg)
     cfg.benchmark match {
       case None =>
-        curateThroughDedup(docs, cfg).write.mode("overwrite").parquet(outDir)
+        val plan = curateThroughDedup(docs, cfg)
+        plan.write.mode("overwrite").parquet(outDir)
+        // the dedup chain checkpoints internal cuts (verified-pairs
+        // frame, component labels); once the corpus is durably written
+        // they are dead — release by handle, or every curateToTable
+        // call pins id-sized blocks for the session (the returned
+        // corpus is a fresh parquet read, so no caller could free them)
+        graft.core.Blocks.releaseAll(plan)
         val corpus = spark.read.parquet(outDir)
         (corpus, reportFrame(docs, (s0, s1, s2, s3, corpus.count())))
       case Some(b) =>
         val stagePath = new org.apache.hadoop.fs.Path(outDir + ".dedup-stage")
-        curateThroughDedup(docs, cfg).write.mode("overwrite")
-          .parquet(stagePath.toString)
+        val plan = curateThroughDedup(docs, cfg)
+        plan.write.mode("overwrite").parquet(stagePath.toString)
+        graft.core.Blocks.releaseAll(plan) // as above
         val deduped = spark.read.parquet(stagePath.toString)
         val s4 = deduped.count()
         decontaminate(deduped, b, cfg.decontamN, cfg.decontamMinHits)
@@ -336,7 +370,7 @@ object TrainingPipeline {
       case None => (deduped, reportFrame(docs, (s0, s1, s2, s3, s4)))
       case Some(b) =>
         // decontamination reads the materialized dedup output — one
-        // extra broadcast-join pass over the survivors, never the corpus
+        // extra narrow kernel pass over the survivors, never the corpus
         val clean = decontaminate(deduped, b, cfg.decontamN,
           cfg.decontamMinHits).localCheckpoint(true)
         // `deduped`'s checkpoint blocks are dead once `clean` is

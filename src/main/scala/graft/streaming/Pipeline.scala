@@ -112,6 +112,14 @@ object Pipeline {
    * maintain each pubkey's latest (write_version, lamports) across
    * micro-batches and emit only monotonic updates — the streaming analog
    * of the batch last-writer-wins A1.
+   *
+   * CHECKPOINT COMPATIBILITY: the state-store key switched from base58
+   * String to raw Array[Byte] (see the groupByKey note below), which
+   * changes the state key schema. A stream restarted from a
+   * checkpointLocation written by the String-keyed version fails Spark's
+   * state schema compatibility check (and would corrupt state on
+   * versions without validation) — there is no state-migration path, so
+   * resuming across that upgrade requires a FRESH checkpointLocation.
    */
   def latestBalances(spark: SparkSession, accounts: DataFrame): Dataset[BalanceUpdate] = {
     import spark.implicits._

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -454,5 +456,24 @@ class TrainingPipelineSpec extends AnyFunSuite {
       .apply("5_decontaminated") === 1L)
     assert(!java.nio.file.Files.exists(staleStage),
       "rerun must delete the recovered stage dir")
+  }
+
+  test("m20 bench query deletes its probe table on success") {
+    val out = Queries.m20CurateToTable(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    // the query writes under target/curate-table/<sf0.001-hash> and must
+    // remove it before returning — 3 bench runs per session × every
+    // round would otherwise accrete probe tables
+    val dir = java.nio.file.Paths.get("target", "curate-table")
+    val leftovers =
+      if (!java.nio.file.Files.exists(dir)) Nil
+      else {
+        val s = java.nio.file.Files.list(dir)
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("sf0.001")).toList
+        finally s.close()
+      }
+    assert(leftovers.isEmpty, s"m20 left probe tables behind: $leftovers")
   }
 }
