@@ -416,20 +416,23 @@ object Queries {
       .orderBy("p_brand")
   }
 
-  /** percent_rank / cume_dist / ntile (rounded for float stability).
-    * NOTE: a global (un-partitioned) window collapses to one task — fine
-    * for a correctness probe, but the scale form of a global rank is
-    * sort + zipWithIndex (two distributed passes), not a window. */
-  def q32PercentRank(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-    t(s, dir, "orders")
-      .select(col("o_orderkey"),
-        round(percent_rank().over(w), 6).as("pr"),
-        round(cume_dist().over(w), 6).as("cd"),
-        ntile(10).over(w).as("decile"))
+  /** percent_rank / cume_dist / ntile (rounded for float stability) —
+    * via [[operators.Ranking.globalPercentiles]], the scale form: a
+    * range-partitioned global rank plus closed-form derivations, no
+    * unpartitioned window anywhere in the plan (the window forms would
+    * collapse the whole table into one task). The oracle stays the SQL
+    * window functions — the closed forms must match them exactly under
+    * the total order. */
+  def q32PercentRank(s: SparkSession, dir: String): DataFrame =
+    operators.Ranking.globalPercentiles(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        Seq(col("o_totalprice").asc, col("o_orderkey").asc), buckets = 10)
       .filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey"),
+        round(col("percent_rank"), 6).as("pr"),
+        round(col("cume_dist"), 6).as("cd"),
+        col("ntile").as("decile"))
       .orderBy("o_orderkey")
-  }
 
   /** Conditional aggregation (FILTER/count_if shape). */
   def q33ConditionalAgg(s: SparkSession, dir: String): DataFrame =

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -17,10 +16,10 @@ import org.apache.spark.sql.functions._
  *      contiguous sorted slice;
  *   2. `monotonically_increasing_id` encodes (partition, local index) as
  *      pid·2³³ + local — a narrow projection, no data movement;
- *   3. per-partition row counts (tiny: one row per partition) turn into
- *      cumulative offsets with a single-task window over that TINY frame
- *      (the only intentionally-serial step, same as zipWithIndex's size
- *      job), broadcast back, and rank = offset + local + 1.
+ *   3. per-partition row counts (tiny: one row per partition) are
+ *      collected and prefix-summed on the driver (the only
+ *      intentionally-serial step — the same size job zipWithIndex
+ *      runs), broadcast back, and rank = offset + local + 1.
  *
  * The result equals `row_number()` over the same total order (ties must
  * be broken by the caller's order columns, exactly as a window requires).
@@ -55,13 +54,17 @@ object Ranking {
       .withColumn(localC,
         monotonically_increasing_id() - shiftleft(spark_partition_id().cast("long"), 33))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = sorted.groupBy(pidC).agg(count(lit(1)).as("_cnt"))
-    // cumulative counts over the per-partition frame: #partitions rows,
-    // so the unpartitioned window is a deliberate, bounded serial step
-    val w = Window.orderBy(pidC).rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = counts
-      .withColumn(offC, coalesce(sum(col("_cnt")).over(w), lit(0L)))
-      .select(pidC, offC)
+    // cumulative offsets from the per-partition counts: one row per
+    // partition, collected and prefix-summed on the DRIVER (exactly
+    // zipWithIndex's size job) — the previous single-task WindowExec
+    // over the tiny frame was equally bounded but indistinguishable in
+    // the logs from a genuine global-window scale bug
+    val cnts = sorted.groupBy(pidC).agg(count(lit(1)).as("_cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offs = cnts.map { case (pid, c) => val o = acc; acc += c; (pid, o) }
+    val offsets = df.sparkSession.createDataFrame(offs.toSeq)
+      .toDF(pidC, offC)
     // Materialize the result with lineage truncated, then RELEASE the
     // sorted frame: the persist is a correctness pin for the two-consumer
     // span above, not a session-lifetime cache — without the unpersist a
@@ -86,5 +89,48 @@ object Ranking {
         .drop(pidC, localC, offC)
         .localCheckpoint(true)
     } finally sorted.unpersist()
+  }
+
+  /** Global distribution ranks at scale: percent_rank / cume_dist /
+    * ntile(`buckets`) derived from [[globalRank]] plus a count — NO
+    * unpartitioned window anywhere in the plan (the window forms
+    * collapse the dataset into one task; this is their 100 TB shape).
+    *
+    * `order` must be a TOTAL order (include a unique tie-break column,
+    * same contract as [[globalRank]]). Under a total order rank ==
+    * row_number and every row is its own peer group, so the closed
+    * forms equal the SQL window functions exactly:
+    *   percent_rank = (rank−1)/(N−1)  (0 when N == 1),
+    *   cume_dist    = rank/N,
+    *   ntile(k)     = the first N mod k buckets hold ⌈N/k⌉ rows, the
+    *                  rest ⌊N/k⌋ (the standard SQL fill rule).
+    * The count is read off [[globalRank]]'s materialized result — no
+    * extra pass over the data. Output is checkpointed like globalRank's
+    * (callers release via `graft.core.Blocks`). */
+  def globalPercentiles(df: DataFrame, order: Seq[Column], buckets: Int = 10,
+      prCol: String = "percent_rank", cdCol: String = "cume_dist",
+      tileCol: String = "ntile"): DataFrame = {
+    require(buckets >= 1, s"globalPercentiles: buckets must be >= 1, got $buckets")
+    var rk = "_grank"
+    while (df.columns.contains(rk)) rk += "_"
+    val ranked = globalRank(df, order, rankCol = rk)
+    val n = ranked.count() // checkpointed — a block count, not a re-sort
+    val q = n / buckets
+    val rem = n % buckets
+    val r = col(rk)
+    val tile =
+      // n < buckets ⇒ q == 0: every row lands in the first branch
+      // (r ≤ rem), so the q-divisor below is never reached; the
+      // greatest(1,·) guard only keeps the unevaluated branch defined
+      when(r <= (q + 1) * rem, floor((r - 1) / (q + 1)) + 1)
+        .otherwise(
+          lit(rem) + floor((r - 1 - (q + 1) * rem) / math.max(q, 1L)) + 1)
+    ranked
+      .withColumn(prCol,
+        if (n <= 1L) lit(0.0)
+        else (r - 1).cast("double") / lit((n - 1).toDouble))
+      .withColumn(cdCol, r.cast("double") / lit(n.toDouble))
+      .withColumn(tileCol, tile.cast("int"))
+      .drop(rk)
   }
 }

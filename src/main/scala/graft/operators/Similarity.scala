@@ -161,27 +161,123 @@ object Similarity {
    * IVF practice: centroid quality saturates on the initial sample, and
    * periodic full `ivfWriteIndex` rebuilds re-train when drift warrants.
    *
-   * Same commit protocol as the build: the `.ok` marker is dropped
-   * before the append and restored after it. A crash mid-append leaves
-   * the index UNMARKED and refused by readers — a blind retry would
-   * duplicate the partially-appended rows (parquet append is not
-   * idempotent), so recovery is a rebuild (or restoring from the
-   * pre-append files); the refusal makes that loud, not silent.
+   * IDEMPOTENT staged-append protocol (the `Dedup` store's batch-marker
+   * idea, adapted to a filesystem move): a crashed append can be BLINDLY
+   * RETRIED — no rebuild, no duplicated rows. Single-writer, like the
+   * dedup store.
+   *
+   *  1. The batch is written to a STAGING dir (`<dir>.append-stage-<tag>`,
+   *     mode=overwrite — a torn prior staging write is simply replaced),
+   *     one file per touched cell, NOT into the index.
+   *  2. A `<dir>.append-pending` sidecar records the batch tag, then the
+   *     `.ok` marker is dropped (readers refuse the index during the
+   *     move window) and each staged file is RENAMED into its cell dir
+   *     under a deterministic name (`batch-<tag>-<i>.parquet`).
+   *  3. The batch marker (`<dir>.batch-<id>.done`, when `batchId` is
+   *     set) is written, `.ok` is restored, and the pending/staging
+   *     residue is deleted.
+   *
+   * A retry rolls a torn attempt back first ([[recoverPendingAppend]]):
+   * the pending tag identifies exactly the files a dead move placed, so
+   * they are deleted and the marker restored — the index is bit-identical
+   * to its pre-append state — before the append re-runs. A replay of an
+   * already-COMMITTED batch (its batch marker exists) is a no-op, so
+   * at-least-once callers (foreachBatch streams, retrying orchestrators)
+   * get exactly-once index growth from a monotone `batchId`; `None`
+   * callers still get safe blind retry (a torn attempt rolls back), just
+   * not cross-process replay detection.
+   *
+   * `graft.ann.testCrashAfterMoves` (Int conf): fault-injection hook for
+   * the crash-window spec — throws after that many file moves.
    */
   def ivfAppend(corpus: DataFrame, dir: String,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      batchId: Option[Long] = None): Unit = {
     val spark = corpus.sparkSession
-    val centers = ivfReadCenters(spark, dir) // refuses an unmarked index
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
     val marker = new org.apache.hadoop.fs.Path(dir + ".ok")
-    fs.delete(marker, false)
+    val pending = new org.apache.hadoop.fs.Path(dir + ".append-pending")
+    val batchMarker = batchId.map(b =>
+      new org.apache.hadoop.fs.Path(dir + s".batch-$b.done"))
+
+    // replay of a committed batch → no-op. If the committing run died
+    // between the batch marker and the .ok restore, finish its commit:
+    // the batch marker is written only after EVERY file move, so the
+    // content is complete and only the metadata needs repair.
+    batchMarker match {
+      case Some(bm) if fs.exists(bm) =>
+        if (!fs.exists(marker)) fs.create(marker, true).close()
+        fs.delete(pending, false)
+        return
+      case _ => ()
+    }
+    recoverPendingAppend(fs, dir) // roll back any torn prior attempt
+    val centers = ivfReadCenters(spark, dir) // refuses a torn BUILD
+
+    val tag = batchId.map(b => s"b$b")
+      .getOrElse(s"t${java.lang.Long.toHexString(System.nanoTime())}")
+    val stageDir = dir + s".append-stage-$tag"
     ivfCellAssignments(corpus, centers, idCol, vecCol)
       .select(col("corpus_id"), col("cv"), col("cell").cast("int").as("cell"))
-      // one new file per touched cell dir per append (CLAUDE.md rule)
+      // one file per touched cell dir per append (CLAUDE.md rule)
       .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(dir)
+      .write.mode("overwrite").partitionBy("cell").parquet(stageDir)
+    val staged = fs.globStatus(
+      new org.apache.hadoop.fs.Path(stageDir + "/cell=*/part-*"))
+    val crashAfter = spark.conf
+      .get("graft.ann.testCrashAfterMoves", "-1").toInt
+
+    // commit: pending first (names the tag recovery must roll back),
+    // then unmark, then move
+    val out = fs.create(pending, true)
+    out.write(tag.getBytes("UTF-8")); out.close()
+    fs.delete(marker, false)
+    staged.zipWithIndex.foreach { case (st, i) =>
+      if (crashAfter >= 0 && i >= crashAfter)
+        throw new RuntimeException(s"injected crash after $i moves")
+      val cellName = st.getPath.getParent.getName // "cell=<c>"
+      val destDir = new org.apache.hadoop.fs.Path(dir, cellName)
+      fs.mkdirs(destDir)
+      val dest = new org.apache.hadoop.fs.Path(destDir,
+        s"batch-$tag-$i.parquet")
+      if (!fs.rename(st.getPath, dest))
+        throw new java.io.IOException(s"rename ${st.getPath} -> $dest failed")
+    }
+    batchMarker.foreach(bm => fs.create(bm, true).close())
     fs.create(marker, true).close()
+    fs.delete(pending, false)
+    fs.delete(new org.apache.hadoop.fs.Path(stageDir), true)
+  }
+
+  /** Roll back a torn [[ivfAppend]] (crash between the `.ok` drop and
+    * the restore): delete exactly the files the dead move placed (the
+    * pending sidecar names the tag they are prefixed with), restore the
+    * marker — the index is then bit-identical to its pre-append state —
+    * and clear the pending/staging residue. A pending sidecar WITH the
+    * marker present means the dead run never started (or fully finished)
+    * moving; only the residue is cleared. Called automatically by
+    * [[ivfAppend]]; idempotent, safe to call on a healthy index. */
+  def recoverPendingAppend(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Unit = {
+    val pending = new org.apache.hadoop.fs.Path(dir + ".append-pending")
+    val marker = new org.apache.hadoop.fs.Path(dir + ".ok")
+    if (fs.exists(pending)) {
+      val in = fs.open(pending)
+      val tag = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      if (!fs.exists(marker) && tag.nonEmpty) {
+        fs.globStatus(new org.apache.hadoop.fs.Path(
+            dir + s"/cell=*/batch-$tag-*.parquet"))
+          .foreach(f => fs.delete(f.getPath, false))
+        fs.create(marker, true).close()
+      }
+      fs.delete(pending, false)
+    }
+    // stale staging dirs (runs that died before their move began) are
+    // invisible to readers but accrete — clear them on entry
+    fs.globStatus(new org.apache.hadoop.fs.Path(dir + ".append-stage-*"))
+      .foreach(d => fs.delete(d.getPath, true))
   }
 
   /** The center sidecar, read back in cell order. Refuses an index whose
@@ -193,9 +289,12 @@ object Similarity {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(dir + ".ok")))
       throw new IllegalStateException(
-        s"IVF index $dir has no completion marker — the build crashed " +
-          "mid-write (centers and cell partitions may disagree); rebuild " +
-          "with ivfWriteIndex")
+        s"IVF index $dir has no completion marker — a build or append " +
+          "crashed mid-write. If $dir.append-pending exists the crash " +
+          "was an APPEND: retry ivfAppend (it rolls the torn attempt " +
+          "back, then re-applies) or call recoverPendingAppend; a torn " +
+          "BUILD (no pending sidecar) needs an ivfWriteIndex rebuild " +
+          "(centers and cell partitions may disagree)")
     spark.read.parquet(dir + ".centers").orderBy("cell")
       .collect().map(_.getSeq[Double](1).toArray)
   }

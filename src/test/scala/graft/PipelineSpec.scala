@@ -317,6 +317,58 @@ class PipelineSpec extends AnyFunSuite {
       Similarity.ivfTopKFromIndex(spark, appended, queries, k = 3, nprobe = 2)
     }
     assert(e.getMessage.contains("no completion marker"))
+    fs.create(new org.apache.hadoop.fs.Path(appended + ".ok"), true).close()
+  }
+
+  test("ivfAppend crash mid-move: blind retry equals rebuild, committed " +
+      "batch replays as a no-op") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val initial = emb.filter(col("vec_id") % 3 =!= 0)
+    val growth = emb.filter(col("vec_id") % 3 === 0)
+    val base = java.nio.file.Files.createTempDirectory("ivf-crash").toString
+    val idx = base + "/idx"
+    val rebuilt = base + "/rebuilt"
+    Similarity.ivfWriteIndex(initial, idx, nlist = 8)
+    val centers = Similarity.ivfReadCenters(spark, idx)
+    Similarity.ivfWriteIndex(emb, rebuilt, nlist = 8,
+      centersOpt = Some(centers))
+    val queries = emb.filter(col("vec_id") < 4)
+    def rows(dir: String) =
+      Similarity.ivfTopKFromIndex(spark, dir, queries, k = 3, nprobe = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+    val want = rows(rebuilt)
+
+    // kill the append between its first file move and the marker restore
+    spark.conf.set("graft.ann.testCrashAfterMoves", "1")
+    val boom = intercept[RuntimeException] {
+      Similarity.ivfAppend(growth, idx, batchId = Some(7L))
+    }
+    assert(boom.getMessage.contains("injected crash"))
+    spark.conf.unset("graft.ann.testCrashAfterMoves")
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // torn state: unmarked (readers refuse, loudly retryable) + pending
+    assert(fs.exists(new org.apache.hadoop.fs.Path(idx + ".append-pending")))
+    val refused = intercept[IllegalStateException] { rows(idx) }
+    assert(refused.getMessage.contains("retry ivfAppend"))
+
+    // BLIND retry: rolls the torn attempt back, re-applies — the grown
+    // index is then indistinguishable from the same-centers rebuild
+    Similarity.ivfAppend(growth, idx, batchId = Some(7L))
+    assert(rows(idx) === want)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx + ".append-pending")))
+    assert(fs.globStatus(new org.apache.hadoop.fs.Path(
+      idx + ".append-stage-*")).isEmpty, "staging residue left behind")
+
+    // replay of the COMMITTED batch (marker exists): no-op, no dup rows
+    val filesBefore = fs.globStatus(
+      new org.apache.hadoop.fs.Path(idx + "/cell=*/*")).map(_.getPath.toString).toSet
+    Similarity.ivfAppend(growth, idx, batchId = Some(7L))
+    val filesAfter = fs.globStatus(
+      new org.apache.hadoop.fs.Path(idx + "/cell=*/*")).map(_.getPath.toString).toSet
+    assert(filesAfter === filesBefore, "replay appended duplicate files")
+    assert(rows(idx) === want)
   }
 
   test("IVF centers are identical across differently-partitioned reads") {
@@ -417,6 +469,41 @@ class PipelineSpec extends AnyFunSuite {
     // InMemoryRelation may linger after the call returns
     assert(spark.sharedState.cacheManager.isEmpty,
       "globalRank leaked a persisted frame")
+  }
+
+  test("globalPercentiles equals the SQL window forms under a total order") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // n deliberately NOT divisible by buckets (uneven ntile fill), and
+    // duplicate v values so the unique-id tie-break is load-bearing
+    val n = 4007
+    val df = (0 until n).map(i => ((i * 48271L) % 97L, i.toLong))
+      .toDF("v", "id").repartition(8)
+    val got = graft.operators.Ranking.globalPercentiles(
+        df, Seq(col("v").asc, col("id").asc), buckets = 10)
+      .select(col("id"), col("percent_rank"), col("cume_dist"), col("ntile"))
+    val w = Window.orderBy(col("v").asc, col("id").asc)
+    val want = df.select(col("id"),
+      percent_rank().over(w).as("percent_rank"),
+      cume_dist().over(w).as("cume_dist"),
+      ntile(10).over(w).as("ntile"))
+    def m(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getInt(3)))).toMap
+    val gm = m(got.collect()); val wm = m(want.collect())
+    assert(gm.size === n && wm.size === n)
+    (0L until n.toLong).foreach { id =>
+      assert(gm(id) === wm(id), s"mismatch at id=$id")
+    }
+    graft.core.Blocks.releaseAll(got)
+    // single-row frame: percent_rank is defined as 0, not NaN
+    val one = graft.operators.Ranking.globalPercentiles(
+      Seq((1L, 1L)).toDF("v", "id"), Seq(col("v").asc, col("id").asc))
+    val r1 = one.collect()(0)
+    assert(r1.getAs[Double]("percent_rank") === 0.0 &&
+      r1.getAs[Double]("cume_dist") === 1.0 &&
+      r1.getAs[Int]("ntile") === 1)
+    graft.core.Blocks.releaseAll(one)
   }
 
   test("text profile computes sane values") {
