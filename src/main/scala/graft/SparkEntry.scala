@@ -103,6 +103,7 @@ object SparkEntry {
     "m19_skew" -> Queries.m19Skew,
     "m20_curate_table" -> Queries.m20CurateToTable,
     "m21_ivf_append" -> Queries.m21AnnIvfAppend,
+    "m22_pii_redact" -> Queries.m22PiiRedact,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on

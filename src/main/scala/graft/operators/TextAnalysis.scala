@@ -93,6 +93,30 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  // --- PII / credential scrubbing ---
+
+  /** Redaction patterns, applied IN ORDER (email first: an address can
+    * embed an IP-shaped host, which must read as part of the email, not
+    * a separate IP hit). Deliberately in the Java-regex ∩ RE2 common
+    * subset — no backreferences, no lookaround, ASCII classes only — so
+    * an engine-independent oracle can re-run them verbatim. */
+  final val RedactionPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "[EMAIL]",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "[IP]",
+    "\\bAKIA[0-9A-Z]{16}\\b" -> "[KEY]")
+
+  /** PII / credential scrubbing — the pre-training hygiene pass a corpus
+    * gets before anything ships: email addresses, dotted-quad IPs and
+    * AWS-style access-key ids are replaced with typed placeholder
+    * tokens. Chained `regexp_replace` (native codegen'd Catalyst
+    * expressions — no UDF seam), narrow, a pure function of the row:
+    * the corpus never shuffles and the pass fuses into whatever
+    * projection already reads the text. */
+  def redactPii(text: Column): Column =
+    RedactionPatterns.foldLeft(text) { case (c, (pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
+
   /** Gopher-style repetition kernel: ONE compiled pass per doc (the HOF
     * Column form would re-evaluate per element — CLAUDE.md). Tuple
     * return (top-level class — object-nested case classes drop encoder
