@@ -63,8 +63,17 @@ object Dedup {
     struct(xxhash64(norm), xxhash64(norm, lit(0x9e3779b9L)))
   }
 
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  /** Repartition compute-heavy per-row work up to the cluster's
+    * parallelism — but ONLY when the input is under-partitioned (the
+    * driver testdata is one parquet file = one row group = one scan
+    * partition — CLAUDE.md). A 100 TB scan already arrives in thousands
+    * of partitions, and an unconditional repartition there would be a
+    * full corpus-text shuffle for nothing. */
+  private[operators] def spread(df: DataFrame): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= parallelism) df
+    else df.repartition(parallelism)
+  }
 
   /** Exact dedup: keep the lowest doc_id per normalized-content hash.
     * `min_by` aggregation (partial agg, no window sort). */

@@ -109,7 +109,10 @@ object TrainingPipeline {
     * of appending twice. */
   def curateStream(docs: DataFrame, storeDir: String, outDir: String,
       checkpointDir: String, cfg: Config = Config()):
-      org.apache.spark.sql.streaming.StreamingQuery =
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    // the benchmark is static across the stream's life: collect its gram
+    // set ONCE at stream definition, not per micro-batch
+    val bcGrams = cfg.benchmark.map(b => benchmarkGrams(b, cfg.decontamN))
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val filtered = qualityFilter(languageFilter(batch, cfg.languages),
@@ -123,12 +126,13 @@ object TrainingPipeline {
           else exact
         // static benchmark vs streaming batch: decontamination is a
         // stateless narrow filter against the broadcast benchmark gram
-        // set, identical semantics per micro-batch; it references the
-        // deduped batch exactly once, so nothing extra is materialized.
-        val kept = cfg.benchmark match {
+        // set (collected once, above), identical semantics per
+        // micro-batch; it references the deduped batch exactly once, so
+        // nothing extra is materialized.
+        val kept = bcGrams match {
           case None => deduped
-          case Some(b) =>
-            decontaminate(deduped, b, cfg.decontamN, cfg.decontamMinHits)
+          case Some(bc) =>
+            decontaminateWith(deduped, bc, cfg.decontamN, cfg.decontamMinHits)
         }
         kept.withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
@@ -144,6 +148,7 @@ object TrainingPipeline {
       }
       .option("checkpointLocation", checkpointDir)
       .start()
+  }
 
   /** Stages 0–3 in ONE conditional aggregation over the corpus (stage
     * filters as boolean columns; exact-dedup survivors as `countDistinct`
@@ -277,10 +282,10 @@ object TrainingPipeline {
     * m03 Jaccard path. */
   def contamination(docs: DataFrame, benchmark: DataFrame, n: Int = 13,
       minHits: Long = 1): DataFrame = {
-    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
     val bc = benchmarkGrams(benchmark, n)
-    docs.select(col("doc_id"), col("text"))
-      .repartition(parallelism) // driver testdata = 1 row group (CLAUDE.md)
+    // spread: repartitions ONLY an under-partitioned input (the local
+    // 1-row-group testdata); a corpus-scale scan passes through unshuffled
+    Dedup.spread(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), hitsCol(bc, n, col("text")).as("hits"))
       .filter(col("hits") >= minHits)
   }
@@ -291,10 +296,16 @@ object TrainingPipeline {
     * is referenced exactly once (callers no longer need to materialize
     * it to avoid double evaluation). */
   def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 13,
-      minHits: Long = 1): DataFrame = {
-    val bc = benchmarkGrams(benchmark, n)
+      minHits: Long = 1): DataFrame =
+    decontaminateWith(docs, benchmarkGrams(benchmark, n), n, minHits)
+
+  /** The filter against an already-collected gram broadcast — lets a
+    * stream collect the (static) benchmark once instead of running the
+    * explode+distinct+collect job per micro-batch. */
+  private def decontaminateWith(docs: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Long]],
+      n: Int, minHits: Long): DataFrame =
     docs.filter(hitsCol(bc, n, col("text")) < minHits)
-  }
 
   /** Curate AND account in one pass: the near-dedup chain (the dominant
     * cost — LSH candidates + verify over the corpus) runs ONCE, serving
