@@ -64,14 +64,28 @@ object Dedup {
   }
 
   /** Repartition compute-heavy per-row work up to the cluster's
-    * parallelism — but ONLY when the input is under-partitioned (the
-    * driver testdata is one parquet file = one row group = one scan
-    * partition — CLAUDE.md). A 100 TB scan already arrives in thousands
-    * of partitions, and an unconditional repartition there would be a
-    * full corpus-text shuffle for nothing. */
-  private[operators] def spread(df: DataFrame): DataFrame = {
+    * parallelism — unless the input is PROVABLY already distributed, in
+    * which case it passes through untouched (a 100 TB scan arrives in
+    * thousands of well-filled partitions, and repartitioning it would be
+    * a full corpus-text shuffle for nothing).
+    *
+    * Partition COUNT alone is NOT that proof: Spark cuts ~parallelism
+    * byte-range splits even out of a single file, but a one-row-group
+    * file fills exactly one of them (the driver testdata's layout —
+    * CLAUDE.md), so a count-based skip silently serializes the kernel.
+    * Measured: m14 5.3→6.6 s when this briefly shipped count-only. The
+    * skip therefore also requires at least `parallelism` input FILES —
+    * each non-empty file feeds at least one scan split, so files ≥
+    * parallelism bounds the idle-thread fraction. Caveats (scaladoc'd,
+    * accepted): `inputFiles` builds a transient driver-side path array
+    * (negligible next to the job it saves), counts files BEFORE
+    * partition pruning (call sites pass whole corpora, not pruned
+    * reads), and is empty for non-file-backed plans (→ repartition,
+    * the always-correct fallback). */
+  private[graft] def spread(df: DataFrame): DataFrame = {
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= parallelism) df
+    if (df.inputFiles.length >= parallelism &&
+        df.rdd.getNumPartitions >= parallelism) df
     else df.repartition(parallelism)
   }
 

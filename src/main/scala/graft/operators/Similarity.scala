@@ -27,8 +27,9 @@ object Similarity {
   def hyperplane_sig(v: Column, planes: Int = 16): Column =
     hyperplaneUdf(v, lit(planes))
 
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  /** See [[Dedup.spread]]: repartitions up to cluster parallelism unless
+    * the input is provably distributed (files ≥ parallelism). */
+  private def spread(df: DataFrame): DataFrame = Dedup.spread(df)
 
   /**
    * Exact brute-force top-k: for each query vector, the k nearest corpus

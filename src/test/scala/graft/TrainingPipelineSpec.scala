@@ -476,4 +476,25 @@ class TrainingPipelineSpec extends AnyFunSuite {
       }
     assert(leftovers.isEmpty, s"m20 left probe tables behind: $leftovers")
   }
+
+  test("spread repartitions a few-file scan but passes a many-file scan through") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-spread").toString
+    // one file, one row group: Spark still cuts ~parallelism byte-range
+    // splits out of it, but every row lands in ONE of them — the layout
+    // that made a partition-count-only skip serialize the kernels
+    (1 to 400).toDF("x").coalesce(1).write.parquet(s"$dir/one")
+    (1 to 400).toDF("x").repartition(8).write.parquet(s"$dir/many")
+    val oneDf = s.read.parquet(s"$dir/one")
+    val manyDf = s.read.parquet(s"$dir/many")
+
+    // provably distributed (8 files >= 4 threads): untouched, no shuffle
+    assert(graft.operators.Dedup.spread(manyDf) eq manyDf)
+
+    // single file: must be repartitioned regardless of split count
+    val spreadOne = graft.operators.Dedup.spread(oneDf)
+    assert(spreadOne ne oneDf)
+    assert(spreadOne.rdd.getNumPartitions == s.sparkContext.defaultParallelism)
+  }
 }
