@@ -867,6 +867,27 @@ object Oracle {
           '\bAKIA[0-9A-Z]{16}\b', '[KEY]', 'g') AS clean
       FROM aug ORDER BY doc_id""",
 
+    // Duplicated-gram curve over gram STRINGS (hash-agnostic, like m13):
+    // per-gram owner count; grams with exactly one owner are that doc's
+    // unique grams; dup = total - unique.
+    "m23_dup_grams" -> """
+      WITH nrm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS nt
+                   FROM documents),
+      tk AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM nrm WHERE length(nt) > 0),
+      sh AS (SELECT doc_id,
+               list_distinct(list_transform(range(1, greatest(len(toks)-12,1)+1),
+                 i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i AS INT)+12), ' '))) AS s
+             FROM tk),
+      ex AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+      pg AS (SELECT gram, count(*) AS n_docs, min(doc_id) AS doc_id FROM ex GROUP BY gram),
+      uq AS (SELECT doc_id, count(*) AS n_unique FROM pg WHERE n_docs = 1 GROUP BY doc_id),
+      tot AS (SELECT doc_id, len(s) AS n_grams FROM sh WHERE len(s) > 0)
+      SELECT t.doc_id, t.n_grams,
+        t.n_grams - coalesce(u.n_unique, 0) AS n_dup,
+        round(CAST(t.n_grams - coalesce(u.n_unique, 0) AS DOUBLE) / t.n_grams, 6) AS dup_frac
+      FROM tot t LEFT JOIN uq u USING (doc_id)
+      ORDER BY doc_id""",
+
     "m13_decontamination" -> """
       WITH nrm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS nt
                    FROM documents),

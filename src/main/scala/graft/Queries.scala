@@ -992,6 +992,15 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** m23 — corpus duplicated-gram curve (see [[operators.Dedup.dupGramStats]]):
+    * per-doc share of 13-grams shared with ANY other doc. The oracle
+    * re-derives it over gram STRINGS (no hash re-derivation needed — the
+    * gram→count→unique-owner pipeline is hash-agnostic as long as 64-bit
+    * FNV stays collision-free, same argument as the m13 oracle). */
+  def m23DupGrams(s: SparkSession, dir: String): DataFrame =
+    operators.Dedup.dupGramStats(t(s, dir, "documents"), n = 13)
+      .orderBy("doc_id")
+
   /** m12 — COMPOSED multimodal near-dup: still images and sampled video
     * frames land in ONE feature space (8-bin value histogram — the
     * image path through `imageFeatures`/ImageIO, the frame path through

@@ -104,6 +104,7 @@ object SparkEntry {
     "m20_curate_table" -> Queries.m20CurateToTable,
     "m21_ivf_append" -> Queries.m21AnnIvfAppend,
     "m22_pii_redact" -> Queries.m22PiiRedact,
+    "m23_dup_grams" -> Queries.m23DupGrams,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on

@@ -431,6 +431,51 @@ object Dedup {
     materialized(verifyJaccard(lshCandidates(sig, 8, 1), sig, threshold), sig)
   }
 
+  // narrow denominator kernel for dupGramStats — the totals side never
+  // needs the gram rows, only how many there are
+  private val gramCountUdf = udf((t: String, w: Int) => TextSig.wordShingles(t, w).length)
+
+  /** Cross-document duplicated-gram diagnostic: for each document, the
+    * share of its distinct word `n`-grams that also occur in at least
+    * one OTHER document. This is the corpus-level duplication curve a
+    * dedup pipeline reports alongside its pair lists (RefinedWeb-style
+    * dedup diagnostics) — pair operators say WHICH docs collide;
+    * this says HOW MUCH of each doc is boilerplate shared with the rest
+    * of the corpus. Gram semantics are exactly
+    * [[graft.core.TextSig.wordShingles]] (shared with m03/m13).
+    * Returns (doc_id, n_grams, n_dup, dup_frac); gram-less docs
+    * (empty text) are excluded.
+    *
+    * Scale shape: gram rows are 64-bit HASHES — text never shuffles.
+    * One shuffle groups them by gram (map-side partial agg) to find
+    * grams with exactly one owning doc; `min(doc_id)` identifies that
+    * owner in the same aggregate, so there is no join back to the gram
+    * stream. Unique-gram rows then reduce by doc (partial agg again — at
+    * most one row per doc per partition survives the map side). The
+    * denominator comes from a separate NARROW kernel pass: re-scanning
+    * (doc_id, text) is cheaper than shuffling the full gram stream a
+    * second time keyed by doc. The final join is one-row-per-doc vs
+    * one-row-per-doc. */
+  def dupGramStats(docs: DataFrame, n: Int = 13): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val uniquePerDoc = spread(base)
+      .select(col("doc_id"),
+        explode(wordShinglesUdf(col("text"), lit(n))).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("doc_id"))
+      .filter(col("n_docs") === 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_unique"))
+    spread(base)
+      .select(col("doc_id"), gramCountUdf(col("text"), lit(n)).as("n_grams"))
+      .filter(col("n_grams") > 0)
+      .join(uniquePerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        (col("n_grams") - coalesce(col("n_unique"), lit(0L))).as("n_dup"),
+        round((col("n_grams") - coalesce(col("n_unique"), lit(0L)))
+          .cast("double") / col("n_grams"), 6).as("dup_frac"))
+  }
+
   /** Band-bucket rows of a signature frame (shared by one-shot and
     * incremental paths; `idAlias` renames doc_id for two-sided joins). */
   private def bandBuckets(sig: DataFrame, bands: Int, rowsPerBand: Int,

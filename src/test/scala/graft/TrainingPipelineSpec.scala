@@ -477,6 +477,25 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(leftovers.isEmpty, s"m20 left probe tables behind: $leftovers")
   }
 
+  test("dupGramStats: shared grams counted, unique-only docs zero, empty docs excluded") {
+    val s = spark
+    import s.implicits._
+    // bigrams: docs 1/2 share "a b","b c"; their tails ("c d"/"c e") are
+    // unique; doc 3 is fully unique; doc 4 has no grams at all
+    val d = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c e"),
+      (3L, "x y z w"),
+      (4L, "")).toDF("doc_id", "text")
+    val r = graft.operators.Dedup.dupGramStats(d, n = 2)
+      .orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getDouble(3)))
+    assert(r.toSeq == Seq(
+      (1L, 3, 2L, 0.666667),
+      (2L, 3, 2L, 0.666667),
+      (3L, 3, 0L, 0.0)))
+  }
+
   test("spread repartitions a few-file scan but passes a many-file scan through") {
     val s = spark
     import s.implicits._
