@@ -821,6 +821,21 @@ object Oracle {
           WHEN 'src2' THEN 7500 ELSE 5000 END
       ORDER BY doc_id""",
 
+    // Stratified exactly-k sample: splitmix64(doc_id + 7) ranked per
+    // source over the SIGNED 64-bit value (Spark compares Long), k=20.
+    "m25_strat_sample" -> s"""
+      WITH ssbase AS (SELECT doc_id, source,
+             (CAST(doc_id AS HUGEINT) + 7) % $M64 AS z0 FROM documents),
+      ${mix64Ctes("ssmx", "ssbase", "doc_id, source")},
+      ranked AS (SELECT doc_id, source,
+          CAST(row_number() OVER (PARTITION BY source ORDER BY
+            CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+                 THEN h - $M64 ELSE h END AS BIGINT) ASC,
+            doc_id ASC) AS INT) AS rank
+        FROM ssmx)
+      SELECT doc_id, source, rank FROM ranked WHERE rank <= 20
+      ORDER BY source, rank""",
+
     // Deterministic chunking: windows of 16 normalized tokens starting
     // every 12 (overlap 4); chunk count = ceil((n-4)/12), 1 when n<=4.
     "m18_chunk" -> """
@@ -866,6 +881,39 @@ object Oracle {
           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
           '\bAKIA[0-9A-Z]{16}\b', '[KEY]', 'g') AS clean
       FROM aug ORDER BY doc_id""",
+
+    // Next-fit packing replayed as a per-bucket recursive CTE: one walk
+    // row per bucket advances per iteration (depth = max chunks/bucket).
+    // Chunk token counts come from m18's chunk CTEs verbatim.
+    "m24_pack" -> """
+      WITH RECURSIVE nrm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS nt
+                   FROM documents),
+      tk AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM nrm WHERE length(nt) > 0),
+      nc AS (SELECT doc_id, toks,
+               CASE WHEN len(toks) <= 4 THEN 1
+                    ELSE CAST(ceil((len(toks) - 4) / 12.0) AS INT) END AS n_chunks
+             FROM tk),
+      ch AS (SELECT doc_id, CAST(unnest(range(0, n_chunks)) AS INT) AS chunk_id, toks
+             FROM nc),
+      items AS (SELECT doc_id, chunk_id,
+          CAST(len(list_slice(toks, chunk_id*12 + 1, chunk_id*12 + 16)) AS INT) AS n_tokens,
+          CAST(doc_id % 16 AS INT) AS bucket
+        FROM ch),
+      ord AS (SELECT *, CAST(row_number() OVER (PARTITION BY bucket
+                ORDER BY doc_id, chunk_id) AS INT) AS rn FROM items),
+      walk AS (
+        SELECT bucket, rn, doc_id, chunk_id, n_tokens,
+               n_tokens AS fill, CAST(0 AS BIGINT) AS seq, 0 AS seq_pos
+        FROM ord WHERE rn = 1
+        UNION ALL
+        SELECT o.bucket, o.rn, o.doc_id, o.chunk_id, o.n_tokens,
+          CASE WHEN w.fill + o.n_tokens > 48 THEN o.n_tokens
+               ELSE w.fill + o.n_tokens END,
+          CASE WHEN w.fill + o.n_tokens > 48 THEN w.seq + 1 ELSE w.seq END,
+          CASE WHEN w.fill + o.n_tokens > 48 THEN 0 ELSE w.seq_pos + 1 END
+        FROM walk w JOIN ord o ON o.bucket = w.bucket AND o.rn = w.rn + 1)
+      SELECT doc_id, chunk_id, bucket, seq, seq_pos, n_tokens FROM walk
+      ORDER BY doc_id, chunk_id""",
 
     // Duplicated-gram curve over gram STRINGS (hash-agnostic, like m13):
     // per-gram owner count; grams with exactly one owner are that doc's

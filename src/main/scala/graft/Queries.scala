@@ -1001,6 +1001,26 @@ object Queries {
     operators.Dedup.dupGramStats(t(s, dir, "documents"), n = 13)
       .orderBy("doc_id")
 
+  /** m24 — sequence packing over m18's chunks
+    * ([[operators.TrainingPipeline.packSequences]]): next-fit into
+    * 48-token sequences within 16 doc_id-mod buckets. The oracle
+    * replays the walk as a per-bucket recursive CTE. */
+  def m24Pack(s: SparkSession, dir: String): DataFrame =
+    operators.TrainingPipeline.packSequences(
+        TextAnalysis.chunk(t(s, dir, "documents"), maxTokens = 16, overlap = 4),
+        capacity = 48, buckets = 16)
+      .orderBy("doc_id", "chunk_id")
+
+  /** m25 — stratified exactly-20-per-source sample
+    * ([[operators.TrainingPipeline.stratifiedSample]], seed 7). The
+    * oracle re-derives splitmix64(doc_id + 7) and ranks per source over
+    * the SIGNED value (Spark's Long order), so both engines walk the
+    * identical hash order. */
+  def m25StratSample(s: SparkSession, dir: String): DataFrame =
+    operators.TrainingPipeline.stratifiedSample(
+        t(s, dir, "documents"), k = 20, seed = 7L)
+      .orderBy("source", "rank")
+
   /** m12 — COMPOSED multimodal near-dup: still images and sampled video
     * frames land in ONE feature space (8-bin value histogram — the
     * image path through `imageFeatures`/ImageIO, the frame path through

@@ -105,6 +105,8 @@ object SparkEntry {
     "m21_ivf_append" -> Queries.m21AnnIvfAppend,
     "m22_pii_redact" -> Queries.m22PiiRedact,
     "m23_dup_grams" -> Queries.m23DupGrams,
+    "m24_pack" -> Queries.m24Pack,
+    "m25_strat_sample" -> Queries.m25StratSample,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on

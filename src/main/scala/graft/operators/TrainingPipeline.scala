@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -14,6 +15,12 @@ import org.apache.spark.sql.functions._
  * order matters at scale: cheap narrow filters run first so the dedup
  * shuffles see the smallest candidate corpus.
  */
+/** One packed chunk row (TOP-LEVEL: object-nested encoder types silently
+  * drop codegen projections — see CLAUDE.md / Janino). Sequence identity
+  * is (bucket, seq); `seq_pos` is the chunk's slot inside it. */
+final case class PackedChunk(doc_id: Long, chunk_id: Int, bucket: Int,
+    seq: Long, seq_pos: Int, n_tokens: Int)
+
 object TrainingPipeline {
 
   /** `benchmark`: when set, the chain ends with test-set decontamination
@@ -230,6 +237,103 @@ object TrainingPipeline {
           .otherwise(acc)
       }
     docs.filter(sampleBucketUdf(col(idCol)) < threshold)
+  }
+
+  /** Sequence packing — the step between chunking and tokenization that
+    * fills fixed-token-budget training sequences. Deterministic
+    * NEXT-FIT: within each bucket (`doc_id % buckets`), chunks are
+    * walked in (doc_id, chunk_id) order and appended to the current
+    * sequence until the `capacity` token budget would overflow, which
+    * starts the next one. A chunk larger than `capacity` (impossible
+    * when capacity ≥ the chunker's maxTokens) still gets its own
+    * sequence. Output: one row per chunk carrying its (bucket, seq,
+    * seq_pos) assignment — a pure function of the input set, independent
+    * of partitioning and cluster layout.
+    *
+    * Scale shape: packing is inherently sequential, so the global
+    * problem is sharded into `buckets` independent next-fit walks.
+    * ONE shuffle (repartition by bucket) plus a per-partition sort feeds
+    * a STREAMING O(1)-memory walk — `mapPartitions`, never a per-bucket
+    * in-memory collection; the walk resets its counters on bucket
+    * change, so many buckets per partition are fine. At 100 TB set
+    * buckets ≈ a few × cluster cores; each walk streams its shard
+    * straight off the sorted shuffle files. */
+  def packSequences(chunks: DataFrame, capacity: Int, buckets: Int = 64,
+      tokCol: String = "n_chunk_tokens"): DataFrame = {
+    require(capacity > 0 && buckets > 0,
+      s"packSequences: capacity=$capacity buckets=$buckets must be positive")
+    val s = chunks.sparkSession
+    import s.implicits._
+    chunks
+      .select(col("doc_id").cast("long"), col("chunk_id").cast("int"),
+        pmod(col("doc_id"), lit(buckets)).cast("int").as("bucket"),
+        col(tokCol).cast("int").as("n_tokens"))
+      .as[(Long, Int, Int, Int)]
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "doc_id", "chunk_id")
+      .mapPartitions { it =>
+        var curBucket = Int.MinValue
+        var fill = 0
+        var seq = -1L
+        var pos = 0
+        it.map { case (doc, chunk, b, tok) =>
+          if (b != curBucket) { curBucket = b; seq = -1L }
+          if (seq < 0L || fill + tok > capacity) { seq += 1; fill = tok; pos = 0 }
+          else { fill += tok; pos += 1 }
+          PackedChunk(doc, chunk, b, seq, pos, tok)
+        }
+      }
+      .toDF()
+  }
+
+  private val sampleHashUdf =
+    udf((id: Long, seed: Long) => graft.core.TextSig.mix64(id + seed))
+
+  /** Stratified EXACTLY-k sampling — keep the `k` documents per source
+    * whose seeded hash `splitmix64(doc_id + seed)` ranks smallest (all
+    * of them when a source has fewer than `k`). Unlike
+    * `DataFrame.sample`, membership is a pure function of (doc_id, seed,
+    * the per-source id set): reproducible across runs, partitionings and
+    * engines, hits the stratum size exactly, and changing `seed` redraws
+    * the sample. Returns (doc_id, source, rank), rank 1-based in hash
+    * order within the source.
+    *
+    * Scale shape: the corpus NEVER shuffles — a `mapPartitions` pass
+    * keeps a bounded per-source heap (≤ k entries per source per
+    * partition, 16 bytes each) and emits only local winners, so the only
+    * shuffled rows are ≤ k·partitions candidates per source; the final
+    * per-source window ranks that bounded set. The per-partition heap
+    * map requires stratum-key cardinality × k to fit in an executor —
+    * the standard contract for stratified sampling keys. */
+  def stratifiedSample(docs: DataFrame, k: Int, seed: Long = 0L,
+      sourceCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, s"stratifiedSample: k=$k must be positive")
+    val s = docs.sparkSession
+    import s.implicits._
+    implicit val ord: Ordering[(Long, Long)] = Ordering.Tuple2[Long, Long]
+    val candidates = docs
+      .select(col(sourceCol).cast("string"), col(idCol).cast("long"),
+        sampleHashUdf(col(idCol).cast("long"), lit(seed)))
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        val heaps = scala.collection.mutable.HashMap
+          .empty[String, scala.collection.mutable.PriorityQueue[(Long, Long)]]
+        it.foreach { case (src, id, h) =>
+          val q = heaps.getOrElseUpdate(src,
+            scala.collection.mutable.PriorityQueue.empty[(Long, Long)])
+          if (q.size < k) q.enqueue((h, id))
+          else if (ord.lt((h, id), q.head)) { q.dequeue(); q.enqueue((h, id)) }
+        }
+        heaps.iterator.flatMap { case (src, q) =>
+          q.iterator.map { case (h, id) => (src, id, h) }
+        }
+      }
+      .toDF("source", "doc_id", "h")
+    candidates
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("source").orderBy(col("h"), col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("source"), col("rank"))
   }
 
   private val wordShinglesUdf =

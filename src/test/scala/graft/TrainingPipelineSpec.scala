@@ -496,6 +496,61 @@ class TrainingPipelineSpec extends AnyFunSuite {
       (3L, 3, 0L, 0.0)))
   }
 
+  test("packSequences: deterministic next-fit, counters reset per bucket") {
+    val s = spark
+    import s.implicits._
+    val chunks = Seq(
+      (1L, 0, 3), (1L, 1, 3), (2L, 0, 2), (3L, 0, 4), (4L, 0, 5))
+      .toDF("doc_id", "chunk_id", "n_chunk_tokens")
+    // one bucket, capacity 5: walk (1,0,t3)(1,1,t3)(2,0,t2)(3,0,t4)(4,0,t5)
+    // → seq0=[3], seq1=[3,2], seq2=[4], seq3=[5]
+    val r = TrainingPipeline.packSequences(chunks, capacity = 5, buckets = 1)
+      .orderBy("doc_id", "chunk_id")
+      .collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getInt(2), x.getLong(3),
+        x.getInt(4), x.getInt(5)))
+    assert(r.toSeq == Seq(
+      (1L, 0, 0, 0L, 0, 3), (1L, 1, 0, 1L, 0, 3), (2L, 0, 0, 1L, 1, 2),
+      (3L, 0, 0, 2L, 0, 4), (4L, 0, 0, 3L, 0, 5)))
+
+    // two buckets: odd docs (1,3) and even docs (2,4) pack independently,
+    // each bucket's seq restarts at 0
+    val r2 = TrainingPipeline.packSequences(chunks, capacity = 5, buckets = 2)
+      .orderBy("doc_id", "chunk_id")
+      .collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getInt(2), x.getLong(3),
+        x.getInt(4), x.getInt(5)))
+    // bucket1: (1,0,3)→s0 (1,1,3)→s1 (3,0,4)→s2; bucket0: (2,0,2)→s0 (4,0,5)→s1
+    assert(r2.toSeq == Seq(
+      (1L, 0, 1, 0L, 0, 3), (1L, 1, 1, 1L, 0, 3), (2L, 0, 0, 0L, 0, 2),
+      (3L, 0, 1, 2L, 0, 4), (4L, 0, 0, 1L, 0, 5)))
+  }
+
+  test("stratifiedSample: exactly k per stratum, partitioning-invariant, seeded") {
+    val s = spark
+    import s.implicits._
+    val rows = (1L to 100L).map(i => (i, if (i % 3 == 0) "a" else "b"))
+    val d = rows.toDF("doc_id", "source")
+    def run(df: org.apache.spark.sql.DataFrame, seed: Long) =
+      TrainingPipeline.stratifiedSample(df, k = 5, seed = seed)
+        .orderBy("source", "rank").collect()
+        .map(x => (x.getLong(0), x.getString(1), x.getInt(2))).toSeq
+    val r1 = run(d, 7L)
+    // partitioning must not change the sample (local top-k is a superset
+    // of the global winners under any split)
+    assert(run(d.repartition(7), 7L) == r1)
+    // brute-force reference through the same kernel, signed hash order
+    val exp = rows.map { case (i, src) => (i, src, graft.core.TextSig.mix64(i + 7L)) }
+      .groupBy(_._2).toSeq.flatMap { case (src, xs) =>
+        xs.sortBy(x => (x._3, x._1)).take(5).zipWithIndex
+          .map { case ((id, sc, _), r) => (id, sc, r + 1) }
+      }.sortBy(x => (x._2, x._3))
+    assert(r1 == exp)
+    assert(r1.count(_._2 == "a") == 5 && r1.count(_._2 == "b") == 5)
+    // a different seed redraws
+    assert(run(d, 8L) != r1)
+  }
+
   test("spread repartitions a few-file scan but passes a many-file scan through") {
     val s = spark
     import s.implicits._
