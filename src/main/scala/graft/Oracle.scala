@@ -836,6 +836,18 @@ object Oracle {
       SELECT doc_id, source, rank FROM ranked WHERE rank <= 20
       ORDER BY source, rank""",
 
+    // Seeded global permutation: splitmix64(doc_id + 11) ranked over the
+    // signed value (Spark Long order); dense 1-based positions.
+    "m26_shuffle_order" -> s"""
+      WITH sobase AS (SELECT doc_id,
+             (CAST(doc_id AS HUGEINT) + 11) % $M64 AS z0 FROM documents),
+      ${mix64Ctes("somx", "sobase", "doc_id")}
+      SELECT doc_id, row_number() OVER (ORDER BY
+          CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+               THEN h - $M64 ELSE h END AS BIGINT) ASC,
+          doc_id ASC) AS shuffle_pos
+      FROM somx ORDER BY shuffle_pos""",
+
     // Deterministic chunking: windows of 16 normalized tokens starting
     // every 12 (overlap 4); chunk count = ceil((n-4)/12), 1 when n<=4.
     "m18_chunk" -> """

@@ -1021,6 +1021,14 @@ object Queries {
         t(s, dir, "documents"), k = 20, seed = 7L)
       .orderBy("source", "rank")
 
+  /** m26 — deterministic corpus shuffle
+    * ([[operators.TrainingPipeline.shuffleOrder]], seed 11): a dense
+    * seeded permutation of the whole corpus. Oracle ranks the same
+    * splitmix64 hash over its signed value (Spark's Long order). */
+  def m26ShuffleOrder(s: SparkSession, dir: String): DataFrame =
+    operators.TrainingPipeline.shuffleOrder(t(s, dir, "documents"), seed = 11L)
+      .orderBy("shuffle_pos")
+
   /** m12 — COMPOSED multimodal near-dup: still images and sampled video
     * frames land in ONE feature space (8-bin value histogram — the
     * image path through `imageFeatures`/ImageIO, the frame path through

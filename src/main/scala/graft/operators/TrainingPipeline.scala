@@ -336,6 +336,23 @@ object TrainingPipeline {
       .select(col("doc_id"), col("source"), col("rank"))
   }
 
+  /** Deterministic global corpus shuffle — the reproducible
+    * "shuffle the training data" step before sequence packing/epoch
+    * slicing: every doc gets a dense 1-based `shuffle_pos`, the global
+    * rank of `splitmix64(doc_id + seed)`. A pure function of (id set,
+    * seed): rerunning, repartitioning or re-reading the corpus yields
+    * the identical order, and a new seed is a fresh permutation —
+    * unlike `orderBy(rand())`, which draws per-task. Built on
+    * [[Ranking.globalRank]] (range-partitioned sort + driver
+    * prefix-summed partition offsets — no single-task window). */
+  def shuffleOrder(docs: DataFrame, seed: Long = 0L,
+      idCol: String = "doc_id"): DataFrame =
+    Ranking.globalRank(
+        docs.select(col(idCol).cast("long").as(idCol),
+          sampleHashUdf(col(idCol).cast("long"), lit(seed)).as("h")),
+        order = Seq(col("h"), col(idCol)), rankCol = "shuffle_pos")
+      .select(col(idCol), col("shuffle_pos"))
+
   private val wordShinglesUdf =
     udf((t: String, w: Int) => graft.core.TextSig.wordShingles(t, w))
 

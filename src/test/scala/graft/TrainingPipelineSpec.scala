@@ -551,6 +551,23 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(run(d, 8L) != r1)
   }
 
+  test("shuffleOrder: dense seeded permutation, partitioning-invariant") {
+    val s = spark
+    import s.implicits._
+    val d = (1L to 50L).toDF("doc_id")
+    def run(df: org.apache.spark.sql.DataFrame, seed: Long) =
+      TrainingPipeline.shuffleOrder(df, seed).orderBy("shuffle_pos")
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    val r = run(d, 11L)
+    assert(r.map(_._2) == (1L to 50L)) // dense 1..n, no gaps or dups
+    assert(run(d.repartition(7), 11L) == r)
+    val exp = (1L to 50L).map(i => (i, graft.core.TextSig.mix64(i + 11L)))
+      .sortBy(x => (x._2, x._1)).zipWithIndex
+      .map { case ((id, _), p) => (id, p + 1L) }
+    assert(r == exp)
+    assert(run(d, 12L) != r)
+  }
+
   test("spread repartitions a few-file scan but passes a many-file scan through") {
     val s = spark
     import s.implicits._
