@@ -200,12 +200,25 @@ object TrainingPipeline {
     * anyway) and adds the `5_decontaminated` row. */
   def report(docs: DataFrame, cfg: Config = Config()): DataFrame =
     if (cfg.benchmark.isDefined) {
-      // counts only: release the returned corpus' checkpoint blocks —
-      // the report frame is a local literal and does not reference them
-      // (Blocks.release: Dataset.unpersist cannot free a checkpoint)
-      val (clean, rep) = curateWithReport(docs, cfg)
-      graft.core.Blocks.release(clean)
-      rep
+      // counts only: s4 (dedup survivors) and s5 (of those, clean of
+      // benchmark overlap) come from ONE aggregation over the dedup
+      // plan — nothing corpus-sized is checkpointed just to be counted
+      // twice (curateWithReport pays that only because it must RETURN
+      // the corpus). The decontam predicate is the same narrow kernel
+      // `decontaminate` applies, so the two paths count identically.
+      val (s0, s1, s2, s3) = stageCounts(docs, cfg)
+      val bc = benchmarkGrams(cfg.benchmark.get, cfg.decontamN)
+      val plan = curateThroughDedup(docs, cfg)
+      val row = plan.agg(
+        count(lit(1)).as("s4"),
+        count(when(hitsCol(bc, cfg.decontamN, col("text"))
+          < cfg.decontamMinHits, 1)).as("s5"))
+        .head()
+      // the dedup chain's internal checkpoints (verified pairs, labels)
+      // are dead once the counts land — release by handle
+      graft.core.Blocks.releaseAll(plan)
+      reportFrame(docs, (s0, s1, s2, s3, row.getLong(0)),
+        Some(row.getLong(1)))
     } else {
       val (s0, s1, s2, s3) = stageCounts(docs, cfg)
       val s4 =
@@ -365,7 +378,9 @@ object TrainingPipeline {
     * decontamination path. */
   private def benchmarkGrams(benchmark: DataFrame, n: Int)
       : org.apache.spark.broadcast.Broadcast[Array[Long]] = {
-    val grams = benchmark
+    // spread: the shingle kernel is the cost here, and a benchmark read
+    // off a single-row-group file would otherwise shingle on one core
+    val grams = Dedup.spread(benchmark.select(col("text")))
       .select(explode(wordShinglesUdf(col("text"), lit(n))).as("gram"))
       .distinct()
       .collect().map(_.getLong(0))
