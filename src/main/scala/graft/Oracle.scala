@@ -848,6 +848,40 @@ object Oracle {
           doc_id ASC) AS shuffle_pos
       FROM somx ORDER BY shuffle_pos""",
 
+    // Boilerplate removal over the doc_id-augmented corpus: lines whose
+    // trimmed form ({space,tab,CR} charset) occurs in >= 3 distinct docs
+    // are dropped; blank lines kept; kept lines rejoined with \n.
+    "m27_boilerplate" -> """
+      WITH aug AS (
+        SELECT doc_id,
+               'Cookie Policy | Accept All' || chr(10) ||
+               'Home > News > Local' || chr(10) || text || chr(10) ||
+               'doc ' || doc_id || ' footer' || chr(10) ||
+               '(c) 2026 Example Corp' AS text
+        FROM documents),
+      lines AS (
+        SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+               generate_subscripts(string_split(text, chr(10)), 1) AS idx
+        FROM aug),
+      tl AS (SELECT doc_id, line, idx,
+                    trim(line, ' ' || chr(9) || chr(13)) AS t FROM lines),
+      freq AS (
+        SELECT t FROM (SELECT DISTINCT doc_id, t FROM tl WHERE t <> '')
+        GROUP BY t HAVING count(*) >= 3),
+      kept AS (
+        SELECT doc_id, line, idx FROM tl
+        WHERE t = '' OR t NOT IN (SELECT t FROM freq)),
+      tot AS (SELECT doc_id, count(*) AS n_lines FROM tl GROUP BY doc_id),
+      keptagg AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id)
+      SELECT a.doc_id, coalesce(k.clean_text, '') AS clean_text,
+             CAST(t.n_lines - coalesce(k.n_kept, 0) AS INT) AS n_removed
+      FROM aug a JOIN tot t USING (doc_id)
+      LEFT JOIN keptagg k USING (doc_id)
+      ORDER BY doc_id""",
+
     // Deterministic chunking: windows of 16 normalized tokens starting
     // every 12 (overlap 4); chunk count = ceil((n-4)/12), 1 when n<=4.
     "m18_chunk" -> """

@@ -1029,6 +1029,29 @@ object Queries {
     operators.TrainingPipeline.shuffleOrder(t(s, dir, "documents"), seed = 11L)
       .orderBy("shuffle_pos")
 
+  /** m27 — cross-document boilerplate removal
+    * ([[operators.TextAnalysis.removeBoilerplate]]): the fixture docs
+    * are single-line, so (m22 pattern) the corpus is AUGMENTED
+    * identically on both sides — two injected lines shared by every doc
+    * (removed: df = all), a per-doc footer (kept: df = 1), plus the
+    * original text (removed only where ≥ minDocs docs share it
+    * verbatim — the fixture's exact-dup groups exercise this for real).
+    * The oracle re-derives frequency and reassembly from line
+    * semantics, not from the injection. */
+  def m27Boilerplate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val aug = docs.select(col("doc_id"),
+      concat_ws("\n",
+        lit("Cookie Policy | Accept All"),
+        lit("Home > News > Local"),
+        col("text"),
+        concat(lit("doc "), col("doc_id").cast("string"), lit(" footer")),
+        lit("(c) 2026 Example Corp")).as("text"))
+    operators.TextAnalysis.removeBoilerplate(aug, minDocs = 3)
+      .select(col("doc_id"), col("clean_text"), col("n_removed"))
+      .orderBy("doc_id")
+  }
+
   /** m12 — COMPOSED multimodal near-dup: still images and sampled video
     * frames land in ONE feature space (8-bin value histogram — the
     * image path through `imageFeatures`/ImageIO, the frame path through

@@ -360,4 +360,67 @@ object TextSig {
     }
     inter.toDouble / (a.length + b.length - inter).toDouble
   }
+
+  /** Trim exactly {space, tab, CR} from both ends — a FIXED charset the
+    * oracle mirrors verbatim (`trim(line, ' ' || chr(9) || chr(13))`);
+    * Java's `String.trim` strips every char ≤ U+0020 and has no SQL
+    * equivalent. */
+  private def trimLine(s: String): String = {
+    def isWs(c: Char) = c == ' ' || c == '\t' || c == '\r'
+    var a = 0
+    var b = s.length
+    while (a < b && isWs(s.charAt(a))) a += 1
+    while (b > a && isWs(s.charAt(b - 1))) b -= 1
+    if (a == 0 && b == s.length) s else s.substring(a, b)
+  }
+
+  /** FNV-1a + mix64 over the trimmed line (NOT normalized — boilerplate
+    * lines are matched literally up to edge whitespace). */
+  private def lineHash(trimmed: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < trimmed.length) {
+      h = (h ^ trimmed.charAt(i)) * 0x100000001b3L; i += 1
+    }
+    mix64(h)
+  }
+
+  /** Per-doc DISTINCT hashes of non-blank trimmed lines. Split keeps
+    * trailing empties (`limit = -1`) so line geometry matches SQL
+    * `string_split` exactly. */
+  def lineHashes(text: String): Array[Long] = {
+    val lines = text.split("\n", -1)
+    val buf = new Array[Long](lines.length)
+    var n = 0
+    var i = 0
+    while (i < lines.length) {
+      val t = trimLine(lines(i))
+      if (t.nonEmpty) { buf(n) = lineHash(t); n += 1 }
+      i += 1
+    }
+    sortedDistinct(buf, n)
+  }
+
+  /** Drop every line whose trimmed hash is in the sorted boilerplate
+    * `set` (blank lines are never dropped); returns (kept lines
+    * rejoined with '\n', count of removed line occurrences). */
+  def removeLines(text: String, set: Array[Long]): (String, Int) = {
+    val lines = text.split("\n", -1)
+    val sb = new java.lang.StringBuilder(text.length)
+    var removed = 0
+    var first = true
+    var i = 0
+    while (i < lines.length) {
+      val t = trimLine(lines(i))
+      if (t.nonEmpty && java.util.Arrays.binarySearch(set, lineHash(t)) >= 0)
+        removed += 1
+      else {
+        if (!first) sb.append('\n')
+        sb.append(lines(i))
+        first = false
+      }
+      i += 1
+    }
+    (sb.toString, removed)
+  }
 }

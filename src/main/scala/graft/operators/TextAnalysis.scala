@@ -210,6 +210,54 @@ object TextAnalysis {
         col("chunk_text"))
   }
 
+  private val lineHashesUdf = udf((t: String) => TextSig.lineHashes(t))
+
+  /** Cross-document boilerplate line removal (the CCNet-style cleanup
+    * pass): a line is boilerplate when its trimmed form occurs in at
+    * least `minDocs` DISTINCT documents — nav menus, cookie banners,
+    * copyright footers — and every occurrence is dropped; blank lines
+    * are kept. Adds `clean_text` (kept lines rejoined with '\n') and
+    * `n_removed` (dropped line occurrences) to `docs`.
+    *
+    * Scale shape: two passes, the corpus never shuffles. Pass 1 counts
+    * document frequency over per-doc-distinct 64-bit line hashes — the
+    * only shuffle, 8-byte rows, map-side combined — and collects the
+    * frequent set (small by construction: only lines repeated across
+    * ≥ `minDocs` docs survive the HAVING; the ceiling is ENFORCED via
+    * `graft.text.boilerplateMaxLines`, default 1M ≈ 8 MB broadcast).
+    * Pass 2 is a narrow kernel filter per doc against the broadcast
+    * sorted set (binary search per line) — it fuses into whatever
+    * projection already reads the text. Line semantics are pinned for
+    * the oracle: split keeps trailing empties, trim charset is exactly
+    * {space, tab, CR} ([[graft.core.TextSig.lineHashes]]). */
+  def removeBoilerplate(docs: DataFrame, minDocs: Int,
+      textCol: String = "text"): DataFrame = {
+    require(minDocs >= 2, s"removeBoilerplate: minDocs must be >= 2, got $minDocs")
+    val spark = docs.sparkSession
+    val maxLines =
+      spark.conf.get("graft.text.boilerplateMaxLines", "1000000").toLong
+    val probe = math.min(maxLines + 1, Int.MaxValue.toLong).toInt
+    val rows = Dedup.spread(docs.select(col(textCol)))
+      .select(explode(lineHashesUdf(col(textCol))).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("h"))
+      .limit(probe).collect()
+    if (rows.length > maxLines)
+      throw new IllegalStateException(
+        s"removeBoilerplate: frequent-line set exceeds " +
+          s"graft.text.boilerplateMaxLines=$maxLines — raise the ceiling " +
+          "or raise minDocs")
+    val set = rows.map(_.getLong(0))
+    java.util.Arrays.sort(set)
+    val bc = spark.sparkContext.broadcast(set)
+    val cleanUdf = udf((t: String) => TextSig.removeLines(t, bc.value))
+    docs.withColumn("_bp", cleanUdf(col(textCol)))
+      .withColumn("clean_text", col("_bp._1"))
+      .withColumn("n_removed", col("_bp._2"))
+      .drop("_bp")
+  }
+
   /** Full per-document profile over a `documents`-shaped DataFrame. */
   def profile(docs: DataFrame): DataFrame =
     docs.select(

@@ -568,6 +568,42 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(run(d, 12L) != r)
   }
 
+  test("removeBoilerplate: df>=minDocs lines dropped, blanks and rare lines kept") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "NAV\nhello world\nFOOT"),
+      (2L, "NAV\nother text\nFOOT"),
+      (3L, "  NAV \n\nunique one\nFOOT"), // trimmed form matches; blank kept
+      (4L, "pair line\nsolo four"),
+      (5L, "pair line\nsolo five")        // df=2 < minDocs=3 → kept
+    ).toDF("doc_id", "text")
+    val out = operators.TextAnalysis.removeBoilerplate(docs, minDocs = 3)
+      .select("doc_id", "clean_text", "n_removed")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+
+    assert(out(1L) == (("hello world", 2)))
+    assert(out(2L) == (("other text", 2)))
+    assert(out(3L) == (("\nunique one", 2))) // blank line survives
+    assert(out(4L) == (("pair line\nsolo four", 0)))
+    assert(out(5L) == (("pair line\nsolo five", 0)))
+
+    // partitioning-invariant (pass 1 shuffles hashes; pass 2 is narrow)
+    val re = operators.TextAnalysis.removeBoilerplate(docs.repartition(4), minDocs = 3)
+      .select("doc_id", "clean_text", "n_removed")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(re == out)
+
+    // enforced ceiling: a set larger than the conf aborts loudly
+    s.conf.set("graft.text.boilerplateMaxLines", "0")
+    try {
+      val boom = intercept[IllegalStateException] {
+        operators.TextAnalysis.removeBoilerplate(docs, minDocs = 3).collect()
+      }
+      assert(boom.getMessage.contains("boilerplateMaxLines"))
+    } finally s.conf.unset("graft.text.boilerplateMaxLines")
+  }
+
   test("spread repartitions a few-file scan but passes a many-file scan through") {
     val s = spark
     import s.implicits._
