@@ -21,10 +21,13 @@ import graft.operators.{Dedup, Etl, Multimodal, Similarity, TextAnalysis}
  */
 object Queries {
 
-  /** Table loader. `events.ts` is TIMESTAMP(NANOS) parquet, which Spark
-    * reads only as a long (`spark.sql.legacy.parquet.nanosAsLong=true`,
-    * set in Verify/Bench sessions) — convert to a microsecond timestamp
-    * with integer division (ns since epoch exceed double precision). */
+  /** Table loader. `events.ts` has shipped as BOTH TIMESTAMP(NANOS)
+    * (reads as a nanos long under `spark.sql.legacy.parquet.nanosAsLong`,
+    * set in Verify/Bench sessions) and TIMESTAMP(MICROS, ntz) (reads as a
+    * native timestamp) across driver fixture generations — dispatch on
+    * the actual schema: a nanos long becomes a microsecond timestamp via
+    * integer division (ns since epoch exceed double precision); a native
+    * timestamp passes through. */
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)

@@ -426,8 +426,14 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     java.nio.file.Files.copy(java.nio.file.Paths.get(path),
       dir.resolve("events.parquet"))
     val schema = s.read.parquet(path).schema
-    val stream = s.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // ts arrives as a nanos long (nanosAsLong) OR as a native timestamp,
+    // depending on the driver fixture's parquet logical type — normalize
+    // like Queries.t does instead of hardcoding one generation
+    def toTs(df: DataFrame): DataFrame =
+      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df.withColumn("ts", col("ts").cast("timestamp"))
+    val stream = toTs(s.readStream.schema(schema).parquet(dir.toString))
       .withColumnRenamed("event_type", "owner") // reuse the generic agg
       .withColumnRenamed("value", "lamports")
     val out = graft.streaming.Pipeline.ownerWindowCounts(stream, "ts",
@@ -438,8 +444,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
     // append mode emits only watermark-closed windows; all but the final
     // hour(s) of the fixture close
-    val batch = s.read.parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batch = toTs(s.read.parquet(path))
     val totalHours = batch.select(date_trunc("hour", col("ts"))).distinct().count()
     val emitted = s.table("ev_windows")
     assert(emitted.count() > 0)
