@@ -882,6 +882,39 @@ object Oracle {
       LEFT JOIN keptagg k USING (doc_id)
       ORDER BY doc_id""",
 
+    // SemDeDup: the ONLY aux is the 16 seeded k-means centers (same
+    // sidecar m09/m15/m21 read). Everything downstream is re-derived:
+    // argmin cell assignment (VecMath tie rule — lowest cell wins),
+    // within-cell cosine pairs, transitive closure by recursive CTE,
+    // min-id representative per component.
+    "m28_semdedup" -> """
+      WITH RECURSIVE centers AS (SELECT cell, center
+                       FROM read_parquet('{AUX}/ivf_centers/*.parquet')),
+      emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+      dist AS (SELECT e.vec_id, c.cell, e.v, e.label,
+          list_sum(list_transform(range(len(c.center)), i ->
+            (e.v[CAST(i AS INT)+1] - c.center[CAST(i AS INT)+1])
+            * (e.v[CAST(i AS INT)+1] - c.center[CAST(i AS INT)+1]))) AS d
+        FROM emb e, centers c),
+      a AS (SELECT vec_id, cell, v, label FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY d ASC, cell ASC) AS rn FROM dist) WHERE rn = 1),
+      p AS (SELECT x.vec_id AS u, y.vec_id AS w
+            FROM a x JOIN a y USING (cell)
+            WHERE x.vec_id < y.vec_id
+              AND round(list_cosine_similarity(x.v, y.v), 6) >= 0.35),
+      e2 AS (SELECT u, w FROM p UNION SELECT w, u FROM p),
+      reach(node, r) AS (
+        SELECT u, u FROM e2
+        UNION
+        SELECT e2.u, reach.r FROM e2 JOIN reach ON e2.w = reach.node),
+      comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+      SELECT a.vec_id, a.cell, a.label
+      FROM a LEFT JOIN comp ON a.vec_id = comp.node
+      WHERE comp.node IS NULL OR comp.component = a.vec_id
+      ORDER BY vec_id""",
+
     // Deterministic chunking: windows of 16 normalized tokens starting
     // every 12 (overlap 4); chunk count = ceil((n-4)/12), 1 when n<=4.
     "m18_chunk" -> """

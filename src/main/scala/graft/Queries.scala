@@ -1055,6 +1055,21 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** m28 — SemDeDup ([[operators.Dedup.semdedup]]): embeddings k-means
+    * clustered (the m09/m15 seeded 16-center geometry — the oracle
+    * reads the same `{AUX}/ivf_centers` sidecar and re-derives the
+    * argmin assignment), within-cluster cosine ≥ 0.35 pairs form
+    * components, one representative (min vec_id) survives per
+    * component. The oracle recomputes clustering + pairs + reachability
+    * (recursive CTE) from scratch, so assignment, candidate generation
+    * AND the transitive-closure prune are all checked. Threshold 0.35 =
+    * m06's calibrated tail on this fixture (max pairwise cosine ≈ 0.5 —
+    * the regenerated embeddings have no ≥ 0.9 pairs). */
+  def m28Semdedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.semdedup(t(s, dir, "embeddings"), nlist = 16, threshold = 0.35)
+      .select(col("vec_id"), col("cell"), col("label"))
+      .orderBy("vec_id")
+
   /** m12 — COMPOSED multimodal near-dup: still images and sampled video
     * frames land in ONE feature space (8-bin value histogram — the
     * image path through `imageFeatures`/ImageIO, the frame path through

@@ -863,4 +863,80 @@ object Dedup {
         .filter(col("cosine") >= threshold),
       sig)
   }
+
+  /** Within-cluster cosine pairs over `assigned` rows
+    * ((corpus_id, cv, cell) — [[Similarity.ivfCellAssignments]] output):
+    * the candidate structure of SemDeDup (Abbas et al. 2023) — k-means
+    * buckets play the role LSH bands play in [[embeddingPairs]], so the
+    * same capped in-bucket self-join (hot-bucket salt guard included)
+    * bounds a degenerate giant cluster. */
+  private def semdedupPairsOver(assigned: DataFrame, threshold: Double): DataFrame =
+    cappedBucketPairs(assigned.select(col("corpus_id").as("doc_id"),
+        lit(0).as("band"), col("cell").as("bucket")))
+      .join(assigned.select(col("corpus_id").as("doc_id_a"), col("cv").as("__ea")), "doc_id_a")
+      .join(assigned.select(col("corpus_id").as("doc_id_b"), col("cv").as("__eb")), "doc_id_b")
+      .select(col("doc_id_a").as("vec_id_a"), col("doc_id_b").as("vec_id_b"),
+        round(Similarity.cosine(col("__ea"), col("__eb")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+
+  /** SemDeDup candidate pairs: embeddings are k-means-clustered
+    * (`nlist` seeded centers — the exact [[Similarity.ivfCenters]]
+    * geometry, so index build and semantic dedup share one clustering)
+    * and every within-cluster pair with cosine ≥ `threshold` is
+    * emitted. Unlike [[embeddingPairs]] (hyperplane LSH), recall is
+    * structural, not probabilistic: a cross-cluster near-dup pair is
+    * NEVER found — that is SemDeDup's documented trade (clusters bound
+    * the quadratic term; the paper's k ≈ 11k at 100 TB keeps cells at
+    * all-pairs-tractable size). Deterministic end-to-end: seeded
+    * centers, argmin assignment with the lowest-cell tie rule.
+    *
+    * Scale shape: centers are driver-local over a bounded sample
+    * (~1 MB); assignment is a narrow broadcast kernel (the corpus never
+    * shuffles for it); the only shuffle clusters (vec_id, cell) rows for
+    * the capped self-join; verify joins ride the same exchange. */
+  def semdedupPairs(emb: DataFrame, nlist: Int = 16,
+      threshold: Double = 0.95): DataFrame = {
+    val centers = Similarity.ivfCenters(emb, nlist)
+    val assigned = Similarity.ivfCellAssignments(emb, centers)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    materialized(semdedupPairsOver(assigned, threshold), assigned)
+  }
+
+  /** SemDeDup: drop all but one representative (min vec_id) per
+    * connected cluster of within-cell near-dup pairs — the
+    * embedding-space twin of [[minhashDedupComponents]]. Returns the
+    * kept rows of `emb` with their `cell` assignment (the cluster id is
+    * useful downstream — e.g. per-cell balance accounting after
+    * pruning). Components via [[connectedComponents]] (min-label +
+    * pointer doubling), so chains of pairs collapse to one survivor. */
+  def semdedup(emb: DataFrame, nlist: Int = 16, threshold: Double = 0.95,
+      maxIter: Int = 25, strict: Boolean = true): DataFrame = {
+    val spark = emb.sparkSession
+    val centers = Similarity.ivfCenters(emb, nlist)
+    val assigned = Similarity.ivfCellAssignments(emb, centers)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val comp = connectedComponents(semdedupPairsOver(assigned, threshold),
+      "vec_id_a", "vec_id_b", maxIter, strict)
+    // Only the DROP set (non-representative members) is materialized —
+    // never the corpus-sized kept set (the m20 rule: nothing
+    // corpus-sized in block storage). Eager checkpoint → its count is
+    // free, and the assignment cache + CC label blocks die here.
+    val drop = comp.filter(col("id") =!= col("component"))
+      .select(col("id").as("vec_id")).localCheckpoint(true)
+    graft.core.Blocks.releaseAll(comp)
+    graft.core.Blocks.release(assigned)
+    val maxBroadcast =
+      spark.conf.get("graft.dedup.dropBroadcastMaxRows", "4000000").toLong
+    val dropSide =
+      if (drop.count() <= maxBroadcast) broadcast(drop) else drop
+    // cell re-derived narrowly on the way out (the same broadcast-kernel
+    // assignment — deterministic, so it bit-matches the candidate pass)
+    // instead of joining the released assignment cache: the corpus never
+    // shuffles when the drop side broadcasts.
+    val bc = spark.sparkContext.broadcast(centers)
+    val cellUdf = udf((v: Array[Float]) =>
+      graft.core.VecMath.nearestCenter(v, bc.value))
+    emb.withColumn("cell", cellUdf(col("embedding")))
+      .join(dropSide, Seq("vec_id"), "left_anti")
+  }
 }

@@ -229,6 +229,37 @@ class PipelineSpec extends AnyFunSuite {
       s"LSH 4x8 recall collapsed: ${pruned.size}/${exact.size}")
   }
 
+  test("semdedup: one representative per within-cell component, cell matches argmin") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val centers = Similarity.ivfCenters(emb, 8)
+    val cellOf = Similarity.ivfCellAssignments(emb, centers)
+      .select("corpus_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // independent reference: exact all-pairs, restricted to same-cell,
+    // union-find on the driver, min id survives per component
+    val cellPairs = Dedup.embeddingPairsExact(emb, threshold = 0.3)
+      .select("vec_id_a", "vec_id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => cellOf(a) == cellOf(b) }
+    assert(cellPairs.nonEmpty, "fixture must have within-cell near-dup pairs")
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    cellPairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val dropped = cellOf.keySet.filter(id => find(id) != id)
+    val out = Dedup.semdedup(emb, nlist = 8, threshold = 0.3)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.keySet === cellOf.keySet -- dropped)
+    assert(out.forall { case (id, c) => cellOf(id) == c },
+      "output cell must match the argmin assignment")
+  }
+
   test("exact all-pairs verifier refuses corpus-scale input with an actionable error") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     spark.conf.set("graft.dedup.exactPairsMaxRows", "10")
