@@ -915,6 +915,28 @@ object Oracle {
       WHERE comp.node IS NULL OR comp.component = a.vec_id
       ORDER BY vec_id""",
 
+    // Unigram-LM cross-entropy: token = normalized whitespace token (the
+    // gram oracles' exact normalization), model = corpus counts, score =
+    // ln(total) − avg(ln count) — computed in the same algebraic form
+    // the kernel uses. Token-less docs score (0, 0.0) via the left join.
+    "m29_unigram_xent" -> """
+      WITH norm AS (SELECT doc_id,
+          trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS n
+        FROM documents),
+      toks AS (SELECT doc_id, unnest(string_split(n, ' ')) AS tok
+               FROM norm WHERE n <> ''),
+      cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+      tot AS (SELECT CAST(sum(c) AS DOUBLE) AS nn FROM cnt),
+      per AS (SELECT t.doc_id, count(*) AS n_model_tokens,
+          round(ln((SELECT nn FROM tot))
+                - avg(ln(CAST(c.c AS DOUBLE))), 6) AS xent
+        FROM toks t JOIN cnt c USING (tok) GROUP BY t.doc_id)
+      SELECT d.doc_id,
+        CAST(coalesce(p.n_model_tokens, 0) AS INT) AS n_model_tokens,
+        coalesce(p.xent, 0.0) AS xent
+      FROM documents d LEFT JOIN per p USING (doc_id)
+      ORDER BY doc_id""",
+
     // Deterministic chunking: windows of 16 normalized tokens starting
     // every 12 (overlap 4); chunk count = ceil((n-4)/12), 1 when n<=4.
     "m18_chunk" -> """

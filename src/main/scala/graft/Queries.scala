@@ -1070,6 +1070,22 @@ object Queries {
       .select(col("vec_id"), col("cell"), col("label"))
       .orderBy("vec_id")
 
+  /** m29 — unigram-LM cross-entropy scoring
+    * ([[operators.TextAnalysis.unigramModel]] /
+    * [[operators.TextAnalysis.unigramCrossEntropy]]): the CCNet-style
+    * perplexity quality gate, self-trained on the corpus so the whole
+    * train→score loop is deterministic and oracle-re-derivable. The
+    * oracle recomputes token counts (string tokens, same normalization
+    * as the gram oracles), total mass, and per-doc
+    * ln(total) − mean(ln count) from scratch in SQL. */
+  def m29UnigramXent(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val model = operators.TextAnalysis.unigramModel(docs)
+    operators.TextAnalysis.unigramCrossEntropy(docs, model)
+      .select(col("doc_id"), col("n_model_tokens"), col("xent"))
+      .orderBy("doc_id")
+  }
+
   /** m12 — COMPOSED multimodal near-dup: still images and sampled video
     * frames land in ONE feature space (8-bin value histogram — the
     * image path through `imageFeatures`/ImageIO, the frame path through

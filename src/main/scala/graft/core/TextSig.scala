@@ -349,6 +349,54 @@ object TextSig {
     c
   }
 
+  /** Lowercase-normalized whitespace token hashes WITH multiplicity, in
+    * document order — the unigram-LM token stream. Same normalization +
+    * per-token FNV-1a + mix64 as [[wordShingles]] at w = 1 (minus the
+    * distinct), so the LM alphabet and the gram machinery share one
+    * token definition; the DuckDB oracles re-derive it as
+    * `string_split(trim(regexp_replace(lower(text),'\s+',' ','g'),' '), ' ')`. */
+  def tokenHashes(text: String): Array[Long] = {
+    val n = normalize(text)
+    if (n.isEmpty) return Array.emptyLongArray
+    val toks = n.split(' ')
+    val buf = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      val tok = toks(i)
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < tok.length) { h = (h ^ tok.charAt(j)) * 0x100000001b3L; j += 1 }
+      h = (h ^ ' ') * 0x100000001b3L
+      buf(i) = mix64(h)
+      i += 1
+    }
+    buf
+  }
+
+  /** Mean negative log-likelihood (nats) of the doc's tokens under a
+    * unigram model given as (sorted hashes, aligned counts, total):
+    * ln(total) − mean(ln count). Tokens outside the model take count 1
+    * (a Laplace-style floor — only reachable when scoring a corpus the
+    * model was not trained on). 0.0 for token-less docs. */
+  def unigramXent(text: String, hashes: Array[Long], counts: Array[Long],
+      total: Double): Double =
+    unigramXentHashes(tokenHashes(text), hashes, counts, total)
+
+  /** [[unigramXent]] over an already-computed token-hash stream (callers
+    * that also need the token count tokenize once). */
+  def unigramXentHashes(t: Array[Long], hashes: Array[Long],
+      counts: Array[Long], total: Double): Double = {
+    if (t.length == 0) return 0.0
+    var s = 0.0
+    var i = 0
+    while (i < t.length) {
+      val idx = java.util.Arrays.binarySearch(hashes, t(i))
+      s += math.log(if (idx >= 0) counts(idx).toDouble else 1.0)
+      i += 1
+    }
+    math.log(total) - s / t.length
+  }
+
   /** Exact Jaccard of two sorted distinct hash arrays (merge scan). */
   def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
     if (a.isEmpty && b.isEmpty) return 0.0

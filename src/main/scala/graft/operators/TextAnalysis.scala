@@ -19,6 +19,15 @@ import graft.core.{TextSig, TextStats}
  * codegen subexpression elimination (deterministic ScalaUDF), so stacking
  * several signals still costs one pass.
  */
+/** Trained unigram language model: sorted token hashes, aligned counts,
+  * total token mass. Broadcast-sized by contract (the vocab ceiling in
+  * [[TextAnalysis.unigramModel]] enforces it). TOP-LEVEL case class —
+  * object-nested encoder types silently drop codegen projections. */
+final case class UnigramLM(hashes: Array[Long], counts: Array[Long], total: Long)
+
+/** Per-document unigram score row (TOP-LEVEL for the same encoder rule). */
+final case class UnigramScore(n_model_tokens: Int, xent: Double)
+
 object TextAnalysis {
 
   private val statsUdf = udf((t: String) => if (t == null) null else TextSig.textStats(t))
@@ -256,6 +265,59 @@ object TextAnalysis {
       .withColumn("clean_text", col("_bp._1"))
       .withColumn("n_removed", col("_bp._2"))
       .drop("_bp")
+  }
+
+  // --- unigram LM scoring (CCNet-style perplexity gate, self-trainable) ---
+
+  private val tokenHashesUdf = udf((t: String) => TextSig.tokenHashes(t))
+
+  /** Train a unigram LM over `docs` — the deterministic stand-in for
+    * CCNet's pretrained-LM perplexity filter: token counts over the
+    * corpus, collected to the driver as sorted (hash, count) arrays for
+    * broadcast. Train-once/score-many: the model is a plain value, so
+    * one corpus's model can score another (that is the actual CCNet
+    * shape — score CommonCrawl under a Wikipedia-trained LM).
+    *
+    * Scale shape: ONE shuffle of (hash, count) pairs after map-side
+    * partial aggregation — vocabulary-sized, not corpus-sized; the
+    * collect is ceiling-ENFORCED (`graft.text.vocabMaxTokens`, default
+    * 5M ≈ 80 MB broadcast) with an actionable abort, like
+    * [[removeBoilerplate]]'s frequent-line set. */
+  def unigramModel(docs: DataFrame, textCol: String = "text"): UnigramLM = {
+    val spark = docs.sparkSession
+    val maxVocab = spark.conf.get("graft.text.vocabMaxTokens", "5000000").toLong
+    val probe = math.min(maxVocab + 1, Int.MaxValue.toLong).toInt
+    val rows = Dedup.spread(docs.select(col(textCol)))
+      .select(explode(tokenHashesUdf(col(textCol))).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c"))
+      .limit(probe).collect()
+    if (rows.length > maxVocab)
+      throw new IllegalStateException(
+        s"unigramModel: vocabulary exceeds graft.text.vocabMaxTokens=" +
+          s"$maxVocab — raise the ceiling, or pre-normalize/filter tokens")
+    val sorted = rows.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    UnigramLM(sorted.map(_._1), sorted.map(_._2), sorted.map(_._2).sum)
+  }
+
+  /** Score `docs` under a trained [[UnigramLM]]: per-doc token count and
+    * cross-entropy (mean neg log-likelihood, nats) — low xent ≈ fluent /
+    * in-domain, high xent ≈ gibberish or out-of-domain; threshold it for
+    * the CCNet-style quality gate. Narrow broadcast kernel: one compiled
+    * pass per doc ([[TextSig.unigramXent]]), no shuffle, corpus never
+    * moves. Token-less docs score (0, 0.0). */
+  def unigramCrossEntropy(docs: DataFrame, model: UnigramLM,
+      textCol: String = "text"): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(model)
+    val scoreUdf = udf((t: String) => {
+      val m = bc.value
+      val th = TextSig.tokenHashes(t)
+      UnigramScore(th.length,
+        TextSig.unigramXentHashes(th, m.hashes, m.counts, m.total.toDouble))
+    })
+    docs.withColumn("__us", scoreUdf(col(textCol)))
+      .withColumn("n_model_tokens", col("__us.n_model_tokens"))
+      .withColumn("xent", round(col("__us.xent"), 6))
+      .drop("__us")
   }
 
   /** Full per-document profile over a `documents`-shaped DataFrame. */

@@ -604,6 +604,43 @@ class TrainingPipelineSpec extends AnyFunSuite {
     } finally s.conf.unset("graft.text.boilerplateMaxLines")
   }
 
+  test("unigramModel/unigramCrossEntropy: counts, scoring, floor, ceiling") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "aa bb aa"),      // aa:2 here
+      (2L, "aa cc"),
+      (3L, "   "),           // token-less
+      (4L, "bb bb")).toDF("doc_id", "text")
+    val m = TextAnalysis.unigramModel(corpus)
+    // vocab: aa=3, bb=3, cc=1 → total 7
+    assert(m.total === 7L)
+    assert(m.counts.sorted.toSeq === Seq(1L, 3L, 3L))
+    val out = TextAnalysis.unigramCrossEntropy(corpus, m)
+      .select("doc_id", "n_model_tokens", "xent").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    def xent(cs: Seq[Long]): Double = BigDecimal(
+        math.log(7.0) - cs.map(c => math.log(c.toDouble)).sum / cs.size)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) === ((3, xent(Seq(3, 3, 3)))))
+    assert(out(2L) === ((2, xent(Seq(3, 1)))))
+    assert(out(3L) === ((0, 0.0)))
+    assert(out(4L) === ((2, xent(Seq(3, 3)))))
+    // scoring a foreign corpus: unseen tokens take the count-1 floor
+    val foreign = Seq((9L, "zz zz")).toDF("doc_id", "text")
+    val f = TextAnalysis.unigramCrossEntropy(foreign, m)
+      .select("xent").head().getDouble(0)
+    assert(f === xent(Seq(1, 1)))
+    // enforced vocab ceiling aborts loudly
+    s.conf.set("graft.text.vocabMaxTokens", "2")
+    try {
+      val boom = intercept[IllegalStateException] {
+        TextAnalysis.unigramModel(corpus)
+      }
+      assert(boom.getMessage.contains("vocabMaxTokens"))
+    } finally s.conf.unset("graft.text.vocabMaxTokens")
+  }
+
   test("spread repartitions a few-file scan but passes a many-file scan through") {
     val s = spark
     import s.implicits._
