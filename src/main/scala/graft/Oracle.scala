@@ -915,6 +915,39 @@ object Oracle {
       WHERE comp.node IS NULL OR comp.component = a.vec_id
       ORDER BY vec_id""",
 
+    // Keep-first line dedup: a non-blank trimmed line survives only at
+    // its global first occurrence (row_number over doc_id, idx); blank
+    // lines always survive. Same line/trim semantics as m27.
+    "m30_line_dedup" -> """
+      WITH aug AS (
+        SELECT doc_id,
+               'Shared Header Line' || chr(10) || chr(10) || text ||
+               chr(10) || 'doc ' || doc_id || ' footer' AS text
+        FROM documents),
+      lines AS (
+        SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+               generate_subscripts(string_split(text, chr(10)), 1) AS idx
+        FROM aug),
+      tl AS (SELECT doc_id, line, idx,
+                    trim(line, ' ' || chr(9) || chr(13)) AS t FROM lines),
+      win AS (SELECT doc_id, line, idx,
+                row_number() OVER (PARTITION BY t ORDER BY doc_id, idx) AS rn
+              FROM tl WHERE t <> ''),
+      kept AS (
+        SELECT doc_id, line, idx FROM tl WHERE t = ''
+        UNION ALL
+        SELECT doc_id, line, idx FROM win WHERE rn = 1),
+      tot AS (SELECT doc_id, count(*) AS n_lines FROM tl GROUP BY doc_id),
+      keptagg AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id)
+      SELECT a.doc_id, coalesce(k.clean_text, '') AS clean_text,
+             CAST(t.n_lines - coalesce(k.n_kept, 0) AS INT) AS n_removed
+      FROM aug a JOIN tot t USING (doc_id)
+      LEFT JOIN keptagg k USING (doc_id)
+      ORDER BY doc_id""",
+
     // Unigram-LM cross-entropy: token = normalized whitespace token (the
     // gram oracles' exact normalization), model = corpus counts, score =
     // ln(total) − avg(ln count) — computed in the same algebraic form

@@ -1086,6 +1086,27 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** m30 — keep-first exact line dedup
+    * ([[operators.TextAnalysis.dedupLines]]): the corpus is augmented
+    * (m27 pattern — fixture docs are single-line) with a header line
+    * shared by every doc (survives only in the globally-first doc), a
+    * blank line (always kept), and a unique per-doc footer (kept);
+    * the original text itself dedups across the fixture's exact-dup
+    * groups, first doc wins. The oracle re-derives the global
+    * first-occurrence rule with a window over (doc_id, idx). */
+  def m30LineDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val aug = docs.select(col("doc_id"),
+      concat_ws("\n",
+        lit("Shared Header Line"),
+        lit(""),
+        col("text"),
+        concat(lit("doc "), col("doc_id").cast("string"), lit(" footer"))).as("text"))
+    operators.TextAnalysis.dedupLines(aug)
+      .select(col("doc_id"), col("clean_text"), col("n_removed"))
+      .orderBy("doc_id")
+  }
+
   /** m12 — COMPOSED multimodal near-dup: still images and sampled video
     * frames land in ONE feature space (8-bin value histogram — the
     * image path through `imageFeatures`/ImageIO, the frame path through

@@ -449,6 +449,46 @@ object TextSig {
     sortedDistinct(buf, n)
   }
 
+  /** (line index, trimmed-line hash) for every NON-blank line, in
+    * order WITH duplicates — the keep-first line-dedup occurrence
+    * stream. Indices count ALL lines (split limit -1), so they align
+    * with [[removeLinesAt]]; blank lines never enter dedup (kept). */
+  def lineOccurrences(text: String): Array[(Int, Long)] = {
+    val lines = text.split("\n", -1)
+    val buf = new Array[(Int, Long)](lines.length)
+    var n = 0
+    var i = 0
+    while (i < lines.length) {
+      val t = trimLine(lines(i))
+      if (t.nonEmpty) { buf(n) = (i, lineHash(t)); n += 1 }
+      i += 1
+    }
+    if (n == lines.length) buf else java.util.Arrays.copyOf(buf, n)
+  }
+
+  /** Drop the lines at `idxs` (sorted ascending, 0-based over ALL
+    * lines); returns (kept lines rejoined with '\n', count removed).
+    * The apply side of keep-first line dedup: the winning occurrence
+    * set is computed relationally, only the losing indices come back. */
+  def removeLinesAt(text: String, idxs: Array[Int]): (String, Int) = {
+    if (idxs == null || idxs.isEmpty) return (text, 0)
+    val lines = text.split("\n", -1)
+    val sb = new java.lang.StringBuilder(text.length)
+    var first = true
+    var d = 0
+    var i = 0
+    while (i < lines.length) {
+      if (d < idxs.length && idxs(d) == i) d += 1
+      else {
+        if (!first) sb.append('\n')
+        sb.append(lines(i))
+        first = false
+      }
+      i += 1
+    }
+    (sb.toString, d)
+  }
+
   /** Drop every line whose trimmed hash is in the sorted boilerplate
     * `set` (blank lines are never dropped); returns (kept lines
     * rejoined with '\n', count of removed line occurrences). */

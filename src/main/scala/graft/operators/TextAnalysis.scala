@@ -267,6 +267,48 @@ object TextAnalysis {
       .drop("_bp")
   }
 
+  private val lineOccUdf = udf((t: String) => TextSig.lineOccurrences(t))
+  private val removeAtUdf =
+    udf((t: String, idxs: Array[Int]) => TextSig.removeLinesAt(t, idxs))
+
+  /** Keep-first exact line dedup (RefinedWeb/MassiveText-style): every
+    * distinct trimmed non-blank line survives ONLY at its globally
+    * first occurrence — min (doc, index) in lexicographic order — and
+    * every later occurrence (across documents AND repeats inside one)
+    * is dropped; blank lines always survive. Complements
+    * [[removeBoilerplate]], which drops ALL copies of lines frequent in
+    * ≥ minDocs docs (frequency-threshold semantics): keep-first
+    * preserves one canonical copy of headers/licenses instead of
+    * erasing them from the corpus.
+    *
+    * Scale shape: the winner map is corpus-sized (every distinct line),
+    * so the broadcast-kernel second pass removeBoilerplate uses is
+    * impossible here. Occurrences shuffle as (id, idx, 64-bit hash)
+    * tuples — never line text — through one `min(struct)` aggregation;
+    * only the LOSING indices come back, grouped per doc (empty for
+    * docs that lose nothing, so the list side is duplication-sized),
+    * and the corpus joins them by id — text moves at most once, and
+    * AQE broadcasts the drop side when duplication is low. Apply is a
+    * narrow kernel ([[TextSig.removeLinesAt]]). Line/trim semantics
+    * are [[removeBoilerplate]]'s, oracle-pinned. */
+  def dedupLines(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val occ = Dedup.spread(docs.select(col(idCol).as("__id"), col(textCol)))
+      .select(col("__id"), explode(lineOccUdf(col(textCol))).as("o"))
+      .select(col("__id"), col("o._1").as("idx"), col("o._2").as("h"))
+    val winners = occ.groupBy("h")
+      .agg(min(struct(col("__id"), col("idx"))).as("w"))
+    val drops = occ.join(winners, "h")
+      .filter(!(col("__id") === col("w.__id") && col("idx") === col("w.idx")))
+      .groupBy(col("__id").as(idCol))
+      .agg(sort_array(collect_list(col("idx"))).as("__drop"))
+    docs.join(drops, Seq(idCol), "left")
+      .withColumn("__ld", removeAtUdf(col(textCol), col("__drop")))
+      .withColumn("clean_text", col("__ld._1"))
+      .withColumn("n_removed", col("__ld._2"))
+      .drop("__ld", "__drop")
+  }
+
   // --- unigram LM scoring (CCNet-style perplexity gate, self-trainable) ---
 
   private val tokenHashesUdf = udf((t: String) => TextSig.tokenHashes(t))

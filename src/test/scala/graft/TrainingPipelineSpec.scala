@@ -604,6 +604,27 @@ class TrainingPipelineSpec extends AnyFunSuite {
     } finally s.conf.unset("graft.text.boilerplateMaxLines")
   }
 
+  test("dedupLines: global first occurrence survives, repeats and later docs drop") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (2L, "dup\nunique-two\ndup"),    // internal repeat of 'dup'
+      (1L, "dup\n\nunique-one"),       // doc 1 owns the first 'dup'; blank kept
+      (3L, " dup \nunique-three"))     // trim-equal occurrence drops
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dedupLines(corpus)
+      .select("doc_id", "clean_text", "n_removed").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(out(1L) === (("dup\n\nunique-one", 0)))
+    assert(out(2L) === (("unique-two", 2)))
+    assert(out(3L) === (("unique-three", 1)))
+    // idempotent: a second pass removes nothing
+    val cleaned = TextAnalysis.dedupLines(corpus)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val again = TextAnalysis.dedupLines(cleaned)
+    assert(again.agg(sum("n_removed")).head().getLong(0) === 0L)
+  }
+
   test("unigramModel/unigramCrossEntropy: counts, scoring, floor, ceiling") {
     val s = spark
     import s.implicits._
