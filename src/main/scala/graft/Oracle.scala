@@ -915,6 +915,21 @@ object Oracle {
       WHERE comp.node IS NULL OR comp.component = a.vec_id
       ORDER BY vec_id""",
 
+    // Token-budget selection: the literal window form of the scale
+    // plan — row_number + running sum over (quality DESC, doc_id), kept
+    // while the inclusive running total fits the budget.
+    "m31_budget_select" -> s"""
+      WITH $TextStatsCtes,
+      q AS (SELECT doc_id, n_tokens, $QualityExpr AS q FROM ratios),
+      w AS (SELECT doc_id,
+              row_number() OVER (ORDER BY q DESC, doc_id ASC) AS sel_rank,
+              CAST(sum(n_tokens) OVER (ORDER BY q DESC, doc_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_tokens
+            FROM q)
+      SELECT doc_id, sel_rank, cum_tokens FROM w
+      WHERE cum_tokens <= 15000 ORDER BY sel_rank""",
+
     // Keep-first line dedup: a non-blank trimmed line survives only at
     // its global first occurrence (row_number over doc_id, idx); blank
     // lines always survive. Same line/trim semantics as m27.

@@ -1107,6 +1107,24 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** m31 — token-budget data selection
+    * ([[operators.TrainingPipeline.selectByBudget]] over
+    * [[operators.Ranking.globalRunningAgg]]): rank by the pinned
+    * quality score (tie-break doc_id), keep the prefix whose running
+    * token total stays ≤ 15000 (≈ half the sf0.01 corpus mass). The
+    * oracle is the literal window form — row_number + running SUM over
+    * the same total order — which the scale plan must equal exactly. */
+  def m31BudgetSelect(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scored = docs
+      .withColumn("q", operators.TextAnalysis.qualityScore(col("text")))
+      .withColumn("n_tok", operators.TextAnalysis.tokenCount(col("text")))
+    operators.TrainingPipeline.selectByBudget(scored, budget = 15000L,
+        Seq(col("q").desc, col("doc_id").asc), col("n_tok"))
+      .select(col("doc_id"), col("sel_rank"), col("cum_tokens"))
+      .orderBy("sel_rank")
+  }
+
   /** m12 — COMPOSED multimodal near-dup: still images and sampled video
     * frames land in ONE feature space (8-bin value histogram — the
     * image path through `imageFeatures`/ImageIO, the frame path through

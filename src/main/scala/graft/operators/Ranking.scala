@@ -91,6 +91,55 @@ object Ranking {
     } finally sorted.unpersist()
   }
 
+  /** Global rank AND running sum in one range-partitioned pass — the
+    * scale form of `row_number() + sum(value) OVER (ORDER BY …)`:
+    * same mechanics as [[globalRank]] (range-partitioned total sort,
+    * driver-side prefix over per-partition aggregates), except the tiny
+    * per-partition frame carries (count, sum(value)) and the local
+    * running sum comes from a window PARTITIONED by the sort partition
+    * (each partition is one task — bounded, unlike the global window).
+    * `value` is cast to long (token counts, byte sizes). `order` must
+    * be a TOTAL order. Output is checkpointed like [[globalRank]]'s
+    * (callers release via `graft.core.Blocks`). */
+  def globalRunningAgg(df: DataFrame, order: Seq[Column], value: Column,
+      rankCol: String = "rank", cumCol: String = "cum"): DataFrame = {
+    def fresh(base: String): String = {
+      var n = base
+      while (df.columns.contains(n) || n == rankCol || n == cumCol) n += "_"
+      n
+    }
+    val pidC = fresh("_pid"); val localC = fresh("_local")
+    val vC = fresh("_v"); val cntOffC = fresh("_cntoff"); val sumOffC = fresh("_sumoff")
+    // persist-pinned single sort: see globalRank (two consumers must
+    // observe ONE RangePartitioner sample)
+    val sorted = df.orderBy(order: _*)
+      .withColumn(vC, value.cast("long"))
+      .withColumn(pidC, spark_partition_id().cast("long"))
+      .withColumn(localC,
+        monotonically_increasing_id() - shiftleft(spark_partition_id().cast("long"), 33))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val agg = sorted.groupBy(pidC)
+      .agg(count(lit(1)).as("_cnt"), sum(vC).as("_sum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var accN = 0L; var accS = 0L
+    val offs = agg.map { case (pid, c, sv) =>
+      val o = (pid, accN, accS); accN += c; accS += sv; o
+    }
+    val offsets = df.sparkSession.createDataFrame(offs.toSeq)
+      .toDF(pidC, cntOffC, sumOffC)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pidC).orderBy(localC)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    try {
+      sorted.join(broadcast(offsets), pidC)
+        .withColumn(rankCol, col(cntOffC) + col(localC) + 1)
+        .withColumn(cumCol, col(sumOffC) + sum(col(vC)).over(w))
+        .drop(pidC, localC, vC, cntOffC, sumOffC)
+        .localCheckpoint(true)
+    } finally sorted.unpersist()
+  }
+
   /** Global distribution ranks at scale: percent_rank / cume_dist /
     * ntile(`buckets`) derived from [[globalRank]] plus a count — NO
     * unpartitioned window anywhere in the plan (the window forms

@@ -228,6 +228,26 @@ object TrainingPipeline {
       reportFrame(docs, (s0, s1, s2, s3, s4))
     }
 
+  /** Token-budget data selection — "take the best data that fits the
+    * training budget": rank docs by `order` (best first; include a
+    * unique tie-break) and keep the PREFIX whose running `tokens` total
+    * stays ≤ `budget` (inclusive). Prefix semantics are the
+    * deterministic, engine-independent contract (the greedy
+    * skip-oversized variant is order-sequential); a doc larger than the
+    * remaining budget therefore ends the selection. Emits `sel_rank`
+    * and `cum_tokens` for selection accounting.
+    *
+    * Scale shape: [[Ranking.globalRunningAgg]] — range-partitioned
+    * total sort + driver prefix over per-partition (count, sum); no
+    * unpartitioned window anywhere in the plan. */
+  def selectByBudget(docs: DataFrame, budget: Long, order: Seq[Column],
+      tokens: Column): DataFrame = {
+    require(budget >= 0, s"selectByBudget: budget=$budget must be >= 0")
+    Ranking.globalRunningAgg(docs, order, tokens,
+        rankCol = "sel_rank", cumCol = "cum_tokens")
+      .filter(col("cum_tokens") <= budget)
+  }
+
   private val sampleBucketUdf = udf((id: Long) =>
     java.lang.Long.remainderUnsigned(graft.core.TextSig.mix64(id), 10000L).toInt)
 

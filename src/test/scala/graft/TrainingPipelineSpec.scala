@@ -604,6 +604,32 @@ class TrainingPipelineSpec extends AnyFunSuite {
     } finally s.conf.unset("graft.text.boilerplateMaxLines")
   }
 
+  test("selectByBudget: equals the window form, inclusive boundary, repartition-invariant") {
+    val s = spark
+    import s.implicits._
+    val rows = (1L to 97L).map(i => (i, (i * 37 % 11).toDouble, 10L + i % 7))
+    val docs = rows.toDF("doc_id", "q", "n_tok").repartition(7)
+    // driver reference: sort, prefix-sum, inclusive cut
+    val ref = rows.sortBy { case (id, q, _) => (-q, id) }
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (id, _, t)) => (id, t, cum + t) }
+      .drop(1).zipWithIndex
+      .map { case ((id, _, cum), i) => (id, (i + 1).toLong, cum) }
+      .filter(_._3 <= 400L)
+    val out = TrainingPipeline.selectByBudget(docs, budget = 400L,
+        Seq(col("q").desc, col("doc_id").asc), col("n_tok"))
+      .select("doc_id", "sel_rank", "cum_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._2)
+    assert(out.toSeq === ref)
+    assert(out.last._3 <= 400L && ref.size < rows.size,
+      "budget must actually cut the corpus")
+    // partitioning must not change the answer
+    val out1 = TrainingPipeline.selectByBudget(docs.repartition(13),
+        budget = 400L, Seq(col("q").desc, col("doc_id").asc), col("n_tok"))
+      .select("doc_id", "sel_rank", "cum_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._2)
+    assert(out1.toSeq === ref)
+  }
+
   test("dedupLines: global first occurrence survives, repeats and later docs drop") {
     val s = spark
     import s.implicits._
