@@ -699,6 +699,62 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct().repartition(col("v")).localCheckpoint(true)
+    // DRIVER fast path: a near-dup pair graph is usually VANISHINGLY
+    // small next to its corpus (pairs, not rows), and the iterative
+    // path's per-round shuffles are pure scheduler overhead on a graph
+    // that fits in one hand — union-find over the (already
+    // materialized, so the count is a block count) edge list replaces
+    // O(rounds) jobs with one collect. Ceiling-bounded
+    // (`graft.cc.driverMaxEdges`; both directions counted) and gated to
+    // orderable primitive id types — past either gate the shuffle-round
+    // path below runs unchanged, which IS the 100 TB story.
+    val maxDriver = pairs.sparkSession.conf
+      .get("graft.cc.driverMaxEdges", "1000000").toLong
+    val orderable = edges.schema.head.dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.StringType => true
+      case _ => false
+    }
+    if (orderable && edges.count() <= maxDriver) {
+      def lt(a: Any, b: Any): Boolean = (a, b) match {
+        case (x: Long, y: Long) => x < y
+        case (x: Int, y: Int) => x < y
+        case (x: Short, y: Short) => x < y
+        case (x: Byte, y: Byte) => x < y
+        case (x: String, y: String) => x < y
+        case _ => throw new IllegalStateException(
+          s"connectedComponents: mixed id types ${a.getClass}/${b.getClass}")
+      }
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x0: Any): Any = {
+        var x = x0
+        var p = parent.getOrDefault(x, x)
+        while (p != x) { // path halving
+          val gp = parent.getOrDefault(p, p)
+          parent.put(x, gp); x = gp; p = parent.getOrDefault(x, x)
+        }
+        x
+      }
+      val collected = edges.collect()
+      collected.foreach { r =>
+        val (ru, rv) = (find(r.get(0)), find(r.get(1)))
+        if (ru != rv) { // min id becomes the root == the component label
+          if (lt(ru, rv)) parent.put(rv, ru) else parent.put(ru, rv)
+        }
+      }
+      // both edge directions are present, so the u side spans every node
+      val nodes = new java.util.LinkedHashSet[Any]()
+      collected.foreach(r => nodes.add(r.get(0)))
+      val idType = edges.schema.head.dataType
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      nodes.forEach(n => rows.add(org.apache.spark.sql.Row(n, find(n))))
+      graft.core.Blocks.release(edges)
+      return pairs.sparkSession.createDataFrame(rows,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", idType),
+          org.apache.spark.sql.types.StructField("component", idType))))
+    }
     // labelsCk tracks the round's CHECKPOINT handle (labels itself is a
     // projection over it): each round's blocks are dead once the next
     // round materializes, and must be released by handle — on long

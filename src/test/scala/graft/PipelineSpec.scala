@@ -475,12 +475,21 @@ class PipelineSpec extends AnyFunSuite {
     import spark.implicits._
     // a 50-chain cannot converge in 1 round (doubling starts at round 4)
     val chain = (0L until 50L).map(i => (i, i + 1)).toDF("doc_id_a", "doc_id_b")
-    val ex = intercept[IllegalStateException] {
-      Dedup.connectedComponents(chain, maxIter = 1)
-    }
-    assert(ex.getMessage.contains("strict"))
-    val relaxed = Dedup.connectedComponents(chain, maxIter = 1, strict = false)
-    assert(relaxed.count() === 51) // partial labels, job survives
+    // the driver union-find fast path would solve any small graph in one
+    // collect — force the ITERATIVE path to pin its round-budget contract
+    spark.conf.set("graft.cc.driverMaxEdges", "0")
+    try {
+      val ex = intercept[IllegalStateException] {
+        Dedup.connectedComponents(chain, maxIter = 1)
+      }
+      assert(ex.getMessage.contains("strict"))
+      val relaxed = Dedup.connectedComponents(chain, maxIter = 1, strict = false)
+      assert(relaxed.count() === 51) // partial labels, job survives
+    } finally spark.conf.unset("graft.cc.driverMaxEdges")
+    // default (fast path): the same chain resolves exactly, one component
+    val fast = Dedup.connectedComponents(chain, maxIter = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fast.length === 51 && fast.forall(_._2 === 0L))
   }
 
   test("globalRank assigns a consistent gapless 1..N ranking across " +
