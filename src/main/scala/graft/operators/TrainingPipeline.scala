@@ -161,19 +161,48 @@ object TrainingPipeline {
     * filters as boolean columns; exact-dedup survivors as `countDistinct`
     * of the content key) — at 100 TB the accounting must not re-run the
     * upstream chain per stage boundary. */
-  private def stageCounts(docs: DataFrame, cfg: Config): (Long, Long, Long, Long) = {
-    val langOk = languagePredicate(docs, cfg.languages)
-    val qualOk = langOk && qualityPredicate(cfg.minChars, cfg.maxChars,
-      cfg.minQuality, cfg.minStopwordRatio, cfg.maxTopBigramFrac)
-    val row = docs.agg(
-      count(lit(1)).as("s0"),
-      count(when(langOk, 1)).as("s1"),
-      count(when(qualOk, 1)).as("s2"),
-      countDistinct(when(qualOk, Dedup.contentKey(col("text")))).as("s3"))
-      .head()
-    val s2 = row.getLong(2)
-    (row.getLong(0), row.getLong(1), s2,
-      if (cfg.exactDedup) row.getLong(3) else s2)
+  /** Observation handles for the stage counts riding an
+    * [[observedChain]]; read with [[stageValues]] AFTER an action has
+    * materialized the chain. */
+  private final case class StageObs(
+      s0: org.apache.spark.sql.Observation,
+      s1: org.apache.spark.sql.Observation,
+      s2: org.apache.spark.sql.Observation,
+      s3: Option[org.apache.spark.sql.Observation])
+
+  /** Stages 1–4 with the 0–3 counts attached as CollectMetrics
+    * (`observe`) on successive chain nodes: the counts land during the
+    * chain's OWN first materialization, so report/curateToTable read
+    * the corpus ONCE — the previous separate conditional-aggregation
+    * pass was a second complete corpus read at 100 TB. s3 is a plain
+    * count AFTER [[Dedup.exact]] (row count post-groupBy ≡ the old
+    * countDistinct(contentKey), which `observe` disallows). The chain
+    * references its input twice (signature path + final anti-join);
+    * `Observation` keeps the FIRST completed action's values, so the
+    * re-execution cannot skew the counts. */
+  private def observedChain(docs: DataFrame, cfg: Config): (DataFrame, StageObs) = {
+    val o0 = org.apache.spark.sql.Observation()
+    val o1 = org.apache.spark.sql.Observation()
+    val o2 = org.apache.spark.sql.Observation()
+    var d = docs.observe(o0, count(lit(1)).as("n"))
+    d = languageFilter(d, cfg.languages).observe(o1, count(lit(1)).as("n"))
+    d = qualityFilter(d, cfg.minChars, cfg.maxChars, cfg.minQuality,
+      cfg.minStopwordRatio, cfg.maxTopBigramFrac)
+      .observe(o2, count(lit(1)).as("n"))
+    val o3 = if (cfg.exactDedup) {
+      val o = org.apache.spark.sql.Observation()
+      d = Dedup.exact(d).observe(o, count(lit(1)).as("n"))
+      Some(o)
+    } else None
+    if (cfg.nearDedup) d = Dedup.minhashDedup(d, cfg.nearDedupThreshold)
+    (d, StageObs(o0, o1, o2, o3))
+  }
+
+  private def stageValues(obs: StageObs): (Long, Long, Long, Long) = {
+    def v(o: org.apache.spark.sql.Observation): Long =
+      o.get("n").asInstanceOf[Long]
+    val s2 = v(obs.s2)
+    (v(obs.s0), v(obs.s1), s2, obs.s3.map(v).getOrElse(s2))
   }
 
   private def reportFrame(docs: DataFrame,
@@ -190,14 +219,15 @@ object TrainingPipeline {
 
   /** Data-accounting report: rows surviving each stage.
     *
-    * Only the near-dedup count (stage 4) runs the actual dedup pipeline,
-    * because LSH candidate generation + verify is not expressible as an
-    * aggregate. Total passes over the text: 2 (was 5). Callers that also
-    * want the curated corpus itself must use `curateWithReport` — calling
-    * `curate` + `report` separately pays the near-dedup chain twice.
-    * With `cfg.benchmark` set this delegates to `curateWithReport` (the
-    * decontamination stage needs the materialized deduped corpus
-    * anyway) and adds the `5_decontaminated` row. */
+    * Stages 0–3 ride the dedup chain as `observe` metrics
+    * ([[observedChain]]) and stage 4 is the chain's own terminal
+    * action, so the report is ONE pass over the corpus (was 2: a
+    * separate conditional aggregation used to re-read everything just
+    * to count). Callers that also want the curated corpus itself must
+    * use `curateWithReport` — calling `curate` + `report` separately
+    * pays the near-dedup chain twice. With `cfg.benchmark` set the
+    * terminal action is one aggregation computing s4 AND the
+    * decontamination survivor count s5 together. */
   def report(docs: DataFrame, cfg: Config = Config()): DataFrame =
     if (cfg.benchmark.isDefined) {
       // counts only: s4 (dedup survivors) and s5 (of those, clean of
@@ -206,9 +236,8 @@ object TrainingPipeline {
       // twice (curateWithReport pays that only because it must RETURN
       // the corpus). The decontam predicate is the same narrow kernel
       // `decontaminate` applies, so the two paths count identically.
-      val (s0, s1, s2, s3) = stageCounts(docs, cfg)
       val bc = benchmarkGrams(cfg.benchmark.get, cfg.decontamN)
-      val plan = curateThroughDedup(docs, cfg)
+      val (plan, obs) = observedChain(docs, cfg)
       val row = plan.agg(
         count(lit(1)).as("s4"),
         count(when(hitsCol(bc, cfg.decontamN, col("text"))
@@ -217,14 +246,14 @@ object TrainingPipeline {
       // the dedup chain's internal checkpoints (verified pairs, labels)
       // are dead once the counts land — release by handle
       graft.core.Blocks.releaseAll(plan)
+      val (s0, s1, s2, s3) = stageValues(obs)
       reportFrame(docs, (s0, s1, s2, s3, row.getLong(0)),
         Some(row.getLong(1)))
     } else {
-      val (s0, s1, s2, s3) = stageCounts(docs, cfg)
-      val s4 =
-        if (!cfg.nearDedup) s3
-        else Dedup.minhashDedup(curateThroughDedup(docs, cfg.copy(nearDedup = false)),
-          cfg.nearDedupThreshold).count()
+      val (plan, obs) = observedChain(docs, cfg)
+      val s4 = plan.count() // == s3 when nearDedup is off (plan is that node)
+      graft.core.Blocks.releaseAll(plan) // pairs checkpoint dies with the count
+      val (s0, s1, s2, s3) = stageValues(obs)
       reportFrame(docs, (s0, s1, s2, s3, s4))
     }
 
@@ -468,9 +497,9 @@ object TrainingPipeline {
     * both the returned corpus and the stage-4 count. The curated frame is
     * materialized with lineage truncated (localCheckpoint), so the count
     * is read from the materialized blocks and downstream consumers of the
-    * corpus never re-run the dedup; stages 0–3 are the same single
-    * conditional aggregation `report` uses. Total passes over the text:
-    * 2 — versus 3 for separate `curate` + `report` calls.
+    * corpus never re-run the dedup; stages 0–3 ride the chain as
+    * `observe` metrics ([[observedChain]]). Total passes over the text:
+    * 1 — versus 2 for separate `curate` + `report` calls.
     *
     * Honest scale note: the checkpoint materializes the ENTIRE curated
     * corpus in executor storage. That is the right trade at the scale
@@ -498,10 +527,9 @@ object TrainingPipeline {
   def curateToTable(docs: DataFrame, outDir: String,
       cfg: Config = Config()): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
-    val (s0, s1, s2, s3) = stageCounts(docs, cfg)
     cfg.benchmark match {
       case None =>
-        val plan = curateThroughDedup(docs, cfg)
+        val (plan, obs) = observedChain(docs, cfg)
         plan.write.mode("overwrite").parquet(outDir)
         // the dedup chain checkpoints internal cuts (verified-pairs
         // frame, component labels); once the corpus is durably written
@@ -509,13 +537,15 @@ object TrainingPipeline {
         // call pins id-sized blocks for the session (the returned
         // corpus is a fresh parquet read, so no caller could free them)
         graft.core.Blocks.releaseAll(plan)
+        val (s0, s1, s2, s3) = stageValues(obs)
         val corpus = spark.read.parquet(outDir)
         (corpus, reportFrame(docs, (s0, s1, s2, s3, corpus.count())))
       case Some(b) =>
         val stagePath = new org.apache.hadoop.fs.Path(outDir + ".dedup-stage")
-        val plan = curateThroughDedup(docs, cfg)
+        val (plan, obs) = observedChain(docs, cfg)
         plan.write.mode("overwrite").parquet(stagePath.toString)
         graft.core.Blocks.releaseAll(plan) // as above
+        val (s0, s1, s2, s3) = stageValues(obs)
         val deduped = spark.read.parquet(stagePath.toString)
         val s4 = deduped.count()
         decontaminate(deduped, b, cfg.decontamN, cfg.decontamMinHits)
@@ -530,9 +560,10 @@ object TrainingPipeline {
 
   def curateWithReport(docs: DataFrame,
       cfg: Config = Config()): (DataFrame, DataFrame) = {
-    val (s0, s1, s2, s3) = stageCounts(docs, cfg)
-    val deduped = curateThroughDedup(docs, cfg).localCheckpoint(true)
+    val (chain, obs) = observedChain(docs, cfg)
+    val deduped = chain.localCheckpoint(true)
     val s4 = deduped.count()
+    val (s0, s1, s2, s3) = stageValues(obs)
     cfg.benchmark match {
       case None => (deduped, reportFrame(docs, (s0, s1, s2, s3, s4)))
       case Some(b) =>
