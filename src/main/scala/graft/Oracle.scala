@@ -915,6 +915,37 @@ object Oracle {
       WHERE comp.node IS NULL OR comp.component = a.vec_id
       ORDER BY vec_id""",
 
+    // Duplicated-span removal: STRING 40-grams (no hash parity — the
+    // kernel's rolling hash is internal), non-first occurrences marked
+    // by a window over (doc_id, pos), the union of their [pos, pos+40)
+    // spans removed, text reassembled from uncovered characters.
+    "m32_span_dedup" -> """
+      WITH g AS (SELECT doc_id, text,
+            unnest(range(1, greatest(length(text)-40+1, 0)+1)) AS pos
+          FROM documents),
+      gr AS (SELECT doc_id, pos, substr(text, CAST(pos AS INT), 40) AS s
+             FROM g),
+      win AS (SELECT doc_id, pos FROM (
+          SELECT doc_id, pos,
+            row_number() OVER (PARTITION BY s ORDER BY doc_id, pos) AS rn
+          FROM gr) WHERE rn > 1),
+      chars AS (SELECT doc_id, text,
+            unnest(range(1, length(text)+1)) AS i
+          FROM documents),
+      cov AS (SELECT DISTINCT c.doc_id, c.i FROM chars c JOIN win m
+              ON c.doc_id = m.doc_id AND c.i >= m.pos AND c.i < m.pos + 40),
+      keptc AS (SELECT c.doc_id, c.i, substr(c.text, CAST(c.i AS INT), 1) AS ch
+                FROM chars c LEFT JOIN cov v
+                  ON c.doc_id = v.doc_id AND c.i = v.i
+                WHERE v.i IS NULL),
+      agg AS (SELECT doc_id, string_agg(ch, '' ORDER BY i) AS clean_text,
+                     count(*) AS n_kept
+              FROM keptc GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+             CAST(length(d.text) - coalesce(a.n_kept, 0) AS INT) AS n_removed_chars
+      FROM documents d LEFT JOIN agg a USING (doc_id)
+      ORDER BY doc_id""",
+
     // Token-budget selection: the literal window form of the scale
     // plan — row_number + running sum over (quality DESC, doc_id), kept
     // while the inclusive running total fits the budget.

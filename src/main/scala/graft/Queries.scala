@@ -1144,6 +1144,20 @@ object Queries {
       .orderBy("sel_rank")
   }
 
+  /** m32 — duplicated-span removal
+    * ([[operators.TextAnalysis.dedupSpans]]): exact substring dedup at
+    * char granularity — all but the globally-first copy of every
+    * duplicated ≥ 40-char substring is removed. The fixture's exact and
+    * near-dup doc groups provide ~6k duplicated positions across ~24
+    * docs at sf0.01. The oracle enumerates STRING 40-grams, marks
+    * non-first occurrences with a window over (doc_id, pos), and
+    * reassembles the uncovered characters — fully independent of the
+    * rolling-hash kernel. */
+  def m32SpanDedup(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.dedupSpans(t(s, dir, "documents"), minLen = 40)
+      .select(col("doc_id"), col("clean_text"), col("n_removed_chars"))
+      .orderBy("doc_id")
+
   /** m12 — COMPOSED multimodal near-dup: still images and sampled video
     * frames land in ONE feature space (8-bin value histogram — the
     * image path through `imageFeatures`/ImageIO, the frame path through

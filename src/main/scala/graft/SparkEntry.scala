@@ -113,6 +113,7 @@ object SparkEntry {
     "m29_unigram_xent" -> Queries.m29UnigramXent,
     "m30_line_dedup" -> Queries.m30LineDedup,
     "m31_budget_select" -> Queries.m31BudgetSelect,
+    "m32_span_dedup" -> Queries.m32SpanDedup,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on

@@ -489,6 +489,54 @@ object TextSig {
     (sb.toString, d)
   }
 
+  /** (position, hash) for every char L-gram of `text` (0-based UTF-16
+    * positions, one per window start) — the duplicated-span occurrence
+    * stream. Rolling polynomial hash (Rabin–Karp, 64-bit wraparound,
+    * FNV-prime base) finished with [[mix64]]: O(n) regardless of L, no
+    * SQL parity needed (the oracle compares STRING grams). Empty for
+    * texts shorter than L. */
+  def charGramOccurrences(text: String, L: Int): Array[(Int, Long)] = {
+    if (text == null || text.length < L) return Array.empty
+    val B = 0x100000001b3L
+    var bl = 1L // B^(L-1)
+    var k = 1
+    while (k < L) { bl *= B; k += 1 }
+    val n = text.length - L + 1
+    val out = new Array[(Int, Long)](n)
+    var h = 0L
+    var i = 0
+    while (i < L) { h = h * B + text.charAt(i); i += 1 }
+    out(0) = (0, mix64(h))
+    var p = 1
+    while (p < n) {
+      h = (h - text.charAt(p - 1) * bl) * B + text.charAt(p + L - 1)
+      out(p) = (p, mix64(h))
+      p += 1
+    }
+    out
+  }
+
+  /** Remove the UNION of [p, p+L) spans for the sorted 0-based `marked`
+    * positions; returns (remaining chars concatenated, removed count).
+    * The apply side of duplicated-span dedup. */
+  def removeSpans(text: String, marked: Array[Int], L: Int): (String, Int) = {
+    if (marked == null || marked.isEmpty) return (text, 0)
+    val sb = new java.lang.StringBuilder(text.length)
+    var m = 0
+    var coveredUntil = 0 // exclusive end of the current merged span
+    var i = 0
+    while (i < text.length) {
+      while (m < marked.length && marked(m) <= i) {
+        val e = marked(m) + L
+        if (e > coveredUntil) coveredUntil = e
+        m += 1
+      }
+      if (i >= coveredUntil) sb.append(text.charAt(i))
+      i += 1
+    }
+    (sb.toString, text.length - sb.length)
+  }
+
   /** Drop every line whose trimmed hash is in the sorted boilerplate
     * `set` (blank lines are never dropped); returns (kept lines
     * rejoined with '\n', count of removed line occurrences). */

@@ -309,6 +309,48 @@ object TextAnalysis {
       .drop("__ld", "__drop")
   }
 
+  private val gramOccUdf =
+    udf((t: String, l: Int) => TextSig.charGramOccurrences(t, l))
+  private val removeSpansUdf =
+    udf((t: String, idxs: Array[Int], l: Int) => TextSig.removeSpans(t, idxs, l))
+
+  /** Duplicated-span removal (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better" — the exact-substring dedup):
+    * every char position whose L-gram occurs at a strictly earlier
+    * (doc, position) is MARKED, and the union of the [p, p+L) spans of
+    * marked positions is removed — so all but the globally-first copy
+    * of every duplicated substring of length ≥ L disappears, at
+    * character granularity (the suffix-array result, reached
+    * relationally). Keep-first, deterministic, idempotent on the
+    * surviving text's own duplicates.
+    *
+    * Scale shape: the occurrence stream is one (id, pos, 64-bit hash)
+    * tuple per character — the honest cost of substring-level dedup
+    * (suffix-array implementations pay the same constant on dedicated
+    * machines); the rolling-hash kernel is O(n) per doc regardless of
+    * L. One `min(struct)` aggregation finds winners, only MARKED
+    * positions come back per doc (duplication-sized), and the apply is
+    * a narrow kernel. Positions are UTF-16 units (== characters on
+    * ASCII corpora — the oracle's contract). */
+  def dedupSpans(docs: DataFrame, minLen: Int = 50, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(minLen >= 2, s"dedupSpans: minLen must be >= 2, got $minLen")
+    val occ = Dedup.spread(docs.select(col(idCol).as("__id"), col(textCol)))
+      .select(col("__id"), explode(gramOccUdf(col(textCol), lit(minLen))).as("o"))
+      .select(col("__id"), col("o._1").as("pos"), col("o._2").as("h"))
+    val winners = occ.groupBy("h")
+      .agg(min(struct(col("__id"), col("pos"))).as("w"))
+    val marked = occ.join(winners, "h")
+      .filter(!(col("__id") === col("w.__id") && col("pos") === col("w.pos")))
+      .groupBy(col("__id").as(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("__mk"))
+    docs.join(marked, Seq(idCol), "left")
+      .withColumn("__sp", removeSpansUdf(col(textCol), col("__mk"), lit(minLen)))
+      .withColumn("clean_text", col("__sp._1"))
+      .withColumn("n_removed_chars", col("__sp._2"))
+      .drop("__sp", "__mk")
+  }
+
   // --- unigram LM scoring (CCNet-style perplexity gate, self-trainable) ---
 
   private val tokenHashesUdf = udf((t: String) => TextSig.tokenHashes(t))

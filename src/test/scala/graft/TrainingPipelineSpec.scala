@@ -630,6 +630,37 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(out1.toSeq === ref)
   }
 
+  test("dedupSpans: later copies of long substrings removed at char granularity") {
+    val s = spark
+    import s.implicits._
+    val shared = "0123456789abcdefghij" // 20 chars, L = 10
+    val corpus = Seq(
+      (1L, "AAA" + shared + "BBB"),
+      (2L, "xx" + shared + "yy"),   // later copy → the whole 20-char run goes
+      (3L, "zzzzzz"),               // shorter than L: untouched
+      (4L, shared))                 // exact later copy → fully removed
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dedupSpans(corpus, minLen = 10)
+      .select("doc_id", "clean_text", "n_removed_chars").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(out(1L) === (("AAA" + shared + "BBB", 0)))
+    assert(out(2L) === (("xx" + "yy", 20)))
+    assert(out(3L) === (("zzzzzz", 0)))
+    assert(out(4L) === (("", 20)))
+    // within-doc overlapping repeats: 'ab'*15 with L=10 — every window
+    // past the first repeats an earlier gram, only a 10-char prefix
+    // (pos 0's span protects [0,10); pos 2 is marked, covering from 2)
+    val rep = Seq((9L, "ab" * 15)).toDF("doc_id", "text")
+    val r = TextAnalysis.dedupSpans(rep, minLen = 10)
+      .select("clean_text", "n_removed_chars").head()
+    assert(r.getString(0) === "ab" && r.getInt(1) === 28)
+    // idempotent on its own output
+    val again = TextAnalysis.dedupSpans(
+        TextAnalysis.dedupSpans(corpus, minLen = 10)
+          .select(col("doc_id"), col("clean_text").as("text")), minLen = 10)
+    assert(again.agg(sum("n_removed_chars")).head().getLong(0) === 0L)
+  }
+
   test("dedupLines: global first occurrence survives, repeats and later docs drop") {
     val s = spark
     import s.implicits._
