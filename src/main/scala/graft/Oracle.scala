@@ -915,6 +915,24 @@ object Oracle {
       WHERE comp.node IS NULL OR comp.component = a.vec_id
       ORDER BY vec_id""",
 
+    // PCA projection: the model sidecar carries mean (comp = -1) and
+    // components; the projection — centered dot product per (vector,
+    // component) — is re-derived here in the same index order the
+    // kernel sums in.
+    "m33_pca_project" -> """
+      WITH mdl AS (SELECT comp, vec
+                   FROM read_parquet('{AUX}/pca_model/*.parquet')),
+      mn AS (SELECT vec FROM mdl WHERE comp = -1),
+      c AS (SELECT comp, vec FROM mdl WHERE comp >= 0),
+      emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings)
+      SELECT e.vec_id, c.comp,
+        round(list_sum(list_transform(range(len(c.vec)), i ->
+          (e.v[CAST(i AS INT)+1] - mn.vec[CAST(i AS INT)+1])
+          * c.vec[CAST(i AS INT)+1])), 6) AS val
+      FROM emb e, c, mn
+      ORDER BY vec_id, comp""",
+
     // Duplicated-span removal: STRING 40-grams (no hash parity — the
     // kernel's rolling hash is internal), non-first occurrences marked
     // by a window over (doc_id, pos), the union of their [pos, pos+40)

@@ -1158,6 +1158,21 @@ object Queries {
       .select(col("doc_id"), col("clean_text"), col("n_removed_chars"))
       .orderBy("doc_id")
 
+  /** m33 — PCA projection ([[operators.Similarity.pcaTrain]] /
+    * [[operators.Similarity.pcaProject]]): dimensionality reduction
+    * before ANN/semantic dedup. The model (mean + 4 components) is the
+    * only aux — a constant-sized parameter like the IVF centers
+    * (iterative eigen-decomposition is not re-derivable in SQL); the
+    * PROJECTION is re-derived per (vector, component) in the oracle. */
+  def m33PcaProject(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val model = Similarity.pcaTrain(emb, k = 4)
+    Similarity.pcaProject(emb, model)
+      .select(col("vec_id"), posexplode(col("proj")).as(Seq("comp", "val")))
+      .select(col("vec_id"), col("comp"), round(col("val"), 6).as("val"))
+      .orderBy("vec_id", "comp")
+  }
+
   /** m12 — COMPOSED multimodal near-dup: still images and sampled video
     * frames land in ONE feature space (8-bin value histogram — the
     * image path through `imageFeatures`/ImageIO, the frame path through

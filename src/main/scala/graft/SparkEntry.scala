@@ -114,6 +114,7 @@ object SparkEntry {
     "m30_line_dedup" -> Queries.m30LineDedup,
     "m31_budget_select" -> Queries.m31BudgetSelect,
     "m32_span_dedup" -> Queries.m32SpanDedup,
+    "m33_pca_project" -> Queries.m33PcaProject,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on
@@ -251,6 +252,17 @@ object SparkEntry {
       import s.implicits._
       centers.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
         .toDF("cell", "center")
+    }),
+    // m33's model PARAMETERS (mean at comp = -1, unit components at
+    // 0..k-1) — constant-sized, like ivf_centers; the projection itself
+    // is re-derived in the oracle SQL.
+    "pca_model" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val m = graft.operators.Similarity.pcaTrain(emb, 4)
+      import s.implicits._
+      (Seq((-1, m.mean.toSeq)) ++
+        m.components.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
+        .toDF("comp", "vec")
     }),
     // sn11's two sides: the raw filesystem listing (input) and the parsed
     // manifest entries (hash-verified independently via sn01/sn13)

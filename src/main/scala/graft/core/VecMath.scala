@@ -143,6 +143,99 @@ object VecMath {
     centers
   }
 
+  /** Top-`k` principal components of `points` (driver-local, like
+    * [[kmeans]]): mean + covariance accumulated in doubles, then power
+    * iteration with Gram–Schmidt deflation — a FIXED iteration count
+    * and seeded (mix64) init, so the result is a pure function of the
+    * input (no convergence-dependent branching across JVMs). Sign
+    * convention: the largest-|x| component of each eigenvector is made
+    * positive (eigenvectors are sign-ambiguous; the oracle needs one).
+    * Returns (mean, components), each component unit-norm, d-length. */
+  def pca(points: Array[Array[Float]], k: Int,
+      iters: Int = 100): (Array[Double], Array[Array[Double]]) = {
+    require(points.nonEmpty, "pca: empty training set")
+    val n = points.length
+    val d = points(0).length
+    val kk = math.min(k, d)
+    val mean = new Array[Double](d)
+    points.foreach { p =>
+      var i = 0; while (i < d) { mean(i) += p(i); i += 1 }
+    }
+    locally { var i = 0; while (i < d) { mean(i) /= n; i += 1 } }
+    val cov = Array.ofDim[Double](d, d)
+    points.foreach { p =>
+      var i = 0
+      while (i < d) {
+        val xi = p(i) - mean(i)
+        var j = i
+        while (j < d) { cov(i)(j) += xi * (p(j) - mean(j)); j += 1 }
+        i += 1
+      }
+    }
+    locally { var i = 0
+      while (i < d) {
+        var j = i
+        while (j < d) { cov(i)(j) /= n; cov(j)(i) = cov(i)(j); j += 1 }
+        i += 1
+      } }
+    val comps = new Array[Array[Double]](kk)
+    var c = 0
+    while (c < kk) {
+      val v = Array.tabulate(d)(i =>
+        TextSig.mix64(c.toLong * 0x9e3779b97f4a7c15L + i).toDouble / Long.MaxValue.toDouble)
+      var it = 0
+      while (it < iters) {
+        // w = cov · v
+        val w = new Array[Double](d)
+        var i = 0
+        while (i < d) {
+          var s = 0.0; var j = 0
+          while (j < d) { s += cov(i)(j) * v(j); j += 1 }
+          w(i) = s; i += 1
+        }
+        // deflate: remove projections onto found components
+        var p = 0
+        while (p < c) {
+          val cp = comps(p)
+          var s = 0.0; var j = 0
+          while (j < d) { s += w(j) * cp(j); j += 1 }
+          j = 0
+          while (j < d) { w(j) -= s * cp(j); j += 1 }
+          p += 1
+        }
+        var norm = 0.0
+        locally { var j = 0; while (j < d) { norm += w(j) * w(j); j += 1 } }
+        norm = math.sqrt(norm)
+        if (norm > 0) { var j = 0; while (j < d) { v(j) = w(j) / norm; j += 1 } }
+        it += 1
+      }
+      // deterministic sign: largest-|x| entry positive
+      var best = 0; var i = 1
+      while (i < d) { if (math.abs(v(i)) > math.abs(v(best))) best = i; i += 1 }
+      if (v(best) < 0) { var j = 0; while (j < d) { v(j) = -v(j); j += 1 } }
+      comps(c) = v
+      c += 1
+    }
+    (mean, comps)
+  }
+
+  /** Project `v` onto `comps` after centering on `mean`: the PCA apply
+    * side (sequential double sums — the oracle mirrors the order). */
+  def pcaProject(v: Array[Float], mean: Array[Double],
+      comps: Array[Array[Double]]): Array[Double] = {
+    val out = new Array[Double](comps.length)
+    var c = 0
+    while (c < comps.length) {
+      val cp = comps(c)
+      var s = 0.0; var i = 0
+      val m = math.min(v.length, cp.length)
+      while (i < m) { s += (v(i) - mean(i)) * cp(i); i += 1 }
+      out(c) = s
+      c += 1
+    }
+    out
+  }
+
   /** Random-hyperplane sign signature for cosine LSH: `planes` bits.
     * Hyperplane components derive from mix64(plane, dim) — deterministic,
     * no driver-side random state, no broadcast plane matrix. */

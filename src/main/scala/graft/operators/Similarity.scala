@@ -74,6 +74,40 @@ object Similarity {
     * (`VecMath.kmeans`): a distributed k-means schedules a job per Lloyd
     * iteration, pure overhead when the training set is sample-bounded
     * anyway. */
+  /** Trained PCA model: mean + top-k unit components. Constant-sized
+    * (k·d doubles) — a broadcast parameter like the IVF centers. */
+  final case class PcaModel(mean: Array[Double], components: Array[Array[Double]])
+
+  /** Train PCA over the SAME bounded deterministic sample
+    * [[ivfCenters]] uses (seeded order, ≤ max(4096, k·256) vectors,
+    * driver-local covariance + fixed-iteration power iteration with
+    * deflation — `VecMath.pca`): the dimensionality-reduction step
+    * before ANN indexing/semantic dedup, with a train-once/apply-many
+    * model value like [[graft.operators.TextAnalysis.unigramModel]]. */
+  def pcaTrain(corpus: DataFrame, k: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id"): PcaModel = {
+    val sample: Array[Array[Float]] = corpus.select(col(vecCol), col(idCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(math.max(k * 256, 4096))
+      .select(col(vecCol))
+      .collect().map(_.getSeq[Float](0).toArray)
+    val (mean, comps) = VecMath.pca(sample, k)
+    PcaModel(mean, comps)
+  }
+
+  /** Project every vector onto the model's components (centered dot
+    * products, sequential double sums — the oracle mirrors the order):
+    * narrow broadcast kernel, the corpus never shuffles. Output column
+    * `proj` is array<double>; cast to array<float> when feeding the
+    * float-typed ANN ops. */
+  def pcaProject(corpus: DataFrame, model: PcaModel,
+      vecCol: String = "embedding"): DataFrame = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(model)
+    val projUdf = udf((v: Array[Float]) =>
+      VecMath.pcaProject(v, bc.value.mean, bc.value.components))
+    corpus.withColumn("proj", projUdf(col(vecCol)))
+  }
+
   def ivfCenters(corpus: DataFrame, nlist: Int,
       vecCol: String = "embedding", idCol: String = "vec_id"): Array[Array[Double]] = {
     val sample: Array[Array[Float]] = corpus.select(col(vecCol), col(idCol))

@@ -229,6 +229,39 @@ class PipelineSpec extends AnyFunSuite {
       s"LSH 4x8 recall collapsed: ${pruned.size}/${exact.size}")
   }
 
+  test("pca: orthonormal components, dominant direction recovered, projection exact") {
+    val s = spark
+    import s.implicits._
+    // points spread mostly along a known direction u (dim 8)
+    val u = Array(1.0, 2.0, -1.0, 0.5, 0.0, 3.0, -2.0, 1.5)
+    val un = { val n = math.sqrt(u.map(x => x * x).sum); u.map(_ / n) }
+    val rows = (0 until 400).map { i =>
+      val t = (graft.core.TextSig.mix64(i.toLong) % 1000L).toDouble / 100.0
+      val noise = Array.tabulate(8)(j =>
+        (graft.core.TextSig.mix64(i.toLong * 8 + j) % 100L).toDouble / 1000.0)
+      (i.toLong, Array.tabulate(8)(j => (t * un(j) + noise(j)).toFloat).toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val m = Similarity.pcaTrain(emb, k = 3)
+    // orthonormal
+    for (a <- 0 until 3; b <- a until 3) {
+      val d = m.components(a).zip(m.components(b)).map { case (x, y) => x * y }.sum
+      assert(math.abs(d - (if (a == b) 1.0 else 0.0)) < 1e-9, s"comp ${a}x${b} = $d")
+    }
+    // first component aligns with the planted direction
+    val cos = m.components(0).zip(un).map { case (x, y) => x * y }.sum
+    assert(math.abs(cos) > 0.99, s"dominant direction not recovered: $cos")
+    // projection matches the driver-side reference exactly
+    val out = Similarity.pcaProject(emb, m)
+      .select("vec_id", "proj").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    rows.take(20).foreach { case (id, v) =>
+      val expect = graft.core.VecMath.pcaProject(
+        v.map(_.toFloat).toArray, m.mean, m.components)
+      assert(out(id).toArray.sameElements(expect))
+    }
+  }
+
   test("semdedup: one representative per within-cell component, cell matches argmin") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val centers = Similarity.ivfCenters(emb, 8)
