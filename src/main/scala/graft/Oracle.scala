@@ -821,6 +821,23 @@ object Oracle {
           WHEN 'src2' THEN 7500 ELSE 5000 END
       ORDER BY doc_id""",
 
+    // Mixture upsampling: copies = bp/10000 (integer) + fractional
+    // indicator off the same splitmix64 bucket m17 uses; copy indices
+    // enumerated 0-based with range().
+    "m34_mixture_upsample" -> s"""
+      WITH mubase AS (SELECT doc_id, source,
+             CAST(doc_id AS HUGEINT) AS z0 FROM documents),
+      ${mix64Ctes("mumx", "mubase", "doc_id, source")},
+      cnt AS (SELECT doc_id, source,
+          CAST((bp // 10000) +
+            CASE WHEN h % 10000 < bp % 10000 THEN 1 ELSE 0 END AS INT) AS n
+        FROM (SELECT doc_id, source, h,
+            CASE source WHEN 'src0' THEN 25000 WHEN 'src1' THEN 5000
+                 ELSE 10000 END AS bp
+          FROM mumx))
+      SELECT doc_id, source, CAST(unnest(range(n)) AS INT) AS copy
+      FROM cnt WHERE n > 0 ORDER BY doc_id, copy""",
+
     // Stratified exactly-k sample: splitmix64(doc_id + 7) ranked per
     // source over the SIGNED 64-bit value (Spark compares Long), k=20.
     "m25_strat_sample" -> s"""

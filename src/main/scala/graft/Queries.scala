@@ -1173,6 +1173,18 @@ object Queries {
       .orderBy("vec_id", "comp")
   }
 
+  /** m34 — mixture UPSAMPLING
+    * ([[operators.TrainingPipeline.mixtureUpsample]]): epoch mixing
+    * with rates > 1 — src0 seen 2.5× per epoch, src1 halved, the rest
+    * 1.0. The oracle re-derives ⌊rate⌋ + fractional-bucket copies from
+    * the same splitmix64 decision hash m17 pins, and enumerates copy
+    * indices with range(). */
+  def m34MixtureUpsample(s: SparkSession, dir: String): DataFrame =
+    operators.TrainingPipeline.mixtureUpsample(t(s, dir, "documents"),
+        rates = Map("src0" -> 2.5, "src1" -> 0.5))
+      .select(col("doc_id"), col("source"), col("copy"))
+      .orderBy("doc_id", "copy")
+
   /** m12 — COMPOSED multimodal near-dup: still images and sampled video
     * frames land in ONE feature space (8-bin value histogram — the
     * image path through `imageFeatures`/ImageIO, the frame path through

@@ -301,6 +301,35 @@ object TrainingPipeline {
     docs.filter(sampleBucketUdf(col(idCol)) < threshold)
   }
 
+  /** Mixture UPSAMPLING — epoch/temperature mixing where a source's
+    * rate may exceed 1 (seen more than once per epoch, the standard
+    * high-quality-source boost): each doc emits ⌊rate⌋ copies plus one
+    * more when `splitmix64(doc_id) mod 10000` falls under the
+    * fractional part in basis points — the SAME decision hash
+    * [[mixtureSample]] uses, so a ≤1 rate degenerates to exactly that
+    * operator's keep set. Output rows carry a 0-based `copy` index
+    * (downstream shuffles/packing see distinct rows). Pure function of
+    * the row — reproducible across runs, partitionings and engines;
+    * narrow (explode of a per-row sequence, no shuffle). */
+  def mixtureUpsample(docs: DataFrame, rates: Map[String, Double],
+      defaultRate: Double = 1.0, sourceCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    require((rates.values.toSeq :+ defaultRate).forall(_ >= 0.0),
+      s"mixtureUpsample: rates must be >= 0, got $rates / $defaultRate")
+    val bp = rates.toSeq.sortBy(_._1).foldLeft(
+      lit(math.round(defaultRate * 10000).toInt)) { case (acc, (src, r)) =>
+        when(col(sourceCol) === src, lit(math.round(r * 10000).toInt))
+          .otherwise(acc)
+      }
+    docs.withColumn("__bp", bp)
+      .withColumn("__n", floor(col("__bp") / 10000).cast("int") +
+        when(sampleBucketUdf(col(idCol)) < pmod(col("__bp"), lit(10000)), 1)
+          .otherwise(0))
+      .filter(col("__n") > 0)
+      .withColumn("copy", explode(sequence(lit(0), col("__n") - 1)))
+      .drop("__bp", "__n")
+  }
+
   /** Sequence packing — the step between chunking and tokenization that
     * fills fixed-token-budget training sequences. Deterministic
     * NEXT-FIT: within each bucket (`doc_id % buckets`), chunks are

@@ -604,6 +604,34 @@ class TrainingPipelineSpec extends AnyFunSuite {
     } finally s.conf.unset("graft.text.boilerplateMaxLines")
   }
 
+  test("mixtureUpsample: floor+fraction copies, degenerates to mixtureSample at rates <= 1") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 400L).map(i => (i, s"doc $i", if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "text", "source")
+    val up = TrainingPipeline.mixtureUpsample(docs,
+      rates = Map("a" -> 2.5, "b" -> 0.25))
+    val perDoc = up.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // source a: every doc 2 or 3 copies; fraction ≈ 0.5
+    val aCounts = (2L to 400L by 2).map(id => perDoc(id))
+    assert(aCounts.forall(c => c == 2L || c == 3L))
+    assert(aCounts.count(_ == 3L) > 60 && aCounts.count(_ == 3L) < 140)
+    // source b: 0 or 1 copies, ≈ 25% kept — and the kept set must equal
+    // mixtureSample's (same decision hash)
+    val bKept = (1L to 400L by 2).filter(perDoc.contains)
+    val sampleKept = TrainingPipeline.mixtureSample(docs.filter(col("source") === "b"),
+        rates = Map("b" -> 0.25))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(bKept.toArray.sameElements(sampleKept))
+    // copy indices are dense 0..n-1
+    val copies = up.filter(col("doc_id") === aCounts.indices.head + 2)
+    assert(up.groupBy("doc_id").agg(min("copy").as("mn"), max("copy").as("mx"),
+        count(lit(1)).as("n"))
+      .filter(col("mn") =!= 0 || col("mx") =!= col("n") - 1).count() === 0L)
+    assert(copies.count() > 0)
+  }
+
   test("selectByBudget: equals the window form, inclusive boundary, repartition-invariant") {
     val s = spark
     import s.implicits._
