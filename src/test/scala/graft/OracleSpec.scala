@@ -13,6 +13,8 @@ class OracleSpec extends AnyFunSuite {
     "raw_accounts", // the fixture's record dump — itself grounded by sn01's
     // raw-disk-bytes walk (RawRecsCtes)
     "ivf_centers", // 16 seeded k-means centroids: parameters, not results
+    "pca_model", // mean + top-k eigenvectors: parameters, not results
+    // (the m33 projection itself is re-derived in SQL)
     "accounts_listing", // raw filesystem listing (input)
     "manifest_vecs", // parsed manifest entries (hash-verified via sn01/sn13)
     "media") // the synthetic media corpus (input bytes)
