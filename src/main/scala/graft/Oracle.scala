@@ -932,6 +932,18 @@ object Oracle {
       WHERE comp.node IS NULL OR comp.component = a.vec_id
       ORDER BY vec_id""",
 
+    // Exact quantiles: the literal window form of the scale plan —
+    // value at rank ceil(p*N) under (value, unique keys).
+    "m35_quantiles" -> """
+      WITH w AS (SELECT l_extendedprice AS v,
+          row_number() OVER (ORDER BY l_extendedprice ASC,
+            l_orderkey ASC, l_linenumber ASC) AS rank
+        FROM lineitem),
+      n AS (SELECT count(*) AS cnt FROM lineitem),
+      t AS (SELECT p, greatest(1, CAST(ceil(p * cnt) AS BIGINT)) AS rank
+            FROM (VALUES (0.01),(0.25),(0.5),(0.75),(0.99)) AS q(p), n)
+      SELECT t.p, w.v FROM t JOIN w USING (rank) ORDER BY p""",
+
     // PCA projection: the model sidecar carries mean (comp = -1) and
     // components; the projection — centered dot product per (vector,
     // component) — is re-derived here in the same index order the

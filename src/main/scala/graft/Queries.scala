@@ -1185,6 +1185,19 @@ object Queries {
       .select(col("doc_id"), col("source"), col("copy"))
       .orderBy("doc_id", "copy")
 
+  /** m35 — exact global quantiles at scale
+    * ([[operators.Ranking.globalQuantiles]]): value-at-rank over the
+    * range-partitioned global sort — the scale form of exact
+    * percentiles (no single-task window, no approx sketch). Oracle is
+    * the literal window form: row_number over (value, keys), value at
+    * rank ⌈p·N⌉. */
+  def m35Quantiles(s: SparkSession, dir: String): DataFrame =
+    operators.Ranking.globalQuantiles(t(s, dir, "lineitem"),
+        col("l_extendedprice"),
+        Seq(col("l_orderkey"), col("l_linenumber")),
+        Seq(0.01, 0.25, 0.5, 0.75, 0.99))
+      .orderBy("p")
+
   /** m12 — COMPOSED multimodal near-dup: still images and sampled video
     * frames land in ONE feature space (8-bin value histogram — the
     * image path through `imageFeatures`/ImageIO, the frame path through

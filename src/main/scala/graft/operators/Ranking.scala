@@ -140,6 +140,36 @@ object Ranking {
     } finally sorted.unpersist()
   }
 
+  /** EXACT quantiles at scale — value-at-rank over [[globalRank]]'s
+    * range-partitioned total sort (no single-task window, unlike
+    * `percentile`/window forms): for each probability p, the value at
+    * rank max(1, ⌈p·N⌉) under (value ASC, tie-breaks). The value at a
+    * target rank is independent of the tie-break WITHIN equal values
+    * (the sort is value-first), so the answer is a pure function of the
+    * multiset; the tie-breaks only make the rank assignment total, as
+    * globalRank requires. Exact — unlike `approx_percentile` — at the
+    * cost of the sort, which is the honest price of exact order
+    * statistics. Returns (p, value) rows. */
+  def globalQuantiles(df: DataFrame, value: Column, tieBreaks: Seq[Column],
+      probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0.0 && p <= 1.0),
+      s"globalQuantiles: probs must be in (0,1], got $probs")
+    val ranked = globalRank(
+      df.select((value.as("v") +: tieBreaks.zipWithIndex.map {
+        case (c, i) => c.as(s"_tb$i")
+      }): _*),
+      col("v").asc +: tieBreaks.indices.map(i => col(s"_tb$i").asc))
+    val n = ranked.count() // checkpointed — a block count, not a re-sort
+    val spark = df.sparkSession
+    import spark.implicits._
+    val targets = probs.map(p => (p, math.max(1L, math.ceil(p * n).toLong)))
+      .toDF("p", "rank")
+    val out = ranked.join(broadcast(targets), "rank")
+      .select(col("p"), col("v"))
+    try out.localCheckpoint(true)
+    finally graft.core.Blocks.release(ranked)
+  }
+
   /** Global distribution ranks at scale: percent_rank / cume_dist /
     * ntile(`buckets`) derived from [[globalRank]] plus a count — NO
     * unpartitioned window anywhere in the plan (the window forms

@@ -229,6 +229,23 @@ class PipelineSpec extends AnyFunSuite {
       s"LSH 4x8 recall collapsed: ${pruned.size}/${exact.size}")
   }
 
+  test("globalQuantiles: value at ceil(p*N) under the total order, repartition-invariant") {
+    val s = spark
+    import s.implicits._
+    val n = 1003
+    val vals = (0 until n).map(i => ((i * 2654435761L) % 997L).toDouble)
+    val df = vals.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+      .toDF("x", "id").repartition(7)
+    val probs = Seq(0.1, 0.5, 0.9, 1.0)
+    val sorted = vals.sorted
+    val expect = probs.map(p =>
+      p -> sorted(math.max(1, math.ceil(p * n).toInt) - 1)).toMap
+    val got = graft.operators.Ranking.globalQuantiles(
+        df, col("x"), Seq(col("id")), probs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(got === expect)
+  }
+
   test("pca: orthonormal components, dominant direction recovered, projection exact") {
     val s = spark
     import s.implicits._
