@@ -454,6 +454,7 @@ object TextSig {
     * stream. Indices count ALL lines (split limit -1), so they align
     * with [[removeLinesAt]]; blank lines never enter dedup (kept). */
   def lineOccurrences(text: String): Array[(Int, Long)] = {
+    if (text == null) return Array.empty
     val lines = text.split("\n", -1)
     val buf = new Array[(Int, Long)](lines.length)
     var n = 0
@@ -471,6 +472,7 @@ object TextSig {
     * The apply side of keep-first line dedup: the winning occurrence
     * set is computed relationally, only the losing indices come back. */
   def removeLinesAt(text: String, idxs: Array[Int]): (String, Int) = {
+    if (text == null) return ("", 0)
     if (idxs == null || idxs.isEmpty) return (text, 0)
     val lines = text.split("\n", -1)
     val sb = new java.lang.StringBuilder(text.length)
@@ -520,6 +522,7 @@ object TextSig {
     * positions; returns (remaining chars concatenated, removed count).
     * The apply side of duplicated-span dedup. */
   def removeSpans(text: String, marked: Array[Int], L: Int): (String, Int) = {
+    if (text == null) return ("", 0)
     if (marked == null || marked.isEmpty) return (text, 0)
     val sb = new java.lang.StringBuilder(text.length)
     var m = 0
