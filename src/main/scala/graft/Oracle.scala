@@ -1178,6 +1178,25 @@ object Oracle {
                GROUP BY d.doc_id)
       SELECT doc_id, hits FROM hits WHERE hits >= 1 ORDER BY doc_id""",
 
+    // Reverse contamination: per benchmark doc, distinct training docs
+    // and distinct shared grams — same gram derivation as m13, joined
+    // per (bench doc, gram) instead of counted per training doc.
+    "m36_contamination_report" -> """
+      WITH nrm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS nt
+                   FROM documents),
+      tk AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM nrm WHERE length(nt) > 0),
+      sh AS (SELECT doc_id,
+               list_distinct(list_transform(range(1, greatest(len(toks)-12,1)+1),
+                 i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i AS INT)+12), ' '))) AS s
+             FROM tk),
+      bgr AS (SELECT doc_id AS bench_doc_id, unnest(s) AS gram FROM sh WHERE doc_id % 5 = 0),
+      cg AS (SELECT doc_id, unnest(s) AS gram FROM sh WHERE doc_id % 5 <> 0)
+      SELECT b.bench_doc_id,
+             count(DISTINCT c.doc_id) AS n_contaminated_docs,
+             count(DISTINCT b.gram) AS n_shared_grams
+      FROM bgr b JOIN cg c USING (gram)
+      GROUP BY b.bench_doc_id ORDER BY bench_doc_id""",
+
     "m04_ann_brute" -> """
       WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                  FROM embeddings WHERE vec_id < 16),

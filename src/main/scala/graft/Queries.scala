@@ -1198,6 +1198,22 @@ object Queries {
         Seq(0.01, 0.25, 0.5, 0.75, 0.99))
       .orderBy("p")
 
+  /** m36 — REVERSE contamination report
+    * ([[operators.TrainingPipeline.contaminationByBenchmark]]): per
+    * benchmark doc (doc_id % 5 == 0, the m13 split), how many training
+    * docs share ≥1 distinct word 13-gram and how many grams are
+    * compromised — the eval-integrity direction of m13. Oracle:
+    * string-gram join per (benchmark doc, training doc). */
+  def m36ContaminationReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    operators.TrainingPipeline.contaminationByBenchmark(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0))
+      .select(col("bench_doc_id"), col("n_contaminated_docs"),
+        col("n_shared_grams"))
+      .orderBy("bench_doc_id")
+  }
+
   /** m12 — COMPOSED multimodal near-dup: still images and sampled video
     * frames land in ONE feature space (8-bin value histogram — the
     * image path through `imageFeatures`/ImageIO, the frame path through

@@ -397,6 +397,23 @@ object TextSig {
     math.log(total) - s / t.length
   }
 
+  /** The grams (sorted distinct) PRESENT in the sorted `set` — the
+    * emitting sibling of [[countHitsSorted]], for consumers that need
+    * the matched hashes themselves (reverse contamination reporting),
+    * not just their count. */
+  def matchedSorted(grams: Array[Long], set: Array[Long]): Array[Long] = {
+    val buf = new Array[Long](grams.length)
+    var i = 0
+    var n = 0
+    while (i < grams.length) {
+      if (java.util.Arrays.binarySearch(set, grams(i)) >= 0) {
+        buf(n) = grams(i); n += 1
+      }
+      i += 1
+    }
+    if (n == grams.length) buf else java.util.Arrays.copyOf(buf, n)
+  }
+
   /** Exact Jaccard of two sorted distinct hash arrays (merge scan). */
   def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
     if (a.isEmpty && b.isEmpty) return 0.0

@@ -504,6 +504,37 @@ object TrainingPipeline {
       .filter(col("hits") >= minHits)
   }
 
+  /** REVERSE contamination report — the eval-integrity direction: for
+    * each BENCHMARK doc, how many training docs share ≥1 distinct word
+    * n-gram with it and how many of its grams are compromised
+    * ([[contamination]] answers "which training docs are dirty"; this
+    * answers "which eval items are no longer trustworthy"). Only
+    * benchmark docs with ≥1 hit appear.
+    *
+    * Scale shape: the corpus never shuffles text or full gram streams —
+    * one narrow kernel pass emits ONLY the gram hashes that hit the
+    * broadcast benchmark set ([[graft.core.TextSig.matchedSorted]]), a
+    * contamination-sized stream; those join a broadcast of the
+    * benchmark's (gram → bench doc) map (benchmark-small by the same
+    * contract as [[contamination]]) and aggregate per benchmark doc. */
+  def contaminationByBenchmark(docs: DataFrame, benchmark: DataFrame,
+      n: Int = 13, benchIdCol: String = "doc_id"): DataFrame = {
+    val bgrams = Dedup.spread(
+        benchmark.select(col(benchIdCol).as("bench_doc_id"), col("text")))
+      .select(col("bench_doc_id"),
+        explode(wordShinglesUdf(col("text"), lit(n))).as("gram"))
+      .distinct()
+    val bc = benchmarkGrams(benchmark, n)
+    val matchedUdf = udf((t: String) =>
+      graft.core.TextSig.matchedSorted(graft.core.TextSig.wordShingles(t, n), bc.value))
+    Dedup.spread(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode(matchedUdf(col("text"))).as("gram"))
+      .join(broadcast(bgrams), "gram")
+      .groupBy("bench_doc_id")
+      .agg(countDistinct(col("doc_id")).as("n_contaminated_docs"),
+        countDistinct(col("gram")).as("n_shared_grams"))
+  }
+
   /** Drop contaminated docs (see `contamination`); keeps all columns.
     * A NARROW filter — each doc's fate is a pure function of its own
     * text and the broadcast benchmark gram set; no anti-join, so `docs`

@@ -604,6 +604,31 @@ class TrainingPipelineSpec extends AnyFunSuite {
     } finally s.conf.unset("graft.text.boilerplateMaxLines")
   }
 
+  test("contaminationByBenchmark: per-eval-item counts mirror the forward check") {
+    val s = spark
+    import s.implicits._
+    val secret = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliett kilo lima mike" // exactly 13 tokens → one 13-gram
+    val bench = Seq((100L, "intro " + secret), (200L, "totally clean eval item " +
+      "with its own long unique wording that nothing shares at all here"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "leaked copy one " + secret),
+      (2L, secret + " trailing words"),
+      (3L, "unrelated training text about parquet shuffles and joins"))
+      .toDF("doc_id", "text")
+    val out = TrainingPipeline.contaminationByBenchmark(docs, bench)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // bench 100 is hit by docs 1 and 2; bench 200 by none (absent)
+    assert(out.keySet === Set(100L))
+    assert(out(100L)._1 === 2L)
+    assert(out(100L)._2 >= 1L)
+    // forward check agrees: docs 1,2 flagged, 3 clean
+    val fwd = TrainingPipeline.contamination(docs, bench)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(fwd.toSeq === Seq(1L, 2L))
+  }
+
   test("mixtureUpsample: floor+fraction copies, degenerates to mixtureSample at rates <= 1") {
     val s = spark
     import s.implicits._
