@@ -1226,13 +1226,14 @@ object Oracle {
       SELECT query_id, corpus_id, score, rank FROM r WHERE rank <= 5
       ORDER BY query_id, rank""",
 
-    // Exact all-pairs ground truth — NO signature/blocking clause. The
-    // Spark side runs 1-plane × 16-band LSH whose miss probability per
-    // true pair is ≈2e-7, so it must reproduce this set exactly; any LSH
-    // recall loss shows up as a hash mismatch here.
+    // Exact all-pairs ground truth — NO signature/blocking clause — over
+    // the SAME systematic vec_id % 4 sample the Spark entry applies (see
+    // Queries.m06EmbeddingDedup: the O(N²) verifier is gate-only, so the
+    // timed entry samples; the unsampled baseline lives in PipelineSpec's
+    // recall checks).
     "m06_embed_dedup" -> s"""
       WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                 FROM embeddings)
+                 FROM embeddings WHERE vec_id % 4 = 0)
       SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
         round(list_cosine_similarity(a.v, b.v), 6) AS cosine
       FROM s a, s b WHERE a.vec_id < b.vec_id

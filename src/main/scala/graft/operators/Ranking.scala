@@ -26,10 +26,18 @@ import org.apache.spark.sql.functions._
  */
 object Ranking {
 
-  /** Append a 1-based global `rankCol` following `order` (which must be a
-    * TOTAL order — include a unique tie-break column). */
-  def globalRank(df: DataFrame, order: Seq[Column],
-      rankCol: String = "rank"): DataFrame = {
+  /** The shared core of [[globalRank]]/[[globalQuantiles]]: the
+    * persist-pinned sort, the driver prefix over per-partition counts,
+    * and the lazy offset-joined frame — WITHOUT the output checkpoint,
+    * so callers that immediately reduce the ranked frame (the quantile
+    * probe reads |probs| rows) can filter BEFORE materializing instead
+    * of copying the full-width corpus to block storage first. Returns
+    * (lazy ranked frame — valid only while the pin lives, total row
+    * count — free, it is the sum of the collected per-partition counts,
+    * release handle — MUST run after the caller's terminal action, even
+    * on failure). */
+  private def rankedPinned(df: DataFrame, order: Seq[Column],
+      rankCol: String): (DataFrame, Long, () => Unit) = {
     // helper column names must not collide with (and silently drop) a
     // same-named input column — suffix underscores until free
     def fresh(base: String): String = {
@@ -65,6 +73,16 @@ object Ranking {
     val offs = cnts.map { case (pid, c) => val o = acc; acc += c; (pid, o) }
     val offsets = df.sparkSession.createDataFrame(offs.toSeq)
       .toDF(pidC, offC)
+    val ranked = sorted.join(broadcast(offsets), pidC)
+      .withColumn(rankCol, col(offC) + col(localC) + 1)
+      .drop(pidC, localC, offC)
+    (ranked, acc, () => { sorted.unpersist(); () })
+  }
+
+  /** Append a 1-based global `rankCol` following `order` (which must be a
+    * TOTAL order — include a unique tie-break column). */
+  def globalRank(df: DataFrame, order: Seq[Column],
+      rankCol: String = "rank"): DataFrame = {
     // Materialize the result with lineage truncated, then RELEASE the
     // sorted frame: the persist is a correctness pin for the two-consumer
     // span above, not a session-lifetime cache — without the unpersist a
@@ -78,17 +96,15 @@ object Ranking {
     // (the bug this fixes) or re-sample range boundaries on recompute
     // (the correctness bug the persist pins). A global rank IS a full
     // materialization boundary; callers ranking a corpus they then
-    // heavily filter should filter first.
+    // heavily reduce should use a pinned variant that filters first —
+    // [[globalQuantiles]] does exactly that via [[rankedPinned]].
     // finally: the unpersist must run even when the checkpoint/join
     // throws (executor loss, OOM) — otherwise the persisted full sorted
     // copy leaks for the session on exactly the failure paths where
     // memory is already tight.
-    try {
-      sorted.join(broadcast(offsets), pidC)
-        .withColumn(rankCol, col(offC) + col(localC) + 1)
-        .drop(pidC, localC, offC)
-        .localCheckpoint(true)
-    } finally sorted.unpersist()
+    val (ranked, _, release) = rankedPinned(df, order, rankCol)
+    try ranked.localCheckpoint(true)
+    finally release()
   }
 
   /** Global rank AND running sum in one range-partitioned pass — the
@@ -112,8 +128,12 @@ object Ranking {
     val vC = fresh("_v"); val cntOffC = fresh("_cntoff"); val sumOffC = fresh("_sumoff")
     // persist-pinned single sort: see globalRank (two consumers must
     // observe ONE RangePartitioner sample)
+    // NULL values coalesce to 0 BEFORE the aggregate: SQL's windowed SUM
+    // ignores NULLs (cum unchanged at a NULL row) and adding 0 is the
+    // same cum — and it keeps the per-partition sum (and the getLong
+    // read below) non-null even when an entire sort partition is NULL.
     val sorted = df.orderBy(order: _*)
-      .withColumn(vC, value.cast("long"))
+      .withColumn(vC, coalesce(value.cast("long"), lit(0L)))
       .withColumn(pidC, spark_partition_id().cast("long"))
       .withColumn(localC,
         monotonically_increasing_id() - shiftleft(spark_partition_id().cast("long"), 33))
@@ -149,25 +169,43 @@ object Ranking {
     * multiset; the tie-breaks only make the rank assignment total, as
     * globalRank requires. Exact — unlike `approx_percentile` — at the
     * cost of the sort, which is the honest price of exact order
-    * statistics. Returns (p, value) rows. */
+    * statistics. Returns (p, value) rows.
+    *
+    * Materialization shape: the ranked frame stays LAZY over the pinned
+    * sort ([[rankedPinned]]) and the |probs|-row target join runs
+    * BEFORE anything is checkpointed — the previous form checkpointed
+    * the full-width ranked corpus to block storage just to read ~5 rows
+    * from it (a complete extra corpus copy at 100 TB). N is free: it is
+    * the sum of the per-partition counts the rank pass already
+    * collected, not a second action. */
   def globalQuantiles(df: DataFrame, value: Column, tieBreaks: Seq[Column],
       probs: Seq[Double]): DataFrame = {
     require(probs.nonEmpty && probs.forall(p => p > 0.0 && p <= 1.0),
       s"globalQuantiles: probs must be in (0,1], got $probs")
-    val ranked = globalRank(
+    val (ranked, n, release) = rankedPinned(
       df.select((value.as("v") +: tieBreaks.zipWithIndex.map {
         case (c, i) => c.as(s"_tb$i")
       }): _*),
-      col("v").asc +: tieBreaks.indices.map(i => col(s"_tb$i").asc))
-    val n = ranked.count() // checkpointed — a block count, not a re-sort
+      col("v").asc +: tieBreaks.indices.map(i => col(s"_tb$i").asc),
+      rankCol = "rank")
     val spark = df.sparkSession
     import spark.implicits._
-    val targets = probs.map(p => (p, math.max(1L, math.ceil(p * n).toLong)))
-      .toDF("p", "rank")
+    // exact-decimal ceil: double math.ceil(p * n) can tip just above an
+    // integral p·N (0.01, 0.99 have no binary representation) and select
+    // rank N+1. BigDecimal(p.toString) re-reads the shortest decimal
+    // form — the same literal the DuckDB oracle parses as DECIMAL — so
+    // engine and oracle agree for all N.
+    val targets = probs.map { p =>
+      val r = (BigDecimal(p.toString) * n)
+        .setScale(0, BigDecimal.RoundingMode.CEILING).toLong
+      (p, math.max(1L, r))
+    }.toDF("p", "rank")
     val out = ranked.join(broadcast(targets), "rank")
       .select(col("p"), col("v"))
+    // the checkpoint materializes the |probs|-row result (releasing the
+    // pin would otherwise invalidate the lazy frame)
     try out.localCheckpoint(true)
-    finally graft.core.Blocks.release(ranked)
+    finally release()
   }
 
   /** Global distribution ranks at scale: percent_rank / cume_dist /

@@ -179,7 +179,11 @@ object TrainingPipeline {
     * countDistinct(contentKey), which `observe` disallows). The chain
     * references its input twice (signature path + final anti-join);
     * `Observation` keeps the FIRST completed action's values, so the
-    * re-execution cannot skew the counts. */
+    * re-execution cannot skew the counts. CONTRACT: the returned plan's
+    * FIRST action must be a full materialization (count / agg / write /
+    * checkpoint) — a partial scan (limit probe, `isEmpty`) would
+    * permanently freeze under-counted Observation values into the
+    * report. */
   private def observedChain(docs: DataFrame, cfg: Config): (DataFrame, StageObs) = {
     val o0 = org.apache.spark.sql.Observation()
     val o1 = org.apache.spark.sql.Observation()
@@ -314,8 +318,13 @@ object TrainingPipeline {
   def mixtureUpsample(docs: DataFrame, rates: Map[String, Double],
       defaultRate: Double = 1.0, sourceCol: String = "source",
       idCol: String = "doc_id"): DataFrame = {
-    require((rates.values.toSeq :+ defaultRate).forall(_ >= 0.0),
-      s"mixtureUpsample: rates must be >= 0, got $rates / $defaultRate")
+    // upper bound keeps the basis-point Int math exact: past it,
+    // math.round(r*10000).toInt would WRAP to a negative threshold and
+    // silently drop the source instead of upsampling it
+    val maxRate = Int.MaxValue / 10000.0
+    require((rates.values.toSeq :+ defaultRate).forall(r => r >= 0.0 && r <= maxRate),
+      s"mixtureUpsample: rates must be in [0, $maxRate] " +
+        s"(basis-point Int ceiling), got $rates / $defaultRate")
     val bp = rates.toSeq.sortBy(_._1).foldLeft(
       lit(math.round(defaultRate * 10000).toInt)) { case (acc, (src, r)) =>
         when(col(sourceCol) === src, lit(math.round(r * 10000).toInt))
