@@ -535,6 +535,66 @@ object TextSig {
     out
   }
 
+  /** WINNOWED fingerprints (Schleimer, Wilkes & Aiken 2003, "Winnowing:
+    * Local Algorithms for Document Fingerprinting"): the selected subset
+    * of [[charGramOccurrences]](text, k) under a sliding window of `w`
+    * consecutive gram positions — each window contributes its MINIMUM
+    * hash (rightmost on ties, the paper's locality rule), and each
+    * selected position is recorded once. GUARANTEE (the paper's
+    * correctness theorem): two texts sharing a substring of length
+    * ≥ k + w − 1 share at least one selected (position-independent)
+    * hash — both copies contain the same full window of k-gram hashes,
+    * whose rightmost-min is selected identically in each. Expected
+    * density 2/(w+1) of positions — the sub-linear fingerprint stream
+    * duplicated-span DETECTION shuffles at corpus scale, vs one tuple
+    * per character for the exact stream. Same rolling hash as
+    * [[charGramOccurrences]]; O(n) via a monotone deque. */
+  def winnowedGramOccurrences(text: String, k: Int, w: Int): Array[(Int, Long)] = {
+    if (text == null || text.length < k) return Array.empty
+    // gram hashes, identical to charGramOccurrences(text, k)
+    val B = 0x100000001b3L
+    var bl = 1L
+    var j = 1
+    while (j < k) { bl *= B; j += 1 }
+    val n = text.length - k + 1
+    val hs = new Array[Long](n)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = h * B + text.charAt(i); i += 1 }
+    hs(0) = mix64(h)
+    var p = 1
+    while (p < n) {
+      h = (h - text.charAt(p - 1) * bl) * B + text.charAt(p + k - 1)
+      hs(p) = mix64(h)
+      p += 1
+    }
+    if (n <= w) { // shorter than one full window: select the global min
+      var best = 0
+      var q = 1
+      while (q < n) { if (hs(q) <= hs(best)) best = q; q += 1 }
+      return Array((best, hs(best)))
+    }
+    // monotone deque of indices with increasing hash; popping on >= keeps
+    // the RIGHTMOST among equal minima (the tie rule the guarantee needs)
+    val deque = new Array[Int](n)
+    var head = 0; var tail = 0 // [head, tail)
+    val sel = new scala.collection.mutable.ArrayBuffer[(Int, Long)]
+    var last = -1
+    var q = 0
+    while (q < n) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(q)) tail -= 1
+      deque(tail) = q; tail += 1
+      val start = q - w + 1 // window [start, q]
+      if (start >= 0) {
+        while (deque(head) < start) head += 1
+        val m = deque(head)
+        if (m != last) { sel += ((m, hs(m))); last = m }
+      }
+      q += 1
+    }
+    sel.toArray
+  }
+
   /** Remove the UNION of [p, p+L) spans for the sorted 0-based `marked`
     * positions; returns (remaining chars concatenated, removed count).
     * The apply side of duplicated-span dedup. */

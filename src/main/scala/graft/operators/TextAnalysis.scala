@@ -351,6 +351,50 @@ object TextAnalysis {
       .drop("__sp", "__mk")
   }
 
+  private val winnowUdf =
+    udf((t: String, k: Int, w: Int) => TextSig.winnowedGramOccurrences(t, k, w))
+
+  /** Test hook: the winnowed (pos, hash) stream for density assertions. */
+  private[graft] def testWinnowOcc(t: Column, k: Column, w: Column): Column =
+    winnowUdf(t, k, w)
+
+  /** WINNOWED duplicated-span DETECTION — the 100 TB front end of
+    * [[dedupSpans]]: the exact form shuffles one (id, pos, hash) tuple
+    * per CHARACTER (≈24× the corpus bytes), which is the honest price of
+    * char-granular removal but the wrong first pass at corpus scale.
+    * This pass shuffles only the winnowed fingerprints
+    * ([[TextSig.winnowedGramOccurrences]], k = ⌈minLen/2⌉ grams,
+    * window w = minLen − k + 1): expected density 2/(w+1) ≈ 4/minLen of
+    * positions — at the default minLen = 50, ~25× fewer tuples than the
+    * exact stream — with the winnowing GUARANTEE that any duplicated
+    * span of length ≥ k + w − 1 = minLen still shares a selected
+    * fingerprint between its copies. Same keep-first orientation as
+    * [[dedupSpans]]: a doc is flagged when one of its selected
+    * fingerprints also occurs at a strictly earlier (doc, pos) — so
+    * every doc the exact operator would edit is flagged (superset;
+    * hash-collision or sub-minLen coincidences may flag extras, the
+    * standard detection trade). Returns flagged docs only:
+    * (id, n_dup_fingerprints). The intended pipeline runs the exact
+    * [[dedupSpans]] — or a re-fetch + local suffix automaton — over the
+    * flagged subset plus the winners they point at, which is
+    * duplication-sized, not corpus-sized. */
+  def winnowedSpanCandidates(docs: DataFrame, minLen: Int = 50,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minLen >= 4, s"winnowedSpanCandidates: minLen must be >= 4, got $minLen")
+    val k = (minLen + 1) / 2
+    val w = minLen - k + 1
+    val occ = Dedup.spread(docs.select(col(idCol).as("__id"), col(textCol)))
+      .select(col("__id"),
+        explode(winnowUdf(col(textCol), lit(k), lit(w))).as("o"))
+      .select(col("__id"), col("o._1").as("pos"), col("o._2").as("h"))
+    val winners = occ.groupBy("h")
+      .agg(min(struct(col("__id"), col("pos"))).as("w"))
+    occ.join(winners, "h")
+      .filter(!(col("__id") === col("w.__id") && col("pos") === col("w.pos")))
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_dup_fingerprints"))
+  }
+
   // --- unigram LM scoring (CCNet-style perplexity gate, self-trainable) ---
 
   private val tokenHashesUdf = udf((t: String) => TextSig.tokenHashes(t))

@@ -714,6 +714,59 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(again.agg(sum("n_removed_chars")).head().getLong(0) === 0L)
   }
 
+  test("winnowedSpanCandidates: detection covers every doc exact dedupSpans edits") {
+    val s = spark
+    import s.implicits._
+    // unit corpus: cross-doc copy, exact-copy doc, within-doc repeat,
+    // clean docs — the winnowing guarantee (shared span >= minLen ->
+    // shared selected fingerprint) must flag every doc the exact
+    // operator edits
+    val shared = "0123456789abcdefghij"
+    val corpus = Seq(
+      (1L, "AAA" + shared + "BBB"),
+      (2L, "xx" + shared + "yy"),
+      (3L, "zzzzzz"),
+      (4L, shared),
+      (9L, "ab" * 15),
+      (10L, "entirely unique content here with no repeats at all.."))
+      .toDF("doc_id", "text")
+    def editedBy(minLen: Int, df: org.apache.spark.sql.DataFrame): Set[Long] =
+      TextAnalysis.dedupSpans(df, minLen = minLen)
+        .filter(col("n_removed_chars") > 0)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    def flaggedBy(minLen: Int, df: org.apache.spark.sql.DataFrame): Set[Long] =
+      TextAnalysis.winnowedSpanCandidates(df, minLen = minLen)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val exact = editedBy(10, corpus)
+    val flagged = flaggedBy(10, corpus)
+    assert(exact.subsetOf(flagged),
+      s"winnowed detection must be a superset of exact: missed ${exact -- flagged}")
+    assert(exact === Set(2L, 4L, 9L)) // the unit corpus's known edit set
+    assert(!flagged.contains(10L), "a repeat-free doc must not be flagged")
+    // fixture dup groups (driver testdata, documents.parquet dup pairs):
+    // the detection superset must hold on real data too, at the default
+    // span length and a shorter one that actually fires on ~300-char docs
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    for (l <- Seq(20, 50)) {
+      val e = editedBy(l, docs)
+      val f = flaggedBy(l, docs)
+      assert(e.subsetOf(f),
+        s"minLen=$l: winnowed detection missed exact-edited docs ${e -- f}")
+    }
+    // the fixture's dup groups actually exercise the guarantee at 50
+    assert(editedBy(50, docs).nonEmpty,
+      "fixture should contain >=50-char duplicated spans (dup groups)")
+    // density: the winnowed fingerprint stream must be a small fraction
+    // of the per-char exact stream (the scale rationale; ~2/(w+1))
+    val n = docs.agg(sum(length(col("text")))).head().getLong(0)
+    val w50 = 50 - (50 + 1) / 2 + 1
+    val sel = docs.select(explode(TextAnalysis.testWinnowOcc(
+        col("text"), lit((50 + 1) / 2), lit(w50)))).count()
+    assert(sel.toDouble / n.toDouble < 3.0 * 2.0 / (w50 + 1),
+      s"winnowed density $sel/$n should be near 2/(w+1)=${2.0 / (w50 + 1)}")
+  }
+
   test("dedupLines: global first occurrence survives, repeats and later docs drop") {
     val s = spark
     import s.implicits._
