@@ -1247,7 +1247,11 @@ object Queries {
     * candidate volume (like m06), and the sample bounds its bench cost;
     * % 5 specifically because media kind = id % 3, so any multiple-of-3
     * stride would alias the kind cycle and drop every video. */
-  def m12MediaDedup(s: SparkSession, dir: String): DataFrame = {
+  /** m12's centered cross-modality feature frame (vec_id, embedding) —
+    * shared with PipelineSpec's recall pin, which asserts the 2×8 LSH
+    * config reproduces the exact all-pairs set on the CURRENT fixture
+    * (the calibration claim above, re-verified per fixture regen). */
+  private[graft] def m12Features(s: SparkSession, dir: String): DataFrame = {
     // same materialized corpus as mm01-mm04 (bytes are a pure function
     // of media_id, so filtering the cached table ≡ synthesizing the
     // filtered id set)
@@ -1258,10 +1262,13 @@ object Queries {
         Multimodal.sampledFrames(m, every = 2), bins = 8)
       .select((col("media_id") * 1024 + col("frame_idx") + 1).as("vec_id"),
         col("features"))
-    val feats = imgs.unionByName(frames)
+    imgs.unionByName(frames)
       .select(col("vec_id"),
         transform(col("features"), x => x - lit(0.125f)).as("embedding"))
-    Dedup.embeddingPairs(feats, threshold = 0.9, planes = 2, bands = 8)
-      .orderBy("vec_id_a", "vec_id_b")
   }
+
+  def m12MediaDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingPairs(m12Features(s, dir), threshold = 0.9,
+        planes = 2, bands = 8)
+      .orderBy("vec_id_a", "vec_id_b")
 }

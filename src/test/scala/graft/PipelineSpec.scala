@@ -229,6 +229,29 @@ class PipelineSpec extends AnyFunSuite {
       s"LSH 4x8 recall collapsed: ${pruned.size}/${exact.size}")
   }
 
+  test("m12 media-feature LSH 2x8: total recall vs exact all-pairs on the current fixture") {
+    // pins the m12 calibration claim (Queries.m12MediaDedup scaladoc)
+    // against the CURRENT sf0.01 fixture — the fixtures regenerate, so
+    // the total-recall property must be re-asserted here, not only
+    // measured once and recorded in a comment. Deterministic: seeded
+    // hyperplanes, pure-function media corpus.
+    val s = spark
+    val feats = Queries.m12Features(s, "/root/testdata/sf0.01")
+      .persist()
+    def ids(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("vec_id_a", "vec_id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      val exact = ids(Dedup.embeddingPairsExact(feats, threshold = 0.9))
+      assert(exact.nonEmpty, "fixture should have >=0.9-cosine media pairs")
+      val lsh = ids(Dedup.embeddingPairs(feats, threshold = 0.9,
+        planes = 2, bands = 8))
+      assert(lsh === exact,
+        s"m12 2x8 LSH recall broke on current fixture: ${lsh.size}/${exact.size} " +
+          s"(missed ${(exact -- lsh).take(5)})")
+    } finally feats.unpersist()
+  }
+
   test("globalQuantiles: value at ceil(p*N) under the total order, repartition-invariant") {
     val s = spark
     import s.implicits._
