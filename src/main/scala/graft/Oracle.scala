@@ -1197,6 +1197,45 @@ object Oracle {
       FROM bgr b JOIN cg c USING (gram)
       GROUP BY b.bench_doc_id ORDER BY bench_doc_id""",
 
+    // Winnowed span DETECTION with full hash parity: the 30-gram rolling
+    // polynomial hash (h·B + c wraparound, B = FNV prime) is re-derived
+    // with a seeded list_reduce, mix64 via the staged CTEs, and the
+    // rightmost-min-per-window selection as a windowed MIN over the
+    // combined key sgn(h)·2³² + (2³² − pos) — the xor with 2⁶³ maps
+    // unsigned HUGEINT order onto the kernel's SIGNED Long comparison,
+    // and the (2³² − pos) low limb makes ties pick the RIGHTMOST
+    // position, the winnowing locality rule. Docs shorter than one full
+    // window (n < w) select their global min — the kernel's short-doc
+    // rule — via the (pos = n AND n < w) window end.
+    "m37_winnow_detect" -> s"""
+      WITH wnd AS (SELECT doc_id, text, length(text) - 30 + 1 AS n
+              FROM documents WHERE length(text) >= 30),
+      wnpos AS (SELECT doc_id, text, n, unnest(range(1, n + 1)) AS pos FROM wnd),
+      wngh AS (SELECT doc_id, pos, n,
+          list_reduce(
+            [CAST(0 AS HUGEINT)] ||
+              list_transform(range(0, 30),
+                j -> CAST(unicode(substr(text, CAST(pos + j AS INT), 1)) AS HUGEINT)),
+            (acc, c) -> (${mul64("acc", "1099511628211")} + c) % $M64) AS z0
+        FROM wnpos),
+      ${mix64Ctes("wnmx", "wngh", "doc_id, pos, n")},
+      wnsel AS (SELECT DISTINCT doc_id,
+          CAST(4294967296 - (mc % 4294967296) AS BIGINT) AS spos,
+          mc // 4294967296 AS hx
+        FROM (SELECT doc_id, pos, n,
+            min(xor(h, CAST('9223372036854775808' AS HUGEINT)) * 4294967296
+                + (4294967296 - pos))
+              OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN 30 PRECEDING AND CURRENT ROW) AS mc
+          FROM wnmx)
+        WHERE pos >= 31 OR (pos = n AND n < 31)),
+      wnwin AS (SELECT hx, min(doc_id * 4294967296 + spos) AS wkey
+                FROM wnsel GROUP BY hx)
+      SELECT s.doc_id, count(*) AS n_dup_fingerprints
+      FROM wnsel s JOIN wnwin USING (hx)
+      WHERE s.doc_id * 4294967296 + s.spos <> wkey
+      GROUP BY s.doc_id ORDER BY doc_id""",
+
     "m04_ann_brute" -> """
       WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                  FROM embeddings WHERE vec_id < 16),

@@ -1222,6 +1222,22 @@ object Queries {
       .orderBy("bench_doc_id")
   }
 
+  /** m37 — winnowed duplicated-span detection
+    * ([[operators.TextAnalysis.winnowedSpanCandidates]]): the 100 TB
+    * front end of m32's exact span dedup — docs flagged when a winnowed
+    * fingerprint (rightmost-min of each 31-window of 30-gram rolling
+    * hashes) occurs at a strictly earlier (doc, pos). minLen = 60 ⇒
+    * k = 30, w = 31: the detection guarantee covers spans ≥ 60, and on
+    * this fixture the flagged set tracks the genuine dup-group docs
+    * (26 at sf0.01) rather than sub-span template coincidences (a
+    * 20-gram config flags 44% of the synthetic corpus). The oracle
+    * re-derives the FULL selection with hash parity — rolling hash,
+    * mix64, signed-order windowed min, rightmost tie rule. */
+  def m37WinnowDetect(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.winnowedSpanCandidates(
+        t(s, dir, "documents"), minLen = 60)
+      .orderBy("doc_id")
+
   /** m12 — COMPOSED multimodal near-dup: still images and sampled video
     * frames land in ONE feature space (8-bin value histogram — the
     * image path through `imageFeatures`/ImageIO, the frame path through

@@ -118,6 +118,7 @@ object SparkEntry {
     "m34_mixture_upsample" -> Queries.m34MixtureUpsample,
     "m35_quantiles" -> Queries.m35Quantiles,
     "m36_contamination_report" -> Queries.m36ContaminationReport,
+    "m37_winnow_detect" -> Queries.m37WinnowDetect,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on
