@@ -1236,6 +1236,37 @@ object Oracle {
       WHERE s.doc_id * 4294967296 + s.spos <> wkey
       GROUP BY s.doc_id ORDER BY doc_id""",
 
+    // Composed winnow+exact span dedup: PROVABLY equal to the exact
+    // operator at the same minLen (see TextAnalysis.dedupSpansViaWinnow),
+    // so the oracle is the m32 string-gram derivation at 60 — fully
+    // independent of the winnowing/hash path the engine takes.
+    "m38_winnow_span_dedup" -> """
+      WITH g AS (SELECT doc_id, text,
+            unnest(range(1, greatest(length(text)-60+1, 0)+1)) AS pos
+          FROM documents),
+      gr AS (SELECT doc_id, pos, substr(text, CAST(pos AS INT), 60) AS s
+             FROM g),
+      win AS (SELECT doc_id, pos FROM (
+          SELECT doc_id, pos,
+            row_number() OVER (PARTITION BY s ORDER BY doc_id, pos) AS rn
+          FROM gr) WHERE rn > 1),
+      chars AS (SELECT doc_id, text,
+            unnest(range(1, length(text)+1)) AS i
+          FROM documents),
+      cov AS (SELECT DISTINCT c.doc_id, c.i FROM chars c JOIN win m
+              ON c.doc_id = m.doc_id AND c.i >= m.pos AND c.i < m.pos + 60),
+      keptc AS (SELECT c.doc_id, c.i, substr(c.text, CAST(c.i AS INT), 1) AS ch
+                FROM chars c LEFT JOIN cov v
+                  ON c.doc_id = v.doc_id AND c.i = v.i
+                WHERE v.i IS NULL),
+      agg AS (SELECT doc_id, string_agg(ch, '' ORDER BY i) AS clean_text,
+                     count(*) AS n_kept
+              FROM keptc GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+             CAST(length(d.text) - coalesce(a.n_kept, 0) AS INT) AS n_removed_chars
+      FROM documents d LEFT JOIN agg a USING (doc_id)
+      ORDER BY doc_id""",
+
     "m04_ann_brute" -> """
       WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                  FROM embeddings WHERE vec_id < 16),

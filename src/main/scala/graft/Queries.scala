@@ -1238,6 +1238,20 @@ object Queries {
         t(s, dir, "documents"), minLen = 60)
       .orderBy("doc_id")
 
+  /** m38 — composed scale-path span dedup
+    * ([[operators.TextAnalysis.dedupSpansViaWinnow]]): m37's winnowed
+    * detection selects the duplication-involved docs, m32's exact
+    * per-char pipeline runs only over them, clean docs pass through
+    * verbatim — provably equal to exact [[m32SpanDedup]] semantics at
+    * minLen = 60 (see the operator's equality argument), so the oracle
+    * is the m32 string-gram form at 60, fully independent of the
+    * winnowing/hash path. */
+  def m38WinnowSpanDedup(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.dedupSpansViaWinnow(
+        t(s, dir, "documents"), minLen = 60)
+      .select(col("doc_id"), col("clean_text"), col("n_removed_chars"))
+      .orderBy("doc_id")
+
   /** m12 — COMPOSED multimodal near-dup: still images and sampled video
     * frames land in ONE feature space (8-bin value histogram — the
     * image path through `imageFeatures`/ImageIO, the frame path through

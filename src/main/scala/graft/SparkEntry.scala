@@ -119,6 +119,7 @@ object SparkEntry {
     "m35_quantiles" -> Queries.m35Quantiles,
     "m36_contamination_report" -> Queries.m36ContaminationReport,
     "m37_winnow_detect" -> Queries.m37WinnowDetect,
+    "m38_winnow_span_dedup" -> Queries.m38WinnowSpanDedup,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on

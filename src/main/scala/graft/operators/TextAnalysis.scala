@@ -379,8 +379,18 @@ object TextAnalysis {
     * flagged subset plus the winners they point at, which is
     * duplication-sized, not corpus-sized. */
   def winnowedSpanCandidates(docs: DataFrame, minLen: Int = 50,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(minLen >= 4, s"winnowedSpanCandidates: minLen must be >= 4, got $minLen")
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    winnowLosers(docs, minLen, idCol, textCol)
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_dup_fingerprints"))
+
+  /** One row per LOSING selected fingerprint occurrence — (`__id` loser
+    * doc, `__wid` winner doc, `h`): the shared core of
+    * [[winnowedSpanCandidates]] (counts per loser) and
+    * [[dedupSpansViaWinnow]] (loser ∪ winner doc subset). */
+  private def winnowLosers(docs: DataFrame, minLen: Int,
+      idCol: String, textCol: String): DataFrame = {
+    require(minLen >= 4, s"winnowed span detection: minLen must be >= 4, got $minLen")
     val k = (minLen + 1) / 2
     val w = minLen - k + 1
     val occ = Dedup.spread(docs.select(col(idCol).as("__id"), col(textCol)))
@@ -391,8 +401,46 @@ object TextAnalysis {
       .agg(min(struct(col("__id"), col("pos"))).as("w"))
     occ.join(winners, "h")
       .filter(!(col("__id") === col("w.__id") && col("pos") === col("w.pos")))
-      .groupBy(col("__id").as(idCol))
-      .agg(count(lit(1)).as("n_dup_fingerprints"))
+      .select(col("__id"), col("w.__id").as("__wid"), col("h"))
+  }
+
+  /** Exact duplicated-span removal at corpus scale — [[dedupSpans]]'s
+    * 100 TB form, PROVABLY equal to it: winnowed detection selects the
+    * duplication-involved doc subset, the exact per-char pipeline runs
+    * only over that subset, and untouched docs pass through verbatim
+    * with n_removed_chars = 0.
+    *
+    * Equality argument (deterministic, not probabilistic — winnowing's
+    * guarantee is exact): let S = {loser docs} ∪ {their fingerprint
+    * winners' docs}. (1) Any position the full exact operator marks has
+    * its minLen-gram duplicated against a strictly earlier (doc, pos) —
+    * a shared span of length ≥ minLen = k + w − 1, so by the winnowing
+    * theorem BOTH copies select a common fingerprint f; the later
+    * occurrence of f loses (the global winner of f is ≤ the earlier
+    * copy < the later copy), putting the later doc in S, and the
+    * earlier doc either wins f (∈ S as a winner) or also loses it
+    * (∈ S as a loser). Hence every occurrence of every duplicated
+    * gram lives in S, so [[dedupSpans]] restricted to S marks exactly
+    * the positions the full run marks there. (2) A doc outside S loses
+    * no fingerprint, so by the contrapositive of the guarantee it
+    * shares no ≥ minLen span with any earlier occurrence — the full
+    * operator would leave it unedited, and this operator emits it
+    * unedited without ever feeding it to the per-char stream.
+    *
+    * Scale shape: the corpus-wide pass shuffles only winnowed
+    * fingerprints (~4/minLen of the exact stream); the per-char exact
+    * stream is paid only by the duplication-involved subset, which is
+    * duplication-sized, not corpus-sized. */
+  def dedupSpansViaWinnow(docs: DataFrame, minLen: Int = 50,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val involved = winnowLosers(docs, minLen, idCol, textCol)
+      .select(explode(array(col("__id"), col("__wid"))).as(idCol))
+      .distinct()
+    val subset = docs.join(involved, Seq(idCol), "left_semi")
+    val untouched = docs.join(involved, Seq(idCol), "left_anti")
+      .withColumn("clean_text", col(textCol))
+      .withColumn("n_removed_chars", lit(0))
+    dedupSpans(subset, minLen, idCol, textCol).unionByName(untouched)
   }
 
   // --- unigram LM scoring (CCNet-style perplexity gate, self-trainable) ---

@@ -767,6 +767,38 @@ class TrainingPipelineSpec extends AnyFunSuite {
       s"winnowed density $sel/$n should be near 2/(w+1)=${2.0 / (w50 + 1)}")
   }
 
+  test("dedupSpansViaWinnow: provably equal to exact dedupSpans, corpus never pays per-char") {
+    val s = spark
+    import s.implicits._
+    def result(df: org.apache.spark.sql.DataFrame, minLen: Int,
+        via: Boolean): Map[Long, (String, Int)] = {
+      val out = if (via) TextAnalysis.dedupSpansViaWinnow(df, minLen)
+                else TextAnalysis.dedupSpans(df, minLen)
+      out.select("doc_id", "clean_text", "n_removed_chars").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    }
+    // unit corpus incl. within-doc repeats and an exact full copy
+    val shared = "0123456789abcdefghij"
+    val corpus = Seq(
+      (1L, "AAA" + shared + "BBB"), (2L, "xx" + shared + "yy"),
+      (3L, "zzzzzz"), (4L, shared), (9L, "ab" * 15),
+      (10L, "entirely unique content here with no repeats at all.."))
+      .toDF("doc_id", "text")
+    assert(result(corpus, 10, via = true) === result(corpus, 10, via = false))
+    // fixture corpus at two span lengths (real dup groups)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    for (l <- Seq(40, 60))
+      assert(result(docs, l, via = true) === result(docs, l, via = false),
+        s"minLen=$l: composed result diverged from exact")
+    // and the subset actually prunes: the involved docs are a strict
+    // minority of this corpus (otherwise the operator saved nothing)
+    val flagged = TextAnalysis.winnowedSpanCandidates(docs, minLen = 60).count()
+    val total = docs.count()
+    assert(flagged * 2 < total,
+      s"involved subset $flagged of $total — fixture should be mostly clean at 60")
+  }
+
   test("dedupLines: global first occurrence survives, repeats and later docs drop") {
     val s = spark
     import s.implicits._
