@@ -437,8 +437,10 @@ object TextAnalysis {
       .select(explode(array(col("__id"), col("__wid"))).as(idCol))
       .distinct()
     val subset = docs.join(involved, Seq(idCol), "left_semi")
+    // NULL text must match the exact path's kernel, which maps null to
+    // ("", 0) — a raw pass-through would emit NULL and diverge
     val untouched = docs.join(involved, Seq(idCol), "left_anti")
-      .withColumn("clean_text", col(textCol))
+      .withColumn("clean_text", coalesce(col(textCol), lit("")))
       .withColumn("n_removed_chars", lit(0))
     dedupSpans(subset, minLen, idCol, textCol).unionByName(untouched)
   }

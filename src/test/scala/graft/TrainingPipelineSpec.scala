@@ -782,9 +782,11 @@ class TrainingPipelineSpec extends AnyFunSuite {
     val corpus = Seq(
       (1L, "AAA" + shared + "BBB"), (2L, "xx" + shared + "yy"),
       (3L, "zzzzzz"), (4L, shared), (9L, "ab" * 15),
-      (10L, "entirely unique content here with no repeats at all.."))
+      (10L, "entirely unique content here with no repeats at all."),
+      (11L, null.asInstanceOf[String])) // null text: both paths map to ("", 0)
       .toDF("doc_id", "text")
     assert(result(corpus, 10, via = true) === result(corpus, 10, via = false))
+    assert(result(corpus, 10, via = true)(11L) === (("", 0)))
     // fixture corpus at two span lengths (real dup groups)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text")
