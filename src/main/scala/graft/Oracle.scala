@@ -1236,6 +1236,28 @@ object Oracle {
       WHERE s.doc_id * 4294967296 + s.spos <> wkey
       GROUP BY s.doc_id ORDER BY doc_id""",
 
+    // Learned quality classifier: the weight sidecar carries the trained
+    // LR parameters (bias at i = -1 — training is the aux parameter,
+    // like the k-means centers); the FEATURES and the scoring math are
+    // fully re-derived here: ln(1+n_tokens), mtl, stop_r, punct_r from
+    // TextStatsCtes, z accumulated in the kernel's exact addition order,
+    // sigma(z) = 1/(1+exp(-z)), round 6.
+    "m39_quality_lr" -> s"""
+      WITH $TextStatsCtes,
+      mdl AS (SELECT i, w FROM read_parquet('{AUX}/quality_lr/*.parquet')),
+      prm AS (SELECT
+          max(CASE WHEN i = -1 THEN w END) AS b,
+          max(CASE WHEN i = 0 THEN w END) AS w0,
+          max(CASE WHEN i = 1 THEN w END) AS w1,
+          max(CASE WHEN i = 2 THEN w END) AS w2,
+          max(CASE WHEN i = 3 THEN w END) AS w3
+        FROM mdl)
+      SELECT r.doc_id,
+        round(1.0 / (1.0 + exp(-(b + w0 * ln(1 + n_tokens) + w1 * mtl
+          + w2 * stop_r + w3 * punct_r))), 6) AS lr_quality
+      FROM ratios r, prm
+      ORDER BY doc_id""",
+
     // Composed winnow+exact span dedup: PROVABLY equal to the exact
     // operator at the same minLen (see TextAnalysis.dedupSpansViaWinnow),
     // so the oracle is the m32 string-gram derivation at 60 — fully

@@ -1252,6 +1252,29 @@ object Queries {
       .select(col("doc_id"), col("clean_text"), col("n_removed_chars"))
       .orderBy("doc_id")
 
+  /** m39 — learned quality classifier
+    * ([[operators.TextAnalysis.trainQualityLR]] / [[operators.TextAnalysis.scoreQualityLR]]):
+    * the fastText-style filter stage, teacher-student form — distill
+    * the heuristic quality gate (label = qualityScore == 1.0; the
+    * fixture's `lang` column does NOT correlate with text features, so
+    * the heuristic is the honest learnable label here) into a smooth
+    * logistic scorer over the compiled text features, then score the
+    * whole corpus. Deterministic end-to-end: sorted feature collect +
+    * fixed-iteration full-batch GD, so the aux-dumped model and this
+    * query's model are bit-identical. The oracle scores with the weight
+    * sidecar over `TextStatsCtes`-derived features — the training loop
+    * itself is the aux parameter (like the k-means centers and PCA
+    * model), the scoring math is fully re-derived. */
+  def m39QualityLr(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val q = operators.TextAnalysis.qualityScore(col("text"))
+    val m = operators.TextAnalysis.trainQualityLR(
+      docs.filter(q >= 1.0), docs.filter(q < 1.0))
+    operators.TextAnalysis.scoreQualityLR(docs, m)
+      .select(col("doc_id"), col("lr_quality"))
+      .orderBy("doc_id")
+  }
+
   /** m12 — COMPOSED multimodal near-dup: still images and sampled video
     * frames land in ONE feature space (8-bin value histogram — the
     * image path through `imageFeatures`/ImageIO, the frame path through

@@ -120,6 +120,7 @@ object SparkEntry {
     "m36_contamination_report" -> Queries.m36ContaminationReport,
     "m37_winnow_detect" -> Queries.m37WinnowDetect,
     "m38_winnow_span_dedup" -> Queries.m38WinnowSpanDedup,
+    "m39_quality_lr" -> Queries.m39QualityLr,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on
@@ -275,5 +276,20 @@ object SparkEntry {
     "manifest_vecs" -> ((s, _) => SnapshotReader.manifestVecs(s, fixtureDir)),
     "media" -> ((s, dir) =>
       graft.operators.Multimodal.syntheticCorpus(
-        s.read.parquet(s"$dir/documents.parquet"))))
+        s.read.parquet(s"$dir/documents.parquet"))),
+    // m39's model PARAMETERS (bias at i = -1, feature weights at 0..3) —
+    // deterministic training (sorted collect + fixed-iteration GD), so
+    // this dump bit-matches the model the gate query trains itself; the
+    // scoring math is re-derived in the oracle SQL.
+    "quality_lr" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val q = graft.operators.TextAnalysis.qualityScore(col("text"))
+      val m = graft.operators.TextAnalysis.trainQualityLR(
+        docs.filter(q >= 1.0), docs.filter(q < 1.0))
+      import s.implicits._
+      (Seq((-1, m.bias)) ++
+        m.weights.zipWithIndex.map { case (w, i) => (i, w) })
+        .toDF("i", "w")
+    }))
 }

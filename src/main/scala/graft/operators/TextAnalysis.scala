@@ -28,6 +28,12 @@ final case class UnigramLM(hashes: Array[Long], counts: Array[Long], total: Long
 /** Per-document unigram score row (TOP-LEVEL for the same encoder rule). */
 final case class UnigramScore(n_model_tokens: Int, xent: Double)
 
+/** Learned quality/domain classifier — logistic regression over the four
+  * compiled text features [ln(1+nTokens), meanTokenLen, stopwordRatio,
+  * punctRatio]. A plain value (like [[UnigramLM]]): train on labeled
+  * corpora once, score anything. */
+final case class QualityLR(weights: Array[Double], bias: Double)
+
 object TextAnalysis {
 
   private val statsUdf = udf((t: String) => if (t == null) null else TextSig.textStats(t))
@@ -443,6 +449,106 @@ object TextAnalysis {
       .withColumn("clean_text", coalesce(col(textCol), lit("")))
       .withColumn("n_removed_chars", lit(0))
     dedupSpans(subset, minLen, idCol, textCol).unionByName(untouched)
+  }
+
+  // --- learned quality classifier (fastText-style filter, LR over
+  //     compiled features; model-as-parameter like UnigramLM / PCA) ---
+
+  /** The classifier's feature vector — every component re-derivable in
+    * the oracle's `TextStatsCtes` SQL, and each a single IEEE-754 op
+    * from the kernel counts so Spark and DuckDB agree bit-for-bit
+    * (ln/exp carry the same last-ulp caveat m29's xent already
+    * accepts): [ln(1+nTokens), meanTokenLen, stopwordRatio,
+    * punctRatio]. */
+  private[graft] def lrFeatures(t: String): Array[Double] = {
+    val st = TextSig.textStats(if (t == null) "" else t)
+    val nt = st.nTokens.toDouble
+    Array(
+      math.log(1.0 + nt),
+      if (st.nTokens == 0L) 0.0 else st.nonWsChars.toDouble / nt,
+      if (st.nTokens == 0L) 0.0 else st.stopHits.toDouble / nt,
+      if (st.nChars == 0L) 0.0 else st.punctChars.toDouble / st.nChars.toDouble)
+  }
+
+  /** Train a logistic-regression quality/domain classifier from labeled
+    * corpora — the deterministic stand-in for the fastText classifier
+    * most curation pipelines run (CCNet's quality LM sibling: label
+    * known-good vs known-bad corpora, distill into a fast per-doc
+    * scorer). Full-batch gradient descent with a FIXED iteration count
+    * over features collected in (label, id) sorted order, so the model
+    * is a pure function of the two doc sets — identical weights on any
+    * partitioning, any JVM, any run (the same determinism contract as
+    * [[Similarity]]'s k-means/PCA trainers).
+    *
+    * Scale shape: training is driver-local over a ceiling-ENFORCED
+    * collect (`graft.text.lrMaxTrainDocs` per side, default 200k ≈
+    * 6.4 MB of features) — the standard bounded-sample trade the other
+    * model trainers make; scoring ([[scoreQualityLR]]) is a narrow
+    * compiled pass, no shuffle, corpus never moves. */
+  def trainQualityLR(pos: DataFrame, neg: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      iters: Int = 500, step: Double = 0.5): QualityLR = {
+    val spark = pos.sparkSession
+    val maxDocs = spark.conf.get("graft.text.lrMaxTrainDocs", "200000").toLong
+    val probe = math.min(maxDocs + 1, Int.MaxValue.toLong).toInt
+    def side(df: DataFrame, which: String): Array[(Long, Array[Double])] = {
+      val rows = df.select(col(idCol).cast("long"), featuresUdf(col(textCol)))
+        .limit(probe).collect()
+      if (rows.length > maxDocs)
+        throw new IllegalStateException(
+          s"trainQualityLR: $which side exceeds graft.text.lrMaxTrainDocs=" +
+            s"$maxDocs — train on a bounded sample (the model only needs one)")
+      rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    }
+    val xs = side(pos, "positive").map(_._2 -> 1.0) ++
+      side(neg, "negative").map(_._2 -> 0.0)
+    require(xs.nonEmpty, "trainQualityLR: empty training set")
+    val dim = xs.head._1.length
+    val w = new Array[Double](dim)
+    var b = 0.0
+    val n = xs.length.toDouble
+    var it = 0
+    while (it < iters) {
+      val gw = new Array[Double](dim)
+      var gb = 0.0
+      var j = 0
+      while (j < xs.length) {
+        val (x, y) = xs(j)
+        var z = b
+        var i = 0
+        while (i < dim) { z += w(i) * x(i); i += 1 }
+        val d = 1.0 / (1.0 + math.exp(-z)) - y
+        i = 0
+        while (i < dim) { gw(i) += d * x(i); i += 1 }
+        gb += d
+        j += 1
+      }
+      var i = 0
+      while (i < dim) { w(i) -= step * gw(i) / n; i += 1 }
+      b -= step * gb / n
+      it += 1
+    }
+    QualityLR(w, b)
+  }
+
+  private val featuresUdf = udf((t: String) => lrFeatures(t))
+
+  /** Score `docs` under a trained [[QualityLR]]: `lr_quality` =
+    * σ(b + w·features) rounded to 6 decimals — threshold it for the
+    * learned quality gate. Narrow compiled pass (one kernel call per
+    * doc), no shuffle; the model is five doubles in the closure. */
+  def scoreQualityLR(docs: DataFrame, model: QualityLR,
+      textCol: String = "text", scoreCol: String = "lr_quality"): DataFrame = {
+    val w = model.weights
+    val b = model.bias
+    val sUdf = udf((t: String) => {
+      val x = lrFeatures(t)
+      var z = b
+      var i = 0
+      while (i < w.length) { z += w(i) * x(i); i += 1 }
+      1.0 / (1.0 + math.exp(-z))
+    })
+    docs.withColumn(scoreCol, round(sUdf(col(textCol)), 6))
   }
 
   // --- unigram LM scoring (CCNet-style perplexity gate, self-trainable) ---

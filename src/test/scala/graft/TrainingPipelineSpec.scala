@@ -767,6 +767,38 @@ class TrainingPipelineSpec extends AnyFunSuite {
       s"winnowed density $sel/$n should be near 2/(w+1)=${2.0 / (w50 + 1)}")
   }
 
+  test("trainQualityLR/scoreQualityLR: learns the labels, deterministic, partitioning-invariant") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // teacher-student labels: the heuristic gate's pass/fail (the
+    // fixture's lang column does not correlate with text features)
+    val q = TextAnalysis.qualityScore(col("text"))
+    val pos = docs.filter(q >= 1.0)
+    val neg = docs.filter(q < 1.0)
+    assert(pos.count() > 50 && neg.count() > 50, "both label classes populated")
+    val m = TextAnalysis.trainQualityLR(pos, neg)
+    // discrimination: the student must separate the teacher's classes
+    val scored = TextAnalysis.scoreQualityLR(docs, m)
+    val means = scored.groupBy(q >= 1.0)
+      .agg(avg("lr_quality")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(means(true) > means(false) + 0.2,
+      s"model failed to separate the teacher labels: $means")
+    val bounds = scored.agg(min("lr_quality"), max("lr_quality")).head()
+    assert(bounds.getDouble(0) >= 0.0 && bounds.getDouble(1) <= 1.0)
+    // determinism + partitioning invariance: identical weights bit for
+    // bit (the aux-dump/gate-query agreement the oracle depends on)
+    val m2 = TextAnalysis.trainQualityLR(pos.repartition(13), neg.repartition(7))
+    assert(m2.bias === m.bias && m2.weights.toSeq === m.weights.toSeq)
+    // ceiling is enforced with an actionable error
+    spark.conf.set("graft.text.lrMaxTrainDocs", "10")
+    try {
+      val e = intercept[IllegalStateException] {
+        TextAnalysis.trainQualityLR(pos, neg)
+      }
+      assert(e.getMessage.contains("lrMaxTrainDocs"))
+    } finally spark.conf.unset("graft.text.lrMaxTrainDocs")
+  }
+
   test("dedupSpansViaWinnow: provably equal to exact dedupSpans, corpus never pays per-char") {
     val s = spark
     import s.implicits._
