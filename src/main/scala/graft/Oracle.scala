@@ -1236,6 +1236,58 @@ object Oracle {
       WHERE s.doc_id * 4294967296 + s.spos <> wkey
       GROUP BY s.doc_id ORDER BY doc_id""",
 
+    // PQ encode: codebooks are the aux parameter (per-subspace seeded
+    // k-means, like ivf_centers); the assignment is fully re-derived —
+    // per (vector, subspace) argmin of the ascending-index squared
+    // distance with ties to the lowest codeword (row_number over
+    // (dist, j)), subspace width 8 = dim 64 / m 8.
+    "m40_pq_encode" -> """
+      WITH cb AS (SELECT s, j, vec FROM read_parquet('{AUX}/pq_codebooks/*.parquet')),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      d AS (SELECT e.vec_id, cb.s, cb.j,
+              list_sum(list_transform(range(8), i ->
+                (v[cb.s*8 + CAST(i AS INT) + 1] - vec[CAST(i AS INT) + 1])
+                * (v[cb.s*8 + CAST(i AS INT) + 1] - vec[CAST(i AS INT) + 1]))) AS dist
+            FROM e, cb),
+      r AS (SELECT vec_id, s, j,
+              row_number() OVER (PARTITION BY vec_id, s ORDER BY dist ASC, j ASC) AS rn
+            FROM d)
+      SELECT vec_id, s, j AS code FROM r WHERE rn = 1 ORDER BY vec_id, s""",
+
+    // ADC top-k: re-derives m40's encode, then each (query, corpus)
+    // approximate distance as the s-ordered sum of subspace squared
+    // distances between the query's EXACT subvector and the corpus
+    // vector's assigned codeword — rounded, then ranked (dist asc,
+    // corpus_id asc), self excluded, exactly like the engine.
+    "m41_pq_topk" -> """
+      WITH cb AS (SELECT s, j, vec FROM read_parquet('{AUX}/pq_codebooks/*.parquet')),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      d AS (SELECT e.vec_id, cb.s, cb.j,
+              list_sum(list_transform(range(8), i ->
+                (v[cb.s*8 + CAST(i AS INT) + 1] - vec[CAST(i AS INT) + 1])
+                * (v[cb.s*8 + CAST(i AS INT) + 1] - vec[CAST(i AS INT) + 1]))) AS dist
+            FROM e, cb),
+      enc AS (SELECT vec_id, s, j AS code FROM (
+            SELECT vec_id, s, j,
+              row_number() OVER (PARTITION BY vec_id, s ORDER BY dist ASC, j ASC) AS rn
+            FROM d) WHERE rn = 1),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 16),
+      term AS (SELECT q.query_id, enc.vec_id AS corpus_id, enc.s,
+          list_sum(list_transform(range(8), i ->
+            (qv[enc.s*8 + CAST(i AS INT) + 1] - cb.vec[CAST(i AS INT) + 1])
+            * (qv[enc.s*8 + CAST(i AS INT) + 1] - cb.vec[CAST(i AS INT) + 1]))) AS t
+        FROM q, enc JOIN cb ON cb.s = enc.s AND cb.j = enc.code),
+      dst AS (SELECT query_id, corpus_id,
+          round(list_sum(list(t ORDER BY s)), 6) AS dist
+        FROM term GROUP BY query_id, corpus_id),
+      r0 AS (SELECT * FROM dst WHERE corpus_id <> query_id),
+      r AS (SELECT query_id, corpus_id, dist,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY dist ASC, corpus_id ASC) AS INT) AS rank
+        FROM r0)
+      SELECT query_id, corpus_id, dist, rank FROM r WHERE rank <= 5
+      ORDER BY query_id, rank""",
+
     // Learned quality classifier: the weight sidecar carries the trained
     // LR parameters (bias at i = -1 — training is the aux parameter,
     // like the k-means centers); the FEATURES and the scoring math are

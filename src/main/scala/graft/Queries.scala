@@ -1275,6 +1275,43 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Shared PQ model per (JVM, dir) — training is deterministic (seeded
+    * sample + seeded per-subspace k-means), so the aux dump, m40 and
+    * m41 all see bit-identical codebooks. */
+  private val pqModels =
+    scala.collection.concurrent.TrieMap[String, operators.Similarity.PqModel]()
+  private[graft] def pqModelFor(s: SparkSession, dir: String): operators.Similarity.PqModel =
+    pqModels.getOrElseUpdate(new java.io.File(dir).getAbsolutePath,
+      operators.Similarity.pqTrain(t(s, dir, "embeddings"), m = 8, k = 16))
+
+  /** m40 — product-quantization encode
+    * ([[operators.Similarity.pqTrain]] / [[operators.Similarity.pqEncode]]):
+    * the IVF-ADC compression half — dim-64 float32 vectors (256 B)
+    * become 8 nearest-codeword indices against per-subspace seeded
+    * k-means codebooks (32× memory cut; Jégou et al. 2011). The
+    * codebooks are the aux parameter (like ivf_centers); the oracle
+    * re-derives every assignment: per (vector, subspace) argmin of the
+    * ascending-index squared distance, ties to the lowest codeword. */
+  def m40PqEncode(s: SparkSession, dir: String): DataFrame =
+    operators.Similarity.pqEncode(t(s, dir, "embeddings"), pqModelFor(s, dir))
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("s", "code")))
+      .orderBy("vec_id", "s")
+
+  /** m41 — ADC top-k over the m40 codes
+    * ([[operators.Similarity.pqTopK]]): each query's exact vector is
+    * tabulated once against every codeword (m×k subspace distances);
+    * corpus distances are 8 table lookups + adds over code bytes — the
+    * float payload never touches the scan. The oracle re-derives
+    * encode + per-(query, vector, subspace) terms + the ordered
+    * subspace sum, rounds, and ranks exactly like the engine
+    * (dist asc, corpus_id asc, self excluded). */
+  def m41PqTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    operators.Similarity.pqTopK(emb, emb.filter(col("vec_id") < 16),
+        pqModelFor(s, dir), k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   /** m12 — COMPOSED multimodal near-dup: still images and sampled video
     * frames land in ONE feature space (8-bin value histogram — the
     * image path through `imageFeatures`/ImageIO, the frame path through

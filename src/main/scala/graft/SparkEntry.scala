@@ -121,6 +121,8 @@ object SparkEntry {
     "m37_winnow_detect" -> Queries.m37WinnowDetect,
     "m38_winnow_span_dedup" -> Queries.m38WinnowSpanDedup,
     "m39_quality_lr" -> Queries.m39QualityLr,
+    "m40_pq_encode" -> Queries.m40PqEncode,
+    "m41_pq_topk" -> Queries.m41PqTopK,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on
@@ -291,5 +293,15 @@ object SparkEntry {
       (Seq((-1, m.bias)) ++
         m.weights.zipWithIndex.map { case (w, i) => (i, w) })
         .toDF("i", "w")
+    }),
+    // m40/m41's codebook PARAMETERS (per-subspace seeded k-means, like
+    // ivf_centers); encode argmin and ADC distances are re-derived in
+    // the oracle SQL.
+    "pq_codebooks" -> ((s, dir) => {
+      val m = Queries.pqModelFor(s, dir)
+      import s.implicits._
+      (for (ss <- 0 until m.m; j <- 0 until m.k)
+        yield (ss, j, m.codebooks(ss)(j).toSeq))
+        .toDF("s", "j", "vec")
     }))
 }

@@ -6,6 +6,10 @@ import org.apache.spark.sql.functions._
 
 import graft.core.VecMath
 
+/** One query's ADC hit (TOP-LEVEL: object-nested UDF return types drop
+  * encoder projections to interpreter mode — see CLAUDE.md). */
+final case class PqHit(query_id: Long, dist: Double)
+
 /**
  * Similarity search over an embedding column (`array<float>`):
  * brute-force cosine top-k as the exact baseline, and an LSH-bucketed
@@ -106,6 +110,130 @@ object Similarity {
     val projUdf = udf((v: Array[Float]) =>
       VecMath.pcaProject(v, bc.value.mean, bc.value.components))
     corpus.withColumn("proj", projUdf(col(vecCol)))
+  }
+
+  // --- Product quantization (the IVF-ADC compression half): 100 TB
+  //     memory story — a dim-64 float32 vector (256 B) becomes m = 8
+  //     code bytes against per-subspace codebooks, a 32× cut that turns
+  //     a 25 TB raw-vector index into ~0.8 TB of codes. Approximate by
+  //     construction (quantization error), unlike IVF-Flat's exact
+  //     in-cell distances — the standard trade (Jégou et al. 2011). ---
+
+  /** Trained PQ codebooks: `codebooks(s)(j)` is codeword j of subspace
+    * s (`subDim` components each). Constant-sized broadcast parameter
+    * like the IVF centers (m·k·subDim doubles). */
+  final case class PqModel(subDim: Int, codebooks: Array[Array[Array[Double]]]) {
+    def m: Int = codebooks.length
+    def k: Int = codebooks(0).length
+  }
+
+  /** Train per-subspace k-means codebooks over the SAME bounded seeded
+    * sample [[ivfCenters]] uses (deterministic by the same contract:
+    * seeded sample order, seeded k-means per subspace — seed 42+s, so
+    * subspaces are independently initialized). Driver-local: the
+    * training set is sample-bounded, m·k·subDim is KBs. */
+  def pqTrain(corpus: DataFrame, m: Int = 8, k: Int = 16,
+      vecCol: String = "embedding", idCol: String = "vec_id"): PqModel = {
+    val sample: Array[Array[Float]] = corpus.select(col(vecCol), col(idCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(math.max(k * 256, 4096))
+      .select(col(vecCol))
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "pqTrain: empty corpus")
+    val dim = sample(0).length
+    require(m >= 1 && dim % m == 0,
+      s"pqTrain: dim $dim must be divisible by m=$m subspaces")
+    val sub = dim / m
+    val books = Array.tabulate(m) { s =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub))
+      VecMath.kmeans(pts, k, seed = 42L + s, maxIter = 10)
+    }
+    PqModel(sub, books)
+  }
+
+  /** Squared L2 between `v`'s subvector at `off` and codeword `c` —
+    * ascending-index summation, the order the oracle SQL mirrors. */
+  private def subD2(v: Array[Float], off: Int, c: Array[Double]): Double = {
+    var d = 0.0
+    var i = 0
+    while (i < c.length) { val x = v(off + i) - c(i); d += x * x; i += 1 }
+    d
+  }
+
+  /** Encode every vector as its per-subspace nearest-codeword indices —
+    * `codes` array<int>, m entries, ties to the LOWEST codeword index
+    * (the [[VecMath.nearestCenter]] rule; the oracle re-derives the
+    * argmin per (vector, subspace)). Narrow broadcast kernel; the
+    * corpus never shuffles, and downstream storage carries m small ints
+    * per vector instead of the float payload. */
+  def pqEncode(corpus: DataFrame, model: PqModel,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(model)
+    val enc = udf((v: Array[Float]) => {
+      if (v == null) null
+      else {
+        val md = bc.value
+        val out = new Array[Int](md.m)
+        var s = 0
+        while (s < md.m) {
+          val cbs = md.codebooks(s)
+          var best = 0
+          var bestD = Double.MaxValue
+          var j = 0
+          while (j < cbs.length) {
+            val d = subD2(v, s * md.subDim, cbs(j))
+            if (d < bestD) { bestD = d; best = j }
+            j += 1
+          }
+          out(s) = best
+          s += 1
+        }
+        out
+      }
+    })
+    spread(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v")))
+      .select(col("vec_id"), enc(col("v")).as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each query's exact
+    * vector is tabulated against every codeword ONCE (an m×k table of
+    * subspace squared distances, built driver-side for the broadcast
+    * query set), then every corpus vector's approximate distance is m
+    * table lookups + adds over its codes — the PQ payoff: the corpus
+    * side never touches floats, only code bytes. Output
+    * (query_id, corpus_id, dist, rank), rank by (dist asc, corpus_id)
+    * over the ROUNDED distance (the m04 rule: rank what you output, so
+    * the oracle ranks identically). Self-matches excluded like
+    * [[bruteForceTopK]]. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, model: PqModel,
+      k: Int = 5, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val qs = queries.select(col(idCol).cast("long"), col(vecCol))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val tables = qs.map { case (qid, qv) =>
+      (qid, Array.tabulate(model.m, model.k)((s, j) =>
+        subD2(qv, s * model.subDim, model.codebooks(s)(j))))
+    }
+    val bc = corpus.sparkSession.sparkContext.broadcast(tables)
+    val scoreAll = udf((cs: Seq[Int]) => {
+      bc.value.map { case (qid, t) =>
+        var d = 0.0
+        var s = 0
+        while (s < cs.length) { d += t(s)(cs(s)); s += 1 }
+        PqHit(qid, d)
+      }
+    })
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("corpus_id").asc)
+    pqEncode(corpus, model, idCol, vecCol)
+      .select(col("vec_id").as("corpus_id"),
+        explode(scoreAll(col("codes"))).as("h"))
+      .select(col("h.query_id"), col("corpus_id"),
+        round(col("h.dist"), 6).as("dist"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
   }
 
   def ivfCenters(corpus: DataFrame, nlist: Int,

@@ -18,8 +18,10 @@ class OracleSpec extends AnyFunSuite {
     "accounts_listing", // raw filesystem listing (input)
     "manifest_vecs", // parsed manifest entries (hash-verified via sn01/sn13)
     "media", // the synthetic media corpus (input bytes)
-    "quality_lr") // m39's trained LR weights (model PARAMETER like
+    "quality_lr", // m39's trained LR weights (model PARAMETER like
                   // ivf_centers/pca_model; scoring re-derived in SQL)
+    "pq_codebooks") // m40/m41's PQ codebooks (model PARAMETER; encode
+                    // argmin + ADC distances re-derived in SQL)
 
   test("oracle SQL references only allowed aux tables") {
     val auxRef = """\{AUX\}/([a-z0-9_]+)""".r

@@ -229,6 +229,52 @@ class PipelineSpec extends AnyFunSuite {
       s"LSH 4x8 recall collapsed: ${pruned.size}/${exact.size}")
   }
 
+  test("PQ encode + ADC top-k: codes valid, ADC matches driver reference, quantization is faithful") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val model = Similarity.pqTrain(emb, m = 8, k = 16)
+    assert(model.m === 8 && model.k === 16 && model.subDim === 8)
+    // deterministic retrain (the aux/gate agreement contract)
+    val model2 = Similarity.pqTrain(emb.repartition(7), m = 8, k = 16)
+    assert(model2.codebooks.flatten.flatten.toSeq ===
+      model.codebooks.flatten.flatten.toSeq)
+    val codes = Similarity.pqEncode(emb, model)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    assert(codes.values.forall(cs => cs.length == 8 && cs.forall(c => c >= 0 && c < 16)))
+    // driver reference: encode + ADC for query 0 against every vector
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def d2(q: Array[Float], off: Int, c: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < c.length) { val x = q(off + i) - c(i); d += x * x; i += 1 }
+      d
+    }
+    def encRef(v: Array[Float]): Array[Int] = Array.tabulate(8) { s =>
+      (0 until 16).minBy(j => d2(v, s * 8, model.codebooks(s)(j)))
+    }
+    vecs.foreach { case (id, v) => assert(codes(id).toSeq === encRef(v).toSeq) }
+    val q0 = vecs(0L)
+    val refDist = vecs.collect { case (id, _) if id != 0L =>
+      // Spark's Round(double) goes through BigDecimal.valueOf (the
+      // toString canonical form) — mirror that, not the exact-binary ctor
+      id -> BigDecimal((0 until 8).map(s =>
+          d2(q0, s * 8, model.codebooks(s)(codes(id)(s)))).sum.toString)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    val top = Similarity.pqTopK(emb, emb.filter(col("vec_id") === 0), model, k = 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(top.length === 5 && top.map(_._3).toSeq === (1 to 5))
+    val expected = refDist.toSeq.sortBy { case (id, d) => (d, id) }.take(5)
+    assert(top.map(t => (t._1, t._2)).toSeq === expected.toSeq)
+    // quantization fidelity: ADC top-1 should be a genuinely near vector —
+    // its exact squared distance within the top decile of all distances
+    def exact2(a: Array[Float], b: Array[Float]): Double =
+      (0 until 64).map(i => (a(i) - b(i)).toDouble * (a(i) - b(i))).sum
+    val exactAll = vecs.collect { case (id, v) if id != 0L => exact2(q0, v) }.toSeq.sorted
+    val adcBest = exact2(q0, vecs(top.head._1))
+    assert(adcBest <= exactAll(exactAll.size / 10),
+      s"ADC top-1 exact distance $adcBest outside top decile")
+  }
+
   test("m12 media-feature LSH 2x8: total recall vs exact all-pairs on the current fixture") {
     // pins the m12 calibration claim (Queries.m12MediaDedup scaladoc)
     // against the CURRENT sf0.01 fixture — the fixtures regenerate, so
