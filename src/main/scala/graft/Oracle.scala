@@ -1288,6 +1288,56 @@ object Oracle {
       SELECT query_id, corpus_id, dist, rank FROM r WHERE rank <= 5
       ORDER BY query_id, rank""",
 
+    // Composed IVF-PQ: cell/probe argmin from the ivf_centers aux (m09's
+    // derivation), encode + ADC from the pq_codebooks aux (m40/m41's),
+    // candidate pairs restricted to probed cells, rounded then ranked.
+    "m42_ivf_pq_topk" -> """
+      WITH centers AS (SELECT cell, center
+                       FROM read_parquet('{AUX}/ivf_centers/*.parquet')),
+      cb AS (SELECT s, j, vec FROM read_parquet('{AUX}/pq_codebooks/*.parquet')),
+      emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      celld AS (SELECT e.vec_id, c.cell, e.v,
+          list_sum(list_transform(range(len(c.center)), i ->
+            (e.v[CAST(i AS INT)+1] - c.center[CAST(i AS INT)+1])
+            * (e.v[CAST(i AS INT)+1] - c.center[CAST(i AS INT)+1]))) AS d
+        FROM emb e, centers c),
+      cellr AS (SELECT vec_id, cell, v,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+        FROM celld),
+      corp AS (SELECT vec_id AS corpus_id, cell FROM cellr WHERE rn = 1),
+      probes AS (SELECT vec_id AS query_id, cell FROM cellr
+                 WHERE vec_id < 16 AND rn <= 8),
+      encd AS (SELECT e.vec_id, cb.s, cb.j,
+          list_sum(list_transform(range(8), i ->
+            (v[cb.s*8 + CAST(i AS INT) + 1] - vec[CAST(i AS INT) + 1])
+            * (v[cb.s*8 + CAST(i AS INT) + 1] - vec[CAST(i AS INT) + 1]))) AS dist
+        FROM emb e, cb),
+      enc AS (SELECT vec_id, s, j AS code FROM (
+            SELECT vec_id, s, j,
+              row_number() OVER (PARTITION BY vec_id, s ORDER BY dist ASC, j ASC) AS rn
+            FROM encd) WHERE rn = 1),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 16),
+      cand AS (SELECT DISTINCT p.query_id, c.corpus_id
+               FROM probes p JOIN corp c USING (cell)
+               WHERE c.corpus_id <> p.query_id),
+      term AS (SELECT cand.query_id, cand.corpus_id, enc.s,
+          list_sum(list_transform(range(8), i ->
+            (qv[enc.s*8 + CAST(i AS INT) + 1] - cb.vec[CAST(i AS INT) + 1])
+            * (qv[enc.s*8 + CAST(i AS INT) + 1] - cb.vec[CAST(i AS INT) + 1]))) AS t
+        FROM cand
+          JOIN q USING (query_id)
+          JOIN enc ON enc.vec_id = cand.corpus_id
+          JOIN cb ON cb.s = enc.s AND cb.j = enc.code),
+      dst AS (SELECT query_id, corpus_id,
+          round(list_sum(list(t ORDER BY s)), 6) AS dist
+        FROM term GROUP BY query_id, corpus_id),
+      r AS (SELECT query_id, corpus_id, dist,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY dist ASC, corpus_id ASC) AS INT) AS rank
+        FROM dst)
+      SELECT query_id, corpus_id, dist, rank FROM r WHERE rank <= 5
+      ORDER BY query_id, rank""",
+
     // Learned quality classifier: the weight sidecar carries the trained
     // LR parameters (bias at i = -1 — training is the aux parameter,
     // like the k-means centers); the FEATURES and the scoring math are

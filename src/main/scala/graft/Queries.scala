@@ -1312,6 +1312,22 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** m42 — composed IVF-PQ top-k ([[operators.Similarity.ivfPqTopK]]):
+    * the canonical billion-vector index — m09's cell geometry (16
+    * seeded centers, nprobe 8) pruning the scan × m40's codebooks
+    * replacing float distances with 8 code-byte ADC lookups. The
+    * oracle composes both existing derivations from the two aux
+    * parameters: cell/probe argmin from ivf_centers, encode + ADC from
+    * pq_codebooks, pairs restricted to probed cells, rounded then
+    * ranked. */
+  def m42IvfPqTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    operators.Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 16),
+        operators.Similarity.ivfCenters(emb, 16), pqModelFor(s, dir),
+        k = 5, nprobe = 8)
+      .orderBy("query_id", "rank")
+  }
+
   /** m12 — COMPOSED multimodal near-dup: still images and sampled video
     * frames land in ONE feature space (8-bin value histogram — the
     * image path through `imageFeatures`/ImageIO, the frame path through

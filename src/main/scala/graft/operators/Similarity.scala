@@ -236,6 +236,74 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Composed IVF-PQ top-k — the canonical billion-vector index shape
+    * (IVF cell pruning × PQ code-byte distances): each query probes its
+    * `nprobe` nearest cells and scores ONLY vectors assigned there, by
+    * ADC over their codes. One narrow kernel pass per corpus vector
+    * computes (cell, codes, per-probing-query distance) together — the
+    * corpus never shuffles and never re-touches floats after the kernel;
+    * only surviving (query, corpus, dist) hits move into the per-query
+    * top-k. At 100 TB this composes both prunings: nprobe/nlist of the
+    * data scanned, 32× less memory per scanned vector. Approximate on
+    * BOTH axes (cell recall × quantization error) — the documented
+    * IVF-PQ trade; [[ivfTopKFromIndex]] is the exact-distance variant,
+    * [[bruteForceTopK]] the full baseline. Ranking mirrors [[pqTopK]]
+    * (rounded dist asc, corpus_id asc, self excluded). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+      centers: Array[Array[Double]], model: PqModel, k: Int = 5,
+      nprobe: Int = 8, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val qs = queries.select(col(idCol).cast("long"), col(vecCol))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val qInfo = qs.map { case (qid, qv) =>
+      (qid, VecMath.nearestCenters(qv, centers, nprobe).toSet,
+        Array.tabulate(model.m, model.k)((s, j) =>
+          subD2(qv, s * model.subDim, model.codebooks(s)(j))))
+    }
+    val sc = corpus.sparkSession.sparkContext
+    val bcQ = sc.broadcast(qInfo)
+    val bcC = sc.broadcast(centers)
+    val bcM = sc.broadcast(model)
+    val hitsUdf = udf((v: Array[Float]) => {
+      if (v == null) Array.empty[PqHit]
+      else {
+        val md = bcM.value
+        val cell = VecMath.nearestCenter(v, bcC.value)
+        val codes = new Array[Int](md.m)
+        var s = 0
+        while (s < md.m) {
+          val cbs = md.codebooks(s)
+          var best = 0
+          var bestD = Double.MaxValue
+          var j = 0
+          while (j < cbs.length) {
+            val d = subD2(v, s * md.subDim, cbs(j))
+            if (d < bestD) { bestD = d; best = j }
+            j += 1
+          }
+          codes(s) = best
+          s += 1
+        }
+        bcQ.value.collect { case (qid, cells, t) if cells.contains(cell) =>
+          var d = 0.0
+          var i = 0
+          while (i < codes.length) { d += t(i)(codes(i)); i += 1 }
+          PqHit(qid, d)
+        }
+      }
+    })
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("corpus_id").asc)
+    spread(corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("v")))
+      .select(col("corpus_id"), explode(hitsUdf(col("v"))).as("h"))
+      .select(col("h.query_id"), col("corpus_id"),
+        round(col("h.dist"), 6).as("dist"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   def ivfCenters(corpus: DataFrame, nlist: Int,
       vecCol: String = "embedding", idCol: String = "vec_id"): Array[Array[Double]] = {
     val sample: Array[Array[Float]] = corpus.select(col(vecCol), col(idCol))

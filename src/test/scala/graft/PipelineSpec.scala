@@ -275,6 +275,34 @@ class PipelineSpec extends AnyFunSuite {
       s"ADC top-1 exact distance $adcBest outside top decile")
   }
 
+  test("ivfPqTopK: equals pqTopK restricted to the probed cells") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val model = Similarity.pqTrain(emb, m = 8, k = 16)
+    val centers = Similarity.ivfCenters(emb, 8)
+    val queries = emb.filter(col("vec_id") < 4)
+    val composed = Similarity.ivfPqTopK(emb, queries, centers, model,
+        k = 3, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // reference: full ADC ranking filtered to each query's probed cells
+    val cellOf = Similarity.ivfCellAssignments(emb, centers)
+      .select("corpus_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val qv = queries.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val probed = qv.map { case (id, v) =>
+      id -> graft.core.VecMath.nearestCenters(v, centers, 3).toSet
+    }
+    val full = Similarity.pqTopK(emb, queries, model, k = Int.MaxValue - 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ref = full.filter { case (q, c, _) => probed(q).contains(cellOf(c)) }
+      .groupBy(_._1).toSeq.flatMap { case (q, hits) =>
+        hits.sortBy(h => (h._3, h._2)).take(3).zipWithIndex
+          .map { case ((_, c, d), i) => (q, c, d, i + 1) }
+      }.sortBy(t => (t._1, t._4))
+    assert(composed.sortBy(t => (t._1, t._4)).toSeq === ref)
+    assert(composed.nonEmpty)
+  }
+
   test("m12 media-feature LSH 2x8: total recall vs exact all-pairs on the current fixture") {
     // pins the m12 calibration claim (Queries.m12MediaDedup scaladoc)
     // against the CURRENT sf0.01 fixture — the fixtures regenerate, so
