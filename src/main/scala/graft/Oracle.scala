@@ -1338,6 +1338,28 @@ object Oracle {
       SELECT query_id, corpus_id, dist, rank FROM r WHERE rank <= 5
       ORDER BY query_id, rank""",
 
+    // Corpus card: every per-source column re-derived from the shared
+    // TextStats/Quality/LangPred SQL; quality summed as DECIMAL(18,6)
+    // (order-independent — the q01 double-sum rule), distinct over the
+    // same normalized text the dedup operators key on.
+    "m43_corpus_card" -> s"""
+      WITH $TextStatsCtes,
+      lang AS (SELECT doc_id, ' ' || lower(text) || ' ' AS padded FROM documents),
+      src AS (SELECT doc_id, source FROM documents),
+      per AS (SELECT src.source, r.n_tokens, r.n_chars, r.text,
+          $QualityExpr AS q, $LangPredExpr AS lp,
+          trim(regexp_replace(lower(r.text), '\\s+', ' ', 'g'), ' ') AS norm
+        FROM ratios r
+          JOIN src USING (doc_id)
+          JOIN lang USING (doc_id))
+      SELECT source, COUNT(*) AS n_docs,
+        COUNT(DISTINCT norm) AS n_distinct,
+        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality,
+        COUNT(CASE WHEN lp = 'en' THEN 1 END) AS n_en
+      FROM per GROUP BY source ORDER BY source""",
+
     // Learned quality classifier: the weight sidecar carries the trained
     // LR parameters (bias at i = -1 — training is the aux parameter,
     // like the k-means centers); the FEATURES and the scoring math are

@@ -1328,6 +1328,15 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** m43 — corpus card ([[operators.TextAnalysis.corpusCard]]): the
+    * per-source datasheet a corpus release ships with — doc/distinct/
+    * token/char counts, DECIMAL-summed quality, English-doc count — in
+    * one hash aggregation. Every column re-derived in the oracle from
+    * the shared TextStats/Quality/LangPred SQL. */
+  def m43CorpusCard(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.corpusCard(t(s, dir, "documents"))
+      .orderBy("source")
+
   /** m12 — COMPOSED multimodal near-dup: still images and sampled video
     * frames land in ONE feature space (8-bin value histogram — the
     * image path through `imageFeatures`/ImageIO, the frame path through

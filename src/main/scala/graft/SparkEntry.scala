@@ -124,6 +124,7 @@ object SparkEntry {
     "m40_pq_encode" -> Queries.m40PqEncode,
     "m41_pq_topk" -> Queries.m41PqTopK,
     "m42_ivf_pq_topk" -> Queries.m42IvfPqTopK,
+    "m43_corpus_card" -> Queries.m43CorpusCard,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on

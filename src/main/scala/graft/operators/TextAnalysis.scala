@@ -451,6 +451,35 @@ object TextAnalysis {
     dedupSpans(subset, minLen, idCol, textCol).unionByName(untouched)
   }
 
+  private val normalizeUdf =
+    udf((t: String) => TextSig.normalize(if (t == null) "" else t))
+
+  /** Per-source corpus datasheet ("corpus card") — the accounting table
+    * a training-data release ships with: per source, document / distinct
+    * / token / char counts, summed quality, and English-doc count. ONE
+    * hash aggregation (sources are low-cardinality → tiny shuffle);
+    * repeated `stats(text)` references collapse under Spark's
+    * subexpression elimination, so the kernel runs once per row. Sums
+    * over longs and DECIMAL(18,6) only (order-independent — a double
+    * sum would be partitioning-dependent and break the oracle
+    * hash-match, the q01 rule). `n_docs − n_distinct` is the per-source
+    * exact-dup surplus (distinct of the same normalized text q17's
+    * dedup keys on). */
+  def corpusCard(docs: DataFrame, sourceCol: String = "source",
+      textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("__norm", normalizeUdf(col(textCol)))
+      .groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("__norm")).as("n_distinct"),
+        sum(tokenCount(col(textCol))).as("n_tokens"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"),
+        sum(qualityScore(col(textCol))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("sum_quality"),
+        count(when(langId(col(textCol)) === "en", 1)).as("n_en"))
+
   // --- learned quality classifier (fastText-style filter, LR over
   //     compiled features; model-as-parameter like UnigramLM / PCA) ---
 

@@ -799,6 +799,30 @@ class TrainingPipelineSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.text.lrMaxTrainDocs")
   }
 
+  test("winnowedGramOccurrences: detection guarantee holds on random corpora with planted spans") {
+    import graft.core.TextSig
+    val rnd = new scala.util.Random(7)
+    // small alphabet → dense natural repeats, stressing the rightmost-min
+    // tie rule the guarantee depends on
+    def rs(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    for (trial <- 1 to 200) {
+      val k = 2 + rnd.nextInt(6)
+      val w = 1 + rnd.nextInt(8)
+      val minLen = k + w - 1
+      val span = rs(minLen + rnd.nextInt(10))
+      val a = rs(rnd.nextInt(30)) + span + rs(rnd.nextInt(30))
+      val b = rs(rnd.nextInt(30)) + span + rs(rnd.nextInt(30))
+      val fa = TextSig.winnowedGramOccurrences(a, k, w)
+      val fb = TextSig.winnowedGramOccurrences(b, k, w)
+      assert(fa.map(_._2).toSet.intersect(fb.map(_._2).toSet).nonEmpty,
+        s"trial $trial: planted >=${minLen}-char span shared no fingerprint (k=$k w=$w)")
+      // selected stream is a subset of the full gram stream, positions unique
+      val full = TextSig.charGramOccurrences(a, k).toMap
+      assert(fa.forall { case (p, h) => full.get(p).contains(h) })
+      assert(fa.map(_._1).distinct.length === fa.length)
+    }
+  }
+
   test("dedupSpansViaWinnow: provably equal to exact dedupSpans, corpus never pays per-char") {
     val s = spark
     import s.implicits._
