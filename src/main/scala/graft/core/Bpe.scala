@@ -1,0 +1,126 @@
+package graft.core
+
+/**
+ * Byte-pair encoding (Sennrich et al. 2016) — the actual subword
+ * tokenizer training-data pipelines run, vs the `\w+|[^\w\s]`-style
+ * approximation `TextSig.textStats.nSubwords` counts. Deterministic by
+ * construction: greedy most-frequent-pair merges with a total tie order
+ * (count desc, then lexicographic pair asc), so identical word
+ * frequencies produce identical merge lists on any JVM.
+ *
+ * Driver-local by design, like `VecMath.kmeans`/`pca`: training runs
+ * over a word-frequency MAP (vocabulary-sized, not corpus-sized — the
+ * corpus reduces to (word, count) pairs with one shuffle), and the
+ * encoder is a pure function of the merge ranks, applied corpus-side as
+ * a narrow kernel.
+ *
+ * No end-of-word marker: merges never cross word boundaries because
+ * encoding operates per whitespace-pre-tokenized word (the reference
+ * point is GPT-2-style pre-tokenization simplified to
+ * `TextSig.normalize` + whitespace split).
+ */
+object Bpe {
+
+  /** Ordered merge list → (pair → rank) lookup the encoder uses. */
+  final case class Model(merges: IndexedSeq[(String, String)]) {
+    @transient lazy val ranks: Map[(String, String), Int] =
+      merges.zipWithIndex.toMap
+  }
+
+  /** Train `numMerges` merges over (word, frequency) pairs. Classic
+    * loop: count adjacent symbol pairs weighted by word frequency,
+    * merge the most frequent (ties: lexicographically smallest pair —
+    * a TOTAL deterministic order), rewrite, repeat. Stops early when
+    * no pair occurs twice. O(numMerges · vocab · wordLen). */
+  def train(wordFreqs: Seq[(String, Long)], numMerges: Int): Model = {
+    require(numMerges >= 0, s"Bpe.train: numMerges=$numMerges must be >= 0")
+    // symbol sequences, merged in place across iterations
+    var words: Array[(Array[String], Long)] = wordFreqs
+      .filter { case (w, c) => w.nonEmpty && c > 0L }
+      .sortBy(_._1) // deterministic iteration order (input order is not)
+      .map { case (w, c) => (w.map(_.toString).toArray, c) }
+      .toArray
+    val merges = IndexedSeq.newBuilder[(String, String)]
+    var iter = 0
+    var done = false
+    while (iter < numMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + c)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val (best, n) = counts.toSeq
+          .minBy { case ((a, b), c) => (-c, a, b) }
+        if (n < 2L) done = true // nothing repeats: further merges are noise
+        else {
+          merges += best
+          words = words.map { case (syms, c) =>
+            (mergeOnce(syms, best._1, best._2), c)
+          }
+        }
+      }
+      iter += 1
+    }
+    Model(merges.result())
+  }
+
+  private def mergeOnce(syms: Array[String], a: String, b: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Encode one word under the model: repeatedly apply the
+    * LOWEST-RANKED applicable merge (the standard BPE apply order —
+    * merge priority, not left-to-right scanning), leftmost occurrence
+    * first within a rank. Pure function; concatenating the output
+    * always reproduces the word. */
+  def encodeWord(word: String, model: Model): Array[String] = {
+    if (word == null || word.isEmpty) return Array.empty
+    var syms: Array[String] = word.map(_.toString).toArray
+    val ranks = model.ranks
+    var changed = true
+    while (changed && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var bestAt = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        ranks.get((syms(i), syms(i + 1))).foreach { r =>
+          if (r < bestRank) { bestRank = r; bestAt = i }
+        }
+        i += 1
+      }
+      if (bestAt < 0) changed = false
+      else {
+        val merged = syms(bestAt) + syms(bestAt + 1)
+        val out = new Array[String](syms.length - 1)
+        System.arraycopy(syms, 0, out, 0, bestAt)
+        out(bestAt) = merged
+        System.arraycopy(syms, bestAt + 2, out, bestAt + 1,
+          syms.length - bestAt - 2)
+        syms = out
+      }
+    }
+    syms
+  }
+
+  /** Tokenize a document: normalize, whitespace-split, encode each
+    * word; tokens concatenated per word reproduce the normalized text
+    * modulo the collapsed whitespace. */
+  def encode(text: String, model: Model): Array[String] = {
+    val n = TextSig.normalize(if (text == null) "" else text)
+    if (n.isEmpty) Array.empty
+    else n.split(' ').flatMap(w => encodeWord(w, model))
+  }
+}

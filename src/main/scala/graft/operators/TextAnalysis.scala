@@ -480,6 +480,50 @@ object TextAnalysis {
           .cast("double").as("sum_quality"),
         count(when(langId(col(textCol)) === "en", 1)).as("n_en"))
 
+  // --- BPE tokenizer (train-once/apply-many like UnigramLM; the real
+  //     subword segmentation vs subwordCount's regex approximation) ---
+
+  /** Train a BPE merge list over the corpus ([[graft.core.Bpe.train]]).
+    * Scale shape: the corpus reduces to (word, count) pairs with ONE
+    * shuffle after map-side partial aggregation — vocabulary-sized, not
+    * corpus-sized; the collect is ceiling-ENFORCED
+    * (`graft.text.bpeMaxWords`, default 1M) with an actionable abort,
+    * and the merge loop is driver-local like the k-means/PCA/LR
+    * trainers. Deterministic: total tie order in training, sorted word
+    * list. Iterative merge training is not re-derivable in oracle SQL
+    * (the accepted spec-only class — like the incremental dedup store);
+    * the spec pins known merges, apply priority, round-trip and
+    * partitioning invariance. */
+  def bpeTrain(docs: DataFrame, numMerges: Int = 200,
+      textCol: String = "text"): graft.core.Bpe.Model = {
+    val spark = docs.sparkSession
+    val maxWords = spark.conf.get("graft.text.bpeMaxWords", "1000000").toLong
+    val probe = math.min(maxWords + 1, Int.MaxValue.toLong).toInt
+    val rows = Dedup.spread(docs.select(col(textCol)))
+      .select(explode(split(normalizeUdf(col(textCol)), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .limit(probe).collect()
+    if (rows.length > maxWords)
+      throw new IllegalStateException(
+        s"bpeTrain: distinct words exceed graft.text.bpeMaxWords=$maxWords " +
+          "— train on a bounded sample (the merge list only needs one)")
+    graft.core.Bpe.train(rows.map(r => (r.getString(0), r.getLong(1))).toSeq,
+      numMerges)
+  }
+
+  /** Tokenize `docs` under a trained BPE model: `bpe_tokens`
+    * (array<string>, whitespace pre-tokenized then merge-priority
+    * encoded) and `n_bpe_tokens`. Narrow broadcast kernel — the model
+    * is the broadcast merge table, the corpus never shuffles. */
+  def bpeEncode(docs: DataFrame, model: graft.core.Bpe.Model,
+      textCol: String = "text"): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(model)
+    val encUdf = udf((t: String) => graft.core.Bpe.encode(t, bc.value))
+    docs.withColumn("bpe_tokens", encUdf(col(textCol)))
+      .withColumn("n_bpe_tokens", size(col("bpe_tokens")))
+  }
+
   // --- learned quality classifier (fastText-style filter, LR over
   //     compiled features; model-as-parameter like UnigramLM / PCA) ---
 

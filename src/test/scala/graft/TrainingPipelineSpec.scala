@@ -799,6 +799,54 @@ class TrainingPipelineSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.text.lrMaxTrainDocs")
   }
 
+  test("BPE: known merges, apply priority, round-trip, partitioning-invariant, monotone") {
+    import graft.core.Bpe
+    val s = spark
+    import s.implicits._
+    // hand-checkable training: 'ab' occurs 3+2=5 times (inside 'abab'
+    // twice per doc), the most frequent pair; then 'abab'
+    val m = Bpe.train(Seq(("abab", 3L), ("abc", 2L)), numMerges = 2)
+    assert(m.merges === IndexedSeq(("a", "b"), ("ab", "ab")))
+    assert(Bpe.encodeWord("ababab", m).toSeq === Seq("abab", "ab"))
+    assert(Bpe.encodeWord("abc", m).toSeq === Seq("ab", "c"))
+    // apply is merge-PRIORITY ordered, not left-to-right: with merges
+    // [(a,b) rank0, (x,a) rank1], 'xab' must become [x, ab] — a naive
+    // left-to-right scan would take (x,a) first
+    val hand = Bpe.Model(IndexedSeq(("a", "b"), ("x", "a")))
+    assert(Bpe.encodeWord("xab", hand).toSeq === Seq("x", "ab"))
+    // corpus-level: round-trip, determinism, monotone token counts
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val m1 = TextAnalysis.bpeTrain(docs, numMerges = 50)
+    val m2 = TextAnalysis.bpeTrain(docs.repartition(13), numMerges = 50)
+    assert(m1.merges === m2.merges, "training must be partitioning-invariant")
+    val enc = TextAnalysis.bpeEncode(docs, m1)
+      .select(col("text"), col("bpe_tokens"), col("n_bpe_tokens")).collect()
+    enc.foreach { r =>
+      val norm = graft.core.TextSig.normalize(r.getString(0))
+      assert(r.getSeq[String](1).mkString === norm.replace(" ", ""),
+        "concatenated tokens must reproduce the normalized text")
+      assert(r.getInt(2) === r.getSeq[String](1).size)
+    }
+    val m0 = TextAnalysis.bpeTrain(docs, numMerges = 0)
+    val n0 = TextAnalysis.bpeEncode(docs, m0)
+      .agg(sum("n_bpe_tokens")).head().getLong(0)
+    val n50 = TextAnalysis.bpeEncode(docs, m1)
+      .agg(sum("n_bpe_tokens")).head().getLong(0)
+    val m200 = TextAnalysis.bpeTrain(docs, numMerges = 200)
+    val n200 = TextAnalysis.bpeEncode(docs, m200)
+      .agg(sum("n_bpe_tokens")).head().getLong(0)
+    assert(n0 > n50 && n50 > n200,
+      s"more merges must compress: $n0 -> $n50 -> $n200")
+    // ceiling abort
+    spark.conf.set("graft.text.bpeMaxWords", "5")
+    try {
+      val e = intercept[IllegalStateException] {
+        TextAnalysis.bpeTrain(docs, numMerges = 10)
+      }
+      assert(e.getMessage.contains("bpeMaxWords"))
+    } finally spark.conf.unset("graft.text.bpeMaxWords")
+  }
+
   test("winnowedGramOccurrences: detection guarantee holds on random corpora with planted spans") {
     import graft.core.TextSig
     val rnd = new scala.util.Random(7)
