@@ -853,6 +853,25 @@ object Oracle {
       SELECT doc_id, source, rank FROM ranked WHERE rank <= 20
       ORDER BY source, rank""",
 
+    // Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    // key = -ln(((splitmix64(doc_id+7) >> 11) + 1) / 2^53) / n_chars,
+    // smallest k per source; only integer/string columns reach the
+    // output, so the float key is order-only.
+    "m44_weighted_sample" -> s"""
+      WITH wsbase AS (SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS w,
+             (CAST(doc_id AS HUGEINT) + 7) % $M64 AS z0
+           FROM documents WHERE n_chars > 0),
+      ${mix64Ctes("wsmx", "wsbase", "doc_id, source, w")},
+      keyed AS (SELECT doc_id, source,
+          -ln(CAST((h >> 11) + 1 AS DOUBLE) / 9007199254740992.0) / w AS ky
+        FROM wsmx),
+      ranked AS (SELECT doc_id, source,
+          CAST(row_number() OVER (PARTITION BY source
+            ORDER BY ky ASC, doc_id ASC) AS INT) AS rank
+        FROM keyed)
+      SELECT doc_id, source, rank FROM ranked WHERE rank <= 10
+      ORDER BY source, rank""",
+
     // Seeded global permutation: splitmix64(doc_id + 11) ranked over the
     // signed value (Spark Long order); dense 1-based positions.
     "m26_shuffle_order" -> s"""

@@ -1337,6 +1337,18 @@ object Queries {
     operators.TextAnalysis.corpusCard(t(s, dir, "documents"))
       .orderBy("source")
 
+  /** m44 — weighted sampling without replacement
+    * ([[operators.TrainingPipeline.weightedSample]], Efraimidis–
+    * Spirakis A-ES): length-weighted exactly-10-per-source subsample
+    * (weight = n_chars, seed 7). The oracle re-derives the full key —
+    * splitmix64(id+7) via the staged mix64 CTEs, u = ((h≫11)+1)/2⁵³,
+    * key = −ln(u)/w — and ranks per source; the output carries only
+    * (doc_id, source, rank), so no float column reaches the hash. */
+  def m44WeightedSample(s: SparkSession, dir: String): DataFrame =
+    operators.TrainingPipeline.weightedSample(
+        t(s, dir, "documents"), k = 10, weight = col("n_chars"), seed = 7L)
+      .orderBy("source", "rank")
+
   /** m12 — COMPOSED multimodal near-dup: still images and sampled video
     * frames land in ONE feature space (8-bin value histogram — the
     * image path through `imageFeatures`/ImageIO, the frame path through

@@ -436,6 +436,63 @@ object TrainingPipeline {
       .select(col("doc_id"), col("source"), col("rank"))
   }
 
+  private val esKeyUdf = udf((id: Long, seed: Long, w: Double) => {
+    // u ∈ (0, 1]: +1 keeps ln finite at the 2^-53 corner; the oracle
+    // re-derives the identical (h >>> 11) + 1 over the HUGEINT hash
+    val u = ((graft.core.TextSig.mix64(id + seed) >>> 11) + 1).toDouble /
+      9007199254740992.0 // 2^53
+    -math.log(u) / w
+  })
+
+  /** WEIGHTED stratified sampling without replacement (Efraimidis &
+    * Spirakis 2006, algorithm A-ES) — importance/quality-weighted
+    * subsampling, the step between uniform [[stratifiedSample]] and a
+    * full mixture re-weight: per source, keep the `k` docs with the
+    * smallest key −ln(u)/w (equivalent to selecting by u^(1/w) — each
+    * doc's inclusion probability is proportional to its weight among
+    * remaining draws). Deterministic like the uniform variant: u comes
+    * from splitmix64(id + seed), so the sample is a pure function of
+    * (id set, weights, seed) — reproducible across runs, partitionings
+    * and engines. Docs with weight ≤ 0 are excluded (never sampled —
+    * and the key stays finite).
+    *
+    * Scale shape: identical to [[stratifiedSample]] — bounded
+    * per-partition per-source heaps emit ≤ k·partitions candidates,
+    * the corpus never shuffles, the final window ranks only the
+    * candidate set. */
+  def weightedSample(docs: DataFrame, k: Int, weight: Column,
+      seed: Long = 0L, sourceCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, s"weightedSample: k=$k must be positive")
+    val s = docs.sparkSession
+    import s.implicits._
+    implicit val ord: Ordering[(Double, Long)] = Ordering.Tuple2[Double, Long]
+    val candidates = docs
+      .filter(weight > 0)
+      .select(col(sourceCol).cast("string"), col(idCol).cast("long"),
+        esKeyUdf(col(idCol).cast("long"), lit(seed), weight.cast("double")))
+      .as[(String, Long, Double)]
+      .mapPartitions { it =>
+        val heaps = scala.collection.mutable.HashMap
+          .empty[String, scala.collection.mutable.PriorityQueue[(Double, Long)]]
+        it.foreach { case (src, id, ky) =>
+          val q = heaps.getOrElseUpdate(src,
+            scala.collection.mutable.PriorityQueue.empty[(Double, Long)])
+          if (q.size < k) q.enqueue((ky, id))
+          else if (ord.lt((ky, id), q.head)) { q.dequeue(); q.enqueue((ky, id)) }
+        }
+        heaps.iterator.flatMap { case (src, q) =>
+          q.iterator.map { case (ky, id) => (src, id, ky) }
+        }
+      }
+      .toDF("source", "doc_id", "ky")
+    candidates
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("source").orderBy(col("ky"), col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("source"), col("rank"))
+  }
+
   /** Deterministic global corpus shuffle — the reproducible
     * "shuffle the training data" step before sequence packing/epoch
     * slicing: every doc gets a dense 1-based `shuffle_pos`, the global

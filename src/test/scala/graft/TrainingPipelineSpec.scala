@@ -799,6 +799,46 @@ class TrainingPipelineSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.text.lrMaxTrainDocs")
   }
 
+  test("weightedSample: A-ES reference equality, exact-k, weight exclusion, partitioning-invariant") {
+    val s = spark
+    import s.implicits._
+    import graft.core.TextSig
+    val docs = (1L to 200L).map { id =>
+      (id, if (id % 2 == 0) "even" else "odd",
+        if (id == 7L) 1e9 else if (id % 10 == 0) 0.0 else 1.0 + (id % 5))
+    }.toDF("doc_id", "source", "w")
+    val out = TrainingPipeline.weightedSample(docs, k = 5, col("w"), seed = 3L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    // driver reference: full A-ES key sort per source
+    def key(id: Long, w: Double): Double = {
+      val u = ((TextSig.mix64(id + 3L) >>> 11) + 1).toDouble / 9007199254740992.0
+      -math.log(u) / w
+    }
+    val ref = docs.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .filter(_._3 > 0)
+      .groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+        rows.map(r => (r._1, key(r._1, r._3)))
+          .sortBy { case (id, ky) => (ky, id) }.take(5).zipWithIndex
+          .map { case ((id, _), i) => (id, src, i + 1) }
+      }.sortBy(t => (t._2, t._3))
+    assert(out.sortBy(t => (t._2, t._3)).toSeq === ref)
+    // exactly k per populated source; zero-weight docs never sampled
+    assert(out.count(_._2 == "even") === 5 && out.count(_._2 == "odd") === 5)
+    assert(out.forall { case (id, _, _) => id % 10 != 0 })
+    // the overwhelming weight is selected (w=1e9 vs <=6: inclusion is
+    // near-certain, and pinned for this seed by the reference above)
+    assert(out.exists(_._1 == 7L))
+    // partitioning-invariant
+    val out2 = TrainingPipeline.weightedSample(docs.repartition(13), k = 5,
+        col("w"), seed = 3L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out2.sortBy(t => (t._2, t._3)).toSeq === out.sortBy(t => (t._2, t._3)).toSeq)
+    // a different seed is a different sample
+    val out3 = TrainingPipeline.weightedSample(docs, k = 5, col("w"), seed = 4L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(out3 != out.toSet)
+  }
+
   test("BPE: known merges, apply priority, round-trip, partitioning-invariant, monotone") {
     import graft.core.Bpe
     val s = spark
