@@ -853,6 +853,21 @@ object Oracle {
       SELECT doc_id, source, rank FROM ranked WHERE rank <= 20
       ORDER BY source, rank""",
 
+    // Mixture-rate solve: N* = min(n_s / t_s) over the targeted sources
+    // (largest downsample-only corpus), rate_bp = round(10^4·t·N*/n).
+    // min/round/division reproduce the driver arithmetic op-for-op;
+    // only int/string columns reach the hash.
+    "m45_mixture_rates" -> """
+      WITH t AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3),
+             ('src2', 0.2)) AS v(source, share)),
+      c AS (SELECT source, COUNT(*) AS n_docs FROM documents
+            GROUP BY source),
+      j AS (SELECT c.source, c.n_docs, t.share FROM c JOIN t USING (source)),
+      m AS (SELECT min(CAST(n_docs AS DOUBLE) / share) AS nout FROM j)
+      SELECT source, n_docs,
+        CAST(round(10000 * share * nout / n_docs) AS INT) AS rate_bp
+      FROM j, m ORDER BY source""",
+
     // Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
     // key = -ln(((splitmix64(doc_id+7) >> 11) + 1) / 2^53) / n_chars,
     // smallest k per source; only integer/string columns reach the

@@ -1349,6 +1349,18 @@ object Queries {
         t(s, dir, "documents"), k = 10, weight = col("n_chars"), seed = 7L)
       .orderBy("source", "rank")
 
+  /** m45 — mixture-rate solver
+    * ([[operators.TrainingPipeline.mixtureRates]]): the planning step
+    * in front of m17's mixtureSample — per-source keep-rates realizing
+    * target shares 0.5/0.3/0.2 over src0/src1/src2 under the
+    * largest-downsample-only corpus N* = min(n_s/t_s). The oracle
+    * re-derives counts, N* and the basis-point rates in SQL; only
+    * int/string columns reach the hash. */
+  def m45MixtureRates(s: SparkSession, dir: String): DataFrame =
+    operators.TrainingPipeline.mixtureRates(t(s, dir, "documents"),
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+      .orderBy("source")
+
   /** m12 — COMPOSED multimodal near-dup: still images and sampled video
     * frames land in ONE feature space (8-bin value histogram — the
     * image path through `imageFeatures`/ImageIO, the frame path through

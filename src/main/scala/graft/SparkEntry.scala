@@ -126,6 +126,7 @@ object SparkEntry {
     "m42_ivf_pq_topk" -> Queries.m42IvfPqTopK,
     "m43_corpus_card" -> Queries.m43CorpusCard,
     "m44_weighted_sample" -> Queries.m44WeightedSample,
+    "m45_mixture_rates" -> Queries.m45MixtureRates,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on

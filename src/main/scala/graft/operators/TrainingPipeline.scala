@@ -436,6 +436,40 @@ object TrainingPipeline {
       .select(col("doc_id"), col("source"), col("rank"))
   }
 
+  /** Solve the per-source keep-rates that realize a target mixture —
+    * the planning step in front of [[mixtureSample]]: given desired
+    * SHARES per source (sum 1), the largest downsample-only corpus is
+    * N* = min_s(n_s / t_s), and each source keeps rate_s = t_s·N* / n_s
+    * (the binding source keeps everything). Emits (source, n_docs,
+    * rate_bp) in [[mixtureSample]]'s basis-point currency; sources
+    * outside the target map are dropped by the mix (rate 0 — simply
+    * not emitted). Every targeted source must exist in the corpus.
+    *
+    * Scale shape: one low-cardinality count aggregation; the solve is
+    * driver arithmetic over #sources rows. Only integer columns reach
+    * the output (the float solve is internal). */
+  def mixtureRates(docs: DataFrame, targets: Map[String, Double],
+      sourceCol: String = "source"): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(t => t > 0.0 && t <= 1.0),
+      s"mixtureRates: shares must be in (0,1], got $targets")
+    val sum = targets.values.sum
+    require(math.abs(sum - 1.0) < 1e-9,
+      s"mixtureRates: target shares must sum to 1, got $sum")
+    val s = docs.sparkSession
+    import s.implicits._
+    val counts = docs.filter(col(sourceCol).isin(targets.keys.toSeq: _*))
+      .groupBy(col(sourceCol).cast("string").as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val missing = targets.keySet -- counts.keySet
+    require(missing.isEmpty,
+      s"mixtureRates: no documents for targeted sources $missing")
+    val nOut = targets.map { case (src, t) => counts(src).toDouble / t }.min
+    targets.toSeq.sortBy(_._1).map { case (src, t) =>
+      (src, counts(src), math.round(10000.0 * t * nOut / counts(src)).toInt)
+    }.toDF("source", "n_docs", "rate_bp")
+  }
+
   private val esKeyUdf = udf((id: Long, seed: Long, w: Double) => {
     // u ∈ (0, 1]: +1 keeps ln finite at the 2^-53 corner; the oracle
     // re-derives the identical (h >>> 11) + 1 over the HUGEINT hash

@@ -799,6 +799,38 @@ class TrainingPipelineSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.text.lrMaxTrainDocs")
   }
 
+  test("mixtureRates: exact solve, binding source keeps all, closes the loop with mixtureSample") {
+    val s = spark
+    import s.implicits._
+    val docs = ((1L to 6000L).map((_, "a")) ++ (6001L to 9000L).map((_, "b")) ++
+      (9001L to 10000L).map((_, "c"))).toDF("doc_id", "source")
+    val targets = Map("a" -> 0.2, "b" -> 0.3, "c" -> 0.5)
+    val rates = TrainingPipeline.mixtureRates(docs, targets)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    // N* = min(6000/.2, 3000/.3, 1000/.5) = 2000:
+    // a: .2*2000/6000 = 666.67bp -> 667; b: 2000bp; c binds at 10000bp
+    assert(rates === Map("a" -> ((6000L, 667)), "b" -> ((3000L, 2000)),
+      "c" -> ((1000L, 10000))))
+    // closing the loop: sampling at the solved rates approximates the
+    // target shares (hash-sampling noise ~ sqrt(n); +-0.03 absolute)
+    val sampled = TrainingPipeline.mixtureSample(docs,
+        rates.map { case (src, (_, bp)) => src -> bp / 10000.0 },
+        defaultRate = 0.0)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = sampled.values.sum.toDouble
+    targets.foreach { case (src, t) =>
+      val share = sampled(src) / total
+      assert(math.abs(share - t) < 0.03,
+        s"source $src share $share vs target $t")
+    }
+    // targeted source absent from the corpus -> actionable error
+    val e = intercept[IllegalArgumentException] {
+      TrainingPipeline.mixtureRates(docs, Map("a" -> 0.5, "zz" -> 0.5))
+    }
+    assert(e.getMessage.contains("zz"))
+  }
+
   test("weightedSample: A-ES reference equality, exact-k, weight exclusion, partitioning-invariant") {
     val s = spark
     import s.implicits._
