@@ -31,7 +31,15 @@ object Bpe {
     * loop: count adjacent symbol pairs weighted by word frequency,
     * merge the most frequent (ties: lexicographically smallest pair —
     * a TOTAL deterministic order), rewrite, repeat. Stops early when
-    * no pair occurs twice. O(numMerges · vocab · wordLen). */
+    * no pair occurs twice.
+    *
+    * Pair counts are maintained INCREMENTALLY: only words containing
+    * the merged pair have their counts subtracted and re-added around
+    * the rewrite — a full per-iteration recount allocates a
+    * vocab·len-sized map every merge, which dominates at the 1M-word
+    * ceiling. The containment scan itself is an allocation-free
+    * reference walk. Equivalence with the naive recount is
+    * property-pinned in the spec. */
   def train(wordFreqs: Seq[(String, Long)], numMerges: Int): Model = {
     require(numMerges >= 0, s"Bpe.train: numMerges=$numMerges must be >= 0")
     // symbol sequences, merged in place across iterations
@@ -40,19 +48,29 @@ object Bpe {
       .sortBy(_._1) // deterministic iteration order (input order is not)
       .map { case (w, c) => (w.map(_.toString).toArray, c) }
       .toArray
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    def tally(syms: Array[String], c: Long): Unit = {
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        val n = counts.getOrElse(p, 0L) + c
+        if (n == 0L) counts.remove(p) else counts.update(p, n)
+        i += 1
+      }
+    }
+    words.foreach { case (syms, c) => tally(syms, c) }
+    def containsPair(syms: Array[String], a: String, b: String): Boolean = {
+      var i = 0
+      while (i < syms.length - 1) {
+        if (syms(i) == a && syms(i + 1) == b) return true
+        i += 1
+      }
+      false
+    }
     val merges = IndexedSeq.newBuilder[(String, String)]
     var iter = 0
     var done = false
     while (iter < numMerges && !done) {
-      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      words.foreach { case (syms, c) =>
-        var i = 0
-        while (i < syms.length - 1) {
-          val p = (syms(i), syms(i + 1))
-          counts.update(p, counts.getOrElse(p, 0L) + c)
-          i += 1
-        }
-      }
       if (counts.isEmpty) done = true
       else {
         val (best, n) = counts.toSeq
@@ -60,8 +78,16 @@ object Bpe {
         if (n < 2L) done = true // nothing repeats: further merges are noise
         else {
           merges += best
-          words = words.map { case (syms, c) =>
-            (mergeOnce(syms, best._1, best._2), c)
+          var i = 0
+          while (i < words.length) {
+            val (syms, c) = words(i)
+            if (containsPair(syms, best._1, best._2)) {
+              tally(syms, -c)
+              val merged = mergeOnce(syms, best._1, best._2)
+              tally(merged, c)
+              words(i) = (merged, c)
+            }
+            i += 1
           }
         }
       }

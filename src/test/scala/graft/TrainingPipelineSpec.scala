@@ -917,6 +917,53 @@ class TrainingPipelineSpec extends AnyFunSuite {
       }
       assert(e.getMessage.contains("bpeMaxWords"))
     } finally spark.conf.unset("graft.text.bpeMaxWords")
+    // incremental pair-count maintenance == naive full recount, on
+    // random small-alphabet corpora (dense repeats stress the
+    // subtract/re-add bookkeeping)
+    def naiveTrain(wf: Seq[(String, Long)], nm: Int): IndexedSeq[(String, String)] = {
+      var words = wf.filter { case (w, c) => w.nonEmpty && c > 0 }
+        .sortBy(_._1).map { case (w, c) => (w.map(_.toString).toArray, c) }
+      val out = IndexedSeq.newBuilder[(String, String)]
+      var it = 0
+      var stop = false
+      while (it < nm && !stop) {
+        val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        words.foreach { case (sy, c) =>
+          sy.sliding(2).filter(_.length == 2).foreach { p =>
+            cnt.update((p(0), p(1)), cnt.getOrElse((p(0), p(1)), 0L) + c)
+          }
+        }
+        if (cnt.isEmpty) stop = true
+        else {
+          val (best, n) = cnt.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+          if (n < 2) stop = true
+          else {
+            out += best
+            words = words.map { case (sy, c) =>
+              val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+              var i = 0
+              while (i < sy.length) {
+                if (i < sy.length - 1 && sy(i) == best._1 && sy(i + 1) == best._2) {
+                  buf += (best._1 + best._2); i += 2
+                } else { buf += sy(i); i += 1 }
+              }
+              (buf.toArray, c)
+            }
+          }
+        }
+        it += 1
+      }
+      out.result()
+    }
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 20) {
+      val wf = (1 to 30).map { _ =>
+        ((1 to (2 + rnd.nextInt(8))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString,
+          1L + rnd.nextInt(5))
+      }.groupBy(_._1).map { case (w, rows) => (w, rows.map(_._2).sum) }.toSeq
+      assert(graft.core.Bpe.train(wf, 15).merges === naiveTrain(wf, 15),
+        s"trial $trial: incremental diverged from naive recount")
+    }
   }
 
   test("winnowedGramOccurrences: detection guarantee holds on random corpora with planted spans") {
