@@ -229,6 +229,32 @@ class PipelineSpec extends AnyFunSuite {
       s"LSH 4x8 recall collapsed: ${pruned.size}/${exact.size}")
   }
 
+  test("globalQuantiles: exact-decimal ceil at integral p*N; globalRunningAgg: null-safe values") {
+    val s = spark
+    import s.implicits._
+    // p*N = 0.07*300 is exactly 21 in decimal, but the double product is
+    // 21.000000000000004 — double ceil selects rank 22. The exact-ceil
+    // fix must return the value at rank 21.
+    val df = (1 to 300).map(i => (i.toDouble, i.toLong)).toDF("x", "id")
+    val q = operators.Ranking.globalQuantiles(df, col("x"), Seq(col("id")),
+        probs = Seq(0.07))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(q.toSeq === Seq((0.07, 21.0)),
+      s"exact ceil must pick rank 21, got ${q.toSeq}")
+    graft.core.Blocks.releaseAll(df)
+    // running agg: NULL values contribute 0 to cum (SQL windowed SUM
+    // semantics) and must not NPE — including an all-NULL sort prefix
+    val vals = Seq((1L, null.asInstanceOf[java.lang.Long]),
+      (2L, null.asInstanceOf[java.lang.Long]),
+      (3L, java.lang.Long.valueOf(10L)), (4L, java.lang.Long.valueOf(5L)))
+      .toDF("id", "v")
+    val ra = operators.Ranking.globalRunningAgg(vals, Seq(col("id").asc),
+        col("v")).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("rank"), r.getAs[Long]("cum")))
+      .sortBy(_._1)
+    assert(ra.toSeq === Seq((1L, 1L, 0L), (2L, 2L, 0L), (3L, 3L, 10L), (4L, 4L, 15L)))
+  }
+
   test("PQ encode + ADC top-k: codes valid, ADC matches driver reference, quantization is faithful") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val model = Similarity.pqTrain(emb, m = 8, k = 16)

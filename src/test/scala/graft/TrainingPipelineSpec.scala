@@ -799,6 +799,21 @@ class TrainingPipelineSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.text.lrMaxTrainDocs")
   }
 
+  test("mixtureUpsample: rates above the basis-point Int ceiling abort actionably") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a")).toDF("doc_id", "source")
+    // past Int.MaxValue/10000 the bp math would wrap negative and
+    // silently DROP the source — must abort instead
+    val e = intercept[IllegalArgumentException] {
+      TrainingPipeline.mixtureUpsample(docs, Map("a" -> 300000.0))
+    }
+    assert(e.getMessage.contains("ceiling"))
+    // a large-but-legal rate still works
+    val n = TrainingPipeline.mixtureUpsample(docs, Map("a" -> 1000.0)).count()
+    assert(n >= 999L && n <= 1001L)
+  }
+
   test("mixtureRates: exact solve, binding source keeps all, closes the loop with mixtureSample") {
     val s = spark
     import s.implicits._
