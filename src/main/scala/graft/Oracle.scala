@@ -868,6 +868,104 @@ object Oracle {
         CAST(round(10000 * share * nout / n_docs) AS INT) AS rate_bp
       FROM j, m ORDER BY source""",
 
+    // HyperLogLog registers re-derived from the token-hash chain
+    // (fnv1a(tok || ' ') → splitmix64, the tokenHashes convention —
+    // unlike m02's bare-token simhash fnv): bucket = top 8 bits, rank =
+    // first-1 position of the low 56 (57 when zero; via bin() length).
+    // The register state is pinned by exact integer sums; the estimate
+    // replays the engine arithmetic — exact HUGEINT harmonic sum
+    // Σ2^(57−r), then ONE double division with the identical literal
+    // numerator, so the doubles agree bit-for-bit.
+    "m46_hll_vocab" -> s"""
+      WITH hn AS (SELECT source, trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS nt
+                  FROM documents),
+      htok AS (SELECT source, unnest(string_split(nt, ' ')) AS t
+               FROM hn WHERE length(nt) > 0),
+      hf AS (SELECT source, ${fnv1a("t || ' '")} AS z0 FROM htok),
+      ${mix64Ctes("hmx", "hf", "source")},
+      hobs AS (SELECT source, CAST(h >> 56 AS INT) AS bucket,
+                 h % CAST('72057594037927936' AS HUGEINT) AS w
+               FROM hmx),
+      hrg AS (SELECT source, bucket,
+                max(CASE WHEN w = 0 THEN 57
+                         ELSE 57 - length(bin(CAST(w AS BIGINT))) END) AS r
+              FROM hobs GROUP BY source, bucket),
+      hagg AS (SELECT source, COUNT(*) AS nb, SUM(r) AS sum_rank,
+                 SUM(CAST(bucket AS BIGINT) * r) AS checksum,
+                 SUM(CAST(1 AS HUGEINT) << (57 - r)) AS sp
+               FROM hrg GROUP BY source),
+      hest AS (SELECT source, nb, sum_rank, checksum,
+                 ((0.7213/(1.0+1.079/256.0))*65536.0*144115188075855872.0)
+                   / CAST(sp + (256 - nb) * CAST('144115188075855872' AS HUGEINT) AS DOUBLE) AS rawe
+               FROM hagg)
+      SELECT source, CAST(nb AS INT) AS n_buckets,
+        CAST(sum_rank AS BIGINT) AS sum_rank,
+        CAST(checksum AS BIGINT) AS register_checksum,
+        CASE WHEN nb < 256 AND rawe <= 640.0
+             THEN round(256.0 * ln(256.0 / CAST(256 - nb AS DOUBLE)), 4)
+             ELSE round(rawe, 4) END AS est_distinct
+      FROM hest ORDER BY source""",
+
+    // Count-min cells re-derived per DISTINCT token (occurrence-
+    // weighted — the cell count is Σc over tokens mapping there), row
+    // hashes mix64(h + i) over 4 row indices mod the power-of-two
+    // width; the probe read is the same min-over-rows with absent
+    // cells as 0.
+    "m47_cms_estimates" -> s"""
+      WITH cn AS (SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS nt
+                  FROM documents),
+      ctok AS (SELECT unnest(string_split(nt, ' ')) AS t FROM cn WHERE length(nt) > 0),
+      ccnt AS (SELECT t, COUNT(*) AS c FROM ctok GROUP BY t),
+      cf AS (SELECT t, c, ${fnv1a("t || ' '")} AS z0 FROM ccnt),
+      ${mix64Ctes("cmx", "cf", "t, c")},
+      crow AS (SELECT t, c, CAST(r.range AS INT) AS i, (h + r.range) % $M64 AS z0
+               FROM cmx, range(4) r),
+      ${mix64Ctes("crx", "crow", "t, c, i")},
+      ccell AS (SELECT i, CAST(h % 1024 AS INT) AS b, SUM(c) AS cnt
+                FROM crx GROUP BY i, b),
+      pv AS (SELECT * FROM (VALUES ${graft.core.TextSig.Stopwords.toSeq.sorted
+        .map(w => s"('$w')").mkString(", ")}) AS v(token)),
+      pf AS (SELECT token, ${fnv1a("token || ' '")} AS z0 FROM pv),
+      ${mix64Ctes("pmx", "pf", "token")},
+      prow AS (SELECT token, CAST(r.range AS INT) AS i, (h + r.range) % $M64 AS z0
+               FROM pmx, range(4) r),
+      ${mix64Ctes("prx", "prow", "token, i")},
+      pcell AS (SELECT token, i, CAST(h % 1024 AS INT) AS b FROM prx)
+      SELECT token, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
+      FROM pcell LEFT JOIN ccell USING (i, b)
+      GROUP BY token ORDER BY token""",
+
+    // Bloom decontamination: m13's gram derivation (string 13-grams) →
+    // wordShingles hash chain (fnv1a(gram || ' ') → mix64 — per-token
+    // trailing spaces make the gram hash equal fnv over the joined
+    // string plus one) → three positions mix64(h + j) mod 2^16. A gram
+    // is flagged when ALL THREE positions land in the benchmark
+    // position set — j is retained through the join so duplicate
+    // positions within a gram count per-check, like the kernel.
+    "m48_bloom_contamination" -> s"""
+      WITH bnrm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS nt
+                    FROM documents),
+      btk AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM bnrm WHERE length(nt) > 0),
+      bsh AS (SELECT doc_id,
+                list_distinct(list_transform(range(1, greatest(len(toks)-12,1)+1),
+                  i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i AS INT)+12), ' '))) AS s
+              FROM btk),
+      bgr AS (SELECT doc_id, unnest(s) AS gram FROM bsh),
+      bgf AS (SELECT doc_id, gram, ${fnv1a("gram || ' '")} AS z0 FROM bgr),
+      ${mix64Ctes("bgx", "bgf", "doc_id, gram")},
+      bpj AS (SELECT doc_id, gram, CAST(r.range AS INT) AS j, (h + r.range) % $M64 AS z0
+              FROM bgx, range(3) r),
+      ${mix64Ctes("bpx", "bpj", "doc_id, gram, j")},
+      bpos AS (SELECT doc_id, gram, j, CAST(h % 65536 AS INT) AS pos FROM bpx),
+      bset AS (SELECT DISTINCT pos FROM bpos WHERE doc_id % 5 = 0),
+      bflag AS (SELECT doc_id, gram
+                FROM bpos JOIN bset USING (pos)
+                WHERE doc_id % 5 <> 0
+                GROUP BY doc_id, gram HAVING COUNT(*) = 3)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS flagged_grams
+      FROM bflag GROUP BY doc_id
+      ORDER BY doc_id""",
+
     // Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
     // key = -ln(((splitmix64(doc_id+7) >> 11) + 1) / 2^53) / n_chars,
     // smallest k per source; only integer/string columns reach the

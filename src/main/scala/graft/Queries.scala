@@ -1361,6 +1361,49 @@ object Queries {
         Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
       .orderBy("source")
 
+  /** m46 — HyperLogLog vocabulary sketch ([[operators.Sketches.hllVocab]]):
+    * approximate distinct-token count per source with 2^8 registers —
+    * the constant-memory form of m43's exact distincts (registers =
+    * `groupBy(bucket).max(rank)`, so Spark's map-side combine IS the
+    * sketch union; ≤ 256 rows/partition shuffle whatever the corpus
+    * size). The oracle re-derives every register from the token-hash
+    * chain (fnv1a + staged mix64), pins the full register state through
+    * exact integer checksums, and replays the estimate arithmetic
+    * (exact HUGEINT harmonic sum, one final double division) op-for-op. */
+  def m46HllVocab(s: SparkSession, dir: String): DataFrame =
+    operators.Sketches.hllVocab(t(s, dir, "documents"), p = 8)
+      .orderBy("source")
+
+  /** m47 — count-min sketch token-frequency estimates
+    * ([[operators.Sketches.cmsTokenEstimates]]): occurrence-count upper
+    * bounds for the 18 stopword probes from a 4×1024 cell table — the
+    * sketch form of a token `groupBy`. Map-side combine bounds the
+    * shuffle at depth·width rows per partition; token text never moves.
+    * The oracle re-derives the cell table (per-distinct-token hash chain
+    * × 4 row hashes, occurrence-weighted) and takes the same min-over-
+    * rows read per probe. */
+  def m47CmsEstimates(s: SparkSession, dir: String): DataFrame =
+    operators.Sketches.cmsTokenEstimates(t(s, dir, "documents"),
+        graft.core.TextSig.Stopwords.toSeq.sorted, depth = 4, width = 1024)
+      .orderBy("token")
+
+  /** m48 — Bloom-filter approximate decontamination
+    * ([[operators.Sketches.bloomContamination]]): m13's benchmark-overlap
+    * check through a 2^16-bit bitmap (8 KB broadcast vs 8 B/gram sorted
+    * array) — the scale path for benchmark sets too big to broadcast
+    * raw; one-sided error, so the output is a superset of m13's. Same
+    * fixture split (benchmark = doc_id % 5 = 0). The oracle re-derives
+    * the gram-hash chain and all three bit positions per gram, builds
+    * the benchmark position set, and flags grams whose every position is
+    * present. */
+  def m48BloomContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    operators.Sketches.bloomContamination(
+        docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0),
+        n = 13, bits = 1 << 16, kHashes = 3)
+      .orderBy("doc_id")
+  }
+
   /** m12 — COMPOSED multimodal near-dup: still images and sampled video
     * frames land in ONE feature space (8-bin value histogram — the
     * image path through `imageFeatures`/ImageIO, the frame path through

@@ -127,6 +127,9 @@ object SparkEntry {
     "m43_corpus_card" -> Queries.m43CorpusCard,
     "m44_weighted_sample" -> Queries.m44WeightedSample,
     "m45_mixture_rates" -> Queries.m45MixtureRates,
+    "m46_hll_vocab" -> Queries.m46HllVocab,
+    "m47_cms_estimates" -> Queries.m47CmsEstimates,
+    "m48_bloom_contamination" -> Queries.m48BloomContamination,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on

@@ -1,0 +1,260 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.TextSig
+
+/** One HyperLogLog observation: register index + rank (position of the
+  * first 1-bit in the hash remainder). TOP-LEVEL case class — object-
+  * nested encoder types silently drop codegen projections (CLAUDE.md). */
+final case class HllItem(bucket: Int, rank: Int)
+
+/** One count-min cell contribution: packed (row·width + bucket) cell id
+  * and the doc-local occurrence count. TOP-LEVEL for the encoder rule. */
+final case class CmsItem(cell: Int, cnt: Long)
+
+/**
+ * Mergeable sketches for corpus-scale cardinality and frequency
+ * estimation — the constant-memory counterparts of the exact operators
+ * (`corpusCard`'s distinct counts, a token `groupBy`): at 100 TB the
+ * exact forms shuffle every distinct key once, while a sketch shuffles a
+ * CONSTANT number of cells per partition regardless of corpus size.
+ *
+ * All sketch state here is expressed relationally, which makes the merge
+ * step Spark's own partial aggregation:
+ *  - HyperLogLog registers are `groupBy(bucket).agg(max(rank))` — the
+ *    map-side combine IS the sketch union, so each partition ships at
+ *    most 2^p rows per group;
+ *  - count-min cells are `groupBy(cell).agg(sum(cnt))` — at most
+ *    depth·width rows per partition ship, whatever the token volume.
+ * Estimates are then closed-form expressions over the tiny sketch frame.
+ * Everything is deterministic (seeded splitmix64 over the shared
+ * `TextSig` token hashes), so results are pure functions of the input
+ * set — reproducible across runs, partitionings and engines, and
+ * re-derivable by the DuckDB oracles (m46/m47).
+ */
+object Sketches {
+
+  // ---- HyperLogLog (Flajolet et al. 2007) ----
+
+  /** Per-document HLL observations, pre-folded in the kernel: one
+    * (bucket, max rank) pair per register the doc's tokens touch — at
+    * most 2^p rows per doc instead of one per token. */
+  private def hllKernel(p: Int) = udf { (t: String) =>
+    val hashes = TextSig.tokenHashes(t)
+    val m = 1 << p
+    val regs = new Array[Byte](m)
+    var i = 0
+    while (i < hashes.length) {
+      val h = hashes(i)
+      val bucket = (h >>> (64 - p)).toInt
+      val w = h << p
+      val rank = if (w == 0) 64 - p + 1 else java.lang.Long.numberOfLeadingZeros(w) + 1
+      if (rank > regs(bucket)) regs(bucket) = rank.toByte
+      i += 1
+    }
+    val out = Array.newBuilder[HllItem]
+    var b = 0
+    while (b < m) { if (regs(b) > 0) out += HllItem(b, regs(b)); b += 1 }
+    out.result()
+  }
+
+  /** Raw HLL registers per group: (group, bucket, r) with r = max rank.
+    * The shuffle is bounded at 2^p rows per (group, partition) — the
+    * map-side combine is exactly the HLL union. */
+  def hllRegisters(docs: DataFrame, p: Int, groupBy: Column,
+      textCol: String = "text"): DataFrame = {
+    require(p >= 4 && p <= 16, s"hllRegisters: p=$p out of [4,16]")
+    docs
+      .select(groupBy.cast("string").as("group"),
+        explode(hllKernel(p)(col(textCol))).as("item"))
+      .groupBy(col("group"), col("item.bucket").as("bucket"))
+      .agg(max(col("item.rank")).as("r"))
+  }
+
+  /**
+   * Approximate distinct-token count (vocabulary size) per source — the
+   * sketch form of `corpusCard`'s exact distincts. Returns per source:
+   *  - `n_buckets`: registers touched (2^p − n_buckets empty),
+   *  - `sum_rank`, `register_checksum` (Σ bucket·rank): exact integer
+   *    pins of the full register state for the oracle,
+   *  - `est_distinct`: the HLL estimate α_m·m²/Σ2^(−M_j), with the
+   *    standard linear-counting fallback m·ln(m/V) when the raw
+   *    estimate ≤ 2.5m and V registers are empty.
+   *
+   * Determinism note: the harmonic sum Σ2^(−M_j) is computed EXACTLY as
+   * a scaled integer (Σ2^(Rmax−M_j) in DECIMAL(38,0) — every term a
+   * power of two, no float-addition order sensitivity), and only the
+   * final division happens in doubles, so the estimate is bit-stable
+   * under any partitioning and matches the oracle's HUGEINT re-derivation.
+   */
+  def hllVocab(docs: DataFrame, p: Int = 8, sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val m = 1 << p
+    val rmax = 64 - p + 1
+    val alpha = 0.7213 / (1.0 + 1.079 / m.toDouble)
+    // numerator alpha·m²·2^Rmax, left-associated — the oracle mirrors
+    // this exact literal arithmetic so the doubles agree bit-for-bit
+    val c1 = alpha * (m.toLong * m).toDouble * math.pow(2.0, rmax)
+    val s = hllRegisters(docs, p, col(sourceCol), textCol)
+      .groupBy(col("group").as("source"))
+      .agg(
+        count(lit(1)).cast("int").as("n_buckets"),
+        sum(col("r").cast("long")).as("sum_rank"),
+        sum(col("bucket").cast("long") * col("r")).as("register_checksum"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $rmax - r)").cast("decimal(38,0)"))
+          .as("s_present"))
+    val zeros = lit(m) - col("n_buckets")
+    val sTot = (col("s_present") +
+      zeros.cast("decimal(38,0)") * lit(BigDecimal(2).pow(rmax).bigDecimal)).cast("decimal(38,0)")
+    val raw = lit(c1) / sTot.cast("double")
+    s.select(
+        col("source"), col("n_buckets"), col("sum_rank"), col("register_checksum"),
+        when(zeros > 0 && raw <= lit(2.5 * m),
+            round(lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")), 4))
+          .otherwise(round(raw, 4)).as("est_distinct"))
+  }
+
+  // ---- Count-min sketch (Cormode & Muthukrishnan 2005) ----
+
+  /** depth hash rows: row i maps token hash h to cell
+    * mix64(h + i) & (width − 1). Width must be a power of two so the
+    * unsigned mod of the oracle's HUGEINT equals the signed `&` here. */
+  @inline private def cmsPos(h: Long, i: Int, width: Int): Int =
+    (TextSig.mix64(h + i) & (width - 1)).toInt
+
+  /** Per-document cell contributions, pre-counted in the kernel: one
+    * (cell, count) pair per touched cell — ≤ min(depth·tokens, depth·width)
+    * rows per doc, counting token OCCURRENCES (not distinct). */
+  private def cmsKernel(depth: Int, width: Int) = udf { (t: String) =>
+    val hashes = TextSig.tokenHashes(t)
+    val m = new java.util.HashMap[Integer, java.lang.Long]()
+    var i = 0
+    while (i < hashes.length) {
+      var r = 0
+      while (r < depth) {
+        val cell = r * width + cmsPos(hashes(i), r, width)
+        val prev = m.get(cell)
+        m.put(cell, if (prev == null) 1L else prev + 1L)
+        r += 1
+      }
+      i += 1
+    }
+    val out = new Array[CmsItem](m.size)
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) { val e = it.next(); out(j) = CmsItem(e.getKey, e.getValue); j += 1 }
+    out
+  }
+
+  /** The count-min cell table over the corpus token stream:
+    * (row, bucket, cnt), at most depth·width rows total. The shuffle is
+    * bounded at depth·width rows per partition by map-side combine —
+    * token text never moves, whatever the corpus size. */
+  def cmsCells(docs: DataFrame, depth: Int = 4, width: Int = 1024,
+      textCol: String = "text"): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"cmsCells: depth=$depth out of [1,8]")
+    require(width >= 2 && (width & (width - 1)) == 0,
+      s"cmsCells: width=$width must be a power of two")
+    docs
+      .select(explode(cmsKernel(depth, width)(col(textCol))).as("item"))
+      .groupBy(col("item.cell").as("cell"))
+      .agg(sum(col("item.cnt")).as("cnt"))
+      .select((col("cell") / width).cast("int").as("row"),
+        pmod(col("cell"), lit(width)).as("bucket"), col("cnt"))
+  }
+
+  /** Point estimates for `probes` against a cell table: the classic CMS
+    * read, est(token) = min over rows of the token's cell count — an
+    * upper bound on the true occurrence count (never under). The probe
+    * frame is driver-built (|probes|·depth rows) and broadcast into the
+    * join; the cell table is itself sketch-sized. */
+  def cmsEstimates(cells: DataFrame, probes: Seq[String], depth: Int = 4,
+      width: Int = 1024): DataFrame = {
+    require(probes.nonEmpty, "cmsEstimates: empty probe set")
+    val s = cells.sparkSession
+    import s.implicits._
+    val probeCells = probes.flatMap { tok =>
+      val h = TextSig.tokenHashes(tok)
+      require(h.length == 1, s"cmsEstimates: probe '$tok' is not a single token")
+      (0 until depth).map(r => (tok, r * width + cmsPos(h(0), r, width)))
+    }.toDF("token", "cell")
+    probeCells
+      .join(broadcast(cells.select((col("row") * width + col("bucket")).as("cell"),
+          col("cnt"))),
+        Seq("cell"), "left")
+      .groupBy(col("token"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** Composed build + probe: token occurrence estimates for `probes`
+    * over the corpus, one sketch pass + one broadcast join. */
+  def cmsTokenEstimates(docs: DataFrame, probes: Seq[String], depth: Int = 4,
+      width: Int = 1024, textCol: String = "text"): DataFrame =
+    cmsEstimates(cmsCells(docs, depth, width, textCol), probes, depth, width)
+
+  // ---- Bloom-filter membership (approximate decontamination) ----
+
+  /** k bit positions of gram hash g: mix64(g + j) & (bits − 1), the same
+    * seeded chain as [[cmsPos]] (bits a power of two for oracle parity). */
+  @inline private def bloomPos(g: Long, j: Int, bits: Int): Int =
+    (TextSig.mix64(g + j) & (bits - 1)).toInt
+
+  /**
+   * Approximate benchmark decontamination via a Bloom filter — the scale
+   * path of `TrainingPipeline.contamination` for when the benchmark gram
+   * SET is too big to broadcast raw: 2^Θ bits (bits/8 bytes, e.g. 8 KB at
+   * 2^16) replace the 8-byte-per-gram sorted array, at the price of a
+   * bounded false-positive rate ((1−e^(−kn/m))^k — one-sided: every truly
+   * contaminated doc is flagged, a clean doc may be). Returns
+   * (doc_id, flagged_grams) for docs with ≥ `minHits` distinct flagged
+   * grams — a SUPERSET of the exact operator's rows.
+   *
+   * Scale shape: identical to the exact path — the corpus never shuffles
+   * or explodes; each doc's distinct gram hashes are tested against the
+   * broadcast bitmap in one narrow kernel pass. Building the bitmap costs
+   * one distinct-positions aggregation over the benchmark (bounded by
+   * contract, like the exact gram set).
+   */
+  def bloomContamination(docs: DataFrame, benchmark: DataFrame, n: Int = 13,
+      bits: Int = 1 << 16, kHashes: Int = 3, minHits: Long = 1,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(bits >= 64 && (bits & (bits - 1)) == 0,
+      s"bloomContamination: bits=$bits must be a power of two >= 64")
+    require(kHashes >= 1 && kHashes <= 8,
+      s"bloomContamination: kHashes=$kHashes out of [1,8]")
+    val gramsUdf = udf((t: String) => TextSig.wordShingles(t, n))
+    val posUdf = udf { (g: Long) =>
+      val a = new Array[Int](kHashes); var j = 0
+      while (j < kHashes) { a(j) = bloomPos(g, j, bits); j += 1 }
+      a
+    }
+    val positions = Dedup.spread(benchmark.select(col(textCol)))
+      .select(explode(gramsUdf(col(textCol))).as("g"))
+      .select(explode(posUdf(col("g"))).as("pos"))
+      .distinct()
+      .collect().map(_.getInt(0))
+    val bitmap = new Array[Long](bits / 64)
+    positions.foreach(p => bitmap(p >>> 6) |= 1L << (p & 63))
+    val bc = docs.sparkSession.sparkContext.broadcast(bitmap)
+    val hitsUdf = udf { (t: String) =>
+      val bm = bc.value
+      val grams = TextSig.wordShingles(t, n)
+      var hits = 0L; var i = 0
+      while (i < grams.length) {
+        var j = 0; var all = true
+        while (all && j < kHashes) {
+          val p = bloomPos(grams(i), j, bits)
+          all = (bm(p >>> 6) & (1L << (p & 63))) != 0
+          j += 1
+        }
+        if (all) hits += 1
+        i += 1
+      }
+      hits
+    }
+    docs.select(col(idCol), hitsUdf(col(textCol)).as("flagged_grams"))
+      .filter(col("flagged_grams") >= minHits)
+  }
+}

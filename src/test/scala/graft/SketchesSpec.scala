@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.TextSig
+import graft.operators.{Sketches, TrainingPipeline}
+
+/** Mergeable-sketch operators: HLL vocabulary, count-min frequency,
+  * Bloom membership — accuracy vs driver-exact references, the sketch
+  * guarantees (CMS never under, Bloom one-sided), and partitioning
+  * invariance (the results are pure functions of the input SET). */
+class SketchesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  /** Driver-exact (source → distinct tokens, token → occurrences). */
+  private lazy val (exactVocab, exactFreq) = {
+    val rows = docs.select("source", "text").collect()
+    val vocab = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
+    val freq = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val toks = TextSig.normalize(r.getString(1)) match {
+        case "" => Array.empty[String]
+        case n  => n.split(' ')
+      }
+      val set = vocab.getOrElseUpdate(src, scala.collection.mutable.Set.empty)
+      TextSig.tokenHashes(r.getString(1)).foreach(set += _)
+      toks.foreach(t => freq(t) += 1L)
+    }
+    (vocab.view.mapValues(_.size.toLong).toMap, freq.toMap)
+  }
+
+  test("hllVocab estimates per-source vocabulary within the p=8 error bound") {
+    val est = Sketches.hllVocab(docs, p = 8).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(est.keySet == exactVocab.keySet)
+    est.foreach { case (src, e) =>
+      val exact = exactVocab(src).toDouble
+      // std error 1.04/sqrt(256) ~ 6.5%; 4 sigma margin
+      assert(math.abs(e - exact) / exact < 0.26,
+        s"$src: est $e vs exact $exact")
+    }
+  }
+
+  test("hllVocab is partitioning-invariant and its registers merge as max") {
+    val base = Sketches.hllVocab(docs, p = 8).orderBy("source").collect().toSeq
+    val re = Sketches.hllVocab(docs.repartition(7), p = 8)
+      .orderBy("source").collect().toSeq
+    assert(base == re)
+    // union-of-halves registers == full-corpus registers (sketch merge)
+    val full = Sketches.hllRegisters(docs, 8, col("source"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val half1 = Sketches.hllRegisters(docs.filter(col("doc_id") % 2 === 0), 8, col("source"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val half2 = Sketches.hllRegisters(docs.filter(col("doc_id") % 2 === 1), 8, col("source"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val merged = (half1.keySet ++ half2.keySet).map { k =>
+      k -> math.max(half1.getOrElse(k, 0), half2.getOrElse(k, 0))
+    }.toMap
+    assert(merged == full)
+  }
+
+  test("cmsTokenEstimates never under-counts and is partitioning-invariant") {
+    val probes = TextSig.Stopwords.toSeq.sorted
+    val est = Sketches.cmsTokenEstimates(docs, probes).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == probes.toSet)
+    probes.foreach { p =>
+      val exact = exactFreq.getOrElse(p, 0L)
+      assert(est(p) >= exact, s"'$p': est ${est(p)} under exact $exact")
+    }
+    // collisions can only ADD mass bounded by the stream length
+    val totalTokens = exactFreq.values.sum
+    probes.foreach(p => assert(est(p) <= totalTokens))
+    val re = Sketches.cmsTokenEstimates(docs.repartition(5), probes).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(re == est)
+  }
+
+  test("bloomContamination flags a superset of the exact operator") {
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val bench = docs.filter(col("doc_id") % 5 === 0)
+    val exact = TrainingPipeline.contamination(corpus, bench).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = Sketches.bloomContamination(corpus, bench).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one-sided: every truly contaminated doc is flagged, with at least
+    // as many flagged grams as true hits
+    exact.foreach { case (id, hits) =>
+      assert(bloom.contains(id), s"doc $id contaminated but not flagged")
+      assert(bloom(id) >= hits, s"doc $id: bloom ${bloom(id)} < exact $hits")
+    }
+    val re = Sketches.bloomContamination(corpus.repartition(5), bench).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re == bloom)
+  }
+}
