@@ -966,6 +966,45 @@ object Oracle {
       FROM bflag GROUP BY doc_id
       ORDER BY doc_id""",
 
+    // BM25: tf per (doc, query term) from the shared tokenization, df =
+    // docs with tf > 0, N counts ALL docs (token-less docs contribute
+    // dl 0 to avgdl, like the engine's stats pass). The score
+    // expression tree mirrors the engine literally — same literals,
+    // same op order — and per-term contributions are rounded to 9
+    // decimals then summed as DECIMAL, so the doubles agree and the
+    // sum is order-free. Terms are the gate queries' constants.
+    "m49_bm25_topk" -> """
+      WITH qt(query_id, term) AS (VALUES (0,'fast'),(0,'hash'),(0,'join'),
+          (1,'window'),(1,'agg'),(1,'stream'),
+          (2,'slow'),(2,'table'),(2,'scan'),(2,'customer')),
+      bnr AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS nt
+              FROM documents),
+      btk AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM bnr WHERE length(nt) > 0),
+      stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+                       (SELECT COALESCE(SUM(len(toks)), 0) FROM btk) AS sumdl),
+      terms AS (SELECT DISTINCT term FROM qt),
+      tfp AS (SELECT doc_id, term, tf, dl FROM
+                (SELECT doc_id, term, len(list_filter(toks, x -> x = term)) AS tf,
+                   len(toks) AS dl
+                 FROM btk, terms)
+              WHERE tf > 0),
+      dft AS (SELECT term, COUNT(*) AS df FROM tfp GROUP BY term),
+      contrib AS (SELECT q.query_id, f.doc_id,
+          CAST(round(
+            ln(((s.n - d.df) + 0.5) / (d.df + 0.5) + 1.0) *
+            ((CAST(f.tf AS DOUBLE) * (1.2 + 1.0)) /
+             (CAST(f.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) +
+               0.75 * (CAST(f.dl AS DOUBLE) /
+                       (CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE)))))),
+            9) AS DECIMAL(18,9)) AS c
+        FROM tfp f JOIN dft d USING (term) JOIN qt q USING (term), stats s),
+      bsc AS (SELECT query_id, doc_id, SUM(c) AS score FROM contrib
+              GROUP BY query_id, doc_id),
+      brk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id ASC) AS INT) AS rank FROM bsc)
+      SELECT query_id, doc_id, CAST(score AS DOUBLE) AS score, rank
+      FROM brk WHERE rank <= 10 ORDER BY query_id, rank""",
+
     // Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
     // key = -ln(((splitmix64(doc_id+7) >> 11) + 1) / 2^53) / n_chars,
     // smallest k per source; only integer/string columns reach the

@@ -1404,6 +1404,23 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** m49 — BM25 keyword retrieval ([[operators.Retrieval.bm25TopK]]):
+    * top-10 docs for three keyword queries under Okapi BM25 with the
+    * always-positive Lucene idf (k1 = 1.2, b = 0.75) — the lexical
+    * retrieval step of a curation loop, next to the ANN operators. Two
+    * narrow kernel passes (stats via `observe` on the df aggregation,
+    * then scoring), candidates cut by per-partition heaps before the
+    * final window. The oracle re-derives tf/df/avgdl from the shared
+    * tokenization and replays the score expression literally;
+    * per-term contributions are rounded then DECIMAL-summed on both
+    * sides, so the sum is term-order-independent. */
+  def m49Bm25TopK(s: SparkSession, dir: String): DataFrame =
+    operators.Retrieval.bm25TopK(t(s, dir, "documents"),
+        Seq(0 -> "fast hash join", 1 -> "window agg stream",
+          2 -> "slow table scan customer"),
+        k = 10)
+      .orderBy("query_id", "rank")
+
   /** m12 — COMPOSED multimodal near-dup: still images and sampled video
     * frames land in ONE feature space (8-bin value histogram — the
     * image path through `imageFeatures`/ImageIO, the frame path through

@@ -130,6 +130,7 @@ object SparkEntry {
     "m46_hll_vocab" -> Queries.m46HllVocab,
     "m47_cms_estimates" -> Queries.m47CmsEstimates,
     "m48_bloom_contamination" -> Queries.m48BloomContamination,
+    "m49_bm25_topk" -> Queries.m49Bm25TopK,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on

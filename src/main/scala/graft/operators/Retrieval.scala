@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.TextSig
+
+/** Per-document BM25 term-frequency row: index into the broadcast term
+  * table + occurrence count. TOP-LEVEL case class — object-nested
+  * encoder types silently drop codegen projections (CLAUDE.md). */
+final case class Bm25Hit(t: Int, tf: Int)
+
+/** Per-document kernel output: token count + matched-term frequencies.
+  * TOP-LEVEL for the same encoder rule. */
+final case class Bm25Doc(dl: Int, hits: Array[Bm25Hit])
+
+/**
+ * Lexical retrieval over the corpus — BM25 (Robertson–Spärck Jones /
+ * Okapi, the Lucene-style always-positive idf variant): score docs for a
+ * bounded set of keyword queries and return the top-k per query. The
+ * retrieval step of a quality/curation loop (find docs about X, audit
+ * what the corpus says about Y) next to the embedding-space ANN
+ * operators in [[Similarity]].
+ *
+ * Scale shape: the query TERM table is broadcast (queries are bounded by
+ * contract); the corpus is touched in two narrow kernel passes and never
+ * shuffles text — pass 1 aggregates the collection statistics (N, Σdl via
+ * `observe` on the same action that counts per-term document frequencies,
+ * so stats cost ONE job), pass 2 scores matching docs. Only (query, doc,
+ * score) candidate rows — docs containing ≥1 query term — move, and they
+ * are cut to k·partitions rows by per-partition top-k heaps BEFORE the
+ * final global window ([[TrainingPipeline.stratifiedSample]]'s shape), so
+ * there is no unpartitioned corpus-sized sort anywhere.
+ *
+ * Determinism: per-(query, doc, term) contributions are rounded to 9
+ * decimals and summed EXACTLY as DECIMAL(18,9) in term-independent order;
+ * idf/avgdl come from integer aggregates through a pinned double
+ * expression tree (the oracle replays it literally); ranking ties break
+ * on doc_id. Scores at 9-decimal scale are double-exact, so the heap's
+ * double compare equals the window's decimal compare.
+ */
+object Retrieval {
+
+  def bm25TopK(docs: DataFrame, queries: Seq[(Int, String)], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queries.nonEmpty, "bm25TopK: no queries")
+    require(k > 0, s"bm25TopK: k=$k must be positive")
+    val s = docs.sparkSession
+    import s.implicits._
+
+    // distinct normalized terms per query; a global distinct term table
+    // indexes the kernel output
+    val queryTerms: Seq[(Int, Seq[String])] = queries.map { case (qid, q) =>
+      val n = TextSig.normalize(q)
+      (qid, if (n.isEmpty) Seq.empty else n.split(' ').toSeq.distinct)
+    }
+    val terms: Array[String] = queryTerms.flatMap(_._2).distinct.sorted.toArray
+    require(terms.nonEmpty, "bm25TopK: queries contain no terms")
+    val bcTerms = s.sparkContext.broadcast(terms)
+
+    val kernel = udf { (t: String) =>
+      val ts = bcTerms.value
+      val n = TextSig.normalize(t)
+      val toks = if (n.isEmpty) Array.empty[String] else n.split(' ')
+      val tf = new Array[Int](ts.length)
+      var i = 0
+      while (i < toks.length) {
+        val idx = java.util.Arrays.binarySearch(ts.asInstanceOf[Array[AnyRef]],
+          toks(i).asInstanceOf[AnyRef])
+        if (idx >= 0) tf(idx) += 1
+        i += 1
+      }
+      val out = Array.newBuilder[Bm25Hit]
+      var j = 0
+      while (j < ts.length) { if (tf(j) > 0) out += Bm25Hit(j, tf(j)); j += 1 }
+      Bm25Doc(toks.length, out.result())
+    }
+
+    // pass 1 — collection stats: df per term, with N and Σdl observed on
+    // the SAME action (full-scan aggregate, per the observe contract)
+    val obs = Observation("bm25_stats")
+    val dfByTerm: Map[Int, Long] = docs
+      .select(kernel(col(textCol)).as("d"))
+      .observe(obs, count(lit(1)).as("n"), sum(col("d.dl")).as("sumdl"))
+      .select(explode(col("d.hits")).as("h"))
+      .groupBy(col("h.t").as("t")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n: Long = obs.get("n").asInstanceOf[Long]
+    val sumdl: Long = obs.get("sumdl") match {
+      case null => 0L; case v => v.asInstanceOf[Long]
+    }
+    require(n > 0, "bm25TopK: empty corpus")
+    val avgdl: Double = sumdl.toDouble / n.toDouble
+
+    // idf from integer aggregates — the oracle replays this expression
+    // with its own (n, df): ln(((n - df) + 0.5) / (df + 0.5) + 1.0)
+    def idf(df: Long): Double =
+      math.log(((n - df) + 0.5) / (df + 0.5) + 1.0)
+    // (query_id, term index, idf) — broadcast-sized by contract
+    val termMeta = queryTerms.flatMap { case (qid, ts) =>
+      ts.map { tm =>
+        val ti = java.util.Arrays.binarySearch(terms.asInstanceOf[Array[AnyRef]],
+          tm.asInstanceOf[AnyRef])
+        (qid, ti, idf(dfByTerm.getOrElse(ti, 0L)))
+      }
+    }.toDF("query_id", "t", "idf")
+
+    // pass 2 — score candidates: per-(query, doc, term) contribution,
+    // rounded then summed exactly as DECIMAL (term-order-independent)
+    val tfD = col("h.tf").cast("double")
+    val contrib = round(
+      col("idf") * ((tfD * lit(k1 + 1.0)) /
+        (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * (col("d.dl").cast("double") / lit(avgdl))))),
+      9).cast("decimal(18,9)")
+    val scores = docs
+      .select(col(idCol).cast("long").as("doc_id"), kernel(col(textCol)).as("d"))
+      .select(col("doc_id"), col("d"), explode(col("d.hits")).as("h"))
+      .join(broadcast(termMeta), col("h.t") === termMeta("t"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(contrib).as("score"))
+
+    // cut candidates to k per (partition, query) before the global
+    // window — 9-decimal scores are double-exact, so the heap's double
+    // order equals the window's decimal order
+    val candidates = scores
+      .select(col("query_id"), col("doc_id"), col("score"))
+      .as[(Int, Long, java.math.BigDecimal)]
+      .mapPartitions { it =>
+        val heaps = scala.collection.mutable.HashMap
+          .empty[Int, scala.collection.mutable.PriorityQueue[(Double, Long, java.math.BigDecimal)]]
+        // key = (−score, doc_id, score): smaller key = better candidate;
+        // the natural-order max-heap keeps the k smallest keys, head =
+        // worst survivor
+        implicit val hord: Ordering[(Double, Long, java.math.BigDecimal)] =
+          Ordering.by(x => (x._1, x._2))
+        it.foreach { case (qid, id, sc) =>
+          val key = (-sc.doubleValue(), id, sc)
+          val q = heaps.getOrElseUpdate(qid,
+            scala.collection.mutable.PriorityQueue.empty[(Double, Long, java.math.BigDecimal)])
+          if (q.size < k) q.enqueue(key)
+          else if (hord.lt(key, q.head)) { q.dequeue(); q.enqueue(key) }
+        }
+        heaps.iterator.flatMap { case (qid, q) =>
+          q.iterator.map { case (_, id, sc) => (qid, id, sc) }
+        }
+      }
+      .toDF("query_id", "doc_id", "score")
+    candidates
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("score").cast("double").as("score"),
+        col("rank"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.TextSig
+import graft.operators.Retrieval
+
+/** BM25 retrieval vs a from-scratch driver reference (same rounding
+  * contract: per-term contributions rounded HALF_UP to 9 decimals via
+  * the d.toString BigDecimal path, then exactly summed), plus
+  * partitioning invariance and ranking-contract checks. */
+class RetrievalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  private val queries = Seq(0 -> "fast hash join", 1 -> "slow table scan")
+  private val K = 8
+
+  /** Driver-exact BM25 (k1 = 1.2, b = 0.75, Lucene idf). */
+  private def reference(): Map[Int, Seq[(Long, BigDecimal)]] = {
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), TextSig.normalize(r.getString(1))))
+    val toks = rows.map { case (id, n) =>
+      (id, if (n.isEmpty) Array.empty[String] else n.split(' '))
+    }
+    val n = toks.length.toLong
+    val sumdl = toks.map(_._2.length.toLong).sum
+    val avgdl = sumdl.toDouble / n.toDouble
+    val (k1, b) = (1.2, 0.75)
+    queries.map { case (qid, q) =>
+      val terms = TextSig.normalize(q).split(' ').distinct
+      val df = terms.map(t => t -> toks.count(_._2.contains(t)).toLong).toMap
+      val scored = toks.flatMap { case (id, tk) =>
+        val dl = tk.length
+        val contribs = terms.toSeq.flatMap { t =>
+          val tf = tk.count(_ == t)
+          if (tf == 0) None
+          else {
+            val idf = math.log(((n - df(t)) + 0.5) / (df(t) + 0.5) + 1.0)
+            val raw = idf * ((tf.toDouble * (k1 + 1.0)) /
+              (tf.toDouble + k1 * ((1.0 - b) + b * (dl.toDouble / avgdl))))
+            Some(BigDecimal(raw.toString)
+              .setScale(9, scala.math.BigDecimal.RoundingMode.HALF_UP))
+          }
+        }
+        if (contribs.isEmpty) None else Some((id, contribs.sum))
+      }
+      qid -> scored.sortBy { case (id, sc) => (-sc, id) }.take(K).toSeq
+    }.toMap
+  }
+
+  test("bm25TopK equals the exact driver reference, scores included") {
+    val got = Retrieval.bm25TopK(docs, queries, k = K).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val ref = reference()
+    queries.foreach { case (qid, _) =>
+      val g = got.filter(_._1 == qid).sortBy(_._4)
+      val r = ref(qid)
+      assert(g.map(_._2).toSeq == r.map(_._1),
+        s"query $qid ranking: ${g.map(_._2).toSeq} vs ${r.map(_._1)}")
+      g.zip(r).foreach { case ((_, _, sc, _), (_, rsc)) =>
+        assert(math.abs(sc - rsc.toDouble) < 1e-12)
+      }
+      assert(g.map(_._4).toSeq == (1 to r.size))
+    }
+  }
+
+  test("bm25TopK is partitioning-invariant") {
+    val a = Retrieval.bm25TopK(docs, queries, k = K)
+      .orderBy("query_id", "rank").collect().toSeq
+    val b = Retrieval.bm25TopK(docs.repartition(7), queries, k = K)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(a == b)
+  }
+
+  test("bm25TopK rejects empty inputs") {
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopK(docs, Seq.empty, k = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopK(docs, queries, k = 0)
+    }
+  }
+}
