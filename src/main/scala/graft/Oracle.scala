@@ -1005,6 +1005,65 @@ object Oracle {
       SELECT query_id, doc_id, CAST(score AS DOUBLE) AS score, rank
       FROM brk WHERE rank <= 10 ORDER BY query_id, rank""",
 
+    // Fixed-point PageRank replayed exactly: edges from the EXACT
+    // all-pairs 5-char-shingle Jaccard at 0.5 (the m01 equality — LSH
+    // recall is total on this fixture), five unrolled iterations of
+    //   rank' = scale*15//(100*N) + (sum(rank//deg))*85//100
+    // in integer arithmetic (all operands non-negative, so DuckDB's
+    // floor // equals Spark's div).
+    "m50_pagerank" -> {
+      def it(prev: String, cur: String) = s"""
+      $cur AS (SELECT v.id,
+          ((1000000000000*15)//(100*st.pn)) + (COALESCE(c.cs, 0)*85)//100 AS rank
+        FROM vtx v CROSS JOIN pst st
+        LEFT JOIN (SELECT e.dst AS id, SUM(r.rank // g.deg) AS cs
+                   FROM ed e JOIN $prev r ON e.src = r.id
+                   JOIN dg g ON e.src = g.src GROUP BY e.dst) c ON v.id = c.id)"""
+      s"""
+      WITH $CharShingleCtes,
+      prs AS (SELECT a.doc_id AS pa, b.doc_id AS pb
+              FROM sh a, sh b WHERE a.doc_id < b.doc_id
+                AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / (len(a.s)+len(b.s)-len(list_intersect(a.s, b.s))) >= 0.5),
+      ed AS (SELECT pa AS src, pb AS dst FROM prs
+             UNION ALL SELECT pb, pa FROM prs),
+      dg AS (SELECT src, COUNT(*) AS deg FROM ed GROUP BY src),
+      vtx AS (SELECT doc_id AS id FROM documents),
+      pst AS (SELECT COUNT(*) AS pn FROM documents),
+      r0 AS (SELECT v.id, 1000000000000 // st.pn AS rank
+             FROM vtx v CROSS JOIN pst st),
+      ${it("r0", "pr1")},
+      ${it("pr1", "pr2")},
+      ${it("pr2", "pr3")},
+      ${it("pr3", "pr4")},
+      ${it("pr4", "pr5")}
+      SELECT id AS doc_id, CAST(rank AS BIGINT) AS rank_units
+      FROM pr5 ORDER BY doc_id"""
+    },
+
+    // Z-order file stats: MSB-aligned Morton interleave of
+    // (l_partkey @ 11 bits, l_suppkey @ 7 bits << 4 to align at width
+    // 11), total order (z, orderkey, linenumber), 8192-row files,
+    // per-file min/max on both dimensions.
+    "m51_zorder_stats" -> """
+      WITH zs AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+          least(l_partkey, 2047) AS za, least(l_suppkey, 127) << 4 AS zb
+        FROM lineitem),
+      zl AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+          CAST(list_sum(list_transform(range(0, 11), i ->
+            (((za >> CAST(i AS INT)) & 1) << CAST(2*i AS INT)) +
+            (((zb >> CAST(i AS INT)) & 1) << CAST(2*i+1 AS INT))))
+            AS BIGINT) AS zval
+        FROM zs),
+      zr AS (SELECT *, row_number() OVER (ORDER BY zval, l_orderkey,
+               l_linenumber) AS rn FROM zl),
+      zf AS (SELECT CAST((rn - 1) // 8192 AS INT) AS file_id,
+               l_partkey, l_suppkey FROM zr)
+      SELECT file_id, COUNT(*) AS n_rows,
+        MIN(l_partkey) AS min_partkey, MAX(l_partkey) AS max_partkey,
+        MIN(l_suppkey) AS min_suppkey, MAX(l_suppkey) AS max_suppkey
+      FROM zf GROUP BY file_id ORDER BY file_id""",
+
     // Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
     // key = -ln(((splitmix64(doc_id+7) >> 11) + 1) / 2^53) / n_chars,
     // smallest k per source; only integer/string columns reach the

@@ -1421,6 +1421,50 @@ object Queries {
         k = 10)
       .orderBy("query_id", "rank")
 
+  /** m50 — fixed-point PageRank over the near-dup similarity graph
+    * ([[operators.Graph.pageRank]] over [[operators.Dedup.minhashPairs]]
+    * at 0.5, both directions): rank concentration exposes template hubs
+    * the raw pair lists do not. Scaled-integer arithmetic end to end
+    * (units of 10⁻¹², damping as the integer pair 85/100, floored
+    * divisions) — no float accumulation order anywhere, so the oracle
+    * replays all five iterations exactly: edges from m01's exact
+    * all-pairs Jaccard (LSH recall is total on this fixture — the m01
+    * gate pins that equality), iterations as unrolled CTEs. */
+  def m50PageRank(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashPairs(docs, threshold = 0.5)
+    val edges = pairs.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+      .unionByName(pairs.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
+    val out = operators.Graph.pageRank(
+      docs.select(col("doc_id").as("id")), edges, iters = 5)
+    // pageRank's result is an eager checkpoint CUT — the pair pipeline's
+    // blocks are not in its plan, so the harness releaseAll cannot reach
+    // them; everything is materialized by now, release here
+    graft.core.Blocks.releaseAll(pairs)
+    out.select(col("id").as("doc_id"), col("rank").as("rank_units"))
+      .orderBy("doc_id")
+  }
+
+  /** m51 — Z-order layout statistics ([[operators.Layout.zFileStats]]):
+    * lineitem clustered on the Morton interleave of (l_partkey,
+    * l_suppkey) and cut into 8192-row target files; the output is each
+    * file's min/max range on BOTH dimensions — the stats a file format
+    * exposes for pruning, tight on both axes only under the curve. The
+    * widths (11, 7) cover the key domains and MSB-align the dimensions
+    * (see zValue — unaligned widths degenerate to a partkey sort). The
+    * file assignment rides [[operators.Ranking.globalRank]]'s
+    * range-partitioned sort (no single-task window). The oracle replays
+    * the aligned bit interleave and the window exactly. */
+  def m51ZOrder(s: SparkSession, dir: String): DataFrame =
+    operators.Layout.zFileStats(t(s, dir, "lineitem"),
+        col("l_partkey"), col("l_suppkey"), bitsA = 11, bitsB = 7,
+        rowsPerFile = 8192,
+        tieBreaks = Seq(col("l_orderkey"), col("l_linenumber")))
+      .select(col("file_id"), col("n_rows"),
+        col("min_a").as("min_partkey"), col("max_a").as("max_partkey"),
+        col("min_b").as("min_suppkey"), col("max_b").as("max_suppkey"))
+      .orderBy("file_id")
+
   /** m12 — COMPOSED multimodal near-dup: still images and sampled video
     * frames land in ONE feature space (8-bin value histogram — the
     * image path through `imageFeatures`/ImageIO, the frame path through

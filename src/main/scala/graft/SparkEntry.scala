@@ -131,6 +131,8 @@ object SparkEntry {
     "m47_cms_estimates" -> Queries.m47CmsEstimates,
     "m48_bloom_contamination" -> Queries.m48BloomContamination,
     "m49_bm25_topk" -> Queries.m49Bm25TopK,
+    "m50_pagerank" -> Queries.m50PageRank,
+    "m51_zorder_stats" -> Queries.m51ZOrder,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on

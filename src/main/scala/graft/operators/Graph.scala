@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Iterative graph analytics over DataFrames — the Pregel-style
+ * join-aggregate loop (the shape `Dedup.connectedComponents` uses for
+ * min-label propagation), here powering PageRank over a derived document
+ * graph (e.g. the near-dup similarity graph: rank concentration exposes
+ * template/boilerplate hubs that pair lists alone do not).
+ *
+ * Determinism contract: ranks are SCALED INTEGERS (units of 1/scale),
+ * every step is integer arithmetic (floor division, exact Long sums) —
+ * no float accumulation order anywhere, so the result is a pure function
+ * of (vertex set, edge set, iterations), reproducible across runs,
+ * partitionings and engines, and replayable by a SQL oracle iteration
+ * for iteration. The classic damping 0.85 is the integer pair (85, 100):
+ *   rank'(v) = scale·15/(100·N) + (Σ_{u→v} rank(u)/deg(u)) · 85/100
+ * with all divisions floored. Dangling mass (out-degree-0 vertices) is
+ * dropped, the standard simplification.
+ *
+ * Scale shape: each iteration is ONE shuffle (contribution aggregation
+ * by dst) plus a vertex left-join; the rank frame is (id, long) — narrow
+ * however wide the corpus rows are. Rank frames are eagerly
+ * `localCheckpoint`ed per iteration to truncate the growing lineage, and
+ * the PREVIOUS iteration's blocks are released immediately
+ * (`core.Blocks.release` — `unpersist` is a no-op on checkpoints), so the
+ * loop holds at most two rank frames in block storage. On a cluster the
+ * edge frame would be pre-partitioned by src so every iteration's join
+ * reuses one partitioning.
+ */
+object Graph {
+
+  /** @param vertices one row per vertex, column `idCol` (Long)
+    * @param edges    DIRECTED edges (`srcCol`, `dstCol`); pass both
+    *                 directions for an undirected graph
+    * @return (id, rank) with rank in units of 1/scale */
+  def pageRank(vertices: DataFrame, edges: DataFrame, iters: Int = 5,
+      scale: Long = 1000000000000L, idCol: String = "id",
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"pageRank: iters=$iters out of [1,50]")
+    require(scale >= 1000000L, s"pageRank: scale=$scale too coarse")
+    val vtx = vertices.select(col(idCol).cast("long").as("id"))
+      .localCheckpoint(true)
+    val n = vtx.count()
+    require(n > 0, "pageRank: empty vertex set")
+    // out-degree rides the edge frame; one checkpoint, reused every round
+    val deg = edges.groupBy(col(srcCol).cast("long").as("src"))
+      .agg(count(lit(1)).as("deg"))
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .join(deg, "src")
+      .localCheckpoint(true)
+    val base = scale * 15 / (100 * n)
+    var ranks = vtx.select(col("id"), lit(scale / n).as("rank"))
+      .localCheckpoint(true)
+    var i = 0
+    while (i < iters) {
+      val contribs = e.join(ranks, e("src") === ranks("id"))
+        .select(col("dst").as("id"), expr("rank div deg").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("s"))
+      val next = vtx
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + expr("(coalesce(s, CAST(0 AS BIGINT)) * 85) div 100"))
+            .as("rank"))
+        .localCheckpoint(true)
+      graft.core.Blocks.release(ranks)
+      ranks = next
+      i += 1
+    }
+    // the returned frame is a checkpoint CUT — vtx/e are no longer in its
+    // plan, so the caller's releaseAll cannot find them; release here
+    graft.core.Blocks.release(vtx)
+    graft.core.Blocks.release(e)
+    ranks
+  }
+}

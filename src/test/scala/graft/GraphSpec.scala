@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+/** Fixed-point PageRank vs an exact driver replay of the integer
+  * recurrence, plus partitioning invariance and dangling semantics. */
+class GraphSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private val scale = 1000000000000L
+
+  /** Exact driver replay of the scaled-integer recurrence. */
+  private def reference(ids: Seq[Long], edges: Seq[(Long, Long)],
+      iters: Int): Map[Long, Long] = {
+    val n = ids.size
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val base = scale * 15 / (100 * n)
+    var rank = ids.map(_ -> scale / n).toMap
+    (1 to iters).foreach { _ =>
+      val in = edges.groupBy(_._2).view.mapValues { es =>
+        es.map { case (u, _) => rank(u) / deg(u) }.sum
+      }.toMap
+      rank = ids.map(id => id -> (base + in.getOrElse(id, 0L) * 85 / 100)).toMap
+    }
+    rank
+  }
+
+  // a hub (1), a chain into it, a 2-cycle, and a dangling isolate (9)
+  private val ids = Seq(1L, 2L, 3L, 4L, 5L, 9L)
+  private val edges = Seq(
+    2L -> 1L, 3L -> 1L, 4L -> 1L, 1L -> 2L,
+    4L -> 5L, 5L -> 4L)
+
+  test("pageRank equals the exact integer-recurrence reference") {
+    val got = Graph.pageRank(ids.toDF("id"), edges.toDF("src", "dst"), iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == reference(ids, edges, 5))
+    // the hub out-ranks everything; the isolate sits at the closed-form
+    // teleport-only fixed value
+    assert(got(1L) == got.values.max)
+    assert(got(9L) == scale * 15 / (100 * ids.size))
+  }
+
+  test("pageRank is partitioning-invariant") {
+    val v = ids.toDF("id")
+    val e = edges.toDF("src", "dst")
+    val a = Graph.pageRank(v, e, iters = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.pageRank(v.repartition(5), e.repartition(3), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("pageRank validates inputs") {
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(ids.toDF("id"), edges.toDF("src", "dst"), iters = 0)
+    }
+  }
+}

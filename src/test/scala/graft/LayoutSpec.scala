@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Layout
+
+/** Z-order layout: kernel bit-correctness, partitioning invariance, and
+  * the actual pruning claim — a predicate on the SECOND dimension prunes
+  * most z-ordered files but almost no lexicographically-ordered ones. */
+class LayoutSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+
+  test("zValue MSB-aligns then interleaves like the driver reference") {
+    // equal widths: plain interleave; unequal: the narrower column is
+    // left-shifted so both MSBs meet at the common width
+    def il(a: Long, b: Long, w: Int): Long =
+      (0 until w).map(i => (((a >> i) & 1L) << (2 * i)) |
+        (((b >> i) & 1L) << (2 * i + 1))).sum
+    val samples = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 0L),
+      (0L, 65535L), (1234L, 567L), (999L, 42L))
+    val eq = samples.toDF("a", "b")
+      .select(col("a"), col("b"), Layout.zValue(col("a"), col("b"), 16, 16).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    samples.foreach { case (a, b) =>
+      assert(eq((a, b)) == il(math.min(a, 65535L), math.min(b, 65535L), 16))
+    }
+    val un = samples.toDF("a", "b")
+      .select(col("a"), col("b"), Layout.zValue(col("a"), col("b"), 11, 7).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    samples.foreach { case (a, b) =>
+      assert(un((a, b)) == il(math.min(a, 2047L), math.min(b, 127L) << 4, 11))
+    }
+  }
+
+  test("zFileStats is partitioning-invariant") {
+    def stats(df: org.apache.spark.sql.DataFrame) =
+      Layout.zFileStats(df, col("l_partkey"), col("l_suppkey"), 11, 7, 512,
+          Seq(col("l_orderkey"), col("l_linenumber")))
+        .orderBy("file_id").collect().toSeq
+    assert(stats(lineitem) == stats(lineitem.repartition(7)))
+  }
+
+  test("z-order prunes on the second dimension where lexicographic cannot") {
+    // files whose [min_b, max_b] intersects a narrow suppkey range
+    def overlapping(layout: Seq[(Long, Long)], lo: Long, hi: Long): Int =
+      layout.count { case (mn, mx) => mx >= lo && mn <= hi }
+    val z = Layout.zFileStats(lineitem, col("l_partkey"), col("l_suppkey"),
+        11, 7, 512, Seq(col("l_orderkey"), col("l_linenumber")))
+      .select("min_b", "max_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // lexicographic on l_partkey: same file size, same stats shape
+    val lex = Ranking_globalRankFiles()
+    val maxSupp = lineitem.agg(max("l_suppkey")).collect()(0).getLong(0)
+    val (lo, hi) = (0L, maxSupp / 8)
+    val zHit = overlapping(z, lo, hi)
+    val lexHit = overlapping(lex, lo, hi)
+    // the curve keeps suppkey ranges tight: far fewer files touch the
+    // slice than under partkey-ordered layout (which is ~all of them)
+    assert(zHit * 2 < lexHit,
+      s"z-order hit $zHit of ${z.size} files, lexicographic $lexHit of ${lex.size}")
+  }
+
+  /** (min_suppkey, max_suppkey) per 512-row file under orderBy(l_partkey). */
+  private def Ranking_globalRankFiles(): Seq[(Long, Long)] =
+    graft.operators.Ranking.globalRank(lineitem,
+        Seq(col("l_partkey"), col("l_orderkey"), col("l_linenumber")), "r")
+      .withColumn("file_id", expr("(r - 1) div 512"))
+      .groupBy("file_id")
+      .agg(min("l_suppkey").as("mn"), max("l_suppkey").as("mx"))
+      .select("mn", "mx").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+}
