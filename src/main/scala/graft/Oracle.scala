@@ -325,6 +325,38 @@ object Oracle {
       UNION ALL SELECT '4_near_dedup', (SELECT COUNT(*) FROM kept) - COUNT(*) FROM dup
       ORDER BY stage"""
 
+  /** Shared by m49 (BM25 top-k) and m52 (hybrid fusion): the full BM25
+    * derivation ending in CTE `brk(query_id, doc_id, score, rank)` for
+    * the gate's three keyword queries. */
+  private val Bm25Ctes: String = """qt(query_id, term) AS (VALUES (0,'fast'),(0,'hash'),(0,'join'),
+          (1,'window'),(1,'agg'),(1,'stream'),
+          (2,'slow'),(2,'table'),(2,'scan'),(2,'customer')),
+      bnr AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS nt
+              FROM documents),
+      btk AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM bnr WHERE length(nt) > 0),
+      stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+                       (SELECT COALESCE(SUM(len(toks)), 0) FROM btk) AS sumdl),
+      terms AS (SELECT DISTINCT term FROM qt),
+      tfp AS (SELECT doc_id, term, tf, dl FROM
+                (SELECT doc_id, term, len(list_filter(toks, x -> x = term)) AS tf,
+                   len(toks) AS dl
+                 FROM btk, terms)
+              WHERE tf > 0),
+      dft AS (SELECT term, COUNT(*) AS df FROM tfp GROUP BY term),
+      contrib AS (SELECT q.query_id, f.doc_id,
+          CAST(round(
+            ln(((s.n - d.df) + 0.5) / (d.df + 0.5) + 1.0) *
+            ((CAST(f.tf AS DOUBLE) * (1.2 + 1.0)) /
+             (CAST(f.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) +
+               0.75 * (CAST(f.dl AS DOUBLE) /
+                       (CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE)))))),
+            9) AS DECIMAL(18,9)) AS c
+        FROM tfp f JOIN dft d USING (term) JOIN qt q USING (term), stats s),
+      bsc AS (SELECT query_id, doc_id, SUM(c) AS score FROM contrib
+              GROUP BY query_id, doc_id),
+      brk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id ASC) AS INT) AS rank FROM bsc)"""
+
   val sql: Map[String, String] = Map(
 
     "q01_pricing" -> """
@@ -973,37 +1005,37 @@ object Oracle {
     // same op order — and per-term contributions are rounded to 9
     // decimals then summed as DECIMAL, so the doubles agree and the
     // sum is order-free. Terms are the gate queries' constants.
-    "m49_bm25_topk" -> """
-      WITH qt(query_id, term) AS (VALUES (0,'fast'),(0,'hash'),(0,'join'),
-          (1,'window'),(1,'agg'),(1,'stream'),
-          (2,'slow'),(2,'table'),(2,'scan'),(2,'customer')),
-      bnr AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS nt
-              FROM documents),
-      btk AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM bnr WHERE length(nt) > 0),
-      stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
-                       (SELECT COALESCE(SUM(len(toks)), 0) FROM btk) AS sumdl),
-      terms AS (SELECT DISTINCT term FROM qt),
-      tfp AS (SELECT doc_id, term, tf, dl FROM
-                (SELECT doc_id, term, len(list_filter(toks, x -> x = term)) AS tf,
-                   len(toks) AS dl
-                 FROM btk, terms)
-              WHERE tf > 0),
-      dft AS (SELECT term, COUNT(*) AS df FROM tfp GROUP BY term),
-      contrib AS (SELECT q.query_id, f.doc_id,
-          CAST(round(
-            ln(((s.n - d.df) + 0.5) / (d.df + 0.5) + 1.0) *
-            ((CAST(f.tf AS DOUBLE) * (1.2 + 1.0)) /
-             (CAST(f.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) +
-               0.75 * (CAST(f.dl AS DOUBLE) /
-                       (CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE)))))),
-            9) AS DECIMAL(18,9)) AS c
-        FROM tfp f JOIN dft d USING (term) JOIN qt q USING (term), stats s),
-      bsc AS (SELECT query_id, doc_id, SUM(c) AS score FROM contrib
-              GROUP BY query_id, doc_id),
-      brk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-               ORDER BY score DESC, doc_id ASC) AS INT) AS rank FROM bsc)
+    "m49_bm25_topk" -> s"""
+      WITH $Bm25Ctes
       SELECT query_id, doc_id, CAST(score AS DOUBLE) AS score, rank
       FROM brk WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // Hybrid fusion: the shared BM25 chain's top-10 + m04's exact
+    // cosine ranking (queries vec_id < 3, fixture aligns vec_id with
+    // doc_id), fused as Σ round(1/(60+rank), 9) in DECIMAL — the same
+    // round-then-exact-sum contract as BM25 itself.
+    "m52_hybrid_retrieval" -> s"""
+      WITH $Bm25Ctes,
+      lex AS (SELECT query_id, doc_id, rank FROM brk WHERE rank <= 10),
+      sq AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+             FROM embeddings WHERE vec_id < 3),
+      ss AS (SELECT query_id, e.vec_id AS doc_id,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv), 6) AS score
+             FROM embeddings e, sq WHERE e.vec_id <> query_id),
+      sr AS (SELECT query_id, doc_id, CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id ASC) AS INT) AS rank FROM ss),
+      sem AS (SELECT CAST(query_id AS INT) AS query_id, doc_id, rank
+              FROM sr WHERE rank <= 10),
+      un AS (SELECT * FROM lex UNION ALL SELECT * FROM sem),
+      fs AS (SELECT query_id, doc_id,
+               SUM(CAST(round(1.0 / CAST((60 + rank) AS DOUBLE), 9)
+                   AS DECIMAL(18,9))) AS score,
+               COUNT(*) AS n_lists
+             FROM un GROUP BY query_id, doc_id),
+      fr AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id ASC) AS INT) AS rrf_rank FROM fs)
+      SELECT query_id, doc_id, CAST(score AS DOUBLE) AS score, n_lists, rrf_rank
+      FROM fr WHERE rrf_rank <= 10 ORDER BY query_id, rrf_rank""",
 
     // Fixed-point PageRank replayed exactly: edges from the EXACT
     // all-pairs 5-char-shingle Jaccard at 0.5 (the m01 equality — LSH

@@ -1465,6 +1465,27 @@ object Queries {
         col("min_b").as("min_suppkey"), col("max_b").as("max_suppkey"))
       .orderBy("file_id")
 
+  /** m52 — hybrid retrieval via reciprocal-rank fusion
+    * ([[operators.Retrieval.rrfFuse]]): m49's BM25 lexical top-10 fused
+    * with exact-cosine embedding top-10 ([[operators.Similarity
+    * .bruteForceTopK]], query vec_ids 0–2 — the fixture aligns vec_id
+    * with doc_id) by fused(d) = Σ 1/(60+rank) — the standard
+    * hybrid-search merge, rank-based so score scales never need
+    * calibration. Contributions round to 9 decimals then DECIMAL-sum,
+    * so the oracle (composing the shared BM25 CTEs with the m04 cosine
+    * ranking) replays the fusion exactly. */
+  def m52HybridRetrieval(s: SparkSession, dir: String): DataFrame = {
+    val lex = operators.Retrieval.bm25TopK(t(s, dir, "documents"),
+        Seq(0 -> "fast hash join", 1 -> "window agg stream",
+          2 -> "slow table scan customer"), k = 10)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val emb = t(s, dir, "embeddings")
+    val sem = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), k = 10)
+      .select(col("query_id"), col("corpus_id").as("doc_id"), col("rank"))
+    operators.Retrieval.rrfFuse(Seq(lex, sem), c = 60, k = 10)
+      .orderBy("query_id", "rrf_rank")
+  }
+
   /** m12 — COMPOSED multimodal near-dup: still images and sampled video
     * frames land in ONE feature space (8-bin value histogram — the
     * image path through `imageFeatures`/ImageIO, the frame path through

@@ -133,6 +133,7 @@ object SparkEntry {
     "m49_bm25_topk" -> Queries.m49Bm25TopK,
     "m50_pagerank" -> Queries.m50PageRank,
     "m51_zorder_stats" -> Queries.m51ZOrder,
+    "m52_hybrid_retrieval" -> Queries.m52HybridRetrieval,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on

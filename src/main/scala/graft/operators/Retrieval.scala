@@ -154,4 +154,40 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"), col("score").cast("double").as("score"),
         col("rank"))
   }
+
+  /**
+   * Reciprocal-rank fusion (Cormack et al. 2009) — combine any number of
+   * per-query rankings (lexical BM25, embedding ANN, ...) into one:
+   * fused(d) = Σ_lists 1/(c + rank_list(d)), the standard hybrid-search
+   * merge. Rank-based, so the input lists' score scales never need
+   * calibration. Each input must carry (query_id, doc_id, rank).
+   *
+   * Determinism: per-list contributions are rounded to 9 decimals and
+   * summed as DECIMAL — list-order-independent, double-exact, and
+   * replayable in SQL. Scale shape: the inputs are already top-k lists
+   * (k·|queries| rows each) — the fusion is a toy-sized aggregation; the
+   * heavy lifting happened inside the rankers.
+   *
+   * Returns (query_id, doc_id, score, n_lists, rrf_rank ≤ k).
+   */
+  def rrfFuse(rankings: Seq[DataFrame], c: Int = 60, k: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: no rankings")
+    require(c >= 1, s"rrfFuse: c=$c must be positive")
+    require(k > 0, s"rrfFuse: k=$k must be positive")
+    val all = rankings
+      .map(_.select(col("query_id").cast("int").as("query_id"),
+        col("doc_id").cast("long").as("doc_id"), col("rank").cast("int").as("rank")))
+      .reduce(_ unionByName _)
+    all
+      .select(col("query_id"), col("doc_id"),
+        round(lit(1.0) / (lit(c) + col("rank")).cast("double"), 9)
+          .cast("decimal(18,9)").as("contrib"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("score"), count(lit(1)).as("n_lists"))
+      .withColumn("rrf_rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rrf_rank") <= k)
+      .select(col("query_id"), col("doc_id"),
+        col("score").cast("double").as("score"), col("n_lists"), col("rrf_rank"))
+  }
 }

@@ -81,6 +81,27 @@ class RetrievalSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("rrfFuse matches the exact driver fusion and keeps list counts") {
+    import spark.implicits._
+    val l1 = Seq((0, 10L, 1), (0, 11L, 2), (0, 12L, 3)).toDF("query_id", "doc_id", "rank")
+    val l2 = Seq((0, 12L, 1), (0, 10L, 2), (0, 13L, 3)).toDF("query_id", "doc_id", "rank")
+    def c(r: Int): BigDecimal = BigDecimal((1.0 / (60 + r).toDouble).toString)
+      .setScale(9, scala.math.BigDecimal.RoundingMode.HALF_UP)
+    val expected = Map(
+      10L -> (c(1) + c(2), 2L), 11L -> (c(2), 1L),
+      12L -> (c(3) + c(1), 2L), 13L -> (c(3), 1L))
+    val got = Retrieval.rrfFuse(Seq(l1, l2), c = 60, k = 10).collect()
+      .map(r => r.getLong(1) -> ((r.getDouble(2), r.getLong(3), r.getInt(4)))).toMap
+    expected.foreach { case (id, (sc, nl)) =>
+      val (gsc, gnl, _) = got(id)
+      assert(math.abs(gsc - sc.toDouble) < 1e-12, s"doc $id")
+      assert(gnl == nl, s"doc $id lists")
+    }
+    // docs on both lists outrank single-list docs here
+    val ranks = got.view.mapValues(_._3).toMap
+    assert(ranks(10L) < ranks(11L) && ranks(12L) < ranks(13L))
+  }
+
   test("bm25TopK rejects empty inputs") {
     intercept[IllegalArgumentException] {
       Retrieval.bm25TopK(docs, Seq.empty, k = 5)
