@@ -1037,6 +1037,32 @@ object Oracle {
       SELECT query_id, doc_id, CAST(score AS DOUBLE) AS score, n_lists, rrf_rank
       FROM fr WHERE rrf_rank <= 10 ORDER BY query_id, rrf_rank""",
 
+    // Greedy k-center unrolled: seed = min vec_id, then 7 steps of
+    // argmax(min squared distance to the chosen set), ties to the
+    // lowest id — the same dimension-ordered double arithmetic as the
+    // IVF oracle (m09), raw-double compares like m40's argmin.
+    "m53_kcenter" -> {
+      def dist(e: String, c: String) = s"""list_sum(list_transform(range(len($c)), x ->
+            ($e[CAST(x AS INT)+1] - $c[CAST(x AS INT)+1])
+            * ($e[CAST(x AS INT)+1] - $c[CAST(x AS INT)+1])))"""
+      def step(i: Int) = {
+        val prev = (0 until i).map(j => s"SELECT cid FROM kc$j").mkString(" UNION ALL ")
+        s"""
+      kd$i AS (SELECT e.vec_id, MIN(${dist("e.v", "c.v")}) AS d
+        FROM kemb e, (SELECT em.v FROM kemb em JOIN ($prev) cc ON em.vec_id = cc.cid) c
+        GROUP BY e.vec_id),
+      kc$i AS (SELECT vec_id AS cid, d FROM kd$i ORDER BY d DESC, vec_id ASC LIMIT 1)"""
+      }
+      s"""
+      WITH kemb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      kc0 AS (SELECT MIN(vec_id) AS cid, 0.0 AS d FROM kemb),
+      ${(1 until 8).map(step).mkString(",")}
+      SELECT * FROM (
+        SELECT 0 AS sel_order, cid AS vec_id, 0.0 AS radius FROM kc0
+        ${(1 until 8).map(i => s"UNION ALL SELECT $i, cid, round(d, 6) FROM kc$i").mkString(" ")}
+      ) ORDER BY sel_order"""
+    },
+
     // Fixed-point PageRank replayed exactly: edges from the EXACT
     // all-pairs 5-char-shingle Jaccard at 0.5 (the m01 equality — LSH
     // recall is total on this fixture), five unrolled iterations of

@@ -1486,6 +1486,19 @@ object Queries {
       .orderBy("query_id", "rrf_rank")
   }
 
+  /** m53 — greedy k-center diversity selection
+    * ([[operators.Similarity.kCenterSelect]], Gonzalez farthest-point):
+    * 8 maximally-spread embedding picks + the coverage-radius curve —
+    * the complement of SemDeDup (keep spread, not prune density); seed
+    * selection for labeling budgets and eval sets. Each step is one
+    * narrow kernel sweep reduced by a partial-aggregable
+    * `max(struct(d, −id))` — no sort, no corpus shuffle. The oracle
+    * unrolls all steps with the IVF kernels' dimension-ordered double
+    * arithmetic and the same (d desc, id asc) selection. */
+  def m53KCenter(s: SparkSession, dir: String): DataFrame =
+    Similarity.kCenterSelect(t(s, dir, "embeddings"), k = 8)
+      .orderBy("sel_order")
+
   /** m12 — COMPOSED multimodal near-dup: still images and sampled video
     * frames land in ONE feature space (8-bin value histogram — the
     * image path through `imageFeatures`/ImageIO, the frame path through

@@ -22,13 +22,17 @@ import org.apache.spark.sql.functions._
  *
  * Scale shape: each iteration is ONE shuffle (contribution aggregation
  * by dst) plus a vertex left-join; the rank frame is (id, long) — narrow
- * however wide the corpus rows are. Rank frames are eagerly
- * `localCheckpoint`ed per iteration to truncate the growing lineage, and
- * the PREVIOUS iteration's blocks are released immediately
- * (`core.Blocks.release` — `unpersist` is a no-op on checkpoints), so the
- * loop holds at most two rank frames in block storage. On a cluster the
- * edge frame would be pre-partitioned by src so every iteration's join
- * reuses one partitioning.
+ * however wide the corpus rows are. The iteration chain is LINEAR (each
+ * round references the previous exactly once), so it stays lazy and a
+ * terminal action runs the whole loop as one job — a per-round eager
+ * checkpoint would add `iters` materialization jobs for nothing
+ * (measured ~1 s of fixed cost at 5 rounds). Lineage is cut every
+ * `ckptEvery` rounds only to bound plan/optimizer growth on LONG loops,
+ * with the previous cut's blocks released (`core.Blocks.release` —
+ * `unpersist` is a no-op on checkpoints), so at most two rank frames
+ * ever sit in block storage. On a cluster the edge frame would be
+ * pre-partitioned by src so every iteration's join reuses one
+ * partitioning.
  */
 object Graph {
 
@@ -38,8 +42,10 @@ object Graph {
     * @return (id, rank) with rank in units of 1/scale */
   def pageRank(vertices: DataFrame, edges: DataFrame, iters: Int = 5,
       scale: Long = 1000000000000L, idCol: String = "id",
-      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+      srcCol: String = "src", dstCol: String = "dst",
+      ckptEvery: Int = 8): DataFrame = {
     require(iters >= 1 && iters <= 50, s"pageRank: iters=$iters out of [1,50]")
+    require(ckptEvery >= 1, s"pageRank: ckptEvery=$ckptEvery")
     require(scale >= 1000000L, s"pageRank: scale=$scale too coarse")
     val vtx = vertices.select(col(idCol).cast("long").as("id"))
       .localCheckpoint(true)
@@ -54,26 +60,34 @@ object Graph {
       .localCheckpoint(true)
     val base = scale * 15 / (100 * n)
     var ranks = vtx.select(col("id"), lit(scale / n).as("rank"))
-      .localCheckpoint(true)
+    var lastCut: Option[DataFrame] = None
     var i = 0
     while (i < iters) {
       val contribs = e.join(ranks, e("src") === ranks("id"))
         .select(col("dst").as("id"), expr("rank div deg").as("c"))
         .groupBy("id").agg(sum(col("c")).as("s"))
-      val next = vtx
+      ranks = vtx
         .join(contribs, Seq("id"), "left")
         .select(col("id"),
           (lit(base) + expr("(coalesce(s, CAST(0 AS BIGINT)) * 85) div 100"))
             .as("rank"))
-        .localCheckpoint(true)
-      graft.core.Blocks.release(ranks)
-      ranks = next
       i += 1
+      // lineage cut on long loops only — the chain is linear, so the
+      // lazy form costs nothing extra per round
+      if (i % ckptEvery == 0 && i < iters) {
+        val cut = ranks.localCheckpoint(true)
+        lastCut.foreach(graft.core.Blocks.release)
+        lastCut = Some(cut)
+        ranks = cut
+      }
     }
-    // the returned frame is a checkpoint CUT — vtx/e are no longer in its
-    // plan, so the caller's releaseAll cannot find them; release here
+    // materialize the final ranks so the mid-loop cut and vtx/e (which a
+    // caller's releaseAll could no longer reach through the cut) can be
+    // released before returning
+    val out = ranks.localCheckpoint(true)
+    lastCut.foreach(graft.core.Blocks.release)
     graft.core.Blocks.release(vtx)
     graft.core.Blocks.release(e)
-    ranks
+    out
   }
 }

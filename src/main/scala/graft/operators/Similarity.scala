@@ -607,4 +607,77 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "corpus_id", "score", "rank")
   }
+
+  /**
+   * Greedy k-center selection (Gonzalez farthest-point traversal) — the
+   * diversity/coreset sampler of an embedding pipeline: pick k vectors
+   * such that every vector is within the (2-approximate-optimal) radius
+   * of some pick. The complement of dedup: SemDeDup removes the densest
+   * neighborhoods, k-center KEEPS maximal spread — seed selection for
+   * labeling budgets, eval-set construction, cluster initialization.
+   *
+   * Deterministic: seed = lowest id; each step takes the argmax of the
+   * min squared distance to the chosen set, ties to the lowest id, with
+   * the same dimension-ordered double arithmetic the IVF kernels use —
+   * a pure function of the input set, SQL-replayable step by step.
+   *
+   * Scale shape: k passes, each ONE narrow kernel sweep (min-dist vs ≤k
+   * broadcast centers) reduced by a partial-aggregable `max(struct(d,
+   * −id))` — no sort, no shuffle beyond the 1-row aggregate; the chosen
+   * vector is fetched by an id-pushdown point lookup. k is bounded by
+   * contract (this is a ≤64-row selection, not clustering — use
+   * `ivfCenters` for that).
+   *
+   * Returns (sel_order, vec_id, radius) — radius is the chosen point's
+   * min distance at selection time (rounded 6), 0 for the seed; the
+   * sequence of radii is the classic coverage-vs-k curve.
+   */
+  def kCenterSelect(vectors: DataFrame, k: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && k <= 64, s"kCenterSelect: k=$k out of [1,64]")
+    val s = vectors.sparkSession
+    import s.implicits._
+    val base = vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val seed = base.orderBy(col("id").asc).limit(1).collect()
+    require(seed.nonEmpty, "kCenterSelect: empty input")
+    def vec(r: org.apache.spark.sql.Row): Array[Float] =
+      r.getSeq[Float](1).toArray
+    var chosen = Vector[(Long, Array[Float], Double)]((seed(0).getLong(0), vec(seed(0)), 0.0))
+    var i = 1
+    while (i < k) {
+      val bc = s.sparkContext.broadcast(chosen.map(_._2).toArray)
+      val minDistUdf = udf { (v: Seq[Float]) =>
+        val arr = v.toArray
+        val cs = bc.value
+        var m = Double.MaxValue
+        var c = 0
+        while (c < cs.length) {
+          val ctr = cs(c)
+          var d = 0.0; var j = 0
+          val n = math.min(arr.length, ctr.length)
+          while (j < n) { val x = arr(j).toDouble - ctr(j).toDouble; d += x * x; j += 1 }
+          if (d < m) m = d
+          c += 1
+        }
+        m
+      }
+      // argmax(d) with min-id ties as ONE partial-aggregable reduction:
+      // max(struct(d, −id)) — no global sort
+      val top = base
+        .select(col("id"), minDistUdf(col("v")).as("d"))
+        .agg(max(struct(col("d"), (-col("id")).as("nid"))).as("m"))
+        .select(col("m.d"), (-col("m.nid")).as("id"))
+        .collect()(0)
+      val (dist, id) = (top.getDouble(0), top.getLong(1))
+      val vrow = base.filter(col("id") === id).collect()(0)
+      chosen :+= ((id, vec(vrow), dist))
+      i += 1
+    }
+    chosen.zipWithIndex.map { case ((id, _, d), ord) =>
+      // round through the d.toString BigDecimal path (the engine/oracle
+      // round parity contract — CLAUDE.md r11 kit)
+      (ord, id, BigDecimal(d.toString)
+        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("sel_order", "vec_id", "radius")
+  }
 }

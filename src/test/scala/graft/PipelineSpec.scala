@@ -765,4 +765,36 @@ class PipelineSpec extends AnyFunSuite {
 
   private def round3(v: Double): Double =
     BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("kCenterSelect matches the exact greedy reference; radii non-increasing") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0; val n = math.min(a.length, b.length)
+      while (i < n) { val x = a(i).toDouble - b(i).toDouble; s += x * x; i += 1 }
+      s
+    }
+    var chosen = Vector(rows.minBy(_._1))
+    var radii = Vector(0.0)
+    while (chosen.size < 6) {
+      val best = rows.map { case (id, v) =>
+        (id, v, chosen.map(c => d2(v, c._2)).min)
+      }.maxBy { case (id, _, d) => (d, -id) }
+      chosen :+= ((best._1, best._2)); radii :+= best._3
+    }
+    val got = graft.operators.Similarity.kCenterSelect(emb, 6)
+      .orderBy("sel_order").collect()
+    assert(got.map(_.getLong(1)).toSeq == chosen.map(_._1))
+    got.zip(radii).foreach { case (r, rad) =>
+      assert(math.abs(r.getDouble(2) - rad) < 1e-6)
+    }
+    val rs = got.map(_.getDouble(2)).drop(1)
+    assert(rs.zip(rs.tail).forall { case (a, b) => a >= b },
+      s"radii not non-increasing: ${rs.toSeq}")
+    val re = graft.operators.Similarity.kCenterSelect(emb.repartition(7), 6)
+      .orderBy("sel_order").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(re == got.map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq)
+  }
 }

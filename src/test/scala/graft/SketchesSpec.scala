@@ -88,6 +88,34 @@ class SketchesSpec extends AnyFunSuite {
     assert(re == est)
   }
 
+  test("hllRegisters is a valid streaming aggregation (complete mode)") {
+    // the register table is a plain groupBy/max, so Structured Streaming
+    // maintains it incrementally — corpus statistics that stay current
+    // as batches land, identical to the batch sketch over the union
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    val sdf = mem.toDF().toDF("source", "text")
+    val q = Sketches.hllRegisters(sdf, 8, col("source"))
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("complete").start()
+    try {
+      val rows = docs.select("source", "text").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      mem.addData(h1.toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(h2.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("hll_stream").collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+      val batch = Sketches.hllRegisters(docs, 8, col("source")).collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("bloomContamination flags a superset of the exact operator") {
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
     val bench = docs.filter(col("doc_id") % 5 === 0)
