@@ -762,6 +762,37 @@ object Oracle {
       WHERE o_orderkey % 100 = 0
       ORDER BY o_orderkey""",
 
+    // Conversion funnel: first view, first click strictly after it,
+    // first purchase strictly after that; stage = stages reached.
+    "q41_funnel" -> """
+      WITH f1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                  WHERE event_type = 'view' GROUP BY user_id),
+      f2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN f1 USING (user_id)
+             WHERE e.event_type = 'click' AND e.ts > f1.t1 GROUP BY e.user_id),
+      f3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN f2 USING (user_id)
+             WHERE e.event_type = 'purchase' AND e.ts > f2.t2 GROUP BY e.user_id)
+      SELECT f1.user_id, strftime(t1, '%Y-%m-%d %H:%M:%S') AS view_ts_s,
+        strftime(t2, '%Y-%m-%d %H:%M:%S') AS click_ts_s,
+        strftime(t3, '%Y-%m-%d %H:%M:%S') AS purchase_ts_s,
+        1 + (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
+          + (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS stage
+      FROM f1 LEFT JOIN f2 USING (user_id) LEFT JOIN f3 USING (user_id)
+      ORDER BY user_id""",
+
+    // Cohort retention: cohort = ISO week of the user's first event,
+    // offset in whole weeks via integer epoch arithmetic.
+    "q42_cohort" -> """
+      WITH ch AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cw
+                  FROM events GROUP BY user_id),
+      ac AS (SELECT e.user_id, c.cw,
+               CAST((CAST(epoch(date_trunc('week', e.ts)) AS BIGINT)
+                     - CAST(epoch(c.cw) AS BIGINT)) // 604800 AS INT) AS week_offset
+             FROM events e JOIN ch c USING (user_id))
+      SELECT strftime(cw, '%Y-%m-%d %H:%M:%S') AS cohort_week_s, week_offset,
+        COUNT(DISTINCT user_id) AS n_active
+      FROM ac GROUP BY cw, week_offset
+      ORDER BY cohort_week_s, week_offset""",
+
     // =================================================================
     // Training-data operators: exact re-derivations (see object scaladoc)
     // =================================================================

@@ -554,6 +554,54 @@ object Queries {
       .select(col("o_orderkey"), col("rank"))
       .orderBy("o_orderkey")
 
+  /** q41 — conversion funnel over the events stream: per user the first
+    * 'view', the first 'click' AFTER it, the first 'purchase' after
+    * that, plus the stage reached. Each stage is a tiny per-user
+    * aggregate checkpointed once (≤ |users| rows) and broadcast into
+    * the next stage's filtered scan — the event stream itself never
+    * shuffles wider than its type filter. */
+  def q41Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      .localCheckpoint(true)
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(broadcast(s1), "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      .localCheckpoint(true)
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(broadcast(s2), "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    s1.join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select(col("user_id"), fmtTs(col("t1")).as("view_ts_s"),
+        fmtTs(col("t2")).as("click_ts_s"), fmtTs(col("t3")).as("purchase_ts_s"),
+        (lit(1) + when(col("t2").isNotNull, 1).otherwise(0)
+          + when(col("t3").isNotNull, 1).otherwise(0)).as("stage"))
+      .orderBy("user_id")
+  }
+
+  /** q42 — cohort retention matrix: cohort = week of the user's first
+    * event, cells = distinct users active per (cohort, week offset).
+    * The per-user cohort frame broadcasts back onto the stream; the
+    * offset is integer epoch arithmetic so both engines agree exactly. */
+  def q42Cohort(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val cohorts = ev.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("cw"))
+    ev.join(broadcast(cohorts), "user_id")
+      .select(col("user_id"), col("cw"),
+        expr("CAST((unix_timestamp(date_trunc('week', ts)) - unix_timestamp(cw)) div 604800 AS INT)")
+          .as("week_offset"))
+      .groupBy(col("cw"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .select(fmtTs(col("cw")).as("cohort_week_s"), col("week_offset"),
+        col("n_active"))
+      .orderBy("cohort_week_s", "week_offset")
+  }
+
   // =====================================================================
   // Training-data operators without a SQL oracle (rows-only checks)
   // =====================================================================

@@ -77,6 +77,8 @@ object SparkEntry {
     "q38_avg_qty" -> Queries.q38AvgQtyThreshold,
     "q39_value_share" -> Queries.q39ValueShare,
     "q40_global_rank" -> Queries.q40GlobalRank,
+    "q41_funnel" -> Queries.q41Funnel,
+    "q42_cohort" -> Queries.q42Cohort,
     // training-data operators (rows-only)
     "m01_minhash_pairs" -> Queries.m01MinhashPairs,
     "m02_simhash_pairs" -> Queries.m02SimhashPairs,
