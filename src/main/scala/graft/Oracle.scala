@@ -1068,6 +1068,30 @@ object Oracle {
       SELECT query_id, doc_id, CAST(score AS DOUBLE) AS score, n_lists, rrf_rank
       FROM fr WHERE rrf_rank <= 10 ORDER BY query_id, rrf_rank""",
 
+    // Hard negatives: BM25 top-20 (shared chain) anti-joined against
+    // the semantic top-3 positives, re-ranked by lexical rank, 5 per
+    // query, crossed with each positive into triples.
+    "m54_hard_negatives" -> s"""
+      WITH $Bm25Ctes,
+      hlex AS (SELECT query_id, doc_id, rank FROM brk WHERE rank <= 20),
+      hq AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+             FROM embeddings WHERE vec_id < 3),
+      hs AS (SELECT query_id, e.vec_id AS doc_id,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv), 6) AS score
+             FROM embeddings e, hq WHERE e.vec_id <> query_id),
+      hr AS (SELECT query_id, doc_id, CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id ASC) AS INT) AS rank FROM hs),
+      hpos AS (SELECT CAST(query_id AS INT) AS query_id, doc_id FROM hr WHERE rank <= 3),
+      hneg AS (SELECT l.query_id, l.doc_id, CAST(row_number() OVER (PARTITION BY l.query_id
+                 ORDER BY l.rank, l.doc_id) AS INT) AS neg_rank
+               FROM hlex l LEFT JOIN hpos p
+                 ON l.query_id = p.query_id AND l.doc_id = p.doc_id
+               WHERE p.doc_id IS NULL)
+      SELECT p.query_id, p.doc_id AS pos_doc_id, n.doc_id AS neg_doc_id, n.neg_rank
+      FROM hpos p JOIN hneg n USING (query_id)
+      WHERE n.neg_rank <= 5
+      ORDER BY query_id, pos_doc_id, neg_rank""",
+
     // Greedy k-center unrolled: seed = min vec_id, then 7 steps of
     // argmax(min squared distance to the chosen set), ties to the
     // lowest id — the same dimension-ordered double arithmetic as the

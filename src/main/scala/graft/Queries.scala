@@ -1547,6 +1547,25 @@ object Queries {
     Similarity.kCenterSelect(t(s, dir, "embeddings"), k = 8)
       .orderBy("sel_order")
 
+  /** m54 — hard-negative mining ([[operators.Retrieval.hardNegatives]]):
+    * the retrieval-training dataset-construction step — per query, the
+    * BM25 top-20 docs that are NOT in the semantic top-3 (the
+    * positives) become the confusable negatives, 5 per query, crossed
+    * with each positive into training triples. Composes m49's lexical
+    * chain with m04's cosine ranking; the oracle composes the same two
+    * derivations with an anti-join. */
+  def m54HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val lex = operators.Retrieval.bm25TopK(t(s, dir, "documents"),
+        Seq(0 -> "fast hash join", 1 -> "window agg stream",
+          2 -> "slow table scan customer"), k = 20)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val emb = t(s, dir, "embeddings")
+    val pos = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), k = 3)
+      .select(col("query_id"), col("corpus_id").as("doc_id"))
+    operators.Retrieval.hardNegatives(lex, pos, negPerQuery = 5)
+      .orderBy("query_id", "pos_doc_id", "neg_rank")
+  }
+
   /** m12 — COMPOSED multimodal near-dup: still images and sampled video
     * frames land in ONE feature space (8-bin value histogram — the
     * image path through `imageFeatures`/ImageIO, the frame path through

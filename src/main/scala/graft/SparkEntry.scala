@@ -137,6 +137,7 @@ object SparkEntry {
     "m51_zorder_stats" -> Queries.m51ZOrder,
     "m52_hybrid_retrieval" -> Queries.m52HybridRetrieval,
     "m53_kcenter" -> Queries.m53KCenter,
+    "m54_hard_negatives" -> Queries.m54HardNegatives,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on

@@ -190,4 +190,36 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"),
         col("score").cast("double").as("score"), col("n_lists"), col("rrf_rank"))
   }
+
+  /**
+   * Hard-negative mining for retrieval/embedding training (the DPR/
+   * sentence-transformers dataset-construction step): negatives that a
+   * LEXICAL ranker scores high but the positive set excludes — the
+   * confusable documents a model must learn to push away; random
+   * negatives are too easy to carry gradient. Emits one training triple
+   * per (positive × mined negative): (query_id, pos_doc_id, neg_doc_id,
+   * neg_rank), negatives ordered by their lexical rank, at most
+   * `negPerQuery` per query.
+   *
+   * Inputs are already per-query top-k lists (rankers did the heavy
+   * lifting); the mining itself is an anti-join + window over toy-sized
+   * frames. `lexical` needs (query_id, doc_id, rank); `positives` needs
+   * (query_id, doc_id).
+   */
+  def hardNegatives(lexical: DataFrame, positives: DataFrame,
+      negPerQuery: Int): DataFrame = {
+    require(negPerQuery > 0, s"hardNegatives: negPerQuery=$negPerQuery")
+    val pos = positives.select(col("query_id").cast("int").as("query_id"),
+      col("doc_id").cast("long").as("doc_id"))
+    val negs = lexical
+      .select(col("query_id").cast("int").as("query_id"),
+        col("doc_id").cast("long").as("doc_id"), col("rank").cast("int").as("rank"))
+      .join(pos, Seq("query_id", "doc_id"), "left_anti")
+      .withColumn("neg_rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("rank"), col("doc_id"))))
+      .filter(col("neg_rank") <= negPerQuery)
+      .select(col("query_id"), col("doc_id").as("neg_doc_id"), col("neg_rank"))
+    pos.select(col("query_id"), col("doc_id").as("pos_doc_id"))
+      .join(negs, Seq("query_id"))
+  }
 }

@@ -102,6 +102,21 @@ class RetrievalSpec extends AnyFunSuite {
     assert(ranks(10L) < ranks(11L) && ranks(12L) < ranks(13L))
   }
 
+  test("hardNegatives anti-joins positives and crosses triples in lexical order") {
+    import spark.implicits._
+    val lex = Seq((0, 10L, 1), (0, 11L, 2), (0, 12L, 3), (0, 13L, 4))
+      .toDF("query_id", "doc_id", "rank")
+    val pos = Seq((0, 11L), (0, 99L)).toDF("query_id", "doc_id")
+    val got = Retrieval.hardNegatives(lex, pos, negPerQuery = 2)
+      .orderBy("pos_doc_id", "neg_rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    // negatives = 10, 12 (11 excluded as positive, 13 cut by negPerQuery),
+    // crossed with both positives
+    assert(got == Seq(
+      (0, 11L, 10L, 1), (0, 11L, 12L, 2),
+      (0, 99L, 10L, 1), (0, 99L, 12L, 2)))
+  }
+
   test("bm25TopK rejects empty inputs") {
     intercept[IllegalArgumentException] {
       Retrieval.bm25TopK(docs, Seq.empty, k = 5)
