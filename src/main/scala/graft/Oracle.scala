@@ -1092,6 +1092,22 @@ object Oracle {
       WHERE n.neg_rank <= 5
       ORDER BY query_id, pos_doc_id, neg_rank""",
 
+    // Triangles from the exact pair set, naive x<y<z formulation —
+    // the engine's degree-ordered orientation changes the plan, not
+    // the count.
+    "m55_triangles" -> s"""
+      WITH $CharShingleCtes,
+      tpr AS (SELECT a.doc_id AS ta, b.doc_id AS tb
+              FROM sh a, sh b WHERE a.doc_id < b.doc_id
+                AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / (len(a.s)+len(b.s)-len(list_intersect(a.s, b.s))) >= 0.5),
+      tri AS (SELECT e1.ta AS x, e1.tb AS y, e2.tb AS z
+              FROM tpr e1 JOIN tpr e2 ON e1.ta = e2.ta AND e1.tb < e2.tb
+              JOIN tpr e3 ON e3.ta = e1.tb AND e3.tb = e2.tb),
+      tv AS (SELECT unnest([x, y, z]) AS vertex FROM tri)
+      SELECT vertex, COUNT(*) AS n_triangles FROM tv
+      GROUP BY vertex ORDER BY vertex""",
+
     // Greedy k-center unrolled: seed = min vec_id, then 7 steps of
     // argmax(min squared distance to the chosen set), ties to the
     // lowest id — the same dimension-ordered double arithmetic as the

@@ -1566,6 +1566,21 @@ object Queries {
       .orderBy("query_id", "pos_doc_id", "neg_rank")
   }
 
+  /** m55 — per-vertex triangle counts over the near-dup graph
+    * ([[operators.Graph.triangleCounts]]): the clustering-coefficient
+    * numerator — triangle-dense neighborhoods are template FAMILIES,
+    * not just pairs. Degree-ordered orientation bounds the wedge join's
+    * fan-out to O(√m) per vertex (plan-only — the oracle counts the
+    * same triangles from the naive x<y<z formulation over m01's exact
+    * pair set). */
+  def m55Triangles(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashPairs(docs, threshold = 0.5)
+    val out = operators.Graph.triangleCounts(pairs, "doc_id_a", "doc_id_b")
+    graft.core.Blocks.releaseAll(pairs)
+    out.orderBy("vertex")
+  }
+
   /** m12 — COMPOSED multimodal near-dup: still images and sampled video
     * frames land in ONE feature space (8-bin value histogram — the
     * image path through `imageFeatures`/ImageIO, the frame path through

@@ -138,6 +138,7 @@ object SparkEntry {
     "m52_hybrid_retrieval" -> Queries.m52HybridRetrieval,
     "m53_kcenter" -> Queries.m53KCenter,
     "m54_hard_negatives" -> Queries.m54HardNegatives,
+    "m55_triangles" -> Queries.m55Triangles,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on

@@ -61,6 +61,36 @@ class GraphSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("triangleCounts equals the naive x<y<z reference on a known graph") {
+    // K4 on {1,2,3,4} (4 triangles, 3 per vertex) + a pendant edge + a
+    // duplicate/reversed edge to exercise canonicalization
+    val edges = Seq(
+      1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L,
+      4L -> 5L, 2L -> 1L, 3L -> 2L)
+    val got = Graph.triangleCounts(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // naive reference on the same canonical edge set
+    val canon = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a < b }.distinct.toSet
+    val vs = canon.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    val ref = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      x <- vs; y <- vs if x < y && canon((x, y))
+      z <- vs if y < z && canon((y, z)) && canon((x, z))
+    } { ref(x) += 1; ref(y) += 1; ref(z) += 1 }
+    assert(got == ref.toMap)
+  }
+
+  test("triangleCounts is partitioning-invariant") {
+    val edges = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 4L, 4L -> 1L,
+      2L -> 4L).toDF("src", "dst")
+    val a = Graph.triangleCounts(edges).orderBy("vertex").collect().toSeq
+    val b = Graph.triangleCounts(edges.repartition(5)).orderBy("vertex")
+      .collect().toSeq
+    assert(a == b)
+  }
+
   test("pageRank validates inputs") {
     intercept[IllegalArgumentException] {
       Graph.pageRank(ids.toDF("id"), edges.toDF("src", "dst"), iters = 0)
