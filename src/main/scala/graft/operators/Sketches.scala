@@ -90,15 +90,22 @@ object Sketches {
    * under any partitioning and matches the oracle's HUGEINT re-derivation.
    */
   def hllVocab(docs: DataFrame, p: Int = 8, sourceCol: String = "source",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    hllEstimate(hllRegisters(docs, p, col(sourceCol), textCol), p)
+      .withColumnRenamed("group", "source")
+
+  /** Per-group HLL estimates from a register frame (group, bucket, r) —
+    * shared by the one-shot [[hllVocab]] and the durable
+    * [[hllStoreEstimates]] read path. */
+  def hllEstimate(registers: DataFrame, p: Int): DataFrame = {
     val m = 1 << p
     val rmax = 64 - p + 1
     val alpha = 0.7213 / (1.0 + 1.079 / m.toDouble)
     // numerator alpha·m²·2^Rmax, left-associated — the oracle mirrors
     // this exact literal arithmetic so the doubles agree bit-for-bit
     val c1 = alpha * (m.toLong * m).toDouble * math.pow(2.0, rmax)
-    val s = hllRegisters(docs, p, col(sourceCol), textCol)
-      .groupBy(col("group").as("source"))
+    val s = registers
+      .groupBy(col("group"))
       .agg(
         count(lit(1)).cast("int").as("n_buckets"),
         sum(col("r").cast("long")).as("sum_rank"),
@@ -110,10 +117,70 @@ object Sketches {
       zeros.cast("decimal(38,0)") * lit(BigDecimal(2).pow(rmax).bigDecimal)).cast("decimal(38,0)")
     val raw = lit(c1) / sTot.cast("double")
     s.select(
-        col("source"), col("n_buckets"), col("sum_rank"), col("register_checksum"),
+        col("group"), col("n_buckets"), col("sum_rank"), col("register_checksum"),
         when(zeros > 0 && raw <= lit(2.5 * m),
             round(lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")), 4))
           .otherwise(round(raw, 4)).as("est_distinct"))
+  }
+
+  // ---- durable register store (incremental corpus statistics) ----
+
+  /**
+   * Merge one batch's observations into a durable on-disk HLL register
+   * table — corpus statistics that stay current as ingest batches land,
+   * without ever re-reading old data: the register table IS the
+   * sufficient statistic, and max-merge makes every batch's application
+   * IDEMPOTENT (re-merging a batch is a no-op by algebra, not by
+   * bookkeeping), so a crashed merge is blindly retryable and exactly-
+   * once markers are an optimization, not a correctness need. The store
+   * is sketch-sized (≤ groups·2^p rows) whatever the corpus, so the
+   * merge is a toy union-aggregate; the only corpus-sized work is the
+   * batch's own narrow kernel pass.
+   *
+   * Layout: `<dir>/registers` (parquet, (group, bucket, r)) +
+   * `<dir>/_hll_p` (parameter pin — mixing registers of different p
+   * silently corrupts estimates, so mismatches abort) +
+   * `<dir>/batches/<id>` markers (skip already-applied batches on
+   * replay). The overwrite goes through an eager checkpoint first —
+   * Spark refuses to overwrite a path its plan still reads (CLAUDE.md
+   * upsert-in-place recipe).
+   */
+  def mergeHllBatch(storeDir: String, batch: DataFrame, batchId: Long,
+      p: Int = 8, sourceCol: String = "source", textCol: String = "text"): Unit = {
+    val spark = batch.sparkSession
+    val dir = new java.io.File(storeDir)
+    dir.mkdirs()
+    val pin = new java.io.File(dir, "_hll_p")
+    if (pin.exists()) {
+      val stored = new String(java.nio.file.Files.readAllBytes(pin.toPath)).trim.toInt
+      require(stored == p,
+        s"mergeHllBatch: store $storeDir is pinned to p=$stored, got p=$p — " +
+          "registers of different precision must not merge")
+    } else java.nio.file.Files.write(pin.toPath, p.toString.getBytes)
+    val marker = new java.io.File(new java.io.File(dir, "batches"), batchId.toString)
+    if (marker.exists()) return
+    val regPath = new java.io.File(dir, "registers").getAbsolutePath
+    val batchRegs = hllRegisters(batch, p, col(sourceCol), textCol)
+    val merged =
+      if (new java.io.File(regPath).exists())
+        spark.read.parquet(regPath).unionByName(batchRegs)
+          .groupBy("group", "bucket").agg(max(col("r")).as("r"))
+      else batchRegs
+    val pinned = merged.localCheckpoint(true)
+    pinned.write.mode("overwrite").parquet(regPath)
+    graft.core.Blocks.release(pinned)
+    marker.getParentFile.mkdirs()
+    java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+  }
+
+  /** Estimates off the durable register table ([[mergeHllBatch]]). */
+  def hllStoreEstimates(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): DataFrame = {
+    val pin = new java.io.File(storeDir, "_hll_p")
+    require(pin.exists(), s"hllStoreEstimates: $storeDir is not an HLL store")
+    val p = new String(java.nio.file.Files.readAllBytes(pin.toPath)).trim.toInt
+    hllEstimate(spark.read.parquet(
+      new java.io.File(storeDir, "registers").getAbsolutePath), p)
   }
 
   // ---- Count-min sketch (Cormode & Muthukrishnan 2005) ----

@@ -116,6 +116,34 @@ class SketchesSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("durable HLL store: batch merges converge to the full-corpus sketch, " +
+      "replay is a no-op by algebra, precision is pinned") {
+    val dir = java.nio.file.Files.createTempDirectory("hll-store").toString
+    val h1 = docs.filter(col("doc_id") % 2 === 0)
+    val h2 = docs.filter(col("doc_id") % 2 === 1)
+    Sketches.mergeHllBatch(dir, h1, batchId = 1L)
+    Sketches.mergeHllBatch(dir, h2, batchId = 2L)
+    def est(df: org.apache.spark.sql.DataFrame) = df.orderBy("group").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    val stored = est(Sketches.hllStoreEstimates(spark, dir))
+    val full = est(Sketches.hllVocab(docs).withColumnRenamed("source", "group"))
+    assert(stored == full)
+    // marker replay: same id is skipped
+    Sketches.mergeHllBatch(dir, h1, batchId = 1L)
+    assert(est(Sketches.hllStoreEstimates(spark, dir)) == full)
+    // algebraic idempotence: same DATA under a NEW id also changes nothing
+    Sketches.mergeHllBatch(dir, h1, batchId = 3L)
+    assert(est(Sketches.hllStoreEstimates(spark, dir)) == full)
+    // crash replay: marker lost after a completed merge → blind retry
+    new java.io.File(new java.io.File(dir, "batches"), "2").delete()
+    Sketches.mergeHllBatch(dir, h2, batchId = 2L)
+    assert(est(Sketches.hllStoreEstimates(spark, dir)) == full)
+    // precision pin
+    intercept[IllegalArgumentException] {
+      Sketches.mergeHllBatch(dir, h1, batchId = 9L, p = 10)
+    }
+  }
+
   test("bloomContamination flags a superset of the exact operator") {
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
     val bench = docs.filter(col("doc_id") % 5 === 0)
