@@ -1092,6 +1092,29 @@ object Oracle {
       WHERE n.neg_rank <= 5
       ORDER BY query_id, pos_doc_id, neg_rank""",
 
+    // Bigram conditional cross-entropy re-derived over gram STRINGS
+    // (hash-agnostic like m29/m13): per position ln c(prev) − ln c(pair),
+    // averaged, rounded 6 (the m29 float-avg parity convention).
+    "m56_bigram_xent" -> """
+      WITH bxn AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS nt
+                   FROM documents),
+      bxt AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM bxn WHERE length(nt) > 0),
+      bxu AS (SELECT tok, COUNT(*) AS c
+              FROM (SELECT unnest(toks) AS tok FROM bxt) GROUP BY tok),
+      bxg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i ->
+                toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1])) AS bg
+              FROM bxt WHERE len(toks) >= 2),
+      bxc AS (SELECT bg, COUNT(*) AS c FROM bxg GROUP BY bg),
+      bxp AS (SELECT e.doc_id, COUNT(*) AS n_bigrams,
+                round(avg(ln(CAST(u.c AS DOUBLE)) - ln(CAST(b.c AS DOUBLE))), 6) AS xent2
+              FROM bxg e JOIN bxc b USING (bg)
+              JOIN bxu u ON split_part(e.bg, ' ', 1) = u.tok
+              GROUP BY e.doc_id)
+      SELECT d.doc_id, CAST(coalesce(p.n_bigrams, 0) AS INT) AS n_bigrams,
+        coalesce(p.xent2, 0.0) AS xent2
+      FROM documents d LEFT JOIN bxp p USING (doc_id)
+      ORDER BY doc_id""",
+
     // Triangles from the exact pair set, naive x<y<z formulation —
     // the engine's degree-ordered orientation changes the plan, not
     // the count.

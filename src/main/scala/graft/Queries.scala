@@ -1581,6 +1581,22 @@ object Queries {
     out.orderBy("vertex")
   }
 
+  /** m56 — bigram-LM conditional cross-entropy
+    * ([[operators.TextAnalysis.bigramModel]]/[[operators.TextAnalysis
+    * .bigramCrossEntropy]]): the Markov step up from m29's unigram
+    * score — mean over positions of ln c(w_{i−1}) − ln c(w_{i−1},w_i),
+    * count-1 floor for unseen. Train-once/score-many: two hash-count
+    * aggregations under enforced ceilings, scoring one narrow broadcast
+    * kernel pass. The oracle re-derives pair/history counts from gram
+    * STRINGS (hash-agnostic, the m29/m13 convention). */
+  def m56BigramXent(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    operators.TextAnalysis.bigramCrossEntropy(docs,
+        operators.TextAnalysis.bigramModel(docs))
+      .select(col("doc_id"), col("n_bigrams"), col("xent2"))
+      .orderBy("doc_id")
+  }
+
   /** m12 — COMPOSED multimodal near-dup: still images and sampled video
     * frames land in ONE feature space (8-bin value histogram — the
     * image path through `imageFeatures`/ImageIO, the frame path through

@@ -34,6 +34,14 @@ final case class UnigramScore(n_model_tokens: Int, xent: Double)
   * corpora once, score anything. */
 final case class QualityLR(weights: Array[Double], bias: Double)
 
+/** Trained bigram model: sorted pair hashes + counts and the unigram
+  * history counts. TOP-LEVEL (encoder rule). */
+final case class BigramLM(pairs: Array[Long], pairCounts: Array[Long],
+    unis: Array[Long], uniCounts: Array[Long])
+
+/** Per-document bigram score row (TOP-LEVEL for the encoder rule). */
+final case class BigramScore(n_bigrams: Int, xent2: Double)
+
 object TextAnalysis {
 
   private val statsUdf = udf((t: String) => if (t == null) null else TextSig.textStats(t))
@@ -675,6 +683,90 @@ object TextAnalysis {
       .withColumn("n_model_tokens", col("__us.n_model_tokens"))
       .withColumn("xent", round(col("__us.xent"), 6))
       .drop("__us")
+  }
+
+  /** Order-preserving bigram hashes — the per-gram convention of
+    * `TextSig.wordShingles` (FNV over each token's chars + ' ', then
+    * mix64) WITHOUT the sorted-distinct collapse, so counts keep
+    * multiplicity and scoring walks positions. */
+  private def bigramHashArr(t: String): Array[Long] = {
+    val n = TextSig.normalize(t)
+    if (n.isEmpty) return Array.emptyLongArray
+    val toks = n.split(' ')
+    if (toks.length < 2) return Array.emptyLongArray
+    val out = new Array[Long](toks.length - 1)
+    var i = 0
+    while (i < toks.length - 1) {
+      var h = 0xcbf29ce484222325L
+      var t2 = i
+      while (t2 <= i + 1) {
+        val tok = toks(t2)
+        var j = 0
+        while (j < tok.length) { h = (h ^ tok.charAt(j)) * 0x100000001b3L; j += 1 }
+        h = (h ^ ' ') * 0x100000001b3L
+        t2 += 1
+      }
+      out(i) = TextSig.mix64(h)
+      i += 1
+    }
+    out
+  }
+  private val bigramHashesUdf = udf((t: String) => bigramHashArr(t))
+
+  /** Train a bigram model — the Markov step up from [[unigramModel]]
+    * (closer to the CCNet 5-gram-LM quality gate than a unigram):
+    * P(w|u) = c(u,w)/c(u) with c from whole-corpus occurrence counts.
+    * Train-once/score-many like the unigram: two count aggregations
+    * (unigrams + bigram pairs — 64-bit hashes, never text) collected
+    * into broadcast sorted arrays under ENFORCED ceilings
+    * (`graft.text.vocabMaxTokens`, `graft.text.bigramMaxPairs`). */
+  def bigramModel(docs: DataFrame, textCol: String = "text"): BigramLM = {
+    val spark = docs.sparkSession
+    val uni = unigramModel(docs, textCol)
+    val maxPairs = spark.conf.get("graft.text.bigramMaxPairs", "5000000").toLong
+    val probe = math.min(maxPairs + 1, Int.MaxValue.toLong).toInt
+    val rows = Dedup.spread(docs.select(col(textCol)))
+      .select(explode(bigramHashesUdf(col(textCol))).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c"))
+      .limit(probe).collect()
+    if (rows.length > maxPairs)
+      throw new IllegalStateException(
+        s"bigramModel: distinct bigrams exceed graft.text.bigramMaxPairs=" +
+          s"$maxPairs — raise the ceiling or pre-filter")
+    val sorted = rows.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    BigramLM(sorted.map(_._1), sorted.map(_._2), uni.hashes, uni.counts)
+  }
+
+  /** Score docs under a [[BigramLM]]: per-doc bigram count and
+    * conditional cross-entropy, mean over positions of
+    * ln c(w_{i−1}) − ln c(w_{i−1}, w_i) — unseen grams take the count-1
+    * floor (the m29 convention). Narrow broadcast kernel, one compiled
+    * pass, corpus never moves; docs with < 2 tokens score (0, 0.0). */
+  def bigramCrossEntropy(docs: DataFrame, model: BigramLM,
+      textCol: String = "text"): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(model)
+    val scoreUdf = udf((t: String) => {
+      val m = bc.value
+      val toks = TextSig.tokenHashes(t)
+      val bgs = bigramHashArr(t)
+      if (bgs.length == 0) BigramScore(0, 0.0)
+      else {
+        var s = 0.0
+        var i = 0
+        while (i < bgs.length) {
+          val iu = java.util.Arrays.binarySearch(m.unis, toks(i))
+          val ip = java.util.Arrays.binarySearch(m.pairs, bgs(i))
+          s += math.log(if (iu >= 0) m.uniCounts(iu).toDouble else 1.0) -
+            math.log(if (ip >= 0) m.pairCounts(ip).toDouble else 1.0)
+          i += 1
+        }
+        BigramScore(bgs.length, s / bgs.length)
+      }
+    })
+    docs.withColumn("__bs", scoreUdf(col(textCol)))
+      .withColumn("n_bigrams", col("__bs.n_bigrams"))
+      .withColumn("xent2", round(col("__bs.xent2"), 6))
+      .drop("__bs")
   }
 
   /** Full per-document profile over a `documents`-shaped DataFrame. */

@@ -1097,6 +1097,45 @@ class TrainingPipelineSpec extends AnyFunSuite {
     } finally s.conf.unset("graft.text.vocabMaxTokens")
   }
 
+  test("bigramModel/bigramCrossEntropy: conditional counts, floor, ceiling") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "aa bb aa bb"),   // bigrams: aa bb (x2), bb aa
+      (2L, "aa bb cc"),      // aa bb, bb cc
+      (3L, "solo"),          // < 2 tokens
+      (4L, "   ")).toDF("doc_id", "text")
+    val m = TextAnalysis.bigramModel(corpus)
+    // unigrams: aa=3, bb=3, cc=1, solo=1; pairs: (aa,bb)=3, (bb,aa)=1, (bb,cc)=1
+    assert(m.pairCounts.sorted.toSeq === Seq(1L, 1L, 3L))
+    def r6(v: Double): Double =
+      BigDecimal(v.toString).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = TextAnalysis.bigramCrossEntropy(corpus, m)
+      .select("doc_id", "n_bigrams", "xent2").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    def x(terms: Seq[(Long, Long)]): Double = r6(
+      terms.map { case (cu, cp) => math.log(cu.toDouble) - math.log(cp.toDouble) }
+        .sum / terms.size)
+    // doc 1: (aa:3, aabb:3), (bb:3, bbaa:1), (aa:3, aabb:3)
+    assert(out(1L) === ((3, x(Seq(3L -> 3L, 3L -> 1L, 3L -> 3L)))))
+    assert(out(2L) === ((2, x(Seq(3L -> 3L, 3L -> 1L)))))
+    assert(out(3L) === ((0, 0.0)))
+    assert(out(4L) === ((0, 0.0)))
+    // unseen history AND pair take the count-1 floor
+    val f = TextAnalysis.bigramCrossEntropy(
+        Seq((9L, "zz yy")).toDF("doc_id", "text"), m)
+      .select("xent2").head().getDouble(0)
+    assert(f === x(Seq(1L -> 1L)))
+    // pair ceiling aborts loudly
+    s.conf.set("graft.text.bigramMaxPairs", "2")
+    try {
+      val boom = intercept[IllegalStateException] {
+        TextAnalysis.bigramModel(corpus)
+      }
+      assert(boom.getMessage.contains("bigramMaxPairs"))
+    } finally s.conf.unset("graft.text.bigramMaxPairs")
+  }
+
   test("spread repartitions a few-file scan but passes a many-file scan through") {
     val s = spark
     import s.implicits._
