@@ -1092,6 +1092,32 @@ object Oracle {
       WHERE n.neg_rank <= 5
       ORDER BY query_id, pos_doc_id, neg_rank""",
 
+    // Leakage-free split: m11's recursive closure over the exact pair
+    // set gives each doc its component's min label (own id when
+    // unpaired); the side is splitmix64(rep + 5) mod 10000 < 2000 —
+    // one draw per representative, so clusters are indivisible.
+    "m57_leakfree_split" -> s"""
+      WITH RECURSIVE $CharShingleCtes,
+      lsp AS (SELECT a.doc_id AS da, b.doc_id AS db
+              FROM sh a, sh b WHERE a.doc_id < b.doc_id
+                AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / (len(a.s)+len(b.s)-len(list_intersect(a.s, b.s))) >= 0.5),
+      lse AS (SELECT da AS u, db AS v FROM lsp UNION SELECT db, da FROM lsp),
+      lsr(node, r) AS (
+        SELECT u, u FROM lse
+        UNION
+        SELECT lse.u, lsr.r FROM lse JOIN lsr ON lse.v = lsr.node),
+      lsc AS (SELECT node AS doc_id, MIN(r) AS component
+              FROM lsr GROUP BY node),
+      lrep AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS rep
+               FROM documents d LEFT JOIN lsc c USING (doc_id)),
+      lz AS (SELECT doc_id, rep, (CAST(rep AS HUGEINT) + 5) % $M64 AS z0
+             FROM lrep),
+      ${mix64Ctes("lmx", "lz", "doc_id, rep")}
+      SELECT doc_id, rep,
+        CASE WHEN h % 10000 < 2000 THEN 'test' ELSE 'train' END AS split
+      FROM lmx ORDER BY doc_id""",
+
     // Bigram conditional cross-entropy re-derived over gram STRINGS
     // (hash-agnostic like m29/m13): per position ln c(prev) − ln c(pair),
     // averaged, rounded 6 (the m29 float-avg parity convention).

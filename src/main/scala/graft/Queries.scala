@@ -1597,6 +1597,22 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** m57 — leakage-free train/test split
+    * ([[operators.TrainingPipeline.leakFreeSplit]]): near-dup CLUSTERS
+    * (transitive closure of the 0.5-threshold pair graph) land on one
+    * side of a 20 % test split, never straddling it — a doc-independent
+    * split leaks test content into training through near-copies. One
+    * splitmix64 draw per component representative. The oracle
+    * re-derives the closure (m11's recursive CTE over the exact pair
+    * set) and the decision hash chain. */
+  def m57LeakFreeSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashPairs(docs, threshold = 0.5)
+    val out = operators.TrainingPipeline.leakFreeSplit(
+      docs, pairs, testBp = 2000, seed = 5L)
+    out.orderBy("doc_id")
+  }
+
   /** m12 — COMPOSED multimodal near-dup: still images and sampled video
     * frames land in ONE feature space (8-bin value histogram — the
     * image path through `imageFeatures`/ImageIO, the frame path through

@@ -140,6 +140,7 @@ object SparkEntry {
     "m54_hard_negatives" -> Queries.m54HardNegatives,
     "m55_triangles" -> Queries.m55Triangles,
     "m56_bigram_xent" -> Queries.m56BigramXent,
+    "m57_leakfree_split" -> Queries.m57LeakFreeSplit,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on

@@ -652,6 +652,40 @@ object TrainingPipeline {
       n: Int, minHits: Long): DataFrame =
     docs.filter(hitsCol(bc, n, col("text")) < minHits)
 
+  private val splitBucketUdf = udf((rep: Long, seed: Long) =>
+    java.lang.Long.remainderUnsigned(
+      graft.core.TextSig.mix64(rep + seed), 10000L).toInt)
+
+  /** Leakage-free train/test split: near-duplicate CLUSTERS land on one
+    * side, never straddling the boundary — a doc-independent split leaks
+    * test content into training through its near-copies, silently
+    * inflating eval. Every doc's representative is its connected
+    * component's min label (its own id when unpaired); the side is
+    * `splitmix64(rep + seed) mod 10000 < testBp` — the [[mixtureSample]]
+    * decision hash on the REPRESENTATIVE, so the whole cluster shares
+    * one draw and the split is a pure function of (id set, pair set,
+    * seed). Test fraction is approximate by design (clusters are
+    * indivisible). Returns (doc_id, rep, split∈{train,test}).
+    *
+    * Scale shape: the closure is [[Dedup.connectedComponents]]'s
+    * O(log diameter) label propagation over the PAIR list (never the
+    * corpus); the split itself is one left join + a narrow hash. */
+  def leakFreeSplit(docs: DataFrame, pairs: DataFrame, testBp: Int,
+      seed: Long = 0L, idCol: String = "doc_id",
+      aCol: String = "doc_id_a", bCol: String = "doc_id_b"): DataFrame = {
+    require(testBp >= 0 && testBp <= 10000,
+      s"leakFreeSplit: testBp=$testBp out of [0,10000]")
+    val comp = Dedup.connectedComponents(pairs, aCol, bCol)
+      .select(col("id").cast("long").as("doc_id"), col("component").cast("long").as("component"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("rep"))
+      .select(col("doc_id"), col("rep"),
+        when(splitBucketUdf(col("rep"), lit(seed)) < testBp, lit("test"))
+          .otherwise(lit("train")).as("split"))
+  }
+
   /** Curate AND account in one pass: the near-dedup chain (the dominant
     * cost — LSH candidates + verify over the corpus) runs ONCE, serving
     * both the returned corpus and the stage-4 count. The curated frame is

@@ -1136,6 +1136,38 @@ class TrainingPipelineSpec extends AnyFunSuite {
     } finally s.conf.unset("graft.text.bigramMaxPairs")
   }
 
+  test("leakFreeSplit keeps near-dup clusters on one side, unpaired docs draw alone") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 40L).toDF("doc_id")
+    // two chains (1-2-3, 10-11) + isolates
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_id_a", "doc_id_b")
+    val out = TrainingPipeline.leakFreeSplit(docs, pairs, testBp = 3000, seed = 9L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out.size == 40)
+    // cluster members share rep AND side
+    assert(Seq(1L, 2L, 3L).map(out(_)).distinct.size == 1)
+    assert(out(1L)._1 == 1L)
+    assert(Seq(10L, 11L).map(out(_)).distinct.size == 1)
+    assert(out(10L)._1 == 10L)
+    // unpaired docs are their own rep, decided by the mixtureSample hash
+    assert(out(25L)._1 == 25L)
+    val expectSide = if (java.lang.Long.remainderUnsigned(
+        graft.core.TextSig.mix64(25L + 9L), 10000L) < 3000) "test" else "train"
+    assert(out(25L)._2 == expectSide)
+    // both sides populated at 30% on 38 effective draws (40 docs, 2 merged away)
+    assert(out.values.map(_._2).toSet == Set("train", "test"))
+    // pure function of (ids, pairs, seed): repartition-invariant,
+    // seed-sensitive
+    val re = TrainingPipeline.leakFreeSplit(docs.repartition(7),
+        pairs.repartition(3), testBp = 3000, seed = 9L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(re == out)
+    val other = TrainingPipeline.leakFreeSplit(docs, pairs, testBp = 3000, seed = 10L)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(other != out.view.mapValues(_._2).toMap)
+  }
+
   test("spread repartitions a few-file scan but passes a many-file scan through") {
     val s = spark
     import s.implicits._
