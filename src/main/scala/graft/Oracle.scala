@@ -1141,6 +1141,79 @@ object Oracle {
       FROM documents d LEFT JOIN bxp p USING (doc_id)
       ORDER BY doc_id""",
 
+    // KMV kept state re-derived per DISTINCT token: fnv1a→mix64 hash
+    // chain (the shared TextSig derivation), sign bit flipped by a
+    // HUGEINT subtraction so BIGINT order equals unsigned hash order,
+    // rank-≤ k window = the k smallest. The estimator repeats the
+    // engine's literal double expression verbatim.
+    "m58_kmv_distinct" -> s"""
+      WITH vn AS (SELECT source, trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS nt
+                  FROM documents),
+      vtok0 AS (SELECT source, unnest(string_split(nt, ' ')) AS t
+                FROM vn WHERE length(nt) > 0),
+      vtok AS (SELECT DISTINCT source, t FROM vtok0),
+      vf AS (SELECT source, t, ${fnv1a("t || ' '")} AS z0 FROM vtok),
+      ${mix64Ctes("vmx", "vf", "source, t")},
+      vuh AS (SELECT DISTINCT source,
+                CAST(h - CAST('9223372036854775808' AS HUGEINT) AS BIGINT) AS uh
+              FROM vmx),
+      vrk AS (SELECT source, uh,
+                row_number() OVER (PARTITION BY source ORDER BY uh) AS rk
+              FROM vuh),
+      vkeep AS (SELECT source, uh FROM vrk WHERE rk <= 64),
+      vagg AS (SELECT source, COUNT(*) AS n, MIN(uh) AS mn, MAX(uh) AS kth,
+                 bit_xor(uh) AS cs
+               FROM vkeep GROUP BY source)
+      SELECT source, CAST(n AS INT) AS n_kept, mn AS min_h, kth AS kth_h,
+        cs AS checksum,
+        CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+             ELSE round(((63.0 * 1.8446744073709552e19)
+               / (CAST(kth AS DOUBLE) + 9.223372036854776e18)), 4) END AS est_distinct
+      FROM vagg ORDER BY source""",
+
+    // KMV set ops: the same per-source kept sets, paired sa < sb; the
+    // union sketch is the rank-≤ k window over the merged kept values,
+    // intersection = union-kept values present in BOTH sides.
+    "m59_kmv_setops" -> s"""
+      WITH wn AS (SELECT source, trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS nt
+                  FROM documents),
+      wtok0 AS (SELECT source, unnest(string_split(nt, ' ')) AS t
+                FROM wn WHERE length(nt) > 0),
+      wtok AS (SELECT DISTINCT source, t FROM wtok0),
+      wf AS (SELECT source, t, ${fnv1a("t || ' '")} AS z0 FROM wtok),
+      ${mix64Ctes("wmx", "wf", "source, t")},
+      wuh AS (SELECT DISTINCT source,
+                CAST(h - CAST('9223372036854775808' AS HUGEINT) AS BIGINT) AS uh
+              FROM wmx),
+      wrk AS (SELECT source, uh,
+                row_number() OVER (PARTITION BY source ORDER BY uh) AS rk
+              FROM wuh),
+      wkeep AS (SELECT source, uh FROM wrk WHERE rk <= 64),
+      wsrc AS (SELECT DISTINCT source FROM wkeep),
+      wpair AS (SELECT a.source AS sa, b.source AS sb
+                FROM wsrc a, wsrc b WHERE a.source < b.source),
+      wcon AS (SELECT sa, sb, uh,
+                 MAX(CASE WHEN k.source = sa THEN 1 ELSE 0 END) AS in_a,
+                 MAX(CASE WHEN k.source = sb THEN 1 ELSE 0 END) AS in_b
+               FROM wpair p JOIN wkeep k ON k.source = sa OR k.source = sb
+               GROUP BY sa, sb, uh),
+      wur AS (SELECT *, row_number() OVER (PARTITION BY sa, sb ORDER BY uh) AS rk
+              FROM wcon),
+      wuk AS (SELECT * FROM wur WHERE rk <= 64),
+      wagg AS (SELECT sa, sb, COUNT(*) AS n, MAX(uh) AS kth,
+                 CAST(SUM(in_a * in_b) AS BIGINT) AS inter
+               FROM wuk GROUP BY sa, sb),
+      west AS (SELECT sa, sb, n, kth, inter,
+                 round(CAST(inter AS DOUBLE) / n, 6) AS jaccard_est,
+                 CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+                      ELSE round(((63.0 * 1.8446744073709552e19)
+                        / (CAST(kth AS DOUBLE) + 9.223372036854776e18)), 4) END AS est_union
+               FROM wagg)
+      SELECT sa, sb, CAST(n AS INT) AS n_union, kth AS kth_union,
+        inter AS inter_kept, jaccard_est, est_union,
+        round(jaccard_est * est_union, 4) AS est_intersection
+      FROM west ORDER BY sa, sb""",
+
     // Triangles from the exact pair set, naive x<y<z formulation —
     // the engine's degree-ordered orientation changes the plan, not
     // the count.

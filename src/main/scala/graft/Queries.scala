@@ -1613,6 +1613,32 @@ object Queries {
     out.orderBy("doc_id")
   }
 
+  /** m58 — KMV (k-minimum-values) distinct-token sketch
+    * ([[operators.Sketches.kmvDistinct]]): the set-OPERABLE counterpart
+    * of m46's HLL — per source, the 64 smallest distinct sign-flipped
+    * token hashes pin the kept state (count, min, kth, xor-checksum)
+    * and yield the (k−1)/U(k) estimate. Two-level bounded merge: ≤ k
+    * rows per (group, partition) ever shuffle. The oracle re-derives
+    * the fnv1a→mix64 hash chain per distinct token, flips the sign bit
+    * in HUGEINT, and replays the rank-≤ k window and the literal
+    * estimator expression. */
+  def m58KmvDistinct(s: SparkSession, dir: String): DataFrame =
+    operators.Sketches.kmvDistinct(t(s, dir, "documents"), k = 64)
+      .orderBy("source")
+
+  /** m59 — KMV set-operation estimates
+    * ([[operators.Sketches.kmvSetOps]]): pairwise union / intersection
+    * / Jaccard cardinality estimates between sources computed from the
+    * m58 sketches ALONE — the closure property HLL registers lack. The
+    * union sketch is the k smallest of the two kept sets; the fraction
+    * of union-kept hashes present in both estimates Jaccard. Runs over
+    * ≤ sources·k rows; at 100 TB the corpus is read once, every
+    * cross-source overlap question after that is sketch-sized. */
+  def m59KmvSetops(s: SparkSession, dir: String): DataFrame =
+    operators.Sketches.kmvSetOps(
+        operators.Sketches.kmvMinHashes(t(s, dir, "documents"), k = 64), k = 64)
+      .orderBy("sa", "sb")
+
   /** m12 — COMPOSED multimodal near-dup: still images and sampled video
     * frames land in ONE feature space (8-bin value histogram — the
     * image path through `imageFeatures`/ImageIO, the frame path through

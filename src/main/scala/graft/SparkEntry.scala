@@ -141,6 +141,8 @@ object SparkEntry {
     "m55_triangles" -> Queries.m55Triangles,
     "m56_bigram_xent" -> Queries.m56BigramXent,
     "m57_leakfree_split" -> Queries.m57LeakFreeSplit,
+    "m58_kmv_distinct" -> Queries.m58KmvDistinct,
+    "m59_kmv_setops" -> Queries.m59KmvSetops,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on

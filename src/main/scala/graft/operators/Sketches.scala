@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.TextSig
@@ -13,6 +14,11 @@ final case class HllItem(bucket: Int, rank: Int)
 /** One count-min cell contribution: packed (row·width + bucket) cell id
   * and the doc-local occurrence count. TOP-LEVEL for the encoder rule. */
 final case class CmsItem(cell: Int, cnt: Long)
+
+/** One partition's KMV contribution for a group: the partition-local k
+  * smallest distinct sign-flipped token hashes, ascending. TOP-LEVEL for
+  * the encoder rule. */
+final case class KmvPart(group: String, mins: Array[Long])
 
 /**
  * Mergeable sketches for corpus-scale cardinality and frequency
@@ -260,6 +266,228 @@ object Sketches {
   def cmsTokenEstimates(docs: DataFrame, probes: Seq[String], depth: Int = 4,
       width: Int = 1024, textCol: String = "text"): DataFrame =
     cmsEstimates(cmsCells(docs, depth, width, textCol), probes, depth, width)
+
+  // ---- KMV / theta sketch (k minimum values — Bar-Yossef et al. 2002,
+  //      Beyer et al. 2007). Unlike HLL, the kept state supports SET
+  //      OPERATIONS: union/intersection/Jaccard estimates between
+  //      sources come from the sketches alone, never re-reading the
+  //      corpus. Hash order is UNSIGNED; Spark Longs are signed, so
+  //      every kept value is stored sign-flipped (uh = h − 2^63 in
+  //      unsigned terms — xor with the sign bit), which makes signed
+  //      ORDER BY / MIN / MAX agree with the oracle's HUGEINT order
+  //      (CLAUDE.md m37 rule). ----
+
+  /** Per-(partition, group) bounded merge: the k smallest DISTINCT
+    * sign-flipped token hashes. Each partition emits ≤ k longs per
+    * group, so the shuffle is k·partitions per group whatever the
+    * corpus size — the map-side half of the sketch union. Groups are
+    * low-cardinality by contract (sources, like [[hllVocab]]). */
+  private def kmvPartitions(docs: DataFrame, k: Int, groupBy: Column,
+      textCol: String): org.apache.spark.sql.Dataset[KmvPart] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(groupBy.cast("string").as("g"), col(textCol).as("t"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val sets = new java.util.HashMap[String, java.util.TreeSet[java.lang.Long]]()
+        it.foreach { case (g, t) =>
+          var set = sets.get(g)
+          if (set == null) { set = new java.util.TreeSet[java.lang.Long](); sets.put(g, set) }
+          val hs = TextSig.tokenHashes(t)
+          var i = 0
+          while (i < hs.length) {
+            val uh = hs(i) ^ java.lang.Long.MIN_VALUE
+            if (set.size < k) set.add(uh)
+            else if (uh < set.last) { set.add(uh); if (set.size > k) set.pollLast() }
+            i += 1
+          }
+        }
+        val out = Vector.newBuilder[KmvPart]
+        sets.forEach { (g, set) =>
+          if (!set.isEmpty) {
+            val a = new Array[Long](set.size)
+            val jt = set.iterator(); var j = 0
+            while (jt.hasNext) { a(j) = jt.next(); j += 1 }
+            out += KmvPart(g, a)
+          }
+        }
+        out.result().iterator
+      }
+  }
+
+  private val kmvMergeUdf = udf { (parts: Seq[Seq[Long]], k: Int) =>
+    val set = new java.util.TreeSet[java.lang.Long]()
+    parts.foreach(_.foreach { uh =>
+      if (set.size < k) set.add(uh)
+      else if (uh < set.last) { set.add(uh); if (set.size > k) set.pollLast() }
+    })
+    val a = new Array[Long](set.size)
+    val it = set.iterator(); var j = 0
+    while (it.hasNext) { a(j) = it.next(); j += 1 }
+    a
+  }
+
+  /**
+   * The kept KMV state per group: (group, uh) — the k smallest distinct
+   * sign-flipped token hashes, ≤ k rows per group. Two-level bounded
+   * merge: partition-local TreeSets cap the shuffle at k·partitions rows
+   * per group; the final merge folds those sorted arrays back to k.
+   * Pure set algebra — deterministic under any partitioning, and
+   * idempotent under re-merge (like the HLL max-merge).
+   */
+  def kmvMinHashes(docs: DataFrame, k: Int = 64,
+      sourceCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(k >= 2 && k <= 4096, s"kmvMinHashes: k=$k out of [2,4096]")
+    kmvPartitions(docs, k, col(sourceCol), textCol).toDF("group", "mins")
+      .groupBy("group")
+      .agg(collect_list(col("mins")).as("parts"))
+      .select(col("group"), explode(kmvMergeUdf(col("parts"), lit(k))).as("uh"))
+  }
+
+  /** The KMV estimator expression: n < k ⇒ the sketch holds EVERY
+    * distinct hash, the count is exact; otherwise (k−1)·2^64/U(k) with
+    * U(k) the kth smallest unsigned hash (Beyer et al. 2007's unbiased
+    * form). Written as one literal double dag the oracle mirrors
+    * verbatim, so both engines agree bit-for-bit. */
+  private def kmvEst(n: Column, kth: Column, k: Int): Column =
+    when(n < k, n.cast("double"))
+      .otherwise(round(
+        lit((k - 1).toDouble) * lit(1.8446744073709552e19) /
+          (kth.cast("double") + lit(9.223372036854776e18)), 4))
+
+  /**
+   * Per-source distinct-token estimates from the KMV state — the
+   * set-operable counterpart of [[hllVocab]]. Pins the full kept state
+   * for the gate (count, min, kth, xor-checksum — order-independent and
+   * overflow-free where a sum of near-2^63 values is not), plus the
+   * estimate.
+   */
+  def kmvDistinct(docs: DataFrame, k: Int = 64,
+      sourceCol: String = "source", textCol: String = "text"): DataFrame =
+    kmvMinHashes(docs, k, sourceCol, textCol)
+      .groupBy(col("group").as("source"))
+      .agg(
+        count(lit(1)).cast("int").as("n_kept"),
+        min(col("uh")).as("min_h"),
+        max(col("uh")).as("kth_h"),
+        expr("bit_xor(uh)").as("checksum"))
+      .withColumn("est_distinct", kmvEst(col("n_kept"), col("kth_h"), k))
+
+  /**
+   * Pairwise set-operation estimates between sources, computed from the
+   * sketches ALONE — the KMV closure property HLL lacks: for sources
+   * a < b, the union sketch is the k smallest of kept(a) ∪ kept(b), its
+   * kth value estimates |A ∪ B|, and the fraction of union-kept hashes
+   * present in BOTH kept sets estimates Jaccard (Beyer et al. 2007).
+   * Everything here runs over ≤ sources·k rows — at 100 TB the corpus
+   * was read once to build [[kmvMinHashes]]; cross-source overlap
+   * questions are then sketch-sized forever after.
+   *
+   * Returns per pair: n_union (≤ k), kth_union, inter_kept,
+   * jaccard_est, est_union, est_intersection.
+   */
+  def kmvSetOps(minHashes: DataFrame, k: Int = 64): DataFrame = {
+    val groups = minHashes.select(col("group")).distinct()
+    val pairs = groups.select(col("group").as("sa"))
+      .crossJoin(groups.select(col("group").as("sb")))
+      .filter(col("sa") < col("sb"))
+    val contrib = pairs
+      .join(minHashes,
+        col("group") === col("sa") || col("group") === col("sb"))
+      .groupBy(col("sa"), col("sb"), col("uh"))
+      .agg(
+        max(when(col("group") === col("sa"), 1).otherwise(0)).as("in_a"),
+        max(when(col("group") === col("sb"), 1).otherwise(0)).as("in_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("sa", "sb").orderBy("uh")
+    val kept = contrib.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    kept.groupBy(col("sa"), col("sb"))
+      .agg(
+        count(lit(1)).cast("int").as("n_union"),
+        max(col("uh")).as("kth_union"),
+        sum(col("in_a") * col("in_b")).as("inter_kept"))
+      .withColumn("jaccard_est",
+        round(col("inter_kept").cast("double") / col("n_union"), 6))
+      .withColumn("est_union", kmvEst(col("n_union"), col("kth_union"), k))
+      .withColumn("est_intersection",
+        round(col("jaccard_est") * col("est_union"), 4))
+  }
+
+  // ---- fixed-width histogram sketch (one-pass approximate quantiles) ----
+
+  /**
+   * Bucket-count histogram over an integer-valued column: the mergeable
+   * one-pass counterpart of `Ranking.globalQuantiles`' exact
+   * sort+probe — at 100 TB the exact path pays a full range-partitioned
+   * sort, while this is ONE `groupBy(bucket).count` whose shuffle is
+   * bounded at `bins` rows per partition by map-side combine (the same
+   * algebra that makes HLL registers and CMS cells mergeable: histogram
+   * merge is vector addition, so incremental batch updates are free).
+   *
+   * Bounds are a CONTRACT (`[lo, hi)` split into `bins` equal integer
+   * ranges; out-of-range values clamp to the edge buckets, which keeps
+   * the sketch total == N and the oracle trivially in agreement).
+   * Bucketing is pure integer arithmetic — `(x − lo)·bins / (hi − lo)`
+   * floored — so the cell table is exact on both engines.
+   */
+  def histCounts(df: DataFrame, valueCol: Column, lo: Long, hi: Long,
+      bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 65536, s"histCounts: bins=$bins out of [2,65536]")
+    require(hi > lo, s"histCounts: empty range [$lo,$hi)")
+    // SQL `div`, not Column `/`: the latter is double division on longs
+    df.select(((valueCol.cast("long") - lit(lo)) * lit(bins.toLong)).as("num"))
+      .select(least(greatest(expr(s"num div ${hi - lo}"), lit(0L)),
+        lit(bins - 1L)).cast("int").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /**
+   * Quantile estimates off a histogram sketch: for each probe p (basis
+   * points), the target rank is the EXACT integer ⌈p·N/10000⌉, the
+   * answering bucket is the first with cumulative count ≥ target, and
+   * the estimate interpolates linearly inside it —
+   * lo + (b + (target − cum_prev)/cnt_b) · (hi − lo)/bins. Rank math is
+   * all integers; only the final interpolation is a double, written as
+   * one literal dag the oracle mirrors. The sketch frame is ≤ bins
+   * rows, so the window here sorts a constant-size table.
+   */
+  def histQuantiles(counts: DataFrame, lo: Long, hi: Long, bins: Int,
+      probesBp: Seq[Int]): DataFrame = {
+    require(probesBp.nonEmpty && probesBp.forall(p => p >= 1 && p <= 10000),
+      s"histQuantiles: probes (basis points) must be in [1,10000]")
+    val s = counts.sparkSession
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+    val probes = probesBp.toDF("p_bp")
+    val hit = probes.join(cum,
+        col("cum") * 10000L >= col("p_bp").cast("long") * col("n"))
+      .groupBy(col("p_bp"))
+      .agg(min_by(struct(col("bucket"), col("cnt"), col("cum"), col("n")),
+        col("bucket")).as("h"))
+      .select(col("p_bp"), col("h.bucket").as("bucket"), col("h.cnt").as("cnt"),
+        col("h.cum").as("cum"), col("h.n").as("n"))
+    // target = ceil(p·N/10000) as integers; est interpolates in doubles
+    val target = (col("p_bp").cast("long") * col("n") + 9999L) / 10000L
+    hit
+      .withColumn("target_rank", target)
+      .withColumn("est", round(lit(lo.toDouble) +
+        (col("bucket").cast("double") +
+          (col("target_rank") - (col("cum") - col("cnt"))).cast("double") /
+            col("cnt").cast("double")) *
+          (lit((hi - lo).toDouble) / lit(bins.toDouble)), 4))
+      .select("p_bp", "n", "target_rank", "bucket", "est")
+  }
+
+  /** Composed build + probe over a column. */
+  def histSketchQuantiles(df: DataFrame, valueCol: Column, lo: Long, hi: Long,
+      bins: Int, probesBp: Seq[Int]): DataFrame =
+    histQuantiles(histCounts(df, valueCol, lo, hi, bins), lo, hi, bins, probesBp)
 
   // ---- Bloom-filter membership (approximate decontamination) ----
 

@@ -88,6 +88,88 @@ class SketchesSpec extends AnyFunSuite {
     assert(re == est)
   }
 
+  /** Driver-exact KMV reference: per source, the k smallest distinct
+    * sign-flipped token hashes. */
+  private def driverKmv(sel: org.apache.spark.sql.DataFrame, k: Int): Map[String, Seq[Long]] =
+    sel.select("source", "text").collect()
+      .groupBy(_.getString(0))
+      .map { case (src, rows) =>
+        src -> rows.iterator
+          .flatMap(r => TextSig.tokenHashes(r.getString(1)))
+          .map(_ ^ Long.MinValue).toSeq.distinct.sorted.take(k)
+      }
+
+  test("kmvDistinct kept state equals the driver-exact k smallest and the " +
+      "estimate lands within the KMV error bound") {
+    val k = 64
+    val ref = driverKmv(docs, k)
+    val kept = Sketches.kmvMinHashes(docs, k).collect()
+      .groupBy(_.getString(0)).map { case (g, rs) => g -> rs.map(_.getLong(1)).toSeq.sorted }
+    assert(kept == ref)
+    val est = Sketches.kmvDistinct(docs, k).collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toMap
+    est.foreach { case (src, (n, mn, kth, cs, e)) =>
+      val mins = ref(src)
+      assert(n == mins.size && mn == mins.head && kth == mins.last)
+      assert(cs == mins.reduce(_ ^ _))
+      val exact = exactVocab(src).toDouble
+      if (n < k) assert(e == exact)
+      // std error ~ 1/sqrt(k-2) ~ 12.7%; 4 sigma margin
+      else assert(math.abs(e - exact) / exact < 0.51, s"$src: est $e vs exact $exact")
+    }
+  }
+
+  test("kmvMinHashes is partitioning-invariant and closed under sketch merge") {
+    val k = 64
+    val base = Sketches.kmvMinHashes(docs, k).orderBy("group", "uh").collect().toSeq
+    val re = Sketches.kmvMinHashes(docs.repartition(7), k).orderBy("group", "uh").collect().toSeq
+    assert(base == re)
+    // closure: merging the halves' kept sets (k smallest of the union)
+    // reproduces the full-corpus kept set — re-merge is idempotent
+    def keptOf(d: org.apache.spark.sql.DataFrame) =
+      Sketches.kmvMinHashes(d, k).collect()
+        .groupBy(_.getString(0)).map { case (g, rs) => g -> rs.map(_.getLong(1)).toSet }
+    val full = keptOf(docs)
+    val h1 = keptOf(docs.filter(col("doc_id") % 2 === 0))
+    val h2 = keptOf(docs.filter(col("doc_id") % 2 === 1))
+    val merged = (h1.keySet ++ h2.keySet).map { g =>
+      g -> (h1.getOrElse(g, Set.empty) ++ h2.getOrElse(g, Set.empty))
+        .toSeq.sorted.take(k).toSet
+    }.toMap
+    assert(merged == full)
+  }
+
+  test("kmvSetOps union/intersection estimates agree with driver-exact set " +
+      "algebra over the kept sketches and bound the true cardinalities") {
+    val k = 64
+    val mh = Sketches.kmvMinHashes(docs, k)
+    val out = Sketches.kmvSetOps(mh, k).collect()
+    val ref = driverKmv(docs, k).view.mapValues(_.toSet).toMap
+    // exact per-source distinct hash sets for ground truth
+    val fullSets = docs.select("source", "text").collect()
+      .groupBy(_.getString(0))
+      .map { case (s, rows) =>
+        s -> rows.iterator.flatMap(r => TextSig.tokenHashes(r.getString(1)))
+          .map(_ ^ Long.MinValue).toSet
+      }
+    assert(out.length == ref.keySet.subsets(2).size)
+    out.foreach { r =>
+      val (sa, sb) = (r.getString(0), r.getString(1))
+      val unionKept = (ref(sa) ++ ref(sb)).toSeq.sorted.take(k)
+      assert(r.getInt(2) == unionKept.size && r.getLong(3) == unionKept.last)
+      val interKept = unionKept.count(h => ref(sa)(h) && ref(sb)(h))
+      assert(r.getLong(4) == interKept)
+      val trueUnion = (fullSets(sa) ++ fullSets(sb)).size.toDouble
+      val estUnion = r.getDouble(6)
+      assert(math.abs(estUnion - trueUnion) / trueUnion < 0.51,
+        s"($sa,$sb): union est $estUnion vs $trueUnion")
+      val trueJ = fullSets(sa).intersect(fullSets(sb)).size.toDouble / trueUnion
+      assert(math.abs(r.getDouble(5) - trueJ) < 0.3,
+        s"($sa,$sb): jaccard est ${r.getDouble(5)} vs $trueJ")
+    }
+  }
+
   test("hllRegisters is a valid streaming aggregation (complete mode)") {
     // the register table is a plain groupBy/max, so Structured Streaming
     // maintains it incrementally — corpus statistics that stay current
