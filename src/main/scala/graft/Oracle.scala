@@ -1214,6 +1214,30 @@ object Oracle {
         round(jaccard_est * est_union, 4) AS est_intersection
       FROM west ORDER BY sa, sb""",
 
+    // Histogram sketch: integer bucketing ((v·bins) // range, clamped),
+    // integer cumulative ranks, and the engine's literal interpolation
+    // expression. SUM over BIGINT is HUGEINT in DuckDB — cast back.
+    "m60_hist_quantiles" -> """
+      WITH hb AS (SELECT least(greatest((n_chars * 128) // 1024, 0), 127) AS bucket
+                  FROM documents),
+      hc AS (SELECT bucket, COUNT(*) AS cnt FROM hb GROUP BY bucket),
+      hw AS (SELECT bucket, cnt,
+               CAST(SUM(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum,
+               CAST(SUM(cnt) OVER () AS BIGINT) AS n
+             FROM hc),
+      hp AS (SELECT * FROM (VALUES (100),(2500),(5000),(7500),(9900)) AS v(p_bp)),
+      hh AS (SELECT p_bp, n, bucket, cnt, cum,
+               row_number() OVER (PARTITION BY p_bp ORDER BY bucket) AS rk
+             FROM hp JOIN hw ON cum * 10000 >= CAST(p_bp AS BIGINT) * n),
+      hs AS (SELECT p_bp, n, bucket, cnt, cum,
+               (CAST(p_bp AS BIGINT) * n + 9999) // 10000 AS target_rank
+             FROM hh WHERE rk = 1)
+      SELECT p_bp, n, target_rank, bucket,
+        round(0.0 + (CAST(bucket AS DOUBLE)
+          + CAST(target_rank - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE))
+          * (1024.0 / 128.0), 4) AS est
+      FROM hs ORDER BY p_bp""",
+
     // Triangles from the exact pair set, naive x<y<z formulation —
     // the engine's degree-ordered orientation changes the plan, not
     // the count.

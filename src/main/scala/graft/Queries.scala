@@ -1639,6 +1639,21 @@ object Queries {
         operators.Sketches.kmvMinHashes(t(s, dir, "documents"), k = 64), k = 64)
       .orderBy("sa", "sb")
 
+  /** m60 — histogram-sketch quantiles
+    * ([[operators.Sketches.histSketchQuantiles]]): one-pass mergeable
+    * approximate quantiles over `documents.n_chars` — the sketch
+    * counterpart of m35's exact sort+probe: ONE `groupBy(bucket)` whose
+    * shuffle is bounded at `bins` rows per partition, merge = vector
+    * addition. Bucketing and target ranks are pure integer arithmetic;
+    * only the final interpolation is a double, mirrored literally by
+    * the oracle. Bounds [0, 1024)×128 bins cover the fixture with
+    * clamped edges (sketch total stays N). */
+  def m60HistQuantiles(s: SparkSession, dir: String): DataFrame =
+    operators.Sketches.histSketchQuantiles(t(s, dir, "documents"),
+        col("n_chars"), lo = 0L, hi = 1024L, bins = 128,
+        probesBp = Seq(100, 2500, 5000, 7500, 9900))
+      .orderBy("p_bp")
+
   /** m12 — COMPOSED multimodal near-dup: still images and sampled video
     * frames land in ONE feature space (8-bin value histogram — the
     * image path through `imageFeatures`/ImageIO, the frame path through

@@ -472,10 +472,11 @@ object Sketches {
         col("bucket")).as("h"))
       .select(col("p_bp"), col("h.bucket").as("bucket"), col("h.cnt").as("cnt"),
         col("h.cum").as("cum"), col("h.n").as("n"))
-    // target = ceil(p·N/10000) as integers; est interpolates in doubles
-    val target = (col("p_bp").cast("long") * col("n") + 9999L) / 10000L
+    // target = ceil(p·N/10000) as integers (SQL div — Column `/` is
+    // double division); est interpolates in doubles
     hit
-      .withColumn("target_rank", target)
+      .withColumn("tnum", col("p_bp").cast("long") * col("n") + lit(9999L))
+      .withColumn("target_rank", expr("tnum div 10000"))
       .withColumn("est", round(lit(lo.toDouble) +
         (col("bucket").cast("double") +
           (col("target_rank") - (col("cum") - col("cnt"))).cast("double") /

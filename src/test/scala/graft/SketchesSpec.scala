@@ -170,6 +170,39 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("histSketchQuantiles lands within one bucket width of exact quantiles, " +
+      "is partitioning-invariant, and its counts merge by addition") {
+    val (lo, hi, bins) = (0L, 1024L, 128)
+    val probes = Seq(100, 2500, 5000, 7500, 9900)
+    val out = Sketches.histSketchQuantiles(docs, col("n_chars"), lo, hi, bins, probes)
+      .orderBy("p_bp").collect()
+    assert(out.map(_.getInt(0)).toSeq == probes)
+    // exact quantiles by the same ceil-rank definition
+    val vals = docs.select("n_chars").collect().map(_.getLong(0)).sorted
+    out.foreach { r =>
+      val (p, n, target, est) = (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(4))
+      assert(n == vals.length)
+      assert(target == (p.toLong * n + 9999) / 10000)
+      val exact = vals(target.toInt - 1).toDouble
+      val width = (hi - lo).toDouble / bins
+      assert(math.abs(est - exact) <= width,
+        s"p=$p: est $est vs exact $exact (width $width)")
+    }
+    val re = Sketches.histSketchQuantiles(docs.repartition(7), col("n_chars"),
+      lo, hi, bins, probes).orderBy("p_bp").collect()
+    assert(re.toSeq == out.toSeq)
+    // merge = vector addition of bucket counts
+    def cnts(d: org.apache.spark.sql.DataFrame) =
+      Sketches.histCounts(d, col("n_chars"), lo, hi, bins).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val full = cnts(docs)
+    val h1 = cnts(docs.filter(col("doc_id") % 2 === 0))
+    val h2 = cnts(docs.filter(col("doc_id") % 2 === 1))
+    val merged = (h1.keySet ++ h2.keySet).map(b =>
+      b -> (h1.getOrElse(b, 0L) + h2.getOrElse(b, 0L))).toMap
+    assert(merged == full)
+  }
+
   test("hllRegisters is a valid streaming aggregation (complete mode)") {
     // the register table is a plain groupBy/max, so Structured Streaming
     // maintains it incrementally — corpus statistics that stay current
