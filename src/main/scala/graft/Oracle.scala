@@ -1238,6 +1238,32 @@ object Oracle {
           * (1024.0 / 128.0), 4) AS est
       FROM hs ORDER BY p_bp""",
 
+    // Scalar quantization re-derived end-to-end: per-dim MIN/MAX over
+    // the double-cast embeddings, the engine's pinned floor(v+0.5)
+    // code semantic (identical IEEE dag), integer code distances.
+    "m61_sq_topk" -> """
+      WITH se AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      sdm AS (SELECT CAST(unnest(idxs) AS INT) AS d
+              FROM (SELECT range(len(e)) AS idxs FROM se LIMIT 1)),
+      sval AS (SELECT vec_id, d, e[CAST(d + 1 AS INT)] AS x FROM se, sdm),
+      smm AS (SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM sval GROUP BY d),
+      scode AS (SELECT vec_id, d,
+                  CASE WHEN mx = mn THEN 0
+                       ELSE CAST(least(greatest(
+                         floor((x - mn) * 255.0 / (mx - mn) + 0.5), 0.0), 255.0) AS INT)
+                  END AS c
+                FROM sval JOIN smm USING (d)),
+      sdist AS (SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
+                  CAST(SUM(CAST(a.c - b.c AS BIGINT) * CAST(a.c - b.c AS BIGINT)) AS BIGINT) AS dist
+                FROM scode a JOIN scode b USING (d)
+                WHERE a.vec_id < 16 AND a.vec_id <> b.vec_id
+                GROUP BY a.vec_id, b.vec_id),
+      srk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY dist, corpus_id) AS rank
+              FROM sdist)
+      SELECT query_id, corpus_id, dist, CAST(rank AS INT) AS rank
+      FROM srk WHERE rank <= 5 ORDER BY query_id, rank""",
+
     // Triangles from the exact pair set, naive x<y<z formulation —
     // the engine's degree-ordered orientation changes the plan, not
     // the count.

@@ -1654,6 +1654,21 @@ object Queries {
         probesBp = Seq(100, 2500, 5000, 7500, 9900))
       .orderBy("p_bp")
 
+  /** m61 — int8 scalar-quantized top-k
+    * ([[operators.Similarity.sqTopK]]): the vector-compression rung
+    * below m41's PQ — per-dimension affine codes (exact corpus min/max,
+    * no trained codebook), 4× memory cut, and SYMMETRIC code distances
+    * that are exact integers, so the whole ranking is integer
+    * arithmetic. Quantization semantic pinned as floor(v+0.5) on both
+    * engines. The oracle re-derives min/max, codes and distances from
+    * the raw embeddings in SQL. */
+  def m61SqTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    operators.Similarity.sqTopK(emb, emb.filter(col("vec_id") < 16),
+        operators.Similarity.sqTrain(emb), k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   /** m12 — COMPOSED multimodal near-dup: still images and sampled video
     * frames land in ONE feature space (8-bin value histogram — the
     * image path through `imageFeatures`/ImageIO, the frame path through

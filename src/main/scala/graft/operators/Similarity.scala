@@ -10,6 +10,10 @@ import graft.core.VecMath
   * encoder projections to interpreter mode — see CLAUDE.md). */
 final case class PqHit(query_id: Long, dist: Double)
 
+/** One query's scalar-quantized hit: code distances are exact INTEGERS,
+  * so ranking has no float story at all. TOP-LEVEL for the encoder rule. */
+final case class SqHit(query_id: Long, dist: Long)
+
 /**
  * Similarity search over an embedding column (`array<float>`):
  * brute-force cosine top-k as the exact baseline, and an LSH-bucketed
@@ -299,6 +303,103 @@ object Similarity {
       .select(col("corpus_id"), explode(hitsUdf(col("v"))).as("h"))
       .select(col("h.query_id"), col("corpus_id"),
         round(col("h.dist"), 6).as("dist"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  // --- Scalar quantization (int8): the simplest vector-compression
+  //     rung below PQ — per-dimension affine codes, 4× memory cut from
+  //     float32 with NO trained codebook, and code distances that are
+  //     exact INTEGERS (Σ(ca−cb)² ≤ 64·255² fits a long), so ranking is
+  //     bit-deterministic with no float rounding story at all. The
+  //     standard faiss SQ8 shape. ---
+
+  /** Per-dimension affine quantization bounds. Constant-sized model
+    * (2·d doubles) like [[PcaModel]] — a broadcast parameter. */
+  final case class SqModel(mins: Array[Double], maxs: Array[Double])
+
+  /** EXACT per-dimension min/max over the corpus — unlike the k-means
+    * trainers there is no iterative fit, so the model can afford to be
+    * corpus-exact: `posexplode → groupBy(dim).min/max` ships at most
+    * `dim` rows per partition (map-side combine), then `dim` rows
+    * collect. Deterministic trivially (min/max are order-free). */
+  def sqTrain(corpus: DataFrame,
+      vecCol: String = "embedding"): SqModel = {
+    val rows = corpus.select(posexplode(col(vecCol)).as(Seq("d", "x")))
+      .groupBy("d")
+      .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+      .orderBy("d")
+      .collect()
+    require(rows.nonEmpty, "sqTrain: empty corpus")
+    require(rows.head.getInt(0) == 0 && rows.last.getInt(0) == rows.length - 1,
+      "sqTrain: ragged vector dimensions")
+    SqModel(rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+  }
+
+  /** Quantize dimension value x to a code in [0,255]:
+    * clamp(⌊(x−mn)·255/(mx−mn) + 0.5⌋). floor(v+0.5) — NOT a
+    * platform round — is the pinned semantic on both engines (the
+    * oracle writes the identical IEEE dag), constant dims encode 0. */
+  @inline private def sqCode(x: Double, mn: Double, mx: Double): Int =
+    if (mx == mn) 0
+    else {
+      val v = math.floor((x - mn) * 255.0 / (mx - mn) + 0.5)
+      if (v < 0.0) 0 else if (v > 255.0) 255 else v.toInt
+    }
+
+  /** Encode every vector as its per-dimension int8 codes — narrow
+    * broadcast kernel, the corpus never shuffles; downstream carries
+    * d bytes per vector instead of 4d. */
+  def sqEncode(corpus: DataFrame, model: SqModel,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(model)
+    val enc = udf((v: Array[Float]) => {
+      if (v == null) null
+      else {
+        val md = bc.value
+        val out = new Array[Int](v.length)
+        var i = 0
+        while (i < v.length) { out(i) = sqCode(v(i), md.mins(i), md.maxs(i)); i += 1 }
+        out
+      }
+    })
+    spread(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v")))
+      .select(col("vec_id"), enc(col("v")).as("codes"))
+  }
+
+  /** Symmetric top-k in code space: dist(a,b) = Σ(ca−cb)², an exact
+    * integer — the whole ranking is integer arithmetic, ties to the
+    * lower corpus_id. Queries are encoded driver-side with the same
+    * kernel and broadcast; the corpus side is one narrow encode pass,
+    * and only (query, corpus, dist) hits shuffle into the per-query
+    * top-k. Self-matches excluded like [[bruteForceTopK]]. */
+  def sqTopK(corpus: DataFrame, queries: DataFrame, model: SqModel,
+      k: Int = 5, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val qCodes = queries.select(col(idCol).cast("long"), col(vecCol))
+      .collect().map { r =>
+        val v = r.getSeq[Float](1).toArray
+        (r.getLong(0), Array.tabulate(v.length)(i =>
+          sqCode(v(i), model.mins(i), model.maxs(i))))
+      }.sortBy(_._1)
+    val bc = corpus.sparkSession.sparkContext.broadcast(qCodes)
+    val scoreAll = udf((cs: Seq[Int]) => {
+      bc.value.map { case (qid, qc) =>
+        var d = 0L
+        var i = 0
+        while (i < qc.length) {
+          val dd = (cs(i) - qc(i)).toLong; d += dd * dd; i += 1
+        }
+        SqHit(qid, d)
+      }
+    })
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("corpus_id").asc)
+    sqEncode(corpus, model, idCol, vecCol)
+      .select(col("vec_id").as("corpus_id"),
+        explode(scoreAll(col("codes"))).as("h"))
+      .select(col("h.query_id"), col("corpus_id"), col("h.dist").as("dist"))
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -301,6 +301,49 @@ class PipelineSpec extends AnyFunSuite {
       s"ADC top-1 exact distance $adcBest outside top decile")
   }
 
+  test("SQ int8 encode + symmetric top-k: model exact, codes match the " +
+      "pinned floor(v+0.5) reference, ranking integer-deterministic") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val model = Similarity.sqTrain(emb)
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val dim = vecs.values.head.length
+    assert(model.mins.length === dim && model.maxs.length === dim)
+    (0 until dim).foreach { d =>
+      assert(model.mins(d) === vecs.values.map(_(d).toDouble).min)
+      assert(model.maxs(d) === vecs.values.map(_(d).toDouble).max)
+    }
+    val model2 = Similarity.sqTrain(emb.repartition(7))
+    assert(model2.mins.toSeq === model.mins.toSeq && model2.maxs.toSeq === model.maxs.toSeq)
+    def encRef(v: Array[Float]): Array[Int] = Array.tabulate(dim) { d =>
+      if (model.maxs(d) == model.mins(d)) 0
+      else {
+        val x = math.floor((v(d) - model.mins(d)) * 255.0 /
+          (model.maxs(d) - model.mins(d)) + 0.5)
+        math.min(255, math.max(0, x.toInt))
+      }
+    }
+    val codes = Similarity.sqEncode(emb, model)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    assert(codes.values.forall(_.forall(c => c >= 0 && c <= 255)))
+    vecs.foreach { case (id, v) => assert(codes(id).toSeq === encRef(v).toSeq) }
+    // driver reference top-5 for query 0, integer distances
+    val q0 = encRef(vecs(0L))
+    val refDist = codes.collect { case (id, cs) if id != 0L =>
+      id -> (0 until dim).map(i => (cs(i) - q0(i)).toLong * (cs(i) - q0(i))).sum
+    }.toMap
+    val top = Similarity.sqTopK(emb, emb.filter(col("vec_id") === 0), model, k = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(top.map(_._3).toSeq === (1 to 5))
+    val expected = refDist.toSeq.sortBy { case (id, d) => (d, id) }.take(5)
+    assert(top.map(t => (t._1, t._2)).toSeq === expected)
+    // fidelity: SQ top-1's exact distance in the top decile
+    def exact2(a: Array[Float], b: Array[Float]): Double =
+      (0 until dim).map(i => (a(i) - b(i)).toDouble * (a(i) - b(i))).sum
+    val exactAll = vecs.collect { case (id, v) if id != 0L => exact2(vecs(0L), v) }.toSeq.sorted
+    assert(exact2(vecs(0L), vecs(top.head._1)) <= exactAll(exactAll.size / 10))
+  }
+
   test("ivfPqTopK: equals pqTopK restricted to the probed cells") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val model = Similarity.pqTrain(emb, m = 8, k = 16)
