@@ -1342,6 +1342,38 @@ object Oracle {
       FROM pr5 ORDER BY doc_id"""
     },
 
+    // Label propagation unrolled round for round over the exact pair
+    // set: per round, each vertex with neighbors takes the (max count,
+    // min label) argmax of its neighbors' previous labels.
+    "m62_label_prop" -> {
+      def it(prev: String, cur: String) = s"""
+      $cur AS (SELECT v.id, COALESCE(b.lbl, v.id) AS label
+        FROM vtx v LEFT JOIN (
+          SELECT id, lbl FROM (
+            SELECT e.dst AS id, r.label AS lbl,
+                   row_number() OVER (PARTITION BY e.dst
+                     ORDER BY COUNT(*) DESC, r.label) AS rk
+            FROM ed e JOIN $prev r ON e.src = r.id
+            GROUP BY e.dst, r.label)
+          WHERE rk = 1) b ON v.id = b.id)"""
+      s"""
+      WITH $CharShingleCtes,
+      lps AS (SELECT a.doc_id AS pa, b.doc_id AS pb
+              FROM sh a, sh b WHERE a.doc_id < b.doc_id
+                AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / (len(a.s)+len(b.s)-len(list_intersect(a.s, b.s))) >= 0.5),
+      ed AS (SELECT pa AS src, pb AS dst FROM lps
+             UNION ALL SELECT pb, pa FROM lps),
+      vtx AS (SELECT doc_id AS id FROM documents),
+      lp0 AS (SELECT id, id AS label FROM vtx),
+      ${it("lp0", "lp1")},
+      ${it("lp1", "lp2")},
+      ${it("lp2", "lp3")},
+      ${it("lp3", "lp4")}
+      SELECT id AS doc_id, CAST(label AS BIGINT) AS community
+      FROM lp4 ORDER BY doc_id"""
+    },
+
     // Z-order file stats: MSB-aligned Morton interleave of
     // (l_partkey @ 11 bits, l_suppkey @ 7 bits << 4 to align at width
     // 11), total order (z, orderkey, linenumber), 8192-row files,

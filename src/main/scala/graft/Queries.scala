@@ -1654,6 +1654,27 @@ object Queries {
         probesBp = Seq(100, 2500, 5000, 7500, 9900))
       .orderBy("p_bp")
 
+  /** m62 — label-propagation communities
+    * ([[operators.Graph.labelPropagation]]): synchronous LPA over the
+    * 0.5-threshold near-dup graph (m50's edge set) — community labels
+    * after 4 rounds, argmax totalized as (max count, min label), so the
+    * result is a pure function of the graph and the oracle replays the
+    * rounds as unrolled CTEs over the exact pair set. Isolated docs
+    * keep their own id. */
+  def m62LabelProp(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashPairs(docs, threshold = 0.5)
+    val edges = pairs.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+      .unionByName(pairs.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
+    val out = operators.Graph.labelPropagation(
+      docs.select(col("doc_id").as("id")), edges, iters = 4)
+    // like m50: the result is a checkpoint cut — release the pair
+    // pipeline's blocks here
+    graft.core.Blocks.releaseAll(pairs)
+    out.select(col("id").as("doc_id"), col("label").as("community"))
+      .orderBy("doc_id")
+  }
+
   /** m61 — int8 scalar-quantized top-k
     * ([[operators.Similarity.sqTopK]]): the vector-compression rung
     * below m41's PQ — per-dimension affine codes (exact corpus min/max,

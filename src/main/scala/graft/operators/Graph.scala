@@ -92,6 +92,66 @@ object Graph {
   }
 
   /**
+   * Synchronous label-propagation community detection (Raghavan et al.
+   * 2007) — the cheap community signal next to [[pageRank]]'s
+   * centrality: on a near-dup graph, communities ARE template families,
+   * including members a pairwise threshold alone would leave in separate
+   * components. Every vertex starts labeled with its own id; each round,
+   * a vertex with neighbors adopts the label most frequent among them.
+   *
+   * Determinism contract: updates are SYNCHRONOUS (round t+1 reads only
+   * round t — the asynchronous variant is schedule-dependent) and the
+   * argmax is totalized as (max count, then MIN label), so the result is
+   * a pure function of (vertex set, edge set, iterations), replayable by
+   * a SQL oracle round for round. Isolated vertices keep their own id.
+   *
+   * Scale shape: each round is one shuffle (label counts grouped by
+   * (dst, label)) + an argmax + a vertex left-join; the label frame is
+   * (id, long). The chain is linear/lazy like [[pageRank]] — one
+   * terminal action runs the loop, lineage cut every `ckptEvery` rounds.
+   *
+   * @param edges DIRECTED edges; pass both directions for undirected
+   */
+  def labelPropagation(vertices: DataFrame, edges: DataFrame,
+      iters: Int = 4, idCol: String = "id", srcCol: String = "src",
+      dstCol: String = "dst", ckptEvery: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"labelPropagation: iters=$iters out of [1,50]")
+    require(ckptEvery >= 1, s"labelPropagation: ckptEvery=$ckptEvery")
+    val vtx = vertices.select(col(idCol).cast("long").as("id"))
+      .localCheckpoint(true)
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .localCheckpoint(true)
+    var labels = vtx.select(col("id"), col("id").as("label"))
+    var lastCut: Option[DataFrame] = None
+    var i = 0
+    while (i < iters) {
+      val counts = e.join(labels, e("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+        .groupBy("id", "label").agg(count(lit(1)).as("c"))
+      // argmax count, ties to the smallest label: lexicographic min of
+      // (-count, label)
+      val upd = counts.groupBy("id")
+        .agg(min(struct((-col("c")).as("nc"), col("label"))).as("m"))
+        .select(col("id"), col("m.label").as("new_label"))
+      labels = vtx.join(upd, Seq("id"), "left")
+        .select(col("id"), coalesce(col("new_label"), col("id")).as("label"))
+      i += 1
+      if (i % ckptEvery == 0 && i < iters) {
+        val cut = labels.localCheckpoint(true)
+        lastCut.foreach(graft.core.Blocks.release)
+        lastCut = Some(cut)
+        labels = cut
+      }
+    }
+    val out = labels.localCheckpoint(true)
+    lastCut.foreach(graft.core.Blocks.release)
+    graft.core.Blocks.release(vtx)
+    graft.core.Blocks.release(e)
+    out
+  }
+
+  /**
    * Per-vertex triangle counts — the clustering-coefficient numerator,
    * the standard cohesion signal next to [[pageRank]]'s centrality (on a
    * near-dup graph: triangle-dense neighborhoods are template FAMILIES,

@@ -61,6 +61,60 @@ class GraphSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  /** Exact driver replay of synchronous LPA with the (max count, min
+    * label) totalized argmax. */
+  private def lpaReference(vids: Seq[Long], es: Seq[(Long, Long)],
+      iters: Int): Map[Long, Long] = {
+    val nbrs = es.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    var label = vids.map(id => id -> id).toMap
+    (1 to iters).foreach { _ =>
+      label = vids.map { id =>
+        id -> nbrs.get(id).map { ns =>
+          val counts = ns.map(label).groupBy(identity).view.mapValues(_.size).toMap
+          counts.toSeq.minBy { case (l, c) => (-c.toLong, l) }._1
+        }.getOrElse(label(id))
+      }.toMap
+    }
+    label
+  }
+
+  test("labelPropagation equals the synchronous driver reference and " +
+      "separates two dense communities across a bridge") {
+    // two triangles {1,2,3} and {6,7,8} joined by a single bridge 3-6,
+    // plus an isolate 9
+    val vids = Seq(1L, 2L, 3L, 6L, 7L, 8L, 9L)
+    val und = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 6L -> 7L, 7L -> 8L,
+      6L -> 8L, 3L -> 6L)
+    val both = und ++ und.map(_.swap)
+    (1 to 5).foreach { iters =>
+      val got = Graph.labelPropagation(vids.toDF("id"),
+          both.toDF("src", "dst"), iters = iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == lpaReference(vids, both, iters), s"iters=$iters")
+    }
+    val conv = Graph.labelPropagation(vids.toDF("id"), both.toDF("src", "dst"),
+        iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // communities stay distinct despite the bridge; the isolate keeps its id
+    assert(Set(conv(1L), conv(2L), conv(3L)).size == 1)
+    assert(Set(conv(6L), conv(7L), conv(8L)).size == 1)
+    assert(conv(1L) != conv(6L))
+    assert(conv(9L) == 9L)
+  }
+
+  test("labelPropagation is partitioning-invariant") {
+    val vids = Seq(1L, 2L, 3L, 6L, 7L, 8L, 9L)
+    val und = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 6L -> 7L, 7L -> 8L,
+      6L -> 8L, 3L -> 6L)
+    val both = und ++ und.map(_.swap)
+    val a = Graph.labelPropagation(vids.toDF("id"), both.toDF("src", "dst"), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.labelPropagation(vids.toDF("id").repartition(5),
+        both.toDF("src", "dst").repartition(3), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
   test("triangleCounts equals the naive x<y<z reference on a known graph") {
     // K4 on {1,2,3,4} (4 triangles, 3 per vertex) + a pendant edge + a
     // duplicate/reversed edge to exercise canonicalization
