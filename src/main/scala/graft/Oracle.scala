@@ -492,6 +492,29 @@ object Oracle {
       GROUP BY user_id
       ORDER BY user_id""",
 
+    // SCD2 runs: change flag -> running run_id (ROWS frame; the order
+    // (ts, event_id) is unique so RANGE would agree, pinned anyway) ->
+    // per-run aggregate -> lead() for the closing bound.
+    "q43_scd2" -> """
+      SELECT user_id, run_id, event_type,
+        strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+        n_events
+      FROM (SELECT *, lead(vf) OVER (PARTITION BY user_id ORDER BY run_id) AS vt
+            FROM (SELECT user_id, run_id, MIN(event_type) AS event_type,
+                    MIN(ts) AS vf, COUNT(*) AS n_events
+                  FROM (SELECT user_id, event_type, ts,
+                          CAST(SUM(chg) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+                        FROM (SELECT user_id, event_type, ts, event_id,
+                                CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) IS DISTINCT FROM event_type
+                                     THEN 1 ELSE 0 END AS chg
+                              FROM events))
+                  GROUP BY user_id, run_id))
+      ORDER BY user_id, run_id""",
+
     "q15_json_extract" -> """
       SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
         COUNT(*) AS n,

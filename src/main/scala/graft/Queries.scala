@@ -602,6 +602,34 @@ object Queries {
       .orderBy("cohort_week_s", "week_offset")
   }
 
+  /** q43 — SCD2 (type-2 slowly-changing-dimension) interval build: each
+    * user's event_type stream collapses into state RUNS with
+    * [valid_from, valid_to) validity — the standard dimension-history
+    * shape. One shuffle total: the change-flag window, the running
+    * run_id sum, the per-run aggregate and the lead() window all share
+    * the user_id hash partitioning (ClusteredDistribution is satisfied
+    * by the subset key), so Catalyst plans no re-exchange. Open runs
+    * have NULL valid_to. */
+  def q43Scd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val runs = t(s, dir, "events")
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("chg",
+        when(col("prev_type").isNull || col("prev_type") =!= col("event_type"), 1)
+          .otherwise(0))
+      .withColumn("run_id", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("run_id"))
+      .agg(min(col("event_type")).as("event_type"), min(col("ts")).as("vf"),
+        count(lit(1)).as("n_events"))
+    val w2 = Window.partitionBy(col("user_id")).orderBy(col("run_id"))
+    runs.withColumn("vt", lead(col("vf"), 1).over(w2))
+      .select(col("user_id"), col("run_id"), col("event_type"),
+        fmtTs(col("vf")).as("valid_from"), fmtTs(col("vt")).as("valid_to"),
+        col("n_events"))
+      .orderBy("user_id", "run_id")
+  }
+
   // =====================================================================
   // Training-data operators without a SQL oracle (rows-only checks)
   // =====================================================================

@@ -79,6 +79,7 @@ object SparkEntry {
     "q40_global_rank" -> Queries.q40GlobalRank,
     "q41_funnel" -> Queries.q41Funnel,
     "q42_cohort" -> Queries.q42Cohort,
+    "q43_scd2" -> Queries.q43Scd2,
     // training-data operators (rows-only)
     "m01_minhash_pairs" -> Queries.m01MinhashPairs,
     "m02_simhash_pairs" -> Queries.m02SimhashPairs,
