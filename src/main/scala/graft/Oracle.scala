@@ -1164,6 +1164,26 @@ object Oracle {
       FROM documents d LEFT JOIN bxp p USING (doc_id)
       ORDER BY doc_id""",
 
+    // Gopher rules replayed over the shared TextStats CTEs: comparisons
+    // on the RAW ratios (rounded columns are display-only), flags as
+    // SMALLINT products.
+    "m63_gopher_flags" -> s"""
+      WITH $TextStatsCtes
+      SELECT r.doc_id, CAST(r.n_tokens AS BIGINT) AS n_tokens,
+        round(r.mtl, 6) AS mean_token_len,
+        CAST(b.stop_hits AS BIGINT) AS stop_hits,
+        round(r.punct_r, 6) AS punct_ratio,
+        CAST(CASE WHEN r.n_tokens BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS SMALLINT) AS pass_words,
+        CAST(CASE WHEN r.mtl >= 3.0 AND r.mtl <= 10.0 THEN 1 ELSE 0 END AS SMALLINT) AS pass_mean_len,
+        CAST(CASE WHEN b.stop_hits >= 2 THEN 1 ELSE 0 END AS SMALLINT) AS pass_stopwords,
+        CAST(CASE WHEN r.punct_r <= 0.25 THEN 1 ELSE 0 END AS SMALLINT) AS pass_punct,
+        CAST((CASE WHEN r.n_tokens BETWEEN 50 AND 100000 THEN 1 ELSE 0 END)
+           * (CASE WHEN r.mtl >= 3.0 AND r.mtl <= 10.0 THEN 1 ELSE 0 END)
+           * (CASE WHEN b.stop_hits >= 2 THEN 1 ELSE 0 END)
+           * (CASE WHEN r.punct_r <= 0.25 THEN 1 ELSE 0 END) AS SMALLINT) AS pass_all
+      FROM ratios r JOIN base b USING (doc_id)
+      ORDER BY r.doc_id""",
+
     // KMV kept state re-derived per DISTINCT token: fnv1a→mix64 hash
     // chain (the shared TextSig derivation), sign bit flipped by a
     // HUGEINT subtraction so BIGINT order equals unsigned hash order,

@@ -1682,6 +1682,17 @@ object Queries {
         probesBp = Seq(100, 2500, 5000, 7500, 9900))
       .orderBy("p_bp")
 
+  /** m63 — Gopher-style rule filter report
+    * ([[operators.TextAnalysis.gopherFlags]]): per-document 0/1 flags
+    * for the four adapted Gopher rules (token count band, mean token
+    * length band, stopword floor, punctuation ceiling) plus their
+    * conjunction — the rejection-accounting report that says WHICH rule
+    * killed a doc. One narrow kernel pass; the oracle replays each rule
+    * over the shared TextStats CTEs on the raw ratios. */
+  def m63GopherFlags(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.gopherFlags(t(s, dir, "documents"), minWords = 50)
+      .orderBy("doc_id")
+
   /** m62 — label-propagation communities
     * ([[operators.Graph.labelPropagation]]): synchronous LPA over the
     * 0.5-threshold near-dup graph (m50's edge set) — community labels

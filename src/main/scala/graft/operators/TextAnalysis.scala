@@ -140,6 +140,47 @@ object TextAnalysis {
       regexp_replace(c, pat, rep)
     }
 
+  /**
+   * Gopher-style rule filter report (Rae et al. 2021 Appendix A1.1,
+   * adapted to the compiled [[TextSig.textStats]] signals): per document
+   * the raw signals and one 0/1 flag per rule —
+   *  - `pass_words`: token count in [minWords, maxWords],
+   *  - `pass_mean_len`: mean token length in [3, 10],
+   *  - `pass_stopwords`: ≥ 2 stopword occurrences,
+   *  - `pass_punct`: punctuation ratio ≤ 0.25,
+   * plus `pass_all` (their conjunction). Unlike [[qualityScore]]'s
+   * scalar blend, the per-rule flags say WHICH rule killed a doc — the
+   * rejection-accounting report a curation pipeline publishes.
+   *
+   * One narrow kernel pass (all signals from the single `stats` struct —
+   * subexpression elimination folds the repeated calls), no shuffle;
+   * flags surface as SMALLINT (the nullable-BOOLEAN gate pitfall).
+   * Rule comparisons run on the RAW double ratios (the rounded columns
+   * are display-only), mirrored exactly by the oracle.
+   */
+  def gopherFlags(docs: DataFrame, minWords: Int = 50,
+      maxWords: Int = 100000, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val st = stats(col(textCol))
+    val nTok = st.getField("nTokens")
+    val mtl = meanTokenLen(col(textCol))
+    val punct = punctRatio(col(textCol))
+    val passWords = when(nTok.between(minWords, maxWords), 1).otherwise(0)
+    val passMtl = when(mtl >= 3.0 && mtl <= 10.0, 1).otherwise(0)
+    val passStop = when(st.getField("stopHits") >= 2, 1).otherwise(0)
+    val passPunct = when(punct <= 0.25, 1).otherwise(0)
+    docs.select(col(idCol),
+      nTok.as("n_tokens"),
+      round(mtl, 6).as("mean_token_len"),
+      st.getField("stopHits").as("stop_hits"),
+      round(punct, 6).as("punct_ratio"),
+      passWords.cast("smallint").as("pass_words"),
+      passMtl.cast("smallint").as("pass_mean_len"),
+      passStop.cast("smallint").as("pass_stopwords"),
+      passPunct.cast("smallint").as("pass_punct"),
+      (passWords * passMtl * passStop * passPunct).cast("smallint").as("pass_all"))
+  }
+
   /** Gopher-style repetition kernel: ONE compiled pass per doc (the HOF
     * Column form would re-evaluate per element — CLAUDE.md). Tuple
     * return (top-level class — object-nested case classes drop encoder

@@ -788,6 +788,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(p.getAs[String]("lang_pred") == "en")
   }
 
+  test("gopherFlags: each rule fires exactly per the kernel signals") {
+    import spark.implicits._
+    val long = ("the quick brown fox jumps over lazy dogs " * 10).trim // 80 tokens, mean len 4.125
+    val docs = Seq(
+      (1L, long),                                       // passes everything
+      (2L, "the of"),                                   // too few words
+      (3L, ("aaaaaaaaaaaa " * 60).trim + " the of"),    // mean len > 10
+      (4L, ("a " * 60).trim + " the of"),               // mean len < 3
+      (5L, ("word " * 60).trim),                        // no stopwords
+      (6L, ("a,b,c,d,e,f " * 10 + "the of x ").trim))   // punct heavy
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherFlags(docs, minWords = 50)
+      .collect().map(r => r.getLong(0) ->
+        (r.getShort(5), r.getShort(6), r.getShort(7), r.getShort(8), r.getShort(9)))
+      .toMap
+    assert(got(1L) == ((1, 1, 1, 1, 1)))
+    assert(got(2L)._1 == 0 && got(2L)._5 == 0)
+    assert(got(3L)._2 == 0)
+    assert(got(4L)._2 == 0)
+    assert(got(5L)._3 == 0)
+    assert(got(6L)._4 == 0)
+    // flags are pure functions of the stats kernel — cross-check one doc
+    val st = graft.core.TextSig.textStats(long)
+    assert(st.nTokens == 80 && got(1L)._3 == 1)
+  }
+
   test("repetition profile counts exact bigram stats") {
     import spark.implicits._
     val docs = Seq(
