@@ -1164,6 +1164,44 @@ object Oracle {
       FROM documents d LEFT JOIN bxp p USING (doc_id)
       ORDER BY doc_id""",
 
+    // CMS join-size estimate re-derived per side: key frequencies →
+    // mix64(key) → per-row mix64(h+i) → cells mod 2^16; estimate = min
+    // over the 4 rows of the cell-wise inner product (absent rows 0),
+    // exact = Σ f_A·f_B over matching keys.
+    "m64_cms_join_size" -> {
+      def side(p: String, table: String, key: String) = s"""
+      ${p}0 AS (SELECT $key AS k, COUNT(*) AS f FROM $table GROUP BY $key),
+      ${p}z AS (SELECT k, f, CAST(k AS HUGEINT) % $M64 AS z0 FROM ${p}0),
+      ${mix64Ctes(p + "m", p + "z", "k, f")},
+      ${p}r AS (SELECT k, f, CAST(r.range AS INT) AS i, (h + r.range) % $M64 AS z0
+                FROM ${p}m, range(4) r),
+      ${mix64Ctes(p + "x", p + "r", "k, f, i")},
+      ${p}c AS (SELECT i, CAST(h % 65536 AS INT) AS b, CAST(SUM(f) AS BIGINT) AS cnt
+                FROM ${p}x GROUP BY i, b)"""
+      def pair(pa: String, pb: String) = s"""
+        (SELECT CAST(MIN(COALESCE(q.ip, 0)) AS BIGINT)
+         FROM range(4) r LEFT JOIN
+           (SELECT i, SUM(x.cnt * y.cnt) AS ip
+            FROM ${pa}c x JOIN ${pb}c y USING (i, b) GROUP BY i) q
+           ON r.range = q.i)"""
+      def exact(pa: String, pb: String) = s"""
+        (SELECT CAST(COALESCE(SUM(x.f * y.f), 0) AS BIGINT)
+         FROM ${pa}0 x JOIN ${pb}0 y USING (k))"""
+      s"""
+      WITH ${side("jca", "customer", "c_custkey")},
+      ${side("jco", "orders", "o_custkey")},
+      ${side("jok", "orders", "o_orderkey")},
+      ${side("jlk", "lineitem", "l_orderkey")}
+      SELECT * FROM (
+        SELECT 'customer_orders' AS pair,
+          ${pair("jca", "jco")} AS est_join_rows,
+          ${exact("jca", "jco")} AS exact_join_rows
+        UNION ALL
+        SELECT 'orders_lineitem',
+          ${pair("jok", "jlk")}, ${exact("jok", "jlk")})
+      ORDER BY pair"""
+    },
+
     // Gopher rules replayed over the shared TextStats CTEs: comparisons
     // on the RAW ratios (rounded columns are display-only), flags as
     // SMALLINT products.

@@ -1693,6 +1693,34 @@ object Queries {
     operators.TextAnalysis.gopherFlags(t(s, dir, "documents"), minWords = 50)
       .orderBy("doc_id")
 
+  /** m64 — CMS join-cardinality estimation
+    * ([[operators.Sketches.cmsJoinSize]]): the planner's "how big is
+    * this join?" answered from two constant-size key sketches — min
+    * over rows of the cell-wise inner product, an upper bound with
+    * expected excess ≈ |A|·|B|/width. Two classic TPC-H joins, each
+    * next to its exact cardinality (Σ f_A·f_B over matching keys) so
+    * the gate pins BOTH the sketch arithmetic and the never-under
+    * relationship. */
+  def m64CmsJoinSize(s: SparkSession, dir: String): DataFrame = {
+    def entry(name: String, a: DataFrame, ka: String,
+        b: DataFrame, kb: String): DataFrame = {
+      val est = operators.Sketches.cmsJoinSize(
+        operators.Sketches.cmsKeyCells(a, col(ka)),
+        operators.Sketches.cmsKeyCells(b, col(kb)))
+      val exact = a.groupBy(col(ka).as("k")).agg(count(lit(1)).as("na"))
+        .join(b.groupBy(col(kb).as("k")).agg(count(lit(1)).as("nb")), "k")
+        .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("exact_join_rows"))
+      est.crossJoin(exact)
+        .select(lit(name).as("pair"), col("est_join_rows"),
+          col("exact_join_rows"))
+    }
+    entry("customer_orders", t(s, dir, "customer"), "c_custkey",
+        t(s, dir, "orders"), "o_custkey")
+      .unionByName(entry("orders_lineitem", t(s, dir, "orders"), "o_orderkey",
+        t(s, dir, "lineitem"), "l_orderkey"))
+      .orderBy("pair")
+  }
+
   /** m62 — label-propagation communities
     * ([[operators.Graph.labelPropagation]]): synchronous LPA over the
     * 0.5-threshold near-dup graph (m50's edge set) — community labels

@@ -148,6 +148,7 @@ object SparkEntry {
     "m61_sq_topk" -> Queries.m61SqTopK,
     "m62_label_prop" -> Queries.m62LabelProp,
     "m63_gopher_flags" -> Queries.m63GopherFlags,
+    "m64_cms_join_size" -> Queries.m64CmsJoinSize,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on

@@ -413,6 +413,56 @@ object Sketches {
         round(col("jaccard_est") * col("est_union"), 4))
   }
 
+  // ---- CMS join-size estimation (sketch inner products) ----
+  //      Cormode & Muthukrishnan 2005 §4.2: |A ⋈_k B| = Σ_k f_A(k)·f_B(k)
+  //      is estimated by min over rows of Σ_b cntA(r,b)·cntB(r,b) — an
+  //      upper bound (collisions only add mass), with expected excess
+  //      ≈ |A|·|B|/width. The planner's question at 100 TB — "how big is
+  //      this join?" — answered from two constant-size sketches built in
+  //      one pass each, no join executed. ----
+
+  /** depth cells for one key occurrence: h = mix64(key), then the m47
+    * row chain mix64(h + r) & (width − 1). */
+  private def cmsKeyKernel(depth: Int, width: Int) = udf { (k: Long) =>
+    val h = TextSig.mix64(k)
+    Array.tabulate(depth)(r => r * width + cmsPos(h, r, width))
+  }
+
+  /** The count-min cell table over an integer KEY column — [[cmsCells]]
+    * with the key itself as the hashed item (occurrence-counted, so the
+    * sketch carries key FREQUENCIES, which is what inner products
+    * need). Shuffle bounded at depth·width rows per partition. */
+  def cmsKeyCells(df: DataFrame, keyCol: Column, depth: Int = 4,
+      width: Int = 65536): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"cmsKeyCells: depth=$depth out of [1,8]")
+    require(width >= 2 && (width & (width - 1)) == 0,
+      s"cmsKeyCells: width=$width must be a power of two")
+    df.select(explode(cmsKeyKernel(depth, width)(keyCol.cast("long"))).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("cnt"))
+      .select((col("cell") / width).cast("int").as("row"),
+        pmod(col("cell"), lit(width)).as("bucket"), col("cnt"))
+  }
+
+  /** Join-cardinality upper bound from two key sketches (must share
+    * depth/width and the key hash chain): one row,
+    * `est_join_rows` = min over rows of the cell-wise inner product.
+    * Rows with no shared buckets contribute 0 (the left join below —
+    * an inner-only formulation would silently drop them and
+    * overestimate). Everything here is sketch-sized. */
+  def cmsJoinSize(cellsA: DataFrame, cellsB: DataFrame,
+      depth: Int = 4): DataFrame = {
+    val s = cellsA.sparkSession
+    import s.implicits._
+    val a = cellsA.select(col("row"), col("bucket"), col("cnt").as("ca"))
+    val b = cellsB.select(col("row").as("rb"), col("bucket").as("bb"),
+      col("cnt").as("cb"))
+    val perRow = a.join(b, col("row") === col("rb") && col("bucket") === col("bb"))
+      .groupBy("row").agg(sum(col("ca") * col("cb")).as("ip"))
+    (0 until depth).toDF("row")
+      .join(perRow, Seq("row"), "left")
+      .agg(min(coalesce(col("ip"), lit(0L))).as("est_join_rows"))
+  }
+
   // ---- fixed-width histogram sketch (one-pass approximate quantiles) ----
 
   /**

@@ -203,6 +203,36 @@ class SketchesSpec extends AnyFunSuite {
     assert(merged == full)
   }
 
+  test("cmsJoinSize never under-estimates the exact join cardinality, " +
+      "is partitioning-invariant, and key cells merge by addition") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+    val exact = ord.groupBy(col("o_orderkey")).count()
+      .join(li.groupBy(col("l_orderkey")).count()
+          .withColumnRenamed("count", "c2"),
+        col("o_orderkey") === col("l_orderkey"))
+      .agg(sum(col("count") * col("c2"))).collect()(0).getLong(0)
+    def est(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      Sketches.cmsJoinSize(
+        Sketches.cmsKeyCells(a, col("o_orderkey")),
+        Sketches.cmsKeyCells(b, col("l_orderkey"))).collect()(0).getLong(0)
+    val e = est(ord, li)
+    assert(e >= exact, s"est $e under exact $exact")
+    assert(e <= exact + 4L * ord.count() * li.count() / 65536, // ~4 sigma of the collision excess
+      s"est $e implausibly far above exact $exact")
+    assert(est(ord.repartition(7), li.repartition(5)) == e)
+    // merge = vector addition of key cells
+    def cells(d: org.apache.spark.sql.DataFrame) =
+      Sketches.cmsKeyCells(d, col("l_orderkey")).collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val full = cells(li)
+    val h1 = cells(li.filter(col("l_linenumber") % 2 === 0))
+    val h2 = cells(li.filter(col("l_linenumber") % 2 === 1))
+    val merged = (h1.keySet ++ h2.keySet).map(k =>
+      k -> (h1.getOrElse(k, 0L) + h2.getOrElse(k, 0L))).toMap
+    assert(merged == full)
+  }
+
   test("hllRegisters is a valid streaming aggregation (complete mode)") {
     // the register table is a plain groupBy/max, so Structured Streaming
     // maintains it incrementally — corpus statistics that stay current
