@@ -1822,6 +1822,25 @@ object Oracle {
                GROUP BY d.doc_id)
       SELECT doc_id, hits FROM hits WHERE hits >= 1 ORDER BY doc_id""",
 
+    // Containment all-pairs over the same word-13-gram string sets as
+    // m13: ordered pairs, ratio |A∩B|/|A|, rounded-then-filtered on
+    // BOTH engines so boundary values agree.
+    "m65_containment" -> """
+      WITH cnr AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS nt
+                   FROM documents),
+      ctk AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM cnr WHERE length(nt) > 0),
+      csh AS (SELECT doc_id,
+                list_distinct(list_transform(range(1, greatest(len(toks)-12,1)+1),
+                  i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i AS INT)+12), ' '))) AS s
+              FROM ctk),
+      cpr AS (SELECT a.doc_id AS doc_id_in, b.doc_id AS doc_id_of,
+                round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / CAST(len(a.s) AS DOUBLE), 6) AS containment
+              FROM csh a, csh b WHERE a.doc_id <> b.doc_id)
+      SELECT doc_id_in, doc_id_of, containment
+      FROM cpr WHERE containment >= 0.5
+      ORDER BY doc_id_in, doc_id_of""",
+
     // Reverse contamination: per benchmark doc, distinct training docs
     // and distinct shared grams — same gram derivation as m13, joined
     // per (bench doc, gram) instead of counted per training doc.

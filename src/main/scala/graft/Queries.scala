@@ -1693,6 +1693,16 @@ object Queries {
     operators.TextAnalysis.gopherFlags(t(s, dir, "documents"), minWords = 50)
       .orderBy("doc_id")
 
+  /** m65 — asymmetric containment pairs
+    * ([[operators.Dedup.containmentPairs]]): the duplication Jaccard
+    * cannot see — |grams(A)∩grams(B)|/|grams(A)| over word 13-grams
+    * (the m13 size), ordered rows, exact via the gram inverted index
+    * with an ENFORCED hot-gram ceiling. The oracle replays the string
+    * gram sets and the same rounded ratio filter all-pairs. */
+  def m65Containment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(t(s, dir, "documents"), threshold = 0.5)
+      .orderBy("doc_id_in", "doc_id_of")
+
   /** m64 — CMS join-cardinality estimation
     * ([[operators.Sketches.cmsJoinSize]]): the planner's "how big is
     * this join?" answered from two constant-size key sketches — min

@@ -149,6 +149,7 @@ object SparkEntry {
     "m62_label_prop" -> Queries.m62LabelProp,
     "m63_gopher_flags" -> Queries.m63GopherFlags,
     "m64_cms_join_size" -> Queries.m64CmsJoinSize,
+    "m65_containment" -> Queries.m65Containment,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on

@@ -431,6 +431,61 @@ object Dedup {
     materialized(verifyJaccard(lshCandidates(sig, 8, 1), sig, threshold), sig)
   }
 
+  /**
+   * Asymmetric CONTAINMENT detection — the duplication Jaccard cannot
+   * see: a short doc quoted wholesale inside a long one has
+   * C(A→B) = |grams(A) ∩ grams(B)| / |grams(A)| ≈ 1 while J(A,B) ≈
+   * |A|/|B| ≈ 0, so every symmetric near-dup operator (m01/m02/m03)
+   * scores it below any useful threshold. Emits ORDERED rows
+   * (doc_id_in, doc_id_of, containment ≥ threshold): "in" is contained
+   * in "of". Grams are word `w`-shingles (the m13 decontamination size —
+   * containment is exactly the training↔training generalization of that
+   * benchmark overlap check).
+   *
+   * Shape: gram-hash inverted index (distinct grams explode, the only
+   * corpus-sized shuffle) → per-gram ordered pair-up → shared-count
+   * aggregation → one join back to |grams(A)|. EXACT and recall-total by
+   * construction; the quadratic risk is hot grams, so the per-gram doc
+   * count is checked against `graft.dedup.containmentGramMaxDocs`
+   * (default 1024) and the operator ABORTS with an actionable error
+   * rather than silently capping — at 13 words a gram shared by
+   * thousands of docs means boilerplate that [[graft.operators
+   * .TextAnalysis.removeBoilerplate]] should strip first, and the
+   * winnowed fingerprints (m37) are the sampled scale path.
+   */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.5,
+      w: Int = 13): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containmentPairs: threshold=$threshold out of (0,1]")
+    val sh = spread(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), wordShinglesUdf(col("text"), lit(w)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idx = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    val ceiling = docs.sparkSession.conf
+      .get("graft.dedup.containmentGramMaxDocs", "1024").toLong
+    val hottest = idx.groupBy("g").agg(count(lit(1)).as("d"))
+      .agg(max(col("d"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    require(hottest <= ceiling,
+      s"containmentPairs: hottest gram appears in $hottest docs > " +
+        s"graft.dedup.containmentGramMaxDocs=$ceiling — strip boilerplate " +
+        "(TextAnalysis.removeBoilerplate) or raise the ceiling")
+    val shared = idx.select(col("doc_id").as("doc_id_in"), col("g"))
+      .join(idx.select(col("doc_id").as("doc_id_of"), col("g")), "g")
+      .filter(col("doc_id_in") =!= col("doc_id_of"))
+      .groupBy("doc_id_in", "doc_id_of").agg(count(lit(1)).as("s"))
+    val sizes = sh.select(col("doc_id").as("doc_id_in"), size(col("sh")).as("na"))
+    val out = shared.join(sizes, "doc_id_in")
+      .select(col("doc_id_in"), col("doc_id_of"),
+        round(col("s").cast("double") / col("na").cast("double"), 6)
+          .as("containment"))
+      .filter(col("containment") >= threshold)
+    materialized(out, sh)
+  }
+
   // narrow denominator kernel for dupGramStats — the totals side never
   // needs the gram rows, only how many there are
   private val gramCountUdf = udf((t: String, w: Int) => TextSig.wordShingles(t, w).length)

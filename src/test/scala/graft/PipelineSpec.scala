@@ -131,6 +131,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("containmentPairs catches a quote symmetric Jaccard misses, in " +
+      "the right direction only, and aborts on hot boilerplate grams") {
+    import spark.implicits._
+    // a 15-token quote embedded in a 90-token host: C(quote→host)=1,
+    // J ≈ 15/90 — far under any near-dup threshold
+    val quote = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar"
+    val host = ("prefix%d ".format(1) + (1 to 35).map(i => s"w$i").mkString(" ")) +
+      " " + quote + " " + (36 to 74).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, quote), (2L, host),
+      (3L, (100 to 180).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, threshold = 0.5)
+      .select("doc_id_in", "doc_id_of").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)))     // quote contained in host
+    assert(!got.contains((2L, 1L)))    // host NOT contained in quote
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
+    // driver-exact containment for the found pair
+    val s1 = graft.core.TextSig.wordShingles(quote, 13).toSet
+    val s2 = graft.core.TextSig.wordShingles(host, 13).toSet
+    val c = Dedup.containmentPairs(docs, threshold = 0.5)
+      .filter(col("doc_id_in") === 1L).collect()(0).getDouble(2)
+    assert(c == BigDecimal((s1.intersect(s2).size.toDouble / s1.size).toString)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // symmetric Jaccard at the same threshold misses the quote pair
+    val jac = Dedup.ngramJaccardPairs(docs, threshold = 0.5, w = 13)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((1L, 2L)) && !jac.contains((2L, 1L)))
+    // invariance
+    val re = Dedup.containmentPairs(docs.repartition(5), threshold = 0.5)
+      .select("doc_id_in", "doc_id_of").as[(Long, Long)].collect().toSet
+    assert(re == got)
+    // hot-gram ceiling: 5 identical docs > ceiling 4 → actionable abort
+    val boiler = (1L to 5L).map(i => (i, quote)).toDF("doc_id", "text")
+    spark.conf.set("graft.dedup.containmentGramMaxDocs", "4")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Dedup.containmentPairs(boiler, threshold = 0.5).count()
+      }
+      assert(e.getMessage.contains("containmentGramMaxDocs"))
+    } finally spark.conf.unset("graft.dedup.containmentGramMaxDocs")
+  }
+
   test("minhash verify's driver-safe id-only join path (forced via " +
       "graft.dedup.textBroadcastMaxBytes=0) matches the fast path") {
     import spark.implicits._
