@@ -2655,6 +2655,20 @@ object Oracle {
     // reproduces Spark's float32 subtraction), then centered and widened
     // to DOUBLE for the cosine. The histogram counts unroll bins 0..7 as
     // literal filters — DuckDB-version-safe (no nested lambda capture).
+    // m66: exact heavy hitters — the oracle IS the naive full-vocabulary
+    // token GROUP BY the engine's MG-candidates + recount path avoids
+    // shuffling; the strict cnt·k > N filter matches the exact second
+    // pass, so a candidate superset violation or a recount error lands
+    // as a row/hash mismatch here.
+    "m66_heavy_hitters" -> """
+      WITH nrm AS (SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS nt
+                   FROM documents),
+      tok AS (SELECT unnest(string_split(nt, ' ')) AS t FROM nrm WHERE length(nt) > 0),
+      cnt AS (SELECT t AS token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY t),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tok)
+      SELECT token, cnt, n_total FROM cnt, tot WHERE cnt * 100 > n_total
+      ORDER BY token""",
+
     "m12_media_dedup" -> {
       def featList(cExpr: Int => String) = "[" + (0 until 8).map(b =>
         s"CAST(CAST(CAST(CAST(${cExpr(b)} AS FLOAT)/CAST(n AS FLOAT) AS FLOAT)" +

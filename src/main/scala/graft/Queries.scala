@@ -1816,4 +1816,15 @@ object Queries {
     Dedup.embeddingPairs(m12Features(s, dir), threshold = 0.9,
         planes = 2, bands = 8)
       .orderBy("vec_id_a", "vec_id_b")
+
+  /** m66 — exact heavy hitters without a full-vocabulary shuffle
+    * ([[operators.Sketches.heavyHitters]]): every token above 1% of all
+    * occurrences (k=100), with exact counts — per-partition Misra–Gries
+    * candidate passes (a provable superset at k−1 counters), then ONE
+    * narrow recount kernel over the broadcast sorted candidate hashes;
+    * the exact cnt·k > N filter makes the output partitioning-invariant.
+    * The oracle is the naive full token GROUP BY the operator avoids. */
+  def m66HeavyHitters(s: SparkSession, dir: String): DataFrame =
+    operators.Sketches.heavyHitters(t(s, dir, "documents"), k = 100)
+      .orderBy("token")
 }

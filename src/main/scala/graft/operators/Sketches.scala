@@ -20,6 +20,16 @@ final case class CmsItem(cell: Int, cnt: Long)
   * the encoder rule. */
 final case class KmvPart(group: String, mins: Array[Long])
 
+/** One partition's Misra–Gries pass-1 output: the surviving candidate
+  * tokens plus the partition's total token count. TOP-LEVEL for the
+  * encoder rule. */
+final case class MgSummary(candidates: Array[String], nTokens: Long)
+
+/** One candidate-token occurrence count from the heavy-hitter recount
+  * kernel: index into the broadcast sorted candidate array + the
+  * doc-local count. TOP-LEVEL for the encoder rule. */
+final case class CandCount(idx: Int, cnt: Long)
+
 /**
  * Mergeable sketches for corpus-scale cardinality and frequency
  * estimation — the constant-memory counterparts of the exact operators
@@ -602,5 +612,106 @@ object Sketches {
     }
     docs.select(col(idCol), hitsUdf(col(textCol)).as("flagged_grams"))
       .filter(col("flagged_grams") >= minHits)
+  }
+
+  // ---- Exact heavy hitters (Misra–Gries candidates + exact recount) ----
+
+  /**
+   * Every token whose occurrence count strictly exceeds N/k, with EXACT
+   * counts — frequent-vocabulary extraction that never shuffles the full
+   * token cardinality (the naive `groupBy(token)` ships every distinct
+   * token once; at 100 TB that is the vocabulary of the web):
+   *
+   *  1. *candidates*: one streaming Misra–Gries pass per partition with
+   *     k−1 counters (Misra & Gries 1982). Any token with global count
+   *     > N/k must exceed N_p/k in at least one partition (Σ N_p = N),
+   *     and MG at k−1 counters retains every token above that partition
+   *     threshold — so the union of per-partition survivors (≤ (k−1)
+   *     strings per partition, collected under the ENFORCED
+   *     `graft.text.heavyMaxCandidates` ceiling) is a provable SUPERSET
+   *     of the heavy set. Partition token totals ride the same summary
+   *     rows, so N costs no extra action.
+   *  2. *recount*: one narrow kernel pass tests each doc's token hashes
+   *     (the shared [[TextSig.tokenHashes]] chain) against the broadcast
+   *     sorted candidate array — only (candidate, count) rows shuffle,
+   *     bounded by the candidate count per partition after map-side
+   *     combine; token text and the corpus never move.
+   *  3. the exact filter cnt·k > N discards the false candidates.
+   *
+   * The OUTPUT is exact and partitioning-invariant (< k rows by the
+   * threshold) even though the intermediate candidate set is not — the
+   * same contract as the MG sketch's classic two-pass refinement.
+   */
+  def heavyHitters(docs: DataFrame, k: Int,
+      textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"heavyHitters: k=$k must be >= 2")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val maxCand =
+      spark.conf.get("graft.text.heavyMaxCandidates", "1048576").toInt
+    val summaries = Dedup.spread(docs.select(col(textCol).cast("string")))
+      .as[String]
+      .mapPartitions { it =>
+        val counts = new java.util.HashMap[String, Long]()
+        var n = 0L
+        it.foreach { t =>
+          val nt = TextSig.normalize(t)
+          if (nt.nonEmpty) nt.split(' ').foreach { tok =>
+            n += 1
+            if (counts.containsKey(tok)) counts.put(tok, counts.get(tok) + 1)
+            else if (counts.size < k - 1) counts.put(tok, 1L)
+            else {
+              // decrement-all: the k-th distinct arrival cancels one
+              // occurrence of every tracked token (and itself)
+              val del = counts.entrySet().iterator()
+              while (del.hasNext) {
+                val e = del.next()
+                if (e.getValue <= 1L) del.remove()
+                else e.setValue(e.getValue - 1)
+              }
+            }
+          }
+        }
+        val cand = new Array[String](counts.size())
+        counts.keySet().toArray(cand)
+        Iterator.single(MgSummary(cand, n))
+      }.collect()
+    val nTotal = summaries.map(_.nTokens).sum
+    val cand = summaries.iterator.flatMap(_.candidates).toArray.distinct
+    if (cand.length > maxCand)
+      throw new IllegalStateException(
+        s"heavyHitters: ${cand.length} candidates exceed " +
+          s"graft.text.heavyMaxCandidates=$maxCand — raise the ceiling or k")
+    // hash-sorted candidate table: idx ↔ token alignment survives into
+    // the kernel's binary search and back out through the tiny join
+    val pairs = cand.map(t => (TextSig.tokenHashes(t)(0), t)).sortBy(_._1)
+    val hashes = pairs.map(_._1)
+    val bc = spark.sparkContext.broadcast(hashes)
+    val recount = udf { (t: String) =>
+      val hs = bc.value
+      val th = TextSig.tokenHashes(t)
+      val acc = new java.util.HashMap[Int, Long]()
+      var i = 0
+      while (i < th.length) {
+        val idx = java.util.Arrays.binarySearch(hs, th(i))
+        if (idx >= 0) acc.put(idx, acc.getOrDefault(idx, 0L) + 1L)
+        i += 1
+      }
+      val out = new Array[CandCount](acc.size())
+      val es = acc.entrySet().iterator(); var j = 0
+      while (es.hasNext) {
+        val e = es.next(); out(j) = CandCount(e.getKey, e.getValue); j += 1
+      }
+      out
+    }
+    val tokenLookup = pairs.zipWithIndex
+      .map { case ((_, t), i) => (i, t) }.toSeq.toDF("idx", "token")
+    Dedup.spread(docs.select(col(textCol).cast("string").as("__t")))
+      .select(explode_outer(recount(col("__t"))).as("c"))
+      .filter(col("c").isNotNull)
+      .groupBy(col("c.idx").as("idx")).agg(sum(col("c.cnt")).as("cnt"))
+      .filter(col("cnt") * k > nTotal)
+      .join(broadcast(tokenLookup), "idx")
+      .select(col("token"), col("cnt"), lit(nTotal).as("n_total"))
   }
 }

@@ -306,4 +306,33 @@ class SketchesSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(re == bloom)
   }
+
+  test("heavyHitters equals the naive exact filter, invariant to partitioning") {
+    val k = 100
+    val n = exactFreq.values.sum
+    val want = exactFreq.toSeq.collect { case (t, c) if c * k > n => (t, c, n) }
+      .sortBy(_._1)
+    val got = Sketches.heavyHitters(docs, k = k).orderBy("token").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty, "fixture should have >1% tokens at k=100")
+    val re = Sketches.heavyHitters(docs.repartition(7), k = k)
+      .orderBy("token").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(re == want)
+  }
+
+  test("heavyHitters exact on a crafted corpus; k and ceiling contracts") {
+    import spark.implicits._
+    val tiny = Seq((0L, "a a a b"), (1L, "a c b b"), (2L, "b b a d"))
+      .toDF("doc_id", "text")
+    // N = 12; a = 5, b = 5, c = 1, d = 1; k = 3 → threshold 4 → {a, b}
+    val got = Sketches.heavyHitters(tiny, k = 3).orderBy("token").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a", 5L, 12L), ("b", 5L, 12L)))
+    assertThrows[IllegalArgumentException](Sketches.heavyHitters(tiny, k = 1))
+    spark.conf.set("graft.text.heavyMaxCandidates", "1")
+    try assertThrows[IllegalStateException](Sketches.heavyHitters(tiny, k = 3))
+    finally spark.conf.unset("graft.text.heavyMaxCandidates")
+  }
 }
