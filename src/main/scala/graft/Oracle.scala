@@ -2655,6 +2655,20 @@ object Oracle {
     // reproduces Spark's float32 subtraction), then centered and widened
     // to DOUBLE for the cosine. The histogram counts unroll bins 0..7 as
     // literal filters — DuckDB-version-safe (no nested lambda capture).
+    // m67: JL sign random projection — the ±1 sign of plane component
+    // (p, i) re-derived from the hyperplane planeCtes formula (sign of
+    // the signed mix64), terms in ascending dimension order, exact 0.25
+    // scale; a wrong sign, order, or scale lands as a hash mismatch.
+    "m67_random_project" -> s"""
+      WITH ${planeCtes("jl", 16)},
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      y AS (SELECT vec_id, p AS comp,
+          round(0.25 * list_sum(list_transform(range(len(v)), i ->
+            CASE WHEN pl[CAST(i AS INT)+1] >= 0 THEN v[CAST(i AS INT)+1]
+                 ELSE -v[CAST(i AS INT)+1] END)), 6) AS val
+        FROM e, jlplane)
+      SELECT vec_id, comp, val FROM y ORDER BY vec_id, comp""",
+
     // m66: exact heavy hitters — the oracle IS the naive full-vocabulary
     // token GROUP BY the engine's MG-candidates + recount path avoids
     // shuffling; the strict cnt·k > N filter matches the exact second

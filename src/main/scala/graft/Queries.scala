@@ -1827,4 +1827,17 @@ object Queries {
   def m66HeavyHitters(s: SparkSession, dir: String): DataFrame =
     operators.Sketches.heavyHitters(t(s, dir, "documents"), k = 100)
       .orderBy("token")
+
+  /** m67 — Johnson–Lindenstrauss sign random projection
+    * ([[operators.Similarity.randomProject]]): dim-64 vectors cut to 16
+    * dims by seeded ±1 signs — the training-free counterpart of m33's
+    * PCA (no sample, no model sidecar; a pure function of the vector,
+    * so shards project with zero coordination). The oracle re-derives
+    * the sign matrix from the hyperplane mix64 formula and replays the
+    * dimension-ordered sum and the exact 0.25 scale. */
+  def m67RandomProject(s: SparkSession, dir: String): DataFrame =
+    operators.Similarity.randomProject(t(s, dir, "embeddings"), outDim = 16)
+      .select(col("vec_id"), posexplode(col("proj")).as(Seq("comp", "val")))
+      .select(col("vec_id"), col("comp"), round(col("val"), 6).as("val"))
+      .orderBy("vec_id", "comp")
 }

@@ -255,4 +255,31 @@ object VecMath {
     }
     sig
   }
+
+  /** Johnson–Lindenstrauss sign random projection (Achlioptas 2003,
+    * ±1 entries): y_p = (1/√outDim)·Σ_i s(p,i)·v_i with s(p,i) the SIGN
+    * of the [[hyperplaneSig]] plane component mix64(p·0x100000001b3+i)
+    * — the same seeded geometry, so the DuckDB oracle re-derives s from
+    * the planeCtes formula. Terms sum in ascending dimension order
+    * (double), then one exact power-of-two scale — the oracle replays
+    * the identical order, so values match bit-for-bit before rounding.
+    * `outDim` must be a power of FOUR so 1/√outDim is exactly
+    * representable (callers enforce). */
+  def signProject(v: Array[Float], outDim: Int): Array[Double] = {
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val out = new Array[Double](outDim)
+    var p = 0
+    while (p < outDim) {
+      var s = 0.0
+      var i = 0
+      while (i < v.length) {
+        val h = TextSig.mix64(p.toLong * 0x100000001b3L + i)
+        s += (if (h >= 0) v(i).toDouble else -v(i).toDouble)
+        i += 1
+      }
+      out(p) = scale * s
+      p += 1
+    }
+    out
+  }
 }

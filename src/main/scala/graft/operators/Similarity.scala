@@ -116,6 +116,25 @@ object Similarity {
     corpus.withColumn("proj", projUdf(col(vecCol)))
   }
 
+  /** Johnson–Lindenstrauss sign random projection to `outDim`
+    * dimensions ([[VecMath.signProject]]): the TRAINING-FREE dimension
+    * cut next to [[pcaTrain]]'s learned one — no sample, no model
+    * sidecar, the projection is a pure function of (vector, outDim), so
+    * shards project independently with zero coordination. JL: pairwise
+    * distances distort by at most ~(1±ε) w.h.p. at outDim = O(ln n/ε²),
+    * which is what makes downstream ANN on the projected space honest.
+    * Narrow kernel, no shuffle; `proj` is array<double> (round before
+    * comparing across engines). `outDim` must be a power of four so the
+    * 1/√outDim scale is exact (bit-stable across engines/partitions). */
+  def randomProject(corpus: DataFrame, outDim: Int = 16,
+      vecCol: String = "embedding"): DataFrame = {
+    require(outDim >= 1 && Integer.bitCount(outDim) == 1 &&
+        Integer.numberOfTrailingZeros(outDim) % 2 == 0,
+      s"randomProject: outDim=$outDim must be a power of four (exact scale)")
+    val projUdf = udf((v: Array[Float]) => VecMath.signProject(v, outDim))
+    corpus.withColumn("proj", projUdf(col(vecCol)))
+  }
+
   // --- Product quantization (the IVF-ADC compression half): 100 TB
   //     memory story — a dim-64 float32 vector (256 B) becomes m = 8
   //     code bytes against per-subspace codebooks, a 32× cut that turns

@@ -487,6 +487,40 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("randomProject: driver-exact, JL distance preservation, invariance, contract") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val out = Similarity.randomProject(emb, outDim = 16)
+      .select("vec_id", "proj").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val raw = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // kernel ≡ the driver-side reference, bit-for-bit
+    raw.take(20).foreach { case (id, v) =>
+      assert(out(id).sameElements(graft.core.VecMath.signProject(v, 16)))
+    }
+    // JL: squared distances preserved in aggregate (loose 4-sigma band
+    // for eps ~ 1/sqrt(16) at dim 16) over systematic pairs
+    val ids = raw.keys.toArray.sorted.take(60)
+    val ratios = for (a <- ids.indices; b <- a + 1 until ids.length; if b - a <= 5)
+      yield {
+        val (va, vb) = (raw(ids(a)), raw(ids(b)))
+        val (pa, pb) = (out(ids(a)), out(ids(b)))
+        val d2 = va.indices.map(i => math.pow(va(i) - vb(i), 2)).sum
+        val p2 = pa.indices.map(i => math.pow(pa(i) - pb(i), 2)).sum
+        if (d2 == 0.0) 1.0 else p2 / d2
+      }
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.3, s"JL mean sq-distance ratio $mean")
+    // pure per-row function: partitioning cannot change values
+    val re = Similarity.randomProject(emb.repartition(7), outDim = 16)
+      .select("vec_id", "proj").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(re.keySet == out.keySet &&
+      re.forall { case (id, v) => v.sameElements(out(id)) })
+    // non-power-of-four outDim has an inexact scale — rejected
+    assertThrows[IllegalArgumentException](Similarity.randomProject(emb, 8))
+  }
+
   test("semdedup: one representative per within-cell component, cell matches argmin") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val centers = Similarity.ivfCenters(emb, 8)
