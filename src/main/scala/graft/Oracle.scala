@@ -2655,6 +2655,30 @@ object Oracle {
     // reproduces Spark's float32 subtraction), then centered and widened
     // to DOUBLE for the cosine. The histogram counts unroll bins 0..7 as
     // literal filters — DuckDB-version-safe (no nested lambda capture).
+    // m68: corpus snapshot diff — v2's bucket re-derived from the mix64
+    // chain; statuses from a full-outer join comparing TEXT equality
+    // directly (the engine compares normalized fingerprints — on this
+    // construction the two coincide, so a fingerprint defect lands as a
+    // status mismatch).
+    "m68_corpus_diff" -> s"""
+      WITH vb AS (SELECT doc_id, text, CAST(doc_id + 11 AS HUGEINT) AS z0
+                  FROM documents),
+      ${mix64Ctes("dfm", "vb", "doc_id, text")},
+      d AS (SELECT doc_id, text, h % 10 AS b FROM dfm),
+      v2 AS (
+        SELECT doc_id,
+          CASE WHEN b = 1 THEN text || ' rev2' ELSE text END AS text
+        FROM d WHERE b <> 0
+        UNION ALL
+        SELECT doc_id + 1000000, 'new ' || text FROM d WHERE b = 2)
+      SELECT coalesce(a.doc_id, v2.doc_id) AS doc_id,
+        CASE WHEN a.doc_id IS NULL THEN 'added'
+             WHEN v2.doc_id IS NULL THEN 'removed'
+             WHEN a.text = v2.text THEN 'unchanged'
+             ELSE 'changed' END AS status
+      FROM documents a FULL OUTER JOIN v2 ON a.doc_id = v2.doc_id
+      ORDER BY doc_id""",
+
     // m67: JL sign random projection — the ±1 sign of plane component
     // (p, i) re-derived from the hyperplane planeCtes formula (sign of
     // the signed mix64), terms in ascending dimension order, exact 0.25

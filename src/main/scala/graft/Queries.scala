@@ -1840,4 +1840,30 @@ object Queries {
       .select(col("vec_id"), posexplode(col("proj")).as(Seq("comp", "val")))
       .select(col("vec_id"), col("comp"), round(col("val"), 6).as("val"))
       .orderBy("vec_id", "comp")
+
+  /** m68 — corpus snapshot diff
+    * ([[operators.TrainingPipeline.corpusDiff]]): per-doc
+    * added/removed/changed/unchanged between the fixture corpus and a
+    * deterministically perturbed v2 (splitmix64(doc_id+11) mod 10:
+    * bucket 0 dropped, bucket 1 edited, bucket 2 also cloned under a
+    * shifted id) — only (id, fingerprint) rows reach the full-outer
+    * join. The oracle re-derives the bucket from the mix64 chain and
+    * compares texts directly, so a fingerprint defect lands as a
+    * status mismatch. */
+  def m68CorpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bucket = udf((id: Long) => java.lang.Long.remainderUnsigned(
+      graft.core.TextSig.mix64(id + 11L), 10L))
+    val v1 = docs.select(col("doc_id"), col("text"))
+      .withColumn("b", bucket(col("doc_id")))
+    val v2 = v1.filter(col("b") =!= 0)
+      .select(col("doc_id"),
+        when(col("b") === 1, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(v1.filter(col("b") === 2)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("new "), col("text")).as("text")))
+    operators.TrainingPipeline.corpusDiff(v1.drop("b"), v2)
+      .orderBy("doc_id")
+  }
 }

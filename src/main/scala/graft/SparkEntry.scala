@@ -152,6 +152,7 @@ object SparkEntry {
     "m65_containment" -> Queries.m65Containment,
     "m66_heavy_hitters" -> Queries.m66HeavyHitters,
     "m67_random_project" -> Queries.m67RandomProject,
+    "m68_corpus_diff" -> Queries.m68CorpusDiff,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on

@@ -774,4 +774,26 @@ object TrainingPipeline {
         (clean, reportFrame(docs, (s0, s1, s2, s3, s4), Some(s5)))
     }
   }
+
+  /** Corpus snapshot diff — release-to-release accounting between two
+    * versions of a corpus: per id, `added` (only in `b`), `removed`
+    * (only in `a`), `changed` (present in both with different content),
+    * `unchanged`. Only (id, 64-bit [[TextSig.fingerprint]]) rows reach
+    * the full-outer join — text never shuffles, so diffing two 100 TB
+    * snapshots moves ~16 B/doc. Content equality is the NORMALIZED
+    * fingerprint (lowercase + whitespace-collapse) — the same content
+    * key the exact-dedup operators use, so a reformatted doc counts as
+    * unchanged; collision odds are the usual 64-bit birthday bound. */
+  def corpusDiff(a: DataFrame, b: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val fp = udf((t: String) => graft.core.TextSig.fingerprint(t))
+    val fa = a.select(col(idCol).as("id"), fp(col(textCol)).as("fpa"))
+    val fb = b.select(col(idCol).as("id"), fp(col(textCol)).as("fpb"))
+    fa.join(fb, Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        when(col("fpa").isNull, lit("added"))
+          .when(col("fpb").isNull, lit("removed"))
+          .when(col("fpa") === col("fpb"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
 }

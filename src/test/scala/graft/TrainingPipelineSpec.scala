@@ -1188,4 +1188,25 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(spreadOne ne oneDf)
     assert(spreadOne.rdd.getNumPartitions == s.sparkContext.defaultParallelism)
   }
+
+  test("corpusDiff: exact statuses, normalized-content equality, invariance") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((1L, "alpha beta"), (2L, "keep me"), (3L, "will change"),
+      (4L, "Spaced   Out")).toDF("doc_id", "text")
+    val b = Seq((2L, "keep me"), (3L, "changed now"), (4L, "spaced out"),
+      (5L, "brand new")).toDF("doc_id", "text")
+    val got = graft.operators.TrainingPipeline.corpusDiff(a, b)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    // doc 4: fingerprint is over NORMALIZED text — case/whitespace-only
+    // edits count as unchanged (the exact-dedup content key)
+    assert(got == Seq(1L -> "removed", 2L -> "unchanged", 3L -> "changed",
+      4L -> "unchanged", 5L -> "added"))
+    val re = graft.operators.TrainingPipeline.corpusDiff(
+        a.repartition(3), b.repartition(5))
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(re == got)
+  }
 }
