@@ -2655,6 +2655,37 @@ object Oracle {
     // reproduces Spark's float32 subtraction), then centered and widened
     // to DOUBLE for the cosine. The histogram counts unroll bins 0..7 as
     // literal filters — DuckDB-version-safe (no nested lambda capture).
+    // m69: C4 line filter — the same deterministic augmentation, then
+    // every rule replayed verbatim: m30's trim charset, terminal-punct
+    // last char, regexp word count on the trimmed line, marker
+    // containment. idx counts ALL lines (string_split keeps empties),
+    // matching the kernel's split limit -1.
+    "m69_c4_lines" -> """
+      WITH aug AS (SELECT doc_id,
+          'Doc ' || doc_id || ' begins with a proper sentence.' || chr(10) ||
+          'enable javascript to view this page.' || chr(10) ||
+          text || chr(10) ||
+          'Short.' || chr(10) ||
+          'We use cookie consent banners on this site.' || chr(10) ||
+          'var x = { a: 1 };' || chr(10) ||
+          '   Trailing whitespace line is fine.   ' || chr(10) ||
+          'Is this a question?' AS text
+        FROM documents),
+      lines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+          generate_subscripts(string_split(text, chr(10)), 1) AS idx
+        FROM aug),
+      tl AS (SELECT doc_id, idx, line,
+          trim(line, ' ' || chr(9) || chr(13)) AS t FROM lines)
+      SELECT doc_id, CAST(idx AS INT) AS idx, line
+      FROM tl
+      WHERE length(t) > 0
+        AND substr(t, length(t), 1) IN ('.', '!', '?', '"')
+        AND len(regexp_split_to_array(t, '\s+')) >= 3
+        AND NOT contains(lower(t), 'javascript')
+        AND NOT contains(lower(t), 'cookie')
+        AND NOT contains(t, '{')
+      ORDER BY doc_id, idx""",
+
     // m68: corpus snapshot diff — v2's bucket re-derived from the mix64
     // chain; statuses from a full-outer join comparing TEXT equality
     // directly (the engine compares normalized fingerprints — on this

@@ -1841,6 +1841,29 @@ object Queries {
       .select(col("vec_id"), col("comp"), round(col("val"), 6).as("val"))
       .orderBy("vec_id", "comp")
 
+  /** m69 — C4-style terminal-punctuation line filter
+    * ([[operators.TextAnalysis.c4KeepLines]]): the fixture corpus
+    * augmented with deterministic prose/boilerplate lines (the m30
+    * pattern — each rule has lines that trigger it), then one narrow
+    * kernel pass keeps only prose-like lines. Per-kept-line output
+    * pins every rule; the oracle replays trim/terminal-punct/word-
+    * count/marker checks verbatim over the same augmented text. */
+  def m69C4Lines(s: SparkSession, dir: String): DataFrame = {
+    val aug = t(s, dir, "documents").select(col("doc_id"),
+      concat_ws("\n",
+        concat(lit("Doc "), col("doc_id"),
+          lit(" begins with a proper sentence.")),
+        lit("enable javascript to view this page."),
+        col("text"),
+        lit("Short."),
+        lit("We use cookie consent banners on this site."),
+        lit("var x = { a: 1 };"),
+        lit("   Trailing whitespace line is fine.   "),
+        lit("Is this a question?")).as("text"))
+    operators.TextAnalysis.c4KeepLines(aug, minWords = 3)
+      .orderBy("doc_id", "idx")
+  }
+
   /** m68 — corpus snapshot diff
     * ([[operators.TrainingPipeline.corpusDiff]]): per-doc
     * added/removed/changed/unchanged between the fixture corpus and a

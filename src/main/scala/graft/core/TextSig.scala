@@ -439,6 +439,36 @@ object TextSig {
     if (a == 0 && b == s.length) s else s.substring(a, b)
   }
 
+  /** C4-style line filter (Raffel et al. 2020 §2.2, adapted): the kept
+    * (1-based idx, RAW line) pairs — a line survives iff its trimmed
+    * form is non-empty, ends in terminal punctuation (. ! ? "), has at
+    * least `minWords` whitespace-separated words, and carries none of
+    * the boilerplate markers (case-insensitive "javascript"/"cookie",
+    * a literal '{'). Trim/split semantics are [[lineOccurrences]]'s SQL
+    * contract (`trim(line, ' '||chr(9)||chr(13))`, split limit -1) so
+    * the oracle replays each rule verbatim. */
+  def c4KeepLines(text: String, minWords: Int): Array[(Int, String)] = {
+    if (text == null) return Array.empty
+    val lines = text.split("\n", -1)
+    val out = Array.newBuilder[(Int, String)]
+    var i = 0
+    while (i < lines.length) {
+      val t = trimLine(lines(i))
+      if (t.nonEmpty) {
+        val last = t.charAt(t.length - 1)
+        if ((last == '.' || last == '!' || last == '?' || last == '"') &&
+            t.split("\\s+").length >= minWords) {
+          val lower = t.toLowerCase
+          if (!lower.contains("javascript") && !lower.contains("cookie") &&
+              t.indexOf('{') < 0)
+            out += ((i + 1, lines(i)))
+        }
+      }
+      i += 1
+    }
+    out.result()
+  }
+
   /** FNV-1a + mix64 over the trimmed line (NOT normalized — boilerplate
     * lines are matched literally up to edge whitespace). */
   private def lineHash(trimmed: String): Long = {

@@ -364,6 +364,23 @@ object TextAnalysis {
       .drop("__ld", "__drop")
   }
 
+  private val c4Udf =
+    udf((t: String, minWords: Int) => TextSig.c4KeepLines(t, minWords))
+
+  /** C4-style terminal-punctuation line filter (Raffel et al. 2020
+    * §2.2): keep only lines that read like prose — non-blank, ending
+    * in . ! ? or ", at least `minWords` words, and free of the
+    * boilerplate markers (case-insensitive "javascript"/"cookie", a
+    * literal '{'). Emits one (id, idx, line) row per KEPT line (1-based
+    * idx over ALL lines) — the per-line form composes with
+    * [[dedupLines]]/[[removeBoilerplate]] and pins every rule
+    * per-line in the gate. Pure per-row kernel: narrow, no shuffle,
+    * partitioning-invariant by construction. */
+  def c4KeepLines(docs: DataFrame, minWords: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), explode(c4Udf(col(textCol), lit(minWords))).as("k"))
+      .select(col(idCol), col("k._1").as("idx"), col("k._2").as("line"))
+
   private val gramOccUdf =
     udf((t: String, l: Int) => TextSig.charGramOccurrences(t, l))
   private val removeSpansUdf =

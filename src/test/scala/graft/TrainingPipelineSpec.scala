@@ -1189,6 +1189,40 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(spreadOne.rdd.getNumPartitions == s.sparkContext.defaultParallelism)
   }
 
+  test("c4KeepLines: every rule triggers, idx counts all lines, invariance") {
+    val s = spark
+    import s.implicits._
+    val text = Seq(
+      "A proper prose sentence here.",          // kept
+      "",                                       // blank
+      "no terminal punctuation",                // dropped: punct
+      "Too few.",                               // dropped: < 3 words
+      "Enable JavaScript to continue please.",  // dropped: marker (case-insens)
+      "Accept our cookie policy now.",          // dropped: marker
+      "Call f(x) { always wins }.",             // dropped: '{'
+      "   Padded but valid sentence here.   ",  // kept (trimmed for checks)
+      "Ends with a question mark?",             // kept
+      "Quoted sentence ends \"right.\""         // kept (terminal '"')
+    ).mkString("\n")
+    val df = Seq((7L, text)).toDF("doc_id", "text")
+    val got = TextAnalysis.c4KeepLines(df).orderBy("idx").collect()
+      .map(r => (r.getInt(1), r.getString(2))).toSeq
+    assert(got == Seq(
+      1 -> "A proper prose sentence here.",
+      8 -> "   Padded but valid sentence here.   ",
+      9 -> "Ends with a question mark?",
+      10 -> "Quoted sentence ends \"right.\""))
+    // exactly-3-words boundary at minWords = 3; 4 rejects it
+    val three = Seq((1L, "Three word line.")).toDF("doc_id", "text")
+    assert(TextAnalysis.c4KeepLines(three, minWords = 3).count() == 1)
+    assert(TextAnalysis.c4KeepLines(three, minWords = 4).count() == 0)
+    val many = df.union(Seq((8L, text), (9L, text)).toDF("doc_id", "text"))
+    val a = TextAnalysis.c4KeepLines(many).orderBy("doc_id", "idx").collect().toSeq
+    val b = TextAnalysis.c4KeepLines(many.repartition(5))
+      .orderBy("doc_id", "idx").collect().toSeq
+    assert(a == b)
+  }
+
   test("corpusDiff: exact statuses, normalized-content equality, invariance") {
     val s = spark
     import s.implicits._
