@@ -2655,6 +2655,21 @@ object Oracle {
     // reproduces Spark's float32 subtraction), then centered and widened
     // to DOUBLE for the cosine. The histogram counts unroll bins 0..7 as
     // literal filters — DuckDB-version-safe (no nested lambda capture).
+    // m70: per-group top-k — the oracle IS the partitioned window the
+    // heap path avoids; quality re-derived from the shared TextStats
+    // CTEs, ties on the lower doc_id.
+    "m70_group_topk" -> s"""
+      WITH $TextStatsCtes,
+      q1 AS (SELECT doc_id, $QualityExpr AS q FROM ratios),
+      q AS (SELECT q1.doc_id, d.source, q1.q
+            FROM q1 JOIN documents d ON q1.doc_id = d.doc_id),
+      w AS (SELECT doc_id, source, q AS value,
+              CAST(row_number() OVER (PARTITION BY source
+                ORDER BY q DESC, doc_id ASC) AS INT) AS rank
+            FROM q)
+      SELECT doc_id, source, value, rank FROM w WHERE rank <= 10
+      ORDER BY source, rank""",
+
     // m69: C4 line filter — the same deterministic augmentation, then
     // every rule replayed verbatim: m30's trim charset, terminal-punct
     // last char, regexp word count on the trimmed line, marker

@@ -1841,6 +1841,20 @@ object Queries {
       .select(col("vec_id"), col("comp"), round(col("val"), 6).as("val"))
       .orderBy("vec_id", "comp")
 
+  /** m70 — exact per-group top-k ([[operators.Ranking.groupTopK]]):
+    * the 10 highest-quality docs per source WITHOUT a partitioned
+    * window over the corpus — bounded per-partition per-group heaps
+    * emit only local winners (≤ k·partitions rows per group shuffle),
+    * then one window ranks that candidate set. Ties at equal rounded
+    * quality break on the lower doc_id; the oracle replays the shared
+    * quality expression and the window form the operator avoids. */
+  def m70GroupTopK(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    operators.Ranking.groupTopK(docs, k = 10,
+        operators.TextAnalysis.qualityScore(col("text")))
+      .orderBy("source", "rank")
+  }
+
   /** m69 — C4-style terminal-punctuation line filter
     * ([[operators.TextAnalysis.c4KeepLines]]): the fixture corpus
     * augmented with deterministic prose/boilerplate lines (the m30

@@ -154,6 +154,7 @@ object SparkEntry {
     "m67_random_project" -> Queries.m67RandomProject,
     "m68_corpus_diff" -> Queries.m68CorpusDiff,
     "m69_c4_lines" -> Queries.m69C4Lines,
+    "m70_group_topk" -> Queries.m70GroupTopK,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -249,5 +250,55 @@ object Ranking {
       .withColumn(cdCol, r.cast("double") / lit(n.toDouble))
       .withColumn(tileCol, tile.cast("int"))
       .drop(rk)
+  }
+
+  /** Exact top-k per group by (value DESC, id ASC) — leaderboard /
+    * best-of-source selection WITHOUT a partitioned window over the
+    * corpus (which shuffles every row of a hot group to one sorter): a
+    * `mapPartitions` pass keeps a bounded per-group heap (≤ k entries
+    * per group per partition) and emits only local winners, so the only
+    * shuffled rows are ≤ k·partitions candidates per group; one final
+    * window ranks that bounded set. Same executor contract as
+    * [[TrainingPipeline.stratifiedSample]] (group cardinality × k fits
+    * memory). Exact and partitioning-invariant: the result is a pure
+    * function of the (group, value, id) multiset — ties at equal value
+    * break on the lower id. Returns (id, group, value, rank). */
+  def groupTopK(df: DataFrame, k: Int, valueCol: Column,
+      groupCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, s"groupTopK: k=$k must be positive")
+    val s = df.sparkSession
+    import s.implicits._
+    // "worseness" order: head of the heap = worst kept candidate
+    implicit val worst: Ordering[(Double, Long)] =
+      new Ordering[(Double, Long)] {
+        def compare(a: (Double, Long), b: (Double, Long)): Int = {
+          val c = java.lang.Double.compare(b._1, a._1)
+          if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+        }
+      }
+    val candidates = df
+      .select(col(groupCol).cast("string"), col(idCol).cast("long"),
+        valueCol.cast("double"))
+      .as[(String, Long, Double)]
+      .mapPartitions { it =>
+        val heaps = scala.collection.mutable.HashMap
+          .empty[String, scala.collection.mutable.PriorityQueue[(Double, Long)]]
+        it.foreach { case (g, id, v) =>
+          val q = heaps.getOrElseUpdate(g,
+            scala.collection.mutable.PriorityQueue.empty[(Double, Long)])
+          if (q.size < k) q.enqueue((v, id))
+          else if (worst.lt((v, id), q.head)) { q.dequeue(); q.enqueue((v, id)) }
+        }
+        heaps.iterator.flatMap { case (g, q) =>
+          q.iterator.map { case (v, id) => (g, id, v) }
+        }
+      }
+      .toDF(groupCol, idCol, "value")
+    candidates
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(groupCol)
+          .orderBy(col("value").desc, col(idCol))).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col(groupCol), col("value"), col("rank"))
   }
 }

@@ -838,6 +838,35 @@ class PipelineSpec extends AnyFunSuite {
     graft.core.Blocks.releaseAll(one)
   }
 
+  test("groupTopK equals the partitioned-window form, ties on lower id, invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // duplicate values inside groups so the id tie-break is load-bearing
+    val rows = (0 until 997).map { i =>
+      (s"g${i % 7}", i.toLong, ((i * 48271L) % 23L).toDouble)
+    }
+    val df = rows.toDF("source", "doc_id", "v").repartition(8)
+    val got = graft.operators.Ranking.groupTopK(df, k = 5, col("v"))
+      .collect().map(r => (r.getString(1), r.getInt(3)) -> r.getLong(0)).toMap
+    val w = Window.partitionBy("source").orderBy(col("v").desc, col("doc_id"))
+    val want = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .collect().map(r => (r.getString(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(got == want && got.size == 35)
+    val re = graft.operators.Ranking.groupTopK(df.repartition(3), k = 5, col("v"))
+      .collect().map(r => (r.getString(1), r.getInt(3)) -> r.getLong(0)).toMap
+    assert(re == got)
+    // groups smaller than k: every row ranked, no padding
+    val tiny = Seq(("a", 1L, 9.0), ("a", 2L, 9.0), ("b", 3L, 1.0))
+      .toDF("source", "doc_id", "v")
+    val tk = graft.operators.Ranking.groupTopK(tiny, k = 5, col("v"))
+      .orderBy("source", "rank").collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getInt(3))).toSeq
+    assert(tk == Seq(("a", 1L, 1), ("a", 2L, 2), ("b", 3L, 1)))
+    assertThrows[IllegalArgumentException](
+      graft.operators.Ranking.groupTopK(tiny, k = 0, col("v")))
+  }
+
   test("redactPii scrubs emails, IPs and key ids; clean text unchanged") {
     import spark.implicits._
     val df = Seq(
