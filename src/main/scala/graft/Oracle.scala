@@ -2655,6 +2655,71 @@ object Oracle {
     // reproduces Spark's float32 subtraction), then centered and widened
     // to DOUBLE for the cosine. The histogram counts unroll bins 0..7 as
     // literal filters — DuckDB-version-safe (no nested lambda capture).
+    // m72: char-entropy profile — per-codepoint histogram via a lateral
+    // range over the text, the c·ln(c) sum replayed in ascending-
+    // codepoint list order (fixture is BMP-only: DuckDB codepoints ==
+    // Java chars).
+    "m72_char_entropy" -> """
+      WITH ch AS (SELECT doc_id, unicode(substr(text, CAST(i AS INT), 1)) AS cp
+                  FROM (SELECT doc_id, text,
+                          unnest(range(1, length(text)+1)) AS i
+                        FROM documents WHERE length(text) > 0)),
+      cc AS (SELECT doc_id, cp, COUNT(*) AS c FROM ch GROUP BY doc_id, cp),
+      agg AS (SELECT doc_id,
+                CAST(SUM(c) AS BIGINT) AS n,
+                CAST(COUNT(*) AS INT) AS n_distinct,
+                list_sum(list(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                  ORDER BY cp)) AS s
+              FROM cc GROUP BY doc_id)
+      SELECT d.doc_id,
+        coalesce(a.n, 0) AS n_chars_total,
+        CAST(coalesce(a.n_distinct, 0) AS INT) AS n_distinct_chars,
+        round(CASE WHEN a.n IS NULL OR a.n = 0 THEN 0.0
+               ELSE ln(CAST(a.n AS DOUBLE)) - a.s / CAST(a.n AS DOUBLE)
+              END, 6) AS entropy
+      FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      ORDER BY d.doc_id""",
+
+    // q44: trailing RANGE window over integer epoch seconds — peers at
+    // the same (user, second) are in-frame on both engines; DECIMAL sum
+    // makes the double cast exact.
+    "q44_moving_window" -> """
+      SELECT event_id, user_id, tse,
+        COUNT(*) OVER w AS n_trailing,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_trailing
+      FROM (SELECT event_id, user_id,
+              -- floor, not CAST: epoch() keeps fractional seconds and
+              -- DuckDB's double->int cast ROUNDS; Spark unix_timestamp floors
+              CAST(floor(epoch(ts)) AS BIGINT) AS tse, value FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY tse
+                   RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id""",
+
+    // m71: per-group histogram quantiles — m60's integer bucket/rank/
+    // interpolation chain with every window PARTITIONed by source.
+    "m71_group_quantiles" -> """
+      WITH hb AS (SELECT source,
+               least(greatest((n_chars * 128) // 1024, 0), 127) AS bucket
+             FROM documents),
+      hc AS (SELECT source, bucket, COUNT(*) AS cnt
+             FROM hb GROUP BY source, bucket),
+      hw AS (SELECT source, bucket, cnt,
+               CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY bucket) AS BIGINT) AS cum,
+               CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+             FROM hc),
+      hp AS (SELECT * FROM (VALUES (2500),(5000),(7500)) AS v(p_bp)),
+      hh AS (SELECT source, p_bp, n, bucket, cnt, cum,
+               row_number() OVER (PARTITION BY source, p_bp ORDER BY bucket) AS rk
+             FROM hp JOIN hw ON cum * 10000 >= CAST(p_bp AS BIGINT) * n),
+      hs AS (SELECT source, p_bp, n, bucket, cnt, cum,
+               (CAST(p_bp AS BIGINT) * n + 9999) // 10000 AS target_rank
+             FROM hh WHERE rk = 1)
+      SELECT source, p_bp, n, target_rank, bucket,
+        round(0.0 + (CAST(bucket AS DOUBLE)
+          + CAST(target_rank - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE))
+          * (1024.0 / 128.0), 4) AS est
+      FROM hs ORDER BY source, p_bp""",
+
     // m70: per-group top-k — the oracle IS the partitioned window the
     // heap path avoids; quality re-derived from the shared TextStats
     // CTEs, ties on the lower doc_id.

@@ -1841,6 +1841,54 @@ object Queries {
       .select(col("vec_id"), col("comp"), round(col("val"), 6).as("val"))
       .orderBy("vec_id", "comp")
 
+  /** m72 — character-entropy profile
+    * ([[operators.TextAnalysis.charEntropyProfile]]): per doc, total /
+    * distinct char counts and Shannon entropy in nats — the
+    * information-density quality signal (binary-ish or repeated-symbol
+    * docs land at pathological values). The oracle re-derives the char
+    * histogram per codepoint and replays the ascending-codepoint float
+    * sum and the ln(n) − Σc·ln(c)/n form. */
+  def m72CharEntropy(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.charEntropyProfile(t(s, dir, "documents"))
+      .orderBy("doc_id")
+
+  /** q44 — trailing event-time RANGE window: per event, the count and
+    * exact DECIMAL sum of the same user's events in the preceding hour
+    * (inclusive, peers at the same second included — SQL RANGE
+    * semantics, pinned on both engines over integer epoch seconds).
+    * The missing frame type next to q27's ROWS suite; the per-user
+    * partition bound keeps the sort shuffle-partitioned at scale. */
+  def q44MovingWindow(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("tse", unix_timestamp(col("ts")))
+    val w = Window.partitionBy("user_id").orderBy(col("tse"))
+      .rangeBetween(-3599, Window.currentRow)
+    ev.select(col("event_id"), col("user_id"), col("tse"),
+        count(lit(1)).over(w).as("n_trailing"),
+        sum(col("value").cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("sum_trailing"))
+      .orderBy("event_id")
+  }
+
+  /** m71 — per-group histogram quantiles
+    * ([[operators.Sketches.histCountsBy]] →
+    * [[operators.Sketches.histQuantilesBy]]): m60's one-pass mergeable
+    * quantile sketch, per source — the distribution table a mixture
+    * planner reads next to m45's rates. Shuffle bounded at bins rows
+    * per (group, partition); rank math exact integers, interpolation a
+    * literal double dag the oracle mirrors with windows PARTITIONed by
+    * source. */
+  def m71GroupQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    operators.Sketches.histQuantilesBy(
+        operators.Sketches.histCountsBy(d, col("n_chars"), col("source"),
+          lo = 0L, hi = 1024L, bins = 128),
+        lo = 0L, hi = 1024L, bins = 128,
+        probesBp = Seq(2500, 5000, 7500))
+      .withColumnRenamed("group", "source")
+      .orderBy("source", "p_bp")
+  }
+
   /** m70 — exact per-group top-k ([[operators.Ranking.groupTopK]]):
     * the 10 highest-quality docs per source WITHOUT a partitioned
     * window over the corpus — bounded per-partition per-group heaps

@@ -80,6 +80,7 @@ object SparkEntry {
     "q41_funnel" -> Queries.q41Funnel,
     "q42_cohort" -> Queries.q42Cohort,
     "q43_scd2" -> Queries.q43Scd2,
+    "q44_moving_window" -> Queries.q44MovingWindow,
     // training-data operators (rows-only)
     "m01_minhash_pairs" -> Queries.m01MinhashPairs,
     "m02_simhash_pairs" -> Queries.m02SimhashPairs,
@@ -155,6 +156,8 @@ object SparkEntry {
     "m68_corpus_diff" -> Queries.m68CorpusDiff,
     "m69_c4_lines" -> Queries.m69C4Lines,
     "m70_group_topk" -> Queries.m70GroupTopK,
+    "m71_group_quantiles" -> Queries.m71GroupQuantiles,
+    "m72_char_entropy" -> Queries.m72CharEntropy,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on

@@ -439,6 +439,35 @@ object TextSig {
     if (a == 0 && b == s.length) s else s.substring(a, b)
   }
 
+  /** Character-distribution profile of the RAW text: (total chars,
+    * distinct chars, Shannon entropy in nats). Entropy is computed as
+    * ln(n) − (Σ c·ln c)/n with the Σ taken in ASCENDING CODEPOINT
+    * order — a fixed float-addition order the oracle replays (the
+    * [[unigramXentHashes]] count-sum trick). Chars are UTF-16 units
+    * (== codepoints on the BMP-only fixture, the oracle's contract).
+    * Empty/null text → (0, 0, 0). */
+  def charProfile(text: String): (Long, Int, Double) = {
+    if (text == null || text.isEmpty) return (0L, 0, 0.0)
+    val m = scala.collection.mutable.LongMap.empty[Long]
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i).toLong
+      m(c) = m.getOrElse(c, 0L) + 1L
+      i += 1
+    }
+    val keys = m.keys.toArray
+    java.util.Arrays.sort(keys)
+    var s = 0.0
+    var j = 0
+    while (j < keys.length) {
+      val c = m(keys(j)).toDouble
+      s += c * math.log(c)
+      j += 1
+    }
+    val n = text.length.toDouble
+    (text.length.toLong, keys.length, math.log(n) - s / n)
+  }
+
   /** C4-style line filter (Raffel et al. 2020 §2.2, adapted): the kept
     * (1-based idx, RAW line) pairs — a line survives iff its trimmed
     * form is non-empty, ends in terminal punctuation (. ! ? "), has at

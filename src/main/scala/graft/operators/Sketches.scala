@@ -550,6 +550,59 @@ object Sketches {
       bins: Int, probesBp: Seq[Int]): DataFrame =
     histQuantiles(histCounts(df, valueCol, lo, hi, bins), lo, hi, bins, probesBp)
 
+  /** Per-group histogram sketch: (group, bucket, cnt) — the grouped
+    * form of [[histCounts]]; the shuffle stays bounded at bins rows per
+    * (group, partition) and merge is still vector addition, so
+    * per-source distributions over a 100 TB corpus cost one bounded
+    * aggregation however skewed the sources are. */
+  def histCountsBy(df: DataFrame, valueCol: Column, groupCol: Column,
+      lo: Long, hi: Long, bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 65536,
+      s"histCountsBy: bins=$bins out of [2,65536]")
+    require(hi > lo, s"histCountsBy: empty range [$lo,$hi)")
+    df.select(groupCol.cast("string").as("group"),
+        ((valueCol.cast("long") - lit(lo)) * lit(bins.toLong)).as("num"))
+      .select(col("group"),
+        least(greatest(expr(s"num div ${hi - lo}"), lit(0L)),
+          lit(bins - 1L)).cast("int").as("bucket"))
+      .groupBy("group", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-group quantiles off [[histCountsBy]]'s sketch — identical
+    * exact-integer rank and literal interpolation math to
+    * [[histQuantiles]], with every window partitioned by group over the
+    * ≤ groups·bins sketch frame (constant-sized per group). */
+  def histQuantilesBy(counts: DataFrame, lo: Long, hi: Long, bins: Int,
+      probesBp: Seq[Int]): DataFrame = {
+    require(probesBp.nonEmpty && probesBp.forall(p => p >= 1 && p <= 10000),
+      s"histQuantilesBy: probes (basis points) must be in [1,10000]")
+    val s = counts.sparkSession
+    import s.implicits._
+    val wc = Window.partitionBy("group").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("cum", sum(col("cnt")).over(wc))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("group")))
+    val probes = probesBp.toDF("p_bp")
+    val hit = probes.join(cum,
+        col("cum") * 10000L >= col("p_bp").cast("long") * col("n"))
+      .groupBy(col("group"), col("p_bp"))
+      .agg(min_by(struct(col("bucket"), col("cnt"), col("cum"), col("n")),
+        col("bucket")).as("h"))
+      .select(col("group"), col("p_bp"), col("h.bucket").as("bucket"),
+        col("h.cnt").as("cnt"), col("h.cum").as("cum"), col("h.n").as("n"))
+    hit
+      .withColumn("tnum", col("p_bp").cast("long") * col("n") + lit(9999L))
+      .withColumn("target_rank", expr("tnum div 10000"))
+      .withColumn("est", round(lit(lo.toDouble) +
+        (col("bucket").cast("double") +
+          (col("target_rank") - (col("cum") - col("cnt"))).cast("double") /
+            col("cnt").cast("double")) *
+          (lit((hi - lo).toDouble) / lit(bins.toDouble)), 4))
+      .select("group", "p_bp", "n", "target_rank", "bucket", "est")
+  }
+
   // ---- Bloom-filter membership (approximate decontamination) ----
 
   /** k bit positions of gram hash g: mix64(g + j) & (bits − 1), the same

@@ -381,6 +381,22 @@ object TextAnalysis {
     docs.select(col(idCol), explode(c4Udf(col(textCol), lit(minWords))).as("k"))
       .select(col(idCol), col("k._1").as("idx"), col("k._2").as("line"))
 
+  private val charProfUdf = udf((t: String) => TextSig.charProfile(t))
+
+  /** Character-distribution profile — the information-density quality
+    * signal next to [[gopherFlags]]'s token rules (binary-ish or
+    * repeated-symbol docs land at pathological entropy/distinct
+    * counts): per doc, (n_chars_total, n_distinct_chars, Shannon
+    * entropy in nats). One narrow kernel pass, no shuffle; the float
+    * sum runs in ascending-codepoint order ([[TextSig.charProfile]]),
+    * so the value is partitioning- and engine-stable. */
+  def charEntropyProfile(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), charProfUdf(col(textCol)).as("__cp"))
+      .select(col(idCol), col("__cp._1").as("n_chars_total"),
+        col("__cp._2").as("n_distinct_chars"),
+        round(col("__cp._3"), 6).as("entropy"))
+
   private val gramOccUdf =
     udf((t: String, l: Int) => TextSig.charGramOccurrences(t, l))
   private val removeSpansUdf =

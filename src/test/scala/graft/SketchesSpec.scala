@@ -307,6 +307,27 @@ class SketchesSpec extends AnyFunSuite {
     assert(re == bloom)
   }
 
+  test("histQuantilesBy: per-group estimates within one bucket width, invariant") {
+    val (lo, hi, bins) = (0L, 1024L, 128)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sketches.histQuantilesBy(
+        Sketches.histCountsBy(d, col("n_chars"), col("source"), lo, hi, bins),
+        lo, hi, bins, Seq(2500, 5000, 7500))
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(5)).toMap
+    val est = run(docs)
+    val exact = docs.select(col("source"), col("n_chars").cast("long")).collect()
+      .groupBy(_.getString(0))
+      .map { case (g, rows) => g -> rows.map(_.getLong(1)).sorted }
+    val width = (hi - lo).toDouble / bins
+    est.foreach { case ((g, pBp), e) =>
+      val vs = exact(g)
+      val tgt = vs((math.ceil(pBp * vs.length / 10000.0) - 1).toInt.max(0))
+      assert(math.abs(e - tgt) <= width + 1e-9,
+        s"$g p=$pBp: est $e vs exact $tgt")
+    }
+    assert(run(docs.repartition(7)) == est)
+  }
+
   test("heavyHitters equals the naive exact filter, invariant to partitioning") {
     val k = 100
     val n = exactFreq.values.sum

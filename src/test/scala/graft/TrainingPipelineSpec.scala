@@ -1223,6 +1223,26 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("charEntropyProfile: closed-form values, empty text, invariance") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "aabb"), (2L, "abcd"), (3L, "aaaa"), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.charEntropyProfile(df).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    def r6(x: Double) = BigDecimal(x.toString)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(
+      (1L, 4L, 2, r6(math.log(2.0))),   // uniform over 2 symbols
+      (2L, 4L, 4, r6(math.log(4.0))),   // uniform over 4
+      (3L, 4L, 1, 0.0),                 // degenerate
+      (4L, 0L, 0, 0.0)))                // empty contract
+    val re = TextAnalysis.charEntropyProfile(df.repartition(3))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    assert(re == got)
+  }
+
   test("corpusDiff: exact statuses, normalized-content equality, invariance") {
     val s = spark
     import s.implicits._
