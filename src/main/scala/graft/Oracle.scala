@@ -2655,6 +2655,31 @@ object Oracle {
     // reproduces Spark's float32 subtraction), then centered and widened
     // to DOUBLE for the cosine. The histogram counts unroll bins 0..7 as
     // literal filters — DuckDB-version-safe (no nested lambda capture).
+    // m73: exact source-pair token-set Jaccard — per-source DISTINCT
+    // string tokens (the engine intersects 64-bit hashes; a collision
+    // would land as a count mismatch here), pairwise equi-join algebra.
+    "m73_source_jaccard" -> """
+      WITH nrm AS (SELECT source,
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS nt
+             FROM documents),
+      st AS (SELECT DISTINCT source, t
+             FROM (SELECT source, unnest(string_split(nt, ' ')) AS t
+                   FROM nrm WHERE length(nt) > 0)),
+      sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+             FROM st GROUP BY source),
+      ix AS (SELECT a.source AS sa, b.source AS sb,
+               CAST(COUNT(*) AS BIGINT) AS inter
+             FROM st a JOIN st b ON a.t = b.t AND a.source < b.source
+             GROUP BY a.source, b.source),
+      p AS (SELECT x.source AS sa, y.source AS sb, x.n AS na, y.n AS nb,
+              coalesce(i.inter, 0) AS inter
+            FROM sz x JOIN sz y ON x.source < y.source
+            LEFT JOIN ix i ON i.sa = x.source AND i.sb = y.source)
+      SELECT sa, sb, na, nb, inter, na + nb - inter AS un,
+        round(CASE WHEN na + nb - inter = 0 THEN 0.0
+               ELSE CAST(inter AS DOUBLE) / (na + nb - inter) END, 6) AS jaccard
+      FROM p ORDER BY sa, sb""",
+
     // m72: char-entropy profile — per-codepoint histogram via a lateral
     // range over the text, the c·ln(c) sum replayed in ascending-
     // codepoint list order (fixture is BMP-only: DuckDB codepoints ==

@@ -158,6 +158,7 @@ object SparkEntry {
     "m70_group_topk" -> Queries.m70GroupTopK,
     "m71_group_quantiles" -> Queries.m71GroupQuantiles,
     "m72_char_entropy" -> Queries.m72CharEntropy,
+    "m73_source_jaccard" -> Queries.m73SourceJaccard,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on

@@ -373,6 +373,14 @@ object TextSig {
     buf
   }
 
+  /** Sorted DISTINCT [[tokenHashes]] — the per-doc token SET (the
+    * per-source set algebra pre-fold: within-doc repeats never leave
+    * the kernel). */
+  def distinctTokenHashes(text: String): Array[Long] = {
+    val h = tokenHashes(text)
+    sortedDistinct(h, h.length)
+  }
+
   /** Mean negative log-likelihood (nats) of the doc's tokens under a
     * unigram model given as (sorted hashes, aligned counts, total):
     * ln(total) − mean(ln count). Tokens outside the model take count 1

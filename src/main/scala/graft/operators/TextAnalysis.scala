@@ -381,6 +381,61 @@ object TextAnalysis {
     docs.select(col(idCol), explode(c4Udf(col(textCol), lit(minWords))).as("k"))
       .select(col(idCol), col("k._1").as("idx"), col("k._2").as("line"))
 
+  private val distinctTokUdf =
+    udf((t: String) => TextSig.distinctTokenHashes(t))
+
+  /** Exact pairwise token-set overlap between sources — the EXACT
+    * counterpart of the KMV set-operation estimates (m59), still
+    * without ever materializing per-source sets side by side: each doc
+    * emits its DISTINCT token hashes tagged with the source's bit
+    * (≤ 62 sources by contract), one `groupBy(h).agg(bit_or)` folds
+    * the corpus to a bitmap per distinct token (map-side combine
+    * bounds the shuffle at the per-partition vocabulary, 16 B/row),
+    * and ALL pairwise set algebra reads the bitmap HISTOGRAM — a
+    * ceiling-ENFORCED collect of observed bitmap combinations, never
+    * the token stream. Returns exact (sa, sb, na, nb, inter, un,
+    * jaccard) per unordered source pair. */
+  def sourceTokenJaccard(docs: DataFrame, sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sources = docs.select(col(sourceCol).cast("string"))
+      .distinct().collect().map(_.getString(0)).sorted
+    require(sources.length >= 2 && sources.length <= 62,
+      s"sourceTokenJaccard: ${sources.length} sources outside [2,62]")
+    val idx = sources.zipWithIndex.toMap
+    val bitUdf = udf((s: String) => 1L << idx(s))
+    val maxCells =
+      spark.conf.get("graft.text.sourceJaccardMaxCells", "1048576").toLong
+    val probe = math.min(maxCells + 1, Int.MaxValue.toLong).toInt
+    val cells = Dedup.spread(docs.select(
+        col(sourceCol).cast("string").as("__s"), col(textCol).as("__t")))
+      .select(bitUdf(col("__s")).as("bit"),
+        explode(distinctTokUdf(col("__t"))).as("h"))
+      .groupBy("h").agg(expr("bit_or(bit)").as("bm"))
+      .groupBy("bm").agg(count(lit(1)).as("c"))
+      .limit(probe).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    if (cells.length > maxCells)
+      throw new IllegalStateException(
+        s"sourceTokenJaccard: ${cells.length} bitmap cells exceed " +
+          s"graft.text.sourceJaccardMaxCells=$maxCells — raise the ceiling")
+    val size = Array.tabulate(sources.length)(i =>
+      cells.collect { case (bm, c) if (bm & (1L << i)) != 0 => c }.sum)
+    val out = for {
+      a <- sources.indices; b <- a + 1 until sources.length
+    } yield {
+      val inter = cells.collect {
+        case (bm, c) if (bm & (1L << a)) != 0 && (bm & (1L << b)) != 0 => c
+      }.sum
+      val un = size(a) + size(b) - inter
+      (sources(a), sources(b), size(a), size(b), inter, un,
+        if (un == 0L) 0.0 else inter.toDouble / un)
+    }
+    out.toDF("sa", "sb", "na", "nb", "inter", "un", "j")
+      .withColumn("jaccard", round(col("j"), 6)).drop("j")
+  }
+
   private val charProfUdf = udf((t: String) => TextSig.charProfile(t))
 
   /** Character-distribution profile — the information-density quality

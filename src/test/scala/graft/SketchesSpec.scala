@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.core.TextSig
-import graft.operators.{Sketches, TrainingPipeline}
+import graft.operators.{Sketches, TextAnalysis, TrainingPipeline}
 
 /** Mergeable-sketch operators: HLL vocabulary, count-min frequency,
   * Bloom membership — accuracy vs driver-exact references, the sketch
@@ -326,6 +326,32 @@ class SketchesSpec extends AnyFunSuite {
         s"$g p=$pBp: est $e vs exact $tgt")
     }
     assert(run(docs.repartition(7)) == est)
+  }
+
+  test("sourceTokenJaccard equals driver-exact set algebra; contracts hold") {
+    val rows = docs.select("source", "text").collect()
+    val sets = rows.groupBy(_.getString(0)).map { case (s, rs) =>
+      s -> rs.flatMap(r => TextSig.distinctTokenHashes(r.getString(1))).toSet
+    }
+    val srcs = sets.keys.toSeq.sorted
+    val want = (for { a <- srcs.indices; b <- a + 1 until srcs.length } yield {
+      val (sa, sb) = (srcs(a), srcs(b))
+      val inter = (sets(sa) & sets(sb)).size.toLong
+      (sa, sb, sets(sa).size.toLong, sets(sb).size.toLong, inter,
+        sets(sa).size + sets(sb).size - inter)
+    }).toSeq
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.sourceTokenJaccard(d).orderBy("sa", "sb").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val got = run(docs)
+    assert(got == want && got.nonEmpty)
+    assert(run(docs.repartition(7)) == got)
+    spark.conf.set("graft.text.sourceJaccardMaxCells", "1")
+    try assertThrows[IllegalStateException](TextAnalysis.sourceTokenJaccard(docs))
+    finally spark.conf.unset("graft.text.sourceJaccardMaxCells")
+    assertThrows[IllegalArgumentException](
+      TextAnalysis.sourceTokenJaccard(docs.filter(col("source") === "src0")))
   }
 
   test("heavyHitters equals the naive exact filter, invariant to partitioning") {
