@@ -2655,6 +2655,38 @@ object Oracle {
     // reproduces Spark's float32 subtraction), then centered and widened
     // to DOUBLE for the cosine. The histogram counts unroll bins 0..7 as
     // literal filters — DuckDB-version-safe (no nested lambda capture).
+    // m74: ANN recall@k — both rankings fully re-derived (m04's exact
+    // cosine top-5, m05's probed LSH top-5), then the per-query overlap.
+    "m74_ann_recall" -> s"""
+      WITH ${hyperplaneSigCtes("hp", 8)},
+      tq AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+             FROM embeddings WHERE vec_id < 16),
+      ts AS (SELECT query_id, e.vec_id AS corpus_id,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv), 6) AS score
+             FROM embeddings e, tq WHERE e.vec_id <> query_id),
+      tr AS (SELECT query_id, corpus_id, row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, corpus_id ASC) AS rank FROM ts),
+      tt AS (SELECT query_id, corpus_id FROM tr WHERE rank <= 5),
+      c AS (SELECT vec_id AS corpus_id, sig, v AS cv FROM hpsig),
+      q AS (SELECT vec_id AS query_id, sig AS qsig, v AS qv
+            FROM hpsig WHERE vec_id < 16),
+      probes AS (SELECT query_id, qv,
+              unnest([qsig] || list_transform(range(0,8),
+                p -> xor(qsig, CAST(1<<p AS BIGINT)))) AS sig
+            FROM q),
+      scored AS (SELECT DISTINCT query_id, corpus_id,
+              round(list_cosine_similarity(cv, qv), 6) AS score
+            FROM c JOIN probes USING (sig) WHERE corpus_id <> query_id),
+      cr AS (SELECT query_id, corpus_id, row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, corpus_id ASC) AS rank FROM scored),
+      cc AS (SELECT query_id, corpus_id FROM cr WHERE rank <= 5),
+      h AS (SELECT t.query_id, COUNT(c2.corpus_id) AS hits
+            FROM tt t LEFT JOIN cc c2 USING (query_id, corpus_id)
+            GROUP BY t.query_id)
+      SELECT query_id, CAST(hits AS BIGINT) AS hits,
+        round(CAST(hits AS DOUBLE) / 5, 6) AS recall
+      FROM h ORDER BY query_id""",
+
     // m73: exact source-pair token-set Jaccard — per-source DISTINCT
     // string tokens (the engine intersects 64-bit hashes; a collision
     // would land as a count mismatch here), pairwise equi-join algebra.

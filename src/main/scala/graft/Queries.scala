@@ -1852,6 +1852,17 @@ object Queries {
       .select(col("vec_id"), col("comp"), round(col("val"), 6).as("val"))
       .orderBy("vec_id", "comp")
 
+  /** m74 — ANN recall@k evaluation
+    * ([[operators.Similarity.recallAtK]]): the LSH index (m05's probe
+    * ranking) scored against exact brute-force truth (m04) at k=5 —
+    * the index-quality accounting next to the speedup claim. The
+    * oracle composes both rankings' full derivations and replays the
+    * overlap count. */
+  def m74AnnRecall(s: SparkSession, dir: String): DataFrame =
+    operators.Similarity.recallAtK(
+        m04AnnBruteForce(s, dir), m05AnnLsh(s, dir), k = 5)
+      .orderBy("query_id")
+
   /** m73 — exact source×source token-set Jaccard
     * ([[operators.TextAnalysis.sourceTokenJaccard]]): the exact answer
     * m59's KMV sketches estimate — pairwise intersection/union/Jaccard

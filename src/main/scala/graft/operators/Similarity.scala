@@ -135,6 +135,29 @@ object Similarity {
     corpus.withColumn("proj", projUdf(col(vecCol)))
   }
 
+  /** Recall@k of a candidate ANN ranking against an exact ground-truth
+    * ranking — the index-quality accounting every approximate index
+    * owes next to its speedup claim (the spec-level recall pins made a
+    * first-class, reusable operator): per query, the top-k overlap
+    * count and the rounded recall fraction; queries the candidate
+    * missed entirely score 0. Both inputs are already-top-k frames
+    * (query-count-sized) with (query_id, corpus_id, rank) columns — the
+    * heavy work is the rankings themselves. */
+  def recallAtK(truth: DataFrame, candidate: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"recallAtK: k=$k must be positive")
+    val tt = truth.filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"))
+    val cc = candidate.filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"))
+    val hits = tt.join(cc, Seq("query_id", "corpus_id"), "inner")
+      .groupBy("query_id").agg(count(lit(1)).as("h"))
+    tt.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("h"), lit(0L)).as("hits"),
+        round(coalesce(col("h"), lit(0L)).cast("double") / k, 6).as("recall"))
+  }
+
   // --- Product quantization (the IVF-ADC compression half): 100 TB
   //     memory story — a dim-64 float32 vector (256 B) becomes m = 8
   //     code bytes against per-subspace codebooks, a 32× cut that turns

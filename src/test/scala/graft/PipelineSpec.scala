@@ -521,6 +521,23 @@ class PipelineSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Similarity.randomProject(emb, 8))
   }
 
+  test("recallAtK: crafted overlaps, absent queries score zero, k cut respected") {
+    import spark.implicits._
+    val truth = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3),
+      (3L, 30L, 1), (3L, 31L, 2), (3L, 32L, 3))
+      .toDF("query_id", "corpus_id", "rank")
+    // query 3 entirely absent; query 1's rank-4 truth hit must NOT count
+    val cand = Seq((1L, 10L, 1), (1L, 99L, 2), (1L, 11L, 3), (1L, 12L, 4),
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3))
+      .toDF("query_id", "corpus_id", "rank")
+    val got = Similarity.recallAtK(truth, cand, k = 3)
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 2L, 0.666667), (2L, 3L, 1.0), (3L, 0L, 0.0)))
+    assertThrows[IllegalArgumentException](Similarity.recallAtK(truth, cand, 0))
+  }
+
   test("semdedup: one representative per within-cell component, cell matches argmin") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val centers = Similarity.ivfCenters(emb, 8)
