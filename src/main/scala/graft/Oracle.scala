@@ -2655,6 +2655,31 @@ object Oracle {
     // reproduces Spark's float32 subtraction), then centered and widened
     // to DOUBLE for the cosine. The histogram counts unroll bins 0..7 as
     // literal filters — DuckDB-version-safe (no nested lambda capture).
+    // m75: per-dim standardization — the scaled-integer moment sums
+    // (floor(v·2^24 + 0.5), HUGEINT Σx²) and the identical literal
+    // μ/σ double dag; z from the raw double value.
+    "m75_standardize" -> """
+      WITH x AS (SELECT vec_id, CAST(i AS INT) - 1 AS i,
+               CAST(floor(v[CAST(i AS INT)] * 16777216 + 0.5) AS BIGINT) AS xs,
+               v[CAST(i AS INT)] AS xv
+             FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     unnest(range(1, len(embedding)+1)) AS i
+                   FROM embeddings)),
+      st AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(xs) AS BIGINT) AS sx,
+               SUM(CAST(xs AS HUGEINT) * xs) AS sxx
+             FROM x GROUP BY i),
+      mdl AS (SELECT i,
+               (CAST(sx AS DOUBLE) / n) / 16777216.0 AS mu,
+               sqrt(greatest(CAST(sxx AS DOUBLE) / n / (16777216.0 * 16777216.0)
+                 - ((CAST(sx AS DOUBLE) / n) / 16777216.0)
+                   * ((CAST(sx AS DOUBLE) / n) / 16777216.0), 0.0)) AS sigma
+             FROM st)
+      SELECT x.vec_id, x.i,
+        round(CASE WHEN sigma = 0 THEN 0.0 ELSE (xv - mu) / sigma END, 6) AS z
+      FROM x JOIN mdl ON x.i = mdl.i WHERE x.i < 8
+      ORDER BY x.vec_id, x.i""",
+
     // m74: ANN recall@k — both rankings fully re-derived (m04's exact
     // cosine top-5, m05's probed LSH top-5), then the per-query overlap.
     "m74_ann_recall" -> s"""

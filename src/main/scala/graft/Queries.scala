@@ -1852,6 +1852,20 @@ object Queries {
       .select(col("vec_id"), col("comp"), round(col("val"), 6).as("val"))
       .orderBy("vec_id", "comp")
 
+  /** m75 — per-dimension embedding standardization
+    * ([[operators.Similarity.standardize]]): z-scores from EXACT
+    * scaled-integer moment sums (x_s = floor(v·2²⁴ + 0.5), the m61
+    * semantic) — float-sum order sensitivity never enters, so engine
+    * and oracle agree bit-for-bit before the final rounding. Output
+    * restricted to the first 8 dims to keep the gate row count sane;
+    * the operator standardizes all 64. */
+  def m75Standardize(s: SparkSession, dir: String): DataFrame =
+    operators.Similarity.standardize(t(s, dir, "embeddings"))
+      .select(col("vec_id"), posexplode(col("zvec")).as(Seq("i", "zv")))
+      .filter(col("i") < 8)
+      .select(col("vec_id"), col("i"), round(col("zv"), 6).as("z"))
+      .orderBy("vec_id", "i")
+
   /** m74 — ANN recall@k evaluation
     * ([[operators.Similarity.recallAtK]]): the LSH index (m05's probe
     * ranking) scored against exact brute-force truth (m04) at k=5 —

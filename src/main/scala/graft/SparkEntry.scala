@@ -160,6 +160,7 @@ object SparkEntry {
     "m72_char_entropy" -> Queries.m72CharEntropy,
     "m73_source_jaccard" -> Queries.m73SourceJaccard,
     "m74_ann_recall" -> Queries.m74AnnRecall,
+    "m75_standardize" -> Queries.m75Standardize,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on

@@ -158,6 +158,55 @@ object Similarity {
         round(coalesce(col("h"), lit(0L)).cast("double") / k, 6).as("recall"))
   }
 
+  /** Per-dimension z-score standardization of an embedding corpus —
+    * the feature-scaling step in front of distance-based ops (k-means,
+    * k-center, SQ ranges all assume comparable dims). EXACT and
+    * partitioning-invariant where naive float mean/var sums are not:
+    * values pin to scaled integers x_s = floor(v·2²⁴ + 0.5) (the m61
+    * floor(v+0.5) semantic), per-dim (n, Σx_s, Σx_s²) aggregate as
+    * integers/DECIMAL (map-side combine bounds the shuffle at dims
+    * rows per partition; Σx_s² rides DECIMAL(38,0), overflow-free to
+    * ~2^75 rows), and μ/σ come out of ONE literal double dag from that
+    * exact state — the oracle replays the same dag from HUGEINT sums.
+    * Apply is a narrow broadcast kernel; σ = 0 dims standardize to 0. */
+  def standardize(corpus: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
+    val sc = 16777216.0 // 2^24
+    val xsUdf = udf((v: Array[Float]) =>
+      v.map(x => math.floor(x.toDouble * sc + 0.5).toLong))
+    val stats = Dedup.spread(corpus.select(col(vecCol)))
+      .select(posexplode(xsUdf(col(vecCol))).as(Seq("i", "xs")))
+      .groupBy("i").agg(
+        count(lit(1)).as("n"),
+        sum(col("xs")).as("sx"),
+        sum(col("xs").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          * col("xs")).as("sxx"))
+      .collect()
+    val dims = stats.map(_.getInt(0)).max + 1
+    val mu = new Array[Double](dims)
+    val sigma = new Array[Double](dims)
+    stats.foreach { r =>
+      val i = r.getInt(0)
+      val n = r.getLong(1).toDouble
+      val sx = r.getLong(2).toDouble
+      val sxx = r.getDecimal(3).doubleValue()
+      val m = (sx / n) / sc
+      mu(i) = m
+      // greatest(·, 0): a constant dim's variance can round to a tiny
+      // negative in the double dag — clamp instead of NaN-ing the sqrt
+      // (same literal guard in the oracle)
+      sigma(i) = math.sqrt(math.max(sxx / n / (sc * sc) - m * m, 0.0))
+    }
+    val bcMu = corpus.sparkSession.sparkContext.broadcast(mu)
+    val bcSig = corpus.sparkSession.sparkContext.broadcast(sigma)
+    val zUdf = udf { (v: Array[Float]) =>
+      val m = bcMu.value; val s = bcSig.value
+      Array.tabulate(v.length)(i =>
+        if (s(i) == 0.0) 0.0 else (v(i).toDouble - m(i)) / s(i))
+    }
+    corpus.withColumn("zvec", zUdf(col(vecCol)))
+  }
+
   // --- Product quantization (the IVF-ADC compression half): 100 TB
   //     memory story — a dim-64 float32 vector (256 B) becomes m = 8
   //     code bytes against per-subspace codebooks, a 32× cut that turns

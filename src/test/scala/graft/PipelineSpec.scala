@@ -521,6 +521,41 @@ class PipelineSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Similarity.randomProject(emb, 8))
   }
 
+  test("standardize: exact scaled-integer moments, zero-sigma dims, invariance") {
+    import spark.implicits._
+    // dim 2 constant → variance exactly 0 → z pinned to 0
+    val rows = (0 until 50).map { i =>
+      (i.toLong, Seq(((i % 7) - 3).toFloat, (i % 11).toFloat * 0.5f, 2.5f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.standardize(d).select("vec_id", "zvec").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val got = run(df)
+    // driver reference replays the identical pinned dag
+    val sc = 16777216.0
+    val xs = rows.map(_._2.map(x => math.floor(x.toDouble * sc + 0.5).toLong))
+    val dims = 3
+    val mu = new Array[Double](dims); val sg = new Array[Double](dims)
+    for (d <- 0 until dims) {
+      val n = rows.length.toDouble
+      val sx = xs.map(_(d)).sum.toDouble
+      val sxx = xs.map(v => BigInt(v(d)) * BigInt(v(d))).sum
+      val m = (sx / n) / sc
+      mu(d) = m
+      sg(d) = math.sqrt(math.max(sxx.toDouble / n / (sc * sc) - m * m, 0.0))
+    }
+    rows.foreach { case (id, v) =>
+      val expect = Array.tabulate(dims)(d =>
+        if (sg(d) == 0.0) 0.0 else (v(d).toDouble - mu(d)) / sg(d))
+      assert(got(id).sameElements(expect), s"vec $id")
+    }
+    assert(got.values.forall(_(2) == 0.0))
+    val re = run(df.repartition(5))
+    assert(re.keySet == got.keySet &&
+      re.forall { case (k, v) => v.sameElements(got(k)) })
+  }
+
   test("recallAtK: crafted overlaps, absent queries score zero, k cut respected") {
     import spark.implicits._
     val truth = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
