@@ -2655,6 +2655,42 @@ object Oracle {
     // reproduces Spark's float32 subtraction), then centered and widened
     // to DOUBLE for the cosine. The histogram counts unroll bins 0..7 as
     // literal filters — DuckDB-version-safe (no nested lambda capture).
+    // m76: Poisson bootstrap — the A-ES u chain per (doc, replicate),
+    // weights from the SHARED literal Poisson(1) CDF thresholds, and
+    // DECIMAL-exact Σw·q; a wrong weight or sum order lands as a
+    // replicate-mean mismatch.
+    "m76_bootstrap" -> s"""
+      WITH $TextStatsCtes,
+      q1 AS (SELECT doc_id, CAST($QualityExpr AS DECIMAL(12,6)) AS q FROM ratios),
+      dj AS (SELECT d.doc_id, d.source, q1.q
+             FROM documents d JOIN q1 ON d.doc_id = q1.doc_id),
+      reps AS (SELECT doc_id, source, q, CAST(r.range AS INT) AS r,
+                 (CAST(doc_id AS HUGEINT)
+                  + CAST(r.range AS HUGEINT) * 1000003 + 17) % $M64 AS z0
+               FROM dj, range(8) r),
+      ${mix64Ctes("pbm", "reps", "doc_id, source, q, r")},
+      uw AS (SELECT source, q, r,
+               CAST((h >> 11) + 1 AS DOUBLE) / 9007199254740992.0 AS u
+             FROM pbm),
+      w AS (SELECT source, r, q,
+              (CASE WHEN u > 0.36787944117144233 THEN 1 ELSE 0 END
+             + CASE WHEN u > 0.7357588823428847 THEN 1 ELSE 0 END
+             + CASE WHEN u > 0.9196986029286058 THEN 1 ELSE 0 END
+             + CASE WHEN u > 0.9810118431238463 THEN 1 ELSE 0 END
+             + CASE WHEN u > 0.9963401531726563 THEN 1 ELSE 0 END
+             + CASE WHEN u > 0.9994058151824183 THEN 1 ELSE 0 END
+             + CASE WHEN u > 0.999916758850712 THEN 1 ELSE 0 END
+             + CASE WHEN u > 0.9999897508033253 THEN 1 ELSE 0 END
+             + CASE WHEN u > 0.999998874797402 THEN 1 ELSE 0 END) AS wt
+            FROM uw),
+      agg AS (SELECT source, r, CAST(SUM(wt) AS BIGINT) AS n_eff,
+               SUM(CAST(wt AS DECIMAL(10,0)) * q) AS swq
+             FROM w GROUP BY source, r)
+      SELECT source, r, n_eff,
+        round(CASE WHEN n_eff = 0 THEN 0.0
+               ELSE CAST(swq AS DOUBLE) / CAST(n_eff AS DOUBLE) END, 6) AS wmean
+      FROM agg ORDER BY source, r""",
+
     // m75: per-dim standardization — the scaled-integer moment sums
     // (floor(v·2^24 + 0.5), HUGEINT Σx²) and the identical literal
     // μ/σ double dag; z from the raw double value.

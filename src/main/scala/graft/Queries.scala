@@ -1852,6 +1852,18 @@ object Queries {
       .select(col("vec_id"), col("comp"), round(col("val"), 6).as("val"))
       .orderBy("vec_id", "comp")
 
+  /** m76 — one-pass Poisson bootstrap
+    * ([[operators.TrainingPipeline.poissonBootstrap]]): 8 resampling
+    * replicates of the per-source mean quality in ONE corpus pass —
+    * deterministic Poisson(1) weights from the seeded hash chain
+    * replace actual resampling; the across-replicate spread is the
+    * bootstrap CI. The oracle re-derives the u chain, the shared
+    * literal CDF thresholds and the DECIMAL-exact weighted sums. */
+  def m76Bootstrap(s: SparkSession, dir: String): DataFrame =
+    operators.TrainingPipeline.poissonBootstrap(t(s, dir, "documents"),
+        operators.TextAnalysis.qualityScore(col("text")), b = 8, seed = 17L)
+      .orderBy("source", "r")
+
   /** m75 — per-dimension embedding standardization
     * ([[operators.Similarity.standardize]]): z-scores from EXACT
     * scaled-integer moment sums (x_s = floor(v·2²⁴ + 0.5), the m61

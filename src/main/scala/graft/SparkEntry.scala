@@ -161,6 +161,7 @@ object SparkEntry {
     "m73_source_jaccard" -> Queries.m73SourceJaccard,
     "m74_ann_recall" -> Queries.m74AnnRecall,
     "m75_standardize" -> Queries.m75Standardize,
+    "m76_bootstrap" -> Queries.m76Bootstrap,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /**
  * Composable training-data curation pipeline over a `documents` table:
@@ -773,6 +774,55 @@ object TrainingPipeline {
         val s5 = clean.count()
         (clean, reportFrame(docs, (s0, s1, s2, s3, s4), Some(s5)))
     }
+  }
+
+  /** Poisson(1) CDF thresholds (cumulative e⁻¹/k!, k = 0..8) — shared
+    * LITERALS with the m76 oracle so the weight decision is identical
+    * double comparisons on both engines (no exp/factorial re-derivation
+    * that could differ by an ulp). */
+  private val PoissonCdf: Array[Double] = Array(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253, 0.999998874797402)
+
+  private val poissonWUdf = udf { (id: Long, b: Int, seed: Long) =>
+    Array.tabulate(b) { r =>
+      val u = ((graft.core.TextSig.mix64(id + r.toLong * 1000003L + seed)
+        >>> 11) + 1).toDouble / 9007199254740992.0 // 2^53, the A-ES u
+      var w = 0
+      while (w < PoissonCdf.length && u > PoissonCdf(w)) w += 1
+      w
+    }
+  }
+
+  /** Online Poisson bootstrap (Chamandy et al. 2012): B resampling
+    * replicates of a per-group weighted mean in ONE corpus pass —
+    * per (doc, replicate) a deterministic Poisson(1) weight from the
+    * seeded hash chain replaces actual resampling, so confidence
+    * intervals over a 100 TB corpus cost one scan + a (groups·B)-row
+    * aggregate (map-side combine bounds the shuffle) instead of B
+    * corpus passes. Fully deterministic: the weight is a pure function
+    * of (id, replicate, seed) via shared literal CDF thresholds, and
+    * Σw·value rides exact DECIMAL products, so replicate means are
+    * independent of partitioning and engine. Returns (group, r, n_eff,
+    * wmean); the across-replicate spread IS the bootstrap CI. */
+  def poissonBootstrap(docs: DataFrame, valueCol: Column, b: Int = 8,
+      seed: Long = 17L, groupCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    require(b >= 2 && b <= 64, s"poissonBootstrap: b=$b out of [2,64]")
+    docs
+      .select(col(groupCol), col(idCol).cast("long").as("__id"),
+        valueCol.cast(DecimalType(12, 6)).as("__q"))
+      .select(col(groupCol), col("__q"),
+        posexplode(poissonWUdf(col("__id"), lit(b), lit(seed)))
+          .as(Seq("r", "wt")))
+      .groupBy(col(groupCol), col("r"))
+      .agg(sum(col("wt").cast("long")).as("n_eff"),
+        sum(col("wt").cast(DecimalType(10, 0)) * col("__q")).as("__swq"))
+      .select(col(groupCol), col("r"), col("n_eff"),
+        round(when(col("n_eff") === 0, 0.0)
+          .otherwise(col("__swq").cast("double") / col("n_eff").cast("double")),
+          6).as("wmean"))
   }
 
   /** Corpus snapshot diff — release-to-release accounting between two

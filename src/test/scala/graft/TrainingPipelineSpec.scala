@@ -1223,6 +1223,55 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("poissonBootstrap: driver-exact replicate means, weight law, invariance") {
+    val s = spark
+    import s.implicits._
+    val rows = (0 until 300).map(i => (i.toLong, s"g${i % 3}", (i % 50) / 10.0))
+    val df = rows.toDF("doc_id", "source", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TrainingPipeline.poissonBootstrap(d, col("v"), b = 8, seed = 17L)
+        .collect().map(r => (r.getString(0), r.getInt(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+    val got = run(df)
+    // driver replay of the pinned chain (same literals as the operator)
+    val cdf = Array(0.36787944117144233, 0.7357588823428847,
+      0.9196986029286058, 0.9810118431238463, 0.9963401531726563,
+      0.9994058151824183, 0.999916758850712, 0.9999897508033253,
+      0.999998874797402)
+    val accW = scala.collection.mutable.Map.empty[(String, Int), Long]
+      .withDefaultValue(0L)
+    val accS = scala.collection.mutable.Map.empty[(String, Int), BigDecimal]
+      .withDefaultValue(BigDecimal(0))
+    rows.foreach { case (id, g, v) =>
+      val q = BigDecimal(v.toString).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      for (r <- 0 until 8) {
+        val u = ((graft.core.TextSig.mix64(id + r * 1000003L + 17L) >>> 11)
+          + 1).toDouble / 9007199254740992.0
+        var w = 0
+        while (w < cdf.length && u > cdf(w)) w += 1
+        accW((g, r)) += w
+        accS((g, r)) += q * w
+      }
+    }
+    def r6(x: Double) = BigDecimal(x.toString)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.keySet == accW.keySet)
+    got.foreach { case (k, (n, m)) =>
+      assert(n == accW(k), s"$k n_eff")
+      val want = if (accW(k) == 0) 0.0
+        else r6(accS(k).toDouble / accW(k).toDouble)
+      assert(m == want, s"$k wmean: $m vs $want")
+    }
+    // Poisson(1): total effective mass per replicate ≈ group size
+    val sizes = rows.groupBy(_._2).view.mapValues(_.size).toMap
+    got.foreach { case ((g, _), (n, _)) =>
+      assert(math.abs(n - sizes(g)) < sizes(g) * 0.35, s"$g weight mass $n")
+    }
+    assert(run(df.repartition(7)) == got)
+    assertThrows[IllegalArgumentException](
+      TrainingPipeline.poissonBootstrap(df, col("v"), b = 1))
+  }
+
   test("charEntropyProfile: closed-form values, empty text, invariance") {
     val s = spark
     import s.implicits._
