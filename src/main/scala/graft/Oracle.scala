@@ -2655,6 +2655,30 @@ object Oracle {
     // reproduces Spark's float32 subtraction), then centered and widened
     // to DOUBLE for the cosine. The histogram counts unroll bins 0..7 as
     // literal filters — DuckDB-version-safe (no nested lambda capture).
+    // q45: unpivot — literal UNION ALL of the three measures; no
+    // arithmetic, parquet doubles pass through.
+    "q45_unpivot" -> """
+      SELECT l_orderkey, l_linenumber, metric, value FROM (
+        SELECT l_orderkey, l_linenumber, 'discount' AS metric,
+               l_discount AS value FROM lineitem WHERE l_orderkey < 100
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'price', l_extendedprice
+        FROM lineitem WHERE l_orderkey < 100
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'quantity', l_quantity
+        FROM lineitem WHERE l_orderkey < 100)
+      ORDER BY l_orderkey, l_linenumber, metric""",
+
+    // m77: temperature mixture planning — the closed-form sqrt ratio
+    // (IEEE-pinned), integer bp rounding like m45.
+    "m77_temperature_rates" -> """
+      WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+                 FROM documents GROUP BY source),
+      m AS (SELECT min(n_docs) AS nmin FROM c)
+      SELECT source, n_docs,
+        CAST(round(10000 * sqrt(CAST(nmin AS DOUBLE) / n_docs)) AS INT) AS rate_bp
+      FROM c, m ORDER BY source""",
+
     // m76: Poisson bootstrap — the A-ES u chain per (doc, replicate),
     // weights from the SHARED literal Poisson(1) CDF thresholds, and
     // DECIMAL-exact Σw·q; a wrong weight or sum order lands as a

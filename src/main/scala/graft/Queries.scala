@@ -1852,6 +1852,25 @@ object Queries {
       .select(col("vec_id"), col("comp"), round(col("val"), 6).as("val"))
       .orderBy("vec_id", "comp")
 
+  /** q45 — unpivot via stack(): the inverse of q26's pivot — wide
+    * lineitem measures to long (metric, value) rows, no arithmetic so
+    * parquet doubles pass through bit-identically; the oracle is the
+    * literal UNION ALL unpivot. */
+  def q45Unpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").filter(col("l_orderkey") < 100)
+      .selectExpr("l_orderkey", "l_linenumber",
+        "stack(3, 'discount', l_discount, 'price', l_extendedprice, " +
+          "'quantity', l_quantity) AS (metric, value)")
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+
+  /** m77 — temperature-smoothed mixture planning
+    * ([[operators.TrainingPipeline.temperatureRates]]): T = 2
+    * rebalancing, rate_s = √(n_min/n_s) in basis points — the √ is the
+    * one exponent IEEE pins, so the closed form is engine-exact. */
+  def m77TemperatureRates(s: SparkSession, dir: String): DataFrame =
+    operators.TrainingPipeline.temperatureRates(t(s, dir, "documents"))
+      .orderBy("source")
+
   /** m76 — one-pass Poisson bootstrap
     * ([[operators.TrainingPipeline.poissonBootstrap]]): 8 resampling
     * replicates of the per-source mean quality in ONE corpus pass —

@@ -81,6 +81,7 @@ object SparkEntry {
     "q42_cohort" -> Queries.q42Cohort,
     "q43_scd2" -> Queries.q43Scd2,
     "q44_moving_window" -> Queries.q44MovingWindow,
+    "q45_unpivot" -> Queries.q45Unpivot,
     // training-data operators (rows-only)
     "m01_minhash_pairs" -> Queries.m01MinhashPairs,
     "m02_simhash_pairs" -> Queries.m02SimhashPairs,
@@ -162,6 +163,7 @@ object SparkEntry {
     "m74_ann_recall" -> Queries.m74AnnRecall,
     "m75_standardize" -> Queries.m75Standardize,
     "m76_bootstrap" -> Queries.m76Bootstrap,
+    "m77_temperature_rates" -> Queries.m77TemperatureRates,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on

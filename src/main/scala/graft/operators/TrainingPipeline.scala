@@ -471,6 +471,33 @@ object TrainingPipeline {
     }.toDF("source", "n_docs", "rate_bp")
   }
 
+  /** Temperature-smoothed mixture planning at T = 2 (the standard
+    * multilingual/multi-source rebalancing: target shares ∝ n^(1/T),
+    * which boosts small sources without drowning large ones). At
+    * T = 2 the [[mixtureRates]] solve collapses to the closed form
+    * rate_s = √(n_min/n_s) — the smallest source keeps everything,
+    * larger sources downsample by the square root of their size ratio.
+    * T is FIXED at 2 because √ is the one exponent IEEE requires
+    * correctly rounded, so the rate is bit-identical on any engine —
+    * a pow(n, 1/T) plan would be ulp-fragile. Same currency and scale
+    * shape as [[mixtureRates]] (one low-cardinality count aggregate,
+    * driver arithmetic, integer output; feed the bp column to
+    * [[mixtureSample]]). */
+  def temperatureRates(docs: DataFrame,
+      sourceCol: String = "source"): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val counts = docs
+      .groupBy(col(sourceCol).cast("string").as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(counts.nonEmpty, "temperatureRates: empty corpus")
+    val nMin = counts.map(_._2).min
+    counts.sortBy(_._1).map { case (src, n) =>
+      (src, n, math.round(10000.0 * math.sqrt(nMin.toDouble / n)).toInt)
+    }.toSeq.toDF("source", "n_docs", "rate_bp")
+  }
+
   private val esKeyUdf = udf((id: Long, seed: Long, w: Double) => {
     // u ∈ (0, 1]: +1 keeps ln finite at the 2^-53 corner; the oracle
     // re-derives the identical (h >>> 11) + 1 over the HUGEINT hash

@@ -1223,6 +1223,26 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("temperatureRates: closed form, smallest source keeps all, invariance") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TrainingPipeline.temperatureRates(d).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    val got = run(docs)
+    val counts = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = counts.values.min
+    assert(got.map(_._1) == counts.keys.toSeq.sorted)
+    got.foreach { case (src, n, bp) =>
+      assert(n == counts(src), src)
+      assert(bp == math.round(10000.0 * math.sqrt(nMin.toDouble / n)).toInt, src)
+      assert(bp >= 1 && bp <= 10000, src)
+    }
+    // every minimum-size source keeps everything
+    assert(got.filter(_._2 == nMin).forall(_._3 == 10000))
+    assert(run(docs.repartition(7)) == got)
+  }
+
   test("poissonBootstrap: driver-exact replicate means, weight law, invariance") {
     val s = spark
     import s.implicits._
