@@ -2669,6 +2669,24 @@ object Oracle {
         FROM lineitem WHERE l_orderkey < 100)
       ORDER BY l_orderkey, l_linenumber, metric""",
 
+    // m78: continuation pairs — the same deterministic chunking, then
+    // the suffix/prefix substring equi-join replayed literally.
+    "m78_continuation" -> """
+      WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 100),
+      ch AS (
+        SELECT doc_id * 2 AS id,
+               substr(text, 1, (length(text) * 3) // 5 + 40) AS text FROM d
+        UNION ALL
+        SELECT doc_id * 2 + 1,
+               substr(text, (length(text) * 3) // 5 + 1) FROM d),
+      keyed AS (SELECT id,
+               substr(text, length(text) - 39, 40) AS sfx,
+               substr(text, 1, 40) AS pfx
+             FROM ch WHERE length(text) >= 40)
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM keyed a JOIN keyed b ON a.sfx = b.pfx AND a.id <> b.id
+      ORDER BY id_a, id_b""",
+
     // m77: temperature mixture planning — the closed-form sqrt ratio
     // (IEEE-pinned), integer bp rounding like m45.
     "m77_temperature_rates" -> """

@@ -1863,6 +1863,25 @@ object Queries {
           "'quantity', l_quantity) AS (metric, value)")
       .orderBy("l_orderkey", "l_linenumber", "metric")
 
+  /** m78 — continuation-pair detection
+    * ([[operators.TextAnalysis.continuationPairs]]): each fixture doc
+    * is deterministically split into two overlapping chunks (first
+    * 3/5+40 chars, last 2/5+40ish — the 40-char overlap is the
+    * stitching evidence), then the operator recovers which chunk
+    * continues which from the suffix/prefix edge keys alone. Dup-text
+    * docs contribute extra cross-doc matches; the oracle replays the
+    * chunking and the substring equi-join. */
+  def m78Continuation(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(length(col("text")) >= 100)
+    val c1 = d.select((col("doc_id") * 2).as("doc_id"),
+      expr("substring(text, 1, (length(text) * 3 div 5) + 40)").as("text"))
+    val c2 = d.select((col("doc_id") * 2 + 1).as("doc_id"),
+      expr("substring(text, (length(text) * 3 div 5) + 1)").as("text"))
+    operators.TextAnalysis.continuationPairs(
+        c1.unionByName(c2), k = 40)
+      .orderBy("id_a", "id_b")
+  }
+
   /** m77 — temperature-smoothed mixture planning
     * ([[operators.TrainingPipeline.temperatureRates]]): T = 2
     * rebalancing, rate_s = √(n_min/n_s) in basis points — the √ is the

@@ -164,6 +164,7 @@ object SparkEntry {
     "m75_standardize" -> Queries.m75Standardize,
     "m76_bootstrap" -> Queries.m76Bootstrap,
     "m77_temperature_rates" -> Queries.m77TemperatureRates,
+    "m78_continuation" -> Queries.m78Continuation,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on

@@ -381,6 +381,27 @@ object TextAnalysis {
     docs.select(col(idCol), explode(c4Udf(col(textCol), lit(minWords))).as("k"))
       .select(col(idCol), col("k._1").as("idx"), col("k._2").as("line"))
 
+  /** Continuation pairs — crawl-chunk stitching detection: (a, b)
+    * where a's last `k` chars equal b's first `k` chars, the signature
+    * of one document split across two records (pagination, chunked
+    * crawls, scroll captures). Pure native-expression plan (substring
+    * + equi-join, no kernel): only (id, k-char edge key) rows reach
+    * the join — the corpus never shuffles; at scale swap the literal
+    * key for its hash and verify on match (same shape, 8 B keys).
+    * Docs shorter than k never pair. */
+  def continuationPairs(docs: DataFrame, k: Int = 40,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 8 && k <= 1000, s"continuationPairs: k=$k out of [8,1000]")
+    val eligible = docs.filter(length(col(textCol)) >= k)
+    val sfx = eligible.select(col(idCol).as("id_a"),
+      expr(s"substring($textCol, length($textCol) - ${k - 1}, $k)").as("__key"))
+    val pfx = eligible.select(col(idCol).as("id_b"),
+      expr(s"substring($textCol, 1, $k)").as("__key"))
+    sfx.join(pfx, Seq("__key"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"))
+  }
+
   private val distinctTokUdf =
     udf((t: String) => TextSig.distinctTokenHashes(t))
 

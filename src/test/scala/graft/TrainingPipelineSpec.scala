@@ -1223,6 +1223,25 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("continuationPairs: crafted stitches, short docs excluded, invariance") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "aaaaaaaaaaBBBBBBBBBB"), // suffix BBBBBBBBBB
+      (2L, "BBBBBBBBBBcccccccccc"), // prefix continues doc 1
+      (3L, "zzzzz"),                // shorter than k: never pairs
+      (4L, "BBBBBBBBBB")            // exactly k: both edges are the key
+    ).toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.continuationPairs(d, k = 10).orderBy("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val got = run(df)
+    assert(got == Seq((1L, 2L), (1L, 4L), (4L, 2L)))
+    assert(run(df.repartition(3)) == got)
+    assertThrows[IllegalArgumentException](
+      TextAnalysis.continuationPairs(df, k = 4))
+  }
+
   test("temperatureRates: closed form, smallest source keeps all, invariance") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def run(d: org.apache.spark.sql.DataFrame) =
