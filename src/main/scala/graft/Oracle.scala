@@ -250,6 +250,37 @@ object Oracle {
       SELECT query_id, corpus_id, score, rank FROM r WHERE rank <= 5
       ORDER BY query_id, rank"""
 
+  /** m24's bucketed next-fit packing walk (recursive CTE over the m18
+    * chunk derivation) — emits CTE `walk` with (bucket, rn, doc_id,
+    * chunk_id, n_tokens, fill, seq, seq_pos). Shared by m24 (per-chunk
+    * assignments) and m79 (per-bucket efficiency accounting). */
+  private val PackWalkCtes: String = """WITH RECURSIVE nrm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS nt
+                   FROM documents),
+      tk AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM nrm WHERE length(nt) > 0),
+      nc AS (SELECT doc_id, toks,
+               CASE WHEN len(toks) <= 4 THEN 1
+                    ELSE CAST(ceil((len(toks) - 4) / 12.0) AS INT) END AS n_chunks
+             FROM tk),
+      ch AS (SELECT doc_id, CAST(unnest(range(0, n_chunks)) AS INT) AS chunk_id, toks
+             FROM nc),
+      items AS (SELECT doc_id, chunk_id,
+          CAST(len(list_slice(toks, chunk_id*12 + 1, chunk_id*12 + 16)) AS INT) AS n_tokens,
+          CAST(doc_id % 16 AS INT) AS bucket
+        FROM ch),
+      ord AS (SELECT *, CAST(row_number() OVER (PARTITION BY bucket
+                ORDER BY doc_id, chunk_id) AS INT) AS rn FROM items),
+      walk AS (
+        SELECT bucket, rn, doc_id, chunk_id, n_tokens,
+               n_tokens AS fill, CAST(0 AS BIGINT) AS seq, 0 AS seq_pos
+        FROM ord WHERE rn = 1
+        UNION ALL
+        SELECT o.bucket, o.rn, o.doc_id, o.chunk_id, o.n_tokens,
+          CASE WHEN w.fill + o.n_tokens > 48 THEN o.n_tokens
+               ELSE w.fill + o.n_tokens END,
+          CASE WHEN w.fill + o.n_tokens > 48 THEN w.seq + 1 ELSE w.seq END,
+          CASE WHEN w.fill + o.n_tokens > 48 THEN 0 ELSE w.seq_pos + 1 END
+        FROM walk w JOIN ord o ON o.bucket = w.bucket AND o.rn = w.rn + 1)"""
+
   private val TextStatsCtes: String = s"""
     base AS (
       SELECT doc_id, text,
@@ -1755,36 +1786,24 @@ object Oracle {
 
     // Next-fit packing replayed as a per-bucket recursive CTE: one walk
     // row per bucket advances per iteration (depth = max chunks/bucket).
-    // Chunk token counts come from m18's chunk CTEs verbatim.
-    "m24_pack" -> """
-      WITH RECURSIVE nrm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS nt
-                   FROM documents),
-      tk AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM nrm WHERE length(nt) > 0),
-      nc AS (SELECT doc_id, toks,
-               CASE WHEN len(toks) <= 4 THEN 1
-                    ELSE CAST(ceil((len(toks) - 4) / 12.0) AS INT) END AS n_chunks
-             FROM tk),
-      ch AS (SELECT doc_id, CAST(unnest(range(0, n_chunks)) AS INT) AS chunk_id, toks
-             FROM nc),
-      items AS (SELECT doc_id, chunk_id,
-          CAST(len(list_slice(toks, chunk_id*12 + 1, chunk_id*12 + 16)) AS INT) AS n_tokens,
-          CAST(doc_id % 16 AS INT) AS bucket
-        FROM ch),
-      ord AS (SELECT *, CAST(row_number() OVER (PARTITION BY bucket
-                ORDER BY doc_id, chunk_id) AS INT) AS rn FROM items),
-      walk AS (
-        SELECT bucket, rn, doc_id, chunk_id, n_tokens,
-               n_tokens AS fill, CAST(0 AS BIGINT) AS seq, 0 AS seq_pos
-        FROM ord WHERE rn = 1
-        UNION ALL
-        SELECT o.bucket, o.rn, o.doc_id, o.chunk_id, o.n_tokens,
-          CASE WHEN w.fill + o.n_tokens > 48 THEN o.n_tokens
-               ELSE w.fill + o.n_tokens END,
-          CASE WHEN w.fill + o.n_tokens > 48 THEN w.seq + 1 ELSE w.seq END,
-          CASE WHEN w.fill + o.n_tokens > 48 THEN 0 ELSE w.seq_pos + 1 END
-        FROM walk w JOIN ord o ON o.bucket = w.bucket AND o.rn = w.rn + 1)
+    // Chunk token counts come from m18's chunk CTEs verbatim. The walk
+    // is shared with m79's packing-efficiency report.
+    "m24_pack" -> s"""
+      $PackWalkCtes
       SELECT doc_id, chunk_id, bucket, seq, seq_pos, n_tokens FROM walk
       ORDER BY doc_id, chunk_id""",
+
+    // m79: packing-efficiency accounting off the same walk — exact
+    // integer utilization in basis points.
+    "m79_pack_stats" -> s"""
+      $PackWalkCtes
+      SELECT bucket,
+        CAST(max(seq) + 1 AS BIGINT) AS n_seqs,
+        COUNT(*) AS n_chunks,
+        CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        CAST((CAST(SUM(n_tokens) AS BIGINT) * 10000)
+             // ((max(seq) + 1) * 48) AS BIGINT) AS util_bp
+      FROM walk GROUP BY bucket ORDER BY bucket""",
 
     // Duplicated-gram curve over gram STRINGS (hash-agnostic, like m13):
     // per-gram owner count; grams with exactly one owner are that doc's
@@ -2668,6 +2687,32 @@ object Oracle {
         SELECT l_orderkey, l_linenumber, 'quantity', l_quantity
         FROM lineitem WHERE l_orderkey < 100)
       ORDER BY l_orderkey, l_linenumber, metric""",
+
+    // m80: similarity-graph degree distribution — degrees from the
+    // EXACT pair set (the m50/m62 edge derivation), isolated docs at
+    // degree 0 via the left join.
+    "m80_degree_hist" -> s"""
+      WITH $CharShingleCtes,
+      prs AS (SELECT a.doc_id AS pa, b.doc_id AS pb
+              FROM sh a, sh b WHERE a.doc_id < b.doc_id
+                AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / (len(a.s)+len(b.s)-len(list_intersect(a.s, b.s))) >= 0.5),
+      ed AS (SELECT pa AS src FROM prs UNION ALL SELECT pb FROM prs),
+      dg AS (SELECT d.doc_id, COALESCE(e.deg, 0) AS degree
+             FROM documents d LEFT JOIN (
+               SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+               FROM ed GROUP BY src) e ON d.doc_id = e.src)
+      SELECT CAST(degree AS BIGINT) AS degree, COUNT(*) AS n_docs
+      FROM dg GROUP BY degree ORDER BY degree""",
+
+    // m81: predicted-language × source crosstab — the langId argmax
+    // replayed over the padded text.
+    "m81_lang_source" -> s"""
+      WITH lang AS (SELECT doc_id, source, ' ' || lower(text) || ' ' AS padded
+                    FROM documents)
+      SELECT source, $LangPredExpr AS lang_pred, COUNT(*) AS n_docs
+      FROM lang GROUP BY source, lang_pred
+      ORDER BY source, lang_pred""",
 
     // m78: continuation pairs — the same deterministic chunking, then
     // the suffix/prefix substring equi-join replayed literally.

@@ -1863,6 +1863,40 @@ object Queries {
           "'quantity', l_quantity) AS (metric, value)")
       .orderBy("l_orderkey", "l_linenumber", "metric")
 
+  /** m79 — packing-efficiency report: per bucket off m24's next-fit
+    * assignment, exact integer utilization in basis points — the
+    * accounting that says what the capacity/bucketing choices cost. */
+  def m79PackStats(s: SparkSession, dir: String): DataFrame =
+    operators.TrainingPipeline.packSequences(
+        TextAnalysis.chunk(t(s, dir, "documents"), maxTokens = 16, overlap = 4),
+        capacity = 48, buckets = 16)
+      .groupBy(col("bucket"))
+      .agg((max(col("seq")) + 1).cast("long").as("n_seqs"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens")).cast("long").as("sum_tokens"))
+      .withColumn("util_bp", expr("sum_tokens * 10000 div (n_seqs * 48)"))
+      .orderBy("bucket")
+
+  /** m80 — similarity-graph degree distribution
+    * ([[operators.Graph.degreeHistogram]] over the shared 0.5 pair
+    * table): the dup-neighborhood size curve the hot-bucket ceilings
+    * and salting decisions read; isolated docs land at degree 0. */
+  def m80DegreeHist(s: SparkSession, dir: String): DataFrame =
+    operators.Graph.degreeHistogram(
+        t(s, dir, "documents").select(col("doc_id")), pairs05(s, dir))
+      .orderBy("degree")
+
+  /** m81 — predicted-language × source crosstab
+    * ([[operators.TextAnalysis.langId]], the codegen'd expression):
+    * the release-accounting distribution table next to m43's per-source
+    * card. One low-cardinality hash aggregate. */
+  def m81LangSource(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("source"),
+        operators.TextAnalysis.langId(col("text")).as("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "lang_pred")
+
   /** m78 — continuation-pair detection
     * ([[operators.TextAnalysis.continuationPairs]]): each fixture doc
     * is deterministically split into two overlapping chunks (first

@@ -165,6 +165,9 @@ object SparkEntry {
     "m76_bootstrap" -> Queries.m76Bootstrap,
     "m77_temperature_rates" -> Queries.m77TemperatureRates,
     "m78_continuation" -> Queries.m78Continuation,
+    "m79_pack_stats" -> Queries.m79PackStats,
+    "m80_degree_hist" -> Queries.m80DegreeHist,
+    "m81_lang_source" -> Queries.m81LangSource,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on

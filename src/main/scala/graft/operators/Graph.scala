@@ -201,4 +201,21 @@ object Graph {
     graft.core.Blocks.release(oriented)
     out
   }
+
+  /** Degree distribution of an undirected pair graph over an explicit
+    * vertex set — the similarity graph's shape table (how large dup
+    * neighborhoods get; the hot-bucket ceiling and salting decisions
+    * read exactly this curve): (degree, n_docs) with isolated vertices
+    * at degree 0 via the left join. Two bounded aggregations; nothing
+    * corpus-sized moves or collects. */
+  def degreeHistogram(vertices: DataFrame, pairs: DataFrame,
+      aCol: String = "doc_id_a", bCol: String = "doc_id_b",
+      idCol: String = "doc_id"): DataFrame = {
+    val ends = pairs.select(col(aCol).as("id"))
+      .unionByName(pairs.select(col(bCol).as("id")))
+    val deg = ends.groupBy("id").agg(count(lit(1)).as("degree"))
+    vertices.select(col(idCol).as("id")).join(deg, Seq("id"), "left")
+      .select(coalesce(col("degree"), lit(0L)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+  }
 }

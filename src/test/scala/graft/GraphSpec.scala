@@ -150,4 +150,17 @@ class GraphSpec extends AnyFunSuite {
       Graph.pageRank(ids.toDF("id"), edges.toDF("src", "dst"), iters = 0)
     }
   }
+
+  test("degreeHistogram: path graph degrees, isolated vertex at zero") {
+    val s = spark
+    import s.implicits._
+    val v = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_id_a", "doc_id_b")
+    def run(vd: org.apache.spark.sql.DataFrame) =
+      Graph.degreeHistogram(vd, pairs).orderBy("degree").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // degrees 1,2,1,0 → histogram (0,1),(1,2),(2,1)
+    assert(run(v) == Seq((0L, 1L), (1L, 2L), (2L, 1L)))
+    assert(run(v.repartition(3)) == Seq((0L, 1L), (1L, 2L), (2L, 1L)))
+  }
 }
