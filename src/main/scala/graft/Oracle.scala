@@ -2688,6 +2688,42 @@ object Oracle {
         FROM lineitem WHERE l_orderkey < 100)
       ORDER BY l_orderkey, l_linenumber, metric""",
 
+    // m83: shard planning — windowed running token sum in doc_id order,
+    // shard = exclusive prefix div target.
+    "m83_shard_plan" -> s"""
+      WITH tok AS (SELECT doc_id,
+               CASE WHEN length(trim(text,' '))=0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text,' '), '\\s+'))
+               END AS n_tok
+             FROM documents),
+      w AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+              CAST(SUM(n_tok) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS cum_tokens
+            FROM tok)
+      SELECT doc_id, n_tok, cum_tokens,
+        CAST((cum_tokens - n_tok) // 5000 AS BIGINT) AS shard_id
+      FROM w ORDER BY doc_id""",
+
+    // m82: dedup savings — the m08 keep-first kept set + the shared
+    // token-count formula, aggregated per source.
+    "m82_dedup_savings" -> s"""
+      WITH $CharShingleCtes,
+      dup AS (SELECT DISTINCT b.doc_id
+              FROM sh a, sh b WHERE a.doc_id < b.doc_id
+                AND CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+                    / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5),
+      tok AS (SELECT doc_id, source,
+               CASE WHEN length(trim(text,' '))=0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text,' '), '\\s+'))
+               END AS n_tok
+             FROM documents)
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM dup) THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+        CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+        CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM dup) THEN 0 ELSE n_tok END) AS BIGINT) AS tokens_kept
+      FROM tok GROUP BY source ORDER BY source""",
+
     // m80: similarity-graph degree distribution — degrees from the
     // EXACT pair set (the m50/m62 edge derivation), isolated docs at
     // degree 0 via the left join.

@@ -1863,6 +1863,43 @@ object Queries {
           "'quantity', l_quantity) AS (metric, value)")
       .orderBy("l_orderkey", "l_linenumber", "metric")
 
+  /** m83 — token-budget shard planning
+    * ([[operators.TrainingPipeline.planShards]]): docs in doc_id order
+    * fill 5000-token output shards — shard_id = ⌊exclusive-prefix /
+    * target⌋ off the range-partitioned running sum (no unpartitioned
+    * window). The oracle replays the window form. */
+  def m83ShardPlan(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("n_tok", operators.TextAnalysis.tokenCount(col("text")))
+    val out = operators.TrainingPipeline.planShards(docs,
+        tokensPerShard = 5000L, Seq(col("doc_id").asc), col("n_tok"))
+      .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"),
+        col("cum_tokens"), col("shard_id"))
+      .orderBy("doc_id")
+    out
+  }
+
+  /** m82 — effective dataset size after near-dup dedup, per source:
+    * doc and token counts before/after [[operators.Dedup.minhashDedup]]
+    * (keep-first pair semantics, the m08 set) — the "what did dedup
+    * actually buy" accounting a release card quotes. One narrow token
+    * kernel + a broadcast-able kept-id semi-join; the oracle re-derives
+    * the kept set and the token counts from the shared CTEs. */
+  def m82DedupSavings(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val kept = Dedup.minhashDedup(docs, threshold = 0.5).select("doc_id")
+    val toks = docs.select(col("doc_id"), col("source"),
+      TextAnalysis.tokenCount(col("text")).as("n_tok"))
+    val keptFlag = toks.join(kept.withColumn("__k", lit(1)), Seq("doc_id"), "left")
+    keptFlag.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__k").isNotNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(col("n_tok")).as("tokens_total"),
+        sum(when(col("__k").isNotNull, col("n_tok")).otherwise(0L))
+          .as("tokens_kept"))
+      .orderBy("source")
+  }
+
   /** m79 — packing-efficiency report: per bucket off m24's next-fit
     * assignment, exact integer utilization in basis points — the
     * accounting that says what the capacity/bucketing choices cost. */

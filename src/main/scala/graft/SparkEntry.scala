@@ -168,6 +168,8 @@ object SparkEntry {
     "m79_pack_stats" -> Queries.m79PackStats,
     "m80_degree_hist" -> Queries.m80DegreeHist,
     "m81_lang_source" -> Queries.m81LangSource,
+    "m82_dedup_savings" -> Queries.m82DedupSavings,
+    "m83_shard_plan" -> Queries.m83ShardPlan,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on

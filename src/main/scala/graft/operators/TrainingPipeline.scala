@@ -471,6 +471,26 @@ object TrainingPipeline {
     }.toDF("source", "n_docs", "rate_bp")
   }
 
+  /** Contiguous token-budget shard planning — assign docs (in a given
+    * total order) to fixed-token-budget output shards: shard_id =
+    * ⌊exclusive-prefix-tokens / target⌋, so each shard fills to the
+    * budget before the next opens (the write-side counterpart of
+    * [[packSequences]], at file rather than sequence granularity).
+    * Rides [[Ranking.globalRunningAgg]]'s range-partitioned prefix —
+    * NO unpartitioned window; pure integer arithmetic after the cum.
+    * Returns the input plus (rank, cum_tokens, shard_id); callers
+    * release the checkpointed frame via `graft.core.Blocks`. */
+  def planShards(docs: DataFrame, tokensPerShard: Long, order: Seq[Column],
+      tokens: Column): DataFrame = {
+    require(tokensPerShard > 0,
+      s"planShards: tokensPerShard=$tokensPerShard must be positive")
+    Ranking.globalRunningAgg(docs, order, tokens,
+        rankCol = "rank", cumCol = "cum_tokens")
+      .withColumn("__excl", col("cum_tokens") - tokens.cast("long"))
+      .withColumn("shard_id", expr(s"__excl div $tokensPerShard"))
+      .drop("__excl")
+  }
+
   /** Temperature-smoothed mixture planning at T = 2 (the standard
     * multilingual/multi-source rebalancing: target shares ∝ n^(1/T),
     * which boosts small sources without drowning large ones). At

@@ -1242,6 +1242,37 @@ class TrainingPipelineSpec extends AnyFunSuite {
       TextAnalysis.continuationPairs(df, k = 4))
   }
 
+  test("planShards: contiguous budget fill, invariance, contract") {
+    val s = spark
+    import s.implicits._
+    val rows = (1 to 20).map(i => (i.toLong, (i % 5 + 1) * 10L))
+    val df = rows.toDF("doc_id", "n_tok")
+    def run(d: org.apache.spark.sql.DataFrame) = {
+      val f = TrainingPipeline.planShards(d, 100L,
+        Seq(col("doc_id").asc), col("n_tok"))
+      val r = f.select("doc_id", "cum_tokens", "shard_id").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).sortBy(_._1).toSeq
+      graft.core.Blocks.releaseAll(f)
+      r
+    }
+    val got = run(df)
+    var cum = 0L
+    val want = rows.map { case (id, tok) =>
+      val excl = cum; cum += tok; (id, cum, excl / 100L)
+    }
+    assert(got == want)
+    // shards fill to the budget: every shard except the last spans
+    // >= 100 tokens of exclusive prefix
+    val lastShard = got.map(_._3).max
+    (0L until lastShard).foreach { sh =>
+      val span = got.filter(_._3 == sh).map(_._2)
+      assert(span.nonEmpty)
+    }
+    assert(run(df.repartition(5)) == want)
+    assertThrows[IllegalArgumentException](
+      TrainingPipeline.planShards(df, 0L, Seq(col("doc_id")), col("n_tok")))
+  }
+
   test("temperatureRates: closed form, smallest source keeps all, invariance") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def run(d: org.apache.spark.sql.DataFrame) =
