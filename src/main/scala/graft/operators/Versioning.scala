@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Durable corpus-version store — the dataset-versioning counterpart of
+ * the incremental dedup store: a bucket-partitioned `(doc_id, fp)`
+ * table of normalized-content fingerprints (the exact-dedup content
+ * key, see `TrainingPipeline.corpusDiff`), merged batch-by-batch with
+ * a per-batch diff report. At 100 TB the store is ~16 B/doc — the
+ * WHOLE corpus history question ("what changed since the last crawl
+ * drop?") runs against fingerprints, never text.
+ *
+ * Storage contract (the `Pipeline.mergeAccountBatch` rules):
+ *  - layout `storeDir/fp_bucket=<int>/` parquet leaves, bucket =
+ *    `pmod(xxhash64(doc_id), P)` cast to Int — partition-directory
+ *    inference types the column Int, and a Long write/filter would wrap
+ *    the attribute in a cast that silently defeats pruning;
+ *  - `P` pinned in a `.params` sidecar before the first byte of data
+ *    (merging under a different P would look up ids in the wrong
+ *    bucket and duplicate rows);
+ *  - each merge reads ONLY the batch's touched buckets and rewrites
+ *    ONLY those partition dirs (dynamic partition overwrite), with the
+ *    merged frame `localCheckpoint`ed BEFORE the write because its
+ *    plan reads the very partitions being replaced.
+ */
+object Versioning {
+
+  private val fpUdf = udf((t: String) => graft.core.TextSig.fingerprint(t))
+
+  private def bucketCount(spark: SparkSession): Int =
+    spark.conf.get("graft.version.storeBuckets", "64").toInt
+
+  /** The store's current fingerprints (doc_id, fp, fp_bucket); an
+    * empty, correctly-typed frame when no committed files exist. */
+  def storedFingerprints(spark: SparkSession, storeDir: String): DataFrame = {
+    val main = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(main) && fs.globStatus(
+      new org.apache.hadoop.fs.Path(storeDir + "/fp_bucket=*/*.parquet")).nonEmpty
+    if (exists) spark.read.parquet(storeDir)
+      .select(col("doc_id").cast("long"), col("fp").cast("long"),
+        col("fp_bucket").cast("int"))
+    else {
+      import spark.implicits._
+      Seq.empty[(Long, Long, Int)].toDF("doc_id", "fp", "fp_bucket")
+    }
+  }
+
+  /** Upsert one corpus batch and return its diff against the PRE-merge
+    * store: (doc_id, status ∈ added/changed/unchanged). A batch is a
+    * partial upsert, so absence never implies removal (`removed` is a
+    * full-snapshot question — `TrainingPipeline.corpusDiff`). The
+    * returned frame is checkpointed (release via `core.Blocks` when
+    * done); the store mutation is content-idempotent: re-merging the
+    * same batch reports all-unchanged and leaves the same row set. */
+  def mergeSnapshot(batchIn: DataFrame, storeDir: String,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = batchIn.sparkSession
+    val p = bucketCount(spark)
+    val main = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = main.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(main) && fs.globStatus(
+      new org.apache.hadoop.fs.Path(storeDir + "/fp_bucket=*/*.parquet")).nonEmpty
+    graft.core.ParamsPin.pin(fs,
+      new org.apache.hadoop.fs.Path(storeDir + ".params"), s"P=$p,v=1",
+      s"version store $storeDir (graft.version.storeBuckets)",
+      storeHasData = exists)
+    val batch = batchIn
+      .select(col(idCol).cast("long").as("doc_id"),
+        fpUdf(col(textCol)).as("fp"))
+      .withColumn("fp_bucket",
+        pmod(xxhash64(col("doc_id")), lit(p.toLong)).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched = batch.select("fp_bucket").distinct()
+        .collect().map(_.getInt(0)).toIndexedSeq
+      val existing =
+        if (!exists) batch.limit(0)
+        else spark.read.parquet(storeDir)
+          .filter(col("fp_bucket").isin(touched: _*))
+          .select(col("doc_id"), col("fp"), col("fp_bucket"))
+      // the diff reads the pre-merge partitions the write below
+      // replaces — materialize it FIRST
+      val diff = batch
+        .join(existing.select(col("doc_id"), col("fp").as("__fp_old")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("__fp_old").isNull, lit("added"))
+            .when(col("__fp_old") === col("fp"), lit("unchanged"))
+            .otherwise(lit("changed")).as("status"))
+        .localCheckpoint(true)
+      val keepOld = existing
+        .join(batch.select("doc_id"), Seq("doc_id"), "left_anti")
+      val merged = keepOld
+        .unionByName(batch.select("doc_id", "fp", "fp_bucket"))
+        .repartition(col("fp_bucket"))
+        .localCheckpoint(true)
+      try merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("fp_bucket")
+        .parquet(storeDir)
+      finally graft.core.Blocks.release(merged)
+      diff
+    } finally { batch.unpersist(); () }
+  }
+}

@@ -1242,6 +1242,48 @@ class TrainingPipelineSpec extends AnyFunSuite {
       TextAnalysis.continuationPairs(df, k = 4))
   }
 
+  test("version store: per-batch diff statuses, content-idempotent merges, pinned P") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-verstore")
+      .resolve("store").toString
+    def statuses(d: org.apache.spark.sql.DataFrame) = {
+      val r = d.orderBy("doc_id").collect()
+        .map(x => x.getLong(0) -> x.getString(1)).toSeq
+      graft.core.Blocks.releaseAll(d)
+      r
+    }
+    def stored() = graft.operators.Versioning
+      .storedFingerprints(spark, dir).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    assert(statuses(graft.operators.Versioning.mergeSnapshot(b1, dir)) ==
+      Seq(1L -> "added", 2L -> "added", 3L -> "added"))
+    val after1 = stored()
+    assert(after1.map(_._1) == Seq(1L, 2L, 3L))
+    // batch 2: 2 changed, 3 untouched-but-present, 4 new
+    val b2 = Seq((2L, "beta v2"), (3L, "gamma"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    assert(statuses(graft.operators.Versioning.mergeSnapshot(b2, dir)) ==
+      Seq(2L -> "changed", 3L -> "unchanged", 4L -> "added"))
+    // doc 1 untouched by batch 2 — still present (partial upsert)
+    val after2 = stored()
+    assert(after2.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    assert(after2.find(_._1 == 1L) == after1.find(_._1 == 1L))
+    // replay idempotence: same batch → all unchanged, same row set
+    assert(statuses(graft.operators.Versioning.mergeSnapshot(b2, dir)) ==
+      Seq(2L -> "unchanged", 3L -> "unchanged", 4L -> "unchanged"))
+    assert(stored() == after2)
+    // pinned bucket geometry refuses a different P
+    spark.conf.set("graft.version.storeBuckets", "8")
+    try {
+      val e = intercept[IllegalArgumentException](
+        graft.operators.Versioning.mergeSnapshot(b1, dir))
+      assert(e.getMessage.contains("pinned"))
+    } finally spark.conf.unset("graft.version.storeBuckets")
+  }
+
   test("planShards: contiguous budget fill, invariance, contract") {
     val s = spark
     import s.implicits._
