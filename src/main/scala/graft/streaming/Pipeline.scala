@@ -278,6 +278,24 @@ object Pipeline {
     } finally { batch.unpersist(); () }
   }
 
+  /** Streaming corpus-version maintenance: each micro-batch of docs
+    * upserts into the durable fingerprint store via
+    * [[graft.operators.Versioning.mergeSnapshot]] — same crash
+    * contract as [[maintainAccountTable]] (a replayed batch reports
+    * all-unchanged and rewrites the same rows; bucket-pruned reads,
+    * dynamic partition overwrite). The per-batch diff frame is
+    * released after the merge; wire a listener on the store dir for
+    * change feeds. */
+  def maintainVersionStore(docs: DataFrame, storeDir: String,
+      checkpoint: String) =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.core.Blocks.releaseAll(
+          graft.operators.Versioning.mergeSnapshot(batch, storeDir))
+        ()
+      }
+
   /** A3 — running counters as `observe()` metrics: per-action row/lamport
     * totals surfaced to QueryExecutionListener / StreamingQueryListener
     * (the Spark-native form of the reference's throttled progress display,

@@ -201,6 +201,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(k1row.getLong(0) === 99L && k1row.getLong(1) === 2L)
   }
 
+  test("streaming version store: micro-batch upserts, replayed batch is a no-op") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("ver-stream").toString + "/store"
+    val ckpt = java.nio.file.Files.createTempDirectory("ver-ckpt").toString
+    val q = graft.streaming.Pipeline.maintainVersionStore(docs, dir, ckpt).start()
+    mem.addData((1L, "alpha"), (2L, "beta"))
+    q.processAllAvailable()
+    mem.addData((2L, "beta v2"), (3L, "gamma"))
+    q.processAllAvailable()
+    q.stop()
+    val stored = graft.operators.Versioning.storedFingerprints(spark, dir)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(stored.map(_._1) == Seq(1L, 2L, 3L))
+    assert(stored.find(_._1 == 2L).get._2 ==
+      graft.core.TextSig.fingerprint("beta v2"))
+    // crash replay: merging batch 2 again leaves the same content
+    graft.core.Blocks.releaseAll(graft.operators.Versioning.mergeSnapshot(
+      Seq((2L, "beta v2"), (3L, "gamma")).toDF("doc_id", "text"), dir))
+    val replayed = graft.operators.Versioning.storedFingerprints(spark, dir)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(replayed == stored)
+  }
+
   test("account table maintenance reads and rewrites only touched buckets") {
     val s = spark
     import s.implicits._
