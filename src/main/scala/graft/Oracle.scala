@@ -2688,6 +2688,15 @@ object Oracle {
         FROM lineitem WHERE l_orderkey < 100)
       ORDER BY l_orderkey, l_linenumber, metric""",
 
+    // m84: salted join — the oracle IS the plain inner join the salted
+    // plan must reproduce exactly.
+    "m84_salted_join" -> """
+      SELECT o.o_orderpriority, COUNT(*) AS n_rows,
+        CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderpriority
+      ORDER BY o.o_orderpriority""",
+
     // m83: shard planning — windowed running token sum in doc_id order,
     // shard = exclusive prefix div target.
     "m83_shard_plan" -> s"""

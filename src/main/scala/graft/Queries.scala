@@ -1863,6 +1863,22 @@ object Queries {
           "'quantity', l_quantity) AS (metric, value)")
       .orderBy("l_orderkey", "l_linenumber", "metric")
 
+  /** m84 — salted skew-proof join ([[operators.Skew.saltedJoin]]):
+    * lineitem ⋈ orders on the order key through the (key, salt) fan-out
+    * — the result is EXACTLY the plain inner join, which is the oracle;
+    * a salt mismatch between probe and build sides loses rows and lands
+    * as a count/hash miss. Aggregated to per-priority revenue so the
+    * gate row stays small. */
+  def m84SaltedJoin(s: SparkSession, dir: String): DataFrame =
+    operators.Skew.saltedJoin(
+        t(s, dir, "lineitem"), t(s, dir, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+        usingKey = "l_orderkey", saltFrom = col("l_linenumber"), salts = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+
   /** m83 — token-budget shard planning
     * ([[operators.TrainingPipeline.planShards]]): docs in doc_id order
     * fill 5000-token output shards — shard_id = ⌊exclusive-prefix /

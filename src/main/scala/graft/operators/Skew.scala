@@ -24,6 +24,28 @@ object Skew {
       .groupBy(col(keyCol))
       .agg(sum(col("__c")).as("n"), sum(col("__s")).as("sum"))
 
+  /** Skew-proof inner equi-join: the PROBE side gets a deterministic
+    * salt from `saltFrom` (any probe-side column with spread — a line
+    * number, an id; determinism keeps the plan replayable, unlike
+    * rand()), the BUILD side replicates `salts`× with every salt value,
+    * and the join runs on (key, salt) — so a hot key's probe rows fan
+    * out over `salts` reducers instead of one. This is AQE's skew-join
+    * split made explicit and build-replicated: use it when the skew is
+    * known ahead of time (a null-like sentinel key, a celebrity id) or
+    * when AQE's post-shuffle split can't help (the build side of the
+    * hot key itself exceeds a task). Cost: build side shuffles
+    * `salts`× — keep `right` the SMALL side. Result is exactly the
+    * plain inner join (the oracle's definition). */
+  def saltedJoin(left: DataFrame, right: DataFrame, usingKey: String,
+      saltFrom: Column, salts: Int = 16): DataFrame = {
+    require(salts >= 2 && salts <= 1024, s"saltedJoin: salts=$salts out of [2,1024]")
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(saltFrom), lit(salts.toLong)).cast("int"))
+    val r = right.withColumn("__salt",
+      explode(array((0 until salts).map(lit): _*)))
+    l.join(r, Seq(usingKey, "__salt"), "inner").drop("__salt")
+  }
+
   /** Salted distinct-count per key: stage 1 dedups (key, salt, value)
     * locally, stage 2 counts per (key, salt), stage 3 sums — correct
     * because the same value always lands in the same salt bucket.

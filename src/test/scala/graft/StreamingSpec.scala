@@ -177,6 +177,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dist.toSeq === Seq(("a", 1L), ("b", 2L), ("hot", 1L)))
   }
 
+  test("saltedJoin equals the plain inner join on a skewed key") {
+    val s = spark
+    import s.implicits._
+    // one hot key with 400 probe rows, plus normal keys; build side has
+    // duplicate key rows too (join multiplicity must survive salting)
+    val left = ((1 to 400).map(i => (7L, i.toLong)) ++
+      Seq((1L, 1L), (2L, 2L), (9L, 3L))).toDF("k", "line")
+    val right = Seq((7L, "hot"), (7L, "hot2"), (1L, "one"), (3L, "unmatched"))
+      .toDF("k", "tag")
+    val got = graft.operators.Skew.saltedJoin(left, right, "k",
+        saltFrom = col("line"), salts = 8)
+      .groupBy("k", "tag").agg(count(lit(1)).as("n"))
+      .orderBy("k", "tag").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val want = left.join(right, Seq("k"))
+      .groupBy("k", "tag").agg(count(lit(1)).as("n"))
+      .orderBy("k", "tag").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == want && got.contains((7L, "hot", 400L)))
+    intercept[IllegalArgumentException] {
+      graft.operators.Skew.saltedJoin(left, right, "k", col("line"), salts = 1)
+    }
+  }
+
   test("foreachBatch maintains a last-writer-wins account table across batches") {
     val s = spark
     import s.implicits._
