@@ -2688,6 +2688,23 @@ object Oracle {
         FROM lineitem WHERE l_orderkey < 100)
       ORDER BY l_orderkey, l_linenumber, metric""",
 
+    // m85: interleave — per-source rank over the SIGNED seeded hash
+    // (m26's order convention), read_pos by (src_rank, source).
+    "m85_interleave" -> s"""
+      WITH ibase AS (SELECT doc_id, source,
+             (CAST(doc_id AS HUGEINT) + 23) % $M64 AS z0 FROM documents),
+      ${mix64Ctes("imx", "ibase", "doc_id, source")},
+      sgn AS (SELECT doc_id, source,
+               CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+                    THEN h - $M64 ELSE h END AS BIGINT) AS hs FROM imx),
+      r1 AS (SELECT doc_id, source,
+               CAST(row_number() OVER (PARTITION BY source
+                 ORDER BY hs ASC, doc_id ASC) AS BIGINT) AS src_rank
+             FROM sgn)
+      SELECT doc_id, source, src_rank,
+        CAST(row_number() OVER (ORDER BY src_rank, source) AS BIGINT) AS read_pos
+      FROM r1 ORDER BY read_pos""",
+
     // m84: salted join — the oracle IS the plain inner join the salted
     // plan must reproduce exactly.
     "m84_salted_join" -> """

@@ -1863,6 +1863,18 @@ object Queries {
           "'quantity', l_quantity) AS (metric, value)")
       .orderBy("l_orderkey", "l_linenumber", "metric")
 
+  /** m85 — proportional interleave reading order
+    * ([[operators.TrainingPipeline.interleaveOrder]]): the balanced
+    * epoch order (every prefix holds each source in near-equal doc
+    * counts) — per-source seeded-hash ranks off ONE range-partitioned
+    * sort plus broadcast offsets, no per-source single-task window.
+    * The oracle replays the window form over the signed hash. */
+  def m85Interleave(s: SparkSession, dir: String): DataFrame = {
+    val out = operators.TrainingPipeline.interleaveOrder(
+      t(s, dir, "documents"), seed = 23L)
+    out.orderBy("read_pos")
+  }
+
   /** m84 — salted skew-proof join ([[operators.Skew.saltedJoin]]):
     * lineitem ⋈ orders on the order key through the (key, salt) fan-out
     * — the result is EXACTLY the plain inner join, which is the oracle;

@@ -171,6 +171,7 @@ object SparkEntry {
     "m82_dedup_savings" -> Queries.m82DedupSavings,
     "m83_shard_plan" -> Queries.m83ShardPlan,
     "m84_salted_join" -> Queries.m84SaltedJoin,
+    "m85_interleave" -> Queries.m85Interleave,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on

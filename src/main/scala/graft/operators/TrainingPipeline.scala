@@ -491,6 +491,39 @@ object TrainingPipeline {
       .drop("__excl")
   }
 
+  /** Deterministic proportional interleave — the balanced epoch
+    * reading order: within each source docs take a seeded-hash rank,
+    * and the global order is (src_rank, source) — all source-rank-1
+    * docs first, then rank-2, and so on. Unlike [[shuffleOrder]]'s
+    * uniform global permutation, every PREFIX of this order contains
+    * each source in near-equal doc counts (the round-robin epoch /
+    * curriculum construction for streaming reads over a skewed
+    * corpus). Pure function of (id set, seed).
+    *
+    * Scale shape: the per-source dense rank comes from ONE
+    * range-partitioned global sort ([[Ranking.globalRank]] over
+    * (source, hash, id)) minus broadcast per-source offsets — NO
+    * per-source single-task window — and read_pos is a second
+    * globalRank. Output is checkpointed; release via `core.Blocks`. */
+  def interleaveOrder(docs: DataFrame, seed: Long = 23L,
+      sourceCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    val hashed = docs
+      .select(col(sourceCol).cast("string").as(sourceCol),
+        col(idCol).cast("long").as(idCol))
+      .withColumn("__h", sampleHashUdf(col(idCol), lit(seed)))
+    val g1 = Ranking.globalRank(hashed,
+      Seq(col(sourceCol).asc, col("__h").asc, col(idCol).asc),
+      rankCol = "__g1")
+    val offs = g1.groupBy(sourceCol).agg(min(col("__g1")).as("__off"))
+    val ranked = g1.join(broadcast(offs), sourceCol)
+      .withColumn("src_rank", col("__g1") - col("__off") + 1L)
+      .select(col(idCol), col(sourceCol), col("src_rank"))
+    val out = Ranking.globalRank(ranked,
+      Seq(col("src_rank").asc, col(sourceCol).asc), rankCol = "read_pos")
+    graft.core.Blocks.releaseAll(g1)
+    out
+  }
+
   /** Temperature-smoothed mixture planning at T = 2 (the standard
     * multilingual/multi-source rebalancing: target shares ∝ n^(1/T),
     * which boosts small sources without drowning large ones). At

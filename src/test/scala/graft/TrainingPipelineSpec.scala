@@ -1284,6 +1284,34 @@ class TrainingPipelineSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.version.storeBuckets")
   }
 
+  test("interleaveOrder: driver-exact, balanced prefixes, invariance") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def run(d: org.apache.spark.sql.DataFrame) = {
+      val f = TrainingPipeline.interleaveOrder(d, seed = 23L)
+      val r = f.collect()
+        .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3)))
+        .sortBy(_._4).toSeq
+      graft.core.Blocks.releaseAll(f)
+      r
+    }
+    val got = run(docs)
+    // driver replay: per-source rank over (mix64(id+23), id), then
+    // global (src_rank, source)
+    val rows = docs.select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val ranked = rows.groupBy(_._2).toSeq.flatMap { case (src, rs) =>
+      rs.sortBy { case (id, _) => (graft.core.TextSig.mix64(id + 23L), id) }
+        .zipWithIndex.map { case ((id, _), i) => (id, src, i + 1L) }
+    }
+    val want = ranked.sortBy { case (_, src, rk) => (rk, src) }
+      .zipWithIndex.map { case ((id, src, rk), i) => (id, src, rk, i + 1L) }
+    assert(got == want)
+    // balanced prefix: the first |sources| positions hold every source
+    val srcs = rows.map(_._2).distinct.sorted.toSeq
+    assert(got.take(srcs.size).map(_._2).sorted == srcs)
+    assert(run(docs.repartition(7)) == got)
+  }
+
   test("planShards: contiguous budget fill, invariance, contract") {
     val s = spark
     import s.implicits._
