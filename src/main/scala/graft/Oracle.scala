@@ -2688,6 +2688,26 @@ object Oracle {
         FROM lineitem WHERE l_orderkey < 100)
       ORDER BY l_orderkey, l_linenumber, metric""",
 
+    // m86: span corruption — token count from the shared formula, the
+    // block grid, the wrapped mul64+mix64 chain and the bucket filter.
+    "m86_span_corruption" -> s"""
+      WITH sctok AS (SELECT doc_id,
+               CASE WHEN length(trim(text,' '))=0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text,' '), '\\s+'))
+               END AS n_tokens FROM documents),
+      scblocks AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               unnest(range(0, (n_tokens + 3) // 4)) AS b
+             FROM sctok WHERE n_tokens > 0),
+      scz AS (SELECT doc_id, n_tokens, b,
+              (${mul64("CAST(doc_id AS HUGEINT)", "CAST(1099511628211 AS HUGEINT)")}
+               + CAST(b AS HUGEINT) + 31) % $M64 AS z0
+            FROM scblocks),
+      ${mix64Ctes("scm", "scz", "doc_id, n_tokens, b")}
+      SELECT doc_id, CAST(b * 4 AS BIGINT) AS span_start,
+        CAST(least(4, n_tokens - b * 4) AS BIGINT) AS span_len
+      FROM scm WHERE h % 10000 < 1500
+      ORDER BY doc_id, span_start""",
+
     // m85: interleave — per-source rank over the SIGNED seeded hash
     // (m26's order convention), read_pos by (src_rank, source).
     "m85_interleave" -> s"""

@@ -1863,6 +1863,17 @@ object Queries {
           "'quantity', l_quantity) AS (metric, value)")
       .orderBy("l_orderkey", "l_linenumber", "metric")
 
+  /** m86 — span-corruption mask plan
+    * ([[operators.TrainingPipeline.spanCorruptionPlan]]): T5-style
+    * denoising masks, block-aligned — 4-token blocks masked at 15%
+    * off the seeded hash chain, pure function of (doc_id, seed). The
+    * oracle re-derives the token count, block grid, the mul64 hash
+    * chain and the bucket filter. */
+  def m86SpanCorruption(s: SparkSession, dir: String): DataFrame =
+    operators.TrainingPipeline.spanCorruptionPlan(t(s, dir, "documents"),
+        spanLen = 4, rateBp = 1500, seed = 31L)
+      .orderBy("doc_id", "span_start")
+
   /** m85 — proportional interleave reading order
     * ([[operators.TrainingPipeline.interleaveOrder]]): the balanced
     * epoch order (every prefix holds each source in near-equal doc

@@ -390,6 +390,40 @@ object TrainingPipeline {
   private val sampleHashUdf =
     udf((id: Long, seed: Long) => graft.core.TextSig.mix64(id + seed))
 
+  private val blockBucketUdf = udf((id: Long, b: Long, seed: Long) =>
+    java.lang.Long.remainderUnsigned(
+      graft.core.TextSig.mix64(id * 1099511628211L + b + seed), 10000L).toInt)
+
+  /** Span-corruption mask planning (the T5/UL2 denoising objective's
+    * data side, block-aligned variant): each doc's token stream is cut
+    * into fixed `spanLen` blocks and every block masks independently
+    * with probability `rateBp`/10000 off the seeded hash chain — so
+    * the mask set is a pure function of (doc_id, seed), reproducible
+    * across runs/engines, with exact expected corruption rate and
+    * non-overlapping spans BY CONSTRUCTION (no sequential sampling
+    * state to replay). Emits one (doc_id, span_start, span_len) row
+    * per masked block (the final block clips to the doc length).
+    * Narrow: a per-row sequence explode, no shuffle. */
+  def spanCorruptionPlan(docs: DataFrame, spanLen: Int = 4,
+      rateBp: Int = 1500, seed: Long = 31L, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(spanLen >= 1 && spanLen <= 4096,
+      s"spanCorruptionPlan: spanLen=$spanLen out of [1,4096]")
+    require(rateBp >= 0 && rateBp <= 10000,
+      s"spanCorruptionPlan: rateBp=$rateBp out of [0,10000]")
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("b", explode(expr(
+        s"sequence(0L, (n_tokens + ${spanLen - 1}) div $spanLen - 1)")))
+      .filter(blockBucketUdf(col("doc_id"), col("b"), lit(seed)) < rateBp)
+      .select(col("doc_id"),
+        (col("b") * spanLen).as("span_start"),
+        least(lit(spanLen.toLong),
+          col("n_tokens") - col("b") * spanLen).as("span_len"))
+  }
+
   /** Stratified EXACTLY-k sampling — keep the `k` documents per source
     * whose seeded hash `splitmix64(doc_id + seed)` ranks smallest (all
     * of them when a source has fewer than `k`). Unlike

@@ -1284,6 +1284,32 @@ class TrainingPipelineSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.version.storeBuckets")
   }
 
+  test("spanCorruptionPlan: block grid + clipping, rate bounds, invariance") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a b c d e f g h i j"), (2L, ""), (3L, "one two"))
+      .toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame, bp: Int) =
+      TrainingPipeline.spanCorruptionPlan(d, spanLen = 4, rateBp = bp, seed = 31L)
+        .orderBy("doc_id", "span_start").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // rate 10000: every block masked — 10 tokens → (0,4),(4,4),(8,2);
+    // empty doc emits nothing; 2 tokens → one clipped block
+    assert(run(df, 10000) ==
+      Seq((1L, 0L, 4L), (1L, 4L, 4L), (1L, 8L, 2L), (3L, 0L, 2L)))
+    assert(run(df, 0).isEmpty)
+    // fixture: masked-token fraction lands near the 15% target and the
+    // plan is a pure function of (id, seed)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = run(docs, 1500)
+    val masked = plan.map(_._3).sum.toDouble
+    val total = docs.select(
+      sum(graft.operators.TextAnalysis.tokenCount(col("text")))).collect()(0).getLong(0).toDouble
+    assert(masked / total > 0.09 && masked / total < 0.21,
+      s"mask fraction ${masked / total}")
+    assert(run(docs.repartition(7), 1500) == plan)
+  }
+
   test("interleaveOrder: driver-exact, balanced prefixes, invariance") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def run(d: org.apache.spark.sql.DataFrame) = {
