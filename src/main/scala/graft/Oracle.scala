@@ -2688,6 +2688,48 @@ object Oracle {
         FROM lineitem WHERE l_orderkey < 100)
       ORDER BY l_orderkey, l_linenumber, metric""",
 
+    // m87: FFD packing — the recursive walk carries the bin-fill LIST
+    // as state; first fitting index via list_filter over the fills,
+    // append when none fits (oversized items sit alone).
+    "m87_ffd_pack" -> """
+      WITH RECURSIVE nrm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS nt
+                   FROM documents),
+      tk AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM nrm WHERE length(nt) > 0),
+      nc AS (SELECT doc_id, toks,
+               CASE WHEN len(toks) <= 4 THEN 1
+                    ELSE CAST(ceil((len(toks) - 4) / 12.0) AS INT) END AS n_chunks
+             FROM tk),
+      ch AS (SELECT doc_id, CAST(unnest(range(0, n_chunks)) AS INT) AS chunk_id, toks
+             FROM nc),
+      items AS (SELECT doc_id, chunk_id,
+          CAST(len(list_slice(toks, chunk_id*12 + 1, chunk_id*12 + 16)) AS INT) AS n_tokens,
+          CAST(doc_id % 16 AS INT) AS bucket
+        FROM ch),
+      ord AS (SELECT *, CAST(row_number() OVER (PARTITION BY bucket
+                ORDER BY n_tokens DESC, doc_id, chunk_id) AS INT) AS rn FROM items),
+      walk AS (
+        SELECT bucket, rn, doc_id, chunk_id, n_tokens,
+               CAST(0 AS BIGINT) AS bin, [n_tokens] AS fills
+        FROM ord WHERE rn = 1
+        UNION ALL
+        SELECT o.bucket, o.rn, o.doc_id, o.chunk_id, o.n_tokens,
+          CAST(coalesce(
+            list_filter(range(1, len(w.fills)+1),
+              i -> w.fills[CAST(i AS INT)] + o.n_tokens <= 48)[1],
+            len(w.fills)+1) - 1 AS BIGINT),
+          CASE WHEN list_filter(range(1, len(w.fills)+1),
+                 i -> w.fills[CAST(i AS INT)] + o.n_tokens <= 48)[1] IS NULL
+            THEN list_append(w.fills, o.n_tokens)
+            ELSE list_transform(range(1, len(w.fills)+1),
+              i -> CASE WHEN i = list_filter(range(1, len(w.fills)+1),
+                       j -> w.fills[CAST(j AS INT)] + o.n_tokens <= 48)[1]
+                   THEN w.fills[CAST(i AS INT)] + o.n_tokens
+                   ELSE w.fills[CAST(i AS INT)] END)
+          END
+        FROM walk w JOIN ord o ON o.bucket = w.bucket AND o.rn = w.rn + 1)
+      SELECT doc_id, chunk_id, bucket, bin, n_tokens FROM walk
+      ORDER BY doc_id, chunk_id""",
+
     // m86: span corruption — token count from the shared formula, the
     // block grid, the wrapped mul64+mix64 chain and the bucket filter.
     "m86_span_corruption" -> s"""

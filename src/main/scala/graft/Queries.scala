@@ -1863,6 +1863,20 @@ object Queries {
           "'quantity', l_quantity) AS (metric, value)")
       .orderBy("l_orderkey", "l_linenumber", "metric")
 
+  /** m87 — first-fit-decreasing packing
+    * ([[operators.TrainingPipeline.packFirstFitDecreasing]]): m24's
+    * chunk stream packed by FFD instead of next-fit — the static-job
+    * utilization upgrade. The oracle walks the same per-bucket order
+    * as a recursive CTE whose STATE is the bin-fill list (first
+    * fitting index via list_filter, lowest bin wins). */
+  def m87FfdPack(s: SparkSession, dir: String): DataFrame =
+    operators.TrainingPipeline.packFirstFitDecreasing(
+        TextAnalysis.chunk(t(s, dir, "documents"), maxTokens = 16, overlap = 4),
+        capacity = 48, buckets = 16)
+      .select(col("doc_id"), col("chunk_id"), col("bucket"), col("bin"),
+        col("n_tokens"))
+      .orderBy("doc_id", "chunk_id")
+
   /** m86 — span-corruption mask plan
     * ([[operators.TrainingPipeline.spanCorruptionPlan]]): T5-style
     * denoising masks, block-aligned — 4-token blocks masked at 15%

@@ -22,6 +22,11 @@ import org.apache.spark.sql.types.DecimalType
 final case class PackedChunk(doc_id: Long, chunk_id: Int, bucket: Int,
     seq: Long, seq_pos: Int, n_tokens: Int)
 
+/** One first-fit-decreasing bin assignment — TOP-LEVEL for the encoder
+  * rule. Bin identity is (bucket, bin). */
+final case class FfdChunk(doc_id: Long, chunk_id: Int, bucket: Int,
+    bin: Long, n_tokens: Int)
+
 object TrainingPipeline {
 
   /** `benchmark`: when set, the chain ends with test-set decontamination
@@ -382,6 +387,49 @@ object TrainingPipeline {
           if (seq < 0L || fill + tok > capacity) { seq += 1; fill = tok; pos = 0 }
           else { fill += tok; pos += 1 }
           PackedChunk(doc, chunk, b, seq, pos, tok)
+        }
+      }
+      .toDF()
+  }
+
+  /** First-fit-decreasing sequence packing — the better-utilization
+    * alternative to [[packSequences]]' streaming next-fit (classic
+    * bin-packing bounds: FFD uses ≤ 11OPT/9 + 2/3 bins where next-fit
+    * only guarantees 2·OPT): within each bucket items sort by (tokens
+    * DESC, doc, chunk) and each goes to the LOWEST-index bin that still
+    * fits, opening a new bin otherwise (an oversized item sits alone).
+    * Same bucketed-parallel scale shape as next-fit — buckets walk
+    * independently, a bucket's bin-fill array lives in one task bounded
+    * by its item count — and the result is deterministic and
+    * partitioning-invariant via the bucket repartition + total sort.
+    * Trade-off: FFD needs the bucket's items up front (a STATIC packing
+    * job); next-fit remains the one-pass streaming form. */
+  def packFirstFitDecreasing(chunks: DataFrame, capacity: Int,
+      buckets: Int = 64, tokCol: String = "n_chunk_tokens"): DataFrame = {
+    require(capacity > 0 && buckets > 0,
+      s"packFirstFitDecreasing: capacity=$capacity buckets=$buckets must be positive")
+    val s = chunks.sparkSession
+    import s.implicits._
+    chunks
+      .select(col("doc_id").cast("long"), col("chunk_id").cast("int"),
+        pmod(col("doc_id"), lit(buckets)).cast("int").as("bucket"),
+        col(tokCol).cast("int").as("n_tokens"))
+      .as[(Long, Int, Int, Int)]
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("n_tokens").desc,
+        col("doc_id"), col("chunk_id"))
+      .mapPartitions { it =>
+        var curBucket = Int.MinValue
+        var fills: scala.collection.mutable.ArrayBuffer[Int] = null
+        it.map { case (doc, chunk, b, tok) =>
+          if (b != curBucket) {
+            curBucket = b
+            fills = scala.collection.mutable.ArrayBuffer.empty[Int]
+          }
+          var i = 0
+          while (i < fills.length && fills(i) + tok > capacity) i += 1
+          if (i == fills.length) fills += tok else fills(i) += tok
+          FfdChunk(doc, chunk, b, i.toLong, tok)
         }
       }
       .toDF()

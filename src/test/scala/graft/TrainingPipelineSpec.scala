@@ -1284,6 +1284,43 @@ class TrainingPipelineSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.version.storeBuckets")
   }
 
+  test("packFirstFitDecreasing: driver-exact FFD, beats-or-ties next-fit, invariance") {
+    val s = spark
+    import s.implicits._
+    // one bucket (doc_ids ≡ 0 mod 1): sizes pick FFD's signature move —
+    // 30 25 20 15 10 at cap 45 → bins [30+15][25+20][10] = 3 bins;
+    // next-fit in the same DESC order would open 4
+    val chunks = Seq((0L, 0, 30), (16L, 0, 25), (32L, 0, 20),
+      (48L, 0, 15), (64L, 0, 10))
+      .toDF("doc_id", "chunk_id", "n_chunk_tokens")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TrainingPipeline.packFirstFitDecreasing(d, capacity = 45, buckets = 1)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(3))).toSeq
+    val got = run(chunks)
+    assert(got == Seq((0L, 0L), (16L, 1L), (32L, 1L), (48L, 0L), (64L, 2L)))
+    assert(run(chunks.repartition(3)) == got)
+    // fixture: FFD never uses more bins per bucket than next-fit
+    val fx = TextAnalysis.chunk(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      maxTokens = 16, overlap = 4)
+    val ffdBins = TrainingPipeline.packFirstFitDecreasing(fx, 48, 16)
+      .groupBy("bucket").agg(max(col("bin")).as("b")).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1) + 1)).toMap
+    val nfBins = TrainingPipeline.packSequences(fx, 48, 16)
+      .groupBy("bucket").agg(max(col("seq")).as("s")).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1) + 1)).toMap
+    assert(ffdBins.keySet == nfBins.keySet)
+    ffdBins.foreach { case (b, n) =>
+      assert(n <= nfBins(b), s"bucket $b: FFD $n > next-fit ${nfBins(b)}")
+    }
+    // an oversized item sits alone in its own bin
+    val big = Seq((0L, 0, 99), (1L, 0, 10)).toDF("doc_id", "chunk_id", "n_chunk_tokens")
+    val bigOut = TrainingPipeline.packFirstFitDecreasing(big, 45, 1)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(bigOut == Seq((0L, 0L), (1L, 1L)))
+  }
+
   test("spanCorruptionPlan: block grid + clipping, rate bounds, invariance") {
     val s = spark
     import s.implicits._
