@@ -2688,6 +2688,28 @@ object Oracle {
         FROM lineitem WHERE l_orderkey < 100)
       ORDER BY l_orderkey, l_linenumber, metric""",
 
+    // m88: IVF cell occupancy — the m09 argmin assignment re-derived
+    // from the centers aux, counted per cell with empties at 0.
+    "m88_cell_occupancy" -> """
+      WITH centers AS (SELECT cell, center
+                       FROM read_parquet('{AUX}/ivf_centers/*.parquet')),
+      emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      dist AS (SELECT e.vec_id, c.cell,
+          list_sum(list_transform(range(len(c.center)), i ->
+            (e.v[CAST(i AS INT)+1] - c.center[CAST(i AS INT)+1])
+            * (e.v[CAST(i AS INT)+1] - c.center[CAST(i AS INT)+1]))) AS d
+        FROM emb e, centers c),
+      asg AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+        FROM dist) WHERE rn = 1),
+      occ AS (SELECT c.cell, CAST(COUNT(a.vec_id) AS BIGINT) AS n_vectors
+              FROM centers c LEFT JOIN asg a ON c.cell = a.cell
+              GROUP BY c.cell),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM emb)
+      SELECT cell, n_vectors,
+        CAST(n_vectors * 10000 // n AS BIGINT) AS share_bp
+      FROM occ, tot ORDER BY cell""",
+
     // m87: FFD packing — the recursive walk carries the bin-fill LIST
     // as state; first fitting index via list_filter over the fills,
     // append when none fits (oversized items sit alone).

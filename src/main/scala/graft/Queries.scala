@@ -1863,6 +1863,26 @@ object Queries {
           "'quantity', l_quantity) AS (metric, value)")
       .orderBy("l_orderkey", "l_linenumber", "metric")
 
+  /** m88 — IVF cell-occupancy report: vectors per cell + share in bp
+    * (exact integer), empty cells at 0 — the index-balance health
+    * check in front of the m09/m15 probes (a skewed cell ⇒ probe-cost
+    * skew; this is the curve that says rebuild). The oracle re-derives
+    * the argmin assignment from the ivf_centers aux. */
+  def m88CellOccupancy(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val centers = Similarity.ivfCenters(emb, 16)
+    val total = emb.count()
+    val occ = Similarity.ivfCellAssignments(emb, centers)
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+    val sess = s
+    import sess.implicits._
+    (0 until centers.length).toDF("cell")
+      .join(occ, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("n"), lit(0L)).as("n_vectors"))
+      .withColumn("share_bp", expr(s"n_vectors * 10000 div $total"))
+      .orderBy("cell")
+  }
+
   /** m87 — first-fit-decreasing packing
     * ([[operators.TrainingPipeline.packFirstFitDecreasing]]): m24's
     * chunk stream packed by FFD instead of next-fit — the static-job
