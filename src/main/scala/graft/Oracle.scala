@@ -2688,6 +2688,53 @@ object Oracle {
         FROM lineitem WHERE l_orderkey < 100)
       ORDER BY l_orderkey, l_linenumber, metric""",
 
+    // m89: quality ensemble — the three components re-derived exactly
+    // as in m39/m29/m63 (LR from the weight aux over the shared
+    // TextStats features; unigram xent from corpus counts; the Gopher
+    // conjunction), then the literal 0.5/0.3/0.2 combination of the
+    // ROUNDED components.
+    "m89_quality_ensemble" -> s"""
+      WITH $TextStatsCtes,
+      mdl AS (SELECT i, w FROM read_parquet('{AUX}/quality_lr/*.parquet')),
+      prm AS (SELECT
+          max(CASE WHEN i = -1 THEN w END) AS b,
+          max(CASE WHEN i = 0 THEN w END) AS w0,
+          max(CASE WHEN i = 1 THEN w END) AS w1,
+          max(CASE WHEN i = 2 THEN w END) AS w2,
+          max(CASE WHEN i = 3 THEN w END) AS w3
+        FROM mdl),
+      lr AS (SELECT r.doc_id,
+          round(1.0 / (1.0 + exp(-(b + w0 * ln(1 + n_tokens) + w1 * mtl
+            + w2 * stop_r + w3 * punct_r))), 6) AS lr_quality
+        FROM ratios r, prm),
+      e89n AS (SELECT doc_id,
+          trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS n
+        FROM documents),
+      e89t AS (SELECT doc_id, unnest(string_split(n, ' ')) AS tok
+               FROM e89n WHERE n <> ''),
+      e89c AS (SELECT tok, count(*) AS c FROM e89t GROUP BY tok),
+      e89tot AS (SELECT CAST(sum(c) AS DOUBLE) AS nn FROM e89c),
+      e89x AS (SELECT t.doc_id,
+          round(ln((SELECT nn FROM e89tot))
+                - avg(ln(CAST(c.c AS DOUBLE))), 6) AS xent
+        FROM e89t t JOIN e89c c USING (tok) GROUP BY t.doc_id),
+      gp AS (SELECT r.doc_id,
+          CAST((CASE WHEN r.n_tokens BETWEEN 50 AND 100000 THEN 1 ELSE 0 END)
+             * (CASE WHEN r.mtl >= 3.0 AND r.mtl <= 10.0 THEN 1 ELSE 0 END)
+             * (CASE WHEN b.stop_hits >= 2 THEN 1 ELSE 0 END)
+             * (CASE WHEN r.punct_r <= 0.25 THEN 1 ELSE 0 END) AS SMALLINT) AS pass_all
+        FROM ratios r JOIN base b USING (doc_id))
+      SELECT d.doc_id, l.lr_quality, coalesce(x.xent, 0.0) AS xent,
+        g.pass_all,
+        round(0.5 * l.lr_quality
+          + 0.3 * (1.0 / (1.0 + coalesce(x.xent, 0.0)))
+          + 0.2 * g.pass_all, 6) AS ensemble
+      FROM documents d
+      JOIN lr l USING (doc_id)
+      LEFT JOIN e89x x USING (doc_id)
+      JOIN gp g USING (doc_id)
+      ORDER BY d.doc_id""",
+
     // m88: IVF cell occupancy — the m09 argmin assignment re-derived
     // from the centers aux, counted per cell with empties at 0.
     "m88_cell_occupancy" -> """

@@ -1863,6 +1863,31 @@ object Queries {
           "'quantity', l_quantity) AS (metric, value)")
       .orderBy("l_orderkey", "l_linenumber", "metric")
 
+  /** m89 — multi-signal quality ensemble (the FineWeb-style filter
+    * shape): learned LR probability (m39) + unigram-LM fluency
+    * 1/(1+xent) (m29) + the Gopher rule conjunction (m63), combined
+    * 0.5/0.3/0.2 — every component individually gate-pinned and
+    * ROUNDED before the literal combination dag, so the composition is
+    * engine-exact. One pass per component kernel, no extra shuffle
+    * beyond the unigram train. */
+  def m89QualityEnsemble(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val q = operators.TextAnalysis.qualityScore(col("text"))
+    val lrModel = operators.TextAnalysis.trainQualityLR(
+      docs.filter(q >= 1.0), docs.filter(q < 1.0))
+    val lr = operators.TextAnalysis.scoreQualityLR(docs, lrModel)
+    val xe = operators.TextAnalysis.unigramCrossEntropy(lr,
+      operators.TextAnalysis.unigramModel(docs))
+    val gf = operators.TextAnalysis.gopherFlags(docs)
+      .select(col("doc_id"), col("pass_all"))
+    xe.join(gf, "doc_id")
+      .select(col("doc_id"), col("lr_quality"), col("xent"), col("pass_all"),
+        round(lit(0.5) * col("lr_quality")
+          + lit(0.3) * (lit(1.0) / (lit(1.0) + col("xent")))
+          + lit(0.2) * col("pass_all"), 6).as("ensemble"))
+      .orderBy("doc_id")
+  }
+
   /** m88 — IVF cell-occupancy report: vectors per cell + share in bp
     * (exact integer), empty cells at 0 — the index-balance health
     * check in front of the m09/m15 probes (a skewed cell ⇒ probe-cost
