@@ -2688,6 +2688,46 @@ object Oracle {
         FROM lineitem WHERE l_orderkey < 100)
       ORDER BY l_orderkey, l_linenumber, metric""",
 
+    // m90: nDCG@5 — both rankings re-derived (the m74 CTEs), graded
+    // gains (6−truth_rank) with the PINNED discount literals, rounded
+    // then DECIMAL-summed, ideal DCG as the matching literal.
+    "m90_ann_ndcg" -> s"""
+      WITH ${hyperplaneSigCtes("hp", 8)},
+      tq AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+             FROM embeddings WHERE vec_id < 16),
+      ts AS (SELECT query_id, e.vec_id AS corpus_id,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv), 6) AS score
+             FROM embeddings e, tq WHERE e.vec_id <> query_id),
+      tr AS (SELECT query_id, corpus_id, row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, corpus_id ASC) AS rank FROM ts),
+      tt AS (SELECT query_id, corpus_id, 6 - rank AS rel FROM tr WHERE rank <= 5),
+      c AS (SELECT vec_id AS corpus_id, sig, v AS cv FROM hpsig),
+      q AS (SELECT vec_id AS query_id, sig AS qsig, v AS qv
+            FROM hpsig WHERE vec_id < 16),
+      probes AS (SELECT query_id, qv,
+              unnest([qsig] || list_transform(range(0,8),
+                p -> xor(qsig, CAST(1<<p AS BIGINT)))) AS sig
+            FROM q),
+      scored AS (SELECT DISTINCT query_id, corpus_id,
+              round(list_cosine_similarity(cv, qv), 6) AS score
+            FROM c JOIN probes USING (sig) WHERE corpus_id <> query_id),
+      cr AS (SELECT query_id, corpus_id, row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, corpus_id ASC) AS rank FROM scored),
+      cc AS (SELECT query_id, corpus_id, rank FROM cr WHERE rank <= 5),
+      g AS (SELECT c2.query_id,
+              CAST(round(coalesce(t.rel, 0) * (CASE c2.rank
+                 WHEN 1 THEN 1.0
+                 WHEN 2 THEN 0.6309297535714575
+                 WHEN 3 THEN 0.5
+                 WHEN 4 THEN 0.43067655807339306
+                 ELSE 0.38685280723454163 END), 9) AS DECIMAL(18,9)) AS gg
+            FROM cc c2 LEFT JOIN tt t USING (query_id, corpus_id)),
+      d AS (SELECT query_id, SUM(gg) AS dcg FROM g GROUP BY query_id)
+      SELECT qq.query_id,
+        round(coalesce(CAST(d.dcg AS DOUBLE), 0.0) / 10.271924937667158, 6) AS ndcg
+      FROM (SELECT DISTINCT query_id FROM tt) qq LEFT JOIN d USING (query_id)
+      ORDER BY qq.query_id""",
+
     // m89: quality ensemble — the three components re-derived exactly
     // as in m39/m29/m63 (LR from the weight aux over the shared
     // TextStats features; unigram xent from corpus counts; the Gopher

@@ -1863,6 +1863,16 @@ object Queries {
           "'quantity', l_quantity) AS (metric, value)")
       .orderBy("l_orderkey", "l_linenumber", "metric")
 
+  /** m90 — nDCG@5 of the LSH index against exact truth
+    * ([[operators.Similarity.ndcgAtK]]): the graded companion of m74's
+    * recall — position inside the top-5 matters. Pinned discount
+    * literals + rounded-then-DECIMAL-summed gains keep the metric
+    * engine-exact; the oracle composes both ranking derivations. */
+  def m90AnnNdcg(s: SparkSession, dir: String): DataFrame =
+    operators.Similarity.ndcgAtK(
+        m04AnnBruteForce(s, dir), m05AnnLsh(s, dir), k = 5)
+      .orderBy("query_id")
+
   /** m89 — multi-signal quality ensemble (the FineWeb-style filter
     * shape): learned LR probability (m39) + unigram-LM fluency
     * 1/(1+xent) (m29) + the Gopher rule conjunction (m63), combined

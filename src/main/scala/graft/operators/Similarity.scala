@@ -207,6 +207,47 @@ object Similarity {
     corpus.withColumn("zvec", zUdf(col(vecCol)))
   }
 
+  /** 1/log₂(rank+1) discounts for ranks 1..10 — shared LITERALS with
+    * the m90 oracle (runtime log2 differs by an ulp across libm
+    * implementations; pinned constants make the graded metric
+    * engine-exact, the Poisson-CDF trick). */
+  private val NdcgDiscounts: Array[Double] = Array(
+    1.0, 0.6309297535714575, 0.5, 0.43067655807339306,
+    0.38685280723454163, 0.3562071871080222, 0.3333333333333333,
+    0.31546487678572877, 0.3010299956639812, 0.2890648263178879)
+
+  /** nDCG@k of a candidate ranking against exact truth — the GRADED
+    * companion of [[recallAtK]] (order inside the top-k matters:
+    * relevance of a hit is k+1−truth_rank, discounted by the pinned
+    * 1/log₂(position+1) table; ideal DCG is the same literals folded
+    * in rank order). Per-position gains are rounded to 9 decimals and
+    * DECIMAL-summed (the BM25 trick), so the per-query score is
+    * independent of aggregation order. Queries the candidate missed
+    * entirely score 0. Inputs are already-top-k (query_id, corpus_id,
+    * rank) frames. */
+  def ndcgAtK(truth: DataFrame, candidate: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= NdcgDiscounts.length,
+      s"ndcgAtK: k=$k out of [1,${NdcgDiscounts.length}]")
+    val discArr = array(NdcgDiscounts.take(k).map(lit).toIndexedSeq: _*)
+    val rel = truth.filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"),
+        (lit(k + 1) - col("rank")).cast("double").as("__rel"))
+    val cand = candidate.filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("rank").as("__crank"))
+    val idcg = (1 to k).foldLeft(0.0)((a, i) =>
+      a + (k + 1 - i) * NdcgDiscounts(i - 1))
+    val dcg = cand.join(rel, Seq("query_id", "corpus_id"), "left")
+      .withColumn("__g", round(coalesce(col("__rel"), lit(0.0))
+        * element_at(discArr, col("__crank").cast("int")), 9)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+      .groupBy("query_id").agg(sum(col("__g")).as("__dcg"))
+    truth.select("query_id").distinct()
+      .join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(col("__dcg").cast("double"), lit(0.0)) / lit(idcg), 6)
+          .as("ndcg"))
+  }
+
   // --- Product quantization (the IVF-ADC compression half): 100 TB
   //     memory story — a dim-64 float32 vector (256 B) becomes m = 8
   //     code bytes against per-subspace codebooks, a 32× cut that turns

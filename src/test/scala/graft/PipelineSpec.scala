@@ -556,6 +556,33 @@ class PipelineSpec extends AnyFunSuite {
       re.forall { case (k, v) => v.sameElements(got(k)) })
   }
 
+  test("ndcgAtK: perfect, reversed and absent rankings score as the closed form") {
+    import spark.implicits._
+    val truth = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3),
+      (3L, 30L, 1), (3L, 31L, 2), (3L, 32L, 3))
+      .toDF("query_id", "corpus_id", "rank")
+    val cand = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), // perfect
+      (2L, 22L, 1), (2L, 21L, 2), (2L, 20L, 3)  // reversed; query 3 absent
+    ).toDF("query_id", "corpus_id", "rank")
+    val got = Similarity.ndcgAtK(truth, cand, k = 3)
+      .orderBy("query_id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    val d = Array(1.0, 0.6309297535714575, 0.5)
+    def r6(x: Double) = BigDecimal(x.toString)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r9(x: Double) = BigDecimal(x.toString)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val idcg = (1 to 3).foldLeft(0.0)((a, i) => a + (4 - i) * d(i - 1))
+    val revDcg = (r9(1.0 * d(0)) + r9(2.0 * d(1)) + r9(3.0 * d(2))).toDouble
+    assert(got == Seq(
+      1L -> r6((r9(3.0 * d(0)) + r9(2.0 * d(1)) + r9(1.0 * d(2))).toDouble / idcg),
+      2L -> r6(revDcg / idcg),
+      3L -> 0.0))
+    assert(got.head._2 == 1.0) // perfect ordering is exactly 1
+  }
+
   test("recallAtK: crafted overlaps, absent queries score zero, k cut respected") {
     import spark.implicits._
     val truth = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
