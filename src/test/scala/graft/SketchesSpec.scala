@@ -369,6 +369,34 @@ class SketchesSpec extends AnyFunSuite {
     assert(re == want)
   }
 
+  test("heavyHitters: seeded random skewed corpora equal naive counts") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(1234)
+    (0 until 3).foreach { trial =>
+      val rows = (0 until 120).map { i =>
+        val n = 5 + rng.nextInt(30)
+        val toks = Seq.fill(n) {
+          val t = rng.nextInt(50)
+          s"w${if (rng.nextDouble() < 0.5) t % 8 else t}" // skew to low ids
+        }
+        (i.toLong, toks.mkString(" "))
+      }
+      val k = 25
+      val freq = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      rows.foreach(_._2.split(' ').foreach(t => freq(t) += 1L))
+      val n = freq.values.sum
+      val want = freq.toSeq.collect { case (t, c) if c * k > n => (t, c, n) }
+        .sortBy(_._1)
+      val got = Sketches.heavyHitters(
+          rows.toDF("doc_id", "text").repartition(1 + trial * 3), k)
+        .orderBy("token").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == want, s"trial $trial")
+    }
+  }
+
   test("heavyHitters exact on a crafted corpus; k and ceiling contracts") {
     import spark.implicits._
     val tiny = Seq((0L, "a a a b"), (1L, "a c b b"), (2L, "b b a d"))

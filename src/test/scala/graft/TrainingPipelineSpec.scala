@@ -1284,6 +1284,26 @@ class TrainingPipelineSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.version.storeBuckets")
   }
 
+  test("packFirstFitDecreasing: seeded random items — capacity invariant, total assignment") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(99)
+    // sizes up to 60 > capacity 48: the oversized-alone path is exercised
+    val items = (0 until 300).map(i => (i.toLong, 0, 1 + rng.nextInt(60)))
+    val df = items.toDF("doc_id", "chunk_id", "n_chunk_tokens")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TrainingPipeline.packFirstFitDecreasing(d, capacity = 48, buckets = 8)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(2), r.getLong(3), r.getInt(4)))
+    val out = run(df)
+    out.groupBy(t => (t._2, t._3)).foreach { case ((b, bin), rows) =>
+      val tot = rows.map(_._4).sum
+      assert(tot <= 48 || rows.length == 1, s"bucket $b bin $bin total $tot")
+    }
+    assert(out.map(_._1).sorted.toSeq == items.map(_._1).sorted)
+    assert(run(df.repartition(5)).sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+  }
+
   test("packFirstFitDecreasing: driver-exact FFD, beats-or-ties next-fit, invariance") {
     val s = spark
     import s.implicits._
