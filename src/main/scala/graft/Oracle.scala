@@ -2688,6 +2688,46 @@ object Oracle {
         FROM lineitem WHERE l_orderkey < 100)
       ORDER BY l_orderkey, l_linenumber, metric""",
 
+    // m91: RBO@5 — both rankings re-derived; each shared doc
+    // contributes the pinned W(max(ra, rb)) literal, rounded then
+    // DECIMAL-summed, normalized by the pinned Σ-weight literal.
+    "m91_ann_rbo" -> s"""
+      WITH ${hyperplaneSigCtes("hp", 8)},
+      tq AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+             FROM embeddings WHERE vec_id < 16),
+      ts AS (SELECT query_id, e.vec_id AS corpus_id,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv), 6) AS score
+             FROM embeddings e, tq WHERE e.vec_id <> query_id),
+      tr AS (SELECT query_id, corpus_id, row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, corpus_id ASC) AS rank FROM ts),
+      tt AS (SELECT query_id, corpus_id, rank AS ra FROM tr WHERE rank <= 5),
+      c AS (SELECT vec_id AS corpus_id, sig, v AS cv FROM hpsig),
+      q AS (SELECT vec_id AS query_id, sig AS qsig, v AS qv
+            FROM hpsig WHERE vec_id < 16),
+      probes AS (SELECT query_id, qv,
+              unnest([qsig] || list_transform(range(0,8),
+                p -> xor(qsig, CAST(1<<p AS BIGINT)))) AS sig
+            FROM q),
+      scored AS (SELECT DISTINCT query_id, corpus_id,
+              round(list_cosine_similarity(cv, qv), 6) AS score
+            FROM c JOIN probes USING (sig) WHERE corpus_id <> query_id),
+      cr AS (SELECT query_id, corpus_id, row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, corpus_id ASC) AS rank FROM scored),
+      cc AS (SELECT query_id, corpus_id, rank AS rb FROM cr WHERE rank <= 5),
+      mt AS (SELECT t.query_id,
+              CAST(round(CASE greatest(t.ra, c2.rb)
+                 WHEN 1 THEN 0.20334699999999994
+                 WHEN 2 THEN 0.10334699999999997
+                 WHEN 3 THEN 0.058346999999999996
+                 WHEN 4 THEN 0.031347
+                 ELSE 0.013121999999999998 END, 9) AS DECIMAL(18,9)) AS w
+            FROM tt t JOIN cc c2 USING (query_id, corpus_id)),
+      nm AS (SELECT query_id, SUM(w) AS num FROM mt GROUP BY query_id)
+      SELECT qq.query_id,
+        round(coalesce(CAST(nm.num AS DOUBLE), 0.0) / 0.4095099999999999, 6) AS rbo
+      FROM (SELECT DISTINCT query_id FROM tt) qq LEFT JOIN nm USING (query_id)
+      ORDER BY qq.query_id""",
+
     // m90: nDCG@5 — both rankings re-derived (the m74 CTEs), graded
     // gains (6−truth_rank) with the PINNED discount literals, rounded
     // then DECIMAL-summed, ideal DCG as the matching literal.

@@ -1863,6 +1863,17 @@ object Queries {
           "'quantity', l_quantity) AS (metric, value)")
       .orderBy("l_orderkey", "l_linenumber", "metric")
 
+  /** m91 — rank-biased overlap at p=0.9 between the exact and LSH
+    * top-5 rankings ([[operators.Similarity.rboAt5]]): the prefix-
+    * weighted third leg of the eval family (m74 recall, m90 nDCG) —
+    * agreement at the TOP of the lists counts most. Pinned per-match
+    * weight literals; the oracle composes both ranking derivations and
+    * replays the CASE/normalizer dag. */
+  def m91AnnRbo(s: SparkSession, dir: String): DataFrame =
+    operators.Similarity.rboAt5(
+        m04AnnBruteForce(s, dir), m05AnnLsh(s, dir))
+      .orderBy("query_id")
+
   /** m90 — nDCG@5 of the LSH index against exact truth
     * ([[operators.Similarity.ndcgAtK]]): the graded companion of m74's
     * recall — position inside the top-5 matters. Pinned discount

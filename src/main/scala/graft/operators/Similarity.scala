@@ -216,6 +216,46 @@ object Similarity {
     0.38685280723454163, 0.3562071871080222, 0.3333333333333333,
     0.31546487678572877, 0.3010299956639812, 0.2890648263178879)
 
+  /** Per-match RBO weights at p = 0.9, k = 5: a doc present in both
+    * top-5 lists with m = max(rank_A, rank_B) contributes
+    * W(m) = Σ_{d=m..5} (1−p)p^(d−1)/d to the truncated RBO sum (it is
+    * in both depth-d prefixes for every d ≥ m). PINNED literals (same
+    * left-to-right fold as the oracle's CASE), with the normalizer
+    * Σ_{d=1..5}(1−p)p^(d−1) so identical lists score exactly 1. */
+  private val RboW: Array[Double] = Array(
+    0.20334699999999994, 0.10334699999999997, 0.058346999999999996,
+    0.031347, 0.013121999999999998)
+  private val RboNorm: Double = 0.4095099999999999
+
+  /** Rank-biased overlap (Webber et al. 2010) at p = 0.9 between two
+    * top-5 rankings — the third leg of the ranking-eval family next to
+    * [[recallAtK]] (set overlap) and [[ndcgAtK]] (graded positions):
+    * RBO weights agreement by prefix depth, so two lists that agree at
+    * the top score higher than lists that agree only at the tail.
+    * Computed match-wise: each shared doc contributes the pinned
+    * W(max(rank_a, rank_b)) literal; contributions are rounded to 9
+    * decimals then DECIMAL-summed and normalized so identical lists
+    * score exactly 1. Queries absent from `b` score 0. k is FIXED at
+    * 5 (the pinned-literal contract). */
+  def rboAt5(a: DataFrame, b: DataFrame): DataFrame = {
+    val aa = a.filter(col("rank") <= 5)
+      .select(col("query_id"), col("corpus_id"), col("rank").as("__ra"))
+    val bb = b.filter(col("rank") <= 5)
+      .select(col("query_id"), col("corpus_id"), col("rank").as("__rb"))
+    val wCase = RboW.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (w, i)) =>
+      when(greatest(col("__ra"), col("__rb")) === (i + 1), lit(w)).otherwise(acc)
+    }
+    val num = aa.join(bb, Seq("query_id", "corpus_id"))
+      .withColumn("__w", round(wCase, 9)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+      .groupBy("query_id").agg(sum(col("__w")).as("__num"))
+    aa.select("query_id").distinct()
+      .join(num, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(col("__num").cast("double"), lit(0.0)) / lit(RboNorm), 6)
+          .as("rbo"))
+  }
+
   /** nDCG@k of a candidate ranking against exact truth — the GRADED
     * companion of [[recallAtK]] (order inside the top-k matters:
     * relevance of a hit is k+1−truth_rank, discounted by the pinned

@@ -556,6 +556,22 @@ class PipelineSpec extends AnyFunSuite {
       re.forall { case (k, v) => v.sameElements(got(k)) })
   }
 
+  test("rboAt5: identical lists score 1, disjoint 0, top-weighted sensitivity") {
+    import spark.implicits._
+    def lst(docs: Seq[Long]) = docs.zipWithIndex
+      .map { case (d, i) => (1L, d, i + 1) }
+      .toDF("query_id", "corpus_id", "rank")
+    val a = lst(Seq(11L, 12L, 13L, 14L, 15L))
+    def rbo(b: org.apache.spark.sql.DataFrame) =
+      Similarity.rboAt5(a, b).collect()(0).getDouble(1)
+    assert(rbo(lst(Seq(11L, 12L, 13L, 14L, 15L))) == 1.0)
+    assert(rbo(lst(Seq(91L, 92L, 93L, 94L, 95L))) == 0.0)
+    // agreeing only at the TOP outranks agreeing only at the tail
+    val top = rbo(lst(Seq(11L, 92L, 93L, 94L, 95L)))
+    val tail = rbo(lst(Seq(91L, 92L, 93L, 94L, 15L)))
+    assert(top > tail && top > 0.4 && tail < 0.1, s"top $top tail $tail")
+  }
+
   test("ndcgAtK: perfect, reversed and absent rankings score as the closed form") {
     import spark.implicits._
     val truth = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
