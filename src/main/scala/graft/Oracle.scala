@@ -2688,6 +2688,44 @@ object Oracle {
         FROM lineitem WHERE l_orderkey < 100)
       ORDER BY l_orderkey, l_linenumber, metric""",
 
+    // m92: MinHash signature pin — the full chain in SQL: width-5
+    // window FNV, mix64 shingle hash, mix64 u, per-permutation
+    // multiply-shift constants from their literal seeds (odd-forced A),
+    // min under SIGNED Long order (Java's comparison).
+    "m92_minhash_sigs" -> s"""
+      WITH msn AS (SELECT doc_id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS nt
+             FROM documents),
+      msw AS (SELECT doc_id,
+               unnest(range(1, greatest(length(nt)-4, 1)+1)) AS pos, nt
+             FROM msn WHERE length(nt) > 0),
+      msf AS (SELECT doc_id,
+               ${fnv1a("substr(nt, CAST(pos AS INT), 5)")} AS z0 FROM msw),
+      ${mix64Ctes("msx", "msf", "doc_id")},
+      msu0 AS (SELECT doc_id, h AS z0 FROM msx),
+      ${mix64Ctes("msu", "msu0", "doc_id")},
+      pia AS (SELECT CAST(r.range AS INT) AS perm,
+               (CAST('10114998832218508061' AS HUGEINT) + r.range) % $M64 AS z0
+             FROM range(8) r),
+      ${mix64Ctes("pma", "pia", "perm")},
+      pa AS (SELECT perm,
+               CASE WHEN h % 2 = 0 THEN h + 1 ELSE h END AS a FROM pma),
+      pib AS (SELECT CAST(r.range AS INT) AS perm,
+               (CAST('1983613069123707591' AS HUGEINT) + r.range) % $M64 AS z0
+             FROM range(8) r),
+      ${mix64Ctes("pmb", "pib", "perm")},
+      pb AS (SELECT perm, h AS b FROM pmb),
+      terms AS (SELECT u.doc_id, a.perm,
+               (${mul64("u.h", "a.a")} + b.b) % $M64 AS hv
+             FROM msu u, pa a JOIN pb b USING (perm)),
+      signed AS (SELECT doc_id, perm,
+               CAST(CASE WHEN hv >= CAST('9223372036854775808' AS HUGEINT)
+                    THEN hv - $M64 ELSE hv END AS BIGINT) AS sv
+             FROM terms)
+      SELECT doc_id, perm, MIN(sv) AS sig
+      FROM signed GROUP BY doc_id, perm
+      ORDER BY doc_id, perm""",
+
     // m91: RBO@5 — both rankings re-derived; each shared doc
     // contributes the pinned W(max(ra, rb)) literal, rounded then
     // DECIMAL-summed, normalized by the pinned Σ-weight literal.

@@ -1863,6 +1863,22 @@ object Queries {
           "'quantity', l_quantity) AS (metric, value)")
       .orderBy("l_orderkey", "l_linenumber", "metric")
 
+  /** m92 — MinHash signature pin: the first 8 permutation values of
+    * every doc's width-5 char-shingle MinHash, bit-for-bit — until now
+    * the LSH internals were verified only BEHAVIORALLY (exact-Jaccard
+    * recall); this oracle re-derives the whole chain in SQL (window
+    * FNV → mix64 shingle hash → mix64 u → per-permutation multiply-
+    * shift constants A_i = mix64(seed_A + i)|1, B_i = mix64(seed_B+i)
+    * → min under SIGNED Long order), so a constant, a mix stage, or
+    * the signed-min convention drifting lands as a hash mismatch. */
+  def m92MinhashSigs(s: SparkSession, dir: String): DataFrame = {
+    val sigUdf = udf((t: String) =>
+      graft.core.TextSig.minhash(graft.core.TextSig.charShingles(t, 5), 8))
+    t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(sigUdf(col("text"))).as(Seq("perm", "sig")))
+      .orderBy("doc_id", "perm")
+  }
+
   /** m91 — rank-biased overlap at p=0.9 between the exact and LSH
     * top-5 rankings ([[operators.Similarity.rboAt5]]): the prefix-
     * weighted third leg of the eval family (m74 recall, m90 nDCG) —
