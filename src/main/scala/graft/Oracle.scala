@@ -2688,6 +2688,17 @@ object Oracle {
         FROM lineitem WHERE l_orderkey < 100)
       ORDER BY l_orderkey, l_linenumber, metric""",
 
+    // q46: correlated scalar subquery — same decorrelatable SQL shape,
+    // DECIMAL average keeps the threshold exact.
+    "q46_correlated_subquery" -> """
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders o
+      WHERE CAST(o_totalprice AS DECIMAL(18,2)) >
+        CAST(1.5 AS DECIMAL(4,1)) * (
+          SELECT AVG(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+          FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      ORDER BY o_orderkey""",
+
     // m92: MinHash signature pin — the full chain in SQL: width-5
     // window FNV, mix64 shingle hash, mix64 u, per-permutation
     // multiply-shift constants from their literal seeds (odd-forced A),

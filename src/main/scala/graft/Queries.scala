@@ -1863,6 +1863,24 @@ object Queries {
           "'quantity', l_quantity) AS (metric, value)")
       .orderBy("l_orderkey", "l_linenumber", "metric")
 
+  /** q46 — CORRELATED scalar subquery through the SQL entry point:
+    * orders priced above 1.5× their own customer's average — Catalyst
+    * must decorrelate (RewriteCorrelatedScalarSubquery → aggregate +
+    * join), a planner surface the DataFrame battery can't reach
+    * directly. DECIMAL average keeps the threshold exact on both
+    * engines. */
+  def q46CorrelatedSubquery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_q46")
+    s.sql("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders_q46 o
+      WHERE CAST(o_totalprice AS DECIMAL(18,2)) >
+        CAST(1.5 AS DECIMAL(4,1)) * (
+          SELECT AVG(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+          FROM orders_q46 o2 WHERE o2.o_custkey = o.o_custkey)
+      ORDER BY o_orderkey""")
+  }
+
   /** m92 — MinHash signature pin: the first 8 permutation values of
     * every doc's width-5 char-shingle MinHash, bit-for-bit — until now
     * the LSH internals were verified only BEHAVIORALLY (exact-Jaccard

@@ -82,6 +82,7 @@ object SparkEntry {
     "q43_scd2" -> Queries.q43Scd2,
     "q44_moving_window" -> Queries.q44MovingWindow,
     "q45_unpivot" -> Queries.q45Unpivot,
+    "q46_correlated_subquery" -> Queries.q46CorrelatedSubquery,
     // training-data operators (rows-only)
     "m01_minhash_pairs" -> Queries.m01MinhashPairs,
     "m02_simhash_pairs" -> Queries.m02SimhashPairs,
