@@ -2688,6 +2688,19 @@ object Oracle {
         FROM lineitem WHERE l_orderkey < 100)
       ORDER BY l_orderkey, l_linenumber, metric""",
 
+    // q47: recursive CTE — identical SQL text, key-doubling chains.
+    "q47_recursive_cte" -> """
+      WITH RECURSIVE chain(start_key, cur, depth) AS (
+        SELECT o_orderkey, o_orderkey, 0 FROM orders
+        WHERE o_orderkey <= 16
+        UNION ALL
+        SELECT c.start_key, o.o_orderkey, c.depth + 1
+        FROM chain c JOIN orders o ON o.o_orderkey = c.cur * 2
+        WHERE c.depth < 20)
+      SELECT start_key, CAST(max(depth) AS INT) AS chain_len,
+             max(cur) AS last_key
+      FROM chain GROUP BY start_key ORDER BY start_key""",
+
     // q46: correlated scalar subquery — same decorrelatable SQL shape,
     // DECIMAL average keeps the threshold exact.
     "q46_correlated_subquery" -> """

@@ -1881,6 +1881,26 @@ object Queries {
       ORDER BY o_orderkey""")
   }
 
+  /** q47 — RECURSIVE CTE through the SQL entry point (Spark 4.x
+    * `WITH RECURSIVE`): key-doubling reachability chains over orders —
+    * genuinely iterative, data-dependent depth, the one relational
+    * construct the rest of the battery reaches only via driver loops.
+    * Identical SQL text runs on both engines. */
+  def q47RecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_q47")
+    s.sql("""
+      WITH RECURSIVE chain(start_key, cur, depth) AS (
+        SELECT o_orderkey, o_orderkey, 0 FROM orders_q47
+        WHERE o_orderkey <= 16
+        UNION ALL
+        SELECT c.start_key, o.o_orderkey, c.depth + 1
+        FROM chain c JOIN orders_q47 o ON o.o_orderkey = c.cur * 2
+        WHERE c.depth < 20)
+      SELECT start_key, CAST(max(depth) AS INT) AS chain_len,
+             max(cur) AS last_key
+      FROM chain GROUP BY start_key ORDER BY start_key""")
+  }
+
   /** m92 — MinHash signature pin: the first 8 permutation values of
     * every doc's width-5 char-shingle MinHash, bit-for-bit — until now
     * the LSH internals were verified only BEHAVIORALLY (exact-Jaccard

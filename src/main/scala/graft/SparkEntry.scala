@@ -83,6 +83,7 @@ object SparkEntry {
     "q44_moving_window" -> Queries.q44MovingWindow,
     "q45_unpivot" -> Queries.q45Unpivot,
     "q46_correlated_subquery" -> Queries.q46CorrelatedSubquery,
+    "q47_recursive_cte" -> Queries.q47RecursiveCte,
     // training-data operators (rows-only)
     "m01_minhash_pairs" -> Queries.m01MinhashPairs,
     "m02_simhash_pairs" -> Queries.m02SimhashPairs,
