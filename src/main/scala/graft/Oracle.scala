@@ -2688,6 +2688,30 @@ object Oracle {
         FROM lineitem WHERE l_orderkey < 100)
       ORDER BY l_orderkey, l_linenumber, metric""",
 
+    // m93: novelty curve — string 13-gram sets (the m36 derivation),
+    // first owner = min(doc_id) per gram, windowed running total.
+    "m93_novelty_curve" -> """
+      WITH nrm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS nt
+                   FROM documents),
+      tk AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM nrm WHERE length(nt) > 0),
+      sh AS (SELECT doc_id,
+               list_distinct(list_transform(range(1, greatest(len(toks)-12,1)+1),
+                 i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i AS INT)+12), ' '))) AS s
+             FROM tk),
+      g AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+      own AS (SELECT gram, min(doc_id) AS owner FROM g GROUP BY gram),
+      fs AS (SELECT owner AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_first_seen
+             FROM own GROUP BY owner),
+      pd AS (SELECT d.doc_id,
+               CAST(coalesce(len(sh.s), 0) AS BIGINT) AS n_grams,
+               coalesce(fs.n_first_seen, 0) AS n_first_seen
+             FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
+             LEFT JOIN fs ON d.doc_id = fs.doc_id)
+      SELECT doc_id, n_grams, n_first_seen,
+        CAST(SUM(n_first_seen) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_novel
+      FROM pd ORDER BY doc_id""",
+
     // q47: recursive CTE — identical SQL text, key-doubling chains.
     "q47_recursive_cte" -> """
       WITH RECURSIVE chain(start_key, cur, depth) AS (

@@ -1881,6 +1881,36 @@ object Queries {
       ORDER BY o_orderkey""")
   }
 
+  /** m93 — corpus novelty curve: per doc (in doc_id arrival order),
+    * its distinct word-13-gram count, how many of those grams are
+    * FIRST-SEEN (this doc is the min-id owner), and the running total
+    * of novel grams — the diminishing-returns accounting that says
+    * when more crawl stops adding data. Gram rows shuffle as 64-bit
+    * hashes through one `min` agg (the m23 shape); the cumulative
+    * rides [[operators.Ranking.globalRunningAgg]]'s range-partitioned
+    * prefix, no unpartitioned window. The oracle re-derives string
+    * grams, first owners and the window form. */
+  def m93NoveltyCurve(s: SparkSession, dir: String): DataFrame = {
+    val gramsUdf = udf((t: String) => graft.core.TextSig.wordShingles(t, 13))
+    val docs = t(s, dir, "documents")
+    val grams = Dedup.spread(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode(gramsUdf(col("text"))).as("h"))
+    val firstSeen = grams.groupBy("h").agg(min(col("doc_id")).as("owner"))
+      .groupBy(col("owner").as("doc_id"))
+      .agg(count(lit(1)).as("n_first_seen"))
+    val perDoc = docs
+      .select(col("doc_id"), size(gramsUdf(col("text"))).cast("long").as("n_grams"))
+      .join(firstSeen, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_first_seen"), lit(0L)).as("n_first_seen"))
+    val out = operators.Ranking.globalRunningAgg(perDoc,
+        Seq(col("doc_id").asc), col("n_first_seen"), cumCol = "cum_novel")
+      .select(col("doc_id"), col("n_grams"), col("n_first_seen"),
+        col("cum_novel"))
+      .orderBy("doc_id")
+    out
+  }
+
   /** q47 — RECURSIVE CTE through the SQL entry point (Spark 4.x
     * `WITH RECURSIVE`): key-doubling reachability chains over orders —
     * genuinely iterative, data-dependent depth, the one relational
