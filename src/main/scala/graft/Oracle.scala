@@ -2688,6 +2688,18 @@ object Oracle {
         FROM lineitem WHERE l_orderkey < 100)
       ORDER BY l_orderkey, l_linenumber, metric""",
 
+    // q48: per-user event-type transitions via lag, counted globally.
+    "q48_transitions" -> """
+      SELECT prev_type, next_type, COUNT(*) AS n
+      FROM (SELECT user_id,
+              lag(event_type) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS prev_type,
+              event_type AS next_type
+            FROM events)
+      WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type
+      ORDER BY prev_type, next_type""",
+
     // m93: novelty curve — string 13-gram sets (the m36 derivation),
     // first owner = min(doc_id) per gram, windowed running total.
     "m93_novelty_curve" -> """

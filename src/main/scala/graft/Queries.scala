@@ -1881,6 +1881,21 @@ object Queries {
       ORDER BY o_orderkey""")
   }
 
+  /** q48 — event-type transition matrix: per user, consecutive
+    * (prev → next) event-type pairs in (ts, event_id) order, counted
+    * globally — the Markov-chain table under the funnel/session
+    * analytics (q14/q41). Per-user window partitions stay bounded;
+    * the oracle replays the lag form. */
+  def q48Transitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("prev_type", "next_type")
+  }
+
   /** m93 — corpus novelty curve: per doc (in doc_id arrival order),
     * its distinct word-13-gram count, how many of those grams are
     * FIRST-SEEN (this doc is the min-id owner), and the running total
