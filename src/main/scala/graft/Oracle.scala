@@ -2688,6 +2688,23 @@ object Oracle {
         FROM lineitem WHERE l_orderkey < 100)
       ORDER BY l_orderkey, l_linenumber, metric""",
 
+    // q49: burst users — hourly counts, peak by (count, hour) max,
+    // exact integer 8x-average test, formatted peak hour.
+    "q49_burst_users" -> """
+      WITH hourly AS (SELECT user_id, date_trunc('hour', ts) AS h,
+               COUNT(*) AS nh
+             FROM events GROUP BY user_id, date_trunc('hour', ts)),
+      pk AS (SELECT user_id, h, nh,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY nh DESC, h DESC) AS rk,
+               CAST(SUM(nh) OVER (PARTITION BY user_id) AS BIGINT) AS n_total,
+               CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_hours
+             FROM hourly)
+      SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS peak_hour,
+        CAST(nh AS BIGINT) AS n_peak, n_total, n_hours
+      FROM pk WHERE rk = 1 AND nh * n_hours * 2 >= n_total * 5
+      ORDER BY user_id""",
+
     // q48: per-user event-type transitions via lag, counted globally.
     "q48_transitions" -> """
       SELECT prev_type, next_type, COUNT(*) AS n

@@ -1881,6 +1881,24 @@ object Queries {
       ORDER BY o_orderkey""")
   }
 
+  /** q49 — burst-user detection, exact integer form: users whose peak
+    * hour holds ≥ 2.5× their own average hourly rate, tested as
+    * 2·n_peak·n_hours ≥ 5·n_total (no float rate ever materializes).
+    * Peak hour picked by max(struct(count, hour)) — deterministic ties
+    * toward the later hour; the oracle replays the window form. */
+  def q49BurstUsers(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("nh"))
+    hourly.groupBy("user_id")
+      .agg(max(struct(col("nh"), col("h"))).as("pk"),
+        sum(col("nh")).as("n_total"), count(lit(1)).as("n_hours"))
+      .filter(col("pk.nh") * col("n_hours") * 2 >= col("n_total") * 5)
+      .select(col("user_id"), fmtTs(col("pk.h")).as("peak_hour"),
+        col("pk.nh").as("n_peak"), col("n_total"), col("n_hours"))
+      .orderBy("user_id")
+  }
+
   /** q48 — event-type transition matrix: per user, consecutive
     * (prev → next) event-type pairs in (ts, event_id) order, counted
     * globally — the Markov-chain table under the funnel/session

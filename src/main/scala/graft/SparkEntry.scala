@@ -85,6 +85,7 @@ object SparkEntry {
     "q46_correlated_subquery" -> Queries.q46CorrelatedSubquery,
     "q47_recursive_cte" -> Queries.q47RecursiveCte,
     "q48_transitions" -> Queries.q48Transitions,
+    "q49_burst_users" -> Queries.q49BurstUsers,
     // training-data operators (rows-only)
     "m01_minhash_pairs" -> Queries.m01MinhashPairs,
     "m02_simhash_pairs" -> Queries.m02SimhashPairs,
