@@ -2688,6 +2688,19 @@ object Oracle {
         FROM lineitem WHERE l_orderkey < 100)
       ORDER BY l_orderkey, l_linenumber, metric""",
 
+    // q50: calendar densification — full minute series vs observed
+    // slots, missing counts per day.
+    "q50_missing_minutes" -> """
+      WITH b AS (SELECT date_trunc('minute', min(ts)) AS lo,
+               date_trunc('minute', max(ts)) AS hi FROM events),
+      slots AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS m
+                FROM b),
+      p AS (SELECT DISTINCT date_trunc('minute', ts) AS m FROM events)
+      SELECT strftime(m, '%Y-%m-%d') AS day, COUNT(*) AS n_missing_minutes
+      FROM slots WHERE m NOT IN (SELECT m FROM p)
+      GROUP BY strftime(m, '%Y-%m-%d')
+      ORDER BY day""",
+
     // q49: burst users — hourly counts, peak by (count, hour) max,
     // exact integer 8x-average test, formatted peak hour.
     "q49_burst_users" -> """

@@ -1881,6 +1881,25 @@ object Queries {
       ORDER BY o_orderkey""")
   }
 
+  /** q50 — calendar densification: per day, how many minute slots
+    * between the corpus's first and last event saw NO events — the
+    * series-gap filling pattern (generate the full calendar, anti-join
+    * the observed slots). `sequence()` with an interval step is the
+    * Spark form of the oracle's generate_series; both ends inclusive
+    * on both engines. */
+  def q50MissingMinutes(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val bounds = ev.agg(date_trunc("minute", min(col("ts"))).as("lo"),
+      date_trunc("minute", max(col("ts"))).as("hi"))
+    val slots = bounds.select(explode(
+      sequence(col("lo"), col("hi"), expr("interval 1 minute"))).as("m"))
+    val present = ev.select(date_trunc("minute", col("ts")).as("m")).distinct()
+    slots.join(present, Seq("m"), "left_anti")
+      .groupBy(date_format(col("m"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_missing_minutes"))
+      .orderBy("day")
+  }
+
   /** q49 — burst-user detection, exact integer form: users whose peak
     * hour holds ≥ 2.5× their own average hourly rate, tested as
     * 2·n_peak·n_hours ≥ 5·n_total (no float rate ever materializes).

@@ -86,6 +86,7 @@ object SparkEntry {
     "q47_recursive_cte" -> Queries.q47RecursiveCte,
     "q48_transitions" -> Queries.q48Transitions,
     "q49_burst_users" -> Queries.q49BurstUsers,
+    "q50_missing_minutes" -> Queries.q50MissingMinutes,
     // training-data operators (rows-only)
     "m01_minhash_pairs" -> Queries.m01MinhashPairs,
     "m02_simhash_pairs" -> Queries.m02SimhashPairs,
