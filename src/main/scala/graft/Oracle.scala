@@ -2730,6 +2730,31 @@ object Oracle {
       GROUP BY prev_type, next_type
       ORDER BY prev_type, next_type""",
 
+    // m94: label centroids — scaled-int per-dim sums, the mean dag,
+    // and the dimension-ordered cosine replayed.
+    "m94_label_centroids" -> """
+      WITH x AS (SELECT label, CAST(i AS INT) - 1 AS i,
+               CAST(floor(v[CAST(i AS INT)] * 16777216 + 0.5) AS BIGINT) AS xs
+             FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v,
+                     unnest(range(1, len(embedding)+1)) AS i
+                   FROM embeddings)),
+      st AS (SELECT label, i, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(xs) AS BIGINT) AS sx FROM x GROUP BY label, i),
+      c AS (SELECT label, i,
+              (CAST(sx AS DOUBLE) / n) / 16777216.0 AS cd FROM st),
+      cl AS (SELECT label, list(cd ORDER BY i) AS cv FROM c GROUP BY label)
+      SELECT a.label AS label_a, b.label AS label_b,
+        round(
+          list_sum(list_transform(range(len(a.cv)),
+            i -> a.cv[CAST(i AS INT)+1] * b.cv[CAST(i AS INT)+1]))
+          / (sqrt(list_sum(list_transform(range(len(a.cv)),
+               i -> a.cv[CAST(i AS INT)+1] * a.cv[CAST(i AS INT)+1])))
+             * sqrt(list_sum(list_transform(range(len(b.cv)),
+                 i -> b.cv[CAST(i AS INT)+1] * b.cv[CAST(i AS INT)+1])))),
+          6) AS cosine
+      FROM cl a JOIN cl b ON a.label < b.label
+      ORDER BY label_a, label_b""",
+
     // m93: novelty curve — string 13-gram sets (the m36 derivation),
     // first owner = min(doc_id) per gram, windowed running total.
     "m93_novelty_curve" -> """

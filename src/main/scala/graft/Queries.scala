@@ -1933,6 +1933,47 @@ object Queries {
       .orderBy("prev_type", "next_type")
   }
 
+  /** m94 — label-centroid similarity matrix: pairwise cosine between
+    * per-label embedding centroids — the distribution-drift table
+    * (are two sources/clusters converging?). Centroids come from
+    * EXACT scaled-integer per-dim sums (the m75 pin: x = floor(v·2²⁴
+    * + 0.5), BIGINT Σ), so the whole matrix is a literal double dag
+    * over exact state; the oracle replays sums, the mean dag and the
+    * dimension-ordered cosine. */
+  def m94LabelCentroids(s: SparkSession, dir: String): DataFrame = {
+    val sc = 16777216.0
+    val xsUdf = udf((v: Array[Float]) =>
+      v.map(x => math.floor(x.toDouble * sc + 0.5).toLong))
+    val stats = t(s, dir, "embeddings")
+      .select(col("label"), posexplode(xsUdf(col("embedding"))).as(Seq("i", "xs")))
+      .groupBy("label", "i")
+      .agg(count(lit(1)).as("n"), sum(col("xs")).as("sx"))
+      .collect()
+    val dims = stats.map(_.getInt(1)).max + 1
+    val cents = stats.groupBy(_.getInt(0)).map { case (lbl, rows) =>
+      val c = new Array[Double](dims)
+      rows.foreach { r =>
+        c(r.getInt(1)) = (r.getLong(3).toDouble / r.getLong(2).toDouble) / sc
+      }
+      lbl -> c
+    }
+    val labels = cents.keys.toSeq.sorted
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s0 = 0.0; var i = 0
+      while (i < a.length) { s0 += a(i) * b(i); i += 1 }
+      s0
+    }
+    val sess = s
+    import sess.implicits._
+    (for { ai <- labels.indices; bi <- ai + 1 until labels.length } yield {
+      val (la, lb) = (labels(ai), labels(bi))
+      val (ca, cb) = (cents(la), cents(lb))
+      (la, lb, dot(ca, cb) / (math.sqrt(dot(ca, ca)) * math.sqrt(dot(cb, cb))))
+    }).toDF("label_a", "label_b", "c")
+      .withColumn("cosine", round(col("c"), 6)).drop("c")
+      .orderBy("label_a", "label_b")
+  }
+
   /** m93 — corpus novelty curve: per doc (in doc_id arrival order),
     * its distinct word-13-gram count, how many of those grams are
     * FIRST-SEEN (this doc is the min-id owner), and the running total

@@ -185,6 +185,7 @@ object SparkEntry {
     "m91_ann_rbo" -> Queries.m91AnnRbo,
     "m92_minhash_sigs" -> Queries.m92MinhashSigs,
     "m93_novelty_curve" -> Queries.m93NoveltyCurve,
+    "m94_label_centroids" -> Queries.m94LabelCentroids,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on
