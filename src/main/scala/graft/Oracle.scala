@@ -2730,6 +2730,32 @@ object Oracle {
       GROUP BY prev_type, next_type
       ORDER BY prev_type, next_type""",
 
+    // m95: within-label scatter — the m94 centroid dag, per-vector
+    // dimension-ordered d² rounded to 9 then DECIMAL-summed, double
+    // mean.
+    "m95_label_scatter" -> """
+      WITH x AS (SELECT label, CAST(i AS INT) - 1 AS i,
+               CAST(floor(v[CAST(i AS INT)] * 16777216 + 0.5) AS BIGINT) AS xs
+             FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v,
+                     unnest(range(1, len(embedding)+1)) AS i
+                   FROM embeddings)),
+      st AS (SELECT label, i, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(xs) AS BIGINT) AS sx FROM x GROUP BY label, i),
+      c AS (SELECT label, i,
+              (CAST(sx AS DOUBLE) / n) / 16777216.0 AS cd FROM st),
+      cl AS (SELECT label, list(cd ORDER BY i) AS cv FROM c GROUP BY label),
+      d2 AS (SELECT e.vec_id, e.label,
+               CAST(round(list_sum(list_transform(range(len(ev)),
+                 i -> (ev[CAST(i AS INT)+1] - cl.cv[CAST(i AS INT)+1])
+                    * (ev[CAST(i AS INT)+1] - cl.cv[CAST(i AS INT)+1]))), 9)
+                 AS DECIMAL(18,9)) AS d
+             FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev
+                   FROM embeddings) e JOIN cl ON e.label = cl.label)
+      SELECT label, COUNT(*) AS n,
+        round(CAST(SUM(d) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+          AS mean_sq_dist
+      FROM d2 GROUP BY label ORDER BY label""",
+
     // m94: label centroids — scaled-int per-dim sums, the mean dag,
     // and the dimension-ordered cosine replayed.
     "m94_label_centroids" -> """

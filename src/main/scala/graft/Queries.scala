@@ -1933,6 +1933,51 @@ object Queries {
       .orderBy("prev_type", "next_type")
   }
 
+  /** m95 — within-label scatter: per label, the mean squared distance
+    * of its vectors to their own EXACT centroid (the m94 scaled-int
+    * derivation) — the cluster-cohesion half of the drift table (low
+    * scatter + high cross-centroid cosine ⇒ labels collapsing).
+    * Per-vector d² runs in dimension order and is rounded to 9 then
+    * DECIMAL-summed (the BM25 trick), so the label means are
+    * aggregation-order-free; the oracle replays the centroid dag and
+    * the same rounded sum. */
+  def m95LabelScatter(s: SparkSession, dir: String): DataFrame = {
+    val sc = 16777216.0
+    val xsUdf = udf((v: Array[Float]) =>
+      v.map(x => math.floor(x.toDouble * sc + 0.5).toLong))
+    val emb = t(s, dir, "embeddings")
+    val stats = emb
+      .select(col("label"), posexplode(xsUdf(col("embedding"))).as(Seq("i", "xs")))
+      .groupBy("label", "i")
+      .agg(count(lit(1)).as("n"), sum(col("xs")).as("sx"))
+      .collect()
+    val dims = stats.map(_.getInt(1)).max + 1
+    val cents = stats.groupBy(_.getInt(0)).map { case (lbl, rows) =>
+      val c = new Array[Double](dims)
+      rows.foreach { r =>
+        c(r.getInt(1)) = (r.getLong(3).toDouble / r.getLong(2).toDouble) / sc
+      }
+      lbl -> c
+    }
+    val bc = s.sparkContext.broadcast(cents)
+    val d2Udf = udf { (lbl: Int, v: Array[Float]) =>
+      val c = bc.value(lbl)
+      var s0 = 0.0; var i = 0
+      while (i < v.length) {
+        val d = v(i).toDouble - c(i); s0 += d * d; i += 1
+      }
+      s0
+    }
+    emb.select(col("label"),
+        round(d2Udf(col("label"), col("embedding")), 9)
+          .cast(DecimalType(18, 9)).as("d2"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("d2")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("mean_sq_dist"))
+      .orderBy("label")
+  }
+
   /** m94 — label-centroid similarity matrix: pairwise cosine between
     * per-label embedding centroids — the distribution-drift table
     * (are two sources/clusters converging?). Centroids come from
