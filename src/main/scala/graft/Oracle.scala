@@ -2191,6 +2191,11 @@ object Oracle {
     // centers then GROWN by ivfAppend — content-identical to m15's
     // one-shot build, so append shares the rebuild's expected ranking.
     "m21_ivf_append" -> IvfTopKSql,
+    // m96 probes an index REBUILT by ivfRebuildIfSkewed (forced retrain
+    // from the index's own stored content) — retrained centers come off
+    // the same bounded deterministic sample, so the rebuilt index is
+    // content-identical to m15's one-shot build and shares its oracle.
+    "m96_ivf_rebuild" -> IvfTopKSql,
 
     "m10_curation_report" -> CurationReportSql,
     // m20 runs the DURABLE-WRITE curation variant (curateToTable: corpus
@@ -2702,7 +2707,8 @@ object Oracle {
       ORDER BY day""",
 
     // q49: burst users — hourly counts, peak by (count, hour) max,
-    // exact integer 8x-average test, formatted peak hour.
+    // exact integer 2.5x-average test (nh·n_hours·2 ≥ n_total·5,
+    // matching the Queries scaladoc), formatted peak hour.
     "q49_burst_users" -> """
       WITH hourly AS (SELECT user_id, date_trunc('hour', ts) AS h,
                COUNT(*) AS nh

@@ -535,7 +535,7 @@ object Queries {
       .groupBy(col("l_suppkey"))
       .agg(sum((col("l_extendedprice") * col("l_quantity"))
         .cast(DecimalType(28, 6))).as("value"))
-      .localCheckpoint(true)
+      .transform(graft.core.Blocks.pin)
     val total = agg.agg(sum(col("value")).as("total"))
     agg.crossJoin(broadcast(total))
       .filter(col("value") > col("total") * 0.001)
@@ -564,12 +564,12 @@ object Queries {
     val ev = t(s, dir, "events")
     val s1 = ev.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min(col("ts")).as("t1"))
-      .localCheckpoint(true)
+      .transform(graft.core.Blocks.pin)
     val s2 = ev.filter(col("event_type") === "click")
       .join(broadcast(s1), "user_id")
       .filter(col("ts") > col("t1"))
       .groupBy("user_id").agg(min(col("ts")).as("t2"))
-      .localCheckpoint(true)
+      .transform(graft.core.Blocks.pin)
     val s3 = ev.filter(col("event_type") === "purchase")
       .join(broadcast(s2), "user_id")
       .filter(col("ts") > col("t2"))
@@ -778,6 +778,34 @@ object Queries {
       Similarity.ivfWriteIndex(emb.filter(col("vec_id") % 3 =!= 0), d,
         nlist = 16, centersOpt = Some(centers))
       Similarity.ivfAppend(emb.filter(col("vec_id") % 3 === 0), d)
+      d
+    })
+    Similarity.ivfTopKFromIndex(s, idx, emb.filter(col("vec_id") < 16),
+        k = 5, nprobe = 8)
+      .orderBy("query_id", "rank")
+  }
+
+  /** m96 — occupancy-triggered IVF rebuild
+    * ([[Similarity.ivfRebuildIfSkewed]]): the operator that ACTS on
+    * m88's cell-occupancy report. The gate forces the retrain
+    * (maxShareBp = 0 — any occupancy reads as skew), so the index is
+    * torn down and rebuilt FROM ITS OWN STORED CONTENT: retrained
+    * centers come off the same xxhash64-bounded sample as the fresh
+    * build (bit-identical input ⇒ bit-identical seeded k-means ⇒
+    * bit-identical assignment), so the rebuilt index must be
+    * indistinguishable from m15's one-shot build at probe time and the
+    * IVF entries share one oracle — a rebuild that moved a vector to
+    * the wrong cell, dropped a row in the swap, or drifted a centroid
+    * lands as a hash mismatch here. */
+  def m96IvfRebuild(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val idx = ivfIndexDirs.getOrElseUpdate(dir + "#rebuild", {
+      val full = new java.io.File(dir).getAbsolutePath
+      val d = s"target/ivf-index/${new java.io.File(dir).getName}-" +
+        f"${graft.core.TextSig.mix64(full.hashCode.toLong) & 0xffffffffL}%08x-rb"
+      Similarity.ivfWriteIndex(emb, d, nlist = 16)
+      val rebuilt = Similarity.ivfRebuildIfSkewed(s, d, maxShareBp = 0)
+      require(rebuilt, "m96: forced rebuild (maxShareBp = 0) did not run")
       d
     })
     Similarity.ivfTopKFromIndex(s, idx, emb.filter(col("vec_id") < 16),
@@ -2055,7 +2083,23 @@ object Queries {
     * construct the rest of the battery reaches only via driver loops.
     * Identical SQL text runs on both engines. */
   def q47RecursiveCte(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "orders").createOrReplaceTempView("orders_q47")
+    // Pin the slim join relation ONCE, in one partition: WITH RECURSIVE
+    // re-executes the step's plan every iteration, so an un-pinned view
+    // re-scans the orders parquet ~20× — the pin makes each round read
+    // one in-memory Long column (~1 MB at gate SF; Bench/Verify release
+    // it per-query via Blocks.releaseAll). Measured attribution of the
+    // residual cost (r12, sf0.1 idle): the scan was NOT the bottleneck —
+    // UnionLoop pays ~75-90 ms of re-plan + job-schedule overhead PER
+    // ITERATION, invariant to partitioning (32→1 partitions), join
+    // strategy (a BROADCAST(c) hint made it slower — a fresh ~1 MB
+    // broadcast per round), or source (parquet vs LogicalRDD), so ~20
+    // data-dependent rounds floor at ~2.2 s. That is the honest price of
+    // the construct on Spark 4.1; the engine-side iterative operators
+    // (connectedComponents / pageRank / labelPropagation) remain the
+    // scale forms for real iteration.
+    t(s, dir, "orders").select(col("o_orderkey")).coalesce(1)
+      .transform(graft.core.Blocks.pin)
+      .createOrReplaceTempView("orders_q47")
     s.sql("""
       WITH RECURSIVE chain(start_key, cur, depth) AS (
         SELECT o_orderkey, o_orderkey, 0 FROM orders_q47

@@ -187,6 +187,7 @@ object SparkEntry {
     "m93_novelty_curve" -> Queries.m93NoveltyCurve,
     "m94_label_centroids" -> Queries.m94LabelCentroids,
     "m95_label_scatter" -> Queries.m95LabelScatter,
+    "m96_ivf_rebuild" -> Queries.m96IvfRebuild,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on

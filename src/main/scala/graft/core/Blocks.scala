@@ -19,6 +19,50 @@ import org.apache.spark.sql.execution.LogicalRDD
  */
 object Blocks {
 
+  /** Materialization pin — every operator that used to call
+    * `localCheckpoint(true)` directly routes through here.
+    *
+    * Default (`graft.checkpoint.reliable` unset/false):
+    * `localCheckpoint(true)` — eager, block-manager-resident, the right
+    * cost model on local[N] and on clusters that accept the documented
+    * tradeoff (a truncated lineage is UNRECOVERABLE if an executor
+    * holding its blocks dies; see the r11 verdict).
+    *
+    * Reliable mode (`spark.conf.set("graft.checkpoint.reliable","true")`):
+    * `Dataset.checkpoint(eager = true)` — the RDD is written to the
+    * SparkContext checkpoint dir (DFS on a real cluster), so executor
+    * loss costs a re-read, not the job. The checkpoint dir comes from
+    * `sc.setCheckpointDir`, or is taken from `graft.checkpoint.dir` /
+    * `spark.checkpoint.dir` on first use. Checkpoint FILES outlive the
+    * frame (cleaned at context stop, or incrementally with
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`);
+    * [[release]]/[[releaseAll]] stay correct in both modes (for a
+    * reliable checkpoint the data lives in the files, so unpersisting
+    * the RDD's blocks is a cheap no-op and the frame REMAINS readable —
+    * the stricter local-mode contract "released ⇒ unreadable" is the one
+    * callers are written against).
+    *
+    * Both shapes return an eager `LogicalRDD`-rooted frame, so every
+    * downstream assumption (plan cut, one-time evaluation, release by
+    * handle) is mode-independent. */
+  def pin[T](ds: Dataset[T]): Dataset[T] = {
+    val spark = ds.sparkSession
+    val reliable = spark.conf.getOption("graft.checkpoint.reliable")
+      .exists(_.equalsIgnoreCase("true"))
+    if (!reliable) ds.localCheckpoint(eager = true)
+    else {
+      val sc = spark.sparkContext
+      if (sc.getCheckpointDir.isEmpty)
+        spark.conf.getOption("graft.checkpoint.dir")
+          .orElse(spark.conf.getOption("spark.checkpoint.dir"))
+          .foreach(sc.setCheckpointDir)
+      require(sc.getCheckpointDir.nonEmpty,
+        "graft.checkpoint.reliable=true requires a checkpoint dir: call " +
+          "sc.setCheckpointDir(...) or set graft.checkpoint.dir")
+      ds.checkpoint(eager = true)
+    }
+  }
+
   /** Release the block-manager storage behind `df`.
     *
     * If `df` IS a checkpoint result (its analyzed plan is the

@@ -127,7 +127,7 @@ object Dedup {
     * lifetime — in a long bench/ETL session the caches accrete and the
     * memory pressure taxes unrelated queries. */
   private def materialized(result: DataFrame, caches: DataFrame*): DataFrame = {
-    val out = result.localCheckpoint(true)
+    val out = result.transform(graft.core.Blocks.pin)
     // Blocks.release, not Dataset.unpersist: some caches are themselves
     // localCheckpoint'd frames (candidate id/text frames), on which
     // Dataset.unpersist is a silent no-op (see `core.Blocks`).
@@ -279,11 +279,11 @@ object Dedup {
     //  - over it: broadcast only ids into two independent stream-side
     //    joins and shuffle the candidate texts into the final pair-up —
     //    slower by one candidate-sized exchange, driver-safe at any size.
-    val idFrame = cand.select(col("doc_id_a"), col("doc_id_b")).localCheckpoint(true)
+    val idFrame = cand.select(col("doc_id_a"), col("doc_id_b")).transform(graft.core.Blocks.pin)
     val ids = broadcast(idFrame)
     val withA = docs.select(col("doc_id").as("doc_id_a"), col("text").as("ta"))
       .join(ids, "doc_id_a")
-      .localCheckpoint(true)
+      .transform(graft.core.Blocks.pin)
     val maxBytes = docs.sparkSession.conf
       .get("graft.dedup.textBroadcastMaxBytes", (256L << 20).toString).toLong
     val taBytes = withA.agg(sum(octet_length(col("ta")).cast("long"))).head() match {
@@ -659,7 +659,7 @@ object Dedup {
           .join(indexVisible.select(col("doc_id").as("store_id"),
             col("band"), col("bucket")), Seq("band", "bucket"))
           .select(col("doc_id"), col("store_id")).distinct()
-          .localCheckpoint(true)
+          .transform(graft.core.Blocks.pin)
         candCk = Some(cand)
         val idpSet = cand
           .select(pmod(xxhash64(col("store_id")), lit(p.toLong))
@@ -686,7 +686,7 @@ object Dedup {
     // and match batch docs against their own just-appended signatures,
     // dropping every survivor. (Small frame — ids only.)
     val dupIds = batchDups.unionByName(storeDups).distinct()
-      .localCheckpoint(true)
+      .transform(graft.core.Blocks.pin)
     // cand fed dupIds (now materialized) and the idp collect — dead here
     candCk.foreach(graft.core.Blocks.release)
     // append survivors (skipped when the marker proves the prior attempt
@@ -753,7 +753,7 @@ object Dedup {
     // this one exchange instead of re-shuffling the edge list per round
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-      .distinct().repartition(col("v")).localCheckpoint(true)
+      .distinct().repartition(col("v")).transform(graft.core.Blocks.pin)
     // DRIVER fast path: a near-dup pair graph is usually VANISHINGLY
     // small next to its corpus (pairs, not rows), and the iterative
     // path's per-round shuffles are pure scheduler overhead on a graph
@@ -815,7 +815,7 @@ object Dedup {
     // round materializes, and must be released by handle — on long
     // chains the loop would otherwise pin O(rounds) label copies.
     var labelsCk = edges.select(col("u").as("id")).distinct()
-      .withColumn("component", col("id")).localCheckpoint(true)
+      .withColumn("component", col("id")).transform(graft.core.Blocks.pin)
     var labels = labelsCk
     var converged = false
     var iter = 0
@@ -839,7 +839,7 @@ object Dedup {
       val stepped = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("component").as("prev"),
           least(col("component"), coalesce(col("nbr"), col("component"))).as("component"))
-        .localCheckpoint(true)
+        .transform(graft.core.Blocks.pin)
       // Pointer doubling: component := label(component). label(c) ≤ c by
       // construction, so this only descends; chains halve every round.
       // Gated to round 4+: the common near-dup case (dense clusters,
@@ -857,7 +857,7 @@ object Dedup {
             coalesce(col("jump"), col("component")).as("component"), col("prev"))
       val next = jumped
         .withColumn("__chg", changeSignal(col("component") < col("prev")))
-        .localCheckpoint(true)
+        .transform(graft.core.Blocks.pin)
       converged = changed.value == 0L
       // prior round's label blocks and this round's step intermediate
       // are both consumed into `next` — release them by handle
@@ -1033,7 +1033,7 @@ object Dedup {
     // corpus-sized in block storage). Eager checkpoint → its count is
     // free, and the assignment cache + CC label blocks die here.
     val drop = comp.filter(col("id") =!= col("component"))
-      .select(col("id").as("vec_id")).localCheckpoint(true)
+      .select(col("id").as("vec_id")).transform(graft.core.Blocks.pin)
     graft.core.Blocks.releaseAll(comp)
     graft.core.Blocks.release(assigned)
     val maxBroadcast =

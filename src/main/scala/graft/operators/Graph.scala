@@ -48,7 +48,7 @@ object Graph {
     require(ckptEvery >= 1, s"pageRank: ckptEvery=$ckptEvery")
     require(scale >= 1000000L, s"pageRank: scale=$scale too coarse")
     val vtx = vertices.select(col(idCol).cast("long").as("id"))
-      .localCheckpoint(true)
+      .transform(graft.core.Blocks.pin)
     val n = vtx.count()
     require(n > 0, "pageRank: empty vertex set")
     // out-degree rides the edge frame; one checkpoint, reused every round
@@ -57,7 +57,7 @@ object Graph {
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .join(deg, "src")
-      .localCheckpoint(true)
+      .transform(graft.core.Blocks.pin)
     val base = scale * 15 / (100 * n)
     var ranks = vtx.select(col("id"), lit(scale / n).as("rank"))
     var lastCut: Option[DataFrame] = None
@@ -75,7 +75,7 @@ object Graph {
       // lineage cut on long loops only — the chain is linear, so the
       // lazy form costs nothing extra per round
       if (i % ckptEvery == 0 && i < iters) {
-        val cut = ranks.localCheckpoint(true)
+        val cut = ranks.transform(graft.core.Blocks.pin)
         lastCut.foreach(graft.core.Blocks.release)
         lastCut = Some(cut)
         ranks = cut
@@ -84,7 +84,7 @@ object Graph {
     // materialize the final ranks so the mid-loop cut and vtx/e (which a
     // caller's releaseAll could no longer reach through the cut) can be
     // released before returning
-    val out = ranks.localCheckpoint(true)
+    val out = ranks.transform(graft.core.Blocks.pin)
     lastCut.foreach(graft.core.Blocks.release)
     graft.core.Blocks.release(vtx)
     graft.core.Blocks.release(e)
@@ -118,10 +118,10 @@ object Graph {
     require(iters >= 1 && iters <= 50, s"labelPropagation: iters=$iters out of [1,50]")
     require(ckptEvery >= 1, s"labelPropagation: ckptEvery=$ckptEvery")
     val vtx = vertices.select(col(idCol).cast("long").as("id"))
-      .localCheckpoint(true)
+      .transform(graft.core.Blocks.pin)
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .localCheckpoint(true)
+      .transform(graft.core.Blocks.pin)
     var labels = vtx.select(col("id"), col("id").as("label"))
     var lastCut: Option[DataFrame] = None
     var i = 0
@@ -138,13 +138,13 @@ object Graph {
         .select(col("id"), coalesce(col("new_label"), col("id")).as("label"))
       i += 1
       if (i % ckptEvery == 0 && i < iters) {
-        val cut = labels.localCheckpoint(true)
+        val cut = labels.transform(graft.core.Blocks.pin)
         lastCut.foreach(graft.core.Blocks.release)
         lastCut = Some(cut)
         labels = cut
       }
     }
-    val out = labels.localCheckpoint(true)
+    val out = labels.transform(graft.core.Blocks.pin)
     lastCut.foreach(graft.core.Blocks.release)
     graft.core.Blocks.release(vtx)
     graft.core.Blocks.release(e)
@@ -189,7 +189,7 @@ object Graph {
             struct(col("b").as("src"), col("a").as("dst"),
               struct(col("da").as("dk"), col("a").as("vk")).as("dkey"))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.dkey").as("dkey"))
-      .localCheckpoint(true)
+      .transform(graft.core.Blocks.pin)
     val tri = oriented.as("e1")
       .join(oriented.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.dkey") < col("e2.dkey"))
@@ -197,7 +197,7 @@ object Graph {
       .join(oriented.select(col("src").as("y"), col("dst").as("z")), Seq("y", "z"))
     val out = tri.select(explode(array(col("x"), col("y"), col("z"))).as("vertex"))
       .groupBy("vertex").agg(count(lit(1)).as("n_triangles"))
-      .localCheckpoint(true)
+      .transform(graft.core.Blocks.pin)
     graft.core.Blocks.release(oriented)
     out
   }

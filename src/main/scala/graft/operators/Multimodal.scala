@@ -97,12 +97,21 @@ object Multimodal {
 
   /** Frame sampling: one row per kept frame — the video→frames explode.
     * At scale this is the one multimodal op that multiplies rows; the
-    * generator shape keeps it pipelined (no shuffle until an agg). */
+    * generator shape keeps it pipelined (no shuffle until an agg).
+    *
+    * `explode_outer` + isNotNull, NOT `explode(udf)`: plain explode wraps
+    * the generator in an implicit `size(udf) > 0` filter, so the AVI walk
+    * + per-frame ImageIO decode — the heaviest kernel in the codebase —
+    * runs up to 3× per video (the repo's documented heavy-kernel
+    * pitfall). The outer generator evaluates the UDF exactly once; the
+    * post-Generate filter drops the null row a non-video/undecodable
+    * input would produce and cannot be pushed below the Generate. */
   def sampledFrames(media: DataFrame, every: Int = 2): DataFrame =
     withMeta(media)
       .filter(col("meta.kind") === Media.KindVideo)
       .select(col("media_id"),
-        explode(framesUdf(col("bytes"), lit(every))).as("fr"))
+        explode_outer(framesUdf(col("bytes"), lit(every))).as("fr"))
+      .filter(col("fr").isNotNull)
       .select(col("media_id"), col("fr._1").as("frame_idx"),
         col("fr._2").as("frame"))
 

@@ -104,7 +104,7 @@ object Ranking {
     // copy leaks for the session on exactly the failure paths where
     // memory is already tight.
     val (ranked, _, release) = rankedPinned(df, order, rankCol)
-    try ranked.localCheckpoint(true)
+    try ranked.transform(graft.core.Blocks.pin)
     finally release()
   }
 
@@ -157,7 +157,7 @@ object Ranking {
         .withColumn(rankCol, col(cntOffC) + col(localC) + 1)
         .withColumn(cumCol, col(sumOffC) + sum(col(vC)).over(w))
         .drop(pidC, localC, vC, cntOffC, sumOffC)
-        .localCheckpoint(true)
+        .transform(graft.core.Blocks.pin)
     } finally sorted.unpersist()
   }
 
@@ -205,7 +205,7 @@ object Ranking {
       .select(col("p"), col("v"))
     // the checkpoint materializes the |probs|-row result (releasing the
     // pin would otherwise invalidate the lazy frame)
-    try out.localCheckpoint(true)
+    try out.transform(graft.core.Blocks.pin)
     finally release()
   }
 

@@ -165,8 +165,11 @@ object Similarity {
     * values pin to scaled integers x_s = floor(v·2²⁴ + 0.5) (the m61
     * floor(v+0.5) semantic), per-dim (n, Σx_s, Σx_s²) aggregate as
     * integers/DECIMAL (map-side combine bounds the shuffle at dims
-    * rows per partition; Σx_s² rides DECIMAL(38,0), overflow-free to
-    * ~2^75 rows), and μ/σ come out of ONE literal double dag from that
+    * rows per partition; Σx_s AND Σx_s² both ride DECIMAL(38,0) —
+    * Spark's sum(long) wraps silently, and a plain-BIGINT Σx_s would
+    * overflow around 2^38 rows at |v|≈1 under the 2^24 scale; the
+    * decimal forms are overflow-free to ~2^75 rows), and μ/σ come out
+    * of ONE literal double dag from that
     * exact state — the oracle replays the same dag from HUGEINT sums.
     * Apply is a narrow broadcast kernel; σ = 0 dims standardize to 0. */
   def standardize(corpus: DataFrame,
@@ -178,17 +181,20 @@ object Similarity {
       .select(posexplode(xsUdf(col(vecCol))).as(Seq("i", "xs")))
       .groupBy("i").agg(
         count(lit(1)).as("n"),
-        sum(col("xs")).as("sx"),
+        sum(col("xs").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("sx"),
         sum(col("xs").cast(org.apache.spark.sql.types.DecimalType(38, 0))
           * col("xs")).as("sxx"))
       .collect()
+    require(stats.nonEmpty,
+      s"standardize: corpus has no rows in '$vecCol' — nothing to fit")
     val dims = stats.map(_.getInt(0)).max + 1
     val mu = new Array[Double](dims)
     val sigma = new Array[Double](dims)
     stats.foreach { r =>
       val i = r.getInt(0)
       val n = r.getLong(1).toDouble
-      val sx = r.getLong(2).toDouble
+      val sx = r.getDecimal(2).doubleValue()
       val sxx = r.getDecimal(3).doubleValue()
       val m = (sx / n) / sc
       mu(i) = m
@@ -784,6 +790,139 @@ object Similarity {
       .foreach(d => fs.delete(d.getPath, true))
   }
 
+  /**
+   * Occupancy-triggered retrain + re-layout — the operator that ACTS on
+   * the cell-occupancy health report (the m88 curve): a cell holding far
+   * more than its 1/nlist share is probe-cost skew at scale (every query
+   * probing the hot cell scans it in full), and the fix is retraining
+   * the centroids on the CURRENT corpus and rebuilding the layout.
+   * Returns false (and touches nothing) while the max cell share is
+   * ≤ `maxShareBp` basis points of the corpus; otherwise rebuilds and
+   * returns true.
+   *
+   * Scale shape: the skew probe aggregates the stored `cell` PARTITION
+   * column (a count per directory — vector payloads are never read);
+   * retraining samples the same bounded xxhash64-ordered sample as
+   * [[ivfCenters]] (bit-identical input ⇒ bit-identical seeded k-means,
+   * so a rebuild is indistinguishable from a fresh [[ivfWriteIndex]]
+   * over the same content); the re-layout is one assignment pass +
+   * partitioned write — the original build's cost, paid only when the
+   * report says the probes are paying more.
+   *
+   * Staged-commit protocol (single-writer, BLIND-RETRYABLE — the
+   * [[ivfAppend]] contract, adapted to whole-index replacement): the new
+   * index is FULLY built (corpus + centers sidecar + its own `.ok`)
+   * under `<dir>.rebuild-stage*` while readers keep using the live
+   * index; a `<dir>.rebuild-pending` sidecar then marks the swap window
+   * (live `.ok` dropped → centers swapped → corpus swapped → stage `.ok`
+   * retired → live `.ok` restored → pending cleared). A crash leaves
+   * either the old index fully intact (pre-pending) or a COMPLETE staged
+   * copy whose swap [[recoverPendingRebuild]] finishes — it runs on
+   * entry, so the retry story is simply: call this again (with any
+   * threshold — a recovered swap counts as done, so the retry's skew
+   * probe sees the rebuilt index).
+   *
+   * `graft.ann.testCrashRebuildAfter` (Int conf): fault injection for
+   * the crash-window spec — throws after that many swap steps (0 =
+   * immediately after the pending sidecar is written).
+   */
+  def ivfRebuildIfSkewed(spark: org.apache.spark.sql.SparkSession,
+      dir: String, maxShareBp: Int = 2000): Boolean = {
+    require(maxShareBp >= 0 && maxShareBp <= 10000,
+      s"ivfRebuildIfSkewed: maxShareBp=$maxShareBp must be in [0, 10000]")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+    recoverPendingRebuild(fs, dir) // finish a torn prior swap first
+    val centersOld = ivfReadCenters(spark, dir) // refuses a torn BUILD
+    val idx = spark.read.parquet(dir)
+    val occ = idx.groupBy("cell").agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1))
+    val total = occ.sum
+    if (occ.isEmpty || total == 0L) return false
+    if (occ.max * 10000L <= total * maxShareBp) return false // balanced
+    val corpus = idx.select(col("corpus_id"), col("cv"))
+    val centers = ivfCenters(corpus, centersOld.length,
+      vecCol = "cv", idCol = "corpus_id")
+    val stageDir = dir + ".rebuild-stage"
+    // full build into the stage (its own commit protocol): the live
+    // index serves reads for the whole duration
+    ivfWriteIndex(corpus, stageDir, centersOld.length,
+      idCol = "corpus_id", vecCol = "cv", centersOpt = Some(centers))
+    // ---- swap (the only window where readers are refused) ----
+    val pending = new org.apache.hadoop.fs.Path(dir + ".rebuild-pending")
+    val crashAfter = spark.conf
+      .get("graft.ann.testCrashRebuildAfter", "-1").toInt
+    var step = 0
+    def mark(): Unit = {
+      if (crashAfter >= 0 && step >= crashAfter)
+        throw new RuntimeException(
+          s"injected crash after $step rebuild swap steps")
+      step += 1
+    }
+    def mv(src: String, dst: String): Unit = {
+      val s0 = new org.apache.hadoop.fs.Path(src)
+      val d0 = new org.apache.hadoop.fs.Path(dst)
+      if (!fs.rename(s0, d0))
+        throw new java.io.IOException(s"rename $s0 -> $d0 failed")
+    }
+    fs.create(pending, true).close()
+    mark(); fs.delete(new org.apache.hadoop.fs.Path(dir + ".ok"), false)
+    mark(); fs.delete(new org.apache.hadoop.fs.Path(dir + ".centers"), true)
+    mv(stageDir + ".centers", dir + ".centers")
+    mark(); fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    mv(stageDir, dir)
+    mark(); fs.delete(new org.apache.hadoop.fs.Path(stageDir + ".ok"), false)
+    mark(); fs.create(new org.apache.hadoop.fs.Path(dir + ".ok"), true).close()
+    fs.delete(pending, false)
+    true
+  }
+
+  /** Finish or discard a torn [[ivfRebuildIfSkewed]]. The pending
+    * sidecar is written only AFTER the staged index is complete (its own
+    * `.ok` exists), and the stage `.ok` is retired only AFTER both
+    * renames — so pending + stage-`.ok` means "swap not finished: redo
+    * it" (each move guarded by existence, so any prefix of the swap
+    * replays safely), and pending + no stage-`.ok` means "both renames
+    * landed: just restore the live marker". No pending = no swap in
+    * flight; stale stage residue from a build that died pre-pending is
+    * cleared (the live index never stopped being authoritative). Called
+    * automatically on entry; idempotent, safe on a healthy index. */
+  def recoverPendingRebuild(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Unit = {
+    val pending = new org.apache.hadoop.fs.Path(dir + ".rebuild-pending")
+    val stageDir = dir + ".rebuild-stage"
+    val stageOk = new org.apache.hadoop.fs.Path(stageDir + ".ok")
+    val liveOk = new org.apache.hadoop.fs.Path(dir + ".ok")
+    def mv(src: String, dst: String): Unit = {
+      val s0 = new org.apache.hadoop.fs.Path(src)
+      val d0 = new org.apache.hadoop.fs.Path(dst)
+      if (!fs.rename(s0, d0))
+        throw new java.io.IOException(s"rename $s0 -> $d0 failed")
+    }
+    if (fs.exists(pending)) {
+      if (fs.exists(stageOk)) {
+        fs.delete(liveOk, false)
+        if (fs.exists(new org.apache.hadoop.fs.Path(stageDir + ".centers"))) {
+          fs.delete(new org.apache.hadoop.fs.Path(dir + ".centers"), true)
+          mv(stageDir + ".centers", dir + ".centers")
+        }
+        if (fs.exists(new org.apache.hadoop.fs.Path(stageDir))) {
+          fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+          mv(stageDir, dir)
+        }
+        fs.delete(stageOk, false)
+      }
+      fs.create(liveOk, true).close()
+      fs.delete(pending, false)
+    } else {
+      // a stage a dead run left behind without reaching its pending
+      // write — invisible to readers, but it would accrete
+      fs.delete(new org.apache.hadoop.fs.Path(stageDir), true)
+      fs.delete(new org.apache.hadoop.fs.Path(stageDir + ".centers"), true)
+      fs.delete(stageOk, false)
+    }
+  }
+
   /** The center sidecar, read back in cell order. Refuses an index whose
     * build did not complete (no `.ok` marker — see [[ivfWriteIndex]]'s
     * commit protocol). */
@@ -793,11 +932,14 @@ object Similarity {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(dir + ".ok")))
       throw new IllegalStateException(
-        s"IVF index $dir has no completion marker — a build or append " +
-          "crashed mid-write. If $dir.append-pending exists the crash " +
-          "was an APPEND: retry ivfAppend (it rolls the torn attempt " +
-          "back, then re-applies) or call recoverPendingAppend; a torn " +
-          "BUILD (no pending sidecar) needs an ivfWriteIndex rebuild " +
+        s"IVF index $dir has no completion marker — a build, append or " +
+          "rebuild crashed mid-write. If $dir.append-pending exists the " +
+          "crash was an APPEND: retry ivfAppend (it rolls the torn " +
+          "attempt back, then re-applies) or call recoverPendingAppend; " +
+          "if $dir.rebuild-pending exists it was a REBUILD swap: retry " +
+          "ivfRebuildIfSkewed or call recoverPendingRebuild (the staged " +
+          "copy is complete — recovery finishes the swap); a torn BUILD " +
+          "(no pending sidecar) needs an ivfWriteIndex rebuild " +
           "(centers and cell partitions may disagree)")
     spark.read.parquet(dir + ".centers").orderBy("cell")
       .collect().map(_.getSeq[Double](1).toArray)

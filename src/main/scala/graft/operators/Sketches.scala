@@ -182,7 +182,7 @@ object Sketches {
         spark.read.parquet(regPath).unionByName(batchRegs)
           .groupBy("group", "bucket").agg(max(col("r")).as("r"))
       else batchRegs
-    val pinned = merged.localCheckpoint(true)
+    val pinned = merged.transform(graft.core.Blocks.pin)
     pinned.write.mode("overwrite").parquet(regPath)
     graft.core.Blocks.release(pinned)
     marker.getParentFile.mkdirs()
@@ -694,6 +694,15 @@ object Sketches {
    * The OUTPUT is exact and partitioning-invariant (< k rows by the
    * threshold) even though the intermediate candidate set is not — the
    * same contract as the MG sketch's classic two-pass refinement.
+   *
+   * One caveat on "exact" (the same birthday-bound caveat
+   * [[corpusDiff]] states): the recount matches corpus tokens to
+   * candidates by their 64-bit [[TextSig.tokenHashes]] value, so a
+   * NON-candidate token colliding with a candidate's hash would inflate
+   * that candidate's count. At V distinct tokens the collision odds are
+   * ≈ V²/2⁶⁵ — ~3·10⁻⁸ even at a web-scale V = 10⁶ vocabulary — and the
+   * inflation can only ever ADD an already-near-heavy token, never drop
+   * a true heavy hitter (candidates come from the hash-free MG pass).
    */
   def heavyHitters(docs: DataFrame, k: Int,
       textCol: String = "text"): DataFrame = {

@@ -918,7 +918,7 @@ object TrainingPipeline {
   def curateWithReport(docs: DataFrame,
       cfg: Config = Config()): (DataFrame, DataFrame) = {
     val (chain, obs) = observedChain(docs, cfg)
-    val deduped = chain.localCheckpoint(true)
+    val deduped = chain.transform(graft.core.Blocks.pin)
     val s4 = deduped.count()
     val (s0, s1, s2, s3) = stageValues(obs)
     cfg.benchmark match {
@@ -927,7 +927,7 @@ object TrainingPipeline {
         // decontamination reads the materialized dedup output — one
         // extra narrow kernel pass over the survivors, never the corpus
         val clean = decontaminate(deduped, b, cfg.decontamN,
-          cfg.decontamMinHits).localCheckpoint(true)
+          cfg.decontamMinHits).transform(graft.core.Blocks.pin)
         // `deduped`'s checkpoint blocks are dead once `clean` is
         // materialized — release them instead of pinning a corpus-sized
         // block set for the session (Blocks.release by handle; the

@@ -54,7 +54,10 @@ object Versioning {
     * full-snapshot question — `TrainingPipeline.corpusDiff`). The
     * returned frame is checkpointed (release via `core.Blocks` when
     * done); the store mutation is content-idempotent: re-merging the
-    * same batch reports all-unchanged and leaves the same row set. */
+    * same batch reports all-unchanged and leaves the same row set.
+    * Within-batch duplicate ids collapse to ONE row (deterministic
+    * max-fp winner) before the diff and the merge — the store keeps its
+    * one-row-per-id invariant whatever the batch carries. */
   def mergeSnapshot(batchIn: DataFrame, storeDir: String,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = batchIn.sparkSession
@@ -67,9 +70,19 @@ object Versioning {
       new org.apache.hadoop.fs.Path(storeDir + ".params"), s"P=$p,v=1",
       s"version store $storeDir (graft.version.storeBuckets)",
       storeHasData = exists)
+    // Collapse within-batch duplicate ids BEFORE the diff/merge: a
+    // micro-batch carrying the same doc_id twice (realistic when
+    // `maintainVersionStore` feeds this from a stream) would otherwise
+    // survive the keepOld anti-join wholesale and permanently write
+    // duplicate (doc_id, fp) rows — breaking the store's one-row-per-id
+    // invariant. Duplicates with identical text collapse exactly; for
+    // conflicting texts max(fp) is the winner — deterministic (a pure
+    // function of the batch's contents, so re-merging the same batch
+    // stays idempotent), which dropDuplicates would not be.
     val batch = batchIn
       .select(col(idCol).cast("long").as("doc_id"),
         fpUdf(col(textCol)).as("fp"))
+      .groupBy("doc_id").agg(max("fp").as("fp"))
       .withColumn("fp_bucket",
         pmod(xxhash64(col("doc_id")), lit(p.toLong)).cast("int"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -90,13 +103,13 @@ object Versioning {
           when(col("__fp_old").isNull, lit("added"))
             .when(col("__fp_old") === col("fp"), lit("unchanged"))
             .otherwise(lit("changed")).as("status"))
-        .localCheckpoint(true)
+        .transform(graft.core.Blocks.pin)
       val keepOld = existing
         .join(batch.select("doc_id"), Seq("doc_id"), "left_anti")
       val merged = keepOld
         .unionByName(batch.select("doc_id", "fp", "fp_bucket"))
         .repartition(col("fp_bucket"))
-        .localCheckpoint(true)
+        .transform(graft.core.Blocks.pin)
       try merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("fp_bucket")

@@ -263,7 +263,7 @@ object Pipeline {
         // one file per touched bucket dir per batch (CLAUDE.md rule:
         // without this every write task emits a file into every dir)
         .repartition(col("pk_bucket"))
-        .localCheckpoint(true)
+        .transform(graft.core.Blocks.pin)
       // release the checkpoint blocks deterministically after the write:
       // on a long-lived stream, leaving them around accumulates every
       // batch's merged bucket contents in storage memory. Blocks.release,

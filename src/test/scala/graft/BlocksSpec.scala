@@ -39,6 +39,51 @@ class BlocksSpec extends AnyFunSuite {
       "Blocks.release must free the checkpointed RDD")
   }
 
+  test("Blocks.pin: local by default; graft.checkpoint.reliable routes " +
+      "through the reliable checkpoint dir and survives block release") {
+    val s = spark
+    import s.implicits._
+    // default mode = localCheckpoint: eager LogicalRDD, NOT
+    // file-checkpointed
+    val local = Blocks.pin((1 to 100).toDF("x"))
+    val localRdd = local.queryExecution.analyzed
+      .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD].rdd
+    assert(localRdd.getCheckpointFile.isEmpty,
+      "default pin must not write reliable checkpoint files")
+    assert(local.count() === 100)
+    Blocks.release(local)
+    // reliable mode without a dir: loud, actionable failure
+    s.conf.set("graft.checkpoint.reliable", "true")
+    try {
+      val noDir = intercept[IllegalArgumentException] {
+        Blocks.pin((1 to 10).toDF("x"))
+      }
+      assert(noDir.getMessage.contains("checkpoint dir"))
+      // with graft.checkpoint.dir set, pin writes a RELIABLE checkpoint:
+      // the data lives in files, so releasing block storage does not
+      // kill downstream reads (the executor-loss recoverability story —
+      // on a cluster the dir is DFS and losing an executor costs a
+      // re-read, not the job)
+      val ckDir = java.nio.file.Files
+        .createTempDirectory("graft-reliable-ck").toString
+      s.conf.set("graft.checkpoint.dir", ckDir)
+      val pinned = Blocks.pin((1 to 100).toDF("x").filter(col("x") <= 50))
+      val rdd = pinned.queryExecution.analyzed
+        .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD].rdd
+      assert(rdd.getCheckpointFile.nonEmpty,
+        "reliable pin must materialize to the checkpoint dir")
+      assert(pinned.count() === 50)
+      Blocks.release(pinned) // cheap no-op on file-backed data
+      assert(pinned.count() === 50,
+        "reliable-pinned frame must survive block release (file-backed)")
+    } finally {
+      s.conf.unset("graft.checkpoint.reliable")
+      s.conf.unset("graft.checkpoint.dir")
+      // checkpoint dir is sticky on the SparkContext — harmless for the
+      // suite (nothing else checkpoints reliably), nothing to reset.
+    }
+  }
+
   test("Blocks.release falls back to unpersist for cached frames; " +
       "releaseAll frees every checkpoint inside a derived plan") {
     val s = spark

@@ -789,6 +789,66 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows(idx) === want)
   }
 
+  test("ivfRebuildIfSkewed: balanced no-op, forced rebuild equals fresh " +
+      "build, crash mid-swap blind-retries") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val base = java.nio.file.Files.createTempDirectory("ivf-rb").toString
+    val idx = base + "/idx"; val fresh = base + "/fresh"
+    Similarity.ivfWriteIndex(emb, idx, nlist = 8)
+    Similarity.ivfWriteIndex(emb, fresh, nlist = 8)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(d: String): Set[String] = fs.globStatus(
+      new org.apache.hadoop.fs.Path(d + "/cell=*/*"))
+      .map(f => f.getPath.toString + "#" + f.getLen).toSet
+    def assignment(d: String): Seq[(Long, Int)] =
+      spark.read.parquet(d).select("corpus_id", "cell").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+    // balanced index under a generous threshold: no-op, bit-untouched
+    val before = files(idx)
+    assert(!Similarity.ivfRebuildIfSkewed(spark, idx, maxShareBp = 10000))
+    assert(files(idx) === before, "no-op rebuild must not touch the index")
+    // forced rebuild (threshold 0): retrained centers off the index's
+    // own content must equal a fresh same-corpus build's — and so must
+    // the whole (corpus_id, cell) assignment
+    assert(Similarity.ivfRebuildIfSkewed(spark, idx, maxShareBp = 0))
+    val rc = Similarity.ivfReadCenters(spark, idx)
+    val fc = Similarity.ivfReadCenters(spark, fresh)
+    assert(rc.length === fc.length)
+    rc.zip(fc).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+    assert(assignment(idx) === assignment(fresh))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(idx + ".ok")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx + ".rebuild-pending")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx + ".rebuild-stage")),
+      "staging residue left behind")
+    // crash mid-swap (after the live .ok drop, before the centers move):
+    // readers are refused loudly, and ANY retry finishes the swap on
+    // entry — the staged copy is complete, so no data can be lost
+    spark.conf.set("graft.ann.testCrashRebuildAfter", "1")
+    val boom = intercept[RuntimeException] {
+      Similarity.ivfRebuildIfSkewed(spark, idx, maxShareBp = 0)
+    }
+    assert(boom.getMessage.contains("injected crash"))
+    spark.conf.unset("graft.ann.testCrashRebuildAfter")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(idx + ".rebuild-pending")))
+    val refused = intercept[IllegalStateException] {
+      Similarity.ivfTopKFromIndex(spark, idx,
+        emb.filter(col("vec_id") < 4), k = 3, nprobe = 8)
+    }
+    assert(refused.getMessage.contains("ivfRebuildIfSkewed"))
+    // blind retry under a no-op threshold: recovery completes the torn
+    // swap first, then the skew probe sees the (balanced) rebuilt index
+    assert(!Similarity.ivfRebuildIfSkewed(spark, idx, maxShareBp = 10000))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx + ".rebuild-pending")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx + ".rebuild-stage")))
+    assert(assignment(idx) === assignment(fresh))
+    def rows(d: String) = Similarity.ivfTopKFromIndex(spark, d,
+        emb.filter(col("vec_id") < 4), k = 3, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    assert(rows(idx) === rows(fresh))
+  }
+
   test("IVF centers are identical across differently-partitioned reads") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val a = Similarity.ivfCenters(emb, 8)

@@ -1284,6 +1284,39 @@ class TrainingPipelineSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.version.storeBuckets")
   }
 
+  test("version store: within-batch duplicate ids collapse to one row " +
+      "(deterministic winner, idempotent replay)") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-verstore-dup")
+      .resolve("store").toString
+    // realistic streaming micro-batch: id 1 twice with identical text,
+    // id 2 twice with CONFLICTING text
+    val dup = Seq((1L, "alpha"), (1L, "alpha"), (2L, "left"), (2L, "right"))
+      .toDF("doc_id", "text")
+    val d1 = graft.operators.Versioning.mergeSnapshot(dup, dir)
+    val diff1 = d1.orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    graft.core.Blocks.releaseAll(d1)
+    assert(diff1 == Seq(1L -> "added", 2L -> "added"),
+      "diff must carry ONE row per id, not one per batch row")
+    val stored = graft.operators.Versioning.storedFingerprints(spark, dir)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(stored.map(_._1) == Seq(1L, 2L),
+      "store must keep its one-row-per-id invariant under a dup batch")
+    // conflicting texts: the max-fp winner, a pure function of content
+    val want2 = math.max(graft.core.TextSig.fingerprint("left"),
+      graft.core.TextSig.fingerprint("right"))
+    assert(stored.find(_._1 == 2L).get._2 == want2)
+    // replaying the same dup batch is still a content-idempotent no-op
+    val d2 = graft.operators.Versioning.mergeSnapshot(dup, dir)
+    val diff2 = d2.orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    graft.core.Blocks.releaseAll(d2)
+    assert(diff2 == Seq(1L -> "unchanged", 2L -> "unchanged"))
+  }
+
   test("packFirstFitDecreasing: seeded random items — capacity invariant, total assignment") {
     val s = spark
     import s.implicits._
