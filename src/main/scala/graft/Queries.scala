@@ -1974,16 +1974,20 @@ object Queries {
     val xsUdf = udf((v: Array[Float]) =>
       v.map(x => math.floor(x.toDouble * sc + 0.5).toLong))
     val emb = t(s, dir, "embeddings")
+    // CLAUDE.md m75 rule: Σ of 2²⁴-scaled longs rides DECIMAL(38,0) — a
+    // plain BIGINT sum wraps silently at ~2³⁸ rows per (label, dim)
     val stats = emb
       .select(col("label"), posexplode(xsUdf(col("embedding"))).as(Seq("i", "xs")))
       .groupBy("label", "i")
-      .agg(count(lit(1)).as("n"), sum(col("xs")).as("sx"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xs").cast(DecimalType(38, 0))).as("sx"))
       .collect()
     val dims = stats.map(_.getInt(1)).max + 1
     val cents = stats.groupBy(_.getInt(0)).map { case (lbl, rows) =>
       val c = new Array[Double](dims)
       rows.foreach { r =>
-        c(r.getInt(1)) = (r.getLong(3).toDouble / r.getLong(2).toDouble) / sc
+        c(r.getInt(1)) =
+          (r.getDecimal(3).doubleValue() / r.getLong(2).toDouble) / sc
       }
       lbl -> c
     }
@@ -2017,16 +2021,19 @@ object Queries {
     val sc = 16777216.0
     val xsUdf = udf((v: Array[Float]) =>
       v.map(x => math.floor(x.toDouble * sc + 0.5).toLong))
+    // m75 rule (see m95): scaled-long Σ in DECIMAL(38,0), never BIGINT
     val stats = t(s, dir, "embeddings")
       .select(col("label"), posexplode(xsUdf(col("embedding"))).as(Seq("i", "xs")))
       .groupBy("label", "i")
-      .agg(count(lit(1)).as("n"), sum(col("xs")).as("sx"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xs").cast(DecimalType(38, 0))).as("sx"))
       .collect()
     val dims = stats.map(_.getInt(1)).max + 1
     val cents = stats.groupBy(_.getInt(0)).map { case (lbl, rows) =>
       val c = new Array[Double](dims)
       rows.foreach { r =>
-        c(r.getInt(1)) = (r.getLong(3).toDouble / r.getLong(2).toDouble) / sc
+        c(r.getInt(1)) =
+          (r.getDecimal(3).doubleValue() / r.getLong(2).toDouble) / sc
       }
       lbl -> c
     }
@@ -2100,7 +2107,7 @@ object Queries {
     t(s, dir, "orders").select(col("o_orderkey")).coalesce(1)
       .transform(graft.core.Blocks.pin)
       .createOrReplaceTempView("orders_q47")
-    s.sql("""
+    val out = s.sql("""
       WITH RECURSIVE chain(start_key, cur, depth) AS (
         SELECT o_orderkey, o_orderkey, 0 FROM orders_q47
         WHERE o_orderkey <= 16
@@ -2111,6 +2118,13 @@ object Queries {
       SELECT start_key, CAST(max(depth) AS INT) AS chain_len,
              max(cur) AS last_key
       FROM chain GROUP BY start_key ORDER BY start_key""")
+    // the returned frame's ANALYZED plan holds the resolved view (so
+    // Bench/Verify's per-query Blocks.releaseAll reaches the pinned
+    // LogicalRDD through it — BlocksSpec pins that), but the catalog
+    // entry itself would outlive the query and keep naming a released
+    // (unreadable) frame for the session — drop it now
+    s.catalog.dropTempView("orders_q47")
+    out
   }
 
   /** m92 — MinHash signature pin: the first 8 permutation values of

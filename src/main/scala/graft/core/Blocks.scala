@@ -33,14 +33,23 @@ object Blocks {
     * SparkContext checkpoint dir (DFS on a real cluster), so executor
     * loss costs a re-read, not the job. The checkpoint dir comes from
     * `sc.setCheckpointDir`, or is taken from `graft.checkpoint.dir` /
-    * `spark.checkpoint.dir` on first use. Checkpoint FILES outlive the
-    * frame (cleaned at context stop, or incrementally with
-    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`);
-    * [[release]]/[[releaseAll]] stay correct in both modes (for a
-    * reliable checkpoint the data lives in the files, so unpersisting
-    * the RDD's blocks is a cheap no-op and the frame REMAINS readable —
-    * the stricter local-mode contract "released ⇒ unreadable" is the one
-    * callers are written against).
+    * `spark.checkpoint.dir` on first use. The plan is `persist`ed for
+    * the duration of the checkpoint (Spark's documented recommendation):
+    * without it the eager count job and the checkpoint-write job each
+    * evaluate the whole plan — every pin would pay ~2× compute, and an
+    * accumulator-carrying plan (Dedup's `changeSignal` convergence
+    * probe) would DOUBLE its counts; with the persist both jobs share
+    * one evaluation and accumulators fire once, same as local mode.
+    * Checkpoint FILES outlive the frame: [[release]]/[[releaseAll]]
+    * unpersist blocks, not files (the frame REMAINS readable — the
+    * stricter local-mode contract "released ⇒ unreadable" is the one
+    * callers are written against), so long-running reliable-mode
+    * sessions with per-batch/per-round pins (streaming
+    * `Pipeline.mergeAccountBatch`, Dedup/Graph loops) MUST start the
+    * context with `spark.cleaner.referenceTracking.cleanCheckpoints=
+    * true` (a SparkConf-level setting the ContextCleaner reads at
+    * startup — it cannot be enabled mid-session, which is why pin only
+    * warns) or the checkpoint dir grows for the session lifetime.
     *
     * Both shapes return an eager `LogicalRDD`-rooted frame, so every
     * downstream assumption (plan cut, one-time evaluation, release by
@@ -59,9 +68,28 @@ object Blocks {
       require(sc.getCheckpointDir.nonEmpty,
         "graft.checkpoint.reliable=true requires a checkpoint dir: call " +
           "sc.setCheckpointDir(...) or set graft.checkpoint.dir")
-      ds.checkpoint(eager = true)
+      if (!sc.getConf.getBoolean(
+          "spark.cleaner.referenceTracking.cleanCheckpoints", false))
+        warnCleanerOnce()
+      // persist → checkpoint → unpersist: one plan evaluation shared by
+      // the eager count and the checkpoint write (see scaladoc)
+      ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try ds.checkpoint(eager = true)
+      finally { ds.unpersist(); () }
     }
   }
+
+  @volatile private var cleanerWarned = false
+  private def warnCleanerOnce(): Unit =
+    if (!cleanerWarned) {
+      cleanerWarned = true
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "graft.checkpoint.reliable=true but spark.cleaner.referenceTracking" +
+          ".cleanCheckpoints is off: released pins keep their checkpoint " +
+          "FILES until context stop — per-batch/per-round pin call sites " +
+          "will grow the checkpoint dir for the session lifetime. Set the " +
+          "conf at context START (the ContextCleaner reads it once).")
+    }
 
   /** Release the block-manager storage behind `df`.
     *

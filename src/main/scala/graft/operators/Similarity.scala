@@ -620,6 +620,103 @@ object Similarity {
     * cannot). Last-plan-wins, single-threaded test hook. */
   @volatile private[graft] var lastIndexReadFiles: Array[String] = Array.empty
 
+  // ---------------------------------------------------------------------
+  // Index path layout. An index has a LOGICAL name `dir` and lives in one
+  // of two physical layouts:
+  //   * legacy/flat: the data at `dir` itself, sidecars `<dir>.centers` /
+  //     `<dir>.ok` — what [[ivfWriteIndex]] creates and [[ivfAppend]]
+  //     grows.
+  //   * versioned: data at `<dir>.v<N>` (same sidecar shapes at
+  //     `<dir>.v<N>.centers` / `<dir>.v<N>.ok`), with a POINTER FILE
+  //     `<dir>.current` naming the live N. [[ivfRebuildIfSkewed]] moves
+  //     an index to this layout on its first swap so rebuilds are
+  //     ZERO-DOWNTIME: the new version is built completely on the side,
+  //     then the pointer flips — readers resolve through the pointer and
+  //     are never refused. `<dir>.current.tmp` exists only mid-flip and
+  //     is only ever written AFTER the version it names is complete, so
+  //     resolving through it is always safe.
+  // Every reader/writer resolves the physical dir via [[ivfResolve]];
+  // the `<dir>.v*` / `<dir>.current*` namespace is reserved.
+  // ---------------------------------------------------------------------
+
+  private def ivfVersionPath(dir: String, v: Int): String = dir + ".v" + v
+
+  private def readPointer(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[Int] =
+    if (!fs.exists(p)) None
+    else try {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      Some(s.toInt)
+    } catch { case _: Exception => None }
+
+  private def writePointerFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, v: Int): Unit = {
+    val out = fs.create(p, true)
+    out.write(v.toString.getBytes("UTF-8")); out.close()
+  }
+
+  /** The PHYSICAL dir behind logical index name `dir`: the pointed
+    * version when a pointer (or mid-flip tmp pointer) exists, else `dir`
+    * itself (legacy flat layout). */
+  def ivfResolve(fs: org.apache.hadoop.fs.FileSystem, dir: String): String =
+    readPointer(fs, new org.apache.hadoop.fs.Path(dir + ".current"))
+      .orElse(readPointer(fs,
+        new org.apache.hadoop.fs.Path(dir + ".current.tmp")))
+      .map(v => ivfVersionPath(dir, v))
+      .getOrElse(dir)
+
+  /** Pointer flip: write `<dir>.current.tmp` = `v` (only called once
+    * `<dir>.v<v>` is COMPLETE — has its `.ok`), drop the old pointer,
+    * rename tmp into place. Readers resolve a complete index at every
+    * intermediate state: old pointer → old version; no pointer but tmp →
+    * the new (complete) version. `mark` is the crash-injection seam. */
+  private def flipPointer(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      v: Int, mark: () => Unit = () => ()): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".current.tmp")
+    val cur = new org.apache.hadoop.fs.Path(dir + ".current")
+    mark(); writePointerFile(fs, tmp, v)
+    mark(); fs.delete(cur, false)
+    mark()
+    if (!fs.rename(tmp, cur))
+      throw new java.io.IOException(s"rename $tmp -> $cur failed")
+  }
+
+  /** Delete every physical version except the pointed one, plus the
+    * legacy flat files once a pointer exists (the old index's data, after
+    * a flip) and any stale tmp pointer. Single-writer: only called from
+    * rebuild entry/exit and recovery. NOTE for multi-reader deployments:
+    * this reclaims the PREVIOUS version's files immediately after a
+    * flip — a reader that resolved the old version and still has a scan
+    * in flight loses its files. Set `graft.ann.rebuildKeepOld=true` to
+    * defer reclamation to the NEXT rebuild/recovery entry (one extra
+    * index copy on disk = the grace period). */
+  private def sweepStaleVersions(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Unit = {
+    val keep = readPointer(fs, new org.apache.hadoop.fs.Path(dir + ".current"))
+    // the glob already scopes to siblings prefixed `<dir>.v` — version
+    // extraction matches on the BASENAME (the glob may return absolute
+    // paths for a relative `dir`)
+    val base = new org.apache.hadoop.fs.Path(dir).getName
+    val pat = ("^" + java.util.regex.Pattern.quote(base) +
+      "\\.v(\\d+)(\\.centers|\\.ok)?$").r
+    fs.globStatus(new org.apache.hadoop.fs.Path(dir + ".v*"))
+      .foreach { st =>
+        st.getPath.getName match {
+          case pat(v, _) if !keep.contains(v.toInt) =>
+            fs.delete(st.getPath, true)
+          case _ => ()
+        }
+      }
+    if (keep.isDefined) {
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      fs.delete(new org.apache.hadoop.fs.Path(dir + ".centers"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(dir + ".ok"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(dir + ".current.tmp"), false)
+    }
+  }
+
   /**
    * Materialize the IVF index on disk — the storage shape the scaladoc
    * above promises: corpus parquet partitioned by `cell` (Int partition
@@ -630,6 +727,11 @@ object Similarity {
    * ~nprobe/nlist of the data off disk, the standard billion-vector
    * IVF-Flat layout. Deterministic end-to-end (seeded centers, seeded
    * sample): rebuilding over the same corpus bit-matches.
+   *
+   * Writes the flat layout at `dir` and CLEARS any pointer/versioned
+   * residue first — this is "create a brand-new index under this name",
+   * so a pointer left by a prior incarnation's [[ivfRebuildIfSkewed]]
+   * must not shadow the fresh build.
    */
   def ivfWriteIndex(corpus: DataFrame, dir: String, nlist: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding",
@@ -650,6 +752,10 @@ object Similarity {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(dir + ".ok")
     fs.delete(marker, false)
+    // fresh-build semantics: retire any versioned layout under this name
+    fs.delete(new org.apache.hadoop.fs.Path(dir + ".current"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(dir + ".current.tmp"), false)
+    sweepStaleVersions(fs, dir)
     ivfCellAssignments(corpus, centers, idCol, vecCol)
       .select(col("corpus_id"), col("cv"), col("cell").cast("int").as("cell"))
       // one file per cell dir (CLAUDE.md rule: without this every write
@@ -706,8 +812,13 @@ object Similarity {
     val spark = corpus.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
-    val marker = new org.apache.hadoop.fs.Path(dir + ".ok")
-    val pending = new org.apache.hadoop.fs.Path(dir + ".append-pending")
+    // appends operate on the PHYSICAL dir behind the pointer (a rebuild
+    // may have moved the index to the versioned layout); batch markers
+    // stay keyed on the LOGICAL name so exactly-once replay detection
+    // survives rebuild swaps in between
+    val phys = ivfResolve(fs, dir)
+    val marker = new org.apache.hadoop.fs.Path(phys + ".ok")
+    val pending = new org.apache.hadoop.fs.Path(phys + ".append-pending")
     val batchMarker = batchId.map(b =>
       new org.apache.hadoop.fs.Path(dir + s".batch-$b.done"))
 
@@ -727,7 +838,7 @@ object Similarity {
 
     val tag = batchId.map(b => s"b$b")
       .getOrElse(s"t${java.lang.Long.toHexString(System.nanoTime())}")
-    val stageDir = dir + s".append-stage-$tag"
+    val stageDir = phys + s".append-stage-$tag"
     ivfCellAssignments(corpus, centers, idCol, vecCol)
       .select(col("corpus_id"), col("cv"), col("cell").cast("int").as("cell"))
       // one file per touched cell dir per append (CLAUDE.md rule)
@@ -747,7 +858,7 @@ object Similarity {
       if (crashAfter >= 0 && i >= crashAfter)
         throw new RuntimeException(s"injected crash after $i moves")
       val cellName = st.getPath.getParent.getName // "cell=<c>"
-      val destDir = new org.apache.hadoop.fs.Path(dir, cellName)
+      val destDir = new org.apache.hadoop.fs.Path(phys, cellName)
       fs.mkdirs(destDir)
       val dest = new org.apache.hadoop.fs.Path(destDir,
         s"batch-$tag-$i.parquet")
@@ -767,18 +878,20 @@ object Similarity {
     * and clear the pending/staging residue. A pending sidecar WITH the
     * marker present means the dead run never started (or fully finished)
     * moving; only the residue is cleared. Called automatically by
-    * [[ivfAppend]]; idempotent, safe to call on a healthy index. */
+    * [[ivfAppend]]; idempotent, safe to call on a healthy index. Takes
+    * the LOGICAL name (resolves the pointer itself). */
   def recoverPendingAppend(fs: org.apache.hadoop.fs.FileSystem,
       dir: String): Unit = {
-    val pending = new org.apache.hadoop.fs.Path(dir + ".append-pending")
-    val marker = new org.apache.hadoop.fs.Path(dir + ".ok")
+    val phys = ivfResolve(fs, dir)
+    val pending = new org.apache.hadoop.fs.Path(phys + ".append-pending")
+    val marker = new org.apache.hadoop.fs.Path(phys + ".ok")
     if (fs.exists(pending)) {
       val in = fs.open(pending)
       val tag = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
       if (!fs.exists(marker) && tag.nonEmpty) {
         fs.globStatus(new org.apache.hadoop.fs.Path(
-            dir + s"/cell=*/batch-$tag-*.parquet"))
+            phys + s"/cell=*/batch-$tag-*.parquet"))
           .foreach(f => fs.delete(f.getPath, false))
         fs.create(marker, true).close()
       }
@@ -786,7 +899,7 @@ object Similarity {
     }
     // stale staging dirs (runs that died before their move began) are
     // invisible to readers but accrete — clear them on entry
-    fs.globStatus(new org.apache.hadoop.fs.Path(dir + ".append-stage-*"))
+    fs.globStatus(new org.apache.hadoop.fs.Path(phys + ".append-stage-*"))
       .foreach(d => fs.delete(d.getPath, true))
   }
 
@@ -809,22 +922,38 @@ object Similarity {
    * partitioned write — the original build's cost, paid only when the
    * report says the probes are paying more.
    *
-   * Staged-commit protocol (single-writer, BLIND-RETRYABLE — the
-   * [[ivfAppend]] contract, adapted to whole-index replacement): the new
-   * index is FULLY built (corpus + centers sidecar + its own `.ok`)
-   * under `<dir>.rebuild-stage*` while readers keep using the live
-   * index; a `<dir>.rebuild-pending` sidecar then marks the swap window
-   * (live `.ok` dropped → centers swapped → corpus swapped → stage `.ok`
-   * retired → live `.ok` restored → pending cleared). A crash leaves
-   * either the old index fully intact (pre-pending) or a COMPLETE staged
-   * copy whose swap [[recoverPendingRebuild]] finishes — it runs on
-   * entry, so the retry story is simply: call this again (with any
-   * threshold — a recovered swap counts as done, so the retry's skew
-   * probe sees the rebuilt index).
+   * ZERO-DOWNTIME versioned swap (single-writer, BLIND-RETRYABLE — the
+   * [[ivfAppend]] retry contract, adapted to whole-index replacement):
+   * the new index is FULLY built (corpus + centers sidecar + its own
+   * `.ok`) at the next version path `<dir>.v<N+1>` while readers keep
+   * serving the live physical dir, then the `<dir>.current` pointer
+   * flips ([[flipPointer]]) and the previous version's files are swept.
+   * Readers ([[ivfResolve]]) are NEVER refused: every intermediate
+   * state — old pointer, mid-flip tmp pointer, new pointer — resolves
+   * to a COMPLETE index (the tmp pointer is written only after the
+   * version it names has its `.ok`). At 100 TB a rebuild is hours of
+   * side-building and one metadata flip, with reads on the old version
+   * throughout.
+   *
+   * Crash at ANY point leaves either the old index authoritative
+   * (pre-flip — a retry redoes or finishes the build;
+   * [[recoverPendingRebuild]] FINISHES the flip when the staged version
+   * completed, so an hours-long build is never thrown away) or the new
+   * index authoritative (post-flip — recovery just sweeps the old
+   * files). The retry story is simply: call this again with any
+   * threshold; recovery runs on entry, so the retry's skew probe sees
+   * whichever index is live.
+   *
+   * Old-version reclamation is immediate after the flip. A multi-reader
+   * deployment that wants a grace period for in-flight scans sets
+   * `graft.ann.rebuildKeepOld=true`: the previous version then survives
+   * until the NEXT rebuild/recovery entry sweeps it (one extra index
+   * copy on disk = the grace period).
    *
    * `graft.ann.testCrashRebuildAfter` (Int conf): fault injection for
-   * the crash-window spec — throws after that many swap steps (0 =
-   * immediately after the pending sidecar is written).
+   * the crash-window spec — throws after that many flip steps (0 =
+   * before the tmp pointer write, i.e. staged build complete but flip
+   * not started).
    */
   def ivfRebuildIfSkewed(spark: org.apache.spark.sql.SparkSession,
       dir: String, maxShareBp: Int = 2000): Boolean = {
@@ -832,9 +961,10 @@ object Similarity {
       s"ivfRebuildIfSkewed: maxShareBp=$maxShareBp must be in [0, 10000]")
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
-    recoverPendingRebuild(fs, dir) // finish a torn prior swap first
+    recoverPendingRebuild(fs, dir) // finish a torn prior flip first
+    val phys = ivfResolve(fs, dir)
     val centersOld = ivfReadCenters(spark, dir) // refuses a torn BUILD
-    val idx = spark.read.parquet(dir)
+    val idx = spark.read.parquet(phys)
     val occ = idx.groupBy("cell").agg(count(lit(1)).as("n"))
       .collect().map(_.getLong(1))
     val total = occ.sum
@@ -843,105 +973,92 @@ object Similarity {
     val corpus = idx.select(col("corpus_id"), col("cv"))
     val centers = ivfCenters(corpus, centersOld.length,
       vecCol = "cv", idCol = "corpus_id")
-    val stageDir = dir + ".rebuild-stage"
-    // full build into the stage (its own commit protocol): the live
-    // index serves reads for the whole duration
-    ivfWriteIndex(corpus, stageDir, centersOld.length,
+    val newVer = readPointer(fs,
+      new org.apache.hadoop.fs.Path(dir + ".current")).getOrElse(0) + 1
+    // full build at the next version path (its own commit protocol):
+    // the live physical dir serves reads for the whole duration
+    ivfWriteIndex(corpus, ivfVersionPath(dir, newVer), centersOld.length,
       idCol = "corpus_id", vecCol = "cv", centersOpt = Some(centers))
-    // ---- swap (the only window where readers are refused) ----
-    val pending = new org.apache.hadoop.fs.Path(dir + ".rebuild-pending")
     val crashAfter = spark.conf
       .get("graft.ann.testCrashRebuildAfter", "-1").toInt
     var step = 0
     def mark(): Unit = {
       if (crashAfter >= 0 && step >= crashAfter)
         throw new RuntimeException(
-          s"injected crash after $step rebuild swap steps")
+          s"injected crash after $step rebuild flip steps")
       step += 1
     }
-    def mv(src: String, dst: String): Unit = {
-      val s0 = new org.apache.hadoop.fs.Path(src)
-      val d0 = new org.apache.hadoop.fs.Path(dst)
-      if (!fs.rename(s0, d0))
-        throw new java.io.IOException(s"rename $s0 -> $d0 failed")
-    }
-    fs.create(pending, true).close()
-    mark(); fs.delete(new org.apache.hadoop.fs.Path(dir + ".ok"), false)
-    mark(); fs.delete(new org.apache.hadoop.fs.Path(dir + ".centers"), true)
-    mv(stageDir + ".centers", dir + ".centers")
-    mark(); fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-    mv(stageDir, dir)
-    mark(); fs.delete(new org.apache.hadoop.fs.Path(stageDir + ".ok"), false)
-    mark(); fs.create(new org.apache.hadoop.fs.Path(dir + ".ok"), true).close()
-    fs.delete(pending, false)
+    mark() // step 0: staged build complete, flip not started
+    flipPointer(fs, dir, newVer, mark)
+    mark() // final step: flip landed, old files not yet swept
+    if (!spark.conf.get("graft.ann.rebuildKeepOld", "false").toBoolean)
+      sweepStaleVersions(fs, dir)
     true
   }
 
-  /** Finish or discard a torn [[ivfRebuildIfSkewed]]. The pending
-    * sidecar is written only AFTER the staged index is complete (its own
-    * `.ok` exists), and the stage `.ok` is retired only AFTER both
-    * renames — so pending + stage-`.ok` means "swap not finished: redo
-    * it" (each move guarded by existence, so any prefix of the swap
-    * replays safely), and pending + no stage-`.ok` means "both renames
-    * landed: just restore the live marker". No pending = no swap in
-    * flight; stale stage residue from a build that died pre-pending is
-    * cleared (the live index never stopped being authoritative). Called
-    * automatically on entry; idempotent, safe on a healthy index. */
+  /** Finish or discard a torn [[ivfRebuildIfSkewed]]. The rule: let M be
+    * the highest COMPLETE version on disk (has its `.v<M>.ok`); if M is
+    * newer than the pointer (or the pointer is absent while a complete
+    * version exists), a dead rebuild finished its build — FINISH the
+    * flip to M rather than discard an expensive build. Otherwise the
+    * pointer stands; incomplete staged versions and (when `sweep`) the
+    * post-flip residue of older versions are swept. Readers are served
+    * a complete index at every point. Called automatically on rebuild
+    * entry; idempotent, safe on a healthy index. */
   def recoverPendingRebuild(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String): Unit = {
-    val pending = new org.apache.hadoop.fs.Path(dir + ".rebuild-pending")
-    val stageDir = dir + ".rebuild-stage"
-    val stageOk = new org.apache.hadoop.fs.Path(stageDir + ".ok")
-    val liveOk = new org.apache.hadoop.fs.Path(dir + ".ok")
-    def mv(src: String, dst: String): Unit = {
-      val s0 = new org.apache.hadoop.fs.Path(src)
-      val d0 = new org.apache.hadoop.fs.Path(dst)
-      if (!fs.rename(s0, d0))
-        throw new java.io.IOException(s"rename $s0 -> $d0 failed")
+      dir: String, sweep: Boolean = true): Unit = {
+    val cur = readPointer(fs, new org.apache.hadoop.fs.Path(dir + ".current"))
+    val base = new org.apache.hadoop.fs.Path(dir).getName
+    val okPat = ("^" + java.util.regex.Pattern.quote(base) +
+      "\\.v(\\d+)\\.ok$").r
+    val complete = fs.globStatus(new org.apache.hadoop.fs.Path(dir + ".v*.ok"))
+      .flatMap(st => st.getPath.getName match {
+        case okPat(v) => Some(v.toInt)
+        case _ => None
+      })
+    val m = if (complete.isEmpty) None else Some(complete.max)
+    m match {
+      case Some(v) if !cur.exists(_ >= v) =>
+        // a dead rebuild completed its staged build: finish its flip
+        flipPointer(fs, dir, v)
+      case _ =>
+        // no flip owed — just drop a stale mid-flip tmp (it either
+        // duplicates the pointer or names an incomplete version)
+        fs.delete(new org.apache.hadoop.fs.Path(dir + ".current.tmp"), false)
     }
-    if (fs.exists(pending)) {
-      if (fs.exists(stageOk)) {
-        fs.delete(liveOk, false)
-        if (fs.exists(new org.apache.hadoop.fs.Path(stageDir + ".centers"))) {
-          fs.delete(new org.apache.hadoop.fs.Path(dir + ".centers"), true)
-          mv(stageDir + ".centers", dir + ".centers")
-        }
-        if (fs.exists(new org.apache.hadoop.fs.Path(stageDir))) {
-          fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-          mv(stageDir, dir)
-        }
-        fs.delete(stageOk, false)
-      }
-      fs.create(liveOk, true).close()
-      fs.delete(pending, false)
-    } else {
-      // a stage a dead run left behind without reaching its pending
-      // write — invisible to readers, but it would accrete
-      fs.delete(new org.apache.hadoop.fs.Path(stageDir), true)
-      fs.delete(new org.apache.hadoop.fs.Path(stageDir + ".centers"), true)
-      fs.delete(stageOk, false)
-    }
+    if (sweep) sweepStaleVersions(fs, dir)
   }
 
-  /** The center sidecar, read back in cell order. Refuses an index whose
-    * build did not complete (no `.ok` marker — see [[ivfWriteIndex]]'s
-    * commit protocol). */
+  /** The center sidecar, read back in cell order. Resolves the pointer
+    * (versioned layout) first; refuses an index whose build did not
+    * complete (no `.ok` marker — see [[ivfWriteIndex]]'s commit
+    * protocol). Rebuild swaps never trip this: [[ivfRebuildIfSkewed]]
+    * flips a pointer between two complete versions, so only a torn
+    * BUILD or a torn APPEND can leave the resolved dir unmarked. */
   def ivfReadCenters(spark: org.apache.spark.sql.SparkSession,
       dir: String): Array[Array[Double]] = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(dir + ".ok")))
+    ivfReadCentersAt(spark, ivfResolve(fs, dir))
+  }
+
+  /** [[ivfReadCenters]] against an already-RESOLVED physical dir — used
+    * by probes that must read centers and corpus from the SAME physical
+    * version (resolving twice could straddle a concurrent pointer
+    * flip). */
+  private def ivfReadCentersAt(spark: org.apache.spark.sql.SparkSession,
+      phys: String): Array[Array[Double]] = {
+    val fs = new org.apache.hadoop.fs.Path(phys)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(phys + ".ok")))
       throw new IllegalStateException(
-        s"IVF index $dir has no completion marker — a build, append or " +
-          "rebuild crashed mid-write. If $dir.append-pending exists the " +
-          "crash was an APPEND: retry ivfAppend (it rolls the torn " +
-          "attempt back, then re-applies) or call recoverPendingAppend; " +
-          "if $dir.rebuild-pending exists it was a REBUILD swap: retry " +
-          "ivfRebuildIfSkewed or call recoverPendingRebuild (the staged " +
-          "copy is complete — recovery finishes the swap); a torn BUILD " +
-          "(no pending sidecar) needs an ivfWriteIndex rebuild " +
+        s"IVF index $phys has no completion marker — a build or append " +
+          s"crashed mid-write. If $phys.append-pending exists the crash " +
+          "was an APPEND: retry ivfAppend (it rolls the torn attempt " +
+          "back, then re-applies) or call recoverPendingAppend; a torn " +
+          "BUILD (no pending sidecar) needs an ivfWriteIndex rebuild " +
           "(centers and cell partitions may disagree)")
-    spark.read.parquet(dir + ".centers").orderBy("cell")
+    spark.read.parquet(phys + ".centers").orderBy("cell")
       .collect().map(_.getSeq[Double](1).toArray)
   }
 
@@ -956,12 +1073,16 @@ object Similarity {
   def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       queries: DataFrame, k: Int = 10, nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centers = ivfReadCenters(spark, dir)
+    // resolve ONCE: centers and corpus must come from the same physical
+    // version (two resolves could straddle a concurrent rebuild flip)
+    val phys = ivfResolve(new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration), dir)
+    val centers = ivfReadCentersAt(spark, phys)
     val probes = ivfProbeAssignments(queries, centers, nprobe, idCol, vecCol)
       .withColumn("cell", col("cell").cast("int"))
     val cells = probes.select("cell").distinct()
       .collect().map(_.getInt(0)).toIndexedSeq
-    val idx = spark.read.parquet(dir).filter(col("cell").isin(cells: _*))
+    val idx = spark.read.parquet(phys).filter(col("cell").isin(cells: _*))
     if (spark.conf.get("graft.ann.traceIndexReads", "false").toBoolean)
       lastIndexReadFiles = idx.select(input_file_name())
         .distinct().collect().map(_.getString(0))

@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench regression guard ([[Bench.drift]]/[[Bench.parseMins]]):
+  * per-query min3 vs the committed idle-window baseline, the artifact
+  * that replaces manual load-vs-regression adjudication. Pure functions
+  * — no SparkSession. */
+class BenchDriftSpec extends AnyFunSuite {
+
+  val baseline =
+    """{"metric":"total","value":85.75,"unit":"sec","stat":"min3",""" +
+      """"load_start":[0.12,0.4,0.9],"load_end":[4.1,2.2,1.3],""" +
+      """"queries":{"m01_minhash":{"med":2.1,"min":1.9},""" +
+      """"q01_pricing":{"med":0.45,"min":0.4},""" +
+      """"mm03_frames":{"med":1.1,"min":0.99},""" +
+      """"sn01_manifest":{"med":0.08,"min":0.05}},""" +
+      """"errors":{},"sf":"sf0.1","n":4}"""
+
+  test("parseMins reads the per-query min map; parseSf reads the scale") {
+    val mins = Bench.parseMins(baseline)
+    assert(mins === Map("m01_minhash" -> 1.9, "q01_pricing" -> 0.4,
+      "mm03_frames" -> 0.99, "sn01_manifest" -> 0.05))
+    assert(Bench.parseSf(baseline) === Some("sf0.1"))
+  }
+
+  test("drift flags >factor regressions above the absolute floor only") {
+    val idle = Bench.parseMins(baseline)
+    val cur = Map(
+      "m01_minhash" -> 4.2, // 2.2x and +2.3 s → flagged
+      "q01_pricing" -> 0.9, // 2.25x but only +0.5 s... above floor → flagged
+      "mm03_frames" -> 1.5, // 1.5x → not flagged (under factor)
+      "sn01_manifest" -> 0.2, // 4x but +0.15 s → under the floor, jitter
+      "m99_new_query" -> 9.9) // no baseline → ignored, not an error
+    val d = Bench.drift(idle, cur)
+    assert(d === Map(
+      "m01_minhash" -> ((4.2, 1.9)),
+      "q01_pricing" -> ((0.9, 0.4))))
+    // a clean run drifts nothing
+    assert(Bench.drift(idle, idle).isEmpty)
+  }
+}

@@ -106,4 +106,59 @@ class BlocksSpec extends AnyFunSuite {
     assert((s.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
       "releaseAll must free all checkpoints referenced by the plan")
   }
+
+  test("releaseAll reaches a LogicalRDD referenced only through a " +
+      "recursive-CTE view plan (the q47 shape)") {
+    val s = spark
+    import s.implicits._
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    val pinned = Blocks.pin((1 to 32).toDF("k").coalesce(1))
+    assert((s.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty)
+    pinned.createOrReplaceTempView("blocks_cte_v")
+    try {
+      // WITH RECURSIVE: the pinned frame appears only through the
+      // resolved view inside the CTE definition (WithCTE/UnionLoop
+      // plan nodes) — q47 relies on releaseAll finding it there after
+      // the catalog entry is dropped
+      val out = s.sql("""
+        WITH RECURSIVE c(k, d) AS (
+          SELECT k, 0 FROM blocks_cte_v WHERE k <= 2
+          UNION ALL
+          SELECT v.k, c.d + 1 FROM c JOIN blocks_cte_v v ON v.k = c.k * 2
+          WHERE c.d < 5)
+        SELECT k, max(d) AS md FROM c GROUP BY k""")
+      assert(out.count() > 0)
+      s.catalog.dropTempView("blocks_cte_v")
+      Blocks.releaseAll(out)
+      assert((s.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+        "releaseAll must free a pin referenced only via a recursive CTE")
+    } finally { s.catalog.dropTempView("blocks_cte_v"); () }
+  }
+
+  test("reliable pin evaluates the plan ONCE (persist-backed checkpoint " +
+      "write; accumulators do not double-count)") {
+    val s = spark
+    import s.implicits._
+    val ckDir = java.nio.file.Files
+      .createTempDirectory("graft-reliable-once").toString
+    s.conf.set("graft.checkpoint.reliable", "true")
+    s.conf.set("graft.checkpoint.dir", ckDir)
+    try {
+      val acc = s.sparkContext.longAccumulator("blocks-eval-count")
+      val src = (1 to 100).toDF("x")
+        .map { r => acc.add(1); r.getInt(0) }.toDF("x")
+      val pinned = Blocks.pin(src)
+      // un-persisted checkpoint(eager=true) runs the count job AND a
+      // checkpoint-write job over the same plan → 200 here; the
+      // persist-backed pin shares one evaluation between them
+      assert(acc.value === 100L,
+        s"reliable pin evaluated the plan ${acc.value / 100.0}x — " +
+          "expected exactly once (persist-backed checkpoint)")
+      assert(pinned.count() === 100)
+      Blocks.release(pinned)
+    } finally {
+      s.conf.unset("graft.checkpoint.reliable")
+      s.conf.unset("graft.checkpoint.dir")
+    }
+  }
 }

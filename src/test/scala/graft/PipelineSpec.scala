@@ -790,7 +790,8 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("ivfRebuildIfSkewed: balanced no-op, forced rebuild equals fresh " +
-      "build, crash mid-swap blind-retries") {
+      "build, readers are served at EVERY flip step (zero-downtime), " +
+      "crash anywhere blind-retries") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val base = java.nio.file.Files.createTempDirectory("ivf-rb").toString
     val idx = base + "/idx"; val fresh = base + "/fresh"
@@ -798,55 +799,70 @@ class PipelineSpec extends AnyFunSuite {
     Similarity.ivfWriteIndex(emb, fresh, nlist = 8)
     val fs = new org.apache.hadoop.fs.Path(idx)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def phys(d: String): String = Similarity.ivfResolve(fs, d)
     def files(d: String): Set[String] = fs.globStatus(
-      new org.apache.hadoop.fs.Path(d + "/cell=*/*"))
+      new org.apache.hadoop.fs.Path(phys(d) + "/cell=*/*"))
       .map(f => f.getPath.toString + "#" + f.getLen).toSet
     def assignment(d: String): Seq[(Long, Int)] =
-      spark.read.parquet(d).select("corpus_id", "cell").collect()
+      spark.read.parquet(phys(d)).select("corpus_id", "cell").collect()
         .map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+    def rows(d: String) = Similarity.ivfTopKFromIndex(spark, d,
+        emb.filter(col("vec_id") < 4), k = 3, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    val want = rows(fresh)
     // balanced index under a generous threshold: no-op, bit-untouched
     val before = files(idx)
     assert(!Similarity.ivfRebuildIfSkewed(spark, idx, maxShareBp = 10000))
     assert(files(idx) === before, "no-op rebuild must not touch the index")
-    // forced rebuild (threshold 0): retrained centers off the index's
-    // own content must equal a fresh same-corpus build's — and so must
-    // the whole (corpus_id, cell) assignment
+    // forced rebuild (threshold 0): the index moves to the versioned
+    // layout (pointer file), and retrained centers off its own content
+    // must equal a fresh same-corpus build's — and so must the whole
+    // (corpus_id, cell) assignment
     assert(Similarity.ivfRebuildIfSkewed(spark, idx, maxShareBp = 0))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(idx + ".current")),
+      "rebuild must leave a version pointer")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx)),
+      "old flat-layout data must be swept after the flip")
     val rc = Similarity.ivfReadCenters(spark, idx)
     val fc = Similarity.ivfReadCenters(spark, fresh)
     assert(rc.length === fc.length)
     rc.zip(fc).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
     assert(assignment(idx) === assignment(fresh))
-    assert(fs.exists(new org.apache.hadoop.fs.Path(idx + ".ok")))
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx + ".rebuild-pending")))
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx + ".rebuild-stage")),
-      "staging residue left behind")
-    // crash mid-swap (after the live .ok drop, before the centers move):
-    // readers are refused loudly, and ANY retry finishes the swap on
-    // entry — the staged copy is complete, so no data can be lost
-    spark.conf.set("graft.ann.testCrashRebuildAfter", "1")
-    val boom = intercept[RuntimeException] {
-      Similarity.ivfRebuildIfSkewed(spark, idx, maxShareBp = 0)
+    assert(rows(idx) === want)
+    // crash at EVERY flip step: readers must be served a complete,
+    // correct index from the old or new version at each one (the
+    // zero-downtime contract — the old protocol refused readers here),
+    // and a blind retry under any threshold recovers: a completed
+    // staged build is FLIPPED IN (never discarded), then swept clean.
+    (0 to 4).foreach { step =>
+      spark.conf.set("graft.ann.testCrashRebuildAfter", step.toString)
+      val boom = intercept[RuntimeException] {
+        Similarity.ivfRebuildIfSkewed(spark, idx, maxShareBp = 0)
+      }
+      assert(boom.getMessage.contains("injected crash"),
+        s"step $step: unexpected failure ${boom.getMessage}")
+      spark.conf.unset("graft.ann.testCrashRebuildAfter")
+      // zero-downtime: reads succeed MID-SWAP, content correct
+      assert(rows(idx) === want, s"step $step: mid-swap read wrong/refused")
+      assert(Similarity.ivfReadCenters(spark, idx).length === 8)
+      // blind retry (no-op threshold): recovery flips the completed
+      // staged build in and sweeps; the index stays correct
+      assert(!Similarity.ivfRebuildIfSkewed(spark, idx, maxShareBp = 10000))
+      assert(rows(idx) === want, s"step $step: post-recovery read wrong")
+      assert(assignment(idx) === assignment(fresh))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(idx + ".current.tmp")),
+        s"step $step: stale tmp pointer")
+      // exactly one physical version remains (residue swept)
+      val vers = fs.globStatus(new org.apache.hadoop.fs.Path(idx + ".v*"))
+        .map(_.getPath.getName).filter(_.matches("""idx\.v\d+"""))
+      assert(vers.length === 1, s"step $step: version residue ${vers.toSeq}")
     }
-    assert(boom.getMessage.contains("injected crash"))
-    spark.conf.unset("graft.ann.testCrashRebuildAfter")
-    assert(fs.exists(new org.apache.hadoop.fs.Path(idx + ".rebuild-pending")))
-    val refused = intercept[IllegalStateException] {
-      Similarity.ivfTopKFromIndex(spark, idx,
-        emb.filter(col("vec_id") < 4), k = 3, nprobe = 8)
-    }
-    assert(refused.getMessage.contains("ivfRebuildIfSkewed"))
-    // blind retry under a no-op threshold: recovery completes the torn
-    // swap first, then the skew probe sees the (balanced) rebuilt index
-    assert(!Similarity.ivfRebuildIfSkewed(spark, idx, maxShareBp = 10000))
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx + ".rebuild-pending")))
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx + ".rebuild-stage")))
-    assert(assignment(idx) === assignment(fresh))
-    def rows(d: String) = Similarity.ivfTopKFromIndex(spark, d,
-        emb.filter(col("vec_id") < 4), k = 3, nprobe = 8)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
-        r.getInt(3))).toSet
-    assert(rows(idx) === rows(fresh))
+    // appends keep working against the versioned layout (markers stay
+    // keyed on the logical name; data lands in the pointed version)
+    val extra = emb.filter(col("vec_id") < 0) // empty batch is fine
+    Similarity.ivfAppend(extra, idx, batchId = Some(99L))
+    assert(rows(idx) === want)
   }
 
   test("IVF centers are identical across differently-partitioned reads") {
