@@ -7,13 +7,26 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_RELIABLE_CKPT=<dir>: run the WHOLE gate with
+    // Blocks.pin in reliable-checkpoint mode (mode-independence proof —
+    // every release-then-read assumption must hold when pins are
+    // file-backed). cleanCheckpoints goes on the BUILDER (SparkConf
+    // level: the ContextCleaner reads it once at context start).
+    val reliableDir = sys.env.get("SPARK_GRAFT_RELIABLE_CKPT")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    reliableDir.foreach { _ =>
+      builder.config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+    }
+    val spark = builder.getOrCreate()
+    reliableDir.foreach { d =>
+      spark.conf.set("graft.checkpoint.reliable", "true")
+      spark.sparkContext.setCheckpointDir(d)
+    }
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=m06_embed_dedup → dump just those queries
