@@ -2787,6 +2787,104 @@ object Oracle {
       FROM cl a JOIN cl b ON a.label < b.label
       ORDER BY label_a, label_b""",
 
+    // m97: simplified silhouette — the m94 centroid dag, per-(vector,
+    // centroid) dimension-ordered distances, a = own / b = min-other,
+    // (b−a)/max(a,b) rounded 9, DECIMAL-summed label means (m95's
+    // pattern). √ is IEEE-pinned; min over centroids is order-free.
+    "m97_silhouette" -> """
+      WITH x AS (SELECT label, CAST(i AS INT) - 1 AS i,
+               CAST(floor(v[CAST(i AS INT)] * 16777216 + 0.5) AS BIGINT) AS xs
+             FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v,
+                     unnest(range(1, len(embedding)+1)) AS i
+                   FROM embeddings)),
+      st AS (SELECT label, i, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(xs) AS BIGINT) AS sx FROM x GROUP BY label, i),
+      c AS (SELECT label, i,
+              (CAST(sx AS DOUBLE) / n) / 16777216.0 AS cd FROM st),
+      cl AS (SELECT label, list(cd ORDER BY i) AS cv FROM c GROUP BY label),
+      ev AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+      d AS (SELECT ev.vec_id, ev.label AS own, cl.label AS lbl,
+              sqrt(list_sum(list_transform(range(len(ev.v)),
+                i -> (ev.v[CAST(i AS INT)+1] - cl.cv[CAST(i AS INT)+1])
+                   * (ev.v[CAST(i AS INT)+1] - cl.cv[CAST(i AS INT)+1])))) AS dist
+            FROM ev CROSS JOIN cl),
+      ab AS (SELECT vec_id, own AS label,
+               MAX(CASE WHEN lbl = own THEN dist END) AS a,
+               MIN(CASE WHEN lbl <> own THEN dist END) AS b
+             FROM d GROUP BY vec_id, own),
+      sil AS (SELECT label,
+                CAST(round(CASE WHEN b IS NULL OR greatest(a, b) = 0 THEN 0
+                       ELSE (b - a) / greatest(a, b) END, 9)
+                  AS DECIMAL(18,9)) AS sv
+              FROM ab)
+      SELECT label, COUNT(*) AS n,
+        round(CAST(SUM(sv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+          AS mean_silhouette
+      FROM sil GROUP BY label ORDER BY label""",
+
+    // m98: canonical pick — the m11 exact-Jaccard pair graph +
+    // recursive-CTE reachability, joined to the quality formula; per
+    // component the rounded-quality-desc / doc_id-asc window pick.
+    "m98_canonical_pick" -> s"""
+      WITH RECURSIVE $CharShingleCtes,
+      $TextStatsCtes,
+      p AS (SELECT a.doc_id AS da, b.doc_id AS db
+            FROM sh a, sh b WHERE a.doc_id < b.doc_id
+              AND CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+                  / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5),
+      e AS (SELECT da AS u, db AS v FROM p UNION SELECT db, da FROM p),
+      reach(node, r) AS (
+        SELECT u, u FROM e
+        UNION
+        SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.node),
+      comp AS (SELECT node AS doc_id, MIN(r) AS component
+               FROM reach GROUP BY node),
+      q AS (SELECT doc_id, $QualityExpr AS q FROM ratios),
+      j AS (SELECT comp.component, comp.doc_id, q.q
+            FROM comp JOIN q USING (doc_id)),
+      pick AS (SELECT component, doc_id, q,
+                 ROW_NUMBER() OVER (PARTITION BY component
+                   ORDER BY q DESC, doc_id ASC) AS rn,
+                 COUNT(*) OVER (PARTITION BY component) AS n_members
+               FROM j)
+      SELECT component, doc_id AS canonical_doc_id, n_members,
+             q AS canonical_q
+      FROM pick WHERE rn = 1 ORDER BY component""",
+
+    // m99: winsorized rescale — exact p10/p90 order statistics (the m35
+    // rank form, exact-decimal ceil), clip + min-max on the same
+    // rounded doubles.
+    "m99_winsorize" -> s"""
+      WITH $TextStatsCtes,
+      qq AS (SELECT doc_id, $QualityExpr AS q FROM ratios),
+      w AS (SELECT doc_id, q,
+              row_number() OVER (ORDER BY q ASC, doc_id ASC) AS rank
+            FROM qq),
+      cnt AS (SELECT count(*) AS n FROM qq),
+      t AS (SELECT p, greatest(1, CAST(ceil(p * n) AS BIGINT)) AS rank
+            FROM (VALUES (0.1),(0.9)) AS pr(p), cnt),
+      b AS (SELECT MAX(CASE WHEN p = 0.1 THEN v END) AS lo,
+                   MAX(CASE WHEN p = 0.9 THEN v END) AS hi
+            FROM (SELECT t.p, w.q AS v FROM t JOIN w USING (rank)))
+      SELECT qq.doc_id, qq.q,
+        CASE WHEN b.hi = b.lo THEN 0.0
+             ELSE round((least(greatest(qq.q, b.lo), b.hi) - b.lo)
+                        / (b.hi - b.lo), 6)
+        END AS q_winsorized
+      FROM qq, b ORDER BY doc_id""",
+
+    // q51: identical LATERAL construct on both engines (Spark
+    // decorrelates the LIMIT into a partitioned rank).
+    "q51_lateral_join" -> """
+      SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      FROM customer c,
+      LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+               WHERE o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+      WHERE c.c_custkey <= 200
+      ORDER BY c_custkey, o_totalprice DESC, o_orderkey""",
+
     // m93: novelty curve — string 13-gram sets (the m36 derivation),
     // first owner = min(doc_id) per gram, windowed running total.
     "m93_novelty_curve" -> """

@@ -1969,21 +1969,24 @@ object Queries {
     * DECIMAL-summed (the BM25 trick), so the label means are
     * aggregation-order-free; the oracle replays the centroid dag and
     * the same rounded sum. */
-  def m95LabelScatter(s: SparkSession, dir: String): DataFrame = {
+  /** Shared by m94/m95/m97: per-label EXACT centroids from
+    * scaled-integer per-dim sums (x = floor(v·2²⁴ + 0.5); Σ rides
+    * DECIMAL(38,0) per the m75 rule — a plain BIGINT sum wraps silently
+    * at ~2³⁸ rows per (label, dim)). Driver state is bounded at
+    * labels × dims — the corpus itself never leaves the executors. */
+  private def exactLabelCentroids(
+      s: SparkSession, dir: String): Map[Int, Array[Double]] = {
     val sc = 16777216.0
     val xsUdf = udf((v: Array[Float]) =>
       v.map(x => math.floor(x.toDouble * sc + 0.5).toLong))
-    val emb = t(s, dir, "embeddings")
-    // CLAUDE.md m75 rule: Σ of 2²⁴-scaled longs rides DECIMAL(38,0) — a
-    // plain BIGINT sum wraps silently at ~2³⁸ rows per (label, dim)
-    val stats = emb
+    val stats = t(s, dir, "embeddings")
       .select(col("label"), posexplode(xsUdf(col("embedding"))).as(Seq("i", "xs")))
       .groupBy("label", "i")
       .agg(count(lit(1)).as("n"),
         sum(col("xs").cast(DecimalType(38, 0))).as("sx"))
       .collect()
     val dims = stats.map(_.getInt(1)).max + 1
-    val cents = stats.groupBy(_.getInt(0)).map { case (lbl, rows) =>
+    stats.groupBy(_.getInt(0)).map { case (lbl, rows) =>
       val c = new Array[Double](dims)
       rows.foreach { r =>
         c(r.getInt(1)) =
@@ -1991,6 +1994,11 @@ object Queries {
       }
       lbl -> c
     }
+  }
+
+  def m95LabelScatter(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = exactLabelCentroids(s, dir)
     val bc = s.sparkContext.broadcast(cents)
     val d2Udf = udf { (lbl: Int, v: Array[Float]) =>
       val c = bc.value(lbl)
@@ -2018,25 +2026,7 @@ object Queries {
     * over exact state; the oracle replays sums, the mean dag and the
     * dimension-ordered cosine. */
   def m94LabelCentroids(s: SparkSession, dir: String): DataFrame = {
-    val sc = 16777216.0
-    val xsUdf = udf((v: Array[Float]) =>
-      v.map(x => math.floor(x.toDouble * sc + 0.5).toLong))
-    // m75 rule (see m95): scaled-long Σ in DECIMAL(38,0), never BIGINT
-    val stats = t(s, dir, "embeddings")
-      .select(col("label"), posexplode(xsUdf(col("embedding"))).as(Seq("i", "xs")))
-      .groupBy("label", "i")
-      .agg(count(lit(1)).as("n"),
-        sum(col("xs").cast(DecimalType(38, 0))).as("sx"))
-      .collect()
-    val dims = stats.map(_.getInt(1)).max + 1
-    val cents = stats.groupBy(_.getInt(0)).map { case (lbl, rows) =>
-      val c = new Array[Double](dims)
-      rows.foreach { r =>
-        c(r.getInt(1)) =
-          (r.getDecimal(3).doubleValue() / r.getLong(2).toDouble) / sc
-      }
-      lbl -> c
-    }
+    val cents = exactLabelCentroids(s, dir)
     val labels = cents.keys.toSeq.sorted
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var s0 = 0.0; var i = 0
@@ -2052,6 +2042,126 @@ object Queries {
     }).toDF("label_a", "label_b", "c")
       .withColumn("cosine", round(col("c"), 6)).drop("c")
       .orderBy("label_a", "label_b")
+  }
+
+  /** m97 — simplified silhouette per label (Kaufman & Rousseeuw's
+    * silhouette with the standard centroid simplification): per vector,
+    * a = distance to its OWN label centroid, b = min distance to any
+    * OTHER label's centroid, s = (b − a) / max(a, b); reported as the
+    * per-label mean — the cluster-cohesion-vs-separation score that
+    * completes the m94/m95 drift table (collapsing labels show falling
+    * silhouette before the centroid cosines converge). Centroids are
+    * the exact scaled-int dag ([[exactLabelCentroids]]); per-vector
+    * distances run in dimension order, √ is IEEE-pinned, min over
+    * centroids is order-free, and the label means ride the
+    * round-9-then-DECIMAL-sum pattern (m95), so engine and oracle agree
+    * bit-for-bit. Scale: one broadcast of labels×dims doubles, one
+    * narrow pass, shuffle bounded at labels rows. */
+  def m97Silhouette(s: SparkSession, dir: String): DataFrame = {
+    val cents = exactLabelCentroids(s, dir)
+    val bc = s.sparkContext.broadcast(cents)
+    val silUdf = udf { (lbl: Int, v: Array[Float]) =>
+      var a = 0.0
+      var b = Double.MaxValue
+      bc.value.foreach { case (l, c) =>
+        var s0 = 0.0; var i = 0
+        while (i < v.length) {
+          val d = v(i).toDouble - c(i); s0 += d * d; i += 1
+        }
+        val dist = math.sqrt(s0)
+        if (l == lbl) a = dist else if (dist < b) b = dist
+      }
+      val m = math.max(a, b)
+      if (b == Double.MaxValue || m == 0.0) 0.0 else (b - a) / m
+    }
+    t(s, dir, "embeddings")
+      .select(col("label"),
+        round(silUdf(col("label"), col("embedding")), 9)
+          .cast(DecimalType(18, 9)).as("sil"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("sil")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("mean_silhouette"))
+      .orderBy("label")
+  }
+
+  /** m98 — canonical representative per near-dup cluster: connected
+    * components over the shared 0.5-threshold pair table (m11's graph),
+    * each cluster keeping its HIGHEST-QUALITY member (rounded quality
+    * desc, doc_id asc tie) — the curation decision exact/near dedup
+    * operators defer ("which copy survives?") made on quality rather
+    * than min-id. Scale: the component table is dup-cluster-sized (far
+    * smaller than the corpus) and broadcasts into the documents scan;
+    * the pick window partitions by component — no unpartitioned window,
+    * nothing corpus-sized shuffles. The oracle replays the exact-Jaccard
+    * pair graph, recursive-CTE reachability and the quality formula. */
+  def m98CanonicalPick(s: SparkSession, dir: String): DataFrame = {
+    val comps = Dedup.connectedComponents(pairs05(s, dir))
+      .withColumnRenamed("id", "doc_id")
+    val q = t(s, dir, "documents")
+      .select(col("doc_id"),
+        round(TextAnalysis.qualityScore(col("text")), 6).as("q"))
+    val joined = q.join(broadcast(comps), "doc_id")
+    val w = Window.partitionBy("component")
+      .orderBy(col("q").desc, col("doc_id").asc)
+    joined
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("component")))
+      .filter(col("rn") === 1)
+      .select(col("component"), col("doc_id").as("canonical_doc_id"),
+        col("n_members"), col("q").as("canonical_q"))
+      .orderBy("component")
+  }
+
+  /** m99 — winsorized quality rescale: per-doc quality clipped at the
+    * EXACT p10/p90 order statistics (value at rank ⌈p·N⌉ —
+    * [[operators.Ranking.globalQuantiles]]'s range-partitioned sort, no
+    * approx sketch) and min-max rescaled to [0, 1] — the robust score
+    * normalization a mixture/budget stage wants before comparing
+    * sources (m31/m45 consume scores; outliers would own a naive
+    * min-max). The two bounds are a 2-row driver collect; the rescale
+    * is one narrow pass. Exact-decimal ceil on both engines keeps the
+    * rank selection literal-identical; the clip/rescale dag runs on the
+    * same rounded doubles both sides. */
+  def m99Winsorize(s: SparkSession, dir: String): DataFrame = {
+    val q = t(s, dir, "documents")
+      .select(col("doc_id"),
+        round(TextAnalysis.qualityScore(col("text")), 6).as("q"))
+    val qf = operators.Ranking.globalQuantiles(
+      q, col("q"), Seq(col("doc_id")), Seq(0.1, 0.9))
+    val bounds = qf.collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    graft.core.Blocks.release(qf)
+    val (lo, hi) = (bounds(0.1), bounds(0.9))
+    val clipped = least(greatest(col("q"), lit(lo)), lit(hi))
+    val scaled =
+      if (hi == lo) lit(0.0)
+      else round((clipped - lit(lo)) / lit(hi - lo), 6)
+    q.select(col("doc_id"), col("q"), scaled.as("q_winsorized"))
+      .orderBy("doc_id")
+  }
+
+  /** q51 — correlated LATERAL table subquery (Spark 4.x `LATERAL`):
+    * top-2 orders by price per customer through the SQL entry point —
+    * the per-row-driven table subquery shape the DataFrame battery
+    * reaches only via window ranks (q27/m70). Same construct runs on
+    * both engines; Spark decorrelates the LIMIT-under-LATERAL into a
+    * partitioned rank, so the plan is the m70 group-top-k shape, not a
+    * per-row loop. */
+  def q51LateralJoin(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer_q51")
+    t(s, dir, "orders").createOrReplaceTempView("orders_q51")
+    val out = s.sql("""
+      SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      FROM customer_q51 c,
+      LATERAL (SELECT o_orderkey, o_totalprice FROM orders_q51
+               WHERE o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+      WHERE c.c_custkey <= 200
+      ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
+    s.catalog.dropTempView("customer_q51")
+    s.catalog.dropTempView("orders_q51")
+    out
   }
 
   /** m93 — corpus novelty curve: per doc (in doc_id arrival order),

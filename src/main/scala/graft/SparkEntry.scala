@@ -87,6 +87,7 @@ object SparkEntry {
     "q48_transitions" -> Queries.q48Transitions,
     "q49_burst_users" -> Queries.q49BurstUsers,
     "q50_missing_minutes" -> Queries.q50MissingMinutes,
+    "q51_lateral_join" -> Queries.q51LateralJoin,
     // training-data operators (rows-only)
     "m01_minhash_pairs" -> Queries.m01MinhashPairs,
     "m02_simhash_pairs" -> Queries.m02SimhashPairs,
@@ -188,6 +189,9 @@ object SparkEntry {
     "m94_label_centroids" -> Queries.m94LabelCentroids,
     "m95_label_scatter" -> Queries.m95LabelScatter,
     "m96_ivf_rebuild" -> Queries.m96IvfRebuild,
+    "m97_silhouette" -> Queries.m97Silhouette,
+    "m98_canonical_pick" -> Queries.m98CanonicalPick,
+    "m99_winsorize" -> Queries.m99Winsorize,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on
