@@ -2020,6 +2020,88 @@ object Oracle {
       SELECT query_id, corpus_id, dist, rank FROM r WHERE rank <= 5
       ORDER BY query_id, rank""",
 
+    // m100: TRUE IVFADC — m42's composition with RESIDUAL encoding:
+    // cell argmin off ivf_centers, residual = v − own-cell centroid,
+    // encode argmin against the residual codebooks, and per-(query,
+    // probed-cell) ADC tables from the query's residual THERE. A
+    // residual against the wrong centroid is a hash mismatch.
+    "m100_ivf_pq_residual" -> """
+      WITH centers AS (SELECT cell, center
+                       FROM read_parquet('{AUX}/ivf_centers/*.parquet')),
+      cb AS (SELECT s, j, vec
+             FROM read_parquet('{AUX}/pq_residual_codebooks/*.parquet')),
+      emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      celld AS (SELECT e.vec_id, c.cell, e.v,
+          list_sum(list_transform(range(len(c.center)), i ->
+            (e.v[CAST(i AS INT)+1] - c.center[CAST(i AS INT)+1])
+            * (e.v[CAST(i AS INT)+1] - c.center[CAST(i AS INT)+1]))) AS d
+        FROM emb e, centers c),
+      cellr AS (SELECT vec_id, cell, v,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+        FROM celld),
+      corp AS (SELECT vec_id AS corpus_id, cell FROM cellr WHERE rn = 1),
+      probes AS (SELECT vec_id AS query_id, cell FROM cellr
+                 WHERE vec_id < 16 AND rn <= 8),
+      rv AS (SELECT corp.corpus_id, corp.cell,
+          list_transform(range(len(e.v)), i ->
+            e.v[CAST(i AS INT)+1] - ct.center[CAST(i AS INT)+1]) AS r
+        FROM corp JOIN emb e ON e.vec_id = corp.corpus_id
+             JOIN centers ct ON ct.cell = corp.cell),
+      encd AS (SELECT rv.corpus_id, cb.s, cb.j,
+          list_sum(list_transform(range(8), i ->
+            (r[cb.s*8 + CAST(i AS INT) + 1] - vec[CAST(i AS INT) + 1])
+            * (r[cb.s*8 + CAST(i AS INT) + 1] - vec[CAST(i AS INT) + 1]))) AS dist
+        FROM rv, cb),
+      enc AS (SELECT corpus_id, s, j AS code FROM (
+            SELECT corpus_id, s, j,
+              row_number() OVER (PARTITION BY corpus_id, s
+                ORDER BY dist ASC, j ASC) AS rn
+            FROM encd) WHERE rn = 1),
+      qr AS (SELECT p.query_id, p.cell,
+          list_transform(range(len(e.v)), i ->
+            e.v[CAST(i AS INT)+1] - ct.center[CAST(i AS INT)+1]) AS r
+        FROM probes p JOIN emb e ON e.vec_id = p.query_id
+             JOIN centers ct ON ct.cell = p.cell),
+      cand AS (SELECT qr.query_id, c.corpus_id, c.cell, qr.r
+               FROM qr JOIN corp c ON c.cell = qr.cell
+               WHERE c.corpus_id <> qr.query_id),
+      term AS (SELECT cand.query_id, cand.corpus_id, enc.s,
+          list_sum(list_transform(range(8), i ->
+            (cand.r[enc.s*8 + CAST(i AS INT) + 1] - cb.vec[CAST(i AS INT) + 1])
+            * (cand.r[enc.s*8 + CAST(i AS INT) + 1] - cb.vec[CAST(i AS INT) + 1]))) AS t
+        FROM cand
+          JOIN enc ON enc.corpus_id = cand.corpus_id
+          JOIN cb ON cb.s = enc.s AND cb.j = enc.code),
+      dst AS (SELECT query_id, corpus_id,
+          round(list_sum(list(t ORDER BY s)), 6) AS dist
+        FROM term GROUP BY query_id, corpus_id),
+      r AS (SELECT query_id, corpus_id, dist,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY dist ASC, corpus_id ASC) AS INT) AS rank
+        FROM dst)
+      SELECT query_id, corpus_id, dist, rank FROM r WHERE rank <= 5
+      ORDER BY query_id, rank""",
+
+    // m101: sign-bit Hamming — popcount(xor(codes)) equals the count
+    // of per-dimension sign disagreements, which is what this counts
+    // directly (no 2^63 bit in BIGINT); strict >0 sign rule.
+    "m101_hamming_topk" -> """
+      WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 16),
+      h AS (SELECT q.query_id, e.vec_id AS corpus_id,
+              CAST(len(list_filter(range(len(e.v)), i ->
+                (e.v[CAST(i AS INT)+1] > 0) <> (qv[CAST(i AS INT)+1] > 0)))
+                AS INT) AS ham
+            FROM emb e, q
+            WHERE e.vec_id <> q.query_id),
+      r AS (SELECT query_id, corpus_id, ham,
+              CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY ham ASC, corpus_id ASC) AS INT) AS rank
+            FROM h)
+      SELECT query_id, corpus_id, ham, rank FROM r WHERE rank <= 5
+      ORDER BY query_id, rank""",
+
     // Corpus card: every per-source column re-derived from the shared
     // TextStats/Quality/LangPred SQL; quality summed as DECIMAL(18,6)
     // (order-independent — the q01 double-sum rule), distinct over the

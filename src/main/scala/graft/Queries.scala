@@ -1409,6 +1409,19 @@ object Queries {
     pqModels.getOrElseUpdate(new java.io.File(dir).getAbsolutePath,
       operators.Similarity.pqTrain(t(s, dir, "embeddings"), m = 8, k = 16))
 
+  /** Shared RESIDUAL PQ model per (JVM, dir) — same determinism
+    * contract (seeded sample, m09's seeded centers, offset subspace
+    * seeds), shared by the aux dump and m100. */
+  private val pqResidualModels =
+    scala.collection.concurrent.TrieMap[String, operators.Similarity.PqModel]()
+  private[graft] def pqResidualModelFor(
+      s: SparkSession, dir: String): operators.Similarity.PqModel =
+    pqResidualModels.getOrElseUpdate(new java.io.File(dir).getAbsolutePath, {
+      val emb = t(s, dir, "embeddings")
+      operators.Similarity.pqTrainResidual(emb,
+        operators.Similarity.ivfCenters(emb, 16), m = 8, k = 16)
+    })
+
   /** m40 — product-quantization encode
     * ([[operators.Similarity.pqTrain]] / [[operators.Similarity.pqEncode]]):
     * the IVF-ADC compression half — dim-64 float32 vectors (256 B)
@@ -1450,6 +1463,40 @@ object Queries {
     operators.Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 16),
         operators.Similarity.ivfCenters(emb, 16), pqModelFor(s, dir),
         k = 5, nprobe = 8)
+      .orderBy("query_id", "rank")
+  }
+
+  /** m100 — TRUE IVFADC top-k
+    * ([[operators.Similarity.ivfPqResidualTopK]]): m42 quantizes raw
+    * vectors (the simplification); this is Jégou et al.'s actual
+    * scheme — corpus vectors PQ-encode their RESIDUAL against their own
+    * cell centroid, and each query carries one ADC table per probed
+    * cell built from its residual there. The oracle composes the cell
+    * argmin (ivf_centers), the residual subtraction, the residual
+    * encode argmin (pq_residual_codebooks) and the per-cell ADC sums —
+    * a residual applied against the wrong cell's centroid lands as a
+    * hash mismatch. */
+  def m100IvfPqResidual(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    operators.Similarity.ivfPqResidualTopK(emb,
+        emb.filter(col("vec_id") < 16),
+        operators.Similarity.ivfCenters(emb, 16),
+        pqResidualModelFor(s, dir), k = 5, nprobe = 8)
+      .orderBy("query_id", "rank")
+  }
+
+  /** m101 — sign-bit Hamming retrieval
+    * ([[operators.Similarity.hammingTopK]]): 1-bit quantization (bit i
+    * ⇔ v(i) > 0, one 64-bit word per vector — the 256× rung under
+    * PQ/SQ8) ranked by popcount(xor), integers end-to-end. The oracle
+    * counts per-dimension sign DISAGREEMENTS directly (the same value
+    * as popcount of the xor, without materializing a 2⁶³ bit in
+    * BIGINT), so the code fold, the strict >0 sign rule and the tie
+    * order are all pinned. */
+  def m101HammingTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    operators.Similarity.hammingTopK(emb, emb.filter(col("vec_id") < 16),
+        k = 5)
       .orderBy("query_id", "rank")
   }
 

@@ -192,6 +192,8 @@ object SparkEntry {
     "m97_silhouette" -> Queries.m97Silhouette,
     "m98_canonical_pick" -> Queries.m98CanonicalPick,
     "m99_winsorize" -> Queries.m99Winsorize,
+    "m100_ivf_pq_residual" -> Queries.m100IvfPqResidual,
+    "m101_hamming_topk" -> Queries.m101HammingTopK,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on
@@ -368,6 +370,16 @@ object SparkEntry {
     // the oracle SQL.
     "pq_codebooks" -> ((s, dir) => {
       val m = Queries.pqModelFor(s, dir)
+      import s.implicits._
+      (for (ss <- 0 until m.m; j <- 0 until m.k)
+        yield (ss, j, m.codebooks(ss)(j).toSeq))
+        .toDF("s", "j", "vec")
+    }),
+    // m100's RESIDUAL codebooks (trained on v − nearest-center under
+    // m09's seeded centers) — parameters like pq_codebooks; every
+    // assignment and distance is re-derived in the oracle SQL.
+    "pq_residual_codebooks" -> ((s, dir) => {
+      val m = Queries.pqResidualModelFor(s, dir)
       import s.implicits._
       (for (ss <- 0 until m.m; j <- 0 until m.k)
         yield (ss, j, m.codebooks(ss)(j).toSeq))

@@ -14,6 +14,10 @@ final case class PqHit(query_id: Long, dist: Double)
   * so ranking has no float story at all. TOP-LEVEL for the encoder rule. */
 final case class SqHit(query_id: Long, dist: Long)
 
+/** One query's sign-bit Hamming hit (exact integer distance).
+  * TOP-LEVEL for the encoder rule. */
+final case class HamHit(query_id: Long, ham: Int)
+
 /**
  * Similarity search over an embedding column (`array<float>`):
  * brute-force cosine top-k as the exact baseline, and an LSH-bucketed
@@ -481,6 +485,168 @@ object Similarity {
       .select(col("corpus_id"), explode(hitsUdf(col("v"))).as("h"))
       .select(col("h.query_id"), col("corpus_id"),
         round(col("h.dist"), 6).as("dist"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** [[subD2]] over a residual DOUBLE vector — same ascending-index
+    * summation, the order the oracle SQL mirrors. */
+  private def subD2d(r: Array[Double], off: Int, c: Array[Double]): Double = {
+    var d = 0.0
+    var i = 0
+    while (i < c.length) { val x = r(off + i) - c(i); d += x * x; i += 1 }
+    d
+  }
+
+  /** Train PQ codebooks over RESIDUALS (v − its nearest IVF center) —
+    * the codebook half of true IVFADC (Jégou et al. 2011 §IV-A):
+    * within-cell residuals span a far smaller volume than raw vectors,
+    * so the same m×k codebook budget quantizes finer and recall rises
+    * at identical memory. Same bounded seeded sample contract as
+    * [[pqTrain]]/[[ivfCenters]] (deterministic; subspace seeds offset
+    * so residual books never collide with the raw ones). Training
+    * casts residuals to float — the books are PARAMETERS (aux-dumped
+    * like the centers), not part of the replayed distance dag. */
+  def pqTrainResidual(corpus: DataFrame, centers: Array[Array[Double]],
+      m: Int = 8, k: Int = 16, vecCol: String = "embedding",
+      idCol: String = "vec_id"): PqModel = {
+    val sample: Array[Array[Float]] = corpus.select(col(vecCol), col(idCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(math.max(k * 256, 4096))
+      .select(col(vecCol))
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "pqTrainResidual: empty corpus")
+    val dim = sample(0).length
+    require(m >= 1 && dim % m == 0,
+      s"pqTrainResidual: dim $dim must be divisible by m=$m subspaces")
+    val sub = dim / m
+    val residuals = sample.map { v =>
+      val c = centers(VecMath.nearestCenter(v, centers))
+      Array.tabulate(dim)(i => (v(i).toDouble - c(i)).toFloat)
+    }
+    val books = Array.tabulate(m) { s =>
+      val pts = residuals.map(r =>
+        java.util.Arrays.copyOfRange(r, s * sub, (s + 1) * sub))
+      VecMath.kmeans(pts, k, seed = 142L + s, maxIter = 10)
+    }
+    PqModel(sub, books)
+  }
+
+  /** TRUE IVFADC top-k (residual encoding — [[ivfPqTopK]] quantizes raw
+    * vectors, the simplification; this is the paper's actual scheme):
+    * every corpus vector is encoded as PQ codes of its RESIDUAL against
+    * its own cell's centroid, and each query builds one ADC table PER
+    * PROBED CELL from its residual against that cell — so a (query,
+    * corpus) pair is scored with the table of the corpus vector's cell.
+    * Same one-narrow-kernel scale shape as [[ivfPqTopK]] (cell + codes +
+    * per-query distances in a single pass, corpus never shuffles, floats
+    * never leave the kernel), with nprobe·m·k doubles per query
+    * broadcast instead of m·k. Ranking mirrors [[pqTopK]]. */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame,
+      centers: Array[Array[Double]], model: PqModel, k: Int = 5,
+      nprobe: Int = 8, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val qs = queries.select(col(idCol).cast("long"), col(vecCol))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val qInfo = qs.map { case (qid, qv) =>
+      val tables = VecMath.nearestCenters(qv, centers, nprobe).map { c =>
+        val ctr = centers(c)
+        val qr = Array.tabulate(qv.length)(i => qv(i).toDouble - ctr(i))
+        c -> Array.tabulate(model.m, model.k)((s, j) =>
+          subD2d(qr, s * model.subDim, model.codebooks(s)(j)))
+      }.toMap
+      (qid, tables)
+    }
+    val sc = corpus.sparkSession.sparkContext
+    val bcQ = sc.broadcast(qInfo)
+    val bcC = sc.broadcast(centers)
+    val bcM = sc.broadcast(model)
+    val hitsUdf = udf((v: Array[Float]) => {
+      if (v == null) Array.empty[PqHit]
+      else {
+        val md = bcM.value
+        val cell = VecMath.nearestCenter(v, bcC.value)
+        val ctr = bcC.value(cell)
+        val rv = new Array[Double](v.length)
+        var i = 0
+        while (i < v.length) { rv(i) = v(i).toDouble - ctr(i); i += 1 }
+        val codes = new Array[Int](md.m)
+        var s = 0
+        while (s < md.m) {
+          val cbs = md.codebooks(s)
+          var best = 0
+          var bestD = Double.MaxValue
+          var j = 0
+          while (j < cbs.length) {
+            val d = subD2d(rv, s * md.subDim, cbs(j))
+            if (d < bestD) { bestD = d; best = j }
+            j += 1
+          }
+          codes(s) = best
+          s += 1
+        }
+        bcQ.value.collect { case (qid, tabs) if tabs.contains(cell) =>
+          val t = tabs(cell)
+          var d = 0.0
+          var x = 0
+          while (x < codes.length) { d += t(x)(codes(x)); x += 1 }
+          PqHit(qid, d)
+        }
+      }
+    })
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("corpus_id").asc)
+    spread(corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("v")))
+      .select(col("corpus_id"), explode(hitsUdf(col("v"))).as("h"))
+      .select(col("h.query_id"), col("corpus_id"),
+        round(col("h.dist"), 6).as("dist"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** 1-bit sign quantization + Hamming retrieval — the BOTTOM rung of
+    * the compression ladder (PQ 32×, SQ8 4×, this 256× for dim-64
+    * float32: one 64-bit code per vector): bit i of a vector's code is
+    * set iff `v(i) > 0`, queries rank corpus codes by popcount(xor) —
+    * exact integers end-to-end, zero training, no float rounding story
+    * at all. The standard binary-embedding baseline (Charikar's
+    * sign-random-projection with the identity projection — embeddings
+    * whose dimensions are already decorrelated, e.g. post-PCA/random
+    * projection, keep most neighborhood structure). One narrow kernel
+    * pass, corpus never shuffles; ties (ham, corpus_id asc) like
+    * every retrieval entry. Requires dim ≤ 64 (one machine word — the
+    * multi-word generalization is mechanical). */
+  def hammingTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def code(v: Array[Float]): Long = {
+      require(v.length <= 64,
+        s"hammingTopK: dim ${v.length} > 64 (one-word codes)")
+      var c = 0L
+      var i = 0
+      while (i < v.length) { if (v(i) > 0f) c |= (1L << i); i += 1 }
+      c
+    }
+    val qs = queries.select(col(idCol).cast("long"), col(vecCol))
+      .collect().map(r => (r.getLong(0), code(r.getSeq[Float](1).toArray)))
+      .sortBy(_._1)
+    val bcQ = corpus.sparkSession.sparkContext.broadcast(qs)
+    val hitsUdf = udf((v: Array[Float]) => {
+      if (v == null) Array.empty[HamHit]
+      else {
+        val cc = code(v)
+        bcQ.value.map { case (qid, qc) =>
+          HamHit(qid, java.lang.Long.bitCount(cc ^ qc))
+        }
+      }
+    })
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("ham").asc, col("corpus_id").asc)
+    spread(corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("v")))
+      .select(col("corpus_id"), explode(hitsUdf(col("v"))).as("h"))
+      .select(col("h.query_id"), col("corpus_id"), col("h.ham").as("ham"))
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

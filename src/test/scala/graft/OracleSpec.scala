@@ -20,8 +20,11 @@ class OracleSpec extends AnyFunSuite {
     "media", // the synthetic media corpus (input bytes)
     "quality_lr", // m39's trained LR weights (model PARAMETER like
                   // ivf_centers/pca_model; scoring re-derived in SQL)
-    "pq_codebooks") // m40/m41's PQ codebooks (model PARAMETER; encode
+    "pq_codebooks", // m40/m41's PQ codebooks (model PARAMETER; encode
                     // argmin + ADC distances re-derived in SQL)
+    "pq_residual_codebooks") // m100's residual codebooks (same contract:
+                             // PARAMETER; residual + encode + ADC
+                             // re-derived in SQL)
 
   test("oracle SQL references only allowed aux tables") {
     val auxRef = """\{AUX\}/([a-z0-9_]+)""".r

@@ -414,6 +414,105 @@ class PipelineSpec extends AnyFunSuite {
     assert(composed.nonEmpty)
   }
 
+  test("ivfPqResidualTopK: equals a driver reference (residual encode + " +
+      "per-probed-cell ADC), beats raw-vector PQ on quantization error") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val centers = Similarity.ivfCenters(emb, 8)
+    val model = Similarity.pqTrainResidual(emb, centers, m = 8, k = 16)
+    val queries = emb.filter(col("vec_id") < 4)
+    val composed = Similarity.ivfPqResidualTopK(emb, queries, centers, model,
+        k = 3, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    // driver reference: residual-encode every vector against ITS cell,
+    // score each (query, corpus) pair with the query's table for the
+    // corpus's cell, rank (dist, id)
+    val all = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    def cellOf(v: Array[Float]) = graft.core.VecMath.nearestCenter(v, centers)
+    def residual(v: Array[Float], c: Int): Array[Double] =
+      Array.tabulate(v.length)(i => v(i).toDouble - centers(c)(i))
+    def sub2(r: Array[Double], off: Int, cw: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < cw.length) { val x = r(off + i) - cw(i); d += x * x; i += 1 }
+      d
+    }
+    def encode(r: Array[Double]): Array[Int] = Array.tabulate(model.m) { s =>
+      (0 until model.k).minBy(j => sub2(r, s * model.subDim, model.codebooks(s)(j)))
+    }
+    val ref = all.filter(_._1 < 4).flatMap { case (qid, qv) =>
+      val probed = graft.core.VecMath.nearestCenters(qv, centers, 3).toSet
+      val hits = all.filter { case (cid, cv) =>
+        cid != qid && probed.contains(cellOf(cv))
+      }.map { case (cid, cv) =>
+        val c = cellOf(cv)
+        val qr = residual(qv, c)
+        val codes = encode(residual(cv, c))
+        var d = 0.0
+        codes.zipWithIndex.foreach { case (code, s) =>
+          d += sub2(qr, s * model.subDim, model.codebooks(s)(code))
+        }
+        (cid, BigDecimal(d).setScale(6,
+          scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      hits.sortBy(h => (h._2, h._1)).take(3).zipWithIndex
+        .map { case ((cid, d), i) => (qid, cid, d, i + 1) }
+    }.sortBy(t => (t._1, t._4))
+    assert(composed.length === ref.length)
+    composed.zip(ref).foreach { case (a, b) =>
+      assert(a._1 === b._1 && a._2 === b._2 && a._4 === b._4)
+      assert(math.abs(a._3 - b._3) < 1e-5, s"$a vs $b")
+    }
+    // the residual claim: mean squared quantization error of the
+    // residual books is below the raw-vector books' on the same corpus
+    val rawModel = Similarity.pqTrain(emb, m = 8, k = 16)
+    def mse(encDist: (Long, Array[Float]) => Double): Double =
+      all.map { case (id, v) => encDist(id, v) }.sum / all.length
+    val rawErr = mse((_, v) => {
+      val codes = Array.tabulate(rawModel.m) { s =>
+        (0 until rawModel.k).minBy(j =>
+          sub2(v.map(_.toDouble), s * rawModel.subDim, rawModel.codebooks(s)(j)))
+      }
+      codes.zipWithIndex.map { case (c, s) =>
+        sub2(v.map(_.toDouble), s * rawModel.subDim, rawModel.codebooks(s)(c))
+      }.sum
+    })
+    val resErr = mse((_, v) => {
+      val c = cellOf(v)
+      val r = residual(v, c)
+      val codes = encode(r)
+      codes.zipWithIndex.map { case (code, s) =>
+        sub2(r, s * model.subDim, model.codebooks(s)(code))
+      }.sum
+    })
+    assert(resErr < rawErr,
+      s"residual PQ error $resErr should beat raw PQ error $rawErr")
+  }
+
+  test("hammingTopK: matches a popcount driver reference; sign rule strict") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 4)
+    val got = Similarity.hammingTopK(emb, queries, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    val all = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    def code(v: Array[Float]): Long =
+      v.zipWithIndex.foldLeft(0L) { case (c, (x, i)) =>
+        if (x > 0f) c | (1L << i) else c
+      }
+    val ref = all.filter(_._1 < 4).flatMap { case (qid, qv) =>
+      val qc = code(qv)
+      all.filter(_._1 != qid)
+        .map { case (cid, cv) =>
+          (cid, java.lang.Long.bitCount(code(cv) ^ qc))
+        }
+        .sortBy(h => (h._2, h._1)).take(3).zipWithIndex
+        .map { case ((cid, h), i) => (qid, cid, h, i + 1) }
+    }.sortBy(t => (t._1, t._4))
+    assert(got.toSeq === ref.toSeq)
+  }
+
   test("m12 media-feature LSH 2x8: total recall vs exact all-pairs on the current fixture") {
     // pins the m12 calibration claim (Queries.m12MediaDedup scaladoc)
     // against the CURRENT sf0.01 fixture — the fixtures regenerate, so
