@@ -1094,6 +1094,22 @@ object Oracle {
       WITH $Bm25Ctes
       SELECT query_id, doc_id, CAST(score AS DOUBLE) AS score, rank
       FROM brk WHERE rank <= 10 ORDER BY query_id, rank""",
+    // m102 probes the MATERIALIZED inverted index (bucket-partitioned
+    // postings + stats sidecar) with m49's exact scoring dag: the
+    // expected answer is the same — the index round-trip must
+    // reproduce the in-flight two-pass ranking (the m15/m09 pattern).
+    "m102_bm25_index" -> s"""
+      WITH $Bm25Ctes
+      SELECT query_id, doc_id, CAST(score AS DOUBLE) AS score, rank
+      FROM brk WHERE rank <= 10 ORDER BY query_id, rank""",
+    // m103 probes an index built on ⅔ of the corpus then GROWN by
+    // bm25Append — stats additive, postings union, so the appended
+    // index is content-identical to m102's one-shot build and the
+    // append shares the same expected ranking.
+    "m103_bm25_append" -> s"""
+      WITH $Bm25Ctes
+      SELECT query_id, doc_id, CAST(score AS DOUBLE) AS score, rank
+      FROM brk WHERE rank <= 10 ORDER BY query_id, rank""",
 
     // Hybrid fusion: the shared BM25 chain's top-10 + m04's exact
     // cosine ranking (queries vec_id < 3, fixture aligns vec_id with

@@ -1593,6 +1593,58 @@ object Queries {
         k = 10)
       .orderBy("query_id", "rank")
 
+  /** One materialized BM25 inverted index per (JVM, sf dir) — the
+    * ivfIndexDirs pattern; build is deterministic (pure tokenization),
+    * so rebuild-vs-reuse cannot change results. */
+  private val bm25IndexDirs = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** m102 — m49's ranking probed FROM THE MATERIALIZED INVERTED INDEX
+    * ([[operators.Retrieval.bm25WriteIndex]]): postings partitioned by
+    * term bucket, stats off the sidecar, scan pruned to the query
+    * terms' buckets — the shape lexical retrieval serves at 100 TB.
+    * Shares m49's oracle on exactly the round-trip claim: the index
+    * path must reproduce the in-flight two-pass ranking bit-for-bit
+    * (the m15-vs-m09 relationship, for text). */
+  def m102Bm25Index(s: SparkSession, dir: String): DataFrame = {
+    val idx = bm25IndexDirs.getOrElseUpdate(dir, {
+      val full = new java.io.File(dir).getAbsolutePath
+      val d = s"target/bm25-index/${new java.io.File(dir).getName}-" +
+        f"${graft.core.TextSig.mix64(full.hashCode.toLong) & 0xffffffffL}%08x"
+      operators.Retrieval.bm25WriteIndex(t(s, dir, "documents"), d)
+      d
+    })
+    operators.Retrieval.bm25TopKFromIndex(s, idx,
+        Seq(0 -> "fast hash join", 1 -> "window agg stream",
+          2 -> "slow table scan customer"),
+        k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  /** m103 — m49's ranking probed from an inverted index GROWN BY APPEND
+    * ([[operators.Retrieval.bm25Append]]): the index is built over ⅔ of
+    * the corpus, the remaining ⅓ arrives as an appended batch —
+    * collection stats are additive and postings union, so the appended
+    * index is bit-identical to m102's one-shot build and all three BM25
+    * entries share one oracle (the m21 relationship, for text). */
+  def m103Bm25Append(s: SparkSession, dir: String): DataFrame = {
+    val idx = bm25IndexDirs.getOrElseUpdate(dir + "#append", {
+      val full = new java.io.File(dir).getAbsolutePath
+      val d = s"target/bm25-index/${new java.io.File(dir).getName}-" +
+        f"${graft.core.TextSig.mix64(full.hashCode.toLong) & 0xffffffffL}%08x-app"
+      val docs = t(s, dir, "documents")
+      operators.Retrieval.bm25WriteIndex(
+        docs.filter(col("doc_id") % 3 =!= 0), d)
+      operators.Retrieval.bm25Append(
+        docs.filter(col("doc_id") % 3 === 0), d)
+      d
+    })
+    operators.Retrieval.bm25TopKFromIndex(s, idx,
+        Seq(0 -> "fast hash join", 1 -> "window agg stream",
+          2 -> "slow table scan customer"),
+        k = 10)
+      .orderBy("query_id", "rank")
+  }
+
   /** m50 — fixed-point PageRank over the near-dup similarity graph
     * ([[operators.Graph.pageRank]] over [[operators.Dedup.minhashPairs]]
     * at 0.5, both directions): rank concentration exposes template hubs

@@ -194,6 +194,8 @@ object SparkEntry {
     "m99_winsorize" -> Queries.m99Winsorize,
     "m100_ivf_pq_residual" -> Queries.m100IvfPqResidual,
     "m101_hamming_topk" -> Queries.m101HammingTopK,
+    "m102_bm25_index" -> Queries.m102Bm25Index,
+    "m103_bm25_append" -> Queries.m103Bm25Append,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on

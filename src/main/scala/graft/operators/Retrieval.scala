@@ -15,6 +15,12 @@ final case class Bm25Hit(t: Int, tf: Int)
   * TOP-LEVEL for the same encoder rule. */
 final case class Bm25Doc(dl: Int, hits: Array[Bm25Hit])
 
+/** One posting of the DURABLE inverted index: a (term, doc) pair with
+  * its term frequency; the doc length rides denormalized in every
+  * posting (standard posting-list design — scoring never needs a second
+  * doc-table lookup). TOP-LEVEL for the encoder rule. */
+final case class Bm25Posting(term: String, tf: Int, dl: Int)
+
 /**
  * Lexical retrieval over the corpus — BM25 (Robertson–Spärck Jones /
  * Okapi, the Lucene-style always-positive idf variant): score docs for a
@@ -109,21 +115,38 @@ object Retrieval {
 
     // pass 2 — score candidates: per-(query, doc, term) contribution,
     // rounded then summed exactly as DECIMAL (term-order-independent)
-    val tfD = col("h.tf").cast("double")
-    val contrib = round(
-      col("idf") * ((tfD * lit(k1 + 1.0)) /
-        (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * (col("d.dl").cast("double") / lit(avgdl))))),
-      9).cast("decimal(18,9)")
+    val contrib = contribExpr(col("h.tf"), col("d.dl"), col("idf"),
+      k1, b, avgdl)
     val scores = docs
       .select(col(idCol).cast("long").as("doc_id"), kernel(col(textCol)).as("d"))
       .select(col("doc_id"), col("d"), explode(col("d.hits")).as("h"))
       .join(broadcast(termMeta), col("h.t") === termMeta("t"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(contrib).as("score"))
+    cutAndRank(scores, k)
+  }
 
-    // cut candidates to k per (partition, query) before the global
-    // window — 9-decimal scores are double-exact, so the heap's double
-    // order equals the window's decimal order
+  /** The BM25 per-(query, doc, term) contribution — ONE expression dag
+    * shared by the in-flight and index-probe paths (and replayed
+    * literally by the oracle): any drift between the two paths would
+    * break the m49 ≡ m102 equality. */
+  private def contribExpr(tf: org.apache.spark.sql.Column,
+      dl: org.apache.spark.sql.Column, idf: org.apache.spark.sql.Column,
+      k1: Double, b: Double, avgdl: Double): org.apache.spark.sql.Column = {
+    val tfD = tf.cast("double")
+    round(
+      idf * ((tfD * lit(k1 + 1.0)) /
+        (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * (dl.cast("double") / lit(avgdl))))),
+      9).cast("decimal(18,9)")
+  }
+
+  /** Cut candidates to k per (partition, query) with per-partition heaps
+    * BEFORE the global window — 9-decimal scores are double-exact, so
+    * the heap's double order equals the window's decimal order. Shared
+    * by both scoring paths. Input: (query_id, doc_id, score decimal). */
+  private def cutAndRank(scores: DataFrame, k: Int): DataFrame = {
+    val s = scores.sparkSession
+    import s.implicits._
     val candidates = scores
       .select(col("query_id"), col("doc_id"), col("score"))
       .as[(Int, Long, java.math.BigDecimal)]
@@ -153,6 +176,287 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), col("score").cast("double").as("score"),
         col("rank"))
+  }
+
+  /** Deterministic term → bucket assignment shared by the index writer
+    * and the probe's partition pruning (Java String.hashCode — stable
+    * across JVMs by spec; the bucket is a LAYOUT choice, never replayed
+    * in the oracle). */
+  private def bucketOf(term: String, nBuckets: Int): Int =
+    math.floorMod(term.hashCode, nBuckets)
+
+  /** Test/observability hook like `Similarity.lastIndexReadFiles`: the
+    * posting files the most recent [[bm25TopKFromIndex]] probe ACTUALLY
+    * read (under `graft.bm25.traceIndexReads` — proves bucket pruning
+    * behaviorally; `inputFiles` lists the relation pre-pruning). */
+  @volatile private[graft] var lastIndexReadFiles: Array[String] = Array.empty
+
+  /**
+   * Materialize the DURABLE inverted index — the text-retrieval analog
+   * of [[Similarity.ivfWriteIndex]], and the shape lexical retrieval
+   * actually runs at 100 TB (re-tokenizing the corpus per query batch —
+   * [[bm25TopK]]'s two passes — is the right tool for ad-hoc audits,
+   * not for serving): ONE tokenization pass emits postings
+   * (term, doc_id, tf, dl — dl denormalized, the standard posting
+   * design) written as parquet partitioned by `bucket =
+   * floorMod(term.hashCode, nBuckets)` (Int partition values — the
+   * pruning rule), plus a `<dir>.stats` sidecar with the collection
+   * stats (N, Σdl) observed ON THE WRITE ACTION (no second corpus
+   * scan). A probe then reads only its query terms' buckets —
+   * ~|terms|/nBuckets of the postings, never the corpus.
+   *
+   * Commit protocol: `.ok` deleted first, recreated only after both
+   * writes (the [[Similarity.ivfWriteIndex]] contract) — readers refuse
+   * a torn build.
+   */
+  def bm25WriteIndex(docs: DataFrame, dir: String, nBuckets: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    require(nBuckets >= 1, s"bm25WriteIndex: nBuckets=$nBuckets")
+    val s = docs.sparkSession
+    import s.implicits._
+    val nb = nBuckets
+    val kernel = udf { (t: String) =>
+      val n = TextSig.normalize(t)
+      val toks = if (n == null || n.isEmpty) Array.empty[String] else n.split(' ')
+      val tf = scala.collection.mutable.HashMap.empty[String, Int]
+      toks.foreach(tk => tf.update(tk, tf.getOrElse(tk, 0) + 1))
+      tf.iterator.map { case (term, f) => Bm25Posting(term, f, toks.length) }
+        .toArray
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(dir + ".ok")
+    fs.delete(marker, false)
+    // stats observed above the explode: every doc (incl. token-less ones
+    // the explode drops) counts toward N and Σdl, exactly like the
+    // in-flight stats pass
+    val obs = Observation("bm25_index_stats")
+    val bucketUdf = udf((t: String) => bucketOf(t, nb))
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        kernel(col(textCol)).as("ps"))
+      // dl rides in every posting; the first posting's dl (null for a
+      // token-less doc → a correct 0 contribution) gives Σdl without a
+      // second tokenization
+      .observe(obs, count(lit(1)).as("n"),
+        sum(element_at(col("ps"), 1)("dl")).as("sumdl"))
+      .select(col("doc_id"), explode(col("ps")).as("p"))
+      .select(col("p.term").as("term"), col("doc_id"),
+        col("p.tf").as("tf"), col("p.dl").as("dl"),
+        bucketUdf(col("p.term")).as("bucket"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    val n = obs.get("n").asInstanceOf[Long]
+    val sumdl = obs.get("sumdl") match {
+      case null => 0L; case v => v.asInstanceOf[Long]
+    }
+    Seq((n, sumdl)).toDF("n", "sumdl")
+      .coalesce(1).write.mode("overwrite").parquet(dir + ".stats")
+    fs.create(marker, true).close()
+  }
+
+  /**
+   * Append a document batch to an EXISTING inverted index — the
+   * growing-crawl story ([[Similarity.ivfAppend]]'s contract, for
+   * text): the batch is tokenized once into staged posting files (one
+   * per touched bucket) with its own (n, Σdl) observed on the staging
+   * write, then committed by file moves + a stats-sidecar replacement.
+   * Untouched buckets gain no files; collection stats are ADDITIVE, so
+   * an appended index is bit-identical (stats, df, postings) to a
+   * one-shot build over the union — the m102-vs-m49 equality extends
+   * across appends (m103 pins it).
+   *
+   * IDEMPOTENT staged-append protocol (single-writer, BLIND-RETRYABLE):
+   *  1. staged postings at `<dir>.append-stage-<tag>` (overwrite — a
+   *     torn prior staging is replaced).
+   *  2. `<dir>.append-pending` records the tag AND THE PRE-APPEND
+   *     STATS (the rollback needs them: the stats sidecar is
+   *     overwritten in place), then `.ok` drops, staged files move
+   *     into their bucket dirs as `batch-<tag>-<i>.parquet`, and the
+   *     stats sidecar is rewritten with the summed values.
+   *  3. batch marker (when `batchId` set) → `.ok` restored → residue
+   *     cleared.
+   * A retry rolls a torn attempt back first ([[recoverPendingBm25Append]]):
+   * batch files deleted, stats rewritten from the pending record —
+   * bit-identical pre-append state. A committed batch replays as a
+   * no-op (exactly-once growth from a monotone batchId).
+   */
+  def bm25Append(docs: DataFrame, dir: String, nBuckets: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text",
+      batchId: Option[Long] = None): Unit = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(dir + ".ok")
+    val pending = new org.apache.hadoop.fs.Path(dir + ".append-pending")
+    val batchMarker = batchId.map(bId =>
+      new org.apache.hadoop.fs.Path(dir + s".batch-$bId.done"))
+    batchMarker match {
+      case Some(bm) if fs.exists(bm) =>
+        // committed replay: the batch marker is written only after the
+        // moves AND the stats rewrite, so content is complete — repair
+        // metadata and return
+        if (!fs.exists(marker)) fs.create(marker, true).close()
+        fs.delete(pending, false)
+        return
+      case _ => ()
+    }
+    recoverPendingBm25Append(s, dir)
+    if (!fs.exists(marker))
+      throw new IllegalStateException(
+        s"BM25 index $dir has no completion marker — rebuild with " +
+          "bm25WriteIndex before appending")
+    val statsRow = s.read.parquet(dir + ".stats").collect().head
+    val (oldN, oldSumdl) = (statsRow.getLong(0), statsRow.getLong(1))
+
+    val nb = nBuckets
+    val kernel = udf { (t: String) =>
+      val n = TextSig.normalize(t)
+      val toks = if (n == null || n.isEmpty) Array.empty[String] else n.split(' ')
+      val tf = scala.collection.mutable.HashMap.empty[String, Int]
+      toks.foreach(tk => tf.update(tk, tf.getOrElse(tk, 0) + 1))
+      tf.iterator.map { case (term, f) => Bm25Posting(term, f, toks.length) }
+        .toArray
+    }
+    val bucketUdf = udf((t: String) => bucketOf(t, nb))
+    val tag = batchId.map(bId => s"b$bId")
+      .getOrElse(s"t${java.lang.Long.toHexString(System.nanoTime())}")
+    val stageDir = dir + s".append-stage-$tag"
+    val obs = Observation(s"bm25_append_$tag")
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        kernel(col(textCol)).as("ps"))
+      .observe(obs, count(lit(1)).as("n"),
+        sum(element_at(col("ps"), 1)("dl")).as("sumdl"))
+      .select(col("doc_id"), explode(col("ps")).as("p"))
+      .select(col("p.term").as("term"), col("doc_id"),
+        col("p.tf").as("tf"), col("p.dl").as("dl"),
+        bucketUdf(col("p.term")).as("bucket"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(stageDir)
+    val batchN = obs.get("n").asInstanceOf[Long]
+    val batchSumdl = obs.get("sumdl") match {
+      case null => 0L; case v => v.asInstanceOf[Long]
+    }
+    val staged = fs.globStatus(
+      new org.apache.hadoop.fs.Path(stageDir + "/bucket=*/part-*"))
+    val crashAfter = s.conf
+      .get("graft.bm25.testCrashAfterMoves", "-1").toInt
+
+    // commit: pending carries the tag + PRE-append stats (rollback data)
+    val out = fs.create(pending, true)
+    out.write(s"$tag $oldN $oldSumdl".getBytes("UTF-8")); out.close()
+    fs.delete(marker, false)
+    staged.zipWithIndex.foreach { case (st, i) =>
+      if (crashAfter >= 0 && i >= crashAfter)
+        throw new RuntimeException(s"injected crash after $i moves")
+      val bucketName = st.getPath.getParent.getName // "bucket=<b>"
+      val destDir = new org.apache.hadoop.fs.Path(dir, bucketName)
+      fs.mkdirs(destDir)
+      val dest = new org.apache.hadoop.fs.Path(destDir,
+        s"batch-$tag-$i.parquet")
+      if (!fs.rename(st.getPath, dest))
+        throw new java.io.IOException(s"rename ${st.getPath} -> $dest failed")
+    }
+    Seq((oldN + batchN, oldSumdl + batchSumdl)).toDF("n", "sumdl")
+      .coalesce(1).write.mode("overwrite").parquet(dir + ".stats")
+    batchMarker.foreach(bm => fs.create(bm, true).close())
+    fs.create(marker, true).close()
+    fs.delete(pending, false)
+    fs.delete(new org.apache.hadoop.fs.Path(stageDir), true)
+  }
+
+  /** Roll back a torn [[bm25Append]]: delete exactly the batch's moved
+    * posting files (the pending record names the tag), rewrite the
+    * stats sidecar from the pending record's PRE-append values, restore
+    * the marker — bit-identical pre-append state — and clear residue.
+    * Pending WITH the marker present = the dead run never started (or
+    * fully finished) moving; only residue is cleared. Idempotent. */
+  def recoverPendingBm25Append(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pending = new org.apache.hadoop.fs.Path(dir + ".append-pending")
+    val marker = new org.apache.hadoop.fs.Path(dir + ".ok")
+    if (fs.exists(pending)) {
+      val in = fs.open(pending)
+      val rec = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      rec.split(' ') match {
+        case Array(tag, n, sumdl) if !fs.exists(marker) =>
+          fs.globStatus(new org.apache.hadoop.fs.Path(
+              dir + s"/bucket=*/batch-$tag-*.parquet"))
+            .foreach(f => fs.delete(f.getPath, false))
+          Seq((n.toLong, sumdl.toLong)).toDF("n", "sumdl")
+            .coalesce(1).write.mode("overwrite").parquet(dir + ".stats")
+          fs.create(marker, true).close()
+        case _ => ()
+      }
+      fs.delete(pending, false)
+    }
+    fs.globStatus(new org.apache.hadoop.fs.Path(dir + ".append-stage-*"))
+      .foreach(d => fs.delete(d.getPath, true))
+  }
+
+  /**
+   * BM25 top-k against a materialized [[bm25WriteIndex]] index: the
+   * query terms' buckets are partition-pruned off the posting store
+   * (~|terms|/nBuckets of the index read, corpus text never touched),
+   * df comes from the pruned postings themselves, (N, Σdl) from the
+   * stats sidecar — and the scoring dag is [[contribExpr]]/[[cutAndRank]],
+   * THE SAME expressions as [[bm25TopK]], so the probe reproduces the
+   * in-flight ranking bit-for-bit (m102 shares m49's oracle on exactly
+   * that claim).
+   */
+  def bm25TopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queries: Seq[(Int, String)], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75, nBuckets: Int = 64): DataFrame = {
+    require(queries.nonEmpty, "bm25TopKFromIndex: no queries")
+    require(k > 0, s"bm25TopKFromIndex: k=$k must be positive")
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir + ".ok")))
+      throw new IllegalStateException(
+        s"BM25 index $dir has no completion marker — the build crashed " +
+          "mid-write (postings and stats may disagree): rebuild with " +
+          "bm25WriteIndex")
+    val queryTerms: Seq[(Int, Seq[String])] = queries.map { case (qid, q) =>
+      val n = TextSig.normalize(q)
+      (qid, if (n.isEmpty) Seq.empty else n.split(' ').toSeq.distinct)
+    }
+    val terms: Array[String] = queryTerms.flatMap(_._2).distinct.sorted.toArray
+    require(terms.nonEmpty, "bm25TopKFromIndex: queries contain no terms")
+    val statsRow = spark.read.parquet(dir + ".stats").collect().head
+    val n = statsRow.getLong(0)
+    val sumdl = statsRow.getLong(1)
+    require(n > 0, "bm25TopKFromIndex: empty index")
+    val avgdl = sumdl.toDouble / n.toDouble
+    val buckets = terms.map(bucketOf(_, nBuckets)).distinct.toIndexedSeq
+    val postings = spark.read.parquet(dir)
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("term").isin(terms.toIndexedSeq: _*))
+    if (spark.conf.get("graft.bm25.traceIndexReads", "false").toBoolean)
+      lastIndexReadFiles = spark.read.parquet(dir)
+        .filter(col("bucket").isin(buckets: _*))
+        .select(input_file_name()).distinct().collect().map(_.getString(0))
+    // df per query term off the pruned postings (≤ |terms| rows collect)
+    val dfByTerm: Map[String, Long] = postings
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def idf(df: Long): Double =
+      math.log(((n - df) + 0.5) / (df + 0.5) + 1.0)
+    val termMeta = queryTerms.flatMap { case (qid, ts) =>
+      ts.map(tm => (qid, tm, idf(dfByTerm.getOrElse(tm, 0L))))
+    }.toDF("query_id", "qterm", "idf")
+    val scores = postings
+      .join(broadcast(termMeta), col("term") === col("qterm"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(contribExpr(col("tf"), col("dl"), col("idf"), k1, b, avgdl))
+        .as("score"))
+    cutAndRank(scores, k)
   }
 
   /**

@@ -73,6 +73,97 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25WriteIndex/bm25TopKFromIndex: probe equals the in-flight " +
+      "ranking, reads only the query terms' buckets, refuses a torn build") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25-idx")
+      .toString + "/index"
+    Retrieval.bm25WriteIndex(docs, dir, nBuckets = 16)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "doc_id", "score", "rank").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    // the probe must reproduce the in-flight two-pass ranking EXACTLY
+    // (same stats, same idf, same contribution dag, same ties)
+    assert(rows(Retrieval.bm25TopKFromIndex(spark, dir, queries, k = K,
+        nBuckets = 16)) ===
+      rows(Retrieval.bm25TopK(docs, queries, k = K)))
+    // bucket pruning is behavioral: the probe touches a strict subset
+    // of the posting files
+    val allFiles = spark.read.parquet(dir)
+      .select(org.apache.spark.sql.functions.input_file_name())
+      .distinct().collect().map(_.getString(0)).toSet
+    spark.conf.set("graft.bm25.traceIndexReads", "true")
+    try {
+      Retrieval.bm25TopKFromIndex(spark, dir, queries, k = K,
+        nBuckets = 16).collect()
+      val touched = Retrieval.lastIndexReadFiles.toSet
+      assert(touched.nonEmpty && touched.subsetOf(allFiles) &&
+        touched.size < allFiles.size,
+        s"probe read ${touched.size}/${allFiles.size} posting files — not pruned")
+    } finally spark.conf.unset("graft.bm25.traceIndexReads")
+    // torn build (no .ok): refused loudly
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir + ".ok"), false)
+    val e = intercept[IllegalStateException] {
+      Retrieval.bm25TopKFromIndex(spark, dir, queries, k = K, nBuckets = 16)
+    }
+    assert(e.getMessage.contains("no completion marker"))
+  }
+
+  test("bm25Append: appended index equals a one-shot build (stats, df, " +
+      "ranking); crash mid-move blind-retries; committed batch replays " +
+      "as a no-op") {
+    val base = java.nio.file.Files.createTempDirectory("bm25-app").toString
+    val idx = base + "/idx"; val oneShot = base + "/full"
+    val initial = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 3 =!= 0)
+    val growth = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 0)
+    Retrieval.bm25WriteIndex(docs, oneShot, nBuckets = 16)
+    Retrieval.bm25WriteIndex(initial, idx, nBuckets = 16)
+    def rows(d: String) =
+      Retrieval.bm25TopKFromIndex(spark, d, queries, k = K, nBuckets = 16)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+    val want = rows(oneShot)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stats(d: String) = spark.read.parquet(d + ".stats").collect().head
+    val preStats = (stats(idx).getLong(0), stats(idx).getLong(1))
+
+    // crash between the first file move and the stats rewrite: index is
+    // refused; the pending record carries the PRE-append stats
+    spark.conf.set("graft.bm25.testCrashAfterMoves", "1")
+    val boom = intercept[RuntimeException] {
+      Retrieval.bm25Append(growth, idx, nBuckets = 16, batchId = Some(5L))
+    }
+    assert(boom.getMessage.contains("injected crash"))
+    spark.conf.unset("graft.bm25.testCrashAfterMoves")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(idx + ".append-pending")))
+    intercept[IllegalStateException] {
+      Retrieval.bm25TopKFromIndex(spark, idx, queries, k = K, nBuckets = 16)
+    }
+    // rollback alone restores the bit-identical pre-append state
+    Retrieval.recoverPendingBm25Append(spark, idx)
+    assert((stats(idx).getLong(0), stats(idx).getLong(1)) === preStats)
+
+    // BLIND retry: the appended index then equals the one-shot build
+    Retrieval.bm25Append(growth, idx, nBuckets = 16, batchId = Some(5L))
+    assert((stats(idx).getLong(0), stats(idx).getLong(1)) ===
+      (stats(oneShot).getLong(0), stats(oneShot).getLong(1)))
+    assert(rows(idx) === want)
+    assert(fs.globStatus(new org.apache.hadoop.fs.Path(
+      idx + ".append-stage-*")).isEmpty, "staging residue left behind")
+
+    // committed replay: no duplicate posting files, ranking unchanged
+    val before = fs.globStatus(new org.apache.hadoop.fs.Path(
+      idx + "/bucket=*/*")).map(_.getPath.toString).toSet
+    Retrieval.bm25Append(growth, idx, nBuckets = 16, batchId = Some(5L))
+    val after = fs.globStatus(new org.apache.hadoop.fs.Path(
+      idx + "/bucket=*/*")).map(_.getPath.toString).toSet
+    assert(after === before, "replay appended duplicate postings")
+    assert(rows(idx) === want)
+  }
+
   test("bm25TopK is partitioning-invariant") {
     val a = Retrieval.bm25TopK(docs, queries, k = K)
       .orderBy("query_id", "rank").collect().toSeq
