@@ -155,6 +155,58 @@ object Oracle {
       FROM ${p}_2),
     $p AS (SELECT $cols, xor(z, z>>31) AS h FROM ${p}_3)"""
 
+  /** One Lloyd round of the m104 replay: distances against `c<t-1>`,
+    * argmin assignment (ties → lowest cluster, the engine's strict-<
+    * rule), then the exact center update — HUGEINT dim-sums with the
+    * sign-correct (sx − pmod(sx, n)) // n floor division; empty
+    * clusters COALESCE to the previous center. `update = false` stops
+    * after the assignment (the final predict pass). */
+  private def kmRound(t: Int, update: Boolean): String = {
+    val p = t - 1
+    val assign = s"""
+      d$t AS (SELECT xs.vec_id, c.cluster,
+                CAST(SUM((xs.x - c.c) * (xs.x - c.c)) AS BIGINT) AS d
+              FROM xs JOIN c$p c ON xs.i = c.i
+              GROUP BY xs.vec_id, c.cluster),
+      a$t AS (SELECT vec_id, cluster, d FROM
+                (SELECT vec_id, cluster, d,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d, cluster) AS rn FROM d$t)
+              WHERE rn = 1)"""
+    if (!update) assign else assign + s""",
+      s$t AS (SELECT a.cluster, xs.i, CAST(COUNT(*) AS BIGINT) AS n,
+                SUM(CAST(xs.x AS HUGEINT)) AS sx
+              FROM a$t a JOIN xs ON a.vec_id = xs.vec_id
+              GROUP BY a.cluster, xs.i),
+      c$t AS (SELECT p.cluster, p.i,
+                CAST(COALESCE(
+                  (s.sx - (((s.sx % s.n) + s.n) % s.n)) // s.n,
+                  p.c) AS BIGINT) AS c
+              FROM c$p p LEFT JOIN s$t s
+                ON p.cluster = s.cluster AND p.i = s.i)"""
+  }
+
+  /** The shared m104/m106 k-means replay: scaling, mix64 seeding
+    * (k = 4), two assign+update rounds and the final predict pass —
+    * ends with `a3` (vec_id, cluster, d) and `c2` (final centers). */
+  private lazy val KmeansCtes: String = s"""
+      xs AS (SELECT vec_id, CAST(i AS INT) - 1 AS i,
+               CAST(floor(v[CAST(i AS INT)] * 16777216 + 0.5) AS BIGINT) AS x
+             FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     unnest(range(1, len(embedding)+1)) AS i
+                   FROM embeddings)),
+      ids AS (SELECT vec_id, CAST(vec_id AS HUGEINT) AS z0 FROM embeddings),
+      ${mix64Ctes("kmrk", "ids", "vec_id")},
+      sel AS (SELECT vec_id,
+                CAST(row_number() OVER (ORDER BY h, vec_id) AS INT) - 1
+                  AS cluster
+              FROM kmrk ORDER BY h, vec_id LIMIT 4),
+      c0 AS (SELECT sel.cluster, xs.i, xs.x AS c
+             FROM sel JOIN xs ON sel.vec_id = xs.vec_id),
+      ${kmRound(1, update = true)},
+      ${kmRound(2, update = true)},
+      ${kmRound(3, update = false)}"""
+
   /** FNV-1a over the UTF-16 units of `expr` (TextSig hashing; fixture text
     * is BMP-only so DuckDB codepoints coincide with Java chars), seeded by
     * prepending the offset basis — DuckDB 1.0 list_reduce has no initial-
@@ -2949,6 +3001,170 @@ object Oracle {
       SELECT component, doc_id AS canonical_doc_id, n_members,
              q AS canonical_q
       FROM pick WHERE rn = 1 ORDER BY component""",
+
+    // m108: DSIR importance weights — FNV-1a buckets re-derived over
+    // the DISTINCT vocab (the macro is heavy; vocab is small), add-1
+    // smoothed count ratios as exact sub-2^53 integer products, ln
+    // rounded 6 per bucket, per-doc DECIMAL sum cast to double (the
+    // engine's integer-micros sum is the same rational).
+    "m108_dsir_weights" -> s"""
+      WITH nrm AS (SELECT doc_id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS nt
+             FROM documents),
+      toks AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS tok
+               FROM nrm WHERE nt <> ''),
+      vocab AS (SELECT DISTINCT tok FROM toks),
+      vb AS (SELECT tok, CAST(${fnv1a("tok")} % 256 AS INT) AS b
+             FROM vocab),
+      tgt AS (SELECT doc_id, lang = 'en' AS tg FROM documents),
+      tb AS (SELECT t.doc_id, vb.b, g.tg
+             FROM toks t JOIN vb USING (tok) JOIN tgt g USING (doc_id)),
+      cb AS (SELECT b, CAST(count(*) AS BIGINT) AS cr,
+               CAST(count(*) FILTER (tg) AS BIGINT) AS ct
+             FROM tb GROUP BY b),
+      tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr,
+                CAST(SUM(ct) AS BIGINT) AS nt FROM cb),
+      lr AS (SELECT b,
+               CAST(round(ln(
+                 (CAST(ct + 1 AS DOUBLE) * (nr + 256)) /
+                 (CAST(cr + 1 AS DOUBLE) * (nt + 256))), 6)
+                 AS DECIMAL(19,6)) AS lr
+             FROM cb, tot),
+      w AS (SELECT t.doc_id, CAST(count(*) AS INT) AS n_tokens,
+              CAST(SUM(l.lr) AS DOUBLE) AS w
+            FROM tb t JOIN lr l USING (b) GROUP BY t.doc_id)
+      SELECT d.doc_id, COALESCE(w.n_tokens, 0) AS n_tokens,
+             COALESCE(w.w, 0.0) AS w
+      FROM documents d LEFT JOIN w USING (doc_id)
+      ORDER BY d.doc_id""",
+
+    // m107: semantic decontamination — exact all-pairs max cosine
+    // (rounded 6, ties → lowest benchmark id) against the held-out
+    // tenth, τ = 0.35. list_cosine_similarity parity with the compiled
+    // kernel is the m04 pin.
+    "m107_semantic_decontam" -> """
+      WITH b AS (SELECT vec_id AS bid, CAST(embedding AS DOUBLE[]) AS bv
+                 FROM embeddings WHERE vec_id % 10 = 0),
+      c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings WHERE vec_id % 10 <> 0),
+      s AS (SELECT c.vec_id, b.bid,
+              round(list_cosine_similarity(cv, bv), 6) AS score
+            FROM c, b),
+      m AS (SELECT vec_id, bid AS match_id, score,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY score DESC, bid ASC) AS rn
+            FROM s)
+      SELECT vec_id, match_id, score FROM m
+      WHERE rn = 1 AND score >= 0.35
+      ORDER BY vec_id""",
+
+    // m106: prototypicality pruning — the m104 k-means dag (shared
+    // KmeansCtes) plus per-cluster hardest-30% keep: rank by d DESC /
+    // vec_id ASC within cluster, exact integer ceil keep count.
+    "m106_prototype_prune" -> s"""
+      WITH $KmeansCtes,
+      rk AS (SELECT vec_id, cluster, d,
+               CAST(row_number() OVER (PARTITION BY cluster
+                 ORDER BY d DESC, vec_id ASC) AS BIGINT) AS cluster_rank,
+               COUNT(*) OVER (PARTITION BY cluster) AS nc
+             FROM a3)
+      SELECT vec_id, cluster, d AS dist, cluster_rank
+      FROM rk WHERE cluster_rank <= (nc * 3000 + 9999) // 10000
+      ORDER BY cluster, cluster_rank""",
+
+    // m105: BPE encoding — the per-word merge loop replayed as a
+    // recursive CTE whose state is the symbol list: each step finds the
+    // LOWEST-RANKED applicable merge (struct list_sort on (r, p) — r is
+    // the first field), leftmost occurrence within the rank, and
+    // rewrites the list; terminal rows are those with no applicable
+    // merge. The 12-merge model is the same literal the engine pins.
+    "m105_bpe_encode" -> """
+      WITH RECURSIVE nrm AS (SELECT doc_id,
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS nt
+             FROM documents),
+      w AS (SELECT doc_id, CAST(i AS INT) AS widx,
+              words[CAST(i AS INT)] AS word
+            FROM (SELECT doc_id, string_split(nt, ' ') AS words,
+                    unnest(range(1, len(string_split(nt, ' '))+1)) AS i
+                  FROM nrm WHERE length(nt) > 0)),
+      init AS (SELECT doc_id, widx,
+                 list_transform(range(1, length(word)+1),
+                   i -> substr(word, CAST(i AS INT), 1)) AS syms
+               FROM w),
+      enc AS (
+        SELECT doc_id, widx, syms FROM init
+        UNION ALL
+        SELECT doc_id, widx,
+          syms[1:bp-1] || [syms[bp] || syms[bp+1]] ||
+            syms[bp+2:len(syms)]
+        FROM (SELECT doc_id, widx, syms,
+                CAST(list_sort(list_filter(list_transform(
+                  [{'r': 1, 'a': 't', 'b': 'a'},
+                   {'r': 2, 'a': 'ta', 'b': 'b'},
+                   {'r': 3, 'a': 'tab', 'b': 'l'},
+                   {'r': 4, 'a': 'tabl', 'b': 'e'},
+                   {'r': 5, 'a': 'f', 'b': 'a'},
+                   {'r': 6, 'a': 's', 'b': 't'},
+                   {'r': 7, 'a': 'fa', 'b': 'st'},
+                   {'r': 8, 'a': 'h', 'b': 'a'},
+                   {'r': 9, 'a': 's', 'b': 'h'},
+                   {'r': 10, 'a': 'ha', 'b': 'sh'},
+                   {'r': 11, 'a': 'e', 'b': 'y'},
+                   {'r': 12, 'a': 'k', 'b': 'ey'}],
+                  m -> {'r': m.r,
+                        'p': list_filter(range(1, len(syms)),
+                          i -> syms[CAST(i AS INT)] = m.a
+                           AND syms[CAST(i AS INT)+1] = m.b)[1]}),
+                  x -> x.p IS NOT NULL))[1].p AS INT) AS bp
+              FROM enc)
+        WHERE bp IS NOT NULL),
+      fin AS (SELECT doc_id, widx, syms FROM enc
+              WHERE len(list_filter(
+                [{'r': 1, 'a': 't', 'b': 'a'},
+                 {'r': 2, 'a': 'ta', 'b': 'b'},
+                 {'r': 3, 'a': 'tab', 'b': 'l'},
+                 {'r': 4, 'a': 'tabl', 'b': 'e'},
+                 {'r': 5, 'a': 'f', 'b': 'a'},
+                 {'r': 6, 'a': 's', 'b': 't'},
+                 {'r': 7, 'a': 'fa', 'b': 'st'},
+                 {'r': 8, 'a': 'h', 'b': 'a'},
+                 {'r': 9, 'a': 's', 'b': 'h'},
+                 {'r': 10, 'a': 'ha', 'b': 'sh'},
+                 {'r': 11, 'a': 'e', 'b': 'y'},
+                 {'r': 12, 'a': 'k', 'b': 'ey'}],
+                m -> len(list_filter(range(1, len(syms)),
+                  i -> syms[CAST(i AS INT)] = m.a
+                   AND syms[CAST(i AS INT)+1] = m.b)) > 0)) = 0),
+      agg AS (SELECT doc_id,
+                CAST(SUM(len(syms)) AS INT) AS n_tokens,
+                string_agg(array_to_string(syms, '|'), '|'
+                  ORDER BY widx) AS enc
+              FROM fin GROUP BY doc_id)
+      SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+             COALESCE(a.enc, '') AS enc
+      FROM documents d LEFT JOIN agg a USING (doc_id)
+      ORDER BY d.doc_id""",
+
+    // m104: distributed Lloyd k-means — full replay of the exact-integer
+    // dag: 2^24 scaling, mix64 seeding (unsigned h order ≡ the engine's
+    // sign-bit-flipped Long order), two assign+update rounds (kmRound),
+    // final predict pass, per-cluster size / integer inertia / first
+    // four center coordinates. Any argmin tie-rule, floor-division or
+    // seeding drift lands as a hash mismatch.
+    "m104_kmeans" -> s"""
+      WITH $KmeansCtes,
+      outk AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(d) AS VARCHAR) AS inertia
+               FROM a3 GROUP BY cluster)
+      SELECT o.cluster, o.n, o.inertia,
+        MAX(CASE WHEN c.i = 0 THEN c.c END) AS c0,
+        MAX(CASE WHEN c.i = 1 THEN c.c END) AS c1,
+        MAX(CASE WHEN c.i = 2 THEN c.c END) AS c2,
+        MAX(CASE WHEN c.i = 3 THEN c.c END) AS c3
+      FROM outk o JOIN c2 c ON o.cluster = c.cluster
+      WHERE c.i < 4
+      GROUP BY o.cluster, o.n, o.inertia
+      ORDER BY o.cluster""",
 
     // m99: winsorized rescale — exact p10/p90 order statistics (the m35
     // rank form, exact-decimal ceil), clip + min-max on the same

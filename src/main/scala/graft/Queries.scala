@@ -2240,6 +2240,117 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** m104 — distributed Lloyd k-means
+    * ([[operators.Similarity.kmeansLloyd]], k = 4, 2 update rounds):
+    * the full-corpus clustering pass next to the bounded-sample
+    * codebook trainers (IVF/PQ) and the label-side diagnostics
+    * (m94/m95/m97 take labels as given; this PRODUCES them). Exact
+    * end-to-end: mix64-seeded deterministic init, integer squared
+    * distances in the 2²⁴-scaled space, DECIMAL dim-sums with exact
+    * floor-division updates — the oracle replays seeding (mix64 CTE
+    * chain, unsigned order), both Lloyd rounds and the final
+    * assignment, so a drift in ANY round's argmin or a center update
+    * lands as a hash mismatch. Reported per final cluster: size, exact
+    * integer inertia, first four center coordinates. */
+  def m104Kmeans(s: SparkSession, dir: String): DataFrame = {
+    val (assign, centers) = operators.Similarity.kmeansLloyd(
+      t(s, dir, "embeddings"), "vec_id", "embedding", k = 4, iters = 2)
+    val sess = s
+    import sess.implicits._
+    val centDf = centers.zipWithIndex.map { case (c, j) =>
+      (j, c(0), c(1), c(2), c(3)) }.toSeq
+      .toDF("cluster", "c0", "c1", "c2", "c3")
+    assign.groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+        // string form: the exact integer exceeds 2^53, and the gate's
+        // pandas compare reads a DuckDB DECIMAL as lossy float64
+        sum(col("dist").cast(DecimalType(38, 0))).cast("string")
+          .as("inertia"))
+      .join(broadcast(centDf), Seq("cluster"))
+      .select("cluster", "n", "inertia", "c0", "c1", "c2", "c3")
+      .orderBy("cluster")
+  }
+
+  /** m108 — DSIR importance weights
+    * ([[operators.TrainingPipeline.dsirWeights]], target = English
+    * docs, 256 FNV buckets): per-doc log importance of the hashed
+    * unigram distribution vs the English target — the data-selection
+    * scoring half of Xie et al. 2023 (m44's A-ES sampler is the
+    * resampling half). Exact dag: counts are integers, each bucket's
+    * ln rides sub-2⁵³ exact products and is rounded to 6, the per-doc
+    * sum is exact integer micros — the oracle re-derives buckets from
+    * the FNV-1a CTE over the distinct vocab and DECIMAL-sums the same
+    * rounded table. */
+  def m108DsirWeights(s: SparkSession, dir: String): DataFrame = {
+    operators.TrainingPipeline.dsirWeights(
+        t(s, dir, "documents"), col("lang") === "en")
+      .orderBy("doc_id")
+  }
+
+  /** m107 — semantic decontamination
+    * ([[operators.TrainingPipeline.semanticContamination]]): corpus
+    * vectors (vec_id % 10 ≠ 0) whose max cosine against the held-out
+    * benchmark set (vec_id % 10 = 0) reaches τ = 0.35, with the
+    * nearest benchmark id — the embedding-space leg of the m13/m36
+    * contamination family (paraphrased leakage the verbatim n-gram
+    * test misses). Benchmark is broadcast under an enforced ceiling;
+    * the corpus runs one narrow compiled-cosine pass. The oracle is
+    * the exact all-pairs max with the same rounded-6 tie order. */
+  def m107SemanticDecontam(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    operators.TrainingPipeline.semanticContamination(
+        emb.filter(col("vec_id") % 10 =!= 0),
+        emb.filter(col("vec_id") % 10 === 0), tau = 0.35)
+      .orderBy("vec_id")
+  }
+
+  /** m106 — prototypicality pruning
+    * ([[operators.Similarity.prototypePrune]] over the m104 Lloyd
+    * assignment): keep the hardest 30% per cluster (largest exact
+    * integer distance-to-centroid, ties on lower id) — the
+    * cluster-aware data-pruning pass of Sorscher et al. 2022, where
+    * prototypical (easy) examples are the redundant ones once data is
+    * abundant. No per-cluster window in the plan: the rank is ONE
+    * range-partitioned global rank minus broadcast per-cluster
+    * offsets. The oracle replays the full k-means dag (same CTEs as
+    * m104) and the per-cluster rank/ceil-keep filter. */
+  def m106PrototypePrune(s: SparkSession, dir: String): DataFrame = {
+    val (assign, _) = operators.Similarity.kmeansLloyd(
+      t(s, dir, "embeddings"), "vec_id", "embedding", k = 4, iters = 2)
+    operators.Similarity.prototypePrune(assign, keepBp = 3000)
+      .select(col("vid").as("vec_id"), col("cluster"), col("dist"),
+        col("cluster_rank"))
+      .orderBy("cluster", "cluster_rank")
+  }
+
+  /** m105 — BPE encoding ([[graft.core.Bpe.encode]]) under a PINNED
+    * 12-merge model: promotes the tokenizer from spec-only to
+    * oracle-gated. The merge list is a literal (training is
+    * driver-local over the bounded word-frequency map — the spec's
+    * domain; ENCODING is the corpus-side narrow kernel a 100 TB
+    * pipeline actually runs per document) and exercises the real apply
+    * order: priority-ranked merges, leftmost occurrence first — e.g.
+    * "start" takes (t,a) rank 1 over the earlier-in-string (s,t)
+    * rank 6, which a naive left-to-right scanner gets wrong. The
+    * oracle replays normalize → whitespace split → per-word merge
+    * loop as a recursive CTE whose state is the symbol list, so a
+    * drift in ranks, tie order or termination lands as a hash
+    * mismatch. Output per doc: token count + the full '|'-joined
+    * token stream (bit-for-bit). */
+  def m105BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val model = graft.core.Bpe.Model(IndexedSeq(
+      "t" -> "a", "ta" -> "b", "tab" -> "l", "tabl" -> "e",
+      "f" -> "a", "s" -> "t", "fa" -> "st", "h" -> "a",
+      "s" -> "h", "ha" -> "sh", "e" -> "y", "k" -> "ey"))
+    val enc = udf((text: String) => graft.core.Bpe.encode(text, model))
+    t(s, dir, "documents")
+      .select(col("doc_id"), enc(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        concat_ws("|", col("toks")).as("enc"))
+      .orderBy("doc_id")
+  }
+
   /** q51 — correlated LATERAL table subquery (Spark 4.x `LATERAL`):
     * top-2 orders by price per customer through the SQL entry point —
     * the per-row-driven table subquery shape the DataFrame battery

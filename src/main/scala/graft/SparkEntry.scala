@@ -196,6 +196,11 @@ object SparkEntry {
     "m101_hamming_topk" -> Queries.m101HammingTopK,
     "m102_bm25_index" -> Queries.m102Bm25Index,
     "m103_bm25_append" -> Queries.m103Bm25Append,
+    "m104_kmeans" -> Queries.m104Kmeans,
+    "m105_bpe_encode" -> Queries.m105BpeEncode,
+    "m106_prototype_prune" -> Queries.m106PrototypePrune,
+    "m107_semantic_decontam" -> Queries.m107SemanticDecontam,
+    "m108_dsir_weights" -> Queries.m108DsirWeights,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on

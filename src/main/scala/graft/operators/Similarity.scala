@@ -18,6 +18,11 @@ final case class SqHit(query_id: Long, dist: Long)
   * TOP-LEVEL for the encoder rule. */
 final case class HamHit(query_id: Long, ham: Int)
 
+/** One vector's Lloyd assignment: nearest center index + exact integer
+  * squared distance in the 2²⁴-scaled space. TOP-LEVEL for the encoder
+  * rule. */
+final case class KmAssign(cluster: Int, dist: Long)
+
 /**
  * Similarity search over an embedding column (`array<float>`):
  * brute-force cosine top-k as the exact baseline, and an LSH-bucketed
@@ -215,6 +220,133 @@ object Similarity {
         if (s(i) == 0.0) 0.0 else (v(i).toDouble - m(i)) / s(i))
     }
     corpus.withColumn("zvec", zUdf(col(vecCol)))
+  }
+
+  /** Distributed Lloyd k-means over scaled-integer embeddings — the
+    * full-corpus clustering pass the driver-local `VecMath.kmeans`
+    * (bounded-sample codebook trainer for IVF/PQ) cannot be: at 100 TB
+    * the corpus never reaches one machine, so each Lloyd round is one
+    * narrow assignment scan (broadcast centers, compiled argmin kernel)
+    * plus a (k·dims)-bounded partial aggregate — map-side combine means
+    * the shuffle carries at most k·dims rows PER PARTITION regardless
+    * of corpus size, and driver state is k·dims longs.
+    *
+    * Every quantity is exact-integer so engine and oracle agree
+    * bit-for-bit (the m75/m94 pin): vectors scale to x = floor(v·2²⁴
+    * + 0.5) longs; distances are Σ(x−c)² in Long (safe while
+    * dims·(2²⁵·max|v|)² < 2⁶³ — |v| ≤ 2 at 64 dims uses < 2⁵⁹);
+    * assignment ties take the LOWEST center index; the center update is
+    * exact floor division of the DECIMAL(38,0) dim-sum by the cluster
+    * count (empty clusters keep their previous center). Seeding is
+    * deterministic data-derived: the k vectors with the smallest
+    * UNSIGNED `TextSig.mix64(id)` (signed-order trick: rank on
+    * mix64 ^ Long.MinValue), ties on id — re-derivable in SQL via the
+    * mix64 CTE chain, no RNG state to ship.
+    *
+    * Returns the final (id, cluster, dist) assignment under the final
+    * centers plus the centers themselves (scaled-long coordinates;
+    * divide by 2²⁴ for doubles). `iters` update rounds = `iters`+1
+    * assignment scans; lineage stays linear in `iters` (each round
+    * re-reads the source — at scale that is a parquet re-scan, the
+    * standard Lloyd shape, not a growing plan). */
+  def kmeansLloyd(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): (DataFrame, Array[Array[Long]]) = {
+    require(k >= 1, s"kmeansLloyd: k=$k must be >= 1")
+    require(iters >= 0, s"kmeansLloyd: iters=$iters must be >= 0")
+    val spark = corpus.sparkSession
+    val sc = 16777216.0 // 2^24
+    val xsUdf = udf((v: Array[Float]) =>
+      v.map(x => math.floor(x.toDouble * sc + 0.5).toLong))
+    val scaled = Dedup.spread(
+        corpus.select(col(idCol).cast("long").as("vid"), col(vecCol)))
+      .select(col("vid"), xsUdf(col(vecCol)).as("xs"))
+    val rkUdf = udf((id: Long) =>
+      graft.core.TextSig.mix64(id) ^ Long.MinValue)
+    val seeds = scaled.withColumn("rk", rkUdf(col("vid")))
+      .orderBy("rk", "vid").limit(k).collect()
+    require(seeds.nonEmpty, s"kmeansLloyd: no rows in '$vecCol'")
+    var centers: Array[Array[Long]] =
+      seeds.map(_.getSeq[Long](1).toArray)
+    // exact floor division (sign-correct for negative sums; the SQL
+    // replay uses the same (sx - pmod(sx, n)) / n dag)
+    def floorDiv(sx: BigInt, n: Long): Long = {
+      val nn = BigInt(n)
+      ((sx - (((sx % nn) + nn) % nn)) / nn).toLong
+    }
+    def assigned(cs: Array[Array[Long]]): DataFrame = {
+      val bc = spark.sparkContext.broadcast(cs)
+      val aUdf = udf { (xs: Seq[Long]) =>
+        val c = bc.value
+        var best = 0; var bd = Long.MaxValue; var j = 0
+        while (j < c.length) {
+          val cj = c(j)
+          var s0 = 0L; var i = 0
+          val m = math.min(xs.length, cj.length)
+          while (i < m) { val d = xs(i) - cj(i); s0 += d * d; i += 1 }
+          if (s0 < bd) { bd = s0; best = j } // strict <: ties keep lowest j
+          j += 1
+        }
+        KmAssign(best, bd)
+      }
+      scaled.select(col("vid"), col("xs"), aUdf(col("xs")).as("a"))
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = assigned(centers)
+        .select(col("a.cluster").as("cluster"),
+          posexplode(col("xs")).as(Seq("i", "x")))
+        .groupBy("cluster", "i")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .as("sx"))
+        .collect()
+      val next = centers.map(_.clone()) // empty clusters keep their center
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) =
+          floorDiv(BigInt(r.getDecimal(3).toBigInteger), r.getLong(2))
+      }
+      centers = next
+      it += 1
+    }
+    (assigned(centers).select(col("vid"),
+      col("a.cluster").as("cluster"), col("a.dist").as("dist")), centers)
+  }
+
+  /** Prototypicality pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws"): per cluster, keep only the HARDEST ceil(n_c ·
+    * keepBp / 10000) examples — largest distance-to-centroid first,
+    * ties on lower id — and drop the prototypical (easy, redundant)
+    * rest. Input is a [[kmeansLloyd]] assignment frame (vid, cluster,
+    * dist).
+    *
+    * Scale shape: NO per-cluster window — a single cluster at 100 TB
+    * is far larger than one task, so the per-cluster rank comes from
+    * ONE range-partitioned global rank over (cluster asc, dist desc,
+    * vid asc) ([[Ranking.globalRank]]) minus a per-cluster offset
+    * computed from the k-row size aggregate (broadcast). Keep counts
+    * are exact integer ceil — no float fraction crosses engines. */
+  def prototypePrune(assign: DataFrame, keepBp: Int): DataFrame = {
+    require(keepBp >= 0 && keepBp <= 10000,
+      s"prototypePrune: keepBp=$keepBp out of [0, 10000]")
+    val sizes = assign.groupBy("cluster")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offKeep = sizes.map { case (c, n) =>
+      val o = acc; acc += n
+      (c, o, (n * keepBp + 9999L) / 10000L) // exact integer ceil
+    }
+    val ranked = Ranking.globalRank(assign,
+      Seq(col("cluster").asc, col("dist").desc, col("vid").asc), "_grank")
+    val offDf = assign.sparkSession.createDataFrame(offKeep.toSeq)
+      .toDF("cluster", "_off", "_keep")
+    // NOTE: `ranked` is a pinned LogicalRDD (globalRank's contract) that
+    // the returned frame still reads — callers release it after their
+    // terminal action via Blocks.releaseAll (Bench/Verify do per query)
+    ranked.join(broadcast(offDf), Seq("cluster"))
+      .withColumn("cluster_rank", col("_grank") - col("_off"))
+      .filter(col("cluster_rank") <= col("_keep"))
+      .select(col("vid"), col("cluster"), col("dist"), col("cluster_rank"))
   }
 
   /** 1/log₂(rank+1) discounts for ranks 1..10 — shared LITERALS with

@@ -27,6 +27,16 @@ final case class PackedChunk(doc_id: Long, chunk_id: Int, bucket: Int,
 final case class FfdChunk(doc_id: Long, chunk_id: Int, bucket: Int,
     bin: Long, n_tokens: Int)
 
+/** One corpus vector's nearest benchmark match (score already rounded
+  * to 6 decimals) — TOP-LEVEL for the encoder rule. */
+final case class SemHit(match_id: Long, score: Double)
+
+/** One document's DSIR importance weight — TOP-LEVEL for the encoder
+  * rule. `w` is the exact decimal sum of rounded-6 per-bucket log
+  * ratios (micros-integer internally, so aggregation order never
+  * enters). */
+final case class DsirDoc(n_tokens: Int, w: Double)
+
 object TrainingPipeline {
 
   /** `benchmark`: when set, the chain ends with test-set decontamination
@@ -806,6 +816,129 @@ object TrainingPipeline {
   def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 13,
       minHits: Long = 1): DataFrame =
     decontaminateWith(docs, benchmarkGrams(benchmark, n), n, minHits)
+
+  /** FNV-1a over a word's UTF-16 units (the TextSig/oracle convention:
+    * basis-seeded, per-char xor-then-multiply, natural 64-bit wrap). */
+  private def fnvWord(w: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < w.length) { h = (h ^ w.charAt(i)) * 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document
+    * by how target-like its hashed-unigram distribution is —
+    * w(d) = Σ_tokens log( p̂_target(bucket) / p̂_raw(bucket) ) with
+    * add-1 smoothing over `buckets` FNV-hashed buckets, where the
+    * target distribution comes from the `isTarget` rows and raw from
+    * the whole corpus. Feed the weights to [[weightedSample]] (A-ES)
+    * for the resampling half — the two compose into the full method.
+    *
+    * Scale shape: pass 1 aggregates token-bucket counts — map-side
+    * combine bounds the shuffle at `buckets` rows per partition; the
+    * bucket log-ratio table is `buckets` doubles on the driver,
+    * broadcast; pass 2 is ONE narrow compiled kernel (tokenize → FNV
+    * bucket → integer-micros sum), no join, no shuffle. Determinism:
+    * per-bucket log ratios are rounded to 6 decimals (the only float
+    * op — ln inputs are exact sub-2⁵³ integer products) and summed as
+    * exact integer micros, so the weight is aggregation-order-free and
+    * engine-exact. */
+  def dsirWeights(docs: DataFrame, isTarget: Column, buckets: Int = 256,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(buckets >= 2, s"dsirWeights: buckets=$buckets must be >= 2")
+    val bl = buckets.toLong
+    val bucketUdf = udf { (text: String) =>
+      val n = graft.core.TextSig.normalize(text)
+      if (n.isEmpty) Array.empty[Int]
+      else n.split(' ')
+        .map(w => java.lang.Long.remainderUnsigned(fnvWord(w), bl).toInt)
+    }
+    val base = Dedup.spread(docs.select(
+      col(idCol).cast("long").as("doc_id"), col(textCol).as("text"),
+      isTarget.cast("boolean").as("_tgt")))
+    val cnt = base
+      .select(col("_tgt"), explode(bucketUdf(col("text"))).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("cr"),
+        sum(when(col("_tgt"), 1L).otherwise(0L)).as("ct"))
+      .collect()
+    val nr = cnt.map(_.getLong(1)).sum
+    val nt = cnt.map(_.getLong(2)).sum
+    // rounded-6 log ratios as exact integer micros (|lr| < ~50 → the
+    // per-doc sum stays far inside Long at any document length)
+    val micros: Map[Int, Long] = cnt.map { r =>
+      val x = ((r.getLong(2) + 1).toDouble * (nr + buckets).toDouble) /
+        ((r.getLong(1) + 1).toDouble * (nt + buckets).toDouble)
+      r.getInt(0) -> BigDecimal(math.log(x).toString)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .*(BigDecimal(1000000)).toLongExact
+    }.toMap
+    val bc = docs.sparkSession.sparkContext.broadcast(micros)
+    val wUdf = udf { (text: String) =>
+      val m = bc.value
+      val n = graft.core.TextSig.normalize(text)
+      if (n.isEmpty) DsirDoc(0, 0.0)
+      else {
+        val ws = n.split(' ')
+        var s0 = 0L; var i = 0
+        while (i < ws.length) {
+          s0 += m(java.lang.Long.remainderUnsigned(fnvWord(ws(i)), bl).toInt)
+          i += 1
+        }
+        DsirDoc(ws.length, java.math.BigDecimal.valueOf(s0, 6).doubleValue)
+      }
+    }
+    base.select(col("doc_id"), wUdf(col("text")).as("h"))
+      .select(col("doc_id"), col("h.n_tokens").as("n_tokens"),
+        col("h.w").as("w"))
+  }
+
+  /** SEMANTIC decontamination — the embedding-space leg of the
+    * contamination family ([[contamination]] catches verbatim n-gram
+    * overlap; paraphrased or lightly-reworded benchmark leakage needs
+    * the embedding test): flag every corpus vector whose max cosine
+    * against ANY benchmark vector reaches `tau`, reporting the nearest
+    * benchmark id and the rounded-6 score (ties on the rounded score →
+    * lowest benchmark id, total order).
+    *
+    * Scale shape = the m13 contract: benchmark eval sets are SMALL
+    * (thousands), so the benchmark side is collected under an ENFORCED
+    * ceiling and broadcast; the corpus never shuffles — one narrow
+    * compiled-cosine kernel pass, then a filter. Rounding inside the
+    * kernel mirrors Spark/DuckDB `round` (decimal-string HALF_UP — the
+    * CLAUDE.md r11 pin), so the argmax is engine-exact. */
+  def semanticContamination(corpus: DataFrame, benchmark: DataFrame,
+      tau: Double, idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBenchVectors: Int = 1 << 20): DataFrame = {
+    val bench = Dedup.spread(
+        benchmark.select(col(idCol).cast("long"), col(vecCol)))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(bench.nonEmpty, "semanticContamination: empty benchmark")
+    require(bench.length <= maxBenchVectors,
+      s"semanticContamination: benchmark has ${bench.length} vectors, " +
+        s"over the $maxBenchVectors broadcast ceiling — an eval set this " +
+        "large needs the LSH-banded join path, not a broadcast")
+    val sorted = bench.sortBy(_._1)
+    val bc = corpus.sparkSession.sparkContext.broadcast(sorted)
+    val hitUdf = udf { (v: Array[Float]) =>
+      val b = bc.value
+      var bestId = -1L; var bestS = Double.NegativeInfinity
+      var j = 0
+      while (j < b.length) {
+        val s0 = BigDecimal(graft.core.VecMath.cosine(v, b(j)._2).toString)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if (s0 > bestS) { bestS = s0; bestId = b(j)._1 } // tie → lower id
+        j += 1
+      }
+      SemHit(bestId, bestS)
+    }
+    Dedup.spread(corpus.select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol)))
+      .select(col("vec_id"), hitUdf(col(vecCol)).as("h"))
+      .select(col("vec_id"), col("h.match_id").as("match_id"),
+        col("h.score").as("score"))
+      .filter(col("score") >= tau)
+  }
 
   /** The filter against an already-collected gram broadcast — lets a
     * stream collect the (static) benchmark once instead of running the

@@ -1241,4 +1241,122 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(re == got.map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq)
   }
+
+  // ---- distributed Lloyd k-means ----
+
+  /** Naive single-machine replica of kmeansLloyd's exact-integer
+    * algorithm: mix64 seeding, strict-< argmin, DECIMAL-exact sums via
+    * BigInt, floor-division update, empty clusters keep their center. */
+  private def kmeansRef(rows: Seq[(Long, Array[Float])], k: Int,
+      iters: Int): (Map[Long, (Int, Long)], Array[Array[Long]]) = {
+    val scaled = rows.map { case (id, v) =>
+      (id, v.map(x => math.floor(x.toDouble * 16777216.0 + 0.5).toLong))
+    }
+    var centers = scaled
+      .sortBy { case (id, _) =>
+        (graft.core.TextSig.mix64(id) ^ Long.MinValue, id) }
+      .take(k).map(_._2.clone()).toArray
+    def assign(xs: Array[Long]): (Int, Long) = {
+      var best = 0; var bd = Long.MaxValue
+      for (j <- centers.indices) {
+        var s0 = 0L
+        for (i <- xs.indices) { val d = xs(i) - centers(j)(i); s0 += d * d }
+        if (s0 < bd) { bd = s0; best = j }
+      }
+      (best, bd)
+    }
+    for (_ <- 0 until iters) {
+      val byC = scaled.groupBy { case (_, xs) => assign(xs)._1 }
+      centers = centers.zipWithIndex.map { case (old, j) =>
+        byC.get(j) match {
+          case None => old
+          case Some(members) =>
+            val n = BigInt(members.size)
+            Array.tabulate(old.length) { i =>
+              val sx = members.map(m => BigInt(m._2(i))).sum
+              ((sx - (((sx % n) + n) % n)) / n).toLong
+            }
+        }
+      }
+    }
+    (scaled.map { case (id, xs) => id -> assign(xs) }.toMap, centers)
+  }
+
+  test("kmeansLloyd matches the exact-integer reference (assignments, " +
+      "dists, centers) and is partitioning-invariant") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val (expAssign, expCenters) = kmeansRef(rows, k = 3, iters = 3)
+    val (gotDf, gotCenters) =
+      Similarity.kmeansLloyd(emb, "vec_id", "embedding", k = 3, iters = 3)
+    val got = gotDf.collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(got == expAssign)
+    assert(gotCenters.map(_.toSeq).toSeq == expCenters.map(_.toSeq).toSeq)
+    val (reDf, reCenters) = Similarity.kmeansLloyd(
+      emb.repartition(7), "vec_id", "embedding", k = 3, iters = 3)
+    assert(reDf.collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap == got)
+    assert(reCenters.map(_.toSeq).toSeq == gotCenters.map(_.toSeq).toSeq)
+  }
+
+  test("prototypePrune keeps the hardest ceil(n*bp/10000) per cluster " +
+      "(ties on lower id); bp=10000 keeps all; invariant") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val (expAssign, _) = kmeansRef(rows, k = 3, iters = 2)
+    val expKept = expAssign.toSeq
+      .map { case (id, (c, d)) => (c, d, id) }
+      .groupBy(_._1).toSeq.flatMap { case (c, members) =>
+        val sorted = members.sortBy { case (_, d, id) => (-d, id) }
+        val keep = (members.size * 3000L + 9999L) / 10000L
+        sorted.take(keep.toInt).zipWithIndex.map { case ((_, d, id), i) =>
+          (id, c, d, (i + 1).toLong) }
+      }.toSet
+    val (assign, _) = Similarity.kmeansLloyd(
+      emb, "vec_id", "embedding", k = 3, iters = 2)
+    val got = Similarity.prototypePrune(assign, keepBp = 3000).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expKept)
+    val (assignAll, _) = Similarity.kmeansLloyd(
+      emb.repartition(5), "vec_id", "embedding", k = 3, iters = 2)
+    val all = Similarity.prototypePrune(assignAll, keepBp = 10000)
+    assert(all.count() == rows.size, "bp=10000 must keep every row")
+  }
+
+  test("kmeansLloyd: equidistant point takes the LOWEST cluster index; " +
+      "an empty cluster keeps its previous center") {
+    val sess = spark
+    import sess.implicits._
+    // three points on a line; with iters=0 the centers ARE the two
+    // mix64-smallest seeds, and the midpoint is exactly equidistant
+    val pts = Seq(
+      (1L, Array(0.0f)), (2L, Array(2.0f)), (3L, Array(1.0f)))
+    val df = pts.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>")
+        .as("embedding"))
+    val (a0, c0) = Similarity.kmeansLloyd(df, "vec_id", "embedding",
+      k = 2, iters = 0)
+    val seedIds = pts.sortBy { case (id, _) =>
+      (graft.core.TextSig.mix64(id) ^ Long.MinValue, id) }
+      .take(2).map(_._1)
+    val seedVals = seedIds.map(id => pts.find(_._1 == id).get._2(0))
+    val mid = a0.collect().find(_.getLong(0) == 3L).get
+    if (math.abs(seedVals(0) - 1.0f) == math.abs(seedVals(1) - 1.0f))
+      assert(mid.getInt(1) == 0, "tie must take the lowest cluster index")
+    // duplicated single point, k=2: both seeds coincide, every vector
+    // lands in cluster 0, cluster 1 is empty and must keep its center
+    val dup = Seq((10L, Array(5.0f)), (11L, Array(5.0f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>")
+        .as("embedding"))
+    val (a1, c1) = Similarity.kmeansLloyd(dup, "vec_id", "embedding",
+      k = 2, iters = 2)
+    assert(a1.collect().forall(_.getInt(1) == 0))
+    assert(c1(0).toSeq == Seq(5L * 16777216L) &&
+      c1(1).toSeq == Seq(5L * 16777216L))
+  }
 }

@@ -1568,4 +1568,94 @@ class TrainingPipelineSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toSeq
     assert(re == got)
   }
+
+  test("dsirWeights matches the exact integer-micros reference " +
+      "(add-1 smoothing, rounded-6 ln per bucket); empty text scores " +
+      "(0, 0.0); invariant; German doc scores below the English dup") {
+    val s = spark
+    import s.implicits._
+    val df = docs.unionByName(
+      Seq((8L, "", "en")).toDF("doc_id", "text", "lang"))
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    def fnv(w: String): Long = {
+      var h = 0xcbf29ce484222325L
+      w.foreach(c => h = (h ^ c) * 0x100000001b3L); h
+    }
+    val B = 256
+    def bucketsOf(t: String): Seq[Int] = {
+      val n = graft.core.TextSig.normalize(t)
+      if (n.isEmpty) Seq.empty
+      else n.split(' ').toSeq
+        .map(w => java.lang.Long.remainderUnsigned(fnv(w), B.toLong).toInt)
+    }
+    val all = rows.flatMap { case (_, t, l) =>
+      bucketsOf(t).map(b => (b, l == "en")) }
+    val cr = all.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val ct = all.filter(_._2).groupBy(_._1).view
+      .mapValues(_.size.toLong).toMap
+    val (nr, nt) = (all.size.toLong, all.count(_._2).toLong)
+    val micros = cr.keys.map { b =>
+      val x = ((ct.getOrElse(b, 0L) + 1).toDouble * (nr + B).toDouble) /
+        ((cr(b) + 1).toDouble * (nt + B).toDouble)
+      b -> BigDecimal(math.log(x).toString)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .*(BigDecimal(1000000)).toLongExact
+    }.toMap
+    val exp = rows.map { case (id, t, _) =>
+      val bs = bucketsOf(t)
+      id -> ((bs.size, java.math.BigDecimal
+        .valueOf(bs.map(micros).sum, 6).doubleValue))
+    }.toMap
+    val got = TrainingPipeline
+      .dsirWeights(df, col("lang") === "en", buckets = B)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2))))
+      .toMap
+    assert(got == exp)
+    assert(got(8L) == ((0, 0.0)))
+    // the German doc's buckets are raw-only → negative weight; the
+    // English dup's tokens dominate the target distribution → positive
+    assert(got(4L)._2 < 0.0 && got(1L)._2 > 0.0)
+    val re = TrainingPipeline.dsirWeights(
+        df.repartition(5), col("lang") === "en", buckets = B)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2))))
+      .toMap
+    assert(re == got)
+  }
+
+  test("semanticContamination flags by exact all-pairs rounded-6 max " +
+      "cosine (ties -> lowest bench id); ceiling aborts; invariant") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val bench = emb.filter(col("vec_id") % 10 === 0)
+    val bv = bench.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    def r6(d: Double): Double =
+      BigDecimal(d.toString).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    val exp = corpus.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .flatMap { case (id, v) =>
+        var bestId = -1L; var bestS = Double.NegativeInfinity
+        bv.foreach { case (bid, b) =>
+          val s0 = r6(graft.core.VecMath.cosine(v, b))
+          if (s0 > bestS) { bestS = s0; bestId = bid }
+        }
+        if (bestS >= 0.3) Some((id, bestId, bestS)) else None
+      }.toSet
+    assert(exp.nonEmpty, "fixture should flag at least one row at 0.3")
+    val got = TrainingPipeline.semanticContamination(corpus, bench, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got == exp)
+    val re = TrainingPipeline.semanticContamination(
+      corpus.repartition(7), bench, 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(re == got)
+    val err = intercept[IllegalArgumentException] {
+      TrainingPipeline.semanticContamination(corpus, bench, 0.3,
+        maxBenchVectors = 3)
+    }
+    assert(err.getMessage.contains("ceiling"))
+  }
 }
