@@ -411,13 +411,16 @@ object Oracle {
   /** Shared by m49 (BM25 top-k) and m52 (hybrid fusion): the full BM25
     * derivation ending in CTE `brk(query_id, doc_id, score, rank)` for
     * the gate's three keyword queries. */
-  private val Bm25Ctes: String = """qt(query_id, term) AS (VALUES (0,'fast'),(0,'hash'),(0,'join'),
+  /** The m49 BM25 replay, parameterized by a corpus `WHERE` clause so
+    * the delete gate (m109) can share the exact scoring dag over the
+    * filtered corpus. */
+  private def bm25Ctes(where: String): String = s"""qt(query_id, term) AS (VALUES (0,'fast'),(0,'hash'),(0,'join'),
           (1,'window'),(1,'agg'),(1,'stream'),
           (2,'slow'),(2,'table'),(2,'scan'),(2,'customer')),
-      bnr AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS nt
-              FROM documents),
+      bnr AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS nt
+              FROM documents $where),
       btk AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM bnr WHERE length(nt) > 0),
-      stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+      stats AS (SELECT (SELECT COUNT(*) FROM documents $where) AS n,
                        (SELECT COALESCE(SUM(len(toks)), 0) FROM btk) AS sumdl),
       terms AS (SELECT DISTINCT term FROM qt),
       tfp AS (SELECT doc_id, term, tf, dl FROM
@@ -439,6 +442,8 @@ object Oracle {
               GROUP BY query_id, doc_id),
       brk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                ORDER BY score DESC, doc_id ASC) AS INT) AS rank FROM bsc)"""
+
+  private val Bm25Ctes: String = bm25Ctes("")
 
   val sql: Map[String, String] = Map(
 
@@ -1160,6 +1165,15 @@ object Oracle {
     // append shares the same expected ranking.
     "m103_bm25_append" -> s"""
       WITH $Bm25Ctes
+      SELECT query_id, doc_id, CAST(score AS DOUBLE) AS score, rank
+      FROM brk WHERE rank <= 10 ORDER BY query_id, rank""",
+    // m109 probes the index AFTER a bm25Delete batch (doc_id % 7 = 0
+    // tombstoned, stats restored, probes anti-join before df): the
+    // expected ranking is the SAME scoring dag over the corpus without
+    // those docs — delete must be indistinguishable from never having
+    // indexed them.
+    "m109_bm25_delete" -> s"""
+      WITH ${bm25Ctes("WHERE doc_id % 7 <> 0")}
       SELECT query_id, doc_id, CAST(score AS DOUBLE) AS score, rank
       FROM brk WHERE rank <= 10 ORDER BY query_id, rank""",
 

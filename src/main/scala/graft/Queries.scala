@@ -1645,6 +1645,34 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** m109 — m49's ranking probed from an index that had a DELETE batch
+    * applied ([[operators.Retrieval.bm25Delete]]): the full corpus is
+    * indexed, every doc_id % 7 = 0 is tombstoned (stats restored from
+    * the postings scan, probes anti-join the set before df), and the
+    * probe must equal BM25 over the corpus WITHOUT those docs — the
+    * oracle recomputes the in-flight ranking on the filtered corpus,
+    * so a stats, df or tombstone-visibility drift lands as a hash
+    * mismatch. Completes the durable-index lifecycle next to m102
+    * (build) and m103 (append). */
+  def m109Bm25Delete(s: SparkSession, dir: String): DataFrame = {
+    val idx = bm25IndexDirs.getOrElseUpdate(dir + "#delete", {
+      val full = new java.io.File(dir).getAbsolutePath
+      val d = s"target/bm25-index/${new java.io.File(dir).getName}-" +
+        f"${graft.core.TextSig.mix64(full.hashCode.toLong) & 0xffffffffL}%08x-del"
+      val docs = t(s, dir, "documents")
+      operators.Retrieval.bm25WriteIndex(docs, d)
+      val ids = docs.filter(col("doc_id") % 7 === 0)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      operators.Retrieval.bm25Delete(s, d, ids)
+      d
+    })
+    operators.Retrieval.bm25TopKFromIndex(s, idx,
+        Seq(0 -> "fast hash join", 1 -> "window agg stream",
+          2 -> "slow table scan customer"),
+        k = 10)
+      .orderBy("query_id", "rank")
+  }
+
   /** m50 — fixed-point PageRank over the near-dup similarity graph
     * ([[operators.Graph.pageRank]] over [[operators.Dedup.minhashPairs]]
     * at 0.5, both directions): rank concentration exposes template hubs

@@ -201,6 +201,7 @@ object SparkEntry {
     "m106_prototype_prune" -> Queries.m106PrototypePrune,
     "m107_semantic_decontam" -> Queries.m107SemanticDecontam,
     "m108_dsir_weights" -> Queries.m108DsirWeights,
+    "m109_bm25_delete" -> Queries.m109Bm25Delete,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on

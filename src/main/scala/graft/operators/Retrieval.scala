@@ -185,6 +185,14 @@ object Retrieval {
   private def bucketOf(term: String, nBuckets: Int): Int =
     math.floorMod(term.hashCode, nBuckets)
 
+  /** Null-safe globStatus: Hadoop returns NULL (not empty) when the
+    * glob's parent directory does not exist — e.g. the very first
+    * build under a fresh base dir. */
+  private def glob(fs: org.apache.hadoop.fs.FileSystem,
+      pattern: String): Array[org.apache.hadoop.fs.FileStatus] =
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(pattern)))
+      .getOrElse(Array.empty)
+
   /** Test/observability hook like `Similarity.lastIndexReadFiles`: the
     * posting files the most recent [[bm25TopKFromIndex]] probe ACTUALLY
     * read (under `graft.bm25.traceIndexReads` — proves bucket pruning
@@ -227,6 +235,16 @@ object Retrieval {
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(dir + ".ok")
     fs.delete(marker, false)
+    // a REBUILD resets the whole lifecycle: stale tombstones would
+    // silently anti-join fresh postings, and stale batch/delete markers
+    // would no-op a new batch that reuses an old id
+    fs.delete(new org.apache.hadoop.fs.Path(dir + ".tombstones"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(dir + ".delete-pending"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(dir + ".compact-pending"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(dir + ".append-pending"), false)
+    Seq(".batch-*.done", ".del-*.done", ".append-stage-*",
+        ".tombstones-stage-*", ".compact-stage")
+      .foreach(g => glob(fs, dir + g).foreach(f => fs.delete(f.getPath, true)))
     // stats observed above the explode: every doc (incl. token-less ones
     // the explode drops) counts toward N and Σdl, exactly like the
     // in-flight stats pass
@@ -367,6 +385,257 @@ object Retrieval {
     fs.delete(new org.apache.hadoop.fs.Path(stageDir), true)
   }
 
+  /**
+   * Delete a document batch from a durable BM25 index — the missing
+   * lifecycle verb between [[bm25Append]] (grow) and
+   * `ivfRebuildIfSkewed`-style rebuilds: takedowns, opt-outs and
+   * curation removals must not force an index rebuild at 100 TB.
+   * Tombstone design (the standard LSM answer): deleted ids land in a
+   * `<dir>.tombstones` parquet; probes anti-join it (broadcast — the
+   * set is bounded by the compaction cadence) BEFORE computing df, so
+   * df, N and Σdl all adjust and a probe is EXACTLY the probe of an
+   * index built without those docs ([[bm25Compact]] makes that
+   * physical). Stats: N/Σdl decrease by the deleted docs' count and
+   * dl, read from ONE postings scan (distinct (doc_id, dl) of the
+   * batch — index-priced, never corpus-priced; batch your deletes).
+   *
+   * CONTRACT (single-writer): every id must currently be live in the
+   * index with ≥ 1 token — unknown or already-deleted ids throw
+   * (token-less docs never enter postings, so the index cannot account
+   * their stats on the way out; rebuild for those). Re-appending a
+   * tombstoned id is unsupported until a compact clears the set.
+   *
+   * FORWARD-recoverable staged swap (the r13 IVF-rebuild pattern, not
+   * append's rollback: the old tombstone set is destroyed by the swap,
+   * so recovery must FINISH, not undo): the merged tombstone set is
+   * staged with a `_COMPLETE` flag and the pending record carries the
+   * POST-delete stats; [[recoverPendingBm25Delete]] completes a
+   * crashed swap from the staged copy (or discards an incomplete
+   * staging, pre-state intact). Blind-retryable; `batchId` gives
+   * exactly-once replay.
+   */
+  def bm25Delete(spark: org.apache.spark.sql.SparkSession, dir: String,
+      docIds: Seq[Long], batchId: Option[Long] = None): Unit = {
+    require(docIds.nonEmpty, "bm25Delete: empty docIds")
+    require(docIds.size <= (1 << 20),
+      s"bm25Delete: ${docIds.size} ids in one batch — over the 2^20 " +
+        "broadcast ceiling; split the batch")
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(dir + ".ok")
+    val pending = new org.apache.hadoop.fs.Path(dir + ".delete-pending")
+    val batchMarker = batchId.map(bId =>
+      new org.apache.hadoop.fs.Path(dir + s".del-$bId.done"))
+    batchMarker match {
+      case Some(bm) if fs.exists(bm) =>
+        if (!fs.exists(marker)) fs.create(marker, true).close()
+        fs.delete(pending, false)
+        return
+      case _ => ()
+    }
+    recoverPendingBm25Delete(spark, dir)
+    if (!fs.exists(marker))
+      throw new IllegalStateException(
+        s"BM25 index $dir has no completion marker — rebuild before " +
+          "deleting")
+    val tombPath = new org.apache.hadoop.fs.Path(dir + ".tombstones")
+    val old: Set[Long] =
+      if (fs.exists(tombPath))
+        spark.read.parquet(dir + ".tombstones").collect()
+          .map(_.getLong(0)).toSet
+      else Set.empty
+    val fresh = docIds.distinct.filterNot(old)
+    if (fresh.isEmpty && batchId.isDefined) {
+      // FULL overlap under a batchId = this batch already applied (a
+      // blind retry whose crashed predecessor was finished by forward
+      // recovery lands here — the marker write is the LAST step, so a
+      // recovered batch has tombstones but no marker) — idempotent
+      // no-op, commit the batch marker
+      batchMarker.foreach(bm => fs.create(bm, true).close())
+      return
+    }
+    require(fresh.size == docIds.distinct.size,
+      s"bm25Delete: ${docIds.distinct.size - fresh.size} ids already " +
+        "tombstoned — a delete batch must name live docs (a FULLY " +
+        "applied batch replays as a no-op; mixing applied and new ids " +
+        "is a caller error)")
+    // the batch's (count, Σdl) off ONE postings scan; every id must
+    // surface (the liveness contract above)
+    val found = spark.read.parquet(dir)
+      .filter(col("doc_id").isin(fresh: _*))
+      .select(col("doc_id"), col("dl").cast("long")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    require(found.length == fresh.size,
+      s"bm25Delete: ${fresh.size - found.length} of ${fresh.size} ids " +
+        "have no postings (never indexed, or token-less) — stats " +
+        "cannot account them; rebuild instead")
+    val statsRow = spark.read.parquet(dir + ".stats").collect().head
+    val (newN, newSumdl) = (statsRow.getLong(0) - found.length,
+      statsRow.getLong(1) - found.map(_._2).sum)
+    val tag = batchId.map(bId => s"b$bId")
+      .getOrElse(s"t${java.lang.Long.toHexString(System.nanoTime())}")
+    val stageDir = dir + s".tombstones-stage-$tag"
+    (old ++ fresh).toSeq.sorted.toDF("doc_id")
+      .coalesce(1).write.mode("overwrite").parquet(stageDir)
+    // the TAGGED flag travels with the rename: recovery can tell "this
+    // batch's swap happened" apart from an older tombstone set that
+    // kept its own flag (underscore files are invisible to the reader)
+    fs.create(new org.apache.hadoop.fs.Path(stageDir, s"_COMPLETE-$tag"),
+      true).close()
+    // pending carries the POST-delete stats: recovery FINISHES forward
+    val out = fs.create(pending, true)
+    out.write(s"$tag $newN $newSumdl".getBytes("UTF-8")); out.close()
+    fs.delete(marker, false)
+    if (spark.conf.get("graft.bm25.testCrashBeforeSwap", "false").toBoolean)
+      throw new RuntimeException("injected crash before tombstone swap")
+    fs.delete(tombPath, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(stageDir), tombPath))
+      throw new java.io.IOException(s"rename $stageDir -> $tombPath failed")
+    Seq((newN, newSumdl)).toDF("n", "sumdl")
+      .coalesce(1).write.mode("overwrite").parquet(dir + ".stats")
+    batchMarker.foreach(bm => fs.create(bm, true).close())
+    fs.create(marker, true).close()
+    fs.delete(pending, false)
+  }
+
+  /** Finish (or discard) a torn [[bm25Delete]]: a COMPLETE staged
+    * tombstone set is swapped in and the stats sidecar rewritten from
+    * the pending record's POST-delete values (forward recovery — the
+    * swap destroyed the old set, so there is nothing to roll back TO);
+    * an incomplete staging is discarded with the pre-state intact.
+    * Idempotent. */
+  def recoverPendingBm25Delete(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pending = new org.apache.hadoop.fs.Path(dir + ".delete-pending")
+    val marker = new org.apache.hadoop.fs.Path(dir + ".ok")
+    val tombPath = new org.apache.hadoop.fs.Path(dir + ".tombstones")
+    if (fs.exists(pending)) {
+      val in = fs.open(pending)
+      val rec = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      rec.split(' ') match {
+        case Array(tag, n, sumdl) if !fs.exists(marker) =>
+          val stage = new org.apache.hadoop.fs.Path(
+            dir + s".tombstones-stage-$tag")
+          val stagedComplete = fs.exists(stage) && fs.exists(
+            new org.apache.hadoop.fs.Path(stage, s"_COMPLETE-$tag"))
+          // the TAGGED flag distinguishes "this batch's swap happened"
+          // from an OLDER tombstone set (which kept its own tag's flag)
+          val swapped = fs.exists(
+            new org.apache.hadoop.fs.Path(tombPath, s"_COMPLETE-$tag"))
+          if (stagedComplete && !swapped) { // finish the swap
+            fs.delete(tombPath, true)
+            if (!fs.rename(stage, tombPath))
+              throw new java.io.IOException(
+                s"recovery rename $stage -> $tombPath failed")
+          }
+          if (stagedComplete || swapped) {
+            // swap done (now or by the dead run) → commit the stats
+            Seq((n.toLong, sumdl.toLong)).toDF("n", "sumdl")
+              .coalesce(1).write.mode("overwrite").parquet(dir + ".stats")
+          }
+          // incomplete staging with no swap: pre-state intact, discard
+          fs.create(marker, true).close()
+        case _ => ()
+      }
+      fs.delete(pending, false)
+    }
+    glob(fs, dir + ".tombstones-stage-*")
+      .foreach(d => fs.delete(d.getPath, true))
+  }
+
+  /** Compact a tombstoned index: rewrite every bucket without the
+    * deleted postings and clear the tombstone set — probes before and
+    * after are IDENTICAL (df/N/Σdl already excluded tombstoned docs);
+    * compaction just stops paying the anti-join and re-bounds the
+    * broadcast. Stats are untouched. Same forward-recoverable staged
+    * protocol: the filtered index is fully staged (with `_COMPLETE`)
+    * before the live dir is replaced; [[recoverPendingBm25Delete]]'s
+    * contract applies via the compact-specific pending record and
+    * [[recoverPendingBm25Compact]]. No-op on an un-tombstoned index. */
+  def bm25Compact(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(dir + ".ok")
+    val tombPath = new org.apache.hadoop.fs.Path(dir + ".tombstones")
+    recoverPendingBm25Compact(spark, dir)
+    if (!fs.exists(marker))
+      throw new IllegalStateException(
+        s"BM25 index $dir has no completion marker — rebuild before " +
+          "compacting")
+    if (!fs.exists(tombPath)) return
+    val tombs = spark.read.parquet(dir + ".tombstones")
+      .collect().map(_.getLong(0))
+    val stageDir = dir + ".compact-stage"
+    val tset = tombs.toSet
+    val keepUdf = udf((id: Long) => !tset.contains(id))
+    spark.read.parquet(dir)
+      .filter(keepUdf(col("doc_id")))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(stageDir)
+    fs.create(new org.apache.hadoop.fs.Path(stageDir, "_COMPLETE"), true)
+      .close()
+    val pending = new org.apache.hadoop.fs.Path(dir + ".compact-pending")
+    fs.create(pending, true).close()
+    fs.delete(marker, false)
+    if (spark.conf.get("graft.bm25.testCrashBeforeSwap", "false").toBoolean)
+      throw new RuntimeException("injected crash before compact swap")
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(stageDir),
+        new org.apache.hadoop.fs.Path(dir)))
+      throw new java.io.IOException(s"rename $stageDir -> $dir failed")
+    fs.delete(new org.apache.hadoop.fs.Path(dir + "/_COMPLETE"), false)
+    fs.delete(tombPath, true)
+    fs.create(marker, true).close()
+    fs.delete(pending, false)
+  }
+
+  /** Finish (or discard) a torn [[bm25Compact]]: a COMPLETE staged
+    * filtered index replaces the live dir and the tombstones clear
+    * (stats were never touched); an incomplete staging is discarded.
+    * The only unrecoverable window would be "live dir deleted, staged
+    * dir gone" — impossible, the rename is atomic and staging completes
+    * before the delete. Idempotent. */
+  def recoverPendingBm25Compact(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pending = new org.apache.hadoop.fs.Path(dir + ".compact-pending")
+    val marker = new org.apache.hadoop.fs.Path(dir + ".ok")
+    val tombPath = new org.apache.hadoop.fs.Path(dir + ".tombstones")
+    val stage = new org.apache.hadoop.fs.Path(dir + ".compact-stage")
+    if (fs.exists(pending)) {
+      if (!fs.exists(marker)) {
+        val stagedComplete = fs.exists(stage) &&
+          fs.exists(new org.apache.hadoop.fs.Path(stage, "_COMPLETE"))
+        // a swapped-in live dir still carries _COMPLETE until the
+        // dead run's cleanup — only compaction ever renames a flagged
+        // dir into `dir`, so the flag is unambiguous here
+        val swapped =
+          fs.exists(new org.apache.hadoop.fs.Path(dir + "/_COMPLETE"))
+        if (stagedComplete && !swapped) {
+          fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+          if (!fs.rename(stage, new org.apache.hadoop.fs.Path(dir)))
+            throw new java.io.IOException(
+              s"recovery rename $stage -> $dir failed")
+        }
+        if (stagedComplete || swapped) {
+          fs.delete(new org.apache.hadoop.fs.Path(dir + "/_COMPLETE"), false)
+          fs.delete(tombPath, true)
+        }
+        fs.create(marker, true).close()
+      }
+      fs.delete(pending, false)
+    }
+    fs.delete(stage, true)
+  }
+
   /** Roll back a torn [[bm25Append]]: delete exactly the batch's moved
     * posting files (the pending record names the tag), rewrite the
     * stats sidecar from the pending record's PRE-append values, restore
@@ -435,9 +704,23 @@ object Retrieval {
     require(n > 0, "bm25TopKFromIndex: empty index")
     val avgdl = sumdl.toDouble / n.toDouble
     val buckets = terms.map(bucketOf(_, nBuckets)).distinct.toIndexedSeq
-    val postings = spark.read.parquet(dir)
+    // tombstoned docs (bm25Delete) leave the probe BEFORE df is
+    // computed — df, and the stats already on the sidecar, then agree
+    // exactly with an index built without those docs (bm25Compact
+    // makes it physical; until then the set is broadcast-small)
+    val tombstoned: Set[Long] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(dir + ".tombstones")))
+        spark.read.parquet(dir + ".tombstones").collect()
+          .map(_.getLong(0)).toSet
+      else Set.empty
+    val postings0 = spark.read.parquet(dir)
       .filter(col("bucket").isin(buckets: _*))
       .filter(col("term").isin(terms.toIndexedSeq: _*))
+    val postings = if (tombstoned.isEmpty) postings0 else {
+      val bcT = spark.sparkContext.broadcast(tombstoned)
+      val liveUdf = udf((id: Long) => !bcT.value.contains(id))
+      postings0.filter(liveUdf(col("doc_id")))
+    }
     if (spark.conf.get("graft.bm25.traceIndexReads", "false").toBoolean)
       lastIndexReadFiles = spark.read.parquet(dir)
         .filter(col("bucket").isin(buckets: _*))

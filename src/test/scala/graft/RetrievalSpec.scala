@@ -164,6 +164,82 @@ class RetrievalSpec extends AnyFunSuite {
     assert(rows(idx) === want)
   }
 
+  test("bm25Delete: probe equals a fresh build on the remaining docs; " +
+      "crash before the swap blind-retries (forward recovery); compact " +
+      "preserves the ranking and physically drops the postings; a " +
+      "rebuild clears the lifecycle") {
+    val base = java.nio.file.Files.createTempDirectory("bm25-del").toString
+    val idx = base + "/idx"; val remain = base + "/remain"
+    val col = org.apache.spark.sql.functions.col _
+    val gone = docs.filter(col("doc_id") % 5 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(gone.nonEmpty)
+    Retrieval.bm25WriteIndex(docs, idx, nBuckets = 16)
+    Retrieval.bm25WriteIndex(docs.filter(col("doc_id") % 5 =!= 0),
+      remain, nBuckets = 16)
+    def rows(d: String) =
+      Retrieval.bm25TopKFromIndex(spark, d, queries, k = K, nBuckets = 16)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+    def stats(d: String) = {
+      val r = spark.read.parquet(d + ".stats").collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    val want = rows(remain)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // crash AFTER staging but BEFORE the tombstone swap: refused, then
+    // a BLIND retry finishes (forward recovery off the staged copy)
+    spark.conf.set("graft.bm25.testCrashBeforeSwap", "true")
+    val boom = intercept[RuntimeException] {
+      Retrieval.bm25Delete(spark, idx, gone, batchId = Some(9L))
+    }
+    assert(boom.getMessage.contains("injected crash"))
+    spark.conf.unset("graft.bm25.testCrashBeforeSwap")
+    intercept[IllegalStateException] {
+      Retrieval.bm25TopKFromIndex(spark, idx, queries, k = K, nBuckets = 16)
+    }
+    Retrieval.bm25Delete(spark, idx, gone, batchId = Some(9L))
+    assert(stats(idx) === stats(remain),
+      "post-delete stats must equal the fresh-build stats")
+    assert(rows(idx) === want,
+      "probe after delete must equal the fresh-build probe")
+    // committed replay: no-op
+    Retrieval.bm25Delete(spark, idx, gone, batchId = Some(9L))
+    assert(rows(idx) === want)
+
+    // deleting an already-tombstoned or unknown id is refused
+    val dup = intercept[IllegalArgumentException] {
+      Retrieval.bm25Delete(spark, idx, Seq(gone.head))
+    }
+    assert(dup.getMessage.contains("already tombstoned"))
+    val unknown = intercept[IllegalArgumentException] {
+      Retrieval.bm25Delete(spark, idx, Seq(999999999L))
+    }
+    assert(unknown.getMessage.contains("no postings"))
+
+    // compact: ranking identical, tombstones gone, postings shrunk
+    val preRows = spark.read.parquet(idx).count()
+    Retrieval.bm25Compact(spark, idx)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx + ".tombstones")))
+    assert(spark.read.parquet(idx).count() < preRows,
+      "compaction must physically drop tombstoned postings")
+    assert(rows(idx) === want)
+    assert(stats(idx) === stats(remain))
+
+    // rebuild over the same dir resets the lifecycle: the old del-batch
+    // marker and tombstones must not survive into the fresh index
+    Retrieval.bm25WriteIndex(docs, idx, nBuckets = 16)
+    val full = base + "/full"
+    Retrieval.bm25WriteIndex(docs, full, nBuckets = 16)
+    assert(rows(idx) === rows(full),
+      "rebuilt index must probe as the full corpus again")
+    Retrieval.bm25Delete(spark, idx, gone, batchId = Some(9L))
+    assert(rows(idx) === want,
+      "a reused batchId after rebuild must not replay as a no-op")
+  }
+
   test("bm25TopK is partitioning-invariant") {
     val a = Retrieval.bm25TopK(docs, queries, k = K)
       .orderBy("query_id", "rank").collect().toSeq
