@@ -276,10 +276,13 @@ object Oracle {
 
   /** Per-document text statistics matching `TextSig.textStats` (see the
     * q16/q19 oracles for the proven split/trim quirk handling). */
-  /** Shared by m09 (in-flight IVF) and m15 (materialized index): same
-    * geometry (nlist=16 seeded centers via {AUX}, queries vec_id<16,
-    * nprobe=8, k=5), so the expected ranking is identical. */
-  private val IvfTopKSql: String = """
+  /** Shared by m09 (in-flight IVF), m15 (materialized index), m21
+    * (append), m96 (rebuild) and m110 (delete): same geometry (nlist=16
+    * seeded centers via {AUX}, queries vec_id<16, nprobe=8, k=5), so the
+    * expected ranking is identical — except for `corpusPred`, the
+    * candidate-side predicate m110 uses to drop the deleted vectors
+    * (queries are external and keep probing). */
+  private def ivfTopKSql(corpusPred: String = "TRUE"): String = s"""
       WITH centers AS (SELECT cell, center
                        FROM read_parquet('{AUX}/ivf_centers/*.parquet')),
       emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -291,7 +294,8 @@ object Oracle {
       ranked AS (SELECT vec_id, cell, v,
           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
         FROM dist),
-      c AS (SELECT vec_id AS corpus_id, cell, v AS cv FROM ranked WHERE rn = 1),
+      c AS (SELECT vec_id AS corpus_id, cell, v AS cv FROM ranked
+            WHERE rn = 1 AND ($corpusPred)),
       p AS (SELECT vec_id AS query_id, cell, v AS qv FROM ranked
             WHERE vec_id < 16 AND rn <= 8),
       scored AS (SELECT DISTINCT query_id, corpus_id,
@@ -2346,20 +2350,26 @@ object Oracle {
     // re-derivable in SQL). Cell and probe ASSIGNMENTS are re-derived
     // here: argmin/top-nprobe squared-Euclidean with VecMath's tie rule
     // (lowest cell index wins).
-    "m09_ann_ivf" -> IvfTopKSql,
+    "m09_ann_ivf" -> ivfTopKSql(),
     // m15 probes the MATERIALIZED index (cell-partitioned parquet +
     // centers sidecar) with m09's exact geometry: the expected answer is
     // the same — the index round-trip must reproduce the in-flight path.
-    "m15_ann_ivf_index" -> IvfTopKSql,
+    "m15_ann_ivf_index" -> ivfTopKSql(),
     // m21 probes an index built on ⅔ of the corpus under full-corpus
     // centers then GROWN by ivfAppend — content-identical to m15's
     // one-shot build, so append shares the rebuild's expected ranking.
-    "m21_ivf_append" -> IvfTopKSql,
+    "m21_ivf_append" -> ivfTopKSql(),
     // m96 probes an index REBUILT by ivfRebuildIfSkewed (forced retrain
     // from the index's own stored content) — retrained centers come off
     // the same bounded deterministic sample, so the rebuilt index is
     // content-identical to m15's one-shot build and shares its oracle.
-    "m96_ivf_rebuild" -> IvfTopKSql,
+    "m96_ivf_rebuild" -> ivfTopKSql(),
+    // m110 probes the index AFTER an ivfDelete batch (vec_id % 5 = 0
+    // tombstoned): the candidate side loses exactly those vectors —
+    // the probe must be indistinguishable from an index never
+    // containing them. Queries are external and unchanged (deleted ids
+    // still query; they just can never be RETURNED).
+    "m110_ivf_delete" -> ivfTopKSql("(vec_id % 5) <> 0"),
 
     "m10_curation_report" -> CurationReportSql,
     // m20 runs the DURABLE-WRITE curation variant (curateToTable: corpus

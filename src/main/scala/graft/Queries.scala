@@ -813,6 +813,33 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** m110 — m15's geometry probed from an index that had a DELETE batch
+    * applied ([[Similarity.ivfDelete]]): the full corpus is indexed
+    * (centers = the same full-corpus aux centroids), every vec_id % 5 =
+    * 0 is tombstoned, and the probe must equal the IVF ranking over a
+    * corpus WITHOUT those vectors — the oracle drops them from the
+    * candidate CTE only (deleted ids still issue queries; they can
+    * never be RETURNED), so a tombstone-visibility drift or a probe
+    * that resurrects a deleted vector lands as a hash mismatch.
+    * Completes the IVF durable-index lifecycle next to m15 (build),
+    * m21 (append) and m96 (rebuild), mirroring m109 on the BM25 side. */
+  def m110IvfDelete(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val idx = ivfIndexDirs.getOrElseUpdate(dir + "#delete", {
+      val full = new java.io.File(dir).getAbsolutePath
+      val d = s"target/ivf-index/${new java.io.File(dir).getName}-" +
+        f"${graft.core.TextSig.mix64(full.hashCode.toLong) & 0xffffffffL}%08x-del"
+      Similarity.ivfWriteIndex(emb, d, nlist = 16)
+      val ids = emb.filter(col("vec_id") % 5 === 0)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      Similarity.ivfDelete(s, d, ids)
+      d
+    })
+    Similarity.ivfTopKFromIndex(s, idx, emb.filter(col("vec_id") < 16),
+        k = 5, nprobe = 8)
+      .orderBy("query_id", "rank")
+  }
+
   /** Threshold calibrated to the synthetic embeddings (random vectors:
     * pairwise cosine tops out near 0.45 — a 0.9 near-dup bar would be
     * vacuous on this corpus). The gate runs the EXACT all-pairs verifier

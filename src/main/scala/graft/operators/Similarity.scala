@@ -1054,6 +1054,16 @@ object Similarity {
     fs.delete(new org.apache.hadoop.fs.Path(dir + ".current"), false)
     fs.delete(new org.apache.hadoop.fs.Path(dir + ".current.tmp"), false)
     sweepStaleVersions(fs, dir)
+    // ...and the whole append/delete lifecycle: stale tombstones would
+    // silently anti-join fresh vectors out of probes, and stale batch
+    // markers would no-op a new batch that reuses an old id
+    fs.delete(new org.apache.hadoop.fs.Path(dir + ".tombstones"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(dir + ".delete-pending"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(dir + ".compact-pending"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(dir + ".append-pending"), false)
+    Seq(".batch-*.done", ".del-*.done", ".append-stage-*",
+        ".tombstones-stage-*", ".compact-stage")
+      .foreach(g => glob(fs, dir + g).foreach(f => fs.delete(f.getPath, true)))
     ivfCellAssignments(corpus, centers, idCol, vecCol)
       .select(col("corpus_id"), col("cv"), col("cell").cast("int").as("cell"))
       // one file per cell dir (CLAUDE.md rule: without this every write
@@ -1201,6 +1211,308 @@ object Similarity {
       .foreach(d => fs.delete(d.getPath, true))
   }
 
+  /** Null-safe globStatus: Hadoop returns NULL (not empty) when the
+    * glob's parent directory does not exist. */
+  private def glob(fs: org.apache.hadoop.fs.FileSystem,
+      pattern: String): Array[org.apache.hadoop.fs.FileStatus] =
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(pattern)))
+      .getOrElse(Array.empty)
+
+  /** The broadcast-small tombstone set ([[ivfDelete]]) on the LOGICAL
+    * index name — empty when no deletes are outstanding. */
+  private def readTombstones(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dir: String): Set[Long] =
+    if (fs.exists(new org.apache.hadoop.fs.Path(dir + ".tombstones")))
+      spark.read.parquet(dir + ".tombstones").collect()
+        .map(_.getLong(0)).toSet
+    else Set.empty
+
+  /**
+   * Delete vectors from a durable IVF index — the lifecycle verb between
+   * [[ivfAppend]] (grow) and [[ivfRebuildIfSkewed]] (retrain): takedowns
+   * and opt-outs must not force an hours-long rebuild at 100 TB, and
+   * they must not wait for one either. Same LSM-tombstone design as the
+   * BM25 index's delete: deleted ids land in a `<dir>.tombstones`
+   * parquet (LOGICAL name — the set survives rebuild pointer flips, and
+   * a rebuild compacts it away); probes ([[ivfTopKFromIndex]]) anti-join
+   * the broadcast set, so a deleted vector can never surface as a
+   * neighbor, exactly as if the index had been built without it
+   * ([[ivfCompact]] makes that physical, touching ONLY the cells that
+   * hold tombstoned vectors). No stats sidecar to restore here — the
+   * only index parameters are the centroids, which deletes never move
+   * (standard IVF practice, same as appends).
+   *
+   * CONTRACT (single-writer): every id must currently be live in the
+   * index — unknown or already-deleted ids throw (one column-pruned
+   * `corpus_id` scan verifies; batch your deletes). Re-appending a
+   * tombstoned id is unsupported until a compact or rebuild clears the
+   * set. Batches are capped at 2^20 ids — the set must stay broadcast-
+   * small between compactions.
+   *
+   * FORWARD-recoverable staged swap (the [[ivfRebuildIfSkewed]] r13
+   * pattern, not append's rollback — the swap destroys the old tombstone
+   * set, so recovery must FINISH, not undo): the merged set is staged
+   * with a tagged `_COMPLETE` flag; [[recoverPendingIvfDelete]] completes
+   * a crashed swap from the staged copy (or discards an incomplete
+   * staging, pre-state intact). The swap window is two metadata ops with
+   * the live `.ok` dropped — readers are refused for its duration (a
+   * reader served BETWEEN the old set's delete and the new set's rename
+   * would silently resurrect deleted vectors). Blind-retryable;
+   * `batchId` gives exactly-once replay across processes.
+   *
+   * `graft.ann.testCrashBeforeDeleteSwap` (Boolean conf): fault
+   * injection — throws after staging completes, before the swap.
+   */
+  def ivfDelete(spark: org.apache.spark.sql.SparkSession, dir: String,
+      vecIds: Seq[Long], batchId: Option[Long] = None): Unit = {
+    require(vecIds.nonEmpty, "ivfDelete: empty vecIds")
+    require(vecIds.size <= (1 << 20),
+      s"ivfDelete: ${vecIds.size} ids in one batch — over the 2^20 " +
+        "broadcast ceiling; split the batch (and compact between)")
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pending = new org.apache.hadoop.fs.Path(dir + ".delete-pending")
+    val batchMarker = batchId.map(b =>
+      new org.apache.hadoop.fs.Path(dir + s".del-$b.done"))
+    batchMarker match {
+      case Some(bm) if fs.exists(bm) =>
+        // committed replay: finish the metadata if the committing run
+        // died between the batch marker and the .ok restore
+        val mk = new org.apache.hadoop.fs.Path(ivfResolve(fs, dir) + ".ok")
+        if (!fs.exists(mk)) fs.create(mk, true).close()
+        fs.delete(pending, false)
+        return
+      case _ => ()
+    }
+    recoverPendingIvfDelete(spark, dir)
+    recoverPendingIvfCompact(spark, dir)
+    val phys = ivfResolve(fs, dir)
+    val marker = new org.apache.hadoop.fs.Path(phys + ".ok")
+    if (!fs.exists(marker))
+      throw new IllegalStateException(
+        s"IVF index $phys has no completion marker — rebuild before " +
+          "deleting")
+    val tombPath = new org.apache.hadoop.fs.Path(dir + ".tombstones")
+    val old = readTombstones(spark, fs, dir)
+    val fresh = vecIds.distinct.filterNot(old)
+    if (fresh.isEmpty && batchId.isDefined) {
+      // FULL overlap under a batchId = this batch already applied (a
+      // blind retry whose crashed predecessor was finished by forward
+      // recovery — the batch marker is written only after the swap, so
+      // a recovered batch has tombstones but no marker): idempotent
+      // no-op, commit the batch marker
+      batchMarker.foreach(bm => fs.create(bm, true).close())
+      return
+    }
+    require(fresh.size == vecIds.distinct.size,
+      s"ivfDelete: ${vecIds.distinct.size - fresh.size} ids already " +
+        "tombstoned — a delete batch must name live vectors (a FULLY " +
+        "applied batch under a batchId replays as a no-op; mixing " +
+        "applied and new ids is a caller error)")
+    // liveness check: ONE column-pruned corpus_id scan of the index
+    val found = spark.read.parquet(phys)
+      .filter(col("corpus_id").isin(fresh: _*))
+      .select("corpus_id").distinct().collect().length
+    require(found == fresh.size,
+      s"ivfDelete: ${fresh.size - found} of ${fresh.size} ids are not " +
+        "in the index — nothing to delete under them; fix the id list")
+    val tag = batchId.map(b => s"b$b")
+      .getOrElse(s"t${java.lang.Long.toHexString(System.nanoTime())}")
+    val stageDir = dir + s".tombstones-stage-$tag"
+    (old ++ fresh).toSeq.sorted.toDF("corpus_id")
+      .coalesce(1).write.mode("overwrite").parquet(stageDir)
+    // the TAGGED flag travels with the rename: recovery can tell "this
+    // batch's swap happened" apart from an older set that kept its own
+    // tag's flag (underscore files are invisible to the parquet reader)
+    fs.create(new org.apache.hadoop.fs.Path(stageDir, s"_COMPLETE-$tag"),
+      true).close()
+    val out = fs.create(pending, true)
+    out.write(tag.getBytes("UTF-8")); out.close()
+    fs.delete(marker, false)
+    if (spark.conf.get("graft.ann.testCrashBeforeDeleteSwap", "false")
+        .toBoolean)
+      throw new RuntimeException("injected crash before tombstone swap")
+    fs.delete(tombPath, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(stageDir), tombPath))
+      throw new java.io.IOException(s"rename $stageDir -> $tombPath failed")
+    batchMarker.foreach(bm => fs.create(bm, true).close())
+    fs.create(marker, true).close()
+    fs.delete(pending, false)
+  }
+
+  /** Finish (or discard) a torn [[ivfDelete]]: a COMPLETE staged
+    * tombstone set is swapped in (forward recovery — the swap destroyed
+    * the old set, there is nothing to roll back TO); an incomplete
+    * staging is discarded with the pre-state intact. Idempotent, safe
+    * on a healthy index. */
+  def recoverPendingIvfDelete(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pending = new org.apache.hadoop.fs.Path(dir + ".delete-pending")
+    if (fs.exists(pending)) {
+      val in = fs.open(pending)
+      val tag = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      val marker = new org.apache.hadoop.fs.Path(ivfResolve(fs, dir) + ".ok")
+      val tombPath = new org.apache.hadoop.fs.Path(dir + ".tombstones")
+      if (tag.nonEmpty && !fs.exists(marker)) {
+        val stage = new org.apache.hadoop.fs.Path(
+          dir + s".tombstones-stage-$tag")
+        val stagedComplete = fs.exists(stage) && fs.exists(
+          new org.apache.hadoop.fs.Path(stage, s"_COMPLETE-$tag"))
+        val swapped = fs.exists(
+          new org.apache.hadoop.fs.Path(tombPath, s"_COMPLETE-$tag"))
+        if (stagedComplete && !swapped) { // finish the swap
+          fs.delete(tombPath, true)
+          if (!fs.rename(stage, tombPath))
+            throw new java.io.IOException(
+              s"recovery rename $stage -> $tombPath failed")
+        }
+        // incomplete staging with no swap: pre-state intact — discard
+        fs.create(marker, true).close()
+      }
+      fs.delete(pending, false)
+    }
+    glob(fs, dir + ".tombstones-stage-*")
+      .foreach(d => fs.delete(d.getPath, true))
+  }
+
+  /** The idempotent per-cell swap [[ivfCompact]] and its recovery share:
+    * staged filtered cell files are renamed in under the compaction's
+    * tag, every file NOT carrying the tag is dropped (the pre-compaction
+    * postings — including any older compaction's files), and a cell left
+    * with no tagged file (every vector tombstoned, so nothing was
+    * staged) loses its directory. Re-running after a crash at any point
+    * converges to the same state. */
+  private def applyCompactSwap(fs: org.apache.hadoop.fs.FileSystem,
+      phys: String, stageDir: String, tag: String,
+      cells: Seq[Int]): Unit =
+    cells.foreach { c =>
+      val liveDirS = s"$phys/cell=$c"
+      val liveDir = new org.apache.hadoop.fs.Path(liveDirS)
+      glob(fs, s"$stageDir/cell=$c/part-*").zipWithIndex.foreach {
+        case (st, i) =>
+          fs.mkdirs(liveDir)
+          val dest = new org.apache.hadoop.fs.Path(liveDir,
+            s"compact-$tag-$i.parquet")
+          if (!fs.rename(st.getPath, dest))
+            throw new java.io.IOException(
+              s"rename ${st.getPath} -> $dest failed")
+      }
+      glob(fs, s"$liveDirS/*")
+        .filterNot(_.getPath.getName.startsWith(s"compact-$tag-"))
+        .foreach(f => fs.delete(f.getPath, false))
+      if (glob(fs, s"$liveDirS/compact-$tag-*").isEmpty)
+        fs.delete(liveDir, true)
+    }
+
+  /**
+   * Compact a tombstoned IVF index: rewrite ONLY the cells that hold
+   * tombstoned vectors (one column-pruned scan finds them — recorded at
+   * delete time would go stale across a retrain, so they are re-derived)
+   * and clear the tombstone set. Probes before and after are IDENTICAL —
+   * the anti-join already hid the vectors; compaction stops paying for
+   * it and re-bounds the broadcast. At 100 TB a delete batch touches a
+   * handful of cells, so compaction is priced at those cells' rewrite,
+   * not the index's — the reason tombstones record nothing but ids.
+   *
+   * Same forward-recoverable protocol as the delete: the filtered cells
+   * are FULLY staged (`_COMPLETE`) before the live `.ok` drops, the
+   * pending record carries the touched-cell list, and the per-cell swap
+   * ([[applyCompactSwap]]) is idempotent — [[recoverPendingIvfCompact]]
+   * replays it wholesale after a crash at any point. The refusal window
+   * is metadata-only (renames + deletes). No-op on an un-tombstoned
+   * index; tombstones whose vectors are already physically gone (a
+   * rebuild compacted them first) just clear.
+   */
+  def ivfCompact(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverPendingIvfCompact(spark, dir)
+    recoverPendingIvfDelete(spark, dir)
+    val phys = ivfResolve(fs, dir)
+    val marker = new org.apache.hadoop.fs.Path(phys + ".ok")
+    if (!fs.exists(marker))
+      throw new IllegalStateException(
+        s"IVF index $phys has no completion marker — rebuild before " +
+          "compacting")
+    val tombPath = new org.apache.hadoop.fs.Path(dir + ".tombstones")
+    if (!fs.exists(tombPath)) return
+    val tombs = spark.read.parquet(dir + ".tombstones")
+      .collect().map(_.getLong(0))
+    val touched = spark.read.parquet(phys)
+      .filter(col("corpus_id").isin(tombs.toSeq: _*))
+      .select(col("cell").cast("int")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    if (touched.isEmpty) { // post-rebuild residue: already physical
+      fs.delete(tombPath, true)
+      return
+    }
+    val tag = s"t${java.lang.Long.toHexString(System.nanoTime())}"
+    val stageDir = dir + ".compact-stage"
+    val bcT = spark.sparkContext.broadcast(tombs.toSet)
+    val live = udf((id: Long) => !bcT.value.contains(id))
+    spark.read.parquet(phys)
+      .filter(col("cell").isin(touched: _*))
+      .filter(live(col("corpus_id")))
+      .select(col("corpus_id"), col("cv"), col("cell").cast("int").as("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(stageDir)
+    fs.create(new org.apache.hadoop.fs.Path(stageDir, "_COMPLETE"), true)
+      .close()
+    val pending = new org.apache.hadoop.fs.Path(dir + ".compact-pending")
+    val out = fs.create(pending, true)
+    out.write((tag +: touched.map(_.toString)).mkString(" ")
+      .getBytes("UTF-8")); out.close()
+    fs.delete(marker, false)
+    if (spark.conf.get("graft.ann.testCrashBeforeDeleteSwap", "false")
+        .toBoolean)
+      throw new RuntimeException("injected crash before compact swap")
+    applyCompactSwap(fs, phys, stageDir, tag, touched)
+    fs.delete(tombPath, true)
+    fs.create(marker, true).close()
+    fs.delete(pending, false)
+    fs.delete(new org.apache.hadoop.fs.Path(stageDir), true)
+  }
+
+  /** Finish (or discard) a torn [[ivfCompact]]: with a COMPLETE staging
+    * the idempotent per-cell swap is simply replayed wholesale and the
+    * tombstones clear; an incomplete staging means the live cells were
+    * never touched (the `.ok` drop follows `_COMPLETE`) — pre-state
+    * intact, discard. Idempotent, safe on a healthy index. */
+  def recoverPendingIvfCompact(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pending = new org.apache.hadoop.fs.Path(dir + ".compact-pending")
+    val stageDir = dir + ".compact-stage"
+    if (fs.exists(pending)) {
+      val in = fs.open(pending)
+      val rec = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      val phys = ivfResolve(fs, dir)
+      val marker = new org.apache.hadoop.fs.Path(phys + ".ok")
+      rec.split(' ').toSeq match {
+        case tag +: cellsS if cellsS.nonEmpty && !fs.exists(marker) =>
+          val stagedComplete =
+            fs.exists(new org.apache.hadoop.fs.Path(stageDir)) &&
+            fs.exists(new org.apache.hadoop.fs.Path(stageDir, "_COMPLETE"))
+          if (stagedComplete) {
+            applyCompactSwap(fs, phys, stageDir, tag, cellsS.map(_.toInt))
+            fs.delete(new org.apache.hadoop.fs.Path(dir + ".tombstones"),
+              true)
+          }
+          fs.create(marker, true).close()
+        case _ => ()
+      }
+      fs.delete(pending, false)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(stageDir), true)
+  }
+
   /**
    * Occupancy-triggered retrain + re-layout — the operator that ACTS on
    * the cell-occupancy health report (the m88 curve): a cell holding far
@@ -1268,7 +1580,17 @@ object Similarity {
     val total = occ.sum
     if (occ.isEmpty || total == 0L) return false
     if (occ.max * 10000L <= total * maxShareBp) return false // balanced
-    val corpus = idx.select(col("corpus_id"), col("cv"))
+    // tombstoned vectors ([[ivfDelete]]) are compacted away by the
+    // rebuild: they leave the retrain sample AND the re-layout, and the
+    // set clears after the flip. (The occupancy probe above counts them
+    // — honest: until here they still cost probe scans.)
+    val corpus0 = idx.select(col("corpus_id"), col("cv"))
+    val tombstoned = readTombstones(spark, fs, dir)
+    val corpus = if (tombstoned.isEmpty) corpus0 else {
+      val bcT = spark.sparkContext.broadcast(tombstoned)
+      val liveUdf = udf((id: Long) => !bcT.value.contains(id))
+      corpus0.filter(liveUdf(col("corpus_id")))
+    }
     val centers = ivfCenters(corpus, centersOld.length,
       vecCol = "cv", idCol = "corpus_id")
     val newVer = readPointer(fs,
@@ -1291,6 +1613,11 @@ object Similarity {
     mark() // final step: flip landed, old files not yet swept
     if (!spark.conf.get("graft.ann.rebuildKeepOld", "false").toBoolean)
       sweepStaleVersions(fs, dir)
+    // the new version was built WITHOUT the tombstoned vectors — clear
+    // the set. A crash before this line leaves it stale but HARMLESS
+    // (the ids no longer exist, so the probe anti-join is a no-op and
+    // the next compact just clears it).
+    fs.delete(new org.apache.hadoop.fs.Path(dir + ".tombstones"), true)
     true
   }
 
@@ -1350,12 +1677,16 @@ object Similarity {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(phys + ".ok")))
       throw new IllegalStateException(
-        s"IVF index $phys has no completion marker — a build or append " +
-          s"crashed mid-write. If $phys.append-pending exists the crash " +
-          "was an APPEND: retry ivfAppend (it rolls the torn attempt " +
-          "back, then re-applies) or call recoverPendingAppend; a torn " +
-          "BUILD (no pending sidecar) needs an ivfWriteIndex rebuild " +
-          "(centers and cell partitions may disagree)")
+        s"IVF index $phys has no completion marker — a build, append, " +
+          s"delete or compact crashed mid-write. If $phys.append-pending " +
+          "exists the crash was an APPEND: retry ivfAppend (it rolls " +
+          "the torn attempt back, then re-applies) or call " +
+          "recoverPendingAppend; a delete-pending / compact-pending on " +
+          "the logical name is finished FORWARD by " +
+          "recoverPendingIvfDelete / recoverPendingIvfCompact (or a " +
+          "blind ivfDelete/ivfCompact retry); a torn BUILD (no pending " +
+          "sidecar) needs an ivfWriteIndex rebuild (centers and cell " +
+          "partitions may disagree)")
     spark.read.parquet(phys + ".centers").orderBy("cell")
       .collect().map(_.getSeq[Double](1).toArray)
   }
@@ -1373,17 +1704,28 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // resolve ONCE: centers and corpus must come from the same physical
     // version (two resolves could straddle a concurrent rebuild flip)
-    val phys = ivfResolve(new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration), dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val phys = ivfResolve(fs, dir)
     val centers = ivfReadCentersAt(spark, phys)
     val probes = ivfProbeAssignments(queries, centers, nprobe, idCol, vecCol)
       .withColumn("cell", col("cell").cast("int"))
     val cells = probes.select("cell").distinct()
       .collect().map(_.getInt(0)).toIndexedSeq
-    val idx = spark.read.parquet(phys).filter(col("cell").isin(cells: _*))
+    val pruned = spark.read.parquet(phys).filter(col("cell").isin(cells: _*))
     if (spark.conf.get("graft.ann.traceIndexReads", "false").toBoolean)
-      lastIndexReadFiles = idx.select(input_file_name())
+      lastIndexReadFiles = pruned.select(input_file_name())
         .distinct().collect().map(_.getString(0))
+    // tombstoned vectors ([[ivfDelete]]) leave the candidate set here —
+    // the probe is then exactly the probe of an index built without
+    // them ([[ivfCompact]] makes it physical; until then the set is
+    // broadcast-small by the delete-batch ceiling)
+    val tombstoned = readTombstones(spark, fs, dir)
+    val idx = if (tombstoned.isEmpty) pruned else {
+      val bcT = spark.sparkContext.broadcast(tombstoned)
+      val liveUdf = udf((id: Long) => !bcT.value.contains(id))
+      pruned.filter(liveUdf(col("corpus_id")))
+    }
     val scored = idx.join(broadcast(probes), "cell")
       .select(col("query_id"), col("corpus_id"),
         round(cosine(col("cv"), col("qv")), 6).as("score"))

@@ -964,6 +964,119 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows(idx) === want)
   }
 
+  test("ivfDelete: probe equals a pinned-centers build on the remaining " +
+      "vectors; crash before the swap blind-retries (forward recovery); " +
+      "compact rewrites ONLY the touched cells and preserves the probe; " +
+      "a rebuild clears the lifecycle") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val base = java.nio.file.Files.createTempDirectory("ivf-del").toString
+    val idx = base + "/idx"; val remain = base + "/remain"
+    val centers = Similarity.ivfCenters(emb, 8)
+    Similarity.ivfWriteIndex(emb, idx, nlist = 8)
+    // delete ALL of cell 0 (the emptied-cell compaction path: its dir
+    // must disappear) plus part of cell 1 (the partial-rewrite path),
+    // leaving ≥ 6 provably untouched cells
+    val byCell = spark.read.parquet(idx).select("corpus_id", "cell")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val gone = (byCell.filter(_._2 == 0).map(_._1) ++
+      byCell.filter(_._2 == 1).map(_._1).sorted.take(3)).toSeq
+    assert(gone.size > 3, "fixture must populate cell 0")
+    // reference: the SAME full-corpus centers (deletes never retrain)
+    // over only the surviving vectors
+    Similarity.ivfWriteIndex(emb.filter(!col("vec_id").isin(gone: _*)),
+      remain, nlist = 8, centersOpt = Some(centers))
+    def rows(d: String) = Similarity.ivfTopKFromIndex(spark, d,
+        emb.filter(col("vec_id") < 4), k = 3, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    val want = rows(remain)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // crash AFTER staging but BEFORE the tombstone swap: refused, then
+    // a BLIND retry finishes (forward recovery off the staged copy)
+    spark.conf.set("graft.ann.testCrashBeforeDeleteSwap", "true")
+    val boom = intercept[RuntimeException] {
+      Similarity.ivfDelete(spark, idx, gone, batchId = Some(9L))
+    }
+    assert(boom.getMessage.contains("injected crash"))
+    spark.conf.unset("graft.ann.testCrashBeforeDeleteSwap")
+    intercept[IllegalStateException] { rows(idx) }
+    Similarity.ivfDelete(spark, idx, gone, batchId = Some(9L))
+    assert(rows(idx) === want,
+      "probe after delete must equal the pinned-centers remaining build")
+    // committed replay: no-op
+    Similarity.ivfDelete(spark, idx, gone, batchId = Some(9L))
+    assert(rows(idx) === want)
+
+    // deleting an already-tombstoned or unknown id is refused
+    val dup = intercept[IllegalArgumentException] {
+      Similarity.ivfDelete(spark, idx, Seq(gone.head))
+    }
+    assert(dup.getMessage.contains("already tombstoned"))
+    val unknown = intercept[IllegalArgumentException] {
+      Similarity.ivfDelete(spark, idx, Seq(999999999L))
+    }
+    assert(unknown.getMessage.contains("not in the index"))
+
+    // compact: probe identical, tombstones gone, vectors physically
+    // dropped — cells holding NO tombstoned vector keep their exact
+    // files (the touched-cells-only scale contract) and the emptied
+    // cell's directory disappears
+    val touched = Set(0, 1)
+    def cellFiles(except: Set[Int]): Set[String] = fs.globStatus(
+        new org.apache.hadoop.fs.Path(idx + "/cell=*/*"))
+      .map(_.getPath.toString)
+      .filterNot(p => except.exists(c => p.contains(s"/cell=$c/"))).toSet
+    val untouchedBefore = cellFiles(touched)
+    val preRows = spark.read.parquet(idx).count()
+    Similarity.ivfCompact(spark, idx)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx + ".tombstones")))
+    assert(spark.read.parquet(idx).count() === preRows - gone.size,
+      "compaction must physically drop exactly the tombstoned vectors")
+    assert(cellFiles(touched) === untouchedBefore,
+      "compaction must not rewrite cells that hold no tombstoned vector")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx + "/cell=0")),
+      "a fully-tombstoned cell must lose its directory")
+    assert(rows(idx) === want)
+    // idempotent second compact: clean no-op
+    Similarity.ivfCompact(spark, idx)
+    assert(rows(idx) === want)
+
+    // rebuild over the same dir resets the lifecycle: the old del-batch
+    // marker must not survive into the fresh index
+    Similarity.ivfWriteIndex(emb, idx, nlist = 8)
+    val full = base + "/full"
+    Similarity.ivfWriteIndex(emb, full, nlist = 8)
+    assert(rows(idx) === rows(full),
+      "rebuilt index must probe as the full corpus again")
+    Similarity.ivfDelete(spark, idx, gone, batchId = Some(9L))
+    assert(rows(idx) === want,
+      "a reused batchId after rebuild must not replay as a no-op")
+  }
+
+  test("ivfRebuildIfSkewed compacts tombstones away: the new version " +
+      "lacks the deleted vectors and the set clears") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val base = java.nio.file.Files.createTempDirectory("ivf-delrb").toString
+    val idx = base + "/idx"
+    Similarity.ivfWriteIndex(emb, idx, nlist = 8)
+    val gone = emb.filter(col("vec_id") % 5 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    Similarity.ivfDelete(spark, idx, gone)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(Similarity.ivfRebuildIfSkewed(spark, idx, maxShareBp = 0))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx + ".tombstones")),
+      "rebuild must clear the tombstone set it compacted away")
+    val phys = Similarity.ivfResolve(fs, idx)
+    val ids = spark.read.parquet(phys).select("corpus_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(gone.forall(id => !ids.contains(id)),
+      "rebuilt version must not contain tombstoned vectors")
+    assert(ids.nonEmpty)
+  }
+
   test("IVF centers are identical across differently-partitioned reads") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val a = Similarity.ivfCenters(emb, 8)
