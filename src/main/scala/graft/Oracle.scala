@@ -1181,6 +1181,37 @@ object Oracle {
       SELECT query_id, doc_id, CAST(score AS DOUBLE) AS score, rank
       FROM brk WHERE rank <= 10 ORDER BY query_id, rank""",
 
+    // Exact-phrase search: per doc, the 1-based start positions where
+    // every phrase token matches consecutively (overlaps count), off
+    // the SAME normalize tokenization as the engine (the m24 nrm CTE).
+    // range(a,b) is end-exclusive and empty when b <= a (short docs);
+    // list indexing is 1-based with CAST(i AS INT).
+    "m111_phrase_search" -> """
+      WITH nrm AS (SELECT doc_id,
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS nt
+             FROM documents),
+      tk AS (SELECT doc_id, string_split(nt, ' ') AS toks
+             FROM nrm WHERE length(nt) > 0),
+      p0 AS (SELECT doc_id, list_filter(range(1, len(toks)),
+               j -> toks[CAST(j AS INT)] = 'table'
+                AND toks[CAST(j AS INT)+1] = 'scan') AS m FROM tk),
+      p1 AS (SELECT doc_id, list_filter(range(1, len(toks)-1),
+               j -> toks[CAST(j AS INT)] = 'fast'
+                AND toks[CAST(j AS INT)+1] = 'hash'
+                AND toks[CAST(j AS INT)+2] = 'join') AS m FROM tk),
+      p2 AS (SELECT doc_id, list_filter(range(1, len(toks)),
+               j -> toks[CAST(j AS INT)] = 'table'
+                AND toks[CAST(j AS INT)+1] = 'table') AS m FROM tk),
+      hits AS (
+        SELECT 0 AS query_id, doc_id, m FROM p0 WHERE len(m) > 0
+        UNION ALL
+        SELECT 1 AS query_id, doc_id, m FROM p1 WHERE len(m) > 0
+        UNION ALL
+        SELECT 2 AS query_id, doc_id, m FROM p2 WHERE len(m) > 0)
+      SELECT query_id, doc_id, CAST(len(m) AS INT) AS n_matches,
+        CAST(m[1] - 1 AS INT) AS first_pos
+      FROM hits ORDER BY query_id, doc_id""",
+
     // Hybrid fusion: the shared BM25 chain's top-10 + m04's exact
     // cosine ranking (queries vec_id < 3, fixture aligns vec_id with
     // doc_id), fused as Σ round(1/(60+rank), 9) in DECIMAL — the same

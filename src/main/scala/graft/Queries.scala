@@ -1700,6 +1700,22 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** m111 — exact-phrase search ([[operators.Retrieval.phraseSearch]]):
+    * consecutive-token matching under the shared normalize tokenization —
+    * the retrieval mode BM25's bag-of-words scoring cannot express
+    * (q1's terms all rank high lexically in docs that never contain the
+    * phrase). Three phrase shapes: a common bigram, a trigram scarce
+    * enough to be discriminative, and a REPEATED-token bigram whose
+    * overlapping occurrences must all count ("table table table" → 2).
+    * The oracle re-derives the scan as a per-position list filter over
+    * the same tokenization, so an off-by-one in the window walk, a
+    * missed overlap, or a first-position drift lands as a hash
+    * mismatch. */
+  def m111PhraseSearch(s: SparkSession, dir: String): DataFrame =
+    operators.Retrieval.phraseSearch(t(s, dir, "documents"),
+        Seq(0 -> "table scan", 1 -> "fast hash join", 2 -> "table table"))
+      .orderBy("query_id", "doc_id")
+
   /** m50 — fixed-point PageRank over the near-dup similarity graph
     * ([[operators.Graph.pageRank]] over [[operators.Dedup.minhashPairs]]
     * at 0.5, both directions): rank concentration exposes template hubs

@@ -21,6 +21,11 @@ final case class Bm25Doc(dl: Int, hits: Array[Bm25Hit])
   * doc-table lookup). TOP-LEVEL for the encoder rule. */
 final case class Bm25Posting(term: String, tf: Int, dl: Int)
 
+/** One phrase's occurrence summary in one doc ([[Retrieval.phraseSearch]]):
+  * overlap-counting match count + 0-based first token position.
+  * TOP-LEVEL for the encoder rule. */
+final case class PhraseHit(query_id: Int, n_matches: Int, first_pos: Int)
+
 /**
  * Lexical retrieval over the corpus — BM25 (Robertson–Spärck Jones /
  * Okapi, the Lucene-style always-positive idf variant): score docs for a
@@ -808,5 +813,69 @@ object Retrieval {
       .select(col("query_id"), col("doc_id").as("neg_doc_id"), col("neg_rank"))
     pos.select(col("query_id"), col("doc_id").as("pos_doc_id"))
       .join(negs, Seq("query_id"))
+  }
+
+  /**
+   * Exact-phrase search — the retrieval mode BM25's bag-of-words scoring
+   * cannot express: a doc matches phrase q only where q's tokens appear
+   * CONSECUTIVELY, in order, under the same [[TextSig.normalize]]
+   * tokenization every text operator shares. The corpus-forensics
+   * primitive (find verbatim mentions, audit a quoted claim, locate
+   * contaminated spans by phrase rather than by n-gram profile) next to
+   * [[bm25TopK]]'s ranked retrieval.
+   *
+   * Returns (query_id, doc_id, n_matches, first_pos): occurrence count
+   * (overlaps COUNT — "a a a" matches phrase "a a" twice) and the
+   * 0-based token position of the first occurrence.
+   *
+   * Scale shape: NO shuffle anywhere — the phrase table is broadcast
+   * (bounded by contract, like BM25's terms) and one compiled kernel
+   * scans each doc's token stream once against all phrases
+   * (O(len · Σ|phrase|) worst case, early-exit on first-token mismatch).
+   * The only moved rows are the matches. The per-row kernel is heavy
+   * (normalize + scan), so the explode rides the `explode_outer` +
+   * `isNotNull` recipe — a bare `explode(udf(...))` evaluates the
+   * kernel three times per row (CLAUDE.md).
+   */
+  def phraseSearch(docs: DataFrame, phrases: Seq[(Int, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(phrases.nonEmpty, "phraseSearch: no phrases")
+    val s = docs.sparkSession
+    val phraseTerms: Array[(Int, Array[String])] = phrases.map {
+      case (qid, p) =>
+        val n = TextSig.normalize(p)
+        require(n.nonEmpty, s"phraseSearch: phrase $qid is empty after " +
+          "normalization")
+        (qid, n.split(' '))
+    }.toArray
+    val bc = s.sparkContext.broadcast(phraseTerms)
+    val kernel = udf { (t: String) =>
+      val n = TextSig.normalize(t)
+      val toks = if (n.isEmpty) Array.empty[String] else n.split(' ')
+      val ps = bc.value
+      val out = Array.newBuilder[PhraseHit]
+      var q = 0
+      while (q < ps.length) {
+        val (qid, pt) = ps(q)
+        var c = 0; var first = -1
+        var i = 0
+        val last = toks.length - pt.length
+        while (i <= last) {
+          var j = 0
+          while (j < pt.length && toks(i + j) == pt(j)) j += 1
+          if (j == pt.length) { c += 1; if (first < 0) first = i }
+          i += 1
+        }
+        if (c > 0) out += PhraseHit(qid, c, first)
+        q += 1
+      }
+      val r = out.result()
+      if (r.isEmpty) null else r
+    }
+    docs.select(col(idCol).as("doc_id"),
+        explode_outer(kernel(col(textCol))).as("h"))
+      .filter(col("h").isNotNull)
+      .select(col("h.query_id"), col("doc_id"),
+        col("h.n_matches"), col("h.first_pos"))
   }
 }

@@ -284,6 +284,36 @@ class RetrievalSpec extends AnyFunSuite {
       (0, 99L, 10L, 1), (0, 99L, 12L, 2)))
   }
 
+  test("phraseSearch: consecutive-token matches only, overlaps count, " +
+      "first_pos exact, contract refusals") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "Fast  hash JOIN beats slow scan"),   // normalize: case+ws
+      (2L, "fast join hash"),                    // bag matches, phrase no
+      (3L, "a fast hash join and a fast hash join"),
+      (4L, "go go go go"),                       // overlapping "go go" x3
+      (5L, ""),
+      (6L, "fast hash")                          // shorter than phrase
+    ).toDF("doc_id", "text")
+    val got = Retrieval.phraseSearch(d,
+        Seq(0 -> "fast hash join", 1 -> "go go"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2),
+        r.getInt(3))).toSet
+    assert(got === Set((0, 1L, 1, 0), (0, 3L, 2, 1), (1, 4L, 3, 0)))
+    // partitioning invariance (narrow kernel — must hold trivially)
+    val got7 = Retrieval.phraseSearch(d.repartition(7),
+        Seq(0 -> "fast hash join", 1 -> "go go"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2),
+        r.getInt(3))).toSet
+    assert(got7 === got)
+    intercept[IllegalArgumentException] {
+      Retrieval.phraseSearch(d, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.phraseSearch(d, Seq(0 -> "  "))
+    }
+  }
+
   test("bm25TopK rejects empty inputs") {
     intercept[IllegalArgumentException] {
       Retrieval.bm25TopK(docs, Seq.empty, k = 5)
