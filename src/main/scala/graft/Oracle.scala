@@ -1571,6 +1571,35 @@ object Oracle {
       FROM pr5 ORDER BY doc_id"""
     },
 
+    // 2-core peeling unrolled over the exact pair set: each round keeps
+    // vertices with current degree >= 2 and induces the subgraph. Six
+    // rounds over-provision the fixpoint (post-fixpoint rounds are
+    // no-ops — the k-core is unique and peeling idempotent there).
+    // Every round's CTEs are MATERIALIZED: each level references the
+    // previous one twice (the survivor filter and the induced-edge
+    // join), and DuckDB's default CTE inlining would re-evaluate the
+    // O(N²) all-pairs base 2^rounds times (the mul64 textual-nesting
+    // lesson, in join form).
+    "m112_kcore" -> {
+      def peel(prevE: String, r: Int) = s"""
+      kcs$r AS MATERIALIZED (
+        SELECT src FROM $prevE GROUP BY src HAVING COUNT(*) >= 2),
+      kce$r AS MATERIALIZED (SELECT e.src, e.dst FROM $prevE e
+                JOIN kcs$r x ON e.src = x.src
+                JOIN kcs$r y ON e.dst = y.src)"""
+      s"""
+      WITH $CharShingleCtes,
+      kcp AS (SELECT a.doc_id AS pa, b.doc_id AS pb
+              FROM sh a, sh b WHERE a.doc_id < b.doc_id
+                AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / (len(a.s)+len(b.s)-len(list_intersect(a.s, b.s))) >= 0.5),
+      kce0 AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM kcp
+               UNION ALL SELECT pb, pa FROM kcp),
+      ${(1 to 6).map(r => peel(s"kce${r - 1}", r)).mkString(",")}
+      SELECT src AS doc_id, COUNT(*) AS core_degree
+      FROM kce6 GROUP BY src ORDER BY doc_id"""
+    },
+
     // Label propagation unrolled round for round over the exact pair
     // set: per round, each vertex with neighbors takes the (max count,
     // min label) argmax of its neighbors' previous labels.

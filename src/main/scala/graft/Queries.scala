@@ -1736,6 +1736,19 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** m112 — 2-core of the near-dup similarity graph
+    * ([[operators.Graph.kCore]] over m01's exact pairs at 0.5): the
+    * density structure metric that separates mutually-interlinked
+    * template FAMILIES (they survive peeling) from incidental pairwise
+    * matches (chains/stars peel away) — a sharper dedup-cluster signal
+    * than m80's raw degree. Peeling is synchronous and the k-core
+    * unique, so the oracle replays the rounds verbatim (unrolled, over-
+    * provisioned — post-fixpoint rounds are no-ops). Output is each
+    * member's degree WITHIN the core. */
+  def m112KCore(s: SparkSession, dir: String): DataFrame =
+    operators.Graph.kCore(pairs05(s, dir), k = 2)
+      .orderBy("doc_id")
+
   /** m51 — Z-order layout statistics ([[operators.Layout.zFileStats]]):
     * lineitem clustered on the Morton interleave of (l_partkey,
     * l_suppkey) and cut into 8192-row target files; the output is each

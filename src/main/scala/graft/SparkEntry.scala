@@ -204,6 +204,7 @@ object SparkEntry {
     "m109_bm25_delete" -> Queries.m109Bm25Delete,
     "m110_ivf_delete" -> Queries.m110IvfDelete,
     "m111_phrase_search" -> Queries.m111PhraseSearch,
+    "m112_kcore" -> Queries.m112KCore,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on

@@ -202,6 +202,90 @@ object Graph {
     out
   }
 
+  /**
+   * k-core decomposition at a FIXED k — the density structure metric
+   * next to [[triangleCounts]]' cohesion: the k-core is the maximal
+   * subgraph where every vertex keeps ≥ k neighbors INSIDE the subgraph.
+   * On a near-dup graph the 2-core separates genuine template FAMILIES
+   * (mutually-interlinked clusters that survive peeling) from incidental
+   * pairwise matches (chains and stars, which peel away) — a sharper
+   * dedup-cluster signal than raw degree, which counts links to vertices
+   * that are themselves barely connected.
+   *
+   * Standard synchronous peeling: each round drops every vertex whose
+   * CURRENT degree is < k, then recomputes degrees on the induced
+   * subgraph; the fixpoint is the k-core (order-independent — the k-core
+   * is unique, and synchronous rounds make the trajectory deterministic
+   * too, so a SQL oracle replays it round for round; extra rounds past
+   * the fixpoint are no-ops, so an unrolled oracle just over-provisions
+   * rounds).
+   *
+   * Scale shape: each round is one degree aggregation (narrow (src, dst)
+   * longs) + two anti-joins against the peeled set; rounds need a
+   * per-round action (the convergence probe), so each round's edge frame
+   * is pinned and the previous released — at most two edge frames in
+   * block storage. Rounds are bounded by the graph's degeneracy ordering
+   * depth, typically O(10) on similarity graphs; `maxIter` exhaustion is
+   * explicit like `Dedup.connectedComponents`: `strict = true` aborts
+   * with the round count, `strict = false` returns the current
+   * (supergraph-of-the-core) state with a WARN — the always-on-pipeline
+   * choice.
+   *
+   * @param pairs undirected pair list (one row per unordered pair)
+   * @return (doc_id, core_degree) for k-core members — core_degree is
+   *         the degree WITHIN the core (≥ k); empty when no k-core
+   */
+  def kCore(pairs: DataFrame, k: Int, maxIter: Int = 30,
+      strict: Boolean = true, aCol: String = "doc_id_a",
+      bCol: String = "doc_id_b"): DataFrame = {
+    require(k >= 1, s"kCore: k=$k must be >= 1")
+    require(maxIter >= 1, s"kCore: maxIter=$maxIter")
+    val und = pairs.select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    var edges = und.unionByName(
+        und.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .transform(graft.core.Blocks.pin)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxIter) {
+      val bad = edges.groupBy("src").agg(count(lit(1)).as("d"))
+        .filter(col("d") < k).select("src")
+        .transform(graft.core.Blocks.pin)
+      if (bad.count() == 0L) {
+        graft.core.Blocks.release(bad)
+        converged = true
+      } else {
+        val next = edges
+          .join(bad, Seq("src"), "left_anti")
+          .join(bad.select(col("src").as("dst")), Seq("dst"), "left_anti")
+          .select("src", "dst")
+          .transform(graft.core.Blocks.pin)
+        graft.core.Blocks.release(bad)
+        graft.core.Blocks.release(edges)
+        edges = next
+        rounds += 1
+      }
+    }
+    if (!converged) {
+      val msg = s"kCore: not converged after $rounds rounds (maxIter=" +
+        s"$maxIter) — raise maxIter"
+      if (strict) {
+        graft.core.Blocks.release(edges)
+        throw new IllegalStateException(msg)
+      }
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(msg + "; returning the current peel state (a supergraph " +
+          "of the true k-core)")
+    }
+    val out = edges.groupBy(col("src").as("doc_id"))
+      .agg(count(lit(1)).as("core_degree"))
+      .transform(graft.core.Blocks.pin)
+    graft.core.Blocks.release(edges)
+    out
+  }
+
   /** Degree distribution of an undirected pair graph over an explicit
     * vertex set — the similarity graph's shape table (how large dup
     * neighborhoods get; the hot-bucket ceiling and salting decisions

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, Etl, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Etl, Graph, Similarity, TextAnalysis}
 import graft.sources.{SnapshotReader, SyntheticSnapshot}
 
 class PipelineSpec extends AnyFunSuite {
@@ -1075,6 +1075,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(gone.forall(id => !ids.contains(id)),
       "rebuilt version must not contain tombstoned vectors")
     assert(ids.nonEmpty)
+  }
+
+  test("kCore: triangle survives 2-core, chains/stars peel away, " +
+      "core_degree is the WITHIN-core degree, invariance, strict budget") {
+    import spark.implicits._
+    // triangle {1,2,3} + tail 3-4-5 + star 6-{7,8,9}: the 2-core is
+    // exactly the triangle (tail and star peel in cascading rounds);
+    // vertex 3's raw degree is 3 but its CORE degree is 2
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+        (6L, 7L), (6L, 8L), (6L, 9L))
+      .toDF("doc_id_a", "doc_id_b")
+    val got = Graph.kCore(pairs, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L), (2L, 2L), (3L, 2L)))
+    // partitioning invariance
+    val got7 = Graph.kCore(pairs.repartition(7), k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got7 === got)
+    // k above the max core: empty, not an error
+    assert(Graph.kCore(pairs, k = 3).collect().isEmpty)
+    // k=1 keeps everything with an edge (degree within = raw degree)
+    val one = Graph.kCore(pairs, k = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(one(6L) === 3L && one(5L) === 1L && one.size === 9)
+    // strict budget: the tail cascade needs 2 peel rounds — maxIter=1
+    // aborts loudly; relaxed returns a supergraph of the core
+    val boom = intercept[IllegalStateException] {
+      Graph.kCore(pairs, k = 2, maxIter = 1)
+    }
+    assert(boom.getMessage.contains("not converged"))
+    val relaxed = Graph.kCore(pairs, k = 2, maxIter = 1, strict = false)
+      .collect().map(_.getLong(0)).toSet
+    assert(Set(1L, 2L, 3L).subsetOf(relaxed))
   }
 
   test("IVF centers are identical across differently-partitioned reads") {
