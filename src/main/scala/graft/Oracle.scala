@@ -2902,6 +2902,56 @@ object Oracle {
           / greatest(nall, 1)), 4) AS rms
       FROM s ORDER BY media_id""",
 
+    // mm05: the audio energy fingerprint rebuilt bit for bit — same WAV
+    // admission + PCM16 decode as mm04, |signed| energies summed as
+    // exact BIGINTs per (window = (k·8)//n, band = k mod 8) cell, bit
+    // set iff cell·8 > window total (strict), signature assembled as a
+    // HUGEINT bit sum and mapped to Spark's signed Long via the 2^63
+    // wrap. Audio items with no bit set still emit sig 0 (left join).
+    "mm05_audio_fingerprint" -> s"""
+      WITH media AS (SELECT media_id, hex(bytes) AS h, octet_length(bytes) AS ln
+                     FROM read_parquet('{AUX}/media/*.parquet')),
+      fa AS (SELECT media_id, h, ${u32("40")}//2 AS nall
+            FROM media
+            WHERE ln >= 44 AND substr(h,1,8) = '52494646'
+              AND substr(h,17,8) = '57415645'
+              AND substr(h,25,8) = '666D7420' AND substr(h,73,8) = '64617461'
+              AND ${u16("20")} = 1 AND ${u16("34")} = 16
+              AND ${u16("22")} >= 1 AND ln >= 44 + ${u32("40")}),
+      fsmp AS (SELECT media_id, nall,
+          list_transform(range(0, nall), k ->
+            TRY_CAST('0x' || substr(h,(44+CAST(k AS INT)*2+1)*2+1,2)
+                          || substr(h,(44+CAST(k AS INT)*2)*2+1,2) AS INTEGER))
+            AS us
+        FROM fa),
+      fvs AS (SELECT media_id, nall,
+          list_transform(us, x ->
+            CAST(abs(CASE WHEN x >= 32768 THEN x - 65536 ELSE x END) AS BIGINT))
+            AS av
+        FROM fsmp),
+      fcell AS (SELECT media_id, CAST(w.range AS INT) AS w,
+          CAST(b.range AS INT) AS bd,
+          COALESCE(list_sum(list_transform(
+            list_filter(range(0, nall), k ->
+              (k*8)//nall = w.range AND k%8 = b.range),
+            k -> av[CAST(k AS INT)+1])), 0) AS e
+        FROM fvs, range(8) w, range(8) b),
+      fwt AS (SELECT media_id, w, SUM(e) AS tot
+              FROM fcell GROUP BY media_id, w),
+      fbits AS (SELECT c.media_id, c.w, c.bd
+                FROM fcell c JOIN fwt t
+                  ON c.media_id = t.media_id AND c.w = t.w
+                WHERE c.e * 8 > t.tot),
+      fsg AS (SELECT media_id,
+                SUM(CAST(1 AS HUGEINT) << CAST(w*8+bd AS INT)) AS hs
+              FROM fbits GROUP BY media_id)
+      SELECT fa.media_id,
+        CAST(CASE WHEN fsg.hs IS NULL THEN 0
+             WHEN fsg.hs >= CAST('9223372036854775808' AS HUGEINT)
+               THEN fsg.hs - $M64 ELSE fsg.hs END AS BIGINT) AS sig
+      FROM fa LEFT JOIN fsg ON fa.media_id = fsg.media_id
+      ORDER BY fa.media_id""",
+
     // m12: EXACT all-pairs cosine over the fused image+frame feature
     // space — no LSH blocking clause, so any Spark-side recall loss
     // surfaces as a hash mismatch. Features re-derived from container

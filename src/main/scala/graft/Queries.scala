@@ -940,6 +940,19 @@ object Queries {
         round(col("rms"), 4).as("rms"))
       .orderBy("media_id")
 
+  /** mm05 — per-audio 64-bit energy fingerprint
+    * ([[Multimodal.audioFingerprint]]), pinned BIT-FOR-BIT like m92's
+    * minhash signatures: the oracle re-derives every (window, band)
+    * integer energy cell from the PCM16 bytes at closed-form WAV offsets
+    * and rebuilds the signature as a HUGEINT bit sum mapped to signed —
+    * a flipped bit anywhere (wrong window split, wrong |s| sum, wrong
+    * strict-> tie rule) lands as a hash mismatch. The Hamming near-dup
+    * pairing over these signatures is spec-tested (crafted dup corpus;
+    * the synthetic fixture's audio streams are mutually random). */
+  def mm05AudioFingerprint(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioFingerprint(media(s, dir))
+      .orderBy("media_id")
+
   /** m13 — benchmark decontamination: training docs sharing ≥1 distinct
     * 13-gram with the benchmark slice (doc_id % 5 == 0 plays the held-out
     * benchmark; the rest is the training corpus). The fixture's near-dup

@@ -487,6 +487,53 @@ object Media {
     math.sqrt(sum / math.max(n, 1))
   }
 
+  /** 64-bit audio energy fingerprint over the WAV PCM16 payload (all
+    * channels pooled, like [[audioRms]]): samples split into `windows`
+    * equal time windows (sample i → window i·W/n, floored) and `bands`
+    * decimation phases (band = i mod B); bit (w·B + b) is set iff that
+    * (window, band) cell's Σ|sample| STRICTLY exceeds the window mean —
+    * i.e. e(w,b)·B > Σ_b e(w,b), all exact integer arithmetic (Σ|s| ≤
+    * n·2¹⁵ nowhere near overflow), so the signature is a pure function
+    * of the payload, replayable byte-for-byte by a SQL oracle. A
+    * time-frequency-SHAPED structure hash (decimation phases stand in
+    * for spectral bands — no FFT), robust to level-preserving edits that
+    * move few cells past their window mean; Hamming distance between
+    * signatures is the near-dup metric. Null for non-audio; requires
+    * windows·bands ≤ 64. */
+  def audioFingerprint(bytes: Array[Byte], windows: Int,
+      bands: Int): java.lang.Long = {
+    require(windows >= 1 && bands >= 1 && windows * bands <= 64,
+      s"audioFingerprint: $windows x $bands exceeds 64 bits")
+    val layout = wavLayout(bytes)
+    if (layout == null) return null
+    val dataOff = layout(2); val dataLen = layout(3)
+    val n = dataLen / 2
+    if (n == 0) return java.lang.Long.valueOf(0L)
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val e = Array.ofDim[Long](windows, bands)
+    var i = 0
+    while (i < n) {
+      val v = b.getShort(dataOff + i * 2).toLong
+      val w = ((i.toLong * windows) / n).toInt
+      e(w)(i % bands) += math.abs(v)
+      i += 1
+    }
+    var sig = 0L
+    var w = 0
+    while (w < windows) {
+      var tot = 0L
+      var k = 0
+      while (k < bands) { tot += e(w)(k); k += 1 }
+      k = 0
+      while (k < bands) {
+        if (e(w)(k) * bands > tot) sig |= 1L << (w * bands + k)
+        k += 1
+      }
+      w += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
   /** Frame sampling over the RIFF/AVI container: every `every`-th `00dc`
     * MPNG frame, decoded through `javax.imageio`, as (frame_idx,
     * interleaved-RGB raster bytes). Null for non-AVI or any undecodable

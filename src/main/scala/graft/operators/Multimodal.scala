@@ -95,6 +95,50 @@ object Multimodal {
       .select(col("media_id"), col("meta.sampleRate").as("sample_rate"),
         col("meta.nSamples").as("n_samples"), rmsUdf(col("bytes")).as("rms"))
 
+  private val fpUdf = udf((b: Array[Byte], w: Int, bd: Int) =>
+    Option(Media.audioFingerprint(b, w, bd)).map(_.longValue))
+
+  /** Per-audio 64-bit energy fingerprint ([[Media.audioFingerprint]]):
+    * the audio-modality near-dup signature next to the image/frame
+    * histogram features — exact integer kernel, bit-replayable by the
+    * oracle. */
+  def audioFingerprint(media: DataFrame, windows: Int = 8,
+      bands: Int = 8): DataFrame =
+    withMeta(media)
+      .filter(col("meta.kind") === Media.KindAudio)
+      .select(col("media_id"),
+        fpUdf(col("bytes"), lit(windows), lit(bands)).as("sig"))
+
+  /** Audio near-dup pairs at Hamming ≤ `maxHamming` over
+    * [[audioFingerprint]] signatures — the audio leg of the m12 media
+    * dedup family. Scale shape: the SimHash banding argument — a
+    * signature splits into 4 16-bit bands, two signatures within
+    * Hamming 3 agree on ≥ 1 whole band (pigeonhole), so candidates come
+    * from a band-bucket equi-join (shuffle on (band, 16-bit key);
+    * signatures only, never audio bytes) and the exact Hamming filter
+    * runs on candidates alone. Total recall REQUIRES maxHamming ≤ 3;
+    * larger radii throw rather than silently losing pairs. */
+  def audioDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"audioDupPairs: maxHamming=$maxHamming — 4x16-bit banding only " +
+        "guarantees recall to Hamming 3; re-band for larger radii")
+    val sig = audioFingerprint(media)
+    val banded = sig.select(col("media_id"), col("sig"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL))
+              .as("key"))): _*)).as("bk"))
+      .select(col("media_id"), col("sig"), col("bk.band"), col("bk.key"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("media_id_a"),
+        col("y.media_id").as("media_id_b"),
+        Dedup.hamming64(col("x.sig"), col("y.sig")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Frame sampling: one row per kept frame — the video→frames explode.
     * At scale this is the one multimodal op that multiplies rows; the
     * generator shape keeps it pipelined (no shuffle until an agg).

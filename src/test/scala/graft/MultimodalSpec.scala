@@ -238,4 +238,56 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.forall(_.getAs[Double]("rms") > 0.0))
     assert(a.forall(_.getAs[Int]("sample_rate") === 16000))
   }
+
+  test("audioFingerprint matches a from-scratch driver reference and is " +
+      "robust to a small edit; audioDupPairs finds the crafted near-dup " +
+      "and nothing else; contract refusals") {
+    val s = spark
+    import s.implicits._
+    // driver reference: same (window=(i·8)/n, band=i%8) integer cells
+    def ref(pcm: Array[Byte]): Long = {
+      val bb = java.nio.ByteBuffer.wrap(pcm)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val n = pcm.length / 2
+      val e = Array.ofDim[Long](8, 8)
+      for (i <- 0 until n)
+        e(((i.toLong * 8) / n).toInt)(i % 8) += math.abs(bb.getShort(i * 2).toLong)
+      var sig = 0L
+      for (w <- 0 until 8) {
+        val tot = e(w).sum
+        for (b <- 0 until 8) if (e(w)(b) * 8 > tot) sig |= 1L << (w * 8 + b)
+      }
+      sig
+    }
+    val rnd = new java.util.Random(7)
+    val pcmA = Array.fill[Byte](1024)(0); rnd.nextBytes(pcmA)
+    // near-dup: a handful of samples nudged — most cells keep their side
+    // of the window mean
+    val pcmB = pcmA.clone(); pcmB(10) = (pcmB(10) ^ 1).toByte
+    val pcmC = Array.fill[Byte](1024)(0)
+    new java.util.Random(99).nextBytes(pcmC) // unrelated
+    val wavs = Seq(1L -> pcmA, 2L -> pcmB, 3L -> pcmC)
+      .map { case (id, p) => (id, Media.encodeWav(16000, p)) }
+    val media = wavs.toDF("media_id", "bytes")
+    val sigs = Multimodal.audioFingerprint(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs === Map(1L -> ref(pcmA), 2L -> ref(pcmB), 3L -> ref(pcmC)))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(2L)) <= 3,
+      "one-bit PCM edit must stay within Hamming 3 here")
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) > 3,
+      "unrelated streams must not collide at Hamming 3 (seeded fixture)")
+    val pairs = Multimodal.audioDupPairs(media, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+    // non-audio rows are ignored, not errors
+    val mixed = media.unionByName(
+      Seq((9L, Media.synthesize(0L))).toDF("media_id", "bytes"))
+    assert(Multimodal.audioFingerprint(mixed).count() === 3)
+    intercept[IllegalArgumentException] {
+      Multimodal.audioDupPairs(media, maxHamming = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Media.audioFingerprint(wavs.head._2, 13, 8)
+    }
+  }
 }
