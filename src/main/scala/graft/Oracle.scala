@@ -1571,6 +1571,43 @@ object Oracle {
       FROM pr5 ORDER BY doc_id"""
     },
 
+    // Incremental-store takedown: batch A's ACCEPTED set is the
+    // keep-first pair rule (drop b iff ANY a<b with J >= t — the
+    // implementation drops doc_id_b of every verified pair, so a doc
+    // whose only match was itself dropped still drops: non-transitive,
+    // replayed verbatim). Deleting doc_id % 6 = 0 removes them from the
+    // live set; batch B keeps a doc iff no EARLIER B dup and no LIVE
+    // store dup — a B doc duplicating only DELETED content survives.
+    // EXISTS legs join through sh, so token-less docs (no sh row) are
+    // trivially kept on every side, matching the engine's anti-join.
+    "m113_store_delete" -> {
+      // dup sets as UNCORRELATED join CTEs + NOT IN: DuckDB 1.0 cannot
+      // bind an outer column inside a list-function argument of a
+      // correlated EXISTS (Binder Error) — the m55 join formulation
+      // sidesteps it
+      def j(a: String, b: String) =
+        s"""CAST(len(list_intersect($a, $b)) AS DOUBLE)
+            / (len($a)+len($b)-len(list_intersect($a, $b))) >= 0.7"""
+      s"""
+      WITH $CharShingleCtes,
+      sda AS (SELECT doc_id, s FROM sh WHERE doc_id % 3 <> 2),
+      sdupa AS (SELECT DISTINCT b.doc_id FROM sda a JOIN sda b
+                ON a.doc_id < b.doc_id AND ${j("a.s", "b.s")}),
+      sdlive AS MATERIALIZED (SELECT a.doc_id, a.s FROM sda a
+        WHERE a.doc_id NOT IN (SELECT doc_id FROM sdupa)
+          AND a.doc_id % 6 <> 0),
+      sdb AS (SELECT doc_id, s FROM sh WHERE doc_id % 3 = 2),
+      sdupb AS (SELECT DISTINCT b.doc_id FROM sdb a JOIN sdb b
+                ON a.doc_id < b.doc_id AND ${j("a.s", "b.s")}),
+      sdups AS (SELECT DISTINCT b.doc_id FROM sdlive v JOIN sdb b
+                ON ${j("v.s", "b.s")})
+      SELECT d.doc_id FROM documents d
+      WHERE d.doc_id % 3 = 2
+        AND d.doc_id NOT IN (SELECT doc_id FROM sdupb)
+        AND d.doc_id NOT IN (SELECT doc_id FROM sdups)
+      ORDER BY d.doc_id"""
+    },
+
     // 2-core peeling unrolled over the exact pair set: each round keeps
     // vertices with current degree >= 2 and induces the subgraph. Six
     // rounds over-provision the fixpoint (post-fixpoint rounds are

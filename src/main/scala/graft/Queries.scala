@@ -1616,6 +1616,43 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** One signature store per (JVM, sf dir) for m113 — built (batch A),
+    * then a delete batch applied; the PROBE batch (B) runs per call
+    * under a pinned batchId, so replays are idempotent (marker skips
+    * the append, self-exclusion hides batch-3 rows from the dup check)
+    * and the output is deterministic across Verify and all three Bench
+    * iterations. */
+  private val sigStoreDirs = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** m113 — takedown from the incremental dedup store
+    * ([[operators.Dedup.minhashStoreDelete]]): batch A (doc_id % 3 ≠ 2)
+    * builds the store, every accepted doc with doc_id % 6 = 0 is
+    * deleted (requests for suppressed-at-ingest ids are ignored — the
+    * caller cannot know which docs were accepted), then batch B
+    * (doc_id % 3 = 2) dedups against the store. A doc of B that
+    * near-duplicates ONLY deleted content must SURVIVE — the whole
+    * point of the delete — while store dups against live content and
+    * within-batch dups still drop. The oracle replays acceptance
+    * (keep-first pair rule), the delete, and both of B's suppression
+    * legs from the exact shingle Jaccard. */
+  def m113StoreDelete(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val store = sigStoreDirs.getOrElseUpdate(dir, {
+      val full = new java.io.File(dir).getAbsolutePath
+      val d = s"target/sig-store/${new java.io.File(dir).getName}-" +
+        f"${graft.core.TextSig.mix64(full.hashCode.toLong) & 0xffffffffL}%08x"
+      val a = docs.filter(col("doc_id") % 3 =!= 2)
+      Dedup.minhashDedupIncremental(a, d, batchId = Some(1L)).count()
+      val delIds = a.filter(col("doc_id") % 6 === 0)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      Dedup.minhashStoreDelete(s, d, delIds, batchId = Some(2L))
+      d
+    })
+    Dedup.minhashDedupIncremental(docs.filter(col("doc_id") % 3 === 2),
+        store, batchId = Some(3L))
+      .select("doc_id").orderBy("doc_id")
+  }
+
   /** m49 — BM25 keyword retrieval ([[operators.Retrieval.bm25TopK]]):
     * top-10 docs for three keyword queries under Okapi BM25 with the
     * always-positive Lucene idf (k1 = 1.2, b = 0.75) — the lexical

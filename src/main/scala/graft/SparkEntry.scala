@@ -205,6 +205,7 @@ object SparkEntry {
     "m110_ivf_delete" -> Queries.m110IvfDelete,
     "m111_phrase_search" -> Queries.m111PhraseSearch,
     "m112_kcore" -> Queries.m112KCore,
+    "m113_store_delete" -> Queries.m113StoreDelete,
     "mm05_audio_fingerprint" -> Queries.mm05AudioFingerprint,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw

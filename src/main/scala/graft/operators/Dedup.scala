@@ -718,6 +718,120 @@ object Dedup {
   }
 
   /**
+   * Delete accepted docs from the incremental signature store — the
+   * takedown verb for the THIRD durable store (next to the BM25 and IVF
+   * index deletes): without it, a removed doc's signatures keep
+   * suppressing every future near-duplicate of content that is no longer
+   * in the corpus. Physically deletes the doc's rows from BOTH tables,
+   * partition-pruned on both sides — per-delete cost tracks the batch's
+   * partition footprint, never the store history:
+   *  - sig side: the ids' `idp` partitions are read, filtered and
+   *    rewritten in place (dynamic partition overwrite, merged frame
+   *    pinned first — the upsert-in-place rule);
+   *  - index side: the deleted rows' (band, bucket) keys are re-derived
+   *    from their stored signatures (read BEFORE anything is deleted),
+   *    giving the `bp` partitions to rewrite the same way.
+   * A partition left EMPTY by the delete is removed explicitly — dynamic
+   * overwrite only replaces partitions present in the written data, so
+   * an emptied directory would otherwise keep its stale files.
+   *
+   * Geometry comes from the store's OWN params sidecar (k/bands/P), not
+   * caller arguments — a delete must prune under the pinned build
+   * geometry or not at all.
+   *
+   * CRASH SAFETY (single-writer, blind-retryable, INDEX deleted first):
+   * every intermediate state is one the store already tolerates — index
+   * rows without sig rows are dropped by the verify join (the append
+   * protocol's orphan argument), and sig rows whose index rows are gone
+   * can never become candidates (candidate generation starts at the
+   * index); a retry recomputes the footprint from whatever sig rows
+   * remain and re-deletes (filtering absent ids is a no-op). Index-first
+   * matters: the index footprint is derived FROM sig rows, so sig rows
+   * must outlive the index rows they locate. `batchId` short-circuits a
+   * replay of a fully-committed batch via the `.del-<id>.done` marker.
+   *
+   * Ids with no store rows are IGNORED (a batch-time duplicate was never
+   * stored — the caller cannot know which of its docs were accepted);
+   * returns the number of store docs actually removed.
+   */
+  def minhashStoreDelete(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, docIds: Seq[Long],
+      batchId: Option[Long] = None): Long = {
+    require(docIds.nonEmpty, "minhashStoreDelete: empty docIds")
+    require(docIds.size <= (1 << 20),
+      s"minhashStoreDelete: ${docIds.size} ids in one batch — over the " +
+        "2^20 ceiling; split the batch")
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val indexDir = storeDir + ".index"
+    val paramsPath = new org.apache.hadoop.fs.Path(storeDir + ".params")
+    require(fs.exists(paramsPath),
+      s"minhashStoreDelete: no params sidecar at $paramsPath — not a " +
+        "signature store (or a legacy one; see ParamsPin)")
+    val params = new String(org.apache.commons.io.IOUtils
+      .toByteArray(fs.open(paramsPath)), "UTF-8").trim
+    val pm = params.split(',').map(_.split('=')).collect {
+      case Array(k, v) => k -> v
+    }.toMap
+    val (k, bands, p) = (pm("k").toInt, pm("bands").toInt, pm("P").toInt)
+    val rowsPerBand = k / bands
+    val bid = batchId.getOrElse(-1L)
+    val markerPath = new org.apache.hadoop.fs.Path(
+      storeDir + s".del-$bid.done")
+    if (batchId.isDefined && fs.exists(markerPath)) return 0L
+
+    import spark.implicits._
+    val idsDf = docIds.distinct.toDF("del_id")
+    // the ids' sig rows, read off the pruned idp partitions BEFORE any
+    // delete — they carry the signatures the index footprint needs
+    val idpSet = idsDf
+      .select(pmod(xxhash64(col("del_id")), lit(p.toLong)).cast("int").as("idp"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val storeExists = fs.globStatus(
+      new org.apache.hadoop.fs.Path(storeDir + "/idp=*/*.parquet")) != null &&
+      fs.globStatus(
+        new org.apache.hadoop.fs.Path(storeDir + "/idp=*/*.parquet")).nonEmpty
+    if (!storeExists) return 0L
+    val victims = spark.read.parquet(storeDir)
+      .filter(col("idp").isin(idpSet: _*))
+      .filter(col("doc_id").isin(docIds.distinct: _*))
+      .select(col("doc_id"), col("sig"))
+      .transform(graft.core.Blocks.pin)
+    val removed = victims.count()
+    if (removed == 0L) {
+      graft.core.Blocks.release(victims)
+      batchId.foreach(_ => fs.create(markerPath, true).close())
+      return 0L
+    }
+    val bpSet = bandBuckets(victims, bands, rowsPerBand)
+      .select(pmod(xxhash64(col("band"), col("bucket")), lit(p.toLong))
+        .cast("int").as("bp"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    graft.core.Blocks.release(victims)
+
+    // prune → filter → pinned rewrite → drop emptied partition dirs
+    def rewrite(dir: String, pCol: String, pSet: Seq[Int]): Unit = {
+      val part = spark.read.parquet(dir).filter(col(pCol).isin(pSet: _*))
+      val kept = part.filter(!col("doc_id").isin(docIds.distinct: _*))
+        .transform(graft.core.Blocks.pin) // plan must not read the path it overwrites
+      val presentAfter = kept.select(pCol).distinct()
+        .collect().map(_.getInt(0)).toSet
+      kept.repartition(col(pCol))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(pCol).parquet(dir)
+      graft.core.Blocks.release(kept)
+      pSet.filterNot(presentAfter).foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$pCol=$v"), true)
+      }
+    }
+    rewrite(indexDir, "bp", bpSet) // index first — see crash-safety note
+    rewrite(storeDir, "idp", idpSet)
+    batchId.foreach(_ => fs.create(markerPath, true).close())
+    removed
+  }
+
+  /**
    * Connected components over an undirected pair list: (id, component)
    * with component = the minimum id reachable from `id`. This is the
    * transitive-closure step `minhashDedup` deliberately leaves out —

@@ -93,6 +93,53 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(s.read.parquet(store).count() === storeRows) // no double append
   }
 
+  test("minhashStoreDelete: a future near-dup of DELETED content " +
+      "survives, live suppression intact, absent/unknown ids ignored, " +
+      "replay and bare retry are no-ops, emptied partitions removed") {
+    val s = spark
+    import s.implicits._
+    val store = java.nio.file.Files.createTempDirectory("sigstore-del")
+      .toString + "/sigs"
+    val longA = "the quick brown fox jumps over the lazy dog and runs on " * 4
+    val longB = "totally different content about spark engines and shuffles " * 4
+    val b1 = Seq((1L, longA), (2L, longA + " tail"), (3L, longB))
+      .toDF("doc_id", "text")
+    assert(graft.operators.Dedup
+      .minhashDedupIncremental(b1, store, threshold = 0.6, batchId = Some(0L))
+      .select("doc_id").as[Long].collect().toSet === Set(1L, 3L))
+    // 1 = accepted (removed), 2 = suppressed at ingest (ignored),
+    // 99 = never seen (ignored)
+    assert(graft.operators.Dedup
+      .minhashStoreDelete(s, store, Seq(1L, 2L, 99L), batchId = Some(1L)) === 1L)
+    assert(s.read.parquet(store).select("doc_id").as[Long]
+      .collect().toSet === Set(3L), "sig rows of doc 1 must be gone")
+    assert(s.read.parquet(store + ".index").select("doc_id").as[Long]
+      .collect().toSet === Set(3L), "index rows of doc 1 must be gone")
+    // committed replay (marker) and bare retry (rows already absent)
+    assert(graft.operators.Dedup
+      .minhashStoreDelete(s, store, Seq(1L, 2L, 99L), batchId = Some(1L)) === 0L)
+    assert(graft.operators.Dedup
+      .minhashStoreDelete(s, store, Seq(1L)) === 0L)
+    // 10 near-dups DELETED content → must survive; 11 near-dups live
+    // doc 3 → still suppressed; 12 is new
+    val b2 = Seq((10L, longA + " small suffix"), (11L, longB + " appendix"),
+        (12L, "yet another corpus of fresh material never stored before " * 4))
+      .toDF("doc_id", "text")
+    assert(graft.operators.Dedup
+      .minhashDedupIncremental(b2, store, threshold = 0.6, batchId = Some(2L))
+      .select("doc_id").as[Long].collect().toSet === Set(10L, 12L))
+    // delete everything left: emptied partition dirs must disappear
+    // (dynamic overwrite alone would keep their stale files)
+    assert(graft.operators.Dedup
+      .minhashStoreDelete(s, store, Seq(3L, 10L, 12L)) === 3L)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    assert(Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+      store + "/idp=*/*.parquet"))).forall(_.isEmpty), "stale sig files")
+    assert(Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+      store + ".index/bp=*/*.parquet"))).forall(_.isEmpty), "stale index files")
+  }
+
   test("incremental store reads are bucket-pruned: a small batch touches " +
       "a strict subset of the index files, and still catches its dups") {
     val s = spark
