@@ -296,6 +296,74 @@ object Pipeline {
         ()
       }
 
+  /** Streaming BM25 index maintenance: each micro-batch of (doc_id,
+    * text) docs grows the durable inverted index, with the STREAM's
+    * monotone batch id driving the append's exactly-once contract — an
+    * at-least-once `foreachBatch` replay hits the committed-batch marker
+    * and no-ops, so index growth is exactly-once without any extra
+    * bookkeeping. The FIRST non-empty batch bootstraps the index
+    * ([[graft.operators.Retrieval.bm25WriteIndex]], a full overwrite —
+    * replaying a torn bootstrap just rebuilds identically) and commits
+    * its batch marker so its own replay no-ops too; later batches ride
+    * [[graft.operators.Retrieval.bm25Append]]'s rollback-then-retry
+    * crash contract. Empty micro-batches are skipped (an empty corpus
+    * is not a valid index). */
+  def maintainBm25Index(docs: DataFrame, indexDir: String,
+      checkpoint: String, nBuckets: Int = 64) =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        appendBm25Batch(batch, indexDir, nBuckets, bid)
+      }
+
+  private[graft] def appendBm25Batch(batch: DataFrame, indexDir: String,
+      nBuckets: Int, bid: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    val bootstrap =
+      !fs.exists(new org.apache.hadoop.fs.Path(indexDir + ".ok")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(indexDir + ".append-pending"))
+    if (bootstrap) {
+      if (batch.limit(1).count() == 0L) return // no index from nothing
+      graft.operators.Retrieval.bm25WriteIndex(batch, indexDir, nBuckets)
+      fs.create(new org.apache.hadoop.fs.Path(
+        indexDir + s".batch-$bid.done"), true).close()
+    } else graft.operators.Retrieval.bm25Append(batch, indexDir, nBuckets,
+      batchId = Some(bid))
+  }
+
+  /** Streaming IVF index maintenance — the ANN twin of
+    * [[maintainBm25Index]]: first non-empty batch trains + builds
+    * ([[graft.operators.Similarity.ivfWriteIndex]]; centers then stay
+    * PINNED, the ivfAppend contract), later batches append under the
+    * stream's batch id for exactly-once growth; periodic
+    * `ivfRebuildIfSkewed` calls (outside the stream) retrain when the
+    * occupancy report warrants. Empty micro-batches are skipped. */
+  def maintainIvfIndex(vectors: DataFrame, indexDir: String,
+      checkpoint: String, nlist: Int = 16) =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        appendIvfBatch(batch, indexDir, nlist, bid)
+      }
+
+  private[graft] def appendIvfBatch(batch: DataFrame, indexDir: String,
+      nlist: Int, bid: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    val phys = graft.operators.Similarity.ivfResolve(fs, indexDir)
+    val bootstrap =
+      !fs.exists(new org.apache.hadoop.fs.Path(phys + ".ok")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(phys + ".append-pending"))
+    if (bootstrap) {
+      if (batch.limit(1).count() == 0L) return
+      graft.operators.Similarity.ivfWriteIndex(batch, indexDir, nlist)
+      fs.create(new org.apache.hadoop.fs.Path(
+        indexDir + s".batch-$bid.done"), true).close()
+    } else graft.operators.Similarity.ivfAppend(batch, indexDir,
+      batchId = Some(bid))
+  }
+
   /** A3 — running counters as `observe()` metrics: per-action row/lamport
     * totals surfaced to QueryExecutionListener / StreamingQueryListener
     * (the Spark-native form of the reference's throttled progress display,

@@ -252,6 +252,83 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(replayed == stored)
   }
 
+  test("streaming BM25 + IVF index maintenance: bootstrap then append, " +
+      "probe equals a one-shot build, replayed batch is a no-op") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("idx-stream").toString
+    // ---- BM25 ----
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val idx = base + "/bm25"
+    val q = graft.streaming.Pipeline
+      .maintainBm25Index(docs, idx, base + "/ck1", nBuckets = 16).start()
+    val b1 = Seq((1L, "fast hash join wins"), (2L, "slow table scan"))
+    val b2 = Seq((3L, "hash join beats table scan"), (4L, "window agg stream"))
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val oneShot = base + "/bm25-full"
+    graft.operators.Retrieval.bm25WriteIndex(
+      (b1 ++ b2).toDF("doc_id", "text"), oneShot, nBuckets = 16)
+    val queries = Seq(0 -> "hash join", 1 -> "table scan")
+    def rows(d: String) = graft.operators.Retrieval
+      .bm25TopKFromIndex(s, d, queries, k = 4, nBuckets = 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    assert(rows(idx) === rows(oneShot),
+      "streamed index must probe as the one-shot build")
+    // at-least-once replay of the LAST micro-batch: marker no-op
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val before = fs.globStatus(new org.apache.hadoop.fs.Path(
+      idx + "/bucket=*/*")).map(_.getPath.toString).toSet
+    graft.streaming.Pipeline.appendBm25Batch(
+      b2.toDF("doc_id", "text"), idx, 16, bid = 1L)
+    assert(fs.globStatus(new org.apache.hadoop.fs.Path(
+      idx + "/bucket=*/*")).map(_.getPath.toString).toSet === before,
+      "replayed micro-batch appended duplicate postings")
+    // ---- IVF ----
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val part1 = emb.filter(col("vec_id") % 2 === 0)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val part2 = emb.filter(col("vec_id") % 2 =!= 0)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val vmem = MemoryStream[(Long, Seq[Float])]
+    val vecs = vmem.toDF().toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val vidx = base + "/ivf"
+    val vq = graft.streaming.Pipeline
+      .maintainIvfIndex(vecs, vidx, base + "/ck2", nlist = 8).start()
+    vmem.addData(part1.toSeq: _*); vq.processAllAvailable()
+    vmem.addData(part2.toSeq: _*); vq.processAllAvailable()
+    vq.stop()
+    // reference: centers are pinned at bootstrap (trained on part1 only)
+    val refIdx = base + "/ivf-ref"
+    val p1df = part1.toSeq.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val centers = graft.operators.Similarity.ivfCenters(p1df, 8)
+    graft.operators.Similarity.ivfWriteIndex(
+      emb, refIdx, nlist = 8, centersOpt = Some(centers))
+    def vrows(d: String) = graft.operators.Similarity
+      .ivfTopKFromIndex(s, d, emb.filter(col("vec_id") < 4), k = 3, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    assert(vrows(vidx) === vrows(refIdx),
+      "streamed IVF index must probe as a pinned-centers full build")
+    // replay no-op
+    val vBefore = fs.globStatus(new org.apache.hadoop.fs.Path(
+      vidx + "/cell=*/*")).map(_.getPath.toString).toSet
+    graft.streaming.Pipeline.appendIvfBatch(
+      part2.toSeq.toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>")),
+      vidx, 8, bid = 1L)
+    assert(fs.globStatus(new org.apache.hadoop.fs.Path(
+      vidx + "/cell=*/*")).map(_.getPath.toString).toSet === vBefore,
+      "replayed micro-batch appended duplicate vectors")
+  }
+
   test("account table maintenance reads and rewrites only touched buckets") {
     val s = spark
     import s.implicits._
