@@ -3941,6 +3941,22 @@ object Oracle {
                    RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
       ORDER BY event_id""",
 
+    // q52: IGNORE NULLS forward/backward fill — values copy verbatim
+    // (no arithmetic; parquet doubles pass through), ties pinned by the
+    // (tse, event_id) total order, tse via the floored-epoch mapping.
+    "q52_gap_fill" -> """
+      SELECT event_id, user_id, v,
+        LAST_VALUE(v IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY tse, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+        FIRST_VALUE(v IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY tse, event_id
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS backfilled
+      FROM (SELECT event_id, user_id,
+              CAST(floor(epoch(ts)) AS BIGINT) AS tse,
+              CASE WHEN event_id % 3 = 0 THEN value END AS v FROM events)
+      ORDER BY event_id""",
+
     // m71: per-group histogram quantiles — m60's integer bucket/rank/
     // interpolation chain with every window PARTITIONed by source.
     "m71_group_quantiles" -> """

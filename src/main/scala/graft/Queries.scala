@@ -2508,6 +2508,29 @@ object Queries {
     out
   }
 
+  /** q52 — IGNORE NULLS gap-fill (LOCF): per user over event time, a
+    * sparse metric (only every third event reports one) is forward-
+    * filled with the last observed value and backward-filled with the
+    * next — the time-series imputation step sessionized metrics need
+    * before any windowed math, and the IGNORE NULLS window mode the
+    * q27/q44 suites don't touch. Total order (tse, event_id) pins peer
+    * ties; values copy verbatim (no arithmetic — parquet doubles pass
+    * through both engines, the q45 contract), and `tse` rides the
+    * pinned floored-epoch mapping. */
+  def q52GapFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("tse", unix_timestamp(col("ts")))
+      .withColumn("v", when(col("event_id") % 3 === 0, col("value")))
+    val ord = Window.partitionBy("user_id")
+      .orderBy(col("tse"), col("event_id"))
+    val wf = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wb = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ev.select(col("event_id"), col("user_id"), col("v"),
+        last(col("v"), ignoreNulls = true).over(wf).as("filled"),
+        first(col("v"), ignoreNulls = true).over(wb).as("backfilled"))
+      .orderBy("event_id")
+  }
+
   /** m93 — corpus novelty curve: per doc (in doc_id arrival order),
     * its distinct word-13-gram count, how many of those grams are
     * FIRST-SEEN (this doc is the min-id owner), and the running total

@@ -206,6 +206,7 @@ object SparkEntry {
     "m111_phrase_search" -> Queries.m111PhraseSearch,
     "m112_kcore" -> Queries.m112KCore,
     "m113_store_delete" -> Queries.m113StoreDelete,
+    "q52_gap_fill" -> Queries.q52GapFill,
     "mm05_audio_fingerprint" -> Queries.mm05AudioFingerprint,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
