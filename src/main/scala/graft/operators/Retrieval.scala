@@ -601,6 +601,30 @@ object Retrieval {
     fs.delete(pending, false)
   }
 
+  /** Tombstone-share compaction policy — the lifecycle health verb that
+    * ACTS on delete accumulation (`ivfRebuildIfSkewed`'s occupancy-
+    * trigger shape, on the delete dimension): every tombstone taxes
+    * every probe's anti-join and broadcast, so once the set exceeds
+    * `maxShareBp` basis points of the PHYSICAL index docs (live N +
+    * tombstoned — the rows probes actually scan), the accumulated tax
+    * outweighs one bucket rewrite. Decision inputs are metadata-priced
+    * (stats sidecar + tombstone file count). Returns true iff a
+    * compaction ran; call it on a maintenance cadence and forget. */
+  def bm25CompactIfNeeded(spark: org.apache.spark.sql.SparkSession,
+      dir: String, maxShareBp: Int = 200): Boolean = {
+    require(maxShareBp >= 0 && maxShareBp <= 10000,
+      s"bm25CompactIfNeeded: maxShareBp=$maxShareBp out of [0, 10000]")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir + ".tombstones")))
+      return false
+    val nTomb = spark.read.parquet(dir + ".tombstones").count()
+    val live = spark.read.parquet(dir + ".stats").collect().head.getLong(0)
+    if (nTomb * 10000L <= (live + nTomb) * maxShareBp) return false
+    bm25Compact(spark, dir)
+    true
+  }
+
   /** Finish (or discard) a torn [[bm25Compact]]: a COMPLETE staged
     * filtered index replaces the live dir and the tombstones clear
     * (stats were never touched); an incomplete staging is discarded.

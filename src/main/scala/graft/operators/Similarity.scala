@@ -1478,6 +1478,27 @@ object Similarity {
     fs.delete(new org.apache.hadoop.fs.Path(stageDir), true)
   }
 
+  /** Tombstone-share compaction policy for the IVF index — the delete-
+    * dimension twin of [[ivfRebuildIfSkewed]]'s occupancy trigger:
+    * compacts once tombstones exceed `maxShareBp` basis points of the
+    * physical index rows (the rows probes actually scan). The row count
+    * is parquet-footer-priced (row-group metadata, no data read).
+    * Returns true iff a compaction ran. */
+  def ivfCompactIfNeeded(spark: org.apache.spark.sql.SparkSession,
+      dir: String, maxShareBp: Int = 200): Boolean = {
+    require(maxShareBp >= 0 && maxShareBp <= 10000,
+      s"ivfCompactIfNeeded: maxShareBp=$maxShareBp out of [0, 10000]")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir + ".tombstones")))
+      return false
+    val nTomb = spark.read.parquet(dir + ".tombstones").count()
+    val phys = spark.read.parquet(ivfResolve(fs, dir)).count()
+    if (phys == 0L || nTomb * 10000L <= phys * maxShareBp) return false
+    ivfCompact(spark, dir)
+    true
+  }
+
   /** Finish (or discard) a torn [[ivfCompact]]: with a COMPLETE staging
     * the idempotent per-cell swap is simply replayed wholesale and the
     * tombstones clear; an incomplete staging means the live cells were

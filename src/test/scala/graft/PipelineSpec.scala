@@ -1055,6 +1055,24 @@ class PipelineSpec extends AnyFunSuite {
       "a reused batchId after rebuild must not replay as a no-op")
   }
 
+  test("ivfCompactIfNeeded: below-threshold no-op, above-threshold run " +
+      "clears the tombstones") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val base = java.nio.file.Files.createTempDirectory("ivf-cin").toString
+    val idx = base + "/idx"
+    Similarity.ivfWriteIndex(emb, idx, nlist = 8)
+    val gone = emb.filter(col("vec_id") % 11 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    Similarity.ivfDelete(spark, idx, gone)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!Similarity.ivfCompactIfNeeded(spark, idx, maxShareBp = 5000))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(idx + ".tombstones")))
+    assert(Similarity.ivfCompactIfNeeded(spark, idx, maxShareBp = 100))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx + ".tombstones")))
+    assert(!Similarity.ivfCompactIfNeeded(spark, idx, maxShareBp = 100))
+  }
+
   test("ivfRebuildIfSkewed compacts tombstones away: the new version " +
       "lacks the deleted vectors and the set clears") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -240,6 +240,30 @@ class RetrievalSpec extends AnyFunSuite {
       "a reused batchId after rebuild must not replay as a no-op")
   }
 
+  test("bm25CompactIfNeeded: below-threshold no-op keeps the exact file " +
+      "set; above-threshold run clears the tombstones") {
+    val base = java.nio.file.Files.createTempDirectory("bm25-cin").toString
+    val idx = base + "/idx"
+    val col = org.apache.spark.sql.functions.col _
+    Retrieval.bm25WriteIndex(docs, idx, nBuckets = 16)
+    val gone = docs.filter(col("doc_id") % 11 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    Retrieval.bm25Delete(spark, idx, gone)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files() = fs.globStatus(new org.apache.hadoop.fs.Path(
+      idx + "/bucket=*/*")).map(f => f.getPath.toString + "#" + f.getLen).toSet
+    val before = files()
+    // ~9% deleted: below a 50% bar, above a 1% bar
+    assert(!Retrieval.bm25CompactIfNeeded(spark, idx, maxShareBp = 5000))
+    assert(files() === before, "no-op policy must not touch the index")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(idx + ".tombstones")))
+    assert(Retrieval.bm25CompactIfNeeded(spark, idx, maxShareBp = 100))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx + ".tombstones")))
+    assert(!Retrieval.bm25CompactIfNeeded(spark, idx, maxShareBp = 100),
+      "nothing left to compact")
+  }
+
   test("bm25TopK is partitioning-invariant") {
     val a = Retrieval.bm25TopK(docs, queries, k = K)
       .orderBy("query_id", "rank").collect().toSeq
