@@ -418,9 +418,15 @@ object Oracle {
   /** The m49 BM25 replay, parameterized by a corpus `WHERE` clause so
     * the delete gate (m109) can share the exact scoring dag over the
     * filtered corpus. */
-  private def bm25Ctes(where: String): String = s"""qt(query_id, term) AS (VALUES (0,'fast'),(0,'hash'),(0,'join'),
+  private def bm25CtesFor(qtValues: String, where: String): String =
+    s"""qt(query_id, term) AS (VALUES $qtValues),""" + bm25Body(where)
+
+  private def bm25Ctes(where: String): String = bm25CtesFor(
+    """(0,'fast'),(0,'hash'),(0,'join'),
           (1,'window'),(1,'agg'),(1,'stream'),
-          (2,'slow'),(2,'table'),(2,'scan'),(2,'customer')),
+          (2,'slow'),(2,'table'),(2,'scan'),(2,'customer')""", where)
+
+  private def bm25Body(where: String): String = s"""
       bnr AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS nt
               FROM documents $where),
       btk AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM bnr WHERE length(nt) > 0),
@@ -1180,6 +1186,56 @@ object Oracle {
       WITH ${bm25Ctes("WHERE doc_id % 7 <> 0")}
       SELECT query_id, doc_id, CAST(score AS DOUBLE) AS score, rank
       FROM brk WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // Phrase-constrained BM25: the m49 scoring chain under m114's OWN
+    // query-term table, constrained by the m111 phrase formulation over
+    // the same tokenization, re-windowed densely.
+    "m114_bm25_phrase" -> s"""
+      WITH ${bm25CtesFor("(0,'table'),(0,'scan'),(1,'fast'),(1,'hash'),(1,'join')", "")},
+      pm0 AS (SELECT doc_id FROM btk WHERE len(list_filter(range(1, len(toks)),
+                j -> toks[CAST(j AS INT)] = 'table'
+                 AND toks[CAST(j AS INT)+1] = 'scan')) > 0),
+      pm1 AS (SELECT doc_id FROM btk WHERE len(list_filter(range(1, len(toks)-1),
+                j -> toks[CAST(j AS INT)] = 'fast'
+                 AND toks[CAST(j AS INT)+1] = 'hash'
+                 AND toks[CAST(j AS INT)+2] = 'join')) > 0),
+      pmm AS (SELECT 0 AS query_id, doc_id FROM pm0
+              UNION ALL SELECT 1, doc_id FROM pm1),
+      cst AS (SELECT b.query_id, b.doc_id, b.score
+              FROM bsc b JOIN pmm USING (query_id, doc_id)),
+      crk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id ASC) AS INT) AS rank FROM cst)
+      SELECT query_id, doc_id, CAST(score AS DOUBLE) AS score, rank
+      FROM crk WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // Best snippets: every 8-token window start enumerated per doc, the
+    // (distinct-terms DESC, start ASC) argmax replayed, window text
+    // space-joined (list_slice clamps at doc end like the kernel).
+    "m115_snippets" -> """
+      WITH nrm AS (SELECT doc_id,
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS nt
+             FROM documents),
+      tk AS (SELECT doc_id, string_split(nt, ' ') AS toks
+             FROM nrm WHERE length(nt) > 0),
+      spq AS (SELECT * FROM (VALUES
+                (0, ['fast','hash','join']),
+                (1, ['window','agg','stream']),
+                (2, ['slow','table','scan','customer'])) AS t(query_id, terms)),
+      sps AS (SELECT q.query_id, d.doc_id, d.toks, q.terms,
+                unnest(range(1, greatest(len(d.toks) - 8 + 1, 1) + 1)) AS j
+              FROM tk d, spq q),
+      spc AS (SELECT query_id, doc_id, CAST(j AS INT) AS j,
+                CAST(len(list_filter(terms, t ->
+                  list_contains(list_slice(toks, CAST(j AS INT),
+                    CAST(j AS INT)+7), t))) AS INT) AS cnt,
+                array_to_string(list_slice(toks, CAST(j AS INT),
+                  CAST(j AS INT)+7), ' ') AS snip
+              FROM sps),
+      spr AS (SELECT *, row_number() OVER (PARTITION BY query_id, doc_id
+                ORDER BY cnt DESC, j ASC) AS rk FROM spc)
+      SELECT query_id, doc_id, j - 1 AS start, cnt AS n_terms,
+        snip AS snippet
+      FROM spr WHERE rk = 1 AND cnt > 0 ORDER BY query_id, doc_id""",
 
     // Exact-phrase search: per doc, the 1-based start positions where
     // every phrase token matches consecutively (overlaps count), off

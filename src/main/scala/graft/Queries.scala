@@ -1766,6 +1766,34 @@ object Queries {
         Seq(0 -> "table scan", 1 -> "fast hash join", 2 -> "table table"))
       .orderBy("query_id", "doc_id")
 
+  /** m114 — phrase-constrained BM25
+    * ([[operators.Retrieval.bm25PhraseTopK]]): the "phrase query" of a
+    * search engine — candidates must contain the EXACT phrase (m111
+    * semantics), ranked by m49's scoring dag with FULL-corpus
+    * statistics, ranks re-numbered densely within the constrained set.
+    * The oracle composes the two pinned CTE chains (brk ⋈ phrase
+    * matches) and re-windows — a constraint applied after the cut, or
+    * subset-local stats, land as a hash mismatch. */
+  def m114Bm25Phrase(s: SparkSession, dir: String): DataFrame =
+    operators.Retrieval.bm25PhraseTopK(t(s, dir, "documents"),
+        Seq(0 -> "table scan", 1 -> "fast hash join"), k = 10)
+      .orderBy("query_id", "rank")
+
+  /** m115 — best-snippet extraction
+    * ([[operators.Retrieval.bestSnippets]]): per (query, doc), the
+    * 8-token window with the most DISTINCT query terms, ties leftmost —
+    * the highlighting/context-packing verb next to the ranking. The
+    * oracle enumerates every window start per doc and replays the
+    * (count DESC, start ASC) argmax plus the space-joined window text,
+    * so an off-by-one in the two-pointer walk, a tie-order drift, or a
+    * wrong window clamp at doc end lands as a hash mismatch. */
+  def m115Snippets(s: SparkSession, dir: String): DataFrame =
+    operators.Retrieval.bestSnippets(t(s, dir, "documents"),
+        Seq(0 -> "fast hash join", 1 -> "window agg stream",
+          2 -> "slow table scan customer"),
+        width = 8)
+      .orderBy("query_id", "doc_id")
+
   /** m50 — fixed-point PageRank over the near-dup similarity graph
     * ([[operators.Graph.pageRank]] over [[operators.Dedup.minhashPairs]]
     * at 0.5, both directions): rank concentration exposes template hubs

@@ -206,6 +206,8 @@ object SparkEntry {
     "m111_phrase_search" -> Queries.m111PhraseSearch,
     "m112_kcore" -> Queries.m112KCore,
     "m113_store_delete" -> Queries.m113StoreDelete,
+    "m114_bm25_phrase" -> Queries.m114Bm25Phrase,
+    "m115_snippets" -> Queries.m115Snippets,
     "q52_gap_fill" -> Queries.q52GapFill,
     "mm05_audio_fingerprint" -> Queries.mm05AudioFingerprint,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns

@@ -26,6 +26,12 @@ final case class Bm25Posting(term: String, tf: Int, dl: Int)
   * TOP-LEVEL for the encoder rule. */
 final case class PhraseHit(query_id: Int, n_matches: Int, first_pos: Int)
 
+/** One query's best snippet window in one doc
+  * ([[Retrieval.bestSnippets]]): 0-based start, distinct query terms
+  * inside, and the window text. TOP-LEVEL for the encoder rule. */
+final case class SnippetHit(query_id: Int, start: Int, n_terms: Int,
+  snippet: String)
+
 /**
  * Lexical retrieval over the corpus — BM25 (Robertson–Spärck Jones /
  * Okapi, the Lucene-style always-positive idf variant): score docs for a
@@ -55,7 +61,8 @@ object Retrieval {
 
   def bm25TopK(docs: DataFrame, queries: Seq[(Int, String)], k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      constraint: Option[DataFrame] = None): DataFrame = {
     require(queries.nonEmpty, "bm25TopK: no queries")
     require(k > 0, s"bm25TopK: k=$k must be positive")
     val s = docs.sparkSession
@@ -128,7 +135,11 @@ object Retrieval {
       .join(broadcast(termMeta), col("h.t") === termMeta("t"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(contrib).as("score"))
-    cutAndRank(scores, k)
+    constraint match {
+      case Some(keys) => cutAndRank(
+        scores.join(broadcast(keys), Seq("query_id", "doc_id")), k)
+      case None => cutAndRank(scores, k)
+    }
   }
 
   /** The BM25 per-(query, doc, term) contribution — ONE expression dag
@@ -840,6 +851,33 @@ object Retrieval {
   }
 
   /**
+   * Phrase-constrained ranked retrieval — the composition search engines
+   * call "phrase query": candidates must contain the EXACT phrase
+   * ([[phraseSearch]] semantics), ranking is BM25 over the phrase's
+   * terms with FULL-CORPUS statistics (df/N/avgdl are corpus properties;
+   * restricting them to the matching subset would make a doc's score
+   * depend on the other matches — not what a phrase filter means).
+   * Ranks are re-numbered densely within the constrained set.
+   *
+   * Scale shape: both legs are the narrow kernels they already are; the
+   * constraint is a broadcast-able semi-join of (query_id, doc_id)
+   * match keys into the scored frame, and the final window runs on the
+   * constrained candidates only.
+   */
+  def bm25PhraseTopK(docs: DataFrame, phrases: Seq[(Int, String)],
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val matches = phraseSearch(docs, phrases, idCol, textCol)
+      .select(col("query_id"), col("doc_id"))
+    // the constraint lands on the SCORED frame before any cut — the
+    // per-partition heaps and the rank window then see only matching
+    // candidates, so "top-k of the phrase-filtered set" is exact (a
+    // filtered top-k of the unconstrained ranking would not be)
+    bm25TopK(docs, phrases, k, k1, b, idCol, textCol,
+      constraint = Some(matches))
+  }
+
+  /**
    * Exact-phrase search — the retrieval mode BM25's bag-of-words scoring
    * cannot express: a doc matches phrase q only where q's tokens appear
    * CONSECUTIVELY, in order, under the same [[TextSig.normalize]]
@@ -901,5 +939,86 @@ object Retrieval {
       .filter(col("h").isNotNull)
       .select(col("h.query_id"), col("doc_id"),
         col("h.n_matches"), col("h.first_pos"))
+  }
+
+  /**
+   * Best-snippet extraction — the search-result highlighting verb: for
+   * every (query, doc) pair where the doc contains ≥ 1 distinct query
+   * term, the `width`-token window maximizing the DISTINCT query-term
+   * count, ties to the leftmost start. Returns (query_id, doc_id,
+   * start, n_terms, snippet) with 0-based `start` and the window's
+   * tokens space-joined — what a retrieval UI (or an LLM context
+   * packer picking the most query-relevant span per document) consumes
+   * next to [[bm25TopK]]'s ranking.
+   *
+   * Scale shape: NO shuffle — queries broadcast, one compiled
+   * two-pointer sliding-window kernel per (doc, query) in O(len)
+   * amortized, only the hits move. Same explode_outer recipe as
+   * [[phraseSearch]].
+   */
+  def bestSnippets(docs: DataFrame, queries: Seq[(Int, String)],
+      width: Int = 10, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(queries.nonEmpty, "bestSnippets: no queries")
+    require(width >= 1, s"bestSnippets: width=$width must be >= 1")
+    val s = docs.sparkSession
+    val qTerms: Array[(Int, Array[String])] = queries.map { case (qid, q) =>
+      val n = TextSig.normalize(q)
+      require(n.nonEmpty, s"bestSnippets: query $qid is empty after " +
+        "normalization")
+      (qid, n.split(' ').distinct)
+    }.toArray
+    val bc = s.sparkContext.broadcast(qTerms)
+    val w = width
+    val kernel = udf { (t: String) =>
+      val n = TextSig.normalize(t)
+      val toks = if (n.isEmpty) Array.empty[String] else n.split(' ')
+      if (toks.isEmpty) null
+      else {
+        val out = Array.newBuilder[SnippetHit]
+        bc.value.foreach { case (qid, terms) =>
+          // term index per token (−1 = not a query term); terms are few
+          val m = toks.map { tk =>
+            var j = 0; var f = -1
+            while (f < 0 && j < terms.length) {
+              if (terms(j) == tk) f = j; j += 1
+            }
+            f
+          }
+          val counts = new Array[Int](terms.length)
+          var distinct = 0
+          var r = 0
+          while (r < math.min(w, toks.length)) {
+            val x = m(r)
+            if (x >= 0) { if (counts(x) == 0) distinct += 1; counts(x) += 1 }
+            r += 1
+          }
+          var best = distinct; var bestStart = 0
+          var st = 1
+          val last = math.max(0, toks.length - w)
+          while (st <= last) {
+            val o = m(st - 1)
+            if (o >= 0) { counts(o) -= 1; if (counts(o) == 0) distinct -= 1 }
+            val in = st + w - 1
+            if (in < toks.length) {
+              val x = m(in)
+              if (x >= 0) { if (counts(x) == 0) distinct += 1; counts(x) += 1 }
+            }
+            if (distinct > best) { best = distinct; bestStart = st }
+            st += 1
+          }
+          if (best > 0) out += SnippetHit(qid, bestStart, best,
+            toks.slice(bestStart, math.min(bestStart + w, toks.length))
+              .mkString(" "))
+        }
+        val r2 = out.result()
+        if (r2.isEmpty) null else r2
+      }
+    }
+    docs.select(col(idCol).as("doc_id"),
+        explode_outer(kernel(col(textCol))).as("h"))
+      .filter(col("h").isNotNull)
+      .select(col("h.query_id"), col("doc_id"), col("h.start"),
+        col("h.n_terms"), col("h.snippet"))
   }
 }

@@ -338,6 +338,56 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25PhraseTopK: constraint before the cut (a phrase doc outside " +
+      "the unconstrained top-k still ranks), scores equal the plain " +
+      "ranking's, ranks dense") {
+    val phrases = Seq(0 -> "table scan")
+    val full = Retrieval.bm25TopK(docs, phrases, k = 1 << 20)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    val matched = Retrieval.phraseSearch(docs, phrases)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(matched.nonEmpty)
+    val got = Retrieval.bm25PhraseTopK(docs, phrases, k = 1 << 20)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // exactly the matching docs, dense ranks, scores from the full stats
+    assert(got.map(_._1).toSet === matched)
+    assert(got.map(_._3).toSeq === (1 to matched.size))
+    got.foreach { case (id, sc, _) => assert(sc === full(id)) }
+    // the constrained order is the full ranking restricted to matches
+    val expectOrder = full.toSeq.filter(t => matched(t._1))
+      .sortBy { case (id, sc) => (-sc, id) }.map(_._1)
+    assert(got.map(_._1).toSeq === expectOrder)
+  }
+
+  test("bestSnippets: picks the densest window, ties leftmost, clamps " +
+      "at doc end, distinct terms counted once") {
+    import spark.implicits._
+    val d = Seq(
+      // terms scattered early, dense cluster later: window must find it
+      (1L, "fast x x x x x x x x x x x fast hash join y"),
+      (2L, "hash hash hash hash"), // repeats count once
+      (3L, "nothing relevant here"),
+      (4L, "join end")             // doc shorter than width
+    ).toDF("doc_id", "text")
+    val got = Retrieval.bestSnippets(d, Seq(0 -> "fast hash join"),
+        width = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getString(4))).toSet
+    // leftmost 3-term window is start 11 ("x fast hash join"), not the
+    // visually-neater start 12 — ties break leftmost
+    assert(got === Set(
+      (0, 1L, 11, 3, "x fast hash join"),
+      (0, 2L, 0, 1, "hash hash hash hash"),
+      (0, 4L, 0, 1, "join end")))
+    intercept[IllegalArgumentException] {
+      Retrieval.bestSnippets(d, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.bestSnippets(d, Seq(0 -> "a"), width = 0)
+    }
+  }
+
   test("bm25TopK rejects empty inputs") {
     intercept[IllegalArgumentException] {
       Retrieval.bm25TopK(docs, Seq.empty, k = 5)
