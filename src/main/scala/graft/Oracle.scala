@@ -1693,6 +1693,39 @@ object Oracle {
       FROM kce6 GROUP BY src ORDER BY doc_id"""
     },
 
+    // Full coreness: 8 escalating peel levels (each from the previous
+    // core's edges), 8 MATERIALIZED rounds per level (over-provisioned;
+    // post-fixpoint rounds are no-ops), coreness = a vertex's max
+    // surviving level. The engine's strict mode guarantees the 8-core
+    // is empty, so the truncation never binds.
+    "m116_coreness" -> {
+      def lvl(k: Int): String = {
+        def peel(prevE: String, r: Int) = s"""
+      cns${k}_$r AS MATERIALIZED (
+        SELECT src FROM $prevE GROUP BY src HAVING COUNT(*) >= $k),
+      cne${k}_$r AS MATERIALIZED (SELECT e.src, e.dst FROM $prevE e
+                JOIN cns${k}_$r x ON e.src = x.src
+                JOIN cns${k}_$r y ON e.dst = y.src)"""
+        (1 to 8).map(r =>
+          peel(if (r == 1) { if (k == 1) "cne0" else s"cne${k - 1}_8" }
+               else s"cne${k}_${r - 1}", r)).mkString(",")
+      }
+      s"""
+      WITH $CharShingleCtes,
+      cnp AS (SELECT a.doc_id AS pa, b.doc_id AS pb
+              FROM sh a, sh b WHERE a.doc_id < b.doc_id
+                AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / (len(a.s)+len(b.s)-len(list_intersect(a.s, b.s))) >= 0.5),
+      cne0 AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM cnp
+               UNION ALL SELECT pb, pa FROM cnp),
+      ${(1 to 8).map(lvl).mkString(",")}
+      SELECT doc_id, MAX(k) AS coreness FROM (
+        ${(1 to 8).map(k =>
+          s"SELECT DISTINCT src AS doc_id, $k AS k FROM cne${k}_8")
+          .mkString(" UNION ALL ")})
+      GROUP BY doc_id ORDER BY doc_id"""
+    },
+
     // Label propagation unrolled round for round over the exact pair
     // set: per round, each vertex with neighbors takes the (max count,
     // min label) argmax of its neighbors' previous labels.

@@ -1827,6 +1827,16 @@ object Queries {
     operators.Graph.kCore(pairs05(s, dir), k = 2)
       .orderBy("doc_id")
 
+  /** m116 — full coreness decomposition ([[operators.Graph.coreness]]):
+    * every connected doc's CORE NUMBER over the m01 similarity graph —
+    * the density hierarchy m112's single fixed-k cut samples one level
+    * of. Escalating peels, each from the previous core's edges; strict
+    * mode pins that kMax=8 truly empties, so the oracle's unrolled
+    * replay (8 peel levels × 8 rounds, survivors' max k) is exact. */
+  def m116Coreness(s: SparkSession, dir: String): DataFrame =
+    operators.Graph.coreness(pairs05(s, dir), kMax = 8)
+      .orderBy("doc_id")
+
   /** m51 — Z-order layout statistics ([[operators.Layout.zFileStats]]):
     * lineitem clustered on the Morton interleave of (l_partkey,
     * l_suppkey) and cut into 8192-row target files; the output is each

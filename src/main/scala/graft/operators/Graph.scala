@@ -286,6 +286,88 @@ object Graph {
     out
   }
 
+  /**
+   * Full coreness decomposition — each vertex's CORE NUMBER, the max k
+   * for which it survives [[kCore]] peeling: the graph's density
+   * hierarchy in one table (coreness 1 = incidental pairs, higher =
+   * progressively tighter template families), where a single fixed-k
+   * cut only gives one level. Computed by escalating peels, each
+   * starting from the PREVIOUS core's edges (the (k+1)-core is a
+   * subgraph of the k-core, so every level peels an already-shrunken
+   * graph — total cost tracks the shrinking frontier, not k × graph):
+   * vertices dropped by the k-peel have coreness k−1; vertices
+   * surviving the `kMax` peel are REPORTED at kMax, which equals their
+   * true coreness only if the kMax-core is empty — `strict = true`
+   * (default) aborts when it is not, `strict = false` returns the
+   * truncated hierarchy with a WARN.
+   *
+   * Isolated vertices never appear in `pairs` and so are absent here
+   * (coreness 0 by definition); join against the corpus for the full
+   * table, like [[degreeHistogram]] does.
+   *
+   * @return (doc_id, coreness ≥ 1) for every vertex with an edge
+   */
+  def coreness(pairs: DataFrame, kMax: Int = 16, maxIter: Int = 30,
+      strict: Boolean = true, aCol: String = "doc_id_a",
+      bCol: String = "doc_id_b"): DataFrame = {
+    require(kMax >= 1 && kMax <= 64, s"coreness: kMax=$kMax out of [1,64]")
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val und = pairs.select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    var edges = und.unionByName(
+        und.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .transform(graft.core.Blocks.pin)
+    var out = Seq.empty[(Long, Int)].toDF("doc_id", "coreness")
+      .transform(graft.core.Blocks.pin)
+    var k = 1
+    var empty = false
+    while (k <= kMax && !empty) {
+      val core = kCore(
+        edges.select(col("src").as(aCol), col("dst").as(bCol)),
+        k, maxIter, strict)
+        .transform(graft.core.Blocks.pin)
+      // dropped by THIS peel → coreness k−1 (only k ≥ 2 can drop
+      // vertices that had edges; the k=1 peel drops nobody with an edge)
+      val dropped = edges.select(col("src").as("doc_id")).distinct()
+        .join(core.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit(k - 1).as("coreness"))
+      val nextOut = out.unionByName(dropped)
+        .transform(graft.core.Blocks.pin)
+      graft.core.Blocks.release(out)
+      out = nextOut
+      val nextEdges = edges
+        .join(core.select(col("doc_id").as("src")), Seq("src"))
+        .join(core.select(col("doc_id").as("dst")), Seq("dst"))
+        .select("src", "dst")
+        .transform(graft.core.Blocks.pin)
+      graft.core.Blocks.release(core)
+      graft.core.Blocks.release(edges)
+      edges = nextEdges
+      empty = edges.limit(1).count() == 0L
+      k += 1
+    }
+    if (!empty) {
+      val msg = s"coreness: the $kMax-core is non-empty — vertices in it " +
+        "are reported AT kMax, below their true coreness; raise kMax"
+      if (strict) {
+        graft.core.Blocks.release(edges)
+        graft.core.Blocks.release(out)
+        throw new IllegalStateException(msg)
+      }
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    }
+    val survivors = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), lit(math.min(k, kMax)).as("coreness"))
+    val result = out.unionByName(survivors)
+      .transform(graft.core.Blocks.pin)
+    graft.core.Blocks.release(edges)
+    graft.core.Blocks.release(out)
+    result
+  }
+
   /** Degree distribution of an undirected pair graph over an explicit
     * vertex set — the similarity graph's shape table (how large dup
     * neighborhoods get; the hot-bucket ceiling and salting decisions

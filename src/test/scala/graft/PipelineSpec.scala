@@ -1055,6 +1055,32 @@ class PipelineSpec extends AnyFunSuite {
       "a reused batchId after rebuild must not replay as a no-op")
   }
 
+  test("coreness: hierarchy exact on a crafted graph, truncation is " +
+      "loud in strict mode, relaxed reports AT kMax") {
+    import spark.implicits._
+    // K4 {1,2,3,4} (coreness 3) + triangle {4,5,6} (5,6 → 2) + tail 6-7
+    // (7 → 1) + star 8-{9,10} (all → 1)
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+        (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L),
+        (8L, 9L), (8L, 10L))
+      .toDF("doc_id_a", "doc_id_b")
+    val got = Graph.coreness(pairs, kMax = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got === Map(1L -> 3, 2L -> 3, 3L -> 3, 4L -> 3, 5L -> 2,
+      6L -> 2, 7L -> 1, 8L -> 1, 9L -> 1, 10L -> 1))
+    // invariance
+    assert(Graph.coreness(pairs.repartition(5), kMax = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap === got)
+    // kMax below the max core: strict aborts, relaxed truncates AT kMax
+    val boom = intercept[IllegalStateException] {
+      Graph.coreness(pairs, kMax = 2)
+    }
+    assert(boom.getMessage.contains("non-empty"))
+    val relaxed = Graph.coreness(pairs, kMax = 2, strict = false)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(relaxed(1L) === 2 && relaxed(7L) === 1 && relaxed(5L) === 2)
+  }
+
   test("ivfCompactIfNeeded: below-threshold no-op, above-threshold run " +
       "clears the tombstones") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
