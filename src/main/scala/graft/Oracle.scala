@@ -2531,6 +2531,23 @@ object Oracle {
       SELECT node AS doc_id, MIN(r) AS component
       FROM reach GROUP BY node ORDER BY doc_id""",
 
+    // m117: the incremental union-find store must reproduce m11's
+    // one-shot closure EXACTLY after batched merges — same reachability
+    // oracle, verbatim.
+    "m117_incremental_cc" -> s"""
+      WITH RECURSIVE $CharShingleCtes,
+      p AS (SELECT a.doc_id AS da, b.doc_id AS db
+            FROM sh a, sh b WHERE a.doc_id < b.doc_id
+              AND CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+                  / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5),
+      e AS (SELECT da AS u, db AS v FROM p UNION SELECT db, da FROM p),
+      reach(node, r) AS (
+        SELECT u, u FROM e
+        UNION
+        SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.node)
+      SELECT node AS doc_id, MIN(r) AS component
+      FROM reach GROUP BY node ORDER BY doc_id""",
+
     // IVF geometry: the only aux is the 16 k-means centers (parameters of
     // the index, constant-sized — spark.ml seeded k-means is not
     // re-derivable in SQL). Cell and probe ASSIGNMENTS are re-derived

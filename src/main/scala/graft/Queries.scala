@@ -1827,6 +1827,38 @@ object Queries {
     operators.Graph.kCore(pairs05(s, dir), k = 2)
       .orderBy("doc_id")
 
+  /** One incremental-CC store per (JVM, sf dir) for m117: the m01 pair
+    * set split into two merge batches by (a + b) parity, then
+    * flattened. */
+  private val ccStoreDirs = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** m117 — incremental connected components
+    * ([[operators.Graph.ccMerge]] / `ccFlatten` / `ccLabels`): the
+    * durable union-find forest that keeps component labels for a
+    * GROWING dup graph without re-running closure over history — the
+    * incremental complement of m11, whose oracle (component = min
+    * reachable id) it must reproduce exactly after batched merges in
+    * either split order. Root chases ride partition-pruned parent
+    * reads; merges are monotone (parents only decrease), which IS the
+    * crash contract. */
+  def m117IncrementalCC(s: SparkSession, dir: String): DataFrame = {
+    val store = ccStoreDirs.getOrElseUpdate(dir, {
+      val full = new java.io.File(dir).getAbsolutePath
+      val d = s"target/cc-store/${new java.io.File(dir).getName}-" +
+        f"${graft.core.TextSig.mix64(full.hashCode.toLong) & 0xffffffffL}%08x"
+      val pairs = pairs05(s, dir)
+      operators.Graph.ccMerge(pairs.filter(
+        pmod(col("doc_id_a") + col("doc_id_b"), lit(2)) === 0), d)
+      operators.Graph.ccMerge(pairs.filter(
+        pmod(col("doc_id_a") + col("doc_id_b"), lit(2)) === 1), d)
+      operators.Graph.ccFlatten(s, d)
+      d
+    })
+    operators.Graph.ccLabels(s, store)
+      .select(col("id").as("doc_id"), col("label").as("component"))
+      .orderBy("doc_id")
+  }
+
   /** m116 — full coreness decomposition ([[operators.Graph.coreness]]):
     * every connected doc's CORE NUMBER over the m01 similarity graph —
     * the density hierarchy m112's single fixed-k cut samples one level

@@ -209,6 +209,7 @@ object SparkEntry {
     "m114_bm25_phrase" -> Queries.m114Bm25Phrase,
     "m115_snippets" -> Queries.m115Snippets,
     "m116_coreness" -> Queries.m116Coreness,
+    "m117_incremental_cc" -> Queries.m117IncrementalCC,
     "q52_gap_fill" -> Queries.q52GapFill,
     "mm05_audio_fingerprint" -> Queries.mm05AudioFingerprint,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns

@@ -368,6 +368,203 @@ object Graph {
     result
   }
 
+  // ---------------------------------------------------------------------
+  // Incremental connected components: a durable union-find forest.
+  // Layout: `<dir>` parquet (id, parent) partitioned by
+  // ip = pmod(xxhash64(id), P) (Int partition values — the pruning
+  // rule), P pinned in `<dir>.params`. parent values only ever DECREASE
+  // (union-by-min), which is the whole crash story: any prefix of a
+  // merge's partition rewrites is a valid forest with fewer unions
+  // applied, a blind retry re-applies the rest and converges, and a
+  // replayed batch computes empty updates — no staging, markers or
+  // rollback needed. Single-writer, like every store here.
+  // ---------------------------------------------------------------------
+
+  /**
+   * Merge a batch of undirected pairs into the durable component forest
+   * — the incremental complement of `Dedup.connectedComponents`: a
+   * growing dup graph (each crawl snapshot adds pairs) keeps its
+   * component labels WITHOUT re-running closure over history. Per-batch
+   * cost tracks the batch: batch-local components are one bounded CC
+   * run; each member's current root is found by an iterative chase of
+   * partition-PRUNED parent reads (depth bounded by chain length —
+   * [[ccFlatten]] is the compaction that keeps it short); the updates
+   * are O(roots + new ids) rows upserted into their pruned partitions.
+   * Nothing store-sized is read or written.
+   */
+  def ccMerge(pairs: DataFrame, dir: String, aCol: String = "doc_id_a",
+      bCol: String = "doc_id_b"): Unit = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = spark.conf.get("graft.graph.ccStorePartitions", "256").toInt
+    def glob(pat: String) = Option(fs.globStatus(
+      new org.apache.hadoop.fs.Path(pat))).getOrElse(Array.empty)
+    val storeExists = glob(dir + "/ip=*/*.parquet").nonEmpty
+    graft.core.ParamsPin.pin(fs,
+      new org.apache.hadoop.fs.Path(dir + ".params"), s"P=$p,v=1",
+      s"cc store $dir (graft.graph.ccStorePartitions)",
+      storeHasData = storeExists)
+    val ipOf = (c: org.apache.spark.sql.Column) =>
+      pmod(xxhash64(c), lit(p.toLong)).cast("int")
+
+    // batch-local components (pointer-doubled, exact)
+    val local = Dedup.connectedComponents(pairs, aCol, bCol)
+      .select(col("id").cast("long").as("id"),
+        col("component").cast("long").as("lmin"))
+      .transform(graft.core.Blocks.pin)
+    // current ROOT of every batch id: iterative chase over pruned reads
+    // (an id without a store row is its own root — coalesce)
+    var frontierPin = local.select(col("id"), col("id").as("cur"))
+      .transform(graft.core.Blocks.pin)
+    var frontier = frontierPin
+    if (storeExists) {
+      var done = false; var rounds = 0
+      while (!done && rounds < 64) {
+        val ipSet = frontier.select(ipOf(col("cur")).as("ip"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val par = spark.read.parquet(dir).filter(col("ip").isin(ipSet: _*))
+          .select(col("id").as("cur"), col("parent"))
+        val stepped = frontier.join(par, Seq("cur"), "left")
+          .select(col("id"), coalesce(col("parent"), col("cur")).as("nxt"),
+            col("cur").as("prev"))
+          .transform(graft.core.Blocks.pin)
+        done = stepped.filter(col("nxt") =!= col("prev"))
+          .limit(1).count() == 0L
+        // release the previous PINNED handle (releasing a derived
+        // projection would not reach its blocks), then derive the next
+        // frontier off the new pin
+        graft.core.Blocks.release(frontierPin)
+        frontierPin = stepped
+        frontier = stepped.select(col("id"), col("nxt").as("cur"))
+        rounds += 1
+      }
+      require(done,
+        "ccMerge: root chase exceeded 64 rounds — run ccFlatten first")
+    }
+    val roots = local
+      .join(frontier.select(col("id"), col("cur").as("root")), "id")
+      .transform(graft.core.Blocks.pin)
+    // merged root per batch component = min over members' roots — but
+    // two batch components can SHARE a pre-existing root (both were
+    // merged into the same store component earlier), which chains their
+    // merges transitively: the root-level merge is itself a closure
+    // problem, run on the ROOT GRAPH (tiny — bounded by the batch's
+    // distinct roots), never on members.
+    val comp0 = roots.groupBy("lmin").agg(min(col("root")).as("newRoot"))
+    val rootEdges = roots.join(comp0, "lmin")
+      .select(col("root").as("a"), col("newRoot").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .transform(graft.core.Blocks.pin)
+    val haveRootEdges = rootEdges.limit(1).count() > 0L
+    val rootCC =
+      if (haveRootEdges)
+        Dedup.connectedComponents(rootEdges, "a", "b")
+          .select(col("id").cast("long").as("r"),
+            col("component").cast("long").as("fin"))
+          .transform(graft.core.Blocks.pin)
+      else rootEdges.limit(0).select(col("a").as("r"), col("b").as("fin"))
+    val comp = comp0
+      .join(rootCC.select(col("r").as("newRoot"), col("fin")),
+        Seq("newRoot"), "left")
+      .select(col("lmin"),
+        coalesce(col("fin"), col("newRoot")).as("newRoot"))
+    val updRoots = rootCC
+      .select(col("r").as("uid"), col("fin").as("newRoot"))
+      .filter(col("uid") =!= col("newRoot")).distinct()
+    val newIds = {
+      val candidates = roots.join(comp, "lmin")
+        .select(col("id").as("uid"), col("newRoot"))
+      if (!storeExists) candidates
+      else {
+        val ipSet = local.select(ipOf(col("id")).as("ip"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val present = spark.read.parquet(dir)
+          .filter(col("ip").isin(ipSet: _*)).select(col("id").as("uid"))
+        candidates.join(present, Seq("uid"), "left_anti")
+      }
+    }
+    val updates = updRoots.unionByName(newIds).distinct()
+      .select(col("uid").as("id"), col("newRoot").as("parent"))
+      .withColumn("ip", ipOf(col("id")))
+      .transform(graft.core.Blocks.pin)
+    val ipTouched = updates.select("ip").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (ipTouched.nonEmpty) {
+      val existing =
+        if (!storeExists)
+          updates.limit(0).select(col("id"), col("parent"), col("ip"))
+        else spark.read.parquet(dir).filter(col("ip").isin(ipTouched: _*))
+          .join(updates.select("id"), Seq("id"), "left_anti")
+          .select(col("id"), col("parent"), col("ip"))
+      val merged = existing
+        .unionByName(updates.select(col("id"), col("parent"), col("ip")))
+        .repartition(col("ip"))
+        .transform(graft.core.Blocks.pin) // plan must not read what it overwrites
+      merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ip").parquet(dir)
+      graft.core.Blocks.release(merged)
+    }
+    Seq(local, frontierPin, roots, updates, rootEdges)
+      .foreach(graft.core.Blocks.release)
+    if (haveRootEdges) graft.core.Blocks.release(rootCC)
+  }
+
+  /** Fully-resolved labels off the forest: (id, component) with
+    * component = the root (the component's min id once all its merges
+    * are in). Pointer doubling over the whole table, O(log depth)
+    * rounds — read-only; [[ccFlatten]] persists the result. */
+  def ccLabels(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    var labPin = spark.read.parquet(dir)
+      .select(col("id"), col("parent").as("label"))
+      .transform(graft.core.Blocks.pin)
+    var lab = labPin
+    var done = false; var rounds = 0
+    while (!done && rounds < 64) {
+      val next = lab.as("x")
+        .join(lab.select(col("id").as("label"), col("label").as("g")).as("y"),
+          Seq("label"), "left")
+        .select(col("id"), coalesce(col("g"), col("label")).as("label"),
+          col("label").as("prev"))
+        .transform(graft.core.Blocks.pin)
+      done = next.filter(col("label") =!= col("prev")).limit(1).count() == 0L
+      graft.core.Blocks.release(labPin)
+      labPin = next
+      lab = next.select(col("id"), col("label"))
+      rounds += 1
+    }
+    require(done, "ccLabels: resolve exceeded 64 doubling rounds")
+    lab
+  }
+
+  /** Compaction: rewrite the forest to depth ≤ 1 (every parent = its
+    * component root) so [[ccMerge]]'s root chase is O(1) reads again.
+    * Full-table rewrite — the periodic maintenance verb, like the index
+    * compactions. */
+  def ccFlatten(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val p = spark.conf.get("graft.graph.ccStorePartitions", "256").toInt
+    // the rewrite re-derives ip — refuse a P drift before any byte moves
+    graft.core.ParamsPin.pin(
+      new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(dir + ".params"), s"P=$p,v=1",
+      s"cc store $dir (graft.graph.ccStorePartitions)",
+      storeHasData = true)
+    val flat = ccLabels(spark, dir)
+      .select(col("id"), col("label").as("parent"),
+        pmod(xxhash64(col("id")), lit(p.toLong)).cast("int").as("ip"))
+      .repartition(col("ip"))
+      .transform(graft.core.Blocks.pin)
+    flat.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ip").parquet(dir)
+    graft.core.Blocks.release(flat)
+  }
+
   /** Degree distribution of an undirected pair graph over an explicit
     * vertex set — the similarity graph's shape table (how large dup
     * neighborhoods get; the hot-bucket ceiling and salting decisions

@@ -163,4 +163,44 @@ class GraphSpec extends AnyFunSuite {
     assert(run(v) == Seq((0L, 1L), (1L, 2L), (2L, 1L)))
     assert(run(v.repartition(3)) == Seq((0L, 1L), (1L, 2L), (2L, 1L)))
   }
+
+  test("incremental CC store: batched merges equal one-shot components, " +
+      "cross-batch bridges merge transitively (shared-root closure), " +
+      "replay is a no-op, flatten keeps labels and cuts chase depth") {
+    val dir = java.nio.file.Files.createTempDirectory("cc-store")
+      .toString + "/cc"
+    def labels() = Graph.ccLabels(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // batch 1: two separate components {1,2} and {5,6}, plus {8,9}
+    Graph.ccMerge(Seq((1L, 2L), (5L, 6L), (8L, 9L)).toDF("doc_id_a", "doc_id_b"), dir)
+    assert(labels() === Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L,
+      8L -> 8L, 9L -> 8L))
+    // batch 2: one new pair BRIDGES {1,2}·{5,6} through new vertex 7,
+    // and a second pair bridges {8,9} into the same batch component —
+    // the root closure must chain roots 1, 5 and 8 transitively
+    Graph.ccMerge(Seq((2L, 7L), (7L, 6L), (7L, 9L)).toDF("doc_id_a", "doc_id_b"), dir)
+    val all1 = labels()
+    assert(all1 === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L,
+      7L -> 1L, 8L -> 1L, 9L -> 1L))
+    // replayed batch: identical state (updates compute empty)
+    Graph.ccMerge(Seq((2L, 7L), (7L, 6L), (7L, 9L)).toDF("doc_id_a", "doc_id_b"), dir)
+    assert(labels() === all1)
+    // one-shot reference over the union of batches
+    val oneShot = graft.operators.Dedup.connectedComponents(
+        Seq((1L, 2L), (5L, 6L), (8L, 9L), (2L, 7L), (7L, 6L), (7L, 9L))
+          .toDF("doc_id_a", "doc_id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(all1 === oneShot)
+    // flatten: labels unchanged, every parent = root (depth <= 1)
+    Graph.ccFlatten(spark, dir)
+    assert(labels() === all1)
+    val rows = spark.read.parquet(dir).select("id", "parent").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    rows.foreach { case (_, par) => assert(rows.getOrElse(par, par) === par,
+      s"parent $par is not a root after flatten") }
+    // disjoint later batch stays separate
+    Graph.ccMerge(Seq((20L, 21L)).toDF("doc_id_a", "doc_id_b"), dir)
+    assert(labels()(20L) === 20L && labels()(21L) === 20L &&
+      labels()(1L) === 1L)
+  }
 }
