@@ -1693,6 +1693,39 @@ object Oracle {
       FROM kce6 GROUP BY src ORDER BY doc_id"""
     },
 
+    // Link prediction from the exact pair set: wedge join through each
+    // center w (u < v), already-adjacent pairs dropped via left join,
+    // RA as the order-free integer sum Σ (2^20 // deg_w), Jaccard in
+    // basis points — every output integer, so the hash is exact.
+    "m118_link_prediction" -> s"""
+      WITH lpp AS MATERIALIZED (SELECT DISTINCT x.l_partkey AS a,
+                y.l_partkey AS b
+              FROM lineitem x JOIN lineitem y
+                ON x.l_orderkey = y.l_orderkey
+               AND x.l_partkey < y.l_partkey
+              WHERE x.l_partkey < 200 AND y.l_partkey < 200),
+      lpu AS MATERIALIZED (SELECT a AS src, b AS dst FROM lpp
+              UNION ALL SELECT b, a FROM lpp),
+      lpd AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM lpu GROUP BY src),
+      lpc AS (SELECT e1.dst AS doc_id_a, e2.dst AS doc_id_b,
+                COUNT(*) AS common_neighbors,
+                CAST(SUM(1048576 // d.deg) AS BIGINT) AS ra_scaled
+              FROM lpu e1 JOIN lpu e2
+                ON e1.src = e2.src AND e1.dst < e2.dst
+              JOIN lpd d ON e1.src = d.src
+              GROUP BY e1.dst, e2.dst),
+      lpn AS (SELECT c.* FROM lpc c LEFT JOIN lpp p
+                ON c.doc_id_a = p.a AND c.doc_id_b = p.b
+              WHERE p.a IS NULL)
+      SELECT n.doc_id_a, n.doc_id_b, n.common_neighbors,
+        da.deg AS deg_a, db.deg AS deg_b,
+        CAST((10000 * n.common_neighbors)
+             // (da.deg + db.deg - n.common_neighbors) AS BIGINT) AS jaccard_bp,
+        n.ra_scaled
+      FROM lpn n JOIN lpd da ON n.doc_id_a = da.src
+      JOIN lpd db ON n.doc_id_b = db.src
+      ORDER BY doc_id_a, doc_id_b""",
+
     // Full coreness: 8 escalating peel levels (each from the previous
     // core's edges), 8 MATERIALIZED rounds per level (over-provisioned;
     // post-fixpoint rounds are no-ops), coreness = a vertex's max
@@ -1780,6 +1813,55 @@ object Oracle {
         MIN(l_partkey) AS min_partkey, MAX(l_partkey) AS max_partkey,
         MIN(l_suppkey) AS min_suppkey, MAX(l_suppkey) AS max_suppkey
       FROM zf GROUP BY file_id ORDER BY file_id""",
+
+    // m120: both layout windows replayed (the z-order one verbatim from
+    // m51), per-file min/max, interval-overlap hit test, exact match
+    // counts — all integer.
+    "m120_prune_report" -> """
+      WITH zpz AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+          least(l_partkey, 2047) AS za, least(l_suppkey, 127) << 4 AS zb
+        FROM lineitem),
+      zpv AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+          CAST(list_sum(list_transform(range(0, 11), i ->
+            (((za >> CAST(i AS INT)) & 1) << CAST(2*i AS INT)) +
+            (((zb >> CAST(i AS INT)) & 1) << CAST(2*i+1 AS INT))))
+            AS BIGINT) AS zval
+        FROM zpz),
+      zpr AS (SELECT *, row_number() OVER (ORDER BY zval, l_orderkey,
+               l_linenumber) AS rn FROM zpv),
+      zpst AS (SELECT 'zorder' AS layout, CAST((rn - 1) // 8192 AS INT) AS file_id,
+          COUNT(*) AS n_rows,
+          MIN(l_partkey) AS min_a, MAX(l_partkey) AS max_a,
+          MIN(l_suppkey) AS min_b, MAX(l_suppkey) AS max_b
+        FROM zpr GROUP BY 1, 2),
+      lnr AS (SELECT l_partkey, l_suppkey, row_number() OVER
+               (ORDER BY l_partkey, l_orderkey, l_linenumber) AS rn
+             FROM lineitem),
+      lnst AS (SELECT 'linear' AS layout, CAST((rn - 1) // 8192 AS INT) AS file_id,
+          COUNT(*) AS n_rows,
+          MIN(l_partkey) AS min_a, MAX(l_partkey) AS max_a,
+          MIN(l_suppkey) AS min_b, MAX(l_suppkey) AS max_b
+        FROM lnr GROUP BY 1, 2),
+      allst AS (SELECT * FROM zpst UNION ALL SELECT * FROM lnst),
+      pboxes(pred_id, lo_a, hi_a, lo_b, hi_b) AS (VALUES
+        (0, 100, 300, 0, 127), (1, 0, 2047, 10, 20), (2, 500, 800, 50, 60)),
+      phits AS (SELECT b.pred_id, s.layout, COUNT(*) AS files_total,
+          CAST(SUM(CASE WHEN s.min_a <= b.hi_a AND s.max_a >= b.lo_a
+               AND s.min_b <= b.hi_b AND s.max_b >= b.lo_b
+               THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
+          CAST(SUM(CASE WHEN s.min_a <= b.hi_a AND s.max_a >= b.lo_a
+               AND s.min_b <= b.hi_b AND s.max_b >= b.lo_b
+               THEN s.n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+        FROM allst s CROSS JOIN pboxes b GROUP BY b.pred_id, s.layout),
+      pmt AS (SELECT b.pred_id, COUNT(*) AS rows_matched
+        FROM lineitem l JOIN pboxes b
+          ON l.l_partkey BETWEEN b.lo_a AND b.hi_a
+         AND l.l_suppkey BETWEEN b.lo_b AND b.hi_b
+        GROUP BY b.pred_id)
+      SELECT h.pred_id, h.layout, h.files_total, h.files_hit,
+        h.rows_scanned, COALESCE(m.rows_matched, 0) AS rows_matched
+      FROM phits h LEFT JOIN pmt m ON h.pred_id = m.pred_id
+      ORDER BY h.pred_id, h.layout""",
 
     // Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
     // key = -ln(((splitmix64(doc_id+7) >> 11) + 1) / 2^53) / n_chars,
@@ -2459,6 +2541,51 @@ object Oracle {
               ORDER BY score DESC, corpus_id ASC) AS INT) AS rank FROM s)
       SELECT query_id, corpus_id, score, rank FROM r WHERE rank <= 5
       ORDER BY query_id, rank""",
+
+    // MMR greedy selection unrolled (the m53 argmax-step pattern):
+    // candidate pool = rounded-cosine top-8 per query, pairwise sims
+    // MATERIALIZED once, each step picks argmax(0.5·rel − 0.5·maxsim)
+    // over the remainder with ties to the smallest id.
+    "m121_mmr_rerank" -> {
+      def step(i: Int) = s"""
+      mrem$i AS (SELECT c.query_id, c.corpus_id, c.rel FROM mcand c
+        LEFT JOIN mall${i - 1} s
+          ON c.query_id = s.query_id AND c.corpus_id = s.corpus_id
+        WHERE s.corpus_id IS NULL),
+      mms$i AS (SELECT r.query_id, r.corpus_id, r.rel, MAX(p.sim) AS msim
+        FROM mrem$i r JOIN mall${i - 1} s ON r.query_id = s.query_id
+        JOIN mpair p ON p.ca = r.corpus_id AND p.cb = s.corpus_id
+        GROUP BY r.query_id, r.corpus_id, r.rel),
+      mpick$i AS (SELECT query_id, corpus_id,
+          round(0.5*rel - 0.5*msim, 6) AS score, $i AS sel_order
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY 0.5*rel - 0.5*msim DESC, corpus_id) AS rn
+              FROM mms$i) WHERE rn = 1),
+      mall$i AS MATERIALIZED (SELECT * FROM mall${i - 1} UNION ALL
+        SELECT query_id, corpus_id, score, sel_order FROM mpick$i)"""
+      s"""
+      WITH mq AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                  FROM embeddings WHERE vec_id < 4),
+      mcs AS (SELECT query_id, e.vec_id AS corpus_id,
+                round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv), 6) AS rel
+              FROM embeddings e, mq WHERE e.vec_id <> query_id),
+      mcand AS MATERIALIZED (SELECT * FROM
+        (SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY rel DESC, corpus_id) AS rk FROM mcs) WHERE rk <= 8),
+      mpair AS MATERIALIZED (SELECT a.vec_id AS ca, b.vec_id AS cb,
+          round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+            CAST(b.embedding AS DOUBLE[])), 6) AS sim
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id IN (SELECT corpus_id FROM mcand)
+          AND b.vec_id IN (SELECT corpus_id FROM mcand)
+          AND a.vec_id <> b.vec_id),
+      mall1 AS MATERIALIZED (SELECT query_id, corpus_id, rel AS score,
+        1 AS sel_order FROM mcand WHERE rk = 1),
+      ${(2 to 4).map(step).mkString(",")}
+      SELECT query_id, corpus_id, CAST(sel_order AS INT) AS sel_order,
+        score AS mmr_score
+      FROM mall4 ORDER BY query_id, sel_order"""
+    },
 
     // Hyperplane-LSH signatures re-derived from the seeded plane formula
     // (planeCtes) — no Spark-produced signature table involved.
@@ -3796,6 +3923,16 @@ object Oracle {
       SELECT o.o_orderpriority, COUNT(*) AS n_rows,
         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderpriority
+      ORDER BY o.o_orderpriority""",
+
+    // m119: the Bloom pre-filter changes only the plan — the oracle is
+    // the plain selective join.
+    "m119_bloom_join" -> """
+      SELECT o.o_orderpriority, COUNT(*) AS n_items,
+        CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_totalprice > 400000.0
       GROUP BY o.o_orderpriority
       ORDER BY o.o_orderpriority""",
 

@@ -1869,6 +1869,57 @@ object Queries {
     operators.Graph.coreness(pairs05(s, dir), kMax = 8)
       .orderBy("doc_id")
 
+  /** m121 — MMR diversified reranking ([[operators.Similarity.mmrTopK]]):
+    * 4 queries, 8-candidate relevance pool, λ=0.5 — greedy
+    * λ·rel − (1−λ)·max-sim-to-selected selection, ties to the smallest
+    * id. The oracle unrolls the greedy steps (the m53 pattern) over the
+    * same rounded-cosine pool. */
+  def m121MmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    operators.Similarity.mmrTopK(emb, emb.filter(col("vec_id") < 4),
+        k = 4, candidates = 8, lambdaBp = 5000)
+      .orderBy("query_id", "sel_order")
+  }
+
+  /** m120 — zone-map pruning report ([[operators.Layout.pruneReport]]):
+    * m51's layout decision turned into the number it is made on — for
+    * three range predicates (partkey-only, suppkey-only, both), the
+    * files and rows a min/max-stats scan touches under a linear
+    * partkey sort vs the z-order curve, next to the exact match count.
+    * The read amplification `rows_scanned/rows_matched` is what a
+    * 100 TB table pays per predicate per layout; the curve's win shows
+    * on the SECOND dimension. The oracle replays both rank windows and
+    * the interval-overlap test; every output is an integer. */
+  def m120PruneReport(s: SparkSession, dir: String): DataFrame =
+    operators.Layout.pruneReport(t(s, dir, "lineitem"),
+        col("l_partkey"), col("l_suppkey"), bitsA = 11, bitsB = 7,
+        rowsPerFile = 8192,
+        tieBreaks = Seq(col("l_orderkey"), col("l_linenumber")),
+        boxes = Seq((100L, 300L, 0L, 127L), (0L, 2047L, 10L, 20L),
+          (500L, 800L, 50L, 60L)))
+      .orderBy("pred_id", "layout")
+
+  /** m118 — link-prediction scores ([[operators.Graph.linkPrediction]]):
+    * for every non-adjacent vertex pair with a common neighbor,
+    * common-neighbor count, neighborhood Jaccard (basis points) and the
+    * resource-allocation index Σ 1/deg as Σ (2^20 div deg) — all
+    * integer-exact. The gate graph is part CO-OCCURRENCE (parts < 200
+    * sharing an order) rather than the m01 dup graph, whose 0.5
+    * clusters are complete cliques with no open wedge to predict; the
+    * oracle re-derives the same graph and replays the wedge join. */
+  def m118LinkPrediction(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_partkey") < 200)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("doc_id_a"),
+        col("y.l_partkey").as("doc_id_b"))
+      .distinct()
+    operators.Graph.linkPrediction(pairs, maxDeg = 256)
+      .orderBy("doc_id_a", "doc_id_b")
+  }
+
   /** m51 — Z-order layout statistics ([[operators.Layout.zFileStats]]):
     * lineitem clustered on the Morton interleave of (l_partkey,
     * l_suppkey) and cut into 8192-row target files; the output is each
@@ -2807,6 +2858,22 @@ object Queries {
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_rows"),
         dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+
+  /** m119 — Bloom semi-join reduction ([[operators.Skew.bloomSemiJoin]]):
+    * lineitem pre-filtered by a 2^16-bit Bloom of the high-value order
+    * keys before the shuffle join — the 100 TB probe-side-exchange
+    * reducer, Spark's runtime bloom rewrite made explicit. The Bloom
+    * only changes the PLAN (false positives die in the exact join), so
+    * the oracle IS the plain join (the m84 convention). */
+  def m119BloomJoin(s: SparkSession, dir: String): DataFrame =
+    operators.Skew.bloomSemiJoin(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+        t(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+        usingKey = "l_orderkey", bits = 1 << 16)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
       .orderBy("o_orderpriority")
 
   /** m83 — token-budget shard planning

@@ -210,6 +210,10 @@ object SparkEntry {
     "m115_snippets" -> Queries.m115Snippets,
     "m116_coreness" -> Queries.m116Coreness,
     "m117_incremental_cc" -> Queries.m117IncrementalCC,
+    "m118_link_prediction" -> Queries.m118LinkPrediction,
+    "m119_bloom_join" -> Queries.m119BloomJoin,
+    "m120_prune_report" -> Queries.m120PruneReport,
+    "m121_mmr_rerank" -> Queries.m121MmrRerank,
     "q52_gap_fill" -> Queries.q52GapFill,
     "mm05_audio_fingerprint" -> Queries.mm05AudioFingerprint,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns

@@ -565,6 +565,77 @@ object Graph {
     graft.core.Blocks.release(flat)
   }
 
+  /**
+   * Link-prediction scores over the near-dup graph — for every
+   * NON-adjacent vertex pair with at least one common neighbor, the
+   * three classical neighborhood scores (Liben-Nowell & Kleinberg 2003):
+   * common-neighbor count, Jaccard of neighborhoods, and the
+   * resource-allocation index Σ_w 1/deg(w) (Zhou et al. 2009 — the
+   * log-free cousin of Adamic–Adar, which this engine prefers because
+   * it stays EXACT in integer arithmetic). On a dup graph these rank
+   * the pairs a similarity threshold *almost* connected — the
+   * borderline candidates a curation reviewer or a transitive-closure
+   * sanity check wants ordered by evidence.
+   *
+   * Determinism/oracle contract: every output is an INTEGER —
+   * `ra_scaled` = Σ_w (scale div deg_w) (order-free, no float sum),
+   * `jaccard_bp` = (10000·cn) div (deg_a + deg_b − cn) — so a SQL
+   * oracle hash-matches bit for bit (the m50 scaled-integer lesson).
+   *
+   * Scale shape: the wedge self-join fans out deg(w)² per center
+   * vertex, so the operator ENFORCES `maxDeg` (the blocking-ceiling
+   * convention): total wedge count ≤ maxDeg·m, one shuffle on the
+   * candidate pair, degrees broadcast-joined. A hub's neighbors carry
+   * almost no RA/Jaccard evidence anyway (weight 1/deg) — at 100 TB
+   * you cap, you don't enumerate a celebrity's neighbor square.
+   *
+   * @return (doc_id_a, doc_id_b, common_neighbors, deg_a, deg_b,
+   *         jaccard_bp, ra_scaled) for non-adjacent pairs, a < b
+   */
+  def linkPrediction(pairs: DataFrame, aCol: String = "doc_id_a",
+      bCol: String = "doc_id_b", maxDeg: Int = 256,
+      scale: Long = 1L << 20): DataFrame = {
+    require(maxDeg >= 2 && maxDeg <= 4096,
+      s"linkPrediction: maxDeg=$maxDeg out of [2,4096]")
+    require(scale >= 1024, s"linkPrediction: scale=$scale too coarse")
+    val canon = pairs.select(
+        least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+      .transform(graft.core.Blocks.pin)
+    val und = canon.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(canon.select(col("b").as("src"), col("a").as("dst")))
+    val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+      .transform(graft.core.Blocks.pin)
+    val hot = deg.filter(col("deg") > maxDeg).count()
+    require(hot == 0L,
+      s"linkPrediction: $hot vertices exceed maxDeg=$maxDeg — raise the " +
+        "ceiling or pre-drop hubs (their 1/deg evidence is negligible)")
+    // wedges through center w, endpoint order u < v; RA weight rides w
+    val ew = und.join(deg, "src")
+    val e1 = ew.select(col("src").as("w"), col("dst").as("u"), col("deg"))
+    val e2 = ew.select(col("src").as("w2"), col("dst").as("v"))
+    val cand = e1.join(e2, col("w") === col("w2") && col("u") < col("v"))
+      .groupBy(col("u").as("doc_id_a"), col("v").as("doc_id_b"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(expr(s"$scale div deg")).as("ra_scaled"))
+    // drop pairs that are already edges; attach endpoint degrees
+    val out = cand.join(canon,
+        cand("doc_id_a") === canon("a") && cand("doc_id_b") === canon("b"),
+        "left_anti")
+      .join(deg.select(col("src").as("doc_id_a"), col("deg").as("deg_a")), "doc_id_a")
+      .join(deg.select(col("src").as("doc_id_b"), col("deg").as("deg_b")), "doc_id_b")
+      .select(col("doc_id_a"), col("doc_id_b"), col("common_neighbors"),
+        col("deg_a"), col("deg_b"),
+        expr("(10000 * common_neighbors) div (deg_a + deg_b - common_neighbors)")
+          .as("jaccard_bp"),
+        col("ra_scaled"))
+    val pinned = out.transform(graft.core.Blocks.pin)
+    graft.core.Blocks.release(canon)
+    graft.core.Blocks.release(deg)
+    pinned
+  }
+
   /** Degree distribution of an undirected pair graph over an explicit
     * vertex set — the similarity graph's shape table (how large dup
     * neighborhoods get; the hot-bucket ceiling and salting decisions

@@ -79,4 +79,69 @@ object Layout {
       .agg(count(lit(1)).as("n_rows"),
         min(a.cast("long")).as("min_a"), max(a.cast("long")).as("max_a"),
         min(b.cast("long")).as("min_b"), max(b.cast("long")).as("max_b"))
+
+  /** Zone-map pruning report — the NUMBER the layout decision is made
+    * on: for each range-box predicate, how many target files (and rows)
+    * a min/max-stats scan must touch under (i) a plain linear sort on
+    * `a` and (ii) the z-order curve, next to the exact match count.
+    * `rows_scanned / rows_matched` is the read amplification a 100 TB
+    * table pays for that predicate under each layout; the z-order win
+    * is `files_hit(linear) − files_hit(zorder)` on second-dimension
+    * predicates. Every output is an integer (file counts, row counts),
+    * so the SQL oracle — which replays both rank windows and the
+    * overlap test — hash-matches exactly.
+    *
+    * Scale shape: file stats are ≤ N/rowsPerFile rows, the box table is
+    * a broadcast literal, and the exact-match pass is one narrow scan
+    * with a map-side cross of ≤ `boxes.size` replicas — nothing
+    * corpus-sized shuffles beyond the two layout sorts themselves.
+    *
+    * @param boxes inclusive (loA, hiA, loB, hiB) range predicates
+    * @return (pred_id, layout, files_total, files_hit, rows_scanned,
+    *         rows_matched) — layout ∈ ('linear', 'zorder')
+    */
+  def pruneReport(df: DataFrame, a: Column, b: Column, bitsA: Int, bitsB: Int,
+      rowsPerFile: Long, tieBreaks: Seq[Column],
+      boxes: Seq[(Long, Long, Long, Long)]): DataFrame = {
+    require(boxes.nonEmpty && boxes.size <= 64,
+      s"pruneReport: ${boxes.size} boxes out of [1,64]")
+    require(tieBreaks.nonEmpty,
+      "pruneReport: tie-break columns required for a total order")
+    val s = df.sparkSession
+    import s.implicits._
+    val boxDf = boxes.zipWithIndex
+      .map { case ((la, ha, lb, hb), i) => (i, la, ha, lb, hb) }
+      .toDF("pred_id", "lo_a", "hi_a", "lo_b", "hi_b")
+    val base = df.withColumn("__a", a.cast("long"))
+      .withColumn("__b", b.cast("long"))
+    def stats(assigned: DataFrame, layout: String): DataFrame = assigned
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("__a")).as("min_a"), max(col("__a")).as("max_a"),
+        min(col("__b")).as("min_b"), max(col("__b")).as("max_b"))
+      .withColumn("layout", lit(layout))
+    val zs = stats(
+      zOrderFiles(base, a, b, bitsA, bitsB, rowsPerFile, tieBreaks), "zorder")
+    val ls = stats(
+      Ranking.globalRank(base, col("__a") +: tieBreaks, rankCol = "__rk")
+        .withColumn("file_id", expr(s"(__rk - 1) div $rowsPerFile").cast("int")),
+      "linear")
+    val hits = zs.unionByName(ls).crossJoin(broadcast(boxDf))
+      .withColumn("hit",
+        (col("min_a") <= col("hi_a") && col("max_a") >= col("lo_a") &&
+         col("min_b") <= col("hi_b") && col("max_b") >= col("lo_b"))
+          .cast("long"))
+      .groupBy("pred_id", "layout")
+      .agg(count(lit(1)).as("files_total"), sum(col("hit")).as("files_hit"),
+        sum(col("n_rows") * col("hit")).as("rows_scanned"))
+    val matched = base.select(col("__a"), col("__b"))
+      .crossJoin(broadcast(boxDf))
+      .filter(col("__a").between(col("lo_a"), col("hi_a")) &&
+        col("__b").between(col("lo_b"), col("hi_b")))
+      .groupBy("pred_id").agg(count(lit(1)).as("rows_matched"))
+    hits.join(matched, Seq("pred_id"), "left")
+      .select(col("pred_id"), col("layout"), col("files_total"),
+        col("files_hit"), col("rows_scanned"),
+        coalesce(col("rows_matched"), lit(0L)).as("rows_matched"))
+  }
 }

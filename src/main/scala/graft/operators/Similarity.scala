@@ -167,6 +167,89 @@ object Similarity {
         round(coalesce(col("h"), lit(0L)).cast("double") / k, 6).as("recall"))
   }
 
+  /**
+   * Maximal-marginal-relevance reranking (Carbonell & Goldstein 1998) —
+   * the diversity step between a similarity ranking and what a training
+   * batch / retrieval context actually wants: greedily pick, from the
+   * top-`candidates` relevance pool, the item maximizing
+   * λ·rel(q,c) − (1−λ)·max_{s∈selected} sim(c,s) — high relevance AND
+   * far from everything already chosen (λ = `lambdaBp`/10000; λ=10000
+   * degenerates to the plain ranking).
+   *
+   * Determinism/oracle contract: rel and sim are the engine's rounded
+   * 6-dp cosines (the m04 parity), the argmax runs on the UNROUNDED
+   * combination with ties to the smallest corpus_id, and only the
+   * reported score is re-rounded — a SQL oracle replays the greedy
+   * steps verbatim (the m53 unrolled-argmax pattern). sel_order 1 IS
+   * the relevance argmax; its score is rel.
+   *
+   * Scale shape: the candidate pool (≤ queries·candidates rows) and its
+   * pairwise sims are the ONLY driver-side state (both ceiling-
+   * enforced); the heavy work — scoring the corpus — stays the
+   * distributed [[bruteForceTopK]], whose plan broadcasts queries and
+   * never shuffles the corpus. The greedy loop is O(q·k·candidates)
+   * driver arithmetic on collected scalars, the bounded-collect class
+   * (m39's GD convention).
+   *
+   * @return (query_id, corpus_id, sel_order, mmr_score)
+   */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, k: Int = 4,
+      candidates: Int = 8, lambdaBp: Int = 5000,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && k <= candidates,
+      s"mmrTopK: k=$k out of [1,candidates=$candidates]")
+    require(candidates <= 64, s"mmrTopK: candidates=$candidates > 64")
+    require(lambdaBp >= 0 && lambdaBp <= 10000,
+      s"mmrTopK: lambdaBp=$lambdaBp out of [0,10000]")
+    val s = corpus.sparkSession
+    val nQ = queries.count()
+    require(nQ >= 1 && nQ <= 256, s"mmrTopK: $nQ queries out of [1,256]")
+    val cand = bruteForceTopK(corpus, queries, candidates, idCol, vecCol)
+      .select("query_id", "corpus_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val candIds = cand.map(_._2).distinct
+    val embMap = corpus
+      .filter(col(idCol).isin(candIds.map(Long.box).toSeq: _*))
+      .select(col(idCol).cast("long"), col(vecCol)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // pairwise candidate sims with the engine kernel → bit-identical to
+    // the distributed path and the oracle's list_cosine_similarity
+    def r6(d: Double): Double =
+      BigDecimal(d.toString).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    val sim = scala.collection.mutable.HashMap[(Long, Long), Double]()
+    for (a <- candIds; b <- candIds if a < b) {
+      val v = r6(VecMath.cosine(embMap(a), embMap(b)))
+      sim((a, b)) = v
+      sim((b, a)) = v
+    }
+    val lam = lambdaBp / 10000.0
+    val out = cand.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (qid, rows) =>
+        val rel = rows.map(t => t._2 -> t._3).toMap
+        var remaining = rows.sortBy(t => (-t._3, t._2)).map(_._2).toList
+        val picks = scala.collection.mutable.ArrayBuffer[(Long, Long, Int, Double)]()
+        val first = remaining.head
+        picks += ((qid, first, 1, rel(first)))
+        remaining = remaining.tail
+        var order = 2
+        while (order <= k && remaining.nonEmpty) {
+          val selected = picks.map(_._2)
+          val scored = remaining.map { c =>
+            val msim = selected.map(sC => sim((c, sC))).max
+            (lam * rel(c) - (1.0 - lam) * msim, c)
+          }
+          val (bestV, bestC) = scored.minBy { case (v, c) => (-v, c) }
+          picks += ((qid, bestC, order, r6(bestV)))
+          remaining = remaining.filterNot(_ == bestC)
+          order += 1
+        }
+        picks
+    }
+    import s.implicits._
+    out.toDF("query_id", "corpus_id", "sel_order", "mmr_score")
+  }
+
   /** Per-dimension z-score standardization of an embedding corpus —
     * the feature-scaling step in front of distance-based ops (k-means,
     * k-center, SQ ranges all assume comparable dims). EXACT and

@@ -46,6 +46,67 @@ object Skew {
     l.join(r, Seq(usingKey, "__salt"), "inner").drop("__salt")
   }
 
+  /** Bloom-filter semi-join reduction: pre-filter the PROBE side with a
+    * compact Bloom filter of the build side's keys BEFORE the shuffle
+    * join, then run the exact join (which removes the Bloom's false
+    * positives) — the result is exactly `probe ⋈ build`, the oracle's
+    * definition; only the PLAN changes. At 100 TB the probe-side
+    * exchange is the join's bottleneck: when the build side matches few
+    * probe rows, ~`bits/buildKeys` bits per key of broadcast state drops
+    * the non-matching rows before they ever shuffle. This is Spark's
+    * runtime bloom-filter rewrite made explicit and predictable: it
+    * applies to any key expression, composes under a disabled optimizer
+    * rule, and its size/fpp knobs are caller-owned.
+    *
+    * The bitmap is built DISTRIBUTEDLY: each build key contributes
+    * `kHashes` (word, mask) pairs, one `bit_or` aggregation collapses
+    * them to ≤ bits/64 words, and only that word table (bits/8 bytes)
+    * reaches the driver — build keys never collect. False-positive rate
+    * ≈ (1 − e^(−k·n/bits))^k; size `bits` ≈ 10·|build keys| for ~1%.
+    *
+    * @param probe  LARGE side; rows whose key cannot be in `build` are
+    *               dropped before the shuffle
+    * @param build  side whose keys define the filter (joined exactly
+    *               afterwards, so it may carry payload columns)
+    * @param usingKey integral join key column present on both sides */
+  def bloomSemiJoin(probe: DataFrame, build: DataFrame, usingKey: String,
+      bits: Int = 1 << 20, kHashes: Int = 5): DataFrame = {
+    require(bits >= 64 && (bits & (bits - 1)) == 0,
+      s"bloomSemiJoin: bits=$bits must be a power of two >= 64")
+    require(kHashes >= 1 && kHashes <= 8,
+      s"bloomSemiJoin: kHashes=$kHashes out of [1,8]")
+    val mask = (bits - 1).toLong
+    // double hashing h1 + j*h2 over the splitmix64 finalizer
+    def positions(k: Long): Array[Long] = {
+      val h1 = graft.core.TextSig.mix64(k)
+      val h2 = graft.core.TextSig.mix64(k ^ 0x9e3779b97f4a7c15L) | 1L
+      Array.tabulate(kHashes)(j => (h1 + j * h2) & mask)
+    }
+    val posUdf = udf((k: Long) => positions(k))
+    val words = build.select(col(usingKey).cast("long").as("__k"))
+      .filter(col("__k").isNotNull).distinct()
+      .select(explode(posUdf(col("__k"))).as("__p"))
+      .select(expr("CAST(__p div 64 AS INT)").as("__w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(__p % 64 AS INT))").as("__m"))
+      .groupBy("__w").agg(expr("bit_or(__m)").as("__bits"))
+      .collect()
+    val bitmap = new Array[Long](bits / 64)
+    words.foreach(r => bitmap(r.getInt(0)) = r.getLong(1))
+    val testUdf = udf((k: Long) => {
+      val ps = positions(k)
+      var j = 0
+      var ok = true
+      while (ok && j < ps.length) {
+        val p = ps(j)
+        ok = (bitmap((p >>> 6).toInt) & (1L << (p & 63L))) != 0L
+        j += 1
+      }
+      ok
+    })
+    probe.filter(col(usingKey).isNotNull && testUdf(col(usingKey).cast("long")))
+      .join(build, Seq(usingKey), "inner")
+  }
+
   /** Salted distinct-count per key: stage 1 dedups (key, salt, value)
     * locally, stage 2 counts per (key, salt), stage 3 sums — correct
     * because the same value always lands in the same salt bucket.

@@ -203,4 +203,47 @@ class GraphSpec extends AnyFunSuite {
     assert(labels()(20L) === 20L && labels()(21L) === 20L &&
       labels()(1L) === 1L)
   }
+
+  test("linkPrediction matches a driver-exact neighborhood replay") {
+    // path 1-2-3 plus a square 4-5-6-7 (4-5,5-6,6-7,7-4) and an edge 3-4
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (7L, 4L)).toDF("doc_id_a", "doc_id_b")
+    val got = Graph.linkPrediction(pairs, maxDeg = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    // driver replay
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (7L, 4L))
+    val adj = (es ++ es.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val edgeSet = es.toSet
+    val want = (for {
+      u <- adj.keys; v <- adj.keys
+      if u < v && !edgeSet((u, v)) && !edgeSet((v, u))
+      cn = adj(u) & adj(v)
+      if cn.nonEmpty
+    } yield {
+      val (du, dv) = (adj(u).size.toLong, adj(v).size.toLong)
+      val ra = cn.toSeq.map(w => (1L << 20) / adj(w).size).sum
+      ((u, v), (cn.size.toLong, du, dv,
+        10000L * cn.size / (du + dv - cn.size), ra))
+    }).toMap
+    assert(got === want)
+    // sanity: 1-3 (via 2) and the square's diagonals 4-6, 5-7 are there
+    assert(got.contains((1L, 3L)) && got.contains((4L, 6L)) &&
+      got.contains((5L, 7L)))
+    // diagonals of the square share TWO common neighbors
+    assert(got((5L, 7L))._1 === 2L)
+    // existing edges never appear
+    assert(!got.contains((4L, 5L)))
+  }
+
+  test("linkPrediction enforces the degree ceiling") {
+    val star = (2L to 12L).map(i => (1L, i)).toDF("doc_id_a", "doc_id_b")
+    val e = intercept[IllegalArgumentException] {
+      Graph.linkPrediction(star, maxDeg = 8).collect()
+    }
+    assert(e.getMessage.contains("maxDeg"))
+  }
 }

@@ -71,6 +71,40 @@ class LayoutSpec extends AnyFunSuite {
       s"z-order hit $zHit of ${z.size} files, lexicographic $lexHit of ${lex.size}")
   }
 
+  test("pruneReport matches a driver replay and shows the z-order win") {
+    // sf0.001 domains: partkey 0-199, suppkey 0-9 — box 0 is the narrow
+    // second-dimension slice the sibling test proves the curve wins on
+    val boxes = Seq((0L, 10000L, 0L, 1L), (20L, 60L, 0L, 127L))
+    val got = Layout.pruneReport(lineitem, col("l_partkey"), col("l_suppkey"),
+        11, 7, 512L, Seq(col("l_orderkey"), col("l_linenumber")), boxes)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // driver replay of the linear layout for box 0 (suppkey-only slice)
+    val rows = lineitem.select(col("l_partkey").cast("long"),
+        col("l_suppkey").cast("long"), col("l_orderkey").cast("long"),
+        col("l_linenumber").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val linFiles = rows.sortBy(t => (t._1, t._3, t._4)).grouped(512).toSeq
+    val linHit0 = linFiles.count(f =>
+      f.map(_._2).min <= 1L && f.map(_._2).max >= 0L)
+    val matched0 = rows.count(t => t._2 >= 0L && t._2 <= 1L)
+    val (ft, fh, _, rm) = got((0, "linear"))
+    assert(ft === linFiles.size.toLong && fh === linHit0.toLong &&
+      rm === matched0.toLong)
+    // the pruning claim as a number: z-order touches fewer files than
+    // linear on the second-dimension predicate, and scans fewer rows
+    assert(got((0, "zorder"))._2 < fh)
+    assert(got((0, "zorder"))._3 < got((0, "linear"))._3)
+    // rows_matched is layout-invariant
+    assert(got((0, "zorder"))._4 === rm)
+    assert(got((1, "zorder"))._4 === got((1, "linear"))._4)
+    intercept[IllegalArgumentException] {
+      Layout.pruneReport(lineitem, col("l_partkey"), col("l_suppkey"),
+        11, 7, 512L, Seq(col("l_orderkey")), Seq.empty)
+    }
+  }
+
   /** (min_suppkey, max_suppkey) per 512-row file under orderBy(l_partkey). */
   private def Ranking_globalRankFiles(): Seq[(Long, Long)] =
     graft.operators.Ranking.globalRank(lineitem,

@@ -1549,4 +1549,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(c1(0).toSeq == Seq(5L * 16777216L) &&
       c1(1).toSeq == Seq(5L * 16777216L))
   }
+
+  test("mmrTopK diversifies past a near-duplicate; lambda=1 is the plain ranking") {
+    val s = spark
+    import s.implicits._
+    // q=0; c1/c2 near-duplicates both highly relevant; c3 diverse with
+    // moderate relevance — MMR at lambda=0.5 must pick c3 second
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(0.9f, 0.1f, 0f)),
+      (2L, Array(0.9f, 0.11f, 0f)),
+      (3L, Array(0.7f, 0f, 0.7f))
+    ).toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 0L)
+    val got = Similarity.mmrTopK(vecs, q, k = 3, candidates = 3,
+        lambdaBp = 5000)
+      .orderBy("sel_order").collect()
+      .map(r => (r.getLong(1), r.getInt(2))).toSeq
+    assert(got.map(_._1) === Seq(1L, 3L, 2L))
+    // degenerate lambda: selection order IS the relevance ranking
+    val plain = Similarity.mmrTopK(vecs, q, k = 3, candidates = 3,
+        lambdaBp = 10000)
+      .orderBy("sel_order").collect().map(_.getLong(1)).toSeq
+    val rank = Similarity.bruteForceTopK(vecs, q, k = 3)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(plain === rank)
+    // sel_order 1 score equals the top relevance score
+    val top = Similarity.mmrTopK(vecs, q, k = 1, candidates = 3)
+      .collect().head
+    assert(top.getDouble(3) ===
+      Similarity.bruteForceTopK(vecs, q, k = 1).collect().head.getDouble(2))
+    intercept[IllegalArgumentException] {
+      Similarity.mmrTopK(vecs, q, k = 5, candidates = 3)
+    }
+  }
 }
