@@ -1693,6 +1693,77 @@ object Oracle {
       FROM kce6 GROUP BY src ORDER BY doc_id"""
     },
 
+    // Personalized PageRank unrolled (the m50 integer recurrence with
+    // the teleport base restricted to seeds id < 10).
+    "m123_personalized_pagerank" -> {
+      def it(prev: String, cur: String) = s"""
+      $cur AS (SELECT v.id,
+          (CASE WHEN v.id < 10 THEN (1000000000000*15)//(100*st.sn)
+                ELSE 0 END) + (COALESCE(c.cs, 0)*85)//100 AS rank
+        FROM pvx v CROSS JOIN psd st
+        LEFT JOIN (SELECT e.dst AS id, SUM(r.rank // g.deg) AS cs
+                   FROM ped e JOIN $prev r ON e.src = r.id
+                   JOIN pdg g ON e.src = g.src GROUP BY e.dst) c
+          ON v.id = c.id)"""
+      s"""
+      WITH ppp AS MATERIALIZED (SELECT DISTINCT x.l_partkey AS a,
+            y.l_partkey AS b
+          FROM lineitem x JOIN lineitem y
+            ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+          WHERE x.l_partkey < 200 AND y.l_partkey < 200),
+      ped AS MATERIALIZED (SELECT a AS src, b AS dst FROM ppp
+        UNION ALL SELECT b, a FROM ppp),
+      pdg AS (SELECT src, COUNT(*) AS deg FROM ped GROUP BY src),
+      pvx AS (SELECT DISTINCT src AS id FROM ped),
+      psd AS (SELECT COUNT(*) AS sn FROM pvx WHERE id < 10),
+      ppr0 AS (SELECT v.id, CASE WHEN v.id < 10
+            THEN 1000000000000 // st.sn ELSE 0 END AS rank
+          FROM pvx v CROSS JOIN psd st),
+      ${it("ppr0", "ppr1")},
+      ${it("ppr1", "ppr2")},
+      ${it("ppr2", "ppr3")},
+      ${it("ppr3", "ppr4")}
+      SELECT id, CAST(rank AS BIGINT) AS rank_units
+      FROM ppr4 ORDER BY id"""
+    },
+
+    // Random walks replayed: the splitmix64 h-chain in HUGEINT
+    // (mix64Ctes per step), neighbor = unsigned h mod deg into the
+    // dst-sorted indexed adjacency. Steps MATERIALIZED — each feeds the
+    // next chain stage.
+    "m122_random_walks" -> {
+      def stepCte(i: Int) = s"""
+      rws$i AS (SELECT walk_id, cur, h AS z0 FROM rwc${i - 1}),
+      ${mix64Ctes(s"rwh$i", s"rws$i", "walk_id, cur")},
+      rwc$i AS MATERIALIZED (SELECT w.walk_id, a.dst AS cur, w.h
+        FROM rwh$i w JOIN rwdeg d ON w.cur = d.src
+        JOIN rwadj a ON a.src = w.cur
+         AND a.idx = CAST(w.h % CAST(d.deg AS HUGEINT) AS BIGINT))"""
+      s"""
+      WITH rwp AS MATERIALIZED (SELECT DISTINCT x.l_partkey AS a,
+            y.l_partkey AS b
+          FROM lineitem x JOIN lineitem y
+            ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+          WHERE x.l_partkey < 200 AND y.l_partkey < 200),
+      rwu AS MATERIALIZED (SELECT a AS src, b AS dst FROM rwp
+        UNION ALL SELECT b, a FROM rwp),
+      rwadj AS MATERIALIZED (SELECT src, dst,
+          row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+        FROM rwu),
+      rwdeg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM rwu
+        GROUP BY src),
+      rwc0 AS (SELECT src AS walk_id, src AS cur,
+          (CAST(src AS HUGEINT) + 11) % $M64 AS h
+        FROM rwdeg WHERE src < 40),
+      ${(1 to 4).map(stepCte).mkString(",")}
+      SELECT walk_id, 0 AS step, walk_id AS vertex FROM rwc0
+      UNION ALL SELECT walk_id, 1 AS step, cur AS vertex FROM rwc1
+      UNION ALL SELECT walk_id, 2 AS step, cur AS vertex FROM rwc2
+      UNION ALL SELECT walk_id, 3 AS step, cur AS vertex FROM rwc3
+      UNION ALL SELECT walk_id, 4 AS step, cur AS vertex FROM rwc4
+      ORDER BY walk_id, step"""
+    },
+
     // Link prediction from the exact pair set: wedge join through each
     // center w (u < v), already-adjacent pairs dropped via left join,
     // RA as the order-free integer sum Σ (2^20 // deg_w), Jaccard in

@@ -1881,6 +1881,51 @@ object Queries {
       .orderBy("query_id", "sel_order")
   }
 
+  /** m122 — deterministic seeded random walks
+    * ([[operators.Graph.randomWalks]]): the DeepWalk corpus generator
+    * over the m118 co-occurrence graph — 4 steps from every vertex
+    * < 40, step = splitmix64-chained unsigned-mod neighbor pick in
+    * dst-sorted order. Pure function of (graph, seed): the oracle
+    * replays the h-chain in HUGEINT and the indexed adjacency walk. */
+  def m122RandomWalks(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_partkey") < 200)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .distinct()
+    val und = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val starts = und.select(col("src").as("id")).distinct()
+      .filter(col("id") < 40)
+    operators.Graph.randomWalks(und, starts, steps = 4, seed = 11L)
+      .orderBy("walk_id", "step")
+  }
+
+  /** m123 — personalized PageRank
+    * ([[operators.Graph.personalizedPageRank]]): teleport mass pinned
+    * to the seed set (parts < 10) over the m118 co-occurrence graph —
+    * multi-hop proximity TO the seeds in the m50 scaled-integer
+    * arithmetic, non-seeds earning rank only through paths. The oracle
+    * unrolls 4 iterations with the conditional base vector. */
+  def m123PersonalizedPagerank(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_partkey") < 200)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .distinct()
+    val und = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val verts = und.select(col("src").as("id")).distinct()
+    val seeds = verts.filter(col("id") < 10)
+    operators.Graph.personalizedPageRank(verts, und, seeds, iters = 4)
+      .select(col("id"), col("rank").as("rank_units"))
+      .orderBy("id")
+  }
+
   /** m120 — zone-map pruning report ([[operators.Layout.pruneReport]]):
     * m51's layout decision turned into the number it is made on — for
     * three range predicates (partkey-only, suppkey-only, both), the

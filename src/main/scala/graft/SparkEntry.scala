@@ -214,6 +214,8 @@ object SparkEntry {
     "m119_bloom_join" -> Queries.m119BloomJoin,
     "m120_prune_report" -> Queries.m120PruneReport,
     "m121_mmr_rerank" -> Queries.m121MmrRerank,
+    "m122_random_walks" -> Queries.m122RandomWalks,
+    "m123_personalized_pagerank" -> Queries.m123PersonalizedPagerank,
     "q52_gap_fill" -> Queries.q52GapFill,
     "mm05_audio_fingerprint" -> Queries.mm05AudioFingerprint,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -87,6 +88,71 @@ object Graph {
     val out = ranks.transform(graft.core.Blocks.pin)
     lastCut.foreach(graft.core.Blocks.release)
     graft.core.Blocks.release(vtx)
+    graft.core.Blocks.release(e)
+    out
+  }
+
+  /**
+   * Personalized PageRank (topic-sensitive PageRank, Haveliwala 2002) —
+   * [[pageRank]] with the teleport mass restricted to a SEED set:
+   * rank'(v) = [v ∈ S]·15%·scale/|S| + 85%·Σ_{u→v} rank(u)/deg(u).
+   * Ranks measure proximity TO the seeds — on a dup/co-occurrence
+   * graph, "what belongs to this cluster" with multi-hop evidence, the
+   * relevance spread a curation reviewer wants around a known-bad (or
+   * known-good) seed set. Same scaled-integer determinism contract as
+   * [[pageRank]] (every operand integer, replayable round for round);
+   * same linear lazy chain, one shuffle per iteration. Non-seed
+   * vertices start at 0 and earn rank only through incoming paths.
+   */
+  def personalizedPageRank(vertices: DataFrame, edges: DataFrame,
+      seeds: DataFrame, iters: Int = 5, scale: Long = 1000000000000L,
+      idCol: String = "id", srcCol: String = "src", dstCol: String = "dst",
+      ckptEvery: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 50,
+      s"personalizedPageRank: iters=$iters out of [1,50]")
+    require(ckptEvery >= 1, s"personalizedPageRank: ckptEvery=$ckptEvery")
+    require(scale >= 1000000L, s"personalizedPageRank: scale=$scale too coarse")
+    val sd = seeds.select(col(idCol).cast("long").as("id")).distinct()
+      .transform(graft.core.Blocks.pin)
+    val nS = sd.count()
+    require(nS > 0, "personalizedPageRank: empty seed set")
+    val vtx = vertices.select(col(idCol).cast("long").as("id")).distinct()
+      .join(sd.select(col("id"), lit(true).as("is_seed")), Seq("id"), "left")
+      .select(col("id"),
+        when(col("is_seed"), lit(scale * 15 / (100 * nS))).otherwise(lit(0L))
+          .as("b"),
+        when(col("is_seed"), lit(scale / nS)).otherwise(lit(0L)).as("r0"))
+      .transform(graft.core.Blocks.pin)
+    val deg = edges.groupBy(col(srcCol).cast("long").as("src"))
+      .agg(count(lit(1)).as("deg"))
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .join(deg, "src")
+      .transform(graft.core.Blocks.pin)
+    var ranks = vtx.select(col("id"), col("r0").as("rank"))
+    var lastCut: Option[DataFrame] = None
+    var i = 0
+    while (i < iters) {
+      val contribs = e.join(ranks, e("src") === ranks("id"))
+        .select(col("dst").as("id"), expr("rank div deg").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("s"))
+      ranks = vtx
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (col("b") + expr("(coalesce(s, CAST(0 AS BIGINT)) * 85) div 100"))
+            .as("rank"))
+      i += 1
+      if (i % ckptEvery == 0 && i < iters) {
+        val cut = ranks.transform(graft.core.Blocks.pin)
+        lastCut.foreach(graft.core.Blocks.release)
+        lastCut = Some(cut)
+        ranks = cut
+      }
+    }
+    val out = ranks.transform(graft.core.Blocks.pin)
+    lastCut.foreach(graft.core.Blocks.release)
+    graft.core.Blocks.release(vtx)
+    graft.core.Blocks.release(sd)
     graft.core.Blocks.release(e)
     out
   }
@@ -632,6 +698,68 @@ object Graph {
         col("ra_scaled"))
     val pinned = out.transform(graft.core.Blocks.pin)
     graft.core.Blocks.release(canon)
+    graft.core.Blocks.release(deg)
+    pinned
+  }
+
+  /**
+   * Deterministic seeded random walks (the DeepWalk/node2vec corpus
+   * generator, Perozzi et al. 2014) — one walk per start vertex, each
+   * step moving to the `h mod deg`-th neighbor in dst-sorted order,
+   * where `h` iterates the splitmix64 finalizer from `seed + walk_id`.
+   * A pure function of (graph, starts, steps, seed): replayable by a
+   * SQL oracle chain (the engine's signed Long and the oracle's
+   * unsigned HUGEINT agree because the index uses UNSIGNED modulus) and
+   * identical under repartitioning — the property that lets a 100 TB
+   * walk corpus be regenerated instead of stored.
+   *
+   * Scale shape: adjacency ranks ride a per-vertex window (partitions
+   * bounded by max degree), each step is two joins on the current
+   * vertex (degree, then indexed neighbor) — a linear lazy chain like
+   * [[pageRank]]'s, `steps` bounded. Nothing collects.
+   *
+   * @param edges  DIRECTED edges; pass both directions for undirected
+   * @param starts one walk per row; vertices absent from the edge set
+   *               are dropped (a walk needs an out-neighbor)
+   * @return (walk_id, step, vertex), step 0 = the start itself
+   */
+  def randomWalks(edges: DataFrame, starts: DataFrame, steps: Int = 4,
+      seed: Long = 11L, srcCol: String = "src", dstCol: String = "dst",
+      idCol: String = "id"): DataFrame = {
+    require(steps >= 1 && steps <= 16, s"randomWalks: steps=$steps out of [1,16]")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst")).distinct()
+      .transform(graft.core.Blocks.pin)
+    val adjW = Window.partitionBy("src").orderBy("dst")
+    val adj = e.withColumn("idx", row_number().over(adjW) - 1)
+      .transform(graft.core.Blocks.pin)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .transform(graft.core.Blocks.pin)
+    val mixU = udf((z: Long) => graft.core.TextSig.mix64(z))
+    val umod = udf((h: Long, d: Long) => java.lang.Long.remainderUnsigned(h, d))
+    var state = starts.select(col(idCol).cast("long").as("walk_id"))
+      .join(deg.select(col("src").as("walk_id")), Seq("walk_id"))
+      .select(col("walk_id"), col("walk_id").as("cur"),
+        (col("walk_id") + lit(seed)).as("h"))
+    var out = state.select(col("walk_id"), lit(0).as("step"),
+      col("cur").as("vertex"))
+    var t = 1
+    while (t <= steps) {
+      val adv = state
+        .withColumn("h", mixU(col("h")))
+        .join(deg.withColumnRenamed("src", "cur"), Seq("cur"))
+        .withColumn("idx", umod(col("h"), col("deg")))
+        .join(adj.withColumnRenamed("src", "cur")
+          .withColumn("idx", col("idx").cast("long")), Seq("cur", "idx"))
+        .select(col("walk_id"), col("dst").as("cur"), col("h"))
+      state = adv
+      out = out.unionByName(adv.select(col("walk_id"), lit(t).as("step"),
+        col("cur").as("vertex")))
+      t += 1
+    }
+    val pinned = out.transform(graft.core.Blocks.pin)
+    graft.core.Blocks.release(e)
+    graft.core.Blocks.release(adj)
     graft.core.Blocks.release(deg)
     pinned
   }

@@ -239,6 +239,71 @@ class GraphSpec extends AnyFunSuite {
     assert(!got.contains((4L, 5L)))
   }
 
+  test("personalizedPageRank matches the seeded integer recurrence; mass stays near seeds") {
+    // two loosely-bridged triangles: seeds in the left one
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val verts = (1L to 6L).toDF("id")
+    val seeds = Seq(1L, 2L).toDF("id")
+    val iters = 4
+    val got = Graph.personalizedPageRank(verts, edges, seeds, iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver replay
+    val es = und ++ und.map(_.swap)
+    val deg = es.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val sSet = Set(1L, 2L)
+    val base = (id: Long) =>
+      if (sSet(id)) 1000000000000L * 15 / (100 * 2) else 0L
+    var rank = (1L to 6L).map(id =>
+      id -> (if (sSet(id)) 1000000000000L / 2 else 0L)).toMap
+    (1 to iters).foreach { _ =>
+      val in = es.groupBy(_._2).view.mapValues(_.map {
+        case (u, _) => rank(u) / deg(u) }.sum).toMap
+      rank = (1L to 6L).map(id =>
+        id -> (base(id) + in.getOrElse(id, 0L) * 85 / 100)).toMap
+    }
+    assert(got === rank)
+    // proximity: every left-triangle vertex out-ranks every right one
+    assert(Seq(1L, 2L, 3L).map(got).min > Seq(4L, 5L, 6L).map(got).max)
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(verts, edges, verts.filter("id > 99"),
+        iters)
+    }
+  }
+
+  test("randomWalks matches a driver splitmix64 replay, invariant, drops isolated starts") {
+    // square 1-2-3-4-1 plus a pendant 5-1; start 9 has no edges
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (5L, 1L))
+    val edges = (es ++ es.map(_.swap)).toDF("src", "dst")
+    val starts = Seq(1L, 2L, 5L, 9L).toDF("id")
+    val got = Graph.randomWalks(edges, starts, steps = 3, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val adj = (es ++ es.map(_.swap)).distinct.groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted.toVector).toMap
+    val want = scala.collection.mutable.Map[(Long, Int), Long]()
+    for (s0 <- Seq(1L, 2L, 5L)) {
+      var cur = s0
+      var h = s0 + 7L
+      want((s0, 0)) = cur
+      for (t <- 1 to 3) {
+        h = graft.core.TextSig.mix64(h)
+        val nb = adj(cur)
+        cur = nb(java.lang.Long.remainderUnsigned(h, nb.size.toLong).toInt)
+        want((s0, t)) = cur
+      }
+    }
+    assert(got === want.toMap)
+    assert(!got.keys.exists(_._1 == 9L))
+    val again = Graph.randomWalks(edges.repartition(5), starts.repartition(3),
+        steps = 3, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(again === got)
+    intercept[IllegalArgumentException] {
+      Graph.randomWalks(edges, starts, steps = 0)
+    }
+  }
+
   test("linkPrediction enforces the degree ceiling") {
     val star = (2L to 12L).map(i => (1L, i)).toDF("doc_id_a", "doc_id_b")
     val e = intercept[IllegalArgumentException] {
