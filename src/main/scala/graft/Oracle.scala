@@ -3195,6 +3195,36 @@ object Oracle {
     // stored-deflate PNG pixel byte j of row y sits at +49 + y·(1+3w) + j
     // (the mm02 formula). Fully independent of the chunk-walking ImageIO
     // path Spark runs.
+    // mm06: both frames' pixel bytes at mm03's closed-form offsets,
+    // mean |delta| via list_avg (sum-of-ints, one double division —
+    // the engine kernel's exact shape), cut flag on the ROUNDED diff.
+    "mm06_shot_boundaries" -> s"""
+      WITH sbm AS (SELECT media_id, hex(bytes) AS h,
+                     octet_length(bytes) AS ln
+                   FROM read_parquet('{AUX}/media/*.parquet')),
+      sbv AS (SELECT media_id, h,
+              ${u32("48")} AS nf, ${u32("64")} AS w, ${u32("68")} AS ht
+            FROM sbm
+            WHERE ln >= 224 AND substr(h,1,8) = '52494646'
+              AND substr(h,17,8) = '41564920'),
+      sbf AS (SELECT media_id, h, w, ht,
+              ht*(1+3*w) + 68 AS png_len,
+              unnest(range(1, nf)) AS k
+            FROM sbv),
+      sbd AS (SELECT media_id, CAST(k AS INT) AS frame_idx,
+        round(list_avg(list_transform(range(0, 3*w*ht), j ->
+          abs(TRY_CAST('0x' || substr(h,
+            (232 + k*(8 + png_len + png_len%2) + 49
+             + (j//(3*w))*(1+3*w) + (j%(3*w)))*2+1, 2) AS INTEGER)
+          - TRY_CAST('0x' || substr(h,
+            (232 + (k-1)*(8 + png_len + png_len%2) + 49
+             + (j//(3*w))*(1+3*w) + (j%(3*w)))*2+1, 2) AS INTEGER)))), 6)
+          AS diff_mean
+        FROM sbf)
+      SELECT media_id, frame_idx, diff_mean,
+        CAST(CASE WHEN diff_mean > 85.0 THEN 1 ELSE 0 END AS INT) AS is_cut
+      FROM sbd ORDER BY media_id, frame_idx""",
+
     "mm03_frame_sample" -> s"""
       WITH media AS (SELECT media_id, hex(bytes) AS h, octet_length(bytes) AS ln
                      FROM read_parquet('{AUX}/media/*.parquet')),

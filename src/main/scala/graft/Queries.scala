@@ -934,6 +934,16 @@ object Queries {
         round(Multimodal.frame_mean(col("frame")), 6).as("mean_px"))
       .orderBy("media_id", "frame_idx")
 
+  /** mm06 — shot-boundary detection
+    * ([[operators.Multimodal.shotBoundaries]]): per consecutive-frame
+    * transition the exact mean |Δpixel| and the threshold cut flag.
+    * The oracle re-decodes BOTH frames' pixel bytes at mm03's
+    * closed-form blob offsets and replays the diff and the rounded
+    * comparison. */
+  def mm06ShotBoundaries(s: SparkSession, dir: String): DataFrame =
+    Multimodal.shotBoundaries(media(s, dir), threshold = 85.0)
+      .orderBy("media_id", "frame_idx")
+
   def mm04AudioProfile(s: SparkSession, dir: String): DataFrame =
     Multimodal.audioProfile(media(s, dir))
       .select(col("media_id"), col("sample_rate"), col("n_samples"),

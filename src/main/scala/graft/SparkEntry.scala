@@ -218,6 +218,7 @@ object SparkEntry {
     "m123_personalized_pagerank" -> Queries.m123PersonalizedPagerank,
     "q52_gap_fill" -> Queries.q52GapFill,
     "mm05_audio_fingerprint" -> Queries.mm05AudioFingerprint,
+    "mm06_shot_boundaries" -> Queries.mm06ShotBoundaries,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on

@@ -159,6 +159,48 @@ object Multimodal {
       .select(col("media_id"), col("fr._1").as("frame_idx"),
         col("fr._2").as("frame"))
 
+  private val rasterDiffUdf = udf((a: Array[Byte], b: Array[Byte]) => {
+    if (a == null || b == null || a.length != b.length || a.length == 0) null
+    else {
+      var s = 0L
+      var i = 0
+      while (i < a.length) {
+        s += math.abs((a(i) & 0xff) - (b(i) & 0xff))
+        i += 1
+      }
+      java.lang.Double.valueOf(s.toDouble / a.length)
+    }
+  }: java.lang.Double)
+
+  /** Shot-boundary detection: per consecutive-frame transition, the mean
+    * absolute pixel difference and a cut flag at `threshold` — the
+    * temporal-segmentation primitive in front of per-shot frame
+    * sampling / dedup (one keyframe per SHOT beats one per N frames for
+    * a training corpus). Frames come from [[sampledFrames]] at every=1
+    * (the explode_outer shape — decode once); the transition pairing is
+    * a lag window per video, partitions bounded by frames-per-video.
+    * The diff kernel is one compiled pass (Σ|a−b| as integers, ONE
+    * double division at the end — the oracle's list_avg replays it
+    * bit-for-bit); `is_cut` compares the ROUNDED diff so both engines
+    * flag identically. Fixture note: synthetic frames are independent
+    * pseudorandom rasters (mean diff ≈ 85.3 = uniform-byte expectation),
+    * so the gate pins the exact diff PROFILE; true shot semantics
+    * (static-run-then-cut) are spec-pinned on crafted videos.
+    *
+    * @return (media_id, frame_idx, diff_mean, is_cut) for frame_idx ≥ 1
+    */
+  def shotBoundaries(media: DataFrame, threshold: Double = 85.0): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_idx")
+    sampledFrames(media, every = 1)
+      .withColumn("prev", lag(col("frame"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("diff_mean",
+        round(rasterDiffUdf(col("prev"), col("frame")), 6))
+      .select(col("media_id"), col("frame_idx"), col("diff_mean"),
+        (col("diff_mean") > lit(threshold)).cast("int").as("is_cut"))
+  }
+
   /** Per-kind corpus profile: counts + dimension stats off the metadata
     * probe only (bytes pruned from the agg — only the struct shuffles). */
   def mediaProfile(media: DataFrame): DataFrame =

@@ -290,4 +290,29 @@ class MultimodalSpec extends AnyFunSuite {
       Media.audioFingerprint(wavs.head._2, 13, 8)
     }
   }
+
+  test("shotBoundaries: static run scores 0, the cut fires, diff is driver-exact") {
+    val s = spark
+    import s.implicits._
+    // video: 3 identical frames (shot A), hard cut, 2 identical frames
+    // (shot B, inverted pixels → diff = mean |255 - 2v|)
+    val w = 8; val h = 6
+    val a = Array.tabulate(w * h * 3)(i => (i % 251).toByte)
+    val b = a.map(v => (~v).toByte)
+    val vid = Seq((1L, Media.encodeAvi(w, h, Array(a, a, a, b, b))))
+      .toDF("media_id", "bytes")
+    val got = Multimodal.shotBoundaries(vid, threshold = 40.0)
+      .orderBy("frame_idx").collect()
+      .map(r => (r.getInt(1), r.getDouble(2), r.getInt(3))).toSeq
+    val cutDiff = a.zip(b).map { case (x, y) =>
+      math.abs((x & 0xff) - (y & 0xff)).toLong }.sum.toDouble / (w * h * 3)
+    val r6 = BigDecimal(cutDiff.toString)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Seq((1, 0.0, 0), (2, 0.0, 0), (3, r6, 1), (4, 0.0, 0)))
+    // partitioning invariance of the window pairing
+    val again = Multimodal.shotBoundaries(vid.repartition(3), threshold = 40.0)
+      .orderBy("frame_idx").collect()
+      .map(r => (r.getInt(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(again === got)
+  }
 }
