@@ -2613,6 +2613,57 @@ object Oracle {
       SELECT query_id, corpus_id, score, rank FROM r WHERE rank <= 5
       ORDER BY query_id, rank""",
 
+    // Distributed BPE training replayed round for round: per round the
+    // adjacent-pair counts off the space-joined symbol strings, the
+    // (n DESC, a, b) argmax, and the greedy left-to-right rewrite as a
+    // list_reduce fold (seed prepended — DuckDB 1.0 has no init arg).
+    // The fold's suffix test uses substr arithmetic, NOT LIKE — symbol
+    // text may contain pattern metacharacters.
+    "m124_bpe_train" -> {
+      def round(r: Int) = {
+        val prev = s"bps${r - 1}"
+        s"""
+      bpp$r AS (SELECT sy[CAST(i AS INT)] AS a, sy[CAST(i AS INT)+1] AS b, c
+        FROM (SELECT string_split(s, ' ') AS sy, c,
+                unnest(range(1, len(string_split(s, ' ')))) AS i
+              FROM $prev)),
+      bpc$r AS (SELECT a, b, CAST(SUM(c) AS BIGINT) AS n FROM bpp$r
+        GROUP BY a, b),
+      bpb$r AS MATERIALIZED (SELECT a, b FROM bpc$r WHERE n >= 2
+        ORDER BY n DESC, a, b LIMIT 1),
+      bps$r AS MATERIALIZED (SELECT
+          CASE WHEN bb.a IS NULL THEN t.s ELSE
+            list_reduce(list_prepend('', string_split(t.s, ' ')),
+              (acc, x) -> CASE
+                WHEN acc = '' THEN x
+                WHEN x = bb.b AND length(acc) >= length(bb.a)
+                 AND substr(acc, length(acc) - length(bb.a) + 1) = bb.a
+                 AND (length(acc) = length(bb.a) OR
+                      substr(acc, length(acc) - length(bb.a), 1) = ' ')
+                THEN substr(acc, 1, length(acc) - length(bb.a))
+                     || bb.a || bb.b
+                ELSE acc || ' ' || x END)
+          END AS s, t.c
+        FROM bps${r - 1} t LEFT JOIN bpb$r bb ON TRUE)"""
+      }
+      s"""
+      WITH bpn AS (SELECT
+            trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS nt
+          FROM documents),
+      bpw AS (SELECT unnest(string_split(nt, ' ')) AS word FROM bpn
+        WHERE length(nt) > 0),
+      bpt AS (SELECT word, COUNT(*) AS c FROM bpw
+        WHERE length(word) > 0 GROUP BY word),
+      bps0 AS MATERIALIZED (SELECT
+          array_to_string(string_split(word, ''), ' ') AS s, c FROM bpt),
+      ${(1 to 6).map(round).mkString(",")}
+      SELECT * FROM (
+        SELECT 0 AS rank, a AS merge_left, b AS merge_right FROM bpb1
+        ${(2 to 6).map(r => s"UNION ALL SELECT ${r - 1}, a, b FROM bpb$r")
+          .mkString(" ")}
+      ) ORDER BY rank"""
+    },
+
     // MMR greedy selection unrolled (the m53 argmax-step pattern):
     // candidate pool = rounded-cosine top-8 per query, pairwise sims
     // MATERIALIZED once, each step picks argmax(0.5·rel − 0.5·maxsim)

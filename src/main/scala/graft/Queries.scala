@@ -1879,6 +1879,24 @@ object Queries {
     operators.Graph.coreness(pairs05(s, dir), kMax = 8)
       .orderBy("doc_id")
 
+  /** m124 — distributed BPE merge training
+    * ([[operators.TextAnalysis.bpeTrainDistributed]]): 6 merge rounds
+    * where the vocabulary table never collects — per round one
+    * pair-count aggregation, a 1-row argmax under the exact (max
+    * count, lexicographically smallest) tie order, and a narrow greedy
+    * rewrite. The oracle replays every round: pair counts from the
+    * re-derived word table, the same argmax, and the left-to-right
+    * merge as a `list_reduce` fold over the symbol string. */
+  def m124BpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val model = operators.TextAnalysis.bpeTrainDistributed(
+      t(s, dir, "documents"), numMerges = 6)
+    import s.implicits._
+    model.merges.zipWithIndex
+      .map { case ((a, b), i) => (i, a, b) }
+      .toDF("rank", "merge_left", "merge_right")
+      .orderBy("rank")
+  }
+
   /** m121 — MMR diversified reranking ([[operators.Similarity.mmrTopK]]):
     * 4 queries, 8-candidate relevance pool, λ=0.5 — greedy
     * λ·rel − (1−λ)·max-sim-to-selected selection, ties to the smallest

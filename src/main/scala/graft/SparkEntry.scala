@@ -216,6 +216,7 @@ object SparkEntry {
     "m121_mmr_rerank" -> Queries.m121MmrRerank,
     "m122_random_walks" -> Queries.m122RandomWalks,
     "m123_personalized_pagerank" -> Queries.m123PersonalizedPagerank,
+    "m124_bpe_train" -> Queries.m124BpeTrain,
     "q52_gap_fill" -> Queries.q52GapFill,
     "mm05_audio_fingerprint" -> Queries.mm05AudioFingerprint,
     "mm06_shot_boundaries" -> Queries.mm06ShotBoundaries,

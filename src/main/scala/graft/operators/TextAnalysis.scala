@@ -648,10 +648,10 @@ object TextAnalysis {
     * (`graft.text.bpeMaxWords`, default 1M) with an actionable abort,
     * and the merge loop is driver-local like the k-means/PCA/LR
     * trainers. Deterministic: total tie order in training, sorted word
-    * list. Iterative merge training is not re-derivable in oracle SQL
-    * (the accepted spec-only class — like the incremental dedup store);
-    * the spec pins known merges, apply priority, round-trip and
-    * partitioning invariance. */
+    * list. The spec pins known merges, apply priority, round-trip and
+    * partitioning invariance; the distributed twin
+    * ([[bpeTrainDistributed]]) is additionally gate-oracled round for
+    * round (m124) and spec-pinned EQUAL to this trainer. */
   def bpeTrain(docs: DataFrame, numMerges: Int = 200,
       textCol: String = "text"): graft.core.Bpe.Model = {
     val spark = docs.sparkSession
@@ -668,6 +668,76 @@ object TextAnalysis {
           "— train on a bounded sample (the merge list only needs one)")
     graft.core.Bpe.train(rows.map(r => (r.getString(0), r.getLong(1))).toSeq,
       numMerges)
+  }
+
+  /** [[graft.core.Bpe]]'s greedy left-to-right single-pair rewrite on a
+    * Seq — kept textually in lockstep with `Bpe.mergeOnce` (equality is
+    * spec-pinned via the full-trainer comparison). */
+  private def mergeOnceSeq(s: Seq[String], a: String, b: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      if (i < s.length - 1 && s(i) == a && s(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += s(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /**
+   * DISTRIBUTED BPE merge training — the 100 TB path next to
+   * [[bpeTrain]]'s driver-local loop: the (symbols, count) vocabulary
+   * table never collects. Each round is (1) one pair-count aggregation
+   * (map-side combined, bounded by distinct adjacent pairs), (2) a
+   * 1-row TakeOrdered argmax with [[graft.core.Bpe.train]]'s exact
+   * total tie order (max count, then lexicographically smallest pair),
+   * (3) a narrow broadcast rewrite. The state is pinned EVERY round —
+   * each round's action would otherwise replay all prior rewrites
+   * (O(k²) recompute). Early-stops when no pair repeats, like the
+   * driver trainer; the two trainers are EQUAL by construction
+   * (spec-pinned), and — unlike the driver loop's former spec-only
+   * status — the round structure IS re-derivable in oracle SQL: the
+   * m124 gate replays every round's argmax and the greedy rewrite as a
+   * `list_reduce` fold.
+   */
+  def bpeTrainDistributed(docs: DataFrame, numMerges: Int = 64,
+      textCol: String = "text"): graft.core.Bpe.Model = {
+    require(numMerges >= 0 && numMerges <= 256,
+      s"bpeTrainDistributed: numMerges=$numMerges out of [0,256]")
+    val charsUdf = udf((w: String) => w.map(_.toString).toArray)
+    val pairsUdf = udf((s: Seq[String]) =>
+      if (s.length < 2) Array.empty[(String, String)]
+      else Array.tabulate(s.length - 1)(i => (s(i), s(i + 1))))
+    var state = Dedup.spread(docs.select(col(textCol)))
+      .select(explode(split(normalizeUdf(col(textCol)), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .select(charsUdf(col("w")).as("syms"), col("c"))
+      .transform(graft.core.Blocks.pin)
+    val merges = IndexedSeq.newBuilder[(String, String)]
+    var iter = 0
+    var done = false
+    while (iter < numMerges && !done) {
+      val top = state
+        .select(explode(pairsUdf(col("syms"))).as("p"), col("c"))
+        .groupBy(col("p._1").as("a"), col("p._2").as("b"))
+        .agg(sum(col("c")).as("n"))
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty || top.head.getLong(2) < 2L) done = true
+      else {
+        val (a, b) = (top.head.getString(0), top.head.getString(1))
+        merges += ((a, b))
+        val mu = udf((s: Seq[String]) => mergeOnceSeq(s, a, b))
+        val next = state.select(mu(col("syms")).as("syms"), col("c"))
+          .transform(graft.core.Blocks.pin)
+        graft.core.Blocks.release(state)
+        state = next
+      }
+      iter += 1
+    }
+    graft.core.Blocks.release(state)
+    graft.core.Bpe.Model(merges.result())
   }
 
   /** Tokenize `docs` under a trained BPE model: `bpe_tokens`

@@ -933,6 +933,26 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(out3 != out.toSet)
   }
 
+  test("distributed BPE training equals the driver trainer and is invariant") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val driver = TextAnalysis.bpeTrain(docs, numMerges = 20)
+    val dist = TextAnalysis.bpeTrainDistributed(docs, numMerges = 20)
+    assert(dist.merges === driver.merges,
+      "distributed and driver BPE trainers must produce identical merges")
+    val dist2 = TextAnalysis.bpeTrainDistributed(docs.repartition(13),
+      numMerges = 20)
+    assert(dist2.merges === dist.merges)
+    // early stop: a corpus where nothing repeats twice yields no merges
+    val s = spark
+    import s.implicits._
+    val once = Seq("abcdefg").toDF("text")
+    assert(TextAnalysis.bpeTrainDistributed(once, numMerges = 5)
+      .merges.isEmpty)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpeTrainDistributed(docs, numMerges = 1000)
+    }
+  }
+
   test("BPE: known merges, apply priority, round-trip, partitioning-invariant, monotone") {
     import graft.core.Bpe
     val s = spark
