@@ -1693,6 +1693,46 @@ object Oracle {
       FROM kce6 GROUP BY src ORDER BY doc_id"""
     },
 
+    // Seeded noisy counts: splitmix64 chain in HUGEINT, trailing zeros
+    // via popcount((h & -h) - 1) with -h as the mod-2^64 complement.
+    "m126_noisy_counts" -> {
+      def ctz(g: String) = s"""CASE WHEN $g = 0 THEN 64
+        ELSE CAST(bit_count(($g & (($M64 - $g) % $M64)) - 1) AS INTEGER) END"""
+      s"""
+      WITH npc AS (SELECT o_custkey % 500 AS bucket, COUNT(*) AS n
+        FROM orders GROUP BY 1),
+      npz AS (SELECT bucket, n, (CAST(23 AS HUGEINT) + bucket) % $M64 AS z0
+        FROM npc),
+      ${mix64Ctes("nph1", "npz", "bucket, n")},
+      npz2 AS (SELECT bucket, n, h AS g1, h AS z0 FROM nph1),
+      ${mix64Ctes("nph2", "npz2", "bucket, n, g1")}
+      SELECT bucket, n,
+        CAST(n + ${ctz("g1")} - ${ctz("h")} AS BIGINT) AS noisy_n
+      FROM nph2 ORDER BY bucket"""
+    },
+
+    // Multi-source BFS unrolled: 4 min-fold rounds over the re-derived
+    // co-occurrence graph, seeds id < 5 at distance 0.
+    "m125_bfs_distances" -> {
+      def round(r: Int) = s"""
+      bfd$r AS MATERIALIZED (SELECT id, MIN(dist) AS dist FROM (
+        SELECT id, dist FROM bfd${r - 1}
+        UNION ALL
+        SELECT e.dst AS id, d.dist + 1 AS dist
+        FROM bfe e JOIN bfd${r - 1} d ON e.src = d.id) GROUP BY id)"""
+      s"""
+      WITH bfp AS MATERIALIZED (SELECT DISTINCT x.l_partkey AS a,
+            y.l_partkey AS b
+          FROM lineitem x JOIN lineitem y
+            ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+          WHERE x.l_partkey < 200 AND y.l_partkey < 200),
+      bfe AS MATERIALIZED (SELECT a AS src, b AS dst FROM bfp
+        UNION ALL SELECT b, a FROM bfp),
+      bfd0 AS (SELECT DISTINCT src AS id, 0 AS dist FROM bfe WHERE src < 5),
+      ${(1 to 4).map(round).mkString(",")}
+      SELECT id, dist FROM bfd4 ORDER BY id"""
+    },
+
     // Personalized PageRank unrolled (the m50 integer recurrence with
     // the teleport base restricted to seeds id < 10).
     "m123_personalized_pagerank" -> {

@@ -1879,6 +1879,38 @@ object Queries {
     operators.Graph.coreness(pairs05(s, dir), kMax = 8)
       .orderBy("doc_id")
 
+  /** m126 — seeded noisy count release
+    * ([[operators.Sketches.noisyCounts]]): per-bucket order counts with
+    * two-sided-geometric jitter off the splitmix64 chain — the
+    * discrete-Laplace mechanism shape (ε = ln 2), reproducible by
+    * construction. The oracle replays the chain in HUGEINT and the
+    * trailing-zero counts via the (h & −h) − 1 popcount identity. */
+  def m126NoisyCounts(s: SparkSession, dir: String): DataFrame =
+    operators.Sketches.noisyCounts(t(s, dir, "orders"),
+        col("o_custkey") % 500, seed = 23L)
+      .orderBy("bucket")
+
+  /** m125 — multi-source BFS hop distances
+    * ([[operators.Graph.bfsDistances]]): exact shortest hop count from
+    * the seed set (parts < 5) over the m118 co-occurrence graph within
+    * 4 hops — the discrete companion of m123's soft proximity.
+    * Integer min-fold rounds, replayed verbatim by the oracle. */
+  def m125BfsDistances(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_partkey") < 200)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .distinct()
+    val und = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val seeds = und.select(col("src").as("id")).distinct()
+      .filter(col("id") < 5)
+    operators.Graph.bfsDistances(und, seeds, maxHops = 4)
+      .orderBy("id")
+  }
+
   /** m124 — distributed BPE merge training
     * ([[operators.TextAnalysis.bpeTrainDistributed]]): 6 merge rounds
     * where the vocabulary table never collects — per round one

@@ -217,6 +217,8 @@ object SparkEntry {
     "m122_random_walks" -> Queries.m122RandomWalks,
     "m123_personalized_pagerank" -> Queries.m123PersonalizedPagerank,
     "m124_bpe_train" -> Queries.m124BpeTrain,
+    "m125_bfs_distances" -> Queries.m125BfsDistances,
+    "m126_noisy_counts" -> Queries.m126NoisyCounts,
     "q52_gap_fill" -> Queries.q52GapFill,
     "mm05_audio_fingerprint" -> Queries.mm05AudioFingerprint,
     "mm06_shot_boundaries" -> Queries.mm06ShotBoundaries,

@@ -703,6 +703,49 @@ object Graph {
   }
 
   /**
+   * Multi-source BFS hop distances — for every vertex reachable from a
+   * SEED set within `maxHops`, the exact shortest hop count (crawl
+   * depth from trusted roots, blast radius of a takedown set, the
+   * discrete companion of [[personalizedPageRank]]'s soft proximity).
+   * Frontier expansion with a min-fold per round: dist_{t}(v) =
+   * min(dist_{t-1}(v), 1 + min over in-neighbors) — every operand an
+   * integer, so the oracle replays rounds verbatim (over-provisioned
+   * rounds are no-ops once the frontier empties). One shuffle per hop;
+   * the distance frame carries (id, dist) only. Unreached vertices are
+   * absent (no sentinel rows at 100 TB).
+   */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int = 6,
+      idCol: String = "id", srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 30,
+      s"bfsDistances: maxHops=$maxHops out of [1,30]")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst")).distinct()
+      .transform(graft.core.Blocks.pin)
+    var dist = seeds.select(col(idCol).cast("long").as("id")).distinct()
+      .select(col("id"), lit(0).as("dist"))
+    var lastCut: Option[DataFrame] = None
+    var t = 0
+    while (t < maxHops) {
+      val next = e.join(dist, e("src") === dist("id"))
+        .select(col("dst").as("id"), (col("dist") + 1).as("dist"))
+      dist = dist.unionByName(next)
+        .groupBy("id").agg(min(col("dist")).as("dist"))
+      t += 1
+      if (t % 8 == 0 && t < maxHops) {
+        val cut = dist.transform(graft.core.Blocks.pin)
+        lastCut.foreach(graft.core.Blocks.release)
+        lastCut = Some(cut)
+        dist = cut
+      }
+    }
+    val out = dist.transform(graft.core.Blocks.pin)
+    lastCut.foreach(graft.core.Blocks.release)
+    graft.core.Blocks.release(e)
+    out
+  }
+
+  /**
    * Deterministic seeded random walks (the DeepWalk/node2vec corpus
    * generator, Perozzi et al. 2014) — one walk per start vertex, each
    * step moving to the `h mod deg`-th neighbor in dst-sorted order,

@@ -776,4 +776,35 @@ object Sketches {
       .join(broadcast(tokenLookup), "idx")
       .select(col("token"), col("cnt"), lit(nTotal).as("n_total"))
   }
+
+  /** Per-group counts with seeded two-sided-geometric noise — the
+    * discrete-Laplace mechanism SHAPE (Z = G₁ − G₂ with Gᵢ ~ Geom(1/2),
+    * ε = ln 2 at sensitivity 1) used for privatized data-card releases,
+    * made REPRODUCIBLE: the geometric draws come from trailing-zero
+    * counts of the splitmix64 chain seeded by (seed, group key), so a
+    * release is replayable and gate-oracle-able bit for bit.
+    *
+    * HONESTY NOTE: with a public/replayable seed this is deterministic
+    * jitter, NOT differential privacy — a real DP deployment must draw
+    * the noise from a secret source. The operator documents the
+    * mechanism and its ε; the seed policy is the caller's.
+    *
+    * Scale shape: one map-side-combined count aggregation; the noise is
+    * a narrow per-group kernel. Keys must be integral (the hash chain
+    * and its oracle replay are over 64-bit words).
+    *
+    * @return (`keyOut`, n, noisy_n) */
+  def noisyCounts(df: DataFrame, keyCol: Column, seed: Long,
+      keyOut: String = "bucket"): DataFrame = {
+    val ctz = (h: Long) => java.lang.Long.numberOfTrailingZeros(h)
+    val noise = udf((k: Long) => {
+      val g1 = graft.core.TextSig.mix64(seed + k)
+      val g2 = graft.core.TextSig.mix64(g1)
+      (ctz(g1) - ctz(g2)).toLong
+    })
+    df.groupBy(keyCol.cast("long").as(keyOut))
+      .agg(count(lit(1)).as("n"))
+      .select(col(keyOut), col("n"),
+        (col("n") + noise(col(keyOut))).as("noisy_n"))
+  }
 }

@@ -239,6 +239,27 @@ class GraphSpec extends AnyFunSuite {
     assert(!got.contains((4L, 5L)))
   }
 
+  test("bfsDistances: exact hop counts, unreachable absent, hop cap binds") {
+    // path 1-2-3-4-5 plus isolated edge 8-9
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val got = Graph.bfsDistances(edges, seeds, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+    // cap binds: vertex 5 (4 hops) and the 8-9 component are absent
+    val full = Graph.bfsDistances(edges, seeds, maxHops = 6)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(full === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4))
+    // multi-source: nearest seed wins
+    val multi = Graph.bfsDistances(edges, Seq(1L, 5L).toDF("id"), maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(multi === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 1, 5L -> 0))
+    intercept[IllegalArgumentException] {
+      Graph.bfsDistances(edges, seeds, maxHops = 0)
+    }
+  }
+
   test("personalizedPageRank matches the seeded integer recurrence; mass stays near seeds") {
     // two loosely-bridged triangles: seeds in the left one
     val und = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),

@@ -410,4 +410,23 @@ class SketchesSpec extends AnyFunSuite {
     try assertThrows[IllegalStateException](Sketches.heavyHitters(tiny, k = 3))
     finally spark.conf.unset("graft.text.heavyMaxCandidates")
   }
+
+  test("noisyCounts: true n preserved, noise is the seeded ctz difference, invariant") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 1000L).map(i => (i, i % 7)).toDF("id", "k")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sketches.noisyCounts(d, col("k"), seed = 5L).orderBy("bucket")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = run(df)
+    assert(got.map(_._2).sum === 1000L)
+    got.foreach { case (b, n, nn) =>
+      val g1 = TextSig.mix64(5L + b)
+      val g2 = TextSig.mix64(g1)
+      val z = java.lang.Long.numberOfTrailingZeros(g1) -
+        java.lang.Long.numberOfTrailingZeros(g2)
+      assert(nn === n + z, s"bucket $b")
+    }
+    assert(run(df.repartition(9)) === got)
+  }
 }
