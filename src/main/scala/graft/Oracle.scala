@@ -1906,6 +1906,40 @@ object Oracle {
     // (l_partkey @ 11 bits, l_suppkey @ 7 bits << 4 to align at width
     // 11), total order (z, orderkey, linenumber), 8192-row files,
     // per-file min/max on both dimensions.
+    // m127: the xy2d Hilbert walk unrolled — one (rx,ry)+rotate CTE
+    // pair per level over the MSB-aligned cell, then m51's rank window.
+    "m127_hilbert_stats" -> {
+      def lvl(i: Int) = {
+        val s = 1L << (10 - i)
+        s"""
+      hq$i AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+          x, y, d,
+          CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+          CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry
+        FROM hl$i),
+      hl${i + 1} AS (SELECT l_orderkey, l_linenumber, l_partkey,
+          l_suppkey,
+          CASE WHEN ry = 0 THEN (CASE WHEN rx = 1
+            THEN ${s - 1} - y ELSE y END) ELSE x END AS x,
+          CASE WHEN ry = 0 THEN (CASE WHEN rx = 1
+            THEN ${s - 1} - x ELSE x END) ELSE y END AS y,
+          d + ${s * s} * xor(3 * rx, ry) AS d
+        FROM hq$i)"""
+      }
+      s"""
+      WITH hl0 AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+          least(l_partkey, 2047) AS x, least(l_suppkey, 127) << 4 AS y,
+          CAST(0 AS BIGINT) AS d
+        FROM lineitem),
+      ${(0 to 10).map(lvl).mkString(",")},
+      hr AS (SELECT *, row_number() OVER (ORDER BY d, l_orderkey,
+               l_linenumber) AS rn FROM hl11)
+      SELECT CAST((rn - 1) // 8192 AS INT) AS file_id, COUNT(*) AS n_rows,
+        MIN(l_partkey) AS min_partkey, MAX(l_partkey) AS max_partkey,
+        MIN(l_suppkey) AS min_suppkey, MAX(l_suppkey) AS max_suppkey
+      FROM hr GROUP BY 1 ORDER BY file_id"""
+    },
+
     "m51_zorder_stats" -> """
       WITH zs AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
           least(l_partkey, 2047) AS za, least(l_suppkey, 127) << 4 AS zb

@@ -1879,6 +1879,23 @@ object Queries {
     operators.Graph.coreness(pairs05(s, dir), kMax = 8)
       .orderBy("doc_id")
 
+  /** m127 — Hilbert-curve layout statistics
+    * ([[operators.Layout.hilbertFileStats]]): m51's file-stats report
+    * under the Hilbert order — consecutive index values are always
+    * grid-adjacent (no Morton quadrant jumps), the locality upgrade a
+    * layout bake-off weighs against z-order's cheaper kernel. The
+    * oracle replays the xy2d walk level by level (one rotation per
+    * CTE pair) and the same rank window. */
+  def m127HilbertStats(s: SparkSession, dir: String): DataFrame =
+    operators.Layout.hilbertFileStats(t(s, dir, "lineitem"),
+        col("l_partkey"), col("l_suppkey"), bitsA = 11, bitsB = 7,
+        rowsPerFile = 8192,
+        tieBreaks = Seq(col("l_orderkey"), col("l_linenumber")))
+      .select(col("file_id"), col("n_rows"),
+        col("min_a").as("min_partkey"), col("max_a").as("max_partkey"),
+        col("min_b").as("min_suppkey"), col("max_b").as("max_suppkey"))
+      .orderBy("file_id")
+
   /** m126 — seeded noisy count release
     * ([[operators.Sketches.noisyCounts]]): per-bucket order counts with
     * two-sided-geometric jitter off the splitmix64 chain — the

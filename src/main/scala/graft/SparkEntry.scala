@@ -219,6 +219,7 @@ object SparkEntry {
     "m124_bpe_train" -> Queries.m124BpeTrain,
     "m125_bfs_distances" -> Queries.m125BfsDistances,
     "m126_noisy_counts" -> Queries.m126NoisyCounts,
+    "m127_hilbert_stats" -> Queries.m127HilbertStats,
     "q52_gap_fill" -> Queries.q52GapFill,
     "mm05_audio_fingerprint" -> Queries.mm05AudioFingerprint,
     "mm06_shot_boundaries" -> Queries.mm06ShotBoundaries,

@@ -80,6 +80,59 @@ object Layout {
         min(a.cast("long")).as("min_a"), max(a.cast("long")).as("max_a"),
         min(b.cast("long")).as("min_b"), max(b.cast("long")).as("max_b"))
 
+  /** Hilbert index of an MSB-aligned (x, y) cell — the classic xy2d
+    * walk (one rotation per level). Unlike the Morton curve, EVERY
+    * consecutive pair of index values is grid-adjacent (no long jumps
+    * at quadrant boundaries), so equal-size file cuts get strictly
+    * tighter per-file ranges on worst-case diagonals. */
+  private def hilbert(xIn: Long, yIn: Long, bits: Int): Long = {
+    var x = xIn
+    var y = yIn
+    var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  /** Hilbert key of two Long columns, MSB-aligned like [[zValue]] (the
+    * same unequal-width degeneracy applies). The replayable twin of the
+    * compiled kernel lives in the m127 oracle (one CTE pair per level). */
+  def hilbertValue(a: Column, b: Column, bitsA: Int, bitsB: Int): Column = {
+    require(bitsA >= 1 && bitsA <= 31, s"hilbertValue: bitsA=$bitsA out of [1,31]")
+    require(bitsB >= 1 && bitsB <= 31, s"hilbertValue: bitsB=$bitsB out of [1,31]")
+    val w = math.max(bitsA, bitsB)
+    val (sa, sb) = (w - bitsA, w - bitsB)
+    val (ma, mb) = ((1L << bitsA) - 1, (1L << bitsB) - 1)
+    val u = udf((x: Long, y: Long) =>
+      hilbert(math.min(x, ma) << sa, math.min(y, mb) << sb, w))
+    u(a.cast("long"), b.cast("long"))
+  }
+
+  /** [[zFileStats]] under the Hilbert order: per-target-file min/max on
+    * both dimensions with file id from the range-partitioned rank. */
+  def hilbertFileStats(df: DataFrame, a: Column, b: Column, bitsA: Int,
+      bitsB: Int, rowsPerFile: Long, tieBreaks: Seq[Column]): DataFrame = {
+    require(rowsPerFile > 0, s"hilbertFileStats: rowsPerFile=$rowsPerFile")
+    require(tieBreaks.nonEmpty,
+      "hilbertFileStats: tie-break columns required for a total order")
+    val withH = df.withColumn("hval", hilbertValue(a, b, bitsA, bitsB))
+    Ranking.globalRank(withH, col("hval") +: tieBreaks, rankCol = "hrank")
+      .withColumn("file_id", expr(s"(hrank - 1) div ${rowsPerFile}").cast("int"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(a.cast("long")).as("min_a"), max(a.cast("long")).as("max_a"),
+        min(b.cast("long")).as("min_b"), max(b.cast("long")).as("max_b"))
+  }
+
   /** Zone-map pruning report — the NUMBER the layout decision is made
     * on: for each range-box predicate, how many target files (and rows)
     * a min/max-stats scan must touch under (i) a plain linear sort on

@@ -105,6 +105,49 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("hilbertValue walks a true Hilbert curve: bijective and unit-step adjacent") {
+    // all 64 cells of an 8x8 grid (bits 3,3): the index must visit each
+    // exactly once AND every consecutive pair must be grid neighbors —
+    // THE Hilbert property, which the Morton curve fails at quadrant
+    // jumps. An independent pin: no replay of the engine's own walk.
+    val cells = (for { x <- 0 until 8; y <- 0 until 8 } yield
+      (x.toLong, y.toLong)).toDF("x", "y")
+    val d2cell = cells
+      .select(col("x"), col("y"), Layout.hilbertValue(col("x"), col("y"), 3, 3).as("d"))
+      .collect().map(r => r.getLong(2) -> (r.getLong(0), r.getLong(1))).toMap
+    assert(d2cell.keySet === (0L until 64L).toSet, "bijection over the grid")
+    (0L until 63L).foreach { d =>
+      val (x1, y1) = d2cell(d)
+      val (x2, y2) = d2cell(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L,
+        s"step $d -> ${d + 1} jumps from ($x1,$y1) to ($x2,$y2)")
+    }
+    // and the Morton curve really does fail this (the reason m127 exists)
+    val z2cell = cells
+      .select(Layout.zValue(col("x"), col("y"), 3, 3).as("z"), col("x"), col("y"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val zJumps = (0L until 63L).count { d =>
+      val (x1, y1) = z2cell(d); val (x2, y2) = z2cell(d + 1)
+      math.abs(x1 - x2) + math.abs(y1 - y2) > 1L
+    }
+    assert(zJumps > 0)
+  }
+
+  test("hilbertFileStats is partitioning-invariant and prunes the second dimension") {
+    def stats(df: org.apache.spark.sql.DataFrame) =
+      Layout.hilbertFileStats(df, col("l_partkey"), col("l_suppkey"), 11, 7,
+          512, Seq(col("l_orderkey"), col("l_linenumber")))
+        .orderBy("file_id").collect().toSeq
+    val a = stats(lineitem)
+    assert(a == stats(lineitem.repartition(7)))
+    // narrow suppkey slice: far fewer files than the lexicographic layout
+    val hHit = a.count { r =>
+      r.getLong(4) <= 1L && r.getLong(5) >= 0L } // min_b <= hi, max_b >= lo
+    val lexHit = Ranking_globalRankFiles().count {
+      case (mn, mx) => mx >= 0L && mn <= 1L }
+    assert(hHit * 2 < lexHit, s"hilbert hit $hHit vs lexicographic $lexHit")
+  }
+
   /** (min_suppkey, max_suppkey) per 512-row file under orderBy(l_partkey). */
   private def Ranking_globalRankFiles(): Seq[(Long, Long)] =
     graft.operators.Ranking.globalRank(lineitem,
