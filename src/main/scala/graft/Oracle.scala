@@ -1693,6 +1693,28 @@ object Oracle {
       FROM kce6 GROUP BY src ORDER BY doc_id"""
     },
 
+    // Exact AUC: per-distinct-score (p, n), running negatives, the
+    // tie-corrected rank sum 2U = sum(2 p cumN + p n) — all integer.
+    "m128_auc_report" -> s"""
+      WITH $TextStatsCtes,
+      aub AS (SELECT CASE WHEN length(text) >= 200 THEN 1 ELSE 0 END AS y,
+              $QualityExpr AS s
+            FROM ratios),
+      aus AS (SELECT s, CAST(SUM(y) AS BIGINT) AS p,
+              CAST(COUNT(*) - SUM(y) AS BIGINT) AS n
+            FROM aub GROUP BY s),
+      aur AS (SELECT *, CAST(SUM(n) OVER (ORDER BY s
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumn FROM aus),
+      aut AS (SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+              CAST(SUM(n) AS BIGINT) AS n_neg,
+              CAST(SUM(2*p*(cumn - n) + p*n) AS BIGINT) AS u2 FROM aur)
+      SELECT n_pos, n_neg, u2,
+        CASE WHEN n_pos > 0 AND n_neg > 0
+          THEN CAST((10000 * CAST(u2 AS HUGEINT)) // (2 * n_pos * n_neg)
+               AS BIGINT)
+          ELSE NULL END AS auc_bp
+      FROM aut""",
+
     // Seeded noisy counts: splitmix64 chain in HUGEINT, trailing zeros
     // via popcount((h & -h) - 1) with -h as the mod-2^64 complement.
     "m126_noisy_counts" -> {

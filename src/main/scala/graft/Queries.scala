@@ -1879,6 +1879,19 @@ object Queries {
     operators.Graph.coreness(pairs05(s, dir), kMax = 8)
       .orderBy("doc_id")
 
+  /** m128 — exact AUC report ([[operators.Ranking.aucReport]]): the
+    * quality heuristic scored against the length-band label it partly
+    * encodes (length ≥ 200) — Mann–Whitney U with tie correction, all
+    * integer (2U and basis points), AUC visibly > ½ by construction.
+    * The oracle re-derives the score from TextStats and replays the
+    * rank-sum over the distinct-score running window. */
+  def m128AucReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    operators.Ranking.aucReport(docs,
+      length(col("text")) >= 200,
+      operators.TextAnalysis.qualityScore(col("text")))
+  }
+
   /** m127 — Hilbert-curve layout statistics
     * ([[operators.Layout.hilbertFileStats]]): m51's file-stats report
     * under the Hilbert order — consecutive index values are always

@@ -301,4 +301,43 @@ object Ranking {
       .filter(col("rank") <= k)
       .select(col(idCol), col(groupCol), col("value"), col("rank"))
   }
+
+  /**
+   * Exact AUC (Mann–Whitney U with the standard tie correction) of a
+   * score column against a binary label — the ranking-quality number a
+   * learned filter (m39's LR, a reranker) owes next to its threshold:
+   * AUC = P(score_pos > score_neg) + ½·P(tie). INTEGER-EXACT: grouping
+   * by distinct score gives per-score (positives p, negatives n); with
+   * cumN = negatives at strictly smaller scores,
+   * 2U = Σ 2·p·cumN + p·n, AUC_bp = 10000·2U div (2·P·N) — no float
+   * rank averaging, so the SQL oracle hash-matches.
+   *
+   * Scale shape: one map-side-combined aggregation to the distinct-score
+   * frame, then [[globalRunningAgg]]'s range-partitioned running sum
+   * (no single-task window however many distinct scores), then a scalar
+   * aggregate. The 10000·2U product rides DECIMAL(38,0) — at 10⁹ rows
+   * a BIGINT product would wrap (the m75 rule).
+   *
+   * @return one row (n_pos, n_neg, u2, auc_bp); auc_bp NULL when a
+   *         class is absent
+   */
+  def aucReport(df: DataFrame, labelCol: Column, scoreCol: Column): DataFrame = {
+    val byScore = df.select(labelCol.cast("int").as("__y"), scoreCol.as("__s"))
+      .groupBy(col("__s"))
+      .agg(sum(col("__y")).cast("long").as("__p"),
+        (count(lit(1)) - sum(col("__y"))).cast("long").as("__n"))
+    val running = globalRunningAgg(byScore, Seq(col("__s").asc), col("__n"),
+      rankCol = "__rk", cumCol = "__cumn")
+    val out = running
+      .agg(sum(col("__p")).as("n_pos"), sum(col("__n")).as("n_neg"),
+        sum(expr("2 * __p * (__cumn - __n) + __p * __n")).as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        expr("""CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+            CAST((10000 * CAST(u2 AS DECIMAL(38,0)))
+                 div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)
+          ELSE NULL END""").as("auc_bp"))
+    val pinned = out.transform(graft.core.Blocks.pin)
+    graft.core.Blocks.release(running)
+    pinned
+  }
 }

@@ -1550,6 +1550,41 @@ class PipelineSpec extends AnyFunSuite {
       c1(1).toSeq == Seq(5L * 16777216L))
   }
 
+  test("aucReport equals the naive pairwise AUC with ties, perfect and random extremes") {
+    val s = spark
+    import s.implicits._
+    // scores with ties across both classes
+    val rows = Seq((1, 0.9), (1, 0.8), (1, 0.5), (0, 0.5), (0, 0.3),
+      (1, 0.3), (0, 0.1), (0, 0.1))
+    val df = rows.toDF("y", "score")
+    val got = graft.operators.Ranking.aucReport(df, col("y") === 1, col("score"))
+      .collect().head
+    // naive O(P*N) reference: pairs won + half-ties
+    val pos = rows.filter(_._1 == 1).map(_._2)
+    val neg = rows.filter(_._1 == 0).map(_._2)
+    val wins = (for { p <- pos; n <- neg } yield
+      if (p > n) 2L else if (p == n) 1L else 0L).sum
+    assert(got.getLong(0) === pos.size.toLong &&
+      got.getLong(1) === neg.size.toLong)
+    assert(got.getLong(2) === wins)
+    assert(got.getLong(3) === 10000L * wins / (2L * pos.size * neg.size))
+    // perfect separation -> 10000; inverted -> 0
+    val perfect = Seq((1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1)).toDF("y", "score")
+    assert(graft.operators.Ranking.aucReport(perfect, col("y") === 1,
+      col("score")).collect().head.getLong(3) === 10000L)
+    val inverted = Seq((0, 0.9), (1, 0.1)).toDF("y", "score")
+    assert(graft.operators.Ranking.aucReport(inverted, col("y") === 1,
+      col("score")).collect().head.getLong(3) === 0L)
+    // one-class input -> NULL auc
+    val oneClass = Seq((1, 0.9), (1, 0.1)).toDF("y", "score")
+    assert(graft.operators.Ranking.aucReport(oneClass, col("y") === 1,
+      col("score")).collect().head.isNullAt(3))
+    // partitioning invariance
+    val a = graft.operators.Ranking.aucReport(df.repartition(5),
+      col("y") === 1, col("score")).collect().head
+    assert(a.getLong(2) === wins)
+  }
+
   test("mmrTopK diversifies past a near-duplicate; lambda=1 is the plain ranking") {
     val s = spark
     import s.implicits._
