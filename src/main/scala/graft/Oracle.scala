@@ -1693,6 +1693,38 @@ object Oracle {
       FROM kce6 GROUP BY src ORDER BY doc_id"""
     },
 
+    // CUPED: per-user scaled (x, y), exact HUGEINT pooled moments,
+    // theta/mu/means via the identical double dag, 6dp rounds.
+    "m129_cuped" -> """
+      WITH cup AS (SELECT user_id, CAST(user_id % 2 AS INTEGER) AS variant,
+          CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+            THEN CAST(floor(value*100 + 0.5) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS x,
+          CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+            THEN 0 ELSE CAST(floor(value*100 + 0.5) AS BIGINT) END)
+            AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+      cgm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+          CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE) AS sxy,
+          CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS DOUBLE) AS sxx
+        FROM cup),
+      cth AS (SELECT sx/n AS mux,
+          CASE WHEN (n*sxx - sx*sx) = 0 THEN 0.0
+               ELSE (n*sxy - sx*sy)/(n*sxx - sx*sx) END AS theta
+        FROM cgm),
+      cvv AS (SELECT variant, COUNT(*) AS n_units,
+          CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS vsx,
+          CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS vsy
+        FROM cup GROUP BY 1)
+      SELECT v.variant, v.n_units,
+        round(v.vsy / v.n_units, 6) AS mean_y,
+        round(v.vsy / v.n_units
+          - (t.theta * (v.vsx / v.n_units - t.mux)), 6) AS mean_y_adj,
+        round(t.theta, 6) AS theta
+      FROM cvv v CROSS JOIN cth t ORDER BY v.variant""",
+
     // Exact AUC: per-distinct-score (p, n), running negatives, the
     // tie-corrected rank sum 2U = sum(2 p cumN + p n) — all integer.
     "m128_auc_report" -> s"""

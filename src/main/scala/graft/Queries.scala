@@ -1879,6 +1879,26 @@ object Queries {
     operators.Graph.coreness(pairs05(s, dir), kMax = 8)
       .orderBy("doc_id")
 
+  /** m129 — CUPED variance-reduced experiment readout
+    * ([[operators.TrainingPipeline.cupedReport]]): users split
+    * user_id%2, X = pre-2024-01-15 per-user value sum, Y = the rest,
+    * both pinned to ×100 integers; pooled θ off exact DECIMAL moments,
+    * one double dag. The oracle replays moments in HUGEINT and the
+    * same dag. */
+  def m129Cuped(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val perUser = ev.select(col("user_id"),
+        (col("user_id") % 2).cast("int").as("variant"),
+        floor(col("value") * 100 + 0.5).cast("long").as("v100"),
+        (col("ts") < lit("2024-01-15 00:00:00").cast("timestamp")).as("pre"))
+      .groupBy("user_id", "variant")
+      .agg(sum(when(col("pre"), col("v100")).otherwise(0L)).as("x"),
+        sum(when(!col("pre"), col("v100")).otherwise(0L)).as("y"))
+    operators.TrainingPipeline.cupedReport(perUser, col("variant"),
+        col("x"), col("y"))
+      .orderBy("variant")
+  }
+
   /** m128 — exact AUC report ([[operators.Ranking.aucReport]]): the
     * quality heuristic scored against the length-band label it partly
     * encodes (length ≥ 200) — Mann–Whitney U with tie correction, all

@@ -221,6 +221,7 @@ object SparkEntry {
     "m126_noisy_counts" -> Queries.m126NoisyCounts,
     "m127_hilbert_stats" -> Queries.m127HilbertStats,
     "m128_auc_report" -> Queries.m128AucReport,
+    "m129_cuped" -> Queries.m129Cuped,
     "q52_gap_fill" -> Queries.q52GapFill,
     "mm05_audio_fingerprint" -> Queries.mm05AudioFingerprint,
     "mm06_shot_boundaries" -> Queries.mm06ShotBoundaries,

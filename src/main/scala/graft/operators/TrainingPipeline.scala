@@ -1141,4 +1141,63 @@ object TrainingPipeline {
           .when(col("fpa") === col("fpb"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
+
+  /**
+   * CUPED variance-reduced experiment readout (Deng et al. 2013) — the
+   * A/B metric an ablation/experiment pipeline reports: per variant,
+   * mean(Y) and the covariate-adjusted mean(Y − θ·(X − μ_X)) with
+   * θ = cov(X,Y)/var(X) pooled across variants; pre-period activity X
+   * soaks up between-unit variance so the same sample decides faster.
+   *
+   * Determinism contract: X and Y arrive as INTEGER-scaled per-unit
+   * values (the caller pins the scaling, the m61 floor(v·s+0.5)
+   * semantic); the five pooled moments aggregate EXACTLY
+   * (DECIMAL(38,0), products through DECIMAL(19,0) casts — long·long
+   * would wrap), and θ/μ_X/means come out of ONE literal double dag
+   * from that exact state, so the oracle replays bit for bit (the m75
+   * standardize pattern). var(X)=0 → θ=0 (no adjustment). Means are in
+   * the caller's scaled units.
+   *
+   * Scale shape: two bounded aggregations (one global 1-row, one
+   * per-variant) over the per-unit frame; nothing else moves.
+   *
+   * @return (variant, n_units, mean_y, mean_y_adj, theta) rounded 6dp
+   */
+  def cupedReport(perUnit: DataFrame, variantCol: Column, xCol: Column,
+      yCol: Column): DataFrame = {
+    val d19 = DecimalType(19, 0)
+    val d38 = DecimalType(38, 0)
+    val base = perUnit.select(variantCol.as("variant"),
+        xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+      .transform(graft.core.Blocks.pin)
+    val g = base.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(d38)).as("sx"),
+      sum(col("y").cast(d38)).as("sy"),
+      sum((col("x").cast(d19) * col("y").cast(d19)).cast(d38)).as("sxy"),
+      sum((col("x").cast(d19) * col("x").cast(d19)).cast(d38)).as("sxx"))
+      .collect().head
+    require(g.getLong(0) > 0L, "cupedReport: empty input")
+    val n = g.getLong(0).toDouble
+    val sx = g.getDecimal(1).doubleValue
+    val sy = g.getDecimal(2).doubleValue
+    val sxy = g.getDecimal(3).doubleValue
+    val sxx = g.getDecimal(4).doubleValue
+    val denom = n * sxx - sx * sx
+    val theta = if (denom == 0.0) 0.0 else (n * sxy - sx * sy) / denom
+    val mux = sx / n
+    val out = base.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(col("x").cast(d38)).as("vsx"),
+        sum(col("y").cast(d38)).as("vsy"))
+      .select(col("variant"), col("n_units"),
+        round(col("vsy").cast("double") / col("n_units"), 6).as("mean_y"),
+        round(col("vsy").cast("double") / col("n_units")
+          - (lit(theta) * (col("vsx").cast("double") / col("n_units")
+            - lit(mux))), 6).as("mean_y_adj"),
+        round(lit(theta), 6).as("theta"))
+    val pinned = out.transform(graft.core.Blocks.pin)
+    graft.core.Blocks.release(base)
+    pinned
+  }
 }

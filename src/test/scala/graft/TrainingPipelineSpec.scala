@@ -933,6 +933,46 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(out3 != out.toSet)
   }
 
+  test("cupedReport: driver-exact dag, constant X means no adjustment, invariance") {
+    val s = spark
+    import s.implicits._
+    val data = Seq((0, 10L, 100L), (0, 20L, 140L), (0, 35L, 190L),
+      (1, 30L, 210L), (1, 40L, 260L), (1, 15L, 130L))
+    val df = data.toDF("variant", "x", "y")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TrainingPipeline.cupedReport(d, col("variant"), col("x"), col("y"))
+        .orderBy("variant").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4))).toSeq
+    val got = run(df)
+    // driver replay of the exact-moment double dag
+    val n = data.size.toDouble
+    val sx = data.map(_._2.toDouble).sum
+    val sy = data.map(_._3.toDouble).sum
+    val sxy = data.map(t => t._2.toDouble * t._3.toDouble).sum
+    val sxx = data.map(t => t._2.toDouble * t._2.toDouble).sum
+    val theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val mux = sx / n
+    def r6(d: Double) = BigDecimal(d.toString)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.foreach { case (v, nu, my, mya, th) =>
+      val rows = data.filter(_._1 == v)
+      assert(nu === rows.size.toLong)
+      val vmy = rows.map(_._3.toDouble).sum / rows.size
+      val vmx = rows.map(_._2.toDouble).sum / rows.size
+      assert(my === r6(vmy) && th === r6(theta))
+      assert(mya === r6(vmy - (theta * (vmx - mux))))
+    }
+    // the adjustment moved the readout (X correlates with Y here)
+    assert(got.exists { case (_, _, my, mya, _) => my != mya })
+    assert(run(df.repartition(5)) === got)
+    // constant X: theta = 0, adjusted == raw
+    val const = Seq((0, 5L, 10L), (1, 5L, 30L)).toDF("variant", "x", "y")
+    run(const).foreach { case (_, _, my, mya, th) =>
+      assert(th === 0.0 && my === mya)
+    }
+  }
+
   test("distributed BPE training equals the driver trainer and is invariant") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val driver = TextAnalysis.bpeTrain(docs, numMerges = 20)
