@@ -2837,6 +2837,21 @@ object Oracle {
       FROM mall4 ORDER BY query_id, sel_order"""
     },
 
+    // Truncated-dimension retrieval: m04 with the lists sliced to the
+    // first 16 components on both sides.
+    "m130_truncated_topk" -> """
+      WITH tq AS (SELECT vec_id AS query_id,
+                    CAST(embedding AS DOUBLE[])[1:16] AS qv
+                  FROM embeddings WHERE vec_id < 16),
+      ts2 AS (SELECT query_id, e.vec_id AS corpus_id,
+              round(list_cosine_similarity(
+                CAST(e.embedding AS DOUBLE[])[1:16], qv), 6) AS score
+            FROM embeddings e, tq WHERE e.vec_id <> query_id),
+      tr2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, corpus_id ASC) AS INT) AS rank FROM ts2)
+      SELECT query_id, corpus_id, score, rank FROM tr2 WHERE rank <= 5
+      ORDER BY query_id, rank""",
+
     // Hyperplane-LSH signatures re-derived from the seeded plane formula
     // (planeCtes) — no Spark-produced signature table involved.
     "m05_ann_lsh" -> s"""

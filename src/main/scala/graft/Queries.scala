@@ -1879,6 +1879,17 @@ object Queries {
     operators.Graph.coreness(pairs05(s, dir), kMax = 8)
       .orderBy("doc_id")
 
+  /** m130 — truncated-dimension retrieval
+    * ([[operators.Similarity.truncatedTopK]]): m04's exact ranking over
+    * only the first 16 of 64 dims — the Matryoshka cheap-pass probe.
+    * The oracle slices the list and replays the rounded cosine. */
+  def m130TruncatedTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    operators.Similarity.truncatedTopK(emb,
+        emb.filter(col("vec_id") < 16), k = 5, dims = 16)
+      .orderBy("query_id", "rank")
+  }
+
   /** m129 — CUPED variance-reduced experiment readout
     * ([[operators.TrainingPipeline.cupedReport]]): users split
     * user_id%2, X = pre-2024-01-15 per-user value sum, Y = the rest,

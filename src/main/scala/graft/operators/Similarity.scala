@@ -168,6 +168,26 @@ object Similarity {
   }
 
   /**
+   * Truncated-dimension (Matryoshka-style) retrieval — exact cosine
+   * top-k over the FIRST `dims` components only, the cheap pass of an
+   * MRL-embedding funnel (retrieve on the prefix at dims/64 of the
+   * memory and FLOPs, rerank survivors at full width) and the eval
+   * probe for "how many dims does this corpus actually need" (compose
+   * with [[recallAtK]] against the full-width ranking). Same broadcast
+   * plan as [[bruteForceTopK]] — the corpus never shuffles; the slice
+   * is a narrow projection the scan prunes to.
+   */
+  def truncatedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      dims: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(dims >= 1 && dims <= 4096,
+      s"truncatedTopK: dims=$dims out of [1,4096]")
+    def cut(df: DataFrame) =
+      df.withColumn(vecCol, slice(col(vecCol), 1, dims))
+    bruteForceTopK(cut(corpus), cut(queries), k, idCol, vecCol)
+  }
+
+  /**
    * Maximal-marginal-relevance reranking (Carbonell & Goldstein 1998) —
    * the diversity step between a similarity ranking and what a training
    * batch / retrieval context actually wants: greedily pick, from the

@@ -1550,6 +1550,33 @@ class PipelineSpec extends AnyFunSuite {
       c1(1).toSeq == Seq(5L * 16777216L))
   }
 
+  test("truncatedTopK: full width equals bruteForce, prefix uses only the prefix") {
+    val s = spark
+    import s.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 4)
+    val full = Similarity.truncatedTopK(emb, q, k = 3, dims = 64)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val brute = Similarity.bruteForceTopK(emb, q, k = 3)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(full === brute)
+    // prefix score is the cosine of the sliced vectors (driver check on
+    // one pair)
+    val vecs = emb.filter(col("vec_id") < 2).orderBy("vec_id")
+      .select("vec_id", "embedding")
+      .collect().map(_.getSeq[Float](1).toArray)
+    val pre = Similarity.truncatedTopK(emb.filter(col("vec_id") < 2),
+        emb.filter(col("vec_id") === 0L), k = 1, dims = 8)
+      .collect().head
+    val want = graft.core.VecMath.cosine(vecs(0).take(8), vecs(1).take(8))
+    val r6 = BigDecimal(want.toString)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(pre.getDouble(2) === r6)
+    intercept[IllegalArgumentException] {
+      Similarity.truncatedTopK(emb, q, k = 3, dims = 0)
+    }
+  }
+
   test("aucReport equals the naive pairwise AUC with ties, perfect and random extremes") {
     val s = spark
     import s.implicits._
