@@ -1879,6 +1879,15 @@ object Queries {
     operators.Graph.coreness(pairs05(s, dir), kMax = 8)
       .orderBy("doc_id")
 
+  /** m131 — content-defined chunking
+    * ([[operators.TextAnalysis.cdcChunkTable]]): cut before every
+    * 16-gram whose rolling-hash mix64 has 6 low bits zero — spans and
+    * content hashes replayed by the oracle with the m37 fold machinery
+    * (gram hash AND chunk hash both list_reduce FNV → mix64). */
+  def m131CdcChunks(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.cdcChunkTable(t(s, dir, "documents"))
+      .orderBy("doc_id", "chunk_idx")
+
   /** m130 — truncated-dimension retrieval
     * ([[operators.Similarity.truncatedTopK]]): m04's exact ranking over
     * only the first 16 of 64 dims — the Matryoshka cheap-pass probe.

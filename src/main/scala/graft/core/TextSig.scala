@@ -706,4 +706,62 @@ object TextSig {
     }
     (sb.toString, removed)
   }
+
+  /** Content-defined chunk boundaries (the basic CDC scheme under
+    * FastCDC/LBFS): a cut BEFORE every k-gram whose
+    * [[charGramOccurrences]]-style hash has `maskBits` low bits zero —
+    * boundaries move WITH the content, so an insertion reshuffles only
+    * its own chunk while fixed-size chunking (TrainingPipeline.chunk)
+    * shifts every later boundary. Expected chunk ≈ 2^maskBits chars; no
+    * min/max clamp — the declarative form a SQL oracle can replay
+    * without sequential state. Each chunk carries the mix64(FNV-fold)
+    * of its chars — the content address a dedup store keys on.
+    *
+    * @return (chunk_idx from 0, start 1-based, len ≥ 1, chunk_hash);
+    *         empty for null/empty text; one whole-text chunk when no
+    *         gram hits (including len < k) */
+  def cdcChunks(text: String, k: Int, maskBits: Int): Array[(Int, Int, Int, Long)] = {
+    if (text == null || text.isEmpty) return Array.empty
+    val B = 0x100000001b3L
+    val mask = (1L << maskBits) - 1
+    val len = text.length
+    val cuts = scala.collection.mutable.ArrayBuffer.empty[Int] // 1-based gram starts
+    if (len >= k) {
+      var bl = 1L
+      var j = 1
+      while (j < k) { bl *= B; j += 1 }
+      var h = 0L
+      var i = 0
+      while (i < k) { h = h * B + text.charAt(i); i += 1 }
+      if ((mix64(h) & mask) == 0L) cuts += 1
+      var p = 1
+      val n = len - k + 1
+      while (p < n) {
+        h = (h - text.charAt(p - 1) * bl) * B + text.charAt(p + k - 1)
+        if ((mix64(h) & mask) == 0L) cuts += (p + 1)
+        p += 1
+      }
+    }
+    def spanHash(start1: Int, l: Int): Long = {
+      var h = 0L
+      var i = start1 - 1
+      val e = start1 - 1 + l
+      while (i < e) { h = h * B + text.charAt(i); i += 1 }
+      mix64(h)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Long)]
+    var start = 1
+    var idx = 0
+    cuts.foreach { p =>
+      if (p > start) {
+        out += ((idx, start, p - start, spanHash(start, p - start)))
+        idx += 1
+      }
+      start = p
+    }
+    if (len - start + 1 >= 1) {
+      out += ((idx, start, len - start + 1, spanHash(start, len - start + 1)))
+    }
+    out.toArray
+  }
 }

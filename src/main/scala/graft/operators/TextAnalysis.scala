@@ -670,6 +670,26 @@ object TextAnalysis {
       numMerges)
   }
 
+  /** Content-defined chunk table ([[graft.core.TextSig.cdcChunks]]): one
+    * row per chunk with its 1-based span and content hash — boundaries
+    * move WITH the content (an insertion reshuffles one chunk; the
+    * fixed-size chunker shifts every later boundary), which is what
+    * makes the hash column a dedup-store key that survives edits.
+    * Narrow generator (explode_outer — the kernel runs once per doc);
+    * expected chunk ≈ 2^maskBits chars. */
+  def cdcChunkTable(docs: DataFrame, k: Int = 16, maskBits: Int = 6,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 4 && k <= 64, s"cdcChunkTable: k=$k out of [4,64]")
+    require(maskBits >= 1 && maskBits <= 20,
+      s"cdcChunkTable: maskBits=$maskBits out of [1,20]")
+    val u = udf((t: String) => graft.core.TextSig.cdcChunks(t, k, maskBits))
+    docs.select(col(idCol), explode_outer(u(col(textCol))).as("c"))
+      .filter(col("c").isNotNull)
+      .select(col(idCol), col("c._1").as("chunk_idx"),
+        col("c._2").as("chunk_start"), col("c._3").as("chunk_len"),
+        col("c._4").as("chunk_hash"))
+  }
+
   /** [[graft.core.Bpe]]'s greedy left-to-right single-pair rewrite on a
     * Seq — kept textually in lockstep with `Bpe.mergeOnce` (equality is
     * spec-pinned via the full-trainer comparison). */

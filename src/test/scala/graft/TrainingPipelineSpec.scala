@@ -933,6 +933,39 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(out3 != out.toSet)
   }
 
+  test("cdcChunks: spans tile the text, short text is whole, a point edit stays in its chunk") {
+    import graft.core.TextSig
+    val short = TextSig.cdcChunks("x" * 10, 16, 6)
+    assert(short.length === 1 && short.head._2 === 1 && short.head._3 === 10)
+    val text = (1 to 2000)
+      .map(i => ('a' + (TextSig.mix64(i.toLong) % 26 + 26) % 26).toChar)
+      .mkString
+    val cs = TextSig.cdcChunks(text, 16, 6)
+    assert(cs.length > 5, s"expected multiple chunks, got ${cs.length}")
+    assert(cs.head._2 === 1)
+    cs.sliding(2).foreach { w =>
+      if (w.length == 2) assert(w(0)._2 + w(0)._3 === w(1)._2) }
+    assert(cs.last._2 + cs.last._3 - 1 === text.length)
+    // changing char 1 touches only gram 1 -> identical spans, only the
+    // FIRST chunk's content hash moves (the CDC locality claim)
+    val cs2 = TextSig.cdcChunks("Z" + text.substring(1), 16, 6)
+    assert(cs2.map(t => (t._1, t._2, t._3)).toSeq ===
+      cs.map(t => (t._1, t._2, t._3)).toSeq)
+    assert(cs2.drop(1).map(_._4).toSeq === cs.drop(1).map(_._4).toSeq)
+    assert(cs2.head._4 !== cs.head._4)
+    // operator shape: rows match the kernel for a sampled doc
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val one = docs.filter(col("doc_id") === 7L)
+    val tbl = TextAnalysis.cdcChunkTable(one).orderBy("chunk_idx").collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))).toSeq
+    val raw = TextSig.cdcChunks(
+      one.select("text").collect().head.getString(0), 16, 6).toSeq
+    assert(tbl === raw)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.cdcChunkTable(docs, maskBits = 0)
+    }
+  }
+
   test("cupedReport: driver-exact dag, constant X means no adjustment, invariance") {
     val s = spark
     import s.implicits._
