@@ -1693,6 +1693,34 @@ object Oracle {
       FROM kce6 GROUP BY src ORDER BY doc_id"""
     },
 
+    // Exact all-pairs token Jaccard — the UNOPTIMIZED form of the
+    // prefix-filtered join (m84 convention: the oracle is the plain
+    // quadratic computation, so a hash match proves the prefix filter
+    // lossless). Same DECIMAL threshold test as the engine (i ≥ θ·u
+    // exactly — no double rounding at the boundary).
+    "m132_prefix_jaccard" -> """
+      WITH n AS (SELECT doc_id,
+              trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS nt
+            FROM documents),
+      tk0 AS (SELECT doc_id, string_split(nt, ' ') AS ws
+            FROM n WHERE length(nt) > 0),
+      tk AS (SELECT doc_id,
+              list_distinct(list_transform(range(1, greatest(len(ws)-2,1)+1),
+                i -> array_to_string(
+                  list_slice(ws, CAST(i AS INT), CAST(i AS INT)+2), ' ')))
+                AS toks
+            FROM tk0),
+      p AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+              len(list_intersect(a.toks, b.toks)) AS i,
+              len(a.toks) AS la, len(b.toks) AS lb
+            FROM tk a, tk b WHERE a.doc_id < b.doc_id)
+      SELECT doc_id_a, doc_id_b,
+        round(CAST(i AS DOUBLE)/(la+lb-i), 6) AS jaccard
+      FROM p
+      WHERE CAST(i AS DECIMAL(20,6)) >=
+        CAST('0.5' AS DECIMAL(20,6)) * (la+lb-i)
+      ORDER BY doc_id_a, doc_id_b""",
+
     // Content-defined chunking: per-position 16-gram FNV→mix64 (the m37
     // fold), cuts where 6 low bits are zero, spans via lag + per-doc
     // final chunk, chunk hash = the same fold over the span.

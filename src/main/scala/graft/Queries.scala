@@ -1882,11 +1882,24 @@ object Queries {
   /** m131 — content-defined chunking
     * ([[operators.TextAnalysis.cdcChunkTable]]): cut before every
     * 16-gram whose rolling-hash mix64 has 6 low bits zero — spans and
-    * content hashes replayed by the oracle with the m37 fold machinery
-    * (gram hash AND chunk hash both list_reduce FNV → mix64). */
+    * content hashes replayed by the oracle in POLYNOMIAL form (the FNV
+    * fold = Σ c·B^k mod 2^64: lead() windows against B-power literals
+    * for grams, SUM(code·pow) over a recursive power table for spans —
+    * every term < 2^80 fits HUGEINT, no limb-split multiplies). */
   def m131CdcChunks(s: SparkSession, dir: String): DataFrame =
     operators.TextAnalysis.cdcChunkTable(t(s, dir, "documents"))
       .orderBy("doc_id", "chunk_idx")
+
+  /** m132 — EXACT Jaccard similarity join via prefix filtering
+    * ([[operators.Dedup.prefixJaccardPairs]]): the AllPairs/PPJoin
+    * family — total recall with no O(n²) stage and no LSH miss
+    * probability; the oracle is the plain exact all-pairs token
+    * Jaccard (the m84 "oracle IS the unoptimized form" convention), so
+    * the gate proves the prefix filter is lossless. */
+  def m132PrefixJaccard(s: SparkSession, dir: String): DataFrame =
+    operators.Dedup.prefixJaccardPairs(t(s, dir, "documents"),
+        threshold = 0.5)
+      .orderBy("doc_id_a", "doc_id_b")
 
   /** m130 — truncated-dimension retrieval
     * ([[operators.Similarity.truncatedTopK]]): m04's exact ranking over

@@ -124,6 +124,28 @@ object TextSig {
     sortedDistinct(buf, count)
   }
 
+  /** Distinct `w`-token word-shingle STRINGS of the normalized text,
+    * sorted ([[wordShingles]]' construction with the gram kept instead
+    * of hashed — prefix-filter joins need the string itself for the
+    * global frequency order and exact set intersections). */
+  def wordShingleStrings(text: String, w: Int): Array[String] = {
+    val n = normalize(text)
+    if (n.isEmpty) return Array.empty
+    val toks = n.split(' ')
+    val count = math.max(toks.length - w + 1, 1)
+    val set = new java.util.TreeSet[String]()
+    var i = 0
+    while (i < count) {
+      val end = math.min(i + w, toks.length)
+      val sb = new java.lang.StringBuilder
+      var t = i
+      while (t < end) { if (t > i) sb.append(' '); sb.append(toks(t)); t += 1 }
+      set.add(sb.toString)
+      i += 1
+    }
+    set.toArray(new Array[String](set.size))
+  }
+
   /** Per-permutation multiply-shift constants (odd multipliers → each
     * h_i is a bijection on Z/2^64). NOTE: h_i(x) = u + i·v looks cheaper
     * but is WRONG for min-aggregation — adjacent i share the minimizing

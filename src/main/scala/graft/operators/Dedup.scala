@@ -34,6 +34,8 @@ object Dedup {
   // ---- compiled signature kernels (see TextSig scaladoc) ----
   private val charShinglesUdf = udf((t: String, w: Int) => TextSig.charShingles(t, w))
   private val wordShinglesUdf = udf((t: String, w: Int) => TextSig.wordShingles(t, w))
+  private val wordShingleStringsUdf =
+    udf((t: String, w: Int) => TextSig.wordShingleStrings(t, w))
   private val minhashUdf = udf((sh: Array[Long], k: Int) => TextSig.minhash(sh, k))
   private val simhashUdf = udf((t: String) => TextSig.simhash(t))
   private val jaccardUdf = udf((a: Array[Long], b: Array[Long]) => TextSig.jaccardSorted(a, b))
@@ -484,6 +486,99 @@ object Dedup {
           .as("containment"))
       .filter(col("containment") >= threshold)
     materialized(out, sh)
+  }
+
+  /**
+   * EXACT Jaccard similarity join via prefix filtering (the
+   * AllPairs/PPJoin family, Bayardo et al. WWW'07) — total recall
+   * WITHOUT an O(n²) stage and WITHOUT LSH's probabilistic misses:
+   * emits exactly the pairs with token-set Jaccard ≥ `threshold`.
+   *
+   * The filter: under ANY global order on set elements, J(A,B) ≥ θ
+   * implies |A∩B| ≥ ⌈θ·|A|⌉, so at least one shared element falls in
+   * A's first |A| − ⌈θ·|A|⌉ + 1 elements (pigeonhole over the
+   * ⌈θ·|A|⌉ − 1 elements after the prefix) — and symmetrically for B.
+   * Joining PREFIX elements only is therefore lossless, and the index
+   * the join shuffles is ~(1−θ) of the corpus' grams instead of all of
+   * them. The order used is rarest-first (ascending document
+   * frequency, gram string as tie-break), the standard choice: it
+   * pushes common grams OUT of prefixes, so candidate lists stay short
+   * where the data is hottest.
+   *
+   * Set elements are word `w`-shingle STRINGS (the m03 granularity —
+   * single-token sets don't separate near-dups from topical overlap;
+   * shingle vocabulary is combinatorial, so J ≥ 0.5 means shared
+   * phrasing, not shared vocabulary). Verification is exact:
+   * candidates re-join the full shingle sets and the θ test runs in
+   * DECIMAL (i ≥ θ·u exactly — no double-rounding at the boundary).
+   * All built-ins end to end; the only corpus-sized shuffles are the
+   * gram-frequency aggregation and the prefix inverted index.
+   *
+   * Scale guard: a prefix gram shared by q docs contributes q²
+   * candidate pairs, so like [[containmentPairs]] the operator ABORTS
+   * (actionable error, no silent cap) when the hottest prefix gram
+   * exceeds `graft.dedup.prefixTokenMaxDocs` (default 4096) — at
+   * rarest-first ordering that means either θ is very low or one
+   * boilerplate phrase dominates tiny docs; strip boilerplate or raise
+   * the ceiling deliberately.
+   *
+   * @return (doc_id_a < doc_id_b, jaccard ≥ threshold rounded 6dp)
+   */
+  def prefixJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
+      w: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"prefixJaccardPairs: threshold=$threshold out of (0,1]")
+    require(w >= 1 && w <= 16, s"prefixJaccardPairs: w=$w out of [1,16]")
+    val thDec = lit(BigDecimal(threshold.toString)) // exact decimal θ
+    // word w-shingle strings via the compiled kernel (one pass per doc;
+    // a transform() lambda here would re-evaluate the tokenization per
+    // element after CollapseProject inlines it — the HOF trap)
+    val tok = spread(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        wordShingleStringsUdf(col("text"), lit(w)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("n", size(col("toks")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exploded = tok.select(col("doc_id"), col("n"),
+      explode(col("toks")).as("tok"))
+    // global rarest-first order = (document frequency, token); computed
+    // over the vocabulary (≪ corpus), joined back by token
+    val freq = exploded.groupBy("tok").agg(count(lit(1)).as("df"))
+    val prefix = exploded.join(freq, "tok")
+      .groupBy("doc_id", "n")
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ot"))
+      .select(col("doc_id"), col("n"),
+        explode(slice(transform(col("ot"), x => x("tok")),
+          lit(1), (col("n") - ceil(thDec * col("n")) + 1).cast("int"))).as("tok"))
+    val ceiling = docs.sparkSession.conf
+      .get("graft.dedup.prefixTokenMaxDocs", "4096").toLong
+    val hottest = prefix.groupBy("tok").agg(count(lit(1)).as("d"))
+      .agg(max(col("d"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    require(hottest <= ceiling,
+      s"prefixJaccardPairs: hottest prefix token appears in $hottest docs > " +
+        s"graft.dedup.prefixTokenMaxDocs=$ceiling — strip boilerplate " +
+        "(TextAnalysis.removeBoilerplate) or raise the ceiling")
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+          // length filter: J ≥ θ forces min(n) ≥ θ·max(n)
+          least(col("a.n"), col("b.n")).cast("decimal(20,6)") >=
+            thDec * greatest(col("a.n"), col("b.n")))
+      .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"))
+      .distinct()
+    val out = cand
+      .join(tok.select(col("doc_id").as("doc_id_a"), col("toks").as("ta"),
+        col("n").as("na")), "doc_id_a")
+      .join(tok.select(col("doc_id").as("doc_id_b"), col("toks").as("tb"),
+        col("n").as("nb")), "doc_id_b")
+      .withColumn("i", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("u", col("na") + col("nb") - col("i"))
+      .filter(col("i").cast("decimal(20,6)") >= thDec * col("u"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        round(col("i").cast("double") / col("u"), 6).as("jaccard"))
+    materialized(out, tok)
   }
 
   // narrow denominator kernel for dupGramStats — the totals side never

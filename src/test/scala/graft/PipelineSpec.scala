@@ -173,6 +173,56 @@ class PipelineSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.dedup.containmentGramMaxDocs")
   }
 
+  test("prefixJaccardPairs ≡ brute-force all-pairs exact Jaccard (the " +
+      "lossless-prefix-filter claim), boundary-exact, guarded") {
+    import spark.implicits._
+    // real corpus: every pair the quadratic form finds, the filtered
+    // form must find — and nothing else
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val gramsUdf = udf((t: String) =>
+      graft.core.TextSig.wordShingleStrings(t, 3))
+    val tk = docs.select(col("doc_id"), gramsUdf(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val th = lit(BigDecimal("0.5"))
+    val brute = tk.as("a").join(tk.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .withColumn("i", size(array_intersect(col("a.toks"), col("b.toks"))))
+      .withColumn("u", size(col("a.toks")) + size(col("b.toks")) - col("i"))
+      .filter(col("i").cast("decimal(20,6)") >= th * col("u"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        round(col("i").cast("double") / col("u"), 6))
+      .as[(Long, Long, Double)].collect().toSet
+    val got = Dedup.prefixJaccardPairs(docs, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === brute)
+    assert(got.nonEmpty, "fixture dup pairs should clear θ=0.5")
+    // boundary: J exactly θ is IN (DECIMAL test, no double rounding).
+    // a: 4 toks → grams {w1w2w3, w2w3w4}; b: 3 toks → {w1w2w3}:
+    // i=1, u=2 → J=0.5 exactly
+    val edge = Seq((1L, "w1 w2 w3 w4"), (2L, "w1 w2 w3"))
+      .toDF("doc_id", "text")
+    val e1 = Dedup.prefixJaccardPairs(edge, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(e1 === Seq((1L, 2L, 0.5)))
+    // θ=1.0 = exact gram-set match only, whitespace-insensitive
+    val dup = Seq((1L, "a b  c"), (2L, "a b c"), (3L, "a b d"))
+      .toDF("doc_id", "text")
+    assert(Dedup.prefixJaccardPairs(dup, threshold = 1.0)
+      .as[(Long, Long, Double)].collect().toSeq === Seq((1L, 2L, 1.0)))
+    // hot-prefix-gram ceiling → actionable abort, not a silent cap
+    val boiler = (1L to 5L).map(i => (i, "common alone")).toDF("doc_id", "text")
+    spark.conf.set("graft.dedup.prefixTokenMaxDocs", "4")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Dedup.prefixJaccardPairs(boiler, threshold = 0.5).count()
+      }
+      assert(e.getMessage.contains("prefixTokenMaxDocs"))
+    } finally spark.conf.unset("graft.dedup.prefixTokenMaxDocs")
+    // partitioning invariance
+    assert(Dedup.prefixJaccardPairs(docs.repartition(7), threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet === brute)
+  }
+
   test("minhash verify's driver-safe id-only join path (forced via " +
       "graft.dedup.textBroadcastMaxBytes=0) matches the fast path") {
     import spark.implicits._
