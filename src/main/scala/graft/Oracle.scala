@@ -1693,6 +1693,28 @@ object Oracle {
       FROM kce6 GROUP BY src ORDER BY doc_id"""
     },
 
+    // Rendezvous sharding replayed in full: mix64 the key, mix64 each
+    // shard id, mix64 the xor, argmax with ties to the smallest shard
+    // via the combined-key trick (h·16 + (15−s) maximized — h is
+    // unsigned HUGEINT so no sign mapping needed; 2^64·16 < 2^68 fits).
+    "m133_rendezvous_shards" -> s"""
+      WITH kz AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS z0
+            FROM documents),
+      ${mix64Ctes("kh", "kz", "doc_id")},
+      sz AS (SELECT CAST(unnest(range(0, 9)) AS BIGINT) AS s),
+      sz0 AS (SELECT s, CAST(s AS HUGEINT) AS z0 FROM sz),
+      ${mix64Ctes("sh", "sz0", "s")},
+      wz AS (SELECT k.doc_id, s.s, xor(k.h, s.h) AS z0 FROM kh k, sh s),
+      ${mix64Ctes("wh", "wz", "doc_id, s")},
+      cmb AS (SELECT doc_id, s, h * 16 + (15 - s) AS c FROM wh),
+      agg AS (SELECT doc_id,
+          15 - (MAX(CASE WHEN s < 8 THEN c END) % 16) AS s8,
+          15 - (MAX(c) % 16) AS s9
+        FROM cmb GROUP BY doc_id)
+      SELECT doc_id, CAST(s8 AS INT) AS shard8, CAST(s9 AS INT) AS shard9,
+        CAST(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END AS INT) AS moved
+      FROM agg ORDER BY doc_id""",
+
     // Exact all-pairs token Jaccard — the UNOPTIMIZED form of the
     // prefix-filtered join (m84 convention: the oracle is the plain
     // quadratic computation, so a hash match proves the prefix filter

@@ -1901,6 +1901,24 @@ object Queries {
         threshold = 0.5)
       .orderBy("doc_id_a", "doc_id_b")
 
+  /** m133 — rendezvous (HRW) sharding stability readout
+    * ([[operators.TrainingPipeline.rendezvousShards]]): every doc's
+    * shard under 8 AND 9 shards plus the moved flag — the gate pins
+    * both assignments bit-for-bit (the oracle replays the full
+    * mix64(mix64(key) XOR mix64(shard)) argmax in HUGEINT) and with it
+    * the HRW guarantee that growth moves only into the new shard. */
+  def m133RendezvousShards(s: SparkSession, dir: String): DataFrame = {
+    val ids = t(s, dir, "documents").select("doc_id")
+    val a8 = operators.TrainingPipeline.rendezvousShards(ids, 8)
+      .withColumnRenamed("shard", "shard8")
+    val a9 = operators.TrainingPipeline.rendezvousShards(ids, 9)
+      .withColumnRenamed("shard", "shard9")
+    a8.join(a9, "doc_id")
+      .select(col("doc_id"), col("shard8"), col("shard9"),
+        (col("shard8") =!= col("shard9")).cast("int").as("moved"))
+      .orderBy("doc_id")
+  }
+
   /** m130 — truncated-dimension retrieval
     * ([[operators.Similarity.truncatedTopK]]): m04's exact ranking over
     * only the first 16 of 64 dims — the Matryoshka cheap-pass probe.

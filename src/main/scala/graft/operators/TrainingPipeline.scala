@@ -445,6 +445,40 @@ object TrainingPipeline {
       .toDF()
   }
 
+  private val hrwShardUdf = udf((id: Long, shards: Int) => {
+    val kh = graft.core.TextSig.mix64(id)
+    var best = 0
+    var bw = 0L
+    var s = 0
+    while (s < shards) {
+      val w = graft.core.TextSig.mix64(kh ^ graft.core.TextSig.mix64(s.toLong))
+      if (s == 0 || java.lang.Long.compareUnsigned(w, bw) > 0) {
+        best = s; bw = w
+      }
+      s += 1
+    }
+    best
+  })
+
+  /** Rendezvous (highest-random-weight) shard assignment: each key goes
+    * to the shard with the largest `mix64(mix64(key) XOR mix64(shard))`
+    * (unsigned compare, ties — measure-zero but pinned — to the
+    * smallest shard). THE resharding primitive: unlike `key mod n`,
+    * growing n to n+1 moves only ~1/(n+1) of the keys, and a key that
+    * moves can ONLY move to the NEW shard (its weights against the old
+    * shards are unchanged, so a changed argmax means the new shard
+    * won) — no shard ever exchanges keys with another, which is what
+    * lets a 100 TB store add capacity by copying FROM the old shards
+    * INTO the new one with zero old↔old traffic. Narrow map-only stage
+    * (O(shards) per row, no shuffle, no state); pure function of
+    * (key, shards), so engines and re-runs agree bit-for-bit. */
+  def rendezvousShards(df: DataFrame, shards: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(shards >= 1 && shards <= 65536,
+      s"rendezvousShards: shards=$shards out of [1,65536]")
+    df.select(col(idCol), hrwShardUdf(col(idCol), lit(shards)).as("shard"))
+  }
+
   private val sampleHashUdf =
     udf((id: Long, seed: Long) => graft.core.TextSig.mix64(id + seed))
 

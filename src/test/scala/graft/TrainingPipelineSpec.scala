@@ -966,6 +966,42 @@ class TrainingPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("rendezvousShards: driver-exact, movers only move INTO the new " +
+      "shard, all shards populated, ~1/(n+1) movement") {
+    import graft.core.TextSig
+    val s = spark
+    import s.implicits._
+    def hrw(id: Long, shards: Int): Int = {
+      val kh = TextSig.mix64(id)
+      (0 until shards).maxBy(i =>
+        // unsigned order via sign-bit flip; ties to SMALLEST i need
+        // maxBy's first-wins on strictly-greater — Scala maxBy keeps
+        // the FIRST max, matching the kernel's strict > update
+        (TextSig.mix64(kh ^ TextSig.mix64(i.toLong)) ^ Long.MinValue, -i))
+    }
+    val ids = spark.range(0, 500).toDF("doc_id")
+    val got8 = TrainingPipeline.rendezvousShards(ids, 8)
+      .as[(Long, Int)].collect().toMap
+    val got9 = TrainingPipeline.rendezvousShards(ids, 9)
+      .as[(Long, Int)].collect().toMap
+    (0L until 500L).foreach { id =>
+      assert(got8(id) === hrw(id, 8))
+      assert(got9(id) === hrw(id, 9))
+    }
+    // HRW monotonicity: a key whose assignment changed when shard 8
+    // was ADDED can only have moved to shard 8
+    val movers = (0L until 500L).filter(id => got8(id) != got9(id))
+    assert(movers.forall(id => got9(id) == 8))
+    // expected 500/9 ≈ 56 movers; generous deterministic band
+    assert(movers.size > 20 && movers.size < 120, s"movers=${movers.size}")
+    // balance: every shard owns keys under both configurations
+    assert(got8.values.toSet === (0 until 8).toSet)
+    assert(got9.values.toSet === (0 until 9).toSet)
+    intercept[IllegalArgumentException] {
+      TrainingPipeline.rendezvousShards(ids, 0)
+    }
+  }
+
   test("cupedReport: driver-exact dag, constant X means no adjustment, invariance") {
     val s = spark
     import s.implicits._
