@@ -1847,6 +1847,30 @@ object Oracle {
 
     // Exact AUC: per-distinct-score (p, n), running negatives, the
     // tie-corrected rank sum 2U = sum(2 p cumN + p n) — all integer.
+    // Calibration: score → micro units through DECIMAL(10,6) (the
+    // engine's exact snap), 10 clamped bins, per-bin |Σsi − 10⁶·pos|
+    // gap, ECE_bp = 10000·Σgaps // (10⁶·N) — integer dag end to end.
+    "m134_calibration" -> s"""
+      WITH $TextStatsCtes,
+      cb AS (SELECT CASE WHEN length(text) >= 200 THEN 1 ELSE 0 END AS y,
+              CAST(CAST($QualityExpr AS DECIMAL(10,6)) * 1000000 AS BIGINT)
+                AS si
+            FROM ratios),
+      cbb AS (SELECT CAST(least(si * 10 // 1000000, 9) AS INT) AS bin,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(y) AS BIGINT) AS n_pos,
+              CAST(SUM(si) AS BIGINT) AS conf_sum_micro
+            FROM cb GROUP BY 1),
+      cbg AS (SELECT *, abs(conf_sum_micro - 1000000 * n_pos)
+                AS abs_gap_micro FROM cbb),
+      cbt AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+              CAST(SUM(abs_gap_micro) AS HUGEINT) AS gaps FROM cbg)
+      SELECT bin, n, n_pos, conf_sum_micro,
+        CAST(abs_gap_micro AS BIGINT) AS abs_gap_micro,
+        CAST((10000 * gaps) // (1000000 * CAST(nn AS HUGEINT)) AS BIGINT)
+          AS ece_bp
+      FROM cbg, cbt ORDER BY bin""",
+
     "m128_auc_report" -> s"""
       WITH $TextStatsCtes,
       aub AS (SELECT CASE WHEN length(text) >= 200 THEN 1 ELSE 0 END AS y,

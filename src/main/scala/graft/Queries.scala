@@ -1901,6 +1901,17 @@ object Queries {
         threshold = 0.5)
       .orderBy("doc_id_a", "doc_id_b")
 
+  /** m134 — calibration readout ([[operators.Ranking.calibrationReport]]):
+    * m128's (label, score) pair through the reliability-diagram lens —
+    * 10 micro-unit-exact confidence bins with per-bin gap and the
+    * corpus ECE in basis points, all integers, oracle replayed over
+    * the same QualityExpr dag. */
+  def m134Calibration(s: SparkSession, dir: String): DataFrame =
+    operators.Ranking.calibrationReport(t(s, dir, "documents"),
+        length(col("text")) >= 200,
+        operators.TextAnalysis.qualityScore(col("text")))
+      .orderBy("bin")
+
   /** m133 — rendezvous (HRW) sharding stability readout
     * ([[operators.TrainingPipeline.rendezvousShards]]): every doc's
     * shard under 8 AND 9 shards plus the moved flag — the gate pins

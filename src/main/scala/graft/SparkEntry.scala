@@ -226,6 +226,7 @@ object SparkEntry {
     "m131_cdc_chunks" -> Queries.m131CdcChunks,
     "m132_prefix_jaccard" -> Queries.m132PrefixJaccard,
     "m133_rendezvous_shards" -> Queries.m133RendezvousShards,
+    "m134_calibration" -> Queries.m134Calibration,
     "q52_gap_fill" -> Queries.q52GapFill,
     "mm05_audio_fingerprint" -> Queries.mm05AudioFingerprint,
     "mm06_shot_boundaries" -> Queries.mm06ShotBoundaries,

@@ -321,6 +321,53 @@ object Ranking {
    * @return one row (n_pos, n_neg, u2, auc_bp); auc_bp NULL when a
    *         class is absent
    */
+  /**
+   * Reliability diagram + expected calibration error of a [0,1] score
+   * against a binary label — AUC ([[aucReport]]) says whether the
+   * ranking is right; THIS says whether the score is honest as a
+   * probability (a 0.9-bin should be ~90% positive), which is what a
+   * downstream sampling weight or threshold transfer actually assumes.
+   *
+   * INTEGER-EXACT like aucReport: scores snap to micro-units through
+   * DECIMAL(10,6) (no binary-double binning ambiguity at bin edges),
+   * bin b = ⌊si·bins/10⁶⌋ clamped to bins−1, and the per-bin gap is
+   * |Σsi − 10⁶·positives| — ECE in basis points is then
+   * 10000·Σgaps div (10⁶·N), a pure integer dag the SQL oracle
+   * hash-matches. Σsi ≤ 10⁶·n wraps a BIGINT only past ~9·10¹² rows
+   * per bin (documented bound, the m75 Σx rule); the final products
+   * ride DECIMAL(38,0).
+   *
+   * Scale shape: one map-side-combined aggregation to ≤`bins` rows,
+   * then a broadcast of the 1-row total back onto them. Empty bins are
+   * absent (no densify) — both engines agree.
+   *
+   * @return one row per non-empty bin: (bin, n, n_pos,
+   *         conf_sum_micro, abs_gap_micro, ece_bp) with ece_bp the
+   *         corpus-level ECE repeated on every row
+   */
+  def calibrationReport(df: DataFrame, labelCol: Column, scoreCol: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000,
+      s"calibrationReport: bins=$bins out of [2,1000]")
+    val si = (scoreCol.cast("decimal(10,6)") * 1000000).cast("long")
+    val binned = df.select(labelCol.cast("int").as("__y"), si.as("__si"))
+      .groupBy(least(floor(col("__si") * bins / 1000000L), lit(bins - 1L))
+        .cast("int").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__y")).cast("long").as("n_pos"),
+        sum(col("__si")).cast("long").as("conf_sum_micro"))
+      .withColumn("abs_gap_micro",
+        abs(col("conf_sum_micro") - lit(1000000L) * col("n_pos")))
+    val tot = binned.agg(sum(col("n")).as("__N"),
+      sum(col("abs_gap_micro")).as("__G"))
+    binned.crossJoin(broadcast(tot))
+      .withColumn("ece_bp", expr(
+        """CAST((10000 * CAST(__G AS DECIMAL(38,0)))
+           div (1000000 * CAST(__N AS DECIMAL(38,0))) AS BIGINT)"""))
+      .select(col("bin"), col("n"), col("n_pos"), col("conf_sum_micro"),
+        col("abs_gap_micro"), col("ece_bp"))
+  }
+
   def aucReport(df: DataFrame, labelCol: Column, scoreCol: Column): DataFrame = {
     val byScore = df.select(labelCol.cast("int").as("__y"), scoreCol.as("__s"))
       .groupBy(col("__s"))

@@ -1627,6 +1627,37 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("calibrationReport: hand-computed bins, perfect calibration → " +
+      "ece 0, constant-score gap, edge snapping") {
+    val s = spark
+    import s.implicits._
+    // hand case: bin 9 gets (1.0,y=1),(0.95,y=0); bin 2 gets (0.25,y=0)
+    val df = Seq((1, 1.0), (0, 0.95), (0, 0.25)).toDF("y", "score")
+    val got = graft.operators.Ranking
+      .calibrationReport(df, col("y") === 1, col("score"))
+      .orderBy("bin")
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSeq
+    // bin2: n=1 pos=0 conf=250000 gap=250000; bin9: n=2 pos=1
+    // conf=1950000 gap=|1950000-1000000|=950000; ece_bp =
+    // 10000*1200000 / (1000000*3) = 4000
+    assert(got === Seq((2, 1L, 0L, 250000L, 250000L, 4000L),
+      (9, 2L, 1L, 1950000L, 950000L, 4000L)))
+    // perfectly calibrated constant score 0.5 with half positives
+    val perf = Seq((1, 0.5), (0, 0.5), (1, 0.5), (0, 0.5)).toDF("y", "score")
+    val p = graft.operators.Ranking
+      .calibrationReport(perf, col("y") === 1, col("score")).collect()
+    assert(p.length === 1 && p.head.getLong(5) === 0L &&
+      p.head.getInt(0) === 5)
+    // score exactly 1.0 clamps into the last bin, not bins
+    val one = Seq((1, 1.0)).toDF("y", "score")
+    assert(graft.operators.Ranking.calibrationReport(one, col("y") === 1,
+      col("score")).collect().head.getInt(0) === 9)
+    intercept[IllegalArgumentException] {
+      graft.operators.Ranking.calibrationReport(df, col("y") === 1,
+        col("score"), bins = 1)
+    }
+  }
+
   test("aucReport equals the naive pairwise AUC with ties, perfect and random extremes") {
     val s = spark
     import s.implicits._
