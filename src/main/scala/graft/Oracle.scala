@@ -357,6 +357,66 @@ object Oracle {
         CASE WHEN n_tokens=0 THEN 0.0 ELSE CAST(non_ws AS DOUBLE)/n_tokens END AS mtl
       FROM base)"""
 
+  /** The m131 content-defined-chunking derivation, ending at CTE
+    * `cdm2(doc_id, chunk_idx, cstart, cend, h)` — h the unsigned mix64
+    * chunk hash. Must follow a `WITH RECURSIVE` keyword at the use
+    * site (the B-power table). Shared by m131 (chunk table) and m135
+    * (savings aggregation). The polynomial form is the perf-critical
+    * part: see the m131 entry's comment. */
+  private val CdcChunkCtes: String = s"""
+      cdd AS (SELECT doc_id, text, length(text) AS tl FROM documents
+             WHERE length(text) >= 1),
+      pw(i, p) AS (
+        SELECT 0, CAST(1 AS HUGEINT)
+        UNION ALL
+        SELECT i + 1, (p * CAST(1099511628211 AS HUGEINT)) % $M64
+        FROM pw WHERE i < (SELECT MAX(tl) FROM cdd)),
+      ch AS (SELECT doc_id, pos,
+          CAST(unicode(substr(text, CAST(pos AS INT), 1)) AS HUGEINT) AS code
+        FROM (SELECT doc_id, text, unnest(range(1, tl + 1)) AS pos FROM cdd)),
+      cdz AS (SELECT doc_id, pos, z0 FROM (
+          SELECT doc_id, pos,
+            ( code                  * CAST('2442422338666789947' AS HUGEINT)
+            + lead(code, 1)  OVER w * CAST('104005896588101465' AS HUGEINT)
+            + lead(code, 2)  OVER w * CAST('10372170898125509827' AS HUGEINT)
+            + lead(code, 3)  OVER w * CAST('17673114087473428657' AS HUGEINT)
+            + lead(code, 4)  OVER w * CAST('3510945102848213515' AS HUGEINT)
+            + lead(code, 5)  OVER w * CAST('1775861927039214153' AS HUGEINT)
+            + lead(code, 6)  OVER w * CAST('10622396531520239123' AS HUGEINT)
+            + lead(code, 7)  OVER w * CAST('2232315406967589409' AS HUGEINT)
+            + lead(code, 8)  OVER w * CAST('14218562807570617051' AS HUGEINT)
+            + lead(code, 9)  OVER w * CAST('15895002104753931833' AS HUGEINT)
+            + lead(code, 10) OVER w * CAST('913917546033277539' AS HUGEINT)
+            + lead(code, 11) OVER w * CAST('11527715348014283921' AS HUGEINT)
+            + lead(code, 12) OVER w * CAST('624165263380053675' AS HUGEINT)
+            + lead(code, 13) OVER w * CAST('956575116354345' AS HUGEINT)
+            + lead(code, 14) OVER w * CAST('1099511628211' AS HUGEINT)
+            + lead(code, 15) OVER w ) % $M64 AS z0
+          FROM ch WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+        WHERE z0 IS NOT NULL),
+      ${mix64Ctes("cdm", "cdz", "doc_id, pos")},
+      cdhit AS (SELECT doc_id, pos FROM cdm WHERE h % 64 = 0),
+      cdmid AS (SELECT doc_id,
+          COALESCE(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), 1)
+            AS cstart,
+          pos - 1 AS cend FROM cdhit),
+      cdfin AS (SELECT d.doc_id, COALESCE(mx.mp, 1) AS cstart, d.tl AS cend
+            FROM cdd d LEFT JOIN (SELECT doc_id, MAX(pos) AS mp FROM cdhit
+              GROUP BY doc_id) mx ON d.doc_id = mx.doc_id),
+      cdall AS (SELECT * FROM cdmid WHERE cend >= cstart
+            UNION ALL SELECT * FROM cdfin WHERE cend >= cstart),
+      cdidx AS (SELECT doc_id, cstart, cend,
+          CAST(row_number() OVER (PARTITION BY doc_id ORDER BY cstart) - 1
+            AS INT) AS chunk_idx FROM cdall),
+      cdch AS (SELECT i.doc_id, i.chunk_idx, i.cstart, i.cend,
+          CAST(SUM(c.code * pwj.p) % $M64 AS HUGEINT) AS z0
+        FROM cdidx i
+        JOIN ch c ON c.doc_id = i.doc_id
+          AND c.pos >= i.cstart AND c.pos <= i.cend
+        JOIN pw pwj ON pwj.i = i.cend - c.pos
+        GROUP BY i.doc_id, i.chunk_idx, i.cstart, i.cend),
+      ${mix64Ctes("cdm2", "cdch", "doc_id, chunk_idx, cstart, cend")}"""
+
   /** `TextAnalysis.qualityScore` over the `ratios` CTE columns. */
   private val QualityExpr: String = """
     round(0.4 * (CASE WHEN length(text) BETWEEN 200 AND 50000 THEN 1.0
@@ -1753,65 +1813,30 @@ object Oracle {
     // 2^80 fits HUGEINT natively, so no mul64 limb splits enter any
     // per-char path (a list_reduce(mul64) draft of the same fold ran
     // 691 s at sf0.01; this form runs ~10 s, bit-identical).
+    // The full derivation lives in CdcChunkCtes (ends at cdm2:
+    // doc_id, chunk_idx, cstart, cend, h) — shared with m135's
+    // savings aggregation.
     "m131_cdc_chunks" -> s"""
-      WITH RECURSIVE
-      cdd AS (SELECT doc_id, text, length(text) AS tl FROM documents
-             WHERE length(text) >= 1),
-      pw(i, p) AS (
-        SELECT 0, CAST(1 AS HUGEINT)
-        UNION ALL
-        SELECT i + 1, (p * CAST(1099511628211 AS HUGEINT)) % $M64
-        FROM pw WHERE i < (SELECT MAX(tl) FROM cdd)),
-      ch AS (SELECT doc_id, pos,
-          CAST(unicode(substr(text, CAST(pos AS INT), 1)) AS HUGEINT) AS code
-        FROM (SELECT doc_id, text, unnest(range(1, tl + 1)) AS pos FROM cdd)),
-      cdz AS (SELECT doc_id, pos, z0 FROM (
-          SELECT doc_id, pos,
-            ( code                  * CAST('2442422338666789947' AS HUGEINT)
-            + lead(code, 1)  OVER w * CAST('104005896588101465' AS HUGEINT)
-            + lead(code, 2)  OVER w * CAST('10372170898125509827' AS HUGEINT)
-            + lead(code, 3)  OVER w * CAST('17673114087473428657' AS HUGEINT)
-            + lead(code, 4)  OVER w * CAST('3510945102848213515' AS HUGEINT)
-            + lead(code, 5)  OVER w * CAST('1775861927039214153' AS HUGEINT)
-            + lead(code, 6)  OVER w * CAST('10622396531520239123' AS HUGEINT)
-            + lead(code, 7)  OVER w * CAST('2232315406967589409' AS HUGEINT)
-            + lead(code, 8)  OVER w * CAST('14218562807570617051' AS HUGEINT)
-            + lead(code, 9)  OVER w * CAST('15895002104753931833' AS HUGEINT)
-            + lead(code, 10) OVER w * CAST('913917546033277539' AS HUGEINT)
-            + lead(code, 11) OVER w * CAST('11527715348014283921' AS HUGEINT)
-            + lead(code, 12) OVER w * CAST('624165263380053675' AS HUGEINT)
-            + lead(code, 13) OVER w * CAST('956575116354345' AS HUGEINT)
-            + lead(code, 14) OVER w * CAST('1099511628211' AS HUGEINT)
-            + lead(code, 15) OVER w ) % $M64 AS z0
-          FROM ch WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
-        WHERE z0 IS NOT NULL),
-      ${mix64Ctes("cdm", "cdz", "doc_id, pos")},
-      cdhit AS (SELECT doc_id, pos FROM cdm WHERE h % 64 = 0),
-      cdmid AS (SELECT doc_id,
-          COALESCE(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), 1)
-            AS cstart,
-          pos - 1 AS cend FROM cdhit),
-      cdfin AS (SELECT d.doc_id, COALESCE(mx.mp, 1) AS cstart, d.tl AS cend
-            FROM cdd d LEFT JOIN (SELECT doc_id, MAX(pos) AS mp FROM cdhit
-              GROUP BY doc_id) mx ON d.doc_id = mx.doc_id),
-      cdall AS (SELECT * FROM cdmid WHERE cend >= cstart
-            UNION ALL SELECT * FROM cdfin WHERE cend >= cstart),
-      cdidx AS (SELECT doc_id, cstart, cend,
-          CAST(row_number() OVER (PARTITION BY doc_id ORDER BY cstart) - 1
-            AS INT) AS chunk_idx FROM cdall),
-      cdch AS (SELECT i.doc_id, i.chunk_idx, i.cstart, i.cend,
-          CAST(SUM(c.code * pwj.p) % $M64 AS HUGEINT) AS z0
-        FROM cdidx i
-        JOIN ch c ON c.doc_id = i.doc_id
-          AND c.pos >= i.cstart AND c.pos <= i.cend
-        JOIN pw pwj ON pwj.i = i.cend - c.pos
-        GROUP BY i.doc_id, i.chunk_idx, i.cstart, i.cend),
-      ${mix64Ctes("cdm2", "cdch", "doc_id, chunk_idx, cstart, cend")}
+      WITH RECURSIVE $CdcChunkCtes
       SELECT doc_id, chunk_idx, CAST(cstart AS INT) AS chunk_start,
         CAST(cend - cstart + 1 AS INT) AS chunk_len,
         CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
           THEN h - $M64 ELSE h END AS BIGINT) AS chunk_hash
       FROM cdm2 ORDER BY doc_id, chunk_idx""",
+
+    // Chunk-store savings over the SAME derivation: chunks sharing a
+    // hash are stored once; per-hash refs × len vs one len.
+    "m135_cdc_savings" -> s"""
+      WITH RECURSIVE $CdcChunkCtes,
+      per AS (SELECT h, COUNT(*) AS refs, MAX(cend - cstart + 1) AS clen
+            FROM cdm2 GROUP BY h)
+      SELECT CAST(SUM(refs) AS BIGINT) AS total_chunks,
+        CAST(COUNT(*) AS BIGINT) AS distinct_chunks,
+        CAST(SUM(refs * clen) AS BIGINT) AS total_bytes,
+        CAST(SUM(clen) AS BIGINT) AS unique_bytes,
+        CAST((10000 * (CAST(SUM(refs * clen) AS HUGEINT) - SUM(clen)))
+          // CAST(SUM(refs * clen) AS HUGEINT) AS BIGINT) AS saved_bp
+      FROM per""",
 
     // CUPED: per-user scaled (x, y), exact HUGEINT pooled moments,
     // theta/mu/means via the identical double dag, 6dp rounds.

@@ -1901,6 +1901,14 @@ object Queries {
         threshold = 0.5)
       .orderBy("doc_id_a", "doc_id_b")
 
+  /** m135 — content-addressed chunk-store savings
+    * ([[operators.TextAnalysis.cdcSavings]]): the byte-level dedup
+    * payoff of keying storage on m131's chunk hashes — one row of
+    * exact-integer totals and basis points; the oracle rides the same
+    * shared chunk derivation and re-aggregates. */
+  def m135CdcSavings(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.cdcSavings(t(s, dir, "documents"))
+
   /** m134 — calibration readout ([[operators.Ranking.calibrationReport]]):
     * m128's (label, score) pair through the reliability-diagram lens —
     * 10 micro-unit-exact confidence bins with per-bin gap and the

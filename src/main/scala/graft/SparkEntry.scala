@@ -227,6 +227,7 @@ object SparkEntry {
     "m132_prefix_jaccard" -> Queries.m132PrefixJaccard,
     "m133_rendezvous_shards" -> Queries.m133RendezvousShards,
     "m134_calibration" -> Queries.m134Calibration,
+    "m135_cdc_savings" -> Queries.m135CdcSavings,
     "q52_gap_fill" -> Queries.q52GapFill,
     "mm05_audio_fingerprint" -> Queries.mm05AudioFingerprint,
     "mm06_shot_boundaries" -> Queries.mm06ShotBoundaries,

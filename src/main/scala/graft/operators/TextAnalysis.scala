@@ -690,6 +690,33 @@ object TextAnalysis {
         col("c._4").as("chunk_hash"))
   }
 
+  /** Content-addressed chunk-store savings ([[cdcChunkTable]] composed):
+    * what a dedup store keyed on CDC chunk hashes actually saves —
+    * chunks sharing a hash are stored once, so
+    * `saved_bp = 10000·(total_bytes − unique_bytes) div total_bytes`.
+    * This is the BYTE-level savings WITHIN near-identical documents
+    * that doc-level dedup (m82's savings readout) cannot see: two docs
+    * differing by one insertion share every chunk but the edited one.
+    * One shuffle on the 64-bit chunk hash (chunk text never moves);
+    * per-hash lengths agree by construction (same content barring
+    * ~1e-19 128-bit-free collisions — acceptable for a savings
+    * ESTIMATE; a store would verify on write). Byte sums wrap BIGINT
+    * only past 2⁶³ total chars; the ratio rides DECIMAL(38,0). */
+  def cdcSavings(docs: DataFrame, k: Int = 16, maskBits: Int = 6,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val per = cdcChunkTable(docs, k, maskBits, idCol, textCol)
+      .groupBy("chunk_hash")
+      .agg(count(lit(1)).as("refs"), max(col("chunk_len")).as("clen"))
+    per.agg(
+        sum(col("refs")).cast("long").as("total_chunks"),
+        count(lit(1)).as("distinct_chunks"),
+        sum(col("refs") * col("clen")).cast("long").as("total_bytes"),
+        sum(col("clen")).cast("long").as("unique_bytes"))
+      .withColumn("saved_bp", expr(
+        """CAST((10000 * (CAST(total_bytes AS DECIMAL(38,0)) - unique_bytes))
+           div CAST(total_bytes AS DECIMAL(38,0)) AS BIGINT)"""))
+  }
+
   /** [[graft.core.Bpe]]'s greedy left-to-right single-pair rewrite on a
     * Seq — kept textually in lockstep with `Bpe.mergeOnce` (equality is
     * spec-pinned via the full-trainer comparison). */

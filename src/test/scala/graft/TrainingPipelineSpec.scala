@@ -1002,6 +1002,34 @@ class TrainingPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("cdcSavings: exact dup saves its bytes, disjoint corpus saves " +
+      "none, point edit keeps savings near-total") {
+    val s = spark
+    import s.implicits._
+    val text = (1 to 2000)
+      .map(i => ('a' + (graft.core.TextSig.mix64(i.toLong) % 26 + 26) % 26).toChar)
+      .mkString
+    // two identical docs: unique = half of total
+    val dup = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    val r = TextAnalysis.cdcSavings(dup).collect().head
+    assert(r.getAs[Long]("total_bytes") === 4000L)
+    assert(r.getAs[Long]("unique_bytes") === 2000L)
+    assert(r.getAs[Long]("saved_bp") === 5000L)
+    // disjoint docs share nothing
+    val disj = Seq((1L, text), (2L, text.reverse)).toDF("doc_id", "text")
+    val d = TextAnalysis.cdcSavings(disj).collect().head
+    assert(d.getAs[Long]("saved_bp") === 0L)
+    assert(d.getAs[Long]("unique_bytes") === d.getAs[Long]("total_bytes"))
+    // a 1-char edit re-keys ONE chunk: savings stay near 50%
+    val edited = Seq((1L, text), (2L, "Z" + text.substring(1)))
+      .toDF("doc_id", "text")
+    val e = TextAnalysis.cdcSavings(edited).collect().head
+    val nChunks = graft.core.TextSig.cdcChunks(text, 16, 6).length
+    assert(nChunks > 5)
+    assert(e.getAs[Long]("distinct_chunks") === nChunks + 1)
+    assert(e.getAs[Long]("saved_bp") > 4000L)
+  }
+
   test("cupedReport: driver-exact dag, constant X means no adjustment, invariance") {
     val s = spark
     import s.implicits._
