@@ -3642,6 +3642,52 @@ object Oracle {
     // set iff cell·8 > window total (strict), signature assembled as a
     // HUGEINT bit sum and mapped to Spark's signed Long via the 2^63
     // wrap. Audio items with no bit set still emit sig 0 (left join).
+    // dHash replayed from raw stored-deflate pixel offsets (the mm02
+    // formula): per-pixel 3-byte luma sums → one unnest into rows →
+    // one vectorized (cx, cy) group-by → strictly-brighter neighbor
+    // compares as integer cross-multiplies → bit sum against a
+    // recursive 2^k table (no << needed), signed at the end.
+    "mm07_image_dhash" -> s"""
+      WITH RECURSIVE
+      media AS (SELECT media_id, hex(bytes) AS h, octet_length(bytes) AS ln
+                FROM read_parquet('{AUX}/media/*.parquet')),
+      im0 AS (SELECT media_id, h, ${u32be("16")} AS w, ${u32be("20")} AS ht
+            FROM media
+            WHERE ln >= 33 AND substr(h,1,16) = '89504E470D0A1A0A'),
+      im AS (SELECT * FROM im0 WHERE w >= 9 AND ht >= 8),
+      pw2(k, v) AS (SELECT 0, CAST(1 AS HUGEINT)
+        UNION ALL SELECT k + 1, v * 2 FROM pw2 WHERE k < 63),
+      lum AS (SELECT media_id, w, ht,
+          list_transform(range(0, w*ht), p ->
+            TRY_CAST('0x' || substr(h,
+              (49 + (p//w)*(1+3*w) + (p%w)*3)*2+1, 2) AS BIGINT)
+          + TRY_CAST('0x' || substr(h,
+              (49 + (p//w)*(1+3*w) + (p%w)*3 + 1)*2+1, 2) AS BIGINT)
+          + TRY_CAST('0x' || substr(h,
+              (49 + (p//w)*(1+3*w) + (p%w)*3 + 2)*2+1, 2) AS BIGINT)) AS lv
+        FROM im),
+      px AS (SELECT media_id, w, ht,
+          CAST(e.p AS BIGINT) AS p, CAST(e.l AS BIGINT) AS l
+        FROM (SELECT media_id, w, ht,
+            unnest(list_transform(range(0, w*ht),
+              q -> {'p': q, 'l': lv[CAST(q AS INT)+1]})) AS e
+          FROM lum)),
+      cells AS (SELECT media_id,
+          ((p % w) * 9) // w AS cx, ((p // w) * 8) // ht AS cy,
+          SUM(l) AS s, COUNT(*) AS n
+        FROM px GROUP BY 1, 2, 3),
+      dbits AS (SELECT a.media_id,
+          SUM(CASE WHEN a.s * b.n > b.s * a.n THEN p2.v
+            ELSE CAST(0 AS HUGEINT) END) AS u
+        FROM cells a JOIN cells b ON a.media_id = b.media_id
+          AND a.cy = b.cy AND b.cx = a.cx + 1
+        JOIN pw2 p2 ON p2.k = a.cy * 8 + a.cx
+        WHERE a.cx < 8 GROUP BY a.media_id)
+      SELECT media_id,
+        CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+          THEN u - $M64 ELSE u END AS BIGINT) AS sig
+      FROM dbits ORDER BY media_id""",
+
     "mm05_audio_fingerprint" -> s"""
       WITH media AS (SELECT media_id, hex(bytes) AS h, octet_length(bytes) AS ln
                      FROM read_parquet('{AUX}/media/*.parquet')),

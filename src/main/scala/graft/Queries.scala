@@ -963,6 +963,18 @@ object Queries {
     Multimodal.audioFingerprint(media(s, dir))
       .orderBy("media_id")
 
+  /** mm07 — perceptual image hashes ([[operators.Multimodal
+    * .imageHashes]]): every image's 64-bit dHash — 9×8 block-sum grid,
+    * strictly-brighter-than-right-neighbor bits via integer
+    * cross-multiplies — replayed bit-for-bit by the oracle from raw
+    * stored-deflate pixel offsets (the mm02 formula). The Hamming
+    * near-dup join over these ([[operators.Multimodal.imageDupPairs]])
+    * is spec-pinned with perturbed images (the fixture corpus has no
+    * image near-dups, so its gate row would be vacuously empty). */
+  def mm07ImageDhash(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageHashes(media(s, dir))
+      .orderBy("media_id")
+
   /** m13 — benchmark decontamination: training docs sharing ≥1 distinct
     * 13-gram with the benchmark slice (doc_id % 5 == 0 plays the held-out
     * benchmark; the rest is the training corpus). The fixture's near-dup

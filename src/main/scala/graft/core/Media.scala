@@ -469,6 +469,59 @@ object Media {
     out
   }
 
+  /** 64-bit perceptual difference hash (dHash) of an image: the pixel
+    * grid collapses onto 9×8 cells (pixel (x,y) → cell
+    * (x·9 div w, y·8 div h) — the floor partition, so every pixel lands
+    * in exactly one cell and cells differ by at most one row/column in
+    * size), each cell's brightness is the Σ over its pixels of the
+    * first-3-band sample sum, and bit (cy·8 + cx) is set iff cell
+    * (cx,cy) is STRICTLY brighter than its right neighbor — compared as
+    * sums cross-multiplied by counts (sa·nb > sb·na), so the whole hash
+    * is exact integer arithmetic: no division, no float resize kernel,
+    * replayable byte-for-byte by a SQL oracle from raw pixel offsets.
+    * Perceptual: downsampling kills noise/detail, gradients survive
+    * brightness scaling — near-identical images land within a small
+    * Hamming distance. Null for undecodable input or images smaller
+    * than the 9×8 grid. */
+  def imageDhash(bytes: Array[Byte]): java.lang.Long = {
+    val img = readImage(bytes)
+    if (img == null) return null
+    val w = img.getWidth; val h = img.getHeight
+    if (w < 9 || h < 8) return null
+    val raster = img.getRaster
+    val nb = math.min(raster.getNumBands, 3)
+    val sums = new Array[Long](9 * 8)
+    val counts = new Array[Long](9 * 8)
+    var y = 0
+    while (y < h) {
+      val cy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val cx = x * 9 / w
+        var l = 0L
+        var b = 0
+        while (b < nb) { l += raster.getSample(x, y, b); b += 1 }
+        sums(cy * 9 + cx) += l
+        counts(cy * 9 + cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        val a = cy * 9 + cx
+        if (sums(a) * counts(a + 1) > sums(a + 1) * counts(a))
+          hash |= 1L << (cy * 8 + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    java.lang.Long.valueOf(hash)
+  }
+
   /** RMS loudness of the WAV PCM16 payload (all channels pooled). Null
     * for non-audio. */
   def audioRms(bytes: Array[Byte]): java.lang.Double = {

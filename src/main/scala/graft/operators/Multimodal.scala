@@ -109,6 +109,47 @@ object Multimodal {
       .select(col("media_id"),
         fpUdf(col("bytes"), lit(windows), lit(bands)).as("sig"))
 
+  private val dhashUdf = udf((b: Array[Byte]) =>
+    Option(Media.imageDhash(b)).map(_.longValue))
+
+  /** Per-image 64-bit perceptual difference hash
+    * ([[Media.imageDhash]]) — the image-modality near-dup signature
+    * next to [[audioFingerprint]]: exact integer kernel (9×8 block
+    * sums, cross-multiplied neighbor compares — no resize kernel, no
+    * floats), so the oracle replays every bit from raw pixel offsets. */
+  def imageHashes(media: DataFrame): DataFrame =
+    withMeta(media)
+      .filter(col("meta.kind") === Media.KindImage)
+      .select(col("media_id"), dhashUdf(col("bytes")).as("sig"))
+      .filter(col("sig").isNotNull)
+
+  /** Image near-dup pairs at Hamming ≤ `maxHamming` over
+    * [[imageHashes]] — the image leg of the media dedup family, same
+    * 4×16-bit pigeonhole banding as [[audioDupPairs]]: candidates from
+    * a band-bucket equi-join (signatures only shuffle, never pixels),
+    * exact Hamming on candidates. Total recall requires
+    * maxHamming ≤ 3. */
+  def imageDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"imageDupPairs: maxHamming=$maxHamming — 4x16-bit banding only " +
+        "guarantees recall to Hamming 3; re-band for larger radii")
+    val sig = imageHashes(media)
+    val banded = sig.select(col("media_id"), col("sig"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL))
+              .as("key"))): _*)).as("bk"))
+      .select(col("media_id"), col("sig"), col("bk.band"), col("bk.key"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("media_id_a"),
+        col("y.media_id").as("media_id_b"),
+        Dedup.hamming64(col("x.sig"), col("y.sig")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Audio near-dup pairs at Hamming ≤ `maxHamming` over
     * [[audioFingerprint]] signatures — the audio leg of the m12 media
     * dedup family. Scale shape: the SimHash banding argument — a

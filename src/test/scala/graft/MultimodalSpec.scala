@@ -291,6 +291,63 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("imageDhash matches a from-scratch driver reference, survives a " +
+      "one-pixel edit within Hamming 3; imageDupPairs finds the crafted " +
+      "near-dup and nothing else") {
+    val s = spark
+    import s.implicits._
+    // driver reference straight from the raw raster, independent of
+    // ImageIO: cell (x*9/w, y*8/h), luma = r+g+b, cross-multiplied
+    def ref(w: Int, h: Int, rgb: Array[Byte]): Long = {
+      val sums = Array.ofDim[Long](8, 9)
+      val cnts = Array.ofDim[Long](8, 9)
+      for (y <- 0 until h; x <- 0 until w) {
+        val l = (0 until 3).map(c => rgb((y * w + x) * 3 + c) & 0xff).sum
+        sums(y * 8 / h)(x * 9 / w) += l
+        cnts(y * 8 / h)(x * 9 / w) += 1
+      }
+      var sig = 0L
+      for (cy <- 0 until 8; cx <- 0 until 8)
+        if (sums(cy)(cx) * cnts(cy)(cx + 1) > sums(cy)(cx + 1) * cnts(cy)(cx))
+          sig |= 1L << (cy * 8 + cx)
+      sig
+    }
+    val w = 36; val h = 28
+    val rnd = new java.util.Random(5)
+    val rgbA = Array.fill[Byte](w * h * 3)(0); rnd.nextBytes(rgbA)
+    // one-pixel nudge: only the edited cell's two compares can flip
+    val rgbB = rgbA.clone(); rgbB(3 * (w * 10 + 10)) =
+      (rgbB(3 * (w * 10 + 10)) ^ 0x7f).toByte
+    val rgbC = Array.fill[Byte](w * h * 3)(0)
+    new java.util.Random(77).nextBytes(rgbC)
+    val media = Seq(1L -> rgbA, 2L -> rgbB, 3L -> rgbC)
+      .map { case (id, p) => (id, Media.encodePng(w, h, p)) }
+      .toDF("media_id", "bytes")
+    val sigs = Multimodal.imageHashes(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs === Map(1L -> ref(w, h, rgbA), 2L -> ref(w, h, rgbB),
+      3L -> ref(w, h, rgbC)))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(2L)) <= 3,
+      "one-pixel edit flips at most its cell's two compares")
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) > 3,
+      "unrelated images must not collide at Hamming 3 (seeded fixture)")
+    val pairs = Multimodal.imageDupPairs(media, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+    // non-image rows are ignored; tiny images (below the 9x8 grid) are
+    // null-skipped (P11), not errors
+    val mixed = media.unionByName(Seq(
+      (8L, Media.encodeWav(16000, Array.fill[Byte](64)(1))),
+      (9L, Media.encodePng(4, 4, Array.fill[Byte](48)(1)))
+    ).toDF("media_id", "bytes"))
+    assert(Multimodal.imageHashes(mixed).count() === 3)
+    assert(Media.imageDhash(Media.encodePng(4, 4,
+      Array.fill[Byte](48)(1))) === null)
+    intercept[IllegalArgumentException] {
+      Multimodal.imageDupPairs(media, maxHamming = 4)
+    }
+  }
+
   test("shotBoundaries: static run scores 0, the cut fires, diff is driver-exact") {
     val s = spark
     import s.implicits._
