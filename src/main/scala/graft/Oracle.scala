@@ -1150,6 +1150,40 @@ object Oracle {
              ELSE round(rawe, 4) END AS est_distinct
       FROM hest ORDER BY source""",
 
+    // HLL union proof: the oracle derives the CORPUS-level sketch
+    // directly from raw tokens (no merge anywhere in this SQL); the
+    // engine answers via per-source sketches max-merged — a hash match
+    // proves the union algebra exact.
+    "m136_hll_union" -> s"""
+      WITH hn AS (SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS nt
+                  FROM documents),
+      htok AS (SELECT 'all' AS grp, unnest(string_split(nt, ' ')) AS t
+               FROM hn WHERE length(nt) > 0),
+      hf AS (SELECT grp, ${fnv1a("t || ' '")} AS z0 FROM htok),
+      ${mix64Ctes("hmx", "hf", "grp")},
+      hobs AS (SELECT grp, CAST(h >> 56 AS INT) AS bucket,
+                 h % CAST('72057594037927936' AS HUGEINT) AS w
+               FROM hmx),
+      hrg AS (SELECT grp, bucket,
+                max(CASE WHEN w = 0 THEN 57
+                         ELSE 57 - length(bin(CAST(w AS BIGINT))) END) AS r
+              FROM hobs GROUP BY grp, bucket),
+      hagg AS (SELECT grp, COUNT(*) AS nb, SUM(r) AS sum_rank,
+                 SUM(CAST(bucket AS BIGINT) * r) AS checksum,
+                 SUM(CAST(1 AS HUGEINT) << (57 - r)) AS sp
+               FROM hrg GROUP BY grp),
+      hest AS (SELECT grp, nb, sum_rank, checksum,
+                 ((0.7213/(1.0+1.079/256.0))*65536.0*144115188075855872.0)
+                   / CAST(sp + (256 - nb) * CAST('144115188075855872' AS HUGEINT) AS DOUBLE) AS rawe
+               FROM hagg)
+      SELECT grp AS "group", CAST(nb AS INT) AS n_buckets,
+        CAST(sum_rank AS BIGINT) AS sum_rank,
+        CAST(checksum AS BIGINT) AS register_checksum,
+        CASE WHEN nb < 256 AND rawe <= 640.0
+             THEN round(256.0 * ln(256.0 / CAST(256 - nb AS DOUBLE)), 4)
+             ELSE round(rawe, 4) END AS est_distinct
+      FROM hest""",
+
     // Count-min cells re-derived per DISTINCT token (occurrence-
     // weighted — the cell count is Σc over tokens mapping there), row
     // hashes mix64(h + i) over 4 row indices mod the power-of-two

@@ -1608,6 +1608,18 @@ object Queries {
     operators.Sketches.hllVocab(t(s, dir, "documents"), p = 8)
       .orderBy("source")
 
+  /** m136 — HLL union algebra ([[operators.Sketches.hllMergeAll]]):
+    * per-source sketches max-merged into ONE corpus sketch, then
+    * estimated. The oracle never sees the merge — it derives the
+    * corpus-level sketch DIRECTLY from raw tokens — so the hash match
+    * proves merge-path ≡ direct-path (the property that lets executors
+    * sketch independently and union register frames). */
+  def m136HllUnion(s: SparkSession, dir: String): DataFrame =
+    operators.Sketches.hllEstimate(
+      operators.Sketches.hllMergeAll(
+        operators.Sketches.hllRegisters(t(s, dir, "documents"), 8,
+          col("source"))), 8)
+
   /** m47 — count-min sketch token-frequency estimates
     * ([[operators.Sketches.cmsTokenEstimates]]): occurrence-count upper
     * bounds for the 18 stopword probes from a 4×1024 cell table — the

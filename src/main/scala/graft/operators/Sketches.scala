@@ -110,6 +110,21 @@ object Sketches {
     hllEstimate(hllRegisters(docs, p, col(sourceCol), textCol), p)
       .withColumnRenamed("group", "source")
 
+  /** Union of all groups' HLL registers into one sketch: per-bucket MAX
+    * over the group registers — the lossless sketch algebra (HLL's
+    * register state is a per-bucket max, and max distributes over
+    * union), so estimating the merged registers gives EXACTLY the
+    * estimate a from-scratch pass over the concatenated corpus would —
+    * the property that lets 1000 executors sketch independently, ship
+    * ≤2^p rows each, and still answer the global question. The m136
+    * gate proves it cross-engine: the engine runs this merge path, the
+    * oracle re-derives the corpus-level sketch DIRECTLY from raw
+    * tokens, and the rows must hash-match. */
+  def hllMergeAll(registers: DataFrame, label: String = "all"): DataFrame =
+    registers.groupBy(col("bucket"))
+      .agg(max(col("r")).as("r"))
+      .select(lit(label).as("group"), col("bucket"), col("r"))
+
   /** Per-group HLL estimates from a register frame (group, bucket, r) —
     * shared by the one-shot [[hllVocab]] and the durable
     * [[hllStoreEstimates]] read path. */

@@ -71,6 +71,27 @@ class SketchesSpec extends AnyFunSuite {
     assert(merged == full)
   }
 
+  test("hllMergeAll: per-source sketches max-merged ≡ the direct " +
+      "corpus sketch, register for register and in the estimate") {
+    val perSource = Sketches.hllRegisters(docs, 8, col("source"))
+    val merged = Sketches.hllMergeAll(perSource)
+    val direct = Sketches.hllRegisters(docs, 8, lit("all"))
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr("bucket", "CAST(r AS INT)").orderBy("bucket")
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    val m = regs(merged)
+    val d = regs(direct)
+    assert(m === d)
+    val em = Sketches.hllEstimate(merged, 8).collect().head
+    val ed = Sketches.hllEstimate(direct, 8).collect().head
+    assert(em.getDouble(4) === ed.getDouble(4))
+    // splitting by a DIFFERENT key merges to the same sketch too (the
+    // algebra is partition-key-independent)
+    val byParity = Sketches.hllMergeAll(
+      Sketches.hllRegisters(docs, 8, pmod(col("doc_id"), lit(7))))
+    assert(regs(byParity) === d)
+  }
+
   test("cmsTokenEstimates never under-counts and is partitioning-invariant") {
     val probes = TextSig.Stopwords.toSeq.sorted
     val est = Sketches.cmsTokenEstimates(docs, probes).collect()
