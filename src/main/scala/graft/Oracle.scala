@@ -1150,6 +1150,29 @@ object Oracle {
              ELSE round(rawe, 4) END AS est_distinct
       FROM hest ORDER BY source""",
 
+    // Co-occurrence: the plain quadratic per-doc pair expansion with NO
+    // Apriori pruning (the engine prunes; a hash match proves pruning
+    // lossless). lift = exact-int double division, 6dp.
+    "m137_cooccurrence" -> """
+      WITH n AS (SELECT doc_id,
+              trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS nt
+            FROM documents),
+      tk AS (SELECT doc_id, unnest(list_distinct(string_split(nt, ' '))) AS tok
+            FROM n WHERE length(nt) > 0),
+      nd AS (SELECT COUNT(DISTINCT doc_id) AS nn FROM tk),
+      dfr AS (SELECT tok, COUNT(*) AS df FROM tk GROUP BY tok),
+      p AS (SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS n_docs
+            FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND a.tok < b.tok
+            GROUP BY 1, 2)
+      SELECT tok_a, tok_b, CAST(n_docs AS BIGINT) AS n_docs,
+        CAST(fa.df AS BIGINT) AS df_a, CAST(fb.df AS BIGINT) AS df_b,
+        round(CAST(n_docs * nn AS DOUBLE)
+          / CAST(fa.df * fb.df AS DOUBLE), 6) AS lift
+      FROM p JOIN dfr fa ON fa.tok = p.tok_a
+        JOIN dfr fb ON fb.tok = p.tok_b, nd
+      WHERE n_docs >= 100
+      ORDER BY tok_a, tok_b""",
+
     // HLL union proof: the oracle derives the CORPUS-level sketch
     // directly from raw tokens (no merge anywhere in this SQL); the
     // engine answers via per-source sketches max-merged — a hash match

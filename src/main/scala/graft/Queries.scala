@@ -1925,6 +1925,16 @@ object Queries {
         threshold = 0.5)
       .orderBy("doc_id_a", "doc_id_b")
 
+  /** m137 — frequent token co-occurrence pairs
+    * ([[operators.TextAnalysis.cooccurrencePairs]]): the 2-itemset
+    * Apriori slice with lift — exact counts, so the oracle is the
+    * plain quadratic per-doc pair expansion with no pruning (another
+    * m84-convention row: hash match proves the pruning lossless). */
+  def m137Cooccurrence(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.cooccurrencePairs(t(s, dir, "documents"),
+        minsup = 100)
+      .orderBy("tok_a", "tok_b")
+
   /** m135 — content-addressed chunk-store savings
     * ([[operators.TextAnalysis.cdcSavings]]): the byte-level dedup
     * payoff of keying storage on m131's chunk hashes — one row of

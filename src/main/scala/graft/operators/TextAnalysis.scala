@@ -690,6 +690,69 @@ object TextAnalysis {
         col("c._4").as("chunk_hash"))
   }
 
+  /**
+   * Frequent token co-occurrence pairs (collocation mining, the
+   * 2-itemset slice of Apriori): pairs of distinct normalized tokens
+   * appearing together in ≥ `minsup` documents, with their document
+   * frequencies and lift = N·n_docs/(df_a·df_b) — lift > 1 means the
+   * pair co-occurs MORE than independent tokens would, the signal that
+   * finds template phrases, entity pairs, and topic markers.
+   *
+   * Apriori pruning is what makes it scale: a pair can only reach
+   * `minsup` if BOTH tokens do, so the per-doc pair expansion runs
+   * over frequent tokens only (a semi-join against the ≥minsup
+   * vocabulary). The expansion is quadratic per document in its
+   * FREQUENT-distinct-token count, so the operator ABORTS (actionable,
+   * no silent cap) when any document exceeds
+   * `graft.text.cooccurMaxDocTokens` (default 256) — 256 frequent
+   * distinct tokens is 32k pairs/doc; past that, raise minsup or the
+   * ceiling deliberately. Shuffles: token-df aggregation, the per-doc
+   * self-join (keyed on doc_id), and the (tok_a, tok_b) count — all on
+   * tokens/ids, never text. The N·n_docs product wraps BIGINT only
+   * past ~3·10⁹ docs (documented bound, the m75 Σx rule); lift is one
+   * exact-int double division, 6dp.
+   *
+   * @return (tok_a < tok_b, n_docs ≥ minsup, df_a, df_b, lift 6dp)
+   */
+  def cooccurrencePairs(docs: DataFrame, minsup: Int = 100,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minsup >= 1, s"cooccurrencePairs: minsup=$minsup < 1")
+    val nt = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    val tok = docs.select(col(idCol).as("doc_id"), nt.as("nt"))
+      .filter(length(col("nt")) > 0)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("nt"), " "))).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = tok.select("doc_id").distinct().count()
+    val freq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minsup)
+    val kept = tok.join(broadcast(freq), "tok")
+    val ceiling = docs.sparkSession.conf
+      .get("graft.text.cooccurMaxDocTokens", "256").toInt
+    val fattest = kept.groupBy("doc_id").agg(count(lit(1)).as("k"))
+      .agg(max(col("k"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    require(fattest <= ceiling,
+      s"cooccurrencePairs: a document carries $fattest frequent distinct " +
+        s"tokens > graft.text.cooccurMaxDocTokens=$ceiling — raise minsup " +
+        "or the ceiling deliberately (the pair expansion is quadratic)")
+    val out = kept.as("a").join(kept.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
+      .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
+      .agg(count(lit(1)).as("n_docs"),
+        first(col("a.df")).as("df_a"), first(col("b.df")).as("df_b"))
+      .filter(col("n_docs") >= minsup)
+      .select(col("tok_a"), col("tok_b"), col("n_docs"),
+        col("df_a"), col("df_b"),
+        round((col("n_docs") * nDocs).cast("double") /
+          (col("df_a") * col("df_b")).cast("double"), 6).as("lift"))
+    val pinned = graft.core.Blocks.pin(out)
+    graft.core.Blocks.release(tok)
+    pinned
+  }
+
   /** Content-addressed chunk-store savings ([[cdcChunkTable]] composed):
     * what a dedup store keyed on CDC chunk hashes actually saves —
     * chunks sharing a hash are stored once, so

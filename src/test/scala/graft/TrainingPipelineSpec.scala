@@ -1002,6 +1002,53 @@ class TrainingPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("cooccurrencePairs ≡ unpruned brute force (Apriori losslessness), " +
+      "lift sides, ceiling abort") {
+    val s = spark
+    import s.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val minsup = 10
+    // brute force with NO pruning
+    val tk = docs
+      .select(col("doc_id"),
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("nt"))
+      .filter(length(col("nt")) > 0)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("nt"), " "))).as("tok"))
+    val nd = tk.select("doc_id").distinct().count()
+    val dfr = tk.groupBy("tok").agg(count(lit(1)).as("df"))
+    val brute = tk.as("a").join(tk.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
+      .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minsup)
+      .join(dfr.select(col("tok").as("tok_a"), col("df").as("df_a")), "tok_a")
+      .join(dfr.select(col("tok").as("tok_b"), col("df").as("df_b")), "tok_b")
+      .select(col("tok_a"), col("tok_b"), col("n_docs"), col("df_a"),
+        col("df_b"),
+        round((col("n_docs") * nd).cast("double") /
+          (col("df_a") * col("df_b")).cast("double"), 6))
+      .as[(String, String, Long, Long, Long, Double)].collect().toSet
+    val got = TextAnalysis.cooccurrencePairs(docs, minsup = minsup)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSet
+    assert(got === brute)
+    assert(got.nonEmpty)
+    // perfect co-occurrence: always-together pair has lift = N/df
+    val toy = Seq((1L, "x y"), (2L, "x y"), (3L, "z w")).toDF("doc_id", "text")
+    val t2 = TextAnalysis.cooccurrencePairs(toy, minsup = 2)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(t2 === Seq(("x", "y", 2L, 2L, 2L, 1.5)))
+    // ceiling abort
+    spark.conf.set("graft.text.cooccurMaxDocTokens", "3")
+    try {
+      val wide = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+      val e = intercept[IllegalArgumentException] {
+        TextAnalysis.cooccurrencePairs(wide, minsup = 1).count()
+      }
+      assert(e.getMessage.contains("cooccurMaxDocTokens"))
+    } finally spark.conf.unset("graft.text.cooccurMaxDocTokens")
+  }
+
   test("cdcSavings: exact dup saves its bytes, disjoint corpus saves " +
       "none, point edit keeps savings near-total") {
     val s = spark
