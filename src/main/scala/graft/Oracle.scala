@@ -1150,6 +1150,42 @@ object Oracle {
              ELSE round(rawe, 4) END AS est_distinct
       FROM hest ORDER BY source""",
 
+    // Stratified split replayed whole: seeded in-stratum shuffle
+    // (mix64(doc_id+41) signed order), per-stratum counts, largest-
+    // remainder apportionment (floor products, remainders ranked desc
+    // with ties to the lower split), cumulative cut bounds, range join.
+    "m138_stratified_split" -> s"""
+      WITH sz0 AS (SELECT doc_id, source, CAST(doc_id + 41 AS HUGEINT) AS z0
+            FROM documents),
+      ${mix64Ctes("ssh", "sz0", "doc_id, source")},
+      srnk AS (SELECT doc_id, source,
+          CAST(row_number() OVER (PARTITION BY source ORDER BY
+            (CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+              THEN h - $M64 ELSE h END), doc_id) - 1 AS BIGINT) AS r
+        FROM ssh),
+      sns AS (SELECT source, COUNT(*) AS n FROM srnk GROUP BY source),
+      sshr AS (SELECT unnest([0, 1, 2]) AS i,
+               unnest([7000, 2000, 1000]) AS bp),
+      sap AS (SELECT source, i, bp, n,
+            (n * bp) // 10000 AS base, (n * bp) % 10000 AS rem
+          FROM sns, sshr),
+      slo AS (SELECT source, SUM(base) AS sb, MAX(n) AS n
+            FROM sap GROUP BY source),
+      sbon AS (SELECT a.source, a.i,
+          CASE WHEN row_number() OVER (PARTITION BY a.source
+            ORDER BY a.rem DESC, a.i) <= l.n - l.sb THEN 1 ELSE 0 END AS b
+        FROM sap a JOIN slo l ON a.source = l.source),
+      ssz AS (SELECT a.source, a.i, a.base + b.b AS sz
+          FROM sap a JOIN sbon b ON a.source = b.source AND a.i = b.i),
+      scum AS (SELECT source, i,
+          SUM(sz) OVER (PARTITION BY source ORDER BY i) AS hi,
+          SUM(sz) OVER (PARTITION BY source ORDER BY i) - sz AS lo
+        FROM ssz)
+      SELECT r.doc_id, r.source AS stratum, CAST(c.i AS INT) AS split
+      FROM srnk r JOIN scum c ON r.source = c.source
+        AND r.r >= c.lo AND r.r < c.hi
+      ORDER BY doc_id""",
+
     // Co-occurrence: the plain quadratic per-doc pair expansion with NO
     // Apriori pruning (the engine prunes; a hash match proves pruning
     // lossless). lift = exact-int double division, 6dp.

@@ -1925,6 +1925,17 @@ object Queries {
         threshold = 0.5)
       .orderBy("doc_id_a", "doc_id_b")
 
+  /** m138 — exact stratified split
+    * ([[operators.TrainingPipeline.stratifiedSplit]]): every doc's
+    * (stratum, split) under 70/20/10 largest-remainder apportionment —
+    * the oracle replays the seeded in-stratum shuffle AND the
+    * apportionment arithmetic, so the gate pins both the exact
+    * per-stratum counts and WHICH doc landed where. */
+  def m138StratifiedSplit(s: SparkSession, dir: String): DataFrame =
+    operators.TrainingPipeline.stratifiedSplit(t(s, dir, "documents"),
+        sharesBp = Seq(7000, 2000, 1000))
+      .orderBy("doc_id")
+
   /** m137 — frequent token co-occurrence pairs
     * ([[operators.TextAnalysis.cooccurrencePairs]]): the 2-itemset
     * Apriori slice with lift — exact counts, so the oracle is the

@@ -230,6 +230,7 @@ object SparkEntry {
     "m135_cdc_savings" -> Queries.m135CdcSavings,
     "m136_hll_union" -> Queries.m136HllUnion,
     "m137_cooccurrence" -> Queries.m137Cooccurrence,
+    "m138_stratified_split" -> Queries.m138StratifiedSplit,
     "q52_gap_fill" -> Queries.q52GapFill,
     "mm05_audio_fingerprint" -> Queries.mm05AudioFingerprint,
     "mm06_shot_boundaries" -> Queries.mm06ShotBoundaries,

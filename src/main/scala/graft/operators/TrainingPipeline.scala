@@ -650,6 +650,76 @@ object TrainingPipeline {
     out
   }
 
+  /**
+   * EXACT stratified split (train/val/test and friends): within every
+   * stratum the docs are ordered by a seeded hash (a deterministic
+   * shuffle — pure function of (doc_id, seed)) and cut so each split
+   * gets its largest-remainder apportionment of the stratum's count —
+   * ⌊n·bp/10000⌋ each, the n − Σ⌊⌋ leftovers to the largest
+   * remainders (ties to the lower split index). Unlike threshold
+   * sampling (`mixtureSample`), the split sizes are EXACT per stratum,
+   * which is what a val set that must hold "exactly 10% of every
+   * language" needs; unlike `randomSplit`, it is reproducible across
+   * runs and engines bit-for-bit.
+   *
+   * Scale shape: per-stratum ranks ride ONE range-partitioned global
+   * sort + broadcast per-stratum offsets (the interleaveOrder pattern —
+   * no per-stratum single-task window); the apportionment itself needs
+   * only (stratum, n) — driver state bounded at the strata count, like
+   * temperatureRates. Assignment is a broadcast range join against
+   * strata×splits cut rows.
+   *
+   * @param sharesBp one entry per split, basis points, summing to 10000
+   * @return (idCol, stratum, split) with split the 0-based index into
+   *         sharesBp
+   */
+  def stratifiedSplit(docs: DataFrame, sharesBp: Seq[Int],
+      seed: Long = 41L, strataCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    require(sharesBp.nonEmpty && sharesBp.forall(_ >= 0) &&
+      sharesBp.sum == 10000,
+      s"stratifiedSplit: sharesBp=$sharesBp must be ≥0 and sum to 10000")
+    val s = docs.sparkSession
+    import s.implicits._
+    val hashed = docs
+      .select(col(strataCol).cast("string").as("stratum"),
+        col(idCol).cast("long").as(idCol))
+      .withColumn("__h", sampleHashUdf(col(idCol), lit(seed)))
+    val g1 = Ranking.globalRank(hashed,
+      Seq(col("stratum").asc, col("__h").asc, col(idCol).asc),
+      rankCol = "__g")
+    val offs = g1.groupBy("stratum")
+      .agg(min(col("__g")).as("__off"), count(lit(1)).as("__n"))
+      .collect()
+    val cutRows = offs.flatMap { r =>
+      val stratum = r.getString(0)
+      val n = r.getLong(2)
+      val base = sharesBp.map(bp => n * bp / 10000)
+      val leftover = (n - base.sum).toInt
+      val bonus = sharesBp.indices
+        .map(i => ((n * sharesBp(i)) % 10000, i))
+        .sortBy { case (rem, i) => (-rem, i) }
+        .take(leftover).map(_._2).toSet
+      val sizes = sharesBp.indices.map(i =>
+        base(i) + (if (bonus(i)) 1L else 0L))
+      val cum = sizes.scanLeft(0L)(_ + _)
+      sharesBp.indices.map(i => (stratum, i, cum(i), cum(i + 1)))
+    }.toSeq
+    val cuts = cutRows.toDF("__cst", "split", "__lo", "__hi")
+    val offFrame = offs.map(r => (r.getString(0), r.getLong(1)))
+      .toSeq.toDF("stratum", "__off")
+    val ranked = g1.join(broadcast(offFrame), "stratum")
+      // 0-based in-stratum rank
+      .select(col(idCol), col("stratum"), (col("__g") - col("__off")).as("__r"))
+    val out = ranked.join(broadcast(cuts),
+        ranked("stratum") === cuts("__cst") &&
+          ranked("__r") >= cuts("__lo") && ranked("__r") < cuts("__hi"))
+      .select(col(idCol), col("stratum"), col("split"))
+    val pinned = graft.core.Blocks.pin(out)
+    graft.core.Blocks.releaseAll(g1)
+    pinned
+  }
+
   /** Temperature-smoothed mixture planning at T = 2 (the standard
     * multilingual/multi-source rebalancing: target shares ∝ n^(1/T),
     * which boosts small sources without drowning large ones). At

@@ -1002,6 +1002,51 @@ class TrainingPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("stratifiedSplit: exact largest-remainder counts per stratum, " +
+      "complete & disjoint, deterministic, seed moves docs not counts") {
+    val s = spark
+    import s.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val shares = Seq(7000, 2000, 1000)
+    val out = TrainingPipeline.stratifiedSplit(docs, shares)
+      .as[(Long, String, Int)].collect().toSeq
+    // complete and disjoint: exactly one row per doc
+    assert(out.map(_._1).sorted ===
+      docs.select("doc_id").as[Long].collect().toSeq.sorted)
+    // per-stratum counts are the exact apportionment
+    def apportion(n: Long): Seq[Long] = {
+      val base = shares.map(bp => n * bp / 10000)
+      val left = (n - base.sum).toInt
+      val bonus = shares.indices.map(i => ((n * shares(i)) % 10000, i))
+        .sortBy { case (r, i) => (-r, i) }.take(left).map(_._2).toSet
+      shares.indices.map(i => base(i) + (if (bonus(i)) 1L else 0L))
+    }
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val want = apportion(rows.size.toLong)
+      val got = shares.indices.map(i => rows.count(_._3 == i).toLong)
+      assert(got === want)
+    }
+    // deterministic under repartitioning
+    val re = TrainingPipeline.stratifiedSplit(docs.repartition(7), shares)
+      .as[(Long, String, Int)].collect().toSeq
+    assert(re.sortBy(_._1) === out.sortBy(_._1))
+    // a different seed reassigns docs but keeps every count
+    val seeded = TrainingPipeline.stratifiedSplit(docs, shares, seed = 99L)
+      .as[(Long, String, Int)].collect().toSeq
+    assert(seeded.sortBy(_._1) !== out.sortBy(_._1))
+    assert(seeded.groupBy(r => (r._2, r._3)).view.mapValues(_.size).toMap ===
+      out.groupBy(r => (r._2, r._3)).view.mapValues(_.size).toMap)
+    // 49-doc stratum at 70/20/10: base (34,9,4), remainders
+    // (3000,8000,9000) → leftovers to splits 2 then 1 → (34,10,5)
+    val one = (1L to 49L).map(i => (i, "only")).toDF("doc_id", "source")
+    val o = TrainingPipeline.stratifiedSplit(one, shares)
+      .as[(Long, String, Int)].collect().toSeq
+    assert(shares.indices.map(i => o.count(_._3 == i)) === Seq(34, 10, 5))
+    intercept[IllegalArgumentException] {
+      TrainingPipeline.stratifiedSplit(docs, Seq(5000, 4000))
+    }
+  }
+
   test("cooccurrencePairs ≡ unpruned brute force (Apriori losslessness), " +
       "lift sides, ceiling abort") {
     val s = spark
