@@ -3439,6 +3439,30 @@ object Oracle {
                   ELSE 'other' END AS kind, COUNT(*) AS count
       FROM dedup GROUP BY 1 ORDER BY 1""",
 
+    // Snapshot-cut diff: two filtered last-writer windows over the raw
+    // dump, full outer join, version-pair change test.
+    "sn18_snapshot_diff" -> """
+      WITH sd1 AS (SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY pubkey
+              ORDER BY slot DESC, write_version DESC) AS rn
+          FROM read_parquet('{AUX}/raw_accounts/*.parquet')
+          WHERE slot <= 101) WHERE rn = 1),
+      sd2 AS (SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY pubkey
+              ORDER BY slot DESC, write_version DESC) AS rn
+          FROM read_parquet('{AUX}/raw_accounts/*.parquet')
+          WHERE slot <= 103) WHERE rn = 1)
+      SELECT hex(COALESCE(sd2.pubkey, sd1.pubkey)) AS pubkey,
+        CASE WHEN sd1.pubkey IS NULL THEN 'added'
+             WHEN sd2.pubkey IS NULL THEN 'removed'
+             WHEN sd1.slot <> sd2.slot
+               OR sd1.write_version <> sd2.write_version THEN 'changed'
+             ELSE 'unchanged' END AS status,
+        sd1.slot AS slot_a, sd2.slot AS slot_b,
+        sd1.lamports AS lamports_a, sd2.lamports AS lamports_b
+      FROM sd1 FULL OUTER JOIN sd2 ON sd1.pubkey = sd2.pubkey
+      ORDER BY 1""",
+
     "sn08_account_selector" -> s"""
       WITH $DedupCte
       SELECT hex(pubkey) AS pk, lamports FROM dedup

@@ -283,6 +283,13 @@ object SparkEntry {
     // P5 selector + D8/D7 wire round-trip + P10/D4/D5/A4 opcode stats
     // (streaming transforms are batch/stream-agnostic; exercised here on
     // the batch fixture, micro-batch semantics in StreamingSpec)
+    // Snapshot-cut diff: state at slot ≤ 101 vs ≤ 103 (fixture slots are
+    // 100..103) — the incremental-sync readout
+    "sn18_snapshot_diff" -> ((s, _) => Etl.snapshotDiff(
+        SnapshotReader.rawAccounts(s, fixtureDir), 101L, 103L)
+      .select(hex(col("pubkey")).as("pubkey"), col("status"),
+        col("slot_a"), col("slot_b"), col("lamports_a"), col("lamports_b"))
+      .orderBy("pubkey")),
     "sn08_account_selector" -> ((s, _) =>
       dedupedFor(s, "pubkey", "lamports", "owner", "data")
         .filter(graft.streaming.Selectors.accountSelector(

@@ -445,6 +445,19 @@ object TextSig {
   }
 
   /** Exact Jaccard of two sorted distinct hash arrays (merge scan). */
+  /** |a ∩ b| for two SORTED distinct hash arrays (the [[jaccardSorted]]
+    * merge walk, count kept integral — callers needing an exact
+    * DECIMAL threshold test must not round through a double). */
+  def intersectSortedCount(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    inter
+  }
+
   def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
     if (a.isEmpty && b.isEmpty) return 0.0
     var i = 0; var j = 0; var inter = 0

@@ -34,8 +34,8 @@ object Dedup {
   // ---- compiled signature kernels (see TextSig scaladoc) ----
   private val charShinglesUdf = udf((t: String, w: Int) => TextSig.charShingles(t, w))
   private val wordShinglesUdf = udf((t: String, w: Int) => TextSig.wordShingles(t, w))
-  private val wordShingleStringsUdf =
-    udf((t: String, w: Int) => TextSig.wordShingleStrings(t, w))
+  private val intersectCountUdf =
+    udf((a: Array[Long], b: Array[Long]) => TextSig.intersectSortedCount(a, b))
   private val minhashUdf = udf((sh: Array[Long], k: Int) => TextSig.minhash(sh, k))
   private val simhashUdf = udf((t: String) => TextSig.simhash(t))
   private val jaccardUdf = udf((a: Array[Long], b: Array[Long]) => TextSig.jaccardSorted(a, b))
@@ -505,14 +505,21 @@ object Dedup {
    * pushes common grams OUT of prefixes, so candidate lists stay short
    * where the data is hottest.
    *
-   * Set elements are word `w`-shingle STRINGS (the m03 granularity —
+   * Set elements are word `w`-shingles (the m03 granularity —
    * single-token sets don't separate near-dups from topical overlap;
    * shingle vocabulary is combinatorial, so J ≥ 0.5 means shared
-   * phrasing, not shared vocabulary). Verification is exact:
-   * candidates re-join the full shingle sets and the θ test runs in
-   * DECIMAL (i ≥ θ·u exactly — no double-rounding at the boundary).
-   * All built-ins end to end; the only corpus-sized shuffles are the
-   * gram-frequency aggregation and the prefix inverted index.
+   * phrasing, not shared vocabulary), carried as their 64-bit gram
+   * hashes end to end: the global order is (df, hash), the prefix
+   * index joins on longs, and verification is a sorted-merge intersect
+   * kernel over [[graft.core.TextSig.wordShingles]]' sorted arrays
+   * with the θ test in DECIMAL (i ≥ θ·u exactly — no double-rounding
+   * at the boundary). Exact modulo 64-bit gram-hash injectivity — the
+   * SAME assumption m03's string-vs-hash gate has held under (~1e-9
+   * collision odds; a string-array draft was unconditionally exact but
+   * spent 9 of its 11 s at sf0.1 intersecting interpreted string
+   * arrays — the m132 gate's string-exact oracle pins the agreement).
+   * The only corpus-sized shuffles are the gram-frequency aggregation
+   * and the prefix inverted index.
    *
    * Scale guard: a prefix gram shared by q docs contributes q²
    * candidate pairs, so like [[containmentPairs]] the operator ABORTS
@@ -530,12 +537,12 @@ object Dedup {
       s"prefixJaccardPairs: threshold=$threshold out of (0,1]")
     require(w >= 1 && w <= 16, s"prefixJaccardPairs: w=$w out of [1,16]")
     val thDec = lit(BigDecimal(threshold.toString)) // exact decimal θ
-    // word w-shingle strings via the compiled kernel (one pass per doc;
-    // a transform() lambda here would re-evaluate the tokenization per
-    // element after CollapseProject inlines it — the HOF trap)
+    // sorted distinct gram hashes via the compiled kernel (one pass per
+    // doc; a transform() lambda here would re-evaluate the tokenization
+    // per element after CollapseProject inlines it — the HOF trap)
     val tok = spread(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"),
-        wordShingleStringsUdf(col("text"), lit(w)).as("toks"))
+        wordShinglesUdf(col("text"), lit(w)).as("toks"))
       .filter(size(col("toks")) > 0)
       .withColumn("n", size(col("toks")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -544,12 +551,16 @@ object Dedup {
     // global rarest-first order = (document frequency, token); computed
     // over the vocabulary (≪ corpus), joined back by token
     val freq = exploded.groupBy("tok").agg(count(lit(1)).as("df"))
+    // PERSISTED: three consumers (ceiling probe + both sides of the
+    // candidate self-join) would otherwise each recompute the whole
+    // freq-join + per-doc sort chain
     val prefix = exploded.join(freq, "tok")
       .groupBy("doc_id", "n")
       .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ot"))
       .select(col("doc_id"), col("n"),
         explode(slice(transform(col("ot"), x => x("tok")),
           lit(1), (col("n") - ceil(thDec * col("n")) + 1).cast("int"))).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ceiling = docs.sparkSession.conf
       .get("graft.dedup.prefixTokenMaxDocs", "4096").toLong
     val hottest = prefix.groupBy("tok").agg(count(lit(1)).as("d"))
@@ -573,12 +584,12 @@ object Dedup {
         col("n").as("na")), "doc_id_a")
       .join(tok.select(col("doc_id").as("doc_id_b"), col("toks").as("tb"),
         col("n").as("nb")), "doc_id_b")
-      .withColumn("i", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("i", intersectCountUdf(col("ta"), col("tb")))
       .withColumn("u", col("na") + col("nb") - col("i"))
       .filter(col("i").cast("decimal(20,6)") >= thDec * col("u"))
       .select(col("doc_id_a"), col("doc_id_b"),
         round(col("i").cast("double") / col("u"), 6).as("jaccard"))
-    materialized(out, tok)
+    materialized(out, tok, prefix)
   }
 
   // narrow denominator kernel for dupGramStats — the totals side never

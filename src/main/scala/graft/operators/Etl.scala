@@ -65,6 +65,40 @@ object Etl {
     latestVersion(raw.select(present.map(col).toIndexedSeq: _*))
   }
 
+  /** Snapshot-to-snapshot account diff: the per-pubkey state a snapshot
+    * cut at `slotA` would publish vs one cut at `slotB` (state = A1's
+    * last-writer-wins over records with slot ≤ cut), full-outer-joined
+    * into added / removed / changed / unchanged — the incremental-sync
+    * readout in front of shipping a whole second snapshot ("what do I
+    * actually need to re-send?"). `changed` keys on the (slot,
+    * write_version) version pair, not payload equality — a rewritten
+    * account with identical bytes is still a new version (the same
+    * semantics a replay consumer sees). Two bounded last-writer
+    * aggregations + one pubkey-keyed full outer join; payload columns
+    * never enter the shuffle (latestVersionFor prunes to the four
+    * columns this diff reads). In an append-only archive `removed`
+    * cannot occur; the branch exists for generality and the spec pins
+    * it on a crafted frame. */
+  def snapshotDiff(raw: DataFrame, slotA: Long, slotB: Long): DataFrame = {
+    require(slotA < slotB, s"snapshotDiff: slotA=$slotA must be < slotB=$slotB")
+    def state(cut: Long) = latestVersionFor(
+      raw.filter(col("slot") <= cut),
+      Seq("pubkey", "slot", "write_version", "lamports"))
+    val a = state(slotA).select(col("pubkey"), col("slot").as("slot_a"),
+      col("write_version").as("wv_a"), col("lamports").as("lamports_a"))
+    val b = state(slotB).select(col("pubkey"), col("slot").as("slot_b"),
+      col("write_version").as("wv_b"), col("lamports").as("lamports_b"))
+    a.join(b, Seq("pubkey"), "full_outer")
+      .select(col("pubkey"),
+        when(col("slot_a").isNull, "added")
+          .when(col("slot_b").isNull, "removed")
+          .when(col("slot_a") =!= col("slot_b") ||
+            col("wv_a") =!= col("wv_b"), "changed")
+          .otherwise("unchanged").as("status"),
+        col("slot_a"), col("slot_b"),
+        col("lamports_a"), col("lamports_b"))
+  }
+
   /** The `account` table projection (`sqlite.rs:96-107`). */
   def accounts(deduped: DataFrame): DataFrame =
     deduped.select("pubkey", "data_len", "owner", "lamports", "executable",

@@ -1,0 +1,32 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+object TmpProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions","32")
+      .config("spark.ui.enabled","false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def t[A](l:String)(f: => A): A = { val t0=System.nanoTime; val r=f; println(f"PROBE $l: ${(System.nanoTime-t0)/1e9}%.2f s -> $r"); r }
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val u = udf((s: String, w: Int) => graft.core.TextSig.wordShingleStrings(s, w))
+    val tok = docs.select(col("doc_id"), u(col("text"), lit(3)).as("toks")).filter(size(col("toks"))>0).withColumn("n", size(col("toks"))).persist()
+    t("tok count"){ tok.count() }
+    val exploded = tok.select(col("doc_id"), col("n"), explode(col("toks")).as("tok"))
+    val freq = exploded.groupBy("tok").agg(count(lit(1)).as("df"))
+    t("vocab"){ freq.count() }
+    val thDec = lit(BigDecimal("0.5"))
+    val prefix = exploded.join(freq, "tok").groupBy("doc_id","n")
+      .agg(array_sort(collect_list(struct(col("df"),col("tok")))).as("ot"))
+      .select(col("doc_id"), col("n"), explode(slice(transform(col("ot"), x=>x("tok")), lit(1), (col("n")-ceil(thDec*col("n"))+1).cast("int"))).as("tok")).persist()
+    t("prefix rows"){ prefix.count() }
+    t("hottest"){ prefix.groupBy("tok").agg(count(lit(1)).as("d")).agg(max(col("d"))).head() }
+    val cand = prefix.as("a").join(prefix.as("b"), col("a.tok")===col("b.tok") && col("a.doc_id")<col("b.doc_id") && least(col("a.n"),col("b.n")).cast("decimal(20,6)") >= thDec*greatest(col("a.n"),col("b.n"))).select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"))
+    t("cand raw"){ cand.count() }
+    val candD = cand.distinct().persist()
+    t("cand distinct"){ candD.count() }
+    val out = candD.join(tok.select(col("doc_id").as("doc_id_a"),col("toks").as("ta"),col("n").as("na")),"doc_id_a").join(tok.select(col("doc_id").as("doc_id_b"),col("toks").as("tb"),col("n").as("nb")),"doc_id_b").withColumn("i", size(array_intersect(col("ta"),col("tb")))).withColumn("u", col("na")+col("nb")-col("i")).filter(col("i").cast("decimal(20,6)") >= thDec*col("u"))
+    t("verify"){ out.count() }
+    spark.stop()
+  }
+}
