@@ -3805,6 +3805,44 @@ object Oracle {
           THEN u - $M64 ELSE u END AS BIGINT) AS sig
       FROM dbits ORDER BY media_id""",
 
+    // Silence spans: per-sample |signed| < T flags → gaps-and-islands
+    // (k − row_number over quiet rows) → min/count per island, minRun
+    // filter. Samples land in rows via the struct-zip unnest (no blob
+    // re-read per row).
+    "mm08_silence_spans" -> s"""
+      WITH ssm AS (SELECT media_id, hex(bytes) AS h, octet_length(bytes) AS ln
+                   FROM read_parquet('{AUX}/media/*.parquet')),
+      ssa AS (SELECT media_id, h, ${u32("40")}//2 AS nall
+            FROM ssm
+            WHERE ln >= 44 AND substr(h,1,8) = '52494646'
+              AND substr(h,17,8) = '57415645'
+              AND substr(h,25,8) = '666D7420' AND substr(h,73,8) = '64617461'
+              AND ${u16("20")} = 1 AND ${u16("34")} = 16
+              AND ${u16("22")} >= 1 AND ln >= 44 + ${u32("40")}),
+      ssl AS (SELECT media_id, nall,
+          list_transform(range(0, nall), k ->
+            TRY_CAST('0x' || substr(h,(44+CAST(k AS INT)*2+1)*2+1,2)
+                          || substr(h,(44+CAST(k AS INT)*2)*2+1,2) AS INTEGER))
+            AS us
+        FROM ssa),
+      ssv AS (SELECT media_id, CAST(e.k AS BIGINT) AS k,
+            CAST(e.x AS INTEGER) AS x
+          FROM (SELECT media_id,
+              unnest(list_transform(range(0, nall),
+                q -> {'k': q, 'x': us[CAST(q AS INT)+1]})) AS e
+            FROM ssl)),
+      ssq AS (SELECT media_id, k FROM ssv
+            WHERE abs(CASE WHEN x >= 32768 THEN x - 65536 ELSE x END) < 4096),
+      ssi AS (SELECT media_id, k,
+            k - row_number() OVER (PARTITION BY media_id ORDER BY k) AS g
+          FROM ssq),
+      ssp AS (SELECT media_id, MIN(k) AS span_start, COUNT(*) AS span_len
+            FROM ssi GROUP BY media_id, g)
+      SELECT media_id, CAST(span_start AS INT) AS span_start,
+        CAST(span_len AS INT) AS span_len
+      FROM ssp WHERE span_len >= 2
+      ORDER BY media_id, span_start""",
+
     "mm05_audio_fingerprint" -> s"""
       WITH media AS (SELECT media_id, hex(bytes) AS h, octet_length(bytes) AS ln
                      FROM read_parquet('{AUX}/media/*.parquet')),

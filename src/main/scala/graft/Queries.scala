@@ -975,6 +975,14 @@ object Queries {
     Multimodal.imageHashes(media(s, dir))
       .orderBy("media_id")
 
+  /** mm08 — audio silence spans ([[operators.Multimodal.silenceSpans]]):
+    * every maximal ≥2-sample run quieter than |4096| — exact integers,
+    * replayed by the oracle from raw PCM byte offsets with the
+    * gaps-and-islands pattern. */
+  def mm08SilenceSpans(s: SparkSession, dir: String): DataFrame =
+    Multimodal.silenceSpans(media(s, dir))
+      .orderBy("media_id", "span_start")
+
   /** m13 — benchmark decontamination: training docs sharing ≥1 distinct
     * 13-gram with the benchmark slice (doc_id % 5 == 0 plays the held-out
     * benchmark; the rest is the training corpus). The fixture's near-dup

@@ -235,6 +235,7 @@ object SparkEntry {
     "mm05_audio_fingerprint" -> Queries.mm05AudioFingerprint,
     "mm06_shot_boundaries" -> Queries.mm06ShotBoundaries,
     "mm07_image_dhash" -> Queries.mm07ImageDhash,
+    "mm08_silence_spans" -> Queries.mm08SilenceSpans,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on

@@ -469,6 +469,40 @@ object Media {
     out
   }
 
+  /** Silence spans of the WAV PCM16 payload (all channels pooled, the
+    * [[audioRms]] stream): maximal runs of ≥ `minRun` consecutive
+    * samples with |s| < `threshold` — the trim/segmentation primitive
+    * in front of audio chunking (drop lead-in silence, split on long
+    * pauses). Exact integer end to end (|−32768| fits an Int), so a
+    * SQL oracle replays every span from raw byte offsets with the
+    * gaps-and-islands pattern. Null for non-audio.
+    *
+    * @return (start 0-based sample index, run length) per span */
+  def silenceSpans(bytes: Array[Byte], threshold: Int,
+      minRun: Int): Array[(Int, Int)] = {
+    require(threshold >= 1 && threshold <= 32768,
+      s"silenceSpans: threshold=$threshold out of [1,32768]")
+    require(minRun >= 1, s"silenceSpans: minRun=$minRun < 1")
+    val layout = wavLayout(bytes)
+    if (layout == null) return null
+    val dataOff = layout(2); val dataLen = layout(3)
+    val n = dataLen / 2
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var i = 0
+    var runStart = -1
+    while (i <= n) {
+      val quiet = i < n && math.abs(b.getShort(dataOff + i * 2).toInt) < threshold
+      if (quiet && runStart < 0) runStart = i
+      else if (!quiet && runStart >= 0) {
+        if (i - runStart >= minRun) out += ((runStart, i - runStart))
+        runStart = -1
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
   /** 64-bit perceptual difference hash (dHash) of an image: the pixel
     * grid collapses onto 9×8 cells (pixel (x,y) → cell
     * (x·9 div w, y·8 div h) — the floor partition, so every pixel lands

@@ -111,6 +111,24 @@ object Multimodal {
 
   private val dhashUdf = udf((b: Array[Byte]) =>
     Option(Media.imageDhash(b)).map(_.longValue))
+  private val silenceUdf = udf((b: Array[Byte], t: Int, r: Int) =>
+    Option(Media.silenceSpans(b, t, r)))
+
+  /** Per-audio silence spans ([[Media.silenceSpans]]): the trim /
+    * segmentation table in front of audio chunking — one row per
+    * maximal quiet run. `explode_outer` + isNotNull (the sampledFrames
+    * heavy-kernel shape: the WAV walk runs ONCE per row, and audios
+    * with no quiet run survive as zero rows, not re-decodes). */
+  def silenceSpans(media: DataFrame, threshold: Int = 4096,
+      minRun: Int = 2): DataFrame =
+    withMeta(media)
+      .filter(col("meta.kind") === Media.KindAudio)
+      .select(col("media_id"),
+        explode_outer(silenceUdf(col("bytes"), lit(threshold), lit(minRun)))
+          .as("sp"))
+      .filter(col("sp").isNotNull)
+      .select(col("media_id"), col("sp._1").as("span_start"),
+        col("sp._2").as("span_len"))
 
   /** Per-image 64-bit perceptual difference hash
     * ([[Media.imageDhash]]) — the image-modality near-dup signature

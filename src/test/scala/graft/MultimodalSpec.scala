@@ -348,6 +348,33 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("silenceSpans: crafted quiet runs land exactly, minRun filters, " +
+      "edge runs close, non-audio skipped") {
+    val s = spark
+    import s.implicits._
+    // 16 samples: quiet run [2,5), loud, quiet [8,12), trailing quiet
+    // [14,16) that must close at the stream end
+    val loud: Short = 20000
+    val samples = Array[Short](loud, loud, 10, -20, 900, loud, loud, loud,
+      0, 1, -1, 50, loud, loud, 5, -5)
+    val bb = java.nio.ByteBuffer.allocate(32)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(bb.putShort)
+    val wav = Media.encodeWav(16000, bb.array())
+    assert(Media.silenceSpans(wav, 4096, 2).toSeq ===
+      Seq((2, 3), (8, 4), (14, 2)))
+    assert(Media.silenceSpans(wav, 4096, 4).toSeq === Seq((8, 4)))
+    assert(Media.silenceSpans(Media.synthesize(0L), 4096, 2) === null)
+    val media = Seq((1L, wav), (2L, Media.synthesize(0L)))
+      .toDF("media_id", "bytes")
+    val rows = Multimodal.silenceSpans(media, 4096, 2)
+      .as[(Long, Int, Int)].collect().toSeq.sorted
+    assert(rows === Seq((1L, 2, 3), (1L, 8, 4), (1L, 14, 2)))
+    intercept[IllegalArgumentException] {
+      Media.silenceSpans(wav, 0, 2)
+    }
+  }
+
   test("shotBoundaries: static run scores 0, the cut fires, diff is driver-exact") {
     val s = spark
     import s.implicits._
