@@ -1150,6 +1150,40 @@ object Oracle {
              ELSE round(rawe, 4) END AS est_distinct
       FROM hest ORDER BY source""",
 
+    // Histogram match replayed whole: integer equal-width bins over the
+    // global [min,max], per-bin (ref, other) counts, EXACT argmin of
+    // other/ref by cross-multiplied NOT EXISTS (plain column
+    // comparisons — list-arg correlation is the broken case), floor
+    // apportionment, seeded in-bin ranks, cut join.
+    "m139_histogram_match" -> s"""
+      WITH hb AS (SELECT doc_id, (doc_id % 3 = 0) AS rf,
+            CAST(length(text) AS BIGINT) AS v FROM documents),
+      hmm AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM hb),
+      hbin AS (SELECT doc_id, rf,
+            CAST(((v - lo) * 16) // (hi - lo + 1) AS INT) AS bin
+          FROM hb, hmm),
+      hcnt AS (SELECT bin, SUM(CASE WHEN rf THEN 1 ELSE 0 END) AS na,
+            SUM(CASE WHEN rf THEN 0 ELSE 1 END) AS nb
+          FROM hbin GROUP BY bin),
+      hmn AS (SELECT bin AS mbin, na AS mna, nb AS mnb FROM hcnt h1
+          WHERE na > 0 AND NOT EXISTS (
+            SELECT 1 FROM hcnt h2 WHERE h2.na > 0 AND
+              (h2.nb * h1.na < h1.nb * h2.na OR
+               (h2.nb * h1.na = h1.nb * h2.na AND h2.bin < h1.bin)))),
+      hcut AS (SELECT bin, (na * mnb) // mna AS t FROM hcnt, hmn
+          WHERE na > 0 AND (na * mnb) // mna > 0),
+      hz AS (SELECT doc_id, bin, CAST(doc_id + 59 AS HUGEINT) AS z0
+          FROM hbin WHERE NOT rf),
+      ${mix64Ctes("hhx", "hz", "doc_id, bin")},
+      hr AS (SELECT doc_id, bin,
+          row_number() OVER (PARTITION BY bin ORDER BY
+            (CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+              THEN h - $M64 ELSE h END), doc_id) - 1 AS r
+        FROM hhx)
+      SELECT r.doc_id, r.bin FROM hr r
+      JOIN hcut c ON r.bin = c.bin AND r.r < c.t
+      ORDER BY doc_id""",
+
     // Stratified split replayed whole: seeded in-stratum shuffle
     // (mix64(doc_id+41) signed order), per-stratum counts, largest-
     // remainder apportionment (floor products, remainders ranked desc

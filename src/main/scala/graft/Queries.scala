@@ -1933,6 +1933,17 @@ object Queries {
         threshold = 0.5)
       .orderBy("doc_id_a", "doc_id_b")
 
+  /** m139 — histogram-matched subsample
+    * ([[operators.TrainingPipeline.histogramMatch]]): the non-ref docs
+    * (doc_id % 3 ≠ 0) subsampled so their length histogram matches the
+    * ref slice's shape at the largest feasible scale — the oracle
+    * replays the integer binning, the cross-multiplied argmin, the
+    * floor apportionment, and the seeded in-bin ranks. */
+  def m139HistogramMatch(s: SparkSession, dir: String): DataFrame =
+    operators.TrainingPipeline.histogramMatch(t(s, dir, "documents"),
+        pmod(col("doc_id"), lit(3)) === 0, length(col("text")), bins = 16)
+      .orderBy("doc_id")
+
   /** m138 — exact stratified split
     * ([[operators.TrainingPipeline.stratifiedSplit]]): every doc's
     * (stratum, split) under 70/20/10 largest-remainder apportionment —

@@ -231,6 +231,7 @@ object SparkEntry {
     "m136_hll_union" -> Queries.m136HllUnion,
     "m137_cooccurrence" -> Queries.m137Cooccurrence,
     "m138_stratified_split" -> Queries.m138StratifiedSplit,
+    "m139_histogram_match" -> Queries.m139HistogramMatch,
     "q52_gap_fill" -> Queries.q52GapFill,
     "mm05_audio_fingerprint" -> Queries.mm05AudioFingerprint,
     "mm06_shot_boundaries" -> Queries.mm06ShotBoundaries,

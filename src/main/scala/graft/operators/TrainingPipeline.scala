@@ -720,6 +720,79 @@ object TrainingPipeline {
     pinned
   }
 
+  /**
+   * Histogram-matched subsample: keep EXACTLY the non-reference rows
+   * that make their `valueCol` distribution match the reference
+   * slice's SHAPE — the "length-matched eval set" / "quality-matched
+   * comparison corpus" primitive (comparing a filtered corpus against
+   * an unfiltered one is confounded unless the covariate histograms
+   * match). Values bin to `bins` equal-width buckets over the global
+   * [min, max] (integer arithmetic — (v−lo)·bins div (hi−lo+1), no
+   * float edges); the kept count per bin is t_b = n_ref_b·s where s =
+   * min_b(n_other_b / n_ref_b) is the largest feasible scale,
+   * computed EXACTLY by cross-multiplied argmin (no ratio doubles;
+   * products bounded by count² < 2⁶³ for < 3·10⁹ rows per bin —
+   * documented, the m75 rule), floored per bin — so the output shape
+   * is proportional to the reference's with the largest achievable
+   * mass. WHICH rows survive is the seeded-hash rank within the bin
+   * (deterministic, engine-replayable).
+   *
+   * Scale shape: one min/max agg, one ≤bins-row count agg (driver
+   * apportionment like temperatureRates), per-bin ranks via ONE
+   * range-partitioned global sort + broadcast offsets (the
+   * stratifiedSplit pattern), broadcast cut join. Aborts actionably
+   * when some reference bin has NO non-reference mass (s = 0 — no
+   * subsample can match that shape).
+   *
+   * @return kept non-reference rows (idCol, bin)
+   */
+  def histogramMatch(df: DataFrame, refCol: Column, valueCol: Column,
+      bins: Int = 32, seed: Long = 59L, idCol: String = "doc_id"): DataFrame = {
+    require(bins >= 2 && bins <= 4096,
+      s"histogramMatch: bins=$bins out of [2,4096]")
+    val s = df.sparkSession
+    import s.implicits._
+    val base = df.select(col(idCol).cast("long").as(idCol),
+      refCol.cast("boolean").as("__ref"), valueCol.cast("long").as("__v"))
+    val mm = base.agg(min(col("__v")), max(col("__v"))).head()
+    require(!mm.isNullAt(0), "histogramMatch: empty input")
+    val lo = mm.getLong(0)
+    val span = mm.getLong(1) - lo + 1
+    val binned = base.select(col(idCol), col("__ref"),
+      ((col("__v") - lo) * bins / span).cast("int").as("bin"))
+    val counts = binned.groupBy("bin")
+      .agg(sum(when(col("__ref"), 1L).otherwise(0L)).as("na"),
+        sum(when(col("__ref"), 0L).otherwise(1L)).as("nb"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val refBins = counts.filter(_._2 > 0)
+    require(refBins.nonEmpty, "histogramMatch: reference slice is empty")
+    // exact argmin of nb/na by cross-multiply, ties to the lower bin
+    val (mBin, mNa, mNb) = refBins.map { case (b, na, nb) => (b, na, nb) }
+      .reduceLeft { (x, y) =>
+        val cmp = x._3 * y._2 - y._3 * x._2 // nb_x·na_y vs nb_y·na_x
+        if (cmp < 0 || (cmp == 0 && x._1 < y._1)) x else y
+      }
+    require(mNb > 0,
+      s"histogramMatch: reference bin $mBin holds ${mNa} ref rows but " +
+        "ZERO other rows — no subsample can match that shape; widen bins " +
+        "or trim the reference")
+    val cuts = refBins.map { case (b, na, _) => (b, na * mNb / mNa) }
+      .filter(_._2 > 0).toSeq.toDF("bin", "__t")
+    val other = binned.filter(!col("__ref"))
+      .withColumn("__h", sampleHashUdf(col(idCol), lit(seed)))
+    val g1 = Ranking.globalRank(other,
+      Seq(col("bin").asc, col("__h").asc, col(idCol).asc), rankCol = "__g")
+    val offs = g1.groupBy("bin").agg(min(col("__g")).as("__off"))
+    val out = g1.join(broadcast(offs), "bin")
+      .withColumn("__r", col("__g") - col("__off"))
+      .join(broadcast(cuts), "bin")
+      .filter(col("__r") < col("__t"))
+      .select(col(idCol), col("bin"))
+    val pinned = graft.core.Blocks.pin(out)
+    graft.core.Blocks.releaseAll(g1)
+    pinned
+  }
+
   /** Temperature-smoothed mixture planning at T = 2 (the standard
     * multilingual/multi-source rebalancing: target shares ∝ n^(1/T),
     * which boosts small sources without drowning large ones). At

@@ -1002,6 +1002,39 @@ class TrainingPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("histogramMatch: kept shape tracks the reference exactly, largest " +
+      "feasible scale, deterministic, infeasible-shape abort") {
+    val s = spark
+    import s.implicits._
+    // ref: 4 rows at v=10, 2 at v=20; other: 20 at v=10, 4 at v=20
+    // scale = min(20/4, 4/2) = 2 → keep 8 at v=10, 4 at v=20
+    def rows(ref: Boolean, v: Long, n: Int, off: Long) =
+      (0 until n).map(i => (off + i, ref, v))
+    val df = (rows(true, 10, 4, 0) ++ rows(true, 20, 2, 100) ++
+      rows(false, 10, 20, 200) ++ rows(false, 20, 4, 300))
+      .toDF("doc_id", "is_ref", "v")
+    val kept = TrainingPipeline.histogramMatch(df, col("is_ref"), col("v"),
+      bins = 2).as[(Long, Int)].collect().toSeq
+    assert(kept.count(_._2 == 0) === 8)   // v=10 bin
+    assert(kept.count(_._2 == 1) === 4)   // v=20 bin
+    assert(kept.map(_._1).forall(id => id >= 200)) // only non-ref survive
+    // deterministic
+    val again = TrainingPipeline.histogramMatch(df.repartition(5),
+      col("is_ref"), col("v"), bins = 2).as[(Long, Int)].collect().toSeq
+    assert(again.sorted === kept.sorted)
+    // a ref bin with zero other mass is unmatchable → actionable abort
+    val bad = (rows(true, 10, 2, 0) ++ rows(true, 20, 2, 100) ++
+      rows(false, 10, 5, 200)).toDF("doc_id", "is_ref", "v")
+    val e = intercept[IllegalArgumentException] {
+      TrainingPipeline.histogramMatch(bad, col("is_ref"), col("v"), bins = 2)
+    }
+    assert(e.getMessage.contains("ZERO other rows"))
+    intercept[IllegalArgumentException] {
+      TrainingPipeline.histogramMatch(
+        df.filter(!col("is_ref")), col("is_ref"), col("v"), bins = 2)
+    }
+  }
+
   test("stratifiedSplit: exact largest-remainder counts per stratum, " +
       "complete & disjoint, deterministic, seed moves docs not counts") {
     val s = spark
