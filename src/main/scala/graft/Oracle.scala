@@ -1150,6 +1150,36 @@ object Oracle {
              ELSE round(rawe, 4) END AS est_distinct
       FROM hest ORDER BY source""",
 
+    // Per-group OLS: x shifted by the global min epoch, ×100 y, exact
+    // HUGEINT moments, then the IDENTICAL double dag (n·sxy − sx·sy over
+    // n·sxx − sx², intercept (sy − slope·sx)/n) and 6dp rounds.
+    "m140_trend_report" -> """
+      WITH tb AS (SELECT event_type AS grp,
+            CAST(floor(epoch(ts)) AS BIGINT) AS x,
+            CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+          FROM events),
+      tx0 AS (SELECT MIN(x) AS x0 FROM tb),
+      tm AS (SELECT grp, COUNT(*) AS n,
+            SUM(CAST(x - x0 AS HUGEINT)) AS sx,
+            SUM(CAST(y AS HUGEINT)) AS sy,
+            SUM(CAST(x - x0 AS HUGEINT) * y) AS sxy,
+            SUM(CAST(x - x0 AS HUGEINT) * (x - x0)) AS sxx
+          FROM tb, tx0 GROUP BY grp),
+      td AS (SELECT grp, n,
+            CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+            CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+            CAST(sxx AS DOUBLE) AS sxxd
+          FROM tm),
+      ts2 AS (SELECT grp, n,
+            CASE WHEN nd * sxxd - sxd * sxd = 0.0 THEN 0.0
+              ELSE (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+            END AS slope, nd, sxd, syd
+          FROM td)
+      SELECT grp AS "group", CAST(n AS BIGINT) AS n,
+        round(slope * 86400.0, 6) AS slope_scaled,
+        round((syd - slope * sxd) / nd, 6) AS intercept0
+      FROM ts2 ORDER BY grp""",
+
     // Histogram match replayed whole: integer equal-width bins over the
     // global [min,max], per-bin (ref, other) counts, EXACT argmin of
     // other/ref by cross-multiplied NOT EXISTS (plain column

@@ -1933,6 +1933,19 @@ object Queries {
         threshold = 0.5)
       .orderBy("doc_id_a", "doc_id_b")
 
+  /** m140 — per-group OLS trend
+    * ([[operators.TrainingPipeline.trendReport]]): per event_type, the
+    * slope of value (×100 integers) over event time in units/day plus
+    * the intercept at the corpus start — exact DECIMAL moments, one
+    * mirrored double dag, 6dp. */
+  def m140TrendReport(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    operators.TrainingPipeline.trendReport(ev, col("event_type"),
+        unix_timestamp(col("ts")),
+        floor(col("value") * 100 + 0.5).cast("long"), slopeScale = 86400.0)
+      .orderBy("group")
+  }
+
   /** m139 — histogram-matched subsample
     * ([[operators.TrainingPipeline.histogramMatch]]): the non-ref docs
     * (doc_id % 3 ≠ 0) subsampled so their length histogram matches the

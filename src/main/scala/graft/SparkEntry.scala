@@ -232,6 +232,7 @@ object SparkEntry {
     "m137_cooccurrence" -> Queries.m137Cooccurrence,
     "m138_stratified_split" -> Queries.m138StratifiedSplit,
     "m139_histogram_match" -> Queries.m139HistogramMatch,
+    "m140_trend_report" -> Queries.m140TrendReport,
     "q52_gap_fill" -> Queries.q52GapFill,
     "mm05_audio_fingerprint" -> Queries.mm05AudioFingerprint,
     "mm06_shot_boundaries" -> Queries.mm06ShotBoundaries,

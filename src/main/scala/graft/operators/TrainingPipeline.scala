@@ -793,6 +793,57 @@ object TrainingPipeline {
     pinned
   }
 
+  /**
+   * Per-group OLS trend (slope + intercept of scaled-integer y over
+   * integer x): the drift readout of a curation pipeline — "is this
+   * source's quality/volume/length moving over time" as a number per
+   * group, not a chart. Same exactness recipe as [[cupedReport]]: x
+   * shifts by the GLOBAL min (slope-invariant, bounds the moments —
+   * n·Σx'² must stay under 2⁵³ for the double dag to be exact; with x
+   * spanning ≤ 10⁷ units that's ~10⁹ rows per group, documented), the
+   * five moments accumulate EXACTLY in DECIMAL(38,0) with products
+   * through DECIMAL(19,0), and slope/intercept are one literal double
+   * dag off that state — bit-stable under any partitioning, mirrored
+   * textually by the oracle. Zero-variance x → slope 0 (the CUPED
+   * convention). One map-side-combined aggregation per group + a 1-row
+   * global-min agg; nothing corpus-sized moves.
+   *
+   * @param slopeScale multiply the per-x-unit slope before the 6dp
+   *        round (e.g. 86400 turns per-second into per-day)
+   * @return (group, n, slope_scaled 6dp, intercept0 6dp — ŷ in scaled
+   *         units at the global min x)
+   */
+  def trendReport(df: DataFrame, groupCol: Column, xCol: Column,
+      yCol: Column, slopeScale: Double = 1.0): DataFrame = {
+    val d19 = DecimalType(19, 0)
+    val d38 = DecimalType(38, 0)
+    val base = df.select(groupCol.as("group"), xCol.cast("long").as("x"),
+        yCol.cast("long").as("y"))
+      .transform(graft.core.Blocks.pin) // read twice: global min + moments
+    val x0r = base.agg(min(col("x"))).head()
+    require(!x0r.isNullAt(0), "trendReport: empty input")
+    val x0 = x0r.getLong(0)
+    val g = base.select(col("group"), (col("x") - x0).as("xs"), col("y"))
+      .groupBy("group")
+      .agg(count(lit(1)).as("n"),
+        sum(col("xs").cast(d38)).as("sx"),
+        sum(col("y").cast(d38)).as("sy"),
+        sum((col("xs").cast(d19) * col("y").cast(d19)).cast(d38)).as("sxy"),
+        sum((col("xs").cast(d19) * col("xs").cast(d19)).cast(d38)).as("sxx"))
+    val nD = col("n").cast("double")
+    val sx = col("sx").cast("double")
+    val sy = col("sy").cast("double")
+    val den = nD * col("sxx").cast("double") - sx * sx
+    val slope = when(den === 0.0, 0.0)
+      .otherwise((nD * col("sxy").cast("double") - sx * sy) / den)
+    val out = g.select(col("group"), col("n"),
+      round(slope * lit(slopeScale), 6).as("slope_scaled"),
+      round((sy - slope * sx) / nD, 6).as("intercept0"))
+    val pinned = out.transform(graft.core.Blocks.pin)
+    graft.core.Blocks.release(base)
+    pinned
+  }
+
   /** Temperature-smoothed mixture planning at T = 2 (the standard
     * multilingual/multi-source rebalancing: target shares ∝ n^(1/T),
     * which boosts small sources without drowning large ones). At

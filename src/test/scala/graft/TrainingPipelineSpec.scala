@@ -1002,6 +1002,36 @@ class TrainingPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("trendReport: exact line recovered, constant-x slope 0, global-min " +
+      "intercept anchor, invariance") {
+    val s = spark
+    import s.implicits._
+    // y = 2x + 3 exactly, two groups with different offsets
+    val line = (0L until 50L).flatMap(x => Seq(
+      ("a", 100L + x, 2 * (100L + x) + 3),
+      ("b", 100L + x, 5 * (100L + x) + 7)))
+      .toDF("g", "x", "y")
+    val got = TrainingPipeline.trendReport(line, col("g"), col("x"),
+        col("y"), slopeScale = 10.0)
+      .orderBy("group").as[(String, Long, Double, Double)].collect().toSeq
+    // intercept0 is ŷ at the GLOBAL min x (=100): a → 203, b → 507
+    assert(got === Seq(("a", 50L, 20.0, 203.0), ("b", 50L, 50.0, 507.0)))
+    // constant x → zero denominator → slope 0, intercept = mean y
+    val const = Seq(("c", 5L, 10L), ("c", 5L, 20L)).toDF("g", "x", "y")
+    val c = TrainingPipeline.trendReport(const, col("g"), col("x"), col("y"))
+      .collect().head
+    assert(c.getDouble(2) === 0.0 && c.getDouble(3) === 15.0)
+    // partitioning invariance (decimal moments are order-free)
+    val re = TrainingPipeline.trendReport(line.repartition(7), col("g"),
+        col("x"), col("y"), slopeScale = 10.0)
+      .orderBy("group").as[(String, Long, Double, Double)].collect().toSeq
+    assert(re === got)
+    intercept[IllegalArgumentException] {
+      TrainingPipeline.trendReport(line.filter(col("g") === "zz"),
+        col("g"), col("x"), col("y"))
+    }
+  }
+
   test("histogramMatch: kept shape tracks the reference exactly, largest " +
       "feasible scale, deterministic, infeasible-shape abort") {
     val s = spark
