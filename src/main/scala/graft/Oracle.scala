@@ -1150,6 +1150,42 @@ object Oracle {
              ELSE round(rawe, 4) END AS est_distinct
       FROM hest ORDER BY source""",
 
+    // Otsu cut: m134's micro binning at 32, prefix-sum windows, the
+    // (S_lo·w_hi − S_hi·w_lo)²/(w_lo·w_hi) objective compared by
+    // HUGEINT cross-multiplication in a pairwise NOT EXISTS (ties to
+    // the lower cut).
+    "m141_otsu_threshold" -> s"""
+      WITH $TextStatsCtes,
+      ob AS (SELECT CAST(CAST($QualityExpr AS DECIMAL(10,6)) * 1000000
+              AS BIGINT) AS si
+            FROM ratios),
+      oh AS (SELECT CAST(least(si * 32 // 1000000, 31) AS INT) AS bin,
+              CAST(COUNT(*) AS BIGINT) AS w, CAST(SUM(si) AS BIGINT) AS sm
+            FROM ob GROUP BY 1),
+      op AS (SELECT bin,
+              SUM(w) OVER (ORDER BY bin) AS wlo,
+              SUM(sm) OVER (ORDER BY bin) AS slo,
+              (SELECT SUM(w) FROM oh) AS wt,
+              (SELECT SUM(sm) FROM oh) AS st
+            FROM oh),
+      oc AS (SELECT bin, wlo, wt - wlo AS whi, slo, st - slo AS shi,
+              (CAST(slo AS HUGEINT) * (wt - wlo) - CAST(st - slo AS HUGEINT)
+                * wlo) AS num
+            FROM op WHERE wlo > 0 AND wt - wlo > 0),
+      ob2 AS (SELECT * FROM oc c1 WHERE NOT EXISTS (
+            SELECT 1 FROM oc c2 WHERE
+              c2.num * c2.num * (CAST(c1.wlo AS HUGEINT) * c1.whi) >
+                c1.num * c1.num * (CAST(c2.wlo AS HUGEINT) * c2.whi)
+              OR (c2.num * c2.num * (CAST(c1.wlo AS HUGEINT) * c1.whi) =
+                  c1.num * c1.num * (CAST(c2.wlo AS HUGEINT) * c2.whi)
+                AND c2.bin < c1.bin)))
+      SELECT bin AS threshold_bin,
+        CAST((bin + 1) * 1000000 // 32 AS BIGINT) AS cut_micro,
+        CAST(wlo AS BIGINT) AS n_lo, CAST(whi AS BIGINT) AS n_hi,
+        CAST(slo AS BIGINT) AS sum_lo_micro,
+        CAST(shi AS BIGINT) AS sum_hi_micro
+      FROM ob2""",
+
     // Per-group OLS: x shifted by the global min epoch, ×100 y, exact
     // HUGEINT moments, then the IDENTICAL double dag (n·sxy − sx·sy over
     // n·sxx − sx², intercept (sy − slope·sx)/n) and 6dp rounds.

@@ -1933,6 +1933,15 @@ object Queries {
         threshold = 0.5)
       .orderBy("doc_id_a", "doc_id_b")
 
+  /** m141 — Otsu auto-threshold ([[operators.Ranking.otsuThreshold]]):
+    * the quality-score cut maximizing between-class variance over the
+    * m134 micro-bins — exact integer argmax (cross-multiplied BigInt
+    * objective), replayed by the oracle with prefix-sum windows and a
+    * pairwise NOT EXISTS over HUGEINT squares. */
+  def m141OtsuThreshold(s: SparkSession, dir: String): DataFrame =
+    operators.Ranking.otsuThreshold(t(s, dir, "documents"),
+      operators.TextAnalysis.qualityScore(col("text")), bins = 32)
+
   /** m140 — per-group OLS trend
     * ([[operators.TrainingPipeline.trendReport]]): per event_type, the
     * slope of value (×100 integers) over event time in units/day plus

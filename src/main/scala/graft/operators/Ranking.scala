@@ -368,6 +368,61 @@ object Ranking {
         col("abs_gap_micro"), col("ece_bp"))
   }
 
+  /**
+   * Otsu auto-threshold over a [0,1] score histogram: the cut
+   * maximizing between-class variance — "pick the quality cutoff from
+   * the data" instead of a hand-chosen 0.5, reproducibly. Scores snap
+   * to micro-units and bin exactly like [[calibrationReport]]; for a
+   * candidate cut t (classes = bins ≤ t vs > t) the objective
+   * w_lo·w_hi·(μ_lo − μ_hi)² equals (S_lo·w_hi − S_hi·w_lo)²/(w_lo·w_hi)
+   * on the exact integer bin sums, so the argmax is decided by
+   * CROSS-MULTIPLIED BigInt comparisons — no float variance, ties to
+   * the lower cut, bit-identical on any engine. Driver state is the
+   * ≤`bins`-row histogram (the temperatureRates class); the corpus
+   * sees one map-side-combined aggregation.
+   *
+   * @return one row: (threshold_bin, cut_micro — scores strictly above
+   *         are the keep class, n_lo, n_hi, sum_lo_micro, sum_hi_micro)
+   */
+  def otsuThreshold(df: DataFrame, scoreCol: Column,
+      bins: Int = 32): DataFrame = {
+    require(bins >= 2 && bins <= 1000,
+      s"otsuThreshold: bins=$bins out of [2,1000]")
+    val s = df.sparkSession
+    import s.implicits._
+    val si = (scoreCol.cast("decimal(10,6)") * 1000000).cast("long")
+    val hist = df.select(si.as("__si"))
+      .groupBy(least(floor(col("__si") * bins / 1000000L), lit(bins - 1L))
+        .cast("int").as("bin"))
+      .agg(count(lit(1)).as("w"), sum(col("__si")).as("sm"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    require(hist.count(_._2 > 0) >= 2,
+      "otsuThreshold: needs ≥2 non-empty bins — a one-bin histogram has " +
+        "no cut to find; raise bins or check the score column")
+    val totW = hist.map(_._2).sum
+    val totS = hist.map(_._3).sum
+    // candidate cuts with mass on both sides; exact BigInt objective
+    var accW = 0L; var accS = 0L
+    val cands = hist.flatMap { case (b, w, sm) =>
+      accW += w; accS += sm
+      val (wLo, sLo) = (accW, accS)
+      val (wHi, sHi) = (totW - accW, totS - accS)
+      if (wLo > 0 && wHi > 0) {
+        val num = BigInt(sLo) * wHi - BigInt(sHi) * wLo
+        Some((b, wLo, wHi, sLo, sHi, num * num, BigInt(wLo) * wHi))
+      } else None
+    }
+    val best = cands.reduceLeft { (x, y) =>
+      val cmp = (x._6 * y._7).compare(y._6 * x._7)
+      if (cmp > 0 || (cmp == 0 && x._1 < y._1)) x else y
+    }
+    Seq((best._1, (best._1 + 1).toLong * 1000000L / bins, best._2, best._3,
+        best._4, best._5))
+      .toDF("threshold_bin", "cut_micro", "n_lo", "n_hi",
+        "sum_lo_micro", "sum_hi_micro")
+  }
+
   def aucReport(df: DataFrame, labelCol: Column, scoreCol: Column): DataFrame = {
     val byScore = df.select(labelCol.cast("int").as("__y"), scoreCol.as("__s"))
       .groupBy(col("__s"))

@@ -1664,6 +1664,30 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("otsuThreshold: separates two clusters, tie → lowest cut, exact " +
+      "class stats, one-bin abort") {
+    val s = spark
+    import s.implicits._
+    val two = (Seq.fill(5)(0.1) ++ Seq.fill(5)(0.9)).toDF("score")
+    val r = graft.operators.Ranking.otsuThreshold(two, col("score"))
+      .collect().head
+    // bins(0.1)=3, bins(0.9)=28; every cut in [3,27] separates fully →
+    // equal objective, tie rule picks 3
+    assert(r.getInt(0) === 3)
+    assert(r.getLong(2) === 5L && r.getLong(3) === 5L)
+    assert(r.getLong(4) === 500000L && r.getLong(5) === 4500000L)
+    // unbalanced clusters still cut between them
+    val skew = (Seq.fill(9)(0.2) ++ Seq.fill(1)(0.8)).toDF("score")
+    val k = graft.operators.Ranking.otsuThreshold(skew, col("score"))
+      .collect().head
+    assert(k.getInt(0) >= 6 && k.getInt(0) < 25)
+    assert(k.getLong(2) === 9L && k.getLong(3) === 1L)
+    intercept[IllegalArgumentException] {
+      graft.operators.Ranking.otsuThreshold(
+        Seq.fill(4)(0.5).toDF("score"), col("score"))
+    }
+  }
+
   test("calibrationReport: hand-computed bins, perfect calibration → " +
       "ece 0, constant-score gap, edge snapping") {
     val s = spark
