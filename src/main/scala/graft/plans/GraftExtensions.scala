@@ -17,6 +17,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => Base58RoundTripElimination)
     ext.injectFunction((
       FunctionIdentifier("base58_encode"),
       new ExpressionInfo(classOf[Base58Encode].getName, "base58_encode"),

@@ -1,0 +1,30 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/**
+ * Algebraic base58 round-trip elimination:
+ * `base58_decode(base58_encode(x)) ≡ x` for EVERY binary `x` — encode
+ * is total and injective and decode inverts it exactly, including the
+ * leading-zero ↔ '1' mapping — so the pair folds away at optimization
+ * time. This shows up for real whenever layered views re-key: one
+ * layer publishes display keys (`base58_encode(pubkey)`), the next
+ * joins them back to raw keys (`base58_decode(pk)`), and without the
+ * rule every row pays an encode+decode round trip of the hottest
+ * column in the schema.
+ *
+ * The OPPOSITE composition is deliberately NOT rewritten:
+ * `base58_encode(base58_decode(s))` is identity only for canonical
+ * base58 strings — for invalid input decode yields null (P11), so the
+ * composition maps garbage to null while `s` itself survives; folding
+ * it would change results. The spec pins both directions.
+ *
+ * Registered by [[GraftExtensions]] via `injectOptimizerRule`.
+ */
+object Base58RoundTripElimination extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case Base58Decode(Base58Encode(child)) => child
+    }
+}

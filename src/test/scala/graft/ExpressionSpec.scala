@@ -33,6 +33,35 @@ class ExpressionSpec extends AnyFunSuite {
     assert(spark.sql("SELECT base58_decode('0OIl') AS d").collect()(0).isNullAt(0))
   }
 
+  test("optimizer rule folds decode(encode(x)) away, keeps results, and " +
+      "leaves the unsafe opposite composition alone") {
+    val s = spark
+    // range-backed input: ConvertToLocalRelation cannot pre-evaluate, so
+    // the plan assertions see the real expression tree
+    s.range(2).selectExpr("CAST(CONCAT('key', id) AS BINARY) AS pk")
+      .createOrReplaceTempView("rt_pks")
+    val folded = s.sql(
+      "SELECT base58_decode(base58_encode(pk)) AS back FROM rt_pks")
+    // the round trip disappears from the optimized plan entirely
+    val opt = folded.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("base58"), s"round trip survived:\n$opt")
+    assert(folded.collect().map(r =>
+      new String(r.getAs[Array[Byte]](0), "UTF-8")).toSet ===
+      Set("key0", "key1"))
+    // encode(decode(s)) is NOT identity for invalid input → not folded
+    s.range(2).selectExpr(
+      "CONCAT('3yZe7d', CASE WHEN id = 1 THEN '-0OIl' ELSE '' END) AS sk")
+      .createOrReplaceTempView("rt_sks")
+    val unsafe = s.sql(
+      "SELECT base58_encode(base58_decode(sk)) AS out FROM rt_sks")
+    assert(unsafe.queryExecution.optimizedPlan.toString
+      .toLowerCase.contains("base58"))
+    val out = unsafe.collect().map(r =>
+      if (r.isNullAt(0)) null else r.getString(0))
+    assert(out.contains(null), "invalid base58 must map to null, not fold")
+    assert(out.contains("3yZe7d"), "canonical input must round-trip")
+  }
+
   test("native expression stays inside whole-stage codegen") {
     val df = spark.range(64)
       .select(unhex(format_string("%016x", col("id"))).as("pk"))
