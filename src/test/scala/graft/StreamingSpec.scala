@@ -94,6 +94,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.length === 1 && out.head.contains("sigA"))
   }
 
+  test("cdcChunkTable is batch/stream-agnostic: same rows through a " +
+      "MemoryStream micro-batch as through batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val texts = Seq(
+      (1L, (1 to 600).map(i =>
+        ('a' + (graft.core.TextSig.mix64(i.toLong) % 26 + 26) % 26).toChar)
+        .mkString),
+      (2L, "short"))
+    val mem = MemoryStream[(Long, String)]
+    val chunks = graft.operators.TextAnalysis.cdcChunkTable(
+      mem.toDF().toDF("doc_id", "text"))
+    val q = chunks.writeStream.format("memory").queryName("cdc_out")
+      .outputMode("append").start()
+    mem.addData(texts: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("cdc_out")
+      .as[(Long, Int, Int, Int, Long)].collect().toSeq.sorted
+    q.stop()
+    val batch = graft.operators.TextAnalysis.cdcChunkTable(
+        texts.toDF("doc_id", "text"))
+      .as[(Long, Int, Int, Int, Long)].collect().toSeq.sorted
+    assert(streamed === batch && batch.nonEmpty)
+  }
+
   test("streaming dedup + windowed agg + per-key state over MemoryStream") {
     val s = spark
     import s.implicits._
