@@ -1150,6 +1150,18 @@ object Oracle {
              ELSE round(rawe, 4) END AS est_distinct
       FROM hest ORDER BY source""",
 
+    // k-fold: seeded in-stratum shuffle (the m138 order, seed 43),
+    // fold = (rank − 1) mod 5.
+    "m142_kfolds" -> s"""
+      WITH kz AS (SELECT doc_id, source, CAST(doc_id + 43 AS HUGEINT) AS z0
+            FROM documents),
+      ${mix64Ctes("kfh", "kz", "doc_id, source")}
+      SELECT doc_id, source AS stratum,
+        CAST((row_number() OVER (PARTITION BY source ORDER BY
+          (CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+            THEN h - $M64 ELSE h END), doc_id) - 1) % 5 AS INT) AS fold
+      FROM kfh ORDER BY doc_id""",
+
     // Otsu cut: m134's micro binning at 32, prefix-sum windows, the
     // (S_lo·w_hi − S_hi·w_lo)²/(w_lo·w_hi) objective compared by
     // HUGEINT cross-multiplication in a pairwise NOT EXISTS (ties to

@@ -1933,6 +1933,14 @@ object Queries {
         threshold = 0.5)
       .orderBy("doc_id_a", "doc_id_b")
 
+  /** m142 — stratified k-fold assignment
+    * ([[operators.TrainingPipeline.kFolds]]): fold = in-stratum seeded
+    * rank mod 5 — the oracle replays the shuffle order and the
+    * round-robin, pinning which doc sits in which fold. */
+  def m142KFolds(s: SparkSession, dir: String): DataFrame =
+    operators.TrainingPipeline.kFolds(t(s, dir, "documents"), k = 5)
+      .orderBy("doc_id")
+
   /** m141 — Otsu auto-threshold ([[operators.Ranking.otsuThreshold]]):
     * the quality-score cut maximizing between-class variance over the
     * m134 micro-bins — exact integer argmax (cross-multiplied BigInt

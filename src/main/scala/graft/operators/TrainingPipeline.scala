@@ -721,6 +721,37 @@ object TrainingPipeline {
   }
 
   /**
+   * Stratified k-fold assignment (cross-validation folds): fold =
+   * in-stratum seeded rank mod k — every stratum's folds differ in
+   * size by at most one (round-robin is the exact-balance rule, no
+   * apportionment needed), every fold is a valid stratified sample,
+   * and the assignment is a pure function of (ids, seed) so folds are
+   * reproducible across engines and runs. Same scale shape as
+   * [[stratifiedSplit]]: one range-partitioned global sort + broadcast
+   * per-stratum offsets, no per-stratum single-task window.
+   *
+   * @return (idCol, stratum, fold ∈ [0, k))
+   */
+  def kFolds(docs: DataFrame, k: Int, seed: Long = 43L,
+      strataCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    require(k >= 2 && k <= 1000, s"kFolds: k=$k out of [2,1000]")
+    val hashed = docs
+      .select(col(strataCol).cast("string").as("stratum"),
+        col(idCol).cast("long").as(idCol))
+      .withColumn("__h", sampleHashUdf(col(idCol), lit(seed)))
+    val g1 = Ranking.globalRank(hashed,
+      Seq(col("stratum").asc, col("__h").asc, col(idCol).asc),
+      rankCol = "__g")
+    val offs = g1.groupBy("stratum").agg(min(col("__g")).as("__off"))
+    val out = g1.join(broadcast(offs), "stratum")
+      .select(col(idCol), col("stratum"),
+        pmod(col("__g") - col("__off"), lit(k.toLong)).cast("int").as("fold"))
+    val pinned = graft.core.Blocks.pin(out)
+    graft.core.Blocks.releaseAll(g1)
+    pinned
+  }
+
+  /**
    * Histogram-matched subsample: keep EXACTLY the non-reference rows
    * that make their `valueCol` distribution match the reference
    * slice's SHAPE — the "length-matched eval set" / "quality-matched
