@@ -350,6 +350,9 @@ object Ranking {
     require(bins >= 2 && bins <= 1000,
       s"calibrationReport: bins=$bins out of [2,1000]")
     val si = (scoreCol.cast("decimal(10,6)") * 1000000).cast("long")
+    // pinned: the ≤bins-row histogram feeds BOTH the total aggregate and
+    // the join side — left lazy, each consumer re-runs the full input
+    // scan (a doubled pass at corpus scale for a 10-row frame)
     val binned = df.select(labelCol.cast("int").as("__y"), si.as("__si"))
       .groupBy(least(floor(col("__si") * bins / 1000000L), lit(bins - 1L))
         .cast("int").as("bin"))
@@ -358,14 +361,18 @@ object Ranking {
         sum(col("__si")).cast("long").as("conf_sum_micro"))
       .withColumn("abs_gap_micro",
         abs(col("conf_sum_micro") - lit(1000000L) * col("n_pos")))
+      .transform(graft.core.Blocks.pin)
     val tot = binned.agg(sum(col("n")).as("__N"),
       sum(col("abs_gap_micro")).as("__G"))
-    binned.crossJoin(broadcast(tot))
+    val out = binned.crossJoin(broadcast(tot))
       .withColumn("ece_bp", expr(
         """CAST((10000 * CAST(__G AS DECIMAL(38,0)))
            div (1000000 * CAST(__N AS DECIMAL(38,0))) AS BIGINT)"""))
       .select(col("bin"), col("n"), col("n_pos"), col("conf_sum_micro"),
         col("abs_gap_micro"), col("ece_bp"))
+    val pinned = out.transform(graft.core.Blocks.pin)
+    graft.core.Blocks.release(binned)
+    pinned
   }
 
   /**
