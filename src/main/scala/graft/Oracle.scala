@@ -1150,6 +1150,28 @@ object Oracle {
              ELSE round(rawe, 4) END AS est_distinct
       FROM hest ORDER BY source""",
 
+    // CUSUM: max(0, ·) recursion replayed stateless via the prefix
+    // identity S = P − least(0, running min P); per-(group, day) sums
+    // ride HUGEINT (Spark side: DECIMAL(38,0)), outputs cast BIGINT.
+    "m143_cusum" -> """
+      WITH cb AS (SELECT event_type AS g,
+            CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+            CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events),
+      cp AS (SELECT g, d, COUNT(*) AS n,
+            SUM(CAST(v AS HUGEINT)) - COUNT(*) * 5000 AS dev
+          FROM cb GROUP BY g, d),
+      cr AS (SELECT g, d, n, dev,
+            SUM(dev) OVER (PARTITION BY g ORDER BY d) AS p FROM cp),
+      cw AS (SELECT g, d, n, dev, p,
+            LEAST(0, MIN(p) OVER (PARTITION BY g ORDER BY d)) AS pmin
+          FROM cr)
+      SELECT g AS "group", d AS bucket, CAST(n AS BIGINT) AS n,
+        CAST(dev AS BIGINT) AS dev_units,
+        CAST(p - pmin AS BIGINT) AS cusum_units,
+        CAST(CASE WHEN p - pmin >= 100000 THEN 1 ELSE 0 END AS SMALLINT)
+          AS alarm
+      FROM cw ORDER BY "group", bucket""",
+
     // k-fold: seeded in-stratum shuffle (the m138 order, seed 43),
     // fold = (rank − 1) mod 5.
     "m142_kfolds" -> s"""

@@ -1933,6 +1933,21 @@ object Queries {
         threshold = 0.5)
       .orderBy("doc_id_a", "doc_id_b")
 
+  /** m143 — CUSUM drift alarms
+    * ([[operators.TrainingPipeline.cusumReport]]): per event_type and
+    * UTC day, the one-sided upper CUSUM of centi-scaled value against
+    * an in-control mean of 50.00/row, alarm at 1000.00 of cumulative
+    * excess — the max(0, ·) recursion computed stateless via the
+    * prefix-sum − running-min identity, replayed by the oracle with
+    * the same two windows over the (group, day) frame. */
+  def m143Cusum(s: SparkSession, dir: String): DataFrame =
+    operators.TrainingPipeline.cusumReport(t(s, dir, "events"),
+        col("event_type"),
+        expr("unix_timestamp(ts) div 86400"),
+        floor(col("value") * 100 + 0.5).cast("long"),
+        targetPerRow = 5000L, slackPerRow = 0L, threshold = 100000L)
+      .orderBy("group", "bucket")
+
   /** m142 — stratified k-fold assignment
     * ([[operators.TrainingPipeline.kFolds]]): fold = in-stratum seeded
     * rank mod 5 — the oracle replays the shuffle order and the

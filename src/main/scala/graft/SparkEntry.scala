@@ -235,6 +235,7 @@ object SparkEntry {
     "m140_trend_report" -> Queries.m140TrendReport,
     "m141_otsu_threshold" -> Queries.m141OtsuThreshold,
     "m142_kfolds" -> Queries.m142KFolds,
+    "m143_cusum" -> Queries.m143Cusum,
     "q52_gap_fill" -> Queries.q52GapFill,
     "mm05_audio_fingerprint" -> Queries.mm05AudioFingerprint,
     "mm06_shot_boundaries" -> Queries.mm06ShotBoundaries,

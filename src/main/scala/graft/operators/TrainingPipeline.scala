@@ -1459,4 +1459,60 @@ object TrainingPipeline {
     graft.core.Blocks.release(base)
     pinned
   }
+
+  /**
+   * One-sided upper CUSUM drift detection (Page 1954) — the sequential
+   * change-point alarm a monitoring pipeline runs next to
+   * [[trendReport]]'s slope: per group, over time buckets in order,
+   * S_i = max(0, S_{i-1} + (Σ_bucket v − n_bucket·(target + slack)))
+   * and an alarm wherever S_i ≥ threshold. A slope summarizes the whole
+   * window; CUSUM localizes WHEN a source's metric started running hot.
+   *
+   * Exactness: v arrives integer-scaled (the caller pins the scaling,
+   * the m61 floor(v·s+0.5) semantic), so the recursion is pure integer —
+   * and it is computed WITHOUT sequential state via the prefix identity
+   * S_i = P_i − min(0, min_{j≤i} P_j) where P is the running sum of the
+   * per-bucket deviations (both sides of the max-recursion telescope to
+   * it). Sums ride DECIMAL(38,0) per the m75 rule (a 100 TB group's
+   * deviations can pass 2⁶³); outputs cast back to BIGINT, exact while
+   * |P| < 2⁶³ (documented bound: ~9.2e18 scaled units of cumulative
+   * deviation per group).
+   *
+   * Scale shape: one map-side-combined (group, bucket) aggregation —
+   * the only corpus-sized move — then windows over the bounded
+   * ≤ groups·buckets frame (the m71 sketch-frame convention). Raw rows
+   * never enter a window.
+   *
+   * @param targetPerRow in-control mean per row, scaled units
+   * @param slackPerRow  CUSUM allowance k (drift smaller than this is
+   *                     absorbed, not accumulated), scaled units
+   * @param threshold    alarm level h in scaled units of cumulative
+   *                     excess
+   * @return (group, bucket, n, dev_units, cusum_units, alarm) — one row
+   *         per observed (group, bucket), alarm ∈ {0, 1} SMALLINT
+   */
+  def cusumReport(df: DataFrame, groupCol: Column, bucketCol: Column,
+      valueCol: Column, targetPerRow: Long, slackPerRow: Long = 0L,
+      threshold: Long): DataFrame = {
+    require(threshold > 0L, s"cusumReport: threshold=$threshold must be > 0")
+    val d19 = DecimalType(19, 0)
+    val d38 = DecimalType(38, 0)
+    val per = df
+      .select(groupCol.as("group"), bucketCol.cast("long").as("bucket"),
+        valueCol.cast("long").as("v"))
+      .groupBy("group", "bucket")
+      .agg(count(lit(1)).as("n"), sum(col("v").cast(d38)).as("s"))
+      .withColumn("dev", col("s") -
+        (col("n").cast(d19) * lit(targetPerRow + slackPerRow).cast(d19))
+          .cast(d38))
+    val w = Window.partitionBy("group").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per.withColumn("p", sum(col("dev")).over(w))
+      .withColumn("pmin", least(lit(0L).cast(d38), min(col("p")).over(w)))
+      .select(col("group"), col("bucket"), col("n"),
+        col("dev").cast("long").as("dev_units"),
+        (col("p") - col("pmin")).cast("long").as("cusum_units"),
+        when(col("p") - col("pmin") >= lit(threshold).cast(d38), 1)
+          .otherwise(0).cast("short").as("alarm"))
+  }
 }

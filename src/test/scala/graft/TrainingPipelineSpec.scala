@@ -2011,6 +2011,55 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(re == got)
   }
 
+  test("cusumReport: hand-computed recursion incl. clamp-at-zero reset, " +
+      "alarm threshold, per-group independence, invariance, contract") {
+    val s = spark
+    import s.implicits._
+    // group a, buckets 1..5: per-bucket (n, sum) with target 10/row.
+    // devs: b1 +5, b2 -20 (P dips below 0 -> clamp), b3 +12, b4 +9,
+    // b5 -1. Hand recursion: S = 5, 0, 12, 21, 20. threshold 15 ->
+    // alarms at b4, b5.
+    val rows = Seq(
+      ("a", 1L, 15L), ("a", 2L, 0L), ("a", 3L, 22L),
+      ("a", 4L, 10L), ("a", 4L, 19L), ("a", 5L, 9L),
+      ("b", 1L, 100L), ("b", 2L, 10L)).toDF("g", "b", "v")
+    val got = TrainingPipeline.cusumReport(rows, col("g"), col("b"),
+        col("v"), targetPerRow = 10L, slackPerRow = 0L, threshold = 15L)
+      .orderBy("group", "bucket")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getShort(5)))
+    val exp = Seq(
+      ("a", 1L, 1L, 5L, 5L, 0: Short),
+      ("a", 2L, 1L, -10L, 0L, 0: Short), // P = -5, clamp
+      ("a", 3L, 1L, 12L, 12L, 0: Short),
+      ("a", 4L, 2L, 9L, 21L, 1: Short),
+      ("a", 5L, 1L, -1L, 20L, 1: Short),
+      ("b", 1L, 1L, 90L, 90L, 1: Short), // group b independent
+      ("b", 2L, 1L, 0L, 90L, 1: Short))
+    assert(got.toSeq == exp)
+    // slack absorbs small drift: with k = 2 every group-a dev shifts
+    // down by 2 per row — b4 sits exactly ON the alarm line and b5
+    // falls back under it
+    val slacked = TrainingPipeline.cusumReport(rows, col("g"), col("b"),
+        col("v"), targetPerRow = 10L, slackPerRow = 2L, threshold = 15L)
+      .filter(col("group") === "a").orderBy("bucket")
+      .collect().map(r => (r.getLong(4), r.getShort(5)))
+    assert(slacked.toSeq == Seq((3L, 0: Short), (0L, 0: Short),
+      (10L, 0: Short), (15L, 1: Short), (12L, 0: Short)))
+    val re = TrainingPipeline.cusumReport(rows.repartition(5), col("g"),
+        col("b"), col("v"), 10L, 0L, 15L)
+      .orderBy("group", "bucket").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getShort(5)))
+    assert(re.toSeq == exp)
+    val err = intercept[IllegalArgumentException] {
+      TrainingPipeline.cusumReport(rows, col("g"), col("b"), col("v"),
+        10L, 0L, threshold = 0L)
+    }
+    assert(err.getMessage.contains("threshold"))
+  }
+
   test("semanticContamination flags by exact all-pairs rounded-6 max " +
       "cosine (ties -> lowest bench id); ceiling aborts; invariant") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
