@@ -1150,6 +1150,37 @@ object Oracle {
              ELSE round(rawe, 4) END AS est_distinct
       FROM hest ORDER BY source""",
 
+    // Average precision: distinct-score blocks descending, per-block
+    // precision snapped to micro by HUGEINT floor division (the one
+    // rounding in the dag), AP = Σ p·P_end / n_pos in bp.
+    "m144_average_precision" -> s"""
+      WITH $TextStatsCtes,
+      apb AS (SELECT CASE WHEN length(text) >= 200 THEN 1 ELSE 0 END AS y,
+              $QualityExpr AS s
+            FROM ratios),
+      aps AS (SELECT s, CAST(SUM(y) AS BIGINT) AS p,
+              CAST(COUNT(*) - SUM(y) AS BIGINT) AS n
+            FROM apb GROUP BY s),
+      apr AS (SELECT *,
+              CAST(SUM(p) OVER (ORDER BY s DESC
+                ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cump,
+              CAST(SUM(p + n) OVER (ORDER BY s DESC
+                ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cumt FROM aps),
+      apt AS (SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+              CAST(SUM(n) AS BIGINT) AS n_neg,
+              SUM(CAST(p AS HUGEINT) * ((1000000 * cump) // cumt)) AS st
+            FROM apr)
+      SELECT n_pos, n_neg,
+        CASE WHEN n_pos > 0
+          THEN CAST((10000 * st) // (1000000 * CAST(n_pos AS HUGEINT))
+               AS BIGINT)
+          ELSE NULL END AS ap_bp,
+        CASE WHEN n_pos + n_neg > 0
+          THEN CAST((10000 * CAST(n_pos AS HUGEINT)) // (n_pos + n_neg)
+               AS BIGINT)
+          ELSE NULL END AS prevalence_bp
+      FROM apt""",
+
     // CUSUM: max(0, ·) recursion replayed stateless via the prefix
     // identity S = P − least(0, running min P); per-(group, day) sums
     // ride HUGEINT (Spark side: DECIMAL(38,0)), outputs cast BIGINT.

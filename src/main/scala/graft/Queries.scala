@@ -1933,6 +1933,19 @@ object Queries {
         threshold = 0.5)
       .orderBy("doc_id_a", "doc_id_b")
 
+  /** m144 — exact average precision
+    * ([[operators.Ranking.averagePrecisionReport]]): PR-AUC of the
+    * m128 ranking (quality score vs the length-band label) under the
+    * step convention — the number that, unlike AUC, collapses to
+    * prevalence when the ranking's head is useless; both running sums
+    * ride one range-partitioned pass, the only rounding is the
+    * per-block 10⁶ precision snap the oracle mirrors with HUGEINT
+    * floor division. */
+  def m144AveragePrecision(s: SparkSession, dir: String): DataFrame =
+    operators.Ranking.averagePrecisionReport(t(s, dir, "documents"),
+      length(col("text")) >= 200,
+      operators.TextAnalysis.qualityScore(col("text")))
+
   /** m143 — CUSUM drift alarms
     * ([[operators.TrainingPipeline.cusumReport]]): per event_type and
     * UTC day, the one-sided upper CUSUM of centi-scaled value against

@@ -236,6 +236,7 @@ object SparkEntry {
     "m141_otsu_threshold" -> Queries.m141OtsuThreshold,
     "m142_kfolds" -> Queries.m142KFolds,
     "m143_cusum" -> Queries.m143Cusum,
+    "m144_average_precision" -> Queries.m144AveragePrecision,
     "q52_gap_fill" -> Queries.q52GapFill,
     "mm05_audio_fingerprint" -> Queries.mm05AudioFingerprint,
     "mm06_shot_boundaries" -> Queries.mm06ShotBoundaries,

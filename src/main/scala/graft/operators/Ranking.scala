@@ -1,8 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /**
  * Global (un-partitioned) ranking at scale.
@@ -119,44 +122,77 @@ object Ranking {
     * be a TOTAL order. Output is checkpointed like [[globalRank]]'s
     * (callers release via `graft.core.Blocks`). */
   def globalRunningAgg(df: DataFrame, order: Seq[Column], value: Column,
-      rankCol: String = "rank", cumCol: String = "cum"): DataFrame = {
+      rankCol: String = "rank", cumCol: String = "cum"): DataFrame =
+    globalRunningAggs(df, order, Seq(value), rankCol, Seq(cumCol))
+
+  /** [[globalRunningAgg]] over SEVERAL values in the one
+    * range-partitioned pass — the multi-cum form an operator needs when
+    * two running sums must observe the SAME total order (e.g. cumulative
+    * positives AND cumulative rows down a score ranking: two separate
+    * calls would sort twice and could legally disagree on
+    * RangePartitioner samples). Same mechanics and output contract as
+    * the single-value form; `cumCols(i)` is the running sum of
+    * `values(i)`. */
+  def globalRunningAggs(df: DataFrame, order: Seq[Column],
+      values: Seq[Column], rankCol: String,
+      cumCols: Seq[String]): DataFrame = {
+    require(values.nonEmpty && values.length == cumCols.length,
+      s"globalRunningAggs: ${values.length} values vs ${cumCols.length} cums")
     def fresh(base: String): String = {
       var n = base
-      while (df.columns.contains(n) || n == rankCol || n == cumCol) n += "_"
+      while (df.columns.contains(n) || n == rankCol || cumCols.contains(n))
+        n += "_"
       n
     }
     val pidC = fresh("_pid"); val localC = fresh("_local")
-    val vC = fresh("_v"); val cntOffC = fresh("_cntoff"); val sumOffC = fresh("_sumoff")
+    val vCs = values.indices.map(i => fresh(s"_v$i"))
+    val cntOffC = fresh("_cntoff")
+    val sumOffCs = values.indices.map(i => fresh(s"_sumoff$i"))
     // persist-pinned single sort: see globalRank (two consumers must
     // observe ONE RangePartitioner sample)
     // NULL values coalesce to 0 BEFORE the aggregate: SQL's windowed SUM
     // ignores NULLs (cum unchanged at a NULL row) and adding 0 is the
     // same cum — and it keeps the per-partition sum (and the getLong
     // read below) non-null even when an entire sort partition is NULL.
-    val sorted = df.orderBy(order: _*)
-      .withColumn(vC, coalesce(value.cast("long"), lit(0L)))
+    val sorted = values.zip(vCs)
+      .foldLeft(df.orderBy(order: _*)) { case (d, (v, n)) =>
+        d.withColumn(n, coalesce(v.cast("long"), lit(0L)))
+      }
       .withColumn(pidC, spark_partition_id().cast("long"))
       .withColumn(localC,
         monotonically_increasing_id() - shiftleft(spark_partition_id().cast("long"), 33))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val agg = sorted.groupBy(pidC)
-      .agg(count(lit(1)).as("_cnt"), sum(vC).as("_sum"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .agg(count(lit(1)).as("_cnt"),
+        vCs.map(c => sum(col(c)).as(s"_sum_$c")): _*)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        vCs.indices.map(i => r.getLong(2 + i)).toArray))
       .sortBy(_._1)
-    var accN = 0L; var accS = 0L
+    var accN = 0L
+    val accS = Array.fill(vCs.length)(0L)
     val offs = agg.map { case (pid, c, sv) =>
-      val o = (pid, accN, accS); accN += c; accS += sv; o
+      val o = Row.fromSeq(pid +: accN +: accS.toSeq)
+      accN += c
+      var i = 0
+      while (i < accS.length) { accS(i) += sv(i); i += 1 }
+      o
     }
-    val offsets = df.sparkSession.createDataFrame(offs.toSeq)
-      .toDF(pidC, cntOffC, sumOffC)
+    val offSchema = StructType(
+      (pidC +: cntOffC +: sumOffCs).map(StructField(_, LongType)))
+    val offsets = df.sparkSession.createDataFrame(
+      offs.toSeq.asJava, offSchema)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(pidC).orderBy(localC)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     try {
-      sorted.join(broadcast(offsets), pidC)
+      val joined = sorted.join(broadcast(offsets), pidC)
         .withColumn(rankCol, col(cntOffC) + col(localC) + 1)
-        .withColumn(cumCol, col(sumOffC) + sum(col(vC)).over(w))
-        .drop(pidC, localC, vC, cntOffC, sumOffC)
+      vCs.indices
+        .foldLeft(joined) { (d, i) =>
+          d.withColumn(cumCols(i), col(sumOffCs(i)) + sum(col(vCs(i))).over(w))
+        }
+        .drop((pidC +: localC +: cntOffC +: (vCs ++ sumOffCs)): _*)
         .transform(graft.core.Blocks.pin)
     } finally sorted.unpersist()
   }
@@ -445,6 +481,58 @@ object Ranking {
             CAST((10000 * CAST(u2 AS DECIMAL(38,0)))
                  div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)
           ELSE NULL END""").as("auc_bp"))
+    val pinned = out.transform(graft.core.Blocks.pin)
+    graft.core.Blocks.release(running)
+    pinned
+  }
+
+  /**
+   * Exact average precision (area under the precision-recall curve, the
+   * step/"last" convention) — the ranking-quality number that matters
+   * when positives are RARE: AUC ([[aucReport]]) stays high on a 0.1%
+   * prevalence corpus however useless the ranking's head is, while AP
+   * collapses to prevalence. AP = Σ_k ΔR_k · P_k over distinct-score
+   * blocks descending, i.e. (Σ_blocks p_k · precision_at_block_end) /
+   * n_pos — ties handled by blocking on the score (every tied row sees
+   * the block-END precision, the sklearn convention).
+   *
+   * Determinism: per-block precision snaps to micro-units by integer
+   * division (10⁶·cumP div cumT — the ONLY rounding in the dag, so
+   * ap_bp is within k·10⁻⁶ of the exact rational and bit-identical on
+   * any engine); sums ride DECIMAL(38,0) per the m75 rule. Scale shape:
+   * one group-by collapses the corpus to distinct-score blocks, then
+   * BOTH running sums (cumulative positives and cumulative rows) come
+   * out of ONE [[globalRunningAggs]] range-partitioned pass — no
+   * single-task window, no second sort. Also reports prevalence_bp
+   * (= a random ranking's expected AP) so the readout carries its own
+   * baseline.
+   *
+   * @return one row: (n_pos, n_neg, ap_bp, prevalence_bp); ap_bp NULL
+   *         when there are no positives
+   */
+  def averagePrecisionReport(df: DataFrame, labelCol: Column,
+      scoreCol: Column): DataFrame = {
+    val byScore = df.select(labelCol.cast("int").as("__y"), scoreCol.as("__s"))
+      .groupBy(col("__s"))
+      .agg(sum(col("__y")).cast("long").as("__p"),
+        (count(lit(1)) - sum(col("__y"))).cast("long").as("__n"))
+    val running = globalRunningAggs(byScore, Seq(col("__s").desc),
+      Seq(col("__p"), col("__p") + col("__n")), "__rk",
+      Seq("__cumP", "__cumT"))
+    val out = running
+      .agg(sum(col("__p")).as("n_pos"), sum(col("__n")).as("n_neg"),
+        sum(expr("""CAST(__p AS DECIMAL(38,0)) *
+            ((1000000 * CAST(__cumP AS DECIMAL(38,0))) div __cumT)"""))
+          .as("__st"))
+      .select(col("n_pos"), col("n_neg"),
+        expr("""CASE WHEN n_pos > 0 THEN
+            CAST((10000 * CAST(__st AS DECIMAL(38,0)))
+                 div (1000000 * CAST(n_pos AS DECIMAL(38,0))) AS BIGINT)
+          ELSE NULL END""").as("ap_bp"),
+        expr("""CASE WHEN n_pos + n_neg > 0 THEN
+            CAST((10000 * CAST(n_pos AS DECIMAL(38,0)))
+                 div (n_pos + n_neg) AS BIGINT)
+          ELSE NULL END""").as("prevalence_bp"))
     val pinned = out.transform(graft.core.Blocks.pin)
     graft.core.Blocks.release(running)
     pinned

@@ -1754,6 +1754,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.getLong(2) === wins)
   }
 
+  test("averagePrecisionReport equals the naive block replay with ties, " +
+      "extremes, prevalence baseline, one-class NULL, invariance") {
+    val s = spark
+    import s.implicits._
+    def naiveApBp(rows: Seq[(Int, Double)]): Long = {
+      // distinct-score blocks descending; every tied row sees block-END
+      // precision snapped to micro by floor division
+      val blocks = rows.groupBy(_._2).toSeq.sortBy(-_._1)
+        .map { case (_, rs) => (rs.count(_._1 == 1).toLong, rs.size.toLong) }
+      var cumP = 0L; var cumT = 0L; var st = BigInt(0)
+      blocks.foreach { case (p, t) =>
+        cumP += p; cumT += t
+        st += BigInt(p) * (1000000L * cumP / cumT)
+      }
+      val nPos = blocks.map(_._1).sum
+      ((BigInt(10000) * st) / (BigInt(1000000) * nPos)).toLong
+    }
+    // ties across both classes (the aucReport fixture)
+    val rows = Seq((1, 0.9), (1, 0.8), (1, 0.5), (0, 0.5), (0, 0.3),
+      (1, 0.3), (0, 0.1), (0, 0.1))
+    val got = graft.operators.Ranking.averagePrecisionReport(
+        rows.toDF("y", "score"), col("y") === 1, col("score"))
+      .collect().head
+    assert(got.getLong(0) === 4L && got.getLong(1) === 4L)
+    assert(got.getLong(2) === naiveApBp(rows))
+    assert(got.getLong(3) === 5000L) // prevalence 4/8
+    // perfect separation -> 10000 bp
+    val perfect = Seq((1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1))
+    assert(graft.operators.Ranking.averagePrecisionReport(
+      perfect.toDF("y", "score"), col("y") === 1, col("score"))
+      .collect().head.getLong(2) === 10000L)
+    // inverted ranking: AP = prevalence of the tail block = 1/2 ·
+    // (precision 5000 micro at the positive) -> naive replay agrees
+    val inverted = Seq((0, 0.9), (1, 0.1))
+    assert(graft.operators.Ranking.averagePrecisionReport(
+      inverted.toDF("y", "score"), col("y") === 1, col("score"))
+      .collect().head.getLong(2) === naiveApBp(inverted))
+    // one-class (all negative) -> NULL ap, prevalence 0
+    val oneClass = Seq((0, 0.9), (0, 0.1)).toDF("y", "score")
+    val oc = graft.operators.Ranking.averagePrecisionReport(oneClass,
+      col("y") === 1, col("score")).collect().head
+    assert(oc.isNullAt(2) && oc.getLong(3) === 0L)
+    // partitioning invariance
+    val re = graft.operators.Ranking.averagePrecisionReport(
+        rows.toDF("y", "score").repartition(5), col("y") === 1,
+        col("score")).collect().head
+    assert(re.getLong(2) === naiveApBp(rows))
+  }
+
   test("mmrTopK diversifies past a near-duplicate; lambda=1 is the plain ranking") {
     val s = spark
     import s.implicits._
