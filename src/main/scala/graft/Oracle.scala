@@ -1150,6 +1150,50 @@ object Oracle {
              ELSE round(rawe, 4) END AS est_distinct
       FROM hest ORDER BY source""",
 
+    // Isotonic PAV: the m134 micro-bin histogram, then the pool walk as
+    // a recursive CTE whose state is the block LIST — each level merges
+    // the FIRST adjacent violation (cross-multiplied HUGEINT means);
+    // the L2 isotonic fit is unique, so this and Spark's stack walk
+    // agree block for block.
+    "m145_isotonic" -> s"""
+      WITH RECURSIVE $TextStatsCtes,
+      icb AS (SELECT CASE WHEN length(text) >= 200 THEN 1 ELSE 0 END AS y,
+              CAST(CAST($QualityExpr AS DECIMAL(10,6)) * 1000000 AS BIGINT)
+                AS si
+            FROM ratios),
+      ich AS (SELECT CAST(least(si * 10 // 1000000, 9) AS INT) AS bin,
+              CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS p
+            FROM icb GROUP BY 1),
+      ic0 AS (SELECT list(struct_pack(lo := bin, hi := bin, p := p,
+                n := n) ORDER BY bin) AS blks FROM ich),
+      pav AS (
+        SELECT 0 AS it, blks FROM ic0
+        UNION ALL
+        SELECT it + 1,
+          list_concat(list_concat(
+            blks[1:vi-1],
+            [struct_pack(lo := blks[vi].lo, hi := blks[vi+1].hi,
+                         p := blks[vi].p + blks[vi+1].p,
+                         n := blks[vi].n + blks[vi+1].n)]),
+            blks[vi+2:])
+        FROM (SELECT it, blks,
+              CAST(list_filter(range(1, len(blks)),
+                i -> CAST(blks[CAST(i AS INT)].p AS HUGEINT)
+                       * blks[CAST(i AS INT)+1].n
+                   > CAST(blks[CAST(i AS INT)+1].p AS HUGEINT)
+                       * blks[CAST(i AS INT)].n)[1] AS INT) AS vi
+            FROM pav) t WHERE vi IS NOT NULL
+      ),
+      icf AS (SELECT blks FROM pav ORDER BY it DESC LIMIT 1),
+      icu AS (SELECT unnest(blks) AS b FROM icf)
+      SELECT h.bin, h.n, h.p AS n_pos,
+        CAST((1000000 * CAST(h.p AS HUGEINT)) // h.n AS BIGINT)
+          AS raw_rate_micro,
+        CAST((1000000 * CAST(icu.b.p AS HUGEINT)) // icu.b.n AS BIGINT)
+          AS iso_rate_micro
+      FROM ich h JOIN icu ON h.bin BETWEEN icu.b.lo AND icu.b.hi
+      ORDER BY h.bin""",
+
     // Average precision: distinct-score blocks descending, per-block
     // precision snapped to micro by HUGEINT floor division (the one
     // rounding in the dag), AP = Σ p·P_end / n_pos in bp.

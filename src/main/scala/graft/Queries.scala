@@ -1933,6 +1933,19 @@ object Queries {
         threshold = 0.5)
       .orderBy("doc_id_a", "doc_id_b")
 
+  /** m145 — isotonic (PAV) calibration
+    * ([[operators.Ranking.isotonicCalibration]]): the monotone
+    * score→probability map the m134 reliability diagram says the
+    * quality score needs — pooled-adjacent-violators over the same
+    * 10 micro-bins; the oracle replays PAV as a recursive CTE whose
+    * state is the block LIST (first-violation merges — the L2 fit is
+    * unique, so the stack walk and the iteration agree). */
+  def m145Isotonic(s: SparkSession, dir: String): DataFrame =
+    operators.Ranking.isotonicCalibration(t(s, dir, "documents"),
+        length(col("text")) >= 200,
+        operators.TextAnalysis.qualityScore(col("text")), bins = 10)
+      .orderBy("bin")
+
   /** m144 — exact average precision
     * ([[operators.Ranking.averagePrecisionReport]]): PR-AUC of the
     * m128 ranking (quality score vs the length-band label) under the

@@ -537,4 +537,61 @@ object Ranking {
     graft.core.Blocks.release(running)
     pinned
   }
+
+  /**
+   * Isotonic calibration by pool-adjacent-violators (PAV) — the FIX for
+   * what [[calibrationReport]] measures: the monotone map from score
+   * bin to calibrated probability that minimizes squared error, i.e.
+   * what the score SHOULD have said. Adjacent bins whose empirical rate
+   * decreases as the score rises get pooled until the fit is monotone;
+   * the L2 isotonic fit is unique, so ANY merge order (this stack walk,
+   * the oracle's first-violation iteration) lands on the same pooled
+   * blocks — block means compare as cross-multiplied exact integers,
+   * never floats.
+   *
+   * Scale shape: the corpus collapses to the ≤bins-row micro-bin
+   * histogram (one map-side-combined aggregation — the m134 binning);
+   * PAV itself runs on the driver over that bounded state (the
+   * otsuThreshold convention, ceiling 1000 bins). Rates snap to micro
+   * by integer division, the dag's only rounding.
+   *
+   * @return per observed bin: (bin, n, n_pos, raw_rate_micro,
+   *         iso_rate_micro) with iso_rate_micro non-decreasing in bin
+   */
+  def isotonicCalibration(df: DataFrame, labelCol: Column,
+      scoreCol: Column, bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000,
+      s"isotonicCalibration: bins=$bins out of [2,1000]")
+    val s = df.sparkSession
+    import s.implicits._
+    val si = (scoreCol.cast("decimal(10,6)") * 1000000).cast("long")
+    val hist = df.select(labelCol.cast("int").as("__y"), si.as("__si"))
+      .groupBy(least(floor(col("__si") * bins / 1000000L), lit(bins - 1L))
+        .cast("int").as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).cast("long").as("n_pos"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    require(hist.nonEmpty, "isotonicCalibration: empty input")
+    // stack PAV: push each bin as its own (lo, hi, pos, n) block, merge
+    // down while the previous block's mean exceeds the new top's
+    val st = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Long)]
+    hist.foreach { case (b, n, p) =>
+      st += ((b, b, p, n))
+      while (st.length >= 2 && {
+        val a = st(st.length - 2); val c = st.last
+        BigInt(a._3) * c._4 > BigInt(c._3) * a._4
+      }) {
+        val c = st.remove(st.length - 1)
+        val a = st.remove(st.length - 1)
+        st += ((a._1, c._2, a._3 + c._3, a._4 + c._4))
+      }
+    }
+    val rows = hist.map { case (b, n, p) =>
+      val blk = st.find(t => t._1 <= b && b <= t._2).get
+      (b, n, p, (BigInt(1000000) * p / n).toLong,
+        (BigInt(1000000) * blk._3 / blk._4).toLong)
+    }
+    rows.toSeq
+      .toDF("bin", "n", "n_pos", "raw_rate_micro", "iso_rate_micro")
+  }
 }

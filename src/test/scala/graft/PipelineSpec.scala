@@ -1719,6 +1719,53 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("isotonicCalibration: pools violating runs to exact block means, " +
+      "leaves monotone input untouched, output monotone, invariance") {
+    val s = spark
+    import s.implicits._
+    // per-bin rates 0.1, 0.5, 0.3, 0.2, 0.9 over 10 rows each: PAV must
+    // pool bins {1,2,3} to 10/30 and keep 0 and 4 alone
+    def mk(rates: Seq[Int]): org.apache.spark.sql.DataFrame =
+      rates.zipWithIndex.flatMap { case (pos, bin) =>
+        (0 until 10).map { i =>
+          // scores inside bin [bin/5, (bin+1)/5): micro-exact
+          (if (i < pos) 1 else 0, bin * 0.2 + 0.05 + i * 0.01)
+        }
+      }.toDF("y", "score")
+    val got = graft.operators.Ranking.isotonicCalibration(
+        mk(Seq(1, 5, 3, 2, 9)), col("y") === 1, col("score"), bins = 5)
+      .orderBy("bin")
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (0, 10L, 1L, 100000L, 100000L),
+      (1, 10L, 5L, 500000L, 333333L),
+      (2, 10L, 3L, 300000L, 333333L),
+      (3, 10L, 2L, 200000L, 333333L),
+      (4, 10L, 9L, 900000L, 900000L)))
+    // already-monotone input: iso == raw everywhere
+    val mono = graft.operators.Ranking.isotonicCalibration(
+        mk(Seq(1, 2, 5, 7, 9)), col("y") === 1, col("score"), bins = 5)
+      .collect()
+    assert(mono.forall(r => r.getLong(3) === r.getLong(4)))
+    // cascading merge: strictly decreasing rates pool to ONE block at
+    // the global mean, and the output is monotone (constant)
+    val desc = graft.operators.Ranking.isotonicCalibration(
+        mk(Seq(9, 7, 5, 2, 1)), col("y") === 1, col("score"), bins = 5)
+      .collect()
+    assert(desc.forall(r => r.getLong(4) === 480000L)) // 24/50
+    // invariance + monotonicity on the pooled case
+    val re = graft.operators.Ranking.isotonicCalibration(
+        mk(Seq(1, 5, 3, 2, 9)).repartition(7), col("y") === 1,
+        col("score"), bins = 5)
+      .orderBy("bin").as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(re === got)
+    assert(re.map(_._5) === re.map(_._5).sorted)
+    intercept[IllegalArgumentException] {
+      graft.operators.Ranking.isotonicCalibration(mk(Seq(1)),
+        col("y") === 1, col("score"), bins = 1)
+    }
+  }
+
   test("aucReport equals the naive pairwise AUC with ties, perfect and random extremes") {
     val s = spark
     import s.implicits._
