@@ -1150,6 +1150,31 @@ object Oracle {
              ELSE round(rawe, 4) END AS est_distinct
       FROM hest ORDER BY source""",
 
+    // Chi-square independence: contingency cells by GROUP BY, marginals
+    // via window sums, every product HUGEINT, term/expected floored at
+    // micro by // — mirroring the driver's BigInt dag.
+    "m146_chi_square" -> """
+      WITH xc AS (SELECT coalesce(CAST(lang AS VARCHAR), '(null)') AS a,
+              coalesce(CAST(source AS VARCHAR), '(null)') AS b,
+              CAST(COUNT(*) AS HUGEINT) AS o
+            FROM documents GROUP BY 1, 2),
+      xm AS (SELECT a, b, o,
+              SUM(o) OVER (PARTITION BY a) AS r,
+              SUM(o) OVER (PARTITION BY b) AS c,
+              SUM(o) OVER () AS n FROM xc),
+      xt AS (SELECT a, b, o, r, c, n,
+              (1000000 * ((n * o - r * c) * (n * o - r * c)))
+                // (n * r * c) AS term,
+              (1000000 * r * c) // n AS e FROM xm),
+      xd AS (SELECT COUNT(DISTINCT a) AS na, COUNT(DISTINCT b) AS nb
+            FROM xc)
+      SELECT a, b, CAST(o AS BIGINT) AS observed,
+        CAST(e AS BIGINT) AS expected_micro,
+        CAST(term AS BIGINT) AS term_micro,
+        CAST(SUM(term) OVER () AS BIGINT) AS chi2_micro,
+        CAST((na - 1) * (nb - 1) AS BIGINT) AS dof
+      FROM xt, xd ORDER BY a, b""",
+
     // Isotonic PAV: the m134 micro-bin histogram, then the pool walk as
     // a recursive CTE whose state is the block LIST — each level merges
     // the FIRST adjacent violation (cross-multiplied HUGEINT means);

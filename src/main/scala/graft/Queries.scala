@@ -1933,6 +1933,17 @@ object Queries {
         threshold = 0.5)
       .orderBy("doc_id_a", "doc_id_b")
 
+  /** m146 — chi-square independence
+    * ([[operators.TrainingPipeline.chiSquareReport]]): does source
+    * predict language in the corpus mixture? Per (lang, source) cell
+    * the exact-integer term 10⁶·(N·O − r·c)² div (N·r·c) plus the
+    * summed statistic — the oracle re-derives marginals with window
+    * sums and mirrors the HUGEINT floor divisions. */
+  def m146ChiSquare(s: SparkSession, dir: String): DataFrame =
+    operators.TrainingPipeline.chiSquareReport(t(s, dir, "documents"),
+        col("lang"), col("source"))
+      .orderBy("a", "b")
+
   /** m145 — isotonic (PAV) calibration
     * ([[operators.Ranking.isotonicCalibration]]): the monotone
     * score→probability map the m134 reliability diagram says the

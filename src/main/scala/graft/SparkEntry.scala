@@ -238,6 +238,7 @@ object SparkEntry {
     "m143_cusum" -> Queries.m143Cusum,
     "m144_average_precision" -> Queries.m144AveragePrecision,
     "m145_isotonic" -> Queries.m145Isotonic,
+    "m146_chi_square" -> Queries.m146ChiSquare,
     "q52_gap_fill" -> Queries.q52GapFill,
     "mm05_audio_fingerprint" -> Queries.mm05AudioFingerprint,
     "mm06_shot_boundaries" -> Queries.mm06ShotBoundaries,

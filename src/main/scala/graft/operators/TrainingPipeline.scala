@@ -1461,6 +1461,57 @@ object TrainingPipeline {
   }
 
   /**
+   * Chi-square test of independence between two categorical columns —
+   * the "is my mixture confounded" number a corpus report owes next to
+   * the m45 rates: does source predict language (or license, or
+   * quality band), or are they independent? Expected counts under
+   * independence are E = r·c/N; the statistic is Σ (O−E)²/E, here in
+   * exact integer form: per cell, term = 10⁶·(N·O − r·c)² / (N·r·c)
+   * with every product in BigInt on the driver — no float enters, no
+   * width ever overflows. Each term floors once at micro (the dag's
+   * only rounding, so chi2_micro is within #cells·10⁻⁶ of exact).
+   *
+   * Scale shape: ONE map-side-combined (a, b) count aggregation
+   * collapses the corpus to the contingency table; marginals, N and
+   * the statistic derive from that bounded state on the driver (the
+   * otsuThreshold convention, ceiling-ENFORCED — a chi-square over
+   * high-cardinality columns is not a meaningful test; bucket first).
+   *
+   * @return per cell: (a, b, observed, expected_micro, term_micro,
+   *         chi2_micro, dof) — chi2/dof constant across rows; compare
+   *         chi2_micro/10⁶ against the chi-square quantile at dof
+   */
+  def chiSquareReport(df: DataFrame, aCol: Column, bCol: Column,
+      maxCells: Int = 100000): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val cells = df
+      .select(coalesce(aCol.cast("string"), lit("(null)")).as("a"),
+        coalesce(bCol.cast("string"), lit("(null)")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("o"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    require(cells.nonEmpty, "chiSquareReport: empty input")
+    require(cells.length <= maxCells,
+      s"chiSquareReport: ${cells.length} cells exceeds ceiling $maxCells")
+    val rT = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val cT = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val n = cells.map(_._3).sum
+    val dof = (rT.size - 1L) * (cT.size - 1L)
+    val M = BigInt(1000000)
+    val terms = cells.sortBy(t => (t._1, t._2)).map { case (a, b, o) =>
+      val r = rT(a); val c = cT(b)
+      val d = BigInt(n) * o - BigInt(r) * c
+      (a, b, o, (M * r * c / n).toLong,
+        (M * d * d / (BigInt(n) * r * c)).toLong)
+    }
+    val chi2 = terms.map(_._5).sum
+    terms.map { case (a, b, o, e, t) => (a, b, o, e, t, chi2, dof) }
+      .toSeq
+      .toDF("a", "b", "observed", "expected_micro", "term_micro",
+        "chi2_micro", "dof")
+  }
+
+  /**
    * One-sided upper CUSUM drift detection (Page 1954) — the sequential
    * change-point alarm a monitoring pipeline runs next to
    * [[trendReport]]'s slope: per group, over time buckets in order,

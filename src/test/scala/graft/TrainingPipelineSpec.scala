@@ -2011,6 +2011,50 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(re == got)
   }
 
+  test("chiSquareReport: hand-computed 2x2, exact independence -> 0, " +
+      "null category, invariance, ceiling contract") {
+    val s = spark
+    import s.implicits._
+    def table(counts: Seq[(String, String, Int)]) =
+      counts.flatMap { case (a, b, k) => Seq.fill(k)((a, b)) }
+        .toDF("x", "y")
+    // O = [[10,20],[20,10]]: E = 15 each, chi2 = 4*25/15 = 6.666...
+    // per-cell term floored at micro: 1666666; dof 1
+    val df = table(Seq(("r1", "c1", 10), ("r1", "c2", 20),
+      ("r2", "c1", 20), ("r2", "c2", 10)))
+    val got = TrainingPipeline.chiSquareReport(df, col("x"), col("y"))
+      .orderBy("a", "b")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("r1", "c1", 10L, 15000000L, 1666666L, 6666664L, 1L),
+      ("r1", "c2", 20L, 15000000L, 1666666L, 6666664L, 1L),
+      ("r2", "c1", 20L, 15000000L, 1666666L, 6666664L, 1L),
+      ("r2", "c2", 10L, 15000000L, 1666666L, 6666664L, 1L)))
+    // exactly independent table -> every term 0
+    val ind = table(Seq(("r1", "c1", 10), ("r1", "c2", 20),
+      ("r2", "c1", 30), ("r2", "c2", 60)))
+    val iz = TrainingPipeline.chiSquareReport(ind, col("x"), col("y"))
+      .collect()
+    assert(iz.forall(r => r.getLong(4) === 0L && r.getLong(5) === 0L))
+    // null category becomes its own level
+    val wn = table(Seq(("r1", "c1", 3), ("r2", "c1", 4)))
+      .union(Seq((null: String, "c1")).toDF("x", "y"))
+    val nz = TrainingPipeline.chiSquareReport(wn, col("x"), col("y"))
+      .orderBy("a").collect()
+    assert(nz.map(_.getString(0)).contains("(null)") &&
+      nz.forall(r => r.getLong(6) === 0L)) // 3x1 table: dof 0
+    // invariance
+    val re = TrainingPipeline.chiSquareReport(df.repartition(7), col("x"),
+        col("y"))
+      .orderBy("a", "b")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(re === got)
+    val err = intercept[IllegalArgumentException] {
+      TrainingPipeline.chiSquareReport(df, col("x"), col("y"), maxCells = 2)
+    }
+    assert(err.getMessage.contains("ceiling"))
+  }
+
   test("cusumReport: hand-computed recursion incl. clamp-at-zero reset, " +
       "alarm threshold, per-group independence, invariance, contract") {
     val s = spark
