@@ -1150,6 +1150,29 @@ object Oracle {
              ELSE round(rawe, 4) END AS est_distinct
       FROM hest ORDER BY source""",
 
+    // Vocab OOV coverage: top-16 tokens under the (count desc, token
+    // asc) total order, per-source occurrence coverage; the BM25/BPE
+    // normalize-split tokenization.
+    "m147_vocab_coverage" -> """
+      WITH vnr AS (SELECT source,
+              trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS nt
+            FROM documents),
+      vtk AS (SELECT source, string_split(nt, ' ') AS toks FROM vnr
+            WHERE length(nt) > 0),
+      vt AS (SELECT source, unnest(toks) AS tok FROM vtk),
+      vc AS (SELECT tok, COUNT(*) AS cnt FROM vt GROUP BY tok),
+      vv AS (SELECT tok FROM (SELECT tok, row_number() OVER
+              (ORDER BY cnt DESC, tok ASC) AS rk FROM vc)
+            WHERE rk <= 16),
+      cov AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+              CAST(SUM(CASE WHEN tok IN (SELECT tok FROM vv)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+            FROM vt GROUP BY source)
+      SELECT source, n_tokens, n_covered,
+        CAST((10000 * CAST(n_tokens - n_covered AS HUGEINT)) // n_tokens
+          AS BIGINT) AS oov_bp
+      FROM cov ORDER BY source""",
+
     // Chi-square independence: contingency cells by GROUP BY, marginals
     // via window sums, every product HUGEINT, term/expected floored at
     // micro by // — mirroring the driver's BigInt dag.

@@ -1933,6 +1933,17 @@ object Queries {
         threshold = 0.5)
       .orderBy("doc_id_a", "doc_id_b")
 
+  /** m147 — vocabulary OOV coverage
+    * ([[operators.TextAnalysis.vocabCoverageReport]]): per source, the
+    * share of token occurrences outside the corpus's own top-16
+    * vocabulary — the tokenizer-fit readout; the oracle re-derives the
+    * vocab under the same (count desc, token asc) total order and
+    * replays the per-source coverage join. */
+  def m147VocabCoverage(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.vocabCoverageReport(t(s, dir, "documents"),
+        vocabSize = 16)
+      .orderBy("source")
+
   /** m146 — chi-square independence
     * ([[operators.TrainingPipeline.chiSquareReport]]): does source
     * predict language in the corpus mixture? Per (lang, source) cell

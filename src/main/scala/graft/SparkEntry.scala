@@ -239,6 +239,7 @@ object SparkEntry {
     "m144_average_precision" -> Queries.m144AveragePrecision,
     "m145_isotonic" -> Queries.m145Isotonic,
     "m146_chi_square" -> Queries.m146ChiSquare,
+    "m147_vocab_coverage" -> Queries.m147VocabCoverage,
     "q52_gap_fill" -> Queries.q52GapFill,
     "mm05_audio_fingerprint" -> Queries.mm05AudioFingerprint,
     "mm06_shot_boundaries" -> Queries.mm06ShotBoundaries,

@@ -42,6 +42,9 @@ final case class BigramLM(pairs: Array[Long], pairCounts: Array[Long],
 /** Per-document bigram score row (TOP-LEVEL for the encoder rule). */
 final case class BigramScore(n_bigrams: Int, xent2: Double)
 
+/** Per-document vocab-coverage counts (TOP-LEVEL for the encoder rule). */
+final case class VocabCov(n_tokens: Long, n_covered: Long)
+
 object TextAnalysis {
 
   private val statsUdf = udf((t: String) => if (t == null) null else TextSig.textStats(t))
@@ -611,6 +614,73 @@ object TextAnalysis {
 
   private val normalizeUdf =
     udf((t: String) => TextSig.normalize(if (t == null) "" else t))
+
+  /**
+   * Vocabulary coverage / OOV report — the tokenizer-fit number a corpus
+   * owes before training: with a vocabulary of the corpus's own top-V
+   * tokens, what share of each source's token OCCURRENCES falls outside
+   * it? A source with high OOV under the shared vocab is the one that
+   * will fragment into subwords (or <unk>) at training time — the
+   * cross-source readout a mixture planner weighs next to the m45 rates.
+   *
+   * Two passes, neither shuffles text: (1) vocab = top-V of the
+   * map-side-combined (token, count) aggregate under the TOTAL order
+   * (count desc, token asc) — a TakeOrdered, no full sort; (2) the
+   * sorted vocab broadcasts (bounded by the vocabSize ceiling) and one
+   * compiled binary-search kernel counts (tokens, covered) per doc —
+   * per-source sums are the only aggregation. Tokens are
+   * [[graft.core.TextSig.normalize]] whitespace tokens (the BM25/BPE
+   * convention). Sources whose docs hold zero tokens are absent (their
+   * coverage is undefined). oov_bp floors once at basis points.
+   *
+   * @return per source: (source, n_tokens, n_covered, oov_bp)
+   */
+  def vocabCoverageReport(docs: DataFrame, vocabSize: Int = 1000,
+      textCol: String = "text", sourceCol: String = "source"): DataFrame = {
+    require(vocabSize >= 1 && vocabSize <= 1000000,
+      s"vocabCoverageReport: vocabSize=$vocabSize out of [1,1000000]")
+    val s = docs.sparkSession
+    import s.implicits._
+    val toksUdf = udf { (t: String) =>
+      val n = TextSig.normalize(if (t == null) "" else t)
+      if (n.isEmpty) Array.empty[String] else n.split(' ')
+    }
+    // explode_outer + isNotNull: the heavy-kernel explode shape (a plain
+    // explode re-evaluates the UDF 3x per row via Generate's implicit
+    // size+null filter — CLAUDE.md recipe)
+    val vocab: Array[String] = docs
+      .select(explode_outer(toksUdf(col(textCol))).as("tok"))
+      .filter(col("tok").isNotNull)
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(vocabSize)
+      .select("tok").as[String].collect().sorted
+    val bc = s.sparkContext.broadcast(vocab)
+    val covUdf = udf { (t: String) =>
+      val vs = bc.value
+      val n = TextSig.normalize(if (t == null) "" else t)
+      val toks = if (n.isEmpty) Array.empty[String] else n.split(' ')
+      var cov = 0L
+      var i = 0
+      while (i < toks.length) {
+        if (java.util.Arrays.binarySearch(
+            vs.asInstanceOf[Array[AnyRef]],
+            toks(i).asInstanceOf[AnyRef]) >= 0) cov += 1
+        i += 1
+      }
+      VocabCov(toks.length.toLong, cov)
+    }
+    docs
+      .select(col(sourceCol).cast("string").as("source"),
+        covUdf(col(textCol)).as("__c"))
+      .groupBy("source")
+      .agg(sum(col("__c.n_tokens")).as("n_tokens"),
+        sum(col("__c.n_covered")).as("n_covered"))
+      .filter(col("n_tokens") > 0L)
+      .withColumn("oov_bp", expr(
+        """CAST((10000 * CAST(n_tokens - n_covered AS DECIMAL(38,0)))
+           div n_tokens AS BIGINT)"""))
+  }
 
   /** Per-source corpus datasheet ("corpus card") — the accounting table
     * a training-data release ships with: per source, document / distinct

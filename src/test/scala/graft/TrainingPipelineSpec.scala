@@ -2011,6 +2011,45 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(re == got)
   }
 
+  test("vocabCoverageReport: hand-computed coverage under the total tie " +
+      "order, tokenless source absent, null text, invariance, contract") {
+    val s = spark
+    import s.implicits._
+    // corpus counts: aa x4, bb x3, cc x2, dd x1. vocabSize=2 ->
+    // vocab {aa, bb} (count desc). Tie check: cc and dd tie nowhere;
+    // tie order pinned separately below.
+    val df = Seq(
+      (1L, "aa aa bb cc", "s1"),   // 4 toks, covered 3
+      (2L, "aa aa bb dd", "s1"),   // 4 toks, covered 3
+      (3L, "bb cc", "s2"),         // 2 toks, covered 1
+      (4L, null.asInstanceOf[String], "s2"), // no tokens
+      (5L, "   ", "s3"))           // whitespace only: s3 absent
+      .toDF("doc_id", "text", "source")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextAnalysis.vocabCoverageReport(d, vocabSize = 2)
+        .orderBy("source").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+    val got = run(df)
+    val exp = Seq(("s1", 8L, 6L, 2500L), ("s2", 2L, 1L, 5000L))
+    assert(got === exp)
+    // count tie at the vocab boundary: ee and ff both x2, vocabSize 3
+    // after aa x3 -> token-asc tiebreak admits ee, not ff
+    val tie = Seq((1L, "aa aa aa ee ff", "t"), (2L, "ee ff", "t"))
+      .toDF("doc_id", "text", "source")
+    val tg = graft.operators.TextAnalysis.vocabCoverageReport(tie,
+        vocabSize = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // vocab {aa, ee}: 7 tokens, covered 5 -> oov 2857 bp
+    assert(tg === Seq(("t", 7L, 5L, 2857L)))
+    val re = run(df.repartition(5))
+    assert(re === exp)
+    intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.vocabCoverageReport(df, vocabSize = 0)
+    }
+  }
+
   test("chiSquareReport: hand-computed 2x2, exact independence -> 0, " +
       "null category, invariance, ceiling contract") {
     val s = spark
