@@ -5106,6 +5106,33 @@ object Oracle {
                    RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
       ORDER BY event_id""",
 
+    // q53: ROLLUP with the EXPLICIT grouping(a)*2+grouping(b) level id
+    // (bitmask conventions differ across engines); DECIMAL money sum
+    // cast once to double (q44 parity rule).
+    "q53_rollup" -> """
+      SELECT o_orderstatus, o_orderpriority,
+        CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+          AS INT) AS gid,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+
+    // q54: PIVOT as explicit conditional aggregation; missing cells 0.
+    "q54_pivot" -> """
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+          AS BIGINT) AS click,
+        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+          AS BIGINT) AS error,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          AS BIGINT) AS purchase,
+        CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+          AS BIGINT) AS signup,
+        CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+          AS BIGINT) AS view
+      FROM events GROUP BY 1 ORDER BY day""",
+
     // q52: IGNORE NULLS forward/backward fill — values copy verbatim
     // (no arithmetic; parquet doubles pass through), ties pinned by the
     // (tse, event_id) total order, tse via the floored-epoch mapping.

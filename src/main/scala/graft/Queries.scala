@@ -3034,6 +3034,43 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** q53 — ROLLUP subtotals: orders counted and summed at (status,
+    * priority), per-status and grand-total levels in one pass — the
+    * GROUPING SETS shape a reporting layer runs instead of three
+    * queries. The level id derives explicitly as grouping(a)·2 +
+    * grouping(b) (bit conventions differ across engines); money sums
+    * ride DECIMAL then cast once (the q44 parity rule). */
+  def q53Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg((grouping(col("o_orderstatus")) * 2
+          + grouping(col("o_orderpriority"))).as("gid"),
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast("double").as("total"))
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("gid"),
+        col("n"), col("total"))
+      .orderBy(asc_nulls_first("o_orderstatus"),
+        asc_nulls_first("o_orderpriority"))
+
+  /** q54 — PIVOT to a wide table: events per UTC day × event type, the
+    * long→wide reshape of a reporting export. Spark's `pivot` takes the
+    * EXPLICIT value list (never values discovered at plan time — a
+    * two-pass nondeterminism at scale); the oracle is the equivalent
+    * conditional aggregation. Missing cells coalesce to 0. */
+  def q54Pivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val wide = t(s, dir, "events")
+      .withColumn("day", expr("unix_timestamp(ts) div 86400"))
+      .groupBy("day")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    types.foldLeft(wide) { (d, t0) =>
+        d.withColumn(t0, coalesce(col(t0), lit(0L)))
+      }
+      .orderBy("day")
+  }
+
   /** m93 — corpus novelty curve: per doc (in doc_id arrival order),
     * its distinct word-13-gram count, how many of those grams are
     * FIRST-SEEN (this doc is the min-id owner), and the running total

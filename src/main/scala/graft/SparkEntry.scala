@@ -241,6 +241,8 @@ object SparkEntry {
     "m146_chi_square" -> Queries.m146ChiSquare,
     "m147_vocab_coverage" -> Queries.m147VocabCoverage,
     "q52_gap_fill" -> Queries.q52GapFill,
+    "q53_rollup" -> Queries.q53Rollup,
+    "q54_pivot" -> Queries.q54Pivot,
     "mm05_audio_fingerprint" -> Queries.mm05AudioFingerprint,
     "mm06_shot_boundaries" -> Queries.mm06ShotBoundaries,
     "mm07_image_dhash" -> Queries.mm07ImageDhash,
