@@ -1150,6 +1150,22 @@ object Oracle {
              ELSE round(rawe, 4) END AS est_distinct
       FROM hest ORDER BY source""",
 
+    // Conformal threshold: integer rank ceil((n+1)(10^4-α)/10^4), value
+    // at rank by row_number (ties value-invariant), NULL when k > n.
+    "m148_conformal" -> s"""
+      WITH $TextStatsCtes,
+      cfb AS (SELECT CAST(CAST(mtl AS DECIMAL(10,6)) * 1000000
+                AS BIGINT) AS si
+            FROM ratios),
+      cfr AS (SELECT si, row_number() OVER (ORDER BY si) AS rk FROM cfb),
+      cfk AS (SELECT COUNT(*) AS n,
+              ((COUNT(*) + 1) * (10000 - 1000) + 9999) // 10000 AS k
+            FROM cfb)
+      SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS rank,
+        CAST(1000 AS BIGINT) AS alpha_bp,
+        (SELECT si FROM cfr, cfk WHERE rk = k) AS threshold_micro
+      FROM cfk""",
+
     // Vocab OOV coverage: top-16 tokens under the (count desc, token
     // asc) total order, per-source occurrence coverage; the BM25/BPE
     // normalize-split tokenization.

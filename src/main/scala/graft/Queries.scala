@@ -1933,6 +1933,17 @@ object Queries {
         threshold = 0.5)
       .orderBy("doc_id_a", "doc_id_b")
 
+  /** m148 — split-conformal threshold
+    * ([[operators.Ranking.conformalThreshold]]): the quality cutoff
+    * with a distribution-free guarantee — the ⌈(n+1)·0.9⌉-th smallest
+    * mean-token-length score bounds 90% of exchangeable future docs
+    * from above (quality's clamp mass at 1.0 would make the readout
+    * degenerate); rank arithmetic all integer, value off the
+    * range-partitioned sort, mirrored by a row_number replay. */
+  def m148Conformal(s: SparkSession, dir: String): DataFrame =
+    operators.Ranking.conformalThreshold(t(s, dir, "documents"),
+      operators.TextAnalysis.meanTokenLen(col("text")), alphaBp = 1000)
+
   /** m147 — vocabulary OOV coverage
     * ([[operators.TextAnalysis.vocabCoverageReport]]): per source, the
     * share of token occurrences outside the corpus's own top-16

@@ -594,4 +594,48 @@ object Ranking {
     rows.toSeq
       .toDF("bin", "n", "n_pos", "raw_rate_micro", "iso_rate_micro")
   }
+
+  /**
+   * Split-conformal threshold — a score cutoff with a DISTRIBUTION-FREE
+   * coverage guarantee (Vovk et al.; Angelopoulos & Bates 2023): given
+   * n exchangeable calibration scores, the ⌈(n+1)(1−α)⌉-th smallest
+   * score t satisfies P(new score ≤ t) ≥ 1−α — no model of the score's
+   * distribution, no binning choice. The principled way to set a
+   * filter's cutoff ("keep docs whose nonconformity ≤ t and at most
+   * ~α of in-distribution docs are lost") instead of eyeballing a
+   * histogram.
+   *
+   * Exactness: scores snap to micro (the m134 DECIMAL(10,6) semantic);
+   * the rank is pure integer arithmetic ⌈(n+1)(10⁴−α_bp)/10⁴⌉; the
+   * value at that rank comes off [[globalRank]]'s range-partitioned
+   * sort (no single-task window). Ordering by score alone is enough:
+   * ranks among tied scores are assignment-arbitrary but the SELECTED
+   * VALUE is tie-invariant. threshold_micro is NULL when k > n (too
+   * little calibration data to certify 1−α — the honest answer, not a
+   * clamp).
+   *
+   * @param alphaBp miscoverage budget in basis points (1..9999)
+   * @return one row: (n, rank, alpha_bp, threshold_micro)
+   */
+  def conformalThreshold(df: DataFrame, scoreCol: Column,
+      alphaBp: Int): DataFrame = {
+    require(alphaBp >= 1 && alphaBp <= 9999,
+      s"conformalThreshold: alphaBp=$alphaBp out of [1,9999]")
+    val si = (scoreCol.cast("decimal(10,6)") * 1000000).cast("long")
+    val (ranked, n, release) = rankedPinned(
+      df.select(si.as("v")).filter(col("v").isNotNull),
+      Seq(col("v").asc), rankCol = "rank")
+    try {
+      require(n > 0, "conformalThreshold: empty input")
+      val k = ((n + 1) * (10000L - alphaBp) + 9999L) / 10000L
+      val thr: Option[Long] =
+        if (k <= n) Some(ranked.filter(col("rank") === k)
+          .select("v").head().getLong(0))
+        else None
+      val spark = df.sparkSession
+      import spark.implicits._
+      Seq((n, k, alphaBp.toLong, thr))
+        .toDF("n", "rank", "alpha_bp", "threshold_micro")
+    } finally release()
+  }
 }

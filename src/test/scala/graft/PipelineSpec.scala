@@ -1766,6 +1766,43 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("conformalThreshold: hand ranks, coverage holds on the sample, " +
+      "ties, k>n -> NULL, invariance, contract") {
+    val s = spark
+    import s.implicits._
+    def run(scores: Seq[Double], alphaBp: Int, parts: Int = 1) = {
+      val d0 = scores.toDF("score")
+      graft.operators.Ranking.conformalThreshold(
+        if (parts > 1) d0.repartition(parts) else d0,
+        col("score"), alphaBp).collect().head
+    }
+    // n=10 scores 0.1..1.0: alpha 10% -> k = ceil(11*0.9) = 10 -> 1.0
+    val ten = (1 to 10).map(_ * 0.1)
+    val a = run(ten, 1000)
+    assert(a.getLong(0) === 10L && a.getLong(1) === 10L &&
+      a.getLong(3) === 1000000L)
+    // alpha 50% -> k = ceil(11*0.5) = 6 -> 0.6
+    assert(run(ten, 5000).getLong(3) === 600000L)
+    // guarantee on the calibration sample itself: >= (1-alpha) of
+    // scores sit at or under the threshold
+    val thr = run(ten, 5000).getLong(3)
+    assert(ten.count(v => (v * 1000000).round <= thr) >= 5)
+    // all-tied scores: threshold is that value
+    assert(run(Seq.fill(7)(0.25), 2000).getLong(3) === 250000L)
+    // k > n: too little data to certify -> NULL
+    assert(run(Seq(0.1, 0.2, 0.3), 1000).isNullAt(3))
+    // invariance
+    val re = run(ten, 1000, parts = 5)
+    assert(re.getLong(3) === 1000000L && re.getLong(1) === 10L)
+    intercept[IllegalArgumentException] {
+      run(ten, 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Ranking.conformalThreshold(
+        Seq.empty[Double].toDF("score"), col("score"), 1000)
+    }
+  }
+
   test("aucReport equals the naive pairwise AUC with ties, perfect and random extremes") {
     val s = spark
     import s.implicits._
