@@ -1150,6 +1150,28 @@ object Oracle {
              ELSE round(rawe, 4) END AS est_distinct
       FROM hest ORDER BY source""",
 
+    // Robust outliers: lower medians at rank (n+1)//2 via per-group
+    // row_number (value pass, then deviation pass), 3.5·MAD flag.
+    "m149_robust_outliers" -> """
+      WITH rb AS (SELECT event_type AS g,
+              CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events),
+      rr AS (SELECT g, v,
+              row_number() OVER (PARTITION BY g ORDER BY v) AS rk,
+              COUNT(*) OVER (PARTITION BY g) AS n FROM rb),
+      rmed AS (SELECT g, v AS med FROM rr WHERE rk = (n + 1) // 2),
+      rd AS (SELECT rb.g, rb.v, abs(rb.v - rmed.med) AS d, rmed.med
+            FROM rb JOIN rmed USING (g)),
+      rdr AS (SELECT g, d,
+              row_number() OVER (PARTITION BY g ORDER BY d) AS rk,
+              COUNT(*) OVER (PARTITION BY g) AS n FROM rd),
+      rmad AS (SELECT g, d AS mad FROM rdr WHERE rk = (n + 1) // 2)
+      SELECT rd.g AS "group", CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(rd.med AS BIGINT) AS median, CAST(rmad.mad AS BIGINT) AS mad,
+        CAST(SUM(CASE WHEN 1000 * abs(rd.v - rd.med) > 3500 * rmad.mad
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM rd JOIN rmad USING (g)
+      GROUP BY rd.g, rd.med, rmad.mad ORDER BY rd.g""",
+
     // Conformal threshold: integer rank ceil((n+1)(10^4-α)/10^4), value
     // at rank by row_number (ties value-invariant), NULL when k > n.
     "m148_conformal" -> s"""

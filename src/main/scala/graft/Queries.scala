@@ -1933,6 +1933,16 @@ object Queries {
         threshold = 0.5)
       .orderBy("doc_id_a", "doc_id_b")
 
+  /** m149 — robust per-group outliers
+    * ([[operators.Ranking.robustOutlierReport]]): per event_type, the
+    * exact lower median and MAD of centi-scaled value plus the count
+    * beyond 3.5·MAD — order statistics, so no float enters; the oracle
+    * replays both median passes with per-group row_number windows. */
+  def m149RobustOutliers(s: SparkSession, dir: String): DataFrame =
+    operators.Ranking.robustOutlierReport(t(s, dir, "events"),
+        col("event_type"), floor(col("value") * 100 + 0.5).cast("long"))
+      .orderBy("group")
+
   /** m148 — split-conformal threshold
     * ([[operators.Ranking.conformalThreshold]]): the quality cutoff
     * with a distribution-free guarantee — the ⌈(n+1)·0.9⌉-th smallest

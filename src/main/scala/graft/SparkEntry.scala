@@ -241,6 +241,7 @@ object SparkEntry {
     "m146_chi_square" -> Queries.m146ChiSquare,
     "m147_vocab_coverage" -> Queries.m147VocabCoverage,
     "m148_conformal" -> Queries.m148Conformal,
+    "m149_robust_outliers" -> Queries.m149RobustOutliers,
     "q52_gap_fill" -> Queries.q52GapFill,
     "q53_rollup" -> Queries.q53Rollup,
     "q54_pivot" -> Queries.q54Pivot,

@@ -638,4 +638,70 @@ object Ranking {
         .toDF("n", "rank", "alpha_bp", "threshold_micro")
     } finally release()
   }
+
+  /**
+   * Robust per-group outlier report — median/MAD flagging, the outlier
+   * rule that survives what it measures (a mean/σ z-score moves with
+   * every outlier it is supposed to flag; the median and the median
+   * absolute deviation have 50% breakdown). Per group: exact lower
+   * median m, exact MAD = median(|x − m|), and the count of rows with
+   * 1000·|x − m| > k_milli·MAD (k = 3.5 is the usual consistency pick).
+   * MAD = 0 degenerates honestly: any x ≠ m flags.
+   *
+   * Exactness & scale: values arrive integer-scaled (m61 semantics) —
+   * medians are order statistics, so no float ever enters. Each median
+   * pass is a [[globalRank]] range-partitioned total sort ordered
+   * (group, value) — NO per-group window, so one giant group cannot
+   * collapse into a single task; per-group median ranks derive from
+   * min-rank + count aggregates of the ranked frame itself (no
+   * cross-engine collation assumption on group names). Two sorts (value
+   * pass, deviation pass) are the honest price of exact MAD. The
+   * (group, value) projection pins once so counts/ranks/flags read one
+   * materialization. Groups are ceiling-ENFORCED driver state.
+   *
+   * @return per group: (group, n, median, mad, n_outliers)
+   */
+  def robustOutlierReport(df: DataFrame, groupCol: Column,
+      valueCol: Column, kMilli: Long = 3500L,
+      maxGroups: Int = 100000): DataFrame = {
+    require(kMilli >= 0L, s"robustOutlierReport: kMilli=$kMilli < 0")
+    val s = df.sparkSession
+    import s.implicits._
+    val base = df
+      .select(groupCol.cast("string").as("g"), valueCol.cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .transform(graft.core.Blocks.pin)
+    // exact per-group lower median of fr("g", "x") via ONE global sort
+    def medians(fr: DataFrame): Map[String, Long] = {
+      val (ranked, total, release) = rankedPinned(fr,
+        Seq(col("g").asc, col("x").asc), rankCol = "rank")
+      try {
+        require(total > 0, "robustOutlierReport: empty input")
+        val gr = ranked.groupBy("g")
+          .agg(min(col("rank")).as("r0"), count(lit(1)).as("n"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        require(gr.length <= maxGroups,
+          s"robustOutlierReport: ${gr.length} groups exceeds ceiling " +
+            s"$maxGroups")
+        val mr = gr.map { case (g, r0, n) => (r0 + (n + 1) / 2 - 1, g) }
+          .toSeq.toDF("rank", "gm")
+        ranked.join(broadcast(mr), "rank").select("gm", "x")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      } finally release()
+    }
+    try {
+      val med = medians(base.select(col("g"), col("v").as("x")))
+      val medDf = broadcast(med.toSeq.toDF("g", "med"))
+      val mad = medians(base.join(medDf, "g")
+        .select(col("g"), abs(col("v") - col("med")).as("x")))
+      val madDf = broadcast(mad.toSeq.toDF("g", "mad"))
+      val out = base.join(medDf, "g").join(madDf, "g")
+        .groupBy(col("g").as("group"))
+        .agg(count(lit(1)).as("n"),
+          first(col("med")).as("median"), first(col("mad")).as("mad"),
+          sum(when(abs(col("v") - col("med")) * 1000L
+            > lit(kMilli) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+      out.transform(graft.core.Blocks.pin)
+    } finally graft.core.Blocks.release(base)
+  }
 }

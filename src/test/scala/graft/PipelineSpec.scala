@@ -1766,6 +1766,35 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("robustOutlierReport: hand medians/MAD incl. even n and MAD=0 " +
+      "degeneracy, invariance, ceiling contract") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 100L),
+      ("b", 5L), ("b", 5L), ("b", 5L),
+      ("c", 5L), ("c", 5L), ("c", 9L),
+      ("d", 1L), ("d", 2L), ("d", 3L), ("d", 10L)).toDF("g", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Ranking.robustOutlierReport(d, col("g"), col("v"))
+        .orderBy("group")
+        .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val got = run(df)
+    val exp = Seq(
+      ("a", 5L, 3L, 1L, 1L),  // med 3, MAD 1, only 100 flags
+      ("b", 3L, 5L, 0L, 0L),  // constant group: MAD 0, nothing differs
+      ("c", 3L, 5L, 0L, 1L),  // MAD 0 degeneracy: any x != med flags
+      ("d", 4L, 2L, 1L, 1L))  // even n: lower median rank (n+1)/2 = 2
+    assert(got === exp)
+    val re = run(df.repartition(7))
+    assert(re === exp)
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.Ranking.robustOutlierReport(df, col("g"), col("v"),
+        maxGroups = 2)
+    }
+    assert(err.getMessage.contains("ceiling"))
+  }
+
   test("conformalThreshold: hand ranks, coverage holds on the sample, " +
       "ties, k>n -> NULL, invariance, contract") {
     val s = spark
