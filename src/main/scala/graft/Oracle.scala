@@ -1150,6 +1150,32 @@ object Oracle {
              ELSE round(rawe, 4) END AS est_distinct
       FROM hest ORDER BY source""",
 
+    // Benford goodness-of-fit: leading digit via integer-to-string
+    // (never floor(log10)), pinned micro shares (sum exactly 10^6),
+    // d = 10^6*O - n*p, term = d*d // (n*p) in HUGEINT.
+    "m150_benford" -> """
+      WITH bfe(category, pm) AS (VALUES
+        ('1', 301030), ('2', 176091), ('3', 124939), ('4', 96910),
+        ('5', 79181), ('6', 66947), ('7', 57992), ('8', 51153),
+        ('9', 45757)),
+      bfo AS (SELECT substring(CAST(CAST(floor(o_totalprice * 100 + 0.5)
+                AS BIGINT) AS VARCHAR), 1, 1) AS category,
+              CAST(COUNT(*) AS BIGINT) AS o
+            FROM orders GROUP BY 1),
+      bfn AS (SELECT CAST(SUM(o) AS HUGEINT) AS n FROM bfo),
+      bft AS (SELECT e.category, COALESCE(o.o, 0) AS o, e.pm, n,
+              (1000000 * CAST(COALESCE(o.o, 0) AS HUGEINT) - n * e.pm)
+                AS d
+            FROM bfe e LEFT JOIN bfo o USING (category), bfn),
+      bfx AS (SELECT category, o, CAST(n * pm AS BIGINT)
+                AS expected_micro,
+              CAST((d * d) // (n * pm) AS BIGINT) AS term_micro
+            FROM bft)
+      SELECT category, o AS observed, expected_micro, term_micro,
+        CAST(SUM(term_micro) OVER () AS BIGINT) AS chi2_micro,
+        CAST(8 AS BIGINT) AS dof
+      FROM bfx ORDER BY category""",
+
     // Robust outliers: lower medians at rank (n+1)//2 via per-group
     // row_number (value pass, then deviation pass), 3.5·MAD flag.
     "m149_robust_outliers" -> """

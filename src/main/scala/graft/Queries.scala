@@ -1933,6 +1933,23 @@ object Queries {
         threshold = 0.5)
       .orderBy("doc_id_a", "doc_id_b")
 
+  /** m150 — Benford leading-digit forensics
+    * ([[operators.TrainingPipeline.chiSquareGoodnessOfFit]]): the
+    * leading digit of centi-scaled order totals against the pinned
+    * Benford micro shares (301030…45757, summing exactly to 10⁶ — no
+    * log10 in any dag); the digit comes from integer-to-string, never
+    * floor(log10(x)). TPC-H-ish totals are NOT Benford — the gate pins
+    * the honest rejection. */
+  def m150Benford(s: SparkSession, dir: String): DataFrame =
+    operators.TrainingPipeline.chiSquareGoodnessOfFit(
+        t(s, dir, "orders"),
+        substring(floor(col("o_totalprice") * 100 + 0.5).cast("long")
+          .cast("string"), 1, 1),
+        Seq("1" -> 301030L, "2" -> 176091L, "3" -> 124939L,
+          "4" -> 96910L, "5" -> 79181L, "6" -> 66947L,
+          "7" -> 57992L, "8" -> 51153L, "9" -> 45757L))
+      .orderBy("category")
+
   /** m149 — robust per-group outliers
     * ([[operators.Ranking.robustOutlierReport]]): per event_type, the
     * exact lower median and MAD of centi-scaled value plus the count

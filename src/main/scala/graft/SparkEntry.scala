@@ -242,6 +242,7 @@ object SparkEntry {
     "m147_vocab_coverage" -> Queries.m147VocabCoverage,
     "m148_conformal" -> Queries.m148Conformal,
     "m149_robust_outliers" -> Queries.m149RobustOutliers,
+    "m150_benford" -> Queries.m150Benford,
     "q52_gap_fill" -> Queries.q52GapFill,
     "q53_rollup" -> Queries.q53Rollup,
     "q54_pivot" -> Queries.q54Pivot,

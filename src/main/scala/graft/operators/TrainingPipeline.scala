@@ -1512,6 +1512,62 @@ object TrainingPipeline {
   }
 
   /**
+   * Chi-square goodness-of-fit against PINNED expected shares — the
+   * one-sample companion of [[chiSquareReport]]: does an observed
+   * categorical distribution match a declared one (a Benford
+   * leading-digit law for value-column forensics, a target mixture's
+   * planned rates, last release's source shares)? Expected shares
+   * arrive as exact micro literals summing to 10⁶ (the m76 pinned-
+   * literal convention — no transcendental is ever evaluated in the
+   * dag); expected-but-unobserved categories enter with O = 0,
+   * observed-but-unexpected categories are a REQUIRE (their expected
+   * count is zero — the statistic is undefined, and silently dropping
+   * them would fake a fit).
+   *
+   * Per cell, with d = 10⁶·O − n·p_micro (all BigInt on the driver):
+   * term_micro = d² / (n·p_micro), exact until the single micro floor.
+   * Scale shape: one map-side-combined count aggregation is the only
+   * corpus-sized move (the [[chiSquareReport]] contract).
+   *
+   * @return per expected category: (category, observed, expected_micro,
+   *         term_micro, chi2_micro, dof) — dof = categories − 1
+   */
+  def chiSquareGoodnessOfFit(df: DataFrame, categoryCol: Column,
+      expectedMicro: Seq[(String, Long)]): DataFrame = {
+    require(expectedMicro.nonEmpty && expectedMicro.forall(_._2 > 0L),
+      "chiSquareGoodnessOfFit: expected shares must be positive")
+    require(expectedMicro.map(_._1).distinct.length == expectedMicro.length,
+      "chiSquareGoodnessOfFit: duplicate expected categories")
+    require(expectedMicro.map(_._2).sum == 1000000L,
+      s"chiSquareGoodnessOfFit: shares sum to " +
+        s"${expectedMicro.map(_._2).sum}, must be exactly 1000000")
+    val s = df.sparkSession
+    import s.implicits._
+    val obs = df
+      .select(coalesce(categoryCol.cast("string"), lit("(null)")).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("o"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val unknown = obs.keySet -- expectedMicro.map(_._1).toSet
+    require(unknown.isEmpty,
+      "chiSquareGoodnessOfFit: observed categories outside the expected " +
+        s"support: ${unknown.toSeq.sorted.take(5).mkString(", ")}")
+    val n = obs.values.sum
+    require(n > 0L, "chiSquareGoodnessOfFit: empty input")
+    val M = BigInt(1000000)
+    val dof = expectedMicro.length - 1L
+    val terms = expectedMicro.sortBy(_._1).map { case (c, pM) =>
+      val o = obs.getOrElse(c, 0L)
+      val d = M * o - BigInt(n) * pM
+      (c, o, (BigInt(n) * pM).toLong, (d * d / (BigInt(n) * pM)).toLong)
+    }
+    val chi2 = terms.map(_._4).sum
+    terms.map { case (c, o, e, t) => (c, o, e, t, chi2, dof) }
+      .toSeq
+      .toDF("category", "observed", "expected_micro", "term_micro",
+        "chi2_micro", "dof")
+  }
+
+  /**
    * One-sided upper CUSUM drift detection (Page 1954) — the sequential
    * change-point alarm a monitoring pipeline runs next to
    * [[trendReport]]'s slope: per group, over time buckets in order,

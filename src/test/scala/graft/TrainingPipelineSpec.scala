@@ -2050,6 +2050,51 @@ class TrainingPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("chiSquareGoodnessOfFit: hand terms, perfect fit -> 0, unobserved " +
+      "category enters with O=0, unknown category refused, contracts") {
+    val s = spark
+    import s.implicits._
+    def cats(counts: (String, Int)*): org.apache.spark.sql.DataFrame =
+      counts.flatMap { case (c, k) => Seq.fill(k)(c) }.toDF("c")
+    val half = Seq("a" -> 500000L, "b" -> 500000L)
+    // 6/4 vs 50/50 over n=10: per-cell (6-5)^2/5 = 0.2 -> 200000 micro
+    val got = TrainingPipeline.chiSquareGoodnessOfFit(
+        cats("a" -> 6, "b" -> 4), col("c"), half)
+      .orderBy("category")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("a", 6L, 5000000L, 200000L, 400000L, 1L),
+      ("b", 4L, 5000000L, 200000L, 400000L, 1L)))
+    // exact fit -> every term 0
+    val fit = TrainingPipeline.chiSquareGoodnessOfFit(
+      cats("a" -> 5, "b" -> 5), col("c"), half).collect()
+    assert(fit.forall(r => r.getLong(3) === 0L && r.getLong(4) === 0L))
+    // expected-but-unobserved category: O = 0, term = E
+    val uo = TrainingPipeline.chiSquareGoodnessOfFit(
+        cats("a" -> 8, "b" -> 2), col("c"),
+        Seq("a" -> 500000L, "b" -> 250000L, "c" -> 250000L))
+      .orderBy("category")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // n=10: E = 5, 2.5, 2.5; terms = 9/5, 0.25/2.5, 2.5 -> micro
+    assert(uo.map(t => (t._1, t._2, t._4)) === Seq(
+      ("a", 8L, 1800000L), ("b", 2L, 100000L), ("c", 0L, 2500000L)))
+    assert(uo.head._5 === 4400000L && uo.head._6 === 2L)
+    // observed category outside the support is refused
+    val err = intercept[IllegalArgumentException] {
+      TrainingPipeline.chiSquareGoodnessOfFit(
+        cats("a" -> 5, "z" -> 5), col("c"), half)
+    }
+    assert(err.getMessage.contains("support"))
+    intercept[IllegalArgumentException] { // shares must sum to 10^6
+      TrainingPipeline.chiSquareGoodnessOfFit(cats("a" -> 1), col("c"),
+        Seq("a" -> 999999L))
+    }
+    intercept[IllegalArgumentException] { // duplicate category
+      TrainingPipeline.chiSquareGoodnessOfFit(cats("a" -> 1), col("c"),
+        Seq("a" -> 500000L, "a" -> 500000L))
+    }
+  }
+
   test("chiSquareReport: hand-computed 2x2, exact independence -> 0, " +
       "null category, invariance, ceiling contract") {
     val s = spark
