@@ -1150,6 +1150,39 @@ object Oracle {
              ELSE round(rawe, 4) END AS est_distinct
       FROM hest ORDER BY source""",
 
+    // Classifier eval: confusion cells by GROUP BY, class marginals,
+    // P/R/F1/kappa via HUGEINT floor division (kappa's numerator can go
+    // negative — Spark side floors explicitly to match).
+    "m151_classifier_eval" -> s"""
+      WITH celg AS (SELECT lang AS t, ' ' || lower(text) || ' ' AS padded
+            FROM documents),
+      celp AS (SELECT t, $LangPredExpr AS p FROM celg),
+      celc AS (SELECT t, p, CAST(COUNT(*) AS HUGEINT) AS o FROM celp
+            GROUP BY 1, 2),
+      cecl AS (SELECT t AS class FROM celc UNION SELECT p FROM celc),
+      cerr AS (SELECT t AS class, SUM(o) AS r FROM celc GROUP BY 1),
+      cecc AS (SELECT p AS class, SUM(o) AS c FROM celc GROUP BY 1),
+      cetp AS (SELECT t AS class, o AS tp FROM celc WHERE t = p),
+      cen AS (SELECT SUM(o) AS n,
+              SUM(CASE WHEN t = p THEN o ELSE 0 END) AS diag FROM celc),
+      cepc AS (SELECT class, COALESCE(r, 0) AS r, COALESCE(c, 0) AS c,
+              COALESCE(tp, 0) AS tp
+            FROM cecl LEFT JOIN cerr USING (class)
+              LEFT JOIN cecc USING (class) LEFT JOIN cetp USING (class)),
+      cepe AS (SELECT SUM(r * c) AS pe FROM cepc)
+      SELECT class, CAST(r AS BIGINT) AS n_true, CAST(c AS BIGINT)
+          AS n_pred, CAST(tp AS BIGINT) AS tp,
+        CASE WHEN c > 0 THEN CAST((1000000 * tp) // c AS BIGINT) END
+          AS precision_micro,
+        CASE WHEN r > 0 THEN CAST((1000000 * tp) // r AS BIGINT) END
+          AS recall_micro,
+        CAST((2000000 * tp) // (r + c) AS BIGINT) AS f1_micro,
+        CAST((1000000 * diag) // n AS BIGINT) AS accuracy_micro,
+        CASE WHEN n * n > pe
+          THEN CAST((1000000 * (n * diag - pe)) // (n * n - pe) AS BIGINT)
+          END AS kappa_micro
+      FROM cepc, cen, cepe ORDER BY class""",
+
     // Benford goodness-of-fit: leading digit via integer-to-string
     // (never floor(log10)), pinned micro shares (sum exactly 10^6),
     // d = 10^6*O - n*p, term = d*d // (n*p) in HUGEINT.

@@ -1933,6 +1933,17 @@ object Queries {
         threshold = 0.5)
       .orderBy("doc_id_a", "doc_id_b")
 
+  /** m151 — classifier eval vs declared labels
+    * ([[operators.Ranking.classifierEvalReport]]): langId's prediction
+    * against the documents table's declared lang — per-class exact
+    * P/R/F1 in micro plus accuracy and Cohen's kappa; the oracle
+    * replays the langId argmax and mirrors every floor division in
+    * HUGEINT. */
+  def m151ClassifierEval(s: SparkSession, dir: String): DataFrame =
+    operators.Ranking.classifierEvalReport(t(s, dir, "documents"),
+        col("lang"), operators.TextAnalysis.langId(col("text")))
+      .orderBy("class")
+
   /** m150 — Benford leading-digit forensics
     * ([[operators.TrainingPipeline.chiSquareGoodnessOfFit]]): the
     * leading digit of centi-scaled order totals against the pinned

@@ -243,6 +243,7 @@ object SparkEntry {
     "m148_conformal" -> Queries.m148Conformal,
     "m149_robust_outliers" -> Queries.m149RobustOutliers,
     "m150_benford" -> Queries.m150Benford,
+    "m151_classifier_eval" -> Queries.m151ClassifierEval,
     "q52_gap_fill" -> Queries.q52GapFill,
     "q53_rollup" -> Queries.q53Rollup,
     "q54_pivot" -> Queries.q54Pivot,

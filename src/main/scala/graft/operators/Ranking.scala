@@ -639,6 +639,77 @@ object Ranking {
     } finally release()
   }
 
+  /** Integer division for oracle-mirrored dags with SIGNED numerators
+    * (e.g. a negative Cohen's kappa). Measured, not assumed: DuckDB's
+    * `//` TRUNCATES toward zero on negatives (-7 // 2 = -3), exactly
+    * like Scala BigInt `/` — so the mirror is plain division; a
+    * floor-division "fix" here would be off by one on negative
+    * remainders. (Spark SQL's `div` also truncates.) */
+  private def bdiv(a: BigInt, b: BigInt): BigInt = a / b
+
+  /**
+   * Classifier evaluation report — the confusion-matrix readout a
+   * learned filter/classifier owes against labeled truth (e.g. the
+   * langId prediction vs a declared language column): per class (union
+   * of truth and predicted values) the exact tp / n_true / n_pred and
+   * micro-snapped precision, recall, F1 (F1 computed as 2·tp/(r+c) — no
+   * intermediate rounding compounds), plus constant accuracy and
+   * Cohen's kappa columns (chance-corrected agreement,
+   * κ = (N·diag − Σr·c)/(N² − Σr·c); NULL when both sides are a single
+   * identical class — the denominator is zero and "agreement beyond
+   * chance" is undefined).
+   *
+   * Exactness & scale: ONE map-side-combined (truth, pred) count
+   * aggregation collapses the corpus to the ceiling-ENFORCED confusion
+   * matrix; everything else is driver BigInt (the chiSquareReport
+   * convention). Signed divisions TRUNCATE toward zero on BOTH engines
+   * (see [[bdiv]] — measured, a negative kappa is the case that bites).
+   * Undefined precision/recall
+   * (empty column/row) is NULL, not 0 — a class never predicted has no
+   * precision to report.
+   *
+   * @return per class: (class, n_true, n_pred, tp, precision_micro,
+   *         recall_micro, f1_micro, accuracy_micro, kappa_micro)
+   */
+  def classifierEvalReport(df: DataFrame, truthCol: Column,
+      predCol: Column, maxCells: Int = 100000): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val cells = df
+      .select(coalesce(truthCol.cast("string"), lit("(null)")).as("t"),
+        coalesce(predCol.cast("string"), lit("(null)")).as("p"))
+      .groupBy("t", "p").agg(count(lit(1)).as("o"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    require(cells.nonEmpty, "classifierEvalReport: empty input")
+    require(cells.length <= maxCells,
+      s"classifierEvalReport: ${cells.length} cells exceeds ceiling " +
+        s"$maxCells")
+    val rT = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val cT = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val tpM = cells.filter(t => t._1 == t._2).map(t => t._1 -> t._3).toMap
+    val classes = (rT.keySet ++ cT.keySet).toSeq.sorted
+    val n = BigInt(cells.map(_._3).sum)
+    val diag = BigInt(tpM.values.sum)
+    val pe = classes.map(k =>
+      BigInt(rT.getOrElse(k, 0L)) * BigInt(cT.getOrElse(k, 0L))).sum
+    val M = BigInt(1000000)
+    val acc = bdiv(M * diag, n).toLong
+    val kappa: Option[Long] =
+      if (n * n > pe) Some(bdiv(M * (n * diag - pe), n * n - pe).toLong)
+      else None
+    classes.map { k =>
+      val r = rT.getOrElse(k, 0L); val c = cT.getOrElse(k, 0L)
+      val tp = tpM.getOrElse(k, 0L)
+      (k, r, c, tp,
+        if (c > 0) Some(bdiv(M * tp, BigInt(c)).toLong) else None,
+        if (r > 0) Some(bdiv(M * tp, BigInt(r)).toLong) else None,
+        bdiv(M * 2 * tp, BigInt(r) + BigInt(c)).toLong,
+        acc, kappa)
+    }.toSeq
+      .toDF("class", "n_true", "n_pred", "tp", "precision_micro",
+        "recall_micro", "f1_micro", "accuracy_micro", "kappa_micro")
+  }
+
   /**
    * Robust per-group outlier report — median/MAD flagging, the outlier
    * rule that survives what it measures (a mean/σ z-score moves with

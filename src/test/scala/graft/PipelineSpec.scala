@@ -1766,6 +1766,54 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("classifierEvalReport: hand confusion matrix incl. truth-only and " +
+      "pred-only classes, negative-kappa truncation parity, degenerate " +
+      "NULL kappa, invariance, ceiling") {
+    val s = spark
+    import s.implicits._
+    def run(rows: Seq[(String, String)], parts: Int = 1) = {
+      val d0 = rows.toDF("t", "p")
+      graft.operators.Ranking.classifierEvalReport(
+          if (parts > 1) d0.repartition(parts) else d0,
+          col("t"), col("p"))
+        .orderBy("class").collect()
+    }
+    // cells: aa3 ab1 ad1 bb2 ba1 ca1 -> N=9 diag=5; c never predicted,
+    // d never true
+    val rows = Seq(("a", "a"), ("a", "a"), ("a", "a"), ("a", "b"),
+      ("a", "d"), ("b", "b"), ("b", "b"), ("b", "a"), ("c", "a"))
+    val got = run(rows)
+    assert(got.map(_.getString(0)).toSeq === Seq("a", "b", "c", "d"))
+    val a = got(0); val b = got(1); val c = got(2); val d = got(3)
+    assert((a.getLong(1), a.getLong(2), a.getLong(3)) === ((5L, 5L, 3L)))
+    assert((a.getLong(4), a.getLong(5), a.getLong(6)) ===
+      ((600000L, 600000L, 600000L)))
+    assert((b.getLong(4), b.getLong(5), b.getLong(6)) ===
+      ((666666L, 666666L, 666666L)))
+    assert(c.isNullAt(4) && c.getLong(5) === 0L && c.getLong(6) === 0L)
+    assert(d.getLong(4) === 0L && d.isNullAt(5) && d.getLong(6) === 0L)
+    // accuracy 5/9, kappa = 10^6*(9*5-34)/(81-34) = 234042 (floored)
+    assert(a.getLong(7) === 555555L && a.getLong(8) === 234042L)
+    // negative kappa must TRUNCATE toward zero like the oracle's //
+    // (measured: DuckDB -7//2 = -3, same as BigInt /):
+    // aa1 ab3 ba2 -> kappa = -12/18 -> -666666, not floor's -666667
+    val neg = run(Seq(("a", "a"), ("a", "b"), ("a", "b"), ("a", "b"),
+      ("b", "a"), ("b", "a")))
+    assert(neg.head.getLong(8) === -666666L)
+    // single identical class on both sides: kappa undefined -> NULL
+    val dg = run(Seq(("x", "x"), ("x", "x")))
+    assert(dg.head.isNullAt(8) && dg.head.getLong(7) === 1000000L)
+    // invariance
+    val re = run(rows, parts = 7)
+    assert(re.map(r => (r.getString(0), r.getLong(6))).toSeq ===
+      got.map(r => (r.getString(0), r.getLong(6))).toSeq)
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.Ranking.classifierEvalReport(rows.toDF("t", "p"),
+        col("t"), col("p"), maxCells = 2)
+    }
+    assert(err.getMessage.contains("ceiling"))
+  }
+
   test("robustOutlierReport: hand medians/MAD incl. even n and MAD=0 " +
       "degeneracy, invariance, ceiling contract") {
     val s = spark
