@@ -1150,6 +1150,23 @@ object Oracle {
              ELSE round(rawe, 4) END AS est_distinct
       FROM hest ORDER BY source""",
 
+    // Pareto frontier: per-x max-y vertex (arg_max multiplicity), then
+    // keep rows whose y strictly beats the running max over greater x.
+    "m152_pareto_frontier" -> s"""
+      WITH $TextStatsCtes,
+      pf0 AS (SELECT CAST(length(text) AS BIGINT) AS x,
+              CAST(CAST(mtl AS DECIMAL(10,6)) * 1000000
+                AS BIGINT) AS y
+            FROM ratios),
+      pfp AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n FROM pf0
+            GROUP BY 1, 2),
+      pfm AS (SELECT x, MAX(y) AS y, arg_max(n, y) AS n FROM pfp
+            GROUP BY x),
+      pfw AS (SELECT *, MAX(y) OVER (ORDER BY x DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm
+            FROM pfm)
+      SELECT x, y, n FROM pfw WHERE rm IS NULL OR y > rm ORDER BY x""",
+
     // Classifier eval: confusion cells by GROUP BY, class marginals,
     // P/R/F1/kappa via HUGEINT floor division (kappa's numerator can go
     // negative — Spark side floors explicitly to match).

@@ -1933,6 +1933,20 @@ object Queries {
         threshold = 0.5)
       .orderBy("doc_id_a", "doc_id_b")
 
+  /** m152 — length/token-density Pareto frontier
+    * ([[operators.Ranking.paretoFrontier2D]]): the documents no other
+    * doc beats on BOTH length and micro-snapped mean token length —
+    * the curation tradeoff set (quality would degenerate: its clamp
+    * mass at 1.0 hands the whole frontier to one long doc); the oracle
+    * replays the per-x max-y collapse and the exclusive running max
+    * over x descending. */
+  def m152Pareto(s: SparkSession, dir: String): DataFrame =
+    operators.Ranking.paretoFrontier2D(t(s, dir, "documents"),
+        length(col("text")),
+        (operators.TextAnalysis.meanTokenLen(col("text"))
+          .cast("decimal(10,6)") * 1000000).cast("long"))
+      .orderBy("x")
+
   /** m151 — classifier eval vs declared labels
     * ([[operators.Ranking.classifierEvalReport]]): langId's prediction
     * against the documents table's declared lang — per-class exact

@@ -711,6 +711,66 @@ object Ranking {
   }
 
   /**
+   * 2D Pareto frontier (skyline, maximize both axes) — the
+   * "no-free-lunch" set a curation tradeoff study reads: which
+   * documents are NOT beaten on quality without giving up length (or
+   * recall without cost, coverage without duplication)? A point is on
+   * the frontier iff nothing else is ≥ on both axes and > on one.
+   *
+   * The 2D case needs no pairwise join: sweep x descending and keep a
+   * point iff its y strictly exceeds the running max of y over all
+   * STRICTLY greater x (same-x blocks collapse to their max-y vertex
+   * first — a same-x higher-y point dominates, an equal point does
+   * not). Implemented at scale as: one (x, y) count aggregation →
+   * one per-x max aggregation (corpus collapses to distinct-x rows) →
+   * the exclusive running max via the range-partitioned offset
+   * machinery (per-partition maxes prefix-combined on the driver — the
+   * globalRank pattern with max as the combiner, NO single-task
+   * window). x and y arrive integer-scaled (m61 semantics) — a
+   * continuous unsnapped axis would make "distinct x" corpus-sized.
+   *
+   * @return frontier vertices (x, y, n) — n the count of corpus rows AT
+   *         the vertex (duplicates of a frontier point are frontier) —
+   *         with y strictly decreasing as x increases
+   */
+  def paretoFrontier2D(df: DataFrame, xCol: Column,
+      yCol: Column): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val pairs = df.select(xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .groupBy("x", "y").agg(count(lit(1)).as("n"))
+    // per distinct x: the max-y vertex and its multiplicity (y is
+    // distinct within x after the pair aggregation, so the struct max
+    // is unambiguous)
+    val perX = pairs.groupBy("x")
+      .agg(max(struct(col("y"), col("n"))).as("m"))
+      .select(col("x"), col("m.y").as("y"), col("m.n").as("n"))
+    val sorted = perX.orderBy(col("x").desc)
+      .withColumn("_pid", spark_partition_id().cast("long"))
+      .withColumn("_local", monotonically_increasing_id()
+        - shiftleft(spark_partition_id().cast("long"), 33))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pmax = sorted.groupBy("_pid").agg(max(col("y")).as("_pm"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      var acc = Long.MinValue
+      val offs = pmax.map { case (pid, m) =>
+        val o = (pid, acc); acc = math.max(acc, m); o
+      }
+      val offsets = s.createDataFrame(offs.toSeq).toDF("_pid", "_off")
+      val w = Window.partitionBy("_pid").orderBy("_local")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      sorted.join(broadcast(offsets), "_pid")
+        .withColumn("_rm", greatest(col("_off"),
+          coalesce(max(col("y")).over(w), lit(Long.MinValue))))
+        .filter(col("y") > col("_rm"))
+        .select("x", "y", "n")
+        .transform(graft.core.Blocks.pin)
+    } finally sorted.unpersist()
+  }
+
+  /**
    * Robust per-group outlier report — median/MAD flagging, the outlier
    * rule that survives what it measures (a mean/σ z-score moves with
    * every outlier it is supposed to flag; the median and the median

@@ -1814,6 +1814,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(err.getMessage.contains("ceiling"))
   }
 
+  test("paretoFrontier2D: equals the naive O(n^2) skyline incl. x/y ties " +
+      "and duplicate vertices, strictly decreasing, invariance") {
+    val s = spark
+    import s.implicits._
+    val pts = Seq((0L, 10L), (1L, 10L), (2L, 9L), (3L, 9L), (4L, 5L),
+      (4L, 3L), (5L, 5L), (6L, 1L), (6L, 1L))
+    def naive(ps: Seq[(Long, Long)]): Seq[(Long, Long, Long)] =
+      ps.distinct.filter { case (x, y) =>
+        !ps.exists { case (a, b) =>
+          a >= x && b >= y && (a > x || b > y)
+        }
+      }.sorted.map { case (x, y) =>
+        (x, y, ps.count(_ == ((x, y))).toLong)
+      }
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Ranking.paretoFrontier2D(d, col("x"), col("y"))
+        .orderBy("x").as[(Long, Long, Long)].collect().toSeq
+    val got = run(pts.toDF("x", "y"))
+    assert(got === Seq((1L, 10L, 1L), (3L, 9L, 1L), (5L, 5L, 1L),
+      (6L, 1L, 2L)))
+    assert(got === naive(pts))
+    // y strictly decreasing as x increases
+    assert(got.map(-_._2) === got.map(-_._2).sorted)
+    // invariance under partitioning (forces multi-partition sweep)
+    val re = run(pts.toDF("x", "y").repartition(7))
+    assert(re === got)
+    // single point and all-dominated-by-one corner
+    assert(run(Seq((3L, 3L)).toDF("x", "y")) === Seq((3L, 3L, 1L)))
+    assert(run(Seq((1L, 1L), (2L, 2L), (9L, 9L)).toDF("x", "y")) ===
+      Seq((9L, 9L, 1L)))
+  }
+
   test("robustOutlierReport: hand medians/MAD incl. even n and MAD=0 " +
       "degeneracy, invariance, ceiling contract") {
     val s = spark
