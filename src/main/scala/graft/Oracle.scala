@@ -1150,6 +1150,35 @@ object Oracle {
              ELSE round(rawe, 4) END AS est_distinct
       FROM hest ORDER BY source""",
 
+    // Vocab overlap: distinct token bigrams per source (normalize →
+    // split → adjacent pairs), pairwise intersection by self-join,
+    // Jaccard in bp by integer division.
+    "m153_vocab_overlap" -> """
+      WITH vonr AS (SELECT source,
+              trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS nt
+            FROM documents),
+      votk AS (SELECT source, string_split(nt, ' ') AS toks FROM vonr
+            WHERE length(nt) > 0),
+      vobg AS (SELECT DISTINCT source,
+              toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1] AS g
+            FROM (SELECT source, toks, unnest(range(1, len(toks))) AS i
+                  FROM votk)),
+      vosz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS v FROM vobg
+            GROUP BY source),
+      voxj AS (SELECT a.source AS source_a, b.source AS source_b,
+              CAST(COUNT(*) AS BIGINT) AS n_inter
+            FROM vobg a JOIN vobg b
+              ON a.g = b.g AND a.source < b.source
+            GROUP BY 1, 2)
+      SELECT source_a, source_b, va.v AS v_a, vb.v AS v_b, n_inter,
+        va.v + vb.v - n_inter AS n_union,
+        CAST((10000 * CAST(n_inter AS HUGEINT))
+          // (va.v + vb.v - n_inter) AS BIGINT) AS jaccard_bp
+      FROM voxj
+        JOIN vosz va ON va.source = voxj.source_a
+        JOIN vosz vb ON vb.source = voxj.source_b
+      ORDER BY source_a, source_b""",
+
     // Pareto frontier: per-x max-y vertex (arg_max multiplicity), then
     // keep rows whose y strictly beats the running max over greater x.
     "m152_pareto_frontier" -> s"""

@@ -1933,6 +1933,16 @@ object Queries {
         threshold = 0.5)
       .orderBy("doc_id_a", "doc_id_b")
 
+  /** m153 — cross-source vocabulary overlap
+    * ([[operators.TextAnalysis.vocabOverlapMatrix]]): exact Jaccard of
+    * distinct token-bigram sets per source pair — volume vs diversity
+    * accounting for the mixture planner; the oracle re-derives the
+    * bigram vocabularies and the pairwise join. */
+  def m153VocabOverlap(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.vocabOverlapMatrix(t(s, dir, "documents"),
+        n = 2)
+      .orderBy("source_a", "source_b")
+
   /** m152 — length/token-density Pareto frontier
     * ([[operators.Ranking.paretoFrontier2D]]): the documents no other
     * doc beats on BOTH length and micro-snapped mean token length —

@@ -245,6 +245,7 @@ object SparkEntry {
     "m150_benford" -> Queries.m150Benford,
     "m151_classifier_eval" -> Queries.m151ClassifierEval,
     "m152_pareto_frontier" -> Queries.m152Pareto,
+    "m153_vocab_overlap" -> Queries.m153VocabOverlap,
     "q52_gap_fill" -> Queries.q52GapFill,
     "q53_rollup" -> Queries.q53Rollup,
     "q54_pivot" -> Queries.q54Pivot,

@@ -616,6 +616,67 @@ object TextAnalysis {
     udf((t: String) => TextSig.normalize(if (t == null) "" else t))
 
   /**
+   * Cross-source vocabulary overlap matrix — the redundancy readout a
+   * mixture planner weighs next to the m45 rates: per source pair, the
+   * exact Jaccard of their distinct token n-gram sets. Two "different"
+   * sources with near-total gram overlap add volume, not diversity;
+   * near-zero overlap flags a domain the mixture would otherwise drown.
+   *
+   * Scale shape: one kernel pass emits per-doc DISTINCT grams
+   * (explode_outer, the heavy-kernel shape), a global distinct
+   * collapses to the (source, gram) vocabulary table — the only
+   * corpus-sized move — and the pairwise intersection is a gram-keyed
+   * self-join of that table (each gram contributes its source-pair
+   * combinations; sources are low-cardinality by the corpus-card
+   * convention, so the fan-out is bounded). The vocabulary table pins
+   * once and feeds sizes + both join sides. Pairs with ZERO overlap are
+   * ABSENT (inner join) — absence reads as disjoint.
+   *
+   * @param n gram width in tokens (1 = unigram vocabulary overlap)
+   * @return per unordered pair (source_a < source_b): (source_a,
+   *         source_b, v_a, v_b, n_inter, n_union, jaccard_bp)
+   */
+  def vocabOverlapMatrix(docs: DataFrame, n: Int = 2,
+      textCol: String = "text", sourceCol: String = "source"): DataFrame = {
+    require(n >= 1 && n <= 8, s"vocabOverlapMatrix: n=$n out of [1,8]")
+    val gramsUdf = udf { (t: String) =>
+      val norm = TextSig.normalize(if (t == null) "" else t)
+      val toks = if (norm.isEmpty) Array.empty[String] else norm.split(' ')
+      if (toks.length < n) Array.empty[String]
+      else (0 to toks.length - n)
+        .map(i => toks.slice(i, i + n).mkString(" ")).distinct.toArray
+    }
+    val vg = docs
+      .select(col(sourceCol).cast("string").as("source"),
+        explode_outer(gramsUdf(col(textCol))).as("g"))
+      .filter(col("g").isNotNull)
+      .distinct()
+      .transform(graft.core.Blocks.pin)
+    try {
+      val sizes = vg.groupBy("source").agg(count(lit(1)).as("v"))
+        .transform(graft.core.Blocks.pin)
+      val inter = vg.as("a").join(vg.as("b"),
+          col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"),
+          col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      val out = inter
+        .join(broadcast(sizes.select(col("source").as("source_a"),
+          col("v").as("v_a"))), "source_a")
+        .join(broadcast(sizes.select(col("source").as("source_b"),
+          col("v").as("v_b"))), "source_b")
+        .select(col("source_a"), col("source_b"), col("v_a"), col("v_b"),
+          col("n_inter"),
+          (col("v_a") + col("v_b") - col("n_inter")).as("n_union"),
+          expr("""CAST((10000 * CAST(n_inter AS DECIMAL(38,0)))
+                  div (v_a + v_b - n_inter) AS BIGINT)""").as("jaccard_bp"))
+      val pinned = out.transform(graft.core.Blocks.pin)
+      graft.core.Blocks.release(sizes)
+      pinned
+    } finally graft.core.Blocks.release(vg)
+  }
+
+  /**
    * Vocabulary coverage / OOV report — the tokenizer-fit number a corpus
    * owes before training: with a vocabulary of the corpus's own top-V
    * tokens, what share of each source's token OCCURRENCES falls outside

@@ -2011,6 +2011,33 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(re == got)
   }
 
+  test("vocabOverlapMatrix: hand bigram/unigram Jaccard, disjoint pair " +
+      "absent, null text inert, invariance, n contract") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "a b c", "s1"), (2L, "b c d", "s1"),
+      (3L, "a b x", "s2"),
+      (4L, "q r", "s3"),
+      (5L, null.asInstanceOf[String], "s2")).toDF("doc_id", "text", "source")
+    def run(d: org.apache.spark.sql.DataFrame, n: Int) =
+      graft.operators.TextAnalysis.vocabOverlapMatrix(d, n = n)
+        .orderBy("source_a", "source_b")
+        .as[(String, String, Long, Long, Long, Long, Long)]
+        .collect().toSeq
+    // bigrams: s1 {a b, b c, c d}, s2 {a b, b x}, s3 {q r}
+    val got = run(df, 2)
+    assert(got === Seq(("s1", "s2", 3L, 2L, 1L, 4L, 2500L)))
+    // unigrams: s1 {a,b,c,d}, s2 {a,b,x} -> inter 2, union 5
+    val g1 = run(df, 1)
+    assert(g1 === Seq(("s1", "s2", 4L, 3L, 2L, 5L, 4000L)))
+    val re = run(df.repartition(5), 2)
+    assert(re === got)
+    intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.vocabOverlapMatrix(df, n = 0)
+    }
+  }
+
   test("vocabCoverageReport: hand-computed coverage under the total tie " +
       "order, tokenless source absent, null text, invariance, contract") {
     val s = spark
