@@ -1150,6 +1150,20 @@ object Oracle {
              ELSE round(rawe, 4) END AS est_distinct
       FROM hest ORDER BY source""",
 
+    // Gini: ascending row_number ranks, HUGEINT moments, the closed
+    // form (2Σi·x − (n+1)Σx) / (nΣx) floored at bp.
+    "m154_gini" -> """
+      WITH gb AS (SELECT CAST(length(text) AS BIGINT) AS v
+            FROM documents),
+      gr AS (SELECT v, row_number() OVER (ORDER BY v) AS rk FROM gb),
+      ga AS (SELECT COUNT(*) AS n, SUM(CAST(v AS HUGEINT)) AS s,
+              SUM(CAST(rk AS HUGEINT) * v) AS si FROM gr)
+      SELECT CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_v,
+        CASE WHEN s > 0
+          THEN CAST((10000 * (2 * si - (n + 1) * s)) // (n * s) AS BIGINT)
+          END AS gini_bp
+      FROM ga""",
+
     // Vocab overlap: distinct token bigrams per source (normalize →
     // split → adjacent pairs), pairwise intersection by self-join,
     // Jaccard in bp by integer division.

@@ -1933,6 +1933,15 @@ object Queries {
         threshold = 0.5)
       .orderBy("doc_id_a", "doc_id_b")
 
+  /** m154 — corpus concentration (Gini)
+    * ([[operators.Ranking.giniReport]]): the Gini coefficient of
+    * document lengths — is the token mass spread or in a few giants;
+    * ranks off the range-partitioned sort, moments in DECIMAL(38,0),
+    * one BigInt division, mirrored by a row_number replay in HUGEINT. */
+  def m154Gini(s: SparkSession, dir: String): DataFrame =
+    operators.Ranking.giniReport(t(s, dir, "documents"),
+      length(col("text")))
+
   /** m153 — cross-source vocabulary overlap
     * ([[operators.TextAnalysis.vocabOverlapMatrix]]): exact Jaccard of
     * distinct token-bigram sets per source pair — volume vs diversity

@@ -246,6 +246,7 @@ object SparkEntry {
     "m151_classifier_eval" -> Queries.m151ClassifierEval,
     "m152_pareto_frontier" -> Queries.m152Pareto,
     "m153_vocab_overlap" -> Queries.m153VocabOverlap,
+    "m154_gini" -> Queries.m154Gini,
     "q52_gap_fill" -> Queries.q52GapFill,
     "q53_rollup" -> Queries.q53Rollup,
     "q54_pivot" -> Queries.q54Pivot,

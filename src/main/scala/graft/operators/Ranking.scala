@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
 
 /**
  * Global (un-partitioned) ranking at scale.
@@ -708,6 +708,51 @@ object Ranking {
     }.toSeq
       .toDF("class", "n_true", "n_pred", "tp", "precision_micro",
         "recall_micro", "f1_micro", "accuracy_micro", "kappa_micro")
+  }
+
+  /**
+   * Exact Gini coefficient — the concentration number for "how unequal
+   * is this corpus": of document lengths (is the token mass in a few
+   * giants?), per-source doc counts (is the mixture one source in a
+   * trench coat?), dup-cluster sizes. G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) /
+   * (n·Σx) over values sorted ascending — 0 = perfectly even, →1 =
+   * all mass in one row. Tie permutations cannot move the sum (tied
+   * values are equal), so ordering by value alone is deterministic.
+   *
+   * Exactness & scale: values are non-negative integer-scaled
+   * (REQUIRED); the rank comes off [[globalRank]]'s range-partitioned
+   * sort, Σ rank·x accumulates in DECIMAL(38,0) with DECIMAL(19,0)
+   * products (the m75 rule), and the final ratio is one driver BigInt
+   * division floored at basis points. NULL when Σx = 0 (all-zero input
+   * has no concentration to measure).
+   *
+   * @return one row: (n, sum_v, gini_bp)
+   */
+  def giniReport(df: DataFrame, valueCol: Column): DataFrame = {
+    val d19 = DecimalType(19, 0)
+    val d38 = DecimalType(38, 0)
+    val (ranked, n, release) = rankedPinned(
+      df.select(valueCol.cast("long").as("v")).filter(col("v").isNotNull),
+      Seq(col("v").asc), rankCol = "rank")
+    val row = try {
+      require(n > 0, "giniReport: empty input")
+      ranked.agg(min(col("v")).as("mn"),
+        sum(col("v").cast(d38)).as("s"),
+        sum((col("rank").cast(d19) * col("v").cast(d19)).cast(d38))
+          .as("si")).head()
+    } finally release()
+    require(row.getLong(0) >= 0L,
+      s"giniReport: negative value ${row.getLong(0)} — Gini is defined " +
+        "for non-negative quantities")
+    val sB = BigInt(row.getDecimal(1).toBigInteger)
+    val siB = BigInt(row.getDecimal(2).toBigInteger)
+    val gini: Option[Long] =
+      if (sB == 0) None
+      else Some((BigInt(10000) * (2 * siB - (BigInt(n) + 1) * sB)
+        / (BigInt(n) * sB)).toLong)
+    val s = df.sparkSession
+    import s.implicits._
+    Seq((n, sB.toLong, gini)).toDF("n", "sum_v", "gini_bp")
   }
 
   /**

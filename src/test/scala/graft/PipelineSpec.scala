@@ -1814,6 +1814,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(err.getMessage.contains("ceiling"))
   }
 
+  test("giniReport: hand values incl. extremes, all-zero NULL, negative " +
+      "refused, invariance") {
+    val s = spark
+    import s.implicits._
+    def run(vs: Seq[Long], parts: Int = 1) = {
+      val d0 = vs.toDF("v")
+      graft.operators.Ranking.giniReport(
+        if (parts > 1) d0.repartition(parts) else d0, col("v"))
+        .collect().head
+    }
+    // (1,2,3,4): sum 10, sum i*x = 30 -> (60-50)/40 = 0.25
+    val a = run(Seq(1L, 2L, 3L, 4L))
+    assert((a.getLong(0), a.getLong(1), a.getLong(2)) === ((4L, 10L, 2500L)))
+    // perfectly even -> 0; all mass in one of four rows -> 0.75
+    assert(run(Seq(5L, 5L, 5L, 5L)).getLong(2) === 0L)
+    assert(run(Seq(0L, 0L, 0L, 10L)).getLong(2) === 7500L)
+    // single row -> 0; all-zero -> NULL
+    assert(run(Seq(7L)).getLong(2) === 0L)
+    assert(run(Seq(0L, 0L)).isNullAt(2))
+    // invariance
+    assert(run(Seq(1L, 2L, 3L, 4L), parts = 5).getLong(2) === 2500L)
+    intercept[IllegalArgumentException] { run(Seq(-1L, 2L)) }
+    intercept[IllegalArgumentException] { run(Seq.empty[Long]) }
+  }
+
   test("paretoFrontier2D: equals the naive O(n^2) skyline incl. x/y ties " +
       "and duplicate vertices, strictly decreasing, invariance") {
     val s = spark
