@@ -1150,6 +1150,40 @@ object Oracle {
              ELSE round(rawe, 4) END AS est_distinct
       FROM hest ORDER BY source""",
 
+    // KS two-sample: per distinct value both cumulative counts, gap as
+    // the cross-multiplied HUGEINT |cumA·nB − cumB·nA|, sup tie to the
+    // smallest value, micro snap by one floor division.
+    "m155_ks_test" -> """
+      WITH kb AS (SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+                AS a, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+            FROM events),
+      kv AS (SELECT v, CAST(SUM(a) AS BIGINT) AS ca,
+              CAST(COUNT(*) - SUM(a) AS BIGINT) AS cb FROM kb GROUP BY v),
+      kr AS (SELECT v, SUM(ca) OVER w AS cuma, SUM(cb) OVER w AS cumb
+            FROM kv WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+      kt AS (SELECT CAST(SUM(ca) AS HUGEINT) AS na,
+              CAST(SUM(cb) AS HUGEINT) AS nb FROM kv),
+      kd AS (SELECT v, abs(CAST(cuma AS HUGEINT) * nb
+              - CAST(cumb AS HUGEINT) * na) AS d FROM kr, kt),
+      km AS (SELECT v, d FROM kd ORDER BY d DESC, v ASC LIMIT 1)
+      SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        CAST((1000000 * d) // (na * nb) AS BIGINT) AS ks_micro,
+        v AS at_value
+      FROM km, kt""",
+
+    // Simpson diversity: HHI and effective source count as exact
+    // rationals — no ln anywhere.
+    "m156_diversity" -> """
+      WITH dvc AS (SELECT source, CAST(COUNT(*) AS HUGEINT) AS n
+            FROM documents GROUP BY source),
+      dva AS (SELECT COUNT(*) AS s, SUM(n) AS n, SUM(n * n) AS ss
+            FROM dvc)
+      SELECT CAST(s AS BIGINT) AS n_sources, CAST(n AS BIGINT) AS n_docs,
+        CAST((1000000 * ss) // (n * n) AS BIGINT) AS hhi_micro,
+        CAST((1000000 * n * n) // ss AS BIGINT)
+          AS effective_sources_micro
+      FROM dva""",
+
     // Gini: ascending row_number ranks, HUGEINT moments, the closed
     // form (2Σi·x − (n+1)Σx) / (nΣx) floored at bp.
     "m154_gini" -> """

@@ -1933,6 +1933,24 @@ object Queries {
         threshold = 0.5)
       .orderBy("doc_id_a", "doc_id_b")
 
+  /** m155 — KS distribution drift
+    * ([[operators.Ranking.ksTestReport]]): the exact two-sample
+    * Kolmogorov–Smirnov statistic between click events and everything
+    * else over centi-scaled value — ECDF gaps compared cross-multiplied,
+    * sup tie to the smallest value, one range-partitioned pass for both
+    * cumulatives. */
+  def m155KsTest(s: SparkSession, dir: String): DataFrame =
+    operators.Ranking.ksTestReport(t(s, dir, "events"),
+      col("event_type") === "click",
+      floor(col("value") * 100 + 0.5).cast("long"))
+
+  /** m156 — mixture diversity
+    * ([[operators.TrainingPipeline.mixtureDiversity]]): Simpson HHI
+    * and the effective source count as exact rationals in micro —
+    * entropy would need ln (ulp-fragile); Simpson pins bit-exact. */
+  def m156Diversity(s: SparkSession, dir: String): DataFrame =
+    operators.TrainingPipeline.mixtureDiversity(t(s, dir, "documents"))
+
   /** m154 — corpus concentration (Gini)
     * ([[operators.Ranking.giniReport]]): the Gini coefficient of
     * document lengths — is the token mass spread or in a few giants;

@@ -247,6 +247,8 @@ object SparkEntry {
     "m152_pareto_frontier" -> Queries.m152Pareto,
     "m153_vocab_overlap" -> Queries.m153VocabOverlap,
     "m154_gini" -> Queries.m154Gini,
+    "m155_ks_test" -> Queries.m155KsTest,
+    "m156_diversity" -> Queries.m156Diversity,
     "q52_gap_fill" -> Queries.q52GapFill,
     "q53_rollup" -> Queries.q53Rollup,
     "q54_pivot" -> Queries.q54Pivot,

@@ -711,6 +711,60 @@ object Ranking {
   }
 
   /**
+   * Two-sample Kolmogorov–Smirnov statistic, exact — the
+   * distribution-drift test between two slices (last release vs this
+   * one, source A vs source B) over an integer-scaled value: D =
+   * max_v |F_A(v) − F_B(v)|. Unlike a mean/variance compare, KS sees
+   * shape changes (a new mode, a truncated tail) at any location.
+   *
+   * Exactness: at each distinct value the ECDF difference compares as
+   * the cross-multiplied integer |cumA·n_B − cumB·n_A| (no division
+   * until the final micro snap, ties in the max broken to the SMALLEST
+   * value); both cumulative counts ride ONE [[globalRunningAggs]]
+   * range-partitioned pass over the distinct-value frame — the corpus
+   * collapses in the (value, counts) aggregation, no single-task
+   * window. D_micro = 10⁶·maxdiff div (n_A·n_B).
+   *
+   * @param inA membership predicate: true → sample A, false → sample B
+   * @return one row: (n_a, n_b, ks_micro, at_value) — at_value the
+   *         smallest value achieving the supremum
+   */
+  def ksTestReport(df: DataFrame, inA: Column,
+      valueCol: Column): DataFrame = {
+    val d19 = DecimalType(19, 0)
+    val d38 = DecimalType(38, 0)
+    val byV = df
+      .select(inA.cast("int").as("__a"), valueCol.cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("__v"))
+      .agg(sum(col("__a")).cast("long").as("__ca"),
+        (count(lit(1)) - sum(col("__a"))).cast("long").as("__cb"))
+    val running = globalRunningAggs(byV, Seq(col("__v").asc),
+      Seq(col("__ca"), col("__cb")), "__rk", Seq("__cumA", "__cumB"))
+    try {
+      val tr = running.agg(sum(col("__ca")), sum(col("__cb"))).head()
+      require(!tr.isNullAt(0) && tr.getLong(0) > 0 && tr.getLong(1) > 0,
+        "ksTestReport: both samples must be non-empty")
+      val (na, nb) = (tr.getLong(0), tr.getLong(1))
+      // sup of the cross-multiplied ECDF gap; ties to the SMALLEST value
+      // via TakeOrdered over the bounded distinct-value frame
+      val top = running
+        .select(col("__v"),
+          abs((col("__cumA").cast(d19) * lit(nb).cast(d19)).cast(d38)
+            - (col("__cumB").cast(d19) * lit(na).cast(d19)).cast(d38))
+            .as("__d"))
+        .orderBy(col("__d").desc, col("__v").asc)
+        .limit(1).head()
+      val dMax = BigInt(top.getDecimal(1).toBigInteger)
+      val ks = (BigInt(1000000) * dMax / (BigInt(na) * nb)).toLong
+      val s = df.sparkSession
+      import s.implicits._
+      Seq((na, nb, ks, top.getLong(0)))
+        .toDF("n_a", "n_b", "ks_micro", "at_value")
+    } finally graft.core.Blocks.release(running)
+  }
+
+  /**
    * Exact Gini coefficient — the concentration number for "how unequal
    * is this corpus": of document lengths (is the token mass in a few
    * giants?), per-source doc counts (is the mixture one source in a

@@ -1461,6 +1461,38 @@ object TrainingPipeline {
   }
 
   /**
+   * Mixture diversity (Simpson / Herfindahl) — the "is this mixture one
+   * source in a trench coat" number, exact: HHI = Σ nₛ²/N² is the
+   * probability two random docs share a source; its inverse N²/Σ nₛ²
+   * is the EFFECTIVE source count (20 equal sources → 20.0; one 91%
+   * source + 19 crumbs → ≈1.2). The entropy-based alternative needs ln
+   * — ulp-fragile across engines (the m76 rule); Simpson is a pure
+   * rational, so it pins exactly in micro units.
+   *
+   * Scale: one low-cardinality count aggregation, driver BigInt — the
+   * mixtureRates shape.
+   *
+   * @return one row: (n_sources, n_docs, hhi_micro,
+   *         effective_sources_micro)
+   */
+  def mixtureDiversity(docs: DataFrame,
+      sourceCol: String = "source"): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val counts = docs
+      .groupBy(col(sourceCol).cast("string").as("source"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(1))
+    require(counts.nonEmpty, "mixtureDiversity: empty corpus")
+    val n = BigInt(counts.sum)
+    val ss = counts.map(c => BigInt(c) * c).sum
+    val M = BigInt(1000000)
+    Seq((counts.length.toLong, n.toLong,
+        (M * ss / (n * n)).toLong, (M * n * n / ss).toLong))
+      .toDF("n_sources", "n_docs", "hhi_micro", "effective_sources_micro")
+  }
+
+  /**
    * Chi-square test of independence between two categorical columns —
    * the "is my mixture confounded" number a corpus report owes next to
    * the m45 rates: does source predict language (or license, or

@@ -1814,6 +1814,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(err.getMessage.contains("ceiling"))
   }
 
+  test("ksTestReport: disjoint -> 1, identical -> 0, interleaved hand " +
+      "case with smallest-value tie, empty-sample contract, invariance") {
+    val s = spark
+    import s.implicits._
+    def run(a: Seq[Long], b: Seq[Long], parts: Int = 1) = {
+      val d0 = (a.map((_, 1)) ++ b.map((_, 0))).toDF("v", "ina")
+      graft.operators.Ranking.ksTestReport(
+        if (parts > 1) d0.repartition(parts) else d0,
+        col("ina") === 1, col("v")).collect().head
+    }
+    // disjoint supports: D = 1 at the end of A's support
+    val dj = run(Seq(1L, 2L, 3L), Seq(4L, 5L, 6L))
+    assert((dj.getLong(0), dj.getLong(1), dj.getLong(2), dj.getLong(3))
+      === ((3L, 3L, 1000000L, 3L)))
+    // identical samples: D = 0, sup tie resolves to the smallest value
+    val id = run(Seq(1L, 2L), Seq(1L, 2L))
+    assert(id.getLong(2) === 0L && id.getLong(3) === 1L)
+    // interleaved A={1,3} B={2,4}: |cumA*nB - cumB*nA| peaks at 2 for
+    // v in {1,3}; tie -> v=1; KS = 2/(2*2) = 0.5
+    val iv = run(Seq(1L, 3L), Seq(2L, 4L))
+    assert(iv.getLong(2) === 500000L && iv.getLong(3) === 1L)
+    // invariance
+    val re = run(Seq(1L, 2L, 3L), Seq(4L, 5L, 6L), parts = 5)
+    assert(re.getLong(2) === 1000000L)
+    intercept[IllegalArgumentException] {
+      run(Seq(1L, 2L), Seq.empty[Long])
+    }
+  }
+
   test("giniReport: hand values incl. extremes, all-zero NULL, negative " +
       "refused, invariance") {
     val s = spark

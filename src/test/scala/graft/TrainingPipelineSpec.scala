@@ -2011,6 +2011,28 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(re == got)
   }
 
+  test("mixtureDiversity: even mixture, single source, skewed hand case, " +
+      "empty contract") {
+    val s = spark
+    import s.implicits._
+    def run(counts: (String, Int)*) =
+      TrainingPipeline.mixtureDiversity(
+        counts.flatMap { case (src, k) => Seq.fill(k)(src) }.toDF("source"))
+        .collect().head
+    val even = run("a" -> 5, "b" -> 5)
+    assert((even.getLong(0), even.getLong(1), even.getLong(2),
+      even.getLong(3)) === ((2L, 10L, 500000L, 2000000L)))
+    val one = run("a" -> 7)
+    assert(one.getLong(2) === 1000000L && one.getLong(3) === 1000000L)
+    // 90/10: HHI = 0.82, effective = 100/82 = 1.219512
+    val sk = run("a" -> 9, "b" -> 1)
+    assert(sk.getLong(2) === 820000L && sk.getLong(3) === 1219512L)
+    intercept[IllegalArgumentException] {
+      TrainingPipeline.mixtureDiversity(
+        Seq.empty[String].toDF("source"))
+    }
+  }
+
   test("vocabOverlapMatrix: hand bigram/unigram Jaccard, disjoint pair " +
       "absent, null text inert, invariance, n contract") {
     val s = spark
