@@ -622,6 +622,13 @@ object TextAnalysis {
    * sources with near-total gram overlap add volume, not diversity;
    * near-zero overlap flags a domain the mixture would otherwise drown.
    *
+   * Relation to [[sourceTokenJaccard]]: that operator is the unigram
+   * FAST PATH — one bitmap-per-token fold, pairwise algebra off a
+   * bitmap histogram, hard ≤ 62-source ceiling. This is the general
+   * form: token n-grams (n ≥ 1) and unbounded source cardinality via a
+   * gram-keyed self-join; at n = 1 on ≤ 62 sources the two agree and
+   * the bitmap path is the cheaper plan.
+   *
    * Scale shape: one kernel pass emits per-doc DISTINCT grams
    * (explode_outer, the heavy-kernel shape), a global distinct
    * collapses to the (source, gram) vocabulary table — the only
