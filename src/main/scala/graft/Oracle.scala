@@ -1150,6 +1150,40 @@ object Oracle {
              ELSE round(rawe, 4) END AS est_distinct
       FROM hest ORDER BY source""",
 
+    // Cross-correlogram: per-day counts, shift join over the day frame,
+    // HUGEINT moments, the textually mirrored r dag (sqrt is the one
+    // IEEE-pinned transcendental), 6dp.
+    "m157_cross_correlogram" -> """
+      WITH xcb AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS b,
+              CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS x,
+              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+            FROM events),
+      xcp AS (SELECT b, CAST(SUM(x) AS BIGINT) AS sx,
+              CAST(SUM(y) AS BIGINT) AS sy FROM xcb GROUP BY b),
+      xcs AS (SELECT unnest(range(-3, 4)) AS shift),
+      xcj AS (SELECT s.shift, a.sx AS xv, c.sy AS yv
+            FROM xcp a CROSS JOIN xcs s
+              JOIN xcp c ON a.b + s.shift = c.b),
+      xcg AS (SELECT shift, COUNT(*) AS n,
+              SUM(CAST(xv AS HUGEINT)) AS mx,
+              SUM(CAST(yv AS HUGEINT)) AS my,
+              SUM(CAST(xv AS HUGEINT) * yv) AS mxy,
+              SUM(CAST(xv AS HUGEINT) * xv) AS mxx,
+              SUM(CAST(yv AS HUGEINT) * yv) AS myy
+            FROM xcj GROUP BY shift HAVING COUNT(*) >= 2),
+      xcd AS (SELECT shift, n, CAST(n AS DOUBLE) AS nd,
+              CAST(mx AS DOUBLE) AS sxd, CAST(my AS DOUBLE) AS syd,
+              CAST(mxy AS DOUBLE) AS mxyd, CAST(mxx AS DOUBLE) AS mxxd,
+              CAST(myy AS DOUBLE) AS myyd FROM xcg)
+      SELECT CAST(shift AS BIGINT) AS shift, CAST(n AS BIGINT)
+          AS n_buckets,
+        round(CASE WHEN sqrt(nd * mxxd - sxd * sxd)
+                 * sqrt(nd * myyd - syd * syd) = 0.0 THEN 0.0
+          ELSE (nd * mxyd - sxd * syd)
+             / (sqrt(nd * mxxd - sxd * sxd)
+                * sqrt(nd * myyd - syd * syd)) END, 6) AS r
+      FROM xcd ORDER BY shift""",
+
     // KS two-sample: per distinct value both cumulative counts, gap as
     // the cross-multiplied HUGEINT |cumA·nB − cumB·nA|, sup tie to the
     // smallest value, micro snap by one floor division.

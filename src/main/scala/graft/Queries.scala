@@ -1933,6 +1933,19 @@ object Queries {
         threshold = 0.5)
       .orderBy("doc_id_a", "doc_id_b")
 
+  /** m157 — click→purchase cross-correlogram
+    * ([[operators.TrainingPipeline.crossCorrelogram]]): per day shift
+    * −3..3, the Pearson r between daily click counts and
+    * purchase counts s days later — exact DECIMAL moments, one
+    * mirrored double dag (√ is IEEE-pinned), 6dp. */
+  def m157CrossCorr(s: SparkSession, dir: String): DataFrame =
+    operators.TrainingPipeline.crossCorrelogram(t(s, dir, "events"),
+        expr("unix_timestamp(ts) div 86400"),
+        when(col("event_type") === "click", 1L).otherwise(0L),
+        when(col("event_type") === "purchase", 1L).otherwise(0L),
+        maxShift = 3)
+      .orderBy("shift")
+
   /** m155 — KS distribution drift
     * ([[operators.Ranking.ksTestReport]]): the exact two-sample
     * Kolmogorov–Smirnov statistic between click events and everything

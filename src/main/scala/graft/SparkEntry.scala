@@ -249,6 +249,7 @@ object SparkEntry {
     "m154_gini" -> Queries.m154Gini,
     "m155_ks_test" -> Queries.m155KsTest,
     "m156_diversity" -> Queries.m156Diversity,
+    "m157_cross_correlogram" -> Queries.m157CrossCorr,
     "q52_gap_fill" -> Queries.q52GapFill,
     "q53_rollup" -> Queries.q53Rollup,
     "q54_pivot" -> Queries.q54Pivot,

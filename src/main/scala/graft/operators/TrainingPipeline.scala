@@ -1461,6 +1461,70 @@ object TrainingPipeline {
   }
 
   /**
+   * Cross-correlogram — per time shift s ∈ [−maxShift, maxShift], the
+   * Pearson correlation of (x_t, y_{t+s}) over time buckets: does one
+   * series LEAD the other ("errors spike the day after deploy events",
+   * "crawl volume leads dup rate by a week")? The peak's sign and
+   * offset are the readout; [[trendReport]] says where one series is
+   * going, this says who moves first.
+   *
+   * Exactness: per-bucket sums are exact integers; per shift the five
+   * moments accumulate in DECIMAL(38,0) with DECIMAL(19,0) products
+   * (the m75 rule) and r comes out of ONE literal double dag — the
+   * divisor's √ is the one transcendental IEEE pins (the m77 rule), so
+   * the oracle mirrors it textually, 6dp. Zero variance on either side
+   * → r = 0 (the CUPED convention).
+   *
+   * Scale: one (bucket) aggregation collapses the corpus; the shift
+   * join runs over the bounded bucket frame crossed with 2·maxShift+1
+   * shift literals. Shifts with < 2 overlapping buckets are absent.
+   *
+   * @return per shift: (shift, n_buckets, r) — r 6dp, y shifted s
+   *         buckets PAST x (positive peak ⇒ x leads y by s)
+   */
+  def crossCorrelogram(df: DataFrame, bucketCol: Column, xCol: Column,
+      yCol: Column, maxShift: Int = 7): DataFrame = {
+    require(maxShift >= 0 && maxShift <= 1000,
+      s"crossCorrelogram: maxShift=$maxShift out of [0,1000]")
+    val d19 = DecimalType(19, 0)
+    val d38 = DecimalType(38, 0)
+    val s = df.sparkSession
+    import s.implicits._
+    val per = df.select(bucketCol.cast("long").as("b"),
+        coalesce(xCol.cast("long"), lit(0L)).as("x"),
+        coalesce(yCol.cast("long"), lit(0L)).as("y"))
+      .groupBy("b").agg(sum(col("x")).as("sx"), sum(col("y")).as("sy"))
+      .transform(graft.core.Blocks.pin)
+    try {
+      val pa = per.select(col("b").as("ba"), col("sx").as("xv"))
+      val pc = per.select(col("b").as("bc"), col("sy").as("yv"))
+      val shifts = (-maxShift to maxShift).map(_.toLong).toDF("shift")
+      val pairs = pa.crossJoin(broadcast(shifts))
+        .join(pc, col("ba") + col("shift") === col("bc"))
+      val g = pairs.groupBy("shift")
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(col("xv").cast(d38)).as("mx"),
+          sum(col("yv").cast(d38)).as("my"),
+          sum((col("xv").cast(d19) * col("yv").cast(d19)).cast(d38))
+            .as("mxy"),
+          sum((col("xv").cast(d19) * col("xv").cast(d19)).cast(d38))
+            .as("mxx"),
+          sum((col("yv").cast(d19) * col("yv").cast(d19)).cast(d38))
+            .as("myy"))
+        .filter(col("n_buckets") >= 2)
+      val nD = col("n_buckets").cast("double")
+      val sxD = col("mx").cast("double"); val syD = col("my").cast("double")
+      val num = nD * col("mxy").cast("double") - sxD * syD
+      val den = sqrt(nD * col("mxx").cast("double") - sxD * sxD) *
+        sqrt(nD * col("myy").cast("double") - syD * syD)
+      val out = g.select(col("shift"), col("n_buckets"),
+        round(when(den === 0.0, 0.0).otherwise(num / den), 6).as("r"))
+      val pinned = out.transform(graft.core.Blocks.pin)
+      pinned
+    } finally graft.core.Blocks.release(per)
+  }
+
+  /**
    * Mixture diversity (Simpson / Herfindahl) — the "is this mixture one
    * source in a trench coat" number, exact: HHI = Σ nₛ²/N² is the
    * probability two random docs share a source; its inverse N²/Σ nₛ²

@@ -2011,6 +2011,35 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(re == got)
   }
 
+  test("crossCorrelogram: lagged copy peaks at its shift, zero-variance " +
+      "-> 0, thin shifts absent, invariance, contract") {
+    val s = spark
+    import s.implicits._
+    // y is x delayed one bucket (y_1 is noise): r(+1) must be exactly 1
+    val rows = Seq((1L, 1L, 9L), (2L, 2L, 1L), (3L, 3L, 2L), (4L, 4L, 3L))
+      .toDF("b", "x", "y")
+    def run(d: org.apache.spark.sql.DataFrame, ms: Int = 3) =
+      TrainingPipeline.crossCorrelogram(d, col("b"), col("x"), col("y"),
+          maxShift = ms)
+        .orderBy("shift")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val got = run(rows)
+    val m = got.map(t => t._1 -> t._3).toMap
+    assert(m(1L) === 1.0)
+    assert(m(1L) > m(0L))
+    // n_buckets per shift: |overlap| = 4 - |s|; shift 3 has 1 pair ->
+    // absent
+    assert(got.map(_._1).toSeq === Seq(-2L, -1L, 0L, 1L, 2L))
+    assert(got.find(_._1 == 0L).get._2 === 4L)
+    // constant x: zero variance -> r = 0 at every shift
+    val const = Seq((1L, 5L, 1L), (2L, 5L, 7L), (3L, 5L, 2L))
+      .toDF("b", "x", "y")
+    assert(run(const).forall(_._3 === 0.0))
+    // invariance
+    assert(run(rows.repartition(5)).toSeq === got.toSeq)
+    intercept[IllegalArgumentException] { run(rows, ms = -1) }
+  }
+
   test("mixtureDiversity: even mixture, single source, skewed hand case, " +
       "empty contract") {
     val s = spark
