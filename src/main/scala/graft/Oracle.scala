@@ -5358,6 +5358,13 @@ object Oracle {
           AS BIGINT) AS view
       FROM events GROUP BY 1 ORDER BY day""",
 
+    // q55: the pivot melted back — equivalent to the plain long-form
+    // counts (zero cells never existed there).
+    "q55_unpivot" -> """
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
+
     // q52: IGNORE NULLS forward/backward fill — values copy verbatim
     // (no arithmetic; parquet doubles pass through), ties pinned by the
     // (tse, event_id) total order, tse via the floored-epoch mapping.

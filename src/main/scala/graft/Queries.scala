@@ -3184,6 +3184,18 @@ object Queries {
       .orderBy("day")
   }
 
+  /** q55 — UNPIVOT back to long form: q54's day × type matrix melted
+    * to (day, event_type, n) via `stack` — the wide→long inverse a
+    * reporting export needs in the other direction; zero-count cells
+    * drop (they are pivot artifacts, not observations). */
+  def q55Unpivot(s: SparkSession, dir: String): DataFrame =
+    q54Pivot(s, dir)
+      .select(col("day"), expr(
+        """stack(5, 'click', click, 'error', error, 'purchase', purchase,
+                 'signup', signup, 'view', view) AS (event_type, n)"""))
+      .filter(col("n") > 0L)
+      .orderBy("day", "event_type")
+
   /** m93 — corpus novelty curve: per doc (in doc_id arrival order),
     * its distinct word-13-gram count, how many of those grams are
     * FIRST-SEEN (this doc is the min-id owner), and the running total

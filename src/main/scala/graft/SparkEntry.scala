@@ -253,6 +253,7 @@ object SparkEntry {
     "q52_gap_fill" -> Queries.q52GapFill,
     "q53_rollup" -> Queries.q53Rollup,
     "q54_pivot" -> Queries.q54Pivot,
+    "q55_unpivot" -> Queries.q55Unpivot,
     "mm05_audio_fingerprint" -> Queries.mm05AudioFingerprint,
     "mm06_shot_boundaries" -> Queries.mm06ShotBoundaries,
     "mm07_image_dhash" -> Queries.mm07ImageDhash,
