@@ -1697,20 +1697,36 @@ object TrainingPipeline {
   def cusumReport(df: DataFrame, groupCol: Column, bucketCol: Column,
       valueCol: Column, targetPerRow: Long, slackPerRow: Long = 0L,
       threshold: Long): DataFrame = {
-    require(threshold > 0L, s"cusumReport: threshold=$threshold must be > 0")
-    val d19 = DecimalType(19, 0)
     val d38 = DecimalType(38, 0)
-    val per = df
+    cusumOverAggregates(df
       .select(groupCol.as("group"), bucketCol.cast("long").as("bucket"),
         valueCol.cast("long").as("v"))
       .groupBy("group", "bucket")
-      .agg(count(lit(1)).as("n"), sum(col("v").cast(d38)).as("s"))
+      .agg(count(lit(1)).as("n"), sum(col("v").cast(d38)).as("s")),
+      targetPerRow, slackPerRow, threshold)
+  }
+
+  /** [[cusumReport]] over PRE-AGGREGATED per-(group, bucket) state —
+    * the entry point for a durable monitoring store
+    * ([[graft.streaming.Pipeline.cusumFromStore]]): the batch operator
+    * and the store-backed streaming monitor share this dag, so their
+    * verdicts agree bit for bit on the same totals. `per` must carry
+    * (group, bucket, n, s) with s the exact integer value sum. */
+  def cusumOverAggregates(per: DataFrame, targetPerRow: Long,
+      slackPerRow: Long, threshold: Long): DataFrame = {
+    require(threshold > 0L,
+      s"cusumReport: threshold=$threshold must be > 0")
+    val d19 = DecimalType(19, 0)
+    val d38 = DecimalType(38, 0)
+    val dev = per
+      .select(col("group"), col("bucket").cast("long").as("bucket"),
+        col("n").cast("long").as("n"), col("s").cast(d38).as("s"))
       .withColumn("dev", col("s") -
         (col("n").cast(d19) * lit(targetPerRow + slackPerRow).cast(d19))
           .cast(d38))
     val w = Window.partitionBy("group").orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    per.withColumn("p", sum(col("dev")).over(w))
+    dev.withColumn("p", sum(col("dev")).over(w))
       .withColumn("pmin", least(lit(0L).cast(d38), min(col("p")).over(w)))
       .select(col("group"), col("bucket"), col("n"),
         col("dev").cast("long").as("dev_units"),

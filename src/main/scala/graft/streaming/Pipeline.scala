@@ -296,6 +296,58 @@ object Pipeline {
         ()
       }
 
+  /** Streaming drift monitoring — the CUSUM store: each micro-batch's
+    * per-(group, bucket) (count, exact sum) increments land in the
+    * batch's OWN partition directory `storeDir/batch=<id>` with
+    * mode=overwrite, so an at-least-once `foreachBatch` replay rewrites
+    * identical content (the aggregation is deterministic) and a torn
+    * write is healed by its retry — exactly-once store content with no
+    * marker bookkeeping. [[cusumFromStore]] folds the store and runs
+    * the SAME dag as the batch operator
+    * ([[graft.operators.TrainingPipeline.cusumOverAggregates]]), so the
+    * streaming monitor's alarms equal a batch run over the same rows
+    * bit for bit. Store cost: one ≤ groups·buckets-row file per batch. */
+  def maintainCusumStore(df: DataFrame,
+      groupCol: org.apache.spark.sql.Column,
+      bucketCol: org.apache.spark.sql.Column,
+      valueCol: org.apache.spark.sql.Column,
+      storeDir: String, checkpoint: String) =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        mergeCusumBatch(batch, groupCol, bucketCol, valueCol,
+          storeDir, bid)
+      }
+
+  private[graft] def mergeCusumBatch(batch: DataFrame,
+      groupCol: org.apache.spark.sql.Column,
+      bucketCol: org.apache.spark.sql.Column,
+      valueCol: org.apache.spark.sql.Column,
+      storeDir: String, bid: Long): Unit = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    batch
+      .select(groupCol.cast("string").as("group"),
+        bucketCol.cast("long").as("bucket"),
+        valueCol.cast("long").as("v"))
+      .groupBy("group", "bucket")
+      .agg(count(lit(1)).as("n"), sum(col("v").cast(d38)).as("s"))
+      .write.mode("overwrite").parquet(s"$storeDir/batch=$bid")
+  }
+
+  /** The monitoring readout over [[maintainCusumStore]]'s store: fold
+    * every batch's increments to per-(group, bucket) totals and run the
+    * batch CUSUM dag. Alarms are recomputed from totals each call —
+    * drift that only emerges across batches is seen, unlike any
+    * per-batch alarm check. */
+  def cusumFromStore(spark: SparkSession, storeDir: String,
+      targetPerRow: Long, slackPerRow: Long = 0L,
+      threshold: Long): DataFrame =
+    graft.operators.TrainingPipeline.cusumOverAggregates(
+      spark.read.parquet(storeDir)
+        .groupBy("group", "bucket")
+        .agg(sum(col("n")).as("n"), sum(col("s")).as("s")),
+      targetPerRow, slackPerRow, threshold)
+
   /** Streaming BM25 index maintenance: each micro-batch of (doc_id,
     * text) docs grows the durable inverted index, with the STREAM's
     * monotone batch id driving the append's exactly-once contract — an

@@ -644,4 +644,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = Pipeline.offchainPipeline(df).select("value").as[String].collect()
     assert(out.length === 1 && out.head.contains(uri))
   }
+
+  test("streaming CUSUM store: monitor equals the batch operator over " +
+      "the same rows, replayed batch is a content no-op, drift across " +
+      "batches is seen") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("cusum-stream").toString
+    val dir = base + "/store"
+    val mem = MemoryStream[(String, Long, Long)]
+    val ev = mem.toDF().toDF("g", "b", "v")
+    val q = graft.streaming.Pipeline.maintainCusumStore(ev, col("g"),
+      col("b"), col("v"), dir, base + "/ck").start()
+    // batch 0 in-control, batch 1 pushes group a over the line —
+    // the drift only exists ACROSS batches
+    val b1 = Seq(("a", 1L, 15L), ("a", 2L, 12L), ("b", 1L, 10L))
+    val b2 = Seq(("a", 3L, 20L), ("a", 2L, 9L), ("b", 2L, 10L))
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    def snap(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("group", "bucket").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getShort(5))).toSeq
+    val got = snap(graft.streaming.Pipeline.cusumFromStore(s, dir,
+      targetPerRow = 10L, slackPerRow = 0L, threshold = 15L))
+    val batch = snap(graft.operators.TrainingPipeline.cusumReport(
+      (b1 ++ b2).toDF("g", "b", "v"), col("g"), col("b"), col("v"),
+      targetPerRow = 10L, slackPerRow = 0L, threshold = 15L))
+    assert(got === batch)
+    // a(b3): dev 10, cum = 5+(12+9-20)+10 = 16 >= 15 -> alarm fires
+    // only because batches accumulate
+    assert(got.find(t => t._1 == "a" && t._2 == 3L).get._6 === (1: Short))
+    // at-least-once replay of batch 1 rewrites identical content
+    graft.streaming.Pipeline.mergeCusumBatch(
+      b2.toDF("g", "b", "v"), col("g"), col("b"), col("v"), dir, 1L)
+    val replayed = snap(graft.streaming.Pipeline.cusumFromStore(s, dir,
+      10L, 0L, 15L))
+    assert(replayed === got)
+  }
 }
