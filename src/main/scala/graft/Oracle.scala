@@ -4291,6 +4291,44 @@ object Oracle {
     // (k − row_number over quiet rows) → min/count per island, minRun
     // filter. Samples land in rows via the struct-zip unnest (no blob
     // re-read per row).
+    // mm09: the mm08 sample extraction, then sign flips between
+    // consecutive samples via lead(), pair (k, k+1) attributed to
+    // window k // 256.
+    "mm09_zero_crossings" -> s"""
+      WITH zcm AS (SELECT media_id, hex(bytes) AS h, octet_length(bytes) AS ln
+                   FROM read_parquet('{AUX}/media/*.parquet')),
+      zca AS (SELECT media_id, h, ${u32("40")}//2 AS nall
+            FROM zcm
+            WHERE ln >= 44 AND substr(h,1,8) = '52494646'
+              AND substr(h,17,8) = '57415645'
+              AND substr(h,25,8) = '666D7420' AND substr(h,73,8) = '64617461'
+              AND ${u16("20")} = 1 AND ${u16("34")} = 16
+              AND ${u16("22")} >= 1 AND ln >= 44 + ${u32("40")}),
+      zcl AS (SELECT media_id, nall,
+          list_transform(range(0, nall), k ->
+            TRY_CAST('0x' || substr(h,(44+CAST(k AS INT)*2+1)*2+1,2)
+                          || substr(h,(44+CAST(k AS INT)*2)*2+1,2) AS INTEGER))
+            AS us
+        FROM zca),
+      zcv AS (SELECT media_id, CAST(e.k AS BIGINT) AS k,
+            CASE WHEN CAST(e.x AS INTEGER) >= 32768
+              THEN CAST(e.x AS INTEGER) - 65536
+              ELSE CAST(e.x AS INTEGER) END AS v
+          FROM (SELECT media_id,
+              unnest(list_transform(range(0, nall),
+                q -> {'k': q, 'x': us[CAST(q AS INT)+1]})) AS e
+            FROM zcl)),
+      zcp AS (SELECT media_id, k, v,
+            lead(v) OVER (PARTITION BY media_id ORDER BY k) AS nx
+          FROM zcv)
+      SELECT media_id, CAST(k // 256 AS INT) AS window_idx,
+        CAST(COUNT(*) AS INT) AS n_pairs,
+        CAST(SUM(CASE WHEN (v < 0) <> (nx < 0) THEN 1 ELSE 0 END) AS INT)
+          AS crossings
+      FROM zcp WHERE nx IS NOT NULL
+      GROUP BY media_id, k // 256
+      ORDER BY media_id, window_idx""",
+
     "mm08_silence_spans" -> s"""
       WITH ssm AS (SELECT media_id, hex(bytes) AS h, octet_length(bytes) AS ln
                    FROM read_parquet('{AUX}/media/*.parquet')),

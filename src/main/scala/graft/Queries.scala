@@ -983,6 +983,15 @@ object Queries {
     Multimodal.silenceSpans(media(s, dir))
       .orderBy("media_id", "span_start")
 
+  /** mm09 — windowed zero-crossing counts
+    * ([[operators.Multimodal.zeroCrossingRate]]): per audio and
+    * 256-sample window, sample pairs and sign flips — the
+    * speech/music/noise feature; exact integers replayed from raw PCM
+    * offsets with a lead() window. */
+  def mm09ZeroCrossings(s: SparkSession, dir: String): DataFrame =
+    Multimodal.zeroCrossingRate(media(s, dir))
+      .orderBy("media_id", "window_idx")
+
   /** m13 — benchmark decontamination: training docs sharing ≥1 distinct
     * 13-gram with the benchmark slice (doc_id % 5 == 0 plays the held-out
     * benchmark; the rest is the training corpus). The fixture's near-dup

@@ -258,6 +258,7 @@ object SparkEntry {
     "mm06_shot_boundaries" -> Queries.mm06ShotBoundaries,
     "mm07_image_dhash" -> Queries.mm07ImageDhash,
     "mm08_silence_spans" -> Queries.mm08SilenceSpans,
+    "mm09_zero_crossings" -> Queries.mm09ZeroCrossings,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on

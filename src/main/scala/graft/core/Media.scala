@@ -469,6 +469,44 @@ object Media {
     out
   }
 
+  /** Zero-crossing counts of the WAV PCM16 payload per fixed window of
+    * `window` samples — the classic speech/music/noise discrimination
+    * feature next to [[silenceSpans]]: voiced audio crosses rarely,
+    * fricatives and hiss cross constantly. A crossing is a SIGN flip
+    * (s < 0 changes) between consecutive samples; the pair (i, i+1)
+    * belongs to sample i's window, so the last window may carry fewer
+    * pairs and a cross-window flip is attributed to the earlier window.
+    * Exact integers end to end — a SQL oracle replays every count from
+    * raw byte offsets with a lead() window. Null for non-audio; empty
+    * for streams with < 2 samples (no pair to flip).
+    *
+    * @return (window index, pairs in window, crossings) per window */
+  def zeroCrossings(bytes: Array[Byte],
+      window: Int): Array[(Int, Int, Int)] = {
+    require(window >= 2 && window <= 65536,
+      s"zeroCrossings: window=$window out of [2,65536]")
+    val layout = wavLayout(bytes)
+    if (layout == null) return null
+    val dataOff = layout(2); val dataLen = layout(3)
+    val n = dataLen / 2
+    if (n < 2) return Array.empty
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val nw = (n - 2) / window + 1
+    val pairs = new Array[Int](nw)
+    val cross = new Array[Int](nw)
+    var prevNeg = b.getShort(dataOff).toInt < 0
+    var i = 0
+    while (i < n - 1) {
+      val curNeg = b.getShort(dataOff + (i + 1) * 2).toInt < 0
+      val w = i / window
+      pairs(w) += 1
+      if (curNeg != prevNeg) cross(w) += 1
+      prevNeg = curNeg
+      i += 1
+    }
+    Array.tabulate(nw)(w => (w, pairs(w), cross(w)))
+  }
+
   /** Silence spans of the WAV PCM16 payload (all channels pooled, the
     * [[audioRms]] stream): maximal runs of ≥ `minRun` consecutive
     * samples with |s| < `threshold` — the trim/segmentation primitive

@@ -114,6 +114,22 @@ object Multimodal {
   private val silenceUdf = udf((b: Array[Byte], t: Int, r: Int) =>
     Option(Media.silenceSpans(b, t, r)))
 
+  private val zcrUdf = udf((b: Array[Byte], w: Int) =>
+    Option(Media.zeroCrossings(b, w)))
+
+  /** Per-audio windowed zero-crossing counts ([[Media.zeroCrossings]])
+    * — the speech/music/noise discrimination signal next to
+    * [[silenceSpans]]; exact integers, explode_outer heavy-kernel shape
+    * (one WAV walk per row). */
+  def zeroCrossingRate(media: DataFrame, window: Int = 256): DataFrame =
+    withMeta(media)
+      .filter(col("meta.kind") === Media.KindAudio)
+      .select(col("media_id"),
+        explode_outer(zcrUdf(col("bytes"), lit(window))).as("zw"))
+      .filter(col("zw").isNotNull)
+      .select(col("media_id"), col("zw._1").as("window_idx"),
+        col("zw._2").as("n_pairs"), col("zw._3").as("crossings"))
+
   /** Per-audio silence spans ([[Media.silenceSpans]]): the trim /
     * segmentation table in front of audio chunking — one row per
     * maximal quiet run. `explode_outer` + isNotNull (the sampledFrames

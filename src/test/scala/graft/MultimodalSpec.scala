@@ -375,6 +375,38 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("zeroCrossings: hand-counted flips incl. cross-window attribution " +
+      "and the short tail window, zero is non-negative, non-audio null") {
+    val s = spark
+    import s.implicits._
+    // 6 samples, window 4: pairs 0..4; flips at pairs 0,1,3,4 — pair 3
+    // sits at the window edge and belongs to window 0, and (-3 -> 0)
+    // flips because 0 counts as non-negative
+    val samples = Array[Short](5, -2, 8, 9, -3, 0)
+    val bb = java.nio.ByteBuffer.allocate(12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(bb.putShort)
+    val wav = Media.encodeWav(16000, bb.array())
+    assert(Media.zeroCrossings(wav, 4).toSeq === Seq((0, 4, 3), (1, 1, 1)))
+    // one window covering everything
+    assert(Media.zeroCrossings(wav, 16).toSeq === Seq((0, 5, 4)))
+    assert(Media.zeroCrossings(Media.synthesize(0L), 4) === null)
+    // single sample: no pair
+    val one = java.nio.ByteBuffer.allocate(2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    one.putShort(42)
+    assert(Media.zeroCrossings(Media.encodeWav(16000, one.array()), 4)
+      .isEmpty)
+    val media = Seq((1L, wav), (2L, Media.synthesize(0L)))
+      .toDF("media_id", "bytes")
+    val rows = Multimodal.zeroCrossingRate(media, window = 4)
+      .as[(Long, Int, Int, Int)].collect().toSeq.sorted
+    assert(rows === Seq((1L, 0, 4, 3), (1L, 1, 1, 1)))
+    intercept[IllegalArgumentException] {
+      Media.zeroCrossings(wav, 1)
+    }
+  }
+
   test("shotBoundaries: static run scores 0, the cut fires, diff is driver-exact") {
     val s = spark
     import s.implicits._
