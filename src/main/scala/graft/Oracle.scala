@@ -1150,6 +1150,23 @@ object Oracle {
              ELSE round(rawe, 4) END AS est_distinct
       FROM hest ORDER BY source""",
 
+    // Trimmed mean: per-group ranks, keep (k, n-k], DECIMAL sum, one
+    // truncating division to micro.
+    "m158_trimmed_mean" -> """
+      WITH tmb AS (SELECT event_type AS g,
+              CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events),
+      tmr AS (SELECT g, v,
+              row_number() OVER (PARTITION BY g ORDER BY v) AS rk,
+              COUNT(*) OVER (PARTITION BY g) AS n FROM tmb),
+      tmk AS (SELECT g, v, rk, n, (n * 500) // 10000 AS k FROM tmr)
+      SELECT g AS "group", CAST(n AS BIGINT) AS n,
+        CAST(k AS BIGINT) AS k_trimmed,
+        CAST(COUNT(*) AS BIGINT) AS n_kept,
+        CAST((1000000 * SUM(CAST(v AS HUGEINT))) // COUNT(*) AS BIGINT)
+          AS trimmed_mean_micro
+      FROM tmk WHERE rk > k AND rk <= n - k
+      GROUP BY g, n, k ORDER BY g""",
+
     // Cross-correlogram: per-day counts, shift join over the day frame,
     // HUGEINT moments, the textually mirrored r dag (sqrt is the one
     // IEEE-pinned transcendental), 6dp.

@@ -1942,6 +1942,17 @@ object Queries {
         threshold = 0.5)
       .orderBy("doc_id_a", "doc_id_b")
 
+  /** m158 — trimmed mean per group
+    * ([[operators.Ranking.trimmedMeanReport]]): per event_type, the 5%
+    * two-sided trimmed mean of centi-scaled value — robust location
+    * next to m149's median/MAD flags; the oracle replays the per-group
+    * rank bounds and the one integral division. */
+  def m158TrimmedMean(s: SparkSession, dir: String): DataFrame =
+    operators.Ranking.trimmedMeanReport(t(s, dir, "events"),
+        col("event_type"), floor(col("value") * 100 + 0.5).cast("long"),
+        trimBp = 500)
+      .orderBy("group")
+
   /** m157 — click→purchase cross-correlogram
     * ([[operators.TrainingPipeline.crossCorrelogram]]): per day shift
     * −3..3, the Pearson r between daily click counts and

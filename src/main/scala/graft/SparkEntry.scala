@@ -250,6 +250,7 @@ object SparkEntry {
     "m155_ks_test" -> Queries.m155KsTest,
     "m156_diversity" -> Queries.m156Diversity,
     "m157_cross_correlogram" -> Queries.m157CrossCorr,
+    "m158_trimmed_mean" -> Queries.m158TrimmedMean,
     "q52_gap_fill" -> Queries.q52GapFill,
     "q53_rollup" -> Queries.q53Rollup,
     "q54_pivot" -> Queries.q54Pivot,

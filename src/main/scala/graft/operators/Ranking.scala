@@ -765,6 +765,64 @@ object Ranking {
   }
 
   /**
+   * Trimmed mean per group — the robust LOCATION estimate next to
+   * [[robustOutlierReport]]'s flags: drop the lowest and highest
+   * ⌊n·trim_bp/10⁴⌋ values per group and average the rest. The 5%
+   * trimmed mean answers "what does a typical row measure" on
+   * long-tailed quantities where the plain mean is whatever the tail
+   * says and the median throws away 50% of the sample's information.
+   *
+   * Exactness & scale: integer-scaled values (m61 semantics), ONE
+   * [[globalRank]] range-partitioned sort ordered (group, value) — no
+   * per-group window; trim bounds derive from the ranked frame's own
+   * min-rank/count aggregates (groups ceiling-ENFORCED driver state);
+   * the kept-range sum rides DECIMAL(38,0) and the mean snaps to micro
+   * by ONE integral division (truncating toward zero on BOTH engines —
+   * the signed-division rule). trim_bp ≤ 4999 guarantees ⌊n·t⌋ < n/2,
+   * so at least one row always survives. Rank ties among equal values
+   * cannot change the kept MULTISET (only which equal copy is cut).
+   *
+   * @return per group: (group, n, k_trimmed, n_kept, trimmed_mean_micro)
+   */
+  def trimmedMeanReport(df: DataFrame, groupCol: Column,
+      valueCol: Column, trimBp: Int = 500,
+      maxGroups: Int = 100000): DataFrame = {
+    require(trimBp >= 0 && trimBp <= 4999,
+      s"trimmedMeanReport: trimBp=$trimBp out of [0,4999]")
+    val d38 = DecimalType(38, 0)
+    val s = df.sparkSession
+    import s.implicits._
+    val base = df
+      .select(groupCol.cast("string").as("g"), valueCol.cast("long").as("v"))
+      .filter(col("v").isNotNull)
+    val (ranked, total, release) = rankedPinned(base,
+      Seq(col("g").asc, col("v").asc), rankCol = "rank")
+    try {
+      require(total > 0, "trimmedMeanReport: empty input")
+      val gr = ranked.groupBy("g")
+        .agg(min(col("rank")).as("r0"), count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      require(gr.length <= maxGroups,
+        s"trimmedMeanReport: ${gr.length} groups exceeds ceiling " +
+          s"$maxGroups")
+      val bounds = gr.map { case (g, r0, n) =>
+        val k = n * trimBp / 10000
+        (g, r0 + k, r0 + n - k - 1, n, k)
+      }.toSeq.toDF("g", "lo", "hi", "n", "k")
+      ranked.join(broadcast(bounds), "g")
+        .filter(col("rank") >= col("lo") && col("rank") <= col("hi"))
+        .groupBy(col("g").as("group"))
+        .agg(first(col("n")).as("n"), first(col("k")).as("k_trimmed"),
+          count(lit(1)).as("n_kept"),
+          sum(col("v").cast(d38)).as("__s"))
+        .select(col("group"), col("n"), col("k_trimmed"), col("n_kept"),
+          expr("""CAST((1000000 * CAST(__s AS DECIMAL(38,0)))
+                  div n_kept AS BIGINT)""").as("trimmed_mean_micro"))
+        .transform(graft.core.Blocks.pin)
+    } finally release()
+  }
+
+  /**
    * Exact Gini coefficient — the concentration number for "how unequal
    * is this corpus": of document lengths (is the token mass in a few
    * giants?), per-source doc counts (is the mixture one source in a

@@ -1843,6 +1843,36 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("trimmedMeanReport: hand trims, outlier resistance, trim 0 is the " +
+      "plain mean, negative truncation parity, invariance, contracts") {
+    val s = spark
+    import s.implicits._
+    def run(rows: Seq[(String, Long)], bp: Int, parts: Int = 1) = {
+      val d0 = rows.toDF("g", "v")
+      graft.operators.Ranking.trimmedMeanReport(
+          if (parts > 1) d0.repartition(parts) else d0,
+          col("g"), col("v"), trimBp = bp)
+        .orderBy("group")
+        .as[(String, Long, Long, Long, Long)].collect().toSeq
+    }
+    // 1..10 at 10%: k=1, keep 2..9, mean 5.5
+    val a = (1L to 10L).map(("a", _))
+    assert(run(a, 1000) === Seq(("a", 10L, 1L, 8L, 5500000L)))
+    // the outlier is exactly what gets cut
+    val o = Seq(("o", 1L), ("o", 2L), ("o", 3L), ("o", 1000000L))
+    assert(run(o, 2500) === Seq(("o", 4L, 1L, 2L, 2500000L)))
+    // trim 0 = plain mean
+    assert(run(o, 0).head._5 === 250001500000L)
+    // negative mean truncates toward zero (both engines):
+    // (-10-21-1)/3 -> -10666666, not floor's -10666667
+    assert(run(Seq(("n", -10L), ("n", -21L), ("n", -1L)), 0).head._5
+      === -10666666L)
+    // invariance
+    assert(run(a ++ o, 1000, parts = 7) === run(a ++ o, 1000))
+    intercept[IllegalArgumentException] { run(a, 5000) }
+    intercept[IllegalArgumentException] { run(Seq.empty, 500) }
+  }
+
   test("giniReport: hand values incl. extremes, all-zero NULL, negative " +
       "refused, invariance") {
     val s = spark
