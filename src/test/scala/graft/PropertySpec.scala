@@ -1,0 +1,252 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized differential specs for the analytics/eval operators: each
+  * case draws a SMALL random input (fixed seeds — deterministic runs)
+  * and checks the distributed operator against an INDEPENDENT naive
+  * in-memory reimplementation. Small coordinate ranges force ties and
+  * duplicates on purpose — the hand-picked cases in the unit specs
+  * cover the structure, these sweep the tie/duplicate corners nobody
+  * thinks to write down. */
+class PropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val M = BigInt(1000000)
+
+  test("paretoFrontier2D equals the naive skyline on random tied multisets") {
+    val s = spark
+    import s.implicits._
+    val rnd = new Random(11)
+    for (_ <- 1 to 10) {
+      val pts = Seq.fill(10 + rnd.nextInt(30))(
+        (rnd.nextInt(6).toLong, rnd.nextInt(6).toLong))
+      val naive = pts.distinct.filter { case (x, y) =>
+        !pts.exists { case (a, b) => a >= x && b >= y && (a > x || b > y) }
+      }.sorted.map { case (x, y) =>
+        (x, y, pts.count(_ == ((x, y))).toLong)
+      }
+      val got = graft.operators.Ranking.paretoFrontier2D(
+          pts.toDF("x", "y").repartition(3), col("x"), col("y"))
+        .orderBy("x").as[(Long, Long, Long)].collect().toSeq
+      assert(got === naive, s"points: $pts")
+    }
+  }
+
+  test("ksTestReport equals the naive ECDF sweep on random samples") {
+    val s = spark
+    import s.implicits._
+    val rnd = new Random(12)
+    for (_ <- 1 to 10) {
+      val a = Seq.fill(3 + rnd.nextInt(20))(rnd.nextInt(8).toLong)
+      val b = Seq.fill(3 + rnd.nextInt(20))(rnd.nextInt(8).toLong)
+      val vs = (a ++ b).distinct.sorted
+      val naive = {
+        var best = BigInt(-1); var atV = 0L
+        vs.foreach { v =>
+          val d = (BigInt(a.count(_ <= v)) * b.length -
+            BigInt(b.count(_ <= v)) * a.length).abs
+          if (d > best) { best = d; atV = v }
+        }
+        ((M * best / (BigInt(a.length) * b.length)).toLong, atV)
+      }
+      val got = graft.operators.Ranking.ksTestReport(
+        (a.map((_, 1)) ++ b.map((_, 0))).toDF("v", "ina").repartition(3),
+        col("ina") === 1, col("v")).collect().head
+      assert((got.getLong(2), got.getLong(3)) === naive,
+        s"a=$a b=$b")
+    }
+  }
+
+  test("trimmedMeanReport equals naive sort-and-trim on random signed groups") {
+    val s = spark
+    import s.implicits._
+    val rnd = new Random(13)
+    for (_ <- 1 to 10) {
+      val bp = rnd.nextInt(4000)
+      val rows = (0 until 2 + rnd.nextInt(3)).flatMap { g =>
+        Seq.fill(1 + rnd.nextInt(25))(
+          (s"g$g", rnd.nextInt(41).toLong - 20L))
+      }
+      val naive = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, rs) =>
+        val vs = rs.map(_._2).sorted
+        val k = vs.length.toLong * bp / 10000
+        val kept = vs.slice(k.toInt, vs.length - k.toInt)
+        (g, vs.length.toLong, k, kept.length.toLong,
+          (M * kept.sum / kept.length).toLong)
+      }
+      val got = graft.operators.Ranking.trimmedMeanReport(
+          rows.toDF("g", "v").repartition(3), col("g"), col("v"),
+          trimBp = bp)
+        .orderBy("group")
+        .as[(String, Long, Long, Long, Long)].collect().toSeq
+      assert(got === naive, s"bp=$bp rows=$rows")
+    }
+  }
+
+  test("robustOutlierReport equals naive median/MAD on random groups") {
+    val s = spark
+    import s.implicits._
+    val rnd = new Random(14)
+    def med(vs: Seq[Long]): Long = vs.sorted.apply(((vs.length + 1) / 2) - 1)
+    for (_ <- 1 to 10) {
+      val rows = (0 until 1 + rnd.nextInt(4)).flatMap { g =>
+        Seq.fill(1 + rnd.nextInt(20))((s"g$g", rnd.nextInt(30).toLong))
+      }
+      val naive = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, rs) =>
+        val vs = rs.map(_._2)
+        val m0 = med(vs)
+        val mad = med(vs.map(v => math.abs(v - m0)))
+        (g, vs.length.toLong, m0, mad,
+          vs.count(v => 1000L * math.abs(v - m0) > 3500L * mad).toLong)
+      }
+      val got = graft.operators.Ranking.robustOutlierReport(
+          rows.toDF("g", "v").repartition(3), col("g"), col("v"))
+        .orderBy("group")
+        .as[(String, Long, Long, Long, Long)].collect().toSeq
+      assert(got === naive, s"rows=$rows")
+    }
+  }
+
+  test("cusumReport equals the naive sequential recursion on random series") {
+    val s = spark
+    import s.implicits._
+    val rnd = new Random(15)
+    for (_ <- 1 to 10) {
+      val target = 5L + rnd.nextInt(10); val h = 5L + rnd.nextInt(30)
+      val rows = (0 until 1 + rnd.nextInt(3)).flatMap { g =>
+        Seq.fill(5 + rnd.nextInt(30))(
+          (s"g$g", rnd.nextInt(8).toLong, rnd.nextInt(25).toLong))
+      }
+      val naive = rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+        case (g, rs) =>
+          val per = rs.groupBy(_._2).toSeq.sortBy(_._1).map { case (b, xs) =>
+            (b, xs.length.toLong, xs.map(_._3).sum)
+          }
+          var sRun = 0L
+          per.map { case (b, n, sum) =>
+            sRun = math.max(0L, sRun + (sum - n * target))
+            (g, b, n, sum - n * target, sRun,
+              if (sRun >= h) 1: Short else 0: Short)
+          }
+      }
+      val got = graft.operators.TrainingPipeline.cusumReport(
+          rows.toDF("g", "b", "v").repartition(3), col("g"), col("b"),
+          col("v"), targetPerRow = target, slackPerRow = 0L, threshold = h)
+        .orderBy("group", "bucket")
+        .as[(String, Long, Long, Long, Long, Short)].collect().toSeq
+      assert(got === naive, s"target=$target h=$h rows=$rows")
+    }
+  }
+
+  test("isotonicCalibration equals an independent first-violation PAV " +
+      "on random histograms (uniqueness of the L2 fit)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new Random(16)
+    for (_ <- 1 to 10) {
+      val bins = 5
+      // per bin: n in [1,9], pos <= n; scores pinned mid-bin
+      val hist = (0 until bins).map { b =>
+        val n = 1 + rnd.nextInt(9)
+        (b, n, rnd.nextInt(n + 1))
+      }
+      // independent PAV: merge the FIRST adjacent violation per round
+      // (the operator uses a stack walk — agreement IS the test)
+      var blocks = hist.map { case (b, n, p) =>
+        (b, b, p.toLong, n.toLong)
+      }.toVector
+      var done = false
+      while (!done) {
+        val vi = (0 until blocks.length - 1).find { i =>
+          BigInt(blocks(i)._3) * blocks(i + 1)._4 >
+            BigInt(blocks(i + 1)._3) * blocks(i)._4
+        }
+        vi match {
+          case Some(i) =>
+            val a = blocks(i); val c = blocks(i + 1)
+            blocks = (blocks.take(i) :+
+              ((a._1, c._2, a._3 + c._3, a._4 + c._4))) ++
+              blocks.drop(i + 2)
+          case None => done = true
+        }
+      }
+      val naive = hist.map { case (b, n, p) =>
+        val blk = blocks.find(t => t._1 <= b && b <= t._2).get
+        (b, n.toLong, p.toLong, (M * p / n).toLong,
+          (M * blk._3 / blk._4).toLong)
+      }
+      val rows = hist.flatMap { case (b, n, p) =>
+        (0 until n).map(i => (if (i < p) 1 else 0, b * 0.2 + 0.05))
+      }
+      val got = graft.operators.Ranking.isotonicCalibration(
+          rows.toDF("y", "score").repartition(3), col("y") === 1,
+          col("score"), bins = bins)
+        .orderBy("bin")
+        .as[(Int, Long, Long, Long, Long)].collect().toSeq
+      assert(got === naive.map(t => (t._1, t._2, t._3, t._4, t._5)),
+        s"hist=$hist")
+    }
+  }
+
+  test("giniReport equals the closed form on random non-negative values") {
+    val s = spark
+    import s.implicits._
+    val rnd = new Random(17)
+    for (_ <- 1 to 10) {
+      val vs = Seq.fill(1 + rnd.nextInt(40))(rnd.nextInt(50).toLong)
+      val sorted = vs.sorted
+      val n = BigInt(vs.length)
+      val sum = BigInt(sorted.sum)
+      val si = sorted.zipWithIndex.map { case (v, i) =>
+        BigInt(i + 1) * v
+      }.sum
+      val naive =
+        if (sum == 0) None
+        else Some((BigInt(10000) * (2 * si - (n + 1) * sum) / (n * sum))
+          .toLong)
+      val got = graft.operators.Ranking.giniReport(
+        vs.toDF("v").repartition(3), col("v")).collect().head
+      val gotG = if (got.isNullAt(2)) None else Some(got.getLong(2))
+      assert(gotG === naive, s"vs=$vs")
+    }
+  }
+
+  test("averagePrecisionReport equals the naive block replay on random " +
+      "tied rankings") {
+    val s = spark
+    import s.implicits._
+    val rnd = new Random(18)
+    for (_ <- 1 to 10) {
+      val rows = Seq.fill(5 + rnd.nextInt(30))(
+        (rnd.nextInt(2), rnd.nextInt(6) * 0.1))
+      val nPos = rows.count(_._1 == 1)
+      val naive: Option[Long] = if (nPos == 0) None else {
+        val blocks = rows.groupBy(_._2).toSeq.sortBy(-_._1)
+          .map { case (_, rs) =>
+            (rs.count(_._1 == 1).toLong, rs.size.toLong)
+          }
+        var cumP = 0L; var cumT = 0L; var st = BigInt(0)
+        blocks.foreach { case (p, t) =>
+          cumP += p; cumT += t
+          st += BigInt(p) * ((M * cumP / cumT).toLong)
+        }
+        Some((BigInt(10000) * st / (M * nPos)).toLong)
+      }
+      val got = graft.operators.Ranking.averagePrecisionReport(
+        rows.toDF("y", "score").repartition(3), col("y") === 1,
+        col("score")).collect().head
+      val gotAp = if (got.isNullAt(2)) None else Some(got.getLong(2))
+      assert(gotAp === naive, s"rows=$rows")
+    }
+  }
+}
