@@ -1150,6 +1150,23 @@ object Oracle {
              ELSE round(rawe, 4) END AS est_distinct
       FROM hest ORDER BY source""",
 
+    // Per-group Gini: per-group row_number ranks, HUGEINT moments,
+    // the closed form with an all-zero NULL guard.
+    "m159_gini_by_source" -> """
+      WITH ggb AS (SELECT source AS g, CAST(length(text) AS BIGINT) AS v
+            FROM documents),
+      ggr AS (SELECT g, v,
+              row_number() OVER (PARTITION BY g ORDER BY v) AS rk
+            FROM ggb),
+      gga AS (SELECT g, COUNT(*) AS n, SUM(CAST(v AS HUGEINT)) AS s,
+              SUM(CAST(rk AS HUGEINT) * v) AS si FROM ggr GROUP BY g)
+      SELECT g AS "group", CAST(n AS BIGINT) AS n,
+        CAST(s AS BIGINT) AS sum_v,
+        CASE WHEN s > 0
+          THEN CAST((10000 * (2 * si - (n + 1) * s)) // (n * s) AS BIGINT)
+          END AS gini_bp
+      FROM gga ORDER BY g""",
+
     // Trimmed mean: per-group ranks, keep (k, n-k], DECIMAL sum, one
     // truncating division to micro.
     "m158_trimmed_mean" -> """

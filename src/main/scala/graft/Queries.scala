@@ -1942,6 +1942,16 @@ object Queries {
         threshold = 0.5)
       .orderBy("doc_id_a", "doc_id_b")
 
+  /** m159 — per-source length concentration
+    * ([[operators.Ranking.giniReportBy]]): the Gini of document length
+    * within each source — a balanced mixture can still hide sources
+    * whose mass sits in a few giants; local ranks via the min-rank
+    * identity, replayed by per-group row_number windows. */
+  def m159GiniBySource(s: SparkSession, dir: String): DataFrame =
+    operators.Ranking.giniReportBy(t(s, dir, "documents"),
+        col("source"), length(col("text")))
+      .orderBy("group")
+
   /** m158 — trimmed mean per group
     * ([[operators.Ranking.trimmedMeanReport]]): per event_type, the 5%
     * two-sided trimmed mean of centi-scaled value — robust location

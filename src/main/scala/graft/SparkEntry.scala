@@ -251,6 +251,7 @@ object SparkEntry {
     "m156_diversity" -> Queries.m156Diversity,
     "m157_cross_correlogram" -> Queries.m157CrossCorr,
     "m158_trimmed_mean" -> Queries.m158TrimmedMean,
+    "m159_gini_by_source" -> Queries.m159GiniBySource,
     "q52_gap_fill" -> Queries.q52GapFill,
     "q53_rollup" -> Queries.q53Rollup,
     "q54_pivot" -> Queries.q54Pivot,

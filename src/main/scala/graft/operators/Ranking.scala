@@ -765,6 +765,62 @@ object Ranking {
   }
 
   /**
+   * Per-group Gini ([[giniReport]] by group) — which SOURCE is
+   * internally concentrated: a mixture can look balanced while one
+   * source's token mass sits in three giant documents. Same closed
+   * form per group over local ranks, computed WITHOUT a per-group
+   * window: one (group, value) range-partitioned sort, then Σ local·x
+   * derives from the identity Σ rank·x − (r0 − 1)·Σx using the
+   * ranked frame's own min-rank; rank·value products ride
+   * DECIMAL(19,0)² → DECIMAL(38,0) (m75 rule), the final ratio is
+   * driver BigInt per group (groups ceiling-ENFORCED). NULL gini for
+   * an all-zero group; negatives REFUSED.
+   *
+   * @return per group: (group, n, sum_v, gini_bp)
+   */
+  def giniReportBy(df: DataFrame, groupCol: Column, valueCol: Column,
+      maxGroups: Int = 100000): DataFrame = {
+    val d19 = DecimalType(19, 0)
+    val d38 = DecimalType(38, 0)
+    val s = df.sparkSession
+    import s.implicits._
+    val base = df
+      .select(groupCol.cast("string").as("g"), valueCol.cast("long").as("v"))
+      .filter(col("v").isNotNull)
+    val (ranked, total, release) = rankedPinned(base,
+      Seq(col("g").asc, col("v").asc), rankCol = "rank")
+    val gr = try {
+      require(total > 0, "giniReportBy: empty input")
+      val rows = ranked.groupBy("g")
+        .agg(count(lit(1)).as("n"), min(col("rank")).as("r0"),
+          min(col("v")).as("mn"),
+          sum(col("v").cast(d38)).as("s"),
+          sum((col("rank").cast(d19) * col("v").cast(d19)).cast(d38))
+            .as("srv"))
+        .collect()
+      require(rows.length <= maxGroups,
+        s"giniReportBy: ${rows.length} groups exceeds ceiling $maxGroups")
+      rows
+    } finally release()
+    val out = gr.map { r =>
+      val (g, n, r0, mn) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      require(mn >= 0L,
+        s"giniReportBy: negative value $mn in group $g — Gini is " +
+          "defined for non-negative quantities")
+      val sB = BigInt(r.getDecimal(4).toBigInteger)
+      val srv = BigInt(r.getDecimal(5).toBigInteger)
+      val si = srv - BigInt(r0 - 1) * sB
+      val gini: Option[Long] =
+        if (sB == 0) None
+        else Some((BigInt(10000) * (2 * si - (BigInt(n) + 1) * sB)
+          / (BigInt(n) * sB)).toLong)
+      (g, n, sB.toLong, gini)
+    }.sortBy(_._1).toSeq
+    out.toDF("group", "n", "sum_v", "gini_bp")
+  }
+
+  /**
    * Trimmed mean per group — the robust LOCATION estimate next to
    * [[robustOutlierReport]]'s flags: drop the lowest and highest
    * ⌊n·trim_bp/10⁴⌋ values per group and average the rest. The 5%

@@ -1843,6 +1843,37 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("giniReportBy: per-group values equal the global operator run " +
+      "per slice, all-zero group NULL, negative refused, invariance") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
+      ("b", 5L), ("b", 5L), ("b", 5L),
+      ("z", 0L), ("z", 0L))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Ranking.giniReportBy(d, col("g"), col("v"))
+        .orderBy("group").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    val got = run(rows.toDF("g", "v"))
+    // a: (1,2,3,4) -> 2500 (the giniReport hand case); b: even -> 0;
+    // z: all-zero -> NULL
+    assert(got === Seq(("a", 4L, 10L, 2500L), ("b", 3L, 15L, 0L),
+      ("z", 2L, 0L, -1L)))
+    // cross-check vs the global operator run on each slice
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val single = graft.operators.Ranking.giniReport(
+        rs.map(_._2).toDF("v"), col("v")).collect().head
+      val mine = got.find(_._1 == g).get
+      val sg = if (single.isNullAt(2)) -1L else single.getLong(2)
+      assert(mine._4 === sg, s"group $g")
+    }
+    assert(run(rows.toDF("g", "v").repartition(5)) === got)
+    intercept[IllegalArgumentException] {
+      run(Seq(("a", -1L)).toDF("g", "v"))
+    }
+  }
+
   test("trimmedMeanReport: hand trims, outlier resistance, trim 0 is the " +
       "plain mean, negative truncation parity, invariance, contracts") {
     val s = spark
