@@ -1150,6 +1150,33 @@ object Oracle {
              ELSE round(rawe, 4) END AS est_distinct
       FROM hest ORDER BY source""",
 
+    // BH-FDR: splitmix64 p-values with the planted signal, step-up
+    // condition p·m ≤ k·α·100 cross-multiplied in HUGEINT, tie-safe
+    // p ≤ p_(k*) selection.
+    "m160_fdr_select" -> s"""
+      WITH fz AS (SELECT doc_id,
+              (CAST(doc_id AS HUGEINT) + 97) % $M64 AS z0 FROM documents),
+      ${mix64Ctes("fh", "fz", "doc_id")},
+      fp AS (SELECT doc_id,
+              CAST(CASE WHEN doc_id % 10 = 0 THEN (h % 1000000) // 1000
+                ELSE h % 1000000 END AS BIGINT) AS p
+            FROM fh),
+      fr AS (SELECT doc_id, p,
+              row_number() OVER (ORDER BY p, doc_id) AS rk,
+              COUNT(*) OVER () AS m FROM fp),
+      fk AS (SELECT COALESCE(MAX(CASE WHEN CAST(p AS HUGEINT) * m
+                <= CAST(rk AS HUGEINT) * 50000 THEN rk END), 0) AS k
+            FROM fr),
+      ft AS (SELECT k,
+              (SELECT p FROM fr WHERE rk = (SELECT k FROM fk)) AS pthr
+            FROM fk)
+      SELECT doc_id, p AS p_micro,
+        CAST(CASE WHEN pthr IS NOT NULL AND p <= pthr THEN 1 ELSE 0 END
+          AS SMALLINT) AS selected,
+        CAST(k AS BIGINT) AS n_discoveries,
+        pthr AS p_threshold_micro
+      FROM fp, ft ORDER BY doc_id""",
+
     // Per-group Gini: per-group row_number ranks, HUGEINT moments,
     // the closed form with an all-zero NULL guard.
     "m159_gini_by_source" -> """

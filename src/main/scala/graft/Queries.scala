@@ -1942,6 +1942,26 @@ object Queries {
         threshold = 0.5)
       .orderBy("doc_id_a", "doc_id_b")
 
+  /** m160 — BH false-discovery-rate selection
+    * ([[operators.Ranking.fdrSelect]]): Benjamini–Hochberg at α = 5%
+    * over seeded-uniform per-doc p-values with a planted signal (every
+    * 10th doc's p is divided by 1000) — the multiple-testing gate a
+    * thousand-drift-test pipeline needs; the oracle replays the
+    * splitmix64 p-values, the step-up rank condition by HUGEINT
+    * cross-multiplication, and the tie-safe p ≤ p₍ₖ*₎ flag. */
+  def m160FdrSelect(s: SparkSession, dir: String): DataFrame = {
+    val pUdf = udf { (id: Long) =>
+      val h = java.lang.Long.remainderUnsigned(
+        graft.core.TextSig.mix64(id + 97L), 1000000L)
+      if (id % 10 == 0) h / 1000L else h
+    }
+    operators.Ranking.fdrSelect(
+        t(s, dir, "documents")
+          .select(col("doc_id"), pUdf(col("doc_id")).as("p_micro")),
+        col("p_micro"), alphaBp = 500)
+      .orderBy("doc_id")
+  }
+
   /** m159 — per-source length concentration
     * ([[operators.Ranking.giniReportBy]]): the Gini of document length
     * within each source — a balanced mixture can still hide sources

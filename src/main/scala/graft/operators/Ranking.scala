@@ -765,6 +765,59 @@ object Ranking {
   }
 
   /**
+   * Benjamini–Hochberg FDR selection — the multiple-testing gate for a
+   * pipeline that just ran thousands of drift/independence tests (one
+   * KS per source, one CUSUM per slice): selecting every p < α would
+   * drown in false alarms at that scale; BH keeps the expected FALSE
+   * DISCOVERY share ≤ α. k* = max{k : p₍ₖ₎ ≤ k·α/m}; everything with
+   * p ≤ p₍ₖ*₎ is selected (step-up — ties at the boundary provably
+   * satisfy the bound too, so the flag is a pure function of p and no
+   * tie order can change the set).
+   *
+   * Exactness & scale: p arrives in micro units; the k* condition
+   * compares cross-multiplied DECIMAL(19,0) integers (p·m vs
+   * k·α_bp·100 — no division); ranks off ONE [[globalRank]]
+   * range-partitioned sort; the selection flag applies as a narrow
+   * scalar against the driver-scalar threshold, preserving the input's
+   * columns. Zero discoveries → NULL threshold, all flags 0.
+   *
+   * @return the input columns + (selected SMALLINT, n_discoveries,
+   *         p_threshold_micro)
+   */
+  def fdrSelect(df: DataFrame, pMicroCol: Column,
+      alphaBp: Int): DataFrame = {
+    require(alphaBp >= 1 && alphaBp <= 9999,
+      s"fdrSelect: alphaBp=$alphaBp out of [1,9999]")
+    val base = df.withColumn("__p", pMicroCol.cast("long"))
+    val (ranked, m, release) = rankedPinned(
+      base.select(col("__p").as("p")).filter(col("p").isNotNull),
+      Seq(col("p").asc), rankCol = "rank")
+    val (kStar, pThr) = try {
+      require(m > 0, "fdrSelect: empty input")
+      val c = alphaBp.toLong * 100L
+      val kRow = ranked
+        .filter(expr(s"""CAST(p AS DECIMAL(19,0)) * $m
+                         <= CAST(rank AS DECIMAL(19,0)) * $c"""))
+        .agg(max(col("rank"))).head()
+      if (kRow.isNullAt(0)) (0L, None)
+      else {
+        val k = kRow.getLong(0)
+        (k, Some(ranked.filter(col("rank") === k)
+          .select("p").head().getLong(0)))
+      }
+    } finally release()
+    base
+      .withColumn("selected", pThr match {
+        case Some(t) => when(col("__p") <= t, 1).otherwise(0).cast("short")
+        case None => lit(0).cast("short")
+      })
+      .withColumn("n_discoveries", lit(kStar))
+      .withColumn("p_threshold_micro",
+        pThr.map(lit(_)).getOrElse(lit(null).cast("long")))
+      .drop("__p")
+  }
+
+  /**
    * Per-group Gini ([[giniReport]] by group) — which SOURCE is
    * internally concentrated: a mixture can look balanced while one
    * source's token mass sits in three giant documents. Same closed

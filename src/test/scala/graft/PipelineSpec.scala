@@ -1843,6 +1843,41 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("fdrSelect: the textbook BH hand case, zero discoveries, boundary " +
+      "ties all selected, invariance, contract") {
+    val s = spark
+    import s.implicits._
+    def run(ps: Seq[Long], bp: Int, parts: Int = 1) = {
+      val d0 = ps.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+        .toDF("id", "p_micro")
+      graft.operators.Ranking.fdrSelect(
+          if (parts > 1) d0.repartition(parts) else d0,
+          col("p_micro"), alphaBp = bp)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getShort(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4))).toSeq
+    }
+    // p = .01 .02 .03 .04 .90 at alpha 5%: k* = 4 (p_(k) <= k*.01),
+    // the .9 row is left behind
+    val got = run(Seq(10000L, 20000L, 30000L, 40000L, 900000L), 500)
+    assert(got.map(_._2) === Seq[Short](1, 1, 1, 1, 0))
+    assert(got.head._3 === 4L && got.head._4 === 40000L)
+    // nothing clears the line -> zero discoveries, NULL threshold
+    val none = run(Seq(800000L, 900000L), 500)
+    assert(none.map(_._2) === Seq[Short](0, 0))
+    assert(none.head._3 === 0L && none.head._4 === -1L)
+    // boundary tie: both p = .025 at alpha 5%, m = 2 — rank 1 sits
+    // exactly ON the line and the tie at p_(k*) keeps both
+    val tie = run(Seq(25000L, 25000L), 500)
+    assert(tie.map(_._2) === Seq[Short](1, 1) && tie.head._3 === 2L)
+    // invariance
+    assert(run(Seq(10000L, 20000L, 30000L, 40000L, 900000L), 500,
+      parts = 5) === got)
+    intercept[IllegalArgumentException] {
+      run(Seq(10000L), 0)
+    }
+  }
+
   test("giniReportBy: per-group values equal the global operator run " +
       "per slice, all-zero group NULL, negative refused, invariance") {
     val s = spark
