@@ -1150,6 +1150,24 @@ object Oracle {
              ELSE round(rawe, 4) END AS est_distinct
       FROM hest ORDER BY source""",
 
+    // Winsorize: per-group cut values at local ranks k+1 and n-k,
+    // row-level clamp.
+    "m161_winsorize" -> """
+      WITH wzb AS (SELECT event_id, event_type,
+              CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events),
+      wzr AS (SELECT event_type, v,
+              row_number() OVER (PARTITION BY event_type ORDER BY v)
+                AS rk,
+              COUNT(*) OVER (PARTITION BY event_type) AS n FROM wzb),
+      wzk AS (SELECT event_type,
+              MIN(CASE WHEN rk = (n * 500) // 10000 + 1 THEN v END) AS lo,
+              MIN(CASE WHEN rk = n - (n * 500) // 10000 THEN v END) AS hi
+            FROM wzr GROUP BY event_type)
+      SELECT b.event_id, b.event_type, b.v,
+        least(greatest(b.v, k.lo), k.hi) AS winsorized
+      FROM wzb b JOIN wzk k USING (event_type)
+      ORDER BY event_id""",
+
     // BH-FDR: splitmix64 p-values with the planted signal, step-up
     // condition p·m ≤ k·α·100 cross-multiplied in HUGEINT, tie-safe
     // p ≤ p_(k*) selection.

@@ -1942,6 +1942,19 @@ object Queries {
         threshold = 0.5)
       .orderBy("doc_id_a", "doc_id_b")
 
+  /** m161 — winsorized values
+    * ([[operators.Ranking.winsorize]]): every event's centi value
+    * clamped to its event_type's 5% cut values — the row-preserving
+    * robust transform next to m158's trimmed mean; the oracle derives
+    * the per-group cut ranks and replays the clamp row by row. */
+  def m161Winsorize(s: SparkSession, dir: String): DataFrame =
+    operators.Ranking.winsorize(
+        t(s, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            floor(col("value") * 100 + 0.5).cast("long").as("v")),
+        col("event_type"), col("v"), trimBp = 500)
+      .orderBy("event_id")
+
   /** m160 — BH false-discovery-rate selection
     * ([[operators.Ranking.fdrSelect]]): Benjamini–Hochberg at α = 5%
     * over seeded-uniform per-doc p-values with a planted signal (every

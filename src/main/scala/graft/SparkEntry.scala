@@ -253,6 +253,7 @@ object SparkEntry {
     "m158_trimmed_mean" -> Queries.m158TrimmedMean,
     "m159_gini_by_source" -> Queries.m159GiniBySource,
     "m160_fdr_select" -> Queries.m160FdrSelect,
+    "m161_winsorize" -> Queries.m161Winsorize,
     "q52_gap_fill" -> Queries.q52GapFill,
     "q53_rollup" -> Queries.q53Rollup,
     "q54_pivot" -> Queries.q54Pivot,

@@ -765,6 +765,67 @@ object Ranking {
   }
 
   /**
+   * Winsorize per group — the TRANSFORM companion of
+   * [[trimmedMeanReport]]: instead of dropping the tails it CLAMPS
+   * them to the per-group cut values v₍ₖ₊₁₎ and v₍ₙ₋ₖ₎
+   * (k = ⌊n·trim_bp/10⁴⌋), the standard robust preprocessing before
+   * any moment-based stage (a variance, a regression, a z-score) that
+   * must survive a fat tail without discarding rows.
+   *
+   * Same machinery and contracts as the trimmed mean: one
+   * (group, value) range-partitioned sort, cut RANKS from the ranked
+   * frame's own min-rank/count (ceiling-enforced driver state), cut
+   * VALUES read back by a broadcast rank join (2 rows per group —
+   * tie-invariant, the value at a rank among equal values is that
+   * value), then one broadcast join clamps every input row in place.
+   * NULL values pass through NULL. trim_bp = 0 is the identity.
+   *
+   * @return the input columns + `winsorized` (long)
+   */
+  def winsorize(df: DataFrame, groupCol: Column, valueCol: Column,
+      trimBp: Int = 500, maxGroups: Int = 100000): DataFrame = {
+    require(trimBp >= 0 && trimBp <= 4999,
+      s"winsorize: trimBp=$trimBp out of [0,4999]")
+    val s = df.sparkSession
+    import s.implicits._
+    val base = df.withColumn("__g", groupCol.cast("string"))
+      .withColumn("__v", valueCol.cast("long"))
+    val (ranked, total, release) = rankedPinned(
+      base.select(col("__g").as("g"), col("__v").as("v"))
+        .filter(col("v").isNotNull),
+      Seq(col("g").asc, col("v").asc), rankCol = "rank")
+    val cuts = try {
+      require(total > 0, "winsorize: empty input")
+      val gr = ranked.groupBy("g")
+        .agg(min(col("rank")).as("r0"), count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      require(gr.length <= maxGroups,
+        s"winsorize: ${gr.length} groups exceeds ceiling $maxGroups")
+      val cutRanks = gr.flatMap { case (g, r0, n) =>
+        val k = n * trimBp / 10000
+        Seq((r0 + k, g, "lo"), (r0 + n - k - 1, g, "hi"))
+      }.toSeq.toDF("rank", "gc", "which")
+      ranked.join(broadcast(cutRanks), "rank")
+        .select("gc", "which", "v")
+        .collect()
+        .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+        .toMap
+    } finally release()
+    val groups = cuts.keys.map(_._1).toSeq.distinct
+    val cutsDf = broadcast(groups.map(g =>
+        (g, cuts((g, "lo")), cuts((g, "hi"))))
+      .toDF("__g", "__lo", "__hi"))
+    base.join(cutsDf, Seq("__g"), "left")
+      // explicit null guard: Spark's greatest/least IGNORE nulls (they
+      // return the extreme of the non-null operands), so a bare clamp
+      // would rewrite NULL to the lo cut
+      .withColumn("winsorized", when(col("__v").isNull,
+          lit(null).cast("long"))
+        .otherwise(least(greatest(col("__v"), col("__lo")), col("__hi"))))
+      .drop("__g", "__v", "__lo", "__hi")
+  }
+
+  /**
    * Benjamini–Hochberg FDR selection — the multiple-testing gate for a
    * pipeline that just ran thousands of drift/independence tests (one
    * KS per source, one CUSUM per slice): selecting every p < α would

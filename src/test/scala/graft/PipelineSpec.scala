@@ -1843,6 +1843,34 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("winsorize: clamps exactly at the cut values, trim 0 identity, " +
+      "null passthrough, per-group independence, invariance, contract") {
+    val s = spark
+    import s.implicits._
+    val rows: Seq[(Long, String, java.lang.Long)] =
+      (1L to 10L).map(v => (v, "a", java.lang.Long.valueOf(v))) ++
+        Seq((11L, "b", java.lang.Long.valueOf(100L)),
+          (12L, "b", java.lang.Long.valueOf(200L)),
+          (13L, "a", null: java.lang.Long))
+    val df = rows.toDF("id", "g", "v")
+    def run(d: org.apache.spark.sql.DataFrame, bp: Int) =
+      graft.operators.Ranking.winsorize(d, col("g"), col("v"), trimBp = bp)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    // a: k=1 -> clamp to [2, 9]; b: k=0 -> untouched; null stays null
+    val got = run(df, 1000)
+    assert(got === Seq((1L, 2L), (2L, 2L), (3L, 3L), (4L, 4L), (5L, 5L),
+      (6L, 6L), (7L, 7L), (8L, 8L), (9L, 9L), (10L, 9L),
+      (11L, 100L), (12L, 200L), (13L, -1L)))
+    // trim 0 is the identity on non-null rows
+    assert(run(df, 0).filter(_._1 <= 12L).map(_._2) ===
+      rows.filter(_._1 <= 12L).map(_._3.longValue))
+    // invariance
+    assert(run(df.repartition(7), 1000) === got)
+    intercept[IllegalArgumentException] { run(df, 5000) }
+  }
+
   test("fdrSelect: the textbook BH hand case, zero discoveries, boundary " +
       "ties all selected, invariance, contract") {
     val s = spark
