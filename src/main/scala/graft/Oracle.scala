@@ -1150,6 +1150,41 @@ object Oracle {
              ELSE round(rawe, 4) END AS est_distinct
       FROM hest ORDER BY source""",
 
+    // Per-source KS scan: per-source cumulative counts over the FULL
+    // value grid, one-vs-rest gaps cross-multiplied in HUGEINT, sup per
+    // source with the smallest-value tie.
+    "m162_ks_by_source" -> """
+      WITH ksb AS (SELECT source AS g, CAST(length(text) AS BIGINT) AS v
+            FROM documents),
+      ksm AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM ksb
+            GROUP BY g, v),
+      ksx AS (SELECT kg.g, kd.v
+            FROM (SELECT DISTINCT g FROM ksb) kg
+              CROSS JOIN (SELECT DISTINCT v FROM ksb) kd),
+      kscum AS (SELECT ksx.g, ksx.v,
+              SUM(COALESCE(ksm.c, 0)) OVER
+                (PARTITION BY ksx.g ORDER BY ksx.v) AS cum
+            FROM ksx LEFT JOIN ksm
+              ON ksm.g = ksx.g AND ksm.v = ksx.v),
+      ksgc AS (SELECT v, SUM(cum) AS gcum FROM kscum GROUP BY v),
+      kst AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM ksb
+            GROUP BY g),
+      ksn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM ksb),
+      ksgap AS (SELECT c.g, c.v,
+              abs(CAST(c.cum AS HUGEINT) * (ksn.nt - t.n)
+                - (CAST(ksgc.gcum AS HUGEINT) - c.cum) * t.n) AS d
+            FROM kscum c
+              JOIN ksgc USING (v) JOIN kst t USING (g), ksn),
+      ksrk AS (SELECT g, v, d,
+              row_number() OVER (PARTITION BY g ORDER BY d DESC, v ASC)
+                AS rk FROM ksgap)
+      SELECT k.g AS source, t.n,
+        CAST((1000000 * k.d) // (CAST(t.n AS HUGEINT) * (ksn.nt - t.n))
+          AS BIGINT) AS ks_micro,
+        k.v AS at_value
+      FROM ksrk k JOIN kst t USING (g), ksn
+      WHERE k.rk = 1 ORDER BY source""",
+
     // Winsorize: per-group cut values at local ranks k+1 and n-k,
     // row-level clamp.
     "m161_winsorize" -> """

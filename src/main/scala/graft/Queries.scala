@@ -1942,6 +1942,17 @@ object Queries {
         threshold = 0.5)
       .orderBy("doc_id_a", "doc_id_b")
 
+  /** m162 — per-source KS drift scan
+    * ([[operators.Ranking.ksBySource]]): each source's length
+    * distribution vs the rest of the corpus, all 20 one-vs-rest KS
+    * statistics from ONE sorted pass — the oracle replays every
+    * source's ECDF gap over the full value grid and the per-source
+    * sup with the smallest-value tie. */
+  def m162KsBySource(s: SparkSession, dir: String): DataFrame =
+    operators.Ranking.ksBySource(t(s, dir, "documents"),
+        col("source"), length(col("text")))
+      .orderBy("source")
+
   /** m161 — winsorized values
     * ([[operators.Ranking.winsorize]]): every event's centi value
     * clamped to its event_type's 5% cut values — the row-preserving

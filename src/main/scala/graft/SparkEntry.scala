@@ -254,6 +254,7 @@ object SparkEntry {
     "m159_gini_by_source" -> Queries.m159GiniBySource,
     "m160_fdr_select" -> Queries.m160FdrSelect,
     "m161_winsorize" -> Queries.m161Winsorize,
+    "m162_ks_by_source" -> Queries.m162KsBySource,
     "q52_gap_fill" -> Queries.q52GapFill,
     "q53_rollup" -> Queries.q53Rollup,
     "q54_pivot" -> Queries.q54Pivot,

@@ -765,6 +765,78 @@ object Ranking {
   }
 
   /**
+   * Per-source KS drift scan — [[ksTestReport]] for EVERY source vs the
+   * rest of the corpus in ONE pass: which source's value distribution
+   * deviates most from everyone else's (the candidates feed the m160
+   * FDR gate when there are thousands). Running one two-sample test per
+   * source would sort the corpus |sources| times and the sorts could
+   * legally disagree; here the per-source cumulative counts ride a
+   * single [[globalRunningAggs]] range-partitioned pass (one value
+   * column per source — the ceiling bounds the width), and each
+   * source's sup |cumₛ·(N−nₛ) − (cum_rest)·nₛ| reads off ONE aggregate
+   * of per-source (gap, −value) struct maxima, so the whole scan is one
+   * sort + one agg regardless of source count.
+   *
+   * Exactness: the m155 contract — cross-multiplied integer ECDF gaps
+   * (DECIMAL(19,0) products), sup ties to the smallest value, one micro
+   * floor division per source on the driver.
+   *
+   * @return per source: (source, n, ks_micro, at_value)
+   */
+  def ksBySource(df: DataFrame, sourceCol: Column, valueCol: Column,
+      maxSources: Int = 32): DataFrame = {
+    val d19 = DecimalType(19, 0)
+    val d38 = DecimalType(38, 0)
+    val s = df.sparkSession
+    import s.implicits._
+    val base = df
+      .select(sourceCol.cast("string").as("g"), valueCol.cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .transform(graft.core.Blocks.pin) // counts pass + the sort pass
+    try {
+      val nBySrc = base.groupBy("g").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      require(nBySrc.length >= 2,
+        "ksBySource: needs >= 2 sources — one-vs-rest is empty otherwise")
+      require(nBySrc.length <= maxSources,
+        s"ksBySource: ${nBySrc.length} sources exceeds ceiling " +
+          s"$maxSources (one cumulative column per source)")
+      val srcs = nBySrc.map(_._1)
+      val nTot = nBySrc.map(_._2).sum
+      val cCols = srcs.zipWithIndex.map { case (g, i) =>
+        sum(when(col("g") === g, 1L).otherwise(0L)).as(s"c$i")
+      }
+      val byV = base.groupBy("v").agg(cCols.head, cCols.tail: _*)
+      val running = globalRunningAggs(byV, Seq(col("v").asc),
+        srcs.indices.map(i => col(s"c$i")), "__rk",
+        srcs.indices.map(i => s"cum$i"))
+      try {
+        // one aggregate: per source, max of (gap, −v) structs — the
+        // struct order gives the sup with ties to the SMALLEST value
+        val withG = running.withColumn("__gc",
+          srcs.indices.map(i => col(s"cum$i")).reduce(_ + _))
+        val aggs = nBySrc.zipWithIndex.map { case ((g, nS), i) =>
+          val gap = abs(
+            (col(s"cum$i").cast(d19) * lit(nTot - nS).cast(d19)).cast(d38)
+              - ((col("__gc") - col(s"cum$i")).cast(d19)
+                * lit(nS).cast(d19)).cast(d38))
+          max(struct(gap.as("d"), (-col("v")).as("nv"))).as(s"m$i")
+        }
+        val row = withG.agg(aggs.head, aggs.tail: _*).head()
+        val out = nBySrc.zipWithIndex.map { case ((g, nS), i) =>
+          val m = row.getStruct(i)
+          val d = BigInt(m.getDecimal(0).toBigInteger)
+          val atV = -m.getLong(1)
+          val ks = (BigInt(1000000) * d
+            / (BigInt(nS) * (nTot - nS))).toLong
+          (g, nS, ks, atV)
+        }.toSeq
+        out.toDF("source", "n", "ks_micro", "at_value")
+      } finally graft.core.Blocks.release(running)
+    } finally graft.core.Blocks.release(base)
+  }
+
+  /**
    * Winsorize per group — the TRANSFORM companion of
    * [[trimmedMeanReport]]: instead of dropping the tails it CLAMPS
    * them to the per-group cut values v₍ₖ₊₁₎ and v₍ₙ₋ₖ₎

@@ -1843,6 +1843,47 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ksBySource: every row equals the one-vs-rest ksTestReport, " +
+      "invariance, source-count contracts") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(21)
+    val rows = Seq("a", "b", "c").flatMap { g =>
+      // give c a shifted distribution so the scan has signal
+      val off = if (g == "c") 5 else 0
+      Seq.fill(8 + rnd.nextInt(10))((g, (rnd.nextInt(6) + off).toLong))
+    }
+    val df = rows.toDF("g", "v")
+    val got = graft.operators.Ranking.ksBySource(df, col("g"), col("v"))
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // cross-check every source against the two-sample operator
+    Seq("a", "b", "c").foreach { g =>
+      val one = graft.operators.Ranking.ksTestReport(df,
+        col("g") === g, col("v")).collect().head
+      val mine = got.find(_._1 == g).get
+      assert((mine._2, mine._3, mine._4) ===
+        ((one.getLong(0), one.getLong(2), one.getLong(3))), s"source $g")
+    }
+    // the shifted source is the loudest
+    assert(got.maxBy(_._3)._1 === "c")
+    val re = graft.operators.Ranking.ksBySource(df.repartition(7),
+        col("g"), col("v"))
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(re === got)
+    intercept[IllegalArgumentException] {
+      graft.operators.Ranking.ksBySource(
+        Seq(("a", 1L)).toDF("g", "v"), col("g"), col("v"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Ranking.ksBySource(df, col("g"), col("v"),
+        maxSources = 2)
+    }
+  }
+
   test("winsorize: clamps exactly at the cut values, trim 0 identity, " +
       "null passthrough, per-group independence, invariance, contract") {
     val s = spark
