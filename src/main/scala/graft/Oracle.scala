@@ -1150,6 +1150,65 @@ object Oracle {
              ELSE round(rawe, 4) END AS est_distinct
       FROM hest ORDER BY source""",
 
+    // Risk–coverage: distinct-score blocks descending, both cumulatives
+    // by window, bp by floor division.
+    "m163_risk_coverage" -> s"""
+      WITH $TextStatsCtes,
+      rcb AS (SELECT CASE WHEN length(text) < 200 THEN 1 ELSE 0 END AS e,
+              $QualityExpr AS s
+            FROM ratios),
+      rcs AS (SELECT s, CAST(SUM(e) AS BIGINT) AS err,
+              CAST(COUNT(*) AS BIGINT) AS c FROM rcb GROUP BY s),
+      rcr AS (SELECT s, SUM(c) OVER w AS kept, SUM(err) OVER w AS kerr
+            FROM rcs WINDOW w AS (ORDER BY s DESC
+              ROWS UNBOUNDED PRECEDING)),
+      rct AS (SELECT SUM(c) AS n FROM rcs)
+      SELECT s AS score, CAST(kept AS BIGINT) AS n_kept,
+        CAST(kerr AS BIGINT) AS n_errors,
+        CAST((10000 * CAST(kept AS HUGEINT)) // n AS BIGINT)
+          AS coverage_bp,
+        CAST((10000 * CAST(kerr AS HUGEINT)) // kept AS BIGINT)
+          AS risk_bp
+      FROM rcr, rct ORDER BY score DESC""",
+
+    // Decile gains: exact ntile(10) bounds, tied blocks split by
+    // cumulative floors over the overlap join, cum/lift per decile.
+    "m164_decile_gains" -> s"""
+      WITH $TextStatsCtes,
+      dgb AS (SELECT CASE WHEN length(text) >= 200 THEN 1 ELSE 0 END
+                AS y, $QualityExpr AS s
+            FROM ratios),
+      dgs AS (SELECT s, CAST(SUM(y) AS BIGINT) AS p,
+              CAST(COUNT(*) AS BIGINT) AS c FROM dgb GROUP BY s),
+      dgr AS (SELECT s, p, c, SUM(c) OVER w AS cumn FROM dgs
+            WINDOW w AS (ORDER BY s DESC ROWS UNBOUNDED PRECEDING)),
+      dgt AS (SELECT SUM(c) AS n, SUM(p) AS np FROM dgs),
+      dgd AS (SELECT t.d, (t.d - 1) * (n // 10) + least(t.d - 1, n % 10)
+                AS dlo,
+              t.d * (n // 10) + least(t.d, n % 10) AS dhi, n, np
+            FROM (SELECT unnest(range(1, 11)) AS d) t, dgt),
+      dgo AS (SELECT dgd.d, dgd.n, dgd.np, dgr.p AS bp, dgr.c AS bn,
+              greatest(dgd.dlo, dgr.cumn - dgr.c) - (dgr.cumn - dgr.c)
+                AS j0,
+              least(dgd.dhi, dgr.cumn) - (dgr.cumn - dgr.c) AS j1
+            FROM dgr JOIN dgd
+              ON dgr.cumn - dgr.c < dgd.dhi AND dgr.cumn > dgd.dlo),
+      dga AS (SELECT d, n, np, SUM(j1 - j0) AS dn,
+              SUM((CAST(bp AS HUGEINT) * j1) // bn
+                - (CAST(bp AS HUGEINT) * j0) // bn) AS dp
+            FROM dgo GROUP BY d, n, np),
+      dgc AS (SELECT d, n, np, dn, dp,
+              SUM(dp) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cp
+            FROM dga)
+      SELECT CAST(d AS INT) AS decile, CAST(dn AS BIGINT) AS n,
+        CAST(dp AS BIGINT) AS n_pos, CAST(cp AS BIGINT) AS cum_pos,
+        CAST((10000 * CAST(cp AS HUGEINT)) // np AS BIGINT)
+          AS cum_gain_bp,
+        CASE WHEN dn = 0 THEN 0
+          ELSE CAST((10000 * CAST(dp AS HUGEINT) * n) // (dn * np)
+               AS BIGINT) END AS lift_bp
+      FROM dgc ORDER BY decile""",
+
     // Per-source KS scan: per-source cumulative counts over the FULL
     // value grid, one-vs-rest gaps cross-multiplied in HUGEINT, sup per
     // source with the smallest-value tie.

@@ -1942,6 +1942,31 @@ object Queries {
         threshold = 0.5)
       .orderBy("doc_id_a", "doc_id_b")
 
+  /** m163 — risk–coverage curve
+    * ([[operators.Ranking.riskCoverageCurve]]): per quality-score
+    * threshold (read top-down), the share of the corpus kept and the
+    * short-doc error rate among the kept — the abstention tradeoff a
+    * score-gated filter deploys on; both cumulatives from one
+    * descending pass, bp by integer division. */
+  def m163RiskCoverage(s: SparkSession, dir: String): DataFrame =
+    operators.Ranking.riskCoverageCurve(t(s, dir, "documents"),
+        length(col("text")) < 200,
+        operators.TextAnalysis.qualityScore(col("text")))
+      .orderBy(col("score").desc)
+
+  /** m164 — decile gains table
+    * ([[operators.Ranking.decileGains]]): the ranking's
+    * positives-captured-per-decile readout with cumulative gain and
+    * lift — tied blocks split across decile boundaries by exact
+    * cumulative floors, so the table is tie-order-invariant; the
+    * oracle replays the ntile bounds, the overlap join and the floor
+    * split. */
+  def m164DecileGains(s: SparkSession, dir: String): DataFrame =
+    operators.Ranking.decileGains(t(s, dir, "documents"),
+        length(col("text")) >= 200,
+        operators.TextAnalysis.qualityScore(col("text")))
+      .orderBy("decile")
+
   /** m162 — per-source KS drift scan
     * ([[operators.Ranking.ksBySource]]): each source's length
     * distribution vs the rest of the corpus, all 20 one-vs-rest KS

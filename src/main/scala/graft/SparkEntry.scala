@@ -255,6 +255,8 @@ object SparkEntry {
     "m160_fdr_select" -> Queries.m160FdrSelect,
     "m161_winsorize" -> Queries.m161Winsorize,
     "m162_ks_by_source" -> Queries.m162KsBySource,
+    "m163_risk_coverage" -> Queries.m163RiskCoverage,
+    "m164_decile_gains" -> Queries.m164DecileGains,
     "q52_gap_fill" -> Queries.q52GapFill,
     "q53_rollup" -> Queries.q53Rollup,
     "q54_pivot" -> Queries.q54Pivot,

@@ -765,6 +765,128 @@ object Ranking {
   }
 
   /**
+   * Risk–coverage curve (selective prediction; El-Yaniv & Wiener 2010)
+   * — the abstention tradeoff a score-gated filter actually operates
+   * on: if everything below score t is dropped, what share of the
+   * corpus survives (coverage) and what error rate do the survivors
+   * carry (risk)? One row per distinct score, read top-down: the point
+   * where risk crosses the budget IS the deployment threshold. The AUC
+   * says how well the score ranks; this says what a concrete cutoff
+   * costs.
+   *
+   * Exactness & scale: the [[averagePrecisionReport]] shape — one
+   * group-by collapses the corpus to distinct-score blocks, BOTH
+   * running sums (kept rows, kept errors) ride one
+   * [[globalRunningAggs]] pass descending; coverage/risk snap to bp by
+   * integer division (the dag's only rounding).
+   *
+   * @param errorCol true on rows the filter would REGRET keeping
+   * @return per distinct score descending: (score, n_kept, n_errors,
+   *         coverage_bp, risk_bp)
+   */
+  def riskCoverageCurve(df: DataFrame, errorCol: Column,
+      scoreCol: Column): DataFrame = {
+    val byScore = df
+      .select(errorCol.cast("int").as("__e"), scoreCol.as("__s"))
+      .groupBy(col("__s"))
+      .agg(sum(col("__e")).cast("long").as("__err"),
+        count(lit(1)).cast("long").as("__n"))
+    val running = globalRunningAggs(byScore, Seq(col("__s").desc),
+      Seq(col("__n"), col("__err")), "__rk", Seq("__kept", "__kerr"))
+    try {
+      val tot = running.agg(sum(col("__n"))).head()
+      require(!tot.isNullAt(0) && tot.getLong(0) > 0,
+        "riskCoverageCurve: empty input")
+      val n = tot.getLong(0)
+      running
+        .select(col("__s").as("score"), col("__kept").as("n_kept"),
+          col("__kerr").as("n_errors"),
+          expr(s"""CAST((10000 * CAST(__kept AS DECIMAL(38,0)))
+                   div $n AS BIGINT)""").as("coverage_bp"),
+          expr("""CAST((10000 * CAST(__kerr AS DECIMAL(38,0)))
+                  div __kept AS BIGINT)""").as("risk_bp"))
+        .transform(graft.core.Blocks.pin)
+    } finally graft.core.Blocks.release(running)
+  }
+
+  /**
+   * Decile gains table — the campaign-style readout of a ranking: rank
+   * by score descending, cut into 10 near-equal buckets (the SQL ntile
+   * fill rule: the first n mod 10 deciles carry one extra row), and per
+   * decile report the positives captured plus the cumulative gain and
+   * lift. "The top decile holds 4.1× its share of positives" is the
+   * sentence a filter ships with.
+   *
+   * Exactness & scale: one [[globalRunningAggs]] pass descending over
+   * distinct-score blocks assigns global ranks WITHOUT a single-task
+   * window; the decile of a ROW derives from its rank by the exact
+   * ntile arithmetic, block counts aggregate per decile, and
+   * gain/lift snap to bp by integer division. Ties: rows sharing a
+   * score can straddle a decile boundary — the block's rows are
+   * assigned by rank arithmetic (counts split exactly), so the output
+   * is tie-order-invariant because every split is COUNT-determined,
+   * never row-identity-determined.
+   *
+   * @return per decile 1..10: (decile, n, n_pos, cum_pos,
+   *         cum_gain_bp, lift_bp)
+   */
+  def decileGains(df: DataFrame, labelCol: Column,
+      scoreCol: Column): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val byScore = df
+      .select(labelCol.cast("int").as("__y"), scoreCol.as("__s"))
+      .groupBy(col("__s"))
+      .agg(sum(col("__y")).cast("long").as("__p"),
+        count(lit(1)).cast("long").as("__n"))
+    val running = globalRunningAggs(byScore, Seq(col("__s").desc),
+      Seq(col("__n"), col("__p")), "__rk", Seq("__cumN", "__cumP"))
+    val (n, nPos, perD) = try {
+      val tr = running.agg(sum(col("__n")), sum(col("__p"))).head()
+      require(!tr.isNullAt(0) && tr.getLong(0) > 0,
+        "decileGains: empty input")
+      val nT = tr.getLong(0)
+      // exact ntile(10) bounds: decile d covers ranks (lo, hi] with the
+      // first n mod 10 deciles one row larger (the SQL fill rule)
+      val base = nT / 10; val extra = nT % 10
+      val bounds = (1 to 10).map { d =>
+        (d, (d - 1) * base + math.min((d - 1).toLong, extra),
+          d * base + math.min(d.toLong, extra))
+      }.toDF("decile", "dlo", "dhi")
+      // a tied block straddling a boundary splits COUNT-determined:
+      // rows fill deciles in rank order, its positives spread by exact
+      // cumulative floors ⌊bp·j/bn⌋ (integral, sums to bp, and
+      // tie-order-invariant — no row identity ever decides)
+      val split = running
+        .select((col("__cumN") - col("__n")).as("blo"), col("__cumN"),
+          col("__n").as("bn"), col("__p").as("bp"))
+        .join(broadcast(bounds),
+          col("blo") < col("dhi") && col("__cumN") > col("dlo"))
+        .withColumn("j0", greatest(col("dlo"), col("blo")) - col("blo"))
+        .withColumn("j1", least(col("dhi"), col("__cumN")) - col("blo"))
+        .withColumn("take", col("j1") - col("j0"))
+        .withColumn("takeP", expr(
+          """CAST((CAST(bp AS DECIMAL(19,0)) * j1) div bn AS BIGINT)
+             - CAST((CAST(bp AS DECIMAL(19,0)) * j0) div bn AS BIGINT)"""))
+        .groupBy("decile")
+        .agg(sum(col("take")).as("n"), sum(col("takeP")).as("p"))
+        .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      (nT, tr.getLong(1), split)
+    } finally graft.core.Blocks.release(running)
+    require(nPos > 0, "decileGains: no positives to gain")
+    var cp = 0L
+    val out = (1 to 10).map { d =>
+      val (dn, dp) = perD.getOrElse(d, (0L, 0L))
+      cp += dp
+      (d, dn, dp, cp, (BigInt(10000) * cp / nPos).toLong,
+        if (dn == 0) 0L
+        else (BigInt(10000) * dp * n / (BigInt(dn) * nPos)).toLong)
+    }
+    out.toDF("decile", "n", "n_pos", "cum_pos", "cum_gain_bp", "lift_bp")
+  }
+
+  /**
    * Per-source KS drift scan — [[ksTestReport]] for EVERY source vs the
    * rest of the corpus in ONE pass: which source's value distribution
    * deviates most from everyone else's (the candidates feed the m160

@@ -1843,6 +1843,73 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("riskCoverageCurve: hand cumulative risk per threshold, ties " +
+      "blocked, invariance, empty contract") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq((0, 0.9), (1, 0.8), (0, 0.8), (1, 0.5))
+    val got = graft.operators.Ranking.riskCoverageCurve(
+        rows.toDF("e", "score"), col("e") === 1, col("score"))
+      .orderBy(col("score").desc)
+      .as[(Double, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (0.9, 1L, 0L, 2500L, 0L),
+      (0.8, 3L, 1L, 7500L, 3333L),
+      (0.5, 4L, 2L, 10000L, 5000L)))
+    val re = graft.operators.Ranking.riskCoverageCurve(
+        rows.toDF("e", "score").repartition(5), col("e") === 1,
+        col("score"))
+      .orderBy(col("score").desc)
+      .as[(Double, Long, Long, Long, Long)].collect().toSeq
+    assert(re === got)
+    intercept[IllegalArgumentException] {
+      graft.operators.Ranking.riskCoverageCurve(
+        Seq.empty[(Int, Double)].toDF("e", "score"), col("e") === 1,
+        col("score"))
+    }
+  }
+
+  test("decileGains: distinct-score hand case, one giant tied block " +
+      "splits by cumulative floors, n<10 zero deciles, invariance, " +
+      "contracts") {
+    val s = spark
+    import s.implicits._
+    def run(rows: Seq[(Int, Double)], parts: Int = 1) = {
+      val d0 = rows.toDF("y", "score")
+      graft.operators.Ranking.decileGains(
+          if (parts > 1) d0.repartition(parts) else d0,
+          col("y") === 1, col("score"))
+        .orderBy("decile")
+        .as[(Int, Long, Long, Long, Long, Long)].collect().toSeq
+    }
+    // 20 distinct scores descending, positives in the top 4: deciles
+    // of 2 rows; d1/d2 capture 2 positives each at lift 5x
+    val crisp = (1 to 20).map(i => (if (i <= 4) 1 else 0, 21.0 - i))
+    val got = run(crisp)
+    assert(got.map(_._2) === Seq.fill(10)(2L))
+    assert(got.map(_._3).take(3) === Seq(2L, 2L, 0L))
+    assert(got(0)._5 === 5000L && got(1)._5 === 10000L)
+    assert(got(0)._6 === 50000L && got(9)._6 === 0L)
+    // ONE tied block of 20 rows with 4 positives: the cumulative-floor
+    // split places a positive exactly where |_4*j/20_| steps: deciles
+    // 3, 5, 8, 10
+    val tied = (1 to 20).map(i => (if (i <= 4) 1 else 0, 0.5))
+    val tg = run(tied)
+    assert(tg.map(_._2) === Seq.fill(10)(2L))
+    assert(tg.map(_._3) === Seq(0L, 0L, 1L, 0L, 1L, 0L, 0L, 1L, 0L, 1L))
+    assert(tg.last._4 === 4L && tg.last._5 === 10000L)
+    // n < 10: deciles 6..10 hold zero rows but are present
+    val tiny = (1 to 5).map(i => (1, 6.0 - i))
+    val ty = run(tiny)
+    assert(ty.length === 10 && ty.map(_._2).sum === 5L &&
+      ty.drop(5).forall(_._2 === 0L))
+    // invariance
+    assert(run(crisp, parts = 7) === got)
+    intercept[IllegalArgumentException] {
+      run((1 to 5).map(i => (0, i.toDouble))) // no positives
+    }
+  }
+
   test("ksBySource: every row equals the one-vs-rest ksTestReport, " +
       "invariance, source-count contracts") {
     val s = spark
