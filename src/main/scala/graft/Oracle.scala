@@ -1150,6 +1150,26 @@ object Oracle {
              ELSE round(rawe, 4) END AS est_distinct
       FROM hest ORDER BY source""",
 
+    // Per-source conformal: the m148 rank arithmetic per group over
+    // per-group row_number ranks; NULL where k > n.
+    "m165_conformal_by_source" -> s"""
+      WITH $TextStatsCtes,
+      cgb AS (SELECT d.source AS g,
+              CAST(CAST(r.mtl AS DECIMAL(10,6)) * 1000000 AS BIGINT)
+                AS si
+            FROM ratios r JOIN documents d USING (doc_id)),
+      cgr AS (SELECT g, si,
+              row_number() OVER (PARTITION BY g ORDER BY si) AS rk,
+              COUNT(*) OVER (PARTITION BY g) AS n FROM cgb),
+      cgk AS (SELECT g, MAX(n) AS n,
+              ((MAX(n) + 1) * (10000 - 1000) + 9999) // 10000 AS k
+            FROM cgr GROUP BY g)
+      SELECT k.g AS "group", CAST(k.n AS BIGINT) AS n,
+        CAST(k.k AS BIGINT) AS rank,
+        (SELECT si FROM cgr r WHERE r.g = k.g AND r.rk = k.k)
+          AS threshold_micro
+      FROM cgk k ORDER BY "group"""",
+
     // Risk–coverage: distinct-score blocks descending, both cumulatives
     // by window, bp by floor division.
     "m163_risk_coverage" -> s"""

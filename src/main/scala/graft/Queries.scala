@@ -1954,6 +1954,17 @@ object Queries {
         operators.TextAnalysis.qualityScore(col("text")))
       .orderBy(col("score").desc)
 
+  /** m165 — per-source conformal thresholds
+    * ([[operators.Ranking.conformalThresholdBy]]): m148's
+    * distribution-free cutoff per source over mean token length at
+    * α = 10% — exchangeability holds within a source, not across;
+    * the oracle replays per-group ranks and the integer ceil. */
+  def m165ConformalBySource(s: SparkSession, dir: String): DataFrame =
+    operators.Ranking.conformalThresholdBy(t(s, dir, "documents"),
+        col("source"), operators.TextAnalysis.meanTokenLen(col("text")),
+        alphaBp = 1000)
+      .orderBy("group")
+
   /** m164 — decile gains table
     * ([[operators.Ranking.decileGains]]): the ranking's
     * positives-captured-per-decile readout with cumulative gain and

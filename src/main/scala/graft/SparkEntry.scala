@@ -257,6 +257,7 @@ object SparkEntry {
     "m162_ks_by_source" -> Queries.m162KsBySource,
     "m163_risk_coverage" -> Queries.m163RiskCoverage,
     "m164_decile_gains" -> Queries.m164DecileGains,
+    "m165_conformal_by_source" -> Queries.m165ConformalBySource,
     "q52_gap_fill" -> Queries.q52GapFill,
     "q53_rollup" -> Queries.q53Rollup,
     "q54_pivot" -> Queries.q54Pivot,

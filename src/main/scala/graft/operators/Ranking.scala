@@ -1292,6 +1292,55 @@ object Ranking {
   }
 
   /**
+   * [[conformalThreshold]] per group — one calibrated cutoff per
+   * source/domain/language: a single corpus-wide threshold over-filters
+   * the strict domains and under-filters the lax ones; exchangeability
+   * only plausibly holds WITHIN a group, so the guarantee belongs
+   * there. Same integer rank arithmetic per group, all ranks off ONE
+   * (group, score) range-partitioned sort with per-group offsets from
+   * the ranked frame's own min-rank/count (the robustOutlierReport
+   * machinery); threshold_micro is NULL for groups with too little
+   * calibration data to certify 1−α (k > n).
+   *
+   * @return per group: (group, n, rank, threshold_micro)
+   */
+  def conformalThresholdBy(df: DataFrame, groupCol: Column,
+      scoreCol: Column, alphaBp: Int,
+      maxGroups: Int = 100000): DataFrame = {
+    require(alphaBp >= 1 && alphaBp <= 9999,
+      s"conformalThresholdBy: alphaBp=$alphaBp out of [1,9999]")
+    val s = df.sparkSession
+    import s.implicits._
+    val si = (scoreCol.cast("decimal(10,6)") * 1000000).cast("long")
+    val (ranked, total, release) = rankedPinned(
+      df.select(groupCol.cast("string").as("g"), si.as("v"))
+        .filter(col("v").isNotNull),
+      Seq(col("g").asc, col("v").asc), rankCol = "rank")
+    try {
+      require(total > 0, "conformalThresholdBy: empty input")
+      val gr = ranked.groupBy("g")
+        .agg(min(col("rank")).as("r0"), count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      require(gr.length <= maxGroups,
+        s"conformalThresholdBy: ${gr.length} groups exceeds ceiling " +
+          s"$maxGroups")
+      val want = gr.map { case (g, r0, n) =>
+        val k = ((n + 1) * (10000L - alphaBp) + 9999L) / 10000L
+        (g, n, k, if (k <= n) Some(r0 + k - 1) else None)
+      }
+      val lookup = want.flatMap(t => t._4.map(r => (r, t._1))).toSeq
+        .toDF("rank", "gt")
+      val thr = ranked.join(broadcast(lookup), "rank")
+        .select("gt", "v").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      want.map { case (g, n, k, sel) =>
+        (g, n, k, sel.map(_ => thr(g)))
+      }.sortBy(_._1).toSeq
+        .toDF("group", "n", "rank", "threshold_micro")
+    } finally release()
+  }
+
+  /**
    * Robust per-group outlier report — median/MAD flagging, the outlier
    * rule that survives what it measures (a mean/σ z-score moves with
    * every outlier it is supposed to flag; the median and the median

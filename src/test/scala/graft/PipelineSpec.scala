@@ -1843,6 +1843,38 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("conformalThresholdBy: per-group ranks match the global operator " +
+      "per slice, small group NULL, invariance, contract") {
+    val s = spark
+    import s.implicits._
+    val rows = (1 to 10).map(i => ("a", i * 0.1)) ++
+      Seq(("b", 0.1), ("b", 0.2), ("b", 0.3))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Ranking.conformalThresholdBy(d, col("g"),
+          col("score"), alphaBp = 1000)
+        .orderBy("group").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    val got = run(rows.toDF("g", "score"))
+    // a: k = ceil(11*.9) = 10 -> 1.0; b: k = 4 > 3 -> NULL
+    assert(got === Seq(("a", 10L, 10L, 1000000L), ("b", 3L, 4L, -1L)))
+    // each group equals the single-group operator on its slice
+    Seq("a", "b").foreach { g =>
+      val one = graft.operators.Ranking.conformalThreshold(
+        rows.filter(_._1 == g).map(_._2).toDF("score"), col("score"),
+        alphaBp = 1000).collect().head
+      val mine = got.find(_._1 == g).get
+      assert(mine._3 === one.getLong(1))
+      assert(mine._4 === (if (one.isNullAt(3)) -1L else one.getLong(3)),
+        s"group $g")
+    }
+    assert(run(rows.toDF("g", "score").repartition(5)) === got)
+    intercept[IllegalArgumentException] {
+      graft.operators.Ranking.conformalThresholdBy(
+        rows.toDF("g", "score"), col("g"), col("score"), alphaBp = 0)
+    }
+  }
+
   test("riskCoverageCurve: hand cumulative risk per threshold, ties " +
       "blocked, invariance, empty contract") {
     val s = spark
