@@ -234,7 +234,8 @@ object Retrieval {
    * a torn build.
    */
   def bm25WriteIndex(docs: DataFrame, dir: String, nBuckets: Int = 64,
-      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+      idCol: String = "doc_id", textCol: String = "text",
+      batchId: Option[Long] = None): Unit = {
     require(nBuckets >= 1, s"bm25WriteIndex: nBuckets=$nBuckets")
     val s = docs.sparkSession
     import s.implicits._
@@ -286,6 +287,14 @@ object Retrieval {
     }
     Seq((n, sumdl)).toDF("n", "sumdl")
       .coalesce(1).write.mode("overwrite").parquet(dir + ".stats")
+    // exactly-once bootstrap for streaming callers: the batch marker
+    // commits BEFORE `.ok` appears. A crash between the two replays as a
+    // full (idempotent) rebuild; a crash after leaves a marker the append
+    // path no-ops on. Marker-after-ok would open a window where a replay
+    // finds `.ok` but no marker and re-routes the bootstrap batch through
+    // [[bm25Append]], doubling N and Σdl.
+    batchId.foreach(b => fs.create(
+      new org.apache.hadoop.fs.Path(dir + s".batch-$b.done"), true).close())
     fs.create(marker, true).close()
   }
 

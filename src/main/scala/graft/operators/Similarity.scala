@@ -1136,7 +1136,8 @@ object Similarity {
    */
   def ivfWriteIndex(corpus: DataFrame, dir: String, nlist: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      centersOpt: Option[Array[Array[Double]]] = None): Unit = {
+      centersOpt: Option[Array[Array[Double]]] = None,
+      batchId: Option[Long] = None): Unit = {
     val spark = corpus.sparkSession
     // centersOpt: rebuild under EXISTING centroids (e.g. re-laying-out a
     // grown index without moving vectors across cells); default trains
@@ -1176,6 +1177,12 @@ object Similarity {
     centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "center")
       .coalesce(1).write.mode("overwrite").parquet(dir + ".centers")
+    // exactly-once bootstrap for streaming callers: batch marker BEFORE
+    // `.ok` (the [[Retrieval.bm25WriteIndex]] ordering) — a crash in
+    // between replays as an idempotent rebuild, never as a duplicating
+    // [[ivfAppend]].
+    batchId.foreach(b => fs.create(
+      new org.apache.hadoop.fs.Path(dir + s".batch-$b.done"), true).close())
     fs.create(marker, true).close()
   }
 

@@ -377,9 +377,12 @@ object Pipeline {
       !fs.exists(new org.apache.hadoop.fs.Path(indexDir + ".append-pending"))
     if (bootstrap) {
       if (batch.limit(1).count() == 0L) return // no index from nothing
-      graft.operators.Retrieval.bm25WriteIndex(batch, indexDir, nBuckets)
-      fs.create(new org.apache.hadoop.fs.Path(
-        indexDir + s".batch-$bid.done"), true).close()
+      // batchId rides INTO the build so the marker commits before `.ok`
+      // appears — a crash after `.ok` but before a caller-side marker
+      // write would otherwise replay this batch through bm25Append and
+      // duplicate every bootstrap doc (exactly-once window)
+      graft.operators.Retrieval.bm25WriteIndex(batch, indexDir, nBuckets,
+        batchId = Some(bid))
     } else graft.operators.Retrieval.bm25Append(batch, indexDir, nBuckets,
       batchId = Some(bid))
   }
@@ -409,9 +412,10 @@ object Pipeline {
       !fs.exists(new org.apache.hadoop.fs.Path(phys + ".append-pending"))
     if (bootstrap) {
       if (batch.limit(1).count() == 0L) return
-      graft.operators.Similarity.ivfWriteIndex(batch, indexDir, nlist)
-      fs.create(new org.apache.hadoop.fs.Path(
-        indexDir + s".batch-$bid.done"), true).close()
+      // marker-before-ok inside the build (see appendBm25Batch): closes
+      // the crash window that would double the bootstrap vectors
+      graft.operators.Similarity.ivfWriteIndex(batch, indexDir, nlist,
+        batchId = Some(bid))
     } else graft.operators.Similarity.ivfAppend(batch, indexDir,
       batchId = Some(bid))
   }

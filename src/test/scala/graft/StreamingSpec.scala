@@ -684,4 +684,50 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       10L, 0L, 15L))
     assert(replayed === got)
   }
+
+  test("index bootstrap exactly-once: batch marker commits before .ok, " +
+      "so every replayable crash state rebuilds or no-ops — never appends") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("idx-bootstrap").toString
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val b1 = Seq((1L, "fast hash join wins"), (2L, "slow table scan"))
+    def statsN(d: String): Long =
+      s.read.parquet(d + ".stats").select("n").as[Long].head()
+    // ---- BM25 ----
+    val idx = base + "/bm25"
+    graft.streaming.Pipeline.appendBm25Batch(
+      b1.toDF("doc_id", "text"), idx, 16, bid = 0L)
+    // marker-before-ok means the only torn bootstrap states are
+    // (neither) and (marker, no .ok); the duplicating state (.ok, no
+    // marker) is unreachable. Both reachable states must resolve clean:
+    assert(fs.exists(new org.apache.hadoop.fs.Path(idx + ".batch-0.done")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(idx + ".ok")))
+    // state A: crash after marker, before .ok -> replay = full rebuild
+    fs.delete(new org.apache.hadoop.fs.Path(idx + ".ok"), false)
+    graft.streaming.Pipeline.appendBm25Batch(
+      b1.toDF("doc_id", "text"), idx, 16, bid = 0L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(idx + ".ok")))
+    assert(statsN(idx) === 2L, "torn-bootstrap replay must rebuild, not append")
+    // state B: fully committed -> replay = no-op (marker hit in bm25Append)
+    graft.streaming.Pipeline.appendBm25Batch(
+      b1.toDF("doc_id", "text"), idx, 16, bid = 0L)
+    assert(statsN(idx) === 2L, "committed-bootstrap replay must no-op")
+    // ---- IVF ----
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(16).select(col("vec_id"), col("embedding").cast("array<float>"))
+      .cache()
+    val vidx = base + "/ivf"
+    graft.streaming.Pipeline.appendIvfBatch(emb, vidx, 4, bid = 0L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(vidx + ".batch-0.done")))
+    def vecCount(d: String): Long = s.read.parquet(d).count()
+    fs.delete(new org.apache.hadoop.fs.Path(vidx + ".ok"), false)
+    graft.streaming.Pipeline.appendIvfBatch(emb, vidx, 4, bid = 0L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(vidx + ".ok")))
+    assert(vecCount(vidx) === 16L, "torn IVF bootstrap replay must rebuild")
+    graft.streaming.Pipeline.appendIvfBatch(emb, vidx, 4, bid = 0L)
+    assert(vecCount(vidx) === 16L, "committed IVF bootstrap replay must no-op")
+    emb.unpersist()
+  }
 }

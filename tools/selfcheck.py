@@ -2,8 +2,15 @@
 """Local dev harness mimicking the driver's correctness gate:
 runs graft.Verify output against the DuckDB oracle and compares
 (sorted columns, sorted rows, per-value hash). Dev-only; the Scala
-library has no Python dependency."""
-import json, sys, glob, os
+library has no Python dependency.
+
+Timeout-proof by construction (round-14): results STREAM — each query
+prints its PASS/FAIL plus oracle/compare wall-ms the moment it finishes
+(flushed), and a partial JSON (`<outDir>/selfcheck_results.json`) is
+rewritten after every query, so a killed/timed-out run still leaves
+complete per-query evidence for everything that ran. The end-of-run
+summary lines (PASS/ROWS-ONLY/FAIL) keep the historical format."""
+import json, sys, glob, os, time
 import duckdb
 import pandas as pd
 
@@ -30,42 +37,76 @@ for t in TABLES:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
 oracle = json.load(open(f"{OUT_DIR}/oracle_sql.json"))
+names = [n for n in sorted(os.listdir(OUT_DIR))
+         if os.path.isdir(os.path.join(OUT_DIR, n))]
 fails, passes, rows_only = [], [], []
-for name in sorted(os.listdir(OUT_DIR)):
+results = {}
+partial_path = os.path.join(OUT_DIR, "selfcheck_results.json")
+
+def record(name, status, ms_oracle, ms_total, why=None, i=0):
+    results[name] = {"status": status, "oracle_ms": round(ms_oracle),
+                     "total_ms": round(ms_total)}
+    if why is not None:
+        results[name]["why"] = why
+    with open(partial_path, "w") as f:
+        json.dump(results, f, separators=(",", ":"))
+    tag = status.upper() if why is None else f"{status.upper()} ({why})"
+    print(f"[{i}/{len(names)}] {name}: {tag} oracle={round(ms_oracle)}ms "
+          f"total={round(ms_total)}ms", flush=True)
+
+for i, name in enumerate(names, 1):
     d = os.path.join(OUT_DIR, name)
-    if not os.path.isdir(d):
-        continue
+    t0 = time.time()
     files = glob.glob(f"{d}/*.parquet")
     if not files:
-        fails.append((name, "no output parquet")); continue
+        fails.append((name, "no output parquet"))
+        record(name, "fail", 0, (time.time()-t0)*1e3, "no output parquet", i)
+        continue
     got = pd.read_parquet(files)
     if name not in oracle:
         rows_only.append((name, len(got)))
         if len(got) == 0:
             fails.append((name, "rows-only check: 0 rows"))
+            record(name, "fail", 0, (time.time()-t0)*1e3, "rows-only 0 rows", i)
+        else:
+            record(name, "rows_only", 0, (time.time()-t0)*1e3, None, i)
         continue
+    t1 = time.time()
     try:
         exp = con.sql(oracle[name]).df()
     except Exception as e:
-        fails.append((name, f"oracle sql error: {e}")); continue
+        fails.append((name, f"oracle sql error: {e}"))
+        record(name, "fail", (time.time()-t1)*1e3, (time.time()-t0)*1e3,
+               f"oracle sql error: {e}", i)
+        continue
+    ms_oracle = (time.time()-t1)*1e3
     g, e = norm(got.copy()), norm(exp.copy())
+    def fail(why):
+        fails.append((name, why))
+        record(name, "fail", ms_oracle, (time.time()-t0)*1e3, why, i)
     if list(g.columns) != list(e.columns):
-        fails.append((name, f"columns differ: got {list(g.columns)} exp {list(e.columns)}")); continue
-    if len(g) != len(e):
-        fails.append((name, f"row count: got {len(g)} exp {len(e)}")); continue
-    if not g.equals(e):
+        fail(f"columns differ: got {list(g.columns)} exp {list(e.columns)}")
+    elif len(g) != len(e):
+        fail(f"row count: got {len(g)} exp {len(e)}")
+    elif not g.equals(e):
         diff_cols = [c for c in g.columns if not g[c].equals(e[c])]
         detail = []
         for c in diff_cols[:3]:
             mask = g[c] != e[c]
             idx = mask[mask].index[:3]
             detail.append(f"{c}: got {g.loc[idx, c].tolist()} exp {e.loc[idx, c].tolist()}")
-        fails.append((name, f"value mismatch in {diff_cols}; {'; '.join(detail)}")); continue
-    passes.append(name)
+        fail(f"value mismatch in {diff_cols}; {'; '.join(detail)}")
+    else:
+        passes.append(name)
+        record(name, "pass", ms_oracle, (time.time()-t0)*1e3, None, i)
 
 print(f"PASS {len(passes)}: {passes}")
 print(f"ROWS-ONLY {len(rows_only)}: {[(n, r) for n, r in rows_only]}")
 print(f"FAIL {len(fails)}:")
 for n, why in fails:
     print(f"  {n}: {why}")
+slow = sorted(results.items(), key=lambda kv: -kv[1]["oracle_ms"])[:10]
+total_oracle = sum(v["oracle_ms"] for v in results.values()) / 1e3
+print(f"ORACLE WALL {total_oracle:.1f}s; slowest: "
+      + ", ".join(f"{n}={v['oracle_ms']/1e3:.1f}s" for n, v in slow), flush=True)
 sys.exit(1 if fails else 0)
