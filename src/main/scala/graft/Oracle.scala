@@ -127,6 +127,49 @@ object Oracle {
                i -> substr(nt, CAST(i AS INT), 5))) AS s
            FROM n WHERE length(nt) > 0)"""
 
+  /** Exact symmetric Jaccard pair base over `src`(doc_id, `setCol`) —
+    * inverted-index formulation (r14 gate-wall work): unnest the
+    * DISTINCT sets, self-join on element, COUNT(*) = |A∩B| (each shared
+    * element contributes exactly once), set sizes joined back. Pairs
+    * sharing NO element never appear — exactly the pairs no threshold
+    * θ > 0 can accept, so every downstream filter is unchanged; the
+    * compare arithmetic (BIGINT counts, the same DOUBLE division) is
+    * bit-identical to the `src a, src b` cross + list_intersect this
+    * replaced, at ~1/20 the wall (the m112 base measured 23 s → 1 s at
+    * sf0.01 — the oracle stays exact and TOTAL, not sampled).
+    * Emits `<p>`(pa, pb, i, la, lb) with pa < pb. */
+  private def jacPairCtes(p: String, src: String = "sh",
+      setCol: String = "s"): String = s"""
+      ${p}_x AS (SELECT doc_id, unnest($setCol) AS g FROM $src),
+      ${p}_l AS (SELECT doc_id, len($setCol) AS l FROM $src),
+      $p AS (SELECT ji.pa, ji.pb, ji.i, la.l AS la, lb.l AS lb
+             FROM (SELECT a.doc_id AS pa, b.doc_id AS pb, COUNT(*) AS i
+                   FROM ${p}_x a JOIN ${p}_x b
+                     ON a.g = b.g AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2) ji
+             JOIN ${p}_l la ON ji.pa = la.doc_id
+             JOIN ${p}_l lb ON ji.pb = lb.doc_id)"""
+
+  /** [[jacPairCtes]] across TWO disjoint-keyed sources (no pair
+    * ordering): pa from `aSrc`, pb from `bSrc`. */
+  private def jacJoinCtes(p: String, aSrc: String, bSrc: String,
+      setCol: String = "s"): String = s"""
+      ${p}_xa AS (SELECT doc_id, unnest($setCol) AS g FROM $aSrc),
+      ${p}_xb AS (SELECT doc_id, unnest($setCol) AS g FROM $bSrc),
+      ${p}_la AS (SELECT doc_id, len($setCol) AS l FROM $aSrc),
+      ${p}_lb AS (SELECT doc_id, len($setCol) AS l FROM $bSrc),
+      $p AS (SELECT ji.pa, ji.pb, ji.i, la.l AS la, lb.l AS lb
+             FROM (SELECT a.doc_id AS pa, b.doc_id AS pb, COUNT(*) AS i
+                   FROM ${p}_xa a JOIN ${p}_xb b ON a.g = b.g
+                   GROUP BY 1, 2) ji
+             JOIN ${p}_la la ON ji.pa = la.doc_id
+             JOIN ${p}_lb lb ON ji.pb = lb.doc_id)"""
+
+  /** The Jaccard threshold test over a [[jacPairCtes]] row — the same
+    * DOUBLE dag as the list_intersect form it replaced. */
+  private def jacGe(theta: String): String =
+    s"CAST(i AS DOUBLE) / (la + lb - i) >= $theta"
+
   private val Stopword18 =
     "('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by')"
 
@@ -461,10 +504,8 @@ object Oracle {
                list_distinct(list_transform(range(1, greatest(length(norm)-4,1)+1),
                  i -> substr(norm, CAST(i AS INT), 5))) AS s
              FROM kept WHERE length(norm) > 0),
-      dup AS (SELECT DISTINCT b.doc_id
-              FROM ksh a, ksh b WHERE a.doc_id < b.doc_id
-                AND CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
-                    / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.6)
+      ${jacPairCtes("kdj", "ksh")},
+      dup AS (SELECT DISTINCT pb AS doc_id FROM kdj WHERE ${jacGe("0.6")})
       SELECT '0_input' AS stage, COUNT(*) AS n_docs FROM flags
       UNION ALL SELECT '1_language', COUNT(*) FROM flags WHERE lang_ok
       UNION ALL SELECT '2_quality', COUNT(*) FROM flags WHERE qual_ok
@@ -980,11 +1021,10 @@ object Oracle {
 
     "m01_minhash_pairs" -> s"""
       WITH $CharShingleCtes,
-      p AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-              len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS la, len(b.s) AS lb
-            FROM sh a, sh b WHERE a.doc_id < b.doc_id)
-      SELECT doc_id_a, doc_id_b, round(CAST(inter AS DOUBLE)/(la+lb-inter),6) AS jaccard
-      FROM p WHERE CAST(inter AS DOUBLE)/(la+lb-inter) >= 0.5
+      ${jacPairCtes("p")}
+      SELECT pa AS doc_id_a, pb AS doc_id_b,
+        round(CAST(i AS DOUBLE)/(la+lb-i),6) AS jaccard
+      FROM p WHERE ${jacGe("0.5")}
       ORDER BY doc_id_a, doc_id_b""",
 
     // SimHash re-derived entirely in SQL (TextSig.simhash: normalize →
@@ -1013,19 +1053,18 @@ object Oracle {
       FROM s a, s b WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= 8
       ORDER BY doc_id_a, doc_id_b""",
 
-    "m03_ngram_jaccard" -> """
-      WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS nt
+    "m03_ngram_jaccard" -> s"""
+      WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS nt
                  FROM documents),
       tk AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM n WHERE length(nt) > 0),
       sh AS (SELECT doc_id,
                list_distinct(list_transform(range(1, greatest(len(toks)-2,1)+1),
                  i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i AS INT)+2), ' '))) AS s
              FROM tk),
-      p AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-              len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS la, len(b.s) AS lb
-            FROM sh a, sh b WHERE a.doc_id < b.doc_id)
-      SELECT doc_id_a, doc_id_b, round(CAST(inter AS DOUBLE)/(la+lb-inter),6) AS jaccard
-      FROM p WHERE CAST(inter AS DOUBLE)/(la+lb-inter) >= 0.3
+      ${jacPairCtes("p")}
+      SELECT pa AS doc_id_a, pb AS doc_id_b,
+        round(CAST(i AS DOUBLE)/(la+lb-i),6) AS jaccard
+      FROM p WHERE ${jacGe("0.3")}
       ORDER BY doc_id_a, doc_id_b""",
 
     // Exact string 13-gram intersection (hash-free: Spark's 64-bit gram
@@ -2153,10 +2192,8 @@ object Oracle {
     // one draw per representative, so clusters are indivisible.
     "m57_leakfree_split" -> s"""
       WITH RECURSIVE $CharShingleCtes,
-      lsp AS (SELECT a.doc_id AS da, b.doc_id AS db
-              FROM sh a, sh b WHERE a.doc_id < b.doc_id
-                AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                    / (len(a.s)+len(b.s)-len(list_intersect(a.s, b.s))) >= 0.5),
+      ${jacPairCtes("lsj")},
+      lsp AS (SELECT pa AS da, pb AS db FROM lsj WHERE ${jacGe("0.5")}),
       lse AS (SELECT da AS u, db AS v FROM lsp UNION SELECT db, da FROM lsp),
       lsr(node, r) AS (
         SELECT u, u FROM lse
@@ -2382,10 +2419,8 @@ object Oracle {
     // the count.
     "m55_triangles" -> s"""
       WITH $CharShingleCtes,
-      tpr AS (SELECT a.doc_id AS ta, b.doc_id AS tb
-              FROM sh a, sh b WHERE a.doc_id < b.doc_id
-                AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                    / (len(a.s)+len(b.s)-len(list_intersect(a.s, b.s))) >= 0.5),
+      ${jacPairCtes("tpj")},
+      tpr AS (SELECT pa AS ta, pb AS tb FROM tpj WHERE ${jacGe("0.5")}),
       tri AS (SELECT e1.ta AS x, e1.tb AS y, e2.tb AS z
               FROM tpr e1 JOIN tpr e2 ON e1.ta = e2.ta AND e1.tb < e2.tb
               JOIN tpr e3 ON e3.ta = e1.tb AND e3.tb = e2.tb),
@@ -2435,10 +2470,8 @@ object Oracle {
                    JOIN dg g ON e.src = g.src GROUP BY e.dst) c ON v.id = c.id)"""
       s"""
       WITH $CharShingleCtes,
-      prs AS (SELECT a.doc_id AS pa, b.doc_id AS pb
-              FROM sh a, sh b WHERE a.doc_id < b.doc_id
-                AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                    / (len(a.s)+len(b.s)-len(list_intersect(a.s, b.s))) >= 0.5),
+      ${jacPairCtes("prj")},
+      prs AS (SELECT pa, pb FROM prj WHERE ${jacGe("0.5")}),
       ed AS (SELECT pa AS src, pb AS dst FROM prs
              UNION ALL SELECT pb, pa FROM prs),
       dg AS (SELECT src, COUNT(*) AS deg FROM ed GROUP BY src),
@@ -2468,23 +2501,21 @@ object Oracle {
       // dup sets as UNCORRELATED join CTEs + NOT IN: DuckDB 1.0 cannot
       // bind an outer column inside a list-function argument of a
       // correlated EXISTS (Binder Error) — the m55 join formulation
-      // sidesteps it
-      def j(a: String, b: String) =
-        s"""CAST(len(list_intersect($a, $b)) AS DOUBLE)
-            / (len($a)+len($b)-len(list_intersect($a, $b))) >= 0.7"""
+      // sidesteps it. Each leg rides the inverted-index pair base
+      // (jacPairCtes/jacJoinCtes) instead of a quadratic cross.
       s"""
       WITH $CharShingleCtes,
       sda AS (SELECT doc_id, s FROM sh WHERE doc_id % 3 <> 2),
-      sdupa AS (SELECT DISTINCT b.doc_id FROM sda a JOIN sda b
-                ON a.doc_id < b.doc_id AND ${j("a.s", "b.s")}),
+      ${jacPairCtes("saj", "sda")},
+      sdupa AS (SELECT DISTINCT pb AS doc_id FROM saj WHERE ${jacGe("0.7")}),
       sdlive AS MATERIALIZED (SELECT a.doc_id, a.s FROM sda a
         WHERE a.doc_id NOT IN (SELECT doc_id FROM sdupa)
           AND a.doc_id % 6 <> 0),
       sdb AS (SELECT doc_id, s FROM sh WHERE doc_id % 3 = 2),
-      sdupb AS (SELECT DISTINCT b.doc_id FROM sdb a JOIN sdb b
-                ON a.doc_id < b.doc_id AND ${j("a.s", "b.s")}),
-      sdups AS (SELECT DISTINCT b.doc_id FROM sdlive v JOIN sdb b
-                ON ${j("v.s", "b.s")})
+      ${jacPairCtes("sbj", "sdb")},
+      sdupb AS (SELECT DISTINCT pb AS doc_id FROM sbj WHERE ${jacGe("0.7")}),
+      ${jacJoinCtes("svj", "sdlive", "sdb")},
+      sdups AS (SELECT DISTINCT pb AS doc_id FROM svj WHERE ${jacGe("0.7")})
       SELECT d.doc_id FROM documents d
       WHERE d.doc_id % 3 = 2
         AND d.doc_id NOT IN (SELECT doc_id FROM sdupb)
@@ -2510,10 +2541,8 @@ object Oracle {
                 JOIN kcs$r y ON e.dst = y.src)"""
       s"""
       WITH $CharShingleCtes,
-      kcp AS (SELECT a.doc_id AS pa, b.doc_id AS pb
-              FROM sh a, sh b WHERE a.doc_id < b.doc_id
-                AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                    / (len(a.s)+len(b.s)-len(list_intersect(a.s, b.s))) >= 0.5),
+      ${jacPairCtes("kcj")},
+      kcp AS (SELECT pa, pb FROM kcj WHERE ${jacGe("0.5")}),
       kce0 AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM kcp
                UNION ALL SELECT pb, pa FROM kcp),
       ${(1 to 6).map(r => peel(s"kce${r - 1}", r)).mkString(",")}
@@ -2544,13 +2573,16 @@ object Oracle {
       FROM agg ORDER BY doc_id""",
 
     // Exact all-pairs token Jaccard — the UNOPTIMIZED form of the
-    // prefix-filtered join (m84 convention: the oracle is the plain
-    // quadratic computation, so a hash match proves the prefix filter
-    // lossless). Same DECIMAL threshold test as the engine (i ≥ θ·u
-    // exactly — no double rounding at the boundary).
-    "m132_prefix_jaccard" -> """
+    // prefix-filtered join. The oracle enumerates EVERY gram-sharing
+    // pair via the inverted-index base (exact and total — a pair the
+    // prefix filter must emit shares ≥1 gram, so a hash match still
+    // proves the filter lossless; the deliberately-quadratic cross it
+    // replaced cost 22 s of gate wall at sf0.01, r13 verdict task 1).
+    // Same DECIMAL threshold test as the engine (i ≥ θ·u exactly — no
+    // double rounding at the boundary).
+    "m132_prefix_jaccard" -> s"""
       WITH n AS (SELECT doc_id,
-              trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS nt
+              trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS nt
             FROM documents),
       tk0 AS (SELECT doc_id, string_split(nt, ' ') AS ws
             FROM n WHERE length(nt) > 0),
@@ -2560,11 +2592,8 @@ object Oracle {
                   list_slice(ws, CAST(i AS INT), CAST(i AS INT)+2), ' ')))
                 AS toks
             FROM tk0),
-      p AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-              len(list_intersect(a.toks, b.toks)) AS i,
-              len(a.toks) AS la, len(b.toks) AS lb
-            FROM tk a, tk b WHERE a.doc_id < b.doc_id)
-      SELECT doc_id_a, doc_id_b,
+      ${jacPairCtes("p", "tk", "toks")}
+      SELECT pa AS doc_id_a, pb AS doc_id_b,
         round(CAST(i AS DOUBLE)/(la+lb-i), 6) AS jaccard
       FROM p
       WHERE CAST(i AS DECIMAL(20,6)) >=
@@ -2847,10 +2876,8 @@ object Oracle {
       }
       s"""
       WITH $CharShingleCtes,
-      cnp AS (SELECT a.doc_id AS pa, b.doc_id AS pb
-              FROM sh a, sh b WHERE a.doc_id < b.doc_id
-                AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                    / (len(a.s)+len(b.s)-len(list_intersect(a.s, b.s))) >= 0.5),
+      ${jacPairCtes("cnj")},
+      cnp AS (SELECT pa, pb FROM cnj WHERE ${jacGe("0.5")}),
       cne0 AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM cnp
                UNION ALL SELECT pb, pa FROM cnp),
       ${(1 to 8).map(lvl).mkString(",")}
@@ -2877,10 +2904,8 @@ object Oracle {
           WHERE rk = 1) b ON v.id = b.id)"""
       s"""
       WITH $CharShingleCtes,
-      lps AS (SELECT a.doc_id AS pa, b.doc_id AS pb
-              FROM sh a, sh b WHERE a.doc_id < b.doc_id
-                AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                    / (len(a.s)+len(b.s)-len(list_intersect(a.s, b.s))) >= 0.5),
+      ${jacPairCtes("lpj")},
+      lps AS (SELECT pa, pb FROM lpj WHERE ${jacGe("0.5")}),
       ed AS (SELECT pa AS src, pb AS dst FROM lps
              UNION ALL SELECT pb, pa FROM lps),
       vtx AS (SELECT doc_id AS id FROM documents),
@@ -3334,18 +3359,27 @@ object Oracle {
     // Containment all-pairs over the same word-13-gram string sets as
     // m13: ordered pairs, ratio |A∩B|/|A|, rounded-then-filtered on
     // BOTH engines so boundary values agree.
-    "m65_containment" -> """
-      WITH cnr AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS nt
+    "m65_containment" -> s"""
+      WITH cnr AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS nt
                    FROM documents),
       ctk AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM cnr WHERE length(nt) > 0),
       csh AS (SELECT doc_id,
                 list_distinct(list_transform(range(1, greatest(len(toks)-12,1)+1),
                   i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i AS INT)+12), ' '))) AS s
               FROM ctk),
-      cpr AS (SELECT a.doc_id AS doc_id_in, b.doc_id AS doc_id_of,
-                round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                  / CAST(len(a.s) AS DOUBLE), 6) AS containment
-              FROM csh a, csh b WHERE a.doc_id <> b.doc_id)
+      -- ordered containment via the same inverted-index base: both
+      -- ordered directions of every gram-sharing pair; i/|A| of a
+      -- gram-free pair is 0 < θ, so absent pairs are exactly right
+      cx AS (SELECT doc_id, unnest(s) AS g FROM csh),
+      cl AS (SELECT doc_id, len(s) AS l FROM csh),
+      cpr AS (SELECT ji.pa AS doc_id_in, ji.pb AS doc_id_of,
+                round(CAST(ji.i AS DOUBLE) / CAST(la.l AS DOUBLE), 6)
+                  AS containment
+              FROM (SELECT a.doc_id AS pa, b.doc_id AS pb, COUNT(*) AS i
+                    FROM cx a JOIN cx b
+                      ON a.g = b.g AND a.doc_id <> b.doc_id
+                    GROUP BY 1, 2) ji
+              JOIN cl la ON ji.pa = la.doc_id)
       SELECT doc_id_in, doc_id_of, containment
       FROM cpr WHERE containment >= 0.5
       ORDER BY doc_id_in, doc_id_of""",
@@ -3836,10 +3870,8 @@ object Oracle {
 
     "m08_minhash_dedup" -> s"""
       WITH $CharShingleCtes,
-      dup AS (SELECT DISTINCT b.doc_id
-              FROM sh a, sh b WHERE a.doc_id < b.doc_id
-                AND CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
-                    / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5)
+      ${jacPairCtes("dj")},
+      dup AS (SELECT DISTINCT pb AS doc_id FROM dj WHERE ${jacGe("0.5")})
       SELECT d.doc_id FROM documents d
       WHERE d.doc_id NOT IN (SELECT doc_id FROM dup)
       ORDER BY doc_id""",
@@ -3848,10 +3880,8 @@ object Oracle {
     // set; component = min reachable doc_id.
     "m11_components" -> s"""
       WITH RECURSIVE $CharShingleCtes,
-      p AS (SELECT a.doc_id AS da, b.doc_id AS db
-            FROM sh a, sh b WHERE a.doc_id < b.doc_id
-              AND CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
-                  / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5),
+      ${jacPairCtes("pj")},
+      p AS (SELECT pa AS da, pb AS db FROM pj WHERE ${jacGe("0.5")}),
       e AS (SELECT da AS u, db AS v FROM p UNION SELECT db, da FROM p),
       reach(node, r) AS (
         SELECT u, u FROM e
@@ -3865,10 +3895,8 @@ object Oracle {
     // oracle, verbatim.
     "m117_incremental_cc" -> s"""
       WITH RECURSIVE $CharShingleCtes,
-      p AS (SELECT a.doc_id AS da, b.doc_id AS db
-            FROM sh a, sh b WHERE a.doc_id < b.doc_id
-              AND CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
-                  / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5),
+      ${jacPairCtes("pj")},
+      p AS (SELECT pa AS da, pb AS db FROM pj WHERE ${jacGe("0.5")}),
       e AS (SELECT da AS u, db AS v FROM p UNION SELECT db, da FROM p),
       reach(node, r) AS (
         SELECT u, u FROM e
@@ -3930,10 +3958,8 @@ object Oracle {
                list_distinct(list_transform(range(1, greatest(length(norm)-4,1)+1),
                  i -> substr(norm, CAST(i AS INT), 5))) AS s
              FROM kept WHERE length(norm) > 0),
-      dup AS (SELECT DISTINCT b.doc_id
-              FROM ksh a, ksh b WHERE a.doc_id < b.doc_id
-                AND CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
-                    / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.6),
+      ${jacPairCtes("kdj", "ksh")},
+      dup AS (SELECT DISTINCT pb AS doc_id FROM kdj WHERE ${jacGe("0.6")}),
       surv AS (SELECT doc_id FROM kept
                WHERE doc_id NOT IN (SELECT doc_id FROM dup)),
       nrm5 AS (SELECT doc_id,
@@ -4761,10 +4787,8 @@ object Oracle {
     "m98_canonical_pick" -> s"""
       WITH RECURSIVE $CharShingleCtes,
       $TextStatsCtes,
-      p AS (SELECT a.doc_id AS da, b.doc_id AS db
-            FROM sh a, sh b WHERE a.doc_id < b.doc_id
-              AND CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
-                  / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5),
+      ${jacPairCtes("pj")},
+      p AS (SELECT pa AS da, pb AS db FROM pj WHERE ${jacGe("0.5")}),
       e AS (SELECT da AS u, db AS v FROM p UNION SELECT db, da FROM p),
       reach(node, r) AS (
         SELECT u, u FROM e
@@ -5335,10 +5359,8 @@ object Oracle {
     // token-count formula, aggregated per source.
     "m82_dedup_savings" -> s"""
       WITH $CharShingleCtes,
-      dup AS (SELECT DISTINCT b.doc_id
-              FROM sh a, sh b WHERE a.doc_id < b.doc_id
-                AND CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
-                    / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5),
+      ${jacPairCtes("dj")},
+      dup AS (SELECT DISTINCT pb AS doc_id FROM dj WHERE ${jacGe("0.5")}),
       tok AS (SELECT doc_id, source,
                CASE WHEN length(trim(text,' '))=0 THEN 0
                     ELSE len(regexp_split_to_array(trim(text,' '), '\\s+'))
@@ -5355,10 +5377,8 @@ object Oracle {
     // degree 0 via the left join.
     "m80_degree_hist" -> s"""
       WITH $CharShingleCtes,
-      prs AS (SELECT a.doc_id AS pa, b.doc_id AS pb
-              FROM sh a, sh b WHERE a.doc_id < b.doc_id
-                AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                    / (len(a.s)+len(b.s)-len(list_intersect(a.s, b.s))) >= 0.5),
+      ${jacPairCtes("prj")},
+      prs AS (SELECT pa, pb FROM prj WHERE ${jacGe("0.5")}),
       ed AS (SELECT pa AS src FROM prs UNION ALL SELECT pb FROM prs),
       dg AS (SELECT d.doc_id, COALESCE(e.deg, 0) AS degree
              FROM documents d LEFT JOIN (
