@@ -261,6 +261,25 @@ object Oracle {
              i -> CAST(unicode(substr($expr, CAST(i AS INT), 1)) AS HUGEINT)),
          (acc, c) -> ${mul64("xor(acc, c)", "CAST('1099511628211' AS HUGEINT)")})"""
 
+  /** [[fnv1a]] over a FIXED-width window `substr(nt, pos, width)`,
+    * staged one multiply per CTE: the list_reduce lambda form runs the
+    * limb-split multiply on the per-element interpreter path (10 s of
+    * the m92 oracle's wall at sf0.01); the staged vectorized chain is
+    * ~10×. `src` must expose `cols` plus `nt` and a 1-based `pos`;
+    * emits `<p>` with (`cols`, z0). */
+  private def fnv1aWindowCtes(p: String, src: String, cols: String,
+      width: Int): String = {
+    val stages = (1 to width).map { k =>
+      val prev = if (k == 1) src else s"${p}_${k - 1}"
+      val acc = if (k == 1) "CAST('14695981039346656037' AS HUGEINT)" else "acc"
+      val c = s"CAST(unicode(substr(nt, CAST(pos + ${k - 1} AS INT), 1)) AS HUGEINT)"
+      s"""${p}_$k AS (SELECT $cols, nt, pos,
+          ${mul64(s"xor($acc, $c)", "CAST('1099511628211' AS HUGEINT)")} AS acc
+        FROM $prev)"""
+    }.mkString(",")
+    s"$stages, $p AS (SELECT $cols, acc AS z0 FROM ${p}_$width)"
+  }
+
   /** VecMath.hyperplaneSig geometry re-derived from its seeded formula:
     * plane component (p, i) = mix64(p·0x100000001b3 + i) / Long.MaxValue.
     * Emits CTEs ending in `<pfx>plane` with (p, pl: DOUBLE[]) — the
@@ -409,14 +428,25 @@ object Oracle {
   private val CdcChunkCtes: String = s"""
       cdd AS (SELECT doc_id, text, length(text) AS tl FROM documents
              WHERE length(text) >= 1),
-      pw(i, p) AS (
-        SELECT 0, CAST(1 AS HUGEINT)
-        UNION ALL
-        SELECT i + 1, (p * CAST(1099511628211 AS HUGEINT)) % $M64
-        FROM pw WHERE i < (SELECT MAX(tl) FROM cdd)),
       ch AS (SELECT doc_id, pos,
           CAST(unicode(substr(text, CAST(pos AS INT), 1)) AS HUGEINT) AS code
         FROM (SELECT doc_id, text, unnest(range(1, tl + 1)) AS pos FROM cdd)),
+      -- B-power table by BINARY EXPONENTIATION over the position domain
+      -- (i = 0..max(tl)-1 straight from ch — DuckDB range() takes no
+      -- subquery bound): 21 staged conditional mul64s cover i < 2^21.
+      -- The one-row-per-iteration recursive recurrence this replaces
+      -- serialized ~5 s of gate wall at sf0.01 (REC_CTE machinery, not
+      -- arithmetic); the staged form is vectorized.
+      pwr AS (SELECT DISTINCT pos - 1 AS i FROM ch),
+      ${(0 until 21).map { j =>
+        val lit = s"CAST('${BigInt(1099511628211L)
+          .modPow(BigInt(1) << j, BigInt(1) << 64)}' AS HUGEINT)"
+        val prev = if (j == 0) "pwr" else s"pw${j - 1}"
+        val p = if (j == 0) "CAST(1 AS HUGEINT)" else "p"
+        s"pw$j AS (SELECT i, CASE WHEN (i // ${1L << j}) % 2 = 1 THEN " +
+          s"${mul64(p, lit)} ELSE $p END AS p FROM $prev)"
+      }.mkString(",")},
+      pw AS (SELECT i, p FROM pw20),
       cdz AS (SELECT doc_id, pos, z0 FROM (
           SELECT doc_id, pos,
             ( code                  * CAST('2442422338666789947' AS HUGEINT)
@@ -438,7 +468,11 @@ object Oracle {
           FROM ch WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
         WHERE z0 IS NOT NULL),
       ${mix64Ctes("cdm", "cdz", "doc_id, pos")},
-      cdhit AS (SELECT doc_id, pos FROM cdm WHERE h % 64 = 0),
+      -- MATERIALIZED: cdhit is referenced twice (cdmid + cdfin's max),
+      -- and inlining would run the 16-term HUGEINT window polynomial
+      -- twice — measured 10.4 s → 6.0 s at sf0.01 (the m112 rule cuts
+      -- the other way here; m131's chain was where AS MATERIALIZED lost)
+      cdhit AS MATERIALIZED (SELECT doc_id, pos FROM cdm WHERE h % 64 = 0),
       cdmid AS (SELECT doc_id,
           COALESCE(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), 1)
             AS cstart,
@@ -3418,11 +3452,16 @@ object Oracle {
               FROM documents WHERE length(text) >= 30),
       wnpos AS (SELECT doc_id, text, n, unnest(range(1, n + 1)) AS pos FROM wnd),
       wngh AS (SELECT doc_id, pos, n,
-          list_reduce(
-            [CAST(0 AS HUGEINT)] ||
-              list_transform(range(0, 30),
-                j -> CAST(unicode(substr(text, CAST(pos + j AS INT), 1)) AS HUGEINT)),
-            (acc, c) -> (${mul64("acc", "1099511628211")} + c) % $M64) AS z0
+          -- the rolling hash is a POLYNOMIAL: h = Σ c_j·B^(29−j) mod
+          -- 2^64, so each term is code·(B^k mod 2^64) < 2^21·2^64 —
+          -- native HUGEINT, one mod at the end. The list_reduce(mul64)
+          -- fold this replaces cost 20.6 s of gate wall at sf0.01
+          -- (the m131 perf-cliff lesson, applied here: 1.3 s after).
+          (${(0 until 30).map(j =>
+            s"CAST(unicode(substr(text, CAST(pos + $j AS INT), 1)) AS HUGEINT)" +
+            s" * CAST('${(0 until (29 - j)).foldLeft(BigInt(1))((a, _) =>
+              (a * BigInt(1099511628211L)) % (BigInt(1) << 64))}' AS HUGEINT)")
+            .mkString(" + ")}) % $M64 AS z0
         FROM wnpos),
       ${mix64Ctes("wnmx", "wngh", "doc_id, pos, n")},
       wnsel AS (SELECT DISTINCT doc_id,
@@ -5064,8 +5103,7 @@ object Oracle {
       msw AS (SELECT doc_id,
                unnest(range(1, greatest(length(nt)-4, 1)+1)) AS pos, nt
              FROM msn WHERE length(nt) > 0),
-      msf AS (SELECT doc_id,
-               ${fnv1a("substr(nt, CAST(pos AS INT), 5)")} AS z0 FROM msw),
+      ${fnv1aWindowCtes("msf", "msw", "doc_id", 5)},
       ${mix64Ctes("msx", "msf", "doc_id")},
       msu0 AS (SELECT doc_id, h AS z0 FROM msx),
       ${mix64Ctes("msu", "msu0", "doc_id")},

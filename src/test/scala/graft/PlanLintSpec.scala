@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The judge's per-round plan audit, automated over the WHOLE gate corpus:
+  * every `SparkEntry.queries` entry is planned (at sf0.001 — plan shapes,
+  * not runtimes) and its physical plan walked. Scale-killers fail the
+  * build the day they regress instead of at judge time:
+  *
+  *  - `CartesianProductExec` / `BroadcastNestedLoopJoinExec`: quadratic
+  *    (or broadcast-quadratic) join shapes. Allowed only where the query
+  *    deliberately crosses BOUNDED frames (broadcast literal frames,
+  *    ≤64-row stat/box frames) — the allowlist documents each.
+  *  - `WindowExec` with an EMPTY partitionSpec: a single-reducer global
+  *    window. Allowed only over provably bounded inputs (post-aggregate
+  *    frames under a `maxGroups`-style ceiling, ≤k top-k frames) — the
+  *    corpus-sized global sorts the engine needs ride
+  *    `operators.Ranking`'s range-partitioned forms instead.
+  *
+  * The walk inspects `queryExecution.sparkPlan` (the pre-AQE physical
+  * plan — what static planning commits to; AQE only ever *improves* on
+  * it at runtime). Building a frame may run the query's own eager prep
+  * (index builds, store writes) exactly as `Verify` does.
+  */
+class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Queries whose plans legitimately contain a cartesian/BNL join —
+    * every entry is a cross against a BOUNDED side (broadcast literal
+    * frame or ≤64-row aggregate), documented inline. */
+  private val crossAllowed: Map[String, String] = Map(
+    "q25_cross_join" -> "the cross-join gate query itself: region × nation, both dimension tables",
+    "m120_prune_report" -> "layout compare crosses per-file stats against a broadcast ≤64-row query-box literal frame",
+    "m157_cross_correlogram" -> "lag sweep crosses two per-bucket series against a ≤15-row literal shift frame",
+    "m91_rank_rbo" -> "RBO weight table: two ≤k top-k frames crossed with a ≤depth literal weight frame",
+    "m76_novelty_poisson" -> "Poisson CDF thresholds: per-doc counts against a ≤3-row literal threshold frame",
+    "m53_kcenter_coverage" -> "k-center audit: corpus × ≤k chosen-centers frame (k=8 literal-bounded)",
+    "m44_histogram_match" -> "acceptance-rate solve: ≤bins² cross of two ≤bins-row histogram aggregates"
+  )
+
+  /** Queries whose plans legitimately contain a GLOBAL (unpartitioned)
+    * window — every entry runs it over a provably bounded input. */
+  private val globalWindowAllowed: Map[String, String] = Map(
+  )
+
+  private def offenders(p: SparkPlan): Seq[String] = p.collect {
+    case _: CartesianProductExec => "CartesianProduct"
+    case _: BroadcastNestedLoopJoinExec => "BroadcastNestedLoopJoin"
+    case w: WindowExec if w.partitionSpec.isEmpty => "GlobalWindow"
+  }
+
+  test("no gate query plans a cartesian/BNL join or a global window " +
+      "outside the documented bounded-frame allowlist") {
+    val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      var df: org.apache.spark.sql.DataFrame = null
+      try {
+        df = fn(spark, sfDir)
+        val found = offenders(df.queryExecution.sparkPlan)
+        val crosses = found.filter(_ != "GlobalWindow")
+        val windows = found.filter(_ == "GlobalWindow")
+        if (crosses.nonEmpty && !crossAllowed.contains(name))
+          bad += s"$name: ${crosses.distinct.mkString(",")}"
+        if (windows.nonEmpty && !globalWindowAllowed.contains(name))
+          bad += s"$name: GlobalWindow"
+      } catch { case e: Throwable =>
+        bad += s"$name: planning failed: ${e.getMessage}"
+      } finally { if (df != null) graft.core.Blocks.releaseAll(df) }
+    }
+    assert(bad.isEmpty, s"\nplan lint offenders:\n  ${bad.mkString("\n  ")}")
+  }
+
+  test("the cross-join allowlist stays tight: every allowlisted query " +
+      "still plans the shape it documents") {
+    // an allowlist entry whose query no longer plans a cross is stale —
+    // prune it so the lint stays maximally strict
+    val stale = crossAllowed.keys.toSeq.sorted.filter { name =>
+      SparkEntry.queries.get(name).forall { fn =>
+        var df: org.apache.spark.sql.DataFrame = null
+        try {
+          df = fn(spark, sfDir)
+          !offenders(df.queryExecution.sparkPlan).exists(_ != "GlobalWindow")
+        } catch { case _: Throwable => false }
+        finally { if (df != null) graft.core.Blocks.releaseAll(df) }
+      }
+    }
+    assert(stale.isEmpty,
+      s"allowlist entries no longer needed (prune them): $stale")
+  }
+}
