@@ -50,17 +50,26 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
     * frame or ≤64-row aggregate), documented inline. */
   private val crossAllowed: Map[String, String] = Map(
     "q25_cross_join" -> "the cross-join gate query itself: region × nation, both dimension tables",
+    "q39_value_share" -> "1-row grand-total aggregate crossJoined back onto the per-supplier frame",
     "m120_prune_report" -> "layout compare crosses per-file stats against a broadcast ≤64-row query-box literal frame",
-    "m157_cross_correlogram" -> "lag sweep crosses two per-bucket series against a ≤15-row literal shift frame",
-    "m91_rank_rbo" -> "RBO weight table: two ≤k top-k frames crossed with a ≤depth literal weight frame",
-    "m76_novelty_poisson" -> "Poisson CDF thresholds: per-doc counts against a ≤3-row literal threshold frame",
-    "m53_kcenter_coverage" -> "k-center audit: corpus × ≤k chosen-centers frame (k=8 literal-bounded)",
-    "m44_histogram_match" -> "acceptance-rate solve: ≤bins² cross of two ≤bins-row histogram aggregates"
+    "m04_ann_brute" -> "brute-force ANN baseline: corpus × broadcast ≤16-query frame (the exact eval yardstick; the scale paths are m05/m09)",
+    "m06_embed_dedup" -> "SAMPLED exact near-dup verifier (quarter corpus by construction; embeddingPairsExact refuses corpus-scale input — spec'd)",
+    "m130_truncated_topk" -> "Matryoshka eval: corpus × broadcast ≤16-query frame",
+    "m52_hybrid_retrieval" -> "RRF fusion: per-query top-k frames (≤k·queries rows) non-equi-matched",
+    "m54_hard_negatives" -> "mining eval: corpus × broadcast ≤-bounded query frame",
+    "m59_kmv_setops" -> "distinct-groups pair lattice (≤sources² rows) over ≤k-row KMV sketches",
+    "m60_hist_quantiles" -> "quantile probes × ≤bins-row histogram aggregate",
+    "m64_cms_join_size" -> "two 1-row aggregates (sketch estimate, exact count) crossJoined",
+    "m71_group_quantiles" -> "per-group probes × ≤maxGroups·bins histogram aggregate",
+    "m74_ann_recall" -> "recall eval: two ≤16-query top-k frames compared non-equi",
+    "m90_ann_ndcg" -> "nDCG eval: ≤16-query top-k frames against the ≤depth discount table",
+    "m91_ann_rbo" -> "RBO eval: two ≤16-query top-5 frames against the pinned weight literals"
   )
 
   /** Queries whose plans legitimately contain a GLOBAL (unpartitioned)
     * window — every entry runs it over a provably bounded input. */
   private val globalWindowAllowed: Map[String, String] = Map(
+    "m60_hist_quantiles" -> "running-total window over the ≤bins-row histogram aggregate"
   )
 
   private def offenders(p: SparkPlan): Seq[String] = p.collect {
