@@ -975,6 +975,21 @@ object Oracle {
         ON p.user_id = s.user_id AND p.ts >= s.w_start AND p.ts <= s.w_end
       ORDER BY p.user_id, p.event_id, s.signup_id""",
 
+    // q56: the streaming store's read-back must equal the PLAIN batch
+    // BETWEEN join (q37's oracle verbatim) — the store itself never
+    // appears here, which is the point: maintenance is invisible.
+    "q56_stream_range_join" -> """
+      SELECT p.user_id, p.event_id, s.signup_id,
+        strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        strftime(s.w_start, '%Y-%m-%d %H:%M:%S') AS w_start_s
+      FROM (SELECT user_id, event_id, ts FROM events
+            WHERE event_type = 'purchase') p
+      JOIN (SELECT user_id, event_id AS signup_id, ts AS w_start,
+                   ts + INTERVAL 2 HOUR AS w_end
+            FROM events WHERE event_type = 'signup') s
+        ON p.user_id = s.user_id AND p.ts >= s.w_start AND p.ts <= s.w_end
+      ORDER BY p.user_id, p.event_id, s.signup_id""",
+
     "q38_avg_qty" -> """
       SELECT
         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,

@@ -3306,6 +3306,49 @@ object Queries {
       .filter(col("n") > 0L)
       .orderBy("day", "event_type")
 
+  /** One maintained range-join store per (JVM, sf dir) — the
+    * bm25IndexDirs convention; the store content is a pure function of
+    * the events table, so rebuild-vs-reuse cannot change results. */
+  private val rangeStoreDirs = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** q56 — the q37 interval join maintained as a STREAM-STATIC store
+    * ([[streaming.Pipeline.mergeRangeJoinBatch]], the §2.9 event-time
+    * join surface): purchases arrive in three deterministic
+    * micro-batches (event_id mod 3); each lands its stream-static
+    * rangeJoin result in its own `batch=<bid>` partition, and batch 1
+    * is REPLAYED before the read (at-least-once delivery — the
+    * per-batch overwrite must rewrite identical content). The read-back
+    * union must equal the one-shot batch join bit-for-bit: stream-static
+    * joins hold no state, so no batching can change the pair set. The
+    * oracle is q37's plain BETWEEN join — the store never appears in it. */
+  def q56StreamRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val windows = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_id"),
+        col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("w_end"))
+    val store = rangeStoreDirs.getOrElseUpdate(dir, {
+      val full = new java.io.File(dir).getAbsolutePath
+      val d = s"target/range-store/${new java.io.File(dir).getName}-" +
+        f"${graft.core.TextSig.mix64(full.hashCode.toLong) & 0xffffffffL}%08x"
+      (0L until 3L).foreach { b =>
+        streaming.Pipeline.mergeRangeJoinBatch(
+          purchases.filter(pmod(col("event_id"), lit(3)) === b),
+          windows, "user_id", "ts", "w_start", "w_end", d, b)
+      }
+      streaming.Pipeline.mergeRangeJoinBatch( // at-least-once replay
+        purchases.filter(pmod(col("event_id"), lit(3)) === 1L),
+        windows, "user_id", "ts", "w_start", "w_end", d, 1L)
+      d
+    })
+    s.read.parquet(store)
+      .select(col("user_id"), col("event_id"), col("signup_id"),
+        fmtTs(col("ts")).as("ts_s"), fmtTs(col("w_start")).as("w_start_s"))
+      .orderBy("user_id", "event_id", "signup_id")
+  }
+
   /** m93 — corpus novelty curve: per doc (in doc_id arrival order),
     * its distinct word-13-gram count, how many of those grams are
     * FIRST-SEEN (this doc is the min-id owner), and the running total

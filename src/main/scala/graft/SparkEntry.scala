@@ -262,6 +262,7 @@ object SparkEntry {
     "q53_rollup" -> Queries.q53Rollup,
     "q54_pivot" -> Queries.q54Pivot,
     "q55_unpivot" -> Queries.q55Unpivot,
+    "q56_stream_range_join" -> Queries.q56StreamRangeJoin,
     "mm05_audio_fingerprint" -> Queries.mm05AudioFingerprint,
     "mm06_shot_boundaries" -> Queries.mm06ShotBoundaries,
     "mm07_image_dhash" -> Queries.mm07ImageDhash,

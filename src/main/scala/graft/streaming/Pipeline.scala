@@ -348,6 +348,75 @@ object Pipeline {
         .agg(sum(col("n")).as("n"), sum(col("s")).as("s")),
       targetPerRow, slackPerRow, threshold)
 
+  /** Watermarked STREAM-STREAM event-time interval join (§2.9's q37
+    * range-join semantics under `withWatermark`): points pair with
+    * intervals of the same key when `pointTs ∈ [startTs, endTs]`.
+    *
+    * `maxIntervalSeconds` is the state-eviction CONTRACT: the join
+    * condition carries the redundant conjunct
+    * `pointTs <= startTs + maxIntervalSeconds`, which gives Spark a
+    * two-sided event-time bound between the streams — that is what
+    * lets the state store evict an interval once the point watermark
+    * passes `start + max + watermark` (and a point once the interval
+    * watermark passes it). Without the declared bound, interval state
+    * is immortal: at 100 TB/day the join would OOM on state, not
+    * shuffle. Oversized intervals fail loudly (`raise_error`, the
+    * [[graft.operators.Temporal.rangeJoin]] bin-cap rule) instead of
+    * silently truncating.
+    *
+    * Inner-join semantics: matches emit as soon as both rows have
+    * arrived (no watermark hold-back on output); the watermark bounds
+    * STATE, so a row arriving later than the watermark allows can miss
+    * already-evicted partners — the standard completeness trade every
+    * stream-stream join makes. */
+  def intervalJoinStreams(points: DataFrame, intervals: DataFrame,
+      key: String, pointTs: String, startTs: String, endTs: String,
+      watermark: String = "10 minutes",
+      maxIntervalSeconds: Long = 7200L): DataFrame = {
+    val p = points.withWatermark(pointTs, watermark)
+    val i = intervals
+      .withColumnRenamed(key, "__rkey")
+      .filter(when(
+        unix_timestamp(col(endTs)) - unix_timestamp(col(startTs))
+          > maxIntervalSeconds,
+        raise_error(concat(lit("intervalJoinStreams: interval longer than "),
+          lit(maxIntervalSeconds),
+          lit(" s; raise maxIntervalSeconds"))).cast("boolean"))
+        .otherwise(lit(true)))
+      .withWatermark(startTs, watermark)
+    p.join(i,
+        col(key) === col("__rkey") &&
+        col(pointTs) >= col(startTs) &&
+        col(pointTs) <= col(startTs) + expr(s"INTERVAL $maxIntervalSeconds SECONDS") &&
+        col(pointTs) <= col(endTs))
+      .drop("__rkey")
+  }
+
+  /** Stream-STATIC interval join maintenance: each micro-batch of
+    * points joins the static intervals frame through
+    * [[graft.operators.Temporal.rangeJoin]] (stateless per batch —
+    * stream-static joins hold no join state, so the union over ANY
+    * batching equals the one-shot batch join) and lands in its own
+    * `batch=<bid>` partition; the per-batch overwrite makes an
+    * at-least-once replay rewrite identical content (the
+    * [[mergeCusumBatch]] idempotence convention). */
+  def maintainRangeJoin(points: DataFrame, intervals: DataFrame,
+      key: String, pointTs: String, startTs: String, endTs: String,
+      storeDir: String, checkpoint: String) =
+    points.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        mergeRangeJoinBatch(batch, intervals, key, pointTs, startTs, endTs,
+          storeDir, bid)
+      }
+
+  private[graft] def mergeRangeJoinBatch(batch: DataFrame,
+      intervals: DataFrame, key: String, pointTs: String, startTs: String,
+      endTs: String, storeDir: String, bid: Long): Unit =
+    graft.operators.Temporal.rangeJoin(batch, intervals, key,
+        pointTs, startTs, endTs)
+      .write.mode("overwrite").parquet(s"$storeDir/batch=$bid")
+
   /** Streaming BM25 index maintenance: each micro-batch of (doc_id,
     * text) docs grows the durable inverted index, with the STREAM's
     * monotone batch id driving the append's exactly-once contract — an

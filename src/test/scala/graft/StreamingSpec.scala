@@ -685,6 +685,84 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(replayed === got)
   }
 
+  test("event-time interval join: stream-stream watermarked results equal " +
+      "the batch range join (incl. a cross-batch late interval); the " +
+      "stream-static store is batching-invariant and replay-idempotent") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def pointsDf(rows: Seq[(Long, Long, String)]) =
+      rows.toDF("user_id", "event_id", "ts_s")
+        .select(col("user_id"), col("event_id"),
+          col("ts_s").cast("timestamp").as("ts"))
+    val iRows = Seq(
+      (1L, 100L, "2024-01-01 10:00:00", "2024-01-01 12:00:00"),
+      (2L, 101L, "2024-01-01 10:00:00", "2024-01-01 11:00:00"))
+    val iLate = Seq(
+      (1L, 102L, "2024-01-01 12:30:00", "2024-01-01 14:30:00"))
+    val pRows = Seq(
+      (1L, 1L, "2024-01-01 10:30:00"), // inside 100
+      (1L, 2L, "2024-01-01 13:00:00"), // only inside the LATE interval 102
+      (2L, 3L, "2024-01-01 10:59:00"), // inside 101
+      (3L, 4L, "2024-01-01 10:30:00")) // keyless
+    def ivalsDf(rows: Seq[(Long, Long, String, String)]) =
+      rows.toDF("user_id", "signup_id", "ws_s", "we_s")
+        .select(col("user_id"), col("signup_id"),
+          col("ws_s").cast("timestamp").as("w_start"),
+          col("we_s").cast("timestamp").as("w_end"))
+    // ---- stream-stream ----
+    val pmem = MemoryStream[(Long, Long, String)]
+    val imem = MemoryStream[(Long, Long, String, String)]
+    val ps = pmem.toDF().toDF("user_id", "event_id", "ts_s")
+      .select(col("user_id"), col("event_id"),
+        col("ts_s").cast("timestamp").as("ts"))
+    val is = imem.toDF().toDF("user_id", "signup_id", "ws_s", "we_s")
+      .select(col("user_id"), col("signup_id"),
+        col("ws_s").cast("timestamp").as("w_start"),
+        col("we_s").cast("timestamp").as("w_end"))
+    val joined = Pipeline.intervalJoinStreams(ps, is, "user_id",
+      "ts", "w_start", "w_end", watermark = "10 minutes",
+      maxIntervalSeconds = 7200L)
+    val q = joined.writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").start()
+    imem.addData(iRows: _*); q.processAllAvailable()
+    pmem.addData(pRows: _*); q.processAllAvailable()
+    // the interval arrives AFTER its matching point: the point must
+    // still be in join state (watermark has not evicted it)
+    imem.addData(iLate: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = s.table("ij_out")
+      .select("user_id", "event_id", "signup_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = graft.operators.Temporal.rangeJoin(
+        pointsDf(pRows), ivalsDf(iRows ++ iLate), key = "user_id",
+        pointTs = "ts", startTs = "w_start", endTs = "w_end")
+      .select("user_id", "event_id", "signup_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed === batch && streamed.size === 3)
+    // ---- stream-static store maintenance ----
+    val store = java.nio.file.Files.createTempDirectory("rj-store").toString + "/rj"
+    val ck = store + "-ck"
+    val pmem2 = MemoryStream[(Long, Long, String)]
+    val ps2 = pmem2.toDF().toDF("user_id", "event_id", "ts_s")
+      .select(col("user_id"), col("event_id"),
+        col("ts_s").cast("timestamp").as("ts"))
+    val sq = Pipeline.maintainRangeJoin(ps2, ivalsDf(iRows ++ iLate),
+      "user_id", "ts", "w_start", "w_end", store, ck).start()
+    pmem2.addData(pRows.take(2): _*); sq.processAllAvailable()
+    pmem2.addData(pRows.drop(2): _*); sq.processAllAvailable()
+    sq.stop()
+    def storeRows() = s.read.parquet(store)
+      .select("user_id", "event_id", "signup_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(storeRows() === batch,
+      "stream-static union over batches must equal the one-shot join")
+    // at-least-once replay of batch 0 rewrites identical content
+    Pipeline.mergeRangeJoinBatch(pointsDf(pRows.take(2)),
+      ivalsDf(iRows ++ iLate), "user_id", "ts", "w_start", "w_end", store, 0L)
+    assert(storeRows() === batch, "replayed micro-batch must be idempotent")
+  }
+
   test("index bootstrap exactly-once: batch marker commits before .ok, " +
       "so every replayable crash state rebuilds or no-ops — never appends") {
     val s = spark
