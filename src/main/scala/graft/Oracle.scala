@@ -2742,6 +2742,142 @@ object Oracle {
           AS ece_bp
       FROM cbg, cbt ORDER BY bin""",
 
+    // m166: the engine's repeated-multiplication chains expanded inline
+    // (left-assoc (s*s*…) ≡ the Scala foldLeft after the exact 1.0·s
+    // identity step) — never pow(), which is ulp-fragile cross-engine.
+    "m166_lsh_plan" -> {
+      def chain(e: String, n: Int) = Seq.fill(n)(e).mkString("(", " * ", ")")
+      val cases = Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
+        .map { case (b, r) =>
+          s"WHEN f.bands = $b THEN (1 - ${chain(s"(1 - ${chain("s", r)})", b)})"
+        }.mkString(" ")
+      s"""
+      WITH f(bands, rows_per_band) AS (VALUES (1,16),(2,8),(4,4),(8,2),(16,1)),
+      pr AS (SELECT CAST(unnest([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+              AS DOUBLE) AS s)
+      SELECT f.bands, f.rows_per_band,
+        CAST(floor(s*1000 + 0.5) AS INT) AS s_milli,
+        CAST(floor((CASE $cases END) * 1000000 + 0.5) AS BIGINT)
+          AS p_collide_micro
+      FROM f, pr ORDER BY f.bands, s_milli"""
+    },
+
+    // m167: tie-averaged rank sums without per-row ranks — every row at
+    // value v has doubled rank 2·C_prev + t + 1, so R_A·2 is one SUM
+    // over the distinct-value frame; U/tie/variance exact in HUGEINT,
+    // z on the identical double dag (√ is IEEE-pinned), micro-floored.
+    "m167_mann_whitney" -> s"""
+      WITH $TextStatsCtes,
+      mwb AS (SELECT CASE WHEN length(text) >= 200 THEN 1 ELSE 0 END AS a,
+              CAST(floor(($QualityExpr) * 1000000 + 0.5) AS BIGINT) AS v
+            FROM ratios),
+      mws AS (SELECT v, CAST(SUM(a) AS BIGINT) AS ca,
+              CAST(COUNT(*) - SUM(a) AS BIGINT) AS cb
+            FROM mwb GROUP BY v),
+      mwr AS (SELECT *, CAST(SUM(ca + cb) OVER (ORDER BY v
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumt FROM mws),
+      mwt AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+              CAST(SUM(cb) AS BIGINT) AS nb,
+              SUM(CAST(ca AS HUGEINT)
+                * (2*(cumt - (ca + cb)) + (ca + cb) + 1)) AS ra2,
+              SUM(CAST(ca + cb AS HUGEINT)*(ca + cb)*(ca + cb)
+                - (ca + cb)) AS tie3
+            FROM mwr),
+      mwu AS (SELECT na, nb, tie3,
+              ra2 - CAST(na AS HUGEINT)*(na + 1) AS ua2,
+              CAST(na AS HUGEINT) + nb AS n FROM mwt),
+      mwv AS (SELECT na, nb, tie3, ua2,
+              CAST(na AS HUGEINT)*nb*((n + 1)*n*(n - 1) - tie3) AS varnum,
+              12*n*(n - 1) AS varden FROM mwu)
+      SELECT na AS n_a, nb AS n_b, CAST(ua2 AS BIGINT) AS u_a2,
+        CAST(2*CAST(na AS HUGEINT)*nb - ua2 AS BIGINT) AS u_b2,
+        CAST(tie3 AS BIGINT) AS tie_cubes,
+        CASE WHEN varnum <= 0 THEN 0
+          ELSE CAST(floor(
+            (CAST(ua2 AS DOUBLE)/2.0 - CAST(na AS DOUBLE)*CAST(nb AS DOUBLE)/2.0)
+            / sqrt(CAST(varnum AS DOUBLE)/CAST(varden AS DOUBLE))
+            * 1000000.0 + 0.5) AS BIGINT) END AS z_micro
+      FROM mwv""",
+
+    // m168: doubled tie-averaged ranks (2·cumT − t + 1 per distinct
+    // value) joined back, exact HUGEINT moments, the m140 double dag.
+    "m168_spearman" -> """
+      WITH spb AS (SELECT CAST(floor(value*100 + 0.5) AS BIGINT) AS x,
+              CAST(floor(epoch(ts)) AS BIGINT) AS y FROM events),
+      spxr AS (SELECT x, 2*CAST(SUM(COUNT(*)) OVER (ORDER BY x
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) - COUNT(*) + 1 AS rx
+            FROM spb GROUP BY x),
+      spyr AS (SELECT y, 2*CAST(SUM(COUNT(*)) OVER (ORDER BY y
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) - COUNT(*) + 1 AS ry
+            FROM spb GROUP BY y),
+      spj AS (SELECT r1.rx AS rx, r2.ry AS ry FROM spb b
+            JOIN spxr r1 ON b.x = r1.x JOIN spyr r2 ON b.y = r2.y),
+      spm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              SUM(CAST(rx AS HUGEINT)) AS sx, SUM(CAST(ry AS HUGEINT)) AS sy,
+              SUM(CAST(rx AS HUGEINT)*ry) AS sxy,
+              SUM(CAST(rx AS HUGEINT)*rx) AS sxx,
+              SUM(CAST(ry AS HUGEINT)*ry) AS syy FROM spj),
+      spd AS (SELECT n, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+              CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+              CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+            FROM spm)
+      SELECT n,
+        round(CASE WHEN nd*sxxd - sxd*sxd = 0.0 OR nd*syyd - syd*syd = 0.0
+          THEN 0.0
+          ELSE (nd*sxyd - sxd*syd)
+            / sqrt((nd*sxxd - sxd*sxd) * (nd*syyd - syd*syd)) END, 6) AS rho
+      FROM spd""",
+
+    // m169: component sizes from the recursive closure over the exact
+    // pair set; unpaired docs are size-1 clusters via NOT IN.
+    "m169_cluster_sizes" -> s"""
+      WITH RECURSIVE $CharShingleCtes,
+      ${jacPairCtes("pj")},
+      p AS (SELECT pa AS da, pb AS db FROM pj WHERE ${jacGe("0.5")}),
+      e AS (SELECT da AS u, db AS v FROM p UNION SELECT db, da FROM p),
+      reach(node, r) AS (
+        SELECT u, u FROM e
+        UNION
+        SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.node),
+      comp AS (SELECT node AS doc_id, MIN(r) AS component
+               FROM reach GROUP BY node),
+      szs AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS sz
+              FROM comp GROUP BY component),
+      multi AS (SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT)
+                  AS n_clusters FROM szs GROUP BY sz),
+      single AS (SELECT CAST(1 AS BIGINT) AS cluster_size,
+              CAST(COUNT(*) AS BIGINT) AS n_clusters FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM comp))
+      SELECT * FROM (SELECT * FROM multi UNION ALL
+                     SELECT * FROM single WHERE n_clusters > 0)
+      ORDER BY cluster_size""",
+
+    // m170: per-seed BFS min-fold rounds unrolled with MATERIALIZED
+    // levels (each level is read by the union AND the induced join —
+    // the m112 inlining rule); 840 // d is exact for d ≤ 8.
+    "m170_harmonic_centrality" -> {
+      def lvl(r: Int) = s"""
+      hc$r AS MATERIALIZED (
+        SELECT seed, id, MIN(dist) AS dist FROM (
+          SELECT seed, id, dist FROM hc${r - 1}
+          UNION ALL
+          SELECT h.seed, e.v AS id, h.dist + 1 AS dist
+          FROM hc${r - 1} h JOIN he e ON e.u = h.id)
+        GROUP BY seed, id)"""
+      s"""
+      WITH RECURSIVE $CharShingleCtes,
+      ${jacPairCtes("pj")},
+      p AS (SELECT pa AS da, pb AS db FROM pj WHERE ${jacGe("0.5")}),
+      he AS (SELECT da AS u, db AS v FROM p UNION ALL SELECT db, da FROM p),
+      hc0 AS (SELECT doc_id AS seed, doc_id AS id, 0 AS dist
+              FROM documents WHERE doc_id < 16),
+      ${(1 to 6).map(lvl).mkString(",")}
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS n_reached,
+        CAST(SUM(840 // dist) AS BIGINT) AS harmonic_840
+      FROM hc6 WHERE dist >= 1
+      GROUP BY id ORDER BY id"""
+    },
+
     "m128_auc_report" -> s"""
       WITH $TextStatsCtes,
       aub AS (SELECT CASE WHEN length(text) >= 200 THEN 1 ELSE 0 END AS y,

@@ -3349,6 +3349,70 @@ object Queries {
       .orderBy("user_id", "event_id", "signup_id")
   }
 
+  /** m166 — MinHash-LSH parameter plan ([[operators.Dedup.lshPlan]]):
+    * the collision S-curve 1 − (1 − sʳ)ᵇ for every factorization of the
+    * 16-perm budget at nine probe similarities — repeated-multiplication
+    * doubles (never pow()), micro-floored; the oracle expands the same
+    * multiply chains inline so parity is bit-exact. */
+  def m166LshPlan(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshPlan(s, perms = 16).orderBy("bands", "s_milli")
+
+  /** m167 — Mann–Whitney U test
+    * ([[operators.Ranking.mannWhitneyReport]]): did long docs' quality
+    * distribution shift vs short docs'? — the rank-sum companion of
+    * m128's AUC over the same (label, score) pairing; U·2, the tie term
+    * and z are exact integers / one mirrored double dag. */
+  def m167MannWhitney(s: SparkSession, dir: String): DataFrame =
+    operators.Ranking.mannWhitneyReport(t(s, dir, "documents"),
+      length(col("text")) >= 200,
+      floor(operators.TextAnalysis.qualityScore(col("text")) * 1000000 + 0.5))
+
+  /** m168 — Spearman rank correlation
+    * ([[operators.Ranking.spearmanReport]]): monotone association
+    * between event value and event time — doubled tie-averaged ranks
+    * from two distinct-value running passes (no per-row window), exact
+    * DECIMAL moments, the m140 mirrored double dag. */
+  def m168Spearman(s: SparkSession, dir: String): DataFrame =
+    operators.Ranking.spearmanReport(t(s, dir, "events"),
+      floor(col("value") * 100 + 0.5),
+      unix_timestamp(col("ts")))
+
+  /** m169 — dup-cluster size histogram: component sizes of the
+    * 0.5-threshold near-dup graph (shared pair table) plus unpaired
+    * docs as size-1 clusters — the "how big are my duplicate families"
+    * audit that decides keep-first vs canonical-pick policies. The
+    * oracle replays the recursive closure and the NOT IN singleton
+    * count. */
+  def m169ClusterSizes(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val comp = Dedup.connectedComponents(pairs05(s, dir))
+    val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("n"))
+    val multi = sizes.groupBy(col("n").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+    val single = docs
+      .join(comp.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(lit(1L).as("cluster_size"), col("n_clusters"))
+    multi.unionByName(single)
+      .filter(col("n_clusters") > 0)
+      .orderBy("cluster_size")
+  }
+
+  /** m170 — sampled harmonic centrality
+    * ([[operators.Graph.harmonicCentrality]]): Σ 1/d from the 16 probe
+    * docs over the near-dup graph, in exact 1/840 units (840 = lcm(1..8)
+    * — no float harmonic sum); the oracle unrolls the per-seed BFS
+    * min-fold rounds with MATERIALIZED levels. */
+  def m170HarmonicCentrality(s: SparkSession, dir: String): DataFrame = {
+    val p = pairs05(s, dir)
+    val edges = p.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+      .unionByName(p.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
+    val seeds = t(s, dir, "documents").filter(col("doc_id") < 16)
+      .select(col("doc_id").as("id"))
+    operators.Graph.harmonicCentrality(edges, seeds, maxHops = 6)
+      .orderBy("id")
+  }
+
   /** m93 — corpus novelty curve: per doc (in doc_id arrival order),
     * its distinct word-13-gram count, how many of those grams are
     * FIRST-SEEN (this doc is the min-id owner), and the running total

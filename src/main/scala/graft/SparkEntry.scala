@@ -258,6 +258,11 @@ object SparkEntry {
     "m163_risk_coverage" -> Queries.m163RiskCoverage,
     "m164_decile_gains" -> Queries.m164DecileGains,
     "m165_conformal_by_source" -> Queries.m165ConformalBySource,
+    "m166_lsh_plan" -> Queries.m166LshPlan,
+    "m167_mann_whitney" -> Queries.m167MannWhitney,
+    "m168_spearman" -> Queries.m168Spearman,
+    "m169_cluster_sizes" -> Queries.m169ClusterSizes,
+    "m170_harmonic_centrality" -> Queries.m170HarmonicCentrality,
     "q52_gap_fill" -> Queries.q52GapFill,
     "q53_rollup" -> Queries.q53Rollup,
     "q54_pivot" -> Queries.q54Pivot,

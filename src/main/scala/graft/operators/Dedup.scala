@@ -367,6 +367,36 @@ object Dedup {
     materialized(verified, (sig +: internalCks): _*)
   }
 
+  /** MinHash-LSH parameter planner: for every factorization b·r = k of
+    * the signature budget, the band-collision S-curve
+    * p(s) = 1 − (1 − sʳ)ᵇ at each probe similarity — the table an
+    * operator owner reads before picking [[minhashPairs]]' (bands,
+    * rowsPerBand) at 100 TB: more bands ⇒ recall at lower similarity
+    * (and more candidate volume), more rows per band ⇒ a sharper knee.
+    * Data-free driver arithmetic (the plan depends only on k); powers
+    * are REPEATED MULTIPLICATION, never pow() — x^n with a library pow
+    * is ulp-fragile across engines (the m77 lesson), a left-fold
+    * multiply chain is bit-deterministic everywhere. Micro-floored
+    * outputs make the gate hash exact. */
+  def lshPlan(spark: org.apache.spark.sql.SparkSession, perms: Int = 16,
+      probes: Seq[Double] = (1 to 9).map(_ / 10.0)): DataFrame = {
+    require(perms >= 1 && perms <= 256, s"lshPlan: perms=$perms out of [1,256]")
+    require(probes.nonEmpty && probes.forall(s => s >= 0.0 && s <= 1.0),
+      "lshPlan: probes must sit in [0,1]")
+    val rows = for {
+      b <- 1 to perms if perms % b == 0
+      r = perms / b
+      s <- probes
+    } yield {
+      val sr = (1 to r).foldLeft(1.0)((a, _) => a * s)
+      val qb = (1 to b).foldLeft(1.0)((a, _) => a * (1.0 - sr))
+      (b, r, math.floor(s * 1000.0 + 0.5).toInt,
+        math.floor((1.0 - qb) * 1000000.0 + 0.5).toLong)
+    }
+    import spark.implicits._
+    rows.toDF("bands", "rows_per_band", "s_milli", "p_collide_micro")
+  }
+
   /** Near-dedup via MinHash-LSH: drop the higher doc_id of every verified
     * near-dup pair (connected via direct pairs; transitive closure left to
     * iterative callers). */

@@ -746,6 +746,63 @@ object Graph {
   }
 
   /**
+   * Sampled harmonic centrality: for every vertex v, Σ_seeds 1/d(seed,v)
+   * over the finite per-seed hop distances (d ≥ 1; a seed contributes
+   * nothing to itself) — the "how reachable is this doc from the probe
+   * set" readout, robust to disconnection where closeness centrality
+   * degenerates (unreached pairs simply add 0). Exact over the SAMPLED
+   * seed set; at 100 TB all-pairs centrality is quadratic, sampling
+   * seeds is the standard estimator (Eppstein & Wang 2004) and the seed
+   * ceiling keys the state bound.
+   *
+   * Exactness: contributions are kept in 1/840 units — 840 = lcm(1..8),
+   * so every 1/d with d ≤ 8 hops is an exact integer number of units
+   * and the gate hashes exactly (no float harmonic sum anywhere).
+   *
+   * Scale shape: the [[bfsDistances]] loop keyed by (seed, vertex) —
+   * one join + one min-fold shuffle per hop on a frame bounded by
+   * |seeds|·|V|; seeds are ceiling-enforced.
+   *
+   * @return per vertex reached by ≥1 seed: (id, n_reached,
+   *         harmonic_840) — harmonic_840 = Σ 840/d(seed, id)
+   */
+  def harmonicCentrality(edges: DataFrame, seeds: DataFrame,
+      maxHops: Int = 6, maxSeeds: Int = 64, idCol: String = "id",
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 8,
+      s"harmonicCentrality: maxHops=$maxHops out of [1,8] (840 = lcm(1..8))")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst")).distinct()
+      .transform(graft.core.Blocks.pin)
+    val seedFrame = seeds.select(col(idCol).cast("long").as("seed")).distinct()
+      .transform(graft.core.Blocks.pin)
+    val nSeeds = seedFrame.count() // free: pin materialized it
+    require(nSeeds >= 1 && nSeeds <= maxSeeds,
+      s"harmonicCentrality: $nSeeds seeds exceeds ceiling $maxSeeds — " +
+        "sampled centrality is priced at |seeds|·|V| state")
+    var dist = seedFrame.select(col("seed"), col("seed").as("id"),
+      lit(0).as("dist"))
+    var t = 0
+    while (t < maxHops) { // linear lazy chain, one terminal action
+      val next = e.join(dist, e("src") === dist("id"))
+        .select(col("seed"), col("dst").as("id"), (col("dist") + 1).as("dist"))
+      dist = dist.unionByName(next)
+        .groupBy("seed", "id").agg(min(col("dist")).as("dist"))
+      t += 1
+    }
+    val out = dist.filter(col("dist") >= 1)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_reached"),
+        // 840 div d is exact for every d ≤ 8 (840 = lcm(1..8)) — a
+        // pure-integer dag, no float division enters the sum
+        sum(expr("840 div dist").cast("long")).as("harmonic_840"))
+      .transform(graft.core.Blocks.pin)
+    graft.core.Blocks.release(e)
+    graft.core.Blocks.release(seedFrame)
+    out
+  }
+
+  /**
    * Deterministic seeded random walks (the DeepWalk/node2vec corpus
    * generator, Perozzi et al. 2014) — one walk per start vertex, each
    * step moving to the `h mod deg`-th neighbor in dst-sorted order,

@@ -959,6 +959,137 @@ object Ranking {
   }
 
   /**
+   * Mann–Whitney U (Wilcoxon rank-sum) two-sample report — the
+   * nonparametric "did distribution A shift vs B?" test the stats
+   * battery lacked: unlike [[ksTestReport]]'s sup-gap it weighs the
+   * WHOLE ranking, and unlike a t-test it needs no normality (ideal for
+   * skewed quality/length scores).
+   *
+   * Exactness & scale (the [[ksTestReport]] shape): one group-by
+   * collapses the corpus to distinct-value blocks, one
+   * [[globalRunningAggs]] pass gives every block its predecessor count,
+   * and the tie-averaged rank-sum needs NO per-row rank — every row at
+   * value v has doubled average rank `2·C_prev + t + 1` (t rows tie
+   * there), so `R_A·2 = Σ c_A(v)·(2·C_prev + t + 1)` is one DECIMAL
+   * aggregate. U·2, the tie term Σ(t³−t) and the variance are exact
+   * integers on the driver (BIGINT output documents the n_A·n_B < 2⁶²
+   * bound, the m75 convention); the z-score is the one mirrored double
+   * dag — integer operands cast once, `√` is IEEE-pinned, micro-floored.
+   *
+   * @param inA row predicate selecting sample A (false → sample B)
+   * @return one row: (n_a, n_b, u_a2, u_b2, tie_cubes, z_micro) where
+   *         u_a2 = 2·U_A and tie_cubes = Σ(t³−t)
+   */
+  def mannWhitneyReport(df: DataFrame, inA: Column,
+      valueCol: Column): DataFrame = {
+    val d19 = DecimalType(19, 0)
+    val d38 = DecimalType(38, 0)
+    val byV = df
+      .select(inA.cast("int").as("__a"), valueCol.cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("__v"))
+      .agg(sum(col("__a")).cast("long").as("ca"),
+        (count(lit(1)) - sum(col("__a"))).cast("long").as("cb"))
+    val running = globalRunningAggs(byV, Seq(col("__v").asc),
+      Seq(col("ca"), col("cb")), "__rk", Seq("cumA", "cumB"))
+    try {
+      val t = (col("ca") + col("cb")).cast(d19)
+      val cPrev = (col("cumA") + col("cumB")).cast(d19) - t
+      val row = running.agg(
+        sum(col("ca")).cast("long").as("na"),
+        sum(col("cb")).cast("long").as("nb"),
+        sum((col("ca").cast(d19) * (cPrev * 2 + t + 1)).cast(d38)).as("ra2"),
+        sum((t * t * t - t).cast(d38)).as("tie3")).head()
+      require(!row.isNullAt(0) && row.getLong(0) > 0 && row.getLong(1) > 0,
+        "mannWhitneyReport: both samples must be non-empty")
+      val (na, nb) = (row.getLong(0), row.getLong(1))
+      val ra2 = BigInt(row.getDecimal(2).toBigInteger)
+      val tie3 = BigInt(row.getDecimal(3).toBigInteger)
+      val n = BigInt(na) + BigInt(nb)
+      val ua2 = ra2 - BigInt(na) * (na + 1) // 2·(R_A − n_a(n_a+1)/2)
+      val ub2 = BigInt(2) * BigInt(na) * BigInt(nb) - ua2
+      // Var(U) = n_a·n_b·((n+1)·n·(n−1) − Σ(t³−t)) / (12·n·(n−1)),
+      // exact integer numerator/denominator; z on the mirrored dag
+      val varNum = BigInt(na) * BigInt(nb) * ((n + 1) * n * (n - 1) - tie3)
+      val varDen = BigInt(12) * n * (n - 1)
+      val zMicro =
+        if (varNum <= 0) 0L
+        else {
+          val z = (ua2.toDouble / 2.0 - na.toDouble * nb.toDouble / 2.0) /
+            math.sqrt(varNum.toDouble / varDen.toDouble)
+          math.floor(z * 1000000.0 + 0.5).toLong
+        }
+      val s = df.sparkSession
+      import s.implicits._
+      Seq((na, nb, ua2.toLong, ub2.toLong, tie3.toLong, zMicro))
+        .toDF("n_a", "n_b", "u_a2", "u_b2", "tie_cubes", "z_micro")
+    } finally graft.core.Blocks.release(running)
+  }
+
+  /**
+   * Spearman rank correlation — monotone-association strength between
+   * two row-level measures (quality vs length, score vs recency), the
+   * rank-robust companion of [[graft.operators.TrainingPipeline.trendReport]]'s
+   * Pearson-style slope: outliers move it by at most their rank.
+   *
+   * Ties take AVERAGE ranks, kept exact as DOUBLED ranks (integers):
+   * per distinct value the doubled tie-averaged rank is
+   * `2·C_prev + t + 1` ([[mannWhitneyReport]]'s identity), computed on
+   * the bounded distinct-value frame by one [[globalRunningAggs]] pass
+   * per variable and joined back to rows — no per-row window anywhere.
+   * ρ is then Pearson over the doubled-rank pairs: exact DECIMAL
+   * moments, one mirrored double dag, 6 dp (the trendReport contract).
+   *
+   * @return one row: (n, rho)
+   */
+  def spearmanReport(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val d19 = DecimalType(19, 0)
+    val d38 = DecimalType(38, 0)
+    val base = df
+      .select(xCol.cast("long").as("__x"), yCol.cast("long").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .transform(graft.core.Blocks.pin) // two rank joins + moments
+    def rank2Of(c: String): DataFrame = {
+      val byV = base.groupBy(col(c).as("__v"))
+        .agg(count(lit(1)).cast("long").as("t"))
+      val running = globalRunningAggs(byV, Seq(col("__v").asc),
+        Seq(col("t")), "__rk", Seq("cumT"))
+      // rank2 ≤ 2n: fits long; the frame is distinct-values-sized
+      val out = running
+        .select(col("__v").as(c),
+          (col("cumT") * 2 - col("t") + 1).as(s"${c}_r2"))
+        .transform(graft.core.Blocks.pin)
+      graft.core.Blocks.release(running)
+      out
+    }
+    val rx = rank2Of("__x")
+    val ry = rank2Of("__y")
+    val ranked = base.join(rx, "__x").join(ry, "__y")
+      .select(col("__x_r2").as("rx"), col("__y_r2").as("ry"))
+    val m = ranked.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("rx").cast(d38)).as("sx"),
+      sum(col("ry").cast(d38)).as("sy"),
+      sum((col("rx").cast(d19) * col("ry").cast(d19)).cast(d38)).as("sxy"),
+      sum((col("rx").cast(d19) * col("rx").cast(d19)).cast(d38)).as("sxx"),
+      sum((col("ry").cast(d19) * col("ry").cast(d19)).cast(d38)).as("syy"))
+    val nD = col("n").cast("double")
+    val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+    val cov = nD * col("sxy").cast("double") - sx * sy
+    val vx = nD * col("sxx").cast("double") - sx * sx
+    val vy = nD * col("syy").cast("double") - sy * sy
+    val rho = when(vx === 0.0 || vy === 0.0, 0.0)
+      .otherwise(cov / sqrt(vx * vy))
+    val out = m.select(col("n"), round(rho, 6).as("rho"))
+    // pin BEFORE releasing the inputs the lazy dag still reads
+    val pinned = out.transform(graft.core.Blocks.pin)
+    graft.core.Blocks.release(rx)
+    graft.core.Blocks.release(ry)
+    graft.core.Blocks.release(base)
+    pinned
+  }
+
+  /**
    * Winsorize per group — the TRANSFORM companion of
    * [[trimmedMeanReport]]: instead of dropping the tails it CLAMPS
    * them to the per-group cut values v₍ₖ₊₁₎ and v₍ₙ₋ₖ₎

@@ -332,4 +332,32 @@ class GraphSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("maxDeg"))
   }
+
+  test("harmonicCentrality: exact 1/840-unit sums on a path graph, " +
+      "seeds excluded from their own sum, ceiling enforced") {
+    val s = spark
+    import s.implicits._
+    // path 1-2-3-4, symmetric edges
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Graph.harmonicCentrality(edges,
+        Seq(1L, 4L).toDF("id"), maxHops = 6)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // v1: d(4,1)=3 -> 280; v2: d(1,2)=1 + d(4,2)=2 -> 840+420; v3 sym;
+    // v4: d(1,4)=3 -> 280. Self-distances (0) contribute nothing.
+    assert(got === Seq((1L, 1L, 280L), (2L, 2L, 1260L),
+      (3L, 2L, 1260L), (4L, 1L, 280L)))
+    // hop cap: beyond maxHops contributes nothing
+    val near = Graph.harmonicCentrality(edges,
+        Seq(1L).toDF("id"), maxHops = 2)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(near === Seq((2L, 840L), (3L, 420L)))
+    val err = intercept[IllegalArgumentException] {
+      Graph.harmonicCentrality(edges,
+        (1L to 100L).toDF("id"), maxSeeds = 64)
+    }
+    assert(err.getMessage.contains("ceiling"))
+  }
 }

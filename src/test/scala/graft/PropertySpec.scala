@@ -249,4 +249,100 @@ class PropertySpec extends AnyFunSuite {
       assert(gotAp === naive, s"rows=$rows")
     }
   }
+
+  test("mannWhitneyReport equals a naive tie-averaged rank replay") {
+    val s = spark
+    import s.implicits._
+    val rnd = new Random(31)
+    for (_ <- 1 to 10) {
+      val a = Seq.fill(3 + rnd.nextInt(20))(rnd.nextInt(6).toLong)
+      val b = Seq.fill(3 + rnd.nextInt(20))(rnd.nextInt(6).toLong)
+      val all = (a.map((_, 1)) ++ b.map((_, 0))).sortBy(_._1)
+      // doubled tie-averaged rank of a block [lo..hi] is lo + hi
+      val rank2 = scala.collection.mutable.Map.empty[Long, Long]
+      var i = 0
+      while (i < all.length) {
+        var j = i
+        while (j < all.length && all(j)._1 == all(i)._1) j += 1
+        rank2(all(i)._1) = (i + 1).toLong + j // lo + hi, 1-based
+        i = j
+      }
+      val na = a.length.toLong; val nb = b.length.toLong
+      val ra2 = a.map(rank2).sum
+      val ua2 = ra2 - na * (na + 1)
+      val tie3 = all.groupBy(_._1).values.map { g =>
+        val t = g.length.toLong; t * t * t - t
+      }.sum
+      val n = na + nb
+      val varNum = BigInt(na) * nb * ((n + 1) * n * (n - 1) - tie3)
+      val varDen = BigInt(12) * n * (n - 1)
+      val zN =
+        if (varNum <= 0) 0L
+        else math.floor((ua2.toDouble / 2.0 - na.toDouble * nb / 2.0) /
+          math.sqrt(varNum.toDouble / varDen.toDouble) * 1e6 + 0.5).toLong
+      val got = graft.operators.Ranking.mannWhitneyReport(
+        (a.map((_, 1)) ++ b.map((_, 0))).toDF("v", "ina").repartition(3),
+        col("ina") === 1, col("v")).collect().head
+      assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(4),
+        got.getLong(5)) === ((na, nb, ua2, tie3, zN)), s"a=$a b=$b")
+      assert(got.getLong(2) + got.getLong(3) === 2 * na * nb) // U_A+U_B id
+    }
+  }
+
+  test("spearmanReport equals a naive average-rank Pearson on tied pairs") {
+    val s = spark
+    import s.implicits._
+    val rnd = new Random(32)
+    def avgRanks(vs: Seq[Long]): Map[Long, Double] = {
+      val sorted = vs.sorted
+      vs.distinct.map { v =>
+        val lo = sorted.indexOf(v) + 1
+        val hi = sorted.lastIndexOf(v) + 1
+        v -> (lo + hi) / 2.0
+      }.toMap
+    }
+    for (k <- 1 to 10) {
+      val n = 5 + rnd.nextInt(25)
+      val xs = Seq.fill(n)(rnd.nextInt(8).toLong)
+      val ys =
+        if (k % 3 == 0) xs.map(x => x * 2) // perfectly monotone -> 1.0
+        else Seq.fill(n)(rnd.nextInt(8).toLong)
+      val rx = avgRanks(xs); val ry = avgRanks(ys)
+      val prs = xs.zip(ys).map { case (x, y) => (rx(x), ry(y)) }
+      val sx = prs.map(_._1).sum; val sy = prs.map(_._2).sum
+      val sxy = prs.map(p => p._1 * p._2).sum
+      val sxx = prs.map(p => p._1 * p._1).sum
+      val syy = prs.map(p => p._2 * p._2).sum
+      val vx = n * sxx - sx * sx; val vy = n * syy - sy * sy
+      val naive =
+        if (vx == 0.0 || vy == 0.0) 0.0
+        else (n * sxy - sx * sy) / math.sqrt(vx * vy)
+      val got = graft.operators.Ranking.spearmanReport(
+          xs.zip(ys).toDF("x", "y").repartition(3), col("x"), col("y"))
+        .collect().head
+      assert(got.getLong(0) === n.toLong)
+      assert(math.abs(got.getDouble(1) - naive) < 2e-6,
+        s"xs=$xs ys=$ys got=${got.getDouble(1)} naive=$naive")
+      if (k % 3 == 0) assert(got.getDouble(1) === 1.0)
+    }
+  }
+
+  test("lshPlan matches closed forms and is monotone in the probe") {
+    val s = spark
+    val got = graft.operators.Dedup.lshPlan(s, perms = 16)
+      .collect().map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
+        r.getLong(3))).toMap
+    // b=1: p = s^16; b=16, r=1: p = 1-(1-s)^16 (closed forms)
+    assert(got((1, 16, 500)) ===
+      math.floor(math.pow(0.5, 16) * 1e6 + 0.5).toLong)
+    assert(got((16, 1, 500)) ===
+      math.floor((1 - math.pow(0.5, 16)) * 1e6 + 0.5).toLong)
+    // more bands at fixed k always raises collision probability
+    for (sm <- Seq(100, 500, 900))
+      assert(got((16, 1, sm)) >= got((4, 4, sm)) &&
+        got((4, 4, sm)) >= got((1, 16, sm)))
+    // monotone in s for every factorization
+    for (b <- Seq(1, 2, 4, 8, 16); w <- 1 to 8)
+      assert(got((b, 16 / b, (w + 1) * 100)) >= got((b, 16 / b, w * 100)))
+  }
 }
