@@ -1620,6 +1620,34 @@ object Oracle {
 
     // Robust outliers: lower medians at rank (n+1)//2 via per-group
     // row_number (value pass, then deviation pass), 3.5·MAD flag.
+    // q57: hourly centi-sums self-joined 24 hours back (index join — a
+    // lag would misalign across gaps), then the m149 median/MAD replay
+    // over the residuals.
+    "q57_seasonal_outliers" -> """
+      WITH hb AS (SELECT event_type AS g,
+              CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+              CAST(SUM(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+                AS cv
+            FROM events GROUP BY 1, 2),
+      rb AS (SELECT c.g, c.cv - p.cv AS v
+             FROM hb c JOIN hb p ON c.g = p.g AND c.h = p.h + 24),
+      rr AS (SELECT g, v,
+              row_number() OVER (PARTITION BY g ORDER BY v) AS rk,
+              COUNT(*) OVER (PARTITION BY g) AS n FROM rb),
+      rmed AS (SELECT g, v AS med FROM rr WHERE rk = (n + 1) // 2),
+      rd AS (SELECT rb.g, rb.v, abs(rb.v - rmed.med) AS d, rmed.med
+            FROM rb JOIN rmed USING (g)),
+      rdr AS (SELECT g, d,
+              row_number() OVER (PARTITION BY g ORDER BY d) AS rk,
+              COUNT(*) OVER (PARTITION BY g) AS n FROM rd),
+      rmad AS (SELECT g, d AS mad FROM rdr WHERE rk = (n + 1) // 2)
+      SELECT rd.g AS "group", CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(rd.med AS BIGINT) AS median, CAST(rmad.mad AS BIGINT) AS mad,
+        CAST(SUM(CASE WHEN 1000 * abs(rd.v - rd.med) > 3500 * rmad.mad
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM rd JOIN rmad USING (g)
+      GROUP BY rd.g, rd.med, rmad.mad ORDER BY rd.g""",
+
     "m149_robust_outliers" -> """
       WITH rb AS (SELECT event_type AS g,
               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events),
@@ -4703,6 +4731,39 @@ object Oracle {
     // mm09: the mm08 sample extraction, then sign flips between
     // consecutive samples via lead(), pair (k, k+1) attributed to
     // window k // 256.
+    // mm10: the mm09 sample extraction, samples grouped by k // 256,
+    // exact Σx² (SUM(BIGINT) is HUGEINT in DuckDB — cast back).
+    "mm10_energy_windows" -> s"""
+      WITH ewm AS (SELECT media_id, hex(bytes) AS h, octet_length(bytes) AS ln
+                   FROM read_parquet('{AUX}/media/*.parquet')),
+      ewa AS (SELECT media_id, h, ${u32("40")}//2 AS nall
+            FROM ewm
+            WHERE ln >= 44 AND substr(h,1,8) = '52494646'
+              AND substr(h,17,8) = '57415645'
+              AND substr(h,25,8) = '666D7420' AND substr(h,73,8) = '64617461'
+              AND ${u16("20")} = 1 AND ${u16("34")} = 16
+              AND ${u16("22")} >= 1 AND ln >= 44 + ${u32("40")}),
+      ewl AS (SELECT media_id, nall,
+          list_transform(range(0, nall), k ->
+            TRY_CAST('0x' || substr(h,(44+CAST(k AS INT)*2+1)*2+1,2)
+                          || substr(h,(44+CAST(k AS INT)*2)*2+1,2) AS INTEGER))
+            AS us
+        FROM ewa),
+      ewv AS (SELECT media_id, CAST(e.k AS BIGINT) AS k,
+            CASE WHEN CAST(e.x AS INTEGER) >= 32768
+              THEN CAST(e.x AS INTEGER) - 65536
+              ELSE CAST(e.x AS INTEGER) END AS v
+          FROM (SELECT media_id,
+              unnest(list_transform(range(0, nall),
+                q -> {'k': q, 'x': us[CAST(q AS INT)+1]})) AS e
+            FROM ewl))
+      SELECT media_id, CAST(k // 256 AS INT) AS window_idx,
+        CAST(COUNT(*) AS INT) AS n_samples,
+        CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS energy
+      FROM ewv
+      GROUP BY media_id, k // 256
+      ORDER BY media_id, window_idx""",
+
     "mm09_zero_crossings" -> s"""
       WITH zcm AS (SELECT media_id, hex(bytes) AS h, octet_length(bytes) AS ln
                    FROM read_parquet('{AUX}/media/*.parquet')),

@@ -992,6 +992,36 @@ object Queries {
     Multimodal.zeroCrossingRate(media(s, dir))
       .orderBy("media_id", "window_idx")
 
+  /** mm10 — windowed audio energy
+    * ([[operators.Multimodal.energyWindows]]): per audio and 256-sample
+    * window, the sample count and exact Σx² — the loudness feature next
+    * to mm09's zero crossings (speech/music gating reads both); pure
+    * integers replayed from raw PCM byte offsets. */
+  def mm10EnergyWindows(s: SparkSession, dir: String): DataFrame =
+    Multimodal.energyWindows(media(s, dir))
+      .orderBy("media_id", "window_idx")
+
+  /** q57 — seasonal-anomaly monitor: per event type, the seasonal-naive
+    * residual (this hour's centi-value sum minus the SAME HOUR
+    * yesterday — hours paired by index join, robust to gaps where a
+    * lag() would silently misalign) run through
+    * [[operators.Ranking.robustOutlierReport]]'s median/MAD flagging —
+    * the composition that answers "which event streams had abnormal
+    * hours vs their daily rhythm". */
+  def q57SeasonalOutliers(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val hourly = ev
+      .groupBy(col("event_type"), expr("unix_timestamp(ts) div 3600").as("h"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cv"))
+    val resid = hourly.join(
+        hourly.select(col("event_type"), (col("h") + 24).as("h"),
+          col("cv").as("pv")),
+        Seq("event_type", "h"))
+      .select(col("event_type"), (col("cv") - col("pv")).as("r"))
+    operators.Ranking.robustOutlierReport(resid, col("event_type"), col("r"))
+      .orderBy("group")
+  }
+
   /** m13 — benchmark decontamination: training docs sharing ≥1 distinct
     * 13-gram with the benchmark slice (doc_id % 5 == 0 plays the held-out
     * benchmark; the rest is the training corpus). The fixture's near-dup

@@ -268,11 +268,13 @@ object SparkEntry {
     "q54_pivot" -> Queries.q54Pivot,
     "q55_unpivot" -> Queries.q55Unpivot,
     "q56_stream_range_join" -> Queries.q56StreamRangeJoin,
+    "q57_seasonal_outliers" -> Queries.q57SeasonalOutliers,
     "mm05_audio_fingerprint" -> Queries.mm05AudioFingerprint,
     "mm06_shot_boundaries" -> Queries.mm06ShotBoundaries,
     "mm07_image_dhash" -> Queries.mm07ImageDhash,
     "mm08_silence_spans" -> Queries.mm08SilenceSpans,
     "mm09_zero_crossings" -> Queries.mm09ZeroCrossings,
+    "mm10_energy_windows" -> Queries.mm10EnergyWindows,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on

@@ -507,6 +507,37 @@ object Media {
     Array.tabulate(nw)(w => (w, pairs(w), cross(w)))
   }
 
+  /** Windowed energy of the WAV PCM16 payload: per `window`-sample
+    * window, the sample count and the exact Σx² — the loudness/RMS
+    * feature next to [[zeroCrossings]] (RMS = √(Σx²/n) is derivable,
+    * but the INTEGER sum is what ships: x² ≤ 2³⁰ and window ≤ 2¹⁶, so
+    * Σx² < 2⁴⁶ fits a Long with headroom, and a SQL oracle replays
+    * every window from raw byte offsets with no float anywhere).
+    * Null for non-audio.
+    *
+    * @return (window_idx, n_samples, Σx²) per window */
+  def energyWindows(bytes: Array[Byte],
+      window: Int): Array[(Int, Int, Long)] = {
+    require(window >= 1 && window <= 65536,
+      s"energyWindows: window=$window out of [1,65536]")
+    val layout = wavLayout(bytes)
+    if (layout == null) return null
+    val dataOff = layout(2); val dataLen = layout(3)
+    val n = dataLen / 2
+    if (n < 1) return Array.empty
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val nw = (n - 1) / window + 1
+    val cnt = new Array[Int](nw); val sum = new Array[Long](nw)
+    var i = 0
+    while (i < n) {
+      val v = b.getShort(dataOff + i * 2).toLong
+      val w = i / window
+      cnt(w) += 1; sum(w) += v * v
+      i += 1
+    }
+    Array.tabulate(nw)(w => (w, cnt(w), sum(w)))
+  }
+
   /** Silence spans of the WAV PCM16 payload (all channels pooled, the
     * [[audioRms]] stream): maximal runs of ≥ `minRun` consecutive
     * samples with |s| < `threshold` — the trim/segmentation primitive

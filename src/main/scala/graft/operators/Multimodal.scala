@@ -116,6 +116,21 @@ object Multimodal {
 
   private val zcrUdf = udf((b: Array[Byte], w: Int) =>
     Option(Media.zeroCrossings(b, w)))
+  private val energyUdf = udf((b: Array[Byte], w: Int) =>
+    Option(Media.energyWindows(b, w)))
+
+  /** Per-audio windowed energy ([[Media.energyWindows]]: exact Σx² per
+    * window) — the loudness/RMS feature next to [[zeroCrossingRate]];
+    * exact integers, explode_outer heavy-kernel shape (one WAV walk per
+    * row). */
+  def energyWindows(media: DataFrame, window: Int = 256): DataFrame =
+    withMeta(media)
+      .filter(col("meta.kind") === Media.KindAudio)
+      .select(col("media_id"),
+        explode_outer(energyUdf(col("bytes"), lit(window))).as("ew"))
+      .filter(col("ew").isNotNull)
+      .select(col("media_id"), col("ew._1").as("window_idx"),
+        col("ew._2").as("n_samples"), col("ew._3").as("energy"))
 
   /** Per-audio windowed zero-crossing counts ([[Media.zeroCrossings]])
     * — the speech/music/noise discrimination signal next to

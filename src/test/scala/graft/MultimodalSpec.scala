@@ -407,6 +407,33 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("energyWindows: hand-computed Σx² incl. the short tail window, " +
+      "extreme sample exact, non-audio null") {
+    val s = spark
+    import s.implicits._
+    // 6 samples, window 4: window 0 = 25+4+64+81 = 174; window 1
+    // (short tail) = 9 + 32768² (the most negative sample squares
+    // exactly — no abs/overflow anywhere)
+    val samples = Array[Short](5, -2, 8, 9, -3, Short.MinValue)
+    val bb = java.nio.ByteBuffer.allocate(12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(bb.putShort)
+    val wav = Media.encodeWav(16000, bb.array())
+    assert(Media.energyWindows(wav, 4).toSeq ===
+      Seq((0, 4, 174L), (1, 2, 9L + 32768L * 32768L)))
+    assert(Media.energyWindows(wav, 16).toSeq ===
+      Seq((0, 6, 174L + 9L + 32768L * 32768L)))
+    assert(Media.energyWindows(Media.synthesize(0L), 4) === null)
+    val media = Seq((1L, wav), (2L, Media.synthesize(0L)))
+      .toDF("media_id", "bytes")
+    val rows = Multimodal.energyWindows(media, window = 4)
+      .as[(Long, Int, Int, Long)].collect().toSeq.sorted
+    assert(rows === Seq((1L, 0, 4, 174L), (1L, 1, 2, 9L + 32768L * 32768L)))
+    intercept[IllegalArgumentException] {
+      Media.energyWindows(wav, 0)
+    }
+  }
+
   test("shotBoundaries: static run scores 0, the cut fires, diff is driver-exact") {
     val s = spark
     import s.implicits._
