@@ -2906,6 +2906,48 @@ object Oracle {
       GROUP BY id ORDER BY id"""
     },
 
+    // m171: rows indexed by the total (x, y, id) order per group, the
+    // mix64 partner draw replayed in HUGEINT (h % n ≡ the engine's
+    // remainderUnsigned), slope // truncates like div, lower-median rank.
+    "m171_theil_sen" -> s"""
+      WITH tsb AS (SELECT event_type AS g,
+              CAST(floor(epoch(ts)) AS BIGINT) AS x,
+              CAST(floor(value*100 + 0.5) AS BIGINT) AS y,
+              CAST(event_id AS BIGINT) AS tb FROM events),
+      tsr AS (SELECT g, x, y,
+              row_number() OVER (PARTITION BY g ORDER BY x, y, tb) - 1 AS i,
+              COUNT(*) OVER (PARTITION BY g) AS n FROM tsb),
+      tsz AS (SELECT g, i, x, y, n, CAST(42 + i AS HUGEINT) AS z0 FROM tsr),
+      ${mix64Ctes("tsh", "tsz", "g, i, x, y, n")},
+      tsj AS (SELECT g, i, x, y, h % n AS j FROM tsh),
+      tsp AS (SELECT a.g, (1000000 * (b.y - a.y)) // (b.x - a.x) AS sl
+            FROM tsj a JOIN tsr b ON a.g = b.g AND a.j = b.i
+            WHERE a.i <> a.j AND a.x <> b.x),
+      tspr AS (SELECT g, sl,
+              row_number() OVER (PARTITION BY g ORDER BY sl) AS rk,
+              COUNT(*) OVER (PARTITION BY g) AS n FROM tsp)
+      SELECT g AS "group", CAST(n AS BIGINT) AS n_pairs,
+        CAST(sl AS BIGINT) AS slope_micro
+      FROM tspr WHERE rk = (n + 1) // 2 ORDER BY g""",
+
+    // m173: DuckDB's levenshtein must agree with Spark's edit for edit
+    // over the re-derived exact pair set; // mirrors div (both truncate).
+    "m173_edit_distance" -> s"""
+      WITH $CharShingleCtes,
+      ${jacPairCtes("pj")},
+      p AS (SELECT pa, pb FROM pj WHERE ${jacGe("0.5")}),
+      sc AS (SELECT p.pa AS doc_id_a, p.pb AS doc_id_b,
+            CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+            CAST(greatest(length(a.text), length(b.text)) AS BIGINT)
+              AS max_len
+          FROM p JOIN documents a ON p.pa = a.doc_id
+          JOIN documents b ON p.pb = b.doc_id)
+      SELECT doc_id_a, doc_id_b, edit_dist, max_len,
+        CAST(CASE WHEN max_len = 0 THEN 10000
+          ELSE (10000 * (max_len - edit_dist)) // max_len END AS BIGINT)
+          AS sim_bp
+      FROM sc ORDER BY doc_id_a, doc_id_b""",
+
     "m128_auc_report" -> s"""
       WITH $TextStatsCtes,
       aub AS (SELECT CASE WHEN length(text) >= 200 THEN 1 ELSE 0 END AS y,

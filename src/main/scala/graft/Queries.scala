@@ -3443,6 +3443,27 @@ object Queries {
       .orderBy("id")
   }
 
+  /** m171 — sampled Theil–Sen slope ([[operators.Ranking.theilSenReport]]):
+    * per event type, the lower median of micro-scaled pairwise slopes of
+    * centi-value over event time, one seeded partner per row — the
+    * robust trend next to m140's OLS; the oracle replays the mix64
+    * partner draw, the truncating slope division and the median rank. */
+  def m171TheilSen(s: SparkSession, dir: String): DataFrame =
+    operators.Ranking.theilSenReport(t(s, dir, "events"),
+        col("event_type"), unix_timestamp(col("ts")),
+        floor(col("value") * 100 + 0.5), col("event_id"))
+      .orderBy("group")
+
+  /** m173 — edit-distance audit of the near-dup pairs
+    * ([[operators.Dedup.editDistanceAudit]]): Levenshtein distance +
+    * basis-point similarity for every 0.5-threshold pair (shared pair
+    * table) — the character-level second opinion on shingle verdicts;
+    * the oracle re-derives the pair set and DuckDB's own levenshtein
+    * must agree edit for edit. */
+  def m173EditDistance(s: SparkSession, dir: String): DataFrame =
+    Dedup.editDistanceAudit(pairs05(s, dir), t(s, dir, "documents"))
+      .orderBy("doc_id_a", "doc_id_b")
+
   /** m93 — corpus novelty curve: per doc (in doc_id arrival order),
     * its distinct word-13-gram count, how many of those grams are
     * FIRST-SEEN (this doc is the min-id owner), and the running total

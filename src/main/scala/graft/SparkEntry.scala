@@ -263,6 +263,8 @@ object SparkEntry {
     "m168_spearman" -> Queries.m168Spearman,
     "m169_cluster_sizes" -> Queries.m169ClusterSizes,
     "m170_harmonic_centrality" -> Queries.m170HarmonicCentrality,
+    "m171_theil_sen" -> Queries.m171TheilSen,
+    "m173_edit_distance" -> Queries.m173EditDistance,
     "q52_gap_fill" -> Queries.q52GapFill,
     "q53_rollup" -> Queries.q53Rollup,
     "q54_pivot" -> Queries.q54Pivot,

@@ -367,6 +367,29 @@ object Dedup {
     materialized(verified, (sig +: internalCks): _*)
   }
 
+  /** Edit-distance audit of a candidate pair set: joins the texts back
+    * and scores each pair with Levenshtein distance plus a basis-point
+    * similarity 10⁴·(maxlen − d)/maxlen — the character-level second
+    * opinion on shingle-based near-dup verdicts (a pair can share most
+    * shingles yet differ by scattered single-character edits; edit
+    * distance prices exactly that). Runs on an ALREADY-BOUNDED pair
+    * frame (LSH/prefix-filter output) — never all-pairs: the O(len²)
+    * DP kernel is per pair, candidates ≪ corpus², and `levenshtein` is
+    * Spark-codegen'd. Integer outputs, `div` flooring — hash-exact. */
+  def editDistanceAudit(pairs: DataFrame, docs: DataFrame,
+      aCol: String = "doc_id_a", bCol: String = "doc_id_b",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    pairs.select(col(aCol), col(bCol))
+      .join(docs.select(col(idCol).as(aCol), col(textCol).as("__ta")), aCol)
+      .join(docs.select(col(idCol).as(bCol), col(textCol).as("__tb")), bCol)
+      .select(col(aCol), col(bCol),
+        levenshtein(col("__ta"), col("__tb")).cast("long").as("edit_dist"),
+        greatest(length(col("__ta")), length(col("__tb"))).cast("long")
+          .as("max_len"))
+      .withColumn("sim_bp",
+        when(col("max_len") === 0L, lit(10000L))
+          .otherwise(expr("(10000 * (max_len - edit_dist)) div max_len")))
+
   /** MinHash-LSH parameter planner: for every factorization b·r = k of
     * the signature budget, the band-collision S-curve
     * p(s) = 1 − (1 − sʳ)ᵇ at each probe similarity — the table an

@@ -1090,6 +1090,88 @@ object Ranking {
   }
 
   /**
+   * Sampled Theil–Sen slope per group — the ROBUST trend companion of
+   * [[graft.operators.TrainingPipeline.trendReport]]'s OLS: the median
+   * of pairwise slopes moves by at most a rank when an outlier hour
+   * moves by any amount (OLS moves proportionally). Exact Theil–Sen is
+   * O(n²) pairs; this is the standard linear-pair estimator — every row
+   * i draws ONE seeded partner j = mix64(seed + i) mod n (a pure
+   * function of (seed, i, n): replayable cross-engine and invariant
+   * under repartitioning), pairs with j = i or equal x drop, and the
+   * per-group LOWER MEDIAN of the micro-scaled integer slopes
+   * `(10⁶·(y_j − y_i)) div (x_j − x_i)` ships (div truncates toward
+   * zero on BOTH engines — the r13 signed-division rule).
+   *
+   * Scale shape: one range-partitioned sort indexes rows within group
+   * (the [[robustOutlierReport]] r0/count pattern, groups
+   * ceiling-enforced), one broadcast (group → n) join computes
+   * partners, one join fetches them, one more sort takes the medians.
+   * Nothing corpus-sized collects.
+   *
+   * `tieCol` must make (x, y, tieCol) a TOTAL order per group — row
+   * indices (and so the sample) are undefined otherwise.
+   *
+   * @return per group with ≥1 kept pair: (group, n_pairs, slope_micro)
+   */
+  def theilSenReport(df: DataFrame, groupCol: Column, xCol: Column,
+      yCol: Column, tieCol: Column, seed: Long = 42L,
+      maxGroups: Int = 100000): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val base = df.select(groupCol.cast("string").as("g"),
+        xCol.cast("long").as("x"), yCol.cast("long").as("y"),
+        tieCol.cast("long").as("tb"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val (ranked, total, release) = rankedPinned(base,
+      Seq(col("g").asc, col("x").asc, col("y").asc, col("tb").asc),
+      rankCol = "rank")
+    try {
+      require(total > 0, "theilSenReport: empty input")
+      val gr = ranked.groupBy("g")
+        .agg(min(col("rank")).as("r0"), count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      require(gr.length <= maxGroups,
+        s"theilSenReport: ${gr.length} groups exceeds ceiling $maxGroups")
+      val meta = broadcast(gr.toSeq.toDF("g", "r0", "gn"))
+      val partnerUdf = udf { (i: Long, n: Long) =>
+        java.lang.Long.remainderUnsigned(graft.core.TextSig.mix64(seed + i), n)
+      }
+      val idx = ranked.join(meta, "g")
+        .select(col("g"), (col("rank") - col("r0")).as("i"),
+          col("x"), col("y"),
+          partnerUdf(col("rank") - col("r0"), col("gn")).as("j"))
+      val partner = ranked.join(meta, "g")
+        .select(col("g"), (col("rank") - col("r0")).as("j"),
+          col("x").as("xj"), col("y").as("yj"))
+      val slopes = idx.join(partner, Seq("g", "j"))
+        .filter(col("i") =!= col("j") && col("x") =!= col("xj"))
+        .select(col("g"), expr(
+          "(1000000 * (yj - y)) div (xj - x)").as("sl"))
+      // per-group lower median of the integer slopes — the
+      // robustOutlierReport median machinery
+      val (slRanked, slTotal, slRelease) = rankedPinned(slopes,
+        Seq(col("g").asc, col("sl").asc), rankCol = "rank")
+      try {
+        if (slTotal == 0)
+          Seq.empty[(String, Long, Long)]
+            .toDF("group", "n_pairs", "slope_micro")
+        else {
+          val sg = slRanked.groupBy("g")
+            .agg(min(col("rank")).as("r0"), count(lit(1)).as("n"))
+            .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          val mr = sg.map { case (g, r0, n) => (r0 + (n + 1) / 2 - 1, n) }
+            .toSeq.toDF("rank", "n_pairs")
+          val out = slRanked.join(broadcast(mr), "rank")
+            .select(col("g").as("group"), col("n_pairs"),
+              col("sl").as("slope_micro"))
+          val pinned = out.transform(graft.core.Blocks.pin)
+          pinned
+        }
+      } finally slRelease()
+    } finally release()
+  }
+
+  /**
    * Winsorize per group — the TRANSFORM companion of
    * [[trimmedMeanReport]]: instead of dropping the tails it CLAMPS
    * them to the per-group cut values v₍ₖ₊₁₎ and v₍ₙ₋ₖ₎

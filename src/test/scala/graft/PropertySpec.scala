@@ -345,4 +345,37 @@ class PropertySpec extends AnyFunSuite {
     for (b <- Seq(1, 2, 4, 8, 16); w <- 1 to 8)
       assert(got((b, 16 / b, (w + 1) * 100)) >= got((b, 16 / b, w * 100)))
   }
+
+  test("theilSenReport equals a naive seeded-partner median replay") {
+    val s = spark
+    import s.implicits._
+    val rnd = new Random(33)
+    for (_ <- 1 to 8) {
+      val rows = (0 until (8 + rnd.nextInt(40))).map { id =>
+        ("g" + rnd.nextInt(3), rnd.nextInt(20).toLong,
+          rnd.nextInt(40).toLong - 20, id.toLong)
+      }
+      val naive = rows.groupBy(_._1).flatMap { case (g, rs) =>
+        val sorted = rs.sortBy(r => (r._2, r._3, r._4))
+        val n = sorted.length.toLong
+        val slopes = sorted.indices.flatMap { i =>
+          val j = java.lang.Long.remainderUnsigned(
+            graft.core.TextSig.mix64(42L + i), n).toInt
+          val (xi, yi) = (sorted(i)._2, sorted(i)._3)
+          val (xj, yj) = (sorted(j)._2, sorted(j)._3)
+          if (j == i || xi == xj) None
+          else Some(1000000L * (yj - yi) / (xj - xi)) // Java / truncates
+        }.sorted
+        if (slopes.isEmpty) None
+        else Some(g -> ((slopes.length.toLong,
+          slopes(((slopes.length + 1) / 2 - 1).toInt))))
+      }
+      val got = graft.operators.Ranking.theilSenReport(
+          rows.toDF("g", "x", "y", "id").repartition(3),
+          col("g"), col("x"), col("y"), col("id"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      assert(got === naive, s"rows=$rows")
+    }
+  }
 }
