@@ -2906,6 +2906,42 @@ object Oracle {
       GROUP BY id ORDER BY id"""
     },
 
+    // m172: the m168 doubled-rank windows PARTITIONED by source, the
+    // identical per-group double dag.
+    "m172_spearman_by_source" -> s"""
+      WITH $TextStatsCtes,
+      sgq AS (SELECT doc_id,
+              CAST(floor(($QualityExpr) * 1000000 + 0.5) AS BIGINT) AS x,
+              CAST(length(text) AS BIGINT) AS y FROM ratios),
+      sgb AS (SELECT d.source AS g, q.x, q.y
+            FROM sgq q JOIN documents d USING (doc_id)),
+      sgxr AS (SELECT g, x, 2*CAST(SUM(COUNT(*)) OVER (PARTITION BY g
+              ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              - COUNT(*) + 1 AS rx
+            FROM sgb GROUP BY g, x),
+      sgyr AS (SELECT g, y, 2*CAST(SUM(COUNT(*)) OVER (PARTITION BY g
+              ORDER BY y ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              - COUNT(*) + 1 AS ry
+            FROM sgb GROUP BY g, y),
+      sgj AS (SELECT b.g, r1.rx AS rx, r2.ry AS ry FROM sgb b
+            JOIN sgxr r1 ON b.g = r1.g AND b.x = r1.x
+            JOIN sgyr r2 ON b.g = r2.g AND b.y = r2.y),
+      sgm AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+              SUM(CAST(rx AS HUGEINT)) AS sx, SUM(CAST(ry AS HUGEINT)) AS sy,
+              SUM(CAST(rx AS HUGEINT)*ry) AS sxy,
+              SUM(CAST(rx AS HUGEINT)*rx) AS sxx,
+              SUM(CAST(ry AS HUGEINT)*ry) AS syy FROM sgj GROUP BY g),
+      sgd AS (SELECT g, n, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+              CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+              CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+            FROM sgm)
+      SELECT g AS "group", n,
+        round(CASE WHEN nd*sxxd - sxd*sxd = 0.0 OR nd*syyd - syd*syd = 0.0
+          THEN 0.0
+          ELSE (nd*sxyd - sxd*syd)
+            / sqrt((nd*sxxd - sxd*sxd) * (nd*syyd - syd*syd)) END, 6) AS rho
+      FROM sgd ORDER BY g""",
+
     // m171: rows indexed by the total (x, y, id) order per group, the
     // mix64 partner draw replayed in HUGEINT (h % n ≡ the engine's
     // remainderUnsigned), slope // truncates like div, lower-median rank.

@@ -3454,6 +3454,18 @@ object Queries {
         floor(col("value") * 100 + 0.5), col("event_id"))
       .orderBy("group")
 
+  /** m172 — per-source Spearman ([[operators.Ranking.spearmanReportBy]]):
+    * which sources have the quality↔length monotone association — one ρ
+    * per source from per-group doubled tie-averaged ranks (windows over
+    * the per-group distinct-value frames, no driver state); the oracle
+    * replays the partitioned rank windows and the identical double dag. */
+  def m172SpearmanBySource(s: SparkSession, dir: String): DataFrame =
+    operators.Ranking.spearmanReportBy(t(s, dir, "documents"),
+        col("source"),
+        floor(operators.TextAnalysis.qualityScore(col("text")) * 1000000 + 0.5),
+        length(col("text")))
+      .orderBy("group")
+
   /** m173 — edit-distance audit of the near-dup pairs
     * ([[operators.Dedup.editDistanceAudit]]): Levenshtein distance +
     * basis-point similarity for every 0.5-threshold pair (shared pair

@@ -1090,6 +1090,58 @@ object Ranking {
   }
 
   /**
+   * Per-group [[spearmanReport]] — which sources/streams have the
+   * monotone association (quality↔length, score↔recency) and which
+   * don't: one ρ row per group, no driver state at all. Doubled
+   * tie-averaged ranks come from windows over the per-group
+   * DISTINCT-VALUE frames (partitioned by group — bounded partitions,
+   * never a global window), joined back on (group, value); per-group
+   * exact DECIMAL moments, the trendReport mirrored double dag, 6 dp.
+   *
+   * @return per group: (group, n, rho)
+   */
+  def spearmanReportBy(df: DataFrame, groupCol: Column, xCol: Column,
+      yCol: Column): DataFrame = {
+    val d19 = DecimalType(19, 0)
+    val d38 = DecimalType(38, 0)
+    val w = org.apache.spark.sql.expressions.Window
+    val base = df
+      .select(groupCol.cast("string").as("__g"),
+        xCol.cast("long").as("__x"), yCol.cast("long").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .transform(graft.core.Blocks.pin)
+    def rank2Of(c: String): DataFrame =
+      base.groupBy(col("__g"), col(c))
+        .agg(count(lit(1)).cast("long").as("__t"))
+        .withColumn("__cumT", sum(col("__t"))
+          .over(w.partitionBy(col("__g")).orderBy(col(c))))
+        .select(col("__g"), col(c),
+          (col("__cumT") * 2 - col("__t") + 1).as(s"${c}_r2"))
+    val ranked = base
+      .join(rank2Of("__x"), Seq("__g", "__x"))
+      .join(rank2Of("__y"), Seq("__g", "__y"))
+      .select(col("__g"), col("__x_r2").as("rx"), col("__y_r2").as("ry"))
+    val m = ranked.groupBy(col("__g").as("group")).agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("rx").cast(d38)).as("sx"),
+      sum(col("ry").cast(d38)).as("sy"),
+      sum((col("rx").cast(d19) * col("ry").cast(d19)).cast(d38)).as("sxy"),
+      sum((col("rx").cast(d19) * col("rx").cast(d19)).cast(d38)).as("sxx"),
+      sum((col("ry").cast(d19) * col("ry").cast(d19)).cast(d38)).as("syy"))
+    val nD = col("n").cast("double")
+    val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+    val cov = nD * col("sxy").cast("double") - sx * sy
+    val vx = nD * col("sxx").cast("double") - sx * sx
+    val vy = nD * col("syy").cast("double") - sy * sy
+    val rho = when(vx === 0.0 || vy === 0.0, 0.0)
+      .otherwise(cov / sqrt(vx * vy))
+    val out = m.select(col("group"), col("n"), round(rho, 6).as("rho"))
+    val pinned = out.transform(graft.core.Blocks.pin)
+    graft.core.Blocks.release(base)
+    pinned
+  }
+
+  /**
    * Sampled Theil–Sen slope per group — the ROBUST trend companion of
    * [[graft.operators.TrainingPipeline.trendReport]]'s OLS: the median
    * of pairwise slopes moves by at most a rank when an outlier hour
