@@ -3790,6 +3790,47 @@ object Oracle {
       SELECT query_id, corpus_id, dist, rank FROM r WHERE rank <= 5
       ORDER BY query_id, rank""",
 
+    // m174: m41's ADC shortlist dag held at rank <= 16, then the exact
+    // ascending-index re-score over raw vectors and the final top-5.
+    "m174_pq_refine" -> """
+      WITH cb AS (SELECT s, j, vec FROM read_parquet('{AUX}/pq_codebooks/*.parquet')),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      d AS (SELECT e.vec_id, cb.s, cb.j,
+              list_sum(list_transform(range(8), i ->
+                (v[cb.s*8 + CAST(i AS INT) + 1] - vec[CAST(i AS INT) + 1])
+                * (v[cb.s*8 + CAST(i AS INT) + 1] - vec[CAST(i AS INT) + 1]))) AS dist
+            FROM e, cb),
+      enc AS (SELECT vec_id, s, j AS code FROM (
+            SELECT vec_id, s, j,
+              row_number() OVER (PARTITION BY vec_id, s ORDER BY dist ASC, j ASC) AS rn
+            FROM d) WHERE rn = 1),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 16),
+      term AS (SELECT q.query_id, enc.vec_id AS corpus_id, enc.s,
+          list_sum(list_transform(range(8), i ->
+            (qv[enc.s*8 + CAST(i AS INT) + 1] - cb.vec[CAST(i AS INT) + 1])
+            * (qv[enc.s*8 + CAST(i AS INT) + 1] - cb.vec[CAST(i AS INT) + 1]))) AS t
+        FROM q, enc JOIN cb ON cb.s = enc.s AND cb.j = enc.code),
+      dst AS (SELECT query_id, corpus_id,
+          round(list_sum(list(t ORDER BY s)), 6) AS dist
+        FROM term GROUP BY query_id, corpus_id),
+      r0 AS (SELECT * FROM dst WHERE corpus_id <> query_id),
+      sl AS (SELECT query_id, corpus_id FROM (
+            SELECT query_id, corpus_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY dist ASC, corpus_id ASC) AS rank
+            FROM r0) WHERE rank <= 16),
+      ref AS (SELECT s2.query_id, s2.corpus_id,
+            round(list_sum(list_transform(range(len(cq.v)), i ->
+              (ce.v[CAST(i AS INT)+1] - cq.v[CAST(i AS INT)+1])
+              * (ce.v[CAST(i AS INT)+1] - cq.v[CAST(i AS INT)+1]))), 6) AS dist
+          FROM sl s2 JOIN e ce ON s2.corpus_id = ce.vec_id
+          JOIN e cq ON s2.query_id = cq.vec_id),
+      rr AS (SELECT query_id, corpus_id, dist,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY dist ASC, corpus_id ASC) AS INT) AS rank FROM ref)
+      SELECT query_id, corpus_id, dist, rank FROM rr WHERE rank <= 5
+      ORDER BY query_id, rank""",
+
     // Composed IVF-PQ: cell/probe argmin from the ivf_centers aux (m09's
     // derivation), encode + ADC from the pq_codebooks aux (m40/m41's),
     // candidate pairs restricted to probed cells, rounded then ranked.

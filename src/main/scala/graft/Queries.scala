@@ -1559,6 +1559,19 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** m174 — ADC shortlist + exact refine
+    * ([[operators.Similarity.pqRefineTopK]]): m41's table-lookup
+    * distances pick 16 candidates, only those re-score exactly, final
+    * top-5 ranks on the exact squared distance — the two-stage serving
+    * shape every PQ deployment runs; the oracle replays the shortlist
+    * dag then the exact ascending-index re-score. */
+  def m174PqRefine(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    operators.Similarity.pqRefineTopK(emb, emb.filter(col("vec_id") < 16),
+        pqModelFor(s, dir), k = 5, kCoarse = 16)
+      .orderBy("query_id", "rank")
+  }
+
   /** m42 — composed IVF-PQ top-k ([[operators.Similarity.ivfPqTopK]]):
     * the canonical billion-vector index — m09's cell geometry (16
     * seeded centers, nprobe 8) pruning the scan × m40's codebooks

@@ -265,6 +265,7 @@ object SparkEntry {
     "m170_harmonic_centrality" -> Queries.m170HarmonicCentrality,
     "m171_theil_sen" -> Queries.m171TheilSen,
     "m172_spearman_by_source" -> Queries.m172SpearmanBySource,
+    "m174_pq_refine" -> Queries.m174PqRefine,
     "m173_edit_distance" -> Queries.m173EditDistance,
     "q52_gap_fill" -> Queries.q52GapFill,
     "q53_rollup" -> Queries.q53Rollup,

@@ -657,6 +657,45 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** ADC-shortlist + exact-refine top-k — the standard two-stage PQ
+    * serving shape: [[pqTopK]]'s table-lookup distances pick `kCoarse`
+    * candidates per query, then ONLY those read their raw vectors back
+    * for an EXACT re-score, and the final top-k ranks on the exact
+    * distance. Quantization error can then only cost recall at the
+    * shortlist boundary — never final-ranking accuracy among surviving
+    * candidates (the recall-vs-memory knob every PQ deployment turns:
+    * raise kCoarse, not m). At 100 TB the ADC pass scans the corpus
+    * once as code bytes; the refine touches kCoarse·|queries| vectors
+    * by key and the corpus never re-shuffles. Exact distances are the
+    * ascending-index double sum (the m09 arithmetic), rounded 6 dp,
+    * ranked (dist asc, corpus_id asc). */
+  def pqRefineTopK(corpus: DataFrame, queries: DataFrame, model: PqModel,
+      k: Int = 5, kCoarse: Int = 16, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(kCoarse >= k, s"pqRefineTopK: kCoarse=$kCoarse < k=$k")
+    val shortlist = pqTopK(corpus, queries, model, kCoarse, idCol, vecCol)
+      .select(col("query_id"), col("corpus_id"))
+    val qs = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("__qv"))
+    val d2 = udf((a: Seq[Float], b: Seq[Float]) => {
+      var d = 0.0; var i = 0
+      while (i < a.length) {
+        val t = a(i).toDouble - b(i).toDouble; d += t * t; i += 1
+      }
+      d
+    })
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("corpus_id").asc)
+    shortlist
+      .join(corpus.select(col(idCol).cast("long").as("corpus_id"),
+        col(vecCol).as("__cv")), "corpus_id")
+      .join(broadcast(qs), "query_id")
+      .select(col("query_id"), col("corpus_id"),
+        round(d2(col("__cv"), col("__qv")), 6).as("dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Composed IVF-PQ top-k — the canonical billion-vector index shape
     * (IVF cell pruning × PQ code-byte distances): each query probes its
     * `nprobe` nearest cells and scores ONLY vectors assigned there, by

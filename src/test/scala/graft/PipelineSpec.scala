@@ -430,6 +430,37 @@ class PipelineSpec extends AnyFunSuite {
       s"ADC top-1 exact distance $adcBest outside top decile")
   }
 
+  test("pqRefineTopK: full-corpus shortlist equals the exact top-k, and " +
+      "refined top-1 is never farther than the raw ADC top-1") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val model = Similarity.pqTrain(emb, m = 8, k = 16)
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def exact2(a: Array[Float], b: Array[Float]): Double =
+      a.indices.map(i => (a(i).toDouble - b(i).toDouble) *
+        (a(i).toDouble - b(i).toDouble)).sum
+    val q0 = vecs(0L)
+    // kCoarse covering the whole corpus -> the refine IS the exact top-k
+    val refined = Similarity.pqRefineTopK(emb,
+        emb.filter(col("vec_id") === 0), model, k = 5,
+        kCoarse = vecs.size)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(refined.map(_._3).toSeq === (1 to 5))
+    val exactTop = vecs.collect { case (id, v) if id != 0L =>
+      id -> BigDecimal(exact2(q0, v).toString)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toSeq.sortBy { case (id, d) => (d, id) }.take(5)
+    assert(refined.map(t => (t._1, t._2)).toSeq === exactTop)
+    // at a tight shortlist, the refined winner's EXACT distance is <=
+    // the raw ADC winner's (refinement can only improve within the list)
+    val adcTop = Similarity.pqTopK(emb, emb.filter(col("vec_id") === 0),
+      model, k = 1).collect().head.getLong(1)
+    val refTop = Similarity.pqRefineTopK(emb,
+      emb.filter(col("vec_id") === 0), model, k = 1, kCoarse = 16)
+      .collect().head.getLong(1)
+    assert(exact2(q0, vecs(refTop)) <= exact2(q0, vecs(adcTop)))
+  }
+
   test("SQ int8 encode + symmetric top-k: model exact, codes match the " +
       "pinned floor(v+0.5) reference, ranking integer-deterministic") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
