@@ -2984,6 +2984,152 @@ object Oracle {
           AS sim_bp
       FROM sc ORDER BY doc_id_a, doc_id_b""",
 
+    // m175: decay-1/2 EWMA with integer weights 2^(7-j); buckets paired
+    // by index arithmetic (a lag() would misalign on gaps); /256.0 is an
+    // exact IEEE division, so round() sees the same double both engines.
+    "m175_ewma" -> """
+      WITH per AS (SELECT event_type,
+              CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS b,
+              CAST(SUM(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+                AS cv
+            FROM events GROUP BY 1, 2),
+      offs AS (SELECT unnest(range(0, 8)) AS off),
+      contrib AS (SELECT s.event_type, s.b + o.off AS tb,
+              s.cv * (1 << (7 - CAST(o.off AS INT))) AS term,
+              CAST(1 AS BIGINT) AS one
+            FROM per s CROSS JOIN offs o),
+      agg AS (SELECT c.event_type AS key, c.tb AS b,
+              CAST(COUNT(*) AS BIGINT) AS n_terms,
+              CAST(SUM(c.term) AS BIGINT) AS ewm_num
+            FROM contrib c JOIN per t
+              ON t.event_type = c.event_type AND t.b = c.tb
+            GROUP BY 1, 2)
+      SELECT key, b, n_terms, ewm_num,
+        round(CAST(ewm_num AS DOUBLE) / 256.0, 6) AS ewma
+      FROM agg ORDER BY key, b""",
+
+    // m176: step-function TWAP; same-second ties collapse to MAX first
+    // (deterministic), last observation carries no weight; the single
+    // division runs over exact integers on both engines.
+    "m176_twap" -> """
+      WITH pv AS (SELECT event_type,
+              CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+              MAX(CAST(floor(value*100 + 0.5) AS BIGINT)) AS cv
+            FROM events GROUP BY 1, 2),
+      stp AS (SELECT event_type, sec, cv,
+              lead(sec) OVER (PARTITION BY event_type ORDER BY sec) AS nxt
+            FROM pv),
+      agg AS (SELECT event_type AS key,
+              CAST(COUNT(*) AS BIGINT) AS n_points,
+              CAST(MAX(sec) - MIN(sec) AS BIGINT) AS dur_s,
+              CAST(SUM(CASE WHEN nxt IS NULL THEN 0
+                ELSE cv * (nxt - sec) END) AS BIGINT) AS w_num
+            FROM stp GROUP BY 1)
+      SELECT key, n_points, dur_s, w_num,
+        round(CAST(w_num AS DOUBLE) / CAST(dur_s AS DOUBLE), 6) AS twap
+      FROM agg WHERE dur_s > 0 ORDER BY key""",
+
+    // m177: all 4 sums + 10 moments in one aggregation over the compiled
+    // text-stat replicas (MATERIALIZED: 6 pair rows read it); each r is
+    // the m77 dag — sqrt is IEEE-pinned, products stay integer (HUGEINT
+    // here, DECIMAL(38,0) in Spark) until the final double step.
+    "m177_corr_matrix" -> {
+      val feats = Seq("chars" -> "n_chars", "punct" -> "punct_chars",
+        "stop" -> "stop_hits", "tokens" -> "n_tokens")
+      val sums = feats.map { case (n, c) =>
+        s"CAST(SUM(CAST($c AS HUGEINT)) AS HUGEINT) AS s_$n" }
+      val moms = for (i <- feats.indices; j <- i until feats.length)
+        yield {
+          val (a, ca) = feats(i); val (b, cb) = feats(j)
+          s"CAST(SUM(CAST($ca AS HUGEINT) * $cb) AS HUGEINT) AS q_${a}_$b"
+        }
+      val pair = for (i <- feats.indices; j <- (i + 1) until feats.length)
+        yield {
+          val (a, _) = feats(i); val (b, _) = feats(j)
+          val nD = "CAST(n AS DOUBLE)"
+          def sD(x: String) = s"CAST(s_$x AS DOUBLE)"
+          def qD(x: String, y: String) = s"CAST(q_${x}_$y AS DOUBLE)"
+          s"""SELECT '$a' AS feat_x, '$b' AS feat_y, n,
+            round(CASE WHEN sqrt($nD * ${qD(a, a)} - ${sD(a)} * ${sD(a)})
+                * sqrt($nD * ${qD(b, b)} - ${sD(b)} * ${sD(b)}) = 0.0
+              THEN 0.0
+              ELSE ($nD * ${qD(a, b)} - ${sD(a)} * ${sD(b)})
+                / (sqrt($nD * ${qD(a, a)} - ${sD(a)} * ${sD(a)})
+                  * sqrt($nD * ${qD(b, b)} - ${sD(b)} * ${sD(b)}))
+              END, 6) AS r
+          FROM mom"""
+        }
+      s"""
+      WITH $TextStatsCtes,
+      mom AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            ${(sums ++ moms).mkString(",\n            ")}
+          FROM base)
+      SELECT feat_x, feat_y, n, r FROM (
+        ${pair.mkString("\n        UNION ALL\n        ")})
+      ORDER BY feat_x, feat_y"""
+    },
+
+    // m178: Flesch reading ease; words share the corpus token semantic
+    // (TextStatsCtes' n_tokens form), sentences/syllables are regex runs;
+    // divisor clamps written as explicit CASE (greatest skips nulls —
+    // the winsorize lesson — so neither side uses it).
+    "m178_readability" -> """
+      WITH rd AS (SELECT source,
+              CASE WHEN length(trim(text,' ')) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text,' '), '\s+'))
+                END AS w,
+              len(regexp_extract_all(text, '[.!?]+')) AS s,
+              len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+            FROM documents),
+      fl AS (SELECT source, w, s, y,
+              206.835
+                - 1.015 * (CAST(w AS DOUBLE)
+                  / CAST(CASE WHEN s < 1 THEN 1 ELSE s END AS DOUBLE))
+                - 84.6 * (CAST(y AS DOUBLE)
+                  / CAST(CASE WHEN w < 1 THEN 1 ELSE w END AS DOUBLE))
+                AS f
+            FROM rd),
+      agg AS (SELECT source AS "group",
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(w) AS BIGINT) AS words,
+              CAST(SUM(s) AS BIGINT) AS sentences,
+              CAST(SUM(y) AS BIGINT) AS syllables,
+              CAST(SUM(CASE WHEN f < 30.0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_hard_docs
+            FROM fl GROUP BY 1)
+      SELECT "group", n_docs, words, sentences, syllables, n_hard_docs,
+        round(206.835
+          - 1.015 * (CAST(words AS DOUBLE)
+            / CAST(CASE WHEN sentences < 1 THEN 1 ELSE sentences END
+              AS DOUBLE))
+          - 84.6 * (CAST(syllables AS DOUBLE)
+            / CAST(CASE WHEN words < 1 THEN 1 ELSE words END AS DOUBLE)),
+          4) AS flesch_micro
+      FROM agg ORDER BY "group"""",
+
+    // m179: autocomplete prefix top-k over the df>=3 vocabulary (the m73
+    // token normalization); rank = (df desc, token asc), a total order.
+    "m179_prefix_topk" -> """
+      WITH nrm AS (SELECT doc_id,
+              trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS nt
+            FROM documents),
+      st AS (SELECT DISTINCT doc_id, t
+            FROM (SELECT doc_id, unnest(string_split(nt, ' ')) AS t
+                  FROM nrm WHERE length(nt) > 0)),
+      vc AS (SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM st GROUP BY t HAVING COUNT(*) >= 3),
+      pf AS (SELECT substr(token, 1, CAST(p AS INT)) AS prefix, token,
+              n_docs
+            FROM (SELECT token, n_docs,
+                    unnest(range(1, least(length(token), 4) + 1)) AS p
+                  FROM vc)),
+      rk AS (SELECT prefix, token, n_docs,
+              CAST(row_number() OVER (PARTITION BY prefix
+                ORDER BY n_docs DESC, token ASC) AS INT) AS rank
+            FROM pf)
+      SELECT prefix, rank, token, n_docs FROM rk
+      WHERE rank <= 3 ORDER BY prefix, rank""",
+
     "m128_auc_report" -> s"""
       WITH $TextStatsCtes,
       aub AS (SELECT CASE WHEN length(text) >= 200 THEN 1 ELSE 0 END AS y,

@@ -1572,6 +1572,73 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** m175 — exact EWMA smoothing ([[operators.Temporal.ewmaHalf]]):
+    * per event type and day, the decay-1/2 exponentially-weighted moving
+    * sum of daily centi-value totals over an 8-day window — integer
+    * weights 2^(7−j), buckets paired by index arithmetic (gap-robust,
+    * the q57 rule), numerator exact, readout = numerator/256 (an exact
+    * IEEE division). */
+  def m175Ewma(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    operators.Temporal.ewmaHalf(
+        ev.select(col("event_type"),
+          expr("unix_timestamp(ts) div 86400").as("day"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cv")),
+        col("event_type"), col("day"), col("cv"), window = 8)
+      .orderBy("key", "b")
+  }
+
+  /** m176 — time-weighted average ([[operators.Temporal
+    * .timeWeightedAvg]]): per event type, the step-function TWAP of
+    * centi-values over irregular event times — each observation holds
+    * until the next (same-second ties collapse to MAX first), the
+    * weighted numerator exact in DECIMAL, one division at the end. */
+  def m176Twap(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    operators.Temporal.timeWeightedAvg(
+        ev.select(col("event_type"), col("ts"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cv")),
+        col("event_type"), col("ts"), col("cv"))
+      .orderBy("key")
+  }
+
+  /** m177 — one-pass Pearson correlation matrix
+    * ([[operators.Ranking.corrMatrix]]) over four compiled text-quality
+    * signals (tokens, chars, punctuation, stopword hits — the m07
+    * kernel fields): which filter signals are redundant. All 4+10
+    * moments accumulate in ONE full-scan aggregation (DECIMAL products,
+    * the m75 rule); each r is the m77 √-pinned double dag over the
+    * single pinned moment row. */
+  def m177CorrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val st = operators.TextAnalysis.stats(col("text"))
+    operators.Ranking.corrMatrix(t(s, dir, "documents"), Seq(
+        "chars" -> st.getField("nChars"),
+        "punct" -> st.getField("punctChars"),
+        "stop" -> st.getField("stopHits"),
+        "tokens" -> st.getField("nTokens")))
+      .orderBy("feat_x", "feat_y")
+  }
+
+  /** m178 — Flesch readability report
+    * ([[operators.TextAnalysis.readabilityReport]]): per source, exact
+    * word/sentence/vowel-group-syllable totals from one compiled kernel
+    * pass, hard-doc counts (per-doc Flesch < 30) and the micro-averaged
+    * Flesch — the curation readout that says which mixture slice is
+    * prose and which is symbol soup. */
+  def m178Readability(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.readabilityReport(
+        t(s, dir, "documents"), col("source"))
+      .orderBy("group")
+
+  /** m179 — prefix top-k completion index
+    * ([[operators.Retrieval.prefixTopK]]): for every 1–4-char token
+    * prefix, the 3 highest-df tokens (df desc, token asc) over the
+    * vocabulary of df ≥ 3 tokens — the autocomplete structure; the
+    * corpus collapses to its vocab before any fan-out. */
+  def m179PrefixTopK(s: SparkSession, dir: String): DataFrame =
+    operators.Retrieval.prefixTopK(t(s, dir, "documents"))
+      .orderBy("prefix", "rank")
+
   /** m42 — composed IVF-PQ top-k ([[operators.Similarity.ivfPqTopK]]):
     * the canonical billion-vector index — m09's cell geometry (16
     * seeded centers, nprobe 8) pruning the scan × m40's codebooks

@@ -267,6 +267,11 @@ object SparkEntry {
     "m172_spearman_by_source" -> Queries.m172SpearmanBySource,
     "m174_pq_refine" -> Queries.m174PqRefine,
     "m173_edit_distance" -> Queries.m173EditDistance,
+    "m175_ewma" -> Queries.m175Ewma,
+    "m176_twap" -> Queries.m176Twap,
+    "m177_corr_matrix" -> Queries.m177CorrMatrix,
+    "m178_readability" -> Queries.m178Readability,
+    "m179_prefix_topk" -> Queries.m179PrefixTopK,
     "q52_gap_fill" -> Queries.q52GapFill,
     "q53_rollup" -> Queries.q53Rollup,
     "q54_pivot" -> Queries.q54Pivot,

@@ -26,6 +26,14 @@ final case class TextStats(
     punctChars: Long, // chars in the ASCII \p{Punct} class
     nonWsChars: Long) // non-\s chars of trimmed text
 
+/** Per-document readability counts from one compiled pass (see
+  * `TextSig.readability`). TOP-LEVEL case class (the TextStats encoder
+  * rule). */
+final case class ReadStats(
+    nWords: Long, // textStats nTokens semantics, exactly
+    nSentences: Long, // maximal [.!?] runs over the raw text
+    nSyllables: Long) // maximal [aeiouy] runs, case-insensitive
+
 object TextSig {
 
   /** splitmix64 finalizer — cheap, well-distributed 64-bit mix. */
@@ -307,6 +315,66 @@ object TextSig {
       nTokens = runs + 1
     }
     TextStats(len, nTokens, subWordRuns + subSolo, stopHits, punct, nonWs)
+  }
+
+  @inline private def isSentenceEnd(c: Char): Boolean =
+    c == '.' || c == '!' || c == '?'
+  // ASCII-only case fold (the oracle's `lower()` only folds ASCII into
+  // the [aeiouy] class; Java's locale-aware toLowerCase would diverge on
+  // oddities like U+0130)
+  @inline private def isVowel(c: Char): Boolean = {
+    val l = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+    l == 'a' || l == 'e' || l == 'i' || l == 'o' || l == 'u' || l == 'y'
+  }
+
+  /**
+   * Readability counts in ONE compiled pass (no regex allocation):
+   *  - `nWords`: EXACTLY `textStats(text).nTokens` (space-only trim,
+   *    \s-run count + 1; 0 if blank) — the corpus-wide token semantic
+   *    every oracle already shares;
+   *  - `nSentences`: maximal runs of `[.!?]` over the RAW text —
+   *    `len(regexp_extract_all(text, '[.!?]+'))` ("..." and "?!" are one
+   *    boundary each);
+   *  - `nSyllables`: maximal runs of `[aeiouy]` case-insensitive —
+   *    `len(regexp_extract_all(lower(text), '[aeiouy]+'))`, the standard
+   *    vowel-group syllable heuristic.
+   * Runs are per UTF-16-char over BMP chars; a supplementary code point
+   * is neither a vowel nor a sentence end and BREAKS a run — identical
+   * to what a codepoint-wise regex engine does with these ASCII classes.
+   */
+  def readability(text: String): ReadStats = {
+    val t = if (text == null) "" else text
+    var sentences = 0L
+    var syllables = 0L
+    var inStop = false
+    var inVowel = false
+    var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (isSentenceEnd(c)) { if (!inStop) { sentences += 1; inStop = true } }
+      else inStop = false
+      if (isVowel(c)) { if (!inVowel) { syllables += 1; inVowel = true } }
+      else inVowel = false
+      i += 1
+    }
+    // nWords: the textStats nTokens walk, verbatim
+    var lo = 0
+    var hi = t.length
+    while (lo < hi && t.charAt(lo) == ' ') lo += 1
+    while (hi > lo && t.charAt(hi - 1) == ' ') hi -= 1
+    var nWords = 0L
+    if (hi > lo) {
+      var runs = 0L
+      var inRun = false
+      var j = lo
+      while (j < hi) {
+        if (isRegexWs(t.charAt(j))) { if (!inRun) { runs += 1; inRun = true } }
+        else inRun = false
+        j += 1
+      }
+      nWords = runs + 1
+    }
+    ReadStats(nWords, sentences, syllables)
   }
 
   /** Marker-word lists for the heuristic language ID, keyed by language

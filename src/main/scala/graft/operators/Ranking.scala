@@ -1670,4 +1670,64 @@ object Ranking {
       out.transform(graft.core.Blocks.pin)
     } finally graft.core.Blocks.release(base)
   }
+
+  /**
+   * Pearson correlation matrix over k integer features in ONE pass —
+   * "which quality signals are redundant" (two features at |r| ≈ 1 are
+   * one feature; a filter stack built on both double-counts). The whole
+   * matrix costs a single full-scan aggregation: k sums, k squares and
+   * k(k−1)/ 2 cross moments accumulate together (map-side partial agg —
+   * the corpus never shuffles, only the one moment row does), and every
+   * pairwise r is arithmetic over that row.
+   *
+   * Exactness: the m75/m77 kit — products in DECIMAL(19,0), sums in
+   * DECIMAL(38,0), r from ONE literal double dag per pair
+   * (n·Sxy − Sx·Sy over √(n·Sxx − Sx²)·√(n·Syy − Sy²); √ is the one
+   * transcendental IEEE pins). Zero variance on either side → r = 0
+   * (the CUPED/cross-correlogram convention). 6dp.
+   *
+   * The pair fan-out is k(k−1)/ 2 one-row selects UNIONed over the
+   * PINNED moment row — no re-aggregation per pair, no collect of
+   * anything corpus-sized (the single row stays a DataFrame).
+   *
+   * @param features (name, integer-valued column) pairs, 2 ≤ k ≤ 8
+   * @return (feat_x, feat_y, n, r) for every name pair x < y in the
+   *         given order
+   */
+  def corrMatrix(df: DataFrame,
+      features: Seq[(String, Column)]): DataFrame = {
+    require(features.size >= 2 && features.size <= 8,
+      s"corrMatrix: ${features.size} features out of [2,8]")
+    require(features.map(_._1).distinct.size == features.size,
+      "corrMatrix: duplicate feature names")
+    val d19 = DecimalType(19, 0)
+    val d38 = DecimalType(38, 0)
+    val names = features.map(_._1)
+    val base = df.select(features.map { case (n, c) =>
+      c.cast("long").as(s"f_$n") }: _*)
+    val moments: Seq[Column] =
+      names.map(n => sum(col(s"f_$n").cast(d38)).as(s"s_$n")) ++
+      (for (i <- names.indices; j <- i until names.length) yield {
+        val (a, b) = (names(i), names(j))
+        sum((col(s"f_$a").cast(d19) * col(s"f_$b").cast(d19)).cast(d38))
+          .as(s"q_${a}_$b")
+      })
+    val m = base
+      .agg(count(lit(1)).as("n"), moments: _*)
+      .transform(graft.core.Blocks.pin)
+    val nD = col("n").cast("double")
+    def sD(n: String) = col(s"s_$n").cast("double")
+    def qD(a: String, b: String) = col(s"q_${a}_$b").cast("double")
+    val rows = for (i <- names.indices; j <- (i + 1) until names.length)
+      yield {
+        val (a, b) = (names(i), names(j))
+        val num = nD * qD(a, b) - sD(a) * sD(b)
+        val den = sqrt(nD * qD(a, a) - sD(a) * sD(a)) *
+          sqrt(nD * qD(b, b) - sD(b) * sD(b))
+        m.select(lit(a).as("feat_x"), lit(b).as("feat_y"),
+          col("n").cast("long").as("n"),
+          round(when(den === 0.0, 0.0).otherwise(num / den), 6).as("r"))
+      }
+    rows.reduce(_.unionByName(_))
+  }
 }

@@ -1030,4 +1030,51 @@ object Retrieval {
       .select(col("h.query_id"), col("doc_id"), col("h.start"),
         col("h.n_terms"), col("h.snippet"))
   }
+
+  /**
+   * Prefix top-k completion index — the autocomplete/search-suggest
+   * structure: for every token prefix (length 1..`maxPrefixLen`), the
+   * `k` highest-document-frequency tokens starting with it, ranked
+   * (df desc, token asc — a total, engine-stable order).
+   *
+   * Scale shape: the corpus collapses to its VOCABULARY first (distinct
+   * (doc, token) → per-token df — one exact aggregation, the only stage
+   * that sees corpus-sized data and it shuffles tokens, never text),
+   * `minDf` prunes the long tail BEFORE the prefix fan-out (a 100 TB
+   * corpus's vocab is dominated by df=1 noise; pruning pre-explode cuts
+   * the fan-out where it is cheapest), and the ≤`maxPrefixLen`-way
+   * explode plus the top-k window run over vocab-sized frames only —
+   * the window partitions by prefix, so no global sort.
+   *
+   * Token normalization is the corpus convention (whitespace-collapsed
+   * lowercase — the m73 form), shared verbatim with the oracle.
+   *
+   * @return (prefix, rank, token, n_docs), rank 1..k per prefix
+   */
+  def prefixTopK(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 3, maxPrefixLen: Int = 4,
+      minDf: Long = 3L): DataFrame = {
+    require(k >= 1 && k <= 64, s"prefixTopK: k=$k out of [1,64]")
+    require(maxPrefixLen >= 1 && maxPrefixLen <= 16,
+      s"prefixTopK: maxPrefixLen=$maxPrefixLen out of [1,16]")
+    val nt = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    val vocab = docs
+      .select(col(idCol).as("__d"), nt.as("__nt"))
+      .filter(length(col("__nt")) > 0)
+      .select(col("__d"), explode(split(col("__nt"), " ")).as("token"))
+      .distinct()
+      .groupBy("token").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDf)
+    val pf = vocab
+      .select(explode(sequence(lit(1),
+          least(length(col("token")), lit(maxPrefixLen)))).as("p"),
+        col("token"), col("n_docs"))
+      .select(col("token").substr(lit(1), col("p")).as("prefix"),
+        col("token"), col("n_docs"))
+    val w = Window.partitionBy("prefix")
+      .orderBy(col("n_docs").desc, col("token").asc)
+    pf.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("prefix"), col("rank"), col("token"), col("n_docs"))
+  }
 }

@@ -98,4 +98,113 @@ object Temporal {
       .filter(col(pointTs) >= col(startTs) && col(pointTs) <= col(endTs))
       .drop("__bin", "__rbin", "__rkey")
   }
+
+  /**
+   * Exponentially-weighted moving sum with decay 1/2 per bucket — the
+   * smoothing every monitoring readout wants ("what is this metric
+   * trending at, recency-weighted"), in EXACT integer arithmetic. The
+   * usual recursive EWMA (s_t = α·x_t + (1−α)·s_{t−1}) is a float
+   * recurrence whose evaluation ORDER leaks into the result — the m75/
+   * m76 cross-engine trap. α = 1/2 dissolves it: the window-truncated
+   * form is s_t = Σ_{j=0..W−1} x_{t−j} · 2^(W−1−j) / 2^W, whose
+   * numerator is a pure integer (every weight a power of two) and whose
+   * final division by 2^W is exact in IEEE doubles. Truncation at W
+   * buckets discards weight 2^−W — below any 6dp readout for W ≥ 8.
+   *
+   * Buckets are paired by INDEX ARITHMETIC (b_source + offset =
+   * b_target), not `lag()` — on a gappy series a row-offset window
+   * silently misaligns (the q57 rule); here a missing bucket simply
+   * contributes nothing and `n_terms` says how full each window was.
+   *
+   * Scale: one (key, bucket) aggregation collapses the corpus; the
+   * offset join runs over the bounded bucket frame × W broadcast
+   * literals, re-keyed by an equi-join (no cross product reaches the
+   * plan). Exactness bound: |Σ cv·2^(W−1)| per window must fit
+   * DECIMAL(38,0) — with W ≤ 16 that allows per-bucket sums past 10^30,
+   * unreachable.
+   *
+   * @param df      input rows
+   * @param keyCol  series key (e.g. event_type)
+   * @param bucketCol long bucket index (caller buckets, e.g. ts div 86400)
+   * @param valCol  long metric value (centi-units for money/doubles)
+   * @param window  W ∈ [1, 16]: buckets of history per readout
+   * @return (key, b, n_terms, ewm_num, ewma) — ewm_num the exact
+   *         integer numerator, ewma = round(ewm_num / 2^W, 6)
+   */
+  def ewmaHalf(df: DataFrame, keyCol: Column, bucketCol: Column,
+      valCol: Column, window: Int = 8): DataFrame = {
+    require(window >= 1 && window <= 16,
+      s"ewmaHalf: window=$window out of [1,16]")
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val s = df.sparkSession
+    import s.implicits._
+    val per = df.select(keyCol.cast("string").as("k"),
+        bucketCol.cast("long").as("b"), valCol.cast("long").as("x"))
+      .groupBy("k", "b").agg(sum(col("x")).as("cv"))
+    // source bucket b contributes cv·w to target bucket b+off — the
+    // fan-out is an `explode` of a W-element LITERAL (offset, weight)
+    // array: a narrow per-row generate, no join machinery at all (a
+    // crossJoin against a broadcast offsets frame plans a
+    // BroadcastNestedLoopJoin — plan-linted away). Contributions land
+    // only on targets that EXIST (observed buckets) via the equi-join
+    // back onto the bucket frame.
+    val offArr = array((0 until window).map(j =>
+      struct(lit(j.toLong).as("off"),
+        lit(1L << (window - 1 - j)).as("w"))): _*)
+    val targets = per.select(col("k").as("k2"), col("b").as("tb"))
+    per.select(col("k"), col("b"), col("cv"), explode(offArr).as("o"))
+      .join(targets,
+        col("k") === col("k2") && (col("b") + col("o.off")) === col("tb"))
+      .groupBy(col("k").as("key"), col("tb").as("b"))
+      .agg(count(lit(1)).cast("long").as("n_terms"),
+        sum((col("cv").cast(d38) * col("o.w").cast(d38))).cast("long")
+          .as("ewm_num"))
+      .select(col("key"), col("b"), col("n_terms"), col("ewm_num"),
+        round(col("ewm_num").cast("double") / math.pow(2, window), 6)
+          .as("ewma"))
+  }
+
+  /**
+   * Time-weighted average over an IRREGULAR series — the right mean when
+   * observations arrive unevenly (a value that held for an hour must
+   * outweigh one that held a second; the arithmetic mean of samples is
+   * biased toward bursts). Step-function semantics: each observation
+   * holds from its timestamp until the next one; the last carries no
+   * weight (nothing is known past it). Ties at the same second collapse
+   * to MAX(value) first — a deterministic tie rule instead of an
+   * order-dependent `lead()` over duplicate sort keys.
+   *
+   * Exactness: durations are integer seconds, values integer
+   * (centi-)units; the weighted numerator accumulates in DECIMAL(38,0)
+   * and the single final division is IEEE (same rounded double on any
+   * engine given the same integer operands).
+   *
+   * Scale: one (key, second) pre-aggregation, then ONE window
+   * partitioned by key (no global sort) and one aggregation. Keys with
+   * a single observation (zero span) are absent — no 0/0.
+   *
+   * @return (key, n_points, dur_s, w_num, twap) — w_num the exact
+   *         Σ value·hold_seconds, twap = round(w_num / dur_s, 6)
+   */
+  def timeWeightedAvg(df: DataFrame, keyCol: Column, tsCol: Column,
+      valCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val pv = df.select(keyCol.cast("string").as("k"),
+        unix_timestamp(tsCol).as("sec"), valCol.cast("long").as("v"))
+      .groupBy("k", "sec").agg(max(col("v")).as("cv"))
+    val w = Window.partitionBy(col("k")).orderBy(col("sec"))
+    pv.withColumn("nxt", lead(col("sec"), 1).over(w))
+      .groupBy(col("k").as("key"))
+      .agg(count(lit(1)).cast("long").as("n_points"),
+        (max(col("sec")) - min(col("sec"))).as("dur_s"),
+        sum(when(col("nxt").isNull, lit(0).cast(d38))
+          .otherwise(col("cv").cast(d38) * (col("nxt") - col("sec"))
+            .cast(d38))).cast("long").as("w_num"))
+      .filter(col("dur_s") > 0)
+      .select(col("key"), col("n_points"), col("dur_s"), col("w_num"),
+        round(col("w_num").cast("double") / col("dur_s").cast("double"), 6)
+          .as("twap"))
+  }
 }

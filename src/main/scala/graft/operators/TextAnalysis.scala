@@ -1237,6 +1237,57 @@ object TextAnalysis {
       .drop("__bs")
   }
 
+  private val readUdf =
+    udf((t: String) => if (t == null) null else TextSig.readability(t))
+
+  /**
+   * Flesch reading-ease report per corpus slice — the classic
+   * "how hard is this text" score (Flesch 1948: 206.835 − 1.015·(words/
+   * sentences) − 84.6·(syllables/words)), with the standard vowel-group
+   * syllable heuristic, computed by ONE compiled kernel pass per
+   * document ([[graft.core.TextSig.readability]] — the textStats rule:
+   * no per-signal regex allocation, no HOF re-evaluation).
+   *
+   * Per group: exact integer totals (docs, words, sentences, syllables),
+   * `n_hard_docs` (per-doc Flesch < 30 — "very difficult", the filter
+   * candidates) and the MICRO-averaged Flesch over the group totals. The
+   * micro form is a pure function of three exact integers — no float
+   * SUM whose order could differ across engines (the m75 rule); the
+   * per-doc flag compares identically-derived doubles, so it is
+   * engine-stable too. Degenerate docs: divisors clamp at 1 (a doc with
+   * no sentence boundary reads as one sentence; word-free docs score on
+   * 1 word), clamps explicit — NOT `greatest` over a nullable
+   * (`greatest` silently skips nulls, the winsorize lesson).
+   *
+   * Scale: narrow kernel map + one low-cardinality aggregation; the
+   * corpus never shuffles — only (group → 6 numbers) rows do.
+   */
+  def readabilityReport(docs: DataFrame, groupCol: Column,
+      textCol: String = "text"): DataFrame = {
+    val rs = readUdf(col(textCol))
+    val w = rs.getField("nWords")
+    val sn = rs.getField("nSentences")
+    val y = rs.getField("nSyllables")
+    def clamp1(c: Column): Column = when(c < 1L, 1L).otherwise(c)
+    val fleschDoc = lit(206.835) -
+      lit(1.015) * (w.cast("double") / clamp1(sn).cast("double")) -
+      lit(84.6) * (y.cast("double") / clamp1(w).cast("double"))
+    val g = docs
+      .select(groupCol.as("group"), w.as("w"), sn.as("s"), y.as("y"),
+        when(fleschDoc < 30.0, 1L).otherwise(0L).as("hard"))
+      .groupBy("group")
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("words"),
+        sum(col("s")).as("sentences"), sum(col("y")).as("syllables"),
+        sum(col("hard")).as("n_hard_docs"))
+    g.select(col("group"), col("n_docs"), col("words"), col("sentences"),
+      col("syllables"), col("n_hard_docs"),
+      round(lit(206.835) -
+        lit(1.015) * (col("words").cast("double") /
+          clamp1(col("sentences")).cast("double")) -
+        lit(84.6) * (col("syllables").cast("double") /
+          clamp1(col("words")).cast("double")), 4).as("flesch_micro"))
+  }
+
   /** Full per-document profile over a `documents`-shaped DataFrame. */
   def profile(docs: DataFrame): DataFrame =
     docs.select(

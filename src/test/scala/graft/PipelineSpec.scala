@@ -1340,6 +1340,127 @@ class PipelineSpec extends AnyFunSuite {
     assert(msgs(ex).exists(_.contains("binSeconds")))
   }
 
+  test("ewmaHalf: exact powers-of-two weights, gap robustness, " +
+      "pre-aggregation, invariance, contract") {
+    import spark.implicits._
+    // key a: buckets 1,2,4 (gap at 3), values 8,16,24; window 3 →
+    // weights 4,2,1 over /8
+    val rows = Seq(("a", 1L, 3L), ("a", 1L, 5L), // pre-agg: 3+5 = 8
+      ("a", 2L, 16L), ("a", 4L, 24L)).toDF("k", "b", "x")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Temporal.ewmaHalf(d, col("k"), col("b"), col("x"),
+          window = 3)
+        .orderBy("b")
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4)))
+    val got = run(rows)
+    // b=1: 8·4 = 32; b=2: 16·4 + 8·2 = 80; b=4: 24·4 + 16·1 = 112
+    // (bucket 1 reaches only targets 1..3 — the gap drops it, no
+    // misalignment)
+    assert(got.toSeq === Seq((1L, 1L, 32L, 4.0), (2L, 2L, 80L, 10.0),
+      (4L, 2L, 112L, 14.0)))
+    assert(run(rows.repartition(5)).toSeq === got.toSeq)
+    intercept[IllegalArgumentException] {
+      graft.operators.Temporal.ewmaHalf(rows, col("k"), col("b"),
+        col("x"), window = 17)
+    }
+  }
+
+  test("timeWeightedAvg: step-function weighting, same-second MAX tie, " +
+      "single-point keys absent, invariance") {
+    import spark.implicits._
+    val rows = Seq(("a", 0L, 10L), ("a", 10L, 20L), ("a", 10L, 5L),
+      ("a", 40L, 30L), ("b", 7L, 99L))
+      .toDF("k", "sec", "v")
+      .select(col("k"), col("sec").cast("timestamp").as("ts"), col("v"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Temporal.timeWeightedAvg(d, col("k"), col("ts"),
+          col("v"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4)))
+    val got = run(rows)
+    // a: ties at sec 10 → 20; holds 10s·10 + 30s·20 = 700 over 40 s;
+    // b has one point (zero span) → absent
+    assert(got.toSeq === Seq(("a", 3L, 40L, 700L, 17.5)))
+    assert(run(rows.repartition(4)).toSeq === got.toSeq)
+  }
+
+  test("corrMatrix: perfect +/- correlation, zero variance -> 0, " +
+      "one row per pair in order, contracts") {
+    import spark.implicits._
+    // y = 2x (r=1), z = 4−x (r=−1), c constant (r=0 with everything)
+    val rows = Seq((1L, 2L, 3L, 7L), (2L, 4L, 2L, 7L), (3L, 6L, 1L, 7L))
+      .toDF("x", "y", "z", "c")
+    val got = graft.operators.Ranking.corrMatrix(rows, Seq(
+        "x" -> col("x"), "y" -> col("y"), "z" -> col("z"),
+        "c" -> col("c")))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.size === 6)
+    assert(got(("x", "y")) === ((3L, 1.0)))
+    assert(got(("x", "z")) === ((3L, -1.0)))
+    assert(got(("y", "z")) === ((3L, -1.0)))
+    assert(got(("x", "c"))._2 === 0.0)
+    assert(got(("y", "c"))._2 === 0.0)
+    assert(got(("z", "c"))._2 === 0.0)
+    intercept[IllegalArgumentException] {
+      graft.operators.Ranking.corrMatrix(rows, Seq("x" -> col("x")))
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Ranking.corrMatrix(rows,
+        Seq("x" -> col("x"), "x" -> col("y")))
+    }
+  }
+
+  test("readabilityReport: hand-counted words/sentences/vowel groups, " +
+      "clamped divisors, hard-doc flag, micro score") {
+    import spark.implicits._
+    val docs = Seq(
+      ("g1", "Hello world. It is good?! Yes."), // 6 w, 3 s, 7 y
+      ("g1", ""), // all-zero doc: clamps keep it finite
+      ("g2", "banana?")) // 1 w, 1 s, 3 y → flesch −47.98 < 30 → hard
+      .toDF("source", "text")
+    val got = graft.operators.TextAnalysis.readabilityReport(docs,
+        col("source"))
+      .orderBy("group").collect()
+    def micro(w: Long, s: Long, y: Long): Double = {
+      val f = 206.835 - 1.015 * (w.toDouble / math.max(s, 1).toDouble) -
+        84.6 * (y.toDouble / math.max(w, 1).toDouble)
+      BigDecimal(f.toString).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    assert(got(0).toSeq === Seq("g1", 2L, 6L, 3L, 7L, 0L, micro(6, 3, 7)))
+    assert(got(1).toSeq === Seq("g2", 1L, 1L, 1L, 3L, 1L, micro(1, 1, 3)))
+    // kernel unit cases: "Y" leads a vowel run; [.!?] runs collapse
+    val rs = graft.core.TextSig.readability("Yo!? ok...")
+    assert((rs.nWords, rs.nSentences, rs.nSyllables) === ((2L, 2L, 2L)))
+    val blank = graft.core.TextSig.readability("   ")
+    assert((blank.nWords, blank.nSentences, blank.nSyllables) ===
+      ((0L, 0L, 0L)))
+  }
+
+  test("prefixTopK: df ranking with asc-token ties, minDf pruning before " +
+      "fan-out, lowercase normalization, contracts") {
+    import spark.implicits._
+    val docs = Seq((1L, "AA ab"), (2L, "aa ab aa"), (3L, "aa ab b"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Retrieval.prefixTopK(docs, k = 2,
+        maxPrefixLen = 4, minDf = 2L)
+      .orderBy("prefix", "rank")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(3)))
+    // df: aa=3 (AA folds in; per-doc distinct), ab=3, b=1 (pruned by
+    // minDf BEFORE prefixes) → prefix a: tie 3=3 broken token-asc
+    assert(got.toSeq === Seq(("a", 1, "aa", 3L), ("a", 2, "ab", 3L),
+      ("aa", 1, "aa", 3L), ("ab", 1, "ab", 3L)))
+    intercept[IllegalArgumentException] {
+      graft.operators.Retrieval.prefixTopK(docs, k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Retrieval.prefixTopK(docs, maxPrefixLen = 99)
+    }
+  }
+
   test("connected components: strict aborts on round-budget exhaustion, " +
       "relaxed returns best-effort labels") {
     import spark.implicits._
