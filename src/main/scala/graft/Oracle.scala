@@ -3107,6 +3107,61 @@ object Oracle {
           4) AS flesch_micro
       FROM agg ORDER BY "group"""",
 
+    // m180: weighted quantiles — running token mass over (n_chars,
+    // doc_id) order, first crossing row per DECIMAL-exact target
+    // ceil(p·W); probabilities cast to DOUBLE for the compare.
+    "m180_weighted_quantiles" -> s"""
+      WITH $TextStatsCtes,
+      wq AS (SELECT doc_id, n_chars AS v, n_tokens AS w FROM base
+            WHERE n_tokens > 0),
+      tot AS (SELECT CAST(SUM(w) AS HUGEINT) AS tw FROM wq),
+      cum AS (SELECT v, w, SUM(w) OVER (ORDER BY v, doc_id
+              ROWS UNBOUNDED PRECEDING) AS cw FROM wq),
+      pr AS (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS p),
+      tg AS (SELECT p, greatest(1, CAST(ceil(p * tw) AS BIGINT)) AS t
+            FROM pr, tot)
+      SELECT CAST(tg.p AS DOUBLE) AS p, CAST(c.v AS BIGINT) AS v
+      FROM tg JOIN cum c ON c.cw >= tg.t AND c.cw - c.w < tg.t
+      ORDER BY p""",
+
+    // m181: m180 per source — group-partitioned running mass, the same
+    // crossing rule per (source, p).
+    "m181_weighted_quantiles_by_source" -> s"""
+      WITH $TextStatsCtes,
+      wq AS (SELECT b.doc_id, d.source AS g, b.n_chars AS v,
+              b.n_tokens AS w
+            FROM base b JOIN documents d USING (doc_id)
+            WHERE b.n_tokens > 0),
+      tot AS (SELECT g, CAST(SUM(w) AS HUGEINT) AS tw FROM wq GROUP BY g),
+      cum AS (SELECT g, v, w, SUM(w) OVER (PARTITION BY g
+              ORDER BY v, doc_id ROWS UNBOUNDED PRECEDING) AS cw FROM wq),
+      pr AS (SELECT unnest([0.5, 0.9]) AS p),
+      tg AS (SELECT g, p, greatest(1, CAST(ceil(p * tw) AS BIGINT)) AS t
+            FROM tot, pr)
+      SELECT tg.g AS "group", CAST(tg.p AS DOUBLE) AS p,
+        CAST(c.v AS BIGINT) AS v
+      FROM tg JOIN cum c ON c.g = tg.g AND c.cw >= tg.t
+        AND c.cw - c.w < tg.t
+      ORDER BY "group", p""",
+
+    // q58: every view→click→purchase path with each hop in (0, 3600] s,
+    // replayed as direct inequality joins over second-precision epochs
+    // (the engine runs the binned range-join form; same triples).
+    "q58_funnel_paths" -> """
+      WITH e AS (SELECT user_id, event_type,
+              CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+      v AS (SELECT user_id, sec FROM e WHERE event_type = 'view'),
+      c AS (SELECT user_id, sec FROM e WHERE event_type = 'click'),
+      p AS (SELECT user_id, sec FROM e WHERE event_type = 'purchase'),
+      tri AS (SELECT v.user_id, p.sec AS psec
+            FROM v JOIN c ON c.user_id = v.user_id
+              AND c.sec > v.sec AND c.sec <= v.sec + 3600
+            JOIN p ON p.user_id = c.user_id
+              AND p.sec > c.sec AND p.sec <= c.sec + 3600)
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_paths,
+        CAST(COUNT(DISTINCT psec) AS BIGINT) AS n_conversions
+      FROM tri GROUP BY user_id ORDER BY user_id""",
+
     // m179: autocomplete prefix top-k over the df>=3 vocabulary (the m73
     // token normalization); rank = (df desc, token asc), a total order.
     "m179_prefix_topk" -> """

@@ -1022,6 +1022,66 @@ object Queries {
       .orderBy("group")
   }
 
+  /** q58 — time-bounded funnel path counting: per user, the number of
+    * view→click→purchase event triples where each step lands within an
+    * hour of the previous (strictly after it), plus the distinct
+    * purchases any path reaches (conversions). Unlike q41's first-touch
+    * funnel this counts EVERY qualifying path — the multiplicity a
+    * path-attribution model needs. Both hops are
+    * [[operators.Temporal.rangeJoin]]s (binned equi-joins + exact
+    * residual — no per-user cross product reaches the plan); times ride
+    * second-precision timestamps so engines compare identical integers. */
+  def q58FunnelPaths(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    def typed(tp: String, tsName: String) =
+      ev.filter(col("event_type") === lit(tp))
+        .select(col("user_id"),
+          timestamp_seconds(unix_timestamp(col("ts"))).as(tsName))
+    val vIv = typed("view", "vts")
+      .withColumn("vend", col("vts") + expr("INTERVAL 1 HOUR"))
+    val s1 = operators.Temporal.rangeJoin(typed("click", "cts"), vIv,
+        "user_id", "cts", "vts", "vend")
+      .filter(col("cts") > col("vts"))
+    val cIv = s1.select(col("user_id"), col("cts"),
+      (col("cts") + expr("INTERVAL 1 HOUR")).as("cend"))
+    operators.Temporal.rangeJoin(typed("purchase", "pts"), cIv,
+        "user_id", "pts", "cts", "cend")
+      .filter(col("pts") > col("cts"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_paths"),
+        countDistinct(col("pts")).as("n_conversions"))
+      .orderBy("user_id")
+  }
+
+  /** m180 — exact weighted quantiles
+    * ([[operators.Ranking.weightedQuantiles]]): the document-length
+    * (n_chars) quantiles weighted by TOKEN mass — "below what length
+    * does half the training data live", the packing/budget readout the
+    * unweighted m35 quantile cannot answer. Range-partitioned running
+    * weight, one-row crossing filters per probe, BigDecimal-exact
+    * targets. */
+  def m180WeightedQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    operators.Ranking.weightedQuantiles(docs, col("n_chars"),
+        operators.TextAnalysis.tokenCount(col("text")),
+        Seq(col("doc_id")), Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+      .orderBy("p")
+  }
+
+  /** m181 — per-source weighted quantiles
+    * ([[operators.Ranking.weightedQuantilesBy]]): m180's token-weighted
+    * length quantiles for EACH source — group-partitioned running
+    * weight, driver-exact targets under the maxGroups ceiling, one
+    * crossing row per (source, p). */
+  def m181WeightedQuantilesBySource(s: SparkSession,
+      dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    operators.Ranking.weightedQuantilesBy(docs, col("source"),
+        col("n_chars"), operators.TextAnalysis.tokenCount(col("text")),
+        Seq(col("doc_id")), Seq(0.5, 0.9))
+      .orderBy("group", "p")
+  }
+
   /** m13 — benchmark decontamination: training docs sharing ≥1 distinct
     * 13-gram with the benchmark slice (doc_id % 5 == 0 plays the held-out
     * benchmark; the rest is the training corpus). The fixture's near-dup

@@ -272,6 +272,10 @@ object SparkEntry {
     "m177_corr_matrix" -> Queries.m177CorrMatrix,
     "m178_readability" -> Queries.m178Readability,
     "m179_prefix_topk" -> Queries.m179PrefixTopK,
+    "m180_weighted_quantiles" -> Queries.m180WeightedQuantiles,
+    "m181_weighted_quantiles_by_source" ->
+      Queries.m181WeightedQuantilesBySource,
+    "q58_funnel_paths" -> Queries.q58FunnelPaths,
     "q52_gap_fill" -> Queries.q52GapFill,
     "q53_rollup" -> Queries.q53Rollup,
     "q54_pivot" -> Queries.q54Pivot,

@@ -245,6 +245,104 @@ object Ranking {
     finally release()
   }
 
+  /**
+   * EXACT weighted quantiles at scale — value-at-cumulative-WEIGHT
+   * instead of value-at-rank: "the document length below which half the
+   * TOKENS live" is a token-weighted median, and a packing/budget plan
+   * built on the unweighted quantile is simply answering a different
+   * question. For each p, the value of the first row (in (value ASC,
+   * tie-breaks) order) whose running weight reaches ⌈p·W⌉.
+   *
+   * Shape: [[globalRunningAggs]]'s range-partitioned sort carries the
+   * running weight (no single-task window), and each probe is a
+   * one-row FILTER over the pinned cum frame — the crossing row is the
+   * unique row with `cw − w < target ≤ cw`, a per-row predicate, so no
+   * non-equi join (a `cw >= target` join against a probe frame would
+   * plan a BroadcastNestedLoopJoin — plan-linted away). Targets use the
+   * globalQuantiles BigDecimal-ceiling rule (double ⌈p·W⌉ can tip past
+   * an integral product). Non-positive weights carry no mass and are
+   * dropped up front (they would also make the crossing non-unique).
+   * The selected value is a pure function of the (value, weight)
+   * multiset — tie-breaks only make the sort total.
+   *
+   * @return (p, v) rows, one per probability
+   */
+  def weightedQuantiles(df: DataFrame, value: Column, weight: Column,
+      tieBreaks: Seq[Column], probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0.0 && p <= 1.0),
+      s"weightedQuantiles: probs must be in (0,1], got $probs")
+    val base = df.select((value.as("v") +:
+        weight.cast("long").as("w") +:
+        tieBreaks.zipWithIndex.map { case (c, i) => c.as(s"_tb$i") }): _*)
+      .filter(col("w") > 0L)
+    val cum = globalRunningAggs(base,
+      col("v").asc +: tieBreaks.indices.map(i => col(s"_tb$i").asc),
+      values = Seq(col("w")), rankCol = "_rk", cumCols = Seq("cw"))
+    try {
+      val wRow = cum.agg(max(col("cw"))).first() // a block scan — pinned
+      require(!wRow.isNullAt(0),
+        "weightedQuantiles: no positive-weight rows")
+      val total = wRow.getLong(0)
+      val rows = probs.map { p =>
+        val t = math.max(1L, (BigDecimal(p.toString) * total)
+          .setScale(0, BigDecimal.RoundingMode.CEILING).toLong)
+        cum.filter(col("cw") >= t && (col("cw") - col("w")) < t)
+          .select(lit(p).as("p"), col("v"))
+      }
+      rows.reduce(_.unionByName(_)).transform(graft.core.Blocks.pin)
+    } finally graft.core.Blocks.release(cum)
+  }
+
+  /**
+   * Per-GROUP exact weighted quantiles — [[weightedQuantiles]] with one
+   * answer row per (group, p): "the token-weighted length median of
+   * EACH source" is the per-slice packing readout, and sources with
+   * very different length×token shapes are exactly where one global
+   * number misleads.
+   *
+   * Shape: the running weight rides a group-PARTITIONED window (bounded
+   * per group — no global sort at all here, groups sort independently);
+   * group totals aggregate under a `maxGroups` ceiling and the ≤
+   * groups·|probs| (p, target) frame — targets BigDecimal-exact on the
+   * driver, the established bounded-driver-state pattern — broadcasts
+   * back. The crossing predicate `cw − w < t ≤ cw` picks ONE row per
+   * (group, p) with zero non-equi machinery; the corpus never shuffles
+   * beyond the one group partition.
+   *
+   * @return (group, p, v) rows
+   */
+  def weightedQuantilesBy(df: DataFrame, groupCol: Column, value: Column,
+      weight: Column, tieBreaks: Seq[Column], probs: Seq[Double],
+      maxGroups: Int = 100000): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0.0 && p <= 1.0),
+      s"weightedQuantilesBy: probs must be in (0,1], got $probs")
+    val s = df.sparkSession
+    import s.implicits._
+    val base = df.select((groupCol.cast("string").as("g") +:
+        value.as("v") +: weight.cast("long").as("w") +:
+        tieBreaks.zipWithIndex.map { case (c, i) => c.as(s"_tb$i") }): _*)
+      .filter(col("w") > 0L)
+    val wnd = Window.partitionBy(col("g"))
+      .orderBy(col("v").asc +: tieBreaks.indices
+        .map(i => col(s"_tb$i").asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = base.withColumn("cw", sum(col("w")).over(wnd))
+    val totals = base.groupBy("g").agg(sum(col("w")).as("tw"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(totals.nonEmpty, "weightedQuantilesBy: no positive-weight rows")
+    require(totals.length <= maxGroups,
+      s"weightedQuantilesBy: ${totals.length} groups exceeds ceiling " +
+        s"$maxGroups")
+    val targets = for ((g, tw) <- totals.toSeq; p <- probs) yield {
+      val t = math.max(1L, (BigDecimal(p.toString) * tw)
+        .setScale(0, BigDecimal.RoundingMode.CEILING).toLong)
+      (g, p, t)
+    }
+    cum.join(broadcast(targets.toDF("g", "p", "t")), "g")
+      .filter(col("cw") >= col("t") && (col("cw") - col("w")) < col("t"))
+      .select(col("g").as("group"), col("p"), col("v"))
+  }
+
   /** Global distribution ranks at scale: percent_rank / cume_dist /
     * ntile(`buckets`) derived from [[globalRank]] plus a count — NO
     * unpartitioned window anywhere in the plan (the window forms

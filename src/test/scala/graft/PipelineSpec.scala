@@ -1461,6 +1461,64 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("weightedQuantiles: crossing-row selection, weighted != unweighted " +
+      "median, zero weights dropped, invariance, contracts") {
+    import spark.implicits._
+    // W = 6: cum 1, 4, 6 over values 10, 20, 30; the w=0 row carries no
+    // mass and must not shift any crossing
+    val rows = Seq((10L, 1L, 1L), (20L, 3L, 2L), (30L, 2L, 3L),
+      (5L, 0L, 4L)).toDF("v", "w", "id")
+    def run(d: org.apache.spark.sql.DataFrame, ps: Seq[Double]) = {
+      val out = graft.operators.Ranking.weightedQuantiles(d, col("v"),
+        col("w"), Seq(col("id")), ps)
+      val got = out.orderBy("p").collect()
+        .map(r => (r.getDouble(0), r.getLong(1)))
+      graft.core.Blocks.releaseAll(out)
+      got
+    }
+    assert(run(rows, Seq(0.1, 0.5, 1.0)).toSeq ===
+      Seq((0.1, 10L), (0.5, 20L), (1.0, 30L)))
+    assert(run(rows.repartition(5), Seq(0.5)).toSeq === Seq((0.5, 20L)))
+    // mass concentration drags the weighted median below the unweighted
+    val skew = Seq((10L, 5L, 1L), (20L, 1L, 2L), (30L, 1L, 3L))
+      .toDF("v", "w", "id")
+    assert(run(skew, Seq(0.5)).toSeq === Seq((0.5, 10L)))
+    intercept[IllegalArgumentException] {
+      graft.operators.Ranking.weightedQuantiles(rows, col("v"), col("w"),
+        Seq(col("id")), Seq(1.5))
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Ranking.weightedQuantiles(
+        rows.filter(col("w") === 0L), col("v"), col("w"),
+        Seq(col("id")), Seq(0.5))
+    }
+  }
+
+  test("weightedQuantilesBy: per-group crossings match the global form " +
+      "run per group, ceiling + empty contracts") {
+    import spark.implicits._
+    val rows = Seq(("a", 10L, 5L, 1L), ("a", 20L, 1L, 2L),
+      ("a", 30L, 1L, 3L), ("b", 10L, 1L, 4L), ("b", 20L, 3L, 5L),
+      ("b", 30L, 2L, 6L)).toDF("g", "v", "w", "id")
+    val got = graft.operators.Ranking.weightedQuantilesBy(rows, col("g"),
+        col("v"), col("w"), Seq(col("id")), Seq(0.5, 1.0))
+      .orderBy("group", "p").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    // a: W=7, t(0.5)=4 → v=10 (cw 5); t(1.0)=7 → v=30
+    // b: W=6, t(0.5)=3 → v=20 (cw 4, prev 1); t(1.0)=6 → v=30
+    assert(got.toSeq === Seq(("a", 0.5, 10L), ("a", 1.0, 30L),
+      ("b", 0.5, 20L), ("b", 1.0, 30L)))
+    intercept[IllegalArgumentException] {
+      graft.operators.Ranking.weightedQuantilesBy(rows, col("g"),
+        col("v"), col("w"), Seq(col("id")), Seq(0.5), maxGroups = 1)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Ranking.weightedQuantilesBy(
+        rows.filter(col("w") < 0L), col("g"), col("v"), col("w"),
+        Seq(col("id")), Seq(0.5))
+    }
+  }
+
   test("connected components: strict aborts on round-budget exhaustion, " +
       "relaxed returns best-effort labels") {
     import spark.implicits._
