@@ -3124,6 +3124,96 @@ object Oracle {
       FROM tg JOIN cum c ON c.cw >= tg.t AND c.cw - c.w < tg.t
       ORDER BY p""",
 
+    // m184: three per-batch Misra–Gries summaries (exact counts, one
+    // decrement by the (k+1)-th largest — rn=9 at k=8; absent ⇒ d=0)
+    // folded through two merges with the same rule. MATERIALIZED: each
+    // level is read by its decrement subquery AND the next union.
+    "m184_stream_heavy_hitters" -> {
+      def mg(src: String, out: String) = s"""
+      ${out}d AS (SELECT coalesce(max(CASE WHEN rn = 9 THEN cnt END), 0)
+            AS d
+          FROM (SELECT cnt, row_number() OVER (ORDER BY cnt DESC) AS rn
+                FROM $src)),
+      $out AS MATERIALIZED (SELECT key, cnt - d AS cnt FROM $src, ${out}d
+          WHERE cnt - d > 0)"""
+      s"""
+      WITH ${(0 until 3).map(b => s"""
+      c$b AS MATERIALIZED (SELECT CAST(user_id AS VARCHAR) AS key,
+            CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM events WHERE event_id % 3 = $b GROUP BY 1)""").mkString(",")},
+      ${(0 until 3).map(b => mg(s"c$b", s"s$b")).mkString(",")},
+      u1 AS (SELECT key, CAST(SUM(cnt) AS BIGINT) AS cnt
+          FROM (SELECT * FROM s0 UNION ALL SELECT * FROM s1) GROUP BY key),
+      ${mg("u1", "m1")},
+      u2 AS (SELECT key, CAST(SUM(cnt) AS BIGINT) AS cnt
+          FROM (SELECT * FROM m1 UNION ALL SELECT * FROM s2) GROUP BY key),
+      ${mg("u2", "m2")}
+      SELECT key, CAST(cnt AS BIGINT) AS cnt FROM m2
+      ORDER BY cnt DESC, key ASC"""
+    },
+
+    // m182: tf × rational idf — score = tf·(N−df+1) // df over exact
+    // integers (both engines truncate positives identically); m73 token
+    // normalization, occurrences (not distinct).
+    "m182_characteristic_terms" -> """
+      WITH nrm AS (SELECT source,
+              trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS nt
+            FROM documents),
+      tk AS (SELECT source AS g, unnest(string_split(nt, ' ')) AS token
+            FROM nrm WHERE length(nt) > 0),
+      tf0 AS (SELECT g, token, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM tk GROUP BY 1, 2),
+      dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+            FROM tf0 GROUP BY 1),
+      ng AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS n FROM tf0),
+      sc AS (SELECT t.g, t.token, t.tf, d.df,
+              CAST((t.tf * (ng.n - d.df + 1)) // d.df AS BIGINT) AS score
+            FROM tf0 t JOIN dfq d USING (token), ng
+            WHERE t.tf >= 3),
+      rk AS (SELECT g, token, tf, df, score,
+              CAST(row_number() OVER (PARTITION BY g
+                ORDER BY score DESC, token ASC) AS INT) AS rank
+            FROM sc)
+      SELECT g AS "group", rank, token, tf, df, score FROM rk
+      WHERE rank <= 5 ORDER BY "group", rank""",
+
+    // m183: Fano = (n·Σc² − S²) // (n·S) in micro units; n spans the
+    // full hour range (empty hours are zeros and only affect n).
+    "m183_fano" -> """
+      WITH hb AS (SELECT event_type AS g,
+              CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS b,
+              CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2),
+      ag AS (SELECT g, MAX(b) - MIN(b) + 1 AS n,
+              CAST(SUM(c) AS HUGEINT) AS s,
+              CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS q
+            FROM hb GROUP BY 1)
+      SELECT g AS "group", CAST(n AS BIGINT) AS n_buckets,
+        CAST(s AS BIGINT) AS total,
+        CAST((1000000 * s) // n AS BIGINT) AS mean_micro,
+        CAST((1000000 * (n * q - s * s)) // (n * s) AS BIGINT)
+          AS fano_micro
+      FROM ag ORDER BY "group"""",
+
+    // q59: exact pairwise user-set overlap between event types — the
+    // m73 join formulation over distinct (type, user) pairs.
+    "q59_event_overlap" -> """
+      WITH st AS (SELECT DISTINCT event_type AS g, user_id AS u
+            FROM events),
+      sz AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM st GROUP BY g),
+      ix AS (SELECT a.g AS ga, b.g AS gb, CAST(COUNT(*) AS BIGINT) AS inter
+            FROM st a JOIN st b ON a.u = b.u AND a.g < b.g
+            GROUP BY 1, 2),
+      p AS (SELECT x.g AS ga, y.g AS gb, x.n AS na, y.n AS nb,
+              coalesce(i.inter, 0) AS inter
+            FROM sz x JOIN sz y ON x.g < y.g
+            LEFT JOIN ix i ON i.ga = x.g AND i.gb = y.g)
+      SELECT ga, gb, na, nb, inter, na + nb - inter AS un,
+        round(CASE WHEN na + nb - inter = 0 THEN 0.0
+          ELSE CAST(inter AS DOUBLE) / (na + nb - inter) END, 6)
+          AS jaccard
+      FROM p ORDER BY ga, gb""",
+
     // m181: m180 per source — group-partitioned running mass, the same
     // crossing rule per (source, p).
     "m181_weighted_quantiles_by_source" -> s"""

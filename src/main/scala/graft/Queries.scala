@@ -3975,6 +3975,63 @@ object Queries {
         m04AnnBruteForce(s, dir), m05AnnLsh(s, dir), k = 5)
       .orderBy("query_id")
 
+  /** m182 — characteristic terms per source
+    * ([[operators.TextAnalysis.characteristicTerms]]): top-5 tokens per
+    * source by tf × rational idf (tf·(N−df+1) div df — integer-exact,
+    * monotone in df like ln-idf without the cross-engine ulp risk) —
+    * the "what is this slice about" mixture diagnostic. */
+  def m182CharacteristicTerms(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.characteristicTerms(
+        t(s, dir, "documents"), col("source"))
+      .orderBy("group", "rank")
+
+  /** m183 — Fano overdispersion factor
+    * ([[operators.Ranking.fanoReport]]): per event type, the
+    * variance-to-mean ratio of hourly counts over the FULL hour range
+    * (empty hours are real zeros) — Poisson ≈ 1, bursty ≫ 1; exact
+    * integer moments, micro units. */
+  def m183Fano(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    operators.Ranking.fanoReport(ev, col("event_type"),
+        expr("unix_timestamp(ts) div 3600"))
+      .orderBy("group")
+  }
+
+  /** q59 — event-type audience overlap
+    * ([[operators.TrainingPipeline.setOverlapMatrix]]): pairwise
+    * |users|, intersection, union and Jaccard between the DISTINCT user
+    * sets of every event-type pair — one bit_or bitmap fold, all-pairs
+    * algebra over the ceiling-guarded bitmap histogram (the m73 shape
+    * on behavioral sets). */
+  def q59EventOverlap(s: SparkSession, dir: String): DataFrame =
+    operators.TrainingPipeline.setOverlapMatrix(
+        t(s, dir, "events"), col("event_type"), col("user_id"))
+      .orderBy("ga", "gb")
+
+  /** m184 — streaming heavy-hitters store
+    * ([[streaming.Pipeline.maintainHeavyHitters]] /
+    * [[operators.Sketches.misraGries]]): the events stream replayed as
+    * three deterministic micro-batches (event_id mod 3), each batch's
+    * ≤k Misra–Gries summary landed idempotently in its own store dir,
+    * then the bid-ordered driver fold — the bounded frequent-users
+    * readout a 100 TB key stream keeps without global counts. The
+    * oracle replays all three batch summaries and both merges (five
+    * decrement peels) in SQL. */
+  def m184StreamHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val store = s"target/hh-store-${new java.io.File(dir).getName}"
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(store), true)
+    (0 until 3).foreach { b =>
+      streaming.Pipeline.mergeHeavyHittersBatch(
+        ev.filter(pmod(col("event_id"), lit(3)) === b),
+        col("user_id"), store, b.toLong, k = 8)
+    }
+    streaming.Pipeline.heavyHittersFromStore(s, store, k = 8)
+      .orderBy(col("cnt").desc, col("key").asc)
+  }
+
   /** m73 — exact source×source token-set Jaccard
     * ([[operators.TextAnalysis.sourceTokenJaccard]]): the exact answer
     * m59's KMV sketches estimate — pairwise intersection/union/Jaccard

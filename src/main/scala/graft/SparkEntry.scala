@@ -275,6 +275,10 @@ object SparkEntry {
     "m180_weighted_quantiles" -> Queries.m180WeightedQuantiles,
     "m181_weighted_quantiles_by_source" ->
       Queries.m181WeightedQuantilesBySource,
+    "m182_characteristic_terms" -> Queries.m182CharacteristicTerms,
+    "m183_fano" -> Queries.m183Fano,
+    "m184_stream_heavy_hitters" -> Queries.m184StreamHeavyHitters,
+    "q59_event_overlap" -> Queries.q59EventOverlap,
     "q58_funnel_paths" -> Queries.q58FunnelPaths,
     "q52_gap_fill" -> Queries.q52GapFill,
     "q53_rollup" -> Queries.q53Rollup,

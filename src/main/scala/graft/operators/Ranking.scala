@@ -343,6 +343,56 @@ object Ranking {
       .select(col("g").as("group"), col("p"), col("v"))
   }
 
+  /**
+   * Fano factor (variance-to-mean ratio of per-bucket counts) per group
+   * — the overdispersion monitor: a Poisson-ish arrival stream sits at
+   * 1.0, bursty/clumped streams read ≫ 1, metronomic ones ≪ 1. The
+   * burstiness number behind q49's burst USER list, as one scalar per
+   * stream.
+   *
+   * Buckets COVER THE GROUP'S FULL RANGE [min(b), max(b)] — empty
+   * buckets are real zero observations (dropping them biases Fano
+   * toward the mean and hides exactly the clumping being measured);
+   * they contribute 0 to both Σc and Σc², so only the bucket COUNT
+   * needs the range arithmetic, never a gap-fill join.
+   *
+   * Exact: Var/ Mean = (n·Σc² − S²)/ (n·S) over integers; outputs in
+   * micro units via BigInt floor division on the driver (one row per
+   * group under the `maxGroups` ceiling — the mixtureDiversity shape;
+   * n·Σc² − S² ≥ 0 by Cauchy–Schwarz, so truncation is floor on both
+   * engines).
+   *
+   * @return (group, n_buckets, total, mean_micro, fano_micro)
+   */
+  def fanoReport(df: DataFrame, groupCol: Column, bucketCol: Column,
+      maxGroups: Int = 100000): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val d19 = DecimalType(19, 0)
+    val d38 = DecimalType(38, 0)
+    val per = df
+      .select(groupCol.cast("string").as("g"),
+        bucketCol.cast("long").as("b"))
+      .groupBy("g", "b").agg(count(lit(1)).as("c"))
+      .groupBy("g")
+      .agg((max(col("b")) - min(col("b")) + 1L).as("n"),
+        sum(col("c").cast(d38)).as("s"),
+        sum((col("c").cast(d19) * col("c").cast(d19)).cast(d38)).as("q"))
+      .collect()
+    require(per.length <= maxGroups,
+      s"fanoReport: ${per.length} groups exceeds ceiling $maxGroups")
+    val M = BigInt(1000000)
+    per.map { r =>
+      val n = BigInt(r.getLong(1))
+      val sm = r.getDecimal(2).toBigInteger: BigInt
+      val q = r.getDecimal(3).toBigInteger: BigInt
+      (r.getString(0), n.toLong, sm.toLong,
+        (M * sm / n).toLong,
+        ((M * (n * q - sm * sm)) / (n * sm)).toLong)
+    }.toSeq.sortBy(_._1)
+      .toDF("group", "n_buckets", "total", "mean_micro", "fano_micro")
+  }
+
   /** Global distribution ranks at scale: percent_rank / cume_dist /
     * ntile(`buckets`) derived from [[globalRank]] plus a count — NO
     * unpartitioned window anywhere in the plan (the window forms

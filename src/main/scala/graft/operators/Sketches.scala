@@ -822,4 +822,53 @@ object Sketches {
       .select(col(keyOut), col("n"),
         (col("n") + noise(col(keyOut))).as("noisy_n"))
   }
+
+  /**
+   * Misra–Gries heavy-hitter summary — the MERGEABLE frequent-items
+   * sketch (Agarwal et al., "Mergeable Summaries", PODS'12): at most
+   * `k` (key, cnt) rows where every kept cnt LOWER-BOUNDS the key's
+   * true count and any key with true count > N/(k+1) is guaranteed
+   * present. Unlike [[heavyHitters]]' exact top-k (which must see
+   * global counts), an MG summary of a partition/batch can be merged
+   * with another by union-sum + one decrement — the property the
+   * streaming store ([[graft.streaming.Pipeline.maintainHeavyHitters]])
+   * is built on.
+   *
+   * Deterministic and ORDER-FREE (unlike classic one-pass MG, whose
+   * result depends on arrival order): exact batch counts first, then
+   * ONE collective decrement by d = the (k+1)-th largest count — a
+   * pure function of the count multiset, so replay/repartition cannot
+   * change the summary.
+   *
+   * Scale: one map-side-combined count aggregation (the only
+   * corpus-sized stage); d comes from a top-(k+1) TakeOrdered (never a
+   * full sort); the summary is ≤ k rows.
+   */
+  def misraGries(df: DataFrame, keyCol: Column, k: Int): DataFrame = {
+    require(k >= 1 && k <= 100000, s"misraGries: k=$k out of [1,100000]")
+    val counts = df
+      .groupBy(keyCol.cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .transform(graft.core.Blocks.pin)
+    try {
+      val top = counts.orderBy(col("cnt").desc).limit(k + 1).collect()
+      val d = if (top.length <= k) 0L else top.map(_.getLong(1)).min
+      counts.filter(col("cnt") > d)
+        .select(col("key"), (col("cnt") - d).as("cnt"))
+        .transform(graft.core.Blocks.pin)
+    } finally graft.core.Blocks.release(counts)
+  }
+
+  /** Driver-side MG merge of two ≤k summaries (union-sum + the same
+    * multiset decrement rule as [[misraGries]]) — associative up to the
+    * MG error bound; deterministic given the input multisets. */
+  def mergeMisraGries(a: Map[String, Long], b: Map[String, Long],
+      k: Int): Map[String, Long] = {
+    val u = a ++ b.map { case (key, c) => key -> (a.getOrElse(key, 0L) + c) }
+    if (u.size <= k) u
+    else {
+      val d = u.values.toSeq.sorted(Ordering[Long].reverse)(k)
+      u.collect { case (key, c) if c - d > 0 => key -> (c - d) }
+    }
+  }
 }

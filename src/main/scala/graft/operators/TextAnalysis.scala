@@ -1237,6 +1237,57 @@ object TextAnalysis {
       .drop("__bs")
   }
 
+  /**
+   * Characteristic terms per corpus slice — the tf·idf "what is this
+   * source ABOUT / what leaks into it" readout: per group, the top-k
+   * tokens by term frequency weighted against cross-group ubiquity.
+   *
+   * The idf is RATIONAL, not logarithmic: score = tf·(N − df + 1) div
+   * df over exact integers (N = #groups, df = #groups containing the
+   * token). ln-idf is ulp-fragile cross-engine (the m76 rule) and only
+   * its MONOTONICITY in df matters for a ranking; (N−df+1)/df is
+   * strictly decreasing in df with the same endpoints spirit (df=N →
+   * weight 1/N·tf-ish, df=1 → N·tf), and every score is a pure integer.
+   *
+   * Scale: the corpus collapses to its (group, token) term-frequency
+   * frame first (one map-side-combined aggregation — the only
+   * corpus-sized stage, and it shuffles tokens, never text; frame
+   * PINNED, three bounded consumers). df aggregates that frame; the
+   * top-k window partitions by group over the vocab-sized scored frame.
+   * `minTf` prunes rare terms from the RANKING only — df stays computed
+   * over the unpruned frame (a term's ubiquity is a property of the
+   * corpus, not of the threshold).
+   *
+   * @return (group, rank, token, tf, df, score), rank 1..k per group by
+   *         (score desc, token asc)
+   */
+  def characteristicTerms(docs: DataFrame, groupCol: Column,
+      textCol: String = "text", k: Int = 5, minTf: Long = 3L): DataFrame = {
+    require(k >= 1 && k <= 64, s"characteristicTerms: k=$k out of [1,64]")
+    val nt = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    val tf0 = docs
+      .select(groupCol.cast("string").as("g"), nt.as("__nt"))
+      .filter(length(col("__nt")) > 0)
+      .select(col("g"), explode(split(col("__nt"), " ")).as("token"))
+      .groupBy("g", "token").agg(count(lit(1)).as("tf"))
+      .transform(graft.core.Blocks.pin)
+    try {
+      val nGroups = tf0.select(col("g")).distinct().count()
+      val dfq = tf0.groupBy("token").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+        .orderBy(col("score").desc, col("token").asc)
+      val out = tf0.filter(col("tf") >= minTf)
+        .join(dfq, "token")
+        .withColumn("score",
+          expr(s"tf * (${nGroups}L - df + 1L) div df"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("g").as("group"), col("rank"), col("token"),
+          col("tf"), col("df"), col("score"))
+      out.transform(graft.core.Blocks.pin)
+    } finally graft.core.Blocks.release(tf0)
+  }
+
   private val readUdf =
     udf((t: String) => if (t == null) null else TextSig.readability(t))
 

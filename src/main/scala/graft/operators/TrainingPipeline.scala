@@ -1539,6 +1539,63 @@ object TrainingPipeline {
    * @return one row: (n_sources, n_docs, hhi_micro,
    *         effective_sources_micro)
    */
+  /**
+   * Exact pairwise set-overlap matrix between ≤62 groups — "which event
+   * types share an audience", "which corpus slices cover the same
+   * entities": per group pair, |A|, |B|, intersection, union and
+   * Jaccard over the groups' DISTINCT element sets.
+   *
+   * The [[TextAnalysis.sourceTokenJaccard]] bitmap fold, generalized to
+   * any (group, element) pairs: each element row carries a single-bit
+   * group mask, one `bit_or` aggregation folds every element's
+   * membership bitmap (the corpus shuffles 16 B per distinct element,
+   * never pairs), a second tiny aggregation histograms the ≤2^|groups|
+   * observed bitmaps, and ALL pairwise set algebra reads that
+   * ceiling-guarded histogram on the driver. No pairwise join of
+   * element sets ever exists — the all-pairs work is |groups|²/ 2 sums
+   * over the histogram.
+   *
+   * @return (ga, gb, na, nb, inter, un, jaccard) for ga < gb (sorted)
+   */
+  def setOverlapMatrix(df: DataFrame, groupCol: Column, elemCol: Column,
+      maxCells: Long = 1L << 20): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(groupCol.cast("string").as("g"),
+      elemCol.cast("string").as("e"))
+    val groups = base.select(col("g"))
+      .distinct().collect().map(_.getString(0)).sorted
+    require(groups.length >= 2 && groups.length <= 62,
+      s"setOverlapMatrix: ${groups.length} groups outside [2,62]")
+    val idx = groups.zipWithIndex.toMap
+    val bitUdf = udf((s: String) => 1L << idx(s))
+    val probe = math.min(maxCells + 1, Int.MaxValue.toLong).toInt
+    val cells = base
+      .select(bitUdf(col("g")).as("bit"), col("e"))
+      .groupBy("e").agg(expr("bit_or(bit)").as("bm"))
+      .groupBy("bm").agg(count(lit(1)).as("c"))
+      .limit(probe).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    if (cells.length > maxCells)
+      throw new IllegalStateException(
+        s"setOverlapMatrix: ${cells.length} bitmap cells exceed " +
+          s"maxCells=$maxCells — raise the ceiling")
+    val size = Array.tabulate(groups.length)(i =>
+      cells.collect { case (bm, c) if (bm & (1L << i)) != 0 => c }.sum)
+    val out = for {
+      a <- groups.indices; b <- a + 1 until groups.length
+    } yield {
+      val inter = cells.collect {
+        case (bm, c) if (bm & (1L << a)) != 0 && (bm & (1L << b)) != 0 => c
+      }.sum
+      val un = size(a) + size(b) - inter
+      (groups(a), groups(b), size(a), size(b), inter, un,
+        if (un == 0L) 0.0 else inter.toDouble / un)
+    }
+    out.toDF("ga", "gb", "na", "nb", "inter", "un", "j")
+      .withColumn("jaccard", round(col("j"), 6)).drop("j")
+  }
+
   def mixtureDiversity(docs: DataFrame,
       sourceCol: String = "source"): DataFrame = {
     val s = docs.sparkSession

@@ -348,6 +348,60 @@ object Pipeline {
         .agg(sum(col("n")).as("n"), sum(col("s")).as("s")),
       targetPerRow, slackPerRow, threshold)
 
+  /** Streaming heavy-hitters store: each micro-batch's Misra–Gries
+    * summary ([[graft.operators.Sketches.misraGries]] — ≤ k rows,
+    * order-free) lands in its own `batch=<bid>` dir with
+    * mode=overwrite, so an at-least-once foreachBatch replay rewrites
+    * the SAME ≤k-row dir instead of double-counting (the
+    * [[maintainCusumStore]] idempotence shape). The store is
+    * append-only and bounded at k rows PER BATCH regardless of key
+    * cardinality — the property that lets a 100 TB/day key stream keep
+    * a frequent-items readout without ever materializing global
+    * counts. */
+  def maintainHeavyHitters(df: DataFrame,
+      keyCol: org.apache.spark.sql.Column,
+      storeDir: String, checkpoint: String, k: Int = 64) =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        mergeHeavyHittersBatch(batch, keyCol, storeDir, bid, k)
+      }
+
+  private[graft] def mergeHeavyHittersBatch(batch: DataFrame,
+      keyCol: org.apache.spark.sql.Column, storeDir: String, bid: Long,
+      k: Int): Unit = {
+    val summary = graft.operators.Sketches.misraGries(batch, keyCol, k)
+    try summary.write.mode("overwrite").parquet(s"$storeDir/batch=$bid")
+    finally graft.core.Blocks.release(summary)
+  }
+
+  /** The frequent-items readout over [[maintainHeavyHitters]]'s store:
+    * per-batch summaries fold in BATCH-ID ORDER through the driver MG
+    * merge ([[graft.operators.Sketches.mergeMisraGries]] — each input
+    * is ≤ k rows, so the fold is bounded driver work no matter the
+    * stream's length so far). Every returned cnt lower-bounds the
+    * key's true total; any key with true total > N/(k+1) per the MG
+    * bound (summed across merges) is present. Deterministic: summaries
+    * and the merge rule are order-free multiset functions, and the
+    * fold order is pinned by bid. */
+  def heavyHittersFromStore(spark: SparkSession, storeDir: String,
+      k: Int = 64): DataFrame = {
+    import spark.implicits._
+    val root = new java.io.File(storeDir)
+    val batches = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(f => (f.getName.stripPrefix("batch=").toLong, f.getPath))
+      .sortBy(_._1)
+    val folded = batches.foldLeft(Map.empty[String, Long]) {
+      case (acc, (_, path)) =>
+        val s = spark.read.parquet(path).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        graft.operators.Sketches.mergeMisraGries(acc, s, k)
+    }
+    folded.toSeq.sortBy { case (key, c) => (-c, key) }
+      .toDF("key", "cnt")
+  }
+
   /** Watermarked STREAM-STREAM event-time interval join (§2.9's q37
     * range-join semantics under `withWatermark`): points pair with
     * intervals of the same key when `pointTs ∈ [startTs, endTs]`.

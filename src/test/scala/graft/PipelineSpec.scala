@@ -1519,6 +1519,70 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("characteristicTerms: rational-idf scores, score-desc token-asc " +
+      "ranks, minTf prunes ranking but not df, k cut, contract") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "apple apple banana rare"), // rare: tf 1 < minTf, df 1
+      ("s1", "apple banana banana common common common"),
+      ("s2", "cherry cherry cherry common common common"))
+      .toDF("source", "text")
+    val got = graft.operators.TextAnalysis.characteristicTerms(docs,
+        col("source"), k = 2)
+      .orderBy("group", "rank").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // N=2. s1: apple tf3 df1 → 3·2 div 1 = 6; banana 6 (token-asc tie);
+    // common tf3 df2 → 3·1 div 2 = 1 — cut by k=2. s2: cherry 6, common 1.
+    assert(got.toSeq === Seq(("s1", 1, "apple", 3L, 1L, 6L),
+      ("s1", 2, "banana", 3L, 1L, 6L), ("s2", 1, "cherry", 3L, 1L, 6L),
+      ("s2", 2, "common", 3L, 2L, 1L)))
+    intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.characteristicTerms(docs,
+        col("source"), k = 0)
+    }
+  }
+
+  test("fanoReport: zeros in the bucket range count, Poisson-flat reads " +
+      "0 variance, bursty reads over 1, ceiling contract") {
+    import spark.implicits._
+    // a: counts (3, 0, 3) over range 0..2 → mean 2, Var·n = n·Q−S² =
+    // 54−36 → fano = 18/(3·6) = 1.0 exactly
+    val rows = (Seq.fill(3)(("a", 0L)) ++ Seq.fill(3)(("a", 2L)) ++
+      Seq(("b", 0L), ("b", 1L), ("b", 2L))).toDF("g", "b")
+    val got = graft.operators.Ranking.fanoReport(rows, col("g"), col("b"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(("a", 3L, 6L, 2000000L, 1000000L),
+      ("b", 3L, 3L, 1000000L, 0L)))
+    intercept[IllegalArgumentException] {
+      graft.operators.Ranking.fanoReport(rows, col("g"), col("b"),
+        maxGroups = 1)
+    }
+  }
+
+  test("setOverlapMatrix: exact pairwise sizes/intersections/jaccard " +
+      "over distinct element sets, group + cell ceilings") {
+    import spark.implicits._
+    val rows = Seq(("x", 1L), ("x", 1L), ("x", 2L), ("x", 3L),
+      ("y", 2L), ("y", 3L), ("y", 4L), ("z", 9L)).toDF("g", "e")
+    val got = graft.operators.TrainingPipeline.setOverlapMatrix(rows,
+        col("g"), col("e"))
+      .orderBy("ga", "gb").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(got.toSeq === Seq(("x", "y", 3L, 3L, 2L, 4L, 0.5),
+      ("x", "z", 3L, 1L, 0L, 4L, 0.0), ("y", "z", 3L, 1L, 0L, 4L, 0.0)))
+    intercept[IllegalArgumentException] {
+      graft.operators.TrainingPipeline.setOverlapMatrix(
+        rows.filter(col("g") === "x"), col("g"), col("e"))
+    }
+    intercept[IllegalStateException] {
+      graft.operators.TrainingPipeline.setOverlapMatrix(rows, col("g"),
+        col("e"), maxCells = 1L)
+    }
+  }
+
   test("connected components: strict aborts on round-budget exhaustion, " +
       "relaxed returns best-effort labels") {
     import spark.implicits._

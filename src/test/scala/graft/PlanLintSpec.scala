@@ -99,6 +99,32 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad.isEmpty, s"\nplan lint offenders:\n  ${bad.mkString("\n  ")}")
   }
 
+  test("filter pushdown and column pruning reach the parquet scan " +
+      "(q06 pushes its predicates; q01 reads a pruned lineitem schema)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scans(name: String) = {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      // sparkPlan, not executedPlan: AQE wraps the executed tree in an
+      // AdaptiveSparkPlanExec whose collect() doesn't descend
+      try df.queryExecution.sparkPlan.collect {
+        case f: FileSourceScanExec => f
+      } finally graft.core.Blocks.releaseAll(df)
+    }
+    // q06: 4 filtered columns → the scan must carry pushed filters (a
+    // regression here re-reads every row group at 100 TB)
+    val q06 = scans("q06_selective")
+    assert(q06.nonEmpty)
+    assert(q06.exists(f =>
+        f.metadata.get("PushedFilters").exists(s => s != "[]" && s.nonEmpty)),
+      s"q06 scan lost its pushed filters: ${q06.map(_.metadata.get("PushedFilters"))}")
+    // q01: the aggregate reads 7 of lineitem's 16 columns — the scan
+    // schema must be pruned, not SELECT *
+    val q01 = scans("q01_pricing")
+    assert(q01.nonEmpty)
+    assert(q01.forall(_.requiredSchema.fields.length <= 8),
+      s"q01 scan reads ${q01.map(_.requiredSchema.fields.length)} columns — pruning lost")
+  }
+
   test("the cross-join allowlist stays tight: every allowlisted query " +
       "still plans the shape it documents") {
     // an allowlist entry whose query no longer plans a cross is stale —

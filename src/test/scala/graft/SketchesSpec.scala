@@ -450,4 +450,33 @@ class SketchesSpec extends AnyFunSuite {
     }
     assert(run(df.repartition(9)) === got)
   }
+
+  test("misraGries: multiset decrement rule, no-eviction passthrough, " +
+      "partitioning invariance, merge bound, contracts") {
+    val s = spark
+    import s.implicits._
+    val df = (Seq.fill(3)("a") ++ Seq.fill(2)("b") ++ Seq("c")).toDF("k")
+    def run(d: org.apache.spark.sql.DataFrame, k: Int) = {
+      val out = graft.operators.Sketches.misraGries(d, col("k"), k)
+      val got = out.orderBy("key").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      graft.core.Blocks.releaseAll(out)
+      got
+    }
+    // counts a3 b2 c1; k=2 → d = 3rd largest = 1 → {a:2, b:1}
+    assert(run(df, 2) === Seq(("a", 2L), ("b", 1L)))
+    assert(run(df.repartition(7), 2) === Seq(("a", 2L), ("b", 1L)))
+    // k >= distinct keys → exact counts survive untouched
+    assert(run(df, 3) === Seq(("a", 3L), ("b", 2L), ("c", 1L)))
+    // driver merge: sizes over k decrement by the (k+1)-th largest;
+    // kept counts lower-bound truth
+    val m = graft.operators.Sketches.mergeMisraGries(
+      Map("a" -> 2L, "b" -> 1L), Map("c" -> 4L, "b" -> 1L), 2)
+    assert(m === Map("c" -> 2L))
+    assert(graft.operators.Sketches.mergeMisraGries(
+      Map("a" -> 1L), Map("b" -> 2L), 2) === Map("a" -> 1L, "b" -> 2L))
+    intercept[IllegalArgumentException] {
+      graft.operators.Sketches.misraGries(df, col("k"), 0)
+    }
+  }
 }

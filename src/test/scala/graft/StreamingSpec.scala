@@ -685,6 +685,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(replayed === got)
   }
 
+  test("streaming heavy-hitters store: per-batch MG summaries stay <= k, " +
+      "the fold matches the hand merge, frequent keys survive, replay " +
+      "is a content no-op") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("hh-stream").toString
+    val dir = base + "/store"
+    val mem = MemoryStream[String]
+    val q = graft.streaming.Pipeline.maintainHeavyHitters(
+      mem.toDF().toDF("k"), col("k"), dir, base + "/ck", k = 2).start()
+    // batch 0: a3 b2 c1 → d = 3rd largest = 1 → {a:2, b:1};
+    // batch 1: c4 b1 → ≤ 2 keys, no cut → {c:4, b:1};
+    // merge: {a2, b2, c4} has 3 keys → d = 2 → {c:2}
+    mem.addData("a", "a", "a", "b", "b", "c"); q.processAllAvailable()
+    mem.addData("c", "c", "c", "c", "b"); q.processAllAvailable()
+    q.stop()
+    def snap() = graft.streaming.Pipeline
+      .heavyHittersFromStore(s, dir, k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val got = snap()
+    assert(got === Seq(("c", 2L)))
+    // MG guarantee: true counts a3 b3 c5, N=11, N/(k+1) = 3.67 — only c
+    // is guaranteed, and c is present
+    (0 to 1).foreach { b =>
+      assert(s.read.parquet(s"$dir/batch=$b").count() <= 2)
+    }
+    // at-least-once replay of batch 1 rewrites identical content
+    graft.streaming.Pipeline.mergeHeavyHittersBatch(
+      Seq("c", "c", "c", "c", "b").toDF("k"), col("k"), dir, 1L, k = 2)
+    assert(snap() === got)
+  }
+
   test("event-time interval join: stream-stream watermarked results equal " +
       "the batch range join (incl. a cross-batch late interval); the " +
       "stream-static store is batching-invariant and replay-idempotent") {
