@@ -3124,6 +3124,28 @@ object Oracle {
       FROM tg JOIN cum c ON c.cw >= tg.t AND c.cw - c.w < tg.t
       ORDER BY p""",
 
+    // m185: the audited pipelines are LITERAL frames, so their static
+    // plans — and every audit count — are a pure function of the pinned
+    // Spark version; the VALUES oracle is the regression pin (the
+    // "good" window needs NO exchange: Range's RangePartitioning
+    // already clusters its column).
+    "m185_plan_audit" -> """
+      SELECT * FROM (VALUES
+        ('bad', 'cartesian_or_bnl_joins', CAST(1 AS BIGINT), CAST(0 AS SMALLINT)),
+        ('bad', 'file_scans', 0, 1),
+        ('bad', 'global_windows', 1, 0),
+        ('bad', 'scan_max_read_columns', 0, 1),
+        ('bad', 'scan_pushed_filters', 0, 1),
+        ('bad', 'shuffle_exchanges', 1, 1),
+        ('good', 'cartesian_or_bnl_joins', 0, 1),
+        ('good', 'file_scans', 0, 1),
+        ('good', 'global_windows', 0, 1),
+        ('good', 'scan_max_read_columns', 0, 1),
+        ('good', 'scan_pushed_filters', 0, 1),
+        ('good', 'shuffle_exchanges', 0, 1))
+        AS t("plan", "check", n, ok)
+      ORDER BY "plan", "check"""",
+
     // m184: three per-batch Misra–Gries summaries (exact counts, one
     // decrement by the (k+1)-th largest — rn=9 at k=8; absent ⇒ d=0)
     // folded through two merges with the same rule. MATERIALIZED: each

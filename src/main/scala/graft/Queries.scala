@@ -4032,6 +4032,30 @@ object Queries {
       .orderBy(col("cnt").desc, col("key").asc)
   }
 
+  /** m185 — plan audit as a library feature
+    * ([[plans.PlanAudit.audit]]): the PlanLintSpec checks, queryable —
+    * two fixed literal-frame pipelines (one with a deliberate
+    * cartesian + global window, one equi-joined + partitioned) walk
+    * through the auditor; every count and pass flag is pinned by a
+    * VALUES oracle. Plans over literal frames are a pure function of
+    * the pinned Spark version — no file stats enter the plan choice. */
+  def m185PlanAudit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = s.range(4).toDF("a")
+    val b = s.range(3).toDF("b")
+    val bad = a.crossJoin(b)
+      .withColumn("rn", row_number().over(Window.orderBy(col("a"))))
+    val good = a.join(b, col("a") === col("b"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("a")).orderBy(col("b"))))
+    plans.PlanAudit.audit(bad)
+      .select(lit("bad").as("plan"), col("check"), col("n"), col("ok"))
+      .unionByName(plans.PlanAudit.audit(good)
+        .select(lit("good").as("plan"), col("check"), col("n"),
+          col("ok")))
+      .orderBy("plan", "check")
+  }
+
   /** m73 — exact source×source token-set Jaccard
     * ([[operators.TextAnalysis.sourceTokenJaccard]]): the exact answer
     * m59's KMV sketches estimate — pairwise intersection/union/Jaccard

@@ -278,6 +278,7 @@ object SparkEntry {
     "m182_characteristic_terms" -> Queries.m182CharacteristicTerms,
     "m183_fano" -> Queries.m183Fano,
     "m184_stream_heavy_hitters" -> Queries.m184StreamHeavyHitters,
+    "m185_plan_audit" -> Queries.m185PlanAudit,
     "q59_event_overlap" -> Queries.q59EventOverlap,
     "q58_funnel_paths" -> Queries.q58FunnelPaths,
     "q52_gap_fill" -> Queries.q52GapFill,

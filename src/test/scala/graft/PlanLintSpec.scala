@@ -125,6 +125,29 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q01 scan reads ${q01.map(_.requiredSchema.fields.length)} columns — pruning lost")
   }
 
+  test("PlanAudit.audit flags cartesian/global-window shapes, passes " +
+      "clean plans, and reports scan pushdown evidence") {
+    import org.apache.spark.sql.functions._
+    def m(df: org.apache.spark.sql.DataFrame) =
+      graft.plans.PlanAudit.audit(df).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getShort(2)))).toMap
+    val a = spark.range(4).toDF("a")
+    val bad = m(a.crossJoin(spark.range(3).toDF("b"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("a")))))
+    assert(bad("cartesian_or_bnl_joins") === ((1L, 0: Short)))
+    assert(bad("global_windows") === ((1L, 0: Short)))
+    val good = m(a.join(spark.range(3).toDF("b"), col("a") === col("b")))
+    assert(good("cartesian_or_bnl_joins") === ((0L, 1: Short)))
+    assert(good("global_windows") === ((0L, 1: Short)))
+    // a selective filtered scan: pushdown evidence must surface
+    val scan = m(spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_quantity") < 10).select("l_orderkey", "l_quantity"))
+    assert(scan("file_scans")._1 === 1L)
+    assert(scan("scan_pushed_filters")._1 >= 1L)
+    assert(scan("scan_max_read_columns")._1 <= 2L)
+  }
+
   test("the cross-join allowlist stays tight: every allowlisted query " +
       "still plans the shape it documents") {
     // an allowlist entry whose query no longer plans a cross is stale —
