@@ -3146,6 +3146,40 @@ object Oracle {
         AS t("plan", "check", n, ok)
       ORDER BY "plan", "check"""",
 
+    // m186: Lorenz coverage — running token mass over (w DESC, doc_id)
+    // order, crossing rank per DECIMAL-exact target; // mirrors div.
+    "m186_token_coverage" -> s"""
+      WITH $TextStatsCtes,
+      tc AS (SELECT doc_id, n_tokens AS w FROM base WHERE n_tokens > 0),
+      tot AS (SELECT CAST(SUM(w) AS HUGEINT) AS tw,
+              CAST(COUNT(*) AS BIGINT) AS n FROM tc),
+      cum AS (SELECT w,
+              CAST(row_number() OVER (ORDER BY w DESC, doc_id) AS BIGINT)
+                AS rnk,
+              SUM(w) OVER (ORDER BY w DESC, doc_id
+                ROWS UNBOUNDED PRECEDING) AS cw
+            FROM tc),
+      pr AS (SELECT unnest([0.5, 0.9, 0.99]) AS p),
+      tg AS (SELECT p, greatest(1, CAST(ceil(p * tw) AS BIGINT)) AS t, n
+            FROM pr, tot)
+      SELECT CAST(tg.p AS DOUBLE) AS p, c.rnk AS n_rows,
+        CAST((1000000 * c.rnk) // tg.n AS BIGINT) AS rows_share_micro
+      FROM tg JOIN cum c ON c.cw >= tg.t AND c.cw - c.w < tg.t
+      ORDER BY p""",
+
+    // q60: growth curve — first-seen day per user, then the running
+    // distinct-user total over days.
+    "q60_user_growth" -> """
+      WITH fs AS (SELECT user_id,
+              MIN(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS day
+            FROM events GROUP BY user_id),
+      pd AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users
+            FROM fs GROUP BY day)
+      SELECT day, new_users,
+        CAST(SUM(new_users) OVER (ORDER BY day
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+      FROM pd ORDER BY day""",
+
     // m184: three per-batch Misra–Gries summaries (exact counts, one
     // decrement by the (k+1)-th largest — rn=9 at k=8; absent ⇒ d=0)
     // folded through two merges with the same rule. MATERIALIZED: each

@@ -4056,6 +4056,36 @@ object Queries {
       .orderBy("plan", "check")
   }
 
+  /** m186 — token-mass coverage points
+    * ([[operators.Ranking.weightedCoverage]]): the minimum number of
+    * top-token documents holding 50/90/99% of the corpus token mass —
+    * the Lorenz-curve dual of m154's Gini scalar (WHICH prefix to
+    * audit/cap, not just how concentrated). */
+  def m186TokenCoverage(s: SparkSession, dir: String): DataFrame =
+    operators.Ranking.weightedCoverage(t(s, dir, "documents"),
+        operators.TextAnalysis.tokenCount(col("text")),
+        Seq(col("doc_id")), Seq(0.5, 0.9, 0.99))
+      .orderBy("p")
+
+  /** q60 — audience growth curve: per day, first-time users and the
+    * cumulative distinct-user count — the canonical growth readout,
+    * exact via first-seen day (one aggregation collapses the stream;
+    * the cumulative sum rides [[operators.Ranking.globalRunningAggs]]'
+    * range-partitioned form over the bounded per-day frame, so no
+    * single-reducer window exists even here). */
+  def q60UserGrowth(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val perDay = ev
+      .groupBy(col("user_id"))
+      .agg(min(expr("unix_timestamp(ts) div 86400")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+    operators.Ranking.globalRunningAggs(perDay, Seq(col("day").asc),
+        values = Seq(col("new_users")), rankCol = "_rk",
+        cumCols = Seq("cum_users"))
+      .select(col("day"), col("new_users"), col("cum_users"))
+      .orderBy("day")
+  }
+
   /** m73 — exact source×source token-set Jaccard
     * ([[operators.TextAnalysis.sourceTokenJaccard]]): the exact answer
     * m59's KMV sketches estimate — pairwise intersection/union/Jaccard

@@ -279,6 +279,8 @@ object SparkEntry {
     "m183_fano" -> Queries.m183Fano,
     "m184_stream_heavy_hitters" -> Queries.m184StreamHeavyHitters,
     "m185_plan_audit" -> Queries.m185PlanAudit,
+    "m186_token_coverage" -> Queries.m186TokenCoverage,
+    "q60_user_growth" -> Queries.q60UserGrowth,
     "q59_event_overlap" -> Queries.q59EventOverlap,
     "q58_funnel_paths" -> Queries.q58FunnelPaths,
     "q52_gap_fill" -> Queries.q52GapFill,

@@ -294,6 +294,47 @@ object Ranking {
   }
 
   /**
+   * Mass-coverage (Lorenz-curve) points — "how many documents hold p of
+   * the TOKEN mass": rows sort by weight DESCENDING and for each p the
+   * crossing row's RANK is the minimum number of top-weight rows whose
+   * weights sum to ⌈p·W⌉. The actionable dual of the Gini scalar
+   * (m154 says HOW concentrated; this says WHICH prefix you'd audit,
+   * cap or re-mix). Same machinery as [[weightedQuantiles]]: one
+   * range-partitioned running-weight sort, one-row crossing filters,
+   * BigDecimal-exact targets; zero-weight rows carry no mass and are
+   * dropped.
+   *
+   * @return (p, n_rows, rows_share_micro) — n_rows the crossing rank,
+   *         rows_share_micro = ⌊10⁶·n_rows/ N⌋ over the positive-weight
+   *         row count N
+   */
+  def weightedCoverage(df: DataFrame, weight: Column,
+      tieBreaks: Seq[Column], probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0.0 && p <= 1.0),
+      s"weightedCoverage: probs must be in (0,1], got $probs")
+    val base = df.select((weight.cast("long").as("w") +:
+        tieBreaks.zipWithIndex.map { case (c, i) => c.as(s"_tb$i") }): _*)
+      .filter(col("w") > 0L)
+    val cum = globalRunningAggs(base,
+      col("w").desc +: tieBreaks.indices.map(i => col(s"_tb$i").asc),
+      values = Seq(col("w")), rankCol = "rank", cumCols = Seq("cw"))
+    try {
+      val t0 = cum.agg(max(col("cw")), max(col("rank"))).first()
+      require(!t0.isNullAt(0), "weightedCoverage: no positive-weight rows")
+      val total = t0.getLong(0)
+      val n = t0.getLong(1)
+      val rows = probs.map { p =>
+        val t = math.max(1L, (BigDecimal(p.toString) * total)
+          .setScale(0, BigDecimal.RoundingMode.CEILING).toLong)
+        cum.filter(col("cw") >= t && (col("cw") - col("w")) < t)
+          .select(lit(p).as("p"), col("rank").as("n_rows"),
+            expr(s"(1000000 * rank) div ${n}L").as("rows_share_micro"))
+      }
+      rows.reduce(_.unionByName(_)).transform(graft.core.Blocks.pin)
+    } finally graft.core.Blocks.release(cum)
+  }
+
+  /**
    * Per-GROUP exact weighted quantiles — [[weightedQuantiles]] with one
    * answer row per (group, p): "the token-weighted length median of
    * EACH source" is the per-slice packing readout, and sources with

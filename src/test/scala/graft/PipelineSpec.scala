@@ -1494,6 +1494,36 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("weightedCoverage: descending-mass crossing ranks, share over " +
+      "positive-weight rows only, invariance, contracts") {
+    import spark.implicits._
+    // weights 10,5,3,1,1 (W=20, N=5); the w=0 row is massless and must
+    // not count toward N either
+    val rows = Seq((10L, 1L), (5L, 2L), (3L, 3L), (1L, 4L), (1L, 5L),
+      (0L, 6L)).toDF("w", "id")
+    def run(d: org.apache.spark.sql.DataFrame, ps: Seq[Double]) = {
+      val out = graft.operators.Ranking.weightedCoverage(d, col("w"),
+        Seq(col("id")), ps)
+      val got = out.orderBy("p").collect()
+        .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+      graft.core.Blocks.releaseAll(out)
+      got
+    }
+    // p=.5 → t=10 → top-1 row covers; p=.75 → t=15 → 2; p=1 → all 5
+    assert(run(rows, Seq(0.5, 0.75, 1.0)).toSeq === Seq(
+      (0.5, 1L, 200000L), (0.75, 2L, 400000L), (1.0, 5L, 1000000L)))
+    assert(run(rows.repartition(4), Seq(0.75)).toSeq ===
+      Seq((0.75, 2L, 400000L)))
+    intercept[IllegalArgumentException] {
+      graft.operators.Ranking.weightedCoverage(rows, col("w"),
+        Seq(col("id")), Seq(0.0))
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Ranking.weightedCoverage(
+        rows.filter(col("w") === 0L), col("w"), Seq(col("id")), Seq(0.5))
+    }
+  }
+
   test("weightedQuantilesBy: per-group crossings match the global form " +
       "run per group, ceiling + empty contracts") {
     import spark.implicits._
