@@ -319,11 +319,17 @@ object TextSig {
 
   @inline private def isSentenceEnd(c: Char): Boolean =
     c == '.' || c == '!' || c == '?'
-  // ASCII-only case fold (the oracle's `lower()` only folds ASCII into
-  // the [aeiouy] class; Java's locale-aware toLowerCase would diverge on
-  // oddities like U+0130)
+  // Unicode SIMPLE case fold, per char: DuckDB's lower() (utf8proc)
+  // applies the 1:1 UnicodeData lowercase map, under which non-ASCII
+  // uppercase letters can land on an ASCII vowel (U+0130 'İ' → 'i') —
+  // Character.toLowerCase is that same simple map, so the run semantics
+  // match codepoint-for-codepoint. (Locale-sensitive String.toLowerCase
+  // would diverge — e.g. it maps 'İ' to "i̇", two chars; never use it
+  // here.) The ASCII fast path keeps the hot loop branch-cheap.
   @inline private def isVowel(c: Char): Boolean = {
-    val l = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+    val l =
+      if (c < 0x80) { if (c >= 'A' && c <= 'Z') (c + 32).toChar else c }
+      else Character.toLowerCase(c)
     l == 'a' || l == 'e' || l == 'i' || l == 'o' || l == 'u' || l == 'y'
   }
 

@@ -368,12 +368,17 @@ object Ranking {
         .map(i => col(s"_tb$i").asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = base.withColumn("cw", sum(col("w")).over(wnd))
+    // ceiling BEFORE the collect: limit(maxGroups+1) bounds the fetch
+    // itself (a high-cardinality group column otherwise materializes
+    // every total on the driver just to fail the require) — the probe
+    // returning maxGroups+1 rows proves the overflow without paying it
     val totals = base.groupBy("g").agg(sum(col("w")).as("tw"))
+      .limit(maxGroups + 1)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     require(totals.nonEmpty, "weightedQuantilesBy: no positive-weight rows")
     require(totals.length <= maxGroups,
-      s"weightedQuantilesBy: ${totals.length} groups exceeds ceiling " +
-        s"$maxGroups")
+      s"weightedQuantilesBy: more than $maxGroups groups " +
+        "(ceiling exceeded)")
     val targets = for ((g, tw) <- totals.toSeq; p <- probs) yield {
       val t = math.max(1L, (BigDecimal(p.toString) * tw)
         .setScale(0, BigDecimal.RoundingMode.CEILING).toLong)
@@ -419,9 +424,10 @@ object Ranking {
       .agg((max(col("b")) - min(col("b")) + 1L).as("n"),
         sum(col("c").cast(d38)).as("s"),
         sum((col("c").cast(d19) * col("c").cast(d19)).cast(d38)).as("q"))
+      .limit(maxGroups + 1) // bound the fetch, not just the post-check
       .collect()
     require(per.length <= maxGroups,
-      s"fanoReport: ${per.length} groups exceeds ceiling $maxGroups")
+      s"fanoReport: more than $maxGroups groups (ceiling exceeded)")
     val M = BigInt(1000000)
     per.map { r =>
       val n = BigInt(r.getLong(1))

@@ -9,8 +9,10 @@ import org.apache.spark.sql.execution.window.WindowExec
 /**
  * Pre-flight plan audit as a LIBRARY feature — the scale review every
  * 100 TB submission should pass, queryable instead of tribal: walk a
- * DataFrame's static physical plan (`sparkPlan`, pre-AQE — what static
- * planning commits to; AQE only improves on it) and report the
+ * DataFrame's PREPARED static physical plan (`executedPlan` with any
+ * AQE wrapper unwrapped to its `initialPlan` — what static planning
+ * commits to, post-EnsureRequirements so exchanges are placed; AQE
+ * only improves on it at runtime) and report the
  * scale-killer smells the repo's own gate is linted for
  * (PlanLintSpec, automated from the round-12 judge audit):
  *
@@ -60,7 +62,19 @@ object PlanAudit {
     val pushed = scans.map(f =>
       f.metadata.get("PushedFilters") match {
         case Some(s) if s.startsWith("[") && s != "[]" =>
-          s.count(_ == ',').toLong + 1L
+          // count TOP-LEVEL entries: a multi-value filter like
+          // In(x, [1,2,3]) carries inner commas, so a raw comma count
+          // would report one filter as three — only split at depth 0
+          // of the ()/[] nesting
+          var depth = 0
+          var n = 1L
+          s.drop(1).dropRight(1).foreach {
+            case '(' | '[' => depth += 1
+            case ')' | ']' => depth -= 1
+            case ',' if depth == 0 => n += 1L
+            case _ => ()
+          }
+          n
         case _ => 0L
       }).sum
     val maxCols =

@@ -387,10 +387,18 @@ object Pipeline {
   def heavyHittersFromStore(spark: SparkSession, storeDir: String,
       k: Int = 64): DataFrame = {
     import spark.implicits._
-    val root = new java.io.File(storeDir)
-    val batches = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-      .map(f => (f.getName.stripPrefix("batch=").toLong, f.getPath))
+    // list via the store path's OWN filesystem (the mergeHeavyHitters-
+    // Batch write path resolves the same way) — a java.io.File listing
+    // here would return null on HDFS/S3 store dirs and silently read
+    // an empty store. A missing dir is a caller error, not "no keys".
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root),
+      s"heavyHittersFromStore: store dir $storeDir does not exist")
+    val batches = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(s => (s.getPath.getName.stripPrefix("batch=").toLong,
+        s.getPath.toString))
       .sortBy(_._1)
     val folded = batches.foldLeft(Map.empty[String, Long]) {
       case (acc, (_, path)) =>

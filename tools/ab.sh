@@ -1,0 +1,89 @@
+#!/usr/bin/env bash
+# ab.sh — alternating code-vs-code A/B: the decisive attribution method
+# for a suspected perf regression on this box, where co-tenant
+# interference is bursty at SECONDS granularity and loadavg does not
+# capture it. A flagged query is only a regression if HEAD loses to the
+# old commit when both run scoped benches back-to-back in the SAME
+# minutes — so this script builds <commit> once in a throwaway git
+# worktree and HEAD once in the real tree, then ALTERNATES
+# old,new,old,new,... Bench runs and prints per-query min/med pairs plus
+# a faster/slower/tie verdict per query.
+#
+# usage: tools/ab.sh <commit> <query-keys-csv> [rounds=3] [sfdir=/root/testdata/sf0.1]
+#   e.g. tools/ab.sh HEAD~3 mm06_shot_boundaries,m14_decontam 3
+#
+# Each "round" is one full Bench invocation per side (SPARK_GRAFT_RUNS
+# samples inside, default 3), so rounds=3 gives 9 timed samples per
+# query per side. The idle-baseline second-chance pass is disabled
+# (SPARK_GRAFT_IDLE_BASELINE=/dev/null) so both sides run the identical
+# pure protocol. Verdict thresholds: min ratio new/old < 0.9 → faster,
+# > 1.1 → slower, else tie (sub-100ms queries always tie — jitter).
+set -euo pipefail
+
+COMMIT=${1:?usage: tools/ab.sh <commit> <query-keys-csv> [rounds] [sfdir]}
+KEYS=${2:?query keys, comma-separated}
+ROUNDS=${3:-3}
+SFDIR=${4:-/root/testdata/sf0.1}
+
+ROOT=$(git rev-parse --show-toplevel)
+WT="$ROOT/target/ab-worktree"
+OUT="$ROOT/target/ab"
+mkdir -p "$OUT"
+rm -f "$OUT"/run-*.json
+
+git -C "$ROOT" worktree remove --force "$WT" 2>/dev/null || true
+git -C "$ROOT" worktree add --detach "$WT" "$COMMIT" >/dev/null
+trap 'git -C "$ROOT" worktree remove --force "$WT" >/dev/null 2>&1 || true' EXIT
+
+echo "== building OLD ($(git -C "$ROOT" rev-parse --short "$COMMIT")) in $WT"
+(cd "$WT" && sbt -batch compile >/dev/null 2>&1)
+echo "== building NEW (HEAD working tree)"
+(cd "$ROOT" && sbt -batch compile >/dev/null 2>&1)
+
+run_side() { # $1=dir $2=tag $3=round
+  (cd "$1" && \
+    SPARK_GRAFT_SF_DIR="$SFDIR" SPARK_GRAFT_ONLY="$KEYS" \
+    SPARK_GRAFT_IDLE_BASELINE=/dev/null \
+    sbt -batch "runMain graft.Bench" >/dev/null 2>&1) || true
+  if [ -f "$1/target/bench-full.json" ]; then
+    cp "$1/target/bench-full.json" "$OUT/run-$2-$3.json"
+  else
+    echo "WARN: $2 round $3 produced no bench-full.json" >&2
+  fi
+}
+
+for i in $(seq 1 "$ROUNDS"); do
+  echo "== round $i/$ROUNDS: old"
+  run_side "$WT" old "$i"
+  echo "== round $i/$ROUNDS: new"
+  run_side "$ROOT" new "$i"
+done
+
+python3 - "$OUT" <<'EOF'
+import glob, re, statistics, sys
+out = sys.argv[1]
+pat = re.compile(r'"([A-Za-z0-9_]+)":\{"med":([0-9.]+),"min":([0-9.]+)\}')
+def load(tag):
+    per = {}
+    for p in sorted(glob.glob(f"{out}/run-{tag}-*.json")):
+        for m in pat.finditer(open(p).read()):
+            per.setdefault(m.group(1), []).append(
+                (float(m.group(2)), float(m.group(3))))
+    return per
+old, new = load("old"), load("new")
+keys = sorted(set(old) | set(new))
+print(f"\n{'query':<34} {'old min/med':>14} {'new min/med':>14} {'ratio':>6}  verdict")
+for k in keys:
+    o, n = old.get(k), new.get(k)
+    if not o or not n:
+        side = "old" if o else "new"
+        print(f"{k:<34} {'—':>14} {'—':>14} {'—':>6}  only-in-{side}")
+        continue
+    omin = min(v for _, v in o); omed = statistics.median(v for v, _ in o)
+    nmin = min(v for _, v in n); nmed = statistics.median(v for v, _ in n)
+    r = nmin / omin if omin > 0 else float("inf")
+    v = ("tie" if max(omin, nmin) < 0.1 else
+         "FASTER" if r < 0.9 else "SLOWER" if r > 1.1 else "tie")
+    print(f"{k:<34} {omin:>6.2f}/{omed:<6.2f} {nmin:>6.2f}/{nmed:<6.2f} "
+          f"{r:>6.2f}  {v}")
+EOF
