@@ -519,6 +519,108 @@ object Oracle {
       CASE $LangBest % 4 WHEN 0 THEN 'de' WHEN 1 THEN 'en' WHEN 2 THEN 'es' ELSE 'fr' END
     ELSE 'und' END"""
 
+  /** The m105 pinned 12-merge BPE model as a DuckDB struct-list
+    * literal (rank, left, right) — inlined wherever the replay needs
+    * the merge table. */
+  private val BpeMerges: String = """[
+                   {'r': 1, 'a': 't', 'b': 'a'},
+                   {'r': 2, 'a': 'ta', 'b': 'b'},
+                   {'r': 3, 'a': 'tab', 'b': 'l'},
+                   {'r': 4, 'a': 'tabl', 'b': 'e'},
+                   {'r': 5, 'a': 'f', 'b': 'a'},
+                   {'r': 6, 'a': 's', 'b': 't'},
+                   {'r': 7, 'a': 'fa', 'b': 'st'},
+                   {'r': 8, 'a': 'h', 'b': 'a'},
+                   {'r': 9, 'a': 's', 'b': 'h'},
+                   {'r': 10, 'a': 'ha', 'b': 'sh'},
+                   {'r': 11, 'a': 'e', 'b': 'y'},
+                   {'r': 12, 'a': 'k', 'b': 'ey'}]"""
+
+  /** BPE encode replay as a recursive-CTE chain: normalize → whitespace
+    * split → per-word symbol list → iterated best-rank merge (leftmost
+    * occurrence of the highest-priority applicable pair each step) →
+    * `fin` (doc_id, widx, syms) holding each word's FINAL symbols.
+    * Shared by m105 (full '|'-joined token stream) and m187 (per-doc
+    * token counts). Must run under WITH RECURSIVE. */
+  private val BpeEncCtes: String = s"""nrm AS (SELECT doc_id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS nt
+             FROM documents),
+      w AS (SELECT doc_id, CAST(i AS INT) AS widx,
+              words[CAST(i AS INT)] AS word
+            FROM (SELECT doc_id, string_split(nt, ' ') AS words,
+                    unnest(range(1, len(string_split(nt, ' '))+1)) AS i
+                  FROM nrm WHERE length(nt) > 0)),
+      init AS (SELECT doc_id, widx,
+                 list_transform(range(1, length(word)+1),
+                   i -> substr(word, CAST(i AS INT), 1)) AS syms
+               FROM w),
+      enc AS (
+        SELECT doc_id, widx, syms FROM init
+        UNION ALL
+        SELECT doc_id, widx,
+          syms[1:bp-1] || [syms[bp] || syms[bp+1]] ||
+            syms[bp+2:len(syms)]
+        FROM (SELECT doc_id, widx, syms,
+                CAST(list_sort(list_filter(list_transform(
+                  $BpeMerges,
+                  m -> {'r': m.r,
+                        'p': list_filter(range(1, len(syms)),
+                          i -> syms[CAST(i AS INT)] = m.a
+                           AND syms[CAST(i AS INT)+1] = m.b)[1]}),
+                  x -> x.p IS NOT NULL))[1].p AS INT) AS bp
+              FROM enc)
+        WHERE bp IS NOT NULL),
+      fin AS (SELECT doc_id, widx, syms FROM enc
+              WHERE len(list_filter(
+                $BpeMerges,
+                m -> len(list_filter(range(1, len(syms)),
+                  i -> syms[CAST(i AS INT)] = m.a
+                   AND syms[CAST(i AS INT)+1] = m.b)) > 0)) = 0)"""
+
+  /** One m188 water-fill round as CTE text: reads level `prev`
+    * (source, avail, ppmv, cap, alloc, dit, capfl, r — undecided rows
+    * have alloc NULL), emits level `cur`. The round rule mirrors
+    * [[graft.operators.TrainingPipeline.mixturePlan]] exactly:
+    * proportional floor shares of the remaining budget among undecided
+    * sources; overflowers (prop > cap) finalize AT cap and leave the
+    * pool; a round with no overflower finalizes everyone (exhausted
+    * budget → everyone at 0, the engine's r<=0 branch, falls out of
+    * the NULL-prop COALESCE). `AS MATERIALIZED` pins each level — the
+    * m112 rule: later levels reference earlier ones more than once. */
+  private def waterfillLevel(k: Int, prev: String, cur: String): String = s"""
+      s$k AS (SELECT CAST(SUM(CASE WHEN alloc IS NULL THEN ppmv ELSE 0 END)
+                AS HUGEINT) AS w, MAX(r) AS r FROM $prev),
+      p$k AS MATERIALIZED (SELECT l.*,
+                CASE WHEN l.alloc IS NULL AND s.w > 0 AND s.r > 0
+                  THEN (l.ppmv * s.r) // s.w END AS prop
+              FROM $prev l, s$k s),
+      e$k AS (SELECT COALESCE(MAX(CASE WHEN alloc IS NULL AND prop > cap
+                THEN 1 ELSE 0 END), 0) AS ex FROM p$k),
+      n$k AS (SELECT CAST(COALESCE(SUM(CASE WHEN p.alloc IS NULL THEN
+                CASE WHEN p.prop > p.cap THEN p.cap
+                     WHEN e.ex = 0 THEN COALESCE(p.prop, 0) END END), 0)
+                AS HUGEINT) AS spent FROM p$k p, e$k e),
+      $cur AS MATERIALIZED (SELECT p.source, p.avail, p.ppmv, p.cap,
+              CASE WHEN p.alloc IS NOT NULL THEN p.alloc
+                   WHEN p.prop > p.cap THEN p.cap
+                   WHEN e.ex = 0 THEN COALESCE(p.prop, 0) END AS alloc,
+              CASE WHEN p.dit IS NOT NULL THEN p.dit
+                   WHEN p.prop > p.cap OR e.ex = 0 THEN $k END AS dit,
+              CASE WHEN p.capfl IS NOT NULL THEN p.capfl
+                   WHEN p.prop > p.cap THEN 1
+                   WHEN e.ex = 0 THEN 0 END AS capfl,
+              p.r - n.spent AS r
+            FROM p$k p, e$k e, n$k n)"""
+
+  /** mm12 pooled-pixel byte read: channel `e.c` of pixel (x, y) in the
+    * stored-deflate PNG hex `h` — the mm07 offset formula
+    * 49 + y·(1+3w) + 3x + c, as SQL text with x/y expressions inlined
+    * (DuckDB lambdas have no let-bindings, so the four taps of a 2×2
+    * pool each re-derive their offset). */
+  private def pxRd(x: String, y: String): String =
+    s"""TRY_CAST('0x' || substr(h,
+        (49 + ($y)*(1+3*w) + 3*($x) + e.c)*2+1, 2) AS BIGINT)"""
+
   /** Shared by m10 (checkpoint-materialized report) and m20 (durable
     * curateToTable report): five-stage curation accounting re-derived —
     * same config, same expected counts. */
@@ -979,6 +1081,46 @@ object Oracle {
     // BETWEEN join (q37's oracle verbatim) — the store itself never
     // appears here, which is the point: maintenance is invisible.
     "q56_stream_range_join" -> """
+      SELECT p.user_id, p.event_id, s.signup_id,
+        strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        strftime(s.w_start, '%Y-%m-%d %H:%M:%S') AS w_start_s
+      FROM (SELECT user_id, event_id, ts FROM events
+            WHERE event_type = 'purchase') p
+      JOIN (SELECT user_id, event_id AS signup_id, ts AS w_start,
+                   ts + INTERVAL 2 HOUR AS w_end
+            FROM events WHERE event_type = 'signup') s
+        ON p.user_id = s.user_id AND p.ts >= s.w_start AND p.ts <= s.w_end
+      ORDER BY p.user_id, p.event_id, s.signup_id""",
+
+    // q62: streaming session windows' read-back must equal the plain
+    // batch gaps-and-islands sessionization at MICROS precision —
+    // merge iff gap < 30 min (>= breaks, Spark's window-overlap rule),
+    // start = min ts, end = max ts + 30 min; exact DECIMAL value sums.
+    "q62_stream_session_windows" -> """
+      WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+      o AS (SELECT user_id, us, value,
+            lag(us) OVER (PARTITION BY user_id ORDER BY us) AS pus
+          FROM e),
+      i AS (SELECT user_id, us, value,
+            SUM(CASE WHEN pus IS NULL OR us - pus >= 1800000000
+              THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY us
+                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o)
+      SELECT user_id,
+        CAST(MIN(us) AS BIGINT) AS session_start_us,
+        CAST(MAX(us) + 1800000000 AS BIGINT) AS session_end_us,
+        CAST(COUNT(*) AS BIGINT) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM i GROUP BY user_id, sid
+      ORDER BY user_id, session_start_us""",
+
+    // q61: the stream-STREAM watermarked interval join's memory-sink
+    // read-back must ALSO equal the plain batch BETWEEN join (q37's
+    // oracle verbatim) — time-contiguous micro-batch feeding makes the
+    // watermark eviction provably lossless, so any divergence here is a
+    // state-management bug, not a modeling choice.
+    "q61_stream_interval_join" -> """
       SELECT p.user_id, p.event_id, s.signup_id,
         strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
         strftime(s.w_start, '%Y-%m-%d %H:%M:%S') AS w_start_s
@@ -2880,6 +3022,28 @@ object Oracle {
                      SELECT * FROM single WHERE n_clusters > 0)
       ORDER BY cluster_size""",
 
+    // m189: dup-aware loss weights — cluster sizes from the m169
+    // recursive closure, singletons via LEFT JOIN, floor `//` weight.
+    "m189_dup_weights" -> s"""
+      WITH RECURSIVE $CharShingleCtes,
+      ${jacPairCtes("pj")},
+      p AS (SELECT pa AS da, pb AS db FROM pj WHERE ${jacGe("0.5")}),
+      e AS (SELECT da AS u, db AS v FROM p UNION SELECT db, da FROM p),
+      reach(node, r) AS (
+        SELECT u, u FROM e
+        UNION
+        SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.node),
+      comp AS (SELECT node AS doc_id, MIN(r) AS component
+               FROM reach GROUP BY node),
+      szs AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS sz
+              FROM comp GROUP BY component),
+      cs AS (SELECT c.doc_id, s.sz FROM comp c JOIN szs s USING (component))
+      SELECT d.doc_id,
+        CAST(COALESCE(cs.sz, 1) AS BIGINT) AS cluster_size,
+        CAST(1000000 // COALESCE(cs.sz, 1) AS BIGINT) AS weight_micro
+      FROM documents d LEFT JOIN cs ON d.doc_id = cs.doc_id
+      ORDER BY d.doc_id""",
+
     // m170: per-seed BFS min-fold rounds unrolled with MATERIALIZED
     // levels (each level is read by the union AND the induced join —
     // the m112 inlining rule); 840 // d is exact for d ≤ 8.
@@ -3108,8 +3272,11 @@ object Oracle {
       FROM agg ORDER BY "group"""",
 
     // m180: weighted quantiles — running token mass over (n_chars,
-    // doc_id) order, first crossing row per DECIMAL-exact target
-    // ceil(p·W); probabilities cast to DOUBLE for the compare.
+    // doc_id) order, first crossing row per EXACT-integer target
+    // ceil(num·W/100): the engine ceils BigDecimal(p)·W, and p·W in
+    // doubles can tip past an integral product (and tw→DOUBLE is
+    // inexact past 2^53), so the oracle mirrors with the rational
+    // ceiling (num·tw + 99) // 100 in HUGEINT — p as num/100 literals.
     "m180_weighted_quantiles" -> s"""
       WITH $TextStatsCtes,
       wq AS (SELECT doc_id, n_chars AS v, n_tokens AS w FROM base
@@ -3117,8 +3284,10 @@ object Oracle {
       tot AS (SELECT CAST(SUM(w) AS HUGEINT) AS tw FROM wq),
       cum AS (SELECT v, w, SUM(w) OVER (ORDER BY v, doc_id
               ROWS UNBOUNDED PRECEDING) AS cw FROM wq),
-      pr AS (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS p),
-      tg AS (SELECT p, greatest(1, CAST(ceil(p * tw) AS BIGINT)) AS t
+      pr AS (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS p,
+             unnest([25, 50, 75, 90, 99]) AS num),
+      tg AS (SELECT p, greatest(1, CAST((CAST(num AS HUGEINT) * tw + 99)
+              // 100 AS BIGINT)) AS t
             FROM pr, tot)
       SELECT CAST(tg.p AS DOUBLE) AS p, CAST(c.v AS BIGINT) AS v
       FROM tg JOIN cum c ON c.cw >= tg.t AND c.cw - c.w < tg.t
@@ -3159,8 +3328,10 @@ object Oracle {
               SUM(w) OVER (ORDER BY w DESC, doc_id
                 ROWS UNBOUNDED PRECEDING) AS cw
             FROM tc),
-      pr AS (SELECT unnest([0.5, 0.9, 0.99]) AS p),
-      tg AS (SELECT p, greatest(1, CAST(ceil(p * tw) AS BIGINT)) AS t, n
+      pr AS (SELECT unnest([0.5, 0.9, 0.99]) AS p,
+             unnest([50, 90, 99]) AS num),
+      tg AS (SELECT p, greatest(1, CAST((CAST(num AS HUGEINT) * tw + 99)
+              // 100 AS BIGINT)) AS t, n
             FROM pr, tot)
       SELECT CAST(tg.p AS DOUBLE) AS p, c.rnk AS n_rows,
         CAST((1000000 * c.rnk) // tg.n AS BIGINT) AS rows_share_micro
@@ -3281,8 +3452,10 @@ object Oracle {
       tot AS (SELECT g, CAST(SUM(w) AS HUGEINT) AS tw FROM wq GROUP BY g),
       cum AS (SELECT g, v, w, SUM(w) OVER (PARTITION BY g
               ORDER BY v, doc_id ROWS UNBOUNDED PRECEDING) AS cw FROM wq),
-      pr AS (SELECT unnest([0.5, 0.9]) AS p),
-      tg AS (SELECT g, p, greatest(1, CAST(ceil(p * tw) AS BIGINT)) AS t
+      pr AS (SELECT unnest([0.5, 0.9]) AS p,
+             unnest([50, 90]) AS num),
+      tg AS (SELECT g, p, greatest(1, CAST((CAST(num AS HUGEINT) * tw
+              + 99) // 100 AS BIGINT)) AS t
             FROM tot, pr)
       SELECT tg.g AS "group", CAST(tg.p AS DOUBLE) AS p,
         CAST(c.v AS BIGINT) AS v
@@ -5230,6 +5403,81 @@ object Oracle {
       GROUP BY media_id, k // 256
       ORDER BY media_id, window_idx""",
 
+    // mm12: 2x2 box downscale — pooled samples re-derived from raw
+    // stored-deflate pixel offsets (the mm07 formula), four byte reads
+    // + `// 4` per pooled (x2, y2, c), regrouped per output row. The
+    // inner list builds (y2, x2, c) triples; the outer lambda pools.
+    "mm12_image_downscale" -> s"""
+      WITH media AS (SELECT media_id, hex(bytes) AS h,
+                octet_length(bytes) AS ln
+              FROM read_parquet('{AUX}/media/*.parquet')),
+      im AS (SELECT media_id, h, ${u32be("16")} AS w, ${u32be("20")} AS ht
+            FROM media
+            WHERE ln >= 33 AND substr(h,1,16) = '89504E470D0A1A0A'
+              AND ${u32be("16")} >= 2 AND ${u32be("20")} >= 2),
+      ds AS (SELECT media_id,
+          list_transform(
+            list_transform(range(0, (w//2)*(ht//2)*3), q ->
+              {'y2': q // ((w//2)*3),
+               'x2': (q % ((w//2)*3)) // 3,
+               'c':  q % 3}),
+            e -> {'y2': e.y2, 'v': (
+                ${pxRd("2*e.x2", "2*e.y2")}
+              + ${pxRd("2*e.x2+1", "2*e.y2")}
+              + ${pxRd("2*e.x2", "2*e.y2+1")}
+              + ${pxRd("2*e.x2+1", "2*e.y2+1")}) // 4}) AS pv
+        FROM im),
+      pr AS (SELECT media_id, CAST(e.y2 AS INT) AS y2,
+            CAST(e.v AS BIGINT) AS v
+          FROM (SELECT media_id, unnest(pv) AS e FROM ds))
+      SELECT media_id, y2, CAST(COUNT(*) AS INT) AS n_samples,
+        CAST(SUM(v) AS BIGINT) AS row_sum
+      FROM pr GROUP BY media_id, y2
+      ORDER BY media_id, y2""",
+
+    // mm11: the mm10 sample extraction, then the [1,2,1]/4 decimation
+    // replayed with two lead() taps on even k: y = (v + 2*l1 + l2) // 4
+    // (DuckDB // truncates toward zero — Scala Int division parity),
+    // j = k//2, regrouped per 128 OUTPUT samples.
+    "mm11_audio_decimate" -> s"""
+      WITH dm AS (SELECT media_id, hex(bytes) AS h, octet_length(bytes) AS ln
+                   FROM read_parquet('{AUX}/media/*.parquet')),
+      da AS (SELECT media_id, h, ${u32("40")}//2 AS nall
+            FROM dm
+            WHERE ln >= 44 AND substr(h,1,8) = '52494646'
+              AND substr(h,17,8) = '57415645'
+              AND substr(h,25,8) = '666D7420' AND substr(h,73,8) = '64617461'
+              AND ${u16("20")} = 1 AND ${u16("34")} = 16
+              AND ${u16("22")} >= 1 AND ln >= 44 + ${u32("40")}),
+      dl AS (SELECT media_id, nall,
+          list_transform(range(0, nall), k ->
+            TRY_CAST('0x' || substr(h,(44+CAST(k AS INT)*2+1)*2+1,2)
+                          || substr(h,(44+CAST(k AS INT)*2)*2+1,2) AS INTEGER))
+            AS us
+        FROM da),
+      dv AS (SELECT media_id, CAST(e.k AS BIGINT) AS k,
+            CASE WHEN CAST(e.x AS INTEGER) >= 32768
+              THEN CAST(e.x AS INTEGER) - 65536
+              ELSE CAST(e.x AS INTEGER) END AS v
+          FROM (SELECT media_id,
+              unnest(list_transform(range(0, nall),
+                q -> {'k': q, 'x': us[CAST(q AS INT)+1]})) AS e
+            FROM dl)),
+      dp AS (SELECT media_id, k, v,
+            lead(v, 1) OVER (PARTITION BY media_id ORDER BY k) AS l1,
+            lead(v, 2) OVER (PARTITION BY media_id ORDER BY k) AS l2
+          FROM dv),
+      dy AS (SELECT media_id, k // 2 AS j,
+            (v + 2 * l1 + l2) // 4 AS y
+          FROM dp WHERE k % 2 = 0 AND l2 IS NOT NULL)
+      SELECT media_id, CAST(j // 128 AS INT) AS window_idx,
+        CAST(COUNT(*) AS INT) AS n_out,
+        CAST(SUM(y) AS BIGINT) AS sum_y,
+        CAST(SUM(CAST(y AS BIGINT) * y) AS BIGINT) AS energy
+      FROM dy
+      GROUP BY media_id, j // 128
+      ORDER BY media_id, window_idx""",
+
     "mm09_zero_crossings" -> s"""
       WITH zcm AS (SELECT media_id, hex(bytes) AS h, octet_length(bytes) AS ln
                    FROM read_parquet('{AUX}/media/*.parquet')),
@@ -5601,63 +5849,8 @@ object Oracle {
     // the first field), leftmost occurrence within the rank, and
     // rewrites the list; terminal rows are those with no applicable
     // merge. The 12-merge model is the same literal the engine pins.
-    "m105_bpe_encode" -> """
-      WITH RECURSIVE nrm AS (SELECT doc_id,
-               trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS nt
-             FROM documents),
-      w AS (SELECT doc_id, CAST(i AS INT) AS widx,
-              words[CAST(i AS INT)] AS word
-            FROM (SELECT doc_id, string_split(nt, ' ') AS words,
-                    unnest(range(1, len(string_split(nt, ' '))+1)) AS i
-                  FROM nrm WHERE length(nt) > 0)),
-      init AS (SELECT doc_id, widx,
-                 list_transform(range(1, length(word)+1),
-                   i -> substr(word, CAST(i AS INT), 1)) AS syms
-               FROM w),
-      enc AS (
-        SELECT doc_id, widx, syms FROM init
-        UNION ALL
-        SELECT doc_id, widx,
-          syms[1:bp-1] || [syms[bp] || syms[bp+1]] ||
-            syms[bp+2:len(syms)]
-        FROM (SELECT doc_id, widx, syms,
-                CAST(list_sort(list_filter(list_transform(
-                  [{'r': 1, 'a': 't', 'b': 'a'},
-                   {'r': 2, 'a': 'ta', 'b': 'b'},
-                   {'r': 3, 'a': 'tab', 'b': 'l'},
-                   {'r': 4, 'a': 'tabl', 'b': 'e'},
-                   {'r': 5, 'a': 'f', 'b': 'a'},
-                   {'r': 6, 'a': 's', 'b': 't'},
-                   {'r': 7, 'a': 'fa', 'b': 'st'},
-                   {'r': 8, 'a': 'h', 'b': 'a'},
-                   {'r': 9, 'a': 's', 'b': 'h'},
-                   {'r': 10, 'a': 'ha', 'b': 'sh'},
-                   {'r': 11, 'a': 'e', 'b': 'y'},
-                   {'r': 12, 'a': 'k', 'b': 'ey'}],
-                  m -> {'r': m.r,
-                        'p': list_filter(range(1, len(syms)),
-                          i -> syms[CAST(i AS INT)] = m.a
-                           AND syms[CAST(i AS INT)+1] = m.b)[1]}),
-                  x -> x.p IS NOT NULL))[1].p AS INT) AS bp
-              FROM enc)
-        WHERE bp IS NOT NULL),
-      fin AS (SELECT doc_id, widx, syms FROM enc
-              WHERE len(list_filter(
-                [{'r': 1, 'a': 't', 'b': 'a'},
-                 {'r': 2, 'a': 'ta', 'b': 'b'},
-                 {'r': 3, 'a': 'tab', 'b': 'l'},
-                 {'r': 4, 'a': 'tabl', 'b': 'e'},
-                 {'r': 5, 'a': 'f', 'b': 'a'},
-                 {'r': 6, 'a': 's', 'b': 't'},
-                 {'r': 7, 'a': 'fa', 'b': 'st'},
-                 {'r': 8, 'a': 'h', 'b': 'a'},
-                 {'r': 9, 'a': 's', 'b': 'h'},
-                 {'r': 10, 'a': 'ha', 'b': 'sh'},
-                 {'r': 11, 'a': 'e', 'b': 'y'},
-                 {'r': 12, 'a': 'k', 'b': 'ey'}],
-                m -> len(list_filter(range(1, len(syms)),
-                  i -> syms[CAST(i AS INT)] = m.a
-                   AND syms[CAST(i AS INT)+1] = m.b)) > 0)) = 0),
+    "m105_bpe_encode" -> s"""
+      WITH RECURSIVE $BpeEncCtes,
       agg AS (SELECT doc_id,
                 CAST(SUM(len(syms)) AS INT) AS n_tokens,
                 string_agg(array_to_string(syms, '|'), '|'
@@ -5667,6 +5860,74 @@ object Oracle {
              COALESCE(a.enc, '') AS enc
       FROM documents d LEFT JOIN agg a USING (doc_id)
       ORDER BY d.doc_id""",
+
+    // m187: tokenizer fertility — the m105 BPE replay reduced to
+    // per-doc token counts, crossed with m81's langId argmax, then
+    // HUGEINT // micro-rates per (source, lang): the engine's driver
+    // BigInt floor over DECIMAL sums is plain truncating division on
+    // non-negative integers, which // mirrors exactly.
+    "m187_tokenizer_fertility" -> s"""
+      WITH RECURSIVE $BpeEncCtes,
+      agg AS (SELECT doc_id, CAST(SUM(len(syms)) AS BIGINT) AS n_tok
+              FROM fin GROUP BY doc_id),
+      lang AS (SELECT doc_id, source, ' ' || lower(text) || ' ' AS padded,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(strlen(text) AS BIGINT) AS n_bytes
+             FROM documents),
+      j AS (SELECT l.source, $LangPredExpr AS lang_pred,
+              COALESCE(a.n_tok, 0) AS n_tok, l.n_chars, l.n_bytes
+            FROM lang l LEFT JOIN agg a USING (doc_id)),
+      g AS (SELECT source, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(n_tok) AS HUGEINT) AS toks,
+              CAST(SUM(n_chars) AS HUGEINT) AS chars,
+              CAST(SUM(n_bytes) AS HUGEINT) AS bytes
+            FROM j GROUP BY source, lang_pred)
+      SELECT source, lang_pred, n_docs,
+        CAST(toks AS BIGINT) AS tokens, CAST(chars AS BIGINT) AS chars,
+        CAST(bytes AS BIGINT) AS bytes,
+        CAST(CASE WHEN chars = 0 THEN 0
+          ELSE (1000000 * toks) // chars END AS BIGINT) AS fertility_micro,
+        CAST(CASE WHEN toks = 0 THEN 0
+          ELSE (1000000 * bytes) // toks END AS BIGINT)
+          AS bytes_per_token_micro
+      FROM g ORDER BY source, lang_pred""",
+
+    // m188: epoch-capped token-budget water-fill — unrolled rounds as
+    // materialized levels (3 sources → 3 rounds always terminate: each
+    // round caps >=1 source or finalizes the rest). `dit`, not `dec` —
+    // DEC is a DuckDB type keyword.
+    "m188_mixture_plan" -> s"""
+      WITH $TextStatsCtes,
+      per AS (SELECT d.source, CAST(SUM(b.n_tokens) AS HUGEINT) AS avail
+            FROM base b JOIN documents d USING (doc_id)
+            WHERE d.source IN ('src0', 'src1', 'src2')
+            GROUP BY d.source),
+      tot AS (SELECT (3 * SUM(avail)) // 2 AS b FROM per),
+      wts AS (SELECT * FROM (VALUES ('src0', 600000), ('src1', 300000),
+              ('src2', 100000)) v(source, ppm)),
+      l0 AS MATERIALIZED (SELECT p.source, p.avail,
+              CAST(w.ppm AS HUGEINT) AS ppmv,
+              CAST(2 * p.avail AS HUGEINT) AS cap,
+              CAST(NULL AS HUGEINT) AS alloc,
+              CAST(NULL AS INT) AS dit,
+              CAST(NULL AS INT) AS capfl,
+              t.b AS r
+            FROM per p JOIN wts w USING (source), tot t),
+      ${waterfillLevel(1, "l0", "l1")},
+      ${waterfillLevel(2, "l1", "l2")},
+      ${waterfillLevel(3, "l2", "l3")}
+      SELECT l.source,
+        CAST(l.avail AS BIGINT) AS tokens_available,
+        CAST(l.ppmv AS BIGINT) AS weight_ppm,
+        CAST(l.cap AS BIGINT) AS cap_tokens,
+        CAST(COALESCE(l.alloc, 0) AS BIGINT) AS alloc_tokens,
+        CAST(CASE WHEN l.avail = 0 THEN 0
+          ELSE (1000000 * COALESCE(l.alloc, 0)) // l.avail END AS BIGINT)
+          AS epochs_micro,
+        CAST(l.capfl AS SMALLINT) AS capped,
+        CAST(l.dit AS SMALLINT) AS decided_iter,
+        CAST((SELECT MAX(r) FROM l3) AS BIGINT) AS budget_left
+      FROM l3 l ORDER BY l.source""",
 
     // m104: distributed Lloyd k-means — full replay of the exact-integer
     // dag: 2^24 scaling, mix64 seeding (unsigned h order ≡ the engine's

@@ -1001,6 +1001,28 @@ object Queries {
     Multimodal.energyWindows(media(s, dir))
       .orderBy("media_id", "window_idx")
 
+  /** mm11 — anti-aliased 2:1 audio decimation
+    * ([[operators.Multimodal.decimatedAudio]]): the [1,2,1]/4 integer
+    * low-pass on the even sample grid, reported as exact per-window
+    * (count, Σy, Σy²) over 128 OUTPUT samples — the rate-normalization
+    * stage before mm05's fingerprint on mixed-rate corpora. The oracle
+    * rebuilds every output sample from raw PCM byte offsets (two
+    * lead() taps, truncating `//` division — the signed rule) and
+    * regroups. */
+  def mm11AudioDecimate(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decimatedAudio(media(s, dir))
+      .orderBy("media_id", "window_idx")
+
+  /** mm12 — 2×2 image box downscale
+    * ([[operators.Multimodal.downscaledImages]]): per image and output
+    * row the exact pooled-sample sum — pyramid level-1 before mm07's
+    * dHash on high-resolution corpora. The oracle re-pools every 2×2×c
+    * block from raw stored-deflate pixel offsets (four byte reads per
+    * pooled sample, `// 4`) and regroups per row. */
+  def mm12ImageDownscale(s: SparkSession, dir: String): DataFrame =
+    Multimodal.downscaledImages(media(s, dir))
+      .orderBy("media_id", "y2")
+
   /** q57 — seasonal-anomaly monitor: per event type, the seasonal-naive
     * residual (this hour's centi-value sum minus the SAME HOUR
     * yesterday — hours paired by index join, robust to gaps where a
@@ -3519,6 +3541,176 @@ object Queries {
       .orderBy("user_id", "event_id", "signup_id")
   }
 
+  /** One stream-stream interval-join replay per (JVM, sf dir) — the
+    * [[rangeStoreDirs]] convention; the memory-sink read-back is a pure
+    * function of the events table, so rebuild-vs-reuse cannot change
+    * results. */
+  private val ijStreamDirs = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** q61 — the q37 interval join run as a genuine STREAM-STREAM join
+    * ([[streaming.Pipeline.intervalJoinStreams]], §2.9's watermarked
+    * event-time join): purchases and signup windows each arrive as a
+    * MemoryStream in three TIME-CONTIGUOUS micro-batches (epoch-range
+    * thirds; BOTH streams sliced by the same boundaries), joined under a
+    * 10-minute watermark with the 2-hour state-eviction bound, landed in
+    * a memory sink, and read back.
+    *
+    * Why time-ordered feeding makes watermark EVICTION provably
+    * lossless here: an interval is evicted only once the point-side
+    * watermark passes `w_start + 2 h`; every point still to arrive has
+    * `ts ≥ watermark`, so a future match (`ts ≤ w_start + 2 h`) would
+    * contradict the eviction bound. Symmetrically a point is evicted
+    * only when future intervals must start after it, and late-row drops
+    * need a row BELOW the watermark, which contiguous slices never
+    * produce. State the join no longer needs is dropped (the
+    * 100 TB-stream OOM guard); state it still needs is provably live —
+    * so the read-back must equal the plain batch BETWEEN join
+    * bit-for-bit, and the oracle is exactly q37's SQL (the streaming
+    * machinery never appears in it). Batch boundaries are
+    * data-deterministic, so a fresh JVM replays the harness
+    * identically. The driver-side feed is the MemoryStream harness, not
+    * an operator cost: it is bounded by the events table's
+    * purchase+signup slice (~2k rows/side at gate SF). */
+  def q61StreamStreamInterval(s: SparkSession, dir: String): DataFrame = {
+    val store = ijStreamDirs.getOrElseUpdate(dir, {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev = t(s, dir, "events")
+      // cast("timestamp") first: the fixture has shipped ts as NTZ,
+      // and unix_micros only takes LTZ — the session TZ is pinned UTC
+      // (Verify/Bench), so the cast is the identity mapping
+      val pts = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+        .as[(Long, Long, Long)].collect().sortBy(r => (r._3, r._2))
+      val ivs = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+        .as[(Long, Long, Long)].collect().sortBy(r => (r._3, r._2))
+      require(pts.nonEmpty && ivs.nonEmpty,
+        "q61: events must contain purchases and signups")
+      val lo = math.min(pts.head._3, ivs.head._3)
+      val hi = math.max(pts.last._3, ivs.last._3) + 1L
+      val c1 = lo + (hi - lo) / 3
+      val c2 = lo + 2L * ((hi - lo) / 3)
+      val pmem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long)]
+      val imem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long)]
+      val ps = pmem.toDF().toDF("user_id", "event_id", "us")
+        .select(col("user_id"), col("event_id"),
+          timestamp_micros(col("us")).as("ts"))
+      val is = imem.toDF().toDF("user_id", "signup_id", "us")
+        .select(col("user_id"), col("signup_id"),
+          timestamp_micros(col("us")).as("w_start"),
+          (timestamp_micros(col("us")) + expr("INTERVAL 2 HOURS"))
+            .as("w_end"))
+      val joined = streaming.Pipeline.intervalJoinStreams(ps, is,
+        "user_id", "ts", "w_start", "w_end",
+        watermark = "10 minutes", maxIntervalSeconds = 7200L)
+      val full = new java.io.File(dir).getAbsolutePath
+      val tag =
+        f"${graft.core.TextSig.mix64(full.hashCode.toLong) & 0xffffffffL}%08x"
+      val d = s"target/ij-stream/${new java.io.File(dir).getName}-$tag"
+      val sinkName = s"q61_sink_$tag"
+      val q = joined.writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").start()
+      def slice(a: Array[(Long, Long, Long)], from: Long, until: Long) =
+        a.filter(r => r._3 >= from && r._3 < until).toSeq
+      Seq((lo, c1), (c1, c2), (c2, hi)).foreach { case (f, u) =>
+        imem.addData(slice(ivs, f, u): _*)
+        pmem.addData(slice(pts, f, u): _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      s.table(sinkName).write.mode("overwrite").parquet(d)
+      s.catalog.dropTempView(sinkName)
+      d
+    })
+    s.read.parquet(store)
+      .select(col("user_id"), col("event_id"), col("signup_id"),
+        fmtTs(col("ts")).as("ts_s"), fmtTs(col("w_start")).as("w_start_s"))
+      .orderBy("user_id", "event_id", "signup_id")
+  }
+
+  /** One streaming session-window replay per (JVM, sf dir) — the
+    * [[ijStreamDirs]] convention. */
+  private val sessStreamDirs = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** q62 — STREAMING SESSION WINDOWS (`session_window`, §2.9's stateful
+    * session aggregation; the streaming form of q14's gaps-and-islands
+    * sessionization): every event opens/extends a [ts, ts+30 min)
+    * window per user, overlapping windows MERGE in the state store, and
+    * a session emits (append mode) once the watermark passes its end.
+    * Events replay as three TIME-CONTIGUOUS MemoryStream micro-batches
+    * (the q61 eviction-losslessness argument: a finalized session's
+    * last event satisfies last + 30 min < watermark, while any future
+    * event has ts ≥ watermark, so it could never have merged); a final
+    * SENTINEL event one hour past the stream's end (user −1, excluded
+    * from the read-back) pushes the watermark so the tail sessions
+    * finalize — without it, append mode would hold them forever.
+    * Exact micros boundaries (start = min ts, end = max ts + 30 min,
+    * merge iff gap < 30 min — `>=` breaks); the oracle is the plain
+    * batch gaps-and-islands derivation at micros precision, the
+    * streaming machinery absent from it. */
+  def q62StreamSessionWindows(s: SparkSession, dir: String): DataFrame = {
+    val store = sessStreamDirs.getOrElseUpdate(dir, {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "events")
+        .select(col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"),
+          col("value"))
+        .as[(Long, Long, Double)].collect().sortBy(r => (r._2, r._1))
+      require(rows.nonEmpty, "q62: events table is empty")
+      val lo = rows.head._2
+      val hi = rows.last._2 + 1L
+      val c1 = lo + (hi - lo) / 3
+      val c2 = lo + 2L * ((hi - lo) / 3)
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Double)]
+      val sessions = mem.toDF().toDF("user_id", "us", "value")
+        .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+          col("value"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).as("sv"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("session_start_us"),
+          unix_micros(col("sw.end")).as("session_end_us"),
+          col("n_events"), col("sv").cast("double").as("sum_value"))
+      val full = new java.io.File(dir).getAbsolutePath
+      val tag =
+        f"${graft.core.TextSig.mix64(full.hashCode.toLong) & 0xffffffffL}%08x"
+      val d = s"target/sess-stream/${new java.io.File(dir).getName}-$tag"
+      val sinkName = s"q62_sink_$tag"
+      val q = sessions.writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").start()
+      def slice(from: Long, until: Long) =
+        rows.filter(r => r._2 >= from && r._2 < until).toSeq
+      Seq((lo, c1), (c1, c2), (c2, hi)).foreach { case (f, u) =>
+        mem.addData(slice(f, u): _*)
+        q.processAllAvailable()
+      }
+      // two sentinel batches: the first advances the watermark past
+      // every real session's end; the second gives the engine a batch
+      // in which to emit the finalized state
+      mem.addData((-1L, hi + 3600L * 1000000L, 0.0))
+      q.processAllAvailable()
+      mem.addData((-1L, hi + 7200L * 1000000L, 0.0))
+      q.processAllAvailable()
+      q.stop()
+      s.table(sinkName).filter(col("user_id") >= 0L)
+        .write.mode("overwrite").parquet(d)
+      s.catalog.dropTempView(sinkName)
+      d
+    })
+    s.read.parquet(store)
+      .orderBy("user_id", "session_start_us")
+  }
+
   /** m166 — MinHash-LSH parameter plan ([[operators.Dedup.lshPlan]]):
     * the collision S-curve 1 − (1 − sʳ)ᵇ for every factorization of the
     * 16-perm budget at nine probe similarities — repeated-multiplication
@@ -3567,6 +3759,16 @@ object Queries {
       .filter(col("n_clusters") > 0)
       .orderBy("cluster_size")
   }
+
+  /** m189 — duplicate-aware loss weights ([[operators.Dedup.dupWeights]]
+    * over the verified 0.5-threshold pair table): per doc its near-dup
+    * cluster size and the damped training weight 10⁶ ∕ size — the
+    * keep-everything counterpart of m08's keep-first dedup. The oracle
+    * replays cluster sizes from the recursive closure (the m169 CTEs)
+    * and mirrors the floor division. */
+  def m189DupWeights(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupWeights(t(s, dir, "documents"), pairs05(s, dir))
+      .orderBy("doc_id")
 
   /** m170 — sampled harmonic centrality
     * ([[operators.Graph.harmonicCentrality]]): Σ 1/d from the 16 probe
@@ -4066,6 +4268,50 @@ object Queries {
         operators.TextAnalysis.tokenCount(col("text")),
         Seq(col("doc_id")), Seq(0.5, 0.9, 0.99))
       .orderBy("p")
+
+  /** m187 — tokenizer fertility / bytes-per-token by (source,
+    * predicted language) ([[operators.TextAnalysis.tokenizerFertility]]
+    * composing m105's pinned-merge BPE encoder with m81's langId): the
+    * mixture-budgeting exchange-rate table — token budgets are spent in
+    * tokens, corpora are weighed in bytes, and the rate differs per
+    * slice under a fixed vocab. Exact integer micro-rates (driver
+    * BigInt floor over DECIMAL sums); the oracle replays the BPE merge
+    * loop (the m105 recursive CTE), the langId argmax, and HUGEINT
+    * `//` division. */
+  def m187TokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    val model = graft.core.Bpe.Model(IndexedSeq(
+      "t" -> "a", "ta" -> "b", "tab" -> "l", "tabl" -> "e",
+      "f" -> "a", "s" -> "t", "fa" -> "st", "h" -> "a",
+      "s" -> "h", "ha" -> "sh", "e" -> "y", "k" -> "ey"))
+    operators.TextAnalysis.tokenizerFertility(
+        t(s, dir, "documents")
+          .withColumn("lang_pred",
+            operators.TextAnalysis.langId(col("text"))),
+        model, Seq("source", "lang_pred"))
+      .orderBy("source", "lang_pred")
+  }
+
+  /** m188 — epoch-capped token-budget water-fill
+    * ([[operators.TrainingPipeline.mixturePlan]], the upsampling dual
+    * of m45's downsample-only solver): budget = ⌊3·Σtokens / 2⌋ at
+    * weights 0.6/0.3/0.1 with a 2-epoch repeat cap — src0's 60% ask
+    * (~0.9·T) exceeds twice its own mass, so it caps in round 1 and
+    * its excess water-falls to src1/src2 in round 2, exercising the
+    * full iterate-and-redistribute path. The oracle unrolls the
+    * (≤ #sources) rounds as materialized CTE levels in HUGEINT. */
+  def m188MixturePlan(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val total = BigInt(docs
+      .filter(col("source").isin("src0", "src1", "src2"))
+      .agg(sum(operators.TextAnalysis.tokenCount(col("text"))
+        .cast(DecimalType(38, 0))))
+      .head().getDecimal(0).toBigInteger)
+    operators.TrainingPipeline.mixturePlan(docs,
+        Map("src0" -> 0.6, "src1" -> 0.3, "src2" -> 0.1),
+        budgetTokens = (total * 3 / 2).toLong, maxEpochs = 2,
+        tokens = operators.TextAnalysis.tokenCount(col("text")))
+      .orderBy("source")
+  }
 
   /** q60 — audience growth curve: per day, first-time users and the
     * cumulative distinct-user count — the canonical growth readout,

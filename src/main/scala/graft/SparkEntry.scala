@@ -280,6 +280,9 @@ object SparkEntry {
     "m184_stream_heavy_hitters" -> Queries.m184StreamHeavyHitters,
     "m185_plan_audit" -> Queries.m185PlanAudit,
     "m186_token_coverage" -> Queries.m186TokenCoverage,
+    "m187_tokenizer_fertility" -> Queries.m187TokenizerFertility,
+    "m188_mixture_plan" -> Queries.m188MixturePlan,
+    "m189_dup_weights" -> Queries.m189DupWeights,
     "q60_user_growth" -> Queries.q60UserGrowth,
     "q59_event_overlap" -> Queries.q59EventOverlap,
     "q58_funnel_paths" -> Queries.q58FunnelPaths,
@@ -288,6 +291,8 @@ object SparkEntry {
     "q54_pivot" -> Queries.q54Pivot,
     "q55_unpivot" -> Queries.q55Unpivot,
     "q56_stream_range_join" -> Queries.q56StreamRangeJoin,
+    "q61_stream_interval_join" -> Queries.q61StreamStreamInterval,
+    "q62_stream_session_windows" -> Queries.q62StreamSessionWindows,
     "q57_seasonal_outliers" -> Queries.q57SeasonalOutliers,
     "mm05_audio_fingerprint" -> Queries.mm05AudioFingerprint,
     "mm06_shot_boundaries" -> Queries.mm06ShotBoundaries,
@@ -295,6 +300,8 @@ object SparkEntry {
     "mm08_silence_spans" -> Queries.mm08SilenceSpans,
     "mm09_zero_crossings" -> Queries.mm09ZeroCrossings,
     "mm10_energy_windows" -> Queries.mm10EnergyWindows,
+    "mm11_audio_decimate" -> Queries.mm11AudioDecimate,
+    "mm12_image_downscale" -> Queries.mm12ImageDownscale,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on

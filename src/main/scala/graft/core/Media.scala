@@ -507,6 +507,50 @@ object Media {
     Array.tabulate(nw)(w => (w, pairs(w), cross(w)))
   }
 
+  /** Anti-aliased 2:1 decimation of the WAV PCM16 payload, summarized
+    * per output window — the downsampling stage a fingerprinting /
+    * feature pipeline runs before [[audioFingerprint]] when inputs
+    * arrive at mixed rates. Each output sample is the integer
+    * [1,2,1]-tap low-pass on the even grid,
+    * y_j = (x[2j] + 2·x[2j+1] + x[2j+2]) quo 4 (Scala Int division
+    * TRUNCATES toward zero — exactly DuckDB's `//`, the signed-division
+    * rule from the kappa lesson), defined for j ≤ (n−3)/2 so every tap
+    * exists (no edge padding to disagree about). The stream ships as
+    * exact per-window (count, Σy, Σy²) so the oracle replays the
+    * filter, the decimation grid AND the windowing from raw byte
+    * offsets without materializing n/ 2 rows per audio. |y| ≤ 32768 ⇒
+    * Σy² < 2⁴⁷ over a 2¹⁶ window — Long headroom as in
+    * [[energyWindows]]. Null for non-audio; < 3 samples ⇒ zero windows.
+    *
+    * @return (window_idx, n_out, Σy, Σy²) per window of `window`
+    *   OUTPUT samples */
+  def decimatedEnergy(bytes: Array[Byte],
+      window: Int): Array[(Int, Int, Long, Long)] = {
+    require(window >= 1 && window <= 65536,
+      s"decimatedEnergy: window=$window out of [1,65536]")
+    val layout = wavLayout(bytes)
+    if (layout == null) return null
+    val dataOff = layout(2); val dataLen = layout(3)
+    val n = dataLen / 2
+    val m = if (n < 3) 0 else (n - 3) / 2 + 1
+    if (m == 0) return Array.empty
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val nw = (m - 1) / window + 1
+    val cnt = new Array[Int](nw)
+    val sum = new Array[Long](nw)
+    val en = new Array[Long](nw)
+    var j = 0
+    while (j < m) {
+      val y = (b.getShort(dataOff + 2 * j * 2).toInt
+        + 2 * b.getShort(dataOff + (2 * j + 1) * 2).toInt
+        + b.getShort(dataOff + (2 * j + 2) * 2).toInt) / 4
+      val w = j / window
+      cnt(w) += 1; sum(w) += y; en(w) += y.toLong * y
+      j += 1
+    }
+    Array.tabulate(nw)(w => (w, cnt(w), sum(w), en(w)))
+  }
+
   /** Windowed energy of the WAV PCM16 payload: per `window`-sample
     * window, the sample count and the exact Σx² — the loudness/RMS
     * feature next to [[zeroCrossings]] (RMS = √(Σx²/n) is derivable,
@@ -586,6 +630,45 @@ object Media {
     * brightness scaling — near-identical images land within a small
     * Hamming distance. Null for undecodable input or images smaller
     * than the 9×8 grid. */
+  /** 2×2 integer box downscale (average pooling) of the decoded image,
+    * verified at ROW granularity: per output row y₂, the exact sum of
+    * every pooled channel sample
+    * p₂(x₂,y₂,c) = ⌊(p(2x₂,2y₂,c) + p(2x₂+1,2y₂,c) + p(2x₂,2y₂+1,c)
+    * + p(2x₂+1,2y₂+1,c)) / 4⌋ — the pyramid level-1 a perceptual-hash /
+    * thumbnail pipeline builds before hashing, with the pooling GRID
+    * pinned per row (a transposed or off-by-one pool shifts some row
+    * sum). Samples are non-negative, so floor and truncation agree on
+    * both engines. Odd trailing row/column drops (⌊w/ 2⌋×⌊h/ 2⌋ grid, no
+    * edge padding to disagree about). Null for non-image; smaller than
+    * 2×2 yields zero rows.
+    *
+    * @return (y2, n_samples = ⌊w/ 2⌋·bands, row_sum) per output row */
+  def downscaledRowSums(bytes: Array[Byte]): Array[(Int, Int, Long)] = {
+    val img = readImage(bytes)
+    if (img == null) return null
+    val w = img.getWidth; val h = img.getHeight
+    val w2 = w / 2; val h2 = h / 2
+    if (w2 < 1 || h2 < 1) return Array.empty
+    val raster = img.getRaster
+    val nb = math.min(raster.getNumBands, 3)
+    Array.tabulate(h2) { y2 =>
+      var sum = 0L
+      var x2 = 0
+      while (x2 < w2) {
+        var b = 0
+        while (b < nb) {
+          sum += (raster.getSample(2 * x2, 2 * y2, b)
+            + raster.getSample(2 * x2 + 1, 2 * y2, b)
+            + raster.getSample(2 * x2, 2 * y2 + 1, b)
+            + raster.getSample(2 * x2 + 1, 2 * y2 + 1, b)) / 4
+          b += 1
+        }
+        x2 += 1
+      }
+      (y2, w2 * nb, sum)
+    }
+  }
+
   def imageDhash(bytes: Array[Byte]): java.lang.Long = {
     val img = readImage(bytes)
     if (img == null) return null

@@ -1151,6 +1151,37 @@ object Dedup {
     labels
   }
 
+  /** Duplicate-aware loss weights — the SOFT alternative to dropping
+    * near-dups: every document weighs 10⁶ ∕ |its near-dup cluster| in
+    * micro units (floor; singletons weigh exactly 1.0), so a family of
+    * n near-identical documents contributes ONE document's worth of
+    * training signal in aggregate instead of n× (or 1× with the rest
+    * censored) — the keep-everything counterpart of
+    * [[minhashDedupComponents]] for recipes that damp repeated content
+    * rather than delete it.
+    *
+    * Scale shape: [[connectedComponents]]' pointer-doubled closure over
+    * the (already verified, already bucketed) pair table, a
+    * low-cardinality size aggregate, and one id-keyed join back — the
+    * corpus never carries text through any of it; exact integers end
+    * to end, so the oracle replays sizes from the recursive closure.
+    *
+    * @return (doc_id, cluster_size, weight_micro) for EVERY input doc */
+  def dupWeights(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val comp = connectedComponents(pairs)
+    val sizes = comp.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val withSz = comp.join(sizes, "component")
+      .select(col("id").as(idCol), col("cluster_size"))
+    docs.select(col(idCol))
+      .join(withSz, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+      .withColumn("weight_micro",
+        expr("CAST(1000000 DIV cluster_size AS BIGINT)"))
+  }
+
   /** Near-dedup with full transitive closure: ONE survivor (min doc_id)
     * per connected cluster of verified near-dup pairs. */
   def minhashDedupComponents(docs: DataFrame, threshold: Double = 0.7,

@@ -111,6 +111,22 @@ object Multimodal {
 
   private val dhashUdf = udf((b: Array[Byte]) =>
     Option(Media.imageDhash(b)).map(_.longValue))
+  private val downscaleUdf = udf((b: Array[Byte]) =>
+    Option(Media.downscaledRowSums(b)))
+
+  /** 2×2 box-downscale verification rows ([[Media.downscaledRowSums]]):
+    * per image and output row, the exact pooled-sample sum — the
+    * pyramid level-1 stage in front of [[imageHashes]] for
+    * high-resolution corpora; exact integers, explode_outer
+    * heavy-kernel shape (one decode per row). */
+  def downscaledImages(media: DataFrame): DataFrame =
+    withMeta(media)
+      .filter(col("meta.kind") === Media.KindImage)
+      .select(col("media_id"),
+        explode_outer(downscaleUdf(col("bytes"))).as("dr"))
+      .filter(col("dr").isNotNull)
+      .select(col("media_id"), col("dr._1").as("y2"),
+        col("dr._2").as("n_samples"), col("dr._3").as("row_sum"))
   private val silenceUdf = udf((b: Array[Byte], t: Int, r: Int) =>
     Option(Media.silenceSpans(b, t, r)))
 
@@ -118,6 +134,23 @@ object Multimodal {
     Option(Media.zeroCrossings(b, w)))
   private val energyUdf = udf((b: Array[Byte], w: Int) =>
     Option(Media.energyWindows(b, w)))
+  private val decimUdf = udf((b: Array[Byte], w: Int) =>
+    Option(Media.decimatedEnergy(b, w)))
+
+  /** Anti-aliased 2:1 audio decimation summarized per output window
+    * ([[Media.decimatedEnergy]]: [1,2,1]/4 integer low-pass on the even
+    * grid, truncating division) — the rate-normalization stage in front
+    * of [[audioFingerprint]] for mixed-rate corpora; exact integers,
+    * explode_outer heavy-kernel shape (one WAV walk per row). */
+  def decimatedAudio(media: DataFrame, window: Int = 128): DataFrame =
+    withMeta(media)
+      .filter(col("meta.kind") === Media.KindAudio)
+      .select(col("media_id"),
+        explode_outer(decimUdf(col("bytes"), lit(window))).as("dw"))
+      .filter(col("dw").isNotNull)
+      .select(col("media_id"), col("dw._1").as("window_idx"),
+        col("dw._2").as("n_out"), col("dw._3").as("sum_y"),
+        col("dw._4").as("energy"))
 
   /** Per-audio windowed energy ([[Media.energyWindows]]: exact Σx² per
     * window) — the loudness/RMS feature next to [[zeroCrossingRate]];

@@ -1000,6 +1000,68 @@ object TextAnalysis {
       .withColumn("n_bpe_tokens", size(col("bpe_tokens")))
   }
 
+  /** Tokenizer fertility / bytes-per-token report per group — the
+    * everyday mixture-budgeting readout: a token budget is spent in
+    * TOKENS but a corpus is weighed in BYTES, and the exchange rate
+    * differs per (source, language) under any fixed BPE vocab (scripts
+    * the vocab undertrains on fragment into more, shorter tokens).
+    * Per group: doc count, exact token/char/byte totals, and the two
+    * micro-unit rates
+    *  - `fertility_micro`  = ⌊10⁶·Σtokens ÷ Σchars⌋  (tokens per char)
+    *  - `bytes_per_token_micro` = ⌊10⁶·Σbytes ÷ Σtokens⌋
+    * both as BigInt floor division on the DRIVER over DECIMAL(38,0)
+    * sums — Σ-moment wraparound and decimal-division pre-rounding
+    * (Spark rounds a decimal quotient to the result scale BEFORE any
+    * floor) never enter, so DuckDB's HUGEINT `//` agrees bit-for-bit.
+    *
+    * Shape: one narrow encode pass (broadcast merge table, corpus
+    * never shuffles) into one low-cardinality hash aggregate; the
+    * per-group fetch is bounded by `.limit(maxGroups + 1)` before the
+    * ceiling check (the weightedQuantilesBy rule). Group columns are
+    * cast to string (this is a report, not a join input). Totals
+    * return as Long — exact to 9.2·10¹⁸ tokens/bytes, far past a
+    * 100 TB corpus (~25 T tokens). */
+  def tokenizerFertility(docs: DataFrame, model: graft.core.Bpe.Model,
+      groupBy: Seq[String], textCol: String = "text",
+      maxGroups: Int = 10000): DataFrame = {
+    require(groupBy.nonEmpty, "tokenizerFertility: need group columns")
+    val spark = docs.sparkSession
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val enc = bpeEncode(docs, model, textCol)
+    val per = enc
+      .groupBy(groupBy.map(c => col(c).cast("string").as(c)): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bpe_tokens").cast(d38)).as("toks"),
+        sum(length(col(textCol)).cast(d38)).as("chars"),
+        sum(octet_length(col(textCol)).cast(d38)).as("bytes"))
+      .limit(maxGroups + 1)
+      .collect()
+    require(per.length <= maxGroups,
+      s"tokenizerFertility: more than $maxGroups groups (ceiling exceeded)")
+    val M = BigInt(1000000)
+    val g = groupBy.size
+    val rows = per.toSeq.map { r =>
+      val toks = BigInt(r.getDecimal(g + 1).toBigInteger)
+      val chars = BigInt(r.getDecimal(g + 2).toBigInteger)
+      val bytes = BigInt(r.getDecimal(g + 3).toBigInteger)
+      val fert = if (chars == 0) 0L else ((M * toks) / chars).toLong
+      val bpt = if (toks == 0) 0L else ((M * bytes) / toks).toLong
+      org.apache.spark.sql.Row.fromSeq(
+        groupBy.indices.map(r.getString) ++
+        Seq(r.getLong(g), toks.toLong, chars.toLong, bytes.toLong,
+          fert, bpt))
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      groupBy.map(c => org.apache.spark.sql.types.StructField(c,
+        org.apache.spark.sql.types.StringType)) ++
+      Seq("n_docs", "tokens", "chars", "bytes", "fertility_micro",
+        "bytes_per_token_micro").map(c =>
+        org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.LongType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
   // --- learned quality classifier (fastText-style filter, LR over
   //     compiled features; model-as-parameter like UnigramLM / PCA) ---
 

@@ -597,6 +597,102 @@ object TrainingPipeline {
     }.toDF("source", "n_docs", "rate_bp")
   }
 
+  /** Epoch-capped token-budget water-filling — the upsampling half of
+    * mixture planning: [[mixtureRates]] solves the largest
+    * DOWNSAMPLE-only corpus; this answers the everyday pretraining
+    * question "fill a FIXED token budget at target weights when small
+    * sources may REPEAT, but never more than `maxEpochs` passes".
+    * Exact integer water-fill over ppm weights:
+    *
+    *   repeat (≤ #sources rounds):
+    *     W      = Σ weight_ppm over undecided sources
+    *     prop_s = ⌊weight_ppm_s · R / W⌋            (R = remaining budget)
+    *     if any prop_s > cap_s (cap_s = maxEpochs·avail_s): those
+    *       sources finalize AT their cap, leave the pool, and their
+    *       excess stays in R for the next round;
+    *     else: every undecided source finalizes at prop_s, and the
+    *       floor dust (< one ppm-unit per source) stays UNALLOCATED —
+    *       reported in `budget_left`, never silently smeared.
+    *
+    * All arithmetic is BigInt (weights → ppm via
+    * `BigDecimal(w.toString)`, the exact-decimal rule), so a DuckDB
+    * HUGEINT `//` replay agrees bit-for-bit.
+    *
+    * Scale shape: ONE low-cardinality token aggregation (map-side
+    * combined; DECIMAL(38,0) sums so Σtokens never wraps) with the
+    * per-source fetch bounded by `.limit(maxSources + 1)` before the
+    * ceiling check; the solve is driver arithmetic over #sources rows.
+    *
+    * @return one row per targeted source: (source, tokens_available,
+    *   weight_ppm, cap_tokens, alloc_tokens, epochs_micro,
+    *   capped SMALLINT, decided_iter SMALLINT, budget_left) —
+    *   epochs_micro = ⌊10⁶·alloc ÷ avail⌋; budget_left repeats on
+    *   every row (it is a property of the plan, kept in-band so the
+    *   report is one frame). */
+  def mixturePlan(docs: DataFrame, weights: Map[String, Double],
+      budgetTokens: Long, maxEpochs: Int, tokens: Column,
+      sourceCol: String = "source", maxSources: Int = 10000): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(w => w > 0.0 && w <= 1.0),
+      s"mixturePlan: weights must be in (0,1], got $weights")
+    require(budgetTokens >= 0L,
+      s"mixturePlan: budgetTokens=$budgetTokens must be non-negative")
+    require(maxEpochs >= 1, s"mixturePlan: maxEpochs=$maxEpochs must be >= 1")
+    val s = docs.sparkSession
+    import s.implicits._
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val per = docs.filter(col(sourceCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(sourceCol).cast("string").as("source"))
+      .agg(sum(tokens.cast(d38)).as("toks"))
+      .limit(maxSources + 1).collect()
+      .map(r => (r.getString(0), BigInt(r.getDecimal(1).toBigInteger))).toMap
+    require(per.size <= maxSources,
+      s"mixturePlan: more than $maxSources sources (ceiling exceeded)")
+    val missing = weights.keySet -- per.keySet
+    require(missing.isEmpty,
+      s"mixturePlan: no documents for targeted sources $missing")
+    val ppm = weights.map { case (k, v) =>
+      k -> (BigDecimal(v.toString) * 1000000).toBigInt }
+    val cap = per.map { case (k, t) => k -> t * maxEpochs }
+    var r = BigInt(budgetTokens)
+    var undecided = per.keySet
+    val alloc = scala.collection.mutable.Map.empty[String, BigInt]
+    val decIter = scala.collection.mutable.Map.empty[String, Int]
+    val cappedAt = scala.collection.mutable.Set.empty[String]
+    var iter = 0
+    while (undecided.nonEmpty) {
+      iter += 1
+      val w = undecided.iterator.map(ppm).sum
+      if (r <= 0 || w <= 0) { // nothing left to hand out
+        undecided.foreach { k => alloc(k) = BigInt(0); decIter(k) = iter }
+        undecided = Set.empty
+      } else {
+        val prop = undecided.iterator.map(k => k -> ppm(k) * r / w).toMap
+        val over = undecided.filter(k => prop(k) > cap(k))
+        if (over.nonEmpty) {
+          over.foreach { k =>
+            alloc(k) = cap(k); decIter(k) = iter; cappedAt += k
+            r -= cap(k)
+          }
+          undecided --= over
+        } else {
+          undecided.foreach { k =>
+            alloc(k) = prop(k); decIter(k) = iter; r -= prop(k) }
+          undecided = Set.empty
+        }
+      }
+    }
+    val left = r.toLong
+    per.keys.toSeq.sorted.map { k =>
+      val a = alloc(k)
+      val avail = per(k)
+      val em = if (avail == 0) 0L else (a * 1000000 / avail).toLong
+      (k, avail.toLong, ppm(k).toLong, cap(k).toLong, a.toLong, em,
+        (if (cappedAt(k)) 1 else 0).toShort, decIter(k).toShort, left)
+    }.toDF("source", "tokens_available", "weight_ppm", "cap_tokens",
+      "alloc_tokens", "epochs_micro", "capped", "decided_iter",
+      "budget_left")
+  }
+
   /** Contiguous token-budget shard planning — assign docs (in a given
     * total order) to fixed-token-budget output shards: shard_id =
     * ⌊exclusive-prefix-tokens / target⌋, so each shard fills to the

@@ -42,14 +42,27 @@ import org.apache.spark.sql.execution.window.WindowExec
  */
 object PlanAudit {
 
-  def audit(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val p = df.queryExecution.executedPlan match {
+  def audit(df: DataFrame): DataFrame =
+    auditPlan(df.sparkSession, prepared(df.queryExecution))
+
+  /** The prepared static plan of a QueryExecution: `executedPlan` with
+    * an AQE wrapper unwrapped to its `initialPlan` (the audit's input;
+    * also the hook for auditing plans captured from a
+    * QueryExecutionListener — e.g. the per-batch write actions inside
+    * streaming foreachBatch maintenance, which never surface as a
+    * DataFrame the caller holds). */
+  def prepared(qe: org.apache.spark.sql.execution.QueryExecution)
+      : org.apache.spark.sql.execution.SparkPlan =
+    qe.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         a.initialPlan
       case other => other
     }
+
+  /** [[audit]] over an already-prepared physical plan. */
+  def auditPlan(spark: org.apache.spark.sql.SparkSession,
+      p: org.apache.spark.sql.execution.SparkPlan): DataFrame = {
+    import spark.implicits._
     val cart = p.collect {
       case j: CartesianProductExec => j
       case j: BroadcastNestedLoopJoinExec => j

@@ -434,6 +434,77 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("downscaledRowSums: hand-computed 2x2 pools incl. floor division " +
+      "and odd-edge drop; too-small image empty; non-image null") {
+    val s = spark
+    import s.implicits._
+    // 3x3 RGB, row-major channel bytes; only the top-left 2x2 block
+    // pools (odd edge drops). Per channel c: (p(0,0,c)+p(1,0,c)+
+    // p(0,1,c)+p(1,1,c))//4.
+    // R: (10+20+40+50)//4 = 30; G: (11+21+41+51)//4 = 31;
+    // B: (12+22+42+53)//4 = 32 (129//4 floor — pins the division)
+    val rgb = Array[Byte](
+      10, 11, 12, 20, 21, 22, 30, 31, 32,
+      40, 41, 42, 50, 51, 53, 60, 61, 62,
+      70, 71, 72, 80, 81, 82, 90, 91, 92)
+    val png = Media.encodePng(3, 3, rgb)
+    assert(Media.downscaledRowSums(png).toSeq === Seq((0, 3, 93L)))
+    // 4x4: two output rows of two pooled pixels each
+    val flat = Array.tabulate[Byte](48)(i => (i * 5 % 120).toByte)
+    val png4 = Media.encodePng(4, 4, flat)
+    val rows4 = Media.downscaledRowSums(png4).toSeq
+    assert(rows4.length === 2 && rows4.forall(_._2 === 6))
+    // reference pooling straight off the flat array
+    def px(x: Int, y: Int, c: Int): Int = flat(y * 12 + x * 3 + c) & 0xff
+    val want = (0 until 2).map { y2 =>
+      (y2, 6, (0 until 2).flatMap(x2 => (0 until 3).map(c =>
+        ((px(2 * x2, 2 * y2, c) + px(2 * x2 + 1, 2 * y2, c)
+          + px(2 * x2, 2 * y2 + 1, c) + px(2 * x2 + 1, 2 * y2 + 1, c))
+          / 4).toLong)).sum)
+    }
+    assert(rows4 === want)
+    assert(Media.downscaledRowSums(
+      Media.encodePng(1, 4, Array.fill[Byte](12)(9))).toSeq === Seq.empty)
+    assert(Media.downscaledRowSums(Media.synthesize(1L)) === null)
+    val media = Seq((1L, png)).toDF("media_id", "bytes")
+    assert(Multimodal.downscaledImages(media)
+      .as[(Long, Int, Int, Long)].collect().toSeq === Seq((1L, 0, 3, 93L)))
+  }
+
+  test("decimatedEnergy: hand-computed [1,2,1]/4 taps incl. truncating " +
+      "signed division and the tail window; too-short audio empty; " +
+      "non-audio null") {
+    val s = spark
+    import s.implicits._
+    def wavOf(samples: Array[Short]) = {
+      val bb = java.nio.ByteBuffer.allocate(samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(bb.putShort)
+      Media.encodeWav(16000, bb.array())
+    }
+    // 7 samples -> 3 output taps: y0=(5-4+8)/4=2, y1=(8+18-3)/4=5,
+    // y2=(-3-65536+7)/4=-16383 (exact); window 2 -> full + tail
+    val wav = wavOf(Array[Short](5, -2, 8, 9, -3, Short.MinValue, 7))
+    assert(Media.decimatedEnergy(wav, 2).toSeq === Seq(
+      (0, 2, 7L, 29L), (1, 1, -16383L, 16383L * 16383L)))
+    // signed division TRUNCATES toward zero: (-7+0+0)/4 = -1, not -2
+    assert(Media.decimatedEnergy(wavOf(Array[Short](-7, 0, 0)), 4).toSeq ===
+      Seq((0, 1, -1L, 1L)))
+    // fewer than 3 samples -> no output window
+    assert(Media.decimatedEnergy(wavOf(Array[Short](1, 2)), 4).toSeq ===
+      Seq.empty)
+    assert(Media.decimatedEnergy(Media.synthesize(0L), 4) === null)
+    val media = Seq((1L, wav), (2L, Media.synthesize(0L)))
+      .toDF("media_id", "bytes")
+    val rows = Multimodal.decimatedAudio(media, window = 2)
+      .as[(Long, Int, Int, Long, Long)].collect().toSeq.sorted
+    assert(rows === Seq((1L, 0, 2, 7L, 29L),
+      (1L, 1, 1, -16383L, 16383L * 16383L)))
+    intercept[IllegalArgumentException] {
+      Media.decimatedEnergy(wav, 0)
+    }
+  }
+
   test("shotBoundaries: static run scores 0, the cut fires, diff is driver-exact") {
     val s = spark
     import s.implicits._

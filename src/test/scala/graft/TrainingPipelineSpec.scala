@@ -2301,4 +2301,104 @@ class TrainingPipelineSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("ceiling"))
   }
+
+  test("mixturePlan: hand-checked water-fill with cap + redistribution, " +
+      "floor dust stays in budget_left, exhausted budget zeroes the rest, " +
+      "invariance, contracts") {
+    val s = spark
+    import s.implicits._
+    def corpus(aToks: Int, bToks: Int) = Seq(
+      (1L, ("x " * aToks).trim, "a"),
+      (2L, ("y " * bToks).trim, "b")).toDF("doc_id", "text", "source")
+    val toks = graft.operators.TextAnalysis.tokenCount(col("text"))
+    // a: 10 tokens (cap 20), b: 100 (cap 200); budget 60 at 50/50:
+    // round 1 wants 30 for a -> caps at 20; round 2 gives b the
+    // remaining 40. epochs: a 2.0, b 0.4; nothing left.
+    val plan = graft.operators.TrainingPipeline.mixturePlan(
+        corpus(10, 100), Map("a" -> 0.5, "b" -> 0.5),
+        budgetTokens = 60L, maxEpochs = 2, tokens = toks)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4), r.getLong(5),
+        r.getShort(6), r.getShort(7), r.getLong(8))).toSeq
+    assert(plan === Seq(
+      ("a", 10L, 20L, 2000000L, 1.toShort, 1.toShort, 0L),
+      ("b", 100L, 40L, 400000L, 0.toShort, 2.toShort, 0L)))
+    // floor dust: ppm 333333/666666 over budget 10 -> 3 + 6, 1 left
+    val dust = graft.operators.TrainingPipeline.mixturePlan(
+        corpus(50, 50), Map("a" -> 0.333333, "b" -> 0.666666),
+        budgetTokens = 10L, maxEpochs = 2, tokens = toks)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(4), r.getLong(8))).toSeq
+    assert(dust === Seq(("a", 3L, 1L), ("b", 6L, 1L)))
+    // budget larger than every cap: all capped, excess reported
+    val allCap = graft.operators.TrainingPipeline.mixturePlan(
+        corpus(10, 10), Map("a" -> 0.5, "b" -> 0.5),
+        budgetTokens = 100L, maxEpochs = 2, tokens = toks)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(4), r.getShort(6), r.getLong(8)))
+      .toSeq
+    assert(allCap === Seq(("a", 20L, 1.toShort, 60L),
+      ("b", 20L, 1.toShort, 60L)))
+    // partitioning invariance on the fixture corpus
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.TrainingPipeline.mixturePlan(df,
+        Map("src0" -> 0.6, "src1" -> 0.3, "src2" -> 0.1),
+        budgetTokens = 100000L, maxEpochs = 2, tokens = toks)
+        .orderBy("source").collect().toSeq
+    assert(run(docs) === run(docs.repartition(7)))
+    // contracts
+    intercept[IllegalArgumentException] {
+      graft.operators.TrainingPipeline.mixturePlan(corpus(1, 1),
+        Map("a" -> 0.5, "zzz" -> 0.5), 10L, 2, toks)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.TrainingPipeline.mixturePlan(corpus(1, 1),
+        Map("a" -> 1.5), 10L, 2, toks)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.TrainingPipeline.mixturePlan(corpus(1, 1),
+        Map("a" -> 0.5), 10L, 0, toks)
+    }
+  }
+
+  test("tokenizerFertility: exact micro-rates on a hand case, " +
+      "partitioning-invariant, group ceiling enforced") {
+    val s = spark
+    import s.implicits._
+    import graft.core.Bpe
+    val model = Bpe.Model(IndexedSeq(
+      "t" -> "a", "ta" -> "b", "tab" -> "l", "tabl" -> "e",
+      "f" -> "a", "s" -> "t", "fa" -> "st", "h" -> "a",
+      "s" -> "h", "ha" -> "sh", "e" -> "y", "k" -> "ey"))
+    // 'Fast Table' → [fast, table]: 2 tokens over 10 chars/10 bytes;
+    // 'café' resists every merge (4 tokens) and its 'é' makes bytes=5 ≠
+    // chars=4; 'hash' merges to 1 token
+    val d = Seq(
+      (1L, "Fast Table", "web", "en"),
+      (2L, "café", "web", "fr"),
+      (3L, "hash", "cc", "en")).toDF("doc_id", "text", "source", "lang")
+    val rep = TextAnalysis.tokenizerFertility(d, model, Seq("source", "lang"))
+      .orderBy("source", "lang")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toSeq
+    assert(rep === Seq(
+      ("cc", "en", 1L, 1L, 4L, 4L, 250000L, 4000000L),
+      ("web", "en", 1L, 2L, 10L, 10L, 200000L, 5000000L),
+      ("web", "fr", 1L, 4L, 4L, 5L, 1000000L, 1250000L)))
+    // partitioning invariance over the fixture corpus
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.tokenizerFertility(df, model, Seq("source", "lang_pred"))
+        .orderBy("source", "lang_pred").collect().toSeq
+    assert(run(docs) === run(docs.repartition(7)))
+    // the group ceiling bounds the fetch itself
+    val err = intercept[IllegalArgumentException] {
+      TextAnalysis.tokenizerFertility(d, model, Seq("source", "lang"),
+        maxGroups = 2)
+    }
+    assert(err.getMessage.contains("ceiling"))
+  }
 }
