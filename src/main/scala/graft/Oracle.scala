@@ -3022,6 +3022,40 @@ object Oracle {
                      SELECT * FROM single WHERE n_clusters > 0)
       ORDER BY cluster_size""",
 
+    // m190: per-group skewness/kurtosis — HUGEINT power sums Σv..Σv⁴,
+    // then the SAME double dag (√ the only transcendental); zero
+    // variance via the exact integer identity n·s2 = s1², mean_micro
+    // via truncating //.
+    "m190_moments" -> """
+      WITH mb AS (SELECT event_type AS grp,
+            CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events),
+      mm AS (SELECT grp, COUNT(*) AS n,
+            SUM(CAST(v AS HUGEINT)) AS s1,
+            SUM(CAST(v AS HUGEINT) * v) AS s2,
+            SUM(CAST(v AS HUGEINT) * v * v) AS s3,
+            SUM(CAST(v AS HUGEINT) * v * v * v) AS s4
+          FROM mb GROUP BY grp),
+      md AS (SELECT grp, n, s1, s2,
+            CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS s1d,
+            CAST(s2 AS DOUBLE) AS s2d, CAST(s3 AS DOUBLE) AS s3d,
+            CAST(s4 AS DOUBLE) AS s4d
+          FROM mm),
+      mk AS (SELECT *, s1d / nd AS m1 FROM md),
+      mc AS (SELECT grp, n, s1, s2, m1,
+            s2d / nd - m1 * m1 AS m2,
+            s3d / nd - 3.0 * m1 * (s2d / nd) + 2.0 * m1 * m1 * m1 AS m3,
+            s4d / nd - 4.0 * m1 * (s3d / nd)
+              + 6.0 * (m1 * m1) * (s2d / nd)
+              - 3.0 * (m1 * m1) * (m1 * m1) AS m4
+          FROM mk)
+      SELECT grp AS "group", CAST(n AS BIGINT) AS n,
+        CAST((s1 * 1000000) // n AS BIGINT) AS mean_micro,
+        CASE WHEN CAST(n AS HUGEINT) * s2 = s1 * s1 THEN NULL
+          ELSE round(m3 / (m2 * sqrt(m2)), 6) END AS skewness,
+        CASE WHEN CAST(n AS HUGEINT) * s2 = s1 * s1 THEN NULL
+          ELSE round(m4 / (m2 * m2) - 3.0, 6) END AS kurtosis
+      FROM mc ORDER BY "group"""",
+
     // m189: dup-aware loss weights — cluster sizes from the m169
     // recursive closure, singletons via LEFT JOIN, floor `//` weight.
     "m189_dup_weights" -> s"""

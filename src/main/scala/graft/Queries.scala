@@ -3770,6 +3770,18 @@ object Queries {
     Dedup.dupWeights(t(s, dir, "documents"), pairs05(s, dir))
       .orderBy("doc_id")
 
+  /** m190 — distribution shape per event type
+    * ([[operators.Ranking.momentsReport]]): skewness and excess
+    * kurtosis of the centi-scaled value from one exact power-sum
+    * aggregation (Σv..Σv⁴ in DECIMAL(38,0)) plus a mirrored double dag
+    * whose only transcendental is √ — the tail-shape readout the
+    * mean/σ battery lacks. Zero variance detected as the exact integer
+    * identity n·Σv² = (Σv)², never a float ≈ 0. */
+  def m190Moments(s: SparkSession, dir: String): DataFrame =
+    operators.Ranking.momentsReport(t(s, dir, "events"),
+        col("event_type"), floor(col("value") * 100 + 0.5).cast("long"))
+      .orderBy("group")
+
   /** m170 — sampled harmonic centrality
     * ([[operators.Graph.harmonicCentrality]]): Σ 1/d from the 16 probe
     * docs over the near-dup graph, in exact 1/840 units (840 = lcm(1..8)

@@ -283,6 +283,7 @@ object SparkEntry {
     "m187_tokenizer_fertility" -> Queries.m187TokenizerFertility,
     "m188_mixture_plan" -> Queries.m188MixturePlan,
     "m189_dup_weights" -> Queries.m189DupWeights,
+    "m190_moments" -> Queries.m190Moments,
     "q60_user_growth" -> Queries.q60UserGrowth,
     "q59_event_overlap" -> Queries.q59EventOverlap,
     "q58_funnel_paths" -> Queries.q58FunnelPaths,

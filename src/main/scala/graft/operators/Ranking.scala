@@ -1925,4 +1925,67 @@ object Ranking {
       }
     rows.reduce(_.unionByName(_))
   }
+
+  /**
+   * Higher-moment shape report per group: skewness g₁ = m₃/m₂^{3/2} and
+   * EXCESS kurtosis g₂ = m₄/m₂² − 3 of an integer-valued column — the
+   * distribution-shape readout the mean/variance battery lacks (a
+   * heavy-tailed length or value distribution can share mean and σ with
+   * a symmetric one; g₁/g₂ are what says "the tail is one-sided" /
+   * "outlier-dominated" before any binning choice).
+   *
+   * Scale shape (the [[graft.operators.TrainingPipeline.trendReport]]
+   * recipe): ONE map-side-combined aggregation collects the four exact
+   * power sums Σv..Σv⁴ in DECIMAL(38,0) (products staged through
+   * DECIMAL(19,0) casts — |v| ≤ 10⁷ is ENFORCED in-plan via the same
+   * aggregate row, so v⁴ ≤ 10²⁸ leaves 10¹⁰ rows of headroom per
+   * group); central moments and g₁/g₂ are one literal double dag off
+   * that pinned exact state, mirrored textually by the oracle, with √
+   * the only transcendental (IEEE-pinned, the m77 rule). Zero variance
+   * is detected EXACTLY (n·Σv² = (Σv)², an integer compare — a float
+   * m₂ ≈ 0 can go negative by an ulp and poison the √) and reports
+   * NULL shape honestly. `mean_micro` is the truncating integer
+   * division both engines share (the signed-`//` parity rule).
+   *
+   * @return (group, n, mean_micro, skewness, kurtosis), 6dp doubles
+   */
+  def momentsReport(df: DataFrame, groupCol: Column,
+      valueCol: Column): DataFrame = {
+    val d19 = DecimalType(19, 0)
+    val d38 = DecimalType(38, 0)
+    val v = col("v").cast(d19)
+    val v2 = (v * v).cast(d19) // ≤ 10^14, fits
+    val g = df
+      .select(groupCol.cast("string").as("group"),
+        valueCol.cast("long").as("v"))
+      .groupBy("group")
+      .agg(count(lit(1)).as("n"),
+        max(abs(col("v"))).as("mx"),
+        sum(col("v").cast(d38)).as("s1"),
+        sum((v * v).cast(d38)).as("s2"),
+        sum((v2 * v).cast(d38)).as("s3"),
+        sum((v2 * v2).cast(d38)).as("s4"))
+    val nD = col("n").cast("double")
+    def sD(k: Int) = col(s"s$k").cast("double")
+    val m1 = sD(1) / nD
+    val m2 = sD(2) / nD - m1 * m1
+    val m3 = sD(3) / nD - lit(3.0) * m1 * (sD(2) / nD) +
+      lit(2.0) * m1 * m1 * m1
+    val m4 = sD(4) / nD - lit(4.0) * m1 * (sD(3) / nD) +
+      lit(6.0) * (m1 * m1) * (sD(2) / nD) -
+      lit(3.0) * (m1 * m1) * (m1 * m1)
+    // exact zero-variance test on the integer sums, never on float m2
+    val constant = col("n").cast(d38) * col("s2") === col("s1") * col("s1")
+    val guardedN = when(col("mx") > lit(10000000L),
+        raise_error(concat(lit("momentsReport: |value| "), col("mx"),
+          lit(" exceeds the 1e7 contract (rescale the column)")))
+          .cast("long"))
+      .otherwise(col("n").cast("long"))
+    g.select(col("group"), guardedN.as("n"),
+      expr("CAST(s1 * 1000000 AS DECIMAL(38,0)) div n").as("mean_micro"),
+      when(constant, lit(null).cast("double"))
+        .otherwise(round(m3 / (m2 * sqrt(m2)), 6)).as("skewness"),
+      when(constant, lit(null).cast("double"))
+        .otherwise(round(m4 / (m2 * m2) - lit(3.0), 6)).as("kurtosis"))
+  }
 }

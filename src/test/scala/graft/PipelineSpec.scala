@@ -1412,6 +1412,61 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("momentsReport: hand-computed skew/kurt, exact constant-group " +
+      "NULL, truncating mean, invariance, value contract") {
+    import spark.implicits._
+    // the engine's own rounding: BigDecimal over toString, HALF_UP
+    def r6(d: Double): Double =
+      BigDecimal(d.toString).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    def expected(vs: Seq[Long]): (Double, Double) = {
+      val nd = vs.size.toDouble
+      val (s1, s2, s3, s4) = (vs.map(_.toDouble).sum,
+        vs.map(v => math.pow(v.toDouble, 2)).sum,
+        vs.map(v => math.pow(v.toDouble, 3)).sum,
+        vs.map(v => math.pow(v.toDouble, 4)).sum)
+      val m1 = s1 / nd
+      val m2 = s2 / nd - m1 * m1
+      val m3 = s3 / nd - 3.0 * m1 * (s2 / nd) + 2.0 * m1 * m1 * m1
+      val m4 = s4 / nd - 4.0 * m1 * (s3 / nd) + 6.0 * (m1 * m1) * (s2 / nd) -
+        3.0 * (m1 * m1) * (m1 * m1)
+      (r6(m3 / (m2 * math.sqrt(m2))), r6(m4 / (m2 * m2) - 3.0))
+    }
+    val rows = Seq(("a", 0L), ("a", 0L), ("a", 0L), ("a", 1L),
+        ("b", 1L), ("b", 2L), ("b", 3L),
+        ("c", 7L), ("c", 7L), ("c", 7L),
+        ("d", -3L), ("d", -4L), ("d", -4L))
+      .toDF("g", "v")
+    val got = graft.operators.Ranking.momentsReport(rows, col("g"), col("v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val (skA, kuA) = expected(Seq(0L, 0L, 0L, 1L))
+    assert(got("a").getDouble(3) === skA)   // one-sided tail: ~1.154701
+    assert(got("a").getDouble(4) === kuA)
+    val (skB, kuB) = expected(Seq(1L, 2L, 3L))
+    assert(got("b").getDouble(3) === skB)   // symmetric: 0.0
+    assert(skB === 0.0 && kuB === -1.5)
+    assert(got("b").getDouble(4) === kuB)
+    // constant group: EXACT integer detection, honest NULL shape
+    assert(got("c").isNullAt(3) && got("c").isNullAt(4))
+    assert(got("c").getLong(2) === 7000000L)
+    // mean truncates toward zero on both engines: -11e6 div 3
+    assert(got("d").getLong(2) === -3666666L)
+    // partitioning invariance (map-side combine must not change sums)
+    val got8 = graft.operators.Ranking.momentsReport(
+        rows.repartition(8), col("g"), col("v"))
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(got8 === got.map { case (k, r) => k -> r.toSeq })
+    // |v| > 1e7 fails loudly (the in-plan contract guard)
+    val bad = Seq(("z", 10000001L)).toDF("g", "v")
+    val ex = intercept[Exception] {
+      graft.operators.Ranking.momentsReport(bad, col("g"), col("v"))
+        .collect()
+    }
+    assert(ex.getMessage.contains("momentsReport") ||
+      ex.getCause != null &&
+        ex.getCause.getMessage.contains("momentsReport"))
+  }
+
   test("readabilityReport: hand-counted words/sentences/vowel groups, " +
       "clamped divisors, hard-doc flag, micro score") {
     import spark.implicits._
