@@ -72,6 +72,31 @@ object Oracle {
       .map { case (k, v) => s"WHEN $k THEN '$v'" }.mkString(" ") +
       " ELSE 'invalid' END"
 
+  /** The direct histogram-sketch quantile derivation over
+    * documents.n_chars at [0,1024)×128 / probes 100..9900 — shared by
+    * m60 (direct path) and m191 (streaming-store fold path: the fold
+    * must equal the direct sketch, so the SAME oracle pins both). */
+  private val HistDirectSql: String = """
+      WITH hb AS (SELECT least(greatest((n_chars * 128) // 1024, 0), 127) AS bucket
+                  FROM documents),
+      hc AS (SELECT bucket, COUNT(*) AS cnt FROM hb GROUP BY bucket),
+      hw AS (SELECT bucket, cnt,
+               CAST(SUM(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum,
+               CAST(SUM(cnt) OVER () AS BIGINT) AS n
+             FROM hc),
+      hp AS (SELECT * FROM (VALUES (100),(2500),(5000),(7500),(9900)) AS v(p_bp)),
+      hh AS (SELECT p_bp, n, bucket, cnt, cum,
+               row_number() OVER (PARTITION BY p_bp ORDER BY bucket) AS rk
+             FROM hp JOIN hw ON cum * 10000 >= CAST(p_bp AS BIGINT) * n),
+      hs AS (SELECT p_bp, n, bucket, cnt, cum,
+               (CAST(p_bp AS BIGINT) * n + 9999) // 10000 AS target_rank
+             FROM hh WHERE rk = 1)
+      SELECT p_bp, n, target_rank, bucket,
+        round(0.0 + (CAST(bucket AS DOUBLE)
+          + CAST(target_rank - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE))
+          * (1024.0 / 128.0), 4) AS est
+      FROM hs ORDER BY p_bp"""
+
   /** Last-writer-wins over the raw fixture dump (A1: max (slot,
     * write_version) per pubkey — unique in the fixture, so row_number is
     * deterministic). */
@@ -2586,26 +2611,13 @@ object Oracle {
     // Histogram sketch: integer bucketing ((v·bins) // range, clamped),
     // integer cumulative ranks, and the engine's literal interpolation
     // expression. SUM over BIGINT is HUGEINT in DuckDB — cast back.
-    "m60_hist_quantiles" -> """
-      WITH hb AS (SELECT least(greatest((n_chars * 128) // 1024, 0), 127) AS bucket
-                  FROM documents),
-      hc AS (SELECT bucket, COUNT(*) AS cnt FROM hb GROUP BY bucket),
-      hw AS (SELECT bucket, cnt,
-               CAST(SUM(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum,
-               CAST(SUM(cnt) OVER () AS BIGINT) AS n
-             FROM hc),
-      hp AS (SELECT * FROM (VALUES (100),(2500),(5000),(7500),(9900)) AS v(p_bp)),
-      hh AS (SELECT p_bp, n, bucket, cnt, cum,
-               row_number() OVER (PARTITION BY p_bp ORDER BY bucket) AS rk
-             FROM hp JOIN hw ON cum * 10000 >= CAST(p_bp AS BIGINT) * n),
-      hs AS (SELECT p_bp, n, bucket, cnt, cum,
-               (CAST(p_bp AS BIGINT) * n + 9999) // 10000 AS target_rank
-             FROM hh WHERE rk = 1)
-      SELECT p_bp, n, target_rank, bucket,
-        round(0.0 + (CAST(bucket AS DOUBLE)
-          + CAST(target_rank - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE))
-          * (1024.0 / 128.0), 4) AS est
-      FROM hs ORDER BY p_bp""",
+    "m60_hist_quantiles" -> HistDirectSql,
+
+    // m191: the streaming histogram STORE readout must equal the direct
+    // single-pass sketch (vector addition is associative and exact, and
+    // a replayed batch overwrites its own dir) — a THEOREM gate like
+    // m136: the oracle IS m60's direct derivation, with no fold.
+    "m191_stream_histogram" -> HistDirectSql,
 
     // Scalar quantization re-derived end-to-end: per-dim MIN/MAX over
     // the double-cast embeddings, the engine's pinned floor(v+0.5)
@@ -3385,6 +3397,42 @@ object Oracle {
           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
       FROM pd ORDER BY day""",
 
+    // q63: cohort retention — absolute first-active week per user,
+    // (user, week) distinct activity, truncating // share.
+    "q63_cohort_retention" -> """
+      WITH uw AS (SELECT DISTINCT user_id,
+            CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week
+          FROM events),
+      ch AS (SELECT user_id, MIN(week) AS cohort_week
+          FROM uw GROUP BY user_id),
+      sz AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+          FROM ch GROUP BY cohort_week),
+      act AS (SELECT c.cohort_week, u.week,
+            CAST(COUNT(*) AS BIGINT) AS active_users
+          FROM uw u JOIN ch c ON u.user_id = c.user_id
+          GROUP BY c.cohort_week, u.week)
+      SELECT a.cohort_week, a.week - a.cohort_week AS week_no,
+        a.active_users, s.cohort_size,
+        CAST((a.active_users * 1000000) // s.cohort_size AS BIGINT)
+          AS retention_micro
+      FROM act a JOIN sz s ON a.cohort_week = s.cohort_week
+      ORDER BY a.cohort_week, week_no""",
+
+    // q64: transition matrix — lead over the (ts, event_id) total
+    // order per user, row-normalized by truncating //.
+    "q64_transitions" -> """
+      WITH tp AS (SELECT event_type,
+            lead(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS next_type
+          FROM events),
+      tc AS (SELECT event_type AS from_type, next_type AS to_type,
+            CAST(COUNT(*) AS BIGINT) AS n
+          FROM tp WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      SELECT from_type, to_type, n,
+        CAST((n * 1000000) // SUM(n) OVER (PARTITION BY from_type)
+          AS BIGINT) AS p_micro
+      FROM tc ORDER BY from_type, to_type""",
+
     // m184: three per-batch Misra–Gries summaries (exact counts, one
     // decrement by the (k+1)-th largest — rn=9 at k=8; absent ⇒ d=0)
     // folded through two merges with the same rule. MATERIALIZED: each
@@ -4127,6 +4175,26 @@ object Oracle {
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag""",
+
+    // m192: same augmentation + the identical extract/normalize regex
+    // chain (Java∩RE2 subset); apex re-extracted from the domain key.
+    "m192_domain_report" -> """
+      WITH du AS (SELECT doc_id, unnest(regexp_extract_all(
+            text || ' visit http://site' || CAST(doc_id % 7 AS VARCHAR) ||
+            '.Example.COM/page/' || CAST(doc_id AS VARCHAR) ||
+            ' or https://WWW.Mirror' || CAST(doc_id % 3 AS VARCHAR) ||
+            '.org:8080/x done',
+            'https?://[A-Za-z0-9.-]+')) AS url
+          FROM documents),
+      dh AS (SELECT doc_id,
+            regexp_replace(lower(regexp_replace(url, '^https?://', '')),
+              '^www\.', '') AS domain
+          FROM du)
+      SELECT domain,
+        regexp_extract(domain, '[a-z0-9-]+\.[a-z0-9-]+$') AS apex,
+        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        CAST(COUNT(*) AS BIGINT) AS n_urls
+      FROM dh GROUP BY domain ORDER BY domain""",
 
     // Same augmentation + same pattern chain (Java-regex ∩ RE2 common
     // subset — no backrefs/lookaround, ASCII classes; DuckDB needs the

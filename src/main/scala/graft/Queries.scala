@@ -1330,6 +1330,25 @@ object Queries {
         operators.TextAnalysis.redactPii(col("aug")).as("clean"))
       .orderBy("doc_id")
 
+  /** m192 — per-domain URL accounting
+    * ([[operators.TextAnalysis.domainReport]]): the domain-blocklist /
+    * per-site-cap table for a web corpus. The fixture text carries no
+    * URLs, so (the m22 convention) each doc is AUGMENTED with two
+    * deterministic doc_id-derived URLs — mixed case, a `www.` prefix,
+    * a port and a path — so case folding, www-stripping and host
+    * termination are all exercised on every row; the oracle replays
+    * the identical regex chain (patterns are in the Java∩RE2 subset
+    * by construction). */
+  def m192DomainReport(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.domainReport(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            lit(" visit http://site"), pmod(col("doc_id"), lit(7)),
+            lit(".Example.COM/page/"), col("doc_id"),
+            lit(" or https://WWW.Mirror"), pmod(col("doc_id"), lit(3)),
+            lit(".org:8080/x done")).as("text")))
+      .orderBy("domain")
+
   def m13Decontamination(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     operators.TrainingPipeline.contamination(
@@ -4246,6 +4265,30 @@ object Queries {
       .orderBy(col("cnt").desc, col("key").asc)
   }
 
+  /** m191 — streaming histogram store
+    * ([[streaming.Pipeline.mergeHistogramBatch]] →
+    * [[streaming.Pipeline.histogramFromStore]]): m60's mergeable
+    * quantile sketch maintained incrementally — three batch merges over
+    * a doc_id%3 split, batch 1 REPLAYED before the read (the q56
+    * idempotence convention: an at-least-once redelivery must be a
+    * content no-op), then the store-fold readout. The oracle is m60's
+    * DIRECT single-pass derivation — a theorem gate: fold ≡ direct. */
+  def m191StreamHistogram(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val store = s"target/hist-store-${new java.io.File(dir).getName}"
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(store), true)
+    def merge(b: Int): Unit = streaming.Pipeline.mergeHistogramBatch(
+      d.filter(pmod(col("doc_id"), lit(3)) === b),
+      col("n_chars"), store, b.toLong, lo = 0L, hi = 1024L, bins = 128)
+    (0 until 3).foreach(merge)
+    merge(1) // replayed delivery: overwrites its own dir, no double count
+    streaming.Pipeline.histogramFromStore(s, store, lo = 0L, hi = 1024L,
+        bins = 128, probesBp = Seq(100, 2500, 5000, 7500, 9900))
+      .orderBy("p_bp")
+  }
+
   /** m185 — plan audit as a library feature
     * ([[plans.PlanAudit.audit]]): the PlanLintSpec checks, queryable —
     * two fixed literal-frame pipelines (one with a deliberate
@@ -4342,6 +4385,59 @@ object Queries {
         cumCols = Seq("cum_users"))
       .select(col("day"), col("new_users"), col("cum_users"))
       .orderBy("day")
+  }
+
+  /** q63 — weekly cohort retention matrix: users cohort by their
+    * first-active absolute week (epoch-seconds div 604800 — no anchor
+    * date to disagree on), then per (cohort, week-since) the distinct
+    * returning users and the micro retention share. Scale shape: one
+    * distinct over (user, week) — the only corpus-sized move — a
+    * user-keyed self-join for the cohort label (ReuseExchange shares
+    * the distinct's shuffle), and a BROADCAST of the tiny cohort-size
+    * table; `div` keeps the share in exact truncating integers. */
+  def q63CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val uw = t(s, dir, "events")
+      .select(col("user_id"),
+        expr("unix_timestamp(ts) div 604800").as("week"))
+      .distinct()
+    val cohort = uw.groupBy("user_id")
+      .agg(min(col("week")).as("cohort_week"))
+    val sizes = cohort.groupBy("cohort_week")
+      .agg(count(lit(1)).as("cohort_size"))
+    uw.join(cohort, "user_id")
+      .groupBy(col("cohort_week"), col("week"))
+      .agg(count(lit(1)).as("active_users")) // (user, week) is distinct
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_no"),
+        col("active_users"), col("cohort_size"),
+        expr("active_users * 1000000 div cohort_size")
+          .as("retention_micro"))
+      .orderBy("cohort_week", "week_no")
+  }
+
+  /** q64 — event-type transition matrix (first-order Markov readout):
+    * per user the stream orders by (ts, event_id) — a TOTAL order,
+    * event_id is unique, so ties cannot reshuffle pairs — and every
+    * adjacent (type → next type) pair counts once; p_micro is the
+    * row-normalized transition share in truncating integers. The lead
+    * window partitions by user (bounded per key); the normalizing sum
+    * partitions by from_type over the ≤ |types|² matrix frame. */
+  def q64Transitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("from_total",
+        sum(col("n")).over(Window.partitionBy("from_type")))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("n * 1000000 div from_total").as("p_micro"))
+      .orderBy("from_type", "to_type")
   }
 
   /** m73 — exact source×source token-set Jaccard

@@ -284,7 +284,11 @@ object SparkEntry {
     "m188_mixture_plan" -> Queries.m188MixturePlan,
     "m189_dup_weights" -> Queries.m189DupWeights,
     "m190_moments" -> Queries.m190Moments,
+    "m191_stream_histogram" -> Queries.m191StreamHistogram,
+    "m192_domain_report" -> Queries.m192DomainReport,
     "q60_user_growth" -> Queries.q60UserGrowth,
+    "q63_cohort_retention" -> Queries.q63CohortRetention,
+    "q64_transitions" -> Queries.q64Transitions,
     "q59_event_overlap" -> Queries.q59EventOverlap,
     "q58_funnel_paths" -> Queries.q58FunnelPaths,
     "q52_gap_fill" -> Queries.q52GapFill,

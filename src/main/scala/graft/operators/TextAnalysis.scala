@@ -143,6 +143,55 @@ object TextAnalysis {
       regexp_replace(c, pat, rep)
     }
 
+  // --- URL / domain accounting ---
+
+  /** The URL shape [[domainReport]] extracts: scheme + host only (the
+    * host stops at the first `/`, `:` or whitespace — ports and paths
+    * never enter the domain key). Java-regex ∩ RE2 common subset, the
+    * [[RedactionPatterns]] rule, so the oracle re-runs it verbatim. */
+  final val UrlHostPattern = "https?://[A-Za-z0-9.-]+"
+
+  /**
+   * Per-domain accounting over URLs embedded in document text — the
+   * web-curation table behind domain blocklists, per-site caps and
+   * source-attribution audits (a crawl corpus is curated by DOMAIN:
+   * one spam host can dominate a token budget while hiding across
+   * millions of docs). Per extracted URL the host normalizes to a
+   * domain key (scheme stripped, lowercased, leading `www.` dropped)
+   * plus its apex (last two labels — the registrable-domain
+   * approximation that groups `a.cdn.example.com` with
+   * `b.cdn.example.com`); the report is one row per domain with
+   * distinct-doc and occurrence counts.
+   *
+   * Scale shape: one native-regex kernel pass (codegen'd
+   * `regexp_extract_all`, no UDF seam) + an `explode_outer` over the
+   * pre-extracted array (the heavy-kernel Generate rule — a plain
+   * `explode` re-evaluates the extraction per implicit filter) + one
+   * low-cardinality aggregation; only (doc_id, domain) pairs shuffle,
+   * text never does.
+   *
+   * @return (domain, apex, n_docs, n_urls) — apex is '' for a dotless
+   *         host (e.g. `localhost`)
+   */
+  def domainReport(docs: DataFrame, textCol: Column = col("text"),
+      docIdCol: Column = col("doc_id")): DataFrame = {
+    docs
+      .select(docIdCol.as("doc_id"),
+        explode_outer(regexp_extract_all(textCol, lit(UrlHostPattern),
+          lit(0))).as("url"))
+      .filter(col("url").isNotNull)
+      .select(col("doc_id"),
+        regexp_replace(lower(regexp_replace(col("url"), "^https?://", "")),
+          "^www\\.", "").as("domain"))
+      .groupBy("domain")
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_urls"))
+      .select(col("domain"),
+        regexp_extract(col("domain"), "[a-z0-9-]+\\.[a-z0-9-]+$", 0)
+          .as("apex"),
+        col("n_docs"), col("n_urls"))
+  }
+
   /**
    * Gopher-style rule filter report (Rae et al. 2021 Appendix A1.1,
    * adapted to the compiled [[TextSig.textStats]] signals): per document

@@ -410,6 +410,55 @@ object Pipeline {
       .toDF("key", "cnt")
   }
 
+  /** Streaming histogram-sketch store: each micro-batch's ≤ `bins`-row
+    * integer histogram ([[graft.operators.Sketches.histCounts]] — the
+    * mergeable quantile sketch whose merge is vector addition) lands in
+    * its own `batch=<bid>` dir with mode=overwrite — the
+    * [[maintainCusumStore]] idempotence shape: the per-batch histogram
+    * is a deterministic aggregate, so an at-least-once foreachBatch
+    * replay rewrites identical content and a torn write is healed by
+    * its retry. Store cost: one ≤ bins-row file per batch regardless
+    * of batch size — the property that keeps a quantile readout over a
+    * 100 TB/day value stream at constant state. Bounds are the
+    * histCounts CONTRACT ([lo, hi) in `bins` equal integer ranges,
+    * out-of-range clamps to the edge buckets, total stays N). */
+  def maintainHistogramStore(df: DataFrame,
+      valueCol: org.apache.spark.sql.Column,
+      storeDir: String, checkpoint: String,
+      lo: Long, hi: Long, bins: Int) =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        mergeHistogramBatch(batch, valueCol, storeDir, bid, lo, hi, bins)
+      }
+
+  private[graft] def mergeHistogramBatch(batch: DataFrame,
+      valueCol: org.apache.spark.sql.Column, storeDir: String, bid: Long,
+      lo: Long, hi: Long, bins: Int): Unit =
+    graft.operators.Sketches.histCounts(batch, valueCol, lo, hi, bins)
+      .write.mode("overwrite").parquet(s"$storeDir/batch=$bid")
+
+  /** The quantile readout over [[maintainHistogramStore]]'s store:
+    * fold every batch's histogram by vector addition (one bounded
+    * aggregation over ≤ batches·bins rows) and run the SAME exact-rank
+    * + literal-interpolation dag as the batch operator
+    * ([[graft.operators.Sketches.histQuantiles]]) — so the streaming
+    * readout equals a single batch sketch over the union of all
+    * batches BIT FOR BIT (vector addition is associative and exact;
+    * the m136 merge-algebra argument applied to quantiles). `lo`, `hi`
+    * and `bins` must match the maintained store's contract. */
+  def histogramFromStore(spark: SparkSession, storeDir: String,
+      lo: Long, hi: Long, bins: Int, probesBp: Seq[Int]): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root),
+      s"histogramFromStore: store dir $storeDir does not exist")
+    graft.operators.Sketches.histQuantiles(
+      spark.read.parquet(storeDir)
+        .groupBy("bucket").agg(sum(col("cnt")).as("cnt")),
+      lo, hi, bins, probesBp)
+  }
+
   /** Watermarked STREAM-STREAM event-time interval join (§2.9's q37
     * range-join semantics under `withWatermark`): points pair with
     * intervals of the same key when `pointTs ∈ [startTs, endTs]`.

@@ -1412,6 +1412,24 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("domainReport: case folding, www strip, host termination at " +
+      "port/path, dotless apex, distinct-doc vs occurrence counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "see https://WWW.Example.COM/a and http://cdn.example.com:80/x"),
+      (2L, "dup http://example.com/1 http://example.com/2 plain text"),
+      (3L, "no urls here at all"),
+      (4L, "bare http://localhost/admin"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.domainReport(docs)
+      .orderBy("domain").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got === Array(
+      ("cdn.example.com", "example.com", 1L, 1L),
+      ("example.com", "example.com", 2L, 3L), // doc1 www + doc2 twice
+      ("localhost", "", 1L, 1L)))
+  }
+
   test("momentsReport: hand-computed skew/kurt, exact constant-group " +
       "NULL, truncating mean, invariance, value contract") {
     import spark.implicits._

@@ -59,6 +59,7 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
     "m54_hard_negatives" -> "mining eval: corpus × broadcast ≤-bounded query frame",
     "m59_kmv_setops" -> "distinct-groups pair lattice (≤sources² rows) over ≤k-row KMV sketches",
     "m60_hist_quantiles" -> "quantile probes × ≤bins-row histogram aggregate",
+    "m191_stream_histogram" -> "quantile probes × ≤bins-row FOLDED store histogram (m60's readout dag over the batch=* fold)",
     "m64_cms_join_size" -> "two 1-row aggregates (sketch estimate, exact count) crossJoined",
     "m71_group_quantiles" -> "per-group probes × ≤maxGroups·bins histogram aggregate",
     "m74_ann_recall" -> "recall eval: two ≤16-query top-k frames compared non-equi",
@@ -69,7 +70,8 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
   /** Queries whose plans legitimately contain a GLOBAL (unpartitioned)
     * window — every entry runs it over a provably bounded input. */
   private val globalWindowAllowed: Map[String, String] = Map(
-    "m60_hist_quantiles" -> "running-total window over the ≤bins-row histogram aggregate"
+    "m60_hist_quantiles" -> "running-total window over the ≤bins-row histogram aggregate",
+    "m191_stream_histogram" -> "running-total window over the ≤bins-row folded store histogram"
   )
 
   private def offenders(p: SparkPlan): Seq[String] = p.collect {

@@ -718,6 +718,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(snap() === got)
   }
 
+  test("streaming histogram store: per-batch sketches stay <= bins rows, " +
+      "the fold equals the one-pass batch sketch, replay is a content " +
+      "no-op, clamped edges") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("hist-stream").toString
+    val dir = base + "/store"
+    val b0 = Seq(5L, 5L, 12L, 99L) // 99 clamps into the top bucket
+    val b1 = Seq(0L, 7L, 31L, -4L) // -4 clamps into bucket 0
+    val mem = MemoryStream[Long]
+    val q = graft.streaming.Pipeline.maintainHistogramStore(
+      mem.toDF().toDF("v"), col("v"), dir, base + "/ck",
+      lo = 0L, hi = 32L, bins = 8).start()
+    mem.addData(b0: _*); q.processAllAvailable()
+    mem.addData(b1: _*); q.processAllAvailable()
+    q.stop()
+    val probes = Seq(100, 5000, 9900)
+    def snap() = graft.streaming.Pipeline
+      .histogramFromStore(s, dir, lo = 0L, hi = 32L, bins = 8, probes)
+      .orderBy("p_bp").collect().map(_.toSeq).toSeq
+    val got = snap()
+    // the fold must equal the single-pass sketch over the union
+    val direct = graft.operators.Sketches.histSketchQuantiles(
+        (b0 ++ b1).toDF("v"), col("v"), lo = 0L, hi = 32L, bins = 8,
+        probes)
+      .orderBy("p_bp").collect().map(_.toSeq).toSeq
+    assert(got === direct)
+    (0 to 1).foreach { b =>
+      assert(s.read.parquet(s"$dir/batch=$b").count() <= 8)
+    }
+    // at-least-once replay of batch 1 rewrites identical content
+    graft.streaming.Pipeline.mergeHistogramBatch(
+      b1.toDF("v"), col("v"), dir, 1L, lo = 0L, hi = 32L, bins = 8)
+    assert(snap() === got)
+    // missing store fails loudly, not as "no data"
+    intercept[IllegalArgumentException] {
+      graft.streaming.Pipeline.histogramFromStore(
+        s, base + "/absent", 0L, 32L, 8, probes)
+    }
+  }
+
   test("event-time interval join: stream-stream watermarked results equal " +
       "the batch range join (incl. a cross-batch late interval); the " +
       "stream-static store is batching-invariant and replay-idempotent") {
