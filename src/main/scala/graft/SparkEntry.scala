@@ -286,6 +286,12 @@ object SparkEntry {
     "m190_moments" -> Queries.m190Moments,
     "m191_stream_histogram" -> Queries.m191StreamHistogram,
     "m192_domain_report" -> Queries.m192DomainReport,
+    "m193_vocab_growth" -> Queries.m193VocabGrowth,
+    "m194_cross_source_dups" -> Queries.m194CrossSourceDups,
+    "m195_canonical_pick" -> Queries.m195CanonicalPick,
+    "m196_pii_incidence" -> Queries.m196PiiIncidence,
+    "m197_sliding_chunks" -> Queries.m197SlidingChunks,
+    "q65_conversion_delays" -> Queries.q65ConversionDelays,
     "q60_user_growth" -> Queries.q60UserGrowth,
     "q63_cohort_retention" -> Queries.q63CohortRetention,
     "q64_transitions" -> Queries.q64Transitions,

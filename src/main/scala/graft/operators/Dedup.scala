@@ -1182,6 +1182,62 @@ object Dedup {
         expr("CAST(1000000 DIV cluster_size AS BIGINT)"))
   }
 
+  /** Cross-source duplication matrix: per unordered source pair, how
+    * many verified near-dup pairs straddle it — the "who copies from
+    * whom" accounting behind source-level dedup policy (a mirror site
+    * reads as a fat off-diagonal cell; heavy SELF-pairs say the dedup
+    * budget is intra-source). Input is an already-bounded candidate
+    * pair table ([[minhashPairs]] / [[ngramJaccardPairs]] etc.), so the
+    * two id-keyed joins move pairs and a narrow (id, source) projection
+    * only — text never shuffles, and the output is ≤ |sources|² rows.
+    * Pair keys normalize by (least, greatest), so the matrix is upper
+    * triangular including the diagonal. */
+  def crossSourceDupMatrix(docs: DataFrame, pairs: DataFrame,
+      sourceCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    val side = docs.select(col(idCol).cast("long"),
+      col(sourceCol).cast("string"))
+    pairs.select(col("doc_id_a"), col("doc_id_b"))
+      .join(side.toDF("doc_id_a", "__sa"), "doc_id_a")
+      .join(side.toDF("doc_id_b", "__sb"), "doc_id_b")
+      .select(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Canonical-pick dedup mapping: every doc maps to its near-dup
+    * cluster's CANONICAL representative — the argmax-quality member
+    * (ties to the smallest id; id uniqueness makes the pick total) —
+    * and singletons map to themselves. The keep-BEST policy next to
+    * [[minhashDedupComponents]]'s keep-first: "longest/highest-quality
+    * survives" is what a curation pipeline usually ships, and the full
+    * doc→canonical table (not just survivors) is what downstream
+    * attribution/replacement joins need. One bounded component
+    * computation over the pair graph + two id-keyed joins; the quality
+    * column must be integer-valued (exact comparisons, no float ties).
+    *
+    * @return (doc_id, canonical_id, is_canonical SMALLINT) — one row
+    *         per input doc
+    */
+  def canonicalPick(docs: DataFrame, pairs: DataFrame,
+      qualityCol: Column, idCol: String = "doc_id"): DataFrame = {
+    val comp = connectedComponents(pairs)
+    val member = comp.join(
+      docs.select(col(idCol).cast("long").as("id"),
+        qualityCol.cast("long").as("__q")), "id")
+    val canon = member.groupBy("component")
+      .agg(max_by(col("id"), struct(col("__q"),
+        lit(0L) - col("id"))).as("canonical_id"))
+    val mapped = member.join(canon, "component")
+      .select(col("id").as(idCol), col("canonical_id"))
+    docs.select(col(idCol).cast("long").as(idCol))
+      .join(mapped, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("canonical_id"), col(idCol)).as("canonical_id"))
+      .withColumn("is_canonical",
+        (col(idCol) === col("canonical_id")).cast("smallint"))
+  }
+
   /** Near-dedup with full transitive closure: ONE survivor (min doc_id)
     * per connected cluster of verified near-dup pairs. */
   def minhashDedupComponents(docs: DataFrame, threshold: Double = 0.7,

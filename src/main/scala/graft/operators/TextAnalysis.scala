@@ -45,6 +45,11 @@ final case class BigramScore(n_bigrams: Int, xent2: Double)
 /** Per-document vocab-coverage counts (TOP-LEVEL for the encoder rule). */
 final case class VocabCov(n_tokens: Long, n_covered: Long)
 
+/** One sliding-window chunk (top-level: object-nested UDF return types
+  * silently drop to interpreter mode — CLAUDE.md). */
+final case class SlidingChunk(chunk_idx: Int, start_tok: Int,
+  n_tokens: Int, chunk_text: String)
+
 object TextAnalysis {
 
   private val statsUdf = udf((t: String) => if (t == null) null else TextSig.textStats(t))
@@ -142,6 +147,37 @@ object TextAnalysis {
     RedactionPatterns.foldLeft(text) { case (c, (pat, rep)) =>
       regexp_replace(c, pat, rep)
     }
+
+  /**
+   * PII incidence report — the privacy-audit table NEXT TO
+   * [[redactPii]]'s transform: per source, how many matches of each
+   * [[RedactionPatterns]] class the raw text carries and how many docs
+   * carry any. Redaction destroys the evidence; a release pipeline
+   * publishes THIS table first (which sources are dirty, is the
+   * scrubber load-bearing), then ships the scrubbed text. Counts are
+   * per-pattern independent (`regexp_count` over the raw text — unlike
+   * the sequential redaction chain, a span matching two classes counts
+   * in both; the doc flag is what dedupes). One narrow codegen'd regex
+   * pass + one low-cardinality aggregation — text never shuffles.
+   *
+   * @return (source, n_docs, n_emails, n_ips, n_keys, docs_with_pii)
+   */
+  def piiIncidence(docs: DataFrame, sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val pats = RedactionPatterns.map(_._1)
+    val counts = Seq("e", "i", "k").zip(pats).map { case (n, p) =>
+      regexp_count(col(textCol), lit(p)).cast("long").as(s"__$n")
+    }
+    docs
+      .select(col(sourceCol).cast("string").as("source") +: counts: _*)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__e")).as("n_emails"),
+        sum(col("__i")).as("n_ips"),
+        sum(col("__k")).as("n_keys"),
+        sum(when(col("__e") + col("__i") + col("__k") > 0L, 1L)
+          .otherwise(0L)).as("docs_with_pii"))
+  }
 
   // --- URL / domain accounting ---
 
@@ -752,6 +788,103 @@ object TextAnalysis {
    *
    * @return per source: (source, n_tokens, n_covered, oov_bp)
    */
+  /**
+   * Sliding token-window chunker — the fixed-stride RAG/embedding
+   * splitter next to [[cdcChunkTable]]'s content-defined one: chunks of
+   * `windowTokens` normalized tokens starting every `strideTokens`
+   * (overlap = window − stride keeps context across cuts), the final
+   * chunk truncating at the doc edge. The grid is a pure function of
+   * (token count, window, stride) — no sequential state, so chunking
+   * is partition-parallel per doc and replayable: chunk k ALWAYS
+   * covers tokens [k·stride, k·stride + window). Tokens are
+   * [[graft.core.TextSig.normalize]] whitespace tokens (the BM25/BPE
+   * convention), so `chunk_text` is normalized text by construction.
+   * One compiled kernel pass per doc via the explode_outer
+   * heavy-kernel shape; tokenless docs emit nothing.
+   *
+   * @return (doc_id, chunk_idx, start_tok, n_tokens, chunk_text)
+   */
+  def slidingChunks(docs: DataFrame, windowTokens: Int, strideTokens: Int,
+      textCol: String = "text",
+      docIdCol: Column = col("doc_id")): DataFrame = {
+    require(windowTokens >= 1 && windowTokens <= 65536,
+      s"slidingChunks: windowTokens=$windowTokens out of [1,65536]")
+    require(strideTokens >= 1 && strideTokens <= windowTokens,
+      s"slidingChunks: strideTokens=$strideTokens out of [1,windowTokens]")
+    val w = windowTokens
+    val st = strideTokens
+    val chunkUdf = udf { (t: String) =>
+      val n = TextSig.normalize(if (t == null) "" else t)
+      if (n.isEmpty) Array.empty[SlidingChunk]
+      else {
+        val toks = n.split(' ')
+        val out = Array.newBuilder[SlidingChunk]
+        var start = 0
+        var idx = 0
+        while (start < toks.length) {
+          val len = math.min(w, toks.length - start)
+          out += SlidingChunk(idx, start, len,
+            toks.slice(start, start + len).mkString(" "))
+          idx += 1
+          start += st
+        }
+        out.result()
+      }
+    }
+    docs
+      .select(docIdCol.as("doc_id"),
+        explode_outer(chunkUdf(col(textCol))).as("c"))
+      .filter(col("c").isNotNull)
+      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+        col("c.start_tok").as("start_tok"),
+        col("c.n_tokens").as("n_tokens"),
+        col("c.chunk_text").as("chunk_text"))
+  }
+
+  /**
+   * Vocabulary growth (Heaps'-law) curve: distinct-token vocabulary
+   * size at each doc-id prefix probe — the "is the corpus still
+   * teaching new words" readout behind tokenizer sizing and
+   * more-data-vs-more-epochs calls (a flattening curve says marginal
+   * docs add tokens, not vocabulary; a steep one says the vocab is
+   * still undersampled). Exact, not sketched: per distinct token its
+   * FIRST doc id (one map-side-combined min aggregation — the only
+   * corpus-sized move, and it shuffles (token, id) pairs, never text),
+   * then every probe answers from one ≤64-way conditional-sum pass
+   * over that vocabulary frame. Probes are doc-id bounds (inclusive);
+   * the curve is a pure function of the corpus and the probe list, so
+   * it is partitioning- and engine-invariant.
+   *
+   * @return (probe_doc_id, vocab_size) one row per probe, probe order
+   */
+  def vocabGrowth(docs: DataFrame, probeDocIds: Seq[Long],
+      textCol: String = "text",
+      docIdCol: Column = col("doc_id")): DataFrame = {
+    require(probeDocIds.nonEmpty && probeDocIds.size <= 64,
+      s"vocabGrowth: ${probeDocIds.size} probes out of [1,64]")
+    require(probeDocIds.distinct.size == probeDocIds.size,
+      "vocabGrowth: duplicate probes")
+    val probes = probeDocIds.sorted
+    val toksUdf = udf { (t: String) =>
+      val n = TextSig.normalize(if (t == null) "" else t)
+      if (n.isEmpty) Array.empty[String] else n.split(' ')
+    }
+    val first = docs
+      .select(docIdCol.cast("long").as("doc_id"),
+        explode_outer(toksUdf(col(textCol))).as("tok"))
+      .filter(col("tok").isNotNull)
+      .groupBy("tok").agg(min(col("doc_id")).as("first_doc"))
+    val aggs = probes.map(p =>
+      sum(when(col("first_doc") <= lit(p), 1L).otherwise(0L)).as(s"v_$p"))
+    // one pinned 1-row frame, probe fan-out as 1-row selects (the
+    // corrMatrix shape — nothing corpus-sized collects)
+    val row = first.agg(aggs.head, aggs.tail: _*)
+      .transform(graft.core.Blocks.pin)
+    probes.map(p => row.select(lit(p).as("probe_doc_id"),
+        coalesce(col(s"v_$p"), lit(0L)).as("vocab_size")))
+      .reduce(_.unionByName(_))
+  }
+
   def vocabCoverageReport(docs: DataFrame, vocabSize: Int = 1000,
       textCol: String = "text", sourceCol: String = "source"): DataFrame = {
     require(vocabSize >= 1 && vocabSize <= 1000000,
