@@ -4488,14 +4488,17 @@ object Queries {
     * date to disagree on), then per (cohort, week-since) the distinct
     * returning users and the micro retention share. Scale shape: one
     * distinct over (user, week) — the only corpus-sized move — a
-    * user-keyed self-join for the cohort label (ReuseExchange shares
-    * the distinct's shuffle), and a BROADCAST of the tiny cohort-size
+    * user-keyed self-join for the cohort label (the distinct frame is
+    * PINNED — measured: ReuseExchange does not share its shuffle
+    * across the three consumers here, so an unpinned form scans the
+    * corpus three times), and a BROADCAST of the tiny cohort-size
     * table; `div` keeps the share in exact truncating integers. */
   def q63CohortRetention(s: SparkSession, dir: String): DataFrame = {
     val uw = t(s, dir, "events")
       .select(col("user_id"),
         expr("unix_timestamp(ts) div 604800").as("week"))
       .distinct()
+      .transform(graft.core.Blocks.pin)
     val cohort = uw.groupBy("user_id")
       .agg(min(col("week")).as("cohort_week"))
     val sizes = cohort.groupBy("cohort_week")

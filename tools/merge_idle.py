@@ -1,0 +1,41 @@
+#!/usr/bin/env python3
+"""Merge a bench run's per-query mins into BENCH_FULL_idle.json.
+
+Usage: python3 tools/merge_idle.py <bench-full.json> [--only-new]
+
+Rules (CLAUDE.md bench accounting):
+- existing queries keep min(existing_min, run_min) — co-tenant load is
+  one-sided, so the pointwise min across clean windows is the idle record;
+- queries absent from the baseline adopt the run's {med,min} verbatim;
+- with --only-new, existing records are left untouched (use when the run
+  was visibly loaded and only the NEW queries need first records);
+- output is COMPACT json (the drift-guard regexes are no-space).
+"""
+import json
+import sys
+
+base_path = "BENCH_FULL_idle.json"
+run_path = sys.argv[1]
+only_new = "--only-new" in sys.argv[2:]
+
+base = json.load(open(base_path))
+run = json.load(open(run_path))
+bq, rq = base["queries"], run["queries"]
+
+added, improved = [], []
+for k, v in rq.items():
+    if k not in bq:
+        bq[k] = {"med": v["med"], "min": v["min"]}
+        added.append(k)
+    elif not only_new and v["min"] < bq[k]["min"]:
+        bq[k]["med"] = min(bq[k]["med"], v["med"])
+        bq[k]["min"] = v["min"]
+        improved.append(k)
+
+base["value"] = round(sum(v["min"] for v in bq.values()), 3)
+base["med_total"] = round(sum(v["med"] for v in bq.values()), 3)
+with open(base_path, "w") as f:
+    json.dump(base, f, separators=(",", ":"))
+print(f"baseline now {len(bq)} queries, min-total {base['value']}s")
+print(f"added {len(added)}: {sorted(added)}")
+print(f"improved {len(improved)}: {sorted(improved)}")
