@@ -3034,6 +3034,61 @@ object Oracle {
                      SELECT * FROM single WHERE n_clusters > 0)
       ORDER BY cluster_size""",
 
+    // m198: MRR — the m04 brute-force ranking at k=10, first same-label
+    // rank per query, 2520 // rank exact units, misses at 0.
+    "m198_mrr" -> """
+      WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id < 16),
+      s AS (SELECT query_id, e.vec_id AS corpus_id,
+              round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv), 6) AS score
+            FROM embeddings e, q WHERE e.vec_id <> query_id),
+      r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, corpus_id ASC) AS INT) AS rank FROM s),
+      hits AS (SELECT r.query_id, MIN(r.rank) AS first_rank
+            FROM r JOIN embeddings cl ON r.corpus_id = cl.vec_id
+                   JOIN embeddings ql ON r.query_id = ql.vec_id
+            WHERE r.rank <= 10 AND cl.label = ql.label
+            GROUP BY r.query_id)
+      SELECT qq.query_id, h.first_rank,
+        coalesce(CAST(2520 // h.first_rank AS BIGINT), 0) AS rr_units
+      FROM (SELECT DISTINCT query_id FROM r) qq
+      LEFT JOIN hits h USING (query_id)
+      ORDER BY query_id""",
+
+    // m199: invisible-char audit — the same bytes planted with chr(),
+    // counted with the \x{…} RE2 class (Java∩RE2: a character class).
+    "m199_invisible_audit" -> """
+      WITH iaug AS (SELECT source, text ||
+            CASE WHEN doc_id % 2 = 0 THEN ' a' || chr(8203) || 'b' ||
+              chr(8203) || 'c' ELSE '' END ||
+            CASE WHEN doc_id % 3 = 0 THEN chr(65279) || 'tail'
+              ELSE '' END AS aug
+          FROM documents),
+      ic AS (SELECT source, CAST(len(regexp_extract_all(aug,
+            '[\x{200B}\x{200C}\x{200D}\x{FEFF}]')) AS BIGINT) AS z
+          FROM iaug)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(z) AS BIGINT) AS n_invisible,
+        CAST(SUM(CASE WHEN z > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS docs_affected
+      FROM ic GROUP BY source ORDER BY source""",
+
+    // m200: k-anonymity — quasi-tuple equivalence classes, below-k
+    // sums, truncating micro share.
+    "m200_k_anonymity" -> """
+      WITH kc AS (SELECT source, lang, n_chars // 100 AS band,
+            CAST(COUNT(*) AS BIGINT) AS n
+          FROM documents GROUP BY 1, 2, 3)
+      SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+        CAST(COUNT(*) AS BIGINT) AS n_classes,
+        CAST(SUM(CASE WHEN n < 3 THEN 1 ELSE 0 END) AS BIGINT)
+          AS classes_below_k,
+        CAST(SUM(CASE WHEN n < 3 THEN n ELSE 0 END) AS BIGINT)
+          AS rows_below_k,
+        CAST((SUM(CASE WHEN n < 3 THEN n ELSE 0 END) * 1000000)
+          // SUM(n) AS BIGINT) AS rows_below_k_micro
+      FROM kc""",
+
     // m196: PII incidence — residue-varied augmentation, per-pattern
     // independent counts via len(regexp_extract_all), any-flag sums.
     "m196_pii_incidence" -> """

@@ -3819,6 +3819,50 @@ object Queries {
     Dedup.dupWeights(t(s, dir, "documents"), pairs05(s, dir))
       .orderBy("doc_id")
 
+  /** m198 — mean-reciprocal-rank eval ([[operators.Similarity.mrrAtK]]
+    * over the exact brute-force ranking, relevance = same embedding
+    * label): per probe query the first same-label rank in its top-10
+    * and the reciprocal rank in EXACT 1/2520 units (lcm(1..10) — the
+    * m170 no-float-harmonic rule). Completes the retrieval-eval suite
+    * next to recall (m74), nDCG (m90) and RBO (m91). */
+  def m198Mrr(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.mrrAtK(
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 16),
+          k = 10),
+        emb, k = 10)
+      .orderBy("query_id")
+  }
+
+  /** m199 — invisible-character audit
+    * ([[operators.TextAnalysis.invisibleAudit]]): zero-width
+    * occurrences and affected docs per source — the watermark/BOM/ZWSP
+    * hygiene table published before [[operators.TextAnalysis
+    * .stripInvisible]] destroys the evidence. Augmentation (the m196
+    * convention) plants ZWSPs on doc_id%2=0 and a BOM on %3=0; the
+    * oracle builds the same bytes with chr() and counts with the
+    * \\x{…} RE2 class. */
+  def m199InvisibleAudit(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.invisibleAudit(
+      t(s, dir, "documents").select(col("source"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            lit(" a\u200Bb\u200Bc")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            lit("\uFEFFtail")).otherwise(lit(""))).as("text")))
+      .orderBy("source")
+
+  /** m200 — k-anonymity audit
+    * ([[operators.TrainingPipeline.kAnonymityReport]] at k = 3 over
+    * the (source, lang, length-band) quasi tuple): how much of the
+    * corpus is re-identifiable by metadata alone — the linkage check
+    * next to the m22/m196/m199 content scanners. One count
+    * aggregation + one bounded re-aggregation, share in truncating
+    * micro. */
+  def m200KAnonymity(s: SparkSession, dir: String): DataFrame =
+    operators.TrainingPipeline.kAnonymityReport(t(s, dir, "documents"),
+      Seq(col("source"), col("lang"), expr("n_chars div 100")), k = 3)
+
   /** m196 — PII incidence report
     * ([[operators.TextAnalysis.piiIncidence]]): per source the
     * per-class match counts and dirty-doc count over the raw text —

@@ -291,6 +291,9 @@ object SparkEntry {
     "m195_canonical_pick" -> Queries.m195CanonicalPick,
     "m196_pii_incidence" -> Queries.m196PiiIncidence,
     "m197_sliding_chunks" -> Queries.m197SlidingChunks,
+    "m198_mrr" -> Queries.m198Mrr,
+    "m199_invisible_audit" -> Queries.m199InvisibleAudit,
+    "m200_k_anonymity" -> Queries.m200KAnonymity,
     "q65_conversion_delays" -> Queries.q65ConversionDelays,
     "q60_user_growth" -> Queries.q60UserGrowth,
     "q63_cohort_retention" -> Queries.q63CohortRetention,

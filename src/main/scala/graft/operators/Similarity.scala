@@ -167,6 +167,34 @@ object Similarity {
         round(coalesce(col("h"), lit(0L)).cast("double") / k, 6).as("recall"))
   }
 
+  /** Mean-reciprocal-rank eval against LABEL relevance — the
+    * first-relevant-hit metric next to [[recallAtK]]'s overlap, m90's
+    * graded nDCG and m91's RBO: per query, the rank of the first
+    * same-label neighbor in its top-k and the reciprocal rank in EXACT
+    * lcm(1..k) units (k ≤ 20 ⇒ lcm ≤ 232792560 — 1/r is an integer for
+    * every reachable r, so no float harmonic term exists anywhere, the
+    * m170 rule; misses score 0, honestly counted). Corpus MRR is then
+    * Σunits over n·lcm in whatever exactness the caller needs. Input
+    * is an already-top-k ranking frame (query-count-sized) with
+    * (query_id, corpus_id, rank); labels join by id — two broadcast-
+    * sized joins, nothing corpus-scale moves. */
+  def mrrAtK(ranked: DataFrame, labels: DataFrame, k: Int,
+      idCol: String = "vec_id", labelCol: String = "label"): DataFrame = {
+    require(k >= 1 && k <= 20, s"mrrAtK: k=$k out of [1,20]")
+    val lcm = (1 to k).foldLeft(BigInt(1))((a, b) => a * b / a.gcd(b)).toLong
+    val lab = labels.select(col(idCol).cast("long"),
+      col(labelCol).cast("string"))
+    val hits = ranked.filter(col("rank") <= k)
+      .join(lab.toDF("corpus_id", "__cl"), "corpus_id")
+      .join(lab.toDF("query_id", "__ql"), "query_id")
+      .filter(col("__cl") === col("__ql"))
+      .groupBy("query_id").agg(min(col("rank")).as("first_rank"))
+    ranked.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("first_rank"),
+        coalesce(expr(s"${lcm}L div first_rank"), lit(0L)).as("rr_units"))
+  }
+
   /**
    * Truncated-dimension (Matryoshka-style) retrieval — exact cosine
    * top-k over the FIRST `dims` components only, the cheap pass of an

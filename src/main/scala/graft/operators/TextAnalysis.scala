@@ -148,6 +148,38 @@ object TextAnalysis {
       regexp_replace(c, pat, rep)
     }
 
+  /** The zero-width / invisible code points [[invisibleAudit]] counts
+    * and [[stripInvisible]] removes: ZWSP, ZWNJ, ZWJ, BOM/ZWNBSP. A
+    * character class, not alternation — safe in both Java regex and
+    * RE2 (the oracle writes the same class with \x{…} escapes). */
+  final val InvisiblePattern =
+    "[\u200B\u200C\u200D\uFEFF]"
+
+  /** Invisible-character audit — web-scraped corpora are full of
+    * zero-width characters (soft hyphenation artifacts, BOMs from
+    * concatenated files, adversarial watermarks); they split tokens
+    * invisibly, inflate byte counts, and defeat exact dedup between
+    * visually-identical docs. Per source: total invisible occurrences
+    * and affected docs — the audit published before [[stripInvisible]]
+    * destroys the evidence (the m196 pattern). One codegen'd regex
+    * pass + one low-cardinality aggregation. */
+  def invisibleAudit(docs: DataFrame, sourceCol: String = "source",
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(col(sourceCol).cast("string").as("source"),
+        regexp_count(col(textCol), lit(InvisiblePattern)).cast("long")
+          .as("__z"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__z")).as("n_invisible"),
+        sum(when(col("__z") > 0L, 1L).otherwise(0L)).as("docs_affected"))
+
+  /** Remove every [[InvisiblePattern]] code point — the transform half
+    * of [[invisibleAudit]]; narrow, codegen'd, fuses into whatever
+    * projection already reads the text. */
+  def stripInvisible(text: Column): Column =
+    regexp_replace(text, InvisiblePattern, "")
+
   /**
    * PII incidence report — the privacy-audit table NEXT TO
    * [[redactPii]]'s transform: per source, how many matches of each

@@ -1887,4 +1887,39 @@ object TrainingPipeline {
         when(col("p") - col("pmin") >= lit(threshold).cast(d38), 1)
           .otherwise(0).cast("short").as("alarm"))
   }
+
+  /** k-anonymity audit over quasi-identifier columns — the re-
+    * identification check next to the PII scanners (m22/m196): a row
+    * whose (source, language, length-band, …) combination is shared by
+    * fewer than k rows is linkable even after direct identifiers are
+    * scrubbed. One map-side-combined count aggregation over the quasi
+    * tuple (the only corpus-sized move — the equivalence-class frame it
+    * produces is at most the quasi-value cross product), one bounded
+    * re-aggregation; share in truncating micro. NULL quasi values form
+    * their own class (the m146 convention — dropping them would hide
+    * exactly the rare rows being audited).
+    *
+    * @return one row: (n_rows, n_classes, classes_below_k, rows_below_k,
+    *         rows_below_k_micro)
+    */
+  def kAnonymityReport(df: DataFrame, quasiCols: Seq[Column],
+      k: Int): DataFrame = {
+    require(k >= 2 && k <= 1000000,
+      s"kAnonymityReport: k=$k out of [2,1000000]")
+    require(quasiCols.nonEmpty, "kAnonymityReport: no quasi columns")
+    val classes = df
+      .select(quasiCols.zipWithIndex.map { case (c, i) =>
+        c.as(s"__q$i") }: _*)
+      .groupBy(quasiCols.indices.map(i => col(s"__q$i")): _*)
+      .agg(count(lit(1)).as("n"))
+    classes.agg(
+      sum(col("n")).as("n_rows"),
+      count(lit(1)).as("n_classes"),
+      sum(when(col("n") < k, 1L).otherwise(0L)).as("classes_below_k"),
+      sum(when(col("n") < k, col("n")).otherwise(0L)).as("rows_below_k"))
+      .select(col("n_rows"), col("n_classes"), col("classes_below_k"),
+        col("rows_below_k"),
+        expr("rows_below_k * 1000000 div n_rows")
+          .as("rows_below_k_micro"))
+  }
 }

@@ -1412,6 +1412,47 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("mrrAtK: first-relevant rank in exact lcm units, self excluded " +
+      "by the ranking, misses at 0, k contract") {
+    import spark.implicits._
+    // ranked: q1 hits label A at ranks 2 and 5 -> first 2, rr 1260;
+    // q2's only same-label is past k -> 0; q3 hits at 1 -> 2520
+    val ranked = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), (1L, 13L, 5),
+      (2L, 11L, 1), (2L, 20L, 11),
+      (3L, 21L, 1))
+      .toDF("query_id", "corpus_id", "rank")
+    val labels = Seq((1L, "A"), (2L, "B"), (3L, "C"), (10L, "X"),
+        (11L, "A"), (12L, "X"), (13L, "A"), (20L, "B"), (21L, "C"))
+      .toDF("vec_id", "label")
+    val got = graft.operators.Similarity.mrrAtK(ranked, labels, k = 10)
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1 else r.getInt(1), r.getLong(2)))
+    assert(got === Array((1L, 2, 1260L), (2L, -1, 0L), (3L, 1, 2520L)))
+    intercept[IllegalArgumentException] {
+      graft.operators.Similarity.mrrAtK(ranked, labels, k = 21)
+    }
+  }
+
+  test("invisibleAudit + stripInvisible: zero-width classes counted " +
+      "and removed, clean text untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "a\u200Bb\uFEFFc"), // ZWSP + BOM
+      ("s1", "plain"),
+      ("s2", "x\u200C\u200Dy")) // ZWNJ + ZWJ
+      .toDF("source", "text")
+    val audit = TextAnalysis.invisibleAudit(docs)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(audit === Array(("s1", 2L, 2L, 1L), ("s2", 1L, 2L, 1L)))
+    val cleaned = docs
+      .select(TextAnalysis.stripInvisible(col("text")).as("t"))
+      .orderBy("t").collect().map(_.getString(0))
+    assert(cleaned === Array("abc", "plain", "xy"))
+  }
+
   test("piiIncidence: per-pattern independent counts, any-flag dedup, " +
       "clean source zeros") {
     import spark.implicits._

@@ -2040,6 +2040,32 @@ class TrainingPipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { run(rows, ms = -1) }
   }
 
+  test("kAnonymityReport: below-k classes and rows, NULL quasi values " +
+      "form their own class, k and column contracts") {
+    import spark.implicits._
+    // classes: (a,1)x3, (a,2)x1, (b,1)x2, (NULL,1)x1 -> at k=3 the
+    // last three classes (1+2+1 = 4 rows) are below k
+    val df = Seq(("a", 1), ("a", 1), ("a", 1), ("a", 2), ("b", 1),
+        ("b", 1), (null.asInstanceOf[String], 1))
+      .toDF("g", "v")
+    val got = graft.operators.TrainingPipeline.kAnonymityReport(df,
+        Seq(col("g"), col("v")), k = 3)
+      .collect()(0)
+    assert(got.getLong(0) === 7L)   // n_rows
+    assert(got.getLong(1) === 4L)   // n_classes
+    assert(got.getLong(2) === 3L)   // classes_below_k
+    assert(got.getLong(3) === 4L)   // rows_below_k
+    assert(got.getLong(4) === 571428L) // 4e6 div 7
+    intercept[IllegalArgumentException] {
+      graft.operators.TrainingPipeline.kAnonymityReport(df,
+        Seq(col("g")), k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.TrainingPipeline.kAnonymityReport(df, Seq.empty,
+        k = 3)
+    }
+  }
+
   test("mixtureDiversity: even mixture, single source, skewed hand case, " +
       "empty contract") {
     val s = spark
