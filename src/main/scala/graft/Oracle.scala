@@ -2298,6 +2298,50 @@ object Oracle {
       SELECT query_id, doc_id, CAST(score AS DOUBLE) AS score, rank
       FROM brk WHERE rank <= 10 ORDER BY query_id, rank""",
 
+    // m201: PRF expansion — round 1 IS the m49 chain; feedback = its
+    // top-5, candidate counts off the feedback docs' token lists,
+    // original terms anti-joined out, (cnt DESC, tok ASC) top-3 per
+    // query appended; round 2 re-runs the scoring body under the
+    // DERIVED qt2 with fresh CTE names (btk/stats shared — they are
+    // query-independent).
+    "m201_prf_expanded" -> s"""
+      WITH $Bm25Ctes,
+      fb AS (SELECT query_id, doc_id FROM brk WHERE rank <= 5),
+      ftk AS (SELECT f.query_id, unnest(b.toks) AS tok
+            FROM btk b JOIN fb f ON b.doc_id = f.doc_id),
+      fcn AS (SELECT query_id, tok, COUNT(*) AS cnt
+            FROM ftk GROUP BY query_id, tok),
+      fex AS (SELECT c.query_id, c.tok, c.cnt
+            FROM fcn c LEFT JOIN qt q
+              ON q.query_id = c.query_id AND q.term = c.tok
+            WHERE q.term IS NULL),
+      frk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cnt DESC, tok ASC) AS rk FROM fex),
+      qt2 AS (SELECT query_id, term FROM qt
+            UNION ALL SELECT query_id, tok AS term FROM frk WHERE rk <= 3),
+      terms2 AS (SELECT DISTINCT term FROM qt2),
+      tfp2 AS (SELECT doc_id, term, tf, dl FROM
+                (SELECT doc_id, term, len(list_filter(toks, x -> x = term)) AS tf,
+                   len(toks) AS dl
+                 FROM btk, terms2)
+              WHERE tf > 0),
+      dft2 AS (SELECT term, COUNT(*) AS df FROM tfp2 GROUP BY term),
+      contrib2 AS (SELECT q.query_id, f.doc_id,
+          CAST(round(
+            ln(((s.n - d.df) + 0.5) / (d.df + 0.5) + 1.0) *
+            ((CAST(f.tf AS DOUBLE) * (1.2 + 1.0)) /
+             (CAST(f.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) +
+               0.75 * (CAST(f.dl AS DOUBLE) /
+                       (CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE)))))),
+            9) AS DECIMAL(18,9)) AS c
+        FROM tfp2 f JOIN dft2 d USING (term) JOIN qt2 q USING (term), stats s),
+      bsc2 AS (SELECT query_id, doc_id, SUM(c) AS score FROM contrib2
+              GROUP BY query_id, doc_id),
+      brk2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id ASC) AS INT) AS rank FROM bsc2)
+      SELECT query_id, doc_id, CAST(score AS DOUBLE) AS score, rank
+      FROM brk2 WHERE rank <= 10 ORDER BY query_id, rank""",
+
     // Phrase-constrained BM25: the m49 scoring chain under m114's OWN
     // query-term table, constrained by the m111 phrase formulation over
     // the same tokenization, re-windowed densely.

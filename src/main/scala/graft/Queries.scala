@@ -3819,6 +3819,20 @@ object Queries {
     Dedup.dupWeights(t(s, dir, "documents"), pairs05(s, dir))
       .orderBy("doc_id")
 
+  /** m201 — pseudo-relevance-feedback expanded retrieval
+    * ([[operators.Retrieval.prfExpandedTopK]] over the m49 queries):
+    * round-1 BM25 top-5 as feedback, the 3 most frequent non-query
+    * terms of each feedback set appended (exact integer selection,
+    * token-asc ties), round-2 BM25 top-10 with the expanded queries.
+    * The oracle replays BOTH rounds — the m49 scoring chain twice,
+    * with the round-2 term table DERIVED from round-1's ranking. */
+  def m201PrfExpanded(s: SparkSession, dir: String): DataFrame =
+    operators.Retrieval.prfExpandedTopK(t(s, dir, "documents"),
+        Seq(0 -> "fast hash join", 1 -> "window agg stream",
+          2 -> "slow table scan customer"),
+        k = 10, feedbackK = 5, expandTerms = 3)
+      .orderBy("query_id", "rank")
+
   /** m198 — mean-reciprocal-rank eval ([[operators.Similarity.mrrAtK]]
     * over the exact brute-force ranking, relevance = same embedding
     * label): per probe query the first same-label rank in its top-10

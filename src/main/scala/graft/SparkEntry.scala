@@ -294,6 +294,7 @@ object SparkEntry {
     "m198_mrr" -> Queries.m198Mrr,
     "m199_invisible_audit" -> Queries.m199InvisibleAudit,
     "m200_k_anonymity" -> Queries.m200KAnonymity,
+    "m201_prf_expanded" -> Queries.m201PrfExpanded,
     "q65_conversion_delays" -> Queries.q65ConversionDelays,
     "q60_user_growth" -> Queries.q60UserGrowth,
     "q63_cohort_retention" -> Queries.q63CohortRetention,

@@ -142,6 +142,79 @@ object Retrieval {
     }
   }
 
+  /**
+   * Pseudo-relevance-feedback expanded retrieval (Rocchio-style term
+   * expansion): run [[bm25TopK]], treat each query's top `feedbackK`
+   * docs as relevant, add the `expandTerms` most frequent terms of
+   * those docs (token OCCURRENCES summed across the query's feedback
+   * set, ties token-asc — an exact INTEGER selection, so expansion is
+   * engine-invariant even though round-2 scoring reweights by idf),
+   * and re-rank with the expanded queries. The recall-rescue stage
+   * classic lexical stacks run when queries underspecify the corpus
+   * vocabulary.
+   *
+   * Scale shape: two bm25TopK passes (each two narrow kernel passes,
+   * text never shuffles) plus one candidate count whose explode runs
+   * ONLY over the feedback docs (≤ queries·feedbackK — semi-joined by
+   * a broadcast id frame before any token moves). Driver state is the
+   * feedback id list and the expansion table, both bounded by the
+   * query contract.
+   */
+  def prfExpandedTopK(docs: DataFrame, queries: Seq[(Int, String)],
+      k: Int = 10, feedbackK: Int = 5, expandTerms: Int = 3,
+      k1: Double = 1.2, b: Double = 0.75, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(feedbackK >= 1 && feedbackK <= 64,
+      s"prfExpandedTopK: feedbackK=$feedbackK out of [1,64]")
+    require(expandTerms >= 1 && expandTerms <= 32,
+      s"prfExpandedTopK: expandTerms=$expandTerms out of [1,32]")
+    val s = docs.sparkSession
+    import s.implicits._
+    val fb = bm25TopK(docs, queries, k = feedbackK, k1 = k1, b = b,
+        idCol = idCol, textCol = textCol)
+      .select(col("query_id"), col("doc_id"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val fbDf = fb.toSeq.toDF("query_id", "doc_id")
+    val toksUdf = udf { (t: String) =>
+      val n = TextSig.normalize(if (t == null) "" else t)
+      if (n.isEmpty) Array.empty[String] else n.split(' ')
+    }
+    val origTerms: Map[Int, Set[String]] = queries.map { case (qid, q) =>
+      val n = TextSig.normalize(q)
+      qid -> (if (n.isEmpty) Set.empty[String] else n.split(' ').toSet)
+    }.toMap
+    val origDf = origTerms.toSeq
+      .flatMap { case (qid, ts) => ts.map(qid -> _) }
+      .toDF("query_id", "tok")
+    // token occurrences of ONLY the feedback docs, fanned to their
+    // queries by the broadcast feedback frame; original terms anti-
+    // joined out, the (cnt desc, tok asc) top-E ranked server-side so
+    // only queries×expandTerms rows ever reach the driver
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cnt").desc, col("tok").asc)
+    val expansion: Map[Int, Seq[String]] = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode_outer(toksUdf(col(textCol))).as("tok"))
+      .filter(col("tok").isNotNull)
+      .join(broadcast(fbDf), "doc_id")
+      .groupBy("query_id", "tok").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(origDf), Seq("query_id", "tok"), "left_anti")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= expandTerms)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(3)))
+      .groupBy(_._1)
+      .map { case (qid, rows) =>
+        qid -> rows.toSeq.sortBy(_._3).map(_._2)
+      }
+    val expanded = queries.map { case (qid, q) =>
+      qid -> (q + expansion.getOrElse(qid, Seq.empty)
+        .mkString(" ", " ", ""))
+    }
+    bm25TopK(docs, expanded, k = k, k1 = k1, b = b, idCol = idCol,
+      textCol = textCol)
+  }
+
   /** The BM25 per-(query, doc, term) contribution — ONE expression dag
     * shared by the in-flight and index-probe paths (and replayed
     * literally by the oracle): any drift between the two paths would

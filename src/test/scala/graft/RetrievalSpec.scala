@@ -272,6 +272,44 @@ class RetrievalSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("prfExpandedTopK: expansion pulls in a doc sharing no original " +
+      "term, original terms never expand, integer tie order, contracts") {
+    val s = spark
+    import s.implicits._
+    // q0 = "alpha": docs 1,2 match round 1; both are full of "omega",
+    // so "omega" is the top expansion term; doc 3 contains ONLY omega
+    // and is unreachable by round 1 but MUST rank in round 2.
+    val corpus = Seq(
+      (1L, "alpha omega omega omega"),
+      (2L, "alpha omega omega beta"),
+      (3L, "omega omega gamma"),
+      (4L, "delta delta delta"))
+      .toDF("doc_id", "text")
+    val got = Retrieval.prfExpandedTopK(corpus, Seq(0 -> "alpha"),
+        k = 4, feedbackK = 2, expandTerms = 1)
+      .orderBy("rank").collect()
+    val ids = got.map(_.getLong(1))
+    assert(ids.contains(3L), s"expansion must reach doc 3, got ${ids.toSeq}")
+    // round-1-only ranking cannot contain 3 (no 'alpha')
+    val r1 = Retrieval.bm25TopK(corpus, Seq(0 -> "alpha"), k = 4)
+      .collect().map(_.getLong(1))
+    assert(!r1.contains(3L))
+    // expansion never re-adds an original term: expanding "omega" on a
+    // corpus where omega is also the feedback top term must not double
+    // its contribution — equivalent check: expanded query of (alpha)
+    // equals bm25 over "alpha omega" exactly
+    val direct = Retrieval.bm25TopK(corpus, Seq(0 -> "alpha omega"), k = 4)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.get(2)))
+    val gotPairs = got.map(r => (r.getLong(1), r.get(2)))
+    assert(gotPairs.toSeq === direct.toSeq)
+    intercept[IllegalArgumentException] {
+      Retrieval.prfExpandedTopK(corpus, Seq(0 -> "alpha"), feedbackK = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.prfExpandedTopK(corpus, Seq(0 -> "alpha"), expandTerms = 33)
+    }
+  }
+
   test("rrfFuse matches the exact driver fusion and keeps list counts") {
     import spark.implicits._
     val l1 = Seq((0, 10L, 1), (0, 11L, 2), (0, 12L, 3)).toDF("query_id", "doc_id", "rank")
