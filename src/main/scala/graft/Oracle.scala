@@ -3078,6 +3078,72 @@ object Oracle {
                      SELECT * FROM single WHERE n_clusters > 0)
       ORDER BY cluster_size""",
 
+    // m202: Welch's t — exact HUGEINT (n, Σv, Σv²) per side, the same
+    // staged double dag (variance, per-side SE, pooled se2, t, dof);
+    // zero variance by the exact integer identity; means by //.
+    "m202_welch_t" -> """
+      WITH wb AS (SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+            END AS a, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+          FROM events WHERE event_type IN ('click', 'purchase')),
+      wm AS (SELECT a, COUNT(*) AS n, SUM(CAST(v AS HUGEINT)) AS s1,
+            SUM(CAST(v AS HUGEINT) * v) AS s2 FROM wb GROUP BY a),
+      wp AS (SELECT
+          (SELECT n FROM wm WHERE a = 1) AS na,
+          (SELECT s1 FROM wm WHERE a = 1) AS s1a,
+          (SELECT s2 FROM wm WHERE a = 1) AS s2a,
+          (SELECT n FROM wm WHERE a = 0) AS nb,
+          (SELECT s1 FROM wm WHERE a = 0) AS s1b,
+          (SELECT s2 FROM wm WHERE a = 0) AS s2b),
+      wv AS (SELECT *,
+          CASE WHEN s2a * na = s1a * s1a THEN 0.0
+            ELSE (CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) *
+              CAST(s1a AS DOUBLE) / CAST(na AS DOUBLE)) /
+              (CAST(na AS DOUBLE) - 1.0) END AS va,
+          CASE WHEN s2b * nb = s1b * s1b THEN 0.0
+            ELSE (CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) *
+              CAST(s1b AS DOUBLE) / CAST(nb AS DOUBLE)) /
+              (CAST(nb AS DOUBLE) - 1.0) END AS vb
+        FROM wp),
+      ws AS (SELECT *, va / CAST(na AS DOUBLE) AS sea,
+            vb / CAST(nb AS DOUBLE) AS seb FROM wv),
+      wz AS (SELECT *, sea + seb AS se2 FROM ws)
+      SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        CAST((s1a * 1000000) // na AS BIGINT) AS mean_a_micro,
+        CAST((s1b * 1000000) // nb AS BIGINT) AS mean_b_micro,
+        CASE WHEN va = 0.0 AND vb = 0.0 THEN NULL
+          ELSE round((CAST(s1a AS DOUBLE) / CAST(na AS DOUBLE) -
+            CAST(s1b AS DOUBLE) / CAST(nb AS DOUBLE)) / sqrt(se2), 6)
+          END AS t,
+        CASE WHEN va = 0.0 AND vb = 0.0 THEN NULL
+          ELSE round(se2 * se2 / (sea * sea / (CAST(na AS DOUBLE) - 1.0)
+            + seb * seb / (CAST(nb AS DOUBLE) - 1.0)), 6) END AS dof
+      FROM wz""",
+
+    // m203: two-proportion z — four exact integers, pooled rate as a
+    // staged double, the identical √ dag; micro rates by //.
+    "m203_two_proportion" -> """
+      WITH pb AS (SELECT CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS a,
+            CASE WHEN n_chars > 500 THEN 1 ELSE 0 END AS x
+          FROM documents),
+      pm AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(x) AS BIGINT) AS xs FROM pb GROUP BY a),
+      pp AS (SELECT
+          (SELECT n FROM pm WHERE a = 1) AS na,
+          (SELECT xs FROM pm WHERE a = 1) AS xa,
+          (SELECT n FROM pm WHERE a = 0) AS nb,
+          (SELECT xs FROM pm WHERE a = 0) AS xb),
+      pz AS (SELECT *, CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE)
+            AS pd FROM pp)
+      SELECT na AS n_a, xa AS x_a, nb AS n_b, xb AS x_b,
+        CAST((xa * 1000000) // na AS BIGINT) AS p_a_micro,
+        CAST((xb * 1000000) // nb AS BIGINT) AS p_b_micro,
+        CASE WHEN xa + xb = 0 OR xa + xb = na + nb THEN NULL
+          ELSE round((CAST(xa AS DOUBLE) / CAST(na AS DOUBLE) -
+            CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE)) /
+            sqrt(pd * (1.0 - pd) * (1.0 / CAST(na AS DOUBLE) +
+              1.0 / CAST(nb AS DOUBLE))), 6) END AS z
+      FROM pz""",
+
     // m198: MRR — the m04 brute-force ranking at k=10, first same-label
     // rank per query, 2520 // rank exact units, misses at 0.
     "m198_mrr" -> """

@@ -3819,6 +3819,29 @@ object Queries {
     Dedup.dupWeights(t(s, dir, "documents"), pairs05(s, dir))
       .orderBy("doc_id")
 
+  /** m202 — Welch's t-test ([[operators.Ranking.welchTTest]]): is the
+    * purchase value distribution's MEAN different from click's — the
+    * parametric companion of m155's KS (shape) and m167's Mann-Whitney
+    * (rank shift); t and Welch–Satterthwaite dof from one exact
+    * (n, Σv, Σv²) aggregation + a mirrored double dag (√ only), no
+    * p-value by design (incomplete beta is a cross-engine ulp trap). */
+  def m202WelchT(s: SparkSession, dir: String): DataFrame =
+    operators.Ranking.welchTTest(
+      t(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase")),
+      col("event_type") === "purchase",
+      floor(col("value") * 100 + 0.5).cast("long"))
+
+  /** m203 — two-proportion z-test
+    * ([[operators.Ranking.twoProportionZTest]]): do the doc_id-parity
+    * halves differ in long-doc (n_chars > 500) rate — the A/B
+    * conversion compare next to m202's mean shift; pooled-variance z
+    * from four exact integers + one mirrored √ dag. */
+  def m203TwoProportion(s: SparkSession, dir: String): DataFrame =
+    operators.Ranking.twoProportionZTest(t(s, dir, "documents"),
+      pmod(col("doc_id"), lit(2)) === 0,
+      (col("n_chars") > 500).cast("int"))
+
   /** m201 — pseudo-relevance-feedback expanded retrieval
     * ([[operators.Retrieval.prfExpandedTopK]] over the m49 queries):
     * round-1 BM25 top-5 as feedback, the 3 most frequent non-query

@@ -295,6 +295,8 @@ object SparkEntry {
     "m199_invisible_audit" -> Queries.m199InvisibleAudit,
     "m200_k_anonymity" -> Queries.m200KAnonymity,
     "m201_prf_expanded" -> Queries.m201PrfExpanded,
+    "m202_welch_t" -> Queries.m202WelchT,
+    "m203_two_proportion" -> Queries.m203TwoProportion,
     "q65_conversion_delays" -> Queries.q65ConversionDelays,
     "q60_user_growth" -> Queries.q60UserGrowth,
     "q63_cohort_retention" -> Queries.q63CohortRetention,

@@ -1926,6 +1926,126 @@ object Ranking {
     rows.reduce(_.unionByName(_))
   }
 
+  /** The engine's double rounding (Spark `round`): BigDecimal over
+    * toString, HALF_UP — the r11 parity kit. */
+  private def r6(d: Double): Double =
+    BigDecimal(d.toString).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+
+  /**
+   * Welch's unequal-variance t-test between two slices of an
+   * integer-valued column — the parametric mean-shift companion of
+   * [[ksTestReport]] (shape) and [[mannWhitneyReport]] (rank shift):
+   * t = (m̄_A − m̄_B)/√(s²_A/n_A + s²_B/n_B) with the Welch–
+   * Satterthwaite degrees of freedom. No p-value is reported — that
+   * would need the incomplete beta, a cross-engine ulp trap; t and dof
+   * against a caller-pinned critical value is the deployable decision
+   * rule (the m76 literal-threshold convention).
+   *
+   * ONE map-side-combined aggregation collects both sides' exact
+   * (n, Σv, Σv²) in DECIMAL(38,0); t/dof are one driver double dag off
+   * those six scalars, mirrored textually by the oracle, with √ the
+   * only transcendental. Zero variance is detected EXACTLY per side
+   * (n·Σv² = (Σv)², the m190 rule) and zeroes that side's s²; both
+   * sides degenerate → NULL t/dof. Exact-to-double conversions are
+   * lossless while the sums stay within 2⁵³ (|v| ≤ 10⁷ and n ≤ 10⁹
+   * document the same bound as [[momentsReport]]).
+   *
+   * @param inA membership predicate: true → sample A, false → sample B
+   * @return one row: (n_a, n_b, mean_a_micro, mean_b_micro, t, dof)
+   */
+  def welchTTest(df: DataFrame, inA: Column, valueCol: Column): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val d19 = DecimalType(19, 0)
+    val d38 = DecimalType(38, 0)
+    val v = col("__v").cast(d19)
+    val row = df
+      .select(inA.cast("int").as("__a"), valueCol.cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("__a"))
+      .agg(count(lit(1)).as("n"), sum(col("__v").cast(d38)).as("s1"),
+        sum((v * v).cast(d38)).as("s2"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), BigInt(r.getDecimal(2).toBigInteger),
+          BigInt(r.getDecimal(3).toBigInteger))).toMap
+    require(row.contains(1) && row.contains(0) &&
+      row(1)._1 >= 2 && row(0)._1 >= 2,
+      "welchTTest: both samples need n >= 2")
+    val (na, s1a, s2a) = row(1)
+    val (nb, s1b, s2b) = row(0)
+    def meanMicro(s1: BigInt, n: Long): Long =
+      ((s1 * 1000000) / n).toLong // BigInt / truncates toward zero
+    // exact zero-variance test per side, never float ≈ 0 (m190 rule)
+    def varOf(n: Long, s1: BigInt, s2: BigInt): Double =
+      if (s2 * n == s1 * s1) 0.0
+      else (s2.toDouble - s1.toDouble * s1.toDouble / n.toDouble) /
+        (n.toDouble - 1.0)
+    val (va, vb) = (varOf(na, s1a, s2a), varOf(nb, s1b, s2b))
+    val (tOpt, dofOpt) =
+      if (va == 0.0 && vb == 0.0) (None, None)
+      else {
+        val sea = va / na.toDouble
+        val seb = vb / nb.toDouble
+        val se2 = sea + seb
+        val t = (s1a.toDouble / na.toDouble - s1b.toDouble / nb.toDouble) /
+          math.sqrt(se2)
+        val dof = se2 * se2 /
+          (sea * sea / (na.toDouble - 1.0) + seb * seb / (nb.toDouble - 1.0))
+        (Some(r6(t)), Some(r6(dof)))
+      }
+    Seq((na, nb, meanMicro(s1a, na), meanMicro(s1b, nb),
+        tOpt.map(java.lang.Double.valueOf).orNull,
+        dofOpt.map(java.lang.Double.valueOf).orNull))
+      .toDF("n_a", "n_b", "mean_a_micro", "mean_b_micro", "t", "dof")
+  }
+
+  /**
+   * Two-proportion z-test (pooled) between two slices — the A/B
+   * conversion-rate compare next to [[welchTTest]]'s mean shift:
+   * z = (p̂_A − p̂_B)/√(p̂(1−p̂)(1/n_A + 1/n_B)) with p̂ the pooled
+   * rate. Same report contract as [[welchTTest]]: exact integer
+   * counts from one aggregation, one mirrored driver double dag (√
+   * only), micro rates by truncating division, NULL z when the pooled
+   * rate is degenerate (0 or 1 — no variance to test against), no
+   * p-value by design.
+   *
+   * @param inA membership predicate; successCol a 0/1-valued column
+   * @return one row: (n_a, x_a, n_b, x_b, p_a_micro, p_b_micro, z)
+   */
+  def twoProportionZTest(df: DataFrame, inA: Column,
+      successCol: Column): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val row = df
+      .select(inA.cast("int").as("__a"),
+        successCol.cast("long").as("__x"))
+      .filter(col("__x").isNotNull)
+      .groupBy(col("__a"))
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("x"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    require(row.contains(1) && row.contains(0) &&
+      row(1)._1 >= 1 && row(0)._1 >= 1,
+      "twoProportionZTest: both samples must be non-empty")
+    val (na, xa) = row(1)
+    val (nb, xb) = row(0)
+    require(xa >= 0 && xa <= na && xb >= 0 && xb <= nb,
+      "twoProportionZTest: successCol must be 0/1-valued")
+    val zOpt =
+      if (xa + xb == 0L || xa + xb == na + nb) None
+      else {
+        val pd = (xa + xb).toDouble / (na + nb).toDouble
+        val z = (xa.toDouble / na.toDouble - xb.toDouble / nb.toDouble) /
+          math.sqrt(pd * (1.0 - pd) *
+            (1.0 / na.toDouble + 1.0 / nb.toDouble))
+        Some(r6(z))
+      }
+    Seq((na, xa, nb, xb, xa * 1000000L / na, xb * 1000000L / nb,
+        zOpt.map(java.lang.Double.valueOf).orNull))
+      .toDF("n_a", "x_a", "n_b", "x_b", "p_a_micro", "p_b_micro", "z")
+  }
+
   /**
    * Higher-moment shape report per group: skewness g₁ = m₃/m₂^{3/2} and
    * EXCESS kurtosis g₂ = m₄/m₂² − 3 of an integer-valued column — the

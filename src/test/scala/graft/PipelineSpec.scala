@@ -1576,6 +1576,65 @@ class PipelineSpec extends AnyFunSuite {
       ("localhost", "", 1L, 1L)))
   }
 
+  test("welchTTest: hand-computed t/dof, exact constant-side variance, " +
+      "both-degenerate NULL, truncating means, n contract") {
+    import spark.implicits._
+    def r6(d: Double): Double =
+      BigDecimal(d.toString).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    // A = (1,2,3): var 1; B = (5,5,5): var 0 EXACTLY (integer identity)
+    val rows = Seq((true, 1L), (true, 2L), (true, 3L),
+        (false, 5L), (false, 5L), (false, 5L))
+      .toDF("a", "v")
+    val got = graft.operators.Ranking.welchTTest(rows, col("a"), col("v"))
+      .collect()(0)
+    assert(got.getLong(0) === 3L && got.getLong(1) === 3L)
+    assert(got.getLong(2) === 2000000L && got.getLong(3) === 5000000L)
+    val sea = (1.0 / 3.0); val se2 = sea + 0.0
+    assert(got.getDouble(4) === r6((2.0 - 5.0) / math.sqrt(se2)))
+    assert(got.getDouble(5) === r6(se2 * se2 / (sea * sea / 2.0)))
+    // both sides constant: no variance to test against
+    val flat = Seq((true, 7L), (true, 7L), (false, 7L), (false, 7L))
+      .toDF("a", "v")
+    val g2 = graft.operators.Ranking.welchTTest(flat, col("a"), col("v"))
+      .collect()(0)
+    assert(g2.isNullAt(4) && g2.isNullAt(5))
+    intercept[IllegalArgumentException] {
+      graft.operators.Ranking.welchTTest(
+        Seq((true, 1L), (false, 2L), (false, 3L)).toDF("a", "v"),
+        col("a"), col("v")).collect()
+    }
+  }
+
+  test("twoProportionZTest: hand-computed z, micro rates truncate, " +
+      "degenerate pooled rate NULL, 0/1 contract") {
+    import spark.implicits._
+    def r6(d: Double): Double =
+      BigDecimal(d.toString).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    // A: 2/4, B: 1/5 -> pooled 3/9
+    val rows = Seq((true, 1L), (true, 1L), (true, 0L), (true, 0L),
+        (false, 1L), (false, 0L), (false, 0L), (false, 0L), (false, 0L))
+      .toDF("a", "x")
+    val got = graft.operators.Ranking.twoProportionZTest(rows, col("a"),
+        col("x")).collect()(0)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getLong(3)) === ((4L, 2L, 5L, 1L)))
+    assert(got.getLong(4) === 500000L && got.getLong(5) === 200000L)
+    val pd = 3.0 / 9.0
+    assert(got.getDouble(6) === r6((2.0 / 4.0 - 1.0 / 5.0) /
+      math.sqrt(pd * (1.0 - pd) * (1.0 / 4.0 + 1.0 / 5.0))))
+    // every row a success: pooled rate 1, no variance
+    val ones = Seq((true, 1L), (false, 1L)).toDF("a", "x")
+    assert(graft.operators.Ranking.twoProportionZTest(ones, col("a"),
+      col("x")).collect()(0).isNullAt(6))
+    intercept[IllegalArgumentException] {
+      graft.operators.Ranking.twoProportionZTest(
+        Seq((true, 2L), (false, 0L)).toDF("a", "x"),
+        col("a"), col("x")).collect()
+    }
+  }
+
   test("momentsReport: hand-computed skew/kurt, exact constant-group " +
       "NULL, truncating mean, invariance, value contract") {
     import spark.implicits._
