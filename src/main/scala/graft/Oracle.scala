@@ -3078,6 +3078,28 @@ object Oracle {
                      SELECT * FROM single WHERE n_clusters > 0)
       ORDER BY cluster_size""",
 
+    // q66: interval coalescing — running-max end over (st, en) per
+    // user, island ids by running sum of new-island flags, exact
+    // covered seconds per island.
+    "q66_interval_coalesce" -> """
+      WITH ci AS (SELECT user_id,
+            CAST(floor(epoch(ts)) AS BIGINT) AS st,
+            CAST(floor(epoch(ts)) AS BIGINT) +
+              CAST(floor(value * 60) AS BIGINT) AS en
+          FROM events),
+      cm AS (SELECT *, MAX(en) OVER (PARTITION BY user_id
+            ORDER BY st, en ROWS BETWEEN UNBOUNDED PRECEDING
+            AND 1 PRECEDING) AS pmax FROM ci),
+      cf AS (SELECT *, CASE WHEN pmax IS NULL OR st > pmax THEN 1
+            ELSE 0 END AS ni FROM cm),
+      cl AS (SELECT *, SUM(ni) OVER (PARTITION BY user_id
+            ORDER BY st, en ROWS UNBOUNDED PRECEDING) AS island FROM cf),
+      cg AS (SELECT user_id, island, MIN(st) AS ist, MAX(en) AS ien
+          FROM cl GROUP BY user_id, island)
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+        CAST(SUM(ien - ist) AS BIGINT) AS covered_seconds
+      FROM cg GROUP BY user_id ORDER BY user_id""",
+
     // m202: Welch's t — exact HUGEINT (n, Σv, Σv²) per side, the same
     // staged double dag (variance, per-side SE, pooled se2, t, dof);
     // zero variance by the exact integer identity; means by //.

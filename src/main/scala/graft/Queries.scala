@@ -3819,6 +3819,37 @@ object Queries {
     Dedup.dupWeights(t(s, dir, "documents"), pairs05(s, dir))
       .orderBy("doc_id")
 
+  /** q66 — interval coalescing (union of overlapping spans): each
+    * event opens a [ts, ts + value minutes] span; per user the
+    * overlapping spans merge into islands (running-MAX end over the
+    * (start, end) order — the variable-length-interval shape q14's
+    * fixed-gap sessionization cannot express) and the report is
+    * islands + exact deduplicated covered seconds. User-partitioned
+    * windows only; duplicate sort keys are interchangeable, so the
+    * island MULTISET is deterministic. */
+  def q66IntervalCoalesce(s: SparkSession, dir: String): DataFrame = {
+    val iv = t(s, dir, "events").select(col("user_id"),
+      unix_timestamp(col("ts")).as("st"),
+      (unix_timestamp(col("ts")) +
+        floor(col("value") * 60).cast("long")).as("en"))
+    val w = Window.partitionBy("user_id").orderBy(col("st"), col("en"))
+    val marked = iv
+      .withColumn("pmax",
+        max(col("en")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni",
+        when(col("pmax").isNull || col("st") > col("pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("ni"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    marked
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("st")).as("ist"), max(col("en")).as("ien"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("ien") - col("ist")).as("covered_seconds"))
+      .orderBy("user_id")
+  }
+
   /** m202 — Welch's t-test ([[operators.Ranking.welchTTest]]): is the
     * purchase value distribution's MEAN different from click's — the
     * parametric companion of m155's KS (shape) and m167's Mann-Whitney

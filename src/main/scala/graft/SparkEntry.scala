@@ -298,6 +298,7 @@ object SparkEntry {
     "m202_welch_t" -> Queries.m202WelchT,
     "m203_two_proportion" -> Queries.m203TwoProportion,
     "q65_conversion_delays" -> Queries.q65ConversionDelays,
+    "q66_interval_coalesce" -> Queries.q66IntervalCoalesce,
     "q60_user_growth" -> Queries.q60UserGrowth,
     "q63_cohort_retention" -> Queries.q63CohortRetention,
     "q64_transitions" -> Queries.q64Transitions,
