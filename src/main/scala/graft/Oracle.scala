@@ -3207,6 +3207,42 @@ object Oracle {
 
     // m200: k-anonymity — quasi-tuple equivalence classes, below-k
     // sums, truncating micro share.
+    // m204: contiguous event-type trigrams — two leads over the
+    // tie-free (ts, event_id) order, per-user distinct support vs raw
+    // occurrences; pattern is unique so the ORDER BY is total.
+    "m204_seq_patterns" -> """
+      WITH sp AS (SELECT user_id, event_type AS t1,
+            lead(event_type, 1) OVER w AS t2,
+            lead(event_type, 2) OVER w AS t3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      su AS (SELECT user_id, t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS c
+          FROM sp WHERE t3 IS NOT NULL GROUP BY 1, 2, 3, 4)
+      SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n_keys,
+        CAST(SUM(c) AS BIGINT) AS n_occurrences
+      FROM su GROUP BY 1, 2, 3
+      ORDER BY n_keys DESC, t1, t2, t3""",
+
+    // m205: l-diversity — per (lang, band) class the distinct-source
+    // count, rolled up with the m200 micro convention.
+    "m205_l_diversity" -> """
+      WITH lc AS (SELECT lang, n_chars // 100 AS band, source,
+            CAST(COUNT(*) AS BIGINT) AS n
+          FROM documents GROUP BY 1, 2, 3),
+      cl AS (SELECT lang, band, CAST(COUNT(*) AS BIGINT) AS d,
+            CAST(SUM(n) AS BIGINT) AS rows_
+          FROM lc GROUP BY 1, 2)
+      SELECT CAST(SUM(rows_) AS BIGINT) AS n_rows,
+        CAST(COUNT(*) AS BIGINT) AS n_classes,
+        CAST(SUM(CASE WHEN d < 2 THEN 1 ELSE 0 END) AS BIGINT)
+          AS classes_below_l,
+        CAST(SUM(CASE WHEN d < 2 THEN rows_ ELSE 0 END) AS BIGINT)
+          AS rows_below_l,
+        CAST(MIN(d) AS BIGINT) AS min_diversity,
+        CAST((SUM(CASE WHEN d < 2 THEN rows_ ELSE 0 END) * 1000000)
+          // SUM(rows_) AS BIGINT) AS rows_below_l_micro
+      FROM cl""",
+
     "m200_k_anonymity" -> """
       WITH kc AS (SELECT source, lang, n_chars // 100 AS band,
             CAST(COUNT(*) AS BIGINT) AS n

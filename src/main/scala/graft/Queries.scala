@@ -3931,6 +3931,28 @@ object Queries {
     operators.TrainingPipeline.kAnonymityReport(t(s, dir, "documents"),
       Seq(col("source"), col("lang"), expr("n_chars div 100")), k = 3)
 
+  /** m204 — sequential-pattern mining
+    * ([[operators.Temporal.sequentialPatterns]] at n = 3): every
+    * contiguous event-type trigram with its distinct-user support and
+    * raw occurrence count — the ordered-episode table q48/q64's
+    * one-step transitions cannot express. One user-partitioned lead
+    * window + a per-(user, pattern) pre-agg before the bounded global
+    * rollup. Order (ts, event_id) is tie-free. */
+  def m204SeqPatterns(s: SparkSession, dir: String): DataFrame =
+    operators.Temporal.sequentialPatterns(t(s, dir, "events"),
+      col("user_id"), Seq(col("ts"), col("event_id")),
+      col("event_type"), n = 3)
+
+  /** m205 — l-diversity audit
+    * ([[operators.TrainingPipeline.lDiversityReport]] at l = 2 over
+    * the m200 quasi tuple, sensitive = source): the homogeneity-attack
+    * check k-anonymity misses — a k-safe class whose rows all share
+    * one sensitive value still exposes it. Same two bounded
+    * aggregations as m200 plus the per-class distinct count. */
+  def m205LDiversity(s: SparkSession, dir: String): DataFrame =
+    operators.TrainingPipeline.lDiversityReport(t(s, dir, "documents"),
+      Seq(col("lang"), expr("n_chars div 100")), col("source"), l = 2)
+
   /** m196 — PII incidence report
     * ([[operators.TextAnalysis.piiIncidence]]): per source the
     * per-class match counts and dirty-doc count over the raw text —

@@ -297,6 +297,8 @@ object SparkEntry {
     "m201_prf_expanded" -> Queries.m201PrfExpanded,
     "m202_welch_t" -> Queries.m202WelchT,
     "m203_two_proportion" -> Queries.m203TwoProportion,
+    "m204_seq_patterns" -> Queries.m204SeqPatterns,
+    "m205_l_diversity" -> Queries.m205LDiversity,
     "q65_conversion_delays" -> Queries.q65ConversionDelays,
     "q66_interval_coalesce" -> Queries.q66IntervalCoalesce,
     "q60_user_growth" -> Queries.q60UserGrowth,

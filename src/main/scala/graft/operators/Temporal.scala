@@ -207,4 +207,51 @@ object Temporal {
         round(col("w_num").cast("double") / col("dur_s").cast("double"), 6)
           .as("twap"))
   }
+
+  /**
+   * Sequential-pattern mining (contiguous n-gram episodes): the
+   * "what do users DO, in order" readout that single-step transition
+   * matrices (q48/q64) cannot express — support counted in distinct
+   * KEYS (a user looping click→click→click a thousand times is one
+   * vote), occurrences kept alongside so burst-heavy patterns are
+   * still visible.
+   *
+   * Shape: one key-partitioned window (n−1 `lead`s share a single
+   * sort), a per-(key, pattern) pre-aggregation — the map-side-
+   * combinable move that makes the support count a bounded second
+   * shuffle (≤ distinct patterns × keys rows, with the alphabet^n
+   * pattern space tiny in practice) — then the global pattern rollup.
+   * No self-joins: an n-way sequence join would shuffle the event
+   * table n times; the lead chain shuffles it once.
+   *
+   * Determinism: the caller's order columns must be unique per key
+   * (e.g. (ts, event_id)); patterns are then a pure function of the
+   * data, and output order (support DESC, pattern ASC) is total.
+   *
+   * @param df       events
+   * @param keyCol   sequence key (e.g. user_id)
+   * @param orderCols within-key order, must be tie-free per key
+   * @param typeCol  the symbol column (e.g. event_type)
+   * @param n        episode length ∈ [2, 5]
+   * @return (t1..tn, n_keys, n_occurrences) — support DESC, pattern ASC
+   */
+  def sequentialPatterns(df: DataFrame, keyCol: Column,
+      orderCols: Seq[Column], typeCol: Column, n: Int = 3): DataFrame = {
+    require(n >= 2 && n <= 5, s"sequentialPatterns: n=$n out of [2,5]")
+    require(orderCols.nonEmpty, "sequentialPatterns: no order columns")
+    val base = df.select(keyCol.as("__k") +: typeCol.as("t1") +:
+      orderCols.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }: _*)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(orderCols.indices.map(i => col(s"__o$i")): _*)
+    val grams = base.select(
+      col("__k") +: col("t1") +:
+        (2 to n).map(i => lead(col("t1"), i - 1).over(w).as(s"t$i")): _*)
+      .filter(col(s"t$n").isNotNull)
+    val pat = (1 to n).map(i => col(s"t$i"))
+    grams.groupBy(col("__k") +: pat: _*)
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(pat: _*)
+      .agg(count(lit(1)).as("n_keys"), sum(col("__c")).as("n_occurrences"))
+      .orderBy(col("n_keys").desc +: pat.map(_.asc): _*)
+  }
 }

@@ -1922,4 +1922,44 @@ object TrainingPipeline {
         expr("rows_below_k * 1000000 div n_rows")
           .as("rows_below_k_micro"))
   }
+
+  /** l-diversity audit — k-anonymity's blind spot: an equivalence class
+    * can hold thousands of rows (k-safe) yet expose everyone in it if
+    * they all share one SENSITIVE value (the homogeneity attack). Per
+    * quasi-identifier class, the count of distinct sensitive values;
+    * report = class/row totals below l plus the minimum diversity seen.
+    *
+    * Shape: two map-side-combined aggregations — (quasi, sensitive)
+    * first (the only corpus-sized move), then per-class distinct counts
+    * as a plain count over that bounded frame — and a scalar rollup.
+    * No countDistinct expansion over the raw table. NULL sensitive
+    * values count as a value (the m146/m200 NULL-is-a-class rule).
+    *
+    * @return one row: (n_rows, n_classes, classes_below_l, rows_below_l,
+    *         min_diversity, rows_below_l_micro)
+    */
+  def lDiversityReport(df: DataFrame, quasiCols: Seq[Column],
+      sensitiveCol: Column, l: Int): DataFrame = {
+    require(l >= 2 && l <= 1000000,
+      s"lDiversityReport: l=$l out of [2,1000000]")
+    require(quasiCols.nonEmpty, "lDiversityReport: no quasi columns")
+    val qs = quasiCols.indices.map(i => col(s"__q$i"))
+    val cells = df
+      .select(quasiCols.zipWithIndex.map { case (c, i) =>
+        c.as(s"__q$i") } :+ sensitiveCol.as("__s"): _*)
+      .groupBy(qs :+ col("__s"): _*)
+      .agg(count(lit(1)).as("n"))
+    val classes = cells.groupBy(qs: _*)
+      .agg(count(lit(1)).as("d"), sum(col("n")).as("rows"))
+    classes.agg(
+      sum(col("rows")).as("n_rows"),
+      count(lit(1)).as("n_classes"),
+      sum(when(col("d") < l, 1L).otherwise(0L)).as("classes_below_l"),
+      sum(when(col("d") < l, col("rows")).otherwise(0L)).as("rows_below_l"),
+      min(col("d")).as("min_diversity"))
+      .select(col("n_rows"), col("n_classes"), col("classes_below_l"),
+        col("rows_below_l"), col("min_diversity"),
+        expr("rows_below_l * 1000000 div n_rows")
+          .as("rows_below_l_micro"))
+  }
 }

@@ -1576,6 +1576,56 @@ class PipelineSpec extends AnyFunSuite {
       ("localhost", "", 1L, 1L)))
   }
 
+  test("sequentialPatterns: distinct-key support vs occurrences, lead " +
+      "order respected, short keys dropped, n contract") {
+    import spark.implicits._
+    // user 1: a b a b a -> trigrams aba, bab, aba (aba twice = 1 key,
+    // 2 occurrences); user 2: a b a -> aba; user 3: a b (too short)
+    val ev = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "b"),
+      (1L, 5L, "a"), (2L, 1L, "a"), (2L, 2L, "b"), (2L, 3L, "a"),
+      (3L, 1L, "a"), (3L, 2L, "b"))
+      .toDF("u", "seq", "t")
+    val got = graft.operators.Temporal.sequentialPatterns(
+        ev, col("u"), Seq(col("seq")), col("t"), n = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got === Array(("a", "b", "a", 2L, 3L), ("b", "a", "b", 1L, 1L)))
+    // order columns drive the episode, not insertion order
+    val rev = Seq((1L, 3L, "c"), (1L, 1L, "a"), (1L, 2L, "b"))
+      .toDF("u", "seq", "t")
+    val g2 = graft.operators.Temporal.sequentialPatterns(
+        rev, col("u"), Seq(col("seq")), col("t"), n = 3).collect()(0)
+    assert((g2.getString(0), g2.getString(1), g2.getString(2)) ===
+      (("a", "b", "c")))
+    intercept[IllegalArgumentException] {
+      graft.operators.Temporal.sequentialPatterns(
+        ev, col("u"), Seq(col("seq")), col("t"), n = 1)
+    }
+  }
+
+  test("lDiversityReport: homogeneous class flagged, NULL sensitive " +
+      "is a value, min diversity, micro truncates, l contract") {
+    import spark.implicits._
+    // class A: sources x,x,y (d=2); class B: z,z (d=1, 2 rows below);
+    // class C: NULL,w (d=2 — NULL counts)
+    val rows = Seq(
+      ("A", Some("x")), ("A", Some("x")), ("A", Some("y")),
+      ("B", Some("z")), ("B", Some("z")),
+      ("C", None), ("C", Some("w")))
+      .toDF("q", "s")
+    val got = graft.operators.TrainingPipeline.lDiversityReport(
+        rows, Seq(col("q")), col("s"), l = 2).collect()(0)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getLong(3), got.getLong(4)) === ((7L, 3L, 1L, 2L, 1L)))
+    assert(got.getLong(5) === 2L * 1000000L / 7L)
+    intercept[IllegalArgumentException] {
+      graft.operators.TrainingPipeline.lDiversityReport(
+        rows, Seq(col("q")), col("s"), l = 1)
+    }
+  }
+
   test("welchTTest: hand-computed t/dof, exact constant-side variance, " +
       "both-degenerate NULL, truncating means, n contract") {
     import spark.implicits._
