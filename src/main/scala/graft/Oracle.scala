@@ -3207,6 +3207,57 @@ object Oracle {
 
     // m200: k-anonymity — quasi-tuple equivalence classes, below-k
     // sums, truncating micro share.
+    // m206: the m09 IVF assignment chain with the probe rank made
+    // sweep-dependent (rn ≤ np per sweep value) + the m04 brute-force
+    // truth; hits counted from the truth side so empty-candidate
+    // queries still weigh in the denominator.
+    "m206_ivf_recall_sweep" -> """
+      WITH sw AS (SELECT unnest([1, 2, 4, 8]) AS np),
+      centers AS (SELECT cell, center
+                  FROM read_parquet('{AUX}/ivf_centers/*.parquet')),
+      emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+      dist AS (SELECT e.vec_id, c.cell, e.v,
+          list_sum(list_transform(range(len(c.center)), i ->
+            (e.v[CAST(i AS INT)+1] - c.center[CAST(i AS INT)+1])
+            * (e.v[CAST(i AS INT)+1] - c.center[CAST(i AS INT)+1]))) AS d
+        FROM emb e, centers c),
+      ranked AS (SELECT vec_id, cell, v,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC)
+            AS rn
+        FROM dist),
+      c AS (SELECT vec_id AS corpus_id, cell, v AS cv FROM ranked
+            WHERE rn = 1),
+      p AS (SELECT vec_id AS query_id, cell, v AS qv, rn FROM ranked
+            WHERE vec_id < 16 AND rn <= 8),
+      cand AS (SELECT s.np, query_id, corpus_id,
+              round(list_cosine_similarity(cv, qv), 6) AS score
+            FROM c JOIN p USING (cell), sw s
+            WHERE corpus_id <> query_id AND p.rn <= s.np),
+      r AS (SELECT *, row_number() OVER (PARTITION BY np, query_id
+              ORDER BY score DESC, corpus_id ASC) AS rank FROM cand),
+      topk AS (SELECT np, query_id, corpus_id FROM r WHERE rank <= 5),
+      tq AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+             FROM embeddings WHERE vec_id < 16),
+      ts AS (SELECT query_id, e.vec_id AS corpus_id,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                 qv), 6) AS score
+             FROM embeddings e, tq WHERE e.vec_id <> query_id),
+      tr AS (SELECT query_id, corpus_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, corpus_id ASC) AS rank FROM ts),
+      tt AS (SELECT query_id, corpus_id FROM tr WHERE rank <= 5),
+      h AS (SELECT s.np, t.query_id, k.corpus_id AS hit
+            FROM tt t CROSS JOIN sw s LEFT JOIN topk k
+              ON k.np = s.np AND k.query_id = t.query_id
+             AND k.corpus_id = t.corpus_id)
+      SELECT CAST(np AS INT) AS nprobe,
+        CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+        CAST(COUNT(hit) AS BIGINT) AS sum_hits,
+        CAST((COUNT(hit) * 1000000)
+          // (COUNT(DISTINCT query_id) * 5) AS BIGINT) AS recall_micro
+      FROM h GROUP BY np ORDER BY nprobe""",
+
     // m204: contiguous event-type trigrams — two leads over the
     // tie-free (ts, event_id) order, per-user distinct support vs raw
     // occurrences; pattern is unique so the ORDER BY is total.

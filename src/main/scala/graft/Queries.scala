@@ -3953,6 +3953,20 @@ object Queries {
     operators.TrainingPipeline.lDiversityReport(t(s, dir, "documents"),
       Seq(col("lang"), expr("n_chars div 100")), col("source"), l = 2)
 
+  /** m206 — IVF recall-vs-nprobe sweep
+    * ([[operators.Similarity.ivfRecallSweep]] over m09's geometry):
+    * recall@5 at nprobe ∈ {1,2,4,8} from ONE scoring pass (candidates
+    * scored once at nprobe=8 with probe position kept; each sweep
+    * point is a filter + re-rank), truth = the exact brute-force
+    * top-5. The tuning curve that decides production nprobe. The
+    * oracle replays the m09 assignment chain with the probe rank made
+    * sweep-dependent and the m04 truth chain. */
+  def m206IvfRecallSweep(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfRecallSweep(emb, emb.filter(col("vec_id") < 16),
+      k = 5, nlist = 16, nprobes = Seq(1, 2, 4, 8))
+  }
+
   /** m196 — PII incidence report
     * ([[operators.TextAnalysis.piiIncidence]]): per source the
     * per-class match counts and dirty-doc count over the raw text —

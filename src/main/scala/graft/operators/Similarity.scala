@@ -1954,6 +1954,64 @@ object Similarity {
   }
 
   /**
+   * IVF tuning curve: recall@k vs nprobe in ONE pass — the capacity-
+   * planning readout that decides what nprobe to run in production
+   * (each +1 probes another nlist-th of the corpus; recall saturates
+   * long before nprobe = nlist). Sweeping by re-running [[ivfTopK]]
+   * per point would score the same candidates |nprobes| times; here
+   * every (query, corpus) candidate is scored ONCE at max(nprobes)
+   * with its probe POSITION kept, and each sweep point is a filter +
+   * re-rank over that bounded frame (a literal-array explode — no
+   * join machinery). Truth = [[bruteForceTopK]], computed once.
+   *
+   * Determinism: probe order is the seeded center ranking (ties to the
+   * lower cell), scores rounded 6, ranks tie-broken on corpus id;
+   * recall in truncating micro.
+   *
+   * @return one row per sweep point: (nprobe, n_queries, sum_hits,
+   *         recall_micro), nprobe ASC
+   */
+  def ivfRecallSweep(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      nlist: Int = 16, nprobes: Seq[Int] = Seq(1, 2, 4, 8),
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nprobes.nonEmpty && nprobes.forall(p => p >= 1 && p <= nlist),
+      s"ivfRecallSweep: nprobes=$nprobes out of [1,$nlist]")
+    val maxP = nprobes.max
+    val centers = ivfCenters(corpus, nlist, vecCol, idCol)
+    val c = ivfCellAssignments(corpus, centers, idCol, vecCol)
+    val bc = queries.sparkSession.sparkContext.broadcast(centers)
+    val nearestCells = udf((v: Array[Float], n: Int) =>
+      VecMath.nearestCenters(v, bc.value, n))
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .select(col("query_id"), col("qv"),
+        posexplode(nearestCells(col("qv"), lit(maxP))).as(Seq("pos", "cell")))
+    val sweep = explode(array(nprobes.map(p => lit(p)): _*)).as("nprobe")
+    val cand = c.join(broadcast(probes), "cell")
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"), col("pos"),
+        round(cosine(col("cv"), col("qv")), 6).as("score"))
+    val perP = cand.select(col("query_id"), col("corpus_id"), col("score"),
+        col("pos"), sweep)
+      .filter(col("pos") < col("nprobe"))
+    val w = Window.partitionBy("nprobe", "query_id")
+      .orderBy(col("score").desc, col("corpus_id").asc)
+    val topk = perP.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("nprobe"), col("query_id"), col("corpus_id"),
+        lit(1L).as("hit"))
+    val truthP = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+      .select(col("query_id"), col("corpus_id"), sweep)
+    truthP
+      .join(topk, Seq("nprobe", "query_id", "corpus_id"), "left")
+      .groupBy(col("nprobe"))
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        sum(coalesce(col("hit"), lit(0L))).as("sum_hits"))
+      .select(col("nprobe"), col("n_queries"), col("sum_hits"),
+        expr(s"sum_hits * 1000000 div (n_queries * $k)").as("recall_micro"))
+      .orderBy("nprobe")
+  }
+
+  /**
    * LSH-bucketed ANN: corpus is bucketed by hyperplane-LSH signature; each
    * query probes only its own bucket (plus Hamming-1 neighbors when
    * `multiProbe`). Zero training cost (vs `ivfTopK`), coarser recall.

@@ -1576,6 +1576,29 @@ class PipelineSpec extends AnyFunSuite {
       ("localhost", "", 1L, 1L)))
   }
 
+  test("ivfRecallSweep: full-probe recall exact, hits monotone in " +
+      "nprobe, all queries in the denominator, nprobe contract") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L)
+      .map(i => (i, Array.fill(4)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.ivfRecallSweep(
+        vecs, vecs.filter(col("vec_id") < 6), k = 3, nlist = 4,
+        nprobes = Seq(1, 2, 4))
+      .collect()
+    assert(got.map(_.getInt(0)).toSeq === Seq(1, 2, 4))
+    assert(got.forall(_.getLong(1) == 6L))
+    val hits = got.map(_.getLong(2)).toSeq
+    assert(hits.sliding(2).forall(p => p(0) <= p(1)))
+    // probing every cell IS brute force: recall must be exactly 1
+    assert(hits.last === 18L && got.last.getLong(3) === 1000000L)
+    intercept[IllegalArgumentException] {
+      graft.operators.Similarity.ivfRecallSweep(
+        vecs, vecs.limit(1), k = 3, nlist = 4, nprobes = Seq(0, 2))
+    }
+  }
+
   test("sequentialPatterns: distinct-key support vs occurrences, lead " +
       "order respected, short keys dropped, n contract") {
     import spark.implicits._
