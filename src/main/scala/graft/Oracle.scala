@@ -3207,6 +3207,46 @@ object Oracle {
 
     // m200: k-anonymity — quasi-tuple equivalence classes, below-k
     // sums, truncating micro share.
+    // m207: DBSCAN — exact rounded-d² pair table, degrees (self
+    // excluded), recursive closure over the core-core graph (the m11
+    // reachability), min-adjacent-core border rule, NULL noise.
+    "m207_dbscan" -> """
+      WITH RECURSIVE s AS (SELECT vec_id AS id,
+            CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id % 4 = 0),
+      pr AS MATERIALIZED (SELECT a.id AS pa, b.id AS pb
+          FROM s a, s b WHERE a.id < b.id
+            AND round(list_sum(list_transform(range(len(a.v)), i ->
+              (a.v[CAST(i AS INT)+1] - b.v[CAST(i AS INT)+1])
+              * (a.v[CAST(i AS INT)+1] - b.v[CAST(i AS INT)+1]))), 6)
+              <= 1.5),
+      e AS (SELECT pa AS u, pb AS v FROM pr
+            UNION ALL SELECT pb, pa FROM pr),
+      core AS MATERIALIZED (SELECT u AS id FROM e GROUP BY u
+          HAVING COUNT(*) >= 3),
+      ce AS MATERIALIZED (SELECT u, v FROM e
+          WHERE u IN (SELECT id FROM core) AND v IN (SELECT id FROM core)),
+      reach(node, r) AS (
+        SELECT u, u FROM ce
+        UNION
+        SELECT ce.u, reach.r FROM ce JOIN reach ON ce.v = reach.node),
+      comp AS (SELECT node AS id, MIN(r) AS component
+          FROM reach GROUP BY node),
+      ccomp AS MATERIALIZED (SELECT c.id,
+            coalesce(k.component, c.id) AS component
+          FROM core c LEFT JOIN comp k ON c.id = k.id),
+      border AS (SELECT e.u AS id, MIN(k.component) AS component
+          FROM e JOIN ccomp k ON e.v = k.id
+          WHERE e.u NOT IN (SELECT id FROM core) GROUP BY e.u)
+      SELECT s.id AS vec_id,
+        CASE WHEN k.id IS NOT NULL THEN 'core'
+             WHEN b.id IS NOT NULL THEN 'border'
+             ELSE 'noise' END AS role,
+        CAST(coalesce(k.component, b.component) AS BIGINT) AS cluster
+      FROM s LEFT JOIN ccomp k ON s.id = k.id
+        LEFT JOIN border b ON s.id = b.id
+      ORDER BY vec_id""",
+
     // m206: the m09 IVF assignment chain with the probe rank made
     // sweep-dependent (rn ≤ np per sweep value) + the m04 brute-force
     // truth; hits counted from the truth side so empty-candidate

@@ -3967,6 +3967,19 @@ object Queries {
       k = 5, nlist = 16, nprobes = Seq(1, 2, 4, 8))
   }
 
+  /** m207 — DBSCAN density clustering ([[operators.Similarity.dbscan]]
+    * at eps² = 1.5, minPts = 3 over the m06 %4 subset): core / border /
+    * noise roles and min-core-id cluster labels — the no-k clustering
+    * readout next to m104's k-means (calibrated on this fixture: ~half
+    * the subset cores, a real border/noise tail). The oracle replays
+    * the exact pair table, degrees, the recursive core-graph closure
+    * (m11's reachability) and the min-adjacent-core border rule. */
+  def m207Dbscan(s: SparkSession, dir: String): DataFrame =
+    Similarity.dbscan(
+      t(s, dir, "embeddings").filter(pmod(col("vec_id"), lit(4)) === 0),
+      eps2 = 1.5, minPts = 3)
+      .orderBy("vec_id")
+
   /** m196 — PII incidence report
     * ([[operators.TextAnalysis.piiIncidence]]): per source the
     * per-class match counts and dirty-doc count over the raw text —

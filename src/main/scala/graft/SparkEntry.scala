@@ -300,6 +300,7 @@ object SparkEntry {
     "m204_seq_patterns" -> Queries.m204SeqPatterns,
     "m205_l_diversity" -> Queries.m205LDiversity,
     "m206_ivf_recall_sweep" -> Queries.m206IvfRecallSweep,
+    "m207_dbscan" -> Queries.m207Dbscan,
     "q65_conversion_delays" -> Queries.q65ConversionDelays,
     "q66_interval_coalesce" -> Queries.q66IntervalCoalesce,
     "q60_user_growth" -> Queries.q60UserGrowth,

@@ -29,6 +29,17 @@ object VecMath {
     if (nn == 0.0) 0.0 else dp / nn
   }
 
+  /** Squared Euclidean distance, dimension order fixed — double math
+    * over exactly-widened floats, so any engine replaying the same
+    * order gets the same bits (the cross-engine compare contract). */
+  def sqDist(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) { val x = a(i).toDouble - b(i).toDouble; s += x * x; i += 1 }
+    s
+  }
+
   /** Index of the nearest centroid by Euclidean distance (IVF assign). */
   def nearestCenter(v: Array[Float], centers: Array[Array[Double]]): Int = {
     var best = 0; var bestD = Double.MaxValue

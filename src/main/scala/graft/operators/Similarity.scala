@@ -36,9 +36,14 @@ object Similarity {
 
   private val cosineUdf = udf((a: Array[Float], b: Array[Float]) => VecMath.cosine(a, b))
   private val hyperplaneUdf = udf((v: Array[Float], p: Int) => VecMath.hyperplaneSig(v, p))
+  private val sqDistUdf = udf((a: Array[Float], b: Array[Float]) => VecMath.sqDist(a, b))
 
   /** Cosine similarity of two array<float> columns; 0.0 when either norm is 0. */
   def cosine(a: Column, b: Column): Column = cosineUdf(a, b)
+
+  /** Squared L2 distance of two array<float> columns (compiled kernel,
+    * dimension-ordered double math — cross-engine reproducible). */
+  def sqdist(a: Column, b: Column): Column = sqDistUdf(a, b)
 
   /** Random-hyperplane sign signature for cosine LSH (see VecMath). */
   def hyperplane_sig(v: Column, planes: Int = 16): Column =
@@ -2010,6 +2015,99 @@ object Similarity {
         expr(s"sum_hits * 1000000 div (n_queries * $k)").as("recall_micro"))
       .orderBy("nprobe")
   }
+
+  /**
+   * Exact ε-neighbor pairs (squared-L2 ≤ eps2): the DBSCAN edge list,
+   * and the recall baseline any bucketed candidate generator is
+   * measured against. Same shape and ceiling as
+   * [[Dedup.embeddingPairsExact]]: broadcast one side, stream the
+   * other through a `<` theta-join — the corpus never shuffles; the
+   * O(N² / 2) kernel sweep is gate/verifier territory, enforced by
+   * `graft.dedup.exactPairsMaxRows` (at corpus scale generate
+   * candidates with [[ivfCellAssignments]] over cells of radius ≥ ε
+   * or [[Dedup.embeddingPairs]] and verify with [[sqdist]]).
+   * Distances rounded 6 BEFORE the threshold compare (the replayable
+   * boundary rule).
+   */
+  def epsNeighborPairsExact(vectors: DataFrame, eps2: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(eps2 > 0, s"epsNeighborPairsExact: eps2=$eps2 must be > 0")
+    val slim = vectors.select(col(idCol), col(vecCol))
+    val maxRows = vectors.sparkSession.conf
+      .get("graft.dedup.exactPairsMaxRows", "100000").toLong
+    val probe = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
+    if (maxRows < Int.MaxValue && slim.limit(probe).count() > maxRows)
+      throw new IllegalArgumentException(
+        s"epsNeighborPairsExact: input exceeds graft.dedup." +
+          s"exactPairsMaxRows=$maxRows vectors — this O(N²) sweep is " +
+          "gate/verifier territory; bucket candidates first")
+    spread(slim.select(col(idCol).as("id_a"), col(vecCol).as("__va")))
+      .join(broadcast(slim.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))),
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(sqdist(col("__va"), col("__vb")), 6).as("d2"))
+      .filter(col("d2") <= eps2)
+  }
+
+  /**
+   * DBSCAN from a precomputed ε-neighbor pair table — density
+   * clustering without k: a vector with ≥ minPts neighbors (self
+   * EXCLUDED — stated because conventions differ) is a CORE; clusters
+   * are the connected components of the core–core neighbor graph
+   * (label = min core id, via [[Dedup.connectedComponents]] — the
+   * driver union-find fast path or the checkpointed shuffle rounds at
+   * scale); a non-core with a core neighbor is a BORDER assigned the
+   * MIN adjacent core's cluster (the deterministic resolution of
+   * DBSCAN's classic order-dependent border tie); everything else is
+   * NOISE (cluster NULL).
+   *
+   * Scale shape: one degree aggregation, two semi-joins to cut the
+   * edge list to core–core, the component loop, one border min-agg —
+   * every move keyed on ids, nothing touches the vectors again.
+   *
+   * @param vectors pair source — every id must appear (noise rows)
+   * @param pairs   undirected unique pairs (id_a < id_b), e.g.
+   *                [[epsNeighborPairsExact]]
+   * @return (vec_id, role ∈ core|border|noise, cluster — NULL for noise)
+   */
+  def dbscanFromPairs(vectors: DataFrame, pairs: DataFrame, minPts: Int,
+      idCol: String = "vec_id", aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame = {
+    require(minPts >= 1 && minPts <= 1024,
+      s"dbscanFromPairs: minPts=$minPts out of [1,1024]")
+    val e = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+    val cores = e.groupBy(col("u").as("id")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minPts).select("id")
+    val coreEdges = e
+      .join(cores.select(col("id").as("u")), Seq("u"), "left_semi")
+      .join(cores.select(col("id").as("v")), Seq("v"), "left_semi")
+    val comp = Dedup.connectedComponents(coreEdges, "u", "v")
+    // isolated cores (no core neighbor) are their own singleton cluster
+    val coreComp = cores.join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    val border = e
+      .join(coreComp.select(col("id").as("v"), col("component")), Seq("v"))
+      .join(cores.select(col("id").as("u")), Seq("u"), "left_anti")
+      .groupBy(col("u").as("id")).agg(min(col("component")).as("component"))
+    vectors.select(col(idCol).as("vec_id"))
+      .join(coreComp.select(col("id").as("vec_id"), col("component").as("__cc")),
+        Seq("vec_id"), "left")
+      .join(border.select(col("id").as("vec_id"), col("component").as("__bc")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("__cc").isNotNull, lit("core"))
+          .when(col("__bc").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("__cc"), col("__bc")).as("cluster"))
+  }
+
+  /** DBSCAN end-to-end over an embedding column: exact ε-pairs (gate
+    * scale) → [[dbscanFromPairs]]. */
+  def dbscan(vectors: DataFrame, eps2: Double, minPts: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    dbscanFromPairs(vectors,
+      epsNeighborPairsExact(vectors, eps2, idCol, vecCol), minPts, idCol)
 
   /**
    * LSH-bucketed ANN: corpus is bucketed by hyperplane-LSH signature; each

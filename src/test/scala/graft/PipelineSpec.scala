@@ -1576,6 +1576,53 @@ class PipelineSpec extends AnyFunSuite {
       ("localhost", "", 1L, 1L)))
   }
 
+  test("dbscanFromPairs: core/border/noise roles, isolated-core " +
+      "singleton, min-adjacent-core border tie, minPts contract") {
+    import spark.implicits._
+    val S = graft.operators.Similarity
+    // chain 1-2-3-4 (cores 2,3 at minPts=2), lonely 5, star 6-(7,8)
+    val ids = (1L to 8L).map(i => (i, Array(0f))).toDF("vec_id", "embedding")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (6L, 7L), (6L, 8L))
+      .toDF("id_a", "id_b")
+    val got = S.dbscanFromPairs(ids, pairs, minPts = 2)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(got === Array((1L, "border", 2L), (2L, "core", 2L),
+      (3L, "core", 2L), (4L, "border", 2L), (5L, "noise", -1L),
+      (6L, "core", 6L), (7L, "border", 6L), (8L, "border", 6L)))
+    // two complete 4-cliques; 20 touches both -> border, MIN cluster
+    val k4a = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val k4b = k4a.map { case (a, b) => (a + 9L, b + 9L) }
+    val ids2 = ((1L to 4L) ++ (10L to 13L) ++ Seq(20L))
+      .map(i => (i, Array(0f))).toDF("vec_id", "embedding")
+    val p2 = (k4a ++ k4b ++ Seq((4L, 20L), (10L, 20L))).toDF("id_a", "id_b")
+    val g2 = S.dbscanFromPairs(ids2, p2, minPts = 3)
+      .orderBy("vec_id").collect()
+    val by = g2.map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(by(20L) === (("border", 1L)))
+    assert(by(4L) === (("core", 1L)) && by(10L) === (("core", 10L)))
+    intercept[IllegalArgumentException] {
+      S.dbscanFromPairs(ids, pairs, minPts = 0)
+    }
+  }
+
+  test("dbscan end-to-end: eps2 thresholding on exact squared L2, " +
+      "tight triangle clusters, far point is noise") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(0f, 0f)), (2L, Array(0f, 0.1f)), (3L, Array(0.1f, 0f)),
+      (4L, Array(5f, 5f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.dbscan(vecs, eps2 = 0.05,
+        minPts = 2)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(got === Array((1L, "core", 1L), (2L, "core", 1L),
+      (3L, "core", 1L), (4L, "noise", -1L)))
+  }
+
   test("ivfRecallSweep: full-probe recall exact, hits monotone in " +
       "nprobe, all queries in the denominator, nprobe contract") {
     import spark.implicits._
