@@ -3207,6 +3207,49 @@ object Oracle {
 
     // m200: k-anonymity — quasi-tuple equivalence classes, below-k
     // sums, truncating micro share.
+    // m208: bigram TF-cosine join — TF table off the normalize-split
+    // bigram zip, pair dots via the token equi-join, threshold decided
+    // in HUGEINT cross-multiply (no float predicate), cosine = the
+    // IEEE-pinned √ dag over exact integers.
+    "m208_bigram_cosine" -> """
+      WITH nrm AS (SELECT doc_id,
+            string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g'),
+              ' '), ' ') AS tk
+          FROM documents WHERE doc_id % 2 = 0),
+      g AS (SELECT doc_id,
+            tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT)+1] AS tok
+          FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+                FROM nrm WHERE len(tk) >= 2)),
+      tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM g GROUP BY 1, 2),
+      n AS (SELECT doc_id, CAST(SUM(tf*tf) AS BIGINT) AS nn
+          FROM tf GROUP BY 1),
+      sh AS (SELECT a.doc_id AS da, b.doc_id AS db,
+            CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+          FROM tf a JOIN tf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+      SELECT da AS doc_id_a, db AS doc_id_b, dot, x.nn AS na, y.nn AS nb,
+        round(CAST(dot AS DOUBLE)
+          / sqrt(CAST(x.nn AS DOUBLE) * CAST(y.nn AS DOUBLE)), 6) AS cosine
+      FROM sh JOIN n x ON sh.da = x.doc_id JOIN n y ON sh.db = y.doc_id
+      WHERE CAST(dot AS HUGEINT) * dot * 100
+        >= CAST(x.nn AS HUGEINT) * y.nn * 81
+      ORDER BY doc_id_a, doc_id_b""",
+
+    // q67: rolling 3-hour distinct users — DuckDB side as the direct
+    // range predicate (its IEJoin handles it; the engine uses the
+    // explode fan-out because Spark would plan a BNLJ).
+    "q67_rolling_distinct" -> """
+      WITH ub AS (SELECT DISTINCT user_id,
+            CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hb
+          FROM events),
+      t AS (SELECT DISTINCT hb AS tb FROM ub)
+      SELECT strftime(make_timestamp(t.tb * 3600 * 1000000),
+          '%Y-%m-%d %H:%M:%S') AS hour_s,
+        CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_users_3h
+      FROM t JOIN ub u ON u.hb BETWEEN t.tb - 2 AND t.tb
+      GROUP BY t.tb ORDER BY hour_s""",
+
     // m207: DBSCAN — exact rounded-d² pair table, degrees (self
     // excluded), recursive closure over the core-core graph (the m11
     // reachability), min-adjacent-core border rule, NULL noise.

@@ -3980,6 +3980,45 @@ object Queries {
       eps2 = 1.5, minPts = 3)
       .orderBy("vec_id")
 
+  /** m208 — exact bigram TF-cosine similarity join
+    * ([[operators.TextAnalysis.bigramCosinePairs]] at 9/10 over the
+    * doc_id%2 subset): weighted near-dup pairs with the threshold
+    * decided in exact integers (den²·dot² ≥ num²·na·nb) — no float in
+    * the predicate; the oracle replays the bigram TF table and the
+    * HUGEINT cross-multiply. */
+  def m208BigramCosine(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.bigramCosinePairs(
+      t(s, dir, "documents").filter(pmod(col("doc_id"), lit(2)) === 0),
+      thresholdNum = 9, thresholdDen = 10)
+      .orderBy("doc_id_a", "doc_id_b")
+
+  /** q67 — rolling 3-hour distinct users per observed hour: exact
+    * sliding-window COUNT(DISTINCT) — the shape Spark windows cannot
+    * express directly (no count-distinct frames) and a non-equi range
+    * join would plan as BNLJ; instead each (user, hour) contributes
+    * itself to the 3 target hours via a literal-offset explode (the
+    * ewmaHalf fan-out), lands only on OBSERVED hours via an equi-join,
+    * and the final count is over pre-deduplicated (user, target) rows.
+    * Three bounded shuffles, all equi-keyed. */
+  def q67RollingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ub = t(s, dir, "events")
+      .select(col("user_id"), expr("unix_timestamp(ts) div 3600").as("hb"))
+      .distinct()
+    val targets = ub.select(col("hb").as("tb")).distinct()
+    ub.select(col("user_id"),
+        explode(array(lit(0L), lit(1L), lit(2L))).as("off"), col("hb"))
+      .select(col("user_id"), (col("hb") + col("off")).as("tb"))
+      .join(targets, Seq("tb"), "left_semi")
+      .distinct()
+      .groupBy("tb")
+      .agg(count(lit(1)).as("n_users_3h"))
+      .select(
+        date_format(timestamp_seconds(col("tb") * 3600),
+          "yyyy-MM-dd HH:mm:ss").as("hour_s"),
+        col("n_users_3h"))
+      .orderBy("hour_s")
+  }
+
   /** m196 — PII incidence report
     * ([[operators.TextAnalysis.piiIncidence]]): per source the
     * per-class match counts and dirty-doc count over the raw text —

@@ -301,8 +301,10 @@ object SparkEntry {
     "m205_l_diversity" -> Queries.m205LDiversity,
     "m206_ivf_recall_sweep" -> Queries.m206IvfRecallSweep,
     "m207_dbscan" -> Queries.m207Dbscan,
+    "m208_bigram_cosine" -> Queries.m208BigramCosine,
     "q65_conversion_delays" -> Queries.q65ConversionDelays,
     "q66_interval_coalesce" -> Queries.q66IntervalCoalesce,
+    "q67_rolling_distinct" -> Queries.q67RollingDistinct,
     "q60_user_growth" -> Queries.q60UserGrowth,
     "q63_cohort_retention" -> Queries.q63CohortRetention,
     "q64_transitions" -> Queries.q64Transitions,

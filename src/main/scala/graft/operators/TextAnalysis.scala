@@ -1066,6 +1066,96 @@ object TextAnalysis {
    *
    * @return (tok_a < tok_b, n_docs ≥ minsup, df_a, df_b, lift 6dp)
    */
+  private val bigramUdf = udf((nt: String) => {
+    val tk = nt.split(' ')
+    if (tk.length < 2) Array.empty[String]
+    else Array.tabulate(tk.length - 1)(i => tk(i) + " " + tk(i + 1))
+  })
+
+  /**
+   * Exact TF-cosine similarity join over word BIGRAMS — the weighted
+   * counterpart of the set-based near-dup family (m01 Jaccard, m65
+   * containment): repeated phrases count with their multiplicity, so a
+   * doc that loops one slogan and a doc that mentions it once are NOT
+   * unit-similar the way set semantics make them. Bigrams, not
+   * unigrams, because unigram TF over a small vocabulary saturates
+   * (every long doc converges to the corpus unigram distribution —
+   * measured cosine ≈ 0.63 MEDIAN on the fixture) while bigram
+   * vectors stay sparse and discriminative.
+   *
+   * EXACT at the threshold: cos(a,b) ≥ num/den is decided as
+   * den²·dot² ≥ num²·‖a‖²·‖b‖² over exact integers in DECIMAL(38,0) —
+   * no float enters the predicate; the reported cosine is one
+   * IEEE-pinned dag (√ of an exact-integer product) rounded 6.
+   * Recall-total by construction: cos > 0 requires a shared bigram,
+   * and the inverted-index join enumerates exactly those pairs.
+   *
+   * Shape: bigram kernel (compiled UDF — a `transform` lambda would
+   * re-evaluate the normalize+split per element after CollapseProject
+   * inlining) → per-doc TF aggregation (the only corpus-sized
+   * shuffle) → self-join keyed on the bigram → pair dot aggregation →
+   * two norm joins. Cost is Σ_g df(g)² — bounded by the hot-gram
+   * ceiling `graft.text.cosinePairsTokenMaxDocs` (default 4096,
+   * ABORTS like [[Dedup.containmentPairs]]: a bigram shared by
+   * thousands of docs is boilerplate to strip, not a candidate list
+   * to silently explode).
+   *
+   * @return (doc_id_a < doc_id_b, dot, na, nb, cosine 6dp) with
+   *         cosine ≥ num/den
+   */
+  def bigramCosinePairs(docs: DataFrame, thresholdNum: Int = 9,
+      thresholdDen: Int = 10, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(thresholdNum >= 1 && thresholdDen >= thresholdNum &&
+      thresholdDen <= 1000,
+      s"bigramCosinePairs: threshold $thresholdNum/$thresholdDen not in (0,1]")
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val nt = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    val tf = Dedup.spread(docs.select(col(idCol).as("doc_id"), nt.as("nt")))
+      .filter(length(col("nt")) > 0)
+      .select(col("doc_id"), explode(bigramUdf(col("nt"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ceiling = docs.sparkSession.conf
+      .get("graft.text.cosinePairsTokenMaxDocs", "4096").toLong
+    val hottest = tf.groupBy("tok").agg(count(lit(1)).as("d"))
+      .agg(max(col("d"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    require(hottest <= ceiling,
+      s"bigramCosinePairs: hottest bigram appears in $hottest docs > " +
+        "graft.text.cosinePairsTokenMaxDocs — strip boilerplate " +
+        "(TextAnalysis.removeBoilerplate) or raise the ceiling")
+    val norms = tf.groupBy("doc_id")
+      .agg(sum(col("tf") * col("tf")).as("nn"))
+    val dot = tf.select(col("doc_id").as("doc_id_a"), col("tok"),
+        col("tf").as("__ta"))
+      .join(tf.select(col("doc_id").as("doc_id_b"), col("tok"),
+        col("tf").as("__tb")), Seq("tok"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .groupBy("doc_id_a", "doc_id_b")
+      .agg(sum(col("__ta") * col("__tb")).as("dot"))
+    val out = dot
+      .join(norms.select(col("doc_id").as("doc_id_a"), col("nn").as("na")),
+        "doc_id_a")
+      .join(norms.select(col("doc_id").as("doc_id_b"), col("nn").as("nb")),
+        "doc_id_b")
+      .filter(col("dot").cast(d38) * col("dot") *
+          lit(thresholdDen.toLong * thresholdDen) >=
+        col("na").cast(d38) * col("nb") *
+          lit(thresholdNum.toLong * thresholdNum))
+      .select(col("doc_id_a"), col("doc_id_b"), col("dot"), col("na"),
+        col("nb"),
+        round(col("dot").cast("double") /
+          sqrt(col("na").cast("double") * col("nb").cast("double")), 6)
+          .as("cosine"))
+    val pinned = graft.core.Blocks.pin(out)
+    graft.core.Blocks.release(tf)
+    pinned
+  }
+
   def cooccurrencePairs(docs: DataFrame, minsup: Int = 100,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(minsup >= 1, s"cooccurrencePairs: minsup=$minsup < 1")

@@ -1576,6 +1576,41 @@ class PipelineSpec extends AnyFunSuite {
       ("localhost", "", 1L, 1L)))
   }
 
+  test("bigramCosinePairs: exact integer threshold predicate, TF " +
+      "multiplicity counted, no-shared-bigram pairs absent, contract") {
+    import spark.implicits._
+    def r6(d: Double): Double =
+      BigDecimal(d.toString).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    val docs = Seq(
+      (1L, "a b a b"), (2L, "a b a b"), (3L, "x y"), (4L, "a b x y"),
+      (5L, "z"))
+      .toDF("doc_id", "text")
+    // threshold 0.9: only the exact dup survives, cosine exactly 1
+    val hi = graft.operators.TextAnalysis.bigramCosinePairs(docs, 9, 10)
+      .orderBy("doc_id_a", "doc_id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(hi === Array((1L, 2L, 5L, 5L, 5L, 1.0)))
+    // threshold 0.5 admits the partial overlaps with exact dot/norms
+    val lo = graft.operators.TextAnalysis.bigramCosinePairs(docs, 1, 2)
+      .orderBy("doc_id_a", "doc_id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+    assert(lo === Array(
+      (1L, 2L, 5L, 1.0),
+      (1L, 4L, 2L, r6(2.0 / math.sqrt(5.0 * 3.0))),
+      (2L, 4L, 2L, r6(2.0 / math.sqrt(5.0 * 3.0))),
+      (3L, 4L, 1L, r6(1.0 / math.sqrt(1.0 * 3.0)))))
+    // TF weighting: "a b" once vs twice is NOT unit-similar
+    val tfd = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val g2 = graft.operators.TextAnalysis.bigramCosinePairs(tfd, 1, 2)
+      .collect()(0)
+    assert(g2.getDouble(5) === r6(2.0 / math.sqrt(5.0)))
+    intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.bigramCosinePairs(docs, 0, 10)
+    }
+  }
+
   test("dbscanFromPairs: core/border/noise roles, isolated-core " +
       "singleton, min-adjacent-core border tie, minPts contract") {
     import spark.implicits._
