@@ -3207,6 +3207,76 @@ object Oracle {
 
     // m200: k-anonymity — quasi-tuple equivalence classes, below-k
     // sums, truncating micro share.
+    // m209: degree assortativity over the exact 0.5-threshold pair set
+    // (the m169 base) — both-directions edges, endpoint-degree joins,
+    // three HUGEINT moments, one double division (symmetry kills √).
+    "m209_assortativity" -> s"""
+      WITH $CharShingleCtes,
+      ${jacPairCtes("aj")},
+      p AS (SELECT pa AS da, pb AS db FROM aj WHERE ${jacGe("0.5")}),
+      e AS (SELECT da AS u, db AS v FROM p UNION ALL SELECT db, da FROM p),
+      deg AS (SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS d
+          FROM e GROUP BY u),
+      ed AS (SELECT x.d AS du, y.d AS dv
+          FROM e JOIN deg x ON e.u = x.id JOIN deg y ON e.v = y.id),
+      s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+            CAST(SUM(du) AS HUGEINT) AS sx,
+            CAST(SUM(CAST(du AS HUGEINT) * dv) AS HUGEINT) AS sxy,
+            CAST(SUM(CAST(du AS HUGEINT) * du) AS HUGEINT) AS sxx
+          FROM ed)
+      SELECT CAST(n AS BIGINT) AS n_edges, CAST(sx AS BIGINT) AS sum_deg,
+        CAST(sxy AS BIGINT) AS sum_prod, CAST(sxx AS BIGINT) AS sum_sq,
+        CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+             ELSE round(CAST(n * sxy - sx * sx AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+        END AS assortativity
+      FROM s""",
+
+    // m210: Zipf fit — top-24 (count DESC, token ASC) ranks, ln-ln OLS
+    // with every float sum accumulated in rank order (list ORDER BY r,
+    // the m72 rule); the intercept reuses the UNROUNDED slope.
+    "m210_zipf_fit" -> """
+      WITH nrm AS (SELECT
+            trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS nt
+          FROM documents),
+      tc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+          FROM (SELECT unnest(string_split(nt, ' ')) AS tok FROM nrm
+                WHERE length(nt) > 0) GROUP BY tok),
+      top AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok ASC) AS r
+          FROM (SELECT * FROM tc ORDER BY c DESC, tok ASC LIMIT 24)),
+      s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            list_sum(list(ln(CAST(r AS DOUBLE)) ORDER BY r)) AS sx,
+            list_sum(list(ln(CAST(c AS DOUBLE)) ORDER BY r)) AS sy,
+            list_sum(list(ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE))
+              ORDER BY r)) AS sxy,
+            list_sum(list(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))
+              ORDER BY r)) AS sxx
+          FROM top),
+      f AS (SELECT n, sy, sx,
+            (n * sxy - sx * sy) / (n * sxx - sx * sx) AS sl FROM s)
+      SELECT n AS n_points, round(sl, 6) AS slope,
+        round((sy - sl * sx) / n, 6) AS intercept
+      FROM f""",
+
+    // q68: last-touch attribution — conditional MAX over the packed
+    // (second, event_id) key in a RANGE −3600..−1 frame, key join back
+    // to the attributed type, 'none' for cold purchases.
+    "q68_last_touch" -> """
+      WITH ev AS (SELECT user_id, event_type, event_id,
+            CAST(floor(epoch(ts)) AS BIGINT) AS tse,
+            CAST(floor(epoch(ts)) AS BIGINT) * 4194304 + event_id AS k
+          FROM events),
+      p AS (SELECT user_id, event_id, event_type,
+            MAX(CASE WHEN event_type <> 'purchase' THEN k END)
+              OVER (PARTITION BY user_id ORDER BY tse
+                RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING) AS ak
+          FROM ev),
+      j AS (SELECT coalesce(e.event_type, 'none') AS attributed_type
+          FROM (SELECT * FROM p WHERE event_type = 'purchase') pp
+          LEFT JOIN ev e ON pp.ak = e.k)
+      SELECT attributed_type, CAST(COUNT(*) AS BIGINT) AS n_purchases
+      FROM j GROUP BY 1 ORDER BY 1""",
+
     // m208: bigram TF-cosine join — TF table off the normalize-split
     // bigram zip, pair dots via the token equi-join, threshold decided
     // in HUGEINT cross-multiply (no float predicate), cosine = the

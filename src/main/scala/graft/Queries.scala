@@ -3992,6 +3992,50 @@ object Queries {
       thresholdNum = 9, thresholdDen = 10)
       .orderBy("doc_id_a", "doc_id_b")
 
+  /** m209 — degree assortativity
+    * ([[operators.Graph.assortativityReport]] over the verified
+    * 0.5-threshold near-dup pair table): Newman's r from three exact
+    * integer sums (the both-directions symmetry kills the square
+    * roots), one float division. Hub-and-spoke dup graphs read
+    * negative; clique-heavy ones positive. The oracle replays the
+    * exact pair closure base (m169's CTEs) and the HUGEINT moment
+    * algebra. */
+  def m209Assortativity(s: SparkSession, dir: String): DataFrame =
+    operators.Graph.assortativityReport(pairs05(s, dir))
+
+  /** m210 — Zipf rank-frequency fit ([[operators.TextAnalysis.zipfFit]]
+    * over the top-24 normalize-split tokens): ln-ln OLS slope and
+    * intercept, float sums accumulated in rank order on both engines
+    * (the m72 ordered-sum rule). */
+  def m210ZipfFit(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.zipfFit(t(s, dir, "documents"), k = 24)
+
+  /** q68 — last-touch attribution: for each purchase, the user's most
+    * recent NON-purchase event in the preceding hour (RANGE frame
+    * −3600s..−1s — same-second peers excluded), ties resolved by the
+    * packed (second, event_id) integer key so the window is one exact
+    * MAX (no struct-ordering cross-engine contract); unattributed
+    * purchases report as 'none'. One user-partitioned window + one
+    * key equi-join back to the attributed event's type. Key packing
+    * bound: event_id < 2²² (documented; the gate fixtures top out at
+    * ~6·10⁵). */
+  def q68LastTouch(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"), col("event_type"),
+      unix_timestamp(col("ts")).as("tse"), col("event_id"))
+      .withColumn("k",
+        col("tse") * lit(4194304L) + col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy(col("tse"))
+      .rangeBetween(-3600, -1)
+    val att = ev.withColumn("ak",
+      max(when(col("event_type") =!= "purchase", col("k"))).over(w))
+    att.filter(col("event_type") === "purchase")
+      .join(ev.select(col("k").as("ak"), col("event_type").as("att_type")),
+        Seq("ak"), "left")
+      .groupBy(coalesce(col("att_type"), lit("none")).as("attributed_type"))
+      .agg(count(lit(1)).as("n_purchases"))
+      .orderBy("attributed_type")
+  }
+
   /** q67 — rolling 3-hour distinct users per observed hour: exact
     * sliding-window COUNT(DISTINCT) — the shape Spark windows cannot
     * express directly (no count-distinct frames) and a non-equi range

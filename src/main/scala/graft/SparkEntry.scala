@@ -302,9 +302,12 @@ object SparkEntry {
     "m206_ivf_recall_sweep" -> Queries.m206IvfRecallSweep,
     "m207_dbscan" -> Queries.m207Dbscan,
     "m208_bigram_cosine" -> Queries.m208BigramCosine,
+    "m209_assortativity" -> Queries.m209Assortativity,
+    "m210_zipf_fit" -> Queries.m210ZipfFit,
     "q65_conversion_delays" -> Queries.q65ConversionDelays,
     "q66_interval_coalesce" -> Queries.q66IntervalCoalesce,
     "q67_rolling_distinct" -> Queries.q67RollingDistinct,
+    "q68_last_touch" -> Queries.q68LastTouch,
     "q60_user_growth" -> Queries.q60UserGrowth,
     "q63_cohort_retention" -> Queries.q63CohortRetention,
     "q64_transitions" -> Queries.q64Transitions,

@@ -880,4 +880,59 @@ object Graph {
       .select(coalesce(col("degree"), lit(0L)).as("degree"))
       .groupBy("degree").agg(count(lit(1)).as("n_docs"))
   }
+
+  /** Degree assortativity (Newman's r) — do high-degree nodes attach
+    * to high-degree nodes (social-style, r > 0) or to leaves
+    * (hub-and-spoke, r < 0)? The one-number topology readout that
+    * separates "a few boilerplate hubs glue the dup graph" from
+    * "dense same-degree cliques" — which decides hub-removal vs
+    * clique-collapse cleanup.
+    *
+    * Exactness: over the both-directions edge list the two endpoint
+    * marginals are IDENTICAL (Σdu = Σdv, Σdu² = Σdv²), so Pearson
+    * collapses to r = (n·Σdudv − (Σdu)²) / (n·Σdu² − (Σdu)²) — THREE
+    * exact integer sums, zero square roots; the single division is
+    * the only float op (welchTTest's driver-side BigInt pattern;
+    * sums accumulate in DECIMAL(38,0), the m75 rule). NULL when the
+    * graph is degree-regular (denominator 0 — a cycle has no
+    * assortativity to measure).
+    *
+    * Scale: one degree aggregation + two id-keyed joins + a scalar
+    * aggregate. Reported sums are exact while Σdu·dv < 2⁶³ (pairs
+    * beyond ~10⁹·max-degree² re-derive via the DECIMAL internals).
+    *
+    * @return one row: (n_edges — directed count, 2× undirected —
+    *         sum_deg, sum_prod, sum_sq, assortativity 6dp)
+    */
+  def assortativityReport(pairs: DataFrame, aCol: String = "doc_id_a",
+      bCol: String = "doc_id_b"): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val e = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+    val deg = e.groupBy(col("u").as("id")).agg(count(lit(1)).as("d"))
+    val ed = e
+      .join(deg.select(col("id").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("d").as("dv")), "v")
+    val row = ed.agg(count(lit(1)).as("n"),
+      sum(col("du").cast(d38)).as("sx"),
+      sum(col("du").cast(d38) * col("dv")).as("sxy"),
+      sum(col("du").cast(d38) * col("du")).as("sxx")).head()
+    if (row.getLong(0) == 0L)
+      return Seq((0L, 0L, 0L, 0L, Option.empty[Double]))
+        .toDF("n_edges", "sum_deg", "sum_prod", "sum_sq", "assortativity")
+    def bi(i: Int): BigInt = BigInt(row.getDecimal(i).toBigInteger)
+    val n = BigInt(row.getLong(0))
+    val (sx, sxy, sxx) = (bi(1), bi(2), bi(3))
+    val num = n * sxy - sx * sx
+    val den = n * sxx - sx * sx
+    val r: Option[Double] =
+      if (den == 0) None
+      else Some(BigDecimal((num.toDouble / den.toDouble).toString)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    Seq((row.getLong(0), sx.toLong, sxy.toLong, sxx.toLong, r))
+      .toDF("n_edges", "sum_deg", "sum_prod", "sum_sq", "assortativity")
+  }
 }

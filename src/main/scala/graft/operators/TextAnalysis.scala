@@ -1156,6 +1156,52 @@ object TextAnalysis {
     pinned
   }
 
+  /**
+   * Zipf rank-frequency fit: OLS slope/intercept of ln(count) over
+   * ln(rank) for the top-k corpus tokens — the one-line "is this
+   * natural language" check (clean text sits near slope −1; generated
+   * or templated corpora flatten, OCR noise steepens the tail). The
+   * distributed work is ONE token-count aggregation; the fit runs
+   * driver-side over the collected top-k rows (a bounded literal — the
+   * VALUES-literal pattern), accumulating in RANK ORDER so the float
+   * sums are replayable (the m72 ordered-ln-sum rule; ln itself
+   * matches libm across engines, the m29/m72 precedent). Ranks are
+   * (count DESC, token ASC) — fully tie-broken.
+   *
+   * @return one row: (n_points, slope 6dp, intercept 6dp)
+   */
+  def zipfFit(docs: DataFrame, k: Int = 24,
+      textCol: String = "text"): DataFrame = {
+    require(k >= 2 && k <= 1024, s"zipfFit: k=$k out of [2,1024]")
+    val s = docs.sparkSession
+    import s.implicits._
+    val nt = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    val top = Dedup.spread(docs.select(nt.as("nt")))
+      .filter(length(col("nt")) > 0)
+      .select(explode(split(col("nt"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok").asc)
+      .limit(k)
+      .collect()
+    require(top.length >= 2,
+      s"zipfFit: only ${top.length} distinct tokens — nothing to fit")
+    var sx = 0.0; var sy = 0.0; var sxy = 0.0; var sxx = 0.0
+    var i = 0
+    while (i < top.length) {
+      val x = math.log((i + 1).toDouble)
+      val y = math.log(top(i).getLong(1).toDouble)
+      sx += x; sy += y; sxy += x * y; sxx += x * x
+      i += 1
+    }
+    def r6(d: Double): Double =
+      BigDecimal(d.toString).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    val nn = top.length.toDouble
+    val slope = (nn * sxy - sx * sy) / (nn * sxx - sx * sx)
+    Seq((top.length.toLong, r6(slope), r6((sy - slope * sx) / nn)))
+      .toDF("n_points", "slope", "intercept")
+  }
+
   def cooccurrencePairs(docs: DataFrame, minsup: Int = 100,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(minsup >= 1, s"cooccurrencePairs: minsup=$minsup < 1")

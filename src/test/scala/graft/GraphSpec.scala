@@ -360,4 +360,23 @@ class GraphSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("ceiling"))
   }
+
+  test("assortativityReport: star is exactly -1, degree-regular cycle " +
+      "is NULL, empty graph one zero row, exact moment sums") {
+    val s = spark
+    import s.implicits._
+    // star 1-(2,3,4): directed degrees (3,1)x3 and (1,3)x3
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_id_a", "doc_id_b")
+    val got = Graph.assortativityReport(star).collect()(0)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getLong(3)) === ((6L, 12L, 18L, 30L)))
+    assert(got.getDouble(4) === -1.0)
+    // triangle: every degree 2 -> zero variance -> NULL
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("doc_id_a", "doc_id_b")
+    assert(Graph.assortativityReport(tri).collect()(0).isNullAt(4))
+    // empty pair table -> a single all-zero row, not an empty frame
+    val empty = Graph.assortativityReport(
+      star.filter(star("doc_id_a") < 0L)).collect()(0)
+    assert(empty.getLong(0) === 0L && empty.isNullAt(4))
+  }
 }

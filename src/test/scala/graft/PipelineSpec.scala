@@ -1576,6 +1576,37 @@ class PipelineSpec extends AnyFunSuite {
       ("localhost", "", 1L, 1L)))
   }
 
+  test("zipfFit: hand-computed ln-ln OLS on pinned counts, tie order " +
+      "token-asc, k cap respected, contract") {
+    import spark.implicits._
+    def r6(d: Double): Double =
+      BigDecimal(d.toString).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    // counts: a=4, b=2, c=1 -> ranks 1,2,3 (desc count)
+    val docs = Seq((1L, "a a b c"), (2L, "a a b")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.zipfFit(docs, k = 24)
+      .collect()(0)
+    assert(got.getLong(0) === 3L)
+    val xs = Seq(math.log(1.0), math.log(2.0), math.log(3.0))
+    val ys = Seq(math.log(4.0), math.log(2.0), math.log(1.0))
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val sxx = xs.map(x => x * x).sum
+    val sl = (3.0 * sxy - sx * sy) / (3.0 * sxx - sx * sx)
+    assert(got.getDouble(1) === r6(sl))
+    assert(got.getDouble(2) === r6((sy - sl * sx) / 3.0))
+    // k caps the fit: with k=2 only the top two ranks enter
+    assert(graft.operators.TextAnalysis.zipfFit(docs, k = 2)
+      .collect()(0).getLong(0) === 2L)
+    intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.zipfFit(docs, k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.zipfFit(
+        Seq((1L, "solo")).toDF("doc_id", "text"), k = 8)
+    }
+  }
+
   test("bigramCosinePairs: exact integer threshold predicate, TF " +
       "multiplicity counted, no-shared-bigram pairs absent, contract") {
     import spark.implicits._
