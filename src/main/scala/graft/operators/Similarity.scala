@@ -2075,8 +2075,13 @@ object Similarity {
       bCol: String = "id_b"): DataFrame = {
     require(minPts >= 1 && minPts <= 1024,
       s"dbscanFromPairs: minPts=$minPts out of [1,1024]")
-    val e = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+    // materialize the directed edge list ONCE: it is referenced by the
+    // degree agg, both core semi-joins and the border join — without
+    // the pin each reference re-evaluates the pair source (for the
+    // exact sweep that is the O(N²) kernel, measured 3× the wall)
+    val e = graft.core.Blocks.pin(
+      pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+        .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v"))))
     val cores = e.groupBy(col("u").as("id")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= minPts).select("id")
     val coreEdges = e
@@ -2090,7 +2095,7 @@ object Similarity {
       .join(coreComp.select(col("id").as("v"), col("component")), Seq("v"))
       .join(cores.select(col("id").as("u")), Seq("u"), "left_anti")
       .groupBy(col("u").as("id")).agg(min(col("component")).as("component"))
-    vectors.select(col(idCol).as("vec_id"))
+    val out = vectors.select(col(idCol).as("vec_id"))
       .join(coreComp.select(col("id").as("vec_id"), col("component").as("__cc")),
         Seq("vec_id"), "left")
       .join(border.select(col("id").as("vec_id"), col("component").as("__bc")),
@@ -2100,6 +2105,9 @@ object Similarity {
           .when(col("__bc").isNotNull, lit("border"))
           .otherwise(lit("noise")).as("role"),
         coalesce(col("__cc"), col("__bc")).as("cluster"))
+    val pinned = graft.core.Blocks.pin(out)
+    graft.core.Blocks.release(e)
+    pinned
   }
 
   /** DBSCAN end-to-end over an embedding column: exact ε-pairs (gate
