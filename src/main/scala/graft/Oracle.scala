@@ -3207,6 +3207,77 @@ object Oracle {
 
     // m200: k-anonymity — quasi-tuple equivalence classes, below-k
     // sums, truncating micro share.
+    // mm13: histogram equalization — every pixel byte re-read from the
+    // mm02 closed-form PNG offsets via ONE list_transform per image
+    // (the mm07 rule: never explode positions and re-read the blob per
+    // row), running-CDF window, floor-division LUT.
+    "mm13_equalization" -> s"""
+      WITH media AS (SELECT media_id, hex(bytes) AS h,
+              octet_length(bytes) AS ln
+            FROM read_parquet('{AUX}/media/*.parquet')),
+      im AS (SELECT media_id, h, ${u32be("16")} AS w, ${u32be("20")} AS ht
+             FROM media
+             WHERE ln >= 33 AND substr(h,1,16) = '89504E470D0A1A0A'),
+      px AS (SELECT media_id, w*ht*3 AS n,
+          unnest(list_transform(range(0, w*ht*3),
+            k -> TRY_CAST('0x' || substr(h,
+                   (49 + (CAST(k AS BIGINT)//(3*w))*(1+3*w)
+                       + (CAST(k AS BIGINT)%(3*w)))*2+1, 2) AS INTEGER)))
+            AS v
+        FROM im),
+      hist AS (SELECT media_id, n, v, CAST(COUNT(*) AS BIGINT) AS c
+          FROM px GROUP BY 1, 2, 3),
+      cd AS (SELECT media_id, n, v, c,
+            SUM(c) OVER (PARTITION BY media_id ORDER BY v) AS cdf
+          FROM hist),
+      f AS (SELECT *, MIN(cdf) OVER (PARTITION BY media_id) AS cdfmin
+          FROM cd)
+      SELECT media_id, CAST(v AS INT) AS v, c AS n_samples,
+        CAST(cdf AS BIGINT) AS cdf,
+        CAST(CASE WHEN n = cdfmin THEN v
+             ELSE (cdf - cdfmin) * 255 // (n - cdfmin) END AS BIGINT) AS lut
+      FROM f ORDER BY media_id, v""",
+
+    // m211: percolation — hubs ranked (degree DESC, id ASC) off the
+    // exact pair base, one MATERIALIZED filtered edge set + recursive
+    // closure per removal step (the m112 per-level pin rule).
+    "m211_percolation" -> {
+      def step(r: Int) = s"""
+      e$r AS MATERIALIZED (SELECT da, db FROM pbase
+        WHERE da NOT IN (SELECT id FROM hub WHERE hr <= $r)
+          AND db NOT IN (SELECT id FROM hub WHERE hr <= $r)),
+      u$r AS (SELECT da AS u, db AS v FROM e$r
+              UNION ALL SELECT db, da FROM e$r),
+      reach$r(node, rt) AS (
+        SELECT u, u FROM u$r
+        UNION
+        SELECT u$r.u, reach$r.rt FROM u$r
+          JOIN reach$r ON u$r.v = reach$r.node),
+      comp$r AS (SELECT node, MIN(rt) AS c FROM reach$r GROUP BY node),
+      agg$r AS (SELECT CAST($r AS INT) AS n_removed,
+          CAST(coalesce(SUM(cs), 0) AS BIGINT) AS n_nodes,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM e$r) AS n_edges,
+          CAST(coalesce(MAX(cs), 0) AS BIGINT) AS giant_size,
+          CAST(COUNT(*) AS BIGINT) AS n_components
+        FROM (SELECT COUNT(*) AS cs FROM comp$r GROUP BY c))"""
+      s"""
+      WITH RECURSIVE $CharShingleCtes,
+      ${jacPairCtes("qj")},
+      pbase AS MATERIALIZED (SELECT pa AS da, pb AS db FROM qj
+          WHERE ${jacGe("0.5")}),
+      deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS d
+          FROM (SELECT da AS id FROM pbase
+                UNION ALL SELECT db FROM pbase) GROUP BY id),
+      hub AS MATERIALIZED (SELECT id,
+            row_number() OVER (ORDER BY d DESC, id ASC) AS hr
+          FROM deg),
+      ${(0 to 3).map(step).mkString(",")}
+      SELECT * FROM (
+        SELECT * FROM agg0 UNION ALL SELECT * FROM agg1
+        UNION ALL SELECT * FROM agg2 UNION ALL SELECT * FROM agg3
+      ) ORDER BY n_removed"""
+    },
+
     // m209: degree assortativity over the exact 0.5-threshold pair set
     // (the m169 base) — both-directions edges, endpoint-degree joins,
     // three HUGEINT moments, one double division (symmetry kills √).

@@ -1023,6 +1023,29 @@ object Queries {
     Multimodal.downscaledImages(media(s, dir))
       .orderBy("media_id", "y2")
 
+  /** mm13 — histogram-equalization LUT
+    * ([[operators.Multimodal.equalizationLut]]): per image one row per
+    * observed 8-bit sample value with its count, running CDF and the
+    * classic ⌊(cdf − cdfmin)·255 ∕ (n − cdfmin)⌋ mapping — the
+    * contrast-normalization table applied before perceptual hashing so
+    * exposure-shifted variants collide. Exact integers; the oracle
+    * re-histograms every pixel byte from the mm02 closed-form PNG
+    * offsets. */
+  def mm13Equalization(s: SparkSession, dir: String): DataFrame =
+    Multimodal.equalizationLut(media(s, dir))
+      .orderBy("media_id", "v")
+
+  /** m211 — hub-removal percolation curve
+    * ([[operators.Graph.percolationCurve]] over the verified
+    * 0.5-threshold pair table, 3 removals): giant-component collapse
+    * under targeted hub deletion — the robustness readout that
+    * separates boilerplate-glued dup graphs from genuinely dense ones.
+    * The oracle replays hub selection and all four recursive
+    * closures. */
+  def m211Percolation(s: SparkSession, dir: String): DataFrame =
+    operators.Graph.percolationCurve(pairs05(s, dir), steps = 3)
+      .orderBy("n_removed")
+
   /** q57 — seasonal-anomaly monitor: per event type, the seasonal-naive
     * residual (this hour's centi-value sum minus the SAME HOUR
     * yesterday — hours paired by index join, robust to gaps where a

@@ -304,6 +304,7 @@ object SparkEntry {
     "m208_bigram_cosine" -> Queries.m208BigramCosine,
     "m209_assortativity" -> Queries.m209Assortativity,
     "m210_zipf_fit" -> Queries.m210ZipfFit,
+    "m211_percolation" -> Queries.m211Percolation,
     "q65_conversion_delays" -> Queries.q65ConversionDelays,
     "q66_interval_coalesce" -> Queries.q66IntervalCoalesce,
     "q67_rolling_distinct" -> Queries.q67RollingDistinct,
@@ -329,6 +330,7 @@ object SparkEntry {
     "mm10_energy_windows" -> Queries.mm10EnergyWindows,
     "mm11_audio_decimate" -> Queries.mm11AudioDecimate,
     "mm12_image_downscale" -> Queries.mm12ImageDownscale,
+    "mm13_equalization" -> Queries.mm13Equalization,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on

@@ -792,4 +792,55 @@ object Media {
     }
     out.toArray
   }
+
+  /** Histogram-equalization table over an 8-bit image's SAMPLE bytes
+    * (every band counted — the mm02 per-byte domain, so the oracle can
+    * re-derive it from raw PNG pixel offsets): one row per OBSERVED
+    * value v — (v, count, running cdf, lut) with
+    * lut = ⌊(cdf − cdfmin)·255 / (n − cdfmin)⌋ (the classic mapping;
+    * cdfmin = cdf of the smallest observed value) and the identity map
+    * for constant images (n == cdfmin). Exact integers throughout.
+    * Null for undecodable input or non-8-bit sample depths (P11 skip —
+    * the byte-offset oracle only speaks 8-bit). */
+  def imageEqualization(bytes: Array[Byte]): Array[(Int, Long, Long, Long)] = {
+    val img = readImage(bytes)
+    if (img == null) return null
+    val raster = img.getRaster
+    val nb = raster.getNumBands
+    var b = 0
+    while (b < nb) {
+      if (raster.getSampleModel.getSampleSize(b) != 8) return null
+      b += 1
+    }
+    val w = img.getWidth; val h = img.getHeight
+    val counts = new Array[Long](256)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var bb = 0
+        while (bb < nb) {
+          counts(raster.getSample(x, y, bb) & 0xff) += 1
+          bb += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h * nb
+    val out = new scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long)](64)
+    var cdf = 0L; var cdfmin = -1L
+    var v = 0
+    while (v < 256) {
+      if (counts(v) > 0) {
+        cdf += counts(v)
+        if (cdfmin < 0) cdfmin = cdf
+        val lut = if (n == cdfmin) v.toLong
+          else (cdf - cdfmin) * 255L / (n - cdfmin)
+        out += ((v, counts(v), cdf, lut))
+      }
+      v += 1
+    }
+    out.toArray
+  }
 }

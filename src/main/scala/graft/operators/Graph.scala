@@ -935,4 +935,61 @@ object Graph {
     Seq((row.getLong(0), sx.toLong, sxy.toLong, sxx.toLong, r))
       .toDF("n_edges", "sum_deg", "sum_prod", "sum_sq", "assortativity")
   }
+
+  /** Hub-removal percolation curve — how fast does the graph shatter
+    * when its highest-degree nodes are deleted? Step r removes the top
+    * r hubs (degree DESC, id ASC — fully tie-broken) and reports the
+    * surviving edge graph: a dup graph whose giant component collapses
+    * after one or two removals is boilerplate-glued (strip the hubs,
+    * not the cliques); a robust giant means genuine dense duplication.
+    *
+    * Shape: one degree aggregation picks the hubs (a bounded top-k
+    * collect); each step is a filtered edge list through
+    * [[connectedComponents]] (the driver union-find fast path at pair
+    * scale, the checkpointed rounds beyond) and two scalar aggregates.
+    * steps ≤ 16 by contract — this is a curve, not a centrality sweep.
+    * Isolated survivors are NOT counted as nodes (documented: nodes =
+    * endpoints of surviving edges).
+    *
+    * @return one row per r ∈ [0, steps]: (n_removed, n_nodes, n_edges —
+    *         undirected, giant_size, n_components)
+    */
+  def percolationCurve(pairs: DataFrame, steps: Int = 3,
+      aCol: String = "doc_id_a", bCol: String = "doc_id_b"): DataFrame = {
+    require(steps >= 1 && steps <= 16,
+      s"percolationCurve: steps=$steps out of [1,16]")
+    val s = pairs.sparkSession
+    import s.implicits._
+    val base = graft.core.Blocks.pin(
+      pairs.select(col(aCol).as("a"), col(bCol).as("b")))
+    val hubs = base.select(col("a").as("id"))
+      .unionByName(base.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("id").asc)
+      .limit(steps)
+      .collect().map(_.get(0))
+    val rows = (0 to math.min(steps, hubs.length)).map { r =>
+      val removed = hubs.take(r).toSeq
+      val rem =
+        if (r == 0) base
+        else base.filter(!col("a").isin(removed: _*) &&
+          !col("b").isin(removed: _*))
+      val nEdges = rem.count()
+      if (nEdges == 0L) (r, 0L, 0L, 0L, 0L)
+      else {
+        val comp = Dedup.connectedComponents(rem, "a", "b")
+        val agg = comp.groupBy(col("component"))
+          .agg(count(lit(1)).as("sz"))
+          .agg(sum(col("sz")).as("nn"), max(col("sz")).as("g"),
+            count(lit(1)).as("nc"))
+          .head()
+        (r, agg.getLong(0), nEdges, agg.getLong(1), agg.getLong(2))
+      }
+    }
+    graft.core.Blocks.release(base)
+    rows.toDF("n_removed", "n_nodes", "n_edges", "giant_size",
+      "n_components")
+      .select(col("n_removed").cast("int").as("n_removed"), col("n_nodes"),
+        col("n_edges"), col("giant_size"), col("n_components"))
+  }
 }

@@ -127,6 +127,24 @@ object Multimodal {
       .filter(col("dr").isNotNull)
       .select(col("media_id"), col("dr._1").as("y2"),
         col("dr._2").as("n_samples"), col("dr._3").as("row_sum"))
+  private val eqUdf = udf((b: Array[Byte]) =>
+    Option(Media.imageEqualization(b)))
+
+  /** Histogram-equalization LUT per image ([[Media.imageEqualization]]):
+    * one row per observed 8-bit sample value — (v, count, cdf, lut) —
+    * the contrast-normalization table a dedup/feature stage applies
+    * before hashing exposure-shifted variants together. Exact
+    * integers; explode_outer heavy-kernel shape (one decode per
+    * image). */
+  def equalizationLut(media: DataFrame): DataFrame =
+    withMeta(media)
+      .filter(col("meta.kind") === Media.KindImage)
+      .select(col("media_id"), explode_outer(eqUdf(col("bytes"))).as("e"))
+      .filter(col("e").isNotNull)
+      .select(col("media_id"), col("e._1").as("v"),
+        col("e._2").as("n_samples"), col("e._3").as("cdf"),
+        col("e._4").as("lut"))
+
   private val silenceUdf = udf((b: Array[Byte], t: Int, r: Int) =>
     Option(Media.silenceSpans(b, t, r)))
 

@@ -379,4 +379,26 @@ class GraphSpec extends AnyFunSuite {
       star.filter(star("doc_id_a") < 0L)).collect()(0)
     assert(empty.getLong(0) === 0L && empty.isNullAt(4))
   }
+
+  test("percolationCurve: hub order (degree desc, id asc), giant " +
+      "collapse steps, zero row after the graph empties, contract") {
+    val s = spark
+    import s.implicits._
+    // star 1-(2,3,4) + triangle 5-6-7: hubs 1 (deg 3) then 5, 6 (ties
+    // by id among degree-2 nodes)
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L),
+      (5L, 6L), (5L, 7L), (6L, 7L)).toDF("doc_id_a", "doc_id_b")
+    val got = Graph.percolationCurve(pairs, steps = 3)
+      .orderBy("n_removed").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got === Array(
+      (0, 7L, 6L, 4L, 2L),  // both components intact
+      (1, 3L, 3L, 3L, 1L),  // star shattered, triangle survives
+      (2, 2L, 1L, 2L, 1L),  // 5 gone: edge 6-7 remains
+      (3, 0L, 0L, 0L, 0L))) // 6 gone: no edges left
+    intercept[IllegalArgumentException] {
+      Graph.percolationCurve(pairs, steps = 0)
+    }
+  }
 }

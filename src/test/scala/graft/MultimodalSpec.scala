@@ -529,4 +529,28 @@ class MultimodalSpec extends AnyFunSuite {
       .map(r => (r.getInt(1), r.getDouble(2), r.getInt(3))).toSeq
     assert(again === got)
   }
+
+  test("equalizationLut: hand-computed CDF/LUT on a pinned raster, " +
+      "constant image maps to identity, non-image rows absent") {
+    val s = spark
+    import s.implicits._
+    // 2x2 RGB: samples 10 x6, 20 x3, 250 x3 -> n=12, cdfmin=6
+    // lut(10)=0, lut(20)=(9-6)*255/6=127, lut(250)=(12-6)*255/6=255
+    val px = Array[Byte](10, 10, 10, 10, 10, 10,
+      20, 20, 20, 250.toByte, 250.toByte, 250.toByte)
+    val flat = Array.fill[Byte](12)(7) // constant -> identity LUT
+    val media = Seq(
+      (1L, Media.encodePng(2, 2, px)),
+      (2L, Media.encodePng(2, 2, flat)),
+      (3L, Media.encodeWav(8000, Array[Byte](0, 0, 1, 1))))
+      .toDF("media_id", "bytes")
+    val got = Multimodal.equalizationLut(media)
+      .orderBy("media_id", "v").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got === Array(
+      (1L, 10, 6L, 6L, 0L), (1L, 20, 3L, 9L, 127L),
+      (1L, 250, 3L, 12L, 255L),
+      (2L, 7, 12L, 12L, 7L)))
+  }
 }
