@@ -3377,6 +3377,21 @@ object Oracle {
         >= CAST(x.nn AS HUGEINT) * y.nn * 81
       ORDER BY doc_id_a, doc_id_b""",
 
+    // q69: the streaming sliding-window distinct — batch replay: every
+    // window start that CONTAINS an event hour (hb − {0,1,2}), distinct
+    // users with hb in [ws, ws+2]. Must equal the dedup→count stream.
+    "q69_stream_rolling_distinct" -> """
+      WITH ub AS (SELECT DISTINCT user_id,
+            CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hb
+          FROM events),
+      w AS (SELECT DISTINCT hb - o AS ws
+          FROM ub, (SELECT unnest([0, 1, 2]) AS o) oo)
+      SELECT strftime(make_timestamp(w.ws * 3600 * 1000000),
+          '%Y-%m-%d %H:%M:%S') AS window_start_s,
+        CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_users
+      FROM w JOIN ub u ON u.hb BETWEEN w.ws AND w.ws + 2
+      GROUP BY w.ws ORDER BY window_start_s""",
+
     // q67: rolling 3-hour distinct users — DuckDB side as the direct
     // range predicate (its IEJoin handles it; the engine uses the
     // explode fan-out because Spark would plan a BNLJ).
@@ -5591,6 +5606,37 @@ object Oracle {
           FROM recs) WHERE rn = 1)
       SELECT pubkey, data_len, owner, lamports, executable, rent_epoch
       FROM rdedup ORDER BY 1""",
+
+    // sn19: per-owner byte entropy — every data byte re-read from the
+    // hex blob via ONE list_transform per account (the mm07 rule),
+    // per-account ln sum in ascending byte order (the m72 rule), 6dp
+    // micro conversion (round×10⁶ then the ROUNDING BIGINT cast), then
+    // integer-only owner aggregation.
+    "sn19_data_entropy" -> s"""
+      WITH $DedupCte,
+      d AS (SELECT hex(pubkey) AS pk, hex(owner) AS owner, data_len,
+              hex(data) AS h
+            FROM dedup WHERE data_len > 0),
+      byv AS (SELECT pk, owner, data_len,
+          unnest(list_transform(range(0, data_len),
+            k -> TRY_CAST('0x' || substr(h, CAST(k AS INT)*2+1, 2)
+                   AS INTEGER))) AS v
+        FROM d),
+      hist AS (SELECT pk, owner, data_len, v, CAST(COUNT(*) AS BIGINT) AS c
+          FROM byv GROUP BY 1, 2, 3, 4),
+      ent AS (SELECT pk, owner, data_len,
+            ln(CAST(data_len AS DOUBLE))
+              - list_sum(list(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                  ORDER BY v)) / CAST(data_len AS DOUBLE) AS e
+          FROM hist GROUP BY 1, 2, 3),
+      em AS (SELECT owner, data_len,
+            CAST(round(e, 6) * 1000000 AS BIGINT) AS m
+          FROM ent)
+      SELECT owner, CAST(COUNT(*) AS BIGINT) AS n_accounts,
+        CAST(SUM(data_len) AS BIGINT) AS total_bytes,
+        CAST(SUM(m) AS BIGINT) AS sum_entropy_micro,
+        CAST(SUM(m) // COUNT(*) AS BIGINT) AS mean_entropy_micro
+      FROM em GROUP BY owner ORDER BY owner""",
 
     "sn02_token_accounts" -> s"""
       WITH $DedupCte,

@@ -3708,6 +3708,76 @@ object Queries {
   /** One streaming session-window replay per (JVM, sf dir) — the
     * [[ijStreamDirs]] convention. */
   private val sessStreamDirs = scala.collection.concurrent.TrieMap[String, String]()
+  private val rollStreamDirs = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** q69 — STREAMING sliding-window distinct users (q67's streaming
+    * twin, and the Spark-4 multiple-stateful-operator showcase): a
+    * watermarked `dropDuplicates(user, window)` dedup feeding a chained
+    * windowed count — two stateful operators in ONE append-mode query,
+    * which pre-3.5 Spark could not run at all. Each event lands in its
+    * three containing 3h/1h sliding windows; dedup state keyed on
+    * (user, window) is evicted by the watermark; the downstream count
+    * then never sees a duplicate, so count(*) IS count-distinct. Fed
+    * batch-by-batch from the fixture (the q62 harness: thirds +
+    * sentinel batches to flush finalized windows), result persisted
+    * per (JVM, sf) and hash-matched against the batch oracle. */
+  def q69StreamRollingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val store = rollStreamDirs.getOrElseUpdate(dir, {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "events")
+        .select(col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+        .as[(Long, Long)].collect().sortBy(r => (r._2, r._1))
+      require(rows.nonEmpty, "q69: events table is empty")
+      val lo = rows.head._2
+      val hi = rows.last._2 + 1L
+      val c1 = lo + (hi - lo) / 3
+      val c2 = lo + 2L * ((hi - lo) / 3)
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long)]
+      val counts = mem.toDF().toDF("user_id", "us")
+        .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+        .withWatermark("ts", "10 minutes")
+        .select(col("user_id"),
+          window(col("ts"), "3 hours", "1 hour").as("w"))
+        .dropDuplicates("user_id", "w")
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(unix_micros(col("w.start")).as("window_start_us"),
+          col("n_users"))
+      val full = new java.io.File(dir).getAbsolutePath
+      val tag =
+        f"${graft.core.TextSig.mix64(full.hashCode.toLong) & 0xffffffffL}%08x"
+      val d = s"target/roll-stream/${new java.io.File(dir).getName}-$tag"
+      val sinkName = s"q69_sink_$tag"
+      val q = counts.writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").start()
+      def slice(from: Long, until: Long) =
+        rows.filter(r => r._2 >= from && r._2 < until).toSeq
+      Seq((lo, c1), (c1, c2), (c2, hi)).foreach { case (f, u) =>
+        mem.addData(slice(f, u): _*)
+        q.processAllAvailable()
+      }
+      // sentinels: advance the watermark past every real window's end,
+      // then give the engine a batch in which to emit finalized state
+      mem.addData((-1L, hi + 4L * 3600L * 1000000L))
+      q.processAllAvailable()
+      mem.addData((-1L, hi + 8L * 3600L * 1000000L))
+      q.processAllAvailable()
+      q.stop()
+      // the sentinel's own windows sit ≥ 4h past `hi` — drop them
+      s.table(sinkName)
+        .filter(col("window_start_us") < hi + 3600L * 1000000L)
+        .write.mode("overwrite").parquet(d)
+      s.catalog.dropTempView(sinkName)
+      d
+    })
+    s.read.parquet(store)
+      .select(date_format(timestamp_micros(col("window_start_us")),
+        "yyyy-MM-dd HH:mm:ss").as("window_start_s"), col("n_users"))
+      .orderBy("window_start_s")
+  }
 
   /** q62 — STREAMING SESSION WINDOWS (`session_window`, §2.9's stateful
     * session aggregation; the streaming form of q14's gaps-and-islands

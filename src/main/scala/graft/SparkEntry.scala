@@ -309,6 +309,7 @@ object SparkEntry {
     "q66_interval_coalesce" -> Queries.q66IntervalCoalesce,
     "q67_rolling_distinct" -> Queries.q67RollingDistinct,
     "q68_last_touch" -> Queries.q68LastTouch,
+    "q69_stream_rolling_distinct" -> Queries.q69StreamRollingDistinct,
     "q60_user_growth" -> Queries.q60UserGrowth,
     "q63_cohort_retention" -> Queries.q63CohortRetention,
     "q64_transitions" -> Queries.q64Transitions,
@@ -376,6 +377,10 @@ object SparkEntry {
       dedupedFor(s, "pubkey", "owner", "data_len", "lamports")).orderBy("pubkey")),
     "sn07_kind_counts" -> ((s, _) => Etl.accountKindCounts(
       dedupedFor(s, "owner", "data_len")).orderBy("kind")),
+    // per-owner byte-entropy layout audit over the deduped accounts —
+    // exact micro-unit entropy kernel, integer-only aggregation
+    "sn19_data_entropy" -> ((s, _) => Etl.dataEntropyByOwner(
+      dedupedFor(s, "owner", "data", "data_len")).orderBy("owner")),
     // P5 selector + D8/D7 wire round-trip + P10/D4/D5/A4 opcode stats
     // (streaming transforms are batch/stream-agnostic; exercised here on
     // the batch fixture, micro-batch semantics in StreamingSpec)

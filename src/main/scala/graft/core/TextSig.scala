@@ -873,4 +873,27 @@ object TextSig {
     }
     out.toArray
   }
+
+  /** Shannon entropy (nats) of a byte array in EXACT MICRO UNITS: the
+    * c·ln(c) sum accumulated in ascending byte-value order (the m72
+    * ordered-sum rule — any engine replaying the same order gets the
+    * same double), then the 6dp HALF_UP rounding converted to an
+    * integer ×10⁶ — so downstream means/sums are integer-exact instead
+    * of float-order-fragile. 0 for empty/null input. */
+  def byteEntropyMicro(b: Array[Byte]): Long = {
+    if (b == null || b.isEmpty) return 0L
+    val counts = new Array[Long](256)
+    var i = 0
+    while (i < b.length) { counts(b(i) & 0xff) += 1; i += 1 }
+    var s = 0.0
+    var v = 0
+    while (v < 256) {
+      val c = counts(v)
+      if (c > 0) s += c.toDouble * math.log(c.toDouble)
+      v += 1
+    }
+    val e = math.log(b.length.toDouble) - s / b.length.toDouble
+    BigDecimal(e.toString).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .bigDecimal.movePointRight(6).longValueExact()
+  }
 }

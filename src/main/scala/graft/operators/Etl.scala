@@ -199,4 +199,32 @@ object Etl {
         count(lit(1)).as("num_insns"))
       .withColumn("mnemonic", ebpf_mnemonic(col("opcode")))
       .select("opcode", "mnemonic", "num_programs", "num_insns")
+
+  private val entropyMicroUdf =
+    udf((b: Array[Byte]) => graft.core.TextSig.byteEntropyMicro(b))
+
+  /** Per-owner account-data byte-entropy profile — the layout auditor:
+    * a program whose accounts read near ln 256 ≈ 5.545 nats stores
+    * packed/compressed/ciphertext blobs (decode operators won't apply),
+    * near 0 means zero-padded sparse layouts (CSV/JSON projections of
+    * the raw bytes waste 10× the storage). Per-account entropy is
+    * computed by a compiled kernel in EXACT 6dp micro units
+    * ([[graft.core.TextSig.byteEntropyMicro]] — ascending-byte-order
+    * ln sum, then one integer), so the per-owner aggregation is pure
+    * integer arithmetic: no float-sum order anywhere in the plan.
+    * Zero-length accounts carry no bytes to profile and are excluded.
+    *
+    * @return (owner hex, n_accounts, total_bytes, sum_entropy_micro,
+    *         mean_entropy_micro — truncating)
+    */
+  def dataEntropyByOwner(accounts: DataFrame): DataFrame =
+    accounts.filter(col("data_len") > 0)
+      .select(hex(col("owner")).as("owner"), col("data_len"),
+        entropyMicroUdf(col("data")).as("em"))
+      .groupBy("owner")
+      .agg(count(lit(1)).as("n_accounts"),
+        sum(col("data_len")).as("total_bytes"),
+        sum(col("em")).as("sum_entropy_micro"))
+      .withColumn("mean_entropy_micro",
+        expr("sum_entropy_micro div n_accounts"))
 }

@@ -1576,6 +1576,30 @@ class PipelineSpec extends AnyFunSuite {
       ("localhost", "", 1L, 1L)))
   }
 
+  test("dataEntropyByOwner: micro-exact per-account entropy, integer " +
+      "owner rollup, zero-length accounts excluded") {
+    import spark.implicits._
+    // [0,0,1,1] -> ln2 nats = 693147 micro; constant -> 0
+    assert(graft.core.TextSig.byteEntropyMicro(
+      Array[Byte](0, 0, 1, 1)) === 693147L)
+    assert(graft.core.TextSig.byteEntropyMicro(Array[Byte](7, 7, 7)) === 0L)
+    assert(graft.core.TextSig.byteEntropyMicro(Array.empty[Byte]) === 0L)
+    val acc = Seq(
+      (Array[Byte](1), Array[Byte](0, 0, 1, 1), 4L),
+      (Array[Byte](1), Array[Byte](9, 9), 2L),
+      (Array[Byte](1), Array.empty[Byte], 0L), // excluded
+      (Array[Byte](2), Array[Byte](0, 1, 2, 3), 4L))
+      .toDF("owner", "data", "data_len")
+    val got = graft.operators.Etl.dataEntropyByOwner(acc)
+      .orderBy("owner").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val ln4 = graft.core.TextSig.byteEntropyMicro(Array[Byte](0, 1, 2, 3))
+    assert(got === Array(
+      ("01", 2L, 6L, 693147L, 346573L), // (693147 + 0) div 2
+      ("02", 1L, 4L, ln4, ln4)))
+  }
+
   test("zipfFit: hand-computed ln-ln OLS on pinned counts, tie order " +
       "token-asc, k cap respected, contract") {
     import spark.implicits._
