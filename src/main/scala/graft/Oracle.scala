@@ -3377,6 +3377,76 @@ object Oracle {
         >= CAST(x.nn AS HUGEINT) * y.nn * 81
       ORDER BY doc_id_a, doc_id_b""",
 
+    // m212: RFM — per-user (last second, count, DECIMAL sum), three
+    // row_number quartile codes (metric ASC, user ASC; the engine's
+    // exact-rank formula), 64-cell census.
+    "m212_rfm_segments" -> """
+      WITH per AS (SELECT user_id AS k,
+            MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS r,
+            CAST(COUNT(*) AS BIGINT) AS f,
+            SUM(CAST(value AS DECIMAL(18,2))) AS m
+          FROM events GROUP BY 1),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM per),
+      coded AS (SELECT k, m,
+            (row_number() OVER (ORDER BY r ASC, k ASC) - 1) * 4
+              // (SELECT n FROM n) + 1 AS r_q,
+            (row_number() OVER (ORDER BY f ASC, k ASC) - 1) * 4
+              // (SELECT n FROM n) + 1 AS f_q,
+            (row_number() OVER (ORDER BY m ASC, k ASC) - 1) * 4
+              // (SELECT n FROM n) + 1 AS m_q
+          FROM per)
+      SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+        CAST(m_q AS BIGINT) AS m_q, CAST(COUNT(*) AS BIGINT) AS n_keys,
+        CAST(SUM(m) AS DOUBLE) AS sum_m
+      FROM coded GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q""",
+
+    // m213: per-source KL vs corpus — exact integer tf ratios, the
+    // per-token term dag mirrored operand for operand, token-ASC
+    // ordered fold (the m72 list_sum rule).
+    "m213_source_kl" -> """
+      WITH nrm AS (SELECT source,
+            trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS nt
+          FROM documents),
+      tf AS (SELECT source AS src, tok, CAST(COUNT(*) AS BIGINT) AS a
+          FROM (SELECT source, unnest(string_split(nt, ' ')) AS tok
+                FROM nrm WHERE length(nt) > 0) GROUP BY 1, 2),
+      ctf AS (SELECT tok, CAST(SUM(a) AS BIGINT) AS b FROM tf GROUP BY 1),
+      ns AS (SELECT src, CAST(SUM(a) AS BIGINT) AS ns FROM tf GROUP BY 1),
+      nt2 AS (SELECT CAST(SUM(b) AS BIGINT) AS n FROM ctf),
+      terms AS (SELECT t.src, t.tok, t.a, s.ns,
+            (CAST(t.a AS DOUBLE) / CAST(s.ns AS DOUBLE))
+              * ln((CAST(t.a AS DOUBLE) * CAST((SELECT n FROM nt2) AS DOUBLE))
+                  / (CAST(s.ns AS DOUBLE) * CAST(c.b AS DOUBLE))) AS term
+          FROM tf t JOIN ctf c ON t.tok = c.tok JOIN ns s ON t.src = s.src)
+      SELECT src AS source, CAST(SUM(a) AS BIGINT) AS n_occurrences,
+        CAST(COUNT(*) AS BIGINT) AS vocab,
+        round(list_sum(list(term ORDER BY tok)), 6) AS kl
+      FROM terms GROUP BY src ORDER BY source""",
+
+    // q70: bounce rate — the q14 gap sessionization, landing type via
+    // the rn=1 first row, single-event bounce flag, truncating micro.
+    "q70_bounce_rate" -> """
+      WITH ev AS (SELECT user_id, event_id, event_type,
+            CAST(floor(epoch(ts)) AS BIGINT) AS tse
+          FROM events),
+      m AS (SELECT *, CASE WHEN lag(tse) OVER w IS NULL
+              OR tse - lag(tse) OVER w > 1800 THEN 1 ELSE 0 END AS ns
+          FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tse, event_id)),
+      s2 AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id
+              ORDER BY tse, event_id ROWS UNBOUNDED PRECEDING) AS sid
+          FROM m),
+      land AS (SELECT user_id, sid, event_type AS landing,
+            COUNT(*) OVER (PARTITION BY user_id, sid) AS ne,
+            row_number() OVER (PARTITION BY user_id, sid
+              ORDER BY tse, event_id) AS rn
+          FROM s2)
+      SELECT landing, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        CAST(SUM(CASE WHEN ne = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+        CAST(SUM(CASE WHEN ne = 1 THEN 1 ELSE 0 END) * 1000000
+          // COUNT(*) AS BIGINT) AS bounce_micro
+      FROM land WHERE rn = 1
+      GROUP BY landing ORDER BY landing""",
+
     // q69: the streaming sliding-window distinct — batch replay: every
     // window start that CONTAINS an event hour (hb − {0,1,2}), distinct
     // users with hb in [ws, ws+2]. Must equal the dedup→count stream.

@@ -4129,6 +4129,51 @@ object Queries {
       .orderBy("attributed_type")
   }
 
+  /** m212 — RFM quartile segmentation
+    * ([[operators.Ranking.rfmSegments]] over events): the 64-cell
+    * engagement census with quartiles from EXACT range-partitioned
+    * global ranks ((rank−1)·4 div n + 1, ties to user_id) — no ntile,
+    * no global window. The oracle replays the three ranked passes with
+    * row_number. */
+  def m212RfmSegments(s: SparkSession, dir: String): DataFrame =
+    operators.Ranking.rfmSegments(t(s, dir, "events"),
+      col("user_id"), col("ts"), col("value"))
+
+  /** m213 — per-source unigram KL divergence
+    * ([[operators.TextAnalysis.sourceKlDivergence]]): domain shift vs
+    * the corpus distribution, exact integer probabilities and a
+    * token-ASC ordered float fold (the m72 rule) the oracle mirrors
+    * with list_sum(list(... ORDER BY tok)). */
+  def m213SourceKl(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.sourceKlDivergence(t(s, dir, "documents"))
+
+  /** q70 — session landing-type bounce rate: q14's 30-minute-gap
+    * sessionization with each session's FIRST event type carried by a
+    * conditional-last window (no struct argmax contract), bounce =
+    * single-event session; per landing type the session count, bounce
+    * count and truncating micro rate. */
+  def q70BounceRate(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ev = t(s, dir, "events")
+      .withColumn("gap",
+        unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+      .withColumn("ns",
+        when(col("gap").isNull || col("gap") > 1800, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("ns")).over(run))
+      .withColumn("landing",
+        last(when(col("ns") === 1L, col("event_type")), ignoreNulls = true)
+          .over(run))
+    ev.groupBy(col("user_id"), col("sid"), col("landing"))
+      .agg(count(lit(1)).as("ne"))
+      .groupBy(col("landing"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("ne") === 1L, 1L).otherwise(0L)).as("n_bounces"))
+      .withColumn("bounce_micro",
+        expr("n_bounces * 1000000 div n_sessions"))
+      .orderBy("landing")
+  }
+
   /** q67 — rolling 3-hour distinct users per observed hour: exact
     * sliding-window COUNT(DISTINCT) — the shape Spark windows cannot
     * express directly (no count-distinct frames) and a non-equi range

@@ -305,11 +305,14 @@ object SparkEntry {
     "m209_assortativity" -> Queries.m209Assortativity,
     "m210_zipf_fit" -> Queries.m210ZipfFit,
     "m211_percolation" -> Queries.m211Percolation,
+    "m212_rfm_segments" -> Queries.m212RfmSegments,
+    "m213_source_kl" -> Queries.m213SourceKl,
     "q65_conversion_delays" -> Queries.q65ConversionDelays,
     "q66_interval_coalesce" -> Queries.q66IntervalCoalesce,
     "q67_rolling_distinct" -> Queries.q67RollingDistinct,
     "q68_last_touch" -> Queries.q68LastTouch,
     "q69_stream_rolling_distinct" -> Queries.q69StreamRollingDistinct,
+    "q70_bounce_rate" -> Queries.q70BounceRate,
     "q60_user_growth" -> Queries.q60UserGrowth,
     "q63_cohort_retention" -> Queries.q63CohortRetention,
     "q64_transitions" -> Queries.q64Transitions,

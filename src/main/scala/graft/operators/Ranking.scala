@@ -2108,4 +2108,38 @@ object Ranking {
       when(constant, lit(null).cast("double"))
         .otherwise(round(m4 / (m2 * m2) - lit(3.0), 6)).as("kurtosis"))
   }
+
+  /** RFM quartile segmentation — the classic engagement grid: per key,
+    * Recency (last event second), Frequency (event count) and Monetary
+    * (exact DECIMAL value sum) each coded into quartiles 1–4 (4 = top),
+    * then the 64-cell segment census. Quartiles come from EXACT global
+    * ranks — `(rank − 1)·4 div n + 1` over a total (metric, key) order,
+    * not `ntile` (whose uneven-remainder placement is an
+    * implementation detail no oracle should inherit) and not a global
+    * window (each code rides [[globalRank]]'s range-partitioned form).
+    * Three ranked passes over the per-key frame — bounded by distinct
+    * keys, never the event count.
+    *
+    * @return (r_q, f_q, m_q, n_keys, sum_m — exact-decimal double),
+    *         segment cells ascending
+    */
+  def rfmSegments(df: DataFrame, keyCol: Column, tsCol: Column,
+      valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val per = df.groupBy(keyCol.as("k")).agg(
+      max(unix_timestamp(tsCol)).as("r"),
+      count(lit(1)).as("f"),
+      sum(valueCol.cast(DecimalType(18, 2))).as("m"))
+    val n = per.count()
+    require(n > 0, "rfmSegments: no keys")
+    def coded(in: DataFrame, metric: String, out: String): DataFrame =
+      globalRank(in, Seq(col(metric).asc, col("k").asc), s"__rk_$out")
+        .withColumn(out, expr(s"(__rk_$out - 1) * 4 div $n + 1"))
+        .drop(s"__rk_$out")
+    val codes = coded(coded(coded(per, "r", "r_q"), "f", "f_q"), "m", "m_q")
+    codes.groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("m")).cast("double").as("sum_m"))
+      .orderBy("r_q", "f_q", "m_q")
+  }
 }

@@ -1202,6 +1202,63 @@ object TextAnalysis {
       .toDF("n_points", "slope", "intercept")
   }
 
+  /**
+   * Per-source unigram KL divergence vs the corpus distribution — the
+   * domain-shift scalar a mixture planner reads next to m73's set
+   * Jaccard (which ignores frequency entirely): KL(pₛ‖q) =
+   * Σ pₛ(t)·ln(pₛ(t)/q(t)) over the source's tokens, with pₛ, q exact
+   * integer ratios (source tf / source mass, corpus tf / corpus mass —
+   * q(t) > 0 always since the corpus is a superset). The float dag is
+   * replayable: per-token terms are codegen'd columns; the per-source
+   * sum is a left fold over the token-ASC sorted array (the m72
+   * ordered-sum rule — `aggregate` over `array_sort(collect_list)`,
+   * cheap lambda, terms computed BEFORE aggregation so nothing
+   * expensive is inlined into the interpreted fold). Per-source vocab
+   * is ceiling-ENFORCED (`graft.text.klMaxVocab`, default 65536) — the
+   * collected array is the bounded frame this design buys its ordered
+   * sum with.
+   *
+   * @return (source, n_occurrences, vocab, kl 6dp), source ASC
+   */
+  def sourceKlDivergence(docs: DataFrame, sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val nt = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    val tf = Dedup.spread(docs.select(
+        col(sourceCol).cast("string").as("src"), nt.as("nt")))
+      .filter(length(col("nt")) > 0)
+      .select(col("src"), explode(split(col("nt"), " ")).as("tok"))
+      .groupBy("src", "tok").agg(count(lit(1)).as("a"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ceiling = docs.sparkSession.conf
+      .get("graft.text.klMaxVocab", "65536").toLong
+    val fattest = tf.groupBy("src").agg(count(lit(1)).as("v"))
+      .agg(max(col("v"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    require(fattest <= ceiling,
+      s"sourceKlDivergence: a source carries $fattest distinct tokens > " +
+        "graft.text.klMaxVocab — the ordered per-source fold collects " +
+        "the vocab; raise the ceiling deliberately")
+    val ctf = tf.groupBy("tok").agg(sum(col("a")).as("b"))
+    val ns = tf.groupBy("src").agg(sum(col("a")).as("ns"))
+    val nTotal = ctf.agg(sum(col("b"))).head().getLong(0)
+    val terms = tf.join(ctf, "tok").join(ns, "src")
+      .withColumn("term",
+        (col("a").cast("double") / col("ns").cast("double")) *
+          log((col("a").cast("double") * lit(nTotal.toDouble)) /
+            (col("ns").cast("double") * col("b").cast("double"))))
+    val out = terms.groupBy(col("src").as("source"))
+      .agg(sum(col("a")).as("n_occurrences"), count(lit(1)).as("vocab"),
+        round(aggregate(
+          array_sort(collect_list(struct(col("tok"), col("term")))),
+          lit(0.0), (acc, x) => acc + x.getField("term")), 6).as("kl"))
+      .orderBy("source")
+    val pinned = graft.core.Blocks.pin(out)
+    tf.unpersist()
+    pinned
+  }
+
   def cooccurrencePairs(docs: DataFrame, minsup: Int = 100,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(minsup >= 1, s"cooccurrencePairs: minsup=$minsup < 1")

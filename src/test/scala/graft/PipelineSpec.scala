@@ -1576,6 +1576,59 @@ class PipelineSpec extends AnyFunSuite {
       ("localhost", "", 1L, 1L)))
   }
 
+  test("rfmSegments: exact quartile formula with key tie-breaks, " +
+      "decimal-exact monetary sum, empty contract") {
+    import spark.implicits._
+    // 4 users -> quartiles are exactly the rank order on each metric
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    def ts(off: Long) = new java.sql.Timestamp(base + off * 1000L)
+    // u1: 1 event @t=0 val 1.00 | u2: 2 events last @t=10 val sum 4.00
+    // u3: 3 events last @t=20 sum 9.00 | u4: 4 events last @t=30 sum 16.00
+    val ev = (1 to 4).flatMap { u =>
+      (0 until u).map(i => (u.toLong, ts(10L * (u - 1)) , u.toDouble))
+    }.toDF("user_id", "ts", "value")
+    val got = graft.operators.Ranking.rfmSegments(ev, col("user_id"),
+        col("ts"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    // metrics all rank u1<u2<u3<u4 -> diagonal cells (q,q,q) with 1 key
+    assert(got === Array((1L, 1L, 1L, 1L, 1.0), (2L, 2L, 2L, 1L, 4.0),
+      (3L, 3L, 3L, 1L, 9.0), (4L, 4L, 4L, 1L, 16.0)))
+    intercept[IllegalArgumentException] {
+      graft.operators.Ranking.rfmSegments(ev.limit(0), col("user_id"),
+        col("ts"), col("value"))
+    }
+  }
+
+  test("sourceKlDivergence: identical-distribution source reads 0, " +
+      "shifted source positive, exact masses, vocab ceiling") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", "a b"), (2L, "a", "a b"),
+      (3L, "b", "a b"), (4L, "b", "a a"))
+      .toDF("doc_id", "source", "text")
+    val got = graft.operators.TextAnalysis.sourceKlDivergence(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // corpus: a=5, b=3, N=8. source a: a=2,b=2 (p=1/2 each)
+    val klA = 0.5 * math.log(0.5 * 8.0 / 5.0) + 0.5 * math.log(0.5 * 8.0 / 3.0)
+    def r6(d: Double): Double =
+      BigDecimal(d.toString).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    assert(got.map(_._1).toSeq === Seq("a", "b"))
+    assert(got(0)._2 === 4L && got(0)._3 === 2L)
+    assert(got(0)._4 === r6(klA))
+    assert(got(1)._4 > 0.0)
+    val prev = spark.conf.getOption("graft.text.klMaxVocab")
+    spark.conf.set("graft.text.klMaxVocab", "1")
+    try intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.sourceKlDivergence(docs)
+    } finally prev match {
+      case Some(v) => spark.conf.set("graft.text.klMaxVocab", v)
+      case None => spark.conf.unset("graft.text.klMaxVocab")
+    }
+  }
+
   test("dataEntropyByOwner: micro-exact per-account entropy, integer " +
       "owner rollup, zero-length accounts excluded") {
     import spark.implicits._
