@@ -3377,6 +3377,102 @@ object Oracle {
         >= CAST(x.nn AS HUGEINT) * y.nn * 81
       ORDER BY doc_id_a, doc_id_b""",
 
+    // m214: modularity of the m62 label-prop partition — the lp chain
+    // verbatim, then HUGEINT (4m·intra − Σd²) / 4m² algebra.
+    "m214_modularity" -> {
+      def it(prev: String, cur: String) = s"""
+      $cur AS (SELECT v.id, COALESCE(b.lbl, v.id) AS label
+        FROM vtx v LEFT JOIN (
+          SELECT id, lbl FROM (
+            SELECT e.dst AS id, r.label AS lbl,
+                   row_number() OVER (PARTITION BY e.dst
+                     ORDER BY COUNT(*) DESC, r.label) AS rk
+            FROM ed e JOIN $prev r ON e.src = r.id
+            GROUP BY e.dst, r.label)
+          WHERE rk = 1) b ON v.id = b.id)"""
+      s"""
+      WITH $CharShingleCtes,
+      ${jacPairCtes("mpj")},
+      mps AS MATERIALIZED (SELECT pa, pb FROM mpj WHERE ${jacGe("0.5")}),
+      ed AS (SELECT pa AS src, pb AS dst FROM mps
+             UNION ALL SELECT pb, pa FROM mps),
+      vtx AS (SELECT doc_id AS id FROM documents),
+      lp0 AS (SELECT id, id AS label FROM vtx),
+      ${it("lp0", "lp1")},
+      ${it("lp1", "lp2")},
+      ${it("lp2", "lp3")},
+      ${it("lp3", "lp4")},
+      e AS MATERIALIZED (SELECT la.label AS la, lb.label AS lb
+        FROM mps m JOIN lp4 la ON m.pa = la.id
+        JOIN lp4 lb ON m.pb = lb.id),
+      mm AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m FROM e),
+      dc AS (SELECT l, CAST(COUNT(*) AS HUGEINT) AS d FROM (
+            SELECT la AS l FROM e UNION ALL SELECT lb FROM e) GROUP BY l),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc,
+            CAST(SUM(d*d) AS HUGEINT) AS sd2 FROM dc),
+      ii AS (SELECT CAST(COUNT(*) AS HUGEINT) AS intra FROM e
+             WHERE la = lb)
+      SELECT CAST(mm.m AS BIGINT) AS n_edges, st.nc AS n_communities,
+        CAST(ii.intra AS BIGINT) AS intra_edges,
+        CAST(st.sd2 AS BIGINT) AS sum_deg_sq,
+        round(CAST(4*mm.m*ii.intra - st.sd2 AS DOUBLE)
+          / CAST(4*mm.m*mm.m AS DOUBLE), 6) AS modularity
+      FROM mm, st, ii"""
+    },
+
+    // m215: Kaplan–Meier — suffix-sum risk sets (ORDER BY t DESC
+    // running sum), survival via the seeded ordered list fold over
+    // d>0 factors (engine's sequential double product, exactly).
+    "m215_kaplan_meier" -> """
+      WITH per AS (SELECT user_id,
+            MIN(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS f,
+            MAX(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS l
+          FROM events GROUP BY 1),
+      hz AS (SELECT MAX(l) AS h FROM per),
+      dur AS (SELECT l - f AS t,
+            CAST(SUM(CASE WHEN l < (SELECT h FROM hz) THEN 1 ELSE 0 END)
+              AS BIGINT) AS d,
+            CAST(SUM(CASE WHEN l < (SELECT h FROM hz) THEN 0 ELSE 1 END)
+              AS BIGINT) AS c
+          FROM per GROUP BY 1),
+      ar AS (SELECT t, d, c,
+            CAST(SUM(d + c) OVER (ORDER BY t DESC ROWS UNBOUNDED
+              PRECEDING) AS BIGINT) AS n
+          FROM dur),
+      fx AS (SELECT t, CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE) AS fc
+          FROM ar WHERE d > 0),
+      sv AS (SELECT a.t, a.n, a.d, a.c,
+            list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+              list(f.fc ORDER BY f.t) FILTER (WHERE f.t IS NOT NULL)),
+              (x, y) -> x * y) AS s
+          FROM ar a LEFT JOIN fx f ON f.t <= a.t
+          GROUP BY a.t, a.n, a.d, a.c)
+      SELECT t AS t_days, n AS n_at_risk, d AS n_churned,
+        c AS n_censored,
+        CAST(round(s, 6) * 1000000 AS BIGINT) AS surv_micro
+      FROM sv ORDER BY t_days""",
+
+    // m216: lateness audit — the m26 mix64 arrival permutation, the
+    // single-node global running-max window (the engine's two-level
+    // block form must equal it), exact integer bands.
+    "m216_lateness" -> s"""
+      WITH lbase AS (SELECT event_id,
+            CAST(floor(epoch(ts)) AS BIGINT) AS tse,
+            (CAST(event_id AS HUGEINT) + 11) % $M64 AS z0 FROM events),
+      ${mix64Ctes("ltm", "lbase", "event_id, tse")},
+      r AS (SELECT tse, MAX(tse) OVER (ORDER BY
+            CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+                 THEN h - $M64 ELSE h END AS BIGINT) ASC, event_id ASC
+            ROWS UNBOUNDED PRECEDING) AS rm
+          FROM ltm),
+      l AS (SELECT rm - tse AS lat FROM r)
+      SELECT CASE WHEN lat = 0 THEN 'on_time'
+            WHEN lat <= 600 THEN 'le_10m'
+            WHEN lat <= 3600 THEN 'le_1h' ELSE 'gt_1h' END AS band,
+        CAST(COUNT(*) AS BIGINT) AS n_events,
+        CAST(MAX(lat) AS BIGINT) AS max_lateness_s
+      FROM l GROUP BY 1 ORDER BY band""",
+
     // m212: RFM — per-user (last second, count, DECIMAL sum), three
     // row_number quartile codes (metric ASC, user ASC; the engine's
     // exact-rank formula), 64-cell census.

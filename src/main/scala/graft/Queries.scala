@@ -4147,6 +4147,45 @@ object Queries {
   def m213SourceKl(s: SparkSession, dir: String): DataFrame =
     operators.TextAnalysis.sourceKlDivergence(t(s, dir, "documents"))
 
+  /** m214 — community modularity
+    * ([[operators.Graph.modularityReport]] over the m62 label-prop
+    * partition of the 0.5-threshold pair graph): Newman's Q as ONE
+    * exact rational (4m·Σe_c − Σd_c²) ∕ 4m², one float division. The
+    * oracle replays the m62 propagation rounds and the HUGEINT
+    * algebra. */
+  def m214Modularity(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = pairs05(s, dir)
+    val edges = pairs
+      .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+      .unionByName(pairs
+        .select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
+    val labels = operators.Graph.labelPropagation(
+      docs.select(col("doc_id").as("id")), edges, iters = 4)
+    operators.Graph.modularityReport(pairs, labels)
+  }
+
+  /** m215 — Kaplan–Meier retention curve
+    * ([[operators.Temporal.kaplanMeier]] over user activity spans):
+    * survival with horizon CENSORING done right — keys still active at
+    * the global max day are censored, not churned. Exact integer risk
+    * sets; the survival product is a replayable ordered double fold
+    * (seeded list_reduce in the oracle). */
+  def m215KaplanMeier(s: SparkSession, dir: String): DataFrame =
+    operators.Temporal.kaplanMeier(t(s, dir, "events"),
+      col("user_id"), col("ts"))
+      .orderBy("t_days")
+
+  /** m216 — watermark-lateness audit ([[operators.Temporal
+    * .latenessAudit]] under the m26 splitmix replay permutation):
+    * lateness bands vs the running max event-time — the
+    * watermark-delay sizing table. Two-level running max (block window
+    * + driver prefix) keeps the plan free of global windows; the
+    * oracle runs the single-node window over the same mix64 order. */
+  def m216Lateness(s: SparkSession, dir: String): DataFrame =
+    operators.Temporal.latenessAudit(t(s, dir, "events"),
+      col("event_id"), col("ts"))
+
   /** q70 — session landing-type bounce rate: q14's 30-minute-gap
     * sessionization with each session's FIRST event type carried by a
     * conditional-last window (no struct argmax contract), bounce =

@@ -307,6 +307,9 @@ object SparkEntry {
     "m211_percolation" -> Queries.m211Percolation,
     "m212_rfm_segments" -> Queries.m212RfmSegments,
     "m213_source_kl" -> Queries.m213SourceKl,
+    "m214_modularity" -> Queries.m214Modularity,
+    "m215_kaplan_meier" -> Queries.m215KaplanMeier,
+    "m216_lateness" -> Queries.m216Lateness,
     "q65_conversion_delays" -> Queries.q65ConversionDelays,
     "q66_interval_coalesce" -> Queries.q66IntervalCoalesce,
     "q67_rolling_distinct" -> Queries.q67RollingDistinct,

@@ -936,6 +936,60 @@ object Graph {
       .toDF("n_edges", "sum_deg", "sum_prod", "sum_sq", "assortativity")
   }
 
+  /** Newman modularity of a vertex partition over an undirected pair
+    * graph — the "are these communities real" scalar for any labeling
+    * (label propagation, components, external clusters):
+    * Q = Σ_c [e_c/m − (d_c/2m)²], computed as ONE exact rational
+    * (4m·Σe_c − Σd_c²) / 4m² — integer numerator/denominator built
+    * from three bounded aggregations (degrees, per-label degree mass,
+    * intra-label edge count), divided once driver-side (the
+    * assortativity BigInt pattern). Labels absent from the pair graph
+    * (isolated vertices) carry zero mass and cannot move Q.
+    *
+    * @param pairs  undirected unique pairs (aCol < bCol)
+    * @param labels (idCol, labelCol) — every pair endpoint must appear
+    * @return one row: (n_edges, n_communities — labels with mass,
+    *         intra_edges, sum_deg_sq, modularity 6dp; NULL Q when the
+    *         graph has no edges)
+    */
+  def modularityReport(pairs: DataFrame, labels: DataFrame,
+      aCol: String = "doc_id_a", bCol: String = "doc_id_b",
+      idCol: String = "id", labelCol: String = "label"): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val lab = labels.select(col(idCol).as("__id"), col(labelCol).as("__l"))
+    val e = graft.core.Blocks.pin(pairs
+      .join(lab.select(col("__id").as("__a"), col("__l").as("la")),
+        col(aCol) === col("__a"))
+      .join(lab.select(col("__id").as("__b"), col("__l").as("lb")),
+        col(bCol) === col("__b"))
+      .select(col(aCol).as("a"), col(bCol).as("b"), col("la"), col("lb")))
+    val m = e.count()
+    if (m == 0L) {
+      graft.core.Blocks.release(e)
+      return Seq((0L, 0L, 0L, 0L, Option.empty[Double]))
+        .toDF("n_edges", "n_communities", "intra_edges", "sum_deg_sq",
+          "modularity")
+    }
+    val dc = e.select(col("la").as("l"))
+      .unionByName(e.select(col("lb").as("l")))
+      .groupBy("l").agg(count(lit(1)).as("d"))
+    val stats = dc.agg(count(lit(1)).as("nc"),
+      sum(col("d").cast(d38) * col("d")).as("sd2")).head()
+    val intra = e.filter(col("la") === col("lb")).count()
+    graft.core.Blocks.release(e)
+    val sd2 = BigInt(stats.getDecimal(1).toBigInteger)
+    val num = BigInt(4) * m * intra - sd2
+    val den = BigInt(4) * m * m
+    val q = BigDecimal((num.toDouble / den.toDouble).toString)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((m, stats.getLong(0), intra, sd2.toLong, Option(q)))
+      .toDF("n_edges", "n_communities", "intra_edges", "sum_deg_sq",
+        "modularity")
+  }
+
   /** Hub-removal percolation curve — how fast does the graph shatter
     * when its highest-degree nodes are deleted? Step r removes the top
     * r hubs (degree DESC, id ASC — fully tie-broken) and reports the

@@ -209,6 +209,119 @@ object Temporal {
   }
 
   /**
+   * Kaplan–Meier retention curve over per-key activity spans — the
+   * survival readout behind every "day-N retention" chart, with
+   * censoring done RIGHT: a key whose last activity touches the
+   * observation horizon hasn't churned, it's censored, and treating it
+   * as churned (the naive rate) biases retention down exactly for the
+   * most-engaged keys. Duration = last−first activity day; an event
+   * (churn) is observed only when the key stopped before the horizon
+   * (= the global max day).
+   *
+   * Exactness: one per-key aggregation + one bounded per-duration
+   * aggregation (≤ horizon-days rows, ceiling-enforced at 4096
+   * collected rows); at-risk counts and the survival product run
+   * driver-side in duration order — each factor (nᵗ−dᵗ)/nᵗ is one
+   * double division and the sequential product is replayable by a
+   * seeded list fold (the m72 ordered-accumulation rule).
+   *
+   * @return (t_days, n_at_risk, n_churned, n_censored, surv_micro —
+   *         ⌊S(t)·10⁶⌋ after 6dp rounding), t ascending
+   */
+  def kaplanMeier(df: DataFrame, keyCol: Column, tsCol: Column): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val per = df.select(keyCol.as("k"), unix_timestamp(tsCol).as("sec"))
+      .select(col("k"), expr("sec div 86400").as("day"))
+      .groupBy("k").agg(min(col("day")).as("f"), max(col("day")).as("l"))
+    val horizonRow = per.agg(max(col("l"))).head()
+    if (horizonRow.isNullAt(0))
+      return Seq.empty[(Long, Long, Long, Long, Long)]
+        .toDF("t_days", "n_at_risk", "n_churned", "n_censored", "surv_micro")
+    val horizon = horizonRow.getLong(0)
+    val rows = per
+      .select((col("l") - col("f")).as("t"), (col("l") < horizon).as("ev"))
+      .groupBy("t").agg(
+        sum(when(col("ev"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("ev"), 0L).otherwise(1L)).as("c"))
+      .orderBy("t")
+      .collect()
+    require(rows.length <= 4096,
+      s"kaplanMeier: ${rows.length} distinct durations exceed the 4096 " +
+        "collect ceiling (bucket the durations first)")
+    var atRisk = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    var surv = 1.0
+    val out = rows.map { r =>
+      val (t, d, c) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val n = atRisk
+      if (d > 0) surv = surv * ((n - d).toDouble / n.toDouble)
+      val sm = BigDecimal(surv.toString)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.movePointRight(6).longValueExact()
+      atRisk -= (d + c)
+      (t, n, d, c, sm)
+    }
+    out.toSeq
+      .toDF("t_days", "n_at_risk", "n_churned", "n_censored", "surv_micro")
+  }
+
+  /**
+   * Watermark-lateness audit under a DETERMINISTIC replay arrival
+   * order ([[TrainingPipeline.shuffleOrder]]'s splitmix permutation —
+   * the backfill/replay simulation; a partition-merge replay does NOT
+   * deliver in event time): per event, how far the stream's running
+   * max event-time had advanced past it on arrival — the table that
+   * picks a watermark delay (every band above the chosen delay is
+   * dropped data).
+   *
+   * Scale shape: the global running max runs TWO-LEVEL — a
+   * block-partitioned window (arrival-rank div blockSize) plus a
+   * driver prefix-max over the bounded per-block maxima — because a
+   * global unpartitioned window is the single-reducer shape this
+   * engine lints away. Bands are exact integer seconds.
+   *
+   * @return (band ∈ gt_1h|le_10m|le_1h|on_time, n_events,
+   *         max_lateness_s), band ascending
+   */
+  def latenessAudit(df: DataFrame, idCol: Column, tsCol: Column,
+      seed: Long = 11L, blockSize: Long = 4096L): DataFrame = {
+    require(blockSize >= 64L, s"latenessAudit: blockSize=$blockSize < 64")
+    val s = df.sparkSession
+    import s.implicits._
+    val ev = df.select(idCol.cast("long").as("event_id"),
+      unix_timestamp(tsCol).as("tse"))
+    val order = TrainingPipeline.shuffleOrder(
+      ev.select("event_id"), seed, "event_id")
+    val ranked = ev.join(order, "event_id")
+      .withColumn("blk", expr(s"(shuffle_pos - 1) div $blockSize"))
+    val bm = ranked.groupBy("blk").agg(max(col("tse")).as("bmx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    require(bm.length <= (1 << 20),
+      s"latenessAudit: ${bm.length} blocks exceed the driver prefix " +
+        "ceiling — raise blockSize")
+    var acc = Long.MinValue
+    val prev = bm.map { case (b, mx) =>
+      val p = acc; acc = math.max(acc, mx); (b, p)
+    }
+    val prevDf = broadcast(prev.toSeq.toDF("blk", "pm"))
+    val w = Window.partitionBy("blk").orderBy(col("shuffle_pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked.join(prevDf, "blk")
+      .withColumn("lateness",
+        greatest(max(col("tse")).over(w), col("pm")) - col("tse"))
+      .select(
+        when(col("lateness") === 0L, lit("on_time"))
+          .when(col("lateness") <= 600L, lit("le_10m"))
+          .when(col("lateness") <= 3600L, lit("le_1h"))
+          .otherwise(lit("gt_1h")).as("band"),
+        col("lateness"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_events"),
+        max(col("lateness")).as("max_lateness_s"))
+      .orderBy("band")
+  }
+
+  /**
    * Sequential-pattern mining (contiguous n-gram episodes): the
    * "what do users DO, in order" readout that single-step transition
    * matrices (q48/q64) cannot express — support counted in distinct

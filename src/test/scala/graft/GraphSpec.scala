@@ -380,6 +380,31 @@ class GraphSpec extends AnyFunSuite {
     assert(empty.getLong(0) === 0L && empty.isNullAt(4))
   }
 
+  test("modularityReport: two triangles + bridge at the textbook Q, " +
+      "single-community Q formula, empty graph NULL") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("doc_id_a", "doc_id_b")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 4L)).toDF("id", "label")
+    val got = Graph.modularityReport(pairs, labels).collect()(0)
+    // m=7, intra=6, d_c = 7 and 7 -> Q = (4*7*6 - 98)/196 = 70/196
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getLong(3)) === ((7L, 2L, 6L, 98L)))
+    assert(got.getDouble(4) ===
+      BigDecimal((70.0 / 196.0).toString)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // everything in one community: Q = (4m² − 4m²)/4m² = 0
+    val one = labels.select(labels("id"),
+      org.apache.spark.sql.functions.lit(1L).as("label"))
+    assert(Graph.modularityReport(pairs, one).collect()(0)
+      .getDouble(4) === 0.0)
+    val empty = Graph.modularityReport(
+      pairs.filter(pairs("doc_id_a") < 0L), labels).collect()(0)
+    assert(empty.getLong(0) === 0L && empty.isNullAt(4))
+  }
+
   test("percolationCurve: hub order (degree desc, id asc), giant " +
       "collapse steps, zero row after the graph empties, contract") {
     val s = spark

@@ -1576,6 +1576,54 @@ class PipelineSpec extends AnyFunSuite {
       ("localhost", "", 1L, 1L)))
   }
 
+  test("kaplanMeier: horizon censoring, suffix-sum risk sets, " +
+      "survival only moves on observed churn, empty input") {
+    import spark.implicits._
+    def ts(day: Long) = new java.sql.Timestamp(day * 86400000L + 43200000L)
+    // u1 spans days 0-2 (churn t=2), u2 0-4 (censored at horizon 4),
+    // u3 1-4 (censored, t=3)
+    val ev = Seq((1L, ts(0)), (1L, ts(2)), (2L, ts(0)), (2L, ts(4)),
+      (3L, ts(1)), (3L, ts(4))).toDF("user_id", "ts")
+    val got = graft.operators.Temporal.kaplanMeier(ev, col("user_id"),
+        col("ts"))
+      .orderBy("t_days").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val s2 = BigDecimal((2.0 / 3.0).toString)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .bigDecimal.movePointRight(6).longValueExact()
+    assert(got === Array((2L, 3L, 1L, 0L, s2), (3L, 2L, 0L, 1L, s2),
+      (4L, 1L, 0L, 1L, s2)))
+    assert(graft.operators.Temporal.kaplanMeier(ev.limit(0),
+      col("user_id"), col("ts")).count() === 0L)
+  }
+
+  test("latenessAudit: counts conserve, same-timestamp stream is all " +
+      "on_time, block decomposition invariant, blockSize contract") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val T = graft.operators.Temporal
+    // constant timestamps: lateness 0 under ANY permutation
+    val flat = (1L to 50L).map(i => (i, ts(1000L))).toDF("event_id", "ts")
+    val g0 = T.latenessAudit(flat, col("event_id"), col("ts")).collect()
+    assert(g0.length === 1 && g0(0).getString(0) === "on_time" &&
+      g0(0).getLong(1) === 50L && g0(0).getLong(2) === 0L)
+    // varied times: total conserves; tiny blockSize must not change
+    // anything (the two-level max equals the single window)
+    val varied = (1L to 300L).map(i => (i, ts(i * 37L % 1000L)))
+      .toDF("event_id", "ts")
+    val a = T.latenessAudit(varied, col("event_id"), col("ts"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(a.map(_._2).sum === 300L)
+    val b = T.latenessAudit(varied, col("event_id"), col("ts"),
+        blockSize = 64L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(a.toSeq === b.toSeq)
+    intercept[IllegalArgumentException] {
+      T.latenessAudit(varied, col("event_id"), col("ts"), blockSize = 1L)
+    }
+  }
+
   test("rfmSegments: exact quartile formula with key tie-breaks, " +
       "decimal-exact monetary sum, empty contract") {
     import spark.implicits._
