@@ -3377,6 +3377,72 @@ object Oracle {
         >= CAST(x.nn AS HUGEINT) * y.nn * 81
       ORDER BY doc_id_a, doc_id_b""",
 
+    // m217: Cohen's kappa — exact contingency, the signed PLAIN
+    // division (never //), NULL on total chance agreement.
+    "m217_cohen_kappa" -> """
+      WITH ct AS (SELECT
+            CAST(COUNT(*) AS HUGEINT) AS n,
+            CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS HUGEINT)
+              AS n11,
+            CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS HUGEINT)
+              AS n10,
+            CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS HUGEINT)
+              AS n01,
+            CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+              AS HUGEINT) AS n00
+          FROM (SELECT n_chars > 500 AS a, lang IN ('en','de') AS b
+                FROM documents)),
+      k AS (SELECT *,
+            (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+              AS chance
+          FROM ct)
+      SELECT CAST(n AS BIGINT) AS n, CAST(n11 AS BIGINT) AS n11,
+        CAST(n10 AS BIGINT) AS n10, CAST(n01 AS BIGINT) AS n01,
+        CAST(n00 AS BIGINT) AS n00,
+        CASE WHEN n * n - chance = 0 THEN NULL
+             ELSE round(CAST(n * (n11 + n00) - chance AS DOUBLE)
+               / CAST(n * n - chance AS DOUBLE), 6) END AS kappa
+      FROM k""",
+
+    // m218: per-doc keywords — the m182 integer score at doc grain,
+    // (score DESC, token ASC) top-3 per doc.
+    "m218_doc_keywords" -> """
+      WITH nrm AS (SELECT doc_id,
+            trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS nt
+          FROM documents),
+      tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest(string_split(nt, ' ')) AS token
+                FROM nrm WHERE length(nt) > 0) GROUP BY 1, 2),
+      dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+          FROM tf GROUP BY 1),
+      nn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+      sc AS (SELECT t.doc_id, t.token, t.tf, d.df,
+            CAST((t.tf * ((SELECT n FROM nn) - d.df + 1)) // d.df
+              AS BIGINT) AS score
+          FROM tf t JOIN dfq d ON t.token = d.token),
+      rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, token ASC) AS INT) AS rank FROM sc)
+      SELECT doc_id, rank, token, tf, df, score FROM rk
+      WHERE rank <= 3 ORDER BY doc_id, rank""",
+
+    // sn20: per-owner lamports Gini — the m159 exact-rank dag over the
+    // deduped snapshot accounts.
+    "sn20_lamports_gini" -> s"""
+      WITH $DedupCte,
+      ggb AS (SELECT hex(owner) AS g, CAST(lamports AS BIGINT) AS v
+            FROM dedup),
+      ggr AS (SELECT g, v,
+              row_number() OVER (PARTITION BY g ORDER BY v) AS rk
+            FROM ggb),
+      gga AS (SELECT g, COUNT(*) AS n, SUM(CAST(v AS HUGEINT)) AS s,
+              SUM(CAST(rk AS HUGEINT) * v) AS si FROM ggr GROUP BY g)
+      SELECT g AS "group", CAST(n AS BIGINT) AS n,
+        CAST(s AS BIGINT) AS sum_v,
+        CASE WHEN s > 0
+          THEN CAST((10000 * (2 * si - (n + 1) * s)) // (n * s) AS BIGINT)
+          END AS gini_bp
+      FROM gga ORDER BY g""",
+
     // m214: modularity of the m62 label-prop partition — the lp chain
     // verbatim, then HUGEINT (4m·intra − Σd²) / 4m² algebra.
     "m214_modularity" -> {

@@ -4186,6 +4186,23 @@ object Queries {
     operators.Temporal.latenessAudit(t(s, dir, "events"),
       col("event_id"), col("ts"))
 
+  /** m217 — Cohen's kappa ([[operators.Ranking.cohenKappa]] between
+    * the long-doc and en/de raters): chance-corrected agreement from
+    * one exact contingency aggregation and one signed PLAIN division
+    * (negative κ is real disagreement and survives the r13 signed
+    * rule). */
+  def m217CohenKappa(s: SparkSession, dir: String): DataFrame =
+    operators.Ranking.cohenKappa(t(s, dir, "documents"),
+      col("n_chars") > 500, col("lang").isin("en", "de"))
+
+  /** m218 — per-doc keyword extraction
+    * ([[operators.TextAnalysis.docKeywords]] at k = 3): m182's exact
+    * integer tf·(N−df+1) div df score at document granularity, the
+    * RAG-index sidecar. */
+  def m218DocKeywords(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.docKeywords(t(s, dir, "documents"), k = 3)
+      .orderBy("doc_id", "rank")
+
   /** q70 — session landing-type bounce rate: q14's 30-minute-gap
     * sessionization with each session's FIRST event type carried by a
     * conditional-last window (no struct argmax contract), bounce =

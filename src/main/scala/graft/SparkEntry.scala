@@ -310,6 +310,8 @@ object SparkEntry {
     "m214_modularity" -> Queries.m214Modularity,
     "m215_kaplan_meier" -> Queries.m215KaplanMeier,
     "m216_lateness" -> Queries.m216Lateness,
+    "m217_cohen_kappa" -> Queries.m217CohenKappa,
+    "m218_doc_keywords" -> Queries.m218DocKeywords,
     "q65_conversion_delays" -> Queries.q65ConversionDelays,
     "q66_interval_coalesce" -> Queries.q66IntervalCoalesce,
     "q67_rolling_distinct" -> Queries.q67RollingDistinct,
@@ -387,6 +389,11 @@ object SparkEntry {
     // exact micro-unit entropy kernel, integer-only aggregation
     "sn19_data_entropy" -> ((s, _) => Etl.dataEntropyByOwner(
       dedupedFor(s, "owner", "data", "data_len")).orderBy("owner")),
+    // per-owner lamports concentration — the m159 exact-rank Gini over
+    // the deduped snapshot (which programs hold the whale accounts)
+    "sn20_lamports_gini" -> ((s, _) => graft.operators.Ranking.giniReportBy(
+      dedupedFor(s, "owner", "lamports"),
+      hex(col("owner")), col("lamports")).orderBy("group")),
     // P5 selector + D8/D7 wire round-trip + P10/D4/D5/A4 opcode stats
     // (streaming transforms are batch/stream-agnostic; exercised here on
     // the batch fixture, micro-batch semantics in StreamingSpec)

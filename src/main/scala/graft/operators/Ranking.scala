@@ -2109,6 +2109,48 @@ object Ranking {
         .otherwise(round(m4 / (m2 * m2) - lit(3.0), 6)).as("kurtosis"))
   }
 
+  /** Cohen's kappa between two binary raters — chance-corrected
+    * agreement, the number that separates "two quality filters agree
+    * 90% of the time" from "they agree 90% because both pass almost
+    * everything" (accuracy-style agreement is inflated exactly when
+    * one class dominates). κ = (n·(n₁₁+n₀₀) − (a₁b₁+a₀b₀)) /
+    * (n² − (a₁b₁+a₀b₀)) — one exact integer contingency aggregation,
+    * one signed PLAIN double division (the r13 signed-dag rule: no
+    * floor-division "fix"), driver BigInt like welchTTest. NULL when
+    * chance agreement is total (a constant rater). Negative κ =
+    * systematic DISagreement — real, and reported as such.
+    *
+    * @return one row: (n, n11, n10, n01, n00, kappa 6dp)
+    */
+  def cohenKappa(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val r = df.select(aCol.cast("boolean").as("a"),
+        bCol.cast("boolean").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+      .head()
+    val n = BigInt(r.getLong(0))
+    require(n > 0, "cohenKappa: no rated rows")
+    val (n11, n10, n01, n00) =
+      (BigInt(r.getLong(1)), BigInt(r.getLong(2)), BigInt(r.getLong(3)),
+        BigInt(r.getLong(4)))
+    val chance = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+    val num = n * (n11 + n00) - chance
+    val den = n * n - chance
+    val kappa: Option[Double] =
+      if (den == 0) None
+      else Some(BigDecimal((num.toDouble / den.toDouble).toString)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    Seq((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), kappa))
+      .toDF("n", "n11", "n10", "n01", "n00", "kappa")
+  }
+
   /** RFM quartile segmentation — the classic engagement grid: per key,
     * Recency (last event second), Frequency (event count) and Monetary
     * (exact DECIMAL value sum) each coded into quartiles 1–4 (4 = top),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{TextSig, TextStats}
@@ -1154,6 +1155,36 @@ object TextAnalysis {
     val pinned = graft.core.Blocks.pin(out)
     graft.core.Blocks.release(tf)
     pinned
+  }
+
+  /**
+   * Per-document keyword extraction — m182's characteristic-terms
+   * kernel at DOC granularity: score = tf·(N−df+1) div df over exact
+   * integers (both engines truncate positives identically), top-k per
+   * doc by (score DESC, token ASC). The RAG-index sidecar table: which
+   * tokens retrieve this chunk. One tf aggregation, one broadcast-able
+   * df frame, one doc-partitioned top-k window — rows out ≤ k·docs.
+   *
+   * @return (doc_id, rank, token, tf, df, score), doc then rank ASC
+   */
+  def docKeywords(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1 && k <= 64, s"docKeywords: k=$k out of [1,64]")
+    val nt = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    val tf = Dedup.spread(docs.select(col(idCol).as("doc_id"), nt.as("nt")))
+      .filter(length(col("nt")) > 0)
+      .select(col("doc_id"), explode(split(col("nt"), " ")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = tf.select("doc_id").distinct().count()
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("token").asc)
+    tf.join(df_, "token")
+      .withColumn("score", expr(s"tf * ($n - df + 1) div df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"),
+        col("df"), col("score"))
   }
 
   /**

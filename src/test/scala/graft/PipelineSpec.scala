@@ -1576,6 +1576,50 @@ class PipelineSpec extends AnyFunSuite {
       ("localhost", "", 1L, 1L)))
   }
 
+  test("cohenKappa: perfect agreement 1, systematic disagreement " +
+      "negative, constant rater NULL, hand 2x2") {
+    import spark.implicits._
+    val R = graft.operators.Ranking
+    def k(rows: Seq[(Boolean, Boolean)]) =
+      R.cohenKappa(rows.toDF("a", "b"), col("a"), col("b")).collect()(0)
+    assert(k(Seq((true, true), (false, false), (true, true)))
+      .getDouble(5) === 1.0)
+    assert(k(Seq((true, false), (false, true))).getDouble(5) === -1.0)
+    // one constant rater: chance-corrected agreement is exactly 0
+    assert(k(Seq((true, true), (true, false))).getDouble(5) === 0.0)
+    // BOTH constant: chance agreement is total -> undefined
+    assert(k(Seq((true, true), (true, true))).isNullAt(5))
+    // hand 2x2: n11=2 n10=1 n01=1 n00=4, n=8
+    // chance = 3*3 + 5*5 = 34; kappa = (8*6-34)/(64-34) = 14/30
+    val got = k(Seq((true, true), (true, true), (true, false),
+      (false, true), (false, false), (false, false), (false, false),
+      (false, false)))
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getLong(3), got.getLong(4)) === ((8L, 2L, 1L, 1L, 4L)))
+    assert(got.getDouble(5) ===
+      BigDecimal((14.0 / 30.0).toString)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("docKeywords: integer tf-idf score, rare token outranks " +
+      "frequent, per-doc top-k, k contract") {
+    import spark.implicits._
+    // N=3 docs; 'common' in all (df=3), 'rare' only in doc 1 (df=1)
+    val docs = Seq((1L, "common rare common"), (2L, "common x"),
+      (3L, "common y")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.docKeywords(docs, k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(5)))
+    // doc1: rare score = 1*(3-1+1) div 1 = 3; common = 2*(3-3+1) div 3 = 0
+    val d1 = got.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1 === Array((1L, 1, "rare", 3L), (1L, 2, "common", 0L)))
+    // every doc emits at most k rows
+    assert(got.groupBy(_._1).forall(_._2.length <= 2))
+    intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.docKeywords(docs, k = 0)
+    }
+  }
+
   test("kaplanMeier: horizon censoring, suffix-sum risk sets, " +
       "survival only moves on observed churn, empty input") {
     import spark.implicits._
