@@ -3377,6 +3377,51 @@ object Oracle {
         >= CAST(x.nn AS HUGEINT) * y.nn * 81
       ORDER BY doc_id_a, doc_id_b""",
 
+    // m219: per-source W1 — the corpus support replicated per source
+    // (zero-filled counts), cross-multiplied CDF differences × support
+    // gaps in HUGEINT, one truncating micro division.
+    "m219_wasserstein" -> """
+      WITH wb AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v
+          FROM documents),
+      wgc AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS cg
+          FROM wb GROUP BY 1, 2),
+      wcc AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM wb GROUP BY 1),
+      wng AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng FROM wb GROUP BY 1),
+      wn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM wb),
+      grid AS (SELECT s.g, s.ng, c.v, c.c, coalesce(x.cg, 0) AS cg
+          FROM wng s CROSS JOIN wcc c
+          LEFT JOIN wgc x ON x.g = s.g AND x.v = c.v),
+      walk AS (SELECT g, ng, v, c, cg,
+            SUM(cg) OVER w AS cum_g, SUM(c) OVER w AS cum,
+            lead(v) OVER (PARTITION BY g ORDER BY v) - v AS gap
+          FROM grid
+          WINDOW w AS (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING)),
+      agg AS (SELECT g, ng,
+            SUM(abs(CAST(cum_g AS HUGEINT) * (SELECT n FROM wn)
+              - CAST(cum AS HUGEINT) * ng) * gap) AS sd
+          FROM walk WHERE gap IS NOT NULL GROUP BY g, ng)
+      SELECT g AS "group", ng AS n_group,
+        CAST((sd * 1000000) // (CAST(ng AS HUGEINT) * (SELECT n FROM wn))
+          AS BIGINT) AS w1_micro
+      FROM agg ORDER BY "group"""",
+
+    // m220: norm audit — per-vector √Σx² in dimension order, rounding
+    // micro CAST, then pure integer label aggregation.
+    "m220_norm_audit" -> """
+      WITH nv AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+      nm AS (SELECT label,
+            CAST(round(sqrt(list_sum(list_transform(range(len(v)), i ->
+              v[CAST(i AS INT)+1] * v[CAST(i AS INT)+1]))), 6) * 1000000
+              AS BIGINT) AS m
+          FROM nv)
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        CAST(MIN(m) AS BIGINT) AS min_norm_micro,
+        CAST(MAX(m) AS BIGINT) AS max_norm_micro,
+        CAST(SUM(m) AS BIGINT) AS sum_norm_micro,
+        CAST(SUM(m) // COUNT(*) AS BIGINT) AS mean_norm_micro
+      FROM nm GROUP BY label ORDER BY label""",
+
     // m217: Cohen's kappa — exact contingency, the signed PLAIN
     // division (never //), NULL on total chance agreement.
     "m217_cohen_kappa" -> """

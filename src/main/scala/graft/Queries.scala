@@ -4203,6 +4203,22 @@ object Queries {
     operators.TextAnalysis.docKeywords(t(s, dir, "documents"), k = 3)
       .orderBy("doc_id", "rank")
 
+  /** m219 — per-source Wasserstein-1 distance
+    * ([[operators.Ranking.wasserstein1By]] over n_chars): the SIZE of
+    * each source's length-distribution shift vs the corpus — fully
+    * integer-exact (cross-multiplied CDF differences × support gaps,
+    * one truncating micro division). */
+  def m219Wasserstein(s: SparkSession, dir: String): DataFrame =
+    operators.Ranking.wasserstein1By(t(s, dir, "documents"),
+      col("source"), col("n_chars"))
+
+  /** m220 — per-label embedding norm audit
+    * ([[operators.Similarity.normAuditByLabel]]): min/max/mean L2
+    * norms in exact micro units — the unnormalized-encoder drift
+    * check in front of the cosine pipelines. */
+  def m220NormAudit(s: SparkSession, dir: String): DataFrame =
+    Similarity.normAuditByLabel(t(s, dir, "embeddings"))
+
   /** q70 — session landing-type bounce rate: q14's 30-minute-gap
     * sessionization with each session's FIRST event type carried by a
     * conditional-last window (no struct argmax contract), bounce =

@@ -312,6 +312,8 @@ object SparkEntry {
     "m216_lateness" -> Queries.m216Lateness,
     "m217_cohen_kappa" -> Queries.m217CohenKappa,
     "m218_doc_keywords" -> Queries.m218DocKeywords,
+    "m219_wasserstein" -> Queries.m219Wasserstein,
+    "m220_norm_audit" -> Queries.m220NormAudit,
     "q65_conversion_delays" -> Queries.q65ConversionDelays,
     "q66_interval_coalesce" -> Queries.q66IntervalCoalesce,
     "q67_rolling_distinct" -> Queries.q67RollingDistinct,

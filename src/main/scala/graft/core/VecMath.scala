@@ -29,6 +29,19 @@ object VecMath {
     if (nn == 0.0) 0.0 else dp / nn
   }
 
+  /** L2 norm in EXACT 6dp micro units — Σx² accumulated in dimension
+    * order (replayable), √ (the one IEEE-pinned exponent), then one
+    * integer; downstream aggregation stays integer-exact (the
+    * byteEntropyMicro convention). */
+  def normMicro(v: Array[Float]): Long = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { val x = v(i).toDouble; s += x * x; i += 1 }
+    val n = math.sqrt(s)
+    BigDecimal(n.toString).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .bigDecimal.movePointRight(6).longValueExact()
+  }
+
   /** Squared Euclidean distance, dimension order fixed — double math
     * over exactly-widened floats, so any engine replaying the same
     * order gets the same bits (the cross-engine compare contract). */

@@ -2109,6 +2109,59 @@ object Ranking {
         .otherwise(round(m4 / (m2 * m2) - lit(3.0), 6)).as("kurtosis"))
   }
 
+  /** Per-group Wasserstein-1 (earth-mover) distance to the pooled
+    * distribution — the SIZE of the shift the KS statistic (m162) only
+    * detects and the KL score (m213) can overweight on rare support:
+    * W₁ = ∫|F_g − F| over the integer value axis, computed EXACTLY as
+    * Σᵢ |C_g(vᵢ)·n − C(vᵢ)·n_g| · (vᵢ₊₁ − vᵢ) in DECIMAL, one
+    * truncating micro division by n_g·n at the end — no float anywhere.
+    *
+    * Shape: counts per (group, v) + corpus counts per v, the corpus
+    * support REPLICATED into every group partition so both running
+    * sums ride ONE group-partitioned window (a global corpus-CDF
+    * window would be the lint-banned single-reducer shape); support
+    * rows ≤ groups × distinct values.
+    *
+    * @return (group, n_group, w1_micro — value-axis units ×10⁻⁶),
+    *         group ASC
+    */
+  def wasserstein1By(df: DataFrame, groupCol: Column,
+      valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val base = df.select(groupCol.cast("string").as("g"),
+        valueCol.cast("long").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+    val gc = base.groupBy("g", "v").agg(count(lit(1)).as("cg"))
+    val cc = base.groupBy("v").agg(count(lit(1)).as("c"))
+    val ng = base.groupBy("g").agg(count(lit(1)).as("ng"))
+    val n = base.count()
+    // groups × corpus support, zero-filled group counts
+    val grid = ng.select(col("g"), col("ng"))
+      .crossJoin(broadcast(cc))
+      .join(gc, Seq("g", "v"), "left")
+      .select(col("g"), col("ng"), col("v"), col("c"),
+        coalesce(col("cg"), lit(0L)).as("cg"))
+    val w = Window.partitionBy("g").orderBy("v")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("cum_g", sum(col("cg")).over(run))
+      .withColumn("cum", sum(col("c")).over(run))
+      .withColumn("gap", lead(col("v"), 1).over(w) - col("v"))
+      .filter(col("gap").isNotNull)
+      .withColumn("d",
+        abs(col("cum_g").cast(d38) * n - col("cum").cast(d38) * col("ng"))
+          * col("gap"))
+      .groupBy(col("g").as("group"))
+      .agg(first(col("ng")).as("n_group"), sum(col("d")).as("sd"))
+      .select(col("group"), col("n_group"),
+        // truncating integral division (div, never decimal `/` — its
+        // scaled-quotient rounding can differ from floor at the edge)
+        expr(s"(sd * 1000000) div (CAST(n_group AS DECIMAL(38,0)) * $n)")
+          .cast("long").as("w1_micro"))
+      .orderBy("group")
+  }
+
   /** Cohen's kappa between two binary raters — chance-corrected
     * agreement, the number that separates "two quality filters agree
     * 90% of the time" from "they agree 90% because both pass almost

@@ -2016,6 +2016,32 @@ object Similarity {
       .orderBy("nprobe")
   }
 
+  private val normMicroUdf =
+    udf((v: Array[Float]) => VecMath.normMicro(v))
+
+  /** Per-label embedding norm audit — the sanity table read before any
+    * cosine/L2 pipeline ships: unnormalized encoders drift per label
+    * (a label whose norms run 2× carries 2× the dot-product weight),
+    * and near-zero norms mean dead inputs. Per-vector norms land in
+    * EXACT 6dp micro units ([[VecMath.normMicro]]), so min/max/mean
+    * per label are pure integer aggregation — no float-sum order
+    * anywhere (the sn19 convention).
+    *
+    * @return (label, n_vectors, min/max/sum/mean_norm_micro), label ASC
+    */
+  def normAuditByLabel(vectors: DataFrame, labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame =
+    spread(vectors.select(col(labelCol).as("label"), col(vecCol).as("__v")))
+      .select(col("label"), normMicroUdf(col("__v")).as("nm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("nm")).as("min_norm_micro"),
+        max(col("nm")).as("max_norm_micro"),
+        sum(col("nm")).as("sum_norm_micro"))
+      .withColumn("mean_norm_micro",
+        expr("sum_norm_micro div n_vectors"))
+      .orderBy("label")
+
   /**
    * Exact ε-neighbor pairs (squared-L2 ≤ eps2): the DBSCAN edge list,
    * and the recall baseline any bucketed candidate generator is

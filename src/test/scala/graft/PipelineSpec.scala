@@ -1576,6 +1576,38 @@ class PipelineSpec extends AnyFunSuite {
       ("localhost", "", 1L, 1L)))
   }
 
+  test("wasserstein1By: hand-computed exact CDF-gap sums, " +
+      "self-identical group reads 0, truncating micro") {
+    import spark.implicits._
+    val R = graft.operators.Ranking
+    // A=[0,10], B=[10,10]; corpus=[0,10,10,10]; support gap 10
+    // both: |cumdiff| = 2 at v=0 -> W1 = 2*10/(2*4) = 2.5
+    val df2 = Seq(("A", 0L), ("A", 10L), ("B", 10L), ("B", 10L))
+      .toDF("g", "v")
+    val got = R.wasserstein1By(df2, col("g"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got === Array(("A", 2L, 2500000L), ("B", 2L, 2500000L)))
+    // one group IS the corpus -> exactly zero
+    val one = Seq(("X", 1L), ("X", 5L), ("X", 9L)).toDF("g", "v")
+    assert(R.wasserstein1By(one, col("g"), col("v"))
+      .collect()(0).getLong(2) === 0L)
+  }
+
+  test("normAuditByLabel: micro-exact 3-4-5 norm, zero vector, " +
+      "integer label rollup") {
+    import spark.implicits._
+    assert(graft.core.VecMath.normMicro(Array(3f, 4f)) === 5000000L)
+    assert(graft.core.VecMath.normMicro(Array(1f, 1f)) === 1414214L)
+    val vecs = Seq((1, Array(3f, 4f)), (1, Array(0f, 0f)),
+      (2, Array(1f, 1f))).toDF("label", "embedding")
+    val got = graft.operators.Similarity.normAuditByLabel(vecs)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got === Array(
+      (1, 2L, 0L, 5000000L, 5000000L, 2500000L),
+      (2, 1L, 1414214L, 1414214L, 1414214L, 1414214L)))
+  }
+
   test("cohenKappa: perfect agreement 1, systematic disagreement " +
       "negative, constant rater NULL, hand 2x2") {
     import spark.implicits._

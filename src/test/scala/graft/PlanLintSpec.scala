@@ -55,6 +55,7 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
     "m04_ann_brute" -> "brute-force ANN baseline: corpus × broadcast ≤16-query frame (the exact eval yardstick; the scale paths are m05/m09)",
     "m198_mrr" -> "MRR eval: the m04 brute-force ranking (corpus × broadcast ≤16-query frame) under label joins",
     "m206_ivf_recall_sweep" -> "recall sweep: the m04 brute-force TRUTH ranking (corpus × broadcast ≤16-query frame); the swept IVF side is equi-joined on cells",
+    "m219_wasserstein" -> "W1 grid: ≤|groups|-row aggregate × broadcast corpus-support frame (distinct values of one bounded integer column) — both sides post-aggregate",
     "m06_embed_dedup" -> "SAMPLED exact near-dup verifier (quarter corpus by construction; embeddingPairsExact refuses corpus-scale input — spec'd)",
     "m130_truncated_topk" -> "Matryoshka eval: corpus × broadcast ≤16-query frame",
     "m52_hybrid_retrieval" -> "RRF fusion: per-query top-k frames (≤k·queries rows) non-equi-matched",
