@@ -3377,6 +3377,85 @@ object Oracle {
         >= CAST(x.nn AS HUGEINT) * y.nn * 81
       ORDER BY doc_id_a, doc_id_b""",
 
+    // m221: PageRank residual curve — the m50 recurrence unrolled with
+    // one Σ|Δrank| join per level, exact scaled integers throughout.
+    "m221_pagerank_residuals" -> {
+      // each level is read TWICE (next level + its residual): pin it,
+      // or DuckDB re-inlines the whole pair-base chain 2^levels times
+      // (the m112 lesson; unpinned this oracle measured 12.3 s)
+      def it(prev: String, cur: String) = s"""
+      $cur AS MATERIALIZED (SELECT v.id,
+          ((1000000000000*15)//(100*st.pn)) + (COALESCE(c.cs, 0)*85)//100
+            AS rank
+        FROM vtx v CROSS JOIN pst st
+        LEFT JOIN (SELECT e.dst AS id, SUM(r.rank // g.deg) AS cs
+                   FROM ed e JOIN $prev r ON e.src = r.id
+                   JOIN dg g ON e.src = g.src GROUP BY e.dst) c
+          ON v.id = c.id)"""
+      def res(i: Int, prev: String, cur: String) = s"""
+      rs$i AS (SELECT $i AS iter,
+          CAST(SUM(ABS(a.rank - b.rank)) AS BIGINT) AS l1_residual_units
+        FROM $cur a JOIN $prev b ON a.id = b.id)"""
+      s"""
+      WITH $CharShingleCtes,
+      ${jacPairCtes("prr")},
+      prs AS (SELECT pa, pb FROM prr WHERE ${jacGe("0.5")}),
+      ed AS (SELECT pa AS src, pb AS dst FROM prs
+             UNION ALL SELECT pb, pa FROM prs),
+      dg AS (SELECT src, COUNT(*) AS deg FROM ed GROUP BY src),
+      vtx AS (SELECT doc_id AS id FROM documents),
+      pst AS (SELECT COUNT(*) AS pn FROM documents),
+      r0 AS (SELECT v.id, 1000000000000 // st.pn AS rank
+             FROM vtx v CROSS JOIN pst st),
+      ${it("r0", "qr1")}, ${res(1, "r0", "qr1")},
+      ${it("qr1", "qr2")}, ${res(2, "qr1", "qr2")},
+      ${it("qr2", "qr3")}, ${res(3, "qr2", "qr3")},
+      ${it("qr3", "qr4")}, ${res(4, "qr3", "qr4")},
+      ${it("qr4", "qr5")}, ${res(5, "qr4", "qr5")}
+      SELECT CAST(iter AS INT) AS iter, l1_residual_units FROM (
+        SELECT * FROM rs1 UNION ALL SELECT * FROM rs2
+        UNION ALL SELECT * FROM rs3 UNION ALL SELECT * FROM rs4
+        UNION ALL SELECT * FROM rs5)
+      ORDER BY iter"""
+    },
+
+    // mm14: loudness gains — the mm04 WAV admission + signed PCM16
+    // decode, Σx² exact in BIGINT elements, rms/gain micro via the
+    // rounding CAST; NULL gain on digital silence.
+    "mm14_loudness_gains" -> s"""
+      WITH media AS (SELECT media_id, hex(bytes) AS h,
+              octet_length(bytes) AS ln
+            FROM read_parquet('{AUX}/media/*.parquet')),
+      a AS (SELECT media_id, h, ${u32("40")}//2 AS nall
+            FROM media
+            WHERE ln >= 44 AND substr(h,1,8) = '52494646'
+              AND substr(h,17,8) = '57415645'
+              AND substr(h,25,8) = '666D7420' AND substr(h,73,8) = '64617461'
+              AND ${u16("20")} = 1 AND ${u16("34")} = 16
+              AND ${u16("22")} >= 1 AND ln >= 44 + ${u32("40")}),
+      s AS (SELECT media_id, nall,
+          list_transform(list_transform(range(0, nall), k ->
+            TRY_CAST('0x' || substr(h,(44+CAST(k AS INT)*2+1)*2+1,2)
+                          || substr(h,(44+CAST(k AS INT)*2)*2+1,2)
+              AS INTEGER)),
+            x -> CASE WHEN x >= 32768 THEN x - 65536 ELSE x END) AS sg
+        FROM a),
+      m AS (SELECT media_id, nall,
+            CAST(coalesce(list_sum(list_transform(sg, x ->
+              CAST(x AS BIGINT) * CAST(x AS BIGINT))), 0) AS BIGINT) AS ss,
+            CAST(coalesce(list_max(list_transform(sg, x -> abs(x))), 0)
+              AS BIGINT) AS peak
+          FROM s),
+      r AS (SELECT media_id, nall, peak,
+            sqrt(CAST(ss AS DOUBLE) / greatest(nall, 1)) AS rmsd
+          FROM m)
+      SELECT media_id, CAST(nall AS BIGINT) AS n_samples_all, peak,
+        CAST(round(rmsd, 6) * 1000000 AS BIGINT) AS rms_micro,
+        CASE WHEN rmsd = 0 THEN NULL
+             ELSE CAST(round(2000.0 / rmsd, 6) * 1000000 AS BIGINT)
+        END AS gain_micro
+      FROM r ORDER BY media_id""",
+
     // m219: per-source W1 — the corpus support replicated per source
     // (zero-filled counts), cross-multiplied CDF differences × support
     // gaps in HUGEINT, one truncating micro division.

@@ -4203,6 +4203,31 @@ object Queries {
     operators.TextAnalysis.docKeywords(t(s, dir, "documents"), k = 3)
       .orderBy("doc_id", "rank")
 
+  /** m221 — PageRank convergence curve
+    * ([[operators.Graph.pageRankResiduals]] over the m50 graph): the
+    * per-iteration L1 residual in exact scaled-integer units — picks
+    * the iteration budget m50 hardcodes. Oracle unrolls the m50
+    * recurrence with a residual join per level. */
+  def m221PagerankResiduals(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = pairs05(s, dir)
+    val edges = pairs
+      .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+      .unionByName(pairs
+        .select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
+    operators.Graph.pageRankResiduals(
+      docs.select(col("doc_id").as("id")), edges, iters = 5)
+  }
+
+  /** mm14 — loudness-normalization gains
+    * ([[operators.Multimodal.loudnessGains]] at target RMS 2000):
+    * per audio the peak, exact-micro RMS and target∕rms gain — NULL
+    * for digital silence. The oracle re-derives every sample from the
+    * mm04 RIFF offsets with Σx² exact in integers. */
+  def mm14LoudnessGains(s: SparkSession, dir: String): DataFrame =
+    Multimodal.loudnessGains(media(s, dir))
+      .orderBy("media_id")
+
   /** m219 — per-source Wasserstein-1 distance
     * ([[operators.Ranking.wasserstein1By]] over n_chars): the SIZE of
     * each source's length-distribution shift vs the corpus — fully

@@ -314,6 +314,7 @@ object SparkEntry {
     "m218_doc_keywords" -> Queries.m218DocKeywords,
     "m219_wasserstein" -> Queries.m219Wasserstein,
     "m220_norm_audit" -> Queries.m220NormAudit,
+    "m221_pagerank_residuals" -> Queries.m221PagerankResiduals,
     "q65_conversion_delays" -> Queries.q65ConversionDelays,
     "q66_interval_coalesce" -> Queries.q66IntervalCoalesce,
     "q67_rolling_distinct" -> Queries.q67RollingDistinct,
@@ -342,6 +343,7 @@ object SparkEntry {
     "mm11_audio_decimate" -> Queries.mm11AudioDecimate,
     "mm12_image_downscale" -> Queries.mm12ImageDownscale,
     "mm13_equalization" -> Queries.mm13Equalization,
+    "mm14_loudness_gains" -> Queries.mm14LoudnessGains,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on

@@ -793,6 +793,36 @@ object Media {
     out.toArray
   }
 
+  /** Loudness-normalization row for PCM16 audio: (n_samples_all, peak,
+    * rms_micro, gain_micro) with RMS over ALL channel samples (the
+    * audioRms pooling), Σx² exact in LONG (bound: n·2³⁰ — documented),
+    * the √ IEEE-pinned, micro = the 6dp HALF_UP integer (the
+    * byteEntropyMicro convention); gain = target/rms against the
+    * UNROUNDED rms, −1 sentinel for digital silence (rms 0 — callers
+    * map it to NULL). Null for non-WAV input. */
+  def audioLoudness(bytes: Array[Byte], targetRms: Double): Array[Long] = {
+    val layout = wavLayout(bytes)
+    if (layout == null) return null
+    val dataOff = layout(2); val dataLen = layout(3)
+    val n = dataLen / 2
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    var ss = 0L; var peak = 0L
+    var i = 0
+    while (i < n) {
+      val v = b.getShort(dataOff + i * 2).toLong
+      ss += v * v
+      val a = math.abs(v)
+      if (a > peak) peak = a
+      i += 1
+    }
+    val rms = math.sqrt(ss.toDouble / math.max(n, 1))
+    def micro(d: Double): Long =
+      BigDecimal(d.toString).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.movePointRight(6).longValueExact()
+    Array(n.toLong, peak, micro(rms),
+      if (rms == 0.0) -1L else micro(targetRms / rms))
+  }
+
   /** Histogram-equalization table over an 8-bit image's SAMPLE bytes
     * (every band counted — the mm02 per-byte domain, so the oracle can
     * re-derive it from raw PNG pixel offsets): one row per OBSERVED

@@ -145,6 +145,26 @@ object Multimodal {
         col("e._2").as("n_samples"), col("e._3").as("cdf"),
         col("e._4").as("lut"))
 
+  private val loudUdf = udf((b: Array[Byte], t: Double) =>
+    Option(Media.audioLoudness(b, t)))
+
+  /** Per-audio loudness-normalization gains ([[Media.audioLoudness]]):
+    * peak, RMS and the target∕rms gain in exact micro units — the
+    * level-matching table applied before fingerprinting mixed-loudness
+    * corpora (mm05's energy bits are amplitude-relative per item, but
+    * any absolute-threshold stage isn't). Digital silence gets a NULL
+    * gain, not a division blow-up. */
+  def loudnessGains(media: DataFrame, targetRms: Double = 2000.0): DataFrame =
+    withMeta(media)
+      .filter(col("meta.kind") === Media.KindAudio)
+      .select(col("media_id"), loudUdf(col("bytes"), lit(targetRms)).as("l"))
+      .filter(col("l").isNotNull)
+      .select(col("media_id"),
+        col("l")(0).as("n_samples_all"), col("l")(1).as("peak"),
+        col("l")(2).as("rms_micro"),
+        when(col("l")(3) === -1L, lit(null).cast("long"))
+          .otherwise(col("l")(3)).as("gain_micro"))
+
   private val silenceUdf = udf((b: Array[Byte], t: Int, r: Int) =>
     Option(Media.silenceSpans(b, t, r)))
 

@@ -380,6 +380,28 @@ class GraphSpec extends AnyFunSuite {
     assert(empty.getLong(0) === 0L && empty.isNullAt(4))
   }
 
+  test("pageRankResiduals: symmetric pair is an exact fixed point, " +
+      "directed path residuals hand-computed, contract") {
+    val s = spark
+    import s.implicits._
+    val vtx = Seq(1L, 2L).toDF("id")
+    // mutual edge: uniform rank IS stationary -> every residual 0
+    val sym = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val g0 = Graph.pageRankResiduals(vtx, sym, iters = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(g0 === Array((1, 0L), (2, 0L), (3, 0L)))
+    // directed 1->2: rank1 drops to base immediately, rank2 decays
+    val dir = Seq((1L, 2L)).toDF("src", "dst")
+    val g1 = Graph.pageRankResiduals(vtx, dir, iters = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    // base = 75e9; iter1: r1 5e11->75e9 (|d|=425e9), r2 stays 5e11
+    // iter2: r2 -> 75e9 + (75e9*85) div 100 = 13875e7; |d| = 36125e7
+    assert(g1 === Array((1, 425000000000L), (2, 361250000000L)))
+    intercept[IllegalArgumentException] {
+      Graph.pageRankResiduals(vtx, dir, iters = 0)
+    }
+  }
+
   test("modularityReport: two triangles + bridge at the textbook Q, " +
       "single-community Q formula, empty graph NULL") {
     val s = spark

@@ -530,6 +530,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(again === got)
   }
 
+  test("loudnessGains: exact peak/Sx2, micro rms and gain, silent " +
+      "audio NULL gain, non-audio absent") {
+    val s = spark
+    import s.implicits._
+    def pcm(shorts: Seq[Short]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(shorts.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      shorts.foreach(b.putShort)
+      b.array()
+    }
+    def micro(d: Double): Long =
+      BigDecimal(d.toString).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.movePointRight(6).longValueExact()
+    val media = Seq(
+      (1L, Media.encodeWav(8000, pcm(Seq(1000, -1000, 2000, 0)))),
+      (2L, Media.encodeWav(8000, pcm(Seq(0, 0)))),
+      (3L, Media.encodePng(2, 2, Array.fill[Byte](12)(1))))
+      .toDF("media_id", "bytes")
+    val got = Multimodal.loudnessGains(media).orderBy("media_id").collect()
+    assert(got.length === 2)
+    val rms = math.sqrt(6000000.0 / 4)
+    assert((got(0).getLong(0), got(0).getLong(1), got(0).getLong(2),
+      got(0).getLong(3), got(0).getLong(4)) ===
+      ((1L, 4L, 2000L, micro(rms), micro(2000.0 / rms))))
+    assert(got(1).getLong(2) === 0L && got(1).getLong(3) === 0L &&
+      got(1).isNullAt(4))
+  }
+
   test("equalizationLut: hand-computed CDF/LUT on a pinned raster, " +
       "constant image maps to identity, non-image rows absent") {
     val s = spark
