@@ -3377,6 +3377,76 @@ object Oracle {
         >= CAST(x.nn AS HUGEINT) * y.nn * 81
       ORDER BY doc_id_a, doc_id_b""",
 
+    // m222: greedy set cover over bigrams — five unrolled argmax
+    // rounds, covered set MATERIALIZED per level, picks vanish once
+    // coverage is total (LIMIT 1 over an empty gain frame).
+    "m222_coverage_greedy" -> {
+      def step(i: Int) = s"""
+      gain$i AS (SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS g
+          FROM cdt d LEFT JOIN cov${i - 1} c ON d.tok = c.tok
+          WHERE c.tok IS NULL GROUP BY d.doc_id),
+      pick$i AS MATERIALIZED (SELECT doc_id, g FROM gain$i
+          ORDER BY g DESC, doc_id ASC LIMIT 1),
+      cov$i AS MATERIALIZED (SELECT tok FROM cov${i - 1}
+          UNION SELECT d.tok FROM cdt d JOIN pick$i p
+            ON d.doc_id = p.doc_id),
+      row$i AS (SELECT $i AS pick_order, p.doc_id, p.g AS gain,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM cov$i) AS covered_total
+        FROM pick$i p)"""
+      s"""
+      WITH nrm AS (SELECT doc_id,
+            string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+              'g'), ' '), ' ') AS tk
+          FROM documents),
+      cdt AS MATERIALIZED (SELECT DISTINCT doc_id,
+            tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT)+1] AS tok
+          FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+                FROM nrm WHERE len(tk) >= 2)),
+      cov0 AS (SELECT CAST(NULL AS VARCHAR) AS tok WHERE 1 = 0),
+      ${(1 to 5).map(step).mkString(",")}
+      SELECT CAST(pick_order AS INT) AS pick_order, doc_id, gain,
+        covered_total
+      FROM (SELECT * FROM row1 UNION ALL SELECT * FROM row2
+            UNION ALL SELECT * FROM row3 UNION ALL SELECT * FROM row4
+            UNION ALL SELECT * FROM row5)
+      ORDER BY pick_order"""
+    },
+
+    // m223: Markov stationary — row-stochastic cells in 10¹² units
+    // (self-loops for outgoing-free symbols), 8 unrolled HUGEINT
+    // vector-matrix rounds, each re-anchored on the full symbol set.
+    "m223_markov_stationary" -> {
+      def it(prev: String, cur: String) = s"""
+      $cur AS (SELECT ty.t,
+          coalesce(x.u, 0) AS u
+        FROM ty LEFT JOIN (
+          SELECT p.b AS t, SUM(v.u * p.u) // 1000000000000 AS u
+          FROM $prev v JOIN pf p ON v.t = p.a GROUP BY p.b) x
+          ON ty.t = x.t)"""
+      s"""
+      WITH tp AS (SELECT event_type AS a,
+            lead(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS b
+          FROM events),
+      tc AS (SELECT a, b, CAST(COUNT(*) AS HUGEINT) AS n FROM tp
+          WHERE b IS NOT NULL GROUP BY 1, 2),
+      rs AS (SELECT a, SUM(n) AS s FROM tc GROUP BY a),
+      ty AS (SELECT DISTINCT event_type AS t FROM events),
+      pf AS MATERIALIZED (
+        SELECT t.a, t.b, (t.n * 1000000000000) // r.s AS u
+        FROM tc t JOIN rs r ON t.a = r.a
+        UNION ALL
+        SELECT ty.t, ty.t, CAST(1000000000000 AS HUGEINT)
+        FROM ty WHERE ty.t NOT IN (SELECT a FROM rs)),
+      v0 AS (SELECT t, CAST(1000000000000 AS HUGEINT)
+            // (SELECT COUNT(*) FROM ty) AS u FROM ty),
+      ${it("v0", "mv1")}, ${it("mv1", "mv2")}, ${it("mv2", "mv3")},
+      ${it("mv3", "mv4")}, ${it("mv4", "mv5")}, ${it("mv5", "mv6")},
+      ${it("mv6", "mv7")}, ${it("mv7", "mv8")}
+      SELECT t AS symbol, CAST(u AS BIGINT) AS stationary_units
+      FROM mv8 ORDER BY symbol"""
+    },
+
     // m221: PageRank residual curve — the m50 recurrence unrolled with
     // one Σ|Δrank| join per level, exact scaled integers throughout.
     "m221_pagerank_residuals" -> {

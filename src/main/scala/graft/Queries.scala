@@ -4228,6 +4228,25 @@ object Queries {
     Multimodal.loudnessGains(media(s, dir))
       .orderBy("media_id")
 
+  /** m222 — greedy coverage selection
+    * ([[operators.TextAnalysis.coverageGreedy]] at k = 5 over word
+    * bigrams): the labeling-budget doc picks with exact integer gains
+    * and smallest-id ties. The oracle unrolls all five argmax rounds
+    * with MATERIALIZED covered sets. */
+  def m222CoverageGreedy(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.coverageGreedy(t(s, dir, "documents"), k = 5)
+      .orderBy("pick_order")
+
+  /** m223 — Markov stationary distribution
+    * ([[operators.Temporal.markovStationary]] over event-type
+    * transitions, 8 iterations): where the event process spends its
+    * time — scaled-integer power iteration, absorbing self-loops for
+    * outgoing-free symbols. The oracle unrolls all 8 HUGEINT
+    * vector-matrix rounds. */
+  def m223MarkovStationary(s: SparkSession, dir: String): DataFrame =
+    operators.Temporal.markovStationary(t(s, dir, "events"),
+      col("user_id"), Seq(col("ts"), col("event_id")), col("event_type"))
+
   /** m219 — per-source Wasserstein-1 distance
     * ([[operators.Ranking.wasserstein1By]] over n_chars): the SIZE of
     * each source's length-distribution shift vs the corpus — fully

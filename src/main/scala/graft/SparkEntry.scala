@@ -315,6 +315,8 @@ object SparkEntry {
     "m219_wasserstein" -> Queries.m219Wasserstein,
     "m220_norm_audit" -> Queries.m220NormAudit,
     "m221_pagerank_residuals" -> Queries.m221PagerankResiduals,
+    "m222_coverage_greedy" -> Queries.m222CoverageGreedy,
+    "m223_markov_stationary" -> Queries.m223MarkovStationary,
     "q65_conversion_delays" -> Queries.q65ConversionDelays,
     "q66_interval_coalesce" -> Queries.q66IntervalCoalesce,
     "q67_rolling_distinct" -> Queries.q67RollingDistinct,

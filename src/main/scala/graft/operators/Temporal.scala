@@ -322,6 +322,71 @@ object Temporal {
   }
 
   /**
+   * Markov stationary distribution of the symbol-transition chain —
+   * where the process SPENDS ITS TIME, which raw transition counts
+   * (q48/q64) conflate with where it merely starts: scaled-integer
+   * power iteration over the row-stochastic transition matrix, every
+   * step exact (p·10¹² units with truncating div — m50's arithmetic),
+   * so the fixed point is a pure function of the counts on any
+   * engine. Symbols with no observed outgoing transition get a
+   * self-loop (absorbing — stated, not an accident of missing rows).
+   *
+   * Scale: ONE lead-pair count aggregation (the sequentialPatterns
+   * shuffle), then the ≤ maxSymbols² matrix collects and iterates
+   * DRIVER-side in BigInt — a symbol alphabet is bounded by contract
+   * (64), never corpus-sized.
+   *
+   * @return (symbol, stationary_units — ×10⁻¹² mass), symbol ASC
+   */
+  def markovStationary(df: DataFrame, keyCol: Column,
+      orderCols: Seq[Column], typeCol: Column, iters: Int = 8,
+      maxSymbols: Int = 64): DataFrame = {
+    require(iters >= 1 && iters <= 64,
+      s"markovStationary: iters=$iters out of [1,64]")
+    val s = df.sparkSession
+    import s.implicits._
+    val scale = BigInt(1000000000000L)
+    val base = df.select(keyCol.as("__k") +:
+      typeCol.cast("string").as("t") +:
+      orderCols.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }: _*)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(orderCols.indices.map(i => col(s"__o$i")): _*)
+    val counts = base
+      .select(col("t").as("a"), lead(col("t"), 1).over(w).as("b"))
+      .filter(col("b").isNotNull)
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val symbols = df.select(typeCol.cast("string").as("t")).distinct()
+      .collect().map(_.getString(0)).sorted
+    require(symbols.nonEmpty, "markovStationary: no symbols")
+    require(symbols.length <= maxSymbols,
+      s"markovStationary: ${symbols.length} symbols exceed $maxSymbols")
+    val idx = symbols.zipWithIndex.toMap
+    val n = symbols.length
+    val c = Array.ofDim[Long](n, n)
+    counts.foreach { case (a, b, v) => c(idx(a))(idx(b)) = v }
+    val p = Array.tabulate(n, n) { (a, b) =>
+      val rs = c(a).sum
+      if (rs == 0L) { if (a == b) scale else BigInt(0) }
+      else BigInt(c(a)(b)) * scale / rs
+    }
+    var v = Array.fill(n)(scale / n)
+    var it = 0
+    while (it < iters) {
+      val nv = Array.tabulate(n) { b =>
+        var acc = BigInt(0)
+        var a = 0
+        while (a < n) { acc += v(a) * p(a)(b); a += 1 }
+        acc / scale
+      }
+      v = nv
+      it += 1
+    }
+    symbols.zip(v).map { case (t, u) => (t, u.toLong) }.toSeq
+      .toDF("symbol", "stationary_units")
+  }
+
+  /**
    * Sequential-pattern mining (contiguous n-gram episodes): the
    * "what do users DO, in order" readout that single-step transition
    * matrices (q48/q64) cannot express — support counted in distinct

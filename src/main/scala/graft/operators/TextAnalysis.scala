@@ -1158,6 +1158,64 @@ object TextAnalysis {
   }
 
   /**
+   * Greedy set-cover selection over word BIGRAMS — the labeling-budget
+   * doc picker: k rounds, each taking the doc adding the most
+   * not-yet-covered bigrams (ties to the smallest id), the classic
+   * (1−1/e)-approximate coverage maximizer. Bigrams because the
+   * fixture's unigram vocabulary saturates in one pick (measured).
+   *
+   * Scale shape: the distinct (doc, bigram) frame is built ONCE and
+   * pinned; each round is one broadcast anti-join (covered set, which
+   * only ever holds the ≤ k picked docs' bigrams — ceiling-enforced
+   * via `graft.text.coverageMaxCovered`, default 1 « 20) + a count
+   * aggregation + a 1-row top pick. Stops early when coverage is
+   * total (the anti-join empties).
+   *
+   * @return (pick_order, doc_id, gain, covered_total), order ascending
+   */
+  def coverageGreedy(docs: DataFrame, k: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 1 && k <= 64, s"coverageGreedy: k=$k out of [1,64]")
+    val s = docs.sparkSession
+    import s.implicits._
+    val nt = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    val dt = graft.core.Blocks.pin(
+      Dedup.spread(docs.select(col(idCol).as("doc_id"), nt.as("nt")))
+        .filter(length(col("nt")) > 0)
+        .select(col("doc_id"), explode(bigramUdf(col("nt"))).as("tok"))
+        .distinct())
+    val ceiling = s.conf
+      .get("graft.text.coverageMaxCovered", (1 << 20).toString).toLong
+    val covered = scala.collection.mutable.HashSet.empty[String]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+    var step = 1
+    var done = false
+    while (step <= k && !done) {
+      val rest =
+        if (covered.isEmpty) dt
+        else dt.join(broadcast(covered.toSeq.toDF("tok")),
+          Seq("tok"), "left_anti")
+      val top = rest.groupBy("doc_id").agg(count(lit(1)).as("g"))
+        .orderBy(col("g").desc, col("doc_id").asc)
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (d, g) = (top(0).getLong(0), top(0).getLong(1))
+        val toks = dt.filter(col("doc_id") === d)
+          .select("tok").collect().map(_.getString(0))
+        covered ++= toks
+        require(covered.size <= ceiling,
+          s"coverageGreedy: covered set ${covered.size} exceeds " +
+            "graft.text.coverageMaxCovered — raise it deliberately")
+        out += ((step, d, g, covered.size.toLong))
+        step += 1
+      }
+    }
+    graft.core.Blocks.release(dt)
+    out.toSeq.toDF("pick_order", "doc_id", "gain", "covered_total")
+  }
+
+  /**
    * Per-document keyword extraction — m182's characteristic-terms
    * kernel at DOC granularity: score = tf·(N−df+1) div df over exact
    * integers (both engines truncate positives identically), top-k per

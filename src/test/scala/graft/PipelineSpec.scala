@@ -1576,6 +1576,43 @@ class PipelineSpec extends AnyFunSuite {
       ("localhost", "", 1L, 1L)))
   }
 
+  test("coverageGreedy: argmax picks with id ties, early stop on " +
+      "total coverage, covered accounting, k contract") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "a b"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.coverageGreedy(docs, k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // doc1 covers {ab,bc,cd}, doc3 adds {xy,yz}; doc2 adds nothing ->
+    // the greedy STOPS at 2 picks even with k=5
+    assert(got === Array((1, 1L, 3L, 3L), (2, 3L, 2L, 5L)))
+    intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.coverageGreedy(docs, k = 0)
+    }
+  }
+
+  test("markovStationary: alternating chain stays uniform, absorbing " +
+      "symbol takes all mass, symbol ceiling") {
+    import spark.implicits._
+    val T = graft.operators.Temporal
+    // u1: a b a b -> a<->b swap chain; uniform is the fixed point
+    val alt = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"),
+      (1L, 4L, "b")).toDF("u", "seq", "t")
+    val g0 = T.markovStationary(alt, col("u"), Seq(col("seq")), col("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(g0 === Array(("a", 500000000000L), ("b", 500000000000L)))
+    // single a->b transition: b is absorbing (self-loop) -> all mass
+    val abs = Seq((1L, 1L, "a"), (1L, 2L, "b")).toDF("u", "seq", "t")
+    val g1 = T.markovStationary(abs, col("u"), Seq(col("seq")), col("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(g1 === Array(("a", 0L), ("b", 1000000000000L)))
+    intercept[IllegalArgumentException] {
+      T.markovStationary(alt, col("u"), Seq(col("seq")), col("t"),
+        maxSymbols = 1)
+    }
+  }
+
   test("wasserstein1By: hand-computed exact CDF-gap sums, " +
       "self-identical group reads 0, truncating micro") {
     import spark.implicits._
