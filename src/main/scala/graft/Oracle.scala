@@ -3377,6 +3377,22 @@ object Oracle {
         >= CAST(x.nn AS HUGEINT) * y.nn * 81
       ORDER BY doc_id_a, doc_id_b""",
 
+    // m224: hour-of-day entropy — the m72 ordered c·ln c fold per
+    // user over hour-ASC lists; hour() matches Spark's UTC session.
+    "m224_hour_entropy" -> """
+      WITH hc AS (SELECT user_id AS key,
+            CAST(hour(ts) AS INT) AS h, CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+      ag AS (SELECT key, CAST(SUM(c) AS BIGINT) AS n_events,
+            CAST(COUNT(*) AS BIGINT) AS active_hours,
+            list_sum(list(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+              ORDER BY h)) AS s
+          FROM hc GROUP BY key)
+      SELECT key, n_events, active_hours,
+        round(ln(CAST(n_events AS DOUBLE)) - s / CAST(n_events AS DOUBLE),
+          6) AS entropy
+      FROM ag ORDER BY key""",
+
     // m222: greedy set cover over bigrams — five unrolled argmax
     // rounds, covered set MATERIALIZED per level, picks vanish once
     // coverage is total (LIMIT 1 over an empty gain frame).

@@ -4228,6 +4228,14 @@ object Queries {
     Multimodal.loudnessGains(media(s, dir))
       .orderBy("media_id")
 
+  /** m224 — per-user hour-of-day activity entropy
+    * ([[operators.Temporal.hourProfileEntropy]]): behavioral
+    * regularity in nats (uniform 24h ≈ automated) — integer hour
+    * histograms, hour-ASC ordered ln folds, the m72 replay rules. */
+  def m224HourEntropy(s: SparkSession, dir: String): DataFrame =
+    operators.Temporal.hourProfileEntropy(t(s, dir, "events"),
+      col("user_id"), col("ts"))
+
   /** m222 — greedy coverage selection
     * ([[operators.TextAnalysis.coverageGreedy]] at k = 5 over word
     * bigrams): the labeling-budget doc picks with exact integer gains

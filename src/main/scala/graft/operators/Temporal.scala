@@ -322,6 +322,35 @@ object Temporal {
   }
 
   /**
+   * Per-key hour-of-day activity entropy — the behavioral-regularity
+   * signal (near-uniform 24h activity ≈ ln 24 reads automated; human
+   * keys concentrate in waking hours and score far lower): Shannon
+   * entropy in nats over the key's hour-of-day histogram. Exact
+   * replay: per-(key, hour) counts are integers, the c·ln c terms are
+   * codegen'd columns, and the per-key sum is a left fold over the
+   * hour-ASC sorted collected array (≤ 24 elements — the m72 ordered
+   * ln-sum rule, bounded by construction).
+   *
+   * @return (key, n_events, active_hours, entropy 6dp), key ASC
+   */
+  def hourProfileEntropy(df: DataFrame, keyCol: Column,
+      tsCol: Column): DataFrame = {
+    val per = df.select(keyCol.as("key"), hour(tsCol).as("h"))
+      .groupBy("key", "h").agg(count(lit(1)).as("c"))
+      .withColumn("cln",
+        col("c").cast("double") * log(col("c").cast("double")))
+    per.groupBy("key")
+      .agg(sum(col("c")).as("n_events"),
+        count(lit(1)).as("active_hours"),
+        aggregate(array_sort(collect_list(struct(col("h"), col("cln")))),
+          lit(0.0), (acc, x) => acc + x.getField("cln")).as("s"))
+      .select(col("key"), col("n_events"), col("active_hours"),
+        round(log(col("n_events").cast("double")) -
+          col("s") / col("n_events").cast("double"), 6).as("entropy"))
+      .orderBy("key")
+  }
+
+  /**
    * Markov stationary distribution of the symbol-transition chain —
    * where the process SPENDS ITS TIME, which raw transition counts
    * (q48/q64) conflate with where it merely starts: scaled-integer

@@ -1576,6 +1576,31 @@ class PipelineSpec extends AnyFunSuite {
       ("localhost", "", 1L, 1L)))
   }
 
+  test("hourProfileEntropy: uniform hours hit ln k, single hour 0, " +
+      "hand two-hour split") {
+    import spark.implicits._
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    def r6(d: Double): Double =
+      BigDecimal(d.toString).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    val ev = Seq(
+      (1L, ts(1, 0)), (1L, ts(2, 0)), (1L, ts(3, 0)), (1L, ts(4, 0)),
+      (2L, ts(9, 0)), (2L, ts(9, 30)),
+      (3L, ts(5, 0)), (3L, ts(5, 10)), (3L, ts(6, 0)))
+      .toDF("user_id", "ts")
+    val got = graft.operators.Temporal.hourProfileEntropy(ev,
+        col("user_id"), col("ts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // u1: 4 uniform hours -> ln 4; u2: one hour -> 0;
+    // u3: counts (2,1) -> ln 3 - (2 ln 2)/3
+    assert(got === Array(
+      (1L, 4L, 4L, r6(math.log(4.0))),
+      (2L, 2L, 1L, 0.0),
+      (3L, 3L, 2L, r6(math.log(3.0) - 2.0 * math.log(2.0) / 3.0))))
+  }
+
   test("coverageGreedy: argmax picks with id ties, early stop on " +
       "total coverage, covered accounting, k contract") {
     import spark.implicits._
