@@ -3377,6 +3377,36 @@ object Oracle {
         >= CAST(x.nn AS HUGEINT) * y.nn * 81
       ORDER BY doc_id_a, doc_id_b""",
 
+    // m225: session basket — the q70 session CTEs, distinct
+    // (session, type), per-session pair join, integer lift.
+    "m225_session_basket" -> """
+      WITH ev AS (SELECT user_id, event_id, event_type,
+            CAST(floor(epoch(ts)) AS BIGINT) AS tse
+          FROM events),
+      m AS (SELECT *, CASE WHEN lag(tse) OVER w IS NULL
+              OR tse - lag(tse) OVER w > 1800 THEN 1 ELSE 0 END AS ns
+          FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tse, event_id)),
+      s2 AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id
+              ORDER BY tse, event_id ROWS UNBOUNDED PRECEDING) AS sid
+          FROM m),
+      st AS (SELECT DISTINCT user_id, sid, event_type AS t FROM s2),
+      nseg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+          FROM (SELECT DISTINCT user_id, sid FROM st)),
+      singles AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS s
+          FROM st GROUP BY t),
+      pr AS (SELECT a.t AS type_a, b.t AS type_b,
+            CAST(COUNT(*) AS BIGINT) AS support
+          FROM st a JOIN st b
+            ON a.user_id = b.user_id AND a.sid = b.sid AND a.t < b.t
+          GROUP BY 1, 2)
+      SELECT p.type_a, p.type_b, p.support, x.s AS s_a, y.s AS s_b,
+        (SELECT n FROM nseg) AS n_sessions,
+        CAST((p.support * (SELECT n FROM nseg) * 1000000)
+          // (x.s * y.s) AS BIGINT) AS lift_micro
+      FROM pr p JOIN singles x ON p.type_a = x.t
+      JOIN singles y ON p.type_b = y.t
+      ORDER BY type_a, type_b""",
+
     // m224: hour-of-day entropy — the m72 ordered c·ln c fold per
     // user over hour-ASC lists; hour() matches Spark's UTC session.
     "m224_hour_entropy" -> """

@@ -4228,6 +4228,15 @@ object Queries {
     Multimodal.loudnessGains(media(s, dir))
       .orderBy("media_id")
 
+  /** m225 — session market-basket pairs
+    * ([[operators.Temporal.sessionBasketPairs]] at the q14 30-min
+    * gap): which event types co-occur within a session, with exact
+    * integer support and truncating micro lift. */
+  def m225SessionBasket(s: SparkSession, dir: String): DataFrame =
+    operators.Temporal.sessionBasketPairs(t(s, dir, "events"),
+      col("user_id"), Seq(col("ts"), col("event_id")), col("ts"),
+      col("event_type"))
+
   /** m224 — per-user hour-of-day activity entropy
     * ([[operators.Temporal.hourProfileEntropy]]): behavioral
     * regularity in nats (uniform 24h ≈ automated) — integer hour

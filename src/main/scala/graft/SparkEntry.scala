@@ -318,6 +318,7 @@ object SparkEntry {
     "m222_coverage_greedy" -> Queries.m222CoverageGreedy,
     "m223_markov_stationary" -> Queries.m223MarkovStationary,
     "m224_hour_entropy" -> Queries.m224HourEntropy,
+    "m225_session_basket" -> Queries.m225SessionBasket,
     "q65_conversion_delays" -> Queries.q65ConversionDelays,
     "q66_interval_coalesce" -> Queries.q66IntervalCoalesce,
     "q67_rolling_distinct" -> Queries.q67RollingDistinct,

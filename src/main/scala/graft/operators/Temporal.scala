@@ -322,6 +322,62 @@ object Temporal {
   }
 
   /**
+   * Session market-basket pairs — which event types co-occur within a
+   * SESSION (the q14 gap rule), the unit where co-occurrence means
+   * intent (m137's doc-level pairs answer a different question):
+   * support in sessions, plus lift = support·N / (s_a·s_b) in
+   * truncating micro — > 10⁶ means the pair attracts. All integers.
+   *
+   * Shape: one key-partitioned sessionization window, a distinct
+   * (session, type) projection, then the per-session type self-join —
+   * bounded at alphabet²·sessions, with the per-session distinct-type
+   * fan (≤ alphabet) keeping the join narrow.
+   *
+   * @return (type_a < type_b, support, s_a, s_b, n_sessions,
+   *         lift_micro), pair ASC
+   */
+  def sessionBasketPairs(df: DataFrame, keyCol: Column,
+      orderCols: Seq[Column], tsCol: Column, typeCol: Column,
+      gapSeconds: Long = 1800L): DataFrame = {
+    require(gapSeconds >= 1, s"sessionBasketPairs: gap=$gapSeconds < 1")
+    val base = df.select(keyCol.as("__k") +: typeCol.as("t") +:
+      unix_timestamp(tsCol).as("__sec") +:
+      orderCols.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }: _*)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(orderCols.indices.map(i => col(s"__o$i")): _*)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val st = base
+      .withColumn("__ns",
+        when(lag(col("__sec"), 1).over(w).isNull ||
+          col("__sec") - lag(col("__sec"), 1).over(w) > gapSeconds, 1L)
+          .otherwise(0L))
+      .withColumn("__sid", sum(col("__ns")).over(run))
+      .select(col("__k"), col("__sid"), col("t"))
+      .distinct()
+      .transform(graft.core.Blocks.pin)
+    val nSessions = st.select("__k", "__sid").distinct().count()
+    val singles = st.groupBy("t").agg(count(lit(1)).as("s"))
+    val pairs = st.select(col("__k"), col("__sid"), col("t").as("type_a"))
+      .join(st.select(col("__k"), col("__sid"), col("t").as("type_b")),
+        Seq("__k", "__sid"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("support"))
+    val out = pairs
+      .join(singles.select(col("t").as("type_a"), col("s").as("s_a")),
+        "type_a")
+      .join(singles.select(col("t").as("type_b"), col("s").as("s_b")),
+        "type_b")
+      .select(col("type_a"), col("type_b"), col("support"), col("s_a"),
+        col("s_b"), lit(nSessions).as("n_sessions"),
+        expr(s"support * $nSessions * 1000000 div (s_a * s_b)")
+          .as("lift_micro"))
+      .orderBy("type_a", "type_b")
+    val pinned = graft.core.Blocks.pin(out)
+    graft.core.Blocks.release(st)
+    pinned
+  }
+
+  /**
    * Per-key hour-of-day activity entropy — the behavioral-regularity
    * signal (near-uniform 24h activity ≈ ln 24 reads automated; human
    * keys concentrate in waking hours and score far lower): Shannon

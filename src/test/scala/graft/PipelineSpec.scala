@@ -1576,6 +1576,29 @@ class PipelineSpec extends AnyFunSuite {
       ("localhost", "", 1L, 1L)))
   }
 
+  test("sessionBasketPairs: gap splits sessions, distinct-per-session " +
+      "support, exact lift, gap contract") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // u1 session1: a,b,a (pair ab once); 2h gap; session2: a only
+    // u2 session1: a,b -> pair ab again. N=3 sessions, sa=3, sb=2
+    val ev = Seq(
+      (1L, 1L, ts(0), "a"), (1L, 2L, ts(60), "b"), (1L, 3L, ts(120), "a"),
+      (1L, 4L, ts(9000), "a"),
+      (2L, 5L, ts(0), "a"), (2L, 6L, ts(30), "b"))
+      .toDF("u", "eid", "ts", "t")
+    val got = graft.operators.Temporal.sessionBasketPairs(ev, col("u"),
+        Seq(col("ts"), col("eid")), col("ts"), col("t"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got === Array(
+      ("a", "b", 2L, 3L, 2L, 3L, 2L * 3L * 1000000L / (3L * 2L))))
+    intercept[IllegalArgumentException] {
+      graft.operators.Temporal.sessionBasketPairs(ev, col("u"),
+        Seq(col("ts"), col("eid")), col("ts"), col("t"), gapSeconds = 0L)
+    }
+  }
+
   test("hourProfileEntropy: uniform hours hit ln k, single hour 0, " +
       "hand two-hour split") {
     import spark.implicits._
