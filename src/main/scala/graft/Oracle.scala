@@ -3377,6 +3377,29 @@ object Oracle {
         >= CAST(x.nn AS HUGEINT) * y.nn * 81
       ORDER BY doc_id_a, doc_id_b""",
 
+    // m226: burstiness — per-(user, type) gap windows, HUGEINT
+    // moments, the one-√ B dag (NULL under 2 gaps or all-zero gaps).
+    "m226_burstiness" -> """
+      WITH ev AS (SELECT user_id, event_type AS t,
+            CAST(floor(epoch(ts)) AS BIGINT) AS tse
+          FROM events),
+      g AS (SELECT t, tse - lag(tse) OVER (PARTITION BY user_id, t
+              ORDER BY tse) AS g
+          FROM ev),
+      mo AS (SELECT t, CAST(COUNT(*) AS HUGEINT) AS n,
+            CAST(SUM(g) AS HUGEINT) AS s1,
+            CAST(SUM(CAST(g AS HUGEINT) * g) AS HUGEINT) AS s2
+          FROM g WHERE g IS NOT NULL GROUP BY t)
+      SELECT t AS symbol, CAST(n AS BIGINT) AS n_gaps,
+        CAST(s1 AS BIGINT) AS sum_gap_s,
+        CASE WHEN n < 2 OR (n*s2 - s1*s1 = 0 AND s1 = 0) THEN NULL
+             ELSE round((sqrt(CAST(n*s2 - s1*s1 AS DOUBLE))
+                 - CAST(s1 AS DOUBLE))
+               / (sqrt(CAST(n*s2 - s1*s1 AS DOUBLE))
+                 + CAST(s1 AS DOUBLE)), 6)
+        END AS burstiness
+      FROM mo ORDER BY symbol""",
+
     // m225: session basket — the q70 session CTEs, distinct
     // (session, type), per-session pair join, integer lift.
     "m225_session_basket" -> """

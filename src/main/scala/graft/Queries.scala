@@ -4228,6 +4228,14 @@ object Queries {
     Multimodal.loudnessGains(media(s, dir))
       .orderBy("media_id")
 
+  /** m226 — inter-event burstiness ([[operators.Temporal
+    * .burstinessReport]]): Goh–Barabási B per event type from three
+    * exact integer gap moments and ONE √ — periodic −1, Poisson 0,
+    * bursty → 1. */
+  def m226Burstiness(s: SparkSession, dir: String): DataFrame =
+    operators.Temporal.burstinessReport(t(s, dir, "events"),
+      col("user_id"), col("ts"), col("event_type"))
+
   /** m225 — session market-basket pairs
     * ([[operators.Temporal.sessionBasketPairs]] at the q14 30-min
     * gap): which event types co-occur within a session, with exact

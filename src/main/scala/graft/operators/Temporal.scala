@@ -322,6 +322,54 @@ object Temporal {
   }
 
   /**
+   * Inter-event burstiness per symbol — Goh & Barabási's
+   * B = (σ−μ)/(σ+μ) over the per-key inter-arrival gaps: −1 reads
+   * periodic (monitoring pings), 0 Poisson, → 1 bursty (human
+   * activity). Numerically B collapses to ONE exact-integer dag:
+   * multiplying through by n gives B = (√(n·Σg² − (Σg)²) − Σg) /
+   * (√(n·Σg² − (Σg)²) + Σg) — the three sums are exact (Σg² through
+   * DECIMAL(38,0), the m75 moment rule), the √ is the one IEEE-pinned
+   * transcendental, and one division ends the dag (the welchTTest
+   * driver-BigInt pattern). NULL for symbols with < 2 gaps or a
+   * degenerate all-zero-gap stream.
+   *
+   * @return (symbol, n_gaps, sum_gap_s, burstiness 6dp), symbol ASC
+   */
+  def burstinessReport(df: DataFrame, keyCol: Column, tsCol: Column,
+      typeCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val s = df.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy(col("__k"), col("t")).orderBy(col("__sec"))
+    val gaps = df.select(keyCol.as("__k"), typeCol.cast("string").as("t"),
+        unix_timestamp(tsCol).as("__sec"))
+      .withColumn("g", col("__sec") - lag(col("__sec"), 1).over(w))
+      .filter(col("g").isNotNull)
+    val rows = gaps.groupBy("t")
+      .agg(count(lit(1)).as("n"), sum(col("g").cast(d38)).as("s1"),
+        sum(col("g").cast(d38) * col("g")).as("s2"))
+      .collect()
+    def r6(d: Double): Double =
+      BigDecimal(d.toString).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    val out = rows.map { r =>
+      val n = BigInt(r.getLong(1))
+      val s1 = BigInt(r.getDecimal(2).toBigInteger)
+      val s2 = BigInt(r.getDecimal(3).toBigInteger)
+      val varNum = n * s2 - s1 * s1
+      val b: Option[Double] =
+        if (n < 2 || (varNum == 0 && s1 == 0)) None
+        else {
+          val rt = math.sqrt(varNum.toDouble)
+          Some(r6((rt - s1.toDouble) / (rt + s1.toDouble)))
+        }
+      (r.getString(0), r.getLong(1), s1.toLong, b)
+    }.sortBy(_._1).toSeq
+    out.toDF("symbol", "n_gaps", "sum_gap_s", "burstiness")
+  }
+
+  /**
    * Session market-basket pairs — which event types co-occur within a
    * SESSION (the q14 gap rule), the unit where co-occurrence means
    * intent (m137's doc-level pairs answer a different question):

@@ -1576,6 +1576,34 @@ class PipelineSpec extends AnyFunSuite {
       ("localhost", "", 1L, 1L)))
   }
 
+  test("burstinessReport: periodic gaps -1, hand mixed case, " +
+      "single-gap NULL, per-key-and-type windows") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    def r6(d: Double): Double =
+      BigDecimal(d.toString).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    // type p: perfectly periodic gaps (10,10,10) -> sigma 0 -> B = -1
+    // type m: gaps (10, 30) across one user -> hand formula
+    // type s: one gap only -> NULL
+    val ev = Seq(
+      (1L, ts(0), "p"), (1L, ts(10), "p"), (1L, ts(20), "p"),
+      (1L, ts(30), "p"),
+      (1L, ts(0), "m"), (1L, ts(10), "m"), (1L, ts(40), "m"),
+      (2L, ts(0), "s"), (2L, ts(5), "s"))
+      .toDF("user_id", "ts", "event_type")
+    val got = graft.operators.Temporal.burstinessReport(ev,
+        col("user_id"), col("ts"), col("event_type"))
+      .collect()
+    val by = got.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(by("p") === ((3L, 30L, Some(-1.0))))
+    val rt = math.sqrt((2L * (100L + 900L) - 40L * 40L).toDouble)
+    assert(by("m") === ((2L, 40L, Some(r6((rt - 40.0) / (rt + 40.0))))))
+    assert(by("s") === ((1L, 5L, None)))
+  }
+
   test("sessionBasketPairs: gap splits sessions, distinct-per-session " +
       "support, exact lift, gap contract") {
     import spark.implicits._
