@@ -3377,6 +3377,22 @@ object Oracle {
         >= CAST(x.nn AS HUGEINT) * y.nn * 81
       ORDER BY doc_id_a, doc_id_b""",
 
+    // m227: hapax ratio — (source, token) counts, once-only rollup,
+    // truncating micro.
+    "m227_hapax" -> """
+      WITH nrm AS (SELECT source,
+            trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS nt
+          FROM documents),
+      tf AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+          FROM (SELECT source, unnest(string_split(nt, ' ')) AS tok
+                FROM nrm WHERE length(nt) > 0) GROUP BY 1, 2)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab,
+        CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        CAST(SUM(c) AS BIGINT) AS n_occurrences,
+        CAST((SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000)
+          // COUNT(*) AS BIGINT) AS hapax_micro
+      FROM tf GROUP BY source ORDER BY source""",
+
     // m226: burstiness — per-(user, type) gap windows, HUGEINT
     // moments, the one-√ B dag (NULL under 2 gaps or all-zero gaps).
     "m226_burstiness" -> """

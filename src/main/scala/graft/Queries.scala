@@ -4228,6 +4228,13 @@ object Queries {
     Multimodal.loudnessGains(media(s, dir))
       .orderBy("media_id")
 
+  /** m227 — per-source hapax ratio
+    * ([[operators.TextAnalysis.hapaxReport]]): once-only vocabulary
+    * share — the OCR/noise flag next to m210's Zipf slope; integers
+    * end to end. */
+  def m227Hapax(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.hapaxReport(t(s, dir, "documents"))
+
   /** m226 — inter-event burstiness ([[operators.Temporal
     * .burstinessReport]]): Goh–Barabási B per event type from three
     * exact integer gap moments and ONE √ — periodic −1, Poisson 0,

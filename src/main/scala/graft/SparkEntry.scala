@@ -320,6 +320,7 @@ object SparkEntry {
     "m224_hour_entropy" -> Queries.m224HourEntropy,
     "m225_session_basket" -> Queries.m225SessionBasket,
     "m226_burstiness" -> Queries.m226Burstiness,
+    "m227_hapax" -> Queries.m227Hapax,
     "q65_conversion_delays" -> Queries.q65ConversionDelays,
     "q66_interval_coalesce" -> Queries.q66IntervalCoalesce,
     "q67_rolling_distinct" -> Queries.q67RollingDistinct,

@@ -1216,6 +1216,34 @@ object TextAnalysis {
   }
 
   /**
+   * Per-source hapax legomena ratio — the share of a source's distinct
+   * vocabulary that occurs EXACTLY ONCE there: clean prose sits near
+   * the Zipf-predicted ~50%, OCR noise and mangled encodings push it
+   * up (every error is a new "word"), templated/generated text pushes
+   * it down. Two map-side-combined aggregations ((source, token)
+   * counts, then the hapax flag rollup), truncating micro share —
+   * integers end to end.
+   *
+   * @return (source, vocab, n_hapax, n_occurrences, hapax_micro),
+   *         source ASC
+   */
+  def hapaxReport(docs: DataFrame, sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val nt = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    Dedup.spread(docs.select(col(sourceCol).cast("string").as("source"),
+        nt.as("nt")))
+      .filter(length(col("nt")) > 0)
+      .select(col("source"), explode(split(col("nt"), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"),
+        sum(col("c")).as("n_occurrences"))
+      .withColumn("hapax_micro", expr("n_hapax * 1000000 div vocab"))
+      .orderBy("source")
+  }
+
+  /**
    * Per-document keyword extraction — m182's characteristic-terms
    * kernel at DOC granularity: score = tf·(N−df+1) div df over exact
    * integers (both engines truncate positives identically), top-k per

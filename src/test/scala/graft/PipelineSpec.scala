@@ -1576,6 +1576,21 @@ class PipelineSpec extends AnyFunSuite {
       ("localhost", "", 1L, 1L)))
   }
 
+  test("hapaxReport: once-only counted per SOURCE not per doc, " +
+      "micro truncates, empty text inert") {
+    import spark.implicits._
+    // source A: 'x' appears once in each of two docs -> count 2, NOT
+    // hapax; 'y' once -> hapax. B: all distinct.
+    val docs = Seq(("A", "x y"), ("A", "x z z"), ("B", "p q"), ("B", " "))
+      .toDF("source", "text")
+    val got = graft.operators.TextAnalysis.hapaxReport(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got === Array(
+      ("A", 3L, 1L, 5L, 333333L), // vocab {x,y,z}; hapax {y}
+      ("B", 2L, 2L, 2L, 1000000L)))
+  }
+
   test("burstinessReport: periodic gaps -1, hand mixed case, " +
       "single-gap NULL, per-key-and-type windows") {
     import spark.implicits._
