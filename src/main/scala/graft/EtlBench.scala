@@ -41,10 +41,21 @@ object EtlBench {
       Etl.latestVersion(SnapshotReader.rawAccounts(spark, dir).limit(2000)),
       warmOut)
 
-    val t0 = System.nanoTime()
-    val deduped = Etl.latestVersion(SnapshotReader.rawAccounts(spark, dir))
-    Sinks.saveTables(deduped, out)
-    val secs = (System.nanoTime() - t0) / 1e9
+    // Min-of-3 (the Bench discipline): co-tenant load on this box is
+    // bursty and one-sided, so the min is the round-over-round signal —
+    // SPARK_GRAFT_RUNS overrides. Each run writes a fresh dir (no
+    // overwrite-path confound); the first run's dir feeds the row count.
+    val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(3)
+    val times = (1 to runs).map { i =>
+      val o = if (i == 1) out
+        else java.nio.file.Files.createTempDirectory(s"etl-bench-out$i").toString
+      val t0 = System.nanoTime()
+      Sinks.saveTables(
+        Etl.latestVersion(SnapshotReader.rawAccounts(spark, dir)), o)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val secs = times.min
+    val medianSecs = times.sorted.apply(times.size / 2)
     // optional phase breakdown (fresh lineage per phase, AFTER the
     // measured run so it doesn't pollute the headline number)
     val phases = if (!sys.env.contains("SPARK_GRAFT_ETL_PHASES")) ""
@@ -87,7 +98,15 @@ object EtlBench {
           f""","full_write_s":$write%.2f"""
       }
     val nOut = spark.read.parquet(s"$out/account").count()
-    println(f"""{"metric":"etl_accounts_per_sec","value":${total / secs}%.0f,"unit":"accounts/sec","total_accounts":$total,"distinct_out":$nOut,"secs":$secs%.2f$phases}""")
+    val line =
+      f"""{"metric":"etl_accounts_per_sec","value":${total / secs}%.0f,""" +
+      f""""unit":"accounts/sec","stat":"min${times.size}","total_accounts":$total,""" +
+      f""""distinct_out":$nOut,"secs":$secs%.2f,"median_secs":$medianSecs%.2f,""" +
+      s""""run_secs":[${times.map(t => f"$t%.2f").mkString(",")}]$phases}"""
+    println(line)
+    // committed per-round artifact (ETLBENCH_r{N}.json) is a copy of this
+    java.nio.file.Files.write(java.nio.file.Paths.get("target/etlbench.json"),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -3440,8 +3440,8 @@ object Oracle {
           GROUP BY 1, 2)
       SELECT p.type_a, p.type_b, p.support, x.s AS s_a, y.s AS s_b,
         (SELECT n FROM nseg) AS n_sessions,
-        CAST((p.support * (SELECT n FROM nseg) * 1000000)
-          // (x.s * y.s) AS BIGINT) AS lift_micro
+        CAST((CAST(p.support AS HUGEINT) * (SELECT n FROM nseg) * 1000000)
+          // (CAST(x.s AS HUGEINT) * y.s) AS BIGINT) AS lift_micro
       FROM pr p JOIN singles x ON p.type_a = x.t
       JOIN singles y ON p.type_b = y.t
       ORDER BY type_a, type_b""",

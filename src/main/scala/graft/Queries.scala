@@ -3643,6 +3643,25 @@ object Queries {
     * identically. The driver-side feed is the MemoryStream harness, not
     * an operator cost: it is bounded by the events table's
     * purchase+signup slice (~2k rows/side at gate SF). */
+  /** The MemoryStream gate harnesses (q61/q62/q69) feed the fixture
+    * slice from the driver — inherent to a deterministic micro-batch
+    * oracle, ~2k rows/side at gate SF. Cap what can ever reach the
+    * driver so a fixture regen can't silently turn the gate into a
+    * driver-memory test: limit(cap+1) bounds the collect ITSELF (the
+    * probe-first rule) and the require converts overflow into a loud
+    * failure. The production operators these gates exercise take real
+    * streams and never collect. */
+  private val harnessFeedCap = 2000000
+
+  private def harnessRows[T](ds: org.apache.spark.sql.Dataset[T],
+      what: String): Array[T] = {
+    val rows = ds.limit(harnessFeedCap + 1).collect()
+    require(rows.length <= harnessFeedCap,
+      s"$what: MemoryStream harness feed exceeds $harnessFeedCap rows — " +
+        "the fixture outgrew the driver-side oracle harness")
+    rows
+  }
+
   def q61StreamStreamInterval(s: SparkSession, dir: String): DataFrame = {
     val store = ijStreamDirs.getOrElseUpdate(dir, {
       import s.implicits._
@@ -3651,14 +3670,14 @@ object Queries {
       // cast("timestamp") first: the fixture has shipped ts as NTZ,
       // and unix_micros only takes LTZ — the session TZ is pinned UTC
       // (Verify/Bench), so the cast is the identity mapping
-      val pts = ev.filter(col("event_type") === "purchase")
+      val pts = harnessRows(ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id"),
           unix_micros(col("ts").cast("timestamp")).as("us"))
-        .as[(Long, Long, Long)].collect().sortBy(r => (r._3, r._2))
-      val ivs = ev.filter(col("event_type") === "signup")
+        .as[(Long, Long, Long)], "q61").sortBy(r => (r._3, r._2))
+      val ivs = harnessRows(ev.filter(col("event_type") === "signup")
         .select(col("user_id"), col("event_id"),
           unix_micros(col("ts").cast("timestamp")).as("us"))
-        .as[(Long, Long, Long)].collect().sortBy(r => (r._3, r._2))
+        .as[(Long, Long, Long)], "q61").sortBy(r => (r._3, r._2))
       require(pts.nonEmpty && ivs.nonEmpty,
         "q61: events must contain purchases and signups")
       val lo = math.min(pts.head._3, ivs.head._3)
@@ -3725,10 +3744,10 @@ object Queries {
     val store = rollStreamDirs.getOrElseUpdate(dir, {
       import s.implicits._
       implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val rows = t(s, dir, "events")
+      val rows = harnessRows(t(s, dir, "events")
         .select(col("user_id"),
           unix_micros(col("ts").cast("timestamp")).as("us"))
-        .as[(Long, Long)].collect().sortBy(r => (r._2, r._1))
+        .as[(Long, Long)], "q69").sortBy(r => (r._2, r._1))
       require(rows.nonEmpty, "q69: events table is empty")
       val lo = rows.head._2
       val hi = rows.last._2 + 1L
@@ -3799,11 +3818,11 @@ object Queries {
     val store = sessStreamDirs.getOrElseUpdate(dir, {
       import s.implicits._
       implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val rows = t(s, dir, "events")
+      val rows = harnessRows(t(s, dir, "events")
         .select(col("user_id"),
           unix_micros(col("ts").cast("timestamp")).as("us"),
           col("value"))
-        .as[(Long, Long, Double)].collect().sortBy(r => (r._2, r._1))
+        .as[(Long, Long, Double)], "q62").sortBy(r => (r._2, r._1))
       require(rows.nonEmpty, "q62: events table is empty")
       val lo = rows.head._2
       val hi = rows.last._2 + 1L

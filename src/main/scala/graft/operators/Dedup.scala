@@ -1194,6 +1194,21 @@ object Dedup {
     * triangular including the diagonal. */
   def crossSourceDupMatrix(docs: DataFrame, pairs: DataFrame,
       sourceCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    // Belt-and-braces hot-id ceiling (the blocking-ceiling convention):
+    // the upstream pair generators are bucketed+guarded, but a caller
+    // can feed ANY pair table, and one id in > cap pairs means an
+    // unclustered blow-up upstream skews both id-keyed joins. Probe
+    // loudly instead of inheriting it (`graft.dedup.matrixMaxPairsPerDoc`).
+    val cap = docs.sparkSession.conf
+      .get("graft.dedup.matrixMaxPairsPerDoc", "1048576").toLong
+    val hot = pairs.select(col("doc_id_a").as("id"))
+      .unionByName(pairs.select(col("doc_id_b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("n"))
+      .filter(col("n") > cap).limit(1).count()
+    require(hot == 0L,
+      s"crossSourceDupMatrix: a doc participates in > $cap pairs — the " +
+        "input pair table is not dedup-bounded; fix the upstream " +
+        "generator or raise graft.dedup.matrixMaxPairsPerDoc deliberately")
     val side = docs.select(col(idCol).cast("long"),
       col(sourceCol).cast("string"))
     pairs.select(col("doc_id_a"), col("doc_id_b"))

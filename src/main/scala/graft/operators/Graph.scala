@@ -932,6 +932,11 @@ object Graph {
       if (den == 0) None
       else Some(BigDecimal((num.toDouble / den.toDouble).toString)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // BigInt.toLong silently wraps past 2^63 — a wrapped sum reported
+    // as exact would diverge from the HUGEINT oracle. Fail loudly; the
+    // ratio above stays exact either way.
+    Seq(sx, sxy, sxx).foreach(m => require(m.isValidLong,
+      s"assortativityReport: moment $m exceeds Long — raise to DECIMAL"))
     Seq((row.getLong(0), sx.toLong, sxy.toLong, sxx.toLong, r))
       .toDF("n_edges", "sum_deg", "sum_prod", "sum_sq", "assortativity")
   }

@@ -386,8 +386,10 @@ object Temporal {
    */
   def sessionBasketPairs(df: DataFrame, keyCol: Column,
       orderCols: Seq[Column], tsCol: Column, typeCol: Column,
-      gapSeconds: Long = 1800L): DataFrame = {
+      gapSeconds: Long = 1800L, maxTypes: Int = 64): DataFrame = {
     require(gapSeconds >= 1, s"sessionBasketPairs: gap=$gapSeconds < 1")
+    require(maxTypes >= 2 && maxTypes <= 4096,
+      s"sessionBasketPairs: maxTypes=$maxTypes out of [2,4096]")
     val base = df.select(keyCol.as("__k") +: typeCol.as("t") +:
       unix_timestamp(tsCol).as("__sec") +:
       orderCols.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }: _*)
@@ -403,6 +405,16 @@ object Temporal {
       .select(col("__k"), col("__sid"), col("t"))
       .distinct()
       .transform(graft.core.Blocks.pin)
+    // the per-session pair join fans alphabet² — make the implicit
+    // alphabet bound an enforced ceiling (the blocking-ceiling
+    // convention): probe ≤ maxTypes+1 distinct types off the pinned
+    // frame before any quadratic work.
+    val nTypes = st.select("t").distinct().limit(maxTypes + 1).count()
+    require(nTypes <= maxTypes, {
+      graft.core.Blocks.release(st)
+      s"sessionBasketPairs: > $maxTypes distinct types — the pair " +
+        "expansion is alphabet²·sessions; raise maxTypes deliberately"
+    })
     val nSessions = st.select("__k", "__sid").distinct().count()
     val singles = st.groupBy("t").agg(count(lit(1)).as("s"))
     val pairs = st.select(col("__k"), col("__sid"), col("t").as("type_a"))
@@ -417,7 +429,12 @@ object Temporal {
         "type_b")
       .select(col("type_a"), col("type_b"), col("support"), col("s_a"),
         col("s_b"), lit(nSessions).as("n_sessions"),
-        expr(s"support * $nSessions * 1000000 div (s_a * s_b)")
+        // support·nSessions·10⁶ through DECIMAL(38,0): Long would wrap
+        // silently past 2^63 (support·nSessions > ~9.2e12) while the
+        // DuckDB oracle raises — the repo's Σ-bound rule. div on
+        // DECIMAL returns BIGINT, so the schema is unchanged.
+        expr(s"cast(support as decimal(38,0)) * $nSessions * 1000000" +
+          s" div (cast(s_a as decimal(38,0)) * s_b)")
           .as("lift_micro"))
       .orderBy("type_a", "type_b")
     val pinned = graft.core.Blocks.pin(out)
@@ -484,16 +501,21 @@ object Temporal {
       orderCols.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }: _*)
     val w = Window.partitionBy(col("__k"))
       .orderBy(orderCols.indices.map(i => col(s"__o$i")): _*)
+    // Probe the alphabet bound BEFORE any full collect (the
+    // epsNeighborPairsExact pattern): a limit(maxSymbols+1) on the
+    // distinct frame caps what ever reaches the driver, so a
+    // high-cardinality typeCol fails the require instead of OOMing.
+    val symbolProbe = df.select(typeCol.cast("string").as("t")).distinct()
+      .limit(maxSymbols + 1).collect().map(_.getString(0))
+    require(symbolProbe.nonEmpty, "markovStationary: no symbols")
+    require(symbolProbe.length <= maxSymbols,
+      s"markovStationary: > $maxSymbols symbols")
+    val symbols = symbolProbe.sorted
     val counts = base
       .select(col("t").as("a"), lead(col("t"), 1).over(w).as("b"))
       .filter(col("b").isNotNull)
       .groupBy("a", "b").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    val symbols = df.select(typeCol.cast("string").as("t")).distinct()
-      .collect().map(_.getString(0)).sorted
-    require(symbols.nonEmpty, "markovStationary: no symbols")
-    require(symbols.length <= maxSymbols,
-      s"markovStationary: ${symbols.length} symbols exceed $maxSymbols")
     val idx = symbols.zipWithIndex.toMap
     val n = symbols.length
     val c = Array.ofDim[Long](n, n)

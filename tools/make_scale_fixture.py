@@ -1,0 +1,139 @@
+#!/usr/bin/env python3
+"""Scale-fixture generator: replicate a driver testdata dir K times with
+reseeded ids, for growth benchmarking (no oracle — the scale bench only
+measures time ratios, correctness stays pinned at sf0.01).
+
+Design constraints (why this is not a naive concat):
+- Identical replicated CONTENT would manufacture cross-replica duplicate
+  clusters: every doc would gain K-1 exact twins, so LSH buckets deepen
+  K-fold and candidate pairs grow K^2-fold — the bench would then measure
+  an artifact of the generator, not operator growth. Instead each replica
+  r applies a BIJECTIVE per-word character rotation (rot r mod len) to
+  document text: within-replica word-level similarity structure is
+  preserved EXACTLY (bijection on the vocabulary), lengths and char
+  frequencies are unchanged, and cross-replica token sets are disjoint
+  for r>0.
+- Embeddings get a seeded per-replica orthogonal transform (dimension
+  permutation + sign flips): within-replica inner products are preserved
+  exactly, cross-replica cosines decorrelate, so ANN/near-dup growth is
+  K-fold corpus growth rather than K-fold duplicate-cluster depth.
+- Key columns are offset per replica with a decimal stride above the
+  source max, so joins stay consistent (lineitem.l_orderkey hits the
+  replicated orders, events.user_id cardinality scales K-fold).
+- region/nation are dimension tables (FK targets) and are copied as-is.
+
+Usage: python3 tools/make_scale_fixture.py SRC DST [K=10]
+"""
+import sys
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def stride_for(maxval: int) -> int:
+    s = 10
+    while s <= maxval:
+        s *= 10
+    return s
+
+
+def offset_col(arr: pa.Array, r: int, stride: int) -> pa.Array:
+    return pa.array(arr.to_numpy(zero_copy_only=False) + r * stride,
+                    type=arr.type)
+
+
+def rot_word(w: str, r: int) -> str:
+    if not w:
+        return w
+    k = r % len(w)
+    return w[k:] + w[:k]
+
+
+def rot_text(t: str, r: int) -> str:
+    if r == 0 or t is None:
+        return t
+    return " ".join(rot_word(w, r) for w in t.split(" "))
+
+
+def main() -> None:
+    src, dst = sys.argv[1], sys.argv[2]
+    k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    import os
+    os.makedirs(dst, exist_ok=True)
+
+    import shutil
+    for t in ("region", "nation"):
+        shutil.copyfile(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
+        print(f"{t}: copied (dim)")
+
+    # key columns to offset, per table
+    keyed = {
+        "customer": ["c_custkey"],
+        "supplier": ["s_suppkey"],
+        "part": ["p_partkey"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+        "events": ["event_id", "user_id"],
+        "documents": ["doc_id"],
+        "embeddings": ["vec_id"],
+    }
+    # stride per KEY NAME must agree across tables (l_orderkey uses the
+    # orders stride), so compute from the table that OWNS the key.
+    owners = {
+        "c_custkey": ("customer", "c_custkey"),
+        "s_suppkey": ("supplier", "s_suppkey"),
+        "p_partkey": ("part", "p_partkey"),
+        "o_orderkey": ("orders", "o_orderkey"),
+        "o_custkey": ("customer", "c_custkey"),
+        "l_orderkey": ("orders", "o_orderkey"),
+        "l_partkey": ("part", "p_partkey"),
+        "l_suppkey": ("supplier", "s_suppkey"),
+        "event_id": ("events", "event_id"),
+        "user_id": ("events", "user_id"),
+        "doc_id": ("documents", "doc_id"),
+        "vec_id": ("embeddings", "vec_id"),
+    }
+    strides = {}
+    for key, (tab, col) in owners.items():
+        mx = pq.read_table(f"{src}/{tab}.parquet", columns=[col])[col]
+        strides[key] = stride_for(int(pa.compute.max(mx).as_py()))
+
+    for tab, keys in keyed.items():
+        t0 = pq.read_table(f"{src}/{tab}.parquet")
+        reps = []
+        for r in range(k):
+            cols = {}
+            for name in t0.schema.names:
+                arr = t0[name].combine_chunks()
+                if name in keys:
+                    cols[name] = offset_col(arr, r, strides[name])
+                elif tab == "documents" and name == "text":
+                    cols[name] = pa.array(
+                        [rot_text(x, r) for x in arr.to_pylist()],
+                        type=arr.type)
+                elif tab == "embeddings" and name == "embedding":
+                    if r == 0:
+                        cols[name] = arr
+                    else:
+                        flat = arr.values.to_numpy(zero_copy_only=False)
+                        n = len(arr)
+                        d = len(flat) // n
+                        rng = np.random.default_rng(42 + r)
+                        perm = rng.permutation(d)
+                        sign = rng.choice(
+                            [-1.0, 1.0], size=d).astype(np.float32)
+                        m = flat.reshape(n, d)[:, perm] * sign
+                        cols[name] = pa.FixedSizeListArray.from_arrays(
+                            pa.array(m.reshape(-1), type=pa.float32()), d
+                        ).cast(arr.type)
+                else:
+                    cols[name] = arr
+            reps.append(pa.table(cols, schema=t0.schema))
+        out = pa.concat_tables(reps)
+        pq.write_table(out, f"{dst}/{tab}.parquet",
+                       row_group_size=1 << 20)
+        print(f"{tab}: {t0.num_rows} -> {out.num_rows}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Merge two scoped Bench runs (base SF vs a K-times scale fixture from
+tools/make_scale_fixture.py) into a committed growth artifact.
+
+Growth budget: a data-parallel operator at K-times data on the same
+32 threads should cost <= ~K·log(K)-ish — the round uses a flat
+BUDGET-times ceiling (default 12 for K=10: log-linear headroom over the
+linear K). Queries over the budget get verdict "over_budget" and must be
+either fixed or ceiling-documented; under it, "ok".
+
+Usage: tools/scale_report.py BASE_JSON SCALE_JSON OUT_JSON [K=10] [BUDGET=12]
+"""
+import json
+import re
+import sys
+
+
+def mins(path: str) -> dict:
+    txt = open(path).read()
+    return {m.group(1): float(m.group(3)) for m in re.finditer(
+        r'"([A-Za-z0-9_]+)":\{"med":([0-9.]+),"min":([0-9.]+)\}', txt)}
+
+
+def main() -> None:
+    base_p, scale_p, out_p = sys.argv[1], sys.argv[2], sys.argv[3]
+    k = int(sys.argv[4]) if len(sys.argv) > 4 else 10
+    budget = float(sys.argv[5]) if len(sys.argv) > 5 else 12.0
+    base, scale = mins(base_p), mins(scale_p)
+    rows = {}
+    worst = 0.0
+    over = []
+    for q in sorted(set(base) & set(scale)):
+        # sub-200ms base queries: scheduler jitter dominates the ratio;
+        # still reported, but the budget verdict uses an absolute floor
+        # (the Bench drift-guard floorSec lesson)
+        ratio = scale[q] / base[q] if base[q] > 0 else float("inf")
+        ok = ratio <= budget or scale[q] - base[q] <= 0.5
+        rows[q] = {
+            "base_min": round(base[q], 2),
+            "scale_min": round(scale[q], 2),
+            "ratio": round(ratio, 2),
+            "verdict": "ok" if ok else "over_budget",
+        }
+        if not ok:
+            over.append(q)
+        worst = max(worst, ratio)
+    out = {
+        "metric": "scale_growth",
+        "k": k,
+        "budget": budget,
+        "n": len(rows),
+        "n_over_budget": len(over),
+        "over_budget": over,
+        "worst_ratio": round(worst, 2),
+        "base_total": round(sum(base[q] for q in rows), 2),
+        "scale_total": round(sum(scale[q] for q in rows), 2),
+        "queries": rows,
+    }
+    with open(out_p, "w") as f:
+        json.dump(out, f, separators=(",", ":"))
+        f.write("\n")
+    print(json.dumps({q: r["ratio"] for q, r in rows.items()}, indent=0))
+    print("over_budget:", over, "worst:", round(worst, 2))
+
+
+if __name__ == "__main__":
+    main()
