@@ -3379,6 +3379,94 @@ object Oracle {
 
     // m227: hapax ratio — (source, token) counts, once-only rollup,
     // truncating micro.
+    // m228: clipped unigram/bigram overlap per 0.5-threshold pair —
+    // the m173 pair CTEs + the shared tokenization; least() must
+    // null-guard the b side (DuckDB least SKIPS nulls, the winsorize
+    // lesson), grams only in a contribute min(c_a, 0) = 0.
+    "m228_ngram_overlap" -> s"""
+      WITH $CharShingleCtes,
+      ${jacPairCtes("pj")},
+      p AS (SELECT pa, pb FROM pj WHERE ${jacGe("0.5")}),
+      nrm AS (SELECT doc_id,
+            trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS nt
+          FROM documents),
+      tk AS (SELECT doc_id, string_split(nt, ' ') AS toks
+          FROM nrm WHERE length(nt) > 0),
+      nsz AS (SELECT n.doc_id,
+            CAST(COALESCE(len(t.toks), 0) AS BIGINT) AS n1,
+            CAST(greatest(COALESCE(len(t.toks), 0) - 1, 0) AS BIGINT) AS n2
+          FROM nrm n LEFT JOIN tk t ON n.doc_id = t.doc_id),
+      uni AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+          FROM (SELECT doc_id, unnest(toks) AS g FROM tk) GROUP BY 1, 2),
+      big AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+          FROM (SELECT doc_id,
+                  toks[CAST(q AS INT) + 1] || ' ' ||
+                  toks[CAST(q AS INT) + 2] AS g
+                FROM (SELECT doc_id, toks,
+                        unnest(range(0, len(toks) - 1)) AS q
+                      FROM tk WHERE len(toks) >= 2)) GROUP BY 1, 2),
+      ov1 AS (SELECT p.pa, p.pb,
+            CAST(COALESCE(SUM(least(a.c, COALESCE(b.c, 0))), 0) AS BIGINT)
+              AS o
+          FROM p LEFT JOIN uni a ON a.doc_id = p.pa
+          LEFT JOIN uni b ON b.doc_id = p.pb AND b.g = a.g
+          GROUP BY 1, 2),
+      ov2 AS (SELECT p.pa, p.pb,
+            CAST(COALESCE(SUM(least(a.c, COALESCE(b.c, 0))), 0) AS BIGINT)
+              AS o
+          FROM p LEFT JOIN big a ON a.doc_id = p.pa
+          LEFT JOIN big b ON b.doc_id = p.pb AND b.g = a.g
+          GROUP BY 1, 2)
+      SELECT p.pa AS doc_id_a, p.pb AS doc_id_b,
+        na.n1 AS n1_a, nb.n1 AS n1_b, o1.o AS overlap1,
+        CAST(CASE WHEN na.n1 + nb.n1 = 0 THEN 10000
+          ELSE (20000 * o1.o) // (na.n1 + nb.n1) END AS BIGINT) AS f1_1_bp,
+        na.n2 AS n2_a, nb.n2 AS n2_b, o2.o AS overlap2,
+        CAST(CASE WHEN na.n2 + nb.n2 = 0 THEN 10000
+          ELSE (20000 * o2.o) // (na.n2 + nb.n2) END AS BIGINT) AS f1_2_bp
+      FROM p
+      JOIN ov1 o1 ON o1.pa = p.pa AND o1.pb = p.pb
+      JOIN ov2 o2 ON o2.pa = p.pa AND o2.pb = p.pb
+      JOIN nsz na ON na.doc_id = p.pa
+      JOIN nsz nb ON nb.doc_id = p.pb
+      ORDER BY doc_id_a, doc_id_b""",
+
+    // m229: kNN label noise — m09's seeded cell assignment replayed
+    // from {AUX}/ivf_centers, within-cell 6-dp cosine ranking with
+    // vec_id ties, diff-label share over the top 10.
+    "m229_label_noise" -> """
+      WITH centers AS (SELECT cell, center
+                       FROM read_parquet('{AUX}/ivf_centers/*.parquet')),
+      emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+      dist AS (SELECT e.vec_id, e.label, c.cell, e.v,
+          list_sum(list_transform(range(len(c.center)), i ->
+            (e.v[CAST(i AS INT)+1] - c.center[CAST(i AS INT)+1])
+            * (e.v[CAST(i AS INT)+1] - c.center[CAST(i AS INT)+1]))) AS d
+        FROM emb e, centers c),
+      a AS (SELECT vec_id, label, cell, v FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY d ASC, cell ASC) AS rn FROM dist)
+        WHERE rn = 1),
+      scored AS (SELECT x.vec_id, x.label, y.vec_id AS nbr_id,
+            y.label AS nlab,
+            round(list_cosine_similarity(x.v, y.v), 6) AS score
+          FROM a x JOIN a y USING (cell) WHERE x.vec_id <> y.vec_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY score DESC, nbr_id ASC) AS rk FROM scored),
+      g AS (SELECT vec_id, label, CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+            CAST(SUM(CASE WHEN nlab <> label THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_diff_label
+          FROM r WHERE rk <= 10 GROUP BY 1, 2)
+      SELECT e.vec_id, e.label,
+        CAST(COALESCE(g.n_neighbors, 0) AS BIGINT) AS n_neighbors,
+        CAST(COALESCE(g.n_diff_label, 0) AS BIGINT) AS n_diff_label,
+        CAST(CASE WHEN COALESCE(g.n_neighbors, 0) = 0 THEN 0
+          ELSE (10000 * g.n_diff_label) // g.n_neighbors END AS BIGINT)
+          AS noise_bp
+      FROM emb e LEFT JOIN g ON e.vec_id = g.vec_id
+      ORDER BY e.vec_id""",
+
     "m227_hapax" -> """
       WITH nrm AS (SELECT source,
             trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS nt

@@ -4254,6 +4254,26 @@ object Queries {
   def m227Hapax(s: SparkSession, dir: String): DataFrame =
     operators.TextAnalysis.hapaxReport(t(s, dir, "documents"))
 
+  /** m228 — BLEU/ROUGE-style clipped n-gram overlap audit of the
+    * near-dup pairs ([[operators.TextAnalysis.ngramOverlapAudit]]):
+    * the token-level second opinion next to m173's character-level
+    * one — clipped unigram/bigram overlaps + integer F1 bp per
+    * 0.5-threshold pair; the oracle re-derives the pair set AND every
+    * count from the shared tokenization. */
+  def m228NgramOverlap(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.ngramOverlapAudit(pairs05(s, dir),
+        t(s, dir, "documents"))
+      .orderBy("doc_id_a", "doc_id_b")
+
+  /** m229 — kNN label-noise ranking
+    * ([[operators.Similarity.labelNoiseKnn]]): per embedding, the
+    * share of its k=10 nearest same-IVF-cell neighbors (m09's seeded
+    * geometry, 6-dp cosine + vec_id ties) that carry a DIFFERENT
+    * label — the confident-learning-style "is this label wrong?"
+    * signal; the oracle replays assignment from {AUX}/ivf_centers. */
+  def m229LabelNoise(s: SparkSession, dir: String): DataFrame =
+    operators.Similarity.labelNoiseKnn(t(s, dir, "embeddings"))
+
   /** m226 — inter-event burstiness ([[operators.Temporal
     * .burstinessReport]]): Goh–Barabási B per event type from three
     * exact integer gap moments and ONE √ — periodic −1, Poisson 0,

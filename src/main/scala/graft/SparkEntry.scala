@@ -321,6 +321,8 @@ object SparkEntry {
     "m225_session_basket" -> Queries.m225SessionBasket,
     "m226_burstiness" -> Queries.m226Burstiness,
     "m227_hapax" -> Queries.m227Hapax,
+    "m228_ngram_overlap" -> Queries.m228NgramOverlap,
+    "m229_label_noise" -> Queries.m229LabelNoise,
     "q65_conversion_delays" -> Queries.q65ConversionDelays,
     "q66_interval_coalesce" -> Queries.q66IntervalCoalesce,
     "q67_rolling_distinct" -> Queries.q67RollingDistinct,

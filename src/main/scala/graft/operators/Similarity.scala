@@ -1075,6 +1075,84 @@ object Similarity {
       .withColumn("cell", nearestCell(col("cv")))
   }
 
+  /** kNN label-noise score (confident-learning style): for every
+    * embedding, the fraction of its k nearest same-cell neighbors
+    * carrying a DIFFERENT label — the cheap "is this label wrong?"
+    * ranking a curation pipeline runs before training on weak labels
+    * (a clean point's neighborhood votes its own class; a mislabeled
+    * one is outvoted). Neighborhoods come from the IVF geometry
+    * ([[ivfCenters]], seeded, same parameters as the m09 family so the
+    * oracle replays assignment from the dumped centers): candidates are
+    * the vector's own cell, scored by 6-dp cosine with vec_id ties —
+    * the m04 ranking parity — and `noise_bp = 10000·n_diff div
+    * n_neighbors` stays exact-integer.
+    *
+    * Scale shape: the within-cell square is the only fan, and it is
+    * ceiling-enforced (`graft.sim.knnMaxCellSize`, probe-first): at
+    * corpus scale you raise nlist so cells stay bounded — you never
+    * enumerate a fat cell's square. One shuffle on the cell key, one
+    * partitioned top-k window keyed by vec_id.
+    *
+    * @return (vec_id, label, n_neighbors, n_diff_label, noise_bp),
+    *         vec_id ASC; singleton-cell vectors report 0 neighbors and
+    *         noise_bp 0 (no evidence ≠ noisy)
+    */
+  def labelNoiseKnn(emb: DataFrame, k: Int = 10, nlist: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    require(k >= 1 && k <= 256, s"labelNoiseKnn: k=$k out of [1,256]")
+    require(nlist >= 1 && nlist <= 65536,
+      s"labelNoiseKnn: nlist=$nlist out of [1,65536]")
+    val centers = ivfCenters(emb, nlist, vecCol, idCol)
+    val assigned = ivfCellAssignments(
+      emb.select(col(idCol), col(vecCol)), centers, idCol, vecCol)
+      .join(emb.select(col(idCol).as("corpus_id"),
+        col(labelCol).as("__lab")), "corpus_id")
+      .transform(graft.core.Blocks.pin)
+    val cap = emb.sparkSession.conf
+      .get("graft.sim.knnMaxCellSize", "4096").toLong
+    val fattest = assigned.groupBy("cell").agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    require(fattest <= cap, {
+      graft.core.Blocks.release(assigned)
+      s"labelNoiseKnn: a cell holds $fattest vectors > " +
+        s"graft.sim.knnMaxCellSize=$cap — raise nlist (bounded cells are " +
+        "the scale contract), not the ceiling, unless deliberate"
+    })
+    val x = assigned.select(col("corpus_id").as("vec_id"),
+      col("cv").as("__xv"), col("cell"), col("__lab").as("label"))
+    val y = assigned.select(col("corpus_id").as("nbr_id"),
+      col("cv").as("__yv"), col("cell"), col("__lab").as("__nlab"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("nbr_id").asc)
+    val topk = x.join(y, "cell")
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("label"), col("nbr_id"), col("__nlab"),
+        round(cosine(col("__xv"), col("__yv")), 6).as("score"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+    val scored = topk.groupBy("vec_id", "label")
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(when(col("__nlab") =!= col("label"), 1L).otherwise(0L))
+          .as("n_diff_label"))
+      .withColumn("noise_bp",
+        expr("(10000 * n_diff_label) div n_neighbors"))
+    val out = emb.select(col(idCol).as("vec_id"), col(labelCol).as("label"))
+      .join(scored, Seq("vec_id", "label"), "left")
+      .select(col("vec_id"), col("label"),
+        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
+        coalesce(col("n_diff_label"), lit(0L)).as("n_diff_label"),
+        coalesce(col("noise_bp"), lit(0L)).as("noise_bp"))
+      .orderBy("vec_id")
+    val pinned = out.transform(graft.core.Blocks.pin)
+    graft.core.Blocks.release(assigned)
+    pinned
+  }
+
   /** query_id → the `nprobe` nearest cells (one row per probed cell). */
   def ivfProbeAssignments(queries: DataFrame, centers: Array[Array[Double]],
       nprobe: Int, idCol: String = "vec_id",

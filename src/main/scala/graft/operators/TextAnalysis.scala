@@ -48,6 +48,12 @@ final case class VocabCov(n_tokens: Long, n_covered: Long)
 
 /** One sliding-window chunk (top-level: object-nested UDF return types
   * silently drop to interpreter mode — CLAUDE.md). */
+/** Per-pair clipped n-gram overlap counts (see
+  * [[TextAnalysis.ngramOverlapAudit]]). TOP-LEVEL case class — the
+  * encoder rule. */
+final case class NgramOverlap(n1A: Long, n1B: Long, overlap1: Long,
+  n2A: Long, n2B: Long, overlap2: Long)
+
 final case class SlidingChunk(chunk_idx: Int, start_tok: Int,
   n_tokens: Int, chunk_text: String)
 
@@ -1924,6 +1930,77 @@ object TextAnalysis {
         lit(84.6) * (col("syllables").cast("double") /
           clamp1(col("words")).cast("double")), 4).as("flesch_micro"))
   }
+
+  /** BLEU/ROUGE-style n-gram overlap audit over an ALREADY-BOUNDED
+    * candidate pair table — the token-level second opinion next to
+    * [[graft.operators.Dedup.editDistanceAudit]]'s character-level one:
+    * per pair, the CLIPPED unigram and bigram overlap
+    * Σ_g min(count_a(g), count_b(g)) (BLEU's modified-precision
+    * numerator; symmetric, so it is also ROUGE-N's recall numerator)
+    * and the integer F1 `20000·overlap div (n_a + n_b)` in basis
+    * points — exact integers end to end, so the oracle re-derives
+    * every count from the shared tokenization. Both empty ⇒ 10000
+    * (identical empties), one empty ⇒ 0.
+    *
+    * Scale shape: two id-keyed joins move text ONLY for the paired
+    * docs; the counting is one compiled per-pair kernel (the TextSig
+    * rule — a HOF form would re-evaluate the token split per gram).
+    * Pair volume is the caller's contract (LSH-bounded upstream), as
+    * in editDistanceAudit.
+    *
+    * @return (doc_id_a, doc_id_b, n1_a, n1_b, overlap1, f1_1_bp,
+    *         n2_a, n2_b, overlap2, f1_2_bp)
+    */
+  def ngramOverlapAudit(pairs: DataFrame, docs: DataFrame,
+      aCol: String = "doc_id_a", bCol: String = "doc_id_b",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ov = ngramOverlapUdf(col("__ta"), col("__tb"))
+    pairs.select(col(aCol), col(bCol))
+      .join(docs.select(col(idCol).as(aCol), col(textCol).as("__ta")), aCol)
+      .join(docs.select(col(idCol).as(bCol), col(textCol).as("__tb")), bCol)
+      .select(col(aCol), col(bCol), ov.as("__o"))
+      .select(col(aCol), col(bCol),
+        col("__o.n1A").as("n1_a"), col("__o.n1B").as("n1_b"),
+        col("__o.overlap1").as("overlap1"),
+        col("__o.n2A").as("n2_a"), col("__o.n2B").as("n2_b"),
+        col("__o.overlap2").as("overlap2"))
+      .withColumn("f1_1_bp",
+        when(col("n1_a") + col("n1_b") === 0L, lit(10000L))
+          .otherwise(expr("(20000 * overlap1) div (n1_a + n1_b)")))
+      .withColumn("f1_2_bp",
+        when(col("n2_a") + col("n2_b") === 0L, lit(10000L))
+          .otherwise(expr("(20000 * overlap2) div (n2_a + n2_b)")))
+      .select(col(aCol), col(bCol), col("n1_a"), col("n1_b"),
+        col("overlap1"), col("f1_1_bp"), col("n2_a"), col("n2_b"),
+        col("overlap2"), col("f1_2_bp"))
+  }
+
+  /** Compiled clipped-overlap kernel (deterministic ScalaUDF): one
+    * tokenization per side, hash-map counts, Σ min per gram. */
+  private val ngramOverlapUdf = udf((ta: String, tb: String) => {
+    def toks(t: String): Array[String] = {
+      val nt = Option(t).getOrElse("").toLowerCase
+        .replaceAll("\\s+", " ").trim
+      if (nt.isEmpty) Array.empty[String] else nt.split(" ")
+    }
+    def counts(ts: Array[String]): scala.collection.mutable.HashMap[String, Long] = {
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      ts.foreach(t => m.update(t, m.getOrElse(t, 0L) + 1L))
+      m
+    }
+    def bigrams(ts: Array[String]): Array[String] =
+      if (ts.length < 2) Array.empty[String]
+      else (0 until ts.length - 1).map(i => ts(i) + " " + ts(i + 1)).toArray
+    def clipped(a: scala.collection.mutable.HashMap[String, Long],
+        b: scala.collection.mutable.HashMap[String, Long]): Long =
+      a.iterator.map { case (g, ca) => math.min(ca, b.getOrElse(g, 0L)) }.sum
+    val (wa, wb) = (toks(ta), toks(tb))
+    val (ua, ub) = (counts(wa), counts(wb))
+    val (ba, bb) = (counts(bigrams(wa)), counts(bigrams(wb)))
+    NgramOverlap(wa.length.toLong, wb.length.toLong, clipped(ua, ub),
+      math.max(wa.length - 1, 0).toLong, math.max(wb.length - 1, 0).toLong,
+      clipped(ba, bb))
+  })
 
   /** Full per-document profile over a `documents`-shaped DataFrame. */
   def profile(docs: DataFrame): DataFrame =

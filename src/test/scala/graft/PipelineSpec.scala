@@ -3444,4 +3444,32 @@ class PipelineSpec extends AnyFunSuite {
       Similarity.mmrTopK(vecs, q, k = 5, candidates = 3)
     }
   }
+
+  test("labelNoiseKnn: hand geometry, singleton fill, cell ceiling") {
+    val s = spark
+    import s.implicits._
+    // v4 is (0.1, 0.9) labeled 0 but sits in label-1 territory
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0.0f, 1.0f), 1),
+      (4L, Array(0.1f, 0.9f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelNoiseKnn(emb, k = 2, nlist = 1)
+      .select("vec_id", "label", "n_neighbors", "n_diff_label", "noise_bp")
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 0, 2L, 0L, 0L),      // top2 = v2, v4 — both label 0
+      (2L, 0, 2L, 0L, 0L),      // top2 = v1, v4
+      (3L, 1, 2L, 2L, 10000L),  // top2 = v4, v2 — both label 0
+      (4L, 0, 2L, 1L, 5000L)))  // top2 = v3 (label 1), v2
+    // ceiling: 4 vectors in one cell > cap 2 must fail loudly
+    spark.conf.set("graft.sim.knnMaxCellSize", "2")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Similarity.labelNoiseKnn(emb, k = 2, nlist = 1).count()
+      }
+      assert(e.getMessage.contains("graft.sim.knnMaxCellSize"))
+    } finally spark.conf.unset("graft.sim.knnMaxCellSize")
+  }
 }

@@ -2427,4 +2427,31 @@ class TrainingPipelineSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("ceiling"))
   }
+
+  test("ngramOverlapAudit: clipping, identity, disjoint, empty edges") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "a a a b"), (2L, "a b b"),   // the clipping hand case
+      (3L, "x y"), (4L, "x y"),         // identical
+      (5L, "p q"), (6L, "r s"),         // disjoint
+      (7L, ""), (8L, ""),               // both empty
+      (9L, "w")                          // one empty vs w
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L), (7L, 9L))
+      .toDF("doc_id_a", "doc_id_b")
+    val out = operators.TextAnalysis.ngramOverlapAudit(pairs, d)
+      .orderBy("doc_id_a", "doc_id_b")
+      .select("doc_id_a", "doc_id_b", "n1_a", "n1_b", "overlap1",
+        "f1_1_bp", "n2_a", "n2_b", "overlap2", "f1_2_bp")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(out === Seq(
+      // clipped uni: min(3,1)+min(1,2)=2 of 4+3; bi: min(1,1)("a b")=1 of 3+2
+      (1L, 2L, 4L, 3L, 2L, 5714L, 3L, 2L, 1L, 4000L),
+      (3L, 4L, 2L, 2L, 2L, 10000L, 1L, 1L, 1L, 10000L),
+      (5L, 6L, 2L, 2L, 0L, 0L, 1L, 1L, 0L, 0L),
+      (7L, 8L, 0L, 0L, 0L, 10000L, 0L, 0L, 0L, 10000L),
+      (7L, 9L, 0L, 1L, 0L, 0L, 0L, 0L, 0L, 10000L)))
+  }
 }
