@@ -192,6 +192,41 @@ object Oracle {
 
   /** The Jaccard threshold test over a [[jacPairCtes]] row — the same
     * DOUBLE dag as the list_intersect form it replaced. */
+  /** Unrolled k-truss peel over a canonical pair CTE `p(pa, pb)`:
+    * emits e0..e{levels} (edge sets per round) and sup0..sup{levels}
+    * (per-edge triangle support measured IN that round's subgraph) —
+    * each MATERIALIZED because each level is read three times (the
+    * m112 re-evaluation lesson). Peeling is synchronous and its
+    * fixpoint idempotent, so over-provisioned levels are no-ops; the
+    * caller reads sup{levels}. */
+  private def kTrussPeelCtes(levels: Int, k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "e0 AS MATERIALIZED (SELECT pa AS a, pb AS b FROM p),\n"
+    for (i <- 0 until levels) {
+      sb ++= s"""      und$i AS (SELECT a AS u, b AS v FROM e$i
+             UNION ALL SELECT b, a FROM e$i),
+      sup$i AS MATERIALIZED (SELECT e.a, e.b,
+            CAST(COUNT(n2.v) AS BIGINT) AS s
+          FROM e$i e
+          LEFT JOIN und$i n1 ON n1.u = e.a AND n1.v <> e.b
+          LEFT JOIN und$i n2 ON n2.u = e.b AND n2.v = n1.v
+          GROUP BY e.a, e.b),
+      e${i + 1} AS MATERIALIZED (SELECT a, b FROM sup$i
+          WHERE s >= ${k - 2}),
+"""
+    }
+    val l = levels
+    sb ++= s"""      und$l AS (SELECT a AS u, b AS v FROM e$l
+             UNION ALL SELECT b, a FROM e$l),
+      sup$l AS MATERIALIZED (SELECT e.a, e.b,
+            CAST(COUNT(n2.v) AS BIGINT) AS s
+          FROM e$l e
+          LEFT JOIN und$l n1 ON n1.u = e.a AND n1.v <> e.b
+          LEFT JOIN und$l n2 ON n2.u = e.b AND n2.v = n1.v
+          GROUP BY e.a, e.b)"""
+    sb.toString
+  }
+
   private def jacGe(theta: String): String =
     s"CAST(i AS DOUBLE) / (la + lb - i) >= $theta"
 
@@ -3211,6 +3246,39 @@ object Oracle {
     // mm02 closed-form PNG offsets via ONE list_transform per image
     // (the mm07 rule: never explode positions and re-read the blob per
     // row), running-CDF window, floor-division LUT.
+    // mm15: PNG→BMP transcode proofs — dims/size re-derived from the
+    // PNG header, BMP geometry (bottom-up, BGR, padded rows) re-derived
+    // arithmetically, probe bytes read from the SOURCE PNG's
+    // stored-deflate closed form (the mm07 offset formula): the Spark
+    // side read the same logical bytes from the TRANSCODED BMP, so a
+    // match proves the layout end to end.
+    "mm15_bmp_transcode" -> s"""
+      WITH media AS (SELECT media_id, hex(bytes) AS h,
+              octet_length(bytes) AS ln
+            FROM read_parquet('{AUX}/media/*.parquet')),
+      im AS (SELECT media_id, h,
+              CAST(${u32be("16")} AS INT) AS w,
+              CAST(${u32be("20")} AS INT) AS ht
+             FROM media
+             WHERE ln >= 33 AND substr(h,1,16) = '89504E470D0A1A0A'),
+      pis AS (SELECT CAST(unnest(range(0, 9)) AS INT) AS pi),
+      pr AS (SELECT media_id, h, w, ht, pi,
+              CAST(pi % 3 AS INT) AS xi, CAST(pi // 3 AS INT) AS yi
+             FROM im, pis),
+      pos AS (SELECT media_id, h, w, ht, pi,
+              CASE xi WHEN 0 THEN 0 WHEN 1 THEN w // 2 ELSE w - 1 END AS x,
+              CASE yi WHEN 0 THEN 0 WHEN 1 THEN ht // 2 ELSE ht - 1 END AS y,
+              CAST(pi % 3 AS INT) AS c
+             FROM pr)
+      SELECT media_id, pi, CAST(x AS INT) AS x, CAST(y AS INT) AS y, c,
+        CAST(54 + (ht - 1 - y) * (((3*w + 3) // 4) * 4) + 3*x + (2 - c)
+          AS BIGINT) AS bmp_off,
+        TRY_CAST('0x' || substr(h,
+          (49 + y*(1 + 3*w) + 3*x + c)*2 + 1, 2) AS BIGINT) AS v,
+        w, ht AS h, CAST(54 + ht * (((3*w + 3) // 4) * 4) AS BIGINT)
+          AS bmp_len
+      FROM pos ORDER BY media_id, pi""",
+
     "mm13_equalization" -> s"""
       WITH media AS (SELECT media_id, hex(bytes) AS h,
               octet_length(bytes) AS ln
@@ -3379,6 +3447,18 @@ object Oracle {
 
     // m227: hapax ratio — (source, token) counts, once-only rollup,
     // truncating micro.
+    // m230: k-truss — the m173 pair set, then an UNROLLED synchronous
+    // support peel (6 over-provisioned levels; the fixpoint is
+    // idempotent, the trajectory deterministic — the kCore/m112
+    // convention, every level MATERIALIZED because each is read 3×).
+    "m230_ktruss" -> s"""
+      WITH $CharShingleCtes,
+      ${jacPairCtes("pj")},
+      p AS (SELECT pa, pb FROM pj WHERE ${jacGe("0.5")}),
+      ${kTrussPeelCtes(levels = 6, k = 3)}
+      SELECT a AS doc_id_a, b AS doc_id_b, s AS support
+      FROM sup6 ORDER BY doc_id_a, doc_id_b""",
+
     // m228: clipped unigram/bigram overlap per 0.5-threshold pair —
     // the m173 pair CTEs + the shared tokenization; least() must
     // null-guard the b side (DuckDB least SKIPS nulls, the winsorize

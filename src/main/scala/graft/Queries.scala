@@ -4247,6 +4247,17 @@ object Queries {
     Multimodal.loudnessGains(media(s, dir))
       .orderBy("media_id")
 
+  /** mm15 — PNG→BMP transcode proofs
+    * ([[operators.Multimodal.bmpTranscodeProbes]]): per image, dims,
+    * exact BMP size, and a 3×3 positional byte-probe grid read from
+    * the TRANSCODED BMP at its closed-form offsets; the oracle reads
+    * the same bytes from the source PNG's stored-deflate closed form —
+    * bottom-up order, BGR swap and row padding all land in the
+    * offsets, so a byte match proves the layout. */
+  def mm15BmpTranscode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.bmpTranscodeProbes(media(s, dir))
+      .orderBy("media_id", "pi")
+
   /** m227 — per-source hapax ratio
     * ([[operators.TextAnalysis.hapaxReport]]): once-only vocabulary
     * share — the OCR/noise flag next to m210's Zipf slope; integers
@@ -4263,6 +4274,15 @@ object Queries {
   def m228NgramOverlap(s: SparkSession, dir: String): DataFrame =
     operators.TextAnalysis.ngramOverlapAudit(pairs05(s, dir),
         t(s, dir, "documents"))
+      .orderBy("doc_id_a", "doc_id_b")
+
+  /** m230 — k-truss of the near-dup graph ([[operators.Graph.kTruss]]):
+    * edges corroborated by ≥ k−2 triangles in the surviving subgraph
+    * (k=3 — every kept edge sits in a mutually-similar triple); the
+    * oracle unrolls the synchronous peel (deterministic trajectory,
+    * idempotent past the fixpoint, the m112 MATERIALIZED convention). */
+  def m230KTruss(s: SparkSession, dir: String): DataFrame =
+    operators.Graph.kTruss(pairs05(s, dir), k = 3)
       .orderBy("doc_id_a", "doc_id_b")
 
   /** m229 — kNN label-noise ranking

@@ -323,6 +323,7 @@ object SparkEntry {
     "m227_hapax" -> Queries.m227Hapax,
     "m228_ngram_overlap" -> Queries.m228NgramOverlap,
     "m229_label_noise" -> Queries.m229LabelNoise,
+    "m230_ktruss" -> Queries.m230KTruss,
     "q65_conversion_delays" -> Queries.q65ConversionDelays,
     "q66_interval_coalesce" -> Queries.q66IntervalCoalesce,
     "q67_rolling_distinct" -> Queries.q67RollingDistinct,
@@ -352,6 +353,7 @@ object SparkEntry {
     "mm12_image_downscale" -> Queries.mm12ImageDownscale,
     "mm13_equalization" -> Queries.mm13Equalization,
     "mm14_loudness_gains" -> Queries.mm14LoudnessGains,
+    "mm15_bmp_transcode" -> Queries.mm15BmpTranscode,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on

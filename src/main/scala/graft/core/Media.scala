@@ -121,6 +121,48 @@ object Media {
   }
 
   // =====================================================================
+  // BMP encode: 24-bit BI_RGB, the bottom-up uncompressed classic —
+  // 14-byte file header + 40-byte BITMAPINFOHEADER + 4-byte-padded rows.
+  // Pixel (x, y top-down, channel c ∈ {0=R,1=G,2=B}) sits at the CLOSED
+  // FORM offset 54 + (h−1−y)·rowSize + 3x + (2−c) with
+  // rowSize = ((3w+3) div 4)·4 — the whole point: a transcode gate can
+  // verify bytes positionally against the source PNG's own closed form.
+  // =====================================================================
+
+  /** Interleaved-RGB raster → 24-bit BI_RGB BMP (bottom-up). */
+  def encodeBmp(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"raster ${rgb.length} != ${w}x${h}x3")
+    val rowSize = ((3 * w + 3) / 4) * 4
+    val dataSize = rowSize * h
+    val b = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putShort(0.toShort).putShort(0.toShort).putInt(54)
+    b.putInt(40).putInt(w).putInt(h).putShort(1.toShort).putShort(24.toShort)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    var y = h - 1
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        val o = (y * w + x) * 3
+        b.put(rgb(o + 2)).put(rgb(o + 1)).put(rgb(o)) // BGR on disk
+        x += 1
+      }
+      var pad = rowSize - 3 * w
+      while (pad > 0) { b.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    b.array()
+  }
+
+  /** Any ImageIO-decodable image → 24-bit BMP; null for non-images. */
+  def imageToBmp(bytes: Array[Byte]): Array[Byte] = {
+    val img = readImage(bytes)
+    if (img == null) null
+    else encodeBmp(img.getWidth, img.getHeight, rgbRaster(img))
+  }
+
+  // =====================================================================
   // WAV encode: canonical 44-byte RIFF/WAVE header + PCM16 payload.
   // =====================================================================
 

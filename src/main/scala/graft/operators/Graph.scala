@@ -352,6 +352,121 @@ object Graph {
     out
   }
 
+  /** Canonical per-edge triangle support: for each unordered edge
+    * (a < b), how many triangles contain it — the [[triangleCounts]]
+    * degree-ordered wedge enumeration (each triangle found once),
+    * re-aggregated per EDGE instead of per vertex. */
+  private def edgeSupport(canon: DataFrame): DataFrame = {
+    val deg = canon.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val withDeg = canon
+      .join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a")
+      .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"), "b")
+    val oriented = withDeg.select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("src"), col("b").as("dst"),
+            struct(col("db").as("dk"), col("b").as("vk")).as("dkey")))
+          .otherwise(
+            struct(col("b").as("src"), col("a").as("dst"),
+              struct(col("da").as("dk"), col("a").as("vk")).as("dkey"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.dkey").as("dkey"))
+      .transform(graft.core.Blocks.pin)
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dkey") < col("e2.dkey"))
+      .select(col("e1.src").as("x"), col("e1.dst").as("y"),
+        col("e2.dst").as("z"))
+      .join(oriented.select(col("src").as("y"), col("dst").as("z")),
+        Seq("y", "z"))
+    val perEdge = tri.select(explode(array(
+        struct(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b")),
+        struct(least(col("x"), col("z")).as("a"),
+          greatest(col("x"), col("z")).as("b")),
+        struct(least(col("y"), col("z")).as("a"),
+          greatest(col("y"), col("z")).as("b")))).as("e"))
+      .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+      .agg(count(lit(1)).as("__s"))
+    val out = canon.join(perEdge, Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("__s"), lit(0L)).as("support"))
+      .transform(graft.core.Blocks.pin)
+    graft.core.Blocks.release(oriented)
+    out
+  }
+
+  /**
+   * k-truss at a FIXED k — [[kCore]]'s edge-level sharpening (Cohen
+   * 2008): the maximal subgraph where every EDGE sits in ≥ k−2
+   * triangles within the subgraph. On a near-dup graph the 3-truss
+   * keeps only edges corroborated by a third mutually-similar doc —
+   * a stronger template-family signal than degree-based coring, which
+   * a star of incidental matches can fake; truss peeling dismantles
+   * stars entirely.
+   *
+   * Synchronous peeling like [[kCore]] (the unique fixpoint + a
+   * deterministic round trajectory, so the SQL oracle replays rounds
+   * and over-provisioned levels past the fixpoint are no-ops): each
+   * round recomputes per-edge support via [[edgeSupport]]'s
+   * degree-ordered wedge enumeration (each triangle found once — no
+   * neighbor-square fan) and drops the under-supported edges.
+   *
+   * Scale shape: per round, one degree agg + the oriented wedge join +
+   * one per-edge agg — all on narrow long pairs; at most two edge
+   * frames pinned at a time. `strict` on maxIter exhaustion as in
+   * [[kCore]].
+   *
+   * @return (doc_id_a < doc_id_b, support ≥ k−2) for truss edges,
+   *         with support measured IN the truss; empty when none
+   */
+  def kTruss(pairs: DataFrame, k: Int, maxIter: Int = 30,
+      strict: Boolean = true, aCol: String = "doc_id_a",
+      bCol: String = "doc_id_b"): DataFrame = {
+    require(k >= 2 && k <= 64, s"kTruss: k=$k out of [2,64]")
+    require(maxIter >= 1, s"kTruss: maxIter=$maxIter")
+    var edges = pairs.select(
+        least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+      .transform(graft.core.Blocks.pin)
+    var result: DataFrame = null
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxIter) {
+      val sup = edgeSupport(edges)
+      val bad = sup.filter(col("support") < k - 2)
+      if (bad.limit(1).count() == 0L) {
+        converged = true
+        result = sup
+      } else {
+        val next = edges.join(bad.select("a", "b"), Seq("a", "b"),
+            "left_anti")
+          .transform(graft.core.Blocks.pin)
+        graft.core.Blocks.release(sup)
+        graft.core.Blocks.release(edges)
+        edges = next
+        rounds += 1
+      }
+    }
+    if (!converged) {
+      val msg = s"kTruss: not converged after $rounds rounds (maxIter=" +
+        s"$maxIter) — raise maxIter"
+      if (strict) {
+        graft.core.Blocks.release(edges)
+        throw new IllegalStateException(msg)
+      }
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(msg + "; returning the current peel state (a supergraph " +
+          "of the true k-truss)")
+      result = edgeSupport(edges)
+    }
+    val out = result.select(col("a").as(aCol), col("b").as(bCol),
+      col("support"))
+    graft.core.Blocks.release(edges)
+    out
+  }
+
   /**
    * Full coreness decomposition — each vertex's CORE NUMBER, the max k
    * for which it survives [[kCore]] peeling: the graph's density

@@ -5,6 +5,17 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Media
 
+/** One positional byte probe of a transcoded BMP (see
+  * [[Multimodal.bmpTranscodeProbes]]). TOP-LEVEL case class — the
+  * encoder rule. */
+final case class BmpProbe(pi: Int, x: Int, y: Int, c: Int,
+  bmp_off: Long, v: Long)
+
+/** Per-image BMP transcode report: decoded dims, total BMP size, and
+  * the 3×3 probe grid. */
+final case class BmpReport(w: Int, h: Int, bmp_len: Long,
+  probes: Array[BmpProbe])
+
 /**
  * Multimodal operators: image/audio/video as opaque `binary` columns with
  * typed metadata — the Spark-side plumbing a 100 TB media pipeline needs.
@@ -22,6 +33,25 @@ import graft.core.Media
 object Multimodal {
 
   private val synthesizeUdf = udf((id: Long) => Media.synthesize(id))
+  private val bmpProbeUdf = udf((b: Array[Byte]) => {
+    val bmp = Media.imageToBmp(b)
+    if (bmp == null) null
+    else {
+      def le32i(o: Int): Int = (bmp(o) & 0xff) | ((bmp(o + 1) & 0xff) << 8) |
+        ((bmp(o + 2) & 0xff) << 16) | ((bmp(o + 3) & 0xff) << 24)
+      val w = le32i(18); val h = le32i(22)
+      val rowSize = ((3 * w + 3) / 4) * 4
+      val probes = Array.tabulate(9) { pi =>
+        val xi = pi % 3; val yi = pi / 3
+        val x = if (xi == 0) 0 else if (xi == 1) w / 2 else w - 1
+        val y = if (yi == 0) 0 else if (yi == 1) h / 2 else h - 1
+        val c = pi % 3
+        val off = 54L + (h - 1 - y).toLong * rowSize + 3L * x + (2 - c)
+        BmpProbe(pi, x, y, c, off, (bmp(off.toInt) & 0xff).toLong)
+      }
+      BmpReport(w, h, bmp.length.toLong, probes)
+    }
+  })
   private val metaUdf = udf((b: Array[Byte]) => Option(Media.decodeMeta(b)))
   private val resizeUdf = udf((b: Array[Byte], w: Int, h: Int) => Media.resizeImage(b, w, h))
   private val histUdf = udf((b: Array[Byte], bins: Int) => Media.imageHistogram(b, bins))
@@ -144,6 +174,28 @@ object Multimodal {
       .select(col("media_id"), col("e._1").as("v"),
         col("e._2").as("n_samples"), col("e._3").as("cdf"),
         col("e._4").as("lut"))
+
+  /** PNG → BMP transcode with positional byte proofs: per image, the
+    * decoded dims, the exact BMP size 54 + h·rowSize, and a 3×3 grid of
+    * pixel-byte probes (corners/midpoints, channel cycling by probe
+    * index) read back from the TRANSCODED bytes at BMP's closed-form
+    * offset 54 + (h−1−y)·rowSize + 3x + (2−c) — which the oracle must
+    * match byte-for-byte against the SOURCE PNG's own closed form
+    * (stored-deflate, 49 + y·(1+3w) + 3x + c). Proves the whole
+    * transcode chain (PNG parse → raster → BMP layout incl. bottom-up
+    * order, BGR swap, and row padding) without shipping rasters.
+    * Narrow per-row kernel; non-images are skipped (P11 semantics). */
+  def bmpTranscodeProbes(media: DataFrame): DataFrame =
+    withMeta(media)
+      .filter(col("meta.kind") === Media.KindImage)
+      .select(col("media_id"), bmpProbeUdf(col("bytes")).as("r"))
+      .filter(col("r").isNotNull)
+      .select(col("media_id"), col("r.w").as("w"), col("r.h").as("h"),
+        col("r.bmp_len").as("bmp_len"), explode(col("r.probes")).as("p"))
+      .select(col("media_id"), col("p.pi").as("pi"), col("p.x").as("x"),
+        col("p.y").as("y"), col("p.c").as("c"),
+        col("p.bmp_off").as("bmp_off"), col("p.v").as("v"),
+        col("w"), col("h"), col("bmp_len"))
 
   private val loudUdf = udf((b: Array[Byte], t: Double) =>
     Option(Media.audioLoudness(b, t)))

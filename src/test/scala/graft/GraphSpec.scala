@@ -448,4 +448,30 @@ class GraphSpec extends AnyFunSuite {
       Graph.percolationCurve(pairs, steps = 0)
     }
   }
+
+  test("kTruss: clique keeps, star dismantles, shared-edge chain cascades") {
+    // 4-clique {1,2,3,4}; star center 10 with leaves 11-13; triangle
+    // chain A={21,22,23} B={22,23,24} C={23,24,25} sharing edges
+    val clique = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val star = Seq((10L, 11L), (10L, 12L), (10L, 13L))
+    val chain = Seq((21L, 22L), (21L, 23L), (22L, 23L), (22L, 24L),
+      (23L, 24L), (23L, 25L), (24L, 25L))
+    val pairs = (clique ++ star ++ chain).toDF("doc_id_a", "doc_id_b")
+    // k=3: clique edges (support 2) + every chain edge (support >= 1)
+    // survive; the star has no triangles at all
+    val t3 = Graph.kTruss(pairs, k = 3).orderBy("doc_id_a", "doc_id_b")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(t3.map(e => (e._1, e._2)).toSet === (clique ++ chain).toSet)
+    assert(t3.filter(_._1 <= 4).forall(_._3 === 2L))
+    // k=4: the chain cascades away over MULTIPLE rounds (drop the
+    // support-1 edges, then (22,23) and (23,24) starve one by one);
+    // only the 4-clique survives, support 2 per edge
+    val t4 = Graph.kTruss(pairs, k = 4).orderBy("doc_id_a", "doc_id_b")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(t4 === clique.map { case (a, b) => (a, b, 2L) })
+    // maxIter exhaustion is loud under strict
+    intercept[IllegalStateException] {
+      Graph.kTruss(pairs, k = 4, maxIter = 1)
+    }
+  }
 }

@@ -581,4 +581,33 @@ class MultimodalSpec extends AnyFunSuite {
       (1L, 250, 3L, 12L, 255L),
       (2L, 7, 12L, 12L, 7L)))
   }
+
+  test("encodeBmp: ImageIO round-trip, padded stride, closed-form offsets") {
+    // w=3 → 3w=9 → rowSize 12 (3 pad bytes); h=2, raster R=row*10+x coded
+    val w = 3; val h = 2
+    val rgb = Array.tabulate(w * h * 3)(i => (i * 7 + 3).toByte)
+    val bmp = Media.encodeBmp(w, h, rgb)
+    assert(bmp.length === 54 + 12 * h)
+    // ImageIO must decode it back to the identical raster
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bmp))
+    assert(img.getWidth === w && img.getHeight === h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = img.getRGB(x, y)
+      val o = (y * w + x) * 3
+      assert(((p >> 16) & 0xff) === (rgb(o) & 0xff))
+      assert(((p >> 8) & 0xff) === (rgb(o + 1) & 0xff))
+      assert((p & 0xff) === (rgb(o + 2) & 0xff))
+    }
+    // closed form: pixel (x,y,c) at 54 + (h-1-y)*rowSize + 3x + (2-c)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val off = 54 + (h - 1 - y) * 12 + 3 * x + (2 - c)
+      assert((bmp(off) & 0xff) === (rgb((y * w + x) * 3 + c) & 0xff),
+        s"($x,$y,$c)")
+    }
+    // PNG→BMP transcode preserves bytes positionally
+    val png = Media.encodePng(w, h, rgb)
+    assert(Media.imageToBmp(png).toSeq === bmp.toSeq)
+    assert(Media.imageToBmp(Array[Byte](1, 2, 3)) === null)
+  }
 }
