@@ -1156,6 +1156,45 @@ object Oracle {
     // batch gaps-and-islands sessionization at MICROS precision —
     // merge iff gap < 30 min (>= breaks, Spark's window-overlap rule),
     // start = min ts, end = max ts + 30 min; exact DECIMAL value sums.
+    // q71: hysteresis alerts — the batch replay of the streaming state
+    // machine: crossings (+1 above 150, −1 below 50), keep only state
+    // CHANGES (lag differs), drop any leading closes, pair open 2k with
+    // close 2k+1, then count/peak the rows between the paired endpoints
+    // ((us, event_id)-lexicographic, both inclusive).
+    "q71_stream_alerts" -> """
+      WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us, value
+            FROM events),
+      c AS (SELECT *, CASE WHEN value > 150.0 THEN 1
+              WHEN value < 50.0 THEN -1 ELSE 0 END AS x
+            FROM ev WHERE value > 150.0 OR value < 50.0),
+      ch AS (SELECT user_id, event_id, us, x,
+              row_number() OVER (PARTITION BY user_id
+                ORDER BY us, event_id) AS rn
+            FROM (SELECT *, lag(x) OVER (PARTITION BY user_id
+                    ORDER BY us, event_id) AS px FROM c)
+            WHERE px IS NULL OR px <> x),
+      f0 AS (SELECT user_id, MIN(rn) AS r0 FROM ch WHERE x = 1
+             GROUP BY user_id),
+      seq AS (SELECT ch.user_id, ch.event_id, ch.us, ch.x,
+              ch.rn - f0.r0 AS j
+            FROM ch JOIN f0 USING (user_id) WHERE ch.rn >= f0.r0),
+      al AS (SELECT o.user_id, o.us AS open_us, o.event_id AS oeid,
+              cl.us AS close_us, cl.event_id AS ceid
+            FROM seq o JOIN seq cl
+              ON o.user_id = cl.user_id AND cl.j = o.j + 1
+            WHERE o.x = 1 AND o.j % 2 = 0)
+      SELECT a.user_id AS user_id, CAST(a.open_us AS BIGINT) AS open_us,
+        CAST(a.close_us AS BIGINT) AS close_us,
+        CAST(COUNT(*) AS BIGINT) AS n_events,
+        MAX(e.value) AS peak_value
+      FROM al a JOIN ev e ON e.user_id = a.user_id
+        AND (e.us > a.open_us
+             OR (e.us = a.open_us AND e.event_id >= a.oeid))
+        AND (e.us < a.close_us
+             OR (e.us = a.close_us AND e.event_id <= a.ceid))
+      GROUP BY 1, 2, 3
+      ORDER BY a.user_id, open_us""",
+
     "q62_stream_session_windows" -> """
       WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
       o AS (SELECT user_id, us, value,

@@ -3728,6 +3728,63 @@ object Queries {
     * [[ijStreamDirs]] convention. */
   private val sessStreamDirs = scala.collection.concurrent.TrieMap[String, String]()
   private val rollStreamDirs = scala.collection.concurrent.TrieMap[String, String]()
+  private val alertStreamDirs = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** q71 — STREAMING HYSTERESIS ALERTS
+    * ([[streaming.Pipeline.alertSessions]], §2.9's custom per-key state
+    * machine): per user, an alert opens strictly above 150 and closes
+    * strictly below 50 (Schmitt-trigger semantics — a single threshold
+    * flaps on noise), emitting (open, close, rows open→close inclusive,
+    * peak) on the CLOSING row. Events replay as three time-contiguous
+    * MemoryStream micro-batches; rows inside a batch are walked in
+    * (ts, event_id) order, so the trajectory is deterministic and a
+    * fresh JVM replays it. Still-open alerts emit nothing — exactly the
+    * batch derivation, so the oracle is the plain gaps-and-islands walk
+    * over threshold crossings with the streaming machinery absent. No
+    * sentinel batches: emission rides the closing ROW, not the
+    * watermark. */
+  def q71StreamAlerts(s: SparkSession, dir: String): DataFrame = {
+    val store = alertStreamDirs.getOrElseUpdate(dir, {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = harnessRows(t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"),
+          col("value"))
+        .as[(Long, Long, Long, Double)], "q71").sortBy(r => (r._3, r._2))
+      require(rows.nonEmpty, "q71: events table is empty")
+      val lo = rows.head._3
+      val hi = rows.last._3 + 1L
+      val c1 = lo + (hi - lo) / 3
+      val c2 = lo + 2L * ((hi - lo) / 3)
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long, Double)]
+      val alerts = streaming.Pipeline.alertSessions(
+        mem.toDF().toDF("user_id", "event_id", "us", "value")
+          .select(col("user_id"), col("event_id"),
+            timestamp_micros(col("us")).as("ts"), col("value")),
+        hi = 150.0, lo = 50.0)
+      val full = new java.io.File(dir).getAbsolutePath
+      val tag =
+        f"${graft.core.TextSig.mix64(full.hashCode.toLong) & 0xffffffffL}%08x"
+      val d = s"target/alert-stream/${new java.io.File(dir).getName}-$tag"
+      val sinkName = s"q71_sink_$tag"
+      val q = alerts.writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").start()
+      def slice(from: Long, until: Long) =
+        rows.filter(r => r._3 >= from && r._3 < until).toSeq
+      Seq((lo, c1), (c1, c2), (c2, hi)).foreach { case (f, u) =>
+        mem.addData(slice(f, u): _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      s.table(sinkName).write.mode("overwrite").parquet(d)
+      s.catalog.dropTempView(sinkName)
+      d
+    })
+    s.read.parquet(store)
+      .orderBy("user_id", "open_us")
+  }
 
   /** q69 — STREAMING sliding-window distinct users (q67's streaming
     * twin, and the Spark-4 multiple-stateful-operator showcase): a

@@ -330,6 +330,7 @@ object SparkEntry {
     "q68_last_touch" -> Queries.q68LastTouch,
     "q69_stream_rolling_distinct" -> Queries.q69StreamRollingDistinct,
     "q70_bounce_rate" -> Queries.q70BounceRate,
+    "q71_stream_alerts" -> Queries.q71StreamAlerts,
     "q60_user_growth" -> Queries.q60UserGrowth,
     "q63_cohort_retention" -> Queries.q63CohortRetention,
     "q64_transitions" -> Queries.q64Transitions,

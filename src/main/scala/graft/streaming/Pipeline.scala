@@ -102,6 +102,64 @@ object Pipeline {
         col("n_events"))
   }
 
+  /** Hysteresis alert state for [[alertSessions]]: open flag + the open
+    * row's micros, rows-so-far, running peak. Constant size per key. */
+  final case class AlertState(open: Boolean, openUs: Long, n: Long,
+      peak: Double)
+  final case class AlertOut(user_id: Long, open_us: Long, close_us: Long,
+      n_events: Long, peak_value: Double)
+
+  /**
+   * Hysteresis alert sessions (flatMapGroupsWithState): per key, an
+   * alert OPENS on a value strictly above `hi` and CLOSES on the first
+   * value strictly below `lo` — the two-threshold state machine every
+   * monitoring pipeline runs instead of a single threshold, which flaps
+   * on every noise crossing (Schmitt-trigger semantics). A CLOSED alert
+   * emits (key, open_us, close_us, rows open→close inclusive, peak);
+   * still-open alerts emit nothing — exactly the batch gaps-and-islands
+   * derivation over threshold crossings, which is the oracle.
+   *
+   * Determinism contract: rows within a micro-batch are walked in
+   * (ts, event_id) order, so with time-contiguous feeding the
+   * trajectory replays exactly (the q61/q62 harness argument). State is
+   * CONSTANT-SIZE per key and must outlive quiet periods (an alert may
+   * legitimately stay open for months), so there is no timeout — state
+   * volume is bounded by key cardinality, the same contract as any
+   * keyed aggregation; add an event-time timeout only when keys churn.
+   */
+  def alertSessions(events: DataFrame, hi: Double, lo: Double,
+      keyCol: String = "user_id", idCol: String = "event_id",
+      tsCol: String = "ts", valueCol: String = "value"): Dataset[AlertOut] = {
+    require(hi > lo, s"alertSessions: hi=$hi must exceed lo=$lo")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col(keyCol).cast("long"), col(idCol).cast("long"),
+        unix_micros(col(tsCol).cast("timestamp")), col(valueCol).cast("double"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Double)],
+         state: GroupState[AlertState]) =>
+          val sorted = rows.toArray.sortBy(r => (r._3, r._2))
+          var st = state.getOption.getOrElse(AlertState(false, 0L, 0L, 0.0))
+          val out = scala.collection.mutable.ArrayBuffer.empty[AlertOut]
+          sorted.foreach { case (_, _, us, v) =>
+            if (!st.open) {
+              if (v > hi) st = AlertState(true, us, 1L, v)
+            } else {
+              val n = st.n + 1L
+              val peak = math.max(st.peak, v)
+              if (v < lo) {
+                out += AlertOut(key, st.openUs, us, n, peak)
+                st = AlertState(false, 0L, 0L, 0.0)
+              } else st = AlertState(true, st.openUs, n, peak)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Per-pubkey running state for `latestBalances`. */
   final case class AccountState(lamports: Long, writeVersion: Long, slot: Long)
   final case class BalanceUpdate(pubkey: String, lamports: Long,

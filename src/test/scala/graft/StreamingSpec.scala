@@ -883,4 +883,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(vecCount(vidx) === 16L, "committed IVF bootstrap replay must no-op")
     emb.unpersist()
   }
+
+  test("alertSessions: hysteresis machine, strict thresholds, cross-batch state") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Double)]
+    val alerts = Pipeline.alertSessions(
+      mem.toDF().toDF("user_id", "event_id", "us", "value")
+        .select(col("user_id"), col("event_id"),
+          timestamp_micros(col("us")).as("ts"), col("value")),
+      hi = 150.0, lo = 50.0)
+    val q = alerts.writeStream.format("memory").queryName("alerts_test")
+      .outputMode("append").start()
+    // batch 1: u1 opens at 200 and dips to 100 (hysteresis: stays open);
+    // u2 sits at exactly hi=150 (strict — never opens); u3 opens at 160
+    mem.addData((1L, 1L, 1000L, 200.0), (1L, 2L, 2000L, 100.0),
+      (2L, 3L, 1000L, 150.0), (3L, 4L, 3000L, 160.0))
+    q.processAllAvailable()
+    // batch 2: u1 closes at 40 (state crossed the batch boundary);
+    // u2 at exactly lo=50 (no-op either way); u3 spikes again then closes
+    mem.addData((1L, 5L, 4000L, 40.0), (2L, 6L, 5000L, 50.0),
+      (3L, 7L, 6000L, 170.0), (3L, 8L, 7000L, 10.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = s.table("alerts_test")
+      .orderBy("user_id", "open_us")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    s.catalog.dropTempView("alerts_test")
+    assert(got === Seq(
+      (1L, 1000L, 4000L, 3L, 200.0),   // open 200 → 100 → close 40
+      (3L, 3000L, 7000L, 3L, 170.0)))  // open 160 → 170 → close 10
+  }
 }
