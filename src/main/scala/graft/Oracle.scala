@@ -227,6 +227,37 @@ object Oracle {
     sb.toString
   }
 
+  /** m138's stratified-split derivation as shared CTE text (emits
+    * `srnk` (doc_id, source, 0-based in-stratum rank r) and `scum`
+    * (source, split index i, [lo, hi) rank bounds)) — reused verbatim
+    * by m231's leakage audit, so the two gates pin the SAME split. */
+  private lazy val StratSplitCtes: String = s"""sz0 AS (SELECT doc_id, source, CAST(doc_id + 41 AS HUGEINT) AS z0
+            FROM documents),
+      ${mix64Ctes("ssh", "sz0", "doc_id, source")},
+      srnk AS (SELECT doc_id, source,
+          CAST(row_number() OVER (PARTITION BY source ORDER BY
+            (CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+              THEN h - $M64 ELSE h END), doc_id) - 1 AS BIGINT) AS r
+        FROM ssh),
+      sns AS (SELECT source, COUNT(*) AS n FROM srnk GROUP BY source),
+      sshr AS (SELECT unnest([0, 1, 2]) AS i,
+               unnest([7000, 2000, 1000]) AS bp),
+      sap AS (SELECT source, i, bp, n,
+            (n * bp) // 10000 AS base, (n * bp) % 10000 AS rem
+          FROM sns, sshr),
+      slo AS (SELECT source, SUM(base) AS sb, MAX(n) AS n
+            FROM sap GROUP BY source),
+      sbon AS (SELECT a.source, a.i,
+          CASE WHEN row_number() OVER (PARTITION BY a.source
+            ORDER BY a.rem DESC, a.i) <= l.n - l.sb THEN 1 ELSE 0 END AS b
+        FROM sap a JOIN slo l ON a.source = l.source),
+      ssz AS (SELECT a.source, a.i, a.base + b.b AS sz
+          FROM sap a JOIN sbon b ON a.source = b.source AND a.i = b.i),
+      scum AS (SELECT source, i,
+          SUM(sz) OVER (PARTITION BY source ORDER BY i) AS hi,
+          SUM(sz) OVER (PARTITION BY source ORDER BY i) - sz AS lo
+        FROM ssz)"""
+
   private def jacGe(theta: String): String =
     s"CAST(i AS DOUBLE) / (la + lb - i) >= $theta"
 
@@ -2187,36 +2218,41 @@ object Oracle {
     // remainder apportionment (floor products, remainders ranked desc
     // with ties to the lower split), cumulative cut bounds, range join.
     "m138_stratified_split" -> s"""
-      WITH sz0 AS (SELECT doc_id, source, CAST(doc_id + 41 AS HUGEINT) AS z0
-            FROM documents),
-      ${mix64Ctes("ssh", "sz0", "doc_id, source")},
-      srnk AS (SELECT doc_id, source,
-          CAST(row_number() OVER (PARTITION BY source ORDER BY
-            (CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
-              THEN h - $M64 ELSE h END), doc_id) - 1 AS BIGINT) AS r
-        FROM ssh),
-      sns AS (SELECT source, COUNT(*) AS n FROM srnk GROUP BY source),
-      sshr AS (SELECT unnest([0, 1, 2]) AS i,
-               unnest([7000, 2000, 1000]) AS bp),
-      sap AS (SELECT source, i, bp, n,
-            (n * bp) // 10000 AS base, (n * bp) % 10000 AS rem
-          FROM sns, sshr),
-      slo AS (SELECT source, SUM(base) AS sb, MAX(n) AS n
-            FROM sap GROUP BY source),
-      sbon AS (SELECT a.source, a.i,
-          CASE WHEN row_number() OVER (PARTITION BY a.source
-            ORDER BY a.rem DESC, a.i) <= l.n - l.sb THEN 1 ELSE 0 END AS b
-        FROM sap a JOIN slo l ON a.source = l.source),
-      ssz AS (SELECT a.source, a.i, a.base + b.b AS sz
-          FROM sap a JOIN sbon b ON a.source = b.source AND a.i = b.i),
-      scum AS (SELECT source, i,
-          SUM(sz) OVER (PARTITION BY source ORDER BY i) AS hi,
-          SUM(sz) OVER (PARTITION BY source ORDER BY i) - sz AS lo
-        FROM ssz)
+      WITH $StratSplitCtes
       SELECT r.doc_id, r.source AS stratum, CAST(c.i AS INT) AS split
       FROM srnk r JOIN scum c ON r.source = c.source
         AND r.r >= c.lo AND r.r < c.hi
       ORDER BY doc_id""",
+
+    // m231: split-leakage audit — m138's split dag + m57's recursive
+    // closure composed: per ORDERED split pair, how many docs of
+    // split_a share a near-dup cluster with split_b (the train/test
+    // contamination a per-doc split manufactures, which m57's
+    // cluster-indivisible split exists to prevent).
+    "m231_split_leakage" -> s"""
+      WITH RECURSIVE $CharShingleCtes,
+      ${jacPairCtes("lkj")},
+      lkp AS (SELECT pa AS da, pb AS db FROM lkj WHERE ${jacGe("0.5")}),
+      lke AS (SELECT da AS u, db AS v FROM lkp UNION SELECT db, da FROM lkp),
+      lkr(node, r) AS (
+        SELECT u, u FROM lke
+        UNION
+        SELECT lke.u, lkr.r FROM lke JOIN lkr ON lke.v = lkr.node),
+      lkc AS (SELECT node AS doc_id, MIN(r) AS component
+              FROM lkr GROUP BY node),
+      $StratSplitCtes,
+      sres AS (SELECT r.doc_id, CAST(c.i AS INT) AS split
+          FROM srnk r JOIN scum c ON r.source = c.source
+            AND r.r >= c.lo AND r.r < c.hi),
+      cs AS (SELECT k.doc_id, k.component, s.split
+          FROM lkc k JOIN sres s USING (doc_id)),
+      pres AS (SELECT DISTINCT component, split FROM cs)
+      SELECT x.split AS split_a, o.split AS split_b,
+        CAST(COUNT(DISTINCT x.component) AS BIGINT) AS n_clusters,
+        CAST(COUNT(DISTINCT x.doc_id) AS BIGINT) AS n_docs_leaked
+      FROM cs x JOIN pres o ON x.component = o.component
+        AND o.split <> x.split
+      GROUP BY 1, 2 ORDER BY split_a, split_b""",
 
     // Co-occurrence: the plain quadratic per-doc pair expansion with NO
     // Apriori pruning (the engine prunes; a hash match proves pruning

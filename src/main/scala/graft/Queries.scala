@@ -4333,6 +4333,19 @@ object Queries {
         t(s, dir, "documents"))
       .orderBy("doc_id_a", "doc_id_b")
 
+  /** m231 — split-leakage audit ([[operators.Dedup.splitLeakageReport]]
+    * over m138's exact stratified split and the shared 0.5-threshold
+    * pair table): per ordered split pair, docs sharing a near-dup
+    * cluster across the split boundary — the eval-contamination number
+    * a per-doc split hides; the oracle composes the m138 split dag with
+    * the m57 recursive closure. */
+  def m231SplitLeakage(s: SparkSession, dir: String): DataFrame =
+    operators.Dedup.splitLeakageReport(
+        operators.TrainingPipeline.stratifiedSplit(t(s, dir, "documents"),
+          sharesBp = Seq(7000, 2000, 1000)),
+        pairs05(s, dir))
+      .orderBy("split_a", "split_b")
+
   /** m230 — k-truss of the near-dup graph ([[operators.Graph.kTruss]]):
     * edges corroborated by ≥ k−2 triangles in the surviving subgraph
     * (k=3 — every kept edge sits in a mutually-similar triple); the

@@ -324,6 +324,7 @@ object SparkEntry {
     "m228_ngram_overlap" -> Queries.m228NgramOverlap,
     "m229_label_noise" -> Queries.m229LabelNoise,
     "m230_ktruss" -> Queries.m230KTruss,
+    "m231_split_leakage" -> Queries.m231SplitLeakage,
     "q65_conversion_delays" -> Queries.q65ConversionDelays,
     "q66_interval_coalesce" -> Queries.q66IntervalCoalesce,
     "q67_rolling_distinct" -> Queries.q67RollingDistinct,

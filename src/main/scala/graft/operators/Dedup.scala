@@ -1220,6 +1220,37 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Train/test split-leakage audit: per ORDERED split pair (a, b), how
+    * many docs of split a share a near-dup CLUSTER with at least one
+    * doc of split b, and how many clusters carry that pair — the
+    * contamination a per-doc split manufactures (near-dups of training
+    * docs land in test and inflate eval), which a cluster-indivisible
+    * split (m57's recipe) exists to prevent. This is the AUDIT readout:
+    * run it on any proposed split before trusting the eval.
+    *
+    * Scale shape: [[connectedComponents]]' pointer-doubled closure over
+    * the (already bounded) pair table, one id-keyed join to the split
+    * column, and algebra over the DISTINCT (component, split)
+    * projection — text never moves, output ≤ splits² rows. Singleton
+    * docs have no cluster and can never leak.
+    *
+    * @return (split_a, split_b ≠ a, n_clusters, n_docs_leaked),
+    *         ordered pairs with ≥ 1 leaked doc */
+  def splitLeakageReport(split: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", splitCol: String = "split"): DataFrame = {
+    val comp = connectedComponents(pairs)
+    val cs = comp.join(
+      split.select(col(idCol).cast("long").as("id"),
+        col(splitCol).as("__sp")), "id")
+    val pres = cs.select(col("component"), col("__sp")).distinct()
+    cs.join(pres.select(col("component"), col("__sp").as("__other")),
+        "component")
+      .filter(col("__sp") =!= col("__other"))
+      .groupBy(col("__sp").as("split_a"), col("__other").as("split_b"))
+      .agg(countDistinct(col("component")).as("n_clusters"),
+        countDistinct(col("id")).as("n_docs_leaked"))
+  }
+
   /** Canonical-pick dedup mapping: every doc maps to its near-dup
     * cluster's CANONICAL representative — the argmax-quality member
     * (ties to the smallest id; id uniqueness makes the pick total) —
