@@ -2224,6 +2224,72 @@ object Oracle {
         AND r.r >= c.lo AND r.r < c.hi
       ORDER BY doc_id""",
 
+    // m232: Benford first-digit audit — cents, decimal string head,
+    // pinned micro expectations (sum exactly 10^6), mirrored χ² dag.
+    "m232_benford" -> """
+      WITH c AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+            FROM events WHERE CAST(floor(value * 100 + 0.5) AS BIGINT) >= 1),
+      d AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit
+            FROM c),
+      nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM d),
+      o AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+            FROM d GROUP BY digit),
+      ex AS (SELECT CAST(unnest([1,2,3,4,5,6,7,8,9]) AS INT) AS digit,
+             CAST(unnest([301030,176091,124939,96910,79181,66947,57992,
+               51153,45757]) AS BIGINT) AS expected_micro)
+      SELECT ex.digit, CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
+        ex.expected_micro,
+        round(((CAST(COALESCE(o.n_obs, 0) AS DOUBLE)
+            - (CAST(nt.tot AS DOUBLE) * CAST(ex.expected_micro AS DOUBLE)
+               / 1000000.0))
+          * (CAST(COALESCE(o.n_obs, 0) AS DOUBLE)
+            - (CAST(nt.tot AS DOUBLE) * CAST(ex.expected_micro AS DOUBLE)
+               / 1000000.0)))
+          / (CAST(nt.tot AS DOUBLE) * CAST(ex.expected_micro AS DOUBLE)
+             / 1000000.0), 6) AS chi2_term
+      FROM ex LEFT JOIN o USING (digit), nt
+      ORDER BY digit""",
+
+    // m233: empirical threshold sweep — the m01 pair CTEs counted at
+    // five bp literals (total recall holds at ≥ 0.5, the pairs05
+    // regime); IEEE bp/10000 division mirrored.
+    "m233_threshold_sweep" -> s"""
+      WITH $CharShingleCtes,
+      ${jacPairCtes("p")},
+      th AS (SELECT CAST(unnest([5000,6000,7000,8000,9000]) AS INT)
+             AS threshold_bp),
+      ok AS (SELECT t.threshold_bp, p.pa, p.pb
+            FROM p, th t
+            WHERE ${jacGe("0.5")}
+              AND CAST(i AS DOUBLE)/(la+lb-i)
+                  >= CAST(t.threshold_bp AS DOUBLE) / 10000)
+      SELECT t.threshold_bp,
+        CAST(COALESCE(g.n_pairs, 0) AS BIGINT) AS n_pairs,
+        CAST(COALESCE(g.n_docs, 0) AS BIGINT) AS n_docs
+      FROM th t LEFT JOIN (
+        SELECT threshold_bp, CAST(COUNT(*) // 2 AS BIGINT) AS n_pairs,
+          CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs
+        FROM (SELECT threshold_bp, unnest([pa, pb]) AS doc FROM ok)
+        GROUP BY threshold_bp) g USING (threshold_bp)
+      ORDER BY threshold_bp""",
+
+    // m234: source × global quality decile — row_number total order
+    // (micro-floored quality, doc_id ties) mirrored, decile by integer
+    // floor division.
+    "m234_quality_mix" -> s"""
+      WITH $TextStatsCtes,
+      qd AS (SELECT r.doc_id, d.source,
+            CAST(floor(($QualityExpr) * 1000000 + 0.5) AS BIGINT) AS q
+          FROM ratios r
+          JOIN (SELECT doc_id, source FROM documents) d USING (doc_id)),
+      rk AS (SELECT doc_id, source,
+            CAST(row_number() OVER (ORDER BY q, doc_id) AS BIGINT) AS r
+          FROM qd),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rk)
+      SELECT source, CAST((r - 1) * 10 // nn.n AS INT) AS decile,
+        CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM rk, nn GROUP BY 1, 2 ORDER BY source, decile""",
+
     // m231: split-leakage audit — m138's split dag + m57's recursive
     // closure composed: per ORDERED split pair, how many docs of
     // split_a share a near-dup cluster with split_b (the train/test

@@ -4333,6 +4333,94 @@ object Queries {
         t(s, dir, "documents"))
       .orderBy("doc_id_a", "doc_id_b")
 
+  /** m232 — Benford first-digit audit over event values (in cents):
+    * observed counts per leading digit 1–9 vs the Benford expectation
+    * log₁₀(1+1/d) as PINNED micro literals (they sum to exactly 10⁶),
+    * plus the χ² term per digit from a mirrored double dag — the
+    * synthetic-data / fraud smell test (organic amounts follow Benford;
+    * generated ones usually don't, and THIS fixture's verdict is
+    * honestly pinned either way). Digit via decimal string head — no
+    * log10 at eval time (the m76 literal rule). */
+  def m232Benford(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val digits = t(s, dir, "events")
+      .select(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("c"))
+      .filter(col("c") >= 1L)
+      .select(substring(col("c").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .transform(graft.core.Blocks.pin)
+    val tot = digits.count()
+    val counts = digits.groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val expect = Seq((1, 301030L), (2, 176091L), (3, 124939L),
+      (4, 96910L), (5, 79181L), (6, 66947L), (7, 57992L), (8, 51153L),
+      (9, 45757L)).toDF("digit", "expected_micro")
+    val e = lit(tot).cast("double") * col("expected_micro").cast("double") /
+      lit(1000000.0)
+    val d = col("n_obs").cast("double") - e
+    val out = expect.join(counts, Seq("digit"), "left")
+      .select(col("digit"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"), col("expected_micro"))
+      .withColumn("chi2_term", round(d * d / e, 6))
+      .orderBy("digit")
+    val pinned = graft.core.Blocks.pin(out)
+    graft.core.Blocks.release(digits)
+    pinned
+  }
+
+  /** m233 — empirical dedup threshold sweep over the VERIFIED pair set
+    * (exact Jaccard ≥ 0.5, where the fixture's LSH recall is total —
+    * the honest regime): per threshold 5000–9000 bp, surviving pairs
+    * and distinct docs involved — the measured companion to m166's
+    * theoretical S-curve, read before picking a production threshold.
+    * Thresholds ride a literal-array explode (no join machinery — the
+    * ewmaHalf rule); the bp→double division is the same IEEE literal
+    * on both engines. */
+  def m233ThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hits = pairs05(s, dir)
+      .select(col("doc_id_a"), col("doc_id_b"), col("jaccard"),
+        explode(expr("array(5000,6000,7000,8000,9000)")).as("threshold_bp"))
+      .filter(col("jaccard") >=
+        col("threshold_bp").cast("double") / lit(10000))
+      .select(col("threshold_bp"),
+        explode(array(col("doc_id_a"), col("doc_id_b"))).as("doc"))
+      .groupBy("threshold_bp")
+      .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+        countDistinct(col("doc")).as("n_docs"))
+    Seq(5000, 6000, 7000, 8000, 9000).toDF("threshold_bp")
+      .join(hits, Seq("threshold_bp"), "left")
+      .select(col("threshold_bp"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy("threshold_bp")
+  }
+
+  /** m234 — source × quality-decile mixture: every doc's exact global
+    * quality rank (micro-floored score, doc_id ties —
+    * [[operators.Ranking.globalRank]]'s range-partitioned total order,
+    * no unpartitioned window) bucketed into deciles
+    * (rank−1)·10 div N, cross-tabbed by source — which quality band
+    * each source actually supplies, the refinement of m17's raw
+    * mixture rates that a quality-aware sampler reads. */
+  def m234QualityMix(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        floor(operators.TextAnalysis.qualityScore(col("text")) * 1000000
+          + 0.5).cast("long").as("__q"))
+    val ranked = operators.Ranking.globalRank(scored,
+      Seq(col("__q").asc, col("doc_id").asc), rankCol = "__r")
+      .transform(graft.core.Blocks.pin)
+    val n = ranked.count()
+    val out = ranked
+      .select(col("source"),
+        expr(s"CAST((__r - 1) * 10 div $n AS INT)").as("decile"))
+      .groupBy("source", "decile").agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "decile")
+    val pinned = graft.core.Blocks.pin(out)
+    graft.core.Blocks.release(ranked)
+    pinned
+  }
+
   /** m231 — split-leakage audit ([[operators.Dedup.splitLeakageReport]]
     * over m138's exact stratified split and the shared 0.5-threshold
     * pair table): per ordered split pair, docs sharing a near-dup

@@ -325,6 +325,9 @@ object SparkEntry {
     "m229_label_noise" -> Queries.m229LabelNoise,
     "m230_ktruss" -> Queries.m230KTruss,
     "m231_split_leakage" -> Queries.m231SplitLeakage,
+    "m232_benford" -> Queries.m232Benford,
+    "m233_threshold_sweep" -> Queries.m233ThresholdSweep,
+    "m234_quality_mix" -> Queries.m234QualityMix,
     "q65_conversion_delays" -> Queries.q65ConversionDelays,
     "q66_interval_coalesce" -> Queries.q66IntervalCoalesce,
     "q67_rolling_distinct" -> Queries.q67RollingDistinct,
