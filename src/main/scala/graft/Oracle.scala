@@ -2224,6 +2224,56 @@ object Oracle {
         AND r.r >= c.lo AND r.r < c.hi
       ORDER BY doc_id""",
 
+    // m235: mutual 1-NN — m229's cell assignment + rank, rk=1 both
+    // directions intersected, canonical a < b.
+    "m235_mutual_nn" -> """
+      WITH centers AS (SELECT cell, center
+                       FROM read_parquet('{AUX}/ivf_centers/*.parquet')),
+      emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+      dist AS (SELECT e.vec_id, c.cell, e.v,
+          list_sum(list_transform(range(len(c.center)), i ->
+            (e.v[CAST(i AS INT)+1] - c.center[CAST(i AS INT)+1])
+            * (e.v[CAST(i AS INT)+1] - c.center[CAST(i AS INT)+1]))) AS d
+        FROM emb e, centers c),
+      a AS (SELECT vec_id, cell, v FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY d ASC, cell ASC) AS rn FROM dist)
+        WHERE rn = 1),
+      nn1 AS (SELECT vec_id, nbr_id, score FROM (
+          SELECT x.vec_id, y.vec_id AS nbr_id,
+            round(list_cosine_similarity(x.v, y.v), 6) AS score,
+            row_number() OVER (PARTITION BY x.vec_id
+              ORDER BY round(list_cosine_similarity(x.v, y.v), 6) DESC,
+                y.vec_id ASC) AS rk
+          FROM a x JOIN a y USING (cell) WHERE x.vec_id <> y.vec_id)
+        WHERE rk = 1)
+      SELECT f.vec_id AS vec_id_a, f.nbr_id AS vec_id_b, f.score
+      FROM nn1 f JOIN nn1 r
+        ON r.vec_id = f.nbr_id AND r.nbr_id = f.vec_id
+      WHERE f.vec_id < f.nbr_id
+      ORDER BY vec_id_a""",
+
+    // m236: dup evidence — shared shingles of each verified pair ranked
+    // rarest-first by corpus df, top 3 (gram-string ties).
+    "m236_dup_evidence" -> s"""
+      WITH $CharShingleCtes,
+      ${jacPairCtes("de")},
+      p AS (SELECT pa, pb FROM de WHERE ${jacGe("0.5")}),
+      gx AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      gdf AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM gx GROUP BY g),
+      shared AS (SELECT p.pa, p.pb, a.g FROM p
+          JOIN gx a ON a.doc_id = p.pa
+          JOIN gx b ON b.doc_id = p.pb AND b.g = a.g),
+      rk AS (SELECT pa, pb, g, df,
+            row_number() OVER (PARTITION BY pa, pb
+              ORDER BY df ASC, g ASC) AS rn
+          FROM (SELECT sd.pa, sd.pb, sd.g, d.df
+                FROM shared sd JOIN gdf d USING (g)))
+      SELECT pa AS doc_id_a, pb AS doc_id_b, CAST(rn AS INT) AS rank,
+        g AS gram, df AS gram_df
+      FROM rk WHERE rn <= 3 ORDER BY doc_id_a, doc_id_b, rank""",
+
     // m232: Benford first-digit audit — cents, decimal string head,
     // pinned micro expectations (sum exactly 10^6), mirrored χ² dag.
     "m232_benford" -> """

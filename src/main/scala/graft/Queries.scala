@@ -4421,6 +4421,24 @@ object Queries {
     pinned
   }
 
+  /** m235 — mutual nearest-neighbor pairs
+    * ([[operators.Similarity.mutualNnPairs]], m09's seeded IVF
+    * geometry): (a, b) where each is the other's within-cell 1-NN by
+    * 6-dp cosine — the high-precision RNN alignment seeds; the oracle
+    * replays assignment from {AUX}/ivf_centers, takes rk=1 both
+    * directions and intersects. */
+  def m235MutualNn(s: SparkSession, dir: String): DataFrame =
+    operators.Similarity.mutualNnPairs(t(s, dir, "embeddings"))
+
+  /** m236 — near-dup evidence ([[operators.Dedup.dupEvidence]] over the
+    * shared 0.5-threshold pairs): per pair the 3 rarest shared char-5
+    * shingles (corpus df ASC, gram ties) — the "why are these dups"
+    * audit; boilerplate pairs surface high-df grams, genuine copies
+    * singletons. */
+  def m236DupEvidence(s: SparkSession, dir: String): DataFrame =
+    operators.Dedup.dupEvidence(pairs05(s, dir), t(s, dir, "documents"))
+      .orderBy("doc_id_a", "doc_id_b", "rank")
+
   /** m231 — split-leakage audit ([[operators.Dedup.splitLeakageReport]]
     * over m138's exact stratified split and the shared 0.5-threshold
     * pair table): per ordered split pair, docs sharing a near-dup

@@ -328,6 +328,8 @@ object SparkEntry {
     "m232_benford" -> Queries.m232Benford,
     "m233_threshold_sweep" -> Queries.m233ThresholdSweep,
     "m234_quality_mix" -> Queries.m234QualityMix,
+    "m235_mutual_nn" -> Queries.m235MutualNn,
+    "m236_dup_evidence" -> Queries.m236DupEvidence,
     "q65_conversion_delays" -> Queries.q65ConversionDelays,
     "q66_interval_coalesce" -> Queries.q66IntervalCoalesce,
     "q67_rolling_distinct" -> Queries.q67RollingDistinct,

@@ -1220,6 +1220,53 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Near-dup EVIDENCE: for every verified pair, the topK most
+    * DISTINCTIVE shared char-5 shingles — shared grams ranked by corpus
+    * document frequency ascending (rarest first, gram-string ties) —
+    * the "why are these duplicates" audit a reviewer reads before
+    * trusting a threshold: boilerplate-glued pairs surface high-df
+    * grams, genuine copies surface singleton grams. Same shingle
+    * convention as the pair verifier (normalize → substr windows →
+    * distinct; short docs contribute the whole text as one gram).
+    *
+    * Scale shape: gram STRINGS move only for the BOUNDED paired docs
+    * (the caller's contract, as in editDistanceAudit); the corpus-wide
+    * df aggregation shuffles each doc's distinct grams once — at
+    * corpus scale route it through 64-bit hashes (the m23 convention)
+    * and join strings back for the bounded output only. The normalized
+    * text is pinned BEFORE the per-gram transform (CollapseProject
+    * would otherwise inline the regexp into the lambda — the repo's
+    * measured HOF pathology).
+    *
+    * @return (doc_id_a, doc_id_b, rank 1..topK, gram, gram_df) */
+  def dupEvidence(pairs: DataFrame, docs: DataFrame, topK: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(topK >= 1 && topK <= 64, s"dupEvidence: topK=$topK out of [1,64]")
+    val ntF = docs.select(col(idCol).cast("long").as("id"),
+        trim(regexp_replace(lower(col(textCol)), "\\s+", " ")).as("__nt"))
+      .filter(length(col("__nt")) > 0)
+      .transform(graft.core.Blocks.pin)
+    val gx = ntF.select(col("id"), explode(array_distinct(expr(
+      "transform(sequence(1, greatest(length(__nt) - 4, 1))," +
+        " i -> substring(__nt, i, 5))"))).as("g"))
+    val gdf = gx.groupBy("g").agg(count(lit(1)).as("gram_df"))
+    val shared = pairs.select(col("doc_id_a"), col("doc_id_b"))
+      .join(gx.select(col("id").as("doc_id_a"), col("g")), "doc_id_a")
+      .join(gx.select(col("id").as("doc_id_b"), col("g")),
+        Seq("doc_id_b", "g"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id_a", "doc_id_b")
+      .orderBy(col("gram_df").asc, col("g").asc)
+    val out = shared.join(gdf, "g")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id_a"), col("doc_id_b"), col("rank"),
+        col("g").as("gram"), col("gram_df"))
+    val pinned = graft.core.Blocks.pin(out)
+    graft.core.Blocks.release(ntF)
+    pinned
+  }
+
   /** Train/test split-leakage audit: per ORDERED split pair (a, b), how
     * many docs of split a share a near-dup CLUSTER with at least one
     * doc of split b, and how many clusters carry that pair — the

@@ -1153,6 +1153,65 @@ object Similarity {
     pinned
   }
 
+  /** Mutual (reciprocal) nearest-neighbor pairs: (a, b) where b is a's
+    * 1-NN and a is b's 1-NN, neighborhoods from the same bounded IVF
+    * geometry as [[labelNoiseKnn]] (6-dp cosine, vec_id ties). RNN
+    * pairs are the high-precision alignment/near-dup seeds the
+    * embedding literature reaches for when a one-directional 1-NN is
+    * too noisy — a pair must WIN both directions to appear. Same
+    * hot-cell ceiling (`graft.sim.knnMaxCellSize`), same scale
+    * contract: raise nlist, cells stay bounded.
+    *
+    * @return (vec_id_a < vec_id_b, score — the 6-dp cosine), a ASC
+    */
+  def mutualNnPairs(emb: DataFrame, nlist: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nlist >= 1 && nlist <= 65536,
+      s"mutualNnPairs: nlist=$nlist out of [1,65536]")
+    val centers = ivfCenters(emb, nlist, vecCol, idCol)
+    val assigned = ivfCellAssignments(
+      emb.select(col(idCol), col(vecCol)), centers, idCol, vecCol)
+      .transform(graft.core.Blocks.pin)
+    val cap = emb.sparkSession.conf
+      .get("graft.sim.knnMaxCellSize", "4096").toLong
+    val fattest = assigned.groupBy("cell").agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    require(fattest <= cap, {
+      graft.core.Blocks.release(assigned)
+      s"mutualNnPairs: a cell holds $fattest vectors > " +
+        s"graft.sim.knnMaxCellSize=$cap — raise nlist"
+    })
+    val x = assigned.select(col("corpus_id").as("vec_id"),
+      col("cv").as("__xv"), col("cell"))
+    val y = assigned.select(col("corpus_id").as("nbr_id"),
+      col("cv").as("__yv"), col("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("nbr_id").asc)
+    val nn1 = x.join(y, "cell")
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        round(cosine(col("__xv"), col("__yv")), 6).as("score"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("vec_id"), col("nbr_id"), col("score"))
+      .transform(graft.core.Blocks.pin)
+    val out = nn1.as("f")
+      .join(nn1.select(col("vec_id").as("nbr_id"),
+        col("nbr_id").as("vec_id")).as("r"), Seq("vec_id", "nbr_id"))
+      .filter(col("vec_id") < col("nbr_id"))
+      .select(col("vec_id").as("vec_id_a"), col("nbr_id").as("vec_id_b"),
+        col("score"))
+      .orderBy("vec_id_a")
+    val pinned = out.transform(graft.core.Blocks.pin)
+    graft.core.Blocks.release(assigned)
+    graft.core.Blocks.release(nn1)
+    pinned
+  }
+
   /** query_id → the `nprobe` nearest cells (one row per probed cell). */
   def ivfProbeAssignments(queries: DataFrame, centers: Array[Array[Double]],
       nprobe: Int, idCol: String = "vec_id",
