@@ -3445,6 +3445,23 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("mutualNnPairs: reciprocal wins only, canonical order") {
+    val s = spark
+    import s.implicits._
+    // two tight clusters: v1↔v2 and v3↔v4 are mutual 1-NNs; the
+    // cross-cluster cosines (~0.55-0.61) never win a direction
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.99f, 0.01f), 0),
+      (3L, Array(0.6f, 0.8f), 0),
+      (4L, Array(0.55f, 0.84f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.mutualNnPairs(emb, nlist = 1)
+      .select("vec_id_a", "vec_id_b")
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L), (3L, 4L)))
+  }
+
   test("labelNoiseKnn: hand geometry, singleton fill, cell ceiling") {
     val s = spark
     import s.implicits._

@@ -2454,4 +2454,23 @@ class TrainingPipelineSpec extends AnyFunSuite {
       (7L, 8L, 0L, 0L, 0L, 10000L, 0L, 0L, 0L, 10000L),
       (7L, 9L, 0L, 1L, 0L, 0L, 0L, 0L, 0L, 10000L)))
   }
+
+  test("dupEvidence: rarest shared shingles first, gram ties, topK cap") {
+    val s = spark
+    import s.implicits._
+    // docs 1,2 share "abcdef" (rare grams); doc 3 shares only the
+    // common prefix "abcde" with both → that gram's df is 3
+    val d = Seq(
+      (1L, "abcdefxx"), (2L, "abcdefyy"), (3L, "abcdezz")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("doc_id_a", "doc_id_b")
+    val got = operators.Dedup.dupEvidence(pairs, d, topK = 2)
+      .orderBy("rank")
+      .select("doc_id_a", "doc_id_b", "rank", "gram", "gram_df")
+      .as[(Long, Long, Int, String, Long)].collect().toSeq
+    // shared grams of (1,2): abcde (df 3), bcdef (df 2) → rarest first
+    assert(got === Seq(
+      (1L, 2L, 1, "bcdef", 2L),
+      (1L, 2L, 2, "abcde", 3L)))
+  }
 }
