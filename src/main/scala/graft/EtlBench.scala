@@ -46,14 +46,21 @@ object EtlBench {
     // SPARK_GRAFT_RUNS overrides. Each run writes a fresh dir (no
     // overwrite-path confound); the first run's dir feeds the row count.
     val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(3)
+    require(runs >= 1, s"SPARK_GRAFT_RUNS must be >= 1, got $runs")
+    val loadStart = loadAvg()
     val times = (1 to runs).map { i =>
       val o = if (i == 1) out
         else java.nio.file.Files.createTempDirectory(s"etl-bench-out$i").toString
       val t0 = System.nanoTime()
       Sinks.saveTables(
         Etl.latestVersion(SnapshotReader.rawAccounts(spark, dir)), o)
-      (System.nanoTime() - t0) / 1e9
+      val secs = (System.nanoTime() - t0) / 1e9
+      // runs 2..N exist only for the min — drop their table copies now
+      // (only run 1's `out` feeds nOut below)
+      if (i > 1) deleteRecursively(new java.io.File(o))
+      secs
     }
+    val loadEnd = loadAvg()
     val secs = times.min
     val medianSecs = times.sorted.apply(times.size / 2)
     // optional phase breakdown (fresh lineage per phase, AFTER the
@@ -98,15 +105,62 @@ object EtlBench {
           f""","full_write_s":$write%.2f"""
       }
     val nOut = spark.read.parquet(s"$out/account").count()
+    // Drift discipline (the Bench convention, r16 verdict task): diff
+    // this run's min against the committed clean-window record so an ETL
+    // regression can't hide behind co-tenant swings. ratio > 1 = slower
+    // than record; "load" vs "investigate" adjudicated by loadavg.
+    val drift = idleRecordSecs(total) match {
+      case Some(idle) if idle > 0 =>
+        val ratio = secs / idle
+        val verdict =
+          if (ratio <= 1.3) "clean"
+          else if (loadStart > 1.5 || loadEnd > 1.5) "load"
+          else "investigate"
+        f""","idle_secs":$idle%.2f,"ratio_vs_idle":$ratio%.2f""" +
+          f""","verdict":"$verdict","load_start":$loadStart%.2f""" +
+          f""","load_end":$loadEnd%.2f"""
+      case _ => ""
+    }
     val line =
       f"""{"metric":"etl_accounts_per_sec","value":${total / secs}%.0f,""" +
       f""""unit":"accounts/sec","stat":"min${times.size}","total_accounts":$total,""" +
       f""""distinct_out":$nOut,"secs":$secs%.2f,"median_secs":$medianSecs%.2f,""" +
-      s""""run_secs":[${times.map(t => f"$t%.2f").mkString(",")}]$phases}"""
+      s""""run_secs":[${times.map(t => f"$t%.2f").mkString(",")}]$drift$phases}"""
     println(line)
     // committed per-round artifact (ETLBENCH_r{N}.json) is a copy of this
     java.nio.file.Files.write(java.nio.file.Paths.get("target/etlbench.json"),
       (line + "\n").getBytes("UTF-8"))
     spark.stop()
+    deleteRecursively(new java.io.File(dir))
+    deleteRecursively(new java.io.File(out))
+    deleteRecursively(new java.io.File(warmOut))
+  }
+
+  private def loadAvg(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split(" ").head.toDouble
+    catch { case _: Exception => -1.0 }
+
+  /** Clean-window record min-secs from the committed ETLBENCH_idle.json
+    * (same stable-name convention as BENCH_FULL_idle.json; refresh it
+    * when a clean-window run beats the record). Absent file, or a record
+    * taken at a DIFFERENT workload size (secs aren't comparable across
+    * total_accounts) → no drift fields, the bench still prints. */
+  private def idleRecordSecs(totalAccounts: Long): Option[Double] = {
+    val f = new java.io.File("ETLBENCH_idle.json")
+    if (!f.exists()) None
+    else {
+      val txt = scala.io.Source.fromFile(f).mkString
+      val recTotal = """"total_accounts":([0-9]+)""".r
+        .findFirstMatchIn(txt).map(_.group(1).toLong)
+      if (!recTotal.contains(totalAccounts)) None
+      else """"secs":([0-9.]+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toDouble)
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
   }
 }

@@ -223,9 +223,18 @@ object Oracle {
           FROM e$l e
           LEFT JOIN und$l n1 ON n1.u = e.a AND n1.v <> e.b
           LEFT JOIN und$l n2 ON n2.u = e.b AND n2.v = n1.v
-          GROUP BY e.a, e.b)"""
+          GROUP BY e.a, e.b),
+      e${l + 1} AS (SELECT a, b FROM sup$l WHERE s >= ${k - 2})"""
     sb.toString
   }
+
+  /** Fixpoint guard for [[kTrussPeelCtes]]: e{l+1} ⊆ e{l} always (the
+    * peel only removes edges), so equal COUNTs prove the unrolled peel
+    * CONVERGED — if a fixture regen ever needs more rounds the callers'
+    * result goes empty (loud rows-mismatch) instead of silently
+    * returning a supergraph. */
+  private def kTrussConverged(levels: Int): String =
+    s"(SELECT COUNT(*) FROM e$levels) = (SELECT COUNT(*) FROM e${levels + 1})"
 
   /** m138's stratified-split derivation as shared CTE text (emits
     * `srnk` (doc_id, source, 0-based in-stratum rank r) and `scum`
@@ -747,19 +756,29 @@ object Oracle {
     * the delete gate (m109) can share the exact scoring dag over the
     * filtered corpus. */
   private def bm25CtesFor(qtValues: String, where: String): String =
-    s"""qt(query_id, term) AS (VALUES $qtValues),""" + bm25Body(where)
+    s"""qt(query_id, term) AS (VALUES $qtValues),""" +
+      bm25Corpus(where) + "," + bm25Scoring
 
   private def bm25Ctes(where: String): String = bm25CtesFor(
     """(0,'fast'),(0,'hash'),(0,'join'),
           (1,'window'),(1,'agg'),(1,'stream'),
           (2,'slow'),(2,'table'),(2,'scan'),(2,'customer')""", where)
 
-  private def bm25Body(where: String): String = s"""
+  /** The query-independent half of the BM25 replay (tokenized corpus +
+    * collection stats) — split out so m238 can derive `qt` FROM `btk`
+    * (doc-as-query) between the halves; non-recursive WITH items must
+    * be defined before use. */
+  private def bm25Corpus(where: String): String = s"""
       bnr AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS nt
               FROM documents $where),
       btk AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM bnr WHERE length(nt) > 0),
       stats AS (SELECT (SELECT COUNT(*) FROM documents $where) AS n,
-                       (SELECT COALESCE(SUM(len(toks)), 0) FROM btk) AS sumdl),
+                       (SELECT COALESCE(SUM(len(toks)), 0) FROM btk) AS sumdl)"""
+
+  /** The scoring half: requires `qt`(query_id, term) and
+    * [[bm25Corpus]]'s CTEs in scope; ends in
+    * `brk`(query_id, doc_id, score, rank). */
+  private val bm25Scoring: String = s"""
       terms AS (SELECT DISTINCT term FROM qt),
       tfp AS (SELECT doc_id, term, tf, dl FROM
                 (SELECT doc_id, term, len(list_filter(toks, x -> x = term)) AS tf,
@@ -1224,7 +1243,7 @@ object Oracle {
         AND (e.us < a.close_us
              OR (e.us = a.close_us AND e.event_id <= a.ceid))
       GROUP BY 1, 2, 3
-      ORDER BY a.user_id, open_us""",
+      ORDER BY a.user_id, open_us, close_us""",
 
     "q62_stream_session_windows" -> """
       WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
@@ -2302,7 +2321,11 @@ object Oracle {
 
     // m233: empirical threshold sweep — the m01 pair CTEs counted at
     // five bp literals (total recall holds at ≥ 0.5, the pairs05
-    // regime); IEEE bp/10000 division mirrored.
+    // regime); IEEE bp/10000 division mirrored. The sweep filters the
+    // 6-dp ROUNDED jaccard because the Spark side reads pairs05's
+    // stored round(j, 6) column (Dedup.scala pairs parquet) — comparing
+    // the unrounded exact value here would drop a pair whose exact J
+    // sits within 5e-7 below a threshold that the rounded store keeps.
     "m233_threshold_sweep" -> s"""
       WITH $CharShingleCtes,
       ${jacPairCtes("p")},
@@ -2311,7 +2334,7 @@ object Oracle {
       ok AS (SELECT t.threshold_bp, p.pa, p.pb
             FROM p, th t
             WHERE ${jacGe("0.5")}
-              AND CAST(i AS DOUBLE)/(la+lb-i)
+              AND round(CAST(i AS DOUBLE)/(la+lb-i), 6)
                   >= CAST(t.threshold_bp AS DOUBLE) / 10000)
       SELECT t.threshold_bp,
         CAST(COALESCE(g.n_pairs, 0) AS BIGINT) AS n_pairs,
@@ -3470,6 +3493,117 @@ object Oracle {
           AS bmp_len
       FROM pos ORDER BY media_id, pi""",
 
+    // mm16: center-crop proofs — mm15's positional-probe scheme with the
+    // crop arithmetic mirrored closed-form: clamp (cw', ch'), centered
+    // origin (x0, y0) by integer halving, probe grid over the CROP, and
+    // the source sample read at (x0+x, y0+y, c) — a byte match proves
+    // centering + clamping + the whole transcode layout.
+    "mm16_center_crop" -> s"""
+      WITH media AS (SELECT media_id, hex(bytes) AS h,
+              octet_length(bytes) AS ln
+            FROM read_parquet('{AUX}/media/*.parquet')),
+      im AS (SELECT media_id, h,
+              CAST(${u32be("16")} AS INT) AS w,
+              CAST(${u32be("20")} AS INT) AS ht
+             FROM media
+             WHERE ln >= 33 AND substr(h,1,16) = '89504E470D0A1A0A'),
+      cr AS (SELECT media_id, h, w, ht,
+              CASE WHEN w < 40 THEN w ELSE 40 END AS cw,
+              CASE WHEN ht < 28 THEN ht ELSE 28 END AS ch
+             FROM im),
+      cr2 AS (SELECT *, (w - cw) // 2 AS x0, (ht - ch) // 2 AS y0 FROM cr),
+      pis AS (SELECT CAST(unnest(range(0, 9)) AS INT) AS pi),
+      pr AS (SELECT c.*, pi,
+              CAST(pi % 3 AS INT) AS xi, CAST(pi // 3 AS INT) AS yi
+             FROM cr2 c, pis),
+      pos AS (SELECT media_id, h, w, ht, cw, ch, x0, y0, pi,
+              CASE xi WHEN 0 THEN 0 WHEN 1 THEN cw // 2 ELSE cw - 1 END AS x,
+              CASE yi WHEN 0 THEN 0 WHEN 1 THEN ch // 2 ELSE ch - 1 END AS y,
+              CAST(pi % 3 AS INT) AS c
+             FROM pr)
+      SELECT media_id, pi, CAST(x AS INT) AS x, CAST(y AS INT) AS y, c,
+        CAST(54 + (ch - 1 - y) * (((3*cw + 3) // 4) * 4) + 3*x + (2 - c)
+          AS BIGINT) AS bmp_off,
+        TRY_CAST('0x' || substr(h,
+          (49 + (y0 + y)*(1 + 3*w) + 3*(x0 + x) + c)*2 + 1, 2)
+          AS BIGINT) AS v,
+        w, ht AS h, CAST(cw AS INT) AS cw, CAST(ch AS INT) AS ch,
+        CAST(x0 AS INT) AS x0, CAST(y0 AS INT) AS y0,
+        CAST(54 + ch * (((3*cw + 3) // 4) * 4) AS BIGINT) AS bmp_len
+      FROM pos ORDER BY media_id, pi""",
+
+    // m237: point-in-time training matrix — per purchase label, the
+    // strictly-before-t horizon frames (RANGE ... AND 1 µs PRECEDING,
+    // time-strict), cents lifted by the m140 floor(v·100+0.5)
+    // convention so no float ever sums, prev-type lex-strict on
+    // (us, event_id), hour by integer µs division.
+    "m237_feature_matrix" -> """
+      WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+            CAST(floor(value*100 + 0.5) AS BIGINT) AS cents FROM events),
+      f AS (SELECT user_id, event_id, event_type, us,
+            CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+              RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
+              AS BIGINT) AS f_cnt_h0,
+            CAST(COALESCE(SUM(cents) OVER (PARTITION BY user_id ORDER BY us
+              RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS f_cents_h0,
+            CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+              RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING)
+              AS BIGINT) AS f_cnt_h1,
+            CAST(COALESCE(SUM(cents) OVER (PARTITION BY user_id ORDER BY us
+              RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS f_cents_h1,
+            lag(event_type) OVER (PARTITION BY user_id
+              ORDER BY us, event_id) AS pt
+          FROM ev)
+      SELECT user_id, event_id, CAST(us AS BIGINT) AS label_us,
+        CAST((us // 3600000000) % 24 AS INT) AS f_hour,
+        f_cnt_h0, f_cents_h0, f_cnt_h1, f_cents_h1,
+        COALESCE(pt, 'none') AS f_prev_type
+      FROM f WHERE event_type = 'purchase'
+      ORDER BY user_id, event_id""",
+
+    // m238: distillation triplets — the exact-Jaccard 0.5 pair base
+    // (pairs05's honest total-recall regime), doc-as-query qt derived
+    // FROM btk for the sampled partnered docs, the m49 scoring dag,
+    // then per query the best-ranked partner (positive) and best-ranked
+    // non-partner non-self hit (negative); partner legs as join + IS
+    // NULL, never correlated EXISTS (the m113 DuckDB rule).
+    "m238_distill_triplets" -> s"""
+      WITH $CharShingleCtes,
+      ${jacPairCtes("pj")},
+      pd AS MATERIALIZED (SELECT pa, pb FROM pj WHERE ${jacGe("0.5")}),
+      ${bm25Corpus("")},
+      qd AS (SELECT DISTINCT d FROM
+              (SELECT pa AS d FROM pd UNION ALL SELECT pb AS d FROM pd)
+             WHERE d % 17 = 0),
+      qt AS (SELECT CAST(b.doc_id AS INT) AS query_id,
+              unnest(list_distinct(b.toks)) AS term
+             FROM btk b JOIN qd ON b.doc_id = qd.d),
+      $bm25Scoring,
+      hits AS (SELECT query_id, doc_id, score, rank FROM brk
+               WHERE rank <= 10),
+      prt AS (SELECT pa AS ql, pb AS po FROM pd
+              UNION ALL SELECT pb, pa FROM pd),
+      pos AS (SELECT h.query_id, h.doc_id, h.score, h.rank,
+              row_number() OVER (PARTITION BY h.query_id
+                ORDER BY h.rank) AS rk
+            FROM hits h JOIN prt ON prt.ql = h.query_id
+              AND prt.po = h.doc_id),
+      neg AS (SELECT h.query_id, h.doc_id, h.score, h.rank,
+              row_number() OVER (PARTITION BY h.query_id
+                ORDER BY h.rank) AS rk
+            FROM hits h LEFT JOIN prt ON prt.ql = h.query_id
+              AND prt.po = h.doc_id
+            WHERE prt.po IS NULL AND h.doc_id <> h.query_id)
+      SELECT p.query_id, p.doc_id AS pos_id,
+        p.rank AS pos_rank, CAST(p.score AS DOUBLE) AS pos_score,
+        n.doc_id AS neg_id, n.rank AS neg_rank,
+        CAST(n.score AS DOUBLE) AS neg_score
+      FROM pos p JOIN neg n ON p.query_id = n.query_id
+        AND p.rk = 1 AND n.rk = 1
+      ORDER BY p.query_id""",
+
     "mm13_equalization" -> s"""
       WITH media AS (SELECT media_id, hex(bytes) AS h,
               octet_length(bytes) AS ln
@@ -3648,7 +3782,8 @@ object Oracle {
       p AS (SELECT pa, pb FROM pj WHERE ${jacGe("0.5")}),
       ${kTrussPeelCtes(levels = 6, k = 3)}
       SELECT a AS doc_id_a, b AS doc_id_b, s AS support
-      FROM sup6 ORDER BY doc_id_a, doc_id_b""",
+      FROM sup6 WHERE ${kTrussConverged(6)}
+      ORDER BY doc_id_a, doc_id_b""",
 
     // m228: clipped unigram/bigram overlap per 0.5-threshold pair —
     // the m173 pair CTEs + the shared tokenization; least() must

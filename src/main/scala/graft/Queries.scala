@@ -3783,7 +3783,10 @@ object Queries {
       d
     })
     s.read.parquet(store)
-      .orderBy("user_id", "open_us")
+      // close_us makes the sort TOTAL: a close-and-reopen within one
+      // microsecond shares open_us, but close_us differs between
+      // sequential alerts (the oracle ORDER BY matches)
+      .orderBy("user_id", "open_us", "close_us")
   }
 
   /** q69 — STREAMING sliding-window distinct users (q67's streaming
@@ -4315,6 +4318,18 @@ object Queries {
     Multimodal.bmpTranscodeProbes(media(s, dir))
       .orderBy("media_id", "pi")
 
+  /** mm16 — CENTER-CROP proofs
+    * ([[operators.Multimodal.centerCropProbes]] at 40×28): per image
+    * the clamped crop dims/origin, the cropped BMP's exact size, and
+    * the 3×3 probe grid read from the REAL cropped bytes — the oracle
+    * reads the same samples from the source PNG's stored-deflate
+    * closed form at (x0+x, y0+y, c). Corpus dims are 32..63 × 24..39,
+    * so 40×28 exercises BOTH paths: width crops for w ≥ 40 and clamps
+    * below, height likewise at 28. */
+  def mm16CenterCrop(s: SparkSession, dir: String): DataFrame =
+    Multimodal.centerCropProbes(media(s, dir), cropW = 40, cropH = 28)
+      .orderBy("media_id", "pi")
+
   /** m227 — per-source hapax ratio
     * ([[operators.TextAnalysis.hapaxReport]]): once-only vocabulary
     * share — the OCR/noise flag next to m210's Zipf slope; integers
@@ -4438,6 +4453,34 @@ object Queries {
   def m236DupEvidence(s: SparkSession, dir: String): DataFrame =
     operators.Dedup.dupEvidence(pairs05(s, dir), t(s, dir, "documents"))
       .orderBy("doc_id_a", "doc_id_b", "rank")
+
+  /** m237 — point-in-time training matrix
+    * ([[operators.Temporal.pointInTimeFeatures]]): for every purchase
+    * event, the user's strictly-before-t features — 1h and 24h rolling
+    * count + exact cent-sum, previous event type in (ts, event_id)
+    * order, label hour — the leakage-free feature-store
+    * materialization every supervised pipeline needs; one shuffle on
+    * the key, running RANGE frames instead of a per-label as-of
+    * re-walk. Horizons sized to the fixture's event span (hours, not
+    * weeks, so both frames actually truncate). */
+  def m237FeatureMatrix(s: SparkSession, dir: String): DataFrame =
+    operators.Temporal.pointInTimeFeatures(t(s, dir, "events"),
+        col("event_type") === "purchase",
+        horizonsSec = Seq(3600L, 86400L))
+      .orderBy("user_id", "event_id")
+
+  /** m238 — retrieval-distillation triplets
+    * ([[operators.Retrieval.distillTriplets]]): sampled near-dup docs
+    * as doc-as-query BM25 probes, best-ranked dup partner = positive,
+    * best-ranked non-partner hit = negative — the (q, d⁺, d⁻)
+    * training pairs a bi-encoder distillation consumes, mined from
+    * retrieval + dedup structure the corpus already has. The oracle
+    * composes the exact-Jaccard pair base with the m49 scoring dag
+    * over btk-derived queries. */
+  def m238DistillTriplets(s: SparkSession, dir: String): DataFrame =
+    operators.Retrieval.distillTriplets(t(s, dir, "documents"),
+        pairs05(s, dir), k = 10, sampleMod = 17L)
+      .orderBy("query_id")
 
   /** m231 — split-leakage audit ([[operators.Dedup.splitLeakageReport]]
     * over m138's exact stratified split and the shared 0.5-threshold

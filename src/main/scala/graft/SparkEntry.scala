@@ -330,6 +330,8 @@ object SparkEntry {
     "m234_quality_mix" -> Queries.m234QualityMix,
     "m235_mutual_nn" -> Queries.m235MutualNn,
     "m236_dup_evidence" -> Queries.m236DupEvidence,
+    "m237_feature_matrix" -> Queries.m237FeatureMatrix,
+    "m238_distill_triplets" -> Queries.m238DistillTriplets,
     "q65_conversion_delays" -> Queries.q65ConversionDelays,
     "q66_interval_coalesce" -> Queries.q66IntervalCoalesce,
     "q67_rolling_distinct" -> Queries.q67RollingDistinct,
@@ -361,6 +363,7 @@ object SparkEntry {
     "mm13_equalization" -> Queries.mm13Equalization,
     "mm14_loudness_gains" -> Queries.mm14LoudnessGains,
     "mm15_bmp_transcode" -> Queries.mm15BmpTranscode,
+    "mm16_center_crop" -> Queries.mm16CenterCrop,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on

@@ -162,6 +162,34 @@ object Media {
     else encodeBmp(img.getWidth, img.getHeight, rgbRaster(img))
   }
 
+  /** Center-crop to at most cw × ch (clamped to the source dims — every
+    * image participates, smaller ones pass through uncropped) → 24-bit
+    * BMP. Crop origin x0 = (w−cw')div 2, y0 = (h−ch')div 2, the standard
+    * training-data spatial normalization before patching/embedding.
+    * Source pixel (x0+x, y0+y) lands at crop pixel (x, y), so the output
+    * BMP byte at 54 + (ch'−1−y)·rowSize(cw') + 3x + (2−c) equals the
+    * source raster's (x0+x, y0+y, c) sample — the mm16 oracle's closed
+    * form. Null for non-images (P11 skip semantics). */
+  def imageCropBmp(bytes: Array[Byte], cw: Int, ch: Int): Array[Byte] = {
+    require(cw > 0 && ch > 0, s"imageCropBmp: bad crop ${cw}x$ch")
+    val img = readImage(bytes)
+    if (img == null) null
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val cw2 = math.min(cw, w); val ch2 = math.min(ch, h)
+      val x0 = (w - cw2) / 2; val y0 = (h - ch2) / 2
+      val full = rgbRaster(img)
+      val out = new Array[Byte](cw2 * ch2 * 3)
+      var y = 0
+      while (y < ch2) {
+        System.arraycopy(full, ((y0 + y) * w + x0) * 3, out, y * cw2 * 3,
+          cw2 * 3)
+        y += 1
+      }
+      encodeBmp(cw2, ch2, out)
+    }
+  }
+
   // =====================================================================
   // WAV encode: canonical 44-byte RIFF/WAVE header + PCM16 payload.
   // =====================================================================

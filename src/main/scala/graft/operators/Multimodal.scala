@@ -16,6 +16,13 @@ final case class BmpProbe(pi: Int, x: Int, y: Int, c: Int,
 final case class BmpReport(w: Int, h: Int, bmp_len: Long,
   probes: Array[BmpProbe])
 
+/** Per-image center-crop report (see [[Multimodal.centerCropProbes]]):
+  * source dims, effective crop dims + origin, cropped-BMP size, and the
+  * 3×3 probe grid read from the REAL cropped bytes. TOP-LEVEL case
+  * class — the encoder rule. */
+final case class CropReport(w: Int, h: Int, cw: Int, ch: Int,
+  x0: Int, y0: Int, bmp_len: Long, probes: Array[BmpProbe])
+
 /**
  * Multimodal operators: image/audio/video as opaque `binary` columns with
  * typed metadata — the Spark-side plumbing a 100 TB media pipeline needs.
@@ -50,6 +57,28 @@ object Multimodal {
         BmpProbe(pi, x, y, c, off, (bmp(off.toInt) & 0xff).toLong)
       }
       BmpReport(w, h, bmp.length.toLong, probes)
+    }
+  })
+  private val cropProbeUdf = udf((b: Array[Byte], cwArg: Int, chArg: Int) => {
+    val bmp = Media.imageCropBmp(b, cwArg, chArg)
+    if (bmp == null) null
+    else {
+      def le32i(o: Int): Int = (bmp(o) & 0xff) | ((bmp(o + 1) & 0xff) << 8) |
+        ((bmp(o + 2) & 0xff) << 16) | ((bmp(o + 3) & 0xff) << 24)
+      val cw = le32i(18); val ch = le32i(22)
+      val m = Media.decodeMeta(b)
+      val w = m.width; val h = m.height
+      val x0 = (w - cw) / 2; val y0 = (h - ch) / 2
+      val rowSize = ((3 * cw + 3) / 4) * 4
+      val probes = Array.tabulate(9) { pi =>
+        val xi = pi % 3; val yi = pi / 3
+        val x = if (xi == 0) 0 else if (xi == 1) cw / 2 else cw - 1
+        val y = if (yi == 0) 0 else if (yi == 1) ch / 2 else ch - 1
+        val c = pi % 3
+        val off = 54L + (ch - 1 - y).toLong * rowSize + 3L * x + (2 - c)
+        BmpProbe(pi, x, y, c, off, (bmp(off.toInt) & 0xff).toLong)
+      }
+      CropReport(w, h, cw, ch, x0, y0, bmp.length.toLong, probes)
     }
   })
   private val metaUdf = udf((b: Array[Byte]) => Option(Media.decodeMeta(b)))
@@ -196,6 +225,33 @@ object Multimodal {
         col("p.y").as("y"), col("p.c").as("c"),
         col("p.bmp_off").as("bmp_off"), col("p.v").as("v"),
         col("w"), col("h"), col("bmp_len"))
+
+  /** Center-crop + BMP transcode with positional byte proofs
+    * ([[Media.imageCropBmp]]): per image, the source dims, the clamped
+    * crop dims and origin, the cropped BMP's exact size
+    * 54 + ch'·rowSize(cw'), and a 3×3 probe grid (corners/midpoints of
+    * the CROP, channel cycling) read back from the real cropped bytes
+    * at BMP's closed-form offset — which the oracle matches against the
+    * SOURCE PNG's own closed form at (x0+x, y0+y, c). Proves crop
+    * arithmetic (centering, clamping) plus the full transcode chain
+    * without shipping rasters; the spatial-normalization step every
+    * image training pipeline runs before patching. Narrow per-row
+    * kernel; non-images are skipped (P11 semantics). */
+  def centerCropProbes(media: DataFrame, cropW: Int, cropH: Int): DataFrame =
+    withMeta(media)
+      .filter(col("meta.kind") === Media.KindImage)
+      .select(col("media_id"),
+        cropProbeUdf(col("bytes"), lit(cropW), lit(cropH)).as("r"))
+      .filter(col("r").isNotNull)
+      .select(col("media_id"), col("r.w").as("w"), col("r.h").as("h"),
+        col("r.cw").as("cw"), col("r.ch").as("ch"),
+        col("r.x0").as("x0"), col("r.y0").as("y0"),
+        col("r.bmp_len").as("bmp_len"), explode(col("r.probes")).as("p"))
+      .select(col("media_id"), col("p.pi").as("pi"), col("p.x").as("x"),
+        col("p.y").as("y"), col("p.c").as("c"),
+        col("p.bmp_off").as("bmp_off"), col("p.v").as("v"),
+        col("w"), col("h"), col("cw"), col("ch"), col("x0"), col("y0"),
+        col("bmp_len"))
 
   private val loudUdf = udf((b: Array[Byte], t: Double) =>
     Option(Media.audioLoudness(b, t)))

@@ -267,6 +267,93 @@ object Retrieval {
         col("rank"))
   }
 
+  /**
+   * Retrieval-distillation triplet mining — the (query, positive,
+   * negative) training pairs a cross-encoder/bi-encoder distillation
+   * run consumes (the MS-MARCO recipe, with near-dup pairs standing in
+   * for relevance labels): sampled docs that HAVE a verified near-dup
+   * partner become queries (their own text IS the query — doc-as-query);
+   * each query's BM25 top-`k` is split into the best-ranked PARTNER
+   * (positive — lexically retrievable near-dup) and the best-ranked
+   * non-partner, non-self hit (negative — looks relevant to BM25 but is
+   * NOT a near-dup, exactly the hard negative worth distilling). Queries
+   * where either side is absent from the top-k emit nothing.
+   *
+   * Scale shape: query texts are a driver-side sample BY CONTRACT
+   * ([[bm25TopK]]'s query model) behind a probe-first ceiling
+   * (`maxQueries` — limit(max+1) before collect, the harnessRows
+   * idiom); the corpus is touched only by bm25TopK's two narrow kernel
+   * passes. The top-k frame (≤ queries·k rows) is pinned ONCE and the
+   * partner table is cut to the sampled queries before its two
+   * broadcast uses (the two-broadcast re-evaluation rule).
+   *
+   * @param pairs verified near-dup pairs (`aCol`, `bCol`), symmetric
+   *              edges assumed deduped with a < b
+   * @return (query_id, pos_id, pos_rank, pos_score, neg_id, neg_rank,
+   *         neg_score), one row per query with both sides present
+   */
+  def distillTriplets(docs: DataFrame, pairs: DataFrame, k: Int = 10,
+      sampleMod: Long = 17L, maxQueries: Int = 2048,
+      idCol: String = "doc_id", textCol: String = "text",
+      aCol: String = "doc_id_a", bCol: String = "doc_id_b"): DataFrame = {
+    require(k > 0, s"distillTriplets: k=$k must be positive")
+    require(sampleMod > 0, s"distillTriplets: sampleMod=$sampleMod")
+    val s = docs.sparkSession
+    import s.implicits._
+    val qids = pairs.select(col(aCol).cast("long").as("q"))
+      .unionByName(pairs.select(col(bCol).cast("long").as("q")))
+      .distinct()
+      .filter(pmod(col("q"), lit(sampleMod)) === 0)
+    val qrows = docs.join(qids, col(idCol).cast("long") === col("q"))
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .limit(maxQueries + 1).collect()
+    require(qrows.length <= maxQueries,
+      s"distillTriplets: > $maxQueries sampled queries — raise sampleMod " +
+        "(bounded driver-side queries are the bm25TopK contract), not " +
+        "the ceiling, unless deliberate")
+    require(qrows.forall(r => r.getLong(0) >= Int.MinValue &&
+      r.getLong(0) <= Int.MaxValue),
+      "distillTriplets: doc ids exceed Int query-id range")
+    val queries = qrows.map(r => (r.getLong(0).toInt, r.getString(1)))
+      .sortBy(_._1).toSeq
+    require(queries.nonEmpty,
+      "distillTriplets: no sampled query has a near-dup partner")
+
+    val topk = graft.core.Blocks.pin(
+      bm25TopK(docs, queries, k, idCol = idCol, textCol = textCol))
+    val qidDf = queries.map(_._1.toLong).toDF("query_id_l")
+    val partners = graft.core.Blocks.pin(
+      pairs.select(col(aCol).cast("long").as("query_id_l"),
+          col(bCol).cast("long").as("doc_id_p"))
+        .unionByName(pairs.select(col(bCol).cast("long").as("query_id_l"),
+          col(aCol).cast("long").as("doc_id_p")))
+        .join(broadcast(qidDf), Seq("query_id_l")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    val pos1 = topk
+      .join(broadcast(partners),
+        topk("query_id").cast("long") === partners("query_id_l") &&
+          topk("doc_id") === partners("doc_id_p"))
+      .select(topk("query_id"), topk("doc_id"), topk("rank"), topk("score"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("query_id"), col("doc_id").as("pos_id"),
+        col("rank").as("pos_rank"), col("score").as("pos_score"))
+    val neg1 = topk
+      .filter(topk("doc_id") =!= topk("query_id").cast("long"))
+      .join(broadcast(partners),
+        topk("query_id").cast("long") === partners("query_id_l") &&
+          topk("doc_id") === partners("doc_id_p"),
+        "left_anti")
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("query_id"), col("doc_id").as("neg_id"),
+        col("rank").as("neg_rank"), col("score").as("neg_score"))
+    val out = graft.core.Blocks.pin(pos1.join(neg1, Seq("query_id")))
+    graft.core.Blocks.release(topk)
+    graft.core.Blocks.release(partners)
+    out
+  }
+
   /** Deterministic term → bucket assignment shared by the index writer
     * and the probe's partition pruning (Java String.hashCode — stable
     * across JVMs by spec; the bucket is a LAYOUT choice, never replayed

@@ -1135,14 +1135,17 @@ object Similarity {
         round(cosine(col("__xv"), col("__yv")), 6).as("score"))
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)
-    val scored = topk.groupBy("vec_id", "label")
+    val scored = topk.groupBy("vec_id")
       .agg(count(lit(1)).as("n_neighbors"),
         sum(when(col("__nlab") =!= col("label"), 1L).otherwise(0L))
           .as("n_diff_label"))
       .withColumn("noise_bp",
         expr("(10000 * n_diff_label) div n_neighbors"))
+    // join on vec_id ALONE and take label from the emb side: a nullable
+    // label would never equi-join on (vec_id, label) and such rows would
+    // silently report 0 neighbors (the oracle joins on vec_id only)
     val out = emb.select(col(idCol).as("vec_id"), col(labelCol).as("label"))
-      .join(scored, Seq("vec_id", "label"), "left")
+      .join(scored, Seq("vec_id"), "left")
       .select(col("vec_id"), col("label"),
         coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
         coalesce(col("n_diff_label"), lit(0L)).as("n_diff_label"),

@@ -587,4 +587,68 @@ object Temporal {
       .agg(count(lit(1)).as("n_keys"), sum(col("__c")).as("n_occurrences"))
       .orderBy(col("n_keys").desc +: pat.map(_.asc): _*)
   }
+
+  /**
+   * Point-in-time training-matrix materialization — the feature-store
+   * operator (Feast/Tecton's "point-in-time correct join", here over a
+   * single event stream): for every LABEL row (`labelFilter`), attach
+   * per-key features computed STRICTLY BEFORE that row's event time, so
+   * no feature can leak the label's own moment or its future:
+   *
+   *  - per horizon i: `f_cnt_hi` (events in [t−hᵢ, t) by event time) and
+   *    `f_cents_hi` (exact integer cent-sum of value over the same
+   *    frame — doubles lifted by floor(v·100 + 0.5), never float-summed);
+   *  - `f_prev_type`: the immediately preceding event's type in strict
+   *    (ts, id) order, 'none' for a key's first event;
+   *  - `f_hour`: the label's own UTC hour-of-day (integer µs div).
+   *
+   * Strictness split, documented because the two differ on ties: the
+   * horizon frames are time-strict (RANGE ... AND 1 µs PRECEDING — a
+   * same-microsecond sibling is NOT visible), while prev-type is
+   * lex-strict on (ts, id) (a same-µs smaller-id sibling IS the
+   * predecessor) — the deterministic choice a replayable pipeline needs.
+   *
+   * Scale shape: features ride window frames over ONE shuffle on the
+   * key (the RANGE specs share the (key, ts) sort; the lag re-sorts by
+   * (ts, id) within the same partitioning — no second exchange). No
+   * self-join, no per-label scan: the classic as-of-join formulation of
+   * this operator re-walks history per label row and explodes on hot
+   * keys; the running-frame form is O(N log N) per key total.
+   */
+  def pointInTimeFeatures(events: DataFrame, labelFilter: Column,
+      horizonsSec: Seq[Long] = Seq(604800L, 2592000L),
+      keyCol: String = "user_id", idCol: String = "event_id",
+      tsCol: String = "ts", valueCol: String = "value",
+      typeCol: String = "event_type"): DataFrame = {
+    require(horizonsSec.nonEmpty && horizonsSec.forall(_ > 0),
+      s"pointInTimeFeatures: bad horizons $horizonsSec")
+    val base = events.select(
+      col(keyCol).cast("long").as("user_id"),
+      col(idCol).cast("long").as("event_id"),
+      col(typeCol).as("__type"),
+      unix_micros(col(tsCol).cast("timestamp")).as("__us"),
+      floor(col(valueCol) * 100 + 0.5).cast("long").as("__cents"),
+      labelFilter.as("__is_label"))
+    val horizonCols = horizonsSec.zipWithIndex.flatMap { case (h, i) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("__us"))
+        .rangeBetween(-h * 1000000L, -1L)
+      Seq(count(lit(1)).over(w).as(s"f_cnt_h$i"),
+        coalesce(sum(col("__cents")).over(w), lit(0L)).as(s"f_cents_h$i"))
+    }
+    val wPrev = Window.partitionBy(col("user_id"))
+      .orderBy(col("__us"), col("event_id"))
+    base
+      .select(col("user_id") +: col("event_id") +: col("__us") +:
+        col("__is_label") +:
+        horizonCols :+
+        coalesce(lag(col("__type"), 1).over(wPrev), lit("none"))
+          .as("f_prev_type"): _*)
+      .filter(col("__is_label"))
+      .select(col("user_id") +: col("event_id") +:
+        col("__us").as("label_us") +:
+        expr("CAST((__us div 3600000000) % 24 AS INT)").as("f_hour") +:
+        horizonsSec.indices.flatMap(i =>
+          Seq(col(s"f_cnt_h$i"), col(s"f_cents_h$i"))) :+
+        col("f_prev_type"): _*)
+  }
 }

@@ -121,42 +121,86 @@ object Pipeline {
    *
    * Determinism contract: rows within a micro-batch are walked in
    * (ts, event_id) order, so with time-contiguous feeding the
-   * trajectory replays exactly (the q61/q62 harness argument). State is
-   * CONSTANT-SIZE per key and must outlive quiet periods (an alert may
-   * legitimately stay open for months), so there is no timeout — state
-   * volume is bounded by key cardinality, the same contract as any
-   * keyed aggregation; add an event-time timeout only when keys churn.
+   * trajectory replays exactly (the q61/q62 harness argument).
+   *
+   * State lifecycle: a key with NO open alert stores nothing (closed
+   * state is removed, not persisted — the default reconstructs it), so
+   * state volume is bounded by keys-with-an-OPEN-alert, not
+   * keys-ever-alerting. An open alert may legitimately stay open for
+   * months, so by default (`staleAfter = None`) open state has no
+   * timeout. With `staleAfter = Some(ms)` the input gets
+   * `withWatermark(tsCol, watermarkDelay)` and open state an event-time
+   * timeout at last-seen + staleAfter: a key that goes silent past that
+   * horizon has its open alert DROPPED (state removed, nothing emitted)
+   * — there is no closing row, so any close_us/peak emission would be
+   * fabricated; a later re-crossing of `hi` opens a fresh alert.
    */
   def alertSessions(events: DataFrame, hi: Double, lo: Double,
       keyCol: String = "user_id", idCol: String = "event_id",
-      tsCol: String = "ts", valueCol: String = "value"): Dataset[AlertOut] = {
+      tsCol: String = "ts", valueCol: String = "value",
+      staleAfter: Option[Long] = None,
+      watermarkDelay: String = "10 minutes"): Dataset[AlertOut] = {
     require(hi > lo, s"alertSessions: hi=$hi must exceed lo=$lo")
+    require(staleAfter.forall(_ > 0L),
+      s"alertSessions: staleAfter must be positive ms, got $staleAfter")
     val spark = events.sparkSession
     import spark.implicits._
-    events.select(col(keyCol).cast("long"), col(idCol).cast("long"),
-        unix_micros(col(tsCol).cast("timestamp")), col(valueCol).cast("double"))
-      .as[(Long, Long, Long, Double)]
+    val typed = events.select(col(keyCol).cast("long").as("__k"),
+        col(idCol).cast("long").as("__id"),
+        col(tsCol).cast("timestamp").as("__ts"),
+        col(valueCol).cast("double").as("__v"))
+    val withWm = staleAfter match {
+      case Some(_) => typed.withWatermark("__ts", watermarkDelay)
+      case None => typed
+    }
+    val timeoutConf = staleAfter match {
+      case Some(_) => GroupStateTimeout.EventTimeTimeout
+      case None => GroupStateTimeout.NoTimeout
+    }
+    // the watermarked COLUMN itself must reach the stateful operator
+    // (a unix_micros projection strips the delay tag and Spark rejects
+    // EventTimeTimeout), so __ts rides along as a pass-through field
+    withWm.select(col("__k"), col("__id"), unix_micros(col("__ts")),
+        col("__v"), col("__ts"))
+      .as[(Long, Long, Long, Double, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: Long, rows: Iterator[(Long, Long, Long, Double)],
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Double, java.sql.Timestamp)],
          state: GroupState[AlertState]) =>
-          val sorted = rows.toArray.sortBy(r => (r._3, r._2))
-          var st = state.getOption.getOrElse(AlertState(false, 0L, 0L, 0.0))
-          val out = scala.collection.mutable.ArrayBuffer.empty[AlertOut]
-          sorted.foreach { case (_, _, us, v) =>
-            if (!st.open) {
-              if (v > hi) st = AlertState(true, us, 1L, v)
-            } else {
-              val n = st.n + 1L
-              val peak = math.max(st.peak, v)
-              if (v < lo) {
-                out += AlertOut(key, st.openUs, us, n, peak)
-                st = AlertState(false, 0L, 0L, 0.0)
-              } else st = AlertState(true, st.openUs, n, peak)
+          if (state.hasTimedOut) {
+            // silent past the stale horizon: drop the open alert
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toArray.sortBy(r => (r._3, r._2))
+            var st = state.getOption.getOrElse(AlertState(false, 0L, 0L, 0.0))
+            val out = scala.collection.mutable.ArrayBuffer.empty[AlertOut]
+            var lastUs = Long.MinValue
+            sorted.foreach { case (_, _, us, v, _) =>
+              lastUs = math.max(lastUs, us)
+              if (!st.open) {
+                if (v > hi) st = AlertState(true, us, 1L, v)
+              } else {
+                val n = st.n + 1L
+                val peak = math.max(st.peak, v)
+                if (v < lo) {
+                  out += AlertOut(key, st.openUs, us, n, peak)
+                  st = AlertState(false, 0L, 0L, 0.0)
+                } else st = AlertState(true, st.openUs, n, peak)
+              }
             }
+            if (st.open) {
+              state.update(st)
+              staleAfter.foreach { ms =>
+                // timeout fires once the WATERMARK passes this; must be
+                // strictly above the current watermark or Spark throws
+                state.setTimeoutTimestamp(
+                  math.max(lastUs / 1000L + ms,
+                    state.getCurrentWatermarkMs() + 1L))
+              }
+            } else state.remove()
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
   }
 

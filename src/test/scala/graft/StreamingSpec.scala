@@ -915,4 +915,53 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 1000L, 4000L, 3L, 200.0),   // open 200 → 100 → close 40
       (3L, 3000L, 7000L, 3L, 170.0)))  // open 160 → 170 → close 10
   }
+
+  test("alertSessions staleAfter: silent open alert expires (dropped, not " +
+      "emitted), key can re-open fresh, and end state store is empty") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Double)]
+    val alerts = Pipeline.alertSessions(
+      mem.toDF().toDF("user_id", "event_id", "us", "value")
+        .select(col("user_id"), col("event_id"),
+          timestamp_micros(col("us")).as("ts"), col("value")),
+      hi = 150.0, lo = 50.0,
+      staleAfter = Some(10000L), watermarkDelay = "0 seconds")
+    val q = alerts.writeStream.format("memory").queryName("alerts_stale")
+      .outputMode("append").start()
+    val S = 1000000L // seconds → micros
+    // b1: u1 opens at t=1s (timeout armed at 1s + 10s = 11s event time)
+    mem.addData((1L, 1L, 1L * S, 200.0))
+    q.processAllAvailable()
+    // b2: u2 opens at t=3600s; watermark (delay 0) advances to 3600s
+    // AFTER this batch
+    mem.addData((2L, 2L, 3600L * S, 200.0))
+    q.processAllAvailable()
+    // b3: filler (no crossing) executes WITH watermark 3600s >> 11s —
+    // u1's stale open alert expires here (state removed, nothing emitted)
+    mem.addData((5L, 3L, 3601L * S, 100.0))
+    q.processAllAvailable()
+    // b4: u1's long-delayed sub-lo row finds NO open state (the expired
+    // alert must not close-emit); u2 closes normally; u1 re-opens fresh
+    // and closes — a full new alert proves expiry didn't wedge the key
+    mem.addData((1L, 5L, 3602L * S, 10.0), (2L, 6L, 3603L * S, 20.0),
+      (1L, 7L, 3604L * S, 200.0), (1L, 8L, 3605L * S, 5.0))
+    q.processAllAvailable()
+    val stateRows = q.recentProgress.toSeq
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      .lastOption.map(_.numRowsTotal)
+    q.stop()
+    val got = s.table("alerts_stale")
+      .orderBy("user_id", "open_us", "close_us")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    s.catalog.dropTempView("alerts_stale")
+    assert(got === Seq(
+      (1L, 3604L * S, 3605L * S, 2L, 200.0), // fresh re-open, NOT 1s-open
+      (2L, 3600L * S, 3603L * S, 2L, 200.0)))
+    // every alert closed or expired → the store holds zero keys (closed
+    // state is removed, stale state timed out)
+    assert(stateRows.contains(0L),
+      s"state store should be empty at end, got $stateRows")
+  }
 }

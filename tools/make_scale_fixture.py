@@ -42,17 +42,42 @@ def offset_col(arr: pa.Array, r: int, stride: int) -> pa.Array:
                     type=arr.type)
 
 
-def rot_word(w: str, r: int) -> str:
+def subst_for(r: int) -> dict:
+    """Per-replica bijective alphabet substitution (a-z derangement).
+
+    Rotation ALONE cannot give cross-replica disjointness: rot by
+    (r mod len) is the identity on 1-char words at every r, and
+    COINCIDES between replicas whenever r1 = r2 (mod len) — e.g. r16's
+    100x fixture shared every 3/4/5/6-char word between replicas 11 and
+    71 (difference 60 = lcm), piling K-deep into single grams and firing
+    m208's hot-gram ceiling. So every replica r>0 composes the rotation
+    with sigma_r, an independent seeded a-z derangement applied to EVERY
+    word: a char-bijection preserves within-replica token identity and
+    char-gram structure EXACTLY, while cross-replica token sharing drops
+    to ~26^-len coincidences instead of systematic lcm-period reuse.
+    """
+    rng = np.random.default_rng(1000 + r)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    perm = rng.permutation(26)
+    # derangement: no fixed points, so sigma_r never re-shares a 1-char
+    # word with replica 0
+    while np.any(perm == np.arange(26)):
+        perm = rng.permutation(26)
+    return {alpha[i]: alpha[perm[i]] for i in range(26)}
+
+
+def rot_word(w: str, r: int, sub: dict) -> str:
     if not w:
         return w
     k = r % len(w)
-    return w[k:] + w[:k]
+    rotated = w[k:] + w[:k]
+    return "".join(sub.get(c, c) for c in rotated)
 
 
-def rot_text(t: str, r: int) -> str:
+def rot_text(t: str, r: int, sub: dict) -> str:
     if r == 0 or t is None:
         return t
-    return " ".join(rot_word(w, r) for w in t.split(" "))
+    return " ".join(rot_word(w, r, sub) for w in t.split(" "))
 
 
 def main() -> None:
@@ -102,6 +127,7 @@ def main() -> None:
         t0 = pq.read_table(f"{src}/{tab}.parquet")
         reps = []
         for r in range(k):
+            sub = subst_for(r) if r > 0 else {}
             cols = {}
             for name in t0.schema.names:
                 arr = t0[name].combine_chunks()
@@ -109,7 +135,7 @@ def main() -> None:
                     cols[name] = offset_col(arr, r, strides[name])
                 elif tab == "documents" and name == "text":
                     cols[name] = pa.array(
-                        [rot_text(x, r) for x in arr.to_pylist()],
+                        [rot_text(x, r, sub) for x in arr.to_pylist()],
                         type=arr.type)
                 elif tab == "embeddings" and name == "embedding":
                     if r == 0:

@@ -34,6 +34,15 @@ for k, v in rq.items():
 
 base["value"] = round(sum(v["min"] for v in bq.values()), 3)
 base["med_total"] = round(sum(v["med"] for v in bq.values()), 3)
+# header metadata must track the merged map, not the first-ever run
+# (r16 verdict: stale n/merged_from/load fields mislead drift triage)
+base["n"] = len(bq)
+tag = sys.argv[2] if len(sys.argv) > 2 and not sys.argv[2].startswith("--") \
+    else run_path
+base.setdefault("merged_from", []).append(
+    f"{tag} ({len(rq)} queries, +{len(added)} new, {len(improved)} improved)")
+for stale in ("load_start", "load_end", "errors"):
+    base.pop(stale, None)
 with open(base_path, "w") as f:
     json.dump(base, f, separators=(",", ":"))
 print(f"baseline now {len(bq)} queries, min-total {base['value']}s")
