@@ -802,6 +802,40 @@ object Oracle {
 
   private val Bm25Ctes: String = bm25Ctes("")
 
+  /** The m92 minhash-signature replay (char-5 shingles → FNV-1a window
+    * → mix64 → per-perm h·Aᵢ+Bᵢ in HUGEINT limbs), ending in
+    * `signed`(doc_id, perm, sv) — the per-(doc, perm) candidate values
+    * whose MIN is the signature. Shared by m92 and m241 (band stats). */
+  private lazy val MinhashSigCtes: String = s"""
+      msn AS (SELECT doc_id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS nt
+             FROM documents),
+      msw AS (SELECT doc_id,
+               unnest(range(1, greatest(length(nt)-4, 1)+1)) AS pos, nt
+             FROM msn WHERE length(nt) > 0),
+      ${fnv1aWindowCtes("msf", "msw", "doc_id", 5)},
+      ${mix64Ctes("msx", "msf", "doc_id")},
+      msu0 AS (SELECT doc_id, h AS z0 FROM msx),
+      ${mix64Ctes("msu", "msu0", "doc_id")},
+      pia AS (SELECT CAST(r.range AS INT) AS perm,
+               (CAST('10114998832218508061' AS HUGEINT) + r.range) % $M64 AS z0
+             FROM range(8) r),
+      ${mix64Ctes("pma", "pia", "perm")},
+      pa AS (SELECT perm,
+               CASE WHEN h % 2 = 0 THEN h + 1 ELSE h END AS a FROM pma),
+      pib AS (SELECT CAST(r.range AS INT) AS perm,
+               (CAST('1983613069123707591' AS HUGEINT) + r.range) % $M64 AS z0
+             FROM range(8) r),
+      ${mix64Ctes("pmb", "pib", "perm")},
+      pb AS (SELECT perm, h AS b FROM pmb),
+      terms AS (SELECT u.doc_id, a.perm,
+               (${mul64("u.h", "a.a")} + b.b) % $M64 AS hv
+             FROM msu u, pa a JOIN pb b USING (perm)),
+      signed AS (SELECT doc_id, perm,
+               CAST(CASE WHEN hv >= CAST('9223372036854775808' AS HUGEINT)
+                    THEN hv - $M64 ELSE hv END AS BIGINT) AS sv
+             FROM terms)"""
+
   val sql: Map[String, String] = Map(
 
     "q01_pricing" -> """
@@ -3562,6 +3596,56 @@ object Oracle {
         COALESCE(pt, 'none') AS f_prev_type
       FROM f WHERE event_type = 'purchase'
       ORDER BY user_id, event_id""",
+
+    // m239: cluster-integrity sharding — the m11 reachability closure
+    // labels paired docs (MIN reachable id), singletons coalesce to
+    // their own id, then the m133 rendezvous replay (mix64 the cluster,
+    // mix64 each shard, mix64 the xor, argmax via the h·16+(15−s)
+    // combined key) runs per DISTINCT cluster. sh2 prefix: the shingle
+    // kit owns `sh`.
+    "m239_cluster_shards" -> s"""
+      WITH RECURSIVE $CharShingleCtes,
+      ${jacPairCtes("pj")},
+      p AS (SELECT pa AS da, pb AS db FROM pj WHERE ${jacGe("0.5")}),
+      e AS (SELECT da AS u, db AS v FROM p UNION SELECT db, da FROM p),
+      reach(node, r) AS (
+        SELECT u, u FROM e
+        UNION
+        SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.node),
+      cc AS (SELECT node AS doc_id, MIN(r) AS component
+            FROM reach GROUP BY node),
+      lbl AS (SELECT d.doc_id, COALESCE(cc.component, d.doc_id) AS cluster
+            FROM documents d LEFT JOIN cc USING (doc_id)),
+      kz AS (SELECT DISTINCT cluster, CAST(cluster AS HUGEINT) AS z0
+            FROM lbl),
+      ${mix64Ctes("kh", "kz", "cluster")},
+      sz AS (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS s),
+      sz2 AS (SELECT s, CAST(s AS HUGEINT) AS z0 FROM sz),
+      ${mix64Ctes("sh2", "sz2", "s")},
+      wz AS (SELECT k.cluster, s.s, xor(k.h, s.h) AS z0
+            FROM kh k, sh2 s),
+      ${mix64Ctes("wh", "wz", "cluster, s")},
+      cmb AS (SELECT cluster, s, h * 16 + (15 - s) AS c FROM wh),
+      agg AS (SELECT cluster, 15 - (MAX(c) % 16) AS shard
+            FROM cmb GROUP BY cluster)
+      SELECT l.doc_id, CAST(l.cluster AS BIGINT) AS cluster,
+        CAST(a.shard AS INT) AS shard
+      FROM lbl l JOIN agg a USING (cluster)
+      ORDER BY l.doc_id""",
+
+    // m240: purged temporal split — bounds off one MIN/MAX, integer
+    // basis-point cutoff/embargo (// floors, all values positive),
+    // three-way CASE mirrored.
+    "m240_purged_split" -> """
+      WITH ev AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+      b AS (SELECT MIN(us) AS t0, MAX(us) AS t1 FROM ev),
+      c AS (SELECT t0 + ((t1 - t0) * 7000) // 10000 AS cut,
+            ((t1 - t0) * 500) // 10000 AS emb FROM b)
+      SELECT e.event_id, CAST(e.us AS BIGINT) AS us,
+        CASE WHEN e.us >= c.cut THEN 'test'
+             WHEN e.us >= c.cut - c.emb THEN 'embargo'
+             ELSE 'train' END AS split
+      FROM ev e, c ORDER BY e.event_id""",
 
     // m238: distillation triplets — the exact-Jaccard 0.5 pair base
     // (pairs05's honest total-recall regime), doc-as-query qt derived
@@ -7821,37 +7905,380 @@ object Oracle {
     // multiply-shift constants from their literal seeds (odd-forced A),
     // min under SIGNED Long order (Java's comparison).
     "m92_minhash_sigs" -> s"""
-      WITH msn AS (SELECT doc_id,
-               trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS nt
-             FROM documents),
-      msw AS (SELECT doc_id,
-               unnest(range(1, greatest(length(nt)-4, 1)+1)) AS pos, nt
-             FROM msn WHERE length(nt) > 0),
-      ${fnv1aWindowCtes("msf", "msw", "doc_id", 5)},
-      ${mix64Ctes("msx", "msf", "doc_id")},
-      msu0 AS (SELECT doc_id, h AS z0 FROM msx),
-      ${mix64Ctes("msu", "msu0", "doc_id")},
-      pia AS (SELECT CAST(r.range AS INT) AS perm,
-               (CAST('10114998832218508061' AS HUGEINT) + r.range) % $M64 AS z0
-             FROM range(8) r),
-      ${mix64Ctes("pma", "pia", "perm")},
-      pa AS (SELECT perm,
-               CASE WHEN h % 2 = 0 THEN h + 1 ELSE h END AS a FROM pma),
-      pib AS (SELECT CAST(r.range AS INT) AS perm,
-               (CAST('1983613069123707591' AS HUGEINT) + r.range) % $M64 AS z0
-             FROM range(8) r),
-      ${mix64Ctes("pmb", "pib", "perm")},
-      pb AS (SELECT perm, h AS b FROM pmb),
-      terms AS (SELECT u.doc_id, a.perm,
-               (${mul64("u.h", "a.a")} + b.b) % $M64 AS hv
-             FROM msu u, pa a JOIN pb b USING (perm)),
-      signed AS (SELECT doc_id, perm,
-               CAST(CASE WHEN hv >= CAST('9223372036854775808' AS HUGEINT)
-                    THEN hv - $M64 ELSE hv END AS BIGINT) AS sv
-             FROM terms)
+      WITH $MinhashSigCtes
       SELECT doc_id, perm, MIN(sv) AS sig
       FROM signed GROUP BY doc_id, perm
       ORDER BY doc_id, perm""",
+
+    // m241: LSH band-occupancy histogram — the m92 signature replay
+    // banded at r=2 (k=8, 4 bands: band = perm // 2, bucket key = the
+    // band's sig pair), bucket depths, then (band, depth) histogram
+    // with the implied candidate volume Σ C(depth, 2).
+    "m241_band_stats" -> s"""
+      WITH $MinhashSigCtes,
+      msg AS (SELECT doc_id, perm, MIN(sv) AS sig
+             FROM signed GROUP BY doc_id, perm),
+      bnd AS (SELECT doc_id, CAST(perm // 2 AS INT) AS band,
+              MIN(CASE WHEN perm % 2 = 0 THEN sig END) AS s0,
+              MIN(CASE WHEN perm % 2 = 1 THEN sig END) AS s1
+            FROM msg GROUP BY 1, 2),
+      bkt AS (SELECT band, s0, s1, CAST(COUNT(*) AS BIGINT) AS depth
+            FROM bnd GROUP BY 1, 2, 3)
+      SELECT band, depth, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        CAST(COUNT(*) * ((depth * (depth - 1)) // 2) AS BIGINT) AS n_pairs
+      FROM bkt GROUP BY band, depth ORDER BY band, depth""",
+
+    // m242: HITS — unrolled exact-integer mutual recursion (auth from
+    // the PREVIOUS hub, hub from the NEW auth — iteration for
+    // iteration the operator's loop), HUGEINT sums, one end
+    // normalization: units cast BIGINT (Long-safe at gate SF), norms
+    // the single IEEE division + round 6.
+    "m242_hits" -> {
+      def halfA(hub: String, out: String) = s"""
+      $out AS (SELECT v.id, COALESCE(s.s, CAST(0 AS HUGEINT)) AS auth
+        FROM vtx v LEFT JOIN (SELECT e.dst AS id, SUM(h.hub) AS s
+          FROM ed e JOIN $hub h ON e.src = h.id GROUP BY e.dst) s
+        ON v.id = s.id)"""
+      def halfH(auth: String, out: String) = s"""
+      $out AS (SELECT v.id, COALESCE(s.s, CAST(0 AS HUGEINT)) AS hub
+        FROM vtx v LEFT JOIN (SELECT e.src AS id, SUM(a.auth) AS s
+          FROM ed e JOIN $auth a ON e.dst = a.id GROUP BY e.src) s
+        ON v.id = s.id)"""
+      s"""
+      WITH ed AS (SELECT DISTINCT user_id AS src,
+            1000000 + CAST(json_extract_string(props, '$$.k') AS BIGINT)
+              AS dst
+          FROM events
+          WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+      vtx AS (SELECT src AS id FROM ed UNION SELECT dst FROM ed),
+      h0 AS (SELECT id, CAST(1 AS HUGEINT) AS hub FROM vtx),
+      ${halfA("h0", "a1")},
+      ${halfH("a1", "hh1")},
+      ${halfA("hh1", "a2")},
+      ${halfH("a2", "hh2")},
+      ${halfA("hh2", "a3")},
+      ${halfH("a3", "hh3")}
+      SELECT a.id, CAST(a.auth AS BIGINT) AS auth_units,
+        CAST(h.hub AS BIGINT) AS hub_units,
+        round(CAST(a.auth AS DOUBLE) /
+          CAST((SELECT MAX(auth) FROM a3) AS DOUBLE), 6) AS auth_norm,
+        round(CAST(h.hub AS DOUBLE) /
+          CAST((SELECT MAX(hub) FROM hh3) AS DOUBLE), 6) AS hub_norm
+      FROM a3 a JOIN hh3 h ON a.id = h.id
+      ORDER BY a.id"""
+    },
+
+    // m243: t-closeness — (quasi × sensitive) cells, per-class total
+    // via a quasi-partitioned window (NULL-safe grouping, the operator
+    // shape), present-value |a·N − b·g| in HUGEINT plus the absent-mass
+    // closed form (N − Σb)·g, truncating basis points.
+    "m243_t_closeness" -> """
+      WITH cells AS (SELECT source, n_chars // 100 AS band, lang,
+            CAST(COUNT(*) AS BIGINT) AS a
+          FROM documents GROUP BY 1, 2, 3),
+      gl AS (SELECT lang, CAST(SUM(a) AS BIGINT) AS b
+          FROM cells GROUP BY 1),
+      nn AS (SELECT CAST(SUM(a) AS BIGINT) AS n FROM cells),
+      wg AS (SELECT c.source, c.band, c.a, g2.b,
+            SUM(c.a) OVER (PARTITION BY c.source, c.band) AS g
+          FROM cells c JOIN gl g2 USING (lang)),
+      cls AS (SELECT source, band, CAST(g AS BIGINT) AS g,
+            CAST(COUNT(*) AS BIGINT) AS n_sensitive_present,
+            CAST(SUM(b) AS BIGINT) AS sb,
+            SUM(abs(CAST(a AS HUGEINT) * (SELECT n FROM nn)
+              - CAST(b AS HUGEINT) * g)) AS pn
+          FROM wg GROUP BY source, band, g)
+      SELECT source, band, g AS n_rows, n_sensitive_present,
+        CAST((10000 * (pn + (CAST((SELECT n FROM nn) AS HUGEINT) - sb) * g))
+          // (2 * CAST(g AS HUGEINT) * (SELECT n FROM nn)) AS BIGINT)
+          AS tvd_bp
+      FROM cls ORDER BY source, band""",
+
+    // m244: PSI per source — 20 clamped 100-char bins enumerated via
+    // range (Laplace +1 needs EMPTY bins), p/q exact-integer divisions,
+    // (p−q)·ln(p/q) terms folded in bin order (the m213 list_sum rule).
+    "m244_psi" -> """
+      WITH b0 AS (SELECT source, least(n_chars // 100, 19) AS bin,
+            CAST(COUNT(*) AS BIGINT) AS a
+          FROM documents GROUP BY 1, 2),
+      ns AS (SELECT source, CAST(SUM(a) AS BIGINT) AS ns
+          FROM b0 GROUP BY 1),
+      cb AS (SELECT bin, CAST(SUM(a) AS BIGINT) AS c FROM b0 GROUP BY 1),
+      nn AS (SELECT CAST(SUM(a) AS BIGINT) AS n FROM b0),
+      bins AS (SELECT s.source, s.ns, CAST(r.range AS BIGINT) AS bin
+          FROM ns s, range(20) r),
+      terms AS (SELECT bn.source, bn.bin, bn.ns,
+            CAST(COALESCE(a.a, 0) + 1 AS DOUBLE)
+              / CAST(bn.ns + 20 AS DOUBLE) AS p,
+            CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
+              / CAST((SELECT n FROM nn) + 20 AS DOUBLE) AS q
+          FROM bins bn
+          LEFT JOIN b0 a ON a.source = bn.source AND a.bin = bn.bin
+          LEFT JOIN cb c ON c.bin = bn.bin),
+      t2 AS (SELECT source, ns, bin, (p - q) * ln(p / q) AS term
+          FROM terms)
+      SELECT source, CAST(MAX(ns) AS BIGINT) AS n_docs,
+        round(list_sum(list(term ORDER BY bin)), 6) AS psi
+      FROM t2 GROUP BY source ORDER BY source""",
+
+    // m245: Kendall τ-b per event type on the %17 slice — in-group
+    // ordered pair join, the four counters in one aggregation, the
+    // tie-adjusted denominator as exact doubles under √ (IEEE-pinned,
+    // the m77 rule; the 2000-row ceiling keeps products < 2^53).
+    "m245_kendall_tau" -> """
+      WITH ev AS (SELECT event_type, event_id, epoch_us(ts) AS us, value
+          FROM events WHERE event_id % 17 = 0 AND value IS NOT NULL),
+      n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM ev GROUP BY 1),
+      p AS (SELECT a.event_type,
+            CAST(COUNT(*) AS BIGINT) AS n0,
+            CAST(SUM(CASE WHEN (a.us < b.us AND a.value < b.value)
+                OR (a.us > b.us AND a.value > b.value)
+              THEN 1 ELSE 0 END) AS BIGINT) AS c,
+            CAST(SUM(CASE WHEN (a.us < b.us AND a.value > b.value)
+                OR (a.us > b.us AND a.value < b.value)
+              THEN 1 ELSE 0 END) AS BIGINT) AS d,
+            CAST(SUM(CASE WHEN a.us = b.us THEN 1 ELSE 0 END) AS BIGINT)
+              AS tx,
+            CAST(SUM(CASE WHEN a.value = b.value THEN 1 ELSE 0 END)
+              AS BIGINT) AS ty
+          FROM ev a JOIN ev b
+            ON a.event_type = b.event_type AND a.event_id < b.event_id
+          GROUP BY 1)
+      SELECT n.event_type AS "group", n.n,
+        COALESCE(p.n0, 0) AS n0, COALESCE(p.c, 0) AS concordant,
+        COALESCE(p.d, 0) AS discordant, COALESCE(p.tx, 0) AS tied_x,
+        COALESCE(p.ty, 0) AS tied_y,
+        CASE WHEN COALESCE(p.n0 - p.tx, 0) = 0
+            OR COALESCE(p.n0 - p.ty, 0) = 0 THEN NULL
+          ELSE round(CAST(p.c - p.d AS DOUBLE) /
+            sqrt(CAST(p.n0 - p.tx AS DOUBLE) * CAST(p.n0 - p.ty AS DOUBLE)),
+            6) END AS tau_b
+      FROM n LEFT JOIN p USING (event_type)
+      ORDER BY "group"""",
+
+    // m246: per-community conductance — the m239 reachability closure
+    // labels components, split by doc-id parity (label = 2c + id%2),
+    // per-edge label classification, cut/vol/intra rollups, truncating
+    // micro with the NULL whole-graph guard.
+    "m246_conductance" -> s"""
+      WITH RECURSIVE $CharShingleCtes,
+      ${jacPairCtes("pj")},
+      p AS (SELECT pa AS da, pb AS db FROM pj WHERE ${jacGe("0.5")}),
+      e AS (SELECT da AS u, db AS v FROM p UNION SELECT db, da FROM p),
+      reach(node, r) AS (
+        SELECT u, u FROM e
+        UNION
+        SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.node),
+      cc AS (SELECT node AS id, MIN(r) AS component
+            FROM reach GROUP BY node),
+      lbl AS (SELECT id, 2 * component + id % 2 AS label FROM cc),
+      el AS MATERIALIZED (SELECT ed.da, ed.db, la.label AS la,
+            lb.label AS lb
+          FROM p ed JOIN lbl la ON ed.da = la.id
+          JOIN lbl lb ON ed.db = lb.id),
+      m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM el),
+      vol AS (SELECT community, CAST(COUNT(*) AS BIGINT) AS volume
+          FROM (SELECT la AS community FROM el
+                UNION ALL SELECT lb FROM el) GROUP BY 1),
+      nds AS (SELECT community, CAST(COUNT(*) AS BIGINT) AS n_nodes
+          FROM (SELECT DISTINCT id, community FROM
+                (SELECT da AS id, la AS community FROM el
+                 UNION ALL SELECT db, lb FROM el)) GROUP BY 1),
+      intra AS (SELECT la AS community,
+            CAST(COUNT(*) AS BIGINT) AS intra_edges
+          FROM el WHERE la = lb GROUP BY 1),
+      cut AS (SELECT community, CAST(COUNT(*) AS BIGINT) AS cut_edges
+          FROM (SELECT la AS community FROM el WHERE la <> lb
+                UNION ALL SELECT lb FROM el WHERE la <> lb) GROUP BY 1)
+      SELECT v.community, COALESCE(nd.n_nodes, 0) AS n_nodes, v.volume,
+        COALESCE(i.intra_edges, 0) AS intra_edges,
+        COALESCE(c.cut_edges, 0) AS cut_edges,
+        CASE WHEN least(v.volume, 2 * (SELECT m FROM m) - v.volume) = 0
+          THEN NULL
+          ELSE CAST((1000000 * COALESCE(c.cut_edges, 0))
+            // least(v.volume, 2 * (SELECT m FROM m) - v.volume)
+            AS BIGINT) END AS conductance_micro
+      FROM vol v LEFT JOIN nds nd USING (community)
+      LEFT JOIN intra i USING (community)
+      LEFT JOIN cut c USING (community)
+      ORDER BY v.community""",
+
+    // mm17: rotate-90-CW proofs — rotated dims (rw, rh) = (h, w), BMP
+    // offsets in the ROTATED frame, source byte re-derived from the
+    // PNG closed form at (sx = y, sy = h−1−x) (stored-deflate, the
+    // 12-byte-chunk-overhead rule).
+    "mm17_rotate90" -> s"""
+      WITH media AS (SELECT media_id, hex(bytes) AS h,
+              octet_length(bytes) AS ln
+            FROM read_parquet('{AUX}/media/*.parquet')),
+      im AS (SELECT media_id, h,
+              CAST(${u32be("16")} AS INT) AS w,
+              CAST(${u32be("20")} AS INT) AS ht
+             FROM media
+             WHERE ln >= 33 AND substr(h,1,16) = '89504E470D0A1A0A'),
+      rd AS (SELECT media_id, h, w, ht, ht AS rw, w AS rh FROM im),
+      pis AS (SELECT CAST(unnest(range(0, 9)) AS INT) AS pi),
+      pr AS (SELECT r.*, pi,
+              CAST(pi % 3 AS INT) AS xi, CAST(pi // 3 AS INT) AS yi
+             FROM rd r, pis),
+      pos AS (SELECT media_id, h, w, ht, rw, rh, pi,
+              CASE xi WHEN 0 THEN 0 WHEN 1 THEN rw // 2 ELSE rw - 1
+                END AS x,
+              CASE yi WHEN 0 THEN 0 WHEN 1 THEN rh // 2 ELSE rh - 1
+                END AS y,
+              CAST(pi % 3 AS INT) AS c
+             FROM pr)
+      SELECT media_id, pi, CAST(x AS INT) AS x, CAST(y AS INT) AS y, c,
+        CAST(54 + (rh - 1 - y) * (((3*rw + 3) // 4) * 4) + 3*x + (2 - c)
+          AS BIGINT) AS bmp_off,
+        TRY_CAST('0x' || substr(h,
+          (49 + (ht - 1 - x)*(1 + 3*w) + 3*y + c)*2 + 1, 2)
+          AS BIGINT) AS v,
+        w, ht AS h, CAST(rw AS INT) AS rw, CAST(rh AS INT) AS rh,
+        CAST(54 + rh * (((3*rw + 3) // 4) * 4) AS BIGINT) AS bmp_len
+      FROM pos ORDER BY media_id, pi""",
+
+    // m247: MMD² drift — the quantized grid replayed (float→double
+    // widening exact, ×1000, floor), second-moment matrices via the
+    // in-vector self-join, rest = all − label, and the one exact
+    // rational per label in HUGEINT (numerator ≲ 10³⁰ at gate SF).
+    "m247_mmd_drift" -> """
+      WITH co AS (SELECT CAST(label AS BIGINT) AS label, vec_id,
+            e.i AS i,
+            CAST(floor(CAST(e.v AS DOUBLE) * 1000) AS BIGINT) AS q
+          FROM (SELECT label, vec_id,
+                unnest(list_transform(range(0, len(embedding)),
+                  j -> {'i': j, 'v': embedding[CAST(j AS INT) + 1]})) AS e
+              FROM embeddings)),
+      cnt AS (SELECT label, CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n
+          FROM co GROUP BY 1),
+      mm AS MATERIALIZED (SELECT a.label, a.i AS ia, b.i AS ib,
+            SUM(CAST(a.q AS HUGEINT) * b.q) AS ml
+          FROM co a JOIN co b ON a.vec_id = b.vec_id
+          GROUP BY 1, 2, 3),
+      ma AS (SELECT ia, ib, SUM(ml) AS mall FROM mm GROUP BY 1, 2),
+      sums AS (SELECT label,
+            SUM(ml * ml) AS saa,
+            SUM(ml * (mall - ml)) AS sab,
+            SUM((mall - ml) * (mall - ml)) AS sbb
+          FROM mm JOIN ma USING (ia, ib) GROUP BY 1),
+      nt AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM cnt),
+      fin AS (SELECT s.label, c.n AS na,
+            (SELECT t FROM nt) - c.n AS nb, s.saa, s.sab, s.sbb
+          FROM sums s JOIN cnt c USING (label))
+      SELECT label, na AS n_label, nb AS n_rest,
+        CASE WHEN na = 0 OR nb = 0 THEN NULL
+          ELSE CAST(((saa * CAST(nb AS HUGEINT) * nb
+              + sbb * CAST(na AS HUGEINT) * na
+              - 2 * sab * CAST(na AS HUGEINT) * nb) * 1000000)
+            // (CAST(na AS HUGEINT) * na * nb * nb
+              * CAST(1000000000000 AS HUGEINT)) AS BIGINT) END
+          AS mmd2_micro
+      FROM fin ORDER BY label""",
+
+    // m248: removal-effect attribution — journeys truncated at the
+    // first conversion, edge counts shared (MATERIALIZED), then SIX
+    // chains (full + one per channel) each as a 16-step absorption
+    // iteration replayed division for division; every mv level
+    // MATERIALIZED (each is read by the next level AND its conv tap —
+    // unpinned, DuckDB re-inlines 2^16 times, the m112 lesson).
+    "m248_removal_effect" -> {
+      val sc = "1000000000000"
+      val iters = 16
+      def chain(tag: String, ch: String) = {
+        val rewire =
+          if (ch.isEmpty) "b"
+          else s"CASE WHEN b = '$ch' THEN '(null)' ELSE b END"
+        val rowFilter = if (ch.isEmpty) "" else s" WHERE a <> '$ch'"
+        val sb = new StringBuilder
+        sb ++= s"""
+      cn_$tag AS (SELECT a, $rewire AS b, SUM(n) AS n
+          FROM cn$rowFilter GROUP BY 1, 2),
+      rs_$tag AS (SELECT a, SUM(n) AS s FROM cn_$tag GROUP BY a),
+      pf_$tag AS MATERIALIZED (SELECT c.a, c.b, (c.n * $sc) // r.s AS u
+          FROM cn_$tag c JOIN rs_$tag r USING (a)),
+      v0_$tag AS (SELECT '(start)' AS t, CAST($sc AS HUGEINT) AS u),"""
+        for (i <- 1 to iters) {
+          val prev = if (i == 1) s"v0_$tag" else s"mv${i - 1}_$tag"
+          sb ++= s"""
+      mv${i}_$tag AS MATERIALIZED (SELECT p.b AS t,
+            SUM(v.u * p.u) // $sc AS u
+          FROM $prev v JOIN pf_$tag p ON v.t = p.a
+          WHERE p.b NOT IN ('purchase', '(null)') GROUP BY p.b),
+      cv${i}_$tag AS (SELECT COALESCE(SUM(v.u * p.u), 0) // $sc AS c
+          FROM $prev v JOIN pf_$tag p ON v.t = p.a
+          WHERE p.b = 'purchase'),"""
+        }
+        sb ++= s"""
+      pc_$tag AS (SELECT CAST(SUM(c) AS HUGEINT) AS p FROM (${
+          (1 to iters).map(i => s"SELECT c FROM cv${i}_$tag")
+            .mkString(" UNION ALL ")})),"""
+        sb.toString
+      }
+      val channels = Seq("click", "error", "signup", "view")
+      s"""
+      WITH s0 AS (SELECT user_id, event_type AS t,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS rn
+          FROM events),
+      s1 AS (SELECT *, MIN(CASE WHEN t = 'purchase' THEN rn END)
+            OVER (PARTITION BY user_id) AS crn FROM s0),
+      s2 AS (SELECT user_id, t, rn,
+            lead(t) OVER (PARTITION BY user_id ORDER BY rn) AS nx
+          FROM s1 WHERE crn IS NULL OR rn <= crn),
+      edges AS (
+        SELECT '(start)' AS a, t AS b FROM s2 WHERE rn = 1
+        UNION ALL
+        SELECT t, nx FROM s2 WHERE t <> 'purchase' AND nx IS NOT NULL
+        UNION ALL
+        SELECT t, '(null)' FROM s2 WHERE t <> 'purchase' AND nx IS NULL),
+      cn AS MATERIALIZED (SELECT a, b, CAST(COUNT(*) AS HUGEINT) AS n
+          FROM edges GROUP BY 1, 2),
+      ${chain("full", "")}
+      ${channels.map(c => chain(c, c)).mkString("\n")}
+      fin(channel, pf, pr) AS (${channels.map(c =>
+        s"SELECT '$c', (SELECT p FROM pc_full), (SELECT p FROM pc_$c)")
+          .mkString(" UNION ALL ")})
+      SELECT channel, CAST(pf AS BIGINT) AS p_conv_units,
+        CAST(pr AS BIGINT) AS p_removed_units,
+        CASE WHEN pf = 0 THEN NULL
+          ELSE CAST(((pf - pr) * 1000000) // pf AS BIGINT) END
+          AS removal_micro
+      FROM fin ORDER BY channel"""
+    },
+
+    // mm18: horizontal-flip proofs — dims unchanged, BMP offsets as
+    // mm15, source byte at the MIRRORED column (w−1−x, y).
+    "mm18_flip_h" -> s"""
+      WITH media AS (SELECT media_id, hex(bytes) AS h,
+              octet_length(bytes) AS ln
+            FROM read_parquet('{AUX}/media/*.parquet')),
+      im AS (SELECT media_id, h,
+              CAST(${u32be("16")} AS INT) AS w,
+              CAST(${u32be("20")} AS INT) AS ht
+             FROM media
+             WHERE ln >= 33 AND substr(h,1,16) = '89504E470D0A1A0A'),
+      pis AS (SELECT CAST(unnest(range(0, 9)) AS INT) AS pi),
+      pr AS (SELECT i.*, pi,
+              CAST(pi % 3 AS INT) AS xi, CAST(pi // 3 AS INT) AS yi
+             FROM im i, pis),
+      pos AS (SELECT media_id, h, w, ht, pi,
+              CASE xi WHEN 0 THEN 0 WHEN 1 THEN w // 2 ELSE w - 1
+                END AS x,
+              CASE yi WHEN 0 THEN 0 WHEN 1 THEN ht // 2 ELSE ht - 1
+                END AS y,
+              CAST(pi % 3 AS INT) AS c
+             FROM pr)
+      SELECT media_id, pi, CAST(x AS INT) AS x, CAST(y AS INT) AS y, c,
+        CAST(54 + (ht - 1 - y) * (((3*w + 3) // 4) * 4) + 3*x + (2 - c)
+          AS BIGINT) AS bmp_off,
+        TRY_CAST('0x' || substr(h,
+          (49 + y*(1 + 3*w) + 3*(w - 1 - x) + c)*2 + 1, 2)
+          AS BIGINT) AS v,
+        w, ht AS h,
+        CAST(54 + ht * (((3*w + 3) // 4) * 4) AS BIGINT) AS bmp_len
+      FROM pos ORDER BY media_id, pi""",
 
     // m91: RBO@5 — both rankings re-derived; each shared doc
     // contributes the pinned W(max(ra, rb)) literal, rounded then

@@ -4482,6 +4482,148 @@ object Queries {
         pairs05(s, dir), k = 10, sampleMod = 17L)
       .orderBy("query_id")
 
+  /** m239 — cluster-integrity sharding
+    * ([[operators.TrainingPipeline.clusterShards]] at 8 shards over
+    * the 0.5-threshold pair table): every near-dup cluster
+    * rendezvous-hashes to ONE shard (singletons by own id) — the
+    * layout for shard-local dedup refinement with zero cross-shard
+    * traffic; the oracle composes the m11 closure with the m133 mix64
+    * argmax replay keyed by the cluster label. */
+  def m239ClusterShards(s: SparkSession, dir: String): DataFrame =
+    operators.TrainingPipeline.clusterShards(t(s, dir, "documents"),
+        pairs05(s, dir), shards = 8)
+      .orderBy("doc_id")
+
+  /** m240 — purged temporal split
+    * ([[operators.TrainingPipeline.purgedTemporalSplit]], 70% cutoff,
+    * 5% embargo of the observed µs span): train strictly before
+    * cutoff−embargo, test at/after cutoff, the band between DROPPED —
+    * the time-series CV convention that keeps train-side feature
+    * windows from overlapping test rows (the temporal analog of m57's
+    * cluster-indivisible split). Pure integer bounds arithmetic. */
+  def m240PurgedSplit(s: SparkSession, dir: String): DataFrame =
+    operators.TrainingPipeline.purgedTemporalSplit(t(s, dir, "events"))
+      .orderBy("event_id")
+
+  /** m241 — LSH band-occupancy histogram
+    * ([[operators.Dedup.lshBandStats]], k=8, 4 bands of r=2 over
+    * char-5 shingles): per band the bucket-depth histogram and implied
+    * candidate volume ΣC(depth,2) — the measured companion to m166's
+    * theoretical S-curve and the readout the hot-bucket salt guard is
+    * tuned from; the oracle bands the m92 signature replay. */
+  def m241BandStats(s: SparkSession, dir: String): DataFrame =
+    operators.Dedup.lshBandStats(t(s, dir, "documents"))
+      .orderBy("band", "depth")
+
+  /** m242 — HITS hubs/authorities ([[operators.Graph.hits]], 3
+    * iterations) over the user→item interaction graph (distinct
+    * (user, props.k) edges, items offset to their own id space):
+    * exact-integer unnormalized mutual recursion in DECIMAL(38,0),
+    * one end normalization. Units cast to BIGINT for the gate (≤3·10¹²
+    * at this SF — inside Long; the operator itself carries DECIMAL). */
+  def m242Hits(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "events")
+      .select(col("user_id").as("src"),
+        (get_json_object(col("props"), "$.k").cast("long") + 1000000L)
+          .as("dst"))
+      .filter(col("dst").isNotNull).distinct()
+    val vtx = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id"))).distinct()
+    operators.Graph.hits(vtx, edges, iters = 3)
+      .select(col("id"), col("auth_units").cast("long").as("auth_units"),
+        col("hub_units").cast("long").as("hub_units"),
+        col("auth_norm"), col("hub_norm"))
+      .orderBy("id")
+  }
+
+  /** m243 — t-closeness audit
+    * ([[operators.TrainingPipeline.tClosenessReport]]): per
+    * (source, 100-char band) quasi class, the exact-integer total
+    * variation distance between the class's language distribution and
+    * the corpus's, in truncating basis points — the distributional
+    * step after m200's k-anonymity and m205's l-diversity. */
+  def m243TCloseness(s: SparkSession, dir: String): DataFrame =
+    operators.TrainingPipeline.tClosenessReport(t(s, dir, "documents"),
+        Seq(col("source"), expr("n_chars div 100")), col("lang"))
+      .select(col("q0").as("source"), col("q1").as("band"),
+        col("n_rows"), col("n_sensitive_present"), col("tvd_bp"))
+      .orderBy("source", "band")
+
+  /** m244 — population stability index per source
+    * ([[operators.TextAnalysis.psiBySource]], 20 bands of 100 chars,
+    * last open): Laplace-smoothed (p−q)·ln(p∕q) over doc-length bins
+    * vs the corpus, ordered-fold summed — the drift companion to
+    * m213's KL (which compares vocabularies; PSI compares shapes). */
+  def m244Psi(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.psiBySource(t(s, dir, "documents"))
+
+  /** m245 — Kendall τ-b per event type
+    * ([[operators.Ranking.kendallTauBy]] on the event_id%17 slice,
+    * time vs value): concordant/discordant pair counts with the
+    * tie-adjusted denominator — Spearman m172's robust sibling; the
+    * group ceiling doubles as the float-exactness budget. */
+  def m245KendallTau(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("event_id") % 17 === 0)
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"), col("value"))
+    operators.Ranking.kendallTauBy(ev, col("event_type"),
+        col("event_id"), col("us"), col("value"))
+      .orderBy("group")
+  }
+
+  /** m246 — per-component conductance
+    * ([[operators.Graph.conductanceReport]] over the 0.5-threshold
+    * dup graph, communities = m11's connected components): cut ∕
+    * min(vol, 2m−vol) in truncating micro — on true components cut=0
+    * everywhere (a degenerate proof), so the gate SPLITS each
+    * component by doc-id parity (label = 2·component + id%2, collision
+    * -free) to exercise non-zero cuts on real edges. */
+  def m246Conductance(s: SparkSession, dir: String): DataFrame = {
+    val pairs = pairs05(s, dir)
+    val labels = operators.Dedup.connectedComponents(pairs)
+      .select(col("id"),
+        (col("component") * 2L + pmod(col("id"), lit(2L))).as("label"))
+    operators.Graph.conductanceReport(pairs, labels)
+      .orderBy("community")
+  }
+
+  /** mm17 — ROTATE-90°-CW proofs ([[operators.Multimodal
+    * .rotate90Probes]]): per image the rotated dims (h, w), rotated-BMP
+    * size, and a 3×3 probe grid whose bytes the oracle re-derives from
+    * the SOURCE PNG at (sx = y, sy = h−1−x) — the axis-swap-plus-flip
+    * remap proven byte-for-byte. */
+  def mm17Rotate90(s: SparkSession, dir: String): DataFrame =
+    Multimodal.rotate90Probes(media(s, dir))
+      .orderBy("media_id", "pi")
+
+  /** m247 — MMD² embedding drift per label
+    * ([[operators.Similarity.mmdDriftByLabel]]): degree-2 polynomial
+    * kernel over the 1000-quantized grid, factorized through exact
+    * second-moment matrices — one O(n·d²) pass, no pair join; the
+    * whole statistic one integer rational per label. */
+  def m247MmdDrift(s: SparkSession, dir: String): DataFrame =
+    operators.Similarity.mmdDriftByLabel(t(s, dir, "embeddings"))
+
+  /** m248 — Markov removal-effect attribution
+    * ([[operators.Temporal.markovRemovalEffect]], conversion =
+    * 'purchase', 16 absorption steps): per channel, how much of the
+    * chain's conversion mass dies when the channel is removed —
+    * multi-touch credit that q68's last-touch cannot see; exact
+    * 10¹²-unit integer iteration, replayed step for step. */
+  def m248RemovalEffect(s: SparkSession, dir: String): DataFrame =
+    operators.Temporal.markovRemovalEffect(t(s, dir, "events"),
+      col("user_id"), Seq(col("ts"), col("event_id")), col("event_type"),
+      convSymbol = "purchase")
+
+  /** mm18 — horizontal-flip proofs
+    * ([[operators.Multimodal.flipHProbes]]): dims unchanged, probe
+    * bytes re-derived from the SOURCE PNG at (w−1−x, y) — corners
+    * catch the mirror a midpoint grid would miss. */
+  def mm18FlipH(s: SparkSession, dir: String): DataFrame =
+    Multimodal.flipHProbes(media(s, dir))
+      .orderBy("media_id", "pi")
+
   /** m231 — split-leakage audit ([[operators.Dedup.splitLeakageReport]]
     * over m138's exact stratified split and the shared 0.5-threshold
     * pair table): per ordered split pair, docs sharing a near-dup

@@ -332,6 +332,16 @@ object SparkEntry {
     "m236_dup_evidence" -> Queries.m236DupEvidence,
     "m237_feature_matrix" -> Queries.m237FeatureMatrix,
     "m238_distill_triplets" -> Queries.m238DistillTriplets,
+    "m239_cluster_shards" -> Queries.m239ClusterShards,
+    "m240_purged_split" -> Queries.m240PurgedSplit,
+    "m241_band_stats" -> Queries.m241BandStats,
+    "m242_hits" -> Queries.m242Hits,
+    "m243_t_closeness" -> Queries.m243TCloseness,
+    "m244_psi" -> Queries.m244Psi,
+    "m245_kendall_tau" -> Queries.m245KendallTau,
+    "m246_conductance" -> Queries.m246Conductance,
+    "m247_mmd_drift" -> Queries.m247MmdDrift,
+    "m248_removal_effect" -> Queries.m248RemovalEffect,
     "q65_conversion_delays" -> Queries.q65ConversionDelays,
     "q66_interval_coalesce" -> Queries.q66IntervalCoalesce,
     "q67_rolling_distinct" -> Queries.q67RollingDistinct,
@@ -364,6 +374,8 @@ object SparkEntry {
     "mm14_loudness_gains" -> Queries.mm14LoudnessGains,
     "mm15_bmp_transcode" -> Queries.mm15BmpTranscode,
     "mm16_center_crop" -> Queries.mm16CenterCrop,
+    "mm17_rotate90" -> Queries.mm17Rotate90,
+    "mm18_flip_h" -> Queries.mm18FlipH,
     // snapshot-ETL pipeline over the deterministic fixture. Binary columns
     // surface as hex strings: the gate's pandas compare cannot hash raw
     // bytes (astype(str) utf-8-decodes), and hex() exists identically on

@@ -190,6 +190,60 @@ object Media {
     }
   }
 
+  /** PNG → 90°-CLOCKWISE-rotated BMP: output dims (h, w), dest pixel
+    * (x', y') sourced from (y', h−1−x') — the quarter-turn every
+    * augmentation stack ships. Null for non-images (P11 semantics). */
+  def imageRotate90Bmp(bytes: Array[Byte]): Array[Byte] = {
+    val img = readImage(bytes)
+    if (img == null) null
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val full = rgbRaster(img)
+      // rotated raster: width h, height w
+      val out = new Array[Byte](w * h * 3)
+      var yp = 0
+      while (yp < w) {
+        var xp = 0
+        while (xp < h) {
+          val sx = yp; val sy = h - 1 - xp
+          val so = (sy * w + sx) * 3
+          val dof = (yp * h + xp) * 3
+          out(dof) = full(so); out(dof + 1) = full(so + 1)
+          out(dof + 2) = full(so + 2)
+          xp += 1
+        }
+        yp += 1
+      }
+      encodeBmp(h, w, out)
+    }
+  }
+
+  /** PNG → horizontally-mirrored BMP: dims unchanged, dest (x, y)
+    * sourced from (w−1−x, y) — the flip-augmentation twin of
+    * [[imageRotate90Bmp]]. Null for non-images (P11 semantics). */
+  def imageFlipHBmp(bytes: Array[Byte]): Array[Byte] = {
+    val img = readImage(bytes)
+    if (img == null) null
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val full = rgbRaster(img)
+      val out = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val so = (y * w + (w - 1 - x)) * 3
+          val dof = (y * w + x) * 3
+          out(dof) = full(so); out(dof + 1) = full(so + 1)
+          out(dof + 2) = full(so + 2)
+          x += 1
+        }
+        y += 1
+      }
+      encodeBmp(w, h, out)
+    }
+  }
+
   // =====================================================================
   // WAV encode: canonical 44-byte RIFF/WAVE header + PCM16 payload.
   // =====================================================================

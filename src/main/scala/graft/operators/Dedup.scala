@@ -420,6 +420,44 @@ object Dedup {
     rows.toDF("bands", "rows_per_band", "s_milli", "p_collide_micro")
   }
 
+  /** LSH band-occupancy readout — the MEASURED companion to [[lshPlan]]'s
+    * theoretical S-curve and the diagnostic the hot-bucket salt guard is
+    * tuned from: per band, the bucket-depth histogram (how many buckets
+    * hold exactly `depth` docs) and the candidate-pair volume those
+    * buckets imply (Σ per-bucket C(depth,2)). A healthy corpus shows
+    * depth 1–2 dominating; a fat tail here is the pileup that becomes
+    * the LSH join's hot key at scale — read this BEFORE raising any
+    * ceiling. Band slices are cut inside the compiled kernel (the HOF
+    * inlining rule — never slice a udf-produced array in a lambda);
+    * Signatures go through [[sigOnly]]'s persist barrier and the band
+    * slices are cut by a CHEAP `transform`/`slice` over the materialized
+    * sig column (the HOF-inlining rule — an explode over a signature-
+    * computing udf would re-run the minhash kernel 3× per row AND once
+    * per band after CollapseProject inlines it); buckets key on the RAW
+    * slice, so the histogram is collision-exact. Nothing corpus-sized
+    * survives the first groupBy. */
+  def lshBandStats(docs: DataFrame, k: Int = 8, bands: Int = 4,
+      shingleW: Int = 5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(bands >= 1 && k >= bands && k % bands == 0,
+      s"lshBandStats: bands=$bands must divide k=$k")
+    val r = k / bands
+    val sig = sigOnly(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      charSigUdf(_, _, _), shingleW, k)
+    val hist = sig
+      .select(explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.cast("int").as("band"),
+          slice(col("sig"), b * r + 1, lit(r)).as("bkey")))).as("e"))
+      .select(col("e.band").as("band"), col("e.bkey").as("bkey"))
+      .groupBy("band", "bkey").agg(count(lit(1)).as("depth"))
+      .groupBy("band", "depth").agg(count(lit(1)).as("n_buckets"))
+      .withColumn("n_pairs",
+        expr("n_buckets * ((depth * (depth - 1)) div 2)"))
+      .select(col("band"), col("depth"), col("n_buckets"), col("n_pairs"))
+    materialized(hist, sig)
+  }
+
   /** Near-dedup via MinHash-LSH: drop the higher doc_id of every verified
     * near-dup pair (connected via direct pairs; transitive closure left to
     * iterative callers). */

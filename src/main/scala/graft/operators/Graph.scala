@@ -1223,4 +1223,154 @@ object Graph {
       .select(col("n_removed").cast("int").as("n_removed"), col("n_nodes"),
         col("n_edges"), col("giant_size"), col("n_components"))
   }
+
+  /** HITS hubs-and-authorities (Kleinberg 1999) over a DIRECTED graph —
+    * on a user→item interaction graph the classic bipartite readout:
+    * good hubs touch many good authorities and vice versa. Same
+    * determinism contract as [[pageRank]], taken one step further:
+    * iterations are UNNORMALIZED exact-integer mutual recursions in
+    * DECIMAL(38,0) (auth ← Σ hub of in-neighbors, then hub ← Σ NEW auth
+    * of out-neighbors; init hub=1), normalization happens ONCE at the
+    * end as a single division by the max — division and the final
+    * round(·,6) are the only float steps, both IEEE-pinned on exact
+    * operands, so the result replays bit-for-bit in a SQL oracle
+    * iteration for iteration. No per-round division means no mid-loop
+    * rounding to mirror and no float drift to accumulate.
+    *
+    * Precision budget: magnitudes grow by a factor ≤ max-degree per
+    * half-step, so after i iterations values are ≤ N·(dmax²)ⁱ — at
+    * iters=3 (default) that stays inside DECIMAL(38,0) for any graph
+    * with N·dmax⁶ < 10³⁸ (a 10⁹-vertex graph with dmax 10⁴ still
+    * fits); a silent Spark decimal overflow would surface as NULL and
+    * is require-guarded after the loop. Scale shape: each half-step is
+    * one shuffle (sum by edge endpoint) plus a vertex left-join — the
+    * [[pageRank]] plan with the rank frame narrow either way; the
+    * chain is linear and lazy, one terminal action runs it all.
+    *
+    * @param edges DIRECTED (`srcCol`, `dstCol`) — do NOT symmetrize;
+    *              on an undirected graph auth ≡ hub by construction
+    * @return (id, auth_units, hub_units — DECIMAL(38,0) exact,
+    *         auth_norm, hub_norm — rounded share of the max) */
+  def hits(vertices: DataFrame, edges: DataFrame, iters: Int = 3,
+      idCol: String = "id", srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1 && iters <= 4,
+      s"hits: iters=$iters out of [1,4] (DECIMAL(38,0) growth budget)")
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val vtx = vertices.select(col(idCol).cast("long").as("id"))
+      .transform(graft.core.Blocks.pin)
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .transform(graft.core.Blocks.pin)
+    var hub = vtx.select(col("id"), lit(1).cast(d38).as("hub"))
+    var auth: DataFrame = null
+    var i = 0
+    while (i < iters) {
+      val aSum = e.join(hub, e("src") === hub("id"))
+        .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("s"))
+      auth = vtx.join(aSum, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("s"), lit(0).cast(d38)).as("auth"))
+      val hSum = e.join(auth, e("dst") === auth("id"))
+        .groupBy(col("src").as("id")).agg(sum(col("auth")).as("s"))
+      hub = vtx.join(hSum, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("s"), lit(0).cast(d38)).as("hub"))
+      i += 1
+    }
+    val joined = auth.join(hub, "id")
+      .select(col("id"), col("auth").cast(d38).as("auth_units"),
+        col("hub").cast(d38).as("hub_units"))
+      .transform(graft.core.Blocks.pin)
+    graft.core.Blocks.release(vtx)
+    graft.core.Blocks.release(e)
+    val mx = joined.agg(max(col("auth_units")).as("ma"),
+      max(col("hub_units")).as("mh"),
+      sum(when(col("auth_units").isNull || col("hub_units").isNull, 1L)
+        .otherwise(0L)).as("nulls")).head()
+    require(mx.get(2) == null || mx.getLong(2) == 0L,
+      "hits: DECIMAL(38,0) overflow (null units) — lower iters")
+    val (ma, mh) = (mx.getDecimal(0), mx.getDecimal(1))
+    def norm(units: org.apache.spark.sql.Column,
+        m: java.math.BigDecimal): org.apache.spark.sql.Column =
+      if (m == null || m.signum() == 0) lit(0.0)
+      else round(units.cast("double") / lit(new java.math.BigDecimal(
+        m.toBigInteger).doubleValue()), 6)
+    joined.select(col("id"), col("auth_units"), col("hub_units"),
+      norm(col("auth_units"), ma).as("auth_norm"),
+      norm(col("hub_units"), mh).as("hub_norm"))
+  }
+
+  /** Per-community conductance — the partition-quality companion to
+    * [[modularityReport]] that grades each community SEPARATELY:
+    * φ(S) = cut(S) / min(vol(S), vol(V∖S)), cut = edges leaving S,
+    * vol = Σ degree inside S. Modularity rewards a clustering globally;
+    * conductance exposes the one community that leaks — on a dup graph,
+    * the cluster whose members keep matching outside it (a boilerplate
+    * bridge the canonical-pick stage must not collapse through).
+    *
+    * Exact integers end to end: one degree aggregation, one per-edge
+    * label join (intra/cut classification), bounded per-label rollup;
+    * conductance in truncating MICRO units (10⁶·cut // min(vol,
+    * 2m−vol) — floor division, mirrored). Labels missing from the
+    * label frame form their own singleton communities via coalesce to
+    * the node id (the m239 convention). Edges are undirected pairs;
+    * vol counts both endpoints, 2m = Σ degrees.
+    *
+    * @return one row per community: (community, n_nodes, volume,
+    *         intra_edges, cut_edges, conductance_micro — NULL for a
+    *         community spanning the whole graph, where min(vol,
+    *         2m−vol) = 0) */
+  def conductanceReport(pairs: DataFrame, labels: DataFrame,
+      aCol: String = "doc_id_a", bCol: String = "doc_id_b",
+      idCol: String = "id", labelCol: String = "label"): DataFrame = {
+    val lab = labels.select(col(idCol).cast("long").as("__id"),
+      col(labelCol).cast("long").as("__l"))
+    val e = pairs
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .join(lab.select(col("__id").as("a"), col("__l").as("la")),
+        Seq("a"), "left")
+      .join(lab.select(col("__id").as("b"), col("__l").as("lb")),
+        Seq("b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("la"), col("a")).as("la"),
+        coalesce(col("lb"), col("b")).as("lb"))
+      .transform(graft.core.Blocks.pin)
+    val twoM = e.count() * 2L
+    // per-community volume: each endpoint contributes 1 to its label
+    val vol = e.select(col("la").as("community"))
+      .unionByName(e.select(col("lb").as("community")))
+      .groupBy("community").agg(count(lit(1)).as("volume"))
+    // per-community node counts ride the same frame (distinct endpoints)
+    val nodes = e.select(col("a").as("id"), col("la").as("community"))
+      .unionByName(e.select(col("b").as("id"), col("lb").as("community")))
+      .distinct()
+      .groupBy("community").agg(count(lit(1)).as("n_nodes"))
+    val intra = e.filter(col("la") === col("lb"))
+      .groupBy(col("la").as("community"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val cut = e.filter(col("la") =!= col("lb"))
+      .select(col("la").as("community"))
+      .unionByName(e.filter(col("la") =!= col("lb"))
+        .select(col("lb").as("community")))
+      .groupBy("community").agg(count(lit(1)).as("cut_edges"))
+    val out = vol
+      .join(nodes, Seq("community"), "left")
+      .join(intra, Seq("community"), "left")
+      .join(cut, Seq("community"), "left")
+      .select(col("community"), coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+        col("volume"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        coalesce(col("cut_edges"), lit(0L)).as("cut_edges"))
+      .withColumn("conductance_micro",
+        when(least(col("volume"), lit(twoM) - col("volume")) === 0L,
+          lit(null).cast("long"))
+          .otherwise(expr(s"(1000000 * cut_edges) div " +
+            s"least(volume, ${twoM}L - volume)")))
+    // pin BEFORE releasing the edge frame the lazy dag still reads
+    val pinned = graft.core.Blocks.pin(out)
+    graft.core.Blocks.release(e)
+    pinned
+  }
 }

@@ -23,6 +23,13 @@ final case class BmpReport(w: Int, h: Int, bmp_len: Long,
 final case class CropReport(w: Int, h: Int, cw: Int, ch: Int,
   x0: Int, y0: Int, bmp_len: Long, probes: Array[BmpProbe])
 
+/** Per-image rotate-90°-clockwise report (see
+  * [[Multimodal.rotate90Probes]]): source dims, rotated dims, rotated-
+  * BMP size, and the 3×3 probe grid read from the REAL rotated bytes.
+  * TOP-LEVEL case class — the encoder rule. */
+final case class RotReport(w: Int, h: Int, rw: Int, rh: Int,
+  bmp_len: Long, probes: Array[BmpProbe])
+
 /**
  * Multimodal operators: image/audio/video as opaque `binary` columns with
  * typed metadata — the Spark-side plumbing a 100 TB media pipeline needs.
@@ -79,6 +86,44 @@ object Multimodal {
         BmpProbe(pi, x, y, c, off, (bmp(off.toInt) & 0xff).toLong)
       }
       CropReport(w, h, cw, ch, x0, y0, bmp.length.toLong, probes)
+    }
+  })
+  private val rotProbeUdf = udf((b: Array[Byte]) => {
+    val bmp = Media.imageRotate90Bmp(b)
+    if (bmp == null) null
+    else {
+      def le32i(o: Int): Int = (bmp(o) & 0xff) | ((bmp(o + 1) & 0xff) << 8) |
+        ((bmp(o + 2) & 0xff) << 16) | ((bmp(o + 3) & 0xff) << 24)
+      val rw = le32i(18); val rh = le32i(22)
+      val rowSize = ((3 * rw + 3) / 4) * 4
+      val probes = Array.tabulate(9) { pi =>
+        val xi = pi % 3; val yi = pi / 3
+        val x = if (xi == 0) 0 else if (xi == 1) rw / 2 else rw - 1
+        val y = if (yi == 0) 0 else if (yi == 1) rh / 2 else rh - 1
+        val c = pi % 3
+        val off = 54L + (rh - 1 - y).toLong * rowSize + 3L * x + (2 - c)
+        BmpProbe(pi, x, y, c, off, (bmp(off.toInt) & 0xff).toLong)
+      }
+      RotReport(rh, rw, rw, rh, bmp.length.toLong, probes)
+    }
+  })
+  private val flipProbeUdf = udf((b: Array[Byte]) => {
+    val bmp = Media.imageFlipHBmp(b)
+    if (bmp == null) null
+    else {
+      def le32i(o: Int): Int = (bmp(o) & 0xff) | ((bmp(o + 1) & 0xff) << 8) |
+        ((bmp(o + 2) & 0xff) << 16) | ((bmp(o + 3) & 0xff) << 24)
+      val w = le32i(18); val h = le32i(22)
+      val rowSize = ((3 * w + 3) / 4) * 4
+      val probes = Array.tabulate(9) { pi =>
+        val xi = pi % 3; val yi = pi / 3
+        val x = if (xi == 0) 0 else if (xi == 1) w / 2 else w - 1
+        val y = if (yi == 0) 0 else if (yi == 1) h / 2 else h - 1
+        val c = pi % 3
+        val off = 54L + (h - 1 - y).toLong * rowSize + 3L * x + (2 - c)
+        BmpProbe(pi, x, y, c, off, (bmp(off.toInt) & 0xff).toLong)
+      }
+      BmpReport(w, h, bmp.length.toLong, probes)
     }
   })
   private val metaUdf = udf((b: Array[Byte]) => Option(Media.decodeMeta(b)))
@@ -252,6 +297,48 @@ object Multimodal {
         col("p.bmp_off").as("bmp_off"), col("p.v").as("v"),
         col("w"), col("h"), col("cw"), col("ch"), col("x0"), col("y0"),
         col("bmp_len"))
+
+  /** Rotate-90°-clockwise + BMP transcode with positional byte proofs
+    * ([[Media.imageRotate90Bmp]]): per image, the source dims, the
+    * rotated dims (h, w), the rotated BMP's exact size
+    * 54 + rh·rowSize(rw), and a 3×3 probe grid over the ROTATED frame
+    * read back from the real rotated bytes at BMP's closed-form offset
+    * — which the oracle matches against the SOURCE PNG's own closed
+    * form at (sx = y, sy = h−1−x). Proves the index remap (the one
+    * thing a rotation can get wrong: axis swap AND one flip, in the
+    * right order) plus the full transcode chain, without shipping
+    * rasters; the orientation-normalization/augmentation quarter-turn.
+    * Narrow per-row kernel; non-images are skipped (P11 semantics). */
+  def rotate90Probes(media: DataFrame): DataFrame =
+    withMeta(media)
+      .filter(col("meta.kind") === Media.KindImage)
+      .select(col("media_id"), rotProbeUdf(col("bytes")).as("r"))
+      .filter(col("r").isNotNull)
+      .select(col("media_id"), col("r.w").as("w"), col("r.h").as("h"),
+        col("r.rw").as("rw"), col("r.rh").as("rh"),
+        col("r.bmp_len").as("bmp_len"), explode(col("r.probes")).as("p"))
+      .select(col("media_id"), col("p.pi").as("pi"), col("p.x").as("x"),
+        col("p.y").as("y"), col("p.c").as("c"),
+        col("p.bmp_off").as("bmp_off"), col("p.v").as("v"),
+        col("w"), col("h"), col("rw"), col("rh"), col("bmp_len"))
+
+  /** Horizontal-flip + BMP transcode with positional byte proofs
+    * ([[Media.imageFlipHBmp]]): dims unchanged, probe grid read from
+    * the real mirrored bytes, oracle-matched against the SOURCE PNG at
+    * (w−1−x, y). The flip is the one remap a probe grid could silently
+    * get right by accident at midpoints — corners catch it. Narrow
+    * per-row kernel; non-images are skipped (P11 semantics). */
+  def flipHProbes(media: DataFrame): DataFrame =
+    withMeta(media)
+      .filter(col("meta.kind") === Media.KindImage)
+      .select(col("media_id"), flipProbeUdf(col("bytes")).as("r"))
+      .filter(col("r").isNotNull)
+      .select(col("media_id"), col("r.w").as("w"), col("r.h").as("h"),
+        col("r.bmp_len").as("bmp_len"), explode(col("r.probes")).as("p"))
+      .select(col("media_id"), col("p.pi").as("pi"), col("p.x").as("x"),
+        col("p.y").as("y"), col("p.c").as("c"),
+        col("p.bmp_off").as("bmp_off"), col("p.v").as("v"),
+        col("w"), col("h"), col("bmp_len"))
 
   private val loudUdf = udf((b: Array[Byte], t: Double) =>
     Option(Media.audioLoudness(b, t)))

@@ -1336,6 +1336,89 @@ object Ranking {
     pinned
   }
 
+  /** Kendall's τ-b per group — [[spearmanReportBy]]'s robust sibling:
+    * rank correlation from CONCORDANT/DISCORDANT pair counts with the
+    * tie-adjusted denominator, τ_b = (C − D) ∕ √((n₀−t_x)(n₀−t_y)),
+    * n₀ = n(n−1)/2, t_x/t_y = tied-in-x/tied-in-y pair counts. τ has a
+    * direct probabilistic read (P(agree) − P(disagree)) and is less
+    * sensitive than ρ to a single wild rank — the pairing every eval
+    * harness wants next to Spearman when ranking stability is the
+    * question.
+    *
+    * Pair counting is inherently quadratic per group, so the group size
+    * is probe-first CEILING-ENFORCED (`maxGroupRows`, ABORT not silent
+    * cap — the [[graft.operators.Dedup]] convention): one count
+    * aggregation proves every group fits, then the in-group equi-join
+    * expands at most maxGroupRows² ∕ 2 pairs per group, all counts in
+    * one aggregation. The ceiling doubles as the FLOAT-EXACTNESS
+    * budget: with n ≤ 65535, (n₀−t)² < 2⁶³ and every product sits
+    * exactly in a double, so √ (IEEE-pinned) and the final division are
+    * bit-deterministic cross-engine.
+    *
+    * Pairs are ordered by `idCol` (strict <, any orderable unique key);
+    * NULL x/y rows are dropped up front (documented — a NULL compares
+    * UNKNOWN in every pair, poisoning all four counters).
+    *
+    * @return one row per group: (group, n, n0, concordant, discordant,
+    *         tied_x, tied_y, tau_b 6dp — NULL when a denominator factor
+    *         is 0, i.e. all x or all y tied) */
+  def kendallTauBy(df: DataFrame, groupCol: Column, idCol: Column,
+      xCol: Column, yCol: Column, maxGroupRows: Int = 2000): DataFrame = {
+    require(maxGroupRows >= 2 && maxGroupRows <= 65535,
+      s"kendallTauBy: maxGroupRows=$maxGroupRows out of [2,65535]")
+    val base = df
+      .select(groupCol.cast("string").as("__g"), idCol.as("__id"),
+        xCol.as("__x"), yCol.as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .transform(graft.core.Blocks.pin)
+    val fattest = base.groupBy(col("__g")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    require(fattest <= maxGroupRows, {
+      graft.core.Blocks.release(base)
+      s"kendallTauBy: a group carries $fattest rows > " +
+        s"maxGroupRows=$maxGroupRows — pair counting is quadratic; " +
+        "pre-slice or raise the ceiling deliberately"
+    })
+    val a = base.select(col("__g"), col("__id").as("ia"),
+      col("__x").as("xa"), col("__y").as("ya"))
+    val b = base.select(col("__g"), col("__id").as("ib"),
+      col("__x").as("xb"), col("__y").as("yb"))
+    val stats = a.join(b, Seq("__g"))
+      .filter(col("ia") < col("ib"))
+      .groupBy(col("__g").as("group"))
+      .agg(
+        count(lit(1)).as("n0"),
+        sum(when((col("xa") < col("xb") && col("ya") < col("yb")) ||
+          (col("xa") > col("xb") && col("ya") > col("yb")), 1L)
+          .otherwise(0L)).as("concordant"),
+        sum(when((col("xa") < col("xb") && col("ya") > col("yb")) ||
+          (col("xa") > col("xb") && col("ya") < col("yb")), 1L)
+          .otherwise(0L)).as("discordant"),
+        sum(when(col("xa") === col("xb"), 1L).otherwise(0L)).as("tied_x"),
+        sum(when(col("ya") === col("yb"), 1L).otherwise(0L)).as("tied_y"))
+    val counts = base.groupBy(col("__g").as("group"))
+      .agg(count(lit(1)).as("n"))
+    val dx = (col("n0") - col("tied_x")).cast("double")
+    val dy = (col("n0") - col("tied_y")).cast("double")
+    val tau = when(dx === 0.0 || dy === 0.0, lit(null).cast("double"))
+      .otherwise(round((col("concordant") - col("discordant"))
+        .cast("double") / sqrt(dx * dy), 6))
+    val out = counts.join(stats, Seq("group"), "left")
+      .select(col("group"), col("n"),
+        coalesce(col("n0"), lit(0L)).as("n0"),
+        coalesce(col("concordant"), lit(0L)).as("concordant"),
+        coalesce(col("discordant"), lit(0L)).as("discordant"),
+        coalesce(col("tied_x"), lit(0L)).as("tied_x"),
+        coalesce(col("tied_y"), lit(0L)).as("tied_y"),
+        tau.as("tau_b"))
+    val pinned = out.transform(graft.core.Blocks.pin)
+    graft.core.Blocks.release(base)
+    pinned
+  }
+
   /**
    * Sampled Theil–Sen slope per group — the ROBUST trend companion of
    * [[graft.operators.TrainingPipeline.trendReport]]'s OLS: the median

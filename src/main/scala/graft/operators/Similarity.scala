@@ -2182,6 +2182,95 @@ object Similarity {
         expr("sum_norm_micro div n_vectors"))
       .orderBy("label")
 
+  /** MMD² drift per label vs the rest of the corpus — the two-sample
+    * kernel test every embedding-space drift monitor wants next to
+    * [[normAuditByLabel]]'s norms and m244's scalar PSI: "does this
+    * slice occupy a DIFFERENT region of embedding space?". Kernel is
+    * the degree-2 polynomial k(x,y) = (x·y)² over a QUANTIZED integer
+    * grid (q = floor(v·quantScale) per coordinate), which buys two
+    * things no RBF kernel can give here: (1) the pair sums FACTORIZE
+    * through second-moment matrices — mean_{x∈A,y∈B}(x·y)² =
+    * Σᵢⱼ Mᴬᵢⱼ·Mᴮᵢⱼ ∕ (nᴬ·nᴮ) with Mᵢⱼ = Σₓ xᵢxⱼ — so the operator is
+    * ONE O(n·d²) pass plus bounded d²-frame joins, no pair join
+    * anywhere; (2) every moment is an exact integer, so the whole
+    * statistic reduces to one rational per label,
+    * mmd2_micro = ⌊10⁶·(S_AA·n_B² + S_BB·n_A² − 2·S_AB·n_A·n_B) ∕
+    * (n_A²·n_B²·quantScale⁴)⌋, computed in driver BigInt over a
+    * labels-sized collect — bit-replayable, no float ever sums. The
+    * biased V-statistic (self-pairs included) keeps MMD² ≥ 0.
+    *
+    * Precision budget: |q| ≤ quantScale for unit-normalized inputs, so
+    * Mᵢⱼ ≤ n·quantScale² and Σᵢⱼ M² ≤ d²·n²·quantScale⁴ — DECIMAL(38,0)
+    * holds to n·quantScale² < 10¹⁶ ∕ d; the rest-side moments come from
+    * ONE corpus aggregate (M_rest = M_all − M_label), not a second
+    * scan. The d² explosion is the only corpus-sized move and is a
+    * generator off a pinned (id, i, q) frame, partial-agg reduced.
+    *
+    * @return (label, n_label, n_rest, mmd2_micro), label ASC */
+  def mmdDriftByLabel(vectors: DataFrame, quantScale: Int = 1000,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    require(quantScale >= 1 && quantScale <= 1000000,
+      s"mmdDriftByLabel: quantScale=$quantScale out of [1,1000000]")
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val s = vectors.sparkSession
+    import s.implicits._
+    // (label, id, i, q) — floor through double (float→double widening
+    // exact, mirrored by the oracle); `idCol` must be unique (it keys
+    // the in-vector outer-product join — a generator-local row id
+    // would be assigned per EXPLODED row here, silently collapsing the
+    // moment matrix to its diagonal)
+    val coords = spread(vectors
+        .select(col(labelCol).cast("long").as("label"),
+          col(idCol).as("__rid"), col(vecCol).as("__v")))
+      .select(col("label"), col("__rid"),
+        posexplode(col("__v")).as(Seq("i", "v")))
+      .select(col("label"), col("__rid"), col("i"),
+        floor(col("v").cast("double") * quantScale).cast("long").as("q"))
+      .transform(graft.core.Blocks.pin)
+    val counts = coords.filter(col("i") === 0)
+      .groupBy("label").agg(count(lit(1)).as("n"))
+    // per-vector outer products via an in-vector equi-join on the row
+    // id; Mᵢⱼ partial-agg reduces to (labels × d²) before any exchange
+    val m = coords.as("a")
+      .join(coords.as("b"), Seq("__rid"))
+      .select(col("a.label").as("label"), col("a.i").as("ia"),
+        col("b.i").as("ib"),
+        (col("a.q").cast(d38) * col("b.q").cast(d38)).as("p"))
+      .groupBy("label", "ia", "ib").agg(sum(col("p")).as("ml"))
+      .transform(graft.core.Blocks.pin)
+    val mAll = m.groupBy("ia", "ib").agg(sum(col("ml")).as("ma"))
+    val sums = m.join(broadcast(mAll), Seq("ia", "ib"))
+      .select(col("label"), col("ml"), (col("ma") - col("ml")).as("mr"))
+      .groupBy("label").agg(
+        sum((col("ml") * col("ml")).cast(d38)).as("saa"),
+        sum((col("ml") * col("mr")).cast(d38)).as("sab"),
+        sum((col("mr") * col("mr")).cast(d38)).as("sbb"))
+      .join(counts, "label")
+    val nTotal = counts.agg(sum(col("n"))).head().getLong(0)
+    val rows = sums.collect().map { r =>
+      val saa = BigInt(r.getDecimal(1).toBigInteger)
+      val sab = BigInt(r.getDecimal(2).toBigInteger)
+      val sbb = BigInt(r.getDecimal(3).toBigInteger)
+      val nA = BigInt(r.getLong(4)); val nB = BigInt(nTotal) - nA
+      val micro: Option[Long] =
+        if (nA == 0 || nB == 0) None
+        else {
+          val num = (saa * nB * nB + sbb * nA * nA - sab * nA * nB * 2) *
+            BigInt(1000000)
+          val den = nA * nA * nB * nB *
+            BigInt(quantScale).pow(4)
+          Some((num / den).toLong)
+        }
+      (r.getLong(0), nA.toLong, nB.toLong, micro)
+    }.toSeq.sortBy(_._1)
+    // rows are materialized — the pinned frames can go now
+    graft.core.Blocks.release(m)
+    graft.core.Blocks.release(coords)
+    rows.toDF("label", "n_label", "n_rest", "mmd2_micro")
+  }
+
   /**
    * Exact ε-neighbor pairs (squared-L2 ≤ eps2): the DBSCAN edge list,
    * and the recall baseline any bucketed candidate generator is

@@ -542,6 +542,135 @@ object Temporal {
   }
 
   /**
+   * Markov removal-effect attribution (Anderl et al. 2014) — the
+   * multi-touch answer to "which channel actually DRIVES conversion":
+   * model each key's journey (truncated at its first conversion event)
+   * as a first-order chain over (start) → channels → {(conv), (null)},
+   * compute the chain's conversion probability, then for each channel
+   * REMOVE it (all mass INTO the channel is redirected to (null) —
+   * counts merged BEFORE the probability division, no renormalization;
+   * its own outgoing row is dropped) and re-absorb. The channel whose
+   * removal hurts conversion most gets the credit — last-touch (q68)
+   * and linear shares can't see a channel that only ever assists.
+   *
+   * Determinism contract: [[markovStationary]]'s — probabilities are
+   * p·10¹² integer units with truncating division, absorption is a
+   * FIXED `iters`-step mass iteration (division after each Σ, exactly
+   * replayable; exactness never depends on convergence, only the
+   * interpretation does — journeys longer than `iters` hops leave
+   * transient mass unabsorbed, identically on every engine). Shape:
+   * one key-partitioned window pass builds transition counts
+   * (truncation = rows at or before the key's first conversion), the
+   * ≤ (maxSymbols+3)² count matrix collects, and all six-odd chains
+   * iterate DRIVER-side in BigInt — alphabet-bounded by contract.
+   *
+   * @return one row per non-conversion channel: (channel,
+   *         p_conv_units — the FULL chain's conversion mass ×10⁻¹²,
+   *         p_removed_units — same with the channel removed,
+   *         removal_micro — ⌊10⁶·(p_full − p_removed) ∕ p_full⌋, NULL
+   *         when p_full = 0), channel ASC
+   */
+  def markovRemovalEffect(df: DataFrame, keyCol: Column,
+      orderCols: Seq[Column], typeCol: Column, convSymbol: String,
+      iters: Int = 16, maxSymbols: Int = 64): DataFrame = {
+    require(iters >= 1 && iters <= 64,
+      s"markovRemovalEffect: iters=$iters out of [1,64]")
+    require(convSymbol.nonEmpty, "markovRemovalEffect: empty convSymbol")
+    val s = df.sparkSession
+    import s.implicits._
+    val scale = BigInt(1000000000000L)
+    val Start = 0 // state 0; channels at 1..m, conv m+1, null m+2
+    val base = df.select(keyCol.as("__k") +:
+      typeCol.cast("string").as("t") +:
+      orderCols.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }: _*)
+    val symbolProbe = df.select(typeCol.cast("string").as("t")).distinct()
+      .limit(maxSymbols + 1).collect().map(_.getString(0))
+    require(symbolProbe.nonEmpty, "markovRemovalEffect: no symbols")
+    require(symbolProbe.length <= maxSymbols,
+      s"markovRemovalEffect: > $maxSymbols symbols")
+    require(!symbolProbe.contains("(start)") &&
+      !symbolProbe.contains("(null)"),
+      "markovRemovalEffect: '(start)'/'(null)' are reserved state names")
+    val channels = symbolProbe.filter(_ != convSymbol).sorted
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(orderCols.indices.map(i => col(s"__o$i")): _*)
+    // truncate each key at its FIRST conversion event (inclusive):
+    // rn <= min rn of a conv row (or the whole sequence without one)
+    val seq0 = base
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__crn", min(when(col("t") === convSymbol,
+        col("__rn"))).over(Window.partitionBy(col("__k"))))
+      .filter(col("__crn").isNull || col("__rn") <= col("__crn"))
+    val w2 = Window.partitionBy(col("__k")).orderBy(col("__rn"))
+    val trans = seq0
+      .select(col("__k"), col("__rn"), col("t"),
+        lead(col("t"), 1).over(w2).as("nx"))
+    // edge stream: (start)→first, a→b consecutive (a ≠ conv), and
+    // last non-conv → (null)
+    val edges = trans.filter(col("__rn") === 1)
+      .select(lit("(start)").as("a"), col("t").as("b"))
+      .unionByName(trans.filter(col("t") =!= convSymbol &&
+          col("nx").isNotNull)
+        .select(col("t").as("a"), col("nx").as("b")))
+      .unionByName(trans.filter(col("t") =!= convSymbol &&
+          col("nx").isNull)
+        .select(col("t").as("a"), lit("(null)").as("b")))
+    val counts = edges.groupBy("a", "b").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // chain states: 0 = (start), 1..m = channels, m+1 = conv, m+2 = null
+    val m = channels.length
+    val idx = Map("(start)" -> Start) ++
+      channels.zipWithIndex.map { case (c, i) => c -> (i + 1) } ++
+      Map(convSymbol -> (m + 1), "(null)" -> (m + 2))
+    def absorb(removed: Int): BigInt = {
+      // merge counts into (null) for edges into the removed channel,
+      // BEFORE the division (the stated contract); drop its own row
+      val c = Array.ofDim[Long](m + 3, m + 3)
+      counts.foreach { case (a, b, v) =>
+        val ai = idx(a)
+        val bi0 = idx(b)
+        val bi = if (removed > 0 && bi0 == removed) m + 2 else bi0
+        if (!(removed > 0 && ai == removed)) c(ai)(bi) += v
+      }
+      val p = Array.tabulate(m + 3, m + 3) { (a, b) =>
+        val rs = c(a).sum
+        if (a > m || rs == 0L) BigInt(0) // absorbing / silent rows
+        else BigInt(c(a)(b)) * scale / rs
+      }
+      var v = Array.fill(m + 3)(BigInt(0))
+      v(Start) = scale
+      var conv = BigInt(0)
+      var it = 0
+      while (it < iters) {
+        val nv = Array.tabulate(m + 1) { b =>
+          var acc = BigInt(0)
+          var a = 0
+          while (a <= m) { acc += v(a) * p(a)(b); a += 1 }
+          acc / scale
+        }
+        var accC = BigInt(0)
+        var a = 0
+        while (a <= m) { accC += v(a) * p(a)(m + 1); a += 1 }
+        conv += accC / scale
+        v = Array.fill(m + 3)(BigInt(0))
+        Array.copy(nv, 0, v, 0, m + 1)
+        it += 1
+      }
+      conv
+    }
+    val pFull = absorb(0)
+    val rows = channels.zipWithIndex.map { case (ch, i) =>
+      val pRem = absorb(i + 1)
+      val micro: Option[Long] =
+        if (pFull == 0) None
+        else Some(((pFull - pRem) * BigInt(1000000) / pFull).toLong)
+      (ch, pFull.toLong, pRem.toLong, micro)
+    }.toSeq
+    rows.toDF("channel", "p_conv_units", "p_removed_units",
+      "removal_micro")
+  }
+
+  /**
    * Sequential-pattern mining (contiguous n-gram episodes): the
    * "what do users DO, in order" readout that single-step transition
    * matrices (q48/q64) cannot express — support counted in distinct

@@ -1382,6 +1382,62 @@ object TextAnalysis {
     pinned
   }
 
+  /** Population stability index per source — the drift score model ops
+    * teams read before retraining: PSI = Σ_b (p_b − q_b)·ln(p_b ∕ q_b)
+    * between each source's doc-length histogram (actual) and the whole
+    * corpus's (expected), over `nBins` fixed-width bands with the last
+    * band open-ended (clamp — every doc lands in a bin). Rule of thumb:
+    * <0.1 stable, 0.1–0.25 drifting, >0.25 shifted. Laplace +1 per bin
+    * on BOTH sides, so empty bins contribute finite terms and the score
+    * is defined for any source (the bin ENUMERATION this forces is a
+    * per-source `sequence` generator — nBins literals, not a join).
+    *
+    * Determinism: every p, q is a division of exact integers (IEEE-
+    * pinned), and the per-source sum is the m213 ordered fold
+    * (collect_list → array_sort by bin → `aggregate`) — nBins ≤ 4096
+    * bounds the collected array, so no float ever sums in partition
+    * order. One corpus-sized aggregation (source × bin counts); all
+    * frames after it are (sources × nBins)-bounded.
+    *
+    * @return (source, n_docs, psi 6dp), source ASC */
+  def psiBySource(docs: DataFrame, bandWidth: Int = 100, nBins: Int = 20,
+      sourceCol: String = "source", lenCol: String = "n_chars"): DataFrame = {
+    require(bandWidth >= 1, s"psiBySource: bandWidth=$bandWidth < 1")
+    require(nBins >= 2 && nBins <= 4096,
+      s"psiBySource: nBins=$nBins out of [2,4096]")
+    val bin = least(expr(s"CAST(`$lenCol` AS BIGINT) div $bandWidth"),
+      lit(nBins - 1L)).as("bin")
+    val counts = docs
+      .select(col(sourceCol).cast("string").as("src"), bin)
+      .groupBy("src", "bin").agg(count(lit(1)).as("a"))
+      .transform(graft.core.Blocks.pin)
+    val corpus = counts.groupBy("bin").agg(sum(col("a")).as("c"))
+    val ns = counts.groupBy("src").agg(sum(col("a")).as("ns"))
+    val nTotal = counts.agg(sum(col("a"))).head().getLong(0)
+    val allBins = ns
+      .select(col("src"), col("ns"),
+        explode(sequence(lit(0L), lit(nBins - 1L))).as("bin"))
+    val terms = allBins
+      .join(counts.select(col("src"), col("bin"), col("a")),
+        Seq("src", "bin"), "left")
+      .join(corpus, Seq("bin"), "left")
+      .select(col("src"), col("bin"), col("ns"),
+        (coalesce(col("a"), lit(0L)) + 1L).cast("double").as("ap"),
+        (coalesce(col("c"), lit(0L)) + 1L).cast("double").as("cp"))
+      .withColumn("p", col("ap") / (col("ns") + nBins).cast("double"))
+      .withColumn("q", col("cp") / lit((nTotal + nBins).toDouble))
+      .withColumn("term", (col("p") - col("q")) * log(col("p") / col("q")))
+    val out = terms.groupBy(col("src").as("source"))
+      .agg(max(col("ns")).as("n_docs"),
+        round(aggregate(
+          array_sort(collect_list(struct(col("bin"), col("term")))),
+          lit(0.0), (acc, x) => acc + x.getField("term")), 6).as("psi"))
+      .orderBy("source")
+    val pinned = graft.core.Blocks.pin(out)
+    graft.core.Blocks.release(counts)
+    pinned
+  }
+
   def cooccurrencePairs(docs: DataFrame, minsup: Int = 100,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(minsup >= 1, s"cooccurrencePairs: minsup=$minsup < 1")

@@ -479,6 +479,69 @@ object TrainingPipeline {
     df.select(col(idCol), hrwShardUdf(col(idCol), lit(shards)).as("shard"))
   }
 
+  /** Cluster-integrity sharding: rendezvous-shard each near-dup CLUSTER
+    * (not each doc), so every member of a dup cluster lands on the SAME
+    * shard — the layout that lets a 100 TB store run shard-local dedup
+    * refinement (re-verification, canonical pick, evidence) with zero
+    * cross-shard traffic. Cluster label = [[Dedup.connectedComponents]]'
+    * min-id component for paired docs, the doc's own id for singletons
+    * (coalesce — a singleton IS its own cluster); the shard is then the
+    * same pure `mix64(mix64(key) XOR mix64(shard))` argmax as
+    * [[rendezvousShards]], keyed by the cluster label, so growing the
+    * shard count still moves only ~1/(n+1) of the CLUSTERS.
+    *
+    * Scale shape: CC is the only non-map stage (pointer-doubling /
+    * driver fast path inside the ceiling); the cluster label join is
+    * keyed on doc_id and the shard itself is a narrow O(shards)-per-row
+    * kernel. Emits (doc_id, cluster, shard). */
+  def clusterShards(docs: DataFrame, pairs: DataFrame, shards: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val cc = Dedup.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("component"))
+    val labeled = docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster"))
+    labeled
+      .select(col("doc_id"), col("cluster"),
+        hrwShardUdf(col("cluster"), lit(shards)).as("shard"))
+  }
+
+  /** Purged temporal split with an embargo gap — the time-series CV
+    * convention (de Prado's purged splits): test = everything at or
+    * after the cutoff, train = strictly before cutoff − embargo, and
+    * the embargo band between them is DROPPED from both sides, so no
+    * feature window computed on train rows can overlap a test row's
+    * horizon (the temporal analog of m57's cluster-indivisible split;
+    * m138's stratified split is exchangeable-data-only). Cutoff and
+    * embargo are integer basis-point fractions of the observed µs span
+    * — a pure function of the data's own [min, max], no wall-clock
+    * anchor to disagree on. One MIN/MAX aggregation whose 2-long result
+    * is read on the driver (probe-first idiom — a 1-row bounds frame
+    * joined back would plan a BroadcastNestedLoopJoin, the shape
+    * PlanLint exists to reject) and inlined as literals into a
+    * map-only second pass; no window, no shuffle, no join. */
+  def purgedTemporalSplit(events: DataFrame, cutBp: Int = 7000,
+      embargoBp: Int = 500, idCol: String = "event_id",
+      tsCol: String = "ts"): DataFrame = {
+    require(cutBp > 0 && cutBp < 10000,
+      s"purgedTemporalSplit: cutBp=$cutBp out of (0,10000)")
+    require(embargoBp >= 0 && embargoBp < cutBp,
+      s"purgedTemporalSplit: embargoBp=$embargoBp out of [0,cutBp)")
+    val ev = events.select(col(idCol).cast("long").as("event_id"),
+      unix_micros(col(tsCol).cast("timestamp")).as("us"))
+    val r = ev.agg(min(col("us")), max(col("us"))).head()
+    require(!r.isNullAt(0), "purgedTemporalSplit: no events")
+    val t0 = r.getLong(0)
+    val span = r.getLong(1) - t0
+    val cut = t0 + span * cutBp / 10000L
+    val emb = span * embargoBp / 10000L
+    ev.select(col("event_id"), col("us"),
+      when(col("us") >= cut, "test")
+        .when(col("us") >= cut - emb, "embargo")
+        .otherwise("train").as("split"))
+  }
+
   private val sampleHashUdf =
     udf((id: Long, seed: Long) => graft.core.TextSig.mix64(id + seed))
 
@@ -1961,5 +2024,66 @@ object TrainingPipeline {
         col("rows_below_l"), col("min_diversity"),
         expr("rows_below_l * 1000000 div n_rows")
           .as("rows_below_l_micro"))
+  }
+
+  /** t-closeness audit (Li et al. 2007) — l-diversity's blind spot: a
+    * class can hold l distinct sensitive values yet still leak if its
+    * sensitive DISTRIBUTION diverges from the corpus's (90% one disease
+    * in a class vs 1% globally is an inference even with l=5). Per
+    * quasi-identifier class, the total variation distance between the
+    * class's sensitive distribution and the global one, in truncating
+    * BASIS POINTS: tvd = ½·Σ_s |p_s − q_s| computed as exact integers —
+    * Σ_s |a_s·N − b_s·g| over values PRESENT in the class plus
+    * (N − Σ_present b_s)·g for every absent value folded into one
+    * closed-form term (no sensitive-domain enumeration anywhere), all
+    * over (2·g·N). Products ride DECIMAL(38,0) (the Σx² rule — a·N
+    * overflows Long past N ≈ 3·10⁹ rows); safe to N < 10¹⁷.
+    *
+    * Shape: one corpus-sized (quasi × sensitive) count aggregation,
+    * then class/global rollups of that bounded frame and one join by
+    * sensitive value. NULLs form their own classes and values (the
+    * m146/m200 convention). Output quasi columns are named q0..qk-1
+    * (positional — callers alias).
+    *
+    * @return one row per class: (q0..qk-1, n_rows, n_sensitive_present,
+    *         tvd_bp ∈ [0, 10000]) */
+  def tClosenessReport(df: DataFrame, quasiCols: Seq[Column],
+      sensitiveCol: Column): DataFrame = {
+    require(quasiCols.nonEmpty, "tClosenessReport: no quasi columns")
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val qs = quasiCols.indices.map(i => col(s"q$i"))
+    val cells = df
+      .select(quasiCols.zipWithIndex.map { case (c, i) =>
+        c.as(s"q$i") } :+ sensitiveCol.as("__s"): _*)
+      .groupBy(qs :+ col("__s"): _*)
+      .agg(count(lit(1)).as("a"))
+      .transform(graft.core.Blocks.pin)
+    val global = cells.groupBy(col("__s")).agg(sum(col("a")).as("b"))
+    val n = cells.agg(sum(col("a"))).head().getLong(0)
+    // class total g rides a quasi-partitioned window over the BOUNDED
+    // cells frame (NULL quasi values group together under a window
+    // partition — an equi-join back on the quasi tuple would drop them)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(qs: _*)
+    val classes = cells.join(global, "__s")
+      .withColumn("g", sum(col("a")).over(w))
+      .groupBy(qs :+ col("g"): _*)
+      .agg(count(lit(1)).as("n_sensitive_present"),
+        sum(col("b")).as("sb"),
+        sum(abs(col("a").cast(d38) * lit(n).cast(d38) -
+          col("b").cast(d38) * col("g").cast(d38))).as("present_num"))
+    val out = classes
+      .withColumn("tvd_num",
+        col("present_num") +
+          (lit(n).cast(d38) - col("sb").cast(d38)) * col("g").cast(d38))
+      .withColumn("tvd_bp",
+        expr(s"CAST((10000 * tvd_num) div " +
+          s"(2 * CAST(g AS DECIMAL(38,0)) * CAST(${n}L AS DECIMAL(38,0)))" +
+          s" AS BIGINT)"))
+      .select(qs ++ Seq(col("g").as("n_rows"),
+        col("n_sensitive_present"), col("tvd_bp")): _*)
+    val pinned = graft.core.Blocks.pin(out)
+    graft.core.Blocks.release(cells)
+    pinned
   }
 }

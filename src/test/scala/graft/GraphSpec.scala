@@ -474,4 +474,77 @@ class GraphSpec extends AnyFunSuite {
       Graph.kTruss(pairs, k = 4, maxIter = 1)
     }
   }
+
+  test("hits matches an exact BigInt driver replay on a directed " +
+      "bipartite graph; norms peak at 1") {
+    // users 1-4 → items 100-102; user 1 touches everything (top hub),
+    // item 100 touched by everyone (top authority)
+    val edges = Seq((1L, 100L), (1L, 101L), (1L, 102L), (2L, 100L),
+      (2L, 101L), (3L, 100L), (4L, 100L))
+    val ids = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    var hub = ids.map(_ -> BigInt(1)).toMap
+    var auth = Map.empty[Long, BigInt].withDefaultValue(BigInt(0))
+    for (_ <- 1 to 3) {
+      auth = ids.map(v => v ->
+        edges.filter(_._2 == v).map(e => hub(e._1)).sum).toMap
+      hub = ids.map(v => v ->
+        edges.filter(_._1 == v).map(e => auth(e._2)).sum).toMap
+    }
+    val got = Graph.hits(ids.toDF("id"), edges.toDF("src", "dst"))
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0),
+        BigInt(r.getDecimal(1).toBigInteger),
+        BigInt(r.getDecimal(2).toBigInteger),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    got.foreach { case (id, a, h, an, hn) =>
+      assert(a === auth(id), s"auth of $id")
+      assert(h === hub(id), s"hub of $id")
+      val ma = auth.values.max; val mh = hub.values.max
+      assert(an === BigDecimal((a.toDouble / ma.toDouble).toString)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(hn === BigDecimal((h.toDouble / mh.toDouble).toString)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // the structural read: user 1 is the top hub, item 100 the top auth
+    assert(got.find(_._1 == 1L).get._5 === 1.0)
+    assert(got.find(_._1 == 100L).get._4 === 1.0)
+    // users have zero authority on a bipartite graph, items zero hub
+    assert(got.filter(_._1 < 100L).forall(_._2 === BigInt(0)))
+    assert(got.filter(_._1 >= 100L).forall(_._3 === BigInt(0)))
+    intercept[IllegalArgumentException] {
+      Graph.hits(ids.toDF("id"), edges.toDF("src", "dst"), iters = 5)
+    }
+  }
+
+  test("conductanceReport: hand graph — cut/vol/intra exact, " +
+      "whole-graph community NULL, missing labels self-label") {
+    // community A = {1,2,3} (triangle), B = {4,5} (edge), one bridge
+    // 3-4; node 6 has an edge to 1 but NO label row → self-labeled 6
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (3L, 4L),
+      (1L, 6L)).toDF("doc_id_a", "doc_id_b")
+    val labels = Seq((1L, 100L), (2L, 100L), (3L, 100L), (4L, 200L),
+      (5L, 200L)).toDF("id", "label")
+    val got = Graph.conductanceReport(pairs, labels).orderBy("community")
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect().toSeq
+    // 2m = 12. A: vol 3*2+1(bridge)+1(edge to 6) = 8? count endpoint
+    // slots: edges touching A-members: (1,2),(1,3),(2,3) contribute 2
+    // each = 6; (3,4) contributes 1; (1,6) contributes 1 → vol 8.
+    // cut = 2 (bridge + the 1-6 edge), intra = 3.
+    // φ(A) = 1e6*2 // min(8, 12-8) = 2e6 // 4 = 500000
+    // B: vol = 2*1 + 1 = 3, intra 1, cut 1 → 1e6 // 3 = 333333
+    // {6}: vol 1, cut 1 → 1e6 // 1 = 1000000
+    assert(got === Seq(
+      (6L, 1L, 1L, 0L, 1L, Some(1000000L)),
+      (100L, 3L, 8L, 3L, 2L, Some(500000L)),
+      (200L, 2L, 3L, 1L, 1L, Some(333333L))))
+  }
+
+  test("conductanceReport: single community spanning everything gets " +
+      "NULL conductance") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_id_a", "doc_id_b")
+    val labels = Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("id", "label")
+    val got = Graph.conductanceReport(pairs, labels)
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect().toSeq
+    assert(got === Seq((7L, 3L, 4L, 2L, 0L, None)))
+  }
 }

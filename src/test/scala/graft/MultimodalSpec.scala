@@ -60,6 +60,65 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("imageRotate90Bmp: dims swap and every rotated pixel equals " +
+      "source (y, h-1-x) — the axis-swap-plus-flip proven per byte") {
+    val bytes = Media.synthesize(0L)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val (w, h) = (img.getWidth, img.getHeight)
+    val bmp = Media.imageRotate90Bmp(bytes)
+    assert(bmp != null)
+    def le32(o: Int): Int = (bmp(o) & 0xff) | ((bmp(o + 1) & 0xff) << 8) |
+      ((bmp(o + 2) & 0xff) << 16) | ((bmp(o + 3) & 0xff) << 24)
+    val (rw, rh) = (le32(18), le32(22))
+    assert((rw, rh) === (h, w))
+    val rowSize = ((3 * rw + 3) / 4) * 4
+    assert(bmp.length === 54 + rh * rowSize)
+    var y = 0
+    while (y < rh) {
+      var x = 0
+      while (x < rw) {
+        val src = img.getRGB(y, h - 1 - x) // (sx, sy) = (y, h-1-x)
+        val off = 54 + (rh - 1 - y) * rowSize + 3 * x
+        // BMP stores BGR
+        assert((bmp(off) & 0xff) === (src & 0xff), s"B at ($x,$y)")
+        assert((bmp(off + 1) & 0xff) === ((src >> 8) & 0xff), s"G at ($x,$y)")
+        assert((bmp(off + 2) & 0xff) === ((src >> 16) & 0xff), s"R at ($x,$y)")
+        x += 1
+      }
+      y += 1
+    }
+    // non-image input skips (P11)
+    assert(Media.imageRotate90Bmp(Media.synthesize(1L)) === null)
+  }
+
+  test("imageFlipHBmp: dims unchanged and every pixel equals source " +
+      "(w-1-x, y) — corners catch the mirror midpoints can't") {
+    val bytes = Media.synthesize(0L)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val (w, h) = (img.getWidth, img.getHeight)
+    val bmp = Media.imageFlipHBmp(bytes)
+    assert(bmp != null)
+    def le32(o: Int): Int = (bmp(o) & 0xff) | ((bmp(o + 1) & 0xff) << 8) |
+      ((bmp(o + 2) & 0xff) << 16) | ((bmp(o + 3) & 0xff) << 24)
+    assert((le32(18), le32(22)) === (w, h))
+    val rowSize = ((3 * w + 3) / 4) * 4
+    assert(bmp.length === 54 + h * rowSize)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val src = img.getRGB(w - 1 - x, y)
+        val off = 54 + (h - 1 - y) * rowSize + 3 * x
+        assert((bmp(off) & 0xff) === (src & 0xff), s"B at ($x,$y)")
+        assert((bmp(off + 1) & 0xff) === ((src >> 8) & 0xff), s"G at ($x,$y)")
+        assert((bmp(off + 2) & 0xff) === ((src >> 16) & 0xff), s"R at ($x,$y)")
+        x += 1
+      }
+      y += 1
+    }
+    assert(Media.imageFlipHBmp(Media.synthesize(1L)) === null)
+  }
+
   test("synthesized audio is genuine WAV: RIFF/WAVE header, PCM16 mono") {
     val bytes = Media.synthesize(1L) // id%3==1 → audio
     assert(new String(bytes.slice(0, 4), "US-ASCII") === "RIFF")

@@ -1704,6 +1704,42 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("markovRemovalEffect: hand chain — assist channel credited, " +
+      "bystander zero, post-conversion events truncated") {
+    import spark.implicits._
+    val T = graft.operators.Temporal
+    // u1/u3: a → purchase; u2: b → (no conversion)
+    val ev = Seq((1L, 1L, "a"), (1L, 2L, "purchase"),
+      (2L, 1L, "b"),
+      (3L, 1L, "a"), (3L, 2L, "purchase")).toDF("u", "seq", "t")
+    val got = T.markovRemovalEffect(ev, col("u"), Seq(col("seq")),
+        col("t"), convSymbol = "purchase")
+      .as[(String, Long, Long, Option[Long])].collect().toSeq
+    // p(start→a) = ⌊2/3·10¹²⌋, p(a→conv) = 10¹² → p_full = 666666666666
+    // removing a kills every conversion; removing b changes nothing
+    assert(got === Seq(
+      ("a", 666666666666L, 0L, Some(1000000L)),
+      ("b", 666666666666L, 666666666666L, Some(0L))))
+    // truncation: events after the first conversion never count — 'b'
+    // here exists only post-conversion, so it is a zero-effect channel
+    val ev2 = Seq((5L, 1L, "a"), (5L, 2L, "purchase"), (5L, 3L, "b"),
+      (5L, 4L, "b")).toDF("u", "seq", "t")
+    val g2 = T.markovRemovalEffect(ev2, col("u"), Seq(col("seq")),
+        col("t"), convSymbol = "purchase")
+      .as[(String, Long, Long, Option[Long])].collect().toSeq
+    assert(g2 === Seq(
+      ("a", 1000000000000L, 0L, Some(1000000L)),
+      ("b", 1000000000000L, 1000000000000L, Some(0L))))
+    // a conversion-only stream has no channels at all
+    val ev3 = Seq((7L, 1L, "purchase")).toDF("u", "seq", "t")
+    assert(T.markovRemovalEffect(ev3, col("u"), Seq(col("seq")),
+      col("t"), convSymbol = "purchase").count() === 0L)
+    intercept[IllegalArgumentException] {
+      T.markovRemovalEffect(ev, col("u"), Seq(col("seq")), col("t"),
+        convSymbol = "purchase", maxSymbols = 1)
+    }
+  }
+
   test("wasserstein1By: hand-computed exact CDF-gap sums, " +
       "self-identical group reads 0, truncating micro") {
     import spark.implicits._

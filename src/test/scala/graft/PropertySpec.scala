@@ -346,6 +346,173 @@ class PropertySpec extends AnyFunSuite {
       assert(got((b, 16 / b, (w + 1) * 100)) >= got((b, 16 / b, w * 100)))
   }
 
+  test("lshBandStats equals a naive banded-signature replay and its " +
+      "n_pairs is the exact candidate volume") {
+    val s = spark
+    import s.implicits._
+    import graft.core.TextSig
+    val rnd = new Random(91)
+    val words = Array("alpha", "beta", "gamma", "delta", "omega", "query",
+      "spark", "band", "bucket", "salt")
+    val texts = (0 until 40).map { i =>
+      // force collisions: quarter of the docs share one of 4 templates
+      if (i % 4 == 0) "shared template " + words(i % 2) + " tail"
+      else (0 until (3 + rnd.nextInt(8)))
+        .map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+    }
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val (k, bands, r, w) = (8, 4, 2, 5)
+    // independent replay: per doc the k-perm signature, sliced to bands
+    val naiveBuckets = texts.indices
+      .flatMap { i =>
+        val sig = TextSig.minhash(TextSig.charShingles(texts(i), w), k)
+        (0 until bands).map(b => (b, sig.slice(b * r, b * r + r).toSeq))
+      }
+      .groupBy(identity).toSeq
+      .map { case ((b, _), g) => (b, g.size.toLong) }
+    val naive = naiveBuckets.groupBy(identity)
+      .map { case ((b, d), g) =>
+        (b, d, g.size.toLong, g.size.toLong * (d * (d - 1) / 2))
+      }.toSeq.sortBy(t => (t._1, t._2))
+    val got = graft.operators.Dedup.lshBandStats(docs, k = k, bands = bands,
+        shingleW = w)
+      .orderBy("band", "depth")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(got === naive)
+    // every band accounts for every doc exactly once
+    assert(got.groupBy(_._1).forall(_._2.map(t => t._2 * t._3).sum == 40L))
+    // the shared template must produce a depth >= 10 bucket in each band
+    assert(got.groupBy(_._1).forall(_._2.exists(_._2 >= 10L)))
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.lshBandStats(docs, k = 8, bands = 3)
+    }
+  }
+
+  test("kendallTauBy equals a naive all-pairs replay with ties, and " +
+      "the group ceiling aborts loudly") {
+    val s = spark
+    import s.implicits._
+    val rnd = new Random(47)
+    for (trial <- 1 to 6) {
+      // small value ranges force x AND y ties on purpose
+      val rows = (0 until (20 + rnd.nextInt(60))).map { id =>
+        ("g" + rnd.nextInt(3), id.toLong, rnd.nextInt(8).toLong,
+          rnd.nextInt(6).toLong)
+      }
+      val naive = rows.groupBy(_._1).map { case (g, rs) =>
+        val ps = for {
+          i <- rs.indices; j <- rs.indices
+          if rs(i)._2 < rs(j)._2
+        } yield (rs(i), rs(j))
+        val c = ps.count { case (a, b) =>
+          (a._3 < b._3 && a._4 < b._4) || (a._3 > b._3 && a._4 > b._4) }
+        val d = ps.count { case (a, b) =>
+          (a._3 < b._3 && a._4 > b._4) || (a._3 > b._3 && a._4 < b._4) }
+        val tx = ps.count { case (a, b) => a._3 == b._3 }
+        val ty = ps.count { case (a, b) => a._4 == b._4 }
+        val n0 = ps.size.toLong
+        val tau: Option[Double] =
+          if (n0 - tx == 0 || n0 - ty == 0) None
+          else Some(BigDecimal(((c - d).toDouble /
+            math.sqrt((n0 - tx).toDouble * (n0 - ty).toDouble)).toString)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        g -> (rs.size.toLong, n0, c.toLong, d.toLong, tx.toLong,
+          ty.toLong, tau)
+      }
+      val got = graft.operators.Ranking.kendallTauBy(
+          rows.toDF("g", "id", "x", "y"),
+          col("g"), col("id"), col("x"), col("y"))
+        .as[(String, Long, Long, Long, Long, Long, Long, Option[Double])]
+        .collect().map(r => r._1 -> (r._2, r._3, r._4, r._5, r._6, r._7,
+          r._8)).toMap
+      assert(got === naive, s"trial=$trial")
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Ranking.kendallTauBy(
+        (0 until 30).map(i => ("g", i.toLong, 1L, 1L))
+          .toDF("g", "id", "x", "y"),
+        col("g"), col("id"), col("x"), col("y"), maxGroupRows = 10)
+    }
+  }
+
+  test("psiBySource equals a naive smoothed-histogram replay " +
+      "(clamped bins, empty-bin Laplace terms, ordered fold)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new Random(53)
+    val rows = (0 until 400).map { i =>
+      ("s" + rnd.nextInt(3), (rnd.nextInt(30) * 100 + rnd.nextInt(100)).toLong)
+    } ++ (0 until 50).map(i => ("mirror", (i % 25) * 80L))
+    val (bw, nb) = (100, 20)
+    val binOf = (len: Long) => math.min(len / bw, nb - 1L)
+    val corpus = rows.groupBy(r => binOf(r._2)).map { case (b, g) =>
+      b -> g.size.toLong }.withDefaultValue(0L)
+    val n = rows.size.toLong
+    val naive = rows.groupBy(_._1).map { case (src, rs) =>
+      val a = rs.groupBy(r => binOf(r._2)).map { case (b, g) =>
+        b -> g.size.toLong }.withDefaultValue(0L)
+      val ns = rs.size.toLong
+      val psi = (0L until nb.toLong).map { b =>
+        val p = (a(b) + 1).toDouble / (ns + nb).toDouble
+        val q = (corpus(b) + 1).toDouble / (n + nb).toDouble
+        (p - q) * math.log(p / q)
+      }.sum
+      src -> (ns, BigDecimal(psi.toString)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = graft.operators.TextAnalysis.psiBySource(
+        rows.toDF("source", "n_chars"))
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got === naive)
+  }
+
+  test("mmdDriftByLabel equals a naive BigInt moment replay, and twin " +
+      "labels with identical vectors read exactly 0") {
+    val s = spark
+    import s.implicits._
+    val rnd = new Random(71)
+    val d = 4
+    val vecs = (0 until 30).map { id =>
+      (id.toLong, (id % 3).toLong,
+        Array.fill(d)((rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    // naive: quantize, per-label moment matrices, exact rational
+    val q = vecs.map { case (id, l, v) =>
+      (l, v.map(x => BigInt(math.floor(x.toDouble * 1000).toLong)))
+    }
+    val labels = q.map(_._1).distinct.sorted
+    def moments(g: Seq[Array[BigInt]]): Array[Array[BigInt]] =
+      Array.tabulate(d, d)((i, j) => g.map(v => v(i) * v(j)).sum)
+    val all = moments(q.map(_._2))
+    val naive = labels.map { l =>
+      val mine = moments(q.filter(_._1 == l).map(_._2))
+      val rest = Array.tabulate(d, d)((i, j) => all(i)(j) - mine(i)(j))
+      val nA = BigInt(q.count(_._1 == l)); val nB = BigInt(q.size) - nA
+      def dot(x: Array[Array[BigInt]], y: Array[Array[BigInt]]) =
+        (for (i <- 0 until d; j <- 0 until d) yield x(i)(j) * y(i)(j)).sum
+      val num = (dot(mine, mine) * nB * nB + dot(rest, rest) * nA * nA -
+        dot(mine, rest) * nA * nB * 2) * BigInt(1000000)
+      val den = nA * nA * nB * nB * BigInt(1000).pow(4)
+      l -> (nA.toLong, nB.toLong, Some((num / den).toLong))
+    }.toMap
+    val got = graft.operators.Similarity.mmdDriftByLabel(
+        vecs.toDF("vec_id", "label", "embedding"))
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got === naive)
+    // identical multisets on both sides → empirical MMD² is exactly 0
+    val twin = (0 until 10).flatMap { i =>
+      val v = Array.fill(d)((rnd.nextDouble() * 2 - 1).toFloat)
+      Seq((i.toLong, 0L, v), (100L + i, 1L, v.clone()))
+    }
+    val tw = graft.operators.Similarity.mmdDriftByLabel(
+        twin.toDF("vec_id", "label", "embedding"))
+      .as[(Long, Long, Long, Option[Long])].collect().toSeq
+    assert(tw.map(_._4) === Seq(Some(0L), Some(0L)))
+  }
+
   test("theilSenReport equals a naive seeded-partner median replay") {
     val s = spark
     import s.implicits._

@@ -1002,6 +1002,110 @@ class TrainingPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("clusterShards: cluster members co-shard, labels are min reachable " +
+      "id, singletons shard by own id") {
+    import graft.core.TextSig
+    val s = spark
+    import s.implicits._
+    def hrw(id: Long, shards: Int): Int =
+      (0 until shards).maxBy(i =>
+        (TextSig.mix64(TextSig.mix64(id) ^ TextSig.mix64(i.toLong)) ^
+          Long.MinValue, -i))
+    val docs = (1L to 10L).toDF("doc_id")
+    // two clusters via a chain (1-2, 2-3) and a pair (7-8); rest single
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L))
+      .toDF("doc_id_a", "doc_id_b")
+    val got = TrainingPipeline.clusterShards(docs, pairs, shards = 4)
+      .as[(Long, Long, Int)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got.keySet === (1L to 10L).toSet)
+    // labels: min id of the component for paired docs, own id otherwise
+    val wantCluster = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L)
+      .withDefault(identity)
+    (1L to 10L).foreach { id =>
+      assert(got(id)._1 === wantCluster(id), s"cluster of $id")
+      assert(got(id)._2 === hrw(wantCluster(id), 4), s"shard of $id")
+    }
+    // the invariant the operator exists for: no cluster straddles shards
+    assert(Set(got(1L)._2, got(2L)._2, got(3L)._2).size === 1)
+    assert(got(7L)._2 === got(8L)._2)
+  }
+
+  test("purgedTemporalSplit: exact integer bounds, embargo band labeled, " +
+      "boundary rows on the documented sides") {
+    val s = spark
+    import s.implicits._
+    // span exactly 10000 us: t0 = 1_000_000, t1 = 1_010_000
+    // cut = t0 + 7000, emb = 500 -> train < 1_006_500,
+    // embargo [1_006_500, 1_007_000), test >= 1_007_000
+    val us = Seq(1000000L, 1003000L, 1006499L, 1006500L, 1006999L,
+      1007000L, 1009999L, 1010000L)
+    val events = us.zipWithIndex
+      .map { case (u, i) => (i.toLong, u) }.toDF("event_id", "us0")
+      .select(col("event_id"), timestamp_micros(col("us0")).as("ts"))
+    val got = TrainingPipeline.purgedTemporalSplit(events)
+      .orderBy("event_id").as[(Long, Long, String)].collect().toSeq
+    val want = Seq("train", "train", "train", "embargo", "embargo",
+      "test", "test", "test")
+    assert(got.map(_._2) === us)
+    assert(got.map(_._3) === want)
+    // degenerate span: a single instant is all test (cut = t0)
+    val one = Seq((1L, 5L)).toDF("event_id", "us0")
+      .select(col("event_id"), timestamp_micros(col("us0")).as("ts"))
+    assert(TrainingPipeline.purgedTemporalSplit(one)
+      .collect().head.getString(2) === "test")
+    intercept[IllegalArgumentException] {
+      TrainingPipeline.purgedTemporalSplit(events, cutBp = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TrainingPipeline.purgedTemporalSplit(events, embargoBp = 7000)
+    }
+  }
+
+  test("tClosenessReport: hand-computed exact TVD incl. absent-value " +
+      "mass, NULL quasi class, perfect-mirror class at 0") {
+    val s = spark
+    import s.implicits._
+    // sensitive global: x=4, y=4 over N=8 (q = 1/2 each)
+    // class a: 3x+1y → tvd = 1/2(|3/4-1/2| + |1/4-1/2|) = 1/4
+    // class b: 1x+3y → symmetric, 1/4
+    val rows = Seq(
+      (Some("a"), "x"), (Some("a"), "x"), (Some("a"), "x"),
+      (Some("a"), "y"),
+      (Some("b"), "x"), (Some("b"), "y"), (Some("b"), "y"),
+      (Some("b"), "y")).toDF("q", "s")
+    val got = TrainingPipeline.tClosenessReport(rows, Seq(col("q")),
+        col("s"))
+      .orderBy("q0").as[(String, Long, Long, Long)].collect().toSeq
+    // tvd_bp = 10000 * (|a*N − b*g|-sum + absent) // (2*g*N): both
+    // classes: |3*8−4*4| + |1*8−4*4| = 8+8 = 16; absent 0; 2*4*8 = 64
+    // → 10000*16 // 64 = 2500 (= 1/4 in bp)
+    assert(got === Seq(("a", 4L, 2L, 2500L), ("b", 4L, 2L, 2500L)))
+    // absent-value mass: class with ONE value only
+    val rows2 = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"))
+      .toDF("q", "s")
+    val g2 = TrainingPipeline.tClosenessReport(rows2, Seq(col("q")),
+        col("s"))
+      .orderBy("q0").as[(String, Long, Long, Long)].collect().toSeq
+    // each class: present |2*4 − 2*2| = 4, absent (4−2)*2 = 4 →
+    // 10000*8 // (2*2*4) = 5000 (TVD = 1/2)
+    assert(g2 === Seq(("a", 2L, 1L, 5000L), ("b", 2L, 1L, 5000L)))
+    // a class mirroring the corpus exactly scores 0
+    val rows3 = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("q", "s")
+    val g3 = TrainingPipeline.tClosenessReport(rows3, Seq(col("q")),
+        col("s"))
+      .orderBy("q0").as[(String, Long, Long, Long)].collect().toSeq
+    assert(g3 === Seq(("a", 2L, 2L, 0L), ("b", 2L, 2L, 0L)))
+    // NULL quasi values form their own class (not dropped)
+    val rows4 = Seq((Option.empty[String], "x"), (None, "x"),
+      (Some("b"), "y"), (Some("b"), "y")).toDF("q", "s")
+    val g4 = TrainingPipeline.tClosenessReport(rows4, Seq(col("q")),
+        col("s"))
+      .as[(Option[String], Long, Long, Long)].collect().toSeq
+      .sortBy(_._1.getOrElse(""))
+    assert(g4 === Seq((None, 2L, 1L, 5000L), (Some("b"), 2L, 1L, 5000L)))
+  }
+
   test("trendReport: exact line recovered, constant-x slope 0, global-min " +
       "intercept anchor, invariance") {
     val s = spark
