@@ -8248,6 +8248,140 @@ object Oracle {
       FROM fin ORDER BY channel"""
     },
 
+    // m249: Shapley attribution — the m248 journey base, one absorbing
+    // chain per coalition (16 masks, removed = channels outside the
+    // mask, same merge-before-division rewire), then the factorial
+    // combination per channel with the single //k! division LAST;
+    // every mv level MATERIALIZED (the m112 rule).
+    "m249_shapley" -> {
+      val sc = "1000000000000"
+      val iters = 12
+      val channels = Seq("click", "error", "signup", "view")
+      val k = channels.length
+      val fact = Array(1, 1, 2, 6, 24)
+      def chain(mask: Int) = {
+        val removed = channels.indices
+          .filter(i => (mask & (1 << i)) == 0).map(channels)
+        val inList = removed.map(c => s"'$c'").mkString(", ")
+        val rewire =
+          if (removed.isEmpty) "b"
+          else s"CASE WHEN b IN ($inList) THEN '(null)' ELSE b END"
+        val rowFilter =
+          if (removed.isEmpty) "" else s" WHERE a NOT IN ($inList)"
+        val tag = s"m$mask"
+        val sb = new StringBuilder
+        sb ++= s"""
+      cn_$tag AS (SELECT a, $rewire AS b, SUM(n) AS n
+          FROM cn$rowFilter GROUP BY 1, 2),
+      rs_$tag AS (SELECT a, SUM(n) AS s FROM cn_$tag GROUP BY a),
+      pf_$tag AS MATERIALIZED (SELECT c.a, c.b, (c.n * $sc) // r.s AS u
+          FROM cn_$tag c JOIN rs_$tag r USING (a)),
+      v0_$tag AS (SELECT '(start)' AS t, CAST($sc AS HUGEINT) AS u),"""
+        for (i <- 1 to iters) {
+          val prev = if (i == 1) s"v0_$tag" else s"mv${i - 1}_$tag"
+          sb ++= s"""
+      mv${i}_$tag AS MATERIALIZED (SELECT p.b AS t,
+            SUM(v.u * p.u) // $sc AS u
+          FROM $prev v JOIN pf_$tag p ON v.t = p.a
+          WHERE p.b NOT IN ('purchase', '(null)') GROUP BY p.b),
+      cv${i}_$tag AS (SELECT COALESCE(SUM(v.u * p.u), 0) // $sc AS c
+          FROM $prev v JOIN pf_$tag p ON v.t = p.a
+          WHERE p.b = 'purchase'),"""
+        }
+        sb ++= s"""
+      pc_$tag AS (SELECT CAST(SUM(c) AS HUGEINT) AS p FROM (${
+          (1 to iters).map(i => s"SELECT c FROM cv${i}_$tag")
+            .mkString(" UNION ALL ")})),"""
+        sb.toString
+      }
+      val all = (1 << k) - 1
+      val finRows = channels.zipWithIndex.map { case (ch, i) =>
+        val bit = 1 << i
+        val terms = (0 to all).filter(m => (m & bit) == 0).map { m =>
+          val sz = java.lang.Integer.bitCount(m)
+          val w = fact(sz) * fact(k - 1 - sz)
+          s"$w * ((SELECT p FROM pc_m${m | bit}) - (SELECT p FROM pc_m$m))"
+        }.mkString(" + ")
+        s"""SELECT '$ch' AS channel, (SELECT p FROM pc_m$all) AS pfull,
+          (SELECT p FROM pc_m0) AS pempty, ($terms) AS phi"""
+      }.mkString(" UNION ALL ")
+      s"""
+      WITH s0 AS (SELECT user_id, event_type AS t,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS rn
+          FROM events),
+      s1 AS (SELECT *, MIN(CASE WHEN t = 'purchase' THEN rn END)
+            OVER (PARTITION BY user_id) AS crn FROM s0),
+      s2 AS (SELECT user_id, t, rn,
+            lead(t) OVER (PARTITION BY user_id ORDER BY rn) AS nx
+          FROM s1 WHERE crn IS NULL OR rn <= crn),
+      edges AS (
+        SELECT '(start)' AS a, t AS b FROM s2 WHERE rn = 1
+        UNION ALL
+        SELECT t, nx FROM s2 WHERE t <> 'purchase' AND nx IS NOT NULL
+        UNION ALL
+        SELECT t, '(null)' FROM s2 WHERE t <> 'purchase' AND nx IS NULL),
+      cn AS MATERIALIZED (SELECT a, b, CAST(COUNT(*) AS HUGEINT) AS n
+          FROM edges GROUP BY 1, 2),
+      ${(0 to all).map(chain).mkString("\n")}
+      fin AS ($finRows)
+      SELECT channel, CAST(pfull AS BIGINT) AS p_full_units,
+        CAST(pempty AS BIGINT) AS p_empty_units,
+        CAST(phi // ${fact(k)} AS BIGINT) AS shapley_units,
+        CASE WHEN pfull = pempty THEN NULL
+          ELSE CAST((phi * 1000000) // (${fact(k)} * (pfull - pempty))
+            AS BIGINT) END AS share_micro
+      FROM fin ORDER BY channel"""
+    },
+
+    // m250: HyperANF — node registers replayed (mix64(id), top-6-bit
+    // bucket, 58-bit leading-zero rank), balls grown by h iterated
+    // edge joins (MATERIALIZED — each level feeds the next AND its
+    // stats tap), per-(node,bucket) max rank, per-node rollup, then
+    // the (h, nb) histogram. Exact integers end to end.
+    "m250_neighborhood_fn" -> {
+      def ball(prev: String, cur: String) = s"""
+      $cur AS MATERIALIZED (SELECT DISTINCT v, mem FROM (
+          SELECT v, mem FROM $prev
+          UNION ALL
+          SELECT e.u AS v, b.mem FROM und e JOIN $prev b ON e.v = b.v)),"""
+      def stats(h: Int) = s"""
+      s$h AS (SELECT $h AS h, nb, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+            CAST(SUM(sr) AS BIGINT) AS sum_rank
+          FROM (SELECT v, CAST(COUNT(*) AS BIGINT) AS nb, SUM(r) AS sr
+                FROM (SELECT b.v, q.bucket, MAX(q.r) AS r
+                      FROM ball$h b JOIN hr q ON b.mem = q.id
+                      GROUP BY 1, 2)
+                GROUP BY v)
+          GROUP BY nb)"""
+      s"""
+      WITH RECURSIVE $CharShingleCtes,
+      ${jacPairCtes("pj")},
+      p AS (SELECT pa AS da, pb AS db FROM pj WHERE ${jacGe("0.5")}),
+      und AS (SELECT da AS u, db AS v FROM p UNION SELECT db, da FROM p),
+      vx AS (SELECT DISTINCT u AS id FROM und),
+      hz AS (SELECT id, CAST(id AS HUGEINT) AS z0 FROM vx),
+      ${mix64Ctes("hh", "hz", "id")},
+      hb AS (SELECT id, CAST(h >> 58 AS INT) AS bucket,
+              h % CAST('288230376151711744' AS HUGEINT) AS wv FROM hh),
+      hr AS (SELECT id, bucket,
+              CASE WHEN wv = 0 THEN 59
+                   ELSE 59 - length(bin(CAST(wv AS BIGINT))) END AS r
+             FROM hb),
+      ball0 AS (SELECT id AS v, id AS mem FROM vx),
+      ${ball("ball0", "ball1")}
+      ${ball("ball1", "ball2")}
+      ${ball("ball2", "ball3")}
+      ${stats(0)},
+      ${stats(1)},
+      ${stats(2)},
+      ${stats(3)}
+      SELECT h, CAST(nb AS BIGINT) AS nb, n_nodes, sum_rank
+      FROM (SELECT * FROM s0 UNION ALL SELECT * FROM s1
+            UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+      ORDER BY h, nb"""
+    },
+
     // mm18: horizontal-flip proofs — dims unchanged, BMP offsets as
     // mm15, source byte at the MIRRORED column (w−1−x, y).
     "mm18_flip_h" -> s"""

@@ -4624,6 +4624,26 @@ object Queries {
     Multimodal.flipHProbes(media(s, dir))
       .orderBy("media_id", "pi")
 
+  /** m249 — Shapley channel attribution
+    * ([[operators.Temporal.markovShapleyAttribution]], conversion =
+    * 'purchase', 12 absorption steps, 2⁴ coalitions): average marginal
+    * conversion contribution per channel — m248's removal effect
+    * priced fairly across substitutes; the oracle replays all 16
+    * absorbing chains and the factorial combination in HUGEINT. */
+  def m249Shapley(s: SparkSession, dir: String): DataFrame =
+    operators.Temporal.markovShapleyAttribution(t(s, dir, "events"),
+      col("user_id"), Seq(col("ts"), col("event_id")), col("event_type"),
+      convSymbol = "purchase")
+
+  /** m250 — HyperANF neighborhood function
+    * ([[operators.Graph.neighborhoodFunction]], 3 rounds, p=6) over
+    * the 0.5-threshold dup graph: per hop the register-level ball
+    * histogram (observed-bucket count × node count + rank mass) —
+    * exact integers, no ln-corrected float estimate in the gate. */
+  def m250NeighborhoodFn(s: SparkSession, dir: String): DataFrame =
+    operators.Graph.neighborhoodFunction(pairs05(s, dir))
+      .orderBy("h", "nb")
+
   /** m231 — split-leakage audit ([[operators.Dedup.splitLeakageReport]]
     * over m138's exact stratified split and the shared 0.5-threshold
     * pair table): per ordered split pair, docs sharing a near-dup

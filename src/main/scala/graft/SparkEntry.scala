@@ -342,6 +342,8 @@ object SparkEntry {
     "m246_conductance" -> Queries.m246Conductance,
     "m247_mmd_drift" -> Queries.m247MmdDrift,
     "m248_removal_effect" -> Queries.m248RemovalEffect,
+    "m249_shapley" -> Queries.m249Shapley,
+    "m250_neighborhood_fn" -> Queries.m250NeighborhoodFn,
     "q65_conversion_delays" -> Queries.q65ConversionDelays,
     "q66_interval_coalesce" -> Queries.q66IntervalCoalesce,
     "q67_rolling_distinct" -> Queries.q67RollingDistinct,

@@ -1302,6 +1302,88 @@ object Graph {
       norm(col("hub_units"), mh).as("hub_norm"))
   }
 
+  /** HyperANF neighborhood function (Boldi–Vigna 2011) — how fast do
+    * h-hop balls grow? THE scalable diameter/connectivity readout: per
+    * round every node's HyperLogLog sketch of its ball merges with its
+    * neighbors' (elementwise register max — associative, idempotent,
+    * one shuffle per round), so ball growth costs O(|E|·2^p) per hop
+    * instead of a BFS per node. On a dup graph the curve separates
+    * boilerplate-glued corpora (ball explosion by hop 2) from genuinely
+    * clustered ones (flat growth past the cluster radius).
+    *
+    * Determinism contract: registers are EXACT integers (bucket = top
+    * p bits of mix64(id), rank = leading-zero rank of the low 64−p
+    * bits, the m46 register convention) and the output is the exact
+    * register-level readout — per (h, observed-bucket-count): node
+    * count and total rank mass — NOT a float estimate: per-node HLL
+    * estimates go through ln/α corrections whose cross-engine float
+    * parity is exactly what a 357-query hash gate cannot afford
+    * (floor(est·10⁶) flips on a 1-ulp ln drift). nb is the linear-
+    * counting numerator, so the histogram IS the ball-size readout at
+    * register granularity; callers wanting the classic N(h) scalar
+    * apply the m46 estimate to the same registers.
+    *
+    * Sparse state: a node stores only OBSERVED buckets — ≤ min(ball,
+    * 2^p) rows each — so state is |V|·min(ball, 2^p) rows, the
+    * standard HyperANF memory shape. Rounds ≤ 8 by contract (this is
+    * a ball-growth curve; effective diameters past 8 on a dup graph
+    * mean the threshold is wrong, not the operator).
+    *
+    * @return one row per (h ∈ [0, rounds], nb): (h, nb, n_nodes,
+    *         sum_rank — Σ over those nodes of their register rank sums) */
+  def neighborhoodFunction(pairs: DataFrame, rounds: Int = 3, p: Int = 6,
+      aCol: String = "doc_id_a", bCol: String = "doc_id_b"): DataFrame = {
+    require(rounds >= 1 && rounds <= 8,
+      s"neighborhoodFunction: rounds=$rounds out of [1,8]")
+    require(p >= 2 && p <= 12,
+      s"neighborhoodFunction: p=$p out of [2,12]")
+    val s = pairs.sparkSession
+    import s.implicits._
+    val wbits = 64 - p
+    val regUdf = udf { (id: Long) =>
+      val h = graft.core.TextSig.mix64(id)
+      val bucket = (h >>> wbits).toInt
+      val wv = h & ((1L << wbits) - 1L)
+      val r = if (wv == 0L) wbits + 1
+        else java.lang.Long.numberOfLeadingZeros(wv) - p + 1
+      (bucket, r)
+    }
+    val e = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .unionByName(pairs.select(col(bCol).cast("long").as("u"),
+        col(aCol).cast("long").as("v")))
+      .distinct()
+      .transform(graft.core.Blocks.pin)
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long)]()
+    def snap(h: Int, st: DataFrame): Unit =
+      st.groupBy("node")
+        .agg(count(lit(1)).as("nb"), sum(col("r")).as("sr"))
+        .groupBy("nb")
+        .agg(count(lit(1)).as("n_nodes"), sum(col("sr")).as("sum_rank"))
+        .collect()
+        .foreach(r => out += ((h, r.getLong(0), r.getLong(1), r.getLong(2))))
+    var state = e.select(col("u").as("node")).distinct()
+      .select(col("node"), regUdf(col("node")).as("reg"))
+      .select(col("node"), col("reg._1").as("bucket"), col("reg._2").as("r"))
+      .transform(graft.core.Blocks.pin)
+    snap(0, state)
+    var h = 1
+    while (h <= rounds) {
+      val merged = state
+        .unionByName(e.join(state, e("v") === state("node"))
+          .select(e("u").as("node"), col("bucket"), col("r")))
+        .groupBy("node", "bucket").agg(max(col("r")).as("r"))
+        .transform(graft.core.Blocks.pin)
+      graft.core.Blocks.release(state)
+      state = merged
+      snap(h, state)
+      h += 1
+    }
+    graft.core.Blocks.release(state)
+    graft.core.Blocks.release(e)
+    out.toSeq.toDF("h", "nb", "n_nodes", "sum_rank")
+  }
+
   /** Per-community conductance — the partition-quality companion to
     * [[modularityReport]] that grades each community SEPARATELY:
     * φ(S) = cut(S) / min(vol(S), vol(V∖S)), cut = edges leaving S,

@@ -580,22 +580,44 @@ object Temporal {
     import s.implicits._
     val scale = BigInt(1000000000000L)
     val Start = 0 // state 0; channels at 1..m, conv m+1, null m+2
+    val (channels, counts, idx) = journeyChain(df, keyCol, orderCols,
+      typeCol, convSymbol, maxSymbols, "markovRemovalEffect")
+    val m = channels.length
+    val pFull = absorbChain(counts, idx, m, Set.empty, iters)
+    val rows = channels.zipWithIndex.map { case (ch, i) =>
+      val pRem = absorbChain(counts, idx, m, Set(i + 1), iters)
+      val micro: Option[Long] =
+        if (pFull == 0) None
+        else Some(((pFull - pRem) * BigInt(1000000) / pFull).toLong)
+      (ch, pFull.toLong, pRem.toLong, micro)
+    }.toSeq
+    rows.toDF("channel", "p_conv_units", "p_removed_units",
+      "removal_micro")
+  }
+
+  /** Shared journey-chain derivation for [[markovRemovalEffect]] /
+    * [[markovShapleyAttribution]]: per-key sequences truncated at the
+    * FIRST conversion event (inclusive), edge stream (start)→first,
+    * a→b consecutive (a ≠ conv), last non-conv → (null), collected as
+    * bounded counts. Returns (channels ASC, counts, state index: 0 =
+    * (start), 1..m channels, m+1 conv, m+2 (null)). */
+  private def journeyChain(df: DataFrame, keyCol: Column,
+      orderCols: Seq[Column], typeCol: Column, convSymbol: String,
+      maxSymbols: Int, who: String)
+      : (Seq[String], Array[(String, String, Long)], Map[String, Int]) = {
     val base = df.select(keyCol.as("__k") +:
       typeCol.cast("string").as("t") +:
       orderCols.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }: _*)
     val symbolProbe = df.select(typeCol.cast("string").as("t")).distinct()
       .limit(maxSymbols + 1).collect().map(_.getString(0))
-    require(symbolProbe.nonEmpty, "markovRemovalEffect: no symbols")
-    require(symbolProbe.length <= maxSymbols,
-      s"markovRemovalEffect: > $maxSymbols symbols")
+    require(symbolProbe.nonEmpty, s"$who: no symbols")
+    require(symbolProbe.length <= maxSymbols, s"$who: > $maxSymbols symbols")
     require(!symbolProbe.contains("(start)") &&
       !symbolProbe.contains("(null)"),
-      "markovRemovalEffect: '(start)'/'(null)' are reserved state names")
-    val channels = symbolProbe.filter(_ != convSymbol).sorted
+      s"$who: '(start)'/'(null)' are reserved state names")
+    val channels = symbolProbe.filter(_ != convSymbol).sorted.toSeq
     val w = Window.partitionBy(col("__k"))
       .orderBy(orderCols.indices.map(i => col(s"__o$i")): _*)
-    // truncate each key at its FIRST conversion event (inclusive):
-    // rn <= min rn of a conv row (or the whole sequence without one)
     val seq0 = base
       .withColumn("__rn", row_number().over(w))
       .withColumn("__crn", min(when(col("t") === convSymbol,
@@ -605,8 +627,6 @@ object Temporal {
     val trans = seq0
       .select(col("__k"), col("__rn"), col("t"),
         lead(col("t"), 1).over(w2).as("nx"))
-    // edge stream: (start)→first, a→b consecutive (a ≠ conv), and
-    // last non-conv → (null)
     val edges = trans.filter(col("__rn") === 1)
       .select(lit("(start)").as("a"), col("t").as("b"))
       .unionByName(trans.filter(col("t") =!= convSymbol &&
@@ -617,57 +637,130 @@ object Temporal {
         .select(col("t").as("a"), lit("(null)").as("b")))
     val counts = edges.groupBy("a", "b").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    // chain states: 0 = (start), 1..m = channels, m+1 = conv, m+2 = null
     val m = channels.length
-    val idx = Map("(start)" -> Start) ++
+    val idx = Map("(start)" -> 0) ++
       channels.zipWithIndex.map { case (c, i) => c -> (i + 1) } ++
       Map(convSymbol -> (m + 1), "(null)" -> (m + 2))
-    def absorb(removed: Int): BigInt = {
-      // merge counts into (null) for edges into the removed channel,
-      // BEFORE the division (the stated contract); drop its own row
-      val c = Array.ofDim[Long](m + 3, m + 3)
-      counts.foreach { case (a, b, v) =>
-        val ai = idx(a)
-        val bi0 = idx(b)
-        val bi = if (removed > 0 && bi0 == removed) m + 2 else bi0
-        if (!(removed > 0 && ai == removed)) c(ai)(bi) += v
-      }
-      val p = Array.tabulate(m + 3, m + 3) { (a, b) =>
-        val rs = c(a).sum
-        if (a > m || rs == 0L) BigInt(0) // absorbing / silent rows
-        else BigInt(c(a)(b)) * scale / rs
-      }
-      var v = Array.fill(m + 3)(BigInt(0))
-      v(Start) = scale
-      var conv = BigInt(0)
-      var it = 0
-      while (it < iters) {
-        val nv = Array.tabulate(m + 1) { b =>
-          var acc = BigInt(0)
-          var a = 0
-          while (a <= m) { acc += v(a) * p(a)(b); a += 1 }
-          acc / scale
-        }
-        var accC = BigInt(0)
-        var a = 0
-        while (a <= m) { accC += v(a) * p(a)(m + 1); a += 1 }
-        conv += accC / scale
-        v = Array.fill(m + 3)(BigInt(0))
-        Array.copy(nv, 0, v, 0, m + 1)
-        it += 1
-      }
-      conv
+    (channels, counts, idx)
+  }
+
+  /** Absorbed-conversion mass of a [[journeyChain]] with the channel
+    * states in `removed` taken out (mass INTO them merged to (null)
+    * BEFORE the probability division; their own rows dropped): exact
+    * 10¹²-unit iteration, `iters` fixed steps, division after each Σ. */
+  private def absorbChain(counts: Array[(String, String, Long)],
+      idx: Map[String, Int], m: Int, removed: Set[Int],
+      iters: Int): BigInt = {
+    val scale = BigInt(1000000000000L)
+    val c = Array.ofDim[Long](m + 3, m + 3)
+    counts.foreach { case (a, b, v) =>
+      val ai = idx(a)
+      val bi0 = idx(b)
+      val bi = if (removed.contains(bi0)) m + 2 else bi0
+      if (!removed.contains(ai)) c(ai)(bi) += v
     }
-    val pFull = absorb(0)
+    val p = Array.tabulate(m + 3, m + 3) { (a, b) =>
+      val rs = c(a).sum
+      if (a > m || rs == 0L) BigInt(0) // absorbing / silent rows
+      else BigInt(c(a)(b)) * scale / rs
+    }
+    var v = Array.fill(m + 3)(BigInt(0))
+    v(0) = scale
+    var conv = BigInt(0)
+    var it = 0
+    while (it < iters) {
+      val nv = Array.tabulate(m + 1) { b =>
+        var acc = BigInt(0)
+        var a = 0
+        while (a <= m) { acc += v(a) * p(a)(b); a += 1 }
+        acc / scale
+      }
+      var accC = BigInt(0)
+      var a = 0
+      while (a <= m) { accC += v(a) * p(a)(m + 1); a += 1 }
+      conv += accC / scale
+      v = Array.fill(m + 3)(BigInt(0))
+      Array.copy(nv, 0, v, 0, m + 1)
+      it += 1
+    }
+    conv
+  }
+
+  /**
+   * Shapley-value channel attribution over the [[markovRemovalEffect]]
+   * chain (Zhao et al. 2018's coalition framing): credit channel c by
+   * its AVERAGE marginal contribution across every coalition,
+   * φ_c = Σ_{S ⊆ C∖{c}} |S|!·(k−1−|S|)! ∕ k! · (P(S∪{c}) − P(S)),
+   * where P(S) is the absorbed conversion mass of the chain with every
+   * channel OUTSIDE S removed. Removal effect asks "what breaks if c
+   * vanishes"; Shapley additionally prices substitutes fairly — two
+   * interchangeable assist channels split the credit removal-effect
+   * would double-count. Efficiency holds by construction in exact
+   * rationals: Σ_c φ_c = P(full) − P(∅), with P(∅) the direct
+   * start→conversion mass.
+   *
+   * Exactness: every P(S) is [[absorbChain]]'s integer iteration; φ_c
+   * is a BigInt combination with the single ∕k! division LAST
+   * (truncation toward zero — the r13 signed-division rule; marginals
+   * can dip microscopically negative under truncating div, so signs
+   * matter). 2^k chains run DRIVER-side on the collected count matrix
+   * — `maxChannels` caps the sweep (the coalition count is the
+   * operator's honest cost, stated, not hidden).
+   *
+   * @return one row per channel: (channel, p_full_units, p_empty_units,
+   *         shapley_units — ×10⁻¹² conversion mass, share_micro —
+   *         ⌊10⁶·φ_c ∕ (P(full) − P(∅))⌋, NULL when P(full) = P(∅)),
+   *         channel ASC
+   */
+  def markovShapleyAttribution(df: DataFrame, keyCol: Column,
+      orderCols: Seq[Column], typeCol: Column, convSymbol: String,
+      iters: Int = 12, maxChannels: Int = 5,
+      maxSymbols: Int = 64): DataFrame = {
+    require(iters >= 1 && iters <= 64,
+      s"markovShapleyAttribution: iters=$iters out of [1,64]")
+    require(maxChannels >= 1 && maxChannels <= 12,
+      s"markovShapleyAttribution: maxChannels=$maxChannels out of [1,12]")
+    require(convSymbol.nonEmpty, "markovShapleyAttribution: empty convSymbol")
+    val s = df.sparkSession
+    import s.implicits._
+    val (channels, counts, idx) = journeyChain(df, keyCol, orderCols,
+      typeCol, convSymbol, maxSymbols, "markovShapleyAttribution")
+    val k = channels.length
+    require(k <= maxChannels,
+      s"markovShapleyAttribution: $k channels > maxChannels=$maxChannels " +
+        "— the coalition sweep is 2^k chains; raise the cap deliberately")
+    // P(S) per coalition bitmask (bit i set = channel i PRESENT)
+    val all = (1 << k) - 1
+    val pOf = (0 to all).map { mask =>
+      val removed = (0 until k).filter(i => (mask & (1 << i)) == 0)
+        .map(_ + 1).toSet
+      mask -> absorbChain(counts, idx, k, removed, iters)
+    }.toMap
+    val fact = (1 to math.max(k, 1)).scanLeft(BigInt(1))(_ * BigInt(_))
+      .toIndexedSeq // fact(n) = n!
+    val kFact = fact(k)
+    val pFull = pOf(all); val pEmpty = pOf(0)
     val rows = channels.zipWithIndex.map { case (ch, i) =>
-      val pRem = absorb(i + 1)
-      val micro: Option[Long] =
-        if (pFull == 0) None
-        else Some(((pFull - pRem) * BigInt(1000000) / pFull).toLong)
-      (ch, pFull.toLong, pRem.toLong, micro)
+      val bit = 1 << i
+      var phi = BigInt(0)
+      var mask = 0
+      while (mask <= all) {
+        if ((mask & bit) == 0) {
+          val sz = java.lang.Integer.bitCount(mask)
+          val wgt = fact(sz) * fact(k - 1 - sz)
+          phi += wgt * (pOf(mask | bit) - pOf(mask))
+        }
+        mask += 1
+      }
+      val units = (phi / kFact).toLong
+      val share: Option[Long] =
+        if (pFull == pEmpty) None
+        else Some((phi * BigInt(1000000) / (kFact * (pFull - pEmpty)))
+          .toLong)
+      (ch, pFull.toLong, pEmpty.toLong, units, share)
     }.toSeq
-    rows.toDF("channel", "p_conv_units", "p_removed_units",
-      "removal_micro")
+    rows.toDF("channel", "p_full_units", "p_empty_units",
+      "shapley_units", "share_micro")
   }
 
   /**

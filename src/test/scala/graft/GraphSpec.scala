@@ -539,6 +539,49 @@ class GraphSpec extends AnyFunSuite {
       (200L, 2L, 3L, 1L, 1L, Some(333333L))))
   }
 
+  test("neighborhoodFunction: register histogram equals an exact-BFS " +
+      "driver replay of the HLL registers on a path + island graph") {
+    import graft.core.TextSig
+    // path 1-2-3 plus island 4-5: balls saturate at different hops
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L))
+      .toDF("doc_id_a", "doc_id_b")
+    val adj = Map(1L -> Set(2L), 2L -> Set(1L, 3L), 3L -> Set(2L),
+      4L -> Set(5L), 5L -> Set(4L))
+    val p = 6; val wbits = 64 - p
+    def reg(id: Long): (Int, Int) = {
+      val h = TextSig.mix64(id)
+      val b = (h >>> wbits).toInt
+      val wv = h & ((1L << wbits) - 1L)
+      (b, if (wv == 0L) wbits + 1
+        else java.lang.Long.numberOfLeadingZeros(wv) - p + 1)
+    }
+    def ball(id: Long, h: Int): Set[Long] =
+      (0 until h).foldLeft(Set(id))((s, _) => s ++ s.flatMap(adj))
+    val naive = (for {
+      h <- 0 to 3
+      node <- adj.keys
+    } yield {
+      val regs = ball(node, h).map(reg)
+        .groupBy(_._1).map { case (b, g) => (b, g.map(_._2).max) }
+      (h, node, regs.size.toLong, regs.values.map(_.toLong).sum)
+    }).groupBy(t => (t._1, t._3))
+      .map { case ((h, nb), g) =>
+        (h, nb, g.size.toLong, g.map(_._4).sum) }
+      .toSeq.sortBy(t => (t._1, t._2))
+    val got = Graph.neighborhoodFunction(pairs, rounds = 3, p = p)
+      .orderBy("h", "nb")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(got === naive)
+    // structural reads: at h=0 every node holds exactly one register;
+    // by h=3 both components are saturated (ball = component)
+    assert(got.filter(_._1 == 0).map(_._3).sum === 5L)
+    assert(got.filter(_._1 == 2) === got.filter(_._1 == 3)
+      .map(t => (2, t._2, t._3, t._4)))
+    intercept[IllegalArgumentException] {
+      Graph.neighborhoodFunction(pairs, rounds = 0)
+    }
+  }
+
   test("conductanceReport: single community spanning everything gets " +
       "NULL conductance") {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_id_a", "doc_id_b")

@@ -1740,6 +1740,39 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("markovShapleyAttribution: hand chain — efficiency holds, sole " +
+      "converter takes full credit, bystander zero") {
+    import spark.implicits._
+    val T = graft.operators.Temporal
+    val ev = Seq((1L, 1L, "a"), (1L, 2L, "purchase"),
+      (2L, 1L, "b"),
+      (3L, 1L, "a"), (3L, 2L, "purchase")).toDF("u", "seq", "t")
+    val got = T.markovShapleyAttribution(ev, col("u"), Seq(col("seq")),
+        col("t"), convSymbol = "purchase")
+      .as[(String, Long, Long, Long, Option[Long])].collect().toSeq
+    // P(∅)=0 (no direct start→conv), P({a})=P(full)=⌊2/3·10¹²⌋,
+    // P({b})=0 → φ_a = P(full)−P(∅), φ_b = 0; shares 100% / 0%
+    assert(got === Seq(
+      ("a", 666666666666L, 0L, 666666666666L, Some(1000000L)),
+      ("b", 666666666666L, 0L, 0L, Some(0L))))
+    // efficiency: Σ shapley_units = P(full) − P(∅) exactly here (the
+    // /k! division is exact for this chain)
+    assert(got.map(_._4).sum === got.head._2 - got.head._3)
+    // substitutes split: two users converting through DIFFERENT sole
+    // channels → symmetric credit
+    val ev2 = Seq((1L, 1L, "a"), (1L, 2L, "purchase"),
+      (2L, 1L, "b"), (2L, 2L, "purchase")).toDF("u", "seq", "t")
+    val g2 = T.markovShapleyAttribution(ev2, col("u"), Seq(col("seq")),
+        col("t"), convSymbol = "purchase")
+      .as[(String, Long, Long, Long, Option[Long])].collect().toSeq
+    assert(g2.map(_._4).distinct.size === 1) // equal credit
+    assert(g2.map(_._5) === Seq(Some(500000L), Some(500000L)))
+    intercept[IllegalArgumentException] {
+      T.markovShapleyAttribution(ev, col("u"), Seq(col("seq")),
+        col("t"), convSymbol = "purchase", maxChannels = 1)
+    }
+  }
+
   test("wasserstein1By: hand-computed exact CDF-gap sums, " +
       "self-identical group reads 0, truncating micro") {
     import spark.implicits._
