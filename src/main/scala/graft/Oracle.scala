@@ -8382,6 +8382,79 @@ object Oracle {
       ORDER BY h, nb"""
     },
 
+    // m251: blocking quality — truth is the m132 exact word-3-gram
+    // formulation (string grams, DECIMAL threshold boundary),
+    // candidates replay the WORD-shingle minhash (gram hash =
+    // mix64(fnv1a(gram || ' ')) — the kernel appends a space after
+    // every token, so the fold equals FNV of the space-joined gram
+    // plus one trailing space — then minhash's second mix64 and the
+    // per-perm multiply-shift), banded at r=2 on the raw slice pair.
+    "m251_blocking_quality" -> s"""
+      WITH wgn AS (SELECT doc_id,
+              trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS nt
+            FROM documents),
+      wgt AS (SELECT doc_id, string_split(nt, ' ') AS ws
+            FROM wgn WHERE length(nt) > 0),
+      tk AS (SELECT doc_id,
+              list_distinct(list_transform(range(1, greatest(len(ws)-2,1)+1),
+                i -> array_to_string(
+                  list_slice(ws, CAST(i AS INT), CAST(i AS INT)+2), ' ')))
+                AS toks
+            FROM wgt),
+      ${jacPairCtes("bq", "tk", "toks")},
+      tr AS MATERIALIZED (SELECT pa, pb FROM bq
+          WHERE CAST(i AS DECIMAL(20,6)) >=
+            CAST('0.5' AS DECIMAL(20,6)) * (la + lb - i)),
+      wgg AS (SELECT doc_id, unnest(toks) AS g FROM tk),
+      wgf AS (SELECT doc_id, ${fnv1a("g || ' '")} AS z0 FROM wgg),
+      ${mix64Ctes("wgx", "wgf", "doc_id")},
+      wgu0 AS (SELECT doc_id, h AS z0 FROM wgx),
+      ${mix64Ctes("wgu", "wgu0", "doc_id")},
+      wpia AS (SELECT CAST(r.range AS INT) AS perm,
+               (CAST('10114998832218508061' AS HUGEINT) + r.range) % $M64 AS z0
+             FROM range(8) r),
+      ${mix64Ctes("wpma", "wpia", "perm")},
+      wpa AS (SELECT perm,
+               CASE WHEN h % 2 = 0 THEN h + 1 ELSE h END AS a FROM wpma),
+      wpib AS (SELECT CAST(r.range AS INT) AS perm,
+               (CAST('1983613069123707591' AS HUGEINT) + r.range) % $M64 AS z0
+             FROM range(8) r),
+      ${mix64Ctes("wpmb", "wpib", "perm")},
+      wpb AS (SELECT perm, h AS b FROM wpmb),
+      wterms AS (SELECT u.doc_id, a.perm,
+               (${mul64("u.h", "a.a")} + b.b) % $M64 AS hv
+             FROM wgu u, wpa a JOIN wpb b USING (perm)),
+      wsigned AS (SELECT doc_id, perm,
+               CAST(CASE WHEN hv >= CAST('9223372036854775808' AS HUGEINT)
+                    THEN hv - $M64 ELSE hv END AS BIGINT) AS sv
+             FROM wterms),
+      msg AS (SELECT doc_id, perm, MIN(sv) AS sig
+             FROM wsigned GROUP BY doc_id, perm),
+      bnd AS (SELECT doc_id, CAST(perm // 2 AS INT) AS band,
+              MIN(CASE WHEN perm % 2 = 0 THEN sig END) AS s0,
+              MIN(CASE WHEN perm % 2 = 1 THEN sig END) AS s1
+            FROM msg GROUP BY 1, 2),
+      cd AS MATERIALIZED (SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
+            FROM bnd a JOIN bnd b ON a.band = b.band AND a.s0 = b.s0
+              AND a.s1 = b.s1 AND a.doc_id < b.doc_id),
+      nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM wgt),
+      agg AS (SELECT (SELECT n FROM nd) AS n_docs,
+            (SELECT n FROM nd) * ((SELECT n FROM nd) - 1) // 2
+              AS possible,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM tr) AS n_true,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM cd) AS n_candidates,
+            (SELECT CAST(COUNT(*) AS BIGINT)
+             FROM cd JOIN tr USING (pa, pb)) AS n_both)
+      SELECT n_docs, CAST(possible AS BIGINT) AS n_possible_pairs,
+        n_true, n_candidates, n_both AS n_candidates_true,
+        CASE WHEN n_true = 0 THEN NULL
+          ELSE CAST((1000000 * n_both) // n_true AS BIGINT) END
+          AS completeness_micro,
+        CASE WHEN possible = 0 THEN NULL
+          ELSE CAST((1000000 * (possible - n_candidates)) // possible
+            AS BIGINT) END AS reduction_micro
+      FROM agg""",
+
     // mm18: horizontal-flip proofs — dims unchanged, BMP offsets as
     // mm15, source byte at the MIRRORED column (w−1−x, y).
     "mm18_flip_h" -> s"""

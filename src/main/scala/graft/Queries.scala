@@ -4644,6 +4644,15 @@ object Queries {
     operators.Graph.neighborhoodFunction(pairs05(s, dir))
       .orderBy("h", "nb")
 
+  /** m251 — blocking-quality audit
+    * ([[operators.Dedup.blockingQualityReport]], θ = 0.5, word
+    * 3-shingles, k=8, 4 bands): pair completeness and reduction ratio
+    * of the LSH candidate generator against m132's prefix-filter EXACT
+    * truth — the measured counterpart to m166's S-curve and m241's
+    * occupancy; raw-slice buckets, truncating micro shares. */
+  def m251BlockingQuality(s: SparkSession, dir: String): DataFrame =
+    operators.Dedup.blockingQualityReport(t(s, dir, "documents"))
+
   /** m231 — split-leakage audit ([[operators.Dedup.splitLeakageReport]]
     * over m138's exact stratified split and the shared 0.5-threshold
     * pair table): per ordered split pair, docs sharing a near-dup

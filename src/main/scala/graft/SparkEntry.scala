@@ -344,6 +344,7 @@ object SparkEntry {
     "m248_removal_effect" -> Queries.m248RemovalEffect,
     "m249_shapley" -> Queries.m249Shapley,
     "m250_neighborhood_fn" -> Queries.m250NeighborhoodFn,
+    "m251_blocking_quality" -> Queries.m251BlockingQuality,
     "q65_conversion_delays" -> Queries.q65ConversionDelays,
     "q66_interval_coalesce" -> Queries.q66IntervalCoalesce,
     "q67_rolling_distinct" -> Queries.q67RollingDistinct,

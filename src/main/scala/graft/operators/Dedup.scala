@@ -458,6 +458,99 @@ object Dedup {
     materialized(hist, sig)
   }
 
+  /** Blocking-quality audit — the two numbers an entity-resolution /
+    * dedup owner tunes LSH by, measured against EXACT ground truth:
+    * pair completeness (recall of true pairs among candidates) and
+    * reduction ratio (candidate pairs vs all n(n−1)/2). The S-curve
+    * ([[lshPlan]]) predicts these; this MEASURES them on the corpus.
+    * Truth comes from [[prefixJaccardPairs]] — the prefix-filter
+    * SSJoin is EXACT for the threshold and its rarest-first prefixes
+    * keep the join sub-quadratic where a naive shared-shingle join
+    * explodes (Σ df² over common grams measured 1.5·10⁹ pair rows at
+    * sf0.1 — the draft this replaced). Candidates are minhash bands
+    * over the SAME word-`w`-shingle space, keyed on RAW signature
+    * slices (collision-exact, the [[lshBandStats]] convention), so
+    * the audit compares like with like.
+    *
+    * Ceilings ride the components (probe-first, ABORT not cap):
+    * [[prefixJaccardPairs]]' hot-prefix-token guard on the truth side,
+    * `graft.dedup.blockingMaxBucketDepth` on the candidate self-join.
+    *
+    * @return one row: (n_docs, n_possible_pairs, n_true, n_candidates,
+    *         n_candidates_true, completeness_micro — NULL when no true
+    *         pairs, reduction_micro — share of the pair space PRUNED) */
+  def blockingQualityReport(docs: DataFrame, threshold: Double = 0.5,
+      k: Int = 8, bands: Int = 4, shingleW: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(bands >= 1 && k >= bands && k % bands == 0,
+      s"blockingQualityReport: bands=$bands must divide k=$k")
+    val s = docs.sparkSession
+    import s.implicits._
+    val r = k / bands
+    val named = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("text"))
+    val base = spread(named)
+      .select(col("doc_id"), wordShinglesUdf(col("text"), lit(shingleW))
+        .as("sh"))
+      .filter(size(col("sh")) > 0)
+      .transform(graft.core.Blocks.pin)
+    val nDocs = base.count()
+    val truthRaw = prefixJaccardPairs(named, threshold, shingleW)
+    val truth = truthRaw
+      .select(col("doc_id_a").as("da"), col("doc_id_b").as("db"))
+      .transform(graft.core.Blocks.pin)
+    // the SSJoin's own materialized result is reachable only through
+    // truthRaw — release it now that the slim pair frame is pinned
+    graft.core.Blocks.releaseAll(truthRaw)
+    // ---- candidates: raw band-slice buckets, depth-ceilinged ----
+    // pin the signature frame BEFORE the band slicer: CollapseProject
+    // would otherwise inline the minhash udf into the transform lambda
+    // (the lshBandStats barrier rule)
+    val sigF = base
+      .select(col("doc_id"), minhashUdf(col("sh"), lit(k)).as("sig"))
+      .transform(graft.core.Blocks.pin)
+    val buckets = sigF
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), lit(bands - 1)), b =>
+          struct(b.cast("int").as("band"),
+            slice(col("sig"), b * r + 1, lit(r)).as("bkey")))).as("e"))
+      .select(col("doc_id"), col("e.band").as("band"),
+        col("e.bkey").as("bkey"))
+      .transform(graft.core.Blocks.pin)
+    graft.core.Blocks.release(sigF)
+    val depthCeil = s.conf
+      .get("graft.dedup.blockingMaxBucketDepth", "4096").toLong
+    val deepest = buckets.groupBy("band", "bkey")
+      .agg(count(lit(1)).as("n")).agg(max(col("n"))).head().getLong(0)
+    require(deepest <= depthCeil, {
+      Seq(base, truth, buckets).foreach(graft.core.Blocks.release)
+      s"blockingQualityReport: a bucket holds $deepest docs > " +
+        "graft.dedup.blockingMaxBucketDepth — read lshBandStats and " +
+        "retune (bands, rowsPerBand) before auditing"
+    })
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+      .transform(graft.core.Blocks.pin)
+    val nTrue = truth.count()
+    val nCand = cand.count()
+    val nBoth = cand.join(truth, Seq("da", "db"), "left_semi").count()
+    Seq(base, truth, buckets, cand).foreach(graft.core.Blocks.release)
+    // BigInt: 10^6·possible overflows Long past ~4M docs
+    val possible = BigInt(nDocs) * (nDocs - 1) / 2
+    val completeness: Option[Long] =
+      if (nTrue == 0) None else Some(1000000L * nBoth / nTrue)
+    val reduction: Option[Long] =
+      if (possible == 0) None
+      else Some((BigInt(1000000) * (possible - nCand) / possible).toLong)
+    Seq((nDocs, possible.toLong, nTrue, nCand, nBoth, completeness,
+      reduction))
+      .toDF("n_docs", "n_possible_pairs", "n_true", "n_candidates",
+        "n_candidates_true", "completeness_micro", "reduction_micro")
+  }
+
   /** Near-dedup via MinHash-LSH: drop the higher doc_id of every verified
     * near-dup pair (connected via direct pairs; transitive closure left to
     * iterative callers). */

@@ -513,6 +513,62 @@ class PropertySpec extends AnyFunSuite {
     assert(tw.map(_._4) === Seq(Some(0L), Some(0L)))
   }
 
+  test("blockingQualityReport equals a naive exact-truth + banded-" +
+      "candidate replay, and the bucket ceiling aborts loudly") {
+    val s = spark
+    import s.implicits._
+    import graft.core.TextSig
+    val rnd = new Random(83)
+    val words = Array("query", "spark", "shard", "block", "entity",
+      "merge", "audit", "candidate", "signature", "bucket")
+    val texts = (0 until 36).map { i =>
+      if (i % 6 == 0) "identical duplicate template body here"
+      else if (i % 6 == 1) "identical duplicate template body there"
+      else (0 until (4 + rnd.nextInt(8)))
+        .map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+    }
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val (k, bands, r, w) = (8, 4, 2, 3)
+    val sh = texts.map(t => TextSig.wordShingles(t, w))
+    val n = sh.count(_.nonEmpty)
+    val pairs = for {
+      i <- sh.indices; j <- sh.indices
+      if i < j && sh(i).nonEmpty && sh(j).nonEmpty
+    } yield (i, j)
+    // θ = 0.5: i ≥ u/2 ⇔ 2i ≥ u, exactly the operator's DECIMAL test
+    val truth = pairs.filter { case (i, j) =>
+      val inter = TextSig.intersectSortedCount(sh(i), sh(j))
+      2L * inter >= sh(i).length + sh(j).length - inter
+    }.toSet
+    val bandsOf = sh.map { g =>
+      if (g.isEmpty) Seq.empty
+      else {
+        val sig = TextSig.minhash(g, k)
+        (0 until bands).map(b => (b, sig.slice(b * r, b * r + r).toSeq))
+      }
+    }
+    val cand = pairs.filter { case (i, j) =>
+      bandsOf(i).exists(bandsOf(j).contains) }.toSet
+    val both = cand.intersect(truth)
+    val possible = n.toLong * (n - 1) / 2
+    val got = graft.operators.Dedup.blockingQualityReport(docs)
+      .as[(Long, Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().head
+    assert(got === ((n.toLong, possible, truth.size.toLong,
+      cand.size.toLong, both.size.toLong,
+      Some(1000000L * both.size / truth.size),
+      Some(1000000L * (possible - cand.size) / possible))))
+    // the two identical-template groups guarantee true AND candidate
+    // pairs exist, so the shares above are meaningful
+    assert(truth.nonEmpty && cand.nonEmpty)
+    val sess = spark
+    sess.conf.set("graft.dedup.blockingMaxBucketDepth", "2")
+    try intercept[IllegalArgumentException] {
+      graft.operators.Dedup.blockingQualityReport(docs)
+    } finally sess.conf.unset("graft.dedup.blockingMaxBucketDepth")
+  }
+
   test("theilSenReport equals a naive seeded-partner median replay") {
     val s = spark
     import s.implicits._
