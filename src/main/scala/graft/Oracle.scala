@@ -8455,6 +8455,32 @@ object Oracle {
             AS BIGINT) END AS reduction_micro
       FROM agg""",
 
+    // m252: ring sharding — vnode positions mix64(s·1000003+v), key
+    // positions mix64(doc_id), successor = MIN combined key
+    // (pos·2³² + s·2¹⁶ + v) among pos ≥ kh, wraparound to the ring's
+    // global MIN; the combined key encodes the (pos, shard, vnode)
+    // total tie rule in one MIN.
+    "m252_ring_shards" -> s"""
+      WITH vn AS (SELECT s.range AS sh, v.range AS v,
+            CAST(s.range * 1000003 + v.range AS HUGEINT) AS z0
+          FROM range(8) s, range(32) v),
+      ${mix64Ctes("vh", "vn", "sh, v")},
+      ring AS (SELECT sh, v, h AS pos,
+            h * CAST('4294967296' AS HUGEINT) + sh * 65536 + v AS ck
+          FROM vh),
+      kz AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS z0
+          FROM documents),
+      ${mix64Ctes("kh", "kz", "doc_id")},
+      succ AS (SELECT k.doc_id, MIN(r.ck) AS ck
+          FROM kh k JOIN ring r ON r.pos >= k.h GROUP BY k.doc_id),
+      wrap AS (SELECT MIN(ck) AS ck FROM ring),
+      pick AS (SELECT k.doc_id, COALESCE(s.ck, (SELECT ck FROM wrap))
+            AS ck
+          FROM kh k LEFT JOIN succ s ON k.doc_id = s.doc_id)
+      SELECT p.doc_id, CAST(r.sh AS INT) AS shard
+      FROM pick p JOIN ring r ON p.ck = r.ck
+      ORDER BY p.doc_id""",
+
     // mm18: horizontal-flip proofs — dims unchanged, BMP offsets as
     // mm15, source byte at the MIRRORED column (w−1−x, y).
     "mm18_flip_h" -> s"""

@@ -4653,6 +4653,18 @@ object Queries {
   def m251BlockingQuality(s: SparkSession, dir: String): DataFrame =
     operators.Dedup.blockingQualityReport(t(s, dir, "documents"))
 
+  /** m252 — consistent-hash ring sharding
+    * ([[operators.TrainingPipeline.ringShards]], 8 shards × 32
+    * vnodes): successor-on-the-2⁶⁴-ring assignment, wraparound to the
+    * global minimum, (pos, shard, vnode) total tie rule — m133's HRW
+    * complement where the key path is one broadcast binary search,
+    * zero shuffles at any scale; the oracle replays the ring via the
+    * combined-key MIN (pos·2³² + shard·2¹⁶ + vnode). */
+  def m252RingShards(s: SparkSession, dir: String): DataFrame =
+    operators.TrainingPipeline.ringShards(t(s, dir, "documents"),
+        shards = 8, vnodes = 32)
+      .orderBy("doc_id")
+
   /** m231 — split-leakage audit ([[operators.Dedup.splitLeakageReport]]
     * over m138's exact stratified split and the shared 0.5-threshold
     * pair table): per ordered split pair, docs sharing a near-dup

@@ -345,6 +345,7 @@ object SparkEntry {
     "m249_shapley" -> Queries.m249Shapley,
     "m250_neighborhood_fn" -> Queries.m250NeighborhoodFn,
     "m251_blocking_quality" -> Queries.m251BlockingQuality,
+    "m252_ring_shards" -> Queries.m252RingShards,
     "q65_conversion_delays" -> Queries.q65ConversionDelays,
     "q66_interval_coalesce" -> Queries.q66IntervalCoalesce,
     "q67_rolling_distinct" -> Queries.q67RollingDistinct,

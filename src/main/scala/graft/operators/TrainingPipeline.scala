@@ -479,6 +479,49 @@ object TrainingPipeline {
     df.select(col(idCol), hrwShardUdf(col(idCol), lit(shards)).as("shard"))
   }
 
+  /** Consistent-hash RING sharding with virtual nodes — the classic
+    * alternative to [[rendezvousShards]]' HRW: each shard owns `vnodes`
+    * points on the 2⁶⁴ ring (pos = mix64(shard·1000003 + v)), a key
+    * goes to the first vnode CLOCKWISE from mix64(key) (unsigned
+    * order, wraparound to the globally smallest point; pos ties break
+    * by (shard, vnode) — total, stated). Where HRW evaluates O(shards)
+    * hashes per key, the ring is one binary search over a table that
+    * fits any driver (shards·vnodes ≤ 2¹⁶ by contract) — so the whole
+    * assignment is a BROADCAST + narrow map, zero shuffles at any
+    * corpus size, and vnode count tunes balance variance (~1/√vnodes)
+    * without touching the key path.
+    *
+    * Same monotonicity as HRW: adding a shard moves only the keys in
+    * the arcs its new vnodes claim (≈ vnodes∕total of the ring), and
+    * every moved key moves INTO the new shard — pinned by spec.
+    *
+    * @return (idCol, shard) */
+  def ringShards(df: DataFrame, shards: Int, vnodes: Int = 64,
+      idCol: String = "doc_id"): DataFrame = {
+    require(shards >= 1 && shards <= 65536,
+      s"ringShards: shards=$shards out of [1,65536]")
+    require(vnodes >= 1 && shards.toLong * vnodes <= 65536L,
+      s"ringShards: shards*vnodes=${shards.toLong * vnodes} > 65536 " +
+        "(the ring table must stay driver/broadcast-sized)")
+    // ring sorted by (unsigned pos, shard, vnode) — the total tie rule
+    val ring = (for (sh <- 0 until shards; v <- 0 until vnodes) yield {
+      val pos = graft.core.TextSig.mix64(sh.toLong * 1000003L + v)
+      (pos ^ Long.MinValue, sh, v) // sign-flip → signed order = unsigned
+    }).sorted.toArray
+    val flipped = ring.map(_._1)
+    val ringShard = ring.map(_._2)
+    val assignUdf = udf((id: Long) => {
+      val kh = graft.core.TextSig.mix64(id) ^ Long.MinValue
+      var lo = 0; var hi = flipped.length // first pos >= kh
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (flipped(mid) < kh) lo = mid + 1 else hi = mid
+      }
+      ringShard(if (lo == flipped.length) 0 else lo)
+    })
+    df.select(col(idCol), assignUdf(col(idCol)).as("shard"))
+  }
+
   /** Cluster-integrity sharding: rendezvous-shard each near-dup CLUSTER
     * (not each doc), so every member of a dup cluster lands on the SAME
     * shard — the layout that lets a 100 TB store run shard-local dedup

@@ -1002,6 +1002,43 @@ class TrainingPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ringShards: linear-scan successor replay, movers only into the " +
+      "new shard's arcs, every shard populated, ring-size ceiling") {
+    import graft.core.TextSig
+    val s = spark
+    import s.implicits._
+    // independent replay: LINEAR scan over the unsorted vnode list
+    // (the operator binary-searches a sorted array — different code)
+    def naive(id: Long, shards: Int, vnodes: Int): Int = {
+      val ring = for (sh <- 0 until shards; v <- 0 until vnodes)
+        yield (TextSig.mix64(sh.toLong * 1000003L + v) ^ Long.MinValue,
+          sh, v)
+      val kh = TextSig.mix64(id) ^ Long.MinValue
+      val cands = ring.filter(_._1 >= kh)
+      (if (cands.nonEmpty) cands.min else ring.min)._2
+    }
+    val ids = spark.range(0, 400).toDF("doc_id")
+    val got8 = TrainingPipeline.ringShards(ids, 8, 16)
+      .as[(Long, Int)].collect().toMap
+    val got9 = TrainingPipeline.ringShards(ids, 9, 16)
+      .as[(Long, Int)].collect().toMap
+    (0L until 400L).foreach { id =>
+      assert(got8(id) === naive(id, 8, 16), s"shard of $id")
+      assert(got9(id) === naive(id, 9, 16), s"shard of $id at 9")
+    }
+    // ring monotonicity: a key that changed assignment when shard 8's
+    // vnodes were ADDED can only have moved to shard 8
+    val movers = (0L until 400L).filter(id => got8(id) != got9(id))
+    assert(movers.forall(id => got9(id) == 8))
+    // new shard claims ≈ 1/9 of the ring: generous deterministic band
+    assert(movers.size > 10 && movers.size < 120, s"movers=${movers.size}")
+    assert(got8.values.toSet === (0 until 8).toSet)
+    assert(got9.values.toSet === (0 until 9).toSet)
+    intercept[IllegalArgumentException] {
+      TrainingPipeline.ringShards(ids, 65536, 2)
+    }
+  }
+
   test("clusterShards: cluster members co-shard, labels are min reachable " +
       "id, singletons shard by own id") {
     import graft.core.TextSig
