@@ -15,6 +15,10 @@ object Explain {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // plans-only session: keep checkpoints LAZY so the printed plan
+      // shows the whole pipeline (a pin roots the plan at a LogicalRDD
+      // and hides every operator above it) — see core.Blocks.pin
+      .config("graft.pin.disable", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

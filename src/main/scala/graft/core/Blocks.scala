@@ -56,6 +56,16 @@ object Blocks {
     * handle) is mode-independent. */
   def pin[T](ds: Dataset[T]): Dataset[T] = {
     val spark = ds.sparkSession
+    // Dev/observability escape hatch (r17): `graft.pin.disable=true`
+    // makes pin the identity so `graft.Explain` can print the FULL
+    // physical plan through iterative operators (a pinned frame roots
+    // the plan at a LogicalRDD, hiding every Exchange upstream of the
+    // checkpoint — exactly the part an optimization round must show).
+    // NEVER set in Bench/Verify sessions: without the pins the
+    // correctness contracts (plan-cut before store writes, one-time
+    // evaluation, release-by-handle) do not hold.
+    if (spark.conf.getOption("graft.pin.disable")
+        .exists(_.equalsIgnoreCase("true"))) return ds
     val reliable = spark.conf.getOption("graft.checkpoint.reliable")
       .exists(_.equalsIgnoreCase("true"))
     if (!reliable) ds.localCheckpoint(eager = true)

@@ -96,6 +96,16 @@ object Retrieval {
       Bm25Doc(toks.length, out.result())
     }
 
+    // Two kernel passes BY MEASUREMENT (r17): persisting the kernel
+    // output between the stats and scoring passes was tried (narrow
+    // (id, dl, hits) cache + eager pin of the top-k before unpersist)
+    // and REVERTED — the pin's extra materialization job cost more
+    // than the saved pass on bounded-query workloads (A/B: m54 1.43×
+    // SLOWER, m49/m52/m114/m238 ties, only m201's triple-call path
+    // gained 0.84×). Re-tokenizing is the cheaper steady state here;
+    // a 100 TB serving path avoids both via the durable index
+    // ([[bm25WriteIndex]]/[[bm25TopKFromIndex]] — the m102 shape).
+
     // pass 1 — collection stats: df per term, with N and Σdl observed on
     // the SAME action (full-scan aggregate, per the observe contract)
     val obs = Observation("bm25_stats")

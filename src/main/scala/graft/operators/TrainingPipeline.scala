@@ -269,6 +269,23 @@ object TrainingPipeline {
       val (s0, s1, s2, s3) = stageValues(obs)
       reportFrame(docs, (s0, s1, s2, s3, row.getLong(0)),
         Some(row.getLong(1)))
+    } else if (cfg.nearDedup) {
+      // counts only (r17): the near-dedup survivor count is
+      // s3 − |dup ids| EXACTLY (every dropped id comes from the
+      // exact-deduped input, and minhashDedup drops the distinct
+      // doc_id_b set) — so the report never runs the anti-join, whose
+      // only contribution here was a SECOND full corpus pass
+      // re-evaluating the language/quality kernels on every doc just
+      // to be counted (guide §1.2 step 1: don't compute things you
+      // throw away). The pair pipeline's own materialization triggers
+      // the stage observations (its signature scan flows through the
+      // observed nodes).
+      val (pre, obs) = observedChain(docs, cfg.copy(nearDedup = false))
+      val pairs = Dedup.minhashPairs(pre, cfg.nearDedupThreshold)
+      val nDup = pairs.select(col("doc_id_b")).distinct().count()
+      graft.core.Blocks.release(pairs)
+      val (s0, s1, s2, s3) = stageValues(obs)
+      reportFrame(docs, (s0, s1, s2, s3, s3 - nDup))
     } else {
       val (plan, obs) = observedChain(docs, cfg)
       val s4 = plan.count() // == s3 when nearDedup is off (plan is that node)
