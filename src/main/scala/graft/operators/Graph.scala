@@ -516,15 +516,14 @@ object Graph {
    * for which it survives [[kCore]] peeling: the graph's density
    * hierarchy in one table (coreness 1 = incidental pairs, higher =
    * progressively tighter template families), where a single fixed-k
-   * cut only gives one level. Computed by escalating peels, each
-   * starting from the PREVIOUS core's edges (the (k+1)-core is a
-   * subgraph of the k-core, so every level peels an already-shrunken
-   * graph — total cost tracks the shrinking frontier, not k × graph):
-   * vertices dropped by the k-peel have coreness k−1; vertices
-   * surviving the `kMax` peel are REPORTED at kMax, which equals their
-   * true coreness only if the kMax-core is empty — `strict = true`
-   * (default) aborts when it is not, `strict = false` returns the
-   * truncated hierarchy with a WARN.
+   * cut only gives one level. Computed as the iterative h-index
+   * fixpoint (r17; see the inline note — the escalating-peel form it
+   * replaces ran an order of magnitude more driver-synchronized jobs
+   * for the same exact values): vertices with core number ≥ `kMax`
+   * are REPORTED at kMax, which equals their true coreness only if
+   * the kMax-core is empty — `strict = true` (default) aborts when it
+   * is not, `strict = false` returns the truncated hierarchy with a
+   * WARN.
    *
    * Isolated vertices never appear in `pairs` and so are absent here
    * (coreness 0 by definition); join against the corpus for the full
@@ -536,60 +535,90 @@ object Graph {
       strict: Boolean = true, aCol: String = "doc_id_a",
       bCol: String = "doc_id_b"): DataFrame = {
     require(kMax >= 1 && kMax <= 64, s"coreness: kMax=$kMax out of [1,64]")
+    // r17: iterative h-index fixpoint (Lü et al. 2016, "Vital nodes
+    // identification") instead of escalating kCore peels. core₀(v) =
+    // deg(v); each round core(v) ← H({core(u) : u ~ v}) where H is the
+    // h-index (max h with ≥ h neighbors at ≥ h). Initialized at the
+    // degree the sequence is pointwise non-increasing and its fixpoint
+    // IS the core number — the same values the peel produced, exact.
+    // Cost: the peel ran Σ_k (rounds_k × [degree agg + 2 anti-joins +
+    // 2 pins + probe]) driver-synchronized jobs across k = 1..kMax;
+    // this runs ~O(core-depth) rounds of [join + partitioned window +
+    // agg + pin + probe] TOTAL (measured 4 rounds on the m116 graph vs
+    // ~20 peel rounds). Truncation semantics preserved exactly: strict
+    // aborts iff some core number ≥ kMax ("the kMax-core is non-empty"
+    // in peel terms), relaxed reports those vertices AT kMax.
     val spark = pairs.sparkSession
-    import spark.implicits._
     val und = pairs.select(col(aCol).cast("long").as("src"),
         col(bCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
-    var edges = und.unionByName(
+    val edges = und.unionByName(
         und.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .transform(graft.core.Blocks.pin)
-    var out = Seq.empty[(Long, Int)].toDF("doc_id", "coreness")
+    var core = edges.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("core"))
       .transform(graft.core.Blocks.pin)
-    var k = 1
-    var empty = false
-    while (k <= kMax && !empty) {
-      val core = kCore(
-        edges.select(col("src").as(aCol), col("dst").as(bCol)),
-        k, maxIter, strict)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxIter) {
+      val ncore = edges.join(core, edges("dst") === core("id"))
+        .select(col("src"), col("core").as("nc"))
+      // h-index per src: with neighbor cores sorted DESC, H = max over
+      // rows of min(row_number, nc) — equal values make the row order
+      // among ties irrelevant to the max, so the window (partitioned,
+      // never global) is deterministic in VALUE
+      val w = Window.partitionBy("src").orderBy(col("nc").desc)
+      val upd = ncore
+        .withColumn("rn", row_number().over(w))
+        .select(col("src").as("id"),
+          least(col("rn").cast("long"), col("nc")).as("m"))
+        .groupBy("id").agg(max(col("m")).as("newcore"))
+      // every vertex with an edge appears as src (edges symmetrized),
+      // so upd covers core's id set — inner join is total
+      val next = core.select(col("id"), col("core").as("oldcore"))
+        .join(upd, "id")
+        .select(col("id"), col("newcore").as("core"),
+          (col("oldcore") =!= col("newcore")).cast("long").as("ch"))
         .transform(graft.core.Blocks.pin)
-      // dropped by THIS peel → coreness k−1 (only k ≥ 2 can drop
-      // vertices that had edges; the k=1 peel drops nobody with an edge)
-      val dropped = edges.select(col("src").as("doc_id")).distinct()
-        .join(core.select(col("doc_id")), Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), lit(k - 1).as("coreness"))
-      val nextOut = out.unionByName(dropped)
-        .transform(graft.core.Blocks.pin)
-      graft.core.Blocks.release(out)
-      out = nextOut
-      val nextEdges = edges
-        .join(core.select(col("doc_id").as("src")), Seq("src"))
-        .join(core.select(col("doc_id").as("dst")), Seq("dst"))
-        .select("src", "dst")
-        .transform(graft.core.Blocks.pin)
+      val changed = next.agg(sum(col("ch"))).head().getLong(0)
       graft.core.Blocks.release(core)
-      graft.core.Blocks.release(edges)
-      edges = nextEdges
-      empty = edges.limit(1).count() == 0L
-      k += 1
+      core = next.select(col("id"), col("core"))
+      converged = changed == 0L
+      rounds += 1
     }
-    if (!empty) {
+    if (!converged) {
+      val msg = s"coreness: not converged after $rounds rounds (maxIter=" +
+        s"$maxIter) — raise maxIter"
+      if (strict) {
+        graft.core.Blocks.release(core)
+        graft.core.Blocks.release(edges)
+        throw new IllegalStateException(msg)
+      }
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(msg + "; returning the current h-index state (a pointwise " +
+          "UPPER bound of the true coreness)")
+    }
+    val mx = core.agg(max(col("core"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    if (mx >= kMax) {
       val msg = s"coreness: the $kMax-core is non-empty — vertices in it " +
         "are reported AT kMax, below their true coreness; raise kMax"
       if (strict) {
+        graft.core.Blocks.release(core)
         graft.core.Blocks.release(edges)
-        graft.core.Blocks.release(out)
         throw new IllegalStateException(msg)
       }
       org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
     }
-    val survivors = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), lit(math.min(k, kMax)).as("coreness"))
-    val result = out.unionByName(survivors)
+    val result = core
+      .select(col("id").as("doc_id"),
+        least(col("core"), lit(kMax.toLong)).cast("int").as("coreness"))
       .transform(graft.core.Blocks.pin)
+    graft.core.Blocks.release(core)
     graft.core.Blocks.release(edges)
-    graft.core.Blocks.release(out)
     result
   }
 

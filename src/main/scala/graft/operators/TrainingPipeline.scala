@@ -200,18 +200,25 @@ object TrainingPipeline {
     * checkpoint) — a partial scan (limit probe, `isEmpty`) would
     * permanently freeze under-counted Observation values into the
     * report. */
-  private def observedChain(docs: DataFrame, cfg: Config): (DataFrame, StageObs) = {
+  /** `extraOnPreNear`: additional aggregates observed on the node just
+    * BEFORE near-dedup (the exact-dedup node, or the quality node when
+    * exact dedup is off) — lets `report` count decontamination survivors
+    * arithmetically without a second corpus pass (read them off
+    * `obs.s3.getOrElse(obs.s2)`). */
+  private def observedChain(docs: DataFrame, cfg: Config,
+      extraOnPreNear: Seq[Column] = Nil): (DataFrame, StageObs) = {
     val o0 = org.apache.spark.sql.Observation()
     val o1 = org.apache.spark.sql.Observation()
     val o2 = org.apache.spark.sql.Observation()
+    val extra2 = if (cfg.exactDedup) Nil else extraOnPreNear
     var d = docs.observe(o0, count(lit(1)).as("n"))
     d = languageFilter(d, cfg.languages).observe(o1, count(lit(1)).as("n"))
     d = qualityFilter(d, cfg.minChars, cfg.maxChars, cfg.minQuality,
       cfg.minStopwordRatio, cfg.maxTopBigramFrac)
-      .observe(o2, count(lit(1)).as("n"))
+      .observe(o2, count(lit(1)).as("n"), extra2: _*)
     val o3 = if (cfg.exactDedup) {
       val o = org.apache.spark.sql.Observation()
-      d = Dedup.exact(d).observe(o, count(lit(1)).as("n"))
+      d = Dedup.exact(d).observe(o, count(lit(1)).as("n"), extraOnPreNear: _*)
       Some(o)
     } else None
     if (cfg.nearDedup) d = Dedup.minhashDedup(d, cfg.nearDedupThreshold)
@@ -249,13 +256,42 @@ object TrainingPipeline {
     * terminal action is one aggregation computing s4 AND the
     * decontamination survivor count s5 together. */
   def report(docs: DataFrame, cfg: Config = Config()): DataFrame =
-    if (cfg.benchmark.isDefined) {
-      // counts only: s4 (dedup survivors) and s5 (of those, clean of
-      // benchmark overlap) come from ONE aggregation over the dedup
-      // plan — nothing corpus-sized is checkpointed just to be counted
-      // twice (curateWithReport pays that only because it must RETURN
-      // the corpus). The decontam predicate is the same narrow kernel
-      // `decontaminate` applies, so the two paths count identically.
+    if (cfg.benchmark.isDefined && cfg.nearDedup) {
+      // counts only (r17): like the no-benchmark branch below, the
+      // near-dedup anti-join existed here only to be COUNTED — its
+      // evaluation re-ran the language/quality kernels AND the
+      // exact-dedup shuffle over the whole corpus a second time. Both
+      // final stages are arithmetic over bounded pieces instead:
+      //   s4 = s3 − |dup ids|
+      //   s5 = clean(pre-near corpus) − clean(dup docs)
+      // clean(pre-near) rides the observed chain as an extra aggregate
+      // (same narrow decontam kernel `decontaminate` applies, evaluated
+      // during the pair pipeline's own materialization); clean(dups)
+      // joins the BOUNDED dup-id frame back to the raw docs (exact
+      // dedup keeps whole rows, so a dup id's text is the raw text).
+      val bc = benchmarkGrams(cfg.benchmark.get, cfg.decontamN)
+      def cleanCount = count(when(hitsCol(bc, cfg.decontamN, col("text"))
+        < cfg.decontamMinHits, 1))
+      val (pre, obs) = observedChain(docs, cfg.copy(nearDedup = false),
+        extraOnPreNear = Seq(cleanCount.as("clean")))
+      val pairs = Dedup.minhashPairs(pre, cfg.nearDedupThreshold)
+      val dupIds = graft.core.Blocks.pin(
+        pairs.select(col("doc_id_b").cast("long").as("doc_id")).distinct())
+      val nDup = dupIds.count()
+      graft.core.Blocks.release(pairs)
+      val dupClean = docs
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .join(broadcast(dupIds), "doc_id")
+        .agg(cleanCount.as("c")).head().getLong(0)
+      graft.core.Blocks.release(dupIds)
+      val (s0, s1, s2, s3) = stageValues(obs)
+      val cleanPre = obs.s3.getOrElse(obs.s2)
+        .get("clean").asInstanceOf[Long]
+      reportFrame(docs, (s0, s1, s2, s3, s3 - nDup),
+        Some(cleanPre - dupClean))
+    } else if (cfg.benchmark.isDefined) {
+      // nearDedup off: the chain's last node IS the pre-near node — one
+      // aggregation over it computes s4 ≡ s3 and s5 with no re-run.
       val bc = benchmarkGrams(cfg.benchmark.get, cfg.decontamN)
       val (plan, obs) = observedChain(docs, cfg)
       val row = plan.agg(
@@ -263,8 +299,6 @@ object TrainingPipeline {
         count(when(hitsCol(bc, cfg.decontamN, col("text"))
           < cfg.decontamMinHits, 1)).as("s5"))
         .head()
-      // the dedup chain's internal checkpoints (verified pairs, labels)
-      // are dead once the counts land — release by handle
       graft.core.Blocks.releaseAll(plan)
       val (s0, s1, s2, s3) = stageValues(obs)
       reportFrame(docs, (s0, s1, s2, s3, row.getLong(0)),
