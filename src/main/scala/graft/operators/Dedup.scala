@@ -489,13 +489,18 @@ object Dedup {
     val r = k / bands
     val named = docs.select(col(idCol).cast("long").as("doc_id"),
       col(textCol).as("text"))
+    // ONE shingle pass (r17): the truth side (prefix-filter SSJoin) and
+    // the candidate side (minhash bands) run over the SAME word-shingle
+    // space — the kernel used to run twice over the corpus; now the
+    // pinned frame feeds both via prefixJaccardFromToks.
     val base = spread(named)
       .select(col("doc_id"), wordShinglesUdf(col("text"), lit(shingleW))
-        .as("sh"))
-      .filter(size(col("sh")) > 0)
+        .as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("n", size(col("toks")))
       .transform(graft.core.Blocks.pin)
     val nDocs = base.count()
-    val truthRaw = prefixJaccardPairs(named, threshold, shingleW)
+    val truthRaw = prefixJaccardFromToks(base, threshold)
     val truth = truthRaw
       .select(col("doc_id_a").as("da"), col("doc_id_b").as("db"))
       .transform(graft.core.Blocks.pin)
@@ -507,7 +512,7 @@ object Dedup {
     // would otherwise inline the minhash udf into the transform lambda
     // (the lshBandStats barrier rule)
     val sigF = base
-      .select(col("doc_id"), minhashUdf(col("sh"), lit(k)).as("sig"))
+      .select(col("doc_id"), minhashUdf(col("toks"), lit(k)).as("sig"))
       .transform(graft.core.Blocks.pin)
     val buckets = sigF
       .select(col("doc_id"), explode(transform(
@@ -726,7 +731,6 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"prefixJaccardPairs: threshold=$threshold out of (0,1]")
     require(w >= 1 && w <= 16, s"prefixJaccardPairs: w=$w out of [1,16]")
-    val thDec = lit(BigDecimal(threshold.toString)) // exact decimal θ
     // sorted distinct gram hashes via the compiled kernel (one pass per
     // doc; a transform() lambda here would re-evaluate the tokenization
     // per element after CollapseProject inlines it — the HOF trap)
@@ -736,6 +740,23 @@ object Dedup {
       .filter(size(col("toks")) > 0)
       .withColumn("n", size(col("toks")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = prefixJaccardFromToks(tok, threshold)
+    // out is pinned by prefixJaccardFromToks — the shingle cache can go
+    graft.core.Blocks.release(tok)
+    out
+  }
+
+  /** [[prefixJaccardPairs]] over a PREBUILT shingle frame
+    * (doc_id, toks — sorted distinct gram hashes, n = size(toks)) that
+    * is already persisted/pinned by the caller (three consumers below).
+    * Lets [[blockingQualityReport]] share ONE tokenization pass between
+    * its truth and candidate sides (r17 — the kernel ran twice over the
+    * corpus there). Does NOT release `tok`; the caller owns it. */
+  private def prefixJaccardFromToks(tok: DataFrame,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"prefixJaccardPairs: threshold=$threshold out of (0,1]")
+    val thDec = lit(BigDecimal(threshold.toString)) // exact decimal θ
     val exploded = tok.select(col("doc_id"), col("n"),
       explode(col("toks")).as("tok"))
     // global rarest-first order = (document frequency, token); computed
@@ -751,7 +772,7 @@ object Dedup {
         explode(slice(transform(col("ot"), x => x("tok")),
           lit(1), (col("n") - ceil(thDec * col("n")) + 1).cast("int"))).as("tok"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ceiling = docs.sparkSession.conf
+    val ceiling = tok.sparkSession.conf
       .get("graft.dedup.prefixTokenMaxDocs", "4096").toLong
     val hottest = prefix.groupBy("tok").agg(count(lit(1)).as("d"))
       .agg(max(col("d"))).head() match {
@@ -779,7 +800,7 @@ object Dedup {
       .filter(col("i").cast("decimal(20,6)") >= thDec * col("u"))
       .select(col("doc_id_a"), col("doc_id_b"),
         round(col("i").cast("double") / col("u"), 6).as("jaccard"))
-    materialized(out, tok, prefix)
+    materialized(out, prefix) // tok is owned by the caller
   }
 
   // narrow denominator kernel for dupGramStats — the totals side never
