@@ -581,7 +581,13 @@ object Graph {
         .select(col("id"), col("newcore").as("core"),
           (col("oldcore") =!= col("newcore")).cast("long").as("ch"))
         .transform(graft.core.Blocks.pin)
-      val changed = next.agg(sum(col("ch"))).head().getLong(0)
+      // null-guard like the `mx` read below: an EMPTY graph (no edges,
+      // or all self-loops) makes `next` empty and sum() NULL — the old
+      // peel form returned an empty frame here, so must this one.
+      val changed = next.agg(sum(col("ch"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
       graft.core.Blocks.release(core)
       core = next.select(col("id"), col("core"))
       converged = changed == 0L

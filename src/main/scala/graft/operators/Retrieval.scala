@@ -41,14 +41,15 @@ final case class SnippetHit(query_id: Int, start: Int, n_terms: Int,
  * operators in [[Similarity]].
  *
  * Scale shape: the query TERM table is broadcast (queries are bounded by
- * contract); the corpus is touched in two narrow kernel passes and never
- * shuffles text — pass 1 aggregates the collection statistics (N, Σdl via
- * `observe` on the same action that counts per-term document frequencies,
- * so stats cost ONE job), pass 2 scores matching docs. Only (query, doc,
- * score) candidate rows — docs containing ≥1 query term — move, and they
- * are cut to k·partitions rows by per-partition top-k heaps BEFORE the
- * final global window ([[TrainingPipeline.stratifiedSample]]'s shape), so
- * there is no unpartitioned corpus-sized sort anywhere.
+ * contract); the corpus is touched in ONE narrow kernel pass (r18) that
+ * materializes the candidate rows — (doc_id, dl, t, tf), one sentinel
+ * row per doc plus one row per matched (doc, query-term) — from which
+ * both the collection statistics (N, Σdl, per-term df: one tiny
+ * aggregation) and the scores derive; text never shuffles. Only (query,
+ * doc, score) candidate rows — docs containing ≥1 query term — move, and
+ * they are cut to k·partitions rows by per-partition top-k heaps BEFORE
+ * the final global window ([[TrainingPipeline.stratifiedSample]]'s
+ * shape), so there is no unpartitioned corpus-sized sort anywhere.
  *
  * Determinism: per-(query, doc, term) contributions are rounded to 9
  * decimals and summed EXACTLY as DECIMAL(18,9) in term-independent order;
@@ -78,6 +79,11 @@ object Retrieval {
     require(terms.nonEmpty, "bm25TopK: queries contain no terms")
     val bcTerms = s.sparkContext.broadcast(terms)
 
+    // The kernel prepends a SENTINEL hit (t = -1, tf = 0) so every doc
+    // survives the explode: collection stats (N as the sentinel count,
+    // Σdl as the sentinel dl sum) then come out of the SAME materialized
+    // candidate frame as the per-term document frequencies — one job,
+    // no Observation, no second corpus pass (see below).
     val kernel = udf { (t: String) =>
       val ts = bcTerms.value
       val n = TextSig.normalize(t)
@@ -91,35 +97,48 @@ object Retrieval {
         i += 1
       }
       val out = Array.newBuilder[Bm25Hit]
+      out += Bm25Hit(-1, 0)
       var j = 0
       while (j < ts.length) { if (tf(j) > 0) out += Bm25Hit(j, tf(j)); j += 1 }
       Bm25Doc(toks.length, out.result())
     }
 
-    // Two kernel passes BY MEASUREMENT (r17): persisting the kernel
-    // output between the stats and scoring passes was tried (narrow
-    // (id, dl, hits) cache + eager pin of the top-k before unpersist)
-    // and REVERTED — the pin's extra materialization job cost more
-    // than the saved pass on bounded-query workloads (A/B: m54 1.43×
-    // SLOWER, m49/m52/m114/m238 ties, only m201's triple-call path
-    // gained 0.84×). Re-tokenizing is the cheaper steady state here;
-    // a 100 TB serving path avoids both via the durable index
-    // ([[bm25WriteIndex]]/[[bm25TopKFromIndex]] — the m102 shape).
+    // ONE corpus pass (r18). The r17 attempt cached the CORPUS-SIZED
+    // kernel output ((id, dl, hits) per doc) and was measured-reverted
+    // (the pin's materialization cost more than the saved pass: m54
+    // 1.43× slower). This shape pins only the exploded CANDIDATE rows —
+    // (doc_id, dl, t, tf), one sentinel row per doc plus one row per
+    // matched (doc, query-term) — a few narrow ints per doc, so the
+    // checkpoint is cheap while the tokenize+binary-search kernel runs
+    // once instead of twice. explode_outer, not explode: the inferred
+    // size>0 filter of a plain explode re-evaluates the inlined UDF per
+    // row (the explode(udf(x)) rule), and the sentinel makes the outer
+    // row set identical anyway. Stats then cost one tiny aggregation of
+    // the pinned frame instead of a full-scan observe. The pinned frame
+    // stays in the returned plan's lineage — Bench/Verify releaseAll per
+    // query; eager-pinning callers must releaseAll the lazy frame
+    // ([[distillTriplets]], [[prfExpandedTopK]]).
+    val cand = graft.core.Blocks.pin(docs
+      .select(col(idCol).cast("long").as("doc_id"), kernel(col(textCol)).as("d"))
+      .select(col("doc_id"), col("d.dl").as("dl"),
+        explode_outer(col("d.hits")).as("h"))
+      .select(col("doc_id"), col("dl"), col("h.t").as("t"),
+        col("h.tf").as("tf")))
 
-    // pass 1 — collection stats: df per term, with N and Σdl observed on
-    // the SAME action (full-scan aggregate, per the observe contract)
-    val obs = Observation("bm25_stats")
-    val dfByTerm: Map[Int, Long] = docs
-      .select(kernel(col(textCol)).as("d"))
-      .observe(obs, count(lit(1)).as("n"), sum(col("d.dl")).as("sumdl"))
-      .select(explode(col("d.hits")).as("h"))
-      .groupBy(col("h.t").as("t")).agg(count(lit(1)).as("df"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val n: Long = obs.get("n").asInstanceOf[Long]
-    val sumdl: Long = obs.get("sumdl") match {
-      case null => 0L; case v => v.asInstanceOf[Long]
+    // stats — df per term (t ≥ 0) and N / Σdl (the t = -1 sentinel
+    // group) from ONE aggregation of the candidate frame
+    val statRows = cand.groupBy("t")
+      .agg(count(lit(1)).as("df"), sum(col("dl")).as("sdl")).collect()
+    val dfByTerm: Map[Int, Long] = statRows
+      .filter(_.getInt(0) >= 0).map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val (n: Long, sumdl: Long) = statRows.find(_.getInt(0) == -1) match {
+      case Some(r) => (r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2))
+      case None => (0L, 0L)
     }
-    require(n > 0, "bm25TopK: empty corpus")
+    require(n > 0, {
+      graft.core.Blocks.release(cand)
+      "bm25TopK: empty corpus"
+    })
     val avgdl: Double = sumdl.toDouble / n.toDouble
 
     // idf from integer aggregates — the oracle replays this expression
@@ -135,14 +154,13 @@ object Retrieval {
       }
     }.toDF("query_id", "t", "idf")
 
-    // pass 2 — score candidates: per-(query, doc, term) contribution,
-    // rounded then summed exactly as DECIMAL (term-order-independent)
-    val contrib = contribExpr(col("h.tf"), col("d.dl"), col("idf"),
+    // score candidates from the SAME pinned frame: per-(query, doc,
+    // term) contribution, rounded then summed exactly as DECIMAL
+    // (term-order-independent); the t ≥ 0 inner join drops sentinels
+    val contrib = contribExpr(cand("tf"), cand("dl"), col("idf"),
       k1, b, avgdl)
-    val scores = docs
-      .select(col(idCol).cast("long").as("doc_id"), kernel(col(textCol)).as("d"))
-      .select(col("doc_id"), col("d"), explode(col("d.hits")).as("h"))
-      .join(broadcast(termMeta), col("h.t") === termMeta("t"))
+    val scores = cand
+      .join(broadcast(termMeta), cand("t") === termMeta("t"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(contrib).as("score"))
     constraint match {
@@ -163,8 +181,8 @@ object Retrieval {
    * classic lexical stacks run when queries underspecify the corpus
    * vocabulary.
    *
-   * Scale shape: two bm25TopK passes (each two narrow kernel passes,
-   * text never shuffles) plus one candidate count whose explode runs
+   * Scale shape: two bm25TopK passes (each ONE narrow kernel pass since
+   * r18, text never shuffles) plus one candidate count whose explode runs
    * ONLY over the feedback docs (≤ queries·feedbackK — semi-joined by
    * a broadcast id frame before any token moves). Driver state is the
    * feedback id list and the expansion table, both bounded by the
@@ -180,10 +198,13 @@ object Retrieval {
       s"prfExpandedTopK: expandTerms=$expandTerms out of [1,32]")
     val s = docs.sparkSession
     import s.implicits._
-    val fb = bm25TopK(docs, queries, k = feedbackK, k1 = k1, b = b,
+    val fbFrame = bm25TopK(docs, queries, k = feedbackK, k1 = k1, b = b,
         idCol = idCol, textCol = textCol)
       .select(col("query_id"), col("doc_id"))
-      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val fb = fbFrame.collect().map(r => (r.getInt(0), r.getLong(1)))
+    // the round-1 candidate pin is consumed by the collect above —
+    // release it (bm25TopK's pinned frame sits in fbFrame's lineage)
+    graft.core.Blocks.releaseAll(fbFrame)
     val fbDf = fb.toSeq.toDF("query_id", "doc_id")
     val toksUdf = udf { (t: String) =>
       val n = TextSig.normalize(if (t == null) "" else t)
@@ -292,8 +313,8 @@ object Retrieval {
    * Scale shape: query texts are a driver-side sample BY CONTRACT
    * ([[bm25TopK]]'s query model) behind a probe-first ceiling
    * (`maxQueries` — limit(max+1) before collect, the harnessRows
-   * idiom); the corpus is touched only by bm25TopK's two narrow kernel
-   * passes. The top-k frame (≤ queries·k rows) is pinned ONCE and the
+   * idiom); the corpus is touched only by bm25TopK's single narrow
+   * kernel pass. The top-k frame (≤ queries·k rows) is pinned ONCE and the
    * partner table is cut to the sampled queries before its two
    * broadcast uses (the two-broadcast re-evaluation rule).
    *
@@ -329,8 +350,11 @@ object Retrieval {
     require(queries.nonEmpty,
       "distillTriplets: no sampled query has a near-dup partner")
 
-    val topk = graft.core.Blocks.pin(
-      bm25TopK(docs, queries, k, idCol = idCol, textCol = textCol))
+    val topkRaw = bm25TopK(docs, queries, k, idCol = idCol, textCol = textCol)
+    val topk = graft.core.Blocks.pin(topkRaw)
+    // the eager pin above consumed topkRaw — release bm25TopK's pinned
+    // candidate frame (it lives in topkRaw's lineage, which the pin cut)
+    graft.core.Blocks.releaseAll(topkRaw)
     val qidDf = queries.map(_._1.toLong).toDF("query_id_l")
     val partners = graft.core.Blocks.pin(
       pairs.select(col(aCol).cast("long").as("query_id_l"),

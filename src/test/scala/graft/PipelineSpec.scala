@@ -1199,6 +1199,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(relaxed(1L) === 2 && relaxed(7L) === 1 && relaxed(5L) === 2)
   }
 
+  test("coreness: empty graph (no pairs / only self-loops) returns an " +
+      "empty frame, like the peel form did") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id_a", "doc_id_b")
+    assert(Graph.coreness(empty, kMax = 8).collect().isEmpty)
+    val selfOnly = Seq((3L, 3L), (9L, 9L)).toDF("doc_id_a", "doc_id_b")
+    assert(Graph.coreness(selfOnly, kMax = 8).collect().isEmpty)
+  }
+
   test("ivfCompactIfNeeded: below-threshold no-op, above-threshold run " +
       "clears the tombstones") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
