@@ -10,15 +10,15 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
+    // plans-only process: disable pins via a JVM property (NOT a spark
+    // conf — core.Blocks r18: a conf could leak into gate sessions)
+    System.setProperty("graft.pin.disable", "true")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // plans-only session: keep checkpoints LAZY so the printed plan
-      // shows the whole pipeline (a pin roots the plan at a LogicalRDD
-      // and hides every operator above it) — see core.Blocks.pin
-      .config("graft.pin.disable", "true")
+      // (pin-disable is set as a JVM property above — see core.Blocks.pin)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

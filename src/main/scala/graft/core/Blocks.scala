@@ -56,18 +56,25 @@ object Blocks {
     * handle) is mode-independent. */
   def pin[T](ds: Dataset[T]): Dataset[T] = {
     val spark = ds.sparkSession
-    // Dev/observability escape hatch (r17): `graft.pin.disable=true`
-    // makes pin the identity so `graft.Explain` can print the FULL
-    // physical plan through iterative operators (a pinned frame roots
-    // the plan at a LogicalRDD, hiding every Exchange upstream of the
-    // checkpoint — exactly the part an optimization round must show).
-    // NEVER set in Bench/Verify sessions: without the pins the
-    // correctness contracts (plan-cut before store writes, one-time
-    // evaluation, release-by-handle) do not hold.
-    if (spark.conf.getOption("graft.pin.disable")
-        .exists(_.equalsIgnoreCase("true"))) return ds
+    // Dev/observability escape hatch (r17): pin-disable makes pin the
+    // identity so `graft.Explain` can print the FULL physical plan
+    // through iterative operators (a pinned frame roots the plan at a
+    // LogicalRDD, hiding every Exchange upstream of the checkpoint —
+    // exactly the part an optimization round must show). r18 (advisor
+    // item): the switch is a JVM SYSTEM PROPERTY settable only from
+    // driver code (Explain.main), NOT a spark conf — a session-wide
+    // conf could leak into Verify/Bench/ETL sessions and silently break
+    // every correctness contract pins carry (plan cut before
+    // overwrite-in-place writes, one-time evaluation,
+    // release-by-handle). Refuses reliable mode: contradictory intent.
     val reliable = spark.conf.getOption("graft.checkpoint.reliable")
       .exists(_.equalsIgnoreCase("true"))
+    if (sys.props.get("graft.pin.disable").exists(_.equalsIgnoreCase("true"))) {
+      require(!reliable, "graft.pin.disable=true contradicts " +
+        "graft.checkpoint.reliable=true — unset one (pin.disable is an " +
+        "Explain-only plan-inspection escape hatch)")
+      return ds
+    }
     if (!reliable) ds.localCheckpoint(eager = true)
     else {
       val sc = spark.sparkContext

@@ -42,7 +42,17 @@ object Graph {
 
   /** @param vertices one row per vertex, column `idCol` (Long)
     * @param edges    DIRECTED edges (`srcCol`, `dstCol`); pass both
-    *                 directions for an undirected graph
+    *                 directions for an undirected graph. CONTRACT
+    *                 (r17 sparse iteration, all loops here and in
+    *                 [[labelPropagation]]/[[pageRankResiduals]]): every
+    *                 edge endpoint must appear in `vertices`. The sparse
+    *                 rank frame reads absent entries as "the constant
+    *                 default", which equals the dense semantics only for
+    *                 in-`vertices` ids; a dangling src would contribute
+    *                 default-rank mass (the old dense form contributed
+    *                 0), and pageRankResiduals' closed-form absent count
+    *                 assumes dst ⊆ vertices. Pre-filter edges against the
+    *                 vertex set if the input cannot guarantee it.
     * @return (id, rank) with rank in units of 1/scale */
   def pageRank(vertices: DataFrame, edges: DataFrame, iters: Int = 5,
       scale: Long = 1000000000000L, idCol: String = "id",
@@ -531,6 +541,15 @@ object Graph {
    *
    * @return (doc_id, coreness ≥ 1) for every vertex with an edge
    */
+  /** `maxIter` bounds TOTAL h-index rounds (r17 semantic change: the
+    * peel form's maxIter bounded rounds per k-peel). Convergence needs
+    * O(core-depth) rounds on dense graphs (measured 4 on the m116
+    * graph) but can approach the graph DIAMETER on path-like graphs —
+    * on non-convergence `strict = true` (default) throws, while
+    * `strict = false` returns the current state with a WARN, which is a
+    * pointwise UPPER bound of the true coreness (the old peel form was
+    * always exact, merely kMax-truncated). Raise maxIter rather than
+    * relaxing strict when exactness matters. */
   def coreness(pairs: DataFrame, kMax: Int = 16, maxIter: Int = 30,
       strict: Boolean = true, aCol: String = "doc_id_a",
       bCol: String = "doc_id_b"): DataFrame = {

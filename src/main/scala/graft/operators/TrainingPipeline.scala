@@ -254,7 +254,16 @@ object TrainingPipeline {
     * use `curateWithReport` — calling `curate` + `report` separately
     * pays the near-dedup chain twice. With `cfg.benchmark` set the
     * terminal action is one aggregation computing s4 AND the
-    * decontamination survivor count s5 together. */
+    * decontamination survivor count s5 together.
+    *
+    * PRECONDITION (r17 arithmetic survivor counts, advisor item):
+    * `doc_id` must be UNIQUE in `docs`. s4 = s3 − |distinct dup ids|
+    * and s5's dup-side clean count join back to the RAW docs by id;
+    * duplicate ids carrying DIFFERENT text would double-join there,
+    * where the old anti-join shape counted rows and stayed correct.
+    * (Exact dedup collapses duplicate content, not duplicate ids.)
+    * Every graft corpus table carries unique doc_ids; assert upstream
+    * if an external input cannot guarantee it. */
   def report(docs: DataFrame, cfg: Config = Config()): DataFrame =
     if (cfg.benchmark.isDefined && cfg.nearDedup) {
       // counts only (r17): like the no-benchmark branch below, the
